@@ -1,13 +1,344 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{functions => F}
+import graft.sketch.{functions => G}
+import graft.sketch.Graft
+
+/**
+ * Driver contract — one named query per implemented operator
+ * (SURVEY.md §2), each with a DuckDB-oracle SQL twin where ANSI SQL can
+ * express it.
+ *
+ * Oracle strategy (FIXTURES.md §C): sketch counts are exact → compared
+ * directly against `count(*)`; sketch-derived floats (sum/avg/min/max/
+ * quantiles) are approximations with bounded relative error → the Spark
+ * side computes BOTH the sketch value and the exact value and emits a
+ * within-tolerance boolean, which the oracle pins to `true`. Pure
+ * relational queries get direct exact oracles.
+ */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(spark, dir, name)
+
+  // |sketch - exact| <= tol * |exact|, in multiplication form: safe under
+  // ANSI mode when exact = 0 (then the sketch value must be exactly 0 too).
+  private def ok(sketchVal: Column, exactVal: Column, tol: Double = 0.05): Column =
+    F.abs(sketchVal - exactVal) <= F.abs(exactVal) * tol
+
+  /** Flagship query (SURVEY.md §7.2): per-event-type latency stats from a
+    * one-pass values→sketch aggregation over events. */
+  def entry(spark: SparkSession): DataFrame = {
+    Graft.register(spark)
+    val events = t(spark, "/root/testdata/sf0.001", "events")
+    events.groupBy(F.col("event_type"))
+      .agg(G.ddsketch_stats_agg_values(F.col("value")).as("stats"))
+      .select(
+        F.col("event_type"),
+        F.col("stats.count").as("count"),
+        F.col("stats.p50").as("p50"),
+        F.col("stats.p95").as("p95"),
+        F.col("stats.p99").as("p99"))
+      .orderBy("event_type")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ----------------------------------------------------------------
+    // Sketch operator queries (SURVEY.md §2.1)
+    // ----------------------------------------------------------------
+
+    // #1 ddsketch_create: empty sketch, count 0, non-empty blob
+    "q_sketch_create" -> ((s: SparkSession, _: String) => {
+      Graft.register(s)
+      G.ddsketchCreateDF(s, 0.01).select(
+        G.ddsketch_count(F.col("sketch")).as("cnt"),
+        (F.octet_length(F.col("sketch")) > 0).as("nonempty"),
+        G.ddsketch_sum(F.col("sketch")).isNull.as("sum_is_null"))
+    }),
+
+    // #2 ddsketch_add: fold one extra value into a grouped sketch
+    "q_sketch_add" -> ((s: SparkSession, dir: String) => {
+      Graft.register(s)
+      t(s, dir, "events").groupBy(F.col("event_type"))
+        .agg(G.ddsketch_agg_values(F.col("value")).as("sk"),
+             F.count(F.lit(1)).as("exact_cnt"))
+        .select(F.col("event_type"),
+          G.ddsketch_count(G.ddsketch_add(F.col("sk"), F.lit(1000.0))).as("cnt_after_add"),
+          (F.col("exact_cnt") + 1).as("expected"))
+        .withColumn("add_ok", F.col("cnt_after_add") === F.col("expected"))
+        .select("event_type", "cnt_after_add", "add_ok")
+        .orderBy("event_type")
+    }),
+
+    // #3 ddsketch_merge: merge sketches of two disjoint halves
+    "q_sketch_merge" -> ((s: SparkSession, dir: String) => {
+      Graft.register(s)
+      val ev = t(s, dir, "events")
+      val lo = ev.filter(F.col("user_id") % 2 === 0).groupBy(F.col("event_type"))
+        .agg(G.ddsketch_agg_values(F.col("value")).as("sk_lo"))
+      val hi = ev.filter(F.col("user_id") % 2 === 1).groupBy(F.col("event_type"))
+        .agg(G.ddsketch_agg_values(F.col("value")).as("sk_hi"))
+      lo.join(hi, "event_type")
+        .select(F.col("event_type"),
+          G.ddsketch_count(G.ddsketch_merge(F.col("sk_lo"), F.col("sk_hi"))).as("cnt"))
+        .orderBy("event_type")
+    }),
+
+    // #4 ddsketch_quantile: sketch quantiles within tolerance of exact
+    "q_sketch_quantile" -> ((s: SparkSession, dir: String) => {
+      Graft.register(s)
+      t(s, dir, "events").groupBy(F.col("event_type"))
+        .agg(
+          G.ddsketch_agg_values(F.col("value")).as("sk"),
+          F.count(F.lit(1)).as("cnt"),
+          F.expr("percentile(value, 0.5)").as("ex50"),
+          F.expr("percentile(value, 0.95)").as("ex95"),
+          F.expr("percentile(value, 0.99)").as("ex99"))
+        .select(F.col("event_type"), F.col("cnt"),
+          ok(G.ddsketch_quantile(F.col("sk"), 0.5), F.col("ex50")).as("p50_ok"),
+          ok(G.ddsketch_quantile(F.col("sk"), 0.95), F.col("ex95")).as("p95_ok"),
+          ok(G.ddsketch_quantile(F.col("sk"), 0.99), F.col("ex99")).as("p99_ok"))
+        .orderBy("event_type")
+    }),
+
+    // #5-#9 ddsketch_count/min/max/sum/avg scalars over grouped sketches
+    "q_sketch_scalars" -> ((s: SparkSession, dir: String) => {
+      Graft.register(s)
+      t(s, dir, "events").groupBy(F.col("event_type"))
+        .agg(
+          G.ddsketch_agg_values(F.col("value")).as("sk"),
+          F.count(F.lit(1)).as("cnt"),
+          F.sum(F.col("value")).as("ex_sum"),
+          F.min(F.col("value")).as("ex_min"),
+          F.max(F.col("value")).as("ex_max"),
+          F.avg(F.col("value")).as("ex_avg"))
+        .select(F.col("event_type"),
+          G.ddsketch_count(F.col("sk")).as("cnt"),
+          ok(G.ddsketch_sum(F.col("sk")), F.col("ex_sum")).as("sum_ok"),
+          ok(G.ddsketch_min(F.col("sk")), F.col("ex_min")).as("min_ok"),
+          ok(G.ddsketch_max(F.col("sk")), F.col("ex_max")).as("max_ok"),
+          ok(G.ddsketch_avg(F.col("sk")), F.col("ex_avg")).as("avg_ok"))
+        .orderBy("event_type")
+    }),
+
+    // #10 ddsketch_stats: struct scalar over a stored sketch blob
+    "q_sketch_stats" -> ((s: SparkSession, dir: String) => {
+      Graft.register(s)
+      t(s, dir, "events").groupBy(F.col("event_type"))
+        .agg(G.ddsketch_agg_values(F.col("value")).as("sk"),
+             F.count(F.lit(1)).as("exact_cnt"),
+             F.avg(F.col("value")).as("ex_avg"))
+        .select(F.col("event_type"), G.ddsketch_stats(F.col("sk")).as("st"),
+                F.col("exact_cnt"), F.col("ex_avg"))
+        .select(F.col("event_type"),
+          F.col("st.count").as("cnt"),
+          (F.col("st.count") === F.col("exact_cnt")).as("count_ok"),
+          ok(F.col("st.avg"), F.col("ex_avg")).as("avg_ok"),
+          (F.col("st.min") <= F.col("st.max")).as("minmax_ok"))
+        .orderBy("event_type")
+    }),
+
+    // #11 ddsketch_agg: blob-merging aggregate — hourly→total rollup
+    // (mirrors reference README.md:189-199 hourly/daily pattern)
+    "q_sketch_agg_rollup" -> ((s: SparkSession, dir: String) => {
+      Graft.register(s)
+      val hourly = t(s, dir, "events")
+        .groupBy(F.col("event_type"), F.date_trunc("hour", F.col("ts")).as("hour"))
+        .agg(G.ddsketch_agg_values(F.col("value")).as("sk"))
+      hourly.groupBy(F.col("event_type"))
+        .agg(G.ddsketch_agg(F.col("sk")).as("merged"))
+        .select(F.col("event_type"),
+          G.ddsketch_count(F.col("merged")).as("cnt"))
+        .orderBy("event_type")
+    }),
+
+    // #12 ddsketch_stats_agg: 12-field struct from merged blobs
+    "q_sketch_stats_agg" -> ((s: SparkSession, dir: String) => {
+      Graft.register(s)
+      val perUser = t(s, dir, "events")
+        .groupBy(F.col("event_type"), (F.col("user_id") % 16).as("shard"))
+        .agg(G.ddsketch_agg_values(F.col("value")).as("sk"))
+      val exact = t(s, dir, "events").groupBy(F.col("event_type"))
+        .agg(F.count(F.lit(1)).as("exact_cnt"),
+             F.expr("percentile(value, 0.5)").as("ex50"),
+             F.expr("percentile(value, 0.95)").as("ex95"))
+      perUser.groupBy(F.col("event_type"))
+        .agg(G.ddsketch_stats_agg(F.col("sk")).as("st"))
+        .join(exact, "event_type")
+        .select(F.col("event_type"),
+          F.col("st.count").as("cnt"),
+          (F.col("st.count") === F.col("exact_cnt")).as("count_ok"),
+          ok(F.col("st.p50"), F.col("ex50")).as("p50_ok"),
+          ok(F.col("st.p95"), F.col("ex95")).as("p95_ok"),
+          (F.octet_length(F.col("st.sketch")) > 0).as("sketch_ok"))
+        .orderBy("event_type")
+    }),
+
+    // NULL discipline: every failure mode yields NULL, never an error
+    "q_sketch_nulls" -> ((s: SparkSession, _: String) => {
+      Graft.register(s)
+      val nullBlob = F.lit(null).cast("binary")
+      val garbage = F.lit(Array[Byte](0x13, 0x37, 0x7F)).cast("binary")
+      s.range(1).select(
+        G.ddsketch_count(nullBlob).isNull.as("null_count_ok"),
+        G.ddsketch_quantile(nullBlob, 0.5).isNull.as("null_quantile_ok"),
+        G.ddsketch_add(nullBlob, F.lit(1.0)).isNull.as("null_add_ok"),
+        G.ddsketch_count(garbage).isNull.as("garbage_count_ok"),
+        G.ddsketch_merge(G.ddsketch_create(), nullBlob).isNull.as("null_merge_ok"),
+        G.ddsketch_stats(garbage).isNull.as("garbage_stats_ok"))
+    }),
+
+    // lineitem-scale sketch: higher cardinality + key skew
+    "q_sketch_lineitem" -> ((s: SparkSession, dir: String) => {
+      Graft.register(s)
+      t(s, dir, "lineitem").groupBy(F.col("l_returnflag"), F.col("l_linestatus"))
+        .agg(
+          G.ddsketch_agg_values(F.col("l_extendedprice")).as("sk"),
+          F.count(F.lit(1)).as("cnt"),
+          F.expr("percentile(l_extendedprice, 0.5)").as("ex50"),
+          F.expr("percentile(l_extendedprice, 0.99)").as("ex99"))
+        .select(F.col("l_returnflag"), F.col("l_linestatus"), F.col("cnt"),
+          ok(G.ddsketch_quantile(F.col("sk"), 0.5), F.col("ex50")).as("p50_ok"),
+          ok(G.ddsketch_quantile(F.col("sk"), 0.99), F.col("ex99")).as("p99_ok"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // ----------------------------------------------------------------
+    // Relational host-surface parity (SURVEY.md §2.2): exact oracles
+    // ----------------------------------------------------------------
+
+    // grouped aggregation (TPC-H Q1 shape; cents as exact BIGINT)
+    "q_rel_agg" -> ((s: SparkSession, dir: String) => {
+      t(s, dir, "lineitem")
+        .filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy(F.col("l_returnflag"), F.col("l_linestatus"))
+        .agg(
+          F.sum(F.col("l_quantity")).cast("long").as("sum_qty"),
+          F.round(F.sum(F.col("l_extendedprice")) * 100, 0).cast("long").as("sum_price_cents"),
+          F.count(F.lit(1)).as("cnt"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // broadcast dim join + group
+    "q_rel_join" -> ((s: SparkSession, dir: String) => {
+      val orders = t(s, dir, "orders")
+      val customer = t(s, dir, "customer")
+      orders.join(F.broadcast(customer),
+          orders("o_custkey") === customer("c_custkey"))
+        .groupBy(F.col("c_mktsegment"))
+        .agg(F.count(F.lit(1)).as("order_cnt"),
+             F.round(F.sum(F.col("o_totalprice")) * 100, 0).cast("long").as("total_cents"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // filter pushdown + projection pruning
+    "q_rel_filter" -> ((s: SparkSession, dir: String) => {
+      t(s, dir, "lineitem")
+        .filter(F.col("l_shipdate").between(F.lit("1994-01-01"), F.lit("1994-12-31")) &&
+                F.col("l_discount").between(0.05, 0.07) && F.col("l_quantity") < 24)
+        .agg(F.count(F.lit(1)).as("cnt"),
+             F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")) * 100, 0)
+               .cast("long").as("revenue_cents"))
+    }),
+
+    // union + distinct
+    "q_rel_union" -> ((s: SparkSession, dir: String) => {
+      val ev = t(s, dir, "events")
+      val a = ev.filter(F.col("event_type") === "click").select(F.col("user_id"))
+      val b = ev.filter(F.col("event_type") === "purchase").select(F.col("user_id"))
+      a.union(b).distinct().agg(F.count(F.lit(1)).as("distinct_users"))
+    }),
+
+    // window function over orders per customer
+    "q_rel_window" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(F.col("o_custkey")).orderBy(F.col("o_orderdate"), F.col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") === 1)
+        .groupBy(F.col("o_orderpriority"))
+        .agg(F.count(F.lit(1)).as("first_order_cnt"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // time bucketing: hourly event counts (epoch millis keys)
+    "q_rel_timebucket" -> ((s: SparkSession, dir: String) => {
+      t(s, dir, "events")
+        .groupBy(F.date_trunc("hour", F.col("ts")).as("hour"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).as("cnt"))
+        .select(F.unix_millis(F.col("hour")).as("hour_ms"), F.col("event_type"), F.col("cnt"))
+        .orderBy("hour_ms", "event_type")
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_sketch_create" ->
+      "SELECT CAST(0 AS BIGINT) AS cnt, true AS nonempty, true AS sum_is_null",
+    "q_sketch_add" ->
+      """SELECT event_type, count(*) + 1 AS cnt_after_add, true AS add_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_sketch_merge" ->
+      """SELECT event_type, count(*) AS cnt
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_sketch_quantile" ->
+      """SELECT event_type, count(*) AS cnt, true AS p50_ok, true AS p95_ok, true AS p99_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_sketch_scalars" ->
+      """SELECT event_type, count(*) AS cnt, true AS sum_ok, true AS min_ok,
+        |       true AS max_ok, true AS avg_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_sketch_stats" ->
+      """SELECT event_type, count(*) AS cnt, true AS count_ok, true AS avg_ok, true AS minmax_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_sketch_agg_rollup" ->
+      """SELECT event_type, count(*) AS cnt
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_sketch_stats_agg" ->
+      """SELECT event_type, count(*) AS cnt, true AS count_ok, true AS p50_ok,
+        |       true AS p95_ok, true AS sketch_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_sketch_nulls" ->
+      """SELECT true AS null_count_ok, true AS null_quantile_ok, true AS null_add_ok,
+        |       true AS garbage_count_ok, true AS null_merge_ok, true AS garbage_stats_ok""".stripMargin,
+    "q_sketch_lineitem" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt, true AS p50_ok, true AS p99_ok
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_rel_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+        |       CAST(round(sum(l_extendedprice) * 100, 0) AS BIGINT) AS sum_price_cents,
+        |       count(*) AS cnt
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_rel_join" ->
+      """SELECT c_mktsegment, count(*) AS order_cnt,
+        |       CAST(round(sum(o_totalprice) * 100, 0) AS BIGINT) AS total_cents
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_rel_filter" ->
+      """SELECT count(*) AS cnt,
+        |       CAST(round(sum(l_extendedprice * l_discount) * 100, 0) AS BIGINT) AS revenue_cents
+        |FROM lineitem
+        |WHERE l_shipdate BETWEEN TIMESTAMP '1994-01-01 00:00:00' AND TIMESTAMP '1994-12-31 00:00:00'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+    "q_rel_union" ->
+      """SELECT count(*) AS distinct_users FROM (
+        |  SELECT DISTINCT user_id FROM (
+        |    SELECT user_id FROM events WHERE event_type = 'click'
+        |    UNION ALL
+        |    SELECT user_id FROM events WHERE event_type = 'purchase') u) v""".stripMargin,
+    "q_rel_window" ->
+      """SELECT o_orderpriority, count(*) AS first_order_cnt FROM (
+        |  SELECT o_orderpriority,
+        |         row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+        |  FROM orders) t WHERE rn = 1
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_rel_timebucket" ->
+      """SELECT CAST(epoch_ms(date_trunc('hour', ts)) AS BIGINT) AS hour_ms,
+        |       event_type, count(*) AS cnt
+        |FROM events GROUP BY 1, 2 ORDER BY hour_ms, event_type""".stripMargin
+  )
 }

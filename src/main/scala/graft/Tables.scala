@@ -1,0 +1,23 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Loaders for the driver-generated test tables (TESTDATA.md).
+ *
+ * `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's
+ * reader rejects by default; we read nanos as long
+ * (spark.sql.legacy.parquet.nanosAsLong) and surface a proper
+ * TimestampType column at microsecond precision.
+ */
+object Tables {
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (df.schema.fieldNames.contains("ts") &&
+        df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+    else df
+  }
+}

@@ -122,13 +122,17 @@ final class DDSketch(
   var min: Double = Double.PositiveInfinity
   var max: Double = Double.NegativeInfinity
 
-  @transient private var invLogGamma: Double = 1.0 / math.log(_gamma)
+  // Cached 1/ln(gamma); 0.0 marks "not yet computed" so the cache
+  // self-heals after any serialization path that skips transient fields.
+  @transient private var invLogGammaCache: Double = 0.0
+
+  private def invLogGamma: Double = {
+    if (invLogGammaCache == 0.0) invLogGammaCache = 1.0 / math.log(_gamma)
+    invLogGammaCache
+  }
 
   def gamma: Double = _gamma
-  def gamma_=(g: Double): Unit = { _gamma = g; invLogGamma = 1.0 / math.log(g) }
-
-  // Restores the cached 1/ln(gamma) after Java/Kryo deserialization.
-  private def readResolve(): AnyRef = { invLogGamma = 1.0 / math.log(_gamma); this }
+  def gamma_=(g: Double): Unit = { _gamma = g; invLogGammaCache = 0.0 }
 
   def isEmpty: Boolean = count == 0.0
 

@@ -1,0 +1,174 @@
+package graft.sketch
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.UserDefinedFunction
+import org.apache.spark.sql.{functions => F}
+
+/**
+ * Column-level API + SQL registration for the sketch function surface.
+ *
+ * Mirrors the reference extension's 11 SQL functions
+ * (reference: src/lib.rs:53-1037) as Spark UDFs/UDAFs. Error discipline
+ * matches the reference: every failure (NULL input, undecodable blob,
+ * merge mismatch) yields NULL, never a query-time error
+ * (lib.rs:191-194, 241-248, 296-300).
+ */
+object functions {
+
+  /** 5-field result of the scalar `ddsketch_stats` (order per lib.rs:609-615). */
+  case class Stats5(
+      count: Long,
+      sum: Option[Double],
+      min: Option[Double],
+      max: Option[Double],
+      avg: Option[Double])
+
+  private def decodeOrNull(blob: Array[Byte]): DDSketch =
+    if (blob == null) null
+    else {
+      try DataDogCodec.decode(blob)
+      catch { case _: Exception => null }
+    }
+
+  // ------------------------------------------------------------- scalar UDFs
+
+  private[graft] val createUdf: UserDefinedFunction = F.udf { (acc: Double) =>
+    val a = if (acc > 0.0 && acc < 1.0) acc else DDSketch.DefaultRelativeAccuracy
+    DataDogCodec.encode(DDSketch(a))
+  }
+
+  private[graft] val addUdf: UserDefinedFunction =
+    F.udf { (blob: Array[Byte], value: Double) =>
+      val s = decodeOrNull(blob)
+      if (s == null) null
+      else {
+        s.add(value)
+        DataDogCodec.encode(s)
+      }
+    }
+
+  private[graft] val mergeUdf: UserDefinedFunction =
+    F.udf { (b1: Array[Byte], b2: Array[Byte]) =>
+      val s1 = decodeOrNull(b1)
+      val s2 = decodeOrNull(b2)
+      if (s1 == null || s2 == null) null
+      else {
+        try { s1.merge(s2); DataDogCodec.encode(s1) }
+        catch { case _: Exception => null }
+      }
+    }
+
+  private[graft] val quantileUdf: UserDefinedFunction =
+    F.udf { (blob: Array[Byte], q: Double) =>
+      val s = decodeOrNull(blob)
+      if (s == null) None
+      else {
+        val v = s.quantile(q)
+        if (v.isNaN) None else Some(v)
+      }
+    }
+
+  private[graft] val countUdf: UserDefinedFunction = F.udf { (blob: Array[Byte]) =>
+    val s = decodeOrNull(blob)
+    if (s == null) None else Some(s.countLong)
+  }
+
+  private[graft] val minUdf: UserDefinedFunction = F.udf { (blob: Array[Byte]) =>
+    val s = decodeOrNull(blob)
+    if (s == null) None else s.minOpt
+  }
+
+  private[graft] val maxUdf: UserDefinedFunction = F.udf { (blob: Array[Byte]) =>
+    val s = decodeOrNull(blob)
+    if (s == null) None else s.maxOpt
+  }
+
+  private[graft] val sumUdf: UserDefinedFunction = F.udf { (blob: Array[Byte]) =>
+    val s = decodeOrNull(blob)
+    if (s == null) None else s.sumOpt
+  }
+
+  private[graft] val avgUdf: UserDefinedFunction = F.udf { (blob: Array[Byte]) =>
+    val s = decodeOrNull(blob)
+    if (s == null) None else s.avgOpt
+  }
+
+  private[graft] val statsUdf: UserDefinedFunction = F.udf { (blob: Array[Byte]) =>
+    val s = decodeOrNull(blob)
+    if (s == null) null
+    else Stats5(s.countLong, s.sumOpt, s.minOpt, s.maxOpt, s.avgOpt)
+  }
+
+  // ---------------------------------------------------------------- UDAFs
+
+  private[graft] val aggUdaf: UserDefinedFunction =
+    F.udaf(new DDSketchMergeAgg, Encoders.BINARY)
+  private[graft] val statsAggUdaf: UserDefinedFunction =
+    F.udaf(new DDSketchStatsAgg, Encoders.BINARY)
+  private[graft] val valuesAggUdaf: UserDefinedFunction =
+    F.udaf(new DDSketchValuesAgg, Encoders.DOUBLE)
+  private[graft] val valuesStatsAggUdaf: UserDefinedFunction =
+    F.udaf(new DDSketchValuesStatsAgg, Encoders.DOUBLE)
+
+  // ------------------------------------------------------------ Column API
+
+  /** Empty serialized sketch with the given relative accuracy. */
+  def ddsketch_create(accuracy: Column): Column = createUdf(accuracy)
+  def ddsketch_create(): Column = ddsketch_create(F.lit(DDSketch.DefaultRelativeAccuracy))
+
+  /** 1-row DataFrame with an empty sketch — the faithful equivalent of the
+    * reference's table function `ddsketch_create` (lib.rs:53-113). */
+  def ddsketchCreateDF(spark: SparkSession, accuracy: Double = DDSketch.DefaultRelativeAccuracy): DataFrame =
+    spark.range(1).select(ddsketch_create(F.lit(accuracy)).as("sketch"))
+
+  def ddsketch_add(sketch: Column, value: Column): Column = addUdf(sketch, value)
+  def ddsketch_merge(s1: Column, s2: Column): Column = mergeUdf(s1, s2)
+  def ddsketch_quantile(sketch: Column, q: Column): Column = quantileUdf(sketch, q)
+  def ddsketch_quantile(sketch: Column, q: Double): Column = quantileUdf(sketch, F.lit(q))
+  def ddsketch_count(sketch: Column): Column = countUdf(sketch)
+  def ddsketch_min(sketch: Column): Column = minUdf(sketch)
+  def ddsketch_max(sketch: Column): Column = maxUdf(sketch)
+  def ddsketch_sum(sketch: Column): Column = sumUdf(sketch)
+  def ddsketch_avg(sketch: Column): Column = avgUdf(sketch)
+  def ddsketch_stats(sketch: Column): Column = statsUdf(sketch)
+
+  /** Aggregate: merge all sketch blobs in the group. */
+  def ddsketch_agg(sketch: Column): Column = aggUdaf(sketch)
+
+  /** Aggregate: merge all sketch blobs, return 12-field stats struct. */
+  def ddsketch_stats_agg(sketch: Column): Column = statsAggUdaf(sketch)
+
+  /** Aggregate: build a sketch from a DOUBLE column (default accuracy). */
+  def ddsketch_agg_values(value: Column): Column = valuesAggUdaf(value)
+
+  /** Aggregate: build a sketch from a DOUBLE column with explicit accuracy. */
+  def ddsketch_agg_values(value: Column, accuracy: Double): Column =
+    F.udaf(new DDSketchValuesAgg(accuracy), Encoders.DOUBLE)(value)
+
+  /** Aggregate: raw DOUBLE column in, 12-field stats struct out. */
+  def ddsketch_stats_agg_values(value: Column): Column = valuesStatsAggUdaf(value)
+  def ddsketch_stats_agg_values(value: Column, accuracy: Double): Column =
+    F.udaf(new DDSketchValuesStatsAgg(accuracy), Encoders.DOUBLE)(value)
+}
+
+/** SQL-name registration so every function is usable from `spark.sql`. */
+object Graft {
+  /** Idempotent; call once per SparkSession. */
+  def register(spark: SparkSession): Unit = {
+    val u = spark.udf
+    u.register("ddsketch_create", functions.createUdf)
+    u.register("ddsketch_add", functions.addUdf)
+    u.register("ddsketch_merge", functions.mergeUdf)
+    u.register("ddsketch_quantile", functions.quantileUdf)
+    u.register("ddsketch_count", functions.countUdf)
+    u.register("ddsketch_min", functions.minUdf)
+    u.register("ddsketch_max", functions.maxUdf)
+    u.register("ddsketch_sum", functions.sumUdf)
+    u.register("ddsketch_avg", functions.avgUdf)
+    u.register("ddsketch_stats", functions.statsUdf)
+    u.register("ddsketch_agg", functions.aggUdaf)
+    u.register("ddsketch_stats_agg", functions.statsAggUdaf)
+    u.register("ddsketch_agg_values", functions.valuesAggUdaf)
+    u.register("ddsketch_stats_agg_values", functions.valuesStatsAggUdaf)
+  }
+}

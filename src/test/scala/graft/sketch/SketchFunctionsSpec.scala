@@ -1,0 +1,199 @@
+package graft.sketch
+
+import graft.SparkTestBase
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.Row
+import graft.sketch.{functions => G}
+
+/**
+ * End-to-end DataFrame/SQL tests mirroring the reference's SQL suite
+ * (reference: test/sql/ddsketch.test:5-119 and
+ * test/integration_test.sql:1-139).
+ */
+class SketchFunctionsSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  test("ddsketch_create returns non-empty blob; create DF mirrors table fn") {
+    val row = G.ddsketchCreateDF(spark, 0.01).collect().head
+    val blob = row.getAs[Array[Byte]]("sketch")
+    assert(blob.nonEmpty)
+    // empty sketch: count 0, min/max/sum/avg NULL
+    val df = G.ddsketchCreateDF(spark, 0.01).select(
+      G.ddsketch_count($"sketch").as("c"),
+      G.ddsketch_min($"sketch").as("mn"),
+      G.ddsketch_max($"sketch").as("mx"),
+      G.ddsketch_sum($"sketch").as("sm"),
+      G.ddsketch_avg($"sketch").as("av"))
+    val r = df.collect().head
+    assert(r.getAs[Long]("c") == 0L)
+    assert(r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3) && r.isNullAt(4))
+  }
+
+  test("add chain: count/sum/avg/min/max/quantile match sqllogictest golden") {
+    val df = G.ddsketchCreateDF(spark, 0.01)
+      .select(G.ddsketch_add(G.ddsketch_add(G.ddsketch_add(
+        $"sketch", F.lit(100.0)), F.lit(200.0)), F.lit(300.0)).as("s"))
+      .select(
+        G.ddsketch_count($"s").as("c"),
+        G.ddsketch_sum($"s").as("sum"),
+        G.ddsketch_avg($"s").as("avg"),
+        G.ddsketch_min($"s").as("min"),
+        G.ddsketch_max($"s").as("max"),
+        F.round(G.ddsketch_quantile($"s", 0.5), 0).as("p50"))
+    // sum/avg/min/max are bin-midpoint approximations after the encode
+    // round-trip inside ddsketch_add — the reference's own integration
+    // test asserts 5% tolerance (test/integration_test.sql:24-41)
+    val r = df.collect().head
+    assert(r.getAs[Long]("c") == 3L)
+    assert(math.abs(r.getAs[Double]("sum") - 600.0) / 600.0 < 0.05)
+    assert(math.abs(r.getAs[Double]("avg") - 200.0) / 200.0 < 0.05)
+    assert(math.abs(r.getAs[Double]("min") - 100.0) / 100.0 < 0.05)
+    assert(math.abs(r.getAs[Double]("max") - 300.0) / 300.0 < 0.05)
+    assert(math.abs(r.getAs[Double]("p50") - 200.0) / 200.0 < 0.05)
+  }
+
+  test("merge of two single-value sketches has count 2") {
+    val df = spark.range(1).select(
+      G.ddsketch_add(G.ddsketch_create(), F.lit(10.0)).as("a"),
+      G.ddsketch_add(G.ddsketch_create(), F.lit(20.0)).as("b"))
+      .select(G.ddsketch_count(G.ddsketch_merge($"a", $"b")).as("c"))
+    assert(df.collect().head.getAs[Long]("c") == 2L)
+  }
+
+  test("ddsketch_agg over UNION ALL: count 3, sum 60") {
+    val one = spark.range(1).select(G.ddsketch_add(G.ddsketch_create(), F.lit(10.0)).as("s"))
+    val two = spark.range(1).select(G.ddsketch_add(G.ddsketch_create(), F.lit(20.0)).as("s"))
+    val three = spark.range(1).select(G.ddsketch_add(G.ddsketch_create(), F.lit(30.0)).as("s"))
+    val sketches = one.union(two).union(three)
+    val r = sketches.agg(
+      G.ddsketch_count(G.ddsketch_agg($"s")).as("c"),
+      G.ddsketch_sum(G.ddsketch_agg($"s")).as("sum")).collect().head
+    assert(r.getAs[Long]("c") == 3L)
+    assert(math.abs(r.getAs[Double]("sum") - 60.0) / 60.0 < 0.05)
+  }
+
+  test("NULL discipline: null/garbage blobs yield NULL, never errors") {
+    val df = Seq(
+      (1, null.asInstanceOf[Array[Byte]]),
+      (2, Array[Byte](0x13, 0x37, -1)),
+      (3, DataDogCodec.encode { val s = DDSketch(0.01); s.add(5.0); s })
+    ).toDF("id", "s")
+    val out = df.select($"id",
+      G.ddsketch_count($"s").as("c"),
+      G.ddsketch_quantile($"s", 0.5).as("q"),
+      G.ddsketch_add($"s", F.lit(1.0)).as("added"),
+      G.ddsketch_stats($"s").as("st"))
+      .orderBy($"id").collect()
+    assert(out(0).isNullAt(1) && out(0).isNullAt(2) && out(0).isNullAt(3) && out(0).isNullAt(4))
+    assert(out(1).isNullAt(1) && out(1).isNullAt(2) && out(1).isNullAt(3) && out(1).isNullAt(4))
+    assert(out(2).getAs[Long]("c") == 1L)
+    assert(math.abs(out(2).getAs[Double]("q") - 5.0) < 0.2)
+  }
+
+  test("ddsketch_agg skips nulls/garbage/empty blobs; empty group yields NULL") {
+    val good = DataDogCodec.encode { val s = DDSketch(0.01); s.add(42.0); s }
+    val df = Seq(
+      ("a", good),
+      ("a", null.asInstanceOf[Array[Byte]]),
+      ("a", Array.emptyByteArray),
+      ("a", Array[Byte](1, 2, 3)),
+      ("b", null.asInstanceOf[Array[Byte]])
+    ).toDF("k", "s")
+    val out = df.groupBy($"k").agg(G.ddsketch_count(G.ddsketch_agg($"s")).as("c"))
+      .orderBy($"k").collect()
+    assert(out(0).getAs[Long]("c") == 1L)
+    assert(out(1).isNullAt(1), "group of only-null sketches must aggregate to NULL")
+  }
+
+  test("ddsketch_agg_values builds sketches distributed; quantile within accuracy") {
+    val n = 50000
+    val df = spark.range(n).select(($"id" % 1000 + 1).cast("double").as("v"))
+      .repartition(8)
+    val r = df.agg(
+      G.ddsketch_count(G.ddsketch_agg_values($"v")).as("c"),
+      G.ddsketch_quantile(G.ddsketch_agg_values($"v"), 0.5).as("p50")).collect().head
+    assert(r.getAs[Long]("c") == n.toLong)
+    val p50 = r.getAs[Double]("p50")
+    assert(math.abs(p50 - 500.0) / 500.0 < 0.03, s"p50=$p50")
+  }
+
+  test("ddsketch_stats_agg: 12-field struct matches component functions") {
+    val sketches = (1 to 20).map { i =>
+      val s = DDSketch(0.01); s.add(i.toDouble * 10); DataDogCodec.encode(s)
+    }
+    val df = sketches.toDF("s")
+    val r = df.agg(G.ddsketch_stats_agg($"s").as("st")).select("st.*").collect().head
+    assert(r.getAs[Long]("count") == 20L)
+    assert(math.abs(r.getAs[Double]("sum") - 2100.0) / 2100.0 < 0.03)
+    assert(math.abs(r.getAs[Double]("avg") - 105.0) / 105.0 < 0.03)
+    assert(math.abs(r.getAs[Double]("min") - 10.0) / 10.0 < 0.03)
+    assert(math.abs(r.getAs[Double]("max") - 200.0) / 200.0 < 0.03)
+    val sketch = r.getAs[Array[Byte]]("sketch")
+    val dec = DataDogCodec.decode(sketch)
+    assert(dec.countLong == 20L)
+    // percentile fields match direct quantile evaluation
+    for ((f, q) <- Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75,
+                       "p90" -> 0.9, "p95" -> 0.95, "p99" -> 0.99)) {
+      assert(r.getAs[Double](f) == dec.quantile(q), s"field $f")
+    }
+  }
+
+  test("ddsketch_stats scalar: 5-field struct, NULL for garbage") {
+    val good = DataDogCodec.encode { val s = DDSketch(0.01); (1 to 4).foreach(i => s.add(i * 100.0)); s }
+    val df = Seq((1, good), (2, Array[Byte](9, 9))).toDF("id", "s")
+      .select($"id", G.ddsketch_stats($"s").as("st")).orderBy($"id")
+    val rows = df.collect()
+    val st = rows(0).getAs[Row]("st")
+    assert(st.getAs[Long]("count") == 4L)
+    assert(math.abs(st.getAs[Double]("sum") - 1000.0) / 1000.0 < 0.05)
+    assert(math.abs(st.getAs[Double]("avg") - 250.0) / 250.0 < 0.05)
+    assert(rows(1).isNullAt(1))
+  }
+
+  test("SQL registration: full surface callable from spark.sql") {
+    val good = DataDogCodec.encode { val s = DDSketch(0.01); s.add(7.0); s }
+    Seq((1, good), (2, good)).toDF("id", "s").createOrReplaceTempView("sk")
+    val r = spark.sql(
+      """SELECT ddsketch_count(ddsketch_agg(s)) AS c,
+        |       ddsketch_sum(ddsketch_agg(s)) AS sm,
+        |       ddsketch_quantile(ddsketch_agg(s), 0.5) AS p50
+        |FROM sk""".stripMargin).collect().head
+    assert(r.getAs[Long]("c") == 2L)
+    assert(math.abs(r.getAs[Double]("sm") - 14.0) / 14.0 < 0.05)
+    assert(math.abs(r.getAs[Double]("p50") - 7.0) < 0.2)
+    val r2 = spark.sql(
+      "SELECT ddsketch_count(ddsketch_add(ddsketch_create(0.01), 5.0)) AS c").collect().head
+    assert(r2.getAs[Long]("c") == 1L)
+  }
+
+  test("grouped sketch agg over events matches exact per-group stats") {
+    val events = sf("sf0.001", "events")
+    val out = events.groupBy($"event_type")
+      .agg(
+        G.ddsketch_count(G.ddsketch_agg_values($"value")).as("sketch_count"),
+        G.ddsketch_quantile(G.ddsketch_agg_values($"value"), 0.95).as("sketch_p95"),
+        F.count(F.lit(1)).as("exact_count"),
+        F.expr("percentile(value, 0.95)").as("exact_p95"))
+    out.collect().foreach { r =>
+      assert(r.getAs[Long]("sketch_count") == r.getAs[Long]("exact_count"))
+      val sp = r.getAs[Double]("sketch_p95")
+      val ep = r.getAs[Double]("exact_p95")
+      // reference bin_to_value biases up to ~2x accuracy vs exact
+      // interpolated percentiles (see SURVEY.md §7.4 item 4)
+      assert(math.abs(sp - ep) / ep < 0.035, s"p95 sketch=$sp exact=$ep")
+    }
+  }
+
+  test("sketch blobs roundtrip through parquet binary columns") {
+    val tmp = java.nio.file.Files.createTempDirectory("sketch_pq").toString
+    val events = sf("sf0.001", "events")
+    events.groupBy($"event_type")
+      .agg(G.ddsketch_agg_values($"value").as("sketch"))
+      .write.mode("overwrite").parquet(s"$tmp/sketches")
+    val back = spark.read.parquet(s"$tmp/sketches")
+    val r = back.agg(
+      G.ddsketch_count(G.ddsketch_agg($"sketch")).as("total")).collect().head
+    assert(r.getAs[Long]("total") == events.count())
+  }
+}
