@@ -27,6 +27,19 @@ object SparkEntry {
   private def ok(sketchVal: Column, exactVal: Column, tol: Double = 0.05): Column =
     F.abs(sketchVal - exactVal) <= F.abs(exactVal) * tol
 
+  // DDSketch's guarantee is relative to the ORDER STATISTIC at
+  // rank floor(q*(n-1)) (strict-> bin selection, SURVEY.md §1.2), not to
+  // an interpolated percentile — sparse tails make interpolation drift
+  // arbitrarily far from any actual data value. `sorted` is
+  // sort_array(collect_list(x)); 1-based element_at.
+  private def rankValue(sorted: Column, cnt: Column, q: Double): Column =
+    F.element_at(sorted,
+      (F.floor(F.lit(q) * (cnt - 1).cast("double")) + 1).cast("int"))
+
+  // bin_to_value returns up to ~2.1% above the true value plus the
+  // accuracy margin (gamma^i*(1+alpha) vs v in (gamma^(i-1), gamma^i])
+  private val RankTol = 0.035
+
   /** Flagship query (SURVEY.md §7.2): per-event-type latency stats from a
     * one-pass values→sketch aggregation over events. */
   def entry(spark: SparkSession): DataFrame = {
@@ -86,20 +99,22 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
-    // #4 ddsketch_quantile: sketch quantiles within tolerance of exact
+    // #4 ddsketch_quantile: sketch quantiles within tolerance of the
+    // exact order statistics at the same ranks
     "q_sketch_quantile" -> ((s: SparkSession, dir: String) => {
       Graft.register(s)
       t(s, dir, "events").groupBy(F.col("event_type"))
         .agg(
           G.ddsketch_agg_values(F.col("value")).as("sk"),
           F.count(F.lit(1)).as("cnt"),
-          F.expr("percentile(value, 0.5)").as("ex50"),
-          F.expr("percentile(value, 0.95)").as("ex95"),
-          F.expr("percentile(value, 0.99)").as("ex99"))
+          F.sort_array(F.collect_list(F.col("value"))).as("sorted"))
         .select(F.col("event_type"), F.col("cnt"),
-          ok(G.ddsketch_quantile(F.col("sk"), 0.5), F.col("ex50")).as("p50_ok"),
-          ok(G.ddsketch_quantile(F.col("sk"), 0.95), F.col("ex95")).as("p95_ok"),
-          ok(G.ddsketch_quantile(F.col("sk"), 0.99), F.col("ex99")).as("p99_ok"))
+          ok(G.ddsketch_quantile(F.col("sk"), 0.5),
+             rankValue(F.col("sorted"), F.col("cnt"), 0.5), RankTol).as("p50_ok"),
+          ok(G.ddsketch_quantile(F.col("sk"), 0.95),
+             rankValue(F.col("sorted"), F.col("cnt"), 0.95), RankTol).as("p95_ok"),
+          ok(G.ddsketch_quantile(F.col("sk"), 0.99),
+             rankValue(F.col("sorted"), F.col("cnt"), 0.99), RankTol).as("p99_ok"))
         .orderBy("event_type")
     }),
 
@@ -162,16 +177,17 @@ object SparkEntry {
         .agg(G.ddsketch_agg_values(F.col("value")).as("sk"))
       val exact = t(s, dir, "events").groupBy(F.col("event_type"))
         .agg(F.count(F.lit(1)).as("exact_cnt"),
-             F.expr("percentile(value, 0.5)").as("ex50"),
-             F.expr("percentile(value, 0.95)").as("ex95"))
+             F.sort_array(F.collect_list(F.col("value"))).as("sorted"))
       perUser.groupBy(F.col("event_type"))
         .agg(G.ddsketch_stats_agg(F.col("sk")).as("st"))
         .join(exact, "event_type")
         .select(F.col("event_type"),
           F.col("st.count").as("cnt"),
           (F.col("st.count") === F.col("exact_cnt")).as("count_ok"),
-          ok(F.col("st.p50"), F.col("ex50")).as("p50_ok"),
-          ok(F.col("st.p95"), F.col("ex95")).as("p95_ok"),
+          ok(F.col("st.p50"),
+             rankValue(F.col("sorted"), F.col("exact_cnt"), 0.5), RankTol).as("p50_ok"),
+          ok(F.col("st.p95"),
+             rankValue(F.col("sorted"), F.col("exact_cnt"), 0.95), RankTol).as("p95_ok"),
           (F.octet_length(F.col("st.sketch")) > 0).as("sketch_ok"))
         .orderBy("event_type")
     }),
@@ -197,11 +213,12 @@ object SparkEntry {
         .agg(
           G.ddsketch_agg_values(F.col("l_extendedprice")).as("sk"),
           F.count(F.lit(1)).as("cnt"),
-          F.expr("percentile(l_extendedprice, 0.5)").as("ex50"),
-          F.expr("percentile(l_extendedprice, 0.99)").as("ex99"))
+          F.sort_array(F.collect_list(F.col("l_extendedprice"))).as("sorted"))
         .select(F.col("l_returnflag"), F.col("l_linestatus"), F.col("cnt"),
-          ok(G.ddsketch_quantile(F.col("sk"), 0.5), F.col("ex50")).as("p50_ok"),
-          ok(G.ddsketch_quantile(F.col("sk"), 0.99), F.col("ex99")).as("p99_ok"))
+          ok(G.ddsketch_quantile(F.col("sk"), 0.5),
+             rankValue(F.col("sorted"), F.col("cnt"), 0.5), RankTol).as("p50_ok"),
+          ok(G.ddsketch_quantile(F.col("sk"), 0.99),
+             rankValue(F.col("sorted"), F.col("cnt"), 0.99), RankTol).as("p99_ok"))
         .orderBy("l_returnflag", "l_linestatus")
     }),
 
@@ -270,6 +287,139 @@ object SparkEntry {
         .agg(F.count(F.lit(1)).as("cnt"))
         .select(F.unix_millis(F.col("hour")).as("hour_ms"), F.col("event_type"), F.col("cnt"))
         .orderBy("hour_ms", "event_type")
+    }),
+
+    // ----------------------------------------------------------------
+    // Training-data pipeline operators (dedup / similarity / text / media)
+    // ----------------------------------------------------------------
+
+    // exact dedup by content hash
+    "q_dedup_exact" -> ((s: SparkSession, dir: String) => {
+      val docs = t(s, dir, "documents")
+      val kept = graft.pipeline.Dedup.dropExactDuplicates(docs, "doc_id", "text").count()
+      docs.agg(
+        F.count(F.lit(1)).as("total"),
+        F.countDistinct(F.col("text")).as("distinct_docs"))
+        .withColumn("kept", F.lit(kept))
+    }),
+
+    // MinHash-LSH near-dup pairs, exact-Jaccard verified (char 5-grams, j >= 0.8)
+    "q_dedup_minhash" -> ((s: SparkSession, dir: String) => {
+      graft.pipeline.Dedup.nearDuplicatePairs(
+          t(s, dir, "documents"), "doc_id", "text",
+          shingleSize = 5, threshold = 0.8, bands = 16, rowsPerBand = 8)
+        .select("id_a", "id_b")
+        .orderBy("id_a", "id_b")
+    }),
+
+    // n-gram Jaccard: same pairs with exact intersection/union counts
+    "q_dedup_ngram" -> ((s: SparkSession, dir: String) => {
+      graft.pipeline.Dedup.nearDuplicatePairs(
+          t(s, dir, "documents"), "doc_id", "text",
+          shingleSize = 5, threshold = 0.8, bands = 16, rowsPerBand = 8)
+        .select("id_a", "id_b", "inter", "uni")
+        .orderBy("id_a", "id_b")
+    }),
+
+    // SimHash near-dup candidates: recall against the exact jaccard>=0.8
+    // pair set (SimHash tracks feature-vector cosine, not Jaccard, so
+    // recall < 1 is possible by design — the oracle pins the true pair
+    // count and a recall floor, not the exact pair list)
+    "q_dedup_simhash" -> ((s: SparkSession, dir: String) => {
+      val docs = t(s, dir, "documents")
+      val truePairs = graft.pipeline.Dedup.nearDuplicatePairs(
+          docs, "doc_id", "text", shingleSize = 5, threshold = 0.8,
+          bands = 32, rowsPerBand = 4)
+        .select("id_a", "id_b")
+      val sim = graft.pipeline.Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 6)
+        .select("id_a", "id_b")
+      val trueCnt = truePairs.count()
+      val foundCnt = truePairs.intersect(sim).count()
+      s.range(1).select(
+        F.lit(trueCnt).as("true_pairs"),
+        F.lit(foundCnt >= (trueCnt * 0.9).ceil.toLong).as("recall_ok"))
+    }),
+
+    // embedding ANN: exact brute-force cosine top-5 for query vectors 0-4
+    "q_embed_topk" -> ((s: SparkSession, dir: String) => {
+      val emb = t(s, dir, "embeddings")
+      graft.pipeline.Similarity.bruteForceTopK(
+          emb, emb.filter(F.col("vec_id") < 5), "vec_id", "embedding", 5)
+        .select(F.col("query_id"), F.col("rank").cast("long").as("rank"),
+                F.col("neighbor_id"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // embedding ANN: LSH-bucketed variant, recall measured against brute force
+    "q_embed_lsh" -> ((s: SparkSession, dir: String) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(F.col("vec_id") < 5)
+      val exact = graft.pipeline.Similarity
+        .bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+        .select(F.col("query_id"), F.col("neighbor_id"))
+      val approx = graft.pipeline.Similarity
+        .lshTopK(emb, queries, "vec_id", "embedding", 5)
+        .select(F.col("query_id"), F.col("neighbor_id"))
+      exact.intersect(approx)
+        .groupBy(F.col("query_id"))
+        .agg(F.count(F.lit(1)).as("hits_in_top5"))
+        .orderBy("query_id")
+    }),
+
+    // text statistics per source: counts, tokens, chars, languages
+    "q_text_stats" -> ((s: SparkSession, dir: String) => {
+      t(s, dir, "documents").groupBy(F.col("source"))
+        .agg(
+          F.count(F.lit(1)).as("docs"),
+          F.sum(graft.pipeline.TextFunctions.tokenCount(F.col("text"))).cast("long").as("tokens"),
+          F.sum(F.col("n_chars")).as("chars_total"),
+          F.countDistinct(F.col("lang")).as("langs"))
+        .orderBy("source")
+    }),
+
+    // quality scoring: SQL-replicable score formula, bucketed counts
+    "q_text_quality" -> ((s: SparkSession, dir: String) => {
+      val tf = graft.pipeline.TextFunctions
+      val tokens = tf.tokenCount(F.col("text"))
+      t(s, dir, "documents")
+        .withColumn("score", tf.qualityScore(F.col("text"), F.col("n_chars")))
+        .groupBy(F.col("source"))
+        .agg(
+          F.sum(F.when(F.col("n_chars") >= 300, 1L).otherwise(0L)).as("long_cnt"),
+          F.sum(F.when(tokens >= 50, 1L).otherwise(0L)).as("rich_cnt"),
+          F.sum(F.when(F.col("score") > 0.7, 1L).otherwise(0L)).as("hq_cnt"))
+        .orderBy("source")
+    }),
+
+    // rolling-hash document fingerprints: collision-free vs normalized text
+    "q_text_fingerprint" -> ((s: SparkSession, dir: String) => {
+      val tf = graft.pipeline.TextFunctions
+      t(s, dir, "documents").agg(
+        F.countDistinct(tf.fingerprint(F.col("text"))).as("distinct_fp"),
+        F.countDistinct(F.regexp_replace(F.col("text"), "\\s+", " ")).as("distinct_norm"))
+        .withColumn("collision_free", F.col("distinct_fp") === F.col("distinct_norm"))
+    }),
+
+    // language-ID heuristic distribution (no ANSI-SQL equivalent heuristic)
+    "q_lang_id" -> ((s: SparkSession, dir: String) => {
+      val tf = graft.pipeline.TextFunctions
+      t(s, dir, "documents")
+        .groupBy(F.col("lang"), tf.lang_id(F.col("text")).as("predicted"))
+        .agg(F.count(F.lit(1)).as("cnt"))
+        .orderBy("lang", "predicted")
+    }),
+
+    // multimodal plumbing: binary payloads through batched (stub) decode
+    "q_multimodal" -> ((s: SparkSession, dir: String) => {
+      val docs = t(s, dir, "documents")
+      val media = graft.pipeline.Multimodal.mediaFromDocuments(s, docs)
+      val feats = graft.pipeline.Multimodal.extractFeatures(media)
+      feats.groupBy(F.col("modality"))
+        .agg(
+          F.count(F.lit(1)).as("cnt"),
+          F.sum(F.col("payload_bytes")).as("bytes_total"),
+          (F.min(F.size(F.col("feature"))) === 8).as("feat_ok"))
+        .orderBy("modality")
     })
   )
 
@@ -339,6 +489,97 @@ object SparkEntry {
     "q_rel_timebucket" ->
       """SELECT CAST(epoch_ms(date_trunc('hour', ts)) AS BIGINT) AS hour_ms,
         |       event_type, count(*) AS cnt
-        |FROM events GROUP BY 1, 2 ORDER BY hour_ms, event_type""".stripMargin
+        |FROM events GROUP BY 1, 2 ORDER BY hour_ms, event_type""".stripMargin,
+    "q_dedup_exact" ->
+      """SELECT count(*) AS total, count(DISTINCT text) AS distinct_docs,
+        |       count(DISTINCT text) AS kept FROM documents""".stripMargin,
+    "q_dedup_minhash" ->
+      """WITH sh AS (SELECT DISTINCT doc_id, substr(text, r.i, 5) AS g
+        |            FROM documents, range(1, 1000) r(i) WHERE r.i + 4 <= length(text)),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |pairs AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS inter
+        |          FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT ida AS id_a, idb AS id_b
+        |FROM pairs JOIN sizes sa ON ida = sa.doc_id JOIN sizes sb ON idb = sb.doc_id
+        |WHERE inter >= (sa.sz + sb.sz - inter) * 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q_dedup_ngram" ->
+      """WITH sh AS (SELECT DISTINCT doc_id, substr(text, r.i, 5) AS g
+        |            FROM documents, range(1, 1000) r(i) WHERE r.i + 4 <= length(text)),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |pairs AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS inter
+        |          FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT ida AS id_a, idb AS id_b, inter,
+        |       sa.sz + sb.sz - inter AS uni
+        |FROM pairs JOIN sizes sa ON ida = sa.doc_id JOIN sizes sb ON idb = sb.doc_id
+        |WHERE inter >= (sa.sz + sb.sz - inter) * 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q_dedup_simhash" ->
+      """WITH sh AS (SELECT DISTINCT doc_id, substr(text, r.i, 5) AS g
+        |            FROM documents, range(1, 1000) r(i) WHERE r.i + 4 <= length(text)),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |pairs AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS inter
+        |          FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT count(*) AS true_pairs, true AS recall_ok
+        |FROM pairs JOIN sizes sa ON ida = sa.doc_id JOIN sizes sb ON idb = sb.doc_id
+        |WHERE inter >= (sa.sz + sb.sz - inter) * 0.8""".stripMargin,
+    "q_embed_topk" ->
+      """WITH flat AS (SELECT vec_id, r.i AS i, embedding[r.i] AS x
+        |              FROM embeddings, range(1, 65) r(i)),
+        |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS n FROM flat GROUP BY 1),
+        |dots AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, sum(q.x * c.x) AS dot
+        |         FROM flat q JOIN flat c ON q.i = c.i
+        |         WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id GROUP BY 1, 2),
+        |cos AS (SELECT query_id, neighbor_id, dot / (nq.n * nc.n) AS c
+        |        FROM dots JOIN norms nq ON query_id = nq.vec_id
+        |                  JOIN norms nc ON neighbor_id = nc.vec_id)
+        |SELECT query_id, rank, neighbor_id FROM (
+        |  SELECT query_id, neighbor_id,
+        |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS BIGINT) AS rank
+        |  FROM cos) t
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q_text_stats" ->
+      """SELECT source, count(*) AS docs,
+        |       CAST(sum(len(string_split_regex(text, '\s+'))) AS BIGINT) AS tokens,
+        |       CAST(sum(n_chars) AS BIGINT) AS chars_total,
+        |       count(DISTINCT lang) AS langs
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "q_text_quality" ->
+      """SELECT source,
+        |  CAST(sum(CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END) AS BIGINT) AS long_cnt,
+        |  CAST(sum(CASE WHEN tokens >= 50 THEN 1 ELSE 0 END) AS BIGINT) AS rich_cnt,
+        |  CAST(sum(CASE WHEN score > 0.7 THEN 1 ELSE 0 END) AS BIGINT) AS hq_cnt
+        |FROM (
+        |  SELECT source, n_chars, tokens,
+        |    round((least(n_chars / 500.0, 1.0)
+        |         + (CASE WHEN (n_chars - tokens + 1) * 1.0 / tokens BETWEEN 3.0 AND 8.0
+        |                 THEN 1.0 ELSE 0.5 END)
+        |         + least(tokens / 100.0, 1.0)) / 3.0, 4) AS score
+        |  FROM (SELECT source, n_chars,
+        |               len(string_split_regex(text, '\s+')) AS tokens
+        |        FROM documents) x) y
+        |GROUP BY source ORDER BY source""".stripMargin,
+    "q_text_fingerprint" ->
+      """SELECT count(DISTINCT regexp_replace(text, '\s+', ' ', 'g')) AS distinct_fp,
+        |       count(DISTINCT regexp_replace(text, '\s+', ' ', 'g')) AS distinct_norm,
+        |       true AS collision_free FROM documents""".stripMargin,
+    // replicates the stopword heuristic: only the English stopword list
+    // intersects this corpus's vocabulary, so predicted = en iff any
+    // English stopword occurs, else und
+    "q_lang_id" ->
+      """SELECT lang,
+        |  CASE WHEN regexp_matches(text,
+        |    '\b(a|the|of|and|to|in|is|it|that|on|for|with|as|was|are)\b')
+        |  THEN 'en' ELSE 'und' END AS predicted,
+        |  count(*) AS cnt
+        |FROM documents GROUP BY 1, 2 ORDER BY lang, predicted""".stripMargin,
+    "q_multimodal" ->
+      """SELECT CASE lang WHEN 'en' THEN 'image' WHEN 'de' THEN 'audio'
+        |                 WHEN 'fr' THEN 'video' WHEN 'es' THEN 'pdf'
+        |                 ELSE 'text' END AS modality,
+        |       count(*) AS cnt,
+        |       CAST(sum(length(text)) AS BIGINT) AS bytes_total,
+        |       true AS feat_ok
+        |FROM documents GROUP BY 1 ORDER BY modality""".stripMargin
   )
 }

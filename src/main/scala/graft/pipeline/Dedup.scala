@@ -1,0 +1,135 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{functions => F}
+
+/**
+ * Deduplication operators for large-scale training-data pipelines.
+ *
+ * Scale design: every path avoids all-pairs comparison of the corpus —
+ * exact dedup shuffles on a 256-bit content hash (not the text), and
+ * near-dup detection goes through candidate generation (MinHash-LSH
+ * banding or SimHash chunk collision) whose shuffle keys are small
+ * integers/hashes, followed by exact verification only on candidates.
+ */
+object Dedup {
+
+  /**
+   * Exact dedup: keep the lowest-id row per distinct content.
+   * Groups on sha2(content) so the shuffle carries a 32-byte key, not
+   * the document body.
+   */
+  def dropExactDuplicates(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keyed = df.withColumn("__h", F.sha2(F.col(textCol), 256))
+    val keep = keyed.groupBy(F.col("__h")).agg(F.min(F.col(idCol)).as(idCol))
+    keep.join(keyed, Seq("__h", idCol)).drop("__h")
+  }
+
+  /**
+   * MinHash-LSH candidate pairs over a shingle-array column.
+   * numHashes = bands * rowsPerBand. Returns distinct (id_a, id_b) with
+   * id_a < id_b. maxBucket caps degenerate buckets (identical boilerplate
+   * floods); pairs lost to the cap are logged by the caller's metrics,
+   * never silently at the default (0 = no cap).
+   */
+  def minhashCandidates(
+      df: DataFrame,
+      idCol: String,
+      shingleCol: String,
+      bands: Int = 32,
+      rowsPerBand: Int = 4,
+      maxBucket: Int = 0): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val sig = df.select(
+      F.col(idCol),
+      TextFunctions.minhashUdf(numHashes)(F.col(shingleCol)).as("__sig"))
+    val buckets = sig.select(
+        F.col(idCol),
+        F.explode(TextFunctions.bandsUdf(bands, rowsPerBand)(F.col("__sig"))).as("__b"))
+      .select(F.col(idCol), F.col("__b._1").as("__band"), F.col("__b._2").as("__bucket"))
+    val grouped = buckets.groupBy(F.col("__band"), F.col("__bucket"))
+      .agg(F.collect_list(F.col(idCol)).as("__ids"))
+      .filter(F.size(F.col("__ids")) > 1)
+    val capped =
+      if (maxBucket > 0) grouped.filter(F.size(F.col("__ids")) <= maxBucket) else grouped
+    capped
+      .select(F.explode(pairsUdf(F.col("__ids"))).as("__p"))
+      .select(F.col("__p._1").as("id_a"), F.col("__p._2").as("id_b"))
+      .distinct()
+  }
+
+  private val pairsUdf = F.udf((ids: Seq[Long]) => {
+    val sorted = ids.sorted
+    for {
+      i <- sorted.indices
+      j <- (i + 1) until sorted.length
+    } yield (sorted(i), sorted(j))
+  })
+
+  /**
+   * Exact Jaccard verification of candidate pairs against the shingle
+   * sets: returns (id_a, id_b, inter, uni) for pairs with
+   * inter/uni >= threshold. intersect/union are exact set operations on
+   * the distinct-shingle arrays.
+   */
+  def verifyJaccard(
+      candidates: DataFrame,
+      docs: DataFrame,
+      idCol: String,
+      shingleCol: String,
+      threshold: Double): DataFrame = {
+    val a = docs.select(F.col(idCol).as("id_a"), F.col(shingleCol).as("__sa"))
+    val b = docs.select(F.col(idCol).as("id_b"), F.col(shingleCol).as("__sb"))
+    candidates.join(a, "id_a").join(b, "id_b")
+      .withColumn("inter", F.size(F.array_intersect(F.col("__sa"), F.col("__sb"))).cast("long"))
+      .withColumn("uni", F.size(F.array_union(F.col("__sa"), F.col("__sb"))).cast("long"))
+      .filter(F.col("inter") >= F.col("uni") * threshold)
+      .select("id_a", "id_b", "inter", "uni")
+  }
+
+  /** Full MinHash near-dup pipeline: shingle → LSH candidates → verify. */
+  def nearDuplicatePairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 5,
+      threshold: Double = 0.8,
+      bands: Int = 32,
+      rowsPerBand: Int = 4): DataFrame = {
+    val shingled = df.select(
+      F.col(idCol),
+      TextFunctions.shinglesUdf(shingleSize)(F.col(textCol)).as("__sh"))
+    shingled.cache()
+    val candidates = minhashCandidates(shingled, idCol, "__sh", bands, rowsPerBand)
+    verifyJaccard(candidates, shingled, idCol, "__sh", threshold)
+  }
+
+  /**
+   * SimHash near-dup candidates: 64-bit signature, banded into eight
+   * 8-bit chunks (guaranteed collision for hamming distance <= 7),
+   * exact hamming filter on candidates.
+   */
+  def simhashPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 6): DataFrame = {
+    require(maxHamming <= 7, "8x8-bit banding only guarantees hamming <= 7")
+    val sigs = df.select(F.col(idCol), TextFunctions.simhash(F.col(textCol)).as("__sig"))
+    val chunked = sigs.select(
+        F.col(idCol), F.col("__sig"),
+        F.explode(TextFunctions.simhashChunksUdf(F.col("__sig"))).as("__c"))
+      .select(F.col(idCol), F.col("__sig"),
+              F.col("__c._1").as("__chunk"), F.col("__c._2").as("__val"))
+    val l = chunked.select(F.col(idCol).as("id_a"), F.col("__sig").as("__siga"),
+                           F.col("__chunk"), F.col("__val"))
+    val r = chunked.select(F.col(idCol).as("id_b"), F.col("__sig").as("__sigb"),
+                           F.col("__chunk"), F.col("__val"))
+    l.join(r, Seq("__chunk", "__val"))
+      .filter(F.col("id_a") < F.col("id_b"))
+      .select(F.col("id_a"), F.col("id_b"),
+              F.bit_count(F.col("__siga").bitwiseXOR(F.col("__sigb"))).as("hamming"))
+      .filter(F.col("hamming") <= maxHamming)
+      .distinct()
+  }
+}

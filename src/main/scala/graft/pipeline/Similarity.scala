@@ -1,0 +1,131 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{functions => F}
+
+/**
+ * Similarity search over embedding columns (Array[Float]).
+ *
+ * Brute-force cosine top-k is the exact baseline: O(|Q|·|corpus|) dot
+ * products, embarrassingly parallel after broadcasting the (small)
+ * query set. The LSH variant (random-hyperplane signatures) is the
+ * scale path: bucket-join on signature prefix so each query only
+ * scores a fraction of the corpus.
+ */
+object Similarity {
+
+  private val dotUdf = F.udf((a: Seq[Float], b: Seq[Float]) => {
+    var s = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+    s
+  })
+
+  private val normUdf = F.udf((a: Seq[Float]) => {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) { s += a(i).toDouble * a(i).toDouble; i += 1 }
+    math.sqrt(s)
+  })
+
+  /** cosine(a, b) as a Column over two Array[Float] columns. */
+  def cosine(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    dotUdf(a, b) / (normUdf(a) * normUdf(b))
+
+  /**
+   * Exact top-k nearest neighbors by cosine for each query vector.
+   * `queries` is expected to be small — it is broadcast, so the corpus
+   * is scanned exactly once with no shuffle of the embeddings.
+   * Returns (query_id, rank, neighbor_id, cos).
+   */
+  def bruteForceTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    val q = queries.select(F.col(idCol).as("query_id"), F.col(vecCol).as("__qv"))
+    val c = corpus.select(F.col(idCol).as("neighbor_id"), F.col(vecCol).as("__cv"))
+    val scored = c.crossJoin(F.broadcast(q))
+      .filter(F.col("neighbor_id") =!= F.col("query_id"))
+      .withColumn("cos", cosine(F.col("__qv"), F.col("__cv")))
+    val w = Window.partitionBy(F.col("query_id"))
+      .orderBy(F.col("cos").desc, F.col("neighbor_id").asc)
+    scored
+      .withColumn("rank", F.row_number().over(w))
+      .filter(F.col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cos")
+  }
+
+  /** Deterministic random-ish hyperplane: dimension d's coefficient for
+    * plane p is a fixed hash-derived value in [-1, 1). */
+  private def planeCoef(plane: Int, dim: Int): Double = {
+    val h = TextFunctions.mix64(plane.toLong * 0x9E3779B97F4A7C15L + dim.toLong)
+    (h >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
+  }
+
+  /** Signatures for L independent random-hyperplane tables of `planes`
+    * bits each; position in the result = table index. */
+  private def tableSigsUdf(tables: Int, planes: Int) = F.udf((v: Seq[Float]) => {
+    (0 until tables).map { t =>
+      var sig = 0
+      var p = 0
+      while (p < planes) {
+        var s = 0.0
+        var i = 0
+        while (i < v.length) { s += planeCoef(t * planes + p, i) * v(i); i += 1 }
+        if (s >= 0) sig |= (1 << p)
+        p += 1
+      }
+      sig
+    }
+  })
+
+  /**
+   * LSH-bucketed approximate top-k: L independent random-hyperplane
+   * tables of `planes` bits; candidates are corpus vectors sharing a
+   * bucket with the query in any table (plus single-bit probes on the
+   * query side). Multiple tables are essential for recall when nearest
+   * neighbors sit at moderate angles; each corpus vector is replicated
+   * L times into the bucket index, which stays tiny relative to the
+   * embeddings. Recall < 1 by design; verify with [[bruteForceTopK]] on
+   * samples.
+   */
+  def lshTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      tables: Int = 8,
+      planes: Int = 8,
+      probeBits: Int = 1): DataFrame = {
+    require(planes <= 24, "signature must stay a small int")
+    val sigU = tableSigsUdf(tables, planes)
+    val probes = F.udf((sigs: Seq[Int]) => {
+      sigs.zipWithIndex.flatMap { case (sig, t) =>
+        val base = List((t, sig))
+        val exp = if (probeBits >= 1) (0 until planes).map(b => (t, sig ^ (1 << b))) else Nil
+        base ++ exp
+      }.distinct
+    })
+    val c = corpus.select(F.col(idCol).as("neighbor_id"), F.col(vecCol).as("__cv"),
+                          F.posexplode(sigU(F.col(vecCol))).as(Seq("__t", "__sig")))
+    val q = queries.select(F.col(idCol).as("query_id"), F.col(vecCol).as("__qv"),
+                           F.explode(probes(sigU(F.col(vecCol)))).as("__ts"))
+      .select(F.col("query_id"), F.col("__qv"),
+              F.col("__ts._1").as("__t"), F.col("__ts._2").as("__sig"))
+    val scored = c.join(F.broadcast(q), Seq("__t", "__sig"))
+      .filter(F.col("neighbor_id") =!= F.col("query_id"))
+      .select(F.col("query_id"), F.col("neighbor_id"), F.col("__qv"), F.col("__cv"))
+      .distinct()
+      .withColumn("cos", cosine(F.col("__qv"), F.col("__cv")))
+    val w = Window.partitionBy(F.col("query_id"))
+      .orderBy(F.col("cos").desc, F.col("neighbor_id").asc)
+    scored.withColumn("rank", F.row_number().over(w))
+      .filter(F.col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cos")
+  }
+}

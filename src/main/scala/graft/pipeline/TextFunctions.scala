@@ -1,0 +1,224 @@
+package graft.pipeline
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.UserDefinedFunction
+import org.apache.spark.sql.{functions => F}
+
+/**
+ * Text-analysis primitives for training-data pipelines: shingling,
+ * minhash/simhash signatures, rolling-hash fingerprints, language-ID
+ * heuristic, quality features. All deterministic (no per-run seeds) so
+ * results are reproducible across runs and cluster sizes.
+ */
+object TextFunctions {
+
+  // ------------------------------------------------------------ hashing
+
+  /** splitmix64 finalizer — cheap, well-mixed 64-bit hash step. */
+  @inline private[pipeline] def mix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** FNV-1a 64 over UTF-16 chars, then splitmix finalize. */
+  private[pipeline] def hashString(s: String): Long = {
+    var h = 0xCBF29CE484222325L
+    var i = 0
+    while (i < s.length) {
+      h ^= s.charAt(i).toLong
+      h *= 0x100000001B3L
+      i += 1
+    }
+    mix64(h)
+  }
+
+  // --------------------------------------------------------- shingling
+
+  /** Distinct character n-grams of a string, in first-occurrence order. */
+  private[pipeline] def charShingles(text: String, n: Int): Array[String] = {
+    if (text == null || text.length < n) return Array.empty
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i + n <= text.length) {
+      seen.add(text.substring(i, i + n))
+      i += 1
+    }
+    seen.toArray(new Array[String](seen.size))
+  }
+
+  def shinglesUdf(n: Int): UserDefinedFunction =
+    F.udf((text: String) => charShingles(text, n))
+
+  /** Column of distinct char n-grams. */
+  def char_shingles(text: Column, n: Int): Column = shinglesUdf(n)(text)
+
+  // ----------------------------------------------------------- minhash
+
+  /**
+   * MinHash signature over a shingle set using the Kirsch-Mitzenmacher
+   * construction: h_i(x) = h1(x) + i*h2(x), one string hash per shingle.
+   */
+  private[pipeline] def minhashSignature(shingles: Array[String], numHashes: Int): Array[Long] = {
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var s = 0
+    while (s < shingles.length) {
+      val h1 = hashString(shingles(s))
+      val h2 = mix64(h1 ^ 0x9E3779B97F4A7C15L) | 1L
+      var i = 0
+      var h = h1
+      while (i < numHashes) {
+        if (h < sig(i)) sig(i) = h
+        h += h2
+        i += 1
+      }
+      s += 1
+    }
+    sig
+  }
+
+  def minhashUdf(numHashes: Int): UserDefinedFunction =
+    F.udf { (shingles: Seq[String]) =>
+      val r: Array[Long] =
+        if (shingles == null) null else minhashSignature(shingles.toArray, numHashes)
+      r
+    }
+
+  /** Hash one LSH band (r consecutive signature slots) to a bucket key. */
+  private[pipeline] def bandHash(sig: Array[Long], band: Int, rows: Int): Long = {
+    var h = 0x2545F4914F6CDD1DL ^ band.toLong
+    var i = band * rows
+    val end = i + rows
+    while (i < end) { h = mix64(h ^ sig(i)); i += 1 }
+    h
+  }
+
+  /** (bandIndex, bucketHash) pairs for the banding join. */
+  def bandsUdf(bands: Int, rows: Int): UserDefinedFunction =
+    F.udf { (sig: Seq[Long]) =>
+      val r: Seq[(Int, Long)] =
+        if (sig == null) null
+        else {
+          val arr = sig.toArray
+          (0 until bands).map(b => (b, bandHash(arr, b, rows)))
+        }
+      r
+    }
+
+  // ----------------------------------------------------------- simhash
+
+  /**
+   * 64-bit SimHash over whitespace tokens (unigrams + bigrams, unit
+   * weight): bit b of the result is the sign of the sum of ±1 votes of
+   * each feature's hash bit b.
+   */
+  private[pipeline] def simhash64(tokens: Array[String]): Long = {
+    val votes = new Array[Int](64)
+    def vote(h: Long): Unit = {
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+    }
+    var i = 0
+    while (i < tokens.length) {
+      vote(hashString(tokens(i)))
+      if (i + 1 < tokens.length) vote(hashString(tokens(i) + " " + tokens(i + 1)))
+      i += 1
+    }
+    var result = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) result |= (1L << b)
+      b += 1
+    }
+    result
+  }
+
+  val simhashUdf: UserDefinedFunction =
+    F.udf { (text: String) =>
+      val r: java.lang.Long =
+        if (text == null) null
+        else java.lang.Long.valueOf(simhash64(text.split("\\s+").filter(_.nonEmpty)))
+      r
+    }
+
+  def simhash(text: Column): Column = simhashUdf(text)
+
+  /** 8-bit chunks of a simhash: pairs within hamming distance 7 are
+    * guaranteed to collide on at least one chunk (pigeonhole). */
+  val simhashChunksUdf: UserDefinedFunction =
+    F.udf((sig: Long) => (0 until 8).map(c => (c, ((sig >>> (8 * c)) & 0xFFL).toInt)))
+
+  // ------------------------------------------------------- fingerprint
+
+  /** Rolling polynomial (Karp-Rabin style) 64-bit fingerprint of
+    * whitespace-normalized text. */
+  private[pipeline] def fingerprint64(text: String): Long = {
+    if (text == null) return 0L
+    var h = 0L
+    var i = 0
+    var prevSpace = false
+    while (i < text.length) {
+      val c = text.charAt(i)
+      val isSpace = Character.isWhitespace(c)
+      if (!isSpace) { h = h * 0x100000001B3L + c.toLong; prevSpace = false }
+      else if (!prevSpace) { h = h * 0x100000001B3L + ' '.toLong; prevSpace = true }
+      i += 1
+    }
+    mix64(h)
+  }
+
+  val fingerprintUdf: UserDefinedFunction = F.udf((text: String) => fingerprint64(text))
+  def fingerprint(text: Column): Column = fingerprintUdf(text)
+
+  // ---------------------------------------------------------- language
+
+  private val stopwords: Map[String, Set[String]] = Map(
+    "en" -> Set("a", "the", "of", "and", "to", "in", "is", "it", "that", "on", "for", "with", "as", "was", "are"),
+    "de" -> Set("der", "die", "das", "und", "ist", "ich", "nicht", "ein", "mit", "auf", "für", "von", "zu", "den"),
+    "fr" -> Set("le", "la", "les", "et", "est", "je", "pas", "un", "une", "avec", "pour", "dans", "que", "des"),
+    "es" -> Set("el", "la", "los", "las", "y", "es", "no", "un", "una", "con", "para", "en", "que", "por"),
+    "zh" -> Set("的", "是", "了", "在", "我", "有", "和", "不", "这", "他"))
+
+  /** Stopword-ratio language heuristic; "und" (undetermined) when no
+    * language scores above zero. */
+  private[pipeline] def detectLanguage(text: String): String = {
+    if (text == null || text.isEmpty) return "und"
+    val tokens = text.toLowerCase.split("\\s+")
+    var bestLang = "und"
+    var bestScore = 0
+    for ((lang, words) <- stopwords) {
+      var score = 0
+      var i = 0
+      while (i < tokens.length) {
+        if (words.contains(tokens(i))) score += 1
+        i += 1
+      }
+      if (score > bestScore || (score == bestScore && score > 0 && lang < bestLang)) {
+        bestScore = score
+        bestLang = lang
+      }
+    }
+    bestLang
+  }
+
+  val langIdUdf: UserDefinedFunction = F.udf((text: String) => detectLanguage(text))
+  def lang_id(text: Column): Column = langIdUdf(text)
+
+  // ------------------------------------------------------------ quality
+
+  /** Pure-Column quality features: no UDF, fully codegen'd. */
+  def tokenCount(text: Column): Column = F.size(F.split(text, "\\s+"))
+
+  def qualityScore(text: Column, nChars: Column): Column = {
+    val tokens = tokenCount(text)
+    val avgWordLen = (nChars - tokens + 1).cast("double") / tokens
+    val lenScore = F.least(nChars.cast("double") / 500.0, F.lit(1.0))
+    val wordLenScore = F.when(avgWordLen.between(3.0, 8.0), 1.0).otherwise(0.5)
+    val richScore = F.least(tokens.cast("double") / 100.0, F.lit(1.0))
+    F.round((lenScore + wordLenScore + richScore) / 3.0, 4)
+  }
+}

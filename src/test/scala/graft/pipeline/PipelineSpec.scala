@@ -1,0 +1,150 @@
+package graft.pipeline
+
+import graft.SparkTestBase
+import org.apache.spark.sql.{functions => F}
+
+class TextFunctionsSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import TextFunctions._
+
+  test("charShingles: distinct, ordered, edge cases") {
+    assert(charShingles("abcde", 5).toSeq == Seq("abcde"))
+    assert(charShingles("ababab", 2).toSeq == Seq("ab", "ba"))
+    assert(charShingles("abc", 5).isEmpty)
+    assert(charShingles(null, 3).isEmpty)
+  }
+
+  test("minhash: identical sets identical sigs; jaccard estimate near truth") {
+    val a = charShingles("the quick brown fox jumps over the lazy dog", 5)
+    val b = charShingles("the quick brown fox jumps over the lazy cat", 5)
+    val sa = minhashSignature(a, 128)
+    val sb = minhashSignature(b, 128)
+    assert(minhashSignature(a, 128).toSeq == sa.toSeq)
+    val est = sa.zip(sb).count { case (x, y) => x == y } / 128.0
+    val inter = a.toSet.intersect(b.toSet).size.toDouble
+    val exact = inter / a.toSet.union(b.toSet).size
+    assert(math.abs(est - exact) < 0.15, s"est=$est exact=$exact")
+  }
+
+  test("simhash: near-identical texts have small hamming distance") {
+    val t1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val t2 = "alpha beta gamma delta epsilon zeta eta theta iota lambda"
+    val t3 = "completely different words nothing shared here at all whatsoever everything"
+    val h12 = java.lang.Long.bitCount(
+      simhash64(t1.split(" ")) ^ simhash64(t2.split(" ")))
+    val h13 = java.lang.Long.bitCount(
+      simhash64(t1.split(" ")) ^ simhash64(t3.split(" ")))
+    assert(h12 < h13, s"h12=$h12 h13=$h13")
+    assert(h12 <= 12, s"h12=$h12")
+  }
+
+  test("fingerprint: whitespace-normalization invariant, content sensitive") {
+    assert(fingerprint64("a  b\tc") == fingerprint64("a b c"))
+    assert(fingerprint64("a b c") != fingerprint64("a b d"))
+  }
+
+  test("language detection on real snippets") {
+    assert(detectLanguage("the cat sat on the mat and it was happy") == "en")
+    assert(detectLanguage("der hund ist nicht auf der straße und das ist gut") == "de")
+    assert(detectLanguage("le chat est dans la maison avec les enfants") == "fr")
+    assert(detectLanguage("el perro es un animal con una cola") == "es")
+    assert(detectLanguage("xyzzy qwerty") == "und")
+    assert(detectLanguage("") == "und")
+  }
+}
+
+class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("dropExactDuplicates keeps lowest id per content") {
+    val df = Seq((1L, "aaa"), (2L, "bbb"), (3L, "aaa"), (4L, "aaa"), (5L, "ccc"))
+      .toDF("doc_id", "text")
+    val out = Dedup.dropExactDuplicates(df, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted
+    assert(out.toSeq == Seq(1L, 2L, 5L))
+  }
+
+  test("minhash LSH near-dup pairs match exact jaccard pairs on documents") {
+    val docs = sf("sf0.001", "documents")
+    val found = Dedup.nearDuplicatePairs(docs, "doc_id", "text", 5, 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // exact (quadratic) reference computation on the same shingle sets
+    val sh = docs.select(F.col("doc_id"),
+      TextFunctions.shinglesUdf(5)(F.col("text")).as("sh"))
+    val a = sh.select(F.col("doc_id").as("id_a"), F.col("sh").as("sa"))
+    val b = sh.select(F.col("doc_id").as("id_b"), F.col("sh").as("sb"))
+    val exact = a.crossJoin(b).filter($"id_a" < $"id_b")
+      .withColumn("i", F.size(F.array_intersect($"sa", $"sb")))
+      .withColumn("u", F.size(F.array_union($"sa", $"sb")))
+      .filter($"i" >= $"u" * 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "test data should contain planted near-dups")
+    assert(found == exact, s"missing=${exact -- found} extra=${found -- exact}")
+  }
+
+  test("simhash pairs cover the high-jaccard planted pairs") {
+    val docs = sf("sf0.001", "documents")
+    val sim = Dedup.simhashPairs(docs, "doc_id", "text", 6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val jac = Dedup.nearDuplicatePairs(docs, "doc_id", "text", 5, 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(jac.nonEmpty)
+    val recall = jac.intersect(sim).size.toDouble / jac.size
+    assert(recall >= 0.9, s"simhash recall=$recall over ${jac.size} pairs")
+  }
+}
+
+class SimilaritySpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("bruteForceTopK: self excluded, ranks contiguous, cosine sane") {
+    val emb = sf("sf0.001", "embeddings")
+    val queries = emb.filter($"vec_id" < 3)
+    val out = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .collect()
+    assert(out.length == 15)
+    out.foreach { r =>
+      assert(r.getAs[Long]("neighbor_id") != r.getAs[Long]("query_id"))
+      val c = r.getAs[Double]("cos")
+      assert(c >= -1.0001 && c <= 1.0001)
+    }
+    val ranks = out.filter(_.getAs[Long]("query_id") == 0L).map(_.getAs[Int]("rank")).sorted
+    assert(ranks.toSeq == Seq(1, 2, 3, 4, 5))
+  }
+
+  test("lshTopK achieves reasonable recall vs brute force") {
+    val emb = sf("sf0.001", "embeddings")
+    val queries = emb.filter($"vec_id" < 10)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshTopK(emb, queries, "vec_id", "embedding", 5, 12, 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall=$recall")
+  }
+}
+
+class MultimodalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("media pipeline: schema, deterministic stub features, batch shape") {
+    val docs = sf("sf0.001", "documents")
+    val media = Multimodal.mediaFromDocuments(spark, docs)
+    val feats = Multimodal.extractFeatures(media)
+    val rows = feats.collect()
+    assert(rows.length == docs.count())
+    rows.foreach { f =>
+      assert(f.feature.length == 8)
+      assert(f.width >= 64 && f.height >= 64)
+      assert(f.payload_bytes > 0)
+    }
+    // determinism: second run bit-identical
+    val again = Multimodal.extractFeatures(media).collect()
+    assert(rows.sortBy(_.media_id).zip(again.sortBy(_.media_id)).forall {
+      case (x, y) => x.feature.toSeq == y.feature.toSeq && x.width == y.width
+    })
+    // payload bytes round-trip: equals n_chars for ASCII text
+    val total = feats.agg(F.sum("payload_bytes")).as[Long].collect().head
+    val chars = docs.agg(F.sum("n_chars")).as[Long].collect().head
+    assert(total == chars)
+  }
+}
