@@ -1,0 +1,46 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{functions => F}
+import graft.sketch.{functions => G}
+
+/**
+ * Structured Streaming rollups over sketch aggregates — the streaming
+ * form of the reference's hourly→daily sketch-table pattern
+ * (reference: README.md:119-141, 189-199): instead of INSERT-SELECT
+ * batch jobs, a watermarked windowed aggregation continuously maintains
+ * per-window sketches that downstream queries merge further with
+ * ddsketch_agg.
+ *
+ * Scale note: the aggregation state per (window, key) group is one
+ * DDSketch buffer (O(log range) bins), so state store size grows with
+ * key cardinality only, never with event count.
+ */
+object SketchStreaming {
+
+  /** Windowed values→sketch aggregation with event-time watermarking. */
+  def windowedSketchAgg(
+      stream: DataFrame,
+      tsCol: String,
+      keyCol: String,
+      valueCol: String,
+      windowDuration: String,
+      watermarkDelay: String): DataFrame =
+    stream
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(F.window(F.col(tsCol), windowDuration), F.col(keyCol))
+      .agg(G.ddsketch_agg_values(F.col(valueCol)).as("sketch"))
+
+  /** Same, emitting the full 12-field stats struct per window. */
+  def windowedStatsAgg(
+      stream: DataFrame,
+      tsCol: String,
+      keyCol: String,
+      valueCol: String,
+      windowDuration: String,
+      watermarkDelay: String): DataFrame =
+    stream
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(F.window(F.col(tsCol), windowDuration), F.col(keyCol))
+      .agg(G.ddsketch_stats_agg_values(F.col(valueCol)).as("stats"))
+}

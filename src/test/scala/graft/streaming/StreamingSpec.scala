@@ -1,0 +1,83 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import graft.SparkTestBase
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.{functions => F}
+import graft.sketch.{functions => G, DataDogCodec}
+
+class StreamingSpec extends SparkTestBase {
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2026-01-01 10:$minute%02d:00")
+
+  test("windowed sketch aggregation over a memory stream") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val stream = input.toDF().toDF("ts", "service", "latency")
+
+    val agg = SketchStreaming.windowedSketchAgg(
+      stream, "ts", "service", "latency", "10 minutes", "5 minutes")
+
+    val query = agg.writeStream
+      .format("memory")
+      .queryName("sketch_stream")
+      .outputMode("complete")
+      .start()
+
+    try {
+      input.addData(
+        (ts(1), "api", 10.0), (ts(2), "api", 20.0), (ts(3), "db", 5.0),
+        (ts(11), "api", 100.0))
+      query.processAllAvailable()
+      input.addData(
+        (ts(4), "api", 30.0), (ts(12), "api", 200.0), (ts(13), "db", 7.0))
+      query.processAllAvailable()
+
+      val out = spark.sql(
+        """SELECT service, unix_timestamp(window.start) AS ws,
+          |       ddsketch_count(sketch) AS cnt,
+          |       ddsketch_quantile(sketch, 0.5) AS p50
+          |FROM sketch_stream ORDER BY service, ws""".stripMargin).collect()
+
+      val byKey = out.map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+      val w0 = Timestamp.valueOf("2026-01-01 10:00:00").getTime / 1000
+      val w1 = Timestamp.valueOf("2026-01-01 10:10:00").getTime / 1000
+      // api in [10:00,10:10): 10,20,30 → count 3, p50 ~20
+      assert(byKey(("api", w0))._1 == 3L)
+      assert(math.abs(byKey(("api", w0))._2 - 20.0) / 20.0 < 0.03)
+      // api in [10:10,10:20): 100,200 → count 2
+      assert(byKey(("api", w1))._1 == 2L)
+      // db windows
+      assert(byKey(("db", w0))._1 == 1L)
+      assert(byKey(("db", w1))._1 == 1L)
+    } finally query.stop()
+  }
+
+  test("streamed sketches merge with batch sketches (same wire format)") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val agg = SketchStreaming.windowedSketchAgg(
+      input.toDF().toDF("ts", "service", "latency"),
+      "ts", "service", "latency", "10 minutes", "5 minutes")
+    val query = agg.writeStream.format("memory").queryName("sk2")
+      .outputMode("complete").start()
+    try {
+      input.addData((ts(1), "api", 50.0), (ts(2), "api", 60.0))
+      query.processAllAvailable()
+      // merge the streaming output sketch with a batch-built sketch
+      val streamed = spark.sql("SELECT sketch FROM sk2").collect().head.getAs[Array[Byte]](0)
+      val batch = { val s = graft.sketch.DDSketch(0.01); s.add(70.0); DataDogCodec.encode(s) }
+      val merged = Seq((streamed, batch)).toDF("a", "b")
+        .select(G.ddsketch_count(G.ddsketch_merge(F.col("a"), F.col("b"))).as("c"))
+        .collect().head.getAs[Long]("c")
+      assert(merged == 3L)
+    } finally query.stop()
+  }
+}
