@@ -1,14 +1,123 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{functions => F}
+import graft.sketch.{functions => G}
 
 /**
- * Benchmark main: runs every SparkEntry query against
- * SPARK_GRAFT_SF_DIR, forcing full materialization through the noop
- * sink (a bare count() would let Catalyst prune the sketch columns),
- * and prints one JSON line with per-query and total seconds.
+ * Benchmark main: headline operator queries against SPARK_GRAFT_SF_DIR,
+ * full materialization forced through the noop sink (a bare count()
+ * would let Catalyst prune the sketch columns). Prints one JSON line
+ * with per-query and total seconds.
+ *
+ * Unlike the Verify queries these carry no oracle-comparison baggage
+ * (no collect_list exact comparators) — they measure the operators.
  */
 object Bench {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Headline queries: representative operator workloads. */
+  def benchQueries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+
+    // values→sketch aggregation + quantiles per group (the flagship path)
+    "b_sketch_build" -> ((s: SparkSession, dir: String) =>
+      t(s, dir, "events").groupBy(F.col("event_type"))
+        .agg(G.ddsketch_agg_values(F.col("value")).as("sk"))
+        .select(F.col("event_type"),
+          G.ddsketch_quantile(F.col("sk"), 0.5).as("p50"),
+          G.ddsketch_quantile(F.col("sk"), 0.95).as("p95"),
+          G.ddsketch_quantile(F.col("sk"), 0.99).as("p99"))),
+
+    // high-cardinality rollup: hourly sketches merged to per-key totals
+    "b_sketch_rollup" -> ((s: SparkSession, dir: String) => {
+      val hourly = t(s, dir, "events")
+        .groupBy(F.col("event_type"), F.date_trunc("hour", F.col("ts")).as("hour"))
+        .agg(G.ddsketch_agg_values(F.col("value")).as("sk"))
+      hourly.groupBy(F.col("event_type"))
+        .agg(G.ddsketch_stats_agg(F.col("sk")).as("st"))
+        .select(F.col("event_type"), F.col("st.count"), F.col("st.p95"))
+    }),
+
+    // one-pass stats struct over a larger table with key skew
+    "b_sketch_lineitem" -> ((s: SparkSession, dir: String) =>
+      t(s, dir, "lineitem").groupBy(F.col("l_returnflag"), F.col("l_linestatus"))
+        .agg(G.ddsketch_stats_agg_values(F.col("l_extendedprice")).as("st"))
+        .select(F.col("l_returnflag"), F.col("l_linestatus"),
+          F.col("st.count"), F.col("st.p50"), F.col("st.p99"))),
+
+    // scalar chain over stored sketch blobs: add + merge + stats decode
+    "b_sketch_scalars" -> ((s: SparkSession, dir: String) => {
+      val sk = t(s, dir, "events")
+        .groupBy(F.col("event_type"), (F.col("user_id") % 64).as("shard"))
+        .agg(G.ddsketch_agg_values(F.col("value")).as("sk"))
+      sk.select(F.col("event_type"),
+          G.ddsketch_stats(G.ddsketch_add(F.col("sk"), F.lit(42.0))).as("st"))
+        .select(F.col("event_type"), F.col("st.count"), F.col("st.avg"))
+    }),
+
+    // MinHash-LSH near-dup detection end to end
+    "b_dedup_minhash" -> ((s: SparkSession, dir: String) =>
+      graft.pipeline.Dedup.nearDuplicatePairs(
+        t(s, dir, "documents"), "doc_id", "text",
+        shingleSize = 5, threshold = 0.8, bands = 16, rowsPerBand = 8)),
+
+    // SimHash banded near-dup candidates
+    "b_dedup_simhash" -> ((s: SparkSession, dir: String) =>
+      graft.pipeline.Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", 6)),
+
+    // exact dedup by content hash
+    "b_dedup_exact" -> ((s: SparkSession, dir: String) =>
+      graft.pipeline.Dedup.dropExactDuplicates(
+        t(s, dir, "documents"), "doc_id", "text")),
+
+    // ANN: brute-force cosine top-10 for 20 query vectors
+    "b_ann_bruteforce" -> ((s: SparkSession, dir: String) => {
+      val emb = t(s, dir, "embeddings")
+      graft.pipeline.Similarity.bruteForceTopK(
+        emb, emb.filter(F.col("vec_id") < 20), "vec_id", "embedding", 10)
+    }),
+
+    // ANN: LSH-bucketed variant, same workload
+    "b_ann_lsh" -> ((s: SparkSession, dir: String) => {
+      val emb = t(s, dir, "embeddings")
+      graft.pipeline.Similarity.lshTopK(
+        emb, emb.filter(F.col("vec_id") < 20), "vec_id", "embedding", 10)
+    }),
+
+    // text analysis sweep: tokens, quality, fingerprint, language
+    "b_text_sweep" -> ((s: SparkSession, dir: String) => {
+      val tf = graft.pipeline.TextFunctions
+      t(s, dir, "documents").select(
+          F.col("source"),
+          tf.tokenCount(F.col("text")).as("tokens"),
+          tf.qualityScore(F.col("text"), F.col("n_chars")).as("score"),
+          tf.fingerprint(F.col("text")).as("fp"),
+          tf.lang_id(F.col("text")).as("lang_pred"))
+        .groupBy(F.col("source"))
+        .agg(F.sum(F.col("tokens")), F.avg(F.col("score")),
+             F.countDistinct(F.col("fp")), F.countDistinct(F.col("lang_pred")))
+    }),
+
+    // relational anchors: TPC-H Q1 shape and broadcast dim join
+    "b_rel_q1" -> ((s: SparkSession, dir: String) =>
+      t(s, dir, "lineitem")
+        .filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy(F.col("l_returnflag"), F.col("l_linestatus"))
+        .agg(F.sum(F.col("l_quantity")), F.sum(F.col("l_extendedprice")),
+             F.avg(F.col("l_discount")), F.count(F.lit(1)))),
+
+    "b_rel_join" -> ((s: SparkSession, dir: String) => {
+      val orders = t(s, dir, "orders")
+      val customer = t(s, dir, "customer")
+      orders.join(F.broadcast(customer),
+          orders("o_custkey") === customer("c_custkey"))
+        .groupBy(F.col("c_mktsegment"))
+        .agg(F.count(F.lit(1)), F.sum(F.col("o_totalprice")))
+    })
+  )
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -17,20 +126,23 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // sketch buffers are ~KB objects: keep hash aggregation in-memory
+      // far past the 128-group default before sort-based fallback
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.sketch.Graft.register(spark)
 
-    def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    def run(fn: (SparkSession, String) => DataFrame): Double = {
       val t0 = System.nanoTime()
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
 
-    // Warmup: JIT + codegen + file-listing paths, untimed.
-    SparkEntry.queries.get("q_rel_filter").foreach(run)
+    // Warmup: JIT + codegen + file listing, untimed.
+    run(benchQueries.head._2)
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = benchQueries.map { case (name, fn) =>
       name -> (try run(fn) catch { case _: Throwable => -1.0 })
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")

@@ -15,7 +15,9 @@ import org.apache.spark.sql.{functions => F}
  */
 object Similarity {
 
-  private val dotUdf = F.udf((a: Seq[Float], b: Seq[Float]) => {
+  // Array[Float] parameters deserialize from Spark's ArrayData without
+  // per-element boxing — measurably faster than Seq[Float] on wide fanouts.
+  private val dotUdf = F.udf((a: Array[Float], b: Array[Float]) => {
     var s = 0.0
     var i = 0
     val n = math.min(a.length, b.length)
@@ -23,7 +25,7 @@ object Similarity {
     s
   })
 
-  private val normUdf = F.udf((a: Seq[Float]) => {
+  private val normUdf = F.udf((a: Array[Float]) => {
     var s = 0.0
     var i = 0
     while (i < a.length) { s += a(i).toDouble * a(i).toDouble; i += 1 }
@@ -68,7 +70,7 @@ object Similarity {
 
   /** Signatures for L independent random-hyperplane tables of `planes`
     * bits each; position in the result = table index. */
-  private def tableSigsUdf(tables: Int, planes: Int) = F.udf((v: Seq[Float]) => {
+  private def tableSigsUdf(tables: Int, planes: Int) = F.udf((v: Array[Float]) => {
     (0 until tables).map { t =>
       var sig = 0
       var p = 0
