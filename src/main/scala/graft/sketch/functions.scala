@@ -31,11 +31,13 @@ object functions {
     }
 
   // ------------------------------------------------------------- scalar UDFs
+  // Every UDF carries a stable name (ScalaUDF.udfName) so optimizer rules
+  // such as MultiQuantileFusion can recognize the calls in a plan.
 
   private[graft] val createUdf: UserDefinedFunction = F.udf { (acc: Double) =>
     val a = if (acc > 0.0 && acc < 1.0) acc else DDSketch.DefaultRelativeAccuracy
     DataDogCodec.encode(DDSketch(a))
-  }
+  }.withName("ddsketch_create")
 
   private[graft] val addUdf: UserDefinedFunction =
     F.udf { (blob: Array[Byte], value: Double) =>
@@ -45,7 +47,7 @@ object functions {
         s.add(value)
         DataDogCodec.encode(s)
       }
-    }
+    }.withName("ddsketch_add")
 
   private[graft] val mergeUdf: UserDefinedFunction =
     F.udf { (b1: Array[Byte], b2: Array[Byte]) =>
@@ -56,7 +58,7 @@ object functions {
         try { s1.merge(s2); DataDogCodec.encode(s1) }
         catch { case _: Exception => null }
       }
-    }
+    }.withName("ddsketch_merge")
 
   private[graft] val quantileUdf: UserDefinedFunction =
     F.udf { (blob: Array[Byte], q: Double) =>
@@ -66,38 +68,59 @@ object functions {
         val v = s.quantile(q)
         if (v.isNaN) None else Some(v)
       }
-    }
+    }.withName("ddsketch_quantile")
 
   private[graft] val countUdf: UserDefinedFunction = F.udf { (blob: Array[Byte]) =>
     val s = decodeOrNull(blob)
     if (s == null) None else Some(s.countLong)
-  }
+  }.withName("ddsketch_count")
 
   private[graft] val minUdf: UserDefinedFunction = F.udf { (blob: Array[Byte]) =>
     val s = decodeOrNull(blob)
     if (s == null) None else s.minOpt
-  }
+  }.withName("ddsketch_min")
 
   private[graft] val maxUdf: UserDefinedFunction = F.udf { (blob: Array[Byte]) =>
     val s = decodeOrNull(blob)
     if (s == null) None else s.maxOpt
-  }
+  }.withName("ddsketch_max")
 
   private[graft] val sumUdf: UserDefinedFunction = F.udf { (blob: Array[Byte]) =>
     val s = decodeOrNull(blob)
     if (s == null) None else s.sumOpt
-  }
+  }.withName("ddsketch_sum")
 
   private[graft] val avgUdf: UserDefinedFunction = F.udf { (blob: Array[Byte]) =>
     val s = decodeOrNull(blob)
     if (s == null) None else s.avgOpt
-  }
+  }.withName("ddsketch_avg")
 
   private[graft] val statsUdf: UserDefinedFunction = F.udf { (blob: Array[Byte]) =>
     val s = decodeOrNull(blob)
     if (s == null) null
     else Stats5(s.countLong, s.sumOpt, s.minOpt, s.maxOpt, s.avgOpt)
-  }
+  }.withName("ddsketch_stats")
+
+  /** Invocation counter, exposed for tests asserting that codegen
+    * common-subexpression elimination runs the fused UDF once per row. */
+  val multiQuantileInvocations = new java.util.concurrent.atomic.AtomicLong
+
+  /** Fused form rewritten in by [[graft.plans.MultiQuantileFusion]]: one
+    * decode, many quantiles. Per-q failures surface as NaN (a sketch can
+    * never legitimately produce NaN), re-mapped to NULL by the rewrite. */
+  private[graft] val multiQuantileUdf: UserDefinedFunction =
+    F.udf { (blob: Array[Byte], qs: Seq[Double]) =>
+      multiQuantileInvocations.incrementAndGet()
+      val s = decodeOrNull(blob)
+      val r: Array[Double] =
+        if (s == null) null
+        else qs.map(q => s.quantile(q)).toArray
+      r
+    }.withName("ddsketch_multi_quantile")
+
+  /** Column form of the fused call (also usable directly). */
+  def ddsketch_quantiles(sketch: Column, qs: Seq[Double]): Column =
+    multiQuantileUdf(sketch, F.array(qs.map(F.lit): _*))
 
   // ---------------------------------------------------------------- UDAFs
 
@@ -155,6 +178,10 @@ object functions {
 object Graft {
   /** Idempotent; call once per SparkSession. */
   def register(spark: SparkSession): Unit = {
+    // optimizer rules (idempotent: extraOptimizations is replaced, not appended)
+    spark.experimental.extraOptimizations =
+      (spark.experimental.extraOptimizations.filterNot(
+        _ eq graft.plans.MultiQuantileFusion) :+ graft.plans.MultiQuantileFusion)
     val u = spark.udf
     u.register("ddsketch_create", functions.createUdf)
     u.register("ddsketch_add", functions.addUdf)

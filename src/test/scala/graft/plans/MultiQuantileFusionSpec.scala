@@ -1,0 +1,79 @@
+package graft.plans
+
+import graft.SparkTestBase
+import graft.sketch.{functions => G, DDSketch, DataDogCodec}
+import org.apache.spark.sql.{functions => F}
+
+class MultiQuantileFusionSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def sketchDf(n: Int) = {
+    (1 to n).map { i =>
+      val s = DDSketch(0.01)
+      (1 to 50).foreach(v => s.add(v.toDouble * i))
+      (i.toLong, DataDogCodec.encode(s))
+    }.toDF("id", "sk")
+      // keep the plan from collapsing into a pre-evaluated LocalRelation
+      .repartition(2)
+  }
+
+  test("repeated quantile calls are fused into one multi_quantile call") {
+    val df = sketchDf(10).select(
+      $"id",
+      G.ddsketch_quantile($"sk", 0.5).as("p50"),
+      G.ddsketch_quantile($"sk", 0.95).as("p95"),
+      G.ddsketch_quantile($"sk", 0.99).as("p99"))
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("ddsketch_multi_quantile"), optimized)
+    assert(!optimized.contains("ddsketch_quantile("), optimized)
+  }
+
+  test("fused results equal unfused results, including NULL semantics") {
+    val base = sketchDf(25)
+      .union(Seq((99L, null.asInstanceOf[Array[Byte]])).toDF("id", "sk"))
+      .union(Seq((100L, DataDogCodec.encode(DDSketch(0.01)))).toDF("id", "sk"))
+    // unfused reference: single-quantile queries evaluated separately
+    val expected = base.select($"id",
+      G.ddsketch_quantile($"sk", 0.5).as("a")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    val fused = base.select($"id",
+      G.ddsketch_quantile($"sk", 0.5).as("a"),
+      G.ddsketch_quantile($"sk", 0.9).as("b")).collect()
+    fused.foreach { r =>
+      val exp = expected(r.getLong(0))
+      if (exp == null) {
+        assert(r.isNullAt(1), s"id=${r.getLong(0)} expected NULL")
+        assert(r.isNullAt(2))
+      } else {
+        assert(r.getDouble(1) == exp, s"id=${r.getLong(0)}")
+      }
+    }
+  }
+
+  test("codegen CSE evaluates the fused UDF once per row") {
+    val df = sketchDf(40).select(
+      G.ddsketch_quantile($"sk", 0.25).as("a"),
+      G.ddsketch_quantile($"sk", 0.5).as("b"),
+      G.ddsketch_quantile($"sk", 0.75).as("c"),
+      G.ddsketch_quantile($"sk", 0.99).as("d"))
+    G.multiQuantileInvocations.set(0L)
+    df.collect()
+    val calls = G.multiQuantileInvocations.get()
+    // 40 rows, 4 quantiles: without fusion+CSE this would be 160 decodes
+    assert(calls == 40L, s"fused UDF invoked $calls times for 40 rows")
+  }
+
+  test("single quantile call is left untouched") {
+    val df = sketchDf(5).select(G.ddsketch_quantile($"sk", 0.5).as("p50"))
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("ddsketch_multi_quantile"), optimized)
+  }
+
+  test("different sketch expressions are not fused together") {
+    val df = sketchDf(5).select(
+      G.ddsketch_quantile($"sk", 0.5).as("a"),
+      G.ddsketch_quantile(G.ddsketch_add($"sk", F.lit(1.0)), 0.5).as("b"))
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("ddsketch_multi_quantile"), optimized)
+  }
+}
