@@ -289,6 +289,19 @@ object SparkEntry {
         .orderBy("hour_ms", "event_type")
     }),
 
+    // SQL surface: CTE + scalar subquery (reference test shapes,
+    // test/sql/ddsketch.test:19,36; integration_test.sql:17-27)
+    "q_rel_sql" -> ((s: SparkSession, dir: String) => {
+      Graft.register(s)
+      t(s, dir, "orders").createOrReplaceTempView("orders_v")
+      s.sql(
+        """WITH thresholds AS (SELECT avg(o_totalprice) AS avg_price FROM orders_v)
+          |SELECT o_orderpriority, count(*) AS cnt
+          |FROM orders_v
+          |WHERE o_totalprice > (SELECT avg_price FROM thresholds)
+          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    }),
+
     // ----------------------------------------------------------------
     // Training-data pipeline operators (dedup / similarity / text / media)
     // ----------------------------------------------------------------
@@ -490,6 +503,12 @@ object SparkEntry {
       """SELECT CAST(epoch_ms(date_trunc('hour', ts)) AS BIGINT) AS hour_ms,
         |       event_type, count(*) AS cnt
         |FROM events GROUP BY 1, 2 ORDER BY hour_ms, event_type""".stripMargin,
+    "q_rel_sql" ->
+      """WITH thresholds AS (SELECT avg(o_totalprice) AS avg_price FROM orders)
+        |SELECT o_orderpriority, count(*) AS cnt
+        |FROM orders
+        |WHERE o_totalprice > (SELECT avg_price FROM thresholds)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_dedup_exact" ->
       """SELECT count(*) AS total, count(DISTINCT text) AS distinct_docs,
         |       count(DISTINCT text) AS kept FROM documents""".stripMargin,
