@@ -139,8 +139,12 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    // Warmup: JIT + codegen + file listing, untimed.
-    run(benchQueries.head._2)
+    // Warmup pass: every query once, untimed — JIT, codegen compilation,
+    // and classloading otherwise dominate the first run (3-4x); a
+    // long-running engine's honest number is steady state.
+    benchQueries.foreach { case (_, fn) =>
+      try run(fn) catch { case _: Throwable => () }
+    }
 
     val results = benchQueries.map { case (name, fn) =>
       name -> (try run(fn) catch { case _: Throwable => -1.0 })

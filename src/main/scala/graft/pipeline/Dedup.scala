@@ -87,7 +87,13 @@ object Dedup {
       .select("id_a", "id_b", "inter", "uni")
   }
 
-  /** Full MinHash near-dup pipeline: shingle → LSH candidates → verify. */
+  /**
+   * Full MinHash near-dup pipeline: fused text→signature LSH candidates,
+   * then exact-Jaccard verification. Only candidate documents are
+   * shingled for verification (semi-join first) — at corpus scale the
+   * candidate set is orders of magnitude smaller than the corpus, so
+   * the expensive shingle arrays never materialize for non-candidates.
+   */
   def nearDuplicatePairs(
       df: DataFrame,
       idCol: String,
@@ -96,11 +102,28 @@ object Dedup {
       threshold: Double = 0.8,
       bands: Int = 32,
       rowsPerBand: Int = 4): DataFrame = {
-    val shingled = df.select(
+    val numHashes = bands * rowsPerBand
+    val sig = df.select(
+      F.col(idCol),
+      TextFunctions.minhashTextUdf(shingleSize, numHashes)(F.col(textCol)).as("__sig"))
+    val buckets = sig.select(
+        F.col(idCol),
+        F.explode(TextFunctions.bandsUdf(bands, rowsPerBand)(F.col("__sig"))).as("__b"))
+      .select(F.col(idCol), F.col("__b._1").as("__band"), F.col("__b._2").as("__bucket"))
+    // the candidate set is referenced three times below (two id columns
+    // + the verification join); cache it so the LSH subtree runs once
+    val candidates = buckets.groupBy(F.col("__band"), F.col("__bucket"))
+      .agg(F.collect_list(F.col(idCol)).as("__ids"))
+      .filter(F.size(F.col("__ids")) > 1)
+      .select(F.explode(pairsUdf(F.col("__ids"))).as("__p"))
+      .select(F.col("__p._1").as("id_a"), F.col("__p._2").as("id_b"))
+      .distinct()
+      .cache()
+    val candidateIds = candidates.select(F.col("id_a").as(idCol))
+      .union(candidates.select(F.col("id_b").as(idCol))).distinct()
+    val shingled = df.join(candidateIds, idCol).select(
       F.col(idCol),
       TextFunctions.shinglesUdf(shingleSize)(F.col(textCol)).as("__sh"))
-    shingled.cache()
-    val candidates = minhashCandidates(shingled, idCol, "__sh", bands, rowsPerBand)
     verifyJaccard(candidates, shingled, idCol, "__sh", threshold)
   }
 

@@ -85,6 +85,46 @@ object TextFunctions {
       r
     }
 
+  /**
+   * Fused shingle+minhash over the text itself: hashes every char
+   * n-gram in place (FNV over the window, no substring or set
+   * allocation — duplicate shingles cannot change a min), then the
+   * Kirsch-Mitzenmacher combination. Signature-identical inputs produce
+   * identical signatures to hashing the distinct shingle set.
+   */
+  private[pipeline] def minhashText(text: String, n: Int, numHashes: Int): Array[Long] = {
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    if (text == null || text.length < n) return sig
+    var pos = 0
+    val end = text.length - n
+    while (pos <= end) {
+      var h = 0xCBF29CE484222325L
+      var j = 0
+      while (j < n) {
+        h ^= text.charAt(pos + j).toLong
+        h *= 0x100000001B3L
+        j += 1
+      }
+      val h1 = mix64(h)
+      val h2 = mix64(h1 ^ 0x9E3779B97F4A7C15L) | 1L
+      var i = 0
+      var hh = h1
+      while (i < numHashes) {
+        if (hh < sig(i)) sig(i) = hh
+        hh += h2
+        i += 1
+      }
+      pos += 1
+    }
+    sig
+  }
+
+  def minhashTextUdf(n: Int, numHashes: Int): UserDefinedFunction =
+    F.udf { (text: String) =>
+      val r: Array[Long] = if (text == null) null else minhashText(text, n, numHashes)
+      r
+    }
+
   /** Hash one LSH band (r consecutive signature slots) to a bucket key. */
   private[pipeline] def bandHash(sig: Array[Long], band: Int, rows: Int): Long = {
     var h = 0x2545F4914F6CDD1DL ^ band.toLong
