@@ -155,18 +155,26 @@ object functions {
   def ddsketch_avg(sketch: Column): Column = avgUdf(sketch)
   def ddsketch_stats(sketch: Column): Column = statsUdf(sketch)
 
-  /** Aggregate: merge all sketch blobs in the group. */
-  def ddsketch_agg(sketch: Column): Column = aggUdaf(sketch)
+  import org.apache.spark.sql.GraftBridge
+
+  /** Aggregate: merge all sketch blobs in the group (native Catalyst
+    * TypedImperativeAggregate — codec-serialized buffers, no boxing). */
+  def ddsketch_agg(sketch: Column): Column =
+    GraftBridge.column(
+      DDSketchMergeAggExpr(GraftBridge.expression(sketch)).toAggregateExpression())
 
   /** Aggregate: merge all sketch blobs, return 12-field stats struct. */
   def ddsketch_stats_agg(sketch: Column): Column = statsAggUdaf(sketch)
 
   /** Aggregate: build a sketch from a DOUBLE column (default accuracy). */
-  def ddsketch_agg_values(value: Column): Column = valuesAggUdaf(value)
+  def ddsketch_agg_values(value: Column): Column =
+    GraftBridge.column(
+      DDSketchAggValuesExpr(GraftBridge.expression(value)).toAggregateExpression())
 
   /** Aggregate: build a sketch from a DOUBLE column with explicit accuracy. */
   def ddsketch_agg_values(value: Column, accuracy: Double): Column =
-    F.udaf(new DDSketchValuesAgg(accuracy), Encoders.DOUBLE)(value)
+    GraftBridge.column(
+      DDSketchAggValuesExpr(GraftBridge.expression(value), accuracy).toAggregateExpression())
 
   /** Aggregate: raw DOUBLE column in, 12-field stats struct out. */
   def ddsketch_stats_agg_values(value: Column): Column = valuesStatsAggUdaf(value)
@@ -193,9 +201,20 @@ object Graft {
     u.register("ddsketch_sum", functions.sumUdf)
     u.register("ddsketch_avg", functions.avgUdf)
     u.register("ddsketch_stats", functions.statsUdf)
-    u.register("ddsketch_agg", functions.aggUdaf)
     u.register("ddsketch_stats_agg", functions.statsAggUdaf)
-    u.register("ddsketch_agg_values", functions.valuesAggUdaf)
     u.register("ddsketch_stats_agg_values", functions.valuesStatsAggUdaf)
+    // native aggregate expressions (analyzer wraps bare AggregateFunctions)
+    org.apache.spark.sql.GraftBridge.registerFunction(spark, "ddsketch_agg",
+      exprs => DDSketchMergeAggExpr(exprs.head))
+    org.apache.spark.sql.GraftBridge.registerFunction(spark, "ddsketch_agg_values",
+      exprs => exprs match {
+        case Seq(v) => DDSketchAggValuesExpr(v)
+        case Seq(v, acc) =>
+          DDSketchAggValuesExpr(v,
+            acc.eval(null).asInstanceOf[Double])
+        case other =>
+          throw new IllegalArgumentException(
+            s"ddsketch_agg_values expects 1 or 2 arguments, got ${other.size}")
+      })
   }
 }

@@ -1,0 +1,25 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/**
+ * Minimal bridge into Spark-private surface, kept to two capabilities:
+ * wrapping a Catalyst Expression as a public Column, and registering an
+ * expression builder under a SQL function name on a live session.
+ * Everything else in graft uses public APIs only.
+ */
+object GraftBridge {
+
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  def registerFunction(
+      spark: SparkSession,
+      name: String,
+      builder: Seq[Expression] => Expression): Unit = {
+    spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "built-in")
+  }
+}
