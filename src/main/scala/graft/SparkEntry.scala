@@ -306,6 +306,36 @@ object SparkEntry {
     // Training-data pipeline operators (dedup / similarity / text / media)
     // ----------------------------------------------------------------
 
+    // KMV distinct-count sketch vs exact distinct per group
+    "q_kmv_distinct" -> ((s: SparkSession, dir: String) => {
+      import graft.sketch.{kmv => K}
+      t(s, dir, "events").groupBy(F.col("event_type"))
+        .agg(
+          K.kmv_distinct(K.kmv_agg(F.col("user_id"))).as("est"),
+          F.countDistinct(F.col("user_id")).as("exact_distinct"))
+        .select(F.col("event_type"), F.col("exact_distinct"),
+          ok(F.col("est"), F.col("exact_distinct").cast("double"), 0.12).as("est_ok"))
+        .orderBy("event_type")
+    }),
+
+    // KMV containment/jaccard between user sets of two event types
+    "q_kmv_overlap" -> ((s: SparkSession, dir: String) => {
+      import graft.sketch.{kmv => K}
+      val ev = t(s, dir, "events")
+      val sk = ev.groupBy(F.col("event_type")).agg(K.kmv_agg(F.col("user_id")).as("s"))
+      val j = sk.filter(F.col("event_type") === "click").select(F.col("s"))
+        .crossJoin(sk.filter(F.col("event_type") === "purchase")
+          .select(F.col("s").as("s2")))
+        .select(K.kmv_jaccard(F.col("s"), F.col("s2")).as("j"))
+      val a = ev.filter(F.col("event_type") === "click").select("user_id").distinct()
+      val b = ev.filter(F.col("event_type") === "purchase").select("user_id").distinct()
+      val inter = a.intersect(b).count()
+      val union = a.union(b).distinct().count()
+      j.select(
+        F.lit(inter).as("exact_inter"),
+        (F.abs(F.col("j") - inter.toDouble / union) < 0.08).as("jaccard_ok"))
+    }),
+
     // exact dedup by content hash
     "q_dedup_exact" -> ((s: SparkSession, dir: String) => {
       val docs = t(s, dir, "documents")
@@ -509,6 +539,14 @@ object SparkEntry {
         |FROM orders
         |WHERE o_totalprice > (SELECT avg_price FROM thresholds)
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_kmv_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_distinct, true AS est_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_kmv_overlap" ->
+      """SELECT count(*) AS exact_inter, true AS jaccard_ok FROM (
+        |  SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+        |  INTERSECT
+        |  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase') t""".stripMargin,
     "q_dedup_exact" ->
       """SELECT count(*) AS total, count(DISTINCT text) AS distinct_docs,
         |       count(DISTINCT text) AS kept FROM documents""".stripMargin,

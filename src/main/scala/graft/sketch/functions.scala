@@ -216,5 +216,6 @@ object Graft {
           throw new IllegalArgumentException(
             s"ddsketch_agg_values expects 1 or 2 arguments, got ${other.size}")
       })
+    kmv.register(spark)
   }
 }
