@@ -86,6 +86,22 @@ object Bench {
         emb, emb.filter(F.col("vec_id") < 20), "vec_id", "embedding", 10)
     }),
 
+    // ANN: IVF k-means-cell variant, same workload
+    "b_ann_ivf" -> ((s: SparkSession, dir: String) => {
+      val emb = t(s, dir, "embeddings")
+      graft.pipeline.Similarity.ivfTopK(
+        emb, emb.filter(F.col("vec_id") < 20), "vec_id", "embedding", 10,
+        nlist = 16, nprobe = 4)
+    }),
+
+    // KMV distinct + overlap over user sets
+    "b_kmv" -> ((s: SparkSession, dir: String) => {
+      import graft.sketch.{kmv => K}
+      t(s, dir, "events").groupBy(F.col("event_type"))
+        .agg(K.kmv_distinct(K.kmv_agg(F.col("user_id"))).as("users"),
+             K.kmv_distinct(K.kmv_agg(F.col("value"))).as("values"))
+    }),
+
     // text analysis sweep: tokens, quality, fingerprint, language
     "b_text_sweep" -> ((s: SparkSession, dir: String) => {
       val tf = graft.pipeline.TextFunctions

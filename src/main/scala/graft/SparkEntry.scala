@@ -409,6 +409,22 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
+    // embedding ANN: IVF (k-means cells) variant, recall vs brute force
+    "q_embed_ivf" -> ((s: SparkSession, dir: String) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(F.col("vec_id") < 5)
+      val exact = graft.pipeline.Similarity
+        .bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+        .select(F.col("query_id"), F.col("neighbor_id"))
+      val approx = graft.pipeline.Similarity
+        .ivfTopK(emb, queries, "vec_id", "embedding", 5, nlist = 16, nprobe = 6)
+        .select(F.col("query_id"), F.col("neighbor_id"))
+      exact.intersect(approx)
+        .groupBy(F.col("query_id"))
+        .agg(F.count(F.lit(1)).as("hits_in_top5"))
+        .orderBy("query_id")
+    }),
+
     // text statistics per source: counts, tokens, chars, languages
     "q_text_stats" -> ((s: SparkSession, dir: String) => {
       t(s, dir, "documents").groupBy(F.col("source"))

@@ -130,4 +130,114 @@ object Similarity {
       .filter(F.col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "cos")
   }
+
+  // ------------------------------------------------------------------ IVF
+
+  /** Deterministic k-means (Lloyd) over the corpus: seeded init from
+    * hash-ordered sample, `iterations` assignment/mean rounds. Centroids
+    * are collected to the driver (nlist is small by design) and
+    * broadcast back for assignment — the corpus itself never shuffles
+    * by vector. */
+  private[pipeline] def trainCentroids(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nlist: Int,
+      iterations: Int): Array[Array[Float]] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    var centroids: Array[Array[Float]] = corpus
+      .select(F.col(idCol), F.col(vecCol))
+      .orderBy(F.abs(F.hash(F.col(idCol))), F.col(idCol))
+      .limit(nlist)
+      .select(F.col(vecCol)).as[Array[Float]].collect()
+    for (_ <- 1 to iterations) {
+      val cB = spark.sparkContext.broadcast(centroids)
+      val assignU = F.udf((v: Array[Float]) => nearestCentroid(cB.value, v))
+      val means = corpus
+        .select(assignU(F.col(vecCol)).as("__c"),
+                F.col(vecCol).as("__v"))
+        .groupBy(F.col("__c"))
+        .agg(F.collect_list(F.col("__v")).as("__vs"))
+        .as[(Int, Seq[Seq[Float]])].collect()
+      val next = centroids.clone()
+      means.foreach { case (c, vs) =>
+        val dim = vs.head.length
+        val mean = new Array[Float](dim)
+        vs.foreach { v =>
+          var i = 0
+          while (i < dim) { mean(i) += v(i); i += 1 }
+        }
+        var i = 0
+        while (i < dim) { mean(i) /= vs.size.toFloat; i += 1 }
+        next(c) = mean
+      }
+      centroids = next
+      cB.destroy()
+    }
+    centroids
+  }
+
+  private def nearestCentroid(cs: Array[Array[Float]], v: Array[Float]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < cs.length) {
+      var d = 0.0
+      var i = 0
+      val cc = cs(c)
+      val n = math.min(cc.length, v.length)
+      while (i < n) { val t = cc(i) - v(i); d += t * t; i += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  private def nearestCentroids(cs: Array[Array[Float]], v: Array[Float], m: Int): Seq[Int] = {
+    cs.indices.map { c =>
+      var d = 0.0
+      var i = 0
+      val cc = cs(c)
+      val n = math.min(cc.length, v.length)
+      while (i < n) { val t = cc(i) - v(i); d += t * t; i += 1 }
+      (c, d)
+    }.sortBy(_._2).take(m).map(_._1)
+  }
+
+  /**
+   * IVF (inverted-file) approximate top-k: the corpus is partitioned
+   * into `nlist` k-means cells; each query scores only the cells of its
+   * `nprobe` nearest centroids. At scale the cell assignment is a
+   * one-off indexing pass persisted alongside the embeddings; queries
+   * then touch ~nprobe/nlist of the corpus. Recall < 1 by design —
+   * measure against [[bruteForceTopK]].
+   */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      iterations: Int = 2): DataFrame = {
+    val spark = corpus.sparkSession
+    val centroids = trainCentroids(corpus, idCol, vecCol, nlist, iterations)
+    val cB = spark.sparkContext.broadcast(centroids)
+    val assignU = F.udf((v: Array[Float]) => nearestCentroid(cB.value, v))
+    val probeU = F.udf((v: Array[Float]) => nearestCentroids(cB.value, v, nprobe))
+    val c = corpus.select(F.col(idCol).as("neighbor_id"), F.col(vecCol).as("__cv"),
+                          assignU(F.col(vecCol)).as("__cell"))
+    val q = queries.select(F.col(idCol).as("query_id"), F.col(vecCol).as("__qv"),
+                           F.explode(probeU(F.col(vecCol))).as("__cell"))
+    val scored = c.join(F.broadcast(q), "__cell")
+      .filter(F.col("neighbor_id") =!= F.col("query_id"))
+      .withColumn("cos", cosine(F.col("__qv"), F.col("__cv")))
+    val w = Window.partitionBy(F.col("query_id"))
+      .orderBy(F.col("cos").desc, F.col("neighbor_id").asc)
+    scored.withColumn("rank", F.row_number().over(w))
+      .filter(F.col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cos")
+  }
 }

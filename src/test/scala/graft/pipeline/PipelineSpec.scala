@@ -111,6 +111,18 @@ class SimilaritySpec extends SparkTestBase {
     assert(ranks.toSeq == Seq(1, 2, 3, 4, 5))
   }
 
+  test("ivfTopK achieves reasonable recall vs brute force") {
+    val emb = sf("sf0.001", "embeddings")
+    val queries = emb.filter($"vec_id" < 10)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 5,
+        nlist = 16, nprobe = 6)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall=$recall")
+  }
+
   test("lshTopK achieves reasonable recall vs brute force") {
     val emb = sf("sf0.001", "embeddings")
     val queries = emb.filter($"vec_id" < 10)
