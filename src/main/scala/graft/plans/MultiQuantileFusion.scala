@@ -38,7 +38,10 @@ object MultiQuantileFusion extends Rule[LogicalPlan] {
       .getOrElse(throw new IllegalStateException("multi_quantile template not found"))
   }
 
+  // matches both the native expression form and (legacy) named UDF form
   private def isQuantileCall(e: Expression): Boolean = e match {
+    case q: graft.sketch.DDSketchQuantileExpr =>
+      q.right.foldable && q.right.dataType == DoubleType
     case u: ScalaUDF =>
       u.udfName.contains("ddsketch_quantile") && u.children.size == 2 &&
         u.children(1).foldable && u.children(1).dataType == DoubleType
@@ -49,7 +52,7 @@ object MultiQuantileFusion extends Rule[LogicalPlan] {
     case p: Project =>
       // group quantile calls by canonicalized sketch expression
       val calls = p.projectList.flatMap(_.collect {
-        case u: ScalaUDF if isQuantileCall(u) => u
+        case e: Expression if isQuantileCall(e) => e
       })
       val groups = calls.groupBy(_.children.head.canonicalized)
         .filter { case (_, us) => us.map(_.children(1)).distinct.size >= 2 }
@@ -68,7 +71,7 @@ object MultiQuantileFusion extends Rule[LogicalPlan] {
           }
         val newList = p.projectList.map { ne =>
           ne.transformUp {
-            case u: ScalaUDF if isQuantileCall(u) &&
+            case u: Expression if isQuantileCall(u) &&
                 rewrites.contains(u.children.head.canonicalized) =>
               val (fused, qIndex) = rewrites(u.children.head.canonicalized)
               val idx = qIndex(u.children(1).canonicalized)

@@ -1,0 +1,82 @@
+package graft.sketch
+
+/**
+ * Static kernels invoked from generated code by the native scalar
+ * expressions ([[DDSketchScalarExprs]]). Boxed returns keep the codegen
+ * templates trivial: `null` means SQL NULL (decode failure or
+ * empty-sketch semantics per the reference, lib.rs:191-602).
+ */
+object SketchKernels {
+
+  private def decodeOrNull(blob: Array[Byte]): DDSketch =
+    try DataDogCodec.decode(blob)
+    catch { case _: Exception => null }
+
+  def count(blob: Array[Byte]): java.lang.Long = {
+    val s = decodeOrNull(blob)
+    if (s == null) null else java.lang.Long.valueOf(s.countLong)
+  }
+
+  def sum(blob: Array[Byte]): java.lang.Double = {
+    val s = decodeOrNull(blob)
+    if (s == null || s.count <= 0.0) null else java.lang.Double.valueOf(s.sum)
+  }
+
+  def min(blob: Array[Byte]): java.lang.Double = {
+    val s = decodeOrNull(blob)
+    if (s == null) null
+    else s.minOpt match {
+      case Some(v) => java.lang.Double.valueOf(v)
+      case None => null
+    }
+  }
+
+  def max(blob: Array[Byte]): java.lang.Double = {
+    val s = decodeOrNull(blob)
+    if (s == null) null
+    else s.maxOpt match {
+      case Some(v) => java.lang.Double.valueOf(v)
+      case None => null
+    }
+  }
+
+  def avg(blob: Array[Byte]): java.lang.Double = {
+    val s = decodeOrNull(blob)
+    if (s == null || s.count <= 0.0) null
+    else java.lang.Double.valueOf(s.sum / s.count)
+  }
+
+  def quantile(blob: Array[Byte], q: Double): java.lang.Double = {
+    val s = decodeOrNull(blob)
+    if (s == null) null
+    else {
+      val v = s.quantile(q)
+      if (java.lang.Double.isNaN(v)) null else java.lang.Double.valueOf(v)
+    }
+  }
+
+  def add(blob: Array[Byte], value: Double): Array[Byte] = {
+    val s = decodeOrNull(blob)
+    if (s == null) null
+    else {
+      s.add(value)
+      DataDogCodec.encode(s)
+    }
+  }
+
+  def merge(b1: Array[Byte], b2: Array[Byte]): Array[Byte] = {
+    val s1 = decodeOrNull(b1)
+    val s2 = decodeOrNull(b2)
+    if (s1 == null || s2 == null) null
+    else {
+      try { s1.merge(s2); DataDogCodec.encode(s1) }
+      catch { case _: Exception => null }
+    }
+  }
+
+  def create(accuracy: Double): Array[Byte] = {
+    val a = if (accuracy > 0.0 && accuracy < 1.0) accuracy
+            else DDSketch.DefaultRelativeAccuracy
+    DataDogCodec.encode(DDSketch(a))
+  }
+}

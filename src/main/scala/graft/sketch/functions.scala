@@ -1,6 +1,7 @@
 package graft.sketch
 
 import org.apache.spark.sql.{Column, DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.expressions.UserDefinedFunction
 import org.apache.spark.sql.{functions => F}
 
@@ -135,8 +136,11 @@ object functions {
 
   // ------------------------------------------------------------ Column API
 
+  import org.apache.spark.sql.GraftBridge
+
   /** Empty serialized sketch with the given relative accuracy. */
-  def ddsketch_create(accuracy: Column): Column = createUdf(accuracy)
+  def ddsketch_create(accuracy: Column): Column =
+    GraftBridge.column(DDSketchCreateExpr(GraftBridge.expression(accuracy)))
   def ddsketch_create(): Column = ddsketch_create(F.lit(DDSketch.DefaultRelativeAccuracy))
 
   /** 1-row DataFrame with an empty sketch — the faithful equivalent of the
@@ -144,18 +148,27 @@ object functions {
   def ddsketchCreateDF(spark: SparkSession, accuracy: Double = DDSketch.DefaultRelativeAccuracy): DataFrame =
     spark.range(1).select(ddsketch_create(F.lit(accuracy)).as("sketch"))
 
-  def ddsketch_add(sketch: Column, value: Column): Column = addUdf(sketch, value)
-  def ddsketch_merge(s1: Column, s2: Column): Column = mergeUdf(s1, s2)
-  def ddsketch_quantile(sketch: Column, q: Column): Column = quantileUdf(sketch, q)
-  def ddsketch_quantile(sketch: Column, q: Double): Column = quantileUdf(sketch, F.lit(q))
-  def ddsketch_count(sketch: Column): Column = countUdf(sketch)
-  def ddsketch_min(sketch: Column): Column = minUdf(sketch)
-  def ddsketch_max(sketch: Column): Column = maxUdf(sketch)
-  def ddsketch_sum(sketch: Column): Column = sumUdf(sketch)
-  def ddsketch_avg(sketch: Column): Column = avgUdf(sketch)
-  def ddsketch_stats(sketch: Column): Column = statsUdf(sketch)
+  private def e(c: Column) = GraftBridge.expression(c)
 
-  import org.apache.spark.sql.GraftBridge
+  def ddsketch_add(sketch: Column, value: Column): Column =
+    GraftBridge.column(DDSketchAddExpr(e(sketch), e(value)))
+  def ddsketch_merge(s1: Column, s2: Column): Column =
+    GraftBridge.column(DDSketchMergeExpr(e(s1), e(s2)))
+  def ddsketch_quantile(sketch: Column, q: Column): Column =
+    GraftBridge.column(DDSketchQuantileExpr(e(sketch), e(q)))
+  def ddsketch_quantile(sketch: Column, q: Double): Column =
+    ddsketch_quantile(sketch, F.lit(q))
+  def ddsketch_count(sketch: Column): Column =
+    GraftBridge.column(DDSketchCountExpr(e(sketch)))
+  def ddsketch_min(sketch: Column): Column =
+    GraftBridge.column(DDSketchMinExpr(e(sketch)))
+  def ddsketch_max(sketch: Column): Column =
+    GraftBridge.column(DDSketchMaxExpr(e(sketch)))
+  def ddsketch_sum(sketch: Column): Column =
+    GraftBridge.column(DDSketchSumExpr(e(sketch)))
+  def ddsketch_avg(sketch: Column): Column =
+    GraftBridge.column(DDSketchAvgExpr(e(sketch)))
+  def ddsketch_stats(sketch: Column): Column = statsUdf(sketch)
 
   /** Aggregate: merge all sketch blobs in the group (native Catalyst
     * TypedImperativeAggregate — codec-serialized buffers, no boxing). */
@@ -191,16 +204,32 @@ object Graft {
       (spark.experimental.extraOptimizations.filterNot(
         _ eq graft.plans.MultiQuantileFusion) :+ graft.plans.MultiQuantileFusion)
     val u = spark.udf
-    u.register("ddsketch_create", functions.createUdf)
-    u.register("ddsketch_add", functions.addUdf)
-    u.register("ddsketch_merge", functions.mergeUdf)
-    u.register("ddsketch_quantile", functions.quantileUdf)
-    u.register("ddsketch_count", functions.countUdf)
-    u.register("ddsketch_min", functions.minUdf)
-    u.register("ddsketch_max", functions.maxUdf)
-    u.register("ddsketch_sum", functions.sumUdf)
-    u.register("ddsketch_avg", functions.avgUdf)
     u.register("ddsketch_stats", functions.statsUdf)
+    import org.apache.spark.sql.GraftBridge.{registerFunction => reg}
+    import org.apache.spark.sql.catalyst.expressions.Cast
+    import org.apache.spark.sql.types.{DoubleType, NumericType}
+    // numeric args get an explicit cast: SQL literals arrive as
+    // Decimal/Integer and, unlike UDFs, bare expressions receive no
+    // implicit coercion from the analyzer
+    def toDouble(e: Expression): Expression = e.dataType match {
+      case DoubleType => e
+      case _: NumericType => Cast(e, DoubleType)
+      case _ => e // let checkInputDataTypes report it
+    }
+    def unary(name: String, f: Expression => Expression): Unit =
+      reg(spark, name, exprs => f(exprs.head))
+    reg(spark, "ddsketch_create", exprs => DDSketchCreateExpr(toDouble(exprs.head)))
+    unary("ddsketch_count", DDSketchCountExpr)
+    unary("ddsketch_min", DDSketchMinExpr)
+    unary("ddsketch_max", DDSketchMaxExpr)
+    unary("ddsketch_sum", DDSketchSumExpr)
+    unary("ddsketch_avg", DDSketchAvgExpr)
+    reg(spark, "ddsketch_add",
+      exprs => DDSketchAddExpr(exprs.head, toDouble(exprs(1))))
+    reg(spark, "ddsketch_merge",
+      exprs => DDSketchMergeExpr(exprs.head, exprs(1)))
+    reg(spark, "ddsketch_quantile",
+      exprs => DDSketchQuantileExpr(exprs.head, toDouble(exprs(1))))
     u.register("ddsketch_stats_agg", functions.statsAggUdaf)
     u.register("ddsketch_stats_agg_values", functions.valuesStatsAggUdaf)
     // native aggregate expressions (analyzer wraps bare AggregateFunctions)
