@@ -182,8 +182,12 @@ object DataDogCodec {
   // ---------------------------------------------------------------- decode
 
   /** Decode a sketch; throws [[CodecException]] on malformed input. */
-  def decode(data: Array[Byte]): DDSketch = {
+  def decode(data: Array[Byte]): DDSketch = decode(data, 0)
+
+  /** Decode starting at `offset` (for formats embedding a sketch). */
+  def decode(data: Array[Byte], offset: Int): DDSketch = {
     val r = new ByteReader(data)
+    r.pos = offset
     val s = DDSketch(DDSketch.DefaultRelativeAccuracy)
     var hasExplicitCount = false
     var hasExplicitSum = false

@@ -32,69 +32,9 @@ object functions {
     }
 
   // ------------------------------------------------------------- scalar UDFs
-  // Every UDF carries a stable name (ScalaUDF.udfName) so optimizer rules
-  // such as MultiQuantileFusion can recognize the calls in a plan.
-
-  private[graft] val createUdf: UserDefinedFunction = F.udf { (acc: Double) =>
-    val a = if (acc > 0.0 && acc < 1.0) acc else DDSketch.DefaultRelativeAccuracy
-    DataDogCodec.encode(DDSketch(a))
-  }.withName("ddsketch_create")
-
-  private[graft] val addUdf: UserDefinedFunction =
-    F.udf { (blob: Array[Byte], value: Double) =>
-      val s = decodeOrNull(blob)
-      if (s == null) null
-      else {
-        s.add(value)
-        DataDogCodec.encode(s)
-      }
-    }.withName("ddsketch_add")
-
-  private[graft] val mergeUdf: UserDefinedFunction =
-    F.udf { (b1: Array[Byte], b2: Array[Byte]) =>
-      val s1 = decodeOrNull(b1)
-      val s2 = decodeOrNull(b2)
-      if (s1 == null || s2 == null) null
-      else {
-        try { s1.merge(s2); DataDogCodec.encode(s1) }
-        catch { case _: Exception => null }
-      }
-    }.withName("ddsketch_merge")
-
-  private[graft] val quantileUdf: UserDefinedFunction =
-    F.udf { (blob: Array[Byte], q: Double) =>
-      val s = decodeOrNull(blob)
-      if (s == null) None
-      else {
-        val v = s.quantile(q)
-        if (v.isNaN) None else Some(v)
-      }
-    }.withName("ddsketch_quantile")
-
-  private[graft] val countUdf: UserDefinedFunction = F.udf { (blob: Array[Byte]) =>
-    val s = decodeOrNull(blob)
-    if (s == null) None else Some(s.countLong)
-  }.withName("ddsketch_count")
-
-  private[graft] val minUdf: UserDefinedFunction = F.udf { (blob: Array[Byte]) =>
-    val s = decodeOrNull(blob)
-    if (s == null) None else s.minOpt
-  }.withName("ddsketch_min")
-
-  private[graft] val maxUdf: UserDefinedFunction = F.udf { (blob: Array[Byte]) =>
-    val s = decodeOrNull(blob)
-    if (s == null) None else s.maxOpt
-  }.withName("ddsketch_max")
-
-  private[graft] val sumUdf: UserDefinedFunction = F.udf { (blob: Array[Byte]) =>
-    val s = decodeOrNull(blob)
-    if (s == null) None else s.sumOpt
-  }.withName("ddsketch_sum")
-
-  private[graft] val avgUdf: UserDefinedFunction = F.udf { (blob: Array[Byte]) =>
-    val s = decodeOrNull(blob)
-    if (s == null) None else s.avgOpt
-  }.withName("ddsketch_avg")
+  // Scalar functions are native Catalyst expressions (DDSketchScalarExprs);
+  // only the struct-returning stats scalar and the fused multi-quantile
+  // remain UDFs (struct/array returns where a UDF is the simplest form).
 
   private[graft] val statsUdf: UserDefinedFunction = F.udf { (blob: Array[Byte]) =>
     val s = decodeOrNull(blob)
@@ -124,15 +64,9 @@ object functions {
     multiQuantileUdf(sketch, F.array(qs.map(F.lit): _*))
 
   // ---------------------------------------------------------------- UDAFs
-
-  private[graft] val aggUdaf: UserDefinedFunction =
-    F.udaf(new DDSketchMergeAgg, Encoders.BINARY)
-  private[graft] val statsAggUdaf: UserDefinedFunction =
-    F.udaf(new DDSketchStatsAgg, Encoders.BINARY)
-  private[graft] val valuesAggUdaf: UserDefinedFunction =
-    F.udaf(new DDSketchValuesAgg, Encoders.DOUBLE)
-  private[graft] val valuesStatsAggUdaf: UserDefinedFunction =
-    F.udaf(new DDSketchValuesStatsAgg, Encoders.DOUBLE)
+  // Aggregates are native TypedImperativeAggregates (DDSketchAggExprs,
+  // DDSketchStatsAggExprs); the Aggregator classes in DDSketchAgg.scala
+  // remain as the public Dataset-typed alternative.
 
   // ------------------------------------------------------------ Column API
 
@@ -177,7 +111,9 @@ object functions {
       DDSketchMergeAggExpr(GraftBridge.expression(sketch)).toAggregateExpression())
 
   /** Aggregate: merge all sketch blobs, return 12-field stats struct. */
-  def ddsketch_stats_agg(sketch: Column): Column = statsAggUdaf(sketch)
+  def ddsketch_stats_agg(sketch: Column): Column =
+    GraftBridge.column(
+      DDSketchStatsAggExpr(GraftBridge.expression(sketch)).toAggregateExpression())
 
   /** Aggregate: build a sketch from a DOUBLE column (default accuracy). */
   def ddsketch_agg_values(value: Column): Column =
@@ -190,9 +126,13 @@ object functions {
       DDSketchAggValuesExpr(GraftBridge.expression(value), accuracy).toAggregateExpression())
 
   /** Aggregate: raw DOUBLE column in, 12-field stats struct out. */
-  def ddsketch_stats_agg_values(value: Column): Column = valuesStatsAggUdaf(value)
+  def ddsketch_stats_agg_values(value: Column): Column =
+    GraftBridge.column(
+      DDSketchStatsValuesAggExpr(GraftBridge.expression(value)).toAggregateExpression())
   def ddsketch_stats_agg_values(value: Column, accuracy: Double): Column =
-    F.udaf(new DDSketchValuesStatsAgg(accuracy), Encoders.DOUBLE)(value)
+    GraftBridge.column(
+      DDSketchStatsValuesAggExpr(GraftBridge.expression(value), accuracy)
+        .toAggregateExpression())
 }
 
 /** SQL-name registration so every function is usable from `spark.sql`. */
@@ -230,9 +170,16 @@ object Graft {
       exprs => DDSketchMergeExpr(exprs.head, exprs(1)))
     reg(spark, "ddsketch_quantile",
       exprs => DDSketchQuantileExpr(exprs.head, toDouble(exprs(1))))
-    u.register("ddsketch_stats_agg", functions.statsAggUdaf)
-    u.register("ddsketch_stats_agg_values", functions.valuesStatsAggUdaf)
     // native aggregate expressions (analyzer wraps bare AggregateFunctions)
+    reg(spark, "ddsketch_stats_agg", exprs => DDSketchStatsAggExpr(exprs.head))
+    reg(spark, "ddsketch_stats_agg_values", {
+      case Seq(v) => DDSketchStatsValuesAggExpr(toDouble(v))
+      case Seq(v, acc) =>
+        DDSketchStatsValuesAggExpr(toDouble(v), acc.eval(null).asInstanceOf[Double])
+      case other =>
+        throw new IllegalArgumentException(
+          s"ddsketch_stats_agg_values expects 1 or 2 arguments, got ${other.size}")
+    })
     org.apache.spark.sql.GraftBridge.registerFunction(spark, "ddsketch_agg",
       exprs => DDSketchMergeAggExpr(exprs.head))
     org.apache.spark.sql.GraftBridge.registerFunction(spark, "ddsketch_agg_values",
