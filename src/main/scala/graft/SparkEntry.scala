@@ -306,6 +306,23 @@ object SparkEntry {
     // Training-data pipeline operators (dedup / similarity / text / media)
     // ----------------------------------------------------------------
 
+    // sketch sink/scan: persist per-group sketches to parquet, read back,
+    // merge — the reference's "efficient storage in Parquet" claim
+    // (README.md:203-206) plus the store-now-merge-later pattern
+    "q_sketch_sink" -> ((s: SparkSession, dir: String) => {
+      Graft.register(s)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_sink").toString
+      t(s, dir, "events")
+        .groupBy(F.col("event_type"), F.date_trunc("hour", F.col("ts")).as("hour"))
+        .agg(G.ddsketch_agg_values(F.col("value")).as("sketch"))
+        .write.mode("overwrite").parquet(s"$tmp/hourly")
+      s.read.parquet(s"$tmp/hourly")
+        .groupBy(F.col("event_type"))
+        .agg(G.ddsketch_count(G.ddsketch_agg(F.col("sketch"))).as("cnt"),
+             (F.max(F.octet_length(F.col("sketch"))) <= 8192).as("size_ok"))
+        .orderBy("event_type")
+    }),
+
     // KMV distinct-count sketch vs exact distinct per group
     "q_kmv_distinct" -> ((s: SparkSession, dir: String) => {
       import graft.sketch.{kmv => K}
@@ -555,6 +572,9 @@ object SparkEntry {
         |FROM orders
         |WHERE o_totalprice > (SELECT avg_price FROM thresholds)
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_sketch_sink" ->
+      """SELECT event_type, count(*) AS cnt, true AS size_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_kmv_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS exact_distinct, true AS est_ok
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
