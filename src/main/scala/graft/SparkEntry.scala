@@ -381,6 +381,17 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // end-to-end near-dup dedup: survivors after dropping docs with a
+    // smaller-id near-dup (direct-pair rule, SQL-replicable)
+    "q_dedup_drop" -> ((s: SparkSession, dir: String) => {
+      val docs = t(s, dir, "documents")
+      val kept = graft.pipeline.Dedup.dropNearDuplicates(
+        docs, "doc_id", "text", shingleSize = 5, threshold = 0.8,
+        bands = 16, rowsPerBand = 8)
+      kept.agg(F.count(F.lit(1)).as("kept"),
+               F.sum(F.col("doc_id")).as("kept_id_sum"))
+    }),
+
     // SimHash near-dup candidates: recall against the exact jaccard>=0.8
     // pair set (SimHash tracks feature-vector cosine, not Jaccard, so
     // recall < 1 is possible by design — the oracle pins the true pair
@@ -607,6 +618,18 @@ object SparkEntry {
         |FROM pairs JOIN sizes sa ON ida = sa.doc_id JOIN sizes sb ON idb = sb.doc_id
         |WHERE inter >= (sa.sz + sb.sz - inter) * 0.8
         |ORDER BY id_a, id_b""".stripMargin,
+    "q_dedup_drop" ->
+      """WITH sh AS (SELECT DISTINCT doc_id, substr(text, r.i, 5) AS g
+        |            FROM documents, range(1, 1000) r(i) WHERE r.i + 4 <= length(text)),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |pairs AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS inter
+        |          FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |removed AS (SELECT DISTINCT idb AS doc_id
+        |            FROM pairs JOIN sizes sa ON ida = sa.doc_id
+        |                       JOIN sizes sb ON idb = sb.doc_id
+        |            WHERE inter >= (sa.sz + sb.sz - inter) * 0.8)
+        |SELECT count(*) AS kept, CAST(sum(doc_id) AS BIGINT) AS kept_id_sum
+        |FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM removed)""".stripMargin,
     "q_dedup_simhash" ->
       """WITH sh AS (SELECT DISTINCT doc_id, substr(text, r.i, 5) AS g
         |            FROM documents, range(1, 1000) r(i) WHERE r.i + 4 <= length(text)),

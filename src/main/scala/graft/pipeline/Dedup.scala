@@ -128,6 +128,29 @@ object Dedup {
   }
 
   /**
+   * Near-dup dedup: drop every document that has a verified near-dup
+   * with a smaller id (direct-pair rule — purely distributed, no
+   * transitive closure, so the survivor set is well-defined and cheap:
+   * an anti-join against the pair list's id_b side; a chain a~b~c keeps
+   * `a` and drops b and c just like min-of-cluster would whenever
+   * near-dup clusters are cliques, which 0.8+ Jaccard clusters are in
+   * practice).
+   */
+  def dropNearDuplicates(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 5,
+      threshold: Double = 0.8,
+      bands: Int = 32,
+      rowsPerBand: Int = 4): DataFrame = {
+    val pairs = nearDuplicatePairs(df, idCol, textCol, shingleSize, threshold,
+      bands, rowsPerBand)
+    val removed = pairs.select(F.col("id_b").as(idCol)).distinct()
+    df.join(removed, Seq(idCol), "left_anti")
+  }
+
+  /**
    * SimHash near-dup candidates: 64-bit signature, banded into eight
    * 8-bit chunks (guaranteed collision for hamming distance <= 7),
    * exact hamming filter on candidates.

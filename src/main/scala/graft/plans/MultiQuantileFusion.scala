@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.DoubleType
 import org.apache.spark.sql.{functions => F}
@@ -49,6 +49,45 @@ object MultiQuantileFusion extends Rule[LogicalPlan] {
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    // `SELECT q(agg(x),.5), q(agg(x),.95) ... GROUP BY k` puts the
+    // quantile calls directly in Aggregate.aggregateExpressions, where
+    // result-projection CSE is not guaranteed — split: the (deduped)
+    // sketch aggregate stays in the Aggregate, the fused extraction
+    // moves into a Project above it (where codegen CSE applies).
+    case a: Aggregate =>
+      val topQuantiles = a.aggregateExpressions.collect {
+        case al @ Alias(e, _) if isQuantileCall(e) => al
+      }
+      val groups = topQuantiles.groupBy(_.child.children.head.canonicalized)
+        .filter { case (_, als) =>
+          als.map(_.child.children(1).canonicalized).distinct.size >= 2 }
+      if (groups.isEmpty) a
+      else {
+        val fusedIds = groups.flatMap(_._2.map(_.exprId)).toSet
+        // one alias per distinct sketch expression, kept in the Aggregate
+        val sketchAliases: Map[Expression, Alias] = groups.map { case (canon, als) =>
+          canon -> Alias(als.head.child.children.head, "__fused_sketch")()
+        }
+        val keptAggList = a.aggregateExpressions.filterNot(
+          ne => fusedIds.contains(ne.exprId)) ++ sketchAliases.values
+        val aggNode = a.copy(aggregateExpressions = keptAggList)
+        val projList: Seq[NamedExpression] = a.aggregateExpressions.map {
+          case al @ Alias(e, name) if fusedIds.contains(al.exprId) =>
+            val canon = e.children.head.canonicalized
+            val als = groups(canon)
+            val qExprs = als.map(_.child.children(1).canonicalized).distinct
+            val qIndex = qExprs.zipWithIndex.toMap
+            val fused = template.copy(children = Seq(
+              sketchAliases(canon).toAttribute,
+              CreateArray(qExprs.map(_.asInstanceOf[Expression]))))
+            val item = GetArrayItem(fused, Literal(qIndex(e.children(1).canonicalized)))
+            Alias(CaseWhen(Seq((IsNaN(item), Literal(null, DoubleType))), item),
+              name)(exprId = al.exprId)
+          case ne => ne.toAttribute
+        }
+        Project(projList, aggNode)
+      }
+
     case p: Project =>
       // group quantile calls by canonicalized sketch expression
       val calls = p.projectList.flatMap(_.collect {

@@ -81,6 +81,29 @@ class DedupSpec extends SparkTestBase {
     assert(found == exact, s"missing=${exact -- found} extra=${found -- exact}")
   }
 
+  test("dropNearDuplicates removes exactly the larger-id pair members") {
+    val docs = sf("sf0.001", "documents")
+    val pairs = Dedup.nearDuplicatePairs(docs, "doc_id", "text", 5, 0.8)
+      .select("id_b").as[Long].collect().toSet
+    val kept = Dedup.dropNearDuplicates(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    val all = docs.select("doc_id").as[Long].collect().toSet
+    assert(kept == all -- pairs)
+    assert(kept.size < all.size, "planted near-dups should be dropped")
+  }
+
+  test("minhashCandidates maxBucket cap filters flooded buckets") {
+    val docs = sf("sf0.001", "documents")
+    val shingled = docs.select(F.col("doc_id"),
+      TextFunctions.shinglesUdf(5)(F.col("text")).as("sh"))
+    val capped = Dedup.minhashCandidates(shingled, "doc_id", "sh",
+      bands = 4, rowsPerBand = 1, maxBucket = 2)
+    val uncapped = Dedup.minhashCandidates(shingled, "doc_id", "sh",
+      bands = 4, rowsPerBand = 1)
+    // 1-row bands collide wildly; the cap must strictly reduce pairs
+    assert(capped.count() < uncapped.count())
+  }
+
   test("simhash pairs cover the high-jaccard planted pairs") {
     val docs = sf("sf0.001", "documents")
     val sim = Dedup.simhashPairs(docs, "doc_id", "text", 6)

