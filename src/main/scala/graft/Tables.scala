@@ -17,7 +17,9 @@ object Tables {
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (df.schema.fieldNames.contains("ts") &&
         df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      // integral division: `/` on longs is a double Divide, which loses
+      // sub-microsecond precision for epoch nanos beyond 2^53
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else df
   }
 }

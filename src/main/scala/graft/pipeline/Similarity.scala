@@ -105,6 +105,8 @@ object Similarity {
       planes: Int = 8,
       probeBits: Int = 1): DataFrame = {
     require(planes <= 24, "signature must stay a small int")
+    require(probeBits >= 0 && probeBits <= 1,
+      "only 0 (exact bucket) or 1 (single-bit probes) are implemented")
     val sigU = tableSigsUdf(tables, planes)
     val probes = F.udf((sigs: Seq[Int]) => {
       sigs.zipWithIndex.flatMap { case (sig, t) =>
@@ -154,23 +156,19 @@ object Similarity {
     for (_ <- 1 to iterations) {
       val cB = spark.sparkContext.broadcast(centroids)
       val assignU = F.udf((v: Array[Float]) => nearestCentroid(cB.value, v))
+      // distributed mean: per-(cell, dimension) sums via posexplode —
+      // only nlist x dim aggregated rows ever reach the driver
       val means = corpus
         .select(assignU(F.col(vecCol)).as("__c"),
-                F.col(vecCol).as("__v"))
-        .groupBy(F.col("__c"))
-        .agg(F.collect_list(F.col("__v")).as("__vs"))
-        .as[(Int, Seq[Seq[Float]])].collect()
-      val next = centroids.clone()
-      means.foreach { case (c, vs) =>
-        val dim = vs.head.length
-        val mean = new Array[Float](dim)
-        vs.foreach { v =>
-          var i = 0
-          while (i < dim) { mean(i) += v(i); i += 1 }
+                F.posexplode(F.col(vecCol)).as(Seq("__d", "__x")))
+        .groupBy(F.col("__c"), F.col("__d"))
+        .agg(F.sum(F.col("__x")).as("__s"), F.count(F.lit(1)).as("__n"))
+        .as[(Int, Int, Double, Long)].collect()
+      val next = centroids.map(_.clone())
+      means.groupBy(_._1).foreach { case (c, dims) =>
+        dims.foreach { case (_, d, s, n) =>
+          next(c)(d) = (s / n).toFloat
         }
-        var i = 0
-        while (i < dim) { mean(i) /= vs.size.toFloat; i += 1 }
-        next(c) = mean
       }
       centroids = next
       cB.destroy()

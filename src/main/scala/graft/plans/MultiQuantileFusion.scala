@@ -38,13 +38,19 @@ object MultiQuantileFusion extends Rule[LogicalPlan] {
       .getOrElse(throw new IllegalStateException("multi_quantile template not found"))
   }
 
+  // A fusable q argument: foldable non-NULL double (a NULL q must stay on
+  // the single-call path, which returns NULL; a null element inside the
+  // fused array would error instead).
+  private def fusableQ(e: Expression): Boolean =
+    e.foldable && e.dataType == DoubleType &&
+      (try e.eval(null) != null catch { case _: Exception => false })
+
   // matches both the native expression form and (legacy) named UDF form
   private def isQuantileCall(e: Expression): Boolean = e match {
-    case q: graft.sketch.DDSketchQuantileExpr =>
-      q.right.foldable && q.right.dataType == DoubleType
+    case q: graft.sketch.DDSketchQuantileExpr => fusableQ(q.right)
     case u: ScalaUDF =>
       u.udfName.contains("ddsketch_quantile") && u.children.size == 2 &&
-        u.children(1).foldable && u.children(1).dataType == DoubleType
+        fusableQ(u.children(1))
     case _ => false
   }
 

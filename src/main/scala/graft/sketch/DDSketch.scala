@@ -122,24 +122,26 @@ final class DDSketch(
   var min: Double = Double.PositiveInfinity
   var max: Double = Double.NegativeInfinity
 
-  // Cached 1/ln(gamma); 0.0 marks "not yet computed" so the cache
+  // Cached ln(gamma); 0.0 marks "not yet computed" so the cache
   // self-heals after any serialization path that skips transient fields.
-  @transient private var invLogGammaCache: Double = 0.0
+  // The mapping divides by it (never multiplies by a reciprocal) to stay
+  // last-ulp-identical with the reference's ln(v)/ln(gamma).
+  @transient private var logGammaCache: Double = 0.0
 
-  private def invLogGamma: Double = {
-    if (invLogGammaCache == 0.0) invLogGammaCache = 1.0 / math.log(_gamma)
-    invLogGammaCache
+  private def logGamma: Double = {
+    if (logGammaCache == 0.0) logGammaCache = math.log(_gamma)
+    logGammaCache
   }
 
   def gamma: Double = _gamma
-  def gamma_=(g: Double): Unit = { _gamma = g; invLogGammaCache = 0.0 }
+  def gamma_=(g: Double): Unit = { _gamma = g; logGammaCache = 0.0 }
 
   def isEmpty: Boolean = count == 0.0
 
   def relativeAccuracy: Double = 1.0 - 2.0 / (1.0 + _gamma)
 
   def valueToBin(value: Double): Int = {
-    val d = math.ceil(math.log(value) * invLogGamma + indexOffset)
+    val d = math.ceil(math.log(value) / logGamma + indexOffset)
     if (d.isNaN) 0
     else if (d >= Int.MaxValue.toDouble) Int.MaxValue
     else if (d <= Int.MinValue.toDouble) Int.MinValue

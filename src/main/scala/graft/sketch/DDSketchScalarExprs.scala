@@ -41,10 +41,11 @@ abstract class SketchUnaryExpr extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
+      val kr = ctx.freshName("sketchKr")
       s"""
-         |Object kr = graft.sketch.SketchKernels.$kernelMethod($c);
-         |if (kr == null) { ${ev.isNull} = true; }
-         |else { ${ev.value} = ${javaUnbox("kr")}; }
+         |Object $kr = graft.sketch.SketchKernels.$kernelMethod($c);
+         |if ($kr == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ${javaUnbox(kr)}; }
        """.stripMargin
     })
 }
@@ -117,10 +118,11 @@ case class DDSketchQuantileExpr(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (b, q) => {
+      val kr = ctx.freshName("sketchKr")
       s"""
-         |java.lang.Double kr = graft.sketch.SketchKernels.quantile($b, $q);
-         |if (kr == null) { ${ev.isNull} = true; }
-         |else { ${ev.value} = kr.doubleValue(); }
+         |java.lang.Double $kr = graft.sketch.SketchKernels.quantile($b, $q);
+         |if ($kr == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $kr.doubleValue(); }
        """.stripMargin
     })
 
@@ -146,10 +148,11 @@ case class DDSketchAddExpr(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (b, v) => {
+      val kr = ctx.freshName("sketchKr")
       s"""
-         |byte[] kr = graft.sketch.SketchKernels.add($b, $v);
-         |if (kr == null) { ${ev.isNull} = true; }
-         |else { ${ev.value} = kr; }
+         |byte[] $kr = graft.sketch.SketchKernels.add($b, $v);
+         |if ($kr == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $kr; }
        """.stripMargin
     })
 
@@ -175,10 +178,11 @@ case class DDSketchMergeExpr(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      val kr = ctx.freshName("sketchKr")
       s"""
-         |byte[] kr = graft.sketch.SketchKernels.merge($a, $b);
-         |if (kr == null) { ${ev.isNull} = true; }
-         |else { ${ev.value} = kr; }
+         |byte[] $kr = graft.sketch.SketchKernels.merge($a, $b);
+         |if ($kr == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $kr; }
        """.stripMargin
     })
 

@@ -3,7 +3,7 @@ package graft.sketch
 import org.apache.spark.sql.{Column, GraftBridge, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, XxHash64}
+import org.apache.spark.sql.catalyst.expressions.{Expression, If, IsNull, Literal, XxHash64}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.expressions.UserDefinedFunction
@@ -61,7 +61,11 @@ case class KmvAggExpr(
 /** Column + SQL surface for the KMV sketch family. */
 object kmv {
 
-  private def hashed(e: Expression): Expression = new XxHash64(Seq(e), 42L)
+  // NULL inputs must not contribute an element: XxHash64 of a null child
+  // returns the seed (a phantom "distinct value"), so gate on IsNull —
+  // SQL COUNT(DISTINCT x) semantics ignore NULLs.
+  private def hashed(e: Expression): Expression =
+    If(IsNull(e), Literal(null, LongType), new XxHash64(Seq(e), 42L))
 
   private def decodeOrNull(b: Array[Byte]): KmvSketch =
     if (b == null) null

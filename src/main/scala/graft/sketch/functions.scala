@@ -156,6 +156,9 @@ object Graft {
       case _: NumericType => Cast(e, DoubleType)
       case _ => e // let checkInputDataTypes report it
     }
+    // SQL accuracy literals arrive as DecimalType: evaluate through a cast
+    def evalDouble(e: Expression): Double =
+      toDouble(e).eval(null).asInstanceOf[Double]
     def unary(name: String, f: Expression => Expression): Unit =
       reg(spark, name, exprs => f(exprs.head))
     reg(spark, "ddsketch_create", exprs => DDSketchCreateExpr(toDouble(exprs.head)))
@@ -174,24 +177,19 @@ object Graft {
     reg(spark, "ddsketch_stats_agg", exprs => DDSketchStatsAggExpr(exprs.head))
     reg(spark, "ddsketch_stats_agg_values", {
       case Seq(v) => DDSketchStatsValuesAggExpr(toDouble(v))
-      case Seq(v, acc) =>
-        DDSketchStatsValuesAggExpr(toDouble(v), acc.eval(null).asInstanceOf[Double])
+      case Seq(v, acc) => DDSketchStatsValuesAggExpr(toDouble(v), evalDouble(acc))
       case other =>
         throw new IllegalArgumentException(
           s"ddsketch_stats_agg_values expects 1 or 2 arguments, got ${other.size}")
     })
-    org.apache.spark.sql.GraftBridge.registerFunction(spark, "ddsketch_agg",
-      exprs => DDSketchMergeAggExpr(exprs.head))
-    org.apache.spark.sql.GraftBridge.registerFunction(spark, "ddsketch_agg_values",
-      exprs => exprs match {
-        case Seq(v) => DDSketchAggValuesExpr(v)
-        case Seq(v, acc) =>
-          DDSketchAggValuesExpr(v,
-            acc.eval(null).asInstanceOf[Double])
-        case other =>
-          throw new IllegalArgumentException(
-            s"ddsketch_agg_values expects 1 or 2 arguments, got ${other.size}")
-      })
+    reg(spark, "ddsketch_agg", exprs => DDSketchMergeAggExpr(exprs.head))
+    reg(spark, "ddsketch_agg_values", {
+      case Seq(v) => DDSketchAggValuesExpr(toDouble(v))
+      case Seq(v, acc) => DDSketchAggValuesExpr(toDouble(v), evalDouble(acc))
+      case other =>
+        throw new IllegalArgumentException(
+          s"ddsketch_agg_values expects 1 or 2 arguments, got ${other.size}")
+    })
     kmv.register(spark)
   }
 }

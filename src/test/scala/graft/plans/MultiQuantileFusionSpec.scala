@@ -87,6 +87,19 @@ class MultiQuantileFusionSpec extends SparkTestBase {
     }
   }
 
+  test("NULL quantile literal stays on the single-call path and yields NULL") {
+    val df = sketchDf(5).select(
+      G.ddsketch_quantile($"sk", 0.5).as("a"),
+      G.ddsketch_quantile($"sk", F.lit(null).cast("double")).as("b"),
+      G.ddsketch_quantile($"sk", 0.9).as("c"))
+    val rows = df.collect()
+    rows.foreach { r =>
+      assert(!r.isNullAt(0))
+      assert(r.isNullAt(1), "NULL q must produce NULL, not an error")
+      assert(!r.isNullAt(2))
+    }
+  }
+
   test("single quantile call is left untouched") {
     val df = sketchDf(5).select(G.ddsketch_quantile($"sk", 0.5).as("p50"))
     val optimized = df.queryExecution.optimizedPlan.toString

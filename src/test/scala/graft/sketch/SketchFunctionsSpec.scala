@@ -167,6 +167,30 @@ class SketchFunctionsSpec extends SparkTestBase {
     assert(r2.getAs[Long]("c") == 1L)
   }
 
+  test("SQL decimal accuracy literals and int value columns coerce") {
+    // regression: DecimalType accuracy literal crashed asInstanceOf[Double];
+    // int-typed value column failed the strict type check
+    spark.range(100).selectExpr("id", "cast(id as int) AS iv", "cast(id+1 as double) AS dv")
+      .createOrReplaceTempView("coerce_t")
+    val r = spark.sql(
+      """SELECT ddsketch_count(ddsketch_agg_values(iv, 0.05)) AS c1,
+        |       ddsketch_count(ddsketch_agg_values(dv)) AS c2,
+        |       ddsketch_stats_agg_values(iv, 0.02).count AS c3,
+        |       kmv_distinct(kmv_agg(iv, 128)) AS d
+        |FROM coerce_t""".stripMargin).collect().head
+    assert(r.getAs[Long]("c1") == 100L)
+    assert(r.getAs[Long]("c2") == 100L)
+    assert(r.getAs[Long]("c3") == 100L)
+    assert(r.getAs[Double]("d") == 100.0)
+  }
+
+  test("kmv_agg ignores NULL inputs like COUNT(DISTINCT)") {
+    val df = Seq[java.lang.Long](1L, 2L, null, null, 2L).toDF("v")
+    val r = df.agg(
+      graft.sketch.kmv.kmv_distinct(graft.sketch.kmv.kmv_agg($"v")).as("d")).collect().head
+    assert(r.getAs[Double]("d") == 2.0)
+  }
+
   test("grouped sketch agg over events matches exact per-group stats") {
     val events = sf("sf0.001", "events")
     val out = events.groupBy($"event_type")
