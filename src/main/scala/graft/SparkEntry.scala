@@ -459,6 +459,7 @@ object SparkEntry {
         .agg(
           F.count(F.lit(1)).as("docs"),
           F.sum(graft.pipeline.TextFunctions.tokenCount(F.col("text"))).cast("long").as("tokens"),
+          F.sum(graft.pipeline.TextFunctions.bpeTokenCount(F.col("text"))).cast("long").as("bpe_tokens"),
           F.sum(F.col("n_chars")).as("chars_total"),
           F.countDistinct(F.col("lang")).as("langs"))
         .orderBy("source")
@@ -657,6 +658,7 @@ object SparkEntry {
     "q_text_stats" ->
       """SELECT source, count(*) AS docs,
         |       CAST(sum(len(string_split_regex(text, '\s+'))) AS BIGINT) AS tokens,
+        |       CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+'))) AS BIGINT) AS bpe_tokens,
         |       CAST(sum(n_chars) AS BIGINT) AS chars_total,
         |       count(DISTINCT lang) AS langs
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,

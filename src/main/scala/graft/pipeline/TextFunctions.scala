@@ -253,6 +253,13 @@ object TextFunctions {
   /** Pure-Column quality features: no UDF, fully codegen'd. */
   def tokenCount(text: Column): Column = F.size(F.split(text, "\\s+"))
 
+  /** BPE-style pre-tokenization count: letter runs, digit runs, and
+    * punctuation runs each count as one token (the shape BPE vocabularies
+    * split on). ASCII classes only so the regex behaves identically
+    * across engines. Pure Column expression, codegen'd. */
+  def bpeTokenCount(text: Column): Column =
+    F.size(F.regexp_extract_all(text, F.lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+"), F.lit(0)))
+
   def qualityScore(text: Column, nChars: Column): Column = {
     val tokens = tokenCount(text)
     val avgWordLen = (nChars - tokens + 1).cast("double") / tokens
