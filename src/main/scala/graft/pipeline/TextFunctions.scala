@@ -125,6 +125,59 @@ object TextFunctions {
       r
     }
 
+  /**
+   * One-permutation-hashing signature (OPH): one hash per n-gram,
+   * bucketed into `numHashes` slots by its top bits, min kept per slot;
+   * empty slots filled by rotational densification (deterministic, so
+   * identical inputs always produce identical signatures). ~numHashes x
+   * less hashing work than the KM construction — the scan-cost lever at
+   * corpus scale; slightly noisier per-slot estimates.
+   */
+  private[pipeline] def minhashTextOph(text: String, n: Int, numHashes: Int): Array[Long] = {
+    require(Integer.bitCount(numHashes) == 1, "numHashes must be a power of two")
+    val shift = 64 - Integer.numberOfTrailingZeros(numHashes)
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    if (text != null && text.length >= n) {
+      var pos = 0
+      val end = text.length - n
+      while (pos <= end) {
+        var h = 0xCBF29CE484222325L
+        var j = 0
+        while (j < n) {
+          h ^= text.charAt(pos + j).toLong
+          h *= 0x100000001B3L
+          j += 1
+        }
+        h = mix64(h)
+        val slot = (h >>> shift).toInt
+        if (h < sig(slot)) sig(slot) = h
+        pos += 1
+      }
+    }
+    // rotational densification for empty slots
+    var i = 0
+    while (i < numHashes) {
+      if (sig(i) == Long.MaxValue) {
+        var j = 1
+        var src = -1
+        while (src < 0 && j < numHashes) {
+          val cand = (i + j) & (numHashes - 1)
+          if (sig(cand) != Long.MaxValue) src = cand
+          j += 1
+        }
+        if (src >= 0) sig(i) = mix64(sig(src) ^ i.toLong)
+      }
+      i += 1
+    }
+    sig
+  }
+
+  def minhashTextOphUdf(n: Int, numHashes: Int): UserDefinedFunction =
+    F.udf { (text: String) =>
+      val r: Array[Long] = if (text == null) null else minhashTextOph(text, n, numHashes)
+      r
+    }
+
   /** Hash one LSH band (r consecutive signature slots) to a bucket key. */
   private[pipeline] def bandHash(sig: Array[Long], band: Int, rows: Int): Long = {
     var h = 0x2545F4914F6CDD1DL ^ band.toLong
