@@ -479,6 +479,18 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // frequent-items (SpaceSaving) sketch: top words — exact regime
+    // since the corpus vocabulary fits the sketch capacity
+    "q_topk_words" -> ((s: SparkSession, dir: String) => {
+      import graft.sketch.{topk => T}
+      t(s, dir, "documents")
+        .select(F.explode(F.split(F.col("text"), "\\s+")).as("w"))
+        .agg(T.topk_items(T.topk_agg(F.col("w"), 256), 10).as("top"))
+        .select(F.explode(F.col("top")).as("t"))
+        .select(F.col("t.item").as("item"), F.col("t.count").as("cnt"))
+        .orderBy(F.col("cnt").desc, F.col("item"))
+    }),
+
     // rolling-hash document fingerprints: collision-free vs normalized text
     "q_text_fingerprint" -> ((s: SparkSession, dir: String) => {
       val tf = graft.pipeline.TextFunctions
@@ -677,6 +689,10 @@ object SparkEntry {
         |               len(string_split_regex(text, '\s+')) AS tokens
         |        FROM documents) x) y
         |GROUP BY source ORDER BY source""".stripMargin,
+    "q_topk_words" ->
+      """SELECT w AS item, count(*) AS cnt FROM (
+        |  SELECT unnest(string_split_regex(text, '\s+')) AS w FROM documents) t
+        |GROUP BY w ORDER BY cnt DESC, item LIMIT 10""".stripMargin,
     "q_text_fingerprint" ->
       """SELECT count(DISTINCT regexp_replace(text, '\s+', ' ', 'g')) AS distinct_fp,
         |       count(DISTINCT regexp_replace(text, '\s+', ' ', 'g')) AS distinct_norm,

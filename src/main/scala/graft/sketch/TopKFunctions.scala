@@ -1,0 +1,113 @@
+package graft.sketch
+
+import org.apache.spark.sql.{Column, GraftBridge, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.expressions.UserDefinedFunction
+import org.apache.spark.sql.types.{BinaryType, DataType, StringType}
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `topk_agg(item STRING[, capacity]) → BLOB`: SpaceSaving frequent-items
+  * sketch aggregate. */
+case class TopKAggExpr(
+    child: Expression,
+    capacity: Int = TopKSketch.DefaultCapacity,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[TopKSketch]
+    with UnaryLike[Expression] {
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "topk_agg"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"topk_agg expects STRING input, got ${child.dataType}")
+
+  override def createAggregationBuffer(): TopKSketch = new TopKSketch(capacity)
+
+  override def update(buffer: TopKSketch, input: InternalRow): TopKSketch = {
+    val v = child.eval(input)
+    if (v != null) buffer.add(v.asInstanceOf[UTF8String].toString)
+    buffer
+  }
+
+  override def merge(buffer: TopKSketch, other: TopKSketch): TopKSketch = {
+    buffer.merge(other)
+    buffer
+  }
+
+  override def eval(buffer: TopKSketch): Any = TopKSketch.encode(buffer)
+  override def serialize(buffer: TopKSketch): Array[Byte] = TopKSketch.encode(buffer)
+  override def deserialize(bytes: Array[Byte]): TopKSketch = TopKSketch.decode(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKAggExpr =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKAggExpr =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): TopKAggExpr =
+    copy(child = newChild)
+}
+
+/** Column + SQL surface for the top-k sketch. */
+object topk {
+
+  case class TopItem(item: String, count: Long, error: Long)
+
+  /** Aggregate: SpaceSaving sketch of the column's item frequencies. */
+  def topk_agg(item: Column): Column = topk_agg(item, TopKSketch.DefaultCapacity)
+
+  def topk_agg(item: Column, capacity: Int): Column =
+    GraftBridge.column(
+      TopKAggExpr(GraftBridge.expression(item), capacity).toAggregateExpression())
+
+  private[graft] val itemsUdf: UserDefinedFunction =
+    F.udf { (b: Array[Byte], k: Int) =>
+      val r: Seq[TopItem] =
+        if (b == null) null
+        else {
+          try TopKSketch.decode(b).topK(k).map { case (i, c, e) => TopItem(i, c, e) }
+          catch { case _: Exception => null }
+        }
+      r
+    }.withName("topk_items")
+
+  /** Scalar: array<struct<item,count,error>> of the k most frequent. */
+  def topk_items(sketch: Column, k: Int): Column = itemsUdf(sketch, F.lit(k))
+
+  private[graft] val mergeUdf: UserDefinedFunction =
+    F.udf { (a: Array[Byte], b: Array[Byte]) =>
+      val r: Array[Byte] =
+        if (a == null || b == null) null
+        else {
+          try {
+            val sa = TopKSketch.decode(a)
+            sa.merge(TopKSketch.decode(b))
+            TopKSketch.encode(sa)
+          } catch { case _: Exception => null }
+        }
+      r
+    }.withName("topk_merge")
+
+  def topk_merge(a: Column, b: Column): Column = mergeUdf(a, b)
+
+  def register(spark: SparkSession): Unit = {
+    spark.udf.register("topk_items", itemsUdf)
+    spark.udf.register("topk_merge", mergeUdf)
+    GraftBridge.registerFunction(spark, "topk_agg", {
+      case Seq(v) => TopKAggExpr(v)
+      case Seq(v, cap) =>
+        TopKAggExpr(v,
+          Cast(cap, org.apache.spark.sql.types.IntegerType).eval(null).asInstanceOf[Int])
+      case other =>
+        throw new IllegalArgumentException(
+          s"topk_agg expects 1 or 2 arguments, got ${other.size}")
+    })
+  }
+}

@@ -191,5 +191,6 @@ object Graft {
           s"ddsketch_agg_values expects 1 or 2 arguments, got ${other.size}")
     })
     kmv.register(spark)
+    topk.register(spark)
   }
 }
