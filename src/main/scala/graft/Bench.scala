@@ -94,6 +94,14 @@ object Bench {
         nlist = 16, nprobe = 4)
     }),
 
+    // frequent-items sketch over exploded words
+    "b_topk" -> ((s: SparkSession, dir: String) => {
+      import graft.sketch.{topk => T}
+      t(s, dir, "documents")
+        .select(F.explode(F.split(F.col("text"), "\\s+")).as("w"))
+        .agg(T.topk_items(T.topk_agg(F.col("w"), 256), 20).as("top"))
+    }),
+
     // KMV distinct + overlap over user sets
     "b_kmv" -> ((s: SparkSession, dir: String) => {
       import graft.sketch.{kmv => K}
