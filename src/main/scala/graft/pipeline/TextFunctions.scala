@@ -215,10 +215,16 @@ object TextFunctions {
         b += 1
       }
     }
+    // hash each token once; bigram features combine the token hashes
+    // (no string concatenation in the hot loop)
+    val hs = new Array[Long](tokens.length)
     var i = 0
+    while (i < tokens.length) { hs(i) = hashString(tokens(i)); i += 1 }
+    i = 0
     while (i < tokens.length) {
-      vote(hashString(tokens(i)))
-      if (i + 1 < tokens.length) vote(hashString(tokens(i) + " " + tokens(i + 1)))
+      vote(hs(i))
+      if (i + 1 < tokens.length)
+        vote(mix64(hs(i) * 0x9E3779B97F4A7C15L + hs(i + 1)))
       i += 1
     }
     var result = 0L
