@@ -70,7 +70,10 @@ object Dedup {
    * Exact Jaccard verification of candidate pairs against the shingle
    * sets: returns (id_a, id_b, inter, uni) for pairs with
    * inter/uni >= threshold. intersect/union are exact set operations on
-   * the distinct-shingle arrays.
+   * the distinct-shingle arrays. Pairs where both shingle sets are
+   * empty (documents shorter than the shingle size) are NOT duplicates
+   * — Jaccard of two empty sets is undefined, and treating it as 1
+   * would mass-delete short documents.
    */
   def verifyJaccard(
       candidates: DataFrame,
@@ -83,7 +86,7 @@ object Dedup {
     candidates.join(a, "id_a").join(b, "id_b")
       .withColumn("inter", F.size(F.array_intersect(F.col("__sa"), F.col("__sb"))).cast("long"))
       .withColumn("uni", F.size(F.array_union(F.col("__sa"), F.col("__sb"))).cast("long"))
-      .filter(F.col("inter") >= F.col("uni") * threshold)
+      .filter(F.col("uni") > 0 && F.col("inter") >= F.col("uni") * threshold)
       .select("id_a", "id_b", "inter", "uni")
   }
 
@@ -113,25 +116,25 @@ object Dedup {
         F.col(idCol),
         F.explode(TextFunctions.bandsUdf(bands, rowsPerBand)(F.col("__sig"))).as("__b"))
       .select(F.col(idCol), F.col("__b._1").as("__band"), F.col("__b._2").as("__bucket"))
+    // materialize the (small) candidate pair set once — localCheckpoint
+    // blocks are released by the ContextCleaner when the DataFrame goes
+    // out of scope, unlike cache(), and the three downstream references
+    // (two id sides + the verify join) reuse it without recompute
     val candidates = buckets.groupBy(F.col("__band"), F.col("__bucket"))
       .agg(F.collect_list(F.col(idCol)).as("__ids"))
       .filter(F.size(F.col("__ids")) > 1)
       .select(F.explode(pairsUdf(F.col("__ids"))).as("__p"))
       .select(F.col("__p._1").as("id_a"), F.col("__p._2").as("id_b"))
       .distinct()
-    // verification joins the raw text and shingles AFTER the join, so
-    // only matched candidate rows ever pay the shingle cost and
-    // `candidates` is referenced exactly once (no caching to leak)
-    val sh = TextFunctions.shinglesUdf(shingleSize)
-    val a = df.select(F.col(idCol).as("id_a"), F.col(textCol).as("__ta"))
-    val b = df.select(F.col(idCol).as("id_b"), F.col(textCol).as("__tb"))
-    candidates.join(a, "id_a").join(b, "id_b")
-      .withColumn("__sa", sh(F.col("__ta")))
-      .withColumn("__sb", sh(F.col("__tb")))
-      .withColumn("inter", F.size(F.array_intersect(F.col("__sa"), F.col("__sb"))).cast("long"))
-      .withColumn("uni", F.size(F.array_union(F.col("__sa"), F.col("__sb"))).cast("long"))
-      .filter(F.col("inter") >= F.col("uni") * threshold)
-      .select("id_a", "id_b", "inter", "uni")
+      .localCheckpoint()
+    // shingle each candidate DOCUMENT once (semi-join first): a
+    // boilerplate cluster of m docs has ~m^2/2 pairs but only m texts
+    val candidateIds = candidates.select(F.col("id_a").as(idCol))
+      .union(candidates.select(F.col("id_b").as(idCol))).distinct()
+    val shingled = df.join(candidateIds, idCol).select(
+      F.col(idCol),
+      TextFunctions.shinglesUdf(shingleSize)(F.col(textCol)).as("__sh"))
+    verifyJaccard(candidates, shingled, idCol, "__sh", threshold)
   }
 
   /**

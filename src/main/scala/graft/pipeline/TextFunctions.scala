@@ -86,46 +86,6 @@ object TextFunctions {
     }
 
   /**
-   * Fused shingle+minhash over the text itself: hashes every char
-   * n-gram in place (FNV over the window, no substring or set
-   * allocation — duplicate shingles cannot change a min), then the
-   * Kirsch-Mitzenmacher combination. Signature-identical inputs produce
-   * identical signatures to hashing the distinct shingle set.
-   */
-  private[pipeline] def minhashText(text: String, n: Int, numHashes: Int): Array[Long] = {
-    val sig = Array.fill(numHashes)(Long.MaxValue)
-    if (text == null || text.length < n) return sig
-    var pos = 0
-    val end = text.length - n
-    while (pos <= end) {
-      var h = 0xCBF29CE484222325L
-      var j = 0
-      while (j < n) {
-        h ^= text.charAt(pos + j).toLong
-        h *= 0x100000001B3L
-        j += 1
-      }
-      val h1 = mix64(h)
-      val h2 = mix64(h1 ^ 0x9E3779B97F4A7C15L) | 1L
-      var i = 0
-      var hh = h1
-      while (i < numHashes) {
-        if (hh < sig(i)) sig(i) = hh
-        hh += h2
-        i += 1
-      }
-      pos += 1
-    }
-    sig
-  }
-
-  def minhashTextUdf(n: Int, numHashes: Int): UserDefinedFunction =
-    F.udf { (text: String) =>
-      val r: Array[Long] = if (text == null) null else minhashText(text, n, numHashes)
-      r
-    }
-
-  /**
    * One-permutation-hashing signature (OPH): one hash per n-gram,
    * bucketed into `numHashes` slots by its top bits, min kept per slot;
    * empty slots filled by rotational densification (deterministic, so
@@ -134,7 +94,8 @@ object TextFunctions {
    * corpus scale; slightly noisier per-slot estimates.
    */
   private[pipeline] def minhashTextOph(text: String, n: Int, numHashes: Int): Array[Long] = {
-    require(Integer.bitCount(numHashes) == 1, "numHashes must be a power of two")
+    require(Integer.bitCount(numHashes) == 1 && numHashes >= 2,
+      "numHashes must be a power of two >= 2 (shift 64 is a JVM no-op)")
     val shift = 64 - Integer.numberOfTrailingZeros(numHashes)
     val sig = Array.fill(numHashes)(Long.MaxValue)
     if (text != null && text.length >= n) {
@@ -314,10 +275,12 @@ object TextFunctions {
 
   /** BPE-style pre-tokenization count: letter runs, digit runs, and
     * punctuation runs each count as one token (the shape BPE vocabularies
-    * split on). ASCII classes only so the regex behaves identically
-    * across engines. Pure Column expression, codegen'd. */
+    * split on). The whitespace class is spelled out explicitly because
+    * Java's \s includes \x0B while RE2's does not — an implicit \s
+    * would diverge between Spark and the DuckDB oracle. */
   def bpeTokenCount(text: Column): Column =
-    F.size(F.regexp_extract_all(text, F.lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+"), F.lit(0)))
+    F.size(F.regexp_extract_all(text,
+      F.lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r\\x0B\\f]+"), F.lit(0)))
 
   def qualityScore(text: Column, nChars: Column): Column = {
     val tokens = tokenCount(text)

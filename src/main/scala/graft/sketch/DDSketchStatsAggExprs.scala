@@ -147,7 +147,10 @@ case class DDSketchStatsValuesAggExpr(
   override protected def expectedInputType: DataType = DoubleType
   override def prettyName: String = "ddsketch_stats_agg_values"
 
-  override def createAggregationBuffer(): DDSketch = DDSketch(relativeAccuracy)
+  override def createAggregationBuffer(): DDSketch =
+    DDSketch(
+      if (relativeAccuracy > 0.0 && relativeAccuracy < 1.0) relativeAccuracy
+      else DDSketch.DefaultRelativeAccuracy)
 
   override def update(buffer: DDSketch, input: InternalRow): DDSketch = {
     val v = child.eval(input)

@@ -127,7 +127,7 @@ object kmv {
     u.register("kmv_merge", mergeUdf)
     GraftBridge.registerFunction(spark, "kmv_agg", {
       case Seq(v) => KmvAggExpr(hashed(v))
-      case Seq(v, kExpr) => KmvAggExpr(hashed(v), kExpr.eval(null).asInstanceOf[Int])
+      case Seq(v, kExpr) => KmvAggExpr(hashed(v), ArgEval.positiveInt(kExpr, "kmv_agg k"))
       case other =>
         throw new IllegalArgumentException(
           s"kmv_agg expects 1 or 2 arguments, got ${other.size}")

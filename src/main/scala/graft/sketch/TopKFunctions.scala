@@ -11,6 +11,23 @@ import org.apache.spark.sql.types.{BinaryType, DataType, StringType}
 import org.apache.spark.sql.{functions => F}
 import org.apache.spark.unsafe.types.UTF8String
 
+/** Validation for constant function arguments in SQL builders: clean
+  * analysis-time errors for malformed ARGUMENTS (the NULL-out discipline
+  * applies to malformed data, not to malformed function parameters). */
+private[sketch] object ArgEval {
+  def positiveInt(e: Expression, what: String): Int = {
+    if (!e.foldable)
+      throw new IllegalArgumentException(s"$what must be a constant")
+    val v = Cast(e, org.apache.spark.sql.types.IntegerType).eval(null)
+    v match {
+      case i: java.lang.Integer if i > 0 => i.intValue()
+      case other =>
+        throw new IllegalArgumentException(
+          s"$what must be a positive integer literal, got $other")
+    }
+  }
+}
+
 /** `topk_agg(item STRING[, capacity]) → BLOB`: SpaceSaving frequent-items
   * sketch aggregate. */
 case class TopKAggExpr(
@@ -102,9 +119,7 @@ object topk {
     spark.udf.register("topk_merge", mergeUdf)
     GraftBridge.registerFunction(spark, "topk_agg", {
       case Seq(v) => TopKAggExpr(v)
-      case Seq(v, cap) =>
-        TopKAggExpr(v,
-          Cast(cap, org.apache.spark.sql.types.IntegerType).eval(null).asInstanceOf[Int])
+      case Seq(v, cap) => TopKAggExpr(v, ArgEval.positiveInt(cap, "topk_agg capacity"))
       case other =>
         throw new IllegalArgumentException(
           s"topk_agg expects 1 or 2 arguments, got ${other.size}")

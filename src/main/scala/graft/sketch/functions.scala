@@ -156,9 +156,20 @@ object Graft {
       case _: NumericType => Cast(e, DoubleType)
       case _ => e // let checkInputDataTypes report it
     }
-    // SQL accuracy literals arrive as DecimalType: evaluate through a cast
-    def evalDouble(e: Expression): Double =
-      toDouble(e).eval(null).asInstanceOf[Double]
+    // SQL accuracy literals arrive as DecimalType: evaluate through a
+    // cast; NULL / non-numeric / out-of-range fall back to the default
+    // accuracy, matching the reference's lenient parameter parsing
+    // (reference lib.rs:72-77)
+    def evalDouble(e: Expression): Double = {
+      val v: Any = e.dataType match {
+        case _: NumericType => toDouble(e).eval(null)
+        case _ => null
+      }
+      v match {
+        case d: java.lang.Double if d > 0.0 && d < 1.0 => d.doubleValue()
+        case _ => DDSketch.DefaultRelativeAccuracy
+      }
+    }
     def unary(name: String, f: Expression => Expression): Unit =
       reg(spark, name, exprs => f(exprs.head))
     reg(spark, "ddsketch_create", exprs => DDSketchCreateExpr(toDouble(exprs.head)))

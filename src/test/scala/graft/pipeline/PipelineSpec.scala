@@ -81,6 +81,24 @@ class DedupSpec extends SparkTestBase {
     assert(found == exact, s"missing=${exact -- found} extra=${found -- exact}")
   }
 
+  test("documents shorter than the shingle size are never near-duplicates") {
+    // regression: empty shingle sets collide in every LSH band and
+    // 0 >= 0*threshold used to pass verification, mass-deleting short docs
+    val df = Seq(
+      (1L, "abc"), (2L, "xyz"), (3L, "qq"),
+      (4L, "a longer document body that shingles fine and repeats a longer document body"),
+      (5L, "a longer document body that shingles fine and repeats a longer document bodX")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.nearDuplicatePairs(df, "doc_id", "text", 5, 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(!pairs.exists(p => p._1 <= 3 || p._2 <= 3),
+      s"short docs must not pair: $pairs")
+    assert(pairs.contains((4L, 5L)), "real near-dups still found")
+    val kept = Dedup.dropNearDuplicates(df, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 3L, 4L))
+  }
+
   test("dropNearDuplicates removes exactly the larger-id pair members") {
     val docs = sf("sf0.001", "documents")
     val pairs = Dedup.nearDuplicatePairs(docs, "doc_id", "text", 5, 0.8)

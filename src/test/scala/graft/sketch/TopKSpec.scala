@@ -43,6 +43,33 @@ class TopKCoreSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(rt.capacity == a.capacity)
   }
 
+  test("multi-way merge with truncation keeps the SpaceSaving bounds") {
+    // regression: an item dropped by a truncating merge then re-merged
+    // must not report error=0 with an undercount
+    def mk(items: (String, Int)*): TopKSketch = {
+      val s = new TopKSketch(2)
+      items.foreach { case (k, n) => (1 to n).foreach(_ => s.add(k)) }
+      s
+    }
+    val merged = mk("a" -> 5, "b" -> 4)
+    merged.merge(mk("c" -> 5, "d" -> 4))
+    merged.merge(mk("b" -> 5, "e" -> 1))
+    val truth = Map("a" -> 5L, "b" -> 9L, "c" -> 5L, "d" -> 4L, "e" -> 1L)
+    merged.topK(2).foreach { case (item, count, error) =>
+      assert(count >= truth(item), s"$item upper bound")
+      assert(count - error <= truth(item), s"$item lower bound: count=$count error=$error true=${truth(item)}")
+    }
+    // the true heaviest item (b, 9) must be tracked
+    assert(merged.topK(2).exists(_._1 == "b"))
+  }
+
+  test("merge of non-full partials stays exact (error 0)") {
+    val a = new TopKSketch(64); Seq("x", "x", "y").foreach(a.add(_))
+    val b = new TopKSketch(64); Seq("x", "z").foreach(b.add(_))
+    a.merge(b)
+    assert(a.topK(3) == Seq(("x", 3L, 0L), ("y", 1L, 0L), ("z", 1L, 0L)))
+  }
+
   test("garbage decode raises CodecException") {
     val rnd = new Random(5)
     (1 to 300).foreach { _ =>
