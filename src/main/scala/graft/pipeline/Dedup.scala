@@ -171,7 +171,11 @@ object Dedup {
       textCol: String,
       maxHamming: Int = 6): DataFrame = {
     require(maxHamming <= 7, "8x8-bit banding only guarantees hamming <= 7")
+    // materialize signatures once (id + one long per doc — tiny): both
+    // sides of the self-join read the checkpoint instead of re-running
+    // the tokenize+hash UDF over the corpus twice
     val sigs = df.select(F.col(idCol), TextFunctions.simhash(F.col(textCol)).as("__sig"))
+      .localCheckpoint()
     val chunked = sigs.select(
         F.col(idCol), F.col("__sig"),
         F.explode(TextFunctions.simhashChunksUdf(F.col("__sig"))).as("__c"))

@@ -68,6 +68,15 @@ object Similarity {
     (h >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
   }
 
+  // Hyperplane rows are pure functions of (plane, dim) — materialize each
+  // once per executor instead of re-hashing mix64 per row x plane x dim
+  // (the signature scan is the whole cost of the LSH index build).
+  private val coefCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Double]]()
+  private def planeRow(plane: Int, dim: Int): Array[Double] =
+    coefCache.computeIfAbsent((plane, dim),
+      _ => Array.tabulate(dim)(d => planeCoef(plane, d)))
+
   /** Signatures for L independent random-hyperplane tables of `planes`
     * bits each; position in the result = table index. */
   private def tableSigsUdf(tables: Int, planes: Int) = F.udf((v: Array[Float]) => {
@@ -75,9 +84,10 @@ object Similarity {
       var sig = 0
       var p = 0
       while (p < planes) {
+        val row = planeRow(t * planes + p, v.length)
         var s = 0.0
         var i = 0
-        while (i < v.length) { s += planeCoef(t * planes + p, i) * v(i); i += 1 }
+        while (i < v.length) { s += row(i) * v(i); i += 1 }
         if (s >= 0) sig |= (1 << p)
         p += 1
       }
@@ -148,26 +158,36 @@ object Similarity {
       iterations: Int): Array[Array[Float]] = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    // orderBy + limit compiles to TakeOrderedAndProject: per-partition
+    // top-nlist then a driver merge — no global sort even at corpus scale
     var centroids: Array[Array[Float]] = corpus
       .select(F.col(idCol), F.col(vecCol))
       .orderBy(F.abs(F.hash(F.col(idCol))), F.col(idCol))
       .limit(nlist)
       .select(F.col(vecCol)).as[Array[Float]].collect()
+    if (centroids.isEmpty) return centroids
+    val dim = centroids(0).length
     for (_ <- 1 to iterations) {
       val cB = spark.sparkContext.broadcast(centroids)
       val assignU = F.udf((v: Array[Float]) => nearestCentroid(cB.value, v))
-      // distributed mean: per-(cell, dimension) sums via posexplode —
-      // only nlist x dim aggregated rows ever reach the driver
+      // distributed mean as `dim` per-cell sum aggregates: stays inside
+      // whole-stage codegen with map-side partials, so the shuffle carries
+      // nlist x dim partial sums per partition instead of a corpus x dim
+      // row explosion; only nlist aggregated rows reach the driver
+      val sumCols = (F.count(F.lit(1)).cast("double").as("__n")) +:
+        (0 until dim).map(d => F.sum(F.element_at(F.col("__v"), d + 1)).as(s"__s$d"))
       val means = corpus
-        .select(assignU(F.col(vecCol)).as("__c"),
-                F.posexplode(F.col(vecCol)).as(Seq("__d", "__x")))
-        .groupBy(F.col("__c"), F.col("__d"))
-        .agg(F.sum(F.col("__x")).as("__s"), F.count(F.lit(1)).as("__n"))
-        .as[(Int, Int, Double, Long)].collect()
+        .select(assignU(F.col(vecCol)).as("__c"), F.col(vecCol).as("__v"))
+        .groupBy(F.col("__c"))
+        .agg(sumCols.head, sumCols.tail: _*)
+        .collect()
       val next = centroids.map(_.clone())
-      means.groupBy(_._1).foreach { case (c, dims) =>
-        dims.foreach { case (_, d, s, n) =>
-          next(c)(d) = (s / n).toFloat
+      means.foreach { row =>
+        val c = row.getInt(0)
+        val n = row.getDouble(1)
+        if (n > 0) {
+          var d = 0
+          while (d < dim) { next(c)(d) = (row.getDouble(d + 2) / n).toFloat; d += 1 }
         }
       }
       centroids = next
