@@ -289,6 +289,41 @@ object SparkEntry {
         .orderBy("hour_ms", "event_type")
     }),
 
+    // as-of join: each click matched to the user's most recent prior
+    // purchase (inclusive) — DuckDB's native ASOF JOIN is the oracle
+    "q_rel_asof" -> ((s: SparkSession, dir: String) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(F.col("event_type") === "click")
+        .select(F.col("user_id"), F.unix_millis(F.col("ts")).as("ms"))
+      val purchases = ev.filter(F.col("event_type") === "purchase")
+        .select(F.col("user_id"), F.unix_millis(F.col("ts")).as("ms"), F.col("value"))
+        .groupBy(F.col("user_id"), F.col("ms"))
+        .agg(F.max(F.col("value")).as("purchase_value"))
+      graft.operators.AsOfJoin
+        .asofJoin(clicks, purchases, Seq("user_id"), "ms", "ms", Seq("purchase_value"))
+        .groupBy(F.expr("ms div 86400000").as("day"))
+        .agg(F.count(F.lit(1)).as("clicks"),
+             F.count(F.col("purchase_value")).as("matched"),
+             F.round(F.sum(F.col("purchase_value")) * 100, 0).cast("long").as("cents"))
+        .orderBy("day")
+    }),
+
+    // gap-based sessionization (30-min gap) — window-function semantics
+    // replicated exactly by the DuckDB oracle
+    "q_rel_session" -> ((s: SparkSession, dir: String) => {
+      val ev = t(s, dir, "events")
+        .select(F.col("user_id"), F.unix_millis(F.col("ts")).as("ms"))
+      graft.operators.Sessionize
+        .sessionStats(ev, F.col("user_id"), F.col("ms"), 1800000L)
+        .groupBy(F.col("key").as("user_id"))
+        .agg(F.count(F.lit(1)).as("n_sessions"),
+             F.sum(F.col("n_events")).as("n_events"),
+             F.max(F.col("n_events")).as("max_session_events"),
+             F.sum(F.col("span")).as("total_span_ms"))
+        .select("user_id", "n_sessions", "n_events", "max_session_events", "total_span_ms")
+        .orderBy("user_id")
+    }),
+
     // SQL surface: CTE + scalar subquery (reference test shapes,
     // test/sql/ddsketch.test:19,36; integration_test.sql:17-27)
     "q_rel_sql" -> ((s: SparkSession, dir: String) => {
@@ -590,6 +625,34 @@ object SparkEntry {
       """SELECT CAST(epoch_ms(date_trunc('hour', ts)) AS BIGINT) AS hour_ms,
         |       event_type, count(*) AS cnt
         |FROM events GROUP BY 1, 2 ORDER BY hour_ms, event_type""".stripMargin,
+    "q_rel_asof" ->
+      """WITH clicks AS (
+        |  SELECT user_id, epoch_ms(ts) AS ms FROM events WHERE event_type = 'click'),
+        |purchases AS (
+        |  SELECT user_id, epoch_ms(ts) AS ms, max(value) AS purchase_value
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT ms // 86400000 AS day, count(*) AS clicks,
+        |       count(purchase_value) AS matched,
+        |       CAST(round(sum(purchase_value) * 100, 0) AS BIGINT) AS cents
+        |FROM (SELECT c.ms, p.purchase_value
+        |      FROM clicks c ASOF LEFT JOIN purchases p
+        |        ON c.user_id = p.user_id AND c.ms >= p.ms) t
+        |GROUP BY 1 ORDER BY day""".stripMargin,
+    "q_rel_session" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS ms FROM events),
+        |l AS (SELECT user_id, ms,
+        |             lag(ms) OVER (PARTITION BY user_id ORDER BY ms) AS prev FROM e),
+        |f AS (SELECT user_id, ms,
+        |             CASE WHEN prev IS NULL OR ms - prev > 1800000 THEN 1 ELSE 0 END AS ns FROM l),
+        |s AS (SELECT user_id, ms,
+        |             sum(ns) OVER (PARTITION BY user_id ORDER BY ms
+        |                           ROWS UNBOUNDED PRECEDING) AS sid FROM f),
+        |g AS (SELECT user_id, sid, count(*) AS ev, max(ms) - min(ms) AS span
+        |      FROM s GROUP BY 1, 2)
+        |SELECT user_id, count(*) AS n_sessions, CAST(sum(ev) AS BIGINT) AS n_events,
+        |       CAST(max(ev) AS BIGINT) AS max_session_events,
+        |       CAST(sum(span) AS BIGINT) AS total_span_ms
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_rel_sql" ->
       """WITH thresholds AS (SELECT avg(o_totalprice) AS avg_price FROM orders)
         |SELECT o_orderpriority, count(*) AS cnt

@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{functions => F}
+
+/**
+ * As-of (most-recent-prior) join — the time-series join DuckDB ships
+ * natively (`ASOF JOIN`, the oracle for our tests) and Spark has no
+ * built-in operator for.
+ *
+ * Spark-first shape: tag both inputs, union them, and resolve each left
+ * row's match with one `last(_, ignoreNulls)` running window over
+ * (keys, time). That is a single shuffle on the join keys plus a
+ * per-partition sort — the same physical shape as any windowed
+ * aggregation — with no range explosion (an inequality-join rewrite
+ * would produce |L|x|R| per key) and no per-row index probe. At scale
+ * the sort is external (spillable), AQE handles partition sizing, and a
+ * skewed key can be salted upstream exactly like any window workload.
+ */
+object AsOfJoin {
+
+  /**
+   * For each left row, attach the `rightValues` columns of the right row
+   * with the greatest `rightTime` <= the left row's `leftTime` within
+   * the same `keys` group (inclusive match, like DuckDB's
+   * `ON l.k = r.k AND l.t >= r.t`); NULL-filled when no prior right row
+   * exists. Left rows with a NULL time keep their columns and match
+   * nothing; right rows with a NULL time are ignored.
+   *
+   * `leftTime`/`rightTime` must have the same orderable type. If several
+   * right rows share (keys, rightTime), which one wins is unspecified —
+   * pre-aggregate the right side to unique timestamps for deterministic
+   * output. `rightValues` names must not collide with left columns.
+   */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      rightValues: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "asofJoin requires at least one key column")
+    val dup = rightValues.toSet.intersect(left.columns.toSet)
+    require(dup.isEmpty, s"right value columns collide with left columns: $dup")
+
+    val lStructCol = F.struct(left.columns.map(F.col).toSeq: _*)
+    val rStructCol = F.struct(rightValues.map(F.col): _*)
+    val lType = left.select(lStructCol).schema.head.dataType
+    val rType = right.select(rStructCol).schema.head.dataType
+
+    val lp = left.select(
+      keys.map(F.col) ++ Seq(
+        F.col(leftTime).as("__t"),
+        F.lit(1).as("__side"),
+        lStructCol.as("__l"),
+        F.lit(null).cast(rType).as("__r")): _*)
+    val rp = right
+      .filter(F.col(rightTime).isNotNull)
+      .select(
+        keys.map(F.col) ++ Seq(
+          F.col(rightTime).as("__t"),
+          F.lit(0).as("__side"),
+          F.lit(null).cast(lType).as("__l"),
+          rStructCol.as("__r")): _*)
+
+    // right rows sort before left rows at equal time (__side 0 < 1), so
+    // a right row at exactly the left row's time is matched (inclusive)
+    val w = Window
+      .partitionBy(keys.map(F.col): _*)
+      .orderBy(F.col("__t").asc_nulls_first, F.col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    lp.union(rp)
+      .withColumn("__m", F.last(F.col("__r"), ignoreNulls = true).over(w))
+      .filter(F.col("__side") === 1)
+      .select(
+        left.columns.map(c => F.col(s"__l.$c").as(c)).toSeq ++
+          rightValues.map(c => F.col(s"__m.$c").as(c)): _*)
+  }
+}

@@ -1,0 +1,78 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.{functions => F}
+
+class OperatorsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // ------------------------------------------------------------- as-of
+
+  test("asofJoin matches the most recent prior right row per key") {
+    val left = Seq(
+      (1L, 10L, "a"), (1L, 25L, "b"), (1L, 5L, "c"),
+      (2L, 50L, "d"), (3L, 7L, "e"))
+      .toDF("k", "t", "tag").repartition(3)
+    val right = Seq(
+      (1L, 5L, 100.0), (1L, 20L, 200.0), (1L, 30L, 300.0),
+      (2L, 60L, 400.0))
+      .toDF("k", "t", "v").repartition(2)
+
+    val out = AsOfJoin.asofJoin(left, right, Seq("k"), "t", "t", Seq("v"))
+      .select("k", "t", "tag", "v").as[(Long, Long, String, Option[Double])]
+      .collect().sortBy(r => (r._1, r._2))
+
+    assert(out === Seq(
+      (1L, 5L, "c", Some(100.0)),   // inclusive: right at exactly t
+      (1L, 10L, "a", Some(100.0)),
+      (1L, 25L, "b", Some(200.0)),  // not the later 30
+      (2L, 50L, "d", None),         // right exists but only later
+      (3L, 7L, "e", None)))         // key absent from right
+  }
+
+  test("asofJoin ignores null right times and keeps null-time left rows") {
+    val left = Seq((1L, Some(10L), "a"), (1L, None, "b")).toDF("k", "t", "tag")
+    val right = Seq((1L, Some(4L), 1.0), (1L, None, 99.0)).toDF("k", "t", "v")
+    val out = AsOfJoin.asofJoin(left, right, Seq("k"), "t", "t", Seq("v"))
+      .select("tag", "v").as[(String, Option[Double])].collect().toMap
+    assert(out === Map("a" -> Some(1.0), "b" -> None))
+  }
+
+  test("asofJoin rejects colliding value column names") {
+    val df = Seq((1L, 1L)).toDF("k", "t")
+    intercept[IllegalArgumentException] {
+      AsOfJoin.asofJoin(df, df.withColumnRenamed("t", "t2"), Seq("k"), "t", "t2", Seq("k"))
+    }
+  }
+
+  // ------------------------------------------------------ sessionize
+
+  test("withSessionId splits on gaps > maxGap, inclusive boundary") {
+    val df = Seq(
+      (1L, 0L), (1L, 1000L), (1L, 2000L),          // session 1 (gaps 1000)
+      (1L, 3001L),                                 // gap 1001 > 1000 -> session 2
+      (2L, 0L))
+      .toDF("u", "ts").repartition(3)
+    val out = Sessionize.withSessionId(df, F.col("u"), F.col("ts"), 1000L)
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(out === Seq(
+      (1L, 0L, 1L), (1L, 1000L, 1L), (1L, 2000L, 1L), (1L, 3001L, 2L),
+      (2L, 0L, 1L)))
+  }
+
+  test("sessionStats aggregates events and span per session") {
+    val df = Seq(
+      (1L, 0L), (1L, 500L), (1L, 5000L), (1L, 5200L), (1L, 5400L))
+      .toDF("u", "ts")
+    val out = Sessionize.sessionStats(df, F.col("u"), F.col("ts"), 1000L)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._2)
+    assert(out === Seq((1L, 1L, 2L, 500L), (1L, 2L, 3L, 400L)))
+  }
+
+  test("tied timestamps never split a session") {
+    val df = Seq((1L, 100L), (1L, 100L), (1L, 100L)).toDF("u", "ts")
+    val out = Sessionize.withSessionId(df, F.col("u"), F.col("ts"), 10L)
+      .select("session_id").as[Long].collect()
+    assert(out.toSet === Set(1L))
+  }
+}
