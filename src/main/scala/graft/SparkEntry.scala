@@ -427,6 +427,69 @@ object SparkEntry {
                F.sum(F.col("doc_id")).as("kept_id_sum"))
     }),
 
+    // embedding-cosine near-dup: the corpus augmented with exact copies
+    // of vectors 0-49 (shifted ids). Copies collide in every LSH table
+    // (identical signatures), so recall is exactly 1.0 and the verified
+    // pair list is deterministic; no natural pair reaches cos 0.99
+    // (corpus max is ~0.6), so the oracle is precisely the copy pairs.
+    "q_dedup_embed" -> ((s: SparkSession, dir: String) => {
+      val emb = t(s, dir, "embeddings")
+      val copies = emb.filter(F.col("vec_id") < 50)
+        .select((F.col("vec_id") + 100000L).as("vec_id"), F.col("embedding"))
+      val corpus = emb.select(F.col("vec_id"), F.col("embedding")).union(copies)
+      graft.pipeline.Dedup
+        .embeddingNearDuplicatePairs(corpus, "vec_id", "embedding", 0.99)
+        .select(F.col("id_a"), F.col("id_b"), (F.col("cos") >= 0.999).as("cos_ok"))
+        .orderBy("id_a")
+    }),
+
+    // canonical-document selection: one survivor per normalized-text
+    // group, preferring longer then lower-id docs
+    "q_dedup_keepbest" -> ((s: SparkSession, dir: String) => {
+      val tf = graft.pipeline.TextFunctions
+      val kept = graft.pipeline.Dedup.keepCanonical(
+        t(s, dir, "documents"),
+        tf.normalizeText(F.col("text")),
+        Seq(F.col("n_chars").desc, F.col("doc_id").asc))
+      kept.agg(
+        F.count(F.lit(1)).as("kept"),
+        F.sum(F.col("doc_id")).as("kept_id_sum"))
+    }),
+
+    // deterministic + stratified sampling: md5-prefix predicate is
+    // engine-portable, so the oracle reproduces the exact sample
+    "q_sample" -> ((s: SparkSession, dir: String) => {
+      val sampling = graft.pipeline.Sampling
+      val docs = t(s, dir, "documents")
+      val inPlain = sampling.sampledBy(F.col("doc_id"), 0.25)
+      val inStrat = sampling.stratifiedSample(docs, F.col("source"), F.col("doc_id"),
+          Map("src0" -> 0.8, "src1" -> 0.1), defaultFraction = 0.25)
+        .select(F.col("doc_id").as("__sid"))
+      // conditional aggregation over all sources so a stratum with an
+      // empty sample still yields its zero row
+      docs.join(inStrat, F.col("doc_id") === F.col("__sid"), "left")
+        .groupBy(F.col("source"))
+        .agg(
+          F.sum(F.when(inPlain, 1L).otherwise(0L)).as("n_plain"),
+          F.sum(F.when(inPlain, F.col("doc_id")).otherwise(0L)).as("plain_id_sum"),
+          F.sum(F.when(F.col("__sid").isNotNull, 1L).otherwise(0L)).as("n_strat"))
+        .orderBy("source")
+    }),
+
+    // text cleaning: normalization collapses whitespace variants into
+    // shared keys; counts and lengths replicated exactly by the oracle
+    "q_text_clean" -> ((s: SparkSession, dir: String) => {
+      val tf = graft.pipeline.TextFunctions
+      t(s, dir, "documents")
+        .withColumn("nt", tf.normalizeText(F.col("text")))
+        .groupBy(F.col("source"))
+        .agg(
+          F.countDistinct(F.col("nt")).as("distinct_norm"),
+          F.sum(F.length(F.col("nt"))).as("norm_chars"),
+          F.sum(F.length(F.col("text"))).as("raw_chars"))
+        .orderBy("source")
+    }),
+
     // SimHash near-dup candidates: recall against the exact jaccard>=0.8
     // pair set (SimHash tracks feature-vector cosine, not Jaccard, so
     // recall < 1 is possible by design — the oracle pins the true pair
@@ -706,6 +769,38 @@ object SparkEntry {
         |            WHERE inter >= (sa.sz + sb.sz - inter) * 0.8)
         |SELECT count(*) AS kept, CAST(sum(doc_id) AS BIGINT) AS kept_id_sum
         |FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM removed)""".stripMargin,
+    "q_dedup_embed" ->
+      """SELECT vec_id AS id_a, vec_id + 100000 AS id_b, true AS cos_ok
+        |FROM embeddings WHERE vec_id < 50 ORDER BY id_a""".stripMargin,
+    "q_dedup_keepbest" ->
+      """WITH n AS (SELECT doc_id,  n_chars,
+        |  lower(trim(regexp_replace(regexp_replace(text,
+        |    '[\x00-\x08\x0E-\x1F\x7F]', '', 'g'), '[ \t\n\r\x0B\f]+', ' ', 'g'))) AS nt
+        |  FROM documents),
+        |r AS (SELECT doc_id,
+        |        row_number() OVER (PARTITION BY nt ORDER BY n_chars DESC, doc_id) AS rn
+        |      FROM n)
+        |SELECT count(*) AS kept, CAST(sum(doc_id) AS BIGINT) AS kept_id_sum
+        |FROM r WHERE rn = 1""".stripMargin,
+    "q_sample" ->
+      """WITH s AS (SELECT source, doc_id,
+        |             substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS h
+        |           FROM documents)
+        |SELECT source,
+        |  CAST(count(*) FILTER (h < '4000') AS BIGINT) AS n_plain,
+        |  CAST(coalesce(sum(doc_id) FILTER (h < '4000'), 0) AS BIGINT) AS plain_id_sum,
+        |  CAST(count(*) FILTER (h < CASE source WHEN 'src0' THEN 'cccd'
+        |                                        WHEN 'src1' THEN '199a'
+        |                                        ELSE '4000' END) AS BIGINT) AS n_strat
+        |FROM s GROUP BY source ORDER BY source""".stripMargin,
+    "q_text_clean" ->
+      """SELECT source,
+        |  count(DISTINCT lower(trim(regexp_replace(regexp_replace(text,
+        |    '[\x00-\x08\x0E-\x1F\x7F]', '', 'g'), '[ \t\n\r\x0B\f]+', ' ', 'g')))) AS distinct_norm,
+        |  CAST(sum(length(lower(trim(regexp_replace(regexp_replace(text,
+        |    '[\x00-\x08\x0E-\x1F\x7F]', '', 'g'), '[ \t\n\r\x0B\f]+', ' ', 'g'))))) AS BIGINT) AS norm_chars,
+        |  CAST(sum(length(text)) AS BIGINT) AS raw_chars
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "q_dedup_simhash" ->
       """WITH sh AS (SELECT DISTINCT doc_id, substr(text, r.i, 5) AS g
         |            FROM documents, range(1, 1000) r(i) WHERE r.i + 4 <= length(text)),

@@ -161,6 +161,61 @@ object Dedup {
   }
 
   /**
+   * Embedding-cosine near-duplicate pairs: random-hyperplane LSH
+   * candidate generation (corpus self-join on (table, signature)
+   * buckets), then exact cosine verification of candidates only.
+   * Returns (id_a, id_b, cos) with id_a < id_b and cos >= threshold.
+   *
+   * Scale shape: the bucket join's keys are small ints and each vector
+   * is replicated `tables` times — never an all-pairs comparison. True
+   * duplicates (identical vectors) hash identically in every table, so
+   * recall is 1.0 for exact copies and degrades gracefully with angle;
+   * raise `tables` (more candidates, more recall) to taste. Verified
+   * cosine makes precision exact.
+   */
+  def embeddingNearDuplicatePairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      tables: Int = 8,
+      planes: Int = 8): DataFrame = {
+    val sigU = Similarity.tableSigsUdf(tables, planes)
+    val bucketed = df.select(F.col(idCol), F.col(vecCol),
+        F.posexplode(sigU(F.col(vecCol))).as(Seq("__t", "__sig")))
+    val l = bucketed.select(F.col(idCol).as("id_a"), F.col(vecCol).as("__va"),
+                            F.col("__t"), F.col("__sig"))
+    val r = bucketed.select(F.col(idCol).as("id_b"), F.col(vecCol).as("__vb"),
+                            F.col("__t"), F.col("__sig"))
+    l.join(r, Seq("__t", "__sig"))
+      .filter(F.col("id_a") < F.col("id_b"))
+      .select(F.col("id_a"), F.col("id_b"), F.col("__va"), F.col("__vb"))
+      .distinct()
+      .withColumn("cos", Similarity.cosine(F.col("__va"), F.col("__vb")))
+      .filter(F.col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+  }
+
+  /**
+   * Canonical-document selection: one survivor per duplicate group,
+   * chosen by the caller's preference order (e.g. highest quality
+   * score, then lowest id). A single hash-shuffle on the group key plus
+   * a per-partition ranked window — the standard "keep best of cluster"
+   * step after any dedup pass.
+   */
+  def keepCanonical(
+      df: DataFrame,
+      groupKey: org.apache.spark.sql.Column,
+      order: Seq[org.apache.spark.sql.Column]): DataFrame = {
+    require(order.nonEmpty, "keepCanonical needs at least one ordering column")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupKey).orderBy(order: _*)
+    df.withColumn("__rn", F.row_number().over(w))
+      .filter(F.col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /**
    * SimHash near-dup candidates: 64-bit signature, banded into eight
    * 8-bit chunks (guaranteed collision for hamming distance <= 7),
    * exact hamming filter on candidates.

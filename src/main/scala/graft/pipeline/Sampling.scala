@@ -1,0 +1,51 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{functions => F}
+
+/**
+ * Deterministic, engine-portable sampling for training-data pipelines.
+ *
+ * The selection predicate is a lexicographic threshold on the first 4
+ * hex chars of md5(key): stable across runs, cluster sizes, and engines
+ * (any SQL dialect with md5 can reproduce the exact sample — unlike
+ * Spark's `sample()`, which is seed- and partitioning-dependent).
+ * Granularity is 1/65536; the filter is a pure codegen'd projection
+ * with no shuffle, so it pushes into the scan pipeline at any scale.
+ */
+object Sampling {
+
+  private def thresholdHex(fraction: Double): String = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction out of range: $fraction")
+    f"${math.round(fraction * 65536.0).toInt}%04x"
+  }
+
+  /** Boolean selection column: true for ~`fraction` of distinct keys. */
+  def sampledBy(key: Column, fraction: Double): Column =
+    if (fraction >= 1.0) F.lit(true)
+    else F.substring(F.md5(key.cast("string")), 1, 4) < F.lit(thresholdHex(fraction))
+
+  /** Keep ~`fraction` of rows, selected deterministically by `key`
+    * (all rows of one key are kept or dropped together). */
+  def deterministicSample(df: DataFrame, key: Column, fraction: Double): DataFrame =
+    df.filter(sampledBy(key, fraction))
+
+  /**
+   * Stratified deterministic sample: per-stratum fractions, with
+   * `defaultFraction` for strata not in the map. Same md5 predicate,
+   * just a per-stratum threshold — still shuffle-free.
+   */
+  def stratifiedSample(
+      df: DataFrame,
+      strata: Column,
+      key: Column,
+      fractions: Map[String, Double],
+      defaultFraction: Double = 0.0): DataFrame = {
+    val hex = F.substring(F.md5(key.cast("string")), 1, 4)
+    val threshold = fractions.foldLeft(F.lit(thresholdHex(defaultFraction))) {
+      case (acc, (stratum, fraction)) =>
+        F.when(strata === stratum, F.lit(thresholdHex(fraction))).otherwise(acc)
+    }
+    df.filter(hex < threshold)
+  }
+}

@@ -79,7 +79,7 @@ object Similarity {
 
   /** Signatures for L independent random-hyperplane tables of `planes`
     * bits each; position in the result = table index. */
-  private def tableSigsUdf(tables: Int, planes: Int) = F.udf((v: Array[Float]) => {
+  private[pipeline] def tableSigsUdf(tables: Int, planes: Int) = F.udf((v: Array[Float]) => {
     (0 until tables).map { t =>
       var sig = 0
       var p = 0

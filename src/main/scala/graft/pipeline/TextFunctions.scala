@@ -282,6 +282,16 @@ object TextFunctions {
     F.size(F.regexp_extract_all(text,
       F.lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r\\x0B\\f]+"), F.lit(0)))
 
+  /** Canonical text normalization for dedup keys and cleaning passes:
+    * control characters dropped, whitespace runs collapsed to one
+    * space, trimmed, lowercased. Pure built-ins — fully codegen'd, and
+    * the character classes are spelled out explicitly so Spark (Java
+    * regex) and the DuckDB oracle (RE2) agree byte for byte. */
+  def normalizeText(text: Column): Column =
+    F.lower(F.trim(F.regexp_replace(
+      F.regexp_replace(text, "[\\x00-\\x08\\x0E-\\x1F\\x7F]", ""),
+      "[ \\t\\n\\r\\x0B\\f]+", " ")))
+
   def qualityScore(text: Column, nChars: Column): Column = {
     val tokens = tokenCount(text)
     val avgWordLen = (nChars - tokens + 1).cast("double") / tokens

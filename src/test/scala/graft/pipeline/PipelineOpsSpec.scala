@@ -1,0 +1,84 @@
+package graft.pipeline
+
+import graft.SparkTestBase
+import org.apache.spark.sql.{functions => F}
+
+class PipelineOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // --------------------------------------------- embedding near-dup
+
+  test("embeddingNearDuplicatePairs finds exact and near copies, skips far pairs") {
+    val base = Array(1.0f, 0.0f, 2.0f, -1.0f)
+    val near = Array(1.01f, 0.01f, 1.99f, -1.0f)   // cos ~ 0.9999
+    val far  = Array(-2.0f, 1.0f, 0.5f, 3.0f)
+    val df = Seq(
+      (1L, base), (2L, base.clone()), (3L, near), (4L, far))
+      .toDF("id", "vec").repartition(2)
+    val pairs = Dedup.embeddingNearDuplicatePairs(df, "id", "vec", 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))           // exact copy: recall guaranteed
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+    val cos = Dedup.embeddingNearDuplicatePairs(df, "id", "vec", 0.99)
+      .filter($"id_a" === 1L && $"id_b" === 2L)
+      .select("cos").as[Double].head()
+    assert(math.abs(cos - 1.0) < 1e-9)
+  }
+
+  test("embeddingNearDuplicatePairs emits each pair once despite multi-table collisions") {
+    val v = Array(0.5f, -0.25f, 1.5f)
+    val df = Seq((10L, v), (20L, v.clone())).toDF("id", "vec")
+    val rows = Dedup.embeddingNearDuplicatePairs(df, "id", "vec", 0.5).collect()
+    assert(rows.length === 1)
+  }
+
+  // --------------------------------------------- canonical selection
+
+  test("keepCanonical keeps the best row per group with deterministic ties") {
+    val df = Seq(
+      (1L, "a  b", 10), (2L, "a b", 20), (3L, "a b", 20),   // same normalized group
+      (4L, "c", 5))
+      .toDF("id", "text", "quality").repartition(3)
+    val kept = Dedup.keepCanonical(df,
+        TextFunctions.normalizeText(F.col("text")),
+        Seq(F.col("quality").desc, F.col("id").asc))
+      .select("id").as[Long].collect().toSet
+    assert(kept === Set(2L, 4L))   // quality 20 beats 10; id 2 beats 3
+  }
+
+  // ----------------------------------------------------- normalize
+
+  test("normalizeText collapses whitespace, strips control chars, lowercases") {
+    val df = Seq("  Hello\t\tWORLD \u0001x\n", "hello world x").toDF("t")
+    val out = df.select(TextFunctions.normalizeText(F.col("t"))).as[String].collect()
+    // control char dropped, whitespace collapsed, trimmed, lowercased:
+    // both variants normalize to the same key
+    assert(out(0) === "hello world x")
+    assert(out(0) === out(1))
+  }
+
+  // ------------------------------------------------------ sampling
+
+  test("deterministicSample is stable and close to the target fraction") {
+    val df = spark.range(10000).toDF("id")
+    val a = Sampling.deterministicSample(df, F.col("id"), 0.25).as[Long].collect().toSet
+    val b = Sampling.deterministicSample(df, F.col("id"), 0.25).as[Long].collect().toSet
+    assert(a === b)                                  // deterministic
+    assert(math.abs(a.size - 2500) < 250)            // ~fraction
+    val sup = Sampling.deterministicSample(df, F.col("id"), 0.5).as[Long].collect().toSet
+    assert(a.subsetOf(sup))                          // nested samples
+  }
+
+  test("stratifiedSample applies per-stratum fractions") {
+    val df = spark.range(8000)
+      .withColumn("src", F.when(F.col("id") % 2 === 0, "a").otherwise("b"))
+    val out = Sampling.stratifiedSample(df, F.col("src"), F.col("id"),
+        Map("a" -> 0.5, "b" -> 0.1))
+      .groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(math.abs(out("a") - 2000) < 300)
+    assert(math.abs(out("b") - 400) < 150)
+    // edge fractions
+    assert(Sampling.deterministicSample(df, F.col("id"), 1.0).count() === 8000)
+    assert(Sampling.deterministicSample(df, F.col("id"), 0.0).count() === 0)
+  }
+}
