@@ -388,6 +388,32 @@ object SparkEntry {
         (F.abs(F.col("j") - inter.toDouble / union) < 0.08).as("jaccard_ok"))
     }),
 
+    // Bloom membership sketch: corpus-scale "probably seen" pre-filter.
+    // Exactness contract: zero false negatives (pinned boolean), false
+    // positives bounded well above the configured 1% fpp
+    "q_bloom" -> ((s: SparkSession, dir: String) => {
+      import graft.sketch.{bloom => B}
+      Graft.register(s)
+      val ev = t(s, dir, "events")
+      val build = ev
+        .filter(F.col("event_type") === "click" && F.col("user_id") % 3 === 0)
+        .select(F.col("user_id")).distinct()
+      val bf = build.agg(B.bloom_agg(F.col("user_id"), 100000L, 0.01).as("bf"))
+      val probe = ev.select(F.col("user_id")).distinct()
+      probe.join(build.withColumn("__in", F.lit(1)), Seq("user_id"), "left")
+        .crossJoin(bf)
+        .select(F.col("user_id"), F.col("__in").isNotNull.as("present"),
+                B.bloom_contains(F.col("bf"), F.col("user_id")).as("hit"))
+        .agg(
+          F.count(F.lit(1)).as("probed"),
+          F.sum(F.when(F.col("present"), 1L).otherwise(0L)).as("present"),
+          (F.sum(F.when(F.col("present") && !F.col("hit"), 1L).otherwise(0L)) === 0L)
+            .as("no_false_negatives"),
+          (F.sum(F.when(!F.col("present") && F.col("hit"), 1L).otherwise(0L)) <=
+            F.greatest(F.lit(5L), F.ceil(F.count(F.lit(1)) * 0.05)))
+            .as("fp_bounded"))
+    }),
+
     // exact dedup by content hash
     "q_dedup_exact" -> ((s: SparkSession, dir: String) => {
       val docs = t(s, dir, "documents")
@@ -733,6 +759,14 @@ object SparkEntry {
         |  SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
         |  INTERSECT
         |  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase') t""".stripMargin,
+    "q_bloom" ->
+      """WITH build AS (SELECT DISTINCT user_id FROM events
+        |               WHERE event_type = 'click' AND user_id % 3 = 0),
+        |probe AS (SELECT DISTINCT user_id FROM events)
+        |SELECT count(*) AS probed,
+        |  CAST(count(*) FILTER (user_id IN (SELECT user_id FROM build)) AS BIGINT) AS present,
+        |  true AS no_false_negatives, true AS fp_bounded
+        |FROM probe""".stripMargin,
     "q_dedup_exact" ->
       """SELECT count(*) AS total, count(DISTINCT text) AS distinct_docs,
         |       count(DISTINCT text) AS kept FROM documents""".stripMargin,

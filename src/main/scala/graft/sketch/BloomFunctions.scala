@@ -1,0 +1,143 @@
+package graft.sketch
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import org.apache.spark.sql.{Column, GraftBridge, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, If, IsNull, Literal, XxHash64}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.expressions.UserDefinedFunction
+import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.util.sketch.BloomFilter
+
+/**
+ * `bloom_agg(expr[, items[, fpp]]) → BLOB`: Bloom-filter membership
+ * sketch aggregate over any hashable column (hashed by codegen'd
+ * XxHash64, like kmv_agg). The buffer is Spark's public
+ * `org.apache.spark.util.sketch.BloomFilter`; its stream codec doubles
+ * as the shuffle/spill format, so sketches built on different
+ * partitions OR-merge in the standard partial/final contract.
+ *
+ * Pipeline role at 100 TB: a fourth mergeable-monoid family for
+ * membership — build once over the corpus's content hashes, broadcast
+ * the (MB-scale) filter, and pre-filter incoming batches for
+ * probably-seen documents before any join or shuffle. No false
+ * negatives; false-positive rate bounded by `fpp` at the configured
+ * capacity.
+ */
+case class BloomAggExpr(
+    child: Expression,
+    expectedItems: Long = bloom.DefaultItems,
+    fpp: Double = bloom.DefaultFpp,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[BloomFilter]
+    with UnaryLike[Expression] {
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "bloom_agg"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"bloom_agg expects a LONG hash child (wrap input in xxhash64), got ${child.dataType}")
+
+  override def createAggregationBuffer(): BloomFilter =
+    BloomFilter.create(expectedItems, fpp)
+
+  override def update(buffer: BloomFilter, input: InternalRow): BloomFilter = {
+    val v = child.eval(input)
+    if (v != null) buffer.putLong(v.asInstanceOf[Long])
+    buffer
+  }
+
+  // both buffers come from createAggregationBuffer with identical
+  // (items, fpp), so bit widths always line up
+  override def merge(buffer: BloomFilter, other: BloomFilter): BloomFilter = {
+    buffer.mergeInPlace(other)
+    buffer
+  }
+
+  override def eval(buffer: BloomFilter): Any = serialize(buffer)
+
+  override def serialize(buffer: BloomFilter): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    buffer.writeTo(out)
+    out.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): BloomFilter =
+    BloomFilter.readFrom(new ByteArrayInputStream(bytes))
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BloomAggExpr =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BloomAggExpr =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): BloomAggExpr =
+    copy(child = newChild)
+}
+
+/** Column + SQL surface for the Bloom membership family. */
+object bloom {
+
+  val DefaultItems: Long = 1000000L
+  val DefaultFpp: Double = 0.01
+
+  // same NULL discipline as kmv: a NULL input contributes nothing
+  // (XxHash64 of null would alias the seed value)
+  private def hashed(e: Expression): Expression =
+    If(IsNull(e), Literal(null, LongType), new XxHash64(Seq(e), 42L))
+
+  /** Aggregate: Bloom filter over the column's values. */
+  def bloom_agg(value: Column): Column = bloom_agg(value, DefaultItems, DefaultFpp)
+
+  def bloom_agg(value: Column, expectedItems: Long, fpp: Double): Column =
+    GraftBridge.column(
+      BloomAggExpr(hashed(GraftBridge.expression(value)), expectedItems, fpp)
+        .toAggregateExpression())
+
+  private[graft] val containsHashedUdf: UserDefinedFunction =
+    F.udf { (b: Array[Byte], h: java.lang.Long) =>
+      val r: java.lang.Boolean =
+        if (b == null || h == null) null
+        else {
+          try java.lang.Boolean.valueOf(
+            BloomFilter.readFrom(new ByteArrayInputStream(b)).mightContainLong(h))
+          catch { case _: Exception => null }
+        }
+      r
+    }.withName("bloom_contains")
+
+  /** Membership probe: NULL on NULL/undecodable input, never an error.
+    * `value` is hashed exactly as `bloom_agg` hashes its input. */
+  def bloom_contains(sketch: Column, value: Column): Column =
+    containsHashedUdf(sketch,
+      GraftBridge.column(hashed(GraftBridge.expression(value))))
+
+  /** SQL registration (also done by Graft.register). */
+  def register(spark: SparkSession): Unit = {
+    GraftBridge.registerFunction(spark, "bloom_agg", {
+      case Seq(v) => BloomAggExpr(hashed(v))
+      case Seq(v, items) =>
+        BloomAggExpr(hashed(v), ArgEval.positiveInt(items, "bloom_agg items").toLong)
+      case Seq(v, items, fpp) =>
+        BloomAggExpr(hashed(v),
+          ArgEval.positiveInt(items, "bloom_agg items").toLong,
+          ArgEval.fraction(fpp, "bloom_agg fpp"))
+      case other =>
+        throw new IllegalArgumentException(
+          s"bloom_agg expects 1-3 arguments, got ${other.size}")
+    })
+    GraftBridge.registerFunction(spark, "bloom_contains", {
+      case Seq(b, v) =>
+        GraftBridge.udfExpression(containsHashedUdf, Seq(b, hashed(v)))
+      case other =>
+        throw new IllegalArgumentException(
+          s"bloom_contains expects 2 arguments, got ${other.size}")
+    })
+  }
+}

@@ -26,6 +26,18 @@ private[sketch] object ArgEval {
           s"$what must be a positive integer literal, got $other")
     }
   }
+
+  def fraction(e: Expression, what: String): Double = {
+    if (!e.foldable)
+      throw new IllegalArgumentException(s"$what must be a constant")
+    val v = Cast(e, org.apache.spark.sql.types.DoubleType).eval(null)
+    v match {
+      case d: java.lang.Double if d > 0.0 && d < 1.0 => d.doubleValue()
+      case other =>
+        throw new IllegalArgumentException(
+          s"$what must be a literal in (0, 1), got $other")
+    }
+  }
 }
 
 /** `topk_agg(item STRING[, capacity]) → BLOB`: SpaceSaving frequent-items

@@ -203,5 +203,6 @@ object Graft {
     })
     kmv.register(spark)
     topk.register(spark)
+    bloom.register(spark)
   }
 }

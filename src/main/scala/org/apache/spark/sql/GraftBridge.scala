@@ -15,6 +15,16 @@ object GraftBridge {
 
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** A registered Scala UDF as a real Catalyst expression — needed when
+    * a SQL function builder wraps a UDF (Column-level invocation nodes
+    * are unevaluable inside the registry path). */
+  def udfExpression(
+      udf: org.apache.spark.sql.expressions.UserDefinedFunction,
+      children: Seq[Expression]): Expression =
+    classic.UserDefinedFunctionUtils.toScalaUDF(
+      udf.asInstanceOf[org.apache.spark.sql.expressions.SparkUserDefinedFunction],
+      children.toIndexedSeq)
+
   def registerFunction(
       spark: SparkSession,
       name: String,
