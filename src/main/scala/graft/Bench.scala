@@ -124,6 +124,57 @@ object Bench {
              F.countDistinct(F.col("fp")), F.countDistinct(F.col("lang_pred")))
     }),
 
+    // as-of join: clicks to most recent prior purchase per user
+    "b_asof" -> ((s: SparkSession, dir: String) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(F.col("event_type") === "click")
+        .select(F.col("user_id"), F.unix_millis(F.col("ts")).as("ms"))
+      val purchases = ev.filter(F.col("event_type") === "purchase")
+        .select(F.col("user_id"), F.unix_millis(F.col("ts")).as("ms"), F.col("value"))
+        .groupBy(F.col("user_id"), F.col("ms"))
+        .agg(F.max(F.col("value")).as("purchase_value"))
+      graft.operators.AsOfJoin
+        .asofJoin(clicks, purchases, Seq("user_id"), "ms", "ms", Seq("purchase_value"))
+    }),
+
+    // gap-based sessionization over the full event stream
+    "b_session" -> ((s: SparkSession, dir: String) => {
+      val ev = t(s, dir, "events")
+        .select(F.col("user_id"), F.unix_millis(F.col("ts")).as("ms"))
+      graft.operators.Sessionize.sessionStats(ev, F.col("user_id"), F.col("ms"), 1800000L)
+    }),
+
+    // embedding-cosine near-dup over the corpus + exact copies
+    "b_dedup_embed" -> ((s: SparkSession, dir: String) => {
+      val emb = t(s, dir, "embeddings")
+      val copies = emb.filter(F.col("vec_id") < 200)
+        .select((F.col("vec_id") + 1000000L).as("vec_id"), F.col("embedding"))
+      graft.pipeline.Dedup.embeddingNearDuplicatePairs(
+        emb.select(F.col("vec_id"), F.col("embedding")).union(copies),
+        "vec_id", "embedding", 0.99)
+    }),
+
+    // bloom build over one partition of users + probe of the full set
+    "b_bloom" -> ((s: SparkSession, dir: String) => {
+      import graft.sketch.{bloom => B}
+      val ev = t(s, dir, "events")
+      val bf = ev.filter(F.col("event_type") === "click")
+        .agg(B.bloom_agg(F.col("user_id")).as("bf"))
+      ev.select(F.col("user_id")).distinct().crossJoin(bf)
+        .select(B.bloom_contains(F.col("bf"), F.col("user_id")).as("hit"))
+    }),
+
+    // normalization + deterministic stratified sampling sweep
+    "b_clean_sample" -> ((s: SparkSession, dir: String) => {
+      val tf = graft.pipeline.TextFunctions
+      val docs = t(s, dir, "documents")
+      graft.pipeline.Sampling.stratifiedSample(docs, F.col("source"), F.col("doc_id"),
+          Map("src0" -> 0.8, "src1" -> 0.1), defaultFraction = 0.25)
+        .withColumn("nt", tf.normalizeText(F.col("text")))
+        .groupBy(F.col("source"))
+        .agg(F.countDistinct(F.col("nt")), F.sum(F.length(F.col("nt"))))
+    }),
+
     // relational anchors: TPC-H Q1 shape and broadcast dim join
     "b_rel_q1" -> ((s: SparkSession, dir: String) =>
       t(s, dir, "lineitem")

@@ -100,13 +100,33 @@ object bloom {
       BloomAggExpr(hashed(GraftBridge.expression(value)), expectedItems, fpp)
         .toAggregateExpression())
 
+  // The dominant probe pattern is one corpus-wide filter checked against
+  // millions of rows (crossJoin of a 1-row bloom), which would pay a
+  // full MB-scale deserialization per row — the reference's known
+  // per-call-decode flaw. A thread-local most-recent-decode cache turns
+  // that into one decode per task: reference equality is the fast path,
+  // content equality the fallback (a 1 MB memcmp is ~100x cheaper than
+  // the decode it avoids, and different filters of equal size diverge
+  // in the first bytes).
+  private val lastDecoded = new ThreadLocal[(Array[Byte], BloomFilter)]
+
+  private def decodeCached(b: Array[Byte]): BloomFilter = {
+    val cached = lastDecoded.get()
+    if (cached != null &&
+        ((cached._1 eq b) || java.util.Arrays.equals(cached._1, b))) cached._2
+    else {
+      val f = BloomFilter.readFrom(new ByteArrayInputStream(b))
+      lastDecoded.set((b.clone(), f))
+      f
+    }
+  }
+
   private[graft] val containsHashedUdf: UserDefinedFunction =
     F.udf { (b: Array[Byte], h: java.lang.Long) =>
       val r: java.lang.Boolean =
         if (b == null || h == null) null
         else {
-          try java.lang.Boolean.valueOf(
-            BloomFilter.readFrom(new ByteArrayInputStream(b)).mightContainLong(h))
+          try java.lang.Boolean.valueOf(decodeCached(b).mightContainLong(h))
           catch { case _: Exception => null }
         }
       r
