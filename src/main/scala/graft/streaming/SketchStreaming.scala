@@ -43,4 +43,44 @@ object SketchStreaming {
       .withWatermark(tsCol, watermarkDelay)
       .groupBy(F.window(F.col(tsCol), windowDuration), F.col(keyCol))
       .agg(G.ddsketch_stats_agg_values(F.col(valueCol)).as("stats"))
+
+  /**
+   * Session-window sketch aggregation: the streaming twin of the batch
+   * `graft.operators.Sessionize` — Spark's native `session_window`
+   * merges per-key state until the event-time gap exceeds
+   * `gapDuration`, and the watermark closes (and frees) sessions.
+   * State per open session is one sketch buffer + bounds, so the state
+   * store scales with concurrently-open sessions, not event count.
+   */
+  def sessionizedSketchAgg(
+      stream: DataFrame,
+      tsCol: String,
+      keyCol: String,
+      valueCol: String,
+      gapDuration: String,
+      watermarkDelay: String): DataFrame =
+    stream
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(F.session_window(F.col(tsCol), gapDuration), F.col(keyCol))
+      .agg(
+        G.ddsketch_agg_values(F.col(valueCol)).as("sketch"),
+        F.count(F.lit(1)).as("n_events"))
+
+  /**
+   * Streaming exact dedup: drop rows whose content hash was already
+   * seen within the watermark horizon. The state store keys on the
+   * 32-byte sha2, never the payload, and `withinWatermark` gives the
+   * state a TTL — the unbounded-state trap of a naive
+   * `dropDuplicates` on an infinite stream.
+   */
+  def dedupStream(
+      stream: DataFrame,
+      tsCol: String,
+      contentCol: String,
+      watermarkDelay: String): DataFrame =
+    stream
+      .withColumn("__h", F.sha2(F.col(contentCol), 256))
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("__h")
+      .drop("__h")
 }

@@ -57,6 +57,63 @@ class StreamingSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("session_window sketch aggregation closes sessions at the gap") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val agg = SketchStreaming.sessionizedSketchAgg(
+      input.toDF().toDF("ts", "service", "latency"),
+      "ts", "service", "latency", "10 minutes", "5 minutes")
+
+    val query = agg.writeStream.format("memory").queryName("sess_stream")
+      .outputMode("append").start()
+    try {
+      // one session: 10:01, 10:02 (gap 1 min); then an event far enough
+      // ahead to advance the watermark past the session's close
+      input.addData((ts(1), "api", 10.0), (ts(2), "api", 30.0))
+      query.processAllAvailable()
+      input.addData((Timestamp.valueOf("2026-01-01 10:40:00"), "api", 99.0))
+      query.processAllAvailable()
+
+      val out = spark.sql(
+        """SELECT service, unix_timestamp(session_window.start) AS ws,
+          |       unix_timestamp(session_window.end) AS we,
+          |       n_events, ddsketch_count(sketch) AS cnt
+          |FROM sess_stream""".stripMargin).collect()
+      assert(out.length === 1)   // only the closed session is emitted
+      val r = out.head
+      assert(r.getString(0) === "api")
+      assert(r.getLong(3) === 2L)
+      assert(r.getLong(4) === 2L)
+      // session spans first event to last event + gap
+      assert(r.getLong(2) - r.getLong(1) === 60 + 600)
+    } finally query.stop()
+  }
+
+  test("streaming dedup drops repeated content within the watermark") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val input = MemoryStream[(Timestamp, String)]
+    val out = SketchStreaming.dedupStream(
+      input.toDF().toDF("ts", "text"), "ts", "text", "10 minutes")
+
+    val query = out.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      input.addData((ts(1), "alpha"), (ts(2), "alpha"), (ts(3), "beta"))
+      query.processAllAvailable()
+      input.addData((ts(4), "beta"), (ts(5), "gamma"))
+      query.processAllAvailable()
+      val texts = spark.sql("SELECT text FROM dedup_stream")
+        .collect().map(_.getString(0)).sorted
+      assert(texts === Array("alpha", "beta", "gamma"))
+    } finally query.stop()
+  }
+
   test("streamed sketches merge with batch sketches (same wire format)") {
     val session = spark
     import session.implicits._
