@@ -45,6 +45,26 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("asofJoin matches a brute-force reference on seeded random data") {
+    val rnd = new scala.util.Random(42)
+    val leftRows = Seq.tabulate(300)(i =>
+      (rnd.nextInt(8).toLong, rnd.nextInt(1000).toLong, i.toLong))
+    val rightRows = Seq.tabulate(200)(i =>
+      (rnd.nextInt(8).toLong, rnd.nextInt(1000).toLong * 10 + i, i.toDouble))
+      // unique (k, t) per row by construction (t encodes i)
+    val left = leftRows.toDF("k", "t", "lid").repartition(5)
+    val right = rightRows.toDF("k", "t", "v").repartition(3)
+
+    val got = AsOfJoin.asofJoin(left, right, Seq("k"), "t", "t", Seq("v"))
+      .select("lid", "v").as[(Long, Option[Double])].collect().toMap
+
+    leftRows.foreach { case (k, t, lid) =>
+      val expected = rightRows.filter(r => r._1 == k && r._2 <= t)
+        .sortBy(_._2).lastOption.map(_._3)
+      assert(got(lid) === expected, s"left row $lid (k=$k, t=$t)")
+    }
+  }
+
   // ------------------------------------------------------ sessionize
 
   test("withSessionId splits on gaps > maxGap, inclusive boundary") {
