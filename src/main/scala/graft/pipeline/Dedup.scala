@@ -119,14 +119,15 @@ object Dedup {
     // materialize the (small) candidate pair set once — localCheckpoint
     // blocks are released by the ContextCleaner when the DataFrame goes
     // out of scope, unlike cache(), and the three downstream references
-    // (two id sides + the verify join) reuse it without recompute
+    // (two id sides + the verify join) reuse it without recompute; lazy
+    // so that building the plan without executing it runs no job
     val candidates = buckets.groupBy(F.col("__band"), F.col("__bucket"))
       .agg(F.collect_list(F.col(idCol)).as("__ids"))
       .filter(F.size(F.col("__ids")) > 1)
       .select(F.explode(pairsUdf(F.col("__ids"))).as("__p"))
       .select(F.col("__p._1").as("id_a"), F.col("__p._2").as("id_b"))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     // shingle each candidate DOCUMENT once (semi-join first): a
     // boilerplate cluster of m docs has ~m^2/2 pairs but only m texts
     val candidateIds = candidates.select(F.col("id_a").as(idCol))
@@ -227,10 +228,11 @@ object Dedup {
       maxHamming: Int = 6): DataFrame = {
     require(maxHamming <= 7, "8x8-bit banding only guarantees hamming <= 7")
     // materialize signatures once (id + one long per doc — tiny): both
-    // sides of the self-join read the checkpoint instead of re-running
-    // the tokenize+hash UDF over the corpus twice
+    // sides of the self-join read persisted blocks instead of re-running
+    // the tokenize+hash UDF over the corpus twice. Lazy so that merely
+    // building the plan (explain, dry-run) runs no job.
     val sigs = df.select(F.col(idCol), TextFunctions.simhash(F.col(textCol)).as("__sig"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val chunked = sigs.select(
         F.col(idCol), F.col("__sig"),
         F.explode(TextFunctions.simhashChunksUdf(F.col("__sig"))).as("__c"))

@@ -15,9 +15,13 @@ import org.apache.spark.sql.{functions => F}
  */
 object Sampling {
 
+  // "g" sorts after every 4-char hex string, so a fraction that rounds
+  // to the full 65536 keeps everything — a plain %04x would emit the
+  // 5-char "10000", which sorts BELOW "1001" and inverts the predicate
   private def thresholdHex(fraction: Double): String = {
     require(fraction >= 0.0 && fraction <= 1.0, s"fraction out of range: $fraction")
-    f"${math.round(fraction * 65536.0).toInt}%04x"
+    val t = math.round(fraction * 65536.0).toInt
+    if (t >= 65536) "g" else f"$t%04x"
   }
 
   /** Boolean selection column: true for ~`fraction` of distinct keys. */

@@ -173,10 +173,14 @@ object Similarity {
       // distributed mean as `dim` per-cell sum aggregates: stays inside
       // whole-stage codegen with map-side partials, so the shuffle carries
       // nlist x dim partial sums per partition instead of a corpus x dim
-      // row explosion; only nlist aggregated rows reach the driver
+      // row explosion; only nlist aggregated rows reach the driver.
+      // Ragged vectors are excluded from centroid training (element_at
+      // past the array end is an error under ANSI mode) — assignment
+      // still tolerates them via nearestCentroid's min-length loop.
       val sumCols = (F.count(F.lit(1)).cast("double").as("__n")) +:
         (0 until dim).map(d => F.sum(F.element_at(F.col("__v"), d + 1)).as(s"__s$d"))
       val means = corpus
+        .filter(F.size(F.col(vecCol)) === dim)
         .select(assignU(F.col(vecCol)).as("__c"), F.col(vecCol).as("__v"))
         .groupBy(F.col("__c"))
         .agg(sumCols.head, sumCols.tail: _*)

@@ -104,16 +104,17 @@ object bloom {
   // millions of rows (crossJoin of a 1-row bloom), which would pay a
   // full MB-scale deserialization per row — the reference's known
   // per-call-decode flaw. A thread-local most-recent-decode cache turns
-  // that into one decode per task: reference equality is the fast path,
-  // content equality the fallback (a 1 MB memcmp is ~100x cheaper than
-  // the decode it avoids, and different filters of equal size diverge
-  // in the first bytes).
+  // that into one decode (plus one memcmp per row) per task. The memcmp
+  // is the sound identity check — any sampled-bytes shortcut could
+  // alias two different filters — and it is ~50-100x cheaper than the
+  // decode it replaces (no allocation, no bit-set reconstruction). The
+  // key is cloned because Spark surfaces a fresh array per row, so the
+  // caller's buffer can never be assumed stable.
   private val lastDecoded = new ThreadLocal[(Array[Byte], BloomFilter)]
 
   private def decodeCached(b: Array[Byte]): BloomFilter = {
     val cached = lastDecoded.get()
-    if (cached != null &&
-        ((cached._1 eq b) || java.util.Arrays.equals(cached._1, b))) cached._2
+    if (cached != null && java.util.Arrays.equals(cached._1, b)) cached._2
     else {
       val f = BloomFilter.readFrom(new ByteArrayInputStream(b))
       lastDecoded.set((b.clone(), f))

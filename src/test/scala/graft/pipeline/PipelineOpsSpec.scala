@@ -80,5 +80,11 @@ class PipelineOpsSpec extends SparkTestBase {
     // edge fractions
     assert(Sampling.deterministicSample(df, F.col("id"), 1.0).count() === 8000)
     assert(Sampling.deterministicSample(df, F.col("id"), 0.0).count() === 0)
+    // fractions rounding to the full 65536 must keep everything — the
+    // naive %04x threshold would emit a 5-char string that sorts below
+    // most 4-char prefixes and invert the predicate
+    assert(Sampling.deterministicSample(df, F.col("id"), 0.999999).count() === 8000)
+    assert(Sampling.stratifiedSample(df, F.col("src"), F.col("id"),
+      Map("a" -> 1.0), defaultFraction = 1.0).count() === 8000)
   }
 }
