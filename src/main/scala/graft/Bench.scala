@@ -137,6 +137,17 @@ object Bench {
         .asofJoin(clicks, purchases, Seq("user_id"), "ms", "ms", Seq("purchase_value"))
     }),
 
+    // bounded range join: click-purchase pairs within 10 minutes
+    "b_range" -> ((s: SparkSession, dir: String) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(F.col("event_type") === "click")
+        .select(F.col("user_id"), F.unix_millis(F.col("ts")).as("ms"))
+      val purchases = ev.filter(F.col("event_type") === "purchase")
+        .select(F.col("user_id"), F.unix_millis(F.col("ts")).as("pms"), F.col("value"))
+      graft.operators.RangeJoin
+        .bandJoin(clicks, purchases, Seq("user_id"), "ms", "pms", 600000L, Seq("value"))
+    }),
+
     // gap-based sessionization over the full event stream
     "b_session" -> ((s: SparkSession, dir: String) => {
       val ev = t(s, dir, "events")

@@ -308,6 +308,23 @@ object SparkEntry {
         .orderBy("day")
     }),
 
+    // bounded range join: click-purchase pairs within 10 minutes per
+    // user. Bucketed equi-join (keys stay small ints, x3 replication)
+    // vs DuckDB's inequality-join oracle
+    "q_rel_range" -> ((s: SparkSession, dir: String) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(F.col("event_type") === "click")
+        .select(F.col("user_id"), F.unix_millis(F.col("ts")).as("ms"))
+      val purchases = ev.filter(F.col("event_type") === "purchase")
+        .select(F.col("user_id"), F.unix_millis(F.col("ts")).as("pms"), F.col("value"))
+      graft.operators.RangeJoin
+        .bandJoin(clicks, purchases, Seq("user_id"), "ms", "pms", 600000L, Seq("value"))
+        .groupBy(F.expr("ms div 86400000").as("day"))
+        .agg(F.count(F.lit(1)).as("pairs"),
+             F.round(F.sum(F.col("value")) * 100, 0).cast("long").as("cents"))
+        .orderBy("day")
+    }),
+
     // gap-based sessionization (30-min gap) — window-function semantics
     // replicated exactly by the DuckDB oracle
     "q_rel_session" -> ((s: SparkSession, dir: String) => {
@@ -726,6 +743,17 @@ object SparkEntry {
         |FROM (SELECT c.ms, p.purchase_value
         |      FROM clicks c ASOF LEFT JOIN purchases p
         |        ON c.user_id = p.user_id AND c.ms >= p.ms) t
+        |GROUP BY 1 ORDER BY day""".stripMargin,
+    "q_rel_range" ->
+      """WITH clicks AS (
+        |  SELECT user_id, epoch_ms(ts) AS ms FROM events WHERE event_type = 'click'),
+        |purchases AS (
+        |  SELECT user_id, epoch_ms(ts) AS pms, value
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT ms // 86400000 AS day, count(*) AS pairs,
+        |       CAST(round(sum(value) * 100, 0) AS BIGINT) AS cents
+        |FROM clicks c JOIN purchases p
+        |  ON c.user_id = p.user_id AND abs(c.ms - p.pms) <= 600000
         |GROUP BY 1 ORDER BY day""".stripMargin,
     "q_rel_session" ->
       """WITH e AS (SELECT user_id, epoch_ms(ts) AS ms FROM events),

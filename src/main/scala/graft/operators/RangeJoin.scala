@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{functions => F}
+
+/**
+ * Bounded time-range join: pairs of (left, right) rows with equal keys
+ * whose times differ by at most `tolerance`.
+ *
+ * Spark plans a raw inequality join as BroadcastNestedLoopJoin — a
+ * non-starter beyond broadcast sizes. The scale-correct shape is
+ * bucketing: quantize time by the tolerance, replicate the right side
+ * to its three adjacent buckets, equi-join on (keys, bucket), and
+ * filter the exact predicate. Shuffle keys stay small ints, the
+ * replication factor is a constant 3 on one side, and the join is a
+ * plain shuffled hash/sort-merge join that AQE can size and skew-split.
+ * Any in-tolerance pair lands in exactly one bucket collision, so no
+ * dedup pass is needed.
+ */
+object RangeJoin {
+
+  /**
+   * Inner join: left rows x `rightValues` of every right row with the
+   * same `keys` and |leftTime - rightTime| <= tolerance (both numeric,
+   * e.g. epoch milliseconds; tolerance > 0). Rows with NULL time never
+   * match. `rightValues` must not collide with left column names; the
+   * matched right time is exposed as `__rt` alongside them.
+   */
+  def bandJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      tolerance: Long,
+      rightValues: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "bandJoin requires at least one key column")
+    require(tolerance > 0, s"tolerance must be positive, got $tolerance")
+    val dup = (rightValues :+ "__rt").toSet.intersect(left.columns.toSet)
+    require(dup.isEmpty, s"right value columns collide with left columns: $dup")
+
+    val lb = left.withColumn("__b",
+      F.floor(F.col(leftTime).cast("double") / tolerance).cast("long"))
+    val rb = right.select(
+        keys.map(F.col) ++ Seq(F.col(rightTime).as("__rt")) ++ rightValues.map(F.col): _*)
+      .withColumn("__rb",
+        F.floor(F.col("__rt").cast("double") / tolerance).cast("long"))
+      .withColumn("__b", F.explode(F.array(
+        F.col("__rb") - 1, F.col("__rb"), F.col("__rb") + 1)))
+      .drop("__rb")
+
+    lb.join(rb, keys :+ "__b")
+      .filter(F.abs(F.col(leftTime) - F.col("__rt")) <= tolerance)
+      .drop("__b")
+  }
+}

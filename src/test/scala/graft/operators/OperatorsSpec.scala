@@ -65,6 +65,36 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  // ------------------------------------------------------ range join
+
+  test("bandJoin finds exactly the in-tolerance pairs (vs brute force)") {
+    val rnd = new scala.util.Random(7)
+    val leftRows = Seq.tabulate(200)(i =>
+      (rnd.nextInt(5).toLong, rnd.nextInt(500).toLong, i.toLong))
+    val rightRows = Seq.tabulate(150)(i =>
+      (rnd.nextInt(5).toLong, rnd.nextInt(500).toLong, i.toDouble))
+    val left = leftRows.toDF("k", "t", "lid").repartition(4)
+    val right = rightRows.toDF("k", "t", "v").repartition(3)
+
+    val got = RangeJoin.bandJoin(left, right, Seq("k"), "t", "t", 25L, Seq("v"))
+      .select("lid", "v").as[(Long, Double)].collect().toSet
+
+    val expected = (for {
+      (lk, lt, lid) <- leftRows
+      (rk, rt, v) <- rightRows
+      if lk == rk && math.abs(lt - rt) <= 25
+    } yield (lid, v)).toSet
+    assert(got === expected)
+    assert(expected.nonEmpty)   // the seed must actually exercise matches
+  }
+
+  test("bandJoin emits each pair once even at bucket boundaries") {
+    val left = Seq((1L, 100L, "l0"), (1L, 101L, "l1")).toDF("k", "t", "tag")
+    val right = Seq((1L, 100L, 9.0)).toDF("k", "t", "v")
+    val out = RangeJoin.bandJoin(left, right, Seq("k"), "t", "t", 100L, Seq("v"))
+    assert(out.count() === 2)   // both left rows match exactly once
+  }
+
   // ------------------------------------------------------ sessionize
 
   test("withSessionId splits on gaps > maxGap, inclusive boundary") {
