@@ -227,12 +227,59 @@ object Similarity {
     }.sortBy(_._2).take(m).map(_._1)
   }
 
+  /** A built IVF index: trained centroids plus the cell-assigned corpus
+    * (`neighbor_id`, `__cv`, `__cell`) — persist the DataFrame (e.g.
+    * parquet partitioned by `__cell`) and reuse it across query
+    * batches; the indexing pass is one-off at corpus scale. */
+  final case class IvfIndex(centroids: Array[Array[Float]], assigned: DataFrame)
+
+  /** One-off IVF indexing pass: train k-means centroids, assign every
+    * corpus vector to its nearest cell. */
+  def buildIvfIndex(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nlist: Int = 16,
+      iterations: Int = 2): IvfIndex = {
+    val spark = corpus.sparkSession
+    val centroids = trainCentroids(corpus, idCol, vecCol, nlist, iterations)
+    val cB = spark.sparkContext.broadcast(centroids)
+    val assignU = F.udf((v: Array[Float]) => nearestCentroid(cB.value, v))
+    IvfIndex(centroids,
+      corpus.select(F.col(idCol).as("neighbor_id"), F.col(vecCol).as("__cv"),
+                    assignU(F.col(vecCol)).as("__cell")))
+  }
+
+  /** Query a prebuilt IVF index: each query scores only the cells of
+    * its `nprobe` nearest centroids (~nprobe/nlist of the corpus). */
+  def ivfTopKIndexed(
+      index: IvfIndex,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nprobe: Int = 4): DataFrame = {
+    val spark = index.assigned.sparkSession
+    val cB = spark.sparkContext.broadcast(index.centroids)
+    val probeU = F.udf((v: Array[Float]) => nearestCentroids(cB.value, v, nprobe))
+    val q = queries.select(F.col(idCol).as("query_id"), F.col(vecCol).as("__qv"),
+                           F.explode(probeU(F.col(vecCol))).as("__cell"))
+    val scored = index.assigned.join(F.broadcast(q), "__cell")
+      .filter(F.col("neighbor_id") =!= F.col("query_id"))
+      .withColumn("cos", cosine(F.col("__qv"), F.col("__cv")))
+    val w = Window.partitionBy(F.col("query_id"))
+      .orderBy(F.col("cos").desc, F.col("neighbor_id").asc)
+    scored.withColumn("rank", F.row_number().over(w))
+      .filter(F.col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cos")
+  }
+
   /**
    * IVF (inverted-file) approximate top-k: the corpus is partitioned
    * into `nlist` k-means cells; each query scores only the cells of its
-   * `nprobe` nearest centroids. At scale the cell assignment is a
-   * one-off indexing pass persisted alongside the embeddings; queries
-   * then touch ~nprobe/nlist of the corpus. Recall < 1 by design —
+   * `nprobe` nearest centroids. Convenience form that builds the index
+   * and queries it in one call — at scale, [[buildIvfIndex]] once and
+   * [[ivfTopKIndexed]] per query batch. Recall < 1 by design —
    * measure against [[bruteForceTopK]].
    */
   def ivfTopK(
@@ -243,23 +290,8 @@ object Similarity {
       k: Int,
       nlist: Int = 16,
       nprobe: Int = 4,
-      iterations: Int = 2): DataFrame = {
-    val spark = corpus.sparkSession
-    val centroids = trainCentroids(corpus, idCol, vecCol, nlist, iterations)
-    val cB = spark.sparkContext.broadcast(centroids)
-    val assignU = F.udf((v: Array[Float]) => nearestCentroid(cB.value, v))
-    val probeU = F.udf((v: Array[Float]) => nearestCentroids(cB.value, v, nprobe))
-    val c = corpus.select(F.col(idCol).as("neighbor_id"), F.col(vecCol).as("__cv"),
-                          assignU(F.col(vecCol)).as("__cell"))
-    val q = queries.select(F.col(idCol).as("query_id"), F.col(vecCol).as("__qv"),
-                           F.explode(probeU(F.col(vecCol))).as("__cell"))
-    val scored = c.join(F.broadcast(q), "__cell")
-      .filter(F.col("neighbor_id") =!= F.col("query_id"))
-      .withColumn("cos", cosine(F.col("__qv"), F.col("__cv")))
-    val w = Window.partitionBy(F.col("query_id"))
-      .orderBy(F.col("cos").desc, F.col("neighbor_id").asc)
-    scored.withColumn("rank", F.row_number().over(w))
-      .filter(F.col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "cos")
-  }
+      iterations: Int = 2): DataFrame =
+    ivfTopKIndexed(
+      buildIvfIndex(corpus, idCol, vecCol, nlist, iterations),
+      queries, idCol, vecCol, k, nprobe)
 }

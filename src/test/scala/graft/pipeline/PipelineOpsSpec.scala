@@ -32,6 +32,24 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(rows.length === 1)
   }
 
+  // --------------------------------------------------- IVF index reuse
+
+  test("ivfTopKIndexed over a prebuilt index matches the one-shot ivfTopK") {
+    val emb = sf("sf0.001", "embeddings")
+    val queries = emb.filter(F.col("vec_id") < 3)
+    val oneShot = Similarity
+      .ivfTopK(emb, queries, "vec_id", "embedding", 5, nlist = 8, nprobe = 3)
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Int, Long)].collect().toSet
+    val idx = Similarity.buildIvfIndex(emb, "vec_id", "embedding", nlist = 8)
+    val indexed = Similarity
+      .ivfTopKIndexed(idx, queries, "vec_id", "embedding", 5, nprobe = 3)
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(indexed === oneShot)
+    assert(indexed.nonEmpty)
+  }
+
   // --------------------------------------------- canonical selection
 
   test("keepCanonical keeps the best row per group with deterministic ties") {
