@@ -36,17 +36,23 @@ object RangeJoin {
       rightValues: Seq[String]): DataFrame = {
     require(keys.nonEmpty, "bandJoin requires at least one key column")
     require(tolerance > 0, s"tolerance must be positive, got $tolerance")
-    val dup = (rightValues :+ "__rt").toSet.intersect(left.columns.toSet)
+    val dup = (rightValues ++ Seq("__rt", "__b")).toSet.intersect(left.columns.toSet)
     require(dup.isEmpty, s"right value columns collide with left columns: $dup")
 
-    val lb = left.withColumn("__b",
-      F.floor(F.col(leftTime).cast("double") / tolerance).cast("long"))
+    // the bucket key is the bucket's start value, t - pmod(t, tol):
+    // pure integer add/sub (exact for the full long range, floor
+    // semantics for negative times since pmod is non-negative) — a
+    // double-division floor would round times above 2^52 (epoch nanos)
+    // and could split an in-tolerance pair across non-adjacent buckets
+    def bucket(t: org.apache.spark.sql.Column) =
+      (t - F.pmod(t, F.lit(tolerance))).cast("long")
+
+    val lb = left.withColumn("__b", bucket(F.col(leftTime)))
     val rb = right.select(
         keys.map(F.col) ++ Seq(F.col(rightTime).as("__rt")) ++ rightValues.map(F.col): _*)
-      .withColumn("__rb",
-        F.floor(F.col("__rt").cast("double") / tolerance).cast("long"))
+      .withColumn("__rb", bucket(F.col("__rt")))
       .withColumn("__b", F.explode(F.array(
-        F.col("__rb") - 1, F.col("__rb"), F.col("__rb") + 1)))
+        F.col("__rb") - tolerance, F.col("__rb"), F.col("__rb") + tolerance)))
       .drop("__rb")
 
     lb.join(rb, keys :+ "__b")

@@ -160,13 +160,18 @@ object Similarity {
     import spark.implicits._
     // orderBy + limit compiles to TakeOrderedAndProject: per-partition
     // top-nlist then a driver merge — no global sort even at corpus scale
-    var centroids: Array[Array[Float]] = corpus
+    val seeds: Array[Array[Float]] = corpus
       .select(F.col(idCol), F.col(vecCol))
       .orderBy(F.abs(F.hash(F.col(idCol))), F.col(idCol))
       .limit(nlist)
       .select(F.col(vecCol)).as[Array[Float]].collect()
-    if (centroids.isEmpty) return centroids
-    val dim = centroids(0).length
+    if (seeds.isEmpty) return seeds
+    // train at the seed sample's modal dimension — keying off seeds(0)
+    // would let one ragged vector that happens to hash first invert the
+    // ragged-vector filter below and train on garbage
+    val dim = seeds.map(_.length).groupBy(identity)
+      .maxBy { case (d, g) => (g.length, d) }._1
+    var centroids = seeds.filter(_.length == dim)
     for (_ <- 1 to iterations) {
       val cB = spark.sparkContext.broadcast(centroids)
       val assignU = F.udf((v: Array[Float]) => nearestCentroid(cB.value, v))

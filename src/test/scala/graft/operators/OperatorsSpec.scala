@@ -95,6 +95,28 @@ class OperatorsSpec extends SparkTestBase {
     assert(out.count() === 2)   // both left rows match exactly once
   }
 
+  test("bandJoin bucketing stays exact at epoch-nano magnitudes") {
+    // ~1.7e18 > 2^52: a double round-trip in the bucket math would
+    // misplace pairs near bucket boundaries
+    val base = 1700000000000000000L
+    val tol = 1000000000L   // 1 s in nanos
+    val left = Seq((1L, base + tol - 1, 0L), (1L, base + 3 * tol, 1L))
+      .toDF("k", "t", "lid")
+    val right = Seq((1L, base, 1.0), (1L, base + 2 * tol, 2.0)).toDF("k", "t", "v")
+    val got = RangeJoin.bandJoin(left, right, Seq("k"), "t", "t", tol, Seq("v"))
+      .select("lid", "v").as[(Long, Double)].collect().toSet
+    // lid 0 is within tol of base only; lid 1 within tol of base+2tol only
+    assert(got === Set((0L, 1.0), (1L, 2.0)))
+  }
+
+  test("bandJoin rejects a left __b column instead of clobbering it") {
+    val l = Seq((1L, 1L, 0L)).toDF("k", "t", "__b")
+    val r = Seq((1L, 1L, 1.0)).toDF("k", "t", "v")
+    intercept[IllegalArgumentException] {
+      RangeJoin.bandJoin(l, r, Seq("k"), "t", "t", 10L, Seq("v"))
+    }
+  }
+
   // ------------------------------------------------------ sessionize
 
   test("withSessionId splits on gaps > maxGap, inclusive boundary") {
