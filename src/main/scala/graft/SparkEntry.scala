@@ -519,6 +519,19 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // weighted sampling: keep-probability proportional to document
+    // length (least(n_chars/1000, 1)) — the exact per-row md5 threshold
+    // is replicated by the oracle via printf
+    "q_sample_weighted" -> ((s: SparkSession, dir: String) => {
+      val docs = t(s, dir, "documents")
+      val w = F.least(F.col("n_chars") / 1000.0, F.lit(1.0))
+      graft.pipeline.Sampling.weightedSample(docs, F.col("doc_id"), w)
+        .groupBy(F.col("source"))
+        .agg(F.count(F.lit(1)).as("n_kept"),
+             F.sum(F.col("doc_id")).as("kept_id_sum"))
+        .orderBy("source")
+    }),
+
     // text cleaning: normalization collapses whitespace variants into
     // shared keys; counts and lengths replicated exactly by the oracle
     "q_text_clean" -> ((s: SparkSession, dir: String) => {
@@ -855,6 +868,15 @@ object SparkEntry {
         |                                        WHEN 'src1' THEN '199a'
         |                                        ELSE '4000' END) AS BIGINT) AS n_strat
         |FROM s GROUP BY source ORDER BY source""".stripMargin,
+    "q_sample_weighted" ->
+      """WITH w AS (SELECT source, doc_id,
+        |             least(n_chars / 1000.0, 1.0) AS wt,
+        |             substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS h
+        |           FROM documents)
+        |SELECT source, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS kept_id_sum
+        |FROM w
+        |WHERE wt >= 1.0 OR (wt > 0.0 AND h < printf('%04x', CAST(floor(wt * 65536) AS INT)))
+        |GROUP BY source ORDER BY source""".stripMargin,
     "q_text_clean" ->
       """SELECT source,
         |  count(DISTINCT lower(trim(regexp_replace(regexp_replace(text,

@@ -35,6 +35,22 @@ object Sampling {
     df.filter(sampledBy(key, fraction))
 
   /**
+   * Weighted deterministic sample: each row's keep-probability is its
+   * own `weight` column clamped to [0, 1] (e.g. a quality score, so
+   * high-quality documents are preferentially retained). Same md5
+   * predicate with a per-row threshold rendered by format_string —
+   * still shuffle-free, still engine-portable (printf in DuckDB), and
+   * weights >= 1 short-circuit to keep (the %04x rendering of 65536
+   * would be a 5-char string that inverts the comparison).
+   */
+  def weightedSample(df: DataFrame, key: Column, weight: Column): DataFrame = {
+    val hex = F.substring(F.md5(key.cast("string")), 1, 4)
+    val threshold = F.format_string("%04x",
+      F.floor(weight * 65536.0).cast("int"))
+    df.filter(weight >= 1.0 || (weight > 0.0 && hex < threshold))
+  }
+
+  /**
    * Stratified deterministic sample: per-stratum fractions, with
    * `defaultFraction` for strata not in the map. Same md5 predicate,
    * just a per-stratum threshold — still shuffle-free.

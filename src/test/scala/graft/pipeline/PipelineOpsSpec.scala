@@ -105,4 +105,18 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(Sampling.stratifiedSample(df, F.col("src"), F.col("id"),
       Map("a" -> 1.0), defaultFraction = 1.0).count() === 8000)
   }
+
+  test("weightedSample keeps proportionally to the weight, nested and exact at edges") {
+    val df = spark.range(10000).toDF("id")
+    assert(Sampling.weightedSample(df, F.col("id"), F.lit(1.0)).count() === 10000)
+    assert(Sampling.weightedSample(df, F.col("id"), F.lit(0.0)).count() === 0)
+    val half = Sampling.weightedSample(df, F.col("id"), F.lit(0.5)).as[Long].collect().toSet
+    assert(math.abs(half.size - 5000) < 400)
+    // monotone in the weight: lower-weight sample nests in higher-weight
+    val low = Sampling.weightedSample(df, F.col("id"), F.lit(0.2)).as[Long].collect().toSet
+    assert(low.subsetOf(half))
+    // matches the fraction-based sample at the same constant weight
+    val frac = Sampling.deterministicSample(df, F.col("id"), 0.5).as[Long].collect().toSet
+    assert(half === frac)
+  }
 }
