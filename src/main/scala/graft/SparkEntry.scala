@@ -519,6 +519,19 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // per-source capping: keep the 5 longest docs per source (top-K
+    // generalization of canonical selection), exact window oracle
+    "q_sample_topk" -> ((s: SparkSession, dir: String) => {
+      graft.pipeline.Dedup.keepTopK(
+          t(s, dir, "documents"), F.col("source"),
+          Seq(F.col("n_chars").desc, F.col("doc_id").asc), 5)
+        .groupBy(F.col("source"))
+        .agg(F.count(F.lit(1)).as("kept"),
+             F.sum(F.col("doc_id")).as("kept_id_sum"),
+             F.min(F.col("n_chars")).as("min_len_kept"))
+        .orderBy("source")
+    }),
+
     // weighted sampling: keep-probability proportional to document
     // length (least(n_chars/1000, 1)) — the exact per-row md5 threshold
     // is replicated by the oracle via printf
@@ -868,6 +881,14 @@ object SparkEntry {
         |                                        WHEN 'src1' THEN '199a'
         |                                        ELSE '4000' END) AS BIGINT) AS n_strat
         |FROM s GROUP BY source ORDER BY source""".stripMargin,
+    "q_sample_topk" ->
+      """SELECT source, count(*) AS kept, CAST(sum(doc_id) AS BIGINT) AS kept_id_sum,
+        |       min(n_chars) AS min_len_kept
+        |FROM (SELECT source, doc_id, n_chars,
+        |        row_number() OVER (PARTITION BY source
+        |                           ORDER BY n_chars DESC, doc_id) AS rn
+        |      FROM documents) t
+        |WHERE rn <= 5 GROUP BY source ORDER BY source""".stripMargin,
     "q_sample_weighted" ->
       """WITH w AS (SELECT source, doc_id,
         |             least(n_chars / 1000.0, 1.0) AS wt,

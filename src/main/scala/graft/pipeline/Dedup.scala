@@ -217,6 +217,26 @@ object Dedup {
   }
 
   /**
+   * Per-group top-K selection: keep the K best rows of each group by
+   * the caller's preference order — per-source capping, best-of-cluster
+   * with runners-up, etc. Same single-shuffle ranked-window shape as
+   * [[keepCanonical]] (which is the K=1 case).
+   */
+  def keepTopK(
+      df: DataFrame,
+      groupKey: org.apache.spark.sql.Column,
+      order: Seq[org.apache.spark.sql.Column],
+      k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(order.nonEmpty, "keepTopK needs at least one ordering column")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupKey).orderBy(order: _*)
+    df.withColumn("__rn", F.row_number().over(w))
+      .filter(F.col("__rn") <= k)
+      .drop("__rn")
+  }
+
+  /**
    * SimHash near-dup candidates: 64-bit signature, banded into eight
    * 8-bit chunks (guaranteed collision for hamming distance <= 7),
    * exact hamming filter on candidates.

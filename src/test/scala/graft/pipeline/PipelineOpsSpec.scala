@@ -64,6 +64,17 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(kept === Set(2L, 4L))   // quality 20 beats 10; id 2 beats 3
   }
 
+  test("keepTopK caps each group at k with deterministic order") {
+    val df = Seq(
+      ("a", 1L, 30), ("a", 2L, 20), ("a", 3L, 20), ("a", 4L, 10),
+      ("b", 5L, 1))
+      .toDF("g", "id", "score").repartition(3)
+    val kept = Dedup.keepTopK(df, F.col("g"),
+        Seq(F.col("score").desc, F.col("id").asc), 2)
+      .select("id").as[Long].collect().toSet
+    assert(kept === Set(1L, 2L, 5L))   // score 30, then tie broken by id; b keeps its only row
+  }
+
   // ----------------------------------------------------- normalize
 
   test("normalizeText collapses whitespace, strips control chars, lowercases") {
