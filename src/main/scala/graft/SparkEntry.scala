@@ -896,7 +896,8 @@ object SparkEntry {
         |           FROM documents)
         |SELECT source, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS kept_id_sum
         |FROM w
-        |WHERE wt >= 1.0 OR (wt > 0.0 AND h < printf('%04x', CAST(floor(wt * 65536) AS INT)))
+        |WHERE wt >= 1.0 OR (wt > 0.0 AND (round(wt * 65536, 0) >= 65536 OR
+        |      h < printf('%04x', CAST(round(wt * 65536, 0) AS INT))))
         |GROUP BY source ORDER BY source""".stripMargin,
     "q_text_clean" ->
       """SELECT source,

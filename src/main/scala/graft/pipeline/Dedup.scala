@@ -207,14 +207,8 @@ object Dedup {
   def keepCanonical(
       df: DataFrame,
       groupKey: org.apache.spark.sql.Column,
-      order: Seq[org.apache.spark.sql.Column]): DataFrame = {
-    require(order.nonEmpty, "keepCanonical needs at least one ordering column")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(groupKey).orderBy(order: _*)
-    df.withColumn("__rn", F.row_number().over(w))
-      .filter(F.col("__rn") === 1)
-      .drop("__rn")
-  }
+      order: Seq[org.apache.spark.sql.Column]): DataFrame =
+    keepTopK(df, groupKey, order, 1)
 
   /**
    * Per-group top-K selection: keep the K best rows of each group by

@@ -45,9 +45,13 @@ object Sampling {
    */
   def weightedSample(df: DataFrame, key: Column, weight: Column): DataFrame = {
     val hex = F.substring(F.md5(key.cast("string")), 1, 4)
-    val threshold = F.format_string("%04x",
-      F.floor(weight * 65536.0).cast("int"))
-    df.filter(weight >= 1.0 || (weight > 0.0 && hex < threshold))
+    // same rounding as thresholdHex so weightedSample(lit(f)) selects
+    // exactly deterministicSample(f)'s rows for every constant f; the
+    // t >= 65536 arm covers weights that round up to the full range
+    // (%04x would render 5 chars and invert the comparison)
+    val t = F.round(weight * 65536.0, 0).cast("int")
+    df.filter(weight >= 1.0 ||
+      (weight > 0.0 && (t >= 65536 || hex < F.format_string("%04x", t))))
   }
 
   /**

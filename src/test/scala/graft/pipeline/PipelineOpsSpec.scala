@@ -126,8 +126,13 @@ class PipelineOpsSpec extends SparkTestBase {
     // monotone in the weight: lower-weight sample nests in higher-weight
     val low = Sampling.weightedSample(df, F.col("id"), F.lit(0.2)).as[Long].collect().toSet
     assert(low.subsetOf(half))
-    // matches the fraction-based sample at the same constant weight
-    val frac = Sampling.deterministicSample(df, F.col("id"), 0.5).as[Long].collect().toSet
-    assert(half === frac)
+    // matches the fraction-based sample at the same constant weight —
+    // including 0.3, where 0.3*65536 is not an integer and a floor/round
+    // mismatch between the two APIs would show
+    for (f <- Seq(0.3, 0.5, 0.999999)) {
+      val byWeight = Sampling.weightedSample(df, F.col("id"), F.lit(f)).as[Long].collect().toSet
+      val byFrac = Sampling.deterministicSample(df, F.col("id"), f).as[Long].collect().toSet
+      assert(byWeight === byFrac, s"weight/fraction mismatch at $f")
+    }
   }
 }
