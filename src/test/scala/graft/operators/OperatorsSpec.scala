@@ -69,10 +69,12 @@ class OperatorsSpec extends SparkTestBase {
 
   test("bandJoin finds exactly the in-tolerance pairs (vs brute force)") {
     val rnd = new scala.util.Random(7)
+    // times span negative values: bucket-start math must floor, not
+    // truncate toward zero, or pairs straddling 0 are dropped
     val leftRows = Seq.tabulate(200)(i =>
-      (rnd.nextInt(5).toLong, rnd.nextInt(500).toLong, i.toLong))
+      (rnd.nextInt(5).toLong, rnd.nextInt(500).toLong - 250L, i.toLong))
     val rightRows = Seq.tabulate(150)(i =>
-      (rnd.nextInt(5).toLong, rnd.nextInt(500).toLong, i.toDouble))
+      (rnd.nextInt(5).toLong, rnd.nextInt(500).toLong - 250L, i.toDouble))
     val left = leftRows.toDF("k", "t", "lid").repartition(4)
     val right = rightRows.toDF("k", "t", "v").repartition(3)
 
