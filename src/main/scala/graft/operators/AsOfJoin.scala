@@ -32,6 +32,8 @@ object AsOfJoin {
    * right rows share (keys, rightTime), which one wins is unspecified —
    * pre-aggregate the right side to unique timestamps for deterministic
    * output. `rightValues` names must not collide with left columns.
+   * NULL-key rows follow equality-join semantics (NULL = NULL never
+   * matches): left rows with a NULL key match nothing.
    */
   def asofJoin(
       left: DataFrame,
@@ -43,6 +45,9 @@ object AsOfJoin {
     require(keys.nonEmpty, "asofJoin requires at least one key column")
     val dup = rightValues.toSet.intersect(left.columns.toSet)
     require(dup.isEmpty, s"right value columns collide with left columns: $dup")
+    val reserved = Set("__t", "__side", "__l", "__r", "__m")
+    val clash = (left.columns ++ rightValues).toSet.intersect(reserved)
+    require(clash.isEmpty, s"column names reserved by asofJoin: $clash")
 
     val lStructCol = F.struct(left.columns.map(F.col).toSeq: _*)
     val rStructCol = F.struct(rightValues.map(F.col): _*)
@@ -55,8 +60,12 @@ object AsOfJoin {
         F.lit(1).as("__side"),
         lStructCol.as("__l"),
         F.lit(null).cast(rType).as("__r")): _*)
+    // NULL-key right rows would otherwise share a window partition with
+    // NULL-key left rows (partitionBy groups NULLs), silently matching
+    // where an equi-join would not
     val rp = right
-      .filter(F.col(rightTime).isNotNull)
+      .filter(F.col(rightTime).isNotNull &&
+        keys.map(F.col(_).isNotNull).reduce(_ && _))
       .select(
         keys.map(F.col) ++ Seq(
           F.col(rightTime).as("__t"),

@@ -38,6 +38,8 @@ object RangeJoin {
     require(tolerance > 0, s"tolerance must be positive, got $tolerance")
     val dup = (rightValues ++ Seq("__rt", "__b")).toSet.intersect(left.columns.toSet)
     require(dup.isEmpty, s"right value columns collide with left columns: $dup")
+    val reserved = Set("__rt", "__b", "__rb").intersect(rightValues.toSet)
+    require(reserved.isEmpty, s"column names reserved by bandJoin: $reserved")
 
     // the bucket key is the bucket's start value, t - pmod(t, tol):
     // pure integer add/sub (exact for the full long range, floor

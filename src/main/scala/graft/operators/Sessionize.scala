@@ -20,7 +20,9 @@ object Sessionize {
   /**
    * Adds `sessionCol`: a per-key session ordinal starting at 1,
    * incremented whenever the gap since the key's previous event exceeds
-   * `maxGap` (both numeric, e.g. epoch milliseconds).
+   * `maxGap` (both numeric, e.g. epoch milliseconds). Rows with a NULL
+   * timestamp get a NULL session id and never start or extend a
+   * session — a timeless event belongs to no session.
    */
   def withSessionId(
       df: DataFrame,
@@ -28,14 +30,18 @@ object Sessionize {
       tsCol: Column,
       maxGap: Long,
       sessionCol: String = "session_id"): DataFrame = {
-    val w = Window.partitionBy(keyCol).orderBy(tsCol.asc)
+    val w = Window.partitionBy(keyCol).orderBy(tsCol.asc_nulls_first)
     val prev = F.lag(tsCol, 1).over(w)
-    val newSession =
-      F.when(prev.isNull || (tsCol - prev) > maxGap, 1L).otherwise(0L)
+    // NULL-ts rows sort first and contribute no flag; the first real
+    // row still fires (its prev is either absent or a NULL ts)
+    val newSession = F.when(tsCol.isNull, 0L)
+      .when(prev.isNull || (tsCol - prev) > maxGap, 1L)
+      .otherwise(0L)
     df.withColumn("__new_session", newSession)
       .withColumn(sessionCol,
-        F.sum(F.col("__new_session"))
-          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        F.when(tsCol.isNull, F.lit(null).cast("long"))
+          .otherwise(F.sum(F.col("__new_session"))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))))
       .drop("__new_session")
   }
 
@@ -50,6 +56,7 @@ object Sessionize {
       maxGap: Long): DataFrame = {
     withSessionId(df.select(keyCol.as("key"), tsCol.as("ts")),
         F.col("key"), F.col("ts"), maxGap)
+      .filter(F.col("session_id").isNotNull)
       .groupBy(F.col("key"), F.col("session_id"))
       .agg(
         F.count(F.lit(1)).as("n_events"),

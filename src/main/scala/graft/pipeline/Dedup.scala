@@ -182,16 +182,24 @@ object Dedup {
       tables: Int = 8,
       planes: Int = 8): DataFrame = {
     val sigU = Similarity.tableSigsUdf(tables, planes)
-    val bucketed = df.select(F.col(idCol), F.col(vecCol),
+    // signatures materialize once (id + small ints; lazy so plan
+    // building runs no job) — both self-join sides read the blocks
+    // instead of re-running the tables x planes x dim signature scan
+    val bucketed = df.select(F.col(idCol),
         F.posexplode(sigU(F.col(vecCol))).as(Seq("__t", "__sig")))
-    val l = bucketed.select(F.col(idCol).as("id_a"), F.col(vecCol).as("__va"),
-                            F.col("__t"), F.col("__sig"))
-    val r = bucketed.select(F.col(idCol).as("id_b"), F.col(vecCol).as("__vb"),
-                            F.col("__t"), F.col("__sig"))
-    l.join(r, Seq("__t", "__sig"))
+      .localCheckpoint(eager = false)
+    val l = bucketed.select(F.col(idCol).as("id_a"), F.col("__t"), F.col("__sig"))
+    val r = bucketed.select(F.col(idCol).as("id_b"), F.col("__t"), F.col("__sig"))
+    // candidates dedup on bare id pairs (a pair collides in up to
+    // `tables` buckets), then the vectors re-attach once per pair —
+    // never `tables` vector copies through a distinct
+    val candidates = l.join(r, Seq("__t", "__sig"))
       .filter(F.col("id_a") < F.col("id_b"))
-      .select(F.col("id_a"), F.col("id_b"), F.col("__va"), F.col("__vb"))
+      .select("id_a", "id_b")
       .distinct()
+    val va = df.select(F.col(idCol).as("id_a"), F.col(vecCol).as("__va"))
+    val vb = df.select(F.col(idCol).as("id_b"), F.col(vecCol).as("__vb"))
+    candidates.join(va, "id_a").join(vb, "id_b")
       .withColumn("cos", Similarity.cosine(F.col("__va"), F.col("__vb")))
       .filter(F.col("cos") >= threshold)
       .select("id_a", "id_b", "cos")

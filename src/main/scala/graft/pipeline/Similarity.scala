@@ -16,20 +16,32 @@ import org.apache.spark.sql.{functions => F}
 object Similarity {
 
   // Array[Float] parameters deserialize from Spark's ArrayData without
-  // per-element boxing — measurably faster than Seq[Float] on wide fanouts.
+  // per-element boxing — measurably faster than Seq[Float] on wide
+  // fanouts. NULL vectors yield NULL (repo-wide discipline: malformed
+  // input never throws).
   private val dotUdf = F.udf((a: Array[Float], b: Array[Float]) => {
-    var s = 0.0
-    var i = 0
-    val n = math.min(a.length, b.length)
-    while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
-    s
+    val r: java.lang.Double =
+      if (a == null || b == null) null
+      else {
+        var s = 0.0
+        var i = 0
+        val n = math.min(a.length, b.length)
+        while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+        java.lang.Double.valueOf(s)
+      }
+    r
   })
 
   private val normUdf = F.udf((a: Array[Float]) => {
-    var s = 0.0
-    var i = 0
-    while (i < a.length) { s += a(i).toDouble * a(i).toDouble; i += 1 }
-    math.sqrt(s)
+    val r: java.lang.Double =
+      if (a == null) null
+      else {
+        var s = 0.0
+        var i = 0
+        while (i < a.length) { s += a(i).toDouble * a(i).toDouble; i += 1 }
+        java.lang.Double.valueOf(math.sqrt(s))
+      }
+    r
   })
 
   /** cosine(a, b) as a Column over two Array[Float] columns. */
@@ -78,21 +90,25 @@ object Similarity {
       _ => Array.tabulate(dim)(d => planeCoef(plane, d)))
 
   /** Signatures for L independent random-hyperplane tables of `planes`
-    * bits each; position in the result = table index. */
+    * bits each; position in the result = table index. NULL vector →
+    * NULL signature array (the row then drops out of any explode). */
   private[pipeline] def tableSigsUdf(tables: Int, planes: Int) = F.udf((v: Array[Float]) => {
-    (0 until tables).map { t =>
-      var sig = 0
-      var p = 0
-      while (p < planes) {
-        val row = planeRow(t * planes + p, v.length)
-        var s = 0.0
-        var i = 0
-        while (i < v.length) { s += row(i) * v(i); i += 1 }
-        if (s >= 0) sig |= (1 << p)
-        p += 1
+    val r: Seq[Int] =
+      if (v == null) null
+      else (0 until tables).map { t =>
+        var sig = 0
+        var p = 0
+        while (p < planes) {
+          val row = planeRow(t * planes + p, v.length)
+          var s = 0.0
+          var i = 0
+          while (i < v.length) { s += row(i) * v(i); i += 1 }
+          if (s >= 0) sig |= (1 << p)
+          p += 1
+        }
+        sig
       }
-      sig
-    }
+    r
   })
 
   /**

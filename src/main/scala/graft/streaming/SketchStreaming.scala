@@ -71,16 +71,22 @@ object SketchStreaming {
    * seen within the watermark horizon. The state store keys on the
    * 32-byte sha2, never the payload, and `withinWatermark` gives the
    * state a TTL — the unbounded-state trap of a naive
-   * `dropDuplicates` on an infinite stream.
+   * `dropDuplicates` on an infinite stream. NULL-content rows pass
+   * through un-deduplicated (sha2(NULL) is NULL and the state store
+   * would treat all NULL keys as one duplicate — dropping rows that
+   * were never proven equal).
    */
   def dedupStream(
       stream: DataFrame,
       tsCol: String,
       contentCol: String,
-      watermarkDelay: String): DataFrame =
-    stream
-      .withColumn("__h", F.sha2(F.col(contentCol), 256))
+      watermarkDelay: String): DataFrame = {
+    val hashed = stream.withColumn("__h", F.sha2(F.col(contentCol), 256))
+    val deduped = hashed
+      .filter(F.col("__h").isNotNull)
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark("__h")
       .drop("__h")
+    deduped.union(hashed.filter(F.col("__h").isNull).drop("__h"))
+  }
 }

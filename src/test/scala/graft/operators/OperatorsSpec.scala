@@ -38,6 +38,23 @@ class OperatorsSpec extends SparkTestBase {
     assert(out === Map("a" -> Some(1.0), "b" -> None))
   }
 
+  test("asofJoin never matches NULL keys to NULL keys (equi-join semantics)") {
+    val left = Seq((Option.empty[Long], 10L, "a"), (Some(1L), 10L, "b"))
+      .toDF("k", "t", "tag")
+    val right = Seq((Option.empty[Long], 5L, 9.0), (Some(1L), 5L, 1.0))
+      .toDF("k", "t", "v")
+    val out = AsOfJoin.asofJoin(left, right, Seq("k"), "t", "t", Seq("v"))
+      .select("tag", "v").as[(String, Option[Double])].collect().toMap
+    assert(out === Map("a" -> None, "b" -> Some(1.0)))
+  }
+
+  test("asofJoin rejects reserved internal column names") {
+    val df = Seq((1L, 1L, 0)).toDF("k", "t", "__side")
+    intercept[IllegalArgumentException] {
+      AsOfJoin.asofJoin(df, df.drop("__side"), Seq("k"), "t", "t", Seq.empty)
+    }
+  }
+
   test("asofJoin rejects colliding value column names") {
     val df = Seq((1L, 1L)).toDF("k", "t")
     intercept[IllegalArgumentException] {
@@ -141,6 +158,20 @@ class OperatorsSpec extends SparkTestBase {
     val out = Sessionize.sessionStats(df, F.col("u"), F.col("ts"), 1000L)
       .as[(Long, Long, Long, Long)].collect().sortBy(_._2)
     assert(out === Seq((1L, 1L, 2L, 500L), (1L, 2L, 3L, 400L)))
+  }
+
+  test("NULL timestamps get NULL session ids and never start sessions") {
+    val df = Seq(
+      (1L, Option.empty[Long]), (1L, Option.empty[Long]),
+      (1L, Some(100L)), (1L, Some(200L)))
+      .toDF("u", "ts")
+    val ids = Sessionize.withSessionId(df, F.col("u"), F.col("ts"), 1000L)
+      .select("session_id").as[Option[Long]].collect()
+    assert(ids.count(_.isEmpty) === 2)            // null-ts rows: no session
+    assert(ids.flatten.toSet === Set(1L))         // real rows: one session
+    val stats = Sessionize.sessionStats(df, F.col("u"), F.col("ts"), 1000L)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(stats === Array((1L, 1L, 2L, 100L)))   // no fabricated sessions
   }
 
   test("tied timestamps never split a session") {

@@ -25,6 +25,15 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(math.abs(cos - 1.0) < 1e-9)
   }
 
+  test("embeddingNearDuplicatePairs ignores NULL embeddings instead of crashing") {
+    val v = Array(1.0f, 2.0f)
+    val df = Seq((1L, Option(v)), (2L, Option(v.clone())), (3L, Option.empty[Array[Float]]))
+      .toDF("id", "vec")
+    val pairs = Dedup.embeddingNearDuplicatePairs(df, "id", "vec", 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)))   // the NULL row neither crashes nor pairs
+  }
+
   test("embeddingNearDuplicatePairs emits each pair once despite multi-table collisions") {
     val v = Array(0.5f, -0.25f, 1.5f)
     val df = Seq((10L, v), (20L, v.clone())).toDF("id", "vec")

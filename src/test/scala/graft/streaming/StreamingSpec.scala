@@ -107,10 +107,13 @@ class StreamingSpec extends SparkTestBase {
       input.addData((ts(1), "alpha"), (ts(2), "alpha"), (ts(3), "beta"))
       query.processAllAvailable()
       input.addData((ts(4), "beta"), (ts(5), "gamma"))
+      // NULL content must pass through un-deduplicated: three unknown
+      // payloads are not provably equal
+      input.addData((ts(6), null), (ts(7), null))
       query.processAllAvailable()
       val texts = spark.sql("SELECT text FROM dedup_stream")
-        .collect().map(_.getString(0)).sorted
-      assert(texts === Array("alpha", "beta", "gamma"))
+        .collect().map(r => Option(r.getString(0)).getOrElse("<null>")).sorted
+      assert(texts === Array("<null>", "<null>", "alpha", "beta", "gamma"))
     } finally query.stop()
   }
 
