@@ -192,6 +192,30 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // ddsketch_cdf (inverse quantile — SLO compliance): sketch fraction
+    // at fixed thresholds bracketed by the exact fractions at +-3.5%
+    "q_sketch_cdf" -> ((s: SparkSession, dir: String) => {
+      Graft.register(s)
+      def fracLe(x: Double): Column =
+        F.sum(F.when(F.col("value") <= x, 1L).otherwise(0L)).cast("double") /
+          F.count(F.lit(1)).cast("double")
+      val thresholds = Seq(10.0, 50.0, 200.0)
+      val aggCols = F.count(F.lit(1)).as("cnt") +:
+        (G.ddsketch_agg_values(F.col("value")).as("sk") +:
+          thresholds.flatMap(x => Seq(
+            fracLe(x * 0.965).as(s"lo${x.toInt}"),
+            fracLe(x * 1.035).as(s"hi${x.toInt}"))))
+      t(s, dir, "events").groupBy(F.col("event_type"))
+        .agg(aggCols.head, aggCols.tail: _*)
+        .select(F.col("event_type") +: F.col("cnt") +:
+          thresholds.map { x =>
+            val c = G.ddsketch_cdf(F.col("sk"), x)
+            (c >= F.col(s"lo${x.toInt}") - 1e-9 &&
+             c <= F.col(s"hi${x.toInt}") + 1e-9).as(s"cdf${x.toInt}_ok")
+          }: _*)
+        .orderBy("event_type")
+    }),
+
     // NULL discipline: every failure mode yields NULL, never an error
     "q_sketch_nulls" -> ((s: SparkSession, _: String) => {
       Graft.register(s)
@@ -715,6 +739,10 @@ object SparkEntry {
     "q_sketch_stats_agg" ->
       """SELECT event_type, count(*) AS cnt, true AS count_ok, true AS p50_ok,
         |       true AS p95_ok, true AS sketch_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_sketch_cdf" ->
+      """SELECT event_type, count(*) AS cnt, true AS cdf10_ok, true AS cdf50_ok,
+        |       true AS cdf200_ok
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_sketch_nulls" ->
       """SELECT true AS null_count_ok, true AS null_quantile_ok, true AS null_add_ok,

@@ -209,6 +209,35 @@ final class DDSketch(
     if (n > 0) binToValue(bins.indexAt(n - 1)) else 0.0
   }
 
+  /**
+   * Approximate CDF: fraction of values <= x (the inverse of
+   * [[quantile]]; e.g. SLO compliance "share of requests under 100ms").
+   * Accuracy is in the value domain: the result is the exact fraction
+   * of values whose bin representative (bin_to_value, which overshoots
+   * the bin's upper bound by the accuracy margin) is <= x. Every value
+   * counted satisfies v < x, and every v <= x/(gamma*(1+a)) — about
+   * x*0.97 at the default a=0.01 — is guaranteed counted, mirroring
+   * the forward quantile's bin_to_value overshoot. NaN if empty.
+   */
+  def cdf(x: Double): Double = {
+    if (count == 0.0 || x.isNaN) return Double.NaN
+    var c = 0.0
+    var i = 0
+    val nn = negatives.size
+    while (i < nn) {
+      if (-binToValue(negatives.indexAt(i)) <= x) c += negatives.countAt(i)
+      i += 1
+    }
+    if (x >= 0.0) c += zeroCount
+    i = 0
+    val np = positives.size
+    while (i < np) {
+      if (binToValue(positives.indexAt(i)) <= x) c += positives.countAt(i)
+      i += 1
+    }
+    c / count
+  }
+
   def countLong: Long = count.toLong
   def sumOpt: Option[Double] = if (count > 0.0) Some(sum) else None
   def minOpt: Option[Double] = if (count > 0.0 && !min.isInfinite && !min.isNaN) Some(min) else None

@@ -131,6 +131,41 @@ case class DDSketchQuantileExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `ddsketch_cdf(sketch BLOB, x DOUBLE) → DOUBLE`: fraction of values
+  * <= x — the inverse of `ddsketch_quantile`, with the same
+  * value-domain relative-accuracy guarantee. A capability the
+  * reference lacks but its sketch model supports directly. */
+case class DDSketchCdfExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def prettyName: String = "ddsketch_cdf"
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val l = DDSketchScalarExprs.checkType(prettyName, left, BinaryType)
+    if (l != TypeCheckResult.TypeCheckSuccess) l
+    else DDSketchScalarExprs.checkType(prettyName, right, DoubleType)
+  }
+
+  override def nullSafeEval(blob: Any, x: Any): Any = {
+    val r = SketchKernels.cdf(blob.asInstanceOf[Array[Byte]], x.asInstanceOf[Double])
+    if (r == null) null else r.doubleValue()
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, x) => {
+      val kr = ctx.freshName("sketchKr")
+      s"""
+         |java.lang.Double $kr = graft.sketch.SketchKernels.cdf($b, $x);
+         |if ($kr == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $kr.doubleValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DDSketchCdfExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 /** `ddsketch_add(sketch BLOB, value DOUBLE) → BLOB` */
 case class DDSketchAddExpr(left: Expression, right: Expression)
     extends BinaryExpression {

@@ -17,6 +17,12 @@ object SketchKernels {
     if (s == null) null else java.lang.Long.valueOf(s.countLong)
   }
 
+  def cdf(blob: Array[Byte], x: Double): java.lang.Double = {
+    val s = decodeOrNull(blob)
+    if (s == null || s.count <= 0.0 || x.isNaN) null
+    else java.lang.Double.valueOf(s.cdf(x))
+  }
+
   def sum(blob: Array[Byte]): java.lang.Double = {
     val s = decodeOrNull(blob)
     if (s == null || s.count <= 0.0) null else java.lang.Double.valueOf(s.sum)

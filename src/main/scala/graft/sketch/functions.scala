@@ -92,6 +92,10 @@ object functions {
     GraftBridge.column(DDSketchQuantileExpr(e(sketch), e(q)))
   def ddsketch_quantile(sketch: Column, q: Double): Column =
     ddsketch_quantile(sketch, F.lit(q))
+  def ddsketch_cdf(sketch: Column, x: Column): Column =
+    GraftBridge.column(DDSketchCdfExpr(e(sketch), e(x)))
+  def ddsketch_cdf(sketch: Column, x: Double): Column =
+    ddsketch_cdf(sketch, F.lit(x))
   def ddsketch_count(sketch: Column): Column =
     GraftBridge.column(DDSketchCountExpr(e(sketch)))
   def ddsketch_min(sketch: Column): Column =
@@ -184,6 +188,8 @@ object Graft {
       exprs => DDSketchMergeExpr(exprs.head, exprs(1)))
     reg(spark, "ddsketch_quantile",
       exprs => DDSketchQuantileExpr(exprs.head, toDouble(exprs(1))))
+    reg(spark, "ddsketch_cdf",
+      exprs => DDSketchCdfExpr(exprs.head, toDouble(exprs(1))))
     // native aggregate expressions (analyzer wraps bare AggregateFunctions)
     reg(spark, "ddsketch_stats_agg", exprs => DDSketchStatsAggExpr(exprs.head))
     reg(spark, "ddsketch_stats_agg_values", {
