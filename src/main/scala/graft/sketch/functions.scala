@@ -63,6 +63,27 @@ object functions {
   def ddsketch_quantiles(sketch: Column, qs: Seq[Double]): Column =
     multiQuantileUdf(sketch, F.array(qs.map(F.lit): _*))
 
+  /** Invocation counter for the fused multi-cdf, mirroring
+    * [[multiQuantileInvocations]]. */
+  val multiCdfInvocations = new java.util.concurrent.atomic.AtomicLong
+
+  /** Fused multi-threshold CDF rewritten in by the fusion rule: one
+    * decode, many thresholds (the SLO-dashboard shape). Per-x failures
+    * surface as NaN, re-mapped to NULL by the rewrite. */
+  private[graft] val multiCdfUdf: UserDefinedFunction =
+    F.udf { (blob: Array[Byte], xs: Seq[Double]) =>
+      multiCdfInvocations.incrementAndGet()
+      val s = decodeOrNull(blob)
+      val r: Array[Double] =
+        if (s == null) null
+        else xs.map(x => s.cdf(x)).toArray
+      r
+    }.withName("ddsketch_multi_cdf")
+
+  /** Column form of the fused multi-cdf (also usable directly). */
+  def ddsketch_cdfs(sketch: Column, xs: Seq[Double]): Column =
+    multiCdfUdf(sketch, F.array(xs.map(F.lit): _*))
+
   // ---------------------------------------------------------------- UDAFs
   // Aggregates are native TypedImperativeAggregates (DDSketchAggExprs,
   // DDSketchStatsAggExprs); the Aggregator classes in DDSketchAgg.scala

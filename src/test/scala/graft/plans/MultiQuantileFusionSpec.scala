@@ -28,6 +28,58 @@ class MultiQuantileFusionSpec extends SparkTestBase {
     assert(!optimized.contains("ddsketch_quantile("), optimized)
   }
 
+  test("repeated cdf calls are fused into one multi_cdf call") {
+    val df = sketchDf(10).select(
+      $"id",
+      G.ddsketch_cdf($"sk", 10.0).as("c10"),
+      G.ddsketch_cdf($"sk", 25.0).as("c25"),
+      G.ddsketch_cdf($"sk", 40.0).as("c40"))
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("ddsketch_multi_cdf"), optimized)
+    assert(!optimized.contains("ddsketch_cdf("), optimized)
+  }
+
+  test("fused cdf equals unfused cdf, including NULL semantics") {
+    val base = sketchDf(15)
+      .union(Seq((99L, null.asInstanceOf[Array[Byte]])).toDF("id", "sk"))
+      .union(Seq((100L, DataDogCodec.encode(DDSketch(0.01)))).toDF("id", "sk"))
+    val expected = base.select($"id",
+      G.ddsketch_cdf($"sk", 25.0).as("a")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    val fused = base.select($"id",
+      G.ddsketch_cdf($"sk", 25.0).as("a"),
+      G.ddsketch_cdf($"sk", 40.0).as("b")).collect()
+    fused.foreach { r =>
+      val exp = expected(r.getLong(0))
+      if (exp == null) { assert(r.isNullAt(1)); assert(r.isNullAt(2)) }
+      else assert(r.getDouble(1) == exp, s"id=${r.getLong(0)}")
+    }
+  }
+
+  test("codegen CSE evaluates the fused cdf UDF once per row") {
+    val df = sketchDf(40).select(
+      G.ddsketch_cdf($"sk", 10.0).as("a"),
+      G.ddsketch_cdf($"sk", 20.0).as("b"),
+      G.ddsketch_cdf($"sk", 30.0).as("c"))
+    G.multiCdfInvocations.set(0L)
+    df.collect()
+    assert(G.multiCdfInvocations.get() === 40L)
+  }
+
+  test("mixed quantile and cdf calls fuse independently per family") {
+    val df = sketchDf(10).select(
+      G.ddsketch_quantile($"sk", 0.5).as("p50"),
+      G.ddsketch_quantile($"sk", 0.9).as("p90"),
+      G.ddsketch_cdf($"sk", 10.0).as("c10"),
+      G.ddsketch_cdf($"sk", 25.0).as("c25"))
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("ddsketch_multi_quantile"), optimized)
+    assert(optimized.contains("ddsketch_multi_cdf"), optimized)
+    val rows = df.collect()
+    assert(rows.length === 10)
+    assert(rows.forall(r => !r.isNullAt(0) && !r.isNullAt(3)))
+  }
+
   test("fused results equal unfused results, including NULL semantics") {
     val base = sketchDf(25)
       .union(Seq((99L, null.asInstanceOf[Array[Byte]])).toDF("id", "sk"))
