@@ -700,6 +700,21 @@ object SparkEntry {
         .orderBy("lang", "predicted")
     }),
 
+    // multimodal frame sampling: bounded 1->N explode of video payloads
+    // into every-4th 256-byte frame, capped at 8 — exactly replicable
+    // from UTF-8 byte lengths in the oracle
+    "q_multimodal_frames" -> ((s: SparkSession, dir: String) => {
+      val docs = t(s, dir, "documents")
+      val media = graft.pipeline.Multimodal.mediaFromDocuments(s, docs)
+        .filter(F.col("modality") === "video")
+      graft.pipeline.Multimodal.sampleFrames(media, 256, everyNth = 4, maxFrames = 8)
+        .groupBy()
+        .agg(
+          F.count(F.lit(1)).as("frames"),
+          F.coalesce(F.sum(F.col("frame_bytes")), F.lit(0L)).as("bytes_total"),
+          F.coalesce(F.sum(F.col("frame_idx").cast("long")), F.lit(0L)).as("idx_sum"))
+    }),
+
     // multimodal plumbing: binary payloads through batched (stub) decode
     "q_multimodal" -> ((s: SparkSession, dir: String) => {
       val docs = t(s, dir, "documents")
@@ -999,6 +1014,14 @@ object SparkEntry {
         |  THEN 'en' ELSE 'und' END AS predicted,
         |  count(*) AS cnt
         |FROM documents GROUP BY 1, 2 ORDER BY lang, predicted""".stripMargin,
+    "q_multimodal_frames" ->
+      """WITH v AS (SELECT octet_length(encode(text)) // 256 AS nf
+        |           FROM documents WHERE lang = 'fr'),
+        |t AS (SELECT least((nf + 3) // 4, 8) AS tk FROM v)
+        |SELECT CAST(coalesce(sum(tk), 0) AS BIGINT) AS frames,
+        |       CAST(coalesce(sum(tk) * 256, 0) AS BIGINT) AS bytes_total,
+        |       CAST(coalesce(sum(2 * tk * (tk - 1)), 0) AS BIGINT) AS idx_sum
+        |FROM t""".stripMargin,
     "q_multimodal" ->
       """SELECT CASE lang WHEN 'en' THEN 'image' WHEN 'de' THEN 'audio'
         |                 WHEN 'fr' THEN 'video' WHEN 'es' THEN 'pdf'

@@ -75,6 +75,60 @@ object Multimodal {
     }
   }
 
+  case class FrameRecord(
+      media_id: Long,
+      frame_idx: Int,
+      payload: Array[Byte],
+      frame_bytes: Long)
+
+  /**
+   * STUB resize: a real implementation decodes, scales to target
+   * dimensions, and re-encodes; this one deterministically caps the
+   * payload (and stamps the target dims through the metadata fields) so
+   * the partition-batched transform shape — the part that carries over
+   * to a real codec — is exercised end to end.
+   */
+  def resize(media: Dataset[MediaRecord], maxBytes: Int): Dataset[MediaRecord] = {
+    import media.sparkSession.implicits._
+    require(maxBytes > 0, s"maxBytes must be positive, got $maxBytes")
+    media.mapPartitions { rows =>
+      // real impl: val codec = Codec.open() — init once per partition
+      rows.map { r =>
+        if (r.payload.length <= maxBytes) r
+        else r.copy(payload = r.payload.take(maxBytes),
+                    meta_bytes = maxBytes.toLong)
+      }
+    }
+  }
+
+  /**
+   * Frame sampling: explode each media payload into every `everyNth`
+   * fixed-size frame, at most `maxFrames` per record — the bounded 1→N
+   * shape of video frame extraction (a real decoder would seek and
+   * decode keyframes; the stub slices byte ranges). Output size is
+   * bounded by maxFrames regardless of payload length, so a pathological
+   * record cannot blow up a partition.
+   */
+  def sampleFrames(
+      media: Dataset[MediaRecord],
+      frameBytes: Int,
+      everyNth: Int = 1,
+      maxFrames: Int = Int.MaxValue): Dataset[FrameRecord] = {
+    import media.sparkSession.implicits._
+    require(frameBytes > 0 && everyNth > 0 && maxFrames > 0,
+      "frameBytes, everyNth, and maxFrames must be positive")
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val nFrames = r.payload.length / frameBytes
+        (0 until nFrames by everyNth).take(maxFrames).iterator.map { i =>
+          FrameRecord(r.media_id, i,
+            java.util.Arrays.copyOfRange(r.payload, i * frameBytes, (i + 1) * frameBytes),
+            frameBytes.toLong)
+        }
+      }
+    }
+  }
+
   /** Synthesize a media table from the documents table: payload = UTF-8
     * bytes, modality derived from the lang label (demo wiring only). */
   def mediaFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRecord] = {

@@ -95,6 +95,29 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(out(0) === out(1))
   }
 
+  // ---------------------------------------------------- multimodal
+
+  test("sampleFrames explodes bounded fixed-size frames; resize caps payloads") {
+    import graft.pipeline.Multimodal
+    import graft.pipeline.Multimodal.MediaRecord
+    val media = Seq(
+      MediaRecord(1L, "video", Array.fill[Byte](1000)(7), 1000L, "s"),  // 3 frames of 256
+      MediaRecord(2L, "video", Array.fill[Byte](100)(7), 100L, "s"),    // too short: 0
+      MediaRecord(3L, "video", Array.fill[Byte](6000)(7), 6000L, "s"))  // 23 -> every 4 -> 6
+      .toDS().repartition(2)
+    val frames = Multimodal.sampleFrames(media, 256, everyNth = 4, maxFrames = 5)
+      .collect()
+    val byId = frames.groupBy(_.media_id).view.mapValues(_.map(_.frame_idx).sorted).toMap
+    assert(byId(1L).toSeq === Seq(0))              // frames 0..2, every 4th -> just 0
+    assert(!byId.contains(2L))
+    assert(byId(3L).toSeq === Seq(0, 4, 8, 12, 16))  // capped at maxFrames=5
+    assert(frames.forall(_.payload.length === 256))
+
+    val resized = Multimodal.resize(media, 500).collect()
+    assert(resized.forall(_.payload.length <= 500))
+    assert(resized.find(_.media_id == 2L).get.payload.length === 100)  // untouched
+  }
+
   // ------------------------------------------------------ sampling
 
   test("deterministicSample is stable and close to the target fraction") {
