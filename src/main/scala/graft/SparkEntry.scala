@@ -700,14 +700,17 @@ object SparkEntry {
         .orderBy("lang", "predicted")
     }),
 
-    // multimodal frame sampling: bounded 1->N explode of video payloads
-    // into every-4th 256-byte frame, capped at 8 — exactly replicable
-    // from UTF-8 byte lengths in the oracle
+    // multimodal resize + frame sampling: payloads capped at 384 bytes,
+    // then every-2nd 64-byte frame with at most 2 per record — params
+    // chosen so BOTH the resize cap and the frame cap bind on this
+    // corpus (fr docs are 47-569 bytes); exactly replicable from UTF-8
+    // byte lengths in the oracle
     "q_multimodal_frames" -> ((s: SparkSession, dir: String) => {
       val docs = t(s, dir, "documents")
       val media = graft.pipeline.Multimodal.mediaFromDocuments(s, docs)
         .filter(F.col("modality") === "video")
-      graft.pipeline.Multimodal.sampleFrames(media, 256, everyNth = 4, maxFrames = 8)
+      val resized = graft.pipeline.Multimodal.resize(media, 384)
+      graft.pipeline.Multimodal.sampleFrames(resized, 64, everyNth = 2, maxFrames = 2)
         .groupBy()
         .agg(
           F.count(F.lit(1)).as("frames"),
@@ -1015,12 +1018,12 @@ object SparkEntry {
         |  count(*) AS cnt
         |FROM documents GROUP BY 1, 2 ORDER BY lang, predicted""".stripMargin,
     "q_multimodal_frames" ->
-      """WITH v AS (SELECT octet_length(encode(text)) // 256 AS nf
+      """WITH v AS (SELECT least(octet_length(encode(text)), 384) // 64 AS nf
         |           FROM documents WHERE lang = 'fr'),
-        |t AS (SELECT least((nf + 3) // 4, 8) AS tk FROM v)
+        |t AS (SELECT least((nf + 1) // 2, 2) AS tk FROM v)
         |SELECT CAST(coalesce(sum(tk), 0) AS BIGINT) AS frames,
-        |       CAST(coalesce(sum(tk) * 256, 0) AS BIGINT) AS bytes_total,
-        |       CAST(coalesce(sum(2 * tk * (tk - 1)), 0) AS BIGINT) AS idx_sum
+        |       CAST(coalesce(sum(tk) * 64, 0) AS BIGINT) AS bytes_total,
+        |       CAST(coalesce(sum(tk * (tk - 1)), 0) AS BIGINT) AS idx_sum
         |FROM t""".stripMargin,
     "q_multimodal" ->
       """SELECT CASE lang WHEN 'en' THEN 'image' WHEN 'de' THEN 'audio'

@@ -91,12 +91,22 @@ object MultiQuantileFusion extends Rule[LogicalPlan] {
       if (groups.isEmpty) a
       else {
         val fusedIds = groups.flatMap(_._2.map(_.exprId)).toSet
-        // one alias per distinct sketch expression, kept in the Aggregate
+        // one alias per distinct sketch expression, kept in the
+        // Aggregate — reusing any surviving alias of the same aggregate
+        // (the user's own, or one a previous spec's pass created), so a
+        // mixed quantile+cdf query still runs the sketch aggregation
+        // once per group rather than once per family
         val sketchAliases: Map[Expression, Alias] = groups.map { case (canon, als) =>
-          canon -> Alias(als.head.child.children.head, "__fused_sketch")()
+          val existing = a.aggregateExpressions.collectFirst {
+            case ex @ Alias(child, _)
+                if child.canonicalized == canon && !fusedIds.contains(ex.exprId) => ex
+          }
+          canon -> existing.getOrElse(Alias(als.head.child.children.head, "__fused_sketch")())
         }
-        val keptAggList = a.aggregateExpressions.filterNot(
-          ne => fusedIds.contains(ne.exprId)) ++ sketchAliases.values
+        val survivors = a.aggregateExpressions.filterNot(
+          ne => fusedIds.contains(ne.exprId))
+        val keptAggList = survivors ++
+          sketchAliases.values.filterNot(al => survivors.exists(_.exprId == al.exprId))
         val aggNode = a.copy(aggregateExpressions = keptAggList)
         val projList: Seq[NamedExpression] = a.aggregateExpressions.map {
           case al @ Alias(e, name) if fusedIds.contains(al.exprId) =>

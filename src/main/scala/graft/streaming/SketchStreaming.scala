@@ -80,13 +80,14 @@ object SketchStreaming {
       stream: DataFrame,
       tsCol: String,
       contentCol: String,
-      watermarkDelay: String): DataFrame = {
-    val hashed = stream.withColumn("__h", F.sha2(F.col(contentCol), 256))
-    val deduped = hashed
-      .filter(F.col("__h").isNotNull)
+      watermarkDelay: String): DataFrame =
+    stream
+      // a NULL-content row gets a unique key, so it is never treated as
+      // a duplicate — single source scan per microbatch (a filtered
+      // self-union would read the upstream twice) and the watermark
+      // applies uniformly; null-row state entries expire with the TTL
+      .withColumn("__h", F.coalesce(F.sha2(F.col(contentCol), 256), F.uuid()))
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark("__h")
       .drop("__h")
-    deduped.union(hashed.filter(F.col("__h").isNull).drop("__h"))
-  }
 }

@@ -80,6 +80,27 @@ class MultiQuantileFusionSpec extends SparkTestBase {
     assert(rows.forall(r => !r.isNullAt(0) && !r.isNullAt(3)))
   }
 
+  test("mixed quantile and cdf over one grouped aggregate build the sketch once") {
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
+    val d = spark.range(100)
+      .select(($"id" % 5).as("k"), ($"id" + 1).cast("double").as("v"))
+      .repartition(2)
+    val q = d.groupBy($"k").agg(
+      G.ddsketch_quantile(G.ddsketch_agg_values($"v"), 0.5).as("p50"),
+      G.ddsketch_quantile(G.ddsketch_agg_values($"v"), 0.9).as("p90"),
+      G.ddsketch_cdf(G.ddsketch_agg_values($"v"), 10.0).as("c10"),
+      G.ddsketch_cdf(G.ddsketch_agg_values($"v"), 50.0).as("c50"))
+    val aggs = q.queryExecution.optimizedPlan.collect { case a: Aggregate => a }
+    val aggExprCount = aggs.map(_.aggregateExpressions
+      .flatMap(_.collect { case ae: AggregateExpression => ae }).size).sum
+    // both families fused AND sharing one sketch aggregate per group
+    assert(aggExprCount === 1, q.queryExecution.optimizedPlan.toString)
+    val rows = q.collect()
+    assert(rows.length === 5)
+    assert(rows.forall(r => (1 to 4).forall(!r.isNullAt(_))))
+  }
+
   test("fused results equal unfused results, including NULL semantics") {
     val base = sketchDf(25)
       .union(Seq((99L, null.asInstanceOf[Array[Byte]])).toDF("id", "sk"))
