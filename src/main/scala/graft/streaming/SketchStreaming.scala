@@ -67,6 +67,68 @@ object SketchStreaming {
         F.count(F.lit(1)).as("n_events"))
 
   /**
+   * Custom-state streaming: a running per-key sketch maintained with
+   * `flatMapGroupsWithState` — the escape hatch when windowed/session
+   * aggregation can't express the state machine (here: emit the
+   * lifetime-to-date sketch for every key touched by the micro-batch).
+   * State per key is one serialized sketch (O(log value-range) — the
+   * wire codec doubles as the state-store format) plus the update
+   * count. State for keys that go quiet expires `stateTtlMs` past
+   * their last event (event-time timeout driven by the watermark —
+   * a processing-time timeout would keep scheduling no-data batches).
+   *
+   * Output per touched key and batch: (key, sketch bytes, n_updates).
+   */
+  def runningSketchPerKey(
+      stream: DataFrame,
+      tsCol: String,
+      keyCol: String,
+      valueCol: String,
+      watermarkDelay: String,
+      stateTtlMs: Long = 3600000L,
+      accuracy: Double = graft.sketch.DDSketch.DefaultRelativeAccuracy): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = stream.sparkSession
+    import spark.implicits._
+    // the watermark tag lives in the attribute's metadata: the column
+    // must be projected bare (no cast/expression wrapper) to stay the
+    // event-time column the stateful operator requires. tsCol must
+    // already be a TimestampType column.
+    val pairs = stream
+      .withWatermark(tsCol, watermarkDelay)
+      .select(F.col(keyCol).cast("string").as("k"),
+              F.col(valueCol).cast("double").as("v"),
+              F.col(tsCol).as("t"))
+      .as[(String, Double, java.sql.Timestamp)]
+    pairs.groupByKey(_._1)
+      .flatMapGroupsWithState[(Array[Byte], Long), (String, Array[Byte], Long)](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (key, rows, state: GroupState[(Array[Byte], Long)]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val (sketch, n0) = state.getOption
+              .map { case (bytes, n) => (graft.sketch.DataDogCodec.decode(bytes), n) }
+              .getOrElse((graft.sketch.DDSketch(accuracy), 0L))
+            var n = n0
+            var maxT = Long.MinValue
+            rows.foreach { case (_, v, t) =>
+              if (!v.isNaN) { sketch.add(v); n += 1 }
+              if (t != null && t.getTime > maxT) maxT = t.getTime
+            }
+            val bytes = graft.sketch.DataDogCodec.encode(sketch)
+            state.update((bytes, n))
+            // must be strictly past the current watermark
+            state.setTimeoutTimestamp(
+              math.max(state.getCurrentWatermarkMs() + 1, maxT + stateTtlMs))
+            Iterator.single((key, bytes, n))
+          }
+      }
+      .toDF("key", "sketch", "n_updates")
+  }
+
+  /**
    * Streaming exact dedup: drop rows whose content hash was already
    * seen within the watermark horizon. The state store keys on the
    * 32-byte sha2, never the payload, and `withinWatermark` gives the

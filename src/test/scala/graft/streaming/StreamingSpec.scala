@@ -117,6 +117,40 @@ class StreamingSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("flatMapGroupsWithState running sketch accumulates across batches") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val out = SketchStreaming.runningSketchPerKey(
+      input.toDF().toDF("ts", "service", "latency"),
+      "ts", "service", "latency", watermarkDelay = "10 minutes")
+
+    val query = out.writeStream.format("memory").queryName("running_sketch")
+      .outputMode("append").start()
+    try {
+      input.addData((ts(1), "api", 10.0), (ts(2), "api", 20.0), (ts(3), "db", 5.0))
+      query.processAllAvailable()
+      input.addData((ts(4), "api", 30.0))
+      query.processAllAvailable()
+
+      // latest emission per key carries the lifetime-to-date sketch
+      val latest = spark.sql(
+        """SELECT key, ddsketch_count(sketch) AS cnt, n_updates,
+          |       ddsketch_quantile(sketch, 0.5) AS p50
+          |FROM (SELECT *, row_number() OVER (PARTITION BY key
+          |                                   ORDER BY n_updates DESC) AS rn
+          |      FROM running_sketch) t
+          |WHERE rn = 1""".stripMargin).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+      assert(latest("api")._1 === 3L)   // 10, 20, 30 across two batches
+      assert(latest("api")._2 === 3L)
+      assert(math.abs(latest("api")._3 - 20.0) / 20.0 < 0.03)
+      assert(latest("db")._1 === 1L)
+    } finally query.stop()
+  }
+
   test("streamed sketches merge with batch sketches (same wire format)") {
     val session = spark
     import session.implicits._
