@@ -612,7 +612,11 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
-    // embedding ANN: LSH-bucketed variant, recall measured against brute force
+    // embedding ANN: LSH-bucketed variant. Hyperplanes are hash-derived
+    // (Similarity.planeCoef) so recall per dataset is a deterministic
+    // constant — measured 20-25/25 at tables=16 across sf0.001/0.01/0.1;
+    // the oracle pins a 0.7 recall floor plus the exact-pair count
+    // (= 5 neighbors x the data-derived query count)
     "q_embed_lsh" -> ((s: SparkSession, dir: String) => {
       val emb = t(s, dir, "embeddings")
       val queries = emb.filter(F.col("vec_id") < 5)
@@ -620,15 +624,19 @@ object SparkEntry {
         .bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
         .select(F.col("query_id"), F.col("neighbor_id"))
       val approx = graft.pipeline.Similarity
-        .lshTopK(emb, queries, "vec_id", "embedding", 5)
+        .lshTopK(emb, queries, "vec_id", "embedding", 5, tables = 16)
         .select(F.col("query_id"), F.col("neighbor_id"))
-      exact.intersect(approx)
-        .groupBy(F.col("query_id"))
-        .agg(F.count(F.lit(1)).as("hits_in_top5"))
-        .orderBy("query_id")
+      val trueCnt = exact.count()
+      val hits = exact.intersect(approx).count()
+      s.range(1).select(
+        F.lit(trueCnt).as("exact_pairs"),
+        F.lit(hits >= (trueCnt * 0.7).ceil.toLong).as("recall_ok"))
     }),
 
-    // embedding ANN: IVF (k-means cells) variant, recall vs brute force
+    // embedding ANN: IVF (k-means cells) variant. Seeds are hash-ordered
+    // so recall is near-constant, but centroid training sums floats in
+    // partition order — the floor (0.6) leaves margin for that; measured
+    // 21-22/25 at nprobe=8 across all three SFs
     "q_embed_ivf" -> ((s: SparkSession, dir: String) => {
       val emb = t(s, dir, "embeddings")
       val queries = emb.filter(F.col("vec_id") < 5)
@@ -636,12 +644,13 @@ object SparkEntry {
         .bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
         .select(F.col("query_id"), F.col("neighbor_id"))
       val approx = graft.pipeline.Similarity
-        .ivfTopK(emb, queries, "vec_id", "embedding", 5, nlist = 16, nprobe = 6)
+        .ivfTopK(emb, queries, "vec_id", "embedding", 5, nlist = 16, nprobe = 8)
         .select(F.col("query_id"), F.col("neighbor_id"))
-      exact.intersect(approx)
-        .groupBy(F.col("query_id"))
-        .agg(F.count(F.lit(1)).as("hits_in_top5"))
-        .orderBy("query_id")
+      val trueCnt = exact.count()
+      val hits = exact.intersect(approx).count()
+      s.range(1).select(
+        F.lit(trueCnt).as("exact_pairs"),
+        F.lit(hits >= (trueCnt * 0.6).ceil.toLong).as("recall_ok"))
     }),
 
     // text statistics per source: counts, tokens, chars, languages
@@ -962,6 +971,16 @@ object SparkEntry {
         |SELECT count(*) AS true_pairs, true AS recall_ok
         |FROM pairs JOIN sizes sa ON ida = sa.doc_id JOIN sizes sb ON idb = sb.doc_id
         |WHERE inter >= (sa.sz + sb.sz - inter) * 0.8""".stripMargin,
+    // ANN recall oracles: the planes/seeds are deterministic so per-dataset
+    // recall is a constant; Spark emits the floor check as a boolean and the
+    // oracle pins `true` plus the data-derived exact-pair count (5 neighbors
+    // per query; every SF has a corpus far larger than k+1)
+    "q_embed_lsh" ->
+      """SELECT CAST((SELECT count(*) FROM embeddings WHERE vec_id < 5) * 5 AS BIGINT)
+        |  AS exact_pairs, true AS recall_ok""".stripMargin,
+    "q_embed_ivf" ->
+      """SELECT CAST((SELECT count(*) FROM embeddings WHERE vec_id < 5) * 5 AS BIGINT)
+        |  AS exact_pairs, true AS recall_ok""".stripMargin,
     "q_embed_topk" ->
       """WITH flat AS (SELECT vec_id, r.i AS i, embedding[r.i] AS x
         |              FROM embeddings, range(1, 65) r(i)),
