@@ -14,6 +14,39 @@ import org.apache.spark.sql.{functions => F}
  */
 object Dedup {
 
+  /** Default LSH bucket cap: a bucket of m ids yields m^2/2 candidate
+    * pairs, so one viral boilerplate string (m ~ 10^6 at corpus scale)
+    * would OOM a single task with ~5*10^11 pairs. 1024 caps any bucket
+    * at ~520k pairs while staying far above legitimate near-dup cluster
+    * sizes. 0 disables the cap. */
+  val DefaultMaxBucket = 1024
+
+  /** Drop rows whose bucket-size column exceeds `maxBucket`, counting
+    * drops in a named accumulator (visible in the Spark UI) and logging
+    * each executor-side — caps are never silent. No-op when
+    * `maxBucket <= 0`. */
+  private def capBuckets(
+      df: DataFrame,
+      sizeCol: org.apache.spark.sql.Column,
+      maxBucket: Int,
+      what: String): DataFrame = {
+    if (maxBucket <= 0) df
+    else {
+      val acc = df.sparkSession.sparkContext
+        .longAccumulator(s"graft.dedup.droppedBuckets.$what")
+      val keep = F.udf((n: Long) => {
+        val ok = n <= maxBucket
+        if (!ok) {
+          acc.add(1L)
+          org.slf4j.LoggerFactory.getLogger("graft.pipeline.Dedup")
+            .warn(s"$what: dropping LSH bucket of $n ids (cap $maxBucket)")
+        }
+        ok
+      })
+      df.filter(keep(sizeCol))
+    }
+  }
+
   /**
    * Exact dedup: keep the lowest-id row per distinct content.
    * Groups on sha2(content) so the shuffle carries a 32-byte key, not
@@ -29,8 +62,10 @@ object Dedup {
    * MinHash-LSH candidate pairs over a shingle-array column.
    * numHashes = bands * rowsPerBand. Returns distinct (id_a, id_b) with
    * id_a < id_b. maxBucket caps degenerate buckets (identical boilerplate
-   * floods); pairs lost to the cap are logged by the caller's metrics,
-   * never silently at the default (0 = no cap).
+   * floods) — see [[DefaultMaxBucket]]; drops are counted in the
+   * `graft.dedup.droppedBuckets.minhash` accumulator and logged, never
+   * silent. Run [[dropExactDuplicates]] first so a flood of *identical*
+   * documents is deduped before it can flood a bucket here.
    */
   def minhashCandidates(
       df: DataFrame,
@@ -38,7 +73,7 @@ object Dedup {
       shingleCol: String,
       bands: Int = 32,
       rowsPerBand: Int = 4,
-      maxBucket: Int = 0): DataFrame = {
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val numHashes = bands * rowsPerBand
     val sig = df.select(
       F.col(idCol),
@@ -50,9 +85,7 @@ object Dedup {
     val grouped = buckets.groupBy(F.col("__band"), F.col("__bucket"))
       .agg(F.collect_list(F.col(idCol)).as("__ids"))
       .filter(F.size(F.col("__ids")) > 1)
-    val capped =
-      if (maxBucket > 0) grouped.filter(F.size(F.col("__ids")) <= maxBucket) else grouped
-    capped
+    capBuckets(grouped, F.size(F.col("__ids")), maxBucket, "minhash")
       .select(F.explode(pairsUdf(F.col("__ids"))).as("__p"))
       .select(F.col("__p._1").as("id_a"), F.col("__p._2").as("id_b"))
       .distinct()
@@ -96,6 +129,9 @@ object Dedup {
    * shingled for verification (semi-join first) — at corpus scale the
    * candidate set is orders of magnitude smaller than the corpus, so
    * the expensive shingle arrays never materialize for non-candidates.
+   * Oversize buckets are capped at `maxBucket` ids (accumulator-counted
+   * and logged, see [[DefaultMaxBucket]]); run [[dropExactDuplicates]]
+   * first so identical-document floods never reach the LSH stage.
    */
   def nearDuplicatePairs(
       df: DataFrame,
@@ -104,7 +140,8 @@ object Dedup {
       shingleSize: Int = 5,
       threshold: Double = 0.8,
       bands: Int = 32,
-      rowsPerBand: Int = 4): DataFrame = {
+      rowsPerBand: Int = 4,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val numHashes = bands * rowsPerBand
     // OPH signatures: one hash per shingle position (vs numHashes in the
     // KM construction) — 6x faster scans, verified recall-equivalent on
@@ -121,9 +158,10 @@ object Dedup {
     // out of scope, unlike cache(), and the three downstream references
     // (two id sides + the verify join) reuse it without recompute; lazy
     // so that building the plan without executing it runs no job
-    val candidates = buckets.groupBy(F.col("__band"), F.col("__bucket"))
+    val grouped = buckets.groupBy(F.col("__band"), F.col("__bucket"))
       .agg(F.collect_list(F.col(idCol)).as("__ids"))
       .filter(F.size(F.col("__ids")) > 1)
+    val candidates = capBuckets(grouped, F.size(F.col("__ids")), maxBucket, "minhash")
       .select(F.explode(pairsUdf(F.col("__ids"))).as("__p"))
       .select(F.col("__p._1").as("id_a"), F.col("__p._2").as("id_b"))
       .distinct()
@@ -154,9 +192,10 @@ object Dedup {
       shingleSize: Int = 5,
       threshold: Double = 0.8,
       bands: Int = 32,
-      rowsPerBand: Int = 4): DataFrame = {
+      rowsPerBand: Int = 4,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val pairs = nearDuplicatePairs(df, idCol, textCol, shingleSize, threshold,
-      bands, rowsPerBand)
+      bands, rowsPerBand, maxBucket)
     val removed = pairs.select(F.col("id_b").as(idCol)).distinct()
     df.join(removed, Seq(idCol), "left_anti")
   }
@@ -180,7 +219,8 @@ object Dedup {
       vecCol: String,
       threshold: Double,
       tables: Int = 8,
-      planes: Int = 8): DataFrame = {
+      planes: Int = 8,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val sigU = Similarity.tableSigsUdf(tables, planes)
     // signatures materialize once (id + small ints; lazy so plan
     // building runs no job) — both self-join sides read the blocks
@@ -188,8 +228,18 @@ object Dedup {
     val bucketed = df.select(F.col(idCol),
         F.posexplode(sigU(F.col(vecCol))).as(Seq("__t", "__sig")))
       .localCheckpoint(eager = false)
-    val l = bucketed.select(F.col(idCol).as("id_a"), F.col("__t"), F.col("__sig"))
-    val r = bucketed.select(F.col(idCol).as("id_b"), F.col("__t"), F.col("__sig"))
+    // prune singleton and oversize buckets before the self-join: a
+    // bucket of m vectors emits m^2 join rows, so a flood of identical
+    // vectors (which collide in EVERY table) must be capped here —
+    // identical copies are dropExactDuplicates' job, not LSH's
+    val sizes = bucketed.groupBy(F.col("__t"), F.col("__sig"))
+      .agg(F.count(F.lit(1)).as("__n"))
+      .filter(F.col("__n") > 1)
+    val allowed = capBuckets(sizes, F.col("__n"), maxBucket, "embed")
+      .select("__t", "__sig")
+    val pruned = bucketed.join(allowed, Seq("__t", "__sig"))
+    val l = pruned.select(F.col(idCol).as("id_a"), F.col("__t"), F.col("__sig"))
+    val r = pruned.select(F.col(idCol).as("id_b"), F.col("__t"), F.col("__sig"))
     // candidates dedup on bare id pairs (a pair collides in up to
     // `tables` buckets), then the vectors re-attach once per pair —
     // never `tables` vector copies through a distinct
@@ -247,7 +297,8 @@ object Dedup {
       df: DataFrame,
       idCol: String,
       textCol: String,
-      maxHamming: Int = 6): DataFrame = {
+      maxHamming: Int = 6,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
     require(maxHamming <= 7, "8x8-bit banding only guarantees hamming <= 7")
     // materialize signatures once (id + one long per doc — tiny): both
     // sides of the self-join read persisted blocks instead of re-running
@@ -260,10 +311,21 @@ object Dedup {
         F.explode(TextFunctions.simhashChunksUdf(F.col("__sig"))).as("__c"))
       .select(F.col(idCol), F.col("__sig"),
               F.col("__c._1").as("__chunk"), F.col("__c._2").as("__val"))
-    val l = chunked.select(F.col(idCol).as("id_a"), F.col("__sig").as("__siga"),
-                           F.col("__chunk"), F.col("__val"))
-    val r = chunked.select(F.col(idCol).as("id_b"), F.col("__sig").as("__sigb"),
-                           F.col("__chunk"), F.col("__val"))
+    // prune singleton and oversize buckets before the self-join (a
+    // flooded chunk value would emit m^2 join rows). A pair within
+    // maxHamming <= 6 differs in at most 6 of 64 bits, which spread over
+    // 8 chunks leaves >= 2 equal chunks — so dropping one flooded bucket
+    // rarely loses the pair outright.
+    val sizes = chunked.groupBy(F.col("__chunk"), F.col("__val"))
+      .agg(F.count(F.lit(1)).as("__n"))
+      .filter(F.col("__n") > 1)
+    val allowed = capBuckets(sizes, F.col("__n"), maxBucket, "simhash")
+      .select("__chunk", "__val")
+    val pruned = chunked.join(allowed, Seq("__chunk", "__val"))
+    val l = pruned.select(F.col(idCol).as("id_a"), F.col("__sig").as("__siga"),
+                          F.col("__chunk"), F.col("__val"))
+    val r = pruned.select(F.col(idCol).as("id_b"), F.col("__sig").as("__sigb"),
+                          F.col("__chunk"), F.col("__val"))
     l.join(r, Seq("__chunk", "__val"))
       .filter(F.col("id_a") < F.col("id_b"))
       .select(F.col("id_a"), F.col("id_b"),

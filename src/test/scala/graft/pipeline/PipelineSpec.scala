@@ -122,6 +122,63 @@ class DedupSpec extends SparkTestBase {
     assert(capped.count() < uncapped.count())
   }
 
+  test("nearDuplicatePairs bucket cap bounds a boilerplate flood") {
+    val boiler = "this exact boilerplate paragraph is repeated verbatim across the corpus many many times"
+    val flood = (1L to 300L).map(i => (i, boiler))
+    val normal = Seq(
+      (1001L, "a genuinely unique document about alpha particles and detectors"),
+      (1002L, "another unique document concerning beta decay chains entirely"),
+      (1003L, "a longer document body that shingles fine and repeats a longer document body"),
+      (1004L, "a longer document body that shingles fine and repeats a longer document bodX"))
+    val df = (flood ++ normal).toDF("doc_id", "text")
+    val capped = Dedup.nearDuplicatePairs(df, "doc_id", "text", 5, 0.8, maxBucket = 100)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(!capped.exists(_._1 <= 300L), s"flooded bucket must be dropped, not exploded: $capped")
+    assert(capped == Set((1003L, 1004L)), "pairs outside the flooded bucket survive")
+    val uncapped = Dedup.nearDuplicatePairs(df, "doc_id", "text", 5, 0.8, maxBucket = 0)
+    assert(uncapped.count() == 300L * 299 / 2 + 1, "uncapped flood emits all m^2/2 pairs")
+    // dropNearDuplicates threads the cap through: flood survives intact
+    val kept = Dedup.dropNearDuplicates(df, "doc_id", "text", 5, 0.8, maxBucket = 100)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.count(_ <= 300L) == 300, "capped flood rows are not deduped")
+    assert(!kept.contains(1004L) && kept.contains(1003L))
+  }
+
+  test("simhashPairs bucket cap bounds an identical-signature flood") {
+    val boiler = "this exact boilerplate paragraph is repeated verbatim across the corpus many many times"
+    val flood = (1L to 300L).map(i => (i, boiler))
+    // near-dup docs drawn from real test data so the non-flood pair set
+    // is non-trivial (one-char synthetic edits flip too many simhash bits)
+    val normal = sf("sf0.001", "documents")
+      .select(F.col("doc_id") + 100000L, F.col("text"))
+    val df = flood.toDF("doc_id", "text").union(normal)
+    val capped = Dedup.simhashPairs(df, "doc_id", "text", 6, maxBucket = 100)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(!capped.exists(_._1 <= 300L), s"flooded buckets must be dropped: $capped")
+    val uncapped = Dedup.simhashPairs(df, "doc_id", "text", 6, maxBucket = 0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(uncapped.count(_._1 <= 300L) == 300 * 299 / 2,
+      "uncapped flood emits all m^2/2 pairs")
+    val uncappedNonFlood = uncapped.filter(_._1 > 300L)
+    assert(uncappedNonFlood.nonEmpty, "test data should contain simhash pairs")
+    assert(capped == uncappedNonFlood,
+      "capping removes exactly the flood-bucket pairs")
+  }
+
+  test("embeddingNearDuplicatePairs bucket cap bounds identical-vector floods") {
+    val vec = Array.tabulate(8)(i => i.toFloat + 1f)
+    val other = Array.tabulate(8)(i => (7 - i).toFloat - 3.5f)
+    val flood = (1L to 300L).map(i => (i, vec))
+    val pair = Seq((1001L, other), (1002L, other))
+    val df = (flood ++ pair).toDF("id", "vec")
+    val capped = Dedup.embeddingNearDuplicatePairs(df, "id", "vec", 0.99, maxBucket = 100)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(!capped.exists(_._1 <= 300L), s"flooded buckets must be dropped: $capped")
+    assert(capped == Set((1001L, 1002L)), "small buckets still pair")
+    val uncapped = Dedup.embeddingNearDuplicatePairs(df, "id", "vec", 0.99, maxBucket = 0)
+    assert(uncapped.count() == 300L * 299 / 2 + 1)
+  }
+
   test("simhash pairs cover the high-jaccard planted pairs") {
     val docs = sf("sf0.001", "documents")
     val sim = Dedup.simhashPairs(docs, "doc_id", "text", 6)
