@@ -110,6 +110,18 @@ object Bench {
         idx, emb.filter(F.col("vec_id") < 20), "vec_id", "embedding", 10, nprobe = 4)
     }),
 
+    // k-means training at production embedding width (dim 512 = the
+    // sf embeddings tiled 8x): exercises the constant-plan-width
+    // vec_sum aggregate — the per-dim sum(element_at) form this
+    // replaced would build a 512-column aggregate here
+    "b_kmeans_wide" -> ((s: SparkSession, dir: String) => {
+      val emb = t(s, dir, "embeddings").select(F.col("vec_id"),
+        F.flatten(F.array_repeat(F.col("embedding"), 8)).as("embedding"))
+      val idx = graft.pipeline.Similarity
+        .buildIvfIndex(emb, "vec_id", "embedding", nlist = 16, iterations = 2)
+      idx.assigned.groupBy(F.col("__cell")).agg(F.count(F.lit(1)).as("n"))
+    }),
+
     // frequent-items sketch over exploded words
     "b_topk" -> ((s: SparkSession, dir: String) => {
       import graft.sketch.{topk => T}

@@ -191,28 +191,31 @@ object Similarity {
     for (_ <- 1 to iterations) {
       val cB = spark.sparkContext.broadcast(centroids)
       val assignU = F.udf((v: Array[Float]) => nearestCentroid(cB.value, v))
-      // distributed mean as `dim` per-cell sum aggregates: stays inside
-      // whole-stage codegen with map-side partials, so the shuffle carries
-      // nlist x dim partial sums per partition instead of a corpus x dim
-      // row explosion; only nlist aggregated rows reach the driver.
-      // Ragged vectors are excluded from centroid training (element_at
-      // past the array end is an error under ANSI mode) — assignment
-      // still tolerates them via nearestCentroid's min-length loop.
-      val sumCols = (F.count(F.lit(1)).cast("double").as("__n")) +:
-        (0 until dim).map(d => F.sum(F.element_at(F.col("__v"), d + 1)).as(s"__s$d"))
+      // distributed mean via ONE vec_sum aggregate carrying a dim-wide
+      // buffer: map-side partials mean the shuffle carries nlist x dim
+      // partial sums per partition, and — unlike `dim` separate
+      // sum(element_at) columns — plan width stays constant, so real
+      // embedding widths (768-1536) neither blow codegen limits nor
+      // crawl through expression compilation. Only nlist aggregated
+      // rows reach the driver. Ragged vectors are excluded from
+      // centroid training (vec_sum would skip them anyway; the filter
+      // also keeps the count consistent) — assignment still tolerates
+      // them via nearestCentroid's min-length loop.
       val means = corpus
         .filter(F.size(F.col(vecCol)) === dim)
         .select(assignU(F.col(vecCol)).as("__c"), F.col(vecCol).as("__v"))
         .groupBy(F.col("__c"))
-        .agg(sumCols.head, sumCols.tail: _*)
+        .agg(F.count(F.lit(1)).cast("double").as("__n"),
+             VectorAgg.vec_sum(F.col("__v")).as("__s"))
         .collect()
       val next = centroids.map(_.clone())
       means.foreach { row =>
         val c = row.getInt(0)
         val n = row.getDouble(1)
-        if (n > 0) {
+        if (n > 0 && !row.isNullAt(2)) {
+          val s = row.getSeq[Double](2)
           var d = 0
-          while (d < dim) { next(c)(d) = (row.getDouble(d + 2) / n).toFloat; d += 1 }
+          while (d < dim) { next(c)(d) = (s(d) / n).toFloat; d += 1 }
         }
       }
       centroids = next

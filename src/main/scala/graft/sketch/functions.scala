@@ -231,5 +231,6 @@ object Graft {
     kmv.register(spark)
     topk.register(spark)
     bloom.register(spark)
+    graft.pipeline.VectorAgg.register(spark)
   }
 }
