@@ -8,14 +8,21 @@ import org.apache.spark.sql.{functions => F}
  * with typed metadata, and a partition-batched feature-extraction
  * operator.
  *
- * The actual media decode is a clearly-marked STUB (no image/audio
- * libraries in this environment): it derives a deterministic fake
- * feature vector from the payload bytes. Everything around it — the
- * schema, the Dataset encoding, the mapPartitions batch shape, the
- * partitioning — is real and is what would carry over unchanged when a
- * real decoder is plugged in.
+ * The IMAGE modality has a real decoder (JDK `javax.imageio` — PNG/
+ * JPEG/GIF/BMP, zero external deps): real width/height, mean-pooled
+ * grayscale features, and real downscale-and-reencode in
+ * [[resizeImages]]. Audio/video/pdf decode is a clearly-marked STUB
+ * (no codec libraries in this environment) deriving a deterministic
+ * fake feature vector from the payload bytes; [[realDecoders]] is the
+ * capability flag. Undecodable "image" payloads fall back to the stub
+ * rather than erroring (repo-wide NULL/malformed-input discipline).
  */
 object Multimodal {
+
+  /** Which modalities run a REAL decoder vs the deterministic stub. */
+  val realDecoders: Map[String, Boolean] = Map(
+    "image" -> true, "audio" -> false, "video" -> false,
+    "pdf" -> false, "text" -> false)
 
   case class MediaRecord(
       media_id: Long,
@@ -63,15 +70,107 @@ object Multimodal {
   }
 
   /**
+   * Real image decode via `javax.imageio`: returns (width, height,
+   * 8-dim mean-pooled-grayscale feature) or None when the payload is
+   * not a decodable image. Pixel reads are strided so a pathological
+   * 20k x 20k payload costs at most ~64k samples, not 4x10^8.
+   */
+  private[pipeline] def decodeImage(payload: Array[Byte]): Option[(Int, Int, Array[Float])] = {
+    if (payload == null || payload.length == 0) return None
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null) return None
+      val w = img.getWidth
+      val h = img.getHeight
+      if (w <= 0 || h <= 0) return None
+      // 4x2 grid of mean grayscale in [0,1] — same 8-dim feature shape
+      // as the stub so downstream schemas are modality-independent
+      val sums = new Array[Double](8)
+      val cnts = new Array[Int](8)
+      val sx = math.max(1, w / 256)
+      val sy = math.max(1, h / 256)
+      var y = 0
+      while (y < h) {
+        val cy = math.min(y * 2 / h, 1)
+        var x = 0
+        while (x < w) {
+          val cell = cy * 4 + math.min(x * 4 / w, 3)
+          val rgb = img.getRGB(x, y)
+          val lum = (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
+            (rgb & 0xFF) * 114) / 1000
+          sums(cell) += lum / 255.0
+          cnts(cell) += 1
+          x += sx
+        }
+        y += sy
+      }
+      val feat = Array.tabulate(8)(i => if (cnts(i) == 0) 0.0f else (sums(i) / cnts(i)).toFloat)
+      Some((w, h, feat))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /**
    * Batch feature extraction over a media Dataset: one decoder
    * instantiation per partition (the shape a real decoder needs —
-   * model/codec init amortized across the partition's rows).
+   * model/codec init amortized across the partition's rows). Image
+   * payloads get the real `javax.imageio` path — genuine dimensions
+   * and pooled-grayscale features; undecodable images and the
+   * stub-only modalities ([[realDecoders]]) get [[stubDecode]].
    */
   def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      // real impl: val decoder = Decoder.open(); rows.map(decoder.decode)
-      rows.map(stubDecode)
+      // stub modalities: val decoder = Decoder.open(); rows.map(decoder.decode)
+      rows.map { r =>
+        if (r.modality == "image") {
+          decodeImage(r.payload) match {
+            case Some((w, h, feat)) =>
+              MediaFeatures(r.media_id, r.modality, w, h, feat, r.payload.length.toLong)
+            case None => stubDecode(r)
+          }
+        } else stubDecode(r)
+      }
+    }
+  }
+
+  /**
+   * Real image resize: decode with `javax.imageio`, downscale so
+   * max(width, height) <= maxDim preserving aspect ratio, re-encode as
+   * PNG. Images already within bounds, undecodable payloads, and
+   * non-image modalities pass through untouched (use [[resize]] for
+   * the byte-cap fallback on stub modalities). Partition-batched like
+   * every media transform here.
+   */
+  def resizeImages(media: Dataset[MediaRecord], maxDim: Int): Dataset[MediaRecord] = {
+    import media.sparkSession.implicits._
+    require(maxDim > 0, s"maxDim must be positive, got $maxDim")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        if (r.modality != "image") r
+        else {
+          try {
+            val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+            if (img == null || math.max(img.getWidth, img.getHeight) <= maxDim) r
+            else {
+              val scale = maxDim.toDouble / math.max(img.getWidth, img.getHeight)
+              val nw = math.max(1, math.round(img.getWidth * scale).toInt)
+              val nh = math.max(1, math.round(img.getHeight * scale).toInt)
+              val out = new java.awt.image.BufferedImage(
+                nw, nh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+              val g = out.createGraphics()
+              try {
+                g.setRenderingHint(
+                  java.awt.RenderingHints.KEY_INTERPOLATION,
+                  java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+                g.drawImage(img, 0, 0, nw, nh, null)
+              } finally g.dispose()
+              val baos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(out, "png", baos)
+              r.copy(payload = baos.toByteArray, meta_bytes = baos.size().toLong)
+            }
+          } catch { case scala.util.control.NonFatal(_) => r }
+        }
+      }
     }
   }
 
@@ -82,11 +181,12 @@ object Multimodal {
       frame_bytes: Long)
 
   /**
-   * STUB resize: a real implementation decodes, scales to target
-   * dimensions, and re-encodes; this one deterministically caps the
-   * payload (and stamps the target dims through the metadata fields) so
-   * the partition-batched transform shape — the part that carries over
-   * to a real codec — is exercised end to end.
+   * STUB byte-cap resize for the stub modalities (audio/video/pdf —
+   * see [[realDecoders]]; images have the real [[resizeImages]]): a
+   * real codec would decode, scale, and re-encode; this one
+   * deterministically caps the payload so the partition-batched
+   * transform shape — the part that carries over to a real codec — is
+   * exercised end to end.
    */
   def resize(media: Dataset[MediaRecord], maxBytes: Int): Dataset[MediaRecord] = {
     import media.sparkSession.implicits._
