@@ -99,6 +99,41 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // weighted ingestion: pre-aggregated (value, count) rows build the
+    // SAME sketch as raw values (bin counts are integer-exact sums, so
+    // count/min/max/quantiles match the raw-values sketch exactly);
+    // scalar add_weighted skips count <= 0 per the reference's
+    // add_with_count (datadog_encoding.rs:723-726)
+    "q_sketch_weighted" -> ((s: SparkSession, dir: String) => {
+      Graft.register(s)
+      val ev = t(s, dir, "events")
+      // the warehouse shape: values arrive pre-grouped with counts
+      val grouped = ev.groupBy(F.col("event_type"), F.col("value"))
+        .agg(F.count(F.lit(1)).cast("double").as("c"))
+      val weighted = grouped.groupBy(F.col("event_type"))
+        .agg(G.ddsketch_agg_weighted(F.col("value"), F.col("c")).as("wsk"))
+      val raw = ev.groupBy(F.col("event_type"))
+        .agg(G.ddsketch_agg_values(F.col("value")).as("rsk"),
+             F.count(F.lit(1)).as("exact_cnt"))
+      weighted.join(raw, "event_type")
+        .select(F.col("event_type"),
+          G.ddsketch_count(F.col("wsk")).as("cnt"),
+          (G.ddsketch_count(F.col("wsk")) === F.col("exact_cnt")).as("wcount_ok"),
+          (G.ddsketch_min(F.col("wsk")) === G.ddsketch_min(F.col("rsk")) &&
+           G.ddsketch_max(F.col("wsk")) === G.ddsketch_max(F.col("rsk"))).as("minmax_ok"),
+          ok(G.ddsketch_quantile(F.col("wsk"), 0.5),
+             G.ddsketch_quantile(F.col("rsk"), 0.5), 1e-12).as("p50_ok"),
+          ok(G.ddsketch_quantile(F.col("wsk"), 0.95),
+             G.ddsketch_quantile(F.col("rsk"), 0.95), 1e-12).as("p95_ok"),
+          ok(G.ddsketch_sum(F.col("wsk")), G.ddsketch_sum(F.col("rsk")), 1e-9).as("sum_ok"),
+          // scalar weighted insert: count 2 adds 2, count <= 0 adds nothing
+          (G.ddsketch_count(G.ddsketch_add_weighted(F.col("wsk"), F.lit(7.5), F.lit(2.0)))
+            === F.col("exact_cnt") + 2).as("add2_ok"),
+          (G.ddsketch_count(G.ddsketch_add_weighted(F.col("wsk"), F.lit(7.5), F.lit(-1.0)))
+            === F.col("exact_cnt")).as("skip_ok"))
+        .orderBy("event_type")
+    }),
+
     // #4 ddsketch_quantile: sketch quantiles within tolerance of the
     // exact order statistics at the same ranks
     "q_sketch_quantile" -> ((s: SparkSession, dir: String) => {
@@ -746,6 +781,11 @@ object SparkEntry {
       "SELECT CAST(0 AS BIGINT) AS cnt, true AS nonempty, true AS sum_is_null",
     "q_sketch_add" ->
       """SELECT event_type, count(*) + 1 AS cnt_after_add, true AS add_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_sketch_weighted" ->
+      """SELECT event_type, count(*) AS cnt, true AS wcount_ok, true AS minmax_ok,
+        |       true AS p50_ok, true AS p95_ok, true AS sum_ok, true AS add2_ok,
+        |       true AS skip_ok
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_sketch_merge" ->
       """SELECT event_type, count(*) AS cnt

@@ -156,7 +156,7 @@ final class DDSketch(
   def add(value: Double): Unit = addWithCount(value, 1.0)
 
   def addWithCount(value: Double, c: Double): Unit = {
-    if (c <= 0.0) return
+    if (c.isNaN || c <= 0.0) return   // reference skips non-positive counts (datadog_encoding.rs:723-726)
     count += c
     sum += value * c
     if (value < min) min = value

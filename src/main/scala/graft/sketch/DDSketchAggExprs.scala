@@ -79,6 +79,69 @@ case class DDSketchAggValuesExpr(
 }
 
 /**
+ * `ddsketch_agg_weighted(value DOUBLE, count DOUBLE) → BLOB`: build a
+ * sketch from pre-aggregated (value, count) rows — the warehouse shape
+ * where input is already grouped. Semantics are the reference core's
+ * `add_with_count` (datadog_encoding.rs:718-747): NULL value, NULL
+ * count, or `count <= 0` rows contribute nothing.
+ */
+case class DDSketchAggWeightedExpr(
+    left: Expression,
+    right: Expression,
+    relativeAccuracy: Double = DDSketch.DefaultRelativeAccuracy,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[DDSketch]
+    with org.apache.spark.sql.catalyst.trees.BinaryLike[Expression] {
+
+  override def prettyName: String = "ddsketch_agg_weighted"
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType != DoubleType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires DOUBLE value, got ${left.dataType}")
+    else if (right.dataType != DoubleType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires DOUBLE count, got ${right.dataType}")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def createAggregationBuffer(): DDSketch =
+    DDSketch(
+      if (relativeAccuracy > 0.0 && relativeAccuracy < 1.0) relativeAccuracy
+      else DDSketch.DefaultRelativeAccuracy)
+
+  override def update(buffer: DDSketch, input: InternalRow): DDSketch = {
+    val v = left.eval(input)
+    val c = right.eval(input)
+    if (v != null && c != null) {
+      val cd = c.asInstanceOf[Double]
+      if (!cd.isNaN) buffer.addWithCount(v.asInstanceOf[Double], cd)
+    }
+    buffer
+  }
+
+  override def merge(buffer: DDSketch, other: DDSketch): DDSketch = {
+    buffer.merge(other)
+    buffer
+  }
+
+  override def eval(buffer: DDSketch): Any = DataDogCodec.encode(buffer)
+
+  override def serialize(buffer: DDSketch): Array[Byte] = DataDogCodec.encode(buffer)
+  override def deserialize(bytes: Array[Byte]): DDSketch = DataDogCodec.decode(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): DDSketchAggWeightedExpr =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): DDSketchAggWeightedExpr =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DDSketchAggWeightedExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/**
  * `ddsketch_agg(sketch BLOB) → BLOB`: merge stored sketches. Mirrors the
  * reference's error discipline (lib.rs:687-804): NULL/empty/undecodable
  * rows skipped, first sketch adopted (gamma inherited), merge mismatches

@@ -196,6 +196,43 @@ case class DDSketchAddExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `ddsketch_add_weighted(sketch BLOB, value DOUBLE, count DOUBLE) →
+  * BLOB`: weighted insert for pre-aggregated (value, count) inputs —
+  * the reference core's `add_with_count` (datadog_encoding.rs:718-747)
+  * surfaced to SQL/Column users. `count <= 0` (and NaN) inserts
+  * nothing, matching the reference's skip semantics. */
+case class DDSketchAddWeightedExpr(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def prettyName: String = "ddsketch_add_weighted"
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val a = DDSketchScalarExprs.checkType(prettyName, first, BinaryType)
+    if (a != TypeCheckResult.TypeCheckSuccess) return a
+    val b = DDSketchScalarExprs.checkType(prettyName, second, DoubleType)
+    if (b != TypeCheckResult.TypeCheckSuccess) return b
+    DDSketchScalarExprs.checkType(prettyName, third, DoubleType)
+  }
+
+  override def nullSafeEval(blob: Any, v: Any, c: Any): Any =
+    SketchKernels.addWeighted(blob.asInstanceOf[Array[Byte]],
+      v.asInstanceOf[Double], c.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, v, c) => {
+      val kr = ctx.freshName("sketchKr")
+      s"""
+         |byte[] $kr = graft.sketch.SketchKernels.addWeighted($b, $v, $c);
+         |if ($kr == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $kr; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): DDSketchAddWeightedExpr =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
 /** `ddsketch_merge(s1 BLOB, s2 BLOB) → BLOB` */
 case class DDSketchMergeExpr(left: Expression, right: Expression)
     extends BinaryExpression {

@@ -70,6 +70,18 @@ object SketchKernels {
     }
   }
 
+  /** Weighted insert, the reference's `add_with_count` semantics
+    * (datadog_encoding.rs:718-747): `count <= 0` or NaN is a no-op,
+    * not an error. */
+  def addWeighted(blob: Array[Byte], value: Double, count: Double): Array[Byte] = {
+    val s = decodeOrNull(blob)
+    if (s == null) null
+    else {
+      if (!count.isNaN) s.addWithCount(value, count)
+      DataDogCodec.encode(s)
+    }
+  }
+
   def merge(b1: Array[Byte], b2: Array[Byte]): Array[Byte] = {
     val s1 = decodeOrNull(b1)
     val s2 = decodeOrNull(b2)

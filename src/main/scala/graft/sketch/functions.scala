@@ -107,6 +107,9 @@ object functions {
 
   def ddsketch_add(sketch: Column, value: Column): Column =
     GraftBridge.column(DDSketchAddExpr(e(sketch), e(value)))
+  /** Weighted insert — `add_with_count` semantics: count <= 0 is a no-op. */
+  def ddsketch_add_weighted(sketch: Column, value: Column, count: Column): Column =
+    GraftBridge.column(DDSketchAddWeightedExpr(e(sketch), e(value), e(count)))
   def ddsketch_merge(s1: Column, s2: Column): Column =
     GraftBridge.column(DDSketchMergeExpr(e(s1), e(s2)))
   def ddsketch_quantile(sketch: Column, q: Column): Column =
@@ -139,6 +142,18 @@ object functions {
   def ddsketch_stats_agg(sketch: Column): Column =
     GraftBridge.column(
       DDSketchStatsAggExpr(GraftBridge.expression(sketch)).toAggregateExpression())
+
+  /** Aggregate: build a sketch from pre-aggregated (value, count) rows —
+    * the warehouse shape where inputs arrive already grouped. NULL or
+    * non-positive counts contribute nothing. */
+  def ddsketch_agg_weighted(value: Column, count: Column): Column =
+    GraftBridge.column(
+      DDSketchAggWeightedExpr(GraftBridge.expression(value),
+        GraftBridge.expression(count)).toAggregateExpression())
+  def ddsketch_agg_weighted(value: Column, count: Column, accuracy: Double): Column =
+    GraftBridge.column(
+      DDSketchAggWeightedExpr(GraftBridge.expression(value),
+        GraftBridge.expression(count), accuracy).toAggregateExpression())
 
   /** Aggregate: build a sketch from a DOUBLE column (default accuracy). */
   def ddsketch_agg_values(value: Column): Column =
@@ -205,6 +220,8 @@ object Graft {
     unary("ddsketch_avg", DDSketchAvgExpr)
     reg(spark, "ddsketch_add",
       exprs => DDSketchAddExpr(exprs.head, toDouble(exprs(1))))
+    reg(spark, "ddsketch_add_weighted",
+      exprs => DDSketchAddWeightedExpr(exprs.head, toDouble(exprs(1)), toDouble(exprs(2))))
     reg(spark, "ddsketch_merge",
       exprs => DDSketchMergeExpr(exprs.head, exprs(1)))
     reg(spark, "ddsketch_quantile",
@@ -221,6 +238,13 @@ object Graft {
           s"ddsketch_stats_agg_values expects 1 or 2 arguments, got ${other.size}")
     })
     reg(spark, "ddsketch_agg", exprs => DDSketchMergeAggExpr(exprs.head))
+    reg(spark, "ddsketch_agg_weighted", {
+      case Seq(v, c) => DDSketchAggWeightedExpr(toDouble(v), toDouble(c))
+      case Seq(v, c, acc) => DDSketchAggWeightedExpr(toDouble(v), toDouble(c), evalDouble(acc))
+      case other =>
+        throw new IllegalArgumentException(
+          s"ddsketch_agg_weighted expects 2 or 3 arguments, got ${other.size}")
+    })
     reg(spark, "ddsketch_agg_values", {
       case Seq(v) => DDSketchAggValuesExpr(toDouble(v))
       case Seq(v, acc) => DDSketchAggValuesExpr(toDouble(v), evalDouble(acc))
