@@ -1,0 +1,154 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import graft.SparkTestBase
+import graft.sketch.{DDSketch, DataDogCodec, functions => G}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.{functions => F}
+
+/**
+ * Batch ≡ streaming equivalence over the REAL sf0.001 events table: the
+ * streaming operators must produce the same sketches as the
+ * oracle-checked batch aggregations on identical input. Bin stores,
+ * counts, zero counts, and min/max are integer-exact and compared
+ * exactly; only the `sum` field is floating-point accumulation-order
+ * dependent (batch and streaming merge partials in different orders),
+ * so it gets a 1e-9 relative tolerance.
+ */
+class BatchStreamEquivalenceSpec extends SparkTestBase {
+
+  private def assertSketchEqual(a: Array[Byte], b: Array[Byte], where: String): Unit = {
+    val sa = DataDogCodec.decode(a)
+    val sb = DataDogCodec.decode(b)
+    assert(sa.relativeAccuracy === sb.relativeAccuracy, s"$where gamma")
+    assert(sa.countLong === sb.countLong, s"$where count")
+    assert(sa.zeroCount === sb.zeroCount, s"$where zeroCount")
+    assert(sa.min === sb.min, s"$where min")
+    assert(sa.max === sb.max, s"$where max")
+    def assertBins(x: graft.sketch.BinStore, y: graft.sketch.BinStore, side: String): Unit = {
+      assert(x.size === y.size, s"$where $side bin count")
+      var i = 0
+      while (i < x.size) {
+        assert(x.indexAt(i) === y.indexAt(i), s"$where $side bin index $i")
+        assert(x.countAt(i) === y.countAt(i), s"$where $side bin count $i")
+        i += 1
+      }
+    }
+    assertBins(sa.positives, sb.positives, "pos")
+    assertBins(sa.negatives, sb.negatives, "neg")
+    assert(math.abs(sa.sum - sb.sum) <= 1e-9 * math.abs(sb.sum), s"$where sum")
+  }
+
+  private def eventRows(): Array[(Timestamp, String, Double)] = {
+    val session = spark
+    import session.implicits._
+    sf("sf0.001", "events")
+      .select(F.col("ts").cast("timestamp"), F.col("event_type"),
+              F.col("value").cast("double"))
+      .as[(Timestamp, String, Double)]
+      .collect()
+  }
+
+  test("windowedSketchAgg over a stream equals the batch windowed aggregation") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = eventRows()
+    assert(rows.length > 100)
+
+    val batch = rows.toSeq.toDF("ts", "event_type", "value")
+      .groupBy(F.window(F.col("ts"), "1 hour"), F.col("event_type"))
+      .agg(G.ddsketch_agg_values(F.col("value")).as("sketch"))
+      .select(F.col("window.start").cast("long").as("ws"), F.col("event_type"), F.col("sketch"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getAs[Array[Byte]](2)).toMap
+
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val agg = SketchStreaming.windowedSketchAgg(
+      input.toDF().toDF("ts", "event_type", "value"),
+      "ts", "event_type", "value", "1 hour", "365 days")
+    val query = agg.writeStream.format("memory").queryName("bs_win")
+      .outputMode("complete").start()
+    try {
+      // three micro-batches: partial state must merge across batches
+      val chunks = rows.grouped(math.max(1, rows.length / 3 + 1)).toSeq
+      chunks.foreach { c => input.addData(c.toSeq); query.processAllAvailable() }
+
+      val streamed = spark.sql(
+        """SELECT unix_timestamp(window.start) AS ws, event_type, sketch
+          |FROM bs_win""".stripMargin)
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1)) -> r.getAs[Array[Byte]](2)).toMap
+
+      assert(streamed.keySet === batch.keySet)
+      streamed.foreach { case (k, bytes) => assertSketchEqual(bytes, batch(k), k.toString) }
+    } finally query.stop()
+  }
+
+  test("runningSketchPerKey final emission equals the batch per-key sketch") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = eventRows()
+
+    val batch = rows.toSeq.toDF("ts", "event_type", "value")
+      .groupBy(F.col("event_type"))
+      .agg(G.ddsketch_agg_values(F.col("value")).as("sketch"))
+      .collect()
+      .map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val out = SketchStreaming.runningSketchPerKey(
+      input.toDF().toDF("ts", "event_type", "value"),
+      "ts", "event_type", "value", watermarkDelay = "365 days")
+    val query = out.writeStream.format("memory").queryName("bs_run")
+      .outputMode("append").start()
+    try {
+      val chunks = rows.grouped(math.max(1, rows.length / 3 + 1)).toSeq
+      chunks.foreach { c => input.addData(c.toSeq); query.processAllAvailable() }
+
+      // the LAST emission per key is the lifetime-to-date sketch
+      val streamed = spark.sql(
+        """SELECT key, sketch FROM (
+          |  SELECT key, sketch, n_updates,
+          |         row_number() OVER (PARTITION BY key ORDER BY n_updates DESC) AS rn
+          |  FROM bs_run) WHERE rn = 1""".stripMargin)
+        .collect()
+        .map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+
+      assert(streamed.keySet === batch.keySet)
+      streamed.foreach { case (k, bytes) => assertSketchEqual(bytes, batch(k), k) }
+    } finally query.stop()
+  }
+
+  test("dedupStream keeps exactly the batch-distinct set of content hashes") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = sf("sf0.001", "documents")
+      .select(F.col("doc_id"), F.col("text")).limit(200)
+      .as[(Long, String)].collect()
+    // duplicate every doc once so the stream contains real dupes
+    val rows = (docs ++ docs).zipWithIndex.map { case ((id, text), i) =>
+      (Timestamp.valueOf(f"2026-01-01 10:${i % 60}%02d:00"), id, text)
+    }
+
+    val batchHashes = docs.map(_._2).map(t =>
+      java.security.MessageDigest.getInstance("SHA-256").digest(t.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString).toSet
+
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val dd = SketchStreaming.dedupStream(
+      input.toDF().toDF("ts", "doc_id", "text"), "ts", "text", "365 days")
+    val query = dd.writeStream.format("memory").queryName("bs_dd")
+      .outputMode("append").start()
+    try {
+      input.addData(rows.toSeq)
+      query.processAllAvailable()
+      val kept = spark.sql("SELECT sha2(text, 256) AS h FROM bs_dd")
+        .as[String].collect()
+      assert(kept.length === kept.distinct.length)          // no dupes emitted
+      assert(kept.toSet === batchHashes)                    // same distinct set as batch
+    } finally query.stop()
+  }
+}
