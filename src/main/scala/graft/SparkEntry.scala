@@ -367,6 +367,26 @@ object SparkEntry {
         .orderBy("day")
     }),
 
+    // skew-resistant as-of: salted left + replicated right must give
+    // byte-identical results to q_rel_asof (same DuckDB ASOF oracle)
+    "q_rel_asof_salted" -> ((s: SparkSession, dir: String) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(F.col("event_type") === "click")
+        .select(F.col("user_id"), F.unix_millis(F.col("ts")).as("ms"))
+      val purchases = ev.filter(F.col("event_type") === "purchase")
+        .select(F.col("user_id"), F.unix_millis(F.col("ts")).as("ms"), F.col("value"))
+        .groupBy(F.col("user_id"), F.col("ms"))
+        .agg(F.max(F.col("value")).as("purchase_value"))
+      graft.operators.AsOfJoin
+        .asofJoinSalted(clicks, purchases, Seq("user_id"), "ms", "ms",
+          Seq("purchase_value"), saltBuckets = 4)
+        .groupBy(F.expr("ms div 86400000").as("day"))
+        .agg(F.count(F.lit(1)).as("clicks"),
+             F.count(F.col("purchase_value")).as("matched"),
+             F.round(F.sum(F.col("purchase_value")) * 100, 0).cast("long").as("cents"))
+        .orderBy("day")
+    }),
+
     // bounded range join: click-purchase pairs within 10 minutes per
     // user. Bucketed equi-join (keys stay small ints, x3 replication)
     // vs DuckDB's inequality-join oracle
@@ -392,6 +412,27 @@ object SparkEntry {
       graft.operators.Sessionize
         .sessionStats(ev, F.col("user_id"), F.col("ms"), 1800000L)
         .groupBy(F.col("key").as("user_id"))
+        .agg(F.count(F.lit(1)).as("n_sessions"),
+             F.sum(F.col("n_events")).as("n_events"),
+             F.max(F.col("n_events")).as("max_session_events"),
+             F.sum(F.col("span")).as("total_span_ms"))
+        .select("user_id", "n_sessions", "n_events", "max_session_events", "total_span_ms")
+        .orderBy("user_id")
+    }),
+
+    // skew-resistant sessionization: (key, time-bucket) window + summary
+    // stitch must match the single-window q_rel_session oracle exactly
+    "q_rel_session_bucketed" -> ((s: SparkSession, dir: String) => {
+      val ev = t(s, dir, "events")
+        .select(F.col("user_id"), F.unix_millis(F.col("ts")).as("ms"))
+      graft.operators.Sessionize
+        .withSessionIdBucketed(ev, F.col("user_id"), F.col("ms"),
+          maxGap = 1800000L, bucketSpan = 3600000L)
+        .filter(F.col("session_id").isNotNull)
+        .groupBy(F.col("user_id"), F.col("session_id"))
+        .agg(F.count(F.lit(1)).as("n_events"),
+             (F.max(F.col("ms")) - F.min(F.col("ms"))).as("span"))
+        .groupBy(F.col("user_id"))
         .agg(F.count(F.lit(1)).as("n_sessions"),
              F.sum(F.col("n_events")).as("n_events"),
              F.max(F.col("n_events")).as("max_session_events"),
@@ -865,6 +906,19 @@ object SparkEntry {
         |      FROM clicks c ASOF LEFT JOIN purchases p
         |        ON c.user_id = p.user_id AND c.ms >= p.ms) t
         |GROUP BY 1 ORDER BY day""".stripMargin,
+    "q_rel_asof_salted" ->
+      """WITH clicks AS (
+        |  SELECT user_id, epoch_ms(ts) AS ms FROM events WHERE event_type = 'click'),
+        |purchases AS (
+        |  SELECT user_id, epoch_ms(ts) AS ms, max(value) AS purchase_value
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT ms // 86400000 AS day, count(*) AS clicks,
+        |       count(purchase_value) AS matched,
+        |       CAST(round(sum(purchase_value) * 100, 0) AS BIGINT) AS cents
+        |FROM (SELECT c.ms, p.purchase_value
+        |      FROM clicks c ASOF LEFT JOIN purchases p
+        |        ON c.user_id = p.user_id AND c.ms >= p.ms) t
+        |GROUP BY 1 ORDER BY day""".stripMargin,
     "q_rel_range" ->
       """WITH clicks AS (
         |  SELECT user_id, epoch_ms(ts) AS ms FROM events WHERE event_type = 'click'),
@@ -877,6 +931,21 @@ object SparkEntry {
         |  ON c.user_id = p.user_id AND abs(c.ms - p.pms) <= 600000
         |GROUP BY 1 ORDER BY day""".stripMargin,
     "q_rel_session" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS ms FROM events),
+        |l AS (SELECT user_id, ms,
+        |             lag(ms) OVER (PARTITION BY user_id ORDER BY ms) AS prev FROM e),
+        |f AS (SELECT user_id, ms,
+        |             CASE WHEN prev IS NULL OR ms - prev > 1800000 THEN 1 ELSE 0 END AS ns FROM l),
+        |s AS (SELECT user_id, ms,
+        |             sum(ns) OVER (PARTITION BY user_id ORDER BY ms
+        |                           ROWS UNBOUNDED PRECEDING) AS sid FROM f),
+        |g AS (SELECT user_id, sid, count(*) AS ev, max(ms) - min(ms) AS span
+        |      FROM s GROUP BY 1, 2)
+        |SELECT user_id, count(*) AS n_sessions, CAST(sum(ev) AS BIGINT) AS n_events,
+        |       CAST(max(ev) AS BIGINT) AS max_session_events,
+        |       CAST(sum(span) AS BIGINT) AS total_span_ms
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_rel_session_bucketed" ->
       """WITH e AS (SELECT user_id, epoch_ms(ts) AS ms FROM events),
         |l AS (SELECT user_id, ms,
         |             lag(ms) OVER (PARTITION BY user_id ORDER BY ms) AS prev FROM e),

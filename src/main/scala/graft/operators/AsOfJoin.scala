@@ -87,4 +87,38 @@ object AsOfJoin {
         left.columns.map(c => F.col(s"__l.$c").as(c)).toSeq ++
           rightValues.map(c => F.col(s"__m.$c").as(c)): _*)
   }
+
+  /**
+   * Skew-resistant as-of join: the callable form of the salting escape
+   * hatch. A hot key floods a single window partition in [[asofJoin]];
+   * here the left side is split across `saltBuckets` sub-partitions
+   * (salted by a hash of the left timestamp, so the hot key's rows
+   * spread evenly) and the right side is replicated into every bucket —
+   * each bucket then holds the full right history and resolves its left
+   * rows independently. Results are identical to [[asofJoin]].
+   *
+   * Cost model: right side is written `saltBuckets` times into the one
+   * shuffle (still exactly one hash exchange — pinned by PlanShapeSpec).
+   * Use when the left side is orders of magnitude larger than the right
+   * within the skewed keys — the common telemetry shape (billions of
+   * clicks against thousands of dimension updates).
+   */
+  def asofJoinSalted(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      rightValues: Seq[String],
+      saltBuckets: Int): DataFrame = {
+    require(saltBuckets >= 2, s"saltBuckets must be >= 2, got $saltBuckets")
+    require(!left.columns.contains("__salt") && !rightValues.contains("__salt"),
+      "column name __salt is reserved by asofJoinSalted")
+    val ls = left.withColumn("__salt",
+      F.pmod(F.hash(F.col(leftTime)), F.lit(saltBuckets)))
+    val rs = right.withColumn("__salt",
+      F.explode(F.sequence(F.lit(0), F.lit(saltBuckets - 1))))
+    asofJoin(ls, rs, keys :+ "__salt", leftTime, rightTime, rightValues)
+      .drop("__salt")
+  }
 }

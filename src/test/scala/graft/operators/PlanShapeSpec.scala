@@ -40,6 +40,31 @@ class PlanShapeSpec extends SparkTestBase {
     assert(exchanges(out) === 1)
   }
 
+  test("asofJoinSalted still plans exactly one shuffle") {
+    // replicating the right side into salt buckets happens inside the
+    // union feeding the one window exchange — salting must not add a
+    // second shuffle
+    val out = AsOfJoin.asofJoinSalted(left, right, Seq("k"), "t", "t", Seq("v"), 8)
+    assert(exchanges(out) === 1)
+  }
+
+  test("withSessionIdBucketed shuffles the event-sized side exactly once") {
+    val df = Seq((1L, 10L), (1L, 20L), (2L, 5L)).toDF("u", "ts").repartition(4)
+    val out = Sessionize.withSessionIdBucketed(df, F.col("u"), F.col("ts"), 100L, 50L)
+    val plan = out.queryExecution.executedPlan.toString
+    // 3 hash exchanges total: ONE on the event-sized side feeding the
+    // (key, bucket) window — the summary groupBy reuses that
+    // partitioning — plus two on the summary-sized side (the per-key
+    // stitch window and its re-shuffle to the join keys). The summary
+    // side is O(keys x buckets) rows, not event-sized.
+    assert(exchanges(out) === 3, plan)
+    // and the stitch must not have broken the summary partition reuse:
+    // the aggregate over (key, bucket) sits directly on the window
+    // output with no exchange in between
+    val segments = plan.split("Exchange hashpartitioning")
+    assert(segments.length === 4)
+  }
+
   test("lag and running sum share one Window exec in withSessionId") {
     val df = Seq((1L, 10L), (1L, 20L)).toDF("u", "ts").repartition(4)
     val out = Sessionize.withSessionId(df, F.col("u"), F.col("ts"), 100L)
