@@ -25,6 +25,14 @@ object RangeJoin {
    * e.g. epoch milliseconds; tolerance > 0). Rows with NULL time never
    * match. `rightValues` must not collide with left column names; the
    * matched right time is exposed as `__rt` alongside them.
+   *
+   * `broadcastRight = true` hints the (bucket-replicated) right side
+   * for broadcast: the join becomes a BroadcastHashJoin and the left
+   * side is never shuffled at all — zero hash exchanges. Use for
+   * dimension-sized right inputs (the replicated side is 3x the right
+   * row count; it must fit the broadcast threshold x executor memory
+   * budget). Default keeps the shuffled join that AQE can size and
+   * skew-split.
    */
   def bandJoin(
       left: DataFrame,
@@ -33,7 +41,8 @@ object RangeJoin {
       leftTime: String,
       rightTime: String,
       tolerance: Long,
-      rightValues: Seq[String]): DataFrame = {
+      rightValues: Seq[String],
+      broadcastRight: Boolean = false): DataFrame = {
     require(keys.nonEmpty, "bandJoin requires at least one key column")
     require(tolerance > 0, s"tolerance must be positive, got $tolerance")
     val dup = (rightValues ++ Seq("__rt", "__b")).toSet.intersect(left.columns.toSet)
@@ -57,7 +66,7 @@ object RangeJoin {
         F.col("__rb") - tolerance, F.col("__rb"), F.col("__rb") + tolerance)))
       .drop("__rb")
 
-    lb.join(rb, keys :+ "__b")
+    lb.join(if (broadcastRight) F.broadcast(rb) else rb, keys :+ "__b")
       .filter(F.abs(F.col(leftTime) - F.col("__rt")) <= tolerance)
       .drop("__b")
   }

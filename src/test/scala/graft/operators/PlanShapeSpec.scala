@@ -65,6 +65,14 @@ class PlanShapeSpec extends SparkTestBase {
     assert(segments.length === 4)
   }
 
+  test("bandJoin with broadcastRight plans a broadcast join and zero hash exchanges") {
+    val out = RangeJoin.bandJoin(left, right, Seq("k"), "t", "t", 10L,
+      Seq("v"), broadcastRight = true)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(exchanges(out) === 0, plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("lag and running sum share one Window exec in withSessionId") {
     val df = Seq((1L, 10L), (1L, 20L)).toDF("u", "ts").repartition(4)
     val out = Sessionize.withSessionId(df, F.col("u"), F.col("ts"), 100L)

@@ -54,6 +54,19 @@ class SkewVariantsSpec extends SparkTestBase {
     }
   }
 
+  test("bandJoin broadcastRight equals the shuffled default on real events") {
+    val p = purchases.withColumnRenamed("ms", "pms")
+      .select("user_id", "pms", "purchase_value")
+    def run(bc: Boolean) = RangeJoin
+      .bandJoin(clicks, p, Seq("user_id"), "ms", "pms", 600000L,
+        Seq("purchase_value"), broadcastRight = bc)
+      .select("user_id", "ms", "__rt", "purchase_value")
+      .as[(Long, Long, Long, Double)].collect().sorted.toSeq
+    val shuffled = run(false)
+    assert(shuffled.nonEmpty)
+    assert(run(true) === shuffled)
+  }
+
   test("withSessionIdBucketed preserves NULL-ts and NULL-key semantics") {
     val df = Seq(
       (Option(1L), Option(10L)), (Option(1L), Option(20L)), (Option(1L), Option(500L)),
