@@ -203,6 +203,26 @@ object Bench {
         .select(B.bloom_contains(F.col("bf"), F.col("user_id")).as("hit"))
     }),
 
+    // benchmark decontamination: 8-gram overlap vs an eval-sized subset
+    "b_decontaminate" -> ((s: SparkSession, dir: String) => {
+      val docs = t(s, dir, "documents")
+      val bench = docs.filter(F.col("doc_id") % 17 === 0).select(F.col("text"))
+      graft.pipeline.Decontaminate
+        .contaminationFlags(docs, "doc_id", "text", bench, "text", n = 8)
+    }),
+
+    // sequence packing + split assignment over the corpus
+    "b_pack_split" -> ((s: SparkSession, dir: String) => {
+      val docs = graft.pipeline.Sampling.splitByHash(
+        t(s, dir, "documents"), F.col("doc_id"),
+        Seq("train" -> 0.95, "val" -> 0.05))
+      graft.pipeline.Packing
+        .packSequences(docs, F.concat(F.col("split"), F.col("source")),
+          F.col("doc_id"), F.col("n_chars"), 4096L)
+        .groupBy(F.col("split"), F.col("source"), F.col("pack_id"))
+        .agg(F.count(F.lit(1)).as("n"), F.sum(F.col("n_chars")).as("tokens"))
+    }),
+
     // normalization + deterministic stratified sampling sweep
     "b_clean_sample" -> ((s: SparkSession, dir: String) => {
       val tf = graft.pipeline.TextFunctions

@@ -601,6 +601,41 @@ object SparkEntry {
 
     // deterministic + stratified sampling: md5-prefix predicate is
     // engine-portable, so the oracle reproduces the exact sample
+    // deterministic train/val/test split: md5-range assignment, fully
+    // replicable in any engine with md5 (the oracle recomputes it)
+    "q_split" -> ((s: SparkSession, dir: String) => {
+      val docs = t(s, dir, "documents")
+      graft.pipeline.Sampling.splitByHash(docs, F.col("doc_id"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .groupBy(F.col("split"))
+        .agg(F.count(F.lit(1)).as("cnt"), F.sum(F.col("doc_id")).as("id_sum"))
+        .orderBy("split")
+    }),
+
+    // sequence packing: contiguous token-budget packs per source —
+    // window prefix sum + integer division, exactly replicated in SQL
+    "q_pack" -> ((s: SparkSession, dir: String) => {
+      val docs = t(s, dir, "documents")
+      graft.pipeline.Packing
+        .packSequences(docs, F.col("source"), F.col("doc_id"), F.col("n_chars"), 2000L)
+        .groupBy(F.col("source"), F.col("pack_id"))
+        .agg(F.count(F.lit(1)).as("docs_in_pack"),
+             F.sum(F.col("n_chars")).as("tokens"))
+        .orderBy("source", "pack_id")
+    }),
+
+    // benchmark decontamination: 5-gram overlap against an eval subset
+    // (every 17th doc) — broadcast bench n-grams, corpus scanned once
+    "q_decontaminate" -> ((s: SparkSession, dir: String) => {
+      val docs = t(s, dir, "documents")
+      val bench = docs.filter(F.col("doc_id") % 17 === 0).select(F.col("text"))
+      graft.pipeline.Decontaminate
+        .contaminationFlags(docs, "doc_id", "text", bench, "text", n = 5)
+        .agg(F.count(F.lit(1)).as("docs"),
+             F.sum(F.when(F.col("contaminated"), 1L).otherwise(0L)).as("n_contaminated"),
+             F.sum(F.col("overlap_ngrams")).as("overlap_total"))
+    }),
+
     "q_sample" -> ((s: SparkSession, dir: String) => {
       val sampling = graft.pipeline.Sampling
       val docs = t(s, dir, "documents")
@@ -1034,6 +1069,37 @@ object SparkEntry {
         |      FROM n)
         |SELECT count(*) AS kept, CAST(sum(doc_id) AS BIGINT) AS kept_id_sum
         |FROM r WHERE rn = 1""".stripMargin,
+    "q_split" ->
+      """WITH s AS (SELECT doc_id,
+        |             substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS h
+        |           FROM documents),
+        |a AS (SELECT doc_id, CASE WHEN h < 'cccd' THEN 'train'
+        |                          WHEN h < 'e666' THEN 'val'
+        |                          ELSE 'test' END AS split FROM s)
+        |SELECT split, count(*) AS cnt, CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM a GROUP BY split ORDER BY split""".stripMargin,
+    "q_pack" ->
+      """WITH w AS (SELECT source, doc_id, n_chars,
+        |             coalesce(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cs
+        |           FROM documents)
+        |SELECT source, CAST(cs // 2000 AS BIGINT) AS pack_id,
+        |       count(*) AS docs_in_pack, CAST(sum(n_chars) AS BIGINT) AS tokens
+        |FROM w GROUP BY 1, 2 ORDER BY source, pack_id""".stripMargin,
+    "q_decontaminate" ->
+      """WITH dw AS (SELECT doc_id,
+        |              list_filter(string_split_regex(lower(coalesce(text, '')), '\s+'),
+        |                          w -> len(w) > 0) AS ws
+        |            FROM documents),
+        |dg AS (SELECT DISTINCT doc_id, g FROM (
+        |         SELECT doc_id, unnest(list_transform(range(1, greatest(len(ws) - 4, 0) + 1),
+        |                  i -> array_to_string(ws[i:i+4], ' '))) AS g FROM dw)),
+        |bg AS (SELECT DISTINCT g FROM dg WHERE doc_id % 17 = 0),
+        |ov AS (SELECT doc_id, count(*) AS o FROM dg JOIN bg USING (g) GROUP BY doc_id)
+        |SELECT count(*) AS docs,
+        |       CAST(count(*) FILTER (coalesce(o, 0) >= 1) AS BIGINT) AS n_contaminated,
+        |       CAST(coalesce(sum(o), 0) AS BIGINT) AS overlap_total
+        |FROM documents LEFT JOIN ov USING (doc_id)""".stripMargin,
     "q_sample" ->
       """WITH s AS (SELECT source, doc_id,
         |             substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS h

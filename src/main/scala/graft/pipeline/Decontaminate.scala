@@ -1,0 +1,90 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{functions => F}
+
+/**
+ * Benchmark decontamination: flag training documents that share word
+ * n-grams with an evaluation/benchmark set — the standard guard
+ * against test-set leakage in training corpora (the GPT-3-style
+ * 13-gram overlap check, with n and the overlap threshold as knobs).
+ *
+ * Scale shape: the benchmark side is eval-set sized (thousands of
+ * documents) — its distinct n-grams are BROADCAST, so the corpus is
+ * scanned exactly once, exploded to distinct-per-document n-grams,
+ * and filtered by a broadcast hash join; only matching (doc, ngram)
+ * rows reach the per-document count shuffle. Nothing ever shuffles
+ * the corpus text itself.
+ *
+ * N-grams are built with native Column lambdas (codegen'd, no UDF):
+ * lowercase, split on whitespace, drop empties, join consecutive
+ * n-word windows — a construction any SQL engine reproduces exactly
+ * (the oracle does, in DuckDB).
+ */
+object Decontaminate {
+
+  /** Distinct lowercase word n-grams of `text` as an array column;
+    * empty array when the document has fewer than n words. */
+  def wordNgrams(text: Column, n: Int): Column = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val words = F.filter(
+      F.split(F.lower(F.coalesce(text, F.lit(""))), "\\s+"),
+      w => F.length(w) > 0)
+    val count = F.size(words) - (n - 1)
+    // sequence(1, 0) yields a DESCENDING [1, 0], not empty — short
+    // documents must short-circuit to an empty array explicitly
+    F.array_distinct(
+      F.when(count > 0,
+        F.transform(
+          F.sequence(F.lit(1), count),
+          i => F.array_join(F.slice(words, i, F.lit(n)), " ")))
+        .otherwise(F.typedlit(Seq.empty[String])))
+  }
+
+  /**
+   * Per-document contamination counts against a benchmark corpus:
+   * returns `docs`' id column plus `overlap_ngrams` (distinct document
+   * n-grams that appear anywhere in the benchmark) and `contaminated`
+   * (overlap >= minOverlap). Documents with NULL or sub-n-word text
+   * have zero overlap and are not contaminated.
+   */
+  def contaminationFlags(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      benchmark: DataFrame,
+      benchTextCol: String,
+      n: Int = 8,
+      minOverlap: Int = 1): DataFrame = {
+    require(minOverlap >= 1, s"minOverlap must be >= 1, got $minOverlap")
+    val benchGrams = benchmark
+      .select(F.explode(wordNgrams(F.col(benchTextCol), n)).as("__g"))
+      .distinct()
+    val docGrams = docs.select(F.col(idCol),
+      F.explode(wordNgrams(F.col(textCol), n)).as("__g"))
+    val overlaps = docGrams
+      .join(F.broadcast(benchGrams), "__g")
+      .groupBy(F.col(idCol))
+      .agg(F.count(F.lit(1)).as("overlap_ngrams"))
+    docs.select(F.col(idCol))
+      .join(overlaps, Seq(idCol), "left")
+      .select(F.col(idCol),
+        F.coalesce(F.col("overlap_ngrams"), F.lit(0L)).as("overlap_ngrams"),
+        (F.coalesce(F.col("overlap_ngrams"), F.lit(0L)) >= minOverlap).as("contaminated"))
+  }
+
+  /** Drop contaminated documents (anti-join on the flags). */
+  def dropContaminated(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      benchmark: DataFrame,
+      benchTextCol: String,
+      n: Int = 8,
+      minOverlap: Int = 1): DataFrame = {
+    val bad = contaminationFlags(docs, idCol, textCol, benchmark, benchTextCol, n, minOverlap)
+      .filter(F.col("contaminated"))
+      .select(F.col(idCol))
+    docs.join(bad, Seq(idCol), "left_anti")
+  }
+}

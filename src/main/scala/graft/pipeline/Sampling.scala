@@ -55,6 +55,46 @@ object Sampling {
   }
 
   /**
+   * Deterministic train/val/test split: assigns every key to EXACTLY
+   * one named split by consecutive md5-prefix ranges — the partition
+   * counterpart of [[deterministicSample]] (and equally
+   * engine-portable: any SQL with md5 reproduces the assignment).
+   * All rows of one key land in the same split; fractions must sum to
+   * <= 1 and any remainder maps to `otherName`. Shuffle-free: the
+   * assignment is a pure projection that runs inside the scan
+   * pipeline, so splitting 100 TB costs one column.
+   */
+  def splitColumn(
+      key: Column,
+      splits: Seq[(String, Double)],
+      otherName: String = "rest"): Column = {
+    require(splits.nonEmpty, "splitColumn requires at least one split")
+    require(splits.map(_._2).forall(f => f >= 0.0 && f <= 1.0),
+      s"split fractions out of range: $splits")
+    require(splits.map(_._2).sum <= 1.0 + 1e-9,
+      s"split fractions sum to ${splits.map(_._2).sum} > 1")
+    val hex = F.substring(F.md5(key.cast("string")), 1, 4)
+    // consecutive half-open ranges [hex(c_{i-1}), hex(c_i)) over the
+    // cumulative fractions — same rounding as thresholdHex so a
+    // 2-way split at f is exactly deterministicSample(f) + complement
+    val bounds = splits.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
+    val cases = splits.map(_._1).zip(bounds.map(thresholdHex))
+    cases.reverse.foldLeft(F.lit(otherName)) {
+      case (acc, (name, bound)) =>
+        F.when(hex < F.lit(bound), F.lit(name)).otherwise(acc)
+    }
+  }
+
+  /** [[splitColumn]] applied: adds `splitCol` (default "split"). */
+  def splitByHash(
+      df: DataFrame,
+      key: Column,
+      splits: Seq[(String, Double)],
+      splitColName: String = "split",
+      otherName: String = "rest"): DataFrame =
+    df.withColumn(splitColName, splitColumn(key, splits, otherName))
+
+  /**
    * Stratified deterministic sample: per-stratum fractions, with
    * `defaultFraction` for strata not in the map. Same md5 predicate,
    * just a per-stratum threshold — still shuffle-free.

@@ -1,0 +1,153 @@
+package graft.pipeline
+
+import graft.SparkTestBase
+import org.apache.spark.sql.{functions => F}
+
+class CurationSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // ------------------------------------------------------- hash split
+
+  test("splitByHash assigns every key to exactly one split, stable and exhaustive") {
+    val df = spark.range(20000).toDF("id")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val out = Sampling.splitByHash(df, F.col("id"), splits)
+    val counts = out.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(counts.keySet === Set("train", "val", "test"))   // fractions sum to 1: no "rest"
+    assert(counts.values.sum === 20000L)
+    assert(math.abs(counts("train") - 16000L) < 500)
+    assert(math.abs(counts("val") - 2000L) < 300)
+    assert(math.abs(counts("test") - 2000L) < 300)
+    // deterministic: same assignment on re-evaluation and re-partitioning
+    val again = Sampling.splitByHash(df.repartition(7), F.col("id"), splits)
+      .as[(Long, String)].collect().toMap
+    val first = out.as[(Long, String)].collect().toMap
+    assert(again === first)
+  }
+
+  test("splitByHash train split matches deterministicSample at the same fraction") {
+    val df = spark.range(5000).toDF("id")
+    val sampled = Sampling.deterministicSample(df, F.col("id"), 0.3)
+      .as[Long].collect().toSet
+    val train = Sampling.splitByHash(df, F.col("id"), Seq("a" -> 0.3, "b" -> 0.7))
+      .filter($"split" === "a").select("id").as[Long].collect().toSet
+    assert(train === sampled)
+  }
+
+  test("splitByHash remainder falls into otherName") {
+    val df = spark.range(2000).toDF("id")
+    val out = Sampling.splitByHash(df, F.col("id"), Seq("train" -> 0.5), otherName = "holdout")
+    val counts = out.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(counts.keySet === Set("train", "holdout"))
+    assert(counts.values.sum === 2000L)
+  }
+
+  // ---------------------------------------------------------- packing
+
+  test("packSequences cuts contiguous budget-bounded packs in order") {
+    val docs = Seq(
+      ("s", 1L, 40L), ("s", 2L, 40L), ("s", 3L, 40L),   // pack 0: 40+40 cum, 3rd starts at 80
+      ("s", 4L, 40L), ("s", 5L, 40L),
+      ("t", 1L, 250L),                                   // oversize: own packs, next doc skips
+      ("t", 2L, 10L))
+      .toDF("src", "id", "tokens").repartition(3)
+    val out = Packing.packSequences(docs, F.col("src"), F.col("id"), F.col("tokens"), 100L)
+      .select("src", "id", "pack_id", "pack_pos")
+      .as[(String, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    val s = out.filter(_._1 == "s").map(r => (r._3, r._4))
+    // cumsums before: 0,40,80,120,160 -> packs 0,0,0,1,1
+    assert(s.toSeq === Seq((0L, 0L), (0L, 1L), (0L, 2L), (1L, 0L), (1L, 1L)))
+    val tpacks = out.filter(_._1 == "t").map(r => (r._2, r._3, r._4))
+    // t1 starts at 0 -> pack 0; t2 starts at 250 -> pack 2 (pack 1 skipped)
+    assert(tpacks.toSeq === Seq((1L, 0L, 0L), (2L, 2L, 0L)))
+  }
+
+  test("packSequences NULL tokens get NULL pack and consume no budget") {
+    val docs = Seq(
+      (1L, Option(60L)), (2L, Option.empty[Long]), (3L, Option(60L)))
+      .toDF("id", "tokens")
+    val out = Packing.packSequences(docs, F.lit("x"), F.col("id"), F.col("tokens"), 100L)
+      .select("id", "pack_id").as[(Long, Option[Long])].collect().toMap
+    assert(out(1L) === Some(0L))
+    assert(out(2L) === None)
+    assert(out(3L) === Some(0L))   // cumsum before = 60, not 120
+  }
+
+  test("packSequences on real documents: every non-final pack is near budget") {
+    val docs = sf("sf0.001", "documents")
+    val budget = 2000L
+    val out = Packing.packSequences(docs, F.col("source"), F.col("doc_id"),
+        F.col("n_chars"), budget)
+      .groupBy("source", "pack_id")
+      .agg(F.sum("n_chars").as("total"), F.count(F.lit(1)).as("n"))
+    val maxDoc = docs.agg(F.max("n_chars")).as[Long].head()
+    val lastPacks = out.groupBy("source").agg(F.max("pack_id").as("last"))
+    val nonFinal = out.join(lastPacks, "source")
+      .filter(F.col("pack_id") =!= F.col("last"))
+      .select("total").as[Long].collect()
+    assert(nonFinal.nonEmpty)
+    nonFinal.foreach(t => assert(t >= budget - maxDoc && t <= budget + maxDoc))
+  }
+
+  // --------------------------------------------------- decontamination
+
+  test("wordNgrams builds distinct lowercase n-grams, empty for short/NULL docs") {
+    val df = Seq(
+      (1L, "The quick brown fox the QUICK brown"),
+      (2L, "two words"),
+      (3L, null.asInstanceOf[String]),
+      (4L, "   "))
+      .toDF("id", "text")
+    val out = df.select($"id", Decontaminate.wordNgrams($"text", 3).as("g"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(out(1L).toSet === Set(
+      "the quick brown", "quick brown fox", "brown fox the", "fox the quick"))
+    assert(out(1L).length === 4)   // "the quick brown" deduped
+    assert(out(2L) === Seq.empty)
+    assert(out(3L) === Seq.empty)
+    assert(out(4L) === Seq.empty)
+  }
+
+  test("contaminationFlags counts benchmark overlaps and dropContaminated removes them") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),      // contains bench 3-grams
+      (2L, "completely unrelated text here now"),
+      (3L, "alpha beta gamma unrelated tail"),     // one overlapping 3-gram
+      (4L, "xx"))                                  // too short
+      .toDF("doc_id", "text")
+    val bench = Seq("ALPHA beta GAMMA delta prompt").toDF("text")
+    val flags = Decontaminate
+      .contaminationFlags(docs, "doc_id", "text", bench, "text", n = 3)
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // bench 3-grams: {alpha beta gamma, beta gamma delta, gamma delta prompt}
+    assert(flags(1L) === ((2L, true)))
+    assert(flags(2L) === ((0L, false)))
+    assert(flags(3L) === ((1L, true)))
+    assert(flags(4L) === ((0L, false)))
+
+    val kept = Decontaminate
+      .dropContaminated(docs, "doc_id", "text", bench, "text", n = 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(2L, 4L))
+
+    // minOverlap raises the bar
+    val strict = Decontaminate
+      .contaminationFlags(docs, "doc_id", "text", bench, "text", n = 3, minOverlap = 2)
+      .filter($"contaminated").select("doc_id").as[Long].collect().toSet
+    assert(strict === Set(1L))
+  }
+
+  test("contaminationFlags is a broadcast join over the corpus (no corpus-text shuffle)") {
+    val docs = sf("sf0.001", "documents")
+    val bench = docs.filter(F.col("doc_id") % 17 === 0).select(F.col("text"))
+    val flags = Decontaminate.contaminationFlags(docs, "doc_id", "text", bench, "text", n = 5)
+    val plan = flags.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // benchmark docs are in the corpus: every one must self-flag
+    val benchIds = docs.filter(F.col("doc_id") % 17 === 0)
+      .filter(F.size(Decontaminate.wordNgrams(F.col("text"), 5)) > 0)
+      .select("doc_id").as[Long].collect().toSet
+    val flagged = flags.filter($"contaminated").select("doc_id").as[Long].collect().toSet
+    assert(benchIds.subsetOf(flagged))
+  }
+}
