@@ -601,6 +601,26 @@ object SparkEntry {
 
     // deterministic + stratified sampling: md5-prefix predicate is
     // engine-portable, so the oracle reproduces the exact sample
+    // Gopher-style repetition filter: repeated-3-gram fraction per doc.
+    // Counts are exact BIGINTs; the >0.3 threshold compares doubles the
+    // oracle derives from the SAME integer inputs with the SAME IEEE
+    // ops, so the flag is deterministic cross-engine
+    "q_text_repetition" -> ((s: SparkSession, dir: String) => {
+      val tf = graft.pipeline.TextFunctions
+      val all = tf.allWordNgrams(F.col("text"), 3)
+      t(s, dir, "documents")
+        .select(F.col("source"),
+          F.size(F.array_distinct(all)).cast("long").as("d"),
+          F.size(all).cast("long").as("tt"),
+          tf.repetitionScore(F.col("text"), 3).as("rep"))
+        .groupBy(F.col("source"))
+        .agg(F.count(F.lit(1)).as("docs"),
+             F.sum(F.col("d")).as("distinct_grams"),
+             F.sum(F.col("tt")).as("total_grams"),
+             F.sum(F.when(F.col("rep") > 0.3, 1L).otherwise(0L)).as("high_rep"))
+        .orderBy("source")
+    }),
+
     // deterministic train/val/test split: md5-range assignment, fully
     // replicable in any engine with md5 (the oracle recomputes it)
     "q_split" -> ((s: SparkSession, dir: String) => {
@@ -1069,6 +1089,27 @@ object SparkEntry {
         |      FROM n)
         |SELECT count(*) AS kept, CAST(sum(doc_id) AS BIGINT) AS kept_id_sum
         |FROM r WHERE rn = 1""".stripMargin,
+    "q_text_repetition" ->
+      """WITH dw AS (SELECT source,
+        |              list_filter(string_split_regex(lower(coalesce(text, '')), '\s+'),
+        |                          w -> len(w) > 0) AS ws
+        |            FROM documents),
+        |g AS (SELECT source,
+        |        CASE WHEN len(ws) >= 3
+        |             THEN list_transform(range(1, len(ws) - 1),
+        |                                 i -> array_to_string(ws[i:i+2], ' '))
+        |             ELSE [] END AS gs
+        |      FROM dw),
+        |m AS (SELECT source, len(list_distinct(gs)) AS d, len(gs) AS tt,
+        |             CASE WHEN len(gs) > 0
+        |                  THEN 1.0 - CAST(len(list_distinct(gs)) AS DOUBLE) / CAST(len(gs) AS DOUBLE)
+        |                  ELSE 0.0 END AS rep
+        |      FROM g)
+        |SELECT source, count(*) AS docs,
+        |       CAST(sum(d) AS BIGINT) AS distinct_grams,
+        |       CAST(sum(tt) AS BIGINT) AS total_grams,
+        |       CAST(count(*) FILTER (rep > 0.3) AS BIGINT) AS high_rep
+        |FROM m GROUP BY source ORDER BY source""".stripMargin,
     "q_split" ->
       """WITH s AS (SELECT doc_id,
         |             substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS h

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.{functions => F}
 
@@ -252,10 +252,37 @@ object Similarity {
   }
 
   /** A built IVF index: trained centroids plus the cell-assigned corpus
-    * (`neighbor_id`, `__cv`, `__cell`) — persist the DataFrame (e.g.
-    * parquet partitioned by `__cell`) and reuse it across query
-    * batches; the indexing pass is one-off at corpus scale. */
-  final case class IvfIndex(centroids: Array[Array[Float]], assigned: DataFrame)
+    * (`neighbor_id`, `__cv`, `__cell`) — [[IvfIndex.save]] persists it
+    * and [[Similarity.loadIvfIndex]] reloads it, so the one-off
+    * indexing pass is reused across sessions and query batches. */
+  final case class IvfIndex(centroids: Array[Array[Float]], assigned: DataFrame) {
+    /** Persist to `path`: the assignment as parquet PARTITIONED BY cell
+      * (a query batch with nprobe cells then partition-prunes its scan
+      * to nprobe/nlist of the index files) plus the nlist centroid rows
+      * as a side parquet. */
+    def save(path: String): Unit = {
+      val spark = assigned.sparkSession
+      import spark.implicits._
+      assigned.write.partitionBy("__cell").mode("overwrite")
+        .parquet(s"$path/assigned")
+      centroids.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
+        .toDF("cell", "centroid")
+        .repartition(1)
+        .write.mode("overwrite").parquet(s"$path/centroids")
+    }
+  }
+
+  /** Reload an index written by [[IvfIndex.save]]. */
+  def loadIvfIndex(spark: SparkSession, path: String): IvfIndex = {
+    import spark.implicits._
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .orderBy("cell").select("centroid").as[Array[Float]].collect()
+    // partition column comes back as its own column; restore the int type
+    val assigned = spark.read.parquet(s"$path/assigned")
+      .withColumn("__cell", F.col("__cell").cast("int"))
+      .select("neighbor_id", "__cv", "__cell")
+    IvfIndex(centroids, assigned)
+  }
 
   /** One-off IVF indexing pass: train k-means centroids, assign every
     * corpus vector to its nearest cell. */

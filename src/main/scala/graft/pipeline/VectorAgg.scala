@@ -133,11 +133,17 @@ object VectorAgg {
     GraftBridge.column(
       VecSumAggExpr(GraftBridge.expression(vec)).toAggregateExpression())
 
-  /** SQL registration (also done by Graft.register). */
-  def register(spark: SparkSession): Unit =
-    GraftBridge.registerFunction(spark, "vec_sum", {
+  /** Every vector-agg function as an expression builder. */
+  private[graft] def allBuilders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "vec_sum" -> {
       case Seq(v) => VecSumAggExpr(v)
       case other => throw new IllegalArgumentException(
         s"vec_sum expects 1 argument, got ${other.size}")
     })
+
+  /** SQL registration (also done by Graft.register). */
+  def register(spark: SparkSession): Unit =
+    allBuilders.foreach { case (name, builder) =>
+      GraftBridge.registerFunction(spark, name, builder)
+    }
 }

@@ -139,9 +139,10 @@ object bloom {
     containsHashedUdf(sketch,
       GraftBridge.column(hashed(GraftBridge.expression(value))))
 
-  /** SQL registration (also done by Graft.register). */
-  def register(spark: SparkSession): Unit = {
-    GraftBridge.registerFunction(spark, "bloom_agg", {
+  /** Every bloom function as an expression builder — shared by the
+    * per-session registration and the extensions path. */
+  private[graft] def allBuilders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "bloom_agg" -> {
       case Seq(v) => BloomAggExpr(hashed(v))
       case Seq(v, items) =>
         BloomAggExpr(hashed(v), ArgEval.positiveInt(items, "bloom_agg items").toLong)
@@ -152,13 +153,18 @@ object bloom {
       case other =>
         throw new IllegalArgumentException(
           s"bloom_agg expects 1-3 arguments, got ${other.size}")
-    })
-    GraftBridge.registerFunction(spark, "bloom_contains", {
+    },
+    "bloom_contains" -> {
       case Seq(b, v) =>
         GraftBridge.udfExpression(containsHashedUdf, Seq(b, hashed(v)))
       case other =>
         throw new IllegalArgumentException(
           s"bloom_contains expects 2 arguments, got ${other.size}")
     })
-  }
+
+  /** SQL registration (also done by Graft.register). */
+  def register(spark: SparkSession): Unit =
+    allBuilders.foreach { case (name, builder) =>
+      GraftBridge.registerFunction(spark, name, builder)
+    }
 }

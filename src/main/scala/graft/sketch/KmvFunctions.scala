@@ -118,6 +118,22 @@ object kmv {
   def kmv_containment(a: Column, b: Column): Column = containmentUdf(a, b)
   def kmv_merge(a: Column, b: Column): Column = mergeUdf(a, b)
 
+  private def aggBuilder: Seq[Expression] => Expression = {
+    case Seq(v) => KmvAggExpr(hashed(v))
+    case Seq(v, kExpr) => KmvAggExpr(hashed(v), ArgEval.positiveInt(kExpr, "kmv_agg k"))
+    case other =>
+      throw new IllegalArgumentException(
+        s"kmv_agg expects 1 or 2 arguments, got ${other.size}")
+  }
+
+  /** Every kmv function as an expression builder (extensions path). */
+  private[graft] def allBuilders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "kmv_agg" -> aggBuilder,
+    "kmv_distinct" -> (es => GraftBridge.udfExpression(distinctUdf, es)),
+    "kmv_jaccard" -> (es => GraftBridge.udfExpression(jaccardUdf, es)),
+    "kmv_containment" -> (es => GraftBridge.udfExpression(containmentUdf, es)),
+    "kmv_merge" -> (es => GraftBridge.udfExpression(mergeUdf, es)))
+
   /** SQL registration (also done by Graft.register). */
   def register(spark: SparkSession): Unit = {
     val u = spark.udf
@@ -125,12 +141,6 @@ object kmv {
     u.register("kmv_jaccard", jaccardUdf)
     u.register("kmv_containment", containmentUdf)
     u.register("kmv_merge", mergeUdf)
-    GraftBridge.registerFunction(spark, "kmv_agg", {
-      case Seq(v) => KmvAggExpr(hashed(v))
-      case Seq(v, kExpr) => KmvAggExpr(hashed(v), ArgEval.positiveInt(kExpr, "kmv_agg k"))
-      case other =>
-        throw new IllegalArgumentException(
-          s"kmv_agg expects 1 or 2 arguments, got ${other.size}")
-    })
+    GraftBridge.registerFunction(spark, "kmv_agg", aggBuilder)
   }
 }

@@ -126,15 +126,23 @@ object topk {
 
   def topk_merge(a: Column, b: Column): Column = mergeUdf(a, b)
 
+  private def aggBuilder: Seq[Expression] => Expression = {
+    case Seq(v) => TopKAggExpr(v)
+    case Seq(v, cap) => TopKAggExpr(v, ArgEval.positiveInt(cap, "topk_agg capacity"))
+    case other =>
+      throw new IllegalArgumentException(
+        s"topk_agg expects 1 or 2 arguments, got ${other.size}")
+  }
+
+  /** Every topk function as an expression builder (extensions path). */
+  private[graft] def allBuilders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "topk_agg" -> aggBuilder,
+    "topk_items" -> (es => GraftBridge.udfExpression(itemsUdf, es)),
+    "topk_merge" -> (es => GraftBridge.udfExpression(mergeUdf, es)))
+
   def register(spark: SparkSession): Unit = {
     spark.udf.register("topk_items", itemsUdf)
     spark.udf.register("topk_merge", mergeUdf)
-    GraftBridge.registerFunction(spark, "topk_agg", {
-      case Seq(v) => TopKAggExpr(v)
-      case Seq(v, cap) => TopKAggExpr(v, ArgEval.positiveInt(cap, "topk_agg capacity"))
-      case other =>
-        throw new IllegalArgumentException(
-          s"topk_agg expects 1 or 2 arguments, got ${other.size}")
-    })
+    GraftBridge.registerFunction(spark, "topk_agg", aggBuilder)
   }
 }

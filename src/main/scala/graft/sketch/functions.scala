@@ -177,81 +177,109 @@ object functions {
 
 /** SQL-name registration so every function is usable from `spark.sql`. */
 object Graft {
-  /** Idempotent; call once per SparkSession. */
+
+  import org.apache.spark.sql.catalyst.expressions.Cast
+  import org.apache.spark.sql.types.{DoubleType, NumericType}
+
+  // numeric args get an explicit cast: SQL literals arrive as
+  // Decimal/Integer and, unlike UDFs, bare expressions receive no
+  // implicit coercion from the analyzer
+  private def toDouble(e: Expression): Expression = e.dataType match {
+    case DoubleType => e
+    case _: NumericType => Cast(e, DoubleType)
+    case _ => e // let checkInputDataTypes report it
+  }
+
+  // SQL accuracy literals arrive as DecimalType: evaluate through a
+  // cast; NULL / non-numeric / out-of-range fall back to the default
+  // accuracy, matching the reference's lenient parameter parsing
+  // (reference lib.rs:72-77)
+  private def evalDouble(e: Expression): Double = {
+    val v: Any = e.dataType match {
+      case _: NumericType => toDouble(e).eval(null)
+      case _ => null
+    }
+    v match {
+      case d: java.lang.Double if d > 0.0 && d < 1.0 => d.doubleValue()
+      case _ => DDSketch.DefaultRelativeAccuracy
+    }
+  }
+
+  /** Expression builders for every sketch SQL function — shared by the
+    * per-session [[register]] path and the [[graft.GraftExtensions]]
+    * `spark.sql.extensions` injection path. */
+  private[graft] def expressionBuilders: Seq[(String, Seq[Expression] => Expression)] = {
+    def unary(name: String, f: Expression => Expression): (String, Seq[Expression] => Expression) =
+      name -> (exprs => f(exprs.head))
+    Seq(
+      "ddsketch_create" -> ((exprs: Seq[Expression]) => DDSketchCreateExpr(toDouble(exprs.head))),
+      unary("ddsketch_count", DDSketchCountExpr),
+      unary("ddsketch_min", DDSketchMinExpr),
+      unary("ddsketch_max", DDSketchMaxExpr),
+      unary("ddsketch_sum", DDSketchSumExpr),
+      unary("ddsketch_avg", DDSketchAvgExpr),
+      "ddsketch_add" -> ((exprs: Seq[Expression]) =>
+        DDSketchAddExpr(exprs.head, toDouble(exprs(1)))),
+      "ddsketch_add_weighted" -> ((exprs: Seq[Expression]) =>
+        DDSketchAddWeightedExpr(exprs.head, toDouble(exprs(1)), toDouble(exprs(2)))),
+      "ddsketch_merge" -> ((exprs: Seq[Expression]) =>
+        DDSketchMergeExpr(exprs.head, exprs(1))),
+      "ddsketch_quantile" -> ((exprs: Seq[Expression]) =>
+        DDSketchQuantileExpr(exprs.head, toDouble(exprs(1)))),
+      "ddsketch_cdf" -> ((exprs: Seq[Expression]) =>
+        DDSketchCdfExpr(exprs.head, toDouble(exprs(1)))),
+      // native aggregate expressions (analyzer wraps bare AggregateFunctions)
+      "ddsketch_stats_agg" -> ((exprs: Seq[Expression]) => DDSketchStatsAggExpr(exprs.head)),
+      "ddsketch_stats_agg_values" -> { (exprs: Seq[Expression]) => exprs match {
+        case Seq(v) => DDSketchStatsValuesAggExpr(toDouble(v))
+        case Seq(v, acc) => DDSketchStatsValuesAggExpr(toDouble(v), evalDouble(acc))
+        case other =>
+          throw new IllegalArgumentException(
+            s"ddsketch_stats_agg_values expects 1 or 2 arguments, got ${other.size}")
+      }},
+      "ddsketch_agg" -> ((exprs: Seq[Expression]) => DDSketchMergeAggExpr(exprs.head)),
+      "ddsketch_agg_weighted" -> { (exprs: Seq[Expression]) => exprs match {
+        case Seq(v, c) => DDSketchAggWeightedExpr(toDouble(v), toDouble(c))
+        case Seq(v, c, acc) => DDSketchAggWeightedExpr(toDouble(v), toDouble(c), evalDouble(acc))
+        case other =>
+          throw new IllegalArgumentException(
+            s"ddsketch_agg_weighted expects 2 or 3 arguments, got ${other.size}")
+      }},
+      "ddsketch_agg_values" -> { (exprs: Seq[Expression]) => exprs match {
+        case Seq(v) => DDSketchAggValuesExpr(toDouble(v))
+        case Seq(v, acc) => DDSketchAggValuesExpr(toDouble(v), evalDouble(acc))
+        case other =>
+          throw new IllegalArgumentException(
+            s"ddsketch_agg_values expects 1 or 2 arguments, got ${other.size}")
+      }})
+  }
+
+  /** EVERY graft SQL function as an expression builder (UDF-backed ones
+    * wrapped through GraftBridge.udfExpression) — the complete set the
+    * extensions path injects. */
+  private[graft] def allFunctionBuilders: Seq[(String, Seq[Expression] => Expression)] = {
+    import org.apache.spark.sql.GraftBridge
+    def viaUdf(name: String, u: org.apache.spark.sql.expressions.UserDefinedFunction)
+        : (String, Seq[Expression] => Expression) =
+      name -> ((exprs: Seq[Expression]) => GraftBridge.udfExpression(u, exprs))
+    expressionBuilders ++
+      Seq(viaUdf("ddsketch_stats", functions.statsUdf)) ++
+      kmv.allBuilders ++ topk.allBuilders ++ bloom.allBuilders ++
+      graft.pipeline.VectorAgg.allBuilders
+  }
+
+  /** Idempotent; call once per SparkSession. (Sessions built with
+    * `spark.sql.extensions=graft.GraftExtensions` need no call at all.) */
   def register(spark: SparkSession): Unit = {
     // optimizer rules (idempotent: extraOptimizations is replaced, not appended)
     spark.experimental.extraOptimizations =
       (spark.experimental.extraOptimizations.filterNot(
         _ eq graft.plans.MultiQuantileFusion) :+ graft.plans.MultiQuantileFusion)
-    val u = spark.udf
-    u.register("ddsketch_stats", functions.statsUdf)
+    // UDF-backed scalars go through spark.udf so they keep analyzer
+    // input coercion; expression builders cast explicitly instead
+    spark.udf.register("ddsketch_stats", functions.statsUdf)
     import org.apache.spark.sql.GraftBridge.{registerFunction => reg}
-    import org.apache.spark.sql.catalyst.expressions.Cast
-    import org.apache.spark.sql.types.{DoubleType, NumericType}
-    // numeric args get an explicit cast: SQL literals arrive as
-    // Decimal/Integer and, unlike UDFs, bare expressions receive no
-    // implicit coercion from the analyzer
-    def toDouble(e: Expression): Expression = e.dataType match {
-      case DoubleType => e
-      case _: NumericType => Cast(e, DoubleType)
-      case _ => e // let checkInputDataTypes report it
-    }
-    // SQL accuracy literals arrive as DecimalType: evaluate through a
-    // cast; NULL / non-numeric / out-of-range fall back to the default
-    // accuracy, matching the reference's lenient parameter parsing
-    // (reference lib.rs:72-77)
-    def evalDouble(e: Expression): Double = {
-      val v: Any = e.dataType match {
-        case _: NumericType => toDouble(e).eval(null)
-        case _ => null
-      }
-      v match {
-        case d: java.lang.Double if d > 0.0 && d < 1.0 => d.doubleValue()
-        case _ => DDSketch.DefaultRelativeAccuracy
-      }
-    }
-    def unary(name: String, f: Expression => Expression): Unit =
-      reg(spark, name, exprs => f(exprs.head))
-    reg(spark, "ddsketch_create", exprs => DDSketchCreateExpr(toDouble(exprs.head)))
-    unary("ddsketch_count", DDSketchCountExpr)
-    unary("ddsketch_min", DDSketchMinExpr)
-    unary("ddsketch_max", DDSketchMaxExpr)
-    unary("ddsketch_sum", DDSketchSumExpr)
-    unary("ddsketch_avg", DDSketchAvgExpr)
-    reg(spark, "ddsketch_add",
-      exprs => DDSketchAddExpr(exprs.head, toDouble(exprs(1))))
-    reg(spark, "ddsketch_add_weighted",
-      exprs => DDSketchAddWeightedExpr(exprs.head, toDouble(exprs(1)), toDouble(exprs(2))))
-    reg(spark, "ddsketch_merge",
-      exprs => DDSketchMergeExpr(exprs.head, exprs(1)))
-    reg(spark, "ddsketch_quantile",
-      exprs => DDSketchQuantileExpr(exprs.head, toDouble(exprs(1))))
-    reg(spark, "ddsketch_cdf",
-      exprs => DDSketchCdfExpr(exprs.head, toDouble(exprs(1))))
-    // native aggregate expressions (analyzer wraps bare AggregateFunctions)
-    reg(spark, "ddsketch_stats_agg", exprs => DDSketchStatsAggExpr(exprs.head))
-    reg(spark, "ddsketch_stats_agg_values", {
-      case Seq(v) => DDSketchStatsValuesAggExpr(toDouble(v))
-      case Seq(v, acc) => DDSketchStatsValuesAggExpr(toDouble(v), evalDouble(acc))
-      case other =>
-        throw new IllegalArgumentException(
-          s"ddsketch_stats_agg_values expects 1 or 2 arguments, got ${other.size}")
-    })
-    reg(spark, "ddsketch_agg", exprs => DDSketchMergeAggExpr(exprs.head))
-    reg(spark, "ddsketch_agg_weighted", {
-      case Seq(v, c) => DDSketchAggWeightedExpr(toDouble(v), toDouble(c))
-      case Seq(v, c, acc) => DDSketchAggWeightedExpr(toDouble(v), toDouble(c), evalDouble(acc))
-      case other =>
-        throw new IllegalArgumentException(
-          s"ddsketch_agg_weighted expects 2 or 3 arguments, got ${other.size}")
-    })
-    reg(spark, "ddsketch_agg_values", {
-      case Seq(v) => DDSketchAggValuesExpr(toDouble(v))
-      case Seq(v, acc) => DDSketchAggValuesExpr(toDouble(v), evalDouble(acc))
-      case other =>
-        throw new IllegalArgumentException(
-          s"ddsketch_agg_values expects 1 or 2 arguments, got ${other.size}")
-    })
+    expressionBuilders.foreach { case (name, builder) => reg(spark, name, builder) }
     kmv.register(spark)
     topk.register(spark)
     bloom.register(spark)

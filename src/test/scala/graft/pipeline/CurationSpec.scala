@@ -89,6 +89,25 @@ class CurationSpec extends SparkTestBase {
     nonFinal.foreach(t => assert(t >= budget - maxDoc && t <= budget + maxDoc))
   }
 
+  // ------------------------------------------------------- repetition
+
+  test("repetitionScore measures the repeated-n-gram fraction") {
+    val df = Seq(
+      (1L, "spam spam spam spam spam spam"),   // 5 bigrams, 1 distinct -> 0.8
+      (2L, "the quick brown fox jumps high"),  // all distinct -> 0.0
+      (3L, "one two"),                         // single bigram -> 0.0
+      (4L, null.asInstanceOf[String]),
+      (5L, "ha"))                              // < n words -> 0.0
+      .toDF("id", "text")
+    val out = df.select($"id", TextFunctions.repetitionScore($"text", 2).as("r"))
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs(out(1L) - 0.8) < 1e-12)
+    assert(out(2L) === 0.0)
+    assert(out(3L) === 0.0)
+    assert(out(4L) === 0.0)
+    assert(out(5L) === 0.0)
+  }
+
   // --------------------------------------------------- decontamination
 
   test("wordNgrams builds distinct lowercase n-grams, empty for short/NULL docs") {

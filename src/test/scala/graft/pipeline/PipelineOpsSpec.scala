@@ -59,6 +59,23 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(indexed.nonEmpty)
   }
 
+  test("IvfIndex save/load roundtrip preserves centroids and query results") {
+    val emb = sf("sf0.001", "embeddings")
+    val queries = emb.filter(F.col("vec_id") < 3)
+    val idx = Similarity.buildIvfIndex(emb, "vec_id", "embedding", nlist = 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    idx.save(dir)
+    val loaded = Similarity.loadIvfIndex(spark, dir)
+    assert(loaded.centroids.map(_.toSeq).toSeq === idx.centroids.map(_.toSeq).toSeq)
+    def res(i: Similarity.IvfIndex) = Similarity
+      .ivfTopKIndexed(i, queries, "vec_id", "embedding", 5, nprobe = 3)
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Int, Long)].collect().toSet
+    val fromMem = res(idx)
+    assert(fromMem.nonEmpty)
+    assert(res(loaded) === fromMem)
+  }
+
   // --------------------------------------------- canonical selection
 
   test("keepCanonical keeps the best row per group with deterministic ties") {
