@@ -601,6 +601,42 @@ object SparkEntry {
 
     // deterministic + stratified sampling: md5-prefix predicate is
     // engine-portable, so the oracle reproduces the exact sample
+    // PII scrubbing over the corpus with deterministically injected PII
+    // (both engines build the same augmented text, then scrub/count)
+    "q_scrub" -> ((s: SparkSession, dir: String) => {
+      val scrub = graft.pipeline.Scrub
+      val injected = F.concat(F.col("text"),
+        F.when(F.col("doc_id") % 5 === 0,
+            F.concat(F.lit(" contact user"), F.col("doc_id").cast("string"),
+              F.lit("@example.com")))
+          .when(F.col("doc_id") % 5 === 1, F.lit(" from 10.2.30.4"))
+          .when(F.col("doc_id") % 5 === 2, F.lit(" call 555-867-5309"))
+          .otherwise(F.lit("")))
+      t(s, dir, "documents")
+        .select(F.col("source"), scrub.piiCounts(injected).as("p"),
+          F.length(scrub.scrubPii(injected)).cast("long").as("slen"))
+        .groupBy(F.col("source"))
+        .agg(F.count(F.lit(1)).as("docs"),
+             F.sum(F.col("p.emails").cast("long")).as("emails"),
+             F.sum(F.col("p.ips").cast("long")).as("ips"),
+             F.sum(F.col("p.phones").cast("long")).as("phones"),
+             F.sum(F.col("slen")).as("scrubbed_len"))
+        .orderBy("source")
+    }),
+
+    // context-window chunking: 40-word chunks, 8-word overlap —
+    // bounded explode, exact integer footprint per source
+    "q_chunk" -> ((s: SparkSession, dir: String) => {
+      graft.pipeline.Scrub
+        .chunkWords(t(s, dir, "documents"), F.col("text"), 40, 8)
+        .groupBy(F.col("source"))
+        .agg(F.count(F.lit(1)).as("chunks"),
+             F.sum(F.length(F.col("chunk_text")).cast("long")).as("chars"),
+             F.sum(F.col("chunk_idx").cast("long")).as("idx_sum"),
+             F.max(F.col("chunk_idx")).cast("long").as("max_idx"))
+        .orderBy("source")
+    }),
+
     // Gopher-style repetition filter: repeated-3-gram fraction per doc.
     // Counts are exact BIGINTs; the >0.3 threshold compares doubles the
     // oracle derives from the SAME integer inputs with the SAME IEEE
@@ -1089,6 +1125,42 @@ object SparkEntry {
         |      FROM n)
         |SELECT count(*) AS kept, CAST(sum(doc_id) AS BIGINT) AS kept_id_sum
         |FROM r WHERE rn = 1""".stripMargin,
+    "q_scrub" ->
+      """WITH d AS (SELECT source,
+        |  text || CASE WHEN doc_id % 5 = 0
+        |                 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+        |               WHEN doc_id % 5 = 1 THEN ' from 10.2.30.4'
+        |               WHEN doc_id % 5 = 2 THEN ' call 555-867-5309'
+        |               ELSE '' END AS t
+        |  FROM documents),
+        |m AS (SELECT source,
+        |  len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS e,
+        |  len(regexp_extract_all(t, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS i,
+        |  len(regexp_extract_all(
+        |    regexp_replace(t, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '', 'g'),
+        |    '(\+[0-9]{1,3}[ .-]?)?(\([0-9]{2,4}\)[ .-]?)?[0-9]{3,4}[ .-][0-9]{3,4}[ .-]?[0-9]{0,4}')) AS ph,
+        |  length(regexp_replace(regexp_replace(regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g'),
+        |    '(\+[0-9]{1,3}[ .-]?)?(\([0-9]{2,4}\)[ .-]?)?[0-9]{3,4}[ .-][0-9]{3,4}[ .-]?[0-9]{0,4}',
+        |    '<PHONE>', 'g')) AS slen
+        |  FROM d)
+        |SELECT source, count(*) AS docs, CAST(sum(e) AS BIGINT) AS emails,
+        |       CAST(sum(i) AS BIGINT) AS ips, CAST(sum(ph) AS BIGINT) AS phones,
+        |       CAST(sum(slen) AS BIGINT) AS scrubbed_len
+        |FROM m GROUP BY source ORDER BY source""".stripMargin,
+    "q_chunk" ->
+      """WITH dw AS (SELECT source,
+        |              list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+        |                          w -> len(w) > 0) AS ws
+        |            FROM documents),
+        |n AS (SELECT source, ws, greatest((len(ws) + 32 - 1 - 8) // 32, 1) AS nc FROM dw),
+        |c AS (SELECT source, ws, unnest(range(0, nc)) AS ci FROM n),
+        |x AS (SELECT source, ci,
+        |        array_to_string(ws[ci*32+1 : ci*32+40], ' ') AS ct FROM c)
+        |SELECT source, count(*) AS chunks, CAST(sum(length(ct)) AS BIGINT) AS chars,
+        |       CAST(sum(ci) AS BIGINT) AS idx_sum, CAST(max(ci) AS BIGINT) AS max_idx
+        |FROM x GROUP BY source ORDER BY source""".stripMargin,
     "q_text_repetition" ->
       """WITH dw AS (SELECT source,
         |              list_filter(string_split_regex(lower(coalesce(text, '')), '\s+'),
