@@ -894,6 +894,39 @@ object SparkEntry {
           F.coalesce(F.sum(F.col("frame_idx").cast("long")), F.lit(0L)).as("idx_sum"))
     }),
 
+    // REAL image decode, oracle-gated: deterministic PNGs are generated
+    // per doc (dims derived from doc_id), decoded by the javax.imageio
+    // path, and the oracle recomputes the expected dimension sums from
+    // doc_id alone — a stub fallback would report fake dims and fail
+    "q_multimodal_decode" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val pngUdf = F.udf((id: Long) => {
+        val w = 16 + (id % 32).toInt
+        val h = 8 + (id % 16).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { img.setRGB(x, y, ((x * 37 + y * 101) & 0xFFFFFF)); x += 1 }
+          y += 1
+        }
+        val baos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", baos)
+        baos.toByteArray
+      })
+      val media = t(s, dir, "documents")
+        .filter(F.col("doc_id") % 10 === 0)
+        .select(F.col("doc_id").as("media_id"), F.lit("image").as("modality"),
+          pngUdf(F.col("doc_id")).as("payload"), F.lit(0L).as("meta_bytes"),
+          F.col("source").as("meta_source"))
+        .as[graft.pipeline.Multimodal.MediaRecord]
+      graft.pipeline.Multimodal.extractFeatures(media)
+        .agg(F.count(F.lit(1)).as("imgs"),
+             F.sum(F.col("width").cast("long")).as("width_sum"),
+             F.sum(F.col("height").cast("long")).as("height_sum"))
+    }),
+
     // multimodal plumbing: binary payloads through batched (stub) decode
     "q_multimodal" -> ((s: SparkSession, dir: String) => {
       val docs = t(s, dir, "documents")
@@ -1332,6 +1365,11 @@ object SparkEntry {
         |       CAST(coalesce(sum(tk) * 64, 0) AS BIGINT) AS bytes_total,
         |       CAST(coalesce(sum(tk * (tk - 1)), 0) AS BIGINT) AS idx_sum
         |FROM t""".stripMargin,
+    "q_multimodal_decode" ->
+      """SELECT count(*) AS imgs,
+        |       CAST(sum(16 + doc_id % 32) AS BIGINT) AS width_sum,
+        |       CAST(sum(8 + doc_id % 16) AS BIGINT) AS height_sum
+        |FROM documents WHERE doc_id % 10 = 0""".stripMargin,
     "q_multimodal" ->
       """SELECT CASE lang WHEN 'en' THEN 'image' WHEN 'de' THEN 'audio'
         |                 WHEN 'fr' THEN 'video' WHEN 'es' THEN 'pdf'
