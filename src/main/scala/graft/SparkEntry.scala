@@ -559,6 +559,17 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // transitive duplicate clusters: connected components over the
+    // verified pair set, vs a DuckDB recursive-CTE reachability oracle
+    "q_dedup_clusters" -> ((s: SparkSession, dir: String) => {
+      val pairs = graft.pipeline.Dedup.nearDuplicatePairs(
+        t(s, dir, "documents"), "doc_id", "text",
+        shingleSize = 5, threshold = 0.8, bands = 16, rowsPerBand = 8)
+      graft.pipeline.Dedup.duplicateClusters(pairs)
+        .select(F.col("id").as("doc_id"), F.col("cluster"))
+        .orderBy("doc_id")
+    }),
+
     // end-to-end near-dup dedup: survivors after dropping docs with a
     // smaller-id near-dup (direct-pair rule, SQL-replicable)
     "q_dedup_drop" -> ((s: SparkSession, dir: String) => {
@@ -1122,6 +1133,25 @@ object SparkEntry {
         |FROM pairs JOIN sizes sa ON ida = sa.doc_id JOIN sizes sb ON idb = sb.doc_id
         |WHERE inter >= (sa.sz + sb.sz - inter) * 0.8
         |ORDER BY id_a, id_b""".stripMargin,
+    "q_dedup_clusters" ->
+      """WITH RECURSIVE
+        |sh AS (SELECT DISTINCT doc_id, substr(text, r.i, 5) AS g
+        |       FROM documents, range(1, 1000) r(i) WHERE r.i + 4 <= length(text)),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |cand AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS inter
+        |         FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |p AS (SELECT ida, idb
+        |      FROM cand JOIN sizes sa ON ida = sa.doc_id JOIN sizes sb ON idb = sb.doc_id
+        |      WHERE inter >= (sa.sz + sb.sz - inter) * 0.8),
+        |e AS (SELECT ida AS a, idb AS b FROM p UNION SELECT idb, ida FROM p),
+        |n AS (SELECT DISTINCT a AS id FROM e),
+        |reach(src, dst) AS (
+        |  SELECT id, id FROM n
+        |  UNION
+        |  SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a
+        |)
+        |SELECT dst AS doc_id, CAST(min(src) AS BIGINT) AS cluster
+        |FROM reach GROUP BY dst ORDER BY doc_id""".stripMargin,
     "q_dedup_ngram" ->
       """WITH sh AS (SELECT DISTINCT doc_id, substr(text, r.i, 5) AS g
         |            FROM documents, range(1, 1000) r(i) WHERE r.i + 4 <= length(text)),

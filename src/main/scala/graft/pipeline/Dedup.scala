@@ -100,6 +100,71 @@ object Dedup {
   })
 
   /**
+   * Duplicate-cluster formation: connected components over a near-dup
+   * pair set, labeling every involved document with the smallest id in
+   * its component. This is the transitively-correct form of dedup — a
+   * direct-pair drop rule can keep B and C when A~B and B~C but A!~C
+   * was never emitted as a pair; clustering cannot.
+   *
+   * Spark-first shape: iterative min-label propagation (the hash-to-min
+   * scheme behind GraphX's connectedComponents) — per iteration one
+   * edge-label join + one min-aggregation, lineage cut with a lazy
+   * localCheckpoint. Converges in component-diameter iterations;
+   * near-dup clusters are shallow (a boilerplate cluster is a clique,
+   * diameter 1), so the loop exits after 2-3 rounds in practice. The
+   * edge set is checkpointed once and reused every round.
+   *
+   * Input must have long columns `id_a`, `id_b`; output is
+   * (id, cluster) for every id that appears in some pair.
+   */
+  def duplicateClusters(pairs: DataFrame, maxIterations: Int = 20): DataFrame = {
+    require(maxIterations >= 1, s"maxIterations must be >= 1, got $maxIterations")
+    val edges = pairs.select(F.col("id_a").as("__src"), F.col("id_b").as("__dst"))
+      .union(pairs.select(F.col("id_b").as("__src"), F.col("id_a").as("__dst")))
+      .distinct()
+      .localCheckpoint(eager = false)
+    var labels = edges.select(F.col("__src").as("id")).distinct()
+      .withColumn("cluster", F.col("id"))
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIterations) {
+      val neighborMin = edges
+        .join(labels.select(F.col("id").as("__dst"), F.col("cluster").as("__nc")), "__dst")
+        .groupBy(F.col("__src").as("id"))
+        .agg(F.min(F.col("__nc")).as("__minN"))
+      val next = labels.join(neighborMin, "id")
+        .select(F.col("id"), F.col("cluster"),
+          F.least(F.col("cluster"), F.col("__minN")).as("__new"))
+        .localCheckpoint(eager = false)
+      converged = next.filter(F.col("__new") =!= F.col("cluster")).isEmpty
+      labels = next.select(F.col("id"), F.col("__new").as("cluster"))
+      iter += 1
+    }
+    labels
+  }
+
+  /**
+   * Transitive near-dup dedup: cluster the verified pairs and keep only
+   * each cluster's smallest id (documents in no pair survive untouched).
+   */
+  def dropNearDuplicatesClustered(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 5,
+      threshold: Double = 0.8,
+      bands: Int = 32,
+      rowsPerBand: Int = 4,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val pairs = nearDuplicatePairs(df, idCol, textCol, shingleSize, threshold,
+      bands, rowsPerBand, maxBucket)
+    val losers = duplicateClusters(pairs)
+      .filter(F.col("id") =!= F.col("cluster"))
+      .select(F.col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /**
    * Exact Jaccard verification of candidate pairs against the shingle
    * sets: returns (id_a, id_b, inter, uni) for pairs with
    * inter/uni >= threshold. intersect/union are exact set operations on

@@ -89,6 +89,53 @@ class CurationSpec extends SparkTestBase {
     nonFinal.foreach(t => assert(t >= budget - maxDoc && t <= budget + maxDoc))
   }
 
+  // ------------------------------------------------ duplicate clusters
+
+  test("duplicateClusters labels transitive components with their min id") {
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L),            // chain -> component {1,2,3}
+      (10L, 11L),                    // separate pair
+      (20L, 21L), (21L, 22L), (20L, 22L))  // clique
+      .toDF("id_a", "id_b").repartition(3)
+    val out = Dedup.duplicateClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(out === Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("duplicateClusters converges on a long path (diameter stress)") {
+    val pairs = (0L until 15L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val out = Dedup.duplicateClusters(pairs).as[(Long, Long)].collect()
+    assert(out.length === 16)   // nodes 0..15
+    assert(out.forall(_._2 === 0L))
+  }
+
+  test("duplicateClusters on empty pairs yields empty labels") {
+    val pairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.duplicateClusters(pairs).count() === 0L)
+  }
+
+  test("dropNearDuplicatesClustered keeps one representative per transitive cluster") {
+    // B bridges A and C (A~B, B~C above threshold; A~C below): the
+    // direct-pair rule would keep A and C; clustering keeps only A
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val mid = ((1 to 24).map(i => s"tok$i") ++ (31 to 36).map(i => s"tok$i")).mkString(" ")
+    val far = ((1 to 18).map(i => s"tok$i") ++ (31 to 42).map(i => s"tok$i")).mkString(" ")
+    val docs = Seq((1L, base), (2L, mid), (3L, far), (9L, "entirely different content here"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.nearDuplicatePairs(docs, "doc_id", "text",
+        shingleSize = 5, threshold = 0.6, bands = 16, rowsPerBand = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((2L, 3L)))
+    assert(!pairs.contains((1L, 3L)))   // the bridge shape is real
+    val kept = Dedup.dropNearDuplicatesClustered(docs, "doc_id", "text",
+        shingleSize = 5, threshold = 0.6, bands = 16, rowsPerBand = 8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 9L))
+  }
+
   // ------------------------------------------------------- repetition
 
   test("repetitionScore measures the repeated-n-gram fraction") {
