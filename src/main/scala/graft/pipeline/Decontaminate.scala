@@ -16,10 +16,11 @@ import org.apache.spark.sql.{functions => F}
  * rows reach the per-document count shuffle. Nothing ever shuffles
  * the corpus text itself.
  *
- * N-grams are built with native Column lambdas (codegen'd, no UDF):
- * lowercase, split on whitespace, drop empties, join consecutive
- * n-word windows — a construction any SQL engine reproduces exactly
- * (the oracle does, in DuckDB).
+ * N-gram semantics: lowercase, split on whitespace, drop empties,
+ * consecutive n-word windows, distinct per document — a construction
+ * any SQL engine reproduces exactly (the oracle does, in DuckDB).
+ * [[wordNgrams]] is the Column-lambda reference form; the join path
+ * uses a one-pass JVM hash kernel with identical gram boundaries.
  */
 object Decontaminate {
 
@@ -44,14 +45,68 @@ object Decontaminate {
   /** Distinct 64-bit hashes of a document's word n-grams: the gram
     * STRINGS never leave their source row — only 8-byte hashes are
     * exploded, broadcast, and joined, which keeps the benchmark
-    * broadcast and the probe columns small at corpus scale (~25%
-    * faster end to end than joining on gram strings). Hashing the
-    * word-hash windows numerically instead was measured SLOWER — the
-    * higher-order `aggregate` lambda doesn't codegen, so gram-string +
-    * native xxhash64 wins. (A 64-bit collision would overcount by one
+    * broadcast and the probe columns small at corpus scale. Both sides
+    * of the contamination join use the same hash, so any deterministic
+    * 64-bit hash works; a one-pass JVM kernel (FNV-1a word hashes from
+    * a single char scan, order-sensitive window combine, sort+dedup)
+    * avoids allocating a gram string per window, which dominated the
+    * Column-lambda form. (A 64-bit collision would overcount by one
     * n-gram with probability ~|grams|^2 / 2^64 — negligible.) */
-  private def wordNgramHashes(text: Column, n: Int): Column =
-    F.array_distinct(F.transform(wordNgrams(text, n), g => F.xxhash64(g)))
+  private[pipeline] def ngramHashKernel(text: String, n: Int): Array[Long] = {
+    if (text == null) return Array.emptyLongArray
+    val s = text.toLowerCase(java.util.Locale.ROOT)
+    val len = s.length
+    // FNV-1a over the chars of each \s+-delimited word (matches the
+    // regex-split semantics of wordNgrams: \s = [ \t\n\x0B\f\r])
+    var wh = new Array[Long](math.max(16, len / 6))
+    var wc = 0
+    var h = 0xcbf29ce484222325L
+    var inWord = false
+    var i = 0
+    while (i < len) {
+      val c = s.charAt(i)
+      val ws = c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+      if (ws) {
+        if (inWord) {
+          if (wc == wh.length) wh = java.util.Arrays.copyOf(wh, wh.length * 2)
+          wh(wc) = h; wc += 1; h = 0xcbf29ce484222325L; inWord = false
+        }
+      } else {
+        h = (h ^ c.toInt) * 0x100000001b3L
+        inWord = true
+      }
+      i += 1
+    }
+    if (inWord) {
+      if (wc == wh.length) wh = java.util.Arrays.copyOf(wh, wh.length + 1)
+      wh(wc) = h; wc += 1
+    }
+    val cnt = wc - (n - 1)
+    if (cnt <= 0) return Array.emptyLongArray
+    val grams = new Array[Long](cnt)
+    var j = 0
+    while (j < cnt) {
+      var g = 0x9e3779b97f4a7c15L
+      var k = 0
+      while (k < n) { g = (g ^ wh(j + k)) * 0x100000001b3L; k += 1 }
+      grams(j) = g
+      j += 1
+    }
+    java.util.Arrays.sort(grams)
+    // in-place dedup of the sorted run (distinct-per-document semantics)
+    var out = 1
+    j = 1
+    while (j < cnt) {
+      if (grams(j) != grams(out - 1)) { grams(out) = grams(j); out += 1 }
+      j += 1
+    }
+    if (out == cnt) grams else java.util.Arrays.copyOf(grams, out)
+  }
+
+  private def wordNgramHashes(text: Column, n: Int): Column = {
+    val u = F.udf((t: String) => ngramHashKernel(t, n))
+    u(text)
+  }
 
   /**
    * Per-document contamination counts against a benchmark corpus:

@@ -174,6 +174,26 @@ class CurationSpec extends SparkTestBase {
     assert(out(4L) === Seq.empty)
   }
 
+  test("ngramHashKernel gram boundaries match the wordNgrams reference form") {
+    val texts = Seq(
+      "The quick brown fox the QUICK brown",
+      "two words",
+      null.asInstanceOf[String],
+      "   ",
+      "a\tb\nc  de\ff\rg h i j",
+      " leading and trailing  ",
+      "repeat repeat repeat repeat repeat repeat")
+    for (t <- texts; n <- Seq(1, 3, 5)) {
+      val ref = Option(t).toSeq.toDF("text")
+        .select(Decontaminate.wordNgrams($"text", n).as("g"))
+        .as[Seq[String]].collect().headOption.getOrElse(Seq.empty)
+      val kernel = Decontaminate.ngramHashKernel(t, n)
+      // same number of DISTINCT grams, and distinct hashes stay distinct
+      assert(kernel.length === ref.distinct.length, s"text=$t n=$n")
+      assert(kernel.toSet.size === kernel.length, s"text=$t n=$n")
+    }
+  }
+
   test("contaminationFlags counts benchmark overlaps and dropContaminated removes them") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon"),      // contains bench 3-grams
