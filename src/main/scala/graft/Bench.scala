@@ -27,6 +27,9 @@ object Bench {
   private val ivfIndexCache =
     scala.collection.concurrent.TrieMap[String, graft.pipeline.Similarity.IvfIndex]()
 
+  private val pqIndexCache = scala.collection.concurrent.TrieMap[String,
+    (graft.pipeline.ProductQuantization.PqCodebooks, DataFrame)]()
+
   /** Headline queries: representative operator workloads. */
   def benchQueries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
 
@@ -117,6 +120,26 @@ object Bench {
       })
       graft.pipeline.Similarity.ivfTopKIndexed(
         idx, emb.filter(F.col("vec_id") < 20), "vec_id", "embedding", 10, nprobe = 4)
+    }),
+
+    // ANN: product quantization — ADC scan over a prebuilt code table
+    // (the steady-state shape: the corpus is scanned as m-byte codes,
+    // dim*4/m smaller than the embeddings) + exact rerank of the
+    // candidate pool
+    "b_ann_pq_query" -> ((s: SparkSession, dir: String) => {
+      val emb = t(s, dir, "embeddings")
+      val (cb, enc) = pqIndexCache.getOrElseUpdate(dir, {
+        val pq = graft.pipeline.ProductQuantization
+        val books = pq.trainPq(emb, "vec_id", "embedding", m = 16, ksub = 16, iterations = 2)
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_bench_pq").toString
+        pq.pqEncode(emb, "vec_id", "embedding", books)
+          .write.mode("overwrite").parquet(path)
+        (books, s.read.parquet(path))
+      })
+      graft.pipeline.ProductQuantization.pqTopKReranked(
+        cb, enc, emb, emb.filter(F.col("vec_id") < 20),
+        "vec_id", "embedding", 10, poolSize = 100)
     }),
 
     // k-means training at production embedding width (dim 512 = the

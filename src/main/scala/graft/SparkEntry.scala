@@ -831,6 +831,31 @@ object SparkEntry {
         F.lit(hits >= (trueCnt * 0.6).ceil.toLong).as("recall_ok"))
     }),
 
+    // embedding ANN: product-quantization codes + ADC scan + exact
+    // rerank of a 100-candidate pool. Codebook seeds are hash-ordered
+    // (ProductQuantization.trainPq) so recall is near-constant; the
+    // 0.7 floor leaves margin for partition-order float sums in
+    // training — measured 18-25/25 at m=16, ksub=16, pool=100 across
+    // sf0.001/0.01/0.1
+    "q_embed_pq" -> ((s: SparkSession, dir: String) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(F.col("vec_id") < 5)
+      val exact = graft.pipeline.Similarity
+        .bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+        .select(F.col("query_id"), F.col("neighbor_id"))
+      val pq = graft.pipeline.ProductQuantization
+      val cb = pq.trainPq(emb, "vec_id", "embedding", m = 16, ksub = 16, iterations = 2)
+      val enc = pq.pqEncode(emb, "vec_id", "embedding", cb)
+      val approx = pq
+        .pqTopKReranked(cb, enc, emb, queries, "vec_id", "embedding", 5, poolSize = 100)
+        .select(F.col("query_id"), F.col("neighbor_id"))
+      val trueCnt = exact.count()
+      val hits = exact.intersect(approx).count()
+      s.range(1).select(
+        F.lit(trueCnt).as("exact_pairs"),
+        F.lit(hits >= (trueCnt * 0.7).ceil.toLong).as("recall_ok"))
+    }),
+
     // text statistics per source: counts, tokens, chars, languages
     "q_text_stats" -> ((s: SparkSession, dir: String) => {
       t(s, dir, "documents").groupBy(F.col("source"))
@@ -1330,6 +1355,9 @@ object SparkEntry {
       """SELECT CAST((SELECT count(*) FROM embeddings WHERE vec_id < 5) * 5 AS BIGINT)
         |  AS exact_pairs, true AS recall_ok""".stripMargin,
     "q_embed_ivf" ->
+      """SELECT CAST((SELECT count(*) FROM embeddings WHERE vec_id < 5) * 5 AS BIGINT)
+        |  AS exact_pairs, true AS recall_ok""".stripMargin,
+    "q_embed_pq" ->
       """SELECT CAST((SELECT count(*) FROM embeddings WHERE vec_id < 5) * 5 AS BIGINT)
         |  AS exact_pairs, true AS recall_ok""".stripMargin,
     "q_embed_topk" ->

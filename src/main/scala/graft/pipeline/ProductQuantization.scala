@@ -1,0 +1,295 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{functions => F}
+
+/**
+ * Product quantization (PQ) for embedding similarity at corpus scale:
+ * each vector is split into `m` subspaces of `dim/m` dims; every
+ * subspace gets its own small k-means codebook (`ksub` centroids), and
+ * a vector is stored as `m` one-byte codes plus its exact norm — a
+ * 64-dim float vector (256 B) compresses to 8 B of codes. Queries
+ * score the code table with asymmetric distance computation (ADC): a
+ * per-query lookup table of sub-dot-products, so scoring a corpus row
+ * is `m` table lookups instead of `dim` multiplies, over a table that
+ * is dim*4/m times smaller than the embeddings — the difference
+ * between scanning 100 TB of vectors and scanning ~3 TB of codes.
+ *
+ * Training reuses the deterministic seeded-Lloyd shape of
+ * [[Similarity]]'s IVF k-means: hash-ordered seeds, and ONE
+ * constant-width aggregation pass per iteration for ALL subspaces
+ * (explode to (subspace, subvector), group by (subspace, code), sum
+ * via [[VectorAgg.vec_sum]]) — only m*ksub aggregated rows ever reach
+ * the driver, and plan width is independent of both dim and m.
+ *
+ * Recall < 1 by design; [[pqTopKReranked]] re-scores an ADC candidate
+ * pool with exact cosine on the original vectors, the standard
+ * recall-recovery step. Measure against [[Similarity.bruteForceTopK]].
+ */
+object ProductQuantization {
+
+  /** Trained PQ codebooks: `centroids(sub)(code)` is the sub-centroid
+    * vector for `code` in subspace `sub`. */
+  final case class PqCodebooks(
+      m: Int,
+      subDim: Int,
+      centroids: Array[Array[Array[Float]]]) {
+    def ksub: Int = centroids.headOption.map(_.length).getOrElse(0)
+  }
+
+  private def nearestSub(cb: Array[Array[Float]], v: Array[Float], off: Int, subDim: Int): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < cb.length) {
+      var d = 0.0
+      var i = 0
+      val cc = cb(c)
+      while (i < subDim) {
+        val x = if (off + i < v.length) v(off + i) else 0.0f
+        val t = cc(i) - x
+        d += t * t
+        i += 1
+      }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /**
+   * Train PQ codebooks over the corpus. `dim % m == 0` is required
+   * (standard PQ); `ksub <= 256` so codes fit one byte each. Seeds are
+   * the first `ksub` vectors in hash order (deterministic), sliced per
+   * subspace; each Lloyd iteration is a single constant-width
+   * aggregation over the exploded (subspace, subvector) pairs.
+   */
+  def trainPq(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      m: Int = 8,
+      ksub: Int = 16,
+      iterations: Int = 2): PqCodebooks = {
+    require(ksub >= 1 && ksub <= 256, s"ksub must be in [1, 256], got $ksub")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val seeds: Array[Array[Float]] = corpus
+      .filter(F.col(vecCol).isNotNull)
+      .select(F.col(idCol), F.col(vecCol))
+      .orderBy(F.abs(F.hash(F.col(idCol))), F.col(idCol))
+      .limit(ksub)
+      .select(F.col(vecCol)).as[Array[Float]].collect()
+    if (seeds.isEmpty) return PqCodebooks(m, 0, Array.empty)
+    val dim = seeds.map(_.length).groupBy(identity)
+      .maxBy { case (d, g) => (g.length, d) }._1
+    require(dim % m == 0, s"embedding dim $dim must be divisible by m=$m")
+    val subDim = dim / m
+    val goodSeeds = seeds.filter(_.length == dim)
+    var books: Array[Array[Array[Float]]] = Array.tabulate(m) { sub =>
+      goodSeeds.map(v => java.util.Arrays.copyOfRange(v, sub * subDim, (sub + 1) * subDim))
+    }
+    for (_ <- 1 to iterations) {
+      val bB = spark.sparkContext.broadcast(books)
+      val assignU = F.udf((sub: Int, v: Array[Float]) =>
+        if (v == null) -1 else nearestSub(bB.value(sub), v, 0, v.length))
+      // one exploded pass: (subspace, subvector) rows, constant-width agg
+      val subs = corpus
+        .filter(F.size(F.col(vecCol)) === dim)
+        .select(F.posexplode(F.transform(
+          F.sequence(F.lit(0), F.lit(m - 1)),
+          j => F.slice(F.col(vecCol), j * subDim + 1, F.lit(subDim))))
+          .as(Seq("__sub", "__sv")))
+      val means = subs
+        .select(F.col("__sub"), assignU(F.col("__sub"), F.col("__sv")).as("__c"),
+                F.col("__sv"))
+        .groupBy(F.col("__sub"), F.col("__c"))
+        .agg(F.count(F.lit(1)).cast("double").as("__n"),
+             VectorAgg.vec_sum(F.col("__sv")).as("__s"))
+        .collect()
+      val next = books.map(_.map(_.clone()))
+      means.foreach { row =>
+        val sub = row.getInt(0)
+        val c = row.getInt(1)
+        val n = row.getDouble(2)
+        if (c >= 0 && n > 0 && !row.isNullAt(3)) {
+          val sArr = row.getSeq[Double](3)
+          var d = 0
+          while (d < subDim) { next(sub)(c)(d) = (sArr(d) / n).toFloat; d += 1 }
+        }
+      }
+      books = next
+      bB.destroy()
+    }
+    PqCodebooks(m, subDim, books)
+  }
+
+  /**
+   * Encode the corpus against trained codebooks: returns
+   * (`neighbor_id`, `__code` BINARY of m bytes, `__norm` exact L2 norm
+   * of the original vector). This is the table a 100 TB deployment
+   * persists and scans — dim*4/m times smaller than the embeddings.
+   * NULL or ragged-length vectors encode to NULL codes (and drop out
+   * of scoring), never an error.
+   */
+  def pqEncode(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cb: PqCodebooks): DataFrame = {
+    val spark = corpus.sparkSession
+    val bB = spark.sparkContext.broadcast(cb)
+    val dim = cb.m * cb.subDim
+    val encU = F.udf((v: Array[Float]) => {
+      val b = bB.value
+      if (v == null || v.length != b.m * b.subDim) null
+      else {
+        val codes = new Array[Byte](b.m)
+        var sub = 0
+        while (sub < b.m) {
+          codes(sub) = nearestSub(b.centroids(sub), v, sub * b.subDim, b.subDim).toByte
+          sub += 1
+        }
+        codes
+      }
+    })
+    val normU = F.udf((v: Array[Float]) => {
+      val r: java.lang.Double =
+        if (v == null) null
+        else {
+          var s = 0.0
+          var i = 0
+          while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
+          java.lang.Double.valueOf(math.sqrt(s))
+        }
+      r
+    })
+    corpus.select(
+      F.col(idCol).as("neighbor_id"),
+      encU(F.col(vecCol)).as("__code"),
+      normU(F.col(vecCol)).as("__norm"))
+  }
+
+  /** Approximate top-k by ADC over an encoded corpus: each query
+    * precomputes an m*ksub lookup table of sub-dot-products; scoring a
+    * corpus row is m byte-indexed lookups. Queries are broadcast, so
+    * the code table is scanned exactly once with no shuffle. */
+  def pqTopKEncoded(
+      cb: PqCodebooks,
+      encoded: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    val spark = encoded.sparkSession
+    val bB = spark.sparkContext.broadcast(cb)
+    val lutU = F.udf((v: Array[Float]) => {
+      val b = bB.value
+      if (v == null || v.length != b.m * b.subDim) null
+      else {
+        val ks = b.ksub
+        val lut = new Array[Float](b.m * ks)
+        var sub = 0
+        while (sub < b.m) {
+          var c = 0
+          while (c < ks) {
+            val cc = b.centroids(sub)(c)
+            var s = 0.0f
+            var i = 0
+            while (i < b.subDim) { s += cc(i) * v(sub * b.subDim + i); i += 1 }
+            lut(sub * ks + c) = s
+            c += 1
+          }
+          sub += 1
+        }
+        lut
+      }
+    })
+    val qnormU = F.udf((v: Array[Float]) => {
+      val r: java.lang.Double =
+        if (v == null) null
+        else {
+          var s = 0.0
+          var i = 0
+          while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
+          java.lang.Double.valueOf(math.sqrt(s))
+        }
+      r
+    })
+    val ks = cb.ksub
+    val adcU = F.udf((codes: Array[Byte], lut: Seq[Float]) => {
+      val r: java.lang.Double =
+        if (codes == null || lut == null) null
+        else {
+          var s = 0.0
+          var sub = 0
+          while (sub < codes.length) {
+            s += lut(sub * ks + (codes(sub) & 0xFF))
+            sub += 1
+          }
+          java.lang.Double.valueOf(s)
+        }
+      r
+    })
+    val q = queries.select(F.col(idCol).as("query_id"),
+      lutU(F.col(vecCol)).as("__lut"), qnormU(F.col(vecCol)).as("__qn"))
+    val scored = encoded.crossJoin(F.broadcast(q))
+      .filter(F.col("neighbor_id") =!= F.col("query_id"))
+      .withColumn("cos",
+        adcU(F.col("__code"), F.col("__lut")) / (F.col("__qn") * F.col("__norm")))
+      .filter(F.col("cos").isNotNull)
+    val w = Window.partitionBy(F.col("query_id"))
+      .orderBy(F.col("cos").desc, F.col("neighbor_id").asc)
+    scored.withColumn("rank", F.row_number().over(w))
+      .filter(F.col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cos")
+  }
+
+  /** Convenience: train + encode + ADC query in one call. At scale,
+    * [[trainPq]] + [[pqEncode]] once, persist, [[pqTopKEncoded]] per
+    * query batch. */
+  def pqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      m: Int = 8,
+      ksub: Int = 16,
+      iterations: Int = 2): DataFrame = {
+    val cb = trainPq(corpus, idCol, vecCol, m, ksub, iterations)
+    pqTopKEncoded(cb, pqEncode(corpus, idCol, vecCol, cb), queries, idCol, vecCol, k)
+  }
+
+  /**
+   * ADC candidates + exact rerank: take `poolSize` candidates per
+   * query by ADC score, re-attach the original vectors (a join on the
+   * small candidate id set), re-score with exact cosine, keep top-k.
+   * The standard recall-recovery step — the corpus is still scanned as
+   * codes; only |queries| * poolSize rows ever touch real vectors.
+   */
+  def pqTopKReranked(
+      cb: PqCodebooks,
+      encoded: DataFrame,
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      poolSize: Int = 50): DataFrame = {
+    val pool = pqTopKEncoded(cb, encoded, queries, idCol, vecCol, poolSize)
+      .select(F.col("query_id"), F.col("neighbor_id"))
+    val q = queries.select(F.col(idCol).as("query_id"), F.col(vecCol).as("__qv"))
+    val c = corpus.select(F.col(idCol).as("neighbor_id"), F.col(vecCol).as("__cv"))
+    val exact = pool
+      .join(F.broadcast(q), "query_id")
+      .join(c, "neighbor_id")
+      .withColumn("cos", Similarity.cosine(F.col("__qv"), F.col("__cv")))
+    val w = Window.partitionBy(F.col("query_id"))
+      .orderBy(F.col("cos").desc, F.col("neighbor_id").asc)
+    exact.withColumn("rank", F.row_number().over(w))
+      .filter(F.col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cos")
+  }
+}

@@ -1,0 +1,97 @@
+package graft.pipeline
+
+import graft.SparkTestBase
+import org.apache.spark.sql.{functions => F}
+import graft.pipeline.{ProductQuantization => PQ}
+
+class PqSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // 6 distinct dim-8 vectors; with ksub = corpus size the seeds ARE the
+  // corpus, every subvector is its own centroid (Lloyd is a fixed
+  // point), so ADC dot products are EXACT and PQ ranking must equal
+  // brute force.
+  private def corpus6 = Seq(
+    (1L, Array(1.0f, 0f, 0f, 0f, 2f, 0f, 1f, 0f)),
+    (2L, Array(0.9f, 0.1f, 0f, 0f, 2f, 0f, 1f, 0f)),
+    (3L, Array(0f, 1f, 1f, 0f, 0f, 2f, 0f, 1f)),
+    (4L, Array(0f, 1f, 1f, 0.1f, 0f, 2f, 0f, 0.9f)),
+    (5L, Array(-1f, 0f, 0f, 1f, 0f, 0f, -2f, 0f)),
+    (6L, Array(0.5f, 0.5f, 0.5f, 0.5f, 0.5f, 0.5f, 0.5f, 0.5f)))
+    .toDF("vec_id", "embedding").repartition(2)
+
+  test("trainPq shapes: m subspaces, ksub codes, dim/m sub-centroid width") {
+    val cb = PQ.trainPq(corpus6, "vec_id", "embedding", m = 4, ksub = 6, iterations = 2)
+    assert(cb.m === 4)
+    assert(cb.subDim === 2)
+    assert(cb.ksub === 6)
+    assert(cb.centroids.forall(_.forall(_.length === 2)))
+  }
+
+  test("ADC ranking equals brute force when every subvector is a centroid") {
+    val cb = PQ.trainPq(corpus6, "vec_id", "embedding", m = 4, ksub = 6, iterations = 2)
+    val enc = PQ.pqEncode(corpus6, "vec_id", "embedding", cb)
+    val queries = corpus6.filter($"vec_id" <= 2)
+    val adc = PQ.pqTopKEncoded(cb, enc, queries, "vec_id", "embedding", 3)
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Int, Long)].collect().toSet
+    val exact = Similarity.bruteForceTopK(corpus6, queries, "vec_id", "embedding", 3)
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(adc === exact)
+    // and the ADC cosines are the exact cosines (codes reconstruct exactly)
+    val cosAdc = PQ.pqTopKEncoded(cb, enc, queries, "vec_id", "embedding", 3)
+      .select("query_id", "neighbor_id", "cos")
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    val cosExact = Similarity.bruteForceTopK(corpus6, queries, "vec_id", "embedding", 3)
+      .select("query_id", "neighbor_id", "cos")
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    cosAdc.foreach { case (k, v) => assert(math.abs(v - cosExact(k)) < 1e-5, k) }
+  }
+
+  test("reranked PQ with a full-corpus pool is exactly brute force") {
+    // even with a LOSSY codebook (ksub 2), rerank over a pool covering
+    // the whole corpus must return the exact answer
+    val cb = PQ.trainPq(corpus6, "vec_id", "embedding", m = 4, ksub = 2, iterations = 2)
+    val enc = PQ.pqEncode(corpus6, "vec_id", "embedding", cb)
+    val queries = corpus6.filter($"vec_id" === 1L)
+    val rr = PQ.pqTopKReranked(cb, enc, corpus6, queries, "vec_id", "embedding", 3, poolSize = 6)
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Int, Long)].collect().toSet
+    val exact = Similarity.bruteForceTopK(corpus6, queries, "vec_id", "embedding", 3)
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(rr === exact)
+  }
+
+  test("NULL and ragged vectors encode to NULL codes and never score") {
+    val df = Seq(
+      (1L, Option(Array(1.0f, 0f, 0f, 2f))),
+      (2L, Option(Array(0.9f, 0.1f, 0f, 2f))),
+      (3L, Option.empty[Array[Float]]),
+      (4L, Option(Array(1.0f, 2.0f))))            // ragged: wrong dim
+      .toDF("vec_id", "embedding")
+    val cb = PQ.trainPq(df, "vec_id", "embedding", m = 2, ksub = 2, iterations = 1)
+    val enc = PQ.pqEncode(df, "vec_id", "embedding", cb)
+    val codes = enc.select("neighbor_id", "__code")
+      .as[(Long, Option[Array[Byte]])].collect().toMap
+    assert(codes(1L).isDefined && codes(1L).get.length === 2)
+    assert(codes(3L).isEmpty)
+    assert(codes(4L).isEmpty)
+    val out = PQ.pqTopKEncoded(cb, enc, df.filter($"vec_id" === 1L),
+        "vec_id", "embedding", 10)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(out === Set(2L))   // 3/4 dropped, self excluded
+  }
+
+  test("training tolerates NULL/ragged vectors in the corpus") {
+    val df = Seq(
+      (1L, Option(Array(1.0f, 0f, 0f, 2f))),
+      (2L, Option(Array(0.9f, 0.1f, 0f, 2f))),
+      (3L, Option.empty[Array[Float]]),
+      (4L, Option(Array(1.0f, 2.0f))))
+      .toDF("vec_id", "embedding")
+    val cb = PQ.trainPq(df, "vec_id", "embedding", m = 2, ksub = 2, iterations = 2)
+    assert(cb.m === 2 && cb.subDim === 2)
+  }
+}
