@@ -737,6 +737,28 @@ object SparkEntry {
     // weighted sampling: keep-probability proportional to document
     // length (least(n_chars/1000, 1)) — the exact per-row md5 threshold
     // is replicated by the oracle via printf
+    // fixed-size deterministic sample: exactly 100 documents by lowest
+    // md5(doc_id) — no prior row count needed, engine-portable order
+    "q_sample_bottomk" -> ((s: SparkSession, dir: String) => {
+      graft.pipeline.Sampling
+        .bottomK(t(s, dir, "documents"), F.col("doc_id"), 100)
+        .select(F.col("doc_id"))
+    }),
+
+    // rebalance the corpus to a 2:1:1 target mixture over three sources
+    // (others dropped); weights 0.5/0.25/0.25 are binary-exact so the
+    // in-plan fraction math reproduces bit-identically in the oracle
+    "q_rebalance" -> ((s: SparkSession, dir: String) => {
+      graft.pipeline.Sampling
+        .rebalanceToDistribution(t(s, dir, "documents"),
+          F.col("source"), F.col("doc_id"),
+          Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.25))
+        .groupBy(F.col("source"))
+        .agg(F.count(F.lit(1)).as("n_kept"),
+             F.sum(F.col("doc_id")).cast("long").as("id_sum"))
+        .orderBy(F.col("source"))
+    }),
+
     "q_sample_weighted" -> ((s: SparkSession, dir: String) => {
       val docs = t(s, dir, "documents")
       val w = F.least(F.col("n_chars") / 1000.0, F.lit(1.0))
@@ -1320,6 +1342,24 @@ object SparkEntry {
         |                           ORDER BY n_chars DESC, doc_id) AS rn
         |      FROM documents) t
         |WHERE rn <= 5 GROUP BY source ORDER BY source""".stripMargin,
+    "q_sample_bottomk" ->
+      """SELECT doc_id FROM documents
+        |ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 100""".stripMargin,
+    "q_rebalance" ->
+      """WITH w(dom, wt) AS (VALUES ('src0', CAST(0.5 AS DOUBLE)),
+        |                           ('src1', CAST(0.25 AS DOUBLE)),
+        |                           ('src2', CAST(0.25 AS DOUBLE))),
+        |cnt AS (SELECT source AS dom, CAST(count(*) AS DOUBLE) AS n
+        |        FROM documents GROUP BY 1),
+        |tw AS (SELECT dom, wt, n FROM w JOIN cnt USING (dom)),
+        |t AS (SELECT min(n / wt) AS t FROM tw),
+        |frac AS (SELECT dom, least(1.0, wt * t / n) AS f FROM tw, t)
+        |SELECT source, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM documents d JOIN frac ON d.source = frac.dom
+        |WHERE f >= 1.0 OR (f > 0.0 AND (CAST(round(f * 65536.0) AS INT) >= 65536
+        |  OR substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+        |       < printf('%04x', CAST(round(f * 65536.0) AS INT))))
+        |GROUP BY source ORDER BY source""".stripMargin,
     "q_sample_weighted" ->
       """WITH w AS (SELECT source, doc_id,
         |             least(n_chars / 1000.0, 1.0) AS wt,

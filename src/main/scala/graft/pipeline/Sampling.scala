@@ -95,6 +95,71 @@ object Sampling {
     df.withColumn(splitColName, splitColumn(key, splits, otherName))
 
   /**
+   * Fixed-size deterministic uniform sample: the k rows whose
+   * md5(key) sorts lowest (ties broken by key). Unlike a fraction
+   * sample this needs no prior row count — "give me exactly 10k
+   * documents" — and stays deterministic and engine-portable (any SQL:
+   * ORDER BY md5(key), key LIMIT k). Spark compiles orderBy+limit to
+   * TakeOrderedAndProject: per-partition top-k then a driver merge of
+   * k rows per partition — no global sort at any corpus size (keep k
+   * driver-sized: ~1e6 rows, not 1e9).
+   */
+  def bottomK(df: DataFrame, key: Column, k: Int): DataFrame = {
+    require(k >= 0, s"k must be >= 0, got $k")
+    df.orderBy(F.md5(key.cast("string")), key).limit(k)
+  }
+
+  /**
+   * Rebalance to a target domain mixture: keep the LARGEST subset
+   * whose per-domain row shares match `targetWeights` (weights need
+   * not be normalized), without upsampling any domain. Domains absent
+   * from the map are dropped. With per-domain counts n_d and
+   * normalized weights w_d, the achievable total is
+   * T = min_d(n_d / w_d) and each domain keeps a w_d * T / n_d
+   * fraction of its rows — selected with the same shuffle-free
+   * md5-threshold predicate as [[weightedSample]], so the mixture is
+   * exact to within sampling noise (O(sqrt n) per domain) but the
+   * corpus never shuffles. An exact per-domain quota would need a
+   * per-domain total order — a single-task skew bottleneck at scale —
+   * which is why the fraction form is the default. `scale` (<= 1)
+   * shrinks the total below the achievable maximum.
+   */
+  def rebalanceToDistribution(
+      df: DataFrame,
+      domain: Column,
+      key: Column,
+      targetWeights: Map[String, Double],
+      scale: Double = 1.0): DataFrame = {
+    require(targetWeights.nonEmpty, "targetWeights must not be empty")
+    require(targetWeights.values.forall(_ > 0.0),
+      s"target weights must be > 0: $targetWeights")
+    require(scale > 0.0 && scale <= 1.0, s"scale must be in (0, 1], got $scale")
+    val wSum = targetWeights.values.sum
+    val wCol = targetWeights.foldLeft(F.lit(null).cast("double")) {
+      case (acc, (d, w)) => F.when(domain === d, F.lit(w / wSum)).otherwise(acc)
+    }
+    val tagged = df.withColumn("__dom", domain).withColumn("__tw", wCol)
+      .filter(F.col("__tw").isNotNull)
+    val counts = tagged.groupBy(F.col("__dom"))
+      .agg(F.count(F.lit(1)).cast("double").as("__n"),
+           F.first(F.col("__tw")).as("__w"))
+    // achievable total preserving the mixture, then per-domain fraction
+    val t = counts.agg(F.min(F.col("__n") / F.col("__w")).as("__t"))
+    val frac = counts.crossJoin(t)
+      .select(F.col("__dom"),
+        F.least(F.lit(1.0), F.col("__w") * F.col("__t") * scale / F.col("__n"))
+          .as("__frac"))
+    val hex = F.substring(F.md5(key.cast("string")), 1, 4)
+    val thr = F.round(F.col("__frac") * 65536.0, 0).cast("int")
+    tagged
+      .join(F.broadcast(frac), "__dom")
+      .filter(F.col("__frac") >= 1.0 ||
+        (F.col("__frac") > 0.0 &&
+          (thr >= 65536 || hex < F.format_string("%04x", thr))))
+      .drop("__dom", "__tw", "__frac")
+  }
+
+  /**
    * Stratified deterministic sample: per-stratum fractions, with
    * `defaultFraction` for strata not in the map. Same md5 predicate,
    * just a per-stratum threshold — still shuffle-free.

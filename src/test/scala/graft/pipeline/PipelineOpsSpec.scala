@@ -184,4 +184,44 @@ class PipelineOpsSpec extends SparkTestBase {
       assert(byWeight === byFrac, s"weight/fraction mismatch at $f")
     }
   }
+
+  test("bottomK returns exactly k rows, deterministic and nested in larger k") {
+    val df = spark.range(10000).toDF("id")
+    val a = Sampling.bottomK(df, F.col("id"), 100).select("id").as[Long].collect().toSet
+    val b = Sampling.bottomK(df, F.col("id"), 100).select("id").as[Long].collect().toSet
+    assert(a === b && a.size === 100)
+    val sup = Sampling.bottomK(df, F.col("id"), 500).select("id").as[Long].collect().toSet
+    assert(a.subsetOf(sup) && sup.size === 500)
+    // k beyond the row count returns everything
+    assert(Sampling.bottomK(df.limit(7), F.col("id"), 100).count() === 7)
+    // the plan is a TakeOrdered, not a global sort
+    val plan = Sampling.bottomK(df, F.col("id"), 100).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("rebalanceToDistribution hits the target mixture without upsampling") {
+    val df = spark.range(9000)
+      .withColumn("dom", F.when(F.col("id") % 3 === 0, "a")
+        .when(F.col("id") % 3 === 1, "b").otherwise("c"))
+    // 3000 rows each; weights 2:1 over {a, b}; c is dropped.
+    // T = min(3000/(2/3), 3000/(1/3)) = 4500 → a keeps 3000 (all), b 1500
+    val out = Sampling.rebalanceToDistribution(df, F.col("dom"), F.col("id"),
+        Map("a" -> 2.0, "b" -> 1.0))
+      .groupBy("dom").count().as[(String, Long)].collect().toMap
+    assert(!out.contains("c"))
+    assert(out("a") === 3000)                       // limiting domain: kept whole
+    assert(math.abs(out("b") - 1500) < 200)         // half, within sampling noise
+    // scale shrinks the total but preserves the mixture
+    val scaled = Sampling.rebalanceToDistribution(df, F.col("dom"), F.col("id"),
+        Map("a" -> 2.0, "b" -> 1.0), scale = 0.5)
+      .groupBy("dom").count().as[(String, Long)].collect().toMap
+    assert(math.abs(scaled("a") - 1500) < 200)
+    assert(math.abs(scaled("b") - 750) < 150)
+    // deterministic: same rows both runs
+    val r1 = Sampling.rebalanceToDistribution(df, F.col("dom"), F.col("id"),
+      Map("a" -> 2.0, "b" -> 1.0)).select("id").as[Long].collect().toSet
+    val r2 = Sampling.rebalanceToDistribution(df, F.col("dom"), F.col("id"),
+      Map("a" -> 2.0, "b" -> 1.0)).select("id").as[Long].collect().toSet
+    assert(r1 === r2)
+  }
 }
