@@ -28,5 +28,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo("graft", name),
         (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => builder(exprs)))
     }
+    graft.sketch.Graft.tableFunctionBuilders.foreach { case (name, builder) =>
+      ext.injectTableFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft", name),
+        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => builder(exprs)))
+    }
   }
 }

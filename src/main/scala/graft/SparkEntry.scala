@@ -65,10 +65,19 @@ object SparkEntry {
     // #1 ddsketch_create: empty sketch, count 0, non-empty blob
     "q_sketch_create" -> ((s: SparkSession, _: String) => {
       Graft.register(s)
-      G.ddsketchCreateDF(s, 0.01).select(
+      val viaDf = G.ddsketchCreateDF(s, 0.01).select(
         G.ddsketch_count(F.col("sketch")).as("cnt"),
         (F.octet_length(F.col("sketch")) > 0).as("nonempty"),
         G.ddsketch_sum(F.col("sketch")).isNull.as("sum_is_null"))
+      // the same surface as a true SQL table function (the reference's
+      // own shape: ddsketch_create IS a 1-row table function) — both
+      // forms must agree
+      val viaTvf = s.sql(
+        """SELECT ddsketch_count(sketch) AS cnt,
+          |       octet_length(sketch) > 0 AS nonempty,
+          |       ddsketch_sum(sketch) IS NULL AS sum_is_null
+          |FROM ddsketch_create(0.01)""".stripMargin)
+      viaDf.union(viaTvf).distinct()
     }),
 
     // #2 ddsketch_add: fold one extra value into a grouped sketch
@@ -252,6 +261,42 @@ object SparkEntry {
     }),
 
     // NULL discipline: every failure mode yields NULL, never an error
+    // equi-width histogram decoded from per-group sketches, checked
+    // against exact bucket counts with a blur-band tolerance: a stored
+    // value's decoded position moves by at most ~γ(1+α) ≈ 3%, so a
+    // bucket's error is bounded by the exact mass within ±4% of its
+    // edges — both sides computed in Spark, the oracle pins the grid
+    "q_sketch_histogram" -> ((s: SparkSession, dir: String) => {
+      val ev = t(s, dir, "events")
+      val sk = ev.groupBy(F.col("event_type"))
+        .agg(G.ddsketch_agg_values(F.col("value")).as("sk"))
+      val hist = sk.select(F.col("event_type"),
+        F.posexplode(G.ddsketch_histogram(F.col("sk"), 0.0, 100.0, 10))
+          .as(Seq("bucket", "approx")))
+      val exact = ev.filter(F.col("value") >= 0.0 && F.col("value") < 100.0)
+        .groupBy(F.col("event_type"),
+          F.floor(F.col("value") / 10.0).cast("int").as("bucket"))
+        .agg(F.count(F.lit(1)).cast("double").as("exact_n"))
+      // each value sits in at most one ±4% edge band (bands are ~0.8
+      // wide vs 10-wide buckets); it blurs the buckets on both sides
+      val edge = F.round(F.col("value") / 10.0, 0).cast("int")
+      val inBand = F.col("value") >= edge * 10.0 * 0.96 &&
+        F.col("value") < edge * 10.0 * 1.04 && edge > 0
+      val blur = ev.filter(inBand)
+        .select(F.col("event_type"),
+          F.explode(F.array(edge - 1, edge)).as("bucket"))
+        .filter(F.col("bucket").between(0, 9))
+        .groupBy(F.col("event_type"), F.col("bucket"))
+        .agg(F.count(F.lit(1)).cast("double").as("blur_n"))
+      hist
+        .join(exact, Seq("event_type", "bucket"), "left")
+        .join(blur, Seq("event_type", "bucket"), "left")
+        .select(F.col("event_type"), F.col("bucket").cast("long").as("bucket"),
+          (F.abs(F.col("approx") - F.coalesce(F.col("exact_n"), F.lit(0.0)))
+            <= F.coalesce(F.col("blur_n"), F.lit(0.0)) + 1e-6).as("within_tol"))
+        .orderBy("event_type", "bucket")
+    }),
+
     "q_sketch_nulls" -> ((s: SparkSession, _: String) => {
       Graft.register(s)
       val nullBlob = F.lit(null).cast("binary")
@@ -1034,6 +1079,11 @@ object SparkEntry {
       """SELECT event_type, count(*) AS cnt, true AS cdf10_ok, true AS cdf50_ok,
         |       true AS cdf200_ok
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_sketch_histogram" ->
+      """SELECT event_type, r.bucket, true AS within_tol
+        |FROM (SELECT DISTINCT event_type FROM events),
+        |     (SELECT range AS bucket FROM range(0, 10)) r
+        |ORDER BY event_type, r.bucket""".stripMargin,
     "q_sketch_nulls" ->
       """SELECT true AS null_count_ok, true AS null_quantile_ok, true AS null_add_ok,
         |       true AS garbage_count_ok, true AS null_merge_ok, true AS garbage_stats_ok""".stripMargin,

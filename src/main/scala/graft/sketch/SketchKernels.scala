@@ -97,4 +97,32 @@ object SketchKernels {
             else DDSketch.DefaultRelativeAccuracy
     DataDogCodec.encode(DDSketch(a))
   }
+
+  /** Approximate equi-width histogram from one decode: bucket i of
+    * nbins covers [lo + i*w, lo + (i+1)*w) with w = (hi-lo)/nbins, and
+    * gets count * (cdf(right) - cdf(left)) — mass outside [lo, hi)
+    * lands in no bucket. Each bucket's error is bounded by the sketch
+    * mass within relative accuracy α of its edges. NULL on bad input,
+    * empty sketch, or a degenerate range. */
+  def histogram(blob: Array[Byte], lo: Double, hi: Double, nbins: Int): Array[Double] = {
+    val s = decodeOrNull(blob)
+    if (s == null || s.count <= 0.0 || nbins <= 0 || !(hi > lo) ||
+        lo.isNaN || hi.isNaN || lo.isInfinite || hi.isInfinite) null
+    else {
+      val out = new Array[Double](nbins)
+      val w = (hi - lo) / nbins
+      // cdf is inclusive (P[X <= x]); approximate the half-open bucket
+      // with consecutive cdf differences — edge mass lands exactly once
+      var prev = s.cdf(math.nextDown(lo))
+      var i = 0
+      while (i < nbins) {
+        val edge = if (i == nbins - 1) hi else lo + (i + 1) * w
+        val c = s.cdf(math.nextDown(edge))
+        out(i) = (c - prev) * s.count
+        prev = c
+        i += 1
+      }
+      out
+    }
+  }
 }

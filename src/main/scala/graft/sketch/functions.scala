@@ -84,6 +84,18 @@ object functions {
   def ddsketch_cdfs(sketch: Column, xs: Seq[Double]): Column =
     multiCdfUdf(sketch, F.array(xs.map(F.lit): _*))
 
+  /** Approximate equi-width histogram over [lo, hi) from one decode
+    * (see [[SketchKernels.histogram]]). */
+  private[graft] val histogramUdf: UserDefinedFunction =
+    F.udf { (blob: Array[Byte], lo: Double, hi: Double, nbins: Int) =>
+      SketchKernels.histogram(blob, lo, hi, nbins)
+    }.withName("ddsketch_histogram")
+
+  def ddsketch_histogram(sketch: Column, lo: Column, hi: Column, nbins: Column): Column =
+    histogramUdf(sketch, lo, hi, nbins)
+  def ddsketch_histogram(sketch: Column, lo: Double, hi: Double, nbins: Int): Column =
+    ddsketch_histogram(sketch, F.lit(lo), F.lit(hi), F.lit(nbins))
+
   // ---------------------------------------------------------------- UDAFs
   // Aggregates are native TypedImperativeAggregates (DDSketchAggExprs,
   // DDSketchStatsAggExprs); the Aggregator classes in DDSketchAgg.scala
@@ -254,6 +266,27 @@ object Graft {
       }})
   }
 
+  /** Table-valued functions: `SELECT sketch FROM ddsketch_create(0.01)`
+    * — the reference's own surface shape (its ddsketch_create IS a
+    * 1-row table function, lib.rs:53-113). The accuracy argument must
+    * be a literal (it parameterizes the emitted row); the plan is a
+    * 1-row LocalRelation, so there is nothing to execute distributively
+    * — exactly like the reference's emit-once-then-done table state. */
+  private[graft] def tableFunctionBuilders
+      : Seq[(String, Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)] = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    Seq("ddsketch_create" -> { (exprs: Seq[Expression]) =>
+      val acc = exprs.headOption.map(evalDouble)
+        .getOrElse(DDSketch.DefaultRelativeAccuracy)
+      LocalRelation(
+        Seq(AttributeReference("sketch",
+          org.apache.spark.sql.types.BinaryType, nullable = false)()),
+        Seq(InternalRow(SketchKernels.create(acc))))
+    })
+  }
+
   /** EVERY graft SQL function as an expression builder (UDF-backed ones
     * wrapped through GraftBridge.udfExpression) — the complete set the
     * extensions path injects. */
@@ -263,7 +296,8 @@ object Graft {
         : (String, Seq[Expression] => Expression) =
       name -> ((exprs: Seq[Expression]) => GraftBridge.udfExpression(u, exprs))
     expressionBuilders ++
-      Seq(viaUdf("ddsketch_stats", functions.statsUdf)) ++
+      Seq(viaUdf("ddsketch_stats", functions.statsUdf),
+          viaUdf("ddsketch_histogram", functions.histogramUdf)) ++
       kmv.allBuilders ++ topk.allBuilders ++ bloom.allBuilders ++
       graft.pipeline.VectorAgg.allBuilders
   }
@@ -278,8 +312,12 @@ object Graft {
     // UDF-backed scalars go through spark.udf so they keep analyzer
     // input coercion; expression builders cast explicitly instead
     spark.udf.register("ddsketch_stats", functions.statsUdf)
+    spark.udf.register("ddsketch_histogram", functions.histogramUdf)
     import org.apache.spark.sql.GraftBridge.{registerFunction => reg}
     expressionBuilders.foreach { case (name, builder) => reg(spark, name, builder) }
+    tableFunctionBuilders.foreach { case (name, builder) =>
+      org.apache.spark.sql.GraftBridge.registerTableFunction(spark, name, builder)
+    }
     kmv.register(spark)
     topk.register(spark)
     bloom.register(spark)

@@ -32,4 +32,15 @@ object GraftBridge {
     spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "built-in")
   }
+
+  /** Register a SQL table function (usable in FROM clauses) on a live
+    * session — the table-valued counterpart of [[registerFunction]]. */
+  def registerTableFunction(
+      spark: SparkSession,
+      name: String,
+      builder: Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : Unit = {
+    spark.asInstanceOf[classic.SparkSession].sessionState.tableFunctionRegistry
+      .createOrReplaceTempFunction(name, builder, "built-in")
+  }
 }

@@ -41,6 +41,17 @@ class GraftExtensionsSpec extends SparkTestBase {
       assert(r3.getLong(0) === 20L)
       assert(r3.getDouble(1) === 45.0)
 
+      // the table function surface: ddsketch_create in a FROM clause,
+      // the reference's own shape (1-row table function)
+      val r4 = s2.sql(
+        """SELECT ddsketch_count(ddsketch_add(sketch, 7.5)) AS n,
+          |       octet_length(sketch) AS len
+          |FROM ddsketch_create(0.02)""".stripMargin).head()
+      assert(r4.getLong(0) === 1L)
+      assert(r4.getInt(1) > 0)
+      // no-arg form uses the default accuracy and emits exactly one row
+      assert(s2.sql("SELECT * FROM ddsketch_create()").count() === 1L)
+
       // the fusion rule must be injected too: a 3-quantile projection
       // over one sketch collapses to a single multi-quantile call
       val before = graft.sketch.functions.multiQuantileInvocations.get()

@@ -67,4 +67,55 @@ class CdfSpec extends SparkTestBase {
       .as[Double].head()
     assert(math.abs(sqlOut - 0.25) < 0.03)
   }
+
+  // ------------------------------------------------------- histogram
+
+  test("histogram buckets approximate exact counts and sum to in-range mass") {
+    val values = (1 to 1000).map(_.toDouble)
+    val blob = sketchOf(values)
+    val h = SketchKernels.histogram(blob, 0.0, 1000.0, 10)
+    assert(h.length === 10)
+    // bucketing is on DECODED values, which overshoot by up to ~2α:
+    // stored values just under 1000 can decode past the upper bound,
+    // so in-range mass sits in the accuracy-bounded band
+    assert(h.sum <= 999.0 + 1e-9 && h.sum >= values.count(_ <= 1000.0 / 1.04))
+    // per-bucket: exact count ± the values within the ~2α edge blur
+    for (i <- 0 until 10) {
+      val exact = values.count(v => v >= i * 100.0 && v < (i + 1) * 100.0)
+      val blur = 0.04 * (i + 1) * 100.0 * 2 + 1   // both edges
+      assert(math.abs(h(i) - exact) <= blur, s"bucket $i: ${h(i)} vs $exact")
+    }
+  }
+
+  test("histogram splits negative/zero/positive mass correctly") {
+    val blob = sketchOf(Seq(-10.0, -1.0, 0.0, 0.0, 1.0, 10.0))
+    val h = SketchKernels.histogram(blob, -20.0, 20.0, 4)
+    // buckets: [-20,-10) [-10,0) [0,10) [10,20). Stored values decode
+    // with ±α overshoot, so ±10 can land either side of a ±10 edge —
+    // but the ZERO edge is exact (zeros are a dedicated store and
+    // decoded signs never flip), so sign-level masses are exact.
+    assert(math.abs(h.sum - 6.0) < 1e-9)
+    assert(math.abs(h(0) + h(1) - 2.0) < 1e-9)   // the two negatives
+    assert(math.abs(h(2) + h(3) - 4.0) < 1e-9)   // zeros + positives
+  }
+
+  test("histogram NULL discipline: bad range, empty sketch, garbage blob") {
+    val blob = sketchOf(Seq(1.0, 2.0))
+    assert(SketchKernels.histogram(blob, 5.0, 5.0, 4) === null)
+    assert(SketchKernels.histogram(blob, 5.0, 1.0, 4) === null)
+    assert(SketchKernels.histogram(blob, 1.0, 5.0, 0) === null)
+    assert(SketchKernels.histogram(Array[Byte](9, 9), 0.0, 1.0, 4) === null)
+    assert(SketchKernels.histogram(SketchKernels.create(0.01), 0.0, 1.0, 4) === null)
+    // Column + SQL surface
+    Graft.register(spark)
+    val df = Seq(Tuple1(blob)).toDF("sk")
+    val arr = df.select(G.ddsketch_histogram(F.col("sk"), 0.0, 4.0, 4).as("h"))
+      .as[Seq[Double]].head()
+    assert(arr.length === 4 && math.abs(arr.sum - 2.0) < 1e-9)
+    df.createOrReplaceTempView("hist_t")
+    val viaSql = spark.sql(
+      "SELECT ddsketch_histogram(sk, CAST(0.0 AS DOUBLE), CAST(4.0 AS DOUBLE), 4) AS h FROM hist_t")
+      .as[Seq[Double]].head()
+    assert(viaSql === arr)
+  }
 }
