@@ -30,6 +30,9 @@ object Bench {
   private val pqIndexCache = scala.collection.concurrent.TrieMap[String,
     (graft.pipeline.ProductQuantization.PqCodebooks, DataFrame)]()
 
+  private val ivfPqIndexCache = scala.collection.concurrent.TrieMap[String,
+    graft.pipeline.ProductQuantization.IvfPqIndex]()
+
   /** Headline queries: representative operator workloads. */
   def benchQueries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
 
@@ -140,6 +143,26 @@ object Bench {
       graft.pipeline.ProductQuantization.pqTopKReranked(
         cb, enc, emb, emb.filter(F.col("vec_id") < 20),
         "vec_id", "embedding", 10, poolSize = 100)
+    }),
+
+    // ANN: IVF-PQ — probe nprobe cells, ADC-scan their codes, rerank;
+    // the code table is prebuilt and persisted like a real index
+    "b_ann_ivfpq_query" -> ((s: SparkSession, dir: String) => {
+      val emb = t(s, dir, "embeddings")
+      val idx = ivfPqIndexCache.getOrElseUpdate(dir, {
+        val pq = graft.pipeline.ProductQuantization
+        val i = pq.buildIvfPq(emb, "vec_id", "embedding",
+          nlist = 16, m = 16, ksub = 16, iterations = 2)
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_bench_ivfpq").toString
+        i.encoded.write.partitionBy("__cell").mode("overwrite").parquet(path)
+        i.copy(encoded = s.read.parquet(path)
+          .withColumn("__cell", F.col("__cell").cast("int"))
+          .select("neighbor_id", "__cell", "__code", "__norm"))
+      })
+      graft.pipeline.ProductQuantization.ivfPqTopK(
+        idx, emb, emb.filter(F.col("vec_id") < 20),
+        "vec_id", "embedding", 10, nprobe = 8, poolSize = 100)
     }),
 
     // k-means training at production embedding width (dim 512 = the

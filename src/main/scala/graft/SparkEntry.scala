@@ -923,6 +923,30 @@ object SparkEntry {
         F.lit(hits >= (trueCnt * 0.7).ceil.toLong).as("recall_ok"))
     }),
 
+    // embedding ANN: IVF-PQ — coarse k-means cells + residual PQ codes,
+    // ADC scan of the probed cells, exact rerank. Measured 21/25 at
+    // nprobe=8, pool=100 on every SF; floor 0.6 leaves margin for
+    // partition-order float sums in both training stages
+    "q_embed_ivfpq" -> ((s: SparkSession, dir: String) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(F.col("vec_id") < 5)
+      val exact = graft.pipeline.Similarity
+        .bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+        .select(F.col("query_id"), F.col("neighbor_id"))
+      val pq = graft.pipeline.ProductQuantization
+      val idx = pq.buildIvfPq(emb, "vec_id", "embedding",
+        nlist = 16, m = 16, ksub = 16, iterations = 2)
+      val approx = pq
+        .ivfPqTopK(idx, emb, queries, "vec_id", "embedding", 5,
+          nprobe = 8, poolSize = 100)
+        .select(F.col("query_id"), F.col("neighbor_id"))
+      val trueCnt = exact.count()
+      val hits = exact.intersect(approx).count()
+      s.range(1).select(
+        F.lit(trueCnt).as("exact_pairs"),
+        F.lit(hits >= (trueCnt * 0.6).ceil.toLong).as("recall_ok"))
+    }),
+
     // text statistics per source: counts, tokens, chars, languages
     "q_text_stats" -> ((s: SparkSession, dir: String) => {
       t(s, dir, "documents").groupBy(F.col("source"))
@@ -1448,6 +1472,9 @@ object SparkEntry {
       """SELECT CAST((SELECT count(*) FROM embeddings WHERE vec_id < 5) * 5 AS BIGINT)
         |  AS exact_pairs, true AS recall_ok""".stripMargin,
     "q_embed_pq" ->
+      """SELECT CAST((SELECT count(*) FROM embeddings WHERE vec_id < 5) * 5 AS BIGINT)
+        |  AS exact_pairs, true AS recall_ok""".stripMargin,
+    "q_embed_ivfpq" ->
       """SELECT CAST((SELECT count(*) FROM embeddings WHERE vec_id < 5) * 5 AS BIGINT)
         |  AS exact_pairs, true AS recall_ok""".stripMargin,
     "q_embed_topk" ->

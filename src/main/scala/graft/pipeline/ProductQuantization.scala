@@ -262,6 +262,190 @@ object ProductQuantization {
     pqTopKEncoded(cb, pqEncode(corpus, idCol, vecCol, cb), queries, idCol, vecCol, k)
   }
 
+  // ------------------------------------------------------------ IVF-PQ
+
+  /** IVF-PQ index: k-means cells (coarse quantizer) + PQ codebooks
+    * trained on RESIDUALS from the cell centroid — the classic
+    * inverted-file-with-product-quantization layout. `encoded` is
+    * (neighbor_id, __cell, __code, __norm): at scale this is the only
+    * table a query scans, it partitions by cell, and a query batch
+    * touches nprobe/nlist of it. */
+  final case class IvfPqIndex(
+      centroids: Array[Array[Float]],
+      cb: PqCodebooks,
+      encoded: DataFrame)
+
+  /** Build an IVF-PQ index: train the coarse cells, subtract each
+    * vector's cell centroid, train PQ on the residuals, encode. */
+  def buildIvfPq(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nlist: Int = 16,
+      m: Int = 8,
+      ksub: Int = 16,
+      iterations: Int = 2): IvfPqIndex = {
+    val spark = corpus.sparkSession
+    val ivf = Similarity.buildIvfIndex(corpus, idCol, vecCol, nlist, iterations)
+    val cB = spark.sparkContext.broadcast(ivf.centroids)
+    val resU = F.udf((cell: Int, v: Array[Float]) => {
+      if (v == null || cell < 0) null
+      else {
+        val c = cB.value(cell)
+        val r = new Array[Float](v.length)
+        var i = 0
+        while (i < v.length) {
+          r(i) = v(i) - (if (i < c.length) c(i) else 0.0f)
+          i += 1
+        }
+        r
+      }
+    })
+    val residuals = ivf.assigned
+      .select(F.col("neighbor_id").as(idCol),
+              resU(F.col("__cell"), F.col("__cv")).as(vecCol),
+              F.col("__cell"), F.col("__cv"))
+    val cb = trainPq(residuals.select(F.col(idCol), F.col(vecCol)),
+      idCol, vecCol, m, ksub, iterations)
+    val enc = pqEncode(residuals.select(F.col(idCol), F.col(vecCol)), idCol, vecCol, cb)
+      .select(F.col("neighbor_id"), F.col("__code"))
+    val normU = F.udf((v: Array[Float]) => {
+      val r: java.lang.Double =
+        if (v == null) null
+        else {
+          var s = 0.0
+          var i = 0
+          while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
+          java.lang.Double.valueOf(math.sqrt(s))
+        }
+      r
+    })
+    val encoded = residuals
+      .select(F.col(idCol).as("neighbor_id"), F.col("__cell"),
+              normU(F.col("__cv")).as("__norm"))
+      .join(enc, "neighbor_id")
+      .select("neighbor_id", "__cell", "__code", "__norm")
+    IvfPqIndex(ivf.centroids, cb, encoded)
+  }
+
+  /**
+   * Query an IVF-PQ index: each query probes its `nprobe` nearest
+   * cells; within a cell, dot(q, x) decomposes as dot(q, centroid) +
+   * dot(q, residual), the second term read from the query's ADC
+   * lookup table (cell-independent, built once per query against the
+   * residual codebooks). Candidates from the code scan are reranked
+   * with exact cosine over the original vectors.
+   */
+  def ivfPqTopK(
+      index: IvfPqIndex,
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nprobe: Int = 4,
+      poolSize: Int = 50): DataFrame = {
+    val spark = index.encoded.sparkSession
+    val cB = spark.sparkContext.broadcast(index.centroids)
+    val bB = spark.sparkContext.broadcast(index.cb)
+    // (cell, dot(q, centroid)) pairs for the nprobe nearest cells
+    val probeU = F.udf((v: Array[Float]) => {
+      if (v == null) null
+      else {
+        val cs = cB.value
+        cs.indices.map { c =>
+          var d = 0.0
+          var dot = 0.0
+          var i = 0
+          val cc = cs(c)
+          val n = math.min(cc.length, v.length)
+          while (i < n) {
+            val t = cc(i) - v(i)
+            d += t * t
+            dot += cc(i).toDouble * v(i).toDouble
+            i += 1
+          }
+          (c, d, dot)
+        }.sortBy(_._2).take(nprobe).map(t => (t._1, t._3))
+      }
+    })
+    val lutU = F.udf((v: Array[Float]) => {
+      val b = bB.value
+      if (v == null || v.length != b.m * b.subDim) null
+      else {
+        val ks = b.ksub
+        val lut = new Array[Float](b.m * ks)
+        var sub = 0
+        while (sub < b.m) {
+          var c = 0
+          while (c < ks) {
+            val cc = b.centroids(sub)(c)
+            var s = 0.0f
+            var i = 0
+            while (i < b.subDim) { s += cc(i) * v(sub * b.subDim + i); i += 1 }
+            lut(sub * ks + c) = s
+            c += 1
+          }
+          sub += 1
+        }
+        lut
+      }
+    })
+    val qnormU = F.udf((v: Array[Float]) => {
+      val r: java.lang.Double =
+        if (v == null) null
+        else {
+          var s = 0.0
+          var i = 0
+          while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
+          java.lang.Double.valueOf(math.sqrt(s))
+        }
+      r
+    })
+    val ks = index.cb.ksub
+    val adcU = F.udf((codes: Array[Byte], lut: Seq[Float], cellDot: Double) => {
+      val r: java.lang.Double =
+        if (codes == null || lut == null) null
+        else {
+          var s = cellDot
+          var sub = 0
+          while (sub < codes.length) {
+            s += lut(sub * ks + (codes(sub) & 0xFF))
+            sub += 1
+          }
+          java.lang.Double.valueOf(s)
+        }
+      r
+    })
+    val q = queries.select(F.col(idCol).as("query_id"),
+        lutU(F.col(vecCol)).as("__lut"), qnormU(F.col(vecCol)).as("__qn"),
+        F.explode(probeU(F.col(vecCol))).as("__probe"))
+      .select(F.col("query_id"), F.col("__lut"), F.col("__qn"),
+        F.col("__probe._1").as("__cell"), F.col("__probe._2").as("__cdot"))
+    val pool = index.encoded.join(F.broadcast(q), "__cell")
+      .filter(F.col("neighbor_id") =!= F.col("query_id"))
+      .withColumn("cos",
+        adcU(F.col("__code"), F.col("__lut"), F.col("__cdot"))
+          / (F.col("__qn") * F.col("__norm")))
+      .filter(F.col("cos").isNotNull)
+    val w = Window.partitionBy(F.col("query_id"))
+      .orderBy(F.col("cos").desc, F.col("neighbor_id").asc)
+    val cand = pool.withColumn("rank", F.row_number().over(w))
+      .filter(F.col("rank") <= poolSize)
+      .select(F.col("query_id"), F.col("neighbor_id"))
+    val qv = queries.select(F.col(idCol).as("query_id"), F.col(vecCol).as("__qv"))
+    val cv = corpus.select(F.col(idCol).as("neighbor_id"), F.col(vecCol).as("__cv"))
+    val exact = cand
+      .join(F.broadcast(qv), "query_id")
+      .join(cv, "neighbor_id")
+      .withColumn("cos", Similarity.cosine(F.col("__qv"), F.col("__cv")))
+    val w2 = Window.partitionBy(F.col("query_id"))
+      .orderBy(F.col("cos").desc, F.col("neighbor_id").asc)
+    exact.withColumn("rank", F.row_number().over(w2))
+      .filter(F.col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cos")
+  }
+
   /**
    * ADC candidates + exact rerank: take `poolSize` candidates per
    * query by ADC score, re-attach the original vectors (a join on the

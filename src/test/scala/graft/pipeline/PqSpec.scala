@@ -84,6 +84,41 @@ class PqSpec extends SparkTestBase {
     assert(out === Set(2L))   // 3/4 dropped, self excluded
   }
 
+  test("IVF-PQ with full-coverage probes and pool reproduces brute force") {
+    // nlist=2 cells, probe BOTH, pool covers the whole corpus → the
+    // rerank stage must recover the exact answer regardless of how
+    // lossy the residual codes are
+    val idx = PQ.buildIvfPq(corpus6, "vec_id", "embedding",
+      nlist = 2, m = 4, ksub = 2, iterations = 2)
+    assert(idx.encoded.columns.toSeq ===
+      Seq("neighbor_id", "__cell", "__code", "__norm"))
+    val queries = corpus6.filter($"vec_id" <= 2)
+    val got = PQ.ivfPqTopK(idx, corpus6, queries, "vec_id", "embedding", 3,
+        nprobe = 2, poolSize = 6)
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Int, Long)].collect().toSet
+    val exact = Similarity.bruteForceTopK(corpus6, queries, "vec_id", "embedding", 3)
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(got === exact)
+  }
+
+  test("IVF-PQ probing restricts the scan to the probed cells") {
+    val idx = PQ.buildIvfPq(corpus6, "vec_id", "embedding",
+      nlist = 2, m = 4, ksub = 2, iterations = 2)
+    val cells = idx.encoded.select("__cell").distinct().as[Int].collect().toSet
+    assert(cells.size === 2)   // both cells populated on this corpus
+    // nprobe=1: results only come from one cell per query
+    val queries = corpus6.filter($"vec_id" === 1L)
+    val got = PQ.ivfPqTopK(idx, corpus6, queries, "vec_id", "embedding", 6,
+        nprobe = 1, poolSize = 6)
+      .select("neighbor_id").as[Long].collect().toSet
+    val byCell = idx.encoded.select("neighbor_id", "__cell")
+      .as[(Long, Int)].collect().groupBy(_._2).map { case (c, g) => c -> g.map(_._1).toSet }
+    // the result set must be a subset of a single cell (minus self)
+    assert(byCell.values.exists(cell => got.subsetOf(cell - 1L)), s"$got vs $byCell")
+  }
+
   test("training tolerates NULL/ragged vectors in the corpus") {
     val df = Seq(
       (1L, Option(Array(1.0f, 0f, 0f, 2f))),
