@@ -151,14 +151,11 @@ object Bench {
       val emb = t(s, dir, "embeddings")
       val idx = ivfPqIndexCache.getOrElseUpdate(dir, {
         val pq = graft.pipeline.ProductQuantization
-        val i = pq.buildIvfPq(emb, "vec_id", "embedding",
-          nlist = 16, m = 16, ksub = 16, iterations = 2)
         val path = java.nio.file.Files
           .createTempDirectory("graft_bench_ivfpq").toString
-        i.encoded.write.partitionBy("__cell").mode("overwrite").parquet(path)
-        i.copy(encoded = s.read.parquet(path)
-          .withColumn("__cell", F.col("__cell").cast("int"))
-          .select("neighbor_id", "__cell", "__code", "__norm"))
+        pq.buildIvfPq(emb, "vec_id", "embedding",
+          nlist = 16, m = 16, ksub = 16, iterations = 2).save(path)
+        pq.loadIvfPq(s, path)
       })
       graft.pipeline.ProductQuantization.ivfPqTopK(
         idx, emb, emb.filter(F.col("vec_id") < 20),

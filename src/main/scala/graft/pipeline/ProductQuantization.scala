@@ -38,6 +38,32 @@ object ProductQuantization {
     def ksub: Int = centroids.headOption.map(_.length).getOrElse(0)
   }
 
+  /** Persist codebooks as (sub, code, centroid) rows — m*ksub rows. */
+  def savePqCodebooks(cb: PqCodebooks, spark: SparkSession, path: String): Unit = {
+    import spark.implicits._
+    val rows = for {
+      (book, sub) <- cb.centroids.zipWithIndex
+      (cent, code) <- book.zipWithIndex
+    } yield (sub, code, cent)
+    rows.toSeq.toDF("sub", "code", "centroid")
+      .repartition(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Reload codebooks written by [[savePqCodebooks]]. */
+  def loadPqCodebooks(spark: SparkSession, path: String): PqCodebooks = {
+    import spark.implicits._
+    val rows = spark.read.parquet(path)
+      .orderBy("sub", "code")
+      .select("sub", "code", "centroid")
+      .as[(Int, Int, Array[Float])].collect()
+    val m = if (rows.isEmpty) 0 else rows.map(_._1).max + 1
+    val books = Array.tabulate(m) { sub =>
+      rows.filter(_._1 == sub).sortBy(_._2).map(_._3)
+    }
+    val subDim = books.headOption.flatMap(_.headOption).map(_.length).getOrElse(0)
+    PqCodebooks(m, subDim, books)
+  }
+
   private def nearestSub(cb: Array[Array[Float]], v: Array[Float], off: Int, subDim: Int): Int = {
     var best = 0
     var bestD = Double.MaxValue
@@ -273,7 +299,33 @@ object ProductQuantization {
   final case class IvfPqIndex(
       centroids: Array[Array[Float]],
       cb: PqCodebooks,
-      encoded: DataFrame)
+      encoded: DataFrame) {
+    /** Persist: the code table parquet PARTITIONED BY cell (query
+      * batches partition-prune to their nprobe cells), the coarse
+      * centroids, and the PQ codebooks as side tables. */
+    def save(path: String): Unit = {
+      val spark = encoded.sparkSession
+      import spark.implicits._
+      encoded.write.partitionBy("__cell").mode("overwrite")
+        .parquet(s"$path/encoded")
+      centroids.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
+        .toDF("cell", "centroid")
+        .repartition(1).write.mode("overwrite").parquet(s"$path/centroids")
+      savePqCodebooks(cb, spark, s"$path/codebooks")
+    }
+  }
+
+  /** Reload an index written by [[IvfPqIndex.save]]. */
+  def loadIvfPq(spark: SparkSession, path: String): IvfPqIndex = {
+    import spark.implicits._
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .orderBy("cell").select("centroid").as[Array[Float]].collect()
+    val cb = loadPqCodebooks(spark, s"$path/codebooks")
+    val encoded = spark.read.parquet(s"$path/encoded")
+      .withColumn("__cell", F.col("__cell").cast("int"))
+      .select("neighbor_id", "__cell", "__code", "__norm")
+    IvfPqIndex(centroids, cb, encoded)
+  }
 
   /** Build an IVF-PQ index: train the coarse cells, subtract each
     * vector's cell centroid, train PQ on the residuals, encode. */

@@ -119,6 +119,24 @@ class PqSpec extends SparkTestBase {
     assert(byCell.values.exists(cell => got.subsetOf(cell - 1L)), s"$got vs $byCell")
   }
 
+  test("IVF-PQ save/load roundtrips and answers identically") {
+    val idx = PQ.buildIvfPq(corpus6, "vec_id", "embedding",
+      nlist = 2, m = 4, ksub = 2, iterations = 2)
+    val path = java.nio.file.Files.createTempDirectory("graft_ivfpq_rt").toString
+    idx.save(path)
+    val loaded = PQ.loadIvfPq(spark, path)
+    assert(loaded.centroids.map(_.toSeq).toSeq === idx.centroids.map(_.toSeq).toSeq)
+    assert(loaded.cb.m === idx.cb.m && loaded.cb.subDim === idx.cb.subDim)
+    assert(loaded.cb.centroids.map(_.map(_.toSeq).toSeq).toSeq ===
+      idx.cb.centroids.map(_.map(_.toSeq).toSeq).toSeq)
+    val queries = corpus6.filter($"vec_id" <= 2)
+    def ans(i: PQ.IvfPqIndex) =
+      PQ.ivfPqTopK(i, corpus6, queries, "vec_id", "embedding", 3, 2, 6)
+        .select("query_id", "rank", "neighbor_id")
+        .as[(Long, Int, Long)].collect().toSet
+    assert(ans(loaded) === ans(idx))
+  }
+
   test("training tolerates NULL/ragged vectors in the corpus") {
     val df = Seq(
       (1L, Option(Array(1.0f, 0f, 0f, 2f))),
