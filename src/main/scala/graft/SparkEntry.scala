@@ -297,6 +297,38 @@ object SparkEntry {
         .orderBy("event_type", "bucket")
     }),
 
+    // sketch-driven curation: trim each group to its [p05, p95] sketch
+    // quantiles, then check the kept count against the exact-rank band
+    // (sketch quantiles sit within RankTol of the order statistics, so
+    // the kept count must lie between the tight and loose exact cuts)
+    "q_trim_outliers" -> ((s: SparkSession, dir: String) => {
+      Graft.register(s)
+      val ev = t(s, dir, "events")
+      val kept = graft.sketch.SketchOps
+        .trimOutliers(ev, Seq("event_type"), "value", 0.05, 0.95)
+        .groupBy(F.col("event_type"))
+        .agg(F.count(F.lit(1)).as("kept"))
+      val bands = ev.groupBy(F.col("event_type"))
+        .agg(F.count(F.lit(1)).as("cnt"),
+             F.sort_array(F.collect_list(F.col("value"))).as("sorted"))
+        .select(F.col("event_type"), F.col("cnt"),
+          rankValue(F.col("sorted"), F.col("cnt"), 0.05).as("lo"),
+          rankValue(F.col("sorted"), F.col("cnt"), 0.95).as("hi"),
+          F.col("sorted"))
+        .select(F.col("event_type"), F.col("cnt"),
+          F.size(F.filter(F.col("sorted"),
+            v => v >= F.col("lo") * 1.04 && v <= F.col("hi") * 0.96))
+            .cast("long").as("tight"),
+          F.size(F.filter(F.col("sorted"),
+            v => v >= F.col("lo") * 0.96 && v <= F.col("hi") * 1.04))
+            .cast("long").as("loose"))
+      bands.join(kept, "event_type")
+        .select(F.col("event_type"), F.col("cnt"),
+          (F.col("kept") >= F.col("tight") && F.col("kept") <= F.col("loose"))
+            .as("kept_in_band"))
+        .orderBy("event_type")
+    }),
+
     "q_sketch_nulls" -> ((s: SparkSession, _: String) => {
       Graft.register(s)
       val nullBlob = F.lit(null).cast("binary")
@@ -1102,6 +1134,9 @@ object SparkEntry {
     "q_sketch_cdf" ->
       """SELECT event_type, count(*) AS cnt, true AS cdf10_ok, true AS cdf50_ok,
         |       true AS cdf200_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_trim_outliers" ->
+      """SELECT event_type, count(*) AS cnt, true AS kept_in_band
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_sketch_histogram" ->
       """SELECT event_type, r.bucket, true AS within_tol

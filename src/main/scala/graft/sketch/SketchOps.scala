@@ -36,6 +36,36 @@ object SketchOps {
   }
 
   /**
+   * Sketch-driven outlier trimming: keep rows whose `valueCol` lies
+   * within the per-group [qLo, qHi] sketch quantiles — "drop the top
+   * and bottom permille before training" as one composition. Two
+   * passes over the data, but the first reduces to one sketch row per
+   * group (map-side combined), and the bounds re-attach by BROADCAST —
+   * the corpus itself never shuffles. Bounds are the DDSketch
+   * quantiles, so the cut is within relative accuracy α of the exact
+   * ranks; NULL values and groups with empty sketches drop out.
+   */
+  def trimOutliers(
+      df: DataFrame,
+      keyCols: Seq[String],
+      valueCol: String,
+      qLo: Double = 0.001,
+      qHi: Double = 0.999): DataFrame = {
+    require(qLo >= 0.0 && qHi <= 1.0 && qLo < qHi,
+      s"need 0 <= qLo < qHi <= 1, got [$qLo, $qHi]")
+    val keys = keyCols.map(F.col)
+    val bounds = df
+      .groupBy(keys: _*)
+      .agg(G.ddsketch_agg_values(F.col(valueCol)).as("__sk"))
+      .select(keyCols.map(F.col) :+
+        G.ddsketch_quantile(F.col("__sk"), qLo).as("__lo") :+
+        G.ddsketch_quantile(F.col("__sk"), qHi).as("__hi"): _*)
+    df.join(F.broadcast(bounds), keyCols)
+      .filter(F.col(valueCol) >= F.col("__lo") && F.col(valueCol) <= F.col("__hi"))
+      .drop("__lo", "__hi")
+  }
+
+  /**
    * Hourly→key rollup (the reference README's hourly/daily pattern,
    * README.md:189-199): persistable intermediate sketches plus a final
    * merge, all map-side-combinable.

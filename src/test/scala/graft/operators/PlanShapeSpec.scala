@@ -73,6 +73,37 @@ class PlanShapeSpec extends SparkTestBase {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("rebalanceToDistribution keeps the kept-rows side shuffle-free") {
+    val df = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "b"))
+      .toDF("id", "dom").repartition(4)
+    val out = graft.pipeline.Sampling
+      .rebalanceToDistribution(df, F.col("dom"), F.col("id"), Map("a" -> 0.5, "b" -> 0.5))
+    val plan = out.queryExecution.executedPlan.toString
+    // the tiny count/min aggregates shuffle (2 hash exchanges on the
+    // fraction side); the corpus-sized side must join the fractions by
+    // BROADCAST and carry no window/rank — no rank exchange at all
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("Window"), plan)
+    assert(exchanges(out) <= 2, plan)
+  }
+
+  test("PQ ADC query scans the code table without shuffling it") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0f, 0f, 2f)), (2L, Array(0.9f, 0.1f, 0f, 2f)),
+      (3L, Array(0f, 1f, 1f, 0f)), (4L, Array(0.5f, 0.5f, 0f, 1f)))
+      .toDF("vec_id", "embedding").repartition(4)
+    val pq = graft.pipeline.ProductQuantization
+    val cb = pq.trainPq(emb, "vec_id", "embedding", m = 2, ksub = 2, iterations = 1)
+    val enc = pq.pqEncode(emb, "vec_id", "embedding", cb)
+    val out = pq.pqTopKEncoded(cb, enc, emb.filter($"vec_id" === 1L),
+      "vec_id", "embedding", 2)
+    val plan = out.queryExecution.executedPlan.toString
+    // queries broadcast onto the code scan; the only hash exchange is
+    // the candidate-sized top-k window
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"), plan)
+    assert(exchanges(out) === 1, plan)
+  }
+
   test("lag and running sum share one Window exec in withSessionId") {
     val df = Seq((1L, 10L), (1L, 20L)).toDF("u", "ts").repartition(4)
     val out = Sessionize.withSessionId(df, F.col("u"), F.col("ts"), 100L)
