@@ -608,6 +608,29 @@ object SparkEntry {
             .as("fp_bounded"))
     }),
 
+    // count-min frequency sketch: corpus-wide per-user frequency in
+    // O(depth x width) memory; estimates never undercount and overshoot
+    // at most eps * totalCount (both pinned as booleans over ALL users)
+    "q_cms" -> ((s: SparkSession, dir: String) => {
+      import graft.sketch.{cms => C}
+      Graft.register(s)
+      val ev = t(s, dir, "events")
+      val sk = ev.agg(C.cms_agg(F.col("user_id"), 0.001, 0.99).as("sk"))
+      ev.groupBy(F.col("user_id")).agg(F.count(F.lit(1)).as("exact"))
+        .crossJoin(sk)
+        .select(F.col("exact"),
+          C.cms_estimate(F.col("sk"), F.col("user_id")).as("est"),
+          C.cms_total(F.col("sk")).as("n"))
+        .agg(
+          F.count(F.lit(1)).cast("long").as("probed"),
+          F.min(F.col("n")).as("total"),
+          (F.sum(F.when(F.col("est") >= F.col("exact"), 0L).otherwise(1L)) === 0L)
+            .as("no_undercount"),
+          (F.sum(F.when(F.col("est") <= F.col("exact") +
+              F.ceil(F.col("n") * F.lit(0.001)).cast("long"), 0L).otherwise(1L)) === 0L)
+            .as("overcount_bounded"))
+    }),
+
     // exact dedup by content hash
     "q_dedup_exact" -> ((s: SparkSession, dir: String) => {
       val docs = t(s, dir, "documents")
@@ -1276,6 +1299,11 @@ object SparkEntry {
         |  CAST(count(*) FILTER (user_id IN (SELECT user_id FROM build)) AS BIGINT) AS present,
         |  true AS no_false_negatives, true AS fp_bounded
         |FROM probe""".stripMargin,
+    "q_cms" ->
+      """SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS probed,
+        |       CAST(count(*) AS BIGINT) AS total,
+        |       true AS no_undercount, true AS overcount_bounded
+        |FROM events""".stripMargin,
     "q_dedup_exact" ->
       """SELECT count(*) AS total, count(DISTINCT text) AS distinct_docs,
         |       count(DISTINCT text) AS kept FROM documents""".stripMargin,

@@ -299,7 +299,7 @@ object Graft {
       Seq(viaUdf("ddsketch_stats", functions.statsUdf),
           viaUdf("ddsketch_histogram", functions.histogramUdf)) ++
       kmv.allBuilders ++ topk.allBuilders ++ bloom.allBuilders ++
-      graft.pipeline.VectorAgg.allBuilders
+      cms.allBuilders ++ graft.pipeline.VectorAgg.allBuilders
   }
 
   /** Idempotent; call once per SparkSession. (Sessions built with
@@ -321,6 +321,7 @@ object Graft {
     kmv.register(spark)
     topk.register(spark)
     bloom.register(spark)
+    cms.register(spark)
     graft.pipeline.VectorAgg.register(spark)
   }
 }
