@@ -386,6 +386,24 @@ object SparkEntry {
         .orderBy("c_mktsegment")
     }),
 
+    // bucketed sink + co-located fact-to-fact join: both sides written
+    // bucketed by orderkey, so the join itself plans zero exchanges
+    // (pinned by PlanShapeSpec); the write-side shuffle is paid once
+    "q_bucketed_join" -> ((s: SparkSession, dir: String) => {
+      val B = graft.sources.Bucketed
+      B.writeBucketed(t(s, dir, "orders"), "graft_q_orders_b",
+        Seq("o_orderkey"), 8, Seq("o_orderkey"))
+      B.writeBucketed(t(s, dir, "lineitem"), "graft_q_lineitem_b",
+        Seq("l_orderkey"), 8, Seq("l_orderkey"))
+      B.colocatedJoin(s, "graft_q_orders_b", "graft_q_lineitem_b",
+          F.col("o_orderkey") === F.col("l_orderkey"))
+        .groupBy(F.col("o_orderpriority"))
+        .agg(F.count(F.lit(1)).as("items"),
+             F.round(F.sum(F.col("l_extendedprice")) * 100, 0).cast("long")
+               .as("price_cents"))
+        .orderBy("o_orderpriority")
+    }),
+
     // filter pushdown + projection pruning
     "q_rel_filter" -> ((s: SparkSession, dir: String) => {
       t(s, dir, "lineitem")
@@ -1185,6 +1203,11 @@ object SparkEntry {
         |       CAST(round(sum(o_totalprice) * 100, 0) AS BIGINT) AS total_cents
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_bucketed_join" ->
+      """SELECT o_orderpriority, count(*) AS items,
+        |       CAST(round(sum(l_extendedprice) * 100, 0) AS BIGINT) AS price_cents
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_rel_filter" ->
       """SELECT count(*) AS cnt,
         |       CAST(round(sum(l_extendedprice * l_discount) * 100, 0) AS BIGINT) AS revenue_cents

@@ -104,6 +104,30 @@ class PlanShapeSpec extends SparkTestBase {
     assert(exchanges(out) === 1, plan)
   }
 
+  test("co-located join of bucketed tables plans zero exchanges") {
+    val B = graft.sources.Bucketed
+    B.writeBucketed(sf("sf0.001", "orders"), "pst_orders_b",
+      Seq("o_orderkey"), 4, Seq("o_orderkey"))
+    B.writeBucketed(sf("sf0.001", "lineitem"), "pst_lineitem_b",
+      Seq("l_orderkey"), 4, Seq("l_orderkey"))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // forbid broadcast so the bucketed-SMJ path is what gets planned
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val out = B.colocatedJoin(spark, "pst_orders_b", "pst_lineitem_b",
+        F.col("o_orderkey") === F.col("l_orderkey"))
+      val plan = out.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      // the write-side shuffle was paid once; the join itself adds none
+      assert(exchanges(out) === 0, plan)
+      assert(plan.contains("SelectedBucketsCount"), plan)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS pst_orders_b")
+      spark.sql("DROP TABLE IF EXISTS pst_lineitem_b")
+    }
+  }
+
   test("lag and running sum share one Window exec in withSessionId") {
     val df = Seq((1L, 10L), (1L, 20L)).toDF("u", "ts").repartition(4)
     val out = Sessionize.withSessionId(df, F.col("u"), F.col("ts"), 100L)
