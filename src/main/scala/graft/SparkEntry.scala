@@ -649,6 +649,39 @@ object SparkEntry {
             .as("overcount_bounded"))
     }),
 
+    // distinct counting via Spark's built-in DataSketches HLL (the
+    // Spark-first answer where the engine already ships a mergeable
+    // sketch): per-group estimates within 2% of exact, and the UNION of
+    // the per-group sketches re-estimates the global distinct count
+    "q_hll_distinct" -> ((s: SparkSession, dir: String) => {
+      val ev = t(s, dir, "events")
+      val per = ev.groupBy(F.col("event_type")).agg(
+        F.hll_sketch_agg(F.col("user_id")).as("hs"),
+        F.count_distinct(F.col("user_id")).as("exact_users"))
+      val tol = (est: org.apache.spark.sql.Column, exact: org.apache.spark.sql.Column) =>
+        F.abs(est - exact) <= F.greatest(F.lit(2.0), exact * 0.02)
+      val global = per.agg(
+        F.hll_sketch_estimate(F.hll_union_agg(F.col("hs"))).as("gest"))
+        .crossJoin(ev.agg(F.count_distinct(F.col("user_id")).as("gexact")))
+        .select(tol(F.col("gest"), F.col("gexact")).as("global_ok"))
+      per.select(F.col("event_type"), F.col("exact_users"),
+          tol(F.hll_sketch_estimate(F.col("hs")), F.col("exact_users")).as("est_ok"))
+        .crossJoin(global)
+        .orderBy("event_type")
+    }),
+
+    // ordered funnel: users per completed depth of view->click->purchase
+    // within 1 day of the anchor view (strictly increasing epoch-millis
+    // between steps; one hash exchange)
+    "q_funnel" -> ((s: SparkSession, dir: String) => {
+      val ev = t(s, dir, "events")
+      graft.operators.Funnel.funnelCounts(ev, F.col("user_id"),
+          F.unix_millis(F.col("ts")), F.col("event_type"),
+          Seq("view", "click", "purchase"), maxSpan = Some(86400000L))
+        .select(F.col("steps_completed"), F.col("users"))
+        .orderBy("steps_completed")
+    }),
+
     // exact dedup by content hash
     "q_dedup_exact" -> ((s: SparkSession, dir: String) => {
       val docs = t(s, dir, "documents")
@@ -1322,6 +1355,32 @@ object SparkEntry {
         |  CAST(count(*) FILTER (user_id IN (SELECT user_id FROM build)) AS BIGINT) AS present,
         |  true AS no_false_negatives, true AS fp_bounded
         |FROM probe""".stripMargin,
+    "q_funnel" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS tm, event_type FROM events),
+        |s1 AS (SELECT user_id, min(tm) AS t1 FROM e
+        |       WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(tm) AS t2 FROM e JOIN s1 USING (user_id)
+        |       WHERE event_type = 'click' AND tm > t1
+        |         AND tm - t1 <= 86400000 GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(tm) AS t3 FROM e JOIN s2 USING (user_id)
+        |       JOIN s1 USING (user_id)
+        |       WHERE event_type = 'purchase' AND tm > t2
+        |         AND tm - t1 <= 86400000 GROUP BY e.user_id),
+        |per AS (SELECT u.user_id,
+        |          CASE WHEN s3.user_id IS NOT NULL THEN 3
+        |               WHEN s2.user_id IS NOT NULL THEN 2
+        |               WHEN s1.user_id IS NOT NULL THEN 1
+        |               ELSE 0 END AS steps_completed
+        |        FROM (SELECT DISTINCT user_id FROM e) u
+        |        LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+        |        LEFT JOIN s3 USING (user_id))
+        |SELECT CAST(steps_completed AS BIGINT) AS steps_completed,
+        |       CAST(count(*) AS BIGINT) AS users
+        |FROM per GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_hll_distinct" ->
+      """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |       true AS est_ok, true AS global_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_cms" ->
       """SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS probed,
         |       CAST(count(*) AS BIGINT) AS total,
