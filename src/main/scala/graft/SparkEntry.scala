@@ -682,6 +682,14 @@ object SparkEntry {
         .orderBy("steps_completed")
     }),
 
+    // cohort retention matrix: users from each first-day cohort active
+    // again k days later (two exchanges; no event self-join)
+    "q_retention" -> ((s: SparkSession, dir: String) => {
+      val ev = t(s, dir, "events")
+      graft.operators.Retention.cohortRetention(
+          ev, F.col("user_id"), F.col("ts"), maxOffset = 14)
+    }),
+
     // exact dedup by content hash
     "q_dedup_exact" -> ((s: SparkSession, dir: String) => {
       val docs = t(s, dir, "documents")
@@ -1355,6 +1363,14 @@ object SparkEntry {
         |  CAST(count(*) FILTER (user_id IN (SELECT user_id FROM build)) AS BIGINT) AS present,
         |  true AS no_false_negatives, true AS fp_bounded
         |FROM probe""".stripMargin,
+    "q_retention" ->
+      """WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |coh AS (SELECT user_id, min(d) AS c FROM act GROUP BY user_id)
+        |SELECT c AS cohort_day, CAST(d - c AS BIGINT) AS day_offset,
+        |       CAST(count(*) AS BIGINT) AS users
+        |FROM act JOIN coh USING (user_id)
+        |WHERE d - c <= 14
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_funnel" ->
       """WITH e AS (SELECT user_id, epoch_ms(ts) AS tm, event_type FROM events),
         |s1 AS (SELECT user_id, min(tm) AS t1 FROM e
