@@ -709,6 +709,23 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // incremental near-dup: a "new batch" (doc_id % 3 == 0) checked
+    // against a persisted LSH signature index of the rest of the corpus
+    // — history is never re-shingled, new-batch buckets broadcast
+    "q_dedup_incremental" -> ((s: SparkSession, dir: String) => {
+      val docs = t(s, dir, "documents")
+      val hist = docs.filter(F.col("doc_id") % 3 =!= 0)
+      val fresh = docs.filter(F.col("doc_id") % 3 === 0)
+      val path = System.getProperty("java.io.tmpdir") + "/graft_q_sigidx"
+      graft.pipeline.Dedup.saveSignatureIndex(
+        graft.pipeline.Dedup.buildSignatureIndex(hist, "doc_id", "text", 5, 16, 8),
+        path)
+      graft.pipeline.Dedup.incrementalNearDuplicatePairs(
+          fresh, graft.pipeline.Dedup.loadSignatureIndex(s, path), hist,
+          "doc_id", "text", 5, 0.8, 16, 8)
+        .orderBy("id_new", "id_old")
+    }),
+
     // n-gram Jaccard: same pairs with exact intersection/union counts
     "q_dedup_ngram" -> ((s: SparkSession, dir: String) => {
       graft.pipeline.Dedup.nearDuplicatePairs(
@@ -1415,6 +1432,18 @@ object SparkEntry {
         |FROM pairs JOIN sizes sa ON ida = sa.doc_id JOIN sizes sb ON idb = sb.doc_id
         |WHERE inter >= (sa.sz + sb.sz - inter) * 0.8
         |ORDER BY id_a, id_b""".stripMargin,
+    "q_dedup_incremental" ->
+      """WITH sh AS (SELECT DISTINCT doc_id, substr(text, r.i, 5) AS g
+        |            FROM documents, range(1, 1000) r(i) WHERE r.i + 4 <= length(text)),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |pairs AS (SELECT n.doc_id AS idn, o.doc_id AS ido, count(*) AS inter
+        |          FROM sh n JOIN sh o ON n.g = o.g
+        |          WHERE n.doc_id % 3 = 0 AND o.doc_id % 3 <> 0 GROUP BY 1, 2)
+        |SELECT idn AS id_new, ido AS id_old, CAST(inter AS BIGINT) AS inter,
+        |       CAST(sa.sz + sb.sz - inter AS BIGINT) AS uni
+        |FROM pairs JOIN sizes sa ON idn = sa.doc_id JOIN sizes sb ON ido = sb.doc_id
+        |WHERE inter >= (sa.sz + sb.sz - inter) * 0.8
+        |ORDER BY id_new, id_old""".stripMargin,
     "q_dedup_clusters" ->
       """WITH RECURSIVE
         |sh AS (SELECT DISTINCT doc_id, substr(text, r.i, 5) AS g

@@ -242,6 +242,92 @@ object Dedup {
   }
 
   /**
+   * LSH signature index for INCREMENTAL dedup — the daily-ingest shape:
+   * the historical corpus's band buckets are computed once and
+   * persisted; each new batch checks against the index without ever
+   * re-scanning (or re-shingling) history. Rows are (band INT, bucket
+   * LONG, id LONG) — ~bands rows per document, no text. Oversize
+   * buckets are capped here at build time (accumulator-counted and
+   * logged, see [[DefaultMaxBucket]]) so a boilerplate flood in history
+   * can never multiply against every future batch.
+   */
+  def buildSignatureIndex(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 5,
+      bands: Int = 32,
+      rowsPerBand: Int = 4,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val buckets = df.select(
+        F.col(idCol).as("id"),
+        F.explode(TextFunctions.bandsUdf(bands, rowsPerBand)(
+          TextFunctions.minhashTextOphUdf(shingleSize, numHashes)(F.col(textCol))))
+          .as("__b"))
+      .select(F.col("__b._1").as("band"), F.col("__b._2").as("bucket"), F.col("id"))
+    val grouped = buckets.groupBy(F.col("band"), F.col("bucket"))
+      .agg(F.collect_list(F.col("id")).as("__ids"))
+    capBuckets(grouped, F.size(F.col("__ids")), maxBucket, "sigindex")
+      .select(F.col("band"), F.col("bucket"), F.explode(F.col("__ids")).as("id"))
+  }
+
+  /** Persist a signature index (plain parquet; use mode append for
+    * daily increments — geometry must match across appends). */
+  def saveSignatureIndex(index: DataFrame, path: String, mode: String = "overwrite"): Unit =
+    index.write.mode(mode).parquet(path)
+
+  def loadSignatureIndex(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /**
+   * Incremental near-dup check: verified (id_new, id_old, inter, uni)
+   * pairs between a new batch and the historical corpus behind a
+   * persisted signature index.
+   *
+   * Scale shape: the new batch's band buckets BROADCAST onto the index
+   * scan — the TB-scale history side is never shuffled, never
+   * re-shingled; only candidate old documents (semi-join on candidate
+   * ids) have their text re-read for the exact-Jaccard verify. Batch
+   * geometry (shingleSize/bands/rowsPerBand) must match the index's.
+   */
+  def incrementalNearDuplicatePairs(
+      newDocs: DataFrame,
+      histIndex: DataFrame,
+      histDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 5,
+      threshold: Double = 0.8,
+      bands: Int = 32,
+      rowsPerBand: Int = 4,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val newIndex = buildSignatureIndex(
+      newDocs, idCol, textCol, shingleSize, bands, rowsPerBand, maxBucket)
+      .withColumnRenamed("id", "__id_new")
+    val candidates = histIndex
+      .join(F.broadcast(newIndex), Seq("band", "bucket"))
+      .select(F.col("__id_new").as("id_new"), F.col("id").as("id_old"))
+      .distinct()
+      .localCheckpoint(eager = false)
+    val shingleNew = newDocs
+      .join(candidates.select(F.col("id_new").as(idCol)).distinct(), idCol)
+      .select(F.col(idCol).as("id_new"),
+        TextFunctions.shinglesUdf(shingleSize)(F.col(textCol)).as("__sn"))
+    val shingleOld = histDocs
+      .join(candidates.select(F.col("id_old").as(idCol)).distinct(), idCol)
+      .select(F.col(idCol).as("id_old"),
+        TextFunctions.shinglesUdf(shingleSize)(F.col(textCol)).as("__so"))
+    candidates.join(shingleNew, "id_new").join(shingleOld, "id_old")
+      .withColumn("inter",
+        F.size(F.array_intersect(F.col("__sn"), F.col("__so"))).cast("long"))
+      .withColumn("uni",
+        F.size(F.array_union(F.col("__sn"), F.col("__so"))).cast("long"))
+      .filter(F.col("uni") > 0 && F.col("inter") >= F.col("uni") * threshold)
+      .select("id_new", "id_old", "inter", "uni")
+  }
+
+  /**
    * Near-dup dedup: drop every document that has a verified near-dup
    * with a smaller id (direct-pair rule — purely distributed, no
    * transitive closure, so the survivor set is well-defined and cheap:

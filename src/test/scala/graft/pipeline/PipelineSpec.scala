@@ -122,6 +122,34 @@ class DedupSpec extends SparkTestBase {
     assert(capped.count() < uncapped.count())
   }
 
+  test("incremental pairs vs a persisted signature index match the full-corpus pairs") {
+    val docs = sf("sf0.001", "documents")
+    val hist = docs.filter($"doc_id" % 3 =!= 0)
+    val fresh = docs.filter($"doc_id" % 3 === 0)
+    val path = java.nio.file.Files.createTempDirectory("sigidx").toString + "/idx"
+    Dedup.saveSignatureIndex(
+      Dedup.buildSignatureIndex(hist, "doc_id", "text", 5, 16, 8), path)
+    val inc = Dedup.incrementalNearDuplicatePairs(
+        fresh, Dedup.loadSignatureIndex(spark, path), hist,
+        "doc_id", "text", 5, 0.8, 16, 8)
+      .select("id_new", "id_old").as[(Long, Long)].collect().toSet
+    // reference: full-corpus verified pairs restricted to cross-split
+    val full = Dedup.nearDuplicatePairs(docs, "doc_id", "text", 5, 0.8, 16, 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+      .flatMap { case (a, b) =>
+        if (a % 3 == 0 && b % 3 != 0) Some((a, b))
+        else if (b % 3 == 0 && a % 3 != 0) Some((b, a))
+        else None
+      }.toSet
+    assert(inc === full)
+    assert(inc.nonEmpty)
+    // the history side must not shuffle: new-batch buckets broadcast
+    val plan = Dedup.incrementalNearDuplicatePairs(
+      fresh, Dedup.loadSignatureIndex(spark, path), hist,
+      "doc_id", "text", 5, 0.8, 16, 8).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("nearDuplicatePairs bucket cap bounds a boilerplate flood") {
     val boiler = "this exact boilerplate paragraph is repeated verbatim across the corpus many many times"
     val flood = (1L to 300L).map(i => (i, boiler))
