@@ -45,6 +45,33 @@ object SketchStreaming {
       .agg(G.ddsketch_stats_agg_values(F.col(valueCol)).as("stats"))
 
   /**
+   * Windowed heavy-hitter tracking: per (window, key) Count-Min + TopK
+   * sketches over an item column — "which URLs/tokens dominated each
+   * 10-minute window?" as one streaming aggregation. Both families are
+   * TypedImperativeAggregates with mergeable buffers, so they fold
+   * incrementally in the state store exactly like the DDSketch aggs:
+   * state per open window is two fixed-size sketch blobs, independent
+   * of item cardinality, and the watermark closes (and frees) windows.
+   * Probe the emitted blobs with `cms_estimate` / `topk_items`.
+   */
+  def windowedFrequencyAgg(
+      stream: DataFrame,
+      tsCol: String,
+      keyCol: String,
+      itemCol: String,
+      windowDuration: String,
+      watermarkDelay: String,
+      topKCapacity: Int = graft.sketch.TopKSketch.DefaultCapacity,
+      cmsEps: Double = graft.sketch.cms.DefaultEps,
+      cmsConfidence: Double = graft.sketch.cms.DefaultConfidence): DataFrame =
+    stream
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(F.window(F.col(tsCol), windowDuration), F.col(keyCol))
+      .agg(
+        graft.sketch.cms.cms_agg(F.col(itemCol), cmsEps, cmsConfidence).as("cms"),
+        graft.sketch.topk.topk_agg(F.col(itemCol), topKCapacity).as("topk"))
+
+  /**
    * Session-window sketch aggregation: the streaming twin of the batch
    * `graft.operators.Sessionize` — Spark's native `session_window`
    * merges per-key state until the event-time gap exceeds

@@ -57,6 +57,47 @@ class StreamingSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("windowed heavy-hitter sketches track per-window item frequencies") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val input = MemoryStream[(Timestamp, String, String)]
+    val stream = input.toDF().toDF("ts", "shard", "url")
+
+    val agg = SketchStreaming.windowedFrequencyAgg(
+      stream, "ts", "shard", "url", "10 minutes", "5 minutes")
+
+    val query = agg.writeStream.format("memory")
+      .queryName("freq_stream").outputMode("complete").start()
+    try {
+      input.addData(
+        (ts(1), "a", "/home"), (ts(2), "a", "/home"), (ts(3), "a", "/login"),
+        (ts(11), "a", "/home"))
+      query.processAllAvailable()
+      input.addData((ts(4), "a", "/home"), (ts(12), "a", "/checkout"))
+      query.processAllAvailable()
+
+      val out = spark.sql(
+        """SELECT unix_timestamp(window.start) AS ws,
+          |       cms_estimate(cms, '/home') AS home_freq,
+          |       cms_total(cms) AS n,
+          |       topk_items(topk, 1)[0].item AS top1,
+          |       topk_items(topk, 1)[0].count AS top1_cnt
+          |FROM freq_stream WHERE shard = 'a' ORDER BY ws""".stripMargin).collect()
+
+      val w0 = Timestamp.valueOf("2026-01-01 10:00:00").getTime / 1000
+      val w1 = Timestamp.valueOf("2026-01-01 10:10:00").getTime / 1000
+      val byWin = out.map(r =>
+        r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4))).toMap
+      // window 0: /home x3, /login x1 — accumulated across both batches
+      assert(byWin(w0) === ((3L, 4L, "/home", 3L)))
+      // window 1: /home x1, /checkout x1
+      assert(byWin(w1)._2 === 2L)
+      assert(byWin(w1)._1 === 1L)
+    } finally query.stop()
+  }
+
   test("session_window sketch aggregation closes sessions at the gap") {
     val session = spark
     import session.implicits._
