@@ -286,6 +286,44 @@ object Bench {
         .agg(F.countDistinct(F.col("nt")), F.sum(F.length(F.col("nt"))))
     }),
 
+    // ordered funnel over the event stream (1 event-sized exchange)
+    "b_funnel" -> ((s: SparkSession, dir: String) => {
+      val ev = t(s, dir, "events")
+      graft.operators.Funnel.funnelCounts(ev, F.col("user_id"),
+        F.unix_millis(F.col("ts")), F.col("event_type"),
+        Seq("view", "click", "purchase"), maxSpan = Some(86400000L))
+    }),
+
+    // cohort retention matrix over the event stream
+    "b_retention" -> ((s: SparkSession, dir: String) => {
+      val ev = t(s, dir, "events")
+      graft.operators.Retention.cohortRetention(
+        ev, F.col("user_id"), F.col("ts"), maxOffset = 30)
+    }),
+
+    // corpus-wide CMS build + per-user frequency probe
+    "b_cms" -> ((s: SparkSession, dir: String) => {
+      import graft.sketch.{cms => C}
+      val ev = t(s, dir, "events")
+      val sk = ev.agg(C.cms_agg(F.col("user_id")).as("sk"))
+      ev.select(F.col("user_id")).distinct().crossJoin(sk)
+        .select(C.cms_estimate(F.col("sk"), F.col("user_id")).as("est"))
+    }),
+
+    // incremental near-dup of a 1/3 batch vs the other 2/3's saved index
+    "b_dedup_incremental" -> ((s: SparkSession, dir: String) => {
+      val docs = t(s, dir, "documents")
+      val hist = docs.filter(F.col("doc_id") % 3 =!= 0)
+      val fresh = docs.filter(F.col("doc_id") % 3 === 0)
+      val path = System.getProperty("java.io.tmpdir") + "/graft_b_sigidx"
+      graft.pipeline.Dedup.saveSignatureIndex(
+        graft.pipeline.Dedup.buildSignatureIndex(hist, "doc_id", "text", 5, 16, 8),
+        path)
+      graft.pipeline.Dedup.incrementalNearDuplicatePairs(
+        fresh, graft.pipeline.Dedup.loadSignatureIndex(s, path), hist,
+        "doc_id", "text", 5, 0.8, 16, 8)
+    }),
+
     // relational anchors: TPC-H Q1 shape and broadcast dim join
     "b_rel_q1" -> ((s: SparkSession, dir: String) =>
       t(s, dir, "lineitem")
