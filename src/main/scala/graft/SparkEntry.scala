@@ -690,6 +690,31 @@ object SparkEntry {
           ev, F.col("user_id"), F.col("ts"), maxOffset = 14)
     }),
 
+    // z-order layout: write events z-ordered by (user_id, value), read
+    // back — content preserved exactly, and every file's min/max span
+    // in BOTH dimensions stays well under the global span (the property
+    // that makes parquet row-group stats prune multi-column filters)
+    "q_zorder" -> ((s: SparkSession, dir: String) => {
+      val ev = t(s, dir, "events").select("event_id", "user_id", "value")
+      val path = System.getProperty("java.io.tmpdir") + "/graft_q_zorder"
+      graft.sources.ZOrder.writeZOrdered(
+        ev, Seq("user_id", "value"), path, numFiles = 8)
+      val back = s.read.parquet(path)
+      val spans = back.groupBy(F.input_file_name())
+        .agg((F.max("user_id") - F.min("user_id")).cast("double").as("us"),
+             (F.max("value") - F.min("value")).as("vs"))
+        .agg(F.avg(F.col("us")).as("us"), F.avg(F.col("vs")).as("vs"))
+      val global = ev.agg(
+        (F.max("user_id") - F.min("user_id")).cast("double").as("gu"),
+        (F.max("value") - F.min("value")).as("gv"))
+      back.agg(F.count(F.lit(1)).as("n_rows"),
+               F.sum(F.col("event_id")).as("id_sum"))
+        .crossJoin(spans).crossJoin(global)
+        .select(F.col("n_rows"), F.col("id_sum"),
+          (F.col("us") < F.col("gu") * 0.8 && F.col("vs") < F.col("gv") * 0.8)
+            .as("locality_ok"))
+    }),
+
     // exact dedup by content hash
     "q_dedup_exact" -> ((s: SparkSession, dir: String) => {
       val docs = t(s, dir, "documents")
@@ -1380,6 +1405,10 @@ object SparkEntry {
         |  CAST(count(*) FILTER (user_id IN (SELECT user_id FROM build)) AS BIGINT) AS present,
         |  true AS no_false_negatives, true AS fp_bounded
         |FROM probe""".stripMargin,
+    "q_zorder" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows, CAST(sum(event_id) AS BIGINT) AS id_sum,
+        |       true AS locality_ok
+        |FROM events""".stripMargin,
     "q_retention" ->
       """WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
         |coh AS (SELECT user_id, min(d) AS c FROM act GROUP BY user_id)
