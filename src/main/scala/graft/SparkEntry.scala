@@ -690,6 +690,26 @@ object SparkEntry {
           ev, F.col("user_id"), F.col("ts"), maxOffset = 14)
     }),
 
+    // equi-depth feature binning: per-type deciles of value via the
+    // sketch CDF — all 10 buckets used, every depth within 40% of n/10
+    // (sketch accuracy band; exact depths probed at both local SFs)
+    "q_quantile_buckets" -> ((s: SparkSession, dir: String) => {
+      Graft.register(s)
+      val ev = t(s, dir, "events")
+      graft.sketch.SketchOps.quantileBuckets(ev, Seq("event_type"), "value", 10)
+        .groupBy(F.col("event_type"), F.col("bucket"))
+        .agg(F.count(F.lit(1)).as("depth"))
+        .groupBy(F.col("event_type"))
+        .agg(F.sum(F.col("depth")).as("cnt"),
+             F.count(F.lit(1)).cast("long").as("buckets_used"),
+             F.max(F.col("depth")).as("maxd"), F.min(F.col("depth")).as("mind"))
+        .select(F.col("event_type"), F.col("cnt"),
+          (F.col("buckets_used") === 10L &&
+           F.col("maxd") * 10 <= F.col("cnt") * 1.4 &&
+           F.col("mind") * 10 >= F.col("cnt") * 0.6).as("balanced_ok"))
+        .orderBy("event_type")
+    }),
+
     // z-order layout: write events z-ordered by (user_id, value), read
     // back — content preserved exactly, and every file's min/max span
     // in BOTH dimensions stays well under the global span (the property
@@ -1405,6 +1425,9 @@ object SparkEntry {
         |  CAST(count(*) FILTER (user_id IN (SELECT user_id FROM build)) AS BIGINT) AS present,
         |  true AS no_false_negatives, true AS fp_bounded
         |FROM probe""".stripMargin,
+    "q_quantile_buckets" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS cnt, true AS balanced_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_zorder" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows, CAST(sum(event_id) AS BIGINT) AS id_sum,
         |       true AS locality_ok

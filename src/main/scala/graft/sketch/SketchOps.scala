@@ -66,6 +66,38 @@ object SketchOps {
   }
 
   /**
+   * Equi-depth feature binning: assign every row its per-group quantile
+   * bucket 0..nBuckets-1 via the group's DDSketch CDF — "discretize
+   * latency into deciles per service" as one composition. Same shape as
+   * [[trimOutliers]]: one sketch row per group (map-side combined), the
+   * corpus re-attaches by BROADCAST and never shuffles; the bucket
+   * column is a pure expression over the broadcast sketch. Buckets are
+   * equi-DEPTH within the sketch's relative accuracy: each holds
+   * ~count/nBuckets rows regardless of how skewed the value
+   * distribution is. NULL values get a NULL bucket.
+   */
+  def quantileBuckets(
+      df: DataFrame,
+      keyCols: Seq[String],
+      valueCol: String,
+      nBuckets: Int): DataFrame = {
+    require(nBuckets >= 2, s"need at least 2 buckets, got $nBuckets")
+    val keys = keyCols.map(F.col)
+    val sk = df
+      .groupBy(keys: _*)
+      .agg(G.ddsketch_agg_values(F.col(valueCol)).as("__sk"))
+    df.join(F.broadcast(sk), keyCols)
+      .withColumn("bucket",
+        // explicit NULL guard: least() SKIPS nulls, so least(null, n-1)
+        // would silently file NULL values into the top bucket
+        F.when(F.col(valueCol).isNull, F.lit(null))
+          .otherwise(F.least(
+            F.floor(G.ddsketch_cdf(F.col("__sk"), F.col(valueCol)) * nBuckets),
+            F.lit(nBuckets - 1L))).cast("int"))
+      .drop("__sk")
+  }
+
+  /**
    * Hourly→key rollup (the reference README's hourly/daily pattern,
    * README.md:189-199): persistable intermediate sketches plus a final
    * merge, all map-side-combinable.

@@ -39,6 +39,27 @@ class SketchOpsSpec extends SparkTestBase {
     assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 1, plan)
   }
 
+  test("quantileBuckets yields near-equal bucket depths on a skewed distribution") {
+    // exponential-ish skew: value = i^2
+    val df = (1 to 10000).map(i => ("g", (i.toDouble * i))).toDF("k", "v")
+      .repartition(4)
+    val out = SketchOps.quantileBuckets(df, Seq("k"), "v", 10)
+    val counts = out.groupBy("bucket").count()
+      .as[(Int, Long)].collect().toMap
+    assert(counts.keySet === (0 until 10).toSet)
+    // equi-depth within the sketch's accuracy: every decile within 20%
+    counts.values.foreach(c => assert(math.abs(c - 1000L) <= 200L, counts))
+    // NULL value -> NULL bucket, never an error
+    val withNull = Seq(("g", Option.empty[Double]), ("g", Some(1.0)))
+      .toDF("k", "v")
+    assert(SketchOps.quantileBuckets(withNull, Seq("k"), "v", 4)
+      .filter(F.col("bucket").isNull).count() === 1L)
+    // corpus never shuffles: bounds re-attach by broadcast
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 1, plan)
+  }
+
   test("time-bucketed sketches roll up to exact totals") {
     val events = sf("sf0.001", "events")
     val hourly = SketchOps.timeBucketedSketches(events, "ts", Seq("event_type"), "value")
