@@ -1161,6 +1161,14 @@ object SparkEntry {
         .orderBy(F.col("cnt").desc, F.col("item"))
     }),
 
+    // vocabulary induction: top-100 tokens + the OOV mass they leave
+    // (token counts shuffle once; vocabulary broadcast for the OOV pass)
+    "q_vocab" -> ((s: SparkSession, dir: String) => {
+      val docs = t(s, dir, "documents")
+      val vocab = graft.pipeline.Vocab.buildVocabulary(docs, F.col("text"), 100)
+      graft.pipeline.Vocab.oovStats(docs, F.col("text"), vocab)
+    }),
+
     // rolling-hash document fingerprints: collision-free vs normalized text
     "q_text_fingerprint" -> ((s: SparkSession, dir: String) => {
       val tf = graft.pipeline.TextFunctions
@@ -1760,6 +1768,16 @@ object SparkEntry {
       """SELECT w AS item, count(*) AS cnt FROM (
         |  SELECT unnest(string_split_regex(text, '\s+')) AS w FROM documents) t
         |GROUP BY w ORDER BY cnt DESC, item LIMIT 10""".stripMargin,
+    "q_vocab" ->
+      """WITH toks AS (SELECT unnest(string_split_regex(text, '\s+')) AS w
+        |              FROM documents),
+        |vocab AS (SELECT w FROM (SELECT w, count(*) AS c FROM toks
+        |                         GROUP BY w ORDER BY c DESC, w LIMIT 100) v)
+        |SELECT CAST(count(*) AS BIGINT) AS total_tokens,
+        |       CAST(count(*) FILTER (w NOT IN (SELECT w FROM vocab)) AS BIGINT)
+        |         AS oov_tokens,
+        |       CAST((SELECT count(*) FROM vocab) AS BIGINT) AS vocab_size
+        |FROM toks""".stripMargin,
     "q_text_fingerprint" ->
       """SELECT count(DISTINCT regexp_replace(text, '\s+', ' ', 'g')) AS distinct_fp,
         |       count(DISTINCT regexp_replace(text, '\s+', ' ', 'g')) AS distinct_norm,
