@@ -1161,6 +1161,32 @@ object SparkEntry {
         .orderBy(F.col("cnt").desc, F.col("item"))
     }),
 
+    // diversity selection: greedy k-center over embeddings — k rows,
+    // seeded at min id, strictly more spread than a naive prefix pick
+    "q_diverse" -> ((s: SparkSession, dir: String) => {
+      val emb = t(s, dir, "embeddings")
+      val k = 8
+      val sel = graft.pipeline.Diversity
+        .farthestPointSample(emb, "vec_id", "embedding", k)
+      def minPair(ids: org.apache.spark.sql.DataFrame) = {
+        val a = emb.join(ids, "vec_id")
+          .select(F.col("vec_id").as("ia"), F.col("embedding").as("va"))
+        val b = a.select(F.col("ia").as("ib"), F.col("va").as("vb"))
+        a.crossJoin(b).filter(F.col("ia") < F.col("ib"))
+          .agg(F.min(F.lit(1.0) -
+            graft.pipeline.Similarity.cosine(F.col("va"), F.col("vb")))
+            .as("mind"))
+      }
+      val prefix = emb.orderBy("vec_id").limit(k).select("vec_id")
+      sel.agg(F.count(F.lit(1)).as("k_selected"),
+              F.min(F.when(F.col("pick_order") === 0, F.col("vec_id")))
+                .as("seed_id"))
+        .crossJoin(minPair(sel.select("vec_id")).withColumnRenamed("mind", "gd"))
+        .crossJoin(minPair(prefix).withColumnRenamed("mind", "pd"))
+        .select(F.col("k_selected"), F.col("seed_id"),
+          (F.col("gd") >= F.col("pd")).as("more_diverse_than_prefix"))
+    }),
+
     // vocabulary induction: top-100 tokens + the OOV mass they leave
     // (token counts shuffle once; vocabulary broadcast for the OOV pass)
     "q_vocab" -> ((s: SparkSession, dir: String) => {
@@ -1768,6 +1794,11 @@ object SparkEntry {
       """SELECT w AS item, count(*) AS cnt FROM (
         |  SELECT unnest(string_split_regex(text, '\s+')) AS w FROM documents) t
         |GROUP BY w ORDER BY cnt DESC, item LIMIT 10""".stripMargin,
+    "q_diverse" ->
+      """SELECT CAST(8 AS BIGINT) AS k_selected,
+        |       CAST(min(vec_id) AS BIGINT) AS seed_id,
+        |       true AS more_diverse_than_prefix
+        |FROM embeddings""".stripMargin,
     "q_vocab" ->
       """WITH toks AS (SELECT unnest(string_split_regex(text, '\s+')) AS w
         |              FROM documents),
