@@ -108,14 +108,84 @@ object Decontaminate {
     u(text)
   }
 
+  /** Collect the benchmark's distinct gram hashes as one sorted array.
+    * The benchmark is eval-set-sized by definition, and these are the
+    * exact rows a broadcast hash join would ship to the driver anyway —
+    * collecting them explicitly (one Spark job at call time) lets the
+    * corpus pass become map-only. */
+  private def collectBenchHashes(
+      benchmark: DataFrame, benchTextCol: String, n: Int): Array[Long] = {
+    val spark = benchmark.sparkSession
+    import spark.implicits._
+    val hashes = benchmark
+      .select(F.explode(wordNgramHashes(F.col(benchTextCol), n)).as("__g"))
+      .distinct()
+      .as[Long]
+      .collect()
+    java.util.Arrays.sort(hashes)
+    hashes
+  }
+
+  /** Per-gram overlap count column: binary search of each document gram
+    * in the broadcast sorted benchmark set — a single corpus scan with
+    * zero shuffles. */
+  private def overlapCountColumn(
+      docs: DataFrame, textCol: String,
+      benchmark: DataFrame, benchTextCol: String, n: Int): Column = {
+    val bc = docs.sparkSession.sparkContext
+      .broadcast(collectBenchHashes(benchmark, benchTextCol, n))
+    val countU = F.udf((t: String) => {
+      val grams = ngramHashKernel(t, n)
+      val set = bc.value
+      var c = 0L
+      var i = 0
+      while (i < grams.length) {
+        if (java.util.Arrays.binarySearch(set, grams(i)) >= 0) c += 1
+        i += 1
+      }
+      c
+    })
+    countU(F.col(textCol))
+  }
+
   /**
    * Per-document contamination counts against a benchmark corpus:
    * returns `docs`' id column plus `overlap_ngrams` (distinct document
    * n-grams that appear anywhere in the benchmark) and `contaminated`
    * (overlap >= minOverlap). Documents with NULL or sub-n-word text
    * have zero overlap and are not contaminated.
+   *
+   * Map-only: the benchmark's distinct gram hashes are collected
+   * (driver-sized — see [[collectBenchHashes]]) and broadcast as a
+   * sorted `Array[Long]`; the corpus is scanned exactly once with a
+   * binary-search membership probe per gram. No explode, no join, no
+   * shuffle of anything corpus-sized. Triggers one Spark job at call
+   * time to build the benchmark set. [[contaminationFlagsJoin]] is the
+   * fully-lazy equivalent, spec-pinned to produce identical results.
    */
   def contaminationFlags(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      benchmark: DataFrame,
+      benchTextCol: String,
+      n: Int = 8,
+      minOverlap: Int = 1): DataFrame = {
+    require(minOverlap >= 1, s"minOverlap must be >= 1, got $minOverlap")
+    docs.select(F.col(idCol),
+      overlapCountColumn(docs, textCol, benchmark, benchTextCol, n)
+        .as("overlap_ngrams"))
+      .select(F.col(idCol), F.col("overlap_ngrams"),
+        (F.col("overlap_ngrams") >= minOverlap).as("contaminated"))
+  }
+
+  /** Join-based contamination flags: same semantics as
+    * [[contaminationFlags]] with no driver-side action — the benchmark
+    * grams stay in-plan behind a broadcast hash join. Costs an explode
+    * of the corpus grams, a per-document count shuffle, and a
+    * corpus-wide left join; prefer the map-only default unless the
+    * call site cannot tolerate an eager job. */
+  def contaminationFlagsJoin(
       docs: DataFrame,
       idCol: String,
       textCol: String,
@@ -140,7 +210,8 @@ object Decontaminate {
         (F.coalesce(F.col("overlap_ngrams"), F.lit(0L)) >= minOverlap).as("contaminated"))
   }
 
-  /** Drop contaminated documents (anti-join on the flags). */
+  /** Drop contaminated documents: a map-only filter on the broadcast
+    * overlap count — keeps every `docs` column, no join. */
   def dropContaminated(
       docs: DataFrame,
       idCol: String,
@@ -149,9 +220,8 @@ object Decontaminate {
       benchTextCol: String,
       n: Int = 8,
       minOverlap: Int = 1): DataFrame = {
-    val bad = contaminationFlags(docs, idCol, textCol, benchmark, benchTextCol, n, minOverlap)
-      .filter(F.col("contaminated"))
-      .select(F.col(idCol))
-    docs.join(bad, Seq(idCol), "left_anti")
+    require(minOverlap >= 1, s"minOverlap must be >= 1, got $minOverlap")
+    docs.filter(
+      overlapCountColumn(docs, textCol, benchmark, benchTextCol, n) < minOverlap)
   }
 }

@@ -223,17 +223,30 @@ class CurationSpec extends SparkTestBase {
     assert(strict === Set(1L))
   }
 
-  test("contaminationFlags is a broadcast join over the corpus (no corpus-text shuffle)") {
+  test("contaminationFlags is map-only (no shuffle, no join in the corpus scan)") {
     val docs = sf("sf0.001", "documents")
     val bench = docs.filter(F.col("doc_id") % 17 === 0).select(F.col("text"))
     val flags = Decontaminate.contaminationFlags(docs, "doc_id", "text", bench, "text", n = 5)
     val plan = flags.queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("Join"), plan)
     // benchmark docs are in the corpus: every one must self-flag
     val benchIds = docs.filter(F.col("doc_id") % 17 === 0)
       .filter(F.size(Decontaminate.wordNgrams(F.col("text"), 5)) > 0)
       .select("doc_id").as[Long].collect().toSet
     val flagged = flags.filter($"contaminated").select("doc_id").as[Long].collect().toSet
     assert(benchIds.subsetOf(flagged))
+  }
+
+  test("map-only and join-based contamination flags agree on real documents") {
+    val docs = sf("sf0.001", "documents")
+    val bench = docs.filter(F.col("doc_id") % 17 === 0).select(F.col("text"))
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Boolean)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val fast = toMap(Decontaminate
+      .contaminationFlags(docs, "doc_id", "text", bench, "text", n = 5))
+    val lazyJ = toMap(Decontaminate
+      .contaminationFlagsJoin(docs, "doc_id", "text", bench, "text", n = 5))
+    assert(fast === lazyJ)
   }
 }
