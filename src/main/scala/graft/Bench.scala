@@ -263,6 +263,13 @@ object Bench {
         .contaminationFlags(docs, "doc_id", "text", bench, "text", n = 8)
     }),
 
+    // corpus-frequency boilerplate strip (two passes, map-only rewrite)
+    "b_boilerplate" -> ((s: SparkSession, dir: String) => {
+      val docs = t(s, dir, "documents")
+      graft.pipeline.Boilerplate
+        .stripBoilerplate(docs, "text", "\\s+", " ", (78L * docs.count() + 99L) / 100L)
+    }),
+
     // sequence packing + split assignment over the corpus
     "b_pack_split" -> ((s: SparkSession, dir: String) => {
       val docs = graft.pipeline.Sampling.splitByHash(

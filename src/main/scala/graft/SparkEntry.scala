@@ -924,6 +924,25 @@ object SparkEntry {
              F.sum(F.col("overlap_ngrams")).as("overlap_total"))
     }),
 
+    "q_boilerplate" -> ((s: SparkSession, dir: String) => {
+      val bp = graft.pipeline.Boilerplate
+      val docs = t(s, dir, "documents")
+      // integer-math ceil of 78% document frequency — bit-identical in
+      // any engine, unlike a double-multiply threshold
+      val th = (78L * docs.count() + 99L) / 100L
+      val freqCount = bp.frequentSegments(docs, "text", "\\s+", th)
+        .agg(F.count(F.lit(1)).as("n_frequent"),
+          F.coalesce(F.sum(F.col("doc_freq")), F.lit(0L)).as("df_sum"))
+      val stripped = bp.stripBoilerplate(
+        docs.withColumn("orig", F.col("text")), "text", "\\s+", " ", th)
+      stripped.agg(
+          F.count(F.lit(1)).as("docs"),
+          F.sum(F.when(F.col("text") =!= F.col("orig"), 1L).otherwise(0L)).as("n_changed"),
+          F.sum(F.length(F.col("text")).cast("long")).as("chars_after"),
+          F.sum(F.size(bp.segments(F.col("text"), "\\s+")).cast("long")).as("words_after"))
+        .crossJoin(F.broadcast(freqCount))
+    }),
+
     "q_sample" -> ((s: SparkSession, dir: String) => {
       val sampling = graft.pipeline.Sampling
       val docs = t(s, dir, "documents")
@@ -1673,6 +1692,32 @@ object SparkEntry {
         |       CAST(count(*) FILTER (coalesce(o, 0) >= 1) AS BIGINT) AS n_contaminated,
         |       CAST(coalesce(sum(o), 0) AS BIGINT) AS overlap_total
         |FROM documents LEFT JOIN ov USING (doc_id)""".stripMargin,
+    "q_boilerplate" ->
+      """WITH tot AS (SELECT count(*) AS n FROM documents),
+        |segs AS (SELECT doc_id, text,
+        |           list_filter(string_split_regex(text, '\s+'), s -> len(s) > 0) AS ws
+        |         FROM documents),
+        |freq AS (SELECT g AS segment, count(*) AS df FROM (
+        |           SELECT DISTINCT doc_id, unnest(ws) AS g FROM segs) GROUP BY g),
+        |hot AS (SELECT coalesce(list(segment), []) AS hl
+        |        FROM freq WHERE df >= (SELECT (78 * n + 99) // 100 FROM tot)),
+        |rew AS (SELECT doc_id, text,
+        |          list_filter(ws, s -> NOT list_contains(hl, s)) AS kept
+        |        FROM segs CROSS JOIN hot)
+        |SELECT CAST(count(*) AS BIGINT) AS docs,
+        |  -- array_to_string([], ' ') is NULL in DuckDB, not '': coalesce so an
+        |  -- all-boilerplate document still counts as changed
+        |  CAST(sum(CASE WHEN text IS NOT NULL
+        |                 AND coalesce(array_to_string(kept, ' '), '') <> text
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+        |  CAST(sum(CASE WHEN text IS NOT NULL
+        |                THEN length(coalesce(array_to_string(kept, ' '), '')) END) AS BIGINT) AS chars_after,
+        |  CAST(sum(len(kept)) AS BIGINT) AS words_after,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM freq
+        |   WHERE df >= (SELECT (78 * n + 99) // 100 FROM tot)) AS n_frequent,
+        |  (SELECT CAST(coalesce(sum(df), 0) AS BIGINT) FROM freq
+        |   WHERE df >= (SELECT (78 * n + 99) // 100 FROM tot)) AS df_sum
+        |FROM rew""".stripMargin,
     "q_sample" ->
       """WITH s AS (SELECT source, doc_id,
         |             substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS h

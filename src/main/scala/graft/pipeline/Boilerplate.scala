@@ -1,0 +1,81 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{functions => F}
+
+/**
+ * Corpus-frequency boilerplate removal — the C4/RefinedWeb line-dedup
+ * step: split every document into segments (lines in real corpora; the
+ * separator is a regex knob), count each distinct segment's DOCUMENT
+ * frequency across the corpus, and rewrite documents with the
+ * high-frequency segments ("©2024 …", nav menus, cookie banners)
+ * removed while preserving segment order.
+ *
+ * Scale shape (mirrors [[Decontaminate]]): the frequent-segment set is
+ * by construction a heavy-hitter set — tiny relative to the corpus —
+ * so pass 1 is a map-side-combined groupBy on segments (shuffle rows
+ * are (segment, partial count), never documents), the survivors are
+ * collected and BROADCAST, and pass 2 rewrites every document in a
+ * single map-only scan. Nothing corpus-sized is ever joined or
+ * shuffled. For corpora where even the distinct-segment aggregation is
+ * too hot, the TopK/CMS sketch families bound the same candidate set
+ * approximately; the exact form here is the oracle-checkable contract.
+ *
+ * Segment semantics: `split(text, sepRegex)`, empty segments dropped
+ * (blank lines are never content), document frequency counted on
+ * DISTINCT segments per document. NULL text stays NULL.
+ */
+object Boilerplate {
+
+  /** Non-empty segments of `text` as an array column. */
+  def segments(text: Column, sepRegex: String): Column =
+    F.filter(F.split(text, sepRegex), s => F.length(s) > 0)
+
+  /**
+   * Exact (segment, doc_freq) table of segments appearing in at least
+   * `minDocFreq` distinct documents. One shuffle of (segment, count)
+   * partials; output is heavy-hitters only.
+   */
+  def frequentSegments(
+      docs: DataFrame,
+      textCol: String,
+      sepRegex: String,
+      minDocFreq: Long): DataFrame = {
+    require(minDocFreq >= 2, s"minDocFreq must be >= 2, got $minDocFreq")
+    docs
+      .select(F.explode(F.array_distinct(
+        segments(F.col(textCol), sepRegex))).as("segment"))
+      .groupBy(F.col("segment"))
+      .agg(F.count(F.lit(1)).as("doc_freq"))
+      .filter(F.col("doc_freq") >= minDocFreq)
+  }
+
+  /**
+   * Rewrite `textCol` with frequent segments removed: returns `docs`
+   * with the text column replaced by the cleaned text (non-boilerplate
+   * segments re-joined with `joinSep`, a document that was all
+   * boilerplate becomes the empty string, NULL stays NULL).
+   *
+   * Triggers one Spark job at call time to collect the frequent-segment
+   * set (heavy hitters — driver-sized by construction); the rewrite
+   * itself is map-only over the corpus.
+   */
+  def stripBoilerplate(
+      docs: DataFrame,
+      textCol: String,
+      sepRegex: String,
+      joinSep: String,
+      minDocFreq: Long): DataFrame = {
+    val frequent: Array[String] = frequentSegments(docs, textCol, sepRegex, minDocFreq)
+      .select("segment")
+      .collect()
+      .map(_.getString(0))
+    val bc = docs.sparkSession.sparkContext.broadcast(frequent.toSet)
+    val rewriteU = F.udf((t: String) =>
+      if (t == null) null
+      else t.split(sepRegex).iterator
+        .filter(s => s.nonEmpty && !bc.value.contains(s))
+        .mkString(joinSep))
+    docs.withColumn(textCol, rewriteU(F.col(textCol)))
+  }
+}

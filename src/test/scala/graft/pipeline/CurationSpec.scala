@@ -238,6 +238,47 @@ class CurationSpec extends SparkTestBase {
     assert(benchIds.subsetOf(flagged))
   }
 
+  // ------------------------------------------- boilerplate stripping
+
+  test("stripBoilerplate removes frequent lines, preserves order, keeps NULLs") {
+    val docs = Seq(
+      (1L, "©2024 ACME\nreal content one\nall rights reserved"),
+      (2L, "©2024 ACME\nreal content two\n\nall rights reserved"),
+      (3L, "©2024 ACME\nall rights reserved"),                    // all boilerplate
+      (4L, "unique document\nnothing shared"),
+      (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val freq = Boilerplate.frequentSegments(docs, "text", "\n", 3L)
+      .as[(String, Long)].collect().toMap
+    assert(freq === Map("©2024 ACME" -> 3L, "all rights reserved" -> 3L))
+
+    val out = Boilerplate.stripBoilerplate(docs, "text", "\n", "\n", 3L)
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) === "real content one")
+    assert(out(2L) === "real content two")   // blank line dropped too
+    assert(out(3L) === "")                   // all-boilerplate → empty, row kept
+    assert(out(4L) === "unique document\nnothing shared")
+    assert(out(5L) === null)
+
+    // rewrite is map-only: no shuffle, no join in the executed plan
+    val plan = Boilerplate.stripBoilerplate(docs, "text", "\n", "\n", 3L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("Join"), plan)
+  }
+
+  test("frequentSegments counts document frequency, not occurrence frequency") {
+    val docs = Seq(
+      (1L, "dup dup dup other"),
+      (2L, "dup something"),
+      (3L, "unrelated words here"))
+      .toDF("doc_id", "text")
+    // "dup" occurs 4 times but in only 2 documents
+    val freq = Boilerplate.frequentSegments(docs, "text", "\\s+", 2L)
+      .as[(String, Long)].collect().toMap
+    assert(freq === Map("dup" -> 2L))
+  }
+
   test("map-only and join-based contamination flags agree on real documents") {
     val docs = sf("sf0.001", "documents")
     val bench = docs.filter(F.col("doc_id") % 17 === 0).select(F.col("text"))
