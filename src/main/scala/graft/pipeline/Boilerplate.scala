@@ -65,12 +65,35 @@ object Boilerplate {
       textCol: String,
       sepRegex: String,
       joinSep: String,
-      minDocFreq: Long): DataFrame = {
-    val frequent: Array[String] = frequentSegments(docs, textCol, sepRegex, minDocFreq)
+      minDocFreq: Long): DataFrame =
+    stripBoilerplateWith(docs,
+      frequentSegmentSet(docs, textCol, sepRegex, minDocFreq),
+      textCol, sepRegex, joinSep)
+
+  /** Collect the frequent-segment set of a (static) reference corpus —
+    * the input to [[stripBoilerplateWith]] when the rewrite target is a
+    * different DataFrame, e.g. a STREAM cleaned against yesterday's
+    * batch-computed set. */
+  def frequentSegmentSet(
+      refDocs: DataFrame,
+      textCol: String,
+      sepRegex: String,
+      minDocFreq: Long): Set[String] =
+    frequentSegments(refDocs, textCol, sepRegex, minDocFreq)
       .select("segment")
       .collect()
       .map(_.getString(0))
-    val bc = docs.sparkSession.sparkContext.broadcast(frequent.toSet)
+      .toSet
+
+  /** Map-only rewrite against an explicit boilerplate set. Works on
+    * batch and streaming DataFrames alike (no shuffle, no state). */
+  def stripBoilerplateWith(
+      docs: DataFrame,
+      boilerplate: Set[String],
+      textCol: String,
+      sepRegex: String,
+      joinSep: String): DataFrame = {
+    val bc = docs.sparkSession.sparkContext.broadcast(boilerplate)
     val rewriteU = F.udf((t: String) =>
       if (t == null) null
       else t.split(sepRegex).iterator

@@ -151,4 +151,47 @@ class BatchStreamEquivalenceSpec extends SparkTestBase {
       assert(kept.toSet === batchHashes)                    // same distinct set as batch
     } finally query.stop()
   }
+
+  test("map-only curation (decontamination, boilerplate strip) is batch≡stream") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.pipeline.{Boilerplate, Decontaminate}
+    val staticDocs = sf("sf0.001", "documents").select("doc_id", "text")
+    val benchmark = staticDocs.filter(F.col("doc_id") % 17 === 0).select("text")
+    val boiler = Boilerplate.frequentSegmentSet(staticDocs, "text", "\\s+", 350L)
+    assert(boiler.nonEmpty)
+
+    val batchFlags = Decontaminate
+      .contaminationFlags(staticDocs, "doc_id", "text", benchmark, "text", n = 5)
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val batchStrip = Boilerplate
+      .stripBoilerplateWith(staticDocs, boiler, "text", "\\s+", " ")
+      .as[(Long, String)].collect().toMap
+
+    val rows = staticDocs.as[(Long, String)].collect()
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("doc_id", "text")
+    // both ops are stateless map-only scans: they apply to a streaming
+    // DataFrame unchanged (broadcast set probes, no state store)
+    val flagged = Decontaminate
+      .contaminationFlags(stream, "doc_id", "text", benchmark, "text", n = 5)
+    val stripped = Boilerplate
+      .stripBoilerplateWith(stream, boiler, "text", "\\s+", " ")
+    val q1 = flagged.writeStream.format("memory").queryName("bs_decon")
+      .outputMode("append").start()
+    val q2 = stripped.writeStream.format("memory").queryName("bs_boiler")
+      .outputMode("append").start()
+    try {
+      input.addData(rows.toSeq)
+      q1.processAllAvailable()
+      q2.processAllAvailable()
+      val streamFlags = spark.table("bs_decon")
+        .as[(Long, Long, Boolean)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      val streamStrip = spark.table("bs_boiler")
+        .as[(Long, String)].collect().toMap
+      assert(streamFlags === batchFlags)
+      assert(streamStrip === batchStrip)
+    } finally { q1.stop(); q2.stop() }
+  }
 }
