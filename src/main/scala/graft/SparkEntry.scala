@@ -1214,6 +1214,13 @@ object SparkEntry {
       graft.pipeline.Vocab.oovStats(docs, F.col("text"), vocab)
     }),
 
+    // TF-IDF-style keyword extraction: top-3 distinctive terms per doc,
+    // ranked tf/df (same order as tf*idf, engine-exact — one IEEE
+    // division, no transcendental)
+    "q_keywords" -> ((s: SparkSession, dir: String) =>
+      graft.pipeline.Vocab.topDistinctiveTerms(
+        t(s, dir, "documents"), "doc_id", "text", 3)),
+
     // rolling-hash document fingerprints: collision-free vs normalized text
     "q_text_fingerprint" -> ((s: SparkSession, dir: String) => {
       val tf = graft.pipeline.TextFunctions
@@ -1854,6 +1861,18 @@ object SparkEntry {
         |         AS oov_tokens,
         |       CAST((SELECT count(*) FROM vocab) AS BIGINT) AS vocab_size
         |FROM toks""".stripMargin,
+    "q_keywords" ->
+      """WITH toks AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM (
+        |                SELECT doc_id, unnest(list_filter(
+        |                  string_split_regex(text, '\s+'), x -> len(x) > 0)) AS token
+        |                FROM documents) GROUP BY doc_id, token),
+        |dfm AS (SELECT token, CAST(count(*) AS BIGINT) AS dfreq FROM toks GROUP BY token),
+        |ranked AS (SELECT toks.doc_id, toks.token, toks.tf, dfm.dfreq,
+        |             row_number() OVER (PARTITION BY toks.doc_id
+        |               ORDER BY CAST(toks.tf AS DOUBLE) / dfm.dfreq DESC, toks.token) AS rk
+        |           FROM toks JOIN dfm USING (token))
+        |SELECT doc_id, CAST(rk AS BIGINT) AS "rank", token AS term, tf, dfreq
+        |FROM ranked WHERE rk <= 3""".stripMargin,
     "q_text_fingerprint" ->
       """SELECT count(DISTINCT regexp_replace(text, '\s+', ' ', 'g')) AS distinct_fp,
         |       count(DISTINCT regexp_replace(text, '\s+', ' ', 'g')) AS distinct_norm,

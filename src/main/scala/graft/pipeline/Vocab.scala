@@ -35,6 +35,62 @@ object Vocab {
       .limit(vocabSize)
   }
 
+  /** Document frequencies of every distinct non-empty token:
+    * (token, dfreq). One hash exchange of (token, partial-count) with
+    * map-side combine — the text never shuffles. */
+  def documentFrequencies(df: DataFrame, textCol: Column): DataFrame =
+    df.select(F.explode(F.array_distinct(
+        F.filter(F.split(textCol, "\\s+"), t => F.length(t) > 0))).as("token"))
+      .groupBy(F.col("token"))
+      .agg(F.count(F.lit(1)).as("dfreq"))
+
+  /**
+   * Per-document top-`k` distinctive terms — TF-IDF-style keyword
+   * extraction ranked by tf/df, which orders identically to
+   * tf·idf = tf·ln(N/df) for a fixed document (idf is monotone in
+   * 1/df) while staying engine-exact: one integer-over-integer IEEE
+   * division per term, no transcendental whose last ulp could differ
+   * across engines. Ties break by term ASC. Output: (id, rank, term,
+   * tf, dfreq), rank 1-based.
+   *
+   * Scale shape: document frequencies are one map-side-combined hash
+   * exchange; the map collected to the driver is PRUNED to df >= 2
+   * tokens — a df=1 token can only be scored by its own document, and
+   * the probe's getOrElse(1) default is exact for it — which drops the
+   * hapax-legomenon half of a web-scale vocabulary from the broadcast.
+   * The scoring pass is then map-only over the corpus (per-doc tf
+   * hashmap + top-k heap in one UDF, posexplode of k rows).
+   */
+  def topDistinctiveTerms(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val session = docs.sparkSession
+    import session.implicits._
+    val dfMap: Map[String, Long] = documentFrequencies(docs, F.col(textCol))
+      .filter(F.col("dfreq") >= 2L)
+      .as[(String, Long)].collect().toMap
+    val bc = session.sparkContext.broadcast(dfMap)
+    val topU = F.udf((t: String) => {
+      if (t == null) Seq.empty[(String, Long, Long)]
+      else {
+        val tf = scala.collection.mutable.HashMap.empty[String, Long]
+        t.split("\\s+").foreach(w => if (w.nonEmpty) tf.update(w, tf.getOrElse(w, 0L) + 1L))
+        tf.iterator
+          .map { case (w, n) => (w, n, bc.value.getOrElse(w, 1L)) }
+          .toSeq
+          .sortBy { case (w, n, d) => (-n.toDouble / d, w) }
+          .take(k)
+      }
+    })
+    docs.select(F.col(idCol), F.posexplode(topU(F.col(textCol))).as(Seq("__pos", "__t")))
+      .select(F.col(idCol), (F.col("__pos") + 1L).cast("long").as("rank"),
+        F.col("__t._1").as("term"), F.col("__t._2").as("tf"),
+        F.col("__t._3").as("dfreq"))
+  }
+
   /** One row: (total_tokens, oov_tokens, vocab_size) of the corpus
     * against a (token, ...) vocabulary. */
   def oovStats(df: DataFrame, textCol: Column, vocabulary: DataFrame): DataFrame = {

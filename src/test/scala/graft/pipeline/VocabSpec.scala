@@ -25,6 +25,37 @@ class VocabSpec extends SparkTestBase {
     assert(size === 3L)
   }
 
+  test("topDistinctiveTerms ranks by tf/df with term tiebreak, map-only scoring") {
+    val d = Seq(
+      (1L, "cat cat cat shared shared unique1"),
+      (2L, "dog dog shared unique2 unique2 unique2"),
+      (3L, "shared other"),
+      (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = Vocab.topDistinctiveTerms(d, "doc_id", "text", 2)
+      .as[(Long, Long, String, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).toSeq).toMap
+    // doc 1: cat tf=3 df=1 → 3.0; unique1 1/1=1.0; shared 2/3≈0.67
+    assert(out(1L) === Seq((1L, 1L, "cat", 3L, 1L), (1L, 2L, "unique1", 1L, 1L)))
+    // doc 2: unique2 3/1=3.0; dog 2/1=2.0
+    assert(out(2L) === Seq((2L, 1L, "unique2", 3L, 1L), (2L, 2L, "dog", 2L, 1L)))
+    // doc 3: other 1/1=1.0 beats shared 1/3; ties impossible here
+    assert(out(3L).head._3 === "other")
+    assert(!out.contains(4L))                       // NULL text → no rows
+
+    // tf/df tie breaks by term ASC: both terms 1/1
+    val tie = Vocab.topDistinctiveTerms(
+      Seq((9L, "zebra apple")).toDF("doc_id", "text"), "doc_id", "text", 2)
+      .as[(Long, Long, String, Long, Long)].collect().sortBy(_._2)
+    assert(tie.map(_._3).toSeq === Seq("apple", "zebra"))
+
+    // scoring pass is map-only: one exchange total (the df aggregate
+    // runs at collect time, not in the scoring plan)
+    val plan = Vocab.topDistinctiveTerms(d, "doc_id", "text", 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("top-V is a TakeOrdered, OOV joins by broadcast") {
     val v = Vocab.buildVocabulary(sf("sf0.001", "documents"), F.col("text"), 100)
     assert(v.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
