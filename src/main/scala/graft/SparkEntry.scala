@@ -329,6 +329,27 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // shuffle-key skew profile over orders.o_custkey: exact counts +
+    // sketch quantiles of the per-key count distribution as
+    // rank-tolerance booleans (sketch floats never hash-match)
+    "q_keyskew" -> ((s: SparkSession, dir: String) => {
+      Graft.register(s)
+      val orders = t(s, dir, "orders")
+      val prof = graft.sketch.SketchOps.keyCountProfile(orders, Seq("o_custkey"))
+      val exact = orders.groupBy(F.col("o_custkey"))
+        .agg(F.count(F.lit(1)).as("__n"))
+        .agg(F.sort_array(F.collect_list(F.col("__n").cast("double"))).as("__sorted"),
+             F.count(F.lit(1)).as("__nk"))
+      def ok(p: Column, q: Double): Column =
+        F.abs(p - rankValue(F.col("__sorted"), F.col("__nk"), q)) <=
+          F.lit(RankTol) * F.abs(rankValue(F.col("__sorted"), F.col("__nk"), q))
+      prof.crossJoin(F.broadcast(exact))
+        .select(F.col("n_keys"), F.col("n_rows"), F.col("max_count"),
+          F.col("mean_count"), F.col("skew_ratio"),
+          ok(F.col("p50"), 0.5).as("p50_ok"), ok(F.col("p90"), 0.9).as("p90_ok"),
+          ok(F.col("p99"), 0.99).as("p99_ok"), ok(F.col("p999"), 0.999).as("p999_ok"))
+    }),
+
     "q_sketch_nulls" -> ((s: SparkSession, _: String) => {
       Graft.register(s)
       val nullBlob = F.lit(null).cast("binary")
@@ -1347,6 +1368,16 @@ object SparkEntry {
         |FROM (SELECT DISTINCT event_type FROM events),
         |     (SELECT range AS bucket FROM range(0, 10)) r
         |ORDER BY event_type, r.bucket""".stripMargin,
+    "q_keyskew" ->
+      """WITH k AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n
+        |           FROM orders GROUP BY o_custkey)
+        |SELECT CAST(count(*) AS BIGINT) AS n_keys,
+        |       CAST(sum(n) AS BIGINT) AS n_rows,
+        |       CAST(max(n) AS BIGINT) AS max_count,
+        |       CAST(sum(n) AS DOUBLE) / count(*) AS mean_count,
+        |       CAST(max(n) AS DOUBLE) * count(*) / sum(n) AS skew_ratio,
+        |       true AS p50_ok, true AS p90_ok, true AS p99_ok, true AS p999_ok
+        |FROM k""".stripMargin,
     "q_sketch_nulls" ->
       """SELECT true AS null_count_ok, true AS null_quantile_ok, true AS null_add_ok,
         |       true AS garbage_count_ok, true AS null_merge_ok, true AS garbage_stats_ok""".stripMargin,

@@ -98,6 +98,38 @@ object SketchOps {
   }
 
   /**
+   * Shuffle-key skew profile: ONE row describing the per-key row-count
+   * distribution of a prospective join/aggregation key — the "should I
+   * salt this?" diagnostic run before committing a 100 TB shuffle.
+   * Returns exact n_keys, total rows, max per-key count (the hot key),
+   * the mean, and sketch quantiles p50/p90/p99/p999 of the per-key
+   * counts. Two exchanges: the per-key count (map-side combined; the
+   * shuffle carries (key, partial count)) and the 1-row global rollup.
+   * skew_ratio = max_count * n_keys / rows — 1.0 means perfectly
+   * uniform; >> 1 means the hottest key dominates and a plain shuffle
+   * will straggle.
+   */
+  def keyCountProfile(df: DataFrame, keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "keyCountProfile needs at least one key column")
+    df.groupBy(keyCols.map(F.col): _*)
+      .agg(F.count(F.lit(1)).as("__n"))
+      .agg(
+        F.count(F.lit(1)).as("n_keys"),
+        F.sum(F.col("__n")).as("n_rows"),
+        F.max(F.col("__n")).as("max_count"),
+        G.ddsketch_agg_values(F.col("__n").cast("double")).as("__sk"))
+      .select(
+        F.col("n_keys"), F.col("n_rows"), F.col("max_count"),
+        (F.col("n_rows").cast("double") / F.col("n_keys")).as("mean_count"),
+        (F.col("max_count").cast("double") * F.col("n_keys") / F.col("n_rows"))
+          .as("skew_ratio"),
+        G.ddsketch_quantile(F.col("__sk"), 0.5).as("p50"),
+        G.ddsketch_quantile(F.col("__sk"), 0.9).as("p90"),
+        G.ddsketch_quantile(F.col("__sk"), 0.99).as("p99"),
+        G.ddsketch_quantile(F.col("__sk"), 0.999).as("p999"))
+  }
+
+  /**
    * Hourly→key rollup (the reference README's hourly/daily pattern,
    * README.md:189-199): persistable intermediate sketches plus a final
    * merge, all map-side-combinable.

@@ -60,6 +60,29 @@ class SketchOpsSpec extends SparkTestBase {
     assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 1, plan)
   }
 
+  test("keyCountProfile reports exact skew facts and accurate count quantiles") {
+    // 1 hot key with 1000 rows + 100 uniform keys with 10 rows each
+    val rows = (1L to 1000L).map(_ => "hot") ++
+      (1 to 100).flatMap(k => (1 to 10).map(_ => s"k$k"))
+    val df = rows.toDF("key")
+    val p = SketchOps.keyCountProfile(df, Seq("key")).collect().head
+    assert(p.getAs[Long]("n_keys") === 101L)
+    assert(p.getAs[Long]("n_rows") === 2000L)
+    assert(p.getAs[Long]("max_count") === 1000L)
+    assert(math.abs(p.getAs[Double]("mean_count") - 2000.0 / 101) < 1e-12)
+    assert(math.abs(p.getAs[Double]("skew_ratio") - 1000.0 * 101 / 2000) < 1e-12)
+    // the count distribution is ~all 10s: p50/p90 within sketch accuracy
+    assert(math.abs(p.getAs[Double]("p50") - 10.0) <= 0.35)
+    assert(math.abs(p.getAs[Double]("p90") - 10.0) <= 0.35)
+    // q=0.999 of 101 counts is still the 100th order statistic (10) —
+    // the hot key surfaces through max_count, not a quantile
+    assert(math.abs(p.getAs[Double]("p999") - 10.0) <= 0.35)
+    // two exchanges: per-key count + 1-row rollup
+    val plan = SketchOps.keyCountProfile(df, Seq("key"))
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 1, plan)
+  }
+
   test("time-bucketed sketches roll up to exact totals") {
     val events = sf("sf0.001", "events")
     val hourly = SketchOps.timeBucketedSketches(events, "ts", Seq("event_type"), "value")
