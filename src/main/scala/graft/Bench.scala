@@ -263,6 +263,16 @@ object Bench {
         .contaminationFlags(docs, "doc_id", "text", bench, "text", n = 8)
     }),
 
+    // per-key count distribution profile over the lineitem join key
+    "b_keyskew" -> ((s: SparkSession, dir: String) =>
+      graft.sketch.SketchOps.keyCountProfile(
+        t(s, dir, "lineitem"), Seq("l_orderkey"))),
+
+    // TF-IDF keyword extraction: df pass + map-only per-doc top-k
+    "b_keywords" -> ((s: SparkSession, dir: String) =>
+      graft.pipeline.Vocab.topDistinctiveTerms(
+        t(s, dir, "documents"), "doc_id", "text", 5)),
+
     // corpus-frequency boilerplate strip (two passes, map-only rewrite)
     "b_boilerplate" -> ((s: SparkSession, dir: String) => {
       val docs = t(s, dir, "documents")

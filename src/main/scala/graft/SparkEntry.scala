@@ -964,6 +964,32 @@ object SparkEntry {
         .crossJoin(F.broadcast(freqCount))
     }),
 
+    // END-TO-END curation pipeline: exact dedup → near-dup drop →
+    // benchmark decontamination → quality filter → boilerplate strip →
+    // train/val split. Every stage is an oracle-gated operator; this
+    // query proves they compose (the full DuckDB replica runs the same
+    // six stages as CTEs).
+    "q_pipeline" -> ((s: SparkSession, dir: String) => {
+      val docs = t(s, dir, "documents")
+      val bench = docs.filter(F.col("doc_id") % 17 === 0).select(F.col("text"))
+      val d1 = graft.pipeline.Dedup.dropExactDuplicates(docs, "doc_id", "text")
+      val d2 = graft.pipeline.Dedup.dropNearDuplicates(d1, "doc_id", "text",
+        shingleSize = 5, threshold = 0.8, bands = 16, rowsPerBand = 8)
+      val d3 = graft.pipeline.Decontaminate.dropContaminated(
+        d2, "doc_id", "text", bench, "text", n = 5)
+      val d4 = d3.filter(graft.pipeline.TextFunctions
+        .qualityScore(F.col("text"), F.col("n_chars")) > 0.55)
+      val th = (78L * d4.count() + 99L) / 100L
+      val d5 = graft.pipeline.Boilerplate.stripBoilerplate(d4, "text", "\\s+", " ", th)
+      val d6 = graft.pipeline.Sampling.splitByHash(d5, F.col("doc_id"),
+        Seq("train" -> 0.9, "val" -> 0.1))
+      d6.groupBy(F.col("split"), F.col("source"))
+        .agg(F.count(F.lit(1)).as("docs"),
+             F.sum(F.col("doc_id")).as("id_sum"),
+             F.sum(F.length(F.col("text")).cast("long")).as("chars_after"))
+        .orderBy("split", "source")
+    }),
+
     "q_sample" -> ((s: SparkSession, dir: String) => {
       val sampling = graft.pipeline.Sampling
       val docs = t(s, dir, "documents")
@@ -1730,6 +1756,57 @@ object SparkEntry {
         |       CAST(count(*) FILTER (coalesce(o, 0) >= 1) AS BIGINT) AS n_contaminated,
         |       CAST(coalesce(sum(o), 0) AS BIGINT) AS overlap_total
         |FROM documents LEFT JOIN ov USING (doc_id)""".stripMargin,
+    "q_pipeline" ->
+      """WITH e AS (SELECT d.* FROM documents d
+        |           JOIN (SELECT text, min(doc_id) AS m FROM documents GROUP BY text) k
+        |             ON d.text = k.text AND d.doc_id = k.m),
+        |sh AS (SELECT DISTINCT doc_id, substr(text, r.i, 5) AS g
+        |       FROM e, range(1, 1000) r(i) WHERE r.i + 4 <= length(text)),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |pairs AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS inter
+        |          FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |removed AS (SELECT DISTINCT idb AS doc_id FROM pairs
+        |            JOIN sizes sa ON ida = sa.doc_id JOIN sizes sb ON idb = sb.doc_id
+        |            WHERE inter >= (sa.sz + sb.sz - inter) * 0.8),
+        |nd AS (SELECT * FROM e WHERE doc_id NOT IN (SELECT doc_id FROM removed)),
+        |dw AS (SELECT doc_id, list_filter(string_split_regex(lower(coalesce(text, '')), '\s+'),
+        |                                  w -> len(w) > 0) AS ws FROM nd),
+        |dg AS (SELECT DISTINCT doc_id, g FROM (
+        |         SELECT doc_id, unnest(list_transform(range(1, greatest(len(ws) - 4, 0) + 1),
+        |                  i -> array_to_string(ws[i:i+4], ' '))) AS g FROM dw)),
+        |bw AS (SELECT list_filter(string_split_regex(lower(coalesce(text, '')), '\s+'),
+        |                          w -> len(w) > 0) AS ws FROM documents WHERE doc_id % 17 = 0),
+        |bg AS (SELECT DISTINCT g FROM (
+        |         SELECT unnest(list_transform(range(1, greatest(len(ws) - 4, 0) + 1),
+        |                  i -> array_to_string(ws[i:i+4], ' '))) AS g FROM bw)),
+        |contaminated AS (SELECT DISTINCT doc_id FROM dg JOIN bg USING (g)),
+        |dc AS (SELECT * FROM nd WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+        |q AS (SELECT doc_id, source, text FROM (
+        |        SELECT doc_id, source, text,
+        |          round((least(n_chars / 500.0, 1.0)
+        |            + (CASE WHEN (n_chars - tokens + 1) * 1.0 / tokens BETWEEN 3.0 AND 8.0
+        |                    THEN 1.0 ELSE 0.5 END)
+        |            + least(tokens / 100.0, 1.0)) / 3.0, 4) AS score
+        |        FROM (SELECT doc_id, source, text, n_chars,
+        |                     len(string_split_regex(text, '\s+')) AS tokens FROM dc) t1) t2
+        |      WHERE score > 0.55),
+        |segs AS (SELECT doc_id, source, list_filter(string_split_regex(text, '\s+'),
+        |                                            s2 -> len(s2) > 0) AS ws FROM q),
+        |freq AS (SELECT g2 AS segment, count(*) AS df FROM (
+        |           SELECT DISTINCT doc_id, unnest(ws) AS g2 FROM segs) GROUP BY g2),
+        |hot AS (SELECT coalesce(list(segment), []) AS hl FROM freq
+        |        WHERE df >= (SELECT (78 * count(*) + 99) // 100 FROM q)),
+        |rew AS (SELECT doc_id, source,
+        |          list_filter(ws, s2 -> NOT list_contains(hl, s2)) AS kept
+        |        FROM segs CROSS JOIN hot),
+        |sp AS (SELECT doc_id, source, kept,
+        |         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666'
+        |              THEN 'train' ELSE 'val' END AS split
+        |       FROM rew)
+        |SELECT split, source, CAST(count(*) AS BIGINT) AS docs,
+        |       CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |       CAST(sum(length(coalesce(array_to_string(kept, ' '), ''))) AS BIGINT) AS chars_after
+        |FROM sp GROUP BY split, source ORDER BY split, source""".stripMargin,
     "q_boilerplate" ->
       """WITH tot AS (SELECT count(*) AS n FROM documents),
         |segs AS (SELECT doc_id, text,
