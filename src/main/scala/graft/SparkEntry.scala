@@ -1337,6 +1337,28 @@ object SparkEntry {
              F.sum(F.col("height").cast("long")).as("height_sum"))
     }),
 
+    // REAL audio decode via javax.sound.sampled: deterministic 8-bit
+    // PCM WAVs built from document bytes; decoder must recover the
+    // exact header facts, and the RMS envelope must be a sane signal
+    "q_multimodal_audio" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val wavU = F.udf((text: String) =>
+        graft.pipeline.Multimodal.pcmWav(text.getBytes("UTF-8"), 8000))
+      val media = t(s, dir, "documents")
+        .filter(F.col("doc_id") % 7 === 0)
+        .select(F.col("doc_id").as("media_id"), F.lit("audio").as("modality"),
+          wavU(F.col("text")).as("payload"), F.lit(0L).as("meta_bytes"),
+          F.col("source").as("meta_source"))
+        .as[graft.pipeline.Multimodal.MediaRecord]
+      graft.pipeline.Multimodal.extractFeatures(media)
+        .agg(F.count(F.lit(1)).as("clips"),
+             F.sum(F.col("width").cast("long")).as("rate_sum"),
+             F.sum(F.col("height").cast("long")).as("channel_sum"),
+             F.sum(F.col("payload_bytes")).as("bytes_sum"),
+             F.min(F.array_min(F.col("feature")) > 0.0f &&
+                   F.array_max(F.col("feature")) < 1.0f).as("rms_ok"))
+    }),
+
     // multimodal plumbing: binary payloads through batched (stub) decode
     "q_multimodal" -> ((s: SparkSession, dir: String) => {
       val docs = t(s, dir, "documents")
@@ -2008,6 +2030,13 @@ object SparkEntry {
         |       CAST(sum(16 + doc_id % 32) AS BIGINT) AS width_sum,
         |       CAST(sum(8 + doc_id % 16) AS BIGINT) AS height_sum
         |FROM documents WHERE doc_id % 10 = 0""".stripMargin,
+    "q_multimodal_audio" ->
+      """SELECT CAST(count(*) AS BIGINT) AS clips,
+        |       CAST(8000 * count(*) AS BIGINT) AS rate_sum,
+        |       CAST(count(*) AS BIGINT) AS channel_sum,
+        |       CAST(sum(44 + octet_length(encode(text))) AS BIGINT) AS bytes_sum,
+        |       true AS rms_ok
+        |FROM documents WHERE doc_id % 7 = 0""".stripMargin,
     "q_multimodal" ->
       """SELECT CASE lang WHEN 'en' THEN 'image' WHEN 'de' THEN 'audio'
         |                 WHEN 'fr' THEN 'video' WHEN 'es' THEN 'pdf'

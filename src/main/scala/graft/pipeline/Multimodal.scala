@@ -11,17 +11,20 @@ import org.apache.spark.sql.{functions => F}
  * The IMAGE modality has a real decoder (JDK `javax.imageio` — PNG/
  * JPEG/GIF/BMP, zero external deps): real width/height, mean-pooled
  * grayscale features, and real downscale-and-reencode in
- * [[resizeImages]]. Audio/video/pdf decode is a clearly-marked STUB
- * (no codec libraries in this environment) deriving a deterministic
- * fake feature vector from the payload bytes; [[realDecoders]] is the
- * capability flag. Undecodable "image" payloads fall back to the stub
- * rather than erroring (repo-wide NULL/malformed-input discipline).
+ * [[resizeImages]]. The AUDIO modality has a real decoder too (JDK
+ * `javax.sound.sampled` — WAV/AIFF/AU 8/16-bit PCM): real sample rate,
+ * channel count, and an 8-window RMS envelope feature. Video/pdf
+ * decode is a clearly-marked STUB (no codec libraries in this
+ * environment) deriving a deterministic fake feature vector from the
+ * payload bytes; [[realDecoders]] is the capability flag. Undecodable
+ * payloads fall back to the stub rather than erroring (repo-wide
+ * NULL/malformed-input discipline).
  */
 object Multimodal {
 
   /** Which modalities run a REAL decoder vs the deterministic stub. */
   val realDecoders: Map[String, Boolean] = Map(
-    "image" -> true, "audio" -> false, "video" -> false,
+    "image" -> true, "audio" -> true, "video" -> false,
     "pdf" -> false, "text" -> false)
 
   case class MediaRecord(
@@ -109,13 +112,97 @@ object Multimodal {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
+  /** Minimal PCM WAV writer (8- or 16-bit LE): canonical 44-byte
+    * header + sample data. For 8-bit, `data` bytes are UNSIGNED PCM
+    * samples; for 16-bit, little-endian signed pairs. Test/harness
+    * utility and a cheap deterministic payload generator. */
+  def pcmWav(
+      data: Array[Byte],
+      sampleRate: Int,
+      channels: Int = 1,
+      bitsPerSample: Int = 8): Array[Byte] = {
+    require(bitsPerSample == 8 || bitsPerSample == 16, s"bits=$bitsPerSample")
+    require(channels >= 1 && sampleRate >= 1)
+    val blockAlign = channels * bitsPerSample / 8
+    val out = java.nio.ByteBuffer.allocate(44 + data.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + data.length)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1.toShort)                       // PCM
+      .putShort(channels.toShort).putInt(sampleRate)
+      .putInt(sampleRate * blockAlign)
+      .putShort(blockAlign.toShort).putShort(bitsPerSample.toShort)
+      .put("data".getBytes("US-ASCII")).putInt(data.length)
+      .put(data)
+    out.array()
+  }
+
+  /**
+   * Real audio decode via `javax.sound.sampled` (JDK, zero external
+   * deps — WAV/AIFF/AU containers, 8/16-bit PCM): returns
+   * (sampleRate, channels, frames, 8-window RMS envelope in [0,1] over
+   * the first channel) or None when the payload is not decodable
+   * audio. Reads are strided past ~64k frames so a pathological
+   * multi-GB payload costs bounded work.
+   */
+  private[pipeline] def decodeAudio(
+      payload: Array[Byte]): Option[(Int, Int, Long, Array[Float])] = {
+    if (payload == null || payload.length == 0) return None
+    try {
+      val in = javax.sound.sampled.AudioSystem
+        .getAudioInputStream(new java.io.ByteArrayInputStream(payload))
+      val fmt = in.getFormat
+      val enc = fmt.getEncoding
+      val signed = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+      val unsigned = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
+      val bits = fmt.getSampleSizeInBits
+      if ((!signed && !unsigned) || (bits != 8 && bits != 16)) return None
+      val bytes = in.readAllBytes()
+      val blockAlign = fmt.getFrameSize
+      if (blockAlign <= 0) return None
+      val frames = bytes.length / blockAlign
+      if (frames == 0) return None
+      val sums = new Array[Double](8)
+      val cnts = new Array[Long](8)
+      val stride = math.max(1, frames / 65536)
+      var f = 0
+      while (f < frames) {
+        val off = f * blockAlign
+        // first channel only: sample value normalized to [-1, 1]
+        val v =
+          if (bits == 8) {
+            val b = bytes(off)
+            if (unsigned) ((b & 0xFF) - 128) / 128.0 else b / 128.0
+          } else {
+            val lo = bytes(off) & 0xFF
+            val hi = bytes(off + 1)
+            val raw = if (fmt.isBigEndian) ((bytes(off) << 8) | (bytes(off + 1) & 0xFF))
+                      else ((hi << 8) | lo)
+            val s = if (unsigned) (raw & 0xFFFF) - 32768 else raw
+            s / 32768.0
+          }
+        val win = math.min((f * 8L / frames).toInt, 7)
+        sums(win) += v * v
+        cnts(win) += 1
+        f += stride
+      }
+      val feat = Array.tabulate(8)(i =>
+        if (cnts(i) == 0) 0.0f else math.sqrt(sums(i) / cnts(i)).toFloat)
+      Some((fmt.getSampleRate.toInt, fmt.getChannels, frames.toLong, feat))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   /**
    * Batch feature extraction over a media Dataset: one decoder
    * instantiation per partition (the shape a real decoder needs —
    * model/codec init amortized across the partition's rows). Image
    * payloads get the real `javax.imageio` path — genuine dimensions
-   * and pooled-grayscale features; undecodable images and the
-   * stub-only modalities ([[realDecoders]]) get [[stubDecode]].
+   * and pooled-grayscale features; audio payloads get the real
+   * `javax.sound.sampled` path — width/height carry (sampleRate,
+   * channels) and the feature is the 8-window RMS envelope; undecodable
+   * payloads and the stub-only modalities ([[realDecoders]]) get
+   * [[stubDecode]].
    */
   def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
@@ -126,6 +213,12 @@ object Multimodal {
           decodeImage(r.payload) match {
             case Some((w, h, feat)) =>
               MediaFeatures(r.media_id, r.modality, w, h, feat, r.payload.length.toLong)
+            case None => stubDecode(r)
+          }
+        } else if (r.modality == "audio") {
+          decodeAudio(r.payload) match {
+            case Some((rate, ch, _, feat)) =>
+              MediaFeatures(r.media_id, r.modality, rate, ch, feat, r.payload.length.toLong)
             case None => stubDecode(r)
           }
         } else stubDecode(r)

@@ -49,7 +49,7 @@ class ImageDecodeSpec extends SparkTestBase {
     assert((stub.width, stub.height, stub.feature.toSeq) ===
       ((stubExp.width, stubExp.height, stubExp.feature.toSeq)))
 
-    // audio stays on the stub even when the bytes happen to be a PNG
+    // PNG bytes are not decodable audio → audio row falls back to stub
     val audio = out(3L)
     val audioExp = Multimodal.stubDecode(MediaRecord(3L, "audio", png(100, 60), 0L, "s"))
     assert((audio.width, audio.height, audio.feature.toSeq) ===
@@ -78,8 +78,9 @@ class ImageDecodeSpec extends SparkTestBase {
     assert(feats(1L).width === 50 && feats(1L).height === 25)
   }
 
-  test("realDecoders capability flag marks exactly the image modality as real") {
+  test("realDecoders capability flag marks exactly image and audio as real") {
     assert(Multimodal.realDecoders("image"))
-    assert(Multimodal.realDecoders.filter(_._2).keySet === Set("image"))
+    assert(Multimodal.realDecoders("audio"))
+    assert(Multimodal.realDecoders.filter(_._2).keySet === Set("image", "audio"))
   }
 }
