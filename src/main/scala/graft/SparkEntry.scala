@@ -520,6 +520,24 @@ object SparkEntry {
         .orderBy("day")
     }),
 
+    // point-in-interval join (IP-range/validity lookup shape): lineitem
+    // prices probed against price bands derived from orders — exact vs
+    // the DuckDB inequality join
+    "q_rel_interval" -> ((s: SparkSession, dir: String) => {
+      val iv = t(s, dir, "orders").filter(F.col("o_orderkey") % 50 === 0)
+        .select(F.col("o_orderkey"),
+          (F.floor(F.col("o_totalprice")).cast("long") - 500L).as("lo"),
+          F.floor(F.col("o_totalprice")).cast("long").as("hi"))
+      val pt = t(s, dir, "lineitem").filter(F.col("l_orderkey") % 20 === 0)
+        .select(F.col("l_orderkey"),
+          F.floor(F.col("l_extendedprice")).cast("long").as("p"))
+      graft.operators.RangeJoin
+        .intervalJoin(pt, iv, "p", "lo", "hi", Seq("o_orderkey"), cellWidth = 500L)
+        .agg(F.count(F.lit(1)).as("matches"),
+             F.coalesce(F.sum(F.col("l_orderkey") * F.col("o_orderkey")), F.lit(0L))
+               .as("pair_sum"))
+    }),
+
     // gap-based sessionization (30-min gap) — window-function semantics
     // replicated exactly by the DuckDB oracle
     "q_rel_session" -> ((s: SparkSession, dir: String) => {
@@ -1498,6 +1516,16 @@ object SparkEntry {
         |      FROM clicks c ASOF LEFT JOIN purchases p
         |        ON c.user_id = p.user_id AND c.ms >= p.ms) t
         |GROUP BY 1 ORDER BY day""".stripMargin,
+    "q_rel_interval" ->
+      """WITH iv AS (SELECT o_orderkey,
+        |              CAST(floor(o_totalprice) AS BIGINT) - 500 AS lo,
+        |              CAST(floor(o_totalprice) AS BIGINT) AS hi
+        |            FROM orders WHERE o_orderkey % 50 = 0),
+        |pt AS (SELECT l_orderkey, CAST(floor(l_extendedprice) AS BIGINT) AS p
+        |       FROM lineitem WHERE l_orderkey % 20 = 0)
+        |SELECT CAST(count(*) AS BIGINT) AS matches,
+        |       CAST(coalesce(sum(l_orderkey * o_orderkey), 0) AS BIGINT) AS pair_sum
+        |FROM pt JOIN iv ON p >= lo AND p <= hi""".stripMargin,
     "q_rel_range" ->
       """WITH clicks AS (
         |  SELECT user_id, epoch_ms(ts) AS ms FROM events WHERE event_type = 'click'),

@@ -70,4 +70,71 @@ object RangeJoin {
       .filter(F.abs(F.col(leftTime) - F.col("__rt")) <= tolerance)
       .drop("__b")
   }
+
+  /**
+   * Point-in-interval join — the IP-range-lookup / time-validity shape:
+   * left rows paired with every right row whose `[startCol, endCol]`
+   * interval (inclusive, long-valued) contains the left `pointCol`.
+   * Spark plans the raw predicate as a nested-loop join; here each
+   * right interval replicates to the `cellWidth`-wide cells it covers,
+   * left points probe their single cell, and the exact containment
+   * filter runs after a plain equi-join on the cell id.
+   *
+   * Pick `cellWidth` near the typical interval span: replication is
+   * ~span/cellWidth + 1 per interval. A pathologically wide interval
+   * replicates proportionally — `maxCells` bounds it (such intervals
+   * are dropped with a warning; 0 disables the bound). NULL points,
+   * NULL bounds, and empty intervals (start > end) never match.
+   * `broadcastRight` as in [[bandJoin]].
+   */
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      pointCol: String,
+      startCol: String,
+      endCol: String,
+      rightValues: Seq[String],
+      cellWidth: Long,
+      maxCells: Int = 4096,
+      broadcastRight: Boolean = false): DataFrame = {
+    require(cellWidth > 0, s"cellWidth must be positive, got $cellWidth")
+    val dup = (rightValues ++ Seq("__s", "__e", "__c")).toSet.intersect(left.columns.toSet)
+    require(dup.isEmpty, s"right value columns collide with left columns: $dup")
+
+    // cell id = the cell's start value, t - pmod(t, w): pure long
+    // add/sub, exact over the full range (a divide-by-width id would
+    // round through double division above 2^52 — see bandJoin)
+    def cell(t: org.apache.spark.sql.Column) =
+      (t - F.pmod(t, F.lit(cellWidth))).cast("long")
+
+    val rb0 = right.select(
+        Seq(F.col(startCol).as("__s"), F.col(endCol).as("__e")) ++
+          rightValues.map(F.col): _*)
+      .filter(F.col("__s").isNotNull && F.col("__e").isNotNull &&
+        F.col("__s") <= F.col("__e"))
+    val bounded =
+      if (maxCells <= 0) rb0
+      else {
+        val acc = right.sparkSession.sparkContext
+          .longAccumulator("graft.rangejoin.droppedIntervals")
+        val keep = F.udf((cellSpan: Long) => {
+          val nCells = cellSpan / cellWidth + 1L   // exact: span is a multiple
+          val ok = nCells <= maxCells
+          if (!ok) {
+            acc.add(1L)
+            org.slf4j.LoggerFactory.getLogger("graft.operators.RangeJoin")
+              .warn(s"intervalJoin: dropping interval spanning $nCells cells (cap $maxCells)")
+          }
+          ok
+        })
+        rb0.filter(keep(cell(F.col("__e")) - cell(F.col("__s"))))
+      }
+    val rb = bounded
+      .withColumn("__c", F.explode(F.sequence(
+        cell(F.col("__s")), cell(F.col("__e")), F.lit(cellWidth))))
+    val lb = left.withColumn("__c", cell(F.col(pointCol)))
+    lb.join(if (broadcastRight) F.broadcast(rb) else rb, Seq("__c"))
+      .filter(F.col(pointCol) >= F.col("__s") && F.col(pointCol) <= F.col("__e"))
+      .drop("__c")
+  }
 }

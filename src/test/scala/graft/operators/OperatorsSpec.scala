@@ -128,6 +128,58 @@ class OperatorsSpec extends SparkTestBase {
     assert(got === Set((0L, 1.0), (1L, 2.0)))
   }
 
+  test("intervalJoin finds exactly the containing intervals (vs brute force)") {
+    val rnd = new scala.util.Random(11)
+    val pointRows = Seq.tabulate(300)(i => (rnd.nextInt(1000).toLong - 500L, i.toLong))
+    val ivRows = Seq.tabulate(80) { i =>
+      val s = rnd.nextInt(1000).toLong - 500L
+      (s, s + rnd.nextInt(120).toLong, i.toLong)
+    }
+    val points = pointRows.toDF("p", "pid").repartition(4)
+    val ivs = ivRows.toDF("s", "e", "iid").repartition(3)
+    val got = RangeJoin.intervalJoin(points, ivs, "p", "s", "e", Seq("iid"), 50L)
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    val expected = (for {
+      (p, pid) <- pointRows
+      (s, e, iid) <- ivRows
+      if p >= s && p <= e
+    } yield (pid, iid)).toSet
+    assert(got === expected)
+    assert(expected.nonEmpty)
+  }
+
+  test("intervalJoin drops empty/null intervals, null points, caps wide intervals") {
+    val points = Seq((Some(10L), 1L), (Some(500000L), 2L), (None: Option[Long], 3L))
+      .toDF("p", "pid")
+    val ivs = Seq(
+      (Some(0L), Some(20L), 1L),                 // matches p=10
+      (Some(20L), Some(10L), 2L),                // empty: start > end
+      (None: Option[Long], Some(20L), 3L),       // null start
+      (Some(0L), Some(100000000L), 4L))          // 10^8 span: over the cap
+      .toDF("s", "e", "iid")
+    val got = RangeJoin.intervalJoin(points, ivs, "p", "s", "e", Seq("iid"), 100L,
+        maxCells = 1000)
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 1L)))                // the capped interval is dropped
+
+    // cap disabled: the wide interval matches both non-null points
+    val uncapped = RangeJoin.intervalJoin(points, ivs, "p", "s", "e", Seq("iid"), 100L,
+        maxCells = 0)
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(uncapped === Set((1L, 1L), (1L, 4L), (2L, 4L)))
+  }
+
+  test("intervalJoin cell math stays exact at epoch-nano magnitudes") {
+    val base = 1700000000000000000L
+    val w = 1000000000L
+    val points = Seq((base + w - 1, 0L), (base + 3 * w, 1L)).toDF("p", "pid")
+    val ivs = Seq((base, base + w, 10L), (base + 2 * w, base + 4 * w, 20L))
+      .toDF("s", "e", "iid")
+    val got = RangeJoin.intervalJoin(points, ivs, "p", "s", "e", Seq("iid"), w)
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(got === Set((0L, 10L), (1L, 20L)))
+  }
+
   test("bandJoin rejects a left __b column instead of clobbering it") {
     val l = Seq((1L, 1L, 0L)).toDF("k", "t", "__b")
     val r = Seq((1L, 1L, 1.0)).toDF("k", "t", "v")
