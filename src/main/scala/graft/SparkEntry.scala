@@ -1008,6 +1008,14 @@ object SparkEntry {
         .orderBy("split", "source")
     }),
 
+    // exact-k per-stratum sampling over the md5 order
+    "q_sample_fixedk" -> ((s: SparkSession, dir: String) =>
+      graft.pipeline.Sampling
+        .stratifiedFixedK(t(s, dir, "documents"), F.col("source"), F.col("doc_id"), 7)
+        .groupBy(F.col("source"))
+        .agg(F.count(F.lit(1)).as("n"), F.sum(F.col("doc_id")).as("id_sum"))
+        .orderBy("source")),
+
     "q_sample" -> ((s: SparkSession, dir: String) => {
       val sampling = graft.pipeline.Sampling
       val docs = t(s, dir, "documents")
@@ -1883,6 +1891,13 @@ object SparkEntry {
         |  (SELECT CAST(coalesce(sum(df), 0) AS BIGINT) FROM freq
         |   WHERE df >= (SELECT (78 * n + 99) // 100 FROM tot)) AS df_sum
         |FROM rew""".stripMargin,
+    "q_sample_fixedk" ->
+      """WITH r AS (SELECT source, doc_id,
+        |             row_number() OVER (PARTITION BY source
+        |               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |           FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n, CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM r WHERE rn <= 7 GROUP BY source ORDER BY source""".stripMargin,
     "q_sample" ->
       """WITH s AS (SELECT source, doc_id,
         |             substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS h

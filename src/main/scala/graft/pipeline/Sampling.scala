@@ -110,6 +110,26 @@ object Sampling {
   }
 
   /**
+   * Exactly `k` rows PER STRATUM (fewer where a stratum is smaller) —
+   * "100k documents from every source" as one ranked window over the
+   * md5 order: deterministic, engine-portable (row_number() OVER
+   * (PARTITION BY stratum ORDER BY md5(key), key) <= k), and one hash
+   * exchange on the stratum column. Unlike [[stratifiedSample]] this
+   * guarantees the budget exactly, at the cost of a per-stratum sort —
+   * a hot stratum is one window partition, so keep per-stratum row
+   * counts within executor-sort range (or pre-thin with
+   * [[deterministicSample]] first at extreme skew).
+   */
+  def stratifiedFixedK(df: DataFrame, stratum: Column, key: Column, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratum).orderBy(F.md5(key.cast("string")), key)
+    df.withColumn("__rn", F.row_number().over(w))
+      .filter(F.col("__rn") <= k)
+      .drop("__rn")
+  }
+
+  /**
    * Rebalance to a target domain mixture: keep the LARGEST subset
    * whose per-domain row shares match `targetWeights` (weights need
    * not be normalized), without upsampling any domain. Domains absent

@@ -238,6 +238,19 @@ class CurationSpec extends SparkTestBase {
     assert(benchIds.subsetOf(flagged))
   }
 
+  test("stratifiedFixedK takes exactly k per stratum, deterministic, small strata whole") {
+    val df = (1L to 1000L).map(i => (s"s${i % 3}", i)) ++ Seq(("tiny", 2000L))
+    val data = df.toDF("src", "id")
+    val out = Sampling.stratifiedFixedK(data, F.col("src"), F.col("id"), 50)
+      .as[(String, Long)].collect()
+    val bySrc = out.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(bySrc === Map("s0" -> 50, "s1" -> 50, "s2" -> 50, "tiny" -> 1))
+    // deterministic under repartition
+    val again = Sampling.stratifiedFixedK(data.repartition(7), F.col("src"), F.col("id"), 50)
+      .as[(String, Long)].collect()
+    assert(again.sortBy(r => (r._1, r._2)).toSeq === out.sortBy(r => (r._1, r._2)).toSeq)
+  }
+
   // ------------------------------------------- boilerplate stripping
 
   test("stripBoilerplate removes frequent lines, preserves order, keeps NULLs") {
