@@ -1294,6 +1294,12 @@ object SparkEntry {
       graft.pipeline.Vocab.topDistinctiveTerms(
         t(s, dir, "documents"), "doc_id", "text", 3)),
 
+    // unigram cross-entropy quality signal (rounded to 4 decimals —
+    // ln ulp differences across engines sit ~11 orders below the
+    // rounding boundary)
+    "q_lm_score" -> ((s: SparkSession, dir: String) =>
+      graft.pipeline.Vocab.unigramLogLoss(t(s, dir, "documents"), "doc_id", "text")),
+
     // rolling-hash document fingerprints: collision-free vs normalized text
     "q_text_fingerprint" -> ((s: SparkSession, dir: String) => {
       val tf = graft.pipeline.TextFunctions
@@ -2034,6 +2040,15 @@ object SparkEntry {
         |         AS oov_tokens,
         |       CAST((SELECT count(*) FROM vocab) AS BIGINT) AS vocab_size
         |FROM toks""".stripMargin,
+    "q_lm_score" ->
+      """WITH toks AS (SELECT doc_id, unnest(list_filter(
+        |                string_split_regex(text, '\s+'), x -> len(x) > 0)) AS token
+        |              FROM documents),
+        |cnt AS (SELECT token, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY token),
+        |tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM toks)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS tokens,
+        |       round(avg(-ln(c / (SELECT n FROM tot))), 4) AS score
+        |FROM toks JOIN cnt USING (token) GROUP BY doc_id""".stripMargin,
     "q_keywords" ->
       """WITH toks AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM (
         |                SELECT doc_id, unnest(list_filter(

@@ -91,6 +91,50 @@ object Vocab {
         F.col("__t._3").as("dfreq"))
   }
 
+  /**
+   * Per-document unigram cross-entropy — the cheap LM-quality signal:
+   * score = avg over token occurrences of -ln(count(token)/total),
+   * rounded to 4 decimals. Rare-token/gibberish documents score high,
+   * common-token documents low; filter the top tail before training.
+   * Returns (id, tokens, score); documents with no tokens are omitted.
+   *
+   * Scale shape: one map-side-combined token-count exchange, then the
+   * (vocab-sized) count map broadcasts and scoring is map-only — the
+   * same collect class as [[buildVocabulary]]. Unseen tokens (scoring a
+   * stream against a reference corpus) smooth to count 1.
+   */
+  def unigramLogLoss(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val session = docs.sparkSession
+    import session.implicits._
+    val counts = docs
+      .select(F.explode(F.filter(F.split(F.col(textCol), "\\s+"),
+        t => F.length(t) > 0)).as("token"))
+      .groupBy(F.col("token"))
+      .agg(F.count(F.lit(1)).as("c"))
+      .as[(String, Long)].collect()
+    val total = counts.iterator.map(_._2).sum.toDouble
+    val bc = session.sparkContext.broadcast(counts.toMap)
+    val scoreU = F.udf((t: String) => {
+      if (t == null) None
+      else {
+        val toks = t.split("\\s+").filter(_.nonEmpty)
+        if (toks.isEmpty) None
+        else {
+          var s = 0.0
+          toks.foreach { w =>
+            s -= math.log(bc.value.getOrElse(w, 1L).toDouble / total)
+          }
+          Some((toks.length.toLong,
+            BigDecimal(s / toks.length).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+              .toDouble))
+        }
+      }
+    })
+    docs.select(F.col(idCol), scoreU(F.col(textCol)).as("__s"))
+      .filter(F.col("__s").isNotNull)
+      .select(F.col(idCol), F.col("__s._1").as("tokens"), F.col("__s._2").as("score"))
+  }
+
   /** One row: (total_tokens, oov_tokens, vocab_size) of the corpus
     * against a (token, ...) vocabulary. */
   def oovStats(df: DataFrame, textCol: Column, vocabulary: DataFrame): DataFrame = {

@@ -56,6 +56,24 @@ class VocabSpec extends SparkTestBase {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("unigramLogLoss scores documents by corpus-unigram cross-entropy") {
+    val d = Seq((1L, "a a b"), (2L, "b"), (3L, ""), (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = Vocab.unigramLogLoss(d, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // counts: a=2, b=2, total=4 → every token -ln(1/2) = ln 2 ≈ 0.6931
+    assert(out(1L) === ((3L, 0.6931)))
+    assert(out(2L) === ((1L, 0.6931)))
+    assert(!out.contains(3L) && !out.contains(4L))   // token-less docs omitted
+
+    // rarer tokens score strictly higher
+    val d2 = Seq((1L, "common common common common rare"), (2L, "common common"))
+      .toDF("doc_id", "text")
+    val s2 = Vocab.unigramLogLoss(d2, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(s2(1L) > s2(2L))
+  }
+
   test("top-V is a TakeOrdered, OOV joins by broadcast") {
     val v = Vocab.buildVocabulary(sf("sf0.001", "documents"), F.col("text"), 100)
     assert(v.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
