@@ -329,6 +329,31 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // bloom-pruned join (runtime-filter shape): pruning lineitem by a
+    // bloom of the small side's keys then joining must equal the plain
+    // join exactly (no false negatives); booleans pin soundness and
+    // that the filter actually pruned
+    "q_bloom_prune" -> ((s: SparkSession, dir: String) => {
+      val small = t(s, dir, "orders").filter(F.col("o_orderkey") % 97 === 0)
+        .select(F.col("o_orderkey"))
+      val big = t(s, dir, "lineitem").select(F.col("l_orderkey"))
+      val pruned = graft.sketch.SketchOps
+        .bloomPrune(big, "l_orderkey", small, "o_orderkey", 100000L, 0.01)
+      val joined = pruned
+        .join(F.broadcast(small), F.col("l_orderkey") === F.col("o_orderkey"))
+        .agg(F.count(F.lit(1)).as("matches"), F.sum(F.col("l_orderkey")).as("key_sum"))
+      val semiN = big.join(F.broadcast(small),
+          F.col("l_orderkey") === F.col("o_orderkey"), "left_semi")
+        .agg(F.count(F.lit(1)).as("__sn"))
+      val counts = pruned.agg(F.count(F.lit(1)).as("__pn"))
+        .crossJoin(F.broadcast(big.agg(F.count(F.lit(1)).as("__bn"))))
+        .crossJoin(F.broadcast(semiN))
+      joined.crossJoin(F.broadcast(counts))
+        .select(F.col("matches"), F.col("key_sum"),
+          (F.col("__pn") >= F.col("__sn")).as("prune_sound"),
+          (F.col("__pn") * 2 < F.col("__bn")).as("prune_effective"))
+    }),
+
     // shuffle-key skew profile over orders.o_custkey: exact counts +
     // sketch quantiles of the per-key count distribution as
     // rank-tolerance booleans (sketch floats never hash-match)
@@ -1448,6 +1473,12 @@ object SparkEntry {
         |FROM (SELECT DISTINCT event_type FROM events),
         |     (SELECT range AS bucket FROM range(0, 10)) r
         |ORDER BY event_type, r.bucket""".stripMargin,
+    "q_bloom_prune" ->
+      """SELECT CAST(count(*) AS BIGINT) AS matches,
+        |       CAST(sum(l_orderkey) AS BIGINT) AS key_sum,
+        |       true AS prune_sound, true AS prune_effective
+        |FROM lineitem JOIN (SELECT o_orderkey FROM orders WHERE o_orderkey % 97 = 0) o
+        |  ON l_orderkey = o_orderkey""".stripMargin,
     "q_keyskew" ->
       """WITH k AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n
         |           FROM orders GROUP BY o_custkey)

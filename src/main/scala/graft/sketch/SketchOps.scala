@@ -130,6 +130,35 @@ object SketchOps {
   }
 
   /**
+   * Bloom-pruned side reduction — the runtime-filter shape for joins
+   * whose small side is too big to broadcast as a hash table but whose
+   * KEY SET fits a filter: build a Bloom filter over `small`'s keys
+   * (one 1-row aggregate), broadcast it, and pre-filter `big` BEFORE
+   * its shuffle. No false negatives ⇒ joining the pruned side is
+   * exactly the plain join; false positives (~fpp) only cost a few
+   * extra shuffled rows. Rows with NULL keys are dropped (an inner
+   * join would drop them anyway). Returns the pruned `big`.
+   *
+   * At 100 TB this is the difference between shuffling the full fact
+   * table and shuffling ~|matching keys| rows: the filter is a few MB
+   * for 10^6-10^7 keys at 1% fpp, a one-row broadcast, and the probe
+   * is a thread-local-cached decode + hash per row.
+   */
+  def bloomPrune(
+      big: DataFrame,
+      bigKey: String,
+      small: DataFrame,
+      smallKey: String,
+      expectedItems: Long = graft.sketch.bloom.DefaultItems,
+      fpp: Double = graft.sketch.bloom.DefaultFpp): DataFrame = {
+    val filt = small.agg(
+      graft.sketch.bloom.bloom_agg(F.col(smallKey), expectedItems, fpp).as("__bf"))
+    big.crossJoin(F.broadcast(filt))
+      .filter(graft.sketch.bloom.bloom_contains(F.col("__bf"), F.col(bigKey)))
+      .drop("__bf")
+  }
+
+  /**
    * Hourly→key rollup (the reference README's hourly/daily pattern,
    * README.md:189-199): persistable intermediate sketches plus a final
    * merge, all map-side-combinable.

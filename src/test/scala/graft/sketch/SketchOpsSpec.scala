@@ -83,6 +83,26 @@ class SketchOpsSpec extends SparkTestBase {
     assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 1, plan)
   }
 
+  test("bloomPrune keeps every matching row, drops most others, stays map-only") {
+    val big = spark.range(0, 20000).toDF("k")
+    val small = spark.range(0, 20000, 500).toDF("j")      // 40 keys
+    val pruned = SketchOps.bloomPrune(big, "k", small, "j", 1000L, 0.01)
+    val kept = pruned.as[Long].collect().toSet
+    val matching = (0L until 20000L by 500L).toSet
+    assert(matching.subsetOf(kept))                        // no false negatives
+    assert(kept.size < 2000, s"pruned ${kept.size}")       // actually prunes
+    // joining the pruned side equals the plain join exactly
+    val plain = big.join(small, $"k" === $"j").as[(Long, Long)].collect().toSet
+    val viaPrune = pruned.join(small, $"k" === $"j").as[(Long, Long)].collect().toSet
+    assert(viaPrune === plain)
+    // the big side sees no exchange before the filter (1-row broadcast only)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+    // NULL big keys are dropped
+    val withNull = Seq(Some(0L), None).toDF("k")
+    assert(SketchOps.bloomPrune(withNull, "k", small, "j").count() === 1L)
+  }
+
   test("time-bucketed sketches roll up to exact totals") {
     val events = sf("sf0.001", "events")
     val hourly = SketchOps.timeBucketedSketches(events, "ts", Seq("event_type"), "value")
