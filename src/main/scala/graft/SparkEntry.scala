@@ -375,6 +375,35 @@ object SparkEntry {
           ok(F.col("p99"), 0.99).as("p99_ok"), ok(F.col("p999"), 0.999).as("p999_ok"))
     }),
 
+    // robust location/scale per group: sketch median + MAD vs the
+    // exact order statistics (MAD slack includes the median's own
+    // tolerance, since deviations are measured from the sketch median)
+    "q_robust_stats" -> ((s: SparkSession, dir: String) => {
+      Graft.register(s)
+      val ev = t(s, dir, "events")
+      val stats = graft.sketch.SketchOps.robustStats(ev, Seq("event_type"), "value")
+      val exactMed = ev.groupBy(F.col("event_type"))
+        .agg(F.sort_array(F.collect_list(F.col("value"))).as("__sv"),
+             F.count(F.lit(1)).as("__cnt"))
+        .select(F.col("event_type"), F.col("__cnt"),
+          rankValue(F.col("__sv"), F.col("__cnt"), 0.5).as("__me"))
+      val exactMad = ev.join(F.broadcast(exactMed), "event_type")
+        .select(F.col("event_type"), F.abs(F.col("value") - F.col("__me")).as("__d"))
+        .groupBy(F.col("event_type"))
+        .agg(F.sort_array(F.collect_list(F.col("__d"))).as("__sd"),
+             F.count(F.lit(1)).as("__c2"))
+        .select(F.col("event_type"),
+          rankValue(F.col("__sd"), F.col("__c2"), 0.5).as("__de"))
+      stats.join(exactMed, "event_type").join(exactMad, "event_type")
+        .select(F.col("event_type"), F.col("__cnt").as("cnt"),
+          (F.abs(F.col("median") - F.col("__me")) <=
+            F.lit(RankTol) * F.abs(F.col("__me"))).as("med_ok"),
+          (F.abs(F.col("mad") - F.col("__de")) <=
+            F.lit(RankTol) * F.col("__de") + F.lit(RankTol) * F.abs(F.col("__me")))
+            .as("mad_ok"))
+        .orderBy("event_type")
+    }),
+
     "q_sketch_nulls" -> ((s: SparkSession, _: String) => {
       Graft.register(s)
       val nullBlob = F.lit(null).cast("binary")
@@ -1489,6 +1518,10 @@ object SparkEntry {
         |       CAST(max(n) AS DOUBLE) * count(*) / sum(n) AS skew_ratio,
         |       true AS p50_ok, true AS p90_ok, true AS p99_ok, true AS p999_ok
         |FROM k""".stripMargin,
+    "q_robust_stats" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
+        |       true AS med_ok, true AS mad_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_sketch_nulls" ->
       """SELECT true AS null_count_ok, true AS null_quantile_ok, true AS null_add_ok,
         |       true AS garbage_count_ok, true AS null_merge_ok, true AS garbage_stats_ok""".stripMargin,

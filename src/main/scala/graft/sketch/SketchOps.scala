@@ -130,6 +130,54 @@ object SketchOps {
   }
 
   /**
+   * Per-group robust location/scale from sketches: (keys..., median,
+   * mad) where MAD is the median absolute deviation. Two sketch
+   * passes (each one sketch row per group, map-side combined), the
+   * group medians re-attached by BROADCAST between them — the corpus
+   * never shuffles. Both stats are within the sketch's relative
+   * accuracy of the exact order statistics.
+   */
+  def robustStats(
+      df: DataFrame,
+      keyCols: Seq[String],
+      valueCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "robustStats needs at least one key column")
+    val keys = keyCols.map(F.col)
+    val med = df.groupBy(keys: _*)
+      .agg(G.ddsketch_agg_values(F.col(valueCol)).as("__sk"))
+      .select(keys :+ G.ddsketch_quantile(F.col("__sk"), 0.5).as("median"): _*)
+    df.join(F.broadcast(med), keyCols)
+      .groupBy(keys: _*)
+      .agg(F.first(F.col("median")).as("median"),
+        G.ddsketch_agg_values(F.abs(F.col(valueCol) - F.col("median"))).as("__dk"))
+      .select(keys :+ F.col("median") :+
+        G.ddsketch_quantile(F.col("__dk"), 0.5).as("mad"): _*)
+  }
+
+  /**
+   * Robust per-group z-scores: adds `outCol` =
+   * 0.6745 · (value − median) / MAD — outlier scoring immune to the
+   * outliers themselves, unlike mean/stddev z-scores (one 10^9 reading
+   * drags a mean arbitrarily; it moves a median by one rank). Three
+   * broadcast-reattached sketch passes, no corpus shuffle. NULL values
+   * and exactly-zero-MAD groups get NULL scores; a near-constant group
+   * has MAD at the sketch's own resolution (~α·median), so its scores
+   * stay bounded near ±0.7 — never spuriously flagged.
+   */
+  def robustZScores(
+      df: DataFrame,
+      keyCols: Seq[String],
+      valueCol: String,
+      outCol: String = "robust_z"): DataFrame = {
+    val stats = robustStats(df, keyCols, valueCol)
+    df.join(F.broadcast(stats), keyCols)
+      .withColumn(outCol,
+        F.when(F.col("mad") > 0.0,
+          F.lit(0.6745) * (F.col(valueCol) - F.col("median")) / F.col("mad")))
+      .drop("median", "mad")
+  }
+
+  /**
    * Bloom-pruned side reduction — the runtime-filter shape for joins
    * whose small side is too big to broadcast as a hash table but whose
    * KEY SET fits a filter: build a Bloom filter over `small`'s keys

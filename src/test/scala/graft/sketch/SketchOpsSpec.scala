@@ -103,6 +103,33 @@ class SketchOpsSpec extends SparkTestBase {
     assert(SketchOps.bloomPrune(withNull, "k", small, "j").count() === 1L)
   }
 
+  test("robustZScores flags planted outliers without the outliers skewing the scale") {
+    val rnd = new scala.util.Random(3)
+    // bulk ~ Uniform[90, 110] + three planted 10000s; a mean/stddev
+    // z-score would be dragged by the outliers, the robust one is not
+    val bulk = Seq.tabulate(2000)(i => ("a", 90.0 + 20.0 * rnd.nextDouble(), i.toLong))
+    val planted = Seq(("a", 10000.0, 9001L), ("a", 10000.0, 9002L), ("a", 10000.0, 9003L))
+    val constant = Seq.tabulate(50)(i => ("c", 42.0, 10000L + i))
+    val df = (bulk ++ planted ++ constant).toDF("k", "v", "id")
+    val out = SketchOps.robustZScores(df, Seq("k"), "v")
+      .select($"id", $"robust_z").as[(Long, Option[Double])].collect().toMap
+    planted.foreach { case (_, _, id) => assert(out(id).get > 100.0) }
+    bulk.foreach { case (_, _, id) => assert(math.abs(out(id).get) < 3.0) }
+    // constant group: MAD sits at the sketch's own resolution
+    // (~alpha * median), so scores stay bounded near 0 — a constant
+    // group never gets spuriously flagged, and never divides by zero
+    constant.foreach { case (_, _, id) =>
+      assert(out(id).forall(z => math.abs(z) < 1.0), out(id))
+    }
+
+    val stats = SketchOps.robustStats(df.filter($"k" === "a"), Seq("k"), "v")
+      .select($"median", $"mad").as[(Double, Double)].head()
+    // bin_to_value overshoots by up to ~3.5% (RankTol): median 100 can
+    // read as ~103.5; the point is outlier-immunity, not exactness
+    assert(math.abs(stats._1 - 100.0) < 4.0)    // median ~100, outlier-immune
+    assert(stats._2 < 9.0)                      // MAD ~5-7, not stddev ~300
+  }
+
   test("time-bucketed sketches roll up to exact totals") {
     val events = sf("sf0.001", "events")
     val hourly = SketchOps.timeBucketedSketches(events, "ts", Seq("event_type"), "value")
