@@ -350,6 +350,41 @@ object Bench {
         "doc_id", "text", 5, 0.8, 16, 8)
     }),
 
+    // end-to-end curation chain (dedup → near-dup → decon → quality →
+    // boilerplate → split), the composite flow a real corpus runs
+    "b_pipeline" -> ((s: SparkSession, dir: String) => {
+      val docs = t(s, dir, "documents")
+      val bench = docs.filter(F.col("doc_id") % 17 === 0).select(F.col("text"))
+      val d1 = graft.pipeline.Dedup.dropExactDuplicates(docs, "doc_id", "text")
+      val d2 = graft.pipeline.Dedup.dropNearDuplicates(d1, "doc_id", "text",
+        shingleSize = 5, threshold = 0.8, bands = 16, rowsPerBand = 8)
+      val d3 = graft.pipeline.Decontaminate.dropContaminated(
+        d2, "doc_id", "text", bench, "text", n = 5)
+      val d4 = d3.filter(graft.pipeline.TextFunctions
+        .qualityScore(F.col("text"), F.col("n_chars")) > 0.55)
+      val d5 = graft.pipeline.Boilerplate.stripBoilerplate(
+        d4, "text", "\\s+", " ", (78L * d4.count() + 99L) / 100L)
+      graft.pipeline.Sampling.splitByHash(d5, F.col("doc_id"),
+        Seq("train" -> 0.9, "val" -> 0.1))
+        .groupBy(F.col("split"), F.col("source"))
+        .agg(F.count(F.lit(1)).as("docs"), F.sum(F.col("doc_id")).as("id_sum"))
+    }),
+
+    // point-in-interval join over order price bands
+    "b_interval" -> ((s: SparkSession, dir: String) => {
+      val iv = t(s, dir, "orders").filter(F.col("o_orderkey") % 50 === 0)
+        .select(F.col("o_orderkey"),
+          (F.floor(F.col("o_totalprice")).cast("long") - 500L).as("lo"),
+          F.floor(F.col("o_totalprice")).cast("long").as("hi"))
+      val pt = t(s, dir, "lineitem")
+        .select(F.col("l_orderkey"),
+          F.floor(F.col("l_extendedprice")).cast("long").as("p"))
+      graft.operators.RangeJoin
+        .intervalJoin(pt, iv, "p", "lo", "hi", Seq("o_orderkey"), cellWidth = 500L)
+        .groupBy(F.col("o_orderkey"))
+        .agg(F.count(F.lit(1)).as("n"))
+    }),
+
     // relational anchors: TPC-H Q1 shape and broadcast dim join
     "b_rel_q1" -> ((s: SparkSession, dir: String) =>
       t(s, dir, "lineitem")

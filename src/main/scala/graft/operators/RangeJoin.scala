@@ -115,8 +115,9 @@ object RangeJoin {
     val bounded =
       if (maxCells <= 0) rb0
       else {
-        val acc = right.sparkSession.sparkContext
-          .longAccumulator("graft.rangejoin.droppedIntervals")
+        val acc = graft.pipeline.AccumulatorRetainer.retain(
+          right.sparkSession.sparkContext
+            .longAccumulator("graft.rangejoin.droppedIntervals"))
         val keep = F.udf((cellSpan: Long) => {
           val nCells = cellSpan / cellWidth + 1L   // exact: span is a multiple
           val ok = nCells <= maxCells

@@ -32,8 +32,8 @@ object Dedup {
       what: String): DataFrame = {
     if (maxBucket <= 0) df
     else {
-      val acc = df.sparkSession.sparkContext
-        .longAccumulator(s"graft.dedup.droppedBuckets.$what")
+      val acc = AccumulatorRetainer.retain(df.sparkSession.sparkContext
+        .longAccumulator(s"graft.dedup.droppedBuckets.$what"))
       val keep = F.udf((n: Long) => {
         val ok = n <= maxBucket
         if (!ok) {
