@@ -1348,6 +1348,16 @@ object SparkEntry {
       graft.pipeline.Vocab.topDistinctiveTerms(
         t(s, dir, "documents"), "doc_id", "text", 3)),
 
+    // BPE merge learning: the first two learned merges with pair
+    // frequencies, vs an unrolled 2-iteration SQL replica
+    "q_bpe" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      graft.pipeline.Vocab.learnBpeMerges(t(s, dir, "documents"), "text", 2)
+        .zipWithIndex
+        .map { case ((l, r, f), i) => (i + 1L, l, r, f) }
+        .toDF("rank", "lft", "rgt", "f")
+    }),
+
     // unigram cross-entropy quality signal (rounded to 4 decimals —
     // ln ulp differences across engines sit ~11 orders below the
     // rounding boundary)
@@ -2104,6 +2114,33 @@ object SparkEntry {
         |         AS oov_tokens,
         |       CAST((SELECT count(*) FROM vocab) AS BIGINT) AS vocab_size
         |FROM toks""".stripMargin,
+    // double-space symbol separators so replace()'s left-to-right
+    // non-overlapping scan matches symbol-level BPE merging even for
+    // adjacent occurrences (single-space sentinels would share the
+    // boundary space and skip every second merge site)
+    "q_bpe" ->
+      """WITH toks AS (SELECT unnest(list_filter(string_split_regex(text, '\s+'),
+        |                x -> len(x) > 0)) AS w FROM documents),
+        |words AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
+        |seq1 AS (SELECT '  ' || array_to_string(string_split(w, ''), '  ') || '  ' AS s, c
+        |         FROM words),
+        |p1 AS (SELECT l AS lft, r AS rgt, CAST(sum(cnt) AS BIGINT) AS f FROM (
+        |         SELECT sp[i] AS l, sp[i+1] AS r, c AS cnt
+        |         FROM (SELECT string_split(trim(s), '  ') AS sp, c FROM seq1),
+        |              unnest(range(1, len(sp))) t(i)) GROUP BY l, r),
+        |m1 AS (SELECT lft, rgt, f FROM p1 ORDER BY f DESC, lft, rgt LIMIT 1),
+        |seq2 AS (SELECT replace(s,
+        |                  ' ' || (SELECT lft FROM m1) || '  ' || (SELECT rgt FROM m1) || ' ',
+        |                  ' ' || (SELECT lft || rgt FROM m1) || ' ') AS s, c
+        |         FROM seq1),
+        |p2 AS (SELECT l AS lft, r AS rgt, CAST(sum(cnt) AS BIGINT) AS f FROM (
+        |         SELECT sp[i] AS l, sp[i+1] AS r, c AS cnt
+        |         FROM (SELECT string_split(trim(s), '  ') AS sp, c FROM seq2),
+        |              unnest(range(1, len(sp))) t(i)) GROUP BY l, r),
+        |m2 AS (SELECT lft, rgt, f FROM p2 ORDER BY f DESC, lft, rgt LIMIT 1)
+        |SELECT CAST(1 AS BIGINT) AS "rank", lft, rgt, f FROM m1
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), lft, rgt, f FROM m2""".stripMargin,
     "q_lm_score" ->
       """WITH toks AS (SELECT doc_id, unnest(list_filter(
         |                string_split_regex(text, '\s+'), x -> len(x) > 0)) AS token

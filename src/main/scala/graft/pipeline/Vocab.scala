@@ -135,6 +135,89 @@ object Vocab {
       .select(F.col(idCol), F.col("__s._1").as("tokens"), F.col("__s._2").as("score"))
   }
 
+  /**
+   * Learn `k` BPE merges over the corpus (word-internal, character
+   * initial alphabet): repeatedly count adjacent symbol pairs weighted
+   * by word frequency and merge the most frequent pair, left-to-right
+   * non-overlapping, ties broken by (left, right) lexicographically.
+   * Returns the merge table (left, right, pairFrequency) in learned
+   * order — with [[buildVocabulary]]/[[oovStats]] this completes the
+   * tokenizer-prep surface.
+   *
+   * Scale shape: the classic trick — learning runs on the DISTINCT
+   * word-frequency table (one map-side-combined token count), never the
+   * corpus; each iteration is one pair-count aggregate (shuffle rows
+   * are (pair, partial count)) plus a 1-row argmax collect, and the
+   * evolving symbol sequences carry forward under a lazy checkpoint
+   * that cuts the k-deep lineage.
+   */
+  def learnBpeMerges(
+      docs: DataFrame,
+      textCol: String,
+      k: Int): Seq[(String, String, Long)] = {
+    require(k >= 1, s"k must be positive, got $k")
+    val session = docs.sparkSession
+    import session.implicits._
+    val charsU = F.udf((w: String) => w.map(_.toString).toArray)
+    var words = docs
+      .select(F.explode(F.filter(F.split(F.col(textCol), "\\s+"),
+        t => F.length(t) > 0)).as("w"))
+      .groupBy(F.col("w")).agg(F.count(F.lit(1)).as("c"))
+      .select(charsU(F.col("w")).as("sym"), F.col("c"))
+      .localCheckpoint(eager = false)
+    // NUL as the pair separator: it sorts below every character, so
+    // lexicographic order on the joined string equals tuple order on
+    // (left, right) — the tie-break the oracle replicates
+    val pairU = F.udf((sym: Seq[String]) =>
+      if (sym.length < 2) Array.empty[String]
+      else Array.tabulate(sym.length - 1)(j => sym(j) + "\u0000" + sym(j + 1)))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var i = 0
+    var done = false
+    while (i < k && !done) {
+      val top = words.select(F.explode(pairU(F.col("sym"))).as("p"), F.col("c"))
+        .groupBy(F.col("p")).agg(F.sum(F.col("c")).as("f"))
+        .orderBy(F.col("f").desc, F.col("p"))
+        .limit(1).as[(String, Long)].collect()
+      if (top.isEmpty) done = true
+      else {
+        val Array(l, r) = top.head._1.split("\u0000", 2)
+        merges += ((l, r, top.head._2))
+        val mergeU = F.udf((sym: Seq[String]) => {
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var j = 0
+          while (j < sym.length) {
+            if (j + 1 < sym.length && sym(j) == l && sym(j + 1) == r) {
+              out += l + r; j += 2
+            } else { out += sym(j); j += 1 }
+          }
+          out.toArray
+        })
+        words = words.select(mergeU(F.col("sym")).as("sym"), F.col("c"))
+          .localCheckpoint(eager = false)
+        i += 1
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Segment a word with a learned merge table (merges applied in
+    * learned order, each left-to-right non-overlapping). */
+  def applyBpe(merges: Seq[(String, String)], word: String): Seq[String] = {
+    var sym: Vector[String] = word.map(_.toString).toVector
+    merges.foreach { case (l, r) =>
+      val out = Vector.newBuilder[String]
+      var j = 0
+      while (j < sym.length) {
+        if (j + 1 < sym.length && sym(j) == l && sym(j + 1) == r) {
+          out += (l + r); j += 2
+        } else { out += sym(j); j += 1 }
+      }
+      sym = out.result()
+    }
+    sym
+  }
+
   /** One row: (total_tokens, oov_tokens, vocab_size) of the corpus
     * against a (token, ...) vocabulary. */
   def oovStats(df: DataFrame, textCol: Column, vocabulary: DataFrame): DataFrame = {

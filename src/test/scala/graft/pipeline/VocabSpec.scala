@@ -74,6 +74,73 @@ class VocabSpec extends SparkTestBase {
     assert(s2(1L) > s2(2L))
   }
 
+  /** Independent in-memory BPE reference: plain Scala over a
+    * word-count map, no Spark, written from the algorithm definition. */
+  private def refBpe(wordCounts: Map[String, Long], k: Int): Seq[(String, String, Long)] = {
+    var words: Map[Vector[String], Long] = wordCounts.map { case (w, c) =>
+      w.map(_.toString).toVector -> c
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var i = 0
+    var stop = false
+    while (i < k && !stop) {
+      val pairCounts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (sym, c) =>
+        sym.iterator.zip(sym.iterator.drop(1)).foreach { p =>
+          pairCounts.update(p, pairCounts.getOrElse(p, 0L) + c)
+        }
+      }
+      if (pairCounts.isEmpty) stop = true
+      else {
+        val ((l, r), f) = pairCounts.minBy { case ((a, b), n) => (-n, a, b) }
+        out += ((l, r, f))
+        words = words.groupMapReduce { case (sym, _) =>
+          val m = Vector.newBuilder[String]
+          var j = 0
+          while (j < sym.length) {
+            if (j + 1 < sym.length && sym(j) == l && sym(j + 1) == r) { m += (l + r); j += 2 }
+            else { m += sym(j); j += 1 }
+          }
+          m.result()
+        }(_._2)(_ + _)
+        i += 1
+      }
+    }
+    out.toSeq
+  }
+
+  test("learnBpeMerges matches an independent reference implementation") {
+    val corpus = Seq("low low low lower lower newest newest newest newest widest widest")
+    val docs = corpus.toDF("text")
+    val wordCounts = corpus.flatMap(_.split("\\s+")).filterNot(_.isEmpty)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    for (k <- Seq(1, 3, 8)) {
+      val got = Vocab.learnBpeMerges(docs, "text", k)
+      val exp = refBpe(wordCounts, k)
+      assert(got === exp, s"k=$k")
+    }
+    // the classic example: 'es' (from newest/widest, freq 6) merges first
+    assert(Vocab.learnBpeMerges(docs, "text", 1).head._1 === "e")
+
+    // and on the real corpus
+    val real = sf("sf0.001", "documents")
+    val realCounts = real.select(F.explode(F.filter(
+        F.split(F.col("text"), "\\s+"), t => F.length(t) > 0)).as("w"))
+      .groupBy("w").count().as[(String, Long)].collect().toMap
+    assert(Vocab.learnBpeMerges(real, "text", 5) === refBpe(realCounts, 5))
+  }
+
+  test("applyBpe segments words with the learned merge table") {
+    val docs = Seq("banana banana bandana").toDF("text")
+    val merges = Vocab.learnBpeMerges(docs, "text", 4).map(m => (m._1, m._2))
+    // applying the merges must reproduce each word when re-joined
+    Seq("banana", "bandana", "unseen").foreach { w =>
+      assert(Vocab.applyBpe(merges, w).mkString === w)
+    }
+    // learned merges compress the training words
+    assert(Vocab.applyBpe(merges, "banana").length < "banana".length)
+  }
+
   test("top-V is a TakeOrdered, OOV joins by broadcast") {
     val v = Vocab.buildVocabulary(sf("sf0.001", "documents"), F.col("text"), 100)
     assert(v.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
