@@ -354,6 +354,55 @@ object SparkEntry {
           (F.col("__pn") * 2 < F.col("__bn")).as("prune_effective"))
     }),
 
+    // source/sink format surface: the same rows written+read through
+    // CSV and JSON must reproduce the parquet aggregates (longs exact;
+    // double sums within accumulation-order noise, checked at 1e-9)
+    "q_format_roundtrip" -> ((s: SparkSession, dir: String) => {
+      val ev = t(s, dir, "events").select(
+        F.unix_millis(F.col("ts")).as("ms"), F.col("event_type"),
+        F.col("user_id"), F.col("value"))
+      val base = java.nio.file.Files.createTempDirectory("graft_fmt").toString
+      ev.write.mode("overwrite").option("header", "true").csv(s"$base/csv")
+      ev.write.mode("overwrite").json(s"$base/json")
+      val csv = s.read.option("header", "true").schema(ev.schema).csv(s"$base/csv")
+      val json = s.read.schema(ev.schema).json(s"$base/json")
+      def aggs(df: DataFrame, tag: String) = df.agg(
+        F.count(F.lit(1)).as(s"n_$tag"),
+        F.sum(F.col("ms")).as(s"ms_$tag"),
+        F.sum(F.col("user_id")).as(s"uid_$tag"),
+        F.sum(F.col("value")).as(s"v_$tag"))
+      def tol(a: Column, b: Column): Column =
+        F.abs(a - b) <= F.lit(1e-9) * F.abs(b)
+      aggs(ev, "p").crossJoin(aggs(csv, "c")).crossJoin(aggs(json, "j"))
+        .select(F.col("n_p").as("rows"),
+          (F.col("n_c") === F.col("n_p")).as("csv_rows_ok"),
+          (F.col("n_j") === F.col("n_p")).as("json_rows_ok"),
+          (F.col("ms_c") === F.col("ms_p") && F.col("uid_c") === F.col("uid_p"))
+            .as("csv_longs_ok"),
+          (F.col("ms_j") === F.col("ms_p") && F.col("uid_j") === F.col("uid_p"))
+            .as("json_longs_ok"),
+          (tol(F.col("v_c"), F.col("v_p")) && tol(F.col("v_j"), F.col("v_p")))
+            .as("doubles_ok"))
+    }),
+
+    // one-scan dataset profile: exact rows/nulls per column + KMV
+    // distinct estimate within 5% of the exact count (k=8192 → ~1.1%
+    // expected error)
+    "q_profile" -> ((s: SparkSession, dir: String) => {
+      val cols = Seq("event_type", "user_id", "value")
+      val ev = t(s, dir, "events")
+      val prof = graft.pipeline.Profile.profileColumns(ev, cols, kmvK = 8192)
+      val exact = cols.map(c => ev.agg(
+          F.countDistinct(F.col(c)).as("__d")).select(
+          F.lit(c).as("column"), F.col("__d")))
+        .reduce(_ union _)
+      prof.join(F.broadcast(exact), "column")
+        .select(F.col("column"), F.col("n_rows"), F.col("n_nulls"),
+          (F.abs(F.col("distinct_est") - F.col("__d")) <=
+            F.lit(0.05) * F.col("__d")).as("distinct_ok"))
+        .orderBy("column")
+    }),
+
     // shuffle-key skew profile over orders.o_custkey: exact counts +
     // sketch quantiles of the per-key count distribution as
     // rank-tolerance booleans (sketch floats never hash-match)
@@ -1518,6 +1567,24 @@ object SparkEntry {
         |       true AS prune_sound, true AS prune_effective
         |FROM lineitem JOIN (SELECT o_orderkey FROM orders WHERE o_orderkey % 97 = 0) o
         |  ON l_orderkey = o_orderkey""".stripMargin,
+    "q_profile" ->
+      """SELECT 'event_type' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+        |       true AS distinct_ok FROM events
+        |UNION ALL
+        |SELECT 'user_id', CAST(count(*) AS BIGINT),
+        |       CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |       true FROM events
+        |UNION ALL
+        |SELECT 'value', CAST(count(*) AS BIGINT),
+        |       CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |       true FROM events
+        |ORDER BY "column"""".stripMargin,
+    "q_format_roundtrip" ->
+      """SELECT CAST(count(*) AS BIGINT) AS "rows",
+        |       true AS csv_rows_ok, true AS json_rows_ok,
+        |       true AS csv_longs_ok, true AS json_longs_ok, true AS doubles_ok
+        |FROM events""".stripMargin,
     "q_keyskew" ->
       """WITH k AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n
         |           FROM orders GROUP BY o_custkey)

@@ -6,6 +6,25 @@ import org.apache.spark.sql.{functions => F}
 class PipelineOpsSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("profileColumns reports exact rows/nulls and accurate distincts in one scan") {
+    val df = Seq(
+      (Some("a"), Some(1L)), (Some("b"), Some(2L)), (Some("a"), None),
+      (None, Some(2L)), (Some("c"), Some(3L)))
+      .toDF("s", "v")
+    val out = Profile.profileColumns(df, Seq("s", "v"))
+      .as[(String, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out("s")._2 === 5L && out("s")._3 === 1L)
+    assert(out("v")._2 === 5L && out("v")._3 === 1L)
+    // below-k cardinalities: KMV is exact
+    assert(out("s")._4 === 3.0)
+    assert(out("v")._4 === 3.0)
+    // one scan: a single aggregate, no join, one exchange at most
+    val plan = Profile.profileColumns(df, Seq("s", "v"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).isEmpty, plan)
+  }
+
   // --------------------------------------------- embedding near-dup
 
   test("embeddingNearDuplicatePairs finds exact and near copies, skips far pairs") {
