@@ -263,6 +263,12 @@ object Bench {
         .contaminationFlags(docs, "doc_id", "text", bench, "text", n = 8)
     }),
 
+    // one-scan 4-column dataset profile over lineitem
+    "b_profile" -> ((s: SparkSession, dir: String) =>
+      graft.pipeline.Profile.profileColumns(
+        t(s, dir, "lineitem"),
+        Seq("l_orderkey", "l_partkey", "l_returnflag", "l_extendedprice"))),
+
     // per-key count distribution profile over the lineitem join key
     "b_keyskew" -> ((s: SparkSession, dir: String) =>
       graft.sketch.SketchOps.keyCountProfile(

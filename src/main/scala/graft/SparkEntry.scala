@@ -558,6 +558,31 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     }),
 
+    // rolling sketch quantile over a sliding window frame — proves the
+    // TypedImperativeAggregate composes with WindowExec (the 4th
+    // execution context after groupBy, SQL, and streaming): per-row
+    // sketch p95 over the trailing 100 events vs the exact order
+    // statistic over the SAME frame, rank-tolerance boolean
+    "q_sketch_window" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.expressions.Window
+      Graft.register(s)
+      val w = Window.partitionBy(F.col("event_type"))
+        .orderBy(F.col("ts"), F.col("user_id")).rowsBetween(-99, 0)
+      val scored = t(s, dir, "events").select(F.col("event_type"),
+        G.ddsketch_quantile(G.ddsketch_agg_values(F.col("value")).over(w), 0.95)
+          .as("p95"),
+        F.sort_array(F.collect_list(F.col("value")).over(w)).as("__sv"),
+        F.count(F.lit(1)).over(w).as("__n"))
+      scored.select(F.col("event_type"),
+          (F.abs(F.col("p95") - rankValue(F.col("__sv"), F.col("__n"), 0.95)) <=
+            F.lit(RankTol) * F.abs(rankValue(F.col("__sv"), F.col("__n"), 0.95)))
+            .as("ok"))
+        .groupBy(F.col("event_type"))
+        .agg(F.count(F.lit(1)).as("cnt"),
+             F.min(F.col("ok")).as("rolling_p95_ok"))
+        .orderBy("event_type")
+    }),
+
     // time bucketing: hourly event counts (epoch millis keys)
     "q_rel_timebucket" -> ((s: SparkSession, dir: String) => {
       t(s, dir, "events")
@@ -1595,6 +1620,9 @@ object SparkEntry {
         |       CAST(max(n) AS DOUBLE) * count(*) / sum(n) AS skew_ratio,
         |       true AS p50_ok, true AS p90_ok, true AS p99_ok, true AS p999_ok
         |FROM k""".stripMargin,
+    "q_sketch_window" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS cnt, true AS rolling_p95_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_robust_stats" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
         |       true AS med_ok, true AS mad_ok
