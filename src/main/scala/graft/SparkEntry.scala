@@ -985,6 +985,25 @@ object SparkEntry {
         .orderBy("id_a")
     }),
 
+    // incremental embedding dedup against a persisted signature index:
+    // fresh batch = exact copies of history vectors 0-49 (shifted ids);
+    // copies collide in every LSH table so recall is 1.0, no natural
+    // pair reaches cos 0.99, and the verified pair set is exactly the
+    // 50 copies (deduped from per-table collision emissions)
+    "q_dedup_incremental_embed" -> ((s: SparkSession, dir: String) => {
+      val emb = t(s, dir, "embeddings")
+      val hist = emb.select(F.col("vec_id"), F.col("embedding"))
+      val fresh = emb.filter(F.col("vec_id") < 50)
+        .select((F.col("vec_id") + 100000L).as("vec_id"), F.col("embedding"))
+      val index = graft.pipeline.Dedup
+        .buildVectorSignatureIndex(hist, "vec_id", "embedding")
+      graft.pipeline.Dedup
+        .incrementalEmbeddingDuplicates(fresh, index, "vec_id", "embedding", 0.99)
+        .select(F.col("id_new"), F.col("id_old"), (F.col("cos") >= 0.999).as("cos_ok"))
+        .dropDuplicates("id_new", "id_old")
+        .orderBy("id_new")
+    }),
+
     // canonical-document selection: one survivor per normalized-text
     // group, preferring longer then lower-id docs
     "q_dedup_keepbest" -> ((s: SparkSession, dir: String) => {
@@ -1888,6 +1907,9 @@ object SparkEntry {
         |            WHERE inter >= (sa.sz + sb.sz - inter) * 0.8)
         |SELECT count(*) AS kept, CAST(sum(doc_id) AS BIGINT) AS kept_id_sum
         |FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM removed)""".stripMargin,
+    "q_dedup_incremental_embed" ->
+      """SELECT vec_id + 100000 AS id_new, vec_id AS id_old, true AS cos_ok
+        |FROM embeddings WHERE vec_id < 50 ORDER BY id_new""".stripMargin,
     "q_dedup_embed" ->
       """SELECT vec_id AS id_a, vec_id + 100000 AS id_b, true AS cos_ok
         |FROM embeddings WHERE vec_id < 50 ORDER BY id_a""".stripMargin,

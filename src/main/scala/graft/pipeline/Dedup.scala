@@ -407,6 +407,58 @@ object Dedup {
   }
 
   /**
+   * Persistable hyperplane-LSH signature index over embeddings:
+   * (tbl, sig, id, vec) — one row per (vector, table), the vector
+   * carried alongside so the verify join never re-scans history.
+   * Plain parquet via save/load; geometry (tables/planes) must match
+   * between build and probe.
+   */
+  def buildVectorSignatureIndex(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      tables: Int = 8,
+      planes: Int = 8): DataFrame = {
+    val sigU = Similarity.tableSigsUdf(tables, planes)
+    df.select(F.col(idCol).as("id"), F.col(vecCol).as("vec"))
+      .select(F.col("id"), F.col("vec"),
+        F.posexplode(sigU(F.col("vec"))).as(Seq("tbl", "sig")))
+      .select("tbl", "sig", "id", "vec")
+  }
+
+  /**
+   * Incremental embedding near-dup check — STREAM-CAPABLE: new vectors
+   * (batch or streaming DataFrame) probed against a persisted
+   * [[buildVectorSignatureIndex]]; emits (id_new, id_old, cos) with
+   * exact cosine >= threshold. Stateless stream-static equi-join on
+   * (tbl, sig) + a map-side verify — no watermark, no state store; a
+   * pair colliding in several tables emits once per collision (batch
+   * callers can `.dropDuplicates("id_new", "id_old")`; a stream stays
+   * stateless and dedupes downstream). Exact copies collide in every
+   * table, so copy recall is 1.0 — same guarantee as
+   * [[embeddingNearDuplicatePairs]].
+   */
+  def incrementalEmbeddingDuplicates(
+      newVecs: DataFrame,
+      index: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      tables: Int = 8,
+      planes: Int = 8): DataFrame = {
+    val sigU = Similarity.tableSigsUdf(tables, planes)
+    newVecs
+      .select(F.col(idCol).as("id_new"), F.col(vecCol).as("__vn"))
+      .select(F.col("id_new"), F.col("__vn"),
+        F.posexplode(sigU(F.col("__vn"))).as(Seq("tbl", "sig")))
+      .join(index.select(F.col("tbl"), F.col("sig"),
+        F.col("id").as("id_old"), F.col("vec").as("__vo")), Seq("tbl", "sig"))
+      .withColumn("cos", Similarity.cosine(F.col("__vn"), F.col("__vo")))
+      .filter(F.col("cos") >= threshold)
+      .select("id_new", "id_old", "cos")
+  }
+
+  /**
    * Canonical-document selection: one survivor per duplicate group,
    * chosen by the caller's preference order (e.g. highest quality
    * score, then lowest id). A single hash-shuffle on the group key plus

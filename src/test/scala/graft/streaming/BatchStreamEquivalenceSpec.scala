@@ -152,6 +152,45 @@ class BatchStreamEquivalenceSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("incremental embedding dedup over a signature index is batch≡stream") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.pipeline.Dedup
+    val emb = sf("sf0.001", "embeddings")
+    val hist = emb.filter(F.col("vec_id") % 3 =!= 0)
+      .select(F.col("vec_id"), F.col("embedding"))
+    // fresh batch = remaining vectors PLUS exact copies of 5 history
+    // vectors (shifted ids) so true duplicates certainly exist
+    val copies = hist.filter(F.col("vec_id") < 16)
+      .select((F.col("vec_id") + 100000L).as("vec_id"), F.col("embedding"))
+    val fresh = emb.filter(F.col("vec_id") % 3 === 0)
+      .select(F.col("vec_id"), F.col("embedding")).union(copies)
+    val index = Dedup.buildVectorSignatureIndex(hist, "vec_id", "embedding")
+      .localCheckpoint(eager = false)
+
+    val batchPairs = Dedup.incrementalEmbeddingDuplicates(
+        fresh, index, "vec_id", "embedding", 0.99)
+      .select("id_new", "id_old").as[(Long, Long)].collect().toSet
+    assert(copies.select("vec_id").as[Long].collect()
+      .forall(id => batchPairs.exists(_._1 == id)))   // every copy caught
+
+    val rows = fresh.as[(Long, Array[Float])].collect()
+    val input = MemoryStream[(Long, Array[Float])]
+    val stream = input.toDF().toDF("vec_id", "embedding")
+    val q = Dedup.incrementalEmbeddingDuplicates(
+        stream, index, "vec_id", "embedding", 0.99)
+      .writeStream.format("memory").queryName("bs_embdup")
+      .outputMode("append").start()
+    try {
+      input.addData(rows.toSeq)
+      q.processAllAvailable()
+      val streamPairs = spark.sql("SELECT id_new, id_old FROM bs_embdup")
+        .as[(Long, Long)].collect().toSet
+      assert(streamPairs === batchPairs)
+    } finally q.stop()
+  }
+
   test("map-only curation (decontamination, boilerplate strip) is batch≡stream") {
     val session = spark
     import session.implicits._
