@@ -368,6 +368,7 @@ object Bench {
         d2, "doc_id", "text", bench, "text", n = 5)
       val d4 = d3.filter(graft.pipeline.TextFunctions
         .qualityScore(F.col("text"), F.col("n_chars")) > 0.55)
+        .localCheckpoint(eager = false)
       val d5 = graft.pipeline.Boilerplate.stripBoilerplate(
         d4, "text", "\\s+", " ", (78L * d4.count() + 99L) / 100L)
       graft.pipeline.Sampling.splitByHash(d5, F.col("doc_id"),

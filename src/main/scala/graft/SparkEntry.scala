@@ -1142,8 +1142,12 @@ object SparkEntry {
         shingleSize = 5, threshold = 0.8, bands = 16, rowsPerBand = 8)
       val d3 = graft.pipeline.Decontaminate.dropContaminated(
         d2, "doc_id", "text", bench, "text", n = 5)
+      // the chain runs under several driver actions (count, the
+      // boilerplate frequent-set collect, the final write): checkpoint
+      // the surviving set once so near-dup detection never replays
       val d4 = d3.filter(graft.pipeline.TextFunctions
         .qualityScore(F.col("text"), F.col("n_chars")) > 0.55)
+        .localCheckpoint(eager = false)
       val th = (78L * d4.count() + 99L) / 100L
       val d5 = graft.pipeline.Boilerplate.stripBoilerplate(d4, "text", "\\s+", " ", th)
       val d6 = graft.pipeline.Sampling.splitByHash(d5, F.col("doc_id"),
