@@ -73,6 +73,16 @@ class PlanShapeSpec extends SparkTestBase {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("intervalJoin with broadcastRight leaves the point side shuffle-free") {
+    val points = Seq((10L, 1L), (20L, 2L)).toDF("p", "pid").repartition(4)
+    val ivs = Seq((5L, 15L, 1L)).toDF("s", "e", "iid")
+    val out = RangeJoin.intervalJoin(points, ivs, "p", "s", "e", Seq("iid"),
+      10L, broadcastRight = true)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(exchanges(out) === 0, plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("rebalanceToDistribution keeps the kept-rows side shuffle-free") {
     val df = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "b"))
       .toDF("id", "dom").repartition(4)
