@@ -1,0 +1,79 @@
+package graft.pipeline
+
+import graft.SparkTestBase
+import graft.sketch.SketchOps
+import org.apache.spark.sql.{functions => F}
+
+/** Adversarial edges of the round-4 operators: degenerate inputs,
+  * boundary values, and the cross-corpus paths the oracle queries
+  * (which score a corpus against itself) never exercise. */
+class EdgeCasesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("unigramLogLoss smooths unseen tokens when scoring against a reference corpus") {
+    val ref = Seq((1L, "common common common common")).toDF("doc_id", "text")
+    // scoring a DIFFERENT dataset against ref's distribution: build the
+    // count map from ref, then score docs containing unseen tokens
+    val refCounts = Vocab.unigramLogLoss(ref, "doc_id", "text")
+      .as[(Long, Long, Double)].collect()
+    assert(refCounts.head._3 === 0.0)   // -ln(4/4) = 0 exactly
+
+    // stream-shape: unseen token smooths to count 1, never throws/NULLs
+    val mixed = Seq((1L, "common unseen")).toDF("doc_id", "text")
+    val both = ref.union(mixed)
+    val scores = Vocab.unigramLogLoss(both, "doc_id", "text")
+    assert(scores.count() === 2L)
+  }
+
+  test("topDistinctiveTerms handles k over vocabulary and single-token docs") {
+    val docs = Seq((1L, "solo"), (2L, "a a a")).toDF("doc_id", "text")
+    val out = Vocab.topDistinctiveTerms(docs, "doc_id", "text", 10)
+      .as[(Long, Long, String, Long, Long)].collect()
+    // k=10 but each doc has 1 distinct term: exactly one row per doc
+    assert(out.count(_._1 == 1L) === 1)
+    assert(out.count(_._1 == 2L) === 1)
+    val doc2 = out.find(_._1 == 2L).get
+    assert(doc2._3 === "a" && doc2._4 === 3L && doc2._5 === 1L)
+  }
+
+  test("bloomPrune with an empty small side prunes to empty (matches the empty join)") {
+    val big = spark.range(100).toDF("k")
+    val empty = spark.range(0).toDF("j")
+    val pruned = SketchOps.bloomPrune(big, "k", empty, "j", 100L, 0.01)
+    assert(pruned.count() === big.join(empty, $"k" === $"j").count())
+  }
+
+  test("stratifiedFixedK treats a NULL stratum as its own stratum") {
+    val df = Seq((Some("a"), 1L), (Some("a"), 2L), (Some("a"), 3L),
+      (None: Option[String], 4L), (None: Option[String], 5L), (None: Option[String], 6L))
+      .toDF("src", "id")
+    val out = Sampling.stratifiedFixedK(df, F.col("src"), F.col("id"), 2)
+      .as[(Option[String], Long)].collect()
+    assert(out.count(_._1.contains("a")) === 2)
+    assert(out.count(_._1.isEmpty) === 2)
+  }
+
+  test("boilerplate separator is a regex: metachar separators work consistently") {
+    val docs = Seq(
+      (1L, "nav.home.real content one.nav"),
+      (2L, "nav.real content two.nav"),
+      (3L, "nav.other things.nav")).toDF("doc_id", "text")
+    val freq = Boilerplate.frequentSegments(docs, "text", "\\.", 3L)
+      .as[(String, Long)].collect().toMap
+    assert(freq === Map("nav" -> 3L))
+    val out = Boilerplate.stripBoilerplate(docs, "text", "\\.", ".", 3L)
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) === "home.real content one")
+    assert(out(2L) === "real content two")
+  }
+
+  test("robustZScores leaves NULL values unscored") {
+    val df = Seq((Some(1.0), 1L), (Some(2.0), 2L), (Some(3.0), 3L),
+      (Some(100.0), 4L), (None: Option[Double], 5L))
+      .toDF("v", "id").withColumn("k", F.lit("g"))
+    val out = SketchOps.robustZScores(df, Seq("k"), "v")
+      .select($"id", $"robust_z").as[(Long, Option[Double])].collect().toMap
+    assert(out(5L).isEmpty)
+    assert(out(4L).exists(_ > 3.0))
+  }
+}
