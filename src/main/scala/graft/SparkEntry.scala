@@ -385,6 +385,29 @@ object SparkEntry {
             .as("doubles_ok"))
     }),
 
+    // parquet compaction: fragment events into 64 small files, compact
+    // to ~1 MiB targets, and prove content identical + file count
+    // collapsed (aggregates exact; layout facts as booleans)
+    "q_compact" -> ((s: SparkSession, dir: String) => {
+      val c = graft.sources.Compaction
+      val ev = t(s, dir, "events").select(
+        F.unix_millis(F.col("ts")).as("ms"), F.col("event_type"),
+        F.col("user_id"), F.col("value"))
+      val path = java.nio.file.Files.createTempDirectory("graft_compact")
+        .toString + "/events"
+      c.writeFragmented(ev, path, 64)
+      val before = c.partFileCount(s, path)
+      val after = c.compact(s, path, 1L << 20)
+      val back = s.read.parquet(path)
+      back.agg(
+          F.count(F.lit(1)).as("n"),
+          F.sum(F.col("ms")).as("ms_sum"),
+          F.sum(F.col("user_id")).as("uid_sum"))
+        .select(F.col("n"), F.col("ms_sum"), F.col("uid_sum"),
+          F.lit(before == 64).as("fragmented_ok"),
+          F.lit(after < 64).as("compacted_ok"))
+    }),
+
     // one-scan dataset profile: exact rows/nulls per column + KMV
     // distinct estimate within 5% of the exact count (k=8192 → ~1.1%
     // expected error)
@@ -1615,6 +1638,12 @@ object SparkEntry {
         |       true AS prune_sound, true AS prune_effective
         |FROM lineitem JOIN (SELECT o_orderkey FROM orders WHERE o_orderkey % 97 = 0) o
         |  ON l_orderkey = o_orderkey""".stripMargin,
+    "q_compact" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(epoch_ms(ts)) AS BIGINT) AS ms_sum,
+        |       CAST(sum(user_id) AS BIGINT) AS uid_sum,
+        |       true AS fragmented_ok, true AS compacted_ok
+        |FROM events""".stripMargin,
     "q_profile" ->
       """SELECT 'event_type' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
         |       CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,

@@ -1,0 +1,67 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * Parquet compaction — the small-files cure: rewrite a directory of
+ * many small parquet files into ~targetBytes files, atomically (write
+ * to a sibling temp dir, then swap). A 100 TB table accumulating
+ * thousands of KB-sized files per ingest hour pays for them on every
+ * scan (task-per-file scheduling, footer reads, no row-group
+ * parallelism); compaction restores scan-friendly file sizes without
+ * touching row content.
+ *
+ * File count = ceil(currentBytes / targetBytes) from the REAL on-disk
+ * footprint (no compression-ratio guessing); the rewrite is one
+ * round-robin repartition — no shuffle key, no skew. Content is
+ * preserved exactly (same rows, same schema); only layout changes.
+ */
+object Compaction {
+
+  /** On-disk byte size of a path (recursive). */
+  def pathBytes(spark: SparkSession, path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.getContentSummary(p).getLength
+  }
+
+  /** Number of parquet part-files under a path. */
+  def partFileCount(spark: SparkSession, path: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(p, true)
+    var n = 0
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) n += 1
+    }
+    n
+  }
+
+  /**
+   * Compact `path` in place to ~`targetBytes` per file. Returns the
+   * resulting part-file count. The rewrite goes to `<path>__compact`
+   * first and swaps in only after success, so a crash mid-write leaves
+   * the original data intact.
+   */
+  def compact(spark: SparkSession, path: String, targetBytes: Long): Int = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val total = pathBytes(spark, path)
+    val nFiles = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
+    val tmp = path.stripSuffix("/") + "__compact"
+    spark.read.parquet(path).repartition(nFiles)
+      .write.mode("overwrite").parquet(tmp)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val t = new org.apache.hadoop.fs.Path(tmp)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    if (!fs.rename(t, p))
+      throw new java.io.IOException(s"compaction swap failed: $tmp -> $path")
+    partFileCount(spark, path)
+  }
+
+  /** Convenience: write `df` fragmented (for tests/demos) — n files
+    * regardless of size. */
+  def writeFragmented(df: DataFrame, path: String, nFiles: Int): Unit =
+    df.repartition(nFiles).write.mode("overwrite").parquet(path)
+}
