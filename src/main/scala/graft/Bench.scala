@@ -438,8 +438,15 @@ object Bench {
       try run(fn) catch { case _: Throwable => () }
     }
 
+    // Single-run numbers on sub-second queries are +-30% scheduler
+    // noise: SPARK_GRAFT_BENCH_REPS=N reports the median of N timed
+    // runs per query (default 1 preserves the driver contract).
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").toInt.max(1)
     val results = benchQueries.map { case (name, fn) =>
-      name -> (try run(fn) catch { case _: Throwable => -1.0 })
+      name -> (try {
+        val ts = Seq.fill(reps)(run(fn)).sorted
+        ts(ts.length / 2)
+      } catch { case _: Throwable => -1.0 })
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
