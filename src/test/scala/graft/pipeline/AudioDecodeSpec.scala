@@ -50,6 +50,27 @@ class AudioDecodeSpec extends SparkTestBase {
     assert(Multimodal.decodeAudio(null).isEmpty)
   }
 
+  test("decodeAudio handles big-endian 16-bit PCM (AIFF container)") {
+    import javax.sound.sampled._
+    // 2000 frames of +/-8192 at 8kHz, 16-bit signed BIG-endian
+    val data = new Array[Byte](4000)
+    var i = 0
+    while (i < 2000) {
+      val v = if (i % 2 == 0) 8192 else -8192
+      data(2 * i) = ((v >> 8) & 0xFF).toByte      // big-endian: hi first
+      data(2 * i + 1) = (v & 0xFF).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, 8000f, 16, 1, 2, 8000f, true)
+    val ais = new AudioInputStream(new java.io.ByteArrayInputStream(data), fmt, 2000)
+    val out = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.AIFF, out)
+    val Some((rate, ch, frames, feat)) = Multimodal.decodeAudio(out.toByteArray)
+    assert(rate === 8000 && ch === 1 && frames === 2000L)
+    // constant |amplitude| 8192/32768 = 0.25
+    feat.foreach(v => assert(math.abs(v - 0.25f) < 1e-3, feat.toSeq))
+  }
+
   test("extractFeatures routes audio through the real decoder with stub fallback") {
     val wav = Multimodal.pcmWav(squareWave(4000, 32), 8000)
     val media = Seq(
