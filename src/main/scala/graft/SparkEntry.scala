@@ -801,11 +801,16 @@ object SparkEntry {
         .filter(F.col("event_type") === "click" && F.col("user_id") % 3 === 0)
         .select(F.col("user_id")).distinct()
       val bf = build.agg(B.bloom_agg(F.col("user_id"), 100000L, 0.01).as("bf"))
+      // the broadcast-decoded probe path must agree with the SQL
+      // bytes-in-plan path bit for bit: same inserted set and (items,
+      // fpp) give an identical bitset (bit-OR is order-independent)
+      val bc = B.broadcastFilter(build, "user_id", 100000L, 0.01)
       val probe = ev.select(F.col("user_id")).distinct()
       probe.join(build.withColumn("__in", F.lit(1)), Seq("user_id"), "left")
         .crossJoin(bf)
         .select(F.col("user_id"), F.col("__in").isNotNull.as("present"),
-                B.bloom_contains(F.col("bf"), F.col("user_id")).as("hit"))
+                B.bloom_contains(F.col("bf"), F.col("user_id")).as("hit"),
+                B.contains_broadcast(bc, F.col("user_id")).as("bhit"))
         .agg(
           F.count(F.lit(1)).as("probed"),
           F.sum(F.when(F.col("present"), 1L).otherwise(0L)).as("present"),
@@ -813,7 +818,9 @@ object SparkEntry {
             .as("no_false_negatives"),
           (F.sum(F.when(!F.col("present") && F.col("hit"), 1L).otherwise(0L)) <=
             F.greatest(F.lit(5L), F.ceil(F.count(F.lit(1)) * 0.05)))
-            .as("fp_bounded"))
+            .as("fp_bounded"),
+          (F.sum(F.when(F.col("hit") === F.col("bhit"), 0L).otherwise(1L)) === 0L)
+            .as("paths_agree"))
     }),
 
     // count-min frequency sketch: corpus-wide per-user frequency in
@@ -1825,7 +1832,7 @@ object SparkEntry {
         |probe AS (SELECT DISTINCT user_id FROM events)
         |SELECT count(*) AS probed,
         |  CAST(count(*) FILTER (user_id IN (SELECT user_id FROM build)) AS BIGINT) AS present,
-        |  true AS no_false_negatives, true AS fp_bounded
+        |  true AS no_false_negatives, true AS fp_bounded, true AS paths_agree
         |FROM probe""".stripMargin,
     "q_quantile_buckets" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS cnt, true AS balanced_ok

@@ -73,11 +73,12 @@ object Vocab {
       .filter(F.col("dfreq") >= 2L)
       .as[(String, Long)].collect().toMap
     val bc = session.sparkContext.broadcast(dfMap)
+    val sep = java.util.regex.Pattern.compile("\\s+")
     val topU = F.udf((t: String) => {
       if (t == null) Seq.empty[(String, Long, Long)]
       else {
         val tf = scala.collection.mutable.HashMap.empty[String, Long]
-        t.split("\\s+").foreach(w => if (w.nonEmpty) tf.update(w, tf.getOrElse(w, 0L) + 1L))
+        sep.split(t).foreach(w => if (w.nonEmpty) tf.update(w, tf.getOrElse(w, 0L) + 1L))
         tf.iterator
           .map { case (w, n) => (w, n, bc.value.getOrElse(w, 1L)) }
           .toSeq
@@ -99,25 +100,26 @@ object Vocab {
    * Returns (id, tokens, score); documents with no tokens are omitted.
    *
    * Scale shape: one map-side-combined token-count exchange, then the
-   * (vocab-sized) count map broadcasts and scoring is map-only — the
-   * same collect class as [[buildVocabulary]]. Unseen tokens (scoring a
-   * stream against a reference corpus) smooth to count 1.
+   * count map is PRUNED to count >= 2 before the collect — a hapax
+   * (count-1) token needs no map entry because the scorer's
+   * `getOrElse(w, 1)` default IS its exact count, so scores are
+   * bit-identical while the driver/broadcast footprint drops from the
+   * full vocabulary to its non-hapax fraction (typically less than half
+   * of a web-scale vocabulary; same pruning argument as
+   * [[topDistinctiveTerms]]'s df >= 2). `total` still counts every
+   * occurrence (a separate 1-row aggregate over the same lazily
+   * checkpointed count table). Unseen tokens (scoring a stream against
+   * a reference corpus) smooth to count 1.
    */
   def unigramLogLoss(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val session = docs.sparkSession
-    import session.implicits._
-    val counts = docs
-      .select(F.explode(F.filter(F.split(F.col(textCol), "\\s+"),
-        t => F.length(t) > 0)).as("token"))
-      .groupBy(F.col("token"))
-      .agg(F.count(F.lit(1)).as("c"))
-      .as[(String, Long)].collect()
-    val total = counts.iterator.map(_._2).sum.toDouble
-    val bc = session.sparkContext.broadcast(counts.toMap)
+    val (countMap, total) = prunedUnigramModel(docs, textCol)
+    val bc = session.sparkContext.broadcast(countMap)
+    val sep = java.util.regex.Pattern.compile("\\s+")
     val scoreU = F.udf((t: String) => {
       if (t == null) None
       else {
-        val toks = t.split("\\s+").filter(_.nonEmpty)
+        val toks = sep.split(t).filter(_.nonEmpty)
         if (toks.isEmpty) None
         else {
           var s = 0.0
@@ -135,6 +137,27 @@ object Vocab {
       .select(F.col(idCol), F.col("__s._1").as("tokens"), F.col("__s._2").as("score"))
   }
 
+  /** The bounded unigram model behind [[unigramLogLoss]]: the count map
+    * pruned to count >= 2 (hapaxes reconstruct exactly via the
+    * smoothing default), plus the UNPRUNED total occurrence count.
+    * Exposed for specs pinning the broadcast footprint. */
+  private[pipeline] def prunedUnigramModel(
+      docs: DataFrame, textCol: String): (Map[String, Long], Double) = {
+    val session = docs.sparkSession
+    import session.implicits._
+    val tokenCounts = docs
+      .select(F.explode(F.filter(F.split(F.col(textCol), "\\s+"),
+        t => F.length(t) > 0)).as("token"))
+      .groupBy(F.col("token"))
+      .agg(F.count(F.lit(1)).as("c"))
+      .localCheckpoint(eager = false)
+    val total = Option(tokenCounts.agg(F.sum(F.col("c"))).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L).toDouble
+    val countMap = tokenCounts.filter(F.col("c") >= 2L)
+      .as[(String, Long)].collect().toMap
+    (countMap, total)
+  }
+
   /**
    * Learn `k` BPE merges over the corpus (word-internal, character
    * initial alphabet): repeatedly count adjacent symbol pairs weighted
@@ -146,16 +169,51 @@ object Vocab {
    *
    * Scale shape: the classic trick — learning runs on the DISTINCT
    * word-frequency table (one map-side-combined token count), never the
-   * corpus; each iteration is one pair-count aggregate (shuffle rows
-   * are (pair, partial count)) plus a 1-row argmax collect, and the
-   * evolving symbol sequences carry forward under a lazy checkpoint
-   * that cuts the k-deep lineage.
+   * corpus; and merges are learned in BATCHES: each round is ONE
+   * pair-count aggregate + top-(batch+1) collect that admits up to
+   * `batchSize` merges, so a 32k-merge vocabulary needs ~k/batch
+   * pair-count passes rather than one per merge. Batching is EXACT,
+   * not a heuristic — see [[learnBpeMergesBatched]] for the invariant.
+   * The evolving symbol sequences carry forward under a lazy checkpoint
+   * that cuts the lineage.
    */
   def learnBpeMerges(
       docs: DataFrame,
       textCol: String,
-      k: Int): Seq[(String, String, Long)] = {
+      k: Int): Seq[(String, String, Long)] =
+    learnBpeMergesBatched(docs, textCol, k, batchSize = 16)._1
+
+  /**
+   * Batched BPE learning; returns (merges, rounds) where `rounds` is
+   * the number of pair-count passes run (the spec hook for the
+   * jobs-per-vocabulary bound).
+   *
+   * Why the batch is exact: rank the round's pairs by (freq DESC, pair)
+   * — the sequential tie-break. Take the maximal PREFIX q1..qm whose
+   * members are pairwise symbol-disjoint, counting each earlier
+   * member's concatenation as a used symbol (merging (a,b) changes the
+   * counts of exactly the pairs touching a, b, or "ab" — neighbours
+   * lose an occurrence, (x,"ab")/("ab",y) are created), then TRIM to
+   * members whose frequency is STRICTLY above the first excluded
+   * pair's. After merging q1..q(i-1): batch members' counts are
+   * untouched (disjointness); every non-batch pair's count can only
+   * have decreased from its original, which was already <= the
+   * boundary frequency by rank (the prefix is contiguous); and every
+   * newly created pair is count-bounded by an old pair touching some
+   * merged symbol — excluded from the prefix, hence also <= the
+   * boundary. Strict inequality means no tie-break can promote any of
+   * them past q(i), so q(i) is exactly the sequential argmax at its
+   * step, at its original frequency. Worst case (immediate conflict or
+   * a boundary tie) degrades to one merge per round — never to a wrong
+   * merge.
+   */
+  def learnBpeMergesBatched(
+      docs: DataFrame,
+      textCol: String,
+      k: Int,
+      batchSize: Int): (Seq[(String, String, Long)], Int) = {
     require(k >= 1, s"k must be positive, got $k")
+    require(batchSize >= 1, s"batchSize must be positive, got $batchSize")
     val session = docs.sparkSession
     import session.implicits._
     val charsU = F.udf((w: String) => w.map(_.toString).toArray)
@@ -172,33 +230,60 @@ object Vocab {
       if (sym.length < 2) Array.empty[String]
       else Array.tabulate(sym.length - 1)(j => sym(j) + "\u0000" + sym(j + 1)))
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
-    var i = 0
+    var rounds = 0
     var done = false
-    while (i < k && !done) {
+    while (merges.size < k && !done) {
+      val maxTake = math.min(batchSize, k - merges.size)
       val top = words.select(F.explode(pairU(F.col("sym"))).as("p"), F.col("c"))
         .groupBy(F.col("p")).agg(F.sum(F.col("c")).as("f"))
         .orderBy(F.col("f").desc, F.col("p"))
-        .limit(1).as[(String, Long)].collect()
+        .limit(maxTake + 1).as[(String, Long)].collect()
+      rounds += 1
       if (top.isEmpty) done = true
       else {
-        val Array(l, r) = top.head._1.split("\u0000", 2)
-        merges += ((l, r, top.head._2))
+        // maximal disjoint prefix of the ranked list
+        val used = scala.collection.mutable.HashSet.empty[String]
+        val batch = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        var m = 0
+        var conflict = false
+        while (m < top.length && !conflict && batch.size < maxTake) {
+          val Array(l, r) = top(m)._1.split("\u0000", 2)
+          if (batch.isEmpty || (!used(l) && !used(r))) {
+            batch += ((l, r, top(m)._2))
+            used += l; used += r; used += (l + r)
+            m += 1
+          } else conflict = true
+        }
+        // boundary = first excluded pair's frequency (None when the
+        // collected list is complete and fully taken — no pairs remain)
+        val fNext: Option[Long] =
+          if (m < top.length) Some(top(m)._2) else None
+        val admitted = (batch.head +: batch.tail.takeWhile(b =>
+          fNext.forall(b._3 > _))).toSeq
+        merges ++= admitted
+        val batchArr = admitted.map(b => (b._1, b._2)).toArray
         val mergeU = F.udf((sym: Seq[String]) => {
-          val out = scala.collection.mutable.ArrayBuffer.empty[String]
-          var j = 0
-          while (j < sym.length) {
-            if (j + 1 < sym.length && sym(j) == l && sym(j + 1) == r) {
-              out += l + r; j += 2
-            } else { out += sym(j); j += 1 }
+          var cur: Array[String] = sym.toArray
+          var bi = 0
+          while (bi < batchArr.length) {
+            val (l, r) = batchArr(bi)
+            val out = scala.collection.mutable.ArrayBuffer.empty[String]
+            var j = 0
+            while (j < cur.length) {
+              if (j + 1 < cur.length && cur(j) == l && cur(j + 1) == r) {
+                out += l + r; j += 2
+              } else { out += cur(j); j += 1 }
+            }
+            cur = out.toArray
+            bi += 1
           }
-          out.toArray
+          cur
         })
         words = words.select(mergeU(F.col("sym")).as("sym"), F.col("c"))
           .localCheckpoint(eager = false)
-        i += 1
       }
     }
-    merges.toSeq
+    (merges.toSeq, rounds)
   }
 
   /** Segment a word with a learned merge table (merges applied in

@@ -112,10 +112,15 @@ object bloom {
   // caller's buffer can never be assumed stable.
   private val lastDecoded = new ThreadLocal[(Array[Byte], BloomFilter)]
 
+  /** Counts full filter decodes (spec hook: the broadcast probe path
+    * must decode once per QUERY, not once per row/executor). */
+  private[graft] val decodeCount = new java.util.concurrent.atomic.AtomicLong
+
   private def decodeCached(b: Array[Byte]): BloomFilter = {
     val cached = lastDecoded.get()
     if (cached != null && java.util.Arrays.equals(cached._1, b)) cached._2
     else {
+      decodeCount.incrementAndGet()
       val f = BloomFilter.readFrom(new ByteArrayInputStream(b))
       lastDecoded.set((b.clone(), f))
       f
@@ -134,10 +139,75 @@ object bloom {
     }.withName("bloom_contains")
 
   /** Membership probe: NULL on NULL/undecodable input, never an error.
-    * `value` is hashed exactly as `bloom_agg` hashes its input. */
+    * `value` is hashed exactly as `bloom_agg` hashes its input.
+    *
+    * This is the SQL-compatible per-row form: the filter BYTES flow
+    * through the plan, so every probed row pays a fresh copy of the
+    * serialized filter out of its InternalRow plus the cache-validation
+    * memcmp — O(filter size) memory traffic per row, MB-scale at the
+    * default capacity. Fine for row-scale probes and SQL registration;
+    * for corpus-scale probes against ONE filter use [[decodeFilter]] +
+    * [[contains_broadcast]] (or [[SketchOps.bloomPrune]]), which never
+    * put the bytes in the plan. */
   def bloom_contains(sketch: Column, value: Column): Column =
     containsHashedUdf(sketch,
       GraftBridge.column(hashed(GraftBridge.expression(value))))
+
+  /**
+   * Materialize a 1-row filter DataFrame (single BINARY column — e.g.
+   * the output of `df.agg(bloom_agg(...))`) and decode it ONCE on the
+   * driver. Runs one tiny Spark job eagerly (the aggregate is a 1-row
+   * collect; at 100 TB the build side still map-side-combines to one
+   * row per partition before the final OR-merge). Returns null when the
+   * frame is empty or the blob is NULL/undecodable — callers treat that
+   * as "no filter" (NULL discipline, never an error).
+   */
+  def decodeFilter(filterDf: org.apache.spark.sql.DataFrame): BloomFilter = {
+    val rows = filterDf.head(1)
+    if (rows.isEmpty) return null
+    val bytes = rows.head.get(0) match {
+      case b: Array[Byte] => b
+      case _ => null
+    }
+    if (bytes == null) return null
+    try {
+      decodeCount.incrementAndGet()
+      BloomFilter.readFrom(new ByteArrayInputStream(bytes))
+    } catch { case scala.util.control.NonFatal(_) => null }
+  }
+
+  /**
+   * Corpus-scale membership probe against a broadcast of the DECODED
+   * filter: O(1) per row — one xxhash64 (codegen'd, in-plan) plus one
+   * bit-test against the executor-local broadcast value. The serialized
+   * filter never enters the plan, so no per-row copy and no per-row
+   * memcmp; each executor deserializes the broadcast exactly once.
+   * NULL values probe to NULL. `bf` null (from an empty/undecodable
+   * build side) yields all-NULL probes.
+   */
+  def contains_broadcast(
+      bf: org.apache.spark.broadcast.Broadcast[BloomFilter],
+      value: Column): Column = {
+    val probe = F.udf { (h: java.lang.Long) =>
+      val r: java.lang.Boolean =
+        if (h == null || bf.value == null) null
+        else java.lang.Boolean.valueOf(bf.value.mightContainLong(h))
+      r
+    }.withName("bloom_contains_broadcast")
+    probe(GraftBridge.column(hashed(GraftBridge.expression(value))))
+  }
+
+  /** One-call convenience: build a filter over `keys`' single column,
+    * decode it driver-side, and return the broadcast handle for
+    * [[contains_broadcast]] probes. */
+  def broadcastFilter(
+      keys: org.apache.spark.sql.DataFrame,
+      keyCol: String,
+      expectedItems: Long = DefaultItems,
+      fpp: Double = DefaultFpp): org.apache.spark.broadcast.Broadcast[BloomFilter] = {
+    val filt = keys.agg(bloom_agg(F.col(keyCol), expectedItems, fpp).as("__bf"))
+    keys.sparkSession.sparkContext.broadcast(decodeFilter(filt))
+  }
 
   /** Every bloom function as an expression builder — shared by the
     * per-session registration and the extensions path. */

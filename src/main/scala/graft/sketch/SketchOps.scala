@@ -189,8 +189,13 @@ object SketchOps {
    *
    * At 100 TB this is the difference between shuffling the full fact
    * table and shuffling ~|matching keys| rows: the filter is a few MB
-   * for 10^6-10^7 keys at 1% fpp, a one-row broadcast, and the probe
-   * is a thread-local-cached decode + hash per row.
+   * for 10^6-10^7 keys at 1% fpp, decoded ONCE on the driver and
+   * broadcast in decoded form, so the per-row probe is one codegen'd
+   * xxhash64 plus one bit-test — the serialized filter never enters the
+   * plan (the earlier bytes-in-plan form paid an O(filter-size) row
+   * copy + memcmp per probed row). Building the filter runs one small
+   * eager job at call time (map-side-combined 1-row aggregate over
+   * `small`), like a runtime filter would.
    */
   def bloomPrune(
       big: DataFrame,
@@ -199,11 +204,10 @@ object SketchOps {
       smallKey: String,
       expectedItems: Long = graft.sketch.bloom.DefaultItems,
       fpp: Double = graft.sketch.bloom.DefaultFpp): DataFrame = {
-    val filt = small.agg(
-      graft.sketch.bloom.bloom_agg(F.col(smallKey), expectedItems, fpp).as("__bf"))
-    big.crossJoin(F.broadcast(filt))
-      .filter(graft.sketch.bloom.bloom_contains(F.col("__bf"), F.col(bigKey)))
-      .drop("__bf")
+    val bc = graft.sketch.bloom.broadcastFilter(
+      small.select(F.col(smallKey)), smallKey, expectedItems, fpp)
+    big.filter(
+      graft.sketch.bloom.contains_broadcast(bc, F.col(bigKey)) === F.lit(true))
   }
 
   /**

@@ -130,6 +130,72 @@ class VocabSpec extends SparkTestBase {
     assert(Vocab.learnBpeMerges(real, "text", 5) === refBpe(realCounts, 5))
   }
 
+  test("batched BPE: 256 merges in a bounded number of Spark jobs, still exact") {
+    // 256 words over pairwise-disjoint 2-char alphabets with strictly
+    // decreasing frequencies: every round's ranked pair list is fully
+    // disjoint, so each round admits a full batch
+    val words = Seq.tabulate(256) { i =>
+      val w = "" + (0x4E00 + 2 * i).toChar + (0x4E00 + 2 * i + 1).toChar
+      (w, 300 - i)
+    }
+    val docs = words.flatMap { case (w, n) => Seq.fill(n)(w) }.toDF("text")
+    val wordCounts = words.map { case (w, n) => (w, n.toLong) }.toMap
+
+    spark.sparkContext.setJobGroup("bpe-batch-spec", "batched bpe")
+    val (merges, rounds) =
+      Vocab.learnBpeMergesBatched(docs, "text", 256, batchSize = 64)
+    val jobs = spark.sparkContext.statusTracker
+      .getJobIdsForGroup("bpe-batch-spec").length
+    spark.sparkContext.clearJobGroup()
+
+    assert(merges === refBpe(wordCounts, 256))   // exactness at scale
+    assert(merges.size === 256)
+    assert(rounds <= 4, s"expected <= 4 pair-count rounds, got $rounds")
+    assert(jobs <= 20, s"expected <= 20 Spark jobs for 256 merges, got $jobs")
+  }
+
+  test("batched BPE stays exact when frequent pairs share symbols and tie") {
+    // heavy symbol sharing ('a' everywhere) + exact frequency ties:
+    // the disjoint-prefix + strict-boundary trim must degrade toward
+    // sequential behavior, never emit a wrong merge
+    val corpus = Seq("aa aa aa ab ab ba ba ac ca aaa aab abc abab banana")
+    val docs = corpus.toDF("text")
+    val wordCounts = corpus.flatMap(_.split("\\s+")).filterNot(_.isEmpty)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    for (b <- Seq(1, 2, 4, 16); k <- Seq(1, 4, 10)) {
+      val (got, _) = Vocab.learnBpeMergesBatched(docs, "text", k, b)
+      assert(got === refBpe(wordCounts, k), s"batchSize=$b k=$k")
+    }
+  }
+
+  test("pruned unigram model: hapaxes stay out of the broadcast, scores unchanged") {
+    // heavy-tail corpus: 5 common tokens + 2000 hapaxes
+    val common = Seq.fill(200)("the quick brown fox jumps").mkString(" ")
+    val hapaxes = Seq.tabulate(2000)(i => s"hapax$i").grouped(50)
+      .map(_.mkString(" ")).toSeq
+    val docs = ((common +: hapaxes).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }).toDF("doc_id", "text")
+
+    val (countMap, total) = Vocab.prunedUnigramModel(docs, "text")
+    assert(countMap.size === 5)                  // only the non-hapax tokens
+    assert(countMap.values.forall(_ >= 2L))
+    assert(total === (200 * 5 + 2000).toDouble)  // total counts EVERY occurrence
+
+    // scores must equal the unpruned full-map computation
+    val fullMap = docs.select(F.explode(F.filter(
+        F.split(F.col("text"), "\\s+"), t => F.length(t) > 0)).as("w"))
+      .groupBy("w").count().as[(String, Long)].collect().toMap
+    val got = Vocab.unigramLogLoss(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    docs.as[(Long, String)].collect().foreach { case (id, t) =>
+      val toks = t.split("\\s+").filter(_.nonEmpty)
+      val exp = BigDecimal(toks.map(w =>
+          -math.log(fullMap.getOrElse(w, 1L).toDouble / total)).sum / toks.length)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(got(id) === ((toks.length.toLong, exp)), s"doc $id")
+    }
+  }
+
   test("applyBpe segments words with the learned merge table") {
     val docs = Seq("banana banana bandana").toDF("text")
     val merges = Vocab.learnBpeMerges(docs, "text", 4).map(m => (m._1, m._2))

@@ -46,6 +46,43 @@ class BloomSpec extends SparkTestBase {
     assert(row === ((true, true, true)))
   }
 
+  test("broadcast probe: one decode per query, zero per row, agrees with bloom_contains") {
+    val keys = spark.range(0, 5000).toDF("k").repartition(4)
+    val bc = bloom.broadcastFilter(keys, "k", 5000L, 0.01)
+    val decodesAfterBuild = bloom.decodeCount.get()
+    val probes = spark.range(0, 50000).toDF("k").repartition(8)
+    val hits = probes
+      .select(bloom.contains_broadcast(bc, F.col("k")).as("hit"), F.col("k"))
+      .collect()
+    // 50k probed rows must not add a single filter decode — the decoded
+    // filter is executor-local via the broadcast, never re-read per row
+    assert(bloom.decodeCount.get() === decodesAfterBuild)
+    val inserted = (0L until 5000L).toSet
+    assert(hits.forall(r => !inserted.contains(r.getLong(1)) || r.getBoolean(0)))
+    // bit-identical behavior to the bytes-in-plan SQL probe
+    val bf = keys.agg(bloom.bloom_agg(F.col("k"), 5000L, 0.01).as("bf"))
+    val disagree = probes.crossJoin(bf)
+      .select((bloom.bloom_contains(F.col("bf"), F.col("k")) =!=
+        bloom.contains_broadcast(bc, F.col("k"))).as("d"))
+      .filter(F.col("d")).count()
+    assert(disagree === 0L)
+  }
+
+  test("broadcast probe NULL discipline: null value probes NULL, null filter probes NULL") {
+    val bc = bloom.broadcastFilter(spark.range(10).toDF("k"), "k")
+    val row = Seq(Option(5L), None).toDF("k")
+      .select(bloom.contains_broadcast(bc, F.col("k")).as("hit"))
+      .as[Option[Boolean]].collect()
+    assert(row.toSet === Set(Some(true), None))
+    // an empty/undecodable build side decodes to null → all-NULL probes
+    val emptyBc = spark.sparkContext.broadcast(
+      null.asInstanceOf[org.apache.spark.util.sketch.BloomFilter])
+    val nulls = Seq(1L, 2L).toDF("k")
+      .select(bloom.contains_broadcast(emptyBc, F.col("k")).isNull.as("n"))
+      .as[Boolean].collect()
+    assert(nulls.forall(identity))
+  }
+
   test("SQL surface: bloom_agg and bloom_contains registered") {
     spark.range(100).createOrReplaceTempView("bloom_in")
     val out = spark.sql(
