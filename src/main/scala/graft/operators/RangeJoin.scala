@@ -136,6 +136,6 @@ object RangeJoin {
     val lb = left.withColumn("__c", cell(F.col(pointCol)))
     lb.join(if (broadcastRight) F.broadcast(rb) else rb, Seq("__c"))
       .filter(F.col(pointCol) >= F.col("__s") && F.col(pointCol) <= F.col("__e"))
-      .drop("__c")
+      .drop("__c", "__s", "__e")
   }
 }

@@ -94,9 +94,12 @@ object Boilerplate {
       sepRegex: String,
       joinSep: String): DataFrame = {
     val bc = docs.sparkSession.sparkContext.broadcast(boilerplate)
+    // precompiled once per closure: String.split recompiles any
+    // multi-char regex on every call — measurable on a corpus scan
+    val sep = java.util.regex.Pattern.compile(sepRegex)
     val rewriteU = F.udf((t: String) =>
       if (t == null) null
-      else t.split(sepRegex).iterator
+      else sep.split(t).iterator
         .filter(s => s.nonEmpty && !bc.value.contains(s))
         .mkString(joinSep))
     docs.withColumn(textCol, rewriteU(F.col(textCol)))

@@ -436,7 +436,9 @@ object Dedup {
    * callers can `.dropDuplicates("id_new", "id_old")`; a stream stays
    * stateless and dedupes downstream). Exact copies collide in every
    * table, so copy recall is 1.0 — same guarantee as
-   * [[embeddingNearDuplicatePairs]].
+   * [[embeddingNearDuplicatePairs]]. A probed id already present in the
+   * index (re-ingest/overlap) is NOT reported as its own duplicate:
+   * self-pairs (id_new = id_old) are filtered out.
    */
   def incrementalEmbeddingDuplicates(
       newVecs: DataFrame,
@@ -454,7 +456,7 @@ object Dedup {
       .join(index.select(F.col("tbl"), F.col("sig"),
         F.col("id").as("id_old"), F.col("vec").as("__vo")), Seq("tbl", "sig"))
       .withColumn("cos", Similarity.cosine(F.col("__vn"), F.col("__vo")))
-      .filter(F.col("cos") >= threshold)
+      .filter(F.col("cos") >= threshold && F.col("id_new") =!= F.col("id_old"))
       .select("id_new", "id_old", "cos")
   }
 

@@ -28,17 +28,24 @@ object Profile {
       cols: Seq[String],
       kmvK: Int = graft.sketch.KmvSketch.DefaultK): DataFrame = {
     require(cols.nonEmpty, "profileColumns needs at least one column")
-    val aggExprs = cols.flatMap { c =>
+    // arbitrary input names (dots, spaces, quotes) resolve as a single
+    // backtick-quoted attribute; internal aliases are index-based so
+    // the name never round-trips through an identifier
+    def quoted(c: String) = F.col("`" + c.replace("`", "``") + "`")
+    val aggExprs = cols.zipWithIndex.flatMap { case (c, i) =>
       Seq(
-        F.count(F.lit(1)).as(s"__n_$c"),
-        F.sum(F.when(F.col(c).isNull, 1L).otherwise(0L)).as(s"__nul_$c"),
-        kmv.kmv_distinct(kmv.kmv_agg(F.col(c).cast("string"), kmvK)).as(s"__d_$c"))
+        F.count(F.lit(1)).as(s"__n_$i"),
+        F.sum(F.when(quoted(c).isNull, 1L).otherwise(0L)).as(s"__nul_$i"),
+        kmv.kmv_distinct(kmv.kmv_agg(quoted(c).cast("string"), kmvK)).as(s"__d_$i"))
     }
     val wide = df.agg(aggExprs.head, aggExprs.tail: _*)
-    // un-pivot: stack(n, 'c1', n1, nul1, d1, 'c2', ...) — pure projection
-    val stackArgs = cols.map(c =>
-      s"'$c', __n_$c, __nul_$c, __d_$c").mkString(", ")
-    wide.select(F.expr(
-      s"stack(${cols.length}, $stackArgs) AS (column, n_rows, n_nulls, distinct_est)"))
+    // un-pivot via explode of per-column structs — pure projection +
+    // generate, zero shuffle, no SQL-string splicing
+    val structs = cols.zipWithIndex.map { case (c, i) =>
+      F.struct(
+        F.lit(c).as("column"), F.col(s"__n_$i").as("n_rows"),
+        F.col(s"__nul_$i").as("n_nulls"), F.col(s"__d_$i").as("distinct_est"))
+    }
+    wide.select(F.explode(F.array(structs: _*)).as("__r")).select("__r.*")
   }
 }

@@ -41,8 +41,16 @@ object Compaction {
   /**
    * Compact `path` in place to ~`targetBytes` per file. Returns the
    * resulting part-file count. The rewrite goes to `<path>__compact`
-   * first and swaps in only after success, so a crash mid-write leaves
-   * the original data intact.
+   * first; the swap then renames the original aside to `<path>__old`,
+   * promotes the rewrite, and deletes `<path>__old` LAST — so at every
+   * step the rows live in a complete directory: a crash mid-write
+   * leaves the original untouched, and a crash mid-swap leaves either
+   * the original (at `path` or parked at `<path>__old`) or the
+   * promoted rewrite. Every rename/delete return code is checked; a
+   * failed promotion restores the original before throwing. Note the
+   * two renames are not one atomic unit on HDFS/object stores —
+   * readers concurrent with the swap can see `path` briefly absent;
+   * run compaction in the table's maintenance window.
    */
   def compact(spark: SparkSession, path: String, targetBytes: Long): Int = {
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
@@ -53,10 +61,22 @@ object Compaction {
       .write.mode("overwrite").parquet(tmp)
     val p = new org.apache.hadoop.fs.Path(path)
     val t = new org.apache.hadoop.fs.Path(tmp)
+    val old = new org.apache.hadoop.fs.Path(path.stripSuffix("/") + "__old")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(p, true)
-    if (!fs.rename(t, p))
+    if (fs.exists(old) && !fs.delete(old, true))
+      throw new java.io.IOException(s"compaction: cannot clear stale $old")
+    if (!fs.rename(p, old))
+      throw new java.io.IOException(s"compaction: cannot park original: $path -> $old")
+    if (!fs.rename(t, p)) {
+      // promotion failed: put the original back before giving up
+      if (!fs.rename(old, p))
+        throw new java.io.IOException(
+          s"compaction swap failed AND restore failed — original data is at $old")
       throw new java.io.IOException(s"compaction swap failed: $tmp -> $path")
+    }
+    if (!fs.delete(old, true))
+      throw new java.io.IOException(
+        s"compaction succeeded but could not delete the parked original $old")
     partFileCount(spark, path)
   }
 

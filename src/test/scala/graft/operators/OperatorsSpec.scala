@@ -169,6 +169,13 @@ class OperatorsSpec extends SparkTestBase {
     assert(uncapped === Set((1L, 1L), (1L, 4L), (2L, 4L)))
   }
 
+  test("intervalJoin keeps the internal bound columns out of the result schema") {
+    val points = Seq((10L, 1L)).toDF("p", "pid")
+    val ivs = Seq((0L, 20L, 1L)).toDF("s", "e", "iid")
+    val got = RangeJoin.intervalJoin(points, ivs, "p", "s", "e", Seq("iid"), 50L)
+    assert(got.columns.toSet === Set("p", "pid", "iid"))
+  }
+
   test("intervalJoin cell math stays exact at epoch-nano magnitudes") {
     val base = 1700000000000000000L
     val w = 1000000000L

@@ -25,6 +25,33 @@ class PipelineOpsSpec extends SparkTestBase {
     assert("Exchange hashpartitioning".r.findAllIn(plan).isEmpty, plan)
   }
 
+  test("profileColumns handles column names with dots, spaces, and quotes") {
+    val df = Seq((Some("x"), Some(1L)), (None, Some(2L)))
+      .toDF("a.b c", "it's")
+    val out = Profile.profileColumns(df, Seq("a.b c", "it's"))
+      .as[(String, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out("a.b c")._2 === 2L && out("a.b c")._3 === 1L && out("a.b c")._4 === 1.0)
+    assert(out("it's")._2 === 2L && out("it's")._3 === 0L && out("it's")._4 === 2.0)
+  }
+
+  test("incrementalEmbeddingDuplicates skips self-pairs on re-ingested ids") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)), (2L, Array(0.0f, 1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val index = Dedup.buildVectorSignatureIndex(vecs, "vec_id", "embedding")
+    // probing the exact same batch (same ids) must report nothing:
+    // a row is not a duplicate of itself
+    val self = Dedup.incrementalEmbeddingDuplicates(
+      vecs, index, "vec_id", "embedding", 0.9)
+    assert(self.count() === 0L)
+    // the same vector under a NEW id is still caught
+    val renamed = Seq((10L, Array(1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val hits = Dedup.incrementalEmbeddingDuplicates(
+        renamed, index, "vec_id", "embedding", 0.9)
+      .select("id_new", "id_old").as[(Long, Long)].collect().toSet
+    assert(hits === Set((10L, 1L)))
+  }
+
   // --------------------------------------------- embedding near-dup
 
   test("embeddingNearDuplicatePairs finds exact and near copies, skips far pairs") {
