@@ -263,6 +263,74 @@ case class DDSketchMergeExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `ddsketch_stats(sketch BLOB) → STRUCT<count BIGINT, sum DOUBLE,
+  * min DOUBLE, max DOUBLE, avg DOUBLE>`: all five stats from ONE
+  * decode (field order per reference lib.rs:609-615). Native
+  * expression — runs inside whole-stage codegen like the other
+  * scalars; previously the last struct-returning Scala UDF. */
+case class DDSketchStatsExpr(child: Expression) extends SketchUnaryExpr {
+  override def prettyName: String = "ddsketch_stats"
+  override def dataType: DataType = DDSketchStatsExpr.schema
+  override def kernelMethod: String = "statsRow"
+  override protected def kernelInvoke(b: Array[Byte]): AnyRef = SketchKernels.statsRow(b)
+  override def unbox(r: AnyRef): Any = r
+  override def javaUnbox(v: String): String =
+    s"(org.apache.spark.sql.catalyst.InternalRow) $v"
+  override protected def withNewChildInternal(newChild: Expression): DDSketchStatsExpr =
+    copy(child = newChild)
+}
+
+object DDSketchStatsExpr {
+  /** Same shape the UDF encoder produced for Stats5: non-null count,
+    * nullable numeric stats (NULL on an empty sketch). */
+  val schema: StructType = StructType(Seq(
+    StructField("count", LongType, nullable = false),
+    StructField("sum", DoubleType),
+    StructField("min", DoubleType),
+    StructField("max", DoubleType),
+    StructField("avg", DoubleType)))
+}
+
+/** `ddsketch_histogram(sketch BLOB, lo DOUBLE, hi DOUBLE, nbins INT) →
+  * ARRAY<DOUBLE>`: approximate equi-width histogram from one decode
+  * (see [[SketchKernels.histogram]]). NULL on bad input, empty sketch,
+  * or degenerate range — never an error. */
+case class DDSketchHistogramExpr(
+    first: Expression, second: Expression, third: Expression, fourth: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression {
+  override def prettyName: String = "ddsketch_histogram"
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val a = DDSketchScalarExprs.checkType(prettyName, first, BinaryType)
+    if (a != TypeCheckResult.TypeCheckSuccess) return a
+    val b = DDSketchScalarExprs.checkType(prettyName, second, DoubleType)
+    if (b != TypeCheckResult.TypeCheckSuccess) return b
+    val c = DDSketchScalarExprs.checkType(prettyName, third, DoubleType)
+    if (c != TypeCheckResult.TypeCheckSuccess) return c
+    DDSketchScalarExprs.checkType(prettyName, fourth, IntegerType)
+  }
+
+  override def nullSafeEval(blob: Any, lo: Any, hi: Any, nbins: Any): Any =
+    SketchKernels.histogramArray(blob.asInstanceOf[Array[Byte]],
+      lo.asInstanceOf[Double], hi.asInstanceOf[Double], nbins.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, lo, hi, n) => {
+      val kr = ctx.freshName("sketchKr")
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $kr =
+         |  graft.sketch.SketchKernels.histogramArray($b, $lo, $hi, $n);
+         |if ($kr == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $kr; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression, q: Expression): DDSketchHistogramExpr =
+    copy(first = f, second = s, third = t, fourth = q)
+}
+
 /** `ddsketch_create(accuracy DOUBLE) → BLOB` */
 case class DDSketchCreateExpr(child: Expression) extends UnaryExpression {
   override def prettyName: String = "ddsketch_create"

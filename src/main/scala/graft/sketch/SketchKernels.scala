@@ -98,6 +98,32 @@ object SketchKernels {
     DataDogCodec.encode(DDSketch(a))
   }
 
+  /** 5-field stats struct from ONE decode as a catalyst InternalRow —
+    * the kernel behind the native `ddsketch_stats` expression. Field
+    * order (count, sum, min, max, avg) per the reference lib.rs:609-615;
+    * NULL struct on decode failure, NULL numeric fields on an empty
+    * sketch. */
+  def statsRow(blob: Array[Byte]): org.apache.spark.sql.catalyst.InternalRow = {
+    val s = decodeOrNull(blob)
+    if (s == null) null
+    else new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+      s.countLong,
+      s.sumOpt.map(Double.box).orNull,
+      s.minOpt.map(Double.box).orNull,
+      s.maxOpt.map(Double.box).orNull,
+      s.avgOpt.map(Double.box).orNull))
+  }
+
+  /** [[histogram]] boxed as catalyst ArrayData for the native
+    * `ddsketch_histogram` expression. */
+  def histogramArray(
+      blob: Array[Byte], lo: Double, hi: Double, nbins: Int)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val a = histogram(blob, lo, hi, nbins)
+    if (a == null) null
+    else org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(a)
+  }
+
   /** Approximate equi-width histogram from one decode: bucket i of
     * nbins covers [lo + i*w, lo + (i+1)*w) with w = (hi-lo)/nbins, and
     * gets count * (cdf(right) - cdf(left)) — mass outside [lo, hi)

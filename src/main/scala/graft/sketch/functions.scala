@@ -1,6 +1,6 @@
 package graft.sketch
 
-import org.apache.spark.sql.{Column, DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, GraftBridge, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.expressions.UserDefinedFunction
 import org.apache.spark.sql.{functions => F}
@@ -16,7 +16,9 @@ import org.apache.spark.sql.{functions => F}
  */
 object functions {
 
-  /** 5-field result of the scalar `ddsketch_stats` (order per lib.rs:609-615). */
+  /** 5-field result shape of the scalar `ddsketch_stats` (order per
+    * lib.rs:609-615) — the typed mirror of [[DDSketchStatsExpr.schema]]
+    * for Dataset users mapping the struct. */
   case class Stats5(
       count: Long,
       sum: Option[Double],
@@ -32,15 +34,10 @@ object functions {
     }
 
   // ------------------------------------------------------------- scalar UDFs
-  // Scalar functions are native Catalyst expressions (DDSketchScalarExprs);
-  // only the struct-returning stats scalar and the fused multi-quantile
-  // remain UDFs (struct/array returns where a UDF is the simplest form).
-
-  private[graft] val statsUdf: UserDefinedFunction = F.udf { (blob: Array[Byte]) =>
-    val s = decodeOrNull(blob)
-    if (s == null) null
-    else Stats5(s.countLong, s.sumOpt, s.minOpt, s.maxOpt, s.avgOpt)
-  }.withName("ddsketch_stats")
+  // Scalar functions — including the struct-returning stats and the
+  // array-returning histogram — are native Catalyst expressions
+  // (DDSketchScalarExprs); only the fusion-rule targets below remain
+  // UDFs (they exist to be rewritten in by MultiQuantileFusion).
 
   /** Invocation counter, exposed for tests asserting that codegen
     * common-subexpression elimination runs the fused UDF once per row. */
@@ -85,14 +82,14 @@ object functions {
     multiCdfUdf(sketch, F.array(xs.map(F.lit): _*))
 
   /** Approximate equi-width histogram over [lo, hi) from one decode
-    * (see [[SketchKernels.histogram]]). */
-  private[graft] val histogramUdf: UserDefinedFunction =
-    F.udf { (blob: Array[Byte], lo: Double, hi: Double, nbins: Int) =>
-      SketchKernels.histogram(blob, lo, hi, nbins)
-    }.withName("ddsketch_histogram")
-
+    * (native expression; see [[SketchKernels.histogram]]). Numeric
+    * arguments are cast like the UDF's analyzer coercion was. */
   def ddsketch_histogram(sketch: Column, lo: Column, hi: Column, nbins: Column): Column =
-    histogramUdf(sketch, lo, hi, nbins)
+    GraftBridge.column(DDSketchHistogramExpr(
+      GraftBridge.expression(sketch),
+      GraftBridge.expression(lo.cast("double")),
+      GraftBridge.expression(hi.cast("double")),
+      GraftBridge.expression(nbins.cast("int"))))
   def ddsketch_histogram(sketch: Column, lo: Double, hi: Double, nbins: Int): Column =
     ddsketch_histogram(sketch, F.lit(lo), F.lit(hi), F.lit(nbins))
 
@@ -142,7 +139,8 @@ object functions {
     GraftBridge.column(DDSketchSumExpr(e(sketch)))
   def ddsketch_avg(sketch: Column): Column =
     GraftBridge.column(DDSketchAvgExpr(e(sketch)))
-  def ddsketch_stats(sketch: Column): Column = statsUdf(sketch)
+  def ddsketch_stats(sketch: Column): Column =
+    GraftBridge.column(DDSketchStatsExpr(e(sketch)))
 
   /** Aggregate: merge all sketch blobs in the group (native Catalyst
     * TypedImperativeAggregate — codec-serialized buffers, no boxing). */
@@ -202,6 +200,12 @@ object Graft {
     case _ => e // let checkInputDataTypes report it
   }
 
+  private def toInt(e: Expression): Expression = e.dataType match {
+    case org.apache.spark.sql.types.IntegerType => e
+    case _: NumericType => Cast(e, org.apache.spark.sql.types.IntegerType)
+    case _ => e // let checkInputDataTypes report it
+  }
+
   // SQL accuracy literals arrive as DecimalType: evaluate through a
   // cast; NULL / non-numeric / out-of-range fall back to the default
   // accuracy, matching the reference's lenient parameter parsing
@@ -230,6 +234,10 @@ object Graft {
       unary("ddsketch_max", DDSketchMaxExpr),
       unary("ddsketch_sum", DDSketchSumExpr),
       unary("ddsketch_avg", DDSketchAvgExpr),
+      unary("ddsketch_stats", DDSketchStatsExpr),
+      "ddsketch_histogram" -> ((exprs: Seq[Expression]) =>
+        DDSketchHistogramExpr(exprs.head, toDouble(exprs(1)),
+          toDouble(exprs(2)), toInt(exprs(3)))),
       "ddsketch_add" -> ((exprs: Seq[Expression]) =>
         DDSketchAddExpr(exprs.head, toDouble(exprs(1)))),
       "ddsketch_add_weighted" -> ((exprs: Seq[Expression]) =>
@@ -290,17 +298,10 @@ object Graft {
   /** EVERY graft SQL function as an expression builder (UDF-backed ones
     * wrapped through GraftBridge.udfExpression) — the complete set the
     * extensions path injects. */
-  private[graft] def allFunctionBuilders: Seq[(String, Seq[Expression] => Expression)] = {
-    import org.apache.spark.sql.GraftBridge
-    def viaUdf(name: String, u: org.apache.spark.sql.expressions.UserDefinedFunction)
-        : (String, Seq[Expression] => Expression) =
-      name -> ((exprs: Seq[Expression]) => GraftBridge.udfExpression(u, exprs))
+  private[graft] def allFunctionBuilders: Seq[(String, Seq[Expression] => Expression)] =
     expressionBuilders ++
-      Seq(viaUdf("ddsketch_stats", functions.statsUdf),
-          viaUdf("ddsketch_histogram", functions.histogramUdf)) ++
       kmv.allBuilders ++ topk.allBuilders ++ bloom.allBuilders ++
       cms.allBuilders ++ graft.pipeline.VectorAgg.allBuilders
-  }
 
   /** Idempotent; call once per SparkSession. (Sessions built with
     * `spark.sql.extensions=graft.GraftExtensions` need no call at all.) */
@@ -309,10 +310,6 @@ object Graft {
     spark.experimental.extraOptimizations =
       (spark.experimental.extraOptimizations.filterNot(
         _ eq graft.plans.MultiQuantileFusion) :+ graft.plans.MultiQuantileFusion)
-    // UDF-backed scalars go through spark.udf so they keep analyzer
-    // input coercion; expression builders cast explicitly instead
-    spark.udf.register("ddsketch_stats", functions.statsUdf)
-    spark.udf.register("ddsketch_histogram", functions.histogramUdf)
     import org.apache.spark.sql.GraftBridge.{registerFunction => reg}
     expressionBuilders.foreach { case (name, builder) => reg(spark, name, builder) }
     tableFunctionBuilders.foreach { case (name, builder) =>

@@ -151,6 +151,33 @@ class SketchFunctionsSpec extends SparkTestBase {
     assert(rows(1).isNullAt(1))
   }
 
+  test("ddsketch_stats and ddsketch_histogram are native expressions (no ScalaUDF)") {
+    val df = spark.range(100)
+      .agg(G.ddsketch_agg_values(F.col("id").cast("double")).as("s"))
+      .select(
+        G.ddsketch_stats(F.col("s")).as("st"),
+        G.ddsketch_histogram(F.col("s"), 0.0, 100.0, 4).as("h"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF"), plan)
+    // and they still compute: 5-field struct + mass-conserving histogram
+    val row = df.collect().head
+    val st = row.getStruct(0)
+    assert(st.getLong(0) === 100L)
+    assert(math.abs(st.getDouble(4) - 49.5) < 1.0)
+    val h = row.getSeq[Double](1)
+    assert(h.length === 4)
+    assert(math.abs(h.sum - 100.0) < 3.0)
+    // SQL path is expression-built too (works under ANSI without UDF coercion)
+    spark.range(50).createOrReplaceTempView("nat_in")
+    val viaSql = spark.sql(
+      """SELECT ddsketch_stats(s).count AS c,
+        |       ddsketch_histogram(s, 0, 50, 5) AS h
+        |FROM (SELECT ddsketch_agg_values(CAST(id AS DOUBLE)) AS s FROM nat_in)""".stripMargin)
+      .collect().head
+    assert(viaSql.getLong(0) === 50L)
+    assert(viaSql.getSeq[Double](1).length === 5)
+  }
+
   test("SQL registration: full surface callable from spark.sql") {
     val good = DataDogCodec.encode { val s = DDSketch(0.01); s.add(7.0); s }
     Seq((1, good), (2, good)).toDF("id", "s").createOrReplaceTempView("sk")
