@@ -1582,6 +1582,95 @@ object SparkEntry {
                    F.array_max(F.col("feature")) < 1.0f).as("rms_ok"))
     }),
 
+    // REAL video decode: deterministic MJPEG-in-AVI containers (frame
+    // count, dims, and solid-gray frame shades all derived from
+    // doc_id), decoded by the pure-JVM AVI parser + javax.imageio
+    // keyframe path. The oracle recomputes container dims and keyframe
+    // counts from doc_id alone — a stub fallback would report fake
+    // dims and fail; the luminance envelope must track the known frame
+    // shades (first frame gray 40, last 40 + 40*(n-1), tol 0.08)
+    "q_multimodal_video" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val aviU = F.udf((id: Long) => {
+        val w = 32 + (id % 16).toInt
+        val h = 24 + (id % 8).toInt
+        val n = 2 + (id % 4).toInt
+        val frames = Seq.tabulate(n) { i =>
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = img.createGraphics()
+          try {
+            val shade = 40 + 40 * i
+            g.setColor(new java.awt.Color(shade, shade, shade))
+            g.fillRect(0, 0, w, h)
+          } finally g.dispose()
+          val baos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "jpg", baos)
+          baos.toByteArray
+        }
+        graft.pipeline.Multimodal.mjpegAvi(frames, w, h)
+      })
+      def media = t(s, dir, "documents")
+        .filter(F.col("doc_id") % 11 === 0)
+        .select(F.col("doc_id").as("media_id"), F.lit("video").as("modality"),
+          aviU(F.col("doc_id")).as("payload"), F.lit(0L).as("meta_bytes"),
+          F.col("source").as("meta_source"))
+        .as[graft.pipeline.Multimodal.MediaRecord]
+      val nFrames = (F.lit(2) + F.col("media_id") % 4).cast("int")
+      val firstOk = F.abs(F.element_at(F.col("feature"), 1) - 40.0 / 255.0) < 0.08
+      val lastOk = F.abs(F.element_at(F.col("feature"), nFrames) -
+        (F.lit(40.0) + (nFrames - 1) * 40.0) / 255.0) < 0.08
+      val kf = graft.pipeline.Multimodal.sampleKeyframes(media).groupBy().agg(
+        F.count(F.lit(1)).as("keyframes"),
+        F.coalesce(F.sum(F.col("frame_idx").cast("long")), F.lit(0L)).as("idx_sum"))
+      graft.pipeline.Multimodal.extractFeatures(media).toDF()
+        .agg(
+          F.count(F.lit(1)).as("clips"),
+          F.sum(F.col("width").cast("long")).as("width_sum"),
+          F.sum(F.col("height").cast("long")).as("height_sum"),
+          (F.sum(F.when(firstOk && lastOk, 0L).otherwise(1L)) === 0L)
+            .as("envelope_ok"))
+        .crossJoin(kf)
+    }),
+
+    // REAL PDF decode: each doc's text split into 500-char pages,
+    // written as a Flate-compressed PDF, parsed back — the extracted
+    // text must equal the original BYTE-EXACTLY and the page count /
+    // char count must match the pre-PDF facts (a stub fallback fails
+    // all three)
+    "q_multimodal_pdf" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val pdfU = F.udf((text: String) => {
+        val tx = if (text == null) "" else text
+        graft.pipeline.Multimodal.simplePdf(
+          if (tx.isEmpty) Seq("") else tx.grouped(500).toSeq)
+      })
+      val textU = F.udf((p: Array[Byte]) =>
+        graft.pipeline.Multimodal.pdfText(p).map(_._2).orNull)
+      val jlenU = F.udf((t: String) => if (t == null) 0 else t.length)
+      val expPagesU = F.udf((t: String) =>
+        if (t == null || t.isEmpty) 1 else (t.length + 499) / 500)
+      val docs = t(s, dir, "documents").filter(F.col("doc_id") % 13 === 0)
+      val media = docs
+        .select(F.col("doc_id").as("media_id"), F.lit("pdf").as("modality"),
+          pdfU(F.col("text")).as("payload"), F.lit(0L).as("meta_bytes"),
+          F.col("source").as("meta_source"))
+        .as[graft.pipeline.Multimodal.MediaRecord]
+      val feats = graft.pipeline.Multimodal.extractFeatures(media).toDF()
+        .select(F.col("media_id"), F.col("width"), F.col("height"))
+      docs.select(F.col("doc_id"), F.col("text"), pdfU(F.col("text")).as("payload"))
+        .withColumn("dtext", textU(F.col("payload")))
+        .join(feats, F.col("doc_id") === F.col("media_id"))
+        .agg(
+          F.count(F.lit(1)).as("docs"),
+          (F.sum(F.when(F.col("dtext") === F.col("text"), 0L).otherwise(1L)) === 0L)
+            .as("text_roundtrip"),
+          (F.sum(F.when(F.col("width") === expPagesU(F.col("text")), 0L)
+            .otherwise(1L)) === 0L).as("pages_ok"),
+          (F.sum(F.when(F.col("height") === jlenU(F.col("text")), 0L)
+            .otherwise(1L)) === 0L).as("chars_ok"))
+    }),
+
     // multimodal plumbing: binary payloads through batched (stub) decode
     "q_multimodal" -> ((s: SparkSession, dir: String) => {
       val docs = t(s, dir, "documents")
@@ -2353,6 +2442,18 @@ object SparkEntry {
         |       CAST(sum(44 + octet_length(encode(text))) AS BIGINT) AS bytes_sum,
         |       true AS rms_ok
         |FROM documents WHERE doc_id % 7 = 0""".stripMargin,
+    "q_multimodal_video" ->
+      """SELECT count(*) AS clips,
+        |       CAST(sum(32 + doc_id % 16) AS BIGINT) AS width_sum,
+        |       CAST(sum(24 + doc_id % 8) AS BIGINT) AS height_sum,
+        |       true AS envelope_ok,
+        |       CAST(sum(2 + doc_id % 4) AS BIGINT) AS keyframes,
+        |       CAST(sum(((2 + doc_id % 4) * (1 + doc_id % 4)) // 2) AS BIGINT) AS idx_sum
+        |FROM documents WHERE doc_id % 11 = 0""".stripMargin,
+    "q_multimodal_pdf" ->
+      """SELECT count(*) AS docs, true AS text_roundtrip,
+        |       true AS pages_ok, true AS chars_ok
+        |FROM documents WHERE doc_id % 13 = 0""".stripMargin,
     "q_multimodal" ->
       """SELECT CASE lang WHEN 'en' THEN 'image' WHEN 'de' THEN 'audio'
         |                 WHEN 'fr' THEN 'video' WHEN 'es' THEN 'pdf'

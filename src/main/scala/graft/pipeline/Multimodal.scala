@@ -13,19 +13,30 @@ import org.apache.spark.sql.{functions => F}
  * grayscale features, and real downscale-and-reencode in
  * [[resizeImages]]. The AUDIO modality has a real decoder too (JDK
  * `javax.sound.sampled` — WAV/AIFF/AU 8/16-bit PCM): real sample rate,
- * channel count, and an 8-window RMS envelope feature. Video/pdf
- * decode is a clearly-marked STUB (no codec libraries in this
- * environment) deriving a deterministic fake feature vector from the
- * payload bytes; [[realDecoders]] is the capability flag. Undecodable
- * payloads fall back to the stub rather than erroring (repo-wide
+ * channel count, and an 8-window RMS envelope feature. The VIDEO
+ * modality has a real CONTAINER decoder: a pure-JVM RIFF/AVI parser
+ * (public AVI spec) extracting MJPG keyframes decoded with
+ * `javax.imageio` — real dimensions, frame count, and an 8-slot
+ * temporal luminance envelope; inter-frame codecs (H.264 etc.) need
+ * codec libraries this environment lacks and fall back to the stub.
+ * The PDF modality has a real decoder too: a pure-JVM parser of the
+ * public PDF spec subset covering uncompressed and /FlateDecode
+ * (`java.util.zip`) content streams with Tj/TJ/'/" text-showing
+ * operators — real page counts and byte-exact text extraction for
+ * that subset (hex strings and exotic font encodings are out of
+ * scope). Only bare "text" retains the deterministic stub;
+ * [[realDecoders]] is the capability flag. Undecodable payloads fall
+ * back to the stub rather than erroring (repo-wide
  * NULL/malformed-input discipline).
  */
 object Multimodal {
 
-  /** Which modalities run a REAL decoder vs the deterministic stub. */
+  /** Which modalities run a REAL decoder vs the deterministic stub.
+    * Video = MJPEG-in-AVI container parsing + JPEG keyframe decode;
+    * pdf = uncompressed//FlateDecode Tj/TJ text + page count. */
   val realDecoders: Map[String, Boolean] = Map(
-    "image" -> true, "audio" -> true, "video" -> false,
-    "pdf" -> false, "text" -> false)
+    "image" -> true, "audio" -> true, "video" -> true,
+    "pdf" -> true, "text" -> false)
 
   case class MediaRecord(
       media_id: Long,
@@ -193,6 +204,411 @@ object Multimodal {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
+  // ------------------------------------------------------------- video
+
+  private def writeIntLE(out: java.io.ByteArrayOutputStream, v: Int): Unit = {
+    out.write(v & 0xFF); out.write((v >>> 8) & 0xFF)
+    out.write((v >>> 16) & 0xFF); out.write((v >>> 24) & 0xFF)
+  }
+  private def writeShortLE(out: java.io.ByteArrayOutputStream, v: Int): Unit = {
+    out.write(v & 0xFF); out.write((v >>> 8) & 0xFF)
+  }
+  private def fcc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+
+  /**
+   * Minimal MJPEG-in-AVI writer (public AVI RIFF layout: `hdrl` with
+   * `avih` + one `vids/MJPG` stream, `movi` with one `00dc` chunk per
+   * JPEG frame, chunks word-aligned). Enough container for any
+   * MJPEG-capable player and for [[decodeVideo]]; test/harness utility
+   * and deterministic payload generator.
+   */
+  def mjpegAvi(frames: Seq[Array[Byte]], width: Int, height: Int, fps: Int = 10): Array[Byte] = {
+    require(frames.nonEmpty, "mjpegAvi needs at least one frame")
+    require(width > 0 && height > 0 && fps > 0)
+    def chunk(id: String, data: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(fcc(id)); writeIntLE(out, data.length); out.write(data)
+      if (data.length % 2 == 1) out.write(0)
+      out.toByteArray
+    }
+    def list(kind: String, inner: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(fcc("LIST")); writeIntLE(out, inner.length + 4)
+      out.write(fcc(kind)); out.write(inner)
+      out.toByteArray
+    }
+    val avih = new java.io.ByteArrayOutputStream()
+    writeIntLE(avih, 1000000 / fps); writeIntLE(avih, 0); writeIntLE(avih, 0)
+    writeIntLE(avih, 0); writeIntLE(avih, frames.length); writeIntLE(avih, 0)
+    writeIntLE(avih, 1); writeIntLE(avih, 0)
+    writeIntLE(avih, width); writeIntLE(avih, height)
+    (0 until 4).foreach(_ => writeIntLE(avih, 0))
+    val strh = new java.io.ByteArrayOutputStream()
+    strh.write(fcc("vids")); strh.write(fcc("MJPG"))
+    writeIntLE(strh, 0); writeIntLE(strh, 0); writeIntLE(strh, 0)
+    writeIntLE(strh, 1); writeIntLE(strh, fps)           // scale, rate
+    writeIntLE(strh, 0); writeIntLE(strh, frames.length) // start, length
+    writeIntLE(strh, 0); writeIntLE(strh, 0); writeIntLE(strh, 0)
+    writeShortLE(strh, 0); writeShortLE(strh, 0)
+    writeShortLE(strh, width); writeShortLE(strh, height)
+    val strf = new java.io.ByteArrayOutputStream()     // BITMAPINFOHEADER
+    writeIntLE(strf, 40); writeIntLE(strf, width); writeIntLE(strf, height)
+    writeShortLE(strf, 1); writeShortLE(strf, 24); strf.write(fcc("MJPG"))
+    writeIntLE(strf, width * height * 3)
+    (0 until 4).foreach(_ => writeIntLE(strf, 0))
+    val hdrl = list("hdrl",
+      chunk("avih", avih.toByteArray) ++
+        list("strl", chunk("strh", strh.toByteArray) ++ chunk("strf", strf.toByteArray)))
+    val movi = list("movi",
+      frames.iterator.map(f => chunk("00dc", f)).reduce(_ ++ _))
+    val body = fcc("AVI ") ++ hdrl ++ movi
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(fcc("RIFF")); writeIntLE(out, body.length); out.write(body)
+    out.toByteArray
+  }
+
+  private def readIntLE(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8) |
+      ((b(off + 2) & 0xFF) << 16) | ((b(off + 3) & 0xFF) << 24)
+  private def fourcc(b: Array[Byte], off: Int): String =
+    new String(b, off, 4, "US-ASCII")
+
+  /** Parse an AVI container: (width, height, frame (offset, length)
+    * list for the `..dc`/`..db` video chunks under `movi`). None on
+    * anything that is not well-formed AVI. */
+  private[pipeline] def parseAvi(b: Array[Byte]): Option[(Int, Int, Vector[(Int, Int)])] = {
+    if (b == null || b.length < 24) return None
+    if (fourcc(b, 0) != "RIFF" || fourcc(b, 8) != "AVI ") return None
+    try {
+      var w = -1
+      var h = -1
+      val frames = Vector.newBuilder[(Int, Int)]
+      def walk(from: Int, to: Int): Unit = {
+        var off = from
+        while (off + 8 <= to) {
+          val id = fourcc(b, off)
+          val size = readIntLE(b, off + 4)
+          if (size < 0 || off + 8 + size > to) return
+          if (id == "LIST" && size >= 4) {
+            walk(off + 12, off + 8 + size)   // descend past the list type
+          } else if (id == "avih" && size >= 40) {
+            w = readIntLE(b, off + 8 + 32)
+            h = readIntLE(b, off + 8 + 36)
+          } else if (id.length == 4 && id(0).isDigit && id(1).isDigit &&
+              (id.endsWith("dc") || id.endsWith("db")) && size > 0) {
+            frames += ((off + 8, size))
+          }
+          off += 8 + size + (size & 1)       // chunks are word-aligned
+        }
+      }
+      walk(12, math.min(b.length, 8 + readIntLE(b, 4)))
+      val fs = frames.result()
+      if (w <= 0 || h <= 0 || fs.isEmpty) None else Some((w, h, fs))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Strided mean luminance of a decoded frame in [0, 1]. */
+  private def meanLuminance(img: java.awt.image.BufferedImage): Float = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val sx = math.max(1, w / 64)
+    val sy = math.max(1, h / 64)
+    var sum = 0.0
+    var n = 0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        sum += (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
+          (rgb & 0xFF) * 114) / 255000.0
+        n += 1
+        x += sx
+      }
+      y += sy
+    }
+    if (n == 0) 0.0f else (sum / n).toFloat
+  }
+
+  /**
+   * Real video decode for MJPEG-in-AVI: container dimensions, frame
+   * count, and an 8-slot temporal envelope (mean luminance of up to 8
+   * evenly spaced keyframes, each decoded with `javax.imageio`). None
+   * when the payload is not AVI or no frame decodes — inter-frame
+   * codecs fall back to the stub, documented in [[realDecoders]].
+   */
+  private[pipeline] def decodeVideo(
+      payload: Array[Byte]): Option[(Int, Int, Int, Array[Float])] = {
+    parseAvi(payload).flatMap { case (w, h, frames) =>
+      val n = frames.length
+      val slots = math.min(8, n)
+      val feat = new Array[Float](8)
+      var decoded = 0
+      var i = 0
+      while (i < slots) {
+        val fi = if (slots == 1) 0 else (i.toLong * (n - 1) / (slots - 1)).toInt
+        val (off, len) = frames(fi)
+        try {
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+            java.util.Arrays.copyOfRange(payload, off, off + len)))
+          if (img != null) { feat(i) = meanLuminance(img); decoded += 1 }
+        } catch { case scala.util.control.NonFatal(_) => () }
+        i += 1
+      }
+      if (decoded == 0) None else Some((w, h, n, feat))
+    }
+  }
+
+  /**
+   * Real keyframe extraction: explode each AVI payload into its MJPEG
+   * keyframes (every `everyNth`, at most `maxFrames` — bounded 1→N
+   * like [[sampleFrames]]), each an independently decodable JPEG.
+   * Non-AVI/undecodable payloads contribute no rows. Partition-batched
+   * map-only transform; at 100 TB the frame table is written once and
+   * every downstream vision op reads frames, never videos.
+   */
+  def sampleKeyframes(
+      media: Dataset[MediaRecord],
+      everyNth: Int = 1,
+      maxFrames: Int = Int.MaxValue): Dataset[FrameRecord] = {
+    import media.sparkSession.implicits._
+    require(everyNth > 0 && maxFrames > 0, "everyNth and maxFrames must be positive")
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        parseAvi(r.payload).iterator.flatMap { case (_, _, frames) =>
+          frames.indices.by(everyNth).take(maxFrames).iterator.map { i =>
+            val (off, len) = frames(i)
+            FrameRecord(r.media_id, i,
+              java.util.Arrays.copyOfRange(r.payload, off, off + len), len.toLong)
+          }
+        }
+      }
+    }
+  }
+
+  // --------------------------------------------------------------- pdf
+
+  /**
+   * Minimal PDF writer: one Helvetica Tj text object per page,
+   * `/FlateDecode`-compressed content streams (raw when
+   * `compress=false`), correct xref/trailer. Page text is written as
+   * UTF-8 bytes in the string literal with `( ) \\ CR LF` escaped, so
+   * [[pdfText]] round-trips it byte-exactly. Test/harness utility and
+   * deterministic payload generator.
+   */
+  def simplePdf(pages: Seq[String], compress: Boolean = true): Array[Byte] = {
+    require(pages.nonEmpty, "simplePdf needs at least one page")
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    val nObjs = 3 + 2 * pages.length
+    val offsets = new Array[Int](nObjs + 1)
+    def obj(n: Int)(body: => Unit): Unit = {
+      offsets(n) = out.size(); w(s"$n 0 obj\n"); body; w("endobj\n")
+    }
+    w("%PDF-1.4\n")
+    val kids = pages.indices.map(i => s"${4 + 2 * i} 0 R").mkString(" ")
+    obj(1) { w("<< /Type /Catalog /Pages 2 0 R >>\n") }
+    obj(2) { w(s"<< /Type /Pages /Kids [$kids] /Count ${pages.length} >>\n") }
+    obj(3) { w("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>\n") }
+    pages.zipWithIndex.foreach { case (text, i) =>
+      val pageObj = 4 + 2 * i
+      val contObj = 5 + 2 * i
+      obj(pageObj) {
+        w(s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+          s"/Resources << /Font << /F1 3 0 R >> >> /Contents $contObj 0 R >>\n")
+      }
+      val body = new java.io.ByteArrayOutputStream()
+      body.write("BT /F1 12 Tf 72 720 Td (".getBytes("US-ASCII"))
+      text.getBytes("UTF-8").foreach {
+        case b @ ('(' | ')' | '\\') => body.write('\\'); body.write(b)
+        case '\r' => body.write('\\'); body.write('r')
+        case '\n' => body.write('\\'); body.write('n')
+        case b => body.write(b)
+      }
+      body.write(") Tj ET".getBytes("US-ASCII"))
+      val raw = body.toByteArray
+      val data = if (compress) deflate(raw) else raw
+      obj(contObj) {
+        val filter = if (compress) " /Filter /FlateDecode" else ""
+        w(s"<< /Length ${data.length}$filter >>\nstream\n")
+        out.write(data)
+        w("\nendstream\n")
+      }
+    }
+    val xref = out.size()
+    w(s"xref\n0 ${nObjs + 1}\n0000000000 65535 f \n")
+    (1 to nObjs).foreach(n => w(f"${offsets(n)}%010d 00000 n \n"))
+    w(s"trailer\n<< /Size ${nObjs + 1} /Root 1 0 R >>\nstartxref\n$xref\n%%%%EOF\n")
+    out.toByteArray
+  }
+
+  private def deflate(data: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    d.setInput(data); d.finish()
+    val out = new java.io.ByteArrayOutputStream(data.length / 2 + 64)
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
+  private def inflate(data: Array[Byte]): Array[Byte] = {
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(data)
+    val out = new java.io.ByteArrayOutputStream(data.length * 3 + 64)
+    val buf = new Array[Byte](8192)
+    while (!inf.finished() && !inf.needsDictionary()) {
+      val n = inf.inflate(buf)
+      if (n == 0 && inf.needsInput()) throw new java.util.zip.DataFormatException("truncated")
+      out.write(buf, 0, n)
+    }
+    inf.end()
+    out.toByteArray
+  }
+
+  /** Append the shown text of one content stream: a byte-level scan
+    * collecting string literals (with PDF escapes, nested parens) and
+    * attributing them to the next operator — `Tj`/`'`/`"` show the
+    * last pending string, `TJ` shows every string of its array, any
+    * other operator discards pending operands. */
+  private def extractShownText(
+      content: Array[Byte], out: java.io.ByteArrayOutputStream): Unit = {
+    val pending = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    var i = 0
+    val n = content.length
+    def isWordChar(b: Byte): Boolean =
+      (b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z') || b == '*'
+    while (i < n) {
+      val c = content(i)
+      if (c == '(') {
+        val s = new java.io.ByteArrayOutputStream()
+        var depth = 1
+        i += 1
+        while (i < n && depth > 0) {
+          val b = content(i)
+          if (b == '\\' && i + 1 < n) {
+            val e = content(i + 1)
+            e match {
+              case 'n' => s.write('\n'); i += 2
+              case 'r' => s.write('\r'); i += 2
+              case 't' => s.write('\t'); i += 2
+              case 'b' => s.write('\b'); i += 2
+              case 'f' => s.write('\f'); i += 2
+              case '\n' => i += 2                       // line continuation
+              case '\r' => i += (if (i + 2 < n && content(i + 2) == '\n') 3 else 2)
+              case d if d >= '0' && d <= '7' =>
+                var v = 0
+                var k = 0
+                i += 1
+                while (k < 3 && i < n && content(i) >= '0' && content(i) <= '7') {
+                  v = v * 8 + (content(i) - '0'); i += 1; k += 1
+                }
+                s.write(v & 0xFF)
+              case other => s.write(other); i += 2
+            }
+          } else if (b == '(') { depth += 1; s.write(b); i += 1 }
+          else if (b == ')') { depth -= 1; if (depth > 0) s.write(b); i += 1 }
+          else { s.write(b); i += 1 }
+        }
+        pending += s.toByteArray
+      } else if (c == '%') {
+        while (i < n && content(i) != '\n' && content(i) != '\r') i += 1
+      } else if (c == '\'' || c == '"') {
+        if (pending.nonEmpty) out.write(pending.last)
+        pending.clear()
+        i += 1
+      } else if (isWordChar(c)) {
+        val start = i
+        while (i < n && isWordChar(content(i))) i += 1
+        new String(content, start, i - start, "US-ASCII") match {
+          case "Tj" => if (pending.nonEmpty) out.write(pending.last); pending.clear()
+          case "TJ" => pending.foreach(out.write); pending.clear()
+          case _ => pending.clear()
+        }
+      } else i += 1
+    }
+  }
+
+  /**
+   * Real PDF decode (pure JVM, public-spec subset): page count +
+   * extracted text from every content stream, raw or `/FlateDecode`
+   * (`java.util.zip.Inflater`). Text-showing operators `Tj`, `TJ`,
+   * `'`, `"` over parenthesized literals are covered; hex strings and
+   * font-encoding remapping are not (documented boundary — the bytes
+   * shown are returned UTF-8-decoded). Stream texts CONCATENATE in
+   * document order with no separator, so a [[simplePdf]] round-trip is
+   * byte-exact. None when the payload is not PDF.
+   */
+  def pdfText(payload: Array[Byte]): Option[(Int, String)] = {
+    if (payload == null || payload.length < 8) return None
+    if (!new String(payload, 0, 5, "US-ASCII").equals("%PDF-")) return None
+    try {
+      val latin = new String(payload, "ISO-8859-1")
+      val pageM = java.util.regex.Pattern
+        .compile("/Type\\s*/Page(?![0-9A-Za-z])").matcher(latin)
+      var pages = 0
+      while (pageM.find()) pages += 1
+      val out = new java.io.ByteArrayOutputStream()
+      val lenRe = java.util.regex.Pattern.compile("/Length\\s+(\\d+)")
+      var from = 0
+      while ({ val k = latin.indexOf("stream", from); k >= 0 && {
+        // must be the keyword, not e.g. "endstream": check boundary
+        val isKeyword = (k == 0 || !latin.charAt(k - 1).isLetter) &&
+          (k + 6 >= latin.length || !latin.charAt(k + 6).isLetter)
+        var dataStart = k + 6
+        if (isKeyword && dataStart < latin.length) {
+          if (latin.charAt(dataStart) == '\r') dataStart += 1
+          if (dataStart < latin.length && latin.charAt(dataStart) == '\n') dataStart += 1
+          val dict = latin.substring(math.max(0, k - 600), k)
+          val lm = lenRe.matcher(dict)
+          var len = -1
+          while (lm.find()) len = lm.group(1).toInt
+          val dataEnd =
+            if (len >= 0 && dataStart + len <= latin.length) dataStart + len
+            else {
+              val e = latin.indexOf("endstream", dataStart)
+              if (e < 0) latin.length else e
+            }
+          val bytes = java.util.Arrays.copyOfRange(payload, dataStart, dataEnd)
+          val data =
+            if (dict.contains("/FlateDecode")) {
+              try inflate(bytes) catch { case scala.util.control.NonFatal(_) => null }
+            } else bytes
+          if (data != null) extractShownText(data, out)
+          from = dataEnd
+        } else from = k + 6
+        true
+      }}) ()
+      Some((pages, new String(out.toByteArray, "UTF-8")))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /**
+   * Real PDF feature decode for [[extractFeatures]]: width carries the
+   * page count, height the extracted character count, and the feature
+   * is an 8-segment mean-byte envelope of the text (deterministic,
+   * bounded). None when not a PDF.
+   */
+  private[pipeline] def decodePdf(payload: Array[Byte]): Option[(Int, Int, Array[Float])] =
+    pdfText(payload).map { case (pages, text) =>
+      val bytes = text.getBytes("UTF-8")
+      val feat = new Array[Float](8)
+      if (bytes.nonEmpty) {
+        val sums = new Array[Double](8)
+        val cnts = new Array[Int](8)
+        var i = 0
+        while (i < bytes.length) {
+          val w = math.min((i * 8L / bytes.length).toInt, 7)
+          sums(w) += (bytes(i) & 0xFF) / 255.0
+          cnts(w) += 1
+          i += 1
+        }
+        var f = 0
+        while (f < 8) { if (cnts(f) > 0) feat(f) = (sums(f) / cnts(f)).toFloat; f += 1 }
+      }
+      (pages, text.length, feat)
+    }
+
   /**
    * Batch feature extraction over a media Dataset: one decoder
    * instantiation per partition (the shape a real decoder needs —
@@ -200,9 +616,12 @@ object Multimodal {
    * payloads get the real `javax.imageio` path — genuine dimensions
    * and pooled-grayscale features; audio payloads get the real
    * `javax.sound.sampled` path — width/height carry (sampleRate,
-   * channels) and the feature is the 8-window RMS envelope; undecodable
-   * payloads and the stub-only modalities ([[realDecoders]]) get
-   * [[stubDecode]].
+   * channels) and the feature is the 8-window RMS envelope; video
+   * payloads get the real AVI/MJPEG path — genuine container
+   * dimensions and the keyframe luminance envelope; pdf payloads get
+   * the real parser — width/height carry (pages, chars) and the
+   * text-byte envelope; undecodable payloads and the stub-only
+   * modalities ([[realDecoders]]) get [[stubDecode]].
    */
   def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
@@ -219,6 +638,18 @@ object Multimodal {
           decodeAudio(r.payload) match {
             case Some((rate, ch, _, feat)) =>
               MediaFeatures(r.media_id, r.modality, rate, ch, feat, r.payload.length.toLong)
+            case None => stubDecode(r)
+          }
+        } else if (r.modality == "video") {
+          decodeVideo(r.payload) match {
+            case Some((w, h, _, feat)) =>
+              MediaFeatures(r.media_id, r.modality, w, h, feat, r.payload.length.toLong)
+            case None => stubDecode(r)
+          }
+        } else if (r.modality == "pdf") {
+          decodePdf(r.payload) match {
+            case Some((pages, chars, feat)) =>
+              MediaFeatures(r.media_id, r.modality, pages, chars, feat, r.payload.length.toLong)
             case None => stubDecode(r)
           }
         } else stubDecode(r)

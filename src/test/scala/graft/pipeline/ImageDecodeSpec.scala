@@ -78,9 +78,11 @@ class ImageDecodeSpec extends SparkTestBase {
     assert(feats(1L).width === 50 && feats(1L).height === 25)
   }
 
-  test("realDecoders capability flag marks exactly image and audio as real") {
+  test("realDecoders capability flag marks image/audio/video/pdf as real") {
     assert(Multimodal.realDecoders("image"))
     assert(Multimodal.realDecoders("audio"))
-    assert(Multimodal.realDecoders.filter(_._2).keySet === Set("image", "audio"))
+    assert(Multimodal.realDecoders.filter(_._2).keySet ===
+      Set("image", "audio", "video", "pdf"))
+    assert(!Multimodal.realDecoders("text"))
   }
 }
