@@ -454,7 +454,44 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // ANN recall@10 vs brute force at THIS scale factor — the bench's
+    // correctness-drift telemetry: q_embed_* pin recall floors at
+    // sf0.01, this makes larger-SF drift visible every round. Uses the
+    // same 20-query workload and the prebuilt index caches.
+    val recall: Seq[(String, Double)] =
+      try {
+        val emb = t(spark, sfDir, "embeddings")
+        val queries = emb.filter(F.col("vec_id") < 20)
+        def pairs(df: DataFrame): Map[Long, Set[Long]] = df
+          .select(F.col("query_id").cast("long"), F.col("neighbor_id").cast("long"))
+          .collect().groupBy(_.getLong(0))
+          .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+        val sim = graft.pipeline.Similarity
+        val pq = graft.pipeline.ProductQuantization
+        val gt = pairs(sim.bruteForceTopK(emb, queries, "vec_id", "embedding", 10))
+        def recallOf(df: => DataFrame): Double =
+          try {
+            val got = pairs(df)
+            val per = gt.map { case (q, truth) =>
+              got.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size }
+            if (per.isEmpty) -1.0 else per.sum / per.size
+          } catch { case _: Throwable => -1.0 }
+        Seq(
+          "lsh" -> recallOf(sim.lshTopK(emb, queries, "vec_id", "embedding", 10)),
+          "ivf" -> recallOf(sim.ivfTopK(emb, queries, "vec_id", "embedding", 10,
+            nlist = 16, nprobe = 4)),
+          "pq" -> recallOf {
+            val (cb, enc) = pqIndexCache(sfDir)
+            pq.pqTopKReranked(cb, enc, emb, queries,
+              "vec_id", "embedding", 10, poolSize = 100)
+          },
+          "ivfpq" -> recallOf(pq.ivfPqTopK(ivfPqIndexCache(sfDir), emb, queries,
+            "vec_id", "embedding", 10, nprobe = 8, poolSize = 100)))
+      } catch { case _: Throwable => Seq.empty }
+    val rc = recall.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"recall_at_10":$rc,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -654,6 +654,27 @@ object SparkEntry {
         .orderBy("day")
     }),
 
+    // measured-skew dispatch: the auto hook profiles the left keys via
+    // keyCountProfile and routes to the salted as-of (thresholds here
+    // force the salted branch deterministically); same ASOF oracle
+    "q_rel_asof_auto" -> ((s: SparkSession, dir: String) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(F.col("event_type") === "click")
+        .select(F.col("user_id"), F.unix_millis(F.col("ts")).as("ms"))
+      val purchases = ev.filter(F.col("event_type") === "purchase")
+        .select(F.col("user_id"), F.unix_millis(F.col("ts")).as("ms"), F.col("value"))
+        .groupBy(F.col("user_id"), F.col("ms"))
+        .agg(F.max(F.col("value")).as("purchase_value"))
+      graft.operators.AutoSkew
+        .asofJoinAuto(clicks, purchases, Seq("user_id"), "ms", "ms",
+          Seq("purchase_value"), skewThreshold = 0.0, minHotCount = 1L)
+        .groupBy(F.expr("ms div 86400000").as("day"))
+        .agg(F.count(F.lit(1)).as("clicks"),
+             F.count(F.col("purchase_value")).as("matched"),
+             F.round(F.sum(F.col("purchase_value")) * 100, 0).cast("long").as("cents"))
+        .orderBy("day")
+    }),
+
     // bounded range join: click-purchase pairs within 10 minutes per
     // user. Bucketed equi-join (keys stay small ints, x3 replication)
     // vs DuckDB's inequality-join oracle
@@ -713,6 +734,28 @@ object SparkEntry {
       graft.operators.Sessionize
         .withSessionIdBucketed(ev, F.col("user_id"), F.col("ms"),
           maxGap = 1800000L, bucketSpan = 3600000L)
+        .filter(F.col("session_id").isNotNull)
+        .groupBy(F.col("user_id"), F.col("session_id"))
+        .agg(F.count(F.lit(1)).as("n_events"),
+             (F.max(F.col("ms")) - F.min(F.col("ms"))).as("span"))
+        .groupBy(F.col("user_id"))
+        .agg(F.count(F.lit(1)).as("n_sessions"),
+             F.sum(F.col("n_events")).as("n_events"),
+             F.max(F.col("n_events")).as("max_session_events"),
+             F.sum(F.col("span")).as("total_span_ms"))
+        .select("user_id", "n_sessions", "n_events", "max_session_events", "total_span_ms")
+        .orderBy("user_id")
+    }),
+
+    // measured-skew dispatch for sessionization: the auto hook profiles
+    // the key counts and picks the bucketed form (thresholds force that
+    // branch deterministically); same oracle as q_rel_session
+    "q_rel_session_auto" -> ((s: SparkSession, dir: String) => {
+      val ev = t(s, dir, "events")
+        .select(F.col("user_id"), F.unix_millis(F.col("ts")).as("ms"))
+      graft.operators.AutoSkew
+        .withSessionIdAuto(ev, "user_id", F.col("ms"), maxGap = 1800000L,
+          skewThreshold = 0.0, minHotCount = 1L)
         .filter(F.col("session_id").isNotNull)
         .groupBy(F.col("user_id"), F.col("session_id"))
         .agg(F.count(F.lit(1)).as("n_events"),
@@ -1685,7 +1728,8 @@ object SparkEntry {
     })
   )
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = {
+    val base = Map(
     "q_sketch_create" ->
       "SELECT CAST(0 AS BIGINT) AS cnt, true AS nonempty, true AS sum_is_null",
     "q_sketch_add" ->
@@ -2462,5 +2506,11 @@ object SparkEntry {
         |       CAST(sum(length(text)) AS BIGINT) AS bytes_total,
         |       true AS feat_ok
         |FROM documents GROUP BY 1 ORDER BY modality""".stripMargin
-  )
+    )
+    // the auto-dispatch forms are output-identical to the operators
+    // they route to, so they share those oracles verbatim
+    base ++ Map(
+      "q_rel_asof_auto" -> base("q_rel_asof_salted"),
+      "q_rel_session_auto" -> base("q_rel_session"))
+  }
 }

@@ -100,4 +100,46 @@ class SkewVariantsSpec extends SparkTestBase {
     val cnt = out.count()
     assert(cnt === 10000L)
   }
+
+  test("AutoSkew profiles keys and dispatches only on measured skew") {
+    // 1 hot key with 5000 rows + 500 uniform keys with 10 each
+    val hot = Seq.tabulate(5000)(i => (0L, i.toLong * 10))
+    val cold = for (k <- 1 to 500; i <- 0 until 10)
+      yield (k.toLong, i.toLong * 10)
+    val skewed = (hot ++ cold).toDF("u", "ts").repartition(8)
+    val pSkew = AutoSkew.profileKeys(skewed, Seq("u"))
+    assert(pSkew.maxCount === 5000L && pSkew.nKeys === 501L)
+    assert(pSkew.isSkewed(8.0, 1000L))
+    assert(!pSkew.isSkewed(8.0, 1000000L))   // hot key too small in absolute terms
+    assert(AutoSkew.chooseBuckets(pSkew) >= 2)
+
+    val uniform = cold.toDF("u", "ts")
+    assert(!AutoSkew.profileKeys(uniform, Seq("u")).isSkewed(8.0, 1L))
+
+    // both dispatch branches equal the plain operator's output
+    def sessions(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long)] =
+      df.select(F.col("u"), F.col("ts"), F.col("session_id"))
+        .as[(Long, Long, Long)].collect().sortBy(t => (t._1, t._2)).toSeq
+    val plain = sessions(Sessionize.withSessionId(
+      skewed, F.col("u"), F.col("ts"), 25L))
+    val viaBucketed = sessions(AutoSkew.withSessionIdAuto(
+      skewed, "u", F.col("ts"), 25L, minHotCount = 1000L))
+    val viaPlain = sessions(AutoSkew.withSessionIdAuto(
+      skewed, "u", F.col("ts"), 25L, minHotCount = 1000000L))
+    assert(viaBucketed === plain)
+    assert(viaPlain === plain)
+
+    // as-of auto: salted branch equals plain on the real events
+    val auto = AutoSkew.asofJoinAuto(clicks, purchases, Seq("user_id"),
+        "ms", "ms", Seq("purchase_value"), skewThreshold = 0.5, minHotCount = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val asofPlain = AsOfJoin
+      .asofJoin(clicks, purchases, Seq("user_id"), "ms", "ms", Seq("purchase_value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(auto === asofPlain)
+  }
 }
