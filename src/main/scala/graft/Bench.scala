@@ -33,6 +33,11 @@ object Bench {
   private val ivfPqIndexCache = scala.collection.concurrent.TrieMap[String,
     graft.pipeline.ProductQuantization.IvfPqIndex]()
 
+  // learned once per dir like a persisted tokenizer artifact, so
+  // b_tokenize times tokenization, not merge learning
+  private val bpeMergeCache =
+    scala.collection.concurrent.TrieMap[String, Seq[(String, String)]]()
+
   /** Headline queries: representative operator workloads. */
   def benchQueries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
 
@@ -282,6 +287,25 @@ object Bench {
     "b_keywords" -> ((s: SparkSession, dir: String) =>
       graft.pipeline.Vocab.topDistinctiveTerms(
         t(s, dir, "documents"), "doc_id", "text", 5)),
+
+    // batched BPE learning: 64 merges over the corpus word table
+    // (verdict-tracked — one pair-count pass admits up to a full batch)
+    "b_bpe" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      graft.pipeline.Vocab.learnBpeMerges(t(s, dir, "documents"), "text", 64)
+        .toDF("lft", "rgt", "f")
+    }),
+
+    // corpus tokenization with a prebuilt merge table: rank-based
+    // apply + per-task memo, map-only scan
+    "b_tokenize" -> ((s: SparkSession, dir: String) => {
+      val docs = t(s, dir, "documents")
+      val merges = bpeMergeCache.getOrElseUpdate(dir,
+        graft.pipeline.Vocab.learnBpeMerges(docs, "text", 64).map(m => (m._1, m._2)))
+      graft.pipeline.Vocab.tokenizeBpe(docs, "text", merges)
+        .agg(F.sum(F.size(F.col("tokens"))).as("total_tokens"),
+             F.count(F.lit(1)).as("docs"))
+    }),
 
     // corpus-frequency boilerplate strip (two passes, map-only rewrite)
     "b_boilerplate" -> ((s: SparkSession, dir: String) => {

@@ -364,8 +364,10 @@ object SparkEntry {
       val base = java.nio.file.Files.createTempDirectory("graft_fmt").toString
       ev.write.mode("overwrite").option("header", "true").csv(s"$base/csv")
       ev.write.mode("overwrite").json(s"$base/json")
+      ev.write.mode("overwrite").orc(s"$base/orc")
       val csv = s.read.option("header", "true").schema(ev.schema).csv(s"$base/csv")
       val json = s.read.schema(ev.schema).json(s"$base/json")
+      val orc = s.read.schema(ev.schema).orc(s"$base/orc")
       def aggs(df: DataFrame, tag: String) = df.agg(
         F.count(F.lit(1)).as(s"n_$tag"),
         F.sum(F.col("ms")).as(s"ms_$tag"),
@@ -374,14 +376,19 @@ object SparkEntry {
       def tol(a: Column, b: Column): Column =
         F.abs(a - b) <= F.lit(1e-9) * F.abs(b)
       aggs(ev, "p").crossJoin(aggs(csv, "c")).crossJoin(aggs(json, "j"))
+        .crossJoin(aggs(orc, "o"))
         .select(F.col("n_p").as("rows"),
           (F.col("n_c") === F.col("n_p")).as("csv_rows_ok"),
           (F.col("n_j") === F.col("n_p")).as("json_rows_ok"),
+          (F.col("n_o") === F.col("n_p")).as("orc_rows_ok"),
           (F.col("ms_c") === F.col("ms_p") && F.col("uid_c") === F.col("uid_p"))
             .as("csv_longs_ok"),
           (F.col("ms_j") === F.col("ms_p") && F.col("uid_j") === F.col("uid_p"))
             .as("json_longs_ok"),
-          (tol(F.col("v_c"), F.col("v_p")) && tol(F.col("v_j"), F.col("v_p")))
+          (F.col("ms_o") === F.col("ms_p") && F.col("uid_o") === F.col("uid_p"))
+            .as("orc_longs_ok"),
+          (tol(F.col("v_c"), F.col("v_p")) && tol(F.col("v_j"), F.col("v_p")) &&
+            tol(F.col("v_o"), F.col("v_p")))
             .as("doubles_ok"))
     }),
 
@@ -1528,6 +1535,30 @@ object SparkEntry {
         .toDF("rank", "lft", "rgt", "f")
     }),
 
+    // distributed BPE tokenization: rank-based apply (merge-table-size
+    // independent) must equal the sequential learned-order apply on
+    // every document, and the tokens must reconstruct the text exactly
+    "q_tokenize_bpe" -> ((s: SparkSession, dir: String) => {
+      val docs = t(s, dir, "documents")
+      val merges = graft.pipeline.Vocab.learnBpeMerges(docs, "text", 8)
+        .map(m => (m._1, m._2))
+      val seqU = F.udf((t: String) =>
+        if (t == null) null
+        else t.split("\\s+").iterator.filter(_.nonEmpty)
+          .flatMap(w => graft.pipeline.Vocab.applyBpe(merges, w)).toArray)
+      graft.pipeline.Vocab.tokenizeBpe(docs, "text", merges)
+        .select(F.col("text"), F.col("tokens"), seqU(F.col("text")).as("__seq"))
+        .agg(
+          F.count(F.lit(1)).as("docs"),
+          (F.sum(F.when(F.col("text").isNull, 0L)
+            .when(F.col("tokens") <=> F.col("__seq"), 0L).otherwise(1L)) === 0L)
+            .as("rank_eq_seq"),
+          (F.sum(F.when(F.col("text").isNull, 0L)
+            .when(F.concat_ws("", F.col("tokens")) <=>
+              F.regexp_replace(F.col("text"), "\\s+", ""), 0L).otherwise(1L)) === 0L)
+            .as("reconstructs"))
+    }),
+
     // unigram cross-entropy quality signal (rounded to 4 decimals —
     // ln ulp differences across engines sit ~11 orders below the
     // rounding boundary)
@@ -1799,8 +1830,9 @@ object SparkEntry {
         |ORDER BY "column"""".stripMargin,
     "q_format_roundtrip" ->
       """SELECT CAST(count(*) AS BIGINT) AS "rows",
-        |       true AS csv_rows_ok, true AS json_rows_ok,
-        |       true AS csv_longs_ok, true AS json_longs_ok, true AS doubles_ok
+        |       true AS csv_rows_ok, true AS json_rows_ok, true AS orc_rows_ok,
+        |       true AS csv_longs_ok, true AS json_longs_ok, true AS orc_longs_ok,
+        |       true AS doubles_ok
         |FROM events""".stripMargin,
     "q_keyskew" ->
       """WITH k AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n
@@ -2511,6 +2543,9 @@ object SparkEntry {
     // they route to, so they share those oracles verbatim
     base ++ Map(
       "q_rel_asof_auto" -> base("q_rel_asof_salted"),
-      "q_rel_session_auto" -> base("q_rel_session"))
+      "q_rel_session_auto" -> base("q_rel_session"),
+      "q_tokenize_bpe" ->
+        """SELECT count(*) AS docs, true AS rank_eq_seq, true AS reconstructs
+          |FROM documents""".stripMargin)
   }
 }

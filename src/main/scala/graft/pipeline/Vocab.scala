@@ -286,6 +286,90 @@ object Vocab {
     (merges.toSeq, rounds)
   }
 
+  /**
+   * Rank-based BPE segmentation — the tokenizer-shaped apply: instead
+   * of one pass per learned merge (O(k·len), infeasible at a real 32k
+   * merge table), repeatedly merge the LOWEST-ranked pair present
+   * (left-to-right non-overlapping), O(len²) per word independent of
+   * k. Provably equivalent to [[applyBpe]]: a pair containing a merge's
+   * concatenation can only have been learned AFTER that merge (the
+   * symbol didn't exist before), so every pair a merge creates has a
+   * higher rank than the merge itself — the minimum present rank never
+   * decreases, and merges fire in exactly the learned order.
+   */
+  def applyBpeRanked(ranks: Map[(String, String), Int], word: String): Seq[String] = {
+    var sym: Array[String] = word.map(_.toString).toArray
+    var done = sym.length < 2
+    while (!done) {
+      var best = Int.MaxValue
+      var j = 0
+      while (j < sym.length - 1) {
+        val r = ranks.getOrElse((sym(j), sym(j + 1)), Int.MaxValue)
+        if (r < best) best = r
+        j += 1
+      }
+      if (best == Int.MaxValue) done = true
+      else {
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < sym.length) {
+          if (i + 1 < sym.length &&
+              ranks.getOrElse((sym(i), sym(i + 1)), Int.MaxValue) == best) {
+            out += sym(i) + sym(i + 1); i += 2
+          } else { out += sym(i); i += 1 }
+        }
+        sym = out.toArray
+        done = sym.length < 2
+      }
+    }
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(sym)
+  }
+
+  /**
+   * Distributed BPE tokenization: adds `outCol` = the document's token
+   * sequence (whitespace words segmented by the learned merge table,
+   * concatenated in order). Map-only over the corpus — the merge table
+   * broadcasts as a rank map ([[applyBpeRanked]]), and a per-task memo
+   * cache reuses segmentations across repeated words (Zipf makes the
+   * hit rate very high), so the corpus pays amortized O(tokens), not
+   * O(tokens · word-length²). NULL text → NULL tokens.
+   */
+  def tokenizeBpe(
+      docs: DataFrame,
+      textCol: String,
+      merges: Seq[(String, String)],
+      outCol: String = "tokens"): DataFrame = {
+    val ranks: Map[(String, String), Int] =
+      merges.zipWithIndex.map { case (m, i) => m -> i }.toMap
+    val bc = docs.sparkSession.sparkContext.broadcast(ranks)
+    val sep = java.util.regex.Pattern.compile("\\s+")
+    val tokU = F.udf(new Function1[String, Array[String]] with Serializable {
+      // per-THREAD LRU: tasks run concurrently in one executor JVM and
+      // LinkedHashMap is not thread-safe
+      @transient private lazy val memo = ThreadLocal.withInitial(
+        new java.util.function.Supplier[java.util.LinkedHashMap[String, Array[String]]] {
+          def get() = new java.util.LinkedHashMap[String, Array[String]](1 << 12, 0.75f, true) {
+            override def removeEldestEntry(
+                e: java.util.Map.Entry[String, Array[String]]): Boolean = size() > 65536
+          }
+        })
+      def apply(t: String): Array[String] =
+        if (t == null) null
+        else {
+          val m = memo.get()
+          sep.split(t).iterator.filter(_.nonEmpty).flatMap { w =>
+            var seg = m.get(w)
+            if (seg == null) {
+              seg = applyBpeRanked(bc.value, w).toArray
+              m.put(w, seg)
+            }
+            seg
+          }.toArray
+        }
+    })
+    docs.withColumn(outCol, tokU(F.col(textCol)))
+  }
+
   /** Segment a word with a learned merge table (merges applied in
     * learned order, each left-to-right non-overlapping). */
   def applyBpe(merges: Seq[(String, String)], word: String): Seq[String] = {

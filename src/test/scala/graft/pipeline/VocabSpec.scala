@@ -196,6 +196,52 @@ class VocabSpec extends SparkTestBase {
     }
   }
 
+  test("applyBpeRanked is equivalent to sequential applyBpe, at any merge-table size") {
+    // tricky corpora: self-pairs, chained merges, shared symbols
+    val corpora = Seq(
+      Seq("aaaa aaa aa banana bandana abab abc"),
+      Seq("low low low lower lower newest newest newest newest widest widest"))
+    corpora.foreach { corpus =>
+      val merges = Vocab.learnBpeMerges(corpus.toDF("text"), "text", 12)
+        .map(m => (m._1, m._2))
+      val ranks = merges.zipWithIndex.map { case (m, i) => m -> i }.toMap
+      val words = corpus.flatMap(_.split("\\s+")) ++
+        Seq("unseen", "ba", "aaaaa", "bananaband", "")
+      words.foreach { w =>
+        assert(Vocab.applyBpeRanked(ranks, w) === Vocab.applyBpe(merges, w), s"word=$w")
+      }
+    }
+    // and over the real corpus vocabulary
+    val real = sf("sf0.001", "documents")
+    val merges = Vocab.learnBpeMerges(real, "text", 24).map(m => (m._1, m._2))
+    val ranks = merges.zipWithIndex.map { case (m, i) => m -> i }.toMap
+    val vocab = real.select(F.explode(F.filter(
+        F.split(F.col("text"), "\\s+"), t => F.length(t) > 0)).as("w"))
+      .distinct().limit(500).as[String].collect()
+    vocab.foreach { w =>
+      assert(Vocab.applyBpeRanked(ranks, w) === Vocab.applyBpe(merges, w), s"word=$w")
+    }
+  }
+
+  test("tokenizeBpe tokenizes the corpus map-only, matching per-word segmentation") {
+    val docs = Seq((1L, "banana bandana"), (2L, "banana banana banana"),
+      (3L, ""), (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val merges = Vocab.learnBpeMerges(
+      Seq("banana banana bandana").toDF("text"), "text", 4).map(m => (m._1, m._2))
+    val out = Vocab.tokenizeBpe(docs, "text", merges)
+    val got = out.select("doc_id", "tokens")
+      .as[(Long, Option[Seq[String]])].collect().toMap
+    val exp1 = Vocab.applyBpe(merges, "banana") ++ Vocab.applyBpe(merges, "bandana")
+    assert(got(1L) === Some(exp1))
+    assert(got(2L) === Some(Seq.fill(3)(Vocab.applyBpe(merges, "banana")).flatten))
+    assert(got(3L) === Some(Seq.empty))          // empty text → empty tokens
+    assert(got(4L) === None)                     // NULL text → NULL
+    // map-only: no exchange in the tokenization plan
+    assert(!out.queryExecution.executedPlan.toString.contains("Exchange"))
+    // re-joining tokens reproduces the text's words
+    assert(got(1L).get.mkString === "bananabandana")
+  }
+
   test("applyBpe segments words with the learned merge table") {
     val docs = Seq("banana banana bandana").toDF("text")
     val merges = Vocab.learnBpeMerges(docs, "text", 4).map(m => (m._1, m._2))
