@@ -1565,6 +1565,11 @@ object SparkEntry {
     "q_lm_score" -> ((s: SparkSession, dir: String) =>
       graft.pipeline.Vocab.unigramLogLoss(t(s, dir, "documents"), "doc_id", "text")),
 
+    // bigram cross-entropy quality signal — fluency, not just token
+    // rarity; counts exact, ln/round cross-engine safe as in q_lm_score
+    "q_lm_bigram" -> ((s: SparkSession, dir: String) =>
+      graft.pipeline.Vocab.bigramLogLoss(t(s, dir, "documents"), "doc_id", "text")),
+
     // rolling-hash document fingerprints: collision-free vs normalized text
     "q_text_fingerprint" -> ((s: SparkSession, dir: String) => {
       val tf = graft.pipeline.TextFunctions
@@ -2546,6 +2551,18 @@ object SparkEntry {
       "q_rel_session_auto" -> base("q_rel_session"),
       "q_tokenize_bpe" ->
         """SELECT count(*) AS docs, true AS rank_eq_seq, true AS reconstructs
-          |FROM documents""".stripMargin)
+          |FROM documents""".stripMargin,
+      "q_lm_bigram" ->
+        """WITH f AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+          |                    x -> len(x) > 0) AS w FROM documents),
+          |big AS (SELECT doc_id, unnest(list_transform(range(1, len(w)),
+          |                 i -> w[i] || chr(1) || w[i+1])) AS bg
+          |        FROM f),
+          |bc AS (SELECT bg, CAST(count(*) AS DOUBLE) AS cb FROM big GROUP BY bg),
+          |lc AS (SELECT split_part(bg, chr(1), 1) AS l, sum(cb) AS cl FROM bc GROUP BY 1)
+          |SELECT doc_id, CAST(count(*) AS BIGINT) AS bigrams,
+          |       round(avg(-ln(cb / cl)), 4) AS score
+          |FROM big JOIN bc USING (bg) JOIN lc ON split_part(big.bg, chr(1), 1) = lc.l
+          |GROUP BY doc_id""".stripMargin)
   }
 }

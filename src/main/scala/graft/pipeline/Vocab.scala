@@ -137,6 +137,72 @@ object Vocab {
       .select(F.col(idCol), F.col("__s._1").as("tokens"), F.col("__s._2").as("score"))
   }
 
+  /**
+   * Per-document bigram cross-entropy — the next signal up from
+   * [[unigramLogLoss]]: score = avg over adjacent token pairs of
+   * -ln(count(l,r) / count(l as left)), rounded to 4 decimals. Word
+   * salad scores high even when its individual words are common;
+   * fluent text scores low. Returns (id, bigrams, score); documents
+   * with fewer than two tokens are omitted.
+   *
+   * Scale shape: ONE map-side-combined bigram-count exchange feeds
+   * both maps (left counts aggregate from the bigram table, not the
+   * corpus); both broadcasts are pruned to count >= 2 — a count-1
+   * bigram or left needs no entry because the scorer's
+   * `getOrElse(_, 1)` default IS its exact count — and scoring is
+   * map-only. Bigram keys join tokens with U+0001 (whitespace
+   * tokenization means tokens cannot contain whitespace, and U+0001
+   * inside a token would have to survive both engines identically —
+   * the oracle uses the same separator).
+   */
+  def bigramLogLoss(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val session = docs.sparkSession
+    import session.implicits._
+    val sep = java.util.regex.Pattern.compile("\\s+")
+    val pairU = F.udf((t: String) =>
+      if (t == null) Array.empty[String]
+      else {
+        val w = sep.split(t).filter(_.nonEmpty)
+        if (w.length < 2) Array.empty[String]
+        else Array.tabulate(w.length - 1)(i => w(i) + "\u0001" + w(i + 1))
+      })
+    val pairs = docs.select(F.explode(pairU(F.col(textCol))).as("bg"))
+      .groupBy(F.col("bg")).agg(F.count(F.lit(1)).as("c"))
+      .localCheckpoint(eager = false)
+    val bigramMap = pairs.filter(F.col("c") >= 2L)
+      .as[(String, Long)].collect().toMap
+    val leftMap = pairs
+      .select(F.split(F.col("bg"), "\u0001").getItem(0).as("l"), F.col("c"))
+      .groupBy(F.col("l")).agg(F.sum(F.col("c")).as("cl"))
+      .filter(F.col("cl") >= 2L)
+      .as[(String, Long)].collect().toMap
+    val bcB = session.sparkContext.broadcast(bigramMap)
+    val bcL = session.sparkContext.broadcast(leftMap)
+    val scoreU = F.udf((t: String) => {
+      if (t == null) None
+      else {
+        val w = sep.split(t).filter(_.nonEmpty)
+        if (w.length < 2) None
+        else {
+          var s = 0.0
+          var i = 0
+          while (i < w.length - 1) {
+            val cb = bcB.value.getOrElse(w(i) + "\u0001" + w(i + 1), 1L).toDouble
+            val cl = bcL.value.getOrElse(w(i), 1L).toDouble
+            s -= math.log(cb / cl)
+            i += 1
+          }
+          Some(((w.length - 1).toLong,
+            BigDecimal(s / (w.length - 1))
+              .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+        }
+      }
+    })
+    docs.select(F.col(idCol), scoreU(F.col(textCol)).as("__s"))
+      .filter(F.col("__s").isNotNull)
+      .select(F.col(idCol), F.col("__s._1").as("bigrams"), F.col("__s._2").as("score"))
+  }
+
   /** The bounded unigram model behind [[unigramLogLoss]]: the count map
     * pruned to count >= 2 (hapaxes reconstruct exactly via the
     * smoothing default), plus the UNPRUNED total occurrence count.

@@ -196,6 +196,39 @@ class VocabSpec extends SparkTestBase {
     }
   }
 
+  test("bigramLogLoss scores fluency against corpus bigram statistics") {
+    // "a b" always follows the pattern; doc 3 is the same words scrambled
+    val d = Seq(
+      (1L, "a b c a b c a b c"), (2L, "a b c a b c"),
+      (3L, "c a c b b a"), (4L, "solo"), (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = Vocab.bigramLogLoss(d, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L)._1 === 8L)
+    assert(!out.contains(4L) && !out.contains(5L))   // <2 tokens → omitted
+    // scrambled word salad scores strictly worse than the fluent docs
+    assert(out(3L)._2 > out(1L)._2 && out(3L)._2 > out(2L)._2)
+
+    // pruned maps reproduce the full computation exactly (hapax
+    // bigrams/lefts default to their true count 1)
+    val full = {
+      val toks = (t: String) => t.split("\\s+").filter(_.nonEmpty)
+      val all = d.as[(Long, Option[String])].collect()
+        .collect { case (id, Some(t)) => id -> toks(t) }
+      val bgs = all.flatMap(_._2.sliding(2).filter(_.length == 2).map(p => (p(0), p(1))))
+      val cb = bgs.groupBy(identity).view.mapValues(_.length.toLong).toMap
+      val cl = bgs.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+      all.filter(_._2.length >= 2).map { case (id, w) =>
+        val pairs = w.sliding(2).filter(_.length == 2).toSeq
+        val s = pairs.map(p => -math.log(
+          cb((p(0), p(1))).toDouble / cl(p(0)).toDouble)).sum
+        id -> BigDecimal(s / pairs.length)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }.toMap
+    }
+    full.foreach { case (id, exp) => assert(out(id)._2 === exp, s"doc $id") }
+  }
+
   test("applyBpeRanked is equivalent to sequential applyBpe, at any merge-table size") {
     // tricky corpora: self-pairs, chained merges, shared symbols
     val corpora = Seq(
