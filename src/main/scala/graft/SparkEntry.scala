@@ -1084,6 +1084,23 @@ object SparkEntry {
         .orderBy("id_new")
     }),
 
+    // incremental EXACT dedup against a persisted content-hash index:
+    // broadcast-bloom prune (no false negatives) + semi-join verify
+    // must equal plain set membership on text
+    "q_dedup_incremental_exact" -> ((s: SparkSession, dir: String) => {
+      val docs = t(s, dir, "documents")
+      val hist = docs.filter(F.col("doc_id") % 3 =!= 0)
+      val fresh = docs.filter(F.col("doc_id") % 3 === 0)
+        .select(F.col("doc_id"), F.col("text"))
+        .union(docs.filter(F.col("doc_id") % 3 =!= 0 && F.col("doc_id") % 7 === 0)
+          .select((F.col("doc_id") + 1000000L).as("doc_id"), F.col("text")))
+      val index = graft.pipeline.Dedup.buildContentHashIndex(hist, "text")
+      graft.pipeline.Dedup
+        .incrementalExactDuplicates(fresh, index, "doc_id", "text", 100000L, 0.01)
+        .agg(F.count(F.lit(1)).as("dups"),
+             F.coalesce(F.sum(F.col("doc_id")), F.lit(0L)).as("id_sum"))
+    }),
+
     // canonical-document selection: one survivor per normalized-text
     // group, preferring longer then lower-id docs
     "q_dedup_keepbest" -> ((s: SparkSession, dir: String) => {
@@ -2552,6 +2569,15 @@ object SparkEntry {
       "q_tokenize_bpe" ->
         """SELECT count(*) AS docs, true AS rank_eq_seq, true AS reconstructs
           |FROM documents""".stripMargin,
+      "q_dedup_incremental_exact" ->
+        """WITH hist AS (SELECT text FROM documents WHERE doc_id % 3 <> 0),
+          |fresh AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+          |          UNION ALL
+          |          SELECT doc_id + 1000000, text FROM documents
+          |          WHERE doc_id % 3 <> 0 AND doc_id % 7 = 0)
+          |SELECT CAST(count(*) AS BIGINT) AS dups,
+          |       CAST(coalesce(sum(doc_id), 0) AS BIGINT) AS id_sum
+          |FROM fresh WHERE text IN (SELECT text FROM hist)""".stripMargin,
       "q_lm_bigram" ->
         """WITH f AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
           |                    x -> len(x) > 0) AS w FROM documents),

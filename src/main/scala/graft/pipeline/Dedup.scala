@@ -58,6 +58,40 @@ object Dedup {
     keep.join(keyed, Seq("__h", idCol)).drop("__h")
   }
 
+  /** Persistable content-hash index for [[incrementalExactDuplicates]]:
+    * one (h) row per distinct sha2(content) — 32 bytes per document,
+    * never the text. Plain parquet via DataFrameWriter. */
+  def buildContentHashIndex(df: DataFrame, textCol: String): DataFrame =
+    df.select(F.sha2(F.col(textCol), 256).as("h")).distinct()
+
+  /**
+   * Incremental EXACT dedup — the nightly-batch shape: a fresh batch
+   * checked against a persisted [[buildContentHashIndex]] without
+   * reshuffling or re-reading history text. Two stages, both sound:
+   * a broadcast-bloom pre-filter over the index hashes (decoded once
+   * driver-side — no false negatives, so nothing already-seen slips
+   * through; ~fpp of the batch survives spuriously) and a semi-join
+   * against the index that removes those false positives exactly.
+   * Returns the fresh rows whose content was already seen (the
+   * duplicates to drop). At 100 TB the index is scanned once into a
+   * 1-row filter build and the verify join only shuffles the pruned
+   * sliver of the batch.
+   */
+  def incrementalExactDuplicates(
+      fresh: DataFrame,
+      index: DataFrame,
+      idCol: String,
+      textCol: String,
+      expectedItems: Long = graft.sketch.bloom.DefaultItems,
+      fpp: Double = graft.sketch.bloom.DefaultFpp): DataFrame = {
+    require(!fresh.columns.contains("__h"),
+      "column name __h is reserved by incrementalExactDuplicates")
+    val hashed = fresh.withColumn("__h", F.sha2(F.col(textCol), 256))
+    val pruned = graft.sketch.SketchOps
+      .bloomPrune(hashed, "__h", index, "h", expectedItems, fpp)
+    pruned.join(index, pruned("__h") === index("h"), "left_semi").drop("__h")
+  }
+
   /**
    * MinHash-LSH candidate pairs over a shingle-array column.
    * numHashes = bands * rowsPerBand. Returns distinct (id_a, id_b) with

@@ -52,6 +52,24 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(hits === Set((10L, 1L)))
   }
 
+  test("incrementalExactDuplicates: bloom prune + semi-join verify is exactly set membership") {
+    val hist = Seq.tabulate(300)(i => (i.toLong, s"hist doc $i")).toDF("doc_id", "text")
+    val fresh = (Seq.tabulate(100)(i => (1000L + i, s"fresh doc $i")) ++
+      Seq((2000L, "hist doc 7"), (2001L, "hist doc 42"), (2002L, "hist doc 7")))
+      .toDF("doc_id", "text")
+    val index = Dedup.buildContentHashIndex(hist, "text")
+    // a deliberately tiny, high-fpp filter floods the verify join with
+    // false positives — the semi-join must still return the exact set
+    val dups = Dedup.incrementalExactDuplicates(
+        fresh, index, "doc_id", "text", expectedItems = 10L, fpp = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(dups === Set(2000L, 2001L, 2002L))
+    // and with sane parameters too
+    val dups2 = Dedup.incrementalExactDuplicates(fresh, index, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(dups2 === Set(2000L, 2001L, 2002L))
+  }
+
   // --------------------------------------------- embedding near-dup
 
   test("embeddingNearDuplicatePairs finds exact and near copies, skips far pairs") {

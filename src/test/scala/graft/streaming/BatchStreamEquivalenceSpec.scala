@@ -233,4 +233,30 @@ class BatchStreamEquivalenceSpec extends SparkTestBase {
       assert(streamStrip === batchStrip)
     } finally { q1.stop(); q2.stop() }
   }
+
+  test("BPE tokenization is batch≡stream (broadcast rank table, per-thread memo, no state)") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.pipeline.Vocab
+    val staticDocs = sf("sf0.001", "documents").select("doc_id", "text")
+      .filter(F.col("doc_id") < 100)
+    val merges = Vocab.learnBpeMerges(staticDocs, "text", 12).map(m => (m._1, m._2))
+    val batch = Vocab.tokenizeBpe(staticDocs, "text", merges)
+      .select("doc_id", "tokens")
+      .as[(Long, Seq[String])].collect().toMap
+
+    val rows = staticDocs.as[(Long, String)].collect()
+    val input = MemoryStream[(Long, String)]
+    val q = Vocab.tokenizeBpe(input.toDF().toDF("doc_id", "text"), "text", merges)
+      .select("doc_id", "tokens")
+      .writeStream.format("memory").queryName("bs_tok").outputMode("append").start()
+    try {
+      input.addData(rows.toSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("bs_tok")
+        .as[(Long, Seq[String])].collect().toMap
+      assert(streamed === batch)
+    } finally q.stop()
+  }
 }
