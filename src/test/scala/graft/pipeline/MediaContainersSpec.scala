@@ -93,6 +93,35 @@ class MediaContainersSpec extends SparkTestBase {
     }
   }
 
+  test("container parsers never throw on random bytes (NULL discipline under fuzz)") {
+    val rnd = new scala.util.Random(1234)
+    (0 until 500).foreach { i =>
+      val len = 1 + rnd.nextInt(512)
+      val b = new Array[Byte](len)
+      rnd.nextBytes(b)
+      Multimodal.decodeVideo(b)   // must not throw
+      Multimodal.pdfText(b)       // must not throw
+      // seed with valid magic bytes so parsing gets past the header
+      if (len >= 12) {
+        "RIFF".getBytes.copyToArray(b, 0); "AVI ".getBytes.copyToArray(b, 8)
+        Multimodal.decodeVideo(b)
+      }
+      if (len >= 5) {
+        "%PDF-".getBytes.copyToArray(b, 0)
+        Multimodal.pdfText(b)
+      }
+    }
+    // corrupted-in-the-middle real payloads: flip bytes, never throw
+    val avi = Multimodal.mjpegAvi(Seq(jpegFrame(8, 8, 50), jpegFrame(8, 8, 200)), 8, 8)
+    val pdf = Multimodal.simplePdf(Seq("some text"), compress = true)
+    (0 until 200).foreach { _ =>
+      val a = avi.clone(); a(rnd.nextInt(a.length)) = rnd.nextInt(256).toByte
+      Multimodal.decodeVideo(a)
+      val p = pdf.clone(); p(rnd.nextInt(p.length)) = rnd.nextInt(256).toByte
+      Multimodal.pdfText(p)
+    }
+  }
+
   test("extractFeatures routes video and pdf through the real decoders") {
     val avi = Multimodal.mjpegAvi(Seq(jpegFrame(24, 12, 200)), 24, 12)
     val pdf = Multimodal.simplePdf(Seq("twelve chars"))

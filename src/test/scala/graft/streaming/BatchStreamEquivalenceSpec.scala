@@ -234,6 +234,38 @@ class BatchStreamEquivalenceSpec extends SparkTestBase {
     } finally { q1.stop(); q2.stop() }
   }
 
+  test("incremental exact dedup is batch≡stream (broadcast bloom + stream-static semi-join)") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.pipeline.Dedup
+    val docs = sf("sf0.001", "documents").select("doc_id", "text")
+    val hist = docs.filter(F.col("doc_id") % 3 =!= 0)
+    val freshRows = docs.filter(F.col("doc_id") % 3 === 0)
+      .union(hist.filter(F.col("doc_id") % 7 === 0)
+        .select((F.col("doc_id") + 1000000L).as("doc_id"), F.col("text")))
+      .as[(Long, String)].collect()
+    val index = Dedup.buildContentHashIndex(hist, "text")
+      .localCheckpoint(eager = false)
+    val batch = Dedup.incrementalExactDuplicates(
+        freshRows.toSeq.toDF("doc_id", "text"), index, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(batch.nonEmpty)
+
+    val input = MemoryStream[(Long, String)]
+    val q = Dedup.incrementalExactDuplicates(
+        input.toDF().toDF("doc_id", "text"), index, "doc_id", "text")
+      .select("doc_id")
+      .writeStream.format("memory").queryName("bs_inc_exact")
+      .outputMode("append").start()
+    try {
+      input.addData(freshRows.toSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("bs_inc_exact").as[Long].collect().toSet
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("BPE tokenization is batch≡stream (broadcast rank table, per-thread memo, no state)") {
     val session = spark
     import session.implicits._
