@@ -307,6 +307,25 @@ object Bench {
              F.count(F.lit(1)).as("docs"))
     }),
 
+    // bigram cross-entropy scoring: one bigram-count exchange + pruned
+    // broadcast maps + map-only scoring
+    "b_lm_bigram" -> ((s: SparkSession, dir: String) =>
+      graft.pipeline.Vocab.bigramLogLoss(t(s, dir, "documents"), "doc_id", "text")),
+
+    // incremental exact dedup: broadcast-bloom prune of the fresh batch
+    // against the history hash index + semi-join verify
+    "b_dedup_incremental_exact" -> ((s: SparkSession, dir: String) => {
+      val docs = t(s, dir, "documents")
+      val hist = docs.filter(F.col("doc_id") % 3 =!= 0)
+      val fresh = docs.filter(F.col("doc_id") % 3 === 0)
+        .select(F.col("doc_id"), F.col("text"))
+        .union(hist.filter(F.col("doc_id") % 7 === 0)
+          .select((F.col("doc_id") + 1000000L).as("doc_id"), F.col("text")))
+      graft.pipeline.Dedup.incrementalExactDuplicates(
+        fresh, graft.pipeline.Dedup.buildContentHashIndex(hist, "text"),
+        "doc_id", "text")
+    }),
+
     // corpus-frequency boilerplate strip (two passes, map-only rewrite)
     "b_boilerplate" -> ((s: SparkSession, dir: String) => {
       val docs = t(s, dir, "documents")
