@@ -1582,6 +1582,39 @@ object SparkEntry {
     "q_lm_score" -> ((s: SparkSession, dir: String) =>
       graft.pipeline.Vocab.unigramLogLoss(t(s, dir, "documents"), "doc_id", "text")),
 
+    // trainable linear quality filter (hashed bag-of-words + logistic
+    // regression), the spam-filter shape: real documents are the clean
+    // class, deterministic doc_id-seeded spam the positive class;
+    // trained on the even-id half, the broadcast-coefficient scorer
+    // must classify the UNSEEN odd-id half near-perfectly (the
+    // vocabularies are genuinely separable, unlike the testdata's
+    // text-independent lang/source labels)
+    "q_quality_classifier" -> ((s: SparkSession, dir: String) => {
+      val spamWords = Array("click", "winner", "casino", "pills", "free",
+        "prize", "claim", "bonus", "unsubscribe", "offer")
+      val spamU = F.udf((id: Long) => {
+        val r = new scala.util.Random(id)
+        Seq.fill(60)(spamWords(r.nextInt(spamWords.length))).mkString(" ")
+      })
+      val docs = t(s, dir, "documents")
+      val clean = docs.select(F.col("doc_id"), F.col("text"),
+        F.lit(0).as("label"))
+      val spam = docs.select((F.col("doc_id") + 1000000L).as("doc_id"),
+        spamU(F.col("doc_id")).as("text"), F.lit(1).as("label"))
+      val all = clean.union(spam)
+      val model = graft.pipeline.QualityClassifier.train(
+        all.filter(F.col("doc_id") % 2 === 0), "text", "label", dim = 1 << 16)
+      val holdout = graft.pipeline.QualityClassifier.score(
+        all.filter(F.col("doc_id") % 2 === 1), "text", model)
+      holdout.agg(
+        F.count(F.lit(1)).as("held_out"),
+        ((F.sum(F.when(
+          (F.col("quality_prob") >= 0.5 && F.col("label") === 1) ||
+          (F.col("quality_prob") < 0.5 && F.col("label") === 0), 1L)
+          .otherwise(0L)).cast("double") / F.count(F.lit(1))) >= 0.95)
+          .as("holdout_acc_ok"))
+    }),
+
     // bigram cross-entropy quality signal — fluency, not just token
     // rarity; counts exact, ln/round cross-engine safe as in q_lm_score
     "q_lm_bigram" -> ((s: SparkSession, dir: String) =>
@@ -2569,6 +2602,9 @@ object SparkEntry {
       "q_tokenize_bpe" ->
         """SELECT count(*) AS docs, true AS rank_eq_seq, true AS reconstructs
           |FROM documents""".stripMargin,
+      "q_quality_classifier" ->
+        """SELECT CAST(2 * count(*) AS BIGINT) AS held_out, true AS holdout_acc_ok
+          |FROM documents WHERE doc_id % 2 = 1""".stripMargin,
       "q_dedup_incremental_exact" ->
         """WITH hist AS (SELECT text FROM documents WHERE doc_id % 3 <> 0),
           |fresh AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
