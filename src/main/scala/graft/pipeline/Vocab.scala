@@ -247,7 +247,9 @@ object Vocab {
       docs: DataFrame,
       textCol: String,
       k: Int): Seq[(String, String, Long)] =
-    learnBpeMergesBatched(docs, textCol, k, batchSize = 16)._1
+    // a wider batch is free when admission is low (the collect grows by
+    // batch+1 TINY rows) and halves the rounds when pairs are disjoint
+    learnBpeMergesBatched(docs, textCol, k, batchSize = 32)._1
 
   /**
    * Batched BPE learning; returns (merges, rounds) where `rounds` is
