@@ -38,6 +38,11 @@ object Bench {
   private val bpeMergeCache =
     scala.collection.concurrent.TrieMap[String, Seq[(String, String)]]()
 
+  // trained once per dir like a persisted model artifact, so b_quality
+  // times the broadcast-dot-product scoring scan, not LBFGS
+  private val qualityModelCache = scala.collection.concurrent.TrieMap[String,
+    graft.pipeline.QualityClassifier.Model]()
+
   /** Headline queries: representative operator workloads. */
   def benchQueries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
 
@@ -324,6 +329,21 @@ object Bench {
       graft.pipeline.Dedup.incrementalExactDuplicates(
         fresh, graft.pipeline.Dedup.buildContentHashIndex(hist, "text"),
         "doc_id", "text")
+    }),
+
+    // trained-filter scoring over the corpus: one map-only scan with a
+    // broadcast coefficient array (training cached like a model artifact)
+    "b_quality" -> ((s: SparkSession, dir: String) => {
+      val docs = t(s, dir, "documents")
+      val model = qualityModelCache.getOrElseUpdate(dir, {
+        val labeled = docs.withColumn("label",
+          (graft.pipeline.TextFunctions.qualityScore(
+            F.col("text"), F.col("n_chars")) > 0.55).cast("int"))
+        graft.pipeline.QualityClassifier.train(labeled, "text", "label")
+      })
+      graft.pipeline.QualityClassifier.score(docs, "text", model)
+        .agg(F.avg(F.col("quality_prob")).as("mean_prob"),
+             F.count(F.lit(1)).as("docs"))
     }),
 
     // corpus-frequency boilerplate strip (two passes, map-only rewrite)
