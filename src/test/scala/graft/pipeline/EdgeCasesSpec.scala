@@ -36,6 +36,29 @@ class EdgeCasesSpec extends SparkTestBase {
     assert(doc2._3 === "a" && doc2._4 === 3L && doc2._5 === 1L)
   }
 
+  test("tokenizeBpe with an empty merge table yields character tokens (applyBpe parity)") {
+    val docs = Seq((1L, "ab cd")).toDF("doc_id", "text")
+    val toks = Vocab.tokenizeBpe(docs, "text", Seq.empty)
+      .select("tokens").as[Seq[String]].head()
+    assert(toks === Seq("a", "b", "c", "d"))
+    assert(Vocab.applyBpe(Seq.empty, "ab") === Seq("a", "b"))
+    assert(Vocab.applyBpeRanked(Map.empty, "ab") === Seq("a", "b"))
+  }
+
+  test("incrementalExactDuplicates with an empty index finds nothing") {
+    val fresh = Seq((1L, "doc a"), (2L, "doc b")).toDF("doc_id", "text")
+    val emptyIdx = Dedup.buildContentHashIndex(
+      fresh.filter(F.lit(false)), "text")
+    assert(Dedup.incrementalExactDuplicates(
+      fresh, emptyIdx, "doc_id", "text").count() === 0L)
+  }
+
+  test("bigramLogLoss on a corpus of sub-2-token docs is empty, not an error") {
+    val d = Seq((1L, "solo"), (2L, ""), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    assert(Vocab.bigramLogLoss(d, "doc_id", "text").count() === 0L)
+  }
+
   test("bloomPrune with an empty small side prunes to empty (matches the empty join)") {
     val big = spark.range(100).toDF("k")
     val empty = spark.range(0).toDF("j")
