@@ -288,7 +288,9 @@ object Multimodal {
         while (off + 8 <= to) {
           val id = fourcc(b, off)
           val size = readIntLE(b, off + 4)
-          if (size < 0 || off + 8 + size > to) return
+          // long math: a crafted size near Int.MaxValue overflows the
+          // int sum negative and would sneak past the bounds check
+          if (size < 0 || off + 8L + size > to) return
           if (id == "LIST" && size >= 4) {
             walk(off + 12, off + 8 + size)   // descend past the list type
           } else if (id == "avih" && size >= 40) {

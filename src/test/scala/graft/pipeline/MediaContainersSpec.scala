@@ -111,6 +111,22 @@ class MediaContainersSpec extends SparkTestBase {
         Multimodal.pdfText(b)
       }
     }
+    // crafted chunk size near Int.MaxValue: the bounds check must not
+    // int-overflow into accepting an out-of-range frame slice
+    val evil = Multimodal.mjpegAvi(Seq(jpegFrame(8, 8, 50)), 8, 8)
+    val moviAt = {
+      // find the movi LIST's first frame chunk ("00dc") and corrupt its size
+      var i = 0
+      while (!(evil(i) == '0' && evil(i + 1) == '0' && evil(i + 2) == 'd' &&
+        evil(i + 3) == 'c')) i += 1
+      i + 4
+    }
+    evil(moviAt) = 0xF8.toByte; evil(moviAt + 1) = 0xFF.toByte
+    evil(moviAt + 2) = 0xFF.toByte; evil(moviAt + 3) = 0x7F.toByte   // ~Int.MaxValue
+    assert(Multimodal.decodeVideo(evil).isEmpty)
+    val evilMedia = Seq(Multimodal.MediaRecord(9L, "video", evil, 0L, "t")).toDS()
+    assert(Multimodal.sampleKeyframes(evilMedia, 1, 10).count() === 0L)
+
     // corrupted-in-the-middle real payloads: flip bytes, never throw
     val avi = Multimodal.mjpegAvi(Seq(jpegFrame(8, 8, 50), jpegFrame(8, 8, 200)), 8, 8)
     val pdf = Multimodal.simplePdf(Seq("some text"), compress = true)
