@@ -40,8 +40,7 @@ object QualityClassifier {
       dim: Int = 1 << 18,
       maxIter: Int = 20,
       regParam: Double = 1e-4): Model = {
-    require(dim > 0 && Integer.bitCount(dim) == 1,
-      s"dim must be a power of two, got $dim")
+    require(dim > 0, s"dim must be positive, got $dim")
     val labeled = docs
       .select(tokensCol(F.col(textCol)).as("__toks"),
         F.col(labelCol).cast("double").as("label"))
@@ -73,7 +72,6 @@ object QualityClassifier {
       if (t == null) None
       else {
         val m = bc.value
-        val mask = m.dim - 1
         var z = m.intercept
         // per-token counts fold straight into the dot product: the
         // hashed-TF vector is sum of one-hot buckets
@@ -85,7 +83,9 @@ object QualityClassifier {
             val u = org.apache.spark.unsafe.types.UTF8String.fromString(w)
             val h = org.apache.spark.unsafe.hash.Murmur3_x86_32
               .hashUnsafeBytes2(u.getBaseObject, u.getBaseOffset, u.numBytes(), 42)
-            val idx = ((h % m.dim) + m.dim) & mask
+            // plain non-negative mod: a hand-built Model need not have
+            // a power-of-two dim, so no mask shortcut here
+            val idx = ((h % m.dim) + m.dim) % m.dim
             z += m.coefficients(idx)
           }
         }

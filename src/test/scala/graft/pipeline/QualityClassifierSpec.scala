@@ -70,4 +70,18 @@ class QualityClassifierSpec extends SparkTestBase {
     assert(QualityClassifier.score(nulls, "text", model)
       .filter(F.col("quality_prob").isNull).count() === 1L)
   }
+
+  test("non-power-of-two dim trains and scores consistently") {
+    val rows = synth(100, goodWords, 1, 7) ++ synth(100, badWords, 0, 8)
+    val df = rows.toDF("id", "text", "label")
+    // HashingTF's nonNegativeMod works for any positive dim; the
+    // broadcast scorer must use the same plain mod (no pow2 mask)
+    val model = QualityClassifier.train(df, "text", "label", dim = 1000, maxIter = 25)
+    assert(model.dim === 1000 && model.coefficients.length === 1000)
+    val scored = QualityClassifier.score(df, "text", model)
+    val acc = scored.filter(
+      (F.col("quality_prob") >= 0.5 && F.col("label") === 1) ||
+      (F.col("quality_prob") < 0.5 && F.col("label") === 0)).count()
+    assert(acc === 200L)
+  }
 }
