@@ -1049,6 +1049,31 @@ object SparkEntry {
                F.sum(F.col("doc_id")).as("kept_id_sum"))
     }),
 
+    // exact duplicated-substring spans (Lee et al. 2021 style): every
+    // 8-token gram occurring >= 2x in the corpus marks its span;
+    // overlapping/adjacent marks merge into maximal spans
+    "q_dedup_substring" -> ((s: SparkSession, dir: String) => {
+      graft.pipeline.Dedup.duplicateSpans(
+          t(s, dir, "documents"), "doc_id", "text", k = 8)
+        .orderBy("doc_id", "span_start")
+    }),
+
+    // duplicated-substring removal keeping the globally first copy:
+    // per-doc removed-token counts for every rewritten document
+    "q_dedup_substring_strip" -> ((s: SparkSession, dir: String) => {
+      val docs = t(s, dir, "documents")
+      val nTok = F.size(F.filter(F.split(F.col("text"), "\\s+"),
+        (x: org.apache.spark.sql.Column) => F.length(x) > 0))
+      val before = docs.select(F.col("doc_id"), nTok.cast("long").as("__nb"))
+      val after = graft.pipeline.Dedup
+        .stripDuplicateSpans(docs, "doc_id", "text", k = 8)
+        .select(F.col("doc_id"), nTok.cast("long").as("__na"))
+      before.join(after, "doc_id")
+        .select(F.col("doc_id"), (F.col("__nb") - F.col("__na")).as("removed"))
+        .filter(F.col("removed") > 0)
+        .orderBy("doc_id")
+    }),
+
     // embedding-cosine near-dup: the corpus augmented with exact copies
     // of vectors 0-49 (shifted ids). Copies collide in every LSH table
     // (identical signatures), so recall is exactly 1.0 and the verified
@@ -1316,6 +1341,36 @@ object SparkEntry {
           Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.25))
         .groupBy(F.col("source"))
         .agg(F.count(F.lit(1)).as("n_kept"),
+             F.sum(F.col("doc_id")).cast("long").as("id_sum"))
+        .orderBy(F.col("source"))
+    }),
+
+    // temperature-flattened mixture (alpha = 0.5): small sources keep
+    // everything, large sources thin toward sqrt-proportional shares
+    "q_mix_temperature" -> ((s: SparkSession, dir: String) => {
+      graft.pipeline.Sampling
+        .temperatureRebalance(t(s, dir, "documents"),
+          F.col("source"), F.col("doc_id"), alpha = 0.5)
+        .groupBy(F.col("source"))
+        .agg(F.count(F.lit(1)).as("n_kept"),
+             F.sum(F.col("doc_id")).cast("long").as("id_sum"))
+        .orderBy(F.col("source"))
+    }),
+
+    // per-source token budget: deterministic md5-ordered prefix whose
+    // inclusive running token total stays <= 2000
+    "q_token_budget" -> ((s: SparkSession, dir: String) => {
+      val toks = F.coalesce(
+        F.size(F.filter(F.split(F.col("text"), "\\s+"),
+          (x: org.apache.spark.sql.Column) => F.length(x) > 0)).cast("long"),
+        F.lit(0L))
+      graft.pipeline.Sampling
+        .takeTokenBudget(
+          t(s, dir, "documents").withColumn("__tok", toks),
+          F.col("source"), F.col("doc_id"), F.col("__tok"), budget = 2000L)
+        .groupBy(F.col("source"))
+        .agg(F.count(F.lit(1)).as("n_kept"),
+             F.sum(F.col("__tok")).cast("long").as("tok_sum"),
              F.sum(F.col("doc_id")).cast("long").as("id_sum"))
         .orderBy(F.col("source"))
     }),
@@ -2167,6 +2222,49 @@ object SparkEntry {
         |            WHERE inter >= (sa.sz + sb.sz - inter) * 0.8)
         |SELECT count(*) AS kept, CAST(sum(doc_id) AS BIGINT) AS kept_id_sum
         |FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM removed)""".stripMargin,
+    "q_dedup_substring" ->
+      """WITH d AS (SELECT doc_id,
+        |             list_filter(string_split_regex(text, '\s+'), s -> len(s) > 0) AS toks
+        |           FROM documents WHERE text IS NOT NULL),
+        |g AS (SELECT doc_id, i AS s, i + 7 AS e, array_to_string(toks[i:i+7], ' ') AS gram
+        |      FROM d, range(1, 4000) u(i) WHERE u.i <= len(toks) - 7),
+        |dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+        |m AS (SELECT g.doc_id, g.s, g.e FROM g JOIN dup USING (gram)),
+        |o AS (SELECT doc_id, s, e,
+        |             max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+        |                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        |      FROM m),
+        |isl AS (SELECT doc_id, s, e,
+        |               sum(CASE WHEN pmax IS NULL OR s > pmax + 1 THEN 1 ELSE 0 END)
+        |                 OVER (PARTITION BY doc_id ORDER BY s, e) AS grp
+        |        FROM o),
+        |spans AS (SELECT doc_id, min(s) AS ss, max(e) AS se FROM isl GROUP BY doc_id, grp)
+        |SELECT doc_id, CAST(ss AS BIGINT) AS span_start, CAST(se AS BIGINT) AS span_end
+        |FROM spans ORDER BY doc_id, span_start""".stripMargin,
+    "q_dedup_substring_strip" ->
+      """WITH d AS (SELECT doc_id,
+        |             list_filter(string_split_regex(text, '\s+'), s -> len(s) > 0) AS toks
+        |           FROM documents WHERE text IS NOT NULL),
+        |g AS (SELECT doc_id, i AS s, i + 7 AS e, array_to_string(toks[i:i+7], ' ') AS gram
+        |      FROM d, range(1, 4000) u(i) WHERE u.i <= len(toks) - 7),
+        |-- keeper = globally first occurrence (lowest (doc_id, pos));
+        |-- positions are < 1e6 so the packed key orders identically
+        |dup AS (SELECT gram, min(doc_id * 1000000 + s) AS fk
+        |        FROM g GROUP BY gram HAVING count(*) >= 2),
+        |m AS (SELECT g.doc_id, g.s, g.e FROM g JOIN dup USING (gram)
+        |      WHERE g.doc_id * 1000000 + g.s <> dup.fk),
+        |o AS (SELECT doc_id, s, e,
+        |             max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+        |                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        |      FROM m),
+        |isl AS (SELECT doc_id, s, e,
+        |               sum(CASE WHEN pmax IS NULL OR s > pmax + 1 THEN 1 ELSE 0 END)
+        |                 OVER (PARTITION BY doc_id ORDER BY s, e) AS grp
+        |        FROM o),
+        |spans AS (SELECT doc_id, min(s) AS ss, max(e) AS se FROM isl GROUP BY doc_id, grp)
+        |SELECT doc_id, CAST(sum(se - ss + 1) AS BIGINT) AS removed
+        |FROM spans GROUP BY doc_id HAVING sum(se - ss + 1) > 0
+        |ORDER BY doc_id""".stripMargin,
     "q_dedup_incremental_embed" ->
       """SELECT vec_id + 100000 AS id_new, vec_id AS id_old, true AS cos_ok
         |FROM embeddings WHERE vec_id < 50 ORDER BY id_new""".stripMargin,
@@ -2392,6 +2490,31 @@ object SparkEntry {
         |  OR substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
         |       < printf('%04x', CAST(round(f * 65536.0) AS INT))))
         |GROUP BY source ORDER BY source""".stripMargin,
+    "q_mix_temperature" ->
+      """WITH cnt AS (SELECT source AS dom, CAST(count(*) AS DOUBLE) AS n
+        |             FROM documents GROUP BY 1),
+        |w AS (SELECT dom, n, pow(n, 0.5) AS wt FROM cnt),
+        |t AS (SELECT min(n / wt) AS t FROM w),
+        |frac AS (SELECT dom, least(1.0, wt * t / n) AS f FROM w, t)
+        |SELECT source, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM documents d JOIN frac ON d.source = frac.dom
+        |WHERE f >= 1.0 OR (f > 0.0 AND (CAST(round(f * 65536.0) AS INT) >= 65536
+        |  OR substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+        |       < printf('%04x', CAST(round(f * 65536.0) AS INT))))
+        |GROUP BY source ORDER BY source""".stripMargin,
+    "q_token_budget" ->
+      """WITH d AS (SELECT source, doc_id,
+        |             coalesce(len(list_filter(string_split_regex(text, '\s+'),
+        |                                      s -> len(s) > 0)), 0) AS tok
+        |           FROM documents),
+        |c AS (SELECT source, doc_id, tok,
+        |             sum(tok) OVER (PARTITION BY source
+        |                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        |                            ROWS UNBOUNDED PRECEDING) AS cum
+        |      FROM d)
+        |SELECT source, count(*) AS n_kept, CAST(sum(tok) AS BIGINT) AS tok_sum,
+        |       CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM c WHERE cum <= 2000 GROUP BY source ORDER BY source""".stripMargin,
     "q_sample_weighted" ->
       """WITH w AS (SELECT source, doc_id,
         |             least(n_chars / 1000.0, 1.0) AS wt,

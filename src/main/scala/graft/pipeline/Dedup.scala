@@ -572,4 +572,137 @@ object Dedup {
       .filter(F.col("hamming") <= maxHamming)
       .distinct()
   }
+
+  /** Merge sorted-or-not (start, end) intervals, fusing overlapping AND
+    * adjacent ones (tokens 1-8 and 9-16 both duplicated = one
+    * contiguous duplicated region 1-16). Input sizes are bounded by a
+    * single document's token count, so this runs rowwise in a UDF. */
+  private[pipeline] def mergeIntervals(iv: Seq[(Long, Long)]): Seq[(Long, Long)] = {
+    if (iv.isEmpty) Nil
+    else {
+      val sorted = iv.sortBy(identity)
+      val out = scala.collection.mutable.ArrayBuffer[(Long, Long)](sorted.head)
+      sorted.tail.foreach { case (s, e) =>
+        val (ps, pe) = out.last
+        if (s <= pe + 1) out(out.length - 1) = (ps, math.max(pe, e))
+        else out += ((s, e))
+      }
+      out.toSeq
+    }
+  }
+
+  /** Whitespace tokens (split on `\s+`, empties dropped) — the same
+    * tokenization every text oracle in this repo uses. */
+  private def wsTokens(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    F.filter(F.split(c, "\\s+"), t => F.length(t) > 0)
+
+  /** One row per k-token gram occurrence: (id, __s, __e, __gh) with
+    * 1-based inclusive token positions and a 64-bit gram hash. The
+    * shuffle key downstream is the 8-byte hash, never the gram text;
+    * collision odds at n grams are ~n^2/2^65 (~3e-4 at 1e8 grams —
+    * and a collision only ever over-marks a span, never crashes). */
+  private def gramOccurrences(
+      df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    df.select(F.col(idCol), wsTokens(F.col(textCol)).as("__toks"))
+      .withColumn("__n", F.size(F.col("__toks")))
+      .filter(F.col("__n") >= k)
+      .select(F.col(idCol), F.posexplode(
+        F.transform(F.sequence(F.lit(1), F.col("__n") - (k - 1)),
+          i => F.xxhash64(F.array_join(F.slice(F.col("__toks"), i, F.lit(k)), " ")))))
+      .select(F.col(idCol),
+        (F.col("pos") + 1).cast("long").as("__s"),
+        (F.col("pos") + k).cast("long").as("__e"),
+        F.col("col").as("__gh"))
+  }
+
+  /**
+   * Exact duplicated-substring detection (Lee et al. 2021,
+   * "Deduplicating Training Data Makes Language Models Better"): every
+   * k-token gram occurring >= `minCount` times in the corpus marks its
+   * token span; overlapping/adjacent marks merge into maximal spans.
+   * Returns (idCol, span_start, span_end) with 1-based inclusive
+   * whitespace-token indices, one row per maximal span.
+   *
+   * With `keepFirst` the globally first occurrence of each duplicated
+   * gram (lowest (id, position)) is NOT marked — the span set then
+   * describes exactly what [[stripDuplicateSpans]] removes while one
+   * copy of every repeated passage survives.
+   *
+   * Scale shape: the corpus explodes to one 24-byte row per token (the
+   * same order as any tokenizing scan); the single wide shuffle is the
+   * gram-hash groupBy, whose partial aggregation emits one row per
+   * DISTINCT gram. The duplicated-gram table that joins back is the
+   * repeated sliver only — AQE broadcasts it when small. Per-doc span
+   * merge is a rowwise UDF over position lists bounded by document
+   * length.
+   */
+  def duplicateSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8,
+      minCount: Int = 2,
+      keepFirst: Boolean = false): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    require(minCount >= 2, s"minCount must be >= 2, got $minCount")
+    val occ = gramOccurrences(df, idCol, textCol, k)
+    val dup = occ.groupBy(F.col("__gh"))
+      .agg(F.count(F.lit(1)).as("__c"),
+           F.min(F.struct(F.col(idCol), F.col("__s"))).as("__first"))
+      .filter(F.col("__c") >= minCount)
+      .select(F.col("__gh"), F.col("__first"))
+    val marked0 = occ.join(dup, "__gh")
+    val marked =
+      if (keepFirst)
+        marked0.filter(!(F.col(idCol) === F.col(s"__first.$idCol") &&
+                         F.col("__s") === F.col("__first.__s")))
+      else marked0
+    val merge = F.udf((iv: Seq[org.apache.spark.sql.Row]) =>
+      mergeIntervals(iv.map(r => (r.getLong(0), r.getLong(1)))))
+    marked
+      .groupBy(F.col(idCol))
+      .agg(F.collect_list(F.struct(F.col("__s"), F.col("__e"))).as("__iv"))
+      .select(F.col(idCol), F.explode(merge(F.col("__iv"))).as("__sp"))
+      .select(F.col(idCol),
+        F.col("__sp._1").as("span_start"),
+        F.col("__sp._2").as("span_end"))
+  }
+
+  /**
+   * Remove duplicated substrings, keeping the globally first occurrence
+   * of each repeated k-gram: rewrites `textCol` with the tokens inside
+   * [[duplicateSpans]](keepFirst = true) spans deleted (remaining
+   * tokens re-joined with single spaces — the rewrite is
+   * whitespace-normalizing, like every tokenizing rewrite here).
+   * Documents without duplicated spans pass through byte-identical.
+   * One broadcast-or-shuffle join of the span sliver onto the corpus;
+   * the corpus itself never shuffles.
+   */
+  def stripDuplicateSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8,
+      minCount: Int = 2): DataFrame = {
+    val spans = duplicateSpans(df, idCol, textCol, k, minCount, keepFirst = true)
+      .groupBy(F.col(idCol))
+      .agg(F.collect_list(F.struct(F.col("span_start"), F.col("span_end"))).as("__spans"))
+    val ws = java.util.regex.Pattern.compile("\\s+")
+    val rewrite = F.udf((t: String, spans: Seq[org.apache.spark.sql.Row]) => {
+      if (t == null) null
+      else {
+        val sp = spans.map(r => (r.getLong(0), r.getLong(1)))
+        val toks = ws.split(t).iterator.filter(_.nonEmpty).toArray
+        val kept = toks.iterator.zipWithIndex.collect {
+          case (tok, i0) if !sp.exists { case (s, e) => i0 + 1 >= s && i0 + 1 <= e } => tok
+        }
+        kept.mkString(" ")
+      }
+    })
+    df.join(spans, Seq(idCol), "left")
+      .withColumn(textCol,
+        F.when(F.col("__spans").isNull, F.col(textCol))
+          .otherwise(rewrite(F.col(textCol), F.col("__spans"))))
+      .drop("__spans")
+  }
 }

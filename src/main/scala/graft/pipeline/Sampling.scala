@@ -180,6 +180,71 @@ object Sampling {
   }
 
   /**
+   * Temperature-based mixture rebalancing (the multilingual-pretraining
+   * recipe, e.g. XLM-R: sample domain d with probability proportional
+   * to n_d^alpha). alpha = 1 keeps the natural mixture; alpha -> 0
+   * flattens toward uniform, up-weighting small domains. Like
+   * [[rebalanceToDistribution]] this never upsamples: with weights
+   * w_d = n_d^alpha the kept total is T = min_d(n_d / w_d) (the
+   * smallest domain binds and is kept whole) and every domain keeps a
+   * w_d * T / n_d fraction via the same shuffle-free md5 predicate —
+   * one count aggregate over the domain column, then a broadcast
+   * re-attach; the corpus itself never shuffles.
+   */
+  def temperatureRebalance(
+      df: DataFrame,
+      domain: Column,
+      key: Column,
+      alpha: Double,
+      scale: Double = 1.0): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
+    require(scale > 0.0 && scale <= 1.0, s"scale must be in (0, 1], got $scale")
+    val tagged = df.withColumn("__dom", domain).filter(F.col("__dom").isNotNull)
+    val counts = tagged.groupBy(F.col("__dom"))
+      .agg(F.count(F.lit(1)).cast("double").as("__n"))
+      .withColumn("__w", F.pow(F.col("__n"), alpha))
+    val t = counts.agg(F.min(F.col("__n") / F.col("__w")).as("__t"))
+    val frac = counts.crossJoin(t)
+      .select(F.col("__dom"),
+        F.least(F.lit(1.0), F.col("__w") * F.col("__t") * scale / F.col("__n"))
+          .as("__frac"))
+    val hex = F.substring(F.md5(key.cast("string")), 1, 4)
+    val thr = F.round(F.col("__frac") * 65536.0, 0).cast("int")
+    tagged
+      .join(F.broadcast(frac), "__dom")
+      .filter(F.col("__frac") >= 1.0 ||
+        (F.col("__frac") > 0.0 &&
+          (thr >= 65536 || hex < F.format_string("%04x", thr))))
+      .drop("__dom", "__frac")
+  }
+
+  /**
+   * Per-domain token-budget selection: walk each domain's rows in
+   * deterministic md5(key) order and keep rows while the INCLUSIVE
+   * running token total stays <= `budget` — "at most B tokens from
+   * every source", the budget-capping step of a data-mixture build.
+   * Engine-portable (sum() OVER (PARTITION BY domain ORDER BY
+   * md5(key), key) <= B) and one hash exchange on the domain column;
+   * a hot domain is one window partition, so pre-thin extreme skew
+   * with [[deterministicSample]] first (same caveat as
+   * [[stratifiedFixedK]]).
+   */
+  def takeTokenBudget(
+      df: DataFrame,
+      domain: Column,
+      key: Column,
+      tokens: Column,
+      budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(domain).orderBy(F.md5(key.cast("string")), key)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    df.withColumn("__cum", F.sum(tokens.cast("long")).over(w))
+      .filter(F.col("__cum") <= budget)
+      .drop("__cum")
+  }
+
+  /**
    * Stratified deterministic sample: per-stratum fractions, with
    * `defaultFraction` for strata not in the map. Same md5 predicate,
    * just a per-stratum threshold — still shuffle-free.

@@ -288,4 +288,50 @@ class PipelineOpsSpec extends SparkTestBase {
       Map("a" -> 2.0, "b" -> 1.0)).select("id").as[Long].collect().toSet
     assert(r1 === r2)
   }
+
+  test("temperatureRebalance: alpha=1 is identity, small alpha flattens, smallest domain kept whole") {
+    val df = spark.range(13000)
+      .withColumn("dom", F.when(F.col("id") < 9000, "big")
+        .when(F.col("id") < 12000, "mid").otherwise("small"))
+    // alpha = 1 keeps the natural mixture: every frac is exactly 1
+    assert(Sampling.temperatureRebalance(df, F.col("dom"), F.col("id"), alpha = 1.0)
+      .count() === 13000)
+    // alpha = 0.5: w_d = sqrt(n_d), T = min(sqrt(n)) = sqrt(1000)
+    // → kept_d ≈ sqrt(n_d * 1000): big ≈ 3000, mid ≈ 1732, small = 1000
+    val out = Sampling.temperatureRebalance(df, F.col("dom"), F.col("id"), alpha = 0.5)
+      .groupBy("dom").count().as[(String, Long)].collect().toMap
+    assert(out("small") === 1000)                   // limiting domain: kept whole
+    assert(math.abs(out("big") - 3000) < 250, out.toString)
+    assert(math.abs(out("mid") - 1732) < 200, out.toString)
+    // flatter than the natural mixture, and deterministic across runs
+    assert(out("big").toDouble / out("small") < 9000.0 / 1000.0)
+    val again = Sampling.temperatureRebalance(df, F.col("dom"), F.col("id"), alpha = 0.5)
+      .groupBy("dom").count().as[(String, Long)].collect().toMap
+    assert(again === out)
+  }
+
+  test("takeTokenBudget keeps the md5-ordered prefix within the inclusive budget") {
+    val rows = Seq(
+      ("a", 1L, 40L), ("a", 2L, 40L), ("a", 3L, 40L), ("a", 4L, 40L),
+      ("b", 10L, 100L), ("b", 11L, 100L),
+      ("c", 20L, 500L))
+    val df = rows.toDF("dom", "id", "tok")
+    val out = Sampling.takeTokenBudget(df, F.col("dom"), F.col("id"),
+      F.col("tok"), budget = 100L)
+    val kept = out.select("dom", "id").as[(String, Long)].collect().toSet
+    // expected: per-domain md5(id) order, cumulative tok <= 100
+    val expected = rows.groupBy(_._1).flatMap { case (_, rs) =>
+      val ordered = rs.sortBy(r => (java.security.MessageDigest.getInstance("MD5")
+        .digest(r._2.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString, r._2))
+      var cum = 0L
+      ordered.takeWhile { r => cum += r._3; cum <= 100L }
+    }.map(r => (r._1, r._2)).toSet
+    assert(kept === expected)
+    assert(kept.count(_._1 == "a") === 2)           // 40+40 <= 100, third exceeds
+    assert(kept.count(_._1 == "b") === 1)           // first 100 fits exactly
+    assert(kept.count(_._1 == "c") === 0)           // 500 > 100: nothing fits
+    // schema passes through without the internal running-total column
+    assert(out.columns.toSeq === Seq("dom", "id", "tok"))
+  }
 }

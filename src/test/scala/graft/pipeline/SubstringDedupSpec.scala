@@ -1,0 +1,105 @@
+package graft.pipeline
+
+import graft.SparkTestBase
+import org.apache.spark.sql.{functions => F}
+
+/** Exact duplicated-substring detection/removal (Lee et al. 2021 style):
+  * hand-computed span cases, adjacency merging, keep-first semantics,
+  * and a brute-force cross-check on a planted-repeat corpus. */
+class SubstringDedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("mergeIntervals fuses overlap and adjacency, keeps gaps") {
+    assert(Dedup.mergeIntervals(Nil) == Nil)
+    assert(Dedup.mergeIntervals(Seq((1L, 8L))) == Seq((1L, 8L)))
+    // overlap
+    assert(Dedup.mergeIntervals(Seq((1L, 8L), (2L, 9L))) == Seq((1L, 9L)))
+    // adjacency (tokens 1-8 and 9-16 = one contiguous duplicated run)
+    assert(Dedup.mergeIntervals(Seq((9L, 16L), (1L, 8L))) == Seq((1L, 16L)))
+    // gap of one token stays split
+    assert(Dedup.mergeIntervals(Seq((1L, 4L), (6L, 9L))) == Seq((1L, 4L), (6L, 9L)))
+    // containment
+    assert(Dedup.mergeIntervals(Seq((1L, 10L), (3L, 5L))) == Seq((1L, 10L)))
+  }
+
+  test("duplicateSpans: cross-doc shared gram, exact positions") {
+    val df = Seq(
+      (1L, "a b c d e f g h X Y Z"),          // shared 8-gram at 1-8
+      (2L, "p q a b c d e f g h r"),          // same gram at 3-10
+      (3L, "totally unrelated words only once here nothing repeats at all"),
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(df, "doc_id", "text", k = 8)
+      .orderBy("doc_id", "span_start")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(spans == Seq((1L, 1L, 8L), (2L, 3L, 10L)))
+  }
+
+  test("duplicateSpans: within-doc repetition merges adjacent grams") {
+    // one doc repeating the same 8 tokens twice: grams at 1 and 9 are
+    // identical (the 7 straddling grams are unique) -> spans (1,8) and
+    // (9,16) merge into (1,16)
+    val rep = (1 to 8).map(i => s"m$i").mkString(" ")
+    val df = Seq((1L, s"$rep $rep"), (2L, "filler words that appear nowhere else"))
+      .toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(df, "doc_id", "text", k = 8)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(spans == Seq((1L, 1L, 16L)))
+  }
+
+  test("duplicateSpans keepFirst leaves the lowest (id, pos) occurrence unmarked") {
+    val df = Seq(
+      (1L, "a b c d e f g h X Y Z"),
+      (2L, "p q a b c d e f g h r"),
+      (5L, "a b c d e f g h later copy too")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(df, "doc_id", "text", k = 8, keepFirst = true)
+      .orderBy("doc_id", "span_start")
+      .as[(Long, Long, Long)].collect().toSeq
+    // doc 1 pos 1 is the global first occurrence -> only docs 2 and 5 marked
+    assert(spans == Seq((2L, 3L, 10L), (5L, 1L, 8L)))
+  }
+
+  test("stripDuplicateSpans keeps first copy, rewrites others, passes clean docs through") {
+    val df = Seq(
+      (1L, "a b c d e f g h X Y Z"),
+      (2L, "p q a b c d e f g h r"),
+      (3L, "u  v\tw unique tail stays byte identical"),   // odd whitespace preserved
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = Dedup.stripDuplicateSpans(df, "doc_id", "text", k = 8)
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    assert(out(0) == ((1L, "a b c d e f g h X Y Z")))   // first copy survives intact
+    assert(out(1) == ((2L, "p q r")))                   // span removed, normalized join
+    assert(out(2) == ((3L, "u  v\tw unique tail stays byte identical")))
+    assert(out(3)._2 == null)
+  }
+
+  test("duplicateSpans matches an in-memory brute force on a planted-repeat corpus") {
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("red", "blue", "green", "gold", "iron", "wolf", "moon", "star")
+    val boiler = "subscribe to our newsletter today"
+    val docs = (0L until 40L).map { i =>
+      val body = Seq.fill(12 + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      // every 4th doc carries the boilerplate sentence somewhere inside
+      val text = if (i % 4 == 0) s"$body $boiler ${vocab(rnd.nextInt(vocab.size))}" else body
+      (i, text)
+    }
+    val k = 5
+    // brute force: positions of every k-gram occurring >= 2 times
+    val grams = docs.flatMap { case (id, t) =>
+      val toks = t.split("\\s+").filter(_.nonEmpty)
+      toks.sliding(k).zipWithIndex.collect {
+        case (g, i0) if g.length == k => (g.mkString(" "), id, i0 + 1L, i0 + k.toLong)
+      }
+    }
+    val dupGrams = grams.groupBy(_._1).filter(_._2.size >= 2).values.flatten
+    val expected = dupGrams.groupBy(_._2).flatMap { case (id, occ) =>
+      Dedup.mergeIntervals(occ.map(o => (o._3, o._4)).toSeq).map(sp => (id, sp._1, sp._2))
+    }.toSeq.sorted
+    val got = Dedup.duplicateSpans(docs.toDF("doc_id", "text"), "doc_id", "text", k = k)
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(got == expected)
+    assert(got.nonEmpty)   // the planted boilerplate must actually fire
+  }
+}
