@@ -97,6 +97,12 @@ object Bench {
       graft.pipeline.Dedup.dropExactDuplicates(
         t(s, dir, "documents"), "doc_id", "text")),
 
+    // duplicated-substring spans: per-token gram explode, one
+    // distinct-gram shuffle, AQE-broadcast join of the dup sliver
+    "b_dedup_substring" -> ((s: SparkSession, dir: String) =>
+      graft.pipeline.Dedup.duplicateSpans(
+        t(s, dir, "documents"), "doc_id", "text", k = 8)),
+
     // ANN: brute-force cosine top-10 for 20 query vectors
     "b_ann_bruteforce" -> ((s: SparkSession, dir: String) => {
       val emb = t(s, dir, "embeddings")
