@@ -43,6 +43,9 @@ object Bench {
   private val qualityModelCache = scala.collection.concurrent.TrieMap[String,
     graft.pipeline.QualityClassifier.Model]()
 
+  private val unigramModelCache = scala.collection.concurrent.TrieMap[String,
+    graft.pipeline.UnigramLm.Model]()
+
   /** Headline queries: representative operator workloads. */
   def benchQueries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
 
@@ -314,6 +317,26 @@ object Bench {
       val merges = bpeMergeCache.getOrElseUpdate(dir,
         graft.pipeline.Vocab.learnBpeMerges(docs, "text", 64).map(m => (m._1, m._2)))
       graft.pipeline.Vocab.tokenizeBpe(docs, "text", merges)
+        .agg(F.sum(F.size(F.col("tokens"))).as("total_tokens"),
+             F.count(F.lit(1)).as("docs"))
+    }),
+
+    // unigram-LM (SentencePiece-style) EM training: per-round one
+    // word-table map with broadcast model + one vocab-keyed aggregate
+    "b_unigram_learn" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val m = graft.pipeline.UnigramLm.learn(
+        t(s, dir, "documents"), "text", vocabSize = 512, iters = 2)
+      m.pieces.toSeq.toDF("piece", "logp")
+    }),
+
+    // unigram-LM corpus tokenization: map-only Viterbi with per-thread
+    // memo over a cached trained model
+    "b_tokenize_unigram" -> ((s: SparkSession, dir: String) => {
+      val docs = t(s, dir, "documents")
+      val m = unigramModelCache.getOrElseUpdate(dir,
+        graft.pipeline.UnigramLm.learn(docs, "text", vocabSize = 512, iters = 2))
+      graft.pipeline.UnigramLm.tokenize(docs, "text", m)
         .agg(F.sum(F.size(F.col("tokens"))).as("total_tokens"),
              F.count(F.lit(1)).as("docs"))
     }),

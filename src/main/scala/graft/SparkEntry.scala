@@ -1631,6 +1631,34 @@ object SparkEntry {
             .as("reconstructs"))
     }),
 
+    // unigram-LM (SentencePiece-style) tokenizer: EM-trained piece
+    // vocabulary + Viterbi segmentation. Non-SQL-expressible DP, so
+    // the oracle pins structural invariants computed exactly in Spark:
+    // pieces reconstruct each document, every word yields >= 1 piece,
+    // and the vocabulary stays within its budget
+    "q_tokenize_unigram" -> ((s: SparkSession, dir: String) => {
+      val docs = t(s, dir, "documents")
+      val model = graft.pipeline.UnigramLm.learn(
+        docs, "text", vocabSize = 512, iters = 2)
+      val words = F.filter(F.split(F.col("text"), "\\s+"),
+        (x: org.apache.spark.sql.Column) => F.length(x) > 0)
+      graft.pipeline.UnigramLm.tokenize(docs, "text", model)
+        .select(F.col("source"), F.col("text"), F.col("tokens"),
+          F.size(words).as("__nw"))
+        .groupBy(F.col("source"))
+        .agg(
+          F.count(F.lit(1)).as("docs"),
+          (F.sum(F.when(F.col("text").isNull, 0L)
+            .when(F.concat_ws("", F.col("tokens")) <=>
+              F.regexp_replace(F.col("text"), "\\s+", ""), 0L).otherwise(1L)) === 0L)
+            .as("reconstructs"),
+          (F.sum(F.when(F.col("text").isNull, 0L)
+            .when(F.size(F.col("tokens")) >= F.col("__nw"), 0L).otherwise(1L)) === 0L)
+            .as("ge_one_piece_per_word"),
+          F.lit(model.pieces.size <= 512).as("vocab_in_budget"))
+        .orderBy(F.col("source"))
+    }),
+
     // unigram cross-entropy quality signal (rounded to 4 decimals —
     // ln ulp differences across engines sit ~11 orders below the
     // rounding boundary)
@@ -2725,6 +2753,10 @@ object SparkEntry {
       "q_tokenize_bpe" ->
         """SELECT count(*) AS docs, true AS rank_eq_seq, true AS reconstructs
           |FROM documents""".stripMargin,
+      "q_tokenize_unigram" ->
+        """SELECT source, count(*) AS docs, true AS reconstructs,
+          |       true AS ge_one_piece_per_word, true AS vocab_in_budget
+          |FROM documents GROUP BY source ORDER BY source""".stripMargin,
       "q_quality_classifier" ->
         """SELECT CAST(2 * count(*) AS BIGINT) AS held_out, true AS holdout_acc_ok
           |FROM documents WHERE doc_id % 2 = 1""".stripMargin,

@@ -1,0 +1,227 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{functions => F}
+
+/**
+ * Unigram language-model tokenizer (the SentencePiece unigram
+ * algorithm, Kudo 2018): a piece vocabulary with log-probabilities,
+ * trained by EM over the corpus word table, applied by per-word
+ * Viterbi segmentation (maximum-likelihood split).
+ *
+ * This implementation is hard-EM (Viterbi counts in the E-step, the
+ * SentencePiece paper's "one-best" variant): each round re-segments
+ * every distinct word under the current model, re-estimates piece
+ * probabilities from the weighted piece counts, and prunes the
+ * lowest-count multi-char pieces toward the target vocabulary size.
+ * Hard EM keeps the round a single distributed aggregate and is
+ * monotone in Viterbi corpus likelihood.
+ *
+ * Scale shape: training never touches the corpus after the one word
+ * aggregation — every EM round is a map over the (word, count) table
+ * with the model BROADCAST (model size = vocabSize entries, driver
+ * bounded by construction), followed by one piece-count aggregate
+ * whose key cardinality is the vocabulary size. Tokenization is a
+ * map-only corpus scan with a per-thread LRU (same shape as
+ * [[Vocab.tokenizeBpe]]).
+ */
+object UnigramLm {
+
+  /** Trained model: piece -> natural-log probability. Single
+    * characters seen in training are never pruned, so any training
+    * word re-segments; unseen characters at inference fall back to
+    * one-char pieces at `unkScore`. */
+  final case class Model(
+      pieces: Map[String, Double],
+      maxPieceLen: Int,
+      unkScore: Double = -20.0)
+
+  /**
+   * Viterbi segmentation of one word: the split maximizing the summed
+   * piece log-probabilities. Characters absent from the vocabulary
+   * segment as single-char pieces scored `unkScore` (never an error).
+   * Ties prefer the longer final piece (fewer tokens); the DP is
+   * deterministic for a fixed model. O(len · maxPieceLen).
+   */
+  def viterbiSegment(model: Model, word: String): Array[String] = {
+    val n = word.length
+    if (n == 0) return Array.empty
+    val score = new Array[Double](n + 1)
+    val back = new Array[Int](n + 1)          // length of best piece ending at i
+    java.util.Arrays.fill(score, Double.NegativeInfinity)
+    score(0) = 0.0
+    var i = 1
+    while (i <= n) {
+      var l = 1
+      val lMax = math.min(model.maxPieceLen, i)
+      while (l <= lMax) {
+        val prev = score(i - l)
+        if (prev != Double.NegativeInfinity) {
+          val piece = word.substring(i - l, i)
+          val p = model.pieces.get(piece) match {
+            case Some(lp) => lp
+            case None => if (l == 1) model.unkScore else Double.NaN
+          }
+          if (!p.isNaN) {
+            val s = prev + p
+            // >= with ascending l: the LONGER piece wins exact ties
+            if (s >= score(i)) { score(i) = s; back(i) = l }
+          }
+        }
+        l += 1
+      }
+      i += 1
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var j = n
+    while (j > 0) { out += word.substring(j - back(j), j); j -= back(j) }
+    out.reverseIterator.toArray
+  }
+
+  /** Viterbi log-likelihood of one word under the model (sum of its
+    * best segmentation's piece scores). */
+  def viterbiScore(model: Model, word: String): Double =
+    viterbiSegment(model, word).iterator
+      .map(p => model.pieces.getOrElse(p, model.unkScore)).sum
+
+  /** The corpus word table: (w, c) for every distinct whitespace
+    * token, lazily checkpointed — EM re-reads it every round. */
+  private def wordTable(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(F.explode(F.filter(F.split(F.col(textCol), "\\s+"),
+        (t: Column) => F.length(t) > 0)).as("w"))
+      .groupBy(F.col("w")).agg(F.count(F.lit(1)).as("c"))
+      .localCheckpoint(eager = false)
+
+  /**
+   * Train a unigram LM vocabulary of (at most) `vocabSize` pieces.
+   *
+   * Seeding: every substring of length <= maxPieceLen of every word,
+   * weighted by word frequency; the top `seedMultiplier * vocabSize`
+   * by weight, plus ALL single characters (guaranteed coverage). Each
+   * EM round: Viterbi-segment the word table under the broadcast
+   * model, aggregate weighted piece counts (one shuffle whose key
+   * space is the vocabulary), re-estimate log-probs with +1 smoothing,
+   * and prune multi-char pieces outside the top `vocabSize` by count.
+   */
+  def learn(
+      docs: DataFrame,
+      textCol: String,
+      vocabSize: Int,
+      iters: Int = 4,
+      maxPieceLen: Int = 8,
+      seedMultiplier: Int = 4): Model = {
+    require(vocabSize >= 1, s"vocabSize must be positive, got $vocabSize")
+    require(iters >= 1, s"iters must be positive, got $iters")
+    require(maxPieceLen >= 1, s"maxPieceLen must be positive, got $maxPieceLen")
+    val session = docs.sparkSession
+    import session.implicits._
+    val words = wordTable(docs, textCol)
+
+    // ---- seed: substring counts, top-N + all single chars ----
+    val subU = F.udf((w: String) => {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < w.length) {
+        var l = 1
+        while (l <= maxPieceLen && i + l <= w.length) {
+          out += w.substring(i, i + l); l += 1
+        }
+        i += 1
+      }
+      out.toArray
+    })
+    val subCounts = words
+      .select(F.explode(subU(F.col("w"))).as("p"), F.col("c"))
+      .groupBy(F.col("p")).agg(F.sum(F.col("c")).as("n"))
+      .localCheckpoint(eager = false)
+    val chars = subCounts.filter(F.length(F.col("p")) === 1)
+      .as[(String, Long)].collect()
+    val multi = subCounts.filter(F.length(F.col("p")) > 1)
+      .orderBy(F.col("n").desc, F.col("p"))
+      .limit(math.max(0, seedMultiplier.toLong * vocabSize - chars.length)
+        .min(Int.MaxValue).toInt)
+      .as[(String, Long)].collect()
+    var counts: Map[String, Long] = (chars ++ multi).toMap
+
+    def toModel(cs: Map[String, Long]): Model = {
+      val total = cs.values.map(_.toDouble).sum + cs.size   // +1 smoothing
+      Model(cs.map { case (p, n) => p -> math.log((n + 1.0) / total) }, maxPieceLen)
+    }
+
+    // ---- EM rounds: segment word table, re-count, re-estimate, prune ----
+    var model = toModel(counts)
+    val charSet = chars.map(_._1).toSet
+    var it = 0
+    while (it < iters) {
+      val bc = session.sparkContext.broadcast(model)
+      val segU = F.udf((w: String, c: Long) =>
+        viterbiSegment(bc.value, w).map(p => (p, c)))
+      val pieceCounts = words
+        .select(F.explode(segU(F.col("w"), F.col("c"))).as("pc"))
+        .groupBy(F.col("pc._1").as("p")).agg(F.sum(F.col("pc._2")).as("n"))
+        .as[(String, Long)].collect().toMap
+      // single chars survive at count >= 0 (coverage); multi-char pieces
+      // compete for the remaining slots by (count DESC, piece)
+      val keepMulti = pieceCounts.iterator
+        .filter { case (p, _) => p.length > 1 }
+        .toSeq.sortBy { case (p, n) => (-n, p) }
+        .take(math.max(0, vocabSize - charSet.size))
+      counts = charSet.iterator.map(c => c -> pieceCounts.getOrElse(c, 0L)).toMap ++
+        keepMulti
+      model = toModel(counts)
+      it += 1
+    }
+    model
+  }
+
+  /**
+   * Map-only corpus tokenization: `outCol` = the concatenation of each
+   * whitespace word's Viterbi segmentation. Broadcast model,
+   * per-thread LRU memo (repeated words amortize to O(1) via Zipf —
+   * same cache discipline as [[Vocab.tokenizeBpe]]: tasks share the
+   * executor JVM, so the LRU is per thread). NULL text -> NULL.
+   */
+  def tokenize(
+      docs: DataFrame,
+      textCol: String,
+      model: Model,
+      outCol: String = "tokens"): DataFrame = {
+    val bc = docs.sparkSession.sparkContext.broadcast(model)
+    val sep = java.util.regex.Pattern.compile("\\s+")
+    val tokU = F.udf(new Function1[String, Array[String]] with Serializable {
+      @transient private lazy val memo = ThreadLocal.withInitial(
+        new java.util.function.Supplier[java.util.LinkedHashMap[String, Array[String]]] {
+          def get() = new java.util.LinkedHashMap[String, Array[String]](1 << 12, 0.75f, true) {
+            override def removeEldestEntry(
+                e: java.util.Map.Entry[String, Array[String]]): Boolean = size() > 65536
+          }
+        })
+      def apply(t: String): Array[String] =
+        if (t == null) null
+        else {
+          val m = memo.get()
+          sep.split(t).iterator.filter(_.nonEmpty).flatMap { w =>
+            var seg = m.get(w)
+            if (seg == null) {
+              seg = viterbiSegment(bc.value, w)
+              m.put(w, seg)
+            }
+            seg
+          }.toArray
+        }
+    })
+    docs.withColumn(outCol, tokU(F.col(textCol)))
+  }
+
+  /** Corpus Viterbi log-likelihood per word occurrence under `model` —
+    * the EM progress metric (one map over the word table + a scalar
+    * aggregate; higher is better). */
+  def corpusLogLikelihood(docs: DataFrame, textCol: String, model: Model): Double = {
+    val bc = docs.sparkSession.sparkContext.broadcast(model)
+    val llU = F.udf((w: String) => viterbiScore(bc.value, w))
+    val row = wordTable(docs, textCol)
+      .agg((F.sum(llU(F.col("w")) * F.col("c")) / F.sum(F.col("c"))).as("ll"))
+      .head()
+    row.getDouble(0)
+  }
+}
