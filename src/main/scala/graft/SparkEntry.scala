@@ -1375,6 +1375,30 @@ object SparkEntry {
         .orderBy(F.col("source"))
     }),
 
+    // training-mixture build: strip duplicated substrings (keep-first)
+    // -> temperature-flatten the source mixture -> cap each source at a
+    // token budget. Composes three operators; the oracle replays the
+    // identical chain in SQL
+    "q_mixture_pipeline" -> ((s: SparkSession, dir: String) => {
+      val docs = t(s, dir, "documents")
+      val stripped = graft.pipeline.Dedup
+        .stripDuplicateSpans(docs, "doc_id", "text", k = 8)
+      val rebal = graft.pipeline.Sampling.temperatureRebalance(
+        stripped, F.col("source"), F.col("doc_id"), alpha = 0.5)
+      val toks = F.coalesce(
+        F.size(F.filter(F.split(F.col("text"), "\\s+"),
+          (x: org.apache.spark.sql.Column) => F.length(x) > 0)).cast("long"),
+        F.lit(0L))
+      graft.pipeline.Sampling.takeTokenBudget(
+          rebal.withColumn("__tok", toks),
+          F.col("source"), F.col("doc_id"), F.col("__tok"), budget = 1500L)
+        .groupBy(F.col("source"))
+        .agg(F.count(F.lit(1)).as("n_kept"),
+             F.sum(F.col("__tok")).cast("long").as("tok_sum"),
+             F.sum(F.col("doc_id")).cast("long").as("id_sum"))
+        .orderBy(F.col("source"))
+    }),
+
     "q_sample_weighted" -> ((s: SparkSession, dir: String) => {
       val docs = t(s, dir, "documents")
       val w = F.least(F.col("n_chars") / 1000.0, F.lit(1.0))
@@ -2543,6 +2567,47 @@ object SparkEntry {
         |SELECT source, count(*) AS n_kept, CAST(sum(tok) AS BIGINT) AS tok_sum,
         |       CAST(sum(doc_id) AS BIGINT) AS id_sum
         |FROM c WHERE cum <= 2000 GROUP BY source ORDER BY source""".stripMargin,
+    "q_mixture_pipeline" ->
+      """WITH d AS (SELECT doc_id, source,
+        |             list_filter(string_split_regex(text, '\s+'), s -> len(s) > 0) AS toks
+        |           FROM documents WHERE text IS NOT NULL),
+        |g AS (SELECT doc_id, i AS s, i + 7 AS e, array_to_string(toks[i:i+7], ' ') AS gram
+        |      FROM d, range(1, 4000) u(i) WHERE u.i <= len(toks) - 7),
+        |dup AS (SELECT gram, min(doc_id * 1000000 + s) AS fk
+        |        FROM g GROUP BY gram HAVING count(*) >= 2),
+        |m AS (SELECT g.doc_id, g.s, g.e FROM g JOIN dup USING (gram)
+        |      WHERE g.doc_id * 1000000 + g.s <> dup.fk),
+        |o AS (SELECT doc_id, s, e,
+        |             max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+        |                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        |      FROM m),
+        |isl AS (SELECT doc_id, s, e,
+        |               sum(CASE WHEN pmax IS NULL OR s > pmax + 1 THEN 1 ELSE 0 END)
+        |                 OVER (PARTITION BY doc_id ORDER BY s, e) AS grp FROM o),
+        |spans AS (SELECT doc_id, min(s) AS ss, max(e) AS se FROM isl GROUP BY doc_id, grp),
+        |rem AS (SELECT doc_id, sum(se - ss + 1) AS removed FROM spans GROUP BY doc_id),
+        |base AS (SELECT dd.doc_id, dd.source,
+        |           coalesce(len(d.toks), 0) - coalesce(rem.removed, 0) AS tok
+        |         FROM documents dd LEFT JOIN d ON dd.doc_id = d.doc_id
+        |                           LEFT JOIN rem ON dd.doc_id = rem.doc_id),
+        |cnt AS (SELECT source AS dom, CAST(count(*) AS DOUBLE) AS n
+        |        FROM documents GROUP BY 1),
+        |w AS (SELECT dom, n, pow(n, 0.5) AS wt FROM cnt),
+        |t AS (SELECT min(n / wt) AS t FROM w),
+        |frac AS (SELECT dom, least(1.0, wt * t / n) AS f FROM w, t),
+        |kept AS (SELECT b.doc_id, b.source, b.tok
+        |         FROM base b JOIN frac ON b.source = frac.dom
+        |         WHERE f >= 1.0 OR (f > 0.0 AND (CAST(round(f * 65536.0) AS INT) >= 65536
+        |           OR substr(md5(CAST(b.doc_id AS VARCHAR)), 1, 4)
+        |                < printf('%04x', CAST(round(f * 65536.0) AS INT))))),
+        |c AS (SELECT doc_id, source, tok,
+        |             sum(tok) OVER (PARTITION BY source
+        |                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        |                            ROWS UNBOUNDED PRECEDING) AS cum
+        |      FROM kept)
+        |SELECT source, count(*) AS n_kept, CAST(sum(tok) AS BIGINT) AS tok_sum,
+        |       CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM c WHERE cum <= 1500 GROUP BY source ORDER BY source""".stripMargin,
     "q_sample_weighted" ->
       """WITH w AS (SELECT source, doc_id,
         |             least(n_chars / 1000.0, 1.0) AS wt,

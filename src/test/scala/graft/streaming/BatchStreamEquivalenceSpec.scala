@@ -291,4 +291,30 @@ class BatchStreamEquivalenceSpec extends SparkTestBase {
       assert(streamed === batch)
     } finally q.stop()
   }
+
+  test("unigram-LM tokenization is batch≡stream (broadcast model, stateless map)") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.pipeline.UnigramLm
+    val staticDocs = sf("sf0.001", "documents").select("doc_id", "text")
+      .filter(F.col("doc_id") < 100)
+    val model = UnigramLm.learn(staticDocs, "text", vocabSize = 128, iters = 2)
+    val batch = UnigramLm.tokenize(staticDocs, "text", model)
+      .select("doc_id", "tokens")
+      .as[(Long, Seq[String])].collect().toMap
+
+    val rows = staticDocs.as[(Long, String)].collect()
+    val input = MemoryStream[(Long, String)]
+    val q = UnigramLm.tokenize(input.toDF().toDF("doc_id", "text"), "text", model)
+      .select("doc_id", "tokens")
+      .writeStream.format("memory").queryName("bs_tok_uni").outputMode("append").start()
+    try {
+      input.addData(rows.toSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("bs_tok_uni")
+        .as[(Long, Seq[String])].collect().toMap
+      assert(streamed === batch)
+    } finally q.stop()
+  }
 }
