@@ -1058,6 +1058,21 @@ object SparkEntry {
         .orderBy("doc_id", "span_start")
     }),
 
+    // incremental substring dedup: fresh batch (doc_id % 3 == 0)
+    // checked against a persisted gram index of the rest — history is
+    // never re-shingled; bloom-pruned probe + exact semi-join verify
+    "q_dedup_incremental_substring" -> ((s: SparkSession, dir: String) => {
+      val docs = t(s, dir, "documents")
+      val hist = docs.filter(F.col("doc_id") % 3 =!= 0)
+      val fresh = docs.filter(F.col("doc_id") % 3 === 0)
+      val path = System.getProperty("java.io.tmpdir") + "/graft_q_gramidx"
+      graft.pipeline.Dedup.buildGramIndex(hist, "text", k = 8)
+        .write.mode("overwrite").parquet(path)
+      graft.pipeline.Dedup.incrementalDuplicateSpans(
+          fresh, s.read.parquet(path), "doc_id", "text", k = 8)
+        .orderBy("doc_id", "span_start")
+    }),
+
     // duplicated-substring removal keeping the globally first copy:
     // per-doc removed-token counts for every rewritten document
     "q_dedup_substring_strip" -> ((s: SparkSession, dir: String) => {
@@ -2290,6 +2305,27 @@ object SparkEntry {
         |               sum(CASE WHEN pmax IS NULL OR s > pmax + 1 THEN 1 ELSE 0 END)
         |                 OVER (PARTITION BY doc_id ORDER BY s, e) AS grp
         |        FROM o),
+        |spans AS (SELECT doc_id, min(s) AS ss, max(e) AS se FROM isl GROUP BY doc_id, grp)
+        |SELECT doc_id, CAST(ss AS BIGINT) AS span_start, CAST(se AS BIGINT) AS span_end
+        |FROM spans ORDER BY doc_id, span_start""".stripMargin,
+    "q_dedup_incremental_substring" ->
+      """WITH d AS (SELECT doc_id,
+        |             list_filter(string_split_regex(text, '\s+'), s -> len(s) > 0) AS toks
+        |           FROM documents WHERE text IS NOT NULL),
+        |g AS (SELECT doc_id, i AS s, i + 7 AS e, array_to_string(toks[i:i+7], ' ') AS gram
+        |      FROM d, range(1, 4000) u(i) WHERE u.i <= len(toks) - 7),
+        |fg AS (SELECT doc_id, s, e, gram FROM g WHERE doc_id % 3 = 0),
+        |dup AS (SELECT DISTINCT gram FROM g WHERE doc_id % 3 <> 0
+        |        UNION
+        |        SELECT gram FROM fg GROUP BY gram HAVING count(*) >= 2),
+        |m AS (SELECT fg.doc_id, fg.s, fg.e FROM fg JOIN dup USING (gram)),
+        |o AS (SELECT doc_id, s, e,
+        |             max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+        |                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        |      FROM m),
+        |isl AS (SELECT doc_id, s, e,
+        |               sum(CASE WHEN pmax IS NULL OR s > pmax + 1 THEN 1 ELSE 0 END)
+        |                 OVER (PARTITION BY doc_id ORDER BY s, e) AS grp FROM o),
         |spans AS (SELECT doc_id, min(s) AS ss, max(e) AS se FROM isl GROUP BY doc_id, grp)
         |SELECT doc_id, CAST(ss AS BIGINT) AS span_start, CAST(se AS BIGINT) AS span_end
         |FROM spans ORDER BY doc_id, span_start""".stripMargin,

@@ -705,4 +705,60 @@ object Dedup {
           .otherwise(rewrite(F.col(textCol), F.col("__spans"))))
       .drop("__spans")
   }
+
+  /** Persistable gram index for [[incrementalDuplicateSpans]]: one
+    * (gh) row per DISTINCT k-token gram hash in the corpus — 8 bytes
+    * per distinct gram, never the text. Plain parquet via
+    * DataFrameWriter. */
+  def buildGramIndex(df: DataFrame, textCol: String, k: Int = 8): DataFrame =
+    gramOccurrences(df.withColumn("__id", F.monotonically_increasing_id()),
+        "__id", textCol, k)
+      .select(F.col("__gh").as("gh")).distinct()
+
+  /**
+   * Incremental duplicated-substring detection — the nightly-batch
+   * shape: spans in a FRESH batch whose k-token grams either already
+   * exist in a persisted [[buildGramIndex]] of the history, or repeat
+   * within the batch itself (>= `minCount` occurrences). History text
+   * is never re-read or re-shingled. Same two-stage probe as
+   * [[incrementalExactDuplicates]]: a broadcast-bloom pre-filter over
+   * the index hashes (no false negatives) prunes the batch's gram
+   * stream to the probable-hit sliver, then an exact semi-join removes
+   * the bloom's false positives. Returns (idCol, span_start, span_end)
+   * merged maximal spans, like [[duplicateSpans]].
+   */
+  def incrementalDuplicateSpans(
+      fresh: DataFrame,
+      gramIndex: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8,
+      minCount: Int = 2,
+      expectedItems: Long = graft.sketch.bloom.DefaultItems,
+      fpp: Double = graft.sketch.bloom.DefaultFpp): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    require(minCount >= 2, s"minCount must be >= 2, got $minCount")
+    val occ = gramOccurrences(fresh, idCol, textCol, k)
+      .localCheckpoint(eager = false)
+    // within-batch repeats: one count aggregate over the batch's grams
+    val withinDup = occ.groupBy(F.col("__gh"))
+      .agg(F.count(F.lit(1)).as("__c"))
+      .filter(F.col("__c") >= minCount)
+      .select(F.col("__gh"))
+    // history hits: bloom-pruned probe stream, exact semi-join verify
+    val pruned = graft.sketch.SketchOps
+      .bloomPrune(occ.select(F.col("__gh")).distinct(), "__gh",
+        gramIndex, "gh", expectedItems, fpp)
+    val histDup = pruned
+      .join(gramIndex, pruned("__gh") === gramIndex("gh"), "left_semi")
+    val merge = F.udf((iv: Seq[org.apache.spark.sql.Row]) =>
+      mergeIntervals(iv.map(r => (r.getLong(0), r.getLong(1)))))
+    occ.join(withinDup.union(histDup).distinct(), "__gh")
+      .groupBy(F.col(idCol))
+      .agg(F.collect_list(F.struct(F.col("__s"), F.col("__e"))).as("__iv"))
+      .select(F.col(idCol), F.explode(merge(F.col("__iv"))).as("__sp"))
+      .select(F.col(idCol),
+        F.col("__sp._1").as("span_start"),
+        F.col("__sp._2").as("span_end"))
+  }
 }

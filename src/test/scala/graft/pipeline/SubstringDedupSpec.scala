@@ -75,6 +75,43 @@ class SubstringDedupSpec extends SparkTestBase {
     assert(out(3)._2 == null)
   }
 
+  test("incrementalDuplicateSpans: history grams + within-batch repeats, no history re-read") {
+    val hist = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "completely different historical content nothing shared here at all")
+    ).toDF("doc_id", "text")
+    val index = Dedup.buildGramIndex(hist, "text", k = 5)
+    val rep = (1 to 5).map(i => s"z$i").mkString(" ")
+    val fresh = Seq(
+      // tokens 3-10 replay hist doc 1's tokens 1-8 -> grams at 3..6 hit
+      (10L, s"xx yy the quick brown fox jumps over the lazy qq"),
+      // within-batch repeat: same 5 tokens twice (grams at 1 and 6)
+      (11L, s"$rep $rep"),
+      (12L, "fresh only words appearing once never repeated anywhere")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.incrementalDuplicateSpans(fresh, index, "doc_id", "text", k = 5)
+      .orderBy("doc_id", "span_start")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(spans == Seq((10L, 3L, 10L), (11L, 1L, 10L)))
+    // empty index: only the within-batch repeat remains
+    val emptyIdx = Dedup.buildGramIndex(hist.limit(0), "text", k = 5)
+    val only = Dedup.incrementalDuplicateSpans(fresh, emptyIdx, "doc_id", "text", k = 5)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(only == Seq((11L, 1L, 10L)))
+  }
+
+  test("incrementalDuplicateSpans survives a gram-index parquet round-trip") {
+    val hist = Seq((1L, "alpha beta gamma delta epsilon zeta eta")).toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("gramidx").toString + "/idx"
+    Dedup.buildGramIndex(hist, "text", k = 5).write.mode("overwrite").parquet(path)
+    val fresh = Seq((7L, "pre alpha beta gamma delta epsilon zeta eta post"))
+      .toDF("doc_id", "text")
+    val spans = Dedup.incrementalDuplicateSpans(
+        fresh, spark.read.parquet(path), "doc_id", "text", k = 5)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(spans == Seq((7L, 2L, 8L)))
+  }
+
   test("duplicateSpans matches an in-memory brute force on a planted-repeat corpus") {
     val rnd = new scala.util.Random(7)
     val vocab = Vector("red", "blue", "green", "gold", "iron", "wolf", "moon", "star")
