@@ -1073,6 +1073,28 @@ object SparkEntry {
         .orderBy("doc_id", "span_start")
     }),
 
+    // paragraph-level exact dedup (Dolma granularity): documents are
+    // paragraph-ified deterministically (3-token chunks joined by \n —
+    // the small testdata vocabulary guarantees real repeats), then
+    // every repeated paragraph keeps only its globally first copy
+    "q_dedup_paragraph" -> ((s: SparkSession, dir: String) => {
+      val toks = F.filter(F.split(F.col("text"), "\\s+"),
+        (tk: Column) => F.length(tk) > 0)
+      val withToks = t(s, dir, "documents")
+        .filter(F.col("text").isNotNull)
+        .select(F.col("doc_id"), toks.as("__toks"))
+        .filter(F.size(F.col("__toks")) >= 1)
+      val nChunks = F.ceil(F.size(F.col("__toks")).cast("double") / F.lit(3.0))
+        .cast("int")
+      val para = withToks.select(F.col("doc_id"),
+        F.array_join(F.transform(F.sequence(F.lit(0), nChunks - 1),
+          i => F.array_join(F.slice(F.col("__toks"), i * 3 + 1, F.lit(3)), " ")),
+          "\n").as("text"))
+      graft.pipeline.Dedup.dedupParagraphs(para, "doc_id", "text")
+        .select(F.col("doc_id"), F.col("text"), F.col("paras_removed"))
+        .orderBy("doc_id")
+    }),
+
     // duplicated-substring removal keeping the globally first copy:
     // per-doc removed-token counts for every rewritten document
     "q_dedup_substring_strip" -> ((s: SparkSession, dir: String) => {
@@ -1742,6 +1764,22 @@ object SparkEntry {
     "q_lm_bigram" -> ((s: SparkSession, dir: String) =>
       graft.pipeline.Vocab.bigramLogLoss(t(s, dir, "documents"), "doc_id", "text")),
 
+    // CCNet-style head/middle/tail corpus partition: LM cross-entropy
+    // scores, min-shifted sketch thresholds, explicit-cutoff tiers.
+    // Totals exact; tier balance pinned within sketch slop (same
+    // invariant form as q_quantile_buckets)
+    "q_ccnet_tiers" -> ((s: SparkSession, dir: String) => {
+      val p = graft.pipeline.Vocab.perplexityPartition(
+        t(s, dir, "documents"), "doc_id", "text")
+      p.groupBy(F.col("tier")).agg(F.count(F.lit(1)).as("__n"))
+        .agg(F.sum(F.col("__n")).as("n_docs"),
+             F.count(F.lit(1)).cast("long").as("tiers"),
+             F.max(F.col("__n")).as("__maxn"), F.min(F.col("__n")).as("__minn"))
+        .select(F.col("n_docs"), F.col("tiers"),
+          (F.col("__maxn") * 3 <= F.col("n_docs") * 1.4 &&
+           F.col("__minn") * 3 >= F.col("n_docs") * 0.6).as("balanced_ok"))
+    }),
+
     // rolling-hash document fingerprints: collision-free vs normalized text
     "q_text_fingerprint" -> ((s: SparkSession, dir: String) => {
       val tf = graft.pipeline.TextFunctions
@@ -2329,6 +2367,27 @@ object SparkEntry {
         |spans AS (SELECT doc_id, min(s) AS ss, max(e) AS se FROM isl GROUP BY doc_id, grp)
         |SELECT doc_id, CAST(ss AS BIGINT) AS span_start, CAST(se AS BIGINT) AS span_end
         |FROM spans ORDER BY doc_id, span_start""".stripMargin,
+    "q_dedup_paragraph" ->
+      """WITH d AS (SELECT doc_id,
+        |             list_filter(string_split_regex(text, '\s+'), s -> len(s) > 0) AS toks
+        |           FROM documents WHERE text IS NOT NULL),
+        |d2 AS (SELECT doc_id, toks FROM d WHERE len(toks) >= 1),
+        |p AS (SELECT doc_id, u.i AS pi,
+        |             array_to_string(toks[(u.i-1)*3+1:(u.i-1)*3+3], ' ') AS para
+        |      FROM d2, range(1, 4000) u(i)
+        |      WHERE u.i <= CAST(ceil(len(toks) / 3.0) AS INT)),
+        |dup AS (SELECT para, min(doc_id*1000000 + pi) AS first
+        |        FROM p GROUP BY para HAVING count(*) >= 2),
+        |keep AS (SELECT p.doc_id, p.pi, p.para FROM p LEFT JOIN dup USING (para)
+        |         WHERE dup.para IS NULL OR p.doc_id*1000000 + p.pi = dup.first),
+        |tot AS (SELECT doc_id, count(*) AS total FROM p GROUP BY doc_id),
+        |reb AS (SELECT doc_id, count(*) AS kept,
+        |               string_agg(para, chr(10) ORDER BY pi) AS text
+        |        FROM keep GROUP BY doc_id)
+        |SELECT t.doc_id, COALESCE(r.text, '') AS text,
+        |       CAST(t.total - COALESCE(r.kept, 0) AS BIGINT) AS paras_removed
+        |FROM tot t LEFT JOIN reb r USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin,
     "q_dedup_substring_strip" ->
       """WITH d AS (SELECT doc_id,
         |             list_filter(string_split_regex(text, '\s+'), s -> len(s) > 0) AS toks
@@ -2779,6 +2838,13 @@ object SparkEntry {
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS tokens,
         |       round(avg(-ln(c / (SELECT n FROM tot))), 4) AS score
         |FROM toks JOIN cnt USING (token) GROUP BY doc_id""".stripMargin,
+    "q_ccnet_tiers" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(3 AS BIGINT) AS tiers,
+        |       true AS balanced_ok
+        |FROM documents
+        |WHERE text IS NOT NULL
+        |  AND len(list_filter(string_split_regex(text, '\s+'), s -> len(s) > 0)) >= 1
+        |""".stripMargin,
     "q_keywords" ->
       """WITH toks AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM (
         |                SELECT doc_id, unnest(list_filter(

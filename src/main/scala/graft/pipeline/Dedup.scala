@@ -761,4 +761,97 @@ object Dedup {
         F.col("__sp._1").as("span_start"),
         F.col("__sp._2").as("span_end"))
   }
+
+  /**
+   * Stream-capable slice of [[incrementalDuplicateSpans]]: the gram
+   * occurrences in `fresh` whose hash exists in the persisted
+   * [[buildGramIndex]] — (idCol, span_start, span_end), one UNMERGED
+   * row per matching k-gram occurrence. Every stage is stateless
+   * (select/posexplode shingling, a broadcast-bloom predicate, a
+   * stream-static left-semi verify join), so the same call runs
+   * unchanged on a streaming DataFrame in append mode with no
+   * watermark or state store. Within-batch repeat detection and
+   * maximal-span merging need batch-global context — run the batch
+   * form on micro-batch sinks (`foreachBatch`) when merged spans are
+   * required downstream.
+   */
+  def indexGramHits(
+      fresh: DataFrame,
+      gramIndex: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8,
+      expectedItems: Long = graft.sketch.bloom.DefaultItems,
+      fpp: Double = graft.sketch.bloom.DefaultFpp): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val occ = gramOccurrences(fresh, idCol, textCol, k)
+    val pruned = graft.sketch.SketchOps
+      .bloomPrune(occ, "__gh", gramIndex, "gh", expectedItems, fpp)
+    pruned.join(gramIndex, pruned("__gh") === gramIndex("gh"), "left_semi")
+      .select(F.col(idCol),
+        F.col("__s").as("span_start"),
+        F.col("__e").as("span_end"))
+  }
+
+  /**
+   * Paragraph-level exact dedup — the Dolma/C4 granularity between
+   * whole-document [[dropExactDuplicates]] and token-span
+   * [[duplicateSpans]]: split each document on `sep`, drop every
+   * paragraph whose text occurs >= `minCount` times corpus-wide
+   * EXCEPT the globally first copy (lowest (id, position)), and
+   * reconstruct the document joining survivors with `joinSep`.
+   * Returns `df` with `textCol` rewritten plus a `paras_removed`
+   * count; NULL text passes through with a NULL count.
+   *
+   * Scale shape: paragraphs shuffle as 8-byte xxhash64 keys, never
+   * text (a collision over-removes one paragraph, odds ~n^2/2^65);
+   * the groupBy partial-aggregates to one row per DISTINCT paragraph
+   * and the duplicated sliver that joins back is AQE-broadcastable.
+   * Per-doc reassembly groups on the id — bounded by document size.
+   */
+  def dedupParagraphs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      sep: String = "\\n+",
+      joinSep: String = "\n",
+      minCount: Int = 2): DataFrame = {
+    require(minCount >= 2, s"minCount must be >= 2, got $minCount")
+    val reserved = Set("__p", "__pi", "__ph", "__text", "__total", "__kept")
+    require(!df.columns.exists(reserved), s"column names $reserved are reserved")
+    val paras = df
+      .select(F.col(idCol), F.posexplode(
+        F.filter(F.split(F.col(textCol), sep), p => F.length(p) > 0)))
+      .select(F.col(idCol),
+        (F.col("pos") + 1).cast("long").as("__pi"),
+        F.col("col").as("__p"))
+      .withColumn("__ph", F.xxhash64(F.col("__p")))
+    val dup = paras.groupBy(F.col("__ph"))
+      .agg(F.count(F.lit(1)).as("__c"),
+           F.min(F.struct(F.col(idCol), F.col("__pi"))).as("__first"))
+      .filter(F.col("__c") >= minCount)
+      .select(F.col("__ph"), F.col("__first"))
+    val kept = paras.join(dup, Seq("__ph"), "left")
+      .filter(F.col("__first").isNull ||
+        (F.col(s"__first.$idCol") === F.col(idCol) &&
+         F.col("__first.__pi") === F.col("__pi")))
+    val totals = paras.groupBy(F.col(idCol)).agg(F.count(F.lit(1)).as("__total"))
+    val rebuilt = kept.groupBy(F.col(idCol))
+      .agg(F.count(F.lit(1)).as("__kept"),
+        F.array_join(
+          F.transform(F.array_sort(F.collect_list(F.struct(F.col("__pi"), F.col("__p")))),
+            s => s.getField("__p")), joinSep).as("__text"))
+    val out = totals.join(rebuilt, Seq(idCol), "left")
+      .select(F.col(idCol),
+        F.coalesce(F.col("__text"), F.lit("")).as("__text"),
+        (F.col("__total") - F.coalesce(F.col("__kept"), F.lit(0L))).as("__removed"))
+    df.join(out, Seq(idCol), "left")
+      .withColumn("paras_removed",
+        F.when(F.col(textCol).isNull, F.lit(null).cast("long"))
+          .otherwise(F.coalesce(F.col("__removed"), F.lit(0L))))
+      .withColumn(textCol,
+        F.when(F.col(textCol).isNull, F.col(textCol))
+          .otherwise(F.coalesce(F.col("__text"), F.lit(""))))
+      .drop("__text", "__removed")
+  }
 }

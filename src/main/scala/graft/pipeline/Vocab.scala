@@ -466,4 +466,61 @@ object Vocab {
       .crossJoin(oov)
       .crossJoin(vocab.agg(F.count(F.lit(1)).as("vocab_size")))
   }
+
+  /**
+   * CCNet-style corpus partition (Wenzek et al. 2020): score every
+   * document with [[unigramLogLoss]] cross-entropy, then split the
+   * corpus into `nBuckets` equi-depth tiers of the corpus-wide score
+   * distribution — bucket 0 ("head", most-fluent/lowest-loss) through
+   * the last bucket ("tail"). Returns (id, tokens, score, bucket,
+   * tier); documents with no tokens are omitted, like the scorer.
+   *
+   * Scale shape: the scorer's broadcast count map plus TWO 1-row
+   * aggregates — the exact score minimum and a DDSketch over the
+   * MIN-SHIFTED scores; the corpus re-attaches to both by broadcast
+   * and never shuffles. The shift matters: cross-entropy scores
+   * cluster in a band much narrower than their magnitude (ln V ± a
+   * little), where a relative-accuracy sketch has one bin for the
+   * whole corpus — shifting to the band's origin makes the bins as
+   * fine as the band needs, and a monotone shift cannot change any
+   * rank. Bucket assignment compares each shifted score against the
+   * sketch's nBuckets-1 quantile thresholds — explicit cutoffs, the
+   * CCNet formulation: a tie mass sitting exactly on a cutoff stays
+   * together in the LOWER tier, where a floor(cdf*n) rule would split
+   * it on float rounding. The repeated quantile probes fuse into one
+   * sketch decode via MultiQuantileFusion. Thresholds are
+   * sketch-accurate, which is exactly how CCNet computes them (on a
+   * sample) — tier boundaries are statistical, not exact order
+   * statistics.
+   */
+  def perplexityPartition(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      nBuckets: Int = 3): DataFrame = {
+    require(nBuckets >= 2, s"need at least 2 tiers, got $nBuckets")
+    val G = graft.sketch.functions
+    val scored = unigramLogLoss(docs, idCol, textCol)
+    val mn = scored.agg(F.min(F.col("score")).as("__mn"))
+    val shifted = scored.crossJoin(F.broadcast(mn))
+      .withColumn("__shift", F.col("score") - F.col("__mn"))
+    val sk = shifted.agg(G.ddsketch_agg_values(F.col("__shift")).as("__sk"))
+    // a quantile estimate can undershoot the true cutoff value by up to
+    // the sketch's relative accuracy; inflate by the two-sided bound so
+    // the cutoff bin's own tie mass is never "strictly greater"
+    val alpha = graft.sketch.DDSketch.DefaultRelativeAccuracy
+    val inflate = (1 + alpha) / (1 - alpha)
+    val bucket = (1 until nBuckets)
+      .map(i => (F.col("__shift") >
+        G.ddsketch_quantile(F.col("__sk"), i.toDouble / nBuckets) * inflate)
+        .cast("int"))
+      .reduce(_ + _)
+    shifted.crossJoin(F.broadcast(sk))
+      .withColumn("bucket", bucket)
+      .withColumn("tier",
+        F.when(F.col("bucket") === 0, "head")
+          .when(F.col("bucket") === nBuckets - 1, "tail")
+          .otherwise("middle"))
+      .drop("__mn", "__shift", "__sk")
+  }
 }

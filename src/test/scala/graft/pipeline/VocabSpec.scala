@@ -74,6 +74,23 @@ class VocabSpec extends SparkTestBase {
     assert(s2(1L) > s2(2L))
   }
 
+  test("perplexityPartition tiers a planted three-band corpus head/middle/tail") {
+    // 20 docs of a very common token (lowest loss), 20 of mid-frequency
+    // tokens, 20 of per-doc rare tokens (highest loss): tiers must
+    // recover the construction
+    val docs = (
+      (0L until 20L).map(i => (i, Seq.fill(10)("common").mkString(" "))) ++
+      (20L until 40L).map(i => (i, Seq.fill(5)(s"mid${i % 4}").mkString(" "))) ++
+      (40L until 60L).map(i => (i, (0 until 10).map(j => s"rare_${i}_$j").mkString(" ")))
+    ).toDF("doc_id", "text")
+    val out = Vocab.perplexityPartition(docs, "doc_id", "text")
+      .select("doc_id", "tier").as[(Long, String)].collect().toMap
+    assert(out.size == 60)
+    (0L until 20L).foreach(i => assert(out(i) == "head", s"doc $i: ${out(i)}"))
+    (20L until 40L).foreach(i => assert(out(i) == "middle", s"doc $i: ${out(i)}"))
+    (40L until 60L).foreach(i => assert(out(i) == "tail", s"doc $i: ${out(i)}"))
+  }
+
   /** Independent in-memory BPE reference: plain Scala over a
     * word-count map, no Spark, written from the algorithm definition. */
   private def refBpe(wordCounts: Map[String, Long], k: Int): Seq[(String, String, Long)] = {

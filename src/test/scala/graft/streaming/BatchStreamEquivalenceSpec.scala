@@ -317,4 +317,36 @@ class BatchStreamEquivalenceSpec extends SparkTestBase {
       assert(streamed === batch)
     } finally q.stop()
   }
+
+  test("index gram hits are batch≡stream (bloom predicate + stream-static semi-join)") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.pipeline.Dedup
+    val docs = sf("sf0.001", "documents").select("doc_id", "text")
+    val hist = docs.filter(F.col("doc_id") % 3 =!= 0)
+    val index = Dedup.buildGramIndex(hist, "text", k = 8)
+      .localCheckpoint(eager = false)
+    val freshRows = docs.filter(F.col("doc_id") % 3 === 0)
+      .union(hist.filter(F.col("doc_id") % 7 === 0)
+        .select((F.col("doc_id") + 1000000L).as("doc_id"), F.col("text")))
+      .as[(Long, String)].collect()
+    val batch = Dedup.indexGramHits(
+        freshRows.toSeq.toDF("doc_id", "text"), index, "doc_id", "text", k = 8)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(batch.nonEmpty) // replayed history docs must hit
+
+    val input = MemoryStream[(Long, String)]
+    val q = Dedup.indexGramHits(
+        input.toDF().toDF("doc_id", "text"), index, "doc_id", "text", k = 8)
+      .writeStream.format("memory").queryName("bs_gram_hits")
+      .outputMode("append").start()
+    try {
+      input.addData(freshRows.toSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("bs_gram_hits")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(streamed === batch)
+    } finally q.stop()
+  }
 }
