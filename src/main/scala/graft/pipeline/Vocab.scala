@@ -275,11 +275,97 @@ object Vocab {
    * a boundary tie) degrades to one merge per round — never to a wrong
    * merge.
    */
+  /** Distinct-word ceiling for the driver-local BPE merge loop: ~2M
+    * entries at tens of bytes each is ~100-200 MB driver heap. Above
+    * it, learning stays fully distributed. */
+  val DefaultMaxLocalWords: Long = 2L * 1024 * 1024
+
+  /** Exact sequential BPE over an in-memory word-count table:
+    * incremental pair-count maintenance (only words containing the
+    * merged pair are touched) plus a lazy max-heap — every count
+    * change is pushed, stale entries are discarded against the live
+    * map on pop, so each step's pop is the true (freq DESC, pair ASC)
+    * argmax: the same tie-break the distributed path encodes with its
+    * NUL-joined sort key (lexicographic on l+NUL+r == tuple order on
+    * (l, r) because NUL sorts below every character). */
+  private def localBpe(
+      table: Seq[(Seq[String], Long)], k: Int): Seq[(String, String, Long)] = {
+    val words = table.map { case (sym, c) =>
+      (scala.collection.mutable.ArrayBuffer.from(sym), c)
+    }.toArray
+    val pairCount = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    val pairWords = scala.collection.mutable.HashMap
+      .empty[(String, String), scala.collection.mutable.HashSet[Int]]
+    val heap = new java.util.PriorityQueue[(Long, (String, String))](64,
+      new java.util.Comparator[(Long, (String, String))] {
+        def compare(a: (Long, (String, String)), b: (Long, (String, String))): Int = {
+          val byF = java.lang.Long.compare(b._1, a._1) // freq DESC
+          if (byF != 0) byF
+          else {
+            val byL = a._2._1.compareTo(b._2._1)       // pair ASC
+            if (byL != 0) byL else a._2._2.compareTo(b._2._2)
+          }
+        }
+      })
+    def bump(p: (String, String), delta: Long, wi: Int): Unit = {
+      val n = pairCount.getOrElse(p, 0L) + delta
+      if (n <= 0) pairCount.remove(p) else pairCount(p) = n
+      val set = pairWords.getOrElseUpdate(p, scala.collection.mutable.HashSet.empty)
+      if (delta > 0) set += wi
+      if (n > 0) heap.add((n, p))
+    }
+    var wi = 0
+    while (wi < words.length) {
+      val (sym, c) = words(wi)
+      var j = 0
+      while (j + 1 < sym.length) { bump((sym(j), sym(j + 1)), c, wi); j += 1 }
+      wi += 1
+    }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    while (merges.size < k && !heap.isEmpty) {
+      val (f, p) = heap.poll()
+      if (pairCount.get(p).contains(f)) {
+        merges += ((p._1, p._2, f))
+        val (l, r) = p
+        val affected = pairWords(p).toArray
+        pairCount.remove(p)
+        var ai = 0
+        while (ai < affected.length) {
+          val i = affected(ai)
+          val (sym, c) = words(i)
+          var j = 0
+          while (j + 1 < sym.length) {
+            val q = (sym(j), sym(j + 1))
+            if (q != p) { bump(q, -c, i); pairWords.get(q).foreach(_ -= i) }
+            else pairCount.get(q).foreach(n =>
+              if (n - c <= 0) pairCount.remove(q) else { pairCount(q) = n - c; heap.add((n - c, q)) })
+            j += 1
+          }
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          j = 0
+          while (j < sym.length) {
+            if (j + 1 < sym.length && sym(j) == l && sym(j + 1) == r) {
+              out += l + r; j += 2
+            } else { out += sym(j); j += 1 }
+          }
+          words(i) = (out, c)
+          j = 0
+          while (j + 1 < out.length) { bump((out(j), out(j + 1)), c, i); j += 1 }
+          ai += 1
+        }
+        pairCount.remove(p)
+        pairWords.remove(p)
+      }
+    }
+    merges.toSeq
+  }
+
   def learnBpeMergesBatched(
       docs: DataFrame,
       textCol: String,
       k: Int,
-      batchSize: Int): (Seq[(String, String, Long)], Int) = {
+      batchSize: Int,
+      maxLocalWords: Long = DefaultMaxLocalWords): (Seq[(String, String, Long)], Int) = {
     require(k >= 1, s"k must be positive, got $k")
     require(batchSize >= 1, s"batchSize must be positive, got $batchSize")
     val session = docs.sparkSession
@@ -291,6 +377,15 @@ object Vocab {
       .groupBy(F.col("w")).agg(F.count(F.lit(1)).as("c"))
       .select(charsU(F.col("w")).as("sym"), F.col("c"))
       .localCheckpoint(eager = false)
+    // driver-local fast path: BPE learns from the DISTINCT word-count
+    // table, whose size is vocabulary-bounded, not corpus-bounded —
+    // when it fits, collect it once and run the exact sequential
+    // learner with zero per-round Spark jobs (the shape every real
+    // tokenizer trainer uses: distributed count, local merge loop)
+    if (words.count() <= maxLocalWords) {
+      val tbl = words.as[(Seq[String], Long)].collect()
+      return (localBpe(tbl, k), 0)
+    }
     // NUL as the pair separator: it sorts below every character, so
     // lexicographic order on the joined string equals tuple order on
     // (left, right) — the tie-break the oracle replicates

@@ -159,8 +159,8 @@ class VocabSpec extends SparkTestBase {
     val wordCounts = words.map { case (w, n) => (w, n.toLong) }.toMap
 
     spark.sparkContext.setJobGroup("bpe-batch-spec", "batched bpe")
-    val (merges, rounds) =
-      Vocab.learnBpeMergesBatched(docs, "text", 256, batchSize = 64)
+    val (merges, rounds) = Vocab.learnBpeMergesBatched(
+      docs, "text", 256, batchSize = 64, maxLocalWords = 0)
     val jobs = spark.sparkContext.statusTracker
       .getJobIdsForGroup("bpe-batch-spec").length
     spark.sparkContext.clearJobGroup()
@@ -180,9 +180,33 @@ class VocabSpec extends SparkTestBase {
     val wordCounts = corpus.flatMap(_.split("\\s+")).filterNot(_.isEmpty)
       .groupBy(identity).view.mapValues(_.size.toLong).toMap
     for (b <- Seq(1, 2, 4, 16); k <- Seq(1, 4, 10)) {
-      val (got, _) = Vocab.learnBpeMergesBatched(docs, "text", k, b)
+      val (got, _) =
+        Vocab.learnBpeMergesBatched(docs, "text", k, b, maxLocalWords = 0)
       assert(got === refBpe(wordCounts, k), s"batchSize=$b k=$k")
     }
+  }
+
+  test("driver-local BPE fast path equals the distributed learner") {
+    // same adversarial corpora as the batched tests: ties, shared
+    // symbols, overlapping occurrences (aaa/abab/banana), plus the
+    // real table — the incremental-heap local loop must match the
+    // distributed rounds merge for merge
+    val corpora = Seq(
+      Seq("aa aa aa ab ab ba ba ac ca aaa aab abc abab banana"),
+      Seq("low low low lower lower newest newest newest newest widest widest"))
+    for (c <- corpora; k <- Seq(1, 4, 10, 16)) {
+      val docs = c.toDF("text")
+      val (local, lr) = Vocab.learnBpeMergesBatched(docs, "text", k, 32)
+      val (dist, _) =
+        Vocab.learnBpeMergesBatched(docs, "text", k, 32, maxLocalWords = 0)
+      assert(lr === 0, "small corpus must take the local path")
+      assert(local === dist, s"corpus=${c.head.take(20)} k=$k")
+    }
+    val real = sf("sf0.001", "documents")
+    val (local, _) = Vocab.learnBpeMergesBatched(real, "text", 24, 32)
+    val (dist, _) =
+      Vocab.learnBpeMergesBatched(real, "text", 24, 32, maxLocalWords = 0)
+    assert(local === dist)
   }
 
   test("pruned unigram model: hapaxes stay out of the broadcast, scores unchanged") {
