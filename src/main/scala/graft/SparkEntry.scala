@@ -1720,6 +1720,37 @@ object SparkEntry {
         .orderBy(F.col("source"))
     }),
 
+    // WordPiece (BERT-style) tokenizer: greedy longest-match against a
+    // corpus-learned ##-marked piece vocabulary. Greedy matching is
+    // non-SQL-expressible, so the oracle pins invariants computed
+    // exactly in Spark: stripping ## reconstructs each document, the
+    // training corpus yields zero [UNK], every word gives >= 1 piece,
+    // and the vocabulary respects its budget
+    "q_tokenize_wordpiece" -> ((s: SparkSession, dir: String) => {
+      val docs = t(s, dir, "documents")
+      val model = graft.pipeline.WordPiece.learn(docs, "text", vocabSize = 256)
+      val words = F.filter(F.split(F.col("text"), "\\s+"),
+        (x: Column) => F.length(x) > 0)
+      graft.pipeline.WordPiece.tokenize(docs, "text", model)
+        .select(F.col("source"), F.col("text"), F.col("tokens"),
+          F.size(words).as("__nw"))
+        .groupBy(F.col("source"))
+        .agg(
+          F.count(F.lit(1)).as("docs"),
+          (F.sum(F.when(F.col("text").isNull, 0L)
+            .when(F.regexp_replace(F.concat_ws("", F.col("tokens")), "##", "") <=>
+              F.regexp_replace(F.col("text"), "\\s+", ""), 0L).otherwise(1L)) === 0L)
+            .as("reconstructs"),
+          (F.sum(F.when(F.col("text").isNull, 0L)
+            .when(!F.array_contains(F.col("tokens"), model.unk), 0L).otherwise(1L)) === 0L)
+            .as("no_unk"),
+          (F.sum(F.when(F.col("text").isNull, 0L)
+            .when(F.size(F.col("tokens")) >= F.col("__nw"), 0L).otherwise(1L)) === 0L)
+            .as("ge_one_piece_per_word"),
+          F.lit(model.pieces.size <= 256).as("vocab_in_budget"))
+        .orderBy(F.col("source"))
+    }),
+
     // unigram cross-entropy quality signal (rounded to 4 decimals —
     // ln ulp differences across engines sit ~11 orders below the
     // rounding boundary)
@@ -2923,6 +2954,11 @@ object SparkEntry {
       "q_tokenize_unigram" ->
         """SELECT source, count(*) AS docs, true AS reconstructs,
           |       true AS ge_one_piece_per_word, true AS vocab_in_budget
+          |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+      "q_tokenize_wordpiece" ->
+        """SELECT source, count(*) AS docs, true AS reconstructs,
+          |       true AS no_unk, true AS ge_one_piece_per_word,
+          |       true AS vocab_in_budget
           |FROM documents GROUP BY source ORDER BY source""".stripMargin,
       "q_quality_classifier" ->
         """SELECT CAST(2 * count(*) AS BIGINT) AS held_out, true AS holdout_acc_ok

@@ -288,7 +288,7 @@ object Vocab {
     * argmax: the same tie-break the distributed path encodes with its
     * NUL-joined sort key (lexicographic on l+NUL+r == tuple order on
     * (l, r) because NUL sorts below every character). */
-  private def localBpe(
+  private[pipeline] def localBpe(
       table: Seq[(Seq[String], Long)], k: Int): Seq[(String, String, Long)] = {
     val words = table.map { case (sym, c) =>
       (scala.collection.mutable.ArrayBuffer.from(sym), c)
