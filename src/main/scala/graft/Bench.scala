@@ -43,6 +43,11 @@ object Bench {
   private val qualityModelCache = scala.collection.concurrent.TrieMap[String,
     graft.pipeline.QualityClassifier.Model]()
 
+  // learned once per dir so b_wordpiece times tokenization after the
+  // first rep, like the BPE/unigram tokenizer benches
+  private val wordPieceCache = scala.collection.concurrent.TrieMap[String,
+    graft.pipeline.WordPiece.Model]()
+
   private val unigramModelCache = scala.collection.concurrent.TrieMap[String,
     graft.pipeline.UnigramLm.Model]()
 
@@ -105,6 +110,24 @@ object Bench {
     "b_dedup_substring" -> ((s: SparkSession, dir: String) =>
       graft.pipeline.Dedup.duplicateSpans(
         t(s, dir, "documents"), "doc_id", "text", k = 8)),
+
+    // paragraph-level exact dedup with reconstruction: 3-token-chunk
+    // paragraph-ified corpus, hash-keyed dup detection, per-doc rebuild
+    "b_dedup_paragraph" -> ((s: SparkSession, dir: String) => {
+      val toks = F.filter(F.split(F.col("text"), "\\s+"),
+        (tk: org.apache.spark.sql.Column) => F.length(tk) > 0)
+      val withToks = t(s, dir, "documents")
+        .filter(F.col("text").isNotNull)
+        .select(F.col("doc_id"), toks.as("__toks"))
+        .filter(F.size(F.col("__toks")) >= 1)
+      val nChunks = F.ceil(F.size(F.col("__toks")).cast("double") / F.lit(3.0))
+        .cast("int")
+      val para = withToks.select(F.col("doc_id"),
+        F.array_join(F.transform(F.sequence(F.lit(0), nChunks - 1),
+          i => F.array_join(F.slice(F.col("__toks"), i * 3 + 1, F.lit(3)), " ")),
+          "\n").as("text"))
+      graft.pipeline.Dedup.dedupParagraphs(para, "doc_id", "text")
+    }),
 
     // ANN: brute-force cosine top-10 for 20 query vectors
     "b_ann_bruteforce" -> ((s: SparkSession, dir: String) => {
@@ -320,6 +343,23 @@ object Bench {
         .agg(F.sum(F.size(F.col("tokens"))).as("total_tokens"),
              F.count(F.lit(1)).as("docs"))
     }),
+
+    // WordPiece: learn a 256-piece vocabulary + tokenize the corpus
+    // (one word-count shuffle, driver-local merges, map-only apply)
+    "b_wordpiece" -> ((s: SparkSession, dir: String) => {
+      val docs = t(s, dir, "documents")
+      val m = wordPieceCache.getOrElseUpdate(dir,
+        graft.pipeline.WordPiece.learn(docs, "text", vocabSize = 256))
+      graft.pipeline.WordPiece.tokenize(docs, "text", m)
+        .agg(F.sum(F.size(F.col("tokens"))).as("total_tokens"),
+             F.count(F.lit(1)).as("docs"))
+    }),
+
+    // CCNet-style head/middle/tail partition: LM scoring + min-shifted
+    // sketch cutoffs, corpus re-attached by broadcast
+    "b_ccnet_tiers" -> ((s: SparkSession, dir: String) =>
+      graft.pipeline.Vocab.perplexityPartition(
+        t(s, dir, "documents"), "doc_id", "text")),
 
     // unigram-LM (SentencePiece-style) EM training: per-round one
     // word-table map with broadcast model + one vocab-keyed aggregate
