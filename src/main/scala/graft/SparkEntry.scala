@@ -1728,7 +1728,11 @@ object SparkEntry {
     // and the vocabulary respects its budget
     "q_tokenize_wordpiece" -> ((s: SparkSession, dir: String) => {
       val docs = t(s, dir, "documents")
-      val model = graft.pipeline.WordPiece.learn(docs, "text", vocabSize = 256)
+      val learned = graft.pipeline.WordPiece.learn(docs, "text", vocabSize = 256)
+      // persist + reload: the gate also covers the artifact round-trip
+      val path = System.getProperty("java.io.tmpdir") + "/graft_q_wordpiece"
+      graft.pipeline.Tokenizers.saveWordPieceModel(s, learned, path)
+      val model = graft.pipeline.Tokenizers.loadWordPieceModel(s, path)
       val words = F.filter(F.split(F.col("text"), "\\s+"),
         (x: Column) => F.length(x) > 0)
       graft.pipeline.WordPiece.tokenize(docs, "text", model)

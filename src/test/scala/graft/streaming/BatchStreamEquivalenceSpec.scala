@@ -318,6 +318,33 @@ class BatchStreamEquivalenceSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("WordPiece tokenization is batch≡stream (broadcast pieces, per-thread memo, no state)") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.pipeline.WordPiece
+    val staticDocs = sf("sf0.001", "documents").select("doc_id", "text")
+      .filter(F.col("doc_id") < 100)
+    val model = WordPiece.learn(staticDocs, "text", vocabSize = 128)
+    val batch = WordPiece.tokenize(staticDocs, "text", model)
+      .select("doc_id", "tokens")
+      .as[(Long, Seq[String])].collect().toMap
+
+    val rows = staticDocs.as[(Long, String)].collect()
+    val input = MemoryStream[(Long, String)]
+    val q = WordPiece.tokenize(input.toDF().toDF("doc_id", "text"), "text", model)
+      .select("doc_id", "tokens")
+      .writeStream.format("memory").queryName("bs_tok_wp")
+      .outputMode("append").start()
+    try {
+      input.addData(rows.toSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("bs_tok_wp")
+        .as[(Long, Seq[String])].collect().toMap
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("index gram hits are batch≡stream (bloom predicate + stream-static semi-join)") {
     val session = spark
     import session.implicits._
