@@ -129,6 +129,17 @@ object Bench {
       graft.pipeline.Dedup.dedupParagraphs(para, "doc_id", "text")
     }),
 
+    // SemDeDup: k-means cells + within-cell cosine, keep the least-
+    // central member per duplicate group
+    "b_dedup_semantic" -> ((s: SparkSession, dir: String) => {
+      val emb = t(s, dir, "embeddings")
+      val copies = emb.filter(F.col("vec_id") < 50)
+        .select((F.col("vec_id") + 100000L).as("vec_id"), F.col("embedding"))
+      graft.pipeline.Dedup.semanticDeduplicate(
+        emb.select(F.col("vec_id"), F.col("embedding")).union(copies),
+        "vec_id", "embedding", nClusters = 16, threshold = 0.99)
+    }),
+
     // ANN: brute-force cosine top-10 for 20 query vectors
     "b_ann_bruteforce" -> ((s: SparkSession, dir: String) => {
       val emb = t(s, dir, "embeddings")

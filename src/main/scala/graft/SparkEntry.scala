@@ -1127,6 +1127,23 @@ object SparkEntry {
         .orderBy("id_a")
     }),
 
+    // SemDeDup semantic dedup: k-means cells + within-cell cosine,
+    // keep the least-centroid-similar member per duplicate group.
+    // Planted exact copies make the survivor set clustering-independent
+    // (identical vectors always co-cluster; ties keep the lower id;
+    // no natural pair reaches cos 0.99 in this testdata), so the
+    // oracle pins the exact surviving ids
+    "q_dedup_semantic" -> ((s: SparkSession, dir: String) => {
+      val emb = t(s, dir, "embeddings")
+      val copies = emb.filter(F.col("vec_id") < 50)
+        .select((F.col("vec_id") + 100000L).as("vec_id"), F.col("embedding"))
+      val corpus = emb.select(F.col("vec_id"), F.col("embedding")).union(copies)
+      graft.pipeline.Dedup.semanticDeduplicate(
+          corpus, "vec_id", "embedding", nClusters = 16, threshold = 0.99)
+        .agg(F.count(F.lit(1)).as("kept"),
+             F.sum(F.col("vec_id")).as("kept_id_sum"))
+    }),
+
     // incremental embedding dedup against a persisted signature index:
     // fresh batch = exact copies of history vectors 0-49 (shifted ids);
     // copies collide in every LSH table so recall is 1.0, no natural
@@ -2453,6 +2470,10 @@ object SparkEntry {
     "q_dedup_embed" ->
       """SELECT vec_id AS id_a, vec_id + 100000 AS id_b, true AS cos_ok
         |FROM embeddings WHERE vec_id < 50 ORDER BY id_a""".stripMargin,
+    "q_dedup_semantic" ->
+      """SELECT CAST(count(*) AS BIGINT) AS kept,
+        |       CAST(sum(vec_id) AS BIGINT) AS kept_id_sum
+        |FROM embeddings""".stripMargin,
     "q_dedup_keepbest" ->
       """WITH n AS (SELECT doc_id,  n_chars,
         |  lower(trim(regexp_replace(regexp_replace(text,

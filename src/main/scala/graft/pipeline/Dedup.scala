@@ -794,6 +794,76 @@ object Dedup {
   }
 
   /**
+   * SemDeDup (Abbas et al. 2023) semantic deduplication: k-means-
+   * cluster the embedding space, verify exact cosine >= `threshold`
+   * for pairs WITHIN a cluster only, connected-component the verified
+   * pairs, and from every duplicate group keep the member LEAST
+   * similar to its cluster centroid (the paper's keep-the-outlier
+   * rule — near-centroid members are the redundant ones; ties break
+   * on the id, so exact copies keep their lowest id). Returns the
+   * surviving rows of `df`.
+   *
+   * Scale shape: the corpus never all-pairs joins — candidates exist
+   * only within k-means cells (the SemDeDup observation that semantic
+   * duplicates co-cluster), cells are capped like LSH buckets (drops
+   * accumulator-counted and logged, never silent), centroids ride a
+   * broadcast, and component labeling is the same iterated min-label
+   * join as [[duplicateClusters]]. Recall is cell-bounded by
+   * construction: a duplicate pair split across cells is missed, the
+   * deliberate approximation of the method (identical vectors always
+   * co-cluster, so exact-copy recall is 1.0).
+   */
+  def semanticDeduplicate(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nClusters: Int = 16,
+      threshold: Double = 0.97,
+      iterations: Int = 2,
+      maxCluster: Int = DefaultMaxBucket): DataFrame = {
+    require(nClusters >= 1, s"nClusters must be >= 1, got $nClusters")
+    val idx = Similarity.buildIvfIndex(df, idCol, vecCol, nClusters, iterations)
+    val cB = df.sparkSession.sparkContext.broadcast(idx.centroids)
+    val csimU = F.udf((v: Array[Float], cell: Int) => {
+      val c = cB.value(cell)
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < v.length && i < c.length) {
+        dot += v(i).toDouble * c(i); na += v(i).toDouble * v(i)
+        nb += c(i).toDouble * c(i); i += 1
+      }
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+    })
+    val assigned = idx.assigned
+      .select(F.col("neighbor_id").as("__id"), F.col("__cv"), F.col("__cell"))
+      .withColumn("__csim", csimU(F.col("__cv"), F.col("__cell")))
+      .localCheckpoint(eager = false)
+    val sizes = assigned.groupBy(F.col("__cell"))
+      .agg(F.count(F.lit(1)).as("__n"))
+      .filter(F.col("__n") > 1)
+    val allowed = capBuckets(sizes, F.col("__n"), maxCluster, "semantic")
+      .select("__cell")
+    val pruned = assigned.join(allowed, Seq("__cell"))
+    val l = pruned.select(F.col("__id").as("id_a"), F.col("__cell"),
+      F.col("__cv").as("__va"))
+    val r = pruned.select(F.col("__id").as("id_b"), F.col("__cell"),
+      F.col("__cv").as("__vb"))
+    val pairs = l.join(r, Seq("__cell"))
+      .filter(F.col("id_a") < F.col("id_b"))
+      .filter(Similarity.cosine(F.col("__va"), F.col("__vb")) >= threshold)
+      .select("id_a", "id_b")
+    val labeled = duplicateClusters(pairs)
+      .join(assigned.select(F.col("__id").as("id"), F.col("__csim")), Seq("id"))
+    val keepers = labeled.groupBy(F.col("cluster"))
+      .agg(F.min(F.struct(F.col("__csim"), F.col("id"))).as("__k"))
+      .select(F.col("__k.id").as("id"))
+    val dropped = labeled.select("id")
+      .join(keepers, Seq("id"), "left_anti")
+      .select(F.col("id").as(idCol))
+    df.join(dropped, Seq(idCol), "left_anti")
+  }
+
+  /**
    * Paragraph-level exact dedup — the Dolma/C4 granularity between
    * whole-document [[dropExactDuplicates]] and token-span
    * [[duplicateSpans]]: split each document on `sep`, drop every
