@@ -901,20 +901,22 @@ object Dedup {
            F.min(F.struct(F.col(idCol), F.col("__pi"))).as("__first"))
       .filter(F.col("__c") >= minCount)
       .select(F.col("__ph"), F.col("__first"))
-    val kept = paras.join(dup, Seq("__ph"), "left")
-      .filter(F.col("__first").isNull ||
+    // totals, kept-count, and reconstruction in ONE per-doc aggregate:
+    // collect_list skips the NULLs the `when` leaves on dropped
+    // paragraphs, so the dup-marked rows fold in a single exchange
+    val marked = paras.join(dup, Seq("__ph"), "left")
+      .withColumn("__keep", F.col("__first").isNull ||
         (F.col(s"__first.$idCol") === F.col(idCol) &&
          F.col("__first.__pi") === F.col("__pi")))
-    val totals = paras.groupBy(F.col(idCol)).agg(F.count(F.lit(1)).as("__total"))
-    val rebuilt = kept.groupBy(F.col(idCol))
-      .agg(F.count(F.lit(1)).as("__kept"),
+    val out = marked.groupBy(F.col(idCol))
+      .agg(F.count(F.lit(1)).as("__total"),
+        F.sum(F.when(F.col("__keep"), 1L).otherwise(0L)).as("__kept"),
         F.array_join(
-          F.transform(F.array_sort(F.collect_list(F.struct(F.col("__pi"), F.col("__p")))),
+          F.transform(F.array_sort(F.collect_list(
+            F.when(F.col("__keep"), F.struct(F.col("__pi"), F.col("__p"))))),
             s => s.getField("__p")), joinSep).as("__text"))
-    val out = totals.join(rebuilt, Seq(idCol), "left")
-      .select(F.col(idCol),
-        F.coalesce(F.col("__text"), F.lit("")).as("__text"),
-        (F.col("__total") - F.coalesce(F.col("__kept"), F.lit(0L))).as("__removed"))
+      .select(F.col(idCol), F.col("__text"),
+        (F.col("__total") - F.col("__kept")).as("__removed"))
     df.join(out, Seq(idCol), "left")
       .withColumn("paras_removed",
         F.when(F.col(textCol).isNull, F.lit(null).cast("long"))
