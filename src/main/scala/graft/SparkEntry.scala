@@ -1811,6 +1811,38 @@ object SparkEntry {
           .as("holdout_acc_ok"))
     }),
 
+    // DSIR importance selection (Xie et al. 2023): hashed n-gram
+    // likelihood-ratio scores toward a planted target domain. The
+    // model learns from the EVEN-id half of the spam domain; top-k
+    // selection over the mixed corpus must recover the whole domain
+    // (including the unseen odd-id half) with >= 95% precision
+    "q_dsir_select" -> ((s: SparkSession, dir: String) => {
+      val spamWords = Array("click", "winner", "casino", "pills", "free",
+        "prize", "claim", "bonus", "unsubscribe", "offer")
+      val spamU = F.udf((id: Long) => {
+        val r = new scala.util.Random(id)
+        Seq.fill(60)(spamWords(r.nextInt(spamWords.length))).mkString(" ")
+      })
+      val docs = t(s, dir, "documents")
+      val clean = docs.select(F.col("doc_id"), F.col("text"))
+      val spam = docs.select((F.col("doc_id") + 1000000L).as("doc_id"),
+        spamU(F.col("doc_id")).as("text"))
+      val raw = clean.union(spam)
+      val target = spam.filter(F.col("doc_id") % 2 === 0).select("text")
+      val m = graft.pipeline.Dsir.learn(raw, target, "text", dim = 1 << 14)
+      val k = spam.count()
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(F.col("dsir_score").desc, F.col("doc_id"))
+      graft.pipeline.Dsir.score(raw, "text", m)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .agg(
+          F.lit(2 * k).as("n_raw"),
+          F.count(F.lit(1)).as("n_selected"),
+          ((F.sum(F.when(F.col("doc_id") >= 1000000L, 1L).otherwise(0L))
+            .cast("double") / F.count(F.lit(1))) >= 0.95).as("precision_ok"))
+    }),
+
     // bigram cross-entropy quality signal — fluency, not just token
     // rarity; counts exact, ln/round cross-engine safe as in q_lm_score
     "q_lm_bigram" -> ((s: SparkSession, dir: String) =>
@@ -2988,6 +3020,11 @@ object SparkEntry {
       "q_quality_classifier" ->
         """SELECT CAST(2 * count(*) AS BIGINT) AS held_out, true AS holdout_acc_ok
           |FROM documents WHERE doc_id % 2 = 1""".stripMargin,
+      "q_dsir_select" ->
+        """SELECT CAST(2 * count(*) AS BIGINT) AS n_raw,
+          |       CAST(count(*) AS BIGINT) AS n_selected,
+          |       true AS precision_ok
+          |FROM documents""".stripMargin,
       "q_dedup_incremental_exact" ->
         """WITH hist AS (SELECT text FROM documents WHERE doc_id % 3 <> 0),
           |fresh AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
