@@ -48,6 +48,10 @@ object Bench {
   private val wordPieceCache = scala.collection.concurrent.TrieMap[String,
     graft.pipeline.WordPiece.Model]()
 
+  // fitted once per dir so b_dsir_score times the scoring scan
+  private val dsirModelCache = scala.collection.concurrent.TrieMap[String,
+    graft.pipeline.Dsir.Model]()
+
   private val unigramModelCache = scala.collection.concurrent.TrieMap[String,
     graft.pipeline.UnigramLm.Model]()
 
@@ -371,6 +375,17 @@ object Bench {
     "b_ccnet_tiers" -> ((s: SparkSession, dir: String) =>
       graft.pipeline.Vocab.perplexityPartition(
         t(s, dir, "documents"), "doc_id", "text")),
+
+    // DSIR importance scoring: broadcast log-ratio array, map-only
+    // hashed-bigram scan (model cached like the other trained artifacts)
+    "b_dsir_score" -> ((s: SparkSession, dir: String) => {
+      val docs = t(s, dir, "documents")
+      val m = dsirModelCache.getOrElseUpdate(dir, {
+        val target = docs.filter(F.col("doc_id") % 7 === 0).select("text")
+        graft.pipeline.Dsir.learn(docs, target, "text", dim = 1 << 14)
+      })
+      graft.pipeline.Dsir.score(docs, "text", m)
+    }),
 
     // unigram-LM (SentencePiece-style) EM training: per-round one
     // word-table map with broadcast model + one vocab-keyed aggregate
