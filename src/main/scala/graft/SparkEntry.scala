@@ -1811,6 +1811,28 @@ object SparkEntry {
           .as("holdout_acc_ok"))
     }),
 
+    // Deflate compression-ratio redundancy signal: a document repeated
+    // 4x must compress strictly better (lower ratio) than one copy,
+    // ratios stay in sane bounds, and NULL text yields NULL —
+    // orderings pinned, never raw zlib values
+    "q_text_compression" -> ((s: SparkSession, dir: String) => {
+      val tf = graft.pipeline.TextFunctions
+      val rep4 = F.concat_ws(" ", F.col("text"), F.col("text"),
+        F.col("text"), F.col("text"))
+      t(s, dir, "documents")
+        .filter(F.col("text").isNotNull)
+        .select(F.col("source"),
+          tf.compressionRatio(F.col("text")).as("__r1"),
+          tf.compressionRatio(rep4).as("__r4"))
+        .groupBy(F.col("source"))
+        .agg(F.count(F.lit(1)).as("docs"),
+          (F.sum(F.when(F.col("__r4") < F.col("__r1"), 0L).otherwise(1L)) === 0L)
+            .as("repeat_compresses_better"),
+          (F.sum(F.when(F.col("__r1") > 0.0 && F.col("__r1") < 1.5, 0L)
+            .otherwise(1L)) === 0L).as("bounds_ok"))
+        .orderBy(F.col("source"))
+    }),
+
     // DSIR importance selection (Xie et al. 2023): hashed n-gram
     // likelihood-ratio scores toward a planted target domain. The
     // model learns from the EVEN-id half of the spam domain; top-k
@@ -3025,6 +3047,11 @@ object SparkEntry {
           |       CAST(count(*) AS BIGINT) AS n_selected,
           |       true AS precision_ok
           |FROM documents""".stripMargin,
+      "q_text_compression" ->
+        """SELECT source, count(*) AS docs, true AS repeat_compresses_better,
+          |       true AS bounds_ok
+          |FROM documents WHERE text IS NOT NULL
+          |GROUP BY source ORDER BY source""".stripMargin,
       "q_dedup_incremental_exact" ->
         """WITH hist AS (SELECT text FROM documents WHERE doc_id % 3 <> 0),
           |fresh AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0

@@ -328,4 +328,27 @@ object TextFunctions {
     val richScore = F.least(tokens.cast("double") / 100.0, F.lit(1.0))
     F.round((lenScore + wordLenScore + richScore) / 3.0, 4)
   }
+
+  /** Deflate compression ratio (compressed/raw UTF-8 bytes, level 9):
+    * the redundancy signal web-corpus filters use — boilerplate-ish or
+    * machine-repeated text compresses far below fluent prose.
+    * Map-only; NULL or empty text → NULL. Ratios are zlib-version-
+    * dependent at the margin, so gates pin ORDERINGS between planted
+    * redundancy levels, never raw values. */
+  val compressionRatioUdf: UserDefinedFunction = F.udf((text: String) => {
+    if (text == null || text.isEmpty) None
+    else {
+      val raw = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val d = new java.util.zip.Deflater(java.util.zip.Deflater.BEST_COMPRESSION)
+      try {
+        d.setInput(raw); d.finish()
+        val buf = new Array[Byte](256)
+        var out = 0L
+        while (!d.finished()) out += d.deflate(buf)
+        Some(out.toDouble / raw.length)
+      } finally d.end()
+    }
+  })
+
+  def compressionRatio(text: Column): Column = compressionRatioUdf(text)
 }

@@ -155,6 +155,24 @@ class CurationSpec extends SparkTestBase {
     assert(out(5L) === 0.0)
   }
 
+  test("compressionRatio orders redundancy correctly and obeys NULL discipline") {
+    val fluent = "the quick brown fox jumps over a lazy dog while birds sing nearby"
+    val df = Seq(
+      (1L, fluent),
+      (2L, Seq.fill(8)(fluent).mkString(" ")),       // repeated -> lower ratio
+      (3L, "spam spam spam spam spam spam spam spam spam spam spam spam"),
+      (4L, null.asInstanceOf[String]),
+      (5L, ""))
+      .toDF("id", "text")
+    val out = df.select($"id", TextFunctions.compressionRatio($"text").as("r"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(out(2L).get < out(1L).get)   // repetition compresses better
+    assert(out(3L).get < out(1L).get)   // token spam compresses better
+    assert(out(1L).get > 0.0 && out(1L).get < 1.5)
+    assert(out(4L).isEmpty && out(5L).isEmpty)
+  }
+
   // --------------------------------------------------- decontamination
 
   test("wordNgrams builds distinct lowercase n-grams, empty for short/NULL docs") {
