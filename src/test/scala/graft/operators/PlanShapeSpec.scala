@@ -114,6 +114,13 @@ class PlanShapeSpec extends SparkTestBase {
     assert(exchanges(out) === 1, plan)
   }
 
+  test("dedupParagraphs plans exactly two hash exchanges (dup hash + fused per-doc agg)") {
+    val docs = Seq((1L, "a b\nc d"), (2L, "c d\ne f")).toDF("doc_id", "text")
+      .repartition(4)
+    val out = graft.pipeline.Dedup.dedupParagraphs(docs, "doc_id", "text")
+    assert(exchanges(out) === 2, out.queryExecution.executedPlan.toString)
+  }
+
   test("co-located join of bucketed tables plans zero exchanges") {
     val B = graft.sources.Bucketed
     B.writeBucketed(sf("sf0.001", "orders"), "pst_orders_b",

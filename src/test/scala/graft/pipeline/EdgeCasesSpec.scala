@@ -99,4 +99,40 @@ class EdgeCasesSpec extends SparkTestBase {
     assert(out(5L).isEmpty)
     assert(out(4L).exists(_ > 3.0))
   }
+
+  test("dedupParagraphs: no duplicates anywhere is the identity; NULL-only corpus survives") {
+    val clean = Seq((1L, "a b\nc d"), (2L, "e f\ng h")).toDF("doc_id", "text")
+    val out = Dedup.dedupParagraphs(clean, "doc_id", "text")
+      .select("doc_id", "text", "paras_removed")
+      .as[(Long, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(out == Seq((1L, "a b\nc d", 0L), (2L, "e f\ng h", 0L)))
+    val nulls = Seq((1L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val n = Dedup.dedupParagraphs(nulls, "doc_id", "text").collect()
+    assert(n.length == 1 && n(0).isNullAt(1) && n(0).isNullAt(2))
+  }
+
+  test("semanticDeduplicate with no pair above threshold is the identity") {
+    val docs = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)),
+      (2L, Array(0f, 1f, 0f, 0f)),
+      (3L, Array(0f, 0f, 1f, 0f))
+    ).toDF("id", "v")
+    assert(Dedup.semanticDeduplicate(docs, "id", "v", nClusters = 2,
+      threshold = 0.99).select("id").as[Long].collect().toSet == Set(1L, 2L, 3L))
+  }
+
+  test("Dsir with an empty target still scores (uniform target, finite ratios)") {
+    val raw = Seq((1L, "some words"), (2L, "other words")).toDF("doc_id", "text")
+    val m = Dsir.learn(raw, raw.filter(F.lit(false)), "text", 1 << 8)
+    val out = Dsir.score(raw, "text", m).select("dsir_score")
+      .as[Double].collect()
+    assert(out.length == 2 && out.forall(d => !d.isNaN && !d.isInfinite))
+  }
+
+  test("WordPiece.learn on an empty corpus yields an UNK-only tokenizer") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val m = WordPiece.learn(empty, "text", vocabSize = 10)
+    assert(m.pieces.isEmpty)
+    assert(WordPiece.segment(m, "anything").toSeq == Seq(m.unk))
+  }
 }
