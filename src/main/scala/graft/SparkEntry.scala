@@ -1144,6 +1144,24 @@ object SparkEntry {
              F.sum(F.col("vec_id")).as("kept_id_sum"))
     }),
 
+    // incremental SemDeDup: fresh exact copies probed against a
+    // persisted partitioned-by-cell IVF index — copies probe their own
+    // cell first, so the verified pair set is exactly the 50 copies
+    "q_dedup_incremental_semantic" -> ((s: SparkSession, dir: String) => {
+      val emb = t(s, dir, "embeddings").select(F.col("vec_id"), F.col("embedding"))
+      val path = System.getProperty("java.io.tmpdir") + "/graft_q_ivfsem"
+      graft.pipeline.Similarity
+        .buildIvfIndex(emb, "vec_id", "embedding", nlist = 16).save(path)
+      val index = graft.pipeline.Similarity.loadIvfIndex(s, path)
+      val fresh = emb.filter(F.col("vec_id") < 50)
+        .select((F.col("vec_id") + 100000L).as("vec_id"), F.col("embedding"))
+      graft.pipeline.Dedup.incrementalSemanticDuplicates(
+          fresh, index, "vec_id", "embedding", threshold = 0.99)
+        .select(F.col("id_new"), F.col("id_old"),
+          (F.col("cos") >= 0.999).as("cos_ok"))
+        .orderBy("id_new")
+    }),
+
     // incremental embedding dedup against a persisted signature index:
     // fresh batch = exact copies of history vectors 0-49 (shifted ids);
     // copies collide in every LSH table so recall is 1.0, no natural
@@ -2528,6 +2546,9 @@ object SparkEntry {
       """SELECT CAST(count(*) AS BIGINT) AS kept,
         |       CAST(sum(vec_id) AS BIGINT) AS kept_id_sum
         |FROM embeddings""".stripMargin,
+    "q_dedup_incremental_semantic" ->
+      """SELECT vec_id + 100000 AS id_new, vec_id AS id_old, true AS cos_ok
+        |FROM embeddings WHERE vec_id < 50 ORDER BY id_new""".stripMargin,
     "q_dedup_keepbest" ->
       """WITH n AS (SELECT doc_id,  n_chars,
         |  lower(trim(regexp_replace(regexp_replace(text,

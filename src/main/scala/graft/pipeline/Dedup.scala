@@ -864,6 +864,44 @@ object Dedup {
   }
 
   /**
+   * Incremental SemDeDup — the nightly shape of [[semanticDeduplicate]]:
+   * a fresh vector batch probed against a PERSISTED
+   * [[Similarity.IvfIndex]] of history (`Similarity.buildIvfIndex` +
+   * `IvfIndex.save` / `Similarity.loadIvfIndex`). Each fresh vector
+   * probes its `nprobe` nearest cells and exact cosine verifies
+   * against the in-cell history vectors only. Returns verified
+   * (id_new, id_old, cos) pairs with cos >= `threshold`; ids already
+   * present in the index are excluded (no self-pairs).
+   *
+   * Scale shape: history never re-clusters or reshuffles — the
+   * assignment parquet is partitioned by cell, so probing reads only
+   * the touched cells, and the fresh batch rides a BROADCAST onto
+   * them. Identical re-ingested vectors probe their own cell first, so
+   * exact-copy recall is 1.0 at any `nprobe`.
+   */
+  def incrementalSemanticDuplicates(
+      fresh: DataFrame,
+      index: Similarity.IvfIndex,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      nprobe: Int = 2): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    val spark = fresh.sparkSession
+    val cB = spark.sparkContext.broadcast(index.centroids)
+    val probeU = F.udf((v: Array[Float]) =>
+      Similarity.nearestCentroids(cB.value, v, nprobe))
+    val probes = fresh.select(F.col(idCol).as("id_new"),
+      F.col(vecCol).as("__qv"),
+      F.explode(probeU(F.col(vecCol))).as("__cell"))
+    index.assigned.join(F.broadcast(probes), "__cell")
+      .withColumn("cos", Similarity.cosine(F.col("__qv"), F.col("__cv")))
+      .filter(F.col("cos") >= threshold &&
+        F.col("id_new") =!= F.col("neighbor_id"))
+      .select(F.col("id_new"), F.col("neighbor_id").as("id_old"), F.col("cos"))
+  }
+
+  /**
    * Paragraph-level exact dedup — the Dolma/C4 granularity between
    * whole-document [[dropExactDuplicates]] and token-span
    * [[duplicateSpans]]: split each document on `sep`, drop every

@@ -240,7 +240,7 @@ object Similarity {
     best
   }
 
-  private def nearestCentroids(cs: Array[Array[Float]], v: Array[Float], m: Int): Seq[Int] = {
+  private[pipeline] def nearestCentroids(cs: Array[Array[Float]], v: Array[Float], m: Int): Seq[Int] = {
     cs.indices.map { c =>
       var d = 0.0
       var i = 0

@@ -50,4 +50,23 @@ class SemanticDedupSpec extends SparkTestBase {
     assert(kept == emb.select("vec_id").as[Long].collect().toSet)
     assert(kept.size.toLong == n)
   }
+
+  test("incremental SemDeDup probes a persisted IVF index; no self-pairs") {
+    val emb = sf("sf0.001", "embeddings").select("vec_id", "embedding")
+    val path = java.nio.file.Files.createTempDirectory("ivfsem").toString + "/idx"
+    Similarity.buildIvfIndex(emb, "vec_id", "embedding", nlist = 8).save(path)
+    val index = Similarity.loadIvfIndex(spark, path)
+    // re-ingested exact copies under new ids: every copy must pair
+    // with exactly its original at cos ~1
+    val fresh = emb.filter(F.col("vec_id") < 20)
+      .select((F.col("vec_id") + 100000L).as("vec_id"), F.col("embedding"))
+    val pairs = Dedup.incrementalSemanticDuplicates(
+        fresh, index, "vec_id", "embedding", threshold = 0.99)
+      .select("id_new", "id_old").as[(Long, Long)].collect().toSet
+    assert(pairs == (0L until 20L).map(i => (i + 100000L, i)).toSet)
+    // same ids re-sent: the self-pair guard leaves nothing
+    val samePairs = Dedup.incrementalSemanticDuplicates(
+        emb.filter(F.col("vec_id") < 20), index, "vec_id", "embedding", 0.99)
+    assert(samePairs.count() == 0L)
+  }
 }

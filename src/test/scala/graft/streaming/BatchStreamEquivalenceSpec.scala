@@ -345,6 +345,37 @@ class BatchStreamEquivalenceSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("DSIR scoring and compression ratio are batch≡stream (broadcast model, map-only)") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val staticDocs = sf("sf0.001", "documents").select("doc_id", "text")
+      .filter(F.col("doc_id") < 100)
+    val target = staticDocs.filter(F.col("doc_id") % 5 === 0).select("text")
+    val m = graft.pipeline.Dsir.learn(staticDocs, target, "text", 1 << 12)
+    def shape(df: org.apache.spark.sql.DataFrame) =
+      graft.pipeline.Dsir.score(df, "text", m)
+        .withColumn("cr",
+          graft.pipeline.TextFunctions.compressionRatio(F.col("text")))
+        .select("doc_id", "dsir_score", "cr")
+    val batch = shape(staticDocs).as[(Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+
+    val rows = staticDocs.as[(Long, String)].collect()
+    val input = MemoryStream[(Long, String)]
+    val q = shape(input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("bs_dsir")
+      .outputMode("append").start()
+    try {
+      input.addData(rows.toSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("bs_dsir")
+        .as[(Long, Double, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("index gram hits are batch≡stream (bloom predicate + stream-static semi-join)") {
     val session = spark
     import session.implicits._
