@@ -248,6 +248,16 @@ object Bench {
     }),
 
     // text analysis sweep: tokens, quality, fingerprint, language
+    // Gopher rule bundle: one-pass repetition kernel + codegen'd
+    // structural stats + verdict over the whole corpus, map-only
+    "b_gopher" -> ((s: SparkSession, dir: String) => {
+      graft.pipeline.GopherRules.annotate(
+          t(s, dir, "documents"), "text")
+        .agg(F.sum(F.when(F.col("keep"), 1L).otherwise(0L)).as("kept"),
+             F.avg(F.col("rep.dup_gram_char_frac")).as("avg_dup5"),
+             F.avg(F.col("quality.mean_word_len")).as("avg_mwl"))
+    }),
+
     "b_text_sweep" -> ((s: SparkSession, dir: String) => {
       val tf = graft.pipeline.TextFunctions
       t(s, dir, "documents").select(

@@ -1211,6 +1211,58 @@ object SparkEntry {
         F.sum(F.col("doc_id")).as("kept_id_sum"))
     }),
 
+    // Gopher repetition rules over deterministically paragraph-ified
+    // text (3-token lines, 2-line paragraphs): both engines see the
+    // identical structure, stats are integer-counted with one double
+    // division each, so values compare bit-exactly
+    "q_gopher_repetition" -> ((s: SparkSession, dir: String) => {
+      val toks = F.filter(F.split(F.col("text"), "\\s+"),
+        (tk: Column) => F.length(tk) > 0)
+      val withToks = t(s, dir, "documents")
+        .filter(F.col("text").isNotNull)
+        .select(F.col("doc_id"), toks.as("__toks"))
+        .filter(F.size(F.col("__toks")) >= 1)
+      val nLines = F.ceil(F.size(F.col("__toks")).cast("double") / F.lit(3.0))
+        .cast("int")
+      val linesArr = F.transform(F.sequence(F.lit(0), nLines - 1),
+        i => F.array_join(F.slice(F.col("__toks"), i * 3 + 1, F.lit(3)), " "))
+      val withLines = withToks.select(F.col("doc_id"), linesArr.as("__lines"))
+      val nParas = F.ceil(F.size(F.col("__lines")).cast("double") / F.lit(2.0))
+        .cast("int")
+      val text2 = F.array_join(F.transform(F.sequence(F.lit(0), nParas - 1),
+        j => F.array_join(F.slice(F.col("__lines"), j * 2 + 1, F.lit(2)), "\n")),
+        "\n\n")
+      withLines
+        .select(F.col("doc_id"),
+          graft.pipeline.GopherRules.repetitionStats(text2).as("rep"))
+        .select(F.col("doc_id"), F.col("rep.lines"),
+          F.col("rep.dup_line_frac"), F.col("rep.dup_line_char_frac"),
+          F.col("rep.paras"),
+          F.col("rep.dup_para_frac"), F.col("rep.dup_para_char_frac"),
+          F.col("rep.top_gram_char_frac"), F.col("rep.dup_gram_char_frac"))
+        .orderBy("doc_id")
+    }),
+
+    // Gopher structural quality stats over decorated text (bullet
+    // prefix on doc_id%5, ellipsis suffix on doc_id%7 — both engines
+    // build the identical string first)
+    "q_gopher_quality" -> ((s: SparkSession, dir: String) => {
+      val text2 = F.concat(
+        F.when(F.col("doc_id") % 5 === 0, F.lit("- ")).otherwise(F.lit("")),
+        F.col("text"),
+        F.when(F.col("doc_id") % 7 === 0, F.lit(" ...")).otherwise(F.lit("")))
+      t(s, dir, "documents")
+        .filter(F.col("text").isNotNull)
+        .select(F.col("doc_id"),
+          graft.pipeline.GopherRules.qualityStats(text2).as("q"))
+        .filter(F.col("q.words") >= 1)
+        .select(F.col("doc_id"), F.col("q.words"), F.col("q.mean_word_len"),
+          F.col("q.alpha_word_frac"), F.col("q.symbol_word_ratio"),
+          F.col("q.bullet_line_frac"), F.col("q.ellipsis_line_frac"),
+          F.col("q.stopword_hits"))
+        .orderBy("doc_id")
+    }),
+
     // deterministic + stratified sampling: md5-prefix predicate is
     // engine-portable, so the oracle reproduces the exact sample
     // PII scrubbing over the corpus with deterministically injected PII
@@ -2559,6 +2611,85 @@ object SparkEntry {
         |      FROM n)
         |SELECT count(*) AS kept, CAST(sum(doc_id) AS BIGINT) AS kept_id_sum
         |FROM r WHERE rn = 1""".stripMargin,
+    "q_gopher_repetition" ->
+      """WITH d AS (SELECT doc_id,
+        |             list_filter(string_split_regex(text, '\s+'), s -> len(s) > 0) AS toks
+        |           FROM documents WHERE text IS NOT NULL),
+        |d2 AS (SELECT doc_id, toks FROM d WHERE len(toks) >= 1),
+        |l AS (SELECT doc_id, u.i AS li,
+        |             array_to_string(toks[(u.i-1)*3+1:(u.i-1)*3+3], ' ') AS line
+        |      FROM d2, range(1, 100) u(i)
+        |      WHERE u.i <= CAST(ceil(len(toks) / 3.0) AS INT)),
+        |lc AS (SELECT doc_id, line, count(*) AS c, len(line) AS chs
+        |       FROM l GROUP BY 1, 2),
+        |ls AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS lines,
+        |              CAST(sum(CASE WHEN c > 1 THEN c - 1 ELSE 0 END) AS DOUBLE)
+        |                / CAST(sum(c) AS DOUBLE) AS dup_line_frac,
+        |              CAST(sum(CASE WHEN c > 1 THEN (c - 1) * chs ELSE 0 END) AS DOUBLE)
+        |                / CAST(sum(c * chs) AS DOUBLE) AS dup_line_char_frac
+        |       FROM lc GROUP BY 1),
+        |p AS (SELECT doc_id, CAST(ceil(li / 2.0) AS INT) AS pj,
+        |             string_agg(line, chr(10) ORDER BY li) AS para
+        |      FROM l GROUP BY 1, 2),
+        |pc AS (SELECT doc_id, para, count(*) AS c, len(para) AS chs
+        |       FROM p GROUP BY 1, 2),
+        |ps AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS paras,
+        |              CAST(sum(CASE WHEN c > 1 THEN c - 1 ELSE 0 END) AS DOUBLE)
+        |                / CAST(sum(c) AS DOUBLE) AS dup_para_frac,
+        |              CAST(sum(CASE WHEN c > 1 THEN (c - 1) * chs ELSE 0 END) AS DOUBLE)
+        |                / CAST(sum(c * chs) AS DOUBLE) AS dup_para_char_frac
+        |       FROM pc GROUP BY 1),
+        |lt AS (SELECT doc_id, list_transform(toks, s -> lower(s)) AS lw FROM d2),
+        |tc AS (SELECT doc_id, CAST(len(array_to_string(lw, ' ')) AS BIGINT) AS total
+        |       FROM lt),
+        |g2 AS (SELECT doc_id, array_to_string(lw[u.i:u.i+1], ' ') AS g
+        |       FROM lt, range(1, 100) u(i) WHERE u.i + 1 <= len(lw)),
+        |c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+        |t2 AS (SELECT doc_id, c * len(g) AS chars FROM (
+        |         SELECT doc_id, g, c,
+        |                row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g ASC) AS rn
+        |         FROM c2) WHERE rn = 1),
+        |g5 AS (SELECT doc_id, array_to_string(lw[u.i:u.i+4], ' ') AS g
+        |       FROM lt, range(1, 100) u(i) WHERE u.i + 4 <= len(lw)),
+        |c5 AS (SELECT doc_id, g, count(*) AS c FROM g5 GROUP BY 1, 2),
+        |d5 AS (SELECT doc_id, sum(CASE WHEN c > 1 THEN c * len(g) ELSE 0 END) AS chars
+        |       FROM c5 GROUP BY 1)
+        |SELECT d2.doc_id, ls.lines, ls.dup_line_frac, ls.dup_line_char_frac,
+        |       ps.paras, ps.dup_para_frac, ps.dup_para_char_frac,
+        |       COALESCE(CAST(t2.chars AS DOUBLE) / CAST(tc.total AS DOUBLE), 0.0)
+        |         AS top_gram_char_frac,
+        |       COALESCE(CAST(d5.chars AS DOUBLE) / CAST(tc.total AS DOUBLE), 0.0)
+        |         AS dup_gram_char_frac
+        |FROM d2 JOIN ls USING (doc_id) JOIN ps USING (doc_id) JOIN tc USING (doc_id)
+        |LEFT JOIN t2 USING (doc_id) LEFT JOIN d5 USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    "q_gopher_quality" ->
+      """WITH t0 AS (SELECT doc_id,
+        |              (CASE WHEN doc_id % 5 = 0 THEN '- ' ELSE '' END) || text ||
+        |              (CASE WHEN doc_id % 7 = 0 THEN ' ...' ELSE '' END) AS t
+        |            FROM documents WHERE text IS NOT NULL),
+        |w AS (SELECT doc_id, t,
+        |             list_filter(string_split_regex(t, '\s+'), s -> len(s) > 0) AS ws
+        |      FROM t0)
+        |SELECT doc_id,
+        |  CAST(len(ws) AS BIGINT) AS words,
+        |  CAST(list_sum(list_transform(ws, s -> len(s))) AS DOUBLE)
+        |    / CAST(len(ws) AS DOUBLE) AS mean_word_len,
+        |  CAST(len(list_filter(ws, s -> regexp_matches(s, '[A-Za-z]'))) AS DOUBLE)
+        |    / CAST(len(ws) AS DOUBLE) AS alpha_word_frac,
+        |  CAST((len(t) - len(replace(t, '#', '')))
+        |     + (len(t) - len(replace(t, '...', ''))) // 3
+        |     + (len(t) - len(replace(t, '…', ''))) AS DOUBLE)
+        |    / CAST(len(ws) AS DOUBLE) AS symbol_word_ratio,
+        |  CASE WHEN left(trim(t), 1) IN ('-', '*', '•') THEN 1.0 ELSE 0.0 END
+        |    AS bullet_line_frac,
+        |  CASE WHEN right(trim(t), 3) = '...' OR right(trim(t), 1) = '…'
+        |       THEN 1.0 ELSE 0.0 END AS ellipsis_line_frac,
+        |  CAST(len(list_intersect(list_distinct(list_transform(ws, s -> lower(s))),
+        |       ['the','be','to','of','and','that','have','with'])) AS BIGINT)
+        |    AS stopword_hits
+        |FROM w WHERE len(ws) >= 1
+        |ORDER BY doc_id""".stripMargin,
     "q_scrub" ->
       """WITH d AS (SELECT source,
         |  text || CASE WHEN doc_id % 5 = 0
