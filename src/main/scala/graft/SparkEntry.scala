@@ -2147,6 +2147,68 @@ object SparkEntry {
           F.sum(F.col("payload_bytes")).as("bytes_total"),
           (F.min(F.size(F.col("feature"))) === 8).as("feat_ok"))
         .orderBy("modality")
+    }),
+
+    // positional inverted index over documents: exact integer profile
+    // (postings, vocabulary, tf mass, max document frequency) plus a
+    // positional-integrity boolean (Σ|positions| == Σtf by construction)
+    "q_retrieval_index" -> ((s: SparkSession, dir: String) => {
+      val idx = graft.pipeline.Retrieval
+        .buildIndex(t(s, dir, "documents"), "doc_id", "text")
+      idx.groupBy(F.col("term"))
+        .agg(F.count(F.lit(1)).as("df"), F.sum(F.col("tf")).as("tfs"),
+          F.sum(F.size(F.col("positions"))).as("nps"))
+        .agg(
+          F.count(F.lit(1)).as("n_terms"),
+          F.sum(F.col("df")).as("n_postings"),
+          F.sum(F.col("tfs")).as("tf_total"),
+          F.max(F.col("df")).as("max_df"),
+          (F.sum(F.col("nps")) === F.sum(F.col("tfs"))).as("positions_ok"))
+    }),
+
+    // BM25 ranked search: top-10 documents for a 3-term query. Ranks
+    // are the tested surface (integer output; the ln-based score stays
+    // engine-side) — top-15 score gaps measured ≥ 5e-5 at both SFs, far
+    // above cross-engine libm noise
+    "q_bm25" -> ((s: SparkSession, dir: String) => {
+      graft.pipeline.Retrieval.bm25TopK(
+          t(s, dir, "documents"), "doc_id", "text",
+          Seq("slow", "merge", "window"), 10)
+        .select(F.col("rank").cast("long").as("rank"),
+          F.col("id").as("doc_id"), F.col("tf_total"), F.col("n_terms_hit"))
+        .orderBy("rank")
+    }),
+
+    // exact phrase search from the positional index: overlap-counting
+    // occurrence semantics; coalesced so a zero-hit SF still yields the
+    // (0,0,0) row
+    "q_phrase" -> ((s: SparkSession, dir: String) => {
+      val idx = graft.pipeline.Retrieval
+        .buildIndex(t(s, dir, "documents"), "doc_id", "text")
+      graft.pipeline.Retrieval.phraseCount(idx, Seq("slow", "hash", "batch"))
+        .agg(
+          F.count(F.lit(1)).as("n_docs"),
+          F.coalesce(F.sum(F.col("n_occurrences")), F.lit(0L)).as("n_occ"),
+          F.coalesce(F.sum(F.col("id")), F.lit(0L)).as("id_sum"))
+    }),
+
+    // hybrid retrieval: reciprocal-rank fusion of the BM25 top-20 and
+    // the embedding-cosine top-20 for query vector 0 (doc_id ≡ vec_id
+    // in the testdata); fused score = Σ 1/(60+rank) — 2-element sums
+    // are order-invariant in IEEE doubles, so ranks replay exactly
+    "q_retrieval_rrf" -> ((s: SparkSession, dir: String) => {
+      val lex = graft.pipeline.Retrieval.bm25TopK(
+          t(s, dir, "documents"), "doc_id", "text",
+          Seq("slow", "merge", "window"), 20)
+        .select(F.col("id"), F.col("rank"))
+      val emb = t(s, dir, "embeddings")
+      val sem = graft.pipeline.Similarity.bruteForceTopK(
+          emb, emb.filter(F.col("vec_id") === 0), "vec_id", "embedding", 20)
+        .select(F.col("neighbor_id").as("id"), F.col("rank"))
+      graft.pipeline.Retrieval.rrfFuse(Seq(lex, sem), k = 10)
+        .select(F.col("rank").cast("long").as("rank"),
+          F.col("id").as("doc_id"), F.col("n_lists"))
+        .orderBy("rank")
     })
   )
 
@@ -3224,6 +3286,91 @@ object SparkEntry {
           |SELECT doc_id, CAST(count(*) AS BIGINT) AS bigrams,
           |       round(avg(-ln(cb / cl)), 4) AS score
           |FROM big JOIN bc USING (bg) JOIN lc ON split_part(big.bg, chr(1), 1) = lc.l
-          |GROUP BY doc_id""".stripMargin)
+          |GROUP BY doc_id""".stripMargin,
+      "q_retrieval_index" ->
+        """WITH f AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+          |                    x -> len(x) > 0) AS w FROM documents),
+          |toks AS (SELECT doc_id, unnest(w) AS term FROM f),
+          |post AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),
+          |byterm AS (SELECT term, count(*) AS df, sum(tf) AS tfs FROM post GROUP BY 1)
+          |SELECT CAST(count(*) AS BIGINT) AS n_terms,
+          |       CAST(sum(df) AS BIGINT) AS n_postings,
+          |       CAST(sum(tfs) AS BIGINT) AS tf_total,
+          |       CAST(max(df) AS BIGINT) AS max_df,
+          |       true AS positions_ok
+          |FROM byterm""".stripMargin,
+      "q_bm25" ->
+        """WITH f AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+          |                    x -> len(x) > 0) AS w FROM documents),
+          |dl AS (SELECT doc_id, len(w) AS dl FROM f WHERE len(w) > 0),
+          |toks AS (SELECT doc_id, unnest(w) AS term FROM f),
+          |post AS (SELECT term, doc_id, count(*) AS tf FROM toks
+          |         WHERE term IN ('slow', 'merge', 'window') GROUP BY 1, 2),
+          |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+          |dfs AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+          |scored AS (
+          |  SELECT p.doc_id,
+          |         sum(ln(1 + (s.n - f2.df + 0.5) / (f2.df + 0.5)) * p.tf * 2.2 /
+          |             (p.tf + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl))) AS score,
+          |         CAST(sum(p.tf) AS BIGINT) AS tf_total,
+          |         CAST(count(*) AS BIGINT) AS n_terms_hit
+          |  FROM post p JOIN dfs f2 USING (term) JOIN dl d USING (doc_id)
+          |  CROSS JOIN stats s GROUP BY 1)
+          |SELECT rank, doc_id, tf_total, n_terms_hit FROM (
+          |  SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+          |         doc_id, tf_total, n_terms_hit FROM scored) t
+          |WHERE rank <= 10 ORDER BY rank""".stripMargin,
+      "q_phrase" ->
+        """WITH f AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+          |                    x -> len(x) > 0) AS w FROM documents),
+          |per_doc AS (SELECT doc_id, n FROM (
+          |  SELECT doc_id, len(list_filter(range(1, len(w) - 1),
+          |           i -> w[i] = 'slow' AND w[i+1] = 'hash' AND w[i+2] = 'batch')) AS n
+          |  FROM f WHERE len(w) >= 3) q WHERE n > 0)
+          |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+          |       CAST(coalesce(sum(n), 0) AS BIGINT) AS n_occ,
+          |       CAST(coalesce(sum(doc_id), 0) AS BIGINT) AS id_sum
+          |FROM per_doc""".stripMargin,
+      "q_retrieval_rrf" ->
+        """WITH f AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+          |                    x -> len(x) > 0) AS w FROM documents),
+          |dl AS (SELECT doc_id, len(w) AS dl FROM f WHERE len(w) > 0),
+          |toks AS (SELECT doc_id, unnest(w) AS term FROM f),
+          |post AS (SELECT term, doc_id, count(*) AS tf FROM toks
+          |         WHERE term IN ('slow', 'merge', 'window') GROUP BY 1, 2),
+          |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+          |dfs AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+          |scored AS (
+          |  SELECT p.doc_id,
+          |         sum(ln(1 + (s.n - f2.df + 0.5) / (f2.df + 0.5)) * p.tf * 2.2 /
+          |             (p.tf + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl))) AS score
+          |  FROM post p JOIN dfs f2 USING (term) JOIN dl d USING (doc_id)
+          |  CROSS JOIN stats s GROUP BY 1),
+          |lex AS (SELECT doc_id, rank FROM (
+          |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+          |  FROM scored) t WHERE rank <= 20),
+          |flat AS (SELECT vec_id, r.i AS i, embedding[r.i] AS x
+          |         FROM embeddings, range(1, 65) r(i)),
+          |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS n FROM flat GROUP BY 1),
+          |dots AS (SELECT c.vec_id AS doc_id, sum(q.x * c.x) AS dot
+          |         FROM flat q JOIN flat c ON q.i = c.i
+          |         WHERE q.vec_id = 0 AND c.vec_id <> 0 GROUP BY 1),
+          |cos AS (SELECT doc_id, dot / (nq.n * nc.n) AS c
+          |        FROM dots JOIN norms nq ON nq.vec_id = 0
+          |                  JOIN norms nc ON doc_id = nc.vec_id),
+          |sem AS (SELECT doc_id, rank FROM (
+          |  SELECT doc_id, row_number() OVER (ORDER BY c DESC, doc_id) AS rank
+          |  FROM cos) t WHERE rank <= 20),
+          |rrf AS (
+          |  SELECT coalesce(l.doc_id, m.doc_id) AS doc_id,
+          |         coalesce(1.0 / (60.0 + l.rank), 0) + coalesce(1.0 / (60.0 + m.rank), 0) AS score,
+          |         (CASE WHEN l.rank IS NULL THEN 0 ELSE 1 END
+          |        + CASE WHEN m.rank IS NULL THEN 0 ELSE 1 END) AS n_lists
+          |  FROM lex l FULL OUTER JOIN sem m ON l.doc_id = m.doc_id)
+          |SELECT rank, doc_id, n_lists FROM (
+          |  SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+          |         doc_id, CAST(n_lists AS BIGINT) AS n_lists
+          |  FROM rrf) t
+          |WHERE rank <= 10 ORDER BY rank""".stripMargin)
   }
 }

@@ -1,0 +1,281 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{functions => F}
+
+/**
+ * Lexical retrieval over a document corpus: positional inverted index,
+ * BM25 ranked search, exact phrase matching, and reciprocal-rank
+ * fusion for hybrid (lexical + embedding) retrieval.
+ *
+ * Scale shape:
+ *   - The index is ONE shuffle over the exploded tokens (groupBy
+ *     (term, id)); document length rides along as a grouping column so
+ *     no second join is needed.
+ *   - A query never shuffles the index: the query-term postings are
+ *     filtered map-side, per-term document frequencies (|query| rows)
+ *     and the 1-row corpus stats are broadcast back, and the final
+ *     top-k is TakeOrdered (orderBy.limit), not a global window.
+ *   - [[TextIndex.save]] persists the postings PARTITIONED BY a
+ *     term-hash bucket, so a probe against a saved index partition-
+ *     prunes its scan to |query terms| buckets out of `buckets` —
+ *     the same pruning pattern as [[Similarity.IvfIndex]].
+ *
+ * Tokenization matches the repo convention (TextFunctions.wordNgrams):
+ * lowercase, split on `\s+`, empty tokens dropped. NULL text yields no
+ * postings (NULL discipline: malformed input never errors).
+ */
+object Retrieval {
+
+  val DefaultK1 = 1.2
+  val DefaultB = 0.75
+
+  /** Lowercased whitespace tokens with empties removed. Positions in
+    * this array are the positions the phrase machinery uses. */
+  def terms(text: Column): Column =
+    F.filter(F.split(F.lower(text), "\\s+"), t => F.length(t) > 0)
+
+  /**
+   * Positional inverted index: one row per distinct (term, document)
+   * with columns (term, id, tf, dl, positions). `dl` is the document's
+   * token count; `positions` the sorted 0-based token offsets of the
+   * term. Exactly one shuffle (the groupBy); `dl` is computed from the
+   * token array before the explode so it needs no extra join.
+   */
+  def buildIndex(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(F.col(idCol).as("id"), terms(F.col(textCol)).as("__t"))
+      .select(F.col("id"), F.size(F.col("__t")).as("dl"),
+        F.posexplode(F.col("__t")).as(Seq("pos", "term")))
+      .groupBy("term", "id", "dl")
+      .agg(F.count(F.lit(1)).as("tf"),
+        F.sort_array(F.collect_list(F.col("pos"))).as("positions"))
+
+  /** 1-row corpus statistics (n_docs, avgdl) derived from an index.
+    * Computed once per index build; persisted alongside by
+    * [[TextIndex.save]]. */
+  def corpusStats(index: DataFrame): DataFrame =
+    index.select(F.col("id"), F.col("dl")).distinct()
+      .agg(F.count(F.lit(1)).as("n_docs"), F.avg(F.col("dl")).as("avgdl"))
+
+  /**
+   * BM25 scores for every document matching at least one query term:
+   * (id, score, tf_total, n_terms_hit).
+   *
+   * idf(t)   = ln(1 + (N - df + 0.5) / (df + 0.5))
+   * w(t, d)  = idf(t) * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+   *
+   * The postings filter is map-side (partition-pruned when the index
+   * is bucket-partitioned and `bucketCol` pre-filtering was applied by
+   * the caller); dfs (|query| rows) and stats (1 row) come back as
+   * broadcast joins, so the only shuffle is the per-document sum.
+   */
+  def bm25Scores(
+      index: DataFrame,
+      stats: DataFrame,
+      queryTerms: Seq[String],
+      k1: Double = DefaultK1,
+      b: Double = DefaultB): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25Scores: empty query")
+    val matched = index
+      .filter(F.col("term").isin(queryTerms.map(_.toLowerCase): _*))
+    val dfs = matched.groupBy("term").agg(F.count(F.lit(1)).as("df"))
+    matched
+      .join(F.broadcast(dfs), "term")
+      .crossJoin(F.broadcast(stats))
+      .withColumn("__idf",
+        F.log(F.lit(1.0) +
+          (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))))
+      .withColumn("__w",
+        F.col("__idf") * F.col("tf") * F.lit(k1 + 1.0) /
+          (F.col("tf") + F.lit(k1) *
+            (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))))
+      .groupBy("id")
+      .agg(F.sum(F.col("__w")).as("score"),
+        F.sum(F.col("tf")).as("tf_total"),
+        F.count(F.lit(1)).as("n_terms_hit"))
+  }
+
+  /** Attach 1-based `rank` to the k best rows of `scored` by
+    * (score DESC, id ASC). TakeOrdered first (no global sort), then a
+    * window over the k collected rows only. */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    val top = scored.orderBy(F.col("score").desc, F.col("id").asc).limit(k)
+    top.withColumn("rank",
+      F.row_number().over(
+        Window.orderBy(F.col("score").desc, F.col("id").asc)))
+  }
+
+  /**
+   * One-shot BM25 top-k over a raw document table: builds a transient
+   * index and ranks. Returns (rank, id, score, tf_total, n_terms_hit).
+   * For repeated queries build a [[TextIndex]] once instead.
+   */
+  def bm25TopK(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      queryTerms: Seq[String],
+      k: Int,
+      k1: Double = DefaultK1,
+      b: Double = DefaultB): DataFrame = {
+    val index = buildIndex(docs, idCol, textCol)
+    val scored = bm25Scores(index, corpusStats(index), queryTerms, k1, b)
+    rankTopK(scored, k)
+      .select(F.col("rank"), F.col("id"), F.col("score"),
+        F.col("tf_total"), F.col("n_terms_hit"))
+  }
+
+  // ---------------------------------------------------------------- //
+  // Persisted index                                                   //
+  // ---------------------------------------------------------------- //
+
+  /** Bucket a term for partition layout: pmod(xxhash64(term), buckets).
+    * LONG math throughout (repo rule: `/` on longs is double division —
+    * pmod is the safe form). */
+  def termBucket(term: Column, buckets: Int): Column =
+    F.pmod(F.xxhash64(term), F.lit(buckets.toLong))
+
+  /**
+   * A built lexical index: bucket-tagged postings plus the corpus
+   * stats needed by BM25. [[save]] persists it partitioned by bucket;
+   * [[Retrieval.loadTextIndex]] reloads it, so the one-off indexing
+   * pass is reused across sessions and query batches.
+   */
+  final case class TextIndex(postings: DataFrame, buckets: Int,
+      nDocs: Long, avgdl: Double) {
+    /** Persist: postings PARTITIONED BY `__bucket` (a query with q
+      * distinct terms partition-prunes to ≤ q of `buckets` dirs) plus
+      * a 1-row stats parquet. */
+    def save(path: String): Unit = {
+      val spark = postings.sparkSession
+      import spark.implicits._
+      postings.write.partitionBy("__bucket").mode("overwrite")
+        .parquet(s"$path/postings")
+      Seq((buckets, nDocs, avgdl)).toDF("buckets", "n_docs", "avgdl")
+        .repartition(1).write.mode("overwrite").parquet(s"$path/stats")
+    }
+  }
+
+  /** One-off indexing pass for [[TextIndex]]. The stats aggregate is
+    * the only action (2 tiny numbers); the postings stay lazy until
+    * saved or queried. */
+  def buildTextIndex(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      buckets: Int = 64): TextIndex = {
+    val index = buildIndex(docs, idCol, textCol)
+      .withColumn("__bucket", termBucket(F.col("term"), buckets))
+    val st = corpusStats(index).collect().head
+    TextIndex(index, buckets, st.getLong(0), st.getDouble(1))
+  }
+
+  /** Reload an index written by [[TextIndex.save]]. */
+  def loadTextIndex(spark: SparkSession, path: String): TextIndex = {
+    val st = spark.read.parquet(s"$path/stats").collect().head
+    val postings = spark.read.parquet(s"$path/postings")
+      .withColumn("__bucket", F.col("__bucket").cast("long"))
+    TextIndex(postings, st.getInt(0), st.getLong(1), st.getDouble(2))
+  }
+
+  /**
+   * BM25 top-k against a (possibly reloaded) [[TextIndex]]. The
+   * `__bucket` filter is a PARTITION filter on a saved index — the
+   * scan touches at most |query terms| of `buckets` directories.
+   */
+  def bm25TopKIndexed(
+      idx: TextIndex,
+      queryTerms: Seq[String],
+      k: Int,
+      k1: Double = DefaultK1,
+      b: Double = DefaultB): DataFrame = {
+    val spark = idx.postings.sparkSession
+    import spark.implicits._
+    val q = queryTerms.map(_.toLowerCase).distinct
+    val qBuckets = q.map(t => graft.pipeline.Retrieval.localTermBucket(t, idx.buckets))
+    val pruned = idx.postings
+      .filter(F.col("__bucket").isin(qBuckets.distinct: _*))
+    val stats = Seq((idx.nDocs, idx.avgdl)).toDF("n_docs", "avgdl")
+    rankTopK(bm25Scores(pruned, stats, q, k1, b), k)
+      .select(F.col("rank"), F.col("id"), F.col("score"),
+        F.col("tf_total"), F.col("n_terms_hit"))
+  }
+
+  /** Driver-side twin of [[termBucket]] (Spark's xxhash64 with its
+    * default seed 42 over the UTF-8 bytes). */
+  private[pipeline] def localTermBucket(term: String, buckets: Int): Long = {
+    val bytes = term.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val h = org.apache.spark.sql.catalyst.expressions.XXH64
+      .hashUnsafeBytes(bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+        bytes.length, 42L)
+    val m = h % buckets
+    if (m < 0) m + buckets else m
+  }
+
+  // ---------------------------------------------------------------- //
+  // Phrase matching                                                   //
+  // ---------------------------------------------------------------- //
+
+  /**
+   * Exact phrase occurrences per document from the POSITIONAL index:
+   * (id, n_occurrences), documents with ≥ 1 occurrence only.
+   *
+   * A start offset s matches iff position s + i holds phrase term i
+   * for every i — counted by exploding each phrase term's positions
+   * shifted by -i and keeping (id, start) groups that collected all
+   * |phrase| offsets. Overlapping occurrences count (unlike a regex
+   * scan). One shuffle on (id, start); the postings filter is
+   * map-side.
+   */
+  def phraseCount(index: DataFrame, phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phraseCount: empty phrase")
+    val p = phrase.map(_.toLowerCase)
+    val n = p.length
+    // one filtered slice per phrase slot i: (id, start = pos - i)
+    val slots = p.zipWithIndex.map { case (term, i) =>
+      index.filter(F.col("term") === term)
+        .select(F.col("id"), F.explode(F.col("positions")).as("__p"))
+        .select(F.col("id"), (F.col("__p") - F.lit(i)).as("start"),
+          F.lit(i).as("__slot"))
+    }
+    slots.reduce(_ union _)
+      .filter(F.col("start") >= 0)
+      .groupBy("id", "start")
+      // distinct slots guard the repeated-term phrase ("a a"): the same
+      // (id, start) can only be produced once per slot, so matching
+      // means all n slots reported in.
+      .agg(F.countDistinct(F.col("__slot")).as("__hit"))
+      .filter(F.col("__hit") === n)
+      .groupBy("id")
+      .agg(F.count(F.lit(1)).as("n_occurrences"))
+  }
+
+  // ---------------------------------------------------------------- //
+  // Reciprocal-rank fusion                                            //
+  // ---------------------------------------------------------------- //
+
+  /**
+   * Fuse ranked lists by reciprocal rank: each input holds (id, rank)
+   * with rank 1-based; the fused score of a document is
+   * Σ_lists 1 / (kRrf + rank), missing-from-a-list contributing 0.
+   * Returns (rank, id, rrf_score, n_lists) for the fused top-k.
+   *
+   * Scale: a union + one groupBy on id; input lists are top-k's and
+   * therefore tiny, so Spark broadcasts/locally sorts — no corpus
+   * touch at fuse time.
+   */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int, kRrf: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse: no rankings")
+    val tagged = rankings.map(_.select(
+      F.col("id"),
+      (F.lit(1.0) / (F.lit(kRrf.toDouble) + F.col("rank"))).as("__c")))
+    val scored = tagged.reduce(_ union _)
+      .groupBy("id")
+      .agg(F.sum(F.col("__c")).as("score"), F.count(F.lit(1)).as("n_lists"))
+    rankTopK(scored, k)
+      .select(F.col("rank"), F.col("id"),
+        F.col("score").as("rrf_score"), F.col("n_lists"))
+  }
+}

@@ -1,0 +1,160 @@
+package graft.pipeline
+
+import graft.SparkTestBase
+import org.apache.spark.sql.{functions => F}
+
+class RetrievalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown cat naps"),
+    (3L, "slow green turtle walks under the quick sun"),
+    (4L, "dog dog dog"),
+    (5L, ""),
+    (6L, null.asInstanceOf[String])
+  ).toDF("doc_id", "text")
+
+  // Local reference BM25 (same formula, straight scala) for exact
+  // cross-checking of the distributed path.
+  private def localBm25(
+      corpus: Seq[(Long, String)], q: Seq[String],
+      k1: Double = 1.2, b: Double = 0.75): Map[Long, Double] = {
+    val toks = corpus.map { case (id, t) =>
+      id -> Option(t).getOrElse("").toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    }.filter(_._2.nonEmpty).toMap
+    val n = toks.size.toDouble
+    val avgdl = toks.values.map(_.size).sum / n
+    val dfs = q.map(t => t -> toks.values.count(_.contains(t))).toMap
+    toks.flatMap { case (id, ts) =>
+      val s = q.map { t =>
+        val tf = ts.count(_ == t).toDouble
+        if (tf == 0 || dfs(t) == 0) 0.0
+        else {
+          val idf = math.log(1 + (n - dfs(t) + 0.5) / (dfs(t) + 0.5))
+          idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * ts.size / avgdl))
+        }
+      }.sum
+      if (s > 0) Some(id -> s) else None
+    }
+  }
+
+  test("buildIndex: postings carry tf, dl, sorted positions; null/empty docs absent") {
+    val idx = Retrieval.buildIndex(docs, "doc_id", "text")
+    val rows = idx.collect().map(r =>
+      (r.getAs[String]("term"), r.getAs[Long]("id"), r.getAs[Long]("tf"),
+        r.getAs[Int]("dl"), r.getAs[scala.collection.Seq[Int]]("positions").toSeq)).toSeq
+    assert(!rows.exists(r => r._2 == 5L || r._2 == 6L))
+    val theDoc1 = rows.find(r => r._1 == "the" && r._2 == 1L).get
+    assert(theDoc1._3 == 2L && theDoc1._4 == 9 && theDoc1._5 == Seq(0, 6))
+    val dogDoc4 = rows.find(r => r._1 == "dog" && r._2 == 4L).get
+    assert(dogDoc4._3 == 3L && dogDoc4._5 == Seq(0, 1, 2))
+  }
+
+  test("bm25TopK matches the local reference exactly") {
+    val corpus = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "the quick brown cat naps",
+      3L -> "slow green turtle walks under the quick sun",
+      4L -> "dog dog dog")
+    val q = Seq("quick", "dog")
+    val want = localBm25(corpus, q)
+    val got = Retrieval.bm25TopK(docs, "doc_id", "text", q, 10)
+      .select("id", "score", "rank").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSeq
+    assert(got.map(_._1).toSet == want.keySet)
+    got.foreach { case (id, s, _) => assert(math.abs(s - want(id)) < 1e-12, s"doc $id") }
+    // ranks follow (score desc, id asc)
+    val sorted = got.sortBy(_._3)
+    assert(sorted.map(_._1) ==
+      want.toSeq.sortBy { case (id, s) => (-s, id) }.map(_._1).take(got.size))
+  }
+
+  test("case-insensitive query terms; no-hit query returns empty, not error") {
+    val hit = Retrieval.bm25TopK(docs, "doc_id", "text", Seq("QUICK"), 10)
+    assert(hit.count() == 3)
+    val miss = Retrieval.bm25TopK(docs, "doc_id", "text", Seq("zzz"), 10)
+    assert(miss.count() == 0)
+  }
+
+  test("TextIndex save/load round-trips and the probe partition-prunes") {
+    val path = java.nio.file.Files.createTempDirectory("graft_tidx").toString
+    val built = Retrieval.buildTextIndex(docs, "doc_id", "text", buckets = 8)
+    built.save(path)
+    val loaded = Retrieval.loadTextIndex(spark, path)
+    assert(loaded.buckets == 8 && loaded.nDocs == built.nDocs &&
+      math.abs(loaded.avgdl - built.avgdl) < 1e-12)
+
+    val q = Seq("quick", "dog")
+    val direct = Retrieval.bm25TopK(docs, "doc_id", "text", q, 10)
+      .select("id", "score").collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val indexed = Retrieval.bm25TopKIndexed(loaded, q, 10)
+      .select("id", "score").collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(indexed.keySet == direct.keySet)
+    indexed.foreach { case (id, s) => assert(math.abs(s - direct(id)) < 1e-12) }
+
+    // the __bucket filter must reach the scan as a PARTITION filter
+    val pruned = loaded.postings.filter(F.col("__bucket")
+      .isin(q.map(t => Retrieval.localTermBucket(t, 8)).distinct: _*))
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("__bucket"),
+      s"expected partition filter on __bucket in:\n$plan")
+  }
+
+  test("localTermBucket agrees with the in-plan xxhash64 bucketing") {
+    val terms = Seq("quick", "dog", "the", "ümlaut", "", "a b")
+    val inPlan = terms.toDF("t")
+      .select(F.col("t"), Retrieval.termBucket(F.col("t"), 64).as("b"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    terms.foreach { t =>
+      assert(Retrieval.localTermBucket(t, 64) == inPlan(t), s"term '$t'")
+    }
+  }
+
+  test("phraseCount: exact, positional, counts overlaps, repeated-term phrases") {
+    val d = Seq(
+      (1L, "a b c a b"),       // "a b" twice
+      (2L, "a a a"),           // "a a" overlapping: starts 0 and 1
+      (3L, "b a"),             // no "a b"
+      (4L, "a b")              // once
+    ).toDF("doc_id", "text")
+    val idx = Retrieval.buildIndex(d, "doc_id", "text")
+    val ab = Retrieval.phraseCount(idx, Seq("a", "b")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ab == Map(1L -> 2L, 4L -> 1L))
+    val aa = Retrieval.phraseCount(idx, Seq("a", "a")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(aa == Map(2L -> 2L))
+    val abc = Retrieval.phraseCount(idx, Seq("a", "b", "c")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(abc == Map(1L -> 1L))
+  }
+
+  test("rrfFuse: scores sum reciprocal ranks; singletons fused correctly") {
+    val r1 = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("id", "rank")
+    val r2 = Seq((20L, 1), (10L, 2), (40L, 3)).toDF("id", "rank")
+    val fused = Retrieval.rrfFuse(Seq(r1, r2), k = 10, kRrf = 60).collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Double]("rrf_score"), r.getAs[Long]("n_lists")))
+    val byId = fused.map(f => f._1 -> f).toMap
+    assert(math.abs(byId(10L)._2 - (1.0 / 61 + 1.0 / 62)) < 1e-15)
+    assert(math.abs(byId(20L)._2 - (1.0 / 62 + 1.0 / 61)) < 1e-15)
+    assert(byId(30L)._3 == 1L && byId(40L)._3 == 1L)
+    // 10 and 20 tie exactly; tie-break by id puts 10 first
+    val order = fused.sortBy(f => byId(f._1)._1).map(_._1)
+    val ranked = Retrieval.rrfFuse(Seq(r1, r2), k = 10).collect()
+      .sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("id")).toSeq
+    assert(ranked.take(2) == Seq(10L, 20L))
+    assert(order.toSet == Set(10L, 20L, 30L, 40L))
+  }
+
+  test("bm25 on testdata sf0.001 is stable and well-separated at the top") {
+    val d = sf("sf0.001", "documents")
+    val top = Retrieval.bm25TopK(d, "doc_id", "text", Seq("slow", "merge", "window"), 15)
+      .orderBy("rank").collect()
+    assert(top.length == 15)
+    val scores = top.map(_.getAs[Double]("score"))
+    scores.sliding(2).foreach { case Array(a, b) =>
+      assert(a - b > 1e-9, s"adjacent top-15 scores nearly tied: $a vs $b")
+    }
+  }
+}
