@@ -55,6 +55,12 @@ object Bench {
   private val unigramModelCache = scala.collection.concurrent.TrieMap[String,
     graft.pipeline.UnigramLm.Model]()
 
+  // built + persisted once per dir so b_bm25_query times a probe
+  // against a SAVED index (partition-pruned parquet scan), like
+  // b_ann_ivf_query's persisted-index shape
+  private val textIndexCache = scala.collection.concurrent.TrieMap[String,
+    graft.pipeline.Retrieval.TextIndex]()
+
   /** Headline queries: representative operator workloads. */
   def benchQueries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
 
@@ -571,6 +577,39 @@ object Bench {
         .groupBy(F.col("l_returnflag"), F.col("l_linestatus"))
         .agg(F.sum(F.col("l_quantity")), F.sum(F.col("l_extendedprice")),
              F.avg(F.col("l_discount")), F.count(F.lit(1)))),
+
+    // one-shot BM25: positional index build (1 shuffle) + broadcast
+    // stats/dfs + TakeOrdered top-k, all inside the timing
+    "b_bm25" -> ((s: SparkSession, dir: String) =>
+      graft.pipeline.Retrieval.bm25TopK(
+        t(s, dir, "documents"), "doc_id", "text",
+        Seq("slow", "merge", "window"), 10)),
+
+    // BM25 probe of a persisted index: partition-pruned postings scan
+    // (|query terms| of 64 buckets) + broadcast joins; index built and
+    // saved once per dir outside the timing
+    "b_bm25_query" -> ((s: SparkSession, dir: String) => {
+      val idx = textIndexCache.getOrElseUpdate(dir, {
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_bench_tidx").toString
+        graft.pipeline.Retrieval
+          .buildTextIndex(t(s, dir, "documents"), "doc_id", "text", buckets = 64)
+          .save(path)
+        graft.pipeline.Retrieval.loadTextIndex(s, path)
+      })
+      graft.pipeline.Retrieval.bm25TopKIndexed(
+        idx, Seq("slow", "merge", "window"), 10)
+    }),
+
+    // exact phrase occurrences from the persisted positional index:
+    // map-side postings filter + one (id, start) shuffle
+    "b_phrase" -> ((s: SparkSession, dir: String) => {
+      val idx = textIndexCache.getOrElse(dir,
+        graft.pipeline.Retrieval.TextIndex(
+          graft.pipeline.Retrieval.buildIndex(t(s, dir, "documents"), "doc_id", "text"),
+          0, 0L, 0.0))
+      graft.pipeline.Retrieval.phraseCount(idx.postings, Seq("slow", "hash", "batch"))
+    }),
 
     "b_rel_join" -> ((s: SparkSession, dir: String) => {
       val orders = t(s, dir, "orders")
