@@ -428,6 +428,12 @@ object Bench {
     "b_lm_bigram" -> ((s: SparkSession, dir: String) =>
       graft.pipeline.Vocab.bigramLogLoss(t(s, dir, "documents"), "doc_id", "text")),
 
+    // interpolated Kneser-Ney scoring: join-based (no driver vocab),
+    // one corpus bigram shuffle + vocabulary-level join tables
+    "b_kn_score" -> ((s: SparkSession, dir: String) =>
+      graft.pipeline.NgramLm.kneserNeyLogLoss(
+        t(s, dir, "documents"), "doc_id", "text")),
+
     // incremental exact dedup: broadcast-bloom prune of the fresh batch
     // against the history hash index + semi-join verify
     "b_dedup_incremental_exact" -> ((s: SparkSession, dir: String) => {

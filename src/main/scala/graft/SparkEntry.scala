@@ -1940,6 +1940,14 @@ object SparkEntry {
     "q_lm_bigram" -> ((s: SparkSession, dir: String) =>
       graft.pipeline.Vocab.bigramLogLoss(t(s, dir, "documents"), "doc_id", "text")),
 
+    // interpolated Kneser-Ney bigram scoring (KenLM-style perplexity
+    // filter): join-based — no driver-side vocabulary — with the
+    // counts-of-counts discount; per-doc avg -ln P rounded to 4 dp
+    // (the q_lm_bigram cross-engine float form)
+    "q_kn_score" -> ((s: SparkSession, dir: String) =>
+      graft.pipeline.NgramLm.kneserNeyLogLoss(
+        t(s, dir, "documents"), "doc_id", "text")),
+
     // CCNet-style head/middle/tail corpus partition: LM cross-entropy
     // scores, min-shifted sketch thresholds, explicit-cutoff tiers.
     // Totals exact; tier balance pinned within sketch slop (same
@@ -3286,6 +3294,31 @@ object SparkEntry {
           |SELECT doc_id, CAST(count(*) AS BIGINT) AS bigrams,
           |       round(avg(-ln(cb / cl)), 4) AS score
           |FROM big JOIN bc USING (bg) JOIN lc ON split_part(big.bg, chr(1), 1) = lc.l
+          |GROUP BY doc_id""".stripMargin,
+      "q_kn_score" ->
+        """WITH f AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+          |                    x -> len(x) > 0) AS w FROM documents),
+          |big AS (SELECT doc_id, unnest(list_transform(range(1, len(w)),
+          |                 i -> w[i] || chr(1) || w[i+1])) AS bg
+          |        FROM f),
+          |bc AS (SELECT bg, CAST(count(*) AS DOUBLE) AS c FROM big GROUP BY bg),
+          |ls AS (SELECT split_part(bg, chr(1), 1) AS l, sum(c) AS cl,
+          |              CAST(count(*) AS DOUBLE) AS nl FROM bc GROUP BY 1),
+          |rs AS (SELECT split_part(bg, chr(1), 2) AS r,
+          |              CAST(count(*) AS DOUBLE) AS nr FROM bc GROUP BY 1),
+          |st AS (SELECT CAST(count(*) AS DOUBLE) AS t,
+          |              CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS n1,
+          |              CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS DOUBLE) AS n2
+          |       FROM bc),
+          |dd AS (SELECT t, CASE WHEN n1 = 0 THEN 0.75
+          |                      ELSE n1 / (n1 + 2 * n2) END AS d FROM st)
+          |SELECT doc_id, CAST(count(*) AS BIGINT) AS bigrams,
+          |       round(avg(-ln(greatest(c - d, 0) / cl + d * nl / cl * nr / t)), 4)
+          |         AS score
+          |FROM big JOIN bc USING (bg)
+          |         JOIN ls ON split_part(big.bg, chr(1), 1) = ls.l
+          |         JOIN rs ON split_part(big.bg, chr(1), 2) = rs.r
+          |         CROSS JOIN dd
           |GROUP BY doc_id""".stripMargin,
       "q_retrieval_index" ->
         """WITH f AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
