@@ -2145,6 +2145,40 @@ object SparkEntry {
     }),
 
     // multimodal plumbing: binary payloads through batched (stub) decode
+    // WARC (ISO 28500) ingestion + WET extraction: per-doc Common
+    // Crawl-layout files (per-record gzip members: warcinfo +
+    // text/html resource with entities planted in the markup) are
+    // parsed by the REAL parser; doc_id is recovered from the PARSED
+    // WARC-Target-URI, content_length from the record header, and the
+    // text by the real HTML state machine (entity decode load-bearing:
+    // the oracle's expected strings contain the decoded forms)
+    "q_warc" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val warcU = F.udf((id: Long, text: String) => {
+        val html = "<html><head><title>doc " + id + " &amp; crawl</title></head>" +
+          "<body><p>" + text + "</p><p>caf&#233; r&#xE9;sum&#xE9;</p></body></html>"
+        graft.sources.Warc.writeWarc(Seq(
+          graft.sources.Warc.WarcRecord("warcinfo", s"<urn:uuid:info-$id>", "",
+            "2026-01-01T00:00:00Z", "application/warc-fields", 17L,
+            "software: graft\r\n".getBytes("US-ASCII")),
+          graft.sources.Warc.WarcRecord("resource", s"<urn:uuid:doc-$id>",
+            s"http://example.com/doc/$id", "2026-01-01T00:00:00Z",
+            "text/html; charset=utf-8",
+            html.getBytes("UTF-8").length.toLong, html.getBytes("UTF-8"))))
+      })
+      val files = t(s, dir, "documents")
+        .select(F.col("doc_id"), warcU(F.col("doc_id"), F.col("text")).as("warc"))
+      val recs = graft.sources.Warc.records(files, "doc_id", "warc")
+      val perFile = recs.groupBy(F.col("file_id"))
+        .agg(F.count(F.lit(1)).as("records"))
+      graft.sources.Warc.wetConversion(recs)
+        .join(perFile, "file_id")
+        .select(
+          F.element_at(F.split(F.col("target_uri"), "/"), -1).cast("long").as("doc_id"),
+          F.col("records"), F.col("content_length"), F.col("text"))
+        .orderBy("doc_id")
+    }),
+
     "q_multimodal" -> ((s: SparkSession, dir: String) => {
       val docs = t(s, dir, "documents")
       val media = graft.pipeline.Multimodal.mediaFromDocuments(s, docs)
@@ -3235,6 +3269,18 @@ object SparkEntry {
       """SELECT count(*) AS docs, true AS text_roundtrip,
         |       true AS pages_ok, true AS chars_ok
         |FROM documents WHERE doc_id % 13 = 0""".stripMargin,
+    "q_warc" ->
+      """WITH h AS (
+        |  SELECT doc_id, text,
+        |         '<html><head><title>doc ' || doc_id ||
+        |         ' &amp; crawl</title></head><body><p>' || text ||
+        |         '</p><p>caf&#233; r&#xE9;sum&#xE9;</p></body></html>' AS html
+        |  FROM documents)
+        |SELECT doc_id, CAST(2 AS BIGINT) AS records,
+        |       CAST(strlen(html) AS BIGINT) AS content_length,
+        |       'doc ' || doc_id || ' & crawl' || chr(10) || text || chr(10) ||
+        |         'café résumé' AS text
+        |FROM h ORDER BY doc_id""".stripMargin,
     "q_multimodal" ->
       """SELECT CASE lang WHEN 'en' THEN 'image' WHEN 'de' THEN 'audio'
         |                 WHEN 'fr' THEN 'video' WHEN 'es' THEN 'pdf'

@@ -1,0 +1,113 @@
+package graft.sources
+
+import graft.SparkTestBase
+import org.apache.spark.sql.{functions => F}
+
+class WarcSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def rec(id: Long, typ: String, uri: String, ct: String, payload: Array[Byte]) =
+    Warc.WarcRecord(typ, s"<urn:uuid:rec-$id>", uri,
+      "2026-01-01T00:00:00Z", ct, payload.length.toLong, payload)
+
+  private def sample = Seq(
+    rec(0, "warcinfo", "", "application/warc-fields",
+      "software: graft\r\n".getBytes("US-ASCII")),
+    rec(1, "resource", "http://example.com/doc/1", "text/html; charset=utf-8",
+      "<html><body><p>hello world</p></body></html>".getBytes("UTF-8")),
+    rec(2, "resource", "http://example.com/doc/2", "text/plain",
+      Array.tabulate[Byte](256)(i => i.toByte))) // binary payload incl CRLFs
+
+  test("write/parse round-trip: plain and per-record-gzip, byte-exact payloads") {
+    for (gz <- Seq(false, true)) {
+      val bytes = Warc.writeWarc(sample, gzipPerRecord = gz)
+      val parsed = Warc.parseWarc(bytes)
+      assert(parsed.length == 3, s"gz=$gz")
+      parsed.zip(sample).foreach { case (p, s) =>
+        assert(p.warc_type == s.warc_type && p.record_id == s.record_id &&
+          p.target_uri == s.target_uri && p.warc_date == s.warc_date &&
+          p.content_type == s.content_type && p.content_length == s.content_length)
+        assert(java.util.Arrays.equals(p.payload, s.payload), s"payload gz=$gz")
+      }
+    }
+  }
+
+  test("gzip layout really is one member per record (Common Crawl shape)") {
+    val bytes = Warc.writeWarc(sample, gzipPerRecord = true)
+    // count gzip magics at member boundaries: 3 members
+    var members = 0
+    var i = 0
+    while (i + 1 < bytes.length) {
+      if ((bytes(i) & 0xFF) == 0x1F && (bytes(i + 1) & 0xFF) == 0x8B) members += 1
+      i += 1
+    }
+    assert(members >= 3) // magic can also occur inside compressed data
+    // and a single member alone still parses
+    val one = Warc.writeWarc(sample.take(1), gzipPerRecord = true)
+    assert(Warc.parseWarc(one).length == 1)
+  }
+
+  test("malformed input truncates, never throws") {
+    val bytes = Warc.writeWarc(sample, gzipPerRecord = false)
+    // cut mid-payload of record 3: first two records survive
+    val cut = java.util.Arrays.copyOf(bytes, bytes.length - 150)
+    val parsed = Warc.parseWarc(cut)
+    assert(parsed.length >= 1 && parsed.length <= 2)
+    assert(parsed.head.warc_type == "warcinfo")
+    // garbage, null-ish, and corrupt gzip yield empty
+    assert(Warc.parseWarc("not a warc at all".getBytes).isEmpty)
+    assert(Warc.parseWarc(Array.emptyByteArray).isEmpty)
+    assert(Warc.parseWarc(Array[Byte](0x1F.toByte, 0x8B.toByte, 1, 2, 3)).isEmpty)
+    // content-length lies beyond EOF
+    val lying = ("WARC/1.0\r\nWARC-Type: resource\r\nContent-Length: 9999\r\n\r\nshort")
+      .getBytes("US-ASCII")
+    assert(Warc.parseWarc(lying).isEmpty)
+  }
+
+  test("htmlToText: tags, entities, script/style, block breaks, trimming") {
+    assert(Warc.htmlToText(
+      "<html><head><title>T</title><script>var x = '<p>no</p>';</script>" +
+        "<style>p { color: red }</style></head>" +
+        "<body><p>  a &amp; b &lt;c&gt; </p><p>&#65;&#x42;!</p></body></html>")
+      == "T\na & b <c>\nAB!")
+    assert(Warc.htmlToText("no tags at all") == "no tags at all")
+    assert(Warc.htmlToText("a<br>b<hr/>c") == "a\nb\nc")
+    assert(Warc.htmlToText("<p></p><p>  </p>x") == "x") // blank lines dropped
+    assert(Warc.htmlToText("dangling <unclosed") == "dangling")
+    assert(Warc.htmlToText("&bogus; &#xZZ; &toolongtobeanentity;ok")
+      == "&bogus; &#xZZ; &toolongtobeanentity;ok")
+    assert(Warc.htmlToText(null) == null)
+    // inline tags do NOT break lines
+    assert(Warc.htmlToText("<b>a</b><i>b</i>") == "ab")
+  }
+
+  test("Spark surface: records() explodes files map-only; wetConversion round-trips") {
+    val docs = sf("sf0.001", "documents").filter(F.col("doc_id") < 50)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val files = docs.toSeq.map { case (id, text) =>
+      val esc = Option(text).getOrElse("")
+        .replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+      val html = s"<html><head><title>doc $id</title></head><body><p>$esc</p></body></html>"
+      val ws = Seq(
+        rec(id * 2, "warcinfo", "", "application/warc-fields",
+          "software: graft\r\n".getBytes("US-ASCII")),
+        rec(id * 2 + 1, "resource", s"http://example.com/doc/$id",
+          "text/html; charset=utf-8", html.getBytes("UTF-8")))
+      (id, Warc.writeWarc(ws))
+    }.toDF("file_id", "warc")
+
+    val recs = Warc.records(files, "file_id", "warc")
+    val plan = recs.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"records() must be map-only:\n$plan")
+    assert(recs.count() == docs.length * 2L)
+
+    val wet = Warc.wetConversion(recs).collect()
+    assert(wet.length == docs.length)
+    val byId = wet.map(r => r.getAs[Long]("file_id") -> r.getAs[String]("text")).toMap
+    docs.foreach { case (id, text) =>
+      val expected = (s"doc $id" + "\n" + Option(text).getOrElse("").trim)
+        .split('\n').map(_.trim).filter(_.nonEmpty).mkString("\n")
+      assert(byId(id) == expected, s"doc $id text mismatch")
+    }
+  }
+}
