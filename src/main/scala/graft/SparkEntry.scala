@@ -1576,6 +1576,23 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // contrastive hard-negative mining: for 10 query vectors, the 5
+    // most-similar items with a DIFFERENT lang label (vec_id ≡ doc_id
+    // in the testdata) — near-boundary negatives for embedding
+    // training; exact ranks, label filter before the rank window
+    "q_mine_hard" -> ((s: SparkSession, dir: String) => {
+      val emb = t(s, dir, "embeddings")
+      val lab = t(s, dir, "documents").select(
+        F.col("doc_id").as("vec_id"), F.col("lang"))
+      val items = emb.join(lab, "vec_id")
+      graft.pipeline.Similarity.hardNegatives(
+          items, items.filter(F.col("vec_id") < 10), "vec_id", "embedding",
+          "lang", 5)
+        .select(F.col("query_id"), F.col("rank").cast("long").as("rank"),
+          F.col("neighbor_id"), F.col("query_label"), F.col("neighbor_label"))
+        .orderBy("query_id", "rank")
+    }),
+
     // embedding ANN: LSH-bucketed variant. Hyperplanes are hash-derived
     // (Similarity.planeCoef) so recall per dataset is a deterministic
     // constant — measured 20-25/25 at tables=16 across sf0.001/0.01/0.1;
@@ -3126,6 +3143,27 @@ object SparkEntry {
         |  SELECT query_id, neighbor_id,
         |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS BIGINT) AS rank
         |  FROM cos) t
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q_mine_hard" ->
+      """WITH lab AS (SELECT doc_id AS id, lang FROM documents),
+        |flat AS (SELECT vec_id, r.i AS i, embedding[r.i] AS x
+        |         FROM embeddings, range(1, 65) r(i)),
+        |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS n FROM flat GROUP BY 1),
+        |dots AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, sum(q.x * c.x) AS dot
+        |         FROM flat q JOIN flat c ON q.i = c.i
+        |         WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id GROUP BY 1, 2),
+        |cos AS (SELECT query_id, neighbor_id, dot / (nq.n * nc.n) AS c
+        |        FROM dots JOIN norms nq ON query_id = nq.vec_id
+        |                  JOIN norms nc ON neighbor_id = nc.vec_id),
+        |neg AS (SELECT query_id, neighbor_id, c,
+        |               ql.lang AS query_label, nl.lang AS neighbor_label
+        |        FROM cos JOIN lab ql ON query_id = ql.id
+        |                 JOIN lab nl ON neighbor_id = nl.id
+        |        WHERE ql.lang <> nl.lang)
+        |SELECT query_id, rank, neighbor_id, query_label, neighbor_label FROM (
+        |  SELECT query_id, neighbor_id, query_label, neighbor_label,
+        |         CAST(row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS BIGINT) AS rank
+        |  FROM neg) t
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "q_text_stats" ->
       """SELECT source, count(*) AS docs,

@@ -345,4 +345,91 @@ object Similarity {
     ivfTopKIndexed(
       buildIvfIndex(corpus, idCol, vecCol, nlist, iterations),
       queries, idCol, vecCol, k, nprobe)
+
+  // ---------------------------------------------------------------- //
+  // Contrastive-pair mining                                           //
+  // ---------------------------------------------------------------- //
+
+  /**
+   * Mine contrastive training pairs: for each query, the `k` items
+   * most cosine-similar to it whose label relation matches `positive`
+   * — `positive = false` yields HARD NEGATIVES (different label, high
+   * similarity: the near-boundary examples contrastive/embedding
+   * training wants most), `positive = true` hard positives (same
+   * label, for verification or triplet anchors).
+   *
+   * Exact scan, same scale shape as [[bruteForceTopK]]: the query
+   * batch broadcasts, the corpus never shuffles, the label filter
+   * prunes BEFORE the per-query rank window. NULL labels never match
+   * either relation (they drop out, repo NULL discipline). For corpus-
+   * scale query batches use [[hardNegativesIndexed]].
+   */
+  def minePairs(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      k: Int,
+      positive: Boolean): DataFrame = {
+    val q = queries.select(F.col(idCol).as("query_id"), F.col(vecCol).as("__qv"),
+      F.col(labelCol).as("query_label"))
+    val c = corpus.select(F.col(idCol).as("neighbor_id"), F.col(vecCol).as("__cv"),
+      F.col(labelCol).as("neighbor_label"))
+    val rel =
+      if (positive) F.col("neighbor_label") === F.col("query_label")
+      else F.col("neighbor_label") =!= F.col("query_label")
+    val scored = c.crossJoin(F.broadcast(q))
+      .filter(F.col("neighbor_id") =!= F.col("query_id") && rel)
+      .withColumn("cos", cosine(F.col("__qv"), F.col("__cv")))
+    val w = Window.partitionBy(F.col("query_id"))
+      .orderBy(F.col("cos").desc, F.col("neighbor_id").asc)
+    scored.withColumn("rank", F.row_number().over(w))
+      .filter(F.col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "query_label", "neighbor_label", "cos")
+  }
+
+  /** [[minePairs]] with `positive = false`. */
+  def hardNegatives(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, k: Int): DataFrame =
+    minePairs(corpus, queries, idCol, vecCol, labelCol, k, positive = false)
+
+  /**
+   * Hard-negative mining against a persisted IVF index: candidates
+   * come from the `nprobe` nearest cells (the [[ivfTopKIndexed]]
+   * probe), labels attach to the CANDIDATE rows only (a
+   * candidates-sized join, never a corpus reshuffle), then the
+   * different-label filter and per-query rank. Approximate like every
+   * IVF probe — recall vs [[hardNegatives]] is the metric to watch.
+   * `labels` must carry (`idCol`, `labelCol`).
+   */
+  def hardNegativesIndexed(
+      index: IvfIndex,
+      queries: DataFrame,
+      labels: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      k: Int,
+      nprobe: Int = 4): DataFrame = {
+    val spark = index.assigned.sparkSession
+    val cB = spark.sparkContext.broadcast(index.centroids)
+    val probeU = F.udf((v: Array[Float]) => nearestCentroids(cB.value, v, nprobe))
+    val q = queries.select(F.col(idCol).as("query_id"), F.col(vecCol).as("__qv"),
+      F.col(labelCol).as("query_label"),
+      F.explode(probeU(F.col(vecCol))).as("__cell"))
+    val lab = labels.select(F.col(idCol).as("neighbor_id"),
+      F.col(labelCol).as("neighbor_label"))
+    val scored = index.assigned.join(F.broadcast(q), "__cell")
+      .filter(F.col("neighbor_id") =!= F.col("query_id"))
+      .join(lab, "neighbor_id")
+      .filter(F.col("neighbor_label") =!= F.col("query_label"))
+      .withColumn("cos", cosine(F.col("__qv"), F.col("__cv")))
+    val w = Window.partitionBy(F.col("query_id"))
+      .orderBy(F.col("cos").desc, F.col("neighbor_id").asc)
+    scored.withColumn("rank", F.row_number().over(w))
+      .filter(F.col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "query_label", "neighbor_label", "cos")
+  }
 }
