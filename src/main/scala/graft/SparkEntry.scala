@@ -1481,6 +1481,22 @@ object SparkEntry {
         .orderBy(F.col("source"))
     }),
 
+    // waterfilling a GLOBAL token budget across weighted domains
+    // (frozen-λ breakpoint form): small sources saturate, the rest
+    // split the remainder by weight; selection is the md5-ordered
+    // prefix within each source's allocation. Exact integers out;
+    // the oracle replays the same breakpoint math in SQL windows
+    "q_mix_budget" -> ((s: SparkSession, dir: String) => {
+      val weights = (0 until 64).map(i => s"src$i" -> (1.0 + i % 3)).toMap
+      graft.pipeline.Sampling.waterfillMixture(
+          t(s, dir, "documents"), F.col("source"), F.col("doc_id"),
+          F.col("n_chars"), weights, budget = 100000L)
+        .groupBy(F.col("source"))
+        .agg(F.count(F.lit(1)).as("n_kept"),
+             F.sum(F.col("n_chars")).cast("long").as("tok_sum"))
+        .orderBy(F.col("source"))
+    }),
+
     // per-source token budget: deterministic md5-ordered prefix whose
     // inclusive running token total stays <= 2000
     "q_token_budget" -> ((s: SparkSession, dir: String) => {
@@ -3020,6 +3036,35 @@ object SparkEntry {
         |  OR substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
         |       < printf('%04x', CAST(round(f * 65536.0) AS INT))))
         |GROUP BY source ORDER BY source""".stripMargin,
+    "q_mix_budget" ->
+      """WITH tot AS (SELECT source, CAST(sum(n_chars) AS DOUBLE) AS t,
+        |        CAST(1 + CAST(substr(source, 4, 8) AS INT) % 3 AS DOUBLE) AS w
+        |      FROM documents GROUP BY source),
+        |ord AS (SELECT source, t, w,
+        |        sum(t) OVER (ORDER BY t / w, source ROWS UNBOUNDED PRECEDING) - t AS pt,
+        |        sum(w) OVER (ORDER BY t / w, source ROWS UNBOUNDED PRECEDING) - w AS pw,
+        |        sum(w) OVER () AS wtot
+        |      FROM tot),
+        |sat AS (SELECT *, (t * (wtot - pw) <= (100000.0 - pt) * w) AS is_sat FROM ord),
+        |fail AS (SELECT t / w AS r, source AS fsrc,
+        |                (100000.0 - pt) / (wtot - pw) AS lam
+        |         FROM sat WHERE NOT is_sat ORDER BY r, source LIMIT 1),
+        |alloc AS (SELECT o.source,
+        |          CASE WHEN f.fsrc IS NULL
+        |                 OR o.t / o.w < f.r
+        |                 OR (o.t / o.w = f.r AND o.source < f.fsrc)
+        |               THEN CAST(o.t AS BIGINT)
+        |               ELSE CAST(floor(f.lam * o.w) AS BIGINT) END AS b
+        |          FROM ord o LEFT JOIN fail f ON true),
+        |sel AS (SELECT source, doc_id, n_chars,
+        |        sum(n_chars) OVER (PARTITION BY source
+        |          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        |          ROWS UNBOUNDED PRECEDING) AS cum
+        |        FROM documents)
+        |SELECT s.source, count(*) AS n_kept,
+        |       CAST(sum(s.n_chars) AS BIGINT) AS tok_sum
+        |FROM sel s JOIN alloc a USING (source)
+        |WHERE s.cum <= a.b GROUP BY s.source ORDER BY source""".stripMargin,
     "q_mix_temperature" ->
       """WITH cnt AS (SELECT source AS dom, CAST(count(*) AS DOUBLE) AS n
         |             FROM documents GROUP BY 1),

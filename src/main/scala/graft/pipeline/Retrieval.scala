@@ -172,6 +172,49 @@ object Retrieval {
     TextIndex(index, buckets, st.getLong(0), st.getDouble(1))
   }
 
+  /**
+   * Incrementally index a new document batch into a SAVED index:
+   * the batch's postings (bucketed with the index's own bucket count)
+   * are APPENDED to the partitioned postings layout and the 1-row
+   * stats are updated from the batch's token totals. The history is
+   * never re-read, re-shingled, or re-shuffled — cost is one shuffle
+   * over the new batch, the same incremental contract as
+   * [[Dedup.incrementalDuplicates]].
+   *
+   * BM25 needs no further reconciliation: document frequencies are
+   * derived from the matched postings at query time, so appended
+   * documents integrate exactly — a probe of (index ∪ batch) equals a
+   * probe of an index built on the union from scratch. Re-ingesting an
+   * id that is already indexed is the caller's responsibility (it
+   * would double-count, as in every append-only index).
+   *
+   * Returns the updated index handle (reload cost only — stats row).
+   */
+  def appendToTextIndex(
+      spark: SparkSession,
+      path: String,
+      newDocs: DataFrame,
+      idCol: String,
+      textCol: String): TextIndex = {
+    val prior = loadTextIndex(spark, path)
+    import spark.implicits._
+    val batch = buildIndex(newDocs, idCol, textCol)
+      .withColumn("__bucket", termBucket(F.col("term"), prior.buckets))
+    // batch token totals: (docs, total dl) from the per-doc lengths
+    val st = batch.select(F.col("id"), F.col("dl")).distinct()
+      .agg(F.count(F.lit(1)).as("n"), F.sum(F.col("dl")).as("s")).head()
+    val nNew = st.getLong(0)
+    val dlNew = if (st.isNullAt(1)) 0L else st.getLong(1)
+    batch.write.partitionBy("__bucket").mode("append").parquet(s"$path/postings")
+    val nDocs = prior.nDocs + nNew
+    val avgdl =
+      if (nDocs == 0) 0.0
+      else (prior.avgdl * prior.nDocs + dlNew) / nDocs
+    Seq((prior.buckets, nDocs, avgdl)).toDF("buckets", "n_docs", "avgdl")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/stats")
+    loadTextIndex(spark, path)
+  }
+
   /** Reload an index written by [[TextIndex.save]]. */
   def loadTextIndex(spark: SparkSession, path: String): TextIndex = {
     val st = spark.read.parquet(s"$path/stats").collect().head

@@ -245,6 +245,90 @@ object Sampling {
   }
 
   /**
+   * Waterfilling allocation of a GLOBAL token budget across weighted
+   * domains: find λ with Σ_d min(T_d, λ·w_d) = B and give domain d
+   * the allocation min(T_d, ⌊λ·w_d⌋) — small domains keep everything
+   * (saturate), large ones are capped in proportion to their weight,
+   * and the surplus of saturated domains flows to the rest. This is
+   * the mixture-planning step of a weighted data recipe (DoReMi-style
+   * domain weights at a fixed training-token budget). Pure driver
+   * math over ≤ |domains| inputs.
+   *
+   * Deterministic closed form: walk domains in ascending T_d/w_d
+   * order (ties by name); a prefix saturates while
+   * T_k · wRest_k <= remaining_k · w_k (exact multiply form), with
+   * remaining/wRest updated by the EXACT totals of the saturated
+   * prefix; at the first non-saturated domain λ = remaining/wRest is
+   * FROZEN and every remaining domain gets ⌊λ·w_d⌋ (they all have
+   * T/w > λ, so none can saturate). The frozen-λ breakpoint form is
+   * engine-portable — a SQL oracle reproduces it with window prefix
+   * sums, no recursion. Domains missing from `weights` or with weight
+   * <= 0 get allocation 0.
+   */
+  def waterfillBudgets(
+      tokenTotals: Seq[(String, Long)],
+      weights: Map[String, Double],
+      budget: Long): Map[String, Long] = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    val zeroed = tokenTotals.filter { case (d, _) =>
+      weights.getOrElse(d, 0.0) <= 0.0 }.map(_._1 -> 0L)
+    val live = tokenTotals
+      .filter { case (d, _) => weights.getOrElse(d, 0.0) > 0.0 }
+      .sortBy { case (d, t) => (t.toDouble / weights(d), d) }
+    var remaining = budget.toDouble
+    var wRest = live.map { case (d, _) => weights(d) }.sum
+    var lambda = -1.0 // frozen at the first non-saturated domain
+    val out = Map.newBuilder[String, Long]
+    out ++= zeroed
+    live.foreach { case (d, t) =>
+      val w = weights(d)
+      if (lambda < 0 && t.toDouble * wRest <= remaining * w) {
+        out += d -> t // saturated: keep everything
+        remaining -= t.toDouble
+        wRest -= w
+      } else {
+        if (lambda < 0) lambda = if (wRest > 0) remaining / wRest else 0.0
+        out += d -> math.floor(lambda * w).toLong
+      }
+    }
+    out.result()
+  }
+
+  /**
+   * Apply [[waterfillBudgets]] to a corpus: per-domain token totals
+   * (one tiny aggregate, ≤ |domains| rows collected), waterfill the
+   * budget, then keep each domain's rows in deterministic md5(key)
+   * order while the inclusive running token total stays within the
+   * domain's allocation (the [[takeTokenBudget]] window against a
+   * per-domain cap). One hash exchange on the domain column; the
+   * corpus never shuffles twice.
+   */
+  def waterfillMixture(
+      df: DataFrame,
+      domain: Column,
+      key: Column,
+      tokens: Column,
+      weights: Map[String, Double],
+      budget: Long): DataFrame = {
+    val tagged = df.withColumn("__dom", domain).filter(F.col("__dom").isNotNull)
+    val totals = tagged.groupBy(F.col("__dom"))
+      .agg(F.sum(tokens.cast("long")).as("__t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    val allocs = waterfillBudgets(totals, weights, budget)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val budgets = allocs.toSeq.toDF("__dom", "__budget")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(F.col("__dom")).orderBy(F.md5(key.cast("string")), key)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    tagged
+      .join(F.broadcast(budgets), "__dom")
+      .withColumn("__cum", F.sum(tokens.cast("long")).over(w))
+      .filter(F.col("__cum") <= F.col("__budget"))
+      .drop("__dom", "__budget", "__cum")
+  }
+
+  /**
    * Stratified deterministic sample: per-stratum fractions, with
    * `defaultFraction` for strata not in the map. Same md5 predicate,
    * just a per-stratum threshold — still shuffle-free.

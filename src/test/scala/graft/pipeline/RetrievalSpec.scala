@@ -101,6 +101,24 @@ class RetrievalSpec extends SparkTestBase {
       s"expected partition filter on __bucket in:\n$plan")
   }
 
+  test("appendToTextIndex: probe of (saved + appended batch) equals a full rebuild") {
+    val path = java.nio.file.Files.createTempDirectory("graft_tidx_inc").toString
+    val first = docs.filter(F.col("doc_id") <= 3)
+    val second = docs.filter(F.col("doc_id") > 3)
+    Retrieval.buildTextIndex(first, "doc_id", "text", buckets = 8).save(path)
+    val updated = Retrieval.appendToTextIndex(spark, path, second, "doc_id", "text")
+    val full = Retrieval.buildTextIndex(docs, "doc_id", "text", buckets = 8)
+    assert(updated.nDocs == full.nDocs)
+    assert(math.abs(updated.avgdl - full.avgdl) < 1e-12)
+    val q = Seq("quick", "dog")
+    val inc = Retrieval.bm25TopKIndexed(updated, q, 10)
+      .select("id", "score").collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val direct = Retrieval.bm25TopK(docs, "doc_id", "text", q, 10)
+      .select("id", "score").collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(inc.keySet == direct.keySet)
+    inc.foreach { case (id, s) => assert(math.abs(s - direct(id)) < 1e-12, s"doc $id") }
+  }
+
   test("localTermBucket agrees with the in-plan xxhash64 bucketing") {
     val terms = Seq("quick", "dog", "the", "ümlaut", "", "a b")
     val inPlan = terms.toDF("t")
