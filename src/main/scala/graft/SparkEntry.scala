@@ -2212,6 +2212,30 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // URL canonicalization + registrable domain: messy URLs built
+    // in-plan from doc_id (case noise, default port, dot-segments,
+    // duplicate slashes, tracking params, unsorted query, fragment,
+    // multi-part TLD every 5th row); the oracle constructs the
+    // EXPECTED canonical string and domain independently in SQL
+    "q_url" -> ((s: SparkSession, dir: String) => {
+      val id = F.col("doc_id")
+      val str = (c: org.apache.spark.sql.Column) => c.cast("string")
+      val messy = F.concat(
+        F.lit("HTTP://"),
+        F.when(id % 5 === 0,
+            F.concat(F.lit("News.Site"), str(id % 7), F.lit(".CO.UK")))
+          .otherwise(F.concat(F.lit("ExAmple"), str(id % 7), F.lit(".COM"))),
+        F.when(id % 3 === 0, F.lit(":80")).otherwise(F.lit("")),
+        F.lit("/a//b"), str(id), F.lit("/./c/../d"), str(id % 4), F.lit("/"),
+        F.lit("?z="), str(id), F.lit("&utm_source=x&a="), str(id % 9),
+        F.lit("&fbclid=q#frag"), str(id))
+      t(s, dir, "documents")
+        .select(id.as("doc_id"),
+          graft.pipeline.Urls.canonicalizeUrl(messy).as("canonical"),
+          graft.pipeline.Urls.urlDomain(messy).as("domain"))
+        .orderBy("doc_id")
+    }),
+
     "q_multimodal" -> ((s: SparkSession, dir: String) => {
       val docs = t(s, dir, "documents")
       val media = graft.pipeline.Multimodal.mediaFromDocuments(s, docs)
@@ -3352,6 +3376,18 @@ object SparkEntry {
       """SELECT count(*) AS docs, true AS text_roundtrip,
         |       true AS pages_ok, true AS chars_ok
         |FROM documents WHERE doc_id % 13 = 0""".stripMargin,
+    "q_url" ->
+      """SELECT doc_id,
+        |  'http://' ||
+        |  CASE WHEN doc_id % 5 = 0
+        |       THEN 'news.site' || (doc_id % 7) || '.co.uk'
+        |       ELSE 'example' || (doc_id % 7) || '.com' END ||
+        |  '/a/b' || doc_id || '/d' || (doc_id % 4) ||
+        |  '?a=' || (doc_id % 9) || '&z=' || doc_id AS canonical,
+        |  CASE WHEN doc_id % 5 = 0
+        |       THEN 'site' || (doc_id % 7) || '.co.uk'
+        |       ELSE 'example' || (doc_id % 7) || '.com' END AS domain
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_warc" ->
       """WITH h AS (
         |  SELECT doc_id, text,

@@ -1,0 +1,158 @@
+package graft.pipeline
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.{functions => F}
+
+/**
+ * URL normalization for web-crawl corpora: canonical form for
+ * URL-level dedup/grouping and registrable-domain extraction for
+ * per-site statistics, rate caps, and blocklists.
+ *
+ * Canonicalization rules (the common crawl-dedup set):
+ *   - scheme and host lowercased; userinfo dropped
+ *   - default ports stripped (`:80` for http, `:443` for https)
+ *   - fragment dropped
+ *   - tracking query params dropped (`utm_*`, `gclid`, `fbclid`,
+ *     `mc_cid`, `mc_eid`, `igshid`, `ref_src`)
+ *   - remaining query params sorted bytewise (param ORDER carries no
+ *     content; sorting makes `?a=1&b=2` ≡ `?b=2&a=1`)
+ *   - repeated `/` in the path collapsed, `.` segments removed, `..`
+ *     segments resolved; trailing slash dropped (root stays `/`)
+ *
+ * Kernels are plain JVM string code on executors (the text-kernel
+ * precedent — per-row structural parsing has no Column composition),
+ * exposed as UDF Columns; map-only, no shuffle, stream-safe. NULL or
+ * unparseable input → NULL (repo discipline).
+ */
+object Urls {
+
+  private val TrackingParams = Set("gclid", "fbclid", "mc_cid", "mc_eid",
+    "igshid", "ref_src")
+
+  private def isTracking(name: String): Boolean = {
+    val n = name.toLowerCase(java.util.Locale.ROOT)
+    n.startsWith("utm_") || TrackingParams.contains(n)
+  }
+
+  /** Multi-label public suffixes (the common subset — a full public
+    * suffix list is a data file, not logic; callers with one can pass
+    * their own via [[registrableDomainWith]]). */
+  val DefaultMultiPartTlds: Set[String] = Set(
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk",
+    "com.au", "net.au", "org.au", "co.jp", "ne.jp", "or.jp",
+    "co.in", "net.in", "org.in", "co.nz", "net.nz", "org.nz",
+    "com.br", "com.cn", "com.mx", "com.tr", "co.za", "com.sg",
+    "com.hk", "co.kr", "com.ar", "com.co")
+
+  /** One parsed URL. `port` = -1 when absent. */
+  final case class ParsedUrl(
+      scheme: String, host: String, port: Int,
+      path: String, query: String, fragment: String)
+
+  /** Structural parse without java.net.URI's exception zoo: returns
+    * None unless the input has a `scheme://host` prefix. */
+  private[pipeline] def parse(url: String): Option[ParsedUrl] = {
+    if (url == null) return None
+    val s = url.trim
+    val schemeEnd = s.indexOf("://")
+    if (schemeEnd <= 0) return None
+    val scheme = s.substring(0, schemeEnd)
+    if (!scheme.forall(c => Character.isLetterOrDigit(c) || c == '+' || c == '-' || c == '.'))
+      return None
+    var rest = s.substring(schemeEnd + 3)
+    // fragment first (everything after # regardless of ?)
+    val hashAt = rest.indexOf('#')
+    val fragment = if (hashAt >= 0) rest.substring(hashAt + 1) else ""
+    if (hashAt >= 0) rest = rest.substring(0, hashAt)
+    val qAt = rest.indexOf('?')
+    val query = if (qAt >= 0) rest.substring(qAt + 1) else ""
+    if (qAt >= 0) rest = rest.substring(0, qAt)
+    val slashAt = rest.indexOf('/')
+    var authority = if (slashAt >= 0) rest.substring(0, slashAt) else rest
+    val path = if (slashAt >= 0) rest.substring(slashAt) else ""
+    val at = authority.lastIndexOf('@')
+    if (at >= 0) authority = authority.substring(at + 1) // drop userinfo
+    if (authority.isEmpty) return None
+    val colonAt = authority.lastIndexOf(':')
+    val (host, port) =
+      if (colonAt >= 0 && authority.substring(colonAt + 1).forall(_.isDigit)
+          && colonAt + 1 < authority.length)
+        (authority.substring(0, colonAt),
+          try authority.substring(colonAt + 1).toInt catch { case _: NumberFormatException => -1 })
+      else (authority, -1)
+    if (host.isEmpty) return None
+    Some(ParsedUrl(scheme, host, port, path, query, fragment))
+  }
+
+  /** Resolve `.`/`..`, collapse `//`, drop the trailing slash (root
+    * stays `/`); empty path becomes `/`. */
+  private def normalizePath(path: String): String = {
+    val segs = path.split("/").filter(s => s.nonEmpty && s != ".")
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    segs.foreach {
+      case ".." => if (out.nonEmpty) out.remove(out.length - 1)
+      case seg => out += seg
+    }
+    if (out.isEmpty) "/" else "/" + out.mkString("/")
+  }
+
+  /** The canonical string, or null when unparseable. */
+  private[pipeline] def canonicalizeKernel(url: String): String =
+    parse(url).map { p =>
+      val scheme = p.scheme.toLowerCase(java.util.Locale.ROOT)
+      val host = p.host.toLowerCase(java.util.Locale.ROOT)
+      val keepPort = p.port match {
+        case -1 => ""
+        case 80 if scheme == "http" => ""
+        case 443 if scheme == "https" => ""
+        case n => s":$n"
+      }
+      val params = p.query.split("&").filter(_.nonEmpty)
+        .filterNot(kv => isTracking(kv.takeWhile(_ != '=')))
+        .sorted
+      val q = if (params.isEmpty) "" else "?" + params.mkString("&")
+      s"$scheme://$host$keepPort${normalizePath(p.path)}$q"
+    }.orNull
+
+  /** Registrable domain of a host under the given multi-part-suffix
+    * set: suffix labels + one, e.g. `news.bbc.co.uk` → `bbc.co.uk`,
+    * `a.b.example.com` → `example.com`. IPs and single-label hosts
+    * return as-is. */
+  private[pipeline] def registrableDomainKernel(
+      host: String, multiTlds: Set[String]): String = {
+    if (host == null) return null
+    val h = host.toLowerCase(java.util.Locale.ROOT).stripSuffix(".")
+    val labels = h.split("\\.")
+    if (labels.length <= 1) return h
+    if (labels.forall(_.forall(_.isDigit))) return h // IPv4
+    val lastTwo = labels.takeRight(2).mkString(".")
+    val n = if (labels.length >= 3 && multiTlds.contains(lastTwo)) 3 else 2
+    labels.takeRight(n).mkString(".")
+  }
+
+  // ---------------------------------------------------------------- //
+  // Column surface                                                    //
+  // ---------------------------------------------------------------- //
+
+  /** Canonical URL Column (null when unparseable). Map-only. */
+  def canonicalizeUrl(url: Column): Column =
+    F.udf((u: String) => Option(canonicalizeKernel(u))).apply(url)
+
+  /** Registrable domain of a URL Column, via the default suffix set. */
+  def urlDomain(url: Column): Column = registrableDomainWith(url, DefaultMultiPartTlds)
+
+  /** Registrable domain with a caller-supplied multi-part-suffix set
+    * (e.g. a full public suffix list loaded from a file). */
+  def registrableDomainWith(url: Column, multiTlds: Set[String]): Column = {
+    val udf = F.udf((u: String) =>
+      parse(u).map(p => registrableDomainKernel(p.host, multiTlds)))
+    udf(url)
+  }
+
+  /** Per-domain page counts of a URL column — the crawl-profile
+    * rollup (one exchange on the domain key). */
+  def domainCounts(df: org.apache.spark.sql.DataFrame, urlCol: String): org.apache.spark.sql.DataFrame =
+    df.select(urlDomain(F.col(urlCol)).as("domain"))
+      .filter(F.col("domain").isNotNull)
+      .groupBy("domain").agg(F.count(F.lit(1)).as("pages"))
+}
