@@ -407,4 +407,40 @@ class BatchStreamEquivalenceSpec extends SparkTestBase {
       assert(streamed === batch)
     } finally q.stop()
   }
+
+  test("WARC record explode + WET conversion is batch≡stream (stateless map-only)") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.sources.Warc
+
+    val files = (0L until 6L).map { i =>
+      val recs = (0 until 3).map { j =>
+        val html = s"<html><head><title>f$i r$j</title></head><body><p>body $i $j</p></body></html>"
+        Warc.WarcRecord("resource", s"<urn:uuid:f$i-r$j>",
+          s"http://example.com/$i/$j", "2026-01-01T00:00:00Z",
+          "text/html; charset=utf-8", html.getBytes("UTF-8").length.toLong,
+          html.getBytes("UTF-8"))
+      }
+      (i, Warc.writeWarc(recs))
+    }
+
+    val batchDf = files.toDF("file_id", "warc")
+    val batch = Warc.wetConversion(Warc.records(batchDf, "file_id", "warc"))
+      .as[(Long, String, Long, String)].collect().toSet
+    assert(batch.size == 18)
+
+    val input = MemoryStream[(Long, Array[Byte])]
+    val stream = input.toDF().toDF("file_id", "warc")
+    val q = Warc.wetConversion(Warc.records(stream, "file_id", "warc"))
+      .writeStream.format("memory").queryName("bs_warc")
+      .outputMode("append").start()
+    try {
+      input.addData(files)
+      q.processAllAvailable()
+      val streamed = spark.table("bs_warc")
+        .as[(Long, String, Long, String)].collect().toSet
+      assert(streamed === batch)
+    } finally q.stop()
+  }
 }
