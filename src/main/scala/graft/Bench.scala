@@ -434,6 +434,12 @@ object Bench {
       graft.pipeline.NgramLm.kneserNeyLogLoss(
         t(s, dir, "documents"), "doc_id", "text")),
 
+    // trigram interpolated KN: one trigram shuffle + type-level tables
+    // + a 5-way scoring join — the full KenLM-style hierarchy
+    "b_kn3_score" -> ((s: SparkSession, dir: String) =>
+      graft.pipeline.NgramLm.kneserNey3LogLoss(
+        t(s, dir, "documents"), "doc_id", "text")),
+
     // incremental exact dedup: broadcast-bloom prune of the fresh batch
     // against the history hash index + semi-join verify
     "b_dedup_incremental_exact" -> ((s: SparkSession, dir: String) => {

@@ -1981,6 +1981,13 @@ object SparkEntry {
       graft.pipeline.NgramLm.kneserNeyLogLoss(
         t(s, dir, "documents"), "doc_id", "text")),
 
+    // full trigram interpolated KN (trigram → continuation-bigram →
+    // continuation-unigram), every level type-derived; same join-based
+    // no-driver-vocab shape and 4-dp float form as q_kn_score
+    "q_kn3_score" -> ((s: SparkSession, dir: String) =>
+      graft.pipeline.NgramLm.kneserNey3LogLoss(
+        t(s, dir, "documents"), "doc_id", "text")),
+
     // CCNet-style head/middle/tail corpus partition: LM cross-entropy
     // scores, min-shifted sketch thresholds, explicit-cutoff tiers.
     // Totals exact; tier balance pinned within sketch slop (same
@@ -3484,6 +3491,50 @@ object SparkEntry {
           |         JOIN ls ON split_part(big.bg, chr(1), 1) = ls.l
           |         JOIN rs ON split_part(big.bg, chr(1), 2) = rs.r
           |         CROSS JOIN dd
+          |GROUP BY doc_id""".stripMargin,
+      "q_kn3_score" ->
+        """WITH f AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+          |                    x -> len(x) > 0) AS w FROM documents),
+          |tri AS (SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+          |                 i -> w[i] || chr(1) || w[i+1] || chr(1) || w[i+2])) AS tg
+          |        FROM f WHERE len(w) >= 3),
+          |tc AS (SELECT tg, CAST(count(*) AS DOUBLE) AS c3 FROM tri GROUP BY tg),
+          |ts AS (SELECT tg, c3,
+          |              split_part(tg, chr(1), 1) AS u,
+          |              split_part(tg, chr(1), 2) AS v,
+          |              split_part(tg, chr(1), 3) AS wd FROM tc),
+          |ctx AS (SELECT u, v, sum(c3) AS c2, CAST(count(*) AS DOUBLE) AS n3l
+          |        FROM ts GROUP BY u, v),
+          |cb AS (SELECT v, wd, CAST(count(*) AS DOUBLE) AS nvw FROM ts GROUP BY v, wd),
+          |mid AS (SELECT v, sum(nvw) AS nv, CAST(count(*) AS DOUBLE) AS nvr
+          |        FROM cb GROUP BY v),
+          |big AS (SELECT DISTINCT bg FROM (
+          |  SELECT unnest(list_transform(range(1, len(w)),
+          |           i -> w[i] || chr(1) || w[i+1])) AS bg FROM f) q),
+          |uni AS (SELECT split_part(bg, chr(1), 2) AS wd,
+          |               CAST(count(*) AS DOUBLE) AS nw FROM big GROUP BY 1),
+          |tt AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM big),
+          |d3s AS (SELECT CASE WHEN n1 = 0 THEN 0.75 ELSE n1 / (n1 + 2 * n2) END AS d3
+          |        FROM (SELECT CAST(sum(CASE WHEN c3 = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS n1,
+          |                     CAST(sum(CASE WHEN c3 = 2 THEN 1 ELSE 0 END) AS DOUBLE) AS n2
+          |              FROM tc)),
+          |d2s AS (SELECT CASE WHEN n1 = 0 THEN 0.75 ELSE n1 / (n1 + 2 * n2) END AS d2
+          |        FROM (SELECT CAST(sum(CASE WHEN nvw = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS n1,
+          |                     CAST(sum(CASE WHEN nvw = 2 THEN 1 ELSE 0 END) AS DOUBLE) AS n2
+          |              FROM cb)),
+          |j AS (SELECT tri.doc_id, ts.c3, ctx.c2, ctx.n3l, cb.nvw,
+          |             mid.nv, mid.nvr, uni.nw
+          |      FROM tri JOIN ts USING (tg)
+          |               JOIN ctx ON ts.u = ctx.u AND ts.v = ctx.v
+          |               JOIN cb ON ts.v = cb.v AND ts.wd = cb.wd
+          |               JOIN mid ON ts.v = mid.v
+          |               JOIN uni ON ts.wd = uni.wd)
+          |SELECT doc_id, CAST(count(*) AS BIGINT) AS trigrams,
+          |       round(avg(-ln(
+          |         greatest(c3 - d3, 0) / c2 + d3 * n3l / c2 *
+          |           (greatest(nvw - d2, 0) / nv + d2 * nvr / nv * (nw / t)))), 4)
+          |         AS score
+          |FROM j CROSS JOIN tt CROSS JOIN d3s CROSS JOIN d2s
           |GROUP BY doc_id""".stripMargin,
       "q_retrieval_index" ->
         """WITH f AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),

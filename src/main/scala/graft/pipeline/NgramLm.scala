@@ -136,4 +136,133 @@ object NgramLm {
   /** Train-and-score on one corpus: the perplexity-filter shape. */
   def kneserNeyLogLoss(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     scoreKneserNey(docs, idCol, textCol, learnKneserNey(docs, textCol))
+
+  // ---------------------------------------------------------------- //
+  // Trigram interpolated Kneser-Ney                                   //
+  // ---------------------------------------------------------------- //
+
+  /**
+   * The full trigram hierarchy (Chen & Goodman 1999 eq. 4.25-4.27):
+   *
+   *   P3(w|u,v) = max(c3(uvw) − D3, 0)/c2(uv) + D3·N1+(uv·)/c2(uv) · P2(w|v)
+   *   P2(w|v)   = max(N1+(·vw) − D2, 0)/N1+(·v·)
+   *               + D2·N1+(v·)/N1+(·v·) · Pcont(w)
+   *   Pcont(w)  = N1+(·w)/N1+(··)        (bigram TYPE statistics)
+   *
+   * with c2(uv) = Σ_w c3(uvw) (the trigram-context total) and the
+   * middle level built from CONTINUATION counts — the Kneser-Ney
+   * insight that a lower-order distribution should model how many
+   * contexts a word completes, not how often it occurs.
+   *
+   * Same scale shape as the bigram model: every table is n-gram-TYPE
+   * level, scoring is joins, the driver holds two discounts and one
+   * type total.
+   */
+  final case class Kn3Model(
+      triCounts: DataFrame, // (u, v, w, c3)
+      triCtx: DataFrame,    // (u, v, c2 = Σc3, n3l = N1+(uv·))
+      contBi: DataFrame,    // (v, w, nvw = N1+(·vw))
+      midCtx: DataFrame,    // (v, nv = N1+(·v·), nvr = N1+(v·))
+      uniCont: DataFrame,   // (w, nw = N1+(·w))
+      d3: Double,
+      d2: Double,
+      totalBigramTypes: Long)
+
+  /** (id, u, v, w) trigram rows; adjacent-token triple zip, map-only. */
+  private def trigramRows(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = F.filter(F.split(F.col(textCol), "\\s+"), t => F.length(t) > 0)
+    docs
+      .select(F.col(idCol).as("id"), w.as("__w"))
+      .filter(F.size(F.col("__w")) >= 3)
+      .select(F.col("id"), F.explode(F.transform(
+        F.sequence(F.lit(1), F.size(F.col("__w")) - 2),
+        i => F.struct(
+          F.element_at(F.col("__w"), i).as("u"),
+          F.element_at(F.col("__w"), i + 1).as("v"),
+          F.element_at(F.col("__w"), i + 2).as("w")))).as("__t"))
+      .select(F.col("id"), F.col("__t.u").as("u"), F.col("__t.v").as("v"),
+        F.col("__t.w").as("w"))
+  }
+
+  private def cofcDiscount(counts: DataFrame, col: String): Double = {
+    val st = counts.agg(
+      F.sum(F.when(F.col(col) === 1L, 1L).otherwise(0L)).as("n1"),
+      F.sum(F.when(F.col(col) === 2L, 1L).otherwise(0L)).as("n2")).head()
+    if (st.isNullAt(0) || st.getLong(0) == 0L) DefaultDiscount
+    else st.getLong(0).toDouble / (st.getLong(0) + 2.0 * st.getLong(1))
+  }
+
+  /** Fit the trigram KN tables: one trigram count (the corpus-scale
+    * shuffle), one bigram-type pass for the unigram continuation
+    * level, and type-level rollups. */
+  def learnKneserNey3(train: DataFrame, textCol: String): Kn3Model = {
+    val tri = trigramRows(train.withColumn("__kn_id", F.lit(0L)), "__kn_id", textCol)
+      .groupBy(F.col("u"), F.col("v"), F.col("w"))
+      .agg(F.count(F.lit(1)).as("c3"))
+      .localCheckpoint(eager = false)
+    val ctx = tri.groupBy(F.col("u"), F.col("v"))
+      .agg(F.sum(F.col("c3")).as("c2"), F.count(F.lit(1)).as("n3l"))
+      .localCheckpoint(eager = false)
+    val contBi = tri.groupBy(F.col("v"), F.col("w"))
+      .agg(F.count(F.lit(1)).as("nvw"))
+      .localCheckpoint(eager = false)
+    val mid = contBi.groupBy(F.col("v"))
+      .agg(F.sum(F.col("nvw")).as("nv"), F.count(F.lit(1)).as("nvr"))
+      .localCheckpoint(eager = false)
+    // unigram continuation from BIGRAM types of the same corpus
+    val biTypes = bigramRows(train.withColumn("__kn_id", F.lit(0L)), "__kn_id", textCol)
+      .select(F.col("l"), F.col("r")).distinct()
+      .localCheckpoint(eager = false)
+    val uni = biTypes.groupBy(F.col("r").as("w"))
+      .agg(F.count(F.lit(1)).as("nw"))
+      .localCheckpoint(eager = false)
+    val total = Option(biTypes.agg(F.count(F.lit(1))).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    Kn3Model(tri, ctx, contBi, mid, uni,
+      d3 = cofcDiscount(tri, "c3"), d2 = cofcDiscount(contBi, "nvw"),
+      totalBigramTypes = total)
+  }
+
+  /** Interpolated trigram probability Column over the joined stats
+    * (all nullable). Backoff: unseen (u,v) context → P2; unseen middle
+    * v → Pcont; unseen w → 0.5/N1+(··). */
+  private def knProb3(m: Kn3Model): Column = {
+    val t = F.lit(m.totalBigramTypes.toDouble)
+    val d3 = F.lit(m.d3)
+    val d2 = F.lit(m.d2)
+    val pw = F.coalesce(F.col("nw"), F.lit(0.5)) / t
+    val p2 = F.when(F.col("nv").isNull, pw)
+      .otherwise(
+        F.greatest(F.coalesce(F.col("nvw"), F.lit(0L)).cast("double") - d2, F.lit(0.0)) /
+          F.col("nv") + d2 * F.col("nvr") / F.col("nv") * pw)
+    F.when(F.col("c2").isNull, p2)
+      .otherwise(
+        F.greatest(F.coalesce(F.col("c3"), F.lit(0L)).cast("double") - d3, F.lit(0.0)) /
+          F.col("c2") + d3 * F.col("n3l") / F.col("c2") * p2)
+  }
+
+  /** Score documents with a trigram model: (id, trigrams, score =
+    * avg −ln P3, 4 dp). Docs with < 3 tokens are absent. */
+  def scoreKneserNey3(
+      docs: DataFrame, idCol: String, textCol: String, m: Kn3Model): DataFrame = {
+    val tri = trigramRows(docs, idCol, textCol)
+    val scored =
+      if (m.totalBigramTypes == 0L) tri.withColumn("__p", F.lit(0.5))
+      else tri
+        .join(m.triCounts, Seq("u", "v", "w"), "left")
+        .join(m.triCtx, Seq("u", "v"), "left")
+        .join(m.contBi, Seq("v", "w"), "left")
+        .join(m.midCtx, Seq("v"), "left")
+        .join(m.uniCont, Seq("w"), "left")
+        .withColumn("__p", knProb3(m))
+    scored
+      .groupBy(F.col("id"))
+      .agg(F.count(F.lit(1)).as("trigrams"),
+        F.round(F.avg(-F.log(F.col("__p"))), 4).as("score"))
+      .select(F.col("id").as(idCol), F.col("trigrams"), F.col("score"))
+  }
+
+  /** Train-and-score on one corpus at trigram order. */
+  def kneserNey3LogLoss(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    scoreKneserNey3(docs, idCol, textCol, learnKneserNey3(docs, textCol))
 }

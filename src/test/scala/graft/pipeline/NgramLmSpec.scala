@@ -108,6 +108,108 @@ class NgramLmSpec extends SparkTestBase {
     got.foreach(r => assert(!r.getAs[Double]("score").isNaN))
   }
 
+  // Local trigram interpolated-KN reference (same hierarchy).
+  private def localKn3(corpus: Seq[(Long, String)]): Map[Long, (Long, Double)] = {
+    val toks = corpus.map { case (id, t) =>
+      id -> Option(t).getOrElse("").split("\\s+").filter(_.nonEmpty).toSeq
+    }
+    val tris = toks.flatMap { case (id, w) =>
+      w.sliding(3).filter(_.size == 3).map(x => (id, x.head, x(1), x(2)))
+    }
+    val bigs = toks.flatMap { case (_, w) =>
+      w.sliding(2).filter(_.size == 2).map(x => (x.head, x(1)))
+    }.distinct
+    val c3 = tris.groupBy(x => (x._2, x._3, x._4)).view.mapValues(_.size.toLong).toMap
+    val c2 = c3.groupBy(k => (k._1._1, k._1._2)).view.mapValues(_.values.sum).toMap
+    val n3l = c3.groupBy(k => (k._1._1, k._1._2)).view.mapValues(_.size.toLong).toMap
+    val nvw = c3.keys.groupBy(k => (k._2, k._3)).view.mapValues(g => g.map(_._1).toSet.size.toLong).toMap
+    val nv = nvw.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val nvr = nvw.groupBy(_._1._1).view.mapValues(_.size.toLong).toMap
+    val nw = bigs.groupBy(_._2).view.mapValues(g => g.map(_._1).toSet.size.toLong).toMap
+    val t = bigs.size.toDouble
+    def disc(cnts: Iterable[Long]): Double = {
+      val n1 = cnts.count(_ == 1L).toDouble
+      val n2 = cnts.count(_ == 2L).toDouble
+      if (n1 == 0) 0.75 else n1 / (n1 + 2 * n2)
+    }
+    val d3 = disc(c3.values)
+    val d2 = disc(nvw.values)
+    tris.groupBy(_._1).map { case (id, ts) =>
+      val s = ts.map { case (_, u, v, w) =>
+        val pw = nw.getOrElse(w, 0L).toDouble match {
+          case 0.0 => 0.5 / t
+          case x => x / t
+        }
+        val p2 = nv.get(v) match {
+          case None => pw
+          case Some(nvv) =>
+            math.max(nvw.getOrElse((v, w), 0L) - d2, 0.0) / nvv +
+              d2 * nvr(v) / nvv * pw
+        }
+        val p3 = c2.get((u, v)) match {
+          case None => p2
+          case Some(c2v) =>
+            math.max(c3.getOrElse((u, v, w), 0L) - d3, 0.0) / c2v +
+              d3 * n3l((u, v)) / c2v * p2
+        }
+        -math.log(p3)
+      }.sum
+      id -> (ts.size.toLong,
+        BigDecimal(s / ts.size).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+  }
+
+  test("trigram KN matches the local reference; <3-token docs absent") {
+    val df = corpus.toDF("doc_id", "text")
+    val want = localKn3(corpus)
+    val got = NgramLm.kneserNey3LogLoss(df, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("trigrams"), r.getAs[Double]("score"))).toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (id, (n, s)) =>
+      assert(got(id)._1 == n, s"doc $id trigram count")
+      assert(math.abs(got(id)._2 - s) < 5e-5, s"doc $id: ${got(id)._2} vs $s")
+    }
+  }
+
+  test("trigram conditional sums to 1 over the vocabulary") {
+    val df = corpus.toDF("doc_id", "text")
+    val m = NgramLm.learnKneserNey3(df, "text")
+    val c3 = m.triCounts.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) -> r.getLong(3)).toMap
+    val (c2v, n3lv) = m.triCtx.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap.apply(("the", "cat"))
+    val nvwM = m.contBi.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val (nvV, nvrV) = m.midCtx.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap.apply("cat")
+    val nwM = m.uniCont.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val t = m.totalBigramTypes.toDouble
+    val vocab = nwM.keySet
+    val total = vocab.toSeq.map { w =>
+      val pw = nwM(w) / t
+      val p2 = math.max(nvwM.getOrElse(("cat", w), 0L) - m.d2, 0.0) / nvV +
+        m.d2 * nvrV / nvV * pw
+      math.max(c3.getOrElse(("the", "cat", w), 0L) - m.d3, 0.0) / c2v +
+        m.d3 * n3lv / c2v * p2
+    }.sum
+    assert(math.abs(total - 1.0) < 1e-12, s"sum P3(w|the,cat) = $total")
+  }
+
+  test("trigram held-out: OOV backoff chain never errors; OOV scores worse") {
+    val m = NgramLm.learnKneserNey3(corpus.toDF("doc_id", "text"), "text")
+    val held = Seq(
+      20L -> "the cat sat on a mat",   // mixed seen/unseen trigrams
+      21L -> "zz qq zz qq zz"          // fully out-of-model
+    ).toDF("doc_id", "text")
+    val got = NgramLm.scoreKneserNey3(held, "doc_id", "text", m).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
+    assert(got.keySet == Set(20L, 21L))
+    got.values.foreach(s => assert(!s.isNaN && !s.isInfinite && s > 0))
+    assert(got(21L) > got(20L))
+  }
+
   test("testdata sf0.001: distributed path is deterministic across runs") {
     val d = sf("sf0.001", "documents")
     val a = NgramLm.kneserNeyLogLoss(d, "doc_id", "text").collect()
