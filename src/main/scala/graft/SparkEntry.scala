@@ -2219,6 +2219,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Unicode canonicalization: NFKC + accent strip + typographic
+    // punctuation fold on text with planted compat forms; the oracle
+    // states the expected ASCII literals outright — real Normalizer
+    // behavior is load-bearing, a pass-through fails the string hash
+    "q_unicode_fold" -> ((s: SparkSession, dir: String) => {
+      val id = F.col("doc_id")
+      val planted = F.when(id % 4 === 0, " ﬁle Ｔｅｓｔ café")
+        .when(id % 4 === 1, " naïve Müller ½")
+        .when(id % 4 === 2, " “quoted” – it’s …")
+        .otherwise(" № Ⅸ ⁄ plain")
+      t(s, dir, "documents")
+        .select(id.as("doc_id"),
+          graft.pipeline.TextFunctions.foldUnicode(
+            F.concat(F.col("text"), planted)).as("folded"))
+        .orderBy("doc_id")
+    }),
+
     // URL canonicalization + registrable domain: messy URLs built
     // in-plan from doc_id (case noise, default port, dot-segments,
     // duplicate slashes, tracking params, unsorted query, fragment,
@@ -3383,6 +3400,14 @@ object SparkEntry {
       """SELECT count(*) AS docs, true AS text_roundtrip,
         |       true AS pages_ok, true AS chars_ok
         |FROM documents WHERE doc_id % 13 = 0""".stripMargin,
+    "q_unicode_fold" ->
+      """SELECT doc_id,
+        |  text || CASE doc_id % 4
+        |    WHEN 0 THEN ' file Test cafe'
+        |    WHEN 1 THEN ' naive Muller 1/2'
+        |    WHEN 2 THEN ' "quoted" - it''s ...'
+        |    ELSE ' No IX / plain' END AS folded
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_url" ->
       """SELECT doc_id,
         |  'http://' ||

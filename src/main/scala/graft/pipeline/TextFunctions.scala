@@ -292,6 +292,45 @@ object TextFunctions {
       F.regexp_replace(text, "[\\x00-\\x08\\x0E-\\x1F\\x7F]", ""),
       "[ \\t\\n\\r\\x0B\\f]+", " ")))
 
+  /** Typographic punctuation → ASCII (the part NFKC leaves alone):
+    * curly quotes, en/em dashes, ellipsis, fraction slash. */
+  private val PunctFold: Map[Char, String] = Map(
+    '‘' -> "'", '’' -> "'", '‚' -> "'", '‛' -> "'",
+    '“' -> "\"", '”' -> "\"", '„' -> "\"",
+    '–' -> "-", '—' -> "-", '−' -> "-",
+    '…' -> "...", '⁄' -> "/")
+
+  /** Unicode canonicalization kernel: NFKC (ligatures, fullwidth,
+    * compatibility forms), then NFD + combining-mark strip (accent
+    * folding), then the typographic-punctuation fold, recomposed NFC.
+    * The CCNet-style pass before hashing, shingling, or dedup so that
+    * visually-identical variants collide. Null-safe. */
+  private[pipeline] def foldUnicodeKernel(s: String): String = {
+    if (s == null) return null
+    import java.text.Normalizer
+    val nfkc = Normalizer.normalize(s, Normalizer.Form.NFKC)
+    val nfd = Normalizer.normalize(nfkc, Normalizer.Form.NFD)
+    val sb = new StringBuilder(nfd.length)
+    var i = 0
+    while (i < nfd.length) {
+      val c = nfd.charAt(i)
+      if (Character.getType(c) != Character.NON_SPACING_MARK) {
+        PunctFold.get(c) match {
+          case Some(rep) => sb.append(rep)
+          case None => sb.append(c)
+        }
+      }
+      i += 1
+    }
+    Normalizer.normalize(sb.toString, Normalizer.Form.NFC)
+  }
+
+  /** [[foldUnicodeKernel]] as a map-only Column (JVM kernel — the
+    * normalizer tables have no Column composition). Compose with
+    * [[normalizeText]] for the full cleaning pass. */
+  def foldUnicode(text: Column): Column =
+    F.udf((s: String) => Option(foldUnicodeKernel(s))).apply(text)
+
   /** Gopher-style repetition score: the fraction of a document's word
     * n-grams that are repeats of an earlier n-gram
     * (`1 - distinct/total`). Boilerplate, templated spam, and

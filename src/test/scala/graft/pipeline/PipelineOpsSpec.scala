@@ -176,6 +176,27 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(out(0) === out(1))
   }
 
+  test("foldUnicode: NFKC compat forms, accent strip, typographic punctuation") {
+    def fold(s: String) = TextFunctions.foldUnicodeKernel(s)
+    assert(fold("ﬁle ﬂow") == "file flow")                  // ligatures
+    assert(fold("Ｔｅｓｔ　ｗｉｄｅ") == "Test wide")        // fullwidth + ideographic space
+    assert(fold("café naïve Müller") == "cafe naive Muller") // accents
+    assert(fold("“quoted” – x — y") == "\"quoted\" - x - y")
+    assert(fold("it’s … done") == "it's ... done")
+    assert(fold("½ № Ⅸ") == "1/2 No IX")                     // compat digits/numerals
+    assert(fold("a b") == "a b")                        // nbsp -> space (NFKC)
+    assert(fold("plain ascii 123") == "plain ascii 123")     // identity on ASCII
+    assert(fold("") == "")
+    assert(fold(null) == null)
+    // idempotent
+    assert(fold(fold("café ﬁle ½")) == fold("café ﬁle ½"))
+    // Column surface: map-only, null discipline
+    val df = Seq("café", null.asInstanceOf[String]).toDF("t")
+    val out = df.select(TextFunctions.foldUnicode(F.col("t")).as("f"))
+    assert(!out.queryExecution.executedPlan.toString.contains("Exchange"))
+    assert(out.collect().map(_.getString(0)).toSeq == Seq("cafe", null))
+  }
+
   // ---------------------------------------------------- multimodal
 
   test("sampleFrames explodes bounded fixed-size frames; resize caps payloads") {
