@@ -2236,6 +2236,93 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // URL blocklist screening: hosts/paths built in-plan from doc_id;
+    // suffix-label domain matching (badcasino.com.safe.org must NOT
+    // block), strict substrings, and token-level soft words are all
+    // genuinely recomputed by the oracle
+    "q_url_filter" -> ((s: SparkSession, dir: String) => {
+      val id = F.col("doc_id")
+      val str = (c: org.apache.spark.sql.Column) => c.cast("string")
+      val host = F.when(id % 7 === 0, F.lit("www.badcasino.com"))
+        .when(id % 7 === 1, F.lit("sub.tracker.net"))
+        .when(id % 7 === 2, F.concat(F.lit("example"), str(id % 5), F.lit(".com")))
+        .when(id % 7 === 3, F.lit("news.example.co.uk"))
+        .when(id % 7 === 4, F.lit("badcasino.com.safe.org"))
+        .when(id % 7 === 5, F.concat(F.lit("shop.example"), str(id % 5), F.lit(".com")))
+        .otherwise(F.lit("BadCasino.COM"))
+      val url = F.concat(F.lit("http://"), host, F.lit("/page/"), str(id),
+        F.when(id % 3 === 0, F.lit("/free-poker-online")).otherwise(F.lit("")),
+        F.when(id % 11 === 0, F.lit("/xxx-ads")).otherwise(F.lit("")))
+      val blocked = Set("badcasino.com", "tracker.net")
+      val strict = Seq("xxx", "porn")
+      val soft = Seq("poker", "bet", "online")
+      val hits = graft.pipeline.Urls.urlKeywordHits(url, strict, soft)
+      t(s, dir, "documents").select(id.as("doc_id"),
+          graft.pipeline.Urls.urlBlocked(s, url, blocked).as("domain_blocked"),
+          hits.getField("strict_hits").as("strict_hits"),
+          hits.getField("soft_hits").as("soft_hits"),
+          graft.pipeline.Urls.urlAllowed(s, url, blocked, strict, soft)
+            .as("allowed"))
+        .orderBy("doc_id")
+    }),
+
+    // Luhn-gated credit-card scrub: the checksum decides (4111...1111
+    // valid -> tagged; ...1112 invalid -> untouched; 12-digit and
+    // 21-digit runs are out of candidate range)
+    "q_scrub_cc" -> ((s: SparkSession, dir: String) => {
+      val id = F.col("doc_id")
+      val planted = F.when(id % 5 === 0, " pay 4111 1111 1111 1111 now")
+        .when(id % 5 === 1, " pay 4111-1111-1111-1112 now")
+        .when(id % 5 === 2, " mc 5500 0000 0000 0004 ok")
+        .when(id % 5 === 3, " id 1234 5678 9012 ok")
+        .otherwise(" acct 123456789012345678901 x")
+      t(s, dir, "documents").select(id.as("doc_id"),
+          F.concat(F.col("text"),
+            graft.pipeline.Scrub.scrubCreditCards(planted)).as("scrubbed"))
+        .orderBy("doc_id")
+    }),
+
+    // asymmetric containment: 30-token quotes planted as probe docs
+    // (id + 1e6) against the full corpus; gram-join with df-capped
+    // postings, stop grams out of numerator AND denominator
+    "q_dedup_containment" -> ((s: SparkSession, dir: String) => {
+      val d = t(s, dir, "documents")
+      val toks = F.filter(F.split(F.lower(F.col("text")), "\\s+"),
+        w => F.length(w) > 0)
+      val probe = d.filter(F.col("doc_id") % 17 === 0 && F.col("text").isNotNull)
+        .withColumn("__toks", toks)
+        .filter(F.size(F.col("__toks")) >= 30)
+        .select((F.col("doc_id") + 1000000L).as("doc_id"),
+          F.array_join(F.slice(F.col("__toks"), 1, 30), " ").as("text"))
+      graft.pipeline.Dedup.containmentPairs(probe, d, "doc_id", "text",
+          gramSize = 5, threshold = 0.9, maxDf = 1024)
+        .orderBy("id_p", "id_c")
+    }),
+
+    // JSONL ingest with corrupt-line quarantine: corpus round-trips
+    // through to_json text, 3 planted malformed lines land in the
+    // quarantine frame, good-side aggregates match the parquet truth
+    "q_jsonl" -> ((s: SparkSession, dir: String) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text", "lang")
+      val base = System.getProperty("java.io.tmpdir") + "/graft_q_jsonl"
+      val goodLines = docs.select(F.to_json(F.struct(
+        F.col("doc_id"), F.col("text"), F.col("lang"))).as("value"))
+      val badLines = s.range(3).select(F.concat(
+        F.lit("{\"doc_id\": "), F.col("id").cast("string"),
+        F.lit(", \"text\": \"trunc")).as("value"))
+      goodLines.union(badLines).repartition(4)
+        .write.mode("overwrite").text(base)
+      val schema = new org.apache.spark.sql.types.StructType()
+        .add("doc_id", org.apache.spark.sql.types.LongType)
+        .add("text", org.apache.spark.sql.types.StringType)
+        .add("lang", org.apache.spark.sql.types.StringType)
+      val (good, bad) = graft.sources.Jsonl.readWithQuarantine(s, base, schema)
+      good.agg(F.count(F.lit(1)).as("n_rows"),
+          F.sum(F.col("doc_id")).as("id_sum"),
+          F.sum(F.length(F.col("text"))).as("chars"))
+        .crossJoin(bad.agg(F.count(F.lit(1)).as("corrupt")))
+    }),
+
     // URL canonicalization + registrable domain: messy URLs built
     // in-plan from doc_id (case noise, default port, dot-segments,
     // duplicate slashes, tracking params, unsorted query, fragment,
@@ -3408,6 +3495,71 @@ object SparkEntry {
         |    WHEN 2 THEN ' "quoted" - it''s ...'
         |    ELSE ' No IX / plain' END AS folded
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_url_filter" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 7
+        |      WHEN 0 THEN 'www.badcasino.com'
+        |      WHEN 1 THEN 'sub.tracker.net'
+        |      WHEN 2 THEN 'example' || (doc_id % 5) || '.com'
+        |      WHEN 3 THEN 'news.example.co.uk'
+        |      WHEN 4 THEN 'badcasino.com.safe.org'
+        |      WHEN 5 THEN 'shop.example' || (doc_id % 5) || '.com'
+        |      ELSE 'BadCasino.COM' END AS host,
+        |    '/page/' || doc_id ||
+        |      CASE WHEN doc_id % 3 = 0 THEN '/free-poker-online' ELSE '' END ||
+        |      CASE WHEN doc_id % 11 = 0 THEN '/xxx-ads' ELSE '' END AS pth
+        |  FROM documents),
+        |k AS (SELECT doc_id, lower(host) AS h,
+        |             lower('http://' || host || pth) AS url FROM u),
+        |t2 AS (
+        |  SELECT doc_id,
+        |    (h = 'badcasino.com' OR h LIKE '%.badcasino.com'
+        |     OR h = 'tracker.net' OR h LIKE '%.tracker.net') AS domain_blocked,
+        |    (CASE WHEN contains(url, 'xxx') THEN 1 ELSE 0 END +
+        |     CASE WHEN contains(url, 'porn') THEN 1 ELSE 0 END) AS strict_hits,
+        |    CAST(len(list_filter(['poker', 'bet', 'online'],
+        |      w -> list_contains(string_split_regex(url, '[^a-z0-9]+'), w)))
+        |      AS INTEGER) AS soft_hits
+        |  FROM k)
+        |SELECT doc_id, domain_blocked, strict_hits, soft_hits,
+        |  (NOT domain_blocked AND strict_hits = 0 AND soft_hits < 2) AS allowed
+        |FROM t2 ORDER BY doc_id""".stripMargin,
+    "q_scrub_cc" ->
+      """SELECT doc_id, text || CASE doc_id % 5
+        |    WHEN 0 THEN ' pay <CC> now'
+        |    WHEN 1 THEN ' pay 4111-1111-1111-1112 now'
+        |    WHEN 2 THEN ' mc <CC> ok'
+        |    WHEN 3 THEN ' id 1234 5678 9012 ok'
+        |    ELSE ' acct 123456789012345678901 x' END AS scrubbed
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_dedup_containment" ->
+      """WITH d AS (SELECT doc_id,
+        |             list_filter(string_split_regex(lower(text), '\s+'),
+        |                         s -> len(s) > 0) AS toks
+        |           FROM documents WHERE text IS NOT NULL),
+        |p AS (SELECT doc_id + 1000000 AS id_p, toks[1:30] AS toks
+        |      FROM d WHERE doc_id % 17 = 0 AND len(toks) >= 30),
+        |pg AS (SELECT DISTINCT id_p, array_to_string(toks[i:i+4], ' ') AS g
+        |       FROM p, range(1, 27) u(i)),
+        |cg AS (SELECT DISTINCT doc_id AS id_c, array_to_string(toks[i:i+4], ' ') AS g
+        |       FROM d, range(1, 4000) u(i) WHERE u.i <= len(toks) - 4),
+        |stop AS (SELECT g FROM cg GROUP BY g HAVING count(*) > 1024),
+        |inter AS (SELECT id_p, id_c, count(*) AS inter
+        |          FROM pg JOIN cg USING (g)
+        |          WHERE g NOT IN (SELECT g FROM stop)
+        |          GROUP BY 1, 2),
+        |szp AS (SELECT id_p, count(*) AS sz_p FROM pg
+        |        WHERE g NOT IN (SELECT g FROM stop) GROUP BY 1)
+        |SELECT id_p, id_c, inter, sz_p
+        |FROM inter JOIN szp USING (id_p)
+        |WHERE id_p <> id_c AND inter >= sz_p * 0.9
+        |ORDER BY id_p, id_c""".stripMargin,
+    "q_jsonl" ->
+      """SELECT count(*) AS n_rows, CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |       CAST(sum(length(text)) AS BIGINT) AS chars,
+        |       CAST(3 AS BIGINT) AS corrupt
+        |FROM documents""".stripMargin,
     "q_url" ->
       """SELECT doc_id,
         |  'http://' ||

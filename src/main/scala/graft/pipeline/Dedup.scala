@@ -964,4 +964,62 @@ object Dedup {
           .otherwise(F.coalesce(F.col("__text"), F.lit(""))))
       .drop("__text", "__removed")
   }
+
+  /**
+   * Asymmetric containment detection — the quote/wrapper case Jaccard
+   * (and MinHash-LSH, which targets Jaccard) structurally misses: a
+   * 30-token quote inside a 1000-token page has Jaccard ~0.03 but
+   * containment ~1.0. For each probe document p and corpus document c,
+   * C(p, c) = |grams(p) ∩ grams(c)| / |grams(p)| over DISTINCT
+   * lowercase word `gramSize`-grams, with corpus-side stop grams
+   * (document frequency > `maxDf`) removed from both the intersection
+   * and the denominator — boilerplate grams carry no provenance signal
+   * and their posting lists are the gram join's only skew risk.
+   *
+   * 100 TB shape: probe grams equi-join the corpus posting list on a
+   * 64-bit gram hash (the shuffle carries 8-byte hashes, never text;
+   * text-equality semantics up to the ~n²/2⁶⁵ collision odds the
+   * substring-dedup family already accepts). The df cap bounds every
+   * posting list at `maxDf` rows, and the stop-gram set — tiny by
+   * construction — rides broadcast anti-joins into both passes. The
+   * probe side is the small side by design (a new batch, a quote
+   * candidate set); history is scanned once and never re-shuffled
+   * beyond the gram key.
+   *
+   * Returns (id_p, id_c, inter, sz_p) for pairs with
+   * inter >= sz_p * threshold; self-pairs (shared ids between probe
+   * and corpus) are excluded.
+   */
+  def containmentPairs(
+      probe: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      gramSize: Int = 5,
+      threshold: Double = 0.9,
+      maxDf: Int = DefaultMaxBucket): DataFrame = {
+    require(gramSize >= 1, s"gramSize must be >= 1, got $gramSize")
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    def grams(df: DataFrame, idAs: String): DataFrame =
+      df.select(F.col(idCol).as(idAs),
+          F.explode(F.array_distinct(
+            TextFunctions.allWordNgrams(F.col(textCol), gramSize))).as("__g"))
+        .select(F.col(idAs), F.xxhash64(F.col("__g")).as("__h"))
+    val pg = grams(probe, "id_p")
+    val cg = grams(corpus, "id_c")
+    val stop = cg.groupBy("__h").agg(F.count(F.lit(1)).as("__df"))
+      .filter(F.col("__df") > maxDf)
+      .select("__h")
+      .localCheckpoint(eager = false) // two consumers; never recompute the df scan
+    val postings = cg.join(F.broadcast(stop), Seq("__h"), "left_anti")
+    val inter = pg.join(postings, "__h")
+      .groupBy("id_p", "id_c").agg(F.count(F.lit(1)).as("inter"))
+    val szp = pg.join(F.broadcast(stop), Seq("__h"), "left_anti")
+      .groupBy("id_p").agg(F.count(F.lit(1)).as("sz_p"))
+    inter.join(szp, "id_p")
+      .filter(F.col("id_p") =!= F.col("id_c") &&
+        F.col("inter") >= F.col("sz_p") * threshold)
+      .select("id_p", "id_c", "inter", "sz_p")
+  }
 }

@@ -45,6 +45,72 @@ object Scrub {
   def scrubPii(text: Column): Column =
     scrubPhones(scrubIps(scrubEmails(text)))
 
+  // ------------------------------------------------- credit cards
+
+  // Candidate: 13-19 digits with optional single space/dash
+  // separators, not touching adjacent digits (the lookarounds keep a
+  // 20+-digit run from being partially scrubbed). Validation is NOT
+  // the regex's job — Luhn decides.
+  private val CardPattern = java.util.regex.Pattern.compile(
+    "(?<![0-9])(?:[0-9][ -]?){12,18}[0-9](?![0-9])")
+
+  /** Luhn checksum (ISO/IEC 7812): double every second digit from the
+    * right, subtract 9 above 9, valid iff the sum divides by 10. */
+  private[pipeline] def luhnValid(digits: String): Boolean = {
+    var sum = 0
+    var alt = false
+    var i = digits.length - 1
+    while (i >= 0) {
+      var d = digits.charAt(i) - '0'
+      if (alt) { d *= 2; if (d > 9) d -= 9 }
+      sum += d
+      alt = !alt
+      i -= 1
+    }
+    sum % 10 == 0
+  }
+
+  /** Replace Luhn-VALID card-shaped digit runs; leave invalid ones
+    * alone (a 16-digit order id that fails Luhn is content, not PII —
+    * the checksum cuts false positives 10×). */
+  private[pipeline] def scrubCardsKernel(text: String, replacement: String): String = {
+    if (text == null) return null
+    val m = CardPattern.matcher(text)
+    if (!m.find()) return text
+    val sb = new java.lang.StringBuilder(text.length)
+    var last = 0
+    do {
+      val raw = m.group()
+      var nd = 0
+      var i = 0
+      while (i < raw.length) { if (raw.charAt(i) >= '0' && raw.charAt(i) <= '9') nd += 1; i += 1 }
+      val digits = new java.lang.StringBuilder(nd)
+      i = 0
+      while (i < raw.length) {
+        val c = raw.charAt(i)
+        if (c >= '0' && c <= '9') digits.append(c)
+        i += 1
+      }
+      sb.append(text, last, m.start())
+      if (nd >= 13 && nd <= 19 && luhnValid(digits.toString)) sb.append(replacement)
+      else sb.append(raw)
+      last = m.end()
+    } while (m.find())
+    sb.append(text, last, text.length)
+    sb.toString
+  }
+
+  /** Replace Luhn-valid credit-card numbers with `replacement`
+    * (default the Dolma-style tag). JVM kernel — conditional
+    * replacement on a checksum has no regexp_replace form. Map-only,
+    * null-safe. */
+  def scrubCreditCards(text: Column, replacement: String = "<CC>"): Column =
+    F.udf((s: String) => Option(scrubCardsKernel(s, replacement))).apply(text)
+
+  /** [[scrubPii]] plus card scrubbing, cards FIRST — a dashed card
+    * number must not be half-eaten as a phone-shaped digit run. */
+  def scrubPiiAll(text: Column): Column = scrubPii(scrubCreditCards(text))
+
   /** Count of PII matches by kind — the audit signal (how much was
     * redacted) without materializing the scrubbed text. */
   def piiCounts(text: Column): Column = F.struct(

@@ -155,4 +155,108 @@ object Urls {
     df.select(urlDomain(F.col(urlCol)).as("domain"))
       .filter(F.col("domain").isNotNull)
       .groupBy("domain").agg(F.count(F.lit(1)).as("pages"))
+
+  // ---------------------------------------------------------------- //
+  // Blocklist filtering (RefinedWeb/UT1-style URL screening)          //
+  // ---------------------------------------------------------------- //
+
+  /** True when `host` equals a blocked domain or sits under one.
+    * Suffix-label walk — at most label-count set probes per host, so
+    * the cost is independent of blocklist size. Substring matching
+    * would be wrong twice over: `badsite.com.safe.org` must NOT block
+    * (the walk only probes whole label suffixes), and probing every
+    * blocklist entry per row would be O(list). */
+  private[pipeline] def hostBlockedKernel(host: String, blocked: Set[String]): Boolean = {
+    if (host == null || blocked.isEmpty) return false
+    var s = host.toLowerCase(java.util.Locale.ROOT).stripSuffix(".")
+    var found = false
+    var done = false
+    while (!done) {
+      if (blocked.contains(s)) { found = true; done = true }
+      else {
+        val dot = s.indexOf('.')
+        if (dot < 0) done = true else s = s.substring(dot + 1)
+      }
+    }
+    found
+  }
+
+  /** Keyword screen over the full URL string: `strict` patterns are
+    * counted by substring containment anywhere in the lowercased URL;
+    * `soft` words must appear as whole alphanumeric-delimited tokens
+    * (so `bet` does not fire inside `alphabet`). Counts are DISTINCT
+    * patterns hit, not occurrences. */
+  private[pipeline] def keywordHitsKernel(
+      url: String, strict: Seq[String], soft: Set[String]): (Int, Int) = {
+    if (url == null) return (0, 0)
+    val u = url.toLowerCase(java.util.Locale.ROOT)
+    val strictHits = strict.count(u.contains(_))
+    val toks = u.split("[^a-z0-9]+")
+    var softHits = 0
+    val seen = scala.collection.mutable.HashSet.empty[String]
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      if (t.nonEmpty && soft.contains(t) && seen.add(t)) softHits += 1
+      i += 1
+    }
+    (strictHits, softHits)
+  }
+
+  /** Blocklist predicate Column: parses the URL and suffix-matches the
+    * host against `blockedDomains`. The set is broadcast ONCE — UT1
+    * blocklists run to millions of domains, and a closure capture
+    * would reship the set inside every task binary. Map-only;
+    * NULL/unparseable URLs → false (they are filtered on their own
+    * terms by canonicalization, not the blocklist). */
+  def urlBlocked(
+      spark: org.apache.spark.sql.SparkSession,
+      url: Column,
+      blockedDomains: Set[String]): Column = {
+    val norm = blockedDomains.map(d =>
+      d.toLowerCase(java.util.Locale.ROOT).stripPrefix(".").stripSuffix("."))
+    val bc = spark.sparkContext.broadcast(norm)
+    F.udf((u: String) => parse(u).exists(p => hostBlockedKernel(p.host, bc.value)))
+      .apply(url)
+  }
+
+  /** `struct(strict_hits, soft_hits)` for the keyword screen — the
+    * audit columns behind [[urlAllowed]]. */
+  def urlKeywordHits(
+      url: Column, strictSubstrings: Seq[String], softWords: Seq[String]): Column = {
+    val strict = strictSubstrings.map(_.toLowerCase(java.util.Locale.ROOT))
+    val soft = softWords.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    val u = F.udf((s: String) => keywordHitsKernel(s, strict, soft))
+    val hits = u(url)
+    F.struct(hits.getField("_1").as("strict_hits"),
+      hits.getField("_2").as("soft_hits"))
+  }
+
+  /** The composed RefinedWeb-style URL admission predicate: not
+    * domain-blocked, zero strict keyword hits, and fewer than
+    * `minSoftBlock` distinct soft-word hits. */
+  def urlAllowed(
+      spark: org.apache.spark.sql.SparkSession,
+      url: Column,
+      blockedDomains: Set[String],
+      strictSubstrings: Seq[String],
+      softWords: Seq[String],
+      minSoftBlock: Int = 2): Column = {
+    val hits = urlKeywordHits(url, strictSubstrings, softWords)
+    !urlBlocked(spark, url, blockedDomains) &&
+      hits.getField("strict_hits") === 0 &&
+      hits.getField("soft_hits") < minSoftBlock
+  }
+
+  /** Filter a corpus by URL admissibility — the pre-fetch screen of a
+    * crawl pipeline (map-only; the blocklist rides one broadcast). */
+  def filterByUrl(
+      df: org.apache.spark.sql.DataFrame,
+      urlCol: String,
+      blockedDomains: Set[String],
+      strictSubstrings: Seq[String],
+      softWords: Seq[String],
+      minSoftBlock: Int = 2): org.apache.spark.sql.DataFrame =
+    df.filter(urlAllowed(df.sparkSession, F.col(urlCol), blockedDomains,
+      strictSubstrings, softWords, minSoftBlock))
 }

@@ -1,0 +1,86 @@
+package graft.pipeline
+
+import graft.SparkTestBase
+import org.apache.spark.sql.{functions => F}
+
+class ContainmentSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // corpus: one long page, one unrelated page, one page sharing SOME grams
+  private def corpus = Seq(
+    (10L, (1 to 60).map(i => s"w$i").mkString(" ")),            // the source page
+    (20L, (200 to 260).map(i => s"w$i").mkString(" ")),         // unrelated
+    (30L, ((1 to 10) ++ (500 to 550)).map(i => s"w$i").mkString(" "))
+  ).toDF("id", "text")
+
+  test("quote of a page is contained; Jaccard would miss it") {
+    // probe: tokens 5..34 of page 10 — a 30-token quote
+    val probe = Seq((99L, (5 to 34).map(i => s"w$i").mkString(" ")))
+      .toDF("id", "text")
+    val out = Dedup.containmentPairs(probe, corpus, "id", "text",
+        gramSize = 5, threshold = 0.9)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // 26 grams, all inside page 10 -> containment exactly 1.0
+    assert(out == Set((99L, 10L, 26L, 26L)))
+    // sanity: Jaccard of the same pair is far below any dedup threshold
+    // (26 shared grams vs 56 grams in the page) — the asymmetric measure
+    // is the point of the operator
+    assert(26.0 / 56.0 < 0.5)
+  }
+
+  test("below-threshold overlap and disjoint docs emit nothing") {
+    val probe = Seq(
+      (98L, (1 to 14).map(i => s"w$i").mkString(" ")),   // 10 grams, all in 10; but
+      (97L, (300 to 320).map(i => s"w$i").mkString(" ")) // disjoint from corpus
+    ).toDF("id", "text")
+    val out = Dedup.containmentPairs(probe, corpus, "id", "text",
+        gramSize = 5, threshold = 0.9)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // 98's grams w1..w14: grams 1..10 all inside page 10 (containment 1.0);
+    // page 30 holds only grams over w1..w10 -> 6 of 10 grams -> 0.6 < 0.9
+    assert(out == Set((98L, 10L, 10L, 10L)))
+  }
+
+  test("self-pairs are excluded when probe ids exist in the corpus") {
+    val probe = corpus.filter(F.col("id") === 10L)
+    val out = Dedup.containmentPairs(probe, corpus, "id", "text",
+        gramSize = 5, threshold = 0.9)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.isEmpty)
+  }
+
+  test("stop grams leave numerator AND denominator: containment survives boilerplate") {
+    // every corpus doc shares the same 6-token boilerplate header, so its
+    // grams have df = all docs; with maxDf = 2 they become stop grams
+    val header = "terms of service apply here now"
+    val c = Seq(
+      (1L, header + " " + (1 to 40).map(i => s"a$i").mkString(" ")),
+      (2L, header + " " + (100 to 140).map(i => s"a$i").mkString(" ")),
+      (3L, header + " " + (200 to 240).map(i => s"a$i").mkString(" "))
+    ).toDF("id", "text")
+    // probe 9 is PURE boilerplate; probe 8 adds a few words of page 1
+    val probe = Seq((9L, header), (8L, header + " a1 a2 a3")).toDF("id", "text")
+    val strict = Dedup.containmentPairs(probe, c, "id", "text",
+        gramSize = 5, threshold = 0.9, maxDf = 2)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // grams fully inside the shared header are df=3 -> stop. Probe 9 has
+    // no surviving grams -> no pairs at all; probe 8's surviving grams
+    // (those crossing into a1..a3) exist only in page 1 -> exactly one
+    // pair with containment 1.0 over the 3 distinctive grams
+    assert(strict == Set((8L, 1L, 3L, 3L)))
+    val noCap = Dedup.containmentPairs(probe, c, "id", "text",
+        gramSize = 5, threshold = 0.9, maxDf = Int.MaxValue)
+      .as[(Long, Long, Long, Long)].collect()
+    // without the cap the pure-boilerplate probe "matches" all three
+    // pages — exactly the false-positive mode the stop-gram rule removes
+    assert(noCap.filter(_._1 == 9L).map(_._2).toSet == Set(1L, 2L, 3L))
+  }
+
+  test("short/null texts produce no grams and no pairs") {
+    val probe = Seq((1L, "just four words here"), (2L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+    val out = Dedup.containmentPairs(probe, corpus, "id", "text",
+      gramSize = 5, threshold = 0.9)
+    assert(out.collect().isEmpty)
+  }
+}

@@ -69,4 +69,40 @@ class ScrubSpec extends SparkTestBase {
       .agg(F.sum("n")).as[Long].head()
     assert(chunkWordTotal === wordTotal)   // no word lost, none duplicated
   }
+
+  test("luhnValid: checksum accepts the test numbers, rejects the off-by-ones") {
+    assert(Scrub.luhnValid("4111111111111111"))    // Visa test number
+    assert(Scrub.luhnValid("5500000000000004"))    // MC test number
+    assert(Scrub.luhnValid("378282246310005"))     // 15-digit Amex
+    assert(!Scrub.luhnValid("4111111111111112"))
+    assert(!Scrub.luhnValid("5500000000000005"))
+    assert(Scrub.luhnValid("0000000000000"))       // degenerate but checksum-true
+  }
+
+  test("scrubCreditCards: Luhn gate, separators, digit-run boundaries") {
+    def sc(s: String) = Scrub.scrubCardsKernel(s, "<CC>")
+    assert(sc("pay 4111 1111 1111 1111 now") == "pay <CC> now")
+    assert(sc("pay 4111-1111-1111-1111 now") == "pay <CC> now")
+    assert(sc("pay 4111111111111111 now") == "pay <CC> now")
+    assert(sc("amex 378282246310005.") == "amex <CC>.")
+    // Luhn-invalid: left alone (order ids are content, not PII)
+    assert(sc("order 4111111111111112 shipped") == "order 4111111111111112 shipped")
+    // out of card range: 12 and 21 digits
+    assert(sc("id 123456789012 x") == "id 123456789012 x")
+    assert(sc("acct 123456789012345678901 x") == "acct 123456789012345678901 x")
+    // two cards in one text
+    assert(sc("a 4111111111111111 b 5500000000000004 c") == "a <CC> b <CC> c")
+    assert(sc("no digits here") == "no digits here")
+    assert(sc(null) == null)
+    assert(sc("") == "")
+  }
+
+  test("scrubPiiAll scrubs cards before phone-shaped runs eat the separators") {
+    val out = Seq(("card 4111-1111-1111-1111 tel 555-123-4567 ip 10.0.0.1 m a@b.io", 1))
+      .toDF("text", "x")
+      .select(Scrub.scrubPiiAll(F.col("text")).as("t")).as[String].head()
+    assert(out.contains("<CC>") && out.contains("<PHONE>") &&
+      out.contains("<IP>") && out.contains("<EMAIL>"))
+    assert(!out.exists(_.isDigit))
+  }
 }

@@ -72,4 +72,52 @@ class UrlsSpec extends SparkTestBase {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(counts == Map("example.com" -> 2L, "bbc.co.uk" -> 1L))
   }
+
+  test("hostBlockedKernel: whole-label suffix walk, no substring false positives") {
+    val b = Set("badsite.com", "spam.co.uk")
+    def hit(h: String) = Urls.hostBlockedKernel(h, b)
+    assert(hit("badsite.com"))
+    assert(hit("www.badsite.com"))
+    assert(hit("a.b.c.badsite.com"))
+    assert(hit("BadSite.COM"))               // case fold
+    assert(hit("badsite.com."))              // trailing dot
+    assert(hit("x.spam.co.uk"))
+    assert(!hit("notbadsite.com"))           // label boundary respected
+    assert(!hit("badsite.com.safe.org"))     // blocked name as SUBDOMAIN of safe
+    assert(!hit("badsite.org"))
+    assert(!hit("com"))
+    assert(!hit(null))
+    assert(!Urls.hostBlockedKernel("badsite.com", Set.empty))
+  }
+
+  test("keywordHitsKernel: strict substrings vs whole-token soft words") {
+    val strict = Seq("xxx", "casino")
+    val soft = Set("bet", "poker")
+    def k(u: String) = Urls.keywordHitsKernel(u, strict, soft)
+    assert(k("http://a.com/xxx-casino") == ((2, 0)))
+    assert(k("http://a.com/free-poker-and-bet") == ((0, 2)))
+    assert(k("http://alphabet.com/page") == ((0, 0)))    // bet inside alphabet: no
+    assert(k("http://a.com/bet/bet/bet") == ((0, 1)))    // distinct words, not hits
+    assert(k("http://a.com/XXX/Poker") == ((1, 1)))      // case fold
+    assert(k(null) == ((0, 0)))
+  }
+
+  test("urlAllowed composes blocklist, strict, and soft screens; filterByUrl applies it") {
+    val df = Seq(
+      (1L, "http://www.badsite.com/fine/page"),          // domain-blocked
+      (2L, "http://ok.com/article/xxx-content"),         // strict hit
+      (3L, "http://ok.com/free-poker-bet-now"),          // 2 soft hits
+      (4L, "http://ok.com/one-bet-only"),                // 1 soft hit: allowed
+      (5L, "http://badsite.com.safe.org/a"),             // NOT blocked
+      (6L, "not a url"),                                 // unparseable: not domain-blocked
+      (7L, null.asInstanceOf[String])
+    ).toDF("id", "url")
+    val kept = Urls.filterByUrl(df, "url", Set("badsite.com"),
+        Seq("xxx"), Seq("bet", "poker"))
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(4L, 5L, 6L, 7L))
+    val plan = Urls.filterByUrl(df, "url", Set("badsite.com"), Seq("xxx"),
+      Seq("bet")).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "URL screening must be map-only")
+  }
 }
