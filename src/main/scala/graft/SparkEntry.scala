@@ -2299,6 +2299,71 @@ object SparkEntry {
         .orderBy("id_p", "id_c")
     }),
 
+    // containment against a PERSISTED gram index (save -> load ->
+    // probe): history is shingled once at build; output must equal the
+    // direct path, so it shares q_dedup_containment's oracle
+    "q_dedup_containment_indexed" -> ((s: SparkSession, dir: String) => {
+      val d = t(s, dir, "documents")
+      val toks = F.filter(F.split(F.lower(F.col("text")), "\\s+"),
+        w => F.length(w) > 0)
+      val probe = d.filter(F.col("doc_id") % 17 === 0 && F.col("text").isNotNull)
+        .withColumn("__toks", toks)
+        .filter(F.size(F.col("__toks")) >= 30)
+        .select((F.col("doc_id") + 1000000L).as("doc_id"),
+          F.array_join(F.slice(F.col("__toks"), 1, 30), " ").as("text"))
+      val path = System.getProperty("java.io.tmpdir") + "/graft_q_cidx"
+      graft.pipeline.Dedup.saveSignatureIndex(
+        graft.pipeline.Dedup.buildContainmentIndex(d, "doc_id", "text",
+          gramSize = 5, maxDf = 1024), path)
+      graft.pipeline.Dedup.probeContainment(probe,
+          graft.pipeline.Dedup.loadSignatureIndex(s, path), "doc_id", "text",
+          gramSize = 5, threshold = 0.9)
+        .orderBy("id_p", "id_c")
+    }),
+
+    // crawl-graph edges: planted links in in-plan HTML; extraction,
+    // entity decoding, and RFC 3986 resolution all recomputed by the
+    // oracle (mailto dropped, protocol-relative adopts the scheme)
+    "q_links" -> ((s: SparkSession, dir: String) => {
+      val id = F.col("doc_id")
+      val str = (c: org.apache.spark.sql.Column) => c.cast("string")
+      val url = F.concat(F.lit("http://site"), str(id % 9), F.lit(".com/dir"),
+        str(id % 4), F.lit("/page"), str(id), F.lit(".html"))
+      val html = F.concat(
+        F.lit("<html><body><p>intro</p><a href=\"/top/"), str(id % 7),
+        F.lit("\">Top &amp; best</a>"),
+        F.lit("<a href='rel"), str(id % 5), F.lit(".html'>rel <b>link</b></a>"),
+        F.lit("<a href=\"http://ext"), str(id % 3), F.lit(".org/x\">ext</a>"),
+        F.lit("<a href=\"mailto:a@b.c\">mail</a>"),
+        F.when(id % 2 === 0,
+          F.lit("<a href=\"//cdn.net/l.js\">cdn</a>")).otherwise(F.lit("")),
+        F.lit("</body></html>"))
+      val pages = t(s, dir, "documents")
+        .select(id.as("doc_id"), url.as("url"), html.as("html"))
+      graft.sources.Warc.outlinks(pages, "url", "html")
+        .orderBy("src", "dst", "anchor")
+    }),
+
+    // CSV ingest with corrupt-line quarantine (type-cast failures):
+    // the Csv sibling of q_jsonl
+    "q_csv" -> ((s: SparkSession, dir: String) => {
+      val docs = t(s, dir, "documents").select("doc_id", "lang")
+      val base = System.getProperty("java.io.tmpdir") + "/graft_q_csv"
+      docs.select(F.concat(F.col("doc_id").cast("string"), F.lit(","),
+          F.col("lang")).as("value"))
+        .union(s.range(2).select(F.concat(F.lit("oops"),
+          F.col("id").cast("string"), F.lit(",zz")).as("value")))
+        .repartition(4).write.mode("overwrite").text(base)
+      val schema = new org.apache.spark.sql.types.StructType()
+        .add("doc_id", org.apache.spark.sql.types.LongType)
+        .add("lang", org.apache.spark.sql.types.StringType)
+      val (good, bad) = graft.sources.Csv.readWithQuarantine(s, base, schema)
+      good.agg(F.count(F.lit(1)).as("n_rows"),
+          F.sum(F.col("doc_id")).as("id_sum"),
+          F.count_distinct(F.col("lang")).as("langs"))
+        .crossJoin(bad.agg(F.count(F.lit(1)).as("corrupt")))
+    }),
+
     // JSONL ingest with corrupt-line quarantine: corpus round-trips
     // through to_json text, 3 planted malformed lines land in the
     // quarantine frame, good-side aggregates match the parquet truth
@@ -3560,6 +3625,27 @@ object SparkEntry {
         |       CAST(sum(length(text)) AS BIGINT) AS chars,
         |       CAST(3 AS BIGINT) AS corrupt
         |FROM documents""".stripMargin,
+    "q_csv" ->
+      """SELECT count(*) AS n_rows, CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |       CAST(count(DISTINCT lang) AS BIGINT) AS langs,
+        |       CAST(2 AS BIGINT) AS corrupt
+        |FROM documents""".stripMargin,
+    "q_links" ->
+      """WITH s AS (SELECT doc_id,
+        |  'http://site' || (doc_id % 9) || '.com/dir' || (doc_id % 4) ||
+        |    '/page' || doc_id || '.html' AS src
+        |  FROM documents)
+        |SELECT src, dst, anchor FROM (
+        |  SELECT src, 'http://site' || (doc_id % 9) || '.com/top/' ||
+        |         (doc_id % 7) AS dst, 'Top & best' AS anchor FROM s
+        |  UNION ALL
+        |  SELECT src, 'http://site' || (doc_id % 9) || '.com/dir' ||
+        |         (doc_id % 4) || '/rel' || (doc_id % 5) || '.html', 'rel link' FROM s
+        |  UNION ALL
+        |  SELECT src, 'http://ext' || (doc_id % 3) || '.org/x', 'ext' FROM s
+        |  UNION ALL
+        |  SELECT src, 'http://cdn.net/l.js', 'cdn' FROM s WHERE doc_id % 2 = 0
+        |) ORDER BY src, dst, anchor""".stripMargin,
     "q_url" ->
       """SELECT doc_id,
         |  'http://' ||
@@ -3598,6 +3684,8 @@ object SparkEntry {
     base ++ Map(
       "q_rel_asof_auto" -> base("q_rel_asof_salted"),
       "q_rel_session_auto" -> base("q_rel_session"),
+      // persisted-index probe is output-identical to the direct path
+      "q_dedup_containment_indexed" -> base("q_dedup_containment"),
       "q_tokenize_bpe" ->
         """SELECT count(*) AS docs, true AS rank_eq_seq, true AS reconstructs
           |FROM documents""".stripMargin,

@@ -998,24 +998,70 @@ object Dedup {
       gramSize: Int = 5,
       threshold: Double = 0.9,
       maxDf: Int = DefaultMaxBucket): DataFrame = {
+    val index = buildContainmentIndex(corpus, idCol, textCol, gramSize, maxDf)
+      .localCheckpoint(eager = false) // probe reads it twice; build the df scan once
+    probeContainment(probe, index, idCol, textCol, gramSize, threshold)
+  }
+
+  private def containmentGrams(
+      df: DataFrame, idCol: String, textCol: String,
+      gramSize: Int, idAs: String): DataFrame =
+    df.select(F.col(idCol).as(idAs),
+        F.explode(F.array_distinct(
+          TextFunctions.allWordNgrams(F.col(textCol), gramSize))).as("__g"))
+      .select(F.col(idAs), F.xxhash64(F.col("__g")).as("h"))
+
+  /**
+   * Persistable containment index: rows (h LONG, id LONG) — live gram
+   * postings, plus (h, NULL) marker rows for STOP grams (corpus
+   * document frequency > `maxDf`). The markers must persist with the
+   * postings: a probe needs them to take stop grams out of its
+   * denominator, and they are exactly the grams whose posting lists
+   * were dropped. ~8 bytes of key per distinct (gram, doc); text never
+   * leaves the executors. Save/load with [[saveSignatureIndex]] /
+   * [[loadSignatureIndex]] (plain parquet).
+   */
+  def buildContainmentIndex(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      gramSize: Int = 5,
+      maxDf: Int = DefaultMaxBucket): DataFrame = {
     require(gramSize >= 1, s"gramSize must be >= 1, got $gramSize")
+    require(maxDf >= 1, s"maxDf must be >= 1, got $maxDf")
+    val cg = containmentGrams(corpus, idCol, textCol, gramSize, "id")
+    val dfs = cg.groupBy("h").agg(F.count(F.lit(1)).as("__df"))
+    val stop = dfs.filter(F.col("__df") > maxDf)
+      .select(F.col("h"), F.lit(null).cast("long").as("id"))
+    cg.join(F.broadcast(dfs.filter(F.col("__df") > maxDf).select("h")),
+        Seq("h"), "left_anti")
+      .select("h", "id")
+      .unionByName(stop)
+  }
+
+  /**
+   * Probe a [[buildContainmentIndex]] (freshly built or loaded from
+   * parquet) with a new batch — the incremental quote-detection shape:
+   * history is never re-shingled, the probe side grams once, the stop
+   * set rides broadcast. Output and semantics match
+   * [[containmentPairs]] exactly.
+   */
+  def probeContainment(
+      probe: DataFrame,
+      index: DataFrame,
+      idCol: String,
+      textCol: String,
+      gramSize: Int = 5,
+      threshold: Double = 0.9): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
-    def grams(df: DataFrame, idAs: String): DataFrame =
-      df.select(F.col(idCol).as(idAs),
-          F.explode(F.array_distinct(
-            TextFunctions.allWordNgrams(F.col(textCol), gramSize))).as("__g"))
-        .select(F.col(idAs), F.xxhash64(F.col("__g")).as("__h"))
-    val pg = grams(probe, "id_p")
-    val cg = grams(corpus, "id_c")
-    val stop = cg.groupBy("__h").agg(F.count(F.lit(1)).as("__df"))
-      .filter(F.col("__df") > maxDf)
-      .select("__h")
-      .localCheckpoint(eager = false) // two consumers; never recompute the df scan
-    val postings = cg.join(F.broadcast(stop), Seq("__h"), "left_anti")
-    val inter = pg.join(postings, "__h")
+    val pg = containmentGrams(probe, idCol, textCol, gramSize, "id_p")
+    val stop = index.filter(F.col("id").isNull).select("h")
+    val postings = index.filter(F.col("id").isNotNull)
+      .select(F.col("h"), F.col("id").as("id_c"))
+    val inter = pg.join(postings, "h")
       .groupBy("id_p", "id_c").agg(F.count(F.lit(1)).as("inter"))
-    val szp = pg.join(F.broadcast(stop), Seq("__h"), "left_anti")
+    val szp = pg.join(F.broadcast(stop), Seq("h"), "left_anti")
       .groupBy("id_p").agg(F.count(F.lit(1)).as("sz_p"))
     inter.join(szp, "id_p")
       .filter(F.col("id_p") =!= F.col("id_c") &&

@@ -156,6 +156,55 @@ object Urls {
       .filter(F.col("domain").isNotNull)
       .groupBy("domain").agg(F.count(F.lit(1)).as("pages"))
 
+  /**
+   * RFC 3986-style reference resolution for the link-graph pass:
+   * absolute hrefs pass through, protocol-relative take the base
+   * scheme, root-relative take the base origin, relative paths join
+   * the base directory with `.`/`..` resolved. Non-hierarchical
+   * schemes (`mailto:`, `javascript:`, `tel:`) and unparseable bases
+   * → null — a link graph wants navigable http(s) targets only.
+   */
+  private[pipeline] def resolveUrlKernel(base: String, href: String): String = {
+    if (base == null || href == null) return null
+    val h = href.trim
+    if (h.isEmpty) return null
+    val p = parse(base).getOrElse(return null)
+    val origin = {
+      val portPart = if (p.port >= 0) s":${p.port}" else ""
+      s"${p.scheme}://${p.host}$portPart"
+    }
+    // scheme-prefixed href: hierarchical passes through, other → null
+    val colon = h.indexOf(':')
+    val slash = h.indexOf('/')
+    if (colon > 0 && (slash < 0 || colon < slash)) {
+      return if (h.substring(colon).startsWith("://")) h else null
+    }
+    if (h.startsWith("//")) return p.scheme + ":" + h
+    val (pathPart, queryPart) = {
+      val q = h.indexOf('?')
+      val noFrag = (s: String) => {
+        val f = s.indexOf('#'); if (f >= 0) s.substring(0, f) else s
+      }
+      if (q >= 0) (h.substring(0, q), noFrag(h.substring(q))) else (noFrag(h), "")
+    }
+    if (pathPart.isEmpty && queryPart.isEmpty) return null // pure fragment
+    if (pathPart.isEmpty) {
+      // query-only reference: RFC 3986 keeps the base path verbatim
+      return origin + (if (p.path.isEmpty) "/" else p.path) + queryPart
+    }
+    if (pathPart.startsWith("/")) return origin + normalizePath(pathPart) + queryPart
+    val baseDir = {
+      val bp = if (p.path.isEmpty) "/" else p.path
+      bp.substring(0, bp.lastIndexOf('/') + 1)
+    }
+    origin + normalizePath(baseDir + pathPart) + queryPart
+  }
+
+  /** [[resolveUrlKernel]] as a map-only Column; null-safe. */
+  def resolveUrl(base: Column, href: Column): Column =
+    F.udf((b: String, h: String) => Option(resolveUrlKernel(b, h)))
+      .apply(base, href)
+
   // ---------------------------------------------------------------- //
   // Blocklist filtering (RefinedWeb/UT1-style URL screening)          //
   // ---------------------------------------------------------------- //

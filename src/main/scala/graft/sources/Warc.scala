@@ -272,6 +272,115 @@ object Warc {
       })
   }
 
+  /** One extracted hyperlink: raw href attribute + visible anchor
+    * text (entities decoded, inner tags stripped). */
+  final case class Link(href: String, anchor: String)
+
+  /**
+   * Extract `<a href=...>` links from HTML — the edge list of the
+   * crawl graph (outlink counts, frontier discovery, anchor-text
+   * retrieval signals). Same single-pass state-machine family as
+   * [[htmlToText]]: quoted or bare href values, entity decoding in
+   * BOTH href and anchor, inner markup stripped from the anchor,
+   * unterminated anchors truncate at end of input. Href-less `<a>`
+   * tags are skipped. Null/empty input → empty list, never an error.
+   */
+  def extractLinks(html: String): Seq[Link] = {
+    if (html == null) return Seq.empty
+    val out = scala.collection.mutable.ArrayBuffer.empty[Link]
+    val lower = html.toLowerCase(java.util.Locale.ROOT)
+    var i = 0
+    while (i < html.length) {
+      val open = lower.indexOf("<a", i)
+      if (open < 0 || open + 2 >= html.length) i = html.length
+      else if (!Character.isWhitespace(html.charAt(open + 2)) &&
+               html.charAt(open + 2) != '>') i = open + 2 // <abbr> etc
+      else {
+        val tagEnd = html.indexOf('>', open)
+        if (tagEnd < 0) i = html.length
+        else {
+          val attrs = html.substring(open + 2, tagEnd)
+          val href = hrefAttr(attrs)
+          val close = lower.indexOf("</a", tagEnd + 1)
+          val rawAnchor =
+            if (close < 0) html.substring(tagEnd + 1)
+            else html.substring(tagEnd + 1, close)
+          href.foreach { h =>
+            val anchor = htmlToText(rawAnchor)
+              .split('\n').mkString(" ").trim
+            out += Link(decodeEntities(h.trim), anchor)
+          }
+          i = if (close < 0) html.length else close + 1
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  /** The href attribute value out of an `<a>` tag's attribute text:
+    * `href="v"`, `href='v'`, or bare `href=v` (to whitespace). */
+  private def hrefAttr(attrs: String): Option[String] = {
+    val lower = attrs.toLowerCase(java.util.Locale.ROOT)
+    var from = 0
+    while (from >= 0) {
+      val at = lower.indexOf("href", from)
+      if (at < 0) return None
+      // must be a standalone attribute name
+      val beforeOk = at == 0 || !Character.isLetterOrDigit(lower.charAt(at - 1))
+      var j = at + 4
+      while (j < attrs.length && Character.isWhitespace(attrs.charAt(j))) j += 1
+      if (beforeOk && j < attrs.length && attrs.charAt(j) == '=') {
+        j += 1
+        while (j < attrs.length && Character.isWhitespace(attrs.charAt(j))) j += 1
+        if (j >= attrs.length) return Some("")
+        val c = attrs.charAt(j)
+        if (c == '"' || c == '\'') {
+          val end = attrs.indexOf(c, j + 1)
+          return Some(if (end < 0) attrs.substring(j + 1)
+            else attrs.substring(j + 1, end))
+        }
+        var end = j
+        while (end < attrs.length && !Character.isWhitespace(attrs.charAt(end))) end += 1
+        return Some(attrs.substring(j, end))
+      }
+      from = at + 4
+    }
+    None
+  }
+
+  /** Decode HTML entities anywhere in `s` (the [[htmlToText]] set). */
+  private def decodeEntities(s: String): String = {
+    if (s.indexOf('&') < 0) return s
+    val out = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '&') entityAt(s, i) match {
+        case Some((d, next)) => out.append(d); i = next
+        case None => out.append('&'); i += 1
+      } else { out.append(s.charAt(i)); i += 1 }
+    }
+    out.toString
+  }
+
+  /** [[extractLinks]] as a map-only Column: array<struct<href,anchor>>. */
+  def linksColumn(html: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    F.udf((h: String) => extractLinks(h)).apply(html)
+
+  /**
+   * Outlink edge list of an HTML-bearing corpus: (src column, resolved
+   * absolute target, anchor) — hrefs resolved against the page URL via
+   * [[graft.pipeline.Urls.resolveUrl]]; unresolvable (mailto:,
+   * javascript:, fragment-only) links drop. Map-only.
+   */
+  def outlinks(pages: DataFrame, urlCol: String, htmlCol: String): DataFrame = {
+    val l = F.explode(linksColumn(F.col(htmlCol))).as("__l")
+    pages.select(F.col(urlCol).as("src"), l)
+      .select(F.col("src"),
+        graft.pipeline.Urls.resolveUrl(F.col("src"), F.col("__l.href")).as("dst"),
+        F.col("__l.anchor").as("anchor"))
+      .filter(F.col("dst").isNotNull)
+  }
+
   /**
    * WET-style conversion: HTML-bearing records → (file_id, target_uri,
    * content_length, text). Non-HTML records and records whose payload

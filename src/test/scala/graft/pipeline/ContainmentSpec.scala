@@ -76,6 +76,29 @@ class ContainmentSpec extends SparkTestBase {
     assert(noCap.filter(_._1 == 9L).map(_._2).toSet == Set(1L, 2L, 3L))
   }
 
+  test("persisted index probe equals the direct path; stop markers survive parquet") {
+    val header = "terms of service apply here now"
+    val c = Seq(
+      (1L, header + " " + (1 to 40).map(i => s"a$i").mkString(" ")),
+      (2L, header + " " + (100 to 140).map(i => s"a$i").mkString(" ")),
+      (3L, header + " " + (200 to 240).map(i => s"a$i").mkString(" "))
+    ).toDF("id", "text")
+    val probe = Seq((9L, header), (8L, header + " a1 a2 a3")).toDF("id", "text")
+    val direct = Dedup.containmentPairs(probe, c, "id", "text",
+      gramSize = 5, threshold = 0.9, maxDf = 2)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val dir = java.nio.file.Files.createTempDirectory("graft_cidx").toString
+    Dedup.saveSignatureIndex(
+      Dedup.buildContainmentIndex(c, "id", "text", gramSize = 5, maxDf = 2), dir)
+    val loaded = Dedup.loadSignatureIndex(spark, dir)
+    // the stop markers persisted (id NULL rows)
+    assert(loaded.filter(F.col("id").isNull).count() > 0)
+    val indexed = Dedup.probeContainment(probe, loaded, "id", "text",
+      gramSize = 5, threshold = 0.9)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(indexed == direct && direct == Set((8L, 1L, 3L, 3L)))
+  }
+
   test("short/null texts produce no grams and no pairs") {
     val probe = Seq((1L, "just four words here"), (2L, null.asInstanceOf[String]))
       .toDF("id", "text")

@@ -73,6 +73,29 @@ class UrlsSpec extends SparkTestBase {
     assert(counts == Map("example.com" -> 2L, "bbc.co.uk" -> 1L))
   }
 
+  test("resolveUrl: absolute, protocol-relative, root-relative, relative, dots") {
+    def r(b: String, h: String) = Urls.resolveUrlKernel(b, h)
+    val base = "http://ex.com/a/b/page.html?q=1"
+    assert(r(base, "http://other.com/x") == "http://other.com/x")
+    assert(r(base, "//cdn.com/lib.js") == "http://cdn.com/lib.js")
+    assert(r(base, "/root/x") == "http://ex.com/root/x")
+    assert(r(base, "sibling.html") == "http://ex.com/a/b/sibling.html")
+    assert(r(base, "../up.html") == "http://ex.com/a/up.html")
+    assert(r(base, "./same.html") == "http://ex.com/a/b/same.html")
+    assert(r(base, "x/y/../z.html") == "http://ex.com/a/b/x/z.html")
+    assert(r(base, "?page=2") == "http://ex.com/a/b/page.html?page=2")
+    assert(r("http://ex.com", "doc.html") == "http://ex.com/doc.html")
+    assert(r("http://ex.com:8080/d/", "x") == "http://ex.com:8080/d/x")
+    // non-navigable
+    assert(r(base, "mailto:a@b.c") == null)
+    assert(r(base, "javascript:void(0)") == null)
+    assert(r(base, "#frag") == null)
+    assert(r(base, "") == null)
+    assert(r(base, null) == null)
+    assert(r(null, "x") == null)
+    assert(r("garbage", "x") == null)
+  }
+
   test("hostBlockedKernel: whole-label suffix walk, no substring false positives") {
     val b = Set("badsite.com", "spam.co.uk")
     def hit(h: String) = Urls.hostBlockedKernel(h, b)

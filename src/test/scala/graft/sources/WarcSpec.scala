@@ -110,4 +110,44 @@ class WarcSpec extends SparkTestBase {
       assert(byId(id) == expected, s"doc $id text mismatch")
     }
   }
+
+  test("extractLinks: quote styles, entities, inner markup, href-less and broken tags") {
+    val html =
+      """<html><body>
+        |<a href="/a/b.html">First <b>bold</b> link</a>
+        |<A HREF='http://x.com/y?a=1&amp;b=2'>Caps &amp; quotes</A>
+        |<a class="nav" href=bare.html>bare</a>
+        |<a name="anchor-only">no href</a>
+        |<abbr>not a link</abbr>
+        |<a href="">empty</a>
+        |<a href="/z">unterminated""".stripMargin
+    val links = Warc.extractLinks(html)
+    assert(links == Seq(
+      Warc.Link("/a/b.html", "First bold link"),
+      Warc.Link("http://x.com/y?a=1&b=2", "Caps & quotes"),
+      Warc.Link("bare.html", "bare"),
+      Warc.Link("", "empty"),
+      Warc.Link("/z", "unterminated")))
+    assert(Warc.extractLinks(null).isEmpty)
+    assert(Warc.extractLinks("plain text, no tags").isEmpty)
+  }
+
+  test("outlinks: resolved edges, non-navigable links dropped, map-only plan") {
+    val pages = Seq(
+      ("http://ex.com/dir/page.html",
+        """<a href="rel.html">r</a> <a href="/abs.html">a</a>
+          |<a href="mailto:x@y.z">m</a> <a href="#top">t</a>
+          |<a href="//cdn.net/l.js">c</a>""".stripMargin),
+      ("http://two.com/", """<a href="../up//x.html">u</a>"""),
+      ("http://three.com/p", null.asInstanceOf[String])
+    ).toDF("url", "html")
+    val out = Warc.outlinks(pages, "url", "html")
+    assert(!out.queryExecution.executedPlan.toString.contains("Exchange"))
+    val edges = out.as[(String, String, String)].collect().toSet
+    assert(edges == Set(
+      ("http://ex.com/dir/page.html", "http://ex.com/dir/rel.html", "r"),
+      ("http://ex.com/dir/page.html", "http://ex.com/abs.html", "a"),
+      ("http://ex.com/dir/page.html", "http://cdn.net/l.js", "c"),
+      ("http://two.com/", "http://two.com/up/x.html", "u")))
+  }
 }
