@@ -22,6 +22,26 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(spark, dir, name)
 
+  // planted crawl corpus shared by the q_links/q_pagerank/q_link_anchors/
+  // q_host_graph family: one page per document with in-plan HTML whose
+  // link structure the oracles re-derive arithmetically from doc_id
+  private def crawlPages(s: SparkSession, dir: String): DataFrame = {
+    val id = F.col("doc_id")
+    val str = (c: Column) => c.cast("string")
+    val url = F.concat(F.lit("http://site"), str(id % 9), F.lit(".com/dir"),
+      str(id % 4), F.lit("/page"), str(id), F.lit(".html"))
+    val html = F.concat(
+      F.lit("<html><body><p>intro</p><a href=\"/top/"), str(id % 7),
+      F.lit("\">Top &amp; best</a>"),
+      F.lit("<a href='rel"), str(id % 5), F.lit(".html'>rel <b>link</b></a>"),
+      F.lit("<a href=\"http://ext"), str(id % 3), F.lit(".org/x\">ext</a>"),
+      F.lit("<a href=\"mailto:a@b.c\">mail</a>"),
+      F.when(id % 2 === 0,
+        F.lit("<a href=\"//cdn.net/l.js\">cdn</a>")).otherwise(F.lit("")),
+      F.lit("</body></html>"))
+    t(s, dir, "documents").select(id.as("doc_id"), url.as("url"), html.as("html"))
+  }
+
   // |sketch - exact| <= tol * |exact|, in multiplication form: safe under
   // ANSI mode when exact = 0 (then the sketch value must be exactly 0 too).
   private def ok(sketchVal: Column, exactVal: Column, tol: Double = 0.05): Column =
@@ -2324,25 +2344,39 @@ object SparkEntry {
     // crawl-graph edges: planted links in in-plan HTML; extraction,
     // entity decoding, and RFC 3986 resolution all recomputed by the
     // oracle (mailto dropped, protocol-relative adopts the scheme)
-    "q_links" -> ((s: SparkSession, dir: String) => {
-      val id = F.col("doc_id")
-      val str = (c: org.apache.spark.sql.Column) => c.cast("string")
-      val url = F.concat(F.lit("http://site"), str(id % 9), F.lit(".com/dir"),
-        str(id % 4), F.lit("/page"), str(id), F.lit(".html"))
-      val html = F.concat(
-        F.lit("<html><body><p>intro</p><a href=\"/top/"), str(id % 7),
-        F.lit("\">Top &amp; best</a>"),
-        F.lit("<a href='rel"), str(id % 5), F.lit(".html'>rel <b>link</b></a>"),
-        F.lit("<a href=\"http://ext"), str(id % 3), F.lit(".org/x\">ext</a>"),
-        F.lit("<a href=\"mailto:a@b.c\">mail</a>"),
-        F.when(id % 2 === 0,
-          F.lit("<a href=\"//cdn.net/l.js\">cdn</a>")).otherwise(F.lit("")),
-        F.lit("</body></html>"))
-      val pages = t(s, dir, "documents")
-        .select(id.as("doc_id"), url.as("url"), html.as("html"))
-      graft.sources.Warc.outlinks(pages, "url", "html")
-        .orderBy("src", "dst", "anchor")
+    "q_links" -> ((s: SparkSession, dir: String) =>
+      graft.sources.Warc.outlinks(crawlPages(s, dir), "url", "html")
+        .orderBy("src", "dst", "anchor")),
+
+    // PageRank over the planted crawl graph (3 iterations, d = 0.85,
+    // dangling targets redistribute uniformly): ranks normalized by N
+    // and rounded 4 dp (the q_lm_bigram cross-engine float form); the
+    // oracle unrolls the iterations as chained CTEs
+    "q_pagerank" -> ((s: SparkSession, dir: String) => {
+      val edges = graft.sources.Warc.outlinks(crawlPages(s, dir), "url", "html")
+      val pr = graft.pipeline.LinkGraph.pageRank(edges,
+        iterations = 3, damping = 0.85)
+      val n = pr.agg(F.count(F.lit(1)).cast("double").as("__n"))
+      pr.crossJoin(F.broadcast(n))
+        .select(F.col("node"),
+          F.round(F.col("rank") * F.col("__n"), 4).as("rank_n"))
+        .orderBy("node")
     }),
+
+    // anchor-text aggregation per link target (retrieval anchor field):
+    // distinct-page counts per (dst, anchor), ranked
+    "q_link_anchors" -> ((s: SparkSession, dir: String) =>
+      graft.pipeline.LinkGraph.topAnchors(
+          graft.sources.Warc.outlinks(crawlPages(s, dir), "url", "html"), k = 2)
+        .orderBy("dst", "rank")),
+
+    // host-level rollup of the crawl graph: registrable-domain edges
+    // with distinct page-pair weights, self-domain links dropped (the
+    // site{i}.com -> top/rel edges vanish; ext/cdn edges survive)
+    "q_host_graph" -> ((s: SparkSession, dir: String) =>
+      graft.pipeline.LinkGraph.hostGraph(
+          graft.sources.Warc.outlinks(crawlPages(s, dir), "url", "html"))
+        .orderBy("src_domain", "dst_domain")),
 
     // CSV ingest with corrupt-line quarantine (type-cast failures):
     // the Csv sibling of q_jsonl
@@ -3646,6 +3680,74 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT src, 'http://cdn.net/l.js', 'cdn' FROM s WHERE doc_id % 2 = 0
         |) ORDER BY src, dst, anchor""".stripMargin,
+    "q_pagerank" ->
+      """WITH d AS (SELECT doc_id AS id FROM documents),
+        |e AS (
+        |  SELECT 'http://site'||(id%9)||'.com/dir'||(id%4)||'/page'||id||'.html' AS src,
+        |         'http://site'||(id%9)||'.com/top/'||(id%7) AS dst FROM d
+        |  UNION ALL
+        |  SELECT 'http://site'||(id%9)||'.com/dir'||(id%4)||'/page'||id||'.html',
+        |         'http://site'||(id%9)||'.com/dir'||(id%4)||'/rel'||(id%5)||'.html' FROM d
+        |  UNION ALL
+        |  SELECT 'http://site'||(id%9)||'.com/dir'||(id%4)||'/page'||id||'.html',
+        |         'http://ext'||(id%3)||'.org/x' FROM d
+        |  UNION ALL
+        |  SELECT 'http://site'||(id%9)||'.com/dir'||(id%4)||'/page'||id||'.html',
+        |         'http://cdn.net/l.js' FROM d WHERE id%2 = 0),
+        |de AS (SELECT DISTINCT src, dst FROM e),
+        |nodes AS (SELECT src AS node FROM de UNION SELECT dst FROM de),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        |deg AS (SELECT src, count(*) AS dg FROM de GROUP BY src),
+        |ce AS (SELECT src, dst, 1.0/dg AS w FROM de JOIN deg USING (src)),
+        |r0 AS (SELECT node, 1.0/(SELECT n FROM nn) AS r FROM nodes),
+        |dm0 AS (SELECT coalesce(sum(r), 0) AS m FROM r0
+        |        WHERE node NOT IN (SELECT src FROM deg)),
+        |r1 AS (SELECT nodes.node, 0.15/(SELECT n FROM nn) + 0.85*(coalesce(c.cb, 0)
+        |         + (SELECT m FROM dm0)/(SELECT n FROM nn)) AS r
+        |       FROM nodes LEFT JOIN (SELECT ce.dst, sum(w*r) AS cb FROM ce
+        |         JOIN r0 ON r0.node = ce.src GROUP BY ce.dst) c ON nodes.node = c.dst),
+        |dm1 AS (SELECT coalesce(sum(r), 0) AS m FROM r1
+        |        WHERE node NOT IN (SELECT src FROM deg)),
+        |r2 AS (SELECT nodes.node, 0.15/(SELECT n FROM nn) + 0.85*(coalesce(c.cb, 0)
+        |         + (SELECT m FROM dm1)/(SELECT n FROM nn)) AS r
+        |       FROM nodes LEFT JOIN (SELECT ce.dst, sum(w*r) AS cb FROM ce
+        |         JOIN r1 ON r1.node = ce.src GROUP BY ce.dst) c ON nodes.node = c.dst),
+        |dm2 AS (SELECT coalesce(sum(r), 0) AS m FROM r2
+        |        WHERE node NOT IN (SELECT src FROM deg)),
+        |r3 AS (SELECT nodes.node, 0.15/(SELECT n FROM nn) + 0.85*(coalesce(c.cb, 0)
+        |         + (SELECT m FROM dm2)/(SELECT n FROM nn)) AS r
+        |       FROM nodes LEFT JOIN (SELECT ce.dst, sum(w*r) AS cb FROM ce
+        |         JOIN r2 ON r2.node = ce.src GROUP BY ce.dst) c ON nodes.node = c.dst)
+        |SELECT node, round(r * (SELECT n FROM nn), 4) AS rank_n
+        |FROM r3 ORDER BY node""".stripMargin,
+    "q_link_anchors" ->
+      """WITH d AS (SELECT doc_id AS id FROM documents),
+        |e AS (
+        |  SELECT 'http://site'||(id%9)||'.com/dir'||(id%4)||'/page'||id||'.html' AS src,
+        |         'http://site'||(id%9)||'.com/top/'||(id%7) AS dst,
+        |         'Top & best' AS anchor FROM d
+        |  UNION ALL
+        |  SELECT 'http://site'||(id%9)||'.com/dir'||(id%4)||'/page'||id||'.html',
+        |         'http://site'||(id%9)||'.com/dir'||(id%4)||'/rel'||(id%5)||'.html',
+        |         'rel link' FROM d
+        |  UNION ALL
+        |  SELECT 'http://site'||(id%9)||'.com/dir'||(id%4)||'/page'||id||'.html',
+        |         'http://ext'||(id%3)||'.org/x', 'ext' FROM d
+        |  UNION ALL
+        |  SELECT 'http://site'||(id%9)||'.com/dir'||(id%4)||'/page'||id||'.html',
+        |         'http://cdn.net/l.js', 'cdn' FROM d WHERE id%2 = 0)
+        |SELECT dst, anchor, CAST(count(DISTINCT src) AS BIGINT) AS pages,
+        |       CAST(1 AS BIGINT) AS rank
+        |FROM e GROUP BY dst, anchor ORDER BY dst, rank""".stripMargin,
+    "q_host_graph" ->
+      """WITH d AS (SELECT doc_id AS id FROM documents),
+        |u AS (
+        |  SELECT 'site'||(id%9)||'.com' AS sd, 'ext'||(id%3)||'.org' AS dd FROM d
+        |  UNION ALL
+        |  SELECT 'site'||(id%9)||'.com', 'cdn.net' FROM d WHERE id%2 = 0)
+        |SELECT sd AS src_domain, dd AS dst_domain,
+        |       CAST(count(*) AS BIGINT) AS links
+        |FROM u GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_url" ->
       """SELECT doc_id,
         |  'http://' ||

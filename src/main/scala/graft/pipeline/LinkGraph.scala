@@ -1,0 +1,139 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{functions => F}
+
+/**
+ * Link-graph analytics over a crawl's outlink edge list (the output
+ * shape of [[graft.sources.Warc.outlinks]]: one row per src→dst edge,
+ * optionally with anchor text). The crawl graph drives corpus curation
+ * at scale: PageRank-style authority for quality weighting, in-degree
+ * for popularity cutoffs, anchor aggregation for retrieval fields,
+ * host-level rollups for domain policy.
+ *
+ * Scale shape: the edge list is the big table and is shuffled ONCE
+ * (dedup + out-degree weighting + repartition by src, pinned with a
+ * lazy localCheckpoint); each PageRank iteration then shuffles only
+ * the rank vector (one row per node) into the edges' layout and one
+ * aggregation by dst. Dangling mass and the node count ride as 1-row
+ * broadcast re-attaches — nothing collects to the driver.
+ */
+object LinkGraph {
+
+  /**
+   * PageRank with uniform teleport and dangling-mass redistribution:
+   *
+   *   r'(v) = (1-d)/N + d * ( Σ_{u→v} r(u)/outdeg(u) + D/N )
+   *
+   * where `D` is the total rank mass sitting on dangling nodes (no
+   * outlinks) — redistributed uniformly, so Σ r(v) = 1 after every
+   * iteration. Parallel edges are deduplicated; self-loops count like
+   * any other edge; NULL endpoints drop. A fixed `iterations` count
+   * keeps the computation deterministic (no driver-side convergence
+   * probe); each iteration is lazily checkpointed so iteration r does
+   * not replay 1..r-1.
+   *
+   * Returns (node, rank) over all distinct endpoints.
+   */
+  def pageRank(
+      edges: DataFrame,
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      iterations: Int = 3,
+      damping: Double = 0.85): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    require(damping > 0.0 && damping < 1.0,
+      s"damping must be in (0, 1), got $damping")
+    val e = edges
+      .filter(F.col(srcCol).isNotNull && F.col(dstCol).isNotNull)
+      .select(F.col(srcCol).as("__src"), F.col(dstCol).as("__dst"))
+      .distinct()
+    val nodes = e.select(F.col("__src").as("node"))
+      .unionByName(e.select(F.col("__dst").as("node")))
+      .distinct()
+      .localCheckpoint(eager = false) // reused every iteration
+    // one row, re-attached by broadcast — N never touches the driver
+    val nRow = nodes.agg(F.count(F.lit(1)).cast("double").as("__n"))
+    // contribution edges: weight = 1/outdeg, laid out by src once
+    val deg = e.groupBy("__src").agg(F.count(F.lit(1)).as("__d"))
+    val ce = e.join(deg, "__src")
+      .select(F.col("__src"), F.col("__dst"),
+        (F.lit(1.0) / F.col("__d")).as("__w"))
+      .repartition(F.col("__src"))
+      .localCheckpoint(eager = false) // the big table: shuffled once
+    val srcs = deg.select(F.col("__src").as("node"))
+      .localCheckpoint(eager = false) // dangling anti-join probe, reused
+    var ranks = nodes.crossJoin(F.broadcast(nRow))
+      .select(F.col("node"), (F.lit(1.0) / F.col("__n")).as("rank"))
+      .localCheckpoint(eager = false)
+    for (_ <- 1 to iterations) {
+      val dangling = ranks.join(srcs, Seq("node"), "left_anti")
+        .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).as("__dm"))
+      val contrib = ce
+        .join(ranks.withColumnRenamed("node", "__src"), "__src")
+        .groupBy(F.col("__dst").as("node"))
+        .agg(F.sum(F.col("__w") * F.col("rank")).as("__c"))
+      ranks = nodes
+        .join(contrib, Seq("node"), "left")
+        .crossJoin(F.broadcast(dangling))
+        .crossJoin(F.broadcast(nRow))
+        .select(F.col("node"),
+          (F.lit(1.0 - damping) / F.col("__n") + F.lit(damping) *
+            (F.coalesce(F.col("__c"), F.lit(0.0)) +
+              F.col("__dm") / F.col("__n"))).as("rank"))
+        .localCheckpoint(eager = false)
+    }
+    ranks
+  }
+
+  /** Distinct-source in-degree per target — the popularity cutoff
+    * signal. One shuffle (dedup folds into the aggregate). */
+  def inDegrees(edges: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame =
+    edges.filter(F.col(srcCol).isNotNull && F.col(dstCol).isNotNull)
+      .groupBy(F.col(dstCol).as("node"))
+      .agg(F.count_distinct(F.col(srcCol)).as("in_degree"))
+
+  /**
+   * Anchor-text aggregation: the top `k` anchor strings per target by
+   * (count DESC, anchor ASC), with their distinct-page counts — the
+   * retrieval-side "anchor field" of a web index. Blank anchors drop.
+   * Two aggregations, both keyed by dst (the second reuses the
+   * first's hash layout — no extra exchange).
+   */
+  def topAnchors(edges: DataFrame, k: Int, srcCol: String = "src",
+      dstCol: String = "dst", anchorCol: String = "anchor"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val counted = edges
+      .filter(F.col(dstCol).isNotNull && F.col(anchorCol).isNotNull &&
+        F.length(F.trim(F.col(anchorCol))) > 0)
+      .groupBy(F.col(dstCol).as("dst"), F.col(anchorCol).as("anchor"))
+      .agg(F.count_distinct(F.col(srcCol)).as("pages"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("dst")
+      .orderBy(F.col("pages").desc, F.col("anchor"))
+    counted.withColumn("__rn", F.row_number().over(w))
+      .filter(F.col("__rn") <= k)
+      .select(F.col("dst"), F.col("anchor"), F.col("pages"),
+        F.col("__rn").cast("long").as("rank"))
+  }
+
+  /**
+   * Host-level rollup of the page graph: edges between registrable
+   * domains with distinct-page-pair weights, self-links optionally
+   * dropped. Domain policy (crawl budgets, spam neighborhoods) runs on
+   * this graph — millions of nodes where the page graph has billions.
+   */
+  def hostGraph(edges: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst", keepSelf: Boolean = false): DataFrame = {
+    val d = edges
+      .select(Urls.urlDomain(F.col(srcCol)).as("src_domain"),
+        Urls.urlDomain(F.col(dstCol)).as("dst_domain"),
+        F.col(srcCol).as("__s"), F.col(dstCol).as("__d"))
+      .filter(F.col("src_domain").isNotNull && F.col("dst_domain").isNotNull)
+    val kept = if (keepSelf) d
+      else d.filter(F.col("src_domain") =!= F.col("dst_domain"))
+    kept.groupBy("src_domain", "dst_domain")
+      .agg(F.count_distinct(F.col("__s"), F.col("__d")).as("links"))
+  }
+}

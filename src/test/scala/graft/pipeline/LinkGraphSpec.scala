@@ -1,0 +1,93 @@
+package graft.pipeline
+
+import graft.SparkTestBase
+import org.apache.spark.sql.{functions => F}
+
+class LinkGraphSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** Driver-side reference PageRank — same math, plain Scala. */
+  private def refPageRank(edges: Seq[(String, String)], iters: Int,
+      d: Double): Map[String, Double] = {
+    val e = edges.distinct
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct.sorted
+    val n = nodes.size
+    val out = e.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var r = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to iters) {
+      val dangling = nodes.filterNot(out.contains).map(r).sum
+      val contrib = scala.collection.mutable.HashMap.empty[String, Double]
+        .withDefaultValue(0.0)
+      for ((u, vs) <- out; v <- vs) contrib(v) += r(u) / vs.size
+      r = nodes.map(v => v -> ((1 - d) / n + d * (contrib(v) + dangling / n))).toMap
+    }
+    r
+  }
+
+  // cycle + dangling sink + a hub; parallel edge A->B planted twice
+  private val edges = Seq(
+    "A" -> "B", "A" -> "B", "B" -> "C", "C" -> "A",
+    "A" -> "D", "B" -> "D", "C" -> "D", // D dangles
+    "E" -> "A", "E" -> "B", "E" -> "C") // E has no inlinks
+
+  test("pageRank matches the driver-side reference to 1e-12") {
+    val got = LinkGraph.pageRank(edges.toDF("src", "dst"),
+        iterations = 4, damping = 0.85)
+      .as[(String, Double)].collect().toMap
+    val want = refPageRank(edges, 4, 0.85)
+    assert(got.keySet == want.keySet)
+    for ((k, v) <- want) assert(math.abs(got(k) - v) < 1e-12, s"node $k")
+  }
+
+  test("rank mass is conserved and floors at (1-d)/N") {
+    val got = LinkGraph.pageRank(edges.toDF("src", "dst"),
+        iterations = 3, damping = 0.85)
+      .as[(String, Double)].collect().toMap
+    assert(math.abs(got.values.sum - 1.0) < 1e-12)
+    val floor = 0.15 / got.size
+    assert(got.values.forall(_ >= floor - 1e-15))
+    // E has no inlinks: exactly the teleport+dangling floor share
+    assert(got("E") < got("D"))
+  }
+
+  test("pure cycle stays uniform; nulls drop") {
+    val cyc = Seq(("x", "y"), ("y", "z"), ("z", "x"),
+      (null, "x"), ("x", null)).toDF("src", "dst")
+    val got = LinkGraph.pageRank(cyc, iterations = 5)
+      .as[(String, Double)].collect().toMap
+    assert(got.keySet == Set("x", "y", "z"))
+    got.values.foreach(v => assert(math.abs(v - 1.0 / 3) < 1e-12))
+  }
+
+  test("inDegrees counts distinct sources") {
+    val got = LinkGraph.inDegrees(edges.toDF("src", "dst"))
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("A" -> 2L, "B" -> 2L, "C" -> 2L, "D" -> 3L))
+  }
+
+  test("topAnchors ranks by count then anchor, drops blanks") {
+    val e = Seq(
+      ("p1", "t", "Home"), ("p2", "t", "Home"), ("p3", "t", "home page"),
+      ("p4", "t", "  "), ("p5", "t", null),
+      ("p1", "u", "B"), ("p1", "u", "A") // same page twice -> pages=1 each
+    ).toDF("src", "dst", "anchor")
+    val got = LinkGraph.topAnchors(e, k = 2)
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(got == Set(("t", "Home", 2L, 1L), ("t", "home page", 1L, 2L),
+      ("u", "A", 1L, 1L), ("u", "B", 1L, 2L)))
+  }
+
+  test("hostGraph rolls up to registrable domains, distinct page pairs") {
+    val e = Seq(
+      ("http://a.site.com/1", "http://b.other.org/x"),
+      ("http://a.site.com/1", "http://b.other.org/x"), // dup page pair
+      ("http://c.site.com/2", "http://b.other.org/y"),
+      ("http://a.site.com/1", "http://z.site.com/in")  // self-domain
+    ).toDF("src", "dst")
+    val got = LinkGraph.hostGraph(e).as[(String, String, Long)].collect().toSet
+    assert(got == Set(("site.com", "other.org", 2L)))
+    val self = LinkGraph.hostGraph(e, keepSelf = true)
+      .as[(String, String, Long)].collect().toSet
+    assert(self == Set(("site.com", "other.org", 2L), ("site.com", "site.com", 1L)))
+  }
+}
