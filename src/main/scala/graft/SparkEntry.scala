@@ -2398,6 +2398,37 @@ object SparkEntry {
         .crossJoin(bad.agg(F.count(F.lit(1)).as("corrupt")))
     }),
 
+    // TFRecord egress + re-ingest: corpus rows ride the framed-record
+    // format (masked CRC32C, Example proto) through a tmp dir and
+    // back; aggregates match the parquet truth, and the float32 wire
+    // width is pinned by an in-Spark cast-equality boolean
+    "q_tfrecord" -> ((s: SparkSession, dir: String) => {
+      val base = System.getProperty("java.io.tmpdir") + "/graft_q_tfrec"
+      val docs = t(s, dir, "documents").select(
+        F.col("doc_id"), F.col("lang"), F.col("text"),
+        ((F.col("doc_id") % 97).cast("double") / 7.0).as("score"),
+        F.array(F.col("doc_id") % 5, F.col("doc_id") % 11,
+          F.lit(7L)).as("toks"))
+      graft.sources.TfRecord.write(docs.repartition(4), base)
+      val schema = new org.apache.spark.sql.types.StructType()
+        .add("doc_id", org.apache.spark.sql.types.LongType)
+        .add("lang", org.apache.spark.sql.types.StringType)
+        .add("text", org.apache.spark.sql.types.StringType)
+        .add("score", org.apache.spark.sql.types.DoubleType)
+        .add("toks", org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType))
+      val orig = docs.select(F.col("doc_id").as("o_id"),
+        F.col("score").cast("float").cast("double").as("o_score"))
+      graft.sources.TfRecord.read(s, base, schema)
+        .join(orig, F.col("doc_id") === F.col("o_id"))
+        .agg(F.count(F.lit(1)).as("n_rows"),
+          F.sum(F.col("doc_id")).as("id_sum"),
+          F.sum(F.length(F.col("text"))).as("chars"),
+          F.count_distinct(F.col("lang")).as("langs"),
+          F.sum(F.aggregate(F.col("toks"), F.lit(0L), _ + _)).as("tok_sum"),
+          F.min(F.col("score") === F.col("o_score")).as("score_f32_ok"))
+    }),
+
     // JSONL ingest with corrupt-line quarantine: corpus round-trips
     // through to_json text, 3 planted malformed lines land in the
     // quarantine frame, good-side aggregates match the parquet truth
@@ -3663,6 +3694,13 @@ object SparkEntry {
       """SELECT count(*) AS n_rows, CAST(sum(doc_id) AS BIGINT) AS id_sum,
         |       CAST(count(DISTINCT lang) AS BIGINT) AS langs,
         |       CAST(2 AS BIGINT) AS corrupt
+        |FROM documents""".stripMargin,
+    "q_tfrecord" ->
+      """SELECT count(*) AS n_rows, CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |       CAST(sum(length(text)) AS BIGINT) AS chars,
+        |       CAST(count(DISTINCT lang) AS BIGINT) AS langs,
+        |       CAST(sum(doc_id % 5 + doc_id % 11 + 7) AS BIGINT) AS tok_sum,
+        |       true AS score_f32_ok
         |FROM documents""".stripMargin,
     "q_links" ->
       """WITH s AS (SELECT doc_id,
