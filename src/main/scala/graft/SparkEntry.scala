@@ -2398,6 +2398,59 @@ object SparkEntry {
         .crossJoin(bad.agg(F.count(F.lit(1)).as("corrupt")))
     }),
 
+    // HTML head metadata extraction (title / meta description /
+    // canonical link / lang attr): planted head markup with entities
+    // and a decoy second title; the oracle states every expected
+    // string arithmetically from doc_id
+    "q_page_meta" -> ((s: SparkSession, dir: String) => {
+      val id = F.col("doc_id")
+      val str = (c: Column) => c.cast("string")
+      val html = F.concat(
+        F.lit("<html lang=\""),
+        F.when(id % 2 === 0, F.lit("en")).otherwise(F.lit("de")),
+        F.lit("\"><head><title>Doc "), str(id),
+        F.lit(" &amp;\n  more</title>"),
+        F.lit("<meta name=\"description\" content=\"Desc "), str(id % 13),
+        F.lit("\">"),
+        F.when(id % 3 === 0, F.concat(
+          F.lit("<link rel=\"canonical\" href=\"http://c.org/"), str(id),
+          F.lit("\">"))).otherwise(F.lit("")),
+        F.lit("<title>decoy</title></head><body>b</body></html>"))
+      t(s, dir, "documents")
+        .select(id.as("doc_id"),
+          graft.sources.Warc.pageMetaColumn(html).as("__m"))
+        .select(F.col("doc_id"), F.col("__m.title").as("title"),
+          F.col("__m.description").as("description"),
+          F.col("__m.canonical").as("canonical"), F.col("__m.lang").as("lang"))
+        .orderBy("doc_id")
+    }),
+
+    // robots.txt screening (RFC 9309): per-host rule tables joined to
+    // a URL list; named-group selection, wildcard + $ anchor,
+    // longest-match, allow tie-break, and missing-robots default all
+    // exercised; the oracle replays the decisions as CASE arithmetic
+    "q_robots" -> ((s: SparkSession, dir: String) => {
+      val id = F.col("doc_id")
+      val host = F.concat(F.lit("h"), (id % 5).cast("string"), F.lit(".com"))
+      val path = F.element_at(F.array(
+        F.lit("/home"), F.lit("/private/a"), F.lit("/private/pub/b"),
+        F.lit("/x-12.bin"), F.lit("/x-12.bin?k"), F.lit("/priv"),
+        F.lit("/private")), (id % 7 + 1).cast("int"))
+      val urls = t(s, dir, "documents")
+        .select(id.as("doc_id"), host.as("host"), path.as("path"))
+      val robotsTxt = "User-agent: graftbot\nDisallow: /private\n" +
+        "Allow: /private/pub\nDisallow: /x*.bin$\n\nUser-agent: *\nDisallow: /\n"
+      val robots = t(s, dir, "documents")
+        .select((id % 5).as("k")).distinct().filter(F.col("k") =!= 4)
+        .select(F.concat(F.lit("h"), F.col("k").cast("string"),
+          F.lit(".com")).as("host"), F.lit(robotsTxt).as("robots"))
+      graft.sources.Robots.screen(urls,
+          graft.sources.Robots.ruleTable(robots, "host", "robots", "GraftBot"),
+          "host", "path")
+        .select("doc_id", "host", "path", "allowed")
+        .orderBy("doc_id")
+    }),
+
     // TFRecord egress + re-ingest: corpus rows ride the framed-record
     // format (masked CRC32C, Example proto) through a tmp dir and
     // back; aggregates match the parquet truth, and the float32 wire
@@ -3695,6 +3748,22 @@ object SparkEntry {
         |       CAST(count(DISTINCT lang) AS BIGINT) AS langs,
         |       CAST(2 AS BIGINT) AS corrupt
         |FROM documents""".stripMargin,
+    "q_page_meta" ->
+      """SELECT doc_id,
+        |       'Doc ' || doc_id || ' & more' AS title,
+        |       'Desc ' || (doc_id % 13) AS description,
+        |       CASE WHEN doc_id % 3 = 0 THEN 'http://c.org/' || doc_id END AS canonical,
+        |       CASE WHEN doc_id % 2 = 0 THEN 'en' ELSE 'de' END AS lang
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_robots" ->
+      """SELECT doc_id,
+        |       'h' || (doc_id % 5) || '.com' AS host,
+        |       ['/home', '/private/a', '/private/pub/b', '/x-12.bin',
+        |        '/x-12.bin?k', '/priv', '/private'][(doc_id % 7) + 1] AS path,
+        |       CASE WHEN doc_id % 5 = 4 THEN true
+        |            WHEN doc_id % 7 IN (1, 3, 6) THEN false
+        |            ELSE true END AS allowed
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_tfrecord" ->
       """SELECT count(*) AS n_rows, CAST(sum(doc_id) AS BIGINT) AS id_sum,
         |       CAST(sum(length(text)) AS BIGINT) AS chars,

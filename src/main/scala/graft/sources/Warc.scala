@@ -319,15 +319,20 @@ object Warc {
 
   /** The href attribute value out of an `<a>` tag's attribute text:
     * `href="v"`, `href='v'`, or bare `href=v` (to whitespace). */
-  private def hrefAttr(attrs: String): Option[String] = {
+  private def hrefAttr(attrs: String): Option[String] = attrValue(attrs, "href")
+
+  /** An attribute's value out of a tag's attribute text: quoted
+    * (either quote), or bare (to whitespace); name match is
+    * case-insensitive and must be a standalone token. */
+  private def attrValue(attrs: String, name: String): Option[String] = {
     val lower = attrs.toLowerCase(java.util.Locale.ROOT)
     var from = 0
     while (from >= 0) {
-      val at = lower.indexOf("href", from)
+      val at = lower.indexOf(name, from)
       if (at < 0) return None
       // must be a standalone attribute name
       val beforeOk = at == 0 || !Character.isLetterOrDigit(lower.charAt(at - 1))
-      var j = at + 4
+      var j = at + name.length
       while (j < attrs.length && Character.isWhitespace(attrs.charAt(j))) j += 1
       if (beforeOk && j < attrs.length && attrs.charAt(j) == '=') {
         j += 1
@@ -343,10 +348,78 @@ object Warc {
         while (end < attrs.length && !Character.isWhitespace(attrs.charAt(end))) end += 1
         return Some(attrs.substring(j, end))
       }
-      from = at + 4
+      from = at + name.length
     }
     None
   }
+
+  /** Head metadata of one HTML page; any field may be null. */
+  final case class PageMeta(
+      title: String, description: String, canonical: String, lang: String)
+
+  /**
+   * Extract page metadata — `<title>`, `<meta name="description">`,
+   * `<link rel="canonical">`, `<html lang=...>` — in one pass over
+   * the tag stream (the [[extractLinks]] family). First occurrence of
+   * each wins; titles get entity decoding and whitespace collapse;
+   * missing pieces are null, never an error.
+   */
+  def pageMetadata(html: String): PageMeta = {
+    if (html == null) return PageMeta(null, null, null, null)
+    val lower = html.toLowerCase(java.util.Locale.ROOT)
+    var title: String = null; var desc: String = null
+    var canon: String = null; var lang: String = null
+    var i = 0
+    while (i < html.length &&
+      (title == null || desc == null || canon == null || lang == null)) {
+      val open = lower.indexOf('<', i)
+      if (open < 0) i = html.length
+      else {
+        val tagEnd = lower.indexOf('>', open)
+        if (tagEnd < 0) i = html.length
+        else {
+          var ne = open + 1
+          while (ne < tagEnd && (Character.isLetterOrDigit(lower.charAt(ne)) ||
+            (ne == open + 1 && lower.charAt(ne) == '/'))) ne += 1
+          val tag = lower.substring(open + 1, ne)
+          val attrs = html.substring(ne, tagEnd)
+          tag match {
+            case "title" if title == null =>
+              val close = lower.indexOf("</title", tagEnd + 1)
+              val raw = if (close < 0) html.substring(tagEnd + 1)
+                else html.substring(tagEnd + 1, close)
+              title = decodeEntities(raw).split("\\s+")
+                .filter(_.nonEmpty).mkString(" ")
+              if (title.isEmpty) title = null
+              i = if (close < 0) html.length else close + 1
+            case "meta" if desc == null =>
+              if (attrValue(attrs, "name").exists(
+                  _.equalsIgnoreCase("description")))
+                desc = attrValue(attrs, "content")
+                  .map(c => decodeEntities(c.trim)).filter(_.nonEmpty).orNull
+              i = tagEnd + 1
+            case "link" if canon == null =>
+              if (attrValue(attrs, "rel").exists(
+                  _.trim.equalsIgnoreCase("canonical")))
+                canon = attrValue(attrs, "href")
+                  .map(h => decodeEntities(h.trim)).filter(_.nonEmpty).orNull
+              i = tagEnd + 1
+            case "html" if lang == null =>
+              lang = attrValue(attrs, "lang")
+                .map(_.trim).filter(_.nonEmpty).orNull
+              i = tagEnd + 1
+            case _ => i = tagEnd + 1
+          }
+        }
+      }
+    }
+    PageMeta(title, desc, canon, lang)
+  }
+
+  /** [[pageMetadata]] as a map-only Column:
+    * struct<title,description,canonical,lang>. */
+  def pageMetaColumn(html: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    F.udf((h: String) => pageMetadata(h)).apply(html)
 
   /** Decode HTML entities anywhere in `s` (the [[htmlToText]] set). */
   private def decodeEntities(s: String): String = {

@@ -150,4 +150,34 @@ class WarcSpec extends SparkTestBase {
       ("http://ex.com/dir/page.html", "http://cdn.net/l.js", "c"),
       ("http://two.com/", "http://two.com/up/x.html", "u")))
   }
+
+  test("pageMetadata: title/description/canonical/lang, first wins") {
+    val html =
+      """<!doctype html><HTML Lang="en-GB"><head>
+        |<title>  Fast &amp;
+        |   furious  docs </title>
+        |<meta charset="utf-8"><meta name="Description" content="A &quot;doc&quot; page">
+        |<link rel="stylesheet" href="/s.css">
+        |<link rel="canonical" href="http://ex.com/canon">
+        |<title>second ignored</title>
+        |</head><body><meta name="description" content="late"></body></html>""".stripMargin
+    val m = Warc.pageMetadata(html)
+    assert(m.title == "Fast & furious docs")
+    assert(m.description == "A \"doc\" page")
+    assert(m.canonical == "http://ex.com/canon")
+    assert(m.lang == "en-GB")
+  }
+
+  test("pageMetadata: missing pieces are null, garbage safe") {
+    assert(Warc.pageMetadata(null) == Warc.PageMeta(null, null, null, null))
+    assert(Warc.pageMetadata("no tags at all") ==
+      Warc.PageMeta(null, null, null, null))
+    val partial = Warc.pageMetadata(
+      "<html><title></title><meta name=description content=bare></html>")
+    assert(partial.title == null) // empty title folds to null
+    assert(partial.description == "bare")
+    assert(partial.canonical == null && partial.lang == null)
+    // unterminated title truncates at end of input
+    assert(Warc.pageMetadata("<title>tail").title == "tail")
+  }
 }
