@@ -630,8 +630,56 @@ object Bench {
           orders("o_custkey") === customer("c_custkey"))
         .groupBy(F.col("c_mktsegment"))
         .agg(F.count(F.lit(1)), F.sum(F.col("o_totalprice")))
+    }),
+
+    // HTML link extraction + URL resolution over full-text pages —
+    // the crawl-graph edge-list build (map-only scan)
+    "b_links" -> ((s: SparkSession, dir: String) =>
+      graft.sources.Warc.outlinks(benchPages(s, dir), "url", "html")
+        .groupBy(F.col("dst")).agg(F.count(F.lit(1)).as("n"))),
+
+    // 5 PageRank iterations over the extracted edge list: per-iteration
+    // cost = one rank shuffle + one dst aggregation
+    "b_pagerank" -> ((s: SparkSession, dir: String) =>
+      graft.pipeline.LinkGraph.pageRank(
+          graft.sources.Warc.outlinks(benchPages(s, dir), "url", "html"),
+          iterations = 5)
+        .agg(F.sum(F.col("rank")).as("mass"), F.count(F.lit(1)).as("nodes"))),
+
+    // TFRecord egress + re-ingest of the corpus (masked-CRC framing +
+    // Example proto encode/decode both sides of the disk hop)
+    "b_tfrecord" -> ((s: SparkSession, dir: String) => {
+      val base = System.getProperty("java.io.tmpdir") + "/graft_b_tfrec"
+      val docs = t(s, dir, "documents").select(
+        F.col("doc_id"), F.col("lang"), F.col("text"),
+        F.split(F.col("text"), "\\s+").as("toks"))
+      graft.sources.TfRecord.write(docs.repartition(8), base)
+      val schema = new org.apache.spark.sql.types.StructType()
+        .add("doc_id", org.apache.spark.sql.types.LongType)
+        .add("lang", org.apache.spark.sql.types.StringType)
+        .add("text", org.apache.spark.sql.types.StringType)
+        .add("toks", org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StringType))
+      graft.sources.TfRecord.read(s, base, schema)
+        .agg(F.count(F.lit(1)).as("n"), F.sum(F.size(F.col("toks"))).as("toks"))
     })
   )
+
+  // crawl pages for the link-graph benches: full document text in the
+  // body so extraction pays the realistic whole-page scan cost
+  private def benchPages(s: SparkSession, dir: String) = {
+    val id = F.col("doc_id")
+    val str = (c: org.apache.spark.sql.Column) => c.cast("string")
+    val url = F.concat(F.lit("http://site"), str(id % 97), F.lit(".com/dir"),
+      str(id % 13), F.lit("/page"), str(id), F.lit(".html"))
+    val html = F.concat(
+      F.lit("<html><body><p>"), F.col("text"),
+      F.lit("</p><a href=\"/top/"), str(id % 31), F.lit("\">Top</a>"),
+      F.lit("<a href='rel"), str(id % 17), F.lit(".html'>rel</a>"),
+      F.lit("<a href=\"http://ext"), str(id % 11), F.lit(".org/x\">ext</a>"),
+      F.lit("</body></html>"))
+    t(s, dir, "documents").select(url.as("url"), html.as("html"))
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
