@@ -2602,6 +2602,87 @@ object SparkEntry {
         .select(F.col("rank").cast("long").as("rank"),
           F.col("id").as("doc_id"), F.col("n_lists"))
         .orderBy("rank")
+    }),
+
+    // snapshot "latest version wins": one row per customer (newest
+    // order by date, then key) via the map-side-combinable max_by
+    // aggregate; sums stay integral (epoch-millis, price cents)
+    "q_snapshot_latest" -> ((s: SparkSession, dir: String) => {
+      graft.pipeline.Snapshot.latestByKey(t(s, dir, "orders"),
+          F.col("o_custkey"), F.col("o_orderdate"), F.col("o_orderkey"))
+        .agg(F.count(F.lit(1)).as("n"),
+          F.sum(F.col("o_orderkey")).as("key_sum"),
+          F.sum(F.unix_millis(F.col("o_orderdate").cast("timestamp")))
+            .as("ts_sum"),
+          F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+            .as("cents"))
+    }),
+
+    // CDC upsert: a delta (every 5th order, price doubled, version
+    // bumped 1000 days) merged into the base snapshot — newer version
+    // wins per order key; the oracle states the expected OUTPUT
+    // directly (base minus delta keys, plus delta)
+    "q_snapshot_merge" -> ((s: SparkSession, dir: String) => {
+      val base = t(s, dir, "orders")
+      val delta = base.filter(F.col("o_orderkey") % 5 === 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+        .withColumn("o_orderdate",
+          F.col("o_orderdate") + F.expr("INTERVAL 1000 DAYS"))
+      graft.pipeline.Snapshot.mergeSnapshot(base, delta,
+          F.col("o_orderkey"), F.col("o_orderdate"), F.col("o_orderkey"))
+        .agg(F.count(F.lit(1)).as("n"),
+          F.sum(F.col("o_orderkey")).as("key_sum"),
+          F.sum(F.unix_millis(F.col("o_orderdate").cast("timestamp")))
+            .as("ts_sum"),
+          F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+            .as("cents"))
+    }),
+
+    // deterministic training-order shuffle: first 20 documents of the
+    // seed-42 permutation — md5 order replays identically in any
+    // engine; orderBy+limit compiles to TakeOrdered (no global sort)
+    "q_shuffle_order" -> ((s: SparkSession, dir: String) => {
+      graft.pipeline.Sampling
+        .deterministicShuffle(t(s, dir, "documents"), F.col("doc_id"), 42L)
+        .limit(20)
+        .select(F.col("doc_id"),
+          graft.pipeline.Sampling.shuffleKey(F.col("doc_id"), 42L).as("h"))
+    }),
+
+    // exact tie-aware ROC AUC on a planted score/label: label every
+    // 3rd doc, score = 6-decimal LCG noise + 0.4 lift for positives —
+    // rank arithmetic is BIGINT to the final division, so the double
+    // matches bit-for-bit cross-engine
+    "q_eval_auc" -> ((s: SparkSession, dir: String) => {
+      val id = F.col("doc_id")
+      val scored = t(s, dir, "documents").select(
+        (((id * 1103515245L + 12345L) % 1000000L).cast("double") / 1000000.0 +
+          F.when(id % 3 === 0, 0.4).otherwise(0.0)).as("s"),
+        (id % 3 === 0).as("y"))
+      graft.pipeline.Eval.binaryAuc(scored, F.col("s"), F.col("y"))
+    }),
+
+    // operating-point metrics at threshold 0.7 on the same planted
+    // scores: integer confusion counts, exact-ratio precision/recall/f1
+    "q_eval_confusion" -> ((s: SparkSession, dir: String) => {
+      val id = F.col("doc_id")
+      val scored = t(s, dir, "documents").select(
+        (((id * 1103515245L + 12345L) % 1000000L).cast("double") / 1000000.0 +
+          F.when(id % 3 === 0, 0.4).otherwise(0.0)).as("s"),
+        (id % 3 === 0).as("y"))
+      graft.pipeline.Eval.confusionAt(scored, F.col("s"), F.col("y"), 0.7)
+    }),
+
+    // calibration table: 10 equal-width bins over the same scores;
+    // per-bin mean is an integral micro-units sum divided once
+    "q_eval_calibration" -> ((s: SparkSession, dir: String) => {
+      val id = F.col("doc_id")
+      val scored = t(s, dir, "documents").select(
+        (((id * 1103515245L + 12345L) % 1000000L).cast("double") / 1000000.0 +
+          F.when(id % 3 === 0, 0.4).otherwise(0.0)).as("s"),
+        (id % 3 === 0).as("y"))
+      graft.pipeline.Eval.calibrationBins(scored, F.col("s"), F.col("y"), 10)
+        .orderBy("bin")
     })
   )
 
@@ -4094,6 +4175,93 @@ object SparkEntry {
           |  SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
           |         doc_id, CAST(n_lists AS BIGINT) AS n_lists
           |  FROM rrf) t
-          |WHERE rank <= 10 ORDER BY rank""".stripMargin)
+          |WHERE rank <= 10 ORDER BY rank""".stripMargin,
+      "q_snapshot_latest" ->
+        """WITH r AS (SELECT *, row_number() OVER (PARTITION BY o_custkey
+          |             ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+          |           FROM orders)
+          |SELECT count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+          |       CAST(sum(epoch_ms(o_orderdate)) AS BIGINT) AS ts_sum,
+          |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+          |         AS cents
+          |FROM r WHERE rn = 1""".stripMargin,
+      "q_snapshot_merge" ->
+        """WITH merged AS (
+          |  SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
+          |  WHERE o_orderkey % 5 <> 0
+          |  UNION ALL
+          |  SELECT o_orderkey, o_orderdate + INTERVAL 1000 DAY,
+          |         o_totalprice * 2
+          |  FROM orders WHERE o_orderkey % 5 = 0)
+          |SELECT count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+          |       CAST(sum(epoch_ms(o_orderdate)) AS BIGINT) AS ts_sum,
+          |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+          |         AS cents
+          |FROM merged""".stripMargin,
+      "q_shuffle_order" ->
+        """SELECT doc_id, md5('42:' || CAST(doc_id AS VARCHAR)) AS h
+          |FROM documents ORDER BY h, doc_id LIMIT 20""".stripMargin,
+      "q_eval_auc" ->
+        """WITH scored AS (
+          |  SELECT round(((doc_id * 1103515245 + 12345) % 1000000)
+          |           / 1000000.0
+          |           + CASE WHEN doc_id % 3 = 0 THEN 0.4 ELSE 0.0 END, 6) AS s,
+          |         doc_id % 3 = 0 AS y
+          |  FROM documents),
+          |per AS (SELECT s, CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS p,
+          |               CAST(count(*) AS BIGINT) AS t
+          |        FROM scored GROUP BY s),
+          |cum AS (SELECT p, t,
+          |          coalesce(sum(t) OVER (ORDER BY s
+          |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c
+          |        FROM per),
+          |tot AS (SELECT CAST(sum(p) AS BIGINT) AS n_pos,
+          |               CAST(sum(t - p) AS BIGINT) AS n_neg,
+          |               CAST(sum(p * (2 * c + t + 1)) AS BIGINT) AS rank2_sum
+          |        FROM cum)
+          |SELECT n_pos, n_neg, rank2_sum,
+          |       CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+          |         CAST(rank2_sum - n_pos * (n_pos + 1) AS DOUBLE)
+          |           / CAST(2 * n_pos * n_neg AS DOUBLE)
+          |       END AS auc
+          |FROM tot""".stripMargin,
+      "q_eval_confusion" ->
+        """WITH scored AS (
+          |  SELECT ((doc_id * 1103515245 + 12345) % 1000000) / 1000000.0
+          |           + CASE WHEN doc_id % 3 = 0 THEN 0.4 ELSE 0.0 END AS s,
+          |         doc_id % 3 = 0 AS y
+          |  FROM documents),
+          |c AS (SELECT
+          |  CAST(sum(CASE WHEN s >= 0.7 AND y THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+          |  CAST(sum(CASE WHEN s >= 0.7 AND NOT y THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+          |  CAST(sum(CASE WHEN s < 0.7 AND NOT y THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+          |  CAST(sum(CASE WHEN s < 0.7 AND y THEN 1 ELSE 0 END) AS BIGINT) AS fn
+          |  FROM scored),
+          |d AS (SELECT *,
+          |  CASE WHEN tp + fp > 0
+          |       THEN CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END AS precision,
+          |  CASE WHEN tp + fn > 0
+          |       THEN CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END AS recall
+          |  FROM c)
+          |SELECT tp, fp, tn, fn, precision, recall,
+          |       CASE WHEN precision IS NOT NULL AND recall IS NOT NULL
+          |                 AND precision + recall > 0
+          |            THEN 2.0 * precision * recall / (precision + recall)
+          |       END AS f1
+          |FROM d""".stripMargin,
+      "q_eval_calibration" ->
+        """WITH scored AS (
+          |  SELECT round(((doc_id * 1103515245 + 12345) % 1000000)
+          |           / 1000000.0
+          |           + CASE WHEN doc_id % 3 = 0 THEN 0.4 ELSE 0.0 END, 6) AS s,
+          |         doc_id % 3 = 0 AS y
+          |  FROM documents)
+          |SELECT CAST(least(greatest(floor(s * 10), 0), 9) AS INT) AS bin,
+          |       count(*) AS n,
+          |       CAST(sum(CAST(round(s * 1000000) AS BIGINT)) AS DOUBLE)
+          |         / CAST(count(*) * 1000000 AS DOUBLE) AS mean_score,
+          |       CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS DOUBLE)
+          |         / CAST(count(*) AS DOUBLE) AS pos_rate
+          |FROM scored GROUP BY 1 ORDER BY bin""".stripMargin)
   }
 }

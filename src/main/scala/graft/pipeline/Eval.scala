@@ -1,0 +1,176 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{functions => F}
+
+/**
+ * Classifier-quality metrics over corpus-scale score columns — the
+ * evaluation side of [[QualityClassifier]] / [[Dsir]]: once a filter
+ * model scores a corpus, AUC and operating-point metrics decide the
+ * keep threshold.
+ *
+ * Scale shape: every metric here reduces the corpus to ONE row per
+ * distinct score value first (a hash aggregate with map-side partial
+ * combine), and only then runs the cumulative pass over that small
+ * per-score table. Raw float scores would make "per distinct value" as
+ * large as the corpus, so scores are rounded to `roundTo` decimal
+ * places on the way in (default 6 — at most 2e6 distinct values for a
+ * [0,1] score, a single-task window input by construction). All
+ * rank/count arithmetic stays in BIGINT until the final division, so
+ * results are exact and identical in any execution order and on any
+ * engine.
+ */
+object Eval {
+
+  private def quantize(score: Column, roundTo: Int): Column =
+    if (roundTo < 0) score.cast("double") else F.round(score.cast("double"), roundTo)
+
+  /**
+   * Exact tie-aware ROC AUC via the grouped Mann-Whitney rank-sum.
+   *
+   * With rows grouped by score value — `t` rows of which `p` are
+   * positive, `c` rows strictly below — every member of the group has
+   * average 1-based rank `c + (t+1)/2`. Doubling keeps it integral:
+   * the positives of the group contribute `p * (2c + t + 1)` to twice
+   * the positive rank-sum `2R`, and
+   *
+   *   AUC = (2R - nPos*(nPos+1)) / (2 * nPos * nNeg)
+   *
+   * which equals the usual tie-corrected probability
+   * P(score+ > score-) + P(tie)/2. Numerator and denominator are
+   * BIGINTs, so the one double division at the end is bit-identical
+   * across engines and partition layouts.
+   *
+   * Returns one row: (n_pos, n_neg, rank2_sum, auc). NULL labels and
+   * NULL scores are excluded; auc is NULL when either class is empty.
+   */
+  def binaryAuc(
+      df: DataFrame,
+      score: Column,
+      label: Column,
+      roundTo: Int = 6): DataFrame = {
+    val perScore = df
+      .filter(score.isNotNull && label.isNotNull)
+      .groupBy(quantize(score, roundTo).as("__s"))
+      .agg(F.sum(F.when(label.cast("boolean"), 1L).otherwise(0L)).as("__p"),
+           F.count(F.lit(1)).as("__t"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(F.col("__s"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    perScore
+      .withColumn("__c", F.coalesce(F.sum(F.col("__t")).over(w), F.lit(0L)))
+      .agg(
+        F.sum(F.col("__p")).as("n_pos"),
+        F.sum(F.col("__t") - F.col("__p")).as("n_neg"),
+        F.sum(F.col("__p") * (F.lit(2L) * F.col("__c") + F.col("__t") + F.lit(1L)))
+          .as("rank2_sum"))
+      .select(
+        F.col("n_pos"), F.col("n_neg"), F.col("rank2_sum"),
+        F.when(F.col("n_pos") > 0L && F.col("n_neg") > 0L,
+            (F.col("rank2_sum") - F.col("n_pos") * (F.col("n_pos") + F.lit(1L)))
+              .cast("double") /
+            (F.lit(2L) * F.col("n_pos") * F.col("n_neg")).cast("double"))
+          .as("auc"))
+  }
+
+  /**
+   * ROC curve points, one per distinct (rounded) score value: scanning
+   * thresholds from high to low, a row's (tp, fp) count the rows with
+   * score >= its threshold. `tpr`/`fpr` are exact integer ratios cast
+   * at the end. The full curve is as many rows as distinct scores —
+   * round harder (or bucket upstream) if that must stay small.
+   */
+  def rocPoints(
+      df: DataFrame,
+      score: Column,
+      label: Column,
+      roundTo: Int = 3): DataFrame = {
+    val perScore = df
+      .filter(score.isNotNull && label.isNotNull)
+      .groupBy(quantize(score, roundTo).as("threshold"))
+      .agg(F.sum(F.when(label.cast("boolean"), 1L).otherwise(0L)).as("__p"),
+           F.count(F.lit(1)).as("__t"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(F.col("threshold").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    perScore
+      .withColumn("tp", F.sum(F.col("__p")).over(w))
+      .withColumn("fp", F.sum(F.col("__t") - F.col("__p")).over(w))
+      .withColumn("__npos", F.sum(F.col("__p")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .withColumn("__nneg", F.sum(F.col("__t") - F.col("__p")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .select(
+        F.col("threshold"), F.col("tp"), F.col("fp"),
+        F.when(F.col("__npos") > 0L,
+          F.col("tp").cast("double") / F.col("__npos").cast("double")).as("tpr"),
+        F.when(F.col("__nneg") > 0L,
+          F.col("fp").cast("double") / F.col("__nneg").cast("double")).as("fpr"))
+  }
+
+  /**
+   * Confusion counts and derived metrics at one threshold
+   * (prediction = score >= threshold). One corpus aggregate, integer
+   * counts, exact divisions; f1 is NULL when precision+recall is 0.
+   */
+  def confusionAt(
+      df: DataFrame,
+      score: Column,
+      label: Column,
+      threshold: Double): DataFrame = {
+    val pred = score.cast("double") >= threshold
+    val pos = label.cast("boolean")
+    df.filter(score.isNotNull && label.isNotNull)
+      .agg(
+        F.sum(F.when(pred && pos, 1L).otherwise(0L)).as("tp"),
+        F.sum(F.when(pred && !pos, 1L).otherwise(0L)).as("fp"),
+        F.sum(F.when(!pred && !pos, 1L).otherwise(0L)).as("tn"),
+        F.sum(F.when(!pred && pos, 1L).otherwise(0L)).as("fn"))
+      .select(
+        F.col("tp"), F.col("fp"), F.col("tn"), F.col("fn"),
+        F.when(F.col("tp") + F.col("fp") > 0L,
+          F.col("tp").cast("double") / (F.col("tp") + F.col("fp")).cast("double"))
+          .as("precision"),
+        F.when(F.col("tp") + F.col("fn") > 0L,
+          F.col("tp").cast("double") / (F.col("tp") + F.col("fn")).cast("double"))
+          .as("recall"))
+      .withColumn("f1",
+        F.when(F.col("precision").isNotNull && F.col("recall").isNotNull &&
+               (F.col("precision") + F.col("recall")) > 0.0,
+          F.lit(2.0) * F.col("precision") * F.col("recall") /
+            (F.col("precision") + F.col("recall"))))
+  }
+
+  /**
+   * Calibration table: bucket scores into `bins` equal-width bins over
+   * [0, 1] and report per-bin count, mean predicted score, and
+   * positive rate. Mean and rate are sums-of-integers divided at the
+   * end when the score is itself quantized — here the score mean uses
+   * the ROUNDED score (roundTo decimals) scaled to a long, so the
+   * per-bin mean is exact and order-independent too.
+   */
+  def calibrationBins(
+      df: DataFrame,
+      score: Column,
+      label: Column,
+      bins: Int = 10,
+      roundTo: Int = 6): DataFrame = {
+    require(bins > 0, s"bins must be positive, got $bins")
+    val scale = math.pow(10.0, roundTo).toLong
+    val s = quantize(score, roundTo)
+    val bin = F.least(F.greatest(F.floor(s * bins).cast("int"), F.lit(0)),
+      F.lit(bins - 1))
+    df.filter(score.isNotNull && label.isNotNull)
+      .groupBy(bin.as("bin"))
+      .agg(
+        F.count(F.lit(1)).as("n"),
+        F.sum(F.round(s * scale, 0).cast("long")).as("__ssum"),
+        F.sum(F.when(label.cast("boolean"), 1L).otherwise(0L)).as("__pos"))
+      .select(
+        F.col("bin"), F.col("n"),
+        (F.col("__ssum").cast("double") / (F.col("n") * scale).cast("double"))
+          .as("mean_score"),
+        (F.col("__pos").cast("double") / F.col("n").cast("double"))
+          .as("pos_rate"))
+  }
+}

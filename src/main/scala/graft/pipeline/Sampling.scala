@@ -329,6 +329,28 @@ object Sampling {
   }
 
   /**
+   * Stable pseudorandom sort key for training-order shuffling:
+   * md5("<seed>:<key>"). Changing the seed gives an independent
+   * permutation; the same seed reproduces the exact order on any
+   * cluster size or engine (DuckDB: md5(seed || ':' || key)).
+   */
+  def shuffleKey(key: Column, seed: Long): Column =
+    F.md5(F.concat_ws(":", F.lit(seed.toString), key.cast("string")))
+
+  /**
+   * Deterministic global shuffle — the training-order randomization
+   * pass before sequence packing / sharded writes. `orderBy` on the
+   * hash key is a range exchange (sampled bounds) plus per-partition
+   * sort: the standard total-order shuffle write, one pass, no driver
+   * involvement. The hash key is uniform by construction, so the range
+   * partitions are balanced regardless of input skew. Callers that
+   * only need DECLUSTERING (not a reproducible total order) can
+   * `df.repartition(n, shuffleKey(key, seed))` and skip the sort.
+   */
+  def deterministicShuffle(df: DataFrame, key: Column, seed: Long): DataFrame =
+    df.orderBy(shuffleKey(key, seed), key)
+
+  /**
    * Stratified deterministic sample: per-stratum fractions, with
    * `defaultFraction` for strata not in the map. Same md5 predicate,
    * just a per-stratum threshold — still shuffle-free.

@@ -1,0 +1,89 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{functions => F}
+
+/**
+ * Snapshot maintenance for continuously re-ingested corpora: a crawl
+ * that re-fetches pages, a feed that re-delivers records, a CDC tail
+ * of row-level upserts. The core operation is "latest version wins,
+ * per key" — and the scale shape here is deliberately DIFFERENT from
+ * [[Dedup.keepCanonical]]'s ranked window:
+ *
+ *   - `keepCanonical` shuffles EVERY row to its key's partition and
+ *     sorts there (row_number). Right when the caller needs runners-up
+ *     or an arbitrary multi-column preference order.
+ *   - `latestByKey` is a `max_by(struct(row), struct(version, tie))`
+ *     aggregate: a declarative aggregate with a partial-merge phase
+ *     (planned as a SortAggregate for the struct-typed buffer), so
+ *     each map task reduces its local duplicates BEFORE the
+ *     exchange. On a snapshot+delta merge — billions of keys, a
+ *     handful of versions each, duplicates concentrated in the delta —
+ *     map-side combine ships one row per (task, key) instead of every
+ *     version, and no per-partition sort ever happens.
+ *
+ * Determinism contract: `(version, tiebreak)` must be unique per key
+ * (pass a unique id as the tiebreak); `max_by` on the packed struct
+ * then has a single maximum, identical in any execution order.
+ */
+object Snapshot {
+
+  /**
+   * One surviving row per key: the row whose `(version, tiebreak)`
+   * struct is the maximum. Input columns pass through unchanged (the
+   * whole row rides inside the max_by payload struct).
+   */
+  def latestByKey(
+      df: DataFrame,
+      key: Column,
+      version: Column,
+      tiebreak: Column): DataFrame = {
+    val cols = df.columns.map(F.col)
+    df.groupBy(key.as("__k"))
+      .agg(F.max_by(F.struct(cols: _*), F.struct(version, tiebreak)).as("__row"))
+      .select(F.col("__row.*"))
+  }
+
+  /**
+   * Upsert a delta batch into a base snapshot: rows in `updates`
+   * replace base rows with the same key when their version is newer;
+   * equal versions resolve to the UPDATE side (the usual CDC
+   * convention — a re-delivered record with the same version is the
+   * correction). Ties are broken by a synthetic source-priority column
+   * inside the version struct, so the caller's own tiebreak only
+   * orders within one side.
+   *
+   * Both inputs must share a schema (`unionByName`); the output is the
+   * merged snapshot with the same schema.
+   */
+  def mergeSnapshot(
+      base: DataFrame,
+      updates: DataFrame,
+      key: Column,
+      version: Column,
+      tiebreak: Column): DataFrame = {
+    val pri = "__src_priority"
+    val tagged = base.withColumn(pri, F.lit(0))
+      .unionByName(updates.withColumn(pri, F.lit(1)))
+    latestByKey(tagged, key, F.struct(version, F.col(pri)), tiebreak)
+      .drop(pri)
+  }
+
+  /**
+   * Upsert with deletions: rows whose `deleted` flag is true act as
+   * tombstones — they win the per-key version race like any other
+   * update, then the key is dropped from the merged snapshot. The
+   * output never contains the tombstone column's true rows, so
+   * repeated merges are idempotent as long as tombstones keep being
+   * re-delivered or the base has already forgotten the key.
+   */
+  def mergeSnapshotWithDeletes(
+      base: DataFrame,
+      updates: DataFrame,
+      key: Column,
+      version: Column,
+      tiebreak: Column,
+      deleted: Column): DataFrame =
+    mergeSnapshot(base, updates, key, version, tiebreak)
+      .filter(deleted.isNull || !deleted)
+}

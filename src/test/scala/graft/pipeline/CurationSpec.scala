@@ -6,6 +6,30 @@ import org.apache.spark.sql.{functions => F}
 class CurationSpec extends SparkTestBase {
   import spark.implicits._
 
+  // ------------------------------------------- deterministic shuffle
+
+  test("deterministicShuffle: stable permutation, seed-sensitive, balanced ranges") {
+    val df = spark.range(5000).toDF("id")
+    val once = Sampling.deterministicShuffle(df, F.col("id"), 42L)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    val again = Sampling.deterministicShuffle(df, F.col("id"), 42L)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(once == again)
+    assert(once.sorted == (0L until 5000L))          // a permutation
+    assert(once != (0L until 5000L))                 // actually shuffled
+    val other = Sampling.deterministicShuffle(df, F.col("id"), 43L)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(other != once)                            // seed matters
+  }
+
+  test("deterministicShuffle plans a range exchange + sort, no single-partition funnel") {
+    val df = spark.range(10000).toDF("id")
+    val plan = Sampling.deterministicShuffle(df, F.col("id"), 7L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning"), plan)
+    assert(!plan.contains("SinglePartition"), plan)
+  }
+
   // ------------------------------------------------------- hash split
 
   test("splitByHash assigns every key to exactly one split, stable and exhaustive") {

@@ -1,0 +1,103 @@
+package graft.pipeline
+
+import graft.SparkTestBase
+import org.apache.spark.sql.{functions => F}
+
+class EvalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("binaryAuc matches the hand-computed tie-aware value") {
+    val df = Seq(
+      (0.9, true), (0.8, false), (0.8, true), (0.5, false),
+      (0.5, true), (0.5, false), (0.1, false)
+    ).toDF("s", "y")
+    val r = Eval.binaryAuc(df, F.col("s"), F.col("y")).collect().head
+    assert(r.getLong(0) == 3L && r.getLong(1) == 4L)
+    // pairs: 9.5 of 12 -> 0.7916666...
+    assert(math.abs(r.getDouble(3) - 9.5 / 12.0) < 1e-12)
+  }
+
+  test("binaryAuc equals the brute-force pairwise probability") {
+    val df = (0 until 400).map { i =>
+      val y = i % 3 == 0
+      // integer arithmetic then ONE division, so decimal-equal scores are
+      // the same double in both classes (a two-step double sum can land
+      // 1 ulp apart and turn a true tie into a phantom win)
+      val s = (((i * 1103515245L + 12345L) % 1000L) + (if (y) 250L else 0L)) / 1000.0
+      (s, y)
+    }.toDF("s", "y")
+    val pos = df.filter($"y").select($"s".as("sp"))
+    val neg = df.filter(!$"y").select($"s".as("sn"))
+    val brute = pos.crossJoin(neg)
+      .agg((F.sum(F.when($"sp" > $"sn", 1.0).when($"sp" === $"sn", 0.5)
+        .otherwise(0.0)) / F.count(F.lit(1))).as("auc"))
+      .collect().head.getDouble(0)
+    val got = Eval.binaryAuc(df, $"s", $"y").collect().head.getDouble(3)
+    assert(math.abs(got - brute) < 1e-12, s"$got vs $brute")
+  }
+
+  test("binaryAuc: perfect separation is 1.0, inverted is 0.0, degenerate is NULL") {
+    val perfect = Seq((0.9, true), (0.8, true), (0.2, false)).toDF("s", "y")
+    assert(Eval.binaryAuc(perfect, $"s", $"y").collect().head.getDouble(3) == 1.0)
+    val inverted = Seq((0.1, true), (0.8, false)).toDF("s", "y")
+    assert(Eval.binaryAuc(inverted, $"s", $"y").collect().head.getDouble(3) == 0.0)
+    val onlyPos = Seq((0.5, true)).toDF("s", "y")
+    assert(Eval.binaryAuc(onlyPos, $"s", $"y").collect().head.isNullAt(3))
+  }
+
+  test("binaryAuc excludes NULL scores and labels") {
+    val df = Seq[(Option[Double], Option[Boolean])](
+      (Some(0.9), Some(true)), (Some(0.1), Some(false)),
+      (None, Some(true)), (Some(0.99), None)
+    ).toDF("s", "y")
+    val r = Eval.binaryAuc(df, $"s", $"y").collect().head
+    assert(r.getLong(0) == 1L && r.getLong(1) == 1L && r.getDouble(3) == 1.0)
+  }
+
+  test("rocPoints: cumulative counts high-to-low with exact endpoints") {
+    val df = Seq(
+      (0.9, true), (0.7, false), (0.7, true), (0.3, false)
+    ).toDF("s", "y")
+    val pts = Eval.rocPoints(df, $"s", $"y").orderBy($"threshold".desc).collect()
+    assert(pts.length == 3)
+    assert(pts(0).getLong(1) == 1L && pts(0).getLong(2) == 0L) // >= 0.9
+    assert(pts(1).getLong(1) == 2L && pts(1).getLong(2) == 1L) // >= 0.7
+    assert(pts(2).getLong(1) == 2L && pts(2).getLong(2) == 2L) // >= 0.3
+    assert(pts(2).getDouble(3) == 1.0 && pts(2).getDouble(4) == 1.0)
+  }
+
+  test("confusionAt computes exact counts and derived metrics") {
+    val df = Seq(
+      (0.9, true), (0.8, false), (0.4, true), (0.2, false), (0.6, true)
+    ).toDF("s", "y")
+    val r = Eval.confusionAt(df, $"s", $"y", 0.5).collect().head
+    // pred>=0.5: 0.9T 0.8F 0.6T -> tp=2 fp=1; below: 0.4T fn=1, 0.2F tn=1
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) == ((2L, 1L, 1L, 1L)))
+    assert(math.abs(r.getDouble(4) - 2.0 / 3.0) < 1e-15)
+    assert(math.abs(r.getDouble(5) - 2.0 / 3.0) < 1e-15)
+    assert(math.abs(r.getDouble(6) - 2.0 / 3.0) < 1e-15) // f1 of equal p,r
+  }
+
+  test("calibrationBins: per-bin exact means and rates; edge scores clamp") {
+    val df = Seq(
+      (0.05, false), (0.15, true), (0.15, false), (1.0, true), (-0.2, false)
+    ).toDF("s", "y")
+    val bins = Eval.calibrationBins(df, $"s", $"y", bins = 10)
+      .orderBy("bin").collect()
+    assert(bins.map(_.getInt(0)).toSeq == Seq(0, 1, 9))
+    val b0 = bins(0) // scores 0.05 and clamped -0.2
+    assert(b0.getLong(1) == 2L)
+    val b1 = bins(1)
+    assert(b1.getLong(1) == 2L && math.abs(b1.getDouble(2) - 0.15) < 1e-12
+      && b1.getDouble(3) == 0.5)
+    assert(bins(2).getDouble(3) == 1.0)
+  }
+
+  test("metrics reduce per-score before the cumulative pass (one small window input)") {
+    val df = (0 until 1000).map(i => ((i % 7) / 10.0, i % 2 == 0)).toDF("s", "y")
+    val plan = Eval.binaryAuc(df, $"s", $"y").queryExecution.executedPlan.toString
+    // the window runs over the 7-row per-score table; aggregation below it
+    assert(plan.contains("Window"))
+    assert("(?i)hashaggregate".r.findAllIn(plan).size >= 2, plan)
+  }
+}

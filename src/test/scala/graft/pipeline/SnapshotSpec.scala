@@ -1,0 +1,79 @@
+package graft.pipeline
+
+import graft.SparkTestBase
+import org.apache.spark.sql.{functions => F}
+
+class SnapshotSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def row(k: Long, v: Long, tb: Long, payload: String) = (k, v, tb, payload)
+
+  test("latestByKey keeps exactly the max (version, tiebreak) row per key") {
+    val df = Seq(
+      row(1L, 10L, 1L, "old"), row(1L, 20L, 2L, "new"),
+      row(2L, 5L, 1L, "only"),
+      row(3L, 7L, 1L, "a"), row(3L, 7L, 2L, "b") // version tie -> tiebreak
+    ).toDF("k", "v", "tb", "payload")
+    val out = Snapshot.latestByKey(df, F.col("k"), F.col("v"), F.col("tb"))
+      .orderBy("k").collect()
+    assert(out.map(_.getString(3)).toSeq == Seq("new", "only", "b"))
+    assert(out.map(_.getLong(1)).toSeq == Seq(20L, 5L, 7L))
+    // schema passes through unchanged
+    assert(out.head.schema.fieldNames.toSeq == Seq("k", "v", "tb", "payload"))
+  }
+
+  test("latestByKey is a two-phase aggregate (map-side partial), not a window sort") {
+    val df = Seq(row(1L, 1L, 1L, "x"), row(1L, 2L, 2L, "y")).toDF("k", "v", "tb", "p")
+    val plan = Snapshot.latestByKey(df, F.col("k"), F.col("v"), F.col("tb"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"expected no window operator:\n$plan")
+    // partial max_by below the exchange: local duplicates reduce before shuffle
+    assert(plan.contains("partial_max_by"), plan)
+    assert(plan.contains("Exchange hashpartitioning"), plan)
+  }
+
+  test("mergeSnapshot: newer update wins, older update loses, same-version update wins") {
+    val base = Seq(
+      row(1L, 10L, 1L, "base1"), row(2L, 10L, 2L, "base2"),
+      row(3L, 10L, 3L, "base3")).toDF("k", "v", "tb", "payload")
+    val updates = Seq(
+      row(1L, 20L, 9L, "upd1"),   // newer -> wins
+      row(2L, 5L, 9L, "stale2"),  // older -> loses
+      row(3L, 10L, 9L, "corr3"),  // same version -> update side wins
+      row(4L, 1L, 9L, "new4")     // new key -> inserted
+    ).toDF("k", "v", "tb", "payload")
+    val out = Snapshot.mergeSnapshot(base, updates,
+        F.col("k"), F.col("v"), F.col("tb"))
+      .orderBy("k").collect()
+    assert(out.map(_.getString(3)).toSeq == Seq("upd1", "base2", "corr3", "new4"))
+    assert(out.head.schema.fieldNames.toSeq == Seq("k", "v", "tb", "payload"))
+  }
+
+  test("mergeSnapshotWithDeletes drops tombstoned keys and keeps null flags") {
+    val base = Seq(
+      (1L, 10L, 1L, "keep", false),
+      (2L, 10L, 1L, "dead", false),
+      (3L, 10L, 1L, "nullflag", false)).toDF("k", "v", "tb", "payload", "del")
+    val updates = Seq(
+      (2L, 20L, 9L, "tomb", true)).toDF("k", "v", "tb", "payload", "del")
+    val out = Snapshot.mergeSnapshotWithDeletes(base, updates,
+        F.col("k"), F.col("v"), F.col("tb"), F.col("del"))
+      .orderBy("k").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 3L))
+  }
+
+  test("merge is idempotent: re-merging the same delta changes nothing") {
+    val base = sf("sf0.001", "orders")
+    val delta = base.filter(F.col("o_orderkey") % 5 === 0)
+      .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+      .withColumn("o_orderdate",
+        F.col("o_orderdate") + F.expr("INTERVAL 1000 DAYS"))
+    def merge(b: org.apache.spark.sql.DataFrame) =
+      Snapshot.mergeSnapshot(b, delta,
+        F.col("o_orderkey"), F.col("o_orderdate"), F.col("o_orderkey"))
+    val once = merge(base)
+    val twice = merge(once)
+    assert(once.count() == base.count())
+    assert(twice.exceptAll(once).isEmpty && once.exceptAll(twice).isEmpty)
+  }
+}
