@@ -2683,6 +2683,93 @@ object SparkEntry {
         (id % 3 === 0).as("y"))
       graft.pipeline.Eval.calibrationBins(scored, F.col("s"), F.col("y"), 10)
         .orderBy("bin")
+    }),
+
+    // embedding normalization + matryoshka truncation: unit-norm and
+    // prefix-renormalization invariants as in-Spark booleans (float
+    // math never hash-matches an oracle; the exact side is the same
+    // Spark arithmetic, the oracle pins true)
+    "q_embed_normalize" -> ((s: SparkSession, dir: String) => {
+      val emb = t(s, dir, "embeddings")
+      val e = graft.pipeline.Embeddings
+      val norm2 = (v: org.apache.spark.sql.Column) => F.aggregate(
+        v, F.lit(0.0), (acc, x) => acc + x * x)
+      emb.select(
+          norm2(e.l2Normalize(F.col("embedding"))).as("n2"),
+          norm2(e.truncateNormalize(F.col("embedding"), 32)).as("t2"),
+          F.size(e.truncateNormalize(F.col("embedding"), 32)).as("tlen"))
+        .agg(
+          F.count(F.lit(1)).as("n"),
+          F.min(F.abs(F.col("n2") - 1.0) < 1e-9).as("all_unit"),
+          F.min(F.abs(F.col("t2") - 1.0) < 1e-9).as("trunc_unit"),
+          F.min(F.col("tlen") === 32).as("trunc_len_ok"))
+    }),
+
+    // int8 storage quantization: per-element reconstruction error is
+    // bounded by scale/2 and the code range by construction; cosine
+    // of (dequantized, original) stays >= 0.999 on every vector
+    "q_embed_int8" -> ((s: SparkSession, dir: String) => {
+      val e = graft.pipeline.Embeddings
+      val emb = t(s, dir, "embeddings")
+        .select(F.col("vec_id"), F.col("embedding"),
+          e.quantizeInt8(F.col("embedding")).as("q"))
+      val deq = e.dequantInt8(F.col("q"))
+      val dot = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+        F.aggregate(F.zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+          F.lit(0.0), (acc, x) => acc + x)
+      emb.select(
+          F.col("q.scale").as("scale"),
+          F.aggregate(F.zip_with(deq, F.col("embedding"),
+              (d, o) => F.abs(d - o.cast("double"))),
+            F.lit(0.0), (acc, x) => F.greatest(acc, x)).as("max_err"),
+          F.aggregate(F.col("q.codes"), F.lit(0),
+            (acc, c) => F.greatest(acc, F.abs(c.cast("int")))).as("max_code"),
+          (dot(deq, F.col("embedding")) /
+            (F.sqrt(dot(deq, deq)) * F.sqrt(dot(F.col("embedding"),
+              F.col("embedding"))))).as("cos"))
+        .agg(
+          F.count(F.lit(1)).as("n"),
+          F.min(F.col("max_err") <= F.col("scale") / 2 + 1e-12).as("err_bounded"),
+          F.min(F.col("max_code") <= 127).as("codes_in_range"),
+          F.min(F.col("cos") >= 0.999).as("cos_ok"))
+    }),
+
+    // one-pass distributed PCA (d²-wide vec_sum aggregate + driver
+    // Jacobi): basis orthonormality and the spectrum checked driver-
+    // side; the projected per-component variance re-measured
+    // DISTRIBUTED and pinned against the eigenvalues
+    "q_embed_pca" -> ((s: SparkSession, dir: String) => {
+      val e = graft.pipeline.Embeddings
+      val emb = t(s, dir, "embeddings")
+      val model = e.fitPca(emb, F.col("embedding"), 8)
+      val orthonormal = (for {
+        i <- 0 until model.k; j <- i until model.k
+      } yield {
+        val d = model.components(i).zip(model.components(j))
+          .map(t => t._1 * t._2).sum
+        math.abs(d - (if (i == j) 1.0 else 0.0)) < 1e-8
+      }).forall(identity)
+      val evalsDesc = model.eigenvalues.toSeq ==
+        model.eigenvalues.sorted(Ordering[Double].reverse).toSeq
+      val evLit = F.typedlit(model.eigenvalues.toSeq)
+      val proj = emb.select(e.pcaProject(F.col("embedding"), model).as("p"))
+      proj
+        .select(F.posexplode(F.col("p")).as(Seq("j", "x")))
+        .groupBy(F.col("j"))
+        .agg(F.count(F.lit(1)).as("nj"), F.sum(F.col("x")).as("sx"),
+          F.sum(F.col("x") * F.col("x")).as("sxx"))
+        .select(F.col("j"),
+          ((F.col("sxx") / F.col("nj")) -
+            (F.col("sx") / F.col("nj")) * (F.col("sx") / F.col("nj")))
+            .as("vj"),
+          F.element_at(evLit, F.col("j") + 1).as("ev"))
+        .agg(
+          F.count(F.lit(1)).cast("int").as("n_components"),
+          F.min(F.abs(F.col("vj") - F.col("ev")) <=
+            F.lit(1e-6) * F.greatest(F.col("ev"), F.lit(1.0))).as("var_matches"),
+          F.lit(model.dim).cast("int").as("dim"),
+          F.lit(orthonormal).as("orthonormal"),
+          F.lit(evalsDesc).as("evals_desc"))
     })
   )
 
@@ -4262,6 +4349,18 @@ object SparkEntry {
           |         / CAST(count(*) * 1000000 AS DOUBLE) AS mean_score,
           |       CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS DOUBLE)
           |         / CAST(count(*) AS DOUBLE) AS pos_rate
-          |FROM scored GROUP BY 1 ORDER BY bin""".stripMargin)
+          |FROM scored GROUP BY 1 ORDER BY bin""".stripMargin,
+      "q_embed_normalize" ->
+        """SELECT count(*) AS n, true AS all_unit, true AS trunc_unit,
+          |       true AS trunc_len_ok
+          |FROM embeddings""".stripMargin,
+      "q_embed_int8" ->
+        """SELECT count(*) AS n, true AS err_bounded, true AS codes_in_range,
+          |       true AS cos_ok
+          |FROM embeddings""".stripMargin,
+      "q_embed_pca" ->
+        """SELECT CAST(8 AS INT) AS n_components, true AS var_matches,
+          |       CAST(64 AS INT) AS dim, true AS orthonormal,
+          |       true AS evals_desc""".stripMargin)
   }
 }
