@@ -2770,6 +2770,36 @@ object SparkEntry {
           F.lit(model.dim).cast("int").as("dim"),
           F.lit(orthonormal).as("orthonormal"),
           F.lit(evalsDesc).as("evals_desc"))
+    }),
+
+    // Arrow IPC egress + re-ingest: corpus rows (with a token list and
+    // a float score) ride Feather v2 shards through a tmp dir and
+    // back; doubles/floats round-trip EXACTLY in arrow (unlike the
+    // Example proto's f32 squeeze), pinned by an equality boolean
+    "q_arrow" -> ((s: SparkSession, dir: String) => {
+      val base = System.getProperty("java.io.tmpdir") + "/graft_q_arrow"
+      val docs = t(s, dir, "documents").select(
+        F.col("doc_id"), F.col("lang"), F.col("text"),
+        ((F.col("doc_id") % 97).cast("double") / 7.0).as("score"),
+        F.split(F.col("text"), "\\s+").as("toks"))
+      graft.sources.ArrowIpc.write(docs.repartition(4), base)
+      val schema = new org.apache.spark.sql.types.StructType()
+        .add("doc_id", org.apache.spark.sql.types.LongType)
+        .add("lang", org.apache.spark.sql.types.StringType)
+        .add("text", org.apache.spark.sql.types.StringType)
+        .add("score", org.apache.spark.sql.types.DoubleType)
+        .add("toks", org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StringType))
+      val orig = docs.select(F.col("doc_id").as("o_id"),
+        F.col("score").as("o_score"))
+      graft.sources.ArrowIpc.read(s, base, schema)
+        .join(orig, F.col("doc_id") === F.col("o_id"))
+        .agg(F.count(F.lit(1)).as("n_rows"),
+          F.sum(F.col("doc_id")).as("id_sum"),
+          F.sum(F.length(F.col("text"))).as("chars"),
+          F.count_distinct(F.col("lang")).as("langs"),
+          F.sum(F.size(F.col("toks"))).as("tok_n"),
+          F.min(F.col("score") === F.col("o_score")).as("score_exact"))
     })
   )
 
@@ -4361,6 +4391,14 @@ object SparkEntry {
       "q_embed_pca" ->
         """SELECT CAST(8 AS INT) AS n_components, true AS var_matches,
           |       CAST(64 AS INT) AS dim, true AS orthonormal,
-          |       true AS evals_desc""".stripMargin)
+          |       true AS evals_desc""".stripMargin,
+      "q_arrow" ->
+        """SELECT count(*) AS n_rows, CAST(sum(doc_id) AS BIGINT) AS id_sum,
+          |       CAST(sum(length(text)) AS BIGINT) AS chars,
+          |       CAST(count(DISTINCT lang) AS BIGINT) AS langs,
+          |       CAST(sum(len(string_split_regex(text, '\s+'))) AS BIGINT)
+          |         AS tok_n,
+          |       true AS score_exact
+          |FROM documents""".stripMargin)
   }
 }
