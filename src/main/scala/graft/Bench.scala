@@ -662,6 +662,45 @@ object Bench {
           org.apache.spark.sql.types.StringType))
       graft.sources.TfRecord.read(s, base, schema)
         .agg(F.count(F.lit(1)).as("n"), F.sum(F.size(F.col("toks"))).as("toks"))
+    }),
+
+    // counter rate with reset detection: per-user hourly increase/rate
+    // (one window + one reused-partitioning rollup)
+    "b_ts_rate" -> ((s: SparkSession, dir: String) => {
+      val ser = t(s, dir, "events")
+        .groupBy(F.col("user_id"), F.unix_millis(F.col("ts")).as("ms"))
+        .agg(F.max(F.col("value")).as("v"))
+      graft.operators.TimeSeries
+        .counterRate(ser, Seq("user_id"), "ms", "v", 3600000L)
+        .groupBy(F.col("bucket_ms"))
+        .agg(F.count(F.lit(1)).as("series"), F.sum(F.col("increase")).as("inc"))
+    }),
+
+    // gap-fill + linear interpolation of per-user hourly series
+    "b_ts_gapfill" -> ((s: SparkSession, dir: String) => {
+      val ms = F.unix_millis(F.col("ts"))
+      val hr = t(s, dir, "events")
+        .groupBy(F.col("user_id"), (ms - F.pmod(ms, F.lit(3600000L))).as("ms"))
+        .agg(F.max(F.col("value")).as("v"))
+      graft.operators.TimeSeries
+        .gapFill(hr, Seq("user_id"), "ms", "v", 3600000L)
+        .groupBy(F.col("was_observed"))
+        .agg(F.count(F.lit(1)).as("cnt"), F.sum(F.col("filled")).as("sum"))
+    }),
+
+    // SFT chat prep: synthesize turns, validate, render, mask spans —
+    // one map-only pass over the whole corpus
+    "b_sft_mask" -> ((s: SparkSession, dir: String) => {
+      t(s, dir, "documents")
+        .select(F.col("doc_id"),
+          graft.pipeline.Sft.conversationsFromText(F.col("text"), 3).as("turns"))
+        .select(
+          graft.pipeline.Sft.validateTurns(F.col("turns")).as("v"),
+          graft.pipeline.Sft.maskStats(F.col("turns")).as("m"))
+        .agg(F.count(F.lit(1)).as("docs"),
+          F.sum(F.when(F.col("v.valid"), 1L).otherwise(0L)).as("valid"),
+          F.sum(F.col("m.masked_chars")).as("masked"),
+          F.sum(F.col("m.rendered_chars")).as("rendered"))
     })
   )
 

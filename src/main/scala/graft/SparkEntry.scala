@@ -2800,6 +2800,129 @@ object SparkEntry {
           F.count_distinct(F.col("lang")).as("langs"),
           F.sum(F.size(F.col("toks"))).as("tok_n"),
           F.min(F.col("score") === F.col("o_score")).as("score_exact"))
+    }),
+
+    // PromQL-style counter rollup: per-user hourly increase with reset
+    // detection (value < previous => the whole new value is growth),
+    // summarized per bucket; the (user_id, ms) pre-aggregation makes
+    // the within-key order unique so both engines see the same series
+    "q_ts_rate" -> ((s: SparkSession, dir: String) => {
+      val ser = t(s, dir, "events")
+        .groupBy(F.col("user_id"), F.unix_millis(F.col("ts")).as("ms"))
+        .agg(F.max(F.col("value")).as("v"))
+      graft.operators.TimeSeries
+        .counterRate(ser, Seq("user_id"), "ms", "v", bucketMillis = 3600000L)
+        .groupBy(F.col("bucket_ms"))
+        .agg(F.count(F.lit(1)).as("series"),
+          F.sum(F.col("samples")).as("samples"),
+          F.round(F.sum(F.col("increase")) * 100, 0).cast("long").as("cents"))
+        .orderBy("bucket_ms")
+    }),
+
+    // gap-fill: per-user hourly series regularized onto the hour grid
+    // with linear interpolation; interpolation is pure IEEE add/sub/
+    // mul/div so per-cell values are bit-identical cross-engine
+    "q_ts_gapfill" -> ((s: SparkSession, dir: String) => {
+      val ms = F.unix_millis(F.col("ts"))
+      val hr = t(s, dir, "events")
+        .groupBy(F.col("user_id"), (ms - F.pmod(ms, F.lit(3600000L))).as("ms"))
+        .agg(F.max(F.col("value")).as("v"))
+      graft.operators.TimeSeries
+        .gapFill(hr, Seq("user_id"), "ms", "v", stepMillis = 3600000L)
+        .groupBy(F.col("was_observed"))
+        .agg(F.count(F.lit(1)).as("cnt"),
+          F.round(F.sum(F.col("filled")) * 100, 0).cast("long").as("cents"))
+        .orderBy("was_observed")
+    }),
+
+    // bounded-window exponential smoothing: each user's last EWMA value
+    // (pandas ewm adjust=True over the trailing 16 samples)
+    "q_ts_ewma" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val ser = t(s, dir, "events")
+        .groupBy(F.col("user_id"), F.unix_millis(F.col("ts")).as("ms"))
+        .agg(F.max(F.col("value")).as("v"))
+      val ew = graft.operators.TimeSeries
+        .ewma(ser, Seq("user_id"), "ms", "v", alpha = 0.25, window = 16)
+      val w = Window.partitionBy(F.col("user_id")).orderBy(F.col("ms").desc)
+      ew.withColumn("__rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy(F.col("user_id"))))
+        .filter(F.col("__rn") === 1)
+        .select(F.col("user_id"), F.col("n"),
+          F.round(F.col("ewma"), 4).as("ewma_last"))
+        .orderBy("user_id")
+    }),
+
+    // retrieval evaluation: exact brute-force cosine top-10 for 32
+    // query vectors, relevance = same embedding label; per-query
+    // hits/precision/recall/RR are exact integer divisions, nDCG is
+    // the repo's 4-decimal cross-engine float form. Top-12 adjacent
+    // cosine gaps measured >= 1.9e-5 at sf0.01 (>= 5.5e-6 at sf0.001)
+    // before trusting exact rank stability, per the BM25 rule.
+    "q_rank_metrics" -> ((s: SparkSession, dir: String) => {
+      val emb = t(s, dir, "embeddings")
+      val lab = emb.select(F.col("vec_id"), F.col("label"))
+      val ranked = graft.pipeline.Similarity.bruteForceTopK(
+          emb, emb.filter(F.col("vec_id") < 32), "vec_id", "embedding", 10)
+        .join(lab.select(F.col("vec_id").as("query_id"), F.col("label").as("__ql")),
+          "query_id")
+        .join(lab.select(F.col("vec_id").as("neighbor_id"), F.col("label").as("__nl")),
+          "neighbor_id")
+        .withColumn("rel", F.col("__ql") === F.col("__nl"))
+      val totals = emb.filter(F.col("vec_id") < 32)
+        .select(F.col("vec_id").as("query_id"), F.col("label"))
+        .join(F.broadcast(emb.groupBy(F.col("label")).count()), "label")
+        .select(F.col("query_id"), (F.col("count") - 1).as("n_rel"))
+      graft.pipeline.Eval
+        .rankingMetrics(ranked, "query_id", "rank", "rel", totals, "n_rel", 10)
+        .select(F.col("query_id"), F.col("n_rel"), F.col("hits"),
+          F.col("first_rank"), F.col("precision_at_k"), F.col("recall_at_k"),
+          F.col("reciprocal_rank"), F.round(F.col("dcg"), 4).as("dcg4"),
+          F.col("ndcg"))
+        .orderBy("query_id")
+    }),
+
+    // SFT chat-data preparation: documents chunked into 3-token
+    // alternating user/assistant turns, validated, rendered through
+    // the canonical template, with assistant loss-mask spans. The
+    // oracle replays the exact character arithmetic (span positions
+    // included via span_sum), so a stubbed render or fold fails it.
+    "q_sft" -> ((s: SparkSession, dir: String) => {
+      t(s, dir, "documents")
+        .select(F.col("doc_id"),
+          graft.pipeline.Sft.conversationsFromText(F.col("text"), 3).as("turns"))
+        .select(F.col("doc_id"),
+          graft.pipeline.Sft.validateTurns(F.col("turns")).as("v"),
+          graft.pipeline.Sft.maskStats(F.col("turns")).as("m"),
+          graft.pipeline.Sft.assistantSpans(F.col("turns")).as("spans"))
+        .select(F.col("doc_id"),
+          F.col("v.n_turns").cast("long").as("n_turns"),
+          F.col("v.valid").as("valid"),
+          F.col("m.rendered_chars").as("rendered_chars"),
+          F.col("m.masked_chars").as("masked_chars"),
+          F.col("m.n_spans").cast("long").as("n_spans"),
+          F.aggregate(F.col("spans"), F.lit(0L),
+            (a: Column, sp: Column) =>
+              a + sp.getField("s") + sp.getField("e")).as("span_sum"))
+        .orderBy("doc_id")
+    }),
+
+    // semi-structured payload parsing: events.props is a JSON string;
+    // from_json with an explicit schema (never inference at scale),
+    // malformed input → NULL per the repo-wide NULL discipline
+    "q_json_props" -> ((s: SparkSession, dir: String) => {
+      val parsed = t(s, dir, "events")
+        .select(F.col("event_type"),
+          F.from_json(F.col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k LONG"))
+            .getField("k").as("k"))
+      parsed.groupBy(F.col("event_type"))
+        .agg(F.count(F.lit(1)).as("n"),
+          F.count(F.col("k")).as("parsed"),
+          F.sum(F.col("k")).as("k_sum"),
+          F.min(F.col("k")).as("k_min"),
+          F.max(F.col("k")).as("k_max"))
+        .orderBy("event_type")
     })
   )
 
@@ -4399,6 +4522,150 @@ object SparkEntry {
           |       CAST(sum(len(string_split_regex(text, '\s+'))) AS BIGINT)
           |         AS tok_n,
           |       true AS score_exact
-          |FROM documents""".stripMargin)
+          |FROM documents""".stripMargin,
+      "q_ts_rate" ->
+        """WITH ser AS (SELECT user_id, epoch_ms(ts) AS ms, max(value) AS v
+          |             FROM events GROUP BY 1, 2),
+          |inc AS (SELECT user_id, ms, v,
+          |               lag(v) OVER (PARTITION BY user_id ORDER BY ms) AS prev
+          |        FROM ser),
+          |d AS (SELECT user_id, ms - ms % 3600000 AS bucket_ms,
+          |             CASE WHEN prev IS NULL THEN NULL
+          |                  WHEN v >= prev THEN v - prev ELSE v END AS inc
+          |      FROM inc),
+          |r AS (SELECT user_id, bucket_ms, count(*) AS samples,
+          |             coalesce(sum(inc), 0) AS increase
+          |      FROM d GROUP BY 1, 2)
+          |SELECT bucket_ms, count(*) AS series,
+          |       CAST(sum(samples) AS BIGINT) AS samples,
+          |       CAST(round(sum(increase) * 100, 0) AS BIGINT) AS cents
+          |FROM r GROUP BY 1 ORDER BY bucket_ms""".stripMargin,
+      "q_ts_gapfill" ->
+        """WITH hr AS (SELECT user_id,
+          |              epoch_ms(ts) - epoch_ms(ts) % 3600000 AS ms,
+          |              max(value) AS v
+          |            FROM events GROUP BY 1, 2),
+          |led AS (SELECT user_id, ms, v, lead(ms) OVER w AS nt,
+          |               lead(v) OVER w AS nv
+          |        FROM hr WINDOW w AS (PARTITION BY user_id ORDER BY ms)),
+          |cells AS (SELECT user_id, ms, v, nt, nv,
+          |                 unnest(generate_series(ms,
+          |                   CASE WHEN nt IS NULL THEN ms ELSE nt - 3600000 END,
+          |                   3600000)) AS ct
+          |          FROM led),
+          |f AS (SELECT ct = ms AS was_observed,
+          |             CASE WHEN ct = ms THEN v
+          |                  ELSE v + (nv - v) *
+          |                    (CAST(ct - ms AS DOUBLE) / CAST(nt - ms AS DOUBLE))
+          |             END AS filled
+          |      FROM cells)
+          |SELECT was_observed, count(*) AS cnt,
+          |       CAST(round(sum(filled) * 100, 0) AS BIGINT) AS cents
+          |FROM f GROUP BY 1 ORDER BY was_observed""".stripMargin,
+      "q_ts_ewma" ->
+        """WITH ser AS (SELECT user_id, epoch_ms(ts) AS ms, max(value) AS v
+          |             FROM events GROUP BY 1, 2),
+          |rn AS (SELECT user_id, v,
+          |              row_number() OVER (PARTITION BY user_id ORDER BY ms) AS rn
+          |       FROM ser),
+          |lastn AS (SELECT user_id, max(rn) AS n FROM rn GROUP BY 1),
+          |pairs AS (SELECT l.user_id, l.n, r.v, l.n - r.rn AS k
+          |          FROM lastn l JOIN rn r
+          |            ON l.user_id = r.user_id AND r.rn > l.n - 16),
+          |e AS (SELECT user_id, any_value(n) AS n,
+          |             sum(v * power(0.75, k)) / sum(power(0.75, k)) AS ew
+          |      FROM pairs GROUP BY user_id)
+          |SELECT user_id, CAST(n AS BIGINT) AS n, round(ew, 4) AS ewma_last
+          |FROM e ORDER BY user_id""".stripMargin,
+      "q_rank_metrics" ->
+        """WITH flat AS (SELECT vec_id, r.i AS i, embedding[r.i] AS x
+          |              FROM embeddings, range(1, 65) r(i)),
+          |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS n FROM flat GROUP BY 1),
+          |dots AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          |                sum(q.x * c.x) AS dot
+          |         FROM flat q JOIN flat c ON q.i = c.i
+          |         WHERE q.vec_id < 32 AND c.vec_id <> q.vec_id GROUP BY 1, 2),
+          |cos AS (SELECT query_id, neighbor_id, dot / (nq.n * nc.n) AS c
+          |        FROM dots JOIN norms nq ON query_id = nq.vec_id
+          |                  JOIN norms nc ON neighbor_id = nc.vec_id),
+          |ranked AS (SELECT query_id, neighbor_id,
+          |                  row_number() OVER (PARTITION BY query_id
+          |                                     ORDER BY c DESC, neighbor_id) AS rank
+          |           FROM cos),
+          |lab AS (SELECT vec_id, label FROM embeddings),
+          |rel AS (SELECT r.query_id, r.rank, ql.label = nl.label AS rel
+          |        FROM ranked r JOIN lab ql ON r.query_id = ql.vec_id
+          |                      JOIN lab nl ON r.neighbor_id = nl.vec_id
+          |        WHERE r.rank <= 10),
+          |agg AS (SELECT query_id, sum(CASE WHEN rel THEN 1 ELSE 0 END) AS hits,
+          |               min(CASE WHEN rel THEN rank END) AS fr,
+          |               sum(CASE WHEN rel THEN 1.0 / log2(rank + 1) ELSE 0 END) AS dcg
+          |        FROM rel GROUP BY 1),
+          |cnt AS (SELECT label, count(*) AS c FROM embeddings GROUP BY 1),
+          |tot AS (SELECT e.vec_id AS query_id, cnt.c - 1 AS n_rel
+          |        FROM embeddings e JOIN cnt ON e.label = cnt.label
+          |        WHERE e.vec_id < 32),
+          |-- every label has >= 42 members at these SFs, so
+          |-- least(n_rel, 10) = 10: the ideal DCG is one constant
+          |idcg AS (SELECT sum(1.0 / log2(i + 1)) AS v
+          |         FROM generate_series(1, 10) g(i))
+          |SELECT t.query_id, CAST(t.n_rel AS BIGINT) AS n_rel,
+          |       CAST(coalesce(a.hits, 0) AS BIGINT) AS hits,
+          |       CAST(a.fr AS BIGINT) AS first_rank,
+          |       CAST(coalesce(a.hits, 0) AS DOUBLE) / 10 AS precision_at_k,
+          |       CAST(coalesce(a.hits, 0) AS DOUBLE) / t.n_rel AS recall_at_k,
+          |       coalesce(1.0 / CAST(a.fr AS DOUBLE), 0.0) AS reciprocal_rank,
+          |       round(coalesce(a.dcg, 0), 4) AS dcg4,
+          |       round(coalesce(a.dcg, 0) / i.v, 4) AS ndcg
+          |FROM tot t LEFT JOIN agg a ON t.query_id = a.query_id
+          |           CROSS JOIN idcg i
+          |ORDER BY t.query_id""".stripMargin,
+      "q_sft" ->
+        """WITH toks AS (SELECT doc_id,
+          |                list_filter(string_split_regex(text, '\s+'),
+          |                            x -> length(x) > 0) AS tk
+          |              FROM documents),
+          |tok AS (SELECT doc_id, i, tk[i] AS t FROM (
+          |          SELECT doc_id, tk,
+          |                 unnest(generate_series(1, len(tk))) AS i
+          |          FROM toks) z),
+          |chunk AS (SELECT doc_id, CAST(floor((i - 1) / 3) AS BIGINT) AS ci,
+          |                 CAST(sum(length(t)) + count(*) - 1 AS BIGINT) AS clen
+          |          FROM tok GROUP BY 1, 2),
+          |w AS (SELECT doc_id, ci, clen,
+          |             CASE WHEN ci % 2 = 0 THEN 4 ELSE 9 END AS rlen,
+          |             CASE WHEN ci % 2 = 0 THEN 4 ELSE 9 END + 13 + clen AS width
+          |      FROM chunk),
+          |pos AS (SELECT doc_id, ci, clen, rlen, width,
+          |               coalesce(sum(width) OVER (PARTITION BY doc_id ORDER BY ci
+          |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS p
+          |        FROM w),
+          |per AS (SELECT doc_id, count(*) AS n_turns,
+          |               sum(width) AS rendered_chars,
+          |               sum(CASE WHEN ci % 2 = 1 THEN clen ELSE 0 END) AS masked_chars,
+          |               sum(CASE WHEN ci % 2 = 1 THEN 1 ELSE 0 END) AS n_spans,
+          |               sum(CASE WHEN ci % 2 = 1
+          |                   THEN 2 * (p + rlen + 5) + clen ELSE 0 END) AS span_sum
+          |        FROM pos GROUP BY 1)
+          |SELECT d.doc_id,
+          |       CAST(coalesce(per.n_turns, 0) AS BIGINT) AS n_turns,
+          |       coalesce(per.n_turns, 0) > 0 AND
+          |         coalesce(per.n_turns, 0) % 2 = 0 AS valid,
+          |       CAST(coalesce(per.rendered_chars, 0) AS BIGINT) AS rendered_chars,
+          |       CAST(coalesce(per.masked_chars, 0) AS BIGINT) AS masked_chars,
+          |       CAST(coalesce(per.n_spans, 0) AS BIGINT) AS n_spans,
+          |       CAST(coalesce(per.span_sum, 0) AS BIGINT) AS span_sum
+          |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+          |ORDER BY d.doc_id""".stripMargin,
+      "q_json_props" ->
+        """SELECT event_type, count(*) AS n,
+          |       count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS parsed,
+          |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+          |            AS BIGINT) AS k_sum,
+          |       CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT))
+          |            AS BIGINT) AS k_min,
+          |       CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT))
+          |            AS BIGINT) AS k_max
+          |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin)
   }
 }

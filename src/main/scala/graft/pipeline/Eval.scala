@@ -173,4 +173,69 @@ object Eval {
         (F.col("__pos").cast("double") / F.col("n").cast("double"))
           .as("pos_rate"))
   }
+
+  /**
+   * Per-query ranking metrics at cutoff `k` over a ranked candidate
+   * list — the evaluation side of [[Similarity]]/[[Retrieval]]: given
+   * (query, 1-based rank, is-relevant) rows and the per-query total
+   * relevant count, emits hits@k, first relevant rank, precision@k,
+   * recall@k, reciprocal rank, and nDCG@k.
+   *
+   * `ranked` needs columns (queryCol, rankCol, relCol); `totals` needs
+   * (queryCol, totalRelCol). Queries present in `totals` but absent
+   * from `ranked` (empty result lists) still emit a row of zeros.
+   *
+   * Number discipline: precision/recall/RR are ONE IEEE division of
+   * exact integers — bit-identical on any engine. DCG and ideal DCG
+   * are log2-based sums, so they carry summation-order and libm noise
+   * ~1e-15; `ndcg` is therefore rounded to 4 decimals (the repo's
+   * cross-engine float form), while `dcg` stays raw for callers that
+   * aggregate further.
+   *
+   * Scale shape: one hash aggregate over the (small) top-k rows plus a
+   * join with the per-query totals — both sides are one row per query,
+   * so this never touches corpus-scale data.
+   */
+  def rankingMetrics(
+      ranked: DataFrame,
+      queryCol: String,
+      rankCol: String,
+      relCol: String,
+      totals: DataFrame,
+      totalRelCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val rank = F.col(rankCol).cast("long")
+    val rel = F.col(relCol)
+    val agg = ranked.filter(rank <= k)
+      .groupBy(F.col(queryCol))
+      .agg(
+        F.sum(F.when(rel, 1L).otherwise(0L)).as("hits"),
+        F.min(F.when(rel, rank)).as("first_rank"),
+        F.sum(F.when(rel, F.lit(1.0) / F.log2(rank.cast("double") + 1.0))
+          .otherwise(0.0)).as("dcg"))
+    val nRel = F.col(totalRelCol).cast("long")
+    val joined = totals.select(F.col(queryCol), nRel.as("n_rel"))
+      .join(agg, Seq(queryCol), "left")
+    val hits = F.coalesce(F.col("hits"), F.lit(0L))
+    val dcg = F.coalesce(F.col("dcg"), F.lit(0.0))
+    // ideal DCG: the first min(n_rel, k) positions all relevant; the
+    // fold runs in ascending-index order on both engines
+    val idcg = F.aggregate(
+      F.sequence(F.lit(1L), F.least(F.col("n_rel"), F.lit(k.toLong))),
+      F.lit(0.0),
+      (acc: Column, i: Column) => acc + F.lit(1.0) / F.log2(i.cast("double") + 1.0))
+    joined.select(
+      F.col(queryCol),
+      F.col("n_rel"),
+      hits.as("hits"),
+      F.col("first_rank"),
+      (hits.cast("double") / k).as("precision_at_k"),
+      F.when(F.col("n_rel") > 0, hits.cast("double") / F.col("n_rel").cast("double"))
+        .otherwise(0.0).as("recall_at_k"),
+      F.coalesce(F.lit(1.0) / F.col("first_rank").cast("double"), F.lit(0.0))
+        .as("reciprocal_rank"),
+      dcg.as("dcg"),
+      F.when(F.col("n_rel") > 0, F.round(dcg / idcg, 4)).otherwise(0.0).as("ndcg"))
+  }
 }

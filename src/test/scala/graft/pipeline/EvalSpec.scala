@@ -100,4 +100,58 @@ class EvalSpec extends SparkTestBase {
     assert(plan.contains("Window"))
     assert("(?i)hashaggregate".r.findAllIn(plan).size >= 2, plan)
   }
+
+  test("rankingMetrics matches hand-computed values at k=3") {
+    // q1: rel at ranks 1 and 3 of 5 total relevant
+    // q2: rel at rank 2 of 1 total relevant
+    // q3: no relevant in top-k, 2 total relevant
+    val ranked = Seq(
+      ("q1", 1L, true), ("q1", 2L, false), ("q1", 3L, true), ("q1", 4L, true),
+      ("q2", 1L, false), ("q2", 2L, true), ("q2", 3L, false),
+      ("q3", 1L, false), ("q3", 2L, false), ("q3", 3L, false)
+    ).toDF("q", "rank", "rel")
+    val totals = Seq(("q1", 5L), ("q2", 1L), ("q3", 2L), ("q4", 3L)).toDF("q", "nr")
+    val m = Eval.rankingMetrics(ranked, "q", "rank", "rel", totals, "nr", k = 3)
+      .orderBy("q").collect()
+    def log2(x: Double) = math.log(x) / math.log(2.0)
+
+    val q1 = m(0)
+    assert(q1.getLong(2) === 2L)                            // hits
+    assert(q1.getLong(3) === 1L)                            // first_rank
+    assert(q1.getDouble(4) === 2.0 / 3.0)                   // precision (exact)
+    assert(q1.getDouble(5) === 2.0 / 5.0)                   // recall (exact)
+    assert(q1.getDouble(6) === 1.0)                         // rr
+    val dcg1 = 1.0 / log2(2.0) + 1.0 / log2(4.0)
+    val idcg1 = 1.0 / log2(2.0) + 1.0 / log2(3.0) + 1.0 / log2(4.0)
+    assert(math.abs(q1.getDouble(7) - dcg1) < 1e-12)
+    assert(math.abs(q1.getDouble(8) -
+      BigDecimal(dcg1 / idcg1).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12)
+
+    val q2 = m(1)
+    assert(q2.getLong(2) === 1L && q2.getLong(3) === 2L)
+    assert(q2.getDouble(6) === 0.5)
+    // dcg = 1/log2(3), idcg = 1/log2(2) = 1
+    assert(q2.getDouble(8) === 0.6309)
+
+    val q3 = m(2)
+    assert(q3.getLong(2) === 0L && q3.isNullAt(3))
+    assert(q3.getDouble(4) === 0.0 && q3.getDouble(5) === 0.0)
+    assert(q3.getDouble(6) === 0.0 && q3.getDouble(8) === 0.0)
+
+    // q4 never appeared in the ranked list: a full row of zeros
+    val q4 = m(3)
+    assert(q4.getLong(1) === 3L && q4.getLong(2) === 0L && q4.isNullAt(3))
+    assert(q4.getDouble(4) === 0.0 && q4.getDouble(7) === 0.0 && q4.getDouble(8) === 0.0)
+  }
+
+  test("rankingMetrics: n_rel capping in ideal DCG and perfect ranking gives ndcg 1") {
+    // 2 relevant total, both at the top of k=5: dcg == idcg
+    val ranked = Seq(
+      ("q", 1L, true), ("q", 2L, true), ("q", 3L, false),
+      ("q", 4L, false), ("q", 5L, false)).toDF("q", "rank", "rel")
+    val totals = Seq(("q", 2L)).toDF("q", "nr")
+    val m = Eval.rankingMetrics(ranked, "q", "rank", "rel", totals, "nr", 5).collect().head
+    assert(m.getDouble(8) === 1.0)
+    assert(m.getDouble(5) === 1.0)    // recall: both found
+  }
 }
