@@ -2923,6 +2923,15 @@ object SparkEntry {
           F.min(F.col("k")).as("k_min"),
           F.max(F.col("k")).as("k_max"))
         .orderBy("event_type")
+    }),
+
+    // curriculum ordering: difficulty-sorted (n_chars) but strata-
+    // interleaved emission order — ord = rank_within_source * S + s_idx
+    "q_curriculum" -> ((s: SparkSession, dir: String) => {
+      graft.pipeline.Curriculum.interleaveStrata(
+          t(s, dir, "documents"), "source", "n_chars", "doc_id")
+        .select(F.col("doc_id"), F.col("source"), F.col("ord"))
+        .orderBy("doc_id")
     })
   )
 
@@ -4666,6 +4675,17 @@ object SparkEntry {
           |            AS BIGINT) AS k_min,
           |       CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT))
           |            AS BIGINT) AS k_max
-          |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin)
+          |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+      "q_curriculum" ->
+        """WITH idx AS (SELECT st, row_number() OVER (ORDER BY st) - 1 AS si,
+          |                    count(*) OVER () AS s
+          |             FROM (SELECT DISTINCT source AS st FROM documents) d),
+          |r AS (SELECT doc_id, source,
+          |             row_number() OVER (PARTITION BY source
+          |                                ORDER BY n_chars, doc_id) - 1 AS r
+          |      FROM documents)
+          |SELECT r.doc_id, r.source, CAST(r.r * idx.s + idx.si AS BIGINT) AS ord
+          |FROM r JOIN idx ON r.source = idx.st
+          |ORDER BY r.doc_id""".stripMargin)
   }
 }
