@@ -128,7 +128,13 @@ object GopherRules {
    */
   def qualityStats(text: Column): Column = {
     val t = F.coalesce(text, F.lit(""))
-    val words = F.filter(F.split(t, "\\s+"), (w: Column) => F.length(w) > 0)
+    // bind the split/trim arrays once per row: every nWords/nLines
+    // reference below would otherwise re-run the full split+filter
+    // (higher-order exprs are interpreted, no CSE — see Let.bind)
+    Let.bind(F.filter(F.split(t, "\\s+"), (w: Column) => F.length(w) > 0)) { words =>
+    Let.bind(F.filter(
+        F.transform(F.split(t, "\n"), (l: Column) => F.trim(l)),
+        (l: Column) => F.length(l) > 0)) { lines =>
     val nWords = F.size(words).cast("long")
     val wordChars =
       F.aggregate(words, F.lit(0L), (acc: Column, w: Column) => acc + F.length(w).cast("long"))
@@ -143,9 +149,6 @@ object GopherRules {
     val symbols = (hashes + ell3 + ellU).cast("long")
     val symbolRatio = F.when(nWords > 0, symbols.cast("double") / nWords.cast("double"))
       .otherwise(F.lit(0.0))
-    val lines = F.filter(
-      F.transform(F.split(t, "\n"), (l: Column) => F.trim(l)),
-      (l: Column) => F.length(l) > 0)
     val nLines = F.size(lines).cast("long")
     val bulletLines = F.size(F.filter(lines, (l: Column) =>
       l.startsWith("-") || l.startsWith("*") || l.startsWith("•"))).cast("long")
@@ -166,6 +169,7 @@ object GopherRules {
       bulletFrac.as("bullet_line_frac"),
       ellipsisFrac.as("ellipsis_line_frac"),
       stopHits.as("stopword_hits"))
+    }}
   }
 
   /** Canonical MassiveText thresholds (Rae et al. 2021 §A1.1). */

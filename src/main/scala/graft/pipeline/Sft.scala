@@ -22,14 +22,9 @@ object Sft {
   val RoleUser = "user"
   val RoleAssistant = "assistant"
 
-  // let-binding for Column trees: evaluate `c` ONCE per row and hand
-  // the bound value to `f` as a lambda variable. Higher-order
-  // functions evaluate interpreted (no codegen CSE), so a subtree
-  // referenced n times is otherwise computed n times — binding the
-  // token split this way cut the corpus bench ~3x. The 1-element
-  // array always has an element, so ANSI element_at cannot throw.
-  private def bind(c: Column)(f: Column => Column): Column =
-    F.element_at(F.transform(F.array(c), f), 1)
+  // evaluate-once binding for shared subtrees (see [[Let.bind]]) —
+  // binding the token split cut the corpus bench ~3x here
+  private def bind(c: Column)(f: Column => Column): Column = Let.bind(c)(f)
 
   /**
    * Deterministic conversation synthesis from flat text: whitespace
