@@ -28,18 +28,21 @@ object Decontaminate {
     * empty array when the document has fewer than n words. */
   def wordNgrams(text: Column, n: Int): Column = {
     require(n >= 1, s"n must be >= 1, got $n")
-    val words = F.filter(
-      F.split(F.lower(F.coalesce(text, F.lit(""))), "\\s+"),
-      w => F.length(w) > 0)
-    val count = F.size(words) - (n - 1)
-    // sequence(1, 0) yields a DESCENDING [1, 0], not empty — short
-    // documents must short-circuit to an empty array explicitly
-    F.array_distinct(
-      F.when(count > 0,
-        F.transform(
-          F.sequence(F.lit(1), count),
-          i => F.array_join(F.slice(words, i, F.lit(n)), " ")))
-        .otherwise(F.typedlit(Seq.empty[String])))
+    // bind the split once: words is referenced from count and from
+    // every slice (interpreted higher-order exprs, no CSE — Let.bind)
+    Let.bind(F.filter(
+        F.split(F.lower(F.coalesce(text, F.lit(""))), "\\s+"),
+        w => F.length(w) > 0)) { words =>
+      val count = F.size(words) - (n - 1)
+      // sequence(1, 0) yields a DESCENDING [1, 0], not empty — short
+      // documents must short-circuit to an empty array explicitly
+      F.array_distinct(
+        F.when(count > 0,
+          F.transform(
+            F.sequence(F.lit(1), count),
+            i => F.array_join(F.slice(words, i, F.lit(n)), " ")))
+          .otherwise(F.typedlit(Seq.empty[String])))
+    }
   }
 
   /** Distinct 64-bit hashes of a document's word n-grams: the gram

@@ -338,26 +338,28 @@ object TextFunctions {
     * Pure list built-ins — codegen'd in Spark, byte-identical in any
     * engine with list_distinct (the oracle recomputes it in DuckDB).
     * NULL text or fewer than n words → 0.0 (nothing repeats). */
-  def repetitionScore(text: Column, n: Int): Column = {
-    val grams = allWordNgrams(text, n)
-    F.when(F.size(grams) <= 0, 0.0)
-      .otherwise(F.lit(1.0) -
-        F.size(F.array_distinct(grams)).cast("double") / F.size(grams).cast("double"))
-  }
+  def repetitionScore(text: Column, n: Int): Column =
+    // bind: the gram construction is referenced 4x below and would
+    // re-run each time (interpreted higher-order exprs, no CSE)
+    Let.bind(allWordNgrams(text, n)) { grams =>
+      F.when(F.size(grams) <= 0, 0.0)
+        .otherwise(F.lit(1.0) -
+          F.size(F.array_distinct(grams)).cast("double") / F.size(grams).cast("double"))
+    }
 
   /** ALL (non-distinct) lowercase word n-grams — the multiset
     * [[graft.pipeline.Decontaminate.wordNgrams]] dedups. */
-  def allWordNgrams(text: Column, n: Int): Column = {
-    val words = F.filter(
-      F.split(F.lower(F.coalesce(text, F.lit(""))), "\\s+"),
-      w => F.length(w) > 0)
-    val count = F.size(words) - (n - 1)
-    // sequence(1, 0) yields a DESCENDING [1, 0], not empty
-    F.when(count > 0,
-      F.transform(F.sequence(F.lit(1), count),
-        i => F.array_join(F.slice(words, i, F.lit(n)), " ")))
-      .otherwise(F.typedlit(Seq.empty[String]))
-  }
+  def allWordNgrams(text: Column, n: Int): Column =
+    Let.bind(F.filter(
+        F.split(F.lower(F.coalesce(text, F.lit(""))), "\\s+"),
+        w => F.length(w) > 0)) { words =>
+      val count = F.size(words) - (n - 1)
+      // sequence(1, 0) yields a DESCENDING [1, 0], not empty
+      F.when(count > 0,
+        F.transform(F.sequence(F.lit(1), count),
+          i => F.array_join(F.slice(words, i, F.lit(n)), " ")))
+        .otherwise(F.typedlit(Seq.empty[String]))
+    }
 
   def qualityScore(text: Column, nChars: Column): Column = {
     val tokens = tokenCount(text)
