@@ -171,6 +171,33 @@ object TimeSeries {
   }
 
   /**
+   * Rolling z-score anomaly signal: for each row, z = (v - mean) /
+   * stddev over the key's trailing `window` samples (current row
+   * included), ordered by `tsCol`. NULL where the trailing window has
+   * fewer than 2 samples (stddev undefined) or zero variance — a
+   * flat-line series has no anomaly scale, and guarding keeps the
+   * IEEE division finite on both engines. Plain window aggregates:
+   * whole-stage codegen, one hash exchange on the key.
+   */
+  def rollingZScore(
+      df: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      valCol: String,
+      window: Int = 24,
+      zCol: String = "z"): DataFrame = {
+    require(window > 1, s"window must exceed 1, got $window")
+    val w = Window.partitionBy(keyCols.map(F.col): _*)
+      .orderBy(F.col(tsCol).asc)
+      .rowsBetween(-(window - 1), 0)
+    val v = F.col(valCol)
+    val mean = F.avg(v).over(w)
+    val sd = F.stddev_samp(v).over(w)
+    df.withColumn(zCol,
+      F.when(v.isNotNull && sd.isNotNull && sd > 0, (v - mean) / sd))
+  }
+
+  /**
    * Exponentially weighted moving average over each key's trailing
    * `window` samples (ordered by `tsCol`): weight (1-alpha)^k for the
    * sample k steps back, normalized by the realized weight mass —

@@ -99,6 +99,37 @@ class TimeSeriesSpec extends SparkTestBase {
     assert(out === Map("a" -> 3L, "b" -> 1L))
   }
 
+  test("gapFill plans exactly one hash exchange") {
+    val ev = sf("sf0.001", "events")
+      .select(F.col("user_id"), F.unix_millis(F.col("ts")).as("ms"), F.col("value"))
+    val ms = F.col("ms")
+    val hr = ev.groupBy(F.col("user_id"),
+        (ms - F.pmod(ms, F.lit(3600000L))).as("ms"))
+      .agg(F.max(F.col("value")).as("v"))
+    val plan = TimeSeries.gapFill(hr, Seq("user_id"), "ms", "v", 3600000L)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges === 1, s"expected 1 exchange, plan:\n$plan")
+  }
+
+  test("rollingZScore matches hand-computed mean/stddev; NULL under 2 samples") {
+    val df = series(("a", 1L, 10.0), ("a", 2L, 20.0), ("a", 3L, 60.0))
+    val out = TimeSeries.rollingZScore(df, Seq("k"), "ts", "v", window = 3)
+      .orderBy("ts").collect()
+    assert(out(0).isNullAt(3))                   // single sample
+    // rows 1-2: mean 15, sd ~7.0711 -> z of 20 = 0.7071...
+    assert(math.abs(out(1).getDouble(3) - (20.0 - 15.0) / math.sqrt(50.0)) < 1e-12)
+    val m = 30.0
+    val sd = math.sqrt(((10 - m) * (10 - m) + (20 - m) * (20 - m) + (60 - m) * (60 - m)) / 2.0)
+    assert(math.abs(out(2).getDouble(3) - (60.0 - m) / sd) < 1e-12)
+  }
+
+  test("rollingZScore: flat series yields NULL z (zero variance)") {
+    val df = series(("a", 1L, 5.0), ("a", 2L, 5.0), ("a", 3L, 5.0))
+    val out = TimeSeries.rollingZScore(df, Seq("k"), "ts", "v", 3).collect()
+    assert(out.forall(_.isNullAt(3)))
+  }
+
   test("ewma matches the hand-computed normalized fold") {
     val a = 0.5
     val df = series(("a", 1L, 2.0), ("a", 2L, 4.0), ("a", 3L, 8.0))
