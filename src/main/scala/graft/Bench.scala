@@ -676,10 +676,14 @@ object Bench {
         .agg(F.count(F.lit(1)).as("series"), F.sum(F.col("increase")).as("inc"))
     }),
 
-    // gap-fill + linear interpolation of per-user hourly series
+    // gap-fill + linear interpolation of per-user hourly series;
+    // repartition-by-key first so the (key, bucket) aggregation and
+    // gapFill's window share ONE exchange (gapFill's partitioning
+    // contract — see TimeSeriesSpec's plan-shape test)
     "b_ts_gapfill" -> ((s: SparkSession, dir: String) => {
       val ms = F.unix_millis(F.col("ts"))
       val hr = t(s, dir, "events")
+        .repartition(F.col("user_id"))
         .groupBy(F.col("user_id"), (ms - F.pmod(ms, F.lit(3600000L))).as("ms"))
         .agg(F.max(F.col("value")).as("v"))
       graft.operators.TimeSeries

@@ -2805,11 +2805,16 @@ object SparkEntry {
     // PromQL-style counter rollup: per-user hourly increase with reset
     // detection (value < previous => the whole new value is growth),
     // summarized per bucket; the (user_id, ms) pre-aggregation makes
-    // the within-key order unique so both engines see the same series
+    // the within-key order unique so both engines see the same series.
+    // NULL series values are filtered on BOTH sides: counterIncrease
+    // skips NULL baselines (last ignoreNulls) where the oracle's
+    // lag(v) would not, so the oracle only covers the operator on
+    // non-NULL series — make that explicit rather than silent
     "q_ts_rate" -> ((s: SparkSession, dir: String) => {
       val ser = t(s, dir, "events")
         .groupBy(F.col("user_id"), F.unix_millis(F.col("ts")).as("ms"))
         .agg(F.max(F.col("value")).as("v"))
+        .filter(F.col("v").isNotNull)
       graft.operators.TimeSeries
         .counterRate(ser, Seq("user_id"), "ms", "v", bucketMillis = 3600000L)
         .groupBy(F.col("bucket_ms"))
@@ -2821,10 +2826,13 @@ object SparkEntry {
 
     // gap-fill: per-user hourly series regularized onto the hour grid
     // with linear interpolation; interpolation is pure IEEE add/sub/
-    // mul/div so per-cell values are bit-identical cross-engine
+    // mul/div so per-cell values are bit-identical cross-engine.
+    // repartition-by-key before the bucket agg = gapFill's one-exchange
+    // partitioning contract (pinned in TimeSeriesSpec); result-neutral
     "q_ts_gapfill" -> ((s: SparkSession, dir: String) => {
       val ms = F.unix_millis(F.col("ts"))
       val hr = t(s, dir, "events")
+        .repartition(F.col("user_id"))
         .groupBy(F.col("user_id"), (ms - F.pmod(ms, F.lit(3600000L))).as("ms"))
         .agg(F.max(F.col("value")).as("v"))
       graft.operators.TimeSeries
@@ -4534,7 +4542,8 @@ object SparkEntry {
           |FROM documents""".stripMargin,
       "q_ts_rate" ->
         """WITH ser AS (SELECT user_id, epoch_ms(ts) AS ms, max(value) AS v
-          |             FROM events GROUP BY 1, 2),
+          |             FROM events GROUP BY 1, 2
+          |             HAVING max(value) IS NOT NULL),
           |inc AS (SELECT user_id, ms, v,
           |               lag(v) OVER (PARTITION BY user_id ORDER BY ms) AS prev
           |        FROM ser),

@@ -20,9 +20,9 @@ import org.apache.spark.sql.expressions.Window
  * reuses the window's HashPartitioning for its per-bucket rollup (the
  * aggregation keys are a superset of the window key, so Catalyst
  * inserts no second exchange — same trick as [[Sessionize]]).
- * [[gapFill]] derives each key's grid bounds with windowed min/max
- * (no driver collect), explodes the grid, and fills with
- * ignore-nulls window functions — all on the same key partitioning.
+ * [[gapFill]] synthesizes the missing cells from each observation and
+ * its `lead` in one analytic window on the key — no grid join and no
+ * driver collect; interpolation values ride along on the same rows.
  * Nothing collects to the driver and no state grows with series
  * length, so a 100 TB events table partitions by key exactly like the
  * sketch rollups do.
@@ -114,8 +114,21 @@ object TimeSeries {
    * join, so the whole operator rides a single hash exchange. A gap
    * wider than `maxCellsPerGap` cells emits only its endpoints
    * (counted on accumulator `graft.timeseries.truncatedGaps` and
-   * warned) so one pathological pair (a sample in 1970 and one today)
-   * cannot explode the stage.
+   * warned; Spark may re-run tasks, so treat the count as
+   * best-effort telemetry) so one pathological pair (a sample in
+   * 1970 and one today) cannot explode the stage. Two observations
+   * sharing one aligned timestamp in a key both pass through as that
+   * single cell (the end bound is clamped, never a query error).
+   *
+   * Partitioning contract: when the input series is itself built by a
+   * `groupBy(key, bucket)` aggregation, `repartition(key)` BEFORE that
+   * groupBy — HashPartitioning(key) satisfies both the aggregate's
+   * ClusteredDistribution(key, bucket) and this operator's window
+   * ClusteredDistribution(key), so the whole agg→gapFill chain runs
+   * on ONE exchange. Aggregating on (key, bucket) without the
+   * repartition leaves the data partitioned on the pair, which does
+   * NOT satisfy the window's distribution, and EnsureRequirements
+   * inserts a second exchange.
    */
   def gapFill(
       df: DataFrame,
@@ -127,6 +140,8 @@ object TimeSeries {
       maxCellsPerGap: Long = 1000000L): DataFrame = {
     require(stepMillis > 0, s"stepMillis must be positive, got $stepMillis")
     require(maxCellsPerGap > 1, s"maxCellsPerGap must exceed 1, got $maxCellsPerGap")
+    require(maxCellsPerGap <= Long.MaxValue / stepMillis,
+      s"maxCellsPerGap * stepMillis overflows a long ($maxCellsPerGap * $stepMillis)")
     val keys = keyCols.map(F.col)
     val ts = F.col(tsMillisCol)
     val v = F.col(valCol)
@@ -136,22 +151,28 @@ object TimeSeries {
     val w = Window.partitionBy(keys: _*).orderBy(ts.asc)
     val acc = graft.pipeline.AccumulatorRetainer.retain(
       df.sparkSession.sparkContext.longAccumulator("graft.timeseries.truncatedGaps"))
-    val tooWide = F.udf((cells: Long) => {
+    // side-effecting (accumulator + warn): nondeterministic so Catalyst
+    // never CSEs or reorders it; counts are best-effort under retries
+    val tooWide = F.udf((spanMillis: Long) => {
       acc.add(1L)
       org.slf4j.LoggerFactory.getLogger("graft.operators.TimeSeries")
-        .warn(s"gapFill: truncating a $cells-cell gap (cap $maxCellsPerGap)")
+        .warn(s"gapFill: truncating a ${spanMillis / stepMillis}-cell gap (cap $maxCellsPerGap)")
       true
-    })
+    }).asNondeterministic()
+    // cap comparison in pure LONG math: both ts and lead(ts) are
+    // step-aligned, so span > cells*step <=> span/step > cells exactly
+    val capSpanMillis = maxCellsPerGap * stepMillis
+    val span = F.col("__nt") - ts
     val stepped = obs
       .withColumn("__nt", F.lead(ts, 1).over(w))
       .withColumn("__nv", F.lead(v, 1).over(w))
       // cells owned by this observation: [t, next_t) — or just {t} for
-      // the key's last observation or a truncated oversize gap
+      // the key's last observation, a truncated oversize gap, or a
+      // duplicate timestamp (end clamped to t: no sequence error)
       .withColumn("__end",
         F.when(F.col("__nt").isNull, ts)
-          .when((F.col("__nt") - ts) / F.lit(stepMillis) > F.lit(maxCellsPerGap) &&
-              tooWide((F.col("__nt") - ts) / F.lit(stepMillis)), ts)
-          .otherwise(F.col("__nt") - F.lit(stepMillis)))
+          .when(span > F.lit(capSpanMillis) && tooWide(span), ts)
+          .otherwise(F.greatest(F.col("__nt") - F.lit(stepMillis), ts)))
       .withColumn("__t", F.explode(F.sequence(ts, F.col("__end"), F.lit(stepMillis))))
 
     val cell = F.col("__t")
@@ -200,12 +221,15 @@ object TimeSeries {
   /**
    * Exponentially weighted moving average over each key's trailing
    * `window` samples (ordered by `tsCol`): weight (1-alpha)^k for the
-   * sample k steps back, normalized by the realized weight mass —
-   * pandas `ewm(alpha, adjust=True)` semantics restricted to a bounded
-   * window, which is what keeps the state O(window) instead of
-   * O(series) and the plan a single analytic window. The fold runs
-   * over `aggregate(collect_list(...))` in row order, so the
-   * summation order is deterministic.
+   * k-th most recent NON-NULL sample in the window, normalized by the
+   * realized weight mass — pandas `ewm(alpha, adjust=True,
+   * ignore_na=True)` semantics restricted to a bounded window, which
+   * is what keeps the state O(window) instead of O(series) and the
+   * plan a single analytic window. NULL-value rows still consume
+   * window-row capacity but contribute no weight: positions are
+   * counted among the surviving non-null samples, not time steps.
+   * The fold runs over `aggregate(collect_list(...))` in row order,
+   * so the summation order is deterministic.
    *
    * Returns df + `ewmaCol` (double; NULL where the value is NULL).
    */

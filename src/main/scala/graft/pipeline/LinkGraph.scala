@@ -48,6 +48,12 @@ object LinkGraph {
       .filter(F.col(srcCol).isNotNull && F.col(dstCol).isNotNull)
       .select(F.col(srcCol).as("__src"), F.col(dstCol).as("__dst"))
       .distinct()
+      // checkpoint the deduped edge list FIRST: nodes/deg/ce/srcs all
+      // derive from it, and without this each of their own checkpoint
+      // materializations would re-run the upstream (e.g. a full-crawl
+      // HTML outlink extraction) once more — ~4 extraction passes
+      // before iteration 1. With it, the upstream runs exactly once.
+      .localCheckpoint(eager = false)
     val nodes = e.select(F.col("__src").as("node"))
       .unionByName(e.select(F.col("__dst").as("node")))
       .distinct()

@@ -99,17 +99,36 @@ class TimeSeriesSpec extends SparkTestBase {
     assert(out === Map("a" -> 3L, "b" -> 1L))
   }
 
-  test("gapFill plans exactly one hash exchange") {
+  test("gapFill plans exactly one hash exchange (repartition-by-key contract)") {
+    // gapFill's partitioning contract: repartition by the series key
+    // BEFORE the (key, bucket) aggregation — HashPartitioning(user_id)
+    // satisfies both the aggregate's ClusteredDistribution(user_id, ms)
+    // and the window's ClusteredDistribution(user_id), so the whole
+    // agg -> gapFill chain runs on the one explicit exchange.
     val ev = sf("sf0.001", "events")
       .select(F.col("user_id"), F.unix_millis(F.col("ts")).as("ms"), F.col("value"))
     val ms = F.col("ms")
-    val hr = ev.groupBy(F.col("user_id"),
+    val hr = ev.repartition(F.col("user_id"))
+      .groupBy(F.col("user_id"),
         (ms - F.pmod(ms, F.lit(3600000L))).as("ms"))
       .agg(F.max(F.col("value")).as("v"))
     val plan = TimeSeries.gapFill(hr, Seq("user_id"), "ms", "v", 3600000L)
       .queryExecution.executedPlan.toString
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
     assert(exchanges === 1, s"expected 1 exchange, plan:\n$plan")
+  }
+
+  test("gapFill survives duplicate aligned timestamps (clamped, no sequence error)") {
+    val df = series(("a", 0L, 10.0), ("a", 20L, 3.0), ("a", 20L, 5.0))
+    val out = TimeSeries.gapFill(df, Seq("k"), "ts", "v", 10L)
+      .orderBy("ts", "filled").collect()
+      .map(r => (r.getLong(1), r.getDouble(3), r.getBoolean(4)))
+    // the duplicate pair both pass through as observed cells at ts=20;
+    // the 0->20 gap interpolates against whichever duplicate leads
+    assert(out.length === 4)
+    assert(out.count(_._1 == 20L) === 2)
+    assert(out.filter(_._1 == 20L).map(_._2).sorted.toSeq === Seq(3.0, 5.0))
+    assert(out.forall { case (t, _, obs) => obs || t == 10L })
   }
 
   test("rollingZScore matches hand-computed mean/stddev; NULL under 2 samples") {

@@ -59,6 +59,19 @@ class LinkGraphSpec extends SparkTestBase {
     got.values.foreach(v => assert(math.abs(v - 1.0 / 3) < 1e-12))
   }
 
+  test("pageRank materializes the upstream edge extraction exactly once") {
+    // the deduped edge list is checkpointed FIRST, so nodes/deg/ce/srcs
+    // materialize from it instead of each re-running the upstream (at
+    // crawl scale the upstream is the full HTML outlink extraction)
+    val acc = spark.sparkContext.longAccumulator("graft.test.extractionRows")
+    val track = F.udf((s: String) => { acc.add(1L); s }).asNondeterministic()
+    val df = edges.toDF("raw", "dst")
+      .select(track(F.col("raw")).as("src"), F.col("dst"))
+    LinkGraph.pageRank(df, iterations = 3).collect()
+    assert(acc.value === edges.size.toLong,
+      s"upstream ran ${acc.value}/${edges.size} rows => ${acc.value / edges.size}x passes")
+  }
+
   test("inDegrees counts distinct sources") {
     val got = LinkGraph.inDegrees(edges.toDF("src", "dst"))
       .as[(String, Long)].collect().toMap
