@@ -145,62 +145,42 @@ object Vocab {
    * fluent text scores low. Returns (id, bigrams, score); documents
    * with fewer than two tokens are omitted.
    *
-   * Scale shape: ONE map-side-combined bigram-count exchange feeds
-   * both maps (left counts aggregate from the bigram table, not the
-   * corpus); both broadcasts are pruned to count >= 2 — a count-1
-   * bigram or left needs no entry because the scorer's
-   * `getOrElse(_, 1)` default IS its exact count — and scoring is
-   * map-only. Bigram keys join tokens with U+0001 (whitespace
-   * tokenization means tokens cannot contain whitespace, and U+0001
-   * inside a token would have to survive both engines identically —
-   * the oracle uses the same separator).
+   * Scale shape: join-based, NO driver-side model (the
+   * [[NgramLm.kneserNeyLogLoss]] shape) — the unigram model's
+   * hapax-pruning argument does NOT transfer to bigrams, whose
+   * non-hapax type count keeps growing near-linearly with corpus
+   * size, so a broadcast map would be an unbounded driver footprint
+   * at web scale. One map-side-combined bigram-count exchange feeds
+   * the (l, r) count table; left totals aggregate from that table
+   * (not the corpus); scoring re-joins the per-document bigram rows
+   * against both. Per-document averages round to 4 decimals — the
+   * repo's cross-engine float form; the groupBy summation-order noise
+   * is ~1e-13, far inside the rounding.
    */
   def bigramLogLoss(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val session = docs.sparkSession
-    import session.implicits._
-    val sep = java.util.regex.Pattern.compile("\\s+")
-    val pairU = F.udf((t: String) =>
-      if (t == null) Array.empty[String]
-      else {
-        val w = sep.split(t).filter(_.nonEmpty)
-        if (w.length < 2) Array.empty[String]
-        else Array.tabulate(w.length - 1)(i => w(i) + "\u0001" + w(i + 1))
-      })
-    val pairs = docs.select(F.explode(pairU(F.col(textCol))).as("bg"))
-      .groupBy(F.col("bg")).agg(F.count(F.lit(1)).as("c"))
+    val toks = F.filter(F.split(F.col(textCol), "\\s+"), t => F.length(t) > 0)
+    val big = docs
+      .select(F.col(idCol).as("id"), toks.as("__w"))
+      .filter(F.size(F.col("__w")) >= 2)
+      .select(F.col("id"), F.explode(F.transform(
+        F.sequence(F.lit(1), F.size(F.col("__w")) - 1),
+        i => F.struct(
+          F.element_at(F.col("__w"), i).as("l"),
+          F.element_at(F.col("__w"), i + 1).as("r")))).as("__b"))
+      .select(F.col("id"), F.col("__b.l").as("l"), F.col("__b.r").as("r"))
+      .localCheckpoint(eager = false) // scored against its own counts below
+    val bc = big.groupBy(F.col("l"), F.col("r"))
+      .agg(F.count(F.lit(1)).as("cb"))
       .localCheckpoint(eager = false)
-    val bigramMap = pairs.filter(F.col("c") >= 2L)
-      .as[(String, Long)].collect().toMap
-    val leftMap = pairs
-      .select(F.split(F.col("bg"), "\u0001").getItem(0).as("l"), F.col("c"))
-      .groupBy(F.col("l")).agg(F.sum(F.col("c")).as("cl"))
-      .filter(F.col("cl") >= 2L)
-      .as[(String, Long)].collect().toMap
-    val bcB = session.sparkContext.broadcast(bigramMap)
-    val bcL = session.sparkContext.broadcast(leftMap)
-    val scoreU = F.udf((t: String) => {
-      if (t == null) None
-      else {
-        val w = sep.split(t).filter(_.nonEmpty)
-        if (w.length < 2) None
-        else {
-          var s = 0.0
-          var i = 0
-          while (i < w.length - 1) {
-            val cb = bcB.value.getOrElse(w(i) + "\u0001" + w(i + 1), 1L).toDouble
-            val cl = bcL.value.getOrElse(w(i), 1L).toDouble
-            s -= math.log(cb / cl)
-            i += 1
-          }
-          Some(((w.length - 1).toLong,
-            BigDecimal(s / (w.length - 1))
-              .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
-        }
-      }
-    })
-    docs.select(F.col(idCol), scoreU(F.col(textCol)).as("__s"))
-      .filter(F.col("__s").isNotNull)
-      .select(F.col(idCol), F.col("__s._1").as("bigrams"), F.col("__s._2").as("score"))
+    val lc = bc.groupBy(F.col("l")).agg(F.sum(F.col("cb")).as("cl"))
+    big
+      .join(bc, Seq("l", "r"))
+      .join(lc, Seq("l"))
+      .groupBy(F.col("id"))
+      .agg(F.count(F.lit(1)).as("bigrams"),
+        F.round(F.avg(-F.log(F.col("cb").cast("double") / F.col("cl").cast("double"))), 4)
+          .as("score"))
+      .select(F.col("id").as(idCol), F.col("bigrams"), F.col("score"))
   }
 
   /** The bounded unigram model behind [[unigramLogLoss]]: the count map

@@ -250,8 +250,8 @@ class VocabSpec extends SparkTestBase {
     // scrambled word salad scores strictly worse than the fluent docs
     assert(out(3L)._2 > out(1L)._2 && out(3L)._2 > out(2L)._2)
 
-    // pruned maps reproduce the full computation exactly (hapax
-    // bigrams/lefts default to their true count 1)
+    // the join-based form reproduces the sequential reference exactly
+    // (4-dp rounding absorbs groupBy summation-order noise)
     val full = {
       val toks = (t: String) => t.split("\\s+").filter(_.nonEmpty)
       val all = d.as[(Long, Option[String])].collect()
@@ -268,6 +268,19 @@ class VocabSpec extends SparkTestBase {
       }.toMap
     }
     full.foreach { case (id, exp) => assert(out(id)._2 === exp, s"doc $id") }
+  }
+
+  test("bigramLogLoss is join-based: no driver-collected model in the plan") {
+    // the bigram model must stay distributed (non-hapax bigram types
+    // grow near-linearly with corpus size, so a broadcast map is an
+    // unbounded driver footprint) — pin the scoring joins and the
+    // absence of any collected-literal table in the plan
+    val d = sf("sf0.001", "documents")
+    val plan = Vocab.bigramLogLoss(d, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("LocalTableScan"), s"driver-side model table in plan:\n$plan")
+    assert("Join".r.findAllIn(plan).length >= 2,
+      s"expected the two scoring joins, plan:\n$plan")
   }
 
   test("applyBpeRanked is equivalent to sequential applyBpe, at any merge-table size") {
