@@ -693,18 +693,16 @@ object Bench {
     }),
 
     // SFT chat prep: synthesize turns, validate, render, mask spans —
-    // one map-only pass over the whole corpus
+    // one map-only pass over the whole corpus via the fused JVM
+    // kernel (the interpreted higher-order-function chain it replaces
+    // was ~10x slower per row; SftSpec pins the equivalence)
     "b_sft_mask" -> ((s: SparkSession, dir: String) => {
       t(s, dir, "documents")
-        .select(F.col("doc_id"),
-          graft.pipeline.Sft.conversationsFromText(F.col("text"), 3).as("turns"))
-        .select(
-          graft.pipeline.Sft.validateTurns(F.col("turns")).as("v"),
-          graft.pipeline.Sft.maskStats(F.col("turns")).as("m"))
+        .select(graft.pipeline.Sft.sftTextProfile(F.col("text"), 3).as("p"))
         .agg(F.count(F.lit(1)).as("docs"),
-          F.sum(F.when(F.col("v.valid"), 1L).otherwise(0L)).as("valid"),
-          F.sum(F.col("m.masked_chars")).as("masked"),
-          F.sum(F.col("m.rendered_chars")).as("rendered"))
+          F.sum(F.when(F.col("p.valid"), 1L).otherwise(0L)).as("valid"),
+          F.sum(F.col("p.masked_chars")).as("masked"),
+          F.sum(F.col("p.rendered_chars")).as("rendered"))
     })
   )
 

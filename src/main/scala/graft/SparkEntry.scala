@@ -2896,22 +2896,19 @@ object SparkEntry {
     // oracle replays the exact character arithmetic (span positions
     // included via span_sum), so a stubbed render or fold fails it.
     "q_sft" -> ((s: SparkSession, dir: String) => {
+      // fused JVM kernel (sftTextProfile); SftSpec pins it
+      // field-for-field equal to the composable validate/render/mask
+      // expression chain, and this oracle covers it cross-engine
       t(s, dir, "documents")
         .select(F.col("doc_id"),
-          graft.pipeline.Sft.conversationsFromText(F.col("text"), 3).as("turns"))
+          graft.pipeline.Sft.sftTextProfile(F.col("text"), 3).as("p"))
         .select(F.col("doc_id"),
-          graft.pipeline.Sft.validateTurns(F.col("turns")).as("v"),
-          graft.pipeline.Sft.maskStats(F.col("turns")).as("m"),
-          graft.pipeline.Sft.assistantSpans(F.col("turns")).as("spans"))
-        .select(F.col("doc_id"),
-          F.col("v.n_turns").cast("long").as("n_turns"),
-          F.col("v.valid").as("valid"),
-          F.col("m.rendered_chars").as("rendered_chars"),
-          F.col("m.masked_chars").as("masked_chars"),
-          F.col("m.n_spans").cast("long").as("n_spans"),
-          F.aggregate(F.col("spans"), F.lit(0L),
-            (a: Column, sp: Column) =>
-              a + sp.getField("s") + sp.getField("e")).as("span_sum"))
+          F.col("p.n_turns").cast("long").as("n_turns"),
+          F.col("p.valid").as("valid"),
+          F.col("p.rendered_chars").as("rendered_chars"),
+          F.col("p.masked_chars").as("masked_chars"),
+          F.col("p.n_spans").cast("long").as("n_spans"),
+          F.col("p.span_sum").as("span_sum"))
         .orderBy("doc_id")
     }),
 

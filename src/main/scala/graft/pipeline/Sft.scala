@@ -146,4 +146,91 @@ object Sft {
     F.transform(turns, t =>
       F.size(F.filter(F.split(t.getField("content"), "\\s+"),
         x => F.length(x) > 0)))
+
+  /** Everything [[validateTurns]] + [[maskStats]] + the span checksum
+    * derive for a text-synthesized conversation, in one flat struct. */
+  final case class SftProfile(
+      n_turns: Int,
+      starts_with_user: Boolean,
+      ends_with_assistant: Boolean,
+      alternates: Boolean,
+      roles_known: Boolean,
+      no_empty_content: Boolean,
+      valid: Boolean,
+      rendered_chars: Long,
+      masked_chars: Long,
+      n_spans: Int,
+      span_sum: Long)
+
+  /** The JVM kernel behind [[sftTextProfile]]: one pass over the
+    * whitespace tokens, no intermediate turn structs. Exposed for the
+    * equivalence spec against the Column-expression path. Character
+    * counts are code points (Spark `length` semantics), not UTF-16
+    * units. */
+  private[pipeline] def profileText(text: String, tokensPerTurn: Int): SftProfile = {
+    val toks =
+      if (text == null) Array.empty[String]
+      else text.split("\\s+").filter(_.nonEmpty)
+    val n = (toks.length + tokensPerTurn - 1) / tokensPerTurn
+    var pos = 0L
+    var masked = 0L
+    var nSpans = 0
+    var spanSum = 0L
+    var i = 0
+    while (i < n) {
+      val isUser = i % 2 == 0
+      val roleLen = if (isUser) RoleUser.length else RoleAssistant.length
+      val from = i * tokensPerTurn
+      val until = math.min(from + tokensPerTurn, toks.length)
+      var clen = (until - from - 1).toLong // joining spaces
+      var j = from
+      while (j < until) {
+        clen += toks(j).codePointCount(0, toks(j).length)
+        j += 1
+      }
+      if (!isUser) {
+        val s = pos + roleLen + 5
+        val e = s + clen
+        masked += clen
+        nSpans += 1
+        spanSum += s + e
+      }
+      pos += roleLen + 5 + clen + 8
+      i += 1
+    }
+    // synthesized turns start with user, alternate, use known roles,
+    // and every chunk holds >= 1 non-empty token — identical to what
+    // validateTurns reports on conversationsFromText's output
+    SftProfile(
+      n_turns = n,
+      starts_with_user = n > 0,
+      ends_with_assistant = n > 0 && n % 2 == 0,
+      alternates = true,
+      roles_known = true,
+      no_empty_content = n > 0,
+      valid = n > 0 && n % 2 == 0,
+      rendered_chars = pos,
+      masked_chars = masked,
+      n_spans = nSpans,
+      span_sum = spanSum)
+  }
+
+  /**
+   * Fused text → SFT profile: exactly
+   * [[conversationsFromText]] → [[validateTurns]] + [[maskStats]] +
+   * the Σ(s+e) span checksum, computed in ONE codegen'd-UDF pass.
+   *
+   * The composable Column forms above run on Spark's INTERPRETED
+   * higher-order functions (transform/aggregate have no codegen), so
+   * a corpus-wide profile pays interpreter overhead per row even
+   * though the pipeline is map-only; this kernel is the hot-path
+   * form (~an order of magnitude cheaper per row). Semantics are
+   * pinned identical to the expression path by SftSpec, and the
+   * cross-engine oracle covers the fused form directly.
+   */
+  def sftTextProfile(text: Column, tokensPerTurn: Int): Column = {
+    require(tokensPerTurn > 0, s"tokensPerTurn must be positive, got $tokensPerTurn")
+    F.udf((t: String) => graft.pipeline.Sft.profileText(t, tokensPerTurn))
+      .apply(text)
+  }
 }

@@ -1,7 +1,7 @@
 package graft.pipeline
 
 import graft.SparkTestBase
-import org.apache.spark.sql.{Row, functions => F}
+import org.apache.spark.sql.{Column, Row, functions => F}
 
 /**
  * Sft: conversation synthesis, validation, template render, and
@@ -84,6 +84,44 @@ class SftSpec extends SparkTestBase {
     val counts = df.select(Sft.turnTokenCounts(F.col("turns")).as("c"))
       .collect().head.getSeq[Int](0)
     assert(counts.toSeq === Seq(2, 2, 1))
+  }
+
+  test("sftTextProfile fused kernel equals the Column-expression chain") {
+    // the hot-path JVM kernel must reproduce the composable path
+    // field-for-field: synthesize -> validate -> render -> mask ->
+    // span checksum. Edge cases plus the whole real corpus.
+    val session = spark
+    import session.implicits._
+    val edge = Seq(
+      (1L, "a b c d e f g"), (2L, "one"), (3L, ""), (4L, "   "),
+      (5L, null.asInstanceOf[String]), (6L, "a b c d e f"),
+      (7L, "x\ty  z\n w"), (8L, (1 to 50).map(i => s"tok$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val corpus = sf("sf0.001", "documents").select(F.col("doc_id"), F.col("text"))
+    for (df <- Seq(edge, corpus); k <- Seq(1, 3)) {
+      val expr = df
+        .select(F.col("doc_id"), Sft.conversationsFromText(F.col("text"), k).as("turns"))
+        .select(F.col("doc_id"),
+          Sft.validateTurns(F.col("turns")).as("v"),
+          Sft.maskStats(F.col("turns")).as("m"),
+          F.aggregate(Sft.assistantSpans(F.col("turns")), F.lit(0L),
+            (a: Column, sp: Column) =>
+              a + sp.getField("s") + sp.getField("e")).as("span_sum"))
+        .select(F.col("doc_id"), F.col("v.n_turns"), F.col("v.starts_with_user"),
+          F.col("v.ends_with_assistant"), F.col("v.alternates"),
+          F.col("v.roles_known"), F.col("v.no_empty_content"), F.col("v.valid"),
+          F.col("m.rendered_chars"), F.col("m.masked_chars"), F.col("m.n_spans"),
+          F.col("span_sum"))
+      val fused = df
+        .select(F.col("doc_id"), Sft.sftTextProfile(F.col("text"), k).as("p"))
+        .select(F.col("doc_id"), F.col("p.n_turns"), F.col("p.starts_with_user"),
+          F.col("p.ends_with_assistant"), F.col("p.alternates"),
+          F.col("p.roles_known"), F.col("p.no_empty_content"), F.col("p.valid"),
+          F.col("p.rendered_chars"), F.col("p.masked_chars"), F.col("p.n_spans"),
+          F.col("p.span_sum"))
+      assert(expr.exceptAll(fused).isEmpty && fused.exceptAll(expr).isEmpty,
+        s"k=$k mismatch")
+    }
   }
 
   test("the whole chain is map-only (zero exchanges) over documents") {
