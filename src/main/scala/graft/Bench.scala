@@ -33,6 +33,30 @@ object Bench {
   private val ivfPqIndexCache = scala.collection.concurrent.TrieMap[String,
     graft.pipeline.ProductQuantization.IvfPqIndex]()
 
+  // shared cache builders: the bench queries and the recall telemetry
+  // both go through these, so a SPARK_GRAFT_BENCH_ONLY subset that
+  // skips an ANN query still gets its index built for the recall pass
+  private def pqIndexFor(s: SparkSession, dir: String, emb: DataFrame) =
+    pqIndexCache.getOrElseUpdate(dir, {
+      val pq = graft.pipeline.ProductQuantization
+      val books = pq.trainPq(emb, "vec_id", "embedding", m = 16, ksub = 16, iterations = 2)
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_bench_pq").toString
+      pq.pqEncode(emb, "vec_id", "embedding", books)
+        .write.mode("overwrite").parquet(path)
+      (books, s.read.parquet(path))
+    })
+
+  private def ivfPqIndexFor(s: SparkSession, dir: String, emb: DataFrame) =
+    ivfPqIndexCache.getOrElseUpdate(dir, {
+      val pq = graft.pipeline.ProductQuantization
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_bench_ivfpq").toString
+      pq.buildIvfPq(emb, "vec_id", "embedding",
+        nlist = 16, m = 16, ksub = 16, iterations = 2).save(path)
+      pq.loadIvfPq(s, path)
+    })
+
   // learned once per dir like a persisted tokenizer artifact, so
   // b_tokenize times tokenization, not merge learning
   private val bpeMergeCache =
@@ -194,15 +218,7 @@ object Bench {
     // candidate pool
     "b_ann_pq_query" -> ((s: SparkSession, dir: String) => {
       val emb = t(s, dir, "embeddings")
-      val (cb, enc) = pqIndexCache.getOrElseUpdate(dir, {
-        val pq = graft.pipeline.ProductQuantization
-        val books = pq.trainPq(emb, "vec_id", "embedding", m = 16, ksub = 16, iterations = 2)
-        val path = java.nio.file.Files
-          .createTempDirectory("graft_bench_pq").toString
-        pq.pqEncode(emb, "vec_id", "embedding", books)
-          .write.mode("overwrite").parquet(path)
-        (books, s.read.parquet(path))
-      })
+      val (cb, enc) = pqIndexFor(s, dir, emb)
       graft.pipeline.ProductQuantization.pqTopKReranked(
         cb, enc, emb, emb.filter(F.col("vec_id") < 20),
         "vec_id", "embedding", 10, poolSize = 100)
@@ -212,14 +228,7 @@ object Bench {
     // the code table is prebuilt and persisted like a real index
     "b_ann_ivfpq_query" -> ((s: SparkSession, dir: String) => {
       val emb = t(s, dir, "embeddings")
-      val idx = ivfPqIndexCache.getOrElseUpdate(dir, {
-        val pq = graft.pipeline.ProductQuantization
-        val path = java.nio.file.Files
-          .createTempDirectory("graft_bench_ivfpq").toString
-        pq.buildIvfPq(emb, "vec_id", "embedding",
-          nlist = 16, m = 16, ksub = 16, iterations = 2).save(path)
-        pq.loadIvfPq(s, path)
-      })
+      val idx = ivfPqIndexFor(s, dir, emb)
       graft.pipeline.ProductQuantization.ivfPqTopK(
         idx, emb, emb.filter(F.col("vec_id") < 20),
         "vec_id", "embedding", 10, nprobe = 8, poolSize = 100)
@@ -743,10 +752,16 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // SPARK_GRAFT_BENCH_ONLY=a,b,c runs an isolated subset (regression
+    // triage: separates a real plan change from 63-query-JVM pressure).
+    // Unset = all queries, the driver contract.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSet)
+    val picked = benchQueries.filter { case (n, _) => only.forall(_.contains(n)) }
+
     // Warmup pass: every query once, untimed — JIT, codegen compilation,
     // and classloading otherwise dominate the first run (3-4x); a
     // long-running engine's honest number is steady state.
-    benchQueries.foreach { case (_, fn) =>
+    picked.foreach { case (_, fn) =>
       try run(fn) catch { case _: Throwable => () }
     }
 
@@ -754,7 +769,7 @@ object Bench {
     // noise: SPARK_GRAFT_BENCH_REPS=N reports the median of N timed
     // runs per query (default 1 preserves the driver contract).
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").toInt.max(1)
-    val results = benchQueries.map { case (name, fn) =>
+    val results = picked.map { case (name, fn) =>
       name -> (try {
         val ts = Seq.fill(reps)(run(fn)).sorted
         ts(ts.length / 2)
@@ -786,20 +801,29 @@ object Bench {
             if (per.isEmpty) -1.0 else per.sum / per.size
           } catch { case _: Throwable => -1.0 }
         Seq(
-          "lsh" -> recallOf(sim.lshTopK(emb, queries, "vec_id", "embedding", 10)),
-          "ivf" -> recallOf(sim.ivfTopK(emb, queries, "vec_id", "embedding", 10,
-            nlist = 16, nprobe = 4)),
+          // lsh/ivf use the scale-aware auto forms (planes from bucket
+          // occupancy, nlist = sqrt(n) + mass-adaptive probing): fixed
+          // defaults decayed below their floors at sf0.1 (r5)
+          "lsh" -> recallOf(sim.lshTopKAuto(emb, queries, "vec_id", "embedding", 10)),
+          "ivf" -> recallOf(sim.ivfTopKAuto(emb, queries, "vec_id", "embedding", 10)),
           "pq" -> recallOf {
-            val (cb, enc) = pqIndexCache(sfDir)
+            val (cb, enc) = pqIndexFor(spark, sfDir, emb)
             pq.pqTopKReranked(cb, enc, emb, queries,
               "vec_id", "embedding", 10, poolSize = 100)
           },
-          "ivfpq" -> recallOf(pq.ivfPqTopK(ivfPqIndexCache(sfDir), emb, queries,
-            "vec_id", "embedding", 10, nprobe = 8, poolSize = 100)))
+          "ivfpq" -> recallOf(pq.ivfPqTopK(ivfPqIndexFor(spark, sfDir, emb),
+            emb, queries, "vec_id", "embedding", 10, nprobe = 8, poolSize = 100)))
       } catch { case _: Throwable => Seq.empty }
     val rc = recall.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // recall floors pinned at the BENCHED SF (not just the sf0.01
+    // oracle floors): the telemetry fails loudly when a default's
+    // recall decays with corpus growth
+    val floors = Map("lsh" -> 0.7, "ivf" -> 0.6, "pq" -> 0.7, "ivfpq" -> 0.6)
+    val fl = floors.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val ok = recall.map { case (k, v) =>
+      "\"" + k + "\":" + floors.get(k).forall(v >= _) }.mkString("{", ",", "}")
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"recall_at_10":$rc,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"recall_at_10":$rc,"recall_floors":$fl,"recall_ok":$ok,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

