@@ -1832,6 +1832,45 @@ object SparkEntry {
             .as("reconstructs"))
     }),
 
+    // tokenizer interchange: learned BPE merges+vocab exported as
+    // merges.txt / vocab.json (the GPT-2 pair) and a WordPiece model
+    // as vocab.txt (BERT form), reloaded, and required to reproduce
+    // the learned artifacts and the corpus tokenization EXACTLY; the
+    // oracle pins the invariant booleans plus the SQL-derivable count
+    "q_tokenizer_roundtrip" -> ((s: SparkSession, dir: String) => {
+      val docs = t(s, dir, "documents")
+      val merges = graft.pipeline.Vocab.learnBpeMerges(docs, "text", 8)
+        .map(m => (m._1, m._2))
+      val out = System.getProperty("java.io.tmpdir") + "/graft_q_tokio"
+      graft.pipeline.TokenizerIO.saveBpe(s, out, merges)
+      val reMerges = graft.pipeline.TokenizerIO.loadBpeMerges(s, out)
+      val reVocab = graft.pipeline.TokenizerIO.loadBpeVocab(s, out)
+      val vocabOk = reVocab ==
+        graft.pipeline.TokenizerIO.bpeVocabFromMerges(merges).zipWithIndex.toMap
+      val wp = graft.pipeline.WordPiece.learn(docs, "text", vocabSize = 96)
+      graft.pipeline.TokenizerIO.saveWordPieceVocab(s, s"$out/vocab.txt", wp)
+      val reWp = graft.pipeline.TokenizerIO.loadWordPieceVocab(s, s"$out/vocab.txt")
+      val a = graft.pipeline.Vocab.tokenizeBpe(docs, "text", merges)
+        .select(F.col("doc_id"), F.col("tokens"))
+      val b = graft.pipeline.Vocab.tokenizeBpe(docs, "text", reMerges)
+        .select(F.col("doc_id"), F.col("tokens").as("__rt"))
+      val wa = graft.pipeline.WordPiece.tokenize(docs, "text", wp)
+        .select(F.col("doc_id"), F.col("tokens").as("__wa"))
+      val wb = graft.pipeline.WordPiece.tokenize(docs, "text", reWp)
+        .select(F.col("doc_id"), F.col("tokens").as("__wb"))
+      a.join(b, "doc_id").join(wa, "doc_id").join(wb, "doc_id")
+        .agg(
+          F.count(F.lit(1)).as("docs"),
+          F.lit(reMerges == merges).as("merges_roundtrip"),
+          F.lit(vocabOk).as("vocab_roundtrip"),
+          (F.sum(F.when(F.col("tokens") <=> F.col("__rt"), 0L).otherwise(1L)) === 0L)
+            .as("bpe_tokens_identical"),
+          F.lit(reWp.pieces == wp.pieces && reWp.unk == wp.unk)
+            .as("wp_model_roundtrip"),
+          (F.sum(F.when(F.col("__wa") <=> F.col("__wb"), 0L).otherwise(1L)) === 0L)
+            .as("wp_tokens_identical"))
+    }),
+
     // unigram-LM (SentencePiece-style) tokenizer: EM-trained piece
     // vocabulary + Viterbi segmentation. Non-SQL-expressible DP, so
     // the oracle pins structural invariants computed exactly in Spark:
@@ -4232,6 +4271,11 @@ object SparkEntry {
       "q_dedup_containment_indexed" -> base("q_dedup_containment"),
       "q_tokenize_bpe" ->
         """SELECT count(*) AS docs, true AS rank_eq_seq, true AS reconstructs
+          |FROM documents""".stripMargin,
+      "q_tokenizer_roundtrip" ->
+        """SELECT count(*) AS docs, true AS merges_roundtrip,
+          |       true AS vocab_roundtrip, true AS bpe_tokens_identical,
+          |       true AS wp_model_roundtrip, true AS wp_tokens_identical
           |FROM documents""".stripMargin,
       "q_tokenize_unigram" ->
         """SELECT source, count(*) AS docs, true AS reconstructs,

@@ -1,0 +1,214 @@
+package graft.pipeline
+
+import org.apache.spark.sql.SparkSession
+import org.apache.hadoop.fs.Path
+import java.nio.charset.StandardCharsets
+
+/**
+ * Tokenizer interchange in the de-facto ecosystem formats, so a
+ * tokenizer learned here can leave the engine (and externally trained
+ * artifacts can be loaded back into [[Vocab.applyBpe]] /
+ * [[Vocab.tokenizeBpe]] / [[WordPiece.tokenize]]):
+ *
+ *  - BPE: `merges.txt` (`#version: 0.2` header, one `left right` pair
+ *    per line in learned order) + `vocab.json` (token → id object) —
+ *    the GPT-2 pair of files.
+ *  - WordPiece: `vocab.txt` (one piece per line, line number = id) —
+ *    the BERT form.
+ *
+ * Tokenizer artifacts are model-sized, not corpus-sized (a 32k-merge
+ * table is ~1 MB), so this is deliberately driver-side IO — but it
+ * goes through the Hadoop FileSystem API, so `hdfs://`/`s3a://`
+ * destinations work the same as local paths on a cluster.
+ *
+ * BPE symbols come from whitespace-split words, so no symbol can
+ * contain whitespace and the `left right` line form is unambiguous;
+ * [[saveBpe]] still validates rather than silently writing an
+ * unparseable file.
+ */
+object TokenizerIO {
+
+  private val MergesHeader = "#version: 0.2"
+
+  // ------------------------------------------------------------- file IO
+
+  private def writeText(spark: SparkSession, path: String, content: String): Unit = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(content.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def readText(spark: SparkSession, path: String): String = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+    finally in.close()
+  }
+
+  // ------------------------------------------------------------ JSON bits
+
+  private def jsonEscape(s: String): String = s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
+  /** Minimal strict parser for a flat `{"token": int, ...}` object —
+    * exactly what [[saveBpe]] writes and what HF vocab.json files
+    * contain. Handles all JSON string escapes including \uXXXX. */
+  private[pipeline] def parseStringIntObject(s: String): Map[String, Int] = {
+    var i = 0
+    def err(msg: String) = throw new IllegalArgumentException(
+      s"vocab.json parse error at offset $i: $msg")
+    def ws(): Unit = while (i < s.length && Character.isWhitespace(s.charAt(i))) i += 1
+    def expect(c: Char): Unit = {
+      if (i >= s.length || s.charAt(i) != c) err(s"expected '$c'")
+      i += 1
+    }
+    def str(): String = {
+      expect('"')
+      val sb = new StringBuilder
+      while (i < s.length && s.charAt(i) != '"') {
+        val c = s.charAt(i)
+        if (c == '\\') {
+          if (i + 1 >= s.length) err("dangling escape")
+          s.charAt(i + 1) match {
+            case '"'  => sb += '"'; i += 2
+            case '\\' => sb += '\\'; i += 2
+            case '/'  => sb += '/'; i += 2
+            case 'b'  => sb += '\b'; i += 2
+            case 'f'  => sb += '\f'; i += 2
+            case 'n'  => sb += '\n'; i += 2
+            case 'r'  => sb += '\r'; i += 2
+            case 't'  => sb += '\t'; i += 2
+            case 'u'  =>
+              if (i + 6 > s.length) err("truncated \\u escape")
+              sb += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar
+              i += 6
+            case other => err(s"unknown escape \\$other")
+          }
+        } else { sb += c; i += 1 }
+      }
+      expect('"')
+      sb.result()
+    }
+    def int(): Int = {
+      val start = i
+      if (i < s.length && s.charAt(i) == '-') i += 1
+      while (i < s.length && Character.isDigit(s.charAt(i))) i += 1
+      if (i == start) err("expected integer")
+      s.substring(start, i).toInt
+    }
+    ws(); expect('{'); ws()
+    val out = Map.newBuilder[String, Int]
+    if (i < s.length && s.charAt(i) == '}') { i += 1; return out.result() }
+    var done = false
+    while (!done) {
+      ws()
+      val k = str()
+      ws(); expect(':'); ws()
+      out += k -> int()
+      ws()
+      if (i < s.length && s.charAt(i) == ',') i += 1
+      else { expect('}'); done = true }
+    }
+    out.result()
+  }
+
+  // ----------------------------------------------------------------- BPE
+
+  /** The vocabulary a merge table induces: the single-character
+    * alphabet (from `alphabet` plus every character appearing in the
+    * merges), sorted, then each merge's concatenation in learned
+    * order — deterministic ids, duplicates keep the first id. */
+  def bpeVocabFromMerges(
+      merges: Seq[(String, String)],
+      alphabet: Seq[String] = Nil): Seq[String] = {
+    val chars = (alphabet.iterator ++
+        merges.iterator.flatMap { case (l, r) => (l + r).map(_.toString) })
+      .toSeq.distinct.sorted
+    val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+    chars.foreach(seen += _)
+    merges.foreach { case (l, r) => seen += (l + r) }
+    seen.toSeq
+  }
+
+  /**
+   * Write a learned BPE tokenizer as `<dir>/merges.txt` +
+   * `<dir>/vocab.json`. `vocab` defaults to [[bpeVocabFromMerges]];
+   * pass the corpus alphabet through it to include characters that
+   * never merged.
+   */
+  def saveBpe(
+      spark: SparkSession,
+      dir: String,
+      merges: Seq[(String, String)],
+      vocab: Seq[String] = Nil): Unit = {
+    merges.foreach { case (l, r) =>
+      require(l.nonEmpty && r.nonEmpty && !(l + r).exists(Character.isWhitespace),
+        s"BPE symbols must be non-empty and whitespace-free, got ('$l', '$r')")
+    }
+    val v = if (vocab.nonEmpty) vocab else bpeVocabFromMerges(merges)
+    require(v.distinct.length == v.length, "vocab contains duplicate tokens")
+    writeText(spark, s"$dir/merges.txt",
+      (MergesHeader +: merges.map { case (l, r) => s"$l $r" }).mkString("", "\n", "\n"))
+    writeText(spark, s"$dir/vocab.json",
+      v.zipWithIndex.map { case (t, i) => s""""${jsonEscape(t)}": $i""" }
+        .mkString("{", ", ", "}"))
+  }
+
+  /** Read `<dir>/merges.txt` back into the learned-order pair list
+    * [[Vocab.applyBpe]] / [[Vocab.tokenizeBpe]] consume. Blank lines
+    * and `#`-prefixed header lines are skipped (the HF convention). */
+  def loadBpeMerges(spark: SparkSession, dir: String): Seq[(String, String)] =
+    readText(spark, s"$dir/merges.txt")
+      .linesIterator
+      .map(_.stripLineEnd)
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .map { l =>
+        val sp = l.indexOf(' ')
+        require(sp > 0 && sp < l.length - 1 && l.indexOf(' ', sp + 1) < 0,
+          s"malformed merges.txt line: '$l'")
+        (l.substring(0, sp), l.substring(sp + 1))
+      }
+      .toSeq
+
+  /** Read `<dir>/vocab.json` (token → id). */
+  def loadBpeVocab(spark: SparkSession, dir: String): Map[String, Int] =
+    parseStringIntObject(readText(spark, s"$dir/vocab.json"))
+
+  // ------------------------------------------------------------ WordPiece
+
+  /** Write a WordPiece model as BERT-style `<path>` vocab.txt: one
+    * piece per line, line number = id; the unk token is included. */
+  def saveWordPieceVocab(spark: SparkSession, path: String, model: WordPiece.Model): Unit = {
+    val pieces = model.pieces.toSeq.sorted
+    (model.unk +: pieces).foreach { p =>
+      require(p.nonEmpty && !p.exists(c => c == '\n' || c == '\r'),
+        s"WordPiece pieces must be non-empty single-line strings, got '$p'")
+    }
+    writeText(spark, path, (model.unk +: pieces).mkString("", "\n", "\n"))
+  }
+
+  /** Read a BERT-style vocab.txt back into a [[WordPiece.Model]]:
+    * first line is taken as the unk token (the save-side layout);
+    * pass `unk` explicitly to override for external files where
+    * [UNK] sits elsewhere. */
+  def loadWordPieceVocab(
+      spark: SparkSession,
+      path: String,
+      unk: String = null): WordPiece.Model = {
+    val lines = readText(spark, path).linesIterator
+      .map(_.stripLineEnd).filter(_.nonEmpty).toSeq
+    require(lines.nonEmpty, s"empty WordPiece vocab at $path")
+    val u = if (unk != null) unk else lines.head
+    WordPiece.Model(lines.filterNot(_ == u).toSet, u)
+  }
+}

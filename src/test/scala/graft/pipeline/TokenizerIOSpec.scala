@@ -1,0 +1,85 @@
+package graft.pipeline
+
+import graft.SparkTestBase
+import org.apache.spark.sql.{functions => F}
+
+/**
+ * TokenizerIO: merges.txt / vocab.json / vocab.txt interchange —
+ * round-trips against the learners, ecosystem-format quirks, and
+ * reloaded-tokenizer ≡ learned-tokenizer output on the real corpus.
+ */
+class TokenizerIOSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft_tokio").toString
+
+  test("BPE merges+vocab round-trip through merges.txt / vocab.json") {
+    val docs = sf("sf0.001", "documents")
+    val merges = Vocab.learnBpeMerges(docs, "text", 24).map(m => (m._1, m._2))
+    assert(merges.nonEmpty)
+    val dir = tmp()
+    TokenizerIO.saveBpe(spark, dir, merges)
+    assert(TokenizerIO.loadBpeMerges(spark, dir) === merges)
+    val vocab = TokenizerIO.loadBpeVocab(spark, dir)
+    val expect = TokenizerIO.bpeVocabFromMerges(merges)
+    assert(vocab === expect.zipWithIndex.toMap)
+    // every merge's concatenation and both sides are resolvable tokens
+    merges.foreach { case (l, r) =>
+      assert(vocab.contains(l + r), s"merged token '$l$r' missing")
+    }
+  }
+
+  test("reloaded tokenizer produces identical corpus tokenization") {
+    val docs = sf("sf0.001", "documents").limit(100)
+    val merges = Vocab.learnBpeMerges(docs, "text", 16).map(m => (m._1, m._2))
+    val dir = tmp()
+    TokenizerIO.saveBpe(spark, dir, merges)
+    val reloaded = TokenizerIO.loadBpeMerges(spark, dir)
+    val a = Vocab.tokenizeBpe(docs, "text", merges).select("doc_id", "tokens")
+    val b = Vocab.tokenizeBpe(docs, "text", reloaded).select("doc_id", "tokens")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  test("vocab.json escapes survive: quotes, backslashes, control chars, unicode") {
+    val vocab = Seq("plain", "has\"quote", "back\\slash", "unié", "nulbyte")
+    val dir = tmp()
+    TokenizerIO.saveBpe(spark, dir, Seq(("pl", "ain")), vocab = vocab)
+    assert(TokenizerIO.loadBpeVocab(spark, dir) === vocab.zipWithIndex.toMap)
+  }
+
+  test("merges.txt tolerates headers and blank lines, rejects malformed pairs") {
+    val dir = tmp()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "merges.txt"),
+      "#version: 0.2\n\na b\nab c\n")
+    assert(TokenizerIO.loadBpeMerges(spark, dir) === Seq(("a", "b"), ("ab", "c")))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "merges.txt"), "#version: 0.2\na b c\n")
+    intercept[IllegalArgumentException] {
+      TokenizerIO.loadBpeMerges(spark, dir)
+    }
+  }
+
+  test("saveBpe rejects whitespace-bearing symbols and duplicate vocab") {
+    intercept[IllegalArgumentException] {
+      TokenizerIO.saveBpe(spark, tmp(), Seq(("a b", "c")))
+    }
+    intercept[IllegalArgumentException] {
+      TokenizerIO.saveBpe(spark, tmp(), Seq(("a", "b")), vocab = Seq("x", "x"))
+    }
+  }
+
+  test("WordPiece model round-trips through vocab.txt, tokenization identical") {
+    val docs = sf("sf0.001", "documents").limit(100)
+    val model = WordPiece.learn(docs, "text", vocabSize = 64)
+    val path = tmp() + "/vocab.txt"
+    TokenizerIO.saveWordPieceVocab(spark, path, model)
+    val reloaded = TokenizerIO.loadWordPieceVocab(spark, path)
+    assert(reloaded.pieces === model.pieces)
+    assert(reloaded.unk === model.unk)
+    val a = WordPiece.tokenize(docs, "text", model).select("doc_id", "tokens")
+    val b = WordPiece.tokenize(docs, "text", reloaded).select("doc_id", "tokens")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+}
