@@ -701,6 +701,16 @@ object Bench {
         .agg(F.count(F.lit(1)).as("cnt"), F.sum(F.col("filled")).as("sum"))
     }),
 
+    // perceptual-hash media dedup: synthesize planted near-dup PNGs,
+    // decode + dHash every payload, Hamming-banded bucket join —
+    // payloads never shuffle, only 8-byte (band, bits) keys
+    "b_multimodal_dedup" -> ((s: SparkSession, dir: String) => {
+      val media = graft.pipeline.Multimodal.plantedNearDupMedia(
+        t(s, dir, "documents").select(F.col("doc_id")), "doc_id")
+      graft.pipeline.Multimodal.nearDuplicateMedia(media, maxHamming = 6)
+        .agg(F.count(F.lit(1)).as("pairs"), F.sum(F.col("hamming")).as("h_sum"))
+    }),
+
     // SFT chat prep: synthesize turns, validate, render, mask spans —
     // one map-only pass over the whole corpus via the fused JVM
     // kernel (the interpreted higher-order-function chain it replaces

@@ -2243,6 +2243,22 @@ object SparkEntry {
             .otherwise(1L)) === 0L).as("chars_ok"))
     }),
 
+    // perceptual-hash media dedup: planted near-duplicate images (9x8
+    // PNGs carrying exact dHashes — groups of 3 ids with pairwise
+    // distances 1/4/5, cross-group ~Binomial(64, 1/2)) through the
+    // full decode -> dHash -> Hamming-banded-bucket pipeline; the
+    // oracle replays the expected pair set and the EXACT per-pair
+    // hammings from id arithmetic, so a stub hash or a banding
+    // recall hole fails row-for-row
+    "q_multimodal_dedup" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val media = graft.pipeline.Multimodal.plantedNearDupMedia(
+        t(s, dir, "documents").select(F.col("doc_id")), "doc_id")
+      graft.pipeline.Multimodal.nearDuplicateMedia(media, maxHamming = 6)
+        .select(F.col("id_a"), F.col("id_b"), F.col("hamming"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // multimodal plumbing: binary payloads through batched (stub) decode
     // WARC (ISO 28500) ingestion + WET extraction: per-doc Common
     // Crawl-layout files (per-record gzip members: warcinfo +
@@ -4044,6 +4060,15 @@ object SparkEntry {
       """SELECT count(*) AS docs, true AS text_roundtrip,
         |       true AS pages_ok, true AS chars_ok
         |FROM documents WHERE doc_id % 13 = 0""".stripMargin,
+    "q_multimodal_dedup" ->
+      """WITH d AS (SELECT doc_id, doc_id // 3 AS g, doc_id % 3 AS v
+        |           FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       CAST(CASE WHEN a.v = 0 AND b.v = 1 THEN 1
+        |                 WHEN a.v = 0 AND b.v = 2 THEN 4
+        |                 ELSE 5 END AS INT) AS hamming
+        |FROM d a JOIN d b ON a.g = b.g AND a.doc_id < b.doc_id
+        |ORDER BY id_a, id_b""".stripMargin,
     "q_unicode_fold" ->
       """SELECT doc_id,
         |  text || CASE doc_id % 4

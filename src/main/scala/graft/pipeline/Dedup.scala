@@ -573,6 +573,63 @@ object Dedup {
       .distinct()
   }
 
+  /**
+   * Generic Hamming-banded near-dup pairs over a precomputed 64-bit
+   * signature column (the [[simhashPairs]] machinery with the
+   * signature supplied by the caller — perceptual image hashes,
+   * audio fingerprints, any 64-bit locality-sensitive code): the
+   * signature splits into `bands` equal chunks, so two signatures
+   * within Hamming distance `bands - 1` are guaranteed to collide in
+   * at least one chunk (pigeonhole); candidates sharing a (band,
+   * bits) bucket get the exact popcount check. NULL signatures drop.
+   * Returns (id_a, id_b, hamming) with id_a < id_b.
+   *
+   * Scale shape: identical to [[simhashPairs]] — signatures
+   * checkpoint as (id, long) rows, singleton and flooded buckets
+   * prune before the self-join, the shuffle key is 8 bytes.
+   */
+  def hammingPairs(
+      df: DataFrame,
+      idCol: String,
+      hashCol: String,
+      maxHamming: Int = 6,
+      bands: Int = 8,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    require(bands >= 2 && 64 % bands == 0,
+      s"bands must be >= 2 and divide 64, got $bands")
+    require(maxHamming >= 0 && maxHamming <= bands - 1,
+      s"$bands bands only guarantee hamming <= ${bands - 1}, got $maxHamming")
+    val width = 64 / bands
+    val mask = (1L << width) - 1
+    val chunkU = F.udf((sig: Long) =>
+      Array.tabulate(bands)(b => (b, (sig >>> (b * width)) & mask)))
+    val sigs = df
+      .filter(F.col(hashCol).isNotNull)
+      .select(F.col(idCol), F.col(hashCol).cast("long").as("__sig"))
+      .localCheckpoint(eager = false)
+    val chunked = sigs.select(
+        F.col(idCol), F.col("__sig"),
+        F.explode(chunkU(F.col("__sig"))).as("__c"))
+      .select(F.col(idCol), F.col("__sig"),
+              F.col("__c._1").as("__chunk"), F.col("__c._2").as("__val"))
+    val sizes = chunked.groupBy(F.col("__chunk"), F.col("__val"))
+      .agg(F.count(F.lit(1)).as("__n"))
+      .filter(F.col("__n") > 1)
+    val allowed = capBuckets(sizes, F.col("__n"), maxBucket, "hamming")
+      .select("__chunk", "__val")
+    val pruned = chunked.join(allowed, Seq("__chunk", "__val"))
+    val l = pruned.select(F.col(idCol).as("id_a"), F.col("__sig").as("__siga"),
+                          F.col("__chunk"), F.col("__val"))
+    val r = pruned.select(F.col(idCol).as("id_b"), F.col("__sig").as("__sigb"),
+                          F.col("__chunk"), F.col("__val"))
+    l.join(r, Seq("__chunk", "__val"))
+      .filter(F.col("id_a") < F.col("id_b"))
+      .select(F.col("id_a"), F.col("id_b"),
+              F.bit_count(F.col("__siga").bitwiseXOR(F.col("__sigb"))).as("hamming"))
+      .filter(F.col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Merge sorted-or-not (start, end) intervals, fusing overlapping AND
     * adjacent ones (tokens 1-8 and 9-16 both duplicated = one
     * contiguous duplicated region 1-16). Input sizes are bounded by a

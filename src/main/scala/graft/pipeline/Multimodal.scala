@@ -757,6 +757,206 @@ object Multimodal {
 
   /** Synthesize a media table from the documents table: payload = UTF-8
     * bytes, modality derived from the lang label (demo wiring only). */
+  // ------------------------------------------------ perceptual hashing
+
+  /** Box-averaged luminance grid (`cols` x `rows`, row-major) of a
+    * decoded frame; pixel reads are strided so giant frames cost at
+    * most ~16k samples. Luminance is the integer (299r+587g+114b)/1000
+    * form used across this file — exact for grayscale pixels. */
+  private def lumGrid(
+      img: java.awt.image.BufferedImage, cols: Int, rows: Int): Array[Double] = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val sums = new Array[Double](cols * rows)
+    val cnts = new Array[Int](cols * rows)
+    val sx = math.max(1, w / 128)
+    val sy = math.max(1, h / 128)
+    var y = 0
+    while (y < h) {
+      val cy = math.min(y * rows / h, rows - 1)
+      var x = 0
+      while (x < w) {
+        val cx = math.min(x * cols / w, cols - 1)
+        val rgb = img.getRGB(x, y)
+        val lum = (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
+          (rgb & 0xFF) * 114) / 1000
+        val cell = cy * cols + cx
+        sums(cell) += lum
+        cnts(cell) += 1
+        x += sx
+      }
+      y += sy
+    }
+    Array.tabulate(cols * rows)(i => if (cnts(i) == 0) 0.0 else sums(i) / cnts(i))
+  }
+
+  /** dHash (difference hash) of a decoded frame: 9x8 luminance grid,
+    * bit (y*8 + x) set iff cell(y, x) > cell(y, x+1). Robust to
+    * uniform brightness shifts; near-duplicate frames land within a
+    * few bits of Hamming distance. */
+  def dHashOf(img: java.awt.image.BufferedImage): Long = {
+    val g = lumGrid(img, 9, 8)
+    var bits = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (g(y * 9 + x) > g(y * 9 + x + 1)) bits |= 1L << (y * 8 + x)
+        x += 1
+      }
+      y += 1
+    }
+    bits
+  }
+
+  /** aHash (average hash): 8x8 luminance grid, bit set iff the cell
+    * exceeds the grid mean. */
+  def aHashOf(img: java.awt.image.BufferedImage): Long = {
+    val g = lumGrid(img, 8, 8)
+    val mean = g.sum / 64.0
+    var bits = 0L
+    var i = 0
+    while (i < 64) {
+      if (g(i) > mean) bits |= 1L << i
+      i += 1
+    }
+    bits
+  }
+
+  /** dHash of an encoded image payload; None when undecodable. */
+  def imageDHash(payload: Array[Byte]): Option[Long] = {
+    if (payload == null || payload.length == 0) return None
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
+      else Some(dHashOf(img))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** aHash of an encoded image payload; None when undecodable. */
+  def imageAHash(payload: Array[Byte]): Option[Long] = {
+    if (payload == null || payload.length == 0) return None
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
+      else Some(aHashOf(img))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** dHash of an AVI video's FIRST decodable keyframe; None for
+    * non-AVI payloads or when no frame decodes. Exact-copy and
+    * re-containered videos collide at Hamming 0; re-encoded ones land
+    * within a few bits (JPEG noise shifts box averages slightly). */
+  def videoDHash(payload: Array[Byte]): Option[Long] =
+    parseAvi(payload).flatMap { case (_, _, frames) =>
+      frames.iterator.flatMap { case (off, len) =>
+        try {
+          Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+            java.util.Arrays.copyOfRange(payload, off, off + len))))
+            .filter(i => i.getWidth > 0 && i.getHeight > 0)
+            .map(dHashOf)
+        } catch { case scala.util.control.NonFatal(_) => None }
+      }.take(1).toSeq.headOption
+    }
+
+  /** Modality-dispatched perceptual hash: image payloads hash
+    * directly, videos hash their first keyframe; other modalities
+    * (and undecodable payloads) yield NULL per the repo's
+    * malformed-input discipline. */
+  def perceptualHash(media: Dataset[MediaRecord]): DataFrame = {
+    val phU = F.udf((modality: String, payload: Array[Byte]) => modality match {
+      case "image" => graft.pipeline.Multimodal.imageDHash(payload)
+      case "video" => graft.pipeline.Multimodal.videoDHash(payload)
+      case _ => None: Option[Long]
+    })
+    media.toDF().withColumn("phash", phU(F.col("modality"), F.col("payload")))
+  }
+
+  /**
+   * Perceptual near-duplicate pairs over a media corpus — the
+   * no-embedding-model dedup path (the media analogue of
+   * [[Dedup.simhashPairs]] next to [[Dedup.embeddingDupPairs]]):
+   * dHash per record ([[perceptualHash]]), then Hamming-banded
+   * bucketing + exact verification via [[Dedup.hammingPairs]].
+   * Returns (id_a, id_b, hamming) with id_a < id_b. Map-only hashing;
+   * the only shuffle is on 8-byte (band, bits) keys — never payloads.
+   */
+  def nearDuplicateMedia(media: Dataset[MediaRecord], maxHamming: Int = 6): DataFrame =
+    Dedup.hammingPairs(
+      perceptualHash(media).select(F.col("media_id"), F.col("phash")),
+      "media_id", "phash", maxHamming)
+
+  /** Drop every record whose perceptual hash duplicates (within
+    * `maxHamming`) a lower-id record — the greedy keep-first form the
+    * other dedup families use. Records with no hash (undecodable or
+    * unhashable modality) always survive. */
+  def dropNearDuplicateMedia(
+      media: Dataset[MediaRecord], maxHamming: Int = 6): Dataset[MediaRecord] = {
+    import media.sparkSession.implicits._
+    val dupIds = nearDuplicateMedia(media, maxHamming)
+      .select(F.col("id_b").as("media_id")).distinct()
+    media.toDF().join(dupIds, Seq("media_id"), "left_anti").as[MediaRecord]
+  }
+
+  /** Deterministic 9x8 grayscale PNG whose [[dHashOf]] is EXACTLY
+    * `hash`: each row walks left-to-right, stepping -14 when the
+    * corresponding hash bit is set (left cell brighter) and +14
+    * otherwise. On a 9x8 image the box-average grid IS the pixel
+    * grid, so the planted bits survive the encode/decode round trip
+    * exactly. Spec/oracle fixture generator. */
+  def imageForDHash(hash: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(9, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < 8) {
+      var v = 128
+      img.setRGB(0, y, (v << 16) | (v << 8) | v)
+      var x = 0
+      while (x < 8) {
+        v = if (((hash >>> (y * 8 + x)) & 1L) == 1L) v - 14 else v + 14
+        img.setRGB(x + 1, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /**
+   * Deterministic near-duplicate image corpus for specs and oracles:
+   * ids group by `id / 3`; variant 0 carries a group-random planted
+   * dHash, variant 1 flips 1 bit of it, variant 2 flips 4 bits
+   * disjoint from variant 1's — within-group dHash distances are
+   * EXACTLY 1 (v0-v1), 4 (v0-v2) and 5 (v1-v2), while cross-group
+   * distances are ~Binomial(64, 1/2) (P(<= 6) ~ 5e-12). An oracle can
+   * therefore derive the full expected pair set from id arithmetic.
+   */
+  def plantedNearDupMedia(docs: DataFrame, idCol: String): Dataset[MediaRecord] = {
+    import docs.sparkSession.implicits._
+    val mk = F.udf((id: Long) => {
+      val g = id / 3
+      val base = TextFunctions.mix64(g + 0x9E3779B97F4A7C15L)
+      val b1 = ((base >>> 17) & 0x3F).toInt
+      val hash = (id % 3) match {
+        case 0L => base
+        case 1L => base ^ (1L << b1)
+        case _ =>
+          base ^ (1L << ((b1 + 7) % 64)) ^ (1L << ((b1 + 19) % 64)) ^
+            (1L << ((b1 + 31) % 64)) ^ (1L << ((b1 + 43) % 64))
+      }
+      graft.pipeline.Multimodal.imageForDHash(hash)
+    })
+    docs.select(
+      F.col(idCol).cast("long").as("media_id"),
+      F.lit("image").as("modality"),
+      mk(F.col(idCol).cast("long")).as("payload"),
+      F.lit(0L).as("meta_bytes"),
+      F.lit("planted").as("meta_source"))
+      .as[MediaRecord]
+  }
+
   def mediaFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRecord] = {
     import spark.implicits._
     val modality = F.when(F.col("lang") === "en", "image")

@@ -325,4 +325,83 @@ class MultimodalSpec extends SparkTestBase {
     val chars = docs.agg(F.sum("n_chars")).as[Long].collect().head
     assert(total == chars)
   }
+
+  test("imageForDHash plants an exact dHash through the PNG round trip") {
+    val hashes = Seq(0L, -1L, 0x123456789ABCDEFL,
+      TextFunctions.mix64(42L), TextFunctions.mix64(-7L))
+    hashes.foreach { h =>
+      assert(Multimodal.imageDHash(Multimodal.imageForDHash(h)) === Some(h))
+    }
+    assert(Multimodal.imageDHash(Array.empty[Byte]) === None)
+    assert(Multimodal.imageDHash("not an image".getBytes) === None)
+  }
+
+  test("aHash/dHash: brightness-shifted copies collide, distinct images diverge") {
+    def gradient(shift: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(64, 64,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 64; x <- 0 until 64) {
+        val v0 = 40 + (x * 2 + (y / 16) * 30) % 180 + shift
+        val v = math.max(0, math.min(255, v0))
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val base = Multimodal.imageDHash(gradient(0)).get
+    val bright = Multimodal.imageDHash(gradient(5)).get
+    // dHash compares neighbors: a uniform brightness shift is invisible
+    assert(java.lang.Long.bitCount(base ^ bright) <= 4)
+    val other = Multimodal.imageDHash(
+      Multimodal.imageForDHash(TextFunctions.mix64(99L))).get
+    assert(java.lang.Long.bitCount(base ^ other) > 10)
+    // aHash on the same pair
+    val a0 = Multimodal.imageAHash(gradient(0)).get
+    val a5 = Multimodal.imageAHash(gradient(5)).get
+    assert(java.lang.Long.bitCount(a0 ^ a5) <= 6)
+  }
+
+  test("videoDHash: exact-copy videos collide at hamming 0") {
+    val f1 = {
+      val out = new java.io.ByteArrayOutputStream()
+      val img = new java.awt.image.BufferedImage(32, 32,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 32; x <- 0 until 32) {
+        val v = (x * 8) % 256
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      javax.imageio.ImageIO.write(img, "jpg", out)
+      out.toByteArray
+    }
+    val v1 = Multimodal.mjpegAvi(Seq(f1, f1), 32, 32)
+    val v2 = Multimodal.mjpegAvi(Seq(f1), 32, 32) // re-containered copy
+    val h1 = Multimodal.videoDHash(v1)
+    val h2 = Multimodal.videoDHash(v2)
+    assert(h1.isDefined && h1 === h2)
+    assert(Multimodal.videoDHash("junk".getBytes) === None)
+  }
+
+  test("nearDuplicateMedia finds exactly the planted groups with exact hammings") {
+    val docs = sf("sf0.001", "documents").select(F.col("doc_id"))
+    val media = Multimodal.plantedNearDupMedia(docs, "doc_id")
+    val pairs = Multimodal.nearDuplicateMedia(media, maxHamming = 6)
+      .as[(Long, Long, Int)].collect().toSet
+    val expected = (0L until 500L).groupBy(_ / 3).values.flatMap { g =>
+      val s = g.sorted
+      for (i <- s.indices; j <- i + 1 until s.length) yield {
+        val d = (s(i) % 3, s(j) % 3) match {
+          case (0, 1) => 1
+          case (0, 2) => 4
+          case _      => 5
+        }
+        (s(i), s(j), d)
+      }
+    }.toSet
+    assert(pairs === expected)
+    // greedy keep-first: the group minimum survives
+    val kept = Multimodal.dropNearDuplicateMedia(media, 6)
+      .select("media_id").as[Long].collect().toSet
+    assert(kept === (0L until 500L).filter(_ % 3 == 0).toSet)
+  }
 }
