@@ -2259,6 +2259,18 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // audio sibling of q_multimodal_dedup: WAV payloads carrying exact
+    // planted fingerprints through decode -> gain-invariant
+    // audioFingerprint -> Hamming banding; same id-arithmetic oracle
+    "q_audio_dedup" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val media = graft.pipeline.Multimodal.plantedNearDupAudio(
+        t(s, dir, "documents").select(F.col("doc_id")), "doc_id")
+      graft.pipeline.Multimodal.nearDuplicateMedia(media, maxHamming = 6)
+        .select(F.col("id_a"), F.col("id_b"), F.col("hamming"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // multimodal plumbing: binary payloads through batched (stub) decode
     // WARC (ISO 28500) ingestion + WET extraction: per-doc Common
     // Crawl-layout files (per-record gzip members: warcinfo +
@@ -4061,6 +4073,15 @@ object SparkEntry {
         |       true AS pages_ok, true AS chars_ok
         |FROM documents WHERE doc_id % 13 = 0""".stripMargin,
     "q_multimodal_dedup" ->
+      """WITH d AS (SELECT doc_id, doc_id // 3 AS g, doc_id % 3 AS v
+        |           FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       CAST(CASE WHEN a.v = 0 AND b.v = 1 THEN 1
+        |                 WHEN a.v = 0 AND b.v = 2 THEN 4
+        |                 ELSE 5 END AS INT) AS hamming
+        |FROM d a JOIN d b ON a.g = b.g AND a.doc_id < b.doc_id
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q_audio_dedup" ->
       """WITH d AS (SELECT doc_id, doc_id // 3 AS g, doc_id % 3 AS v
         |           FROM documents)
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,

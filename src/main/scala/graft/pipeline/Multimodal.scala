@@ -859,14 +859,104 @@ object Multimodal {
       }.take(1).toSeq.headOption
     }
 
+  /** First-channel PCM samples in [-1, 1], strided past ~64k frames —
+    * the raw-sample sibling of [[decodeAudio]]'s envelope read. */
+  private def pcmMonoSamples(payload: Array[Byte]): Option[Array[Double]] = {
+    if (payload == null || payload.length == 0) return None
+    try {
+      val in = javax.sound.sampled.AudioSystem
+        .getAudioInputStream(new java.io.ByteArrayInputStream(payload))
+      val fmt = in.getFormat
+      val enc = fmt.getEncoding
+      val signed = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+      val unsigned = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
+      val bits = fmt.getSampleSizeInBits
+      if ((!signed && !unsigned) || (bits != 8 && bits != 16)) return None
+      val bytes = in.readAllBytes()
+      val blockAlign = fmt.getFrameSize
+      if (blockAlign <= 0) return None
+      val frames = bytes.length / blockAlign
+      if (frames == 0) return None
+      val stride = math.max(1, frames / 65536)
+      val out = new Array[Double]((frames + stride - 1) / stride)
+      var f = 0
+      var i = 0
+      while (f < frames) {
+        val off = f * blockAlign
+        out(i) =
+          if (bits == 8) {
+            val b = bytes(off)
+            if (unsigned) ((b & 0xFF) - 128) / 128.0 else b / 128.0
+          } else {
+            val lo = bytes(off) & 0xFF
+            val hi = bytes(off + 1)
+            val raw = if (fmt.isBigEndian) ((bytes(off) << 8) | (bytes(off + 1) & 0xFF))
+                      else ((hi << 8) | lo)
+            val s = if (unsigned) (raw & 0xFFFF) - 32768 else raw
+            s / 32768.0
+          }
+        i += 1
+        f += stride
+      }
+      Some(if (i == out.length) out else java.util.Arrays.copyOf(out, i))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /**
+   * Gain-invariant audio fingerprint (chromaprint-style, reduced to
+   * one 64-bit signature): the first channel splits into 64
+   * equal-time frames; bits 0-31 compare the mean-square energy of
+   * each frame PAIR (bit i set iff e(2i+1) > e(2i) — the temporal
+   * envelope), bits 32-63 threshold each of the first 32 frames'
+   * spectral brightness (bit set iff first-difference energy exceeds
+   * 2x the frame energy — high-frequency content rides first
+   * differences). Every bit is a ratio of energies, so uniform gain
+   * scaling cancels exactly; exact copies and remastered-volume
+   * copies land at Hamming 0. None for undecodable payloads or
+   * fewer than 64 samples.
+   */
+  def audioFingerprint(payload: Array[Byte]): Option[Long] =
+    pcmMonoSamples(payload).filter(_.length >= 64).map { s =>
+      val n = s.length
+      val e = new Array[Double](64)
+      val h = new Array[Double](64)
+      var f = 0
+      while (f < 64) {
+        val from = (f.toLong * n / 64).toInt
+        val until = ((f + 1).toLong * n / 64).toInt
+        var es = 0.0
+        var hs = 0.0
+        var j = from
+        while (j < until) {
+          es += s(j) * s(j)
+          if (j > from) { val d = s(j) - s(j - 1); hs += d * d }
+          j += 1
+        }
+        val cnt = until - from
+        e(f) = if (cnt == 0) 0.0 else es / cnt
+        h(f) = if (cnt <= 1) 0.0 else hs / (cnt - 1)
+        f += 1
+      }
+      var bits = 0L
+      var i = 0
+      while (i < 32) {
+        if (e(2 * i + 1) > e(2 * i)) bits |= 1L << i
+        if (h(i) > 2.0 * e(i)) bits |= 1L << (32 + i)
+        i += 1
+      }
+      bits
+    }
+
   /** Modality-dispatched perceptual hash: image payloads hash
-    * directly, videos hash their first keyframe; other modalities
-    * (and undecodable payloads) yield NULL per the repo's
-    * malformed-input discipline. */
+    * directly, videos hash their first keyframe, audio payloads get
+    * the gain-invariant [[audioFingerprint]]; other modalities (and
+    * undecodable payloads) yield NULL per the repo's malformed-input
+    * discipline. */
   def perceptualHash(media: Dataset[MediaRecord]): DataFrame = {
     val phU = F.udf((modality: String, payload: Array[Byte]) => modality match {
       case "image" => graft.pipeline.Multimodal.imageDHash(payload)
       case "video" => graft.pipeline.Multimodal.videoDHash(payload)
+      case "audio" => graft.pipeline.Multimodal.audioFingerprint(payload)
       case _ => None: Option[Long]
     })
     media.toDF().withColumn("phash", phU(F.col("modality"), F.col("payload")))
@@ -924,6 +1014,34 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** Deterministic 16-bit mono WAV whose [[audioFingerprint]] is
+    * EXACTLY `hash`: 64 square-wave frames of 128 samples — envelope
+    * bit i picks the (0.2, 0.5) amplitude ORDER of frame pair
+    * (2i, 2i+1) (energy ratio 6.25, far from any tie), brightness bit
+    * i picks frame i's square period (2 → diff energy 4x frame
+    * energy, 16 → 0.5x; threshold 2 sits between). Spec/oracle
+    * fixture generator, the audio sibling of [[imageForDHash]]. */
+  def wavForFingerprint(hash: Long): Array[Byte] = {
+    val data = new Array[Byte](64 * 128 * 2)
+    var f = 0
+    while (f < 64) {
+      val pairBit = ((hash >>> (f / 2)) & 1L) == 1L
+      val amp = if (((f % 2 == 1) == pairBit)) 0.5 else 0.2
+      val period = if (f < 32 && ((hash >>> (32 + f)) & 1L) == 1L) 2 else 16
+      var j = 0
+      while (j < 128) {
+        val sign = if ((j / (period / 2)) % 2 == 0) 1 else -1
+        val v = (sign * amp * 32767).toInt
+        val off = (f * 128 + j) * 2
+        data(off) = (v & 0xFF).toByte
+        data(off + 1) = ((v >> 8) & 0xFF).toByte
+        j += 1
+      }
+      f += 1
+    }
+    pcmWav(data, 8000, channels = 1, bitsPerSample = 16)
+  }
+
   /**
    * Deterministic near-duplicate image corpus for specs and oracles:
    * ids group by `id / 3`; variant 0 carries a group-random planted
@@ -951,6 +1069,34 @@ object Multimodal {
     docs.select(
       F.col(idCol).cast("long").as("media_id"),
       F.lit("image").as("modality"),
+      mk(F.col(idCol).cast("long")).as("payload"),
+      F.lit(0L).as("meta_bytes"),
+      F.lit("planted").as("meta_source"))
+      .as[MediaRecord]
+  }
+
+  /** Audio sibling of [[plantedNearDupMedia]]: WAV payloads via
+    * [[wavForFingerprint]] with the same group/variant bit-flip plan,
+    * so within-group fingerprint distances are exactly 1/4/5 and an
+    * oracle derives the full pair set from id arithmetic. */
+  def plantedNearDupAudio(docs: DataFrame, idCol: String): Dataset[MediaRecord] = {
+    import docs.sparkSession.implicits._
+    val mk = F.udf((id: Long) => {
+      val g = id / 3
+      val base = TextFunctions.mix64(g + 0x7F4A7C159E3779B9L)
+      val b1 = ((base >>> 23) & 0x3F).toInt
+      val hash = (id % 3) match {
+        case 0L => base
+        case 1L => base ^ (1L << b1)
+        case _ =>
+          base ^ (1L << ((b1 + 7) % 64)) ^ (1L << ((b1 + 19) % 64)) ^
+            (1L << ((b1 + 31) % 64)) ^ (1L << ((b1 + 43) % 64))
+      }
+      graft.pipeline.Multimodal.wavForFingerprint(hash)
+    })
+    docs.select(
+      F.col(idCol).cast("long").as("media_id"),
+      F.lit("audio").as("modality"),
       mk(F.col(idCol).cast("long")).as("payload"),
       F.lit(0L).as("meta_bytes"),
       F.lit("planted").as("meta_source"))

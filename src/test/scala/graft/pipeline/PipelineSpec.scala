@@ -382,6 +382,54 @@ class MultimodalSpec extends SparkTestBase {
     assert(Multimodal.videoDHash("junk".getBytes) === None)
   }
 
+  test("wavForFingerprint plants an exact audio fingerprint; gain-invariant") {
+    val hashes = Seq(0L, -1L, 0x0F0F0F0F12345678L, TextFunctions.mix64(11L))
+    hashes.foreach { h =>
+      assert(Multimodal.audioFingerprint(Multimodal.wavForFingerprint(h)) === Some(h))
+    }
+    // uniform gain scaling cancels in every bit (all bits are ratios)
+    val base = Multimodal.wavForFingerprint(TextFunctions.mix64(5L))
+    def scaled(wav: Array[Byte], gain: Double): Array[Byte] = {
+      val out = wav.clone()
+      var off = 44
+      while (off + 1 < out.length) {
+        val raw = ((out(off + 1) << 8) | (out(off) & 0xFF)).toShort
+        val v = math.max(-32768, math.min(32767, math.round(raw * gain))).toInt
+        out(off) = (v & 0xFF).toByte
+        out(off + 1) = ((v >> 8) & 0xFF).toByte
+        off += 2
+      }
+      out
+    }
+    val h0 = Multimodal.audioFingerprint(base)
+    assert(Multimodal.audioFingerprint(scaled(base, 0.5)) === h0)
+    assert(Multimodal.audioFingerprint(scaled(base, 1.7)) === h0)
+    // malformed / too-short payloads yield None
+    assert(Multimodal.audioFingerprint("junk".getBytes) === None)
+    assert(Multimodal.audioFingerprint(
+      Multimodal.pcmWav(Array.fill[Byte](16)(1), 8000)) === None)
+  }
+
+  test("nearDuplicateMedia finds planted audio groups through the dispatch") {
+    val docs = sf("sf0.001", "documents").select(F.col("doc_id"))
+      .filter(F.col("doc_id") < 120)
+    val media = Multimodal.plantedNearDupAudio(docs, "doc_id")
+    val pairs = Multimodal.nearDuplicateMedia(media, maxHamming = 6)
+      .as[(Long, Long, Int)].collect().toSet
+    val expected = (0L until 120L).groupBy(_ / 3).values.flatMap { g =>
+      val s = g.sorted
+      for (i <- s.indices; j <- i + 1 until s.length) yield {
+        val d = (s(i) % 3, s(j) % 3) match {
+          case (0, 1) => 1
+          case (0, 2) => 4
+          case _      => 5
+        }
+        (s(i), s(j), d)
+      }
+    }.toSet
+    assert(pairs === expected)
+  }
+
   test("nearDuplicateMedia finds exactly the planted groups with exact hammings") {
     val docs = sf("sf0.001", "documents").select(F.col("doc_id"))
     val media = Multimodal.plantedNearDupMedia(docs, "doc_id")
