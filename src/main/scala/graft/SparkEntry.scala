@@ -2259,6 +2259,30 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // BLEU-4 / ROUGE-1/2 text-overlap metrics: candidate = first 3/4
+    // of each document's tokens vs the full text as reference. Clipped
+    // n-gram matches are exact BIGINTs; BLEU (exp/ln) rounds to 4dp,
+    // ROUGE ratios/F1 are single divisions of exact ints (bit-exact
+    // raw doubles, the q_rank_metrics rule)
+    "q_text_overlap" -> ((s: SparkSession, dir: String) => {
+      val toks = F.filter(F.split(F.col("text"), "\\s+"),
+        (x: Column) => F.length(x) > 0)
+      val prepared = t(s, dir, "documents")
+        .filter(F.col("text").isNotNull)
+        .select(F.col("doc_id"), toks.as("__w"))
+        .select(F.col("doc_id"),
+          F.array_join(F.slice(F.col("__w"), F.lit(1),
+            F.floor(F.size(F.col("__w")) * 3 / 4).cast("int")), " ").as("cand"),
+          F.array_join(F.col("__w"), " ").as("ref"))
+      graft.pipeline.Eval.textOverlap(prepared, "doc_id", "cand", "ref")
+        .select(F.col("doc_id"), F.col("cand_tokens"), F.col("ref_tokens"),
+          F.col("m1"), F.col("m2"), F.col("m3"), F.col("m4"),
+          F.round(F.col("bleu"), 4).as("bleu4"),
+          F.col("rouge1_p"), F.col("rouge1_r"),
+          F.col("rouge1_f1"), F.col("rouge2_f1"))
+        .orderBy("doc_id")
+    }),
+
     // audio sibling of q_multimodal_dedup: WAV payloads carrying exact
     // planted fingerprints through decode -> gain-invariant
     // audioFingerprint -> Hamming banding; same id-arithmetic oracle
@@ -4081,6 +4105,54 @@ object SparkEntry {
         |                 ELSE 5 END AS INT) AS hamming
         |FROM d a JOIN d b ON a.g = b.g AND a.doc_id < b.doc_id
         |ORDER BY id_a, id_b""".stripMargin,
+    "q_text_overlap" ->
+      """WITH f AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+        |           x -> len(x) > 0) AS w
+        |  FROM documents WHERE text IS NOT NULL),
+        |base AS (SELECT doc_id, w[1:(3*len(w))//4] AS c, w AS r FROM f),
+        |lens AS (SELECT doc_id, len(c) AS cl, len(r) AS rl FROM base),
+        |ns AS (SELECT unnest([1, 2, 3, 4]) AS n),
+        |cg AS (SELECT doc_id, n, unnest(list_transform(range(1, len(c) - n + 2),
+        |              i -> array_to_string(c[i:i+n-1], chr(1)))) AS g
+        |       FROM base, ns WHERE len(c) >= n),
+        |rg AS (SELECT doc_id, n, unnest(list_transform(range(1, len(r) - n + 2),
+        |              i -> array_to_string(r[i:i+n-1], chr(1)))) AS g
+        |       FROM base, ns WHERE len(r) >= n),
+        |cc AS (SELECT doc_id, n, g, count(*) AS c FROM cg GROUP BY 1, 2, 3),
+        |rc AS (SELECT doc_id, n, g, count(*) AS c FROM rg GROUP BY 1, 2, 3),
+        |mm AS (SELECT cc.doc_id, cc.n, sum(least(cc.c, rc.c)) AS m
+        |       FROM cc JOIN rc ON cc.doc_id = rc.doc_id AND cc.n = rc.n
+        |                      AND cc.g = rc.g
+        |       GROUP BY 1, 2),
+        |agg AS (SELECT l.doc_id, l.cl, l.rl,
+        |          CAST(coalesce(max(CASE WHEN n = 1 THEN m END), 0) AS BIGINT) AS m1,
+        |          CAST(coalesce(max(CASE WHEN n = 2 THEN m END), 0) AS BIGINT) AS m2,
+        |          CAST(coalesce(max(CASE WHEN n = 3 THEN m END), 0) AS BIGINT) AS m3,
+        |          CAST(coalesce(max(CASE WHEN n = 4 THEN m END), 0) AS BIGINT) AS m4
+        |        FROM lens l LEFT JOIN mm ON l.doc_id = mm.doc_id
+        |        GROUP BY 1, 2, 3),
+        |pr AS (SELECT doc_id, cl, rl, m1, m2, m3, m4,
+        |         CASE WHEN cl = 0 THEN NULL
+        |              WHEN m1 = 0 OR m2 = 0 OR m3 = 0 OR m4 = 0 THEN 0.0
+        |              ELSE round(least(1.0, exp(1.0 - rl / cl)) *
+        |                exp((ln(m1 / cl) + ln(m2 / (cl - 1)) + ln(m3 / (cl - 2)) +
+        |                     ln(m4 / (cl - 3))) / 4), 4)
+        |         END AS bleu4,
+        |         CASE WHEN cl > 0 THEN m1 / cl ELSE 0.0 END AS rouge1_p,
+        |         CASE WHEN rl > 0 THEN m1 / rl ELSE 0.0 END AS rouge1_r,
+        |         CASE WHEN cl > 1 THEN m2 / (cl - 1) ELSE 0.0 END AS r2p,
+        |         CASE WHEN rl > 1 THEN m2 / (rl - 1) ELSE 0.0 END AS r2r
+        |       FROM agg)
+        |SELECT doc_id, cl AS cand_tokens, rl AS ref_tokens, m1, m2, m3, m4,
+        |       bleu4, rouge1_p, rouge1_r,
+        |       CASE WHEN rouge1_p + rouge1_r > 0
+        |            THEN 2 * rouge1_p * rouge1_r / (rouge1_p + rouge1_r)
+        |            ELSE 0.0 END AS rouge1_f1,
+        |       CASE WHEN r2p + r2r > 0
+        |            THEN 2 * r2p * r2r / (r2p + r2r)
+        |            ELSE 0.0 END AS rouge2_f1
+        |FROM pr ORDER BY doc_id""".stripMargin,
     "q_audio_dedup" ->
       """WITH d AS (SELECT doc_id, doc_id // 3 AS g, doc_id % 3 AS v
         |           FROM documents)

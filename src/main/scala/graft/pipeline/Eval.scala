@@ -238,4 +238,108 @@ object Eval {
       dcg.as("dcg"),
       F.when(F.col("n_rel") > 0, F.round(dcg / idcg, 4)).otherwise(0.0).as("ndcg"))
   }
+
+  /** Clipped n-gram match counts for n = 1..maxN: for each n, the sum
+    * over distinct candidate grams of min(count in candidate, count in
+    * reference) — the BLEU modified-precision numerator. One bounded
+    * per-pair JVM pass; grams key on U+0001-joined tokens (whitespace
+    * tokens cannot contain it). */
+  private[pipeline] def clippedMatches(
+      cand: Array[String], ref: Array[String], maxN: Int): Array[Long] = {
+    val out = new Array[Long](maxN)
+    var n = 1
+    while (n <= maxN) {
+      if (cand.length >= n && ref.length >= n) {
+        val counts = new java.util.HashMap[String, Long]()
+        var i = 0
+        while (i + n <= ref.length) {
+          val g = ref.slice(i, i + n).mkString("")
+          counts.merge(g, 1L, (a, b) => a + b)
+          i += 1
+        }
+        var m = 0L
+        var j = 0
+        while (j + n <= cand.length) {
+          val g = cand.slice(j, j + n).mkString("")
+          val c = counts.getOrDefault(g, 0L)
+          if (c > 0L) { m += 1L; counts.put(g, c - 1L) }
+          j += 1
+        }
+        out(n - 1) = m
+      }
+      n += 1
+    }
+    out
+  }
+
+  /**
+   * Per-pair text-overlap metrics — BLEU-`maxN` and ROUGE-1/2 — for
+   * generated-data evaluation (distillation outputs vs references,
+   * paraphrase mining, decontamination audits):
+   *
+   *  - `m1..m{maxN}`: clipped n-gram matches (exact BIGINTs);
+   *    candidate totals are `max(0, cand_tokens - n + 1)`.
+   *  - `bleu`: brevity penalty x geometric mean of the maxN modified
+   *    precisions — the unsmoothed sentence form; 0.0 when any
+   *    precision is 0, NULL when the candidate is empty.
+   *  - `rouge1/rouge2` precision/recall/F1: single integer divisions
+   *    (bit-exact cross-engine; only `bleu`, which runs through
+   *    exp/ln, needs the repo's 4-decimal rounding before hashing).
+   *
+   * Scale shape: ONE map-only pass — both texts of a pair live on the
+   * same row, so all counting is a bounded per-row JVM kernel; no
+   * corpus-wide gram shuffle exists to pay. Rows with a NULL on
+   * either side are dropped.
+   */
+  def textOverlap(
+      df: DataFrame,
+      idCol: String,
+      candCol: String,
+      refCol: String,
+      maxN: Int = 4): DataFrame = {
+    require(maxN >= 2 && maxN <= 8, s"maxN must be in [2, 8], got $maxN")
+    val sep = java.util.regex.Pattern.compile("\\s+")
+    val kernelU = F.udf((cand: String, ref: String) => {
+      val c = sep.split(cand).filter(_.nonEmpty)
+      val r = sep.split(ref).filter(_.nonEmpty)
+      (c.length.toLong, r.length.toLong, clippedMatches(c, r, maxN))
+    })
+    val base = df
+      .filter(F.col(candCol).isNotNull && F.col(refCol).isNotNull)
+      .select(F.col(idCol), kernelU(F.col(candCol), F.col(refCol)).as("__o"))
+      .select(F.col(idCol),
+        F.col("__o._1").as("cand_tokens"),
+        F.col("__o._2").as("ref_tokens"),
+        F.col("__o._3").as("__m"))
+    val cl = F.col("cand_tokens")
+    val rl = F.col("ref_tokens")
+    def m(n: Int) = F.col("__m").getItem(n - 1)
+    def t(n: Int) = F.greatest(cl - (n - 1), F.lit(0L))
+    def rt(n: Int) = F.greatest(rl - (n - 1), F.lit(0L))
+    // sum of ln(p_n)/maxN; any zero precision (or empty total) => bleu 0
+    val anyZero = (1 to maxN)
+      .map(n => m(n) === 0L || t(n) === 0L)
+      .reduce(_ || _)
+    val logSum = (1 to maxN)
+      .map(n => F.log(m(n).cast("double") / t(n).cast("double")))
+      .reduce(_ + _) / maxN.toDouble
+    val bp = F.least(F.lit(1.0), F.exp(F.lit(1.0) - rl.cast("double") / cl.cast("double")))
+    def pr(n: Int) = Seq(
+      F.when(t(n) > 0L, m(n).cast("double") / t(n).cast("double"))
+        .otherwise(0.0).as(s"rouge${n}_p"),
+      F.when(rt(n) > 0L, m(n).cast("double") / rt(n).cast("double"))
+        .otherwise(0.0).as(s"rouge${n}_r"))
+    val withPr = base.select(
+      (Seq(F.col(idCol), cl, rl) ++
+        (1 to maxN).map(n => m(n).as(s"m$n")) :+
+        F.when(cl === 0L, F.lit(null).cast("double"))
+          .when(anyZero, 0.0)
+          .otherwise(bp * F.exp(logSum)).as("bleu")) ++
+        pr(1) ++ pr(2): _*)
+    def f1(p: Column, r: Column) =
+      F.when(p + r > 0.0, F.lit(2.0) * p * r / (p + r)).otherwise(0.0)
+    withPr
+      .withColumn("rouge1_f1", f1(F.col("rouge1_p"), F.col("rouge1_r")))
+      .withColumn("rouge2_f1", f1(F.col("rouge2_p"), F.col("rouge2_r")))
+  }
 }

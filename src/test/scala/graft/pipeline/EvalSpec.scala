@@ -154,4 +154,51 @@ class EvalSpec extends SparkTestBase {
     assert(m.getDouble(8) === 1.0)
     assert(m.getDouble(5) === 1.0)    // recall: both found
   }
+
+  test("textOverlap: hand-computed BLEU-4 and ROUGE on the classic clipping case") {
+    // candidate "the the the the the the the" vs "the cat is on the mat":
+    // m1 clips to 2 (ref has two "the"), every higher-order match is 0
+    val df = Seq(
+      (1L, "the the the the the the the", "the cat is on the mat"),
+      (2L, "the cat is on the mat", "the cat is on the mat"), // identical
+      (3L, "completely different words here", "the cat is on the mat"),
+      (4L, null.asInstanceOf[String], "x"), (5L, "x", null.asInstanceOf[String]))
+      .toDF("id", "cand", "ref")
+    val out = Eval.textOverlap(df, "id", "cand", "ref").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(!out.contains(4L) && !out.contains(5L))
+    val r1 = out(1L)
+    assert(r1.getLong(1) === 7L && r1.getLong(2) === 6L)     // token counts
+    assert(r1.getLong(3) === 2L)                              // m1 clipped
+    assert(r1.getLong(4) === 0L && r1.getLong(5) === 0L && r1.getLong(6) === 0L)
+    assert(r1.getDouble(7) === 0.0)                           // bleu: a zero precision
+    assert(math.abs(r1.getAs[Double]("rouge1_p") - 2.0 / 7.0) < 1e-15)
+    assert(math.abs(r1.getAs[Double]("rouge1_r") - 2.0 / 6.0) < 1e-15)
+    val r2 = out(2L)
+    assert(r2.getDouble(7) === 1.0)                           // identical => BLEU 1
+    assert(r2.getAs[Double]("rouge1_f1") === 1.0 && r2.getAs[Double]("rouge2_f1") === 1.0)
+    val r3 = out(3L)
+    assert(r3.getLong(3) === 0L && r3.getDouble(7) === 0.0)
+    assert(r3.getAs[Double]("rouge1_f1") === 0.0)
+  }
+
+  test("textOverlap: brevity penalty and partial precisions match the formula") {
+    // candidate = first 4 tokens of a 6-token reference
+    val df = Seq((1L, "a b c d", "a b c d e f")).toDF("id", "cand", "ref")
+    val r = Eval.textOverlap(df, "id", "cand", "ref").collect().head
+    // matches: 4/4 unigrams, 3/3 bigrams, 2/2 trigrams, 1/1 4-grams
+    assert((3 to 6).map(r.getLong) === Seq(4L, 3L, 2L, 1L))
+    val bleu = math.min(1.0, math.exp(1.0 - 6.0 / 4.0)) *
+      math.exp((math.log(1.0) * 4) / 4.0)
+    assert(math.abs(r.getDouble(7) - bleu) < 1e-15)
+    assert(math.abs(r.getAs[Double]("rouge2_r") - 3.0 / 5.0) < 1e-15)
+  }
+
+  test("textOverlap plans map-only (zero exchanges)") {
+    val docs = sf("sf0.001", "documents")
+      .select(F.col("doc_id"), F.col("text").as("cand"), F.col("text").as("ref"))
+    val plan = Eval.textOverlap(docs, "doc_id", "cand", "ref")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
 }
