@@ -2283,6 +2283,24 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // incremental perceptual dedup: history (variants 0/1) behind a
+    // PERSISTED hash index, fresh batch (variant 2) probes it —
+    // history is never re-decoded; expected pairs are exactly
+    // (v2, v0, 4) and (v2, v1, 5) per group from the planted bit plan
+    "q_dedup_incremental_media" -> ((s: SparkSession, dir: String) => {
+      val docs = t(s, dir, "documents").select(F.col("doc_id"))
+      val hist = graft.pipeline.Multimodal.plantedNearDupMedia(
+        docs.filter(F.col("doc_id") % 3 =!= 2), "doc_id")
+      val batch = graft.pipeline.Multimodal.plantedNearDupMedia(
+        docs.filter(F.col("doc_id") % 3 === 2), "doc_id")
+      val path = System.getProperty("java.io.tmpdir") + "/graft_q_mhidx"
+      graft.pipeline.Dedup.saveSignatureIndex(
+        graft.pipeline.Multimodal.buildMediaHashIndex(hist), path)
+      graft.pipeline.Multimodal.incrementalNearDuplicateMedia(
+          batch, graft.pipeline.Dedup.loadSignatureIndex(s, path), maxHamming = 6)
+        .orderBy("id_new", "id_old")
+    }),
+
     // audio sibling of q_multimodal_dedup: WAV payloads carrying exact
     // planted fingerprints through decode -> gain-invariant
     // audioFingerprint -> Hamming banding; same id-arithmetic oracle
@@ -4153,6 +4171,12 @@ object SparkEntry {
         |            THEN 2 * r2p * r2r / (r2p + r2r)
         |            ELSE 0.0 END AS rouge2_f1
         |FROM pr ORDER BY doc_id""".stripMargin,
+    "q_dedup_incremental_media" ->
+      """SELECT doc_id AS id_new, doc_id - 2 + o.k AS id_old,
+        |       CAST(CASE WHEN o.k = 0 THEN 4 ELSE 5 END AS INT) AS hamming
+        |FROM documents, (SELECT unnest([0, 1]) AS k) o
+        |WHERE doc_id % 3 = 2
+        |ORDER BY id_new, id_old""".stripMargin,
     "q_audio_dedup" ->
       """WITH d AS (SELECT doc_id, doc_id // 3 AS g, doc_id % 3 AS v
         |           FROM documents)

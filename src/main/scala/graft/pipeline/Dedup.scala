@@ -630,6 +630,68 @@ object Dedup {
       .distinct()
   }
 
+  /** Persistable Hamming index over a 64-bit signature column: rows
+    * (band INT, bits LONG, id, sig) — `bands` rows per record, the
+    * full signature carried alongside so probes verify WITHOUT
+    * re-reading (or re-decoding) history. Oversize buckets are capped
+    * at build time like [[buildSignatureIndex]]. Persist/reload with
+    * [[saveSignatureIndex]] / [[loadSignatureIndex]]. */
+  def buildHashIndex(
+      df: DataFrame,
+      idCol: String,
+      hashCol: String,
+      bands: Int = 8,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    require(bands >= 2 && 64 % bands == 0,
+      s"bands must be >= 2 and divide 64, got $bands")
+    val width = 64 / bands
+    val mask = (1L << width) - 1
+    val chunkU = F.udf((sig: Long) =>
+      Array.tabulate(bands)(b => (b, (sig >>> (b * width)) & mask)))
+    val rows = df
+      .filter(F.col(hashCol).isNotNull)
+      .select(F.col(idCol).as("id"), F.col(hashCol).cast("long").as("sig"))
+      .select(F.col("id"), F.col("sig"), F.explode(chunkU(F.col("sig"))).as("__c"))
+      .select(F.col("__c._1").as("band"), F.col("__c._2").as("bits"),
+              F.col("id"), F.col("sig"))
+    val grouped = rows.groupBy(F.col("band"), F.col("bits"))
+      .agg(F.collect_list(F.struct(F.col("id"), F.col("sig"))).as("__e"))
+    capBuckets(grouped, F.size(F.col("__e")), maxBucket, "hashindex")
+      .select(F.col("band"), F.col("bits"), F.explode(F.col("__e")).as("__x"))
+      .select(F.col("band"), F.col("bits"),
+              F.col("__x.id").as("id"), F.col("__x.sig").as("sig"))
+  }
+
+  /**
+   * Incremental Hamming near-dup check: (id_new, id_old, hamming)
+   * pairs between a new batch's signatures and the history behind a
+   * persisted [[buildHashIndex]]. The batch's band chunks BROADCAST
+   * onto the index scan — the TB-scale history is never shuffled and
+   * never re-decoded (its signatures ride in the index rows), so a
+   * daily media increment costs one index scan. Geometry (`bands`)
+   * must match the index's.
+   */
+  def incrementalHammingPairs(
+      batch: DataFrame,
+      histIndex: DataFrame,
+      idCol: String,
+      hashCol: String,
+      maxHamming: Int = 6,
+      bands: Int = 8,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= bands - 1,
+      s"$bands bands only guarantee hamming <= ${bands - 1}, got $maxHamming")
+    val newIndex = buildHashIndex(batch, idCol, hashCol, bands, maxBucket)
+      .select(F.col("band"), F.col("bits"),
+              F.col("id").as("id_new"), F.col("sig").as("__sn"))
+    histIndex
+      .join(F.broadcast(newIndex), Seq("band", "bits"))
+      .select(F.col("id_new"), F.col("id").as("id_old"),
+              F.bit_count(F.col("__sn").bitwiseXOR(F.col("sig"))).as("hamming"))
+      .filter(F.col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Merge sorted-or-not (start, end) intervals, fusing overlapping AND
     * adjacent ones (tokens 1-8 and 9-16 both duplicated = one
     * contiguous duplicated region 1-16). Input sizes are bounded by a

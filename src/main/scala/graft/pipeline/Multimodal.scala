@@ -976,6 +976,29 @@ object Multimodal {
       perceptualHash(media).select(F.col("media_id"), F.col("phash")),
       "media_id", "phash", maxHamming)
 
+  /** Persistable perceptual-hash index over a media corpus —
+    * [[Dedup.buildHashIndex]] over [[perceptualHash]]; save/reload
+    * with `Dedup.saveSignatureIndex`/`loadSignatureIndex`. Records
+    * with no hash contribute no rows. */
+  def buildMediaHashIndex(
+      media: Dataset[MediaRecord], bands: Int = 8): DataFrame =
+    Dedup.buildHashIndex(
+      perceptualHash(media).select(F.col("media_id"), F.col("phash")),
+      "media_id", "phash", bands)
+
+  /** Incremental perceptual dedup: (id_new, id_old, hamming) pairs
+    * between a media batch and the history behind a persisted
+    * [[buildMediaHashIndex]] — the batch decodes and hashes, history
+    * does NOT (its signatures ride in the index). */
+  def incrementalNearDuplicateMedia(
+      batch: Dataset[MediaRecord],
+      histIndex: DataFrame,
+      maxHamming: Int = 6,
+      bands: Int = 8): DataFrame =
+    Dedup.incrementalHammingPairs(
+      perceptualHash(batch).select(F.col("media_id"), F.col("phash")),
+      histIndex, "media_id", "phash", maxHamming, bands)
+
   /** Drop every record whose perceptual hash duplicates (within
     * `maxHamming`) a lower-id record — the greedy keep-first form the
     * other dedup families use. Records with no hash (undecodable or

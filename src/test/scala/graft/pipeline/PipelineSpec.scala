@@ -430,6 +430,33 @@ class MultimodalSpec extends SparkTestBase {
     assert(pairs === expected)
   }
 
+  test("incremental media dedup: batch probes a persisted index, history never re-hashed") {
+    // history = variants 0/1, fresh batch = variant 2: expected pairs
+    // are exactly (v2, v0, 4) and (v2, v1, 5) per complete group
+    val docs = sf("sf0.001", "documents").select(F.col("doc_id"))
+    val hist = Multimodal.plantedNearDupMedia(
+      docs.filter(F.col("doc_id") % 3 =!= 2), "doc_id")
+    val batch = Multimodal.plantedNearDupMedia(
+      docs.filter(F.col("doc_id") % 3 === 2), "doc_id")
+    val path = java.nio.file.Files.createTempDirectory("graft_mhidx").toString
+    Dedup.saveSignatureIndex(Multimodal.buildMediaHashIndex(hist), path)
+    val idx = Dedup.loadSignatureIndex(spark, path)
+    val pairs = Multimodal.incrementalNearDuplicateMedia(batch, idx, maxHamming = 6)
+      .as[(Long, Long, Int)].collect().toSet
+    val expected = (0L until 500L).filter(_ % 3 == 2).flatMap { v2 =>
+      Seq((v2, v2 - 2, 4), (v2, v2 - 1, 5))
+    }.toSet
+    assert(pairs === expected)
+    // probe ≡ full rebuild on the union (restricted to cross pairs)
+    val full = Multimodal.nearDuplicateMedia(
+        Multimodal.plantedNearDupMedia(docs, "doc_id"), maxHamming = 6)
+      .as[(Long, Long, Int)].collect()
+      .filter { case (a, b, _) => a % 3 == 2 || b % 3 == 2 }
+      .map { case (a, b, h) => if (a % 3 == 2) (a, b, h) else (b, a, h) }
+      .filter(_._1 % 3 == 2).toSet
+    assert(pairs === full.filter { case (_, o, _) => o % 3 != 2 })
+  }
+
   test("nearDuplicateMedia finds exactly the planted groups with exact hammings") {
     val docs = sf("sf0.001", "documents").select(F.col("doc_id"))
     val media = Multimodal.plantedNearDupMedia(docs, "doc_id")
