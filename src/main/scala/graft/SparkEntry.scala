@@ -2259,6 +2259,28 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // first-fit-decreasing packing: totals and doc counts exact per
+    // source; the FFD guarantees ride as pinned booleans (non-singleton
+    // packs fit the budget; at most one pack per stratum half-empty —
+    // a second could never have been opened by first-fit)
+    "q_pack_ffd" -> ((s: SparkSession, dir: String) => {
+      val budget = 2000L
+      val ffd = graft.pipeline.Packing.packBestFit(
+        t(s, dir, "documents").filter(F.col("n_chars").isNotNull),
+        "source", "doc_id", "n_chars", budget)
+      ffd.groupBy(F.col("source"), F.col("pack_id"))
+        .agg(F.sum(F.col("n_chars")).as("__t"), F.count(F.lit(1)).as("__n"))
+        .groupBy(F.col("source"))
+        .agg(
+          F.sum(F.col("__n")).as("docs"),
+          F.sum(F.col("__t")).as("chars"),
+          (F.sum(F.when(F.col("__t") > budget && F.col("__n") > 1, 1L)
+            .otherwise(0L)) === 0L).as("fits_ok"),
+          (F.sum(F.when(F.col("__t") * 2 <= budget, 1L).otherwise(0L)) <= 1L)
+            .as("halfempty_ok"))
+        .orderBy("source")
+    }),
+
     // BLEU-4 / ROUGE-1/2 text-overlap metrics: candidate = first 3/4
     // of each document's tokens vs the full text as reference. Clipped
     // n-gram matches are exact BIGINTs; BLEU (exp/ln) rounds to 4dp,
@@ -4123,6 +4145,12 @@ object SparkEntry {
         |                 ELSE 5 END AS INT) AS hamming
         |FROM d a JOIN d b ON a.g = b.g AND a.doc_id < b.doc_id
         |ORDER BY id_a, id_b""".stripMargin,
+    "q_pack_ffd" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS chars,
+        |       true AS fits_ok, true AS halfempty_ok
+        |FROM documents WHERE n_chars IS NOT NULL
+        |GROUP BY source ORDER BY source""".stripMargin,
     "q_text_overlap" ->
       """WITH f AS (
         |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'),

@@ -68,4 +68,64 @@ object Packing {
               .orderBy(orderCol.asc_nulls_last)).cast("long") - 1L))
       .drop("__cs")
   }
+
+  /**
+   * First-fit-decreasing packing: within each stratum, documents sort
+   * by (tokens DESC, id ASC) and greedily take the first open pack
+   * with room — the classic FFD bin-packing heuristic (never worse
+   * than 11/9 OPT + 1 packs), which beats [[packSequences]]'s
+   * order-preserving cut whenever document lengths vary (the
+   * sequential packer wastes whatever tail each cut leaves). Use it
+   * when the training order within a pack doesn't matter; use
+   * [[packSequences]] when document order must survive.
+   *
+   * Output: df + (pack_id, pack_pos) — pack ids ordinal per stratum
+   * in pack-creation order, positions in assignment order; both a
+   * pure function of (stratum, id, tokens), reproducible anywhere.
+   * Documents larger than the budget get singleton packs. Rows with
+   * NULL tokens get NULL pack_id (no budget consumed). `idCol` must
+   * be unique across the input (the assignment joins back on it).
+   *
+   * Scale shape: one groupBy exchange carrying (stratum, id, tokens)
+   * triples — never the text — plus a broadcast-or-shuffle join of
+   * the id→pack mapping back onto the input. A stratum's TRIPLES
+   * must fit one executor's memory (24 bytes/doc — hundreds of
+   * millions per stratum before that binds); choose stratum
+   * granularity accordingly, as with any windowed operator.
+   */
+  def packBestFit(
+      df: DataFrame,
+      stratumCol: String,
+      idCol: String,
+      tokensCol: String,
+      budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val clash = df.columns.toSet.intersect(Set("pack_id", "pack_pos"))
+    require(clash.isEmpty, s"column names reserved by packBestFit: $clash")
+    val session = df.sparkSession
+    import session.implicits._
+    val triples = df
+      .filter(F.col(tokensCol).isNotNull)
+      .select(F.col(stratumCol).cast("string").as("__st"),
+        F.col(idCol).cast("long").as("__pk_id"),
+        F.col(tokensCol).cast("long").as("__tk"))
+      .as[(String, Long, Long)]
+    val mapping = triples.groupByKey(_._1).flatMapGroups { (_, it) =>
+      val docs = it.toArray.sortBy { case (_, id, tk) => (-tk, id) }
+      val remaining = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val fill = scala.collection.mutable.ArrayBuffer.empty[Long]
+      docs.iterator.map { case (_, id, tk0) =>
+        val tk = math.max(tk0, 0L)
+        var p = 0
+        while (p < remaining.length && remaining(p) < tk) p += 1
+        if (p == remaining.length) { remaining += budget; fill += 0L }
+        remaining(p) -= tk
+        fill(p) += 1L
+        (id, p.toLong, fill(p) - 1L)
+      }
+    }.toDF("__pk_id", "pack_id", "pack_pos")
+    df.join(mapping.withColumnRenamed("__pk_id", "__pk_join"),
+        F.col(idCol).cast("long") === F.col("__pk_join"), "left")
+      .drop("__pk_join")
+  }
 }

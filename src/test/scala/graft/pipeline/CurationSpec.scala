@@ -113,6 +113,62 @@ class CurationSpec extends SparkTestBase {
     nonFinal.foreach(t => assert(t >= budget - maxDoc && t <= budget + maxDoc))
   }
 
+  test("packBestFit: FFD layout, hand-checked") {
+    // lengths 70, 60, 50, 40, 30, 20 at budget 100:
+    // FFD: p0=70+30, p1=60+40, p2=50+20 (3 packs; sequential cut = 3 too
+    // but with different fill); oversize 250 gets a singleton pack
+    val docs = Seq(
+      ("s", 1L, 40L), ("s", 2L, 70L), ("s", 3L, 30L),
+      ("s", 4L, 60L), ("s", 5L, 50L), ("s", 6L, 20L),
+      ("t", 7L, 250L), ("t", 8L, 10L))
+      .toDF("src", "id", "tokens").repartition(3)
+    val out = Packing.packBestFit(docs, "src", "id", "tokens", 100L)
+      .select("src", "id", "pack_id", "pack_pos")
+      .as[(String, Long, Long, Long)].collect()
+    val s = out.filter(_._1 == "s").map(r => r._2 -> ((r._3, r._4))).toMap
+    assert(s(2L) === ((0L, 0L)))   // 70 opens pack 0
+    assert(s(4L) === ((1L, 0L)))   // 60 opens pack 1
+    assert(s(5L) === ((2L, 0L)))   // 50 opens pack 2
+    assert(s(1L) === ((1L, 1L)))   // 40 fits pack 1 (100-60)
+    assert(s(3L) === ((0L, 1L)))   // 30 fits pack 0 (100-70)
+    assert(s(6L) === ((2L, 1L)))   // 20 fits pack 2 (and pack 0/1 are full-ish: 0 rem 0, 1 rem 0)
+    val tp = out.filter(_._1 == "t").map(r => r._2 -> r._3).toMap
+    assert(tp(7L) === 0L && tp(8L) === 1L)  // oversize singleton, next opens its own
+  }
+
+  test("packBestFit: NULL tokens unpacked; budget, lower-bound and first-fit guarantees") {
+    val withNull = Seq((1L, Option(60L)), (2L, Option.empty[Long]), (3L, Option(50L)))
+      .toDF("id", "tokens").withColumn("src", F.lit("x"))
+    val n = Packing.packBestFit(withNull, "src", "id", "tokens", 100L)
+      .select("id", "pack_id").as[(Long, Option[Long])].collect().toMap
+    assert(n(2L) === None && n(1L).isDefined && n(3L).isDefined)
+
+    val docs = sf("sf0.001", "documents")
+    val budget = 2000L
+    val ffd = Packing.packBestFit(docs, "source", "doc_id", "n_chars", budget)
+    // every pack fits the budget unless it is an oversize singleton
+    val bad = ffd.groupBy("source", "pack_id")
+      .agg(F.sum("n_chars").as("total"), F.count(F.lit(1)).as("n"))
+      .filter(F.col("total") > budget && F.col("n") > 1)
+      .count()
+    assert(bad === 0L)
+    // every doc packed exactly once
+    assert(ffd.filter(F.col("pack_id").isNotNull).count() === docs.count())
+    // pack count per source >= the ceil(total/budget) lower bound, and
+    // the first-fit guarantee holds: at most ONE pack per stratum is
+    // half-empty or worse (a second could not have been opened)
+    val perPack = ffd.groupBy("source", "pack_id")
+      .agg(F.sum("n_chars").as("total"))
+    val counts = perPack.groupBy("source")
+      .agg(F.count(F.lit(1)).as("fp"), F.sum("total").as("tok"),
+        F.sum(F.when(F.col("total") * 2 <= budget, 1L).otherwise(0L)).as("halfEmpty"))
+      .as[(String, Long, Long, Long)].collect()
+    counts.foreach { case (src, fp, tok, halfEmpty) =>
+      assert(fp >= (tok + budget - 1) / budget, s"$src below lower bound")
+      assert(halfEmpty <= 1L, s"$src has $halfEmpty half-empty packs")
+    }
+  }
+
   // ------------------------------------------------ duplicate clusters
 
   test("duplicateClusters labels transitive components with their min id") {
