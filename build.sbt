@@ -29,5 +29,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dio.netty.tryReflectionSetAccessible=true",
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default: the 60+-query bench JVM accumulates three persistent
+  // index caches plus per-query codegen state, and at 8g transient GC
+  // pressure inflated two mid-run bench readings ~3x in round 5
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )
