@@ -663,34 +663,59 @@ object Dedup {
   }
 
   /**
-   * Incremental Hamming near-dup check: (id_new, id_old, hamming)
-   * pairs between a new batch's signatures and the history behind a
-   * persisted [[buildHashIndex]]. The batch's band chunks BROADCAST
-   * onto the index scan — the TB-scale history is never shuffled and
-   * never re-decoded (its signatures ride in the index rows), so a
-   * daily media increment costs one index scan. Geometry (`bands`)
+   * Stateless incremental Hamming matches: one (id_new, id_old,
+   * hamming) row PER MATCHING BAND between a new batch's signatures
+   * and the history behind a persisted [[buildHashIndex]] — a pair
+   * within distance d shares >= bands-d bands and appears that many
+   * times. Fully stateless (chunk-explode + stream-static join +
+   * popcount filter; no aggregation, no distinct), so it applies to
+   * a STREAMING batch in append mode unchanged — the
+   * [[incrementalEmbeddingDuplicates]] precedent. Flood control
+   * lives in the index build's bucket capping. Geometry (`bands`)
    * must match the index's.
    */
+  def incrementalHammingMatches(
+      batch: DataFrame,
+      histIndex: DataFrame,
+      idCol: String,
+      hashCol: String,
+      maxHamming: Int = 6,
+      bands: Int = 8): DataFrame = {
+    require(bands >= 2 && 64 % bands == 0,
+      s"bands must be >= 2 and divide 64, got $bands")
+    require(maxHamming >= 0 && maxHamming <= bands - 1,
+      s"$bands bands only guarantee hamming <= ${bands - 1}, got $maxHamming")
+    val width = 64 / bands
+    val mask = (1L << width) - 1
+    val chunkU = F.udf((sig: Long) =>
+      Array.tabulate(bands)(b => (b, (sig >>> (b * width)) & mask)))
+    batch
+      .filter(F.col(hashCol).isNotNull)
+      .select(F.col(idCol).as("id_new"), F.col(hashCol).cast("long").as("__sn"))
+      .select(F.col("id_new"), F.col("__sn"),
+              F.explode(chunkU(F.col("__sn"))).as("__c"))
+      .select(F.col("id_new"), F.col("__sn"),
+              F.col("__c._1").as("band"), F.col("__c._2").as("bits"))
+      .join(histIndex, Seq("band", "bits"))
+      .select(F.col("id_new"), F.col("id").as("id_old"),
+              F.bit_count(F.col("__sn").bitwiseXOR(F.col("sig"))).as("hamming"))
+      .filter(F.col("hamming") <= maxHamming)
+  }
+
+  /** Batch form of [[incrementalHammingMatches]]: one row per
+    * distinct (id_new, id_old) pair. The batch's band chunks reach
+    * the index scan via the join (AQE broadcasts the small side) —
+    * TB-scale history is never shuffled and never re-decoded, so a
+    * daily media increment costs one index scan. */
   def incrementalHammingPairs(
       batch: DataFrame,
       histIndex: DataFrame,
       idCol: String,
       hashCol: String,
       maxHamming: Int = 6,
-      bands: Int = 8,
-      maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    require(maxHamming >= 0 && maxHamming <= bands - 1,
-      s"$bands bands only guarantee hamming <= ${bands - 1}, got $maxHamming")
-    val newIndex = buildHashIndex(batch, idCol, hashCol, bands, maxBucket)
-      .select(F.col("band"), F.col("bits"),
-              F.col("id").as("id_new"), F.col("sig").as("__sn"))
-    histIndex
-      .join(F.broadcast(newIndex), Seq("band", "bits"))
-      .select(F.col("id_new"), F.col("id").as("id_old"),
-              F.bit_count(F.col("__sn").bitwiseXOR(F.col("sig"))).as("hamming"))
-      .filter(F.col("hamming") <= maxHamming)
+      bands: Int = 8): DataFrame =
+    incrementalHammingMatches(batch, histIndex, idCol, hashCol, maxHamming, bands)
       .distinct()
-  }
 
   /** Merge sorted-or-not (start, end) intervals, fusing overlapping AND
     * adjacent ones (tokens 1-8 and 9-16 both duplicated = one

@@ -191,6 +191,48 @@ class BatchStreamEquivalenceSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("incremental perceptual media dedup over a hash index is batch≡stream") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.pipeline.{Dedup, Multimodal}
+    val docs = sf("sf0.001", "documents").select(F.col("doc_id"))
+      .filter(F.col("doc_id") < 150)
+    val hist = Multimodal.plantedNearDupMedia(
+      docs.filter(F.col("doc_id") % 3 =!= 2), "doc_id")
+    val index = Multimodal.buildMediaHashIndex(hist)
+      .localCheckpoint(eager = false)
+    val batchMedia = Multimodal.plantedNearDupMedia(
+      docs.filter(F.col("doc_id") % 3 === 2), "doc_id")
+    val batchPairs = Multimodal
+      .incrementalNearDuplicateMedia(batchMedia, index, maxHamming = 6)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(batchPairs.nonEmpty)
+
+    // stream the same payloads; the stateless per-band match form
+    // applies to a streaming batch unchanged (stream-static join)
+    val rows = batchMedia.toDF().select("media_id", "payload")
+      .as[(Long, Array[Byte])].collect()
+    val input = MemoryStream[(Long, Array[Byte])]
+    val stream = input.toDF().toDF("media_id", "payload")
+      .withColumn("modality", F.lit("image"))
+      .withColumn("meta_bytes", F.lit(0L))
+      .withColumn("meta_source", F.lit("planted"))
+      .as[Multimodal.MediaRecord]
+    val q = Dedup.incrementalHammingMatches(
+        Multimodal.perceptualHash(stream).select(F.col("media_id"), F.col("phash")),
+        index, "media_id", "phash", maxHamming = 6)
+      .writeStream.format("memory").queryName("bs_mediadup")
+      .outputMode("append").start()
+    try {
+      input.addData(rows.toSeq)
+      q.processAllAvailable()
+      val streamPairs = spark.sql("SELECT id_new, id_old, hamming FROM bs_mediadup")
+        .as[(Long, Long, Int)].collect().toSet   // per-band rows collapse in the set
+      assert(streamPairs === batchPairs)
+    } finally q.stop()
+  }
+
   test("map-only curation (decontamination, boilerplate strip) is batch≡stream") {
     val session = spark
     import session.implicits._
