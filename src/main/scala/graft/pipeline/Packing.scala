@@ -112,14 +112,13 @@ object Packing {
       .as[(String, Long, Long)]
     val mapping = triples.groupByKey(_._1).flatMapGroups { (_, it) =>
       val docs = it.toArray.sortBy { case (_, id, tk) => (-tk, id) }
-      val remaining = scala.collection.mutable.ArrayBuffer.empty[Long]
-      val fill = scala.collection.mutable.ArrayBuffer.empty[Long]
+      // first-fit via a max-segment-tree over pack remainders: the
+      // leftmost pack with room resolves in O(log packs), so a stratum
+      // costs O(n log n) instead of the naive scan's O(n * packs)
+      val ff = new FirstFit(budget, docs.length)
+      val fill = new Array[Long](docs.length)
       docs.iterator.map { case (_, id, tk0) =>
-        val tk = math.max(tk0, 0L)
-        var p = 0
-        while (p < remaining.length && remaining(p) < tk) p += 1
-        if (p == remaining.length) { remaining += budget; fill += 0L }
-        remaining(p) -= tk
+        val p = ff.place(math.max(tk0, 0L))
         fill(p) += 1L
         (id, p.toLong, fill(p) - 1L)
       }
@@ -127,5 +126,39 @@ object Packing {
     df.join(mapping.withColumnRenamed("__pk_id", "__pk_join"),
         F.col(idCol).cast("long") === F.col("__pk_join"), "left")
       .drop("__pk_join")
+  }
+
+  /** Leftmost-pack-with-room structure for first-fit packing: a
+    * perfect binary max-tree over pack remainders (capacity
+    * `maxPacks` leaves, rounded to a power of two). `place(tk)`
+    * descends to the leftmost leaf with remainder >= tk (opening a
+    * fresh pack when none fits) and deducts — O(log packs). */
+  private final class FirstFit(budget: Long, maxPacks: Int) {
+    private val leaves = {
+      var n = 1
+      while (n < math.max(maxPacks, 1)) n <<= 1
+      n
+    }
+    // tree(1) = root; leaf i at tree(leaves + i); unopened leaves hold
+    // budget so "no open pack fits" naturally opens the next one
+    private val tree = Array.fill(2 * leaves)(budget)
+
+    /** Pack index for a document of `tk` tokens (tk may exceed
+      * budget: the leftmost unopened pack absorbs it whole). */
+    def place(tk: Long): Int = {
+      val want = math.min(tk, budget) // oversize -> fresh pack, forced fit
+      var node = 1
+      while (node < leaves) {
+        node = if (tree(2 * node) >= want) 2 * node else 2 * node + 1
+      }
+      val leaf = node - leaves
+      tree(node) -= tk // oversize goes negative: nothing else fits
+      var up = node >> 1
+      while (up >= 1) {
+        tree(up) = math.max(tree(2 * up), tree(2 * up + 1))
+        up >>= 1
+      }
+      leaf
+    }
   }
 }
