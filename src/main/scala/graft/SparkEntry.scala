@@ -2259,6 +2259,22 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // signal-agreement audit: Pearson + Spearman (tie-averaged ranks)
+    // between doc length and token count per source; the oracle
+    // replays the rank windows and the sum-form Pearson verbatim,
+    // both rounded 4dp (sum-order noise ~1e-9 relative)
+    "q_rank_correlation" -> ((s: SparkSession, dir: String) => {
+      val docs = t(s, dir, "documents")
+        .select(F.col("source"), F.col("n_chars"),
+          F.size(F.filter(F.split(F.col("text"), "\\s+"),
+            (x: Column) => F.length(x) > 0)).as("toks"))
+      graft.pipeline.Eval.rankCorrelation(docs, "n_chars", "toks", Seq("source"))
+        .select(F.col("source"), F.col("n"),
+          F.round(F.col("pearson"), 4).as("pearson4"),
+          F.round(F.col("spearman"), 4).as("spearman4"))
+        .orderBy("source")
+    }),
+
     // first-fit-decreasing packing: totals and doc counts exact per
     // source; the FFD guarantees ride as pinned booleans (non-singleton
     // packs fit the budget; at most one pack per stratum half-empty —
@@ -4145,6 +4161,36 @@ object SparkEntry {
         |                 ELSE 5 END AS INT) AS hamming
         |FROM d a JOIN d b ON a.g = b.g AND a.doc_id < b.doc_id
         |ORDER BY id_a, id_b""".stripMargin,
+    "q_rank_correlation" ->
+      """WITH d AS (
+        |  SELECT source, CAST(n_chars AS DOUBLE) AS x,
+        |         CAST(len(list_filter(string_split_regex(text, '\s+'),
+        |           t -> len(t) > 0)) AS DOUBLE) AS y
+        |  FROM documents WHERE n_chars IS NOT NULL AND text IS NOT NULL),
+        |r AS (
+        |  SELECT source, x, y,
+        |    CAST(rank() OVER (PARTITION BY source ORDER BY x) AS DOUBLE) +
+        |      (CAST(count(*) OVER (PARTITION BY source, x) AS DOUBLE) - 1) / 2
+        |      AS rx,
+        |    CAST(rank() OVER (PARTITION BY source ORDER BY y) AS DOUBLE) +
+        |      (CAST(count(*) OVER (PARTITION BY source, y) AS DOUBLE) - 1) / 2
+        |      AS ry
+        |  FROM d),
+        |a AS (
+        |  SELECT source, CAST(count(*) AS DOUBLE) AS n,
+        |         sum(x) AS sx, sum(x*x) AS ssx, sum(y) AS sy, sum(y*y) AS ssy,
+        |         sum(x*y) AS sxy, sum(rx) AS srx, sum(rx*rx) AS ssrx,
+        |         sum(ry) AS sry, sum(ry*ry) AS ssry, sum(rx*ry) AS srxy
+        |  FROM r GROUP BY source)
+        |SELECT source, CAST(n AS BIGINT) AS n,
+        |  CASE WHEN n*ssx - sx*sx > 0 AND n*ssy - sy*sy > 0
+        |       THEN round((n*sxy - sx*sy) /
+        |            sqrt((n*ssx - sx*sx) * (n*ssy - sy*sy)), 4) END AS pearson4,
+        |  CASE WHEN n*ssrx - srx*srx > 0 AND n*ssry - sry*sry > 0
+        |       THEN round((n*srxy - srx*sry) /
+        |            sqrt((n*ssrx - srx*srx) * (n*ssry - sry*sry)), 4)
+        |  END AS spearman4
+        |FROM a ORDER BY source""".stripMargin,
     "q_pack_ffd" ->
       """SELECT source, CAST(count(*) AS BIGINT) AS docs,
         |       CAST(sum(n_chars) AS BIGINT) AS chars,

@@ -342,4 +342,71 @@ object Eval {
       .withColumn("rouge1_f1", f1(F.col("rouge1_p"), F.col("rouge1_r")))
       .withColumn("rouge2_f1", f1(F.col("rouge2_p"), F.col("rouge2_r")))
   }
+
+  /**
+   * Pearson and Spearman correlation between two numeric columns,
+   * optionally per group — the signal-agreement audit (does the
+   * quality classifier track LM perplexity? does compression ratio
+   * track repetition?). Spearman = Pearson over tie-averaged ranks
+   * (rank + (ties-1)/2, the fractional-rank convention), so heavy
+   * ties are handled exactly rather than by the 6Σd² shortcut (which
+   * assumes none). Returns (groups..., n, pearson, spearman); NaN
+   * (zero variance) normalizes to NULL per the repo's NULL
+   * discipline. Correlations run through incremental float
+   * co-moments — round to 4 decimals before any cross-engine
+   * comparison (the repo's exp/ln rule).
+   *
+   * Scale shape: one hash exchange on the group key; both rank
+   * windows and the final aggregate reuse its partitioning (two
+   * in-partition sorts, no further shuffle).
+   */
+  def rankCorrelation(
+      df: DataFrame,
+      xCol: String,
+      yCol: String,
+      groupCols: Seq[String] = Nil): DataFrame = {
+    val groups = groupCols.map(F.col)
+    val x = F.col(xCol).cast("double")
+    val y = F.col(yCol).cast("double")
+    def w(order: Column) = {
+      val base = org.apache.spark.sql.expressions.Window.partitionBy(groups: _*)
+      base.orderBy(order.asc)
+    }
+    def ties(value: Column) = org.apache.spark.sql.expressions.Window
+      .partitionBy((groups :+ value): _*)
+    def avgRank(value: Column) =
+      F.rank().over(w(value)).cast("double") +
+        (F.count(F.lit(1)).over(ties(value)).cast("double") - 1.0) / 2.0
+    val ranked = df
+      .filter(x.isNotNull && y.isNotNull && !F.isnan(x) && !F.isnan(y))
+      .select((groups :+ x.as("__x") :+ y.as("__y")): _*)
+      .withColumn("__rx", avgRank(F.col("__x")))
+      .withColumn("__ry", avgRank(F.col("__y")))
+    // sum-form Pearson with an explicit zero-variance guard: Spark's
+    // corr aggregate raises DIVIDE_BY_ZERO under ANSI on a constant
+    // column, and the guard doubles as the NaN->NULL normalization.
+    // The same sum formula replays verbatim in an oracle.
+    def sums(a: String, tag: String) = Seq(
+      F.sum(F.col(a)).as(s"__s$tag"),
+      F.sum(F.col(a) * F.col(a)).as(s"__ss$tag"))
+    val agg = ranked
+      .groupBy(groups: _*)
+      .agg(F.count(F.lit(1)).cast("double").as("__n"),
+        (sums("__x", "x") ++ sums("__y", "y") ++ sums("__rx", "rx") ++
+          sums("__ry", "ry") ++ Seq(
+            F.sum(F.col("__x") * F.col("__y")).as("__sxy"),
+            F.sum(F.col("__rx") * F.col("__ry")).as("__srxy"))): _*)
+    def pearsonOf(sx: Column, sy: Column, ssx: Column, ssy: Column, sxy: Column) = {
+      val n = F.col("__n")
+      val dx = n * ssx - sx * sx
+      val dy = n * ssy - sy * sy
+      F.when(dx > 0.0 && dy > 0.0, (n * sxy - sx * sy) / F.sqrt(dx * dy))
+    }
+    agg.select((groups :+
+      F.col("__n").cast("long").as("n") :+
+      pearsonOf(F.col("__sx"), F.col("__sy"), F.col("__ssx"), F.col("__ssy"),
+        F.col("__sxy")).as("pearson") :+
+      pearsonOf(F.col("__srx"), F.col("__sry"), F.col("__ssrx"), F.col("__ssry"),
+        F.col("__srxy")).as("spearman")): _*)
+  }
 }

@@ -194,6 +194,46 @@ class EvalSpec extends SparkTestBase {
     assert(math.abs(r.getAs[Double]("rouge2_r") - 3.0 / 5.0) < 1e-15)
   }
 
+  test("rankCorrelation: hand-computed Pearson/Spearman, ties averaged, NaN -> NULL") {
+    // y = x^2 on positive x: monotone (spearman 1) but not linear
+    val df = Seq((1.0, 1.0), (2.0, 4.0), (3.0, 9.0), (4.0, 16.0), (5.0, 25.0))
+      .toDF("x", "y")
+    val r = Eval.rankCorrelation(df, "x", "y").collect().head
+    assert(r.getLong(0) === 5L)
+    assert(math.abs(r.getDouble(2) - 1.0) < 1e-12)              // spearman exact 1
+    assert(r.getDouble(1) > 0.95 && r.getDouble(1) < 1.0)       // pearson < 1
+
+    // ties: x = (1,2,2,3), y = (10,20,20,40); fractional ranks make
+    // spearman exactly 1 (both orderings identical incl. tie group)
+    val t = Seq((1.0, 10.0), (2.0, 20.0), (2.0, 20.0), (3.0, 40.0)).toDF("x", "y")
+    val rt = Eval.rankCorrelation(t, "x", "y").collect().head
+    assert(math.abs(rt.getDouble(2) - 1.0) < 1e-12)
+
+    // zero variance -> NULL, not NaN; NULL/NaN inputs drop
+    val z = Seq((1.0, 5.0), (2.0, 5.0), (Double.NaN, 7.0)).toDF("x", "y")
+    val rz = Eval.rankCorrelation(z, "x", "y").collect().head
+    assert(rz.getLong(0) === 2L)
+    assert(rz.isNullAt(1) && rz.isNullAt(2))
+
+    // anti-monotone: spearman exactly -1
+    val a = Seq((1.0, 9.0), (2.0, 7.0), (3.0, 2.0)).toDF("x", "y")
+    assert(math.abs(Eval.rankCorrelation(a, "x", "y")
+      .collect().head.getDouble(2) + 1.0) < 1e-12)
+  }
+
+  test("rankCorrelation groups plan a single exchange") {
+    val docs = sf("sf0.001", "documents")
+      .select(F.col("source"), F.col("n_chars"),
+        F.size(F.split(F.col("text"), "\\s+")).as("toks"))
+    val out = Eval.rankCorrelation(docs, "n_chars", "toks", Seq("source"))
+    val plan = out.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length === 1, plan)
+    // chars and token counts are strongly positively correlated
+    out.collect().foreach { r =>
+      assert(r.getDouble(2) > 0.5, s"source ${r.get(0)} spearman ${r.getDouble(2)}")
+    }
+  }
+
   test("textOverlap plans map-only (zero exchanges)") {
     val docs = sf("sf0.001", "documents")
       .select(F.col("doc_id"), F.col("text").as("cand"), F.col("text").as("ref"))
