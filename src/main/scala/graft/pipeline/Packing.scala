@@ -128,6 +128,14 @@ object Packing {
       .drop("__pk_join")
   }
 
+  /** Test hook: a fresh first-fit placer as a plain function, so the
+    * segment tree can be property-checked against a naive reference
+    * without a Spark session. */
+  private[pipeline] def firstFitForTest(budget: Long, maxPacks: Int): Long => Int = {
+    val ff = new FirstFit(budget, maxPacks)
+    tk => ff.place(tk)
+  }
+
   /** Leftmost-pack-with-room structure for first-fit packing: a
     * perfect binary max-tree over pack remainders (capacity
     * `maxPacks` leaves, rounded to a power of two). `place(tk)`
