@@ -121,6 +121,31 @@ class PlanShapeSpec extends SparkTestBase {
     assert(exchanges(out) === 2, out.queryExecution.executedPlan.toString)
   }
 
+  test("hammingPairs shuffles only (band, bits) keys: 3 hash exchanges, no payload") {
+    // sizes agg (1) + the self-join's two sides re-using the pruned
+    // chunk table (2) — all keyed on the 8-byte (band, bits) pair; a
+    // 4th exchange would mean a payload-sized shuffle crept in
+    val sigs = Seq((1L, 100L), (2L, 101L), (3L, 900L))
+      .toDF("id", "sig").repartition(4)
+    val out = graft.pipeline.Dedup.hammingPairs(sigs, "id", "sig", maxHamming = 3)
+    assert(exchanges(out) <= 3, out.queryExecution.executedPlan.toString)
+  }
+
+  test("incremental hamming probe never shuffles the index side") {
+    val hist = Seq((1L, 100L), (2L, 200L)).toDF("id", "sig").repartition(4)
+    val idx = graft.pipeline.Dedup.buildHashIndex(hist, "id", "sig")
+      .localCheckpoint(eager = false)
+    idx.count()
+    val batch = Seq((10L, 101L)).toDF("id", "sig").repartition(4)
+    val out = graft.pipeline.Dedup.incrementalHammingMatches(
+      batch, idx, "id", "sig", maxHamming = 3)
+    // stateless chunk-explode + join: zero hash exchanges when the
+    // batch side broadcasts (checkpointed index scans in place)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(exchanges(out) <= 2, plan)
+    assert(plan.contains("Join"), plan)
+  }
+
   test("co-located join of bucketed tables plans zero exchanges") {
     val B = graft.sources.Bucketed
     B.writeBucketed(sf("sf0.001", "orders"), "pst_orders_b",
