@@ -838,7 +838,8 @@ object Bench {
               "vec_id", "embedding", 10, poolSize = 100)
           },
           "ivfpq" -> recallOf(pq.ivfPqTopK(ivfPqIndexFor(spark, sfDir, emb),
-            emb, queries, "vec_id", "embedding", 10, nprobe = 8, poolSize = 100)))
+            emb, queries, "vec_id", "embedding", 10, nprobe = 4, poolSize = 100,
+            probeMass = 0.45)))
       } catch { case _: Throwable => Seq.empty }
     val rc = recall.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     // recall floors pinned at the BENCHED SF (not just the sf0.01

@@ -396,16 +396,34 @@ object ProductQuantization {
       vecCol: String,
       k: Int,
       nprobe: Int = 4,
-      poolSize: Int = 50): DataFrame = {
+      poolSize: Int = 50,
+      probeMass: Double = 0.0): DataFrame = {
+    require(probeMass >= 0.0 && probeMass <= 1.0,
+      s"probeMass must be in [0, 1], got $probeMass")
     val spark = index.encoded.sparkSession
     val cB = spark.sparkContext.broadcast(index.centroids)
     val bB = spark.sparkContext.broadcast(index.cb)
-    // (cell, dot(q, centroid)) pairs for the nprobe nearest cells
+    // probeMass > 0: distance-ordered cells until they cover that
+    // corpus-mass fraction (the [[Similarity.ivfTopKIndexed]] dial —
+    // a fixed nprobe's recall decays as the corpus outgrows the cell
+    // count). Cell sizes are one bounded nlist-row aggregate.
+    val sizesB =
+      if (probeMass == 0.0) null
+      else {
+        val sizes = new Array[Long](index.centroids.length)
+        index.encoded.groupBy(F.col("__cell")).agg(F.count(F.lit(1)).as("__n"))
+          .collect().foreach { r =>
+            val c = r.getInt(0)
+            if (c >= 0 && c < sizes.length) sizes(c) = r.getLong(1)
+          }
+        spark.sparkContext.broadcast((sizes, sizes.sum))
+      }
+    // (cell, dot(q, centroid)) pairs for the probed cells
     val probeU = F.udf((v: Array[Float]) => {
       if (v == null) null
       else {
         val cs = cB.value
-        cs.indices.map { c =>
+        val ordered = cs.indices.map { c =>
           var d = 0.0
           var dot = 0.0
           var i = 0
@@ -418,7 +436,25 @@ object ProductQuantization {
             i += 1
           }
           (c, d, dot)
-        }.sortBy(_._2).take(nprobe).map(t => (t._1, t._3))
+        }.sortBy(_._2)
+        val picked =
+          if (sizesB == null) ordered.take(nprobe)
+          else {
+            val (sizes, total) = sizesB.value
+            val want = math.ceil(probeMass * total).toLong
+            val out = scala.collection.mutable.ArrayBuffer
+              .empty[(Int, Double, Double)]
+            var acc = 0L
+            var i = 0
+            while (i < ordered.length && (out.length < nprobe || acc < want)) {
+              val e = ordered(i)
+              out += e
+              acc += (if (e._1 < sizes.length) sizes(e._1) else 0L)
+              i += 1
+            }
+            out.toSeq
+          }
+        picked.map(t => (t._1, t._3))
       }
     })
     val lutU = F.udf((v: Array[Float]) => {

@@ -119,6 +119,26 @@ class PqSpec extends SparkTestBase {
     assert(byCell.values.exists(cell => got.subsetOf(cell - 1L)), s"$got vs $byCell")
   }
 
+  test("IVF-PQ mass-adaptive probing holds recall on the real corpus") {
+    val emb = sf("sf0.001", "embeddings")
+    val queries = emb.filter($"vec_id" < 10)
+    val idx = PQ.buildIvfPq(emb, "vec_id", "embedding",
+      nlist = 16, m = 16, ksub = 16, iterations = 2)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val got = PQ.ivfPqTopK(idx, emb, queries, "vec_id", "embedding", 5,
+        nprobe = 4, poolSize = 100, probeMass = 0.45)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(got).size.toDouble / exact.size
+    assert(recall >= 0.6, s"mass-probed ivfpq recall=$recall")
+    // probeMass = 1.0 probes every cell: with a corpus-wide pool the
+    // rerank recovers brute force exactly
+    val full = PQ.ivfPqTopK(idx, emb, queries, "vec_id", "embedding", 5,
+        nprobe = 1, poolSize = 500, probeMass = 1.0)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(full === exact)
+  }
+
   test("IVF-PQ save/load roundtrips and answers identically") {
     val idx = PQ.buildIvfPq(corpus6, "vec_id", "embedding",
       nlist = 2, m = 4, ksub = 2, iterations = 2)
