@@ -2259,6 +2259,22 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // margin-scored pair mining (LASER/CCMatrix criterion): cosine
+    // top-3 of each query in a disjoint corpus half, scored by
+    // cos / mean of both local neighborhood averages. Ranks ride the
+    // measured cosine-gap stability (the q_rank_metrics rule); cos and
+    // margin round 4dp (sum-order noise ~1e-13)
+    "q_bitext_margin" -> ((s: SparkSession, dir: String) => {
+      val emb = t(s, dir, "embeddings")
+      graft.pipeline.Similarity.mineMarginPairs(
+          emb.filter(F.col("vec_id") < 24), emb.filter(F.col("vec_id") >= 24),
+          "vec_id", "embedding", k = 3, kAvg = 4)
+        .select(F.col("a_id"), F.col("b_id"), F.col("rank"),
+          F.round(F.col("cos"), 4).as("cos4"),
+          F.round(F.col("margin"), 4).as("margin4"))
+        .orderBy("a_id", "b_id")
+    }),
+
     // signal-agreement audit: Pearson + Spearman (tie-averaged ranks)
     // between doc length and token count per source; the oracle
     // replays the rank windows and the sum-form Pearson verbatim,
@@ -4161,6 +4177,29 @@ object SparkEntry {
         |                 ELSE 5 END AS INT) AS hamming
         |FROM d a JOIN d b ON a.g = b.g AND a.doc_id < b.doc_id
         |ORDER BY id_a, id_b""".stripMargin,
+    "q_bitext_margin" ->
+      """WITH flat AS (SELECT vec_id, r.i AS i, embedding[r.i] AS x
+        |              FROM embeddings, range(1, 65) r(i)),
+        |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS n FROM flat GROUP BY 1),
+        |dots AS (SELECT qa.vec_id AS a_id, qb.vec_id AS b_id,
+        |                sum(qa.x * qb.x) AS dot
+        |         FROM flat qa JOIN flat qb ON qa.i = qb.i
+        |         WHERE qa.vec_id < 24 AND qb.vec_id >= 24 GROUP BY 1, 2),
+        |cosv AS (SELECT a_id, b_id, dot / (na.n * nb.n) AS c
+        |         FROM dots JOIN norms na ON a_id = na.vec_id
+        |                   JOIN norms nb ON b_id = nb.vec_id),
+        |ra AS (SELECT a_id, b_id, c, row_number() OVER (
+        |         PARTITION BY a_id ORDER BY c DESC, b_id) AS rka FROM cosv),
+        |rb AS (SELECT a_id, b_id, c, row_number() OVER (
+        |         PARTITION BY b_id ORDER BY c DESC, a_id) AS rkb FROM cosv),
+        |aa AS (SELECT a_id, avg(c) AS avga FROM ra WHERE rka <= 4 GROUP BY 1),
+        |ab AS (SELECT b_id, avg(c) AS avgb FROM rb WHERE rkb <= 4 GROUP BY 1)
+        |SELECT r.a_id, r.b_id, CAST(r.rka AS BIGINT) AS rank,
+        |       round(r.c, 4) AS cos4,
+        |       round(r.c / ((aa.avga + ab.avgb) / 2), 4) AS margin4
+        |FROM ra r JOIN aa ON r.a_id = aa.a_id JOIN ab ON r.b_id = ab.b_id
+        |WHERE r.rka <= 3
+        |ORDER BY r.a_id, r.b_id""".stripMargin,
     "q_rank_correlation" ->
       """WITH d AS (
         |  SELECT source, CAST(n_chars AS DOUBLE) AS x,

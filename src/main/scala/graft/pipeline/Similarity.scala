@@ -73,6 +73,65 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "cos")
   }
 
+  /**
+   * Margin-scored pair mining (Artetxe & Schwenk 2019 — the
+   * LASER/CCMatrix bitext-mining criterion): for each query `x` in
+   * `a`, its cosine-top-`k` candidates `y` in `b` scored by
+   *
+   *   margin(x, y) = cos(x, y) / ((avgK(x) + avgK(y)) / 2)
+   *
+   * where avgK(x) is the mean cosine of x's `kAvg` nearest candidates
+   * in `b` and avgK(y) the mean of y's `kAvg` nearest in `a` — the
+   * ratio-margin that suppresses hub vectors (high similarity to
+   * everything) which absolute cosine thresholds cannot. margin > 1
+   * means the pair stands out above both local neighborhoods;
+   * translation mining typically keeps margin >= ~1.05.
+   *
+   * Returns (a_id, b_id, rank, cos, margin) with rank = x's cosine
+   * rank of y (ties broken by b_id, deterministic).
+   *
+   * Scale shape: ONE pass materializes the a x b cosine table with
+   * `a` BROADCAST onto the `b` scan (a is the bounded query side —
+   * mining batches of queries against a corpus; for corpus x corpus
+   * mining, batch `a`). Both neighborhood averages and the rank come
+   * from two window passes over that table — no second scan of
+   * either side.
+   */
+  def mineMarginPairs(
+      a: DataFrame,
+      b: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      kAvg: Int = 4): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(kAvg >= 1, s"kAvg must be >= 1, got $kAvg")
+    val qa = a.select(F.col(idCol).as("a_id"), F.col(vecCol).as("__av"))
+    val cb = b.select(F.col(idCol).as("b_id"), F.col(vecCol).as("__bv"))
+    val pairs = cb.crossJoin(F.broadcast(qa))
+      .withColumn("cos", cosine(F.col("__av"), F.col("__bv")))
+      .select(F.col("a_id"), F.col("b_id"), F.col("cos"))
+      .localCheckpoint(eager = false) // feeds three windows below
+    val wa = Window.partitionBy(F.col("a_id"))
+      .orderBy(F.col("cos").desc, F.col("b_id").asc)
+    val wb = Window.partitionBy(F.col("b_id"))
+      .orderBy(F.col("cos").desc, F.col("a_id").asc)
+    val ranked = pairs
+      .withColumn("__ra", F.row_number().over(wa))
+      .withColumn("__rb", F.row_number().over(wb))
+    val avgA = ranked.filter(F.col("__ra") <= kAvg)
+      .groupBy(F.col("a_id")).agg(F.avg(F.col("cos")).as("__avga"))
+    val avgB = ranked.filter(F.col("__rb") <= kAvg)
+      .groupBy(F.col("b_id")).agg(F.avg(F.col("cos")).as("__avgb"))
+    ranked
+      .filter(F.col("__ra") <= k)
+      .join(avgA, "a_id")
+      .join(avgB, "b_id")
+      .select(F.col("a_id"), F.col("b_id"),
+        F.col("__ra").cast("long").as("rank"), F.col("cos"),
+        (F.col("cos") / ((F.col("__avga") + F.col("__avgb")) / 2.0)).as("margin"))
+  }
+
   /** Deterministic random-ish hyperplane: dimension d's coefficient for
     * plane p is a fixed hash-derived value in [-1, 1). */
   private def planeCoef(plane: Int, dim: Int): Double = {

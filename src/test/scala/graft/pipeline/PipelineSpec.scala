@@ -260,6 +260,61 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall >= 0.5, s"recall=$recall")
   }
 
+  test("mineMarginPairs matches a driver-side reference and suppresses hubs") {
+    val session = spark
+    import session.implicits._
+    val emb = sf("sf0.001", "embeddings")
+    val a = emb.filter($"vec_id" < 8)
+    val b = emb.filter($"vec_id" >= 8 && $"vec_id" < 80)
+    val got = Similarity.mineMarginPairs(a, b, "vec_id", "embedding", k = 3, kAvg = 4)
+      .as[(Long, Long, Long, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+
+    // driver-side reference
+    def vecs(df: org.apache.spark.sql.DataFrame) = df
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+    def cos(x: Array[Float], y: Array[Float]): Double = {
+      var d = 0.0; var nx = 0.0; var ny = 0.0
+      for (i <- x.indices) { d += x(i).toDouble * y(i); nx += x(i).toDouble * x(i); ny += y(i).toDouble * y(i) }
+      d / (math.sqrt(nx) * math.sqrt(ny))
+    }
+    val av = vecs(a); val bv = vecs(b)
+    val all = for ((ai, ax) <- av; (bi, bx) <- bv) yield (ai, bi, cos(ax, bx))
+    val avgA = all.groupBy(_._1).view.mapValues(
+      _.sortBy(t => (-t._3, t._2)).take(4).map(_._3).sum / 4.0).toMap
+    val avgB = all.groupBy(_._2).view.mapValues(
+      _.sortBy(t => (-t._3, t._1)).take(4).map(_._3).sum / 4.0).toMap
+    val expect = all.groupBy(_._1).toSeq.flatMap { case (ai, rows) =>
+      rows.sortBy(t => (-t._3, t._2)).take(3).zipWithIndex.map {
+        case ((_, bi, c), i) =>
+          (ai, bi) -> ((i + 1L, c, c / ((avgA(ai) + avgB(bi)) / 2.0)))
+      }
+    }.toMap
+    assert(got.keySet === expect.keySet)
+    expect.foreach { case (k, (r, c, m)) =>
+      val (gr, gc, gm) = got(k)
+      assert(gr === r, s"rank at $k")
+      assert(math.abs(gc - c) < 1e-9 && math.abs(gm - m) < 1e-9, s"values at $k")
+    }
+
+    // hub suppression: a synthetic hub close to every query scores a
+    // LOWER margin than a planted exact copy, despite high cosine
+    val hubData =
+      (0 until 4).map(i => (i.toLong, Array.tabulate(8)(d => if (d == i * 2) 1.0f else 0.0f))) :+
+      (100L, Array.tabulate(8)(d => if (d == 0) 1.0f else 0.0f)) :+ // exact copy of a0
+      (101L, Array.fill(8)(0.5f))                                   // hub
+    val hd = hubData.toDF("vec_id", "embedding")
+    val ha = hd.filter($"vec_id" < 4)
+    val hb = hd.filter($"vec_id" >= 100)
+    val hm = Similarity.mineMarginPairs(ha, hb, "vec_id", "embedding", k = 2, kAvg = 2)
+      .as[(Long, Long, Long, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> r._5).toMap
+    assert(hm((0L, 100L)) > hm((0L, 101L)), s"copy must out-margin the hub: $hm")
+    // the hub pairs with every other query too, at margin ~1 (its own
+    // neighborhood average IS its similarity level)
+    (1L to 3L).foreach { q => assert(hm((q, 101L)) < hm((0L, 100L))) }
+  }
+
   test("scale-aware ANN sizing: nlist ~ sqrt(n), planes hold bucket occupancy") {
     assert(Similarity.ivfNlistFor(0L) === 16)
     assert(Similarity.ivfNlistFor(2000L) === 45)
