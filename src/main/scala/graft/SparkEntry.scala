@@ -2259,6 +2259,27 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // epoch up-sampling to per-domain token budgets: floor(B/T) full
+    // copies + the md5-prefix partial epoch; the oracle replays the
+    // epoch arithmetic and the prefix selection with window sums
+    "q_mix_epochs" -> ((s: SparkSession, dir: String) => {
+      val tok = F.when(F.col("text").isNotNull,
+        F.size(F.filter(F.split(F.col("text"), "\\s+"),
+          (x: Column) => F.length(x) > 0)).cast("long")).otherwise(0L)
+      val budgets = t(s, dir, "documents")
+        .select(F.col("source").cast("string").as("d")).distinct()
+        .collect().map(r => r.getString(0) -> 6000L).toMap
+      graft.pipeline.Sampling.repeatToBudget(
+          t(s, dir, "documents").withColumn("__tok", tok),
+          F.col("source"), F.col("doc_id"), F.col("__tok"), budgets)
+        .groupBy(F.col("source"))
+        .agg(F.count(F.lit(1)).as("rows_out"),
+          F.sum(F.col("__tok")).as("tok_out"),
+          F.sum(F.col("doc_id") * (F.col("epoch") + 1L)).as("weighted_id_sum"),
+          F.max(F.col("epoch")).as("max_epoch"))
+        .orderBy("source")
+    }),
+
     // margin-scored pair mining (LASER/CCMatrix criterion): cosine
     // top-3 of each query in a disjoint corpus half, scored by
     // cos / mean of both local neighborhood averages. Ranks ride the
@@ -4177,6 +4198,29 @@ object SparkEntry {
         |                 ELSE 5 END AS INT) AS hamming
         |FROM d a JOIN d b ON a.g = b.g AND a.doc_id < b.doc_id
         |ORDER BY id_a, id_b""".stripMargin,
+    "q_mix_epochs" ->
+      """WITH d AS (SELECT source, doc_id,
+        |             coalesce(len(list_filter(string_split_regex(text, '\s+'),
+        |                                      s -> len(s) > 0)), 0) AS tok
+        |           FROM documents),
+        |t AS (SELECT source, sum(tok) AS total FROM d GROUP BY 1),
+        |c AS (SELECT source, doc_id, tok,
+        |             sum(tok) OVER (PARTITION BY source
+        |                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        |                            ROWS UNBOUNDED PRECEDING) AS cum
+        |      FROM d),
+        |j AS (SELECT c.source, c.doc_id, c.tok, c.cum,
+        |             CAST(6000 // t.total AS BIGINT) AS e,
+        |             CAST(6000 % t.total AS BIGINT) AS rem
+        |      FROM c JOIN t ON c.source = t.source WHERE t.total > 0),
+        |x AS (SELECT source, doc_id, tok, cum, e, rem,
+        |             unnest(generate_series(CAST(0 AS BIGINT), e)) AS epoch
+        |      FROM j)
+        |SELECT source, count(*) AS rows_out, CAST(sum(tok) AS BIGINT) AS tok_out,
+        |       CAST(sum(doc_id * (epoch + 1)) AS BIGINT) AS weighted_id_sum,
+        |       CAST(max(epoch) AS BIGINT) AS max_epoch
+        |FROM x WHERE epoch < e OR cum <= rem
+        |GROUP BY source ORDER BY source""".stripMargin,
     "q_bitext_margin" ->
       """WITH flat AS (SELECT vec_id, r.i AS i, embedding[r.i] AS x
         |              FROM embeddings, range(1, 65) r(i)),

@@ -245,6 +245,78 @@ object Sampling {
   }
 
   /**
+   * Epoch replication to per-domain token budgets — the UP-sampling
+   * side of the mixture family ([[takeTokenBudget]] only trims, and
+   * real data recipes repeat small high-quality domains for several
+   * epochs): domain d with total T_d tokens and budget B_d emits
+   * floor(B_d / T_d) FULL copies (`epoch` 0..e-1) plus a partial
+   * epoch e holding the domain's deterministic md5-ordered prefix
+   * whose running token total fits the remainder (exactly
+   * [[takeTokenBudget]]'s selection within the last epoch) — so the
+   * emitted token total is the largest achievable <= B_d without
+   * splitting documents, and nested budgets yield nested outputs.
+   * Domains missing from `budgets` (or with budget 0, or zero token
+   * mass) are dropped; NULL token counts count as 0.
+   *
+   * Epochs are clamped to `maxEpochs` (a budget of 1e9 tokens against
+   * a 10-token domain must not explode the stage); clamping is logged,
+   * never silent.
+   *
+   * Scale shape: one tiny per-domain totals aggregate broadcast back,
+   * one window exchange on the domain for the prefix sums, and a
+   * generate for the epoch copies — rows at most (maxEpochs+1) x
+   * input, by construction exactly ceil(B_d / T_d) x per domain.
+   */
+  def repeatToBudget(
+      df: DataFrame,
+      domain: Column,
+      key: Column,
+      tokens: Column,
+      budgets: Map[String, Long],
+      maxEpochs: Int = 100): DataFrame = {
+    require(maxEpochs >= 1, s"maxEpochs must be >= 1, got $maxEpochs")
+    require(budgets.values.forall(_ >= 0), "budgets must be >= 0")
+    val session = df.sparkSession
+    import session.implicits._
+    val bdf = F.broadcast(budgets.toSeq.toDF("__dom", "__budget"))
+    val tok = F.coalesce(tokens.cast("long"), F.lit(0L))
+    val totals = df.groupBy(domain.cast("string").as("__dom"))
+      .agg(F.sum(tok).as("__total"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(domain).orderBy(F.md5(key.cast("string")), key)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val prepared = df
+      .withColumn("__dom", domain.cast("string"))
+      .withColumn("__cum", F.sum(tok).over(w))
+      .join(bdf, "__dom")
+      .join(F.broadcast(totals), "__dom")
+      .filter(F.col("__total") > 0L && F.col("__budget") > 0L)
+    val eRaw = F.expr("__budget div __total")
+    val clamped = F.least(eRaw, F.lit(maxEpochs.toLong))
+    // fires per clamped ROW (best-effort telemetry, like gapFill's
+    // truncation counter)
+    val warned = graft.pipeline.AccumulatorRetainer.retain(
+      session.sparkContext.longAccumulator("graft.sampling.clampedEpochRows"))
+    val clampU = F.udf((dom: String, e: Long) => {
+      warned.add(1L)
+      org.slf4j.LoggerFactory.getLogger("graft.pipeline.Sampling")
+        .warn(s"repeatToBudget: domain '$dom' wants $e epochs; clamping to $maxEpochs")
+      maxEpochs.toLong
+    }).asNondeterministic()
+    val epochs = F.when(eRaw > maxEpochs.toLong,
+        clampU(F.col("__dom"), eRaw)).otherwise(clamped)
+    val rem = F.col("__budget") - epochs * F.col("__total")
+    prepared
+      .withColumn("__e", epochs)
+      .withColumn("__rem", rem)
+      .withColumn("epoch", F.explode(F.sequence(F.lit(0L), F.col("__e"))))
+      // full copies for epoch < e; the partial epoch keeps the
+      // md5-prefix whose cumulative mass fits the remainder
+      .filter(F.col("epoch") < F.col("__e") || F.col("__cum") <= F.col("__rem"))
+      .drop("__dom", "__cum", "__budget", "__total", "__e", "__rem")
+  }
+
+  /**
    * Waterfilling allocation of a GLOBAL token budget across weighted
    * domains: find λ with Σ_d min(T_d, λ·w_d) = B and give domain d
    * the allocation min(T_d, ⌊λ·w_d⌋) — small domains keep everything

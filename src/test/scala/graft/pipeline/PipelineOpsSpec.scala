@@ -251,6 +251,41 @@ class PipelineOpsSpec extends SparkTestBase {
       Map("a" -> 1.0), defaultFraction = 1.0).count() === 8000)
   }
 
+  test("repeatToBudget: full epochs + md5-prefix partial, clamped, budget-exact") {
+    val df = Seq(
+      ("a", 1L, 10L), ("a", 2L, 10L), ("a", 3L, 10L),   // T_a = 30
+      ("b", 4L, 100L),                                  // T_b = 100
+      ("c", 5L, 10L))                                   // no budget -> dropped
+      .toDF("src", "id", "tok")
+    val out = Sampling.repeatToBudget(df, F.col("src"), F.col("id"), F.col("tok"),
+        Map("a" -> 75L, "b" -> 100L))
+      .select("src", "id", "epoch").as[(String, Long, Long)].collect()
+    val a = out.filter(_._1 == "a")
+    // 75 // 30 = 2 full epochs (90 rows... 2 epochs x 3 docs), rem 15
+    // -> partial epoch keeps the md5-prefix with cum <= 15 (1 doc)
+    assert(a.count(_._3 == 0L) === 3 && a.count(_._3 == 1L) === 3)
+    assert(a.count(_._3 == 2L) === 1)
+    val b = out.filter(_._1 == "b")
+    assert(b.map(_._3).sorted.toSeq === Seq(0L))        // exactly 1 epoch, rem 0
+    assert(!out.exists(_._1 == "c"))
+    // emitted token mass <= budget, and maximal without splitting docs
+    val aTok = a.length * 10L
+    assert(aTok === 70L)                                // 75 budget -> 70 achievable
+
+    // nested budgets nest: the 75-budget output contains the 45-budget one
+    val small = Sampling.repeatToBudget(df, F.col("src"), F.col("id"), F.col("tok"),
+        Map("a" -> 45L)).select("src", "id", "epoch")
+      .as[(String, Long, Long)].collect().toSet
+    assert(small.subsetOf(out.toSet))
+
+    // clamping: a 10-token domain with a 10^9 budget stays bounded
+    val big = Sampling.repeatToBudget(
+      Seq(("z", 1L, 10L)).toDF("src", "id", "tok"),
+      F.col("src"), F.col("id"), F.col("tok"),
+      Map("z" -> 1000000000L), maxEpochs = 5)
+    assert(big.count() === 6L)                          // 5 full + 1 partial(all)
+  }
+
   test("weightedSample keeps proportionally to the weight, nested and exact at edges") {
     val df = spark.range(10000).toDF("id")
     assert(Sampling.weightedSample(df, F.col("id"), F.lit(1.0)).count() === 10000)
