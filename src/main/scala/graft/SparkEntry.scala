@@ -2259,6 +2259,25 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // fill-in-the-middle rewrite (PSM + SPM): split points from pure
+    // id/length arithmetic, so the oracle rebuilds the exact
+    // sentinel-assembled strings with substr (both engines index
+    // characters); a slicing or assembly regression hash-fails
+    "q_fim" -> ((s: SparkSession, dir: String) => {
+      val p1 = F.expr("(length(text) * (1 + doc_id % 5)) div 10")
+      val p2 = F.expr(
+        "(length(text) * (1 + doc_id % 5)) div 10 + " +
+        "((length(text) - (length(text) * (1 + doc_id % 5)) div 10) * " +
+        "(1 + doc_id % 3)) div 4")
+      t(s, dir, "documents")
+        .filter(F.col("text").isNotNull)
+        .select(F.col("doc_id"),
+          graft.pipeline.Fim.fimTransform(F.col("text"), p1, p2).as("psm"),
+          graft.pipeline.Fim.fimTransform(F.col("text"), p1, p2, spm = true)
+            .as("spm"))
+        .orderBy("doc_id")
+    }),
+
     // epoch up-sampling to per-domain token budgets: floor(B/T) full
     // copies + the md5-prefix partial epoch; the oracle replays the
     // epoch arithmetic and the prefix selection with window sums
@@ -4198,6 +4217,26 @@ object SparkEntry {
         |                 ELSE 5 END AS INT) AS hamming
         |FROM d a JOIN d b ON a.g = b.g AND a.doc_id < b.doc_id
         |ORDER BY id_a, id_b""".stripMargin,
+    "q_fim" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS n
+        |           FROM documents WHERE text IS NOT NULL),
+        |p AS (SELECT doc_id, text, n,
+        |             (n * (1 + doc_id % 5)) // 10 AS p1 FROM d),
+        |q AS (SELECT doc_id, text, n, p1,
+        |             p1 + ((n - p1) * (1 + doc_id % 3)) // 4 AS p2 FROM p),
+        |s AS (SELECT doc_id,
+        |        substr(text, 1, CAST(p1 AS INTEGER)) AS pre,
+        |        substr(text, CAST(p1 + 1 AS INTEGER),
+        |               CAST(p2 - p1 AS INTEGER)) AS mid,
+        |        substr(text, CAST(p2 + 1 AS INTEGER),
+        |               CAST(n - p2 AS INTEGER)) AS suf
+        |      FROM q)
+        |SELECT doc_id,
+        |  '<|fim_pre|>' || pre || '<|fim_suf|>' || suf || '<|fim_mid|>' || mid
+        |    AS psm,
+        |  '<|fim_suf|>' || suf || '<|fim_pre|>' || pre || '<|fim_mid|>' || mid
+        |    AS spm
+        |FROM s ORDER BY doc_id""".stripMargin,
     "q_mix_epochs" ->
       """WITH d AS (SELECT source, doc_id,
         |             coalesce(len(list_filter(string_split_regex(text, '\s+'),
