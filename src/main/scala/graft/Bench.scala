@@ -727,6 +727,38 @@ object Bench {
         .agg(F.count(F.lit(1)).as("pairs"), F.sum(F.col("hamming")).as("h_sum"))
     }),
 
+    // BLEU/ROUGE overlap of every document's 3/4-truncation vs itself:
+    // map-only clipped-gram kernel over the whole corpus
+    "b_text_overlap" -> ((s: SparkSession, dir: String) => {
+      val toks = F.filter(F.split(F.col("text"), "\\s+"),
+        (x: org.apache.spark.sql.Column) => F.length(x) > 0)
+      val prepared = t(s, dir, "documents")
+        .filter(F.col("text").isNotNull)
+        .select(F.col("doc_id"), toks.as("__w"))
+        .select(F.col("doc_id"),
+          F.array_join(F.slice(F.col("__w"), F.lit(1),
+            F.floor(F.size(F.col("__w")) * 3 / 4).cast("int")), " ").as("cand"),
+          F.array_join(F.col("__w"), " ").as("ref"))
+      graft.pipeline.Eval.textOverlap(prepared, "doc_id", "cand", "ref")
+        .agg(F.sum(F.col("m4")).as("m4"), F.avg(F.col("bleu")).as("bleu"))
+    }),
+
+    // margin-scored mining of a 24-query batch against the corpus rest
+    "b_bitext_margin" -> ((s: SparkSession, dir: String) => {
+      val emb = t(s, dir, "embeddings")
+      graft.pipeline.Similarity.mineMarginPairs(
+          emb.filter(F.col("vec_id") < 24), emb.filter(F.col("vec_id") >= 24),
+          "vec_id", "embedding", k = 3, kAvg = 4)
+        .agg(F.count(F.lit(1)).as("pairs"), F.avg(F.col("margin")).as("m"))
+    }),
+
+    // FFD packing of the corpus into 4096-char packs per source
+    "b_pack_ffd" -> ((s: SparkSession, dir: String) => {
+      graft.pipeline.Packing.packBestFit(
+          t(s, dir, "documents"), "source", "doc_id", "n_chars", 4096L)
+        .agg(F.count_distinct(F.col("source"), F.col("pack_id")).as("packs"))
+    }),
+
     // SFT chat prep: synthesize turns, validate, render, mask spans —
     // one map-only pass over the whole corpus via the fused JVM
     // kernel (the interpreted higher-order-function chain it replaces
