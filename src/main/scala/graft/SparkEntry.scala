@@ -2259,6 +2259,23 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // broadcast Aho-Corasick blocklist scan: planted borderless
+    // patterns appended per doc_id; the oracle counts each pattern
+    // with the length/replace trick (equal to all-position counts
+    // for borderless patterns) over the SAME augmented text, so
+    // natural corpus occurrences also reconcile exactly
+    "q_keyword_scan" -> ((s: SparkSession, dir: String) => {
+      val aug = F.concat(F.col("text"), F.lit(" "),
+        F.when(F.col("doc_id") % 3 === 0, "spamword buynow spamword")
+          .when(F.col("doc_id") % 3 === 1, "zzqx")
+          .otherwise("cleantail"))
+      graft.pipeline.Keywords.keywordHits(
+          t(s, dir, "documents"), aug, Seq("spamword", "buynow", "zzqx"))
+        .select(F.col("doc_id"), F.col("kw.hits").as("hits"),
+          F.col("kw.patterns").as("patterns"))
+        .orderBy("doc_id")
+    }),
+
     // fill-in-the-middle rewrite (PSM + SPM): split points from pure
     // id/length arithmetic, so the oracle rebuilds the exact
     // sentinel-assembled strings with substr (both engines index
@@ -4217,6 +4234,24 @@ object SparkEntry {
         |                 ELSE 5 END AS INT) AS hamming
         |FROM d a JOIN d b ON a.g = b.g AND a.doc_id < b.doc_id
         |ORDER BY id_a, id_b""".stripMargin,
+    "q_keyword_scan" ->
+      """WITH a AS (SELECT doc_id,
+        |             text || ' ' || CASE CAST(doc_id % 3 AS INTEGER)
+        |               WHEN 0 THEN 'spamword buynow spamword'
+        |               WHEN 1 THEN 'zzqx' ELSE 'cleantail' END AS t
+        |           FROM documents),
+        |c AS (SELECT doc_id,
+        |  CAST(coalesce((length(t) - length(replace(t, 'spamword', ''))) // 8,
+        |       0) AS BIGINT) AS h1,
+        |  CAST(coalesce((length(t) - length(replace(t, 'buynow', ''))) // 6,
+        |       0) AS BIGINT) AS h2,
+        |  CAST(coalesce((length(t) - length(replace(t, 'zzqx', ''))) // 4,
+        |       0) AS BIGINT) AS h3
+        |  FROM a)
+        |SELECT doc_id, h1 + h2 + h3 AS hits,
+        |       CAST(CAST(h1 > 0 AS INTEGER) + CAST(h2 > 0 AS INTEGER) +
+        |            CAST(h3 > 0 AS INTEGER) AS INTEGER) AS patterns
+        |FROM c ORDER BY doc_id""".stripMargin,
     "q_fim" ->
       """WITH d AS (SELECT doc_id, text, length(text) AS n
         |           FROM documents WHERE text IS NOT NULL),

@@ -1,0 +1,151 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, functions => F}
+
+/**
+ * Multi-pattern literal scanning via a broadcast Aho-Corasick
+ * automaton — the blocklist/safety-term/brand-scrub scan at the scale
+ * where a regex alternation stops compiling: matching a MILLION
+ * literal patterns costs the same single pass over each document as
+ * matching ten (O(text + matches), pattern count only affects the
+ * automaton build). The automaton builds ONCE driver-side from the
+ * bounded pattern list and broadcasts; scanning is map-only.
+ *
+ * Matches are counted at every end position (the standard AC output
+ * walk): every occurrence of every pattern counts, including a
+ * pattern occurring inside another pattern's match. Patterns are
+ * matched literally and case-sensitively — case-fold the text (and
+ * the patterns) first if needed, e.g. with `F.lower`.
+ */
+object Keywords {
+
+  /** Trie + failure links + output counts, laid out in parallel
+    * arrays. Serializable: ships once per executor as a broadcast. */
+  final class Automaton private[Keywords] (
+      private[Keywords] val next: Array[java.util.HashMap[Character, Integer]],
+      private[Keywords] val fail: Array[Int],
+      private[Keywords] val outCount: Array[Int],
+      private[Keywords] val outDistinct: Array[Array[Int]],
+      val nPatterns: Int) extends Serializable {
+
+    private def step(state: Int, c: Char): Int = {
+      var s = state
+      while (s != 0 && !next(s).containsKey(c)) s = fail(s)
+      val t = next(s).get(c)
+      if (t == null) 0 else t.intValue()
+    }
+
+    /** (total occurrence count, number of DISTINCT patterns seen). */
+    def scan(text: String): (Long, Int) = {
+      if (text == null) return (0L, 0)
+      var s = 0
+      var hits = 0L
+      var seen: java.util.BitSet = null
+      var i = 0
+      while (i < text.length) {
+        s = step(s, text.charAt(i))
+        if (outCount(s) > 0) {
+          hits += outCount(s)
+          val ds = outDistinct(s)
+          if (ds.nonEmpty) {
+            if (seen == null) seen = new java.util.BitSet(nPatterns)
+            var j = 0
+            while (j < ds.length) { seen.set(ds(j)); j += 1 }
+          }
+        }
+        i += 1
+      }
+      (hits, if (seen == null) 0 else seen.cardinality())
+    }
+  }
+
+  /** Build the automaton from literal patterns (duplicates collapse;
+    * empty patterns rejected). Driver-side, O(total pattern chars). */
+  def buildAutomaton(patterns: Seq[String]): Automaton = {
+    val ps = patterns.distinct.toArray
+    require(ps.nonEmpty, "at least one pattern required")
+    require(ps.forall(p => p != null && p.nonEmpty), "patterns must be non-empty")
+    val next = scala.collection.mutable.ArrayBuffer(
+      new java.util.HashMap[Character, Integer]())
+    val ends = scala.collection.mutable.ArrayBuffer(-1) // pattern idx ending here
+    ps.zipWithIndex.foreach { case (p, pi) =>
+      var s = 0
+      p.foreach { c =>
+        val t = next(s).get(c)
+        s = if (t != null) t.intValue()
+        else {
+          next += new java.util.HashMap[Character, Integer]()
+          ends += -1
+          next(s).put(c, next.length - 1)
+          next.length - 1
+        }
+      }
+      ends(s) = pi
+    }
+    val n = next.length
+    val fail = new Array[Int](n)
+    val outCount = new Array[Int](n)
+    val outDistinct = new Array[Array[Int]](n)
+    // BFS over the trie: fail(child) = step(fail(parent), c); output
+    // sets accumulate along failure links (flattened to counts + the
+    // distinct-pattern id lists, so scans never walk fail chains)
+    val ownOut = Array.tabulate(n)(s => if (ends(s) >= 0) Array(ends(s)) else Array.empty[Int])
+    val queue = scala.collection.mutable.Queue.empty[Int]
+    val it0 = next(0).entrySet().iterator()
+    while (it0.hasNext) {
+      val e = it0.next()
+      fail(e.getValue) = 0
+      queue += e.getValue.intValue()
+    }
+    outDistinct(0) = ownOut(0)
+    outCount(0) = ownOut(0).length
+    while (queue.nonEmpty) {
+      val s = queue.dequeue()
+      outDistinct(s) = ownOut(s) ++ outDistinct(fail(s))
+      outCount(s) = outDistinct(s).length
+      val it = next(s).entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val c = e.getKey.charValue()
+        val child = e.getValue.intValue()
+        var f = fail(s)
+        while (f != 0 && !next(f).containsKey(c)) f = fail(f)
+        val t = next(f).get(c)
+        fail(child) =
+          if (t != null && t.intValue() != child) t.intValue() else 0
+        queue += child
+      }
+    }
+    new Automaton(next.toArray, fail, outCount, outDistinct, ps.length)
+  }
+
+  /**
+   * Adds `<outCol>` = struct(hits BIGINT, patterns INT): total
+   * occurrence count and distinct patterns matched in `textCol`.
+   * NULL text → struct(0, 0) (scan of nothing finds nothing — not an
+   * error). One broadcast, map-only.
+   */
+  def keywordHits(
+      df: DataFrame,
+      textCol: Column,
+      patterns: Seq[String],
+      outCol: String = "kw"): DataFrame = {
+    val bc = df.sparkSession.sparkContext.broadcast(buildAutomaton(patterns))
+    val scanU = F.udf((t: String) => bc.value.scan(t))
+    // one UDF invocation per row, fields renamed from the tuple struct
+    df.withColumn("__kw_raw", scanU(textCol))
+      .withColumn(outCol, F.struct(
+        F.col("__kw_raw._1").as("hits"),
+        F.col("__kw_raw._2").as("patterns")))
+      .drop("__kw_raw")
+  }
+
+  /** Keep only rows whose text contains NO pattern occurrence — the
+    * blocklist admission filter. */
+  def filterByKeywords(
+      df: DataFrame, textCol: Column, patterns: Seq[String]): DataFrame = {
+    val bc = df.sparkSession.sparkContext.broadcast(buildAutomaton(patterns))
+    val cleanU = F.udf((t: String) => bc.value.scan(t)._1 == 0L)
+    df.filter(cleanU(textCol))
+  }
+}
