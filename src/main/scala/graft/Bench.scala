@@ -61,6 +61,10 @@ object Bench {
   private val mediaFixtureCache =
     scala.collection.concurrent.TrieMap[String, String]()
 
+  // corpus-derived blocklist vocabulary, one collect per dir
+  private val keywordPatternCache =
+    scala.collection.concurrent.TrieMap[String, Seq[String]]()
+
   // learned once per dir like a persisted tokenizer artifact, so
   // b_tokenize times tokenization, not merge learning
   private val bpeMergeCache =
@@ -725,6 +729,24 @@ object Bench {
         .as[graft.pipeline.Multimodal.MediaRecord]
       graft.pipeline.Multimodal.nearDuplicateMedia(media, maxHamming = 6)
         .agg(F.count(F.lit(1)).as("pairs"), F.sum(F.col("hamming")).as("h_sum"))
+    }),
+
+    // 10k-pattern Aho-Corasick blocklist scan over the corpus (the
+    // pattern list derives from corpus vocabulary once per dir, like
+    // a persisted blocklist artifact)
+    "b_keyword_scan" -> ((s: SparkSession, dir: String) => {
+      val pats = keywordPatternCache.getOrElseUpdate(dir, {
+        import s.implicits._
+        t(s, dir, "documents")
+          .select(F.explode(F.filter(F.split(F.col("text"), "\\s+"),
+            (x: org.apache.spark.sql.Column) => F.length(x) > 2)).as("w"))
+          .groupBy("w").count().orderBy(F.col("count").desc, F.col("w"))
+          .limit(10000).select("w").as[String].collect().toSeq
+      })
+      graft.pipeline.Keywords.keywordHits(
+          t(s, dir, "documents"), F.col("text"), pats)
+        .agg(F.sum(F.col("kw.hits")).as("hits"),
+          F.avg(F.col("kw.patterns")).as("avg_patterns"))
     }),
 
     // BLEU/ROUGE overlap of every document's 3/4-truncation vs itself:
