@@ -2276,6 +2276,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // automaton redaction: star-out the union of matched spans. For
+    // these patterns (pairwise non-overlapping, borderless, no
+    // substring relations, '*' in none) chained SQL replace with
+    // equal-length star runs is provably identical, so the oracle
+    // hash-matches the full scrubbed strings
+    "q_keyword_scrub" -> ((s: SparkSession, dir: String) => {
+      val aug = F.concat(F.col("text"), F.lit(" "),
+        F.when(F.col("doc_id") % 3 === 0, "spamword buynow spamword")
+          .when(F.col("doc_id") % 3 === 1, "zzqx")
+          .otherwise("cleantail"))
+      graft.pipeline.Keywords.scrubKeywords(
+          t(s, dir, "documents").select(F.col("doc_id"), aug.as("t")),
+          F.col("t"), Seq("spamword", "buynow", "zzqx"), "clean")
+        .select(F.col("doc_id"), F.col("clean"))
+        .orderBy("doc_id")
+    }),
+
     // fill-in-the-middle rewrite (PSM + SPM): split points from pure
     // id/length arithmetic, so the oracle rebuilds the exact
     // sentinel-assembled strings with substr (both engines index
@@ -4234,6 +4251,16 @@ object SparkEntry {
         |                 ELSE 5 END AS INT) AS hamming
         |FROM d a JOIN d b ON a.g = b.g AND a.doc_id < b.doc_id
         |ORDER BY id_a, id_b""".stripMargin,
+    "q_keyword_scrub" ->
+      """WITH a AS (SELECT doc_id,
+        |             text || ' ' || CASE CAST(doc_id % 3 AS INTEGER)
+        |               WHEN 0 THEN 'spamword buynow spamword'
+        |               WHEN 1 THEN 'zzqx' ELSE 'cleantail' END AS t
+        |           FROM documents)
+        |SELECT doc_id,
+        |       replace(replace(replace(t, 'spamword', '********'),
+        |               'buynow', '******'), 'zzqx', '****') AS clean
+        |FROM a ORDER BY doc_id""".stripMargin,
     "q_keyword_scan" ->
       """WITH a AS (SELECT doc_id,
         |             text || ' ' || CASE CAST(doc_id % 3 AS INTEGER)

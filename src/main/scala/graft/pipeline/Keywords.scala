@@ -26,6 +26,7 @@ object Keywords {
       private[Keywords] val fail: Array[Int],
       private[Keywords] val outCount: Array[Int],
       private[Keywords] val outDistinct: Array[Array[Int]],
+      private[Keywords] val lengths: Array[Int],
       val nPatterns: Int) extends Serializable {
 
     private def step(state: Int, c: Char): Int = {
@@ -33,6 +34,37 @@ object Keywords {
       while (s != 0 && !next(s).containsKey(c)) s = fail(s)
       val t = next(s).get(c)
       if (t == null) 0 else t.intValue()
+    }
+
+    /** Star-out every matched span (all patterns, all positions,
+      * overlaps unioned): the redaction form. Length-preserving —
+      * each matched character becomes `mask` — so downstream span
+      * arithmetic survives. */
+    def scrub(text: String, mask: Char): String = {
+      if (text == null) return null
+      var s = 0
+      var masked: java.util.BitSet = null
+      var i = 0
+      while (i < text.length) {
+        s = step(s, text.charAt(i))
+        val ds = outDistinct(s)
+        if (ds.nonEmpty) {
+          if (masked == null) masked = new java.util.BitSet(text.length)
+          var j = 0
+          while (j < ds.length) {
+            masked.set(i - lengths(ds(j)) + 1, i + 1)
+            j += 1
+          }
+        }
+        i += 1
+      }
+      if (masked == null) text
+      else {
+        val out = text.toCharArray
+        var b = masked.nextSetBit(0)
+        while (b >= 0) { out(b) = mask; b = masked.nextSetBit(b + 1) }
+        new String(out)
+      }
     }
 
     /** (total occurrence count, number of DISTINCT patterns seen). */
@@ -116,7 +148,8 @@ object Keywords {
         queue += child
       }
     }
-    new Automaton(next.toArray, fail, outCount, outDistinct, ps.length)
+    new Automaton(next.toArray, fail, outCount, outDistinct,
+      ps.map(_.length), ps.length)
   }
 
   /**
@@ -147,5 +180,19 @@ object Keywords {
     val bc = df.sparkSession.sparkContext.broadcast(buildAutomaton(patterns))
     val cleanU = F.udf((t: String) => bc.value.scan(t)._1 == 0L)
     df.filter(cleanU(textCol))
+  }
+
+  /** Redact every matched span to `mask` characters (union of all
+    * pattern occurrences, length-preserving) — blocklist scrubbing at
+    * automaton scale. NULL text stays NULL. */
+  def scrubKeywords(
+      df: DataFrame,
+      textCol: Column,
+      patterns: Seq[String],
+      outCol: String,
+      mask: Char = '*'): DataFrame = {
+    val bc = df.sparkSession.sparkContext.broadcast(buildAutomaton(patterns))
+    val scrubU = F.udf((t: String) => bc.value.scrub(t, mask))
+    df.withColumn(outCol, scrubU(textCol))
   }
 }

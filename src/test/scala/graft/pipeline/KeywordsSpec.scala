@@ -59,6 +59,42 @@ class KeywordsSpec extends SparkTestBase {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("scrub stars out the union of matched spans, length-preserving") {
+    val auto = Keywords.buildAutomaton(Seq("he", "she", "hers"))
+    // "ushers": she@1-3, he@2-3, hers@2-5 -> union masks 1..5
+    assert(auto.scrub("ushers", '*') === "u*****")
+    assert(auto.scrub("nothing here", '*') === "nothing **re")
+    assert(auto.scrub("clean", '*') === "clean")
+    assert(auto.scrub(null, '*') === null)
+    assert(auto.scrub("", '*') === "")
+    // reference: scrubbed == original everywhere outside spans, and
+    // every occurrence is fully masked (seeded fuzz)
+    val r = new scala.util.Random(17)
+    val pats = Seq("ab", "bba", "aab")
+    val fa = Keywords.buildAutomaton(pats)
+    for (_ <- 1 to 200) {
+      val t = (0 until r.nextInt(25)).map(_ => if (r.nextBoolean()) 'a' else 'b').mkString
+      val out = fa.scrub(t, '*')
+      assert(out.length === t.length)
+      pats.foreach { p =>
+        var i = t.indexOf(p)
+        while (i >= 0) {
+          assert(out.substring(i, i + p.length).forall(_ == '*'),
+            s"t='$t' p='$p' at $i -> '$out'")
+          i = t.indexOf(p, i + 1)
+        }
+      }
+      // unmasked chars are untouched
+      t.indices.foreach { i =>
+        if (out(i) != '*') assert(out(i) === t(i))
+      }
+    }
+    val df = Seq((1L, "say she said")).toDF("id", "text")
+    val got = Keywords.scrubKeywords(df, F.col("text"), Seq("she"), "clean")
+      .select("clean").as[String].collect().head
+    assert(got === "say *** said")
+  }
+
   test("automaton scales: 100k patterns build and scan in bounded time") {
     val r = new scala.util.Random(5)
     val pats = (1 to 100000).map(i =>
