@@ -971,10 +971,13 @@ object Multimodal {
    * Returns (id_a, id_b, hamming) with id_a < id_b. Map-only hashing;
    * the only shuffle is on 8-byte (band, bits) keys — never payloads.
    */
-  def nearDuplicateMedia(media: Dataset[MediaRecord], maxHamming: Int = 6): DataFrame =
+  def nearDuplicateMedia(
+      media: Dataset[MediaRecord],
+      maxHamming: Int = 6,
+      bands: Int = 8): DataFrame =
     Dedup.hammingPairs(
       perceptualHash(media).select(F.col("media_id"), F.col("phash")),
-      "media_id", "phash", maxHamming)
+      "media_id", "phash", maxHamming, bands)
 
   /** Persistable perceptual-hash index over a media corpus —
     * [[Dedup.buildHashIndex]] over [[perceptualHash]]; save/reload
@@ -1004,9 +1007,11 @@ object Multimodal {
     * other dedup families use. Records with no hash (undecodable or
     * unhashable modality) always survive. */
   def dropNearDuplicateMedia(
-      media: Dataset[MediaRecord], maxHamming: Int = 6): Dataset[MediaRecord] = {
+      media: Dataset[MediaRecord],
+      maxHamming: Int = 6,
+      bands: Int = 8): Dataset[MediaRecord] = {
     import media.sparkSession.implicits._
-    val dupIds = nearDuplicateMedia(media, maxHamming)
+    val dupIds = nearDuplicateMedia(media, maxHamming, bands)
       .select(F.col("id_b").as("media_id")).distinct()
     media.toDF().join(dupIds, Seq("media_id"), "left_anti").as[MediaRecord]
   }
