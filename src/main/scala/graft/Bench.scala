@@ -57,6 +57,11 @@ object Bench {
       pq.loadIvfPq(s, path)
     })
 
+  // persisted IVF indexes over both margin-mining sides (see
+  // b_bitext_margin_indexed)
+  private val marginIndexCache = scala.collection.concurrent.TrieMap[String,
+    (graft.pipeline.Similarity.IvfIndex, graft.pipeline.Similarity.IvfIndex)]()
+
   // planted media fixture persisted once per dir (see b_multimodal_dedup)
   private val mediaFixtureCache =
     scala.collection.concurrent.TrieMap[String, String]()
@@ -774,6 +779,28 @@ object Bench {
         .agg(F.count(F.lit(1)).as("pairs"), F.avg(F.col("margin")).as("m"))
     }),
 
+    // indexed margin mining over persisted IVF indexes on BOTH sides:
+    // cell hash joins, neither corpus broadcast and no cartesian — the
+    // corpus x corpus scale shape (b_bitext_margin above is the
+    // bounded-batch exact form)
+    "b_bitext_margin_indexed" -> ((s: SparkSession, dir: String) => {
+      val sim = graft.pipeline.Similarity
+      val (ai, bi) = marginIndexCache.getOrElseUpdate(dir, {
+        val emb = t(s, dir, "embeddings")
+        val a = emb.filter(F.col("vec_id") < 24)
+        val b = emb.filter(F.col("vec_id") >= 24)
+        val pa = java.nio.file.Files.createTempDirectory("graft_bench_ma").toString
+        val pb = java.nio.file.Files.createTempDirectory("graft_bench_mb").toString
+        sim.buildIvfIndex(a, "vec_id", "embedding", nlist = 4, iterations = 2).save(pa)
+        sim.buildIvfIndex(b, "vec_id", "embedding",
+          nlist = sim.ivfNlistFor(b.count()), iterations = 2).save(pb)
+        (sim.loadIvfIndex(s, pa), sim.loadIvfIndex(s, pb))
+      })
+      sim.mineMarginPairsIndexed(ai, bi, k = 3, kAvg = 4,
+          nprobe = 4, probeMass = 0.45)
+        .agg(F.count(F.lit(1)).as("pairs"), F.avg(F.col("margin")).as("m"))
+    }),
+
     // FFD packing of the corpus into 4096-char packs per source
     "b_pack_ffd" -> ((s: SparkSession, dir: String) => {
       graft.pipeline.Packing.packBestFit(
@@ -838,11 +865,33 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSet)
     val picked = benchQueries.filter { case (n, _) => only.forall(_.contains(n)) }
 
+    // Inter-query state shedding (untimed): 60+ queries in one JVM
+    // accumulate localCheckpoint block copies, dead broadcasts, and GC
+    // pressure that inflated isolated-sub-second queries 2-3x in the
+    // single-pass driver read (r6: b_kn3 7.4s driver vs 2.4s isolated).
+    // Dropping persisted RDDs + nudging the ContextCleaner between
+    // queries keeps each measurement close to its isolated-JVM number.
+    // Nothing load-bearing persists across queries this way: the index
+    // caches above hold parquet paths and plain driver objects, never
+    // cached RDDs.
+    var shedCount = 0
+    def shed(): Unit = {
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      spark.sqlContext.clearCache()
+      // ContextCleaner reclaims broadcasts/accumulators only after GC
+      // drops their references; a periodic nudge keeps the backlog from
+      // landing inside a later query's timed window
+      shedCount += 1
+      if (shedCount % 8 == 0) System.gc()
+    }
+
     // Warmup pass: every query once, untimed — JIT, codegen compilation,
     // and classloading otherwise dominate the first run (3-4x); a
     // long-running engine's honest number is steady state.
     picked.foreach { case (_, fn) =>
       try run(fn) catch { case _: Throwable => () }
+      shed()
     }
 
     // Single-run numbers on sub-second queries are +-30% scheduler
@@ -850,10 +899,12 @@ object Bench {
     // runs per query (default 1 preserves the driver contract).
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").toInt.max(1)
     val results = picked.map { case (name, fn) =>
-      name -> (try {
+      val r = name -> (try {
         val ts = Seq.fill(reps)(run(fn)).sorted
         ts(ts.length / 2)
       } catch { case _: Throwable => -1.0 })
+      shed()
+      r
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

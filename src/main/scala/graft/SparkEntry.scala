@@ -2349,6 +2349,26 @@ object SparkEntry {
         .orderBy("a_id", "b_id")
     }),
 
+    // indexed margin mining: IVF cell joins on both directions, no
+    // cartesian/broadcast of either corpus. Planted exact-copy queries
+    // (a = copies of b vecs 24..35, id + 10000) make the output
+    // clustering-independent: identical vectors co-cluster always, so
+    // each query's twin cell is probed first and the twin (cos 1.0,
+    // strict max — no natural pair reaches 0.99) is rank 1; both
+    // neighborhood averages are <= 1 so margin >= 1
+    "q_bitext_margin_indexed" -> ((s: SparkSession, dir: String) => {
+      val emb = t(s, dir, "embeddings")
+      val bNat = emb.filter(F.col("vec_id") >= 24)
+      val aPlanted = emb.filter(F.col("vec_id").between(24, 35))
+        .select((F.col("vec_id") + 10000L).as("vec_id"), F.col("embedding"))
+      graft.pipeline.Similarity.mineMarginPairsAuto(
+          aPlanted, bNat, "vec_id", "embedding", k = 1, kAvg = 4, probeMass = 0.45)
+        .select(F.col("a_id"), F.col("b_id"), F.col("rank"),
+          F.round(F.col("cos"), 4).as("cos4"),
+          (F.col("margin") >= 1.0 - 1e-9).as("margin_ge_1"))
+        .orderBy("a_id")
+    }),
+
     // signal-agreement audit: Pearson + Spearman (tie-averaged ranks)
     // between doc length and token count per source; the oracle
     // replays the rank windows and the sum-form Pearson verbatim,
@@ -4345,6 +4365,13 @@ object SparkEntry {
         |FROM ra r JOIN aa ON r.a_id = aa.a_id JOIN ab ON r.b_id = ab.b_id
         |WHERE r.rka <= 3
         |ORDER BY r.a_id, r.b_id""".stripMargin,
+    "q_bitext_margin_indexed" ->
+      """SELECT CAST(vec_id + 10000 AS BIGINT) AS a_id,
+        |       CAST(vec_id AS BIGINT) AS b_id,
+        |       CAST(1 AS BIGINT) AS rank,
+        |       1.0 AS cos4, true AS margin_ge_1
+        |FROM embeddings WHERE vec_id BETWEEN 24 AND 35
+        |ORDER BY a_id""".stripMargin,
     "q_rank_correlation" ->
       """WITH d AS (
         |  SELECT source, CAST(n_chars AS DOUBLE) AS x,

@@ -132,6 +132,134 @@ object Similarity {
         (F.col("cos") / ((F.col("__avga") + F.col("__avgb")) / 2.0)).as("margin"))
   }
 
+  /**
+   * Margin-scored pair mining against prebuilt IVF indexes on BOTH
+   * sides — the corpus x corpus form of [[mineMarginPairs]]. Each
+   * side's vectors probe the OTHER side's cells (mass-adaptive like
+   * [[ivfTopKIndexed]]), candidates join cell-to-cell with a SHUFFLE
+   * hash join — neither corpus is broadcast and no cartesian product
+   * ever forms, so both sides can be web-scale. The same 3-window
+   * LASER margin math runs over the probed candidate set; ranks and
+   * neighborhood averages are therefore over FOUND candidates
+   * (approximate, like every IVF probe — measure recall vs the exact
+   * form on samples). A `b` candidate whose own reverse probe found
+   * no `a` rows (possible only when probed cells are empty) falls
+   * back to the query-side average rather than dropping the pair.
+   */
+  def mineMarginPairsIndexed(
+      aIndex: IvfIndex,
+      bIndex: IvfIndex,
+      k: Int,
+      kAvg: Int = 4,
+      nprobe: Int = 4,
+      probeMass: Double = 0.0): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(kAvg >= 1, s"kAvg must be >= 1, got $kAvg")
+    val need = math.max(k, kAvg)
+    // a-side rows probe b's cells; candidates come from b's assignment.
+    val ab = probeCandidates(bIndex, aIndex.assigned, nprobe, probeMass,
+        "a_id", "b_id")
+      .localCheckpoint(eager = false) // feeds the rank window AND avgA
+    val wa = Window.partitionBy(F.col("a_id"))
+      .orderBy(F.col("cos").desc, F.col("b_id").asc)
+    val rankedA = ab.withColumn("__ra", F.row_number().over(wa))
+      .filter(F.col("__ra") <= need)
+    val avgA = rankedA.filter(F.col("__ra") <= kAvg)
+      .groupBy(F.col("a_id")).agg(F.avg(F.col("cos")).as("__avga"))
+    // reverse direction: b-side rows probe a's cells.
+    val ba = probeCandidates(aIndex, bIndex.assigned, nprobe, probeMass,
+        "b_id", "a_id")
+    val wb = Window.partitionBy(F.col("b_id"))
+      .orderBy(F.col("cos").desc, F.col("a_id").asc)
+    val avgB = ba.withColumn("__rb", F.row_number().over(wb))
+      .filter(F.col("__rb") <= kAvg)
+      .groupBy(F.col("b_id")).agg(F.avg(F.col("cos")).as("__avgb"))
+    rankedA
+      .filter(F.col("__ra") <= k)
+      .join(avgA, Seq("a_id"))
+      .join(avgB, Seq("b_id"), "left")
+      .withColumn("__avgb", F.coalesce(F.col("__avgb"), F.col("__avga")))
+      .select(F.col("a_id"), F.col("b_id"),
+        F.col("__ra").cast("long").as("rank"), F.col("cos"),
+        (F.col("cos") / ((F.col("__avga") + F.col("__avgb")) / 2.0)).as("margin"))
+  }
+
+  /**
+   * [[mineMarginPairsIndexed]] convenience: builds scale-aware IVF
+   * indexes (nlist = sqrt(n)) over both sides, then mines with
+   * mass-adaptive probing. At real scale build the indexes once with
+   * [[buildIvfIndex]]/[[IvfIndex.save]] and call the indexed form per
+   * batch.
+   */
+  def mineMarginPairsAuto(
+      a: DataFrame,
+      b: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      kAvg: Int = 4,
+      probeMass: Double = 0.45,
+      iterations: Int = 2): DataFrame = {
+    val ai = buildIvfIndex(a, idCol, vecCol, ivfNlistFor(a.count()), iterations)
+    val bi = buildIvfIndex(b, idCol, vecCol, ivfNlistFor(b.count()), iterations)
+    mineMarginPairsIndexed(ai, bi, k, kAvg, nprobe = 4, probeMass = probeMass)
+  }
+
+  /** Probe `index` with the vectors of `rows` (an [[IvfIndex.assigned]]
+    * frame: `neighbor_id`, `__cv`, `__cell`), joining candidates
+    * cell-to-cell WITHOUT broadcasting either side. Returns
+    * (`pIdName`, `nIdName`, cos) for every (probe row, candidate in a
+    * probed cell) pair with distinct ids. */
+  private def probeCandidates(
+      index: IvfIndex,
+      rows: DataFrame,
+      nprobe: Int,
+      probeMass: Double,
+      pIdName: String,
+      nIdName: String): DataFrame = {
+    val probeU = probeCellsUdf(index, nprobe, probeMass)
+    val probes = rows.select(
+      F.col("neighbor_id").as(pIdName), F.col("__cv").as("__pv"),
+      F.explode(probeU(F.col("__cv"))).as("__cell"))
+    val cands = index.assigned.select(
+      F.col("neighbor_id").as(nIdName), F.col("__cv").as("__nv"),
+      F.col("__cell"))
+    cands.join(probes, Seq("__cell"))
+      .filter(F.col(nIdName) =!= F.col(pIdName))
+      .select(F.col(pIdName), F.col(nIdName),
+        cosine(F.col("__pv"), F.col("__nv")).as("cos"))
+    // no dedup needed: a candidate lives in exactly ONE cell and the
+    // probe list is distinct cells, so each pair joins at most once
+  }
+
+  /** The cell-probe UDF of [[ivfTopKIndexed]]: `nprobe` nearest cells,
+    * or mass-adaptive (distance-ordered cells until `probeMass` of the
+    * corpus is covered) when `probeMass > 0`. Cell sizes come from one
+    * bounded nlist-row aggregate over the index. */
+  private def probeCellsUdf(
+      index: IvfIndex,
+      nprobe: Int,
+      probeMass: Double): org.apache.spark.sql.expressions.UserDefinedFunction = {
+    require(probeMass >= 0.0 && probeMass <= 1.0,
+      s"probeMass must be in [0, 1], got $probeMass")
+    val spark = index.assigned.sparkSession
+    val cB = spark.sparkContext.broadcast(index.centroids)
+    if (probeMass == 0.0)
+      F.udf((v: Array[Float]) => nearestCentroids(cB.value, v, nprobe))
+    else {
+      val sizes = new Array[Long](index.centroids.length)
+      index.assigned.groupBy(F.col("__cell")).agg(F.count(F.lit(1)).as("__n"))
+        .collect().foreach { r =>
+          val c = r.getInt(0)
+          if (c >= 0 && c < sizes.length) sizes(c) = r.getLong(1)
+        }
+      val total = sizes.sum
+      val sB = spark.sparkContext.broadcast(sizes)
+      F.udf((v: Array[Float]) =>
+        nearestCentroidsByMass(cB.value, sB.value, total, v, nprobe, probeMass))
+    }
+  }
+
   /** Deterministic random-ish hyperplane: dimension d's coefficient for
     * plane p is a fixed hash-derived value in [-1, 1). */
   private def planeCoef(plane: Int, dim: Int): Double = {
@@ -413,25 +541,7 @@ object Similarity {
       k: Int,
       nprobe: Int = 4,
       probeMass: Double = 0.0): DataFrame = {
-    require(probeMass >= 0.0 && probeMass <= 1.0,
-      s"probeMass must be in [0, 1], got $probeMass")
-    val spark = index.assigned.sparkSession
-    val cB = spark.sparkContext.broadcast(index.centroids)
-    val probeU =
-      if (probeMass == 0.0)
-        F.udf((v: Array[Float]) => nearestCentroids(cB.value, v, nprobe))
-      else {
-        val sizes = new Array[Long](index.centroids.length)
-        index.assigned.groupBy(F.col("__cell")).agg(F.count(F.lit(1)).as("__n"))
-          .collect().foreach { r =>
-            val c = r.getInt(0)
-            if (c >= 0 && c < sizes.length) sizes(c) = r.getLong(1)
-          }
-        val total = sizes.sum
-        val sB = spark.sparkContext.broadcast(sizes)
-        F.udf((v: Array[Float]) =>
-          nearestCentroidsByMass(cB.value, sB.value, total, v, nprobe, probeMass))
-      }
+    val probeU = probeCellsUdf(index, nprobe, probeMass)
     val q = queries.select(F.col(idCol).as("query_id"), F.col(vecCol).as("__qv"),
                            F.explode(probeU(F.col(vecCol))).as("__cell"))
     val scored = index.assigned.join(F.broadcast(q), "__cell")

@@ -315,6 +315,51 @@ class SimilaritySpec extends SparkTestBase {
     (1L to 3L).foreach { q => assert(hm((q, 101L)) < hm((0L, 100L))) }
   }
 
+  test("mineMarginPairsIndexed ≡ exact under full probing, finds planted twins, no cartesian") {
+    val session = spark
+    import session.implicits._
+    val emb = sf("sf0.001", "embeddings")
+    val a = emb.filter($"vec_id" < 8)
+    val b = emb.filter($"vec_id" >= 8 && $"vec_id" < 80)
+    val exact = Similarity.mineMarginPairs(a, b, "vec_id", "embedding", k = 3, kAvg = 4)
+      .as[(Long, Long, Long, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    val ai = Similarity.buildIvfIndex(a, "vec_id", "embedding", nlist = 4, iterations = 2)
+    val bi = Similarity.buildIvfIndex(b, "vec_id", "embedding", nlist = 8, iterations = 2)
+    val idx = Similarity.mineMarginPairsIndexed(ai, bi, k = 3, kAvg = 4,
+      nprobe = 4, probeMass = 1.0)
+    // the whole point of the indexed form: cell hash joins, never a
+    // cartesian product or a corpus broadcast-nested-loop
+    val planStr = idx.queryExecution.executedPlan.toString
+    assert(!planStr.contains("CartesianProduct"), "cartesian in plan")
+    assert(!planStr.contains("BroadcastNestedLoop"), "nested-loop join in plan")
+    // full probing (mass 1.0) must reproduce the exact form row-for-row
+    val got = idx.as[(Long, Long, Long, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(got.keySet === exact.keySet)
+    exact.foreach { case (key, (r, c, m)) =>
+      val (gr, gc, gm) = got(key)
+      assert(gr === r, s"rank at $key")
+      assert(math.abs(gc - c) < 1e-9 && math.abs(gm - m) < 1e-9, s"values at $key")
+    }
+    // partial probing still finds planted exact copies deterministically:
+    // identical vectors co-cluster regardless of centroid training, so
+    // the twin's cell is always the first probed
+    val bNat = emb.filter($"vec_id" >= 24)
+    val aPlanted = emb.filter($"vec_id".between(24, 35))
+      .select(($"vec_id" + 10000L).as("vec_id"), $"embedding")
+    val mined = Similarity.mineMarginPairsAuto(aPlanted, bNat, "vec_id", "embedding",
+        k = 1, kAvg = 4, probeMass = 0.45)
+      .as[(Long, Long, Long, Double, Double)].collect()
+    assert(mined.length === 12)
+    mined.foreach { case (aId, bId, rank, c, m) =>
+      assert(bId === aId - 10000L, s"rank-1 of $aId must be its twin")
+      assert(rank === 1L)
+      assert(c > 0.9999, s"twin cos $c")
+      assert(m >= 1.0 - 1e-9, s"twin margin $m")
+    }
+  }
+
   test("scale-aware ANN sizing: nlist ~ sqrt(n), planes hold bucket occupancy") {
     assert(Similarity.ivfNlistFor(0L) === 16)
     assert(Similarity.ivfNlistFor(2000L) === 45)
