@@ -659,7 +659,11 @@ object Dedup {
     capBuckets(grouped, F.size(F.col("__e")), maxBucket, "hashindex")
       .select(F.col("band"), F.col("bits"), F.explode(F.col("__e")).as("__x"))
       .select(F.col("band"), F.col("bits"),
-              F.col("__x.id").as("id"), F.col("__x.sig").as("sig"))
+              F.col("__x.id").as("id"), F.col("__x.sig").as("sig"),
+              // geometry metadata: probes fail fast on a band-count
+              // mismatch instead of silently losing recall (constant
+              // column — parquet RLE makes it free)
+              F.lit(bands).as("bands"))
   }
 
   /**
@@ -672,7 +676,11 @@ object Dedup {
    * a STREAMING batch in append mode unchanged — the
    * [[incrementalEmbeddingDuplicates]] precedent. Flood control
    * lives in the index build's bucket capping. Geometry (`bands`)
-   * must match the index's.
+   * must match the index's — checked against the index's `bands`
+   * metadata column at query-construction time (one 1-row driver
+   * job; a mismatch, e.g. an index built with the bands=4 scale
+   * dial probed with the default 8, would otherwise yield
+   * near-zero recall with no error).
    */
   def incrementalHammingMatches(
       batch: DataFrame,
@@ -683,6 +691,14 @@ object Dedup {
       bands: Int = 8): DataFrame = {
     require(bands >= 2 && 64 % bands == 0,
       s"bands must be >= 2 and divide 64, got $bands")
+    if (histIndex.columns.contains("bands")) {
+      histIndex.select(F.col("bands")).take(1).foreach { r =>
+        require(r.getInt(0) == bands,
+          s"hash index was built with bands=${r.getInt(0)} but is being " +
+            s"probed with bands=$bands — band ids/bit widths would not " +
+            "line up and recall would silently collapse")
+      }
+    }
     require(maxHamming >= 0 && maxHamming <= bands - 1,
       s"$bands bands only guarantee hamming <= ${bands - 1}, got $maxHamming")
     val width = 64 / bands

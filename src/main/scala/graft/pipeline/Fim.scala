@@ -18,7 +18,10 @@ import org.apache.spark.sql.{Column, functions => F}
  * deterministic, reproducible across runs/engines, and exactly
  * replayable by an oracle. Positions index CHARACTERS (code points,
  * Spark `substring` semantics), are 0-based, and clamp to
- * [0, length] with p1 <= p2, so any integer inputs are safe.
+ * [0, length] with p1 <= p2, so any integer inputs are safe; a NULL
+ * position (like NULL text) yields a NULL output — `least`/`greatest`
+ * skip NULLs, so without the explicit guard a NULL p1 would silently
+ * clamp to the text length instead.
  *
  * Everything is a per-row Column expression: map-only, no shuffle,
  * NULL text → NULL output per the repo's discipline.
@@ -34,7 +37,7 @@ object Fim {
     val n = F.length(text)
     val a = F.greatest(F.lit(0), F.least(p1.cast("int"), n))
     val b = F.greatest(a, F.least(p2.cast("int"), n))
-    F.when(text.isNull, F.lit(null).cast(
+    F.when(text.isNull || p1.isNull || p2.isNull, F.lit(null).cast(
         "struct<pre:string,mid:string,suf:string>"))
       .otherwise(F.struct(
         text.substr(F.lit(1), a).as("pre"),

@@ -166,12 +166,19 @@ object TokenizerIO {
 
   /** Read `<dir>/merges.txt` back into the learned-order pair list
     * [[Vocab.applyBpe]] / [[Vocab.tokenizeBpe]] consume. Blank lines
-    * and `#`-prefixed header lines are skipped (the HF convention). */
+    * are skipped; ONLY a leading `#version` line is treated as the
+    * header (the HF layout). Filtering every `#`-prefixed line would
+    * silently drop merges whose left symbol begins with '#' — common
+    * in code/markdown corpora and present in real GPT-2-family
+    * merges.txt files. */
   def loadBpeMerges(spark: SparkSession, dir: String): Seq[(String, String)] =
     readText(spark, s"$dir/merges.txt")
       .linesIterator
       .map(_.stripLineEnd)
-      .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .zipWithIndex
+      .filter { case (l, i) =>
+        l.nonEmpty && !(i == 0 && l.startsWith("#version")) }
+      .map { case (l, _) => l }
       .map { l =>
         val sp = l.indexOf(' ')
         require(sp > 0 && sp < l.length - 1 && l.indexOf(' ', sp + 1) < 0,

@@ -144,6 +144,18 @@ class PlanShapeSpec extends SparkTestBase {
     val plan = out.queryExecution.executedPlan.toString
     assert(exchanges(out) <= 2, plan)
     assert(plan.contains("Join"), plan)
+    // geometry guard: probing with the wrong band count (e.g. a
+    // bands=4 scale-dial index probed with the default 8) fails fast
+    // instead of silently collapsing recall
+    val e = intercept[IllegalArgumentException] {
+      graft.pipeline.Dedup.incrementalHammingMatches(
+        batch, idx, "id", "sig", maxHamming = 3, bands = 4)
+    }
+    assert(e.getMessage.contains("bands"), e.getMessage)
+    // a pre-metadata index (no `bands` column) still probes unchecked
+    val legacy = idx.drop("bands")
+    graft.pipeline.Dedup.incrementalHammingMatches(
+      legacy, legacy, "id", "sig", maxHamming = 3, bands = 4).count()
   }
 
   test("co-located join of bucketed tables plans zero exchanges") {

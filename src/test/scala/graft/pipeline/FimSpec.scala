@@ -36,6 +36,25 @@ class FimSpec extends SparkTestBase {
     assert(one("swap", 3, 1) === "<|fim_pre|>swa<|fim_suf|>p<|fim_mid|>")
   }
 
+  test("NULL positions yield NULL, not a silent whole-text prefix") {
+    // least/greatest SKIP nulls: without the explicit guard a NULL p1
+    // clamps to length and emits pre=whole text / mid='' / suf=''
+    val df = Seq(
+      (1L, "abcdef", Option(2), Option(4)),
+      (2L, "abcdef", Option.empty[Int], Option(4)),
+      (3L, "abcdef", Option(2), Option.empty[Int]))
+      .toDF("id", "t", "p1", "p2")
+    val parts = df.select(F.col("id"),
+        Fim.fimParts(F.col("t"), F.col("p1"), F.col("p2")).as("p"),
+        Fim.fimTransform(F.col("t"), F.col("p1"), F.col("p2")).as("f"))
+      .select(F.col("id"), F.col("p").isNull.as("pn"), F.col("f").isNull.as("fn"))
+      .as[(Long, Boolean, Boolean)].collect()
+      .map { case (k, pn, fn) => k -> ((pn, fn)) }.toMap
+    assert(parts(1L) === ((false, false)))
+    assert(parts(2L) === ((true, true)))
+    assert(parts(3L) === ((true, true)))
+  }
+
   test("NULL text yields NULL; the chain is map-only") {
     val df = Seq((1L, Option("ab")), (2L, Option.empty[String])).toDF("id", "t")
     val out = df.select(F.col("id"),

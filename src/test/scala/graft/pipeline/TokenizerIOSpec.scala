@@ -61,6 +61,22 @@ class TokenizerIOSpec extends SparkTestBase {
     }
   }
 
+  test("merges with '#'-initial symbols survive the round-trip") {
+    // code/markdown corpora learn merges like ("#", "include"); only a
+    // LEADING #version line is a header, so these must not be dropped
+    val merges = Seq(("#", "#"), ("##", "inc"), ("a", "b"))
+    val dir = tmp()
+    TokenizerIO.saveBpe(spark, dir, merges)
+    assert(TokenizerIO.loadBpeMerges(spark, dir) === merges)
+    // an external file whose FIRST line is a real '#'-initial merge
+    // (no header at all) parses fully too
+    val dir2 = tmp()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir2, "merges.txt"), "# #\n#version x\na b\n")
+    assert(TokenizerIO.loadBpeMerges(spark, dir2) ===
+      Seq(("#", "#"), ("#version", "x"), ("a", "b")))
+  }
+
   test("saveBpe rejects whitespace-bearing symbols and duplicate vocab") {
     intercept[IllegalArgumentException] {
       TokenizerIO.saveBpe(spark, tmp(), Seq(("a b", "c")))
