@@ -2259,6 +2259,40 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // DCT pHash sibling of q_multimodal_dedup: fixtures plant the
+    // hash in the DCT DOMAIN (±24 low-frequency AC coefficients,
+    // signs survive integer pixel rounding exactly), the signature
+    // rides the same banded dedup unchanged — same planted groups,
+    // same id-arithmetic oracle
+    "q_image_phash" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val media = graft.pipeline.Multimodal.plantedNearDupMedia(
+        t(s, dir, "documents").select(F.col("doc_id")), "doc_id", phash = true)
+      val sigs = graft.pipeline.Multimodal.imageSignatures(media)
+      graft.pipeline.Dedup.hammingPairs(sigs, "media_id", "phash", maxHamming = 6)
+        .select(F.col("id_a"), F.col("id_b"), F.col("hamming"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // multi-keyframe video dedup: planted pairs where the odd id is a
+    // TRIMMED re-cut (first keyframe dropped, survivor one bit off).
+    // nearDuplicateVideos catches every pair at closest-frame
+    // hamming 1; the single-signature path compares the dropped lead
+    // frame against the survivor (~Binomial(64, 1/2)) and misses all
+    // of them — single_missed pins that per row
+    "q_video_dedup" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val media = graft.pipeline.Multimodal.plantedTrimmedVideos(
+        t(s, dir, "documents").select(F.col("doc_id")), "doc_id")
+      val multi = graft.pipeline.Multimodal.nearDuplicateVideos(media, maxHamming = 6)
+      val single = graft.pipeline.Multimodal.nearDuplicateMedia(media, maxHamming = 6)
+        .select(F.col("id_a"), F.col("id_b"), F.lit(1).as("__s"))
+      multi.join(single, Seq("id_a", "id_b"), "left")
+        .select(F.col("id_a"), F.col("id_b"), F.col("hamming"),
+          F.col("__s").isNull.as("single_missed"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // broadcast Aho-Corasick blocklist scan: planted borderless
     // patterns appended per doc_id; the oracle counts each pattern
     // with the length/replace trick (equal to all-position counts
@@ -4270,6 +4304,21 @@ object SparkEntry {
         |                 WHEN a.v = 0 AND b.v = 2 THEN 4
         |                 ELSE 5 END AS INT) AS hamming
         |FROM d a JOIN d b ON a.g = b.g AND a.doc_id < b.doc_id
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q_image_phash" ->
+      """WITH d AS (SELECT doc_id, doc_id // 3 AS g, doc_id % 3 AS v
+        |           FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       CAST(CASE WHEN a.v = 0 AND b.v = 1 THEN 1
+        |                 WHEN a.v = 0 AND b.v = 2 THEN 4
+        |                 ELSE 5 END AS INT) AS hamming
+        |FROM d a JOIN d b ON a.g = b.g AND a.doc_id < b.doc_id
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q_video_dedup" ->
+      """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       CAST(1 AS INT) AS hamming, true AS single_missed
+        |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        |WHERE a.doc_id % 2 = 0
         |ORDER BY id_a, id_b""".stripMargin,
     "q_keyword_scrub" ->
       """WITH a AS (SELECT doc_id,

@@ -843,6 +843,157 @@ object Multimodal {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
+  // ------------------------------------------------------------ DCT pHash
+
+  /** Orthonormal cosine basis row k evaluated at x, for length n. */
+  private def dctCos(n: Int): Array[Array[Double]] =
+    Array.tabulate(n, n)((k, x) =>
+      math.cos(math.Pi * (2 * x + 1) * k / (2.0 * n)))
+
+  private def dctScale(k: Int, n: Int): Double =
+    if (k == 0) math.sqrt(1.0 / n) else math.sqrt(2.0 / n)
+
+  /** Separable orthonormal 2D DCT-II of an n x n row-major grid;
+    * output layout `out(v * n + u)` with u the horizontal frequency.
+    * Naive O(n^3) — n = 32 is ~65k multiplies, negligible next to the
+    * image decode it follows. */
+  private[pipeline] def dct2(g: Array[Double], n: Int): Array[Double] = {
+    val c = dctCos(n)
+    val tmp = new Array[Double](n * n) // rows transformed: tmp(y*n + u)
+    var y = 0
+    while (y < n) {
+      var u = 0
+      while (u < n) {
+        var s = 0.0
+        var x = 0
+        while (x < n) { s += g(y * n + x) * c(u)(x); x += 1 }
+        tmp(y * n + u) = s * dctScale(u, n)
+        u += 1
+      }
+      y += 1
+    }
+    val out = new Array[Double](n * n)
+    var v = 0
+    while (v < n) {
+      var u = 0
+      while (u < n) {
+        var s = 0.0
+        var yy = 0
+        while (yy < n) { s += tmp(yy * n + u) * c(v)(yy); yy += 1 }
+        out(v * n + u) = s * dctScale(v, n)
+        u += 1
+      }
+      v += 1
+    }
+    out
+  }
+
+  /** Inverse of [[dct2]] (orthonormal, so the transpose). */
+  private[pipeline] def idct2(d: Array[Double], n: Int): Array[Double] = {
+    val c = dctCos(n)
+    val tmp = new Array[Double](n * n) // tmp(y*n + u): columns inverted
+    var u = 0
+    while (u < n) {
+      var y = 0
+      while (y < n) {
+        var s = 0.0
+        var v = 0
+        while (v < n) { s += d(v * n + u) * dctScale(v, n) * c(v)(y); v += 1 }
+        tmp(y * n + u) = s
+        y += 1
+      }
+      u += 1
+    }
+    val out = new Array[Double](n * n)
+    var y2 = 0
+    while (y2 < n) {
+      var x = 0
+      while (x < n) {
+        var s = 0.0
+        var uu = 0
+        while (uu < n) { s += tmp(y2 * n + uu) * dctScale(uu, n) * c(uu)(x); uu += 1 }
+        out(y2 * n + x) = s
+        x += 1
+      }
+      y2 += 1
+    }
+    out
+  }
+
+  /** The 64 lowest-frequency AC positions (u, v) in diagonal order
+    * (u + v ascending from 1, ascending u within a diagonal) — the
+    * frozen bit layout of [[pHashOf]]. All fall in u + v <= 10. */
+  private[pipeline] val zigzagAc64: Array[(Int, Int)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    var s = 1
+    while (out.length < 64) {
+      var u = 0
+      while (u <= s && out.length < 64) {
+        if (u < 32 && (s - u) < 32) out += ((u, s - u))
+        u += 1
+      }
+      s += 1
+    }
+    out.toArray
+  }
+
+  /** pHash (DCT perceptual hash) of a decoded frame: 32x32 box-average
+    * luminance grid → orthonormal 2D DCT → bit i = SIGN of the i-th
+    * lowest-frequency AC coefficient ([[zigzagAc64]] order). The sign
+    * rule (vs. the classic median rule) keeps every bit independent —
+    * plantable in the DCT domain for exact-fixture oracles — and is
+    * exactly invariant to brightness offsets (which touch only DC)
+    * and positive contrast scaling (which scales all coefficients).
+    * Survives rescaling where dHash/aHash survive it, plus mild
+    * blur/sharpen that shifts box averages but not low-band signs. */
+  def pHashOf(img: java.awt.image.BufferedImage): Long = {
+    val d = dct2(lumGrid(img, 32, 32), 32)
+    var bits = 0L
+    var i = 0
+    while (i < 64) {
+      val (u, v) = zigzagAc64(i)
+      if (d(v * 32 + u) > 0) bits |= 1L << i
+      i += 1
+    }
+    bits
+  }
+
+  /** pHash of an encoded image payload; None when undecodable. */
+  def imagePHash(payload: Array[Byte]): Option[Long] = {
+    if (payload == null || payload.length == 0) return None
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
+      else Some(pHashOf(img))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** All three image signatures from ONE decode: (media_id, dhash,
+    * ahash, phash). Feed any column into [[Dedup.hammingPairs]] /
+    * [[Dedup.buildHashIndex]] — the signatures trade differently
+    * (dHash/aHash survive rescale+gain, pHash additionally survives
+    * offset/contrast and mild blur), and corpus-scale dedup usually
+    * bands two of them and unions the pair sets. Undecodable
+    * payloads → NULL struct → NULL columns (rows drop in the band
+    * join). */
+  def imageSignatures(media: Dataset[MediaRecord]): DataFrame = {
+    val sigU = F.udf((payload: Array[Byte]) => {
+      if (payload == null || payload.length == 0) null
+      else try {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(payload))
+        if (img == null || img.getWidth <= 0 || img.getHeight <= 0) null
+        else (graft.pipeline.Multimodal.dHashOf(img),
+              graft.pipeline.Multimodal.aHashOf(img),
+              graft.pipeline.Multimodal.pHashOf(img))
+      } catch { case scala.util.control.NonFatal(_) => null }
+    })
+    media.toDF()
+      .withColumn("__s", sigU(F.col("payload")))
+      .select(F.col("media_id"), F.col("__s._1").as("dhash"),
+        F.col("__s._2").as("ahash"), F.col("__s._3").as("phash"))
+  }
+
   /** dHash of an AVI video's FIRST decodable keyframe; None for
     * non-AVI payloads or when no frame decodes. Exact-copy and
     * re-containered videos collide at Hamming 0; re-encoded ones land
@@ -858,6 +1009,65 @@ object Multimodal {
         } catch { case scala.util.control.NonFatal(_) => None }
       }.take(1).toSeq.headOption
     }
+
+  /** dHash of EACH of the first `maxFrames` decodable keyframes —
+    * the multi-keyframe signature set that survives trims and re-cuts
+    * where [[videoDHash]]'s first-frame-only form does not (dropping
+    * the first keyframe replaces the whole single-frame signature).
+    * None for non-AVI payloads or when no frame decodes; the bound
+    * keeps the per-row cost and the downstream band fanout fixed
+    * regardless of video length. */
+  def videoDHashes(payload: Array[Byte], maxFrames: Int = 16): Option[Seq[Long]] = {
+    require(maxFrames >= 1, s"maxFrames must be >= 1, got $maxFrames")
+    parseAvi(payload).map { case (_, _, frames) =>
+      frames.iterator.flatMap { case (off, len) =>
+        try {
+          Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+            java.util.Arrays.copyOfRange(payload, off, off + len))))
+            .filter(i => i.getWidth > 0 && i.getHeight > 0)
+            .map(dHashOf)
+        } catch { case scala.util.control.NonFatal(_) => None }
+      }.take(maxFrames).toSeq
+    }.filter(_.nonEmpty)
+  }
+
+  /**
+   * Multi-keyframe video near-duplicates: every decodable keyframe
+   * (up to `maxFrames`) hashes separately, frame hashes go through
+   * the SAME Hamming-banded bucket join as every other signature
+   * ([[Dedup.hammingPairs]] keyed on a (media_id, frame) struct), and
+   * frame-level matches collapse to one row per video pair with the
+   * CLOSEST frame distance. A trimmed or re-cut copy shares its
+   * surviving keyframes and is caught; the single-signature path
+   * misses it whenever the first keyframe differs. Scale shape
+   * unchanged from the image path: payloads decode map-side once,
+   * only (band, bits) keys shuffle, buckets are capped — fanout is
+   * maxFrames x bands rows per video.
+   */
+  def nearDuplicateVideos(
+      media: Dataset[MediaRecord],
+      maxHamming: Int = 6,
+      bands: Int = 8,
+      maxFrames: Int = 16,
+      maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame = {
+    val fhU = F.udf((payload: Array[Byte]) =>
+      graft.pipeline.Multimodal.videoDHashes(payload, maxFrames)
+        .getOrElse(Seq.empty[Long]))
+    val frames = media.toDF()
+      .filter(F.col("modality") === "video")
+      .select(F.col("media_id"),
+        F.posexplode(fhU(F.col("payload"))).as(Seq("__fi", "__fh")))
+      .select(F.struct(F.col("media_id"), F.col("__fi")).as("__fid"),
+        F.col("__fh"))
+    Dedup.hammingPairs(frames, "__fid", "__fh", maxHamming, bands, maxBucket)
+      .select(F.col("id_a.media_id").as("__a"), F.col("id_b.media_id").as("__b"),
+        F.col("hamming"))
+      .filter(F.col("__a") =!= F.col("__b"))
+      .select(F.least(F.col("__a"), F.col("__b")).as("id_a"),
+        F.greatest(F.col("__a"), F.col("__b")).as("id_b"), F.col("hamming"))
+      .groupBy(F.col("id_a"), F.col("id_b"))
+      .agg(F.min(F.col("hamming")).as("hamming"))
+  }
 
   /** First-channel PCM samples in [-1, 1], strided past ~64k frames —
     * the raw-sample sibling of [[decodeAudio]]'s envelope read. */
@@ -1042,6 +1252,75 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** Deterministic 32x32 grayscale PNG whose [[pHashOf]] is EXACTLY
+    * `hash`, planted in the DCT domain: DC = 128·32 (mean-128 image),
+    * the 64 [[zigzagAc64]] coefficients = ±24 by hash bit, everything
+    * else 0; pixels are the IDCT, which stays within 128 ± 96 so no
+    * clamping ever occurs, and the ±24 magnitude dwarfs the <= ~1
+    * coefficient perturbation from integer pixel rounding, so every
+    * planted sign survives the encode/decode round trip. On a 32x32
+    * image the box-average grid IS the pixel grid (the
+    * [[imageForDHash]] argument). Spec/oracle fixture generator. */
+  def imageForPHash(hash: Long): Array[Byte] = {
+    val d = new Array[Double](32 * 32)
+    d(0) = 128.0 * 32
+    var i = 0
+    while (i < 64) {
+      val (u, v) = zigzagAc64(i)
+      d(v * 32 + u) = if (((hash >>> i) & 1L) == 1L) 24.0 else -24.0
+      i += 1
+    }
+    val px = idct2(d, 32)
+    val img = new java.awt.image.BufferedImage(32, 32,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < 32) {
+      var x = 0
+      while (x < 32) {
+        val v = math.max(0, math.min(255, math.round(px(y * 32 + x)).toInt))
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Deterministic trimmed-video corpus for specs and oracles: ids
+    * group in pairs (`id / 2`); the even id is a 2-keyframe AVI
+    * [random frame, base frame], the odd id is its TRIMMED re-cut —
+    * the first keyframe dropped and the surviving frame re-encoded
+    * with ONE planted bit flipped (within-pair closest-frame Hamming
+    * is exactly 1). First-keyframe-only signatures are ~Binomial(64,
+    * 1/2) apart (they compare the random frame against the survivor),
+    * so the pair is invisible to [[videoDHash]]-based dedup and an
+    * oracle can pin both facts from id arithmetic. Frames are planted
+    * [[imageForDHash]] PNGs riding in the AVI container (the parser
+    * hands chunk bytes to ImageIO, which sniffs the format). */
+  def plantedTrimmedVideos(docs: DataFrame, idCol: String): Dataset[MediaRecord] = {
+    import docs.sparkSession.implicits._
+    val mk = F.udf((id: Long) => {
+      val g = id / 2
+      val base = TextFunctions.mix64(g + 0x5851F42D4C957F2DL)
+      val lead = TextFunctions.mix64(base)
+      val bit = ((base >>> 23) & 0x3F).toInt
+      val frames =
+        if (id % 2 == 0L)
+          Seq(graft.pipeline.Multimodal.imageForDHash(lead),
+              graft.pipeline.Multimodal.imageForDHash(base))
+        else Seq(graft.pipeline.Multimodal.imageForDHash(base ^ (1L << bit)))
+      graft.pipeline.Multimodal.mjpegAvi(frames, 9, 8)
+    })
+    docs.select(
+      F.col(idCol).cast("long").as("media_id"),
+      F.lit("video").as("modality"),
+      mk(F.col(idCol).cast("long")).as("payload"),
+      F.lit(0L).as("meta_bytes"),
+      F.lit("planted").as("meta_source")).as[MediaRecord]
+  }
+
   /** Deterministic 16-bit mono WAV whose [[audioFingerprint]] is
     * EXACTLY `hash`: 64 square-wave frames of 128 samples — envelope
     * bit i picks the (0.2, 0.5) amplitude ORDER of frame pair
@@ -1079,7 +1358,8 @@ object Multimodal {
    * distances are ~Binomial(64, 1/2) (P(<= 6) ~ 5e-12). An oracle can
    * therefore derive the full expected pair set from id arithmetic.
    */
-  def plantedNearDupMedia(docs: DataFrame, idCol: String): Dataset[MediaRecord] = {
+  def plantedNearDupMedia(
+      docs: DataFrame, idCol: String, phash: Boolean = false): Dataset[MediaRecord] = {
     import docs.sparkSession.implicits._
     val mk = F.udf((id: Long) => {
       val g = id / 3
@@ -1092,7 +1372,8 @@ object Multimodal {
           base ^ (1L << ((b1 + 7) % 64)) ^ (1L << ((b1 + 19) % 64)) ^
             (1L << ((b1 + 31) % 64)) ^ (1L << ((b1 + 43) % 64))
       }
-      graft.pipeline.Multimodal.imageForDHash(hash)
+      if (phash) graft.pipeline.Multimodal.imageForPHash(hash)
+      else graft.pipeline.Multimodal.imageForDHash(hash)
     })
     docs.select(
       F.col(idCol).cast("long").as("media_id"),

@@ -57,6 +57,19 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("imageForPHash plants an exact DCT-domain pHash through the PNG round trip") {
+    val r = rng(11)
+    for (_ <- 1 to 100) {
+      val h = r.nextLong()
+      assert(Multimodal.imagePHash(Multimodal.imageForPHash(h)) === Some(h))
+    }
+    // extremes: all-zero and all-one AC signs
+    assert(Multimodal.imagePHash(Multimodal.imageForPHash(0L)) === Some(0L))
+    assert(Multimodal.imagePHash(Multimodal.imageForPHash(-1L)) === Some(-1L))
+    assert(Multimodal.imagePHash(Array.empty[Byte]) === None)
+    assert(Multimodal.imagePHash("not an image".getBytes) === None)
+  }
+
   test("vocab.json escaping round-trips nasty unicode tokens") {
     val toks = Seq(
       "plain", "quote\"back\\slash", "tab\tnewline\ncr\r", "bellnull",

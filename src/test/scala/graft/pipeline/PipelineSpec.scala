@@ -579,4 +579,71 @@ class MultimodalSpec extends SparkTestBase {
       .select("media_id").as[Long].collect().toSet
     assert(kept === (0L until 500L).filter(_ % 3 == 0).toSet)
   }
+
+  test("pHash: offset and contrast changes are exactly invariant, dedup finds planted groups") {
+    def gradient(offset: Int, scale: Double): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(64, 64,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 64; x <- 0 until 64) {
+        val v0 = 60 + (x * 2 + (y / 16) * 25) % 140
+        val v = math.max(0, math.min(255,
+          (128 + (v0 - 128) * scale).round.toInt + offset))
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val base = Multimodal.imagePHash(gradient(0, 1.0)).get
+    // brightness offset touches only DC — all 64 AC signs identical
+    assert(Multimodal.imagePHash(gradient(7, 1.0)).get === base)
+    // positive contrast scaling scales every coefficient: signs hold
+    // (up to the integer-rounding of the scaled pixels)
+    val scaled = Multimodal.imagePHash(gradient(0, 0.75)).get
+    assert(java.lang.Long.bitCount(base ^ scaled) <= 3)
+    val other = Multimodal.imagePHash(Multimodal.imageForPHash(
+      TextFunctions.mix64(123L))).get
+    assert(java.lang.Long.bitCount(base ^ other) > 10)
+    // planted pHash fixtures ride the same banded dedup unchanged
+    val docs = sf("sf0.001", "documents").select(F.col("doc_id"))
+    val media = Multimodal.plantedNearDupMedia(docs, "doc_id", phash = true)
+    val sigs = Multimodal.imageSignatures(media)
+    val pairs = graft.pipeline.Dedup
+      .hammingPairs(sigs, "media_id", "phash", maxHamming = 6)
+      .as[(Long, Long, Int)].collect().toSet
+    val expected = (0L until 500L).groupBy(_ / 3).values.flatMap { g =>
+      val s = g.sorted
+      for (i <- s.indices; j <- i + 1 until s.length) yield {
+        val d = (s(i) % 3, s(j) % 3) match {
+          case (0, 1) => 1
+          case (0, 2) => 4
+          case _      => 5
+        }
+        (s(i), s(j), d)
+      }
+    }.toSet
+    assert(pairs === expected)
+  }
+
+  test("nearDuplicateVideos catches trimmed re-cuts that first-frame dHash misses") {
+    val session = spark
+    import session.implicits._
+    val docs = sf("sf0.001", "documents").select(F.col("doc_id"))
+      .filter(F.col("doc_id") < 40)
+    val media = Multimodal.plantedTrimmedVideos(docs, "doc_id")
+    // multi-keyframe: every trimmed pair surfaces at its closest-frame
+    // distance (exactly 1 by construction)
+    val multi = Multimodal.nearDuplicateVideos(media, maxHamming = 6)
+      .as[(Long, Long, Int)].collect().toSet
+    val expected = (0L until 40L by 2).map(a => (a, a + 1, 1)).toSet
+    assert(multi === expected)
+    // first-keyframe-only signatures compare the dropped lead frame
+    // against the survivor: nothing within the threshold
+    val single = Multimodal.nearDuplicateMedia(media, maxHamming = 6)
+    assert(single.count() === 0L)
+    // a bounded frame budget still catches the pair from the shared tail
+    val capped = Multimodal.nearDuplicateVideos(media, maxHamming = 6, maxFrames = 2)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(capped === expected)
+  }
 }
