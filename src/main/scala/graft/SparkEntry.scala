@@ -1850,6 +1850,14 @@ object SparkEntry {
       val wp = graft.pipeline.WordPiece.learn(docs, "text", vocabSize = 96)
       graft.pipeline.TokenizerIO.saveWordPieceVocab(s, s"$out/vocab.txt", wp)
       val reWp = graft.pipeline.TokenizerIO.loadWordPieceVocab(s, s"$out/vocab.txt")
+      // single-file HF fast-tokenizer form: same model, one json
+      graft.pipeline.TokenizerIO.saveTokenizerJson(
+        s, s"$out/tokenizer.json", merges, addedTokens = Seq("<|endoftext|>"))
+      val tkJson = graft.pipeline.TokenizerIO.loadTokenizerJson(s, s"$out/tokenizer.json")
+      val jsonOk = tkJson.merges == merges &&
+        tkJson.vocab == graft.pipeline.TokenizerIO
+          .bpeVocabFromMerges(merges).zipWithIndex.toMap &&
+        tkJson.addedTokens == Seq("<|endoftext|>")
       val a = graft.pipeline.Vocab.tokenizeBpe(docs, "text", merges)
         .select(F.col("doc_id"), F.col("tokens"))
       val b = graft.pipeline.Vocab.tokenizeBpe(docs, "text", reMerges)
@@ -1868,7 +1876,8 @@ object SparkEntry {
           F.lit(reWp.pieces == wp.pieces && reWp.unk == wp.unk)
             .as("wp_model_roundtrip"),
           (F.sum(F.when(F.col("__wa") <=> F.col("__wb"), 0L).otherwise(1L)) === 0L)
-            .as("wp_tokens_identical"))
+            .as("wp_tokens_identical"),
+          F.lit(jsonOk).as("tokenizer_json_roundtrip"))
     }),
 
     // unigram-LM (SentencePiece-style) tokenizer: EM-trained piece
@@ -4751,7 +4760,8 @@ object SparkEntry {
       "q_tokenizer_roundtrip" ->
         """SELECT count(*) AS docs, true AS merges_roundtrip,
           |       true AS vocab_roundtrip, true AS bpe_tokens_identical,
-          |       true AS wp_model_roundtrip, true AS wp_tokens_identical
+          |       true AS wp_model_roundtrip, true AS wp_tokens_identical,
+          |       true AS tokenizer_json_roundtrip
           |FROM documents""".stripMargin,
       "q_tokenize_unigram" ->
         """SELECT source, count(*) AS docs, true AS reconstructs,

@@ -218,4 +218,214 @@ object TokenizerIO {
     val u = if (unk != null) unk else lines.head
     WordPiece.Model(lines.filterNot(_ == u).toSet, u)
   }
+
+  // ------------------------------------------------- HF tokenizer.json
+
+  /** A BPE tokenizer in the single-file fast-tokenizer shape: learned
+    * merges, the token → id vocabulary, and added (special) tokens
+    * whose ids follow the vocabulary. */
+  final case class BpeTokenizer(
+      merges: Seq[(String, String)],
+      vocab: Map[String, Int],
+      addedTokens: Seq[String])
+
+  /** Minimal strict JSON value parser (objects → Map preserving no
+    * order, arrays → Vector, strings, integer/double numbers,
+    * booleans, null) — enough for tokenizer.json files without an
+    * external dependency. Strict: trailing garbage is an error. */
+  private[pipeline] def parseJson(s: String): Any = {
+    var i = 0
+    def err(msg: String) = throw new IllegalArgumentException(
+      s"tokenizer.json parse error at offset $i: $msg")
+    def ws(): Unit = while (i < s.length && Character.isWhitespace(s.charAt(i))) i += 1
+    def expect(c: Char): Unit = {
+      if (i >= s.length || s.charAt(i) != c) err(s"expected '$c'")
+      i += 1
+    }
+    def str(): String = {
+      expect('"')
+      val sb = new StringBuilder
+      while (i < s.length && s.charAt(i) != '"') {
+        val c = s.charAt(i)
+        if (c == '\\') {
+          if (i + 1 >= s.length) err("dangling escape")
+          s.charAt(i + 1) match {
+            case '"'  => sb += '"'; i += 2
+            case '\\' => sb += '\\'; i += 2
+            case '/'  => sb += '/'; i += 2
+            case 'b'  => sb += '\b'; i += 2
+            case 'f'  => sb += '\f'; i += 2
+            case 'n'  => sb += '\n'; i += 2
+            case 'r'  => sb += '\r'; i += 2
+            case 't'  => sb += '\t'; i += 2
+            case 'u'  =>
+              if (i + 6 > s.length) err("truncated \\u escape")
+              sb += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar
+              i += 6
+            case other => err(s"unknown escape \\$other")
+          }
+        } else { sb += c; i += 1 }
+      }
+      expect('"')
+      sb.result()
+    }
+    def value(): Any = {
+      ws()
+      if (i >= s.length) err("unexpected end")
+      s.charAt(i) match {
+        case '{' =>
+          i += 1; ws()
+          val out = Map.newBuilder[String, Any]
+          if (i < s.length && s.charAt(i) == '}') { i += 1 }
+          else {
+            var done = false
+            while (!done) {
+              ws()
+              val k = str()
+              ws(); expect(':')
+              out += k -> value()
+              ws()
+              if (i < s.length && s.charAt(i) == ',') i += 1
+              else { expect('}'); done = true }
+            }
+          }
+          out.result()
+        case '[' =>
+          i += 1; ws()
+          val out = Vector.newBuilder[Any]
+          if (i < s.length && s.charAt(i) == ']') { i += 1 }
+          else {
+            var done = false
+            while (!done) {
+              out += value()
+              ws()
+              if (i < s.length && s.charAt(i) == ',') i += 1
+              else { expect(']'); done = true }
+            }
+          }
+          out.result()
+        case '"' => str()
+        case 't' =>
+          if (!s.startsWith("true", i)) err("bad literal")
+          i += 4; true
+        case 'f' =>
+          if (!s.startsWith("false", i)) err("bad literal")
+          i += 5; false
+        case 'n' =>
+          if (!s.startsWith("null", i)) err("bad literal")
+          i += 4; null
+        case _ =>
+          val start = i
+          if (s.charAt(i) == '-') i += 1
+          while (i < s.length && (Character.isDigit(s.charAt(i)) ||
+            "+-.eE".indexOf(s.charAt(i)) >= 0)) i += 1
+          if (i == start) err("expected value")
+          val tok = s.substring(start, i)
+          if (tok.exists(c => c == '.' || c == 'e' || c == 'E')) tok.toDouble
+          else tok.toLong
+      }
+    }
+    val v = value()
+    ws()
+    if (i != s.length) err("trailing content")
+    v
+  }
+
+  /**
+   * Write a learned BPE tokenizer as a single HF-fast-tokenizer-style
+   * `tokenizer.json`: `model.type = "BPE"`, `model.vocab` (token →
+   * id), `model.merges` as `"left right"` strings in learned order
+   * (the widely compatible layout), and `added_tokens` entries whose
+   * ids continue after the vocabulary. `vocab` defaults to
+   * [[bpeVocabFromMerges]], like [[saveBpe]].
+   */
+  def saveTokenizerJson(
+      spark: SparkSession,
+      path: String,
+      merges: Seq[(String, String)],
+      vocab: Seq[String] = Nil,
+      addedTokens: Seq[String] = Nil): Unit = {
+    merges.foreach { case (l, r) =>
+      require(l.nonEmpty && r.nonEmpty && !(l + r).exists(Character.isWhitespace),
+        s"BPE symbols must be non-empty and whitespace-free, got ('$l', '$r')")
+    }
+    val v = if (vocab.nonEmpty) vocab else bpeVocabFromMerges(merges)
+    require(v.distinct.length == v.length, "vocab contains duplicate tokens")
+    require(addedTokens.distinct.length == addedTokens.length,
+      "added_tokens contains duplicates")
+    addedTokens.foreach(t => require(!v.contains(t),
+      s"added token '$t' already in vocab"))
+    val vocabJson = v.zipWithIndex
+      .map { case (t, i) => s""""${jsonEscape(t)}": $i""" }
+      .mkString("{", ", ", "}")
+    val mergesJson = merges
+      .map { case (l, r) => s""""${jsonEscape(l)} ${jsonEscape(r)}"""" }
+      .mkString("[", ", ", "]")
+    val addedJson = addedTokens.zipWithIndex.map { case (t, i) =>
+      s"""{"id": ${v.length + i}, "content": "${jsonEscape(t)}", """ +
+        """"single_word": false, "lstrip": false, "rstrip": false, """ +
+        """"normalized": false, "special": true}"""
+    }.mkString("[", ", ", "]")
+    writeText(spark, path,
+      s"""{"version": "1.0", "added_tokens": $addedJson, """ +
+        s""""model": {"type": "BPE", "unk_token": null, """ +
+        s""""vocab": $vocabJson, "merges": $mergesJson}}""")
+  }
+
+  /** Read a `tokenizer.json` back into merges + vocab + added tokens.
+    * Accepts both merge spellings in the wild: `"left right"` strings
+    * and `["left", "right"]` two-element arrays. Only `model.type =
+    * "BPE"` files are supported. */
+  def loadTokenizerJson(spark: SparkSession, path: String): BpeTokenizer = {
+    val root = parseJson(readText(spark, path)) match {
+      case m: Map[String @unchecked, Any @unchecked] => m
+      case _ => throw new IllegalArgumentException("tokenizer.json: root must be an object")
+    }
+    val model = root.get("model") match {
+      case Some(m: Map[String @unchecked, Any @unchecked]) => m
+      case _ => throw new IllegalArgumentException("tokenizer.json: missing model object")
+    }
+    require(model.get("type").contains("BPE"),
+      s"tokenizer.json: unsupported model.type ${model.get("type")}")
+    val vocab = model.get("vocab") match {
+      case Some(m: Map[String @unchecked, Any @unchecked]) =>
+        m.map {
+          case (k, n: Long) => k -> n.toInt
+          case (k, other) => throw new IllegalArgumentException(
+            s"tokenizer.json: non-integer vocab id for '$k': $other")
+        }
+      case _ => throw new IllegalArgumentException("tokenizer.json: missing model.vocab")
+    }
+    val merges = model.get("merges") match {
+      case Some(arr: Vector[Any @unchecked]) => arr.map {
+        case s: String =>
+          val sp = s.indexOf(' ')
+          require(sp > 0 && sp < s.length - 1 && s.indexOf(' ', sp + 1) < 0,
+            s"tokenizer.json: malformed merge '$s'")
+          (s.substring(0, sp), s.substring(sp + 1))
+        case pair: Vector[Any @unchecked] =>
+          require(pair.length == 2 && pair.forall(_.isInstanceOf[String]),
+            s"tokenizer.json: malformed merge pair $pair")
+          (pair(0).asInstanceOf[String], pair(1).asInstanceOf[String])
+        case other => throw new IllegalArgumentException(
+          s"tokenizer.json: malformed merge entry $other")
+      }
+      case _ => throw new IllegalArgumentException("tokenizer.json: missing model.merges")
+    }
+    val added = root.get("added_tokens") match {
+      case Some(arr: Vector[Any @unchecked]) => arr.map {
+        case m: Map[String @unchecked, Any @unchecked] => m.get("content") match {
+          case Some(c: String) => c
+          case _ => throw new IllegalArgumentException(
+            "tokenizer.json: added_tokens entry without string content")
+        }
+        case other => throw new IllegalArgumentException(
+          s"tokenizer.json: malformed added_tokens entry $other")
+      }
+      case None => Vector.empty[String]
+      case _ => throw new IllegalArgumentException(
+        "tokenizer.json: added_tokens must be an array")
+    }
+    BpeTokenizer(merges, vocab, added)
+  }
 }

@@ -86,6 +86,52 @@ class TokenizerIOSpec extends SparkTestBase {
     }
   }
 
+  test("tokenizer.json round-trips merges, vocab, and added tokens") {
+    val docs = sf("sf0.001", "documents")
+    val merges = Vocab.learnBpeMerges(docs, "text", 24).map(m => (m._1, m._2))
+    val path = tmp() + "/tokenizer.json"
+    TokenizerIO.saveTokenizerJson(spark, path, merges,
+      addedTokens = Seq("<|endoftext|>", "<|pad|>"))
+    val tk = TokenizerIO.loadTokenizerJson(spark, path)
+    assert(tk.merges === merges)
+    assert(tk.vocab === TokenizerIO.bpeVocabFromMerges(merges).zipWithIndex.toMap)
+    assert(tk.addedTokens === Seq("<|endoftext|>", "<|pad|>"))
+    // reloaded merges drive identical corpus tokenization
+    val a = Vocab.tokenizeBpe(docs, "text", merges).select("doc_id", "tokens")
+    val b = Vocab.tokenizeBpe(docs, "text", tk.merges).select("doc_id", "tokens")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  test("tokenizer.json accepts external layouts and rejects malformed files") {
+    val dir = tmp()
+    // newer HF layout: merges as two-element arrays, escaped tokens
+    val p1 = java.nio.file.Paths.get(dir, "ext.json")
+    java.nio.file.Files.writeString(p1,
+      """{"version":"1.0",
+        |  "added_tokens":[{"id":3,"content":"<unk>","special":true}],
+        |  "model":{"type":"BPE",
+        |    "vocab":{"a":0,"b":1,"ab":2,"q\"x":3},
+        |    "merges":[["a","b"],["ab","a"]]}}""".stripMargin)
+    val tk = TokenizerIO.loadTokenizerJson(spark, p1.toString)
+    assert(tk.merges === Seq(("a", "b"), ("ab", "a")))
+    assert(tk.vocab === Map("a" -> 0, "b" -> 1, "ab" -> 2, "q\"x" -> 3))
+    assert(tk.addedTokens === Seq("<unk>"))
+    // non-BPE model type is refused, not mis-parsed
+    val p2 = java.nio.file.Paths.get(dir, "wp.json")
+    java.nio.file.Files.writeString(p2,
+      """{"model":{"type":"WordPiece","vocab":{"a":0},"merges":[]}}""")
+    intercept[IllegalArgumentException] {
+      TokenizerIO.loadTokenizerJson(spark, p2.toString)
+    }
+    // trailing garbage is an error (strict parser)
+    val p3 = java.nio.file.Paths.get(dir, "trail.json")
+    java.nio.file.Files.writeString(p3,
+      """{"model":{"type":"BPE","vocab":{},"merges":[]}} extra""")
+    intercept[IllegalArgumentException] {
+      TokenizerIO.loadTokenizerJson(spark, p3.toString)
+    }
+  }
+
   test("WordPiece model round-trips through vocab.txt, tokenization identical") {
     val docs = sf("sf0.001", "documents").limit(100)
     val model = WordPiece.learn(docs, "text", vocabSize = 64)
