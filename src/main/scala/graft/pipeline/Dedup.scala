@@ -109,12 +109,10 @@ object Dedup {
       rowsPerBand: Int = 4,
       maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val sig = df.select(
-      F.col(idCol),
-      TextFunctions.minhashUdf(numHashes)(F.col(shingleCol)).as("__sig"))
-    val buckets = sig.select(
+    val buckets = df.select(
         F.col(idCol),
-        F.explode(TextFunctions.bandsUdf(bands, rowsPerBand)(F.col("__sig"))).as("__b"))
+        F.explode(TextFunctions.minhashBandsUdf(numHashes, bands, rowsPerBand)(
+          F.col(shingleCol))).as("__b"))
       .select(F.col(idCol), F.col("__b._1").as("__band"), F.col("__b._2").as("__bucket"))
     val grouped = buckets.groupBy(F.col("__band"), F.col("__bucket"))
       .agg(F.collect_list(F.col(idCol)).as("__ids"))
@@ -245,12 +243,10 @@ object Dedup {
     // OPH signatures: one hash per shingle position (vs numHashes in the
     // KM construction) — 6x faster scans, verified recall-equivalent on
     // the exact-pair oracle at every scale factor
-    val sig = df.select(
-      F.col(idCol),
-      TextFunctions.minhashTextOphUdf(shingleSize, numHashes)(F.col(textCol)).as("__sig"))
-    val buckets = sig.select(
+    val buckets = df.select(
         F.col(idCol),
-        F.explode(TextFunctions.bandsUdf(bands, rowsPerBand)(F.col("__sig"))).as("__b"))
+        F.explode(TextFunctions.minhashTextOphBandsUdf(
+          shingleSize, numHashes, bands, rowsPerBand)(F.col(textCol))).as("__b"))
       .select(F.col(idCol), F.col("__b._1").as("__band"), F.col("__b._2").as("__bucket"))
     // materialize the (small) candidate pair set once — localCheckpoint
     // blocks are released by the ContextCleaner when the DataFrame goes
@@ -296,9 +292,8 @@ object Dedup {
     val numHashes = bands * rowsPerBand
     val buckets = df.select(
         F.col(idCol).as("id"),
-        F.explode(TextFunctions.bandsUdf(bands, rowsPerBand)(
-          TextFunctions.minhashTextOphUdf(shingleSize, numHashes)(F.col(textCol))))
-          .as("__b"))
+        F.explode(TextFunctions.minhashTextOphBandsUdf(
+          shingleSize, numHashes, bands, rowsPerBand)(F.col(textCol))).as("__b"))
       .select(F.col("__b._1").as("band"), F.col("__b._2").as("bucket"), F.col("id"))
     val grouped = buckets.groupBy(F.col("band"), F.col("bucket"))
       .agg(F.collect_list(F.col("id")).as("__ids"))
@@ -573,6 +568,23 @@ object Dedup {
       .distinct()
   }
 
+  /** The 64-bit signature's `bands` equal chunks as an array of
+    * (_1: band index, _2: chunk bits) structs — pure
+    * shiftrightunsigned/bitwiseAND Column arithmetic, so the chunking
+    * stays inside whole-stage codegen (the ScalaUDF it replaced broke
+    * the span and paid a boxed tuple array per row). Bit-exact the
+    * same values: `(sig >>> (b * width)) & mask`. */
+  private def chunkCols(sig: org.apache.spark.sql.Column, bands: Int)
+      : org.apache.spark.sql.Column = {
+    val width = 64 / bands
+    val mask = (1L << width) - 1
+    F.array((0 until bands).map { b =>
+      F.struct(
+        F.lit(b).as("_1"),
+        F.shiftrightunsigned(sig, b * width).bitwiseAND(F.lit(mask)).as("_2"))
+    }: _*)
+  }
+
   /**
    * Generic Hamming-banded near-dup pairs over a precomputed 64-bit
    * signature column (the [[simhashPairs]] machinery with the
@@ -599,17 +611,13 @@ object Dedup {
       s"bands must be >= 2 and divide 64, got $bands")
     require(maxHamming >= 0 && maxHamming <= bands - 1,
       s"$bands bands only guarantee hamming <= ${bands - 1}, got $maxHamming")
-    val width = 64 / bands
-    val mask = (1L << width) - 1
-    val chunkU = F.udf((sig: Long) =>
-      Array.tabulate(bands)(b => (b, (sig >>> (b * width)) & mask)))
     val sigs = df
       .filter(F.col(hashCol).isNotNull)
       .select(F.col(idCol), F.col(hashCol).cast("long").as("__sig"))
       .localCheckpoint(eager = false)
     val chunked = sigs.select(
         F.col(idCol), F.col("__sig"),
-        F.explode(chunkU(F.col("__sig"))).as("__c"))
+        F.explode(chunkCols(F.col("__sig"), bands)).as("__c"))
       .select(F.col(idCol), F.col("__sig"),
               F.col("__c._1").as("__chunk"), F.col("__c._2").as("__val"))
     val sizes = chunked.groupBy(F.col("__chunk"), F.col("__val"))
@@ -644,14 +652,11 @@ object Dedup {
       maxBucket: Int = DefaultMaxBucket): DataFrame = {
     require(bands >= 2 && 64 % bands == 0,
       s"bands must be >= 2 and divide 64, got $bands")
-    val width = 64 / bands
-    val mask = (1L << width) - 1
-    val chunkU = F.udf((sig: Long) =>
-      Array.tabulate(bands)(b => (b, (sig >>> (b * width)) & mask)))
     val rows = df
       .filter(F.col(hashCol).isNotNull)
       .select(F.col(idCol).as("id"), F.col(hashCol).cast("long").as("sig"))
-      .select(F.col("id"), F.col("sig"), F.explode(chunkU(F.col("sig"))).as("__c"))
+      .select(F.col("id"), F.col("sig"),
+              F.explode(chunkCols(F.col("sig"), bands)).as("__c"))
       .select(F.col("__c._1").as("band"), F.col("__c._2").as("bits"),
               F.col("id"), F.col("sig"))
     val grouped = rows.groupBy(F.col("band"), F.col("bits"))
@@ -701,15 +706,11 @@ object Dedup {
     }
     require(maxHamming >= 0 && maxHamming <= bands - 1,
       s"$bands bands only guarantee hamming <= ${bands - 1}, got $maxHamming")
-    val width = 64 / bands
-    val mask = (1L << width) - 1
-    val chunkU = F.udf((sig: Long) =>
-      Array.tabulate(bands)(b => (b, (sig >>> (b * width)) & mask)))
     batch
       .filter(F.col(hashCol).isNotNull)
       .select(F.col(idCol).as("id_new"), F.col(hashCol).cast("long").as("__sn"))
       .select(F.col("id_new"), F.col("__sn"),
-              F.explode(chunkU(F.col("__sn"))).as("__c"))
+              F.explode(chunkCols(F.col("__sn"), bands)).as("__c"))
       .select(F.col("id_new"), F.col("__sn"),
               F.col("__c._1").as("band"), F.col("__c._2").as("bits"))
       .join(histIndex, Seq("band", "bits"))

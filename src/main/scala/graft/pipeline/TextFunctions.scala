@@ -160,6 +160,37 @@ object TextFunctions {
       r
     }
 
+  // Fused signature + banding kernels: the two-UDF chain
+  // (minhash*Udf → bandsUdf) paid a boxed Seq[Long] Catalyst round
+  // trip per row between the projections; one UDF keeps the signature
+  // a primitive array start to finish. Bucket values are bit-identical
+  // (same bandHash chain), so persisted signature indexes stay
+  // compatible. The banding itself can't be pure Column arithmetic
+  // under ANSI mode — bandHash's mix64 chain needs WRAPPING long
+  // multiplies, which ANSI Multiply rejects as overflow.
+
+  private def bandsOf(sig: Array[Long], bands: Int, rows: Int): Seq[(Int, Long)] =
+    (0 until bands).map(b => (b, bandHash(sig, b, rows)))
+
+  /** [[minhashUdf]] ∘ [[bandsUdf]] in one kernel (shingle-array input). */
+  def minhashBandsUdf(numHashes: Int, bands: Int, rows: Int): UserDefinedFunction =
+    F.udf { (shingles: Seq[String]) =>
+      val r: Seq[(Int, Long)] =
+        if (shingles == null) null
+        else bandsOf(minhashSignature(shingles.toArray, numHashes), bands, rows)
+      r
+    }
+
+  /** [[minhashTextOphUdf]] ∘ [[bandsUdf]] in one kernel (text input). */
+  def minhashTextOphBandsUdf(
+      n: Int, numHashes: Int, bands: Int, rows: Int): UserDefinedFunction =
+    F.udf { (text: String) =>
+      val r: Seq[(Int, Long)] =
+        if (text == null) null
+        else bandsOf(minhashTextOph(text, n, numHashes), bands, rows)
+      r
+    }
+
   // ----------------------------------------------------------- simhash
 
   /**

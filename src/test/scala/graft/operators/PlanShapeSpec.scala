@@ -128,7 +128,11 @@ class PlanShapeSpec extends SparkTestBase {
     val sigs = Seq((1L, 100L), (2L, 101L), (3L, 900L))
       .toDF("id", "sig").repartition(4)
     val out = graft.pipeline.Dedup.hammingPairs(sigs, "id", "sig", maxHamming = 3)
-    assert(exchanges(out) <= 3, out.queryExecution.executedPlan.toString)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(exchanges(out) <= 3, plan)
+    // signature chunking is shiftrightunsigned/bitwiseAND Column
+    // arithmetic — no ScalaUDF breaking whole-stage codegen
+    assert(!plan.contains("ScalaUDF"), plan)
   }
 
   test("incremental hamming probe never shuffles the index side") {
