@@ -2319,6 +2319,24 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // folded blocklist scan: planted MIXED-CASE / fullwidth variants
+    // of zzqx-prefixed patterns (absent from the natural vocabulary,
+    // so planted counts are the whole signal — DuckDB cannot replay
+    // the NFKC fold, hence the id-arithmetic oracle); the folded
+    // automaton counts them, the unfolded scan provably cannot
+    "q_keyword_scan_folded" -> ((s: SparkSession, dir: String) => {
+      val aug = F.concat(F.col("text"), F.lit(" "),
+        F.when(F.col("doc_id") % 4 === 0, "ZzQxSpam zzqxspam")
+          .when(F.col("doc_id") % 4 === 1, "ＺＺＱＸＢＵＹ")
+          .when(F.col("doc_id") % 4 === 2, "zzqｘspam café")
+          .otherwise("cleantail"))
+      graft.pipeline.Keywords.keywordHits(
+          t(s, dir, "documents"), aug, Seq("zzqxspam", "zzqxbuy"), folded = true)
+        .select(F.col("doc_id"), F.col("kw.hits").as("hits"),
+          F.col("kw.patterns").as("patterns"))
+        .orderBy("doc_id")
+    }),
+
     // automaton redaction: star-out the union of matched spans. For
     // these patterns (pairwise non-overlapping, borderless, no
     // substring relations, '*' in none) chained SQL replace with
@@ -4329,6 +4347,14 @@ object SparkEntry {
         |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
         |WHERE a.doc_id % 2 = 0
         |ORDER BY id_a, id_b""".stripMargin,
+    "q_keyword_scan_folded" ->
+      """SELECT doc_id,
+        |  CAST(CASE CAST(doc_id % 4 AS INTEGER)
+        |    WHEN 0 THEN 2 WHEN 1 THEN 1 WHEN 2 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS hits,
+        |  CAST(CASE WHEN doc_id % 4 IN (0, 1, 2) THEN 1 ELSE 0 END AS INT)
+        |    AS patterns
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_keyword_scrub" ->
       """WITH a AS (SELECT doc_id,
         |             text || ' ' || CASE CAST(doc_id % 3 AS INTEGER)

@@ -13,9 +13,19 @@ import org.apache.spark.sql.{Column, DataFrame, functions => F}
  *
  * Matches are counted at every end position (the standard AC output
  * walk): every occurrence of every pattern counts, including a
- * pattern occurring inside another pattern's match. Patterns are
- * matched literally and case-sensitively — case-fold the text (and
- * the patterns) first if needed, e.g. with `F.lower`.
+ * pattern occurring inside another pattern's match. Patterns match
+ * literally and case-sensitively by default; two folding dials relax
+ * that without exploding the pattern set:
+ *
+ *  - `caseInsensitive` (build-time): the automaton folds every
+ *    character through `Character.toLowerCase` on both sides — char-
+ *    for-char, so POSITIONS are preserved and [[scrubKeywords]] can
+ *    redact the original text's spans.
+ *  - `folded` (scan/filter only): text and patterns pass through the
+ *    [[TextFunctions.foldUnicode]] kernel + lowercase first, so
+ *    fullwidth/ligature/accent variants match too. Folding changes
+ *    string length ("…" → "..."), so this form has no
+ *    position-preserving scrub — counts refer to the folded text.
  */
 object Keywords {
 
@@ -27,9 +37,11 @@ object Keywords {
       private[Keywords] val outCount: Array[Int],
       private[Keywords] val outDistinct: Array[Array[Int]],
       private[Keywords] val lengths: Array[Int],
-      val nPatterns: Int) extends Serializable {
+      val nPatterns: Int,
+      private[Keywords] val lowerCased: Boolean) extends Serializable {
 
-    private def step(state: Int, c: Char): Int = {
+    private def step(state: Int, c0: Char): Int = {
+      val c = if (lowerCased) Character.toLowerCase(c0) else c0
       var s = state
       while (s != 0 && !next(s).containsKey(c)) s = fail(s)
       val t = next(s).get(c)
@@ -91,10 +103,28 @@ object Keywords {
     }
   }
 
+  /** Per-char lowercase — length-preserving, unlike String.toLowerCase
+    * (which expands e.g. 'İ' to two chars under locale rules). */
+  private def lowerChars(s: String): String = {
+    val out = new Array[Char](s.length)
+    var i = 0
+    while (i < s.length) { out(i) = Character.toLowerCase(s.charAt(i)); i += 1 }
+    new String(out)
+  }
+
+  /** The scan-side fold: Unicode canonicalization then lowercase. */
+  private[pipeline] def foldKeyword(s: String): String =
+    if (s == null) null else lowerChars(TextFunctions.foldUnicodeKernel(s))
+
   /** Build the automaton from literal patterns (duplicates collapse;
-    * empty patterns rejected). Driver-side, O(total pattern chars). */
-  def buildAutomaton(patterns: Seq[String]): Automaton = {
-    val ps = patterns.distinct.toArray
+    * empty patterns rejected). Driver-side, O(total pattern chars).
+    * `caseInsensitive` folds pattern and input characters through
+    * `Character.toLowerCase` — position-preserving, so scrubbing
+    * still works. */
+  def buildAutomaton(
+      patterns: Seq[String], caseInsensitive: Boolean = false): Automaton = {
+    val ps = (if (caseInsensitive) patterns.map(lowerChars)
+              else patterns).distinct.toArray
     require(ps.nonEmpty, "at least one pattern required")
     require(ps.forall(p => p != null && p.nonEmpty), "patterns must be non-empty")
     val next = scala.collection.mutable.ArrayBuffer(
@@ -149,22 +179,28 @@ object Keywords {
       }
     }
     new Automaton(next.toArray, fail, outCount, outDistinct,
-      ps.map(_.length), ps.length)
+      ps.map(_.length), ps.length, caseInsensitive)
   }
 
   /**
    * Adds `<outCol>` = struct(hits BIGINT, patterns INT): total
    * occurrence count and distinct patterns matched in `textCol`.
    * NULL text → struct(0, 0) (scan of nothing finds nothing — not an
-   * error). One broadcast, map-only.
+   * error). One broadcast, map-only. `folded` matches through the
+   * Unicode fold + lowercase (patterns and text both) so mixed-case
+   * and fullwidth/ligature/accent variants hit.
    */
   def keywordHits(
       df: DataFrame,
       textCol: Column,
       patterns: Seq[String],
-      outCol: String = "kw"): DataFrame = {
-    val bc = df.sparkSession.sparkContext.broadcast(buildAutomaton(patterns))
-    val scanU = F.udf((t: String) => bc.value.scan(t))
+      outCol: String = "kw",
+      folded: Boolean = false): DataFrame = {
+    val ps = if (folded) patterns.map(foldKeyword) else patterns
+    val bc = df.sparkSession.sparkContext.broadcast(buildAutomaton(ps))
+    val scanU =
+      if (folded) F.udf((t: String) => bc.value.scan(graft.pipeline.Keywords.foldKeyword(t)))
+      else F.udf((t: String) => bc.value.scan(t))
     // one UDF invocation per row, fields renamed from the tuple struct
     df.withColumn("__kw_raw", scanU(textCol))
       .withColumn(outCol, F.struct(
@@ -174,24 +210,33 @@ object Keywords {
   }
 
   /** Keep only rows whose text contains NO pattern occurrence — the
-    * blocklist admission filter. */
+    * blocklist admission filter. `folded` as in [[keywordHits]]. */
   def filterByKeywords(
-      df: DataFrame, textCol: Column, patterns: Seq[String]): DataFrame = {
-    val bc = df.sparkSession.sparkContext.broadcast(buildAutomaton(patterns))
-    val cleanU = F.udf((t: String) => bc.value.scan(t)._1 == 0L)
+      df: DataFrame, textCol: Column, patterns: Seq[String],
+      folded: Boolean = false): DataFrame = {
+    val ps = if (folded) patterns.map(foldKeyword) else patterns
+    val bc = df.sparkSession.sparkContext.broadcast(buildAutomaton(ps))
+    val cleanU =
+      if (folded) F.udf((t: String) => bc.value.scan(graft.pipeline.Keywords.foldKeyword(t))._1 == 0L)
+      else F.udf((t: String) => bc.value.scan(t)._1 == 0L)
     df.filter(cleanU(textCol))
   }
 
   /** Redact every matched span to `mask` characters (union of all
     * pattern occurrences, length-preserving) — blocklist scrubbing at
-    * automaton scale. NULL text stays NULL. */
+    * automaton scale. NULL text stays NULL. `caseInsensitive` matches
+    * char-for-char lowercase (position-preserving, so the ORIGINAL
+    * text's spans are masked); the full Unicode fold is scan-only
+    * because it changes lengths. */
   def scrubKeywords(
       df: DataFrame,
       textCol: Column,
       patterns: Seq[String],
       outCol: String,
-      mask: Char = '*'): DataFrame = {
-    val bc = df.sparkSession.sparkContext.broadcast(buildAutomaton(patterns))
+      mask: Char = '*',
+      caseInsensitive: Boolean = false): DataFrame = {
+    val bc = df.sparkSession.sparkContext
+      .broadcast(buildAutomaton(patterns, caseInsensitive))
     val scrubU = F.udf((t: String) => bc.value.scrub(t, mask))
     df.withColumn(outCol, scrubU(textCol))
   }

@@ -95,6 +95,35 @@ class KeywordsSpec extends SparkTestBase {
     assert(got === "say *** said")
   }
 
+  test("folded scan matches case/fullwidth/ligature variants; case-insensitive scrub preserves positions") {
+    // unicode-fold + lowercase: fullwidth caps, ligature, accents all hit
+    val df = Seq(
+      (0L, "plain SpamWord here"),            // mixed case
+      (1L, "ＳＰＡＭＷＯＲＤ fullwidth"),      // fullwidth caps → NFKC → SPAMWORD
+      (2L, "ligature ﬁlter stop"),            // ﬁ → fi
+      (3L, "café naïve nothing")              // accents fold, no pattern
+    ).toDF("id", "text")
+    val hits = Keywords.keywordHits(df, F.col("text"),
+        Seq("spamword", "filter"), folded = true)
+      .select(F.col("id"), F.col("kw.hits")).as[(Long, Long)].collect().toMap
+    assert(hits === Map(0L -> 1L, 1L -> 1L, 2L -> 1L, 3L -> 0L))
+    // unfolded scan sees none of the variants
+    val plain = Keywords.keywordHits(df, F.col("text"), Seq("spamword", "filter"))
+      .select(F.col("id"), F.col("kw.hits")).as[(Long, Long)].collect().toMap
+    assert(plain === Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L))
+    // folded filter admits only the clean row
+    assert(Keywords.filterByKeywords(df, F.col("text"),
+      Seq("spamword", "filter"), folded = true)
+      .select("id").as[Long].collect().toSeq === Seq(3L))
+    // case-insensitive scrub: ORIGINAL text positions masked,
+    // length preserved
+    val sc = Keywords.scrubKeywords(
+        Seq((1L, "say SHE Said she")).toDF("id", "text"),
+        F.col("text"), Seq("she"), "clean", caseInsensitive = true)
+      .select("clean").as[String].collect().head
+    assert(sc === "say *** Said ***")
+  }
+
   test("automaton scales: 100k patterns build and scan in bounded time") {
     val r = new scala.util.Random(5)
     val pats = (1 to 100000).map(i =>
