@@ -1069,6 +1069,86 @@ object SparkEntry {
                F.sum(F.col("doc_id")).as("kept_id_sum"))
     }),
 
+    // EXACT set-similarity self-join (AllPairs/PPJoin prefix filter) at
+    // word-token Jaccard >= 0.8 — guaranteed recall, vs the exact
+    // all-pairs oracle; planted +1-token variants (doc_id % 7 == 0)
+    // guarantee qualifying pairs exist (J = sz/(sz+1))
+    "q_dedup_jaccard_join" -> ((s: SparkSession, dir: String) => {
+      val docs = t(s, dir, "documents")
+      val planted = docs.filter(F.col("doc_id") % 7 === 0)
+        .select((F.col("doc_id") + 100000L).as("doc_id"),
+          F.concat(F.col("text"), F.lit(" zzextranew")).as("text"))
+      val corpus = docs.select("doc_id", "text").unionAll(planted)
+      graft.pipeline.Dedup.jaccardPrefixPairs(
+          corpus, "doc_id", "text", threshold = 0.8)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // MinHash-LSH with the threshold-derived (bands, rows) auto-dial —
+    // same exact-Jaccard oracle as q_dedup_minhash: the S-curve chosen
+    // for t=0.8 must still reach every qualifying pair at this SF
+    "q_dedup_minhash_auto" -> ((s: SparkSession, dir: String) => {
+      graft.pipeline.Dedup.nearDuplicatePairsAuto(
+          t(s, dir, "documents"), "doc_id", "text",
+          shingleSize = 5, threshold = 0.8)
+        .select("id_a", "id_b")
+        .orderBy("id_a", "id_b")
+    }),
+
+    // corpus drift: exact two-sample KS distance between the value
+    // distributions of two event cohorts — integer arithmetic
+    // (d_num = max |F_a*n_b - F_b*n_a|), so the statistic is bit-exact
+    // cross-engine; d is one IEEE division of exact longs
+    "q_drift_ks" -> ((s: SparkSession, dir: String) => {
+      val ev = t(s, dir, "events")
+      val a = ev.filter(F.col("event_type").isin("click", "view"))
+      val b = ev.filter(F.col("event_type").isin("purchase", "error"))
+      graft.pipeline.Drift.ksStatistic(a, b, "value")
+    }),
+
+    // sketch-path KS (one DDSketch per side, driver CDF compare) must
+    // land within 0.05 of the exact statistic — tolerance boolean
+    // computed in Spark (both sides), oracle pins true
+    "q_drift_ks_sketch" -> ((s: SparkSession, dir: String) => {
+      val ev = t(s, dir, "events")
+      val a = ev.filter(F.col("event_type").isin("click", "view"))
+      val b = ev.filter(F.col("event_type").isin("purchase", "error"))
+      val exact = graft.pipeline.Drift.ksStatistic(a, b, "value")
+        .select(F.col("d")).first().getDouble(0)
+      graft.pipeline.Drift.ksStatisticSketch(a, b, "value", 0.01)
+        .select((F.abs(F.col("d_est") - exact) <= 0.05).as("within_tol"))
+    }),
+
+    // population-stability index over fixed cutoffs: exact per-bin
+    // counts (empty bins included — the smoothing needs them)
+    "q_drift_psi_bins" -> ((s: SparkSession, dir: String) => {
+      val ev = t(s, dir, "events")
+      val a = ev.filter(F.col("event_type").isin("click", "view"))
+      val b = ev.filter(F.col("event_type").isin("purchase", "error"))
+      graft.pipeline.Drift.psiBins(
+          a, b, "value", Seq(10.0, 25.0, 50.0, 100.0, 250.0))
+        .orderBy("bin")
+    }),
+
+    // the PSI statistic itself (add-one smoothed, 4dp — ln is libm)
+    "q_drift_psi" -> ((s: SparkSession, dir: String) => {
+      val ev = t(s, dir, "events")
+      val a = ev.filter(F.col("event_type").isin("click", "view"))
+      val b = ev.filter(F.col("event_type").isin("purchase", "error"))
+      graft.pipeline.Drift.psiStatistic(
+        a, b, "value", Seq(10.0, 25.0, 50.0, 100.0, 250.0))
+    }),
+
+    // chi-square homogeneity of the event-type mix between user cohorts:
+    // exact counts + per-category contribution (4dp)
+    "q_drift_chi2" -> ((s: SparkSession, dir: String) => {
+      val ev = t(s, dir, "events")
+      val a = ev.filter(F.col("user_id") % 2 === 0)
+      val b = ev.filter(F.col("user_id") % 2 =!= 0)
+      graft.pipeline.Drift.chiSquareDrift(a, b, "event_type")
+        .orderBy("category")
+    }),
+
     // exact duplicated-substring spans (Lee et al. 2021 style): every
     // 8-token gram occurring >= 2x in the corpus marks its span;
     // overlapping/adjacent marks merge into maximal spans
@@ -3611,6 +3691,113 @@ object SparkEntry {
         |            WHERE inter >= (sa.sz + sb.sz - inter) * 0.8)
         |SELECT count(*) AS kept, CAST(sum(doc_id) AS BIGINT) AS kept_id_sum
         |FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM removed)""".stripMargin,
+    "q_dedup_jaccard_join" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text || ' zzextranew'
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |tk AS (SELECT DISTINCT doc_id, tok FROM (
+        |         SELECT doc_id,
+        |                unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+        |         FROM corpus) WHERE tok <> ''),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM tk GROUP BY 1),
+        |pairs AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS inter
+        |          FROM tk a JOIN tk b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT ida AS id_a, idb AS id_b, CAST(inter AS BIGINT) AS inter,
+        |       CAST(sa.sz + sb.sz - inter AS BIGINT) AS uni
+        |FROM pairs JOIN sz sa ON ida = sa.doc_id JOIN sz sb ON idb = sb.doc_id
+        |WHERE inter >= (sa.sz + sb.sz - inter) * 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q_dedup_minhash_auto" ->
+      """WITH sh AS (SELECT DISTINCT doc_id, substr(text, r.i, 5) AS g
+        |            FROM documents, range(1, 1000) r(i) WHERE r.i + 4 <= length(text)),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |pairs AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS inter
+        |          FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT ida AS id_a, idb AS id_b
+        |FROM pairs JOIN sizes sa ON ida = sa.doc_id JOIN sizes sb ON idb = sb.doc_id
+        |WHERE inter >= (sa.sz + sb.sz - inter) * 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q_drift_ks" ->
+      """WITH pool AS (
+        |  SELECT value AS v,
+        |         CASE WHEN event_type IN ('click','view') THEN 1 ELSE 0 END AS sa,
+        |         CASE WHEN event_type IN ('purchase','error') THEN 1 ELSE 0 END AS sb
+        |  FROM events
+        |  WHERE event_type IN ('click','view','purchase','error')
+        |    AND value IS NOT NULL AND NOT isnan(value)),
+        |u AS (SELECT v, CAST(sum(sa) AS BIGINT) AS ca, CAST(sum(sb) AS BIGINT) AS cb
+        |      FROM pool GROUP BY v),
+        |t AS (SELECT CAST(sum(sa) AS BIGINT) AS na, CAST(sum(sb) AS BIGINT) AS nb
+        |      FROM pool),
+        |c AS (SELECT CAST(sum(ca) OVER (ORDER BY v) AS BIGINT) AS fa,
+        |             CAST(sum(cb) OVER (ORDER BY v) AS BIGINT) AS fb FROM u)
+        |SELECT CAST(max(abs(fa * t.nb - fb * t.na)) AS BIGINT) AS d_num,
+        |       t.na AS n_a, t.nb AS n_b,
+        |       CAST(max(abs(fa * t.nb - fb * t.na)) AS DOUBLE) /
+        |         CAST(t.na * t.nb AS DOUBLE) AS d
+        |FROM c, t GROUP BY t.na, t.nb""".stripMargin,
+    "q_drift_ks_sketch" -> "SELECT true AS within_tol",
+    "q_drift_psi_bins" ->
+      """WITH pool AS (
+        |  SELECT value AS v,
+        |         CASE WHEN event_type IN ('click','view') THEN 1 ELSE 0 END AS sa,
+        |         CASE WHEN event_type IN ('purchase','error') THEN 1 ELSE 0 END AS sb
+        |  FROM events
+        |  WHERE event_type IN ('click','view','purchase','error')
+        |    AND value IS NOT NULL AND NOT isnan(value)),
+        |b AS (SELECT CASE WHEN v <= 10.0 THEN 0 WHEN v <= 25.0 THEN 1
+        |                  WHEN v <= 50.0 THEN 2 WHEN v <= 100.0 THEN 3
+        |                  WHEN v <= 250.0 THEN 4 ELSE 5 END AS bin, sa, sb FROM pool),
+        |g AS (SELECT bin, CAST(sum(sa) AS BIGINT) AS count_a,
+        |             CAST(sum(sb) AS BIGINT) AS count_b FROM b GROUP BY 1)
+        |SELECT CAST(r.i AS INTEGER) AS bin,
+        |       coalesce(count_a, CAST(0 AS BIGINT)) AS count_a,
+        |       coalesce(count_b, CAST(0 AS BIGINT)) AS count_b
+        |FROM range(0, 6) r(i) LEFT JOIN g ON g.bin = r.i
+        |ORDER BY bin""".stripMargin,
+    "q_drift_psi" ->
+      """WITH pool AS (
+        |  SELECT value AS v,
+        |         CASE WHEN event_type IN ('click','view') THEN 1 ELSE 0 END AS sa,
+        |         CASE WHEN event_type IN ('purchase','error') THEN 1 ELSE 0 END AS sb
+        |  FROM events
+        |  WHERE event_type IN ('click','view','purchase','error')
+        |    AND value IS NOT NULL AND NOT isnan(value)),
+        |bb AS (SELECT CASE WHEN v <= 10.0 THEN 0 WHEN v <= 25.0 THEN 1
+        |                   WHEN v <= 50.0 THEN 2 WHEN v <= 100.0 THEN 3
+        |                   WHEN v <= 250.0 THEN 4 ELSE 5 END AS bin, sa, sb FROM pool),
+        |g AS (SELECT bin, sum(sa) AS count_a, sum(sb) AS count_b FROM bb GROUP BY 1),
+        |f AS (SELECT CAST(coalesce(count_a, 0) AS DOUBLE) AS ca,
+        |             CAST(coalesce(count_b, 0) AS DOUBLE) AS cb
+        |      FROM range(0, 6) r(i) LEFT JOIN g ON g.bin = r.i),
+        |t AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM f)
+        |SELECT round(sum(((ca + 1)/(na + 6) - (cb + 1)/(nb + 6)) *
+        |                 ln(((ca + 1)/(na + 6)) / ((cb + 1)/(nb + 6)))), 4) AS psi
+        |FROM f, t""".stripMargin,
+    "q_drift_chi2" ->
+      """WITH pool AS (
+        |  SELECT event_type AS category,
+        |         CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS sa,
+        |         CASE WHEN user_id % 2 = 0 THEN 0 ELSE 1 END AS sb
+        |  FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL),
+        |g AS (SELECT category, CAST(sum(sa) AS BIGINT) AS count_a,
+        |             CAST(sum(sb) AS BIGINT) AS count_b FROM pool GROUP BY 1),
+        |t AS (SELECT CAST(sum(count_a) AS BIGINT) AS na,
+        |             CAST(sum(count_b) AS BIGINT) AS nb FROM g),
+        |e AS (SELECT category, count_a, count_b,
+        |        CAST(count_a + count_b AS DOUBLE) * CAST(na AS DOUBLE) /
+        |          CAST(na + nb AS DOUBLE) AS ea,
+        |        CAST(count_a + count_b AS DOUBLE) * CAST(nb AS DOUBLE) /
+        |          CAST(na + nb AS DOUBLE) AS eb
+        |      FROM g, t)
+        |SELECT category, count_a, count_b,
+        |       CASE WHEN ea > 0 AND eb > 0 THEN
+        |         round((count_a - ea)*(count_a - ea)/ea +
+        |               (count_b - eb)*(count_b - eb)/eb, 4) END AS contrib
+        |FROM e ORDER BY category""".stripMargin,
     "q_dedup_substring" ->
       """WITH d AS (SELECT doc_id,
         |             list_filter(string_split_regex(text, '\s+'), s -> len(s) > 0) AS toks

@@ -380,6 +380,139 @@ object Dedup {
     df.join(removed, Seq(idCol), "left_anti")
   }
 
+  // ============== exact set-similarity join (prefix filter) ==============
+
+  /** AllPairs/PPJoin prefix length at Jaccard threshold `t`:
+    * |x| - ceil(t*|x|) + 1. The epsilon absorbs IEEE noise in t*|x|
+    * (0.8*5 evaluates to 4.0000000000000002, which would ceil to 5 and
+    * silently SHORTEN the prefix — a recall loss, the one failure mode
+    * an exact join must never have; a too-small ceil only lengthens
+    * the prefix, which costs candidates but never misses a pair). */
+  private def prefixLen(
+      sz: org.apache.spark.sql.Column, t: Double): org.apache.spark.sql.Column =
+    sz - F.ceil(sz * t - 1e-9).cast("int") + 1
+
+  /** Within-bucket pair expansion with the symmetric length filter
+    * applied BEFORE emission: J(x,y) >= t forces t|x| <= |y| and
+    * t|y| <= |x|, so a member pair whose sizes cannot reach the
+    * threshold never materializes a candidate row. */
+  private val sizedPairsBase =
+    (t: Double, ms: Seq[org.apache.spark.sql.Row]) => {
+      val arr = ms.map(r => (r.getLong(0), r.getInt(1)))
+      val out = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+      var i = 0
+      while (i < arr.length) {
+        var j = i + 1
+        while (j < arr.length) {
+          val (ia, sa) = arr(i); val (ib, sb) = arr(j)
+          val lo = math.min(sa, sb).toDouble; val hi = math.max(sa, sb).toDouble
+          if (lo >= t * hi - 1e-9 && ia != ib) {
+            if (ia < ib) out += ((ia, ib)) else out += ((ib, ia))
+          }
+          j += 1
+        }
+        i += 1
+      }
+      out.toSeq
+    }
+
+  /**
+   * EXACT set-similarity self-join at word-token Jaccard >= `threshold`
+   * via prefix filtering (the AllPairs/PPJoin family; Bayardo et al.
+   * WWW'07, Xiao et al. WWW'08): order every document's distinct
+   * tokens by ascending global frequency (rarest first — one total
+   * order corpus-wide); any pair with J(x,y) >= t MUST share a token
+   * within the first |x| - ceil(t|x|) + 1 tokens of BOTH sides, so an
+   * equi-join on prefix tokens alone finds every qualifying pair with
+   * ZERO false negatives — the exact, guaranteed-recall complement to
+   * MinHash-LSH (probabilistic recall). Returns (id_a, id_b, inter,
+   * uni) with id_a < id_b, Jaccard over DISTINCT lower-cased
+   * whitespace tokens, verified exactly.
+   *
+   * Scale shape: one token-frequency aggregate (map-side combined), a
+   * per-doc rank window, and a self-join keyed on PREFIX tokens only.
+   * The frequent tokens that would flood join buckets sort to the END
+   * of the rarity order and fall outside every prefix, so bucket sizes
+   * shrink as the corpus (and its stopword frequencies) grows — the
+   * opposite of a naive token join. Exact verification touches only
+   * candidates; `maxBucket` caps pathological buckets
+   * (accumulator-counted) as a safety valve.
+   */
+  def jaccardPrefixPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.8,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, s"threshold in (0,1]: $threshold")
+    val toks = df.select(
+        F.col(idCol),
+        F.array_distinct(wsTokens(F.lower(F.col(textCol)))).as("__toks"))
+      .withColumn("__sz", F.size(F.col("__toks")))
+      .filter(F.col("__sz") > 0)
+      .localCheckpoint(eager = false)
+    val occ = toks.select(
+      F.col(idCol), F.col("__sz"), F.explode(F.col("__toks")).as("__tok"))
+    val tf = occ.groupBy(F.col("__tok")).agg(F.count(F.lit(1)).as("__tf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(F.col(idCol)).orderBy(F.col("__tf").asc, F.col("__tok").asc)
+    val prefix = occ.join(tf, "__tok")
+      .withColumn("__rk", F.row_number().over(w))
+      .filter(F.col("__rk") <= prefixLen(F.col("__sz"), threshold))
+      .select(F.col(idCol), F.col("__sz"), F.col("__tok"))
+    val grouped = prefix.groupBy(F.col("__tok"))
+      .agg(F.collect_list(
+        F.struct(F.col(idCol).as("_1"), F.col("__sz").as("_2"))).as("__ms"))
+      .filter(F.size(F.col("__ms")) > 1)
+    val sizedPairs = F.udf(sizedPairsBase.curried(threshold))
+    val candidates = capBuckets(grouped, F.size(F.col("__ms")), maxBucket, "jaccardPrefix")
+      .select(F.explode(sizedPairs(F.col("__ms"))).as("__p"))
+      .select(F.col("__p._1").as("id_a"), F.col("__p._2").as("id_b"))
+      .distinct()
+    verifyJaccard(candidates, toks.select(F.col(idCol), F.col("__toks")),
+      idCol, "__toks", threshold)
+  }
+
+  /**
+   * MinHash-LSH parameter auto-dial: choose (bands b, rowsPerBand r)
+   * with b*r <= maxHashes whose S-curve midpoint (1/b)^(1/r) — the
+   * Jaccard at which a pair's bucket-collision probability crosses
+   * ~50% — sits closest to `threshold`. Fixed (b, r) are a scale trap
+   * the same way fixed nprobe is for IVF: a dial tuned for t=0.8
+   * silently under-recalls when a pipeline reuses it at t=0.6. Ties
+   * prefer more total hashes (sharper S-curve), then more rows per
+   * band (fewer, larger bands — cheaper shuffle keys).
+   */
+  def lshParamsFor(threshold: Double, maxHashes: Int = 128): (Int, Int) = {
+    require(threshold > 0.0 && threshold < 1.0, s"threshold in (0,1): $threshold")
+    require(maxHashes >= 2, s"maxHashes >= 2: $maxHashes")
+    // the OPH signature kernel requires numHashes = b*r to be a power
+    // of two >= 2 (its positions derive from high bits of one hash)
+    val cands = for {
+      r <- 1 to maxHashes
+      b <- 2 to maxHashes / r
+      if Integer.bitCount(b * r) == 1
+    } yield (b, r)
+    cands.minBy { case (b, r) =>
+      val mid = math.pow(1.0 / b, 1.0 / r)
+      (math.abs(mid - threshold), -(b * r), -r)
+    }
+  }
+
+  /** [[nearDuplicatePairs]] with LSH geometry derived from the
+    * threshold via [[lshParamsFor]] instead of caller-fixed (b, r). */
+  def nearDuplicatePairsAuto(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 5,
+      threshold: Double = 0.8,
+      maxHashes: Int = 128,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val (b, r) = lshParamsFor(threshold, maxHashes)
+    nearDuplicatePairs(df, idCol, textCol, shingleSize, threshold, b, r, maxBucket)
+  }
+
   /**
    * Embedding-cosine near-duplicate pairs: random-hyperplane LSH
    * candidate generation (corpus self-join on (table, signature)

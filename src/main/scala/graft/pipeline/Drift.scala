@@ -1,0 +1,231 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.expressions.Window
+
+/**
+ * Corpus drift detection — compare the distribution of a metric (or a
+ * categorical label) between two corpus snapshots. This is the
+ * monitoring layer a refresh pipeline runs before promoting a new
+ * crawl: did the quality-score / length / source mix shift enough to
+ * block the release?
+ *
+ * Three complementary statistics:
+ *  - [[ksStatistic]]: EXACT two-sample Kolmogorov–Smirnov distance in
+ *    integer arithmetic (cross-engine bit-exact), computed with a
+ *    scalable two-phase cumulative sum — range-bucketed windows, no
+ *    single-partition global window.
+ *  - [[ksStatisticSketch]]: the 100 TB path — one DDSketch aggregate
+ *    per side (single pass, mergeable, map-side combined) and
+ *    driver-side CDF comparison over the union of bin boundaries;
+ *    error bounded by the sketches' relative accuracy.
+ *  - [[psiBins]]/[[psiStatistic]] and [[chiSquareDrift]]: population
+ *    stability index over caller-fixed cutoffs, and the chi-square
+ *    homogeneity statistic for categorical columns. Per-bin counts
+ *    are exact integers.
+ */
+object Drift {
+
+  /** Tag-union the metric column of two frames: (__v, __ca, __cb).
+    * NULL / NaN metric rows are excluded from both sides. */
+  private def tagged(a: DataFrame, b: DataFrame, col: String): DataFrame = {
+    def side(df: DataFrame, ca: Int, cb: Int) =
+      df.select(F.col(col).cast("double").as("__v"),
+          F.lit(ca.toLong).as("__ca"), F.lit(cb.toLong).as("__cb"))
+        .filter(F.col("__v").isNotNull && !F.isnan(F.col("__v")))
+    side(a, 1, 0).unionAll(side(b, 0, 1))
+  }
+
+  /**
+   * Exact two-sample KS distance between `col` in `a` and `b`. ONE
+   * output row: (d_num, n_a, n_b, d) with
+   * `d = sup_x |F_a(x) - F_b(x)| = d_num / (n_a * n_b)` and `d_num`
+   * the max over distinct pooled values of |cum_a*n_b - cum_b*n_a| —
+   * integer arithmetic end-to-end, so d_num/n_a/n_b are bit-exact
+   * across engines and `d` is a single IEEE division of exact longs.
+   *
+   * Scale shape: one (value)-grouped aggregate (map-side combined),
+   * then a two-phase cumulative sum: distinct values route into
+   * `buckets` RANGE buckets (bounds from approx quantiles — one tiny
+   * driver action at call time, like bloomPrune's eager build), the
+   * within-bucket window cumsum runs per bucket in parallel, and the
+   * per-bucket totals (<= buckets rows) get prefix offsets broadcast
+   * back. Bucketing only routes execution: strict `bound < v`
+   * comparison keeps ties in one bucket, so the global value order —
+   * and therefore the statistic — is independent of the bounds.
+   */
+  def ksStatistic(
+      a: DataFrame, b: DataFrame, col: String, buckets: Int = 64): DataFrame = {
+    val u = tagged(a, b, col).groupBy(F.col("__v"))
+      .agg(F.sum(F.col("__ca")).as("__ca"), F.sum(F.col("__cb")).as("__cb"))
+      .localCheckpoint(eager = false)
+    val nb = math.max(1, buckets)
+    val bounds: Seq[Double] =
+      if (nb == 1) Nil
+      else {
+        val probs = (1 until nb).map(_.toDouble / nb).toArray
+        val row = u.agg(F.percentile_approx(
+          F.col("__v"), F.lit(probs), F.lit(10000)).as("q")).first()
+        if (row.isNullAt(0)) Nil else row.getSeq[Double](0).distinct.sorted
+      }
+    val bucketed =
+      if (bounds.isEmpty) u.withColumn("__bk", F.lit(0))
+      else {
+        val bLit = F.array(bounds.map(F.lit(_)): _*)
+        u.withColumn("__bk", F.size(F.filter(bLit, c => c < F.col("__v"))))
+      }
+    val wIn = Window.partitionBy(F.col("__bk")).orderBy(F.col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val within = bucketed
+      .withColumn("__fa", F.sum(F.col("__ca")).over(wIn))
+      .withColumn("__fb", F.sum(F.col("__cb")).over(wIn))
+    // <= `buckets` rows: the tiny cross-bucket prefix offsets
+    val wOff = Window.orderBy(F.col("__bk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketed.groupBy(F.col("__bk"))
+      .agg(F.sum(F.col("__ca")).as("__ta"), F.sum(F.col("__cb")).as("__tb"))
+      .select(F.col("__bk"),
+        F.coalesce(F.sum(F.col("__ta")).over(wOff), F.lit(0L)).as("__oa"),
+        F.coalesce(F.sum(F.col("__tb")).over(wOff), F.lit(0L)).as("__ob"))
+    val totals = u.agg(
+      F.sum(F.col("__ca")).as("n_a"), F.sum(F.col("__cb")).as("n_b"))
+    within.join(F.broadcast(offsets), "__bk")
+      .select((F.col("__fa") + F.col("__oa")).as("__Fa"),
+              (F.col("__fb") + F.col("__ob")).as("__Fb"))
+      .crossJoin(F.broadcast(totals))
+      .agg(
+        F.max(F.abs(F.col("__Fa") * F.col("n_b") - F.col("__Fb") * F.col("n_a")))
+          .as("d_num"),
+        F.first(F.col("n_a")).as("n_a"), F.first(F.col("n_b")).as("n_b"))
+      .withColumn("d", F.when(F.col("n_a") > 0 && F.col("n_b") > 0,
+        F.col("d_num").cast("double") /
+          (F.col("n_a") * F.col("n_b")).cast("double")))
+  }
+
+  /**
+   * Sketch-based KS distance — the corpus-scale path. Each side
+   * aggregates to ONE DDSketch (single pass, mergeable); the CDFs
+   * compare driver-side at every bin boundary of either sketch (the
+   * only points where either CDF steps). |d_est - d_exact| is bounded
+   * by the mass of the straddling bins plus the 2*accuracy bin-edge
+   * blur. Output: one row (d_est DOUBLE).
+   */
+  def ksStatisticSketch(
+      a: DataFrame, b: DataFrame, col: String,
+      accuracy: Double = 0.01): DataFrame = {
+    import graft.sketch.{functions => S}
+    def sketchOf(df: DataFrame): graft.sketch.DDSketch = {
+      val blob = df
+        .select(F.col(col).cast("double").as("__v"))
+        .filter(F.col("__v").isNotNull && !F.isnan(F.col("__v")))
+        .agg(S.ddsketch_agg_values(F.col("__v"), accuracy).as("__s"))
+        .first().getAs[Array[Byte]](0)
+      if (blob == null) graft.sketch.DDSketch(accuracy)
+      else graft.sketch.DataDogCodec.decode(blob)
+    }
+    val (da, db) = (sketchOf(a), sketchOf(b))
+    def points(s: graft.sketch.DDSketch): Seq[Double] = {
+      val p = (0 until s.positives.size).map(i => s.binToValue(s.positives.indexAt(i)))
+      val n = (0 until s.negatives.size).map(i => -s.binToValue(s.negatives.indexAt(i)))
+      p ++ n :+ 0.0
+    }
+    val pts = (points(da) ++ points(db)).distinct
+    val d =
+      if (da.isEmpty || db.isEmpty) 0.0
+      else pts.map(x => math.abs(da.cdf(x) - db.cdf(x))).max
+    val spark = a.sparkSession
+    import spark.implicits._
+    Seq(d).toDF("d_est")
+  }
+
+  /** Bin index for caller-fixed ascending cutoffs: the count of cuts
+    * strictly below v — v <= cuts(0) lands in bin 0, v in
+    * (cuts(i-1), cuts(i)] in bin i, v > cuts(last) in bin cuts.size. */
+  private def binOf(cuts: Seq[Double]) = {
+    val bLit = F.array(cuts.map(F.lit(_)): _*)
+    (v: org.apache.spark.sql.Column) => F.size(F.filter(bLit, c => c < v))
+  }
+
+  /**
+   * Per-bin counts for the population-stability index over caller-fixed
+   * `cuts` (ascending): (bin, count_a, count_b) for every bin
+   * 0..cuts.size including empty ones (the smoothing in
+   * [[psiStatistic]] needs the full bin range). Cutoffs are caller
+   * columns by design — the Fim trick — so cross-engine oracles replay
+   * them as literals; derive them from DDSketch quantiles of the
+   * reference snapshot when calling at scale.
+   */
+  def psiBins(
+      a: DataFrame, b: DataFrame, col: String, cuts: Seq[Double]): DataFrame = {
+    require(cuts.nonEmpty, "psiBins needs at least one cutoff")
+    require(cuts == cuts.distinct.sorted, s"cuts must be ascending: $cuts")
+    val counts = tagged(a, b, col)
+      .withColumn("__bin", binOf(cuts)(F.col("__v")))
+      .groupBy(F.col("__bin"))
+      .agg(F.sum(F.col("__ca")).as("count_a"), F.sum(F.col("__cb")).as("count_b"))
+    a.sparkSession.range(cuts.size + 1)
+      .select(F.col("id").cast("int").as("__bin"))
+      .join(counts, Seq("__bin"), "left")
+      .select(F.col("__bin").as("bin"),
+        F.coalesce(F.col("count_a"), F.lit(0L)).as("count_a"),
+        F.coalesce(F.col("count_b"), F.lit(0L)).as("count_b"))
+  }
+
+  /**
+   * PSI = sum over bins of (p_a - p_b) * ln(p_a / p_b), with add-one
+   * (Laplace) smoothing p = (count+1)/(n+bins) so empty bins
+   * contribute finitely. ln is libm (<= 1 ulp), so the statistic is
+   * rounded to `roundTo` decimals — the repo's convention for
+   * anything summed across rows through pow/log. One row: (psi).
+   */
+  def psiStatistic(
+      a: DataFrame, b: DataFrame, col: String, cuts: Seq[Double],
+      roundTo: Int = 4): DataFrame = {
+    val k = cuts.size + 1
+    val bins = psiBins(a, b, col, cuts).localCheckpoint(eager = false)
+    val totals = bins.agg(
+      F.sum(F.col("count_a")).as("__na"), F.sum(F.col("count_b")).as("__nb"))
+    bins.crossJoin(F.broadcast(totals))
+      .select(
+        ((F.col("count_a") + 1).cast("double") /
+          (F.col("__na") + k).cast("double")).as("__pa"),
+        ((F.col("count_b") + 1).cast("double") /
+          (F.col("__nb") + k).cast("double")).as("__pb"))
+      .agg(F.round(F.sum(
+        (F.col("__pa") - F.col("__pb")) * F.log(F.col("__pa") / F.col("__pb"))),
+        roundTo).as("psi"))
+  }
+
+  /**
+   * Chi-square homogeneity per category for a categorical column: one
+   * row per observed category with exact counts and the category's
+   * contribution (O_a-E_a)^2/E_a + (O_b-E_b)^2/E_b to the statistic
+   * (rounded to `roundTo`; the full chi-square is their sum). Scale
+   * shape: one grouped aggregate, a 1-row broadcast re-attach.
+   */
+  def chiSquareDrift(
+      a: DataFrame, b: DataFrame, col: String, roundTo: Int = 4): DataFrame = {
+    def side(df: DataFrame, ca: Int, cb: Int) =
+      df.select(F.col(col).cast("string").as("category"),
+          F.lit(ca.toLong).as("__ca"), F.lit(cb.toLong).as("__cb"))
+        .filter(F.col("category").isNotNull)
+    val counts = side(a, 1, 0).unionAll(side(b, 0, 1))
+      .groupBy(F.col("category"))
+      .agg(F.sum(F.col("__ca")).as("count_a"), F.sum(F.col("__cb")).as("count_b"))
+      .localCheckpoint(eager = false)
+    val totals = counts.agg(
+      F.sum(F.col("count_a")).as("__na"), F.sum(F.col("count_b")).as("__nb"))
+    val n = (F.col("__na") + F.col("__nb")).cast("double")
+    val ea = (F.col("count_a") + F.col("count_b")).cast("double") *
+      F.col("__na").cast("double") / n
+    val eb = (F.col("count_a") + F.col("count_b")).cast("double") *
+      F.col("__nb").cast("double") / n
+    counts.crossJoin(F.broadcast(totals))
+      .select(F.col("category"), F.col("count_a"), F.col("count_b"),
+        F.when(ea > 0 && eb > 0, F.round(
+          (F.col("count_a") - ea) * (F.col("count_a") - ea) / ea +
+          (F.col("count_b") - eb) * (F.col("count_b") - eb) / eb, roundTo))
+          .as("contrib"))
+  }
+}
