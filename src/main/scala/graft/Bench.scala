@@ -819,6 +819,26 @@ object Bench {
           F.sum(F.when(F.col("p.valid"), 1L).otherwise(0L)).as("valid"),
           F.sum(F.col("p.masked_chars")).as("masked"),
           F.sum(F.col("p.rendered_chars")).as("rendered"))
+    }),
+
+    // exact prefix-filter set-similarity self-join (guaranteed recall)
+    // at word Jaccard 0.9 — the synthetic same-vocab corpus is the
+    // worst case for token joins; the rarity-ordered prefix is what
+    // keeps candidates sub-quadratic
+    "b_jaccard_join" -> ((s: SparkSession, dir: String) => {
+      graft.pipeline.Dedup.jaccardPrefixPairs(
+          t(s, dir, "documents"), "doc_id", "text", threshold = 0.9)
+        .agg(F.count(F.lit(1)).as("pairs"), F.sum(F.col("inter")).as("i"))
+    }),
+
+    // corpus drift: exact integer-math KS + PSI between event cohorts
+    "b_drift" -> ((s: SparkSession, dir: String) => {
+      val ev = t(s, dir, "events")
+      val a = ev.filter(F.col("event_type").isin("click", "view"))
+      val b = ev.filter(F.col("event_type").isin("purchase", "error"))
+      graft.pipeline.Drift.ksStatistic(a, b, "value")
+        .crossJoin(graft.pipeline.Drift.psiStatistic(
+          a, b, "value", Seq(10.0, 25.0, 50.0, 100.0, 250.0)))
     })
   )
 
