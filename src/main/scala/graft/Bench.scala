@@ -801,6 +801,20 @@ object Bench {
         .agg(F.count(F.lit(1)).as("pairs"), F.avg(F.col("margin")).as("m"))
     }),
 
+    // GPT-style global token-stream packing: layout + materialized
+    // 1024-token id sequences (RangeCumsum two-phase offsets, one
+    // seq_id exchange for the re-window)
+    "b_pack_stream" -> ((s: SparkSession, dir: String) => {
+      val docs = t(s, dir, "documents").filter(F.col("text").isNotNull)
+      val ids = F.transform(
+        F.filter(F.split(F.col("text"), "\\s+"), w => F.length(w) > 0),
+        w => F.length(w).cast("int"))
+      graft.pipeline.Packing.packTokenIds(
+          docs, "doc_id", ids, seqLen = 1024L, eosId = 0)
+        .agg(F.count(F.lit(1)).as("seqs"),
+          F.sum(F.size(F.col("ids"))).as("toks"))
+    }),
+
     // FFD packing of the corpus into 4096-char packs per source
     "b_pack_ffd" -> ((s: SparkSession, dir: String) => {
       graft.pipeline.Packing.packBestFit(

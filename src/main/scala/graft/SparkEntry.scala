@@ -1149,6 +1149,36 @@ object SparkEntry {
         .orderBy("category")
     }),
 
+    // GPT-style global token-stream packing: docs + EOS concatenate in
+    // doc_id order, cut into 256-token sequences (docs straddle
+    // boundaries); per-sequence occupancy is pure integer math
+    "q_pack_stream" -> ((s: SparkSession, dir: String) => {
+      val docs = t(s, dir, "documents").filter(F.col("text").isNotNull)
+      val nToks = F.size(F.filter(
+        F.split(F.col("text"), "\\s+"), w => F.length(w) > 0))
+      val layout = graft.pipeline.Packing.packTokenStream(
+        docs, "doc_id", nToks, seqLen = 256L)
+      graft.pipeline.Packing.packedSequenceStats(layout, 256L)
+        .orderBy("seq_id")
+    }),
+
+    // materialized packed sequences (token ids = word lengths, EOS=0):
+    // per-sequence count + id sum pins both the layout AND the
+    // within-sequence contents cross-engine
+    "q_pack_ids" -> ((s: SparkSession, dir: String) => {
+      val docs = t(s, dir, "documents").filter(F.col("text").isNotNull)
+      val ids = F.transform(
+        F.filter(F.split(F.col("text"), "\\s+"), w => F.length(w) > 0),
+        w => F.length(w).cast("int"))
+      graft.pipeline.Packing.packTokenIds(
+          docs, "doc_id", ids, seqLen = 128L, eosId = 0)
+        .select(F.col("seq_id"),
+          F.size(F.col("ids")).cast("long").as("n_tokens"),
+          F.aggregate(F.col("ids"), F.lit(0L),
+            (acc, x) => acc + x.cast("long")).as("id_sum"))
+        .orderBy("seq_id")
+    }),
+
     // exact duplicated-substring spans (Lee et al. 2021 style): every
     // 8-token gram occurring >= 2x in the corpus marks its span;
     // overlapping/adjacent marks merge into maximal spans
@@ -3798,6 +3828,42 @@ object SparkEntry {
         |         round((count_a - ea)*(count_a - ea)/ea +
         |               (count_b - eb)*(count_b - eb)/eb, 4) END AS contrib
         |FROM e ORDER BY category""".stripMargin,
+    "q_pack_stream" ->
+      """WITH d AS (SELECT doc_id,
+        |             CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+        |                                  x -> x <> '')) AS BIGINT) AS n
+        |           FROM documents WHERE text IS NOT NULL),
+        |o AS (SELECT doc_id, n,
+        |        CAST(coalesce(sum(n + 1) OVER (ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |          AS off
+        |      FROM d),
+        |s AS (SELECT off, n,
+        |        unnest(generate_series(off // 256, (off + n) // 256)) AS seq_id
+        |      FROM o)
+        |SELECT seq_id, count(*) AS n_docs,
+        |       CAST(sum(least((seq_id+1)*256 - 1, off + n) -
+        |                greatest(seq_id*256, off) + 1) AS BIGINT) AS n_tokens
+        |FROM s GROUP BY 1 ORDER BY seq_id""".stripMargin,
+    "q_pack_ids" ->
+      """WITH d AS (SELECT doc_id, list_append(
+        |             list_transform(
+        |               list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''),
+        |               x -> CAST(length(x) AS INTEGER)), 0) AS ids
+        |           FROM documents WHERE text IS NOT NULL),
+        |o AS (SELECT doc_id, ids,
+        |        CAST(coalesce(sum(len(ids)) OVER (ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |          AS off
+        |      FROM d),
+        |p AS (SELECT off, ids,
+        |        unnest(generate_series(CAST(1 AS BIGINT),
+        |                               CAST(len(ids) AS BIGINT))) AS i
+        |      FROM o),
+        |t AS (SELECT (off + i - 1) // 128 AS seq_id, ids[i] AS tok FROM p)
+        |SELECT seq_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |       CAST(sum(tok) AS BIGINT) AS id_sum
+        |FROM t GROUP BY 1 ORDER BY seq_id""".stripMargin,
     "q_dedup_substring" ->
       """WITH d AS (SELECT doc_id,
         |             list_filter(string_split_regex(text, '\s+'), s -> len(s) > 0) AS toks

@@ -46,53 +46,21 @@ object Drift {
    * across engines and `d` is a single IEEE division of exact longs.
    *
    * Scale shape: one (value)-grouped aggregate (map-side combined),
-   * then a two-phase cumulative sum: distinct values route into
-   * `buckets` RANGE buckets (bounds from approx quantiles — one tiny
-   * driver action at call time, like bloomPrune's eager build), the
-   * within-bucket window cumsum runs per bucket in parallel, and the
-   * per-bucket totals (<= buckets rows) get prefix offsets broadcast
-   * back. Bucketing only routes execution: strict `bound < v`
-   * comparison keeps ties in one bucket, so the global value order —
-   * and therefore the statistic — is independent of the bounds.
+   * then the [[RangeCumsum]] two-phase cumulative sum — range-bucketed
+   * parallel windows plus broadcast prefix offsets, never a
+   * single-partition global window. Grouping first makes the order
+   * key unique, which RangeCumsum requires.
    */
   def ksStatistic(
       a: DataFrame, b: DataFrame, col: String, buckets: Int = 64): DataFrame = {
     val u = tagged(a, b, col).groupBy(F.col("__v"))
       .agg(F.sum(F.col("__ca")).as("__ca"), F.sum(F.col("__cb")).as("__cb"))
       .localCheckpoint(eager = false)
-    val nb = math.max(1, buckets)
-    val bounds: Seq[Double] =
-      if (nb == 1) Nil
-      else {
-        val probs = (1 until nb).map(_.toDouble / nb).toArray
-        val row = u.agg(F.percentile_approx(
-          F.col("__v"), F.lit(probs), F.lit(10000)).as("q")).first()
-        if (row.isNullAt(0)) Nil else row.getSeq[Double](0).distinct.sorted
-      }
-    val bucketed =
-      if (bounds.isEmpty) u.withColumn("__bk", F.lit(0))
-      else {
-        val bLit = F.array(bounds.map(F.lit(_)): _*)
-        u.withColumn("__bk", F.size(F.filter(bLit, c => c < F.col("__v"))))
-      }
-    val wIn = Window.partitionBy(F.col("__bk")).orderBy(F.col("__v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val within = bucketed
-      .withColumn("__fa", F.sum(F.col("__ca")).over(wIn))
-      .withColumn("__fb", F.sum(F.col("__cb")).over(wIn))
-    // <= `buckets` rows: the tiny cross-bucket prefix offsets
-    val wOff = Window.orderBy(F.col("__bk"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = bucketed.groupBy(F.col("__bk"))
-      .agg(F.sum(F.col("__ca")).as("__ta"), F.sum(F.col("__cb")).as("__tb"))
-      .select(F.col("__bk"),
-        F.coalesce(F.sum(F.col("__ta")).over(wOff), F.lit(0L)).as("__oa"),
-        F.coalesce(F.sum(F.col("__tb")).over(wOff), F.lit(0L)).as("__ob"))
     val totals = u.agg(
       F.sum(F.col("__ca")).as("n_a"), F.sum(F.col("__cb")).as("n_b"))
-    within.join(F.broadcast(offsets), "__bk")
-      .select((F.col("__fa") + F.col("__oa")).as("__Fa"),
-              (F.col("__fb") + F.col("__ob")).as("__Fb"))
+    RangeCumsum.inclusive(u, F.col("__v"),
+        Seq((F.col("__ca"), "__Fa"), (F.col("__cb"), "__Fb")), buckets)
+      .select(F.col("__Fa"), F.col("__Fb"))
       .crossJoin(F.broadcast(totals))
       .agg(
         F.max(F.abs(F.col("__Fa") * F.col("n_b") - F.col("__Fb") * F.col("n_a")))

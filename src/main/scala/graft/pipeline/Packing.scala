@@ -70,6 +70,95 @@ object Packing {
   }
 
   /**
+   * GPT-style GLOBAL token-stream layout: documents (plus one EOS
+   * token each) concatenate in ascending `idCol` order into one
+   * corpus-wide token stream that is cut into fixed `seqLen` windows —
+   * documents STRADDLE sequence boundaries (no padding, no waste),
+   * exactly the layout causal-LM pretraining consumes. Returns one row
+   * per document: (id, n_tokens, token_offset, first_seq, last_seq)
+   * where the doc's tokens (EOS included) occupy global positions
+   * [token_offset, token_offset + n_tokens] and sequences
+   * first_seq..last_seq.
+   *
+   * Unlike [[packSequences]] (per-stratum, whole-document packs), the
+   * offset here is a GLOBAL exclusive prefix sum — computed with the
+   * [[RangeCumsum]] two-phase cumsum (range-bucketed parallel windows
+   * + broadcast prefix offsets), so no single-partition window ever
+   * forms. Pure integer math: the layout is a function of
+   * (id order, token counts) alone, reproducible across engines.
+   */
+  def packTokenStream(
+      df: DataFrame,
+      idCol: String,
+      nTokensCol: Column,
+      seqLen: Long): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    val base = df.select(F.col(idCol), nTokensCol.cast("long").as("n_tokens"))
+      .filter(F.col("n_tokens").isNotNull && F.col("n_tokens") >= 0)
+    val cum = RangeCumsum.inclusive(
+      base, F.col(idCol), Seq(((F.col("n_tokens") + 1L), "__incl")))
+    cum
+      .withColumn("token_offset", F.col("__incl") - (F.col("n_tokens") + 1L))
+      .withColumn("first_seq", F.expr(s"token_offset div ${seqLen}L"))
+      .withColumn("last_seq",
+        F.expr(s"(token_offset + n_tokens) div ${seqLen}L"))
+      .drop("__incl")
+  }
+
+  /**
+   * Per-sequence occupancy stats for a [[packTokenStream]] layout:
+   * (seq_id, n_docs, n_tokens) — how many documents intersect each
+   * `seqLen` window and how many of its tokens they fill (the last
+   * sequence may be partial; all others are exactly full). Map-side
+   * explode of each doc's first_seq..last_seq span (bounded fanout:
+   * a doc touches ceil(n/seqLen)+1 sequences) + one aggregate.
+   */
+  def packedSequenceStats(layout: DataFrame, seqLen: Long): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    layout
+      .select(F.col("token_offset"), F.col("n_tokens"),
+        F.explode(F.sequence(F.col("first_seq"), F.col("last_seq"))).as("seq_id"))
+      .withColumn("__s", F.greatest(F.col("seq_id") * seqLen, F.col("token_offset")))
+      .withColumn("__e", F.least(
+        (F.col("seq_id") + 1L) * seqLen - 1L,
+        F.col("token_offset") + F.col("n_tokens")))
+      .groupBy(F.col("seq_id"))
+      .agg(F.count(F.lit(1)).as("n_docs"),
+        F.sum(F.col("__e") - F.col("__s") + 1L).as("n_tokens"))
+  }
+
+  /**
+   * Materialize the packed sequences themselves: documents' token-id
+   * arrays (with `eosId` appended) concatenate in `idCol` order and
+   * re-window into `seqLen`-sized id arrays — (seq_id, ids). One
+   * map-side position explode + ONE hash exchange on seq_id; the
+   * within-sequence order is pinned by sort_array on (position, id),
+   * never by collect order.
+   */
+  def packTokenIds(
+      df: DataFrame,
+      idCol: String,
+      idsCol: Column,
+      seqLen: Long,
+      eosId: Int): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    val base = df.select(F.col(idCol),
+        F.concat(idsCol.cast("array<int>"), F.array(F.lit(eosId))).as("__ids"))
+      .filter(F.col("__ids").isNotNull)
+    val layout = packTokenStream(
+      base, idCol, F.size(F.col("__ids")) - 1, seqLen)
+    base.join(layout, idCol)
+      .select(F.col("token_offset"),
+        F.posexplode(F.col("__ids")).as(Seq("__i", "__tok")))
+      .withColumn("__pos", F.col("token_offset") + F.col("__i"))
+      .groupBy(F.expr(s"__pos div ${seqLen}L").as("seq_id"))
+      .agg(F.transform(
+        F.sort_array(F.collect_list(F.struct(
+          (F.col("__pos") % seqLen).cast("int").as("p"), F.col("__tok").as("t")))),
+        s => s.getField("t")).as("ids"))
+  }
+
+  /**
    * First-fit-decreasing packing: within each stratum, documents sort
    * by (tokens DESC, id ASC) and greedily take the first open pack
    * with room — the classic FFD bin-packing heuristic (never worse

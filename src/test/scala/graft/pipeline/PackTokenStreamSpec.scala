@@ -1,0 +1,67 @@
+package graft.pipeline
+
+import graft.SparkTestBase
+import org.apache.spark.sql.{functions => F}
+
+class PackTokenStreamSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, Seq(10, 11, 12)),          // 3 tokens + EOS -> [0,3]
+    (2L, Seq(20)),                  // [4,5]
+    (3L, Seq(30, 31, 32, 33, 34)),  // [6,11]
+    (4L, Seq.empty[Int]),           // EOS only [12,12]
+    (5L, Seq(50, 51)))              // [13,15]
+
+  test("packTokenStream: offsets and sequence spans match the driver layout") {
+    val layout = Packing.packTokenStream(
+        docs.toDF("id", "ids"), "id", F.size(F.col("ids")), seqLen = 4L)
+      .orderBy("id")
+      .select("id", "n_tokens", "token_offset", "first_seq", "last_seq")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(layout == Seq(
+      (1L, 3L, 0L, 0L, 0L),
+      (2L, 1L, 4L, 1L, 1L),
+      (3L, 5L, 6L, 1L, 2L),
+      (4L, 0L, 12L, 3L, 3L),
+      (5L, 2L, 13L, 3L, 3L)))
+  }
+
+  test("packedSequenceStats: every sequence full except the last; totals add up") {
+    val layout = Packing.packTokenStream(
+      docs.toDF("id", "ids"), "id", F.size(F.col("ids")), seqLen = 4L)
+    val stats = Packing.packedSequenceStats(layout, 4L).orderBy("seq_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(stats == Seq((0L, 1L, 4L), (1L, 2L, 4L), (2L, 1L, 4L), (3L, 2L, 4L)))
+    assert(stats.map(_._3).sum == docs.map(_._2.size + 1).sum)
+  }
+
+  test("packTokenIds: flattening the sequences reconstructs the EOS-joined stream") {
+    val expected = docs.sortBy(_._1).flatMap { case (_, ids) => ids :+ -1 }
+    for (seqLen <- Seq(3L, 4L, 7L, 100L)) {
+      val seqs = Packing.packTokenIds(
+          docs.toDF("id", "ids"), "id", F.col("ids"), seqLen, eosId = -1)
+        .orderBy("seq_id").as[(Long, Seq[Int])].collect().toSeq
+      assert(seqs.map(_._1) == seqs.indices.map(_.toLong), s"seqLen=$seqLen")
+      assert(seqs.flatMap(_._2) == expected, s"seqLen=$seqLen")
+      seqs.dropRight(1).foreach { case (_, ids) =>
+        assert(ids.size == seqLen, s"seqLen=$seqLen")
+      }
+    }
+  }
+
+  test("packTokenStream on a larger randomized corpus stays consistent") {
+    val rnd = new scala.util.Random(11)
+    val big = (1L to 500L).map(i => (i, Seq.fill(rnd.nextInt(30))(1)))
+    val layout = Packing.packTokenStream(
+      big.toDF("id", "ids"), "id", F.size(F.col("ids")), seqLen = 64L)
+    val rows = layout.orderBy("id")
+      .select("n_tokens", "token_offset").as[(Long, Long)].collect().toSeq
+    var off = 0L
+    big.foreach { case (i, ids) =>
+      val (n, o) = rows((i - 1).toInt)
+      assert(n == ids.size && o == off, s"id=$i")
+      off += ids.size + 1
+    }
+  }
+}
