@@ -1990,6 +1990,32 @@ object SparkEntry {
           F.lit(jsonOk).as("tokenizer_json_roundtrip"))
     }),
 
+    // byte-level (GPT-2-style) BPE: pre-tokenize with the GPT-2 regex,
+    // map to the 256-char byte alphabet, learn merges, tokenize. The
+    // oracle has two exact cross-engine hooks: the token strings
+    // partition the UTF-8 byte stream (sum of token lengths in the
+    // byte alphabet == DuckDB strlen, which counts BYTES), and the
+    // lossless decode/id round-trips pin as booleans
+    "q_bpe_bytelevel" -> ((s: SparkSession, dir: String) => {
+      val docs = t(s, dir, "documents")
+      val merges = graft.pipeline.ByteLevelBpe.learnMerges(docs, "text", 64)
+        .map(m => (m._1, m._2))
+      val decU = F.udf((toks: Seq[String]) =>
+        graft.pipeline.ByteLevelBpe.decodeTokens(toks))
+      val idsDecU = F.udf((ids: Seq[Int]) =>
+        graft.pipeline.ByteLevelBpe.decodeIds(ids, merges))
+      graft.pipeline.ByteLevelBpe.encodeIds(
+          graft.pipeline.ByteLevelBpe.tokenize(docs, "text", merges),
+          "text", merges)
+        .select(
+          F.col("doc_id"),
+          F.aggregate(F.transform(F.col("tokens"), tk => F.length(tk)),
+            F.lit(0L), (a, x) => a + x).as("n_bytes"),
+          (decU(F.col("tokens")) <=> F.col("text")).as("roundtrip_ok"),
+          (idsDecU(F.col("ids")) <=> F.col("text")).as("ids_roundtrip_ok"))
+        .orderBy(F.col("doc_id"))
+    }),
+
     // unigram-LM (SentencePiece-style) tokenizer: EM-trained piece
     // vocabulary + Viterbi segmentation. Non-SQL-expressible DP, so
     // the oracle pins structural invariants computed exactly in Spark:
@@ -5036,6 +5062,12 @@ object SparkEntry {
       "q_tokenize_bpe" ->
         """SELECT count(*) AS docs, true AS rank_eq_seq, true AS reconstructs
           |FROM documents""".stripMargin,
+      // DuckDB strlen counts BYTES: the byte-level token partition is
+      // an exact cross-engine quantity, not just a pinned boolean
+      "q_bpe_bytelevel" ->
+        """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+          |       true AS roundtrip_ok, true AS ids_roundtrip_ok
+          |FROM documents ORDER BY doc_id""".stripMargin,
       "q_tokenizer_roundtrip" ->
         """SELECT count(*) AS docs, true AS merges_roundtrip,
           |       true AS vocab_roundtrip, true AS bpe_tokens_identical,
