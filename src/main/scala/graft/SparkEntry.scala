@@ -633,6 +633,53 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // Structured Streaming end-to-end under the correctness gate: the
+    // events table replayed through a file-source stream into the
+    // watermarked windowed sketch aggregation (AvailableNow trigger,
+    // complete-mode memory sink — deterministic: complete mode
+    // re-emits all windows and sketch merge is bin-count addition,
+    // order-free on integral counts). Hourly counts are exact
+    // cross-engine; the per-window sketch p50 pins as a
+    // rank-tolerance boolean vs the exact order statistic computed
+    // batch-side over the same rows
+    "q_stream_rollup" -> ((s: SparkSession, dir: String) => {
+      Graft.register(s)
+      val ev = t(s, dir, "events")
+        .filter(F.col("ts").isNotNull) // streams drop null event times
+        .select(F.col("ts"), F.col("event_type"), F.col("value"))
+      val tmp = System.getProperty("java.io.tmpdir") + "/graft_q_stream_src"
+      ev.write.mode("overwrite").parquet(tmp)
+      val stream = s.readStream.schema(ev.schema).parquet(tmp)
+      val agg = graft.streaming.SketchStreaming.windowedSketchAgg(
+        stream, "ts", "event_type", "value", "1 hour", "10 minutes")
+      s.catalog.dropTempView("graft_stream_rollup")
+      val q = agg.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName("graft_stream_rollup")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val res = s.table("graft_stream_rollup")
+        .select(F.unix_millis(F.col("window.start")).as("hour_ms"),
+          F.col("event_type"),
+          G.ddsketch_count(F.col("sketch")).as("cnt"),
+          G.ddsketch_quantile(F.col("sketch"), 0.5).as("__p50"))
+      val exact = ev
+        .groupBy(F.date_trunc("hour", F.col("ts")).as("hour"), F.col("event_type"))
+        .agg(F.sort_array(F.collect_list(F.col("value"))).as("__sv"),
+          F.count(F.col("value")).as("__n"))
+        .select(F.unix_millis(F.col("hour")).as("hour_ms"), F.col("event_type"),
+          F.col("__sv"), F.col("__n"))
+      res.join(exact, Seq("hour_ms", "event_type"))
+        .select(F.col("hour_ms"), F.col("event_type"), F.col("cnt"),
+          F.when(F.col("__n") === 0, F.lit(true))
+            .otherwise(F.abs(F.col("__p50") - rankValue(F.col("__sv"), F.col("__n"), 0.5)) <=
+              F.lit(RankTol) * F.abs(rankValue(F.col("__sv"), F.col("__n"), 0.5)))
+            .as("p50_ok"))
+        .orderBy("hour_ms", "event_type")
+    }),
+
     // time bucketing: hourly event counts (epoch millis keys)
     "q_rel_timebucket" -> ((s: SparkSession, dir: String) => {
       t(s, dir, "events")
@@ -3528,6 +3575,13 @@ object SparkEntry {
         |         row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
         |  FROM orders) t WHERE rn = 1
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // the sketch counts only non-null values, so the oracle counts
+    // `value` (not *); null event times are filtered on both sides
+    "q_stream_rollup" ->
+      """SELECT CAST(epoch_ms(date_trunc('hour', ts)) AS BIGINT) AS hour_ms,
+        |       event_type, count(value) AS cnt, true AS p50_ok
+        |FROM events WHERE ts IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY hour_ms, event_type""".stripMargin,
     "q_rel_timebucket" ->
       """SELECT CAST(epoch_ms(date_trunc('hour', ts)) AS BIGINT) AS hour_ms,
         |       event_type, count(*) AS cnt
