@@ -1940,6 +1940,39 @@ object SparkEntry {
           (F.col("gd") >= F.col("pd")).as("more_diverse_than_prefix"))
     }),
 
+    // prototypicality pruning (SSL-prototypes / D4): keep the
+    // least-centroid-similar ceil-fraction of every k-means cell.
+    // Clustering is float-sum dependent, so per-doc membership is not
+    // oracle-able; the oracle pins the exact input count plus
+    // booleans derived from ONE scoring pass (centroids collect at
+    // build time, so the scored frame is deterministic afterwards):
+    // per-cell kept counts hit ceil(f*n) exactly, and every kept
+    // (score, id) precedes every dropped one within its cell
+    "q_proto_prune" -> ((s: SparkSession, dir: String) => {
+      val emb = t(s, dir, "embeddings").filter(F.col("embedding").isNotNull)
+      val f = 0.7
+      val scored = graft.pipeline.Diversity
+        .prototypicalityScores(emb, "vec_id", "embedding", nClusters = 8)
+      val kept = graft.pipeline.Diversity
+        .keepLeastPrototypical(scored, "vec_id", f)
+        .withColumn("__kept", F.lit(1))
+      scored.join(kept, Seq("vec_id"), "left")
+        .groupBy(F.col("cell"))
+        .agg(
+          F.count(F.lit(1)).as("__n"),
+          F.sum(F.coalesce(F.col("__kept"), F.lit(0))).as("__nk"),
+          F.max(F.when(F.col("__kept").isNotNull,
+            F.struct(F.col("proto_score"), F.col("vec_id")))).as("__maxk"),
+          F.min(F.when(F.col("__kept").isNull,
+            F.struct(F.col("proto_score"), F.col("vec_id")))).as("__mind"))
+        .agg(
+          F.sum(F.col("__n")).as("n_input"),
+          F.min(F.col("__nk") === F.ceil(F.lit(f) * F.col("__n")))
+            .as("counts_ok"),
+          F.min(F.col("__mind").isNull || F.col("__maxk") < F.col("__mind"))
+            .as("rule_ok"))
+    }),
+
     // vocabulary induction: top-100 tokens + the OOV mass they leave
     // (token counts shuffle once; vocabulary broadcast for the OOV pass)
     "q_vocab" -> ((s: SparkSession, dir: String) => {
@@ -4545,6 +4578,9 @@ object SparkEntry {
         |       CAST(min(vec_id) AS BIGINT) AS seed_id,
         |       true AS more_diverse_than_prefix
         |FROM embeddings""".stripMargin,
+    "q_proto_prune" ->
+      """SELECT count(*) AS n_input, true AS counts_ok, true AS rule_ok
+        |FROM embeddings WHERE embedding IS NOT NULL""".stripMargin,
     "q_vocab" ->
       """WITH toks AS (SELECT unnest(string_split_regex(text, '\s+')) AS w
         |              FROM documents),

@@ -68,4 +68,100 @@ object Diversity {
       .toDF("id", "pick_order", "dist_at_pick")
       .withColumnRenamed("id", idCol)
   }
+
+  /**
+   * Prototypicality scoring (SSL-prototypes, Sorscher et al. 2022
+   * "Beyond neural scaling laws"; the ranking D4 composes after
+   * SemDeDup): k-means the embedding space and score every row by
+   * cosine similarity to its assigned cell centroid. High score =
+   * prototypical/redundant mass the corpus over-samples; low score =
+   * the hard, informative tail. Returns (idCol, cell INT,
+   * proto_score DOUBLE); rows with NULL vectors are omitted (they
+   * cannot be scored).
+   *
+   * Scale shape: centroid training and assignment reuse the IVF
+   * machinery ([[Similarity.buildIvfIndex]] — bounded nlist×dim
+   * driver state, broadcast centroids, map-only assignment); scoring
+   * is one more map-only pass. Nothing all-pairs, nothing collected.
+   */
+  def prototypicalityScores(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nClusters: Int = 16,
+      iterations: Int = 2): DataFrame = {
+    require(nClusters >= 1, s"nClusters must be >= 1, got $nClusters")
+    val idx = Similarity.buildIvfIndex(
+      df.filter(F.col(vecCol).isNotNull), idCol, vecCol, nClusters, iterations)
+    val cB = df.sparkSession.sparkContext.broadcast(idx.centroids)
+    val csimU = F.udf((v: Array[Float], cell: Int) => {
+      val c = cB.value(cell)
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < v.length && i < c.length) {
+        dot += v(i).toDouble * c(i); na += v(i).toDouble * v(i)
+        nb += c(i).toDouble * c(i); i += 1
+      }
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+    })
+    idx.assigned.select(
+      F.col("neighbor_id").as(idCol),
+      F.col("__cell").as("cell"),
+      csimU(F.col("__cv"), F.col("__cell")).as("proto_score"))
+  }
+
+  /**
+   * Prototypicality pruning: keep the LEAST prototypical
+   * `ceil(keepFraction * n)` rows of every k-means cell (rank by
+   * (proto_score ASC, id ASC) — a deterministic total order, so exact
+   * re-runs keep identical sets). Per-cell pruning is the
+   * cluster-balanced form: the kept set preserves the corpus's
+   * cluster proportions instead of gutting dense clusters first.
+   * `ceil` keeps singleton cells alive (their lone member scores
+   * ~1.0 against its own centroid). Rows with NULL vectors pass
+   * through unpruned — they were never judged.
+   *
+   * Scale: one window per cell (HashPartitioning(cell), parallel
+   * across cells) + one semi-join back on the id. A GLOBAL
+   * prototypicality rank (the non-balanced published variant) should
+   * ride [[RangeCumsum]]'s two-phase global order instead of a
+   * single-partition window.
+   */
+  def prunePrototypical(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      keepFraction: Double,
+      nClusters: Int = 16,
+      iterations: Int = 2): DataFrame = {
+    require(keepFraction >= 0.0 && keepFraction <= 1.0,
+      s"keepFraction must be in [0, 1], got $keepFraction")
+    val scored = prototypicalityScores(df, idCol, vecCol, nClusters, iterations)
+    val keepIds = keepLeastPrototypical(scored, idCol, keepFraction)
+    df.filter(F.col(vecCol).isNull)
+      .unionByName(df.filter(F.col(vecCol).isNotNull)
+        .join(keepIds, Seq(idCol), "left_semi"))
+  }
+
+  /**
+   * The per-cell keep rule over a precomputed [[prototypicalityScores]]
+   * frame — exposed separately because k-means means are parallel
+   * float sums (NOT bit-stable across runs): a caller that needs the
+   * scores AND the kept set must derive both from ONE scoring pass,
+   * never score twice. Returns the kept ids (one column, `idCol`).
+   */
+  def keepLeastPrototypical(
+      scores: DataFrame,
+      idCol: String,
+      keepFraction: Double): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(F.col("cell"))
+      .orderBy(F.col("proto_score").asc, F.col(idCol).asc)
+    scores
+      .withColumn("__rn", F.row_number().over(w))
+      .withColumn("__n", F.count(F.lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(F.col("cell"))))
+      .filter(F.col("__rn") <= F.ceil(F.lit(keepFraction) * F.col("__n")))
+      .select(idCol)
+  }
 }
