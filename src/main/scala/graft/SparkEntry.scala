@@ -1533,6 +1533,21 @@ object SparkEntry {
              F.sum(F.col("overlap_ngrams")).as("overlap_total"))
     }),
 
+    // semantic decontamination: benchmark = every 37th embedding row
+    // verbatim, threshold 0.999 — exact copies are ALWAYS flagged
+    // (identical vectors share the probe's first cell) and the
+    // testdata has no natural pair near that cosine, so the flagged
+    // set is exactly the planted subset, clustering-independent:
+    // a full-row oracle from id arithmetic
+    "q_decontaminate_semantic" -> ((s: SparkSession, dir: String) => {
+      val emb = t(s, dir, "embeddings")
+      val bench = emb.filter(F.col("vec_id") % 37 === 0).select(F.col("embedding"))
+      graft.pipeline.Decontaminate.semanticContaminationFlags(
+          emb, "vec_id", "embedding", bench, "embedding",
+          threshold = 0.999, nlist = 8)
+        .orderBy("vec_id")
+    }),
+
     "q_boilerplate" -> ((s: SparkSession, dir: String) => {
       val bp = graft.pipeline.Boilerplate
       val docs = t(s, dir, "documents")
@@ -4252,6 +4267,9 @@ object SparkEntry {
         |       CAST(count(*) FILTER (coalesce(o, 0) >= 1) AS BIGINT) AS n_contaminated,
         |       CAST(coalesce(sum(o), 0) AS BIGINT) AS overlap_total
         |FROM documents LEFT JOIN ov USING (doc_id)""".stripMargin,
+    "q_decontaminate_semantic" ->
+      """SELECT vec_id, vec_id % 37 = 0 AS contaminated
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
     "q_pipeline" ->
       """WITH e AS (SELECT d.* FROM documents d
         |           JOIN (SELECT text, min(doc_id) AS m FROM documents GROUP BY text) k

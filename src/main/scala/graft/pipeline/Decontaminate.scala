@@ -227,4 +227,61 @@ object Decontaminate {
     docs.filter(
       overlapCountColumn(docs, textCol, benchmark, benchTextCol, n) < minOverlap)
   }
+
+  /**
+   * Semantic (embedding-space) decontamination: flag corpus rows whose
+   * embedding is within `threshold` cosine of ANY benchmark row —
+   * the paraphrase-robust complement to the n-gram overlap above
+   * (verbatim-overlap checks miss reworded eval items; embedding
+   * proximity is how recent model reports audit that gap). Returns
+   * (idCol, contaminated BOOLEAN) for every corpus row.
+   *
+   * Scale shape: the CORPUS carries the IVF index (built once,
+   * persistable via [[Similarity.IvfIndex.save]]); the benchmark is
+   * the small side and broadcasts through
+   * [[Similarity.ivfRadiusPairs]]. No all-pairs join at either end.
+   * Recall follows the IVF probe dial, with the floor that matters:
+   * an exact copy of a benchmark row is ALWAYS flagged (identical
+   * vectors share the probe's first cell).
+   */
+  def semanticContaminationFlags(
+      docs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      benchmark: DataFrame,
+      benchVecCol: String,
+      threshold: Double = 0.97,
+      nlist: Int = 64,
+      probeMass: Double = 0.45): DataFrame = {
+    val idx = Similarity.buildIvfIndex(
+      docs.filter(F.col(vecCol).isNotNull), idCol, vecCol, nlist)
+    val bench = benchmark.filter(F.col(benchVecCol).isNotNull)
+      .select(F.monotonically_increasing_id().as("__bid"),
+        F.col(benchVecCol).as("__bv"))
+    val hits = Similarity
+      .ivfRadiusPairs(idx, bench, "__bid", "__bv", threshold,
+        probeMass = probeMass)
+      .select(F.col("neighbor_id").as(idCol)).distinct()
+      .withColumn("__hit", F.lit(1))
+    docs.select(F.col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .select(F.col(idCol), F.col("__hit").isNotNull.as("contaminated"))
+  }
+
+  /** Drop semantically contaminated documents (all `docs` columns
+    * kept; one anti-join against the flagged-id set). */
+  def dropSemanticContaminated(
+      docs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      benchmark: DataFrame,
+      benchVecCol: String,
+      threshold: Double = 0.97,
+      nlist: Int = 64,
+      probeMass: Double = 0.45): DataFrame = {
+    val flagged = semanticContaminationFlags(
+      docs, idCol, vecCol, benchmark, benchVecCol, threshold, nlist, probeMass)
+      .filter(F.col("contaminated")).select(idCol)
+    docs.join(flagged, Seq(idCol), "left_anti")
+  }
 }

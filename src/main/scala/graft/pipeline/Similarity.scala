@@ -555,6 +555,36 @@ object Similarity {
   }
 
   /**
+   * IVF radius search: ALL (query, neighbor) pairs with cosine >=
+   * `threshold`, probing each query's cells like [[ivfTopKIndexed]]
+   * (fixed `nprobe` or mass-adaptive `probeMass`). The threshold-join
+   * primitive under semantic decontamination and duplicate auditing —
+   * unlike top-k there is no per-query window, so the only shuffle is
+   * the candidate hash join. Self-matches (equal ids) are KEPT: a
+   * radius query that finds its own exact copy found a real neighbor
+   * (callers joining a corpus against itself filter `query_id =!=
+   * neighbor_id` themselves). Recall is the IVF dial: an identical
+   * vector is always found (it shares the query's nearest cell, which
+   * every probe list includes first).
+   */
+  def ivfRadiusPairs(
+      index: IvfIndex,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      nprobe: Int = 4,
+      probeMass: Double = 0.0): DataFrame = {
+    val probeU = probeCellsUdf(index, nprobe, probeMass)
+    val q = queries.select(F.col(idCol).as("query_id"), F.col(vecCol).as("__qv"),
+                           F.explode(probeU(F.col(vecCol))).as("__cell"))
+    index.assigned.join(F.broadcast(q), "__cell")
+      .withColumn("cos", cosine(F.col("__qv"), F.col("__cv")))
+      .filter(F.col("cos") >= threshold)
+      .select("query_id", "neighbor_id", "cos")
+  }
+
+  /**
    * IVF (inverted-file) approximate top-k: the corpus is partitioned
    * into `nlist` k-means cells; each query scores only the cells of its
    * `nprobe` nearest centroids. Convenience form that builds the index

@@ -401,4 +401,61 @@ class CurationSpec extends SparkTestBase {
       .contaminationFlagsJoin(docs, "doc_id", "text", bench, "text", n = 5))
     assert(fast === lazyJ)
   }
+
+  test("semantic decontamination flags exact and near copies, spares the rest") {
+    import spark.implicits._
+    // corpus: 3 well-separated directions, plus a near-copy of the
+    // benchmark vector (cos ~0.99995) and an exact copy
+    val corpus = Seq(
+      (1L, Array(1f, 0f, 0f)), (2L, Array(0.999f, 0.001f, 0f)),
+      (3L, Array(0f, 1f, 0f)), (4L, Array(0f, 0f, 1f)),
+      (5L, Array(0.7f, 0.7f, 0f))).toDF("vec_id", "embedding")
+    val bench = Seq(Tuple1(Array(1f, 0f, 0f))).toDF("embedding")
+    val flags = Decontaminate.semanticContaminationFlags(
+      corpus, "vec_id", "embedding", bench, "embedding",
+      threshold = 0.999, nlist = 2, probeMass = 1.0)
+      .as[(Long, Boolean)].collect().toMap
+    assert(flags === Map(1L -> true, 2L -> true, 3L -> false,
+      4L -> false, 5L -> false))
+    val kept = Decontaminate.dropSemanticContaminated(
+      corpus, "vec_id", "embedding", bench, "embedding",
+      threshold = 0.999, nlist = 2, probeMass = 1.0)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept === Set(3L, 4L, 5L))
+    // NULL embeddings are never flagged, never dropped
+    val withNull = corpus.unionByName(
+      Seq((9L, null.asInstanceOf[Array[Float]])).toDF("vec_id", "embedding"))
+    val f2 = Decontaminate.semanticContaminationFlags(
+      withNull, "vec_id", "embedding", bench, "embedding",
+      threshold = 0.999, nlist = 2, probeMass = 1.0)
+      .as[(Long, Boolean)].collect().toMap
+    assert(f2(9L) === false)
+  }
+
+  test("ivfRadiusPairs at full probe mass equals the brute-force radius set") {
+    import spark.implicits._
+    val n = 60
+    val vecs = (0 until n).map { i =>
+      val a = i * 0.21
+      (i.toLong, Array(math.cos(a).toFloat, math.sin(a).toFloat))
+    }
+    val df = vecs.toDF("vec_id", "embedding").repartition(4)
+    val idx = Similarity.buildIvfIndex(df, "vec_id", "embedding", 4)
+    val got = Similarity
+      .ivfRadiusPairs(idx, df, "vec_id", "embedding", 0.9, probeMass = 1.0)
+      .filter(F.col("query_id") =!= F.col("neighbor_id"))
+      .select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      dot / (na * nb)
+    }
+    val want = (for {
+      (qi, qv) <- vecs; (ni, nv) <- vecs
+      if qi != ni && cos(qv, nv) >= 0.9
+    } yield (qi, ni)).toSet
+    assert(got === want)
+  }
 }
