@@ -853,8 +853,79 @@ object Bench {
       graft.pipeline.Drift.ksStatistic(a, b, "value")
         .crossJoin(graft.pipeline.Drift.psiStatistic(
           a, b, "value", Seq(10.0, 25.0, 50.0, 100.0, 250.0)))
+    }),
+
+    // byte-level BPE tokenize of the whole corpus under a pre-learned
+    // 256-merge table (learning is a one-off; the recurring corpus
+    // cost is the map-only tokenize pass)
+    "b_bpe_bytelevel" -> ((s: SparkSession, dir: String) => {
+      val docs = t(s, dir, "documents")
+      val merges = byteLevelMergesFor(s, dir)
+      graft.pipeline.ByteLevelBpe.tokenize(docs, "text", merges)
+        .agg(F.count(F.lit(1)).as("docs"),
+          F.sum(F.size(F.col("tokens")).cast("long")).as("toks"))
+    }),
+
+    // prototypicality pruning over the embedding corpus (one k-means
+    // index + a per-cell window + a semi-join back)
+    "b_proto_prune" -> ((s: SparkSession, dir: String) => {
+      graft.pipeline.Diversity.prunePrototypical(
+          t(s, dir, "embeddings"), "vec_id", "embedding", 0.7, 32)
+        .agg(F.count(F.lit(1)).as("kept"))
+    }),
+
+    // semantic decontamination: 1% of the corpus as the benchmark,
+    // radius-probed against the corpus IVF index
+    "b_decontaminate_semantic" -> ((s: SparkSession, dir: String) => {
+      val emb = t(s, dir, "embeddings")
+      val bench = emb.filter(F.col("vec_id") % 100 === 0)
+        .select(F.col("embedding"))
+      graft.pipeline.Decontaminate.semanticContaminationFlags(
+          emb, "vec_id", "embedding", bench, "embedding",
+          threshold = 0.9, nlist = 32)
+        .agg(F.sum(F.when(F.col("contaminated"), 1L).otherwise(0L))
+          .as("flagged"))
+    }),
+
+    // Structured Streaming hourly sketch rollup over the events table
+    // replayed as a file stream (AvailableNow; the cost is the full
+    // streaming pipeline incl. state store, not just the agg)
+    "b_stream_rollup" -> ((s: SparkSession, dir: String) => {
+      val ev = t(s, dir, "events").filter(F.col("ts").isNotNull)
+        .select(F.col("ts"), F.col("event_type"), F.col("value"))
+      // source parquet staged once per JVM — the timed cost is the
+      // streaming pipeline, not the fixture copy
+      val tmp = streamSrcCache.computeIfAbsent(dir, _ => {
+        val p = System.getProperty("java.io.tmpdir") + "/graft_b_stream_src"
+        ev.write.mode("overwrite").parquet(p)
+        p
+      })
+      val stream = s.readStream.schema(ev.schema).parquet(tmp)
+      val agg = graft.streaming.SketchStreaming.windowedSketchAgg(
+        stream, "ts", "event_type", "value", "1 hour", "10 minutes")
+      s.catalog.dropTempView("graft_b_stream_rollup")
+      val q = agg.writeStream
+        .outputMode("complete").format("memory")
+        .queryName("graft_b_stream_rollup")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("graft_b_stream_rollup")
+        .agg(F.count(F.lit(1)).as("windows"))
     })
   )
+
+  private val streamSrcCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  // learned once per JVM: byte-level merge table for b_bpe_bytelevel
+  private val blMergesCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String)]]()
+  private def byteLevelMergesFor(
+      s: SparkSession, dir: String): Seq[(String, String)] =
+    blMergesCache.computeIfAbsent(dir, _ =>
+      graft.pipeline.ByteLevelBpe.learnMerges(
+        t(s, dir, "documents"), "text", 256).map(m => (m._1, m._2)))
 
   // crawl pages for the link-graph benches: full document text in the
   // body so extraction pays the realistic whole-page scan cost
