@@ -680,6 +680,36 @@ object SparkEntry {
         .orderBy("hour_ms", "event_type")
     }),
 
+    // streaming exact dedup under the gate: content-hash
+    // dropDuplicatesWithinWatermark over the replayed events stream.
+    // AvailableNow stages the whole fixture as one micro-batch, so
+    // every duplicate dedups against in-batch state and the surviving
+    // row count is exactly the distinct-content count — WHICH
+    // duplicate survives is scheduler-dependent, so the query emits
+    // only the deterministic count
+    "q_stream_dedup" -> ((s: SparkSession, dir: String) => {
+      val ev = t(s, dir, "events").filter(F.col("ts").isNotNull)
+        .select(F.col("ts"),
+          F.concat_ws("|", F.col("user_id"), F.col("event_type"),
+            F.col("value")).as("content"))
+      val tmp = System.getProperty("java.io.tmpdir") + "/graft_q_stream_dedup_src"
+      ev.write.mode("overwrite").parquet(tmp)
+      val stream = s.readStream.schema(ev.schema).parquet(tmp)
+      // effectively-infinite horizon: a bounded replay must never
+      // expire dedup state, or batching choices (maxFilesPerTrigger)
+      // could let a late duplicate survive and flake the count
+      val deduped = graft.streaming.SketchStreaming.dedupStream(
+        stream, "ts", "content", "3650 days")
+      s.catalog.dropTempView("graft_stream_dedup")
+      val q = deduped.writeStream
+        .outputMode("append").format("memory")
+        .queryName("graft_stream_dedup")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("graft_stream_dedup").agg(F.count(F.lit(1)).as("n_unique"))
+    }),
+
     // time bucketing: hourly event counts (epoch millis keys)
     "q_rel_timebucket" -> ((s: SparkSession, dir: String) => {
       t(s, dir, "events")
@@ -3623,6 +3653,12 @@ object SparkEntry {
         |         row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
         |  FROM orders) t WHERE rn = 1
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // NULL values: concat_ws skips them, and DuckDB's DISTINCT also
+    // collapses NULL into one group per (user, type) — consistent
+    "q_stream_dedup" ->
+      """SELECT count(*) AS n_unique FROM (
+        |  SELECT DISTINCT user_id, event_type, value
+        |  FROM events WHERE ts IS NOT NULL)""".stripMargin,
     // the sketch counts only non-null values, so the oracle counts
     // `value` (not *); null event times are filtered on both sides
     "q_stream_rollup" ->
