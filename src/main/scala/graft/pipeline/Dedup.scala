@@ -138,18 +138,116 @@ object Dedup {
    * direct-pair drop rule can keep B and C when A~B and B~C but A!~C
    * was never emitted as a pair; clustering cannot.
    *
-   * Spark-first shape: iterative min-label propagation (the hash-to-min
-   * scheme behind GraphX's connectedComponents) — per iteration one
-   * edge-label join + one min-aggregation, lineage cut with a lazy
-   * localCheckpoint. Converges in component-diameter iterations;
-   * near-dup clusters are shallow (a boilerplate cluster is a clique,
-   * diameter 1), so the loop exits after 2-3 rounds in practice. The
-   * edge set is checkpointed once and reused every round.
+   * Spark-first shape, a two-tier hybrid: min-label propagation first
+   * (ONE join + ONE aggregation per round — the cheapest possible
+   * round, and near-dup graphs are clique-shaped, diameter 1-2, so it
+   * converges almost immediately), falling back to alternating
+   * large-star/small-star contraction ([[duplicateClustersStar]])
+   * ONLY when propagation fails to converge within `maxIterations` —
+   * the long-chain case (A~B~C~... substring-overlap runs) where
+   * diameter-bounded propagation would previously return silently
+   * WRONG labels. The fallback re-solves from the raw pairs, so its
+   * answer never depends on the abandoned propagation state.
    *
    * Input must have long columns `id_a`, `id_b`; output is
-   * (id, cluster) for every id that appears in some pair.
+   * (id, cluster = component-minimum id) for every id that appears in
+   * some pair.
    */
   def duplicateClusters(pairs: DataFrame, maxIterations: Int = 20): DataFrame = {
+    val (labels, converged) = propagateClusters(pairs, maxIterations)
+    if (converged) labels else duplicateClustersStar(pairs)
+  }
+
+  /**
+   * Alternating large-star/small-star connected components (Kiveris
+   * et al. 2014, "Connected Components in MapReduce and Beyond"):
+   * each round re-hangs every edge on the minimum of its smaller
+   * endpoint's neighborhood (large-star), then of its larger
+   * endpoint's (small-star), collapsing components toward a star
+   * rooted at their minimum id in O(log) rounds REGARDLESS of
+   * diameter. Costlier per round than propagation (two
+   * neighborhood aggregates + joins vs one), so [[duplicateClusters]]
+   * reserves it for graphs propagation couldn't finish; call it
+   * directly when the pair graph is KNOWN to be deep.
+   */
+  def duplicateClustersStar(pairs: DataFrame, maxIterations: Int = 35): DataFrame = {
+    require(maxIterations >= 1, s"maxIterations must be >= 1, got $maxIterations")
+    val u = F.col("__u"); val v = F.col("__v")
+    // canonical undirected edge list (u < v), self-loops dropped
+    var edges = pairs
+      .select(F.col("id_a").cast("long").as("__a"), F.col("id_b").cast("long").as("__b"))
+      .filter(F.col("__a") =!= F.col("__b"))
+      .select(F.least(F.col("__a"), F.col("__b")).as("__u"),
+              F.greatest(F.col("__a"), F.col("__b")).as("__v"))
+      .distinct()
+      .localCheckpoint(eager = false)
+    def sym(e: DataFrame): DataFrame =
+      e.union(e.select(v.as("__u"), u.as("__v")))
+    def minMap(e: DataFrame): DataFrame =
+      sym(e).groupBy(u).agg(F.min(v).as("__mn"))
+        .select(u, F.least(u, F.col("__mn")).as("__m"))
+    // convergence = edge-set signature (count, xor of per-edge
+    // xxhash64 — xor, not sum: ANSI long sums overflow) unchanged
+    // across a round: ONE cheap aggregate per round instead of two
+    // exceptAll anti-joins (which tripled b_dedup_semantic). A
+    // colliding signature on a CHANGED set would exit early — the
+    // same ~2^-64 risk class as the hash-keyed gram dedup this
+    // codebase already accepts.
+    def signature(e: DataFrame): (Long, Long) = {
+      val r = e.agg(F.count(F.lit(1)).as("c"),
+        F.coalesce(F.expr("bit_xor(xxhash64(__u, __v))"), F.lit(0L)).as("h"))
+        .head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var sig = signature(edges)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIterations) {
+      // large-star: every edge processed at its SMALLER endpoint u —
+      // the larger endpoint re-hangs on m(u) = min(N(u) ∪ {u})
+      val ls = sym(edges).filter(v > u)
+        .join(minMap(edges), "__u")
+        .select(F.col("__m").as("__u"), v) // m <= u < v: already canonical
+        .filter(v > u).distinct()
+      // small-star: every edge processed at its LARGER endpoint u —
+      // smaller neighbors AND u itself re-hang on m(u)
+      val symLs = sym(ls)
+      val m2 = symLs.groupBy(u).agg(F.min(v).as("__mn"))
+        .select(u, F.least(u, F.col("__mn")).as("__m"))
+      val smaller = symLs.filter(v < u)
+      val next = smaller.join(m2, "__u")
+        .select(F.col("__m").as("__u"), v)            // (v, m(u)) with m <= v
+        .union(smaller.select(u).distinct().join(m2, "__u")
+          .select(F.col("__m").as("__u"), u.as("__v"))) // (u, m(u))
+        .filter(v > u).distinct()
+        .localCheckpoint(eager = false)
+      val nextSig = signature(next)
+      converged = nextSig == sig
+      sig = nextSig
+      edges = next
+      iter += 1
+    }
+    // at the fixpoint every component is a star rooted at its min id
+    val star = sym(edges).groupBy(u).agg(F.min(v).as("__mn"))
+      .select(u.as("id"), F.least(u, F.col("__mn")).as("cluster"))
+    // nodes appearing only in self-pairs still label themselves
+    val nodes = pairs.select(F.col("id_a").cast("long").as("id"))
+      .union(pairs.select(F.col("id_b").cast("long").as("id"))).distinct()
+    nodes.join(star, Seq("id"), "left")
+      .select(F.col("id"), F.coalesce(F.col("cluster"), F.col("id")).as("cluster"))
+  }
+
+  /**
+   * Min-label propagation connected components — the diameter-bounded
+   * first tier of [[duplicateClusters]]. Labels are only correct when
+   * the returned flag says it converged; the hybrid discards them
+   * otherwise.
+   */
+  def duplicateClustersPropagate(pairs: DataFrame, maxIterations: Int = 20): DataFrame =
+    propagateClusters(pairs, maxIterations)._1
+
+  private def propagateClusters(
+      pairs: DataFrame, maxIterations: Int): (DataFrame, Boolean) = {
     require(maxIterations >= 1, s"maxIterations must be >= 1, got $maxIterations")
     val edges = pairs.select(F.col("id_a").as("__src"), F.col("id_b").as("__dst"))
       .union(pairs.select(F.col("id_b").as("__src"), F.col("id_a").as("__dst")))
@@ -172,7 +270,7 @@ object Dedup {
       labels = next.select(F.col("id"), F.col("__new").as("cluster"))
       iter += 1
     }
-    labels
+    (labels, converged)
   }
 
   /**

@@ -192,6 +192,44 @@ class CurationSpec extends SparkTestBase {
     assert(out.forall(_._2 === 0L))
   }
 
+  test("hybrid falls back to star on a 300-node path past the propagation budget") {
+    // diameter 300 >> default maxIterations: min-label propagation
+    // would silently mislabel here; the hybrid detects the blown
+    // budget and re-solves with star contraction (O(log) rounds)
+    val pairs = (0L until 300L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+      .repartition(5)
+    val out = Dedup.duplicateClusters(pairs, maxIterations = 8)
+      .as[(Long, Long)].collect()
+    assert(out.length === 301)
+    assert(out.forall(_._2 === 0L))
+    val star = Dedup.duplicateClustersStar(pairs).as[(Long, Long)].collect()
+    assert(star.length === 301)
+    assert(star.forall(_._2 === 0L))
+  }
+
+  test("star contraction equals min-label propagation on random graphs") {
+    val rnd = new scala.util.Random(7)
+    (1 to 3).foreach { trial =>
+      val n = 80
+      val pairs = (1 to 120).map { _ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)
+      }.toDF("id_a", "id_b").repartition(4)
+      val star = Dedup.duplicateClustersStar(pairs)
+        .as[(Long, Long)].collect().toMap
+      val prop = Dedup.duplicateClustersPropagate(pairs, maxIterations = 100)
+        .as[(Long, Long)].collect().toMap
+      assert(star === prop, s"trial $trial diverged")
+    }
+  }
+
+  test("self-pairs label themselves under both algorithms") {
+    val pairs = Seq((5L, 5L), (1L, 2L)).toDF("id_a", "id_b")
+    val out = Dedup.duplicateClusters(pairs).as[(Long, Long)].collect().toMap
+    assert(out === Map(5L -> 5L, 1L -> 1L, 2L -> 1L))
+    val star = Dedup.duplicateClustersStar(pairs).as[(Long, Long)].collect().toMap
+    assert(star === Map(5L -> 5L, 1L -> 1L, 2L -> 1L))
+  }
+
   test("duplicateClusters on empty pairs yields empty labels") {
     val pairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     assert(Dedup.duplicateClusters(pairs).count() === 0L)
