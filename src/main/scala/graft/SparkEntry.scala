@@ -710,6 +710,47 @@ object SparkEntry {
       s.table("graft_stream_dedup").agg(F.count(F.lit(1)).as("n_unique"))
     }),
 
+    // streaming session windows under the gate: the native
+    // session_window aggregation in append mode — sessions only emit
+    // once the watermark passes their end, so the bounded replay
+    // appends ONE sentinel event past every real session's end
+    // (max_ts + gap + delay + 1ms, user -1): the trailing no-data
+    // micro-batch then flushes every real session deterministically.
+    // session_window splits at gap >= 30min (next < window-end merges,
+    // end exclusive) — the oracle replays that boundary exactly
+    "q_stream_session" -> ((s: SparkSession, dir: String) => {
+      val ev = t(s, dir, "events").filter(F.col("ts").isNotNull)
+        .select(F.col("ts"), F.col("user_id"), F.col("value"))
+      val maxTs = ev.agg(F.max(F.unix_millis(F.col("ts")))).head().getLong(0)
+      val sentinel = s.range(1).select(
+        F.timestamp_millis(F.lit(maxTs + 1800000L + 61000L)).as("ts"),
+        F.lit(-1L).as("user_id"), F.lit(0.0).as("value"))
+      val tmp = System.getProperty("java.io.tmpdir") + "/graft_q_stream_sess_src"
+      ev.unionByName(sentinel).write.mode("overwrite").parquet(tmp)
+      val stream = s.readStream.schema(ev.schema).parquet(tmp)
+      val agg = graft.streaming.SketchStreaming.sessionizedSketchAgg(
+        stream, "ts", "user_id", "value", "30 minutes", "1 minute")
+      s.catalog.dropTempView("graft_stream_session")
+      val q = agg.writeStream
+        .outputMode("append").format("memory")
+        .queryName("graft_stream_session")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("graft_stream_session")
+        .filter(F.col("user_id") =!= -1L)
+        .select(F.col("user_id"),
+          (F.unix_millis(F.col("session_window.end")) - F.lit(1800000L) -
+            F.unix_millis(F.col("session_window.start"))).as("__span"),
+          F.col("n_events"))
+        .groupBy(F.col("user_id"))
+        .agg(F.count(F.lit(1)).as("n_sessions"),
+          F.sum(F.col("n_events")).as("n_events"),
+          F.max(F.col("n_events")).as("max_session_events"),
+          F.sum(F.col("__span")).as("total_span_ms"))
+        .orderBy("user_id")
+    }),
+
     // time bucketing: hourly event counts (epoch millis keys)
     "q_rel_timebucket" -> ((s: SparkSession, dir: String) => {
       t(s, dir, "events")
@@ -3653,6 +3694,25 @@ object SparkEntry {
         |         row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
         |  FROM orders) t WHERE rn = 1
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // session_window's boundary: a gap of EXACTLY the duration starts
+    // a new session (window end is exclusive) — hence >= , where the
+    // batch Sessionize oracle uses >
+    "q_stream_session" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS ms FROM events
+        |           WHERE ts IS NOT NULL),
+        |l AS (SELECT user_id, ms,
+        |             lag(ms) OVER (PARTITION BY user_id ORDER BY ms) AS prev FROM e),
+        |f AS (SELECT user_id, ms,
+        |             CASE WHEN prev IS NULL OR ms - prev >= 1800000 THEN 1 ELSE 0 END AS ns FROM l),
+        |s AS (SELECT user_id, ms,
+        |             sum(ns) OVER (PARTITION BY user_id ORDER BY ms
+        |                           ROWS UNBOUNDED PRECEDING) AS sid FROM f),
+        |g AS (SELECT user_id, sid, count(*) AS ev, max(ms) - min(ms) AS span
+        |      FROM s GROUP BY 1, 2)
+        |SELECT user_id, count(*) AS n_sessions, CAST(sum(ev) AS BIGINT) AS n_events,
+        |       CAST(max(ev) AS BIGINT) AS max_session_events,
+        |       CAST(sum(span) AS BIGINT) AS total_span_ms
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
     // NULL values: concat_ws skips them, and DuckDB's DISTINCT also
     // collapses NULL into one group per (user, type) — consistent
     "q_stream_dedup" ->
