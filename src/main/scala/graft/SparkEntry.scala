@@ -2042,7 +2042,10 @@ object SparkEntry {
       val kept = graft.pipeline.Diversity
         .keepLeastPrototypical(scored, "vec_id", f)
         .withColumn("__kept", F.lit(1))
-      scored.join(kept, Seq("vec_id"), "left")
+      val keptG = graft.pipeline.Diversity
+        .keepLeastPrototypicalGlobal(scored, "vec_id", f)
+        .withColumn("__keptg", F.lit(1))
+      val perCell = scored.join(kept, Seq("vec_id"), "left")
         .groupBy(F.col("cell"))
         .agg(
           F.count(F.lit(1)).as("__n"),
@@ -2057,6 +2060,20 @@ object SparkEntry {
             .as("counts_ok"),
           F.min(F.col("__mind").isNull || F.col("__maxk") < F.col("__mind"))
             .as("rule_ok"))
+      // global variant: kept count is an exact cross-engine value
+      // (ceil of one IEEE multiply); ordering pins as a boolean
+      val globalAgg = scored.join(keptG, Seq("vec_id"), "left")
+        .agg(
+          F.sum(F.coalesce(F.col("__keptg"), F.lit(0))).cast("long")
+            .as("n_kept_global"),
+          F.max(F.when(F.col("__keptg").isNotNull,
+            F.struct(F.col("proto_score"), F.col("vec_id")))).as("__maxk"),
+          F.min(F.when(F.col("__keptg").isNull,
+            F.struct(F.col("proto_score"), F.col("vec_id")))).as("__mind"))
+        .select(F.col("n_kept_global"),
+          F.coalesce(F.col("__maxk") < F.col("__mind"), F.lit(true))
+            .as("global_rule_ok"))
+      perCell.crossJoin(globalAgg)
     }),
 
     // vocabulary induction: top-100 tokens + the OOV mass they leave
@@ -4692,8 +4709,12 @@ object SparkEntry {
         |       CAST(min(vec_id) AS BIGINT) AS seed_id,
         |       true AS more_diverse_than_prefix
         |FROM embeddings""".stripMargin,
+    // n_kept_global = ceil of ONE IEEE multiply — bit-identical
+    // cross-engine (the repo's pure +-*/ rule)
     "q_proto_prune" ->
-      """SELECT count(*) AS n_input, true AS counts_ok, true AS rule_ok
+      """SELECT count(*) AS n_input, true AS counts_ok, true AS rule_ok,
+        |       CAST(ceil(0.7 * count(*)) AS BIGINT) AS n_kept_global,
+        |       true AS global_rule_ok
         |FROM embeddings WHERE embedding IS NOT NULL""".stripMargin,
     "q_vocab" ->
       """WITH toks AS (SELECT unnest(string_split_regex(text, '\s+')) AS w

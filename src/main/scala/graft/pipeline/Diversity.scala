@@ -164,4 +164,50 @@ object Diversity {
       .filter(F.col("__rn") <= F.ceil(F.lit(keepFraction) * F.col("__n")))
       .select(idCol)
   }
+
+  /**
+   * GLOBAL prototypicality keep rule — the non-cluster-balanced
+   * published variant (Sorscher et al.'s corpus-wide percentile):
+   * rank ALL scored rows by (proto_score ASC, id ASC), keep the first
+   * `ceil(keepFraction * N)`. A naive `Window.orderBy(score)` is a
+   * single-partition funnel; this rides [[RangeCumsum]]'s two-phase
+   * parallel cumulative count over tie-grouped scores:
+   * cum(s) = #rows with score <= s, every score group with
+   * cum <= K keeps all members, and THE one boundary group keeps its
+   * lowest-id remainder through a window partitioned by that single
+   * score value (bounded work: one tie group, almost always one row).
+   * Same deterministic total order as the per-cell rule.
+   */
+  def keepLeastPrototypicalGlobal(
+      scores: DataFrame,
+      idCol: String,
+      keepFraction: Double,
+      buckets: Int = 64): DataFrame = {
+    require(keepFraction >= 0.0 && keepFraction <= 1.0,
+      s"keepFraction must be in [0, 1], got $keepFraction")
+    val n = scores.count()
+    val k = math.ceil(keepFraction * n).toLong
+    if (k <= 0L) return scores.select(idCol).limit(0)
+    val per = scores.groupBy(F.col("proto_score"))
+      .agg(F.count(F.lit(1)).as("__c"))
+    val cum = RangeCumsum.inclusive(
+      per, F.col("proto_score"), Seq((F.col("__c"), "__cum")), buckets)
+    // boundary = smallest score whose inclusive cum reaches K; its
+    // group keeps (K - rows-before-it) members in id order
+    val b = cum.filter(F.col("__cum") >= k)
+      .orderBy(F.col("proto_score")).limit(1)
+      .select(F.col("proto_score"),
+        (F.lit(k) - (F.col("__cum") - F.col("__c"))).as("__take"))
+      .head()
+    val bScore = b.getDouble(0)
+    val take = b.getLong(1)
+    val full = scores.filter(F.col("proto_score") < bScore).select(idCol)
+    val bw = org.apache.spark.sql.expressions.Window
+      .partitionBy(F.col("proto_score")).orderBy(F.col(idCol).asc)
+    val boundary = scores.filter(F.col("proto_score") === bScore)
+      .withColumn("__rn", F.row_number().over(bw))
+      .filter(F.col("__rn") <= take)
+      .select(idCol)
+    full.union(boundary)
+  }
 }

@@ -93,6 +93,32 @@ class DiversitySpec extends SparkTestBase {
     assert(halfIds.size >= 5) // 4 cells x ceil + the null row
   }
 
+  test("global keep rule equals a local sort-take, ties spanning the boundary") {
+    // scores with heavy ties around every possible boundary
+    val rows = (0 until 97).map { i =>
+      (i.toLong, 0, (i % 7).toDouble / 10.0) // 7 distinct scores, big tie groups
+    }
+    val scored = rows.toDF("vec_id", "cell", "proto_score").repartition(5)
+    for (f <- Seq(0.0, 0.1, 0.33, 0.5, 0.77, 1.0)) {
+      val got = Diversity.keepLeastPrototypicalGlobal(scored, "vec_id", f, buckets = 4)
+        .as[Long].collect().toSet
+      val k = math.ceil(f * rows.length).toInt
+      val want = rows.sortBy(r => (r._3, r._1)).take(k).map(_._1).toSet
+      assert(got === want, s"f=$f")
+      assert(got.size === k, s"f=$f size")
+    }
+  }
+
+  test("global rule equals per-cell rule when everything is one cell") {
+    val scored = Diversity.prototypicalityScores(
+      corpus, "vec_id", "embedding", nClusters = 1)
+    val g = Diversity.keepLeastPrototypicalGlobal(scored, "vec_id", 0.5)
+      .as[Long].collect().toSet
+    val c = Diversity.keepLeastPrototypical(scored, "vec_id", 0.5)
+      .as[Long].collect().toSet
+    assert(g === c)
+  }
+
   test("exact-copy ties keep the lower id deterministically") {
     val dup = Seq(
       (10L, Array(1f, 0f)), (11L, Array(1f, 0f)), (12L, Array(1f, 0f)),
