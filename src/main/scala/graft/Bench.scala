@@ -1052,6 +1052,32 @@ object Bench {
             probeMass = 0.45)))
       } catch { case _: Throwable => Seq.empty }
     val rc = recall.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+
+    // MinHash-LSH pair recall vs EXACT shingle-Jaccard at the benched
+    // SF — the dedup twin of the ANN telemetry. Ground truth rides
+    // jaccardPrefixPairs (guaranteed-recall exact join) over
+    // hashed-shingle token sets: word-Jaccard over xxhash64(shingle)
+    // tokens IS shingle-Jaccard (absent 64-bit collisions), so the
+    // probabilistic banded path is measured against exact truth at
+    // whatever corpus the bench runs.
+    val dedupRecall: Double =
+      try {
+        val docs = t(spark, sfDir, "documents")
+        val sh = docs.select(F.col("doc_id"), F.concat_ws(" ",
+          F.transform(
+            graft.pipeline.TextFunctions.char_shingles(F.col("text"), 5),
+            s => F.hex(F.xxhash64(s)))).as("text"))
+        def pset(df: DataFrame): Set[(Long, Long)] = df
+          .select(F.col("id_a").cast("long"), F.col("id_b").cast("long"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val exact = pset(graft.pipeline.Dedup
+          .jaccardPrefixPairs(sh, "doc_id", "text", threshold = 0.8))
+        val got = pset(graft.pipeline.Dedup
+          .nearDuplicatePairsAuto(docs, "doc_id", "text",
+            shingleSize = 5, threshold = 0.8))
+        if (exact.isEmpty) -1.0
+        else got.intersect(exact).size.toDouble / exact.size
+      } catch { case _: Throwable => -1.0 }
     // recall floors pinned at the BENCHED SF (not just the sf0.01
     // oracle floors): the telemetry fails loudly when a default's
     // recall decays with corpus growth
@@ -1060,7 +1086,8 @@ object Bench {
     val ok = recall.map { case (k, v) =>
       "\"" + k + "\":" + floors.get(k).forall(v >= _) }.mkString("{", ",", "}")
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"recall_at_10":$rc,"recall_floors":$fl,"recall_ok":$ok,"sf":"$sfDir"}""")
+    val dedupOk = dedupRecall < 0 || dedupRecall >= 0.7
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"recall_at_10":$rc,"recall_floors":$fl,"recall_ok":$ok,"dedup_recall":{"minhash":$dedupRecall},"dedup_recall_floor":0.7,"dedup_recall_ok":$dedupOk,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
