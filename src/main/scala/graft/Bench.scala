@@ -988,7 +988,10 @@ object Bench {
       // drops their references; a periodic nudge keeps the backlog from
       // landing inside a later query's timed window
       shedCount += 1
-      if (shedCount % 8 == 0) System.gc()
+      // every 4: the %8 cadence still let ~2x inflation reach
+      // pagerank/tfrecord in a 76-query pass (isolated 2.2s/0.36s vs
+      // 5.0s/2.6s single-pass); GC is untimed
+      if (shedCount % 4 == 0) System.gc()
     }
 
     // Warmup pass: every query once, untimed — JIT, codegen compilation,
