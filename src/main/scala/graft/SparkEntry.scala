@@ -3275,6 +3275,22 @@ object SparkEntry {
             .as("cents"))
     }),
 
+    // crawl-over-crawl delta: two synthetic snapshots from documents
+    // (old = ids not divisible by 3; new = ids not divisible by 5,
+    // with every 7th text mutated) — the full outer join + status
+    // case replays exactly in SQL, a full-row oracle
+    "q_snapshot_diff" -> ((s: SparkSession, dir: String) => {
+      val docs = t(s, dir, "documents").filter(F.col("text").isNotNull)
+      val old = docs.filter(F.col("doc_id") % 3 =!= 0)
+        .select(F.col("doc_id"), F.col("text"))
+      val nw = docs.filter(F.col("doc_id") % 5 =!= 0)
+        .select(F.col("doc_id"),
+          F.when(F.col("doc_id") % 7 === 0, F.concat(F.col("text"), F.lit(" v2")))
+            .otherwise(F.col("text")).as("text"))
+      graft.pipeline.Snapshot.diffSnapshots(old, nw, "doc_id", Seq("text"))
+        .orderBy("doc_id")
+    }),
+
     // deterministic training-order shuffle: first 20 documents of the
     // seed-42 permutation — md5 order replays identically in any
     // engine; orderBy+limit compiles to TakeOrdered (no global sort)
@@ -5518,6 +5534,19 @@ object SparkEntry {
           |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
           |         AS cents
           |FROM merged""".stripMargin,
+      "q_snapshot_diff" ->
+        """WITH o AS (SELECT doc_id, text FROM documents
+          |           WHERE text IS NOT NULL AND doc_id % 3 <> 0),
+          |n AS (SELECT doc_id,
+          |             CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+          |      FROM documents WHERE text IS NOT NULL AND doc_id % 5 <> 0)
+          |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+          |       CASE WHEN o.doc_id IS NULL THEN 'added'
+          |            WHEN n.doc_id IS NULL THEN 'removed'
+          |            WHEN o.text = n.text THEN 'unchanged'
+          |            ELSE 'changed' END AS status
+          |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+          |ORDER BY doc_id""".stripMargin,
       "q_shuffle_order" ->
         """SELECT doc_id, md5('42:' || CAST(doc_id AS VARCHAR)) AS h
           |FROM documents ORDER BY h, doc_id LIMIT 20""".stripMargin,

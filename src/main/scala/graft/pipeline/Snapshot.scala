@@ -86,4 +86,38 @@ object Snapshot {
       deleted: Column): DataFrame =
     mergeSnapshot(base, updates, key, version, tiebreak)
       .filter(deleted.isNull || !deleted)
+
+  /**
+   * Crawl-over-crawl delta: classify every key across two snapshots as
+   * `added` (new only), `removed` (old only), `changed` (both, content
+   * hash differs) or `unchanged` — the nightly what-moved report and
+   * the input to incremental reprocessing (re-embed/re-index only the
+   * added+changed slice instead of the whole crawl).
+   *
+   * Content comparison is by sha2 over the `contentCols` (NULL-safe:
+   * columns are \u0001-joined with a \u0000 NULL sentinel), so only
+   * (key, 32-byte hash) pairs shuffle — never the payloads. One
+   * full-outer hash join on the key. Keys must be unique per snapshot
+   * ([[latestByKey]] first if not); duplicate keys would cross-join
+   * multiplicatively like any keyed join.
+   */
+  def diffSnapshots(
+      oldSnap: DataFrame,
+      newSnap: DataFrame,
+      keyCol: String,
+      contentCols: Seq[String]): DataFrame = {
+    require(contentCols.nonEmpty, "need at least one content column")
+    def hashed(df: DataFrame, out: String): DataFrame =
+      df.select(F.col(keyCol).as("__k"),
+        F.sha2(F.concat_ws("\u0001",
+          contentCols.map(c =>
+            F.coalesce(F.col(c).cast("string"), F.lit("\u0000"))): _*), 256)
+          .as(out))
+    hashed(oldSnap, "__oh").join(hashed(newSnap, "__nh"), Seq("__k"), "full_outer")
+      .select(F.col("__k").as(keyCol),
+        F.when(F.col("__oh").isNull, "added")
+          .when(F.col("__nh").isNull, "removed")
+          .when(F.col("__oh") === F.col("__nh"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
 }

@@ -76,4 +76,27 @@ class SnapshotSpec extends SparkTestBase {
     assert(once.count() == base.count())
     assert(twice.exceptAll(once).isEmpty && once.exceptAll(twice).isEmpty)
   }
+
+  test("diffSnapshots classifies added/removed/changed/unchanged") {
+    import spark.implicits._
+    val old = Seq(
+      (1L, "a", 10), (2L, "b", 20), (3L, "c", 30), (4L, null.asInstanceOf[String], 40))
+      .toDF("k", "txt", "n")
+    val nw = Seq(
+      (2L, "b", 20),      // unchanged
+      (3L, "c2", 30),     // changed (txt)
+      (4L, null.asInstanceOf[String], 41), // changed (n; null txt safe)
+      (5L, "e", 50))      // added
+      .toDF("k", "txt", "n")
+    val out = Snapshot.diffSnapshots(old, nw, "k", Seq("txt", "n"))
+      .as[(Long, String)].collect().toMap
+    assert(out === Map(1L -> "removed", 2L -> "unchanged",
+      3L -> "changed", 4L -> "changed", 5L -> "added"))
+    // null vs empty string must differ (sentinel, not coalesce-to-"")
+    val o2 = Seq((9L, null.asInstanceOf[String])).toDF("k", "txt")
+    val n2 = Seq((9L, "")).toDF("k", "txt")
+    val d2 = Snapshot.diffSnapshots(o2, n2, "k", Seq("txt"))
+      .as[(Long, String)].collect().toMap
+    assert(d2 === Map(9L -> "changed"))
+  }
 }
