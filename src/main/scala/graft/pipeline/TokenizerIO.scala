@@ -227,7 +227,8 @@ object TokenizerIO {
   final case class BpeTokenizer(
       merges: Seq[(String, String)],
       vocab: Map[String, Int],
-      addedTokens: Seq[String])
+      addedTokens: Seq[String],
+      byteLevel: Boolean = false)
 
   /** Minimal strict JSON value parser (objects → Map preserving no
     * order, arrays → Vector, strings, integer/double numbers,
@@ -344,7 +345,8 @@ object TokenizerIO {
       path: String,
       merges: Seq[(String, String)],
       vocab: Seq[String] = Nil,
-      addedTokens: Seq[String] = Nil): Unit = {
+      addedTokens: Seq[String] = Nil,
+      byteLevel: Boolean = false): Unit = {
     merges.foreach { case (l, r) =>
       require(l.nonEmpty && r.nonEmpty && !(l + r).exists(Character.isWhitespace),
         s"BPE symbols must be non-empty and whitespace-free, got ('$l', '$r')")
@@ -366,8 +368,17 @@ object TokenizerIO {
         """"single_word": false, "lstrip": false, "rstrip": false, """ +
         """"normalized": false, "special": true}"""
     }.mkString("[", ", ", "]")
+    // byte-level models record the HF pre_tokenizer/decoder pair so a
+    // fast-tokenizer loader applies the byte alphabet on both sides
+    // (pass [[ByteLevelBpe.vocabulary]] as `vocab` for those)
+    val pretok =
+      if (byteLevel)
+        """"pre_tokenizer": {"type": "ByteLevel", "add_prefix_space": false, """ +
+          """"trim_offsets": true, "use_regex": true}, """ +
+          """"decoder": {"type": "ByteLevel"}, """
+      else ""
     writeText(spark, path,
-      s"""{"version": "1.0", "added_tokens": $addedJson, """ +
+      s"""{"version": "1.0", "added_tokens": $addedJson, $pretok""" +
         s""""model": {"type": "BPE", "unk_token": null, """ +
         s""""vocab": $vocabJson, "merges": $mergesJson}}""")
   }
@@ -426,6 +437,11 @@ object TokenizerIO {
       case _ => throw new IllegalArgumentException(
         "tokenizer.json: added_tokens must be an array")
     }
-    BpeTokenizer(merges, vocab, added)
+    val byteLevel = root.get("pre_tokenizer") match {
+      case Some(m: Map[String @unchecked, Any @unchecked]) =>
+        m.get("type").contains("ByteLevel")
+      case _ => false
+    }
+    BpeTokenizer(merges, vocab, added, byteLevel)
   }
 }

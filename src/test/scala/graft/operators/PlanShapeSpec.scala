@@ -197,4 +197,38 @@ class PlanShapeSpec extends SparkTestBase {
     assert(exchanges(out) === 1)
     assert(windows >= 1)
   }
+
+  test("ivfRadiusPairs plans a broadcast probe join, never a cartesian") {
+    val emb = (0 until 40).map(i =>
+      (i.toLong, Array(math.cos(i * 0.3).toFloat, math.sin(i * 0.3).toFloat)))
+      .toDF("vec_id", "embedding").repartition(4)
+    val idx = graft.pipeline.Similarity.buildIvfIndex(emb, "vec_id", "embedding", 4)
+    val out = graft.pipeline.Similarity
+      .ivfRadiusPairs(idx, emb, "vec_id", "embedding", 0.9, probeMass = 1.0)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // candidate join is map-side (broadcast): zero hash exchanges
+    assert(exchanges(out) === 0, plan)
+  }
+
+  test("per-cell prototypicality rule rides one exchange for both windows") {
+    val scored = Seq((1L, 0, 0.1), (2L, 0, 0.2), (3L, 1, 0.3))
+      .toDF("vec_id", "cell", "proto_score").repartition(4)
+    val out = graft.pipeline.Diversity.keepLeastPrototypical(scored, "vec_id", 0.5)
+    // row_number (cell, ordered) and count (cell) share
+    // HashPartitioning(cell) -> exactly one exchange
+    assert(exchanges(out) === 1)
+  }
+
+  test("snapshot diff is one full-outer hash join over hash-only projections") {
+    val a = Seq((1L, "x"), (2L, "y")).toDF("k", "txt").repartition(4)
+    val b = Seq((2L, "y"), (3L, "z")).toDF("k", "txt").repartition(4)
+    val out = graft.pipeline.Snapshot.diffSnapshots(a, b, "k", Seq("txt"))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    // two sides each shuffle on the key for the sort-merge/hash join —
+    // and nothing else (payloads are projected away before the join)
+    assert(exchanges(out) <= 2, plan)
+  }
 }
