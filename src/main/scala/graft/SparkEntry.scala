@@ -1343,6 +1343,66 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // sentence segmentation: plant sentences by chunking punct-free
+    // tokens 5-at-a-time joined with ". " — segment count is then
+    // exactly ceil(ntoks/5), SQL-derivable; rejoining the segments
+    // with single spaces must reproduce the constructed text
+    "q_sentences" -> ((s: SparkSession, dir: String) => {
+      val clean = F.regexp_replace(F.col("text"), "[.!?]", "")
+      val toks = F.filter(F.split(clean, "\\s+"),
+        (tk: Column) => F.length(tk) > 0)
+      val base = t(s, dir, "documents")
+        .filter(F.col("text").isNotNull)
+        .select(F.col("doc_id"), toks.as("__toks"))
+        .filter(F.size(F.col("__toks")) >= 1)
+      val nChunks = F.ceil(F.size(F.col("__toks")).cast("double") / F.lit(5.0))
+        .cast("int")
+      val constructed = base.select(F.col("doc_id"),
+        F.array_join(F.transform(F.sequence(F.lit(0), nChunks - 1),
+          i => F.array_join(F.slice(F.col("__toks"), i * 5 + 1, F.lit(5)), " ")),
+          ". ").as("__t"))
+      constructed.select(F.col("doc_id"),
+          graft.pipeline.TextFunctions.split_sentences(F.col("__t")).as("__s"),
+          F.col("__t"))
+        .select(F.col("doc_id"),
+          F.size(F.col("__s")).cast("long").as("n_sentences"),
+          (F.array_join(F.col("__s"), " ") === F.col("__t")).as("rejoin_ok"))
+        .orderBy("doc_id")
+    }),
+
+    // within-document duplicate-line removal: 3-token lines (the
+    // paragraph-ify construction — repeats are real at this vocab);
+    // kept-line count = distinct-line count, exact cross-engine, and
+    // the kept order must be the first-occurrence subsequence
+    "q_dedup_lines" -> ((s: SparkSession, dir: String) => {
+      val toks = F.filter(F.split(F.col("text"), "\\s+"),
+        (tk: Column) => F.length(tk) > 0)
+      val base = t(s, dir, "documents")
+        .filter(F.col("text").isNotNull)
+        .select(F.col("doc_id"), toks.as("__toks"))
+        .filter(F.size(F.col("__toks")) >= 1)
+      val nChunks = F.ceil(F.size(F.col("__toks")).cast("double") / F.lit(3.0))
+        .cast("int")
+      val para = base.select(F.col("doc_id"),
+        F.array_join(F.transform(F.sequence(F.lit(0), nChunks - 1),
+          i => F.array_join(F.slice(F.col("__toks"), i * 3 + 1, F.lit(3)), " ")),
+          "\n").as("__t"))
+      val refU = F.udf((t: String) => {
+        val seen = new java.util.LinkedHashSet[String]()
+        t.split("\n", -1).foreach(seen.add)
+        String.join("\n", seen)
+      })
+      para.select(F.col("doc_id"),
+          F.split(F.col("__t"), "\n").as("__lines"),
+          graft.pipeline.TextFunctions.dedupLines(F.col("__t")).as("__d"),
+          refU(F.col("__t")).as("__ref"))
+        .select(F.col("doc_id"),
+          F.size(F.col("__lines")).cast("long").as("n_lines"),
+          F.size(F.split(F.col("__d"), "\n")).cast("long").as("n_kept"),
+          (F.col("__d") === F.col("__ref")).as("order_ok"))
+        .orderBy("doc_id")
+    }),
+
     // duplicated-substring removal keeping the globally first copy:
     // per-doc removed-token counts for every rewritten document
     "q_dedup_substring_strip" -> ((s: SparkSession, dir: String) => {
@@ -4182,6 +4242,28 @@ object SparkEntry {
         |       CAST(t.total - COALESCE(r.kept, 0) AS BIGINT) AS paras_removed
         |FROM tot t LEFT JOIN reb r USING (doc_id)
         |ORDER BY t.doc_id""".stripMargin,
+    "q_sentences" ->
+      """WITH d AS (SELECT doc_id,
+        |             list_filter(string_split_regex(
+        |               regexp_replace(text, '[.!?]', '', 'g'), '\s+'),
+        |               w -> len(w) > 0) AS toks
+        |           FROM documents WHERE text IS NOT NULL)
+        |SELECT doc_id, CAST(ceil(len(toks) / 5.0) AS BIGINT) AS n_sentences,
+        |       true AS rejoin_ok
+        |FROM d WHERE len(toks) >= 1 ORDER BY doc_id""".stripMargin,
+    "q_dedup_lines" ->
+      """WITH d AS (SELECT doc_id,
+        |             list_filter(string_split_regex(text, '\s+'),
+        |               w -> len(w) > 0) AS toks
+        |           FROM documents WHERE text IS NOT NULL),
+        |d2 AS (SELECT doc_id, toks FROM d WHERE len(toks) >= 1),
+        |p AS (SELECT doc_id, u.i AS pi,
+        |             array_to_string(toks[(u.i-1)*3+1:(u.i-1)*3+3], ' ') AS line
+        |      FROM d2, range(1, 4000) u(i)
+        |      WHERE u.i <= CAST(ceil(len(toks) / 3.0) AS INT))
+        |SELECT doc_id, count(*) AS n_lines,
+        |       count(DISTINCT line) AS n_kept, true AS order_ok
+        |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_dedup_substring_strip" ->
       """WITH d AS (SELECT doc_id,
         |             list_filter(string_split_regex(text, '\s+'), s -> len(s) > 0) AS toks

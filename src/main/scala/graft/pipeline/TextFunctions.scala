@@ -423,4 +423,72 @@ object TextFunctions {
   })
 
   def compressionRatio(text: Column): Column = compressionRatioUdf(text)
+
+  // ------------------------------------------------- sentence splitting
+
+  /** Common sentence-final-period false friends for the abbreviation
+    * guard: a boundary whose punctuation run is exactly "." and whose
+    * preceding token (letters only, case-folded) is one of these — or
+    * is a single uppercase letter (middle initials) — does not split. */
+  private val Abbreviations: Set[String] = Set(
+    "mr", "mrs", "ms", "dr", "prof", "sr", "jr", "st", "vs", "etc",
+    "al", "inc", "ltd", "co", "fig", "no", "e.g", "i.e", "approx")
+
+  /**
+   * Sentence segmentation at punctuation-run boundaries: a maximal run
+   * of `.`/`!`/`?` followed by whitespace ends a sentence (punctuation
+   * stays with its sentence, the whitespace is dropped); leading and
+   * trailing whitespace are trimmed first, so for non-empty trimmed
+   * text the segment count is exactly `1 + (boundary matches)` — a
+   * regex count any engine reproduces. `abbrevGuard = true`
+   * additionally refuses to split after known abbreviations and
+   * single-initial periods (heuristic — guard mode is spec-tested,
+   * not oracle-replayed). NULL → null, whitespace-only → empty array.
+   */
+  private[pipeline] def sentenceSegments(
+      text: String, abbrevGuard: Boolean): Array[String] = {
+    if (text == null) return null
+    val t = text.trim
+    if (t.isEmpty) return Array.empty
+    val m = java.util.regex.Pattern.compile("([.!?]+)(\\s+)").matcher(t)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var last = 0
+    while (m.find()) {
+      val guard = abbrevGuard && m.group(1) == "." && {
+        // token immediately before the period
+        var b = m.start(1) - 1
+        var e = b
+        while (b >= 0 && !Character.isWhitespace(t.charAt(b))) b -= 1
+        val tok = t.substring(b + 1, e + 1)
+        val folded = tok.toLowerCase(java.util.Locale.ROOT)
+        Abbreviations.contains(folded) ||
+          (tok.length == 1 && Character.isUpperCase(tok.charAt(0)))
+      }
+      if (!guard) {
+        out += t.substring(last, m.end(1))
+        last = m.end()
+      }
+    }
+    if (last < t.length) out += t.substring(last)
+    out.toArray
+  }
+
+  def splitSentencesUdf(abbrevGuard: Boolean): UserDefinedFunction =
+    F.udf((text: String) => sentenceSegments(text, abbrevGuard))
+
+  /** Column of sentences (see [[sentenceSegments]]). */
+  def split_sentences(text: Column, abbrevGuard: Boolean = false): Column =
+    splitSentencesUdf(abbrevGuard)(text)
+
+  /**
+   * Remove duplicated lines WITHIN a document, keeping first
+   * occurrences in order — the within-page cleanup for nav bars and
+   * repeated boilerplate lines (the cross-document form is
+   * [[Dedup.dedupParagraphs]]). Pure `array_distinct` over the line
+   * split (Spark's array_distinct preserves first-occurrence order),
+   * map-only and codegen-friendly. NULL → NULL.
+   */
+  def dedupLines(text: Column): Column =
+    F.when(text.isNull, F.lit(null).cast("string"))
+      .otherwise(F.array_join(F.array_distinct(F.split(text, "\n")), "\n"))
 }

@@ -1,0 +1,55 @@
+package graft.pipeline
+
+import graft.SparkTestBase
+import org.apache.spark.sql.{functions => F}
+
+class SentenceSpec extends SparkTestBase {
+  import TextFunctions.sentenceSegments
+
+  test("plain boundaries: punctuation runs + whitespace, count = matches + 1") {
+    assert(sentenceSegments("Hello world. Bye now!", false).toSeq ===
+      Seq("Hello world.", "Bye now!"))
+    assert(sentenceSegments("One!! Two?! Three", false).toSeq ===
+      Seq("One!!", "Two?!", "Three"))
+    // no space after punctuation: no boundary
+    assert(sentenceSegments("v1.2 is out. Yes", false).toSeq ===
+      Seq("v1.2 is out.", "Yes"))
+    // trimming: trailing punctuation+space never yields an empty segment
+    assert(sentenceSegments("  Hi there.  ", false).toSeq === Seq("Hi there."))
+    assert(sentenceSegments("", false).toSeq === Seq.empty)
+    assert(sentenceSegments("   ", false).toSeq === Seq.empty)
+    assert(sentenceSegments(null, false) === null)
+    // degenerate lone-punctuation segments stay consistent
+    assert(sentenceSegments("a. . b", false).toSeq === Seq("a.", ".", "b"))
+  }
+
+  test("abbreviation guard merges known false boundaries") {
+    assert(sentenceSegments("Dr. Smith arrived. He sat.", true).toSeq ===
+      Seq("Dr. Smith arrived.", "He sat."))
+    assert(sentenceSegments("Dr. Smith arrived. He sat.", false).toSeq ===
+      Seq("Dr.", "Smith arrived.", "He sat."))
+    // single uppercase initial
+    assert(sentenceSegments("J. R. Tolkien wrote. Done.", true).toSeq ===
+      Seq("J. R. Tolkien wrote.", "Done."))
+    // guard only applies to a bare "." run
+    assert(sentenceSegments("Call Dr.! Now", true).toSeq ===
+      Seq("Call Dr.!", "Now"))
+    assert(sentenceSegments("e.g. this works", true).toSeq ===
+      Seq("e.g. this works"))
+  }
+
+  test("dedupLines keeps first occurrences in order; NULL passes through") {
+    val spark0 = spark
+    import spark0.implicits._
+    val df = Seq(
+      (1L, "a\nb\na\nc\nb"),
+      (2L, "x"),
+      (3L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+      .select(F.col("id"), TextFunctions.dedupLines(F.col("text")).as("d"))
+    val got = df.as[(Long, String)].collect().toMap
+    assert(got(1L) === "a\nb\nc")
+    assert(got(2L) === "x")
+    assert(got(3L) === null)
+  }
+}
