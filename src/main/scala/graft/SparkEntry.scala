@@ -1280,6 +1280,32 @@ object SparkEntry {
         .orderBy("seq_id")
     }),
 
+    // per-sequence document spans (the block-diagonal-attention side
+    // input): span cell counts and the id-weighted span dot product
+    // replay exactly from the same integer layout; gapless tiling
+    // from position 0 pins as booleans
+    "q_pack_spans" -> ((s: SparkSession, dir: String) => {
+      val docs = t(s, dir, "documents").filter(F.col("text").isNotNull)
+      val nToks = F.size(F.filter(
+        F.split(F.col("text"), "\\s+"), w => F.length(w) > 0))
+      val layout = graft.pipeline.Packing.packTokenStream(
+        docs, "doc_id", nToks, seqLen = 256L)
+      graft.pipeline.Packing.packedDocSpans(layout, "doc_id", 256L)
+        .select(F.col("seq_id"),
+          F.size(F.col("spans")).cast("long").as("n_docs"),
+          F.expr("aggregate(spans, 0L, (a, sp) -> a + sp.`end` - sp.start + 1)")
+            .as("cells"),
+          F.expr("aggregate(spans, 0L, (a, sp) -> a + sp.id * (sp.`end` - sp.start + 1))")
+            .as("id_dot"),
+          // sequence(0, -1) DESCENDS, so the single-span case must
+          // short-circuit before the pairwise walk
+          F.expr("""spans[0].start = 0 AND (size(spans) < 2 OR
+            forall(sequence(0, size(spans) - 2),
+              i -> spans[i + 1].start = spans[i].`end` + 1))""")
+            .as("tiles_ok"))
+        .orderBy("seq_id")
+    }),
+
     // materialized packed sequences (token ids = word lengths, EOS=0):
     // per-sequence count + id sum pins both the layout AND the
     // within-sequence contents cross-engine
@@ -4162,6 +4188,28 @@ object SparkEntry {
         |       CAST(sum(least((seq_id+1)*256 - 1, off + n) -
         |                greatest(seq_id*256, off) + 1) AS BIGINT) AS n_tokens
         |FROM s GROUP BY 1 ORDER BY seq_id""".stripMargin,
+    "q_pack_spans" ->
+      """WITH d AS (SELECT doc_id,
+        |             CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+        |                                  x -> x <> '')) AS BIGINT) AS n
+        |           FROM documents WHERE text IS NOT NULL),
+        |o AS (SELECT doc_id, n,
+        |        CAST(coalesce(sum(n + 1) OVER (ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |          AS off
+        |      FROM d),
+        |s AS (SELECT doc_id, off, n,
+        |        unnest(generate_series(off // 256, (off + n) // 256)) AS seq_id
+        |      FROM o),
+        |sp AS (SELECT doc_id, seq_id,
+        |         greatest(seq_id*256, off) AS st,
+        |         least((seq_id+1)*256 - 1, off + n) AS en
+        |       FROM s)
+        |SELECT seq_id, count(*) AS n_docs,
+        |       CAST(sum(en - st + 1) AS BIGINT) AS cells,
+        |       CAST(sum(doc_id * (en - st + 1)) AS BIGINT) AS id_dot,
+        |       true AS tiles_ok
+        |FROM sp GROUP BY seq_id ORDER BY seq_id""".stripMargin,
     "q_pack_ids" ->
       """WITH d AS (SELECT doc_id, list_append(
         |             list_transform(

@@ -128,6 +128,34 @@ object Packing {
   }
 
   /**
+   * Per-sequence DOCUMENT SPANS — the boundary side input for
+   * sample-packed training: block-diagonal attention masks and
+   * per-document position-id resets need to know where each
+   * document's slice sits inside each fixed-length sequence. Returns
+   * (seq_id, spans) with `spans` = array<struct<start, end, id>>
+   * ordered by start — within-sequence INCLUSIVE token positions,
+   * the EOS slot belonging to its document. Spans tile each sequence
+   * gaplessly from position 0 (only the final sequence ends early).
+   * Same bounded per-doc fanout + single aggregate as
+   * [[packedSequenceStats]].
+   */
+  def packedDocSpans(layout: DataFrame, idCol: String, seqLen: Long): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    layout
+      .select(F.col(idCol), F.col("token_offset"), F.col("n_tokens"),
+        F.explode(F.sequence(F.col("first_seq"), F.col("last_seq"))).as("seq_id"))
+      .withColumn("__s", F.greatest(F.col("seq_id") * seqLen, F.col("token_offset")))
+      .withColumn("__e", F.least(
+        (F.col("seq_id") + 1L) * seqLen - 1L,
+        F.col("token_offset") + F.col("n_tokens")))
+      .groupBy(F.col("seq_id"))
+      .agg(F.sort_array(F.collect_list(F.struct(
+        (F.col("__s") - F.col("seq_id") * seqLen).cast("int").as("start"),
+        (F.col("__e") - F.col("seq_id") * seqLen).cast("int").as("end"),
+        F.col(idCol).as("id")))).as("spans"))
+  }
+
+  /**
    * Materialize the packed sequences themselves: documents' token-id
    * arrays (with `eosId` appended) concatenate in `idCol` order and
    * re-window into `seqLen`-sized id arrays — (seq_id, ids). One

@@ -64,4 +64,20 @@ class PackTokenStreamSpec extends SparkTestBase {
       off += ids.size + 1
     }
   }
+
+  test("packedDocSpans: hand-checked within-sequence spans, gapless tiling") {
+    val layout = Packing.packTokenStream(
+      docs.toDF("id", "ids"), "id", F.size(F.col("ids")), seqLen = 4L)
+    val spans = Packing.packedDocSpans(layout, "id", 4L)
+      .orderBy("seq_id")
+      .select(F.col("seq_id"),
+        F.expr("transform(spans, sp -> array(sp.start, sp.`end`, CAST(sp.id AS INT)))"))
+      .as[(Long, Seq[Seq[Int]])].collect().toSeq
+    // global stream: doc1 [0,3] doc2 [4,5] doc3 [6,11] doc4 [12,12] doc5 [13,15]
+    assert(spans === Seq(
+      (0L, Seq(Seq(0, 3, 1))),                       // seq 0 = doc1
+      (1L, Seq(Seq(0, 1, 2), Seq(2, 3, 3))),         // doc2 tail, doc3 head
+      (2L, Seq(Seq(0, 3, 3))),                       // doc3 middle
+      (3L, Seq(Seq(0, 0, 4), Seq(1, 3, 5)))))        // doc4 EOS, doc5
+  }
 }
