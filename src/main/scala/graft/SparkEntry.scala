@@ -1396,6 +1396,37 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // sentence-aware chunking over the same planted 5-token sentences:
+    // maxWords = 15 packs exactly 3 sentences per chunk (a shorter
+    // final sentence still can't admit a 4th — 15 is already full),
+    // so chunk counts and word totals replay exactly in SQL
+    "q_chunk_sentences" -> ((s: SparkSession, dir: String) => {
+      val clean = F.regexp_replace(F.col("text"), "[.!?]", "")
+      val toks = F.filter(F.split(clean, "\\s+"),
+        (tk: Column) => F.length(tk) > 0)
+      val base = t(s, dir, "documents")
+        .filter(F.col("text").isNotNull)
+        .select(F.col("doc_id"), toks.as("__toks"))
+        .filter(F.size(F.col("__toks")) >= 1)
+      val nChunks = F.ceil(F.size(F.col("__toks")).cast("double") / F.lit(5.0))
+        .cast("int")
+      val constructed = base.select(F.col("doc_id"),
+        F.array_join(F.transform(F.sequence(F.lit(0), nChunks - 1),
+          i => F.array_join(F.slice(F.col("__toks"), i * 5 + 1, F.lit(5)), " ")),
+          ". ").as("__t"))
+      graft.pipeline.Scrub.chunkSentences(constructed, F.col("__t"), 15)
+        .groupBy(F.col("doc_id"))
+        .agg(
+          F.count(F.lit(1)).as("n_chunks"),
+          F.sum(F.size(F.filter(F.split(F.col("chunk_text"), "\\s+"),
+            (w: Column) => F.length(w) > 0)).cast("long")).as("words_total"),
+          (F.array_join(F.transform(
+            F.sort_array(F.collect_list(F.struct(F.col("chunk_idx"), F.col("chunk_text")))),
+            c => c.getField("chunk_text")), " ") === F.first(F.col("__t")))
+            .as("rejoin_ok"))
+        .orderBy("doc_id")
+    }),
+
     // within-document duplicate-line removal: 3-token lines (the
     // paragraph-ify construction — repeats are real at this vocab);
     // kept-line count = distinct-line count, exact cross-engine, and
@@ -1702,6 +1733,22 @@ object SparkEntry {
       graft.pipeline.Decontaminate.semanticContaminationFlags(
           emb, "vec_id", "embedding", bench, "embedding",
           threshold = 0.999, nlist = 8)
+        .orderBy("vec_id")
+    }),
+
+    // persisted-index decontamination: save/load the corpus IVF index
+    // and probe it — output-identical to the direct path for the
+    // planted benchmark (shares its full-row oracle)
+    "q_decontaminate_semantic_indexed" -> ((s: SparkSession, dir: String) => {
+      val emb = t(s, dir, "embeddings")
+      val bench = emb.filter(F.col("vec_id") % 37 === 0).select(F.col("embedding"))
+      val path = System.getProperty("java.io.tmpdir") + "/graft_q_decon_ivf"
+      graft.pipeline.Similarity
+        .buildIvfIndex(emb, "vec_id", "embedding", nlist = 8)
+        .save(path)
+      val idx = graft.pipeline.Similarity.loadIvfIndex(s, path)
+      graft.pipeline.Decontaminate.semanticContaminationFlagsIndexed(
+          idx, emb, "vec_id", bench, "embedding", threshold = 0.999)
         .orderBy("vec_id")
     }),
 
@@ -4299,6 +4346,17 @@ object SparkEntry {
         |SELECT doc_id, CAST(ceil(len(toks) / 5.0) AS BIGINT) AS n_sentences,
         |       true AS rejoin_ok
         |FROM d WHERE len(toks) >= 1 ORDER BY doc_id""".stripMargin,
+    "q_chunk_sentences" ->
+      """WITH d AS (SELECT doc_id,
+        |             list_filter(string_split_regex(
+        |               regexp_replace(text, '[.!?]', '', 'g'), '\s+'),
+        |               w -> len(w) > 0) AS toks
+        |           FROM documents WHERE text IS NOT NULL)
+        |SELECT doc_id,
+        |       CAST(ceil(ceil(len(toks) / 5.0) / 3.0) AS BIGINT) AS n_chunks,
+        |       CAST(len(toks) AS BIGINT) AS words_total,
+        |       true AS rejoin_ok
+        |FROM d WHERE len(toks) >= 1 ORDER BY doc_id""".stripMargin,
     "q_dedup_lines" ->
       """WITH d AS (SELECT doc_id,
         |             list_filter(string_split_regex(text, '\s+'),
@@ -5430,6 +5488,7 @@ object SparkEntry {
       "q_rel_session_auto" -> base("q_rel_session"),
       // persisted-index probe is output-identical to the direct path
       "q_dedup_containment_indexed" -> base("q_dedup_containment"),
+      "q_decontaminate_semantic_indexed" -> base("q_decontaminate_semantic"),
       "q_tokenize_bpe" ->
         """SELECT count(*) AS docs, true AS rank_eq_seq, true AS reconstructs
           |FROM documents""".stripMargin,

@@ -252,14 +252,33 @@ object Decontaminate {
       benchVecCol: String,
       threshold: Double = 0.97,
       nlist: Int = 64,
+      probeMass: Double = 0.45): DataFrame =
+    semanticContaminationFlagsIndexed(
+      Similarity.buildIvfIndex(
+        docs.filter(F.col(vecCol).isNotNull), idCol, vecCol, nlist),
+      docs, idCol, benchmark, benchVecCol, threshold, probeMass)
+
+  /**
+   * [[semanticContaminationFlags]] against a PREBUILT corpus index —
+   * the nightly shape: build the IVF index once
+   * ([[Similarity.buildIvfIndex]] + `IvfIndex.save`), then audit each
+   * new benchmark release with `Similarity.loadIvfIndex` + this,
+   * never re-clustering the corpus. The index's `neighbor_id` column
+   * must hold `docs`' `idCol` values.
+   */
+  def semanticContaminationFlagsIndexed(
+      index: Similarity.IvfIndex,
+      docs: DataFrame,
+      idCol: String,
+      benchmark: DataFrame,
+      benchVecCol: String,
+      threshold: Double = 0.97,
       probeMass: Double = 0.45): DataFrame = {
-    val idx = Similarity.buildIvfIndex(
-      docs.filter(F.col(vecCol).isNotNull), idCol, vecCol, nlist)
     val bench = benchmark.filter(F.col(benchVecCol).isNotNull)
       .select(F.monotonically_increasing_id().as("__bid"),
         F.col(benchVecCol).as("__bv"))
     val hits = Similarity
-      .ivfRadiusPairs(idx, bench, "__bid", "__bv", threshold,
+      .ivfRadiusPairs(index, bench, "__bid", "__bv", threshold,
         probeMass = probeMass)
       .select(F.col("neighbor_id").as(idCol)).distinct()
       .withColumn("__hit", F.lit(1))

@@ -156,4 +156,79 @@ object Scrub {
           F.slice(F.col("__ws"), F.col("chunk_idx") * stride + 1, F.lit(chunkWords)), " "))
       .drop("__ws")
   }
+
+  /** Greedy sentence packing for [[chunkSentences]]: whole sentences
+    * accumulate until the next one would exceed `maxWords`; an
+    * oversize sentence gets its own chunk (never split mid-sentence);
+    * each flush seeds the next chunk with the previous chunk's last
+    * `overlapSentences` sentences (their words count against the
+    * budget). */
+  private[pipeline] def packSentenceChunks(
+      sentences: Array[String],
+      maxWords: Int,
+      overlapSentences: Int): Array[String] = {
+    def wc(s: String): Int = {
+      var n = 0; var i = 0; var inWord = false
+      while (i < s.length) {
+        val ws = Character.isWhitespace(s.charAt(i))
+        if (!ws && !inWord) n += 1
+        inWord = !ws
+        i += 1
+      }
+      n
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var cur = scala.collection.mutable.ArrayBuffer.empty[(String, Int)]
+    var curWords = 0
+    def flush(): Unit = if (cur.nonEmpty) {
+      out += cur.iterator.map(_._1).mkString(" ")
+      val keep = cur.takeRight(overlapSentences)
+      cur = scala.collection.mutable.ArrayBuffer.from(keep)
+      curWords = keep.iterator.map(_._2).sum
+    }
+    sentences.foreach { s =>
+      val w = wc(s)
+      if (cur.nonEmpty && curWords + w > maxWords) flush()
+      // after a flush the overlap seed alone may already exceed the
+      // budget with the new sentence; degrade to a fresh chunk
+      if (cur.nonEmpty && curWords + w > maxWords) {
+        cur.clear(); curWords = 0
+      }
+      cur += ((s, w)); curWords += w
+    }
+    if (cur.nonEmpty) out += cur.iterator.map(_._1).mkString(" ")
+    out.toArray
+  }
+
+  /**
+   * Sentence-aware chunking: split into sentences
+   * ([[TextFunctions.sentenceSegments]], plain boundaries) and pack
+   * WHOLE sentences greedily into chunks of at most `maxWords` words —
+   * the RAG/context-window shaping pass that never cuts mid-sentence,
+   * unlike [[chunkWords]]' fixed word windows. `overlapSentences`
+   * repeats that many trailing sentences as left context in the next
+   * chunk. Output: one row per chunk with (original columns,
+   * chunk_idx, chunk_text); NULL/whitespace-only documents yield one
+   * empty chunk (no document silently dropped). Map-only explode.
+   */
+  def chunkSentences(
+      df: DataFrame,
+      textCol: Column,
+      maxWords: Int,
+      overlapSentences: Int = 0): DataFrame = {
+    require(maxWords > 0, s"maxWords must be positive, got $maxWords")
+    require(overlapSentences >= 0,
+      s"overlapSentences must be >= 0, got $overlapSentences")
+    val clash = df.columns.toSet.intersect(Set("chunk_idx", "chunk_text", "__cs"))
+    require(clash.isEmpty, s"column names reserved by chunkSentences: $clash")
+    val chunksU = F.udf((t: String) => {
+      val sents = TextFunctions.sentenceSegments(
+        if (t == null) "" else t, abbrevGuard = false)
+      val packed = packSentenceChunks(sents, maxWords, overlapSentences)
+      if (packed.isEmpty) Array("") else packed
+    })
+    df.withColumn("__cs", chunksU(textCol))
+      .select(F.col("*"), F.posexplode(F.col("__cs")).as(Seq("chunk_idx", "chunk_text")))
+      .drop("__cs")
+  }
 }

@@ -38,6 +38,38 @@ class SentenceSpec extends SparkTestBase {
       Seq("e.g. this works"))
   }
 
+  test("packSentenceChunks: greedy whole-sentence packing with overlap") {
+    import Scrub.packSentenceChunks
+    val s = Array("a b c.", "d e.", "f g h i.", "j.")
+    // budget 5: [a b c. d e.] (5), [f g h i. j.] (5)
+    assert(packSentenceChunks(s, 5, 0).toSeq ===
+      Seq("a b c. d e.", "f g h i. j."))
+    // budget 3: oversize sentence alone, never split
+    assert(packSentenceChunks(Array("w x y z."), 3, 0).toSeq ===
+      Seq("w x y z."))
+    // overlap 1: second chunk repeats the previous trailing sentence
+    assert(packSentenceChunks(s, 6, 1).toSeq ===
+      Seq("a b c. d e.", "d e. f g h i.", "f g h i. j."))
+    assert(packSentenceChunks(Array.empty, 5, 0).toSeq === Seq.empty)
+  }
+
+  test("chunkSentences: one row per chunk, empty docs kept") {
+    val spark0 = spark
+    import spark0.implicits._
+    val df = Seq(
+      (1L, "One two. Three four. Five six."),
+      (2L, "   "),
+      (3L, null.asInstanceOf[String])).toDF("id", "text")
+    val out = Scrub.chunkSentences(df, F.col("text"), 4)
+      .select("id", "chunk_idx", "chunk_text")
+      .as[(Long, Int, String)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(out === Seq(
+      (1L, 0, "One two. Three four."),
+      (1L, 1, "Five six."),
+      (2L, 0, ""),
+      (3L, 0, "")))
+  }
+
   test("dedupLines keeps first occurrences in order; NULL passes through") {
     val spark0 = spark
     import spark0.implicits._
