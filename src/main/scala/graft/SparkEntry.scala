@@ -1396,6 +1396,25 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // readability scoring: word/sentence/syllable-proxy counts are
+    // exact regex quantities; both scores are two divisions on those
+    // integers — 4dp-rounded like every cross-engine float sum
+    "q_readability" -> ((s: SparkSession, dir: String) => {
+      val tf = graft.pipeline.TextFunctions
+      t(s, dir, "documents")
+        .filter(F.col("text").isNotNull)
+        .select(F.col("doc_id"),
+          tf.readabilityCounts(F.col("text")).as("__c"),
+          F.round(tf.fleschReadingEase(F.col("text")), 4).as("flesch"),
+          F.round(tf.fleschKincaidGrade(F.col("text")), 4).as("fk_grade"))
+        .select(F.col("doc_id"),
+          F.col("__c.words").cast("long").as("words"),
+          F.col("__c.sentences").cast("long").as("sentences"),
+          F.col("__c.syllables").cast("long").as("syllables"),
+          F.col("flesch"), F.col("fk_grade"))
+        .orderBy("doc_id")
+    }),
+
     // sentence-aware chunking over the same planted 5-token sentences:
     // maxWords = 15 packs exactly 3 sentences per chunk (a shorter
     // final sentence still can't admit a 4th — 15 is already full),
@@ -4346,6 +4365,22 @@ object SparkEntry {
         |SELECT doc_id, CAST(ceil(len(toks) / 5.0) AS BIGINT) AS n_sentences,
         |       true AS rejoin_ok
         |FROM d WHERE len(toks) >= 1 ORDER BY doc_id""".stripMargin,
+    "q_readability" ->
+      """WITH c AS (SELECT doc_id,
+        |  len(list_filter(string_split_regex(text, '\s+'), w -> len(w) > 0)) AS w,
+        |  CASE WHEN len(trim(text)) = 0 THEN 0
+        |       ELSE len(regexp_extract_all(trim(text), '[.!?]+\s+')) + 1 END AS s,
+        |  len(regexp_extract_all(lower(text), '[aeiouy]+')) AS y
+        |  FROM documents WHERE text IS NOT NULL)
+        |SELECT doc_id, CAST(w AS BIGINT) AS words, CAST(s AS BIGINT) AS sentences,
+        |       CAST(y AS BIGINT) AS syllables,
+        |       CASE WHEN w > 0 AND s > 0 THEN
+        |         round(206.835 - 1.015 * (CAST(w AS DOUBLE) / s)
+        |                       - 84.6 * (CAST(y AS DOUBLE) / w), 4) END AS flesch,
+        |       CASE WHEN w > 0 AND s > 0 THEN
+        |         round(0.39 * (CAST(w AS DOUBLE) / s)
+        |               + 11.8 * (CAST(y AS DOUBLE) / w) - 15.59, 4) END AS fk_grade
+        |FROM c ORDER BY doc_id""".stripMargin,
     "q_chunk_sentences" ->
       """WITH d AS (SELECT doc_id,
         |             list_filter(string_split_regex(

@@ -480,6 +480,49 @@ object TextFunctions {
   def split_sentences(text: Column, abbrevGuard: Boolean = false): Column =
     splitSentencesUdf(abbrevGuard)(text)
 
+  /** Word / sentence-boundary / syllable-proxy counts behind the
+    * readability scores: words = non-empty whitespace splits,
+    * sentences = `[.!?]+\s+` boundary matches + 1 on trimmed text
+    * (the [[sentenceSegments]] count), syllables = vowel-group runs
+    * (`[aeiouy]+`, case-folded) — the standard cheap proxy. All pure
+    * regex/size expressions: codegen-friendly and replayable in any
+    * engine. */
+  def readabilityCounts(text: Column): Column = {
+    val words = F.size(F.filter(F.split(text, "\\s+"),
+      (w: Column) => F.length(w) > 0))
+    val sentences = F.when(F.length(F.trim(text)) === 0, F.lit(0))
+      .otherwise(F.size(F.regexp_extract_all(
+        F.trim(text), F.lit("[.!?]+\\s+"), F.lit(0))) + F.lit(1))
+    val syllables = F.size(F.regexp_extract_all(
+      F.lower(text), F.lit("[aeiouy]+"), F.lit(0)))
+    F.struct(words.as("words"), sentences.as("sentences"),
+      syllables.as("syllables"))
+  }
+
+  /** Flesch reading ease from [[readabilityCounts]]:
+    * `206.835 - 1.015·(words/sentences) - 84.6·(syllables/words)`.
+    * NULL when the text has no words (ANSI-safe: the divisions are
+    * guarded, never evaluated at zero). */
+  def fleschReadingEase(text: Column): Column = {
+    val c = readabilityCounts(text)
+    val w = c.getField("words").cast("double")
+    val s = c.getField("sentences").cast("double")
+    val y = c.getField("syllables").cast("double")
+    F.when(c.getField("words") > 0 && c.getField("sentences") > 0,
+      F.lit(206.835) - F.lit(1.015) * w / s - F.lit(84.6) * y / w)
+  }
+
+  /** Flesch-Kincaid grade level:
+    * `0.39·(words/sentences) + 11.8·(syllables/words) - 15.59`. */
+  def fleschKincaidGrade(text: Column): Column = {
+    val c = readabilityCounts(text)
+    val w = c.getField("words").cast("double")
+    val s = c.getField("sentences").cast("double")
+    val y = c.getField("syllables").cast("double")
+    F.when(c.getField("words") > 0 && c.getField("sentences") > 0,
+      F.lit(0.39) * w / s + F.lit(11.8) * y / w - F.lit(15.59))
+  }
+
   /**
    * Remove duplicated lines WITHIN a document, keeping first
    * occurrences in order — the within-page cleanup for nav bars and

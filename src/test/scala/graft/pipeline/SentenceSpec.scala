@@ -70,6 +70,29 @@ class SentenceSpec extends SparkTestBase {
       (3L, 0, "")))
   }
 
+  test("readability: hand-computed counts and Flesch scores") {
+    val spark0 = spark
+    import spark0.implicits._
+    // "The cat sat. It ran away." -> 6 words, 2 sentences,
+    // vowel groups: e,a,a,I,a,a,ay -> 7 syllable proxies
+    val df = Seq((1L, "The cat sat. It ran away."), (2L, ""), (3L, "x"))
+      .toDF("id", "text")
+      .select(F.col("id"),
+        TextFunctions.readabilityCounts(F.col("text")).as("c"),
+        TextFunctions.fleschReadingEase(F.col("text")).as("f"))
+    val rows = df.selectExpr("id", "c.words", "c.sentences", "c.syllables", "f")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4))))).toMap
+    assert(rows(1L)._1 === 6)
+    assert(rows(1L)._2 === 2)
+    assert(rows(1L)._3 === 7)
+    val expected = 206.835 - 1.015 * (6.0 / 2.0) - 84.6 * (7.0 / 6.0)
+    assert(math.abs(rows(1L)._4.get - expected) < 1e-9)
+    assert(rows(2L)._4 === None)    // no words -> NULL, no ANSI error
+    assert(rows(3L) === ((1, 1, 0, Some(206.835 - 1.015))))
+  }
+
   test("dedupLines keeps first occurrences in order; NULL passes through") {
     val spark0 = spark
     import spark0.implicits._
