@@ -751,6 +751,46 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // custom-state streaming under the gate: the per-key lifetime
+    // sketch maintained with flatMapGroupsWithState. Each micro-batch
+    // emits the lifetime-to-date row per touched key, so the query
+    // keeps the max-n_updates row per key (max_by) — robust to any
+    // batching the file source picks; counts exact, p50 pinned at
+    // rank tolerance vs the exact per-key order statistic
+    "q_stream_running" -> ((s: SparkSession, dir: String) => {
+      Graft.register(s)
+      val ev = t(s, dir, "events")
+        .filter(F.col("ts").isNotNull && F.col("value").isNotNull)
+        .select(F.col("ts"), F.col("user_id"), F.col("value"))
+      val tmp = System.getProperty("java.io.tmpdir") + "/graft_q_stream_run_src"
+      ev.write.mode("overwrite").parquet(tmp)
+      val stream = s.readStream.schema(ev.schema).parquet(tmp)
+      val out = graft.streaming.SketchStreaming.runningSketchPerKey(
+        stream, "ts", "user_id", "value", "3650 days")
+      s.catalog.dropTempView("graft_stream_running")
+      val q = out.writeStream
+        .outputMode("append").format("memory")
+        .queryName("graft_stream_running")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val life = s.table("graft_stream_running")
+        .groupBy(F.col("key"))
+        .agg(F.max_by(F.struct(F.col("n_updates"), F.col("sketch")),
+          F.col("n_updates")).as("__r"))
+        .select(F.col("key"), F.col("__r.n_updates").as("n"),
+          G.ddsketch_quantile(F.col("__r.sketch"), 0.5).as("__p50"))
+      val exact = ev.groupBy(F.col("user_id").cast("string").as("key"))
+        .agg(F.sort_array(F.collect_list(F.col("value"))).as("__sv"),
+          F.count(F.col("value")).as("__n"))
+      life.join(exact, Seq("key"))
+        .select(F.col("key"), F.col("n"),
+          (F.abs(F.col("__p50") - rankValue(F.col("__sv"), F.col("__n"), 0.5)) <=
+            F.lit(RankTol) * F.abs(rankValue(F.col("__sv"), F.col("__n"), 0.5)))
+            .as("p50_ok"))
+        .orderBy("key")
+    }),
+
     // time bucketing: hourly event counts (epoch millis keys)
     "q_rel_timebucket" -> ((s: SparkSession, dir: String) => {
       t(s, dir, "events")
@@ -3879,6 +3919,11 @@ object SparkEntry {
         |         row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
         |  FROM orders) t WHERE rn = 1
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_stream_running" ->
+      """SELECT CAST(user_id AS VARCHAR) AS key,
+        |       count(value) AS n, true AS p50_ok
+        |FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        |GROUP BY user_id ORDER BY key""".stripMargin,
     // session_window's boundary: a gap of EXACTLY the duration starts
     // a new session (window end is exclusive) — hence >= , where the
     // batch Sessionize oracle uses >
