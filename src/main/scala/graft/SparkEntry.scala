@@ -1436,6 +1436,32 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // PCA whitening: whitened coordinates must come out decorrelated
+    // with unit variance over the fitting corpus — an invariant of
+    // the transform itself, computed exactly in Spark and pinned as
+    // booleans (eigen-noise tolerance 1e-3); count exact
+    "q_embed_whiten" -> ((s: SparkSession, dir: String) => {
+      val emb = t(s, dir, "embeddings").filter(F.col("embedding").isNotNull)
+      val model = graft.pipeline.Embeddings.fitPca(emb, F.col("embedding"), 4)
+      val w = emb.select(graft.pipeline.Embeddings
+          .pcaWhiten(F.col("embedding"), model).as("__w"))
+        .filter(F.col("__w").isNotNull)
+      val dims = 0 until 4
+      val aggs =
+        F.count(F.lit(1)).as("n") +:
+        (dims.map(j => F.avg(F.element_at(F.col("__w"), j + 1)).as(s"m$j")) ++
+         dims.map(j => F.avg(F.pow(F.element_at(F.col("__w"), j + 1), 2)).as(s"s$j")) ++
+         Seq(F.avg(F.element_at(F.col("__w"), 1) * F.element_at(F.col("__w"), 2))
+           .as("c01")))
+      w.agg(aggs.head, aggs.tail: _*)
+        .select(F.col("n").as("n_vectors"),
+          dims.map(j => (F.abs(F.col(s"m$j")) < 0.001).as(s"__z$j"))
+            .reduce(_ && _).as("means_zero"),
+          dims.map(j => (F.abs(F.col(s"s$j") - F.col(s"m$j") * F.col(s"m$j") - 1.0) < 0.001)
+            .as(s"__v$j")).reduce(_ && _).as("unit_variance"),
+          (F.abs(F.col("c01")) < 0.001).as("decorrelated"))
+    }),
+
     // readability scoring: word/sentence/syllable-proxy counts are
     // exact regex quantities; both scores are two divisions on those
     // integers — 4dp-rounded like every cross-engine float sum
@@ -4410,6 +4436,10 @@ object SparkEntry {
         |SELECT doc_id, CAST(ceil(len(toks) / 5.0) AS BIGINT) AS n_sentences,
         |       true AS rejoin_ok
         |FROM d WHERE len(toks) >= 1 ORDER BY doc_id""".stripMargin,
+    "q_embed_whiten" ->
+      """SELECT count(*) AS n_vectors, true AS means_zero,
+        |       true AS unit_variance, true AS decorrelated
+        |FROM embeddings WHERE embedding IS NOT NULL""".stripMargin,
     "q_readability" ->
       """WITH c AS (SELECT doc_id,
         |  len(list_filter(string_split_regex(text, '\s+'), w -> len(w) > 0)) AS w,

@@ -169,6 +169,32 @@ object Embeddings {
   }
 
   /**
+   * PCA-WHITENED projection: `y_j = (x - mean)·c_j / sqrt(λ_j + eps)`
+   * — decorrelated, unit-variance coordinates (over the fitting
+   * corpus), the standard pre-transform before similarity search or
+   * linear probing when raw dimensions have wildly uneven variance.
+   * Same map-only shape as [[pcaProject]]: the k scale factors ride
+   * the plan as literals next to the components. `eps` guards
+   * near-zero eigenvalues (a degenerate direction whitens to ~0, not
+   * to a blown-up axis).
+   */
+  def pcaWhiten(vec: Column, model: PcaModel, eps: Double = 1e-9): Column = {
+    require(eps > 0.0, s"eps must be positive, got $eps")
+    val d = model.dim
+    val meanLit = F.typedlit(model.mean.toSeq)
+    val compLit = F.typedlit(model.components.map(_.toSeq).toSeq)
+    val sclLit = F.typedlit(
+      model.eigenvalues.map(ev => 1.0 / math.sqrt(ev + eps)).toSeq)
+    val centered = F.transform(vec, (x, i) =>
+      x.cast("double") - F.element_at(meanLit, i + 1))
+    F.when(vec.isNotNull && F.size(vec) === d,
+      F.transform(compLit, (c, j) =>
+        F.aggregate(
+          F.zip_with(centered, c, (a, b) => a * b),
+          F.lit(0.0), (acc, x) => acc + x) * F.element_at(sclLit, j + 1)))
+  }
+
+  /**
    * Cyclic Jacobi eigendecomposition of a symmetric matrix. Returns
    * (eigenvalues, eigenvectors as ROWS). Classic textbook form:
    * sweep all (p,q) pairs, rotate away the off-diagonal mass, stop

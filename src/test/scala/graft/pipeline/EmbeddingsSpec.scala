@@ -143,4 +143,32 @@ class EmbeddingsSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
   }
+
+  test("pcaWhiten decorrelates a planted correlated cloud to unit variance") {
+    // y = 2x + bounded deterministic noise: strongly correlated dims
+    val pts = (0 until 200).map { i =>
+      val x = (i % 40) / 10.0
+      val noise = ((i * 37) % 11 - 5) / 25.0
+      (i.toLong, Array(x.toFloat, (2.0 * x + noise).toFloat))
+    }
+    val df = pts.toDF("vec_id", "embedding").repartition(4)
+    val model = Embeddings.fitPca(df, $"embedding", 2)
+    val w = df.select(Embeddings.pcaWhiten($"embedding", model).as("w"))
+      .as[Seq[Double]].collect()
+    val n = w.length.toDouble
+    (0 until 2).foreach { j =>
+      val mean = w.map(_(j)).sum / n
+      val variance = w.map(v => v(j) * v(j)).sum / n - mean * mean
+      assert(math.abs(mean) < 1e-9, s"dim $j mean $mean")
+      assert(math.abs(variance - 1.0) < 1e-6, s"dim $j var $variance")
+    }
+    val cov = w.map(v => v(0) * v(1)).sum / n
+    assert(math.abs(cov) < 1e-9, s"cross-cov $cov")
+    // NULL and wrong-width vectors whiten to NULL
+    val bad = Seq((1L, null.asInstanceOf[Array[Float]]), (2L, Array(1f)))
+      .toDF("vec_id", "embedding")
+      .select(Embeddings.pcaWhiten($"embedding", model).as("w"))
+      .collect()
+    assert(bad.forall(_.isNullAt(0)))
+  }
 }
