@@ -3310,6 +3310,31 @@ object SparkEntry {
     // format (masked CRC32C, Example proto) through a tmp dir and
     // back; aggregates match the parquet truth, and the float32 wire
     // width is pinned by an in-Spark cast-equality boolean
+    // Megatron .bin/.idx interchange: write token-id shards, read
+    // them back; totals replay from documents in SQL and multiset
+    // round-trip equality pins as a boolean
+    "q_megatron" -> ((s: SparkSession, dir: String) => {
+      val docs = t(s, dir, "documents").filter(F.col("text").isNotNull)
+      val ids = F.transform(
+        F.filter(F.split(F.col("text"), "\\s+"), w => F.length(w) > 0),
+        w => F.length(w).cast("int"))
+      val withIds = docs.select(ids.as("__ids"))
+      val base = System.getProperty("java.io.tmpdir") + "/graft_q_megatron"
+      graft.sources.MegatronIdx.write(
+        withIds.repartition(4), F.col("__ids"), base)
+      val back = graft.sources.MegatronIdx.read(s, base)
+      val a = back.select(F.col("ids")).groupBy(F.col("ids")).count()
+      val b = withIds.select(F.col("__ids").cast("array<int>").as("ids"))
+        .groupBy(F.col("ids")).count()
+      val same = a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+      back.agg(
+        F.count(F.lit(1)).as("n_seqs"),
+        F.sum(F.size(F.col("ids")).cast("long")).as("cells"),
+        F.sum(F.aggregate(F.col("ids"), F.lit(0L), (acc, x) => acc + x))
+          .as("id_sum"),
+        F.lit(same).as("roundtrip_ok"))
+    }),
+
     "q_tfrecord" -> ((s: SparkSession, dir: String) => {
       val base = System.getProperty("java.io.tmpdir") + "/graft_q_tfrec"
       val docs = t(s, dir, "documents").select(
@@ -5467,6 +5492,16 @@ object SparkEntry {
         |            WHEN doc_id % 7 IN (1, 3, 6) THEN false
         |            ELSE true END AS allowed
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_megatron" ->
+      """WITH d AS (SELECT list_filter(string_split_regex(text, '\s+'),
+        |                              w -> len(w) > 0) AS toks
+        |           FROM documents WHERE text IS NOT NULL)
+        |SELECT count(*) AS n_seqs,
+        |       CAST(coalesce(sum(len(toks)), 0) AS BIGINT) AS cells,
+        |       CAST(coalesce(sum(list_sum(list_transform(toks, x -> len(x)))), 0)
+        |         AS BIGINT) AS id_sum,
+        |       true AS roundtrip_ok
+        |FROM d""".stripMargin,
     "q_tfrecord" ->
       """SELECT count(*) AS n_rows, CAST(sum(doc_id) AS BIGINT) AS id_sum,
         |       CAST(sum(length(text)) AS BIGINT) AS chars,

@@ -1,0 +1,177 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.{functions => F}
+
+/**
+ * Megatron-LM "mmap" indexed-dataset interchange — the `.bin`/`.idx`
+ * shard pair Megatron / GPT-NeoX trainers memory-map for pretraining.
+ * Layout per the public Megatron-LM `indexed_dataset.py`
+ * (`MMapIndexedDataset.Index`), all little-endian:
+ *
+ *   .idx: magic `MMIDIDX\0\0` (9 bytes), version u64 = 1, dtype code
+ *         u8 (4 = int32, 8 = uint16), sequence count u64, doc-index
+ *         length u64, sizes i32[n], pointers i64[n] (BYTE offsets
+ *         into .bin), doc_idx i64[m] (sequence indices of document
+ *         starts; one-doc-per-sequence writes 0..n).
+ *   .bin: raw concatenation of the token arrays in dtype.
+ *
+ * One (.bin, .idx) pair per partition: shard-parallel write and read.
+ * Memory-mapping trainers consume shards independently, so sharding
+ * is the format's native layout, not a compromise — merge shards with
+ * the trainer-side tooling if a single pair is required.
+ */
+object MegatronIdx {
+
+  val DtypeInt32: Int = 4
+  val DtypeUint16: Int = 8
+
+  private val Magic: Array[Byte] =
+    Array('M', 'M', 'I', 'D', 'I', 'D', 'X', 0, 0).map(_.toByte)
+
+  private def putLE(out: java.io.OutputStream, v: Long, bytes: Int): Unit = {
+    var x = v
+    var i = 0
+    while (i < bytes) { out.write((x & 0xff).toInt); x >>>= 8; i += 1 }
+  }
+
+  /** Serialize one shard's sequences to (.idx bytes, .bin bytes). */
+  private[sources] def encodeShard(
+      seqs: Array[Array[Int]], dtype: Int): (Array[Byte], Array[Byte]) = {
+    require(dtype == DtypeInt32 || dtype == DtypeUint16,
+      s"unsupported dtype code $dtype")
+    val itemSize = if (dtype == DtypeInt32) 4 else 2
+    val bin = new java.io.ByteArrayOutputStream()
+    val n = seqs.length
+    val sizes = new Array[Int](n)
+    val pointers = new Array[Long](n)
+    var off = 0L
+    var i = 0
+    while (i < n) {
+      sizes(i) = seqs(i).length
+      pointers(i) = off
+      seqs(i).foreach { t =>
+        if (dtype == DtypeUint16) {
+          require(t >= 0 && t <= 0xffff,
+            s"token id $t out of uint16 range; use DtypeInt32")
+          putLE(bin, t.toLong, 2)
+        } else putLE(bin, t.toLong, 4)
+      }
+      off += sizes(i).toLong * itemSize
+      i += 1
+    }
+    val idx = new java.io.ByteArrayOutputStream()
+    idx.write(Magic, 0, Magic.length)
+    putLE(idx, 1L, 8)                    // version
+    idx.write(dtype)                     // dtype code u8
+    putLE(idx, n.toLong, 8)              // sequence count
+    putLE(idx, (n + 1).toLong, 8)        // doc_idx length
+    sizes.foreach(sz => putLE(idx, sz.toLong, 4))
+    pointers.foreach(p => putLE(idx, p, 8))
+    var d = 0
+    while (d <= n) { putLE(idx, d.toLong, 8); d += 1 } // doc starts 0..n
+    (idx.toByteArray, bin.toByteArray)
+  }
+
+  private def getLE(b: Array[Byte], at: Int, bytes: Int): Long = {
+    var v = 0L
+    var i = bytes - 1
+    while (i >= 0) { v = (v << 8) | (b(at + i) & 0xffL); i -= 1 }
+    v
+  }
+
+  /** Parse one shard pair back to its sequences. */
+  private[sources] def decodeShard(
+      idx: Array[Byte], bin: Array[Byte]): Array[Array[Int]] = {
+    require(idx.length >= Magic.length + 8 + 1 + 16, "idx too short")
+    require(Magic.indices.forall(i => idx(i) == Magic(i)),
+      "bad magic: not a Megatron mmap index")
+    require(getLE(idx, 9, 8) == 1L, "unsupported index version")
+    val dtype = idx(17) & 0xff
+    require(dtype == DtypeInt32 || dtype == DtypeUint16,
+      s"unsupported dtype code $dtype")
+    val itemSize = if (dtype == DtypeInt32) 4 else 2
+    val n = getLE(idx, 18, 8).toInt
+    val sizesAt = 34
+    val pointersAt = sizesAt + 4 * n
+    Array.tabulate(n) { i =>
+      val sz = getLE(idx, sizesAt + 4 * i, 4).toInt
+      val ptr = getLE(idx, pointersAt + 8 * i, 8)
+      Array.tabulate(sz) { j =>
+        getLE(bin, (ptr + j.toLong * itemSize).toInt, itemSize).toInt
+      }
+    }
+  }
+
+  /**
+   * Write `idsCol` (array<int>, NULL rows skipped) as sharded
+   * Megatron pairs under `path`: `part-XXXXX.bin` / `part-XXXXX.idx`,
+   * one pair per partition, sequences in partition order. Returns the
+   * sequence count written. Repartition/sort upstream to control
+   * shard count and order (e.g. `repartitionByRange(k, id)` +
+   * `sortWithinPartitions(id)` for a deterministic global layout).
+   */
+  def write(
+      df: DataFrame,
+      idsCol: Column,
+      path: String,
+      dtype: Int = DtypeInt32): Long = {
+    val spark = df.sparkSession
+    val hconf = spark.sparkContext.broadcast(
+      new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
+    val base = new org.apache.hadoop.fs.Path(path)
+    val fs0 = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs0.mkdirs(base)
+    val baseStr = base.toString
+    val counts = df.select(idsCol.cast("array<int>").as("__ids"))
+      .filter(F.col("__ids").isNotNull)
+      .mapPartitions { it =>
+        val seqs = it.map(_.getSeq[Int](0).toArray).toArray
+        if (seqs.isEmpty) Iterator.single(0L)
+        else {
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val (idxB, binB) = encodeShard(seqs, dtype)
+          val fs = new org.apache.hadoop.fs.Path(baseStr)
+            .getFileSystem(hconf.value.conf)
+          val binP = new org.apache.hadoop.fs.Path(baseStr, f"part-$pid%05d.bin")
+          val idxP = new org.apache.hadoop.fs.Path(baseStr, f"part-$pid%05d.idx")
+          val o1 = fs.create(binP, true)
+          try o1.write(binB) finally o1.close()
+          val o2 = fs.create(idxP, true)
+          try o2.write(idxB) finally o2.close()
+          Iterator.single(seqs.length.toLong)
+        }
+      }(Encoders.scalaLong)
+    counts.collect().sum
+  }
+
+  /**
+   * Read sharded Megatron pairs under `path` back into
+   * (shard STRING, seq_idx LONG, ids ARRAY<INT>). Parallelism = shard
+   * count; each task joins its own .idx to its .bin by name — the
+   * pairing never shuffles.
+   */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val files = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.{bin,idx}")
+      .load(path)
+      .select(F.col("path"), F.col("content"))
+      .withColumn("__stem", F.regexp_replace(F.col("path"), "\\.(bin|idx)$", ""))
+      .withColumn("__kind", F.regexp_extract(F.col("path"), "\\.(bin|idx)$", 1))
+    val paired = files.groupBy(F.col("__stem"))
+      .agg(
+        F.max(F.when(F.col("__kind") === "idx", F.col("content"))).as("__idx"),
+        F.max(F.when(F.col("__kind") === "bin", F.col("content"))).as("__bin"))
+    val session = spark
+    import session.implicits._
+    paired.select(F.col("__stem"), F.col("__idx"), F.col("__bin"))
+      .as[(String, Array[Byte], Array[Byte])]
+      .flatMap { case (stem, idx, bin) =>
+        require(idx != null && bin != null, s"unpaired Megatron shard at $stem")
+        decodeShard(idx, bin).iterator.zipWithIndex.map {
+          case (ids, i) => (stem, i.toLong, ids)
+        }
+      }
+      .toDF("shard", "seq_idx", "ids")
+  }
+}

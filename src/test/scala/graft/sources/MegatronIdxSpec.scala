@@ -1,0 +1,76 @@
+package graft.sources
+
+import graft.SparkTestBase
+import org.apache.spark.sql.{functions => F}
+
+class MegatronIdxSpec extends SparkTestBase {
+  import MegatronIdx._
+
+  test("encodeShard golden header: magic, version, dtype, counts, sizes, pointers") {
+    val (idx, bin) = encodeShard(Array(Array(1, 2, 3), Array(65535)), DtypeInt32)
+    // magic
+    assert(new String(idx.slice(0, 7), "ISO-8859-1") === "MMIDIDX")
+    assert(idx(7) === 0.toByte && idx(8) === 0.toByte)
+    def le(at: Int, n: Int): Long =
+      (0 until n).map(i => (idx(at + i) & 0xffL) << (8 * i)).sum
+    assert(le(9, 8) === 1L)        // version
+    assert((idx(17) & 0xff) === 4) // dtype int32
+    assert(le(18, 8) === 2L)       // sequences
+    assert(le(26, 8) === 3L)       // doc_idx length = n + 1
+    assert(le(34, 4) === 3L && le(38, 4) === 1L)   // sizes
+    assert(le(42, 8) === 0L && le(50, 8) === 12L)  // byte pointers
+    assert(le(58, 8) === 0L && le(66, 8) === 1L && le(74, 8) === 2L) // doc_idx
+    assert(bin.length === 16)
+    // int32 LE payload: 1,2,3,65535
+    assert((bin(0) & 0xff) === 1 && (bin(4) & 0xff) === 2 && (bin(8) & 0xff) === 3)
+    assert((bin(12) & 0xff) === 0xff && (bin(13) & 0xff) === 0xff && bin(14) === 0)
+  }
+
+  test("uint16 halves the payload; out-of-range ids rejected") {
+    val (_, bin) = encodeShard(Array(Array(7, 65535)), DtypeUint16)
+    assert(bin.length === 4)
+    assertThrows[IllegalArgumentException] {
+      encodeShard(Array(Array(65536)), DtypeUint16)
+    }
+    assertThrows[IllegalArgumentException] {
+      encodeShard(Array(Array(-1)), DtypeUint16)
+    }
+  }
+
+  test("decodeShard inverts encodeShard for both dtypes") {
+    val seqs = Array(Array(0, 1, 2, 3), Array.empty[Int], Array(42))
+    for (dt <- Seq(DtypeInt32, DtypeUint16)) {
+      val (idx, bin) = encodeShard(seqs, dt)
+      val back = decodeShard(idx, bin)
+      assert(back.map(_.toSeq).toSeq === seqs.map(_.toSeq).toSeq, s"dtype $dt")
+    }
+    // int32 round-trips negatives (special tokens use them)
+    val neg = Array(Array(-3, Int.MaxValue))
+    val (i2, b2) = encodeShard(neg, DtypeInt32)
+    assert(decodeShard(i2, b2).head.toSeq === Seq(-3, Int.MaxValue))
+  }
+
+  test("sharded write/read round-trips a DataFrame, NULL rows skipped") {
+    val spark0 = spark
+    import spark0.implicits._
+    val rows = (0L until 57L).map(i =>
+      (i, Array.tabulate((i % 5).toInt + 1)(j => (i + j).toInt))) :+
+      (99L, null.asInstanceOf[Array[Int]])
+    val df = rows.toDF("id", "ids").repartition(4)
+    val dir = java.nio.file.Files.createTempDirectory("megatron").toString
+    val n = MegatronIdx.write(df, F.col("ids"), dir)
+    assert(n === 57L)
+    val back = MegatronIdx.read(spark, dir)
+    assert(back.count() === 57L)
+    // multiset equality of the sequences
+    val a = back.select(F.col("ids")).groupBy(F.col("ids")).count()
+    val b = df.filter(F.col("ids").isNotNull).select(F.col("ids"))
+      .groupBy(F.col("ids")).count()
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    // within-shard order preserved: seq_idx strictly increasing per shard
+    val bad = back.groupBy(F.col("shard"))
+      .agg(F.max(F.col("seq_idx")).as("mx"), F.count(F.lit(1)).as("c"))
+      .filter(F.col("mx") =!= F.col("c") - 1)
+    assert(bad.isEmpty)
+  }
+}
