@@ -3310,6 +3310,37 @@ object SparkEntry {
     // format (masked CRC32C, Example proto) through a tmp dir and
     // back; aggregates match the parquet truth, and the float32 wire
     // width is pinned by an in-Spark cast-equality boolean
+    // WebDataset tar shards: write (txt, lang) members per doc, read
+    // back, and require byte-exact member content per key; byte
+    // totals replay via DuckDB strlen
+    "q_webdataset" -> ((s: SparkSession, dir: String) => {
+      val docs = t(s, dir, "documents")
+        .filter(F.col("text").isNotNull && F.col("lang").isNotNull)
+      val keyed = docs.select(
+        F.concat(F.lit("doc"), F.col("doc_id")).as("key"),
+        F.map(
+          F.lit("txt"), F.encode(F.col("text"), "UTF-8"),
+          F.lit("lang"), F.encode(F.col("lang"), "UTF-8")).as("members"))
+      val base = System.getProperty("java.io.tmpdir") + "/graft_q_wds"
+      graft.sources.WebDataset.write(
+        keyed.repartition(4), F.col("key"), F.col("members"), base)
+      val back = graft.sources.WebDataset.read(s, base)
+      val orig = docs.select(
+        F.concat(F.lit("doc"), F.col("doc_id")).as("key"),
+        F.col("text").as("__ot"), F.col("lang").as("__ol"))
+      back.join(orig, Seq("key"))
+        .agg(
+          F.count(F.lit(1)).as("n_samples"),
+          F.sum(F.length(F.element_at(F.col("members"), "txt")).cast("long"))
+            .as("txt_bytes"),
+          F.sum(F.length(F.element_at(F.col("members"), "lang")).cast("long"))
+            .as("lang_bytes"),
+          F.min(
+            (F.decode(F.element_at(F.col("members"), "txt"), "UTF-8") <=> F.col("__ot")) &&
+            (F.decode(F.element_at(F.col("members"), "lang"), "UTF-8") <=> F.col("__ol")))
+            .as("content_ok"))
+    }),
+
     // Megatron .bin/.idx interchange: write token-id shards, read
     // them back; totals replay from documents in SQL and multiset
     // round-trip equality pins as a boolean
@@ -5492,6 +5523,13 @@ object SparkEntry {
         |            WHEN doc_id % 7 IN (1, 3, 6) THEN false
         |            ELSE true END AS allowed
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_webdataset" ->
+      """SELECT count(*) AS n_samples,
+        |       CAST(sum(strlen(text)) AS BIGINT) AS txt_bytes,
+        |       CAST(sum(strlen(lang)) AS BIGINT) AS lang_bytes,
+        |       true AS content_ok
+        |FROM documents
+        |WHERE text IS NOT NULL AND lang IS NOT NULL""".stripMargin,
     "q_megatron" ->
       """WITH d AS (SELECT list_filter(string_split_regex(text, '\s+'),
         |                              w -> len(w) > 0) AS toks

@@ -1,0 +1,166 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.{functions => F}
+
+/**
+ * WebDataset tar-shard interchange — the sample-per-key tar layout
+ * multimodal dataloaders stream (`{key}.{ext}` members, samples
+ * grouped by key, shards consumed independently). Tars are plain
+ * POSIX ustar written/parsed here in pure JVM: 512-byte headers
+ * (octal size, space-padded checksum, `ustar\0 00` magic), data
+ * rounded up to 512, two zero blocks at the end.
+ *
+ * One `.tar` per partition; members of one sample are written
+ * contiguously in the caller's map order, which is what streaming
+ * readers require (a sample must not straddle shards — partition by
+ * key upstream and that holds by construction).
+ */
+object WebDataset {
+
+  private def octal(v: Long, width: Int): Array[Byte] = {
+    val s = java.lang.Long.toOctalString(v)
+    val pad = "0" * (width - 1 - s.length) + s
+    (pad + "\u0000").getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+  }
+
+  /** One ustar header block for a regular file. */
+  private[sources] def tarHeader(name: String, size: Long): Array[Byte] = {
+    require(name.getBytes("UTF-8").length <= 100,
+      s"tar member name too long: $name")
+    val b = new Array[Byte](512)
+    def put(at: Int, bytes: Array[Byte]): Unit =
+      System.arraycopy(bytes, 0, b, at, bytes.length)
+    put(0, name.getBytes("UTF-8"))
+    put(100, octal(420, 8))            // mode 0644
+    put(108, octal(0, 8))              // uid
+    put(116, octal(0, 8))              // gid
+    put(124, octal(size, 12))          // size
+    put(136, octal(0, 12))             // mtime
+    java.util.Arrays.fill(b, 148, 156, ' '.toByte) // chksum spaces for sum
+    b(156) = '0'                       // typeflag: regular file
+    put(257, "ustar\u0000".getBytes("US-ASCII"))
+    put(263, "00".getBytes("US-ASCII"))
+    var sum = 0L
+    var i = 0
+    while (i < 512) { sum += b(i) & 0xff; i += 1 }
+    val chk = java.lang.Long.toOctalString(sum)
+    val chkPad = "0" * (6 - chk.length) + chk
+    put(148, (chkPad + "\u0000 ").getBytes("US-ASCII"))
+    b
+  }
+
+  /** Serialize (name, bytes) members into one tar archive. */
+  private[sources] def tarBytes(
+      members: Iterator[(String, Array[Byte])]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    members.foreach { case (name, data) =>
+      out.write(tarHeader(name, data.length.toLong))
+      out.write(data)
+      val rem = data.length % 512
+      if (rem != 0) out.write(new Array[Byte](512 - rem))
+    }
+    out.write(new Array[Byte](1024)) // end-of-archive
+    out.toByteArray
+  }
+
+  /** Parse a tar archive back to (name, bytes) members. */
+  private[sources] def untar(tar: Array[Byte]): Seq[(String, Array[Byte])] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Array[Byte])]
+    var at = 0
+    def zeroBlock(p: Int): Boolean =
+      (p until p + 512).forall(i => i < tar.length && tar(i) == 0)
+    while (at + 512 <= tar.length && !zeroBlock(at)) {
+      var end = at
+      while (end < at + 100 && tar(end) != 0) end += 1
+      val name = new String(tar, at, end - at, "UTF-8")
+      val sizeStr = new String(tar, at + 124, 12, "US-ASCII")
+        .takeWhile(c => c >= '0' && c <= '7')
+      val size = if (sizeStr.isEmpty) 0L else java.lang.Long.parseLong(sizeStr, 8)
+      val typeflag = tar(at + 156)
+      val dataAt = at + 512
+      if (typeflag == '0' || typeflag == 0) {
+        val data = java.util.Arrays.copyOfRange(
+          tar, dataAt, dataAt + size.toInt)
+        out += ((name, data))
+      }
+      val padded = ((size + 511) / 512) * 512
+      at = dataAt + padded.toInt
+    }
+    out.toSeq
+  }
+
+  /**
+   * Write WebDataset shards: `df` must have a string `keyCol` and a
+   * map<string, binary> `membersCol` (extension → payload; NULL map
+   * or NULL payloads skipped). One `part-XXXXX.tar` per partition.
+   * Returns the sample count written.
+   */
+  def write(
+      df: DataFrame,
+      keyCol: Column,
+      membersCol: Column,
+      path: String): Long = {
+    val spark = df.sparkSession
+    val hconf = spark.sparkContext.broadcast(
+      new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
+    val base = new org.apache.hadoop.fs.Path(path)
+    base.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(base)
+    val baseStr = base.toString
+    val counts = df
+      .select(keyCol.cast("string").as("__k"),
+        membersCol.cast("map<string,binary>").as("__m"))
+      .filter(F.col("__k").isNotNull && F.col("__m").isNotNull)
+      .mapPartitions { it =>
+        val rows = it.toArray
+        if (rows.isEmpty) Iterator.single(0L)
+        else {
+          val members = rows.iterator.flatMap { r =>
+            val k = r.getString(0)
+            r.getMap[String, Array[Byte]](1).iterator.collect {
+              case (ext, bytes) if bytes != null => (s"$k.$ext", bytes)
+            }
+          }
+          val tar = tarBytes(members)
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val p = new org.apache.hadoop.fs.Path(baseStr, f"part-$pid%05d.tar")
+          val fs = p.getFileSystem(hconf.value.conf)
+          val o = fs.create(p, true)
+          try o.write(tar) finally o.close()
+          Iterator.single(rows.length.toLong)
+        }
+      }(Encoders.scalaLong)
+    counts.collect().sum
+  }
+
+  /**
+   * Read WebDataset shards under `path` back to one row per sample:
+   * (shard STRING, key STRING, members MAP<STRING, BINARY>). Members
+   * regroup by the name's last-dot split, so multi-dot extensions
+   * stay with the extension side only if written that way — keys with
+   * dots round-trip as long as extensions are dot-free (the
+   * WebDataset convention). Parallelism = shard count.
+   */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val session = spark
+    import session.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.tar")
+      .load(path)
+      .select(F.col("path"), F.col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (shard, tar) =>
+        untar(tar).groupBy { case (name, _) =>
+          val dot = name.lastIndexOf('.')
+          if (dot < 0) name else name.substring(0, dot)
+        }.map { case (key, files) =>
+          val m = files.map { case (name, bytes) =>
+            val dot = name.lastIndexOf('.')
+            (if (dot < 0) "" else name.substring(dot + 1)) -> bytes
+          }.toMap
+          (shard, key, m)
+        }
+      }
+      .toDF("shard", "key", "members")
+  }
+}

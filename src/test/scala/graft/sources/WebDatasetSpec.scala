@@ -1,0 +1,65 @@
+package graft.sources
+
+import graft.SparkTestBase
+import org.apache.spark.sql.{functions => F}
+
+class WebDatasetSpec extends SparkTestBase {
+  import WebDataset._
+
+  test("ustar header: octal fields, POSIX magic, valid checksum") {
+    val h = tarHeader("sample0.txt", 1234L)
+    assert(h.length === 512)
+    assert(new String(h, 0, 11, "UTF-8") === "sample0.txt")
+    assert(new String(h, 257, 5, "US-ASCII") === "ustar")
+    assert(h(262) === 0.toByte)
+    assert(new String(h, 263, 2, "US-ASCII") === "00")
+    // size field: 11 octal digits, NUL-terminated
+    assert(new String(h, 124, 11, "US-ASCII") === "00000002322") // 1234 octal
+    assert(h(156) === '0'.toByte)
+    // checksum recomputes: replace field with spaces, sum, compare
+    val copy = h.clone()
+    java.util.Arrays.fill(copy, 148, 156, ' '.toByte)
+    val sum = copy.map(_ & 0xff).sum
+    val stored = java.lang.Long.parseLong(
+      new String(h, 148, 6, "US-ASCII"), 8)
+    assert(stored === sum)
+  }
+
+  test("tarBytes/untar round-trip incl. 512-boundary and empty payloads") {
+    val members = Seq(
+      "a.txt" -> Array.fill[Byte](512)(7),   // exact block
+      "a.json" -> Array[Byte](1, 2, 3),
+      "b.txt" -> Array.empty[Byte],
+      "b.bin" -> Array.tabulate[Byte](1000)(_.toByte))
+    val tar = tarBytes(members.iterator)
+    assert(tar.length % 512 === 0)
+    val back = untar(tar)
+    assert(back.map(_._1) === members.map(_._1))
+    back.zip(members).foreach { case ((_, got), (_, want)) =>
+      assert(got.toSeq === want.toSeq)
+    }
+  }
+
+  test("sharded write/read regroups samples by key") {
+    val spark0 = spark
+    import spark0.implicits._
+    val rows = (0L until 23L).map { i =>
+      (s"doc$i", Map(
+        "txt" -> s"text $i".getBytes("UTF-8"),
+        "cls" -> s"${i % 3}".getBytes("UTF-8")))
+    }
+    val df = rows.toDF("key", "members").repartition(3)
+    val dir = java.nio.file.Files.createTempDirectory("wds").toString
+    val n = WebDataset.write(df, F.col("key"), F.col("members"), dir)
+    assert(n === 23L)
+    val back = WebDataset.read(spark, dir)
+    assert(back.count() === 23L)
+    val got = back.select("key", "members")
+      .as[(String, Map[String, Array[Byte]])].collect()
+      .map { case (k, m) => k -> m.view.mapValues(new String(_, "UTF-8")).toMap }
+      .toMap
+    rows.foreach { case (k, m) =>
+      assert(got(k) === m.view.mapValues(new String(_, "UTF-8")).toMap, k)
+    }
+  }
+}
