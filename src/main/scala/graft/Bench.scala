@@ -887,6 +887,36 @@ object Bench {
           .as("flagged"))
     }),
 
+    // Megatron shard write+readback over the whole corpus's token ids
+    "b_megatron" -> ((s: SparkSession, dir: String) => {
+      val docs = t(s, dir, "documents").filter(F.col("text").isNotNull)
+      val ids = F.transform(
+        F.filter(F.split(F.col("text"), "\\s+"), w => F.length(w) > 0),
+        w => F.length(w).cast("int"))
+      val base = System.getProperty("java.io.tmpdir") + "/graft_b_megatron"
+      graft.sources.MegatronIdx.write(
+        docs.select(ids.as("__ids")).repartition(8), F.col("__ids"), base)
+      graft.sources.MegatronIdx.read(s, base)
+        .agg(F.count(F.lit(1)).as("seqs"),
+          F.sum(F.size(F.col("ids"))).as("cells"))
+    }),
+
+    // WebDataset tar write+readback of (txt, lang) members per doc
+    "b_webdataset" -> ((s: SparkSession, dir: String) => {
+      val docs = t(s, dir, "documents")
+        .filter(F.col("text").isNotNull && F.col("lang").isNotNull)
+      val keyed = docs.select(
+        F.concat(F.lit("doc"), F.col("doc_id")).as("key"),
+        F.map(F.lit("txt"), F.encode(F.col("text"), "UTF-8"),
+          F.lit("lang"), F.encode(F.col("lang"), "UTF-8")).as("members"))
+      val base = System.getProperty("java.io.tmpdir") + "/graft_b_wds"
+      graft.sources.WebDataset.write(
+        keyed.repartition(8), F.col("key"), F.col("members"), base)
+      graft.sources.WebDataset.read(s, base)
+        .agg(F.count(F.lit(1)).as("samples"),
+          F.sum(F.length(F.element_at(F.col("members"), "txt"))).as("bytes"))
+    }),
+
     // Structured Streaming hourly sketch rollup over the events table
     // replayed as a file stream (AvailableNow; the cost is the full
     // streaming pipeline incl. state store, not just the agg)
