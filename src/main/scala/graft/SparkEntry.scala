@@ -1462,6 +1462,32 @@ object SparkEntry {
           (F.abs(F.col("c01")) < 0.001).as("decorrelated"))
     }),
 
+    // global dense id assignment without a single-partition window
+    // (two-phase cumsum) — full-row oracle against row_number
+    "q_assign_ids" -> ((s: SparkSession, dir: String) => {
+      graft.pipeline.Sampling.withSequentialIds(
+          t(s, dir, "documents").select(F.col("doc_id")), F.col("doc_id"))
+        .orderBy("doc_id")
+    }),
+
+    // encoding-damage screen: plant mojibake + replacement + control
+    // chars on every 10th doc; all three counts are regex quantities
+    // both engines compute over the SAME planted string — full-row
+    "q_encoding_damage" -> ((s: SparkSession, dir: String) => {
+      val planted = F.when(F.col("doc_id") % 10 === 0,
+        F.concat(F.col("text"), F.lit("\u00C3\u00A9\uFFFD\u0007")))
+        .otherwise(F.col("text"))
+      t(s, dir, "documents").filter(F.col("text").isNotNull)
+        .select(F.col("doc_id"),
+          graft.pipeline.TextFunctions.encodingDamage(planted).as("__d"))
+        .select(F.col("doc_id"),
+          F.col("__d.replacement_chars").cast("long").as("replacement_chars"),
+          F.col("__d.control_chars").cast("long").as("control_chars"),
+          F.col("__d.mojibake").cast("long").as("mojibake"),
+          F.col("__d.is_clean").as("is_clean"))
+        .orderBy("doc_id")
+    }),
+
     // readability scoring: word/sentence/syllable-proxy counts are
     // exact regex quantities; both scores are two divisions on those
     // integers — 4dp-rounded like every cross-engine float sum
@@ -4496,6 +4522,29 @@ object SparkEntry {
       """SELECT count(*) AS n_vectors, true AS means_zero,
         |       true AS unit_variance, true AS decorrelated
         |FROM embeddings WHERE embedding IS NOT NULL""".stripMargin,
+    "q_assign_ids" ->
+      """SELECT doc_id,
+        |       CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS seq_id
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // RE2 spells code points \x{....}; Java regex \uXXXX — same sets
+    "q_encoding_damage" ->
+      """WITH p AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 10 = 0
+        |       THEN text || chr(195) || chr(169) || chr(65533) || chr(7)
+        |       ELSE text END AS t
+        |  FROM documents WHERE text IS NOT NULL),
+        |c AS (SELECT doc_id,
+        |  len(regexp_extract_all(t, '\x{FFFD}')) AS r,
+        |  len(regexp_extract_all(t,
+        |    '[\x{0000}-\x{0008}\x{000B}\x{000C}\x{000E}-\x{001F}\x{007F}-\x{009F}]')) AS c,
+        |  len(regexp_extract_all(t,
+        |    '[\x{00C2}\x{00C3}][\x{0080}-\x{00BF}]|\x{00E2}[\x{0080}\x{20AC}]')) AS m
+        |  FROM p)
+        |SELECT doc_id, CAST(r AS BIGINT) AS replacement_chars,
+        |       CAST(c AS BIGINT) AS control_chars,
+        |       CAST(m AS BIGINT) AS mojibake,
+        |       r + c + m = 0 AS is_clean
+        |FROM c ORDER BY doc_id""".stripMargin,
     "q_readability" ->
       """WITH c AS (SELECT doc_id,
         |  len(list_filter(string_split_regex(text, '\s+'), w -> len(w) > 0)) AS w,

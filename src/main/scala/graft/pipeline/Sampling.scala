@@ -440,4 +440,24 @@ object Sampling {
     }
     df.filter(hex < threshold)
   }
+
+  /**
+   * Assign dense sequential ids 0..n-1 (plus `startAt`) in ascending
+   * `orderCol` order — the id-space builder for token streams, shard
+   * manifests, and matrix row indices. `orderCol` must be unique and
+   * numeric-ish. A naive `row_number() OVER (ORDER BY ...)` funnels
+   * the corpus through ONE partition; this rides [[RangeCumsum]]'s
+   * two-phase parallel cumulative count (range-bucketed windows +
+   * broadcast prefix offsets), identical output at any partition
+   * count. Unlike `monotonically_increasing_id`/`zipWithIndex`, the
+   * result is a pure function of the DATA, not the partitioning —
+   * reproducible across runs and engines.
+   */
+  def withSequentialIds(
+      df: DataFrame,
+      orderCol: Column,
+      outCol: String = "seq_id",
+      startAt: Long = 0L): DataFrame =
+    RangeCumsum.inclusive(df, orderCol, Seq((F.lit(1L), outCol)))
+      .withColumn(outCol, F.col(outCol) - 1L + startAt)
 }

@@ -524,6 +524,28 @@ object TextFunctions {
   }
 
   /**
+   * Encoding-damage profile — the mojibake/corruption screen run
+   * before any text filter trusts its input: counts of Unicode
+   * replacement chars (U+FFFD, a decoder already gave up), stray
+   * C0/C1 control chars (tab/newline/CR excluded), and the classic
+   * UTF-8-read-as-Latin-1 mojibake shapes (`Ã`/`Â` followed by a
+   * C1-range char, and the `â€` punctuation prefix). Pure regex
+   * counts (codegen, engine-replayable); `is_clean` = all zero.
+   */
+  def encodingDamage(text: Column): Column = {
+    val repl = F.size(F.regexp_extract_all(text, F.lit("\\uFFFD"), F.lit(0)))
+    val ctrl = F.size(F.regexp_extract_all(text,
+      F.lit("[\\u0000-\\u0008\\u000B\\u000C\\u000E-\\u001F\\u007F-\\u009F]"),
+      F.lit(0)))
+    val moji = F.size(F.regexp_extract_all(text,
+      F.lit("[\\u00C2\\u00C3][\\u0080-\\u00BF]|\\u00E2[\\u0080\\u20AC]"),
+      F.lit(0)))
+    F.struct(repl.as("replacement_chars"), ctrl.as("control_chars"),
+      moji.as("mojibake"),
+      (repl + ctrl + moji === 0).as("is_clean"))
+  }
+
+  /**
    * Remove duplicated lines WITHIN a document, keeping first
    * occurrences in order — the within-page cleanup for nav bars and
    * repeated boilerplate lines (the cross-document form is

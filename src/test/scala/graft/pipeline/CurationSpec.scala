@@ -230,6 +230,18 @@ class CurationSpec extends SparkTestBase {
     assert(star === Map(5L -> 5L, 1L -> 1L, 2L -> 1L))
   }
 
+  test("withSequentialIds equals the local sort index at any partitioning") {
+    val keys = Seq(42L, 7L, 99L, 1L, 63L, 12L, 88L, 3L, 55L, 21L)
+    val df = keys.toDF("k").repartition(4)
+    val got = Sampling.withSequentialIds(df, F.col("k"))
+      .as[(Long, Long)].collect().toMap
+    val want = keys.sorted.zipWithIndex.map { case (k, i) => k -> i.toLong }.toMap
+    assert(got === want)
+    val offset = Sampling.withSequentialIds(df, F.col("k"), startAt = 100L)
+      .as[(Long, Long)].collect().toMap
+    assert(offset === want.view.mapValues(_ + 100L).toMap)
+  }
+
   test("duplicateClusters on empty pairs yields empty labels") {
     val pairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     assert(Dedup.duplicateClusters(pairs).count() === 0L)

@@ -70,6 +70,28 @@ class SentenceSpec extends SparkTestBase {
       (3L, 0, "")))
   }
 
+  test("encodingDamage counts mojibake, replacement and control chars") {
+    val spark0 = spark
+    import spark0.implicits._
+    val rows = Seq(
+      (1L, "clean text"),
+      (2L, "caf\u00C3\u00A9 broke"),        // mojibake digraph
+      (3L, "bad\uFFFDchar and bell\u0007"), // replacement + control
+      (4L, "tabs\tand\nnewlines are fine"),
+      (5L, "\u00E2\u20AC\u2122s quote"))    // 'a-circ euro' prefix form
+      .toDF("id", "text")
+      .select(F.col("id"), TextFunctions.encodingDamage(F.col("text")).as("d"))
+      .selectExpr("id", "d.replacement_chars", "d.control_chars",
+        "d.mojibake", "d.is_clean")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3), r.getBoolean(4)))).toMap
+    assert(rows(1L) === ((0, 0, 0, true)))
+    assert(rows(2L) === ((0, 0, 1, false)))
+    assert(rows(3L) === ((1, 1, 0, false)))
+    assert(rows(4L) === ((0, 0, 0, true)))
+    assert(rows(5L) === ((0, 0, 1, false)))
+  }
+
   test("readability: hand-computed counts and Flesch scores") {
     val spark0 = spark
     import spark0.implicits._
