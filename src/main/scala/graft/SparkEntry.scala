@@ -1462,6 +1462,22 @@ object SparkEntry {
           (F.abs(F.col("c01")) < 0.001).as("decorrelated"))
     }),
 
+    // exact edit-distance-1 key join: every doc's md5 key gets a
+    // planted first-char-'z' variant (md5 hex never contains 'z', so
+    // the distance is exactly 1, and two distinct md5s within one
+    // edit of each other is ~n²/16³¹ — never) — a full-row oracle
+    // from id arithmetic
+    "q_edit_one" -> ((s: SparkSession, dir: String) => {
+      val keys = t(s, dir, "documents").select(F.col("doc_id"),
+        F.md5(F.col("doc_id").cast("string")).as("k"))
+      val variants = keys.select(
+        (F.col("doc_id") + 1000000L).as("doc_id"),
+        F.concat(F.lit("z"), F.substring(F.col("k"), 2, 100)).as("k"))
+      graft.pipeline.Dedup.editOnePairs(
+          keys.unionByName(variants), "doc_id", "k")
+        .orderBy("id_a")
+    }),
+
     // global dense id assignment without a single-partition window
     // (two-phase cumsum) — full-row oracle against row_number
     "q_assign_ids" -> ((s: SparkSession, dir: String) => {
@@ -4522,6 +4538,9 @@ object SparkEntry {
       """SELECT count(*) AS n_vectors, true AS means_zero,
         |       true AS unit_variance, true AS decorrelated
         |FROM embeddings WHERE embedding IS NOT NULL""".stripMargin,
+    "q_edit_one" ->
+      """SELECT doc_id AS id_a, doc_id + 1000000 AS id_b
+        |FROM documents ORDER BY id_a""".stripMargin,
     "q_assign_ids" ->
       """SELECT doc_id,
         |       CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS seq_id

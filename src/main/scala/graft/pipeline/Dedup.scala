@@ -1460,4 +1460,107 @@ object Dedup {
         F.col("inter") >= F.col("sz_p") * threshold)
       .select("id_p", "id_c", "inter", "sz_p")
   }
+
+  /** Levenshtein distance <= 1, decided without the DP table: equal
+    * strings are distance 0; otherwise lengths may differ by at most
+    * 1, and one aligned scan over the first mismatch settles it. */
+  private[pipeline] def editDistanceLeOne(a: String, b: String): Boolean = {
+    if (a == b) return true
+    val (s, l) = if (a.length <= b.length) (a, b) else (b, a)
+    if (l.length - s.length > 1) return false
+    var i = 0
+    while (i < s.length && s.charAt(i) == l.charAt(i)) i += 1
+    if (s.length == l.length) {
+      var j = i + 1
+      while (j < s.length && s.charAt(j) == l.charAt(j)) j += 1
+      j == s.length // exactly one substitution
+    } else {
+      var j = i
+      while (j < s.length && s.charAt(j) == l.charAt(j + 1)) j += 1
+      j == s.length // one insertion in the longer
+    }
+  }
+
+  /** xxhash-free deletion-neighborhood keys: FNV over the string with
+    * position i skipped, each variant O(len) from the shared prefix
+    * hashes — O(len²) time per row but only (len+1) LONGS leave it. */
+  private[pipeline] def deletionHashes(s: String): Array[Long] = {
+    val n = s.length
+    val prefix = new Array[Long](n + 1)
+    prefix(0) = 0xCBF29CE484222325L
+    var i = 0
+    while (i < n) {
+      prefix(i + 1) = (prefix(i) ^ s.charAt(i).toLong) * 0x100000001B3L
+      i += 1
+    }
+    val out = new Array[Long](n + 1)
+    var skip = 0
+    while (skip <= n) {
+      var h = prefix(skip)
+      var j = if (skip == n) n else skip + 1
+      while (j < n) { h = (h ^ s.charAt(j).toLong) * 0x100000001B3L; j += 1 }
+      out(skip) = TextFunctions.mix64(h)
+      skip += 1
+    }
+    // skip == n hashes the full string: identical-string pairs bucket too
+    out
+  }
+
+  /**
+   * Exact edit-distance-<=1 similarity self-join — the fuzzy-key join
+   * for titles, URLs, product names and other SHORT strings where one
+   * typo/variant character separates duplicates. Guaranteed recall
+   * for distance <= 1: two strings within one edit share at least one
+   * deletion-neighborhood key (substitution → both drop position i;
+   * insert/delete → the longer's deletion equals the shorter, whose
+   * full-string hash is in its own neighborhood), so the bucket join
+   * finds every pair and [[editDistanceLeOne]] verifies candidates
+   * exactly. Returns (id_a, id_b) with id_a < id_b.
+   *
+   * Scale shape: (len+1) 64-bit keys per row shuffle — never the
+   * O(len²) variant strings; buckets capped like every banded family.
+   * Rows longer than `maxLen` are skipped (edit-1 is a key/title
+   * notion; a 100 kB document one character off is a SUBSTRING-dedup
+   * problem): skipped rows simply emit no keys, never an error.
+   */
+  def editOnePairs(
+      df: DataFrame,
+      idCol: String,
+      strCol: String,
+      maxLen: Int = 256,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    require(maxLen >= 1, s"maxLen must be positive, got $maxLen")
+    val delU = F.udf((s: String) =>
+      if (s == null || s.length > maxLen) Array.empty[Long]
+      else deletionHashes(s))
+    val keyed = df.select(F.col(idCol).cast("long").as("__id"),
+        F.col(strCol).as("__s"))
+      .filter(F.col("__s").isNotNull)
+      .select(F.col("__id"), F.col("__s"),
+        F.explode(delU(F.col("__s"))).as("__k"))
+    val grouped = keyed.groupBy(F.col("__k"))
+      .agg(F.collect_list(F.struct(F.col("__id").as("id"), F.col("__s").as("s")))
+        .as("__rows"))
+      .filter(F.size(F.col("__rows")) > 1)
+    val verifyU = F.udf((rows: Seq[org.apache.spark.sql.Row]) => {
+      val arr = rows.map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      var i = 0
+      while (i < arr.length) {
+        var j = i + 1
+        while (j < arr.length) {
+          if (arr(i)._1 != arr(j)._1 &&
+              editDistanceLeOne(arr(i)._2, arr(j)._2))
+            out += ((arr(i)._1, arr(j)._1))
+          j += 1
+        }
+        i += 1
+      }
+      out.toSeq
+    })
+    capBuckets(grouped, F.size(F.col("__rows")), maxBucket, "editone")
+      .select(F.explode(verifyU(F.col("__rows"))).as("__p"))
+      .select(F.col("__p._1").as("id_a"), F.col("__p._2").as("id_b"))
+      .distinct()
+  }
 }
