@@ -887,6 +887,32 @@ object Bench {
           .as("flagged"))
     }),
 
+    // edit-distance-1 key join over md5 keys + planted variants
+    "b_edit_one" -> ((s: SparkSession, dir: String) => {
+      val keys = t(s, dir, "documents").select(F.col("doc_id"),
+        F.md5(F.col("doc_id").cast("string")).as("k"))
+      val variants = keys.select(
+        (F.col("doc_id") + 1000000L).as("doc_id"),
+        F.concat(F.lit("z"), F.substring(F.col("k"), 2, 100)).as("k"))
+      graft.pipeline.Dedup.editOnePairs(
+          keys.unionByName(variants), "doc_id", "k")
+        .agg(F.count(F.lit(1)).as("pairs"))
+    }),
+
+    // sentence-aware chunking + readability sweep of the corpus
+    "b_text_shape" -> ((s: SparkSession, dir: String) => {
+      val tf = graft.pipeline.TextFunctions
+      val chunks = graft.pipeline.Scrub.chunkSentences(
+        t(s, dir, "documents").filter(F.col("text").isNotNull),
+        F.col("text"), 128)
+      chunks.select(
+          tf.fleschReadingEase(F.col("chunk_text")).as("__f"),
+          tf.encodingDamage(F.col("chunk_text")).getField("is_clean").as("__c"))
+        .agg(F.count(F.lit(1)).as("chunks"),
+          F.round(F.avg(F.col("__f")), 2).as("avg_flesch"),
+          F.sum(F.when(F.col("__c"), 0L).otherwise(1L)).as("dirty"))
+    }),
+
     // Megatron shard write+readback over the whole corpus's token ids
     "b_megatron" -> ((s: SparkSession, dir: String) => {
       val docs = t(s, dir, "documents").filter(F.col("text").isNotNull)
