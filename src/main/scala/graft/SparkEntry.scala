@@ -751,6 +751,41 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // streaming heavy-hitters under the gate: per-(window, type)
+    // Count-Min + TopK over the replayed stream (complete mode).
+    // TopK capacity 256 >= distinct users, so the sketch is in its
+    // exact regime: total == row count and the top-1 count == the max
+    // per-user count, both SQL-replayable (top-1 IDENTITY can tie, so
+    // only the count is emitted)
+    "q_stream_frequency" -> ((s: SparkSession, dir: String) => {
+      Graft.register(s)
+      val ev = t(s, dir, "events")
+        .filter(F.col("ts").isNotNull && F.col("user_id").isNotNull)
+        .select(F.col("ts"), F.col("event_type"),
+          F.col("user_id").cast("string").as("item"))
+      val tmp = System.getProperty("java.io.tmpdir") + "/graft_q_stream_freq_src"
+      ev.write.mode("overwrite").parquet(tmp)
+      val stream = s.readStream.schema(ev.schema).parquet(tmp)
+      val agg = graft.streaming.SketchStreaming.windowedFrequencyAgg(
+        stream, "ts", "event_type", "item", "4 hours", "10 minutes",
+        topKCapacity = 256)
+      s.catalog.dropTempView("graft_stream_freq")
+      val q = agg.writeStream
+        .outputMode("complete").format("memory")
+        .queryName("graft_stream_freq")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("graft_stream_freq")
+        .select(F.unix_millis(F.col("window.start")).as("hour_ms"),
+          F.col("event_type"),
+          graft.sketch.cms.cms_total(F.col("cms")).as("total"),
+          F.element_at(
+            graft.sketch.topk.topk_items(F.col("topk"), 1), 1)
+            .getField("count").as("top1_cnt"))
+        .orderBy("hour_ms", "event_type")
+    }),
+
     // custom-state streaming under the gate: the per-key lifetime
     // sketch maintained with flatMapGroupsWithState. Each micro-batch
     // emits the lifetime-to-date row per touched key, so the query
@@ -4043,6 +4078,15 @@ object SparkEntry {
         |         row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
         |  FROM orders) t WHERE rn = 1
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_stream_frequency" ->
+      """WITH e AS (SELECT epoch_ms(ts) // 14400000 AS h, event_type, user_id
+        |           FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+        |g AS (SELECT h, event_type, user_id, count(*) AS c
+        |      FROM e GROUP BY 1, 2, 3)
+        |SELECT CAST(h * 14400000 AS BIGINT) AS hour_ms, event_type,
+        |       CAST(sum(c) AS BIGINT) AS total,
+        |       CAST(max(c) AS BIGINT) AS top1_cnt
+        |FROM g GROUP BY 1, 2 ORDER BY hour_ms, event_type""".stripMargin,
     "q_stream_running" ->
       """SELECT CAST(user_id AS VARCHAR) AS key,
         |       count(value) AS n, true AS p50_ok
