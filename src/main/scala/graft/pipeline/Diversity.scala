@@ -202,11 +202,13 @@ object Diversity {
     val bScore = b.getDouble(0)
     val take = b.getLong(1)
     val full = scores.filter(F.col("proto_score") < bScore).select(idCol)
-    val bw = org.apache.spark.sql.expressions.Window
-      .partitionBy(F.col("proto_score")).orderBy(F.col(idCol).asc)
-    val boundary = scores.filter(F.col("proto_score") === bScore)
-      .withColumn("__rn", F.row_number().over(bw))
-      .filter(F.col("__rn") <= take)
+    // the boundary tie group is almost always one row, but an
+    // all-equal-scores corpus puts EVERYTHING here — rank it with the
+    // same two-phase cumsum (ids are unique), never a one-value window
+    val boundary = RangeCumsum.inclusive(
+        scores.filter(F.col("proto_score") === bScore).select(F.col(idCol)),
+        F.col(idCol), Seq((F.lit(1L), "__rk")), buckets)
+      .filter(F.col("__rk") <= take)
       .select(idCol)
     full.union(boundary)
   }

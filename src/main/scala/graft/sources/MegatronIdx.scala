@@ -126,20 +126,50 @@ object MegatronIdx {
     val counts = df.select(idsCol.cast("array<int>").as("__ids"))
       .filter(F.col("__ids").isNotNull)
       .mapPartitions { it =>
-        val seqs = it.map(_.getSeq[Int](0).toArray).toArray
-        if (seqs.isEmpty) Iterator.single(0L)
+        // STREAM the .bin: a shard's token bytes never sit in executor
+        // memory; only the (size, pointer) tables do — 12 bytes per
+        // SEQUENCE, bounded by row count, not token count
+        if (!it.hasNext) Iterator.single(0L)
         else {
           val pid = org.apache.spark.TaskContext.getPartitionId()
-          val (idxB, binB) = encodeShard(seqs, dtype)
           val fs = new org.apache.hadoop.fs.Path(baseStr)
             .getFileSystem(hconf.value.conf)
           val binP = new org.apache.hadoop.fs.Path(baseStr, f"part-$pid%05d.bin")
           val idxP = new org.apache.hadoop.fs.Path(baseStr, f"part-$pid%05d.idx")
-          val o1 = fs.create(binP, true)
-          try o1.write(binB) finally o1.close()
-          val o2 = fs.create(idxP, true)
-          try o2.write(idxB) finally o2.close()
-          Iterator.single(seqs.length.toLong)
+          val itemSize = if (dtype == DtypeInt32) 4 else 2
+          val sizes = new scala.collection.mutable.ArrayBuffer[Int]()
+          val pointers = new scala.collection.mutable.ArrayBuffer[Long]()
+          var off = 0L
+          val o1 = new java.io.BufferedOutputStream(fs.create(binP, true), 1 << 16)
+          try {
+            it.foreach { row =>
+              val ids = row.getSeq[Int](0)
+              sizes += ids.length
+              pointers += off
+              ids.foreach { t =>
+                if (dtype == DtypeUint16) {
+                  require(t >= 0 && t <= 0xffff,
+                    s"token id $t out of uint16 range; use DtypeInt32")
+                  putLE(o1, t.toLong, 2)
+                } else putLE(o1, t.toLong, 4)
+              }
+              off += ids.length.toLong * itemSize
+            }
+          } finally o1.close()
+          val n = sizes.length
+          val o2 = new java.io.BufferedOutputStream(fs.create(idxP, true), 1 << 16)
+          try {
+            o2.write(Magic, 0, Magic.length)
+            putLE(o2, 1L, 8)
+            o2.write(dtype)
+            putLE(o2, n.toLong, 8)
+            putLE(o2, (n + 1).toLong, 8)
+            sizes.foreach(sz => putLE(o2, sz.toLong, 4))
+            pointers.foreach(p => putLE(o2, p, 8))
+            var d = 0
+            while (d <= n) { putLE(o2, d.toLong, 8); d += 1 }
+          } finally o2.close()
+          Iterator.single(n.toLong)
         }
       }(Encoders.scalaLong)
     counts.collect().sum

@@ -112,22 +112,32 @@ object WebDataset {
         membersCol.cast("map<string,binary>").as("__m"))
       .filter(F.col("__k").isNotNull && F.col("__m").isNotNull)
       .mapPartitions { it =>
-        val rows = it.toArray
-        if (rows.isEmpty) Iterator.single(0L)
+        // STREAM the tar member-by-member — a shard is never
+        // materialized in executor memory (only one member's payload
+        // at a time, which the row already holds)
+        if (!it.hasNext) Iterator.single(0L)
         else {
-          val members = rows.iterator.flatMap { r =>
-            val k = r.getString(0)
-            r.getMap[String, Array[Byte]](1).iterator.collect {
-              case (ext, bytes) if bytes != null => (s"$k.$ext", bytes)
-            }
-          }
-          val tar = tarBytes(members)
           val pid = org.apache.spark.TaskContext.getPartitionId()
           val p = new org.apache.hadoop.fs.Path(baseStr, f"part-$pid%05d.tar")
           val fs = p.getFileSystem(hconf.value.conf)
-          val o = fs.create(p, true)
-          try o.write(tar) finally o.close()
-          Iterator.single(rows.length.toLong)
+          val o = new java.io.BufferedOutputStream(fs.create(p, true), 1 << 16)
+          var n = 0L
+          try {
+            it.foreach { r =>
+              val k = r.getString(0)
+              r.getMap[String, Array[Byte]](1).foreach {
+                case (ext, bytes) if bytes != null =>
+                  o.write(tarHeader(s"$k.$ext", bytes.length.toLong))
+                  o.write(bytes)
+                  val rem = bytes.length % 512
+                  if (rem != 0) o.write(new Array[Byte](512 - rem))
+                case _ => ()
+              }
+              n += 1
+            }
+            o.write(new Array[Byte](1024)) // end-of-archive
+          } finally o.close()
+          Iterator.single(n)
         }
       }(Encoders.scalaLong)
     counts.collect().sum
