@@ -1513,6 +1513,23 @@ object SparkEntry {
         .orderBy("id_a")
     }),
 
+    // incremental edit-1 matching vs a persisted deletion-hash index
+    // (nightly shape): history = md5 keys, batch = the 'z' variants —
+    // same planted argument as q_edit_one, full-row from id arithmetic
+    "q_edit_one_incremental" -> ((s: SparkSession, dir: String) => {
+      val keys = t(s, dir, "documents").select(F.col("doc_id"),
+        F.md5(F.col("doc_id").cast("string")).as("k"))
+      val variants = keys.select(
+        (F.col("doc_id") + 1000000L).as("doc_id"),
+        F.concat(F.lit("z"), F.substring(F.col("k"), 2, 100)).as("k"))
+      val path = System.getProperty("java.io.tmpdir") + "/graft_q_editidx"
+      graft.pipeline.Dedup.buildEditOneIndex(keys, "doc_id", "k")
+        .write.mode("overwrite").parquet(path)
+      graft.pipeline.Dedup.incrementalEditOnePairs(
+          s.read.parquet(path), variants, "doc_id", "k")
+        .orderBy("id_new")
+    }),
+
     // global dense id assignment without a single-partition window
     // (two-phase cumsum) — full-row oracle against row_number
     "q_assign_ids" -> ((s: SparkSession, dir: String) => {
@@ -4585,6 +4602,9 @@ object SparkEntry {
     "q_edit_one" ->
       """SELECT doc_id AS id_a, doc_id + 1000000 AS id_b
         |FROM documents ORDER BY id_a""".stripMargin,
+    "q_edit_one_incremental" ->
+      """SELECT doc_id + 1000000 AS id_new, doc_id AS id_old
+        |FROM documents ORDER BY id_new""".stripMargin,
     "q_assign_ids" ->
       """SELECT doc_id,
         |       CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS seq_id

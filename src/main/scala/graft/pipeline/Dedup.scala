@@ -1563,4 +1563,56 @@ object Dedup {
       .select(F.col("__p._1").as("id_a"), F.col("__p._2").as("id_b"))
       .distinct()
   }
+
+  /**
+   * Persistable deletion-hash index for INCREMENTAL edit-1 matching —
+   * the nightly shape of [[editOnePairs]] (same contract as the other
+   * `buildXxxIndex` families): history's (key, id, string) postings
+   * are computed once; each new batch probes the index without
+   * re-hashing history. Strings ride along because candidate
+   * verification is exact — at `maxLen <= 256` a posting is bounded
+   * and the index is (len+1) rows per history string.
+   */
+  def buildEditOneIndex(
+      df: DataFrame,
+      idCol: String,
+      strCol: String,
+      maxLen: Int = 256): DataFrame = {
+    require(maxLen >= 1, s"maxLen must be positive, got $maxLen")
+    val delU = F.udf((s: String) =>
+      if (s == null || s.length > maxLen) Array.empty[Long]
+      else deletionHashes(s))
+    df.select(F.col(idCol).cast("long").as("id"), F.col(strCol).as("s"))
+      .filter(F.col("s").isNotNull)
+      .select(F.col("id"), F.col("s"), F.explode(delU(F.col("s"))).as("key"))
+  }
+
+  /**
+   * Probe a [[buildEditOneIndex]] with a fresh batch: every
+   * (batch id, history id) pair within edit distance 1. The batch
+   * side explodes its own (len+1) keys and hash-joins the index;
+   * exact verification on the joined strings. `maxLen` must match the
+   * index build (a longer probe string can't have been indexed — its
+   * keys simply find nothing).
+   */
+  def incrementalEditOnePairs(
+      index: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      strCol: String,
+      maxLen: Int = 256): DataFrame = {
+    val delU = F.udf((s: String) =>
+      if (s == null || s.length > maxLen) Array.empty[Long]
+      else deletionHashes(s))
+    val probes = batch
+      .select(F.col(idCol).cast("long").as("__bid"), F.col(strCol).as("__bs"))
+      .filter(F.col("__bs").isNotNull)
+      .select(F.col("__bid"), F.col("__bs"),
+        F.explode(delU(F.col("__bs"))).as("key"))
+    val okU = F.udf((a: String, b: String) => editDistanceLeOne(a, b))
+    probes.join(index, "key")
+      .filter(okU(F.col("__bs"), F.col("s")))
+      .select(F.col("__bid").as("id_new"), F.col("id").as("id_old"))
+      .distinct()
+  }
 }

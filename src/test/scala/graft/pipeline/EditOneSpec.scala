@@ -38,6 +38,27 @@ class EditOneSpec extends SparkTestBase {
     assert(want.nonEmpty) // the tiny alphabet guarantees real pairs
   }
 
+  test("incremental probe vs persisted index equals the self-join restricted to cross pairs") {
+    val rnd = new scala.util.Random(23)
+    def mk(n: Int, off: Long) = (0 until n).map { i =>
+      (off + i, new String(Array.fill(3 + rnd.nextInt(3))(('a' + rnd.nextInt(3)).toChar)))
+    }
+    val hist = mk(60, 0L)
+    val batch = mk(25, 1000L)
+    val dir = java.nio.file.Files.createTempDirectory("editidx").toString
+    Dedup.buildEditOneIndex(hist.toDF("id", "s"), "id", "s")
+      .write.mode("overwrite").parquet(dir)
+    val idx = spark.read.parquet(dir)
+    val got = Dedup.incrementalEditOnePairs(idx, batch.toDF("id", "s"), "id", "s")
+      .as[(Long, Long)].collect().toSet
+    val want = (for {
+      (ib, sb) <- batch; (ih, sh) <- hist
+      if Dedup.editDistanceLeOne(sb, sh)
+    } yield (ib, ih)).toSet
+    assert(got === want)
+    assert(want.nonEmpty)
+  }
+
   test("rows above maxLen emit no keys; NULLs skipped") {
     val df = Seq((1L, "short"), (2L, "shorts"), (3L, "x" * 300),
       (4L, null.asInstanceOf[String])).toDF("id", "s")
