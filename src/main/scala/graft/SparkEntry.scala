@@ -688,10 +688,17 @@ object SparkEntry {
     // duplicate survives is scheduler-dependent, so the query emits
     // only the deterministic count
     "q_stream_dedup" -> ((s: SparkSession, dir: String) => {
+      // collision-free tuple encoding: per-field sha2 tokens are fixed
+      // 64-hex width (NULL -> one non-hex char), so distinct
+      // (user, type, value) tuples never collapse to one key the way a
+      // concat_ws form would (it skips NULLs and '|' could appear in a
+      // field) — matches the oracle's true tuple DISTINCT
+      def tok(c: org.apache.spark.sql.Column) =
+        F.coalesce(F.sha2(c.cast("string"), 256), F.lit("N"))
       val ev = t(s, dir, "events").filter(F.col("ts").isNotNull)
         .select(F.col("ts"),
-          F.concat_ws("|", F.col("user_id"), F.col("event_type"),
-            F.col("value")).as("content"))
+          F.concat(tok(F.col("user_id")), tok(F.col("event_type")),
+            tok(F.col("value"))).as("content"))
       val tmp = System.getProperty("java.io.tmpdir") + "/graft_q_stream_dedup_src"
       ev.write.mode("overwrite").parquet(tmp)
       val stream = s.readStream.schema(ev.schema).parquet(tmp)
@@ -1908,7 +1915,11 @@ object SparkEntry {
     // a full-row oracle from id arithmetic
     "q_decontaminate_semantic" -> ((s: SparkSession, dir: String) => {
       val emb = t(s, dir, "embeddings")
-      val bench = emb.filter(F.col("vec_id") % 37 === 0).select(F.col("embedding"))
+      // embedding IS NOT NULL on the planted predicate BOTH sides (the
+      // oracle too): a NULL-embedding doc can never be flagged, so the
+      // planted set must exclude it by construction
+      val bench = emb.filter(F.col("vec_id") % 37 === 0 &&
+        F.col("embedding").isNotNull).select(F.col("embedding"))
       graft.pipeline.Decontaminate.semanticContaminationFlags(
           emb, "vec_id", "embedding", bench, "embedding",
           threshold = 0.999, nlist = 8)
@@ -1920,7 +1931,8 @@ object SparkEntry {
     // planted benchmark (shares its full-row oracle)
     "q_decontaminate_semantic_indexed" -> ((s: SparkSession, dir: String) => {
       val emb = t(s, dir, "embeddings")
-      val bench = emb.filter(F.col("vec_id") % 37 === 0).select(F.col("embedding"))
+      val bench = emb.filter(F.col("vec_id") % 37 === 0 &&
+        F.col("embedding").isNotNull).select(F.col("embedding"))
       val path = System.getProperty("java.io.tmpdir") + "/graft_q_decon_ivf"
       graft.pipeline.Similarity
         .buildIvfIndex(emb, "vec_id", "embedding", nlist = 8)
@@ -4883,7 +4895,7 @@ object SparkEntry {
         |       CAST(coalesce(sum(o), 0) AS BIGINT) AS overlap_total
         |FROM documents LEFT JOIN ov USING (doc_id)""".stripMargin,
     "q_decontaminate_semantic" ->
-      """SELECT vec_id, vec_id % 37 = 0 AS contaminated
+      """SELECT vec_id, vec_id % 37 = 0 AND embedding IS NOT NULL AS contaminated
         |FROM embeddings ORDER BY vec_id""".stripMargin,
     "q_pipeline" ->
       """WITH e AS (SELECT d.* FROM documents d

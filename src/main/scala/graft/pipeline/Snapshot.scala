@@ -94,9 +94,13 @@ object Snapshot {
    * the input to incremental reprocessing (re-embed/re-index only the
    * added+changed slice instead of the whole crawl).
    *
-   * Content comparison is by sha2 over the `contentCols` (NULL-safe:
-   * columns are \u0001-joined with a \u0000 NULL sentinel), so only
-   * (key, 32-byte hash) pairs shuffle — never the payloads. One
+   * Content comparison is by sha2 over the `contentCols`, so only
+   * (key, 32-byte hash) pairs shuffle — never the payloads. Each
+   * column is hashed INDEPENDENTLY first (fixed-width 64-hex tokens,
+   * NULL -> a non-hex one-char sentinel), then the token concatenation
+   * is hashed: no value containing a separator/sentinel character can
+   * alias a different column split or a NULL, so distinct content never
+   * reports `unchanged` (short of a sha2 collision). One
    * full-outer hash join on the key. Keys must be unique per snapshot
    * ([[latestByKey]] first if not); duplicate keys would cross-join
    * multiplicatively like any keyed join.
@@ -109,9 +113,9 @@ object Snapshot {
     require(contentCols.nonEmpty, "need at least one content column")
     def hashed(df: DataFrame, out: String): DataFrame =
       df.select(F.col(keyCol).as("__k"),
-        F.sha2(F.concat_ws("\u0001",
+        F.sha2(F.concat(
           contentCols.map(c =>
-            F.coalesce(F.col(c).cast("string"), F.lit("\u0000"))): _*), 256)
+            F.coalesce(F.sha2(F.col(c).cast("string"), 256), F.lit("\u0000"))): _*), 256)
           .as(out))
     hashed(oldSnap, "__oh").join(hashed(newSnap, "__nh"), Seq("__k"), "full_outer")
       .select(F.col("__k").as(keyCol),

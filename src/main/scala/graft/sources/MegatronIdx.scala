@@ -80,9 +80,15 @@ object MegatronIdx {
     v
   }
 
-  /** Parse one shard pair back to its sequences. */
-  private[sources] def decodeShard(
-      idx: Array[Byte], bin: Array[Byte]): Array[Array[Int]] = {
+  /** Parsed .idx header: dtype code plus per-sequence sizes and BYTE
+    * pointers into the .bin. 12 bytes of driver/task state per
+    * sequence — bounded by sequence count, never token count. */
+  private[sources] final case class IdxHeader(
+      dtype: Int, sizes: Array[Int], pointers: Array[Long]) {
+    def itemSize: Int = if (dtype == DtypeInt32) 4 else 2
+  }
+
+  private[sources] def parseIdx(idx: Array[Byte]): IdxHeader = {
     require(idx.length >= Magic.length + 8 + 1 + 16, "idx too short")
     require(Magic.indices.forall(i => idx(i) == Magic(i)),
       "bad magic: not a Megatron mmap index")
@@ -90,13 +96,31 @@ object MegatronIdx {
     val dtype = idx(17) & 0xff
     require(dtype == DtypeInt32 || dtype == DtypeUint16,
       s"unsupported dtype code $dtype")
-    val itemSize = if (dtype == DtypeInt32) 4 else 2
-    val n = getLE(idx, 18, 8).toInt
+    val n64 = getLE(idx, 18, 8)
+    require(n64 >= 0 && n64 <= Int.MaxValue, s"sequence count $n64 out of range")
+    val n = n64.toInt
     val sizesAt = 34
     val pointersAt = sizesAt + 4 * n
-    Array.tabulate(n) { i =>
-      val sz = getLE(idx, sizesAt + 4 * i, 4).toInt
-      val ptr = getLE(idx, pointersAt + 8 * i, 8)
+    IdxHeader(dtype,
+      Array.tabulate(n)(i => getLE(idx, sizesAt + 4 * i, 4).toInt),
+      Array.tabulate(n)(i => getLE(idx, pointersAt + 8 * i, 8)))
+  }
+
+  /** Parse one fully-buffered shard pair back to its sequences —
+    * bounded in-memory helper (specs, small shards). Pointer math is
+    * Long end-to-end; a pointer past Int range fails loudly instead of
+    * silently truncating (a buffered Array[Byte] can't address past
+    * 2 GiB anyway — the seek-based [[read]] path has no such ceiling). */
+  private[sources] def decodeShard(
+      idx: Array[Byte], bin: Array[Byte]): Array[Array[Int]] = {
+    val h = parseIdx(idx)
+    val itemSize = h.itemSize
+    Array.tabulate(h.sizes.length) { i =>
+      val sz = h.sizes(i)
+      val ptr = h.pointers(i)
+      val end = ptr + sz.toLong * itemSize
+      require(ptr >= 0 && end <= bin.length,
+        s"sequence $i spans [$ptr, $end) outside the ${bin.length}-byte .bin")
       Array.tabulate(sz) { j =>
         getLE(bin, (ptr + j.toLong * itemSize).toInt, itemSize).toInt
       }
@@ -123,7 +147,11 @@ object MegatronIdx {
     val fs0 = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs0.mkdirs(base)
     val baseStr = base.toString
-    val counts = df.select(idsCol.cast("array<int>").as("__ids"))
+    // NULL elements inside an ids array are dropped (malformed-input →
+    // NULL discipline: a NULL token id has no byte encoding, and
+    // letting it NPE mid-write would torch the whole shard)
+    val counts = df
+      .select(F.filter(idsCol.cast("array<int>"), e => e.isNotNull).as("__ids"))
       .filter(F.col("__ids").isNotNull)
       .mapPartitions { it =>
         // STREAM the .bin: a shard's token bytes never sit in executor
@@ -178,28 +206,65 @@ object MegatronIdx {
   /**
    * Read sharded Megatron pairs under `path` back into
    * (shard STRING, seq_idx LONG, ids ARRAY<INT>). Parallelism = shard
-   * count; each task joins its own .idx to its .bin by name — the
+   * count; each task pairs its own .idx with its .bin by name — the
    * pairing never shuffles.
+   *
+   * Seek-based, never whole-shard-buffered: the task reads the .idx
+   * (12 bytes of size/pointer state per sequence), then streams the
+   * .bin through `FSDataInputStream` range reads — executor memory per
+   * task is one sequence's bytes plus the pointer tables, so 1–4 GiB+
+   * trainer shards read fine (the old `binaryFile` path carried a hard
+   * 2 GiB `Array[Byte]` ceiling and a shard-sized allocation).
    */
   def read(spark: SparkSession, path: String): DataFrame = {
-    val files = spark.read.format("binaryFile")
-      .option("pathGlobFilter", "*.{bin,idx}")
-      .load(path)
-      .select(F.col("path"), F.col("content"))
-      .withColumn("__stem", F.regexp_replace(F.col("path"), "\\.(bin|idx)$", ""))
-      .withColumn("__kind", F.regexp_extract(F.col("path"), "\\.(bin|idx)$", 1))
-    val paired = files.groupBy(F.col("__stem"))
-      .agg(
-        F.max(F.when(F.col("__kind") === "idx", F.col("content"))).as("__idx"),
-        F.max(F.when(F.col("__kind") === "bin", F.col("content"))).as("__bin"))
+    val hconf = spark.sparkContext.broadcast(
+      new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
+    val base = new org.apache.hadoop.fs.Path(path)
+    val fs0 = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // driver-side listing: bounded by shard count (one status per file)
+    val idxPaths = fs0.globStatus(new org.apache.hadoop.fs.Path(base, "*.idx"))
+      .map(_.getPath.toString).sorted
     val session = spark
     import session.implicits._
-    paired.select(F.col("__stem"), F.col("__idx"), F.col("__bin"))
-      .as[(String, Array[Byte], Array[Byte])]
-      .flatMap { case (stem, idx, bin) =>
-        require(idx != null && bin != null, s"unpaired Megatron shard at $stem")
-        decodeShard(idx, bin).iterator.zipWithIndex.map {
-          case (ids, i) => (stem, i.toLong, ids)
+    val stems = idxPaths.map(_.stripSuffix(".idx")).toSeq
+    spark.createDataset(stems)
+      .repartition(math.max(1, stems.length)) // one shard per task
+      .flatMap { stem =>
+        val fs = new org.apache.hadoop.fs.Path(stem)
+          .getFileSystem(hconf.value.conf)
+        val idxP = new org.apache.hadoop.fs.Path(stem + ".idx")
+        val binP = new org.apache.hadoop.fs.Path(stem + ".bin")
+        require(fs.exists(binP), s"unpaired Megatron shard at $stem")
+        val idxLen = fs.getFileStatus(idxP).getLen
+        require(idxLen <= Int.MaxValue, s"idx over 2 GiB at $stem")
+        val idxBytes = new Array[Byte](idxLen.toInt)
+        val idxIn = fs.open(idxP)
+        try idxIn.readFully(0L, idxBytes) finally idxIn.close()
+        val h = parseIdx(idxBytes)
+        val itemSize = h.itemSize
+        val binLen = fs.getFileStatus(binP).getLen
+        val in = fs.open(binP)
+        val tc = org.apache.spark.TaskContext.get()
+        if (tc != null) tc.addTaskCompletionListener[Unit](_ => in.close())
+        new Iterator[(String, Long, Array[Int])] {
+          private var i = 0
+          def hasNext: Boolean = {
+            val more = i < h.sizes.length
+            if (!more && tc == null) in.close()
+            more
+          }
+          def next(): (String, Long, Array[Int]) = {
+            val sz = h.sizes(i)
+            val ptr = h.pointers(i)
+            require(ptr >= 0 && ptr + sz.toLong * itemSize <= binLen,
+              s"sequence $i spans past the $binLen-byte .bin at $stem")
+            val buf = new Array[Byte](sz * itemSize)
+            in.readFully(ptr, buf) // positioned read: safe at any Long offset
+            val ids = Array.tabulate(sz)(j => getLE(buf, j * itemSize, itemSize).toInt)
+            val out = (stem, i.toLong, ids)
+            i += 1
+            out
+          }
         }
       }
       .toDF("shard", "seq_idx", "ids")

@@ -125,15 +125,20 @@ object WebDataset {
           try {
             it.foreach { r =>
               val k = r.getString(0)
+              var wrote = false
               r.getMap[String, Array[Byte]](1).foreach {
                 case (ext, bytes) if bytes != null =>
                   o.write(tarHeader(s"$k.$ext", bytes.length.toLong))
                   o.write(bytes)
                   val rem = bytes.length % 512
                   if (rem != 0) o.write(new Array[Byte](512 - rem))
+                  wrote = true
                 case _ => ()
               }
-              n += 1
+              // count RECOVERABLE samples: a row whose members were all
+              // NULL (or the map empty) wrote zero tar entries and must
+              // not inflate the returned count past what read() sees
+              if (wrote) n += 1
             }
             o.write(new Array[Byte](1024)) // end-of-archive
           } finally o.close()
@@ -150,20 +155,37 @@ object WebDataset {
    * stay with the extension side only if written that way — keys with
    * dots round-trip as long as extensions are dot-free (the
    * WebDataset convention). Parallelism = shard count.
+   *
+   * Streaming, never whole-shard-buffered: tar headers are
+   * self-delimiting, so each task walks its shard through one
+   * `FSDataInputStream`, holding only the CURRENT SAMPLE's member
+   * payloads — 1–4 GiB+ trainer shards read fine (the old `binaryFile`
+   * path carried a hard 2 GiB `Array[Byte]` ceiling and a shard-sized
+   * allocation). Samples group as CONTIGUOUS same-key member runs —
+   * the WebDataset streaming convention, which [[write]] produces by
+   * construction (one row's members are written adjacently).
    */
   def read(spark: SparkSession, path: String): DataFrame = {
+    val hconf = spark.sparkContext.broadcast(
+      new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
+    val base = new org.apache.hadoop.fs.Path(path)
+    val fs0 = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // driver-side listing: bounded by shard count
+    val tarPaths = fs0.globStatus(new org.apache.hadoop.fs.Path(base, "*.tar"))
+      .map(_.getPath.toString).sorted.toSeq
     val session = spark
     import session.implicits._
-    spark.read.format("binaryFile")
-      .option("pathGlobFilter", "*.tar")
-      .load(path)
-      .select(F.col("path"), F.col("content"))
-      .as[(String, Array[Byte])]
-      .flatMap { case (shard, tar) =>
-        untar(tar).groupBy { case (name, _) =>
-          val dot = name.lastIndexOf('.')
-          if (dot < 0) name else name.substring(0, dot)
-        }.map { case (key, files) =>
+    spark.createDataset(tarPaths)
+      .repartition(math.max(1, tarPaths.length)) // one shard per task
+      .flatMap { shard =>
+        val p = new org.apache.hadoop.fs.Path(shard)
+        val fs = p.getFileSystem(hconf.value.conf)
+        val len = fs.getFileStatus(p).getLen
+        val in = fs.open(p)
+        val tc = org.apache.spark.TaskContext.get()
+        if (tc != null) tc.addTaskCompletionListener[Unit](_ => in.close())
+        val members = tarMemberIterator(in, len, shard)
+        groupContiguous(members).map { case (key, files) =>
           val m = files.map { case (name, bytes) =>
             val dot = name.lastIndexOf('.')
             (if (dot < 0) "" else name.substring(dot + 1)) -> bytes
@@ -173,4 +195,75 @@ object WebDataset {
       }
       .toDF("shard", "key", "members")
   }
+
+  /** Walk one tar stream member by member — only one member's payload
+    * is ever resident. Stops at the first zero header block (end of
+    * archive) or EOF. */
+  private def tarMemberIterator(
+      in: org.apache.hadoop.fs.FSDataInputStream,
+      len: Long,
+      shard: String): Iterator[(String, Array[Byte])] =
+    new Iterator[(String, Array[Byte])] {
+      private var at = 0L
+      private val hdr = new Array[Byte](512)
+      private var nextMember: (String, Array[Byte]) = _
+      private var done = false
+
+      private def advance(): Unit = {
+        nextMember = null
+        while (nextMember == null && !done) {
+          if (at + 512 > len) { done = true; return }
+          in.readFully(at, hdr)
+          if (hdr.forall(_ == 0)) { done = true; return } // end-of-archive
+          var end = 0
+          while (end < 100 && hdr(end) != 0) end += 1
+          val name = new String(hdr, 0, end, "UTF-8")
+          val sizeStr = new String(hdr, 124, 12, "US-ASCII")
+            .takeWhile(c => c >= '0' && c <= '7')
+          val size =
+            if (sizeStr.isEmpty) 0L else java.lang.Long.parseLong(sizeStr, 8)
+          val typeflag = hdr(156)
+          val dataAt = at + 512
+          require(dataAt + size <= len,
+            s"tar member $name spans past the $len-byte shard $shard")
+          if (typeflag == '0' || typeflag == 0) {
+            require(size <= Int.MaxValue - 8,
+              s"tar member $name over 2 GiB — split members upstream")
+            val data = new Array[Byte](size.toInt)
+            in.readFully(dataAt, data)
+            nextMember = (name, data)
+          }
+          at = dataAt + ((size + 511) / 512) * 512 // skip data + padding
+        }
+      }
+
+      advance()
+      def hasNext: Boolean = nextMember != null
+      def next(): (String, Array[Byte]) = {
+        val out = nextMember
+        advance()
+        out
+      }
+    }
+
+  /** Group a member stream into samples: maximal contiguous runs
+    * sharing the key prefix (name up to the last dot). Lazy — holds
+    * one sample's members at a time. */
+  private[sources] def groupContiguous(
+      members: Iterator[(String, Array[Byte])])
+      : Iterator[(String, Seq[(String, Array[Byte])])] =
+    new Iterator[(String, Seq[(String, Array[Byte])])] {
+      private val it = members.buffered
+      private def keyOf(name: String): String = {
+        val dot = name.lastIndexOf('.')
+        if (dot < 0) name else name.substring(0, dot)
+      }
+      def hasNext: Boolean = it.hasNext
+      def next(): (String, Seq[(String, Array[Byte])]) = {
+        val key = keyOf(it.head._1)
+        val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Array[Byte])]
+        while (it.hasNext && keyOf(it.head._1) == key) buf += it.next()
+        (key, buf.toSeq)
+      }
+    }
 }

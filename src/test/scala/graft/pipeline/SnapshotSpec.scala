@@ -99,4 +99,25 @@ class SnapshotSpec extends SparkTestBase {
       .as[(Long, String)].collect().toMap
     assert(d2 === Map(9L -> "changed"))
   }
+
+  test("diffSnapshots: separator/sentinel characters in values cannot alias") {
+    import spark.implicits._
+    // adversarial pairs that collide under naive sep-joined hashing:
+    // a value containing the separator vs a genuine column split, and
+    // a value equal to the NULL sentinel vs an actual NULL
+    val sep = "\u0001"; val nul = "\u0000"
+    val old = Seq(
+      (1L, s"a${sep}b", "c"),
+      (2L, nul, "x"),
+      (3L, "p", "q"))
+      .toDF("k", "c1", "c2")
+    val nw = Seq(
+      (1L, "a", s"b${sep}c"),
+      (2L, null.asInstanceOf[String], "x"),
+      (3L, "p", "q"))
+      .toDF("k", "c1", "c2")
+    val out = Snapshot.diffSnapshots(old, nw, "k", Seq("c1", "c2"))
+      .as[(Long, String)].collect().toMap
+    assert(out === Map(1L -> "changed", 2L -> "changed", 3L -> "unchanged"))
+  }
 }

@@ -73,4 +73,54 @@ class MegatronIdxSpec extends SparkTestBase {
       .filter(F.col("mx") =!= F.col("c") - 1)
     assert(bad.isEmpty)
   }
+
+  test("seek-based read matches the buffered decodeShard path byte-identically") {
+    val spark0 = spark
+    import spark0.implicits._
+    val df = (0L until 41L).map(i =>
+      Array.tabulate((i % 7).toInt)(j => (i * 31 + j).toInt)).toDF("ids")
+    val dir = java.nio.file.Files.createTempDirectory("megatron_seek").toString
+    MegatronIdx.write(df.repartition(3), F.col("ids"), dir, DtypeUint16)
+    // buffered reference: decode every shard pair fully in memory
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    def slurp(p: org.apache.hadoop.fs.Path): Array[Byte] = {
+      val len = fs.getFileStatus(p).getLen.toInt
+      val b = new Array[Byte](len)
+      val in = fs.open(p)
+      try in.readFully(0L, b) finally in.close()
+      b
+    }
+    val expected = fs
+      .globStatus(new org.apache.hadoop.fs.Path(dir, "*.idx"))
+      .map(_.getPath.toString.stripSuffix(".idx")).sorted
+      .flatMap { stem =>
+        decodeShard(
+          slurp(new org.apache.hadoop.fs.Path(stem + ".idx")),
+          slurp(new org.apache.hadoop.fs.Path(stem + ".bin")))
+          .zipWithIndex.map { case (ids, i) => (stem, i.toLong, ids.toSeq) }
+      }.sortBy(r => (r._1, r._2)).toSeq
+    val got = MegatronIdx.read(spark, dir)
+      .as[(String, Long, Seq[Int])].collect()
+      .map { case (s, i, ids) =>
+        (s.stripPrefix("file:").stripPrefix("//"), i, ids) }
+      .sortBy(r => (r._1, r._2)).toSeq
+    val exp = expected.map { case (s, i, ids) =>
+      (s.stripPrefix("file:").stripPrefix("//"), i, ids) }
+    assert(got === exp)
+  }
+
+  test("write drops NULL elements inside an ids array instead of NPE-ing") {
+    val spark0 = spark
+    import spark0.implicits._
+    val df = Seq(
+      (1L, Seq[java.lang.Integer](1, null, 3)),
+      (2L, Seq[java.lang.Integer](null))).toDF("id", "ids")
+    val dir = java.nio.file.Files.createTempDirectory("megatron_null").toString
+    val n = MegatronIdx.write(df, F.col("ids"), dir)
+    assert(n === 2L) // both rows written; NULL elements dropped
+    val back = MegatronIdx.read(spark, dir)
+      .select(F.col("ids")).as[Seq[Int]].collect().map(_.toList).sortBy(_.length)
+    assert(back.toSeq === Seq(List(), List(1, 3)))
+  }
 }

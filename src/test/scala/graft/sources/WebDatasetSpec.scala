@@ -62,4 +62,51 @@ class WebDatasetSpec extends SparkTestBase {
       assert(got(k) === m.view.mapValues(new String(_, "UTF-8")).toMap, k)
     }
   }
+
+  test("seek-based read matches the buffered untar path byte-identically") {
+    val spark0 = spark
+    import spark0.implicits._
+    // payloads straddling 512-byte boundaries and an empty member
+    val rows = (0L until 17L).map { i =>
+      (s"s$i", Map(
+        "bin" -> Array.tabulate((i * 97 % 1300).toInt)(j => (i + j).toByte),
+        "txt" -> s"row $i".getBytes("UTF-8")))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("wds_seek").toString
+    WebDataset.write(rows.toDF("key", "members").repartition(2),
+      F.col("key"), F.col("members"), dir)
+    // buffered reference: untar each whole shard in memory
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val expected = fs.globStatus(new org.apache.hadoop.fs.Path(dir, "*.tar"))
+      .flatMap { st =>
+        val len = st.getLen.toInt
+        val b = new Array[Byte](len)
+        val in = fs.open(st.getPath)
+        try in.readFully(0L, b) finally in.close()
+        untar(b).groupBy { case (name, _) =>
+          name.substring(0, name.lastIndexOf('.')) }
+          .map { case (k, files) =>
+            k -> files.map { case (n2, d) =>
+              n2.substring(n2.lastIndexOf('.') + 1) -> d.toSeq }.toMap }
+      }.toMap
+    val got = WebDataset.read(spark, dir)
+      .select("key", "members")
+      .as[(String, Map[String, Array[Byte]])].collect()
+      .map { case (k, m) => k -> m.view.mapValues(_.toSeq).toMap }.toMap
+    assert(got === expected)
+  }
+
+  test("write counts only rows that emitted at least one tar member") {
+    val spark0 = spark
+    import spark0.implicits._
+    val df = Seq(
+      ("a", Map("txt" -> "x".getBytes("UTF-8"))),
+      ("b", Map.empty[String, Array[Byte]]),
+      ("c", Map("txt" -> null.asInstanceOf[Array[Byte]]))).toDF("key", "members")
+    val dir = java.nio.file.Files.createTempDirectory("wds_count").toString
+    val n = WebDataset.write(df.repartition(1), F.col("key"), F.col("members"), dir)
+    assert(n === 1L) // b wrote nothing, c's only payload was NULL
+    assert(WebDataset.read(spark, dir).count() === n)
+  }
 }
