@@ -833,6 +833,43 @@ object SparkEntry {
         .orderBy("key")
     }),
 
+    // streaming NEAR-dup dedup under the gate: the "new batch" slice
+    // (doc_id % 3 == 0) replayed as a file-source stream and probed
+    // against the persisted minhash signature index of the rest of
+    // the corpus — the crawl-ingest shape. Stateless except the
+    // per-pair dedup, so AvailableNow replay emits exactly the batch
+    // incremental pair set (shares q_dedup_incremental's oracle)
+    "q_stream_neardup" -> ((s: SparkSession, dir: String) => {
+      val docs = t(s, dir, "documents")
+      val hist = docs.filter(F.col("doc_id") % 3 =!= 0)
+      val idxPath = System.getProperty("java.io.tmpdir") + "/graft_q_stream_nd_idx"
+      graft.pipeline.Dedup.saveSignatureIndex(
+        graft.pipeline.Dedup.buildSignatureIndex(hist, "doc_id", "text", 5, 16, 8),
+        idxPath)
+      val fresh = docs.filter(F.col("doc_id") % 3 === 0)
+        .select(F.lit(java.sql.Timestamp.valueOf("2026-01-01 00:00:00")).as("ts"),
+          F.col("doc_id"), F.col("text"))
+      val tmp = System.getProperty("java.io.tmpdir") + "/graft_q_stream_nd_src"
+      fresh.write.mode("overwrite").parquet(tmp)
+      val stream = s.readStream.schema(fresh.schema).parquet(tmp)
+      val out = graft.streaming.SketchStreaming.nearDupStream(
+        stream, "ts", "doc_id", "text",
+        graft.pipeline.Dedup.loadSignatureIndex(s, idxPath), hist,
+        "doc_id", "text",
+        // effectively-infinite horizon: bounded replays must never
+        // expire pair-dedup state (see q_stream_dedup)
+        watermarkDelay = "3650 days",
+        shingleSize = 5, threshold = 0.8, bands = 16, rowsPerBand = 8)
+      s.catalog.dropTempView("graft_stream_neardup")
+      val q = out.writeStream
+        .outputMode("append").format("memory")
+        .queryName("graft_stream_neardup")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("graft_stream_neardup").orderBy("id_new", "id_old")
+    }),
+
     // time bucketing: hourly event counts (epoch millis keys)
     "q_rel_timebucket" -> ((s: SparkSession, dir: String) => {
       t(s, dir, "events")
@@ -5816,6 +5853,9 @@ object SparkEntry {
       // persisted-index probe is output-identical to the direct path
       "q_dedup_containment_indexed" -> base("q_dedup_containment"),
       "q_decontaminate_semantic_indexed" -> base("q_decontaminate_semantic"),
+      // the streaming probe is output-identical to the batch
+      // incremental pair set on a bounded replay (batch≡stream spec)
+      "q_stream_neardup" -> base("q_dedup_incremental"),
       "q_tokenize_bpe" ->
         """SELECT count(*) AS docs, true AS rank_eq_seq, true AS reconstructs
           |FROM documents""".stripMargin,

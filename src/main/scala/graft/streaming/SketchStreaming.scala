@@ -165,6 +165,76 @@ object SketchStreaming {
    * would treat all NULL keys as one duplicate — dropping rows that
    * were never proven equal).
    */
+  /**
+   * Streaming NEAR-duplicate detection: probe each arriving document
+   * against a persisted MinHash signature index of the historical
+   * corpus ([[graft.pipeline.Dedup.buildSignatureIndex]]) — the
+   * crawl-ingest shape: fuzzy-dedup AS the stream lands, without ever
+   * re-scanning (or re-shingling) history.
+   *
+   * Per micro-batch: the new document explodes to its OPH band
+   * buckets, a stream-static join against the index yields candidate
+   * (new, old) pairs, `dropDuplicatesWithinWatermark` collapses the
+   * per-shared-band multiplicity (state = one entry per emitted pair
+   * within the watermark horizon, expired by event time — never
+   * corpus-sized), and an exact-Jaccard verify against the history
+   * text (stream-static join, history rows hash-filtered by candidate
+   * id BEFORE any shingling) keeps only true near-dups. Stateless
+   * except the pair dedup, so append mode emits pairs the micro-batch
+   * they arrive. Output: (id_new, id_old, inter, uni) — the streaming
+   * twin of [[graft.pipeline.Dedup.incrementalNearDuplicatePairs]],
+   * identical output on identical input (BatchStreamEquivalenceSpec).
+   *
+   * Geometry (shingleSize/bands/rowsPerBand) must match the index's.
+   * At 100 TB: the index and history are static-side scans per
+   * micro-batch — keep both in compact parquet bucketed by their join
+   * keys; the stream side is micro-batch-sized and broadcasts.
+   */
+  def nearDupStream(
+      stream: DataFrame,
+      tsCol: String,
+      idCol: String,
+      textCol: String,
+      histIndex: DataFrame,
+      histDocs: DataFrame,
+      histIdCol: String,
+      histTextCol: String,
+      watermarkDelay: String,
+      shingleSize: Int = 5,
+      threshold: Double = 0.8,
+      bands: Int = 32,
+      rowsPerBand: Int = 4): DataFrame = {
+    import graft.pipeline.TextFunctions
+    val numHashes = bands * rowsPerBand
+    val probed = stream
+      .withWatermark(tsCol, watermarkDelay)
+      .select(F.col(tsCol).as("__ts"),
+        F.col(idCol).as("id_new"),
+        TextFunctions.shinglesUdf(shingleSize)(F.col(textCol)).as("__sn"),
+        F.explode(TextFunctions.minhashTextOphBandsUdf(
+          shingleSize, numHashes, bands, rowsPerBand)(F.col(textCol))).as("__b"))
+      .select(F.col("__ts"), F.col("id_new"), F.col("__sn"),
+        F.col("__b._1").as("band"), F.col("__b._2").as("bucket"))
+    val idx = histIndex.select(
+      F.col("band"), F.col("bucket"), F.col("id").as("id_old"))
+    val candidates = probed
+      .join(idx, Seq("band", "bucket"))
+      // one verify (and one emission) per distinct pair: dedup BEFORE
+      // the history-text join so shared-band multiplicity never
+      // multiplies the shingling work
+      .dropDuplicatesWithinWatermark("id_new", "id_old")
+    candidates
+      .join(histDocs.select(F.col(histIdCol).as("id_old"),
+        F.col(histTextCol).as("__told")), Seq("id_old"))
+      .withColumn("__so", TextFunctions.shinglesUdf(shingleSize)(F.col("__told")))
+      .withColumn("inter",
+        F.size(F.array_intersect(F.col("__sn"), F.col("__so"))).cast("long"))
+      .withColumn("uni",
+        F.size(F.array_union(F.col("__sn"), F.col("__so"))).cast("long"))
+      .filter(F.col("uni") > 0 && F.col("inter") >= F.col("uni") * threshold)
+      .select("id_new", "id_old", "inter", "uni")
+  }
+
   def dedupStream(
       stream: DataFrame,
       tsCol: String,

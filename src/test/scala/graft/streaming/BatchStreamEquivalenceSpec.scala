@@ -191,6 +191,53 @@ class BatchStreamEquivalenceSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming minhash near-dup probe over a signature index is batch≡stream") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.pipeline.Dedup
+    val docs = sf("sf0.001", "documents")
+      .filter(F.col("text").isNotNull)
+      .select(F.col("doc_id"), F.col("text"))
+    val hist = docs.filter(F.col("doc_id") % 3 =!= 0)
+    // fresh batch = remaining docs PLUS near-copies of 5 history docs
+    // (shifted ids, one appended token) so qualifying pairs certainly exist
+    val copies = hist.filter(F.col("doc_id") < 16)
+      .select((F.col("doc_id") + 100000L).as("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz")).as("text"))
+    val fresh = docs.filter(F.col("doc_id") % 3 === 0).union(copies)
+    val index = Dedup.buildSignatureIndex(hist, "doc_id", "text", 5, 16, 8)
+      .localCheckpoint(eager = false)
+
+    val batchPairs = Dedup.incrementalNearDuplicatePairs(
+        fresh, index, hist, "doc_id", "text", 5, 0.8, 16, 8)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(copies.select("doc_id").as[Long].collect()
+      .forall(id => batchPairs.exists(_._1 == id)))   // every copy caught
+
+    val rows = fresh.as[(Long, String)].collect().map { case (id, text) =>
+      (Timestamp.valueOf("2026-01-01 10:00:00"), id, text)
+    }
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val out = SketchStreaming.nearDupStream(
+      input.toDF().toDF("ts", "doc_id", "text"),
+      "ts", "doc_id", "text", index, hist, "doc_id", "text",
+      watermarkDelay = "365 days",
+      shingleSize = 5, threshold = 0.8, bands = 16, rowsPerBand = 8)
+    val q = out.writeStream.format("memory").queryName("bs_neardup")
+      .outputMode("append").start()
+    try {
+      // two micro-batches: the pair-dedup state must hold across batches
+      val chunks = rows.grouped(rows.length / 2 + 1).toSeq
+      chunks.foreach { c => input.addData(c.toSeq); q.processAllAvailable() }
+      val streamPairs = spark.sql(
+          "SELECT id_new, id_old, inter, uni FROM bs_neardup")
+        .as[(Long, Long, Long, Long)].collect()
+      assert(streamPairs.length === streamPairs.distinct.length) // once per pair
+      assert(streamPairs.toSet === batchPairs)
+    } finally q.stop()
+  }
+
   test("incremental perceptual media dedup over a hash index is batch≡stream") {
     val session = spark
     import session.implicits._
