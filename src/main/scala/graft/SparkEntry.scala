@@ -2534,6 +2534,52 @@ object SparkEntry {
           F.lit(jsonOk).as("tokenizer_json_roundtrip"))
     }),
 
+    // the other two HF single-file model families: a learned WordPiece
+    // model exported/reloaded as model.type = "WordPiece" (unk + "##"
+    // continuation prefix + max_input_chars) and a learned Unigram
+    // model as model.type = "Unigram" ([piece, logprob] pairs; the
+    // unk_id row carries the fallback score, Double.toString-exact) —
+    // reloaded models must reproduce the learned artifacts and the
+    // corpus tokenization EXACTLY
+    "q_tokenizer_json_models" -> ((s: SparkSession, dir: String) => {
+      val docs = t(s, dir, "documents")
+      val out = System.getProperty("java.io.tmpdir") + "/graft_q_tokio_models"
+      val wp = graft.pipeline.WordPiece.learn(docs, "text", vocabSize = 96)
+      graft.pipeline.TokenizerIO.saveWordPieceTokenizerJson(
+        s, s"$out/wp.json", wp, addedTokens = Seq("[CLS]", "[SEP]"))
+      val (reWp, wpAdded) =
+        graft.pipeline.TokenizerIO.loadWordPieceTokenizerJson(s, s"$out/wp.json")
+      val wpModelOk = reWp == wp && wpAdded == Seq("[CLS]", "[SEP]")
+      val uni = graft.pipeline.UnigramLm.learn(
+        docs, "text", vocabSize = 256, iters = 2)
+      graft.pipeline.TokenizerIO.saveUnigramTokenizerJson(
+        s, s"$out/uni.json", uni, addedTokens = Seq("<s>"))
+      val (reUni, uniAdded) =
+        graft.pipeline.TokenizerIO.loadUnigramTokenizerJson(s, s"$out/uni.json")
+      // maxPieceLen re-derives from the longest piece (<= the learn
+      // param) — segmentation-equivalent, so equality pins the pieces
+      // map (score-exact) + unkScore, and token identity pins the rest
+      val uniModelOk = reUni.pieces == uni.pieces &&
+        reUni.unkScore == uni.unkScore && uniAdded == Seq("<s>")
+      val wa = graft.pipeline.WordPiece.tokenize(docs, "text", wp)
+        .select(F.col("doc_id"), F.col("tokens").as("__wa"))
+      val wb = graft.pipeline.WordPiece.tokenize(docs, "text", reWp)
+        .select(F.col("doc_id"), F.col("tokens").as("__wb"))
+      val ua = graft.pipeline.UnigramLm.tokenize(docs, "text", uni)
+        .select(F.col("doc_id"), F.col("tokens").as("__ua"))
+      val ub = graft.pipeline.UnigramLm.tokenize(docs, "text", reUni)
+        .select(F.col("doc_id"), F.col("tokens").as("__ub"))
+      wa.join(wb, "doc_id").join(ua, "doc_id").join(ub, "doc_id")
+        .agg(
+          F.count(F.lit(1)).as("docs"),
+          F.lit(wpModelOk).as("wp_model_roundtrip"),
+          (F.sum(F.when(F.col("__wa") <=> F.col("__wb"), 0L).otherwise(1L)) === 0L)
+            .as("wp_tokens_identical"),
+          F.lit(uniModelOk).as("unigram_model_roundtrip"),
+          (F.sum(F.when(F.col("__ua") <=> F.col("__ub"), 0L).otherwise(1L)) === 0L)
+            .as("unigram_tokens_identical"))
+    }),
+
     // byte-level (GPT-2-style) BPE: pre-tokenize with the GPT-2 regex,
     // map to the 256-char byte alphabet, learn merges, tokenize. The
     // oracle has two exact cross-engine hooks: the token strings
@@ -5870,6 +5916,11 @@ object SparkEntry {
           |       true AS vocab_roundtrip, true AS bpe_tokens_identical,
           |       true AS wp_model_roundtrip, true AS wp_tokens_identical,
           |       true AS tokenizer_json_roundtrip
+          |FROM documents""".stripMargin,
+      "q_tokenizer_json_models" ->
+        """SELECT count(*) AS docs, true AS wp_model_roundtrip,
+          |       true AS wp_tokens_identical, true AS unigram_model_roundtrip,
+          |       true AS unigram_tokens_identical
           |FROM documents""".stripMargin,
       "q_tokenize_unigram" ->
         """SELECT source, count(*) AS docs, true AS reconstructs,

@@ -383,10 +383,195 @@ object TokenizerIO {
         s""""vocab": $vocabJson, "merges": $mergesJson}}""")
   }
 
+  private def addedTokensJson(added: Seq[String], firstId: Int): String =
+    added.zipWithIndex.map { case (t, i) =>
+      s"""{"id": ${firstId + i}, "content": "${jsonEscape(t)}", """ +
+        """"single_word": false, "lstrip": false, "rstrip": false, """ +
+        """"normalized": false, "special": true}"""
+    }.mkString("[", ", ", "]")
+
+  private def parseAddedTokens(root: Map[String, Any]): Seq[String] =
+    root.get("added_tokens") match {
+      case Some(arr: Vector[Any @unchecked]) => arr.map {
+        case m: Map[String @unchecked, Any @unchecked] => m.get("content") match {
+          case Some(c: String) => c
+          case _ => throw new IllegalArgumentException(
+            "tokenizer.json: added_tokens entry without string content")
+        }
+        case other => throw new IllegalArgumentException(
+          s"tokenizer.json: malformed added_tokens entry $other")
+      }
+      case None => Vector.empty[String]
+      case _ => throw new IllegalArgumentException(
+        "tokenizer.json: added_tokens must be an array")
+    }
+
+  private def parseModelObject(
+      s: String, expectedType: String): (Map[String, Any], Map[String, Any]) = {
+    val root = parseJson(s) match {
+      case m: Map[String @unchecked, Any @unchecked] => m
+      case _ => throw new IllegalArgumentException(
+        "tokenizer.json: root must be an object")
+    }
+    val model = root.get("model") match {
+      case Some(m: Map[String @unchecked, Any @unchecked]) => m
+      case _ => throw new IllegalArgumentException(
+        "tokenizer.json: missing model object")
+    }
+    require(model.get("type").contains(expectedType),
+      s"tokenizer.json: unsupported model.type ${model.get("type")} " +
+        s"(expected $expectedType)")
+    (root, model)
+  }
+
+  /**
+   * Write a [[WordPiece.Model]] as a single `tokenizer.json`
+   * (`model.type = "WordPiece"`, `continuing_subword_prefix` "##",
+   * the BERT fast-tokenizer shape). Vocab ids: unk token first, then
+   * the pieces sorted — the same deterministic layout as
+   * [[saveWordPieceVocab]]; added (special) tokens follow the vocab.
+   */
+  def saveWordPieceTokenizerJson(
+      spark: SparkSession,
+      path: String,
+      model: WordPiece.Model,
+      addedTokens: Seq[String] = Nil): Unit = {
+    val pieces = model.pieces.toSeq.sorted
+    (model.unk +: pieces).foreach { p =>
+      require(p.nonEmpty, "WordPiece pieces must be non-empty") }
+    require(!model.pieces.contains(model.unk),
+      s"unk token '${model.unk}' must not also be a piece")
+    val v = model.unk +: pieces
+    require(addedTokens.distinct.length == addedTokens.length,
+      "added_tokens contains duplicates")
+    addedTokens.foreach(t => require(!v.contains(t),
+      s"added token '$t' already in vocab"))
+    val vocabJson = v.zipWithIndex
+      .map { case (t, i) => s""""${jsonEscape(t)}": $i""" }
+      .mkString("{", ", ", "}")
+    writeText(spark, path,
+      s"""{"version": "1.0", """ +
+        s""""added_tokens": ${addedTokensJson(addedTokens, v.length)}, """ +
+        s""""model": {"type": "WordPiece", """ +
+        s""""unk_token": "${jsonEscape(model.unk)}", """ +
+        s""""continuing_subword_prefix": "##", """ +
+        s""""max_input_chars_per_word": ${model.maxInputChars}, """ +
+        s""""vocab": $vocabJson}}""")
+  }
+
+  /** Read a `model.type = "WordPiece"` tokenizer.json back into the
+    * model plus its added tokens. Requires the "##" continuation
+    * prefix ([[WordPiece.segment]] hardcodes it). */
+  def loadWordPieceTokenizerJson(
+      spark: SparkSession, path: String): (WordPiece.Model, Seq[String]) = {
+    val (root, model) = parseModelObject(readText(spark, path), "WordPiece")
+    val unk = model.get("unk_token") match {
+      case Some(s: String) => s
+      case None => "[UNK]"
+      case other => throw new IllegalArgumentException(
+        s"tokenizer.json: malformed unk_token $other")
+    }
+    model.get("continuing_subword_prefix").foreach(p =>
+      require(p == "##",
+        s"tokenizer.json: unsupported continuing_subword_prefix '$p'"))
+    val maxChars = model.get("max_input_chars_per_word") match {
+      case Some(n: Long) => n.toInt
+      case None => 200
+      case other => throw new IllegalArgumentException(
+        s"tokenizer.json: malformed max_input_chars_per_word $other")
+    }
+    val vocab = model.get("vocab") match {
+      case Some(m: Map[String @unchecked, Any @unchecked]) => m.keySet
+      case _ => throw new IllegalArgumentException(
+        "tokenizer.json: missing model.vocab")
+    }
+    (WordPiece.Model(vocab - unk, unk, maxChars), parseAddedTokens(root))
+  }
+
+  /**
+   * Write a [[UnigramLm.Model]] as a single `tokenizer.json`
+   * (`model.type = "Unigram"`, `model.vocab` as `[piece, logprob]`
+   * pairs — the SentencePiece fast-tokenizer shape). The unk entry is
+   * a real vocab row (id 0, score = the model's `unkScore`) pointed at
+   * by `unk_id`, so the fallback score survives the round trip.
+   * Log-probs are written with `Double.toString` — shortest form that
+   * parses back to the identical bits, so reloaded scores are exact.
+   */
+  def saveUnigramTokenizerJson(
+      spark: SparkSession,
+      path: String,
+      model: UnigramLm.Model,
+      unkPiece: String = "<unk>",
+      addedTokens: Seq[String] = Nil): Unit = {
+    require(!model.pieces.contains(unkPiece),
+      s"unk piece '$unkPiece' must not also be a vocab piece")
+    require(addedTokens.distinct.length == addedTokens.length,
+      "added_tokens contains duplicates")
+    val entries = (unkPiece, model.unkScore) +: model.pieces.toSeq.sortBy(_._1)
+    entries.foreach { case (p, _) =>
+      require(p.nonEmpty, "Unigram pieces must be non-empty") }
+    addedTokens.foreach(t => require(!entries.exists(_._1 == t),
+      s"added token '$t' already in vocab"))
+    val vocabJson = entries
+      .map { case (p, lp) =>
+        s"""["${jsonEscape(p)}", ${java.lang.Double.toString(lp)}]""" }
+      .mkString("[", ", ", "]")
+    writeText(spark, path,
+      s"""{"version": "1.0", """ +
+        s""""added_tokens": ${addedTokensJson(addedTokens, entries.length)}, """ +
+        s""""model": {"type": "Unigram", "unk_id": 0, """ +
+        s""""byte_fallback": false, "vocab": $vocabJson}}""")
+  }
+
+  /** Read a `model.type = "Unigram"` tokenizer.json back into the
+    * model plus its added tokens. The `unk_id` row (when present)
+    * becomes the model's `unkScore` and is excluded from the pieces;
+    * `maxPieceLen` derives from the longest piece — Viterbi
+    * segmentation is identical for any bound >= that (no longer
+    * candidate can match). */
+  def loadUnigramTokenizerJson(
+      spark: SparkSession, path: String): (UnigramLm.Model, Seq[String]) = {
+    val (root, model) = parseModelObject(readText(spark, path), "Unigram")
+    val rows = model.get("vocab") match {
+      case Some(arr: Vector[Any @unchecked]) => arr.map {
+        case pair: Vector[Any @unchecked] =>
+          require(pair.length == 2 && pair(0).isInstanceOf[String],
+            s"tokenizer.json: malformed Unigram vocab entry $pair")
+          val score = pair(1) match {
+            case d: Double => d
+            case n: Long => n.toDouble
+            case other => throw new IllegalArgumentException(
+              s"tokenizer.json: non-numeric Unigram score $other")
+          }
+          (pair(0).asInstanceOf[String], score)
+        case other => throw new IllegalArgumentException(
+          s"tokenizer.json: malformed Unigram vocab entry $other")
+      }
+      case _ => throw new IllegalArgumentException(
+        "tokenizer.json: missing model.vocab")
+    }
+    val unkIdx = model.get("unk_id") match {
+      case Some(n: Long) =>
+        require(n >= 0 && n < rows.length,
+          s"tokenizer.json: unk_id $n out of range")
+        Some(n.toInt)
+      case Some(null) | None => None
+      case other => throw new IllegalArgumentException(
+        s"tokenizer.json: malformed unk_id $other")
+    }
+    val unkScore = unkIdx.map(rows(_)._2).getOrElse(-20.0)
+    val pieces = rows.zipWithIndex
+      .filterNot { case (_, i) => unkIdx.contains(i) }
+      .map(_._1).toMap
+    val maxLen = if (pieces.isEmpty) 1 else pieces.keysIterator.map(_.length).max
+    (UnigramLm.Model(pieces, maxLen, unkScore), parseAddedTokens(root))
+  }
+
   /** Read a `tokenizer.json` back into merges + vocab + added tokens.
     * Accepts both merge spellings in the wild: `"left right"` strings
     * and `["left", "right"]` two-element arrays. Only `model.type =
-    * "BPE"` files are supported. */
+    * "BPE"` files are supported — use [[loadWordPieceTokenizerJson]] /
+    * [[loadUnigramTokenizerJson]] for the other model families. */
   def loadTokenizerJson(spark: SparkSession, path: String): BpeTokenizer = {
     val root = parseJson(readText(spark, path)) match {
       case m: Map[String @unchecked, Any @unchecked] => m

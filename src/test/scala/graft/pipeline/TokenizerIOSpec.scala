@@ -144,4 +144,51 @@ class TokenizerIOSpec extends SparkTestBase {
     val b = WordPiece.tokenize(docs, "text", reloaded).select("doc_id", "tokens")
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
+
+  test("WordPiece tokenizer.json round-trips model, added tokens, and tokenization") {
+    val docs = sf("sf0.001", "documents").limit(100)
+    val model = WordPiece.learn(docs, "text", vocabSize = 64)
+    val path = tmp() + "/tokenizer.json"
+    TokenizerIO.saveWordPieceTokenizerJson(
+      spark, path, model, addedTokens = Seq("[CLS]", "[SEP]"))
+    val (re, added) = TokenizerIO.loadWordPieceTokenizerJson(spark, path)
+    assert(re === model)               // pieces, unk, maxInputChars all equal
+    assert(added === Seq("[CLS]", "[SEP]"))
+    val a = WordPiece.tokenize(docs, "text", model).select("doc_id", "tokens")
+    val b = WordPiece.tokenize(docs, "text", re).select("doc_id", "tokens")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    // wrong model family fails loudly
+    intercept[IllegalArgumentException] {
+      TokenizerIO.loadUnigramTokenizerJson(spark, path)
+    }
+  }
+
+  test("Unigram tokenizer.json round-trips pieces score-exactly, tokenization identical") {
+    val docs = sf("sf0.001", "documents").limit(100)
+    val model = UnigramLm.learn(docs, "text", vocabSize = 128, iters = 2)
+    val path = tmp() + "/tokenizer.json"
+    TokenizerIO.saveUnigramTokenizerJson(
+      spark, path, model, addedTokens = Seq("<s>", "</s>"))
+    val (re, added) = TokenizerIO.loadUnigramTokenizerJson(spark, path)
+    assert(re.pieces === model.pieces) // log-probs bit-exact via Double.toString
+    assert(re.unkScore === model.unkScore)
+    assert(added === Seq("<s>", "</s>"))
+    // derived maxPieceLen may be tighter than the learn param but must
+    // be segmentation-equivalent
+    assert(re.maxPieceLen <= model.maxPieceLen)
+    val a = UnigramLm.tokenize(docs, "text", model).select("doc_id", "tokens")
+    val b = UnigramLm.tokenize(docs, "text", re).select("doc_id", "tokens")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    intercept[IllegalArgumentException] {
+      TokenizerIO.loadWordPieceTokenizerJson(spark, path)
+    }
+    // a score that only round-trips via shortest-repr: plant one
+    val planted = UnigramLm.Model(
+      Map("ab" -> -1.0000000000000002, "a" -> -3.3, "b" -> -0.1), 2, -19.5)
+    val p2 = tmp() + "/planted.json"
+    TokenizerIO.saveUnigramTokenizerJson(spark, p2, planted)
+    val (re2, _) = TokenizerIO.loadUnigramTokenizerJson(spark, p2)
+    assert(re2.pieces === planted.pieces)
+    assert(re2.unkScore === planted.unkScore)
+  }
 }
