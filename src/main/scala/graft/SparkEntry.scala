@@ -1451,6 +1451,22 @@ object SparkEntry {
         .orderBy("doc_id", "span_start")
     }),
 
+    // arbitrary-length substring dedup at a suffix-array-style floor
+    // (k = 24 tokens, far above the single-gram size): full-copy
+    // plants (doc_id % 13) guarantee shared spans crossing many gram
+    // windows; detection runs the gram-size ESCALATION path (seed 6 ->
+    // 12 -> 24 — only the seed round touches the whole corpus), which
+    // is output-identical to the direct k = 24 probe
+    "q_dedup_spans_long" -> ((s: SparkSession, dir: String) => {
+      val docs = t(s, dir, "documents")
+        .filter(F.col("text").isNotNull).select("doc_id", "text")
+      val planted = docs.filter(F.col("doc_id") % 13 === 0)
+        .select((F.col("doc_id") + 200000L).as("doc_id"), F.col("text"))
+      graft.pipeline.Dedup.duplicateSpansEscalated(
+          docs.unionAll(planted), "doc_id", "text", k = 24, seedK = 6)
+        .orderBy("doc_id", "span_start")
+    }),
+
     // incremental substring dedup: fresh batch (doc_id % 3 == 0)
     // checked against a persisted gram index of the rest — history is
     // never re-shingled; bloom-pruned probe + exact semi-join verify
@@ -4636,6 +4652,29 @@ object SparkEntry {
         |               sum(CASE WHEN pmax IS NULL OR s > pmax + 1 THEN 1 ELSE 0 END)
         |                 OVER (PARTITION BY doc_id ORDER BY s, e) AS grp
         |        FROM o),
+        |spans AS (SELECT doc_id, min(s) AS ss, max(e) AS se FROM isl GROUP BY doc_id, grp)
+        |SELECT doc_id, CAST(ss AS BIGINT) AS span_start, CAST(se AS BIGINT) AS span_end
+        |FROM spans ORDER BY doc_id, span_start""".stripMargin,
+    "q_dedup_spans_long" ->
+      """WITH c AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+        |           UNION ALL
+        |           SELECT doc_id + 200000, text FROM documents
+        |           WHERE text IS NOT NULL AND doc_id % 13 = 0),
+        |d AS (SELECT doc_id,
+        |        list_filter(string_split_regex(text, '\s+'), s -> len(s) > 0) AS toks
+        |      FROM c),
+        |g AS (SELECT doc_id, i AS s, i + 23 AS e,
+        |             array_to_string(toks[i:i+23], ' ') AS gram
+        |      FROM d, range(1, 4000) u(i) WHERE u.i <= len(toks) - 23),
+        |dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+        |m AS (SELECT g.doc_id, g.s, g.e FROM g JOIN dup USING (gram)),
+        |o AS (SELECT doc_id, s, e,
+        |             max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+        |                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        |      FROM m),
+        |isl AS (SELECT doc_id, s, e,
+        |               sum(CASE WHEN pmax IS NULL OR s > pmax + 1 THEN 1 ELSE 0 END)
+        |                 OVER (PARTITION BY doc_id ORDER BY s, e) AS grp FROM o),
         |spans AS (SELECT doc_id, min(s) AS ss, max(e) AS se FROM isl GROUP BY doc_id, grp)
         |SELECT doc_id, CAST(ss AS BIGINT) AS span_start, CAST(se AS BIGINT) AS span_end
         |FROM spans ORDER BY doc_id, span_start""".stripMargin,

@@ -1049,6 +1049,13 @@ object Dedup {
         marked0.filter(!(F.col(idCol) === F.col(s"__first.$idCol") &&
                          F.col("__s") === F.col("__first.__s")))
       else marked0
+    spansFromMarked(marked, idCol)
+  }
+
+  /** Merge marked (id, __s, __e) gram occurrences into maximal spans
+    * (overlap AND adjacency merge) — the shared tail of the direct and
+    * escalated span detectors. */
+  private def spansFromMarked(marked: DataFrame, idCol: String): DataFrame = {
     val merge = F.udf((iv: Seq[org.apache.spark.sql.Row]) =>
       mergeIntervals(iv.map(r => (r.getLong(0), r.getLong(1)))))
     marked
@@ -1058,6 +1065,84 @@ object Dedup {
       .select(F.col(idCol),
         F.col("__sp._1").as("span_start"),
         F.col("__sp._2").as("span_end"))
+  }
+
+  /**
+   * [[duplicateSpans]] with GRAM-SIZE ESCALATION — output-identical
+   * (DuplicateSpanSpec pins it), built for LARGE length floors where
+   * the direct form's corpus-wide O(n·k) gram hashing dominates:
+   * suffix-array-style "remove any shared span of >= k tokens" dedup
+   * runs k = 50+ (Lee et al. 2021 use 50 BPE tokens), and hashing
+   * every 50-token window of 100 TB is ~50x a tokenizing scan.
+   *
+   * Escalation: probe at `seedK`, then re-probe SURVIVORS at doubled
+   * gram sizes until reaching `k`. Soundness: a duplicated k-gram
+   * contains duplicated sub-grams at every size (each occurrence of
+   * the parent contributes a distinct occurrence of the sub-gram, so
+   * sub-gram counts >= parent counts >= minCount) — so candidate
+   * positions where BOTH covering half-grams survived are a superset
+   * of the true duplicated k-grams, and the final round's exact
+   * group-count at size k makes the result exact, never approximate.
+   * Only round one touches the whole corpus (at the cheap `seedK`);
+   * every later round hashes only the duplicated sliver.
+   */
+  def duplicateSpansEscalated(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 50,
+      minCount: Int = 2,
+      keepFirst: Boolean = false,
+      seedK: Int = 8): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    require(seedK >= 2, s"seedK must be >= 2, got $seedK")
+    require(minCount >= 2, s"minCount must be >= 2, got $minCount")
+    if (k <= seedK)
+      return duplicateSpans(df, idCol, textCol, k, minCount, keepFirst)
+    // doubling ladder seedK, 2*seedK, ... capped at k
+    val sizes = Iterator.iterate(seedK)(s => math.min(2 * s, k))
+      .takeWhile(_ < k).toSeq :+ k
+    val toks = df
+      .select(F.col(idCol), wsTokens(F.col(textCol)).as("__toks"))
+      .localCheckpoint(eager = false)
+    def dupJoin(occ: DataFrame): DataFrame = {
+      val dup = occ.groupBy(F.col("__gh"))
+        .agg(F.count(F.lit(1)).as("__c"),
+             F.min(F.struct(F.col(idCol), F.col("__s"))).as("__first"))
+        .filter(F.col("__c") >= minCount)
+        .select(F.col("__gh"), F.col("__first"))
+      occ.join(dup, "__gh")
+    }
+    var kPrev = sizes.head
+    var dupOcc = dupJoin(gramOccurrences(df, idCol, textCol, kPrev))
+      .localCheckpoint(eager = false)
+    sizes.tail.foreach { kNext =>
+      // a kNext-gram at s is duplicated only if the kPrev-grams at s
+      // and at s + kNext - kPrev (its two covering halves) both are
+      val delta = (kNext - kPrev).toLong
+      val lhs = dupOcc.select(F.col(idCol), F.col("__s"))
+      val rhs = dupOcc.select(F.col(idCol), (F.col("__s") - delta).as("__s"))
+      val cand = lhs.join(rhs, Seq(idCol, "__s"))
+        .groupBy(F.col(idCol)).agg(F.collect_list(F.col("__s")).as("__ps"))
+      // hash full kNext-grams only at candidate positions (the sliver)
+      val occNext = toks.join(cand, Seq(idCol))
+        .select(F.col(idCol), F.explode(F.transform(F.col("__ps"),
+          s => F.struct(s.as("_s"),
+            F.array_join(F.slice(F.col("__toks"), s.cast("int"), F.lit(kNext)), " ")
+              .as("_g")))).as("__x"))
+        .select(F.col(idCol),
+          F.col("__x._s").as("__s"),
+          (F.col("__x._s") + (kNext - 1)).as("__e"),
+          F.xxhash64(F.col("__x._g")).as("__gh"))
+      dupOcc = dupJoin(occNext).localCheckpoint(eager = false)
+      kPrev = kNext
+    }
+    val marked =
+      if (keepFirst)
+        dupOcc.filter(!(F.col(idCol) === F.col(s"__first.$idCol") &&
+                        F.col("__s") === F.col("__first.__s")))
+      else dupOcc
+    spansFromMarked(marked, idCol)
   }
 
   /**

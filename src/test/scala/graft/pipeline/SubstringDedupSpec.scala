@@ -138,5 +138,39 @@ class SubstringDedupSpec extends SparkTestBase {
       .as[(Long, Long, Long)].collect().toSeq.sorted
     assert(got == expected)
     assert(got.nonEmpty)   // the planted boilerplate must actually fire
+
+    // escalated form is output-identical, including a non-doubling
+    // final step (seedK 3 -> 6 -> 7... wait k=5: ladder 3 -> 5)
+    val esc = Dedup.duplicateSpansEscalated(
+        docs.toDF("doc_id", "text"), "doc_id", "text", k = k, seedK = 3)
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(esc == expected)
+  }
+
+  test("duplicateSpansEscalated == direct at a large floor on real docs + planted long spans") {
+    val docs = sf("sf0.001", "documents")
+      .filter(F.col("text").isNotNull).select("doc_id", "text")
+    // full-copy plants: shared spans run whole-document length, far
+    // across any single gram window
+    val planted = docs.filter(F.col("doc_id") % 13 === 0)
+      .select((F.col("doc_id") + 200000L).as("doc_id"), F.col("text"))
+    val corpus = docs.unionAll(planted)
+    for ((k, seed) <- Seq((24, 6), (24, 5), (50, 8))) {
+      val direct = Dedup.duplicateSpans(corpus, "doc_id", "text", k = k)
+        .as[(Long, Long, Long)].collect().toSeq.sorted
+      val esc = Dedup.duplicateSpansEscalated(
+          corpus, "doc_id", "text", k = k, seedK = seed)
+        .as[(Long, Long, Long)].collect().toSeq.sorted
+      assert(esc == direct, s"k=$k seedK=$seed")
+      assert(direct.nonEmpty, s"k=$k: plants must fire")
+    }
+    // keepFirst parity: the surviving copy is the same occurrence
+    val df = Dedup.duplicateSpans(
+        corpus, "doc_id", "text", k = 24, keepFirst = true)
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    val ef = Dedup.duplicateSpansEscalated(
+        corpus, "doc_id", "text", k = 24, keepFirst = true, seedK = 6)
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(ef == df)
   }
 }
