@@ -874,6 +874,24 @@ object Bench {
         .agg(F.count(F.lit(1)).as("kept"))
     }),
 
+    // the composed D4 chain on ONE shared clustering: SemDeDup ->
+    // global prototypicality prune -> temperature mixture (matches
+    // q_d4_pipeline's stages)
+    "b_d4" -> ((s: SparkSession, dir: String) => {
+      val emb = t(s, dir, "embeddings")
+        .select(F.col("vec_id"), F.col("embedding"))
+      val kept = graft.pipeline.Diversity.d4Pipeline(
+        emb, "vec_id", "embedding", keepFraction = 0.7,
+        nClusters = 32, dedupThreshold = 0.99)
+      val docs = t(s, dir, "documents")
+        .select(F.col("doc_id").as("vec_id"), F.col("source"))
+      graft.pipeline.Sampling.temperatureRebalance(
+          kept.join(docs, "vec_id"), F.col("source"), F.col("vec_id"),
+          alpha = 0.5)
+        .agg(F.count(F.lit(1)).as("mixed"),
+          F.sum(F.col("vec_id")).as("id_sum"))
+    }),
+
     // semantic decontamination: 1% of the corpus as the benchmark,
     // radius-probed against the corpus IVF index
     "b_decontaminate_semantic" -> ((s: SparkSession, dir: String) => {

@@ -2453,6 +2453,75 @@ object SparkEntry {
       perCell.crossJoin(globalAgg)
     }),
 
+    // the published D4 composition (Tirumala et al. 2023) end-to-end:
+    // SemDeDup -> global prototypicality prune -> temperature mixture,
+    // one query. Kept-set arithmetic replays exactly: planted copies
+    // make the SemDeDup survivor set the natural ids (kept ==
+    // embeddings, pinned as a set-equality boolean), the global prune
+    // count is ceil(0.7 * n) (one IEEE multiply, exact cross-engine),
+    // and the mix stage's md5-threshold rule is replayed query-side
+    // over the survivor counts (frozen-formula parity boolean) — the
+    // q_pipeline pattern applied to the D4 chain
+    "q_d4_pipeline" -> ((s: SparkSession, dir: String) => {
+      val emb = t(s, dir, "embeddings").select(F.col("vec_id"), F.col("embedding"))
+      val copies = emb.filter(F.col("vec_id") < 50)
+        .select((F.col("vec_id") + 100000L).as("vec_id"), F.col("embedding"))
+      val corpus = emb.union(copies)
+      // ONE shared clustering feeds both stages (the paper's own
+      // construction; scores and kept sets derive from a single pass —
+      // k-means means are float sums, not bit-stable across calls)
+      val d4 = graft.pipeline.Diversity.d4Stages(
+        corpus, "vec_id", "embedding", keepFraction = 0.7,
+        nClusters = 16, dedupThreshold = 0.99)
+      val nInput = corpus.count()
+      val n1 = d4.dedupedIds.count()
+      val keptNatural =
+        d4.dedupedIds.exceptAll(emb.select("vec_id")).isEmpty &&
+        emb.select("vec_id").exceptAll(d4.dedupedIds).isEmpty
+      val scored = d4.scored
+      val keptIds = d4.keptIds
+      val n2 = keptIds.count()
+      val pruneOk = scored
+        .join(keptIds.withColumn("__k", F.lit(1)), Seq("vec_id"), "left")
+        .agg(
+          F.max(F.when(F.col("__k").isNotNull,
+            F.struct(F.col("proto_score"), F.col("vec_id")))).as("__mx"),
+          F.min(F.when(F.col("__k").isNull,
+            F.struct(F.col("proto_score"), F.col("vec_id")))).as("__mn"))
+        .select(F.coalesce(F.col("__mx") < F.col("__mn"), F.lit(true)))
+        .head().getBoolean(0)
+      val docs = t(s, dir, "documents")
+        .select(F.col("doc_id").as("vec_id"), F.col("source"))
+      val surv = keptIds.join(docs, "vec_id").localCheckpoint(eager = false)
+      val mixed = graft.pipeline.Sampling.temperatureRebalance(
+        surv, F.col("source"), F.col("vec_id"), alpha = 0.5)
+      // frozen-formula replay of the md5-threshold selection over the
+      // SAME survivor counts (Sampling.temperatureRebalance parity)
+      val cnts = surv.groupBy(F.col("source"))
+        .agg(F.count(F.lit(1)).cast("double").as("__n"))
+        .withColumn("__w", F.pow(F.col("__n"), 0.5))
+      val tmin = cnts.agg(F.min(F.col("__n") / F.col("__w")).as("__t"))
+      val fr = cnts.crossJoin(tmin).select(F.col("source"),
+        F.least(F.lit(1.0), F.col("__w") * F.col("__t") / F.col("__n")).as("__f"))
+      val thr = F.round(F.col("__f") * 65536.0, 0).cast("int")
+      val expect = surv.join(fr, "source")
+        .filter(F.col("__f") >= 1.0 ||
+          (F.col("__f") > 0.0 && (thr >= 65536 ||
+            F.substring(F.md5(F.col("vec_id").cast("string")), 1, 4) <
+              F.format_string("%04x", thr))))
+        .select("vec_id")
+      val mixIds = mixed.select("vec_id")
+      val mixOk = mixIds.exceptAll(expect).isEmpty &&
+        expect.exceptAll(mixIds).isEmpty
+      s.range(1).select(
+        F.lit(nInput).as("n_input"),
+        F.lit(n1).as("n_semdedup"),
+        F.lit(n2).as("n_pruned"),
+        F.lit(keptNatural).as("semdedup_kept_natural"),
+        F.lit(pruneOk).as("prune_rule_ok"),
+        F.lit(mixOk).as("mix_rule_ok"))
+    }),
+
     // vocabulary induction: top-100 tokens + the OOV mass they leave
     // (token counts shuffle once; vocabulary broadcast for the OOV pass)
     "q_vocab" -> ((s: SparkSession, dir: String) => {
@@ -4839,6 +4908,15 @@ object SparkEntry {
     "q_dedup_incremental_semantic" ->
       """SELECT vec_id + 100000 AS id_new, vec_id AS id_old, true AS cos_ok
         |FROM embeddings WHERE vec_id < 50 ORDER BY id_new""".stripMargin,
+    "q_d4_pipeline" ->
+      """SELECT CAST(count(*) + sum(CASE WHEN vec_id < 50 THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_input,
+        |       count(*) AS n_semdedup,
+        |       CAST(ceil(0.7 * count(*)) AS BIGINT) AS n_pruned,
+        |       true AS semdedup_kept_natural,
+        |       true AS prune_rule_ok,
+        |       true AS mix_rule_ok
+        |FROM embeddings""".stripMargin,
     "q_dedup_keepbest" ->
       """WITH n AS (SELECT doc_id,  n_chars,
         |  lower(trim(regexp_replace(regexp_replace(text,

@@ -1315,6 +1315,19 @@ object Dedup {
       .select(F.col("neighbor_id").as("__id"), F.col("__cv"), F.col("__cell"))
       .withColumn("__csim", csimU(F.col("__cv"), F.col("__cell")))
       .localCheckpoint(eager = false)
+    val dropped = semanticDroppedIds(assigned, threshold, maxCluster)
+      .select(F.col("__id").as(idCol))
+    df.join(dropped, Seq(idCol), "left_anti")
+  }
+
+  /** The SemDeDup core over a PRECOMPUTED (__id, __cv, __cell, __csim)
+    * assignment — shared by [[semanticDeduplicate]] and the
+    * one-clustering D4 composition ([[Diversity.d4Pipeline]]). Returns
+    * the ids to DROP (one `__id` column). */
+  private[pipeline] def semanticDroppedIds(
+      assigned: DataFrame,
+      threshold: Double,
+      maxCluster: Int = DefaultMaxBucket): DataFrame = {
     val sizes = assigned.groupBy(F.col("__cell"))
       .agg(F.count(F.lit(1)).as("__n"))
       .filter(F.col("__n") > 1)
@@ -1334,10 +1347,9 @@ object Dedup {
     val keepers = labeled.groupBy(F.col("cluster"))
       .agg(F.min(F.struct(F.col("__csim"), F.col("id"))).as("__k"))
       .select(F.col("__k.id").as("id"))
-    val dropped = labeled.select("id")
+    labeled.select("id")
       .join(keepers, Seq("id"), "left_anti")
-      .select(F.col("id").as(idCol))
-    df.join(dropped, Seq(idCol), "left_anti")
+      .select(F.col("id").as("__id"))
   }
 
   /**

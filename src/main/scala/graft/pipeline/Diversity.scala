@@ -178,6 +178,85 @@ object Diversity {
    * score value (bounded work: one tie group, almost always one row).
    * Same deterministic total order as the per-cell rule.
    */
+  /** Staged outputs of [[d4Pipeline]] — all lazily checkpointed, so a
+    * caller can count/inspect each stage without recomputing the
+    * clustering. `scored` covers the SemDeDup SURVIVORS only. */
+  final case class D4Result(
+      dedupedIds: DataFrame, scored: DataFrame, keptIds: DataFrame)
+
+  /**
+   * The D4 composition (Tirumala et al. 2023) on ONE clustering:
+   * SemDeDup then global prototypicality prune, both stages reading
+   * the SAME k-means assignment + centroid-similarity pass — the
+   * paper's own construction (it reuses the SemDeDup clustering for
+   * the prototypicality ranking), and half the cost of composing
+   * [[graft.pipeline.Dedup.semanticDeduplicate]] with
+   * [[prototypicalityScores]], whose dominant cost is each building
+   * its own index. Feed `keptIds` to
+   * [[graft.pipeline.Sampling.temperatureRebalance]] for the mixture
+   * stage. Rows with NULL vectors are omitted (they can't be judged).
+   *
+   * Scale shape: one IVF build (broadcast centroids, map-only
+   * assignment), the in-cell SemDeDup verify, and the two-phase
+   * RangeCumsum global rank — nothing all-pairs, nothing collected.
+   */
+  def d4Pipeline(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      keepFraction: Double,
+      nClusters: Int = 16,
+      dedupThreshold: Double = 0.97,
+      iterations: Int = 2,
+      maxCluster: Int = Dedup.DefaultMaxBucket): DataFrame = {
+    d4Stages(df, idCol, vecCol, keepFraction, nClusters, dedupThreshold,
+      iterations, maxCluster).keptIds
+  }
+
+  /** [[d4Pipeline]] with every stage exposed (audit/gate form). */
+  def d4Stages(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      keepFraction: Double,
+      nClusters: Int = 16,
+      dedupThreshold: Double = 0.97,
+      iterations: Int = 2,
+      maxCluster: Int = Dedup.DefaultMaxBucket): D4Result = {
+    require(nClusters >= 1, s"nClusters must be >= 1, got $nClusters")
+    val idx = Similarity.buildIvfIndex(
+      df.filter(F.col(vecCol).isNotNull), idCol, vecCol, nClusters, iterations)
+    val cB = df.sparkSession.sparkContext.broadcast(idx.centroids)
+    val csimU = F.udf((v: Array[Float], cell: Int) => {
+      val c = cB.value(cell)
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < v.length && i < c.length) {
+        dot += v(i).toDouble * c(i); na += v(i).toDouble * v(i)
+        nb += c(i).toDouble * c(i); i += 1
+      }
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+    })
+    val assigned = idx.assigned
+      .select(F.col("neighbor_id").as("__id"), F.col("__cv"), F.col("__cell"))
+      .withColumn("__csim", csimU(F.col("__cv"), F.col("__cell")))
+      .localCheckpoint(eager = false)
+    val dropped = Dedup.semanticDroppedIds(assigned, dedupThreshold, maxCluster)
+    val dedupedIds = assigned.select(F.col("__id"))
+      .join(dropped, Seq("__id"), "left_anti")
+      .select(F.col("__id").as(idCol))
+      .localCheckpoint(eager = false)
+    // survivors keep the scores the shared pass already computed
+    val scored = assigned
+      .join(dedupedIds.select(F.col(idCol).as("__id")), Seq("__id"))
+      .select(F.col("__id").as(idCol), F.col("__cell").as("cell"),
+        F.col("__csim").as("proto_score"))
+      .localCheckpoint(eager = false)
+    val keptIds = keepLeastPrototypicalGlobal(scored, idCol, keepFraction)
+      .localCheckpoint(eager = false)
+    D4Result(dedupedIds, scored, keptIds)
+  }
+
   def keepLeastPrototypicalGlobal(
       scores: DataFrame,
       idCol: String,

@@ -136,4 +136,37 @@ class DiversitySpec extends SparkTestBase {
     assert(kept === kept2)
     assert(!kept.contains(12L) || !kept.contains(11L)) // some copy pruned
   }
+
+  test("d4Stages: one clustering drives SemDeDup + global prune, stage contracts hold") {
+    val emb = sf("sf0.001", "embeddings")
+      .filter(F.col("embedding").isNotNull)
+      .select(F.col("vec_id"), F.col("embedding"))
+    val copies = emb.filter(F.col("vec_id") < 30)
+      .select((F.col("vec_id") + 100000L).as("vec_id"), F.col("embedding"))
+    val corpus = emb.union(copies)
+    val r = Diversity.d4Stages(
+      corpus, "vec_id", "embedding", keepFraction = 0.6,
+      nClusters = 8, dedupThreshold = 0.99)
+    // stage 1: identical copies always co-cluster; keeper = lowest id,
+    // and the testdata has no natural pair near cos 0.99 -> the
+    // survivor set is exactly the natural ids
+    val dedup = r.dedupedIds.as[Long].collect().toSet
+    val natural = emb.select("vec_id").as[Long].collect().toSet
+    assert(dedup === natural)
+    // stage 2: kept = ceil(f * survivors), least-prototypical first
+    val n1 = dedup.size
+    val kept = r.keptIds.as[Long].collect().toSet
+    assert(kept.size === math.ceil(0.6 * n1).toInt)
+    val scores = r.scored.select("vec_id", "proto_score")
+      .as[(Long, Double)].collect().toMap
+    assert(scores.keySet === dedup) // scored frame covers survivors only
+    val maxKept = kept.map(id => (scores(id), id)).max
+    val minDropped = (dedup -- kept).map(id => (scores(id), id)).min
+    assert(Ordering[(Double, Long)].lt(maxKept, minDropped))
+    // d4Pipeline is the keptIds of d4Stages by construction; the
+    // stages are deterministic given one scoring pass, so a fresh
+    // composed run keeps a set of the same size
+    assert(Diversity.d4Pipeline(corpus, "vec_id", "embedding", 0.6,
+      nClusters = 8, dedupThreshold = 0.99).count() === kept.size.toLong)
+  }
 }
