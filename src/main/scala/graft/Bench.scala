@@ -961,6 +961,25 @@ object Bench {
           F.sum(F.length(F.element_at(F.col("members"), "txt"))).as("bytes"))
     }),
 
+    // byte-balanced sharding + routed WebDataset write (the trainer
+    // handoff layout step end-to-end: two-phase cumsum assignment,
+    // identity-partitioner routing, one tar per shard)
+    "b_shard" -> ((s: SparkSession, dir: String) => {
+      val docs = t(s, dir, "documents")
+        .filter(F.col("text").isNotNull)
+        .select(F.col("doc_id"), F.col("text"),
+          F.length(F.encode(F.col("text"), "UTF-8")).cast("long").as("b"))
+      val (routed, _) = graft.pipeline.Sharding.shardByBytes(
+        docs, F.col("doc_id"), F.col("b"), targetBytes = 1L << 20)
+      val base = System.getProperty("java.io.tmpdir") + "/graft_b_shard_wds"
+      val n = graft.sources.WebDataset.write(
+        routed.select(
+          F.concat(F.lit("doc"), F.col("doc_id")).as("key"),
+          F.map(F.lit("txt"), F.encode(F.col("text"), "UTF-8")).as("members")),
+        F.col("key"), F.col("members"), base)
+      s.range(1).select(F.lit(n).as("samples"))
+    }),
+
     // Structured Streaming hourly sketch rollup over the events table
     // replayed as a file stream (AvailableNow; the cost is the full
     // streaming pipeline incl. state store, not just the agg)

@@ -870,6 +870,68 @@ object SparkEntry {
       s.table("graft_stream_neardup").orderBy("id_new", "id_old")
     }),
 
+    // streaming EMBEDDING near-dup under the gate: fresh exact copies
+    // replayed as a file stream, probed against the static LSH
+    // signature index of history (incrementalEmbeddingDuplicates is
+    // stateless, so it runs on a stream unchanged); the per-table
+    // collision multiplicity collapses in a complete-mode aggregate
+    // whose state is one row per verified pair. Shares the batch
+    // incremental oracle (copies collide in every table, recall 1.0)
+    "q_stream_embed_dedup" -> ((s: SparkSession, dir: String) => {
+      val emb = t(s, dir, "embeddings")
+      val hist = emb.select(F.col("vec_id"), F.col("embedding"))
+      val index = graft.pipeline.Dedup
+        .buildVectorSignatureIndex(hist, "vec_id", "embedding")
+        .localCheckpoint(eager = false)
+      val fresh = emb.filter(F.col("vec_id") < 50)
+        .select((F.col("vec_id") + 100000L).as("vec_id"), F.col("embedding"))
+      val tmp = System.getProperty("java.io.tmpdir") + "/graft_q_stream_emb_src"
+      fresh.write.mode("overwrite").parquet(tmp)
+      val stream = s.readStream.schema(fresh.schema).parquet(tmp)
+      val out = graft.pipeline.Dedup
+        .incrementalEmbeddingDuplicates(stream, index, "vec_id", "embedding", 0.99)
+        .groupBy(F.col("id_new"), F.col("id_old"))
+        .agg(F.min(F.col("cos") >= 0.999).as("cos_ok"))
+      s.catalog.dropTempView("graft_stream_embdup")
+      val q = out.writeStream
+        .outputMode("complete").format("memory")
+        .queryName("graft_stream_embdup")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("graft_stream_embdup").orderBy("id_new")
+    }),
+
+    // streaming snapshot maintenance under the gate: latest-row-per-key
+    // over the replayed events stream — Snapshot.latestByKey is a plain
+    // max_by aggregate, so it runs on a stream unchanged (complete
+    // mode; state = ONE packed row per key, never event-count-sized).
+    // (version, tiebreak) = (ts, event_id) is unique per key, so the
+    // surviving row is deterministic and the oracle replays it with a
+    // window
+    "q_stream_latest" -> ((s: SparkSession, dir: String) => {
+      val ev = t(s, dir, "events")
+        .filter(F.col("ts").isNotNull && F.col("user_id").isNotNull)
+        .select(F.col("ts"), F.col("user_id"), F.col("event_id"),
+          F.col("event_type"), F.col("value"))
+      val tmp = System.getProperty("java.io.tmpdir") + "/graft_q_stream_latest_src"
+      ev.write.mode("overwrite").parquet(tmp)
+      val stream = s.readStream.schema(ev.schema).parquet(tmp)
+      val latest = graft.pipeline.Snapshot.latestByKey(
+        stream, F.col("user_id"), F.col("ts"), F.col("event_id"))
+      s.catalog.dropTempView("graft_stream_latest")
+      val q = latest.writeStream
+        .outputMode("complete").format("memory")
+        .queryName("graft_stream_latest")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("graft_stream_latest")
+        .select(F.col("user_id"), F.unix_millis(F.col("ts")).as("ts_ms"),
+          F.col("event_id"), F.col("event_type"), F.col("value"))
+        .orderBy("user_id")
+    }),
+
     // time bucketing: hourly event counts (epoch millis keys)
     "q_rel_timebucket" -> ((s: SparkSession, dir: String) => {
       t(s, dir, "events")
@@ -1237,6 +1299,40 @@ object SparkEntry {
         .select(F.col("n_rows"), F.col("id_sum"),
           (F.col("us") < F.col("gu") * 0.8 && F.col("vs") < F.col("gv") * 0.8)
             .as("locality_ok"))
+    }),
+
+    // deterministic byte-balanced sharding (the layout step in front
+    // of the trainer sinks): shard = exclusive-cumulative-bytes div
+    // target in doc_id order — pure arithmetic, replayed by a DuckDB
+    // window; the routed WebDataset write must land every sample in
+    // the tar NUMBERED by its shard (identity partitioner), pinned as
+    // a boolean
+    "q_shard_bytes" -> ((s: SparkSession, dir: String) => {
+      val docs = t(s, dir, "documents")
+        .filter(F.col("text").isNotNull)
+        // UTF-8 BYTE length (DuckDB strlen counts bytes, Spark length
+        // counts chars — encode first so both engines meter bytes)
+        .select(F.col("doc_id"), F.col("text"),
+          F.length(F.encode(F.col("text"), "UTF-8")).cast("long").as("__b"))
+      val (routed, n) = graft.pipeline.Sharding.shardByBytes(
+        docs, F.col("doc_id"), F.col("__b"), targetBytes = 20000L)
+      val base = System.getProperty("java.io.tmpdir") + "/graft_q_shard_wds"
+      val keyed = routed.select(
+        F.concat(F.lit("doc"), F.col("doc_id")).as("key"),
+        F.map(F.lit("txt"), F.encode(F.col("text"), "UTF-8")).as("members"),
+        F.col("shard"))
+      graft.sources.WebDataset.write(keyed, F.col("key"), F.col("members"), base)
+      val back = graft.sources.WebDataset.read(s, base)
+        .select(F.regexp_extract(F.col("shard"), "part-(\\d+)\\.tar$", 1)
+          .cast("int").as("__fs"), F.col("key"))
+      val routedOk = back
+        .join(keyed.select(F.col("key"), F.col("shard").as("__want")), "key")
+        .filter(F.col("__fs") =!= F.col("__want")).isEmpty &&
+        back.select("__fs").distinct().count() == n.toLong
+      routed.groupBy(F.col("shard"))
+        .agg(F.count(F.lit(1)).as("docs"), F.sum(F.col("__b")).as("bytes"))
+        .withColumn("routed_ok", F.lit(routedOk))
+        .orderBy("shard")
     }),
 
     // exact dedup by content hash
@@ -4308,6 +4404,16 @@ object SparkEntry {
         |       CAST(max(ev) AS BIGINT) AS max_session_events,
         |       CAST(sum(span) AS BIGINT) AS total_span_ms
         |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_stream_embed_dedup" ->
+      """SELECT vec_id + 100000 AS id_new, vec_id AS id_old, true AS cos_ok
+        |FROM embeddings WHERE vec_id < 50 ORDER BY id_new""".stripMargin,
+    "q_stream_latest" ->
+      """SELECT user_id, CAST(epoch_ms(ts) AS BIGINT) AS ts_ms, event_id,
+        |       event_type, value
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |        ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
     // NULL values: concat_ws skips them, and DuckDB's DISTINCT also
     // collapses NULL into one group per (user, type) — consistent
     "q_stream_dedup" ->
@@ -4476,6 +4582,16 @@ object SparkEntry {
     "q_dedup_exact" ->
       """SELECT count(*) AS total, count(DISTINCT text) AS distinct_docs,
         |       count(DISTINCT text) AS kept FROM documents""".stripMargin,
+    "q_shard_bytes" ->
+      """WITH d AS (SELECT doc_id, CAST(strlen(text) AS BIGINT) AS b
+        |           FROM documents WHERE text IS NOT NULL),
+        |c AS (SELECT doc_id, b,
+        |             coalesce(sum(b) OVER (ORDER BY doc_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS excl
+        |      FROM d)
+        |SELECT CAST(excl // 20000 AS INT) AS shard, count(*) AS docs,
+        |       CAST(sum(b) AS BIGINT) AS bytes, true AS routed_ok
+        |FROM c GROUP BY 1 ORDER BY shard""".stripMargin,
     "q_dedup_minhash" ->
       """WITH sh AS (SELECT DISTINCT doc_id, substr(text, r.i, 5) AS g
         |            FROM documents, range(1, 1000) r(i) WHERE r.i + 4 <= length(text)),

@@ -32,6 +32,12 @@ object Snapshot {
    * One surviving row per key: the row whose `(version, tiebreak)`
    * struct is the maximum. Input columns pass through unchanged (the
    * whole row rides inside the max_by payload struct).
+   *
+   * Streaming-compatible as-is: on a streaming DataFrame this plans
+   * as a stateful aggregation (complete/update output modes) whose
+   * state is ONE packed row per key — the continuously-maintained
+   * "current snapshot" of a CDC tail, never event-count-sized.
+   * Gate-verified by `q_stream_latest`.
    */
   def latestByKey(
       df: DataFrame,
