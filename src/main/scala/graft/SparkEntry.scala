@@ -680,6 +680,49 @@ object SparkEntry {
         .orderBy("hour_ms", "event_type")
     }),
 
+    // streaming windowed STATS rollup under the gate: the 12-field
+    // stats struct per (hour, type) — count/min/max ride the exact
+    // side channel so they hash-match DuckDB raw; p50 pins at rank
+    // tolerance vs the exact order statistic over the same rows
+    "q_stream_stats" -> ((s: SparkSession, dir: String) => {
+      Graft.register(s)
+      val ev = t(s, dir, "events")
+        .filter(F.col("ts").isNotNull && F.col("value").isNotNull)
+        .select(F.col("ts"), F.col("event_type"), F.col("value"))
+      val tmp = System.getProperty("java.io.tmpdir") + "/graft_q_stream_stats_src"
+      ev.write.mode("overwrite").parquet(tmp)
+      val stream = s.readStream.schema(ev.schema).parquet(tmp)
+      val agg = graft.streaming.SketchStreaming.windowedStatsAgg(
+        stream, "ts", "event_type", "value", "1 hour", "10 minutes")
+      s.catalog.dropTempView("graft_stream_stats")
+      val q = agg.writeStream
+        .outputMode("complete").format("memory")
+        .queryName("graft_stream_stats")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val res = s.table("graft_stream_stats")
+        .select(F.unix_millis(F.col("window.start")).as("hour_ms"),
+          F.col("event_type"),
+          F.col("stats.count").as("cnt"),
+          F.col("stats.min").as("vmin"),
+          F.col("stats.max").as("vmax"),
+          F.col("stats.p50").as("__p50"))
+      val exact = ev
+        .groupBy(F.date_trunc("hour", F.col("ts")).as("hour"), F.col("event_type"))
+        .agg(F.sort_array(F.collect_list(F.col("value"))).as("__sv"),
+          F.count(F.col("value")).as("__n"))
+        .select(F.unix_millis(F.col("hour")).as("hour_ms"), F.col("event_type"),
+          F.col("__sv"), F.col("__n"))
+      res.join(exact, Seq("hour_ms", "event_type"))
+        .select(F.col("hour_ms"), F.col("event_type"), F.col("cnt"),
+          F.col("vmin"), F.col("vmax"),
+          (F.abs(F.col("__p50") - rankValue(F.col("__sv"), F.col("__n"), 0.5)) <=
+            F.lit(RankTol) * F.abs(rankValue(F.col("__sv"), F.col("__n"), 0.5)))
+            .as("p50_ok"))
+        .orderBy("hour_ms", "event_type")
+    }),
+
     // streaming exact dedup under the gate: content-hash
     // dropDuplicatesWithinWatermark over the replayed events stream.
     // AvailableNow stages the whole fixture as one micro-batch, so
@@ -4420,6 +4463,12 @@ object SparkEntry {
       """SELECT count(*) AS n_unique FROM (
         |  SELECT DISTINCT user_id, event_type, value
         |  FROM events WHERE ts IS NOT NULL)""".stripMargin,
+    "q_stream_stats" ->
+      """SELECT CAST(epoch_ms(date_trunc('hour', ts)) AS BIGINT) AS hour_ms,
+        |       event_type, count(value) AS cnt,
+        |       min(value) AS vmin, max(value) AS vmax, true AS p50_ok
+        |FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY hour_ms, event_type""".stripMargin,
     // the sketch counts only non-null values, so the oracle counts
     // `value` (not *); null event times are filtered on both sides
     "q_stream_rollup" ->
