@@ -80,12 +80,39 @@ object MegatronIdx {
     v
   }
 
+  /** Item widths for every INTEGRAL Megatron dtype code (the public
+    * `indexed_dataset.py` table: 1=u8, 2=i8, 3=i16, 4=i32, 5=i64,
+    * 8=u16). The WRITE path emits i32/u16 only; the read path accepts
+    * all six so externally-produced shards load (6=f32 / 7=f64 are
+    * rejected — token ids are integral). */
+  private val ItemSizes: Map[Int, Int] =
+    Map(1 -> 1, 2 -> 1, 3 -> 2, 4 -> 4, 5 -> 8, 8 -> 2)
+
+  /** Decode one token at `at` in dtype's width: sign-extended for the
+    * signed codes, zero-extended for u8/u16; i64 values outside Int
+    * range fail loudly instead of truncating. */
+  private def decodeToken(buf: Array[Byte], at: Int, dtype: Int): Int =
+    dtype match {
+      case 1 => buf(at) & 0xff
+      case 2 => buf(at).toInt
+      case 3 => getLE(buf, at, 2).toShort.toInt
+      case 4 => getLE(buf, at, 4).toInt
+      case 5 =>
+        val v = getLE(buf, at, 8)
+        require(v >= Int.MinValue && v <= Int.MaxValue,
+          s"int64 token id $v does not fit a 32-bit id column")
+        v.toInt
+      case 8 => getLE(buf, at, 2).toInt
+      case other => throw new IllegalArgumentException(
+        s"unsupported dtype code $other")
+    }
+
   /** Parsed .idx header: dtype code plus per-sequence sizes and BYTE
     * pointers into the .bin. 12 bytes of driver/task state per
     * sequence — bounded by sequence count, never token count. */
   private[sources] final case class IdxHeader(
       dtype: Int, sizes: Array[Int], pointers: Array[Long]) {
-    def itemSize: Int = if (dtype == DtypeInt32) 4 else 2
+    def itemSize: Int = ItemSizes(dtype)
   }
 
   private[sources] def parseIdx(idx: Array[Byte]): IdxHeader = {
@@ -94,8 +121,8 @@ object MegatronIdx {
       "bad magic: not a Megatron mmap index")
     require(getLE(idx, 9, 8) == 1L, "unsupported index version")
     val dtype = idx(17) & 0xff
-    require(dtype == DtypeInt32 || dtype == DtypeUint16,
-      s"unsupported dtype code $dtype")
+    require(ItemSizes.contains(dtype),
+      s"unsupported dtype code $dtype (integral codes 1,2,3,4,5,8 only)")
     val n64 = getLE(idx, 18, 8)
     require(n64 >= 0 && n64 <= Int.MaxValue, s"sequence count $n64 out of range")
     val n = n64.toInt
@@ -122,7 +149,7 @@ object MegatronIdx {
       require(ptr >= 0 && end <= bin.length,
         s"sequence $i spans [$ptr, $end) outside the ${bin.length}-byte .bin")
       Array.tabulate(sz) { j =>
-        getLE(bin, (ptr + j.toLong * itemSize).toInt, itemSize).toInt
+        decodeToken(bin, (ptr + j.toLong * itemSize).toInt, h.dtype)
       }
     }
   }
@@ -260,7 +287,7 @@ object MegatronIdx {
               s"sequence $i spans past the $binLen-byte .bin at $stem")
             val buf = new Array[Byte](sz * itemSize)
             in.readFully(ptr, buf) // positioned read: safe at any Long offset
-            val ids = Array.tabulate(sz)(j => getLE(buf, j * itemSize, itemSize).toInt)
+            val ids = Array.tabulate(sz)(j => decodeToken(buf, j * itemSize, h.dtype))
             val out = (stem, i.toLong, ids)
             i += 1
             out

@@ -64,31 +64,24 @@ object WebDataset {
     out.toByteArray
   }
 
-  /** Parse a tar archive back to (name, bytes) members. */
-  private[sources] def untar(tar: Array[Byte]): Seq[(String, Array[Byte])] = {
-    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Array[Byte])]
-    var at = 0
-    def zeroBlock(p: Int): Boolean =
-      (p until p + 512).forall(i => i < tar.length && tar(i) == 0)
-    while (at + 512 <= tar.length && !zeroBlock(at)) {
-      var end = at
-      while (end < at + 100 && tar(end) != 0) end += 1
-      val name = new String(tar, at, end - at, "UTF-8")
-      val sizeStr = new String(tar, at + 124, 12, "US-ASCII")
-        .takeWhile(c => c >= '0' && c <= '7')
-      val size = if (sizeStr.isEmpty) 0L else java.lang.Long.parseLong(sizeStr, 8)
-      val typeflag = tar(at + 156)
-      val dataAt = at + 512
-      if (typeflag == '0' || typeflag == 0) {
-        val data = java.util.Arrays.copyOfRange(
-          tar, dataAt, dataAt + size.toInt)
-        out += ((name, data))
-      }
-      val padded = ((size + 511) / 512) * 512
-      at = dataAt + padded.toInt
-    }
-    out.toSeq
+  /** Random-access byte source the tar walker reads from — one
+    * implementation over `FSDataInputStream` (streaming shards), one
+    * over an in-memory array (specs, small shards). */
+  private[sources] trait ByteRangeReader {
+    def length: Long
+    def readFully(pos: Long, buf: Array[Byte]): Unit
   }
+
+  private[sources] def arrayReader(b: Array[Byte]): ByteRangeReader =
+    new ByteRangeReader {
+      def length: Long = b.length.toLong
+      def readFully(pos: Long, buf: Array[Byte]): Unit =
+        System.arraycopy(b, pos.toInt, buf, 0, buf.length)
+    }
+
+  /** Parse a tar archive back to (name, bytes) members. */
+  private[sources] def untar(tar: Array[Byte]): Seq[(String, Array[Byte])] =
+    tarMemberIterator(arrayReader(tar), "<memory>").toSeq
 
   /**
    * Write WebDataset shards: `df` must have a string `keyCol` and a
@@ -184,7 +177,12 @@ object WebDataset {
         val in = fs.open(p)
         val tc = org.apache.spark.TaskContext.get()
         if (tc != null) tc.addTaskCompletionListener[Unit](_ => in.close())
-        val members = tarMemberIterator(in, len, shard)
+        val reader = new ByteRangeReader {
+          def length: Long = len
+          def readFully(pos: Long, buf: Array[Byte]): Unit =
+            in.readFully(pos, buf)
+        }
+        val members = tarMemberIterator(reader, shard)
         groupContiguous(members).map { case (key, files) =>
           val m = files.map { case (name, bytes) =>
             val dot = name.lastIndexOf('.')
@@ -196,18 +194,63 @@ object WebDataset {
       .toDF("shard", "key", "members")
   }
 
-  /** Walk one tar stream member by member — only one member's payload
-    * is ever resident. Stops at the first zero header block (end of
-    * archive) or EOF. */
-  private def tarMemberIterator(
-      in: org.apache.hadoop.fs.FSDataInputStream,
-      len: Long,
+  /** NUL-terminated string field. */
+  private def hdrString(hdr: Array[Byte], at: Int, max: Int): String = {
+    var end = at
+    while (end < at + max && hdr(end) != 0) end += 1
+    new String(hdr, at, end - at, "UTF-8")
+  }
+
+  /** PAX extended-header records are `"<len> key=value\n"`; return the
+    * `path` override when present. */
+  private def paxPath(data: Array[Byte]): Option[String] = {
+    val s = new String(data, java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    var found: Option[String] = None
+    while (i < s.length && found.isEmpty) {
+      val sp = s.indexOf(' ', i)
+      if (sp < 0) return found
+      val recLen = s.substring(i, sp).trim.toInt
+      require(recLen > 0 && i + recLen <= s.length + 1,
+        s"malformed PAX record length $recLen")
+      val rec = s.substring(sp + 1, math.min(i + recLen, s.length))
+      val eq = rec.indexOf('=')
+      if (eq > 0 && rec.substring(0, eq) == "path")
+        found = Some(rec.substring(eq + 1).stripSuffix("\n"))
+      i += recLen
+    }
+    found
+  }
+
+  /**
+   * Walk one tar member by member — only one member's payload is ever
+   * resident. Stops at the first zero header block (end of archive) or
+   * EOF. Beyond the POSIX ustar entries [[write]] emits, the walker
+   * reads EXTERNALLY-produced WebDataset shards: the ustar `prefix`
+   * field (names over 100 bytes, POSIX split form), GNU `L` longname
+   * entries (the data block carries the next member's name), PAX `x`
+   * extended headers (a `path=` record overrides the next member's
+   * name; other records ignored), and PAX `g` / GNU `K` entries are
+   * skipped. Octal size fields tolerate leading spaces (GNU tar).
+   */
+  private[sources] def tarMemberIterator(
+      in: ByteRangeReader,
       shard: String): Iterator[(String, Array[Byte])] =
     new Iterator[(String, Array[Byte])] {
+      private val len = in.length
       private var at = 0L
       private val hdr = new Array[Byte](512)
       private var nextMember: (String, Array[Byte]) = _
       private var done = false
+      private var pendingName: String = null // from 'L' or PAX path=
+
+      private def readData(dataAt: Long, size: Long, what: String): Array[Byte] = {
+        require(size <= Int.MaxValue - 8,
+          s"tar member $what over 2 GiB — split members upstream")
+        val data = new Array[Byte](size.toInt)
+        in.readFully(dataAt, data)
+        data
+      }
 
       private def advance(): Unit = {
         nextMember = null
@@ -215,23 +258,38 @@ object WebDataset {
           if (at + 512 > len) { done = true; return }
           in.readFully(at, hdr)
           if (hdr.forall(_ == 0)) { done = true; return } // end-of-archive
-          var end = 0
-          while (end < 100 && hdr(end) != 0) end += 1
-          val name = new String(hdr, 0, end, "UTF-8")
+          val rawName = hdrString(hdr, 0, 100)
           val sizeStr = new String(hdr, 124, 12, "US-ASCII")
-            .takeWhile(c => c >= '0' && c <= '7')
+            .trim.takeWhile(c => c >= '0' && c <= '7')
           val size =
             if (sizeStr.isEmpty) 0L else java.lang.Long.parseLong(sizeStr, 8)
           val typeflag = hdr(156)
           val dataAt = at + 512
           require(dataAt + size <= len,
-            s"tar member $name spans past the $len-byte shard $shard")
-          if (typeflag == '0' || typeflag == 0) {
-            require(size <= Int.MaxValue - 8,
-              s"tar member $name over 2 GiB — split members upstream")
-            val data = new Array[Byte](size.toInt)
-            in.readFully(dataAt, data)
-            nextMember = (name, data)
+            s"tar member $rawName spans past the $len-byte shard $shard")
+          typeflag match {
+            case 'L' => // GNU longname: data = next member's name
+              pendingName = new String(readData(dataAt, size, rawName), "UTF-8")
+                .takeWhile(_ != 0)
+            case 'x' => // PAX extended header: path= overrides next name
+              paxPath(readData(dataAt, size, rawName)).foreach(pendingName = _)
+            case 'g' | 'K' => () // PAX global / GNU longlink: skip
+            case '0' | 0 =>
+              val name =
+                if (pendingName != null) pendingName
+                else {
+                  // POSIX ustar prefix field (magic "ustar\0", version
+                  // "00"): full name = prefix + "/" + name. GNU magic
+                  // ("ustar  ") reuses those bytes for other fields.
+                  val posix = hdr(257) == 'u' && hdr(258) == 's' &&
+                    hdr(259) == 't' && hdr(260) == 'a' && hdr(261) == 'r' &&
+                    hdr(262) == 0
+                  val prefix = if (posix) hdrString(hdr, 345, 155) else ""
+                  if (prefix.isEmpty) rawName else s"$prefix/$rawName"
+                }
+              pendingName = null
+              nextMember = (name, readData(dataAt, size, name))
+            case _ => pendingName = null // dirs/links: skip, drop overrides
           }
           at = dataAt + ((size + 511) / 512) * 512 // skip data + padding
         }

@@ -50,6 +50,50 @@ class MegatronIdxSpec extends SparkTestBase {
     assert(decodeShard(i2, b2).head.toSeq === Seq(-3, Int.MaxValue))
   }
 
+  test("decodeShard reads every integral external dtype: u8, i8, i16, i64") {
+    // hand-build .idx/.bin pairs in the external dtypes the write path
+    // never emits (public Megatron table: 1=u8, 2=i8, 3=i16, 5=i64)
+    def build(dtype: Int, itemSize: Int,
+              put: (java.io.ByteArrayOutputStream, Long) => Unit,
+              seqs: Seq[Seq[Long]]): (Array[Byte], Array[Byte]) = {
+      val bin = new java.io.ByteArrayOutputStream()
+      val sizes = seqs.map(_.length)
+      val pointers = sizes.scanLeft(0L)((a, s) => a + s.toLong * itemSize).init
+      seqs.flatten.foreach(v => put(bin, v))
+      val idx = new java.io.ByteArrayOutputStream()
+      idx.write("MMIDIDX".getBytes("US-ASCII")); idx.write(0); idx.write(0)
+      def le(v: Long, n: Int): Unit = {
+        var x = v; (0 until n).foreach { _ => idx.write((x & 0xff).toInt); x >>>= 8 }
+      }
+      le(1L, 8); idx.write(dtype); le(seqs.length.toLong, 8)
+      le(seqs.length.toLong + 1, 8)
+      sizes.foreach(s => le(s.toLong, 4))
+      pointers.foreach(p => le(p, 8))
+      (0 to seqs.length).foreach(d => le(d.toLong, 8))
+      (idx.toByteArray, bin.toByteArray)
+    }
+    def putLe(n: Int)(o: java.io.ByteArrayOutputStream, v: Long): Unit = {
+      var x = v; (0 until n).foreach { _ => o.write((x & 0xff).toInt); x >>>= 8 }
+    }
+    // u8: zero-extended
+    val (i1, b1) = build(1, 1, putLe(1), Seq(Seq(0L, 127L, 255L)))
+    assert(decodeShard(i1, b1).map(_.toSeq).toSeq === Seq(Seq(0, 127, 255)))
+    // i8: sign-extended
+    val (i2, b2) = build(2, 1, putLe(1), Seq(Seq(-1L & 0xff, 5L)))
+    assert(decodeShard(i2, b2).map(_.toSeq).toSeq === Seq(Seq(-1, 5)))
+    // i16: sign-extended
+    val (i3, b3) = build(3, 2, putLe(2), Seq(Seq(-2L & 0xffff, 32767L)))
+    assert(decodeShard(i3, b3).map(_.toSeq).toSeq === Seq(Seq(-2, 32767)))
+    // i64: exact within Int range, loud outside it
+    val (i5, b5) = build(5, 8, putLe(8), Seq(Seq(123456789L, -7L)))
+    assert(decodeShard(i5, b5).map(_.toSeq).toSeq === Seq(Seq(123456789, -7)))
+    val (i5b, b5b) = build(5, 8, putLe(8), Seq(Seq(1L << 40)))
+    assertThrows[IllegalArgumentException] { decodeShard(i5b, b5b) }
+    // float codes rejected
+    val (i6, b6) = build(6, 4, putLe(4), Seq(Seq(0L)))
+    assertThrows[IllegalArgumentException] { decodeShard(i6, b6) }
+  }
+
   test("sharded write/read round-trips a DataFrame, NULL rows skipped") {
     val spark0 = spark
     import spark0.implicits._

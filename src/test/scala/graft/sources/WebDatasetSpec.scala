@@ -97,6 +97,57 @@ class WebDatasetSpec extends SparkTestBase {
     assert(got === expected)
   }
 
+  test("reader accepts external tars: GNU longname, PAX path override, ustar prefix") {
+    import scala.sys.process._
+    val base = java.nio.file.Files.createTempDirectory("wds_ext")
+    val longKey = "k" * 120 // member basename over the 100-byte field
+    val deepDir = "d" * 90  // forces the POSIX prefix split
+    java.nio.file.Files.write(
+      base.resolve(s"$longKey.txt"),
+      "long-name payload".getBytes("UTF-8"))
+    val deep = java.nio.file.Files.createDirectory(base.resolve(deepDir))
+    java.nio.file.Files.write(
+      deep.resolve("sample0.txt"), "prefix payload".getBytes("UTF-8"))
+
+    def members(tarPath: String): Map[String, String] = {
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+        spark.sparkContext.hadoopConfiguration)
+      val p = new org.apache.hadoop.fs.Path(tarPath)
+      val len = fs.getFileStatus(p).getLen.toInt
+      val b = new Array[Byte](len)
+      val in = fs.open(p)
+      try in.readFully(0L, b) finally in.close()
+      WebDataset.untar(b)
+        .map { case (n, d) => n -> new String(d, "UTF-8") }.toMap
+    }
+
+    for (fmt <- Seq("gnu", "pax")) {
+      val tarP = s"$base/ext_$fmt.tar"
+      val rc = Seq("tar", s"--format=$fmt", "-cf", tarP,
+        "-C", base.toString, s"$longKey.txt").!
+      assert(rc === 0, s"system tar --format=$fmt failed")
+      val m = members(tarP)
+      assert(m === Map(s"$longKey.txt" -> "long-name payload"), fmt)
+    }
+    val uP = s"$base/ext_ustar.tar"
+    assert(Seq("tar", "--format=ustar", "-cf", uP,
+      "-C", base.toString, s"$deepDir/sample0.txt").! === 0)
+    assert(members(uP) === Map(s"$deepDir/sample0.txt" -> "prefix payload"))
+
+    // the Spark reader regroups a long-keyed external shard by key
+    val session = spark
+    import session.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("wds_ext_read").toString
+    assert(Seq("tar", "--format=gnu", "-cf", s"$dir/part-00000.tar",
+      "-C", base.toString, s"$longKey.txt").! === 0)
+    val back = WebDataset.read(spark, dir)
+      .select("key", "members")
+      .as[(String, Map[String, Array[Byte]])].collect()
+    assert(back.length === 1)
+    assert(back.head._1 === longKey)
+    assert(new String(back.head._2("txt"), "UTF-8") === "long-name payload")
+  }
+
   test("write counts only rows that emitted at least one tar member") {
     val spark0 = spark
     import spark0.implicits._
