@@ -2135,6 +2135,30 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // nightly index GROWTH: build the IVF index on half the corpus,
+    // append the other half against the FROZEN centroids
+    // (Similarity.appendToIvfIndex — map-only, no re-clustering), then
+    // probe. Exact benchmark copies are always flagged regardless of
+    // which half they landed in (frozen centroids assign an identical
+    // vector to the probe's first cell), so the appended index shares
+    // the full-build planted oracle verbatim.
+    "q_ivf_append" -> ((s: SparkSession, dir: String) => {
+      val emb = t(s, dir, "embeddings")
+      val bench = emb.filter(F.col("vec_id") % 37 === 0 &&
+        F.col("embedding").isNotNull).select(F.col("embedding"))
+      val nn = emb.filter(F.col("embedding").isNotNull)
+      val path = System.getProperty("java.io.tmpdir") + "/graft_q_ivf_append"
+      graft.pipeline.Similarity
+        .buildIvfIndex(nn.filter(F.col("vec_id") % 2 === 0),
+          "vec_id", "embedding", nlist = 8)
+        .save(path)
+      val grown = graft.pipeline.Similarity.appendToIvfIndex(
+        s, path, nn.filter(F.col("vec_id") % 2 =!= 0), "vec_id", "embedding")
+      graft.pipeline.Decontaminate.semanticContaminationFlagsIndexed(
+          grown, emb, "vec_id", bench, "embedding", threshold = 0.999)
+        .orderBy("vec_id")
+    }),
+
     "q_boilerplate" -> ((s: SparkSession, dir: String) => {
       val bp = graft.pipeline.Boilerplate
       val docs = t(s, dir, "documents")
@@ -6181,6 +6205,10 @@ object SparkEntry {
       // persisted-index probe is output-identical to the direct path
       "q_dedup_containment_indexed" -> base("q_dedup_containment"),
       "q_decontaminate_semantic_indexed" -> base("q_decontaminate_semantic"),
+      // frozen-centroid append reaches the same flagged set as the
+      // full build (exact copies probe their own cell; no natural
+      // pair near cos 0.999 in the testdata)
+      "q_ivf_append" -> base("q_decontaminate_semantic"),
       // the streaming probe is output-identical to the batch
       // incremental pair set on a bounded replay (batch≡stream spec)
       "q_stream_neardup" -> base("q_dedup_incremental"),

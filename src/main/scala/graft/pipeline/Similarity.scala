@@ -503,6 +503,38 @@ object Similarity {
     IvfIndex(centroids, assigned)
   }
 
+  /**
+   * Nightly IVF maintenance: assign a fresh vector batch against the
+   * SAVED index's FROZEN centroids (map-only, broadcast centroids) and
+   * append the rows to the cell-partitioned assignment parquet — the
+   * corpus index grows without re-clustering and without rewriting
+   * history (each append adds files under the touched cell partitions
+   * only). Rows with NULL vectors are skipped. Returns the reloaded
+   * index over the grown assignment.
+   *
+   * Every probe API (`ivfTopKIndexed`, `ivfRadiusPairs`,
+   * `semanticContaminationFlagsIndexed`, ...) works on the appended
+   * index unchanged; exact re-ingested copies keep probing their own
+   * cell (frozen centroids make the assignment deterministic).
+   * Re-train when the drift telemetry ([[Drift]]) says the embedding
+   * distribution left the centroids behind — appends never do.
+   */
+  def appendToIvfIndex(
+      spark: SparkSession,
+      path: String,
+      fresh: DataFrame,
+      idCol: String,
+      vecCol: String): IvfIndex = {
+    val idx = loadIvfIndex(spark, path)
+    val cB = spark.sparkContext.broadcast(idx.centroids)
+    val assignU = F.udf((v: Array[Float]) => nearestCentroid(cB.value, v))
+    fresh.filter(F.col(vecCol).isNotNull)
+      .select(F.col(idCol).as("neighbor_id"), F.col(vecCol).as("__cv"),
+        assignU(F.col(vecCol)).as("__cell"))
+      .write.partitionBy("__cell").mode("append").parquet(s"$path/assigned")
+    loadIvfIndex(spark, path)
+  }
+
   /** One-off IVF indexing pass: train k-means centroids, assign every
     * corpus vector to its nearest cell. */
   def buildIvfIndex(

@@ -140,6 +140,38 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(res(loaded) === fromMem)
   }
 
+  test("appendToIvfIndex grows a saved index with frozen-centroid assignments") {
+    val emb = sf("sf0.001", "embeddings").filter(F.col("embedding").isNotNull)
+    val even = emb.filter(F.col("vec_id") % 2 === 0)
+    val odd  = emb.filter(F.col("vec_id") % 2 =!= 0)
+    val idx = Similarity.buildIvfIndex(even, "vec_id", "embedding", nlist = 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_append").toString
+    idx.save(dir)
+    val grown = Similarity.appendToIvfIndex(spark, dir, odd, "vec_id", "embedding")
+    // centroids are frozen by the append
+    assert(grown.centroids.map(_.toSeq).toSeq === idx.centroids.map(_.toSeq).toSeq)
+    // every corpus row lands exactly once, in the cell the frozen
+    // centroids dictate — append ≡ a full frozen-centroid assignment
+    val got = grown.assigned
+      .select(F.col("neighbor_id").cast("long"), F.col("__cell"))
+      .as[(Long, Int)].collect()
+    val expected = emb.select(F.col("vec_id").cast("long"), F.col("embedding"))
+      .as[(Long, Array[Float])].collect()
+      .map { case (id, v) =>
+        id -> Similarity.nearestCentroids(idx.centroids, v, 1).head }
+      .toMap
+    assert(got.length === expected.size)
+    got.foreach { case (id, cell) => assert(cell === expected(id), s"vec_id $id") }
+    // a radius probe of an appended exact copy finds itself even at
+    // nprobe=1 (identical vector → same frozen cell; self-matches kept)
+    val probeQ = odd.limit(3).select(F.col("vec_id"), F.col("embedding"))
+    val selfHits = Similarity
+      .ivfRadiusPairs(grown, probeQ, "vec_id", "embedding", 0.999, nprobe = 1)
+      .filter(F.col("query_id") === F.col("neighbor_id"))
+      .select("query_id").as[Long].collect().toSet
+    assert(selfHits.size === 3)
+  }
+
   // --------------------------------------------- canonical selection
 
   test("keepCanonical keeps the best row per group with deterministic ties") {
