@@ -233,6 +233,35 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // persisted sketch-rollup VIEW with incremental maintenance
+    // (SketchView): materialize even hours, append odd hours
+    // (merge-on-read — appends never rewrite history), then read the
+    // merged view. Counts are exact, and because sketch merge is
+    // exact per-bin addition the incremental view is BYTE-IDENTICAL
+    // to a from-scratch rebuild — the oracle replays the counts and
+    // pins the byte-equality boolean.
+    "q_sketch_view" -> ((s: SparkSession, dir: String) => {
+      Graft.register(s)
+      val ev = t(s, dir, "events")
+      val evenHour = F.pmod(
+        F.unix_millis(F.date_trunc("hour", F.col("ts"))) / 3600000L,
+        F.lit(2)) === 0
+      val path = System.getProperty("java.io.tmpdir") + "/graft_q_sketch_view"
+      graft.sketch.SketchView.materialize(
+        ev.filter(evenHour), "ts", Seq("event_type"), "value", path)
+      graft.sketch.SketchView.append(
+        ev.filter(!evenHour), "ts", Seq("event_type"), "value", path)
+      val view = graft.sketch.SketchView.read(s, path, Seq("event_type"))
+      val rebuilt = graft.sketch.SketchView
+        .rollup(ev, "ts", Seq("event_type"), "value")
+        .withColumnRenamed("sketch", "sk2")
+      view.join(rebuilt, Seq("bucket_ms", "event_type"))
+        .select(F.col("bucket_ms"), F.col("event_type"),
+          G.ddsketch_count(F.col("sketch")).as("n"),
+          (F.col("sketch") === F.col("sk2")).as("bytes_eq"))
+        .orderBy("bucket_ms", "event_type")
+    }),
+
     // #12 ddsketch_stats_agg: 12-field struct from merged blobs
     "q_sketch_stats_agg" -> ((s: SparkSession, dir: String) => {
       Graft.register(s)
@@ -4332,6 +4361,10 @@ object SparkEntry {
     "q_sketch_agg_rollup" ->
       """SELECT event_type, count(*) AS cnt
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_sketch_view" ->
+      """SELECT CAST(epoch_ms(date_trunc('hour', ts)) AS BIGINT) AS bucket_ms,
+        |       event_type, count(*) AS n, true AS bytes_eq
+        |FROM events GROUP BY 1, 2 ORDER BY bucket_ms, event_type""".stripMargin,
     "q_sketch_stats_agg" ->
       """SELECT event_type, count(*) AS cnt, true AS count_ok, true AS p50_ok,
         |       true AS p95_ok, true AS sketch_ok

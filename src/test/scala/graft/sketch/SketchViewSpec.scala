@@ -1,0 +1,93 @@
+package graft.sketch
+
+import graft.SparkTestBase
+import org.apache.spark.sql.{functions => F}
+import graft.sketch.{functions => G}
+
+class SketchViewSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def events = sf("sf0.001", "events")
+
+  private def viewMap(df: org.apache.spark.sql.DataFrame)
+      : Map[(Long, String), Seq[Byte]] =
+    df.select(F.col("bucket_ms"), F.col("event_type"), F.col("sketch"))
+      .as[(Long, String, Array[Byte])].collect()
+      .map { case (b, k, s) => (b, k) -> s.toSeq }.toMap
+
+  test("materialize + append is byte-identical to a full rebuild") {
+    val ev = events
+    val evenHour =
+      F.pmod(F.unix_millis(F.date_trunc("hour", F.col("ts"))) / 3600000L, F.lit(2)) === 0
+    val dir = java.nio.file.Files.createTempDirectory("graft_skview").toString
+    SketchView.materialize(ev.filter(evenHour), "ts", Seq("event_type"), "value", dir)
+    SketchView.append(ev.filter(!evenHour), "ts", Seq("event_type"), "value", dir)
+    val incremental = viewMap(SketchView.read(spark, dir, Seq("event_type")))
+    val rebuilt = viewMap(
+      SketchView.rollup(ev, "ts", Seq("event_type"), "value"))
+    assert(incremental.keySet === rebuilt.keySet)
+    assert(incremental.nonEmpty)
+    incremental.foreach { case (k, bytes) =>
+      assert(bytes === rebuilt(k), s"sketch bytes differ at $k") }
+  }
+
+  test("merge-on-read collapses repeated appends of the same bucket") {
+    val ev = events.limit(200)
+    val dir = java.nio.file.Files.createTempDirectory("graft_skview2").toString
+    SketchView.materialize(ev, "ts", Seq("event_type"), "value", dir)
+    SketchView.append(ev, "ts", Seq("event_type"), "value", dir)   // same rows again
+    val merged = SketchView.read(spark, dir, Seq("event_type"))
+    // one row per (bucket, key) after the merge...
+    val perKey = merged.groupBy("bucket_ms", "event_type")
+      .count().filter(F.col("count") > 1).count()
+    assert(perKey === 0L)
+    // ...and every count doubled (merge added the second batch's bins)
+    val doubled = merged.select(G.ddsketch_count(F.col("sketch")).as("n"),
+        F.col("bucket_ms"), F.col("event_type"))
+    val direct = SketchView.rollup(ev, "ts", Seq("event_type"), "value")
+      .select(G.ddsketch_count(F.col("sketch")).as("n1"),
+        F.col("bucket_ms"), F.col("event_type"))
+    val joined = doubled.join(direct, Seq("bucket_ms", "event_type"))
+      .select((F.col("n") === F.col("n1") * 2).as("ok")).as[Boolean].collect()
+    assert(joined.nonEmpty && joined.forall(identity))
+  }
+
+  test("compact rewrites to one physical row per (bucket, key), same bytes") {
+    val ev = events
+    val dir = java.nio.file.Files.createTempDirectory("graft_skview3").toString
+    SketchView.materialize(ev.filter(F.col("user_id") % 2 === 0),
+      "ts", Seq("event_type"), "value", dir)
+    SketchView.append(ev.filter(F.col("user_id") % 2 =!= 0),
+      "ts", Seq("event_type"), "value", dir)
+    val before = viewMap(SketchView.read(spark, dir, Seq("event_type")))
+    SketchView.compact(spark, dir, Seq("event_type"))
+    val after = viewMap(SketchView.read(spark, dir, Seq("event_type")))
+    assert(after === before)
+    // physically one row per (bucket, key) now
+    val raw = spark.read.parquet(dir)
+    assert(raw.count() === before.size)
+  }
+
+  test("regrain(day) over the hourly view equals a direct daily rollup") {
+    val ev = events
+    val dir = java.nio.file.Files.createTempDirectory("graft_skview4").toString
+    SketchView.materialize(ev, "ts", Seq("event_type"), "value", dir)
+    val daily = viewMap(SketchView.regrain(
+      SketchView.read(spark, dir, Seq("event_type")), Seq("event_type"), "day"))
+    val direct = viewMap(
+      SketchView.rollup(ev, "ts", Seq("event_type"), "value", bucket = "day"))
+    assert(daily === direct)
+    assert(daily.nonEmpty)
+  }
+
+  test("NULL timestamps are dropped, NULL values skipped") {
+    val df = Seq(
+      (Some(java.sql.Timestamp.valueOf("2024-01-01 10:15:00")), "a", Some(1.0)),
+      (Some(java.sql.Timestamp.valueOf("2024-01-01 10:45:00")), "a", None),
+      (None, "a", Some(9.0)))
+      .toDF("ts", "event_type", "value")
+    val r = SketchView.rollup(df, "ts", Seq("event_type"), "value")
+      .select(G.ddsketch_count(F.col("sketch"))).as[Long].collect()
+    assert(r.toSeq === Seq(1L))
+  }
+}
