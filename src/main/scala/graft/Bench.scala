@@ -120,6 +120,25 @@ object Bench {
         .select(F.col("event_type"), F.col("st.count"), F.col("st.p95"))
     }),
 
+    // persisted rollup view maintenance end to end: materialize half
+    // the corpus, append the other half (merge-on-read), read the
+    // merged view and regrain it to days
+    "b_sketch_view" -> ((s: SparkSession, dir: String) => {
+      val ev = t(s, dir, "events")
+      val evenHour = F.pmod(
+        F.unix_millis(F.date_trunc("hour", F.col("ts"))) / 3600000L,
+        F.lit(2)) === 0
+      val base = System.getProperty("java.io.tmpdir") + "/graft_b_skview"
+      graft.sketch.SketchView.materialize(
+        ev.filter(evenHour), "ts", Seq("event_type"), "value", base)
+      graft.sketch.SketchView.append(
+        ev.filter(!evenHour), "ts", Seq("event_type"), "value", base)
+      val view = graft.sketch.SketchView.read(s, base, Seq("event_type"))
+      graft.sketch.SketchView.regrain(view, Seq("event_type"), "day")
+        .select(F.col("bucket_ms"), F.col("event_type"),
+          G.ddsketch_quantile(F.col("sketch"), 0.95).as("p95"))
+    }),
+
     // one-pass stats struct over a larger table with key skew
     "b_sketch_lineitem" -> ((s: SparkSession, dir: String) =>
       t(s, dir, "lineitem").groupBy(F.col("l_returnflag"), F.col("l_linestatus"))

@@ -11,32 +11,42 @@ import graft.sketch.{functions => G}
  * scale with a merge-on-read layout:
  *
  *   - [[materialize]] writes per-(time bucket, keys) DDSketch rows as
- *     parquet PARTITIONED BY the bucket (epoch-millis long).
+ *     parquet, PARTITIONED BY a coarser `__part` directory key (pure
+ *     long math: `bucket_ms - bucket_ms mod partSpanMs`, one UTC day
+ *     by default — fine rows, bounded directories; hour-grain
+ *     directories are the classic tiny-partition pathology).
  *   - [[append]] rolls up ONLY the fresh event batch and appends the
- *     pre-aggregated rows under the touched bucket partitions — a pure
- *     add: no read-modify-write of history, no partition rewrite, so
+ *     pre-aggregated rows under the touched partitions — a pure add:
+ *     no read-modify-write of history, no partition rewrite, so
  *     concurrent readers never see a half-replaced partition and the
  *     append cost is O(batch) regardless of view size.
- *   - [[read]] merges the (few) per-batch rows of each (bucket, keys)
- *     group with `ddsketch_agg` — cheap because sketches are mergeable
- *     monoids with EXACT bin addition (see [[SketchOps.saltedSketchAgg]]),
- *     which also makes the incremental view BYTE-IDENTICAL to a
- *     from-scratch rebuild (pinned by SketchViewSpec). A time-range
- *     filter on `bucket_ms` pushes below the merge aggregate (it is a
- *     grouping column) and partition-prunes the scan.
+ *   - [[read]] / [[readRange]] merge the (few) per-batch rows of each
+ *     (bucket, keys) group with `ddsketch_agg` — cheap because
+ *     sketches are mergeable monoids with EXACT bin addition (see
+ *     [[SketchOps.saltedSketchAgg]]), which also makes the incremental
+ *     view BYTE-IDENTICAL to a from-scratch rebuild (pinned by
+ *     SketchViewSpec). `readRange` derives the `__part` predicate with
+ *     the same long math, so a dashboard's time window prunes the scan
+ *     to its partitions.
  *   - [[compact]] rewrites the view to one row per (bucket, keys) when
- *     the per-partition row count (one per append batch) grows enough
- *     to matter; it is maintenance, never required for correctness.
+ *     the per-group row count (one per append batch) grows enough to
+ *     matter; it is maintenance, never required for correctness.
  *   - [[regrain]] answers coarser-grain queries (hour → day/week) by
  *     merging persisted sketches instead of rescanning events.
+ *
+ * `partSpanMs` is part of the on-disk layout: use the same value for
+ * every call against one path (the default suits hour/minute buckets).
  */
 object SketchView {
 
+  /** One UTC day — the default partition-directory span. */
+  val DefaultPartSpanMs: Long = 86400000L
+
   /** Roll one event frame up to (`bucket_ms`, keys..., `sketch`). The
-    * bucket is the epoch-millis long of the truncated timestamp — a
-    * stable parquet partition value (timestamps make fragile partition
-    * directory names). NULL values are skipped by the aggregate; rows
-    * with a NULL timestamp are dropped (no bucket to land in). */
+    * bucket is the epoch-millis long of the truncated timestamp (a
+    * stable, timezone-free key). NULL values are skipped by the
+    * aggregate; rows with a NULL timestamp are dropped (no bucket to
+    * land in). */
   def rollup(
       events: DataFrame,
       tsCol: String,
@@ -57,12 +67,64 @@ object SketchView {
       valueCol: String,
       path: String,
       bucket: String = "hour",
-      accuracy: Double = 0.01): Unit =
-    rollup(events, tsCol, keyCols, valueCol, bucket, accuracy)
-      .write.partitionBy("bucket_ms").mode("overwrite").parquet(path)
+      accuracy: Double = 0.01,
+      partSpanMs: Long = DefaultPartSpanMs): Unit =
+    writeView(rollup(events, tsCol, keyCols, valueCol, bucket, accuracy),
+      path, "overwrite", partSpanMs)
+
+  /** The directory key of a bucket: pure long floor, identical on the
+    * driver (readRange pruning) and in the plan — no timezone, no
+    * date library (the RangeJoin bucketing precedent). */
+  private def partFloor(ms: Long, spanMs: Long): Long =
+    ms - java.lang.Math.floorMod(ms, spanMs)
+
+  /** Cluster each directory partition into one task before the
+    * partitioned write: without it every reducer of the rollup's
+    * (bucket, keys) hash holds a slice of MANY partitions and opens a
+    * file per slice — tasks × partitions small files. After the
+    * repartition each batch writes one file per touched partition, and
+    * the extra exchange moves only sketch rows (thousands of × smaller
+    * than the events). */
+  private def writeView(
+      rollup: DataFrame, path: String, mode: String, partSpanMs: Long): Unit =
+    rollup
+      .withColumn("__part",
+        F.col("bucket_ms") - F.pmod(F.col("bucket_ms"), F.lit(partSpanMs)))
+      .repartition(F.col("__part"))
+      .write.partitionBy("__part").mode(mode).parquet(path)
+
+  /** The merged view: one row per (bucket_ms, keys) with the sketch of
+    * every batch ever appended, plus the reconstructed `bucket_start`
+    * timestamp. For a time window use [[readRange]] — it prunes the
+    * scan to the window's partitions. */
+  def read(spark: SparkSession, path: String, keyCols: Seq[String]): DataFrame =
+    merge(spark.read.parquet(path), keyCols)
+
+  /** [[read]] restricted to `fromMs <= bucket_ms < untilMs`, with the
+    * matching `__part` predicate derived by the same long math so the
+    * parquet scan lists only the window's directories. */
+  def readRange(
+      spark: SparkSession,
+      path: String,
+      keyCols: Seq[String],
+      fromMs: Long,
+      untilMs: Long,
+      partSpanMs: Long = DefaultPartSpanMs): DataFrame =
+    merge(
+      spark.read.parquet(path)
+        .filter(F.col("__part") >= partFloor(fromMs, partSpanMs) &&
+                F.col("__part") < untilMs &&
+                F.col("bucket_ms") >= fromMs && F.col("bucket_ms") < untilMs),
+      keyCols)
+
+  private def merge(raw: DataFrame, keyCols: Seq[String]): DataFrame =
+    raw
+      .groupBy(F.col("bucket_ms") +: keyCols.map(F.col): _*)
+      .agg(G.ddsketch_agg(F.col("sketch")).as("sketch"))
+      .withColumn("bucket_start", F.timestamp_millis(F.col("bucket_ms")))
 
   /** Incremental maintenance: roll up the fresh batch and APPEND the
-    * pre-aggregated rows — new files only under the touched bucket
+    * pre-aggregated rows — new files only under the touched
     * partitions. History is never read or rewritten. */
   def append(
       fresh: DataFrame,
@@ -71,30 +133,23 @@ object SketchView {
       valueCol: String,
       path: String,
       bucket: String = "hour",
-      accuracy: Double = 0.01): Unit =
-    rollup(fresh, tsCol, keyCols, valueCol, bucket, accuracy)
-      .write.partitionBy("bucket_ms").mode("append").parquet(path)
-
-  /** The merged view: one row per (bucket_ms, keys) with the sketch of
-    * every batch ever appended, plus the reconstructed `bucket_start`
-    * timestamp. Filter on `bucket_ms` BEFORE acting on the result to
-    * partition-prune (the predicate pushes through the merge). */
-  def read(spark: SparkSession, path: String, keyCols: Seq[String]): DataFrame =
-    spark.read.parquet(path)
-      .withColumn("bucket_ms", F.col("bucket_ms").cast("long"))
-      .groupBy(F.col("bucket_ms") +: keyCols.map(F.col): _*)
-      .agg(G.ddsketch_agg(F.col("sketch")).as("sketch"))
-      .withColumn("bucket_start", F.timestamp_millis(F.col("bucket_ms")))
+      accuracy: Double = 0.01,
+      partSpanMs: Long = DefaultPartSpanMs): Unit =
+    writeView(rollup(fresh, tsCol, keyCols, valueCol, bucket, accuracy),
+      path, "append", partSpanMs)
 
   /** Rewrite the view to one row per (bucket, keys). The merged frame
     * must be materialized BEFORE the overwrite truncates its own
     * input — the eager localCheckpoint is the point here, not a
     * surprise (the library-wide lazy default is for operator chains). */
-  def compact(spark: SparkSession, path: String, keyCols: Seq[String]): Unit =
-    read(spark, path, keyCols)
-      .drop("bucket_start")
-      .localCheckpoint(true)
-      .write.partitionBy("bucket_ms").mode("overwrite").parquet(path)
+  def compact(
+      spark: SparkSession,
+      path: String,
+      keyCols: Seq[String],
+      partSpanMs: Long = DefaultPartSpanMs): Unit =
+    writeView(
+      read(spark, path, keyCols).drop("bucket_start").localCheckpoint(true),
+      path, "overwrite", partSpanMs)
 
   /** Merge a view (or any rollup frame) to a coarser grain — the
     * hour → day/week dashboard query, answered from sketches alone. */

@@ -80,6 +80,23 @@ class SketchViewSpec extends SparkTestBase {
     assert(daily.nonEmpty)
   }
 
+  test("readRange returns exactly the window's buckets and prunes partitions") {
+    val ev = events
+    val dir = java.nio.file.Files.createTempDirectory("graft_skview5").toString
+    SketchView.materialize(ev, "ts", Seq("event_type"), "value", dir)
+    val all = SketchView.read(spark, dir, Seq("event_type"))
+      .select("bucket_ms").as[Long].collect().sorted
+    assert(all.length > 10)
+    val (from, until) = (all(3), all(all.length - 4) + 1)
+    val ranged = SketchView.readRange(spark, dir, Seq("event_type"), from, until)
+    val got = ranged.select("bucket_ms").as[Long].collect().toSet
+    assert(got === all.filter(b => b >= from && b < until).toSet)
+    // the window's __part predicate reaches the scan's partition filters
+    val plan = ranged.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("__part"),
+      s"no partition pruning in:\n$plan")
+  }
+
   test("NULL timestamps are dropped, NULL values skipped") {
     val df = Seq(
       (Some(java.sql.Timestamp.valueOf("2024-01-01 10:15:00")), "a", Some(1.0)),
