@@ -262,6 +262,44 @@ object SparkEntry {
         .orderBy("bucket_ms", "event_type")
     }),
 
+    // STREAMING maintenance of the persisted view: replay the events
+    // fixture as a multi-micro-batch stream (maxFilesPerTrigger=1)
+    // through SketchView.streamAppend — each micro-batch lands under
+    // its own __batch partition with dynamic overwrite (replay-safe) —
+    // then read the merged view. Identical output contract to
+    // q_sketch_view: exact counts, byte-equality vs a direct rollup.
+    "q_stream_view" -> ((s: SparkSession, dir: String) => {
+      Graft.register(s)
+      val ev = t(s, dir, "events")
+        .select(F.col("ts"), F.col("event_type"), F.col("value"))
+      val tmp = System.getProperty("java.io.tmpdir") + "/graft_q_stream_view_src"
+      ev.repartition(4).write.mode("overwrite").parquet(tmp)
+      val path = System.getProperty("java.io.tmpdir") + "/graft_q_stream_view"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      // a stale view or checkpoint would replay into mismatched batch
+      // ids — both start fresh each run
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      fs.delete(new org.apache.hadoop.fs.Path(path + "_ck"), true)
+      val q = graft.sketch.SketchView.streamAppend(
+          s.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1").parquet(tmp),
+          "ts", Seq("event_type"), "value", path)
+        .option("checkpointLocation", path + "_ck")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val view = graft.sketch.SketchView.read(s, path, Seq("event_type"))
+      val rebuilt = graft.sketch.SketchView
+        .rollup(ev, "ts", Seq("event_type"), "value")
+        .withColumnRenamed("sketch", "sk2")
+      view.join(rebuilt, Seq("bucket_ms", "event_type"))
+        .select(F.col("bucket_ms"), F.col("event_type"),
+          G.ddsketch_count(F.col("sketch")).as("n"),
+          (F.col("sketch") === F.col("sk2")).as("bytes_eq"))
+        .orderBy("bucket_ms", "event_type")
+    }),
+
     // #12 ddsketch_stats_agg: 12-field struct from merged blobs
     "q_sketch_stats_agg" -> ((s: SparkSession, dir: String) => {
       Graft.register(s)
@@ -6242,6 +6280,9 @@ object SparkEntry {
       // full build (exact copies probe their own cell; no natural
       // pair near cos 0.999 in the testdata)
       "q_ivf_append" -> base("q_decontaminate_semantic"),
+      // per-micro-batch dynamic-overwrite appends merge to the same
+      // view as one batch materialize (exact bin addition)
+      "q_stream_view" -> base("q_sketch_view"),
       // the streaming probe is output-identical to the batch
       // incremental pair set on a bounded replay (batch≡stream spec)
       "q_stream_neardup" -> base("q_dedup_incremental"),

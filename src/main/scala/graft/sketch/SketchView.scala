@@ -84,14 +84,24 @@ object SketchView {
     * file per slice — tasks × partitions small files. After the
     * repartition each batch writes one file per touched partition, and
     * the extra exchange moves only sketch rows (thousands of × smaller
-    * than the events). */
+    * than the events).
+    *
+    * Layout: `path/__part=<floor>/__batch=<id>/part-*.parquet`. Batch
+    * maintenance writes `__batch=-1`; [[streamAppend]] stamps the
+    * micro-batch id and overwrites DYNAMICALLY, so a replayed batch
+    * replaces exactly its own directories (idempotent on
+    * at-least-once delivery). */
   private def writeView(
-      rollup: DataFrame, path: String, mode: String, partSpanMs: Long): Unit =
+      rollup: DataFrame, path: String, mode: String, partSpanMs: Long,
+      batchId: Long = -1L, dynamic: Boolean = false): Unit =
     rollup
       .withColumn("__part",
         F.col("bucket_ms") - F.pmod(F.col("bucket_ms"), F.lit(partSpanMs)))
+      .withColumn("__batch", F.lit(batchId))
       .repartition(F.col("__part"))
-      .write.partitionBy("__part").mode(mode).parquet(path)
+      .write.partitionBy("__part", "__batch")
+      .option("partitionOverwriteMode", if (dynamic) "dynamic" else "static")
+      .mode(mode).parquet(path)
 
   /** The merged view: one row per (bucket_ms, keys) with the sketch of
     * every batch ever appended, plus the reconstructed `bucket_start`
@@ -150,6 +160,45 @@ object SketchView {
     writeView(
       read(spark, path, keyCols).drop("bucket_start").localCheckpoint(true),
       path, "overwrite", partSpanMs)
+
+  /** Continuous maintenance: a foreachBatch sink that rolls each
+    * micro-batch up and lands it under its own `__batch` partition
+    * with dynamic overwrite — a replayed micro-batch replaces exactly
+    * its own files, so the view stays correct (effectively-once) on
+    * Structured Streaming's at-least-once foreachBatch contract. One
+    * streaming writer per path (batch ids would collide otherwise);
+    * batch [[append]]s (`__batch=-1`) can interleave safely.
+    *
+    * Returns the writer — set trigger/checkpoint and `.start()`. */
+  def streamAppend(
+      stream: DataFrame,
+      tsCol: String,
+      keyCols: Seq[String],
+      valueCol: String,
+      path: String,
+      bucket: String = "hour",
+      accuracy: Double = 0.01,
+      partSpanMs: Long = DefaultPartSpanMs)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        appendBatch(batch, tsCol, keyCols, valueCol, path, bucket, accuracy,
+          partSpanMs, batchId)
+    }
+
+  /** One micro-batch of [[streamAppend]] (exposed for replay tests). */
+  private[sketch] def appendBatch(
+      batch: DataFrame,
+      tsCol: String,
+      keyCols: Seq[String],
+      valueCol: String,
+      path: String,
+      bucket: String,
+      accuracy: Double,
+      partSpanMs: Long,
+      batchId: Long): Unit =
+    writeView(rollup(batch, tsCol, keyCols, valueCol, bucket, accuracy),
+      path, "overwrite", partSpanMs, batchId, dynamic = true)
 
   /** Merge a view (or any rollup frame) to a coarser grain — the
     * hour → day/week dashboard query, answered from sketches alone. */

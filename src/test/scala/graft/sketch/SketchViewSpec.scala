@@ -97,6 +97,48 @@ class SketchViewSpec extends SparkTestBase {
       s"no partition pruning in:\n$plan")
   }
 
+  test("streamAppend replay lands the same view as a direct rollup") {
+    val ev = events.filter(F.col("ts").isNotNull)
+      .select(F.col("ts"), F.col("event_type"), F.col("value"))
+    val src = java.nio.file.Files.createTempDirectory("graft_skview_src").toString
+    ev.write.mode("overwrite").parquet(src)
+    val dir = java.nio.file.Files.createTempDirectory("graft_skview_s").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_skview_ck").toString
+    val q = SketchView.streamAppend(
+        spark.readStream.schema(ev.schema).parquet(src),
+        "ts", Seq("event_type"), "value", dir)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = viewMap(SketchView.read(spark, dir, Seq("event_type")))
+    val direct = viewMap(SketchView.rollup(ev, "ts", Seq("event_type"), "value"))
+    assert(streamed === direct)
+    assert(streamed.nonEmpty)
+  }
+
+  test("a replayed micro-batch overwrites itself — the view never double-counts") {
+    val ev = events.limit(300)
+    val dir = java.nio.file.Files.createTempDirectory("graft_skview_i").toString
+    SketchView.appendBatch(ev, "ts", Seq("event_type"), "value", dir,
+      "hour", 0.01, SketchView.DefaultPartSpanMs, batchId = 7L)
+    val once = viewMap(SketchView.read(spark, dir, Seq("event_type")))
+    // the at-least-once replay: same batch id, same rows, written again
+    SketchView.appendBatch(ev, "ts", Seq("event_type"), "value", dir,
+      "hour", 0.01, SketchView.DefaultPartSpanMs, batchId = 7L)
+    val twice = viewMap(SketchView.read(spark, dir, Seq("event_type")))
+    assert(twice === once)
+    // a DIFFERENT batch id adds
+    SketchView.appendBatch(ev, "ts", Seq("event_type"), "value", dir,
+      "hour", 0.01, SketchView.DefaultPartSpanMs, batchId = 8L)
+    val merged = SketchView.read(spark, dir, Seq("event_type"))
+      .join(SketchView.rollup(ev, "ts", Seq("event_type"), "value")
+        .withColumnRenamed("sketch", "sk1"), Seq("bucket_ms", "event_type"))
+      .select((G.ddsketch_count(F.col("sketch")) ===
+        G.ddsketch_count(F.col("sk1")) * 2).as("ok")).as[Boolean].collect()
+    assert(merged.nonEmpty && merged.forall(identity))
+  }
+
   test("NULL timestamps are dropped, NULL values skipped") {
     val df = Seq(
       (Some(java.sql.Timestamp.valueOf("2024-01-01 10:15:00")), "a", Some(1.0)),
