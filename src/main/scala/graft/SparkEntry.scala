@@ -300,6 +300,35 @@ object SparkEntry {
         .orderBy("bucket_ms", "event_type")
     }),
 
+    // regrain the OTHER mergeable families: hourly KMV/CMS/TopK
+    // sketches per (hour, type) merged to days with the *_merge_agg
+    // aggregates. Every emitted number is EXACT at this cardinality:
+    // KMV is exact below k=1024 distinct (max 67/day here), CMS totals
+    // are add-counts, and TopK with capacity >= distinct users is the
+    // exact per-user counts — so DuckDB replays all three raw.
+    "q_sketch_regrain" -> ((s: SparkSession, dir: String) => {
+      val ev = t(s, dir, "events")
+      val K = graft.sketch.kmv
+      val C = graft.sketch.cms
+      val T = graft.sketch.topk
+      val hourly = ev
+        .groupBy(F.date_trunc("hour", F.col("ts")).as("hour"), F.col("event_type"))
+        .agg(K.kmv_agg(F.col("user_id")).as("ksk"),
+          C.cms_agg(F.col("user_id")).as("csk"),
+          T.topk_agg(F.col("user_id").cast("string"), 128).as("tsk"))
+      hourly
+        .groupBy(F.date_trunc("day", F.col("hour")).as("day"), F.col("event_type"))
+        .agg(K.kmv_merge_agg(F.col("ksk")).as("ksk"),
+          C.cms_merge_agg(F.col("csk")).as("csk"),
+          T.topk_merge_agg(F.col("tsk")).as("tsk"))
+        .select(F.unix_millis(F.col("day")).as("day_ms"), F.col("event_type"),
+          K.kmv_distinct(F.col("ksk")).cast("long").as("uniques"),
+          C.cms_total(F.col("csk")).as("total"),
+          F.element_at(T.topk_items(F.col("tsk"), 1), 1)
+            .getField("count").as("top1"))
+        .orderBy("day_ms", "event_type")
+    }),
+
     // #12 ddsketch_stats_agg: 12-field struct from merged blobs
     "q_sketch_stats_agg" -> ((s: SparkSession, dir: String) => {
       Graft.register(s)
@@ -4399,6 +4428,16 @@ object SparkEntry {
     "q_sketch_agg_rollup" ->
       """SELECT event_type, count(*) AS cnt
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_sketch_regrain" ->
+      """WITH per_user AS (
+        |  SELECT date_trunc('day', ts) AS day, event_type, user_id,
+        |         count(*) AS c
+        |  FROM events GROUP BY 1, 2, 3)
+        |SELECT CAST(epoch_ms(day) AS BIGINT) AS day_ms, event_type,
+        |       CAST(count(*) AS BIGINT) AS uniques,
+        |       CAST(sum(c) AS BIGINT) AS total,
+        |       CAST(max(c) AS BIGINT) AS top1
+        |FROM per_user GROUP BY 1, 2 ORDER BY day_ms, event_type""".stripMargin,
     "q_sketch_view" ->
       """SELECT CAST(epoch_ms(date_trunc('hour', ts)) AS BIGINT) AS bucket_ms,
         |       event_type, count(*) AS n, true AS bytes_eq

@@ -209,9 +209,23 @@ object bloom {
     keys.sparkSession.sparkContext.broadcast(decodeFilter(filt))
   }
 
+  /** Aggregate MERGE of stored Bloom filters (bitwise OR) — union
+    * nightly membership filters into the corpus filter. First bit
+    * geometry adopted; incompatible rows skipped; NULL for an empty
+    * group. */
+  def bloom_merge_agg(sketch: Column): Column =
+    GraftBridge.column(
+      BloomMergeAggExpr(GraftBridge.expression(sketch)).toAggregateExpression())
+
   /** Every bloom function as an expression builder — shared by the
     * per-session registration and the extensions path. */
   private[graft] def allBuilders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "bloom_merge_agg" -> {
+      case Seq(b) => BloomMergeAggExpr(b)
+      case other =>
+        throw new IllegalArgumentException(
+          s"bloom_merge_agg expects 1 argument, got ${other.size}")
+    },
     "bloom_agg" -> {
       case Seq(v) => BloomAggExpr(hashed(v))
       case Seq(v, items) =>

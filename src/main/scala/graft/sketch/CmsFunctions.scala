@@ -171,6 +171,13 @@ object cms {
     * NULL, undecodable, or incompatible. */
   def cms_merge(a: Column, b: Column): Column = mergeUdf(a, b)
 
+  /** Aggregate MERGE of stored CMS sketches (exact counter addition) —
+    * regrain hourly frequency windows to days. First geometry adopted;
+    * incompatible rows skipped; NULL for an empty group. */
+  def cms_merge_agg(sketch: Column): Column =
+    GraftBridge.column(
+      CmsMergeAggExpr(GraftBridge.expression(sketch)).toAggregateExpression())
+
   /** Every cms function as an expression builder — shared by the
     * per-session registration and the extensions path. */
   private[graft] def allBuilders: Seq[(String, Seq[Expression] => Expression)] = Seq(
@@ -204,6 +211,12 @@ object cms {
       case other =>
         throw new IllegalArgumentException(
           s"cms_merge expects 2 arguments, got ${other.size}")
+    },
+    "cms_merge_agg" -> {
+      case Seq(b) => CmsMergeAggExpr(b)
+      case other =>
+        throw new IllegalArgumentException(
+          s"cms_merge_agg expects 1 argument, got ${other.size}")
     })
 
   /** SQL registration (also done by Graft.register). */

@@ -118,6 +118,20 @@ object kmv {
   def kmv_containment(a: Column, b: Column): Column = containmentUdf(a, b)
   def kmv_merge(a: Column, b: Column): Column = mergeUdf(a, b)
 
+  /** Aggregate MERGE of stored KMV sketches (exact min-hash set
+    * union) — "daily uniques from hourly sketches". First sketch's k
+    * adopted; k mismatches skipped; NULL for an empty group. */
+  def kmv_merge_agg(sketch: Column): Column =
+    GraftBridge.column(
+      KmvMergeAggExpr(GraftBridge.expression(sketch)).toAggregateExpression())
+
+  private def mergeAggBuilder: Seq[Expression] => Expression = {
+    case Seq(b) => KmvMergeAggExpr(b)
+    case other =>
+      throw new IllegalArgumentException(
+        s"kmv_merge_agg expects 1 argument, got ${other.size}")
+  }
+
   private def aggBuilder: Seq[Expression] => Expression = {
     case Seq(v) => KmvAggExpr(hashed(v))
     case Seq(v, kExpr) => KmvAggExpr(hashed(v), ArgEval.positiveInt(kExpr, "kmv_agg k"))
@@ -132,7 +146,8 @@ object kmv {
     "kmv_distinct" -> (es => GraftBridge.udfExpression(distinctUdf, es)),
     "kmv_jaccard" -> (es => GraftBridge.udfExpression(jaccardUdf, es)),
     "kmv_containment" -> (es => GraftBridge.udfExpression(containmentUdf, es)),
-    "kmv_merge" -> (es => GraftBridge.udfExpression(mergeUdf, es)))
+    "kmv_merge" -> (es => GraftBridge.udfExpression(mergeUdf, es)),
+    "kmv_merge_agg" -> mergeAggBuilder)
 
   /** SQL registration (also done by Graft.register). */
   def register(spark: SparkSession): Unit = {
@@ -142,5 +157,6 @@ object kmv {
     u.register("kmv_containment", containmentUdf)
     u.register("kmv_merge", mergeUdf)
     GraftBridge.registerFunction(spark, "kmv_agg", aggBuilder)
+    GraftBridge.registerFunction(spark, "kmv_merge_agg", mergeAggBuilder)
   }
 }

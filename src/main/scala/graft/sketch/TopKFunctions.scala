@@ -126,6 +126,20 @@ object topk {
 
   def topk_merge(a: Column, b: Column): Column = mergeUdf(a, b)
 
+  /** Aggregate MERGE of stored TopK sketches (mergeable-summaries
+    * combine) — regrain hourly heavy-hitter windows to days. First
+    * capacity adopted; mismatches skipped; NULL for an empty group. */
+  def topk_merge_agg(sketch: Column): Column =
+    GraftBridge.column(
+      TopKMergeAggExpr(GraftBridge.expression(sketch)).toAggregateExpression())
+
+  private def mergeAggBuilder: Seq[Expression] => Expression = {
+    case Seq(b) => TopKMergeAggExpr(b)
+    case other =>
+      throw new IllegalArgumentException(
+        s"topk_merge_agg expects 1 argument, got ${other.size}")
+  }
+
   private def aggBuilder: Seq[Expression] => Expression = {
     case Seq(v) => TopKAggExpr(v)
     case Seq(v, cap) => TopKAggExpr(v, ArgEval.positiveInt(cap, "topk_agg capacity"))
@@ -138,11 +152,13 @@ object topk {
   private[graft] def allBuilders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "topk_agg" -> aggBuilder,
     "topk_items" -> (es => GraftBridge.udfExpression(itemsUdf, es)),
-    "topk_merge" -> (es => GraftBridge.udfExpression(mergeUdf, es)))
+    "topk_merge" -> (es => GraftBridge.udfExpression(mergeUdf, es)),
+    "topk_merge_agg" -> mergeAggBuilder)
 
   def register(spark: SparkSession): Unit = {
     spark.udf.register("topk_items", itemsUdf)
     spark.udf.register("topk_merge", mergeUdf)
     GraftBridge.registerFunction(spark, "topk_agg", aggBuilder)
+    GraftBridge.registerFunction(spark, "topk_merge_agg", mergeAggBuilder)
   }
 }
