@@ -1,6 +1,6 @@
 package graft.sketch
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.{functions => F}
 import graft.sketch.{functions => G}
 
@@ -10,7 +10,9 @@ import graft.sketch.{functions => G}
  * pattern (reference README.md:189-199), made NIGHTLY-SAFE at corpus
  * scale with a merge-on-read layout:
  *
- *   - [[materialize]] writes per-(time bucket, keys) DDSketch rows as
+ *   - [[materialize]] writes per-(time bucket, keys) sketch rows
+ *     (DDSketch by default; any [[ViewFamily]] — KMV uniques, CMS
+ *     frequencies, TopK heavy hitters, Bloom membership) as
  *     parquet, PARTITIONED BY a coarser `__part` directory key (pure
  *     long math: `bucket_ms - bucket_ms mod partSpanMs`, one UTC day
  *     by default — fine rows, bounded directories; hour-grain
@@ -42,6 +44,36 @@ object SketchView {
   /** One UTC day — the default partition-directory span. */
   val DefaultPartSpanMs: Long = 86400000L
 
+  /** A mergeable sketch family pluggable into the view: `build` is
+    * the value→sketch aggregate, `merge` the sketch→sketch merge
+    * aggregate. Any pair whose merge is the monoid combine of builds
+    * keeps the view ≡ rebuild guarantee (byte-identical for every
+    * family here except TopK, whose combine is order-sensitively
+    * approximate — its view is still a valid TopK of the union). */
+  final case class ViewFamily(build: Column => Column, merge: Column => Column)
+
+  object ViewFamily {
+    /** Quantiles (the default): DDSketch values → mergeable sketch. */
+    def ddsketch(accuracy: Double = 0.01): ViewFamily =
+      ViewFamily(G.ddsketch_agg_values(_, accuracy), G.ddsketch_agg)
+    /** Distinct counts: "daily uniques from hourly sketches". */
+    def kmvDistinct(k: Int = KmvSketch.DefaultK): ViewFamily =
+      ViewFamily(kmv.kmv_agg(_, k), kmv.kmv_merge_agg)
+    /** Frequency estimates (Count-Min). */
+    def cmsFrequency(
+        eps: Double = cms.DefaultEps,
+        confidence: Double = cms.DefaultConfidence): ViewFamily =
+      ViewFamily(cms.cms_agg(_, eps, confidence), cms.cms_merge_agg)
+    /** Heavy hitters (space-saving TopK). */
+    def topkItems(capacity: Int = TopKSketch.DefaultCapacity): ViewFamily =
+      ViewFamily(topk.topk_agg(_, capacity), topk.topk_merge_agg)
+    /** Membership (Bloom OR). */
+    def bloomMembership(
+        expectedItems: Long = bloom.DefaultItems,
+        fpp: Double = bloom.DefaultFpp): ViewFamily =
+      ViewFamily(bloom.bloom_agg(_, expectedItems, fpp), bloom.bloom_merge_agg)
+  }
+
   /** Roll one event frame up to (`bucket_ms`, keys..., `sketch`). The
     * bucket is the epoch-millis long of the truncated timestamp (a
     * stable, timezone-free key). NULL values are skipped by the
@@ -53,11 +85,11 @@ object SketchView {
       keyCols: Seq[String],
       valueCol: String,
       bucket: String = "hour",
-      accuracy: Double = 0.01): DataFrame =
+      family: ViewFamily = ViewFamily.ddsketch()): DataFrame =
     events.filter(F.col(tsCol).isNotNull)
       .groupBy(F.unix_millis(F.date_trunc(bucket, F.col(tsCol))).as("bucket_ms") +:
         keyCols.map(F.col): _*)
-      .agg(G.ddsketch_agg_values(F.col(valueCol), accuracy).as("sketch"))
+      .agg(family.build(F.col(valueCol)).as("sketch"))
 
   /** Create (or replace) the persisted view from a full event scan. */
   def materialize(
@@ -67,9 +99,9 @@ object SketchView {
       valueCol: String,
       path: String,
       bucket: String = "hour",
-      accuracy: Double = 0.01,
+      family: ViewFamily = ViewFamily.ddsketch(),
       partSpanMs: Long = DefaultPartSpanMs): Unit =
-    writeView(rollup(events, tsCol, keyCols, valueCol, bucket, accuracy),
+    writeView(rollup(events, tsCol, keyCols, valueCol, bucket, family),
       path, "overwrite", partSpanMs)
 
   /** The directory key of a bucket: pure long floor, identical on the
@@ -107,8 +139,9 @@ object SketchView {
     * every batch ever appended, plus the reconstructed `bucket_start`
     * timestamp. For a time window use [[readRange]] — it prunes the
     * scan to the window's partitions. */
-  def read(spark: SparkSession, path: String, keyCols: Seq[String]): DataFrame =
-    merge(spark.read.parquet(path), keyCols)
+  def read(spark: SparkSession, path: String, keyCols: Seq[String],
+      family: ViewFamily = ViewFamily.ddsketch()): DataFrame =
+    merge(spark.read.parquet(path), keyCols, family)
 
   /** [[read]] restricted to `fromMs <= bucket_ms < untilMs`, with the
     * matching `__part` predicate derived by the same long math so the
@@ -119,18 +152,20 @@ object SketchView {
       keyCols: Seq[String],
       fromMs: Long,
       untilMs: Long,
+      family: ViewFamily = ViewFamily.ddsketch(),
       partSpanMs: Long = DefaultPartSpanMs): DataFrame =
     merge(
       spark.read.parquet(path)
         .filter(F.col("__part") >= partFloor(fromMs, partSpanMs) &&
                 F.col("__part") < untilMs &&
                 F.col("bucket_ms") >= fromMs && F.col("bucket_ms") < untilMs),
-      keyCols)
+      keyCols, family)
 
-  private def merge(raw: DataFrame, keyCols: Seq[String]): DataFrame =
+  private def merge(
+      raw: DataFrame, keyCols: Seq[String], family: ViewFamily): DataFrame =
     raw
       .groupBy(F.col("bucket_ms") +: keyCols.map(F.col): _*)
-      .agg(G.ddsketch_agg(F.col("sketch")).as("sketch"))
+      .agg(family.merge(F.col("sketch")).as("sketch"))
       .withColumn("bucket_start", F.timestamp_millis(F.col("bucket_ms")))
 
   /** Incremental maintenance: roll up the fresh batch and APPEND the
@@ -143,9 +178,9 @@ object SketchView {
       valueCol: String,
       path: String,
       bucket: String = "hour",
-      accuracy: Double = 0.01,
+      family: ViewFamily = ViewFamily.ddsketch(),
       partSpanMs: Long = DefaultPartSpanMs): Unit =
-    writeView(rollup(fresh, tsCol, keyCols, valueCol, bucket, accuracy),
+    writeView(rollup(fresh, tsCol, keyCols, valueCol, bucket, family),
       path, "append", partSpanMs)
 
   /** Rewrite the view to one row per (bucket, keys). The merged frame
@@ -156,9 +191,11 @@ object SketchView {
       spark: SparkSession,
       path: String,
       keyCols: Seq[String],
+      family: ViewFamily = ViewFamily.ddsketch(),
       partSpanMs: Long = DefaultPartSpanMs): Unit =
     writeView(
-      read(spark, path, keyCols).drop("bucket_start").localCheckpoint(true),
+      read(spark, path, keyCols, family).drop("bucket_start")
+        .localCheckpoint(true),
       path, "overwrite", partSpanMs)
 
   /** Continuous maintenance: a foreachBatch sink that rolls each
@@ -177,12 +214,12 @@ object SketchView {
       valueCol: String,
       path: String,
       bucket: String = "hour",
-      accuracy: Double = 0.01,
+      family: ViewFamily = ViewFamily.ddsketch(),
       partSpanMs: Long = DefaultPartSpanMs)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream.foreachBatch {
       (batch: DataFrame, batchId: Long) =>
-        appendBatch(batch, tsCol, keyCols, valueCol, path, bucket, accuracy,
+        appendBatch(batch, tsCol, keyCols, valueCol, path, bucket, family,
           partSpanMs, batchId)
     }
 
@@ -194,19 +231,20 @@ object SketchView {
       valueCol: String,
       path: String,
       bucket: String,
-      accuracy: Double,
+      family: ViewFamily,
       partSpanMs: Long,
       batchId: Long): Unit =
-    writeView(rollup(batch, tsCol, keyCols, valueCol, bucket, accuracy),
+    writeView(rollup(batch, tsCol, keyCols, valueCol, bucket, family),
       path, "overwrite", partSpanMs, batchId, dynamic = true)
 
   /** Merge a view (or any rollup frame) to a coarser grain — the
     * hour → day/week dashboard query, answered from sketches alone. */
-  def regrain(view: DataFrame, keyCols: Seq[String], grain: String): DataFrame =
+  def regrain(view: DataFrame, keyCols: Seq[String], grain: String,
+      family: ViewFamily = ViewFamily.ddsketch()): DataFrame =
     view
       .groupBy(F.unix_millis(F.date_trunc(grain,
           F.timestamp_millis(F.col("bucket_ms")))).as("bucket_ms") +:
         keyCols.map(F.col): _*)
-      .agg(G.ddsketch_agg(F.col("sketch")).as("sketch"))
+      .agg(family.merge(F.col("sketch")).as("sketch"))
       .withColumn("bucket_start", F.timestamp_millis(F.col("bucket_ms")))
 }

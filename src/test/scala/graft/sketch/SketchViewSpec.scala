@@ -121,22 +121,52 @@ class SketchViewSpec extends SparkTestBase {
     val ev = events.limit(300)
     val dir = java.nio.file.Files.createTempDirectory("graft_skview_i").toString
     SketchView.appendBatch(ev, "ts", Seq("event_type"), "value", dir,
-      "hour", 0.01, SketchView.DefaultPartSpanMs, batchId = 7L)
+      "hour", SketchView.ViewFamily.ddsketch(), SketchView.DefaultPartSpanMs, batchId = 7L)
     val once = viewMap(SketchView.read(spark, dir, Seq("event_type")))
     // the at-least-once replay: same batch id, same rows, written again
     SketchView.appendBatch(ev, "ts", Seq("event_type"), "value", dir,
-      "hour", 0.01, SketchView.DefaultPartSpanMs, batchId = 7L)
+      "hour", SketchView.ViewFamily.ddsketch(), SketchView.DefaultPartSpanMs, batchId = 7L)
     val twice = viewMap(SketchView.read(spark, dir, Seq("event_type")))
     assert(twice === once)
     // a DIFFERENT batch id adds
     SketchView.appendBatch(ev, "ts", Seq("event_type"), "value", dir,
-      "hour", 0.01, SketchView.DefaultPartSpanMs, batchId = 8L)
+      "hour", SketchView.ViewFamily.ddsketch(), SketchView.DefaultPartSpanMs, batchId = 8L)
     val merged = SketchView.read(spark, dir, Seq("event_type"))
       .join(SketchView.rollup(ev, "ts", Seq("event_type"), "value")
         .withColumnRenamed("sketch", "sk1"), Seq("bucket_ms", "event_type"))
       .select((G.ddsketch_count(F.col("sketch")) ===
         G.ddsketch_count(F.col("sk1")) * 2).as("ok")).as[Boolean].collect()
     assert(merged.nonEmpty && merged.forall(identity))
+  }
+
+  test("kmvDistinct family: incremental view yields exact hourly uniques") {
+    val ev = events
+    val fam = SketchView.ViewFamily.kmvDistinct()
+    val dir = java.nio.file.Files.createTempDirectory("graft_skview_kmv").toString
+    SketchView.materialize(ev.filter(F.col("event_id") % 2 === 0),
+      "ts", Seq("event_type"), "user_id", dir, family = fam)
+    SketchView.append(ev.filter(F.col("event_id") % 2 =!= 0),
+      "ts", Seq("event_type"), "user_id", dir, family = fam)
+    val view = SketchView.read(spark, dir, Seq("event_type"), fam)
+    // byte-identical to a rebuild (exact min-hash set union)
+    val rebuilt = viewMap(
+      SketchView.rollup(ev, "ts", Seq("event_type"), "user_id", family = fam))
+    assert(viewMap(view) === rebuilt)
+    // and the estimates are EXACT below k distinct
+    val got = view.select(F.col("bucket_ms"), F.col("event_type"),
+        kmv.kmv_distinct(F.col("sketch")).cast("long").as("u"))
+      .as[(Long, String, Long)].collect().toMap2
+    val exact = ev
+      .groupBy(F.unix_millis(F.date_trunc("hour", F.col("ts"))).as("b"),
+        F.col("event_type"))
+      .agg(F.countDistinct(F.col("user_id")).as("u"))
+      .as[(Long, String, Long)].collect().toMap2
+    assert(got === exact)
+    assert(got.nonEmpty)
+  }
+
+  implicit private class Tup3Map[A, B, C](rows: Array[(A, B, C)]) {
+    def toMap2: Map[(A, B), C] = rows.map { case (a, b, c) => (a, b) -> c }.toMap
   }
 
   test("NULL timestamps are dropped, NULL values skipped") {
