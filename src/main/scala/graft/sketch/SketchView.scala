@@ -237,6 +237,31 @@ object SketchView {
     writeView(rollup(batch, tsCol, keyCols, valueCol, bucket, family),
       path, "overwrite", partSpanMs, batchId, dynamic = true)
 
+  /** Retention: drop every `__part` directory strictly OLDER than
+    * `keepFromMs`'s partition (directory-level deletes — no file
+    * rewrite, no scan; the same long-math floor as [[readRange]]).
+    * Safe against concurrent readers of the kept range. Returns the
+    * number of partitions dropped. */
+  def expire(
+      spark: SparkSession,
+      path: String,
+      keepFromMs: Long,
+      partSpanMs: Long = DefaultPartSpanMs): Int = {
+    val floor = partFloor(keepFromMs, partSpanMs)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) 0
+    else
+      fs.listStatus(root).toSeq.count { st =>
+        val name = st.getPath.getName
+        st.isDirectory && name.startsWith("__part=") &&
+          scala.util.Try(name.stripPrefix("__part=").toLong)
+            .toOption.exists(_ < floor) && {
+            fs.delete(st.getPath, true); true
+          }
+      }
+  }
+
   /** Merge a view (or any rollup frame) to a coarser grain — the
     * hour → day/week dashboard query, answered from sketches alone. */
   def regrain(view: DataFrame, keyCols: Seq[String], grain: String,

@@ -169,6 +169,24 @@ class SketchViewSpec extends SparkTestBase {
     def toMap2: Map[(A, B), C] = rows.map { case (a, b, c) => (a, b) -> c }.toMap
   }
 
+  test("expire drops exactly the partitions older than the retention floor") {
+    val ev = events
+    val dir = java.nio.file.Files.createTempDirectory("graft_skview_exp").toString
+    SketchView.materialize(ev, "ts", Seq("event_type"), "value", dir)
+    val all = SketchView.read(spark, dir, Seq("event_type"))
+      .select("bucket_ms").as[Long].collect().sorted
+    val span = SketchView.DefaultPartSpanMs
+    val parts = all.map(b => b - java.lang.Math.floorMod(b, span)).distinct.sorted
+    assert(parts.length > 3)
+    val keepFrom = parts(2)   // keep from the 3rd partition's floor on
+    val dropped = SketchView.expire(spark, dir, keepFrom)
+    assert(dropped === 2)
+    val left = SketchView.read(spark, dir, Seq("event_type"))
+      .select("bucket_ms").as[Long].collect().toSet
+    assert(left === all.filter(b => b - java.lang.Math.floorMod(b, span) >= keepFrom).toSet)
+    assert(SketchView.expire(spark, dir, keepFrom) === 0)   // idempotent
+  }
+
   test("NULL timestamps are dropped, NULL values skipped") {
     val df = Seq(
       (Some(java.sql.Timestamp.valueOf("2024-01-01 10:15:00")), "a", Some(1.0)),
