@@ -139,6 +139,29 @@ object Bench {
           G.ddsketch_quantile(F.col("sketch"), 0.95).as("p95"))
     }),
 
+    // hourly KMV/CMS/TopK sketches merged to days with the merge
+    // aggregates (regrain without touching raw events)
+    "b_sketch_regrain" -> ((s: SparkSession, dir: String) => {
+      val K = graft.sketch.kmv
+      val C = graft.sketch.cms
+      val T = graft.sketch.topk
+      val hourly = t(s, dir, "events")
+        .groupBy(F.date_trunc("hour", F.col("ts")).as("hour"), F.col("event_type"))
+        .agg(K.kmv_agg(F.col("user_id")).as("ksk"),
+          C.cms_agg(F.col("user_id"), 0.01, 0.99).as("csk"),
+          T.topk_agg(F.col("user_id").cast("string"), 128).as("tsk"))
+      hourly
+        .groupBy(F.date_trunc("day", F.col("hour")).as("day"), F.col("event_type"))
+        .agg(K.kmv_merge_agg(F.col("ksk")).as("ksk"),
+          C.cms_merge_agg(F.col("csk")).as("csk"),
+          T.topk_merge_agg(F.col("tsk")).as("tsk"))
+        .select(F.col("day"), F.col("event_type"),
+          K.kmv_distinct(F.col("ksk")).as("uniques"),
+          C.cms_total(F.col("csk")).as("total"),
+          F.element_at(T.topk_items(F.col("tsk"), 1), 1)
+            .getField("count").as("top1"))
+    }),
+
     // one-pass stats struct over a larger table with key skew
     "b_sketch_lineitem" -> ((s: SparkSession, dir: String) =>
       t(s, dir, "lineitem").groupBy(F.col("l_returnflag"), F.col("l_linestatus"))

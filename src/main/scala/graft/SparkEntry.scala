@@ -314,7 +314,7 @@ object SparkEntry {
       val hourly = ev
         .groupBy(F.date_trunc("hour", F.col("ts")).as("hour"), F.col("event_type"))
         .agg(K.kmv_agg(F.col("user_id")).as("ksk"),
-          C.cms_agg(F.col("user_id")).as("csk"),
+          C.cms_agg(F.col("user_id"), 0.01, 0.99).as("csk"),
           T.topk_agg(F.col("user_id").cast("string"), 128).as("tsk"))
       hourly
         .groupBy(F.date_trunc("day", F.col("hour")).as("day"), F.col("event_type"))

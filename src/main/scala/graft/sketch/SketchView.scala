@@ -237,6 +237,44 @@ object SketchView {
     writeView(rollup(batch, tsCol, keyCols, valueCol, bucket, family),
       path, "overwrite", partSpanMs, batchId, dynamic = true)
 
+  /** Repair/backfill: replace the view's content for the partition
+    * range `[fromMs, untilMs)` with a fresh rollup of `events` — the
+    * one operation that rewrites history, for late data or an
+    * upstream fix that invalidated a window. The range must align to
+    * `partSpanMs` (whole directories are dropped — every batch in the
+    * range, so stale stream appends can't double-count). Events
+    * outside the range are ignored. */
+  def backfill(
+      events: DataFrame,
+      tsCol: String,
+      keyCols: Seq[String],
+      valueCol: String,
+      path: String,
+      fromMs: Long,
+      untilMs: Long,
+      bucket: String = "hour",
+      family: ViewFamily = ViewFamily.ddsketch(),
+      partSpanMs: Long = DefaultPartSpanMs): Unit = {
+    require(partFloor(fromMs, partSpanMs) == fromMs &&
+        partFloor(untilMs, partSpanMs) == untilMs,
+      s"backfill range must align to partSpanMs=$partSpanMs")
+    val spark = events.sparkSession
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(root)) fs.listStatus(root).foreach { st =>
+      val name = st.getPath.getName
+      if (st.isDirectory && name.startsWith("__part=")) {
+        val p = scala.util.Try(name.stripPrefix("__part=").toLong).toOption
+        if (p.exists(v => v >= fromMs && v < untilMs))
+          fs.delete(st.getPath, true)
+      }
+    }
+    append(
+      events.filter(F.unix_millis(F.col(tsCol)) >= fromMs &&
+        F.unix_millis(F.col(tsCol)) < untilMs),
+      tsCol, keyCols, valueCol, path, bucket, family, partSpanMs)
+  }
+
   /** Retention: drop every `__part` directory strictly OLDER than
     * `keepFromMs`'s partition (directory-level deletes — no file
     * rewrite, no scan; the same long-math floor as [[readRange]]).

@@ -187,6 +187,32 @@ class SketchViewSpec extends SparkTestBase {
     assert(SketchView.expire(spark, dir, keepFrom) === 0)   // idempotent
   }
 
+  test("backfill replaces a partition range, fixing a double-counted window") {
+    val ev = events
+    val dir = java.nio.file.Files.createTempDirectory("graft_skview_bf").toString
+    SketchView.materialize(ev, "ts", Seq("event_type"), "value", dir)
+    val clean = viewMap(SketchView.read(spark, dir, Seq("event_type")))
+    val span = SketchView.DefaultPartSpanMs
+    val parts = clean.keySet.map(_._1)
+      .map(b => b - java.lang.Math.floorMod(b, span)).toSeq.distinct.sorted
+    val (from, until) = (parts(1), parts(1) + span)   // one middle partition
+    // corrupt that window: a stray duplicate append double-counts it
+    SketchView.append(
+      ev.filter(F.unix_millis(F.col("ts")).between(from, until - 1)),
+      "ts", Seq("event_type"), "value", dir)
+    val corrupted = viewMap(SketchView.read(spark, dir, Seq("event_type")))
+    assert(corrupted !== clean)
+    // backfill the range from the source of truth
+    SketchView.backfill(ev, "ts", Seq("event_type"), "value", dir, from, until)
+    val repaired = viewMap(SketchView.read(spark, dir, Seq("event_type")))
+    assert(repaired === clean)
+    // misaligned ranges are refused
+    intercept[IllegalArgumentException] {
+      SketchView.backfill(ev, "ts", Seq("event_type"), "value", dir,
+        from + 1, until)
+    }
+  }
+
   test("NULL timestamps are dropped, NULL values skipped") {
     val df = Seq(
       (Some(java.sql.Timestamp.valueOf("2024-01-01 10:15:00")), "a", Some(1.0)),
