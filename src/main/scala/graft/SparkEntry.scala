@@ -1440,6 +1440,30 @@ object SparkEntry {
             .as("locality_ok"))
     }),
 
+    // the 100 TB z-order form: quantile-boundary scaling (one
+    // percentile_approx pass + broadcast binary search) instead of
+    // the single-partition rank window — same locality contract
+    "q_zorder_scalable" -> ((s: SparkSession, dir: String) => {
+      val ev = t(s, dir, "events").select("event_id", "user_id", "value")
+      val path = System.getProperty("java.io.tmpdir") + "/graft_q_zorder_s"
+      graft.sources.ZOrder.writeZOrderedScalable(
+        ev, Seq("user_id", "value"), path, numFiles = 8)
+      val back = s.read.parquet(path)
+      val spans = back.groupBy(F.input_file_name())
+        .agg((F.max("user_id") - F.min("user_id")).cast("double").as("us"),
+             (F.max("value") - F.min("value")).as("vs"))
+        .agg(F.avg(F.col("us")).as("us"), F.avg(F.col("vs")).as("vs"))
+      val global = ev.agg(
+        (F.max("user_id") - F.min("user_id")).cast("double").as("gu"),
+        (F.max("value") - F.min("value")).as("gv"))
+      back.agg(F.count(F.lit(1)).as("n_rows"),
+               F.sum(F.col("event_id")).as("id_sum"))
+        .crossJoin(spans).crossJoin(global)
+        .select(F.col("n_rows"), F.col("id_sum"),
+          (F.col("us") < F.col("gu") * 0.8 && F.col("vs") < F.col("gv") * 0.8)
+            .as("locality_ok"))
+    }),
+
     // deterministic byte-balanced sharding (the layout step in front
     // of the trainer sinks): shard = exclusive-cumulative-bytes div
     // target in doc_id order — pure arithmetic, replayed by a DuckDB
@@ -6322,6 +6346,9 @@ object SparkEntry {
       // per-micro-batch dynamic-overwrite appends merge to the same
       // view as one batch materialize (exact bin addition)
       "q_stream_view" -> base("q_sketch_view"),
+      // quantile-boundary scaling keeps the rank form's locality
+      // contract — identical output columns over the same events
+      "q_zorder_scalable" -> base("q_zorder"),
       // the streaming probe is output-identical to the batch
       // incremental pair set on a bounded replay (batch≡stream spec)
       "q_stream_neardup" -> base("q_dedup_incremental"),

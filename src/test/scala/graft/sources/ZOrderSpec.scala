@@ -46,4 +46,37 @@ class ZOrderSpec extends SparkTestBase {
     assert(spans._1 < global._1 * 0.8, s"user span $spans vs $global")
     assert(spans._2 < global._2 * 0.8, s"value span $spans vs $global")
   }
+
+  test("writeZOrderedScalable clusters like the rank form, no global window") {
+    val ev = sf("sf0.001", "events").select("event_id", "user_id", "value")
+    val path = java.nio.file.Files.createTempDirectory("zorder_s").toString + "/t"
+    ZOrder.writeZOrderedScalable(ev, Seq("user_id", "value"), path, numFiles = 8)
+    val back = spark.read.parquet(path)
+    assert(back.count() === ev.count())
+    assert(back.agg(F.sum(F.col("event_id"))).as[Long].head() ===
+      ev.agg(F.sum(F.col("event_id"))).as[Long].head())
+    val spans = back.groupBy(F.input_file_name())
+      .agg((F.max("user_id") - F.min("user_id")).cast("double").as("us"),
+           (F.max("value") - F.min("value")).as("vs"))
+      .agg(F.avg("us").as("us"), F.avg("vs").as("vs"))
+      .as[(Double, Double)].head()
+    val global = ev.agg(
+        (F.max("user_id") - F.min("user_id")).cast("double"),
+        (F.max("value") - F.min("value")))
+      .as[(Double, Double)].head()
+    assert(spans._1 < global._1 * 0.8, s"user span $spans vs $global")
+    assert(spans._2 < global._2 * 0.8, s"value span $spans vs $global")
+  }
+
+  test("writeZOrderedScalable handles NULL keys (bucket 0) and preserves rows") {
+    val df = Seq(
+      (1L, Some(5.0), Some(1.0)), (2L, None, Some(2.0)),
+      (3L, Some(7.0), None), (4L, Some(9.0), Some(3.0)))
+      .toDF("id", "a", "b")
+    val path = java.nio.file.Files.createTempDirectory("zorder_n").toString + "/t"
+    ZOrder.writeZOrderedScalable(df, Seq("a", "b"), path, numFiles = 2, bits = 4)
+    val back = spark.read.parquet(path)
+    assert(back.count() === 4L)
+    assert(back.select(F.sum("id")).as[Long].head() === 10L)
+  }
 }
