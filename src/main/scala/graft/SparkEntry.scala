@@ -903,6 +903,34 @@ object SparkEntry {
     // exact regime: total == row count and the top-1 count == the max
     // per-user count, both SQL-replayable (top-1 IDENTITY can tie, so
     // only the count is emitted)
+    // streaming drift gate: per-hour PSI of the value distribution
+    // against the full fixture as the reference (Drift binning and
+    // smoothing verbatim; cuts are shared literals so DuckDB replays
+    // both sides; psi 4dp — the libm-log convention)
+    "q_stream_drift" -> ((s: SparkSession, dir: String) => {
+      val ev = t(s, dir, "events")
+        .filter(F.col("ts").isNotNull)
+        .select(F.col("ts"), F.col("value"))
+      val cuts = Seq(10.0, 25.0, 50.0, 100.0, 250.0)
+      val ref = graft.pipeline.Drift.referenceBinCounts(ev, "value", cuts)
+      val tmp = System.getProperty("java.io.tmpdir") + "/graft_q_stream_drift_src"
+      ev.write.mode("overwrite").parquet(tmp)
+      val stream = s.readStream.schema(ev.schema).parquet(tmp)
+      val agg = graft.streaming.SketchStreaming.driftStream(
+        stream, "ts", "value", "1 hour", "10 minutes", cuts, ref)
+      s.catalog.dropTempView("graft_stream_drift")
+      val q = agg.writeStream
+        .outputMode("complete").format("memory")
+        .queryName("graft_stream_drift")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("graft_stream_drift")
+        .select(F.unix_millis(F.col("window.start")).as("hour_ms"),
+          F.col("n"), F.col("psi"))
+        .orderBy("hour_ms")
+    }),
+
     "q_stream_frequency" -> ((s: SparkSession, dir: String) => {
       Graft.register(s)
       val ev = t(s, dir, "events")
@@ -4572,6 +4600,31 @@ object SparkEntry {
         |         row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
         |  FROM orders) t WHERE rn = 1
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_stream_drift" ->
+      """WITH pool AS (
+        |  SELECT date_trunc('hour', ts) AS h, value AS v FROM events
+        |  WHERE value IS NOT NULL AND NOT isnan(value) AND ts IS NOT NULL),
+        |bb AS (SELECT h, CASE WHEN v <= 10.0 THEN 0 WHEN v <= 25.0 THEN 1
+        |                      WHEN v <= 50.0 THEN 2 WHEN v <= 100.0 THEN 3
+        |                      WHEN v <= 250.0 THEN 4 ELSE 5 END AS bin FROM pool),
+        |hours AS (SELECT DISTINCT h FROM bb),
+        |grid AS (SELECT h, i AS bin FROM hours CROSS JOIN range(0, 6) r(i)),
+        |g AS (SELECT h, bin, count(*) AS c FROM bb GROUP BY 1, 2),
+        |f AS (SELECT grid.h, grid.bin, CAST(coalesce(g.c, 0) AS DOUBLE) AS c
+        |      FROM grid LEFT JOIN g ON g.h = grid.h AND g.bin = grid.bin),
+        |t AS (SELECT h, sum(c) AS n FROM f GROUP BY 1),
+        |rg AS (SELECT bin, CAST(count(*) AS DOUBLE) AS rc FROM bb GROUP BY 1),
+        |rf AS (SELECT i AS bin, CAST(coalesce(rc, 0) AS DOUBLE) AS rc
+        |       FROM range(0, 6) r(i) LEFT JOIN rg ON rg.bin = r.i),
+        |rt AS (SELECT sum(rc) AS nr FROM rf)
+        |SELECT CAST(epoch_ms(f.h) AS BIGINT) AS hour_ms,
+        |       CAST(t.n AS BIGINT) AS n,
+        |       round(sum(((f.c + 1)/(t.n + 6) - (rf.rc + 1)/(rt.nr + 6)) *
+        |                 ln(((f.c + 1)/(t.n + 6)) /
+        |                    ((rf.rc + 1)/(rt.nr + 6)))), 4) AS psi
+        |FROM f JOIN t ON f.h = t.h JOIN rf ON f.bin = rf.bin CROSS JOIN rt
+        |GROUP BY 1, t.n
+        |ORDER BY hour_ms""".stripMargin,
     "q_stream_frequency" ->
       """WITH e AS (SELECT epoch_ms(ts) // 14400000 AS h, event_type, user_id
         |           FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),

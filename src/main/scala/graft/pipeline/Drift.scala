@@ -140,6 +140,24 @@ object Drift {
         F.coalesce(F.col("count_b"), F.lit(0L)).as("count_b"))
   }
 
+  /** The reference side of a drift gate: bin counts of `col` over the
+    * fixed `cuts`, one long per bin 0..cuts.size (empty bins zero) —
+    * a bounded (cuts.size+1)-row collect, computed ONCE per reference
+    * snapshot and carried into per-window comparisons (the streaming
+    * gate [[graft.streaming.SketchStreaming.driftStream]]). */
+  def referenceBinCounts(
+      ref: DataFrame, col: String, cuts: Seq[Double]): Seq[Long] = {
+    require(cuts.nonEmpty, "referenceBinCounts needs at least one cutoff")
+    require(cuts == cuts.distinct.sorted, s"cuts must be ascending: $cuts")
+    val got = ref
+      .select(F.col(col).cast("double").as("__v"))
+      .filter(F.col("__v").isNotNull && !F.isnan(F.col("__v")))
+      .withColumn("__bin", binOf(cuts)(F.col("__v")))
+      .groupBy(F.col("__bin")).agg(F.count(F.lit(1)).as("__c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    (0 to cuts.size).map(got.getOrElse(_, 0L))
+  }
+
   /**
    * PSI = sum over bins of (p_a - p_b) * ln(p_a / p_b), with add-one
    * (Laplace) smoothing p = (count+1)/(n+bins) so empty bins

@@ -235,6 +235,54 @@ object SketchStreaming {
       .select("id_new", "id_old", "inter", "uni")
   }
 
+  /**
+   * Windowed drift gate: per event-time window, bin `valueCol` by the
+   * fixed `cuts` (the [[graft.pipeline.Drift]] binning — count of cuts
+   * strictly below the value) and emit the window's PSI against a
+   * FIXED reference distribution (`refCounts`, from
+   * [[graft.pipeline.Drift.referenceBinCounts]] over the reference
+   * snapshot). The per-bin counts are conditional sums inside ONE
+   * windowed aggregation — no chained stateful operators, state per
+   * open window is `cuts.size + 1` longs. Formula = `Drift.psiStatistic`
+   * verbatim: add-one smoothing on both sides, `roundTo`-dp round (ln
+   * is libm — the repo convention for anything summed through log).
+   */
+  def driftStream(
+      stream: DataFrame,
+      tsCol: String,
+      valueCol: String,
+      windowDuration: String,
+      watermarkDelay: String,
+      cuts: Seq[Double],
+      refCounts: Seq[Long],
+      roundTo: Int = 4): DataFrame = {
+    require(cuts.nonEmpty && cuts == cuts.distinct.sorted,
+      s"cuts must be ascending: $cuts")
+    val k = cuts.size + 1
+    require(refCounts.size == k,
+      s"refCounts must have ${k} entries (cuts.size + 1), got ${refCounts.size}")
+    val bLit = F.array(cuts.map(F.lit(_)): _*)
+    val v = F.col(valueCol).cast("double")
+    val binned = stream
+      .withWatermark(tsCol, watermarkDelay)
+      .filter(v.isNotNull && !F.isnan(v))
+      .withColumn("__bin", F.size(F.filter(bLit, c => c < v)))
+    val binCounts = (0 until k).map(i =>
+      F.sum(F.when(F.col("__bin") === i, 1L).otherwise(0L)).as(s"__c$i"))
+    val agg = binned
+      .groupBy(F.window(F.col(tsCol), windowDuration))
+      .agg(binCounts.head, binCounts.tail: _*)
+    val n = (0 until k).map(i => F.col(s"__c$i")).reduce(_ + _)
+    val nRef = refCounts.sum
+    val terms = (0 until k).map { i =>
+      val po = (F.col(s"__c$i") + 1).cast("double") / (n + k).cast("double")
+      val pe = F.lit((refCounts(i) + 1).toDouble / (nRef + k).toDouble)
+      (po - pe) * F.log(po / pe)
+    }
+    agg.select(F.col("window"), n.as("n"),
+      F.round(terms.reduce(_ + _), roundTo).as("psi"))
+  }
+
   def dedupStream(
       stream: DataFrame,
       tsCol: String,

@@ -221,6 +221,18 @@ class PlanShapeSpec extends SparkTestBase {
     assert(exchanges(out) === 1)
   }
 
+  test("SketchView.read merges on one exchange; readRange prunes before it") {
+    val ev = sf("sf0.001", "events").limit(500)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ps_skview").toString
+    graft.sketch.SketchView.materialize(
+      ev, "ts", Seq("event_type"), "value", dir)
+    val view = graft.sketch.SketchView.read(spark, dir, Seq("event_type"))
+    // scan → partial merge → ONE exchange on (bucket, keys) → final
+    assert(exchanges(view) === 1)
+    val plan = view.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("snapshot diff is one full-outer hash join over hash-only projections") {
     val a = Seq((1L, "x"), (2L, "y")).toDF("k", "txt").repartition(4)
     val b = Seq((2L, "y"), (3L, "z")).toDF("k", "txt").repartition(4)

@@ -85,6 +85,43 @@ class BatchStreamEquivalenceSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("driftStream per-window PSI equals the batch formula on identical input") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = eventRows()
+    val cuts = Seq(10.0, 25.0, 50.0, 100.0, 250.0)
+    val batchDf = rows.toSeq.toDF("ts", "event_type", "value")
+    val ref = graft.pipeline.Drift.referenceBinCounts(batchDf, "value", cuts)
+    // the operator itself run in BATCH mode (window agg works on a
+    // static frame; the watermark is a no-op) is the reference
+    val batch = SketchStreaming
+      .driftStream(batchDf, "ts", "value", "1 hour", "365 days", cuts, ref)
+      .select(F.col("window.start").cast("long").as("ws"), F.col("n"), F.col("psi"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val agg = SketchStreaming.driftStream(
+      input.toDF().toDF("ts", "event_type", "value"),
+      "ts", "value", "1 hour", "365 days", cuts, ref)
+    val query = agg.writeStream.format("memory").queryName("bs_drift")
+      .outputMode("complete").start()
+    try {
+      val chunks = rows.grouped(math.max(1, rows.length / 3 + 1)).toSeq
+      chunks.foreach { c => input.addData(c.toSeq); query.processAllAvailable() }
+      val streamed = spark.sql(
+        """SELECT unix_timestamp(window.start) AS ws, n, psi FROM bs_drift""")
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      assert(streamed.keySet === batch.keySet)
+      assert(streamed.nonEmpty)
+      streamed.foreach { case (k, (n, psi)) =>
+        assert(n === batch(k)._1, s"n at $k")
+        // 4dp-rounded on both sides; partial-sum order may differ
+        assert(math.abs(psi - batch(k)._2) <= 1e-4 + 1e-12, s"psi at $k")
+      }
+    } finally query.stop()
+  }
+
   test("runningSketchPerKey final emission equals the batch per-key sketch") {
     val session = spark
     import session.implicits._
