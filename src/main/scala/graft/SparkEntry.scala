@@ -329,6 +329,43 @@ object SparkEntry {
         .orderBy("day_ms", "event_type")
     }),
 
+    // the FULL view lifecycle under the gate: materialize half,
+    // append half, COMPACT (one row per group), BACKFILL a middle-day
+    // partition from the source of truth, then read the whole range
+    // through readRange (partition-pruned path). Every step preserves
+    // the exact merge, so the final view still matches the one-shot
+    // rebuild byte-for-byte — shares q_sketch_view's oracle.
+    "q_sketch_view_lifecycle" -> ((s: SparkSession, dir: String) => {
+      Graft.register(s)
+      val SV = graft.sketch.SketchView
+      val ev = t(s, dir, "events")
+      val evenHour = F.pmod(
+        F.unix_millis(F.date_trunc("hour", F.col("ts"))) / 3600000L,
+        F.lit(2)) === 0
+      val path = System.getProperty("java.io.tmpdir") + "/graft_q_skview_lc"
+      SV.materialize(ev.filter(evenHour), "ts", Seq("event_type"), "value", path)
+      SV.append(ev.filter(!evenHour), "ts", Seq("event_type"), "value", path)
+      SV.compact(s, path, Seq("event_type"))
+      // backfill the second observed day from the source of truth
+      val span = SV.DefaultPartSpanMs
+      val (lo, hi) = {
+        val r = ev.agg(F.min(F.unix_millis(F.date_trunc("hour", F.col("ts")))),
+          F.max(F.unix_millis(F.date_trunc("hour", F.col("ts"))))).collect()(0)
+        (r.getLong(0), r.getLong(1))
+      }
+      val bfFrom = (lo - java.lang.Math.floorMod(lo, span)) + span
+      SV.backfill(ev, "ts", Seq("event_type"), "value", path,
+        bfFrom, bfFrom + span)
+      val view = SV.readRange(s, path, Seq("event_type"), lo, hi + 1L)
+      val rebuilt = SV.rollup(ev, "ts", Seq("event_type"), "value")
+        .withColumnRenamed("sketch", "sk2")
+      view.join(rebuilt, Seq("bucket_ms", "event_type"))
+        .select(F.col("bucket_ms"), F.col("event_type"),
+          G.ddsketch_count(F.col("sketch")).as("n"),
+          (F.col("sketch") === F.col("sk2")).as("bytes_eq"))
+        .orderBy("bucket_ms", "event_type")
+    }),
+
     // #12 ddsketch_stats_agg: 12-field struct from merged blobs
     "q_sketch_stats_agg" -> ((s: SparkSession, dir: String) => {
       Graft.register(s)
@@ -6402,6 +6439,9 @@ object SparkEntry {
       // quantile-boundary scaling keeps the rank form's locality
       // contract — identical output columns over the same events
       "q_zorder_scalable" -> base("q_zorder"),
+      // compact and backfill preserve the exact merge; readRange over
+      // the full range ≡ read — the lifecycle ends at the same view
+      "q_sketch_view_lifecycle" -> base("q_sketch_view"),
       // the streaming probe is output-identical to the batch
       // incremental pair set on a bounded replay (batch≡stream spec)
       "q_stream_neardup" -> base("q_dedup_incremental"),
