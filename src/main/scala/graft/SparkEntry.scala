@@ -366,6 +366,50 @@ object SparkEntry {
         .orderBy("bucket_ms", "event_type")
     }),
 
+    // SLO multiwindow burn-rate alert evaluated from the persisted
+    // view (no event rescan): short window = trailing 2 days, long =
+    // the whole range. Exact counts replay in DuckDB; burn rates are
+    // bracketed by the exact CDF at the objective's ±3.5% value blur
+    // (the q_sketch_cdf argument), pinned as booleans.
+    "q_slo_burn" -> ((s: SparkSession, dir: String) => {
+      Graft.register(s)
+      val SV = graft.sketch.SketchView
+      val ev = t(s, dir, "events")
+      val path = System.getProperty("java.io.tmpdir") + "/graft_q_slo"
+      SV.materialize(ev, "ts", Seq("event_type"), "value", path)
+      val hourMs = F.unix_millis(F.date_trunc("hour", F.col("ts")))
+      val (lo, hi) = {
+        val r = ev.agg(F.min(hourMs), F.max(hourMs)).collect()(0)
+        (r.getLong(0), r.getLong(1))
+      }
+      val until = hi + 3600000L
+      val shortMs = 2L * 86400000L
+      val (objective, budget) = (100.0, 0.25)
+      val burn = graft.sketch.Slo.multiWindowBurn(
+        s, path, Seq("event_type"), objective, budget,
+        until, shortMs, until - lo)
+      def exactFracs(fromMs: Long, tag: String) = ev
+        .filter(hourMs >= fromMs && hourMs < until)
+        .groupBy(F.col("event_type"))
+        .agg(
+          (F.sum(F.when(F.col("value") <= objective * 0.965, 1L).otherwise(0L))
+            .cast("double") / F.count(F.lit(1))).as(s"__lo_$tag"),
+          (F.sum(F.when(F.col("value") <= objective * 1.035, 1L).otherwise(0L))
+            .cast("double") / F.count(F.lit(1))).as(s"__hi_$tag"))
+      def ok(b: Column, loF: Column, hiF: Column): Column =
+        b >= (F.lit(1.0) - hiF - 1e-9) / budget &&
+        b <= (F.lit(1.0) - loF + 1e-9) / budget
+      burn
+        .join(exactFracs(until - shortMs, "s"), "event_type")
+        .join(exactFracs(lo, "l"), "event_type")
+        .select(F.col("event_type"), F.col("n_short"), F.col("n_long"),
+          ok(F.col("burn_short"), F.col("__lo_s"), F.col("__hi_s"))
+            .as("burn_short_ok"),
+          ok(F.col("burn_long"), F.col("__lo_l"), F.col("__hi_l"))
+            .as("burn_long_ok"))
+        .orderBy("event_type")
+    }),
+
     // #12 ddsketch_stats_agg: 12-field struct from merged blobs
     "q_sketch_stats_agg" -> ((s: SparkSession, dir: String) => {
       Graft.register(s)
@@ -4517,6 +4561,17 @@ object SparkEntry {
     "q_sketch_agg_rollup" ->
       """SELECT event_type, count(*) AS cnt
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_slo_burn" ->
+      """WITH b AS (
+        |  SELECT epoch_ms(date_trunc('hour', ts)) AS h, event_type
+        |  FROM events),
+        |mx AS (SELECT max(h) + 3600000 AS until FROM b)
+        |SELECT event_type,
+        |       CAST(count(*) FILTER (WHERE h >= until - 172800000) AS BIGINT)
+        |         AS n_short,
+        |       CAST(count(*) AS BIGINT) AS n_long,
+        |       true AS burn_short_ok, true AS burn_long_ok
+        |FROM b, mx GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_sketch_regrain" ->
       """WITH per_user AS (
         |  SELECT date_trunc('day', ts) AS day, event_type, user_id,

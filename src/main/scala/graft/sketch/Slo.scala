@@ -1,0 +1,73 @@
+package graft.sketch
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{functions => F}
+import graft.sketch.{functions => G}
+
+/**
+ * SLO evaluation over stored sketches — the query layer the
+ * reference's observability rollups exist to serve (latency SLOs from
+ * per-window DDSketches; reference README.md:119-141's p95/p99
+ * dashboards taken one step further to alerting):
+ *
+ *   - [[compliance]]: fraction of values within the objective, one
+ *     `ddsketch_cdf` probe of a stored blob — no event rescan.
+ *   - [[burnRate]]: error-budget burn (SRE workbook form):
+ *     `(1 - compliance) / budget`, where budget = 1 - target (a
+ *     99.9% SLO has budget 1e-3). Burn 1.0 = spending exactly the
+ *     budget; 14.4 = the classic page-now threshold.
+ *   - [[multiWindowBurn]]: the multiwindow alert over a
+ *     [[SketchView]]: merge the view's buckets for a SHORT and a LONG
+ *     trailing window per key, burn-rate both, alert when both exceed
+ *     the threshold (short confirms it's still happening, long
+ *     confirms it's material). Two partition-pruned scans of
+ *     sketch-sized rows — the alert never touches raw events.
+ */
+object Slo {
+
+  /** Fraction of values <= `objective` (NULL on NULL/undecodable). */
+  def compliance(sketch: Column, objective: Double): Column =
+    G.ddsketch_cdf(sketch, objective)
+
+  /** Error-budget burn rate: `(1 - compliance) / budget`. */
+  def burnRate(sketch: Column, objective: Double, budget: Double): Column = {
+    require(budget > 0.0 && budget < 1.0, s"budget must be in (0,1): $budget")
+    (F.lit(1.0) - compliance(sketch, objective)) / F.lit(budget)
+  }
+
+  /**
+   * Multiwindow burn-rate alert from a persisted [[SketchView]] at
+   * `path`: per key, the burn over `[untilMs - shortMs, untilMs)` and
+   * `[untilMs - longMs, untilMs)`, and `alert` = both strictly above
+   * `threshold`. Emits (keys..., n_short, n_long, burn_short,
+   * burn_long, alert).
+   */
+  def multiWindowBurn(
+      spark: SparkSession,
+      path: String,
+      keyCols: Seq[String],
+      objective: Double,
+      budget: Double,
+      untilMs: Long,
+      shortMs: Long,
+      longMs: Long,
+      threshold: Double = 1.0,
+      partSpanMs: Long = SketchView.DefaultPartSpanMs): DataFrame = {
+    require(shortMs > 0 && longMs >= shortMs,
+      s"need 0 < shortMs <= longMs (got $shortMs, $longMs)")
+    def window(fromMs: Long, tag: String): DataFrame =
+      SketchView.readRange(spark, path, keyCols, fromMs, untilMs,
+          partSpanMs = partSpanMs)
+        .groupBy(keyCols.map(F.col): _*)
+        .agg(G.ddsketch_agg(F.col("sketch")).as(s"__sk_$tag"))
+    window(untilMs - shortMs, "s")
+      .join(window(untilMs - longMs, "l"), keyCols)
+      .select(keyCols.map(F.col) ++ Seq(
+        G.ddsketch_count(F.col("__sk_s")).as("n_short"),
+        G.ddsketch_count(F.col("__sk_l")).as("n_long"),
+        burnRate(F.col("__sk_s"), objective, budget).as("burn_short"),
+        burnRate(F.col("__sk_l"), objective, budget).as("burn_long")): _*)
+      .withColumn("alert",
+        F.col("burn_short") > threshold && F.col("burn_long") > threshold)
+  }
+}
