@@ -2388,6 +2388,28 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // per-source dataset card: every scalar column replays exactly in
+    // DuckDB (strlen = bytes; dup = count - distinct texts; language
+    // mode with the deterministic (count, tag) tie-break); the length
+    // median pins at rank tolerance vs the exact order statistic
+    "q_datacard" -> ((s: SparkSession, dir: String) => {
+      val docs = t(s, dir, "documents")
+      val card = graft.pipeline.DataCard.sourceCards(
+        docs, "source", "lang", "text")
+      val exact = docs.filter(F.col("text").isNotNull)
+        .groupBy(F.col("source"))
+        .agg(F.sort_array(F.collect_list(F.length(F.col("text")).cast("double")))
+            .as("__sl"),
+          F.count(F.lit(1)).as("__n"))
+      card.join(exact, "source")
+        .select(F.col("source"), F.col("n_docs"), F.col("bytes"),
+          F.col("n_langs"), F.col("dup_docs"),
+          F.col("top_lang"), F.col("top_lang_docs"),
+          ok(G.ddsketch_quantile(F.col("len_sketch"), 0.5),
+            rankValue(F.col("__sl"), F.col("__n"), 0.5), RankTol).as("p50_ok"))
+        .orderBy("source")
+    }),
+
     "q_boilerplate" -> ((s: SparkSession, dir: String) => {
       val bp = graft.pipeline.Boilerplate
       val docs = t(s, dir, "documents")
@@ -4561,6 +4583,25 @@ object SparkEntry {
     "q_sketch_agg_rollup" ->
       """SELECT event_type, count(*) AS cnt
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_datacard" ->
+      """WITH d AS (SELECT source, lang, text FROM documents
+        |           WHERE text IS NOT NULL),
+        |base AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |                CAST(sum(strlen(text)) AS BIGINT) AS bytes,
+        |                CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |                CAST(count(*) - count(DISTINCT text) AS BIGINT) AS dup_docs
+        |         FROM d GROUP BY 1),
+        |lc AS (SELECT source, lang, count(*) AS c FROM d
+        |       WHERE lang IS NOT NULL GROUP BY 1, 2),
+        |top AS (SELECT source, lang AS top_lang, CAST(c AS BIGINT) AS top_lang_docs
+        |        FROM (SELECT *, row_number() OVER (
+        |                PARTITION BY source ORDER BY c DESC, lang DESC) AS rn
+        |              FROM lc)
+        |        WHERE rn = 1)
+        |SELECT base.source, n_docs, bytes, n_langs, dup_docs,
+        |       top_lang, top_lang_docs, true AS p50_ok
+        |FROM base LEFT JOIN top ON base.source = top.source
+        |ORDER BY base.source""".stripMargin,
     "q_slo_burn" ->
       """WITH b AS (
         |  SELECT epoch_ms(date_trunc('hour', ts)) AS h, event_type
