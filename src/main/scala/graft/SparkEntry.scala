@@ -2410,6 +2410,36 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // Gale-Church sentence alignment on planted bitext: src and tgt
+    // are the SAME constructed sentence-d document (the q_sentences
+    // fixture), so equal lengths make every bead the free 1:1 and the
+    // alignment is the exact diagonal — full rows replay from the
+    // sentence-count arithmetic in SQL
+    "q_bitext_align" -> ((s: SparkSession, dir: String) => {
+      val clean = F.regexp_replace(F.col("text"), "[.!?]", "")
+      val toks = F.filter(F.split(clean, "\\s+"),
+        (tk: Column) => F.length(tk) > 0)
+      val base = t(s, dir, "documents")
+        .filter(F.col("text").isNotNull)
+        .select(F.col("doc_id"), toks.as("__toks"))
+        .filter(F.size(F.col("__toks")) >= 1)
+      val nChunks = F.ceil(F.size(F.col("__toks")).cast("double") / F.lit(5.0))
+        .cast("int")
+      val constructed = base.select(F.col("doc_id"),
+        F.array_join(F.transform(F.sequence(F.lit(0), nChunks - 1),
+          i => F.array_join(F.slice(F.col("__toks"), i * 5 + 1, F.lit(5)), " ")),
+          ". ").as("__t"))
+      val pairs = constructed.select(F.col("doc_id"),
+        F.col("__t").as("src"), F.col("__t").as("tgt"))
+      graft.pipeline.Align.alignSentences(pairs, "doc_id", "src", "tgt")
+        .select(F.col("doc_id"), F.col("bead").cast("long").as("bead"),
+          F.col("src_start").cast("long").as("src_start"),
+          F.col("src_len").cast("long").as("src_len"),
+          F.col("tgt_start").cast("long").as("tgt_start"),
+          F.col("tgt_len").cast("long").as("tgt_len"))
+        .orderBy("doc_id", "bead")
+    }),
+
     "q_boilerplate" -> ((s: SparkSession, dir: String) => {
       val bp = graft.pipeline.Boilerplate
       val docs = t(s, dir, "documents")
@@ -4583,6 +4613,20 @@ object SparkEntry {
     "q_sketch_agg_rollup" ->
       """SELECT event_type, count(*) AS cnt
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_bitext_align" ->
+      """WITH d AS (SELECT doc_id,
+        |             list_filter(string_split_regex(
+        |               regexp_replace(text, '[.!?]', '', 'g'), '\s+'),
+        |               w -> len(w) > 0) AS toks
+        |           FROM documents WHERE text IS NOT NULL),
+        |n AS (SELECT doc_id, CAST(ceil(len(toks) / 5.0) AS BIGINT) AS ns
+        |      FROM d WHERE len(toks) >= 1),
+        |g AS (SELECT doc_id,
+        |        unnest(generate_series(CAST(0 AS BIGINT), ns - 1)) AS i
+        |      FROM n)
+        |SELECT doc_id, i AS bead, i AS src_start, CAST(1 AS BIGINT) AS src_len,
+        |       i AS tgt_start, CAST(1 AS BIGINT) AS tgt_len
+        |FROM g ORDER BY doc_id, bead""".stripMargin,
     "q_datacard" ->
       """WITH d AS (SELECT source, lang, text FROM documents
         |           WHERE text IS NOT NULL),
