@@ -2440,6 +2440,22 @@ object SparkEntry {
         .orderBy("doc_id", "bead")
     }),
 
+    // crawl-frontier politeness schedule: per-host serialized fetch
+    // slots (priority DESC, url ASC), hosts parallel — pure window
+    // arithmetic over synthesized URLs, full-row replay in SQL
+    "q_crawl_schedule" -> ((s: SparkSession, dir: String) => {
+      val id = F.col("doc_id")
+      val url = F.concat(F.lit("https://host"), (id % 20).cast("string"),
+        F.lit(".example.com/page"), id.cast("string"))
+      val frontier = t(s, dir, "documents")
+        .select(id.as("doc_id"), url.as("url"), (id % 7).as("priority"))
+      graft.pipeline.Urls
+        .crawlSchedule(frontier, "url", 5000L, 1700000000000L, Some("priority"))
+        .select(F.col("doc_id"), F.col("url"), F.col("host"),
+          F.col("slot"), F.col("fetch_at_ms"))
+        .orderBy("host", "slot")
+    }),
+
     "q_boilerplate" -> ((s: SparkSession, dir: String) => {
       val bp = graft.pipeline.Boilerplate
       val docs = t(s, dir, "documents")
@@ -4613,6 +4629,22 @@ object SparkEntry {
     "q_sketch_agg_rollup" ->
       """SELECT event_type, count(*) AS cnt
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_crawl_schedule" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |         'https://host' || (doc_id % 20) || '.example.com/page' || doc_id
+        |           AS url,
+        |         'host' || (doc_id % 20) || '.example.com' AS host,
+        |         doc_id % 7 AS priority
+        |  FROM documents),
+        |r AS (SELECT doc_id, url, host,
+        |        CAST(row_number() OVER (
+        |          PARTITION BY host ORDER BY priority DESC, url ASC) - 1
+        |          AS BIGINT) AS slot
+        |      FROM u)
+        |SELECT doc_id, url, host, slot,
+        |       CAST(1700000000000 + slot * 5000 AS BIGINT) AS fetch_at_ms
+        |FROM r ORDER BY host, slot""".stripMargin,
     "q_bitext_align" ->
       """WITH d AS (SELECT doc_id,
         |             list_filter(string_split_regex(

@@ -308,4 +308,42 @@ object Urls {
       minSoftBlock: Int = 2): org.apache.spark.sql.DataFrame =
     df.filter(urlAllowed(df.sparkSession, F.col(urlCol), blockedDomains,
       strictSubstrings, softWords, minSoftBlock))
+
+  /** Lowercased host of a URL; NULL when unparseable. */
+  def urlHost(url: Column): Column = {
+    val u = F.udf { (s: String) =>
+      parse(s).map(_.host.toLowerCase(java.util.Locale.ROOT)).orNull
+    }
+    u(url)
+  }
+
+  /**
+   * Politeness scheduling for a fetch frontier: per HOST, fetch slots
+   * serialize at `delayMs` apart (the crawl-delay contract) while
+   * hosts proceed in parallel — slot i of a host fetches at
+   * `startMs + i·delayMs`. Slot order is deterministic: highest
+   * `priorityCol` first (when given), then URL ascending. Rows with
+   * NULL/unparseable URLs are dropped. One hash exchange on the host;
+   * a pathologically hot host is a REAL serialization (that is the
+   * politeness contract), not a skew accident — cap a host's frontier
+   * upstream (`Dedup.keepTopK`) if its tail must not stretch the
+   * crawl. Emits the input columns plus (host, slot, fetch_at_ms).
+   */
+  def crawlSchedule(
+      df: org.apache.spark.sql.DataFrame,
+      urlCol: String,
+      delayMs: Long,
+      startMs: Long,
+      priorityCol: Option[String] = None): org.apache.spark.sql.DataFrame = {
+    require(delayMs > 0, s"delayMs must be positive: $delayMs")
+    val order = priorityCol
+      .map(p => Seq(F.col(p).desc, F.col(urlCol).asc))
+      .getOrElse(Seq(F.col(urlCol).asc))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(F.col("host")).orderBy(order: _*)
+    df.withColumn("host", urlHost(F.col(urlCol)))
+      .filter(F.col("host").isNotNull)
+      .withColumn("slot", F.row_number().over(w).cast("long") - 1L)
+      .withColumn("fetch_at_ms", F.lit(startMs) + F.col("slot") * F.lit(delayMs))
+  }
 }

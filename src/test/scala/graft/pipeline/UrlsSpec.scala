@@ -143,4 +143,21 @@ class UrlsSpec extends SparkTestBase {
       Seq("bet")).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), "URL screening must be map-only")
   }
+
+  test("crawlSchedule: per-host slots serialize, hosts parallel, priority first") {
+    val session = spark
+    import session.implicits._
+    val df = Seq(
+      ("https://a.com/low", 1), ("https://a.com/high", 9),
+      ("https://b.com/only", 5),
+      ("not a url", 7), (null.asInstanceOf[String], 7))
+      .toDF("url", "priority")
+    val out = Urls.crawlSchedule(df, "url", 1000L, 0L, Some("priority"))
+      .select("url", "host", "slot", "fetch_at_ms")
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(out === Set(
+      ("https://a.com/high", "a.com", 0L, 0L),     // priority 9 first
+      ("https://a.com/low", "a.com", 1L, 1000L),   // same host: next slot
+      ("https://b.com/only", "b.com", 0L, 0L)))    // other host: parallel
+  }
 }
