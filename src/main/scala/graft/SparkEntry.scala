@@ -2440,6 +2440,24 @@ object SparkEntry {
         .orderBy("doc_id", "bead")
     }),
 
+    // safetensors embedding interchange: sharded write (streamed
+    // bytes), seek-based read, exact F32/I64 round trip
+    "q_safetensors" -> ((s: SparkSession, dir: String) => {
+      val emb = t(s, dir, "embeddings").filter(F.col("embedding").isNotNull)
+      val path = System.getProperty("java.io.tmpdir") + "/graft_q_safetensors"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)  // stale shards
+      graft.sources.Safetensors.write(
+        emb.repartition(4), F.col("vec_id"), F.col("embedding"), path)
+      graft.sources.Safetensors.read(s, path)
+        .join(emb.select(F.col("vec_id").as("id"),
+          F.col("embedding").as("orig")), "id")
+        .agg(F.count(F.lit(1)).as("n_vectors"),
+          (F.sum(F.when(F.col("embedding") === F.col("orig"), 1L)
+            .otherwise(0L)) === F.count(F.lit(1))).as("roundtrip_ok"))
+    }),
+
     // crawl-frontier politeness schedule: per-host serialized fetch
     // slots (priority DESC, url ASC), hosts parallel — pure window
     // arithmetic over synthesized URLs, full-row replay in SQL
@@ -4629,6 +4647,9 @@ object SparkEntry {
     "q_sketch_agg_rollup" ->
       """SELECT event_type, count(*) AS cnt
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_safetensors" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_vectors, true AS roundtrip_ok
+        |FROM embeddings WHERE embedding IS NOT NULL""".stripMargin,
     "q_crawl_schedule" ->
       """WITH u AS (
         |  SELECT doc_id,

@@ -1,0 +1,199 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.{functions => F}
+
+/**
+ * Safetensors sink/source for embedding matrices — the HF-ecosystem
+ * single-file tensor interchange (public format: an 8-byte
+ * little-endian header length, a JSON header mapping tensor name →
+ * dtype/shape/data_offsets, then the raw little-endian tensor bytes).
+ *
+ * Each output shard is one valid `.safetensors` file holding two
+ * tensors: `embeddings` (F32, shape [n, d]) and `ids` (I64, shape
+ * [n]), row-aligned — loadable by any safetensors reader.
+ *
+ * Scale shape mirrors the trainer sinks: the WRITE streams each
+ * partition's vector bytes to a temp file while only the ids (8
+ * bytes/row) buffer, then assembles header + data + ids with a
+ * stream copy — no shard-sized allocation. The READ seeks: one shard
+ * per task, header parsed from its declared length, rows streamed
+ * via positioned reads with one row resident.
+ */
+object Safetensors {
+
+  /** NULL rows and vectors not matching the first row's width are
+    * skipped (a safetensors tensor is rectangular by definition).
+    * Returns the number of vectors written. */
+  def write(
+      df: DataFrame,
+      idCol: Column,
+      vecCol: Column,
+      path: String): Long = {
+    val spark = df.sparkSession
+    val hconf = spark.sparkContext.broadcast(
+      new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
+    val base = new org.apache.hadoop.fs.Path(path)
+    val fs0 = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs0.mkdirs(base)
+    val baseStr = base.toString
+    val counts = df
+      .select(idCol.cast("long").as("__id"),
+        vecCol.cast("array<float>").as("__v"))
+      .filter(F.col("__id").isNotNull && F.col("__v").isNotNull &&
+        !F.exists(F.col("__v"), e => e.isNull))
+      .mapPartitions { it =>
+        if (!it.hasNext) Iterator.single(0L)
+        else {
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val fs = new org.apache.hadoop.fs.Path(baseStr)
+            .getFileSystem(hconf.value.conf)
+          val tmpP = new org.apache.hadoop.fs.Path(
+            baseStr, f"part-$pid%05d.safetensors.tmp")
+          val outP = new org.apache.hadoop.fs.Path(
+            baseStr, f"part-$pid%05d.safetensors")
+          val ids = new scala.collection.mutable.ArrayBuffer[Long]()
+          var d = -1
+          // pass 1: stream vector bytes; only ids (8 B/row) buffer
+          val o1 = new java.io.BufferedOutputStream(fs.create(tmpP, true), 1 << 16)
+          try {
+            val row4 = new Array[Byte](4)
+            it.foreach { row =>
+              val v = row.getSeq[Float](1)
+              if (d < 0) d = v.length
+              if (v.length == d && d > 0) {
+                ids += row.getLong(0)
+                v.foreach { f =>
+                  val b = java.lang.Float.floatToIntBits(f)
+                  row4(0) = b.toByte; row4(1) = (b >>> 8).toByte
+                  row4(2) = (b >>> 16).toByte; row4(3) = (b >>> 24).toByte
+                  o1.write(row4, 0, 4)
+                }
+              }
+            }
+          } finally o1.close()
+          val n = ids.length
+          if (n == 0) { fs.delete(tmpP, false); Iterator.single(0L) }
+          else {
+            val embBytes = n.toLong * d * 4L
+            val idBytes = n.toLong * 8L
+            val json =
+              s"""{"embeddings":{"dtype":"F32","shape":[$n,$d],""" +
+              s""""data_offsets":[0,$embBytes]},""" +
+              s""""ids":{"dtype":"I64","shape":[$n],""" +
+              s""""data_offsets":[$embBytes,${embBytes + idBytes}]}}"""
+            val pad = (8 - (json.length % 8)) % 8
+            val header = (json + " " * pad).getBytes("UTF-8")
+            val o2 = new java.io.BufferedOutputStream(fs.create(outP, true), 1 << 16)
+            try {
+              var hl = header.length.toLong
+              (0 until 8).foreach { _ =>
+                o2.write((hl & 0xff).toInt); hl >>>= 8
+              }
+              o2.write(header)
+              val in = fs.open(tmpP)
+              try {
+                val buf = new Array[Byte](1 << 16)
+                var r = in.read(buf)
+                while (r > 0) { o2.write(buf, 0, r); r = in.read(buf) }
+              } finally in.close()
+              ids.foreach { id =>
+                var x = id
+                (0 until 8).foreach { _ => o2.write((x & 0xff).toInt); x >>>= 8 }
+              }
+            } finally o2.close()
+            fs.delete(tmpP, false)
+            Iterator.single(n.toLong)
+          }
+        }
+      }(Encoders.scalaLong)
+    counts.collect().sum
+  }
+
+  private final case class Header(
+      n: Int, d: Int, embOff: Long, idsOff: Long)
+
+  /** Minimal header parse for the two-tensor layout this sink writes
+    * (a general reader would walk all names; we need our own files
+    * back plus anything shaped the same way). */
+  private def parseHeader(json: String): Header = {
+    def tensor(name: String): (Seq[Long], Long) = {
+      val i = json.indexOf("\"" + name + "\"")
+      require(i >= 0, s"tensor '$name' missing in safetensors header")
+      val shapeStart = json.indexOf("\"shape\":[", i) + 9
+      val shape = json.substring(shapeStart, json.indexOf(']', shapeStart))
+        .split(',').map(_.trim.toLong).toSeq
+      val offStart = json.indexOf("\"data_offsets\":[", i) + 16
+      val offs = json.substring(offStart, json.indexOf(']', offStart))
+        .split(',').map(_.trim.toLong)
+      (shape, offs(0))
+    }
+    val (eShape, eOff) = tensor("embeddings")
+    val (iShape, iOff) = tensor("ids")
+    require(eShape.length == 2 && iShape.length == 1 &&
+      eShape.head == iShape.head,
+      s"expected embeddings [n,d] + ids [n], got $eShape / $iShape")
+    require(json.contains("\"F32\"") && json.contains("\"I64\""),
+      "expected F32 embeddings + I64 ids")
+    Header(eShape.head.toInt, eShape(1).toInt, eOff, iOff)
+  }
+
+  /** Read shards written by [[write]] back as (shard, id, embedding).
+    * Parallelism = shard count; seek-based, one row resident. */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val hconf = spark.sparkContext.broadcast(
+      new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
+    val base = new org.apache.hadoop.fs.Path(path)
+    val fs0 = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val shards = fs0
+      .globStatus(new org.apache.hadoop.fs.Path(base, "*.safetensors"))
+      .map(_.getPath.toString).sorted.toSeq
+    val session = spark
+    import session.implicits._
+    spark.createDataset(shards)
+      .repartition(math.max(1, shards.length))
+      .flatMap { shard =>
+        val p = new org.apache.hadoop.fs.Path(shard)
+        val fs = p.getFileSystem(hconf.value.conf)
+        val in = fs.open(p)
+        val tc = org.apache.spark.TaskContext.get()
+        if (tc != null) tc.addTaskCompletionListener[Unit](_ => in.close())
+        val l8 = new Array[Byte](8)
+        in.readFully(0L, l8)
+        var hl = 0L
+        (7 to 0 by -1).foreach { i => hl = (hl << 8) | (l8(i) & 0xffL) }
+        require(hl > 0 && hl <= (100L << 20), s"implausible header size $hl")
+        val hb = new Array[Byte](hl.toInt)
+        in.readFully(8L, hb)
+        val h = parseHeader(new String(hb, "UTF-8"))
+        val dataStart = 8L + hl
+        val idsBytes = new Array[Byte](h.n * 8)
+        in.readFully(dataStart + h.idsOff, idsBytes)
+        new Iterator[(String, Long, Array[Float])] {
+          private var i = 0
+          private val rowBuf = new Array[Byte](h.d * 4)
+          def hasNext: Boolean = {
+            val more = i < h.n
+            if (!more && tc == null) in.close()
+            more
+          }
+          def next(): (String, Long, Array[Float]) = {
+            in.readFully(dataStart + h.embOff + i.toLong * h.d * 4, rowBuf)
+            val vec = Array.tabulate(h.d) { j =>
+              val o = j * 4
+              java.lang.Float.intBitsToFloat(
+                (rowBuf(o) & 0xff) | ((rowBuf(o + 1) & 0xff) << 8) |
+                ((rowBuf(o + 2) & 0xff) << 16) | ((rowBuf(o + 3) & 0xff) << 24))
+            }
+            var id = 0L
+            val io = i * 8
+            (7 to 0 by -1).foreach { k => id = (id << 8) | (idsBytes(io + k) & 0xffL) }
+            val out = (shard, id, vec)
+            i += 1
+            out
+          }
+        }
+      }
+      .toDF("shard", "id", "embedding")
+  }
+}

@@ -1,0 +1,62 @@
+package graft.sources
+
+import graft.SparkTestBase
+import org.apache.spark.sql.{functions => F}
+
+class SafetensorsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("round-trips the embeddings table exactly (multiset of id → vector)") {
+    val emb = sf("sf0.001", "embeddings").filter(F.col("embedding").isNotNull)
+    val dir = java.nio.file.Files.createTempDirectory("graft_st").toString + "/t"
+    val n = Safetensors.write(
+      emb.repartition(4), F.col("vec_id"), F.col("embedding"), dir)
+    assert(n === emb.count())
+    val back = Safetensors.read(spark, dir)
+    assert(back.count() === n)
+    val joined = back.join(
+        emb.select(F.col("vec_id").as("id"), F.col("embedding").as("orig")), "id")
+      .select((F.col("embedding") === F.col("orig")).as("eq"))
+      .as[Boolean].collect()
+    assert(joined.length.toLong === n && joined.forall(identity))
+  }
+
+  test("the on-disk layout is the public safetensors format") {
+    val df = Seq((7L, Array(1.0f, -2.5f)), (9L, Array(0.5f, 4.0f)))
+      .toDF("id", "v").coalesce(1)
+    val dir = java.nio.file.Files.createTempDirectory("graft_st2").toString + "/t"
+    Safetensors.write(df, F.col("id"), F.col("v"), dir)
+    val f = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".safetensors")).head
+    val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val hl = bb.getLong(0)
+    val json = new String(bytes, 8, hl.toInt, "UTF-8")
+    // header: u64 LE length, then JSON with dtype/shape/data_offsets
+    assert(json.trim.startsWith("{") && json.trim.endsWith("}"))
+    assert(json.contains(""""dtype":"F32"""") && json.contains(""""shape":[2,2]"""))
+    assert(json.contains(""""dtype":"I64"""") && json.contains(""""shape":[2]"""))
+    assert((8 + hl) % 8 === 0)   // spec-recommended alignment padding
+    // first payload float is 1.0f little-endian at the declared offset
+    assert(bb.getInt((8 + hl).toInt) === java.lang.Float.floatToIntBits(1.0f))
+    // ids tensor follows the 16 embedding bytes: first id is 7
+    assert(bb.getLong((8 + hl + 16).toInt) === 7L)
+    assert(bytes.length.toLong === 8 + hl + 16 + 16)
+  }
+
+  test("NULL and ragged vectors are skipped, ids stay aligned") {
+    val df = Seq(
+      (1L, Some(Array(1.0f, 2.0f))),
+      (2L, None),                       // NULL vector
+      (3L, Some(Array(9.0f))),          // ragged → skipped
+      (4L, Some(Array(3.0f, 4.0f))))
+      .toDF("id", "v").coalesce(1)
+    val dir = java.nio.file.Files.createTempDirectory("graft_st3").toString + "/t"
+    assert(Safetensors.write(df, F.col("id"), F.col("v"), dir) === 2L)
+    val back = Safetensors.read(spark, dir)
+      .select("id", "embedding").as[(Long, Array[Float])].collect().toMap
+    assert(back.keySet === Set(1L, 4L))
+    assert(back(4L).toSeq === Seq(3.0f, 4.0f))
+  }
+}
