@@ -356,8 +356,12 @@ object SparkEntry {
       val bfFrom = (lo - java.lang.Math.floorMod(lo, span)) + span
       SV.backfill(ev, "ts", Seq("event_type"), "value", path,
         bfFrom, bfFrom + span)
-      val view = SV.readRange(s, path, Seq("event_type"), lo, hi + 1L)
+      // retention: drop day one entirely; the view now starts at the
+      // backfilled day and must still match the rebuild there
+      SV.expire(s, path, keepFromMs = bfFrom)
+      val view = SV.readRange(s, path, Seq("event_type"), bfFrom, hi + 1L)
       val rebuilt = SV.rollup(ev, "ts", Seq("event_type"), "value")
+        .filter(F.col("bucket_ms") >= bfFrom)
         .withColumnRenamed("sketch", "sk2")
       view.join(rebuilt, Seq("bucket_ms", "event_type"))
         .select(F.col("bucket_ms"), F.col("event_type"),
@@ -6632,9 +6636,18 @@ object SparkEntry {
       // quantile-boundary scaling keeps the rank form's locality
       // contract — identical output columns over the same events
       "q_zorder_scalable" -> base("q_zorder"),
-      // compact and backfill preserve the exact merge; readRange over
-      // the full range ≡ read — the lifecycle ends at the same view
-      "q_sketch_view_lifecycle" -> base("q_sketch_view"),
+      // compact/backfill preserve the exact merge; expire drops day
+      // one, so the lifecycle's readRange matches the rebuild from
+      // the second day's floor on (same // long math both engines)
+      "q_sketch_view_lifecycle" ->
+        """WITH h AS (SELECT epoch_ms(date_trunc('hour', ts)) AS b,
+          |                  event_type
+          |           FROM events),
+          |mn AS (SELECT ((min(b) // 86400000) + 1) * 86400000 AS bf FROM h)
+          |SELECT CAST(b AS BIGINT) AS bucket_ms, event_type,
+          |       CAST(count(*) AS BIGINT) AS n, true AS bytes_eq
+          |FROM h, mn WHERE b >= bf
+          |GROUP BY 1, 2 ORDER BY bucket_ms, event_type""".stripMargin,
       // the streaming probe is output-identical to the batch
       // incremental pair set on a bounded replay (batch≡stream spec)
       "q_stream_neardup" -> base("q_dedup_incremental"),
