@@ -110,6 +110,46 @@ object Safetensors {
     counts.collect().sum
   }
 
+  /** One tensor's header entry, for [[listTensors]]. */
+  final case class TensorInfo(
+      name: String, dtype: String, shape: Seq[Long],
+      begin: Long, end: Long)
+
+  /** Inspect ANY safetensors file's tensor directory (driver-side:
+    * reads only the header, never tensor bytes) — interop check
+    * before handing shards to a trainer, and the general-file
+    * counterpart of the two-tensor fast read path. */
+  def listTensors(spark: SparkSession, file: String): Seq[TensorInfo] = {
+    val p = new org.apache.hadoop.fs.Path(file)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    try {
+      val l8 = new Array[Byte](8)
+      in.readFully(0L, l8)
+      var hl = 0L
+      (7 to 0 by -1).foreach { i => hl = (hl << 8) | (l8(i) & 0xffL) }
+      require(hl > 0 && hl <= (100L << 20), s"implausible header size $hl")
+      val hb = new Array[Byte](hl.toInt)
+      in.readFully(8L, hb)
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val root = om.readTree(new String(hb, "UTF-8"))
+      val out = scala.collection.mutable.ArrayBuffer.empty[TensorInfo]
+      val names = root.fieldNames()
+      while (names.hasNext) {
+        val name = names.next()
+        if (name != "__metadata__") {
+          val t = root.get(name)
+          val shape = (0 until t.get("shape").size())
+            .map(i => t.get("shape").get(i).asLong())
+          val offs = t.get("data_offsets")
+          out += TensorInfo(name, t.get("dtype").asText(), shape,
+            offs.get(0).asLong(), offs.get(1).asLong())
+        }
+      }
+      out.sortBy(_.begin).toSeq
+    } finally in.close()
+  }
+
   private final case class Header(
       n: Int, d: Int, embOff: Long, idsOff: Long)
 

@@ -45,6 +45,18 @@ class SafetensorsSpec extends SparkTestBase {
     assert(bytes.length.toLong === 8 + hl + 16 + 16)
   }
 
+  test("listTensors reads any file's tensor directory from the header alone") {
+    val df = Seq((1L, Array(1.0f, 2.0f, 3.0f))).toDF("id", "v").coalesce(1)
+    val dir = java.nio.file.Files.createTempDirectory("graft_st4").toString + "/t"
+    Safetensors.write(df, F.col("id"), F.col("v"), dir)
+    val f = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".safetensors")).head.toString
+    val ts = Safetensors.listTensors(spark, f)
+    assert(ts.map(t => (t.name, t.dtype, t.shape)) === Seq(
+      ("embeddings", "F32", Seq(1L, 3L)), ("ids", "I64", Seq(1L))))
+    assert(ts.head.end === 12L && ts(1).begin === 12L && ts(1).end === 20L)
+  }
+
   test("NULL and ragged vectors are skipped, ids stay aligned") {
     val df = Seq(
       (1L, Some(Array(1.0f, 2.0f))),
