@@ -233,6 +233,19 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("DataCard.sourceCards rides one exchange for both aggregates and the join") {
+    val docs = Seq(("A", "en", "x"), ("A", "de", "y"), ("B", "en", "z"))
+      .toDF("source", "lang", "text").repartition(4)
+    val out = graft.pipeline.DataCard.sourceCards(docs, "source", "lang", "text")
+    val plan = out.queryExecution.executedPlan.toString
+    // each join branch shuffles ONCE on source (the lang-filter
+    // pushdown keeps the two branch exchanges from unifying), and —
+    // the part that matters — no countDistinct expand+gid exchange
+    // keyed on (source, lang, text, gid) re-shuffles the full corpus
+    assert(exchanges(out) === 2, plan)
+    assert(!plan.contains("gid"), plan)
+  }
+
   test("snapshot diff is one full-outer hash join over hash-only projections") {
     val a = Seq((1L, "x"), (2L, "y")).toDF("k", "txt").repartition(4)
     val b = Seq((2L, "y"), (3L, "z")).toDF("k", "txt").repartition(4)
