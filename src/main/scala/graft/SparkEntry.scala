@@ -1016,6 +1016,49 @@ object SparkEntry {
         .orderBy("hour_ms")
     }),
 
+    // streaming SLO gate: per-(hour, type) burn rate from the
+    // windowed sketch stream, bracketed by the exact CDF at the
+    // objective's ±3.5% value blur (the q_slo_burn argument)
+    "q_stream_slo" -> ((s: SparkSession, dir: String) => {
+      Graft.register(s)
+      val ev = t(s, dir, "events")
+        .filter(F.col("ts").isNotNull)
+        .select(F.col("ts"), F.col("event_type"), F.col("value"))
+      val tmp = System.getProperty("java.io.tmpdir") + "/graft_q_stream_slo_src"
+      ev.write.mode("overwrite").parquet(tmp)
+      val stream = s.readStream.schema(ev.schema).parquet(tmp)
+      val agg = graft.streaming.SketchStreaming.windowedSketchAgg(
+        stream, "ts", "event_type", "value", "1 hour", "10 minutes")
+      s.catalog.dropTempView("graft_stream_slo")
+      val q = agg.writeStream
+        .outputMode("complete").format("memory")
+        .queryName("graft_stream_slo")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val (objective, budget) = (100.0, 0.25)
+      val res = s.table("graft_stream_slo")
+        .select(F.unix_millis(F.col("window.start")).as("hour_ms"),
+          F.col("event_type"),
+          G.ddsketch_count(F.col("sketch")).as("n"),
+          graft.sketch.Slo.burnRate(F.col("sketch"), objective, budget)
+            .as("__burn"))
+      val exact = ev
+        .groupBy(F.unix_millis(F.date_trunc("hour", F.col("ts"))).as("hour_ms"),
+          F.col("event_type"))
+        .agg(
+          (F.sum(F.when(F.col("value") <= objective * 0.965, 1L).otherwise(0L))
+            .cast("double") / F.count(F.lit(1))).as("__lo"),
+          (F.sum(F.when(F.col("value") <= objective * 1.035, 1L).otherwise(0L))
+            .cast("double") / F.count(F.lit(1))).as("__hi"))
+      res.join(exact, Seq("hour_ms", "event_type"))
+        .select(F.col("hour_ms"), F.col("event_type"), F.col("n"),
+          (F.col("__burn") >= (F.lit(1.0) - F.col("__hi") - 1e-9) / budget &&
+           F.col("__burn") <= (F.lit(1.0) - F.col("__lo") + 1e-9) / budget)
+            .as("burn_ok"))
+        .orderBy("hour_ms", "event_type")
+    }),
+
     "q_stream_frequency" -> ((s: SparkSession, dir: String) => {
       Graft.register(s)
       val ev = t(s, dir, "events")
@@ -4834,6 +4877,11 @@ object SparkEntry {
         |         row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
         |  FROM orders) t WHERE rn = 1
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_stream_slo" ->
+      """SELECT CAST(epoch_ms(date_trunc('hour', ts)) AS BIGINT) AS hour_ms,
+        |       event_type, count(*) AS n, true AS burn_ok
+        |FROM events WHERE ts IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY hour_ms, event_type""".stripMargin,
     "q_stream_drift" ->
       """WITH pool AS (
         |  SELECT date_trunc('hour', ts) AS h, value AS v FROM events
