@@ -4017,6 +4017,23 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    // warm-start continuation: two cold iterations seed one warm
+    // iteration — the same iteration sequence as cold(3) (seed
+    // renormalization perturbs at ~1e-15, far under the 4dp round),
+    // so the unrolled 3-iteration oracle replays verbatim
+    "q_pagerank_warm" -> ((s: SparkSession, dir: String) => {
+      val edges = graft.sources.Warc.outlinks(crawlPages(s, dir), "url", "html")
+      val prior = graft.pipeline.LinkGraph.pageRank(edges,
+        iterations = 2, damping = 0.85)
+      val pr = graft.pipeline.LinkGraph.pageRankWarmStart(edges, prior,
+        iterations = 1, damping = 0.85)
+      val n = pr.agg(F.count(F.lit(1)).cast("double").as("__n"))
+      pr.crossJoin(F.broadcast(n))
+        .select(F.col("node"),
+          F.round(F.col("rank") * F.col("__n"), 4).as("rank_n"))
+        .orderBy("node")
+    }),
+
     // anchor-text aggregation per link target (retrieval anchor field):
     // distinct-page counts per (dst, anchor), ranked
     "q_link_anchors" -> ((s: SparkSession, dir: String) =>
@@ -6684,6 +6701,8 @@ object SparkEntry {
       // quantile-boundary scaling keeps the rank form's locality
       // contract — identical output columns over the same events
       "q_zorder_scalable" -> base("q_zorder"),
+      // warm(cold(2), 1) computes cold(3)'s iteration sequence
+      "q_pagerank_warm" -> base("q_pagerank"),
       // compact/backfill preserve the exact merge; expire drops day
       // one, so the lifecycle's readRange matches the rebuild from
       // the second day's floor on (same // long math both engines)

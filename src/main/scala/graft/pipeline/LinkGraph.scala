@@ -40,7 +40,40 @@ object LinkGraph {
       srcCol: String = "src",
       dstCol: String = "dst",
       iterations: Int = 3,
-      damping: Double = 0.85): DataFrame = {
+      damping: Double = 0.85): DataFrame =
+    pageRankCore(edges, srcCol, dstCol, iterations, damping, None)
+
+  /**
+   * WARM-START continuation — the nightly link-graph shape: seed the
+   * iteration from prior ranks (yesterday's run) instead of uniform,
+   * so a grown graph reaches yesterday's convergence depth in a few
+   * iterations instead of replaying them all. Exact contract on an
+   * unchanged graph: `pageRankWarmStart(pageRank(E, k), j)` computes
+   * the same iteration sequence as `pageRank(E, k + j)` (pinned in
+   * LinkGraphSpec at float tolerance — partial-sum order is the only
+   * divergence). On a changed graph: surviving nodes keep their prior
+   * rank, NEW nodes start at 1/N, vanished nodes drop; the damping
+   * term's uniform re-injection then re-mixes mass toward the new
+   * fixed point (the total is re-normalized to 1 at seed time, so the
+   * Σ r = 1 invariant holds from iteration one).
+   */
+  def pageRankWarmStart(
+      edges: DataFrame,
+      priorRanks: DataFrame,
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      iterations: Int = 1,
+      damping: Double = 0.85): DataFrame =
+    pageRankCore(edges, srcCol, dstCol, iterations, damping,
+      Some(priorRanks.select(F.col("node"), F.col("rank"))))
+
+  private def pageRankCore(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iterations: Int,
+      damping: Double,
+      prior: Option[DataFrame]): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     require(damping > 0.0 && damping < 1.0,
       s"damping must be in (0, 1), got $damping")
@@ -69,9 +102,25 @@ object LinkGraph {
       .localCheckpoint(eager = false) // the big table: shuffled once
     val srcs = deg.select(F.col("__src").as("node"))
       .localCheckpoint(eager = false) // dangling anti-join probe, reused
-    var ranks = nodes.crossJoin(F.broadcast(nRow))
-      .select(F.col("node"), (F.lit(1.0) / F.col("__n")).as("rank"))
-      .localCheckpoint(eager = false)
+    var ranks = prior match {
+      case None =>
+        nodes.crossJoin(F.broadcast(nRow))
+          .select(F.col("node"), (F.lit(1.0) / F.col("__n")).as("rank"))
+          .localCheckpoint(eager = false)
+      case Some(p) =>
+        // seed = prior rank where known, 1/N for new nodes; vanished
+        // nodes drop via the join; renormalize so Σ r = 1 holds from
+        // the first iteration (a 1-row broadcast re-attach)
+        val seeded = nodes
+          .join(p.withColumnRenamed("rank", "__pr"), Seq("node"), "left")
+          .crossJoin(F.broadcast(nRow))
+          .select(F.col("node"),
+            F.coalesce(F.col("__pr"), F.lit(1.0) / F.col("__n")).as("rank"))
+        val total = seeded.agg(F.sum("rank").as("__t"))
+        seeded.crossJoin(F.broadcast(total))
+          .select(F.col("node"), (F.col("rank") / F.col("__t")).as("rank"))
+          .localCheckpoint(eager = false)
+    }
     for (_ <- 1 to iterations) {
       val dangling = ranks.join(srcs, Seq("node"), "left_anti")
         .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).as("__dm"))

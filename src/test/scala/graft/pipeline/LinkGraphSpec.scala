@@ -72,6 +72,38 @@ class LinkGraphSpec extends SparkTestBase {
       s"upstream ran ${acc.value}/${edges.size} rows => ${acc.value / edges.size}x passes")
   }
 
+  test("warm-start on an unchanged graph continues the cold iteration sequence") {
+    val e = edges.toDF("src", "dst")
+    val cold3 = LinkGraph.pageRank(e, iterations = 3, damping = 0.85)
+      .as[(String, Double)].collect().toMap
+    val prior = LinkGraph.pageRank(e, iterations = 2, damping = 0.85)
+    val warm = LinkGraph.pageRankWarmStart(e, prior,
+        iterations = 1, damping = 0.85)
+      .as[(String, Double)].collect().toMap
+    assert(warm.keySet === cold3.keySet)
+    for ((k, v) <- cold3)
+      assert(math.abs(warm(k) - v) <= 1e-12 * v, s"node $k: ${warm(k)} vs $v")
+  }
+
+  test("warm-start on a grown graph seeds new nodes and keeps Σr = 1") {
+    val e0 = edges.toDF("src", "dst")
+    val prior = LinkGraph.pageRank(e0, iterations = 4, damping = 0.85)
+    val grown = (edges ++ Seq("F" -> "A", "A" -> "F")).toDF("src", "dst")
+    val warm = LinkGraph.pageRankWarmStart(grown, prior,
+        iterations = 2, damping = 0.85)
+      .as[(String, Double)].collect().toMap
+    assert(warm.contains("F"))
+    assert(math.abs(warm.values.sum - 1.0) < 1e-9)
+    // warm(2) lands nearer the grown graph's converged ranks than cold(2)
+    val converged = refPageRank(edges ++ Seq("F" -> "A", "A" -> "F"), 40, 0.85)
+    val cold2 = LinkGraph.pageRank(grown, iterations = 2, damping = 0.85)
+      .as[(String, Double)].collect().toMap
+    def l1(m: Map[String, Double]) =
+      converged.map { case (k, v) => math.abs(m(k) - v) }.sum
+    assert(l1(warm) < l1(cold2),
+      s"warm ${l1(warm)} should beat cold ${l1(cold2)}")
+  }
+
   test("inDegrees counts distinct sources") {
     val got = LinkGraph.inDegrees(edges.toDF("src", "dst"))
       .as[(String, Long)].collect().toMap
