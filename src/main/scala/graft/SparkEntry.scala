@@ -414,6 +414,26 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // the KMV family through the SAME view lifecycle: hourly distinct-
+    // user sketches materialized/appended/merged-on-read — estimates
+    // are EXACT below k=1024 distinct (max 67 here), so DuckDB
+    // replays the uniques as plain BIGINTs
+    "q_kmv_view" -> ((s: SparkSession, dir: String) => {
+      val SV = graft.sketch.SketchView
+      val fam = SV.ViewFamily.kmvDistinct()
+      val ev = t(s, dir, "events")
+      val path = System.getProperty("java.io.tmpdir") + "/graft_q_kmv_view"
+      SV.materialize(ev.filter(F.col("event_id") % 2 === 0),
+        "ts", Seq("event_type"), "user_id", path, family = fam)
+      SV.append(ev.filter(F.col("event_id") % 2 =!= 0),
+        "ts", Seq("event_type"), "user_id", path, family = fam)
+      SV.read(s, path, Seq("event_type"), fam)
+        .select(F.col("bucket_ms"), F.col("event_type"),
+          graft.sketch.kmv.kmv_distinct(F.col("sketch")).cast("long")
+            .as("uniques"))
+        .orderBy("bucket_ms", "event_type")
+    }),
+
     // #12 ddsketch_stats_agg: 12-field struct from merged blobs
     "q_sketch_stats_agg" -> ((s: SparkSession, dir: String) => {
       Graft.register(s)
@@ -4784,6 +4804,12 @@ object SparkEntry {
         |       CAST(sum(c) AS BIGINT) AS total,
         |       CAST(max(c) AS BIGINT) AS top1
         |FROM per_user GROUP BY 1, 2 ORDER BY day_ms, event_type""".stripMargin,
+    "q_kmv_view" ->
+      """SELECT CAST(epoch_ms(date_trunc('hour', ts)) AS BIGINT) AS bucket_ms,
+        |       event_type,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS uniques
+        |FROM events WHERE ts IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY bucket_ms, event_type""".stripMargin,
     "q_sketch_view" ->
       """SELECT CAST(epoch_ms(date_trunc('hour', ts)) AS BIGINT) AS bucket_ms,
         |       event_type, count(*) AS n, true AS bytes_eq
