@@ -434,6 +434,54 @@ object SparkEntry {
         .orderBy("bucket_ms", "event_type")
     }),
 
+    // Bloom family through the view: per-hour membership filters over
+    // user ids, merged on read (bitwise OR) to the per-type corpus
+    // filter — NO FALSE NEGATIVES is exact, so probing every id that
+    // went in pins true; counts replay raw
+    "q_bloom_view" -> ((s: SparkSession, dir: String) => {
+      val SV = graft.sketch.SketchView
+      val fam = SV.ViewFamily.bloomMembership(expectedItems = 10000L)
+      val ev = t(s, dir, "events")
+      val path = System.getProperty("java.io.tmpdir") + "/graft_q_bloom_view"
+      SV.materialize(ev.filter(F.col("event_id") % 2 === 0),
+        "ts", Seq("event_type"), "user_id", path, family = fam)
+      SV.append(ev.filter(F.col("event_id") % 2 =!= 0),
+        "ts", Seq("event_type"), "user_id", path, family = fam)
+      val perType = SV.read(s, path, Seq("event_type"), fam)
+        .groupBy("event_type")
+        .agg(graft.sketch.bloom.bloom_merge_agg(F.col("sketch")).as("bf"))
+      ev.select(F.col("event_type"), F.col("user_id")).distinct()
+        .join(perType, "event_type")
+        .groupBy(F.col("event_type"))
+        .agg(F.count(F.lit(1)).as("n_members"),
+          (F.sum(F.when(graft.sketch.bloom.bloom_contains(
+              F.col("bf"), F.col("user_id")), 1L).otherwise(0L)) ===
+            F.count(F.lit(1))).as("no_false_negatives"))
+        .orderBy("event_type")
+    }),
+
+    // TopK family through the view: per-hour heavy-hitter sketches
+    // merged on read, then merged per type — capacity 128 covers the
+    // <=150 distinct users, so the top-1 count is the exact max
+    "q_topk_view" -> ((s: SparkSession, dir: String) => {
+      val SV = graft.sketch.SketchView
+      val fam = SV.ViewFamily.topkItems(capacity = 256)
+      val ev = t(s, dir, "events")
+        .withColumn("uid", F.col("user_id").cast("string"))
+      val path = System.getProperty("java.io.tmpdir") + "/graft_q_topk_view"
+      SV.materialize(ev.filter(F.col("event_id") % 2 === 0),
+        "ts", Seq("event_type"), "uid", path, family = fam)
+      SV.append(ev.filter(F.col("event_id") % 2 =!= 0),
+        "ts", Seq("event_type"), "uid", path, family = fam)
+      SV.read(s, path, Seq("event_type"), fam)
+        .groupBy("event_type")
+        .agg(graft.sketch.topk.topk_merge_agg(F.col("sketch")).as("tk"))
+        .select(F.col("event_type"),
+          F.element_at(graft.sketch.topk.topk_items(F.col("tk"), 1), 1)
+            .getField("count").as("top1"))
+        .orderBy("event_type")
+    }),
+
     // #12 ddsketch_stats_agg: 12-field struct from merged blobs
     "q_sketch_stats_agg" -> ((s: SparkSession, dir: String) => {
       Graft.register(s)
@@ -4804,6 +4852,17 @@ object SparkEntry {
         |       CAST(sum(c) AS BIGINT) AS total,
         |       CAST(max(c) AS BIGINT) AS top1
         |FROM per_user GROUP BY 1, 2 ORDER BY day_ms, event_type""".stripMargin,
+    "q_bloom_view" ->
+      """SELECT event_type,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_members,
+        |       true AS no_false_negatives
+        |FROM events WHERE ts IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_topk_view" ->
+      """WITH c AS (SELECT event_type, user_id, count(*) AS n
+        |           FROM events WHERE ts IS NOT NULL GROUP BY 1, 2)
+        |SELECT event_type, CAST(max(n) AS BIGINT) AS top1
+        |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_kmv_view" ->
       """SELECT CAST(epoch_ms(date_trunc('hour', ts)) AS BIGINT) AS bucket_ms,
         |       event_type,
