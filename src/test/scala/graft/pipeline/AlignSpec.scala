@@ -42,6 +42,23 @@ class AlignSpec extends SparkTestBase {
     assert(Align.galeChurch(Array.empty[Int], Array.empty[Int]).isEmpty)
   }
 
+  test("beads tile both sequences exactly, in order, for seeded random inputs") {
+    val rnd = new scala.util.Random(42)
+    (1 to 200).foreach { _ =>
+      val src = Array.fill(rnd.nextInt(12))(1 + rnd.nextInt(80))
+      val tgt = Array.fill(rnd.nextInt(12))(1 + rnd.nextInt(80))
+      val beads = Align.galeChurch(src, tgt)
+      assert(beads.map(_._2).sum === src.length)
+      assert(beads.map(_._4).sum === tgt.length)
+      var (ci, cj) = (0, 0)
+      beads.foreach { case (ss, sl, ts, tl) =>
+        assert(ss === ci && ts === cj, s"non-contiguous bead at ($ss,$ts)")
+        assert(sl + tl > 0)
+        ci += sl; cj += tl
+      }
+    }
+  }
+
   test("alignSentences: identical documents align every sentence 1:1") {
     val docs = Seq(
       (1L, "alpha beta gamma. delta epsilon zeta. eta theta."),
