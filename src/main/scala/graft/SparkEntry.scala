@@ -460,6 +460,40 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // CMS family through the view: per-hour frequency sketches merged
+    // on read, then per type — totals are exact add-counts and the
+    // Count-Min estimate NEVER undercounts (one-sided error), both
+    // exact cross-engine properties
+    "q_cms_view" -> ((s: SparkSession, dir: String) => {
+      val SV = graft.sketch.SketchView
+      val fam = SV.ViewFamily.cmsFrequency(eps = 0.01)
+      val ev = t(s, dir, "events")
+      val path = System.getProperty("java.io.tmpdir") + "/graft_q_cms_view"
+      SV.materialize(ev.filter(F.col("event_id") % 2 === 0),
+        "ts", Seq("event_type"), "user_id", path, family = fam)
+      SV.append(ev.filter(F.col("event_id") % 2 =!= 0),
+        "ts", Seq("event_type"), "user_id", path, family = fam)
+      val perType = SV.read(s, path, Seq("event_type"), fam)
+        .groupBy("event_type")
+        .agg(graft.sketch.cms.cms_merge_agg(F.col("sketch")).as("cs"))
+      // the view drops NULL-ts rows — the truth side must match
+      val truth = ev.filter(F.col("ts").isNotNull)
+        .groupBy(F.col("event_type"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).as("__true"))
+      truth.join(perType, "event_type")
+        .groupBy(F.col("event_type"))
+        .agg(F.sum(F.col("__true")).as("total"),
+          (F.sum(F.when(graft.sketch.cms.cms_estimate(
+              F.col("cs"), F.col("user_id")) >= F.col("__true"), 1L)
+            .otherwise(0L)) === F.count(F.lit(1))).as("no_undercount"))
+        .join(perType.select(F.col("event_type"),
+          graft.sketch.cms.cms_total(F.col("cs")).as("cms_total")), "event_type")
+        .select(F.col("event_type"), F.col("total"),
+          (F.col("cms_total") === F.col("total")).as("total_exact"),
+          F.col("no_undercount"))
+        .orderBy("event_type")
+    }),
+
     // TopK family through the view: per-hour heavy-hitter sketches
     // merged on read, then merged per type — capacity 128 covers the
     // <=150 distinct users, so the top-1 count is the exact max
@@ -4856,6 +4890,11 @@ object SparkEntry {
       """SELECT event_type,
         |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_members,
         |       true AS no_false_negatives
+        |FROM events WHERE ts IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_cms_view" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS total,
+        |       true AS total_exact, true AS no_undercount
         |FROM events WHERE ts IS NOT NULL
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_topk_view" ->
