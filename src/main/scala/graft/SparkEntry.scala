@@ -1738,6 +1738,11 @@ object SparkEntry {
       val (routed, n) = graft.pipeline.Sharding.shardByBytes(
         docs, F.col("doc_id"), F.col("__b"), targetBytes = 20000L)
       val base = System.getProperty("java.io.tmpdir") + "/graft_q_shard_wds"
+      // shard count is data-derived: a prior run at another SF can
+      // leave MORE part-*.tar files than this run writes, and read()
+      // globs them all — delete first (the q_safetensors rule)
+      org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(base), true)
       val keyed = routed.select(
         F.concat(F.lit("doc"), F.col("doc_id")).as("key"),
         F.map(F.lit("txt"), F.encode(F.col("text"), "UTF-8")).as("members"),

@@ -36,8 +36,37 @@ import graft.sketch.{functions => G}
  *   - [[regrain]] answers coarser-grain queries (hour → day/week) by
  *     merging persisted sketches instead of rescanning events.
  *
- * `partSpanMs` is part of the on-disk layout: use the same value for
- * every call against one path (the default suits hour/minute buckets).
+ * == On-disk contract: the `_view.json` manifest ==
+ *
+ * The family, its geometry (accuracy/k/eps/confidence/capacity/fpp),
+ * the bucket grain, `partSpanMs`, and the key columns are all part of
+ * the on-disk layout — a reader probing a KMV view with the CMS
+ * family, or tomorrow's `partSpanMs` against yesterday's directories,
+ * would get SILENT garbage (merge aggregates skip mismatched blobs by
+ * design, [[MergeAggExprs]]). So [[materialize]] records them in a
+ * tiny `_view.json` at the view root (the leading underscore keeps it
+ * out of Spark's data-file listing, like `_SUCCESS`), and every other
+ * lifecycle call validates its own arguments against it, FAILING FAST
+ * on mismatch. Manifest-less paths (pre-manifest layouts) are adopted:
+ * the first maintenance call writes one. [[readAuto]] goes the other
+ * way — it reads the view using only the manifest.
+ *
+ * == Maintenance concurrency contract ==
+ *
+ * `append`/`streamAppend` are pure file-adds and compose freely with
+ * readers and each other (one STREAMING writer per path — batch ids
+ * collide otherwise). `compact`, `backfill` and `expire` REWRITE or
+ * DELETE history: they assume a single maintainer and no concurrent
+ * writer — an `append` landing between compact's read and its
+ * overwrite is silently lost. Run them from the one nightly
+ * maintenance job, with the streaming writer stopped. The one
+ * crash-replay hazard that survives scheduling discipline — a
+ * micro-batch written but not yet committed to the checkpoint, folded
+ * by a compact, then REPLAYED after restart — is closed by the
+ * manifest's `foldedThroughBatch` watermark: compact records the
+ * highest `__batch` id it folded, and a replayed micro-batch at or
+ * below the watermark is a no-op instead of a double-count
+ * (SketchViewSpec pins it).
  */
 object SketchView {
 
@@ -46,33 +75,179 @@ object SketchView {
 
   /** A mergeable sketch family pluggable into the view: `build` is
     * the value→sketch aggregate, `merge` the sketch→sketch merge
-    * aggregate. Any pair whose merge is the monoid combine of builds
-    * keeps the view ≡ rebuild guarantee (byte-identical for every
-    * family here except TopK, whose combine is order-sensitively
-    * approximate — its view is still a valid TopK of the union). */
-  final case class ViewFamily(build: Column => Column, merge: Column => Column)
+    * aggregate, and (`id`, `geometry`) the manifest identity the
+    * on-disk layout is validated against. Any pair whose merge is the
+    * monoid combine of builds keeps the view ≡ rebuild guarantee
+    * (byte-identical for every family here except TopK, whose combine
+    * is order-sensitively approximate — its view is still a valid
+    * TopK of the union). */
+  final case class ViewFamily(
+      id: String,
+      geometry: Map[String, String],
+      build: Column => Column,
+      merge: Column => Column)
 
   object ViewFamily {
     /** Quantiles (the default): DDSketch values → mergeable sketch. */
     def ddsketch(accuracy: Double = 0.01): ViewFamily =
-      ViewFamily(G.ddsketch_agg_values(_, accuracy), G.ddsketch_agg)
+      ViewFamily("ddsketch", Map("accuracy" -> accuracy.toString),
+        G.ddsketch_agg_values(_, accuracy), G.ddsketch_agg)
     /** Distinct counts: "daily uniques from hourly sketches". */
     def kmvDistinct(k: Int = KmvSketch.DefaultK): ViewFamily =
-      ViewFamily(kmv.kmv_agg(_, k), kmv.kmv_merge_agg)
+      ViewFamily("kmv", Map("k" -> k.toString),
+        kmv.kmv_agg(_, k), kmv.kmv_merge_agg)
     /** Frequency estimates (Count-Min). */
     def cmsFrequency(
         eps: Double = cms.DefaultEps,
         confidence: Double = cms.DefaultConfidence): ViewFamily =
-      ViewFamily(cms.cms_agg(_, eps, confidence), cms.cms_merge_agg)
+      ViewFamily("cms",
+        Map("eps" -> eps.toString, "confidence" -> confidence.toString),
+        cms.cms_agg(_, eps, confidence), cms.cms_merge_agg)
     /** Heavy hitters (space-saving TopK). */
     def topkItems(capacity: Int = TopKSketch.DefaultCapacity): ViewFamily =
-      ViewFamily(topk.topk_agg(_, capacity), topk.topk_merge_agg)
+      ViewFamily("topk", Map("capacity" -> capacity.toString),
+        topk.topk_agg(_, capacity), topk.topk_merge_agg)
     /** Membership (Bloom OR). */
     def bloomMembership(
         expectedItems: Long = bloom.DefaultItems,
         fpp: Double = bloom.DefaultFpp): ViewFamily =
-      ViewFamily(bloom.bloom_agg(_, expectedItems, fpp), bloom.bloom_merge_agg)
+      ViewFamily("bloom",
+        Map("expectedItems" -> expectedItems.toString, "fpp" -> fpp.toString),
+        bloom.bloom_agg(_, expectedItems, fpp), bloom.bloom_merge_agg)
+
+    /** Reconstruct a built-in family from its manifest identity (the
+      * [[readAuto]] path). Custom families can't be rebuilt from a
+      * manifest — pass them explicitly to [[read]]. */
+    def fromManifest(id: String, geometry: Map[String, String]): ViewFamily =
+      id match {
+        case "ddsketch" => ddsketch(geometry("accuracy").toDouble)
+        case "kmv"      => kmvDistinct(geometry("k").toInt)
+        case "cms" =>
+          cmsFrequency(geometry("eps").toDouble, geometry("confidence").toDouble)
+        case "topk"  => topkItems(geometry("capacity").toInt)
+        case "bloom" =>
+          bloomMembership(geometry("expectedItems").toLong, geometry("fpp").toDouble)
+        case other =>
+          throw new IllegalArgumentException(s"unknown view family '$other'")
+      }
   }
+
+  /** The recorded on-disk contract of a view (see the class note).
+    * `foldedThroughBatch` is the compact watermark: every streaming
+    * `__batch` id <= it has been folded into the `__batch=-1` rows,
+    * so a crash-replay of one of those ids must write nothing. */
+  final case class ViewManifest(
+      family: String,
+      geometry: Map[String, String],
+      bucket: String,
+      partSpanMs: Long,
+      keyCols: Seq[String],
+      foldedThroughBatch: Long)
+
+  private val ManifestFile = "_view.json"
+
+  /** The view's manifest, when one exists (views created before the
+    * manifest layer have none until the next maintenance call). */
+  def readManifest(spark: SparkSession, path: String): Option[ViewManifest] = {
+    val p = new org.apache.hadoop.fs.Path(path, ManifestFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val bytes =
+        try {
+          val len = fs.getFileStatus(p).getLen.toInt
+          val b = new Array[Byte](len)
+          in.readFully(0L, b)
+          b
+        } finally in.close()
+      val root = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(new String(bytes, "UTF-8"))
+      def strings(node: com.fasterxml.jackson.databind.JsonNode): Seq[String] =
+        (0 until node.size()).map(i => node.get(i).asText())
+      val geomNode = root.get("geometry")
+      val geom = scala.collection.immutable.ListMap(
+        geomNode.fieldNames().asScala().map(k => k -> geomNode.get(k).asText()): _*)
+      Some(ViewManifest(
+        root.get("family").asText(),
+        geom,
+        root.get("bucket").asText(),
+        root.get("partSpanMs").asLong(),
+        strings(root.get("keyCols")),
+        root.get("foldedThroughBatch").asLong()))
+    }
+  }
+
+  // scala 2.13 has .asScala via CollectionConverters; keep the import local
+  implicit private class JIter[A](it: java.util.Iterator[A]) {
+    def asScala(): Seq[A] = {
+      val b = Seq.newBuilder[A]
+      while (it.hasNext) b += it.next()
+      b.result()
+    }
+  }
+
+  private def writeManifest(
+      spark: SparkSession, path: String, m: ViewManifest): Unit = {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = om.createObjectNode()
+    root.put("family", m.family)
+    val geom = root.putObject("geometry")
+    m.geometry.foreach { case (k, v) => geom.put(k, v) }
+    root.put("bucket", m.bucket)
+    root.put("partSpanMs", m.partSpanMs)
+    val keys = root.putArray("keyCols")
+    m.keyCols.foreach(keys.add)
+    root.put("foldedThroughBatch", m.foldedThroughBatch)
+    val p = new org.apache.hadoop.fs.Path(path, ManifestFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(om.writeValueAsBytes(root)) finally out.close()
+  }
+
+  /** Validate call arguments against the recorded contract, fail-fast
+    * on any mismatch. `bucket = None` for calls that don't roll up
+    * (reads). Returns the manifest when one exists. */
+  private def validateManifest(
+      spark: SparkSession,
+      path: String,
+      family: ViewFamily,
+      bucket: Option[String],
+      partSpanMs: Long,
+      keyCols: Seq[String]): Option[ViewManifest] =
+    readManifest(spark, path).map { m =>
+      def fail(what: String, want: Any, got: Any): Nothing =
+        throw new IllegalArgumentException(
+          s"view at $path was created with $what=$want, called with $got " +
+            s"(the $ManifestFile manifest records the on-disk layout; " +
+            "mismatched merges would be silently skipped)")
+      if (m.family != family.id) fail("family", m.family, family.id)
+      if (m.geometry != family.geometry)
+        fail("geometry", m.geometry, family.geometry)
+      bucket.foreach(b => if (m.bucket != b) fail("bucket", m.bucket, b))
+      if (m.partSpanMs != partSpanMs)
+        fail("partSpanMs", m.partSpanMs, partSpanMs)
+      if (m.keyCols != keyCols) fail("keyCols", m.keyCols, keyCols)
+      m
+    }
+
+  /** Validate when present; ADOPT (write) the manifest when absent —
+    * the upgrade path for pre-manifest views, and the create path for
+    * append-first layouts (streaming to a fresh directory). */
+  private def validateOrAdopt(
+      spark: SparkSession,
+      path: String,
+      family: ViewFamily,
+      bucket: String,
+      partSpanMs: Long,
+      keyCols: Seq[String]): ViewManifest =
+    validateManifest(spark, path, family, Some(bucket), partSpanMs, keyCols)
+      .getOrElse {
+        val m = ViewManifest(family.id, family.geometry, bucket, partSpanMs,
+          keyCols, -1L)
+        writeManifest(spark, path, m)
+        m
+      }
 
   /** Roll one event frame up to (`bucket_ms`, keys..., `sketch`). The
     * bucket is the epoch-millis long of the truncated timestamp (a
@@ -91,7 +266,8 @@ object SketchView {
         keyCols.map(F.col): _*)
       .agg(family.build(F.col(valueCol)).as("sketch"))
 
-  /** Create (or replace) the persisted view from a full event scan. */
+  /** Create (or replace) the persisted view from a full event scan.
+    * Writes the `_view.json` manifest recording the layout. */
   def materialize(
       events: DataFrame,
       tsCol: String,
@@ -100,9 +276,13 @@ object SketchView {
       path: String,
       bucket: String = "hour",
       family: ViewFamily = ViewFamily.ddsketch(),
-      partSpanMs: Long = DefaultPartSpanMs): Unit =
+      partSpanMs: Long = DefaultPartSpanMs): Unit = {
     writeView(rollup(events, tsCol, keyCols, valueCol, bucket, family),
       path, "overwrite", partSpanMs)
+    // after the overwrite (static overwrite clears the directory)
+    writeManifest(events.sparkSession, path,
+      ViewManifest(family.id, family.geometry, bucket, partSpanMs, keyCols, -1L))
+  }
 
   /** The directory key of a bucket: pure long floor, identical on the
     * driver (readRange pruning) and in the plan — no timezone, no
@@ -138,10 +318,25 @@ object SketchView {
   /** The merged view: one row per (bucket_ms, keys) with the sketch of
     * every batch ever appended, plus the reconstructed `bucket_start`
     * timestamp. For a time window use [[readRange]] — it prunes the
-    * scan to the window's partitions. */
+    * scan to the window's partitions. Fails fast when `family` or
+    * `keyCols` contradict the view's manifest. */
   def read(spark: SparkSession, path: String, keyCols: Seq[String],
-      family: ViewFamily = ViewFamily.ddsketch()): DataFrame =
+      family: ViewFamily = ViewFamily.ddsketch()): DataFrame = {
+    readManifest(spark, path).foreach { m =>
+      validateManifest(spark, path, family, None, m.partSpanMs, keyCols)
+    }
     merge(spark.read.parquet(path), keyCols, family)
+  }
+
+  /** [[read]] with the family and key columns taken from the view's
+    * own manifest — the "open whatever is there" path for dashboards
+    * and catalogs. Returns (view, manifest). */
+  def readAuto(spark: SparkSession, path: String): (DataFrame, ViewManifest) = {
+    val m = readManifest(spark, path).getOrElse(throw new IllegalArgumentException(
+      s"view at $path has no $ManifestFile manifest — pass the family to read()"))
+    (merge(spark.read.parquet(path), m.keyCols,
+      ViewFamily.fromManifest(m.family, m.geometry)), m)
+  }
 
   /** [[read]] restricted to `fromMs <= bucket_ms < untilMs`, with the
     * matching `__part` predicate derived by the same long math so the
@@ -153,13 +348,15 @@ object SketchView {
       fromMs: Long,
       untilMs: Long,
       family: ViewFamily = ViewFamily.ddsketch(),
-      partSpanMs: Long = DefaultPartSpanMs): DataFrame =
+      partSpanMs: Long = DefaultPartSpanMs): DataFrame = {
+    validateManifest(spark, path, family, None, partSpanMs, keyCols)
     merge(
       spark.read.parquet(path)
         .filter(F.col("__part") >= partFloor(fromMs, partSpanMs) &&
                 F.col("__part") < untilMs &&
                 F.col("bucket_ms") >= fromMs && F.col("bucket_ms") < untilMs),
       keyCols, family)
+  }
 
   private def merge(
       raw: DataFrame, keyCols: Seq[String], family: ViewFamily): DataFrame =
@@ -179,24 +376,59 @@ object SketchView {
       path: String,
       bucket: String = "hour",
       family: ViewFamily = ViewFamily.ddsketch(),
-      partSpanMs: Long = DefaultPartSpanMs): Unit =
+      partSpanMs: Long = DefaultPartSpanMs): Unit = {
+    validateOrAdopt(fresh.sparkSession, path, family, bucket, partSpanMs, keyCols)
     writeView(rollup(fresh, tsCol, keyCols, valueCol, bucket, family),
       path, "append", partSpanMs)
+  }
+
+  /** The highest `__batch` id present on disk — a directory listing,
+    * never a data scan (dirs are bounded by partitions × batches). */
+  private def maxBatchId(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Long = {
+    var mx = -1L
+    if (fs.exists(root)) fs.listStatus(root).foreach { part =>
+      if (part.isDirectory && part.getPath.getName.startsWith("__part="))
+        fs.listStatus(part.getPath).foreach { b =>
+          val name = b.getPath.getName
+          if (b.isDirectory && name.startsWith("__batch="))
+            scala.util.Try(name.stripPrefix("__batch=").toLong).toOption
+              .foreach(v => if (v > mx) mx = v)
+        }
+    }
+    mx
+  }
 
   /** Rewrite the view to one row per (bucket, keys). The merged frame
     * must be materialized BEFORE the overwrite truncates its own
     * input — the eager localCheckpoint is the point here, not a
-    * surprise (the library-wide lazy default is for operator chains). */
+    * surprise (the library-wide lazy default is for operator chains).
+    *
+    * Single-maintainer: see the class note. The manifest's
+    * `foldedThroughBatch` watermark advances to the highest streaming
+    * `__batch` id folded here, so a crashed-then-replayed micro-batch
+    * at or below it becomes a no-op instead of a double-count. */
   def compact(
       spark: SparkSession,
       path: String,
       keyCols: Seq[String],
       family: ViewFamily = ViewFamily.ddsketch(),
-      partSpanMs: Long = DefaultPartSpanMs): Unit =
+      partSpanMs: Long = DefaultPartSpanMs): Unit = {
+    val manifest =
+      validateManifest(spark, path, family, None, partSpanMs, keyCols)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val folded = math.max(maxBatchId(fs, root),
+      manifest.map(_.foldedThroughBatch).getOrElse(-1L))
     writeView(
       read(spark, path, keyCols, family).drop("bucket_start")
         .localCheckpoint(true),
       path, "overwrite", partSpanMs)
+    manifest.foreach { m =>
+      writeManifest(spark, path, m.copy(foldedThroughBatch = folded))
+    }
+  }
 
   /** Continuous maintenance: a foreachBatch sink that rolls each
     * micro-batch up and lands it under its own `__batch` partition
@@ -223,7 +455,11 @@ object SketchView {
           partSpanMs, batchId)
     }
 
-  /** One micro-batch of [[streamAppend]] (exposed for replay tests). */
+  /** One micro-batch of [[streamAppend]] (exposed for replay tests).
+    * A batch id at or below the manifest's `foldedThroughBatch` was
+    * already folded by a [[compact]] — its replay writes NOTHING
+    * (its original directories no longer exist; recreating them would
+    * double-count the folded rows). */
   private[sketch] def appendBatch(
       batch: DataFrame,
       tsCol: String,
@@ -233,9 +469,13 @@ object SketchView {
       bucket: String,
       family: ViewFamily,
       partSpanMs: Long,
-      batchId: Long): Unit =
-    writeView(rollup(batch, tsCol, keyCols, valueCol, bucket, family),
-      path, "overwrite", partSpanMs, batchId, dynamic = true)
+      batchId: Long): Unit = {
+    val m = validateOrAdopt(batch.sparkSession, path, family, bucket,
+      partSpanMs, keyCols)
+    if (batchId > m.foldedThroughBatch)
+      writeView(rollup(batch, tsCol, keyCols, valueCol, bucket, family),
+        path, "overwrite", partSpanMs, batchId, dynamic = true)
+  }
 
   /** Repair/backfill: replace the view's content for the partition
     * range `[fromMs, untilMs)` with a fresh rollup of `events` — the
@@ -243,7 +483,12 @@ object SketchView {
     * upstream fix that invalidated a window. The range must align to
     * `partSpanMs` (whole directories are dropped — every batch in the
     * range, so stale stream appends can't double-count). Events
-    * outside the range are ignored. */
+    * outside the range are ignored, and so are rollup BUCKETS outside
+    * it: a bucket coarser than `partSpanMs` (say "week" over day
+    * partitions) can truncate below `fromMs`, and writing that bucket
+    * would double-count against partitions the backfill never
+    * dropped — the output filter keeps every written row inside the
+    * replaced range. Single-maintainer (see the class note). */
   def backfill(
       events: DataFrame,
       tsCol: String,
@@ -259,6 +504,7 @@ object SketchView {
         partFloor(untilMs, partSpanMs) == untilMs,
       s"backfill range must align to partSpanMs=$partSpanMs")
     val spark = events.sparkSession
+    validateOrAdopt(spark, path, family, bucket, partSpanMs, keyCols)
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(root)) fs.listStatus(root).foreach { st =>
@@ -269,10 +515,12 @@ object SketchView {
           fs.delete(st.getPath, true)
       }
     }
-    append(
+    val fresh = rollup(
       events.filter(F.unix_millis(F.col(tsCol)) >= fromMs &&
         F.unix_millis(F.col(tsCol)) < untilMs),
-      tsCol, keyCols, valueCol, path, bucket, family, partSpanMs)
+      tsCol, keyCols, valueCol, bucket, family)
+      .filter(F.col("bucket_ms") >= fromMs && F.col("bucket_ms") < untilMs)
+    writeView(fresh, path, "append", partSpanMs)
   }
 
   /** Retention: drop every `__part` directory strictly OLDER than
@@ -285,6 +533,12 @@ object SketchView {
       path: String,
       keepFromMs: Long,
       partSpanMs: Long = DefaultPartSpanMs): Int = {
+    readManifest(spark, path).foreach { m =>
+      if (m.partSpanMs != partSpanMs)
+        throw new IllegalArgumentException(
+          s"view at $path has partSpanMs=${m.partSpanMs}, expire called " +
+            s"with $partSpanMs — the retention floor would land mid-partition")
+    }
     val floor = partFloor(keepFromMs, partSpanMs)
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)

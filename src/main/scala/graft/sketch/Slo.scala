@@ -41,6 +41,12 @@ object Slo {
    * `[untilMs - longMs, untilMs)`, and `alert` = both strictly above
    * `threshold`. Emits (keys..., n_short, n_long, burn_short,
    * burn_long, alert).
+   *
+   * Keys present in the long window but QUIET in the short one (a
+   * service that stopped reporting) still get a row — n_short = 0,
+   * NULL burn_short, alert = false — exactly the keys a dashboard
+   * must surface, so they ride a left join from the long window
+   * (short ⊆ long guarantees the reverse direction never drops).
    */
   def multiWindowBurn(
       spark: SparkSession,
@@ -60,14 +66,15 @@ object Slo {
           partSpanMs = partSpanMs)
         .groupBy(keyCols.map(F.col): _*)
         .agg(G.ddsketch_agg(F.col("sketch")).as(s"__sk_$tag"))
-    window(untilMs - shortMs, "s")
-      .join(window(untilMs - longMs, "l"), keyCols)
+    window(untilMs - longMs, "l")
+      .join(window(untilMs - shortMs, "s"), keyCols, "left")
       .select(keyCols.map(F.col) ++ Seq(
-        G.ddsketch_count(F.col("__sk_s")).as("n_short"),
+        F.coalesce(G.ddsketch_count(F.col("__sk_s")), F.lit(0L)).as("n_short"),
         G.ddsketch_count(F.col("__sk_l")).as("n_long"),
         burnRate(F.col("__sk_s"), objective, budget).as("burn_short"),
         burnRate(F.col("__sk_l"), objective, budget).as("burn_long")): _*)
-      .withColumn("alert",
-        F.col("burn_short") > threshold && F.col("burn_long") > threshold)
+      .withColumn("alert", F.coalesce(
+        F.col("burn_short") > threshold && F.col("burn_long") > threshold,
+        F.lit(false)))
   }
 }

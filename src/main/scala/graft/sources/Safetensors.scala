@@ -153,28 +153,26 @@ object Safetensors {
   private final case class Header(
       n: Int, d: Int, embOff: Long, idsOff: Long)
 
-  /** Minimal header parse for the two-tensor layout this sink writes
-    * (a general reader would walk all names; we need our own files
-    * back plus anything shaped the same way). */
+  /** Header parse for the two-tensor layout this sink writes, via a
+    * real JSON parse (the header is tiny): an externally-produced
+    * file may order a tensor's fields arbitrarily — positional
+    * scanning would silently pick up the NEXT tensor's fields. */
   private def parseHeader(json: String): Header = {
-    def tensor(name: String): (Seq[Long], Long) = {
-      val i = json.indexOf("\"" + name + "\"")
-      require(i >= 0, s"tensor '$name' missing in safetensors header")
-      val shapeStart = json.indexOf("\"shape\":[", i) + 9
-      val shape = json.substring(shapeStart, json.indexOf(']', shapeStart))
-        .split(',').map(_.trim.toLong).toSeq
-      val offStart = json.indexOf("\"data_offsets\":[", i) + 16
-      val offs = json.substring(offStart, json.indexOf(']', offStart))
-        .split(',').map(_.trim.toLong)
-      (shape, offs(0))
+    val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    def tensor(name: String, wantDtype: String): (Seq[Long], Long) = {
+      val t = root.get(name)
+      require(t != null, s"tensor '$name' missing in safetensors header")
+      require(t.get("dtype") != null && t.get("dtype").asText() == wantDtype,
+        s"tensor '$name' must be $wantDtype, got ${t.get("dtype")}")
+      val shape = (0 until t.get("shape").size())
+        .map(i => t.get("shape").get(i).asLong())
+      (shape, t.get("data_offsets").get(0).asLong())
     }
-    val (eShape, eOff) = tensor("embeddings")
-    val (iShape, iOff) = tensor("ids")
+    val (eShape, eOff) = tensor("embeddings", "F32")
+    val (iShape, iOff) = tensor("ids", "I64")
     require(eShape.length == 2 && iShape.length == 1 &&
       eShape.head == iShape.head,
       s"expected embeddings [n,d] + ids [n], got $eShape / $iShape")
-    require(json.contains("\"F32\"") && json.contains("\"I64\""),
-      "expected F32 embeddings + I64 ids")
     Header(eShape.head.toInt, eShape(1).toInt, eOff, iOff)
   }
 

@@ -213,6 +213,126 @@ class SketchViewSpec extends SparkTestBase {
     }
   }
 
+  test("manifest: wrong family / geometry / partSpan / keys fail fast") {
+    val ev = events.limit(300)
+    val dir = java.nio.file.Files.createTempDirectory("graft_skview_m").toString
+    SketchView.materialize(ev, "ts", Seq("event_type"), "value", dir)
+    // wrong family: a CMS probe of a DDSketch view is silent garbage
+    // without the manifest (merge aggs skip mismatched blobs)
+    intercept[IllegalArgumentException] {
+      SketchView.read(spark, dir, Seq("event_type"),
+        SketchView.ViewFamily.cmsFrequency())
+    }
+    // right family, wrong geometry
+    intercept[IllegalArgumentException] {
+      SketchView.read(spark, dir, Seq("event_type"),
+        SketchView.ViewFamily.ddsketch(accuracy = 0.05))
+    }
+    // wrong partSpan: the readRange pruning floor would lie
+    intercept[IllegalArgumentException] {
+      SketchView.readRange(spark, dir, Seq("event_type"), 0L, Long.MaxValue,
+        partSpanMs = 3600000L)
+    }
+    // wrong key columns
+    intercept[IllegalArgumentException] {
+      SketchView.read(spark, dir, Seq("user_id"))
+    }
+    // wrong bucket grain on append (hour view, day rollup)
+    intercept[IllegalArgumentException] {
+      SketchView.append(ev, "ts", Seq("event_type"), "value", dir,
+        bucket = "day")
+    }
+    // wrong partSpan on expire: the floor would land mid-partition
+    intercept[IllegalArgumentException] {
+      SketchView.expire(spark, dir, 0L, partSpanMs = 3600000L)
+    }
+    // the matching calls still work
+    assert(SketchView.read(spark, dir, Seq("event_type")).count() > 0)
+  }
+
+  test("readAuto opens a view from its manifest alone") {
+    val ev = events.limit(500)
+    val fam = SketchView.ViewFamily.kmvDistinct(k = 512)
+    val dir = java.nio.file.Files.createTempDirectory("graft_skview_ra").toString
+    SketchView.materialize(ev, "ts", Seq("event_type"), "user_id", dir,
+      family = fam)
+    val (view, m) = SketchView.readAuto(spark, dir)
+    assert(m.family === "kmv" && m.geometry === Map("k" -> "512") &&
+      m.keyCols === Seq("event_type") && m.bucket === "hour")
+    assert(viewMap(view) ===
+      viewMap(SketchView.read(spark, dir, Seq("event_type"), fam)))
+  }
+
+  test("append after compact still matches the rebuild byte-for-byte") {
+    val ev = events
+    val half = F.col("event_id") % 2 === 0
+    val dir = java.nio.file.Files.createTempDirectory("graft_skview_ac").toString
+    SketchView.materialize(ev.filter(half), "ts", Seq("event_type"), "value", dir)
+    SketchView.compact(spark, dir, Seq("event_type"))
+    SketchView.append(ev.filter(!half), "ts", Seq("event_type"), "value", dir)
+    val incremental = viewMap(SketchView.read(spark, dir, Seq("event_type")))
+    val rebuilt = viewMap(SketchView.rollup(ev, "ts", Seq("event_type"), "value"))
+    assert(incremental === rebuilt)
+    assert(incremental.nonEmpty)
+  }
+
+  test("a micro-batch replayed AFTER a compact folded it writes nothing") {
+    val ev = events.limit(300)
+    val dir = java.nio.file.Files.createTempDirectory("graft_skview_cf").toString
+    val fam = SketchView.ViewFamily.ddsketch()
+    // two committed-to-disk micro-batches...
+    SketchView.appendBatch(ev, "ts", Seq("event_type"), "value", dir,
+      "hour", fam, SketchView.DefaultPartSpanMs, batchId = 0L)
+    SketchView.appendBatch(ev, "ts", Seq("event_type"), "value", dir,
+      "hour", fam, SketchView.DefaultPartSpanMs, batchId = 1L)
+    val before = viewMap(SketchView.read(spark, dir, Seq("event_type")))
+    // ...maintenance folds them into __batch=-1...
+    SketchView.compact(spark, dir, Seq("event_type"))
+    assert(SketchView.readManifest(spark, dir).get.foldedThroughBatch === 1L)
+    // ...then the stream restarts from a checkpoint that never
+    // committed batch 1 and REPLAYS it: without the fold watermark the
+    // replayed rows would count twice (once inside the compacted rows,
+    // once in the recreated __batch=1 dirs)
+    SketchView.appendBatch(ev, "ts", Seq("event_type"), "value", dir,
+      "hour", fam, SketchView.DefaultPartSpanMs, batchId = 1L)
+    assert(viewMap(SketchView.read(spark, dir, Seq("event_type"))) === before)
+    // a genuinely NEW batch id still lands
+    SketchView.appendBatch(ev, "ts", Seq("event_type"), "value", dir,
+      "hour", fam, SketchView.DefaultPartSpanMs, batchId = 2L)
+    assert(viewMap(SketchView.read(spark, dir, Seq("event_type"))) !== before)
+  }
+
+  test("backfill with a bucket coarser than partSpan never leaks below the range") {
+    // week buckets over day partitions: the week's truncation can land
+    // BELOW the backfilled range — those rows must be filtered, not
+    // appended into partitions the backfill never dropped
+    val hour = 3600000L
+    val rows = (0 until 21 * 24).map { h =>
+      (new java.sql.Timestamp(1700000000000L + h * hour), "t", 1.0)
+    }
+    val df = rows.toDF("ts", "event_type", "value")
+    val dir = java.nio.file.Files.createTempDirectory("graft_skview_wk").toString
+    SketchView.materialize(df, "ts", Seq("event_type"), "value", dir,
+      bucket = "week")
+    val clean = viewMap(SketchView.read(spark, dir, Seq("event_type")))
+    val span = SketchView.DefaultPartSpanMs
+    val from = {
+      val t0 = 1700000000000L
+      val f0 = t0 - java.lang.Math.floorMod(t0, span)
+      f0 + 7 * span // a mid-corpus day boundary
+    }
+    SketchView.backfill(df, "ts", Seq("event_type"), "value", dir,
+      from, from + span, bucket = "week")
+    val after = viewMap(SketchView.read(spark, dir, Seq("event_type")))
+    // week buckets truncating below `from` were dropped by the delete
+    // and NOT re-written by the filtered rollup output: every bucket
+    // outside [from, from+span) is untouched, none double-counts
+    after.foreach { case (k @ (b, _), bytes) =>
+      if (b < from || b >= from + span)
+        assert(bytes === clean(k), s"bucket $b changed outside the range")
+    }
+  }
+
   test("NULL timestamps are dropped, NULL values skipped") {
     val df = Seq(
       (Some(java.sql.Timestamp.valueOf("2024-01-01 10:15:00")), "a", Some(1.0)),

@@ -42,4 +42,28 @@ class SloSpec extends SparkTestBase {
     assert(out("bad") === true)
     assert(out("recovered") === false)   // short window healthy → no page
   }
+
+  test("multiWindowBurn surfaces keys quiet in the short window") {
+    val hour = 3600000L
+    // "gone" stops reporting before the short window opens — the
+    // stopped-reporting service an SLO dashboard must still show
+    val rows = (0 until 48).flatMap { h =>
+      val ts = new java.sql.Timestamp(1700000000000L + h * hour)
+      Seq(("live", ts, 200.0)) ++
+        (if (h < 40) Seq(("gone", ts, 200.0)) else Nil)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_slo_q").toString
+    SketchView.materialize(
+      rows.toDF("event_type", "ts", "value"), "ts", Seq("event_type"), "value", dir)
+    val until = 1700000000000L + 48 * hour
+    val out = Slo.multiWindowBurn(spark, dir, Seq("event_type"),
+        objective = 100.0, budget = 0.1, untilMs = until,
+        shortMs = 2 * hour, longMs = 48 * hour, threshold = 1.0)
+      .select("event_type", "n_short", "burn_short", "alert")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.isNullAt(2), r.getBoolean(3)))).toMap
+    assert(out.contains("gone"), "quiet key must not be dropped")
+    assert(out("gone") === ((0L, true, false)))
+    assert(out("live")._1 > 0L && out("live")._3 === true)
+  }
 }

@@ -57,6 +57,36 @@ class SafetensorsSpec extends SparkTestBase {
     assert(ts.head.end === 12L && ts(1).begin === 12L && ts(1).end === 20L)
   }
 
+  test("externally-produced headers parse regardless of JSON field order") {
+    // JSON object key order is unspecified: a writer may emit
+    // data_offsets before shape, or interleave tensors — a positional
+    // scan would silently read the NEXT tensor's fields
+    val dir = java.nio.file.Files.createTempDirectory("graft_st5").toString + "/t"
+    new java.io.File(dir).mkdirs()
+    val json =
+      """{"ids":{"data_offsets":[16,32],"shape":[2],"dtype":"I64"},""" +
+      """"embeddings":{"data_offsets":[0,16],"dtype":"F32","shape":[2,2]}}"""
+    val pad = (8 - (json.length % 8)) % 8
+    val header = (json + " " * pad).getBytes("UTF-8")
+    val out = new java.io.DataOutputStream(new java.io.FileOutputStream(
+      dir + "/ext.safetensors"))
+    var hl = header.length.toLong
+    (0 until 8).foreach { _ => out.write((hl & 0xff).toInt); hl >>>= 8 }
+    out.write(header)
+    val bb = java.nio.ByteBuffer.allocate(32)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putFloat(1.5f).putFloat(-2.0f).putFloat(3.0f).putFloat(4.5f)
+    bb.putLong(11L).putLong(22L)
+    out.write(bb.array())
+    out.close()
+    val back = Safetensors.read(spark, dir)
+      .select("id", "embedding").as[(Long, Array[Float])].collect()
+      .sortBy(_._1)
+    assert(back.map(_._1).toSeq === Seq(11L, 22L))
+    assert(back(0)._2.toSeq === Seq(1.5f, -2.0f))
+    assert(back(1)._2.toSeq === Seq(3.0f, 4.5f))
+  }
+
   test("NULL and ragged vectors are skipped, ids stay aligned") {
     val df = Seq(
       (1L, Some(Array(1.0f, 2.0f))),
