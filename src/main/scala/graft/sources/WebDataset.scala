@@ -79,6 +79,35 @@ object WebDataset {
         System.arraycopy(b, pos.toInt, buf, 0, buf.length)
     }
 
+  /** Sequential [[ByteRangeReader]] over one open stream. The tar walk
+    * is strictly FORWARD (header, payload, skipped padding, next
+    * header), so a single buffered pass serves it — one OS read per
+    * 64 KiB instead of one positioned read per 512-byte header and one
+    * per member payload, while still holding only the current member
+    * resident. Positions must be monotone non-decreasing (they are,
+    * by the walker's construction); gaps (padding, skipped member
+    * types) are skipped, never buffered. */
+  private[sources] def sequentialReader(
+      in: java.io.InputStream, len: Long): ByteRangeReader =
+    new ByteRangeReader {
+      private val din = new java.io.DataInputStream(
+        new java.io.BufferedInputStream(in, 1 << 16))
+      private var at = 0L
+      def length: Long = len
+      def readFully(pos: Long, buf: Array[Byte]): Unit = {
+        require(pos >= at,
+          s"sequential tar reader can't seek backwards ($pos < $at)")
+        var gap = pos - at
+        while (gap > 0) {
+          val skipped = din.skip(gap)
+          require(skipped > 0, s"unexpected EOF skipping to $pos")
+          gap -= skipped
+        }
+        din.readFully(buf)
+        at = pos + buf.length
+      }
+    }
+
   /** Parse a tar archive back to (name, bytes) members. */
   private[sources] def untar(tar: Array[Byte]): Seq[(String, Array[Byte])] =
     tarMemberIterator(arrayReader(tar), "<memory>").toSeq
@@ -177,12 +206,7 @@ object WebDataset {
         val in = fs.open(p)
         val tc = org.apache.spark.TaskContext.get()
         if (tc != null) tc.addTaskCompletionListener[Unit](_ => in.close())
-        val reader = new ByteRangeReader {
-          def length: Long = len
-          def readFully(pos: Long, buf: Array[Byte]): Unit =
-            in.readFully(pos, buf)
-        }
-        val members = tarMemberIterator(reader, shard)
+        val members = tarMemberIterator(sequentialReader(in, len), shard)
         groupContiguous(members).map { case (key, files) =>
           val m = files.map { case (name, bytes) =>
             val dot = name.lastIndexOf('.')
