@@ -1278,7 +1278,23 @@ object Bench {
       "\"" + k + "\":" + floors.get(k).forall(v >= _) }.mkString("{", ",", "}")
 
     val dedupOk = dedupRecall < 0 || dedupRecall >= 0.7
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"recall_at_10":$rc,"recall_floors":$fl,"recall_ok":$ok,"dedup_recall":{"minhash":$dedupRecall},"dedup_recall_floor":0.7,"dedup_recall_ok":$dedupOk,"sf":"$sfDir"}""")
+    val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"recall_at_10":$rc,"recall_floors":$fl,"recall_ok":$ok,"dedup_recall":{"minhash":$dedupRecall},"dedup_recall_floor":0.7,"dedup_recall_ok":$dedupOk,"sf":"$sfDir"}"""
+    // the full per-query line outgrew the harness's 2000-char stdout
+    // tail (~85 queries × ~28 chars), which head-truncated the one
+    // JSON line into an unparseable fragment every round. So: the
+    // detail goes to stdout for humans AND to BENCH_DETAIL.json for
+    // machines, and the LAST line printed is a compact summary that
+    // always fits the tail whole — that's the line the round artifact
+    // parses.
+    println(detail)
+    try {
+      val w = new java.io.PrintWriter("BENCH_DETAIL.json", "UTF-8")
+      try w.println(detail) finally w.close()
+    } catch { case _: Throwable => () }
+    def r3(v: Double): Double = math.rint(v * 1000) / 1000
+    val worst = results.filter(_._2 >= 0).sortBy(-_._2).take(8)
+      .map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"worst":$worst,"recall_at_10":$rc,"recall_ok":$ok,"dedup_recall":{"minhash":$dedupRecall},"dedup_recall_ok":$dedupOk,"sf":"$sfDir","detail":"BENCH_DETAIL.json"}""")
     spark.stop()
   }
 }
