@@ -1267,6 +1267,68 @@ object SparkEntry {
       s.table("graft_stream_neardup").orderBy("id_new", "id_old")
     }),
 
+    // streaming SUBSTRING-span scrub under the gate: the fresh slice
+    // replayed as a file stream and probed against the persisted gram
+    // index of history (stateless: bloom predicate + stream-static
+    // semi-join, no state store), then merged to maximal spans at the
+    // sink — history hits only (within-batch repeats are batch-global
+    // context the stream can't see; the oracle drops that branch too)
+    "q_stream_spans" -> ((s: SparkSession, dir: String) => {
+      val docs = t(s, dir, "documents").filter(F.col("text").isNotNull)
+      val hist = docs.filter(F.col("doc_id") % 3 =!= 0)
+      val idxPath = System.getProperty("java.io.tmpdir") + "/graft_q_stream_sp_idx"
+      graft.pipeline.Dedup.buildGramIndex(hist, "text", k = 8)
+        .write.mode("overwrite").parquet(idxPath)
+      val fresh = docs.filter(F.col("doc_id") % 3 === 0)
+        .select(F.col("doc_id"), F.col("text"))
+      val tmp = System.getProperty("java.io.tmpdir") + "/graft_q_stream_sp_src"
+      fresh.write.mode("overwrite").parquet(tmp)
+      val stream = s.readStream.schema(fresh.schema).parquet(tmp)
+      val out = graft.streaming.SketchStreaming.spanHitStream(
+        stream, "doc_id", "text", s.read.parquet(idxPath), k = 8)
+      s.catalog.dropTempView("graft_stream_spans")
+      val q = out.writeStream
+        .outputMode("append").format("memory")
+        .queryName("graft_stream_spans")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.pipeline.Dedup.mergeSpans(s.table("graft_stream_spans"), "doc_id")
+        .orderBy("doc_id", "span_start")
+    }),
+
+    // streaming EDIT-1 matching under the gate: the planted 'z'
+    // variants replayed as a file stream against the persisted
+    // deletion-hash index of the md5 keys — shares the batch
+    // incremental oracle (pair-dedup collapses shared-key multiplicity)
+    "q_stream_edit_one" -> ((s: SparkSession, dir: String) => {
+      val keys = t(s, dir, "documents").select(F.col("doc_id"),
+        F.md5(F.col("doc_id").cast("string")).as("k"))
+      val variants = keys.select(
+        F.lit(java.sql.Timestamp.valueOf("2026-01-01 00:00:00")).as("ts"),
+        (F.col("doc_id") + 1000000L).as("doc_id"),
+        F.concat(F.lit("z"), F.substring(F.col("k"), 2, 100)).as("k"))
+      val idxPath = System.getProperty("java.io.tmpdir") + "/graft_q_stream_e1_idx"
+      graft.pipeline.Dedup.buildEditOneIndex(keys, "doc_id", "k")
+        .write.mode("overwrite").parquet(idxPath)
+      val tmp = System.getProperty("java.io.tmpdir") + "/graft_q_stream_e1_src"
+      variants.write.mode("overwrite").parquet(tmp)
+      val stream = s.readStream.schema(variants.schema).parquet(tmp)
+      val out = graft.streaming.SketchStreaming.editOneStream(
+        stream, "ts", "doc_id", "k", s.read.parquet(idxPath),
+        // effectively-infinite horizon: bounded replays must never
+        // expire pair-dedup state (the q_stream_dedup rule)
+        watermarkDelay = "3650 days")
+      s.catalog.dropTempView("graft_stream_editone")
+      val q = out.writeStream
+        .outputMode("append").format("memory")
+        .queryName("graft_stream_editone")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("graft_stream_editone").orderBy("id_new")
+    }),
+
     // streaming EMBEDDING near-dup under the gate: fresh exact copies
     // replayed as a file stream, probed against the static LSH
     // signature index of history (incrementalEmbeddingDuplicates is
@@ -6847,6 +6909,31 @@ object SparkEntry {
       // the streaming probe is output-identical to the batch
       // incremental pair set on a bounded replay (batch≡stream spec)
       "q_stream_neardup" -> base("q_dedup_incremental"),
+      // streaming edit-1 probe: same planted argument as the batch
+      // incremental form — pair-dedup makes the replay emit each pair once
+      "q_stream_edit_one" -> base("q_edit_one_incremental"),
+      // streaming span probe: q_dedup_incremental_substring's oracle
+      // MINUS the within-batch branch (batch-global context a
+      // stateless stream can't see) — history hits only, merged
+      "q_stream_spans" ->
+        """WITH d AS (SELECT doc_id,
+          |             list_filter(string_split_regex(text, '\s+'), s -> len(s) > 0) AS toks
+          |           FROM documents WHERE text IS NOT NULL),
+          |g AS (SELECT doc_id, i AS s, i + 7 AS e, array_to_string(toks[i:i+7], ' ') AS gram
+          |      FROM d, range(1, 4000) u(i) WHERE u.i <= len(toks) - 7),
+          |fg AS (SELECT doc_id, s, e, gram FROM g WHERE doc_id % 3 = 0),
+          |dup AS (SELECT DISTINCT gram FROM g WHERE doc_id % 3 <> 0),
+          |m AS (SELECT fg.doc_id, fg.s, fg.e FROM fg JOIN dup USING (gram)),
+          |o AS (SELECT doc_id, s, e,
+          |             max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+          |                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+          |      FROM m),
+          |isl AS (SELECT doc_id, s, e,
+          |               sum(CASE WHEN pmax IS NULL OR s > pmax + 1 THEN 1 ELSE 0 END)
+          |                 OVER (PARTITION BY doc_id ORDER BY s, e) AS grp FROM o),
+          |spans AS (SELECT doc_id, min(s) AS ss, max(e) AS se FROM isl GROUP BY doc_id, grp)
+          |SELECT doc_id, CAST(ss AS BIGINT) AS span_start, CAST(se AS BIGINT) AS span_end
+          |FROM spans ORDER BY doc_id, span_start""".stripMargin,
       "q_tokenize_bpe" ->
         """SELECT count(*) AS docs, true AS rank_eq_seq, true AS reconstructs
           |FROM documents""".stripMargin,

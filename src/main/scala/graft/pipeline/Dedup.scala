@@ -1067,6 +1067,17 @@ object Dedup {
         F.col("__sp._2").as("span_end"))
   }
 
+  /** Merge a frame of (idCol, span_start, span_end) rows into maximal
+    * per-document spans (overlap and adjacency merge) — the batch
+    * finisher for UNMERGED span emitters like [[indexGramHits]] and
+    * the streaming probe (span merging needs all of a document's hits
+    * together, which a stateless stream can't see). */
+  def mergeSpans(df: DataFrame, idCol: String): DataFrame =
+    spansFromMarked(
+      df.select(F.col(idCol), F.col("span_start").as("__s"),
+        F.col("span_end").as("__e")),
+      idCol)
+
   /**
    * [[duplicateSpans]] with GRAM-SIZE ESCALATION — output-identical
    * (DuplicateSpanSpec pins it), built for LARGE length floors where
@@ -1561,7 +1572,7 @@ object Dedup {
   /** Levenshtein distance <= 1, decided without the DP table: equal
     * strings are distance 0; otherwise lengths may differ by at most
     * 1, and one aligned scan over the first mismatch settles it. */
-  private[pipeline] def editDistanceLeOne(a: String, b: String): Boolean = {
+  private[graft] def editDistanceLeOne(a: String, b: String): Boolean = {
     if (a == b) return true
     val (s, l) = if (a.length <= b.length) (a, b) else (b, a)
     if (l.length - s.length > 1) return false
@@ -1581,7 +1592,7 @@ object Dedup {
   /** xxhash-free deletion-neighborhood keys: FNV over the string with
     * position i skipped, each variant O(len) from the shared prefix
     * hashes — O(len²) time per row but only (len+1) LONGS leave it. */
-  private[pipeline] def deletionHashes(s: String): Array[Long] = {
+  private[graft] def deletionHashes(s: String): Array[Long] = {
     val n = s.length
     val prefix = new Array[Long](n + 1)
     prefix(0) = 0xCBF29CE484222325L

@@ -236,6 +236,77 @@ object SketchStreaming {
   }
 
   /**
+   * Streaming SUBSTRING-span detection: gram occurrences in arriving
+   * documents whose k-token hash exists in a persisted
+   * [[graft.pipeline.Dedup.buildGramIndex]] of the history — the
+   * ingest-time "is this passage already in the corpus?" scrub.
+   * Every stage is STATELESS (per-row shingling, a broadcast-bloom
+   * predicate built once at wiring time, a stream-static left-semi
+   * verify join), so it runs in append mode with no watermark and no
+   * state store, emitting one (idCol, span_start, span_end) row per
+   * matching k-gram occurrence the micro-batch it arrives. Positions
+   * are unique within a document, so there is no within-arrival
+   * multiplicity to dedup. Merge to maximal spans downstream with
+   * [[graft.pipeline.Dedup.mergeSpans]] (a batch finisher — merging
+   * needs all of a document's hits, which only the sink sees).
+   *
+   * At 100 TB: the index is a static-side scan per micro-batch (keep
+   * it parquet, bucketed by `gh`); the bloom prune drops the
+   * non-duplicated bulk of the stream's grams before the join.
+   */
+  def spanHitStream(
+      stream: DataFrame,
+      idCol: String,
+      textCol: String,
+      gramIndex: DataFrame,
+      k: Int = 8,
+      expectedItems: Long = graft.sketch.bloom.DefaultItems,
+      fpp: Double = graft.sketch.bloom.DefaultFpp): DataFrame =
+    graft.pipeline.Dedup.indexGramHits(
+      stream, gramIndex, idCol, textCol, k, expectedItems, fpp)
+
+  /**
+   * Streaming EDIT-DISTANCE-1 matching: arriving short strings
+   * (titles, URLs, product keys) probed against a persisted
+   * [[graft.pipeline.Dedup.buildEditOneIndex]] of history — every
+   * (new, old) pair within one edit, the micro-batch it arrives.
+   * The probe explodes the row's (len+1) deletion-neighborhood keys
+   * (guaranteed recall at distance <= 1), hash-joins the static
+   * index, and verifies candidates exactly; multiple shared keys per
+   * true pair collapse in `dropDuplicatesWithinWatermark` (state =
+   * one entry per emitted pair within the horizon, expired by event
+   * time — never corpus-sized). The streaming twin of
+   * [[graft.pipeline.Dedup.incrementalEditOnePairs]], identical
+   * output on identical input (BatchStreamEquivalenceSpec).
+   */
+  def editOneStream(
+      stream: DataFrame,
+      tsCol: String,
+      idCol: String,
+      strCol: String,
+      index: DataFrame,
+      watermarkDelay: String,
+      maxLen: Int = 256): DataFrame = {
+    val delU = F.udf((s: String) =>
+      if (s == null || s.length > maxLen) Array.empty[Long]
+      else graft.pipeline.Dedup.deletionHashes(s))
+    val okU = F.udf((a: String, b: String) =>
+      graft.pipeline.Dedup.editDistanceLeOne(a, b))
+    stream
+      .withWatermark(tsCol, watermarkDelay)
+      .select(F.col(tsCol).as("__ts"),
+        F.col(idCol).cast("long").as("id_new"), F.col(strCol).as("__bs"))
+      .filter(F.col("__bs").isNotNull)
+      .select(F.col("__ts"), F.col("id_new"), F.col("__bs"),
+        F.explode(delU(F.col("__bs"))).as("key"))
+      .join(index, "key")
+      .filter(okU(F.col("__bs"), F.col("s")))
+      .select(F.col("__ts"), F.col("id_new"), F.col("id").as("id_old"))
+      .dropDuplicatesWithinWatermark("id_new", "id_old")
+      .select("id_new", "id_old")
+  }
+
+  /**
    * Windowed drift gate: per event-time window, bin `valueCol` by the
    * fixed `cuts` (the [[graft.pipeline.Drift]] binning — count of cuts
    * strictly below the value) and emit the window's PSI against a

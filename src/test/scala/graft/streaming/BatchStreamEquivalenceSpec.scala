@@ -534,6 +534,91 @@ class BatchStreamEquivalenceSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("spanHitStream + mergeSpans covers a replayed history doc end to end") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.pipeline.Dedup
+    val docs = sf("sf0.001", "documents").select("doc_id", "text")
+      .filter(F.col("text").isNotNull)
+    val hist = docs.filter(F.col("doc_id") % 3 =!= 0)
+    val index = Dedup.buildGramIndex(hist, "text", k = 8)
+      .localCheckpoint(eager = false)
+    // fresh = the other slice + exact replays of history docs: a
+    // replayed doc's merged span must be the WHOLE token range
+    val replays = hist.filter(F.col("doc_id") % 7 === 0)
+      .select((F.col("doc_id") + 1000000L).as("doc_id"), F.col("text"))
+    val freshRows = docs.filter(F.col("doc_id") % 3 === 0).union(replays)
+      .as[(Long, String)].collect()
+
+    val batchMerged = Dedup.mergeSpans(
+        Dedup.indexGramHits(freshRows.toSeq.toDF("doc_id", "text"),
+          index, "doc_id", "text", k = 8), "doc_id")
+      .as[(Long, Long, Long)].collect().toSet
+
+    val input = MemoryStream[(Long, String)]
+    val q = SketchStreaming.spanHitStream(
+        input.toDF().toDF("doc_id", "text"), "doc_id", "text", index, k = 8)
+      .writeStream.format("memory").queryName("bs_span_hits")
+      .outputMode("append").start()
+    try {
+      val chunks = freshRows.grouped(freshRows.length / 2 + 1).toSeq
+      chunks.foreach { c => input.addData(c.toSeq); q.processAllAvailable() }
+      val streamMerged = Dedup.mergeSpans(
+          spark.table("bs_span_hits"), "doc_id")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(streamMerged === batchMerged)
+      // every replayed doc is fully covered by one maximal span
+      val nToks = replays.select(F.col("doc_id"),
+          F.size(F.filter(F.split(F.col("text"), "\\s+"),
+            t => F.length(t) > 0)).cast("long"))
+        .as[(Long, Long)].collect().toMap
+      nToks.foreach { case (id, n) =>
+        if (n >= 8)
+          assert(streamMerged.contains((id, 1L, n)), s"doc $id not covered")
+      }
+    } finally q.stop()
+  }
+
+  test("editOneStream equals the batch incremental edit-1 pairs, once per pair") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.pipeline.Dedup
+    val keys = sf("sf0.001", "documents").select(F.col("doc_id"),
+      F.md5(F.col("doc_id").cast("string")).as("k"))
+    val variants = keys.select(
+      (F.col("doc_id") + 1000000L).as("doc_id"),
+      F.concat(F.lit("z"), F.substring(F.col("k"), 2, 100)).as("k"))
+    val index = Dedup.buildEditOneIndex(keys, "doc_id", "k")
+      .localCheckpoint(eager = false)
+    val batchPairs = Dedup.incrementalEditOnePairs(index,
+        variants, "doc_id", "k")
+      .as[(Long, Long)].collect().toSet
+    assert(batchPairs.nonEmpty)
+
+    val rows = variants.as[(Long, String)].collect().map { case (id, k) =>
+      (Timestamp.valueOf("2026-01-01 10:00:00"), id, k)
+    }
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val q = SketchStreaming.editOneStream(
+        input.toDF().toDF("ts", "doc_id", "k"),
+        "ts", "doc_id", "k", index, watermarkDelay = "365 days")
+      .writeStream.format("memory").queryName("bs_editone")
+      .outputMode("append").start()
+    try {
+      // two micro-batches, the second REPLAYING part of the first:
+      // the pair-dedup state must emit each pair exactly once
+      val half = rows.length / 2 + 1
+      input.addData(rows.take(half).toSeq); q.processAllAvailable()
+      input.addData(rows.toSeq); q.processAllAvailable()
+      val streamed = spark.table("bs_editone")
+        .as[(Long, Long)].collect()
+      assert(streamed.length === streamed.distinct.length)
+      assert(streamed.toSet === batchPairs)
+    } finally q.stop()
+  }
+
   test("WARC record explode + WET conversion is batch≡stream (stateless map-only)") {
     val session = spark
     import session.implicits._
