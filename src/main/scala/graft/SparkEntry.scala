@@ -1161,6 +1161,75 @@ object SparkEntry {
         .orderBy("hour_ms", "event_type")
     }),
 
+    // streaming MULTIWINDOW SLO alert under the gate: sliding 48h/6h
+    // windows with the 6h short sub-window, exact n_short/n_long
+    // replayed per window end in DuckDB (events × range(1,9) window
+    // expansion — the q_stream_drift grid convention), burn rates
+    // bracketed by the exact CDF at the objective's ±3.5% value blur
+    "q_stream_slo_multi" -> ((s: SparkSession, dir: String) => {
+      Graft.register(s)
+      val ev = t(s, dir, "events")
+        .filter(F.col("ts").isNotNull)
+        .select(F.col("ts"), F.col("event_type"), F.col("value"))
+      val tmp = System.getProperty("java.io.tmpdir") + "/graft_q_stream_slom_src"
+      ev.write.mode("overwrite").parquet(tmp)
+      val stream = s.readStream.schema(ev.schema).parquet(tmp)
+      val (objective, budget) = (100.0, 0.25)
+      val out = graft.streaming.SketchStreaming.multiWindowBurnStream(
+        stream, "ts", "event_type", "value", objective, budget,
+        shortDuration = "6 hours", longDuration = "48 hours",
+        slideDuration = "6 hours", watermarkDelay = "10 minutes")
+      s.catalog.dropTempView("graft_stream_slom")
+      val q = out.writeStream
+        .outputMode("complete").format("memory")
+        .queryName("graft_stream_slom")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val res = s.table("graft_stream_slom")
+        .select(F.unix_millis(F.col("window.end")).as("end_ms"),
+          F.col("event_type"), F.col("n_short"), F.col("n_long"),
+          F.col("burn_short"), F.col("burn_long"), F.col("alert"))
+      val slide = 21600000L
+      val exact = ev
+        .select(F.col("event_type"), F.col("value").cast("double").as("__v"),
+          F.unix_millis(F.col("ts")).as("__ms"))
+        .select(F.col("event_type"), F.col("__v"), F.col("__ms"),
+          F.explode(F.sequence(F.lit(1), F.lit(8))).as("__k"))
+        .withColumn("end_ms",
+          F.col("__ms") - F.pmod(F.col("__ms"), F.lit(slide)) +
+            F.col("__k") * slide)
+        .withColumn("__in_s", F.col("__ms") >= F.col("end_ms") - slide)
+        .groupBy(F.col("end_ms"), F.col("event_type"))
+        .agg(
+          (F.sum(F.when(F.col("__v") <= objective * 0.965, 1L).otherwise(0L))
+            .cast("double") / F.count(F.lit(1))).as("__lo_l"),
+          (F.sum(F.when(F.col("__v") <= objective * 1.035, 1L).otherwise(0L))
+            .cast("double") / F.count(F.lit(1))).as("__hi_l"),
+          F.sum(F.when(F.col("__in_s"), 1L).otherwise(0L)).as("__ns"),
+          (F.sum(F.when(F.col("__in_s") && F.col("__v") <= objective * 0.965,
+            1L).otherwise(0L)).cast("double")).as("__lo_s_n"),
+          (F.sum(F.when(F.col("__in_s") && F.col("__v") <= objective * 1.035,
+            1L).otherwise(0L)).cast("double")).as("__hi_s_n"))
+      def ok(b: Column, loF: Column, hiF: Column): Column =
+        b >= (F.lit(1.0) - hiF - 1e-9) / budget &&
+        b <= (F.lit(1.0) - loF + 1e-9) / budget
+      res.join(exact, Seq("end_ms", "event_type"))
+        .select(F.col("end_ms"), F.col("event_type"),
+          F.col("n_short"), F.col("n_long"),
+          F.when(F.col("__ns") === 0L, F.col("burn_short").isNull)
+            .otherwise(ok(F.col("burn_short"),
+              F.col("__lo_s_n") / F.col("__ns").cast("double"),
+              F.col("__hi_s_n") / F.col("__ns").cast("double")))
+            .as("burn_short_ok"),
+          ok(F.col("burn_long"), F.col("__lo_l"), F.col("__hi_l"))
+            .as("burn_long_ok"),
+          (F.col("alert") === F.coalesce(
+            F.col("burn_short") > 1.0 && F.col("burn_long") > 1.0,
+            F.lit(false))).as("alert_ok"))
+        .orderBy("end_ms", "event_type")
+    }),
+
     "q_stream_frequency" -> ((s: SparkSession, dir: String) => {
       Graft.register(s)
       val ev = t(s, dir, "events")
@@ -5090,6 +5159,22 @@ object SparkEntry {
         |       event_type, count(*) AS n, true AS burn_ok
         |FROM events WHERE ts IS NOT NULL
         |GROUP BY 1, 2 ORDER BY hour_ms, event_type""".stripMargin,
+    // sliding windows replay via the events × range(1, 9) expansion:
+    // ends e = floor(ms/slide)*slide + k*slide, k = 1..long/slide are
+    // exactly the windows containing ms (epoch-aligned, slide | long)
+    "q_stream_slo_multi" ->
+      """WITH e AS (SELECT epoch_ms(ts) AS ms, event_type FROM events
+        |           WHERE ts IS NOT NULL),
+        |w AS (SELECT (ms // 21600000 + k) * 21600000 AS end_ms, event_type, ms
+        |      FROM e CROSS JOIN range(1, 9) r(k)),
+        |g AS (SELECT end_ms, event_type,
+        |             sum(CASE WHEN ms >= end_ms - 21600000 THEN 1 ELSE 0 END) AS ns,
+        |             count(*) AS nl
+        |      FROM w GROUP BY 1, 2)
+        |SELECT CAST(end_ms AS BIGINT) AS end_ms, event_type,
+        |       CAST(ns AS BIGINT) AS n_short, CAST(nl AS BIGINT) AS n_long,
+        |       true AS burn_short_ok, true AS burn_long_ok, true AS alert_ok
+        |FROM g ORDER BY end_ms, event_type""".stripMargin,
     "q_stream_drift" ->
       """WITH pool AS (
         |  SELECT date_trunc('hour', ts) AS h, value AS v FROM events

@@ -236,6 +236,63 @@ object SketchStreaming {
   }
 
   /**
+   * Streaming MULTIWINDOW SLO alert — the continuously-evaluated form
+   * of [[graft.sketch.Slo.multiWindowBurn]] (the batch form reads a
+   * persisted view): per `slideDuration` evaluation point and key,
+   * the error-budget burn over the trailing SHORT and LONG windows,
+   * alerting when both exceed `threshold` (short confirms it is still
+   * happening, long confirms it is material — the SRE-workbook pager
+   * rule, run as a stream).
+   *
+   * ONE sliding-window aggregation: the long window is the slide's
+   * window frame, and the short window is a CONDITIONAL sub-aggregate
+   * inside it (`value WHERE ts >= window.end - short` — NULLs skipped
+   * by the sketch agg), so state per open (window, key) is two sketch
+   * buffers, never chained stateful operators or a stream-stream
+   * join (two independent windowed aggs can't join in one query).
+   * Keys quiet in the short window still alert=false with n_short=0,
+   * the batch form's left-join contract.
+   *
+   * Output per (window, key): window, keys, n_short, n_long,
+   * burn_short, burn_long, alert.
+   */
+  def multiWindowBurnStream(
+      stream: DataFrame,
+      tsCol: String,
+      keyCol: String,
+      valueCol: String,
+      objective: Double,
+      budget: Double,
+      shortDuration: String,
+      longDuration: String,
+      slideDuration: String,
+      watermarkDelay: String,
+      threshold: Double = 1.0): DataFrame = {
+    require(budget > 0.0 && budget < 1.0, s"budget must be in (0,1): $budget")
+    val shortCut = F.col("window.end") - F.expr(s"INTERVAL $shortDuration")
+    def burn(sk: org.apache.spark.sql.Column) =
+      (F.lit(1.0) - G.ddsketch_cdf(sk, objective)) / F.lit(budget)
+    stream
+      .withWatermark(tsCol, watermarkDelay)
+      .select(F.window(F.col(tsCol), longDuration, slideDuration).as("window"),
+        F.col(keyCol), F.col(valueCol).cast("double").as("__v"),
+        F.col(tsCol).as("__ts"))
+      .groupBy(F.col("window"), F.col(keyCol))
+      .agg(
+        G.ddsketch_agg_values(F.col("__v")).as("__sk_l"),
+        G.ddsketch_agg_values(
+          F.when(F.col("__ts") >= shortCut, F.col("__v"))).as("__sk_s"))
+      .select(F.col("window"), F.col(keyCol),
+        F.coalesce(G.ddsketch_count(F.col("__sk_s")), F.lit(0L)).as("n_short"),
+        G.ddsketch_count(F.col("__sk_l")).as("n_long"),
+        burn(F.col("__sk_s")).as("burn_short"),
+        burn(F.col("__sk_l")).as("burn_long"))
+      .withColumn("alert", F.coalesce(
+        F.col("burn_short") > threshold && F.col("burn_long") > threshold,
+        F.lit(false)))
+  }
+
+  /**
    * Streaming SUBSTRING-span detection: gram occurrences in arriving
    * documents whose k-token hash exists in a persisted
    * [[graft.pipeline.Dedup.buildGramIndex]] of the history — the

@@ -534,6 +534,72 @@ class BatchStreamEquivalenceSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("multiWindowBurnStream: stream ≡ batch operator ≡ view-based multiWindowBurn") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val hour = 3600000L
+    val base = 472224L * hour // epoch-aligned to hours, 4h slides, days
+    // "bad" burns in both windows; "recovered" only in the long one
+    val rows = (0 until 48).flatMap { h =>
+      val ts = new Timestamp(base + h * hour)
+      Seq(("bad", ts, 200.0),
+        ("recovered", ts, if (h >= 46) 1.0 else 200.0))
+    }.map { case (k, ts, v) => (ts, k, v) }
+    val batchDf = rows.toDF("ts", "event_type", "value")
+
+    // the operator run in batch mode is the reference
+    def shape(df: org.apache.spark.sql.DataFrame) =
+      SketchStreaming.multiWindowBurnStream(df, "ts", "event_type", "value",
+        objective = 100.0, budget = 0.1,
+        shortDuration = "2 hours", longDuration = "48 hours",
+        slideDuration = "2 hours", watermarkDelay = "365 days")
+    def collect(df: org.apache.spark.sql.DataFrame) = df
+      .select(F.unix_millis(F.col("window.end")).as("e"), F.col("event_type"),
+        F.col("n_short"), F.col("n_long"), F.col("burn_short"),
+        F.col("burn_long"), F.col("alert"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) Double.NaN else r.getDouble(4),
+          r.getDouble(5), r.getBoolean(6))).toString).toMap
+    val batch = collect(shape(batchDf))
+
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val q = shape(input.toDF().toDF("ts", "event_type", "value"))
+      .writeStream.format("memory").queryName("bs_slo_multi")
+      .outputMode("complete").start()
+    try {
+      val chunks = rows.grouped(rows.length / 3 + 1).toSeq
+      chunks.foreach { c => input.addData(c.toSeq); q.processAllAvailable() }
+      val streamed = collect(spark.table("bs_slo_multi"))
+      assert(streamed === batch) // bins are exact adds → burn doubles identical
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+
+    // the window ending at the corpus end matches the batch VIEW form
+    // (hour-bucket rollup + merge is exact bin addition)
+    val dir = java.nio.file.Files.createTempDirectory("graft_slo_bs").toString
+    graft.sketch.SketchView.materialize(
+      batchDf, "ts", Seq("event_type"), "value", dir)
+    val until = base + 48 * hour
+    val viewForm = graft.sketch.Slo.multiWindowBurn(spark, dir,
+        Seq("event_type"), objective = 100.0, budget = 0.1,
+        untilMs = until, shortMs = 2 * hour, longMs = 48 * hour)
+      .select(F.col("event_type"), F.col("n_short"), F.col("n_long"),
+        F.col("burn_short"), F.col("burn_long"), F.col("alert"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getBoolean(5)))).toMap
+    val lastWindow = collect(shape(batchDf)).collect {
+      case ((e, k), v) if e == until => k -> v
+    }
+    assert(lastWindow.keySet === viewForm.keySet)
+    viewForm.foreach { case (k, v) =>
+      assert(lastWindow(k) === v.toString, s"key $k") }
+    assert(viewForm("bad")._5 === true)
+    assert(viewForm("recovered")._5 === false)
+  }
+
   test("spanHitStream + mergeSpans covers a replayed history doc end to end") {
     val session = spark
     import session.implicits._
