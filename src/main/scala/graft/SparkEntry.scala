@@ -2695,6 +2695,37 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // the nightly-ops card: four persisted sketch views (len/bytes/
+    // texts-KMV/langs) materialized on half the corpus and APPENDED
+    // with the other half, then the card computed from view rows alone
+    // — counts/sums/KMV unions are exact merges, so it shares
+    // q_datacard's oracle verbatim (the one corpus read below is the
+    // verification side's exact-p50 frame, same as q_datacard)
+    "q_datacard_view" -> ((s: SparkSession, dir: String) => {
+      Graft.register(s)
+      val DC = graft.pipeline.DataCard
+      val docs = t(s, dir, "documents")
+        .withColumn("ts", F.lit(java.sql.Timestamp.valueOf("2026-01-01 00:00:00")))
+      val base = System.getProperty("java.io.tmpdir") + "/graft_q_datacard_view"
+      DC.materializeCardViews(docs.filter(F.col("doc_id") % 2 === 0),
+        "source", "lang", "text", "ts", base)
+      DC.appendCardViews(docs.filter(F.col("doc_id") % 2 =!= 0),
+        "source", "lang", "text", "ts", base)
+      val card = DC.cardsFromViews(s, base)
+      val exact = docs.filter(F.col("text").isNotNull)
+        .groupBy(F.col("source"))
+        .agg(F.sort_array(F.collect_list(F.length(F.col("text")).cast("double")))
+            .as("__sl"),
+          F.count(F.lit(1)).as("__n"))
+      card.join(exact, "source")
+        .select(F.col("source"), F.col("n_docs"), F.col("bytes"),
+          F.col("n_langs"), F.col("dup_docs"),
+          F.col("top_lang"), F.col("top_lang_docs"),
+          ok(G.ddsketch_quantile(F.col("len_sketch"), 0.5),
+            rankValue(F.col("__sl"), F.col("__n"), 0.5), RankTol).as("p50_ok"))
+        .orderBy("source")
+    }),
+
     // Gale-Church sentence alignment on planted bitext: src and tgt
     // are the SAME constructed sentence-d document (the q_sentences
     // fixture), so equal lengths make every bead the free 1:1 and the
@@ -6997,6 +7028,9 @@ object SparkEntry {
       // streaming edit-1 probe: same planted argument as the batch
       // incremental form — pair-dedup makes the replay emit each pair once
       "q_stream_edit_one" -> base("q_edit_one_incremental"),
+      // the view-computed card's merges are exact (bin/set addition),
+      // so it reproduces the one-shot card's numbers
+      "q_datacard_view" -> base("q_datacard"),
       // streaming span probe: q_dedup_incremental_substring's oracle
       // MINUS the within-batch branch (batch-global context a
       // stateless stream can't see) — history hits only, merged

@@ -1,8 +1,9 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.{functions => F}
 import graft.sketch.{functions => G}
+import graft.sketch.SketchView
 
 /**
  * Dataset cards: the per-source composition table a released corpus
@@ -57,6 +58,137 @@ object DataCard {
     val top = byLang.groupBy(F.col(sourceCol))
       // struct max compares count first, then the tag — a total,
       // deterministic order even under count ties
+      .agg(F.count(F.lit(1)).as("n_langs"),
+        F.max(F.struct(F.col("__c"), F.col(langCol).as("__l"))).as("__m"))
+      .select(F.col(sourceCol), F.col("n_langs"),
+        F.col("__m.__l").as("top_lang"), F.col("__m.__c").as("top_lang_docs"))
+    base.join(top, Seq(sourceCol), "left")
+      .select(F.col(sourceCol), F.col("n_docs"), F.col("bytes"),
+        F.coalesce(F.col("n_langs"), F.lit(0L)).as("n_langs"),
+        F.col("dup_docs"), F.col("len_sketch"),
+        F.col("top_lang"), F.col("top_lang_docs"))
+  }
+
+  /** KMV size for the distinct-text view: the dup count is EXACT while
+    * per-source distinct texts stay below k (the KMV exactness rule) —
+    * size it above the largest source you ingest per card. */
+  val DefaultTextsK: Int = 1 << 16
+
+  /**
+   * The nightly-ops form of [[sourceCards]]: persist four incremental
+   * [[SketchView]]s at `basePath` once per ingest batch, and compute
+   * the card from VIEW ROWS alone — no corpus rescan at read time.
+   *
+   *   - `len`    ddsketch over CHAR length, key = source  (n_docs, p50)
+   *   - `bytes`  ddsketch over UTF-8 byte length          (exact bytes:
+   *              lengths are integers, so the carried double sum is
+   *              exact below 2^53 through every merge)
+   *   - `texts`  KMV over the text, key = source          (dup_docs =
+   *              n_docs − distinct, exact below k)
+   *   - `langs`  ddsketch count view, key = (source, lang) (language
+   *              mode + n_langs from one bounded row set)
+   *
+   * `tsCol` is the ingest-batch timestamp (documents carry no event
+   * time — stamp the batch). [[appendCardViews]] is the per-batch
+   * incremental maintenance; counts, sums and KMV unions are exact
+   * bin/set addition, so the card equals the one-shot [[sourceCards]]
+   * at any append granularity.
+   */
+  def materializeCardViews(
+      docs: DataFrame,
+      sourceCol: String,
+      langCol: String,
+      textCol: String,
+      tsCol: String,
+      basePath: String,
+      textsK: Int = DefaultTextsK): Unit =
+    cardViewOps(docs, sourceCol, langCol, textCol, tsCol, basePath, textsK)
+      .foreach { case (df, value, path, keys, fam) =>
+        SketchView.materialize(df, tsCol, keys, value, path, "day", fam) }
+
+  /** Incremental maintenance of [[materializeCardViews]]'s views. */
+  def appendCardViews(
+      docs: DataFrame,
+      sourceCol: String,
+      langCol: String,
+      textCol: String,
+      tsCol: String,
+      basePath: String,
+      textsK: Int = DefaultTextsK): Unit =
+    cardViewOps(docs, sourceCol, langCol, textCol, tsCol, basePath, textsK)
+      .foreach { case (df, value, path, keys, fam) =>
+        SketchView.append(df, tsCol, keys, value, path, "day", fam) }
+
+  private def cardViewOps(
+      docs: DataFrame,
+      sourceCol: String,
+      langCol: String,
+      textCol: String,
+      tsCol: String,
+      basePath: String,
+      textsK: Int) = {
+    val d = docs.filter(F.col(textCol).isNotNull)
+    val VF = SketchView.ViewFamily
+    Seq(
+      (d.withColumn("__v", F.length(F.col(textCol)).cast("double")),
+        "__v", s"$basePath/len", Seq(sourceCol), VF.ddsketch()),
+      (d.withColumn("__v", F.octet_length(F.col(textCol)).cast("double")),
+        "__v", s"$basePath/bytes", Seq(sourceCol), weightedCountFamily),
+      (d.withColumn("__v", F.col(textCol)),
+        "__v", s"$basePath/texts", Seq(sourceCol), VF.kmvDistinct(textsK)),
+      (d.withColumn("__v", F.lit(1.0)),
+        "__v", s"$basePath/langs", Seq(sourceCol, langCol), VF.ddsketch()))
+  }
+
+  /** Weighted-count family for EXACT totals: each row adds its value
+    * as COUNT weight, so `ddsketch_count` of the merged view is the
+    * exact weighted sum (bin counts round-trip the wire codec
+    * exactly for integers). The DataDog wire format carries NO
+    * explicit value sum — `ddsketch_sum` is bin-reconstructed, i.e.
+    * relative-accuracy-approximate, so byte totals must ride the
+    * count field, never the sum. */
+  private def weightedCountFamily: SketchView.ViewFamily =
+    SketchView.ViewFamily("ddsketch_wcount", Map.empty,
+      c => G.ddsketch_agg_weighted(F.lit(1.0), c), G.ddsketch_agg)
+
+  /** The card computed from the persisted views alone — same output
+    * contract as [[sourceCards]]; the plan reads only sketch rows. */
+  def cardsFromViews(spark: SparkSession, basePath: String): DataFrame = {
+    // collapse a view across its time buckets to one row per key set
+    def total(sub: String,
+        famOverride: Option[SketchView.ViewFamily] = None)
+        : (DataFrame, Seq[String]) = {
+      val path = s"$basePath/$sub"
+      val m = SketchView.readManifest(spark, path).getOrElse(
+        throw new IllegalArgumentException(s"card view $path has no manifest"))
+      val fam = famOverride.getOrElse(
+        SketchView.ViewFamily.fromManifest(m.family, m.geometry))
+      val view = SketchView.read(spark, path, m.keyCols, fam)
+      (view.groupBy(m.keyCols.map(F.col): _*)
+        .agg(fam.merge(F.col("sketch")).as("sketch")), m.keyCols)
+    }
+    val (len, lenKeys) = total("len")
+    val sourceCol = lenKeys.head
+    val (bytes, _) = total("bytes", Some(weightedCountFamily))
+    val (texts, _) = total("texts")
+    val (langs, langKeys) = total("langs")
+    val langCol = langKeys(1)
+    val base = len
+      .select(F.col(sourceCol),
+        G.ddsketch_count(F.col("sketch")).as("n_docs"),
+        F.col("sketch").as("len_sketch"))
+      .join(bytes.select(F.col(sourceCol),
+        // exact: byte lengths ride the COUNT field (see weightedCountFamily)
+        G.ddsketch_count(F.col("sketch")).as("bytes")), Seq(sourceCol))
+      .join(texts.select(F.col(sourceCol),
+        graft.sketch.kmv.kmv_distinct(F.col("sketch")).cast("long")
+          .as("__distinct")), Seq(sourceCol))
+      .withColumn("dup_docs", F.col("n_docs") - F.col("__distinct"))
+    val top = langs
+      .filter(F.col(langCol).isNotNull)
+      .select(F.col(sourceCol), F.col(langCol),
+        G.ddsketch_count(F.col("sketch")).as("__c"))
+      .groupBy(F.col(sourceCol))
       .agg(F.count(F.lit(1)).as("n_langs"),
         F.max(F.struct(F.col("__c"), F.col(langCol).as("__l"))).as("__m"))
       .select(F.col(sourceCol), F.col("n_langs"),

@@ -45,4 +45,27 @@ class DataCardSpec extends SparkTestBase {
       .as[Double].head()
     assert(math.abs(p50 - 20.0) <= 20.0 * 0.02, s"p50 $p50")
   }
+
+  test("cardsFromViews over incremental views equals the one-shot sourceCards") {
+    val docs = sf("sf0.001", "documents")
+      .withColumn("ts",
+        F.lit(java.sql.Timestamp.valueOf("2026-01-01 00:00:00")))
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_card_views").toString
+    DataCard.materializeCardViews(docs.filter(F.col("doc_id") % 2 === 0),
+      "source", "lang", "text", "ts", base)
+    DataCard.appendCardViews(docs.filter(F.col("doc_id") % 2 =!= 0),
+      "source", "lang", "text", "ts", base)
+    def shape(df: org.apache.spark.sql.DataFrame) = df
+      .select(F.col("source"), F.col("n_docs"), F.col("bytes"),
+        F.col("n_langs"), F.col("dup_docs"),
+        F.col("top_lang"), F.col("top_lang_docs"),
+        graft.sketch.functions.ddsketch_quantile(F.col("len_sketch"), 0.5)
+          .as("p50"))
+      .collect().map(r => r.getString(0) -> r.toSeq.drop(1).toString).toMap
+    val fromViews = shape(DataCard.cardsFromViews(spark, base))
+    val oneShot = shape(DataCard.sourceCards(docs, "source", "lang", "text"))
+    assert(fromViews === oneShot)  // len sketch bins are exact adds -> same p50
+    assert(fromViews.nonEmpty)
+  }
 }
