@@ -2243,6 +2243,88 @@ object SparkEntry {
         .orderBy("id_new")
     }),
 
+    // leakage-free train/val/test: near-duplicate clusters must land
+    // wholly in one split. Same pair geometry as q_dedup_clusters, so
+    // the oracle reuses its recursive-CTE components and replays the
+    // md5-range assignment off the cluster representative — full rows
+    "q_split_leakfree" -> ((s: SparkSession, dir: String) => {
+      val docs = t(s, dir, "documents")
+      val pairs = graft.pipeline.Dedup.nearDuplicatePairs(
+        docs, "doc_id", "text", shingleSize = 5, threshold = 0.8,
+        bands = 16, rowsPerBand = 8)
+      graft.pipeline.Dedup.leakFreeSplits(
+          docs.select("doc_id"), "doc_id", pairs,
+          Seq(("train", 0.9), ("val", 0.05), ("test", 0.05)))
+        .select("doc_id", "split")
+        .orderBy("doc_id")
+    }),
+
+    // unicode-script composition: plant a mixed-script suffix on every
+    // 5th doc; all counts are regex quantities both engines compute
+    // over the SAME planted string (the q_encoding_damage pattern),
+    // dominant/mixed replay as CASE/greatest arithmetic — full rows
+    "q_script_mix" -> ((s: SparkSession, dir: String) => {
+      // suffix = " Привет 世界 مرحبا 42" (6 cyrillic + 2 cjk +
+      // 5 arabic + 2 digit chars), spelled \uXXXX per the repo rule;
+      // the oracle ADDS those constants to base-text regex counts
+      // instead of reproducing the unicode literal in SQL
+      val planted = F.when(F.col("doc_id") % 5 === 0,
+        F.concat(F.col("text"),
+          F.lit(" \u041F\u0440\u0438\u0432\u0435\u0442" +
+            " \u4E16\u754C \u0645\u0631\u062D\u0628\u0627 42")))
+        .otherwise(F.col("text"))
+      t(s, dir, "documents").filter(F.col("text").isNotNull)
+        .select(F.col("doc_id"),
+          graft.pipeline.TextFunctions.scriptProfile(planted).as("__p"))
+        .select(F.col("doc_id"),
+          F.col("__p.latin").as("latin"),
+          F.col("__p.cyrillic").as("cyrillic"),
+          F.col("__p.arabic").as("arabic"),
+          F.col("__p.cjk").as("cjk"),
+          F.col("__p.digit").as("digits"),
+          F.col("__p.dominant").as("dominant"),
+          F.col("__p.mixed").as("mixed"))
+        .orderBy("doc_id")
+    }),
+
+    // sitemap parsing: XML planted from doc_id (incl. an &amp; entity
+    // the parser must decode — a stub can't pass the string match);
+    // the oracle derives every field from doc_id arithmetic without
+    // parsing. One urlset doc per document row + one sitemapindex
+    // child count — full rows
+    "q_sitemap" -> ((s: SparkSession, dir: String) => {
+      val day = F.lpad((F.col("doc_id") % 28 + 1).cast("string"), 2, "0")
+      val xml = F.concat(
+        F.lit("<?xml version=\"1.0\"?>\n<urlset><url>\n  <loc>https://host"),
+        (F.col("doc_id") % 20).cast("string"),
+        F.lit(".example.com/page"), F.col("doc_id").cast("string"),
+        F.lit("?a=1&amp;b=2</loc>\n  <lastmod>2026-01-"), day,
+        F.lit("</lastmod>\n  <changefreq>daily</changefreq>\n  <priority>0."),
+        (F.col("doc_id") % 10).cast("string"),
+        F.lit("</priority>\n</url><url><location>decoy</location>" +
+          "<loc>https://extra/page"),
+        F.col("doc_id").cast("string"),
+        F.lit("b</loc></url></urlset>"))
+      val idx = F.concat(
+        F.lit("<sitemapindex><sitemap><loc>https://s/"),
+        F.col("doc_id").cast("string"),
+        F.lit("/a.xml</loc></sitemap><sitemap><loc>https://s/"),
+        F.col("doc_id").cast("string"),
+        F.lit("/b.xml</loc></sitemap></sitemapindex>"))
+      t(s, dir, "documents")
+        .select(F.col("doc_id"),
+          graft.pipeline.Urls.sitemapUrls(xml).as("__u"),
+          F.size(graft.pipeline.Urls.sitemapChildren(idx)).cast("long")
+            .as("n_children"))
+        .select(F.col("doc_id"), F.posexplode(F.col("__u")),
+          F.col("n_children"))
+        .select(F.col("doc_id"), (F.col("pos") + 1).cast("long").as("entry"),
+          F.col("col.loc").as("loc"), F.col("col.lastmod").as("lastmod"),
+          F.col("col.changefreq").as("changefreq"),
+          F.col("col.priority").as("priority"), F.col("n_children"))
+        .orderBy("doc_id", "entry")
+    }),
+
     // global dense id assignment without a single-partition window
     // (two-phase cumsum) — full-row oracle against row_number
     "q_assign_ids" -> ((s: SparkSession, dir: String) => {
@@ -5790,6 +5872,85 @@ object SparkEntry {
     "q_edit_one_incremental" ->
       """SELECT doc_id + 1000000 AS id_new, doc_id AS id_old
         |FROM documents ORDER BY id_new""".stripMargin,
+    // q_dedup_clusters' recursive components + the md5-range split off
+    // the cluster representative (thresholds e666/f333 = round(f*65536)
+    // in hex — the Sampling.splitColumn rendering)
+    "q_split_leakfree" ->
+      """WITH RECURSIVE
+        |sh AS (SELECT DISTINCT doc_id, substr(text, r.i, 5) AS g
+        |       FROM documents, range(1, 1000) r(i) WHERE r.i + 4 <= length(text)),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |cand AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS inter
+        |         FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |p AS (SELECT ida, idb
+        |      FROM cand JOIN sizes sa ON ida = sa.doc_id JOIN sizes sb ON idb = sb.doc_id
+        |      WHERE inter >= (sa.sz + sb.sz - inter) * 0.8),
+        |e AS (SELECT ida AS a, idb AS b FROM p UNION SELECT idb, ida FROM p),
+        |n AS (SELECT DISTINCT a AS id FROM e),
+        |reach(src, dst) AS (
+        |  SELECT id, id FROM n
+        |  UNION
+        |  SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a
+        |),
+        |cl AS (SELECT dst AS doc_id, min(src) AS cluster FROM reach GROUP BY dst),
+        |k AS (SELECT d.doc_id, coalesce(cl.cluster, d.doc_id) AS rep
+        |      FROM documents d LEFT JOIN cl USING (doc_id)),
+        |h AS (SELECT doc_id, substr(md5(CAST(rep AS VARCHAR)), 1, 4) AS hx FROM k)
+        |SELECT doc_id, CASE WHEN hx < 'e666' THEN 'train'
+        |                    WHEN hx < 'f333' THEN 'val'
+        |                    ELSE 'test' END AS split
+        |FROM h ORDER BY doc_id""".stripMargin,
+    // base-text counts via the same RE2 ranges + planted-suffix
+    // constants (6 cyrillic, 5 arabic, 2 cjk, 2 digits) — no unicode
+    // literal needs reproducing in SQL
+    "q_script_mix" ->
+      """WITH b AS (SELECT doc_id, text,
+        |             CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS pl
+        |           FROM documents WHERE text IS NOT NULL),
+        |c AS (SELECT doc_id,
+        |  len(regexp_extract_all(text, '[A-Za-z\x{00C0}-\x{024F}]')) AS lat,
+        |  len(regexp_extract_all(text, '[\x{0400}-\x{04FF}]')) + 6*pl AS cyr,
+        |  len(regexp_extract_all(text, '[\x{0370}-\x{03FF}]')) AS grk,
+        |  len(regexp_extract_all(text, '[\x{0600}-\x{06FF}]')) + 5*pl AS ara,
+        |  len(regexp_extract_all(text, '[\x{0590}-\x{05FF}]')) AS heb,
+        |  len(regexp_extract_all(text, '[\x{0900}-\x{097F}]')) AS dev,
+        |  len(regexp_extract_all(text,
+        |    '[\x{3040}-\x{30FF}\x{4E00}-\x{9FFF}\x{AC00}-\x{D7AF}]')) + 2*pl AS cjk,
+        |  len(regexp_extract_all(text, '[0-9]')) + 2*pl AS dig
+        |  FROM b),
+        |m AS (SELECT *, greatest(lat, cyr, grk, ara, heb, dev, cjk) AS mx FROM c)
+        |SELECT doc_id, CAST(lat AS BIGINT) AS latin, CAST(cyr AS BIGINT) AS cyrillic,
+        |       CAST(ara AS BIGINT) AS arabic, CAST(cjk AS BIGINT) AS cjk,
+        |       CAST(dig AS BIGINT) AS digits,
+        |       CASE WHEN mx = 0 THEN 'und'
+        |            WHEN lat = mx THEN 'latin' WHEN cyr = mx THEN 'cyrillic'
+        |            WHEN grk = mx THEN 'greek' WHEN ara = mx THEN 'arabic'
+        |            WHEN heb = mx THEN 'hebrew' WHEN dev = mx THEN 'devanagari'
+        |            ELSE 'cjk' END AS dominant,
+        |       (CASE WHEN lat > 0 THEN 1 ELSE 0 END +
+        |        CASE WHEN cyr > 0 THEN 1 ELSE 0 END +
+        |        CASE WHEN grk > 0 THEN 1 ELSE 0 END +
+        |        CASE WHEN ara > 0 THEN 1 ELSE 0 END +
+        |        CASE WHEN heb > 0 THEN 1 ELSE 0 END +
+        |        CASE WHEN dev > 0 THEN 1 ELSE 0 END +
+        |        CASE WHEN cjk > 0 THEN 1 ELSE 0 END) > 1 AS mixed
+        |FROM m ORDER BY doc_id""".stripMargin,
+    // every field re-derived from doc_id arithmetic — incl. the
+    // DECODED &amp; in the loc, which only a real parser reproduces
+    "q_sitemap" ->
+      """SELECT doc_id, CAST(u.e AS BIGINT) AS entry,
+        |       CASE WHEN u.e = 1
+        |            THEN 'https://host' || (doc_id % 20) || '.example.com/page'
+        |                 || doc_id || '?a=1&b=2'
+        |            ELSE 'https://extra/page' || doc_id || 'b' END AS loc,
+        |       CASE WHEN u.e = 1
+        |            THEN '2026-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+        |            END AS lastmod,
+        |       CASE WHEN u.e = 1 THEN 'daily' END AS changefreq,
+        |       CASE WHEN u.e = 1 THEN (doc_id % 10) / 10.0 END AS priority,
+        |       CAST(2 AS BIGINT) AS n_children
+        |FROM documents CROSS JOIN (VALUES (1), (2)) u(e)
+        |ORDER BY doc_id, entry""".stripMargin,
     "q_assign_ids" ->
       """SELECT doc_id,
         |       CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS seq_id

@@ -1067,6 +1067,40 @@ object Dedup {
         F.col("__sp._2").as("span_end"))
   }
 
+  /**
+   * Leakage-free train/val/test assignment: two near-duplicate
+   * documents split across train and eval LEAK the training set into
+   * the benchmark, so the split key must be the duplicate CLUSTER,
+   * never the document. Connected-components the verified `pairs`
+   * ([[duplicateClusters]]), key every document by its cluster
+   * representative (the cluster's min id; documents in no pair are
+   * their own representative), and push the key through
+   * [[Sampling.splitColumn]]'s md5-range rule — deterministic,
+   * engine-portable, and constant per cluster by construction.
+   *
+   * Scale shape: the cluster table is the duplicate SLIVER only (one
+   * row per id that appears in a pair) — the corpus left-joins it and
+   * the split itself is a pure projection; fractions apportion
+   * clusters by their representative's hash, so split sizes track the
+   * weights in cluster mass.
+   */
+  def leakFreeSplits(
+      df: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      splits: Seq[(String, Double)],
+      splitColName: String = "split",
+      otherName: String = "rest"): DataFrame = {
+    val clusters = duplicateClusters(pairs)
+      .select(F.col("id").as(idCol), F.col("cluster").as("__cluster"))
+    df.join(clusters, Seq(idCol), "left")
+      .withColumn(splitColName,
+        Sampling.splitColumn(
+          F.coalesce(F.col("__cluster"), F.col(idCol).cast("long")),
+          splits, otherName))
+      .drop("__cluster")
+  }
+
   /** Merge a frame of (idCol, span_start, span_end) rows into maximal
     * per-document spans (overlap and adjacency merge) — the batch
     * finisher for UNMERGED span emitters like [[indexGramHits]] and

@@ -556,4 +556,49 @@ object TextFunctions {
   def dedupLines(text: Column): Column =
     F.when(text.isNull, F.lit(null).cast("string"))
       .otherwise(F.array_join(F.array_distinct(F.split(text, "\n")), "\n"))
+
+  /** The scripts [[scriptProfile]] counts, with their BMP ranges —
+    * Java spells them \uXXXX, RE2 (the DuckDB oracle) \x{....}; both
+    * accept the identical range sets (the encodingDamage rule: no
+    * lookaround, plain character classes only). */
+  private val ScriptRanges: Seq[(String, String)] = Seq(
+    "latin" -> "A-Za-z\\u00C0-\\u024F",
+    "cyrillic" -> "\\u0400-\\u04FF",
+    "greek" -> "\\u0370-\\u03FF",
+    "arabic" -> "\\u0600-\\u06FF",
+    "hebrew" -> "\\u0590-\\u05FF",
+    "devanagari" -> "\\u0900-\\u097F",
+    "cjk" -> "\\u3040-\\u30FF\\u4E00-\\u9FFF\\uAC00-\\uD7AF",
+    "digit" -> "0-9")
+
+  /**
+   * Unicode-script composition of a document: per-script character
+   * counts (Latin incl. the common European extensions, Cyrillic,
+   * Greek, Arabic, Hebrew, Devanagari, CJK incl. kana and hangul,
+   * digits), the DOMINANT letter script (count ties break to the
+   * declaration order above; "und" when no script letter occurs), and
+   * `mixed` = more than one letter script present — the script-level
+   * complement of the stopword language heuristic, and the standard
+   * pre-filter for script-targeted corpora (a "Latin-only" crawl with
+   * CJK islands is usually boilerplate or spam injection). Counts are
+   * plain regex quantities: map-only, codegen'd, cross-engine
+   * replayable.
+   */
+  def scriptProfile(text: Column): Column = {
+    val counts = ScriptRanges.map { case (name, ranges) =>
+      name -> F.size(F.regexp_extract_all(text, F.lit(s"[$ranges]"), F.lit(0)))
+    }
+    val letters = counts.filter(_._1 != "digit")
+    // first strictly-greater wins → declaration-order tie-break
+    val maxCount = letters.map(_._2).reduce((a, b) => F.greatest(a, b))
+    val dominant = letters.reverse.foldLeft(F.lit("und")) {
+      case (acc, (name, c)) =>
+        F.when(maxCount > 0 && c === maxCount, F.lit(name)).otherwise(acc)
+    }
+    val present = letters.map { case (_, c) =>
+      F.when(c > 0, 1).otherwise(0) }.reduce(_ + _)
+    F.struct(
+      counts.map { case (name, c) => c.cast("long").as(name) } ++
+        Seq(dominant.as("dominant"), (present > 1).as("mixed")): _*)
+  }
 }

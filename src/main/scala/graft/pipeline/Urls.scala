@@ -346,4 +346,126 @@ object Urls {
       .withColumn("slot", F.row_number().over(w).cast("long") - 1L)
       .withColumn("fetch_at_ms", F.lit(startMs) + F.col("slot") * F.lit(delayMs))
   }
+
+  // ------------------------------------------------------------ sitemaps
+
+  /** The five predefined XML entities plus numeric references — the
+    * only escaping sitemap locs legally carry. */
+  private def decodeXmlEntities(s: String): String = {
+    if (s.indexOf('&') < 0) return s
+    val out = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '&') {
+        val semi = s.indexOf(';', i + 1)
+        val ent = if (semi > i && semi - i <= 10) s.substring(i + 1, semi) else null
+        val decoded: String = ent match {
+          case null => null
+          case "amp" => "&"
+          case "lt" => "<"
+          case "gt" => ">"
+          case "quot" => "\""
+          case "apos" => "'"
+          case e if e.startsWith("#x") || e.startsWith("#X") =>
+            scala.util.Try(Integer.parseInt(e.substring(2), 16))
+              .toOption.map(cp => new String(Character.toChars(cp))).orNull
+          case e if e.startsWith("#") =>
+            scala.util.Try(Integer.parseInt(e.substring(1)))
+              .toOption.map(cp => new String(Character.toChars(cp))).orNull
+          case _ => null
+        }
+        if (decoded != null) { out.append(decoded); i = semi + 1 }
+        else { out.append(c); i += 1 }
+      } else { out.append(c); i += 1 }
+    }
+    out.toString
+  }
+
+  /** Text content of the FIRST `<tag …>…</tag>` inside `block`,
+    * entity-decoded and trimmed; null when absent/malformed. A prefix
+    * collision (`<location` when scanning for `<loc`) is skipped, not
+    * a dead end — the scan continues to the next candidate. */
+  private def tagText(block: String, tag: String): String = {
+    var from = 0
+    while (from < block.length) {
+      val open = block.indexOf("<" + tag, from)
+      if (open < 0) return null
+      val after = open + 1 + tag.length
+      val boundary = after >= block.length || block.charAt(after) == '>' ||
+        block.charAt(after) == ' ' || block.charAt(after) == '\t' ||
+        block.charAt(after) == '\n' || block.charAt(after) == '/'
+      if (!boundary) from = open + 1
+      else {
+        val gt = block.indexOf('>', open)
+        if (gt < 0) return null
+        val close = block.indexOf("</" + tag, gt)
+        if (close < 0) return null
+        return decodeXmlEntities(block.substring(gt + 1, close).trim)
+      }
+    }
+    null
+  }
+
+  /** All `<wrap>…</wrap>` blocks of `xml`, lazily scanned. */
+  private def blocks(xml: String, wrap: String): Iterator[String] =
+    new Iterator[String] {
+      private var at = 0
+      private var nextBlock: String = advance()
+      private def advance(): String = {
+        while (true) {
+          val open = xml.indexOf("<" + wrap, at)
+          if (open < 0) return null
+          val after = open + 1 + wrap.length
+          val boundary = after >= xml.length || xml.charAt(after) == '>' ||
+            Character.isWhitespace(xml.charAt(after))
+          val gt = xml.indexOf('>', open)
+          if (!boundary || gt < 0) { at = open + 1 }
+          else {
+            val close = xml.indexOf("</" + wrap, gt)
+            if (close < 0) { at = xml.length; return null }
+            at = close + 1
+            return xml.substring(gt + 1, close)
+          }
+        }
+        null
+      }
+      def hasNext: Boolean = nextBlock != null
+      def next(): String = { val b = nextBlock; nextBlock = advance(); b }
+    }
+
+  private[pipeline] def parseSitemapKernel(xml: String)
+      : Seq[(String, String, String, java.lang.Double)] =
+    if (xml == null) Seq.empty
+    else blocks(xml, "url").flatMap { b =>
+      Option(tagText(b, "loc")).map { loc =>
+        val pr = Option(tagText(b, "priority"))
+          .flatMap(p => scala.util.Try(p.toDouble).toOption)
+          .map(java.lang.Double.valueOf).orNull
+        (loc, tagText(b, "lastmod"), tagText(b, "changefreq"), pr)
+      }
+    }.toSeq
+
+  private[pipeline] def parseSitemapIndexKernel(xml: String): Seq[String] =
+    if (xml == null) Seq.empty
+    else blocks(xml, "sitemap").flatMap(b => Option(tagText(b, "loc"))).toSeq
+
+  /**
+   * Parse a sitemap document (sitemaps.org urlset XML) to its URL
+   * entries: `array<struct<loc, lastmod, changefreq, priority>>` —
+   * the crawl-frontier feed that pairs with [[crawlSchedule]]'s
+   * priority column. Pure-JVM tag scan (the Warc/Pdf subset-parser
+   * discipline: no XML library, one pass, bounded by the document),
+   * XML entities in locs decoded, entries without a `<loc>` skipped,
+   * malformed/NULL input → empty array, never an error.
+   */
+  def sitemapUrls(xml: Column): Column =
+    F.udf((s: String) => parseSitemapKernel(s)).apply(xml)
+      .cast("array<struct<loc:string,lastmod:string," +
+        "changefreq:string,priority:double>>")
+
+  /** Child sitemap locs of a `<sitemapindex>` document (the recursion
+    * feed: fetch these, parse each with [[sitemapUrls]]). */
+  def sitemapChildren(xml: Column): Column =
+    F.udf((s: String) => parseSitemapIndexKernel(s)).apply(xml)
 }

@@ -422,4 +422,56 @@ class PipelineOpsSpec extends SparkTestBase {
     // schema passes through without the internal running-total column
     assert(out.columns.toSeq === Seq("dom", "id", "tok"))
   }
+
+  test("scriptProfile: counts, declaration-order dominance, und, mixed") {
+    val rows = Seq(
+      ("latin only", "hello World"),
+      // \u0416 x3 cyrillic vs 2 latin -> cyrillic dominates
+      ("cyr dom", "ab \u0416\u0416\u0416"),
+      // 2 latin vs 2 cjk tie -> latin (declaration order)
+      ("tie", "ab \u4E16\u754C"),
+      ("digits only", "123 456"),
+      ("empty-ish", " .,!?"))
+      .toDF("name", "t")
+      .select(F.col("name"), TextFunctions.scriptProfile(F.col("t")).as("p"))
+      .select(F.col("name"), F.col("p.latin"), F.col("p.cyrillic"),
+        F.col("p.cjk"), F.col("p.digit"), F.col("p.dominant"), F.col("p.mixed"))
+      .as[(String, Long, Long, Long, Long, String, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(rows("latin only") === (("latin only", 10L, 0L, 0L, 0L, "latin", false)))
+    assert(rows("cyr dom")._6 === "cyrillic")
+    assert(rows("cyr dom")._7 === true)
+    assert(rows("tie")._6 === "latin")
+    assert(rows("digits only") === (("digits only", 0L, 0L, 0L, 6L, "und", false)))
+    assert(rows("empty-ish")._6 === "und")
+  }
+
+  test("leakFreeSplits: clusters land wholly in one split, singletons by own id") {
+    // three exact-duplicate docs + two singletons
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again"),
+      (2L, "the quick brown fox jumps over the lazy dog again"),
+      (3L, "the quick brown fox jumps over the lazy dog again"),
+      (10L, "completely different content about mountains and rivers flowing"),
+      (11L, "yet another unrelated document concerning deep sea exploration"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.nearDuplicatePairs(docs, "doc_id", "text",
+      shingleSize = 5, threshold = 0.8, bands = 16, rowsPerBand = 8)
+    assert(pairs.count() === 3L) // (1,2) (1,3) (2,3)
+    val splits = Seq(("train", 0.5), ("val", 0.25), ("test", 0.25))
+    val out = Dedup.leakFreeSplits(docs, "doc_id", pairs, splits)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    // the whole duplicate cluster shares one split (keyed by min id 1)
+    assert(out(1L) === out(2L) && out(2L) === out(3L))
+    // and it is exactly the md5-range assignment of the representative
+    val direct = Sampling.splitByHash(
+        Seq(1L, 10L, 11L).toDF("k"), F.col("k"), splits)
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) === direct(1L))
+    assert(out(10L) === direct(10L) && out(11L) === direct(11L))
+    // deterministic across invocations
+    val again = Dedup.leakFreeSplits(docs, "doc_id", pairs, splits)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(again === out)
+  }
 }

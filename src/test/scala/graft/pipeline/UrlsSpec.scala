@@ -160,4 +160,44 @@ class UrlsSpec extends SparkTestBase {
       ("https://a.com/low", "a.com", 1L, 1000L),   // same host: next slot
       ("https://b.com/only", "b.com", 0L, 0L)))    // other host: parallel
   }
+
+  test("sitemap parse: entities, prefix-tag decoys, missing loc, malformed") {
+    val xml =
+      """<?xml version="1.0"?>
+        |<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+        |  <url>
+        |    <loc>https://a.example.com/x?p=1&amp;q=2</loc>
+        |    <lastmod> 2026-02-03 </lastmod>
+        |    <changefreq>weekly</changefreq>
+        |    <priority>0.7</priority>
+        |  </url>
+        |  <url><location>decoy</location><loc>https://b.example.com/&#65;</loc></url>
+        |  <url><lastmod>2026-01-01</lastmod></url>
+        |</urlset>""".stripMargin
+    val got = Urls.parseSitemapKernel(xml)
+    assert(got.length === 2)                       // no-loc entry skipped
+    assert(got(0) === (("https://a.example.com/x?p=1&q=2", "2026-02-03",
+      "weekly", java.lang.Double.valueOf(0.7))))   // entity decoded, trimmed
+    assert(got(1)._1 === "https://b.example.com/A") // numeric ref; decoy ignored
+    assert(got(1)._4 === null)
+    assert(Urls.parseSitemapKernel(null).isEmpty)
+    assert(Urls.parseSitemapKernel("<urlset><url><loc>x").isEmpty) // unclosed
+    assert(Urls.parseSitemapKernel("plain text, no xml").isEmpty)
+  }
+
+  test("sitemap index children + Column APIs") {
+    val idx = "<sitemapindex><sitemap><loc>https://s/a.xml</loc></sitemap>" +
+      "<sitemap><loc>https://s/b.xml</loc></sitemap></sitemapindex>"
+    assert(Urls.parseSitemapIndexKernel(idx) ===
+      Seq("https://s/a.xml", "https://s/b.xml"))
+    val df = Seq(idx).toDF("xml")
+      .select(F.size(Urls.sitemapChildren(F.col("xml"))).as("n"))
+    assert(df.as[Int].head() === 2)
+    val urls = Seq("<urlset><url><loc>https://u/1</loc>" +
+        "<priority>0.5</priority></url></urlset>").toDF("xml")
+      .select(F.explode(Urls.sitemapUrls(F.col("xml"))).as("u"))
+      .select("u.loc", "u.priority")
+      .as[(String, Option[Double])].collect()
+    assert(urls.toSeq === Seq(("https://u/1", Some(0.5))))
+  }
 }
