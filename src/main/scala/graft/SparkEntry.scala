@@ -370,6 +370,31 @@ object SparkEntry {
         .orderBy("bucket_ms", "event_type")
     }),
 
+    // trending heavy hitters from the persisted TopK view: day-2 vs
+    // day-1 per-user deltas per event type, from stored sketches only.
+    // Counts are EXACT at this cardinality (capacity 256 >= distinct
+    // users per merged window — the q_sketch_regrain argument), so
+    // DuckDB replays the full-outer count join raw
+    "q_topk_trending" -> ((s: SparkSession, dir: String) => {
+      val SV = graft.sketch.SketchView
+      val ev = t(s, dir, "events")
+        .filter(F.col("ts").isNotNull && F.col("user_id").isNotNull)
+        .select(F.col("ts"), F.col("event_type"),
+          F.col("user_id").cast("string").as("item"))
+      val fam = SV.ViewFamily.topkItems(capacity = 256)
+      val path = System.getProperty("java.io.tmpdir") + "/graft_q_topk_trend"
+      SV.materialize(ev, "ts", Seq("event_type"), "item", path, family = fam)
+      val span = SV.DefaultPartSpanMs
+      val f0 = {
+        val lo = ev.agg(F.min(F.unix_millis(F.date_trunc("hour", F.col("ts")))))
+          .collect()(0).getLong(0)
+        lo - java.lang.Math.floorMod(lo, span)
+      }
+      graft.sketch.SketchOps.trendingItems(s, path, Seq("event_type"),
+          f0, f0 + span, f0 + span, f0 + 2 * span, capacity = 256)
+        .orderBy("event_type", "item")
+    }),
+
     // SLO multiwindow burn-rate alert evaluated from the persisted
     // view (no event rescan): short window = trailing 2 days, long =
     // the whole range. Exact counts replay in DuckDB; burn rates are
@@ -5114,6 +5139,24 @@ object SparkEntry {
         |       top_lang, top_lang_docs, true AS p50_ok
         |FROM base LEFT JOIN top ON base.source = top.source
         |ORDER BY base.source""".stripMargin,
+    "q_topk_trending" ->
+      """WITH e AS (SELECT epoch_ms(date_trunc('hour', ts)) AS h, event_type,
+        |                  CAST(user_id AS VARCHAR) AS item
+        |           FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+        |mn AS (SELECT (min(h) // 86400000) * 86400000 AS f0 FROM e),
+        |a AS (SELECT event_type, item, count(*) AS ca FROM e, mn
+        |      WHERE h >= f0 AND h < f0 + 86400000 GROUP BY 1, 2),
+        |b AS (SELECT event_type, item, count(*) AS cb FROM e, mn
+        |      WHERE h >= f0 + 86400000 AND h < f0 + 172800000 GROUP BY 1, 2),
+        |j AS (SELECT coalesce(a.event_type, b.event_type) AS event_type,
+        |             coalesce(a.item, b.item) AS item,
+        |             coalesce(ca, 0) AS count_a, coalesce(cb, 0) AS count_b
+        |      FROM a FULL OUTER JOIN b
+        |        ON a.event_type = b.event_type AND a.item = b.item)
+        |SELECT event_type, item, CAST(count_a AS BIGINT) AS count_a,
+        |       CAST(count_b AS BIGINT) AS count_b,
+        |       CAST(count_b - count_a AS BIGINT) AS delta
+        |FROM j ORDER BY event_type, item""".stripMargin,
     "q_slo_burn" ->
       """WITH b AS (
         |  SELECT epoch_ms(date_trunc('hour', ts)) AS h, event_type

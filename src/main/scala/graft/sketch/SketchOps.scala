@@ -224,4 +224,63 @@ object SketchOps {
     df.groupBy((F.date_trunc(bucket, F.col(tsCol)).as("bucket_start") +:
         keyCols.map(F.col)): _*)
       .agg(G.ddsketch_agg_values(F.col(valueCol)).as("sketch"))
+
+  /**
+   * Heavy-hitter DELTA between two time windows of a persisted TopK
+   * [[SketchView]] — "what is trending" answered from stored sketches
+   * alone: merge the view's per-bucket sketches over window A
+   * (`[aFromMs, aUntilMs)`, the baseline) and window B (the current
+   * window) per key, unpack both item lists, full-outer join on
+   * (keys, item), and emit `(keys…, item, count_a, count_b, delta)`
+   * with absent items at 0. Two partition-pruned scans of sketch
+   * rows — never an event rescan (the multiWindowBurn shape).
+   *
+   * Counts (and therefore deltas) are EXACT while the TopK capacity
+   * covers the distinct items of each merged window (the regrain
+   * rule); beyond it they are the space-saving overestimates and the
+   * output is still a valid trending report. `topN > 0` keeps the
+   * largest-delta rows per key (ties broken by item for
+   * determinism); `topN = 0` emits every item.
+   */
+  def trendingItems(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      keyCols: Seq[String],
+      aFromMs: Long,
+      aUntilMs: Long,
+      bFromMs: Long,
+      bUntilMs: Long,
+      capacity: Int = graft.sketch.TopKSketch.DefaultCapacity,
+      topN: Int = 0,
+      partSpanMs: Long = SketchView.DefaultPartSpanMs): DataFrame = {
+    require(aFromMs < aUntilMs && bFromMs < bUntilMs,
+      "windows must be non-empty")
+    val fam = SketchView.ViewFamily.topkItems(capacity)
+    def window(fromMs: Long, untilMs: Long, tag: String): DataFrame =
+      SketchView.readRange(spark, path, keyCols, fromMs, untilMs, fam,
+          partSpanMs)
+        .groupBy(keyCols.map(F.col): _*)
+        .agg(fam.merge(F.col("sketch")).as("__sk"))
+        .select(keyCols.map(F.col) :+
+          F.explode(topk.topk_items(F.col("__sk"), Int.MaxValue))
+            .as("__it"): _*)
+        .select(keyCols.map(F.col) ++ Seq(
+          F.col("__it.item").as("item"),
+          F.col("__it.count").as(s"count_$tag")): _*)
+    val joined = window(aFromMs, aUntilMs, "a")
+      .join(window(bFromMs, bUntilMs, "b"), keyCols :+ "item", "full_outer")
+      .select(keyCols.map(F.col) ++ Seq(
+        F.col("item"),
+        F.coalesce(F.col("count_a"), F.lit(0L)).as("count_a"),
+        F.coalesce(F.col("count_b"), F.lit(0L)).as("count_b")): _*)
+      .withColumn("delta", F.col("count_b") - F.col("count_a"))
+    if (topN <= 0) joined
+    else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(keyCols.map(F.col): _*)
+        .orderBy(F.col("delta").desc, F.col("item").asc)
+      joined.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= topN).drop("__rn")
+    }
+  }
 }

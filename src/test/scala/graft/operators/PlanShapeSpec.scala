@@ -246,6 +246,35 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!plan.contains("gid"), plan)
   }
 
+  test("cardsFromViews and multiWindowBurn plans read ONLY view rows — no corpus scan") {
+    // the nightly-ops contract: maintenance scans the corpus, reads
+    // never do. A documents/events file in either read plan means an
+    // accidental rescan snuck in.
+    val docs = sf("sf0.001", "documents").limit(300)
+      .withColumn("ts",
+        F.lit(java.sql.Timestamp.valueOf("2026-01-01 00:00:00")))
+    val cardBase = java.nio.file.Files
+      .createTempDirectory("graft_ps_card").toString
+    graft.pipeline.DataCard.materializeCardViews(
+      docs, "source", "lang", "text", "ts", cardBase)
+    val card = graft.pipeline.DataCard.cardsFromViews(spark, cardBase)
+    val cardPlan = card.queryExecution.executedPlan.toString
+    assert(!cardPlan.contains("documents"), cardPlan)
+    assert(cardPlan.contains("graft_ps_card"), cardPlan)
+
+    val ev = sf("sf0.001", "events").limit(500)
+    val sloDir = java.nio.file.Files
+      .createTempDirectory("graft_ps_slo").toString
+    graft.sketch.SketchView.materialize(
+      ev, "ts", Seq("event_type"), "value", sloDir)
+    val burn = graft.sketch.Slo.multiWindowBurn(spark, sloDir,
+      Seq("event_type"), objective = 100.0, budget = 0.25,
+      untilMs = 4102444800000L, shortMs = 3600000L, longMs = 7200000L)
+    val burnPlan = burn.queryExecution.executedPlan.toString
+    assert(!burnPlan.contains("events"), burnPlan)
+    assert(burnPlan.contains("graft_ps_slo"), burnPlan)
+  }
+
   test("snapshot diff is one full-outer hash join over hash-only projections") {
     val a = Seq((1L, "x"), (2L, "y")).toDF("k", "txt").repartition(4)
     val b = Seq((2L, "y"), (3L, "z")).toDF("k", "txt").repartition(4)

@@ -333,6 +333,33 @@ class SketchViewSpec extends SparkTestBase {
     }
   }
 
+  test("trendingItems: exact per-item deltas between two view windows, topN cut") {
+    val span = SketchView.DefaultPartSpanMs
+    val d0 = 472224L * 3600000L // day-aligned
+    def ts(day: Int, h: Int) = new java.sql.Timestamp(d0 + day * span + h * 3600000L)
+    // day 0: a=3 b=1 ; day 1: a=1 b=4 c=2 → deltas a=-2 b=3 c=2
+    val rows =
+      Seq.fill(3)(("t", ts(0, 1), "a")) ++ Seq(("t", ts(0, 2), "b")) ++
+      Seq(("t", ts(1, 1), "a")) ++ Seq.fill(4)(("t", ts(1, 2), "b")) ++
+      Seq.fill(2)(("t", ts(1, 3), "c"))
+    val df = rows.toDF("event_type", "ts", "item")
+    val fam = SketchView.ViewFamily.topkItems(capacity = 16)
+    val dir = java.nio.file.Files.createTempDirectory("graft_skview_tr").toString
+    SketchView.materialize(df, "ts", Seq("event_type"), "item", dir, family = fam)
+    val out = SketchOps.trendingItems(spark, dir, Seq("event_type"),
+        d0, d0 + span, d0 + span, d0 + 2 * span, capacity = 16)
+      .select("item", "count_a", "count_b", "delta")
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out === Map(
+      "a" -> (("a", 3L, 1L, -2L)),
+      "b" -> (("b", 1L, 4L, 3L)),
+      "c" -> (("c", 0L, 2L, 2L))))
+    val top1 = SketchOps.trendingItems(spark, dir, Seq("event_type"),
+        d0, d0 + span, d0 + span, d0 + 2 * span, capacity = 16, topN = 1)
+      .select("item").as[String].collect()
+    assert(top1.toSeq === Seq("b"))
+  }
+
   test("NULL timestamps are dropped, NULL values skipped") {
     val df = Seq(
       (Some(java.sql.Timestamp.valueOf("2024-01-01 10:15:00")), "a", Some(1.0)),
