@@ -370,6 +370,59 @@ object SparkEntry {
         .orderBy("bucket_ms", "event_type")
     }),
 
+    // budget-exhaustion forecast from the view: the whole range is
+    // 25% of a synthetic SLO period, recent = trailing 2 days. Window
+    // counts replay exactly; consumed/burn are CDF-bracketed like
+    // q_slo_burn; the forecast timestamp is pinned CONSISTENT with
+    // the emitted components under the frozen formula
+    "q_slo_forecast" -> ((s: SparkSession, dir: String) => {
+      Graft.register(s)
+      val SV = graft.sketch.SketchView
+      val ev = t(s, dir, "events")
+      val path = System.getProperty("java.io.tmpdir") + "/graft_q_slo_fc"
+      SV.materialize(ev, "ts", Seq("event_type"), "value", path)
+      val hourMs = F.unix_millis(F.date_trunc("hour", F.col("ts")))
+      val (lo, hi) = {
+        val r = ev.agg(F.min(hourMs), F.max(hourMs)).collect()(0)
+        (r.getLong(0), r.getLong(1))
+      }
+      val until = hi + 3600000L
+      val periodMs = (until - lo) * 4L
+      val recentMs = 2L * 86400000L
+      val (objective, budget) = (100.0, 0.25)
+      val elapsedFrac = (until - lo).toDouble / periodMs.toDouble
+      val fc = graft.sketch.Slo.exhaustionForecast(
+        s, path, Seq("event_type"), objective, budget,
+        lo, until, periodMs, recentMs)
+      def exactFracs(fromMs: Long, tag: String) = ev
+        .filter(hourMs >= fromMs && hourMs < until)
+        .groupBy(F.col("event_type"))
+        .agg(
+          (F.sum(F.when(F.col("value") <= objective * 0.965, 1L).otherwise(0L))
+            .cast("double") / F.count(F.lit(1))).as(s"__lo_$tag"),
+          (F.sum(F.when(F.col("value") <= objective * 1.035, 1L).otherwise(0L))
+            .cast("double") / F.count(F.lit(1))).as(s"__hi_$tag"))
+      val expectExhaust =
+        F.when(F.col("consumed_frac") >= 1.0, F.lit(until))
+          .when(F.col("burn_recent") > 0.0,
+            (F.lit(until.toDouble) + (F.lit(1.0) - F.col("consumed_frac")) *
+              periodMs.toDouble / F.col("burn_recent")).cast("long"))
+          .otherwise(F.lit(null).cast("long"))
+      fc.join(exactFracs(lo, "p"), "event_type")
+        .join(exactFracs(until - recentMs, "r"), "event_type")
+        .select(F.col("event_type"), F.col("n_period"), F.col("n_recent"),
+          (F.col("consumed_frac") >=
+             (F.lit(1.0) - F.col("__hi_p") - 1e-9) / budget * elapsedFrac &&
+           F.col("consumed_frac") <=
+             (F.lit(1.0) - F.col("__lo_p") + 1e-9) / budget * elapsedFrac)
+            .as("consumed_ok"),
+          (F.col("burn_recent") >= (F.lit(1.0) - F.col("__hi_r") - 1e-9) / budget &&
+           F.col("burn_recent") <= (F.lit(1.0) - F.col("__lo_r") + 1e-9) / budget)
+            .as("burn_recent_ok"),
+          (F.col("exhaust_at_ms") <=> expectExhaust).as("exhaust_ok"))
+        .orderBy("event_type")
+    }),
+
     // trending heavy hitters from the persisted TopK view: day-2 vs
     // day-1 per-user deltas per event type, from stored sketches only.
     // Counts are EXACT at this cardinality (capacity 256 >= distinct
@@ -5139,6 +5192,16 @@ object SparkEntry {
         |       top_lang, top_lang_docs, true AS p50_ok
         |FROM base LEFT JOIN top ON base.source = top.source
         |ORDER BY base.source""".stripMargin,
+    "q_slo_forecast" ->
+      """WITH b AS (
+        |  SELECT epoch_ms(date_trunc('hour', ts)) AS h, event_type
+        |  FROM events),
+        |mx AS (SELECT max(h) + 3600000 AS until FROM b)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_period,
+        |       CAST(count(*) FILTER (WHERE h >= until - 172800000) AS BIGINT)
+        |         AS n_recent,
+        |       true AS consumed_ok, true AS burn_recent_ok, true AS exhaust_ok
+        |FROM b, mx GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_topk_trending" ->
       """WITH e AS (SELECT epoch_ms(date_trunc('hour', ts)) AS h, event_type,
         |                  CAST(user_id AS VARCHAR) AS item

@@ -77,4 +77,57 @@ object Slo {
         F.col("burn_short") > threshold && F.col("burn_long") > threshold,
         F.lit(false)))
   }
+
+  /**
+   * Error-budget EXHAUSTION forecast per key, from the view alone —
+   * the capacity-planning companion of [[multiWindowBurn]]'s pager:
+   * over the period to date (`[periodStartMs, untilMs)`, e.g. the
+   * 30-day SLO window so far) the budget fraction consumed is
+   * `burn_period × elapsed/period`; extrapolating the RECENT window's
+   * burn rate (`[untilMs - recentMs, untilMs)`), the remaining budget
+   * is spent after `remaining × period / burn_recent` ms.
+   *
+   * Emits (keys…, n_period, n_recent, consumed_frac, burn_recent,
+   * exhaust_at_ms): `exhaust_at_ms` is `untilMs` when the budget is
+   * already spent, NULL when the recent burn is zero (never, at this
+   * rate) or the key is quiet in the recent window. Two
+   * partition-pruned view reads — never an event rescan.
+   */
+  def exhaustionForecast(
+      spark: SparkSession,
+      path: String,
+      keyCols: Seq[String],
+      objective: Double,
+      budget: Double,
+      periodStartMs: Long,
+      untilMs: Long,
+      periodMs: Long,
+      recentMs: Long,
+      partSpanMs: Long = SketchView.DefaultPartSpanMs): DataFrame = {
+    require(periodStartMs < untilMs, "period must have started")
+    require(periodMs > 0 && recentMs > 0, "periodMs/recentMs must be positive")
+    def window(fromMs: Long, tag: String): DataFrame =
+      SketchView.readRange(spark, path, keyCols, fromMs, untilMs,
+          partSpanMs = partSpanMs)
+        .groupBy(keyCols.map(F.col): _*)
+        .agg(G.ddsketch_agg(F.col("sketch")).as(s"__sk_$tag"))
+    val elapsedFrac = (untilMs - periodStartMs).toDouble / periodMs.toDouble
+    val consumed =
+      burnRate(F.col("__sk_p"), objective, budget) * F.lit(elapsedFrac)
+    val remaining = F.lit(1.0) - F.col("consumed_frac")
+    window(periodStartMs, "p")
+      .join(window(untilMs - recentMs, "r"), keyCols, "left")
+      .select(keyCols.map(F.col) ++ Seq(
+        G.ddsketch_count(F.col("__sk_p")).as("n_period"),
+        F.coalesce(G.ddsketch_count(F.col("__sk_r")), F.lit(0L)).as("n_recent"),
+        consumed.as("consumed_frac"),
+        burnRate(F.col("__sk_r"), objective, budget).as("burn_recent")): _*)
+      .withColumn("exhaust_at_ms",
+        F.when(F.col("consumed_frac") >= 1.0, F.lit(untilMs))
+          .when(F.col("burn_recent") > 0.0,
+            (F.lit(untilMs.toDouble) +
+              remaining * periodMs.toDouble / F.col("burn_recent"))
+              .cast("long"))
+          .otherwise(F.lit(null).cast("long")))
+  }
 }

@@ -43,6 +43,41 @@ class SloSpec extends SparkTestBase {
     assert(out("recovered") === false)   // short window healthy → no page
   }
 
+  test("exhaustionForecast: consumed math, hot exhausts before cool, zero burn = never") {
+    val hour = 3600000L
+    // 48h elapsed of a 30-day period (elapsed fraction 1/15);
+    // base hour-ALIGNED so the first event's bucket is in-window
+    val base = 472224L * hour
+    val rows = (0 until 48).flatMap { h =>
+      val ts = new java.sql.Timestamp(base + h * hour)
+      Seq(
+        ("hot", ts, 200.0),                          // burn 10
+        ("cool", ts, if (h % 10 == 0) 200.0 else 1.0), // burn ~0.5
+        ("clean", ts, 1.0))                          // burn 0 → never
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_slo_fc").toString
+    SketchView.materialize(
+      rows.toDF("event_type", "ts", "value"), "ts", Seq("event_type"), "value", dir)
+    val until = base + 48 * hour
+    val periodMs = 720 * hour
+    val out = Slo.exhaustionForecast(spark, dir, Seq("event_type"),
+        objective = 100.0, budget = 0.1, periodStartMs = until - 48 * hour,
+        untilMs = until, periodMs = periodMs, recentMs = 48 * hour)
+      .select("event_type", "n_period", "consumed_frac", "burn_recent",
+        "exhaust_at_ms")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3),
+          if (r.isNullAt(4)) None else Some(r.getLong(4))))).toMap
+    assert(out("hot")._1 === 48L)
+    assert(math.abs(out("hot")._2 - 10.0 / 15.0) < 1e-9) // burn 10 × 1/15
+    assert(math.abs(out("hot")._3 - 10.0) < 1e-9)
+    // cool: 5 of 48 violate → burn = (5/48)/0.1
+    assert(math.abs(out("cool")._3 - (5.0 / 48.0) / 0.1) < 1e-9)
+    val (hotAt, coolAt) = (out("hot")._4.get, out("cool")._4.get)
+    assert(hotAt > until && coolAt > hotAt, s"$hotAt vs $coolAt")
+    assert(out("clean")._4 === None) // zero burn: never exhausts
+  }
+
   test("multiWindowBurn surfaces keys quiet in the short window") {
     val hour = 3600000L
     // "gone" stops reporting before the short window opens — the
