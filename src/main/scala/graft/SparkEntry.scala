@@ -2304,6 +2304,40 @@ object SparkEntry {
         .orderBy("id_a")
     }),
 
+    // general edit-distance-<= k self-join (PassJoin segments + banded
+    // verify): every doc's md5 key gets a TWO-substitution variant
+    // ('z' at 0, 'y' at 10 — neither occurs in md5 hex, so distance
+    // is exactly 2; accidental cross-pairs within distance 2 are
+    // ~n²/16^30) — full-row oracle from id arithmetic
+    "q_edit_k" -> ((s: SparkSession, dir: String) => {
+      val keys = t(s, dir, "documents").select(F.col("doc_id"),
+        F.md5(F.col("doc_id").cast("string")).as("k"))
+      val variants = keys.select(
+        (F.col("doc_id") + 1000000L).as("doc_id"),
+        F.concat(F.lit("z"), F.substring(F.col("k"), 2, 9),
+          F.lit("y"), F.substring(F.col("k"), 12, 100)).as("k"))
+      graft.pipeline.Dedup.editKPairs(
+          keys.unionByName(variants), "doc_id", "k", k = 2)
+        .orderBy("id_a")
+    }),
+
+    // nightly form: the 2-edit variants probed against a persisted
+    // PassJoin segment index of the md5 keys — same planted argument
+    "q_edit_k_incremental" -> ((s: SparkSession, dir: String) => {
+      val keys = t(s, dir, "documents").select(F.col("doc_id"),
+        F.md5(F.col("doc_id").cast("string")).as("k"))
+      val variants = keys.select(
+        (F.col("doc_id") + 1000000L).as("doc_id"),
+        F.concat(F.lit("z"), F.substring(F.col("k"), 2, 9),
+          F.lit("y"), F.substring(F.col("k"), 12, 100)).as("k"))
+      val path = System.getProperty("java.io.tmpdir") + "/graft_q_editkidx"
+      graft.pipeline.Dedup.buildEditKIndex(keys, "doc_id", "k", k = 2)
+        .write.mode("overwrite").parquet(path)
+      graft.pipeline.Dedup.incrementalEditKPairs(
+          s.read.parquet(path), variants, "doc_id", "k", k = 2)
+        .orderBy("id_new")
+    }),
+
     // incremental edit-1 matching vs a persisted deletion-hash index
     // (nightly shape): history = md5 keys, batch = the 'z' variants —
     // same planted argument as q_edit_one, full-row from id arithmetic
@@ -5976,6 +6010,12 @@ object SparkEntry {
       """SELECT doc_id AS id_a, doc_id + 1000000 AS id_b
         |FROM documents ORDER BY id_a""".stripMargin,
     "q_edit_one_incremental" ->
+      """SELECT doc_id + 1000000 AS id_new, doc_id AS id_old
+        |FROM documents ORDER BY id_new""".stripMargin,
+    "q_edit_k" ->
+      """SELECT doc_id AS id_a, doc_id + 1000000 AS id_b
+        |FROM documents ORDER BY id_a""".stripMargin,
+    "q_edit_k_incremental" ->
       """SELECT doc_id + 1000000 AS id_new, doc_id AS id_old
         |FROM documents ORDER BY id_new""".stripMargin,
     // q_dedup_clusters' recursive components + the md5-range split off

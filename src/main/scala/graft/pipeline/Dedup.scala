@@ -1757,4 +1757,179 @@ object Dedup {
       .select(F.col("__bid").as("id_new"), F.col("id").as("id_old"))
       .distinct()
   }
+
+  // -------------------------------------------------- edit distance <= k
+
+  /** Levenshtein decision: distance <= k, two rolling rows with a
+    * row-minimum early exit (once every cell of a row exceeds k no
+    * later row can recover) — the verify kernel of the PassJoin
+    * family. O(n·m) worst case, but only over the candidate sliver
+    * and k-bounded rows exit early. */
+  private[graft] def editDistanceAtMost(a: String, b: String, k: Int): Boolean = {
+    if (a == b) return true
+    val (s, l) = if (a.length <= b.length) (a, b) else (b, a)
+    if (l.length - s.length > k) return false
+    val n = s.length
+    val prev = Array.tabulate(n + 1)(identity)
+    val cur = new Array[Int](n + 1)
+    var j = 1
+    while (j <= l.length) {
+      cur(0) = j
+      var rowMin = cur(0)
+      var i = 1
+      while (i <= n) {
+        val sub = prev(i - 1) +
+          (if (s.charAt(i - 1) == l.charAt(j - 1)) 0 else 1)
+        val del = cur(i - 1) + 1
+        val ins = prev(i) + 1
+        var best = sub
+        if (del < best) best = del
+        if (ins < best) best = ins
+        cur(i) = best
+        if (best < rowMin) rowMin = best
+        i += 1
+      }
+      if (rowMin > k) return false
+      System.arraycopy(cur, 0, prev, 0, n + 1)
+      j += 1
+    }
+    prev(n) <= k
+  }
+
+  /** PassJoin even-partition scheme: `k + 1` disjoint segments of
+    * `s`, shorter segments first — (segment, index, startPos). */
+  private[graft] def passJoinSegments(
+      s: String, k: Int): Seq[(String, Int, Int)] = {
+    val parts = k + 1
+    val l = s.length
+    val base = l / parts
+    val rem = l % parts
+    val out = new scala.collection.mutable.ArrayBuffer[(String, Int, Int)](parts)
+    var pos = 0
+    var i = 0
+    while (i < parts) {
+      val len = if (i < parts - rem) base else base + 1
+      out += ((s.substring(pos, pos + len), i, pos))
+      pos += len
+      i += 1
+    }
+    out.toSeq
+  }
+
+  private def segKey(sub: String, i: Int, l: Int): Long = {
+    var h = 0xCBF29CE484222325L
+    var j = 0
+    while (j < sub.length) { h = (h ^ sub.charAt(j).toLong) * 0x100000001B3L; j += 1 }
+    TextFunctions.mix64(h ^ (i.toLong << 40) ^ (l.toLong << 20))
+  }
+
+  /** Probe-side PassJoin keys for `t`: for every indexable source
+    * length `l` within `k` of `|t|` and every segment of the
+    * l-scheme, the substrings of `t` with that segment's length at
+    * positions within ±k of the segment's — by pigeonhole, a string
+    * within `k` edits of an indexed string of length `l` shares at
+    * least one segment at such a position, so the bucket join has
+    * GUARANTEED recall. O(k³) keys per row (5·3·5 ≈ 75 at k = 2). */
+  private[graft] def passJoinProbeKeys(
+      t: String, k: Int, maxLen: Int): Array[Long] = {
+    val m = t.length
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var l = math.max(k + 1, m - k)
+    val lMax = math.min(maxLen, m + k)
+    while (l <= lMax) {
+      // reconstruct the l-scheme's segment lengths/positions
+      val parts = k + 1
+      val base = l / parts
+      val rem = l % parts
+      var pos = 0
+      var i = 0
+      while (i < parts) {
+        val len = if (i < parts - rem) base else base + 1
+        var p = math.max(0, pos - k)
+        val pHi = math.min(m - len, pos + k)
+        while (p <= pHi) {
+          out += segKey(t.substring(p, p + len), i, l)
+          p += 1
+        }
+        pos += len
+        i += 1
+      }
+      l += 1
+    }
+    out.distinct.toArray
+  }
+
+  /**
+   * Persistable PassJoin segment index for edit-distance-<= k matching
+   * (Li et al. 2011, "PassJoin") — the general-k sibling of
+   * [[buildEditOneIndex]]: each history string of length `>= k + 1`
+   * (and `<= maxLen`) contributes its `k + 1` even-partition segment
+   * keys. Strings ride along for exact verification.
+   */
+  def buildEditKIndex(
+      df: DataFrame,
+      idCol: String,
+      strCol: String,
+      k: Int = 2,
+      maxLen: Int = 256): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxLen >= k + 1, s"maxLen must be >= k + 1")
+    val segU = F.udf((s: String) =>
+      if (s == null || s.length < k + 1 || s.length > maxLen) Array.empty[Long]
+      else passJoinSegments(s, k)
+        .map { case (seg, i, _) => segKey(seg, i, s.length) }.toArray)
+    df.select(F.col(idCol).cast("long").as("id"), F.col(strCol).as("s"))
+      .filter(F.col("s").isNotNull)
+      .select(F.col("id"), F.col("s"), F.explode(segU(F.col("s"))).as("key"))
+  }
+
+  /**
+   * Probe a [[buildEditKIndex]] with a fresh batch: every
+   * (batch id, history id) pair within edit distance `k`, verified
+   * with the banded DP. `k`/`maxLen` must match the index build.
+   * Guaranteed recall for indexed strings (length in
+   * `[k + 1, maxLen]`) by the PassJoin pigeonhole. Stateless except
+   * the final distinct, so the pre-distinct shape streams (pair with
+   * `dropDuplicatesWithinWatermark` like the edit-1 stream).
+   */
+  def incrementalEditKPairs(
+      index: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      strCol: String,
+      k: Int = 2,
+      maxLen: Int = 256): DataFrame = {
+    val probeU = F.udf((s: String) =>
+      if (s == null || s.length > maxLen + k) Array.empty[Long]
+      else passJoinProbeKeys(s, k, maxLen))
+    val probes = batch
+      .select(F.col(idCol).cast("long").as("__bid"), F.col(strCol).as("__bs"))
+      .filter(F.col("__bs").isNotNull)
+      .select(F.col("__bid"), F.col("__bs"),
+        F.explode(probeU(F.col("__bs"))).as("key"))
+    val okU = F.udf((a: String, b: String) => editDistanceAtMost(a, b, k))
+    probes.join(index, "key")
+      .filter(okU(F.col("__bs"), F.col("s")))
+      .select(F.col("__bid").as("id_new"), F.col("id").as("id_old"))
+      .distinct()
+  }
+
+  /** Self-join form: all unordered pairs within edit distance `k`
+    * (ids `id_a < id_b`) — the fuzzy-key entity-resolution join.
+    * Pairs NORMALIZE to (min, max) rather than filtering a direction:
+    * a too-short-to-index string (length <= k) can still PROBE its
+    * indexed partner, and that single direction must survive. */
+  def editKPairs(
+      df: DataFrame,
+      idCol: String,
+      strCol: String,
+      k: Int = 2,
+      maxLen: Int = 256): DataFrame = {
+    val index = buildEditKIndex(df, idCol, strCol, k, maxLen)
+    incrementalEditKPairs(index, df, idCol, strCol, k, maxLen)
+      .filter(F.col("id_new") =!= F.col("id_old"))
+      .select(F.least(F.col("id_new"), F.col("id_old")).as("id_a"),
+        F.greatest(F.col("id_new"), F.col("id_old")).as("id_b"))
+      .distinct()
+  }
 }

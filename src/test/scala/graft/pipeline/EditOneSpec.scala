@@ -66,4 +66,73 @@ class EditOneSpec extends SparkTestBase {
       .as[(Long, Long)].collect().toSet
     assert(got === Set((1L, 2L)))
   }
+
+  test("editDistanceAtMost agrees with the full DP on random strings") {
+    def full(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a.charAt(i - 1) == b.charAt(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val rnd = new scala.util.Random(7)
+    for (_ <- 0 until 500) {
+      val a = new String(Array.fill(rnd.nextInt(12))(('a' + rnd.nextInt(4)).toChar))
+      val b = new String(Array.fill(rnd.nextInt(12))(('a' + rnd.nextInt(4)).toChar))
+      for (k <- 0 to 4)
+        assert(Dedup.editDistanceAtMost(a, b, k) === (full(a, b) <= k),
+          s"'$a' vs '$b' at k=$k (full=${full(a, b)})")
+    }
+  }
+
+  test("PassJoin probe keys reach every string within k edits (pigeonhole recall)") {
+    val rnd = new scala.util.Random(13)
+    for (trial <- 0 until 300) {
+      val k = 1 + rnd.nextInt(3)
+      val n = k + 1 + rnd.nextInt(30)
+      val base = new String(Array.fill(n)(('a' + rnd.nextInt(6)).toChar))
+      // apply exactly k random edits
+      var t = base
+      for (_ <- 0 until k) {
+        val op = rnd.nextInt(3)
+        val p = rnd.nextInt(t.length + (if (op == 1) 1 else 0))
+        t = op match {
+          case 0 if t.nonEmpty => // substitute
+            t.substring(0, p.min(t.length - 1)) + ('a' + rnd.nextInt(6)).toChar +
+              t.substring(p.min(t.length - 1) + 1)
+          case 1 => t.substring(0, p) + ('a' + rnd.nextInt(6)).toChar + t.substring(p)
+          case _ if t.length > 1 => // delete
+            val q = rnd.nextInt(t.length); t.substring(0, q) + t.substring(q + 1)
+          case _ => t
+        }
+      }
+      val indexKeys = Dedup.passJoinSegments(base, k)
+        .map { case (seg, i, _) =>
+          // private segKey replicated through the index builder instead:
+          (seg, i, base.length)
+        }.toSet
+      // drive through the public pair: the probe must find base
+      val df = Seq((0L, base), (1L, t)).toDF("id", "s")
+      val pairs = Dedup.editKPairs(df, "id", "s", k = k, maxLen = 64)
+        .as[(Long, Long)].collect()
+      assert(pairs.contains((0L, 1L)), s"missed base='$base' t='$t' k=$k")
+    }
+  }
+
+  test("editKPairs end to end: planted 2-edit variants, no false pairs beyond") {
+    val keys = (0L until 150L).map(i =>
+      (i, java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString))
+    // 'z'/'y' never occur in md5 hex → exactly two substitutions
+    val variants = keys.map { case (i, h) =>
+      (i + 1000L, "z" + h.substring(1, 10) + "y" + h.substring(11)) }
+    val df = (keys ++ variants).toDF("id", "s").repartition(4)
+    val pairs = Dedup.editKPairs(df, "id", "s", k = 2)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs === keys.map { case (i, _) => (i, i + 1000L) }.toSet)
+    // at k = 1 the same variants are out of reach
+    assert(Dedup.editKPairs(df, "id", "s", k = 1)
+      .as[(Long, Long)].collect().isEmpty)
+  }
 }
