@@ -962,6 +962,19 @@ object Bench {
         .agg(F.count(F.lit(1)).as("pairs"))
     }),
 
+    // general edit-distance-<= 2 fuzzy self-join (PassJoin segments)
+    "b_edit_k" -> ((s: SparkSession, dir: String) => {
+      val keys = t(s, dir, "documents").select(F.col("doc_id"),
+        F.md5(F.col("doc_id").cast("string")).as("k"))
+      val variants = keys.select(
+        (F.col("doc_id") + 1000000L).as("doc_id"),
+        F.concat(F.lit("z"), F.substring(F.col("k"), 2, 9),
+          F.lit("y"), F.substring(F.col("k"), 12, 100)).as("k"))
+      graft.pipeline.Dedup.editKPairs(
+          keys.unionByName(variants), "doc_id", "k", k = 2)
+        .agg(F.count(F.lit(1)).as("pairs"))
+    }),
+
     // sentence-aware chunking + readability sweep of the corpus
     "b_text_shape" -> ((s: SparkSession, dir: String) => {
       val tf = graft.pipeline.TextFunctions

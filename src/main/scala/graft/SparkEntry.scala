@@ -1444,6 +1444,37 @@ object SparkEntry {
         .orderBy("doc_id", "span_start")
     }),
 
+    // streaming EDIT-<= k matching under the gate: the planted 2-edit
+    // variants replayed against the persisted PassJoin segment index —
+    // shares q_edit_k_incremental's oracle (pair-dedup collapses
+    // shared-segment multiplicity)
+    "q_stream_edit_k" -> ((s: SparkSession, dir: String) => {
+      val keys = t(s, dir, "documents").select(F.col("doc_id"),
+        F.md5(F.col("doc_id").cast("string")).as("k"))
+      val variants = keys.select(
+        F.lit(java.sql.Timestamp.valueOf("2026-01-01 00:00:00")).as("ts"),
+        (F.col("doc_id") + 1000000L).as("doc_id"),
+        F.concat(F.lit("z"), F.substring(F.col("k"), 2, 9),
+          F.lit("y"), F.substring(F.col("k"), 12, 100)).as("k"))
+      val idxPath = System.getProperty("java.io.tmpdir") + "/graft_q_stream_ek_idx"
+      graft.pipeline.Dedup.buildEditKIndex(keys, "doc_id", "k", k = 2)
+        .write.mode("overwrite").parquet(idxPath)
+      val tmp = System.getProperty("java.io.tmpdir") + "/graft_q_stream_ek_src"
+      variants.write.mode("overwrite").parquet(tmp)
+      val stream = s.readStream.schema(variants.schema).parquet(tmp)
+      val out = graft.streaming.SketchStreaming.editKStream(
+        stream, "ts", "doc_id", "k", s.read.parquet(idxPath),
+        watermarkDelay = "3650 days", k = 2)
+      s.catalog.dropTempView("graft_stream_editk")
+      val q = out.writeStream
+        .outputMode("append").format("memory")
+        .queryName("graft_stream_editk")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("graft_stream_editk").orderBy("id_new")
+    }),
+
     // streaming EDIT-1 matching under the gate: the planted 'z'
     // variants replayed as a file stream against the persisted
     // deletion-hash index of the md5 keys — shares the batch
@@ -7335,6 +7366,8 @@ object SparkEntry {
       // streaming edit-1 probe: same planted argument as the batch
       // incremental form — pair-dedup makes the replay emit each pair once
       "q_stream_edit_one" -> base("q_edit_one_incremental"),
+      // streaming edit-<= k probe shares the batch incremental oracle
+      "q_stream_edit_k" -> base("q_edit_k_incremental"),
       // the view-computed card's merges are exact (bin/set addition),
       // so it reproduces the one-shot card's numbers
       "q_datacard_view" -> base("q_datacard"),

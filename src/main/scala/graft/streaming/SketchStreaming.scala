@@ -364,6 +364,42 @@ object SketchStreaming {
   }
 
   /**
+   * Streaming EDIT-DISTANCE-<= k matching — [[editOneStream]]'s
+   * general-k sibling over a persisted
+   * [[graft.pipeline.Dedup.buildEditKIndex]] (PassJoin segments):
+   * probe keys explode per row (O(k³) of them), hash-join the static
+   * index, verify with the banded DP, and collapse shared-segment
+   * multiplicity in pair-dedup state within the watermark horizon.
+   */
+  def editKStream(
+      stream: DataFrame,
+      tsCol: String,
+      idCol: String,
+      strCol: String,
+      index: DataFrame,
+      watermarkDelay: String,
+      k: Int = 2,
+      maxLen: Int = 256): DataFrame = {
+    val probeU = F.udf((s: String) =>
+      if (s == null || s.length > maxLen + k) Array.empty[Long]
+      else graft.pipeline.Dedup.passJoinProbeKeys(s, k, maxLen))
+    val okU = F.udf((a: String, b: String) =>
+      graft.pipeline.Dedup.editDistanceAtMost(a, b, k))
+    stream
+      .withWatermark(tsCol, watermarkDelay)
+      .select(F.col(tsCol).as("__ts"),
+        F.col(idCol).cast("long").as("id_new"), F.col(strCol).as("__bs"))
+      .filter(F.col("__bs").isNotNull)
+      .select(F.col("__ts"), F.col("id_new"), F.col("__bs"),
+        F.explode(probeU(F.col("__bs"))).as("key"))
+      .join(index, "key")
+      .filter(okU(F.col("__bs"), F.col("s")))
+      .select(F.col("__ts"), F.col("id_new"), F.col("id").as("id_old"))
+      .dropDuplicatesWithinWatermark("id_new", "id_old")
+      .select("id_new", "id_old")
+  }
+
+  /**
    * Windowed drift gate: per event-time window, bin `valueCol` by the
    * fixed `cuts` (the [[graft.pipeline.Drift]] binning — count of cuts
    * strictly below the value) and emit the window's PSI against a
