@@ -4528,6 +4528,20 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    // HITS hubs/authorities over the planted crawl graph: 2 unrolled
+    // iterations replay in SQL (the q_pagerank convention — scores
+    // ×N at 4dp; normalizers are exact sums over the same edge set)
+    "q_hits" -> ((s: SparkSession, dir: String) => {
+      val edges = graft.sources.Warc.outlinks(crawlPages(s, dir), "url", "html")
+      val out = graft.pipeline.LinkGraph.hits(edges, iterations = 2)
+      val n = out.agg(F.count(F.lit(1)).cast("double").as("__n"))
+      out.crossJoin(F.broadcast(n))
+        .select(F.col("node"),
+          F.round(F.col("hub") * F.col("__n"), 4).as("hub_n"),
+          F.round(F.col("authority") * F.col("__n"), 4).as("auth_n"))
+        .orderBy("node")
+    }),
+
     // anchor-text aggregation per link target (retrieval anchor field):
     // distinct-page counts per (dst, anchor), ranked
     "q_link_anchors" -> ((s: SparkSession, dir: String) =>
@@ -7267,6 +7281,47 @@ object SparkEntry {
         |         JOIN r2 ON r2.node = ce.src GROUP BY ce.dst) c ON nodes.node = c.dst)
         |SELECT node, round(r * (SELECT n FROM nn), 4) AS rank_n
         |FROM r3 ORDER BY node""".stripMargin,
+    "q_hits" ->
+      """WITH d AS (SELECT doc_id AS id FROM documents),
+        |e AS (
+        |  SELECT 'http://site'||(id%9)||'.com/dir'||(id%4)||'/page'||id||'.html' AS src,
+        |         'http://site'||(id%9)||'.com/top/'||(id%7) AS dst FROM d
+        |  UNION ALL
+        |  SELECT 'http://site'||(id%9)||'.com/dir'||(id%4)||'/page'||id||'.html',
+        |         'http://site'||(id%9)||'.com/dir'||(id%4)||'/rel'||(id%5)||'.html' FROM d
+        |  UNION ALL
+        |  SELECT 'http://site'||(id%9)||'.com/dir'||(id%4)||'/page'||id||'.html',
+        |         'http://ext'||(id%3)||'.org/x' FROM d
+        |  UNION ALL
+        |  SELECT 'http://site'||(id%9)||'.com/dir'||(id%4)||'/page'||id||'.html',
+        |         'http://cdn.net/l.js' FROM d WHERE id%2 = 0),
+        |de AS (SELECT DISTINCT src, dst FROM e),
+        |nodes AS (SELECT src AS node FROM de UNION SELECT dst FROM de),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        |h0 AS (SELECT node, 1.0/(SELECT n FROM nn) AS v FROM nodes),
+        |a1r AS (SELECT nodes.node, coalesce(x.v, 0) AS v FROM nodes LEFT JOIN (
+        |          SELECT de.dst AS node, sum(h.v) AS v FROM de
+        |          JOIN h0 h ON h.node = de.src GROUP BY de.dst) x
+        |        ON nodes.node = x.node),
+        |a1 AS (SELECT node, v/(SELECT sum(v) FROM a1r) AS v FROM a1r),
+        |h1r AS (SELECT nodes.node, coalesce(x.v, 0) AS v FROM nodes LEFT JOIN (
+        |          SELECT de.src AS node, sum(a.v) AS v FROM de
+        |          JOIN a1 a ON a.node = de.dst GROUP BY de.src) x
+        |        ON nodes.node = x.node),
+        |h1 AS (SELECT node, v/(SELECT sum(v) FROM h1r) AS v FROM h1r),
+        |a2r AS (SELECT nodes.node, coalesce(x.v, 0) AS v FROM nodes LEFT JOIN (
+        |          SELECT de.dst AS node, sum(h.v) AS v FROM de
+        |          JOIN h1 h ON h.node = de.src GROUP BY de.dst) x
+        |        ON nodes.node = x.node),
+        |a2 AS (SELECT node, v/(SELECT sum(v) FROM a2r) AS v FROM a2r),
+        |h2r AS (SELECT nodes.node, coalesce(x.v, 0) AS v FROM nodes LEFT JOIN (
+        |          SELECT de.src AS node, sum(a.v) AS v FROM de
+        |          JOIN a2 a ON a.node = de.dst GROUP BY de.src) x
+        |        ON nodes.node = x.node),
+        |h2 AS (SELECT node, v/(SELECT sum(v) FROM h2r) AS v FROM h2r)
+        |SELECT h2.node, round(h2.v * (SELECT n FROM nn), 4) AS hub_n,
+        |       round(a2.v * (SELECT n FROM nn), 4) AS auth_n
+        |FROM h2 JOIN a2 ON h2.node = a2.node ORDER BY h2.node""".stripMargin,
     "q_link_anchors" ->
       """WITH d AS (SELECT doc_id AS id FROM documents),
         |e AS (

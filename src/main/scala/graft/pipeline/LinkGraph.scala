@@ -141,6 +141,65 @@ object LinkGraph {
     ranks
   }
 
+  /**
+   * HITS hubs & authorities (Kleinberg 1999): authority ← Σ over
+   * in-links of hub, hub ← Σ over out-links of authority,
+   * L1-normalized after each half-step. Returns
+   * (node, hub, authority) with both columns summing to 1.
+   *
+   * Same scale shape as [[pageRank]]: the deduped edge list
+   * checkpoints once and is the only corpus-sized table; each
+   * half-step is one join + one aggregate keyed on the receiving
+   * side, and every normalizer is a broadcast 1-row frame — nothing
+   * graph-sized ever reaches the driver. Nodes with no in-links hold
+   * authority 0 (and pure sinks hub 0); the L1 normalization keeps
+   * the remaining mass comparable across iterations.
+   */
+  def hits(
+      edges: DataFrame,
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      iterations: Int = 2): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val e = edges
+      .filter(F.col(srcCol).isNotNull && F.col(dstCol).isNotNull)
+      .select(F.col(srcCol).as("__src"), F.col(dstCol).as("__dst"))
+      .distinct()
+      .localCheckpoint(eager = false) // the pageRank rule: upstream once
+    val nodes = e.select(F.col("__src").as("node"))
+      .unionByName(e.select(F.col("__dst").as("node")))
+      .distinct()
+      .localCheckpoint(eager = false)
+    val nRow = nodes.agg(F.count(F.lit(1)).cast("double").as("__n"))
+    def normalized(df: DataFrame, col: String): DataFrame = {
+      val total = df.agg(F.sum(col).as("__t"))
+      df.crossJoin(F.broadcast(total))
+        .select(F.col("node"),
+          F.when(F.col("__t") > 0.0, F.col(col) / F.col("__t"))
+            .otherwise(F.lit(0.0)).as(col))
+        .localCheckpoint(eager = false)
+    }
+    var hub = nodes.crossJoin(F.broadcast(nRow))
+      .select(F.col("node"), (F.lit(1.0) / F.col("__n")).as("hub"))
+      .localCheckpoint(eager = false)
+    var auth: DataFrame = null
+    for (_ <- 1 to iterations) {
+      val aRaw = nodes
+        .join(e.join(hub.withColumnRenamed("node", "__src"), "__src")
+          .groupBy(F.col("__dst").as("node"))
+          .agg(F.sum("hub").as("__a")), Seq("node"), "left")
+        .select(F.col("node"), F.coalesce(F.col("__a"), F.lit(0.0)).as("authority"))
+      auth = normalized(aRaw, "authority")
+      val hRaw = nodes
+        .join(e.join(auth.withColumnRenamed("node", "__dst"), "__dst")
+          .groupBy(F.col("__src").as("node"))
+          .agg(F.sum("authority").as("__h")), Seq("node"), "left")
+        .select(F.col("node"), F.coalesce(F.col("__h"), F.lit(0.0)).as("hub"))
+      hub = normalized(hRaw, "hub")
+    }
+    hub.join(auth, "node")
+  }
+
   /** Distinct-source in-degree per target — the popularity cutoff
     * signal. One shuffle (dedup folds into the aggregate). */
   def inDegrees(edges: DataFrame, srcCol: String = "src",

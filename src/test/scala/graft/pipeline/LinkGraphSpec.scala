@@ -135,4 +135,24 @@ class LinkGraphSpec extends SparkTestBase {
       .as[(String, String, Long)].collect().toSet
     assert(self == Set(("site.com", "other.org", 2L), ("site.com", "site.com", 1L)))
   }
+
+  test("hits: worked two-iteration hubs/authorities on a star graph") {
+    // h1 -> a1,a2,a3 ; h2 -> a1. By hand (L1-normalized per half-step):
+    // iter1 a = (a1 .5, a2 .25, a3 .25), h = (h1 2/3, h2 1/3)
+    // iter2 a = (3/7, 2/7, 2/7),        h = (h1 .7, h2 .3)
+    val edges = Seq(("h1", "a1"), ("h1", "a2"), ("h1", "a3"), ("h2", "a1"))
+      .toDF("src", "dst")
+    val out = LinkGraph.hits(edges, iterations = 2)
+      .select("node", "hub", "authority")
+      .as[(String, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    def ~=(x: Double, y: Double) = math.abs(x - y) < 1e-12
+    assert(~=(out("h1")._1, 0.7) && ~=(out("h2")._1, 0.3))
+    assert(~=(out("a1")._2, 3.0 / 7) && ~=(out("a2")._2, 2.0 / 7) &&
+      ~=(out("a3")._2, 2.0 / 7))
+    assert(~=(out.values.map(_._1).sum, 1.0))
+    assert(~=(out.values.map(_._2).sum, 1.0))
+    // sinks have hub 0, sources authority 0
+    assert(out("a1")._1 === 0.0 && out("h1")._2 === 0.0)
+  }
 }
