@@ -370,6 +370,31 @@ object SparkEntry {
         .orderBy("bucket_ms", "event_type")
     }),
 
+    // EXACT moments view family: (n, Σx, Σx²) struct rows, merged
+    // across an incremental materialize+append split. Values are
+    // LONGS (user_id), so every sum is an integer-valued double —
+    // exact below 2^53 through any merge schedule — and mean/variance
+    // are deterministic IEEE expressions both engines replay verbatim
+    "q_moments_view" -> ((s: SparkSession, dir: String) => {
+      val SV = graft.sketch.SketchView
+      val fam = SV.ViewFamily.moments()
+      val ev = t(s, dir, "events")
+        .filter(F.col("ts").isNotNull)
+        .select(F.col("ts"), F.col("event_type"), F.col("user_id"))
+      val path = System.getProperty("java.io.tmpdir") + "/graft_q_moments_view"
+      SV.materialize(ev.filter(F.col("user_id") % 2 === 0),
+        "ts", Seq("event_type"), "user_id", path, family = fam)
+      SV.append(ev.filter(!(F.col("user_id") % 2 === 0)),
+        "ts", Seq("event_type"), "user_id", path, family = fam)
+      val view = SV.read(s, path, Seq("event_type"), fam)
+      view.select(F.col("bucket_ms"), F.col("event_type"),
+          F.col("sketch.n").as("n"),
+          F.col("sketch.s").cast("long").as("sum_v"),
+          graft.sketch.SketchOps.momentsMean(F.col("sketch")).as("mean"),
+          graft.sketch.SketchOps.momentsVariance(F.col("sketch")).as("variance"))
+        .orderBy("bucket_ms", "event_type")
+    }),
+
     // budget-exhaustion forecast from the view: the whole range is
     // 25% of a synthetic SLO period, recent = trailing 2 days. Window
     // counts replay exactly; consumed/burn are CDF-bracketed like
@@ -5271,6 +5296,17 @@ object SparkEntry {
         |       top_lang, top_lang_docs, true AS p50_ok
         |FROM base LEFT JOIN top ON base.source = top.source
         |ORDER BY base.source""".stripMargin,
+    "q_moments_view" ->
+      """WITH b AS (SELECT epoch_ms(date_trunc('hour', ts)) AS bucket_ms,
+        |                  event_type, CAST(user_id AS DOUBLE) AS v
+        |           FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+        |g AS (SELECT bucket_ms, event_type, count(v) AS n, sum(v) AS s,
+        |             sum(v*v) AS s2
+        |      FROM b GROUP BY 1, 2)
+        |SELECT CAST(bucket_ms AS BIGINT) AS bucket_ms, event_type,
+        |       CAST(n AS BIGINT) AS n, CAST(s AS BIGINT) AS sum_v,
+        |       s/n AS mean, greatest(s2/n - (s/n)*(s/n), 0) AS variance
+        |FROM g ORDER BY bucket_ms, event_type""".stripMargin,
     "q_slo_forecast" ->
       """WITH b AS (
         |  SELECT epoch_ms(date_trunc('hour', ts)) AS h, event_type

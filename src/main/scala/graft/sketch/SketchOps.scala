@@ -1,6 +1,6 @@
 package graft.sketch
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.{functions => F}
 import graft.sketch.{functions => G}
 
@@ -224,6 +224,21 @@ object SketchOps {
     df.groupBy((F.date_trunc(bucket, F.col(tsCol)).as("bucket_start") +:
         keyCols.map(F.col)): _*)
       .agg(G.ddsketch_agg_values(F.col(valueCol)).as("sketch"))
+
+  /** Mean of a [[SketchView.ViewFamily.moments]] struct (NULL on an
+    * empty group — n = 0 divides to NULL via the guard). */
+  def momentsMean(sk: Column): Column =
+    F.when(sk.getField("n") > 0L,
+      sk.getField("s") / sk.getField("n").cast("double"))
+
+  /** Population variance of a moments struct: `s2/n − mean²`,
+    * clamped at 0 against last-ulp negatives. */
+  def momentsVariance(sk: Column): Column = {
+    val n = sk.getField("n").cast("double")
+    val mean = sk.getField("s") / n
+    F.when(sk.getField("n") > 0L,
+      F.greatest(sk.getField("s2") / n - mean * mean, F.lit(0.0)))
+  }
 
   /**
    * Heavy-hitter DELTA between two time windows of a persisted TopK

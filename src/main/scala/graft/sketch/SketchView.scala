@@ -115,6 +115,26 @@ object SketchView {
         Map("expectedItems" -> expectedItems.toString, "fpp" -> fpp.toString),
         bloom.bloom_agg(_, expectedItems, fpp), bloom.bloom_merge_agg)
 
+    /** EXACT first/second moments — (n, Σx, Σx²) as a plain struct:
+      * count/sum/mean/variance per bucket with no sketch at all, the
+      * cheapest family when quantiles aren't needed. Merges are field
+      * sums (a perfect monoid; integer-valued inputs stay EXACT below
+      * 2^53 through any merge schedule). Probe with
+      * [[SketchOps.momentsMean]] / [[SketchOps.momentsVariance]]. */
+    def moments(): ViewFamily =
+      ViewFamily("moments", Map.empty,
+        c => {
+          val d = c.cast("double")
+          org.apache.spark.sql.functions.struct(
+            org.apache.spark.sql.functions.count(d).as("n"),
+            org.apache.spark.sql.functions.sum(d).as("s"),
+            org.apache.spark.sql.functions.sum(d * d).as("s2"))
+        },
+        sk => org.apache.spark.sql.functions.struct(
+          org.apache.spark.sql.functions.sum(sk.getField("n")).as("n"),
+          org.apache.spark.sql.functions.sum(sk.getField("s")).as("s"),
+          org.apache.spark.sql.functions.sum(sk.getField("s2")).as("s2")))
+
     /** Reconstruct a built-in family from its manifest identity (the
       * [[readAuto]] path). Custom families can't be rebuilt from a
       * manifest — pass them explicitly to [[read]]. */
@@ -127,6 +147,7 @@ object SketchView {
         case "topk"  => topkItems(geometry("capacity").toInt)
         case "bloom" =>
           bloomMembership(geometry("expectedItems").toLong, geometry("fpp").toDouble)
+        case "moments" => moments()
         case other =>
           throw new IllegalArgumentException(s"unknown view family '$other'")
       }

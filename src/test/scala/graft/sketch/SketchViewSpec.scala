@@ -333,6 +333,46 @@ class SketchViewSpec extends SparkTestBase {
     }
   }
 
+  test("moments family: incremental view is value-exact vs direct aggregation") {
+    val ev = events.filter(F.col("user_id").isNotNull)
+    val fam = SketchView.ViewFamily.moments()
+    val dir = java.nio.file.Files.createTempDirectory("graft_skview_mom").toString
+    SketchView.materialize(ev.filter(F.col("event_id") % 2 === 0),
+      "ts", Seq("event_type"), "user_id", dir, family = fam)
+    SketchView.append(ev.filter(F.col("event_id") % 2 =!= 0),
+      "ts", Seq("event_type"), "user_id", dir, family = fam)
+    // readAuto reconstructs the family from the manifest
+    val (view, m) = SketchView.readAuto(spark, dir)
+    assert(m.family === "moments")
+    val got = view.select(F.col("bucket_ms"), F.col("event_type"),
+        F.col("sketch.n"), F.col("sketch.s"), F.col("sketch.s2"))
+      .as[(Long, String, Long, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    val exact = ev
+      .groupBy(F.unix_millis(F.date_trunc("hour", F.col("ts"))).as("b"),
+        F.col("event_type"))
+      .agg(F.count(F.col("user_id")).as("n"),
+        F.sum(F.col("user_id").cast("double")).as("s"),
+        F.sum(F.col("user_id").cast("double") * F.col("user_id").cast("double"))
+          .as("s2"))
+      .as[(Long, String, Long, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    // integer-valued sums: EXACT equality through the split + merge
+    assert(got === exact)
+    assert(got.nonEmpty)
+    // mean/variance helpers agree with a direct formula
+    val mv = view.select(
+        SketchOps.momentsMean(F.col("sketch")).as("m"),
+        SketchOps.momentsVariance(F.col("sketch")).as("v"),
+        F.col("sketch.n"), F.col("sketch.s"), F.col("sketch.s2"))
+      .as[(Double, Double, Long, Double, Double)].collect()
+    mv.foreach { case (mean, varr, n, s2sum, sq) =>
+      assert(mean === s2sum / n.toDouble)
+      assert(varr >= 0.0)
+      assert(math.abs(varr - (sq / n - mean * mean)) <= 1e-12 * math.max(1.0, varr))
+    }
+  }
+
   test("trendingItems: exact per-item deltas between two view windows, topN cut") {
     val span = SketchView.DefaultPartSpanMs
     val d0 = 472224L * 3600000L // day-aligned
