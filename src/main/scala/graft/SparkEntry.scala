@@ -2427,6 +2427,54 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // GROWING-corpus leak-free splits: history carries md5-rule splits
+    // (an immutable input column); the fresh batch = exact COPIES of
+    // the %3==0 slice (must inherit — or quarantine when the copy
+    // bridges differently-assigned history near-dups) + NOVEL md5-text
+    // docs (no match → md5 rule on their own cluster rep). The oracle
+    // replays inheritance, bridge detection, and the fallback from the
+    // recursive shingle-Jaccard machinery — full rows
+    "q_split_incremental" -> ((s: SparkSession, dir: String) => {
+      val docs = t(s, dir, "documents").filter(F.col("text").isNotNull)
+      val splits = Seq(("train", 0.5), ("val", 0.25), ("test", 0.25))
+      val hist = graft.pipeline.Sampling.splitByHash(
+        docs.select("doc_id", "text"), F.col("doc_id"), splits)
+      val idxPath = System.getProperty("java.io.tmpdir") + "/graft_q_splitinc_idx"
+      graft.pipeline.Dedup.saveSignatureIndex(
+        graft.pipeline.Dedup.buildSignatureIndex(hist, "doc_id", "text", 5, 16, 8),
+        idxPath)
+      val copies = docs.filter(F.col("doc_id") % 3 === 0)
+        .select((F.col("doc_id") + 500000L).as("doc_id"), F.col("text"))
+      val novel = docs.filter(F.col("doc_id") % 3 === 1)
+        .select((F.col("doc_id") + 600000L).as("doc_id"),
+          F.md5(F.col("doc_id").cast("string")).as("text"))
+      val fresh = copies.unionByName(novel)
+      graft.pipeline.Dedup.incrementalLeakFreeSplits(
+          fresh, "doc_id", "text",
+          graft.pipeline.Dedup.loadSignatureIndex(s, idxPath), hist,
+          "doc_id", "text", "split", splits,
+          shingleSize = 5, threshold = 0.8, bands = 16, rowsPerBand = 8)
+        .select("doc_id", "split")
+        .orderBy("doc_id")
+    }),
+
+    // NFC canonicalization checked DIRECTLY cross-engine (DuckDB ships
+    // nfc_normalize): plant decomposed combining sequences on every
+    // doc; both engines hash the whole normalized string — composed
+    // length shrinks by exactly the planted combining marks
+    "q_unicode_nfc" -> ((s: SparkSession, dir: String) => {
+      // " e+U0301 A+U030A o+U0302" — three decomposed pairs that
+      // compose to single code points under NFC
+      val planted = F.concat(F.col("text"),
+        F.lit(" e\u0301 A\u030A o\u0302"))
+      t(s, dir, "documents").filter(F.col("text").isNotNull)
+        .select(F.col("doc_id"),
+          graft.pipeline.TextFunctions.nfcNormalize(planted).as("__n"))
+        .select(F.col("doc_id"), F.col("__n").as("nfc_text"),
+          F.length(F.col("__n")).cast("long").as("nfc_chars"))
+        .orderBy("doc_id")
+    }),
+
     // unicode-script composition: plant a mixed-script suffix on every
     // 5th doc; all counts are regex quantities both engines compute
     // over the SAME planted string (the q_encoding_damage pattern),
@@ -6127,6 +6175,61 @@ object SparkEntry {
         |                    WHEN hx < 'f333' THEN 'val'
         |                    ELSE 'test' END AS split
         |FROM h ORDER BY doc_id""".stripMargin,
+    // hm = src-level exact-Jaccard matches of the copied slice against
+    // ALL history (self included, J = 1); reused both for inheritance
+    // (via hid) and for the fresh-fresh edge set (hid % 3 = 0)
+    "q_split_incremental" ->
+      """WITH RECURSIVE
+        |d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+        |hsplit AS (SELECT doc_id,
+        |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '8000' THEN 'train'
+        |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'c000' THEN 'val'
+        |       ELSE 'test' END AS split FROM d),
+        |sh AS (SELECT DISTINCT doc_id, substr(text, r.i, 5) AS g
+        |       FROM d, range(1, 1000) r(i) WHERE r.i + 4 <= length(text)),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |hc AS (SELECT a.doc_id AS src, b.doc_id AS hid, count(*) AS inter
+        |       FROM sh a JOIN sh b ON a.g = b.g
+        |       WHERE a.doc_id % 3 = 0 GROUP BY 1, 2),
+        |hm AS (SELECT src, hid FROM hc
+        |       JOIN sizes sa ON hc.src = sa.doc_id
+        |       JOIN sizes sb ON hc.hid = sb.doc_id
+        |       WHERE inter >= (sa.sz + sb.sz - inter) * 0.8),
+        |inh AS (SELECT src + 500000 AS fid, hsplit.split
+        |        FROM hm JOIN hsplit ON hm.hid = hsplit.doc_id GROUP BY 1, 2),
+        |fe AS (SELECT src + 500000 AS a, hid + 500000 AS b FROM hm
+        |       WHERE hid % 3 = 0 AND src <> hid),
+        |n AS (SELECT DISTINCT a AS id FROM fe),
+        |reach(src0, dst) AS (
+        |  SELECT id, id FROM n
+        |  UNION
+        |  SELECT r.src0, fe.b FROM reach r JOIN fe ON r.dst = fe.a
+        |),
+        |rep AS (SELECT dst AS fid, min(src0) AS rp FROM reach GROUP BY dst),
+        |allf AS (SELECT doc_id + 500000 AS fid FROM d WHERE doc_id % 3 = 0
+        |         UNION ALL
+        |         SELECT doc_id + 600000 FROM d WHERE doc_id % 3 = 1),
+        |m AS (SELECT allf.fid, coalesce(rep.rp, allf.fid) AS rp
+        |      FROM allf LEFT JOIN rep ON allf.fid = rep.fid),
+        |cagg AS (SELECT m.rp, count(DISTINCT inh.split) AS nsp,
+        |                min(inh.split) AS sp
+        |         FROM m LEFT JOIN inh ON inh.fid = m.fid GROUP BY m.rp)
+        |SELECT m.fid AS doc_id,
+        |  CASE WHEN nsp = 0 THEN
+        |         (CASE WHEN substr(md5(CAST(m.rp AS VARCHAR)), 1, 4) < '8000' THEN 'train'
+        |               WHEN substr(md5(CAST(m.rp AS VARCHAR)), 1, 4) < 'c000' THEN 'val'
+        |               ELSE 'test' END)
+        |       WHEN nsp = 1 THEN sp
+        |       ELSE 'quarantine' END AS split
+        |FROM m JOIN cagg ON m.rp = cagg.rp
+        |ORDER BY doc_id""".stripMargin,
+    "q_unicode_nfc" ->
+      """SELECT doc_id,
+        |  nfc_normalize(text || ' e' || chr(769) || ' A' || chr(778)
+        |    || ' o' || chr(770)) AS nfc_text,
+        |  CAST(length(nfc_normalize(text || ' e' || chr(769) || ' A'
+        |    || chr(778) || ' o' || chr(770))) AS BIGINT) AS nfc_chars
+        |FROM documents WHERE text IS NOT NULL ORDER BY doc_id""".stripMargin,
     // base-text counts via the same RE2 ranges + planted-suffix
     // constants (6 cyrillic, 5 arabic, 2 cjk, 2 digits) — no unicode
     // literal needs reproducing in SQL

@@ -1101,6 +1101,76 @@ object Dedup {
       .drop("__cluster")
   }
 
+  /**
+   * [[leakFreeSplits]] for a GROWING corpus — the nightly shape:
+   * yesterday's documents already carry immutable split assignments,
+   * and today's batch must join them without ever letting a near-dup
+   * cluster straddle an eval boundary. Per fresh-batch duplicate
+   * cluster (fresh↔fresh links, singletons included):
+   *
+   *   - the cluster gathers every split its members INHERIT from
+   *     history near-dup matches (a probe of the persisted
+   *     [[buildSignatureIndex]] — history is never re-shingled);
+   *   - exactly one inherited split → the whole cluster takes it
+   *     (consistency with history is forced, history is immutable);
+   *   - two or more → the cluster would BRIDGE differently-assigned
+   *     history clusters; re-assigning history would leak, so the
+   *     cluster lands in `quarantineName` (typically dropped or
+   *     routed to train-only);
+   *   - none → a genuinely novel cluster, assigned by the same
+   *     md5-range rule as [[leakFreeSplits]] on its representative.
+   *
+   * Scale shape: one index probe (batch-sized stream side), one
+   * fresh↔fresh pair pass (batch-sized), cluster table = the batch's
+   * duplicate sliver; history text is touched only through the
+   * probe's verify join.
+   */
+  def incrementalLeakFreeSplits(
+      fresh: DataFrame,
+      idCol: String,
+      textCol: String,
+      histIndex: DataFrame,
+      histDocs: DataFrame,
+      histIdCol: String,
+      histTextCol: String,
+      histSplitCol: String,
+      splits: Seq[(String, Double)],
+      shingleSize: Int = 5,
+      threshold: Double = 0.8,
+      bands: Int = 32,
+      rowsPerBand: Int = 4,
+      quarantineName: String = "quarantine",
+      otherName: String = "rest",
+      splitColName: String = "split"): DataFrame = {
+    val inherited = incrementalNearDuplicatePairs(
+        fresh, histIndex, histDocs, idCol, textCol,
+        shingleSize, threshold, bands, rowsPerBand)
+      .join(histDocs.select(F.col(histIdCol).as("id_old"),
+        F.col(histSplitCol).as("__hs")), "id_old")
+      .select(F.col("id_new").as(idCol), F.col("__hs"))
+      .distinct()
+    val ffPairs = nearDuplicatePairs(fresh, idCol, textCol,
+      shingleSize, threshold, bands, rowsPerBand)
+    val clusters = duplicateClusters(ffPairs)
+      .select(F.col("id").as(idCol), F.col("cluster").as("__rep"))
+    val members = fresh.select(F.col(idCol))
+      .join(clusters, Seq(idCol), "left")
+      .withColumn("__rep",
+        F.coalesce(F.col("__rep"), F.col(idCol).cast("long")))
+    val perCluster = members
+      .join(inherited, Seq(idCol), "left")
+      .groupBy(F.col("__rep"))
+      .agg(F.collect_set(F.col("__hs")).as("__ss"))
+      .withColumn(splitColName,
+        F.when(F.size(F.col("__ss")) === 0,
+            Sampling.splitColumn(F.col("__rep"), splits, otherName))
+          .when(F.size(F.col("__ss")) === 1, F.element_at(F.col("__ss"), 1))
+          .otherwise(F.lit(quarantineName)))
+      .select(F.col("__rep"), F.col(splitColName))
+    fresh.join(members.join(perCluster, "__rep")
+        .select(F.col(idCol), F.col(splitColName)), Seq(idCol))
+  }
+
   /** Merge a frame of (idCol, span_start, span_end) rows into maximal
     * per-document spans (overlap and adjacency merge) — the batch
     * finisher for UNMERGED span emitters like [[indexGramHits]] and

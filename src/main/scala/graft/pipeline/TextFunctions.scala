@@ -362,6 +362,17 @@ object TextFunctions {
   def foldUnicode(text: Column): Column =
     F.udf((s: String) => Option(foldUnicodeKernel(s))).apply(text)
 
+  /** Plain NFC canonicalization (composed form) — the minimal
+    * pre-hashing normalization when accent/compatibility FOLDING is
+    * too aggressive: decomposed sequences ("e" + U+0301) compose to
+    * their canonical code points, nothing else changes. Cross-engine
+    * checkable directly (DuckDB ships nfc_normalize). Null-safe,
+    * map-only. */
+  def nfcNormalize(text: Column): Column =
+    F.udf((s: String) => Option(s).map(
+      java.text.Normalizer.normalize(_, java.text.Normalizer.Form.NFC)))
+      .apply(text)
+
   /** Gopher-style repetition score: the fraction of a document's word
     * n-grams that are repeats of an earlier n-gram
     * (`1 - distinct/total`). Boilerplate, templated spam, and

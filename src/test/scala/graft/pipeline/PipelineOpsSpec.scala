@@ -474,4 +474,38 @@ class PipelineOpsSpec extends SparkTestBase {
       .select("doc_id", "split").as[(Long, String)].collect().toMap
     assert(again === out)
   }
+
+  test("incrementalLeakFreeSplits: inherit, bridge-quarantine, novel fallback") {
+    val splits = Seq(("train", 0.5), ("val", 0.25), ("test", 0.25))
+    // history with IMMUTABLE (caller-provided) splits; h1/h2 identical
+    // texts but different splits — any fresh copy bridges them
+    val hist = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", "train"),
+      (2L, "alpha beta gamma delta epsilon zeta", "test"),
+      (3L, "completely different historical content here", "val"))
+      .toDF("doc_id", "text", "split")
+    val index = Dedup.buildSignatureIndex(hist, "doc_id", "text", 5, 16, 8)
+      .localCheckpoint(eager = false)
+    val fresh = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta"),      // bridges h1/h2
+      (11L, "completely different historical content here"), // inherits val
+      (12L, "a genuinely novel fresh document body"),     // novel singleton
+      (13L, "another brand new shared fresh body text"),  // novel cluster...
+      (14L, "another brand new shared fresh body text"),  // ...of two
+      (15L, "completely different historical content here")) // clusters with 11
+      .toDF("doc_id", "text")
+    val out = Dedup.incrementalLeakFreeSplits(
+        fresh, "doc_id", "text", index, hist, "doc_id", "text", "split",
+        splits, shingleSize = 5, threshold = 0.8, bands = 16, rowsPerBand = 8)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(out(10L) === "quarantine")
+    assert(out(11L) === "val" && out(15L) === "val")
+    // novel docs take the md5-range rule on their cluster representative
+    val direct = Sampling.splitByHash(
+        Seq(12L, 13L).toDF("k"), F.col("k"), splits)
+      .as[(Long, String)].collect().toMap
+    assert(out(12L) === direct(12L))
+    assert(out(13L) === direct(13L) && out(14L) === out(13L)) // cluster rep 13
+    assert(out.size === 6)
+  }
 }
