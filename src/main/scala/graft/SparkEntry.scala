@@ -2993,6 +2993,50 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // CONTINUOUS card maintenance: the corpus replayed as a
+    // multi-micro-batch stream through streamCardViews (per-batch
+    // dynamic overwrite in all four views — replay-safe), then the
+    // card read from view rows. Shares q_datacard's oracle: the
+    // merges are exact at any batching
+    "q_stream_datacard" -> ((s: SparkSession, dir: String) => {
+      Graft.register(s)
+      val DC = graft.pipeline.DataCard
+      val docs = t(s, dir, "documents")
+        .withColumn("ts",
+          F.lit(java.sql.Timestamp.valueOf("2026-01-01 00:00:00")))
+        .select("doc_id", "source", "lang", "text", "ts")
+      val tmp = System.getProperty("java.io.tmpdir") + "/graft_q_stream_dc_src"
+      docs.repartition(4).write.mode("overwrite").parquet(tmp)
+      val base = System.getProperty("java.io.tmpdir") + "/graft_q_stream_dc"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      // stale views/checkpoint would replay mismatched batch ids —
+      // both start fresh each run (the q_stream_view rule)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      fs.delete(new org.apache.hadoop.fs.Path(base + "_ck"), true)
+      val q = DC.streamCardViews(
+          s.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", "1").parquet(tmp),
+          "source", "lang", "text", "ts", base)
+        .option("checkpointLocation", base + "_ck")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val card = DC.cardsFromViews(s, base)
+      val exact = docs.filter(F.col("text").isNotNull)
+        .groupBy(F.col("source"))
+        .agg(F.sort_array(F.collect_list(F.length(F.col("text")).cast("double")))
+            .as("__sl"),
+          F.count(F.lit(1)).as("__n"))
+      card.join(exact, "source")
+        .select(F.col("source"), F.col("n_docs"), F.col("bytes"),
+          F.col("n_langs"), F.col("dup_docs"),
+          F.col("top_lang"), F.col("top_lang_docs"),
+          ok(G.ddsketch_quantile(F.col("len_sketch"), 0.5),
+            rankValue(F.col("__sl"), F.col("__n"), 0.5), RankTol).as("p50_ok"))
+        .orderBy("source")
+    }),
+
     // the nightly-ops card: four persisted sketch views (len/bytes/
     // texts-KMV/langs) materialized on half the corpus and APPENDED
     // with the other half, then the card computed from view rows alone
@@ -7565,6 +7609,8 @@ object SparkEntry {
       // the view-computed card's merges are exact (bin/set addition),
       // so it reproduces the one-shot card's numbers
       "q_datacard_view" -> base("q_datacard"),
+      // ...at any micro-batching too (replay-idempotent appendBatch)
+      "q_stream_datacard" -> base("q_datacard"),
       // streaming span probe: q_dedup_incremental_substring's oracle
       // MINUS the within-batch branch (batch-global context a
       // stateless stream can't see) — history hits only, merged

@@ -106,6 +106,31 @@ object DataCard {
       .foreach { case (df, value, path, keys, fam) =>
         SketchView.materialize(df, tsCol, keys, value, path, "day", fam) }
 
+  /** CONTINUOUS maintenance of the card views: each micro-batch lands
+    * under its own `__batch` partition in all four views via
+    * [[SketchView.appendBatch]], so an at-least-once replay overwrites
+    * exactly its own files in each view (the streamAppend contract,
+    * fanned out). One streaming writer per basePath; read cards any
+    * time with [[cardsFromViews]]. Returns the writer — set
+    * trigger/checkpoint and `.start()`. */
+  def streamCardViews(
+      stream: DataFrame,
+      sourceCol: String,
+      langCol: String,
+      textCol: String,
+      tsCol: String,
+      basePath: String,
+      textsK: Int = DefaultTextsK)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        cardViewOps(batch, sourceCol, langCol, textCol, tsCol, basePath, textsK)
+          .foreach { case (df, value, path, keys, fam) =>
+            SketchView.appendBatch(df, tsCol, keys, value, path, "day", fam,
+              SketchView.DefaultPartSpanMs, batchId)
+          }
+    }
+
   /** Incremental maintenance of [[materializeCardViews]]'s views. */
   def appendCardViews(
       docs: DataFrame,

@@ -481,7 +481,7 @@ object SketchView {
     * already folded by a [[compact]] — its replay writes NOTHING
     * (its original directories no longer exist; recreating them would
     * double-count the folded rows). */
-  private[sketch] def appendBatch(
+  private[graft] def appendBatch(
       batch: DataFrame,
       tsCol: String,
       keyCols: Seq[String],
