@@ -2427,6 +2427,46 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // per-host politeness from robots.txt: planted bodies carry
+    // agent-specific and wildcard Crawl-delay groups plus Sitemap
+    // lines; the schedule spaces each host's slots by ITS delay. Every
+    // field replays from host arithmetic — agent-group precedence,
+    // default fallback, slot windows, delay products
+    "q_crawl_delay" -> ((s: SparkSession, dir: String) => {
+      val docs = t(s, dir, "documents").select(F.col("doc_id"))
+      val urls = docs.select(
+        F.concat(F.lit("https://host"),
+          F.pmod(F.col("doc_id"), F.lit(20)).cast("string"),
+          F.lit(".example.com/page"), F.col("doc_id").cast("string")).as("url"))
+      val h = F.col("h")
+      val robots = docs
+        .select(F.pmod(F.col("doc_id"), F.lit(20)).as("h")).distinct()
+        .select(
+          F.concat(F.lit("host"), h.cast("string"), F.lit(".example.com"))
+            .as("host"),
+          F.concat(
+            F.when(h % 7 === 0,
+              F.lit("User-agent: graftbot\nCrawl-delay: 9\n\n"))
+              .otherwise(F.lit("")),
+            F.lit("User-agent: *\nDisallow: /private\n"),
+            F.when(h % 4 === 0, F.lit(""))
+              .otherwise(F.concat(F.lit("Crawl-delay: "),
+                (h % 5 + 1).cast("string"), F.lit("\n"))),
+            F.lit("Sitemap: https://s/a.xml\nSitemap: https://s/b.xml\n"))
+            .as("txt"))
+      val delays = graft.sources.Robots.delayTable(
+        robots, "host", "txt", "graftbot", defaultDelayMs = 700L)
+      graft.pipeline.Urls.crawlScheduleWithDelays(
+          urls, "url", delays, defaultDelayMs = 700L,
+          startMs = 1700000000000L)
+        .join(F.broadcast(delays.select(F.col("host"), F.col("n_sitemaps"))),
+          "host")
+        .select(F.col("url"), F.col("host"), F.col("slot"),
+          F.col("delay_ms"), F.col("fetch_at_ms"),
+          F.col("n_sitemaps").cast("long").as("n_sitemaps"))
+        .orderBy("url")
+    }),
+
     // GROWING-corpus leak-free splits: history carries md5-rule splits
     // (an immutable input column); the fresh batch = exact COPIES of
     // the %3==0 slice (must inherit — or quarantine when the copy
@@ -6219,6 +6259,22 @@ object SparkEntry {
         |                    WHEN hx < 'f333' THEN 'val'
         |                    ELSE 'test' END AS split
         |FROM h ORDER BY doc_id""".stripMargin,
+    "q_crawl_delay" ->
+      """WITH u AS (SELECT doc_id,
+        |    'https://host' || (doc_id % 20) || '.example.com/page' || doc_id AS url,
+        |    'host' || (doc_id % 20) || '.example.com' AS host,
+        |    doc_id % 20 AS h
+        |  FROM documents),
+        |d AS (SELECT *, CASE WHEN h % 7 = 0 THEN 9000
+        |                     WHEN h % 4 = 0 THEN 700
+        |                     ELSE (h % 5 + 1) * 1000 END AS delay_ms FROM u),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY host ORDER BY url) - 1
+        |        AS slot FROM d)
+        |SELECT url, host, CAST(slot AS BIGINT) AS slot,
+        |       CAST(delay_ms AS BIGINT) AS delay_ms,
+        |       CAST(1700000000000 + slot * delay_ms AS BIGINT) AS fetch_at_ms,
+        |       CAST(2 AS BIGINT) AS n_sitemaps
+        |FROM r ORDER BY url""".stripMargin,
     // hm = src-level exact-Jaccard matches of the copied slice against
     // ALL history (self included, J = 1); reused both for inheritance
     // (via hid) and for the fresh-fresh edge set (hid % 3 = 0)

@@ -347,6 +347,37 @@ object Urls {
       .withColumn("fetch_at_ms", F.lit(startMs) + F.col("slot") * F.lit(delayMs))
   }
 
+  /** [[crawlSchedule]] with PER-HOST delays (robots.txt
+    * `Crawl-delay`, via [[graft.sources.Robots.delayTable]]): each
+    * host's slots space by its own delay; hosts absent from `delays`
+    * use `defaultDelayMs`. The delay table is host-cardinality —
+    * broadcast onto the frontier; everything else is the
+    * [[crawlSchedule]] shape (the per-host window IS the politeness
+    * contract). */
+  def crawlScheduleWithDelays(
+      df: org.apache.spark.sql.DataFrame,
+      urlCol: String,
+      delays: org.apache.spark.sql.DataFrame,
+      defaultDelayMs: Long,
+      startMs: Long,
+      priorityCol: Option[String] = None): org.apache.spark.sql.DataFrame = {
+    require(defaultDelayMs > 0, s"defaultDelayMs must be positive: $defaultDelayMs")
+    val order = priorityCol
+      .map(p => Seq(F.col(p).desc, F.col(urlCol).asc))
+      .getOrElse(Seq(F.col(urlCol).asc))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(F.col("host")).orderBy(order: _*)
+    df.withColumn("host", urlHost(F.col(urlCol)))
+      .filter(F.col("host").isNotNull)
+      .join(F.broadcast(delays.select(F.col("host"),
+        F.col("delay_ms").as("__dm"))), Seq("host"), "left")
+      .withColumn("delay_ms", F.coalesce(F.col("__dm"), F.lit(defaultDelayMs)))
+      .withColumn("slot", F.row_number().over(w).cast("long") - 1L)
+      .withColumn("fetch_at_ms",
+        F.lit(startMs) + F.col("slot") * F.col("delay_ms"))
+      .drop("__dm")
+  }
+
   // ------------------------------------------------------------ sitemaps
 
   /** The five predefined XML entities plus numeric references — the

@@ -31,8 +31,12 @@ object Robots {
   /** One parsed rule: allow/disallow + its path pattern. */
   final case class Rule(allow: Boolean, pattern: String)
 
-  /** One `User-agent` group. */
-  final case class Group(agents: Seq[String], rules: Seq[Rule])
+  /** One `User-agent` group. `crawlDelay` is the group's
+    * `Crawl-delay:` seconds when present (the de-facto extension —
+    * not in RFC 9309, but honored by major crawlers; last one in the
+    * group wins). */
+  final case class Group(agents: Seq[String], rules: Seq[Rule],
+      crawlDelay: Option[Double] = None)
 
   /** Parse a robots.txt body into groups. Null/garbage → no groups
     * (which screens as allow-everything), never an error. */
@@ -41,11 +45,13 @@ object Robots {
     val groups = scala.collection.mutable.ArrayBuffer.empty[Group]
     var agents = scala.collection.mutable.ArrayBuffer.empty[String]
     var rules = scala.collection.mutable.ArrayBuffer.empty[Rule]
+    var delay: Option[Double] = None
     var inAgents = false // consecutive user-agent lines share one group
     def flush(): Unit = {
-      if (agents.nonEmpty) groups += Group(agents.toSeq, rules.toSeq)
+      if (agents.nonEmpty) groups += Group(agents.toSeq, rules.toSeq, delay)
       agents = scala.collection.mutable.ArrayBuffer.empty[String]
       rules = scala.collection.mutable.ArrayBuffer.empty[Rule]
+      delay = None
     }
     txt.split("\n").foreach { raw =>
       val noComment = {
@@ -66,7 +72,11 @@ object Robots {
           case "allow" | "disallow" =>
             inAgents = false
             if (value.nonEmpty) rules += Rule(key == "allow", value)
-          case _ => inAgents = false // crawl-delay, sitemap, unknown
+          case "crawl-delay" =>
+            inAgents = false
+            delay = scala.util.Try(value.toDouble).toOption
+              .filter(d => d >= 0 && d.isFinite).orElse(delay)
+          case _ => inAgents = false // sitemap, unknown
         }
       }
     }
@@ -82,6 +92,37 @@ object Robots {
     val chosen = if (named.nonEmpty) named
       else groups.filter(_.agents.contains("*"))
     chosen.flatMap(_.rules)
+  }
+
+  /** The crawl delay (seconds) group selection yields for `agent`:
+    * the max over the selected groups' delays (conservative when the
+    * merged groups disagree); None when unspecified. */
+  def crawlDelayFor(groups: Seq[Group], agent: String): Option[Double] = {
+    val a = agent.toLowerCase(java.util.Locale.ROOT)
+    val named = groups.filter(_.agents.contains(a))
+    val chosen = if (named.nonEmpty) named
+      else groups.filter(_.agents.contains("*"))
+    val ds = chosen.flatMap(_.crawlDelay)
+    if (ds.isEmpty) None else Some(ds.max)
+  }
+
+  /** `Sitemap:` URLs of a robots body — host-wide per the de-facto
+    * standard (group position is irrelevant), in file order. */
+  def sitemapsIn(txt: String): Seq[String] = {
+    if (txt == null) return Seq.empty
+    txt.split("\n").toSeq.flatMap { raw =>
+      val noComment = {
+        val h = raw.indexOf('#'); if (h >= 0) raw.substring(0, h) else raw
+      }
+      val line = noComment.trim
+      val colon = line.indexOf(':')
+      if (colon > 0 &&
+          line.substring(0, colon).trim
+            .toLowerCase(java.util.Locale.ROOT) == "sitemap") {
+        val v = line.substring(colon + 1).trim
+        if (v.nonEmpty) Some(v) else None
+      } else None
+    }
   }
 
   /** `*`/`$` wildcard match of `pattern` against the start of
@@ -161,5 +202,22 @@ object Robots {
         F.col(pathCol) === F.col("__p"), "left")
       .withColumn("allowed", F.coalesce(F.col("__decision"), F.lit(true)))
       .drop("__h", "__p", "__decision")
+  }
+
+  /** Per-host politeness table from robots bodies:
+    * (host, delay_ms BIGINT, n_sitemaps) — the [[ruleTable]] sibling
+    * feeding [[graft.pipeline.Urls.crawlScheduleWithDelays]]. Hosts
+    * without a crawl-delay get `defaultDelayMs`. */
+  def delayTable(robots: DataFrame, hostCol: String, txtCol: String,
+      agent: String, defaultDelayMs: Long): DataFrame = {
+    val dU = F.udf((txt: String) => {
+      val g = parse(txt)
+      val d = crawlDelayFor(g, agent)
+        .map(sec => math.round(sec * 1000.0)).getOrElse(defaultDelayMs)
+      (d, sitemapsIn(txt).length)
+    })
+    robots.select(F.col(hostCol).as("host"), dU(F.col(txtCol)).as("__d"))
+      .select(F.col("host"), F.col("__d._1").as("delay_ms"),
+        F.col("__d._2").as("n_sitemaps"))
   }
 }

@@ -84,4 +84,30 @@ class RobotsSpec extends SparkTestBase {
       ("h2.com", "/x/y", false), ("h2.com", "/ok", true),
       ("h3.com", "/no-robots-here", true)))
   }
+
+  test("crawl-delay and sitemap extraction: group scoping, agent precedence") {
+    val txt =
+      """User-agent: fastbot
+        |Crawl-delay: 0.5
+        |Disallow: /x
+        |
+        |User-agent: *
+        |Disallow: /private
+        |Crawl-delay: 3
+        |Sitemap: https://h/a.xml
+        |
+        |User-agent: otherbot
+        |Sitemap: https://h/b.xml
+        |""".stripMargin
+    val g = Robots.parse(txt)
+    assert(Robots.crawlDelayFor(g, "fastbot") === Some(0.5))
+    assert(Robots.crawlDelayFor(g, "unknown") === Some(3.0)) // * fallback
+    assert(Robots.crawlDelayFor(g, "otherbot") === None)     // named, no delay
+    // sitemaps are host-wide regardless of group position
+    assert(Robots.sitemapsIn(txt) === Seq("https://h/a.xml", "https://h/b.xml"))
+    assert(Robots.sitemapsIn(null).isEmpty)
+    // malformed delays are ignored, keeping any earlier valid one
+    val g2 = Robots.parse("User-agent: *\nCrawl-delay: 2\nCrawl-delay: nope")
+    assert(Robots.crawlDelayFor(g2, "any") === Some(2.0))
+  }
 }
