@@ -275,6 +275,31 @@ class PlanShapeSpec extends SparkTestBase {
     assert(burnPlan.contains("graft_ps_slo"), burnPlan)
   }
 
+  test("edit-k probe and incremental splits plan hash joins, never a cartesian") {
+    val keys = (0L until 200L).map(i => (i,
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString))
+      .toDF("id", "s").repartition(4)
+    val ek = graft.pipeline.Dedup.editKPairs(keys, "id", "s", k = 2)
+    val ekPlan = ek.queryExecution.executedPlan.toString
+    assert(!ekPlan.contains("CartesianProduct"), ekPlan)
+    assert(!ekPlan.contains("BroadcastNestedLoop"), ekPlan)
+
+    val docs = sf("sf0.001", "documents").limit(150)
+      .filter(F.col("text").isNotNull).select("doc_id", "text")
+    val hist = graft.pipeline.Sampling.splitByHash(
+      docs, F.col("doc_id"), Seq(("train", 0.9), ("val", 0.1)))
+    val index = graft.pipeline.Dedup
+      .buildSignatureIndex(hist, "doc_id", "text", 5, 16, 8)
+      .localCheckpoint(eager = false)
+    val out = graft.pipeline.Dedup.incrementalLeakFreeSplits(
+      docs.select((F.col("doc_id") + 9000L).as("doc_id"), F.col("text")),
+      "doc_id", "text", index, hist, "doc_id", "text", "split",
+      Seq(("train", 0.9), ("val", 0.1)), 5, 0.8, 16, 8)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("snapshot diff is one full-outer hash join over hash-only projections") {
     val a = Seq((1L, "x"), (2L, "y")).toDF("k", "txt").repartition(4)
     val b = Seq((2L, "y"), (3L, "z")).toDF("k", "txt").repartition(4)
