@@ -158,43 +158,41 @@ object DataCard {
       (d.withColumn("__v", F.length(F.col(textCol)).cast("double")),
         "__v", s"$basePath/len", Seq(sourceCol), VF.ddsketch()),
       (d.withColumn("__v", F.octet_length(F.col(textCol)).cast("double")),
-        "__v", s"$basePath/bytes", Seq(sourceCol), weightedCountFamily),
+        "__v", s"$basePath/bytes", Seq(sourceCol), VF.weightedCount()),
       (d.withColumn("__v", F.col(textCol)),
         "__v", s"$basePath/texts", Seq(sourceCol), VF.kmvDistinct(textsK)),
       (d.withColumn("__v", F.lit(1.0)),
         "__v", s"$basePath/langs", Seq(sourceCol, langCol), VF.ddsketch()))
   }
 
-  /** Weighted-count family for EXACT totals: each row adds its value
-    * as COUNT weight, so `ddsketch_count` of the merged view is the
-    * exact weighted sum (bin counts round-trip the wire codec
-    * exactly for integers). The DataDog wire format carries NO
-    * explicit value sum — `ddsketch_sum` is bin-reconstructed, i.e.
-    * relative-accuracy-approximate, so byte totals must ride the
-    * count field, never the sum. */
-  private def weightedCountFamily: SketchView.ViewFamily =
-    SketchView.ViewFamily("ddsketch_wcount", Map.empty,
-      c => G.ddsketch_agg_weighted(F.lit(1.0), c), G.ddsketch_agg)
+  /** Per-view compaction (one row per (bucket, keys) in each of the
+    * four views) — nightly maintenance; families resolve from each
+    * view's own manifest. Single-maintainer, like every compact. */
+  def compactCardViews(spark: SparkSession, basePath: String): Unit =
+    Seq("len", "bytes", "texts", "langs").foreach { sub =>
+      val path = s"$basePath/$sub"
+      val m = SketchView.readManifest(spark, path).getOrElse(
+        throw new IllegalArgumentException(s"card view $path has no manifest"))
+      SketchView.compact(spark, path, m.keyCols,
+        SketchView.ViewFamily.fromManifest(m.family, m.geometry))
+    }
 
   /** The card computed from the persisted views alone — same output
     * contract as [[sourceCards]]; the plan reads only sketch rows. */
   def cardsFromViews(spark: SparkSession, basePath: String): DataFrame = {
     // collapse a view across its time buckets to one row per key set
-    def total(sub: String,
-        famOverride: Option[SketchView.ViewFamily] = None)
-        : (DataFrame, Seq[String]) = {
+    def total(sub: String): (DataFrame, Seq[String]) = {
       val path = s"$basePath/$sub"
       val m = SketchView.readManifest(spark, path).getOrElse(
         throw new IllegalArgumentException(s"card view $path has no manifest"))
-      val fam = famOverride.getOrElse(
-        SketchView.ViewFamily.fromManifest(m.family, m.geometry))
+      val fam = SketchView.ViewFamily.fromManifest(m.family, m.geometry)
       val view = SketchView.read(spark, path, m.keyCols, fam)
       (view.groupBy(m.keyCols.map(F.col): _*)
         .agg(fam.merge(F.col("sketch")).as("sketch")), m.keyCols)
     }
     val (len, lenKeys) = total("len")
     val sourceCol = lenKeys.head
-    val (bytes, _) = total("bytes", Some(weightedCountFamily))
+    val (bytes, _) = total("bytes")
     val (texts, _) = total("texts")
     val (langs, langKeys) = total("langs")
     val langCol = langKeys(1)
@@ -203,7 +201,7 @@ object DataCard {
         G.ddsketch_count(F.col("sketch")).as("n_docs"),
         F.col("sketch").as("len_sketch"))
       .join(bytes.select(F.col(sourceCol),
-        // exact: byte lengths ride the COUNT field (see weightedCountFamily)
+        // exact: byte lengths ride the COUNT field (ViewFamily.weightedCount)
         G.ddsketch_count(F.col("sketch")).as("bytes")), Seq(sourceCol))
       .join(texts.select(F.col(sourceCol),
         graft.sketch.kmv.kmv_distinct(F.col("sketch")).cast("long")

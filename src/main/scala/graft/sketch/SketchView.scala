@@ -115,6 +115,18 @@ object SketchView {
         Map("expectedItems" -> expectedItems.toString, "fpp" -> fpp.toString),
         bloom.bloom_agg(_, expectedItems, fpp), bloom.bloom_merge_agg)
 
+    /** EXACT weighted totals riding the DDSketch COUNT field: each
+      * row adds its value as count WEIGHT, so `ddsketch_count` of the
+      * merged view is the exact weighted sum — bin counts round-trip
+      * the wire codec exactly for integers, while the format's value
+      * sum is bin-reconstructed and approximate. The byte-total
+      * family behind [[graft.pipeline.DataCard]]'s cards. */
+    def weightedCount(accuracy: Double = 0.01): ViewFamily =
+      ViewFamily("ddsketch_wcount", Map("accuracy" -> accuracy.toString),
+        c => G.ddsketch_agg_weighted(
+          org.apache.spark.sql.functions.lit(1.0), c, accuracy),
+        G.ddsketch_agg)
+
     /** EXACT first/second moments — (n, Σx, Σx²) as a plain struct:
       * count/sum/mean/variance per bucket with no sketch at all, the
       * cheapest family when quantiles aren't needed. Merges are field
@@ -148,6 +160,7 @@ object SketchView {
         case "bloom" =>
           bloomMembership(geometry("expectedItems").toLong, geometry("fpp").toDouble)
         case "moments" => moments()
+        case "ddsketch_wcount" => weightedCount(geometry("accuracy").toDouble)
         case other =>
           throw new IllegalArgumentException(s"unknown view family '$other'")
       }

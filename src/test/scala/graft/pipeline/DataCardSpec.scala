@@ -68,4 +68,32 @@ class DataCardSpec extends SparkTestBase {
     assert(fromViews === oneShot)  // len sketch bins are exact adds -> same p50
     assert(fromViews.nonEmpty)
   }
+
+  test("compactCardViews rewrites every view without changing the card") {
+    val docs = sf("sf0.001", "documents")
+      .withColumn("ts",
+        F.lit(java.sql.Timestamp.valueOf("2026-01-01 00:00:00")))
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_card_compact").toString
+    DataCard.materializeCardViews(docs.filter(F.col("doc_id") % 2 === 0),
+      "source", "lang", "text", "ts", base)
+    DataCard.appendCardViews(docs.filter(F.col("doc_id") % 2 =!= 0),
+      "source", "lang", "text", "ts", base)
+    def shape() = DataCard.cardsFromViews(spark, base)
+      .select("source", "n_docs", "bytes", "n_langs", "dup_docs",
+        "top_lang", "top_lang_docs")
+      .collect().map(r => r.getString(0) -> r.toSeq.drop(1).toString).toMap
+    val before = shape()
+    DataCard.compactCardViews(spark, base)
+    assert(shape() === before)
+    // physically one row per (bucket, keys) in each view now
+    Seq("len", "bytes", "texts", "langs").foreach { sub =>
+      val raw = spark.read.parquet(s"$base/$sub")
+      val dups = raw.groupBy("bucket_ms",
+          raw.columns.filter(c => c != "bucket_ms" && c != "sketch" &&
+            !c.startsWith("__")): _*)
+        .count().filter(F.col("count") > 1).count()
+      assert(dups === 0L, s"view $sub not compacted")
+    }
+  }
 }
