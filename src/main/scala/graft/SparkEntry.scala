@@ -2427,6 +2427,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // contamination AUDIT TRAIL: which benchmark item each document
+    // shares >= 1 distinct 8-gram with, and how many. Hash-join counts
+    // equal text-join counts absent 64-bit collisions (~n²/2^64), so
+    // the oracle replays the distinct-gram join on gram TEXT
+    "q_decontaminate_sources" -> ((s: SparkSession, dir: String) => {
+      val docs = t(s, dir, "documents")
+        .filter(F.col("text").isNotNull).select("doc_id", "text")
+      val bench = docs.filter(F.col("doc_id") % 17 === 0)
+        .select(F.col("doc_id").as("bench_id"), F.col("text"))
+      graft.pipeline.Decontaminate.contaminationSources(
+          docs, "doc_id", "text", bench, "bench_id", "text", n = 8)
+        .orderBy("doc_id", "bench_id")
+    }),
+
     // per-host politeness from robots.txt: planted bodies carry
     // agent-specific and wildcard Crawl-delay groups plus Sitemap
     // lines; the schedule spaces each host's slots by ITS delay. Every
@@ -6259,6 +6273,19 @@ object SparkEntry {
         |                    WHEN hx < 'f333' THEN 'val'
         |                    ELSE 'test' END AS split
         |FROM h ORDER BY doc_id""".stripMargin,
+    "q_decontaminate_sources" ->
+      """WITH d AS (SELECT doc_id,
+        |             list_filter(string_split_regex(lower(text), '\s+'),
+        |               s -> len(s) > 0) AS toks
+        |           FROM documents WHERE text IS NOT NULL),
+        |dg AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+7], ' ') AS gram
+        |       FROM d, range(1, 4000) u(i) WHERE u.i <= len(toks) - 7),
+        |bg AS (SELECT doc_id AS bench_id, gram FROM dg WHERE doc_id % 17 = 0)
+        |SELECT dg.doc_id, bg.bench_id,
+        |       CAST(count(*) AS BIGINT) AS shared_ngrams
+        |FROM dg JOIN bg USING (gram)
+        |GROUP BY 1, 2
+        |ORDER BY doc_id, bench_id""".stripMargin,
     "q_crawl_delay" ->
       """WITH u AS (SELECT doc_id,
         |    'https://host' || (doc_id % 20) || '.example.com/page' || doc_id AS url,

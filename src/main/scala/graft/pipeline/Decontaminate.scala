@@ -213,6 +213,38 @@ object Decontaminate {
         (F.coalesce(F.col("overlap_ngrams"), F.lit(0L)) >= minOverlap).as("contaminated"))
   }
 
+  /**
+   * WHICH benchmark item leaked — the audit trail behind
+   * [[contaminationFlags]] (the flag says drop; this says to whom and
+   * how strongly): one row per (document, benchmark item) pair
+   * sharing at least `minOverlap` DISTINCT word n-grams, with the
+   * shared-gram count. The benchmark side explodes per-ITEM hashes
+   * (still eval-set-sized) and broadcasts; the per-pair count shuffle
+   * carries only contaminated-sliver rows.
+   */
+  def contaminationSources(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      benchmark: DataFrame,
+      benchIdCol: String,
+      benchTextCol: String,
+      n: Int = 8,
+      minOverlap: Int = 1): DataFrame = {
+    require(minOverlap >= 1, s"minOverlap must be >= 1, got $minOverlap")
+    val benchGrams = benchmark
+      .select(F.col(benchIdCol).as("bench_id"),
+        F.explode(wordNgramHashes(F.col(benchTextCol), n)).as("__g"))
+      .distinct()
+    val docGrams = docs.select(F.col(idCol),
+      F.explode(wordNgramHashes(F.col(textCol), n)).as("__g"))
+    docGrams
+      .join(F.broadcast(benchGrams), "__g")
+      .groupBy(F.col(idCol), F.col("bench_id"))
+      .agg(F.count(F.lit(1)).as("shared_ngrams"))
+      .filter(F.col("shared_ngrams") >= minOverlap)
+  }
+
   /** Drop contaminated documents: a map-only filter on the broadcast
     * overlap count — keeps every `docs` column, no join. */
   def dropContaminated(
