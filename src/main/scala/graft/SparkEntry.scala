@@ -370,6 +370,20 @@ object SparkEntry {
         .orderBy("bucket_ms", "event_type")
     }),
 
+    // seasonal residuals from the view: each hourly bucket vs the same
+    // hour one day earlier — exact counts through the merge, ratio =
+    // one IEEE division of exact longs, so full rows replay raw
+    "q_view_seasonal" -> ((s: SparkSession, dir: String) => {
+      Graft.register(s)
+      val SV = graft.sketch.SketchView
+      val ev = t(s, dir, "events")
+      val path = System.getProperty("java.io.tmpdir") + "/graft_q_view_seas"
+      SV.materialize(ev, "ts", Seq("event_type"), "value", path)
+      graft.sketch.SketchOps.seasonalResiduals(
+          s, path, Seq("event_type"), periodMs = 86400000L)
+        .orderBy("bucket_ms", "event_type")
+    }),
+
     // EXACT moments view family: (n, Σx, Σx²) struct rows, merged
     // across an incremental materialize+append split. Values are
     // LONGS (user_id), so every sum is an integer-valued double —
@@ -5442,6 +5456,17 @@ object SparkEntry {
         |       top_lang, top_lang_docs, true AS p50_ok
         |FROM base LEFT JOIN top ON base.source = top.source
         |ORDER BY base.source""".stripMargin,
+    "q_view_seasonal" ->
+      """WITH c AS (SELECT epoch_ms(date_trunc('hour', ts)) AS bucket_ms,
+        |                  event_type, count(*) AS n
+        |           FROM events WHERE ts IS NOT NULL GROUP BY 1, 2)
+        |SELECT CAST(a.bucket_ms AS BIGINT) AS bucket_ms, a.event_type,
+        |       CAST(a.n AS BIGINT) AS n, CAST(p.n AS BIGINT) AS n_prev,
+        |       CAST(a.n AS DOUBLE) / CAST(p.n AS DOUBLE) AS ratio
+        |FROM c a LEFT JOIN c p
+        |  ON p.bucket_ms = a.bucket_ms - 86400000
+        | AND p.event_type = a.event_type
+        |ORDER BY bucket_ms, a.event_type""".stripMargin,
     "q_moments_view" ->
       """WITH b AS (SELECT epoch_ms(date_trunc('hour', ts)) AS bucket_ms,
         |                  event_type, CAST(user_id AS DOUBLE) AS v

@@ -225,6 +225,37 @@ object SketchOps {
         keyCols.map(F.col)): _*)
       .agg(G.ddsketch_agg_values(F.col(valueCol)).as("sketch"))
 
+  /**
+   * Seasonal residuals from a persisted [[SketchView]] — the
+   * "compare each bucket against the same bucket one period ago"
+   * dashboard (hour vs yesterday's hour, day vs last week's day),
+   * answered from view rows alone: per (bucket, keys), the exact
+   * count `n`, the previous period's `n_prev`, and
+   * `ratio = n / n_prev` (NULL when the aligned bucket is absent).
+   * One view read, one self-join on (bucket − period, keys) — counts
+   * are exact through the merge, so residuals replay raw
+   * cross-engine.
+   */
+  def seasonalResiduals(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      keyCols: Seq[String],
+      periodMs: Long,
+      family: SketchView.ViewFamily = SketchView.ViewFamily.ddsketch())
+      : DataFrame = {
+    require(periodMs > 0, s"periodMs must be positive: $periodMs")
+    val counts = SketchView.read(spark, path, keyCols, family)
+      .select(F.col("bucket_ms") +: keyCols.map(F.col) :+
+        G.ddsketch_count(F.col("sketch")).as("n"): _*)
+      .localCheckpoint(eager = false) // both join sides; view is small
+    val prev = counts.select(
+      (F.col("bucket_ms") + periodMs).as("bucket_ms") +:
+        keyCols.map(F.col) :+ F.col("n").as("n_prev"): _*)
+    counts.join(prev, Seq("bucket_ms") ++ keyCols, "left")
+      .withColumn("ratio",
+        F.col("n").cast("double") / F.col("n_prev").cast("double"))
+  }
+
   /** Mean of a [[SketchView.ViewFamily.moments]] struct (NULL on an
     * empty group — n = 0 divides to NULL via the guard). */
   def momentsMean(sk: Column): Column =
