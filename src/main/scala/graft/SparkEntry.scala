@@ -1347,6 +1347,44 @@ object SparkEntry {
         .orderBy("end_ms", "event_type")
     }),
 
+    // streaming burst detection: per 4h window and type, users whose
+    // count rises >= 0.3x over their first-day baseline (add-one).
+    // Counts are exact at this cardinality (capacity 256, the
+    // q_sketch_regrain argument) and every rise is one division of
+    // exact longs — full raw rows replay in DuckDB
+    "q_stream_burst" -> ((s: SparkSession, dir: String) => {
+      Graft.register(s)
+      val ev = t(s, dir, "events")
+        .filter(F.col("ts").isNotNull && F.col("user_id").isNotNull)
+        .select(F.col("ts"), F.col("event_type"),
+          F.col("user_id").cast("string").as("item"))
+      val hourMs = F.unix_millis(F.date_trunc("hour", F.col("ts")))
+      val f0 = {
+        val lo = ev.agg(F.min(hourMs)).collect()(0).getLong(0)
+        lo - java.lang.Math.floorMod(lo, 86400000L)
+      }
+      val ref = ev.filter(hourMs >= f0 && hourMs < f0 + 86400000L)
+        .groupBy(F.col("item")).agg(F.count(F.lit(1)).as("ref"))
+      val tmp = System.getProperty("java.io.tmpdir") + "/graft_q_stream_burst_src"
+      ev.write.mode("overwrite").parquet(tmp)
+      val stream = s.readStream.schema(ev.schema).parquet(tmp)
+      val out = graft.streaming.SketchStreaming.burstStream(
+        stream, "ts", "event_type", "item", "4 hours", "10 minutes",
+        ref, minRise = 0.3, topKCapacity = 256)
+      s.catalog.dropTempView("graft_stream_burst")
+      val q = out.writeStream
+        .outputMode("complete").format("memory")
+        .queryName("graft_stream_burst")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("graft_stream_burst")
+        .select(F.unix_millis(F.col("window.start")).as("win_ms"),
+          F.col("event_type"), F.col("item"), F.col("count").as("cnt"),
+          F.coalesce(F.col("ref"), F.lit(0L)).as("ref"), F.col("rise"))
+        .orderBy("win_ms", "event_type", "item")
+    }),
+
     "q_stream_frequency" -> ((s: SparkSession, dir: String) => {
       Graft.register(s)
       val ev = t(s, dir, "events")
@@ -5456,6 +5494,23 @@ object SparkEntry {
         |       top_lang, top_lang_docs, true AS p50_ok
         |FROM base LEFT JOIN top ON base.source = top.source
         |ORDER BY base.source""".stripMargin,
+    "q_stream_burst" ->
+      """WITH e AS (SELECT (epoch_ms(ts) // 14400000) * 14400000 AS w,
+        |                  event_type, CAST(user_id AS VARCHAR) AS item,
+        |                  epoch_ms(date_trunc('hour', ts)) AS h
+        |           FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+        |mn AS (SELECT (min(h) // 86400000) * 86400000 AS f0 FROM e),
+        |ref AS (SELECT item, count(*) AS r FROM e, mn
+        |        WHERE h >= f0 AND h < f0 + 86400000 GROUP BY item),
+        |c AS (SELECT w, event_type, item, count(*) AS cnt FROM e GROUP BY 1, 2, 3),
+        |j AS (SELECT c.w, c.event_type, c.item, c.cnt,
+        |             coalesce(ref.r, 0) AS ref0
+        |      FROM c LEFT JOIN ref USING (item))
+        |SELECT CAST(w AS BIGINT) AS win_ms, event_type, item,
+        |       CAST(cnt AS BIGINT) AS cnt, CAST(ref0 AS BIGINT) AS ref,
+        |       CAST(cnt AS DOUBLE) / (ref0 + 1) AS rise
+        |FROM j WHERE CAST(cnt AS DOUBLE) / (ref0 + 1) >= 0.3
+        |ORDER BY win_ms, event_type, item""".stripMargin,
     "q_view_seasonal" ->
       """WITH c AS (SELECT epoch_ms(date_trunc('hour', ts)) AS bucket_ms,
         |                  event_type, count(*) AS n

@@ -72,6 +72,42 @@ object SketchStreaming {
         graft.sketch.topk.topk_agg(F.col(itemCol), topKCapacity).as("topk"))
 
   /**
+   * Streaming BURST detection — the continuous twin of
+   * [[graft.sketch.SketchOps.trendingItems]]: per event-time window
+   * and key, the items whose windowed count RISES above a fixed
+   * per-item baseline (`refCounts`: item → baseline count, e.g.
+   * yesterday's totals) by at least `minRise` — `rise = count /
+   * (baseline + 1)` (add-one: items absent from the baseline burst at
+   * their raw count). Rides ONE [[windowedFrequencyAgg]] TopK
+   * aggregation (state per open window/key is one sketch blob), then
+   * a stateless explode + broadcast baseline join — counts (and the
+   * rise ratios, single divisions of exact longs) are EXACT while
+   * the capacity covers the window's distinct items.
+   */
+  def burstStream(
+      stream: DataFrame,
+      tsCol: String,
+      keyCol: String,
+      itemCol: String,
+      windowDuration: String,
+      watermarkDelay: String,
+      refCounts: DataFrame, // (item STRING, ref BIGINT)
+      minRise: Double,
+      topKCapacity: Int = graft.sketch.TopKSketch.DefaultCapacity): DataFrame =
+    windowedFrequencyAgg(stream, tsCol, keyCol, itemCol,
+        windowDuration, watermarkDelay, topKCapacity)
+      .select(F.col("window"), F.col(keyCol),
+        F.explode(graft.sketch.topk.topk_items(F.col("topk"), Int.MaxValue))
+          .as("__it"))
+      .select(F.col("window"), F.col(keyCol),
+        F.col("__it.item").as("item"), F.col("__it.count").as("count"))
+      .join(F.broadcast(refCounts.select(F.col("item"), F.col("ref"))),
+        Seq("item"), "left")
+      .withColumn("rise", F.col("count").cast("double") /
+        (F.coalesce(F.col("ref"), F.lit(0L)) + 1L).cast("double"))
+      .filter(F.col("rise") >= minRise)
+
+  /**
    * Session-window sketch aggregation: the streaming twin of the batch
    * `graft.operators.Sessionize` — Spark's native `session_window`
    * merges per-key state until the event-time gap exceeds
