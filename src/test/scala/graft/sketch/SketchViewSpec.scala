@@ -410,4 +410,27 @@ class SketchViewSpec extends SparkTestBase {
       .select(G.ddsketch_count(F.col("sketch"))).as[Long].collect()
     assert(r.toSeq === Seq(1L))
   }
+
+  test("seasonalResiduals: exact counts vs the same bucket a period ago") {
+    val hour = 3600000L
+    val base = 472224L * hour
+    // day 0: 2 events at hour 1; day 1: 3 events at hour 1, 1 at hour 2
+    val rows =
+      Seq.fill(2)(("t", new java.sql.Timestamp(base + hour), 1.0)) ++
+      Seq.fill(3)(("t", new java.sql.Timestamp(base + 86400000L + hour), 1.0)) ++
+      Seq(("t", new java.sql.Timestamp(base + 86400000L + 2 * hour), 1.0))
+    val dir = java.nio.file.Files.createTempDirectory("graft_seas").toString
+    SketchView.materialize(rows.toDF("event_type", "ts", "value"),
+      "ts", Seq("event_type"), "value", dir)
+    val out = SketchOps.seasonalResiduals(spark, dir, Seq("event_type"),
+        periodMs = 86400000L)
+      .select("bucket_ms", "n", "n_prev", "ratio")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2),
+          if (r.isNullAt(3)) Double.NaN else r.getDouble(3)))).toMap
+    val first = out(base + hour)                                  // no prior day
+    assert(first._1 === 2L && first._2 === -1L && first._3.isNaN)
+    assert(out(base + 86400000L + hour) === ((3L, 2L, 1.5)))      // 3 vs 2
+    assert(out(base + 86400000L + 2 * hour)._2 === -1L)           // no aligned bucket
+  }
 }

@@ -720,4 +720,36 @@ class BatchStreamEquivalenceSpec extends SparkTestBase {
       assert(streamed === batch)
     } finally q.stop()
   }
+
+  test("burstStream flags exactly the items rising past the baseline") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = 472224L * 3600000L
+    def ts(m: Int) = new Timestamp(base + m * 60000L)
+    // baseline: u1 -> 10, u2 -> 1; u3 unseen
+    val ref = Seq(("u1", 10L), ("u2", 1L)).toDF("item", "ref")
+    // one 4h window: u1 x2 (rise 2/11 < .3), u2 x2 (rise 1.0), u3 x1 (rise 1.0)
+    val rows = Seq.fill(2)(("k", ts(1), "u1")) ++
+      Seq.fill(2)(("k", ts(2), "u2")) ++ Seq(("k", ts(3), "u3"))
+    val input = MemoryStream[(String, Timestamp, String)]
+    val out = SketchStreaming.burstStream(
+      input.toDF().toDF("event_type", "ts", "item"),
+      "ts", "event_type", "item", "4 hours", "365 days",
+      ref, minRise = 0.3, topKCapacity = 16)
+    val q = out.writeStream.format("memory").queryName("bs_burst")
+      .outputMode("complete").start()
+    try {
+      input.addData(rows)
+      q.processAllAvailable()
+      val got = spark.table("bs_burst")
+        .select("item", "count", "ref", "rise")
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2),
+            r.getDouble(3)))).toMap
+      assert(got.keySet === Set("u2", "u3"))
+      assert(got("u2") === ((2L, 1L, 1.0)))
+      assert(got("u3") === ((1L, -1L, 1.0))) // unseen: NULL ref, add-one rise
+    } finally q.stop()
+  }
 }
