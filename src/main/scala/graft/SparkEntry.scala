@@ -2479,6 +2479,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // dataset canaries: plant release-keyed provenance tokens on the
+    // md5-rule 10% of documents, scan them back, verify ownership —
+    // every stage is deterministic id arithmetic, so the oracle
+    // replays plant+scan+verify end to end without running any of it
+    "q_canary" -> ((s: SparkSession, dir: String) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val planted = graft.pipeline.Canary.plant(
+        docs, "doc_id", "text", "r9", fraction = 0.1)
+      val scanned = graft.pipeline.Canary.scan(planted, "doc_id", "text")
+      graft.pipeline.Canary.verify(
+          scanned, "r9", docs.select("doc_id"), "doc_id")
+        .select("doc_id", "canary", "source_id")
+        .orderBy("doc_id")
+    }),
+
     // contamination AUDIT TRAIL: which benchmark item each document
     // shares >= 1 distinct 8-gram with, and how many. Hash-join counts
     // equal text-join counts absent 64-bit collisions (~n²/2^64), so
@@ -6353,6 +6368,15 @@ object SparkEntry {
         |                    WHEN hx < 'f333' THEN 'val'
         |                    ELSE 'test' END AS split
         |FROM h ORDER BY doc_id""".stripMargin,
+    // thresholdHex(0.1) = round(.1*65536) = 6554 = 0x199A (the
+    // Sampling.splitColumn rendering)
+    "q_canary" ->
+      """SELECT doc_id, 'canary' || md5('r9:' || doc_id) AS canary,
+        |       doc_id AS source_id
+        |FROM documents
+        |WHERE text IS NOT NULL
+        |  AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '199a'
+        |ORDER BY doc_id""".stripMargin,
     "q_decontaminate_sources" ->
       """WITH d AS (SELECT doc_id,
         |             list_filter(string_split_regex(lower(text), '\s+'),

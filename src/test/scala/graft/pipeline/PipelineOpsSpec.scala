@@ -508,4 +508,27 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(out(13L) === direct(13L) && out(14L) === out(13L)) // cluster rep 13
     assert(out.size === 6)
   }
+
+  test("canaries: deterministic plant, exact scan recovery, foreign tokens unowned") {
+    val docs = Seq((1L, "alpha beta"), (2L, "gamma delta"), (3L, "epsilon"),
+      (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val planted = Canary.plant(docs, "doc_id", "text", "rel-a", 0.9)
+    // re-planting the same release marks the same docs with the same tokens
+    val again = Canary.plant(docs, "doc_id", "text", "rel-a", 0.9)
+    assert(planted.collect().map(_.toString).sorted.toSeq ===
+      again.collect().map(_.toString).sorted.toSeq)
+    val scanned = Canary.scan(planted, "doc_id", "text")
+    val got = scanned.as[(Long, String)].collect().toMap
+    assert(got.nonEmpty && got.values.forall(_.matches("canary[0-9a-f]{32}")))
+    // verify: own release resolves source ids; a foreign release owns none
+    val own = Canary.verify(scanned, "rel-a", docs.select("doc_id"), "doc_id")
+      .select("doc_id", "source_id").as[(Long, Option[Long])].collect()
+    assert(own.nonEmpty && own.forall { case (id, src) => src === Some(id) })
+    val foreign = Canary.verify(scanned, "rel-b", docs.select("doc_id"), "doc_id")
+      .select("source_id").as[Option[Long]].collect()
+    assert(foreign.forall(_.isEmpty))
+    // NULL text is never planted
+    assert(!got.contains(4L))
+  }
 }
