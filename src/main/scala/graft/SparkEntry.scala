@@ -462,6 +462,27 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // returning-uniques overlap from the persisted KMV view: day-1 vs
+    // day-2 per type by inclusion-exclusion over stored sketches —
+    // EXACT below k distinct per window (the KMV rule), so DuckDB
+    // replays the distinct-set arithmetic raw
+    "q_kmv_retention" -> ((s: SparkSession, dir: String) => {
+      val SV = graft.sketch.SketchView
+      val ev = t(s, dir, "events")
+      val fam = SV.ViewFamily.kmvDistinct()
+      val path = System.getProperty("java.io.tmpdir") + "/graft_q_kmv_ov"
+      SV.materialize(ev, "ts", Seq("event_type"), "user_id", path, family = fam)
+      val span = SV.DefaultPartSpanMs
+      val f0 = {
+        val lo = ev.agg(F.min(F.unix_millis(F.date_trunc("hour", F.col("ts")))))
+          .collect()(0).getLong(0)
+        lo - java.lang.Math.floorMod(lo, span)
+      }
+      graft.sketch.SketchOps.kmvWindowOverlap(s, path, Seq("event_type"),
+          f0, f0 + span, f0 + span, f0 + 2 * span)
+        .orderBy("event_type")
+    }),
+
     // trending heavy hitters from the persisted TopK view: day-2 vs
     // day-1 per-user deltas per event type, from stored sketches only.
     // Counts are EXACT at this cardinality (capacity 256 >= distinct
@@ -5558,6 +5579,30 @@ object SparkEntry {
         |         AS n_recent,
         |       true AS consumed_ok, true AS burn_recent_ok, true AS exhaust_ok
         |FROM b, mx GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_kmv_retention" ->
+      """WITH e AS (SELECT epoch_ms(date_trunc('hour', ts)) AS h, event_type,
+        |                  user_id
+        |           FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+        |mn AS (SELECT (min(h) // 86400000) * 86400000 AS f0 FROM e),
+        |a AS (SELECT DISTINCT event_type, user_id FROM e, mn
+        |      WHERE h >= f0 AND h < f0 + 86400000),
+        |b AS (SELECT DISTINCT event_type, user_id FROM e, mn
+        |      WHERE h >= f0 + 86400000 AND h < f0 + 172800000),
+        |ka AS (SELECT event_type, count(*) AS ua FROM a GROUP BY 1),
+        |kb AS (SELECT event_type, count(*) AS ub FROM b GROUP BY 1),
+        |ko AS (SELECT a.event_type, count(*) AS ov FROM a
+        |       JOIN b ON a.event_type = b.event_type AND a.user_id = b.user_id
+        |       GROUP BY 1),
+        |keys AS (SELECT event_type FROM ka UNION SELECT event_type FROM kb)
+        |SELECT k.event_type,
+        |  CAST(coalesce(ua, 0) AS BIGINT) AS uniques_a,
+        |  CAST(coalesce(ub, 0) AS BIGINT) AS uniques_b,
+        |  CAST(coalesce(ua, 0) + coalesce(ub, 0) - coalesce(ov, 0) AS BIGINT)
+        |    AS uniques_union,
+        |  CAST(coalesce(ov, 0) AS BIGINT) AS overlap
+        |FROM keys k LEFT JOIN ka USING (event_type)
+        |LEFT JOIN kb USING (event_type) LEFT JOIN ko USING (event_type)
+        |ORDER BY event_type""".stripMargin,
     "q_topk_trending" ->
       """WITH e AS (SELECT epoch_ms(date_trunc('hour', ts)) AS h, event_type,
         |                  CAST(user_id AS VARCHAR) AS item

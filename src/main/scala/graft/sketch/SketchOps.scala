@@ -256,6 +256,50 @@ object SketchOps {
         F.col("n").cast("double") / F.col("n_prev").cast("double"))
   }
 
+  /**
+   * Window OVERLAP from a persisted KMV [[SketchView]] — "how many of
+   * window A's uniques returned in window B" (user retention, repeat
+   * visitors) by inclusion–exclusion over stored sketches:
+   * `overlap = |A| + |B| − |A ∪ B|`, the union being one scalar KMV
+   * merge. EXACT while each window's distinct count stays below the
+   * sketch's `k` (the KMV exactness rule — size k to the window, and
+   * the overlap is an integer, not an estimate). Two partition-pruned
+   * view reads; keys quiet in one window count 0 there (full-outer
+   * join, the multiWindowBurn surfacing rule). Emits (keys…,
+   * uniques_a, uniques_b, uniques_union, overlap).
+   */
+  def kmvWindowOverlap(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      keyCols: Seq[String],
+      aFromMs: Long,
+      aUntilMs: Long,
+      bFromMs: Long,
+      bUntilMs: Long,
+      k: Int = KmvSketch.DefaultK,
+      partSpanMs: Long = SketchView.DefaultPartSpanMs): DataFrame = {
+    val fam = SketchView.ViewFamily.kmvDistinct(k)
+    def window(fromMs: Long, untilMs: Long, tag: String): DataFrame =
+      SketchView.readRange(spark, path, keyCols, fromMs, untilMs, fam,
+          partSpanMs)
+        .groupBy(keyCols.map(F.col): _*)
+        .agg(fam.merge(F.col("sketch")).as(s"__sk_$tag"))
+    val joined = window(aFromMs, aUntilMs, "a")
+      .join(window(bFromMs, bUntilMs, "b"), keyCols, "full_outer")
+    val ua = F.coalesce(kmv.kmv_distinct(F.col("__sk_a")), F.lit(0.0))
+      .cast("long")
+    val ub = F.coalesce(kmv.kmv_distinct(F.col("__sk_b")), F.lit(0.0))
+      .cast("long")
+    val union = F.coalesce(
+      kmv.kmv_distinct(kmv.kmv_merge(F.col("__sk_a"), F.col("__sk_b"))),
+      kmv.kmv_distinct(F.col("__sk_a")),
+      kmv.kmv_distinct(F.col("__sk_b")),
+      F.lit(0.0)).cast("long")
+    joined.select(keyCols.map(F.col) ++ Seq(
+      ua.as("uniques_a"), ub.as("uniques_b"), union.as("uniques_union"),
+      (ua + ub - union).as("overlap")): _*)
+  }
+
   /** Mean of a [[SketchView.ViewFamily.moments]] struct (NULL on an
     * empty group — n = 0 divides to NULL via the guard). */
   def momentsMean(sk: Column): Column =
