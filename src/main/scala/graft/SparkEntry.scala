@@ -462,6 +462,33 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // HLL view family: Spark's built-in Datasketches HLL through the
+    // incremental materialize+append lifecycle — exact counts replay
+    // in DuckDB; estimates are pinned within the 2% band (the
+    // q_hll_distinct tolerance), never byte-compared (HLL unions are
+    // not byte-canonical, unlike the exact families)
+    "q_hll_view" -> ((s: SparkSession, dir: String) => {
+      val SV = graft.sketch.SketchView
+      val fam = SV.ViewFamily.hllDistinct()
+      val ev = t(s, dir, "events")
+        .filter(F.col("ts").isNotNull && F.col("user_id").isNotNull)
+      val path = System.getProperty("java.io.tmpdir") + "/graft_q_hll_view"
+      SV.materialize(ev.filter(F.col("event_id") % 2 === 0),
+        "ts", Seq("event_type"), "user_id", path, family = fam)
+      SV.append(ev.filter(F.col("event_id") % 2 =!= 0),
+        "ts", Seq("event_type"), "user_id", path, family = fam)
+      val view = SV.read(s, path, Seq("event_type"), fam)
+      val exact = ev
+        .groupBy(F.unix_millis(F.date_trunc("hour", F.col("ts"))).as("bucket_ms"),
+          F.col("event_type"))
+        .agg(F.count_distinct(F.col("user_id")).as("exact_users"))
+      view.join(exact, Seq("bucket_ms", "event_type"))
+        .select(F.col("bucket_ms"), F.col("event_type"), F.col("exact_users"),
+          (F.abs(F.hll_sketch_estimate(F.col("sketch")) - F.col("exact_users")) <=
+            F.greatest(F.lit(2.0), F.col("exact_users") * 0.02)).as("est_ok"))
+        .orderBy("bucket_ms", "event_type")
+    }),
+
     // returning-uniques overlap from the persisted KMV view: day-1 vs
     // day-2 per type by inclusion-exclusion over stored sketches —
     // EXACT below k distinct per window (the KMV rule), so DuckDB
@@ -5579,6 +5606,13 @@ object SparkEntry {
         |         AS n_recent,
         |       true AS consumed_ok, true AS burn_recent_ok, true AS exhaust_ok
         |FROM b, mx GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_hll_view" ->
+      """SELECT CAST(epoch_ms(date_trunc('hour', ts)) AS BIGINT) AS bucket_ms,
+        |       event_type,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |       true AS est_ok
+        |FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY bucket_ms, event_type""".stripMargin,
     "q_kmv_retention" ->
       """WITH e AS (SELECT epoch_ms(date_trunc('hour', ts)) AS h, event_type,
         |                  user_id

@@ -115,6 +115,19 @@ object SketchView {
         Map("expectedItems" -> expectedItems.toString, "fpp" -> fpp.toString),
         bloom.bloom_agg(_, expectedItems, fpp), bloom.bloom_merge_agg)
 
+    /** Distinct counts via Spark's BUILT-IN Datasketches HLL — the
+      * Spark-first sibling of [[kmvDistinct]] when ~2% estimates
+      * suffice and memory must stay fixed (an HLL sketch is
+      * 2^lgConfigK bytes-ish regardless of cardinality; KMV costs 8·k
+      * bytes but is exact below k). Union-merge semantics come from
+      * `hll_union_agg`; estimates are stable across merge order, but
+      * the blob is NOT byte-canonical — compare estimates, never
+      * bytes (unlike the exact families). */
+    def hllDistinct(lgConfigK: Int = 12): ViewFamily =
+      ViewFamily("hll", Map("lgConfigK" -> lgConfigK.toString),
+        c => org.apache.spark.sql.functions.hll_sketch_agg(c, lgConfigK),
+        sk => org.apache.spark.sql.functions.hll_union_agg(sk))
+
     /** EXACT weighted totals riding the DDSketch COUNT field: each
       * row adds its value as count WEIGHT, so `ddsketch_count` of the
       * merged view is the exact weighted sum — bin counts round-trip
@@ -160,6 +173,7 @@ object SketchView {
         case "bloom" =>
           bloomMembership(geometry("expectedItems").toLong, geometry("fpp").toDouble)
         case "moments" => moments()
+        case "hll" => hllDistinct(geometry("lgConfigK").toInt)
         case "ddsketch_wcount" => weightedCount(geometry("accuracy").toDouble)
         case other =>
           throw new IllegalArgumentException(s"unknown view family '$other'")
