@@ -165,6 +165,16 @@ object DataCard {
         "__v", s"$basePath/langs", Seq(sourceCol, langCol), VF.ddsketch()))
   }
 
+  /** Retention across all four card views: drop every partition
+    * directory older than `keepFromMs` (directory-level deletes, the
+    * [[SketchView.expire]] contract) — cards then describe only the
+    * kept ingest window. Returns partitions dropped. */
+  def expireCardViews(
+      spark: SparkSession, basePath: String, keepFromMs: Long): Int =
+    Seq("len", "bytes", "texts", "langs")
+      .map(sub => SketchView.expire(spark, s"$basePath/$sub", keepFromMs))
+      .sum
+
   /** Per-view compaction (one row per (bucket, keys) in each of the
     * four views) — nightly maintenance; families resolve from each
     * view's own manifest. Single-maintainer, like every compact. */

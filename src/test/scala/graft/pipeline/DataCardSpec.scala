@@ -96,4 +96,24 @@ class DataCardSpec extends SparkTestBase {
       assert(dups === 0L, s"view $sub not compacted")
     }
   }
+
+  test("expireCardViews drops an ingest day; the card reflects the kept window") {
+    val day = 86400000L
+    val base0 = 472224L * 3600000L
+    val docs = sf("sf0.001", "documents").limit(200)
+    val d1 = docs.withColumn("ts",
+      F.lit(new java.sql.Timestamp(base0)))
+    val d2 = docs.withColumn("ts",
+      F.lit(new java.sql.Timestamp(base0 + day)))
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_card_exp").toString
+    DataCard.materializeCardViews(d1, "source", "lang", "text", "ts", base)
+    DataCard.appendCardViews(d2, "source", "lang", "text", "ts", base)
+    def nDocs() = DataCard.cardsFromViews(spark, base)
+      .agg(F.sum("n_docs")).collect()(0).getLong(0)
+    val both = nDocs()
+    val dropped = DataCard.expireCardViews(spark, base, keepFromMs = base0 + day)
+    assert(dropped === 4) // one day partition per view
+    assert(nDocs() === both / 2) // only day 2 remains
+  }
 }
