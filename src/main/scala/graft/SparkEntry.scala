@@ -5599,7 +5599,7 @@ object SparkEntry {
     "q_slo_forecast" ->
       """WITH b AS (
         |  SELECT epoch_ms(date_trunc('hour', ts)) AS h, event_type
-        |  FROM events),
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
         |mx AS (SELECT max(h) + 3600000 AS until FROM b)
         |SELECT event_type, CAST(count(*) AS BIGINT) AS n_period,
         |       CAST(count(*) FILTER (WHERE h >= until - 172800000) AS BIGINT)

@@ -398,12 +398,17 @@ object Urls {
           case "gt" => ">"
           case "quot" => "\""
           case "apos" => "'"
+          // toChars stays INSIDE the Try: an out-of-range code point
+          // (&#x110000;, &#-1;) in crawled XML must fall through to the
+          // append-'&'-verbatim path, never throw from the UDF
           case e if e.startsWith("#x") || e.startsWith("#X") =>
-            scala.util.Try(Integer.parseInt(e.substring(2), 16))
-              .toOption.map(cp => new String(Character.toChars(cp))).orNull
+            scala.util.Try(
+              new String(Character.toChars(Integer.parseInt(e.substring(2), 16))))
+              .toOption.orNull
           case e if e.startsWith("#") =>
-            scala.util.Try(Integer.parseInt(e.substring(1)))
-              .toOption.map(cp => new String(Character.toChars(cp))).orNull
+            scala.util.Try(
+              new String(Character.toChars(Integer.parseInt(e.substring(1)))))
+              .toOption.orNull
           case _ => null
         }
         if (decoded != null) { out.append(decoded); i = semi + 1 }

@@ -100,8 +100,13 @@ object WebDataset {
         var gap = pos - at
         while (gap > 0) {
           val skipped = din.skip(gap)
-          require(skipped > 0, s"unexpected EOF skipping to $pos")
-          gap -= skipped
+          if (skipped > 0) gap -= skipped
+          else {
+            // skip() may return 0 without EOF on some stream impls —
+            // only read() == -1 is authoritative for end-of-stream
+            require(din.read() != -1, s"unexpected EOF skipping to $pos")
+            gap -= 1
+          }
         }
         din.readFully(buf)
         at = pos + buf.length

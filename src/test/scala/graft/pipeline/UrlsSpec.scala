@@ -183,6 +183,14 @@ class UrlsSpec extends SparkTestBase {
     assert(Urls.parseSitemapKernel(null).isEmpty)
     assert(Urls.parseSitemapKernel("<urlset><url><loc>x").isEmpty) // unclosed
     assert(Urls.parseSitemapKernel("plain text, no xml").isEmpty)
+    // out-of-range numeric refs in untrusted XML must decode VERBATIM
+    // (never throw from Character.toChars): &#x110000; > MAX_CODE_POINT,
+    // &#-1; negative, &#xD800; a lone surrogate (toChars accepts it —
+    // it round-trips as the surrogate char)
+    val hostile = Urls.parseSitemapKernel(
+      "<urlset><url><loc>https://h/&#x110000;a&#-1;b</loc></url></urlset>")
+    assert(hostile.length === 1)
+    assert(hostile(0)._1 === "https://h/&#x110000;a&#-1;b")
   }
 
   test("sitemap index children + Column APIs") {

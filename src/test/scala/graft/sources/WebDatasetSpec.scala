@@ -160,4 +160,23 @@ class WebDatasetSpec extends SparkTestBase {
     assert(n === 1L) // b wrote nothing, c's only payload was NULL
     assert(WebDataset.read(spark, dir).count() === n)
   }
+
+  test("sequentialReader survives a stream whose skip() always returns 0") {
+    val payload = Array.tabulate(2048)(_.toByte)
+    // some FS streams legitimately return 0 from skip() without EOF —
+    // the reader must fall back to read-and-discard, not abort
+    val noSkip = new java.io.ByteArrayInputStream(payload) {
+      override def skip(n: Long): Long = 0L
+    }
+    val r = WebDataset.sequentialReader(noSkip, payload.length.toLong)
+    val buf = new Array[Byte](16)
+    r.readFully(1000L, buf) // forces a 1000-byte gap skipped via read()
+    assert(buf.toSeq === payload.slice(1000, 1016).toSeq)
+    // true EOF mid-gap still errors
+    val short = new java.io.ByteArrayInputStream(payload.take(10)) {
+      override def skip(n: Long): Long = 0L
+    }
+    val r2 = WebDataset.sequentialReader(short, 10L)
+    intercept[IllegalArgumentException](r2.readFully(500L, buf))
+  }
 }
