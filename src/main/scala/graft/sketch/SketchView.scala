@@ -55,14 +55,17 @@ import graft.sketch.{functions => G}
  *
  * `append`/`streamAppend` are pure file-adds and compose freely with
  * readers and each other (one STREAMING writer per path — batch ids
- * collide otherwise). `compact`, `backfill` and `expire` REWRITE or
- * DELETE history: they assume a single maintainer and no concurrent
- * writer — an `append` landing between compact's read and its
- * overwrite is silently lost. Run them from the one nightly
- * maintenance job, with the streaming writer stopped. The one
- * crash-replay hazard that survives scheduling discipline — a
- * micro-batch written but not yet committed to the checkpoint, folded
- * by a compact, then REPLAYED after restart — is closed by the
+ * collide otherwise). `compact` folds a FILE-LEVEL SNAPSHOT of the
+ * view, stages the fold invisibly, journals, then prunes exactly the
+ * snapshot — so an append landing at ANY point during a compact
+ * survives (interleaved ≡ serialized, byte-exact; see [[compact]]),
+ * and a crashed compact is finished idempotently by the next one
+ * ([[recoverPendingCompact]]). `backfill` and `expire` still REWRITE
+ * or DELETE whole partition ranges and assume no concurrent writer
+ * touching those ranges. At most one compact at a time (two compacts
+ * racing would fold overlapping snapshots). The crash-replay hazard —
+ * a micro-batch written but not yet committed to the checkpoint,
+ * folded by a compact, then REPLAYED after restart — is closed by the
  * manifest's `foldedThroughBatch` watermark: compact records the
  * highest `__batch` id it folded, and a replayed micro-batch at or
  * below the watermark is a no-op instead of a double-count
@@ -430,51 +433,208 @@ object SketchView {
       path, "append", partSpanMs)
   }
 
-  /** The highest `__batch` id present on disk — a directory listing,
-    * never a data scan (dirs are bounded by partitions × batches). */
-  private def maxBatchId(
+  private val PendingFile = "_compact_pending.json"
+  private val FoldStaging = "_compact_fold"
+
+  /** Every data file currently in the view, as paths RELATIVE to the
+    * view root (`__part=X/__batch=Y/part-*.parquet`) — the file-level
+    * snapshot compact folds and prunes. Hidden files (`_`/`.` prefix,
+    * Spark's own convention) are excluded. */
+  private def listDataFiles(
       fs: org.apache.hadoop.fs.FileSystem,
-      root: org.apache.hadoop.fs.Path): Long = {
-    var mx = -1L
+      root: org.apache.hadoop.fs.Path): Seq[String] = {
+    val out = Seq.newBuilder[String]
     if (fs.exists(root)) fs.listStatus(root).foreach { part =>
-      if (part.isDirectory && part.getPath.getName.startsWith("__part="))
+      val pn = part.getPath.getName
+      if (part.isDirectory && pn.startsWith("__part="))
         fs.listStatus(part.getPath).foreach { b =>
-          val name = b.getPath.getName
-          if (b.isDirectory && name.startsWith("__batch="))
-            scala.util.Try(name.stripPrefix("__batch=").toLong).toOption
-              .foreach(v => if (v > mx) mx = v)
+          val bn = b.getPath.getName
+          if (b.isDirectory && bn.startsWith("__batch="))
+            fs.listStatus(b.getPath).foreach { f =>
+              val fn = f.getPath.getName
+              if (f.isFile && !fn.startsWith("_") && !fn.startsWith("."))
+                out += s"$pn/$bn/$fn"
+            }
         }
     }
-    mx
+    out.result()
   }
 
-  /** Rewrite the view to one row per (bucket, keys). The merged frame
-    * must be materialized BEFORE the overwrite truncates its own
-    * input — the eager localCheckpoint is the point here, not a
-    * surprise (the library-wide lazy default is for operator chains).
+  /** The `__batch=` id embedded in a relative data-file path. */
+  private def batchIdOf(rel: String): Long = {
+    val seg = rel.split('/')(1)
+    scala.util.Try(seg.stripPrefix("__batch=").toLong).getOrElse(-1L)
+  }
+
+  /** Rewrite the view to one row per (bucket, keys), SAFELY against a
+    * concurrent [[append]]/[[streamAppend]]: compact folds a FILE-LEVEL
+    * SNAPSHOT of the view — any file an append lands after the
+    * snapshot is simply not in the fold's input and not in its prune
+    * list, so it survives untouched (interleaved append/compact ≡
+    * serialized, byte-exact; pinned by SketchViewSpec). The protocol:
     *
-    * Single-maintainer: see the class note. The manifest's
-    * `foldedThroughBatch` watermark advances to the highest streaming
-    * `__batch` id folded here, so a crashed-then-replayed micro-batch
-    * at or below it becomes a no-op instead of a double-count. */
+    *   1. snapshot the data-file list S (a directory listing);
+    *   2. fold exactly S to one row per group, STAGED under
+    *      `_compact_fold/` (invisible to readers — underscore prefix);
+    *   3. journal `{files: S, folded}` to `_compact_pending.json` —
+    *      the commit point: the fold is complete on disk;
+    *   4. delete S's files (and emptied directories);
+    *   5. move the staged fold files under `__batch=-1`;
+    *   6. advance the manifest watermark, drop journal + staging.
+    *
+    * A crash before step 3 leaves the view untouched (staging is
+    * invisible and overwritten next time); a crash after step 3 is
+    * finished idempotently by the next compact (steps 4-6 re-run from
+    * the journal), so no crash point loses data or double-counts it —
+    * readers in the recovery window may transiently see the folded
+    * history missing, never doubled. The old whole-directory overwrite
+    * lost interleaved appends AND (on crash) the entire view+manifest.
+    *
+    * The manifest's `foldedThroughBatch` watermark advances to the
+    * highest streaming `__batch` id folded here, so a
+    * crashed-then-replayed micro-batch at or below it becomes a no-op
+    * instead of a double-count. Manifest-less (pre-manifest) views are
+    * adopted when `bucket` is passed; without it they compact fine but
+    * stay manifest-less. */
   def compact(
       spark: SparkSession,
       path: String,
       keyCols: Seq[String],
       family: ViewFamily = ViewFamily.ddsketch(),
-      partSpanMs: Long = DefaultPartSpanMs): Unit = {
-    val manifest =
-      validateManifest(spark, path, family, None, partSpanMs, keyCols)
+      partSpanMs: Long = DefaultPartSpanMs,
+      bucket: Option[String] = None): Unit =
+    compactImpl(spark, path, keyCols, family, partSpanMs, bucket,
+      () => (), () => ())
+
+  /** [[compact]] with race/crash-window hooks (test seam): `afterSnapshot`
+    * runs once the file snapshot is taken, `afterJournal` once the fold
+    * is staged and journaled — the two windows a concurrent append (or
+    * a crash) can land in. */
+  private[graft] def compactImpl(
+      spark: SparkSession,
+      path: String,
+      keyCols: Seq[String],
+      family: ViewFamily,
+      partSpanMs: Long,
+      bucket: Option[String],
+      afterSnapshot: () => Unit,
+      afterJournal: () => Unit): Unit = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val folded = math.max(maxBatchId(fs, root),
-      manifest.map(_.foldedThroughBatch).getOrElse(-1L))
-    writeView(
-      read(spark, path, keyCols, family).drop("bucket_start")
-        .localCheckpoint(true),
-      path, "overwrite", partSpanMs)
-    manifest.foreach { m =>
-      writeManifest(spark, path, m.copy(foldedThroughBatch = folded))
+    recoverPendingCompact(spark, path) // finish a crashed predecessor first
+    val manifest =
+      validateManifest(spark, path, family, None, partSpanMs, keyCols)
+        .orElse(bucket.map { b =>
+          // adopt: record the layout for a pre-manifest view
+          val m = ViewManifest(family.id, family.geometry, b, partSpanMs,
+            keyCols, -1L)
+          writeManifest(spark, path, m)
+          m
+        })
+    val snapshot = listDataFiles(fs, root)
+    afterSnapshot()
+    if (snapshot.nonEmpty) {
+      val folded = math.max(snapshot.map(batchIdOf).max,
+        manifest.map(_.foldedThroughBatch).getOrElse(-1L))
+      // fold EXACTLY the snapshot (basePath keeps partition parsing);
+      // staged while the originals are still intact, so no checkpoint
+      // is needed to protect the fold's own input
+      val foldDf = merge(
+        spark.read.option("basePath", path)
+          .parquet(snapshot.map(rel => s"$path/$rel"): _*),
+        keyCols, family).drop("bucket_start")
+      writeView(foldDf, s"$path/$FoldStaging", "overwrite", partSpanMs)
+      writePending(fs, root, snapshot, folded)
+      afterJournal()
+      finishCompact(spark, fs, root, snapshot, folded)
+    }
+  }
+
+  private def writePending(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path,
+      files: Seq[String],
+      folded: Long): Unit = {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val j = om.createObjectNode()
+    j.put("folded", folded)
+    val arr = j.putArray("files")
+    files.foreach(arr.add)
+    val out = fs.create(new org.apache.hadoop.fs.Path(root, PendingFile), true)
+    try out.write(om.writeValueAsBytes(j)) finally out.close()
+  }
+
+  /** Steps 4-6 of [[compact]] — idempotent, so a crash anywhere inside
+    * is finished by re-running from the journal. */
+  private def finishCompact(
+      spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path,
+      snapshot: Seq[String],
+      folded: Long): Unit = {
+    // prune the folded originals; drop emptied __batch/__part dirs
+    snapshot.foreach { rel =>
+      fs.delete(new org.apache.hadoop.fs.Path(root, rel), false)
+    }
+    snapshot.map(rel => rel.substring(0, rel.lastIndexOf('/'))).distinct
+      .foreach { bdir =>
+        val bp = new org.apache.hadoop.fs.Path(root, bdir)
+        if (fs.exists(bp) && fs.listStatus(bp).isEmpty) fs.delete(bp, false)
+        val pp = bp.getParent
+        if (fs.exists(pp) && fs.listStatus(pp).isEmpty) fs.delete(pp, false)
+      }
+    // move the staged fold under __batch=-1 (file renames; staged part
+    // names carry a job UUID so they can't collide with live appends)
+    val staging = new org.apache.hadoop.fs.Path(root, FoldStaging)
+    if (fs.exists(staging)) fs.listStatus(staging).foreach { part =>
+      val pn = part.getPath.getName
+      if (part.isDirectory && pn.startsWith("__part="))
+        fs.listStatus(part.getPath).foreach { b =>
+          if (b.isDirectory && b.getPath.getName.startsWith("__batch="))
+            fs.listStatus(b.getPath).foreach { f =>
+              val fn = f.getPath.getName
+              if (f.isFile && !fn.startsWith("_") && !fn.startsWith(".")) {
+                val destDir = new org.apache.hadoop.fs.Path(
+                  new org.apache.hadoop.fs.Path(root, pn), "__batch=-1")
+                fs.mkdirs(destDir)
+                fs.rename(f.getPath,
+                  new org.apache.hadoop.fs.Path(destDir, fn))
+              }
+            }
+        }
+    }
+    readManifest(spark, root.toString).foreach { m =>
+      writeManifest(spark, root.toString, m.copy(foldedThroughBatch = folded))
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(root, PendingFile), false)
+    fs.delete(staging, true)
+  }
+
+  /** Finish a compact that crashed after its journal was written (the
+    * fold is complete on disk — steps 4-6 just need re-running). Ran
+    * automatically at the start of every [[compact]]; exposed for an
+    * explicit repair. No-op when no journal exists. Returns whether a
+    * recovery ran. */
+  def recoverPendingCompact(spark: SparkSession, path: String): Boolean = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(root, PendingFile)
+    if (!fs.exists(p)) false
+    else {
+      val in = fs.open(p)
+      val bytes =
+        try {
+          val len = fs.getFileStatus(p).getLen.toInt
+          val b = new Array[Byte](len)
+          in.readFully(0L, b)
+          b
+        } finally in.close()
+      val j = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(new String(bytes, "UTF-8"))
+      val files = (0 until j.get("files").size())
+        .map(i => j.get("files").get(i).asText())
+      finishCompact(spark, fs, root, files, j.get("folded").asLong())
+      true
     }
   }
 

@@ -433,4 +433,117 @@ class SketchViewSpec extends SparkTestBase {
     assert(out(base + 86400000L + hour) === ((3L, 2L, 1.5)))      // 3 vs 2
     assert(out(base + 86400000L + 2 * hour)._2 === -1L)           // no aligned bucket
   }
+
+  // --- compact vs concurrent appends: interleaved ≡ serialized -------
+
+  private def splitThirds(ev: org.apache.spark.sql.DataFrame) = (
+    ev.filter(F.col("event_id") % 3 === 0),
+    ev.filter(F.col("event_id") % 3 === 1),
+    ev.filter(F.col("event_id") % 3 === 2))
+
+  private def serializedReference(ev: org.apache.spark.sql.DataFrame)
+      : Map[(Long, String), Seq[Byte]] = {
+    // compact(a) then append(b) then append(c): the serialized schedule
+    // every interleaving must equal byte-for-byte
+    val (a, b, c) = splitThirds(ev)
+    val dir = java.nio.file.Files.createTempDirectory("graft_cpt_ser").toString
+    SketchView.materialize(a, "ts", Seq("event_type"), "value", dir)
+    SketchView.compact(spark, dir, Seq("event_type"))
+    SketchView.append(b, "ts", Seq("event_type"), "value", dir)
+    SketchView.append(c, "ts", Seq("event_type"), "value", dir)
+    viewMap(SketchView.read(spark, dir, Seq("event_type")))
+  }
+
+  test("appends landing INSIDE a compact survive: interleaved == serialized") {
+    val ev = events
+    val (a, b, c) = splitThirds(ev)
+    val expected = serializedReference(ev)
+    val fam = SketchView.ViewFamily.ddsketch()
+    val dir = java.nio.file.Files.createTempDirectory("graft_cpt_race").toString
+    SketchView.materialize(a, "ts", Seq("event_type"), "value", dir)
+    // append b after the file snapshot (pre-fold), c after the journal
+    // (mid-prune) — the two windows the old whole-directory overwrite
+    // silently lost
+    SketchView.compactImpl(spark, dir, Seq("event_type"), fam,
+      SketchView.DefaultPartSpanMs, None,
+      afterSnapshot =
+        () => SketchView.append(b, "ts", Seq("event_type"), "value", dir),
+      afterJournal =
+        () => SketchView.append(c, "ts", Seq("event_type"), "value", dir))
+    val got = viewMap(SketchView.read(spark, dir, Seq("event_type")))
+    assert(got.nonEmpty)
+    assert(got === expected)
+    // and the view is physically folded: a's groups are one row each
+    val aGroups = SketchView.rollup(a, "ts", Seq("event_type"), "value").count()
+    val raw = spark.read.parquet(dir)
+    assert(raw.count() < aGroups + b.count() + c.count())
+  }
+
+  test("a compact crash after the journal is finished by the next compact") {
+    val ev = events
+    val (a, b, c) = splitThirds(ev)
+    val expected = serializedReference(ev)
+    val fam = SketchView.ViewFamily.ddsketch()
+    val dir = java.nio.file.Files.createTempDirectory("graft_cpt_crash").toString
+    SketchView.materialize(a, "ts", Seq("event_type"), "value", dir)
+    final class Boom extends RuntimeException("crash between journal and prune")
+    intercept[Boom](SketchView.compactImpl(spark, dir, Seq("event_type"), fam,
+      SketchView.DefaultPartSpanMs, None,
+      afterSnapshot = () => (),
+      afterJournal = () => throw new Boom))
+    // an append lands while the view sits in its crashed state
+    SketchView.append(b, "ts", Seq("event_type"), "value", dir)
+    // the next compact first finishes the crashed one (idempotent
+    // prune+move from the journal), then folds — nothing lost, nothing
+    // double-counted
+    SketchView.compact(spark, dir, Seq("event_type"))
+    SketchView.append(c, "ts", Seq("event_type"), "value", dir)
+    assert(viewMap(SketchView.read(spark, dir, Seq("event_type"))) === expected)
+    // explicit repair API is a no-op once clean
+    assert(!SketchView.recoverPendingCompact(spark, dir))
+  }
+
+  test("a STREAMING micro-batch landing mid-compact survives; its replay no-ops") {
+    val ev = events.limit(300)
+    val fam = SketchView.ViewFamily.ddsketch()
+    val dir = java.nio.file.Files.createTempDirectory("graft_cpt_stream").toString
+    SketchView.appendBatch(ev, "ts", Seq("event_type"), "value", dir,
+      "hour", fam, SketchView.DefaultPartSpanMs, batchId = 0L)
+    SketchView.compactImpl(spark, dir, Seq("event_type"), fam,
+      SketchView.DefaultPartSpanMs, None,
+      afterSnapshot = () => SketchView.appendBatch(ev, "ts", Seq("event_type"),
+        "value", dir, "hour", fam, SketchView.DefaultPartSpanMs, batchId = 1L),
+      afterJournal = () => ())
+    // batch 1 landed after the snapshot: folded watermark stays at 0,
+    // batch 1's rows survive the prune
+    assert(SketchView.readManifest(spark, dir).get.foldedThroughBatch === 0L)
+    val after = viewMap(SketchView.read(spark, dir, Seq("event_type")))
+    val twice = viewMap(SketchView.rollup(
+      ev.union(ev), "ts", Seq("event_type"), "value"))
+    assert(after === twice)
+    // a replay of the FOLDED batch 0 writes nothing...
+    SketchView.appendBatch(ev, "ts", Seq("event_type"), "value", dir,
+      "hour", fam, SketchView.DefaultPartSpanMs, batchId = 0L)
+    assert(viewMap(SketchView.read(spark, dir, Seq("event_type"))) === after)
+    // ...while a replay of the SURVIVING batch 1 overwrites itself
+    SketchView.appendBatch(ev, "ts", Seq("event_type"), "value", dir,
+      "hour", fam, SketchView.DefaultPartSpanMs, batchId = 1L)
+    assert(viewMap(SketchView.read(spark, dir, Seq("event_type"))) === after)
+  }
+
+  test("compact adopts a manifest for pre-manifest views when bucket is passed") {
+    val ev = events.limit(200)
+    val dir = java.nio.file.Files.createTempDirectory("graft_cpt_adopt").toString
+    SketchView.materialize(ev, "ts", Seq("event_type"), "value", dir)
+    // simulate a pre-manifest layout
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir, "_view.json"), false)
+    assert(SketchView.readManifest(spark, dir).isEmpty)
+    SketchView.compact(spark, dir, Seq("event_type"), bucket = Some("hour"))
+    val m = SketchView.readManifest(spark, dir)
+    assert(m.nonEmpty && m.get.bucket === "hour" && m.get.family === "ddsketch")
+    assert(viewMap(SketchView.read(spark, dir, Seq("event_type"))) ===
+      viewMap(SketchView.rollup(ev, "ts", Seq("event_type"), "value")))
+  }
 }
