@@ -4626,6 +4626,72 @@ object SparkEntry {
         .orderBy("id_new", "id_old")
     }),
 
+    // streaming perceptual media dedup under the gate: the fresh
+    // variant-2 slice replayed as a file-source stream of (ts,
+    // media_id, modality, payload) rows and probed against the
+    // PERSISTED media hash index of variants 0/1 — decode + dHash on
+    // the stream side only, popcount verify against signatures
+    // carried in the index. Stateless except the pair dedup, so
+    // AvailableNow replay emits exactly the batch incremental pair
+    // set (shares q_dedup_incremental_media's oracle)
+    "q_stream_media_dedup" -> ((s: SparkSession, dir: String) => {
+      val docs = t(s, dir, "documents").select(F.col("doc_id"))
+      val hist = graft.pipeline.Multimodal.plantedNearDupMedia(
+        docs.filter(F.col("doc_id") % 3 =!= 2), "doc_id")
+      val idxPath = System.getProperty("java.io.tmpdir") + "/graft_q_stream_md_idx"
+      graft.pipeline.Dedup.saveSignatureIndex(
+        graft.pipeline.Multimodal.buildMediaHashIndex(hist), idxPath)
+      val fresh = graft.pipeline.Multimodal.plantedNearDupMedia(
+          docs.filter(F.col("doc_id") % 3 === 2), "doc_id")
+        .toDF()
+        .select(F.lit(java.sql.Timestamp.valueOf("2026-01-01 00:00:00")).as("ts"),
+          F.col("media_id"), F.col("modality"), F.col("payload"))
+      val tmp = System.getProperty("java.io.tmpdir") + "/graft_q_stream_md_src"
+      fresh.write.mode("overwrite").parquet(tmp)
+      val stream = s.readStream.schema(fresh.schema).parquet(tmp)
+      val out = graft.streaming.SketchStreaming.mediaDupStream(
+        stream, "ts", "media_id", "modality", "payload",
+        graft.pipeline.Dedup.loadSignatureIndex(s, idxPath),
+        // effectively-infinite horizon: bounded replays must never
+        // expire pair-dedup state (see q_stream_dedup)
+        watermarkDelay = "3650 days", maxHamming = 6)
+      s.catalog.dropTempView("graft_stream_media")
+      val q = out.writeStream
+        .outputMode("append").format("memory")
+        .queryName("graft_stream_media")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("graft_stream_media")
+        .select(F.col("id_new"), F.col("id_old"), F.col("hamming"))
+        .orderBy("id_new", "id_old")
+    }),
+
+    // streaming canary scan under the gate: the planted corpus
+    // replayed as a file stream through the stateless scan -> verify
+    // chain (map-only regex + broadcast expected-token join) — shares
+    // q_canary's oracle
+    "q_stream_canary" -> ((s: SparkSession, dir: String) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val planted = graft.pipeline.Canary.plant(
+        docs, "doc_id", "text", "r9", fraction = 0.1)
+      val tmp = System.getProperty("java.io.tmpdir") + "/graft_q_stream_cn_src"
+      planted.write.mode("overwrite").parquet(tmp)
+      val stream = s.readStream.schema(planted.schema).parquet(tmp)
+      val out = graft.streaming.SketchStreaming.canaryStream(
+        stream, "doc_id", "text", "r9", docs.select("doc_id"), "doc_id")
+      s.catalog.dropTempView("graft_stream_canary")
+      val q = out.writeStream
+        .outputMode("append").format("memory")
+        .queryName("graft_stream_canary")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("graft_stream_canary")
+        .select("doc_id", "canary", "source_id")
+        .orderBy("doc_id")
+    }),
+
     // audio sibling of q_multimodal_dedup: WAV payloads carrying exact
     // planted fingerprints through decode -> gain-invariant
     // audioFingerprint -> Hamming banding; same id-arithmetic oracle
@@ -7872,6 +7938,11 @@ object SparkEntry {
       "q_stream_edit_one" -> base("q_edit_one_incremental"),
       // streaming edit-<= k probe shares the batch incremental oracle
       "q_stream_edit_k" -> base("q_edit_k_incremental"),
+      // streaming perceptual-media probe: output-identical to the
+      // batch incremental pair set on a bounded replay
+      "q_stream_media_dedup" -> base("q_dedup_incremental_media"),
+      // stateless scan->verify chain: stream output == batch output
+      "q_stream_canary" -> base("q_canary"),
       // the view-computed card's merges are exact (bin/set addition),
       // so it reproduces the one-shot card's numbers
       "q_datacard_view" -> base("q_datacard"),

@@ -805,7 +805,7 @@ object Dedup {
     * stays inside whole-stage codegen (the ScalaUDF it replaced broke
     * the span and paid a boxed tuple array per row). Bit-exact the
     * same values: `(sig >>> (b * width)) & mask`. */
-  private def chunkCols(sig: org.apache.spark.sql.Column, bands: Int)
+  private[graft] def chunkCols(sig: org.apache.spark.sql.Column, bands: Int)
       : org.apache.spark.sql.Column = {
     val width = 64 / bands
     val mask = (1L << width) - 1

@@ -1162,14 +1162,23 @@ object Multimodal {
     * the gain-invariant [[audioFingerprint]]; other modalities (and
     * undecodable payloads) yield NULL per the repo's malformed-input
     * discipline. */
-  def perceptualHash(media: Dataset[MediaRecord]): DataFrame = {
-    val phU = F.udf((modality: String, payload: Array[Byte]) => modality match {
-      case "image" => graft.pipeline.Multimodal.imageDHash(payload)
-      case "video" => graft.pipeline.Multimodal.videoDHash(payload)
-      case "audio" => graft.pipeline.Multimodal.audioFingerprint(payload)
+  def perceptualHash(media: Dataset[MediaRecord]): DataFrame =
+    media.toDF().withColumn("phash",
+      perceptualHashCol(F.col("modality"), F.col("payload")))
+
+  /** Column form of the modality dispatch — usable on any frame with
+    * (modality, payload) columns, including STREAMING ones
+    * ([[graft.streaming.SketchStreaming.mediaDupStream]]). */
+  def perceptualHashCol(
+      modality: org.apache.spark.sql.Column,
+      payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val phU = F.udf((m: String, p: Array[Byte]) => m match {
+      case "image" => graft.pipeline.Multimodal.imageDHash(p)
+      case "video" => graft.pipeline.Multimodal.videoDHash(p)
+      case "audio" => graft.pipeline.Multimodal.audioFingerprint(p)
       case _ => None: Option[Long]
     })
-    media.toDF().withColumn("phash", phU(F.col("modality"), F.col("payload")))
+    phU(modality, payload)
   }
 
   /**

@@ -483,6 +483,99 @@ object SketchStreaming {
       F.round(terms.reduce(_ + _), roundTo).as("psi"))
   }
 
+  /**
+   * Streaming PERCEPTUAL media dedup: arriving image/audio/video
+   * payloads probed against a persisted
+   * [[graft.pipeline.Multimodal.buildMediaHashIndex]] of the
+   * historical corpus — the last dedup family to get its streaming
+   * form (exact, minhash, embedding, edit-1, edit-k and substring
+   * spans already have one). Per micro-batch: decode + modality-
+   * dispatched 64-bit perceptual hash
+   * ([[graft.pipeline.Multimodal.perceptualHashCol]]), explode into
+   * the Hamming band chunks, stream-static join against the index's
+   * (band, bits) buckets, exact popcount verify against the full
+   * signature carried IN the index (history payloads are never
+   * re-decoded), and `dropDuplicatesWithinWatermark` collapses the
+   * shared-band multiplicity (a pair within distance d shares
+   * >= bands - d bands) — state is one entry per emitted pair within
+   * the watermark horizon, never corpus-sized. Undecodable payloads
+   * and unhashable modalities hash to NULL and drop, per the
+   * malformed-input discipline.
+   *
+   * Output: (id_new, id_old, hamming) — the streaming twin of
+   * [[graft.pipeline.Multimodal.incrementalNearDuplicateMedia]],
+   * identical on identical input (BatchStreamEquivalenceSpec).
+   * Geometry (`bands`) must match the index's — checked against its
+   * `bands` metadata column at wiring time (one 1-row driver job on
+   * the STATIC side). At 100 TB: the index is a static-side scan per
+   * micro-batch (keep it parquet, bucketed by (band, bits)); the
+   * stream side is micro-batch-sized and broadcasts.
+   */
+  def mediaDupStream(
+      stream: DataFrame,
+      tsCol: String,
+      idCol: String,
+      modalityCol: String,
+      payloadCol: String,
+      histIndex: DataFrame,
+      watermarkDelay: String,
+      maxHamming: Int = 6,
+      bands: Int = 8): DataFrame = {
+    require(bands >= 2 && 64 % bands == 0,
+      s"bands must be >= 2 and divide 64, got $bands")
+    require(maxHamming >= 0 && maxHamming <= bands - 1,
+      s"$bands bands only guarantee hamming <= ${bands - 1}, got $maxHamming")
+    if (histIndex.columns.contains("bands")) {
+      histIndex.select(F.col("bands")).take(1).foreach { r =>
+        require(r.getInt(0) == bands,
+          s"media hash index was built with bands=${r.getInt(0)} but is " +
+            s"being probed with bands=$bands — band ids/bit widths would " +
+            "not line up and recall would silently collapse")
+      }
+    }
+    stream
+      .withWatermark(tsCol, watermarkDelay)
+      .select(F.col(tsCol).as("__ts"), F.col(idCol).as("id_new"),
+        graft.pipeline.Multimodal.perceptualHashCol(
+          F.col(modalityCol), F.col(payloadCol)).cast("long").as("__sn"))
+      .filter(F.col("__sn").isNotNull)
+      .select(F.col("__ts"), F.col("id_new"), F.col("__sn"),
+        F.explode(graft.pipeline.Dedup.chunkCols(F.col("__sn"), bands)).as("__c"))
+      .select(F.col("__ts"), F.col("id_new"), F.col("__sn"),
+        F.col("__c._1").as("band"), F.col("__c._2").as("bits"))
+      .join(histIndex.select(F.col("band"), F.col("bits"),
+        F.col("id").as("id_old"), F.col("sig").as("__so")), Seq("band", "bits"))
+      .select(F.col("__ts"), F.col("id_new"), F.col("id_old"),
+        F.bit_count(F.col("__sn").bitwiseXOR(F.col("__so"))).as("hamming"))
+      .filter(F.col("hamming") <= maxHamming)
+      .dropDuplicatesWithinWatermark("id_new", "id_old")
+      .select("id_new", "id_old", "hamming")
+  }
+
+  /**
+   * Streaming CANARY scan — continuous provenance detection on
+   * ingest: every canary-shaped token in arriving documents,
+   * attributed to `releaseId`'s planted set
+   * ([[graft.pipeline.Canary.verify]] semantics: `source_id` is the
+   * planted document id, NULL for foreign/corrupt canaries). Both
+   * stages are STATELESS — a map-only codegen'd regex extraction and
+   * a stream-static broadcast join against the release-sized expected
+   * token set — so this runs in append mode with no watermark and no
+   * state store, emitting hits the micro-batch they arrive. The
+   * streaming twin of scan→verify, identical on identical input
+   * (BatchStreamEquivalenceSpec).
+   */
+  def canaryStream(
+      stream: DataFrame,
+      idCol: String,
+      textCol: String,
+      releaseId: String,
+      candidateIds: DataFrame,
+      candidateIdCol: String): DataFrame =
+    graft.pipeline.Canary.verify(
+      graft.pipeline.Canary.scan(stream, idCol, textCol),
+      releaseId, candidateIds, candidateIdCol)
+
   def dedupStream(
       stream: DataFrame,
       tsCol: String,

@@ -317,6 +317,87 @@ class BatchStreamEquivalenceSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("mediaDupStream over a hash index is batch≡stream, once per pair") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.pipeline.{Dedup, Multimodal}
+    val docs = sf("sf0.001", "documents").select(F.col("doc_id"))
+      .filter(F.col("doc_id") < 150)
+    val hist = Multimodal.plantedNearDupMedia(
+      docs.filter(F.col("doc_id") % 3 =!= 2), "doc_id")
+    val index = Multimodal.buildMediaHashIndex(hist)
+      .localCheckpoint(eager = false)
+    val batchMedia = Multimodal.plantedNearDupMedia(
+      docs.filter(F.col("doc_id") % 3 === 2), "doc_id")
+    val batchPairs = Multimodal
+      .incrementalNearDuplicateMedia(batchMedia, index, maxHamming = 6)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(batchPairs.nonEmpty)
+
+    val rows = batchMedia.toDF().select("media_id", "modality", "payload")
+      .as[(Long, String, Array[Byte])].collect().map { case (id, m, p) =>
+        (Timestamp.valueOf("2026-01-01 10:00:00"), id, m, p)
+      }
+    val input = MemoryStream[(Timestamp, Long, String, Array[Byte])]
+    val out = SketchStreaming.mediaDupStream(
+      input.toDF().toDF("ts", "media_id", "modality", "payload"),
+      "ts", "media_id", "modality", "payload", index,
+      watermarkDelay = "365 days", maxHamming = 6)
+    val q = out.writeStream.format("memory").queryName("bs_mediastream")
+      .outputMode("append").start()
+    try {
+      // two micro-batches: pair-dedup state must hold across batches
+      val chunks = rows.grouped(rows.length / 2 + 1).toSeq
+      chunks.foreach { c => input.addData(c.toSeq); q.processAllAvailable() }
+      val streamPairs = spark.sql(
+          "SELECT id_new, id_old, hamming FROM bs_mediastream")
+        .as[(Long, Long, Int)].collect()
+      assert(streamPairs.length === streamPairs.distinct.length) // once per pair
+      assert(streamPairs.toSet === batchPairs)
+    } finally q.stop()
+
+    // geometry guard: probing a bands=4 index with the default 8 throws
+    val idx4 = Multimodal.buildMediaHashIndex(hist, bands = 4)
+      .localCheckpoint(eager = false)
+    intercept[IllegalArgumentException] {
+      SketchStreaming.mediaDupStream(
+        input.toDF().toDF("ts", "media_id", "modality", "payload"),
+        "ts", "media_id", "modality", "payload", idx4,
+        watermarkDelay = "365 days", maxHamming = 3)
+    }
+  }
+
+  test("canaryStream scan+verify is batch≡stream (stateless, append mode)") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.pipeline.Canary
+    val docs = sf("sf0.001", "documents").select("doc_id", "text")
+    val planted = Canary.plant(docs, "doc_id", "text", "rX", fraction = 0.2)
+    val batch = Canary.verify(
+        Canary.scan(planted, "doc_id", "text"),
+        "rX", docs.select("doc_id"), "doc_id")
+      .select("doc_id", "canary", "source_id")
+      .as[(Long, String, Option[Long])].collect().toSet
+    assert(batch.nonEmpty && batch.forall { case (id, _, src) => src.contains(id) })
+
+    val rows = planted.as[(Long, String)].collect()
+    val input = MemoryStream[(Long, String)]
+    val out = SketchStreaming.canaryStream(
+      input.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", "rX", docs.select("doc_id"), "doc_id")
+    val q = out.writeStream.format("memory").queryName("bs_canary")
+      .outputMode("append").start()
+    try {
+      rows.grouped(rows.length / 2 + 1)
+        .foreach { c => input.addData(c.toSeq); q.processAllAvailable() }
+      val got = spark.sql("SELECT doc_id, canary, source_id FROM bs_canary")
+        .as[(Long, String, Option[Long])].collect().toSet
+      assert(got === batch)
+    } finally q.stop()
+  }
+
   test("map-only curation (decontamination, boilerplate strip) is batch≡stream") {
     val session = spark
     import session.implicits._
