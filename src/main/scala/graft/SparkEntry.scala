@@ -2542,6 +2542,65 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // nightly-delta D4: materialize the D4 state (frozen IVF centroids
+    // + cell-partitioned survivor scores) over the natural embeddings,
+    // then ingest planted exact copies as the incremental batch —
+    // copies co-cluster with their originals under the frozen
+    // assignment and lose the SemDeDup tie (lower id keeps), so the
+    // survivor set stays exactly the naturals; the global prune count
+    // is ceil(0.7 * n) and incremental == frozen-assignment rebuild is
+    // pinned as a set-equality boolean (the q_d4_pipeline oracle
+    // pattern: counts + rule booleans, never survivor id sums)
+    "q_d4_incremental" -> ((s: SparkSession, dir: String) => {
+      val emb = t(s, dir, "embeddings").select(F.col("vec_id"), F.col("embedding"))
+      val copies = emb.filter(F.col("vec_id") < 50)
+        .select((F.col("vec_id") + 100000L).as("vec_id"), F.col("embedding"))
+      val path = System.getProperty("java.io.tmpdir") + "/graft_q_d4_inc"
+      // stale-state hazard: the index append is not idempotent across
+      // verify re-runs — always start from a clean directory
+      val root = new org.apache.hadoop.fs.Path(path)
+      val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(root)) fs.delete(root, true)
+      graft.pipeline.Diversity.d4Materialize(
+        emb, "vec_id", "embedding", path, keepFraction = 0.7,
+        nClusters = 16, dedupThreshold = 0.99)
+      val kept = graft.pipeline.Diversity.d4Incremental(
+          s, path, copies, "vec_id", "embedding", keepFraction = 0.7,
+          dedupThreshold = 0.99)
+        .localCheckpoint(eager = false)
+      val scored = s.read.parquet(s"$path/scored")
+        .select(F.col("vec_id"), F.col("proto_score"))
+        .localCheckpoint(eager = false)
+      val nInput = emb.count() + copies.count()
+      val n1 = scored.count()
+      val survIds = scored.select("vec_id")
+      val keptNatural =
+        survIds.exceptAll(emb.select("vec_id")).isEmpty &&
+        emb.select("vec_id").exceptAll(survIds).isEmpty
+      val n2 = kept.count()
+      val pruneOk = scored
+        .join(kept.withColumn("__k", F.lit(1)), Seq("vec_id"), "left")
+        .agg(
+          F.max(F.when(F.col("__k").isNotNull,
+            F.struct(F.col("proto_score"), F.col("vec_id")))).as("__mx"),
+          F.min(F.when(F.col("__k").isNull,
+            F.struct(F.col("proto_score"), F.col("vec_id")))).as("__mn"))
+        .select(F.coalesce(F.col("__mx") < F.col("__mn"), F.lit(true)))
+        .head().getBoolean(0)
+      val rebuilt = graft.pipeline.Diversity.d4RebuildFrozen(
+        s, s"$path/index", emb.union(copies), "vec_id", "embedding",
+        keepFraction = 0.7, dedupThreshold = 0.99).keptIds
+      val matchesRebuild = kept.exceptAll(rebuilt).isEmpty &&
+        rebuilt.exceptAll(kept).isEmpty
+      s.range(1).select(
+        F.lit(nInput).as("n_input"),
+        F.lit(n1).as("n_semdedup"),
+        F.lit(n2).as("n_pruned"),
+        F.lit(keptNatural).as("semdedup_kept_natural"),
+        F.lit(pruneOk).as("prune_rule_ok"),
+        F.lit(matchesRebuild).as("matches_rebuild"))
+    }),
+
     // contamination AUDIT TRAIL: which benchmark item each document
     // shares >= 1 distinct 8-gram with, and how many. Hash-join counts
     // equal text-join counts absent 64-bit collisions (~n²/2^64), so
@@ -6765,6 +6824,15 @@ object SparkEntry {
         |       true AS semdedup_kept_natural,
         |       true AS prune_rule_ok,
         |       true AS mix_rule_ok
+        |FROM embeddings""".stripMargin,
+    "q_d4_incremental" ->
+      """SELECT CAST(count(*) + sum(CASE WHEN vec_id < 50 THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_input,
+        |       count(*) AS n_semdedup,
+        |       CAST(ceil(0.7 * count(*)) AS BIGINT) AS n_pruned,
+        |       true AS semdedup_kept_natural,
+        |       true AS prune_rule_ok,
+        |       true AS matches_rebuild
         |FROM embeddings""".stripMargin,
     "q_dedup_keepbest" ->
       """WITH n AS (SELECT doc_id,  n_chars,

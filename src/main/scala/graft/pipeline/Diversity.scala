@@ -226,7 +226,28 @@ object Diversity {
     require(nClusters >= 1, s"nClusters must be >= 1, got $nClusters")
     val idx = Similarity.buildIvfIndex(
       df.filter(F.col(vecCol).isNotNull), idCol, vecCol, nClusters, iterations)
-    val cB = df.sparkSession.sparkContext.broadcast(idx.centroids)
+    val scored = scoredSurvivors(
+        idx.assigned, idx.centroids, idCol, dedupThreshold, maxCluster)
+      .localCheckpoint(eager = false)
+    val dedupedIds = scored.select(idCol).localCheckpoint(eager = false)
+    val keptIds = keepLeastPrototypicalGlobal(scored, idCol, keepFraction)
+      .localCheckpoint(eager = false)
+    D4Result(dedupedIds, scored, keptIds)
+  }
+
+  /** The shared D4 core over a (neighbor_id, __cv, __cell) assignment
+    * and its (frozen or just-trained) centroids: centroid-similarity
+    * score every row, run the SemDeDup drop, and return the SURVIVOR
+    * scores (idCol, cell, proto_score) — one pass feeding both stages
+    * (scores are parallel float sums only at training time; given
+    * fixed centroids the csim arithmetic is deterministic). */
+  private def scoredSurvivors(
+      assignedRows: DataFrame,
+      centroids: Array[Array[Float]],
+      idCol: String,
+      dedupThreshold: Double,
+      maxCluster: Int): DataFrame = {
+    val cB = assignedRows.sparkSession.sparkContext.broadcast(centroids)
     val csimU = F.udf((v: Array[Float], cell: Int) => {
       val c = cB.value(cell)
       var dot = 0.0; var na = 0.0; var nb = 0.0
@@ -237,24 +258,151 @@ object Diversity {
       }
       if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
     })
-    val assigned = idx.assigned
+    val assigned = assignedRows
       .select(F.col("neighbor_id").as("__id"), F.col("__cv"), F.col("__cell"))
       .withColumn("__csim", csimU(F.col("__cv"), F.col("__cell")))
       .localCheckpoint(eager = false)
     val dropped = Dedup.semanticDroppedIds(assigned, dedupThreshold, maxCluster)
-    val dedupedIds = assigned.select(F.col("__id"))
+    assigned
       .join(dropped, Seq("__id"), "left_anti")
-      .select(F.col("__id").as(idCol))
-      .localCheckpoint(eager = false)
-    // survivors keep the scores the shared pass already computed
-    val scored = assigned
-      .join(dedupedIds.select(F.col(idCol).as("__id")), Seq("__id"))
       .select(F.col("__id").as(idCol), F.col("__cell").as("cell"),
         F.col("__csim").as("proto_score"))
+  }
+
+  private def readScored(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      idCol: String): DataFrame =
+    spark.read.parquet(s"$path/scored")
+      .withColumn("cell", F.col("cell").cast("int"))
+      .select(idCol, "cell", "proto_score")
+
+  /**
+   * Materialized D4 state — the one-off pass behind [[d4Incremental]]:
+   * train + save the IVF index (frozen centroids, cell-partitioned
+   * assignment) under `path/index`, run both D4 stages, persist the
+   * survivor score table PARTITIONED BY cell under `path/scored`, and
+   * return the kept ids. Nightly batches then ride [[d4Incremental]];
+   * re-run materialize when drift telemetry says the embedding
+   * distribution left the centroids behind (the
+   * [[Similarity.appendToIvfIndex]] contract).
+   */
+  def d4Materialize(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String,
+      keepFraction: Double,
+      nClusters: Int = 16,
+      dedupThreshold: Double = 0.97,
+      iterations: Int = 2,
+      maxCluster: Int = Dedup.DefaultMaxBucket): DataFrame = {
+    require(nClusters >= 1, s"nClusters must be >= 1, got $nClusters")
+    val spark = df.sparkSession
+    Similarity.buildIvfIndex(
+        df.filter(F.col(vecCol).isNotNull), idCol, vecCol, nClusters, iterations)
+      .save(s"$path/index")
+    // derive from the RELOADED index so materialize and every later
+    // increment read the identical parquet-round-tripped floats
+    val idx = Similarity.loadIvfIndex(spark, s"$path/index")
+    scoredSurvivors(idx.assigned, idx.centroids, idCol, dedupThreshold,
+        maxCluster)
+      .write.partitionBy("cell").mode("overwrite").parquet(s"$path/scored")
+    keepLeastPrototypicalGlobal(readScored(spark, path, idCol), idCol,
+      keepFraction)
+  }
+
+  /**
+   * Incremental (nightly-delta) D4 over the state [[d4Materialize]]
+   * persisted: assign the fresh batch to the FROZEN centroids and
+   * append it to the index (the [[Similarity.appendToIvfIndex]]
+   * pattern — no re-clustering, no history rewrite), then re-derive
+   * SemDeDup keepers and survivor scores for the TOUCHED CELLS ONLY
+   * (cells that received a batch vector — untouched cells' membership,
+   * pairs, keepers and scores are provably unchanged) and dynamically
+   * overwrite exactly those cell partitions of `path/scored`. The
+   * global prune boundary re-derives over the merged score table
+   * (an aggregation over score GROUPS — no re-scoring).
+   *
+   * EXACTLY equals [[d4RebuildFrozen]] over history ∪ batch
+   * (IncrementalD4Spec + the q_d4_incremental gate pin it): frozen
+   * centroids make assignment and csim deterministic, so only touched
+   * cells can differ — and those are recomputed in full. Note a kept
+   * HISTORY doc can be displaced by a new arrival (a lower-(csim, id)
+   * cluster member or a shifted prune boundary) — this operator
+   * maintains the corpus-curation VIEW; for immutable shipped
+   * training splits use
+   * [[graft.pipeline.Dedup.incrementalLeakFreeSplits]]'s
+   * quarantine semantics instead.
+   *
+   * Single-maintainer, NOT idempotent on replay (the index append
+   * lands twice); wrap in the caller's job-level exactly-once. At
+   * 100 TB: nightly cost = the batch assignment + the pair join
+   * inside touched cells (capped by maxCluster) + one aggregate over
+   * the score table — history vectors outside touched cells are
+   * never read.
+   */
+  def d4Incremental(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      keepFraction: Double,
+      dedupThreshold: Double = 0.97,
+      maxCluster: Int = Dedup.DefaultMaxBucket): DataFrame = {
+    val idx = Similarity.appendToIvfIndex(
+      spark, s"$path/index", batch, idCol, vecCol)
+    val cB = spark.sparkContext.broadcast(idx.centroids)
+    val cellU = F.udf((v: Array[Float]) =>
+      Similarity.nearestCentroid(cB.value, v))
+    // the touched-cell set is bounded by nlist — driver-side is fine
+    val touched = batch.filter(F.col(vecCol).isNotNull)
+      .select(cellU(F.col(vecCol)).as("__cell")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    if (touched.nonEmpty) {
+      val touchedAssigned =
+        idx.assigned.filter(F.col("__cell").isInCollection(touched))
+      // every nonempty cell keeps >= 1 survivor (SemDeDup keeps one
+      // member per duplicate cluster; capped cells skip dedup), so the
+      // dynamic overwrite below never leaves a stale partition behind
+      scoredSurvivors(touchedAssigned, idx.centroids, idCol, dedupThreshold,
+          maxCluster)
+        .write.partitionBy("cell")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite").parquet(s"$path/scored")
+    }
+    keepLeastPrototypicalGlobal(readScored(spark, path, idCol), idCol,
+      keepFraction)
+  }
+
+  /** The frozen-assignment REBUILD reference: assign `corpus` to the
+    * saved index's frozen centroids and run both D4 stages over every
+    * cell from scratch — the semantics [[d4Incremental]] must equal
+    * (and the spec proves it does). O(corpus) per call; use it to
+    * re-derive the view after manual index surgery, not nightly. */
+  def d4RebuildFrozen(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      keepFraction: Double,
+      dedupThreshold: Double = 0.97,
+      maxCluster: Int = Dedup.DefaultMaxBucket): D4Result = {
+    val centroids = Similarity.loadIvfIndex(spark, indexPath).centroids
+    val cB = spark.sparkContext.broadcast(centroids)
+    val cellU = F.udf((v: Array[Float]) =>
+      Similarity.nearestCentroid(cB.value, v))
+    val assigned = corpus.filter(F.col(vecCol).isNotNull)
+      .select(F.col(idCol).as("neighbor_id"), F.col(vecCol).as("__cv"),
+        cellU(F.col(vecCol)).as("__cell"))
+    val scored = scoredSurvivors(assigned, centroids, idCol, dedupThreshold,
+        maxCluster)
       .localCheckpoint(eager = false)
-    val keptIds = keepLeastPrototypicalGlobal(scored, idCol, keepFraction)
-      .localCheckpoint(eager = false)
-    D4Result(dedupedIds, scored, keptIds)
+    D4Result(scored.select(idCol),
+      scored,
+      keepLeastPrototypicalGlobal(scored, idCol, keepFraction))
   }
 
   def keepLeastPrototypicalGlobal(

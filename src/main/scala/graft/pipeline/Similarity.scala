@@ -411,7 +411,7 @@ object Similarity {
     centroids
   }
 
-  private def nearestCentroid(cs: Array[Array[Float]], v: Array[Float]): Int = {
+  private[pipeline] def nearestCentroid(cs: Array[Array[Float]], v: Array[Float]): Int = {
     var best = 0
     var bestD = Double.MaxValue
     var c = 0

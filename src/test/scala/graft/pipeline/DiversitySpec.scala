@@ -169,4 +169,49 @@ class DiversitySpec extends SparkTestBase {
     assert(Diversity.d4Pipeline(corpus, "vec_id", "embedding", 0.6,
       nClusters = 8, dedupThreshold = 0.99).count() === kept.size.toLong)
   }
+
+  test("d4Incremental equals the frozen-assignment rebuild, batch by batch") {
+    val emb = sf("sf0.001", "embeddings")
+      .filter(F.col("embedding").isNotNull)
+      .select(F.col("vec_id"), F.col("embedding"))
+    val hist = emb.filter(F.col("vec_id") % 3 =!= 0)
+    // batch 1: the fresh slice PLUS exact copies of 20 history vectors
+    // (shifted ids) — copies co-cluster with their originals under the
+    // frozen assignment, so SemDeDup keepers must be re-derived, and a
+    // displaced keeper shifts the global prune boundary
+    val copies = hist.filter(F.col("vec_id") < 60)
+      .select((F.col("vec_id") + 100000L).as("vec_id"), F.col("embedding"))
+    val batch1 = emb.filter(F.col("vec_id") % 3 === 0).union(copies)
+    // batch 2: a second night — copies of batch-1 arrivals (ids +200000)
+    val batch2 = batch1.filter(F.col("vec_id") % 7 === 1)
+      .select((F.col("vec_id") + 200000L).as("vec_id"), F.col("embedding"))
+
+    val path = java.nio.file.Files.createTempDirectory("graft_d4_inc").toString
+    val kept0 = Diversity.d4Materialize(hist, "vec_id", "embedding", path,
+      keepFraction = 0.6, nClusters = 8, dedupThreshold = 0.99)
+      .as[Long].collect().toSet
+    // materialize == rebuild over history alone (same frozen centroids)
+    val rb0 = Diversity.d4RebuildFrozen(spark, s"$path/index", hist,
+      "vec_id", "embedding", 0.6, 0.99).keptIds.as[Long].collect().toSet
+    assert(kept0 === rb0 && kept0.nonEmpty)
+
+    val kept1 = Diversity.d4Incremental(spark, path, batch1,
+      "vec_id", "embedding", 0.6, 0.99).as[Long].collect().toSet
+    val rb1 = Diversity.d4RebuildFrozen(spark, s"$path/index",
+      hist.union(batch1), "vec_id", "embedding", 0.6, 0.99)
+      .keptIds.as[Long].collect().toSet
+    assert(kept1 === rb1)
+    // SemDeDup under the hood: every planted copy loses to its natural
+    // original (tie on csim, lower id keeps), so no +100000 id whose
+    // original exists can be kept before its original is scored
+    assert(!kept1.exists(id => id >= 100000L && id < 200000L &&
+      !rb1.contains(id)), "incremental invented survivors")
+
+    val kept2 = Diversity.d4Incremental(spark, path, batch2,
+      "vec_id", "embedding", 0.6, 0.99).as[Long].collect().toSet
+    val rb2 = Diversity.d4RebuildFrozen(spark, s"$path/index",
+      hist.union(batch1).union(batch2), "vec_id", "embedding", 0.6, 0.99)
+      .keptIds.as[Long].collect().toSet
+    assert(kept2 === rb2)
+  }
 }
