@@ -4083,6 +4083,53 @@ object SparkEntry {
         .orderBy(F.col("source"))
     }),
 
+    // subword-regularization sampling (Kudo 2018 n-best/alpha): each
+    // word draws from its n-best segmentation list under the
+    // alpha-scaled distribution, seeded per (doc, word position) like
+    // the md5 sampling rules. Invariant-boolean oracle: every sample
+    // reconstructs, piece counts stay within [n_words, n_chars],
+    // replaying the seed reproduces the corpus bit-for-bit, and at
+    // alpha=0.1 the sampler leaves the Viterbi argmax somewhere in the
+    // corpus (the distribution-shift pin, computed at the fixed seed)
+    "q_tokenize_unigram_sampled" -> ((s: SparkSession, dir: String) => {
+      val docs = t(s, dir, "documents")
+      val model = graft.pipeline.UnigramLm.learn(
+        docs, "text", vocabSize = 512, iters = 2)
+      val words = F.filter(F.split(F.col("text"), "\\s+"),
+        (x: org.apache.spark.sql.Column) => F.length(x) > 0)
+      def sampleRun(out: String) = graft.pipeline.UnigramLm.tokenizeSampled(
+          docs, "doc_id", "text", model, alpha = 0.1, nBest = 4, seed = 7L,
+          outCol = out)
+        .select(F.col("doc_id"), F.col(out))
+      val vit = graft.pipeline.UnigramLm.tokenize(docs, "text", model, "vtokens")
+        .select(F.col("doc_id"), F.col("vtokens"))
+      val joined = docs.select(F.col("doc_id"), F.col("source"), F.col("text"),
+          F.size(words).as("__nw"),
+          F.length(F.regexp_replace(F.col("text"), "\\s+", "")).as("__nc"))
+        .join(sampleRun("tokens"), "doc_id")
+        .join(sampleRun("tokens2"), "doc_id")
+        .join(vit, "doc_id")
+        .localCheckpoint(false)
+      val shifted = joined
+        .filter(F.col("text").isNotNull && !(F.col("tokens") <=> F.col("vtokens")))
+        .limit(1).count() > 0
+      joined.groupBy(F.col("source"))
+        .agg(
+          F.count(F.lit(1)).as("docs"),
+          (F.sum(F.when(F.col("text").isNull, 0L)
+            .when(F.concat_ws("", F.col("tokens")) <=>
+              F.regexp_replace(F.col("text"), "\\s+", ""), 0L).otherwise(1L)) === 0L)
+            .as("reconstructs"),
+          (F.sum(F.when(F.col("text").isNull, 0L)
+            .when(F.size(F.col("tokens")) >= F.col("__nw") &&
+              F.size(F.col("tokens")) <= F.col("__nc"), 0L).otherwise(1L)) === 0L)
+            .as("bounds_ok"),
+          (F.sum(F.when(F.col("tokens") <=> F.col("tokens2"), 0L).otherwise(1L))
+            === 0L).as("deterministic"))
+        .withColumn("shifted", F.lit(shifted))
+        .orderBy(F.col("source"))
+    }),
+
     // WordPiece (BERT-style) tokenizer: greedy longest-match against a
     // corpus-learned ##-marked piece vocabulary. Greedy matching is
     // non-SQL-expressible, so the oracle pins invariants computed
@@ -8066,6 +8113,10 @@ object SparkEntry {
         """SELECT source, count(*) AS docs, true AS reconstructs,
           |       true AS no_unk, true AS ge_one_piece_per_word,
           |       true AS vocab_in_budget
+          |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+      "q_tokenize_unigram_sampled" ->
+        """SELECT source, count(*) AS docs, true AS reconstructs,
+          |       true AS bounds_ok, true AS deterministic, true AS shifted
           |FROM documents GROUP BY source ORDER BY source""".stripMargin,
       "q_quality_classifier" ->
         """SELECT CAST(2 * count(*) AS BIGINT) AS held_out, true AS holdout_acc_ok

@@ -213,6 +213,161 @@ object UnigramLm {
     docs.withColumn(outCol, tokU(F.col(textCol)))
   }
 
+  /**
+   * The `n` best segmentations of one word with their summed piece
+   * log-likelihoods, best first — the lattice n-best DP behind
+   * subword-regularization sampling (Kudo 2018 §3). Per position the
+   * DP keeps the n best (score, last-piece, predecessor-rank)
+   * hypotheses; tie order matches [[viterbiSegment]]'s longer-piece
+   * preference, so element 0 scores exactly `viterbiScore`. Unknown
+   * characters fall back to single-char `unkScore` pieces like the
+   * 1-best path. O(len · maxPieceLen · n log n).
+   */
+  def nbestSegmentations(
+      model: Model, word: String, n: Int): Array[(Array[String], Double)] = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val len = word.length
+    if (len == 0) return Array((Array.empty[String], 0.0))
+    // hyps(i): up to n (score, lastPieceLen, prevRank), best first
+    val hyps = new Array[Array[(Double, Int, Int)]](len + 1)
+    hyps(0) = Array((0.0, 0, -1))
+    var i = 1
+    while (i <= len) {
+      val cand = scala.collection.mutable.ArrayBuffer.empty[(Double, Int, Int)]
+      var l = 1
+      val lMax = math.min(model.maxPieceLen, i)
+      while (l <= lMax) {
+        val piece = word.substring(i - l, i)
+        val p = model.pieces.get(piece) match {
+          case Some(lp) => lp
+          case None => if (l == 1) model.unkScore else Double.NaN
+        }
+        if (!p.isNaN) {
+          val prev = hyps(i - l)
+          var r = 0
+          while (r < prev.length) { cand += ((prev(r)._1 + p, l, r)); r += 1 }
+        }
+        l += 1
+      }
+      hyps(i) = cand.sortBy { case (s, pl, pr) => (-s, -pl, pr) }
+        .take(n).toArray
+      i += 1
+    }
+    hyps(len).map { top =>
+      val pieces = scala.collection.mutable.ArrayBuffer.empty[String]
+      var at = len
+      var cur = top
+      while (at > 0) {
+        val l = cur._2
+        pieces += word.substring(at - l, at)
+        at -= l
+        if (at > 0) cur = hyps(at)(cur._3)
+      }
+      (pieces.reverseIterator.toArray, top._1)
+    }
+  }
+
+  /** Sample one segmentation from the n-best list with probability
+    * ∝ exp(alpha · logP) (P^α re-normalized over the list — the
+    * paper's l-best approximation of the α-scaled posterior):
+    * `alpha = 0` is uniform over the list, large alpha degenerates to
+    * Viterbi. `u` ∈ [0, 1) is the CALLER's uniform draw, so the choice
+    * is replayable from the seed rule alone. */
+  def sampleSegment(
+      model: Model,
+      word: String,
+      alpha: Double,
+      nBest: Int,
+      u: Double): Array[String] =
+    sampleFrom(nbestSegmentations(model, word, nBest), alpha, u)
+
+  private def sampleFrom(
+      cands: Array[(Array[String], Double)],
+      alpha: Double,
+      u: Double): Array[String] = {
+    if (cands.length == 1) return cands(0)._1
+    val best = cands(0)._2
+    val w = cands.map { case (_, ll) => math.exp(alpha * (ll - best)) }
+    val total = w.sum
+    val target = u * total
+    var acc = 0.0
+    var k = 0
+    while (k < cands.length - 1 && acc + w(k) <= target) { acc += w(k); k += 1 }
+    cands(k)._1
+  }
+
+  /** The deterministic per-(doc, word-position) uniform draw — the
+    * tokenization sibling of the md5 sampling rules: replaying the
+    * same (seed, id, pos) always redraws the same u, so a sampled
+    * corpus is reproducible from the seed alone. */
+  private[pipeline] def positionUniform(seed: Long, id: Long, pos: Int): Double = {
+    val h = TextFunctions.mix64(
+      seed ^ TextFunctions.mix64(id * 0x9E3779B97F4A7C15L + pos))
+    (h >>> 11).toDouble / (1L << 53).toDouble
+  }
+
+  /**
+   * Subword-regularization tokenization ([[tokenize]]'s sampled
+   * sibling, Kudo 2018): each whitespace word draws a segmentation
+   * from its n-best list under the α-scaled distribution instead of
+   * always emitting the argmax — the training-time augmentation that
+   * exposes a model to alternative subword splits. The draw is seeded
+   * DETERMINISTICALLY per (document id, word position), so re-running
+   * the pipeline reproduces the same corpus (no RNG state, no
+   * shuffle-order sensitivity) while distinct positions of the same
+   * word still sample independently.
+   *
+   * Map-only corpus scan: broadcast model, per-thread LRU memoizing
+   * each word's N-BEST LIST (position-independent — only the draw
+   * varies by position). NULL text -> NULL.
+   */
+  def tokenizeSampled(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      model: Model,
+      alpha: Double = 0.2,
+      nBest: Int = 8,
+      seed: Long = 0L,
+      outCol: String = "tokens"): DataFrame = {
+    require(alpha >= 0.0, s"alpha must be >= 0, got $alpha")
+    require(nBest >= 1, s"nBest must be >= 1, got $nBest")
+    val bc = docs.sparkSession.sparkContext.broadcast(model)
+    val sep = java.util.regex.Pattern.compile("\\s+")
+    val tokU = F.udf(new Function2[java.lang.Long, String, Array[String]]
+        with Serializable {
+      @transient private lazy val memo = ThreadLocal.withInitial(
+        new java.util.function.Supplier[
+            java.util.LinkedHashMap[String, Array[(Array[String], Double)]]] {
+          def get() =
+            new java.util.LinkedHashMap[String, Array[(Array[String], Double)]](
+                1 << 12, 0.75f, true) {
+              override def removeEldestEntry(
+                  e: java.util.Map.Entry[String, Array[(Array[String], Double)]])
+                  : Boolean = size() > 65536
+            }
+        })
+      def apply(id: java.lang.Long, t: String): Array[String] =
+        if (t == null || id == null) null
+        else {
+          val m = memo.get()
+          var pos = 0
+          sep.split(t).iterator.filter(_.nonEmpty).flatMap { w =>
+            var nb = m.get(w)
+            if (nb == null) {
+              nb = nbestSegmentations(bc.value, w, nBest)
+              m.put(w, nb)
+            }
+            val out = sampleFrom(nb, alpha,
+              positionUniform(seed, id.longValue(), pos))
+            pos += 1
+            out
+          }.toArray
+        }
+    })
+    docs.withColumn(outCol, tokU(F.col(idCol).cast("long"), F.col(textCol)))
+  }
+
   /** Corpus Viterbi log-likelihood per word occurrence under `model` —
     * the EM progress metric (one map over the word table + a scalar
     * aggregate; higher is better). */

