@@ -3703,6 +3703,51 @@ object SparkEntry {
         F.lit(hits >= (trueCnt * 0.6).ceil.toLong).as("recall_ok"))
     }),
 
+    // embedding ANN: OPQ-rotated IVF-PQ — the learned orthogonal
+    // rotation is part of the index; corpus and queries rotate into
+    // the same space, so cell recall is preserved while PQ code
+    // fidelity improves on correlated data (PqSpec proves the error
+    // cut on an anisotropic fixture; this synthetic corpus is
+    // isotropic, so the gate pins recall + the orthogonality invariant)
+    "q_embed_opq" -> ((s: SparkSession, dir: String) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(F.col("vec_id") < 5)
+      val exact = graft.pipeline.Similarity
+        .bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+        .select(F.col("query_id"), F.col("neighbor_id"))
+      val pq = graft.pipeline.ProductQuantization
+      val idx = pq.buildOpqIvfPq(emb, "vec_id", "embedding",
+        nlist = 16, m = 16, ksub = 16, iterations = 2, opqIters = 4)
+      val approx = pq
+        .opqIvfPqTopK(idx, emb, queries, "vec_id", "embedding", 5,
+          nprobe = 8, poolSize = 100)
+        .select(F.col("query_id"), F.col("neighbor_id"))
+      val dim = idx.rotation.length
+      var maxDev = 0.0
+      var i = 0
+      while (i < dim) {
+        var j = 0
+        while (j < dim) {
+          var acc = 0.0
+          var k2 = 0
+          while (k2 < dim) {
+            acc += idx.rotation(i)(k2).toDouble * idx.rotation(j)(k2).toDouble
+            k2 += 1
+          }
+          val dev = math.abs(acc - (if (i == j) 1.0 else 0.0))
+          if (dev > maxDev) maxDev = dev
+          j += 1
+        }
+        i += 1
+      }
+      val trueCnt = exact.count()
+      val hits = exact.intersect(approx).count()
+      s.range(1).select(
+        F.lit(trueCnt).as("exact_pairs"),
+        F.lit(hits >= (trueCnt * 0.6).ceil.toLong).as("recall_ok"),
+        F.lit(maxDev < 1e-4).as("rotation_orthogonal"))
+    }),
+
     // text statistics per source: counts, tokens, chars, languages
     "q_text_stats" -> ((s: SparkSession, dir: String) => {
       t(s, dir, "documents").groupBy(F.col("source"))
@@ -7320,6 +7365,10 @@ object SparkEntry {
     "q_embed_ivfpq" ->
       """SELECT CAST((SELECT count(*) FROM embeddings WHERE vec_id < 5) * 5 AS BIGINT)
         |  AS exact_pairs, true AS recall_ok""".stripMargin,
+    "q_embed_opq" ->
+      """SELECT CAST((SELECT count(*) FROM embeddings WHERE vec_id < 5) * 5 AS BIGINT)
+        |  AS exact_pairs, true AS recall_ok,
+        |  true AS rotation_orthogonal""".stripMargin,
     "q_embed_topk" ->
       """WITH flat AS (SELECT vec_id, r.i AS i, embedding[r.i] AS x
         |              FROM embeddings, range(1, 65) r(i)),

@@ -534,6 +534,236 @@ object ProductQuantization {
       .select("query_id", "rank", "neighbor_id", "cos")
   }
 
+  // ------------------------------------------------------------ OPQ
+
+  /**
+   * Train an OPQ rotation (Ge et al. 2014, "Optimized Product
+   * Quantization", the non-parametric alternation): an ORTHOGONAL
+   * d×d matrix R such that PQ codebooks trained on R·x quantize with
+   * lower error than on x — the rotation redistributes correlated /
+   * imbalanced variance across the m subspaces that plain PQ slices
+   * blindly. Alternation: (1) train PQ on the rotated sample,
+   * (2) R ← U·Vᵀ from the SVD of Σᵢ ŷᵢ xᵢᵀ (orthogonal Procrustes
+   * against the reconstructions ŷ), repeat. Each step is
+   * non-increasing in quantization error.
+   *
+   * Runs DRIVER-SIDE on a deterministic hash-ordered sample of at
+   * most `sampleSize` vectors (the bounded-collect discipline: OPQ
+   * training sets are conventionally ~10⁵ vectors; d×d SVDs are
+   * microseconds at embedding dims). Rotation is orthogonal, so it
+   * PRESERVES dot products, norms, cosines and cell geometry — only
+   * the PQ code fidelity changes. Returns R as d rows of d floats;
+   * identity when the sample is empty.
+   */
+  def trainOpqRotation(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      m: Int = 8,
+      ksub: Int = 16,
+      opqIters: Int = 8,
+      lloydIters: Int = 4,
+      sampleSize: Int = 65536): Array[Array[Float]] = {
+    require(ksub >= 1 && ksub <= 256, s"ksub must be in [1, 256], got $ksub")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val raw: Array[Array[Float]] = corpus
+      .filter(F.col(vecCol).isNotNull)
+      .select(F.col(idCol), F.col(vecCol))
+      .orderBy(F.abs(F.hash(F.col(idCol))), F.col(idCol))
+      .limit(sampleSize)
+      .select(F.col(vecCol)).as[Array[Float]].collect()
+    if (raw.isEmpty) return Array.empty
+    val dim = raw.map(_.length).groupBy(identity)
+      .maxBy { case (d, g) => (g.length, d) }._1
+    require(dim % m == 0, s"embedding dim $dim must be divisible by m=$m")
+    val sample = raw.filter(_.length == dim)
+    val subDim = dim / m
+
+    import breeze.linalg.{DenseMatrix, svd}
+    // X: n×d, rows are vectors
+    val n = sample.length
+    val X = DenseMatrix.tabulate(n, dim)((i, j) => sample(i)(j).toDouble)
+    var r = DenseMatrix.eye[Double](dim)
+
+    // per-subspace Lloyd over the rotated sample — plain driver loops
+    def localBooks(y: DenseMatrix[Double]): Array[Array[Array[Double]]] = {
+      Array.tabulate(m) { sub =>
+        val off = sub * subDim
+        val k = math.min(ksub, n)
+        val cents = Array.tabulate(k)(c =>
+          Array.tabulate(subDim)(j => y(c, off + j)))
+        var it = 0
+        while (it < lloydIters) {
+          val sums = Array.fill(k, subDim)(0.0)
+          val cnts = new Array[Long](k)
+          var i = 0
+          while (i < n) {
+            var best = 0; var bd = Double.MaxValue
+            var c = 0
+            while (c < k) {
+              var d2 = 0.0; var j = 0
+              while (j < subDim) {
+                val t = cents(c)(j) - y(i, off + j); d2 += t * t; j += 1
+              }
+              if (d2 < bd) { bd = d2; best = c }
+              c += 1
+            }
+            var j = 0
+            while (j < subDim) { sums(best)(j) += y(i, off + j); j += 1 }
+            cnts(best) += 1
+            i += 1
+          }
+          var c = 0
+          while (c < k) {
+            if (cnts(c) > 0) {
+              var j = 0
+              while (j < subDim) { cents(c)(j) = sums(c)(j) / cnts(c); j += 1 }
+            }
+            c += 1
+          }
+          it += 1
+        }
+        cents
+      }
+    }
+
+    var iter = 0
+    while (iter < opqIters) {
+      val y = X * r.t // rows: yᵢ = R·xᵢ
+      val books = localBooks(y)
+      // reconstructions ŷᵢ: concatenated nearest sub-centroids
+      val yhat = DenseMatrix.zeros[Double](n, dim)
+      var i = 0
+      while (i < n) {
+        var sub = 0
+        while (sub < m) {
+          val off = sub * subDim
+          val cents = books(sub)
+          var best = 0; var bd = Double.MaxValue
+          var c = 0
+          while (c < cents.length) {
+            var d2 = 0.0; var j = 0
+            while (j < subDim) {
+              val t = cents(c)(j) - y(i, off + j); d2 += t * t; j += 1
+            }
+            if (d2 < bd) { bd = d2; best = c }
+            c += 1
+          }
+          var j = 0
+          while (j < subDim) { yhat(i, off + j) = books(sub)(best)(j); j += 1 }
+          sub += 1
+        }
+        i += 1
+      }
+      // Procrustes: min_R ||X·Rᵀ − Ŷ|| → R = U·Vᵀ, U·S·Vᵀ = svd(Ŷᵀ·X)
+      val s = svd(yhat.t * X)
+      r = s.U * s.Vt
+      iter += 1
+    }
+    Array.tabulate(dim)(i => Array.tabulate(dim)(j => r(i, j).toFloat))
+  }
+
+  /** `rotation · v` as a Column — map-only, NULL/ragged input → NULL
+    * (the malformed-input discipline). An empty rotation (untrained:
+    * empty corpus) passes vectors through unchanged. */
+  def rotateCol(
+      spark: SparkSession,
+      rotation: Array[Array[Float]],
+      vec: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val rB = spark.sparkContext.broadcast(rotation)
+    val rotU = F.udf((v: Array[Float]) => {
+      val r = rB.value
+      if (v == null) null
+      else if (r.length == 0) v
+      else if (v.length != r.length) null
+      else {
+        val out = new Array[Float](r.length)
+        var i = 0
+        while (i < r.length) {
+          val row = r(i)
+          var s = 0.0
+          var j = 0
+          while (j < row.length) { s += row(j).toDouble * v(j); j += 1 }
+          out(i) = s.toFloat
+          i += 1
+        }
+        out
+      }
+    })
+    rotU(vec)
+  }
+
+  /** OPQ-rotated IVF-PQ: the rotation is part of the index — corpus
+    * and queries are rotated into the SAME space before any cell or
+    * code math, and since R is orthogonal every distance/cosine is
+    * preserved, so cell recall is untouched while the PQ codes (and
+    * with them the ADC candidate ordering) get the full OPQ fidelity
+    * gain. What that buys at 100 TB: the exact-rerank pool can shrink
+    * (pool rows are the only ones that ever touch real vectors). */
+  final case class OpqIvfPqIndex(
+      rotation: Array[Array[Float]], index: IvfPqIndex) {
+    def save(path: String): Unit = {
+      val spark = index.encoded.sparkSession
+      import spark.implicits._
+      index.save(path)
+      rotation.zipWithIndex.map { case (row, i) => (i, row) }.toSeq
+        .toDF("i", "row")
+        .repartition(1).write.mode("overwrite").parquet(s"$path/rotation")
+    }
+  }
+
+  /** Reload an index written by [[OpqIvfPqIndex.save]]. */
+  def loadOpqIvfPq(spark: SparkSession, path: String): OpqIvfPqIndex = {
+    import spark.implicits._
+    val rotation = spark.read.parquet(s"$path/rotation")
+      .orderBy("i").select("row").as[Array[Float]].collect()
+    OpqIvfPqIndex(rotation, loadIvfPq(spark, path))
+  }
+
+  /** Train the rotation, rotate the corpus, build the IVF-PQ index in
+    * rotated space. */
+  def buildOpqIvfPq(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nlist: Int = 16,
+      m: Int = 8,
+      ksub: Int = 16,
+      iterations: Int = 2,
+      opqIters: Int = 8,
+      sampleSize: Int = 65536): OpqIvfPqIndex = {
+    val rotation = trainOpqRotation(
+      corpus, idCol, vecCol, m, ksub, opqIters = opqIters,
+      sampleSize = sampleSize)
+    val spark = corpus.sparkSession
+    val rotated = corpus.withColumn(vecCol,
+      rotateCol(spark, rotation, F.col(vecCol)))
+    OpqIvfPqIndex(rotation,
+      buildIvfPq(rotated, idCol, vecCol, nlist, m, ksub, iterations))
+  }
+
+  /** [[ivfPqTopK]] through the rotation: queries AND the rerank-side
+    * corpus vectors are rotated into index space (orthogonality makes
+    * the exact rerank cosines equal the unrotated ones up to float
+    * rounding). */
+  def opqIvfPqTopK(
+      index: OpqIvfPqIndex,
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nprobe: Int = 4,
+      poolSize: Int = 50,
+      probeMass: Double = 0.0): DataFrame = {
+    val spark = index.index.encoded.sparkSession
+    def rot(df: DataFrame) = df.withColumn(vecCol,
+      rotateCol(spark, index.rotation, F.col(vecCol)))
+    ivfPqTopK(index.index, rot(corpus), rot(queries), idCol, vecCol, k,
+      nprobe, poolSize, probeMass)
+  }
+
   /**
    * ADC candidates + exact rerank: take `poolSize` candidates per
    * query by ADC score, re-attach the original vectors (a join on the

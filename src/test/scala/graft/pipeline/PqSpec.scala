@@ -167,4 +167,122 @@ class PqSpec extends SparkTestBase {
     val cb = PQ.trainPq(df, "vec_id", "embedding", m = 2, ksub = 2, iterations = 2)
     assert(cb.m === 2 && cb.subDim === 2)
   }
+
+  // ------------------------------------------------------------ OPQ
+
+  // Anisotropic fixture: latent z with a steep variance spectrum,
+  // observed through a FIXED dense rotation Q — plain PQ must quantize
+  // correlated coordinates; OPQ's learned rotation recovers (a basis
+  // equivalent to) Q^T and quantizes near-independent ones. Seeded —
+  // bit-identical across runs.
+  private def anisotropic(n: Int, dim: Int, seed: Int): Seq[(Long, Array[Float])] = {
+    val rnd = new scala.util.Random(seed)
+    // random orthogonal Q via Gram-Schmidt on a Gaussian matrix
+    val q = Array.fill(dim, dim)(rnd.nextGaussian())
+    for (i <- 0 until dim) {
+      for (j <- 0 until i) {
+        var d = 0.0
+        for (k <- 0 until dim) d += q(i)(k) * q(j)(k)
+        for (k <- 0 until dim) q(i)(k) -= d * q(j)(k)
+      }
+      val nrm = math.sqrt(q(i).map(x => x * x).sum)
+      for (k <- 0 until dim) q(i)(k) /= nrm
+    }
+    Seq.tabulate(n) { i =>
+      val z = Array.tabulate(dim)(j => rnd.nextGaussian() / (1.0 + j))
+      val x = Array.tabulate(dim) { r =>
+        var s = 0.0
+        for (k <- 0 until dim) s += q(k)(r) * z(k)
+        s.toFloat
+      }
+      (i.toLong, x)
+    }
+  }
+
+  private def quantError(
+      vecs: Seq[Array[Float]], cb: PQ.PqCodebooks): Double =
+    vecs.map { v =>
+      var err = 0.0
+      for (sub <- 0 until cb.m) {
+        val off = sub * cb.subDim
+        val best = cb.centroids(sub).map { c =>
+          var d = 0.0
+          for (j <- 0 until cb.subDim) { val t = c(j) - v(off + j); d += t * t }
+          d
+        }.min
+        err += best
+      }
+      err
+    }.sum
+
+  test("OPQ rotation is orthogonal and lowers quantization error on correlated data") {
+    val rows = anisotropic(400, 16, seed = 5)
+    val df = rows.toDF("vec_id", "embedding").repartition(4)
+    val rot = PQ.trainOpqRotation(df, "vec_id", "embedding",
+      m = 8, ksub = 8, opqIters = 8)
+    val dim = 16
+    assert(rot.length === dim && rot.forall(_.length === dim))
+    // R R^T == I
+    for (i <- 0 until dim; j <- 0 until dim) {
+      var s = 0.0
+      for (k <- 0 until dim) s += rot(i)(k).toDouble * rot(j)(k).toDouble
+      assert(math.abs(s - (if (i == j) 1.0 else 0.0)) < 1e-4,
+        s"R R^T deviates at ($i,$j): $s")
+    }
+    // deterministic retrain
+    val rot2 = PQ.trainOpqRotation(df, "vec_id", "embedding",
+      m = 8, ksub = 8, opqIters = 8)
+    assert(rot.map(_.toSeq).toSeq === rot2.map(_.toSeq).toSeq)
+    // error comparison on identical geometry
+    def rotate(v: Array[Float]) = Array.tabulate(dim) { i =>
+      var s = 0.0
+      for (j <- 0 until dim) s += rot(i)(j).toDouble * v(j)
+      s.toFloat
+    }
+    val rotatedDf = rows.map { case (id, v) => (id, rotate(v)) }
+      .toDF("vec_id", "embedding").repartition(4)
+    val cbPlain = PQ.trainPq(df, "vec_id", "embedding", m = 8, ksub = 8, iterations = 4)
+    val cbOpq = PQ.trainPq(rotatedDf, "vec_id", "embedding", m = 8, ksub = 8, iterations = 4)
+    val errPlain = quantError(rows.map(_._2), cbPlain)
+    val errOpq = quantError(rows.map(_._2).map(rotate), cbOpq)
+    assert(errOpq < errPlain * 0.9,
+      s"OPQ should cut quantization error >= 10%: plain=$errPlain opq=$errOpq")
+  }
+
+  test("OPQ IVF-PQ: exact copies found, rerank cosines match brute force, save/load") {
+    val rows = anisotropic(300, 16, seed = 9)
+    val df = rows.toDF("vec_id", "embedding").repartition(4)
+    val idx = PQ.buildOpqIvfPq(df, "vec_id", "embedding",
+      nlist = 6, m = 8, ksub = 8, iterations = 2, opqIters = 4)
+    val queries = df.filter(F.col("vec_id") < 8)
+    val got = PQ.opqIvfPqTopK(idx, df, queries, "vec_id", "embedding", 5,
+        nprobe = 6, poolSize = 300)
+      .select(F.col("query_id").cast("long"), F.col("rank"),
+        F.col("neighbor_id").cast("long"), F.col("cos"))
+      .as[(Long, Int, Long, Double)].collect()
+    // full-coverage probes + full pool == brute force ranking, and the
+    // rerank cosines are the ORIGINAL-space cosines (orthogonality)
+    val brute = Similarity.bruteForceTopK(df, queries, "vec_id", "embedding", 5)
+      .select(F.col("query_id").cast("long"), F.col("rank"),
+        F.col("neighbor_id").cast("long"), F.col("cos"))
+      .as[(Long, Int, Long, Double)].collect()
+    val gm = got.map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    val bm = brute.map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(gm.keySet === bm.keySet)
+    gm.foreach { case (k, (id, cos)) =>
+      assert(id === bm(k)._1, s"rank mismatch at $k")
+      assert(math.abs(cos - bm(k)._2) < 1e-5, s"cos drifted at $k")
+    }
+    // save/load answers identically
+    val dir = java.nio.file.Files.createTempDirectory("graft_opq").toString
+    idx.save(dir)
+    val loaded = PQ.loadOpqIvfPq(spark, dir)
+    assert(loaded.rotation.map(_.toSeq).toSeq === idx.rotation.map(_.toSeq).toSeq)
+    val got2 = PQ.opqIvfPqTopK(loaded, df, queries, "vec_id", "embedding", 5,
+        nprobe = 6, poolSize = 300)
+      .select(F.col("query_id").cast("long"), F.col("rank"),
+        F.col("neighbor_id").cast("long"))
+      .as[(Long, Int, Long)].collect().toSet
+    assert(got2 === got.map(r => (r._1, r._2, r._3)).toSet)
+  }
 }
