@@ -3980,6 +3980,46 @@ object SparkEntry {
             .as("reconstructs"))
     }),
 
+    // BPE-dropout (Provilkov 2020): per-occurrence merge dropout,
+    // draws seeded per (doc, word position, draw index) — the
+    // merge-table sibling of q_tokenize_unigram_sampled. Invariants:
+    // every sample reconstructs, the seed replays bit-for-bit, p=0
+    // equals plain tokenizeBpe exactly, and p=0.1 leaves the plain
+    // segmentation somewhere in the corpus at the fixed seed
+    "q_tokenize_bpe_dropout" -> ((s: SparkSession, dir: String) => {
+      val docs = t(s, dir, "documents")
+      val merges = graft.pipeline.Vocab.learnBpeMerges(docs, "text", 8)
+        .map(m => (m._1, m._2))
+      def run(p: Double, seed: Long, out: String) =
+        graft.pipeline.Vocab.tokenizeBpeDropout(
+            docs, "doc_id", "text", merges, p, seed, out)
+          .select(F.col("doc_id"), F.col(out))
+      val plain = graft.pipeline.Vocab.tokenizeBpe(docs, "text", merges, "ptokens")
+        .select(F.col("doc_id"), F.col("ptokens"))
+      val joined = docs.select(F.col("doc_id"), F.col("source"), F.col("text"))
+        .join(run(0.1, 7L, "tokens"), "doc_id")
+        .join(run(0.1, 7L, "tokens2"), "doc_id")
+        .join(run(0.0, 7L, "tokens0"), "doc_id")
+        .join(plain, "doc_id")
+        .localCheckpoint(false)
+      val shifted = joined
+        .filter(F.col("text").isNotNull && !(F.col("tokens") <=> F.col("ptokens")))
+        .limit(1).count() > 0
+      joined.groupBy(F.col("source"))
+        .agg(
+          F.count(F.lit(1)).as("docs"),
+          (F.sum(F.when(F.col("text").isNull, 0L)
+            .when(F.concat_ws("", F.col("tokens")) <=>
+              F.regexp_replace(F.col("text"), "\\s+", ""), 0L).otherwise(1L)) === 0L)
+            .as("reconstructs"),
+          (F.sum(F.when(F.col("tokens") <=> F.col("tokens2"), 0L).otherwise(1L))
+            === 0L).as("deterministic"),
+          (F.sum(F.when(F.col("tokens0") <=> F.col("ptokens"), 0L).otherwise(1L))
+            === 0L).as("p0_equals_plain"))
+        .withColumn("shifted", F.lit(shifted))
+        .orderBy(F.col("source"))
+    }),
+
     // tokenizer interchange: learned BPE merges+vocab exported as
     // merges.txt / vocab.json (the GPT-2 pair) and a WordPiece model
     // as vocab.txt (BERT form), reloaded, and required to reproduce
@@ -8166,6 +8206,11 @@ object SparkEntry {
       "q_tokenize_unigram_sampled" ->
         """SELECT source, count(*) AS docs, true AS reconstructs,
           |       true AS bounds_ok, true AS deterministic, true AS shifted
+          |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+      "q_tokenize_bpe_dropout" ->
+        """SELECT source, count(*) AS docs, true AS reconstructs,
+          |       true AS deterministic, true AS p0_equals_plain,
+          |       true AS shifted
           |FROM documents GROUP BY source ORDER BY source""".stripMargin,
       "q_quality_classifier" ->
         """SELECT CAST(2 * count(*) AS BIGINT) AS held_out, true AS holdout_acc_ok

@@ -513,6 +513,120 @@ object Vocab {
     docs.withColumn(outCol, tokU(F.col(textCol)))
   }
 
+  /**
+   * BPE-dropout segmentation (Provilkov et al. 2020): like
+   * [[applyBpeRanked]], but each merge OCCURRENCE is dropped with
+   * probability `p` at the moment it would apply — PERMANENTLY for
+   * that occurrence (the huggingface-tokenizers semantics: a skipped
+   * queue entry is consumed; only a neighbor merge that re-forms the
+   * pair re-queues it). Dropping where merges do not compete leaves
+   * the word partially merged — that is the point: the training-time
+   * augmentation exposes a model to coarser segmentations of the same
+   * word. `p = 0` reproduces [[applyBpeRanked]] exactly (and consumes
+   * no draws). `nextU` supplies the caller's uniform draws, so a
+   * seeded source replays the same segmentation. Occurrences pop in
+   * (rank, left-to-right insertion) order, so the walk is
+   * deterministic given the draws.
+   */
+  def applyBpeDropout(
+      ranks: Map[(String, String), Int],
+      word: String,
+      p: Double,
+      nextU: () => Double): Seq[String] = {
+    require(p >= 0.0 && p < 1.0, s"dropout p must be in [0, 1), got $p")
+    if (p == 0.0) return applyBpeRanked(ranks, word)
+    if (word.length < 2) return word.map(_.toString)
+    final class Node(var s: String) {
+      var prev: Node = null
+      var next: Node = null
+      var dead: Boolean = false
+    }
+    val head = new Node(word.charAt(0).toString)
+    var tail = head
+    var ci = 1
+    while (ci < word.length) {
+      val n = new Node(word.charAt(ci).toString)
+      n.prev = tail; tail.next = n; tail = n; ci += 1
+    }
+    // queue entries: (rank, seq, left node, expected left/right strings);
+    // stale entries (either member changed or died) are discarded on pop
+    final case class Cand(rank: Int, seq: Long, left: Node, ls: String, rs: String)
+    implicit val ord: Ordering[Cand] =
+      Ordering.by((c: Cand) => (-c.rank, -c.seq)) // PQ is a max-heap
+    val queue = scala.collection.mutable.PriorityQueue.empty[Cand]
+    var seq = 0L
+    def push(left: Node): Unit =
+      if (left != null && !left.dead && left.next != null && !left.next.dead) {
+        val r = ranks.getOrElse((left.s, left.next.s), Int.MaxValue)
+        if (r != Int.MaxValue) { queue.enqueue(Cand(r, seq, left, left.s, left.next.s)); seq += 1 }
+      }
+    var n0 = head
+    while (n0 != null) { push(n0); n0 = n0.next }
+    while (queue.nonEmpty) {
+      val c = queue.dequeue()
+      val l = c.left
+      val valid = !l.dead && l.s == c.ls && l.next != null &&
+        !l.next.dead && l.next.s == c.rs
+      if (valid && nextU() >= p) {
+        val r = l.next
+        l.s = l.s + r.s
+        r.dead = true
+        l.next = r.next
+        if (r.next != null) r.next.prev = l
+        push(l.prev)
+        push(l)
+      } // dropped or stale: the entry is consumed
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var n = head
+    while (n != null) { out += n.s; n = n.next }
+    out.toSeq
+  }
+
+  /**
+   * BPE-dropout corpus tokenization — [[tokenizeBpe]]'s sampled
+   * sibling: each whitespace word segments under per-occurrence merge
+   * dropout, with draws seeded DETERMINISTICALLY per (document id,
+   * word position, draw index) like
+   * [[UnigramLm.tokenizeSampled]]'s rule — re-running the pipeline
+   * reproduces the same corpus, while positions sample independently.
+   * No word memoization (draws are position-dependent by design);
+   * `p = 0` short-circuits to the memoized [[tokenizeBpe]].
+   */
+  def tokenizeBpeDropout(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      merges: Seq[(String, String)],
+      p: Double,
+      seed: Long = 0L,
+      outCol: String = "tokens"): DataFrame = {
+    require(p >= 0.0 && p < 1.0, s"dropout p must be in [0, 1), got $p")
+    if (p == 0.0) return tokenizeBpe(docs, textCol, merges, outCol)
+    val ranks: Map[(String, String), Int] =
+      merges.zipWithIndex.map { case (m, i) => m -> i }.toMap
+    val bc = docs.sparkSession.sparkContext.broadcast(ranks)
+    val sep = java.util.regex.Pattern.compile("\\s+")
+    val tokU = F.udf((id: java.lang.Long, t: String) =>
+      if (t == null || id == null) null
+      else {
+        var pos = 0
+        sep.split(t).iterator.filter(_.nonEmpty).flatMap { w =>
+          val base = TextFunctions.mix64(
+            seed ^ TextFunctions.mix64(id.longValue() * 0x9E3779B97F4A7C15L + pos))
+          var draw = 0L
+          val nextU = () => {
+            val h = TextFunctions.mix64(base + draw * 0xC2B2AE3D27D4EB4FL)
+            draw += 1
+            (h >>> 11).toDouble / (1L << 53).toDouble
+          }
+          pos += 1
+          applyBpeDropout(bc.value, w, p, nextU)
+        }.toArray
+      })
+    docs.withColumn(outCol, tokU(F.col(idCol).cast("long"), F.col(textCol)))
+  }
+
   /** Segment a word with a learned merge table (merges applied in
     * learned order, each left-to-right non-overlapping). */
   def applyBpe(merges: Seq[(String, String)], word: String): Seq[String] = {

@@ -346,4 +346,60 @@ class VocabSpec extends SparkTestBase {
     val o = Vocab.oovStats(sf("sf0.001", "documents"), F.col("text"), v)
     assert(o.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
   }
+
+  test("applyBpeDropout: p=0 == ranked apply; dropout reconstructs and varies") {
+    val merges = Seq(("a", "b"), ("ab", "c"), ("c", "d"), ("abc", "cd"))
+    val ranks = merges.zipWithIndex.map { case (m, i) => m -> i }.toMap
+    val word = "abccdabcd"
+    assert(Vocab.applyBpeDropout(ranks, word, 0.0, () => fail("p=0 must not draw"))
+      === Vocab.applyBpeRanked(ranks, word))
+    // a deterministic draw sequence replays the same segmentation
+    def src(seed: Long): () => Double = {
+      var i = 0L
+      () => {
+        val h = TextFunctions.mix64(seed + i * 0xC2B2AE3D27D4EB4FL)
+        i += 1
+        (h >>> 11).toDouble / (1L << 53).toDouble
+      }
+    }
+    val s1 = Vocab.applyBpeDropout(ranks, word, 0.3, src(5))
+    val s2 = Vocab.applyBpeDropout(ranks, word, 0.3, src(5))
+    assert(s1 === s2)
+    assert(s1.mkString("") === word) // any dropout path reconstructs
+    // over many seeds, dropout produces > 1 distinct segmentation and
+    // every one reconstructs; all-dropped rounds terminate via redraw
+    val segs = (0 until 64).map(s =>
+      Vocab.applyBpeDropout(ranks, word, 0.5, src(s))).toSet
+    assert(segs.size > 1, "dropout never varied the segmentation")
+    segs.foreach(seg => assert(seg.mkString("") === word))
+    // dropout never invents symbols outside the merge closure + chars
+    val closure = Set("a","b","c","d","ab","abc","cd","abccd")
+    segs.flatten.foreach(p => assert(closure.contains(p), s"alien piece $p"))
+  }
+
+  test("tokenizeBpeDropout: seeded determinism, reconstruction, p=0 fast path") {
+    val session = spark
+    import session.implicits._
+    val docs = Seq.tabulate(60)(i =>
+      (i.toLong, Seq.fill(5)("abcd").mkString(" ") + s" tail$i"))
+      .toDF("id", "text")
+    val merges = Vocab.learnBpeMerges(docs, "text", 12).map(m => (m._1, m._2))
+    def run(seed: Long, p: Double) = Vocab.tokenizeBpeDropout(
+        docs, "id", "text", merges, p, seed)
+      .orderBy("id").select("tokens").as[Seq[String]].collect().toSeq
+    val a = run(3L, 0.2)
+    assert(a === run(3L, 0.2))
+    assert(a !== run(4L, 0.2))
+    val texts = docs.orderBy("id").as[(Long, String)].collect()
+    a.zip(texts).foreach { case (toks, (_, t)) =>
+      assert(toks.mkString("") === t.replace(" ", "")) }
+    // p=0 rides the memoized plain path and equals tokenizeBpe
+    val p0 = run(9L, 0.0)
+    val plain = Vocab.tokenizeBpe(docs, "text", merges)
+      .orderBy("id").select("tokens").as[Seq[String]].collect().toSeq
+    assert(p0 === plain)
+    // dropout leaves the argmax somewhere (same word, repeated — the
+    // position-seeded draws differ)
+    assert(a !== plain)
+  }
 }
