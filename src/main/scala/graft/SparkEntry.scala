@@ -3199,6 +3199,36 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // IVF-PQ code-table append: build the OPQ index on the even half,
+    // append the odd half with frozen rotation/centroids/codebooks,
+    // then probe with exact copies of appended vectors (+100000 ids) —
+    // an identical vector shares its twin's first-probed cell and wins
+    // the exact rerank, so every planted query must return its
+    // original at rank 1 (full rows from id arithmetic)
+    "q_ivfpq_append" -> ((s: SparkSession, dir: String) => {
+      val pq = graft.pipeline.ProductQuantization
+      val emb = t(s, dir, "embeddings")
+        .filter(F.col("embedding").isNotNull)
+        .select(F.col("vec_id").cast("long").as("vec_id"), F.col("embedding"))
+      val path = System.getProperty("java.io.tmpdir") + "/graft_q_ivfpq_append"
+      // append is not replay-idempotent: always start clean
+      val root = new org.apache.hadoop.fs.Path(path)
+      val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(root)) fs.delete(root, true)
+      pq.buildOpqIvfPq(emb.filter(F.col("vec_id") % 2 === 0),
+        "vec_id", "embedding", nlist = 8, m = 16, ksub = 16,
+        iterations = 2, opqIters = 2).save(path)
+      val grown = pq.appendToOpqIvfPq(
+        s, path, emb.filter(F.col("vec_id") % 2 =!= 0), "vec_id", "embedding")
+      val queries = emb.filter(F.col("vec_id") % 2 =!= 0 && F.col("vec_id") < 10)
+        .select((F.col("vec_id") + 100000L).as("vec_id"), F.col("embedding"))
+      pq.opqIvfPqTopK(grown, emb, queries, "vec_id", "embedding", 1,
+          nprobe = 2, poolSize = 200)
+        .select(F.col("query_id"), F.col("neighbor_id").as("top1"),
+          (F.col("cos") >= 0.999999).as("found"))
+        .orderBy("query_id")
+    }),
+
     // per-source dataset card: every scalar column replays exactly in
     // DuckDB (strlen = bytes; dup = count - distinct texts; language
     // mode with the deterministic (count, tag) tie-break); the length
@@ -7409,6 +7439,12 @@ object SparkEntry {
       """SELECT CAST((SELECT count(*) FROM embeddings WHERE vec_id < 5) * 5 AS BIGINT)
         |  AS exact_pairs, true AS recall_ok,
         |  true AS rotation_orthogonal""".stripMargin,
+    "q_ivfpq_append" ->
+      """SELECT CAST(vec_id + 100000 AS BIGINT) AS query_id,
+        |       CAST(vec_id AS BIGINT) AS top1, true AS found
+        |FROM embeddings
+        |WHERE vec_id % 2 = 1 AND vec_id < 10 AND embedding IS NOT NULL
+        |ORDER BY query_id""".stripMargin,
     "q_embed_topk" ->
       """WITH flat AS (SELECT vec_id, r.i AS i, embedding[r.i] AS x
         |              FROM embeddings, range(1, 65) r(i)),

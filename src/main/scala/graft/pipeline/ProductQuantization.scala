@@ -381,6 +381,74 @@ object ProductQuantization {
   }
 
   /**
+   * Nightly IVF-PQ maintenance — the code-table sibling of
+   * [[Similarity.appendToIvfIndex]]: assign a fresh vector batch to
+   * the SAVED index's FROZEN coarse centroids, encode each residual
+   * with the FROZEN codebooks (one map-only pass, both tables
+   * broadcast), and append the rows under the touched cell partitions
+   * of `path/encoded` — the corpus index grows without re-training
+   * either quantizer and without rewriting history. NULL/ragged
+   * vectors are skipped. Returns the reloaded index over the grown
+   * table. Re-train when drift telemetry says so — appends never do.
+   */
+  def appendToIvfPq(
+      spark: SparkSession,
+      path: String,
+      fresh: DataFrame,
+      idCol: String,
+      vecCol: String): IvfPqIndex = {
+    val idx = loadIvfPq(spark, path)
+    val cB = spark.sparkContext.broadcast(idx.centroids)
+    val bB = spark.sparkContext.broadcast(idx.cb)
+    val encU = F.udf((v: Array[Float]) => {
+      val b = bB.value
+      if (v == null || v.length != b.m * b.subDim) None
+      else {
+        val cell = Similarity.nearestCentroid(cB.value, v)
+        val cc = cB.value(cell)
+        val res = new Array[Float](v.length)
+        var i = 0
+        var n2 = 0.0
+        while (i < v.length) {
+          res(i) = v(i) - (if (i < cc.length) cc(i) else 0.0f)
+          n2 += v(i).toDouble * v(i).toDouble
+          i += 1
+        }
+        val codes = new Array[Byte](b.m)
+        var sub = 0
+        while (sub < b.m) {
+          codes(sub) = nearestSub(b.centroids(sub), res, sub * b.subDim, b.subDim).toByte
+          sub += 1
+        }
+        Some((cell, codes, math.sqrt(n2)))
+      }
+    })
+    fresh
+      .select(F.col(idCol).as("neighbor_id"), encU(F.col(vecCol)).as("__e"))
+      .filter(F.col("__e").isNotNull)
+      .select(F.col("neighbor_id"), F.col("__e._1").as("__cell"),
+        F.col("__e._2").as("__code"), F.col("__e._3").as("__norm"))
+      .write.partitionBy("__cell").mode("append").parquet(s"$path/encoded")
+    loadIvfPq(spark, path)
+  }
+
+  /** [[appendToIvfPq]] through a saved OPQ rotation: the fresh batch
+    * rotates into index space first (the rotation is frozen with the
+    * rest of the geometry). */
+  def appendToOpqIvfPq(
+      spark: SparkSession,
+      path: String,
+      fresh: DataFrame,
+      idCol: String,
+      vecCol: String): OpqIvfPqIndex = {
+    val rotation = loadOpqIvfPq(spark, path).rotation
+    val rotated = fresh.withColumn(vecCol,
+      rotateCol(spark, rotation, F.col(vecCol)))
+    OpqIvfPqIndex(rotation,
+      appendToIvfPq(spark, path, rotated, idCol, vecCol))
+  }
+
+  /**
    * Query an IVF-PQ index: each query probes its `nprobe` nearest
    * cells; within a cell, dot(q, x) decomposes as dot(q, centroid) +
    * dot(q, residual), the second term read from the query's ADC

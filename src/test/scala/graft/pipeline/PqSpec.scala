@@ -285,4 +285,42 @@ class PqSpec extends SparkTestBase {
       .as[(Long, Int, Long)].collect().toSet
     assert(got2 === got.map(r => (r._1, r._2, r._3)).toSet)
   }
+
+  test("appendToOpqIvfPq: frozen-geometry growth, full coverage == brute force") {
+    val rows = anisotropic(240, 16, seed = 13)
+    val df = rows.toDF("vec_id", "embedding").repartition(4)
+    val dir = java.nio.file.Files.createTempDirectory("graft_opq_app").toString
+    PQ.buildOpqIvfPq(df.filter(F.col("vec_id") % 2 === 0), "vec_id", "embedding",
+      nlist = 5, m = 8, ksub = 8, iterations = 2, opqIters = 3).save(dir)
+    val grown = PQ.appendToOpqIvfPq(
+      spark, dir, df.filter(F.col("vec_id") % 2 =!= 0), "vec_id", "embedding")
+    assert(grown.index.encoded.count() === 240L)
+    // full coverage over the GROWN index ranks exactly like brute force
+    // over the full corpus — appended rows are correctly encoded
+    val queries = df.filter(F.col("vec_id") < 6)
+    val got = PQ.opqIvfPqTopK(grown, df, queries, "vec_id", "embedding", 5,
+        nprobe = 5, poolSize = 240)
+      .select(F.col("query_id").cast("long"), F.col("rank"),
+        F.col("neighbor_id").cast("long"))
+      .as[(Long, Int, Long)].collect().toSet
+    val brute = Similarity.bruteForceTopK(df, queries, "vec_id", "embedding", 5)
+      .select(F.col("query_id").cast("long"), F.col("rank"),
+        F.col("neighbor_id").cast("long"))
+      .as[(Long, Int, Long)].collect().toSet
+    assert(got === brute)
+    // an exact copy of an APPENDED vector finds its original at rank 1
+    // even at nprobe = 1 (identical rotated vectors share a cell)
+    val planted = df.filter(F.col("vec_id") % 2 =!= 0 && F.col("vec_id") < 8)
+      .select((F.col("vec_id") + 1000L).as("vec_id"), F.col("embedding"))
+    val hits = PQ.opqIvfPqTopK(grown, df, planted, "vec_id", "embedding", 1,
+        nprobe = 1, poolSize = 64)
+      .select(F.col("query_id").cast("long"), F.col("neighbor_id").cast("long"),
+        F.col("cos"))
+      .as[(Long, Long, Double)].collect()
+    assert(hits.length === planted.count().toInt)
+    hits.foreach { case (q, n, c) =>
+      assert(n === q - 1000L, s"copy $q found $n")
+      assert(c > 0.999999)
+    }
+  }
 }
