@@ -496,6 +496,33 @@ object Bench {
              F.count(F.lit(1)).as("docs"))
     }),
 
+    // subword-regularization tokenization: n-best sampling over the
+    // cached unigram model — position-seeded draws, per-thread n-best
+    // memo; the augmentation pass a training pipeline runs per epoch
+    "b_tokenize_sampled" -> ((s: SparkSession, dir: String) => {
+      val docs = t(s, dir, "documents")
+      val m = unigramModelCache.getOrElseUpdate(dir,
+        graft.pipeline.UnigramLm.learn(docs, "text", vocabSize = 512, iters = 2))
+      graft.pipeline.UnigramLm.tokenizeSampled(
+          docs, "doc_id", "text", m, alpha = 0.1, nBest = 4, seed = 7L)
+        .agg(F.sum(F.size(F.col("tokens"))).as("total_tokens"),
+             F.count(F.lit(1)).as("docs"))
+    }),
+
+    // BPE-dropout tokenization over the cached merge table: the
+    // merge-table sibling of b_tokenize_sampled (no word memo — draws
+    // are position-dependent by design)
+    "b_bpe_dropout" -> ((s: SparkSession, dir: String) => {
+      val docs = t(s, dir, "documents")
+      val merges = bpeMergeCache.getOrElseUpdate(dir,
+        graft.pipeline.Vocab.learnBpeMerges(docs, "text", 64)
+          .map(m => (m._1, m._2)))
+      graft.pipeline.Vocab.tokenizeBpeDropout(
+          docs, "doc_id", "text", merges, p = 0.1, seed = 7L)
+        .agg(F.sum(F.size(F.col("tokens"))).as("total_tokens"),
+             F.count(F.lit(1)).as("docs"))
+    }),
+
     // bigram cross-entropy scoring: one bigram-count exchange + pruned
     // broadcast maps + map-only scoring
     "b_lm_bigram" -> ((s: SparkSession, dir: String) =>
@@ -1109,6 +1136,43 @@ object Bench {
         .agg(F.count(F.lit(1)).as("pairs"))
     }),
 
+    // streaming perceptual media dedup: the planted variant-2 slice
+    // replayed against the persisted media hash index (decode + dHash
+    // on the stream side, popcount verify against index signatures)
+    "b_stream_media" -> ((s: SparkSession, dir: String) => {
+      val (idxPath, srcPath) = mediaStreamCache.computeIfAbsent(dir, _ => {
+        val docs = t(s, dir, "documents").select(F.col("doc_id"))
+        val ip = System.getProperty("java.io.tmpdir") + "/graft_b_stream_md_idx"
+        graft.pipeline.Dedup.saveSignatureIndex(
+          graft.pipeline.Multimodal.buildMediaHashIndex(
+            graft.pipeline.Multimodal.plantedNearDupMedia(
+              docs.filter(F.col("doc_id") % 3 =!= 2), "doc_id")), ip)
+        val sp = System.getProperty("java.io.tmpdir") + "/graft_b_stream_md_src"
+        graft.pipeline.Multimodal.plantedNearDupMedia(
+            docs.filter(F.col("doc_id") % 3 === 2), "doc_id")
+          .toDF()
+          .select(F.lit(java.sql.Timestamp.valueOf("2026-01-01 00:00:00")).as("ts"),
+            F.col("media_id"), F.col("modality"), F.col("payload"))
+          .write.mode("overwrite").parquet(sp)
+        (ip, sp)
+      })
+      val stream = s.readStream
+        .schema("ts timestamp, media_id bigint, modality string, payload binary")
+        .parquet(srcPath)
+      val out = graft.streaming.SketchStreaming.mediaDupStream(
+        stream, "ts", "media_id", "modality", "payload",
+        graft.pipeline.Dedup.loadSignatureIndex(s, idxPath),
+        watermarkDelay = "3650 days", maxHamming = 6)
+      s.catalog.dropTempView("graft_b_stream_md")
+      val q = out.writeStream
+        .outputMode("append").format("memory")
+        .queryName("graft_b_stream_md")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("graft_b_stream_md").agg(F.count(F.lit(1)).as("pairs"))
+    }),
+
     // streaming substring-span scrub: the fresh slice replayed against
     // the persisted gram index (stateless probe), merged at the sink
     "b_stream_spans" -> ((s: SparkSession, dir: String) => {
@@ -1193,6 +1257,9 @@ object Bench {
     new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
 
   private val neardupStreamCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  private val mediaStreamCache =
     new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
 
   private val streamSrcCache =

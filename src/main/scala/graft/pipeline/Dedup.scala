@@ -1457,6 +1457,11 @@ object Dedup {
       .filter(F.col("id_a") < F.col("id_b"))
       .filter(Similarity.cosine(F.col("__va"), F.col("__vb")) >= threshold)
       .select("id_a", "id_b")
+      .localCheckpoint(eager = false)
+    // the common incremental/clean-corpus case has NO qualifying pair:
+    // one limit(1) probe replaces the whole clustering round-trip
+    if (pairs.limit(1).isEmpty)
+      return assigned.select(F.col("__id")).limit(0)
     val labeled = duplicateClusters(pairs)
       .join(assigned.select(F.col("__id").as("id"), F.col("__csim")), Seq("id"))
     val keepers = labeled.groupBy(F.col("cluster"))

@@ -307,6 +307,7 @@ object Diversity {
     val idx = Similarity.loadIvfIndex(spark, s"$path/index")
     scoredSurvivors(idx.assigned, idx.centroids, idCol, dedupThreshold,
         maxCluster)
+      .repartition(F.col("cell")) // one file per cell, not per task-slice
       .write.partitionBy("cell").mode("overwrite").parquet(s"$path/scored")
     keepLeastPrototypicalGlobal(readScored(spark, path, idCol), idCol,
       keepFraction)
@@ -368,6 +369,7 @@ object Diversity {
       // dynamic overwrite below never leaves a stale partition behind
       scoredSurvivors(touchedAssigned, idx.centroids, idCol, dedupThreshold,
           maxCluster)
+        .repartition(F.col("cell"))
         .write.partitionBy("cell")
         .option("partitionOverwriteMode", "dynamic")
         .mode("overwrite").parquet(s"$path/scored")

@@ -306,7 +306,10 @@ object ProductQuantization {
     def save(path: String): Unit = {
       val spark = encoded.sparkSession
       import spark.implicits._
-      encoded.write.partitionBy("__cell").mode("overwrite")
+      // cluster each cell into one task first (the SketchView lesson:
+      // tasks x nlist small files otherwise)
+      encoded.repartition(F.col("__cell"))
+        .write.partitionBy("__cell").mode("overwrite")
         .parquet(s"$path/encoded")
       centroids.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
         .toDF("cell", "centroid")
@@ -428,6 +431,7 @@ object ProductQuantization {
       .filter(F.col("__e").isNotNull)
       .select(F.col("neighbor_id"), F.col("__e._1").as("__cell"),
         F.col("__e._2").as("__code"), F.col("__e._3").as("__norm"))
+      .repartition(F.col("__cell"))
       .write.partitionBy("__cell").mode("append").parquet(s"$path/encoded")
     loadIvfPq(spark, path)
   }

@@ -482,7 +482,12 @@ object Similarity {
     def save(path: String): Unit = {
       val spark = assigned.sparkSession
       import spark.implicits._
-      assigned.write.partitionBy("__cell").mode("overwrite")
+      // cluster each cell into one task before the partitioned write
+      // (the SketchView lesson): without it every task holds a slice
+      // of MANY cells and opens a file per slice — tasks x nlist
+      // small files that every later probe pays to list
+      assigned.repartition(F.col("__cell"))
+        .write.partitionBy("__cell").mode("overwrite")
         .parquet(s"$path/assigned")
       centroids.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
         .toDF("cell", "centroid")
@@ -531,6 +536,8 @@ object Similarity {
     fresh.filter(F.col(vecCol).isNotNull)
       .select(F.col(idCol).as("neighbor_id"), F.col(vecCol).as("__cv"),
         assignU(F.col(vecCol)).as("__cell"))
+      // one file per touched cell per append, not one per task-slice
+      .repartition(F.col("__cell"))
       .write.partitionBy("__cell").mode("append").parquet(s"$path/assigned")
     loadIvfIndex(spark, path)
   }
