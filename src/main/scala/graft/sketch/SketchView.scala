@@ -435,6 +435,51 @@ object SketchView {
 
   private val PendingFile = "_compact_pending.json"
   private val FoldStaging = "_compact_fold"
+  private val LockFile = "_compact_lock"
+
+  /** Locks older than this are presumed crashed and broken. */
+  private[graft] val CompactLockStaleMs: Long = 6L * 3600000L
+
+  /** Best-effort single-compact mutex: an exclusive create of
+    * `_compact_lock` carrying the acquire time. A second compact
+    * finding a FRESH lock fails fast instead of folding an overlapping
+    * snapshot; a lock older than [[CompactLockStaleMs]] is presumed
+    * crashed and broken (the journal protocol makes the crashed
+    * compact itself recoverable). Atomic-create semantics hold on
+    * HDFS/local; on eventually-consistent object stores this is
+    * best-effort — keep the nightly scheduler as the real mutex. */
+  private def acquireCompactLock(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): org.apache.hadoop.fs.Path = {
+    val p = new org.apache.hadoop.fs.Path(root, LockFile)
+    def tryCreate(): Boolean =
+      try {
+        val out = fs.create(p, false)
+        try out.write(java.lang.Long.toString(
+          System.currentTimeMillis()).getBytes("UTF-8"))
+        finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    if (!tryCreate()) {
+      val stale =
+        try {
+          val in = fs.open(p)
+          val b = new Array[Byte](32)
+          val n = try in.read(b) finally in.close()
+          val ts = new String(b, 0, math.max(n, 0), "UTF-8").trim.toLong
+          System.currentTimeMillis() - ts > CompactLockStaleMs
+        } catch { case _: Exception => true } // unreadable = stale
+      if (!stale)
+        throw new IllegalStateException(
+          s"another compact holds $p (fresh lock) — compact is " +
+            "single-maintainer; wait for it or remove a stale lock")
+      fs.delete(p, false)
+      if (!tryCreate())
+        throw new IllegalStateException(
+          s"lost the race re-acquiring $p after breaking a stale lock")
+    }
+    p
+  }
 
   /** Every data file currently in the view, as paths RELATIVE to the
     * view root (`__part=X/__batch=Y/part-*.parquet`) — the file-level
@@ -521,6 +566,24 @@ object SketchView {
       afterJournal: () => Unit): Unit = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lock = acquireCompactLock(fs, root)
+    try {
+      compactLocked(spark, path, keyCols, family, partSpanMs, bucket,
+        afterSnapshot, afterJournal, root, fs)
+    } finally fs.delete(lock, false)
+  }
+
+  private def compactLocked(
+      spark: SparkSession,
+      path: String,
+      keyCols: Seq[String],
+      family: ViewFamily,
+      partSpanMs: Long,
+      bucket: Option[String],
+      afterSnapshot: () => Unit,
+      afterJournal: () => Unit,
+      root: org.apache.hadoop.fs.Path,
+      fs: org.apache.hadoop.fs.FileSystem): Unit = {
     recoverPendingCompact(spark, path) // finish a crashed predecessor first
     val manifest =
       validateManifest(spark, path, family, None, partSpanMs, keyCols)

@@ -531,6 +531,36 @@ class SketchViewSpec extends SparkTestBase {
     assert(viewMap(SketchView.read(spark, dir, Seq("event_type"))) === after)
   }
 
+  test("a fresh compact lock blocks a second compact; a stale one is broken") {
+    val ev = events.limit(200)
+    val dir = java.nio.file.Files.createTempDirectory("graft_cpt_lock").toString
+    SketchView.materialize(ev, "ts", Seq("event_type"), "value", dir)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    def writeLock(ts: Long): Unit = {
+      val out = fs.create(new org.apache.hadoop.fs.Path(dir, "_compact_lock"), true)
+      try out.write(ts.toString.getBytes("UTF-8")) finally out.close()
+    }
+    // fresh lock (now): a concurrent compact fails fast
+    writeLock(System.currentTimeMillis())
+    intercept[IllegalStateException](
+      SketchView.compact(spark, dir, Seq("event_type")))
+    // stale lock (past the stale horizon): broken and compact proceeds,
+    // releasing its own lock afterwards
+    writeLock(System.currentTimeMillis() - SketchView.CompactLockStaleMs - 60000L)
+    val before = viewMap(SketchView.read(spark, dir, Seq("event_type")))
+    SketchView.compact(spark, dir, Seq("event_type"))
+    assert(viewMap(SketchView.read(spark, dir, Seq("event_type"))) === before)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir, "_compact_lock")))
+    // an in-process failure mid-compact also releases the lock
+    val fam = SketchView.ViewFamily.ddsketch()
+    final class Boom2 extends RuntimeException("mid-compact")
+    intercept[Boom2](SketchView.compactImpl(spark, dir, Seq("event_type"), fam,
+      SketchView.DefaultPartSpanMs, None,
+      afterSnapshot = () => throw new Boom2, afterJournal = () => ()))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir, "_compact_lock")))
+  }
+
   test("compact adopts a manifest for pre-manifest views when bucket is passed") {
     val ev = events.limit(200)
     val dir = java.nio.file.Files.createTempDirectory("graft_cpt_adopt").toString
