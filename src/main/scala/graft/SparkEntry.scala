@@ -3199,6 +3199,32 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // embedding-distribution drift vs a frozen IVF index — the
+    // documented re-train signal for every frozen-geometry maintenance
+    // op: an identically-distributed batch (the index's own vectors)
+    // has EXACTLY psi 0 (equal occupancy proportions term-by-term),
+    // and a batch collapsed onto one vector piles into one cell and
+    // blows past 0.5 — both pinned as booleans; counts replay in SQL
+    "q_embed_drift" -> ((s: SparkSession, dir: String) => {
+      val emb = t(s, dir, "embeddings")
+        .filter(F.col("embedding").isNotNull)
+        .select(F.col("vec_id"), F.col("embedding"))
+      val idx = graft.pipeline.Similarity.buildIvfIndex(
+        emb, "vec_id", "embedding", nlist = 16, iterations = 2)
+      val same = graft.pipeline.Drift.embeddingDrift(idx, emb, "embedding")
+        .head()
+      val skewBatch = s.range(200).crossJoin(F.broadcast(
+        emb.filter(F.col("vec_id") === 0).select(F.col("embedding"))))
+      val skew = graft.pipeline.Drift.embeddingDrift(idx, skewBatch, "embedding")
+        .head()
+      s.range(1).select(
+        F.lit(same.getLong(0)).as("n_index"),
+        F.lit(same.getLong(1)).as("n_batch"),
+        F.lit(same.getDouble(2) == 0.0).as("psi_same_zero"),
+        F.lit(skew.getLong(1) == 200L && skew.getDouble(2) > 0.5)
+          .as("psi_skew_big"))
+    }),
+
     // IVF-PQ code-table append: build the OPQ index on the even half,
     // append the odd half with frozen rotation/centroids/codebooks,
     // then probe with exact copies of appended vectors (+100000 ids) —
@@ -7439,6 +7465,11 @@ object SparkEntry {
       """SELECT CAST((SELECT count(*) FROM embeddings WHERE vec_id < 5) * 5 AS BIGINT)
         |  AS exact_pairs, true AS recall_ok,
         |  true AS rotation_orthogonal""".stripMargin,
+    "q_embed_drift" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_index,
+        |       CAST(count(*) AS BIGINT) AS n_batch,
+        |       true AS psi_same_zero, true AS psi_skew_big
+        |FROM embeddings WHERE embedding IS NOT NULL""".stripMargin,
     "q_ivfpq_append" ->
       """SELECT CAST(vec_id + 100000 AS BIGINT) AS query_id,
         |       CAST(vec_id AS BIGINT) AS top1, true AS found

@@ -214,4 +214,65 @@ object Drift {
           (F.col("count_b") - eb) * (F.col("count_b") - eb) / eb, roundTo))
           .as("contrib"))
   }
+
+  /**
+   * Embedding-distribution drift against a FROZEN IVF index — the
+   * re-train signal every frozen-geometry maintenance operator
+   * documents ([[Similarity.appendToIvfIndex]],
+   * [[ProductQuantization.appendToIvfPq]], [[Diversity.d4Incremental]]):
+   * assign the fresh batch to the index's frozen centroids (map-only,
+   * broadcast) and compute the PSI between the batch's cell-occupancy
+   * histogram and the index's own — when the embedding distribution
+   * leaves the centroids behind, fresh mass piles into few (or new
+   * regions of) cells and the PSI rises. Same add-one smoothing and
+   * `roundTo` rounding as [[psiStatistic]]; every cell 0..nlist-1 is a
+   * bin (zero-count bins smooth to 1). Returns one row
+   * (n_index, n_batch, psi). An identically-distributed batch — e.g.
+   * the index's own vectors — yields psi == 0.0 exactly when the
+   * occupancy proportions match.
+   *
+   * Scale shape: one map-only assignment of the batch + two
+   * nlist-row aggregates (the index side can be cached/reused by the
+   * caller across nights). Nothing collected beyond 2·nlist longs.
+   */
+  def embeddingDrift(
+      index: Similarity.IvfIndex,
+      batch: DataFrame,
+      vecCol: String,
+      roundTo: Int = 4): DataFrame = {
+    val spark = batch.sparkSession
+    val k = index.centroids.length
+    val cB = spark.sparkContext.broadcast(index.centroids)
+    val cellU = F.udf((v: Array[Float]) =>
+      Similarity.nearestCentroid(cB.value, v))
+    def occupancy(cells: DataFrame): Array[Long] = {
+      val occ = new Array[Long](k)
+      cells.groupBy(F.col("__cell")).agg(F.count(F.lit(1)).as("__n"))
+        .collect().foreach { r =>
+          val c = r.getInt(0)
+          if (c >= 0 && c < k) occ(c) = r.getLong(1)
+        }
+      occ
+    }
+    val occIdx = occupancy(index.assigned.select(F.col("__cell")))
+    val occBatch = occupancy(
+      batch.filter(F.col(vecCol).isNotNull)
+        .select(cellU(F.col(vecCol)).as("__cell")))
+    val nIdx = occIdx.sum
+    val nBatch = occBatch.sum
+    var psi = 0.0
+    var c = 0
+    while (c < k) {
+      val pi = (occIdx(c) + 1).toDouble / (nIdx + k)
+      val pb = (occBatch(c) + 1).toDouble / (nBatch + k)
+      psi += (pb - pi) * math.log(pb / pi)
+      c += 1
+    }
+    val rounded = BigDecimal(psi)
+      .setScale(roundTo, BigDecimal.RoundingMode.HALF_UP).toDouble
+    spark.range(1).select(
+      F.lit(nIdx).as("n_index"),
+      F.lit(nBatch).as("n_batch"),
+      F.lit(rounded).as("psi"))
+  }
 }

@@ -95,4 +95,35 @@ class DriftSpec extends SparkTestBase {
       assert(c == ec && math.abs(v - math.rint(ev * 1e4) / 1e4) < 1e-12)
     }
   }
+
+  test("embeddingDrift: hand-computed PSI, zero on identical distribution") {
+    // hand fixture: frozen centroids +x/+y, occupancies planted directly
+    val centroids = Array(Array(1f, 0f), Array(0f, 1f))
+    val assigned = Seq(
+      (1L, Array(0.9f, 0.1f), 0), (2L, Array(0.8f, 0.0f), 0),
+      (3L, Array(1.0f, 0.2f), 0), (4L, Array(0.1f, 0.9f), 1))
+      .toDF("neighbor_id", "__cv", "__cell")
+    val idx = Similarity.IvfIndex(centroids, assigned)
+    // batch occupancy (1, 3): vectors assign by nearest centroid
+    val batch = Seq(
+      Array(0.9f, 0.0f),
+      Array(0.0f, 1.0f), Array(0.1f, 0.8f), Array(0.2f, 0.9f),
+      null.asInstanceOf[Array[Float]]) // NULL skipped
+      .toDF("embedding")
+    val row = Drift.embeddingDrift(idx, batch, "embedding").head()
+    assert(row.getLong(0) === 4L && row.getLong(1) === 4L)
+    // pi = (4/6, 2/6), pb = (2/6, 4/6) with add-one smoothing (k = 2):
+    // psi = 2 * (1/3) * ln(2) = 0.4621 at 4dp
+    val expected = BigDecimal(2.0 * (1.0 / 3.0) * math.log(2.0))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(row.getDouble(2) === expected)
+    // a batch with the index's own occupancy proportions is EXACTLY 0
+    val same = assigned.select(F.col("__cv").as("embedding"))
+    assert(Drift.embeddingDrift(idx, same, "embedding")
+      .head().getDouble(2) === 0.0)
+    // collapse onto one cell: psi rises well past the same-dist zero
+    val skew = Seq.fill(20)(Array(1.0f, 0.0f)).toDF("embedding")
+    assert(Drift.embeddingDrift(idx, skew, "embedding")
+      .head().getDouble(2) > 0.3)
+  }
 }
