@@ -1283,6 +1283,43 @@ object SparkEntry {
         .orderBy("hour_ms")
     }),
 
+    // windowed EMBEDDING drift vs the frozen IVF index: window A
+    // replays the corpus itself (occupancy proportions equal the
+    // index's term-by-term -> psi EXACTLY 0), window B replays 200
+    // copies of one vector (one hot cell -> psi far past 0.5) — both
+    // pinned as booleans; counts replay in SQL
+    "q_stream_embed_drift" -> ((s: SparkSession, dir: String) => {
+      val emb = t(s, dir, "embeddings")
+        .filter(F.col("embedding").isNotNull)
+        .select(F.col("vec_id"), F.col("embedding"))
+      val idx = graft.pipeline.Similarity.buildIvfIndex(
+        emb, "vec_id", "embedding", nlist = 16, iterations = 2)
+      val a = emb.select(
+        F.lit(java.sql.Timestamp.valueOf("2026-01-01 10:00:00")).as("ts"),
+        F.col("embedding"))
+      val b = s.range(200).crossJoin(F.broadcast(
+          emb.filter(F.col("vec_id") === 0).select(F.col("embedding"))))
+        .select(F.lit(java.sql.Timestamp.valueOf("2026-01-01 12:00:00")).as("ts"),
+          F.col("embedding"))
+      val tmp = System.getProperty("java.io.tmpdir") + "/graft_q_stream_edrift_src"
+      a.unionByName(b).write.mode("overwrite").parquet(tmp)
+      val stream = s.readStream.schema(a.schema).parquet(tmp)
+      val agg = graft.streaming.SketchStreaming.embeddingDriftStream(
+        stream, "ts", "embedding", idx, "1 hour", "10 minutes")
+      s.catalog.dropTempView("graft_stream_edrift")
+      val q = agg.writeStream
+        .outputMode("complete").format("memory")
+        .queryName("graft_stream_edrift")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("graft_stream_edrift")
+        .select(F.col("n"),
+          F.when(F.col("n") === 200L, F.col("psi") > 0.5)
+            .otherwise(F.col("psi") === 0.0).as("psi_ok"))
+        .orderBy("n")
+    }),
+
     // streaming SLO gate: per-(hour, type) burn rate from the
     // windowed sketch stream, bracketed by the exact CDF at the
     // objective's ±3.5% value blur (the q_slo_burn argument)
@@ -7470,6 +7507,12 @@ object SparkEntry {
         |       CAST(count(*) AS BIGINT) AS n_batch,
         |       true AS psi_same_zero, true AS psi_skew_big
         |FROM embeddings WHERE embedding IS NOT NULL""".stripMargin,
+    "q_stream_embed_drift" ->
+      """SELECT CAST(200 AS BIGINT) AS n, true AS psi_ok
+        |UNION ALL
+        |SELECT CAST(count(*) AS BIGINT) AS n, true AS psi_ok
+        |FROM embeddings WHERE embedding IS NOT NULL
+        |ORDER BY n""".stripMargin,
     "q_ivfpq_append" ->
       """SELECT CAST(vec_id + 100000 AS BIGINT) AS query_id,
         |       CAST(vec_id AS BIGINT) AS top1, true AS found

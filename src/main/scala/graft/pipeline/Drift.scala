@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.{functions => F}
 import org.apache.spark.sql.expressions.Window
 
@@ -235,6 +235,34 @@ object Drift {
    * nlist-row aggregates (the index side can be cached/reused by the
    * caller across nights). Nothing collected beyond 2·nlist longs.
    */
+  /** The frozen index's cell-occupancy histogram (nlist longs) — the
+    * reference distribution for [[embeddingDrift]] and
+    * [[graft.streaming.SketchStreaming.embeddingDriftStream]]. One
+    * bounded nlist-row aggregate. */
+  def cellOccupancy(index: Similarity.IvfIndex): Array[Long] = {
+    val k = index.centroids.length
+    val occ = new Array[Long](k)
+    index.assigned.select(F.col("__cell"))
+      .groupBy(F.col("__cell")).agg(F.count(F.lit(1)).as("__n"))
+      .collect().foreach { r =>
+        val c = r.getInt(0)
+        if (c >= 0 && c < k) occ(c) = r.getLong(1)
+      }
+    occ
+  }
+
+  /** `nearestCentroid` of the frozen index as a Column — usable on
+    * streaming frames. NULL vectors map to NULL. */
+  def cellOf(
+      index: Similarity.IvfIndex,
+      spark: SparkSession,
+      vec: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val cB = spark.sparkContext.broadcast(index.centroids)
+    F.udf((v: Array[Float]) =>
+      if (v == null) None else Some(Similarity.nearestCentroid(cB.value, v)))
+      .apply(vec)
+  }
+
   def embeddingDrift(
       index: Similarity.IvfIndex,
       batch: DataFrame,
@@ -242,22 +270,18 @@ object Drift {
       roundTo: Int = 4): DataFrame = {
     val spark = batch.sparkSession
     val k = index.centroids.length
-    val cB = spark.sparkContext.broadcast(index.centroids)
-    val cellU = F.udf((v: Array[Float]) =>
-      Similarity.nearestCentroid(cB.value, v))
-    def occupancy(cells: DataFrame): Array[Long] = {
+    val occIdx = cellOccupancy(index)
+    val occBatch = {
       val occ = new Array[Long](k)
-      cells.groupBy(F.col("__cell")).agg(F.count(F.lit(1)).as("__n"))
+      batch.filter(F.col(vecCol).isNotNull)
+        .select(cellOf(index, spark, F.col(vecCol)).as("__cell"))
+        .groupBy(F.col("__cell")).agg(F.count(F.lit(1)).as("__n"))
         .collect().foreach { r =>
           val c = r.getInt(0)
           if (c >= 0 && c < k) occ(c) = r.getLong(1)
         }
       occ
     }
-    val occIdx = occupancy(index.assigned.select(F.col("__cell")))
-    val occBatch = occupancy(
-      batch.filter(F.col(vecCol).isNotNull)
-        .select(cellU(F.col(vecCol)).as("__cell")))
     val nIdx = occIdx.sum
     val nBatch = occBatch.sum
     var psi = 0.0

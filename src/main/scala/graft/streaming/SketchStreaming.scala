@@ -576,6 +576,39 @@ object SketchStreaming {
       graft.pipeline.Canary.scan(stream, idCol, textCol),
       releaseId, candidateIds, candidateIdCol)
 
+  /**
+   * Windowed EMBEDDING drift gate — the streaming twin of
+   * [[graft.pipeline.Drift.embeddingDrift]]: per event-time window,
+   * assign each arriving vector to the FROZEN index's nearest centroid
+   * (stateless map, broadcast centroids) and emit the window's
+   * cell-occupancy PSI against the index's own occupancy. Pure
+   * composition: the cell id IS the bin, so this rides [[driftStream]]
+   * with integer cut points between cells and the index occupancy as
+   * the reference counts — same ONE-windowed-agg state shape
+   * (nlist + 1 longs per open window), same formula as the batch form.
+   * The continuous re-train signal for frozen-geometry index
+   * maintenance (appendToIvfIndex / appendToIvfPq / d4Incremental).
+   */
+  def embeddingDriftStream(
+      stream: DataFrame,
+      tsCol: String,
+      vecCol: String,
+      index: graft.pipeline.Similarity.IvfIndex,
+      windowDuration: String,
+      watermarkDelay: String,
+      roundTo: Int = 4): DataFrame = {
+    val k = index.centroids.length
+    require(k >= 2, s"embedding drift needs >= 2 cells, got $k")
+    val spark = stream.sparkSession
+    val refCounts = graft.pipeline.Drift.cellOccupancy(index).toSeq
+    val binned = stream
+      .filter(F.col(vecCol).isNotNull)
+      .withColumn("__cellv",
+        graft.pipeline.Drift.cellOf(index, spark, F.col(vecCol)).cast("double"))
+    driftStream(binned, tsCol, "__cellv", windowDuration, watermarkDelay,
+      cuts = (1 until k).map(_ - 0.5), refCounts = refCounts, roundTo = roundTo)
+  }
+
   def dedupStream(
       stream: DataFrame,
       tsCol: String,

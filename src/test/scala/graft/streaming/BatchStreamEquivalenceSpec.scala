@@ -368,6 +368,51 @@ class BatchStreamEquivalenceSpec extends SparkTestBase {
     }
   }
 
+  test("embeddingDriftStream per-window PSI equals the batch embeddingDrift") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.pipeline.{Drift, Similarity}
+    val emb = sf("sf0.001", "embeddings")
+      .filter(F.col("embedding").isNotNull)
+      .select(F.col("vec_id"), F.col("embedding"))
+    val idx = Similarity.buildIvfIndex(emb, "vec_id", "embedding",
+      nlist = 8, iterations = 2)
+    // window A: the index's own vectors (psi exactly 0); window B: a
+    // skewed slice (every 7th vector, then 30 copies of vector 0)
+    val wA = emb.select(F.col("embedding"))
+      .as[Array[Float]].collect().map((Timestamp.valueOf("2026-01-01 10:00:00"), _))
+    val skew = emb.filter(F.col("vec_id") % 7 === 0)
+      .select(F.col("embedding")).as[Array[Float]].collect() ++
+      Array.fill(30)(emb.filter(F.col("vec_id") === 0)
+        .select(F.col("embedding")).as[Array[Float]].head())
+    val wB = skew.map((Timestamp.valueOf("2026-01-01 12:00:00"), _))
+    val input = MemoryStream[(Timestamp, Array[Float])]
+    val out = SketchStreaming.embeddingDriftStream(
+      input.toDF().toDF("ts", "embedding"), "ts", "embedding", idx,
+      "1 hour", "10 minutes")
+    val q = out.writeStream.format("memory").queryName("bs_edrift")
+      .outputMode("complete").start()
+    try {
+      input.addData((wA ++ wB).toSeq)
+      q.processAllAvailable()
+      val got = spark.sql("SELECT window.start, n, psi FROM bs_edrift")
+        .as[(Timestamp, Long, Double)].collect()
+        .map { case (w, n, p) => w.toString -> ((n, p)) }.toMap
+      assert(got.size === 2)
+      val (nA, psiA) = got("2026-01-01 10:00:00.0")
+      assert(nA === emb.count() && psiA === 0.0)
+      val (nB, psiB) = got("2026-01-01 12:00:00.0")
+      assert(nB === skew.length.toLong)
+      // batch twin on the same slice — identical formula, same 4dp
+      // (allow one rounding-boundary ulp between agg orders)
+      val batchPsi = Drift.embeddingDrift(idx,
+        skew.toSeq.toDF("embedding"), "embedding").head().getDouble(2)
+      assert(math.abs(psiB - batchPsi) <= 2e-4, s"$psiB vs $batchPsi")
+      assert(psiB > 0.0)
+    } finally q.stop()
+  }
+
   test("canaryStream scan+verify is batch≡stream (stateless, append mode)") {
     val session = spark
     import session.implicits._
