@@ -3236,6 +3236,49 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // takedown removal from persisted ANN indexes: every 37th id is
+    // removed from both the IVF assignment and the IVF-PQ code table
+    // (touched-cell dynamic overwrite); the gate pins the surviving
+    // row counts, that no removed id remains probe-able, and that
+    // exact copies of SURVIVORS still find their originals at rank 1
+    "q_index_remove" -> ((s: SparkSession, dir: String) => {
+      val sim = graft.pipeline.Similarity
+      val pq = graft.pipeline.ProductQuantization
+      val emb = t(s, dir, "embeddings")
+        .filter(F.col("embedding").isNotNull)
+        .select(F.col("vec_id").cast("long").as("vec_id"), F.col("embedding"))
+      val doomed = emb.filter(F.col("vec_id") % 37 === 0).select("vec_id")
+      val ivfPath = System.getProperty("java.io.tmpdir") + "/graft_q_idxrm_ivf"
+      val pqPath = System.getProperty("java.io.tmpdir") + "/graft_q_idxrm_pq"
+      sim.buildIvfIndex(emb, "vec_id", "embedding", nlist = 8).save(ivfPath)
+      pq.buildIvfPq(emb, "vec_id", "embedding", nlist = 8, m = 16, ksub = 16)
+        .save(pqPath)
+      val ivf = sim.removeFromIvfIndex(s, ivfPath, doomed, "vec_id")
+      val ivfpq = pq.removeFromIvfPq(s, pqPath, doomed, "vec_id")
+      val nIvf = ivf.assigned.count()
+      val nPq = ivfpq.encoded.count()
+      val absent =
+        ivf.assigned.join(F.broadcast(doomed.select(
+          F.col("vec_id").as("neighbor_id"))), "neighbor_id").isEmpty &&
+        ivfpq.encoded.join(F.broadcast(doomed.select(
+          F.col("vec_id").as("neighbor_id"))), "neighbor_id").isEmpty
+      // survivors (first 5 non-doomed ids) probe their exact copies
+      val probes = emb.filter(F.col("vec_id") % 37 =!= 0 && F.col("vec_id") < 6)
+        .select((F.col("vec_id") + 100000L).as("vec_id"), F.col("embedding"))
+      val hits = sim.ivfTopKIndexed(ivf, probes, "vec_id", "embedding", 1,
+          nprobe = 1)
+        .select(F.col("query_id"), F.col("neighbor_id"), F.col("cos"))
+        .collect()
+      val copiesFound = hits.length == probes.count() &&
+        hits.forall(r => r.getLong(1) == r.getLong(0) - 100000L &&
+          r.getDouble(2) >= 0.999999)
+      s.range(1).select(
+        F.lit(nIvf).as("n_after_ivf"),
+        F.lit(nPq).as("n_after_ivfpq"),
+        F.lit(absent).as("removed_absent"),
+        F.lit(copiesFound).as("copies_found"))
+    }),
+
     // embedding-distribution drift vs a frozen IVF index — the
     // documented re-train signal for every frozen-geometry maintenance
     // op: an identically-distributed batch (the index's own vectors)
@@ -7506,6 +7549,13 @@ object SparkEntry {
       """SELECT CAST(count(*) AS BIGINT) AS n_index,
         |       CAST(count(*) AS BIGINT) AS n_batch,
         |       true AS psi_same_zero, true AS psi_skew_big
+        |FROM embeddings WHERE embedding IS NOT NULL""".stripMargin,
+    "q_index_remove" ->
+      """SELECT CAST(sum(CASE WHEN vec_id % 37 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_after_ivf,
+        |       CAST(sum(CASE WHEN vec_id % 37 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_after_ivfpq,
+        |       true AS removed_absent, true AS copies_found
         |FROM embeddings WHERE embedding IS NOT NULL""".stripMargin,
     "q_stream_embed_drift" ->
       """SELECT CAST(200 AS BIGINT) AS n, true AS psi_ok

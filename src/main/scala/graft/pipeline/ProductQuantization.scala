@@ -436,6 +436,21 @@ object ProductQuantization {
     loadIvfPq(spark, path)
   }
 
+  /** Takedown removal from a saved IVF-PQ code table — the
+    * [[Similarity.removeFromIvfIndex]] pass over `path/encoded`
+    * (touched-cell dynamic overwrite, emptied cell dirs deleted).
+    * Works identically for plain and OPQ indexes: the rotation never
+    * touches ids. Returns the reloaded index. */
+  def removeFromIvfPq(
+      spark: SparkSession,
+      path: String,
+      ids: DataFrame,
+      idCol: String): IvfPqIndex = {
+    Similarity.removeFromCellTable(spark, s"$path/encoded",
+      loadIvfPq(spark, path).encoded, ids, idCol)
+    loadIvfPq(spark, path)
+  }
+
   /** [[appendToIvfPq]] through a saved OPQ rotation: the fresh batch
     * rotates into index space first (the rotation is frozen with the
     * rest of the geometry). */

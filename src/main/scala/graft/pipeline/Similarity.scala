@@ -542,6 +542,69 @@ object Similarity {
     loadIvfIndex(spark, path)
   }
 
+  /**
+   * Takedown / dedup-drop maintenance: REMOVE ids from a saved IVF
+   * index. One scan of the assignment finds the touched cells; only
+   * those cell partitions rewrite (anti-join against the broadcast id
+   * set, dynamic overwrite), and a cell emptied entirely has its
+   * directory deleted explicitly — dynamic overwrite writes nothing
+   * for it and would otherwise leave the stale rows behind. History
+   * outside touched cells is never rewritten. Returns the reloaded
+   * index. Single-maintainer like every other index mutation.
+   */
+  def removeFromIvfIndex(
+      spark: SparkSession,
+      path: String,
+      ids: DataFrame,
+      idCol: String): IvfIndex = {
+    removeFromCellTable(spark, s"$path/assigned",
+      loadIvfIndex(spark, path).assigned, ids, idCol)
+    loadIvfIndex(spark, path)
+  }
+
+  /** The shared touched-cell removal pass over a cell-partitioned
+    * table with a `neighbor_id` column ([[removeFromIvfIndex]] and
+    * [[ProductQuantization.removeFromIvfPq]]). */
+  private[pipeline] def removeFromCellTable(
+      spark: SparkSession,
+      tablePath: String,
+      rows: DataFrame,
+      ids: DataFrame,
+      idCol: String): Unit = {
+    val del = ids.select(F.col(idCol).as("neighbor_id")).distinct()
+      .localCheckpoint(eager = false)
+    // one index scan: which cells hold any doomed row, and which of
+    // those end up EMPTY (their dirs need an explicit delete)
+    val perCell = rows
+      .join(F.broadcast(del.withColumn("__del", F.lit(1))),
+        Seq("neighbor_id"), "left")
+      .groupBy(F.col("__cell"))
+      .agg(F.sum(F.coalesce(F.col("__del"), F.lit(0))).as("__doomed"),
+           F.count(F.lit(1)).as("__n"))
+      .filter(F.col("__doomed") > 0)
+      .select(F.col("__cell"), (F.col("__n") === F.col("__doomed")).as("__empties"))
+      .collect()
+    val touched = perCell.map(_.getInt(0)).toSeq
+    val emptied = perCell.filter(_.getBoolean(1)).map(_.getInt(0))
+    if (touched.nonEmpty) {
+      val survivors = rows
+        .filter(F.col("__cell").isInCollection(touched))
+        .join(F.broadcast(del), Seq("neighbor_id"), "left_anti")
+        // materialize BEFORE the dynamic overwrite replaces its input
+        .localCheckpoint(eager = true)
+      survivors
+        .repartition(F.col("__cell"))
+        .write.partitionBy("__cell")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite").parquet(tablePath)
+      val fs = new org.apache.hadoop.fs.Path(tablePath)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      emptied.foreach { c =>
+        fs.delete(new org.apache.hadoop.fs.Path(tablePath, s"__cell=$c"), true)
+      }
+    }
+  }
+
   /** One-off IVF indexing pass: train k-means centroids, assign every
     * corpus vector to its nearest cell. */
   def buildIvfIndex(

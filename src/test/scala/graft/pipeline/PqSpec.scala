@@ -323,4 +323,43 @@ class PqSpec extends SparkTestBase {
       assert(c > 0.999999)
     }
   }
+
+  test("removeFromIvfIndex/IvfPq: touched-cell rewrite, emptied cells deleted") {
+    // two tight direction groups -> two stable cells; removing ALL of
+    // one group must empty (and delete) its cell directory
+    val rows = (0L until 40L).map { i =>
+      val v =
+        if (i < 25) Array(1.0f, (i % 5) * 0.01f)
+        else Array((i % 5) * 0.01f, 1.0f)
+      (i, v)
+    }
+    val df = rows.toDF("vec_id", "embedding").repartition(3)
+    val ivfDir = java.nio.file.Files.createTempDirectory("graft_rm_ivf").toString
+    val pqDir = java.nio.file.Files.createTempDirectory("graft_rm_pq").toString
+    Similarity.buildIvfIndex(df, "vec_id", "embedding", nlist = 2, iterations = 3)
+      .save(ivfDir)
+    PQ.buildIvfPq(df, "vec_id", "embedding", nlist = 2, m = 2, ksub = 4,
+      iterations = 3).save(pqDir)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    def cellDirs(p: String) = fs.listStatus(new org.apache.hadoop.fs.Path(p))
+      .map(_.getPath.getName).filter(_.startsWith("__cell=")).toSet
+    assert(cellDirs(s"$ivfDir/assigned").size === 2)
+    // remove the whole +y group plus two +x members
+    val doomed = df.filter(F.col("vec_id") >= 25 || F.col("vec_id") < 2)
+      .select("vec_id")
+    val ivf = Similarity.removeFromIvfIndex(spark, ivfDir, doomed, "vec_id")
+    val ivfpq = PQ.removeFromIvfPq(spark, pqDir, doomed, "vec_id")
+    assert(ivf.assigned.count() === 23L)
+    assert(ivfpq.encoded.count() === 23L)
+    assert(cellDirs(s"$ivfDir/assigned").size === 1) // emptied dir GONE
+    assert(cellDirs(s"$pqDir/encoded").size === 1)
+    val left = ivf.assigned.select(F.col("neighbor_id").cast("long"))
+      .as[Long].collect().toSet
+    assert(left === (2L until 25L).toSet)
+    // removing ids absent from the index is a no-op
+    val again = Similarity.removeFromIvfIndex(spark, ivfDir,
+      Seq(999L).toDF("vec_id"), "vec_id")
+    assert(again.assigned.count() === 23L)
+  }
 }
