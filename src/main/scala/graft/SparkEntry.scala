@@ -3236,6 +3236,26 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // takedown removal from the saved BM25 text index: drop every 3rd
+    // document, probe the pruned index — dfs derive from matched
+    // postings at query time, so the ranking equals an index built on
+    // the remaining corpus, replayed by the q_bm25 oracle restricted
+    // to the survivors (rank gaps re-measured at both SFs)
+    "q_text_remove" -> ((s: SparkSession, dir: String) => {
+      val docs = t(s, dir, "documents")
+      val path = System.getProperty("java.io.tmpdir") + "/graft_q_text_rm"
+      graft.pipeline.Retrieval.buildTextIndex(docs, "doc_id", "text")
+        .save(path)
+      val pruned = graft.pipeline.Retrieval.removeFromTextIndex(
+        s, path, docs.filter(F.col("doc_id") % 3 === 0).select("doc_id"),
+        "doc_id")
+      graft.pipeline.Retrieval.bm25TopKIndexed(
+          pruned, Seq("slow", "merge", "window"), 10)
+        .select(F.col("rank").cast("long").as("rank"),
+          F.col("id").as("doc_id"), F.col("tf_total"), F.col("n_terms_hit"))
+        .orderBy("rank")
+    }),
+
     // takedown removal from persisted ANN indexes: every 37th id is
     // removed from both the IVF assignment and the IVF-PQ code table
     // (touched-cell dynamic overwrite); the gate pins the surviving
@@ -7550,6 +7570,28 @@ object SparkEntry {
         |       CAST(count(*) AS BIGINT) AS n_batch,
         |       true AS psi_same_zero, true AS psi_skew_big
         |FROM embeddings WHERE embedding IS NOT NULL""".stripMargin,
+    "q_text_remove" ->
+      """WITH f AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+        |                    x -> len(x) > 0) AS w
+        |           FROM documents WHERE doc_id % 3 <> 0),
+        |dl AS (SELECT doc_id, len(w) AS dl FROM f WHERE len(w) > 0),
+        |toks AS (SELECT doc_id, unnest(w) AS term FROM f),
+        |post AS (SELECT term, doc_id, count(*) AS tf FROM toks
+        |         WHERE term IN ('slow', 'merge', 'window') GROUP BY 1, 2),
+        |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+        |dfs AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+        |scored AS (
+        |  SELECT p.doc_id,
+        |         sum(ln(1 + (s.n - f2.df + 0.5) / (f2.df + 0.5)) * p.tf * 2.2 /
+        |             (p.tf + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl))) AS score,
+        |         CAST(sum(p.tf) AS BIGINT) AS tf_total,
+        |         CAST(count(*) AS BIGINT) AS n_terms_hit
+        |  FROM post p JOIN dfs f2 USING (term) JOIN dl d USING (doc_id)
+        |  CROSS JOIN stats s GROUP BY 1)
+        |SELECT rank, doc_id, tf_total, n_terms_hit FROM (
+        |  SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+        |         doc_id, tf_total, n_terms_hit FROM scored) t
+        |WHERE rank <= 10 ORDER BY rank""".stripMargin,
     "q_index_remove" ->
       """SELECT CAST(sum(CASE WHEN vec_id % 37 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
         |         AS n_after_ivf,

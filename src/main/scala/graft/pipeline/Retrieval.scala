@@ -215,6 +215,81 @@ object Retrieval {
     loadTextIndex(spark, path)
   }
 
+  /**
+   * Takedown removal from a SAVED text index — [[appendToTextIndex]]'s
+   * inverse: one postings scan finds the touched term buckets and the
+   * doomed documents' exact (count, Σdl); only those bucket partitions
+   * rewrite (anti-join against the broadcast id set, dynamic
+   * overwrite; emptied bucket dirs are deleted explicitly), and the
+   * 1-row stats update by exact subtraction. Document frequencies
+   * derive from matched postings at QUERY time, so a probe of the
+   * pruned index ranks like an index built on the remaining corpus —
+   * the append-equivalence argument, reversed (avgdl differs in last
+   * ulps between subtraction and a fresh mean; ranks hold at the
+   * measured BM25 gap, the repo's rank rule). Returns the reloaded
+   * index. Single-maintainer like every other index mutation.
+   */
+  def removeFromTextIndex(
+      spark: SparkSession,
+      path: String,
+      ids: DataFrame,
+      idCol: String): TextIndex = {
+    val prior = loadTextIndex(spark, path)
+    import spark.implicits._
+    val del = ids.select(F.col(idCol).as("id")).distinct()
+      .localCheckpoint(eager = false)
+    // one scan: touched buckets, which of them empty out, and the
+    // doomed docs' exact token totals (distinct (id, dl) per doc)
+    val marked = prior.postings
+      .join(F.broadcast(del.withColumn("__del", F.lit(1))), Seq("id"), "left")
+      .localCheckpoint(eager = false)
+    val perBucket = marked.groupBy(F.col("__bucket"))
+      .agg(F.sum(F.coalesce(F.col("__del"), F.lit(0))).as("__doomed"),
+           F.count(F.lit(1)).as("__n"))
+      .filter(F.col("__doomed") > 0)
+      .select(F.col("__bucket"), (F.col("__n") === F.col("__doomed")).as("__e"))
+      .collect()
+    val touched = perBucket.map(_.getLong(0)).toSeq
+    if (touched.isEmpty) return prior
+    val rm = marked.filter(F.col("__del").isNotNull)
+      .select(F.col("id"), F.col("dl")).distinct()
+      .agg(F.count(F.lit(1)).as("n"), F.sum(F.col("dl")).as("s")).head()
+    val nRm = rm.getLong(0)
+    val dlRm = if (rm.isNullAt(1)) 0L else rm.getLong(1)
+    val nDocs = prior.nDocs - nRm
+    val survivors = prior.postings
+      .filter(F.col("__bucket").isInCollection(touched))
+      .join(F.broadcast(del), Seq("id"), "left_anti")
+      .localCheckpoint(eager = true) // before the self-overwrite
+    if (nDocs <= 0) {
+      // the index emptied out entirely: a partitioned write of zero
+      // rows writes NOTHING (no partition values) and deleting every
+      // bucket dir leaves an uninferrable directory — land one empty
+      // schema-bearing file instead (__bucket becomes a plain column;
+      // probing an empty index needs no pruning)
+      survivors.limit(0).repartition(1)
+        .write.mode("overwrite").parquet(s"$path/postings")
+    } else {
+      survivors
+        .repartition(F.col("__bucket"))
+        .write.partitionBy("__bucket")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite").parquet(s"$path/postings")
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      perBucket.filter(_.getBoolean(1)).map(_.getLong(0)).foreach { b =>
+        fs.delete(new org.apache.hadoop.fs.Path(
+          s"$path/postings", s"__bucket=$b"), true)
+      }
+    }
+    val avgdl =
+      if (nDocs <= 0) 0.0
+      else (prior.avgdl * prior.nDocs - dlRm) / nDocs
+    Seq((prior.buckets, nDocs, avgdl)).toDF("buckets", "n_docs", "avgdl")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/stats")
+    loadTextIndex(spark, path)
+  }
+
   /** Reload an index written by [[TextIndex.save]]. */
   def loadTextIndex(spark: SparkSession, path: String): TextIndex = {
     val st = spark.read.parquet(s"$path/stats").collect().head

@@ -119,6 +119,43 @@ class RetrievalSpec extends SparkTestBase {
     inc.foreach { case (id, s) => assert(math.abs(s - direct(id)) < 1e-12, s"doc $id") }
   }
 
+  test("removeFromTextIndex: probe of the pruned index equals a rebuild on survivors") {
+    val path = java.nio.file.Files.createTempDirectory("graft_tidx_rm").toString
+    Retrieval.buildTextIndex(docs, "doc_id", "text", buckets = 8).save(path)
+    val doomed = docs.filter(F.col("doc_id") % 2 === 0).select("doc_id")
+    val pruned = Retrieval.removeFromTextIndex(spark, path, doomed, "doc_id")
+    val remaining = docs.filter(F.col("doc_id") % 2 =!= 0)
+    val rebuilt = Retrieval.buildTextIndex(remaining, "doc_id", "text", buckets = 8)
+    assert(pruned.nDocs == rebuilt.nDocs)
+    assert(math.abs(pruned.avgdl - rebuilt.avgdl) < 1e-9)
+    // identical posting sets...
+    val pp = pruned.postings.select("term", "id", "tf", "dl")
+      .collect().map(_.toSeq).toSet
+    val rp = rebuilt.postings.select("term", "id", "tf", "dl")
+      .collect().map(_.toSeq).toSet
+    assert(pp === rp && pp.nonEmpty)
+    // ...and identical probe scores to float noise
+    val q = Seq("quick", "dog")
+    val a = Retrieval.bm25TopKIndexed(pruned, q, 10)
+      .select("id", "score").collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val b = Retrieval.bm25TopK(remaining, "doc_id", "text", q, 10)
+      .select("id", "score").collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(a.keySet === b.keySet)
+    a.foreach { case (id, s) => assert(math.abs(s - b(id)) < 1e-9, s"doc $id") }
+    // removing ids not present is a no-op; removing EVERYTHING empties
+    // the postings and zeroes the stats, deleting the bucket dirs
+    assert(Retrieval.removeFromTextIndex(spark, path,
+      Seq(999L).toDF("doc_id"), "doc_id").nDocs == pruned.nDocs)
+    val emptied = Retrieval.removeFromTextIndex(spark, path,
+      remaining.select("doc_id"), "doc_id")
+    assert(emptied.nDocs === 0L && emptied.avgdl === 0.0)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/postings"))
+      .map(_.getPath.getName).filter(_.startsWith("__bucket="))
+    assert(dirs.isEmpty)
+  }
+
   test("localTermBucket agrees with the in-plan xxhash64 bucketing") {
     val terms = Seq("quick", "dog", "the", "ümlaut", "", "a b")
     val inPlan = terms.toDF("t")
