@@ -3256,6 +3256,34 @@ object SparkEntry {
         .orderBy("rank")
     }),
 
+    // nightly index sync from snapshot diffs: yesterday's snapshot is
+    // missing every 5th doc, carries REVERSED text for every 3rd, and
+    // has 20 phantom docs; sync(old -> today) removes the phantoms,
+    // re-indexes the changed, appends the added — and the synced index
+    // must rank exactly like q_bm25 over today's corpus (its oracle,
+    // verbatim)
+    "q_index_sync" -> ((s: SparkSession, dir: String) => {
+      val docs = t(s, dir, "documents")
+      val phantoms = s.range(900000L, 900020L)
+        .select(F.col("id").as("doc_id"),
+          F.lit("phantom slow merge window text").as("text"))
+      val old = docs
+        .withColumn("text", F.when(F.col("doc_id") % 3 === 0,
+          F.reverse(F.col("text"))).otherwise(F.col("text")))
+        .filter(F.col("doc_id") % 5 =!= 0)
+        .select("doc_id", "text")
+        .unionByName(phantoms)
+      val path = System.getProperty("java.io.tmpdir") + "/graft_q_idx_sync"
+      graft.pipeline.Retrieval.buildTextIndex(old, "doc_id", "text").save(path)
+      val synced = graft.pipeline.Retrieval.syncTextIndex(
+        s, path, old, docs.select("doc_id", "text"), "doc_id", "text")
+      graft.pipeline.Retrieval.bm25TopKIndexed(
+          synced, Seq("slow", "merge", "window"), 10)
+        .select(F.col("rank").cast("long").as("rank"),
+          F.col("id").as("doc_id"), F.col("tf_total"), F.col("n_terms_hit"))
+        .orderBy("rank")
+    }),
+
     // takedown removal from persisted ANN indexes: every 37th id is
     // removed from both the IVF assignment and the IVF-PQ code table
     // (touched-cell dynamic overwrite); the gate pins the surviving
@@ -8306,7 +8334,7 @@ object SparkEntry {
     )
     // the auto-dispatch forms are output-identical to the operators
     // they route to, so they share those oracles verbatim
-    base ++ Map(
+    val extra = Map(
       "q_rel_asof_auto" -> base("q_rel_asof_salted"),
       "q_rel_session_auto" -> base("q_rel_session"),
       // persisted-index probe is output-identical to the direct path
@@ -8878,5 +8906,11 @@ object SparkEntry {
           |SELECT r.doc_id, r.source, CAST(r.r * idx.s + idx.si AS BIGINT) AS ord
           |FROM r JOIN idx ON r.source = idx.st
           |ORDER BY r.doc_id""".stripMargin)
+    val m = base ++ extra
+    // snapshot-diff sync lands the index a full rebuild would: the
+    // probe ranks exactly like q_bm25 over today's corpus (its oracle,
+    // shared verbatim — q_bm25 lives in `extra`, so the alias attaches
+    // after the merge)
+    m + ("q_index_sync" -> m("q_bm25"))
   }
 }

@@ -290,6 +290,39 @@ object Retrieval {
     loadTextIndex(spark, path)
   }
 
+  /**
+   * Nightly search-index sync from snapshot diffs — the composition a
+   * delta pipeline runs instead of re-indexing the corpus:
+   * [[graft.pipeline.Snapshot.diffSnapshots]] classifies every id,
+   * `removed`/`changed` ids leave the index
+   * ([[removeFromTextIndex]]) and `added`/`changed` docs from the NEW
+   * snapshot append ([[appendToTextIndex]]). `unchanged` documents are
+   * never re-tokenized, re-shuffled, or rewritten (outside the term
+   * buckets their removal peers touch). Posting sets equal a rebuild
+   * on the new snapshot EXACTLY; avgdl differs in last ulps
+   * (subtract+add vs a fresh mean), inside the BM25 rank rule.
+   * Returns the synced index.
+   */
+  def syncTextIndex(
+      spark: SparkSession,
+      path: String,
+      oldSnap: DataFrame,
+      newSnap: DataFrame,
+      idCol: String,
+      textCol: String): TextIndex = {
+    val diff = Snapshot
+      .diffSnapshots(oldSnap, newSnap, idCol, Seq(textCol))
+      .localCheckpoint(eager = false)
+    val leaving = diff
+      .filter(F.col("status").isin("removed", "changed"))
+      .select(idCol)
+    val arriving = newSnap.join(
+      diff.filter(F.col("status").isin("added", "changed")).select(idCol),
+      Seq(idCol), "left_semi")
+    removeFromTextIndex(spark, path, leaving, idCol)
+    appendToTextIndex(spark, path, arriving, idCol, textCol)
+  }
+
   /** Reload an index written by [[TextIndex.save]]. */
   def loadTextIndex(spark: SparkSession, path: String): TextIndex = {
     val st = spark.read.parquet(s"$path/stats").collect().head

@@ -156,6 +156,31 @@ class RetrievalSpec extends SparkTestBase {
     assert(dirs.isEmpty)
   }
 
+  test("syncTextIndex from a snapshot diff equals a rebuild on the new snapshot") {
+    val path = java.nio.file.Files.createTempDirectory("graft_tidx_sync").toString
+    // old: missing doc 1 (added later), doc 2's text changed, plus a
+    // phantom doc 99 that today's snapshot dropped
+    val session = spark
+    import session.implicits._
+    val old = docs.filter(F.col("doc_id") =!= 1L)
+      .withColumn("text", F.when(F.col("doc_id") === 2L,
+        F.concat(F.lit("edited "), F.col("text"))).otherwise(F.col("text")))
+      .select("doc_id", "text")
+      .unionByName(Seq((99L, "phantom quick dog")).toDF("doc_id", "text"))
+    Retrieval.buildTextIndex(old, "doc_id", "text", buckets = 8).save(path)
+    val synced = Retrieval.syncTextIndex(spark, path, old,
+      docs.select("doc_id", "text"), "doc_id", "text")
+    val rebuilt = Retrieval.buildTextIndex(docs, "doc_id", "text", buckets = 8)
+    assert(synced.nDocs == rebuilt.nDocs)
+    assert(math.abs(synced.avgdl - rebuilt.avgdl) < 1e-9)
+    val sp = synced.postings.select("term", "id", "tf", "dl")
+      .collect().map(_.toSeq).toSet
+    val rp = rebuilt.postings.select("term", "id", "tf", "dl")
+      .collect().map(_.toSeq).toSet
+    assert(sp === rp && sp.nonEmpty)
+    assert(!sp.exists(_(1) == 99L)) // the phantom is gone
+  }
+
   test("localTermBucket agrees with the in-plan xxhash64 bucketing") {
     val terms = Seq("quick", "dog", "the", "ümlaut", "", "a b")
     val inPlan = terms.toDF("t")
