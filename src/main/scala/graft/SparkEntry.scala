@@ -3256,6 +3256,26 @@ object SparkEntry {
         .orderBy("rank")
     }),
 
+    // takedown removal from a flat saved index (the saveSignatureIndex
+    // family): the media hash index loses every variant-1 id, so the
+    // variant-2 probe keeps exactly its (v2, v0, 4) pairs and the
+    // (v2, v1, 5) pairs vanish — full rows from the planted bit plan
+    "q_dedup_remove" -> ((s: SparkSession, dir: String) => {
+      val docs = t(s, dir, "documents").select(F.col("doc_id"))
+      val hist = graft.pipeline.Multimodal.plantedNearDupMedia(
+        docs.filter(F.col("doc_id") % 3 =!= 2), "doc_id")
+      val path = System.getProperty("java.io.tmpdir") + "/graft_q_dedup_rm_idx"
+      graft.pipeline.Dedup.saveSignatureIndex(
+        graft.pipeline.Multimodal.buildMediaHashIndex(hist), path)
+      val pruned = graft.pipeline.Dedup.removeFromSavedIndex(
+        s, path, docs.filter(F.col("doc_id") % 3 === 1), "doc_id")
+      val batch = graft.pipeline.Multimodal.plantedNearDupMedia(
+        docs.filter(F.col("doc_id") % 3 === 2), "doc_id")
+      graft.pipeline.Multimodal.incrementalNearDuplicateMedia(
+          batch, pruned, maxHamming = 6)
+        .orderBy("id_new", "id_old")
+    }),
+
     // nightly index sync from snapshot diffs: yesterday's snapshot is
     // missing every 5th doc, carries REVERSED text for every 3rd, and
     // has 20 phantom docs; sync(old -> today) removes the phantoms,
@@ -7598,6 +7618,11 @@ object SparkEntry {
         |       CAST(count(*) AS BIGINT) AS n_batch,
         |       true AS psi_same_zero, true AS psi_skew_big
         |FROM embeddings WHERE embedding IS NOT NULL""".stripMargin,
+    "q_dedup_remove" ->
+      """SELECT doc_id AS id_new, doc_id - 2 AS id_old,
+        |       CAST(4 AS INT) AS hamming
+        |FROM documents WHERE doc_id % 3 = 2
+        |ORDER BY id_new""".stripMargin,
     "q_text_remove" ->
       """WITH f AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
         |                    x -> len(x) > 0) AS w

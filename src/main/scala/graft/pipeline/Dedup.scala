@@ -408,6 +408,34 @@ object Dedup {
     spark.read.parquet(path)
 
   /**
+   * Takedown removal from any saved flat index whose rows carry an
+   * `id` column (minhash [[buildSignatureIndex]], hamming
+   * [[buildHashIndex]], edit-1 [[buildEditOneIndex]], edit-k
+   * [[buildEditKIndex]], gram [[buildGramIndex]] — the whole
+   * saveSignatureIndex family): anti-join the broadcast id set and
+   * rewrite. These indexes are FLAT parquet (the probe side prunes by
+   * join, not partitions), so removal is one rewrite of the index —
+   * O(index), not O(corpus); at TB index sizes batch the takedowns
+   * nightly. The rewrite materializes before overwriting its own
+   * input. Returns the pruned index frame (reloaded). Buckets the
+   * BUILD capped stay absent (removal never resurrects flood-capped
+   * rows — recall-conservative, like the append path).
+   */
+  def removeFromSavedIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      ids: DataFrame,
+      idCol: String,
+      indexIdCol: String = "id"): DataFrame = {
+    val del = ids.select(F.col(idCol).as(indexIdCol)).distinct()
+    val pruned = loadSignatureIndex(spark, path)
+      .join(F.broadcast(del), Seq(indexIdCol), "left_anti")
+      .localCheckpoint(eager = true) // before the self-overwrite
+    pruned.write.mode("overwrite").parquet(path)
+    loadSignatureIndex(spark, path)
+  }
+
+  /**
    * Incremental near-dup check: verified (id_new, id_old, inter, uni)
    * pairs between a new batch and the historical corpus behind a
    * persisted signature index.

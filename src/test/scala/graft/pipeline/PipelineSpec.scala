@@ -150,6 +150,25 @@ class DedupSpec extends SparkTestBase {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("removeFromSavedIndex prunes a flat index exactly to the survivors") {
+    val docs = sf("sf0.001", "documents")
+    val hist = docs.filter($"doc_id" % 3 =!= 0)
+    val path = java.nio.file.Files.createTempDirectory("sigidx_rm").toString + "/idx"
+    Dedup.saveSignatureIndex(
+      Dedup.buildSignatureIndex(hist, "doc_id", "text", 5, 16, 8), path)
+    val doomed = hist.filter($"doc_id" % 2 === 0).select($"doc_id")
+    val pruned = Dedup.removeFromSavedIndex(spark, path, doomed, "doc_id")
+    // identical rows to an index built on the survivors (same geometry,
+    // same per-doc signatures — banding is per-document)
+    val rebuilt = Dedup.buildSignatureIndex(
+      hist.filter($"doc_id" % 2 =!= 0), "doc_id", "text", 5, 16, 8)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("band", "bucket", "id").as[(Int, Long, Long)].collect().toSet
+    assert(rows(pruned) === rows(rebuilt))
+    assert(rows(pruned).nonEmpty)
+    assert(!rows(pruned).exists(_._3 % 2 == 0))
+  }
+
   test("nearDuplicatePairs bucket cap bounds a boilerplate flood") {
     val boiler = "this exact boilerplate paragraph is repeated verbatim across the corpus many many times"
     val flood = (1L to 300L).map(i => (i, boiler))
