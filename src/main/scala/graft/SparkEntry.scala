@@ -3256,6 +3256,33 @@ object SparkEntry {
         .orderBy("rank")
     }),
 
+    // continuous search indexing under the gate: the fresh slice
+    // replayed as a file stream into streamToTextIndex (per-micro-batch
+    // __batch partitions + exact stats deltas, replay-idempotent), then
+    // one probe of the grown index must rank exactly like q_bm25 over
+    // the full corpus (its oracle, verbatim)
+    "q_stream_text_index" -> ((s: SparkSession, dir: String) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val path = System.getProperty("java.io.tmpdir") + "/graft_q_stream_tidx"
+      graft.pipeline.Retrieval.buildTextIndex(
+        docs.filter(F.col("doc_id") % 3 =!= 0), "doc_id", "text").save(path)
+      val fresh = docs.filter(F.col("doc_id") % 3 === 0)
+      val tmp = System.getProperty("java.io.tmpdir") + "/graft_q_stream_tidx_src"
+      fresh.write.mode("overwrite").parquet(tmp)
+      val stream = s.readStream.schema(fresh.schema).parquet(tmp)
+      val q = graft.pipeline.Retrieval.streamToTextIndex(
+          stream, path, "doc_id", "text")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.pipeline.Retrieval.bm25TopKIndexed(
+          graft.pipeline.Retrieval.loadTextIndex(s, path),
+          Seq("slow", "merge", "window"), 10)
+        .select(F.col("rank").cast("long").as("rank"),
+          F.col("id").as("doc_id"), F.col("tf_total"), F.col("n_terms_hit"))
+        .orderBy("rank")
+    }),
+
     // takedown removal from a flat saved index (the saveSignatureIndex
     // family): the media hash index loses every variant-1 id, so the
     // variant-2 probe keeps exactly its (v2, v0, 4) pairs and the
@@ -8936,6 +8963,7 @@ object SparkEntry {
     // probe ranks exactly like q_bm25 over today's corpus (its oracle,
     // shared verbatim — q_bm25 lives in `extra`, so the alias attaches
     // after the merge)
-    m + ("q_index_sync" -> m("q_bm25"))
+    m + ("q_index_sync" -> m("q_bm25")) +
+      ("q_stream_text_index" -> m("q_bm25"))
   }
 }

@@ -139,23 +139,64 @@ object Retrieval {
 
   /**
    * A built lexical index: bucket-tagged postings plus the corpus
-   * stats needed by BM25. [[save]] persists it partitioned by bucket;
-   * [[Retrieval.loadTextIndex]] reloads it, so the one-off indexing
-   * pass is reused across sessions and query batches.
+   * stats needed by BM25. [[save]] persists it partitioned by
+   * (`__bucket`, `__batch`); [[Retrieval.loadTextIndex]] reloads it,
+   * so the one-off indexing pass is reused across sessions and query
+   * batches.
+   *
+   * == On-disk layout (the SketchView `__batch` protocol) ==
+   *
+   * `path/postings/__bucket=B/__batch=N/part-*.parquet` plus delta
+   * stats rows at `path/stats/__batch=N/` carrying EXACT
+   * (n_delta, dl_delta) token totals — [[loadTextIndex]] SUMS them, so
+   * `nDocs`/`avgdl` stay exact through any append/remove schedule (no
+   * incremental-float-mean drift). Batch maintenance writes
+   * `__batch=-1`; [[streamToTextIndex]] stamps the micro-batch id with
+   * dynamic overwrite, so a replayed micro-batch replaces exactly its
+   * own postings AND its own stats row — effectively-once on
+   * Structured Streaming's at-least-once foreachBatch contract. One
+   * streaming writer per path; batch appends/removals interleave
+   * safely (pure file adds / touched-partition rewrites).
+   *
+   * `dlSum` is the exact corpus token total behind `avgdl` (-1 when
+   * unknown on ad-hoc constructions).
    */
   final case class TextIndex(postings: DataFrame, buckets: Int,
-      nDocs: Long, avgdl: Double) {
-    /** Persist: postings PARTITIONED BY `__bucket` (a query with q
-      * distinct terms partition-prunes to ≤ q of `buckets` dirs) plus
-      * a 1-row stats parquet. */
+      nDocs: Long, avgdl: Double, dlSum: Long = -1L) {
     def save(path: String): Unit = {
       val spark = postings.sparkSession
-      import spark.implicits._
-      postings.write.partitionBy("__bucket").mode("overwrite")
+      postings.withColumn("__batch", F.lit(-1L))
+        .repartition(F.col("__bucket"))
+        .write.partitionBy("__bucket", "__batch").mode("overwrite")
         .parquet(s"$path/postings")
-      Seq((buckets, nDocs, avgdl)).toDF("buckets", "n_docs", "avgdl")
-        .repartition(1).write.mode("overwrite").parquet(s"$path/stats")
+      writeStatsDelta(spark, path, buckets, nDocs,
+        if (dlSum >= 0) dlSum else math.rint(avgdl * nDocs).toLong,
+        batchId = -1L, overwrite = true)
     }
+  }
+
+  private def writeStatsDelta(
+      spark: SparkSession, path: String, buckets: Int,
+      nDelta: Long, dlDelta: Long, batchId: Long,
+      overwrite: Boolean): Unit = {
+    import spark.implicits._
+    val w = Seq((buckets, nDelta, dlDelta, batchId))
+      .toDF("buckets", "n_delta", "dl_delta", "__batch")
+      .repartition(1)
+      .write.partitionBy("__batch")
+    (if (overwrite && batchId == -1L) w.mode("overwrite")
+     else if (overwrite)
+       w.option("partitionOverwriteMode", "dynamic").mode("overwrite")
+     else w.mode("append"))
+      .parquet(s"$path/stats")
+  }
+
+  /** Exact (n_docs, Σdl) of an index frame — the delta every stats row
+    * carries (long sums; means derive at load time). */
+  private def exactStats(index: DataFrame): (Long, Long) = {
+    val r = index.select(F.col("id"), F.col("dl")).distinct()
+      .agg(F.count(F.lit(1)), F.sum(F.col("dl"))).head()
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
   }
 
   /** One-off indexing pass for [[TextIndex]]. The stats aggregate is
@@ -168,8 +209,9 @@ object Retrieval {
       buckets: Int = 64): TextIndex = {
     val index = buildIndex(docs, idCol, textCol)
       .withColumn("__bucket", termBucket(F.col("term"), buckets))
-    val st = corpusStats(index).collect().head
-    TextIndex(index, buckets, st.getLong(0), st.getDouble(1))
+    val (n, dl) = exactStats(index)
+    TextIndex(index, buckets, n,
+      if (n == 0) 0.0 else dl.toDouble / n, dl)
   }
 
   /**
@@ -195,25 +237,70 @@ object Retrieval {
       path: String,
       newDocs: DataFrame,
       idCol: String,
-      textCol: String): TextIndex = {
+      textCol: String): TextIndex =
+    appendBatchToTextIndex(spark, path, newDocs, idCol, textCol,
+      batchId = -1L)
+
+  /** One (batch or micro-batch) append. Batch maintenance stamps
+    * `__batch=-1` as pure file-adds; a real micro-batch id writes with
+    * DYNAMIC overwrite so a replay replaces exactly its own postings
+    * and its own stats row (effectively-once). */
+  private[graft] def appendBatchToTextIndex(
+      spark: SparkSession,
+      path: String,
+      newDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      batchId: Long): TextIndex = {
     val prior = loadTextIndex(spark, path)
-    import spark.implicits._
+    // an index once emptied by removeFromTextIndex holds a flat
+    // schema-sentinel file; partitioned appends must clear it or the
+    // mixed directory depth breaks discovery
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val proot = new org.apache.hadoop.fs.Path(s"$path/postings")
+    if (fs.exists(proot)) fs.listStatus(proot).foreach { st =>
+      if (st.isFile && !st.getPath.getName.startsWith("_"))
+        fs.delete(st.getPath, false)
+    }
     val batch = buildIndex(newDocs, idCol, textCol)
       .withColumn("__bucket", termBucket(F.col("term"), prior.buckets))
-    // batch token totals: (docs, total dl) from the per-doc lengths
-    val st = batch.select(F.col("id"), F.col("dl")).distinct()
-      .agg(F.count(F.lit(1)).as("n"), F.sum(F.col("dl")).as("s")).head()
-    val nNew = st.getLong(0)
-    val dlNew = if (st.isNullAt(1)) 0L else st.getLong(1)
-    batch.write.partitionBy("__bucket").mode("append").parquet(s"$path/postings")
-    val nDocs = prior.nDocs + nNew
-    val avgdl =
-      if (nDocs == 0) 0.0
-      else (prior.avgdl * prior.nDocs + dlNew) / nDocs
-    Seq((prior.buckets, nDocs, avgdl)).toDF("buckets", "n_docs", "avgdl")
-      .repartition(1).write.mode("overwrite").parquet(s"$path/stats")
+      .localCheckpoint(eager = false)
+    val (nNew, dlNew) = exactStats(batch)
+    val w = batch.withColumn("__batch", F.lit(batchId))
+      .repartition(F.col("__bucket"))
+      .write.partitionBy("__bucket", "__batch")
+    (if (batchId == -1L) w.mode("append")
+     else w.option("partitionOverwriteMode", "dynamic").mode("overwrite"))
+      .parquet(s"$path/postings")
+    writeStatsDelta(spark, path, prior.buckets, nNew, dlNew, batchId,
+      overwrite = batchId != -1L)
     loadTextIndex(spark, path)
   }
+
+  /**
+   * Continuous indexing: a foreachBatch sink that lands each
+   * micro-batch's postings and stats delta under its own `__batch`
+   * partitions with dynamic overwrite — a replayed micro-batch
+   * replaces exactly its own files, so the index stays correct
+   * (effectively-once) on at-least-once delivery, the
+   * [[graft.sketch.SketchView.streamAppend]] protocol applied to
+   * search. One streaming writer per path; batch
+   * [[appendToTextIndex]]/[[removeFromTextIndex]] interleave safely.
+   * Returns the writer — set trigger/checkpoint and `.start()`.
+   */
+  def streamToTextIndex(
+      stream: DataFrame,
+      path: String,
+      idCol: String,
+      textCol: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        appendBatchToTextIndex(batch.sparkSession, path, batch, idCol,
+          textCol, batchId)
+        ()
+    }
 
   /**
    * Takedown removal from a SAVED text index — [[appendToTextIndex]]'s
@@ -235,58 +322,67 @@ object Retrieval {
       ids: DataFrame,
       idCol: String): TextIndex = {
     val prior = loadTextIndex(spark, path)
-    import spark.implicits._
     val del = ids.select(F.col(idCol).as("id")).distinct()
       .localCheckpoint(eager = false)
-    // one scan: touched buckets, which of them empty out, and the
-    // doomed docs' exact token totals (distinct (id, dl) per doc)
+    // one scan: touched (bucket, batch) partitions, which of them
+    // empty out, and the doomed docs' exact token totals
     val marked = prior.postings
       .join(F.broadcast(del.withColumn("__del", F.lit(1))), Seq("id"), "left")
       .localCheckpoint(eager = false)
-    val perBucket = marked.groupBy(F.col("__bucket"))
+    val perPart = marked.groupBy(F.col("__bucket"), F.col("__batch"))
       .agg(F.sum(F.coalesce(F.col("__del"), F.lit(0))).as("__doomed"),
            F.count(F.lit(1)).as("__n"))
       .filter(F.col("__doomed") > 0)
-      .select(F.col("__bucket"), (F.col("__n") === F.col("__doomed")).as("__e"))
+      .select(F.col("__bucket"), F.col("__batch"),
+        (F.col("__n") === F.col("__doomed")).as("__e"))
       .collect()
-    val touched = perBucket.map(_.getLong(0)).toSeq
-    if (touched.isEmpty) return prior
+    if (perPart.isEmpty) return prior
+    val touched = perPart.map(r => (r.getLong(0), r.getLong(1))).toSeq
     val rm = marked.filter(F.col("__del").isNotNull)
       .select(F.col("id"), F.col("dl")).distinct()
       .agg(F.count(F.lit(1)).as("n"), F.sum(F.col("dl")).as("s")).head()
     val nRm = rm.getLong(0)
     val dlRm = if (rm.isNullAt(1)) 0L else rm.getLong(1)
     val nDocs = prior.nDocs - nRm
+    val touchedBuckets = touched.map(_._1).distinct
     val survivors = prior.postings
-      .filter(F.col("__bucket").isInCollection(touched))
+      .filter(F.col("__bucket").isInCollection(touchedBuckets))
+      .filter(F.array_contains(F.typedLit(touched),
+        F.struct(F.col("__bucket").as("_1"), F.col("__batch").as("_2"))))
       .join(F.broadcast(del), Seq("id"), "left_anti")
       .localCheckpoint(eager = true) // before the self-overwrite
     if (nDocs <= 0) {
       // the index emptied out entirely: a partitioned write of zero
       // rows writes NOTHING (no partition values) and deleting every
-      // bucket dir leaves an uninferrable directory — land one empty
-      // schema-bearing file instead (__bucket becomes a plain column;
-      // probing an empty index needs no pruning)
+      // partition dir leaves an uninferrable directory — land one
+      // empty schema-bearing file instead (the partition keys become
+      // plain columns; a later append clears the sentinel)
       survivors.limit(0).repartition(1)
         .write.mode("overwrite").parquet(s"$path/postings")
     } else {
       survivors
         .repartition(F.col("__bucket"))
-        .write.partitionBy("__bucket")
+        .write.partitionBy("__bucket", "__batch")
         .option("partitionOverwriteMode", "dynamic")
         .mode("overwrite").parquet(s"$path/postings")
       val fs = new org.apache.hadoop.fs.Path(path)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      perBucket.filter(_.getBoolean(1)).map(_.getLong(0)).foreach { b =>
+      perPart.filter(_.getBoolean(2)).foreach { r =>
         fs.delete(new org.apache.hadoop.fs.Path(
-          s"$path/postings", s"__bucket=$b"), true)
+          s"$path/postings/__bucket=${r.getLong(0)}",
+          s"__batch=${r.getLong(1)}"), true)
       }
+      // drop bucket dirs whose last batch dir just went away
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/postings"))
+        .foreach { st =>
+          if (st.isDirectory && st.getPath.getName.startsWith("__bucket=") &&
+              fs.listStatus(st.getPath).isEmpty)
+            fs.delete(st.getPath, false)
+        }
     }
-    val avgdl =
-      if (nDocs <= 0) 0.0
-      else (prior.avgdl * prior.nDocs - dlRm) / nDocs
-    Seq((prior.buckets, nDocs, avgdl)).toDF("buckets", "n_docs", "avgdl")
-      .repartition(1).write.mode("overwrite").parquet(s"$path/stats")
+    // negative exact delta; batch maintenance rides the -1 partition
+    writeStatsDelta(spark, path, prior.buckets, -nRm, -dlRm,
+      batchId = -1L, overwrite = false)
     loadTextIndex(spark, path)
   }
 
@@ -298,9 +394,9 @@ object Retrieval {
    * ([[removeFromTextIndex]]) and `added`/`changed` docs from the NEW
    * snapshot append ([[appendToTextIndex]]). `unchanged` documents are
    * never re-tokenized, re-shuffled, or rewritten (outside the term
-   * buckets their removal peers touch). Posting sets equal a rebuild
-   * on the new snapshot EXACTLY; avgdl differs in last ulps
-   * (subtract+add vs a fresh mean), inside the BM25 rank rule.
+   * buckets their removal peers touch). Posting sets AND stats equal a
+   * rebuild on the new snapshot EXACTLY (stats are summed exact-long
+   * deltas, so avgdl is a fresh mean either way).
    * Returns the synced index.
    */
   def syncTextIndex(
@@ -323,12 +419,23 @@ object Retrieval {
     appendToTextIndex(spark, path, arriving, idCol, textCol)
   }
 
-  /** Reload an index written by [[TextIndex.save]]. */
+  /** Reload an index written by [[TextIndex.save]]: stats rows are
+    * EXACT deltas and sum to the current totals (so `avgdl` is a fresh
+    * mean over exact longs through any append/remove schedule). */
   def loadTextIndex(spark: SparkSession, path: String): TextIndex = {
-    val st = spark.read.parquet(s"$path/stats").collect().head
+    val st = spark.read.parquet(s"$path/stats")
+      .agg(F.max(F.col("buckets")), F.sum(F.col("n_delta")),
+        F.sum(F.col("dl_delta"))).head()
+    val buckets = st.getInt(0)
+    val nDocs = if (st.isNullAt(1)) 0L else st.getLong(1)
+    val dlSum = if (st.isNullAt(2)) 0L else st.getLong(2)
     val postings = spark.read.parquet(s"$path/postings")
       .withColumn("__bucket", F.col("__bucket").cast("long"))
-    TextIndex(postings, st.getInt(0), st.getLong(1), st.getDouble(2))
+      // partition-column inference types __batch as int; normalize
+      // (an emptied-then-sentinel index carries it as a plain long col)
+      .withColumn("__batch", F.col("__batch").cast("long"))
+    TextIndex(postings, buckets, nDocs,
+      if (nDocs <= 0) 0.0 else dlSum.toDouble / nDocs, dlSum)
   }
 
   /**

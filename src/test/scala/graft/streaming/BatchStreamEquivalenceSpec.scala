@@ -413,6 +413,44 @@ class BatchStreamEquivalenceSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streamToTextIndex equals a full rebuild; a replayed micro-batch is a no-op") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.pipeline.Retrieval
+    val docs = sf("sf0.001", "documents")
+      .filter(F.col("text").isNotNull).select("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("graft_tidx_str").toString
+    Retrieval.buildTextIndex(docs.filter(F.col("doc_id") % 3 =!= 0),
+      "doc_id", "text", buckets = 16).save(path)
+    val rows = docs.filter(F.col("doc_id") % 3 === 0)
+      .as[(Long, String)].collect()
+    val input = MemoryStream[(Long, String)]
+    val q = Retrieval.streamToTextIndex(
+        input.toDF().toDF("doc_id", "text"), path, "doc_id", "text")
+      .start()
+    try {
+      rows.grouped(rows.length / 2 + 1)
+        .foreach { c => input.addData(c.toSeq); q.processAllAvailable() }
+    } finally q.stop()
+    val grown = Retrieval.loadTextIndex(spark, path)
+    val rebuilt = Retrieval.buildTextIndex(docs, "doc_id", "text", buckets = 16)
+    assert(grown.nDocs === rebuilt.nDocs)
+    assert(grown.dlSum === rebuilt.dlSum)       // stats are EXACT deltas
+    assert(grown.avgdl === rebuilt.avgdl)       // fresh mean either way
+    def posts(df: org.apache.spark.sql.DataFrame) =
+      df.select("term", "id", "tf", "dl").collect().map(_.toSeq).toSet
+    assert(posts(grown.postings) === posts(rebuilt.postings))
+    // replaying micro-batch 0 (dynamic overwrite of its own partitions
+    // + its own stats row) leaves the index IDENTICAL — no double count
+    val firstChunk = rows.grouped(rows.length / 2 + 1).toSeq.head
+    Retrieval.appendBatchToTextIndex(spark, path,
+      firstChunk.toSeq.toDF("doc_id", "text"), "doc_id", "text", batchId = 0L)
+    val replayed = Retrieval.loadTextIndex(spark, path)
+    assert(replayed.nDocs === rebuilt.nDocs && replayed.dlSum === rebuilt.dlSum)
+    assert(posts(replayed.postings) === posts(rebuilt.postings))
+  }
+
   test("canaryStream scan+verify is batch≡stream (stateless, append mode)") {
     val session = spark
     import session.implicits._
