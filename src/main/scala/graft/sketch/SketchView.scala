@@ -684,20 +684,35 @@ object SketchView {
     val p = new org.apache.hadoop.fs.Path(root, PendingFile)
     if (!fs.exists(p)) false
     else {
-      val in = fs.open(p)
-      val bytes =
+      val parsed =
         try {
-          val len = fs.getFileStatus(p).getLen.toInt
-          val b = new Array[Byte](len)
-          in.readFully(0L, b)
-          b
-        } finally in.close()
-      val j = new com.fasterxml.jackson.databind.ObjectMapper()
-        .readTree(new String(bytes, "UTF-8"))
-      val files = (0 until j.get("files").size())
-        .map(i => j.get("files").get(i).asText())
-      finishCompact(spark, fs, root, files, j.get("folded").asLong())
-      true
+          val in = fs.open(p)
+          val bytes =
+            try {
+              val len = fs.getFileStatus(p).getLen.toInt
+              val b = new Array[Byte](len)
+              in.readFully(0L, b)
+              b
+            } finally in.close()
+          val j = new com.fasterxml.jackson.databind.ObjectMapper()
+            .readTree(new String(bytes, "UTF-8"))
+          Some(((0 until j.get("files").size())
+            .map(i => j.get("files").get(i).asText()),
+            j.get("folded").asLong()))
+        } catch { case _: Exception => None }
+      parsed match {
+        case Some((files, folded)) =>
+          finishCompact(spark, fs, root, files, folded)
+          true
+        case None =>
+          // a TRUNCATED/corrupt journal means the crash hit DURING the
+          // journal write — the prune never started and the view is
+          // intact, so the half-journal and the staged fold are safe
+          // to discard (the next compact re-folds from scratch)
+          fs.delete(p, false)
+          fs.delete(new org.apache.hadoop.fs.Path(root, FoldStaging), true)
+          false
+      }
     }
   }
 

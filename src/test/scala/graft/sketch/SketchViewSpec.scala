@@ -503,6 +503,29 @@ class SketchViewSpec extends SparkTestBase {
     assert(!SketchView.recoverPendingCompact(spark, dir))
   }
 
+  test("a crash DURING the journal write (truncated json) is discarded safely") {
+    val ev = events.limit(200)
+    val dir = java.nio.file.Files.createTempDirectory("graft_cpt_trunc").toString
+    SketchView.materialize(ev, "ts", Seq("event_type"), "value", dir)
+    val before = viewMap(SketchView.read(spark, dir, Seq("event_type")))
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    // simulate the half-written journal + a leftover staging dir
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(dir, "_compact_pending.json"), true)
+    try out.write("""{"folded": 3, "files": ["__part=""".getBytes("UTF-8"))
+    finally out.close()
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir, "_compact_fold/__part=0"))
+    // recovery discards the corrupt journal and staging, touches no data
+    assert(!SketchView.recoverPendingCompact(spark, dir))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir, "_compact_pending.json")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir, "_compact_fold")))
+    assert(viewMap(SketchView.read(spark, dir, Seq("event_type"))) === before)
+    // and a full compact afterwards still lands the same view
+    SketchView.compact(spark, dir, Seq("event_type"))
+    assert(viewMap(SketchView.read(spark, dir, Seq("event_type"))) === before)
+  }
+
   test("a STREAMING micro-batch landing mid-compact survives; its replay no-ops") {
     val ev = events.limit(300)
     val fam = SketchView.ViewFamily.ddsketch()
