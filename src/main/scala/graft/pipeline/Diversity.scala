@@ -352,15 +352,10 @@ object Diversity {
       keepFraction: Double,
       dedupThreshold: Double = 0.97,
       maxCluster: Int = Dedup.DefaultMaxBucket): DataFrame = {
-    val idx = Similarity.appendToIvfIndex(
+    // the append assigns the batch exactly once and hands back the
+    // touched cells — no second assignment pass
+    val (idx, touched) = Similarity.appendToIvfIndexTouched(
       spark, s"$path/index", batch, idCol, vecCol)
-    val cB = spark.sparkContext.broadcast(idx.centroids)
-    val cellU = F.udf((v: Array[Float]) =>
-      Similarity.nearestCentroid(cB.value, v))
-    // the touched-cell set is bounded by nlist — driver-side is fine
-    val touched = batch.filter(F.col(vecCol).isNotNull)
-      .select(cellU(F.col(vecCol)).as("__cell")).distinct()
-      .collect().map(_.getInt(0)).toSeq
     if (touched.nonEmpty) {
       val touchedAssigned =
         idx.assigned.filter(F.col("__cell").isInCollection(touched))

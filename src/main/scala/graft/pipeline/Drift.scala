@@ -227,9 +227,10 @@ object Drift {
    * regions of) cells and the PSI rises. Same add-one smoothing and
    * `roundTo` rounding as [[psiStatistic]]; every cell 0..nlist-1 is a
    * bin (zero-count bins smooth to 1). Returns one row
-   * (n_index, n_batch, psi). An identically-distributed batch — e.g.
-   * the index's own vectors — yields psi == 0.0 exactly when the
-   * occupancy proportions match.
+   * (n_index, n_batch, psi). psi == 0.0 exactly when the smoothed
+   * per-cell COUNTS match (e.g. the index's own vectors); equal
+   * proportions at DIFFERENT totals leave a small positive smoothing
+   * residue (~k/n scale) — alert on a threshold, never on psi != 0.
    *
    * Scale shape: one map-only assignment of the batch + two
    * nlist-row aggregates (the index side can be cached/reused by the

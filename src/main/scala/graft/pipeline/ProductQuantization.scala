@@ -460,7 +460,11 @@ object ProductQuantization {
       fresh: DataFrame,
       idCol: String,
       vecCol: String): OpqIvfPqIndex = {
-    val rotation = loadOpqIvfPq(spark, path).rotation
+    import spark.implicits._
+    // only the rotation is needed here — loading the whole index just
+    // to discard it would triple the per-append parquet reads
+    val rotation = spark.read.parquet(s"$path/rotation")
+      .orderBy("i").select("row").as[Array[Float]].collect()
     val rotated = fresh.withColumn(vecCol,
       rotateCol(spark, rotation, F.col(vecCol)))
     OpqIvfPqIndex(rotation,

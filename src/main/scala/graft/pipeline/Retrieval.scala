@@ -253,6 +253,22 @@ object Retrieval {
       textCol: String,
       batchId: Long): TextIndex = {
     val prior = loadTextIndex(spark, path)
+    // a micro-batch at or below the maintenance watermark was already
+    // MUTATED by a removal/reconcile after it committed to disk: its
+    // replay must write nothing, or the taken-down documents (and the
+    // folded stats) would resurrect — the SketchView foldedThroughBatch
+    // contract applied to search
+    if (batchId >= 0L && batchId <= readMaintainedThrough(spark, path))
+      return prior
+    val batch = buildIndex(newDocs, idCol, textCol)
+      .withColumn("__bucket", termBucket(F.col("term"), prior.buckets))
+      .localCheckpoint(eager = false)
+    val (nNew, dlNew) = exactStats(batch)
+    // an all-empty batch (no indexable rows) writes nothing — in
+    // particular it must NOT clear the empty-index schema sentinel,
+    // or a zero-row partitioned write would leave the directory
+    // uninferrable and kill every later load
+    if (nNew == 0L) return prior
     // an index once emptied by removeFromTextIndex holds a flat
     // schema-sentinel file; partitioned appends must clear it or the
     // mixed directory depth breaks discovery
@@ -263,10 +279,6 @@ object Retrieval {
       if (st.isFile && !st.getPath.getName.startsWith("_"))
         fs.delete(st.getPath, false)
     }
-    val batch = buildIndex(newDocs, idCol, textCol)
-      .withColumn("__bucket", termBucket(F.col("term"), prior.buckets))
-      .localCheckpoint(eager = false)
-    val (nNew, dlNew) = exactStats(batch)
     val w = batch.withColumn("__batch", F.lit(batchId))
       .repartition(F.col("__bucket"))
       .write.partitionBy("__bucket", "__batch")
@@ -276,6 +288,48 @@ object Retrieval {
     writeStatsDelta(spark, path, prior.buckets, nNew, dlNew, batchId,
       overwrite = batchId != -1L)
     loadTextIndex(spark, path)
+  }
+
+  private val WatermarkFile = "_maintained_through.json"
+
+  private def readMaintainedThrough(spark: SparkSession, path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(path, WatermarkFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) -1L
+    else try {
+      val in = fs.open(p)
+      val b = new Array[Byte](64)
+      val n = try in.read(b) finally in.close()
+      new String(b, 0, math.max(n, 0), "UTF-8").trim.toLong
+    } catch { case _: Exception => -1L }
+  }
+
+  private def writeMaintainedThrough(
+      spark: SparkSession, path: String, v: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path, WatermarkFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Repair path for a crash between a removal's postings rewrite and
+    * its stats delta: recount the postings EXACTLY and rewrite the
+    * stats as one base row (advancing the maintenance watermark like a
+    * removal — run it with the streaming writer stopped). */
+  def reconcileTextIndexStats(spark: SparkSession, path: String): TextIndex = {
+    val prior = loadTextIndex(spark, path)
+    val (n, dl) = exactStats(prior.postings)
+    val maxStream = maxStreamBatch(prior.postings)
+    writeStatsDelta(spark, path, prior.buckets, n, dl, batchId = -1L,
+      overwrite = true) // static overwrite: ONE base row replaces all deltas
+    if (maxStream >= 0L) writeMaintainedThrough(spark, path, maxStream)
+    loadTextIndex(spark, path)
+  }
+
+  private def maxStreamBatch(postings: DataFrame): Long = {
+    val r = postings.agg(F.max(F.when(F.col("__batch") >= 0L,
+      F.col("__batch")))).head()
+    if (r.isNullAt(0)) -1L else r.getLong(0)
   }
 
   /**
@@ -311,10 +365,17 @@ object Retrieval {
    * 1-row stats update by exact subtraction. Document frequencies
    * derive from matched postings at QUERY time, so a probe of the
    * pruned index ranks like an index built on the remaining corpus —
-   * the append-equivalence argument, reversed (avgdl differs in last
-   * ulps between subtraction and a fresh mean; ranks hold at the
-   * measured BM25 gap, the repo's rank rule). Returns the reloaded
-   * index. Single-maintainer like every other index mutation.
+   * the append-equivalence argument, reversed (stats are exact delta
+   * sums, so even avgdl matches a rebuild bit-for-bit). Returns the
+   * reloaded index.
+   *
+   * Contract: single-maintainer AND the streaming writer stopped (the
+   * SketchView backfill/expire rule) — the removal first advances the
+   * `_maintained_through` watermark so a crash-replay of an
+   * already-mutated micro-batch writes nothing instead of
+   * resurrecting the removed documents. A crash between the postings
+   * rewrite and the stats delta leaves stats overcounted; repair with
+   * [[reconcileTextIndexStats]] (an exact recount).
    */
   def removeFromTextIndex(
       spark: SparkSession,
@@ -337,6 +398,15 @@ object Retrieval {
         (F.col("__n") === F.col("__doomed")).as("__e"))
       .collect()
     if (perPart.isEmpty) return prior
+    // suppress crash-replays of every streaming batch on disk BEFORE
+    // mutating any of them: a batch whose checkpoint never committed
+    // would otherwise be replayed after this removal and resurrect the
+    // taken-down documents (its files are complete on disk — the
+    // stream writer must be STOPPED during removals, the SketchView
+    // backfill/expire contract — so suppression loses nothing)
+    val maxStream = maxStreamBatch(prior.postings)
+    if (maxStream > readMaintainedThrough(spark, path))
+      writeMaintainedThrough(spark, path, maxStream)
     val touched = perPart.map(r => (r.getLong(0), r.getLong(1))).toSeq
     val rm = marked.filter(F.col("__del").isNotNull)
       .select(F.col("id"), F.col("dl")).distinct()

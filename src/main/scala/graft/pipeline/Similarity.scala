@@ -529,17 +529,34 @@ object Similarity {
       path: String,
       fresh: DataFrame,
       idCol: String,
-      vecCol: String): IvfIndex = {
+      vecCol: String): IvfIndex =
+    appendToIvfIndexTouched(spark, path, fresh, idCol, vecCol)._1
+
+  /** [[appendToIvfIndex]] also returning the TOUCHED cell set — the
+    * batch is assigned exactly once (checkpointed), so callers that
+    * need the cells ([[Diversity.d4Incremental]]) do not pay a second
+    * assignment pass. */
+  private[pipeline] def appendToIvfIndexTouched(
+      spark: SparkSession,
+      path: String,
+      fresh: DataFrame,
+      idCol: String,
+      vecCol: String): (IvfIndex, Seq[Int]) = {
     val idx = loadIvfIndex(spark, path)
     val cB = spark.sparkContext.broadcast(idx.centroids)
     val assignU = F.udf((v: Array[Float]) => nearestCentroid(cB.value, v))
-    fresh.filter(F.col(vecCol).isNotNull)
+    val assigned = fresh.filter(F.col(vecCol).isNotNull)
       .select(F.col(idCol).as("neighbor_id"), F.col(vecCol).as("__cv"),
         assignU(F.col(vecCol)).as("__cell"))
+      .localCheckpoint(eager = false)
+    // bounded by nlist — driver-side is fine
+    val touched = assigned.select(F.col("__cell")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    assigned
       // one file per touched cell per append, not one per task-slice
       .repartition(F.col("__cell"))
       .write.partitionBy("__cell").mode("append").parquet(s"$path/assigned")
-    loadIvfIndex(spark, path)
+    (loadIvfIndex(spark, path), touched)
   }
 
   /**

@@ -452,21 +452,28 @@ object SketchView {
       fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path): org.apache.hadoop.fs.Path = {
     val p = new org.apache.hadoop.fs.Path(root, LockFile)
+    // token = acquire time + a per-attempt nonce, so a breaker can
+    // VERIFY ownership after re-creating (two concurrent breakers of
+    // the same stale lock would otherwise both "win": B's blind delete
+    // can remove A's fresh lock)
+    val token = s"${System.currentTimeMillis()} ${System.nanoTime()}"
+    def readToken(): String =
+      try {
+        val in = fs.open(p)
+        val b = new Array[Byte](64)
+        val n = try in.read(b) finally in.close()
+        new String(b, 0, math.max(n, 0), "UTF-8").trim
+      } catch { case _: Exception => "" }
     def tryCreate(): Boolean =
       try {
         val out = fs.create(p, false)
-        try out.write(java.lang.Long.toString(
-          System.currentTimeMillis()).getBytes("UTF-8"))
-        finally out.close()
+        try out.write(token.getBytes("UTF-8")) finally out.close()
         true
       } catch { case _: java.io.IOException => false }
     if (!tryCreate()) {
       val stale =
         try {
-          val in = fs.open(p)
-          val b = new Array[Byte](32)
-          val n = try in.read(b) finally in.close()
-          val ts = new String(b, 0, math.max(n, 0), "UTF-8").trim.toLong
+          val ts = readToken().split(' ').head.toLong
           System.currentTimeMillis() - ts > CompactLockStaleMs
         } catch { case _: Exception => true } // unreadable = stale
       if (!stale)
@@ -478,6 +485,11 @@ object SketchView {
         throw new IllegalStateException(
           s"lost the race re-acquiring $p after breaking a stale lock")
     }
+    // ownership check: if a concurrent stale-breaker clobbered our
+    // lock between create and here, back off instead of double-running
+    if (readToken() != token)
+      throw new IllegalStateException(
+        s"lost the race re-acquiring $p after breaking a stale lock")
     p
   }
 
@@ -594,7 +606,19 @@ object SketchView {
           writeManifest(spark, path, m)
           m
         })
-    val snapshot = listDataFiles(fs, root)
+    val all = listDataFiles(fs, root)
+    // NEVER fold the HIGHEST streaming batch id present: a concurrent
+    // stream writer could be mid-commit of exactly that batch (task
+    // files land one by one), and folding a partial batch while
+    // advancing the watermark past it would make its crash-replay a
+    // no-op — silently losing the unwritten rows. Every id BELOW the
+    // max is safe (Structured Streaming starts batch N+1 only after N
+    // fully committed). The newest batch just stays merge-on-read
+    // until the next compact.
+    val maxStream = all.map(batchIdOf).filter(_ >= 0L)
+      .foldLeft(-1L)(math.max)
+    val snapshot =
+      if (maxStream < 0L) all else all.filter(batchIdOf(_) != maxStream)
     afterSnapshot()
     if (snapshot.nonEmpty) {
       val folded = math.max(snapshot.map(batchIdOf).max,

@@ -181,6 +181,75 @@ class RetrievalSpec extends SparkTestBase {
     assert(!sp.exists(_(1) == 99L)) // the phantom is gone
   }
 
+  test("a micro-batch replayed AFTER a removal mutated it cannot resurrect docs") {
+    val session = spark
+    import session.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_tidx_res").toString
+    Retrieval.buildTextIndex(docs.filter(F.col("doc_id") <= 3),
+      "doc_id", "text", buckets = 8).save(path)
+    // micro-batch 0 committed to disk (checkpoint pending) with doc 99
+    val b0 = Seq((99L, "quick quick dog"), (98L, "lazy dog sleeps"))
+      .toDF("doc_id", "text")
+    Retrieval.appendBatchToTextIndex(spark, path, b0, "doc_id", "text", 0L)
+    // nightly takedown removes doc 99 (stream writer stopped)
+    val pruned = Retrieval.removeFromTextIndex(spark, path,
+      Seq(99L).toDF("doc_id"), "doc_id")
+    assert(!pruned.postings.select("id").as[Long].collect().contains(99L))
+    val after = pruned.postings.select("term", "id", "tf")
+      .collect().map(_.toSeq).toSet
+    // the stream restarts and REPLAYS batch 0: the maintenance
+    // watermark makes it a no-op — doc 99 stays gone, nothing doubles
+    val replayed = Retrieval.appendBatchToTextIndex(
+      spark, path, b0, "doc_id", "text", 0L)
+    assert(!replayed.postings.select("id").as[Long].collect().contains(99L))
+    assert(replayed.postings.select("term", "id", "tf")
+      .collect().map(_.toSeq).toSet === after)
+    assert(replayed.nDocs === pruned.nDocs && replayed.dlSum === pruned.dlSum)
+    // a genuinely NEW batch id still lands
+    val b1 = Seq((97L, "fresh arrival")).toDF("doc_id", "text")
+    assert(Retrieval.appendBatchToTextIndex(spark, path, b1, "doc_id", "text", 1L)
+      .postings.select("id").as[Long].collect().contains(97L))
+  }
+
+  test("reconcileTextIndexStats repairs a lost removal delta exactly") {
+    val session = spark
+    import session.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_tidx_rec").toString
+    Retrieval.buildTextIndex(docs, "doc_id", "text", buckets = 8).save(path)
+    val before = Retrieval.loadTextIndex(spark, path)
+    // simulate the crash window: postings mutated, stats delta LOST —
+    // append a bogus positive delta to knock stats out of sync
+    Seq((8, 5L, 100L, -1L)).toDF("buckets", "n_delta", "dl_delta", "__batch")
+      .write.partitionBy("__batch").mode("append").parquet(s"$path/stats")
+    val skewed = Retrieval.loadTextIndex(spark, path)
+    assert(skewed.nDocs === before.nDocs + 5)
+    val fixed = Retrieval.reconcileTextIndexStats(spark, path)
+    assert(fixed.nDocs === before.nDocs && fixed.dlSum === before.dlSum)
+    assert(fixed.avgdl === before.avgdl)
+  }
+
+  test("an all-empty batch append never breaks an emptied index") {
+    val session = spark
+    import session.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_tidx_emp").toString
+    Retrieval.buildTextIndex(docs, "doc_id", "text", buckets = 8).save(path)
+    Retrieval.removeFromTextIndex(spark, path, docs.select("doc_id"), "doc_id")
+    // empty / all-NULL batches must not clear the schema sentinel
+    val emptied = Retrieval.appendToTextIndex(spark, path,
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "doc_id", "text")
+    assert(emptied.nDocs === 0L)
+    val nullish = Retrieval.appendToTextIndex(spark, path,
+      Seq((1L, null.asInstanceOf[String]), (2L, "   ")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    assert(nullish.nDocs === 0L)
+    // a real batch then lands and the index is whole again
+    val back = Retrieval.appendToTextIndex(spark, path,
+      Seq((5L, "quick dog")).toDF("doc_id", "text"), "doc_id", "text")
+    assert(back.nDocs === 1L && back.dlSum === 2L)
+    assert(Retrieval.bm25TopKIndexed(back, Seq("quick"), 5)
+      .select("id").as[Long].collect().toSeq === Seq(5L))
+  }
+
   test("localTermBucket agrees with the in-plan xxhash64 bucketing") {
     val terms = Seq("quick", "dog", "the", "ümlaut", "", "a b")
     val inPlan = terms.toDF("t")

@@ -280,25 +280,27 @@ class SketchViewSpec extends SparkTestBase {
     val ev = events.limit(300)
     val dir = java.nio.file.Files.createTempDirectory("graft_skview_cf").toString
     val fam = SketchView.ViewFamily.ddsketch()
-    // two committed-to-disk micro-batches...
-    SketchView.appendBatch(ev, "ts", Seq("event_type"), "value", dir,
-      "hour", fam, SketchView.DefaultPartSpanMs, batchId = 0L)
-    SketchView.appendBatch(ev, "ts", Seq("event_type"), "value", dir,
-      "hour", fam, SketchView.DefaultPartSpanMs, batchId = 1L)
+    // three committed-to-disk micro-batches...
+    for (b <- 0L to 2L)
+      SketchView.appendBatch(ev, "ts", Seq("event_type"), "value", dir,
+        "hour", fam, SketchView.DefaultPartSpanMs, batchId = b)
     val before = viewMap(SketchView.read(spark, dir, Seq("event_type")))
-    // ...maintenance folds them into __batch=-1...
+    // ...maintenance folds 0 and 1 into __batch=-1 — the NEWEST
+    // streaming id (2) is never folded (it could be a concurrent
+    // writer's mid-commit batch), so the watermark stops below it
     SketchView.compact(spark, dir, Seq("event_type"))
     assert(SketchView.readManifest(spark, dir).get.foldedThroughBatch === 1L)
-    // ...then the stream restarts from a checkpoint that never
-    // committed batch 1 and REPLAYS it: without the fold watermark the
-    // replayed rows would count twice (once inside the compacted rows,
-    // once in the recreated __batch=1 dirs)
+    // a replay of FOLDED batch 1 writes nothing (watermark no-op)...
     SketchView.appendBatch(ev, "ts", Seq("event_type"), "value", dir,
       "hour", fam, SketchView.DefaultPartSpanMs, batchId = 1L)
     assert(viewMap(SketchView.read(spark, dir, Seq("event_type"))) === before)
-    // a genuinely NEW batch id still lands
+    // ...a replay of the UNFOLDED batch 2 overwrites itself (no change)...
     SketchView.appendBatch(ev, "ts", Seq("event_type"), "value", dir,
       "hour", fam, SketchView.DefaultPartSpanMs, batchId = 2L)
+    assert(viewMap(SketchView.read(spark, dir, Seq("event_type"))) === before)
+    // ...and a genuinely NEW batch id still lands
+    SketchView.appendBatch(ev, "ts", Seq("event_type"), "value", dir,
+      "hour", fam, SketchView.DefaultPartSpanMs, batchId = 3L)
     assert(viewMap(SketchView.read(spark, dir, Seq("event_type"))) !== before)
   }
 
@@ -530,28 +532,34 @@ class SketchViewSpec extends SparkTestBase {
     val ev = events.limit(300)
     val fam = SketchView.ViewFamily.ddsketch()
     val dir = java.nio.file.Files.createTempDirectory("graft_cpt_stream").toString
+    // batches 0 and 1 on disk; 0 is foldable, 1 is the newest (never
+    // folded — could be a mid-commit writer)
     SketchView.appendBatch(ev, "ts", Seq("event_type"), "value", dir,
       "hour", fam, SketchView.DefaultPartSpanMs, batchId = 0L)
+    SketchView.appendBatch(ev, "ts", Seq("event_type"), "value", dir,
+      "hour", fam, SketchView.DefaultPartSpanMs, batchId = 1L)
     SketchView.compactImpl(spark, dir, Seq("event_type"), fam,
       SketchView.DefaultPartSpanMs, None,
       afterSnapshot = () => SketchView.appendBatch(ev, "ts", Seq("event_type"),
-        "value", dir, "hour", fam, SketchView.DefaultPartSpanMs, batchId = 1L),
+        "value", dir, "hour", fam, SketchView.DefaultPartSpanMs, batchId = 2L),
       afterJournal = () => ())
-    // batch 1 landed after the snapshot: folded watermark stays at 0,
-    // batch 1's rows survive the prune
+    // batch 2 landed after the snapshot and batch 1 was excluded as the
+    // newest: the watermark stops at 0, and both survive the prune
     assert(SketchView.readManifest(spark, dir).get.foldedThroughBatch === 0L)
     val after = viewMap(SketchView.read(spark, dir, Seq("event_type")))
-    val twice = viewMap(SketchView.rollup(
-      ev.union(ev), "ts", Seq("event_type"), "value"))
-    assert(after === twice)
+    val thrice = viewMap(SketchView.rollup(
+      ev.union(ev).union(ev), "ts", Seq("event_type"), "value"))
+    assert(after === thrice)
     // a replay of the FOLDED batch 0 writes nothing...
     SketchView.appendBatch(ev, "ts", Seq("event_type"), "value", dir,
       "hour", fam, SketchView.DefaultPartSpanMs, batchId = 0L)
     assert(viewMap(SketchView.read(spark, dir, Seq("event_type"))) === after)
-    // ...while a replay of the SURVIVING batch 1 overwrites itself
-    SketchView.appendBatch(ev, "ts", Seq("event_type"), "value", dir,
-      "hour", fam, SketchView.DefaultPartSpanMs, batchId = 1L)
-    assert(viewMap(SketchView.read(spark, dir, Seq("event_type"))) === after)
+    // ...while replays of the SURVIVING batches overwrite themselves
+    for (b <- 1L to 2L) {
+      SketchView.appendBatch(ev, "ts", Seq("event_type"), "value", dir,
+        "hour", fam, SketchView.DefaultPartSpanMs, batchId = b)
+      assert(viewMap(SketchView.read(spark, dir, Seq("event_type"))) === after)
+    }
   }
 
   test("a fresh compact lock blocks a second compact; a stale one is broken") {
