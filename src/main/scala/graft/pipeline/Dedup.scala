@@ -416,22 +416,40 @@ object Dedup {
    * rewrite. These indexes are FLAT parquet (the probe side prunes by
    * join, not partitions), so removal is one rewrite of the index —
    * O(index), not O(corpus); at TB index sizes batch the takedowns
-   * nightly. The rewrite materializes before overwriting its own
-   * input. Returns the pruned index frame (reloaded). Buckets the
-   * BUILD capped stay absent (removal never resurrects flood-capped
-   * rows — recall-conservative, like the append path).
+   * nightly. The rewrite lands in a sibling temp dir and promotes by
+   * ATOMIC-ish rename (the [[graft.sources.Compaction]] swap): no
+   * executor-storage materialization of the whole index, and a crash
+   * between the write and the swap leaves the ORIGINAL index intact
+   * (the orphaned temp dir is overwritten by the next removal).
+   * Returns the pruned index frame (reloaded). Buckets the BUILD
+   * capped stay absent (removal never resurrects flood-capped rows —
+   * recall-conservative, like the append path).
    */
   def removeFromSavedIndex(
       spark: org.apache.spark.sql.SparkSession,
       path: String,
       ids: DataFrame,
       idCol: String,
-      indexIdCol: String = "id"): DataFrame = {
+      indexIdCol: String = "id"): DataFrame =
+    removeFromSavedIndexImpl(spark, path, ids, idCol, indexIdCol, () => ())
+
+  /** [[removeFromSavedIndex]] with a crash-window hook (test seam):
+    * `afterWrite` runs once the pruned temp dir is complete, before
+    * the swap — the window a crash must leave the old index intact. */
+  private[graft] def removeFromSavedIndexImpl(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      ids: DataFrame,
+      idCol: String,
+      indexIdCol: String,
+      afterWrite: () => Unit): DataFrame = {
     val del = ids.select(F.col(idCol).as(indexIdCol)).distinct()
-    val pruned = loadSignatureIndex(spark, path)
+    val tmp = path.stripSuffix("/") + "__takedown"
+    loadSignatureIndex(spark, path)
       .join(F.broadcast(del), Seq(indexIdCol), "left_anti")
-      .localCheckpoint(eager = true) // before the self-overwrite
-    pruned.write.mode("overwrite").parquet(path)
+      .write.mode("overwrite").parquet(tmp)
+    afterWrite()
+    graft.sources.Compaction.promote(spark, tmp, path)
     loadSignatureIndex(spark, path)
   }
 

@@ -426,13 +426,19 @@ object ProductQuantization {
         Some((cell, codes, math.sqrt(n2)))
       }
     })
-    fresh
+    val enc = fresh
       .select(F.col(idCol).as("neighbor_id"), encU(F.col(vecCol)).as("__e"))
       .filter(F.col("__e").isNotNull)
       .select(F.col("neighbor_id"), F.col("__e._1").as("__cell"),
         F.col("__e._2").as("__code"), F.col("__e._3").as("__norm"))
-      .repartition(F.col("__cell"))
-      .write.partitionBy("__cell").mode("append").parquet(s"$path/encoded")
+      .localCheckpoint(eager = false)
+    // all-empty batches write nothing and must not clear a sentinel
+    if (!enc.isEmpty) {
+      Similarity.clearCellSentinel(spark, s"$path/encoded")
+      enc
+        .repartition(F.col("__cell"))
+        .write.partitionBy("__cell").mode("append").parquet(s"$path/encoded")
+    }
     loadIvfPq(spark, path)
   }
 
@@ -614,8 +620,11 @@ object ProductQuantization {
       .select(F.col("query_id"), F.col("neighbor_id"))
     val qv = queries.select(F.col(idCol).as("query_id"), F.col(vecCol).as("__qv"))
     val cv = corpus.select(F.col(idCol).as("neighbor_id"), F.col(vecCol).as("__cv"))
-    val exact = cand
-      .join(F.broadcast(qv), "query_id")
+    // broadcast the BOUNDED pool (|queries| * poolSize rows) onto the
+    // corpus-side vector join explicitly: leaving it to AQE means one
+    // statistics miss away from shuffling the whole corpus behind a
+    // few thousand candidate rows
+    val exact = F.broadcast(cand.join(F.broadcast(qv), "query_id"))
       .join(cv, "neighbor_id")
       .withColumn("cos", Similarity.cosine(F.col("__qv"), F.col("__cv")))
     val w2 = Window.partitionBy(F.col("query_id"))
@@ -875,8 +884,9 @@ object ProductQuantization {
       .select(F.col("query_id"), F.col("neighbor_id"))
     val q = queries.select(F.col(idCol).as("query_id"), F.col(vecCol).as("__qv"))
     val c = corpus.select(F.col(idCol).as("neighbor_id"), F.col(vecCol).as("__cv"))
-    val exact = pool
-      .join(F.broadcast(q), "query_id")
+    // explicit broadcast of the bounded pool — the corpus side of the
+    // rerank join must stay shuffle-free without relying on AQE
+    val exact = F.broadcast(pool.join(F.broadcast(q), "query_id"))
       .join(c, "neighbor_id")
       .withColumn("cos", Similarity.cosine(F.col("__qv"), F.col("__cv")))
     val w = Window.partitionBy(F.col("query_id"))

@@ -415,33 +415,54 @@ object Retrieval {
     val dlRm = if (rm.isNullAt(1)) 0L else rm.getLong(1)
     val nDocs = prior.nDocs - nRm
     val touchedBuckets = touched.map(_._1).distinct
-    val survivors = prior.postings
-      .filter(F.col("__bucket").isInCollection(touchedBuckets))
-      .filter(F.array_contains(F.typedLit(touched),
-        F.struct(F.col("__bucket").as("_1"), F.col("__batch").as("_2"))))
-      .join(F.broadcast(del), Seq("id"), "left_anti")
-      .localCheckpoint(eager = true) // before the self-overwrite
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (nDocs <= 0) {
       // the index emptied out entirely: a partitioned write of zero
       // rows writes NOTHING (no partition values) and deleting every
       // partition dir leaves an uninferrable directory — land one
       // empty schema-bearing file instead (the partition keys become
-      // plain columns; a later append clears the sentinel)
-      survivors.limit(0).repartition(1)
+      // plain columns; a later append clears the sentinel). The empty
+      // frame is built from the schema (no lineage from the path being
+      // overwritten).
+      spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          prior.postings.schema)
+        .repartition(1)
         .write.mode("overwrite").parquet(s"$path/postings")
     } else {
-      survivors
+      // survivors go to a sibling STAGE dir first (the Compaction
+      // temp-dir pattern: no executor-storage materialization of the
+      // rewrite, and a crash before the swap leaves the old index
+      // intact), then each touched (bucket, batch) partition swaps by
+      // rename; an emptied partition has no staged dir — delete only.
+      // A crash mid-swap leaves some partitions already pruned (docs
+      // transiently under-counted, never resurrected) — re-running the
+      // removal finishes, reconcileTextIndexStats repairs stats.
+      val stage = s"$path/postings__takedown"
+      prior.postings
+        .filter(F.col("__bucket").isInCollection(touchedBuckets))
+        .filter(F.array_contains(F.typedLit(touched),
+          F.struct(F.col("__bucket").as("_1"), F.col("__batch").as("_2"))))
+        .join(F.broadcast(del), Seq("id"), "left_anti")
         .repartition(F.col("__bucket"))
         .write.partitionBy("__bucket", "__batch")
-        .option("partitionOverwriteMode", "dynamic")
-        .mode("overwrite").parquet(s"$path/postings")
-      val fs = new org.apache.hadoop.fs.Path(path)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      perPart.filter(_.getBoolean(2)).foreach { r =>
-        fs.delete(new org.apache.hadoop.fs.Path(
-          s"$path/postings/__bucket=${r.getLong(0)}",
-          s"__batch=${r.getLong(1)}"), true)
+        .mode("overwrite").parquet(stage)
+      touched.foreach { case (b, batch) =>
+        val orig = new org.apache.hadoop.fs.Path(
+          s"$path/postings/__bucket=$b", s"__batch=$batch")
+        if (fs.exists(orig) && !fs.delete(orig, true))
+          throw new java.io.IOException(s"takedown: cannot prune $orig")
+        val staged = new org.apache.hadoop.fs.Path(
+          s"$stage/__bucket=$b", s"__batch=$batch")
+        if (fs.exists(staged)) {
+          fs.mkdirs(orig.getParent)
+          if (!fs.rename(staged, orig))
+            throw new java.io.IOException(
+              s"takedown: swap failed: $staged -> $orig")
+        }
       }
+      fs.delete(new org.apache.hadoop.fs.Path(stage), true)
       // drop bucket dirs whose last batch dir just went away
       fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/postings"))
         .foreach { st =>

@@ -552,10 +552,16 @@ object Similarity {
     // bounded by nlist — driver-side is fine
     val touched = assigned.select(F.col("__cell")).distinct()
       .collect().map(_.getInt(0)).toSeq
-    assigned
-      // one file per touched cell per append, not one per task-slice
-      .repartition(F.col("__cell"))
-      .write.partitionBy("__cell").mode("append").parquet(s"$path/assigned")
+    // an all-empty batch writes nothing — in particular it must NOT
+    // clear an empty-index schema sentinel (zero-row partitioned
+    // writes land no files; the dir would become uninferrable)
+    if (touched.nonEmpty) {
+      clearCellSentinel(spark, s"$path/assigned")
+      assigned
+        // one file per touched cell per append, not one per task-slice
+        .repartition(F.col("__cell"))
+        .write.partitionBy("__cell").mode("append").parquet(s"$path/assigned")
+    }
     (loadIvfIndex(spark, path), touched)
   }
 
@@ -590,20 +596,33 @@ object Similarity {
       idCol: String): Unit = {
     val del = ids.select(F.col(idCol).as("neighbor_id")).distinct()
       .localCheckpoint(eager = false)
-    // one index scan: which cells hold any doomed row, and which of
-    // those end up EMPTY (their dirs need an explicit delete)
+    // one index scan: which cells hold any doomed row, which of those
+    // end up EMPTY (their dirs need an explicit delete), and whether
+    // the WHOLE table empties out (bounded: one row per cell, <= nlist)
     val perCell = rows
       .join(F.broadcast(del.withColumn("__del", F.lit(1))),
         Seq("neighbor_id"), "left")
       .groupBy(F.col("__cell"))
       .agg(F.sum(F.coalesce(F.col("__del"), F.lit(0))).as("__doomed"),
            F.count(F.lit(1)).as("__n"))
-      .filter(F.col("__doomed") > 0)
-      .select(F.col("__cell"), (F.col("__n") === F.col("__doomed")).as("__empties"))
+      .select(F.col("__cell"), F.col("__doomed"),
+        (F.col("__n") === F.col("__doomed")).as("__empties"))
       .collect()
-    val touched = perCell.map(_.getInt(0)).toSeq
-    val emptied = perCell.filter(_.getBoolean(1)).map(_.getInt(0))
-    if (touched.nonEmpty) {
+    val touched = perCell.filter(_.getLong(1) > 0L).map(_.getInt(0)).toSeq
+    val emptied = perCell.filter(r => r.getLong(1) > 0L && r.getBoolean(2))
+      .map(_.getInt(0))
+    val allEmpty = perCell.nonEmpty && perCell.forall(_.getBoolean(2))
+    if (allEmpty) {
+      // the table emptied out entirely: a partitioned write of zero
+      // rows writes NOTHING (no partition values) and deleting every
+      // cell dir leaves an uninferrable directory — land one empty
+      // schema-bearing file instead (the partition key becomes a plain
+      // column; the next append clears the sentinel). Same rule as
+      // Retrieval.removeFromTextIndex.
+      val empty = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], rows.schema)
+      empty.repartition(1).write.mode("overwrite").parquet(tablePath)
+    } else if (touched.nonEmpty) {
       val survivors = rows
         .filter(F.col("__cell").isInCollection(touched))
         .join(F.broadcast(del), Seq("neighbor_id"), "left_anti")
@@ -619,6 +638,20 @@ object Similarity {
       emptied.foreach { c =>
         fs.delete(new org.apache.hadoop.fs.Path(tablePath, s"__cell=$c"), true)
       }
+    }
+  }
+
+  /** A cell table once emptied by [[removeFromCellTable]] holds a flat
+    * schema-sentinel file; partitioned appends must clear it first or
+    * the mixed directory depth breaks parquet discovery (the
+    * [[graft.pipeline.Retrieval]] appendBatch rule). */
+  private[pipeline] def clearCellSentinel(
+      spark: SparkSession, tablePath: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(root)) fs.listStatus(root).foreach { st =>
+      if (st.isFile && !st.getPath.getName.startsWith("_"))
+        fs.delete(st.getPath, false)
     }
   }
 

@@ -55,15 +55,20 @@ import graft.sketch.{functions => G}
  *
  * `append`/`streamAppend` are pure file-adds and compose freely with
  * readers and each other (one STREAMING writer per path — batch ids
- * collide otherwise). `compact` folds a FILE-LEVEL SNAPSHOT of the
- * view, stages the fold invisibly, journals, then prunes exactly the
- * snapshot — so an append landing at ANY point during a compact
- * survives (interleaved ≡ serialized, byte-exact; see [[compact]]),
- * and a crashed compact is finished idempotently by the next one
- * ([[recoverPendingCompact]]). `backfill` and `expire` still REWRITE
- * or DELETE whole partition ranges and assume no concurrent writer
- * touching those ranges. At most one compact at a time (two compacts
- * racing would fold overlapping snapshots). The crash-replay hazard —
+ * collide otherwise). ALL THREE maintenance ops run on FILE-LEVEL
+ * SNAPSHOTS now: `compact` folds a snapshot of the whole view,
+ * `backfill` replaces exactly the snapshot of its range (staged +
+ * journaled like compact), `expire` deletes exactly its snapshot —
+ * so a batch append landing at ANY point during any of them survives
+ * (interleaved ≡ serialized, byte-exact; SketchViewSpec pins all
+ * three), and a crashed compact/backfill is finished idempotently by
+ * the next maintenance call ([[recoverPendingCompact]]). The three
+ * ops take a shared single-maintainer lock (at most one at a time —
+ * two racing would fold/prune overlapping snapshots); `backfill`
+ * additionally requires the STREAMING writer stopped (see its note).
+ * Readers are journal-aware ([[rawView]]) and [[readResilient]]
+ * re-plans through a compact finishing mid-query.
+ * The crash-replay hazard —
  * a micro-batch written but not yet committed to the checkpoint,
  * folded by a compact, then REPLAYED after restart — is closed by the
  * manifest's `foldedThroughBatch` watermark: compact records the
@@ -366,6 +371,40 @@ object SketchView {
       .option("partitionOverwriteMode", if (dynamic) "dynamic" else "static")
       .mode(mode).parquet(path)
 
+  /** The view's raw rows, CONSISTENT through a compact's recovery
+    * window: normally a plain directory read, but when a compact
+    * journal (`_compact_pending.json`) is present — a compact crashed
+    * (or is finishing right now) after its fold committed — a plain
+    * listing could see the folded history HALF-pruned with no error.
+    * The journaled file set and the staged fold are then the truth:
+    * read (current files − journaled set) ∪ staged fold files, which
+    * equals the post-compact view exactly regardless of how far the
+    * prune got. Readers racing finishCompact's rename phase can still
+    * hit missing staged files — that window FAILS (never silently
+    * under-counts) and [[readResilient]] re-plans through it. */
+  private def rawView(spark: SparkSession, path: String): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    readPendingJournal(fs, root).flatten match {
+      case Some((journaled, _)) =>
+        val doomed = journaled.toSet
+        val survivors = listDataFiles(fs, root).filterNot(doomed)
+        val stagingRoot = s"$path/$FoldStaging"
+        val staged =
+          listDataFiles(fs, new org.apache.hadoop.fs.Path(stagingRoot))
+        val frames = Seq(
+          if (survivors.isEmpty) None
+          else Some(spark.read.option("basePath", path)
+            .parquet(survivors.map(rel => s"$path/$rel"): _*)),
+          if (staged.isEmpty) None
+          else Some(spark.read.option("basePath", stagingRoot)
+            .parquet(staged.map(rel => s"$stagingRoot/$rel"): _*))).flatten
+        frames.reduceOption(_.unionByName(_))
+          .getOrElse(spark.read.parquet(path))
+      case None => spark.read.parquet(path)
+    }
+  }
+
   /** The merged view: one row per (bucket_ms, keys) with the sketch of
     * every batch ever appended, plus the reconstructed `bucket_start`
     * timestamp. For a time window use [[readRange]] — it prunes the
@@ -376,7 +415,49 @@ object SketchView {
     readManifest(spark, path).foreach { m =>
       validateManifest(spark, path, family, None, m.partSpanMs, keyCols)
     }
-    merge(spark.read.parquet(path), keyCols, family)
+    merge(rawView(spark, path), keyCols, family)
+  }
+
+  /** Execute `action` over a freshly planned [[read]], RE-PLANNING
+    * (bounded) when a concurrent [[compact]] prunes planned files
+    * between plan and execution — the hot-dashboard-during-nightly-
+    * compact race. A missing-file failure means the listing went
+    * stale; once the compact finishes, a re-planned read is stable
+    * (and mid-recovery plans are already consistent via the journal,
+    * see [[rawView]]). Non-file-loss failures propagate unchanged. */
+  def readResilient[T](
+      spark: SparkSession,
+      path: String,
+      keyCols: Seq[String],
+      family: ViewFamily = ViewFamily.ddsketch(),
+      attempts: Int = 3)(action: DataFrame => T): T = {
+    var tryNo = 0
+    var out: Option[T] = None
+    while (out.isEmpty) {
+      try out = Some(action(read(spark, path, keyCols, family)))
+      catch {
+        case e: Throwable if tryNo < attempts - 1 && isFileLoss(e) =>
+          tryNo += 1
+      }
+    }
+    out.get
+  }
+
+  /** Does this failure (anywhere in the cause chain) look like files
+    * vanishing under a planned scan? */
+  private def isFileLoss(e: Throwable): Boolean = {
+    var t: Throwable = e
+    var seen = 0
+    while (t != null && seen < 16) {
+      val msg = Option(t.getMessage).getOrElse("")
+      if (t.isInstanceOf[java.io.FileNotFoundException] ||
+          msg.contains("FILE_NOT_EXIST") ||
+          msg.contains("does not exist") ||
+          msg.contains("No such file")) return true
+      t = if (t.getCause eq t) null else t.getCause
+      seen += 1
+    }
+    false
   }
 
   /** [[read]] with the family and key columns taken from the view's
@@ -385,7 +466,7 @@ object SketchView {
   def readAuto(spark: SparkSession, path: String): (DataFrame, ViewManifest) = {
     val m = readManifest(spark, path).getOrElse(throw new IllegalArgumentException(
       s"view at $path has no $ManifestFile manifest — pass the family to read()"))
-    (merge(spark.read.parquet(path), m.keyCols,
+    (merge(rawView(spark, path), m.keyCols,
       ViewFamily.fromManifest(m.family, m.geometry)), m)
   }
 
@@ -402,7 +483,7 @@ object SketchView {
       partSpanMs: Long = DefaultPartSpanMs): DataFrame = {
     validateManifest(spark, path, family, None, partSpanMs, keyCols)
     merge(
-      spark.read.parquet(path)
+      rawView(spark, path)
         .filter(F.col("__part") >= partFloor(fromMs, partSpanMs) &&
                 F.col("__part") < untilMs &&
                 F.col("bucket_ms") >= fromMs && F.col("bucket_ms") < untilMs),
@@ -440,26 +521,32 @@ object SketchView {
   /** Locks older than this are presumed crashed and broken. */
   private[graft] val CompactLockStaleMs: Long = 6L * 3600000L
 
-  /** Best-effort single-compact mutex: an exclusive create of
-    * `_compact_lock` carrying the acquire time. A second compact
-    * finding a FRESH lock fails fast instead of folding an overlapping
-    * snapshot; a lock older than [[CompactLockStaleMs]] is presumed
-    * crashed and broken (the journal protocol makes the crashed
-    * compact itself recoverable). Atomic-create semantics hold on
-    * HDFS/local; on eventually-consistent object stores this is
-    * best-effort — keep the nightly scheduler as the real mutex. */
+  /** Best-effort single-maintainer mutex (compact/backfill/expire all
+    * take it — two maintenance ops racing would fold/prune overlapping
+    * snapshots): an exclusive create of `_compact_lock` carrying the
+    * acquire time. A second maintainer finding a FRESH lock fails fast;
+    * a lock older than [[CompactLockStaleMs]] is presumed crashed and
+    * broken by ATOMIC RENAME to a per-breaker tombstone — of two
+    * concurrent breakers only one's rename succeeds, so a breaker can
+    * never blind-delete a lock another breaker just re-created. After
+    * the rename wins, the breaker verifies the tombstone still carries
+    * the stale token it based the break on; a mismatch means it stole
+    * a LIVE lock (the holder acquired between the staleness read and
+    * the rename) — it renames the lock back and aborts. The remaining
+    * window (holder's own post-create verify already passed when a
+    * breaker with a stale read arrives) is narrowed, not eliminated:
+    * atomic-create/rename semantics hold on HDFS/local, object stores
+    * are best-effort — keep the nightly scheduler as the real mutex. */
   private def acquireCompactLock(
       fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path): org.apache.hadoop.fs.Path = {
     val p = new org.apache.hadoop.fs.Path(root, LockFile)
-    // token = acquire time + a per-attempt nonce, so a breaker can
-    // VERIFY ownership after re-creating (two concurrent breakers of
-    // the same stale lock would otherwise both "win": B's blind delete
-    // can remove A's fresh lock)
+    // token = acquire time + a per-attempt nonce, so ownership is
+    // VERIFIABLE after create (and a tombstone's origin checkable)
     val token = s"${System.currentTimeMillis()} ${System.nanoTime()}"
-    def readToken(): String =
+    def readTokenOf(path: org.apache.hadoop.fs.Path): String =
       try {
-        val in = fs.open(p)
+        val in = fs.open(path)
         val b = new Array[Byte](64)
         val n = try in.read(b) finally in.close()
         new String(b, 0, math.max(n, 0), "UTF-8").trim
@@ -471,23 +558,42 @@ object SketchView {
         true
       } catch { case _: java.io.IOException => false }
     if (!tryCreate()) {
+      val observed = readTokenOf(p)
       val stale =
         try {
-          val ts = readToken().split(' ').head.toLong
+          val ts = observed.split(' ').head.toLong
           System.currentTimeMillis() - ts > CompactLockStaleMs
         } catch { case _: Exception => true } // unreadable = stale
       if (!stale)
         throw new IllegalStateException(
-          s"another compact holds $p (fresh lock) — compact is " +
-            "single-maintainer; wait for it or remove a stale lock")
-      fs.delete(p, false)
+          s"another maintenance op holds $p (fresh lock) — " +
+            "compact/backfill/expire are single-maintainer; wait for it " +
+            "or remove a stale lock")
+      // break by atomic rename to a unique tombstone: only one of two
+      // concurrent breakers wins the rename; the loser sees a missing
+      // source and backs off
+      val tomb = new org.apache.hadoop.fs.Path(root,
+        s".${LockFile}_tomb_${System.nanoTime()}")
+      if (!fs.rename(p, tomb))
+        throw new IllegalStateException(
+          s"lost the race breaking the stale lock $p (another breaker won)")
+      if (readTokenOf(tomb) != observed) {
+        // we renamed a lock that CHANGED since the staleness read — a
+        // live holder re-acquired in between; put it back and abort
+        // (if the restore loses to yet another creator, the tombstone
+        // stays behind as an inert dotfile)
+        fs.rename(tomb, p)
+        throw new IllegalStateException(
+          s"aborted breaking $p: the lock was re-acquired mid-break")
+      }
+      fs.delete(tomb, false)
       if (!tryCreate())
         throw new IllegalStateException(
           s"lost the race re-acquiring $p after breaking a stale lock")
     }
     // ownership check: if a concurrent stale-breaker clobbered our
     // lock between create and here, back off instead of double-running
-    if (readToken() != token)
+    if (readTokenOf(p) != token)
       throw new IllegalStateException(
         s"lost the race re-acquiring $p after breaking a stale lock")
     p
@@ -671,7 +777,12 @@ object SketchView {
         if (fs.exists(pp) && fs.listStatus(pp).isEmpty) fs.delete(pp, false)
       }
     // move the staged fold under __batch=-1 (file renames; staged part
-    // names carry a job UUID so they can't collide with live appends)
+    // names carry a job UUID so they can't collide with live appends).
+    // Every rename is CHECKED: a silent rename failure followed by the
+    // staging delete below would permanently drop that fold file — and
+    // the folded history it replaced was already pruned above. Throwing
+    // instead leaves journal + staging in place, so the next
+    // recoverPendingCompact retries the move.
     val staging = new org.apache.hadoop.fs.Path(root, FoldStaging)
     if (fs.exists(staging)) fs.listStatus(staging).foreach { part =>
       val pn = part.getPath.getName
@@ -683,9 +794,14 @@ object SketchView {
               if (f.isFile && !fn.startsWith("_") && !fn.startsWith(".")) {
                 val destDir = new org.apache.hadoop.fs.Path(
                   new org.apache.hadoop.fs.Path(root, pn), "__batch=-1")
-                fs.mkdirs(destDir)
-                fs.rename(f.getPath,
-                  new org.apache.hadoop.fs.Path(destDir, fn))
+                if (!fs.mkdirs(destDir))
+                  throw new java.io.IOException(
+                    s"compact: cannot create $destDir for the staged fold")
+                if (!fs.rename(f.getPath,
+                    new org.apache.hadoop.fs.Path(destDir, fn)))
+                  throw new java.io.IOException(
+                    s"compact: failed moving staged fold file ${f.getPath} " +
+                      s"into $destDir — journal kept for recovery")
               }
             }
         }
@@ -702,29 +818,38 @@ object SketchView {
     * automatically at the start of every [[compact]]; exposed for an
     * explicit repair. No-op when no journal exists. Returns whether a
     * recovery ran. */
+  /** Parse `_compact_pending.json` when present and intact. `None`
+    * when absent; `Some(None)` when present but truncated/corrupt (a
+    * crash DURING the journal write). */
+  private def readPendingJournal(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Option[Option[(Seq[String], Long)]] = {
+    val p = new org.apache.hadoop.fs.Path(root, PendingFile)
+    if (!fs.exists(p)) None
+    else Some(
+      try {
+        val in = fs.open(p)
+        val bytes =
+          try {
+            val len = fs.getFileStatus(p).getLen.toInt
+            val b = new Array[Byte](len)
+            in.readFully(0L, b)
+            b
+          } finally in.close()
+        val j = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(new String(bytes, "UTF-8"))
+        Some(((0 until j.get("files").size())
+          .map(i => j.get("files").get(i).asText()): Seq[String],
+          j.get("folded").asLong()))
+      } catch { case _: Exception => None })
+  }
+
   def recoverPendingCompact(spark: SparkSession, path: String): Boolean = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val p = new org.apache.hadoop.fs.Path(root, PendingFile)
-    if (!fs.exists(p)) false
-    else {
-      val parsed =
-        try {
-          val in = fs.open(p)
-          val bytes =
-            try {
-              val len = fs.getFileStatus(p).getLen.toInt
-              val b = new Array[Byte](len)
-              in.readFully(0L, b)
-              b
-            } finally in.close()
-          val j = new com.fasterxml.jackson.databind.ObjectMapper()
-            .readTree(new String(bytes, "UTF-8"))
-          Some(((0 until j.get("files").size())
-            .map(i => j.get("files").get(i).asText()),
-            j.get("folded").asLong()))
-        } catch { case _: Exception => None }
-      parsed match {
+    readPendingJournal(fs, root) match {
+      case None => false
+      case Some(parsed) => parsed match {
         case Some((files, folded)) =>
           finishCompact(spark, fs, root, files, folded)
           true
@@ -733,7 +858,7 @@ object SketchView {
           // journal write — the prune never started and the view is
           // intact, so the half-journal and the staged fold are safe
           // to discard (the next compact re-folds from scratch)
-          fs.delete(p, false)
+          fs.delete(new org.apache.hadoop.fs.Path(root, PendingFile), false)
           fs.delete(new org.apache.hadoop.fs.Path(root, FoldStaging), true)
           false
       }
@@ -787,18 +912,36 @@ object SketchView {
         path, "overwrite", partSpanMs, batchId, dynamic = true)
   }
 
+  /** The `__part=` floor embedded in a relative data-file path. */
+  private def partIdOf(rel: String): Option[Long] =
+    scala.util.Try(rel.split('/')(0).stripPrefix("__part=").toLong).toOption
+
   /** Repair/backfill: replace the view's content for the partition
     * range `[fromMs, untilMs)` with a fresh rollup of `events` — the
     * one operation that rewrites history, for late data or an
     * upstream fix that invalidated a window. The range must align to
-    * `partSpanMs` (whole directories are dropped — every batch in the
-    * range, so stale stream appends can't double-count). Events
-    * outside the range are ignored, and so are rollup BUCKETS outside
-    * it: a bucket coarser than `partSpanMs` (say "week" over day
-    * partitions) can truncate below `fromMs`, and writing that bucket
-    * would double-count against partitions the backfill never
-    * dropped — the output filter keeps every written row inside the
-    * replaced range. Single-maintainer (see the class note). */
+    * `partSpanMs`. Events outside the range are ignored, and so are
+    * rollup BUCKETS outside it: a bucket coarser than `partSpanMs`
+    * (say "week" over day partitions) can truncate below `fromMs`, and
+    * writing that bucket would double-count against partitions the
+    * backfill never dropped — the output filter keeps every written
+    * row inside the replaced range.
+    *
+    * SAFE against a concurrent batch [[append]] — the [[compact]]
+    * protocol applied to a range: backfill snapshots the range's
+    * FILE list, stages the fresh rollup under `_compact_fold/`,
+    * journals `{files, folded}`, then prunes exactly the snapshot and
+    * promotes the staging — an append landing at any point is not in
+    * the snapshot and survives (interleaved ≡ serialized
+    * backfill-then-append, byte-exact; SketchViewSpec pins it), and a
+    * crash after the journal is finished idempotently by the next
+    * maintenance call. Takes the single-maintainer lock (one of
+    * compact/backfill/expire at a time). The STREAMING writer must be
+    * stopped: a crash-replay of a micro-batch whose in-range files the
+    * backfill pruned would re-write them and double-count against the
+    * fresh rollup (its id is above the fold watermark by design —
+    * backfill cannot advance the global watermark for a range-local
+    * prune). */
   def backfill(
       events: DataFrame,
       tsCol: String,
@@ -809,40 +952,84 @@ object SketchView {
       untilMs: Long,
       bucket: String = "hour",
       family: ViewFamily = ViewFamily.ddsketch(),
-      partSpanMs: Long = DefaultPartSpanMs): Unit = {
+      partSpanMs: Long = DefaultPartSpanMs): Unit =
+    backfillImpl(events, tsCol, keyCols, valueCol, path, fromMs, untilMs,
+      bucket, family, partSpanMs, () => (), () => ())
+
+  /** [[backfill]] with race/crash-window hooks (test seam):
+    * `afterSnapshot` runs once the range's file snapshot is taken,
+    * `afterJournal` once the fresh rollup is staged and journaled —
+    * the windows a concurrent append (or a crash) can land in. */
+  private[graft] def backfillImpl(
+      events: DataFrame,
+      tsCol: String,
+      keyCols: Seq[String],
+      valueCol: String,
+      path: String,
+      fromMs: Long,
+      untilMs: Long,
+      bucket: String,
+      family: ViewFamily,
+      partSpanMs: Long,
+      afterSnapshot: () => Unit,
+      afterJournal: () => Unit): Unit = {
     require(partFloor(fromMs, partSpanMs) == fromMs &&
         partFloor(untilMs, partSpanMs) == untilMs,
       s"backfill range must align to partSpanMs=$partSpanMs")
     val spark = events.sparkSession
-    validateOrAdopt(spark, path, family, bucket, partSpanMs, keyCols)
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(root)) fs.listStatus(root).foreach { st =>
-      val name = st.getPath.getName
-      if (st.isDirectory && name.startsWith("__part=")) {
-        val p = scala.util.Try(name.stripPrefix("__part=").toLong).toOption
-        if (p.exists(v => v >= fromMs && v < untilMs))
-          fs.delete(st.getPath, true)
-      }
-    }
-    val fresh = rollup(
-      events.filter(F.unix_millis(F.col(tsCol)) >= fromMs &&
-        F.unix_millis(F.col(tsCol)) < untilMs),
-      tsCol, keyCols, valueCol, bucket, family)
-      .filter(F.col("bucket_ms") >= fromMs && F.col("bucket_ms") < untilMs)
-    writeView(fresh, path, "append", partSpanMs)
+    val lock = acquireCompactLock(fs, root)
+    try {
+      recoverPendingCompact(spark, path) // finish a crashed predecessor
+      validateOrAdopt(spark, path, family, bucket, partSpanMs, keyCols)
+      // snapshot: every data file currently in the replaced range
+      val snapshot = listDataFiles(fs, root)
+        .filter(rel => partIdOf(rel).exists(v => v >= fromMs && v < untilMs))
+      afterSnapshot()
+      val fresh = rollup(
+        events.filter(F.unix_millis(F.col(tsCol)) >= fromMs &&
+          F.unix_millis(F.col(tsCol)) < untilMs),
+        tsCol, keyCols, valueCol, bucket, family)
+        .filter(F.col("bucket_ms") >= fromMs && F.col("bucket_ms") < untilMs)
+      writeView(fresh, s"$path/$FoldStaging", "overwrite", partSpanMs)
+      // the journal carries the UNCHANGED watermark — backfill prunes a
+      // range, not a batch prefix, so it must not advance it
+      val folded = readManifest(spark, path).map(_.foldedThroughBatch)
+        .getOrElse(-1L)
+      writePending(fs, root, snapshot, folded)
+      afterJournal()
+      finishCompact(spark, fs, root, snapshot, folded)
+    } finally fs.delete(lock, false)
   }
 
-  /** Retention: drop every `__part` directory strictly OLDER than
-    * `keepFromMs`'s partition (directory-level deletes — no file
-    * rewrite, no scan; the same long-math floor as [[readRange]]).
-    * Safe against concurrent readers of the kept range. Returns the
-    * number of partitions dropped. */
+  /** Retention: drop every data FILE in `__part` partitions strictly
+    * OLDER than `keepFromMs`'s partition (no rewrite, no scan; the
+    * same long-math floor as [[readRange]]). File-level snapshot
+    * deletes make it safe against a concurrent [[append]]: an
+    * append's files landing after the snapshot are not in it and
+    * survive intact — interleaved ≡ serialized (expire-then-append or
+    * append-then-expire, whichever side of the snapshot the append
+    * landed; SketchViewSpec pins both). Deletes are idempotent, so a
+    * crash mid-expire just leaves retention unfinished — re-run.
+    * Takes the single-maintainer lock (an expire racing a compact
+    * would delete fold inputs / resurrect expired rows through the
+    * staged fold). Safe against concurrent readers of the kept range.
+    * Returns the number of partitions touched. */
   def expire(
       spark: SparkSession,
       path: String,
       keepFromMs: Long,
-      partSpanMs: Long = DefaultPartSpanMs): Int = {
+      partSpanMs: Long = DefaultPartSpanMs): Int =
+    expireImpl(spark, path, keepFromMs, partSpanMs, () => ())
+
+  /** [[expire]] with the snapshot-window hook (test seam). */
+  private[graft] def expireImpl(
+      spark: SparkSession,
+      path: String,
+      keepFromMs: Long,
+      partSpanMs: Long,
+      afterSnapshot: () => Unit): Int = {
     readManifest(spark, path).foreach { m =>
       if (m.partSpanMs != partSpanMs)
         throw new IllegalArgumentException(
@@ -852,16 +1039,27 @@ object SketchView {
     val floor = partFloor(keepFromMs, partSpanMs)
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) 0
-    else
-      fs.listStatus(root).toSeq.count { st =>
-        val name = st.getPath.getName
-        st.isDirectory && name.startsWith("__part=") &&
-          scala.util.Try(name.stripPrefix("__part=").toLong)
-            .toOption.exists(_ < floor) && {
-            fs.delete(st.getPath, true); true
-          }
+    if (!fs.exists(root)) return 0
+    val lock = acquireCompactLock(fs, root)
+    try {
+      recoverPendingCompact(spark, path) // finish a crashed predecessor
+      val doomed = listDataFiles(fs, root)
+        .filter(rel => partIdOf(rel).exists(_ < floor))
+      afterSnapshot()
+      doomed.foreach { rel =>
+        fs.delete(new org.apache.hadoop.fs.Path(root, rel), false)
       }
+      // drop emptied __batch / __part dirs (an append that landed
+      // after the snapshot keeps its dirs non-empty and alive)
+      doomed.map(rel => rel.substring(0, rel.lastIndexOf('/'))).distinct
+        .foreach { bdir =>
+          val bp = new org.apache.hadoop.fs.Path(root, bdir)
+          if (fs.exists(bp) && fs.listStatus(bp).isEmpty) fs.delete(bp, false)
+          val pp = bp.getParent
+          if (fs.exists(pp) && fs.listStatus(pp).isEmpty) fs.delete(pp, false)
+        }
+      doomed.flatMap(partIdOf).distinct.size
+    } finally fs.delete(lock, false)
   }
 
   /** Merge a view (or any rollup frame) to a coarser grain — the

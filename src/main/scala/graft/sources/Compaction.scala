@@ -59,25 +59,36 @@ object Compaction {
     val tmp = path.stripSuffix("/") + "__compact"
     spark.read.parquet(path).repartition(nFiles)
       .write.mode("overwrite").parquet(tmp)
+    promote(spark, tmp, path)
+    partFileCount(spark, path)
+  }
+
+  /** The swap half of [[compact]], reusable by any rewrite-then-replace
+    * maintenance (flat-index takedowns): park the original at
+    * `<path>__old`, promote `tmp` to `path`, delete the parked copy
+    * LAST — every step leaves the rows in a complete directory, every
+    * rename/delete return code is checked, and a failed promotion
+    * restores the original before throwing. A crash BEFORE the call
+    * (tmp written, swap not started) leaves the original untouched. */
+  private[graft] def promote(spark: SparkSession, tmp: String, path: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
     val t = new org.apache.hadoop.fs.Path(tmp)
     val old = new org.apache.hadoop.fs.Path(path.stripSuffix("/") + "__old")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(old) && !fs.delete(old, true))
-      throw new java.io.IOException(s"compaction: cannot clear stale $old")
+      throw new java.io.IOException(s"promote: cannot clear stale $old")
     if (!fs.rename(p, old))
-      throw new java.io.IOException(s"compaction: cannot park original: $path -> $old")
+      throw new java.io.IOException(s"promote: cannot park original: $path -> $old")
     if (!fs.rename(t, p)) {
       // promotion failed: put the original back before giving up
       if (!fs.rename(old, p))
         throw new java.io.IOException(
-          s"compaction swap failed AND restore failed — original data is at $old")
-      throw new java.io.IOException(s"compaction swap failed: $tmp -> $path")
+          s"promote swap failed AND restore failed — original data is at $old")
+      throw new java.io.IOException(s"promote swap failed: $tmp -> $path")
     }
     if (!fs.delete(old, true))
       throw new java.io.IOException(
-        s"compaction succeeded but could not delete the parked original $old")
-    partFileCount(spark, path)
+        s"promote succeeded but could not delete the parked original $old")
   }
 
   /** Convenience: write `df` fragmented (for tests/demos) — n files

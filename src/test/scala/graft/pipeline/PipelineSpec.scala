@@ -169,6 +169,32 @@ class DedupSpec extends SparkTestBase {
     assert(!rows(pruned).exists(_._3 % 2 == 0))
   }
 
+  test("a takedown crash between the temp write and the swap keeps the old index") {
+    val docs = sf("sf0.001", "documents")
+    val hist = docs.filter($"doc_id" % 3 =!= 0).limit(200)
+    val path = java.nio.file.Files.createTempDirectory("sigidx_crash").toString + "/idx"
+    Dedup.saveSignatureIndex(
+      Dedup.buildSignatureIndex(hist, "doc_id", "text", 5, 16, 8), path)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("band", "bucket", "id").as[(Int, Long, Long)].collect().toSet
+    val before = rows(Dedup.loadSignatureIndex(spark, path))
+    val doomed = hist.filter($"doc_id" % 2 === 0).select($"doc_id")
+    final class Boom extends RuntimeException("crash before the swap")
+    intercept[Boom](Dedup.removeFromSavedIndexImpl(spark, path, doomed,
+      "doc_id", "id", () => throw new Boom))
+    // the pruned rewrite sits in the orphaned temp dir; the live index
+    // is byte-for-byte untouched and still loadable
+    assert(rows(Dedup.loadSignatureIndex(spark, path)) === before)
+    // re-running the takedown overwrites the orphan and completes
+    val pruned = Dedup.removeFromSavedIndex(spark, path, doomed, "doc_id")
+    assert(rows(pruned).nonEmpty)
+    assert(!rows(pruned).exists(_._3 % 2 == 0))
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(path + "__takedown")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(path + "__old")))
+  }
+
   test("nearDuplicatePairs bucket cap bounds a boilerplate flood") {
     val boiler = "this exact boilerplate paragraph is repeated verbatim across the corpus many many times"
     val flood = (1L to 300L).map(i => (i, boiler))

@@ -362,4 +362,65 @@ class PqSpec extends SparkTestBase {
       Seq(999L).toDF("vec_id"), "vec_id")
     assert(again.assigned.count() === 23L)
   }
+
+  test("removing EVERY id leaves a loadable empty index; the next append revives it") {
+    val rows = (0L until 30L).map { i =>
+      val v =
+        if (i < 15) Array(1.0f, (i % 5) * 0.01f)
+        else Array((i % 5) * 0.01f, 1.0f)
+      (i, v)
+    }
+    val df = rows.toDF("vec_id", "embedding").repartition(3)
+    val ivfDir = java.nio.file.Files.createTempDirectory("graft_rmall_ivf").toString
+    val pqDir = java.nio.file.Files.createTempDirectory("graft_rmall_pq").toString
+    Similarity.buildIvfIndex(df, "vec_id", "embedding", nlist = 2, iterations = 3)
+      .save(ivfDir)
+    PQ.buildIvfPq(df, "vec_id", "embedding", nlist = 2, m = 2, ksub = 4,
+      iterations = 3).save(pqDir)
+    // total takedown: every id removed — the schema sentinel must keep
+    // both tables loadable (a partitioned write of 0 rows lands no
+    // files; all-dirs-deleted parquet is uninferrable)
+    val ivfEmpty = Similarity.removeFromIvfIndex(spark, ivfDir, df.select("vec_id"), "vec_id")
+    val pqEmpty = PQ.removeFromIvfPq(spark, pqDir, df.select("vec_id"), "vec_id")
+    assert(ivfEmpty.assigned.count() === 0L)
+    assert(pqEmpty.encoded.count() === 0L)
+    // append clears the sentinel and the index works again end-to-end
+    val revived = Similarity.appendToIvfIndex(spark, ivfDir,
+      df.filter(F.col("vec_id") < 10), "vec_id", "embedding")
+    assert(revived.assigned.count() === 10L)
+    val probe = Similarity.ivfTopKIndexed(revived,
+      df.filter(F.col("vec_id") === 0L), "vec_id", "embedding", k = 3, nprobe = 2)
+    assert(probe.count() === 3L)
+    val revivedPq = PQ.appendToIvfPq(spark, pqDir,
+      df.filter(F.col("vec_id") >= 20), "vec_id", "embedding")
+    assert(revivedPq.encoded.count() === 10L)
+    // an all-empty batch must not clear a sentinel (keep it loadable)
+    val d2 = java.nio.file.Files.createTempDirectory("graft_rmall_ivf2").toString
+    Similarity.buildIvfIndex(df, "vec_id", "embedding", nlist = 2, iterations = 3)
+      .save(d2)
+    Similarity.removeFromIvfIndex(spark, d2, df.select("vec_id"), "vec_id")
+    val still = Similarity.appendToIvfIndex(spark, d2,
+      df.filter(F.col("vec_id") < 0), "vec_id", "embedding")
+    assert(still.assigned.count() === 0L)
+  }
+
+  test("rerank joins broadcast the bounded pool — corpus side never shuffles") {
+    val emb = sf("sf0.001", "embeddings").limit(400)
+    val queries = emb.limit(3)
+    val cb = PQ.trainPq(emb, "vec_id", "embedding", m = 2, ksub = 4)
+    val enc = PQ.pqEncode(emb, "vec_id", "embedding", cb)
+    val rerank = PQ.pqTopKReranked(cb, enc, emb, queries,
+      "vec_id", "embedding", 3, poolSize = 8)
+    val plan = rerank.queryExecution.executedPlan.toString
+    // every join in the rerank path is a broadcast join — a stats miss
+    // must never be able to shuffle the corpus behind the tiny pool
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"corpus-side shuffle join in rerank plan:\n$plan")
+    val idx = PQ.buildIvfPq(emb, "vec_id", "embedding", nlist = 4, m = 2, ksub = 4)
+    val plan2 = PQ.ivfPqTopK(idx, emb, queries, "vec_id", "embedding", 3,
+      nprobe = 2, poolSize = 8).queryExecution.executedPlan.toString
+    assert(!plan2.contains("SortMergeJoin") && !plan2.contains("ShuffledHashJoin"),
+      s"corpus-side shuffle join in ivfPqTopK plan:\n$plan2")
+  }
 }

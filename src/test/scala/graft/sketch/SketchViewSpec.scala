@@ -592,6 +592,155 @@ class SketchViewSpec extends SparkTestBase {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(dir, "_compact_lock")))
   }
 
+  test("appends landing INSIDE a backfill survive: interleaved == serialized") {
+    val ev = events
+    val (a, b, c) = splitThirds(ev)
+    val span = SketchView.DefaultPartSpanMs
+    val fam = SketchView.ViewFamily.ddsketch()
+    val parts = SketchView.rollup(ev, "ts", Seq("event_type"), "value")
+      .select("bucket_ms").as[Long].collect()
+      .map(x => x - java.lang.Math.floorMod(x, span)).distinct.sorted
+    assert(parts.length > 2)
+    val (from, until) = (parts(1), parts(1) + span)
+    // serialized schedule: backfill the range, THEN the two appends
+    val ser = {
+      val d = java.nio.file.Files.createTempDirectory("graft_bf_ser").toString
+      SketchView.materialize(a, "ts", Seq("event_type"), "value", d)
+      SketchView.backfill(ev, "ts", Seq("event_type"), "value", d, from, until)
+      SketchView.append(b, "ts", Seq("event_type"), "value", d)
+      SketchView.append(c, "ts", Seq("event_type"), "value", d)
+      viewMap(SketchView.read(spark, d, Seq("event_type")))
+    }
+    // interleaved: b lands after the range snapshot (pre-stage), c
+    // after the journal (mid-prune) — the windows the old
+    // whole-partition delete silently lost
+    val dir = java.nio.file.Files.createTempDirectory("graft_bf_race").toString
+    SketchView.materialize(a, "ts", Seq("event_type"), "value", dir)
+    SketchView.backfillImpl(ev, "ts", Seq("event_type"), "value", dir,
+      from, until, "hour", fam, span,
+      afterSnapshot =
+        () => SketchView.append(b, "ts", Seq("event_type"), "value", dir),
+      afterJournal =
+        () => SketchView.append(c, "ts", Seq("event_type"), "value", dir))
+    val got = viewMap(SketchView.read(spark, dir, Seq("event_type")))
+    assert(got.nonEmpty)
+    assert(got === ser)
+  }
+
+  test("a backfill crash after the journal is finished by the next maintenance") {
+    val ev = events
+    val span = SketchView.DefaultPartSpanMs
+    val fam = SketchView.ViewFamily.ddsketch()
+    val dir = java.nio.file.Files.createTempDirectory("graft_bf_crash").toString
+    SketchView.materialize(ev, "ts", Seq("event_type"), "value", dir)
+    val clean = viewMap(SketchView.read(spark, dir, Seq("event_type")))
+    val parts = clean.keySet.map(_._1)
+      .map(x => x - java.lang.Math.floorMod(x, span)).toSeq.distinct.sorted
+    val (from, until) = (parts(1), parts(1) + span)
+    // corrupt the window with a stray duplicate append
+    SketchView.append(
+      ev.filter(F.unix_millis(F.col("ts")).between(from, until - 1)),
+      "ts", Seq("event_type"), "value", dir)
+    assert(viewMap(SketchView.read(spark, dir, Seq("event_type"))) !== clean)
+    final class Boom extends RuntimeException("crash between journal and prune")
+    intercept[Boom](SketchView.backfillImpl(ev, "ts", Seq("event_type"),
+      "value", dir, from, until, "hour", fam, span,
+      afterSnapshot = () => (), afterJournal = () => throw new Boom))
+    // the journal is on disk; the explicit repair (or any next
+    // maintenance call) finishes the backfill idempotently
+    assert(SketchView.recoverPendingCompact(spark, dir))
+    assert(viewMap(SketchView.read(spark, dir, Seq("event_type"))) === clean)
+    assert(!SketchView.recoverPendingCompact(spark, dir))
+  }
+
+  test("appends landing INSIDE an expire survive: interleaved == serialized") {
+    val ev = events
+    val (a, b, _) = splitThirds(ev)
+    val span = SketchView.DefaultPartSpanMs
+    val parts = SketchView.rollup(a, "ts", Seq("event_type"), "value")
+      .select("bucket_ms").as[Long].collect()
+      .map(x => x - java.lang.Math.floorMod(x, span)).distinct.sorted
+    assert(parts.length > 2)
+    val keepFrom = parts(2)
+    // serialized: expire a's old partitions, then append b (which
+    // re-populates some of them — late data is the append's business)
+    val ser = {
+      val d = java.nio.file.Files.createTempDirectory("graft_exp_ser").toString
+      SketchView.materialize(a, "ts", Seq("event_type"), "value", d)
+      assert(SketchView.expire(spark, d, keepFrom) === 2)
+      SketchView.append(b, "ts", Seq("event_type"), "value", d)
+      viewMap(SketchView.read(spark, d, Seq("event_type")))
+    }
+    // interleaved: b lands after the expire's file snapshot — its
+    // files (old partitions included) must survive the deletes
+    val dir = java.nio.file.Files.createTempDirectory("graft_exp_race").toString
+    SketchView.materialize(a, "ts", Seq("event_type"), "value", dir)
+    val touched = SketchView.expireImpl(spark, dir, keepFrom, span,
+      afterSnapshot =
+        () => SketchView.append(b, "ts", Seq("event_type"), "value", dir))
+    assert(touched === 2)
+    val got = viewMap(SketchView.read(spark, dir, Seq("event_type")))
+    assert(got === ser)
+    // b's rows in the expired window did survive (they landed late)
+    val oldBuckets = got.keySet.map(_._1)
+      .filter(x => x - java.lang.Math.floorMod(x, span) < keepFrom)
+    assert(oldBuckets.nonEmpty)
+  }
+
+  test("reads stay correct through a crashed compact's recovery window") {
+    val ev = events.limit(400)
+    val fam = SketchView.ViewFamily.ddsketch()
+    val dir = java.nio.file.Files.createTempDirectory("graft_read_rec").toString
+    SketchView.materialize(ev.filter(F.col("event_id") % 2 === 0),
+      "ts", Seq("event_type"), "value", dir)
+    SketchView.append(ev.filter(F.col("event_id") % 2 =!= 0),
+      "ts", Seq("event_type"), "value", dir)
+    val before = viewMap(SketchView.read(spark, dir, Seq("event_type")))
+    final class Boom extends RuntimeException("crash between journal and prune")
+    intercept[Boom](SketchView.compactImpl(spark, dir, Seq("event_type"), fam,
+      SketchView.DefaultPartSpanMs, None,
+      afterSnapshot = () => (), afterJournal = () => throw new Boom))
+    // journal + staged fold on disk, prune not started: read is exact
+    assert(viewMap(SketchView.read(spark, dir, Seq("event_type"))) === before)
+    // harsher: mimic a crash MID-PRUNE by deleting one journaled data
+    // file by hand — a plain listing would now silently under-count;
+    // the journal-aware read never touches the doomed files at all
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val firstFile = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("__part="))
+      .flatMap(p => fs.listStatus(p.getPath))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("__batch="))
+      .flatMap(b => fs.listStatus(b.getPath))
+      .filter(f => f.isFile && !f.getPath.getName.startsWith("_") &&
+        !f.getPath.getName.startsWith("."))
+      .head.getPath
+    fs.delete(firstFile, false)
+    assert(viewMap(SketchView.read(spark, dir, Seq("event_type"))) === before)
+    // recovery completes the compact; the plain path is stable again
+    assert(SketchView.recoverPendingCompact(spark, dir))
+    assert(viewMap(SketchView.read(spark, dir, Seq("event_type"))) === before)
+  }
+
+  test("readResilient re-plans through a compact pruning its planned files") {
+    val ev = events.limit(400)
+    val dir = java.nio.file.Files.createTempDirectory("graft_read_res").toString
+    SketchView.materialize(ev.filter(F.col("event_id") % 2 === 0),
+      "ts", Seq("event_type"), "value", dir)
+    SketchView.append(ev.filter(F.col("event_id") % 2 =!= 0),
+      "ts", Seq("event_type"), "value", dir)
+    val before = viewMap(SketchView.read(spark, dir, Seq("event_type")))
+    var calls = 0
+    val got = SketchView.readResilient(spark, dir, Seq("event_type")) { df =>
+      calls += 1
+      // first attempt: a compact prunes every file this plan listed
+      if (calls == 1) SketchView.compact(spark, dir, Seq("event_type"))
+      viewMap(df)
+    }
+    assert(got === before)
+    assert(calls <= 3, s"readResilient looped: $calls attempts")
+  }
+
   test("compact adopts a manifest for pre-manifest views when bucket is passed") {
     val ev = events.limit(200)
     val dir = java.nio.file.Files.createTempDirectory("graft_cpt_adopt").toString
