@@ -429,6 +429,16 @@ object Bench {
       graft.pipeline.Vocab.topDistinctiveTerms(
         t(s, dir, "documents"), "doc_id", "text", 5)),
 
+    // join-based twin (no driver df map) — committed before/after for
+    // the broadcast-vs-join scorer trade at this SF
+    "b_keywords_joined" -> ((s: SparkSession, dir: String) =>
+      graft.pipeline.Vocab.topDistinctiveTermsJoined(
+        t(s, dir, "documents"), "doc_id", "text", 5)),
+
+    "b_lm_joined" -> ((s: SparkSession, dir: String) =>
+      graft.pipeline.Vocab.unigramLogLossJoined(
+        t(s, dir, "documents"), "doc_id", "text")),
+
     // batched BPE learning: 64 merges over the corpus word table
     // (verdict-tracked — one pair-count pass admits up to a full batch)
     "b_bpe" -> ((s: SparkSession, dir: String) => {
@@ -574,6 +584,12 @@ object Bench {
       val docs = t(s, dir, "documents")
       graft.pipeline.Boilerplate
         .stripBoilerplate(docs, "text", "\\s+", " ", (78L * docs.count() + 99L) / 100L)
+    }),
+
+    "b_boilerplate_joined" -> ((s: SparkSession, dir: String) => {
+      val docs = t(s, dir, "documents")
+      graft.pipeline.Boilerplate.stripBoilerplateJoined(
+        docs, "doc_id", "text", "\\s+", " ", (78L * docs.count() + 99L) / 100L)
     }),
 
     // sequence packing + split assignment over the corpus

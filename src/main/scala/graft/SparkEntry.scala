@@ -3610,6 +3610,25 @@ object SparkEntry {
         .crossJoin(F.broadcast(freqCount))
     }),
 
+    // join-based boilerplate strip (no driver-side segment set): same
+    // aggregates, same oracle verbatim — the two forms are row-equal
+    "q_boilerplate_joined" -> ((s: SparkSession, dir: String) => {
+      val bp = graft.pipeline.Boilerplate
+      val docs = t(s, dir, "documents")
+      val th = (78L * docs.count() + 99L) / 100L
+      val freqCount = bp.frequentSegments(docs, "text", "\\s+", th)
+        .agg(F.count(F.lit(1)).as("n_frequent"),
+          F.coalesce(F.sum(F.col("doc_freq")), F.lit(0L)).as("df_sum"))
+      val stripped = bp.stripBoilerplateJoined(
+        docs.withColumn("orig", F.col("text")), "doc_id", "text", "\\s+", " ", th)
+      stripped.agg(
+          F.count(F.lit(1)).as("docs"),
+          F.sum(F.when(F.col("text") =!= F.col("orig"), 1L).otherwise(0L)).as("n_changed"),
+          F.sum(F.length(F.col("text")).cast("long")).as("chars_after"),
+          F.sum(F.size(bp.segments(F.col("text"), "\\s+")).cast("long")).as("words_after"))
+        .crossJoin(F.broadcast(freqCount))
+    }),
+
     // END-TO-END curation pipeline: exact dedup → near-dup drop →
     // benchmark decontamination → quality filter → boilerplate strip →
     // train/val split. Every stage is an oracle-gated operator; this
@@ -4177,6 +4196,12 @@ object SparkEntry {
       graft.pipeline.Vocab.topDistinctiveTerms(
         t(s, dir, "documents"), "doc_id", "text", 3)),
 
+    // join-based keyword extraction (no driver-side df map — the
+    // 100 TB form): row-equal to the broadcast form, oracle shared
+    "q_keywords_joined" -> ((s: SparkSession, dir: String) =>
+      graft.pipeline.Vocab.topDistinctiveTermsJoined(
+        t(s, dir, "documents"), "doc_id", "text", 3)),
+
     // BPE merge learning: the first two learned merges with pair
     // frequencies, vs an unrolled 2-iteration SQL replica
     "q_bpe" -> ((s: SparkSession, dir: String) => {
@@ -4446,6 +4471,50 @@ object SparkEntry {
         .orderBy(F.col("source"))
     }),
 
+    // byte-fallback Unigram (SentencePiece byte_fallback, the
+    // Llama-family lossless mode): uncovered characters tokenize to
+    // <0xNN> byte pieces instead of unk. The corpus is ASCII, so a
+    // planted non-ASCII suffix (Latin-1 + BMP currency + an astral
+    // emoji, exercising the surrogate re-join) forces the fallback in
+    // EVERY document. Invariant-boolean oracle: decode reconstructs
+    // each document byte-exactly (no unk can decode), every piece is
+    // in vocab ∪ byte alphabet, every doc used the fallback, and the
+    // tokenization replays identically
+    "q_tokenize_unigram_bytefallback" -> ((s: SparkSession, dir: String) => {
+      val docs = t(s, dir, "documents")
+      val model = graft.pipeline.UnigramLm.withByteFallback(
+        graft.pipeline.UnigramLm.learn(docs, "text", vocabSize = 512, iters = 2))
+      val planted = docs.withColumn("text",
+        F.when(F.col("text").isNull, F.lit(null).cast("string"))
+          .otherwise(F.concat(F.col("text"), F.lit(" caf\u00e9\u20ac\uD83D\uDE00"))))
+      val decU = F.udf((ts: Seq[String]) =>
+        if (ts == null) null else graft.pipeline.UnigramLm.decodePieces(ts))
+      val pieceSet = model.pieces.keySet
+      val inVocabU = F.udf((ts: Seq[String]) =>
+        ts != null && ts.forall(p =>
+          pieceSet.contains(p) || graft.pipeline.UnigramLm.isBytePiece(p)))
+      val usedU = F.udf((ts: Seq[String]) =>
+        ts != null && ts.exists(graft.pipeline.UnigramLm.isBytePiece))
+      val tok1 = graft.pipeline.UnigramLm.tokenize(planted, "text", model, "tokens")
+      val both = graft.pipeline.UnigramLm.tokenize(tok1, "text", model, "tokens2")
+      both.groupBy(F.col("source"))
+        .agg(
+          F.count(F.lit(1)).as("docs"),
+          (F.sum(F.when(F.col("text").isNull, 0L)
+            .when(decU(F.col("tokens")) <=>
+              F.regexp_replace(F.col("text"), "\\s+", ""), 0L).otherwise(1L)) === 0L)
+            .as("reconstructs"),
+          (F.sum(F.when(F.col("text").isNull, 0L)
+            .when(inVocabU(F.col("tokens")), 0L).otherwise(1L)) === 0L)
+            .as("no_unk"),
+          (F.sum(F.when(F.col("text").isNull, 0L)
+            .when(usedU(F.col("tokens")), 0L).otherwise(1L)) === 0L)
+            .as("used_fallback"),
+          (F.sum(F.when(F.col("tokens") <=> F.col("tokens2"), 0L).otherwise(1L))
+            === 0L).as("deterministic"))
+        .orderBy(F.col("source"))
+    }),
+
     // WordPiece (BERT-style) tokenizer: greedy longest-match against a
     // corpus-learned ##-marked piece vocabulary. Greedy matching is
     // non-SQL-expressible, so the oracle pins invariants computed
@@ -4486,6 +4555,12 @@ object SparkEntry {
     // rounding boundary)
     "q_lm_score" -> ((s: SparkSession, dir: String) =>
       graft.pipeline.Vocab.unigramLogLoss(t(s, dir, "documents"), "doc_id", "text")),
+
+    // join-based unigram cross-entropy (no driver-side count map):
+    // per-token terms bit-identical, 4-dp rounding absorbs the
+    // summation-order difference — oracle shared with q_lm_score
+    "q_lm_joined" -> ((s: SparkSession, dir: String) =>
+      graft.pipeline.Vocab.unigramLogLossJoined(t(s, dir, "documents"), "doc_id", "text")),
 
     // trainable linear quality filter (hashed bag-of-words + logistic
     // regression), the spam-filter shape: real documents are the clean
@@ -8489,6 +8564,10 @@ object SparkEntry {
         """SELECT source, count(*) AS docs, true AS reconstructs,
           |       true AS bounds_ok, true AS deterministic, true AS shifted
           |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+      "q_tokenize_unigram_bytefallback" ->
+        """SELECT source, count(*) AS docs, true AS reconstructs,
+          |       true AS no_unk, true AS used_fallback, true AS deterministic
+          |FROM documents GROUP BY source ORDER BY source""".stripMargin,
       "q_tokenize_bpe_dropout" ->
         """SELECT source, count(*) AS docs, true AS reconstructs,
           |       true AS deterministic, true AS p0_equals_plain,
@@ -8964,6 +9043,11 @@ object SparkEntry {
     // shared verbatim — q_bm25 lives in `extra`, so the alias attaches
     // after the merge)
     m + ("q_index_sync" -> m("q_bm25")) +
-      ("q_stream_text_index" -> m("q_bm25"))
+      ("q_stream_text_index" -> m("q_bm25")) +
+      // the join-based scorer forms are row-equal to their broadcast
+      // twins — oracles shared verbatim (post-merge, the alias rule)
+      ("q_keywords_joined" -> m("q_keywords")) +
+      ("q_lm_joined" -> m("q_lm_score")) +
+      ("q_boilerplate_joined" -> m("q_boilerplate"))
   }
 }

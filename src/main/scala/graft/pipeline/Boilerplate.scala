@@ -85,6 +85,77 @@ object Boilerplate {
       .map(_.getString(0))
       .toSet
 
+  /** [[frequentSegmentSet]] with an explicit top-`maxSegments` cap —
+    * the bounded-broadcast dial for corpora whose heavy-hitter set
+    * itself outgrows a driver collect. Keeps the `maxSegments` most
+    * frequent segments (ties by segment ASC, so the boundary is
+    * engine-deterministic) and returns the number of qualifying
+    * segments that were TRUNCATED away — callers must surface a
+    * nonzero drop count rather than silently under-strip. */
+  def frequentSegmentSetCapped(
+      refDocs: DataFrame,
+      textCol: String,
+      sepRegex: String,
+      minDocFreq: Long,
+      maxSegments: Int): (Set[String], Long) = {
+    require(maxSegments > 0, s"maxSegments must be positive, got $maxSegments")
+    val heavy = frequentSegments(refDocs, textCol, sepRegex, minDocFreq)
+      .localCheckpoint(eager = false)
+    val total = heavy.count()
+    val kept = heavy
+      .orderBy(F.col("doc_freq").desc, F.col("segment"))
+      .limit(maxSegments)
+      .select("segment")
+      .collect()
+      .map(_.getString(0))
+      .toSet
+    (kept, total - kept.size)
+  }
+
+  /**
+   * Join-based [[stripBoilerplate]] — identical output, NO driver-side
+   * segment set. The broadcast form's heavy-hitter argument holds for
+   * sane thresholds, but a low `minDocFreq` over a 100 TB corpus can
+   * still qualify a driver-breaking segment count; this form never
+   * collects anything. Requires a unique `idCol` to reassemble
+   * documents.
+   *
+   * Scale shape: posexplode the segments (one corpus-sized narrow
+   * pass), LEFT ANTI join against the frequent-segment table on the
+   * segment key (both sides shuffle on segment — the frequent table is
+   * heavy-hitters-only and usually broadcasts under AQE anyway), then
+   * regroup by document and rebuild the text with array_sort over
+   * (position, segment) structs — order is preserved exactly. A NULL
+   * text stays NULL; a document whose every segment was boilerplate
+   * (or that had no segments) rebuilds as the empty string — the same
+   * contract as [[stripBoilerplate]], row-for-row EQUAL.
+   */
+  def stripBoilerplateJoined(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      sepRegex: String,
+      joinSep: String,
+      minDocFreq: Long): DataFrame = {
+    val segs = docs
+      .select(F.col(idCol), F.posexplode(segments(F.col(textCol), sepRegex))
+        .as(Seq("__pos", "__seg")))
+    val freq = frequentSegments(docs, textCol, sepRegex, minDocFreq)
+      .select(F.col("segment").as("__seg"))
+    val rebuilt = segs
+      .join(freq, Seq("__seg"), "left_anti")
+      .groupBy(F.col(idCol))
+      .agg(F.array_join(F.transform(
+        F.array_sort(F.collect_list(F.struct(F.col("__pos"), F.col("__seg")))),
+        s => s.getField("__seg")), joinSep).as("__clean"))
+    docs
+      .join(rebuilt, Seq(idCol), "left")
+      .withColumn(textCol,
+        F.when(F.col(textCol).isNull, F.lit(null).cast("string"))
+          .otherwise(F.coalesce(F.col("__clean"), F.lit(""))))
+      .drop("__clean")
+  }
+
   /** Map-only rewrite against an explicit boilerplate set. Works on
     * batch and streaming DataFrames alike (no shuffle, no state). */
   def stripBoilerplateWith(

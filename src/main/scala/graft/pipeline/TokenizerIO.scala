@@ -507,7 +507,15 @@ object TokenizerIO {
       s"unk piece '$unkPiece' must not also be a vocab piece")
     require(addedTokens.distinct.length == addedTokens.length,
       "added_tokens contains duplicates")
-    val entries = (unkPiece, model.unkScore) +: model.pieces.toSeq.sortBy(_._1)
+    // a byte-fallback model materializes the 256 <0xNN> rows in the
+    // vocab (the Llama-family file shape), scored at unkScore; they
+    // are NOT text pieces (withByteFallback pins the namespaces
+    // disjoint) and the loader folds them back into the flag
+    val byteRows =
+      if (model.byteFallback) UnigramLm.bytePieces.map(b => (b, model.unkScore))
+      else Seq.empty
+    val entries = (unkPiece, model.unkScore) +:
+      (model.pieces.toSeq.sortBy(_._1) ++ byteRows)
     entries.foreach { case (p, _) =>
       require(p.nonEmpty, "Unigram pieces must be non-empty") }
     addedTokens.foreach(t => require(!entries.exists(_._1 == t),
@@ -520,7 +528,7 @@ object TokenizerIO {
       s"""{"version": "1.0", """ +
         s""""added_tokens": ${addedTokensJson(addedTokens, entries.length)}, """ +
         s""""model": {"type": "Unigram", "unk_id": 0, """ +
-        s""""byte_fallback": false, "vocab": $vocabJson}}""")
+        s""""byte_fallback": ${model.byteFallback}, "vocab": $vocabJson}}""")
   }
 
   /** Read a `model.type = "Unigram"` tokenizer.json back into the
@@ -560,11 +568,21 @@ object TokenizerIO {
         s"tokenizer.json: malformed unk_id $other")
     }
     val unkScore = unkIdx.map(rows(_)._2).getOrElse(-20.0)
+    val byteFallback = model.get("byte_fallback") match {
+      case Some(b: Boolean) => b
+      case Some(null) | None => false
+      case other => throw new IllegalArgumentException(
+        s"tokenizer.json: malformed byte_fallback $other")
+    }
     val pieces = rows.zipWithIndex
       .filterNot { case (_, i) => unkIdx.contains(i) }
-      .map(_._1).toMap
+      .map(_._1)
+      // under byte_fallback the 256 <0xNN> rows are the fallback
+      // alphabet, not text pieces — fold them back into the flag
+      .filterNot { case (p, _) => byteFallback && UnigramLm.isBytePiece(p) }
+      .toMap
     val maxLen = if (pieces.isEmpty) 1 else pieces.keysIterator.map(_.length).max
-    (UnigramLm.Model(pieces, maxLen, unkScore), parseAddedTokens(root))
+    (UnigramLm.Model(pieces, maxLen, unkScore, byteFallback), parseAddedTokens(root))
   }
 
   /** Read a `tokenizer.json` back into merges + vocab + added tokens.

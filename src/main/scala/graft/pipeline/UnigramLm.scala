@@ -30,11 +30,83 @@ object UnigramLm {
   /** Trained model: piece -> natural-log probability. Single
     * characters seen in training are never pruned, so any training
     * word re-segments; unseen characters at inference fall back to
-    * one-char pieces at `unkScore`. */
+    * one-char pieces at `unkScore` — or, with `byteFallback` set (the
+    * SentencePiece `byte_fallback` option, the Llama-family spelling),
+    * to their UTF-8 bytes as `<0xNN>` byte pieces, so NO unk-scored
+    * raw piece ever reaches the output and decoding is lossless. */
   final case class Model(
       pieces: Map[String, Double],
       maxPieceLen: Int,
-      unkScore: Double = -20.0)
+      unkScore: Double = -20.0,
+      byteFallback: Boolean = false)
+
+  /** The 256 byte pieces in SentencePiece spelling, `<0x00>`..`<0xFF>`. */
+  val bytePieces: IndexedSeq[String] = (0 until 256).map(b => f"<0x$b%02X>")
+  private val bytePieceIdx: Map[String, Int] =
+    bytePieces.zipWithIndex.toMap
+
+  /** Is `p` a byte piece (`<0xNN>` spelling)? */
+  def isBytePiece(p: String): Boolean = bytePieceIdx.contains(p)
+
+  /** Enable byte fallback on a trained model. Refuses a vocabulary
+    * that already contains a literal `<0xNN>` string as a text piece —
+    * the two namespaces must stay disjoint for decode to be
+    * unambiguous. */
+  def withByteFallback(model: Model): Model = {
+    val clash = model.pieces.keysIterator.find(isBytePiece)
+    require(clash.isEmpty,
+      s"vocab piece '${clash.getOrElse("")}' collides with the byte-piece spelling")
+    model.copy(byteFallback = true)
+  }
+
+  /** Expand every out-of-vocabulary piece of a segmentation into its
+    * UTF-8 byte pieces. Unknown pieces are the DP's single-char (one
+    * UTF-16 code unit) fallbacks, so an astral character arrives as a
+    * surrogate PAIR of unknown pieces — re-join the pair before
+    * encoding, else each half would encode as the replacement char and
+    * decode would not be lossless. In-vocab pieces pass through. */
+  private def expandUnknown(model: Model, segs: Array[String]): Array[String] = {
+    var any = false
+    var k = 0
+    while (k < segs.length && !any) { any = !model.pieces.contains(segs(k)); k += 1 }
+    if (!any) return segs
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < segs.length) {
+      val p = segs(i)
+      if (model.pieces.contains(p)) out += p
+      else {
+        val s =
+          if (p.length == 1 && Character.isHighSurrogate(p.charAt(0)) &&
+              i + 1 < segs.length && segs(i + 1).length == 1 &&
+              Character.isLowSurrogate(segs(i + 1).charAt(0)) &&
+              !model.pieces.contains(segs(i + 1))) {
+            i += 1
+            p + segs(i)
+          } else p
+        s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          .foreach(b => out += bytePieces(b & 0xFF))
+      }
+      i += 1
+    }
+    out.toArray
+  }
+
+  /** Decode a piece sequence back to text: byte pieces contribute
+    * their byte, every other piece its UTF-8 bytes; the byte stream
+    * decodes as UTF-8. Inverse of tokenization under byte fallback
+    * (whitespace between words is the caller's to re-insert, as with
+    * every subword tokenizer here). */
+  def decodePieces(pieces: Iterable[String]): String = {
+    val bos = new java.io.ByteArrayOutputStream()
+    pieces.foreach { p =>
+      bytePieceIdx.get(p) match {
+        case Some(b) => bos.write(b)
+        case None => bos.write(p.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+    }
+    new String(bos.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+  }
 
   /**
    * Viterbi segmentation of one word: the split maximizing the summed
@@ -75,7 +147,10 @@ object UnigramLm {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     var j = n
     while (j > 0) { out += word.substring(j - back(j), j); j -= back(j) }
-    out.reverseIterator.toArray
+    val segs = out.reverseIterator.toArray
+    // SentencePiece semantics: byte fallback rewrites the EMITTED
+    // pieces, never the DP scores — the lattice is identical either way
+    if (model.byteFallback) expandUnknown(model, segs) else segs
   }
 
   /** Viterbi log-likelihood of one word under the model (sum of its
@@ -263,7 +338,8 @@ object UnigramLm {
         at -= l
         if (at > 0) cur = hyps(at)(cur._3)
       }
-      (pieces.reverseIterator.toArray, top._1)
+      val segs = pieces.reverseIterator.toArray
+      (if (model.byteFallback) expandUnknown(model, segs) else segs, top._1)
     }
   }
 

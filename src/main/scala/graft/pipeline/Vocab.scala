@@ -93,6 +93,46 @@ object Vocab {
   }
 
   /**
+   * Join-based [[topDistinctiveTerms]] — identical output, NO
+   * driver-side document-frequency map. The broadcast form's hapax
+   * pruning halves a web vocabulary but by Heaps' law a 100 TB corpus
+   * still leaves O(10^8) df>=2 terms — a multi-GB driver/executor map —
+   * so past single-digit-TB corpora this is the form to run.
+   *
+   * Scale shape (the [[bigramLogLoss]] shape): per-document term
+   * frequencies are one (id, term) map-side-combined exchange;
+   * document frequencies one (term) exchange; scoring re-joins tf
+   * against df on the term key (both sides shuffle on term — nothing
+   * is ever collected); top-k is a row_number window partitioned by
+   * document. The tf/df score is the same single IEEE division as the
+   * broadcast form, and a df=1 term joins its true count 1 — exactly
+   * the broadcast form's getOrElse(1) default — so the two forms are
+   * row-for-row EQUAL, not merely close.
+   */
+  def topDistinctiveTermsJoined(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val tf = docs
+      .select(F.col(idCol), F.explode(F.filter(F.split(F.col(textCol), "\\s+"),
+        t => F.length(t) > 0)).as("term"))
+      .groupBy(F.col(idCol), F.col("term"))
+      .agg(F.count(F.lit(1)).as("tf"))
+    val dfreq = documentFrequencies(docs, F.col(textCol))
+      .withColumnRenamed("token", "term")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(F.col(idCol))
+      .orderBy((F.col("tf").cast("double") / F.col("dfreq").cast("double")).desc,
+        F.col("term"))
+    tf.join(dfreq, Seq("term"))
+      .withColumn("rank", F.row_number().over(w).cast("long"))
+      .filter(F.col("rank") <= k)
+      .select(F.col(idCol), F.col("rank"), F.col("term"), F.col("tf"), F.col("dfreq"))
+  }
+
+  /**
    * Per-document unigram cross-entropy — the cheap LM-quality signal:
    * score = avg over token occurrences of -ln(count(token)/total),
    * rounded to 4 decimals. Rare-token/gibberish documents score high,
@@ -135,6 +175,40 @@ object Vocab {
     docs.select(F.col(idCol), scoreU(F.col(textCol)).as("__s"))
       .filter(F.col("__s").isNotNull)
       .select(F.col(idCol), F.col("__s._1").as("tokens"), F.col("__s._2").as("score"))
+  }
+
+  /**
+   * Join-based [[unigramLogLoss]] — same output at the 4-dp contract,
+   * NO driver-side count map (the [[bigramLogLoss]] shape, for corpora
+   * where even the count>=2 vocabulary outgrows a broadcast). One
+   * map-side-combined token-count exchange builds the count table; the
+   * corpus-wide total is a 1-row aggregate broadcast back via
+   * crossJoin; scoring re-joins per-document token occurrences against
+   * the counts on the token key. Per-token -ln(c/total) values are
+   * bit-identical to the broadcast form; only the per-document
+   * summation ORDER differs (groupBy vs token order), whose ~1e-13
+   * noise the 4-dp rounding absorbs — the same argument, and the same
+   * spec pin, as [[bigramLogLoss]].
+   */
+  def unigramLogLossJoined(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val occ = docs
+      .select(F.col(idCol).as("id"),
+        F.explode(F.filter(F.split(F.col(textCol), "\\s+"),
+          t => F.length(t) > 0)).as("token"))
+      .localCheckpoint(eager = false) // scored against its own counts below
+    val counts = occ.groupBy(F.col("token"))
+      .agg(F.count(F.lit(1)).as("c"))
+      .localCheckpoint(eager = false)
+    val totalDf = counts.agg(F.coalesce(F.sum(F.col("c")), F.lit(0L))
+      .cast("double").as("__total"))
+    occ
+      .join(counts, Seq("token"))
+      .crossJoin(F.broadcast(totalDf))
+      .groupBy(F.col("id"))
+      .agg(F.count(F.lit(1)).as("tokens"),
+        F.round(F.avg(-F.log(F.col("c").cast("double") / F.col("__total"))), 4)
+          .as("score"))
+      .select(F.col("id").as(idCol), F.col("tokens"), F.col("score"))
   }
 
   /**

@@ -428,6 +428,62 @@ class CurationSpec extends SparkTestBase {
     assert(!plan.contains("Join"), plan)
   }
 
+  test("stripBoilerplateJoined equals the broadcast form row-for-row") {
+    val docs = Seq(
+      (1L, "©2024 ACME\nreal content one\nall rights reserved"),
+      (2L, "©2024 ACME\nreal content two\n\nall rights reserved"),
+      (3L, "©2024 ACME\nall rights reserved"),                    // all boilerplate
+      (4L, "unique document\nnothing shared"),
+      (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val bcast = Boilerplate.stripBoilerplate(docs, "text", "\n", "\n", 3L)
+      .as[(Long, String)].collect().toMap
+    val joined = Boilerplate.stripBoilerplateJoined(
+      docs, "doc_id", "text", "\n", "\n", 3L)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(joined === bcast)
+    assert(joined(3L) === "")               // all-boilerplate → empty, row kept
+    assert(joined(5L) === null)             // NULL stays NULL
+
+    // and on a real corpus slice, word-separated (stresses ordering:
+    // many segments per doc, reassembly must be position-exact)
+    val real = sf("sf0.001", "documents").limit(200)
+    val b2 = Boilerplate.stripBoilerplate(real, "text", "\\s+", " ", 20L)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    val j2 = Boilerplate.stripBoilerplateJoined(real, "doc_id", "text", "\\s+", " ", 20L)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(j2 === b2)
+
+    // nothing collected: the joined form's plan has no driver-side
+    // literal segment table (plan over the parquet corpus — a Seq
+    // fixture is itself a LocalTableScan)
+    val plan = Boilerplate.stripBoilerplateJoined(real, "doc_id", "text", "\\s+", " ", 20L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("LocalTableScan"), plan)
+    assert(plan.contains("Join"), plan)
+  }
+
+  test("frequentSegmentSetCapped keeps the freq-desc prefix and counts truncation") {
+    val docs = Seq(
+      (1L, "a b c d"), (2L, "a b c"), (3L, "a b"), (4L, "a z"))
+      .toDF("doc_id", "text")
+    // doc freqs: a=4, b=3, c=2, d=1, z=1 → qualifying at minDocFreq=2: a,b,c
+    val (all, dropped0) = Boilerplate.frequentSegmentSetCapped(
+      docs, "text", "\\s+", 2L, maxSegments = 10)
+    assert(all === Set("a", "b", "c") && dropped0 === 0L)
+    val (top2, dropped1) = Boilerplate.frequentSegmentSetCapped(
+      docs, "text", "\\s+", 2L, maxSegments = 2)
+    assert(top2 === Set("a", "b") && dropped1 === 1L)
+    // cap boundary tie breaks by segment ASC: freq-2 tie between c and
+    // a planted peer
+    val docs2 = Seq(
+      (1L, "a c"), (2L, "a b"), (3L, "b c"))
+      .toDF("doc_id", "text")  // a=2, b=2, c=2
+    val (topTie, droppedTie) = Boilerplate.frequentSegmentSetCapped(
+      docs2, "text", "\\s+", 2L, maxSegments = 2)
+    assert(topTie === Set("a", "b") && droppedTie === 1L)
+  }
+
   test("frequentSegments counts document frequency, not occurrence frequency") {
     val docs = Seq(
       (1L, "dup dup dup other"),

@@ -191,4 +191,33 @@ class TokenizerIOSpec extends SparkTestBase {
     assert(re2.pieces === planted.pieces)
     assert(re2.unkScore === planted.unkScore)
   }
+
+  test("byte-fallback Unigram tokenizer.json round-trips flag, pieces, and fallback") {
+    val docs = sf("sf0.001", "documents").limit(100)
+    val model = UnigramLm.withByteFallback(
+      UnigramLm.learn(docs, "text", vocabSize = 96, iters = 2))
+    val path = tmp() + "/bf_tokenizer.json"
+    TokenizerIO.saveUnigramTokenizerJson(spark, path, model)
+    // the file carries the Llama-family spelling: flag + 256 <0xNN> rows
+    val raw = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+      java.nio.charset.StandardCharsets.UTF_8)
+    assert(raw.contains(""""byte_fallback": true"""))
+    assert(raw.contains(""""<0x00>""") && raw.contains(""""<0xFF>"""))
+    val (re, _) = TokenizerIO.loadUnigramTokenizerJson(spark, path)
+    assert(re.byteFallback)
+    assert(re.pieces === model.pieces)   // byte rows folded back into the flag
+    assert(re.unkScore === model.unkScore)
+    // the reloaded model still byte-falls-back losslessly
+    val w = "zebraé😀"
+    assert(UnigramLm.viterbiSegment(re, w).toSeq ==
+      UnigramLm.viterbiSegment(model, w).toSeq)
+    assert(UnigramLm.decodePieces(UnigramLm.viterbiSegment(re, w)) === w)
+    // plain save still spells byte_fallback false
+    val p0 = tmp() + "/plain.json"
+    TokenizerIO.saveUnigramTokenizerJson(spark, p0,
+      UnigramLm.Model(Map("a" -> -1.0), 1))
+    val (re0, _) = TokenizerIO.loadUnigramTokenizerJson(spark, p0)
+    assert(!re0.byteFallback)
+  }
 }

@@ -48,6 +48,34 @@ class UnigramLmSpec extends SparkTestBase {
     assert(UnigramLm.viterbiSegment(m, "working").length <= 3)
   }
 
+  test("byte fallback: uncovered chars become <0xNN> pieces, decode is lossless") {
+    val m = UnigramLm.withByteFallback(
+      UnigramLm.Model(Map("ab" -> -1.0, "a" -> -2.0, "b" -> -2.0), maxPieceLen = 8))
+    // covered text: segmentation identical to the plain model
+    assert(UnigramLm.viterbiSegment(m, "ab").toSeq == Seq("ab"))
+    // 1-byte unknown: one byte piece
+    assert(UnigramLm.viterbiSegment(m, "aZ").toSeq == Seq("a", "<0x5A>"))
+    // multi-byte unknown: é = 0xC3 0xA9
+    assert(UnigramLm.viterbiSegment(m, "é").toSeq == Seq("<0xC3>", "<0xA9>"))
+    // astral char (surrogate pair): 😀 U+1F600 = F0 9F 98 80 — the pair
+    // must re-join before encoding or decode would not round-trip
+    assert(UnigramLm.viterbiSegment(m, "a😀b").toSeq ==
+      Seq("a", "<0xF0>", "<0x9F>", "<0x98>", "<0x80>", "b"))
+    // decode inverts every case, including mixed text+byte pieces
+    Seq("ab", "aZ", "é", "a😀b", "ZéZ").foreach { w =>
+      assert(UnigramLm.decodePieces(UnigramLm.viterbiSegment(m, w)) === w, w)
+    }
+    // no emitted piece is ever outside vocab ∪ byte pieces
+    val segs = UnigramLm.viterbiSegment(m, "xy€zq")
+    assert(segs.forall(p => m.pieces.contains(p) || UnigramLm.isBytePiece(p)))
+    // nbest candidates expand identically (head == viterbi)
+    val nb = UnigramLm.nbestSegmentations(m, "aé", 3)
+    assert(nb.head._1.toSeq == UnigramLm.viterbiSegment(m, "aé").toSeq)
+    // namespace guard: a literal <0xNN> text piece is refused
+    val bad = UnigramLm.Model(Map("<0x41>" -> -1.0, "a" -> -2.0), maxPieceLen = 8)
+    intercept[IllegalArgumentException] { UnigramLm.withByteFallback(bad) }
+  }
+
   test("tokenize concatenates per-word Viterbi splits; NULL passes through") {
     val docs = Seq((1L, "aa ab"), (2L, null.asInstanceOf[String])).toDF("id", "text")
     val m = UnigramLm.Model(

@@ -283,6 +283,67 @@ class VocabSpec extends SparkTestBase {
       s"expected the two scoring joins, plan:\n$plan")
   }
 
+  test("topDistinctiveTermsJoined equals the broadcast form row-for-row, join-based plan") {
+    val d = Seq(
+      (1L, "cat cat cat shared shared unique1"),
+      (2L, "dog dog shared unique2 unique2 unique2"),
+      (3L, "shared other"),
+      (4L, null.asInstanceOf[String]),
+      (9L, "zebra apple"))                       // score tie → term ASC
+      .toDF("doc_id", "text")
+    val bcast = Vocab.topDistinctiveTerms(d, "doc_id", "text", 2)
+      .as[(Long, Long, String, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val joined = Vocab.topDistinctiveTermsJoined(d, "doc_id", "text", 2)
+      .as[(Long, Long, String, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(joined === bcast)
+
+    // and on a real corpus slice (hapax default-df path exercised at volume)
+    val real = sf("sf0.001", "documents")
+    val b2 = Vocab.topDistinctiveTerms(real, "doc_id", "text", 3)
+      .as[(Long, Long, String, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val j2 = Vocab.topDistinctiveTermsJoined(real, "doc_id", "text", 3)
+      .as[(Long, Long, String, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(j2 === b2)
+
+    // no driver-collected df map in the plan — the scale form collects
+    // nothing (plan over the parquet corpus: a Seq fixture is itself a
+    // LocalTableScan)
+    val plan = Vocab.topDistinctiveTermsJoined(real, "doc_id", "text", 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("LocalTableScan"), s"driver-side model table in plan:\n$plan")
+    assert(plan.contains("Join"), plan)
+    assert(plan.contains("Window"), plan)
+  }
+
+  test("unigramLogLossJoined equals the broadcast form at the 4-dp contract") {
+    val d = Seq(
+      (1L, "a a b"), (2L, "b"), (3L, ""), (4L, null.asInstanceOf[String]),
+      (5L, "hapax a b b a"))
+      .toDF("doc_id", "text")
+    val bcast = Vocab.unigramLogLoss(d, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val joined = Vocab.unigramLogLossJoined(d, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(joined === bcast)
+    assert(!joined.contains(3L) && !joined.contains(4L))
+
+    // full-corpus equality at sf0.001 (summation-order noise sits ~9
+    // orders below the 4-dp rounding; same pin as bigramLogLoss)
+    val real = sf("sf0.001", "documents")
+    val b2 = Vocab.unigramLogLoss(real, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val j2 = Vocab.unigramLogLossJoined(real, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(j2 === b2)
+
+    // nothing collected in the scoring plan (parquet corpus — a Seq
+    // fixture is itself a LocalTableScan)
+    val plan = Vocab.unigramLogLossJoined(real, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("LocalTableScan"), s"driver-side model table in plan:\n$plan")
+    assert(plan.contains("Join"), plan)
+  }
+
   test("applyBpeRanked is equivalent to sequential applyBpe, at any merge-table size") {
     // tricky corpora: self-pairs, chained merges, shared symbols
     val corpora = Seq(
