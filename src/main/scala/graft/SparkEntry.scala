@@ -3430,6 +3430,63 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
+    // CONTINUOUS IVF maintenance: the odd half streams into the saved
+    // even-half index as one-file micro-batches (per-batch dynamic
+    // overwrite), then a REAL crash-replay — the last commit marker is
+    // deleted and the stream restarted, so the engine re-executes that
+    // micro-batch with the identical file set from its offset log —
+    // must leave the index unchanged. Probed with exact copies of
+    // appended vectors (+100000 ids): an identical vector shares its
+    // twin's frozen cell, so every planted query returns its original
+    // at rank 1 (full rows from id arithmetic)
+    "q_stream_ivf_append" -> ((s: SparkSession, dir: String) => {
+      val sim = graft.pipeline.Similarity
+      val emb = t(s, dir, "embeddings")
+        .filter(F.col("embedding").isNotNull)
+        .select(F.col("vec_id").cast("long").as("vec_id"), F.col("embedding"))
+      val base = System.getProperty("java.io.tmpdir") + "/graft_q_stream_ivf"
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val path = s"$base/index"
+      sim.buildIvfIndex(emb.filter(F.col("vec_id") % 2 === 0),
+        "vec_id", "embedding", nlist = 8, iterations = 2).save(path)
+      val fresh = emb.filter(F.col("vec_id") % 2 =!= 0)
+      val src = s"$base/src"
+      fresh.repartition(3).write.mode("overwrite").parquet(src)
+      val ckpt = s"$base/ckpt"
+      def run(): Unit = {
+        val q = sim.streamToIvfIndex(
+            s.readStream.schema(fresh.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src),
+            path, "vec_id", "embedding")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation", ckpt)
+          .start()
+        q.awaitTermination()
+      }
+      run()
+      // crash-replay: drop the newest commit marker, restart — the
+      // engine redelivers exactly that batch; dynamic overwrite makes
+      // the redelivery a no-op
+      val commits = new org.apache.hadoop.fs.Path(ckpt, "commits")
+      val last = fs.listStatus(commits).map(_.getPath)
+        .filter(p => p.getName.forall(_.isDigit))
+        .maxBy(_.getName.toLong)
+      fs.delete(last, false)
+      run()
+      val grown = sim.loadIvfIndex(s, path)
+      // a top-1 probe alone can't see a duplicating replay (a twin row
+      // ties at the same id) — pin the exact index cardinality too
+      val nOk = grown.assigned.count() == emb.count()
+      val queries = emb.filter(F.col("vec_id") % 2 =!= 0 && F.col("vec_id") < 10)
+        .select((F.col("vec_id") + 100000L).as("vec_id"), F.col("embedding"))
+      sim.ivfTopKIndexed(grown, queries, "vec_id", "embedding", 1, nprobe = 2)
+        .select(F.col("query_id"), F.col("neighbor_id").as("top1"),
+          (F.col("cos") >= 0.999999).as("found"), F.lit(nOk).as("n_ok"))
+        .orderBy("query_id")
+    }),
+
     // per-source dataset card: every scalar column replays exactly in
     // DuckDB (strlen = bytes; dup = count - distinct texts; language
     // mode with the deterministic (count, tag) tie-break); the length
@@ -7763,6 +7820,12 @@ object SparkEntry {
     "q_ivfpq_append" ->
       """SELECT CAST(vec_id + 100000 AS BIGINT) AS query_id,
         |       CAST(vec_id AS BIGINT) AS top1, true AS found
+        |FROM embeddings
+        |WHERE vec_id % 2 = 1 AND vec_id < 10 AND embedding IS NOT NULL
+        |ORDER BY query_id""".stripMargin,
+    "q_stream_ivf_append" ->
+      """SELECT CAST(vec_id + 100000 AS BIGINT) AS query_id,
+        |       CAST(vec_id AS BIGINT) AS top1, true AS found, true AS n_ok
         |FROM embeddings
         |WHERE vec_id % 2 = 1 AND vec_id < 10 AND embedding IS NOT NULL
         |ORDER BY query_id""".stripMargin,

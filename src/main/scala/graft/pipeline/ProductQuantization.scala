@@ -307,10 +307,10 @@ object ProductQuantization {
       val spark = encoded.sparkSession
       import spark.implicits._
       // cluster each cell into one task first (the SketchView lesson:
-      // tasks x nlist small files otherwise)
-      encoded.repartition(F.col("__cell"))
-        .write.partitionBy("__cell").mode("overwrite")
-        .parquet(s"$path/encoded")
+      // tasks x nlist small files otherwise); base build lands under
+      // __batch=-1 — the batch-stamped cell-table protocol, so
+      // streaming appends are replay-idempotent per micro-batch
+      CellTable.writeBase(encoded, s"$path/encoded")
       centroids.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
         .toDF("cell", "centroid")
         .repartition(1).write.mode("overwrite").parquet(s"$path/centroids")
@@ -399,7 +399,24 @@ object ProductQuantization {
       path: String,
       fresh: DataFrame,
       idCol: String,
-      vecCol: String): IvfPqIndex = {
+      vecCol: String): IvfPqIndex =
+    appendBatchToIvfPq(spark, path, fresh, idCol, vecCol, batchId = -1L)
+
+  /** One (batch or micro-batch) code-table append. `batchId = -1` is
+    * batch maintenance (pure file-adds); a real micro-batch id writes
+    * its own `(__cell, __batch)` partitions with dynamic overwrite and
+    * honors the maintenance watermark — the
+    * [[graft.pipeline.Retrieval.appendBatchToTextIndex]] protocol. */
+  private[graft] def appendBatchToIvfPq(
+      spark: SparkSession,
+      path: String,
+      fresh: DataFrame,
+      idCol: String,
+      vecCol: String,
+      batchId: Long): IvfPqIndex = {
+    if (batchId >= 0L &&
+        batchId <= CellTable.readMaintainedThrough(spark, path))
+      return loadIvfPq(spark, path)
     val idx = loadIvfPq(spark, path)
     val cB = spark.sparkContext.broadcast(idx.centroids)
     val bB = spark.sparkContext.broadcast(idx.cb)
@@ -433,14 +450,33 @@ object ProductQuantization {
         F.col("__e._2").as("__code"), F.col("__e._3").as("__norm"))
       .localCheckpoint(eager = false)
     // all-empty batches write nothing and must not clear a sentinel
-    if (!enc.isEmpty) {
-      Similarity.clearCellSentinel(spark, s"$path/encoded")
-      enc
-        .repartition(F.col("__cell"))
-        .write.partitionBy("__cell").mode("append").parquet(s"$path/encoded")
-    }
+    if (!enc.isEmpty)
+      CellTable.appendBatch(spark, s"$path/encoded", enc, batchId)
     loadIvfPq(spark, path)
   }
+
+  /**
+   * Continuous IVF-PQ maintenance: a foreachBatch sink encoding each
+   * micro-batch with the frozen geometry and landing it under its own
+   * `__batch` partitions with dynamic overwrite — replay-idempotent
+   * (effectively-once), [[Similarity.streamToIvfIndex]]'s code-table
+   * sibling. One streaming writer per path; removals require the
+   * writer stopped and advance the watermark so a crash-replay of an
+   * already-mutated micro-batch no-ops. Returns the writer — set
+   * trigger/checkpoint and `.start()`.
+   */
+  def streamToIvfPq(
+      stream: DataFrame,
+      path: String,
+      idCol: String,
+      vecCol: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        appendBatchToIvfPq(batch.sparkSession, path, batch, idCol,
+          vecCol, batchId)
+        ()
+    }
 
   /** Takedown removal from a saved IVF-PQ code table — the
     * [[Similarity.removeFromIvfIndex]] pass over `path/encoded`
@@ -452,8 +488,7 @@ object ProductQuantization {
       path: String,
       ids: DataFrame,
       idCol: String): IvfPqIndex = {
-    Similarity.removeFromCellTable(spark, s"$path/encoded",
-      loadIvfPq(spark, path).encoded, ids, idCol)
+    Similarity.removeFromCellTable(spark, path, s"$path/encoded", ids, idCol)
     loadIvfPq(spark, path)
   }
 

@@ -485,10 +485,11 @@ object Similarity {
       // cluster each cell into one task before the partitioned write
       // (the SketchView lesson): without it every task holds a slice
       // of MANY cells and opens a file per slice — tasks x nlist
-      // small files that every later probe pays to list
-      assigned.repartition(F.col("__cell"))
-        .write.partitionBy("__cell").mode("overwrite")
-        .parquet(s"$path/assigned")
+      // small files that every later probe pays to list. The base
+      // build lands under __batch=-1 (the SketchView / TextIndex
+      // batch-stamped protocol) so streaming appends are
+      // replay-idempotent per micro-batch.
+      CellTable.writeBase(assigned, s"$path/assigned")
       centroids.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
         .toDF("cell", "centroid")
         .repartition(1)
@@ -535,13 +536,24 @@ object Similarity {
   /** [[appendToIvfIndex]] also returning the TOUCHED cell set — the
     * batch is assigned exactly once (checkpointed), so callers that
     * need the cells ([[Diversity.d4Incremental]]) do not pay a second
-    * assignment pass. */
+    * assignment pass. `batchId = -1` is batch maintenance (pure
+    * file-adds); a real micro-batch id writes its own `__batch`
+    * partitions with dynamic overwrite and honors the maintenance
+    * watermark — the [[graft.pipeline.Retrieval.appendBatchToTextIndex]]
+    * protocol applied to the vector index. */
   private[pipeline] def appendToIvfIndexTouched(
       spark: SparkSession,
       path: String,
       fresh: DataFrame,
       idCol: String,
-      vecCol: String): (IvfIndex, Seq[Int]) = {
+      vecCol: String,
+      batchId: Long = -1L): (IvfIndex, Seq[Int]) = {
+    // a micro-batch at or below the maintenance watermark was already
+    // mutated by a removal after it committed: its replay must write
+    // nothing or taken-down vectors would resurrect
+    if (batchId >= 0L &&
+        batchId <= CellTable.readMaintainedThrough(spark, path))
+      return (loadIvfIndex(spark, path), Seq.empty)
     val idx = loadIvfIndex(spark, path)
     val cB = spark.sparkContext.broadcast(idx.centroids)
     val assignU = F.udf((v: Array[Float]) => nearestCentroid(cB.value, v))
@@ -555,15 +567,36 @@ object Similarity {
     // an all-empty batch writes nothing — in particular it must NOT
     // clear an empty-index schema sentinel (zero-row partitioned
     // writes land no files; the dir would become uninferrable)
-    if (touched.nonEmpty) {
-      clearCellSentinel(spark, s"$path/assigned")
-      assigned
-        // one file per touched cell per append, not one per task-slice
-        .repartition(F.col("__cell"))
-        .write.partitionBy("__cell").mode("append").parquet(s"$path/assigned")
-    }
+    if (touched.nonEmpty)
+      CellTable.appendBatch(spark, s"$path/assigned", assigned, batchId)
     (loadIvfIndex(spark, path), touched)
   }
+
+  /**
+   * Continuous IVF maintenance: a foreachBatch sink that assigns each
+   * micro-batch against the saved index's frozen centroids and lands
+   * it under its own `__batch` partitions with dynamic overwrite — a
+   * replayed micro-batch replaces exactly its own files, so the index
+   * stays correct (effectively-once) on at-least-once delivery; the
+   * [[graft.pipeline.Retrieval.streamToTextIndex]] protocol applied
+   * to the vector index. One streaming writer per path; batch
+   * [[appendToIvfIndex]]/[[removeFromIvfIndex]] interleave safely
+   * (removals require the writer stopped, and advance the watermark
+   * so a crash-replay of an already-mutated micro-batch no-ops).
+   * Returns the writer — set trigger/checkpoint and `.start()`.
+   */
+  def streamToIvfIndex(
+      stream: DataFrame,
+      path: String,
+      idCol: String,
+      vecCol: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        appendToIvfIndexTouched(batch.sparkSession, path, batch, idCol,
+          vecCol, batchId)
+        ()
+    }
 
   /**
    * Takedown / dedup-drop maintenance: REMOVE ids from a saved IVF
@@ -580,64 +613,91 @@ object Similarity {
       path: String,
       ids: DataFrame,
       idCol: String): IvfIndex = {
-    removeFromCellTable(spark, s"$path/assigned",
-      loadIvfIndex(spark, path).assigned, ids, idCol)
+    removeFromCellTable(spark, path, s"$path/assigned", ids, idCol)
     loadIvfIndex(spark, path)
   }
 
-  /** The shared touched-cell removal pass over a cell-partitioned
-    * table with a `neighbor_id` column ([[removeFromIvfIndex]] and
-    * [[ProductQuantization.removeFromIvfPq]]). */
+  /** The shared touched-partition removal pass over a batch-stamped
+    * cell table with a `neighbor_id` column ([[removeFromIvfIndex]]
+    * and [[ProductQuantization.removeFromIvfPq]]). Contract:
+    * single-maintainer AND the streaming writer stopped — the removal
+    * first advances `rootPath`'s `_maintained_through` watermark so a
+    * crash-replay of an already-mutated micro-batch writes nothing
+    * instead of resurrecting removed vectors (the
+    * [[graft.pipeline.Retrieval.removeFromTextIndex]] rule). */
   private[pipeline] def removeFromCellTable(
       spark: SparkSession,
+      rootPath: String,
       tablePath: String,
-      rows: DataFrame,
       ids: DataFrame,
       idCol: String): Unit = {
+    // the RAW table, batch column included — survivors rewrite into
+    // exactly their own (__cell, __batch) partitions
+    val rows = CellTable.readRaw(spark, tablePath)
+    val maxStream = {
+      val r = rows.agg(F.max(F.when(F.col("__batch") >= 0L,
+        F.col("__batch")))).head()
+      if (r.isNullAt(0)) -1L else r.getLong(0)
+    }
+    if (maxStream >= 0L)
+      CellTable.writeMaintainedThrough(spark, rootPath, maxStream)
     val del = ids.select(F.col(idCol).as("neighbor_id")).distinct()
       .localCheckpoint(eager = false)
-    // one index scan: which cells hold any doomed row, which of those
-    // end up EMPTY (their dirs need an explicit delete), and whether
-    // the WHOLE table empties out (bounded: one row per cell, <= nlist)
-    val perCell = rows
+    // one index scan: which (cell, batch) partitions hold any doomed
+    // row, which of those end up EMPTY (dynamic overwrite writes
+    // nothing for them — their dirs need an explicit delete), and
+    // whether the WHOLE table empties out. Bounded: one row per live
+    // (cell, batch) pair — nlist x retained batches, driver-fine.
+    val perPart = rows
       .join(F.broadcast(del.withColumn("__del", F.lit(1))),
         Seq("neighbor_id"), "left")
-      .groupBy(F.col("__cell"))
+      .groupBy(F.col("__cell"), F.col("__batch"))
       .agg(F.sum(F.coalesce(F.col("__del"), F.lit(0))).as("__doomed"),
            F.count(F.lit(1)).as("__n"))
-      .select(F.col("__cell"), F.col("__doomed"),
+      .select(F.col("__cell"), F.col("__batch"), F.col("__doomed"),
         (F.col("__n") === F.col("__doomed")).as("__empties"))
       .collect()
-    val touched = perCell.filter(_.getLong(1) > 0L).map(_.getInt(0)).toSeq
-    val emptied = perCell.filter(r => r.getLong(1) > 0L && r.getBoolean(2))
-      .map(_.getInt(0))
-    val allEmpty = perCell.nonEmpty && perCell.forall(_.getBoolean(2))
+    val touchedCells = perPart.filter(_.getLong(2) > 0L)
+      .map(_.getInt(0)).distinct.toSeq
+    val emptiedPairs = perPart
+      .filter(r => r.getLong(2) > 0L && r.getBoolean(3))
+      .map(r => (r.getInt(0), r.getLong(1)))
+    val allEmpty = perPart.nonEmpty && perPart.forall(_.getBoolean(3))
     if (allEmpty) {
       // the table emptied out entirely: a partitioned write of zero
       // rows writes NOTHING (no partition values) and deleting every
       // cell dir leaves an uninferrable directory — land one empty
-      // schema-bearing file instead (the partition key becomes a plain
-      // column; the next append clears the sentinel). Same rule as
+      // schema-bearing file instead (the partition keys become plain
+      // columns; the next append clears the sentinel). Same rule as
       // Retrieval.removeFromTextIndex.
       val empty = spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], rows.schema)
       empty.repartition(1).write.mode("overwrite").parquet(tablePath)
-    } else if (touched.nonEmpty) {
+    } else if (touchedCells.nonEmpty) {
       val survivors = rows
-        .filter(F.col("__cell").isInCollection(touched))
+        .filter(F.col("__cell").isInCollection(touchedCells))
         .join(F.broadcast(del), Seq("neighbor_id"), "left_anti")
         // materialize BEFORE the dynamic overwrite replaces its input
         .localCheckpoint(eager = true)
       survivors
         .repartition(F.col("__cell"))
-        .write.partitionBy("__cell")
+        .write.partitionBy("__cell", "__batch")
         .option("partitionOverwriteMode", "dynamic")
         .mode("overwrite").parquet(tablePath)
       val fs = new org.apache.hadoop.fs.Path(tablePath)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      emptied.foreach { c =>
-        fs.delete(new org.apache.hadoop.fs.Path(tablePath, s"__cell=$c"), true)
+      emptiedPairs.foreach { case (c, b) =>
+        fs.delete(new org.apache.hadoop.fs.Path(tablePath,
+          s"__cell=$c/__batch=$b"), true)
       }
+      // a cell whose every batch emptied keeps an empty __cell dir
+      // after the pair deletes — drop it whole
+      val liveCells = perPart.filter(!_.getBoolean(3)).map(_.getInt(0)).toSet
+      emptiedPairs.map(_._1).distinct
+        .filterNot(liveCells.contains)
+        .foreach { c =>
+          fs.delete(new org.apache.hadoop.fs.Path(tablePath, s"__cell=$c"), true)
+        }
     }
   }
 
@@ -900,5 +960,91 @@ object Similarity {
     scored.withColumn("rank", F.row_number().over(w))
       .filter(F.col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "query_label", "neighbor_label", "cos")
+  }
+}
+
+/**
+ * The batch-stamped cell-table protocol shared by the persisted ANN
+ * indexes ([[Similarity.IvfIndex]]'s `assigned`,
+ * [[ProductQuantization.IvfPqIndex]]'s `encoded`): rows live under
+ * `__cell=C/__batch=N` partitions. The base build and batch
+ * maintenance stamp `__batch=-1` (pure file-adds); a streaming
+ * micro-batch stamps its id and writes with DYNAMIC overwrite, so a
+ * replay replaces exactly its own files (effectively-once on
+ * at-least-once delivery). A `_maintained_through` watermark at the
+ * index root makes crash-replays of removal-mutated micro-batches
+ * write nothing — the [[graft.pipeline.Retrieval]] / SketchView
+ * `__batch` protocol applied to vector search. Probes partition-prune
+ * on `__cell` exactly as before; the batch dimension is invisible to
+ * readers (loaders drop it).
+ */
+private[pipeline] object CellTable {
+
+  private val WatermarkFile = "_maintained_through.json"
+
+  def readMaintainedThrough(
+      spark: org.apache.spark.sql.SparkSession, rootPath: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(rootPath, WatermarkFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) -1L
+    else try {
+      val in = fs.open(p)
+      val b = new Array[Byte](64)
+      val n = try in.read(b) finally in.close()
+      new String(b, 0, math.max(n, 0), "UTF-8").trim.toLong
+    } catch { case _: Exception => -1L }
+  }
+
+  def writeMaintainedThrough(
+      spark: org.apache.spark.sql.SparkSession,
+      rootPath: String, v: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(rootPath, WatermarkFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** The raw table with partition columns normalized (`__cell` int,
+    * `__batch` long — partition inference types both as int; the
+    * empty-table sentinel stores them as plain columns). */
+  def readRaw(
+      spark: org.apache.spark.sql.SparkSession, tablePath: String): DataFrame = {
+    val df = spark.read.parquet(tablePath)
+    val withBatch =
+      if (df.columns.contains("__batch")) df
+      else df.withColumn("__batch", F.lit(-1L)) // pre-protocol layout
+    withBatch
+      .withColumn("__cell", F.col("__cell").cast("int"))
+      .withColumn("__batch", F.col("__batch").cast("long"))
+  }
+
+  /** Base (build-time) write: everything under `__batch=-1`, static
+    * overwrite, one file per cell. */
+  def writeBase(rows: DataFrame, tablePath: String): Unit =
+    rows.withColumn("__batch", F.lit(-1L))
+      .repartition(F.col("__cell"))
+      .write.partitionBy("__cell", "__batch").mode("overwrite")
+      .parquet(tablePath)
+
+  /** One maintenance write of already-assigned rows (must carry
+    * `__cell`): `batchId = -1` appends files; a real micro-batch id
+    * dynamic-overwrites exactly its own `(__cell, __batch)`
+    * partitions. Callers guard emptiness and the watermark. */
+  def appendBatch(
+      spark: org.apache.spark.sql.SparkSession,
+      tablePath: String,
+      rows: DataFrame,
+      batchId: Long): Unit = {
+    // an index once emptied by a removal holds a flat schema-sentinel
+    // file; partitioned appends must clear it first or the mixed
+    // directory depth breaks parquet discovery
+    Similarity.clearCellSentinel(spark, tablePath)
+    val w = rows.withColumn("__batch", F.lit(batchId))
+      // one file per touched cell per append, not one per task-slice
+      .repartition(F.col("__cell"))
+      .write.partitionBy("__cell", "__batch")
+    (if (batchId == -1L) w.mode("append")
+     else w.option("partitionOverwriteMode", "dynamic").mode("overwrite"))
+      .parquet(tablePath)
   }
 }

@@ -172,6 +172,79 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(selfHits.size === 3)
   }
 
+  test("streamToIvfIndex: micro-batches equal the batch append, replays idempotent") {
+    val emb = sf("sf0.001", "embeddings").filter(F.col("embedding").isNotNull)
+    val even = emb.filter(F.col("vec_id") % 2 === 0)
+    val odd  = emb.filter(F.col("vec_id") % 2 =!= 0)
+      .select(F.col("vec_id").cast("long").as("vec_id"), F.col("embedding"))
+    val idx = Similarity.buildIvfIndex(even, "vec_id", "embedding", nlist = 8)
+    val dirA = java.nio.file.Files.createTempDirectory("graft_ivf_ba").toString
+    val dirB = java.nio.file.Files.createTempDirectory("graft_ivf_st").toString
+    idx.save(dirA); idx.save(dirB)
+    Similarity.appendToIvfIndex(spark, dirA, odd, "vec_id", "embedding")
+
+    val src = java.nio.file.Files.createTempDirectory("graft_ivf_src").toString
+    odd.repartition(3).write.mode("overwrite").parquet(src)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ivf_ck").toString
+    val stream = spark.readStream.schema(odd.schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    val q = Similarity.streamToIvfIndex(stream, dirB, "vec_id", "embedding")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt)
+      .start()
+    q.awaitTermination()
+
+    def content(dir: String) = Similarity.loadIvfIndex(spark, dir).assigned
+      .select(F.col("neighbor_id").cast("long"), F.col("__cell"))
+      .as[(Long, Int)].collect().toSet
+    val batchSet = content(dirA)
+    assert(content(dirB) === batchSet && batchSet.nonEmpty)
+    // the stream landed per-micro-batch partitions (>= 3 files → >= 3 ids)
+    val batches = spark.read.parquet(s"$dirB/assigned")
+      .select(F.col("__batch").cast("long")).distinct()
+      .as[Long].collect().sorted
+    assert(batches.head === -1L && batches.count(_ >= 0L) >= 3)
+
+    // at-least-once redelivery: replaying a micro-batch id with the
+    // same rows replaces exactly its own partitions — content unchanged
+    val extra = odd.limit(5)
+    val nextId = batches.max + 1
+    Similarity.appendToIvfIndexTouched(
+      spark, dirB, extra, "vec_id", "embedding", batchId = nextId)
+    val afterOnce = content(dirB)
+    Similarity.appendToIvfIndexTouched(
+      spark, dirB, extra, "vec_id", "embedding", batchId = nextId)
+    assert(content(dirB) === afterOnce)
+
+    // a removal advances the watermark; a crash-replay of the mutated
+    // micro-batch must write nothing (removed ids stay gone)
+    val doomedIds = extra.select("vec_id").as[Long].collect().toSet
+    Similarity.removeFromIvfIndex(spark, dirB,
+      extra.select("vec_id"), "vec_id")
+    val afterRemove = content(dirB)
+    assert(afterRemove.forall { case (id, _) => !doomedIds.contains(id) })
+    Similarity.appendToIvfIndexTouched(
+      spark, dirB, extra, "vec_id", "embedding", batchId = nextId)
+    assert(content(dirB) === afterRemove, "replay resurrected removed vectors")
+
+    // the code-table sibling follows the same protocol
+    val pqDir = java.nio.file.Files.createTempDirectory("graft_pq_st").toString
+    ProductQuantization.buildIvfPq(even, "vec_id", "embedding",
+      nlist = 8, m = 16, ksub = 16, iterations = 2).save(pqDir)
+    ProductQuantization.appendBatchToIvfPq(
+      spark, pqDir, extra, "vec_id", "embedding", batchId = 0L)
+    val pqOnce = ProductQuantization.loadIvfPq(spark, pqDir).encoded
+      .select(F.col("neighbor_id").cast("long")).as[Long].collect()
+      .groupBy(identity).view.mapValues(_.length).toMap
+    ProductQuantization.appendBatchToIvfPq(
+      spark, pqDir, extra, "vec_id", "embedding", batchId = 0L)
+    val pqTwice = ProductQuantization.loadIvfPq(spark, pqDir).encoded
+      .select(F.col("neighbor_id").cast("long")).as[Long].collect()
+      .groupBy(identity).view.mapValues(_.length).toMap
+    assert(pqTwice === pqOnce)
+    assert(doomedIds.forall(id => pqOnce.getOrElse(id, 0) === 1))
+  }
+
   // --------------------------------------------- canonical selection
 
   test("keepCanonical keeps the best row per group with deterministic ties") {
