@@ -3283,6 +3283,39 @@ object SparkEntry {
         .orderBy("rank")
     }),
 
+    // text-index small-file compaction: the streamed third folds into
+    // the base __batch=-1 layer (newest micro-batch stays
+    // merge-on-read; stats deltas fold by exact long adds) and the
+    // probe still ranks exactly like q_bm25 over the full corpus —
+    // its oracle, shared verbatim
+    "q_index_compact" -> ((s: SparkSession, dir: String) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val path = System.getProperty("java.io.tmpdir") + "/graft_q_idx_compact"
+      // a prior run's maintenance watermark would suppress this run's
+      // fresh batch ids — always start clean
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      graft.pipeline.Retrieval.buildTextIndex(
+        docs.filter(F.col("doc_id") % 3 =!= 0), "doc_id", "text").save(path)
+      val fresh = docs.filter(F.col("doc_id") % 3 === 0)
+      val tmp = System.getProperty("java.io.tmpdir") + "/graft_q_idx_compact_src"
+      fresh.repartition(3).write.mode("overwrite").parquet(tmp)
+      val stream = s.readStream.schema(fresh.schema)
+        .option("maxFilesPerTrigger", 1).parquet(tmp)
+      val q = graft.pipeline.Retrieval.streamToTextIndex(
+          stream, path, "doc_id", "text")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val ix = graft.pipeline.Retrieval.compactTextIndex(s, path)
+      graft.pipeline.Retrieval.bm25TopKIndexed(
+          ix, Seq("slow", "merge", "window"), 10)
+        .select(F.col("rank").cast("long").as("rank"),
+          F.col("id").as("doc_id"), F.col("tf_total"), F.col("n_terms_hit"))
+        .orderBy("rank")
+    }),
+
     // takedown removal from a flat saved index (the saveSignatureIndex
     // family): the media hash index loses every variant-1 id, so the
     // variant-2 probe keeps exactly its (v2, v0, 4) pairs and the
@@ -3484,6 +3517,46 @@ object SparkEntry {
       sim.ivfTopKIndexed(grown, queries, "vec_id", "embedding", 1, nprobe = 2)
         .select(F.col("query_id"), F.col("neighbor_id").as("top1"),
           (F.col("cos") >= 0.999999).as("found"), F.lit(nOk).as("n_ok"))
+        .orderBy("query_id")
+    }),
+
+    // IVF small-file compaction: three micro-batch appends, then the
+    // fold — retired batches collapse into __batch=-1 (the newest
+    // stays merge-on-read), a crash-replay of a FOLDED batch writes
+    // nothing (the fold advances the watermark before pruning), and
+    // the probe result + exact cardinality are unchanged
+    "q_ivf_compact" -> ((s: SparkSession, dir: String) => {
+      val sim = graft.pipeline.Similarity
+      val emb = t(s, dir, "embeddings")
+        .filter(F.col("embedding").isNotNull)
+        .select(F.col("vec_id").cast("long").as("vec_id"), F.col("embedding"))
+      val path = System.getProperty("java.io.tmpdir") + "/graft_q_ivf_compact"
+      val fsRoot = new org.apache.hadoop.fs.Path(path)
+      val fs = fsRoot.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(fsRoot, true)
+      sim.buildIvfIndex(emb.filter(F.col("vec_id") % 4 === 0),
+        "vec_id", "embedding", nlist = 8, iterations = 2).save(path)
+      (1 to 3).foreach { m =>
+        sim.appendToIvfIndexTouched(s, path,
+          emb.filter(F.col("vec_id") % 4 === m), "vec_id", "embedding",
+          batchId = m.toLong - 1L)
+      }
+      sim.compactIvfIndex(s, path)
+      // replay of a folded micro-batch: suppressed by the watermark
+      sim.appendToIvfIndexTouched(s, path,
+        emb.filter(F.col("vec_id") % 4 === 1), "vec_id", "embedding",
+        batchId = 0L)
+      val idx = sim.loadIvfIndex(s, path)
+      val nOk = idx.assigned.count() == emb.count()
+      val foldedOk = s.read.parquet(s"$path/assigned")
+        .select(F.col("__batch").cast("long")).distinct()
+        .collect().map(_.getLong(0)).toSet == Set(-1L, 2L)
+      val queries = emb.filter(F.col("vec_id") % 4 === 1 && F.col("vec_id") < 10)
+        .select((F.col("vec_id") + 100000L).as("vec_id"), F.col("embedding"))
+      sim.ivfTopKIndexed(idx, queries, "vec_id", "embedding", 1, nprobe = 2)
+        .select(F.col("query_id"), F.col("neighbor_id").as("top1"),
+          (F.col("cos") >= 0.999999).as("found"),
+          F.lit(nOk).as("n_ok"), F.lit(foldedOk).as("folded_ok"))
         .orderBy("query_id")
     }),
 
@@ -7829,6 +7902,13 @@ object SparkEntry {
         |FROM embeddings
         |WHERE vec_id % 2 = 1 AND vec_id < 10 AND embedding IS NOT NULL
         |ORDER BY query_id""".stripMargin,
+    "q_ivf_compact" ->
+      """SELECT CAST(vec_id + 100000 AS BIGINT) AS query_id,
+        |       CAST(vec_id AS BIGINT) AS top1, true AS found, true AS n_ok,
+        |       true AS folded_ok
+        |FROM embeddings
+        |WHERE vec_id % 4 = 1 AND vec_id < 10 AND embedding IS NOT NULL
+        |ORDER BY query_id""".stripMargin,
     "q_embed_topk" ->
       """WITH flat AS (SELECT vec_id, r.i AS i, embedding[r.i] AS x
         |              FROM embeddings, range(1, 65) r(i)),
@@ -9107,6 +9187,7 @@ object SparkEntry {
     // after the merge)
     m + ("q_index_sync" -> m("q_bm25")) +
       ("q_stream_text_index" -> m("q_bm25")) +
+      ("q_index_compact" -> m("q_bm25")) +
       // the join-based scorer forms are row-equal to their broadcast
       // twins — oracles shared verbatim (post-merge, the alias rule)
       ("q_keywords_joined" -> m("q_keywords")) +

@@ -455,6 +455,15 @@ object ProductQuantization {
     loadIvfPq(spark, path)
   }
 
+  /** Fold a saved IVF-PQ code table's retired micro-batches into the
+    * base `__batch=-1` layer — [[Similarity.compactIvfIndex]]'s
+    * code-table sibling (same staged-fold + journal + watermark
+    * protocol). Returns the reloaded index. */
+  def compactIvfPq(spark: SparkSession, path: String): IvfPqIndex = {
+    CellTable.compact(spark, path, s"$path/encoded")
+    loadIvfPq(spark, path)
+  }
+
   /**
    * Continuous IVF-PQ maintenance: a foreachBatch sink encoding each
    * micro-batch with the frozen geometry and landing it under its own

@@ -290,6 +290,48 @@ object Retrieval {
     loadTextIndex(spark, path)
   }
 
+  /**
+   * Fold a saved text index's retired posting batches into the base
+   * `__batch=-1` layer, one file per bucket — the small-file reclaim
+   * for long-lived [[streamToTextIndex]] writers (each micro-batch
+   * leaves one file per touched bucket). The newest streaming batch
+   * stays merge-on-read; a crash-replay of a FOLDED batch writes
+   * nothing (the fold advances `_maintained_through` before pruning,
+   * and the postings fold is crash-safe via the shared staged-fold +
+   * journal protocol). The stats deltas then fold into one exact base
+   * row — their SUM is invariant under folding, so a crash between
+   * the two folds leaves a correct, merely unfolded, stats table; a
+   * crash inside the stats rewrite repairs with
+   * [[reconcileTextIndexStats]]. Contract: single-maintainer AND the
+   * streaming writer stopped (the stats fold statically rewrites the
+   * delta table — a concurrently appended delta row would be lost).
+   * Returns the reloaded index.
+   */
+  def compactTextIndex(spark: SparkSession, path: String): TextIndex = {
+    import spark.implicits._
+    val maxFolded = CellTable.compact(spark, path, s"$path/postings",
+      keyName = "__bucket")
+    // fold exactly the batches the postings fold retired (and the -1
+    // layer) — the EXCLUDED newest batch keeps its own delta row, so
+    // its replay still dynamic-overwrites its own stats partition
+    // instead of double-appending
+    val rows = spark.read.parquet(s"$path/stats")
+      .select(F.col("buckets"), F.col("n_delta"), F.col("dl_delta"),
+        F.col("__batch").cast("long").as("__batch"))
+      .as[(Int, Long, Long, Long)].collect()
+    val (fold, keep) = rows.partition(_._4 <= maxFolded)
+    if (fold.length > 1 || fold.exists(_._4 != -1L)) {
+      val buckets = rows.map(_._1).max
+      val merged = (buckets, fold.map(_._2).sum, fold.map(_._3).sum, -1L)
+      (merged +: keep.toSeq)
+        .toDF("buckets", "n_delta", "dl_delta", "__batch")
+        .repartition(1)
+        .write.partitionBy("__batch").mode("overwrite")
+        .parquet(s"$path/stats")
+    }
+    loadTextIndex(spark, path)
+  }
+
   private val WatermarkFile = "_maintained_through.json"
 
   private def readMaintainedThrough(spark: SparkSession, path: String): Long = {

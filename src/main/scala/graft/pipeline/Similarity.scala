@@ -541,7 +541,7 @@ object Similarity {
     * partitions with dynamic overwrite and honors the maintenance
     * watermark — the [[graft.pipeline.Retrieval.appendBatchToTextIndex]]
     * protocol applied to the vector index. */
-  private[pipeline] def appendToIvfIndexTouched(
+  private[graft] def appendToIvfIndexTouched(
       spark: SparkSession,
       path: String,
       fresh: DataFrame,
@@ -570,6 +570,23 @@ object Similarity {
     if (touched.nonEmpty)
       CellTable.appendBatch(spark, s"$path/assigned", assigned, batchId)
     (loadIvfIndex(spark, path), touched)
+  }
+
+  /**
+   * Fold a saved IVF index's retired micro-batches into the base
+   * `__batch=-1` layer, one file per cell — the small-file reclaim for
+   * long-lived [[streamToIvfIndex]] writers. The newest streaming
+   * batch stays merge-on-read (a concurrent writer may be mid-commit
+   * of exactly it); a crash-replay of a FOLDED batch writes nothing
+   * (the fold advances `_maintained_through` before pruning).
+   * Crash-safe via a staged fold + file journal; any entry-point
+   * maintenance call (compact, removal) finishes a crashed fold
+   * first. Single-maintainer; the streaming writer may keep running.
+   * Returns the reloaded index.
+   */
+  def compactIvfIndex(spark: SparkSession, path: String): IvfIndex = {
+    CellTable.compact(spark, path, s"$path/assigned")
+    loadIvfIndex(spark, path)
   }
 
   /**
@@ -631,6 +648,9 @@ object Similarity {
       tablePath: String,
       ids: DataFrame,
       idCol: String): Unit = {
+    // finish any crashed compaction first — its window holds folded
+    // rows twice, which would double the doom counts below
+    CellTable.recover(spark, tablePath)
     // the RAW table, batch column included — survivors rewrite into
     // exactly their own (__cell, __batch) partitions
     val rows = CellTable.readRaw(spark, tablePath)
@@ -1046,5 +1066,190 @@ private[pipeline] object CellTable {
     (if (batchId == -1L) w.mode("append")
      else w.option("partitionOverwriteMode", "dynamic").mode("overwrite"))
       .parquet(tablePath)
+  }
+
+  private val PendingFile = "_compact_pending.json"
+  private val StagingDir = "_compact_fold"
+
+  /**
+   * Fold retired batches of a cell table into `__batch=-1` — every
+   * micro-batch leaves one file per touched cell, so a long-lived
+   * stream accumulates files linearly; compaction rewrites each cell
+   * back to one file. The SketchView snapshot-fold protocol, simplified
+   * for plain rows (the fold is a set union, no merge math):
+   *
+   *   1. recover any pending compact, then SNAPSHOT the data files of
+   *      every batch except the HIGHEST streaming id (a concurrent
+   *      writer may be mid-commit of exactly that batch — it stays
+   *      merge-on-read until the next compact);
+   *   2. stage the snapshot's fold under `_compact_fold` (underscore
+   *      dir — invisible to readers), one file per cell;
+   *   3. journal `{files, maxFolded}` to `_compact_pending.json` and
+   *      advance the `_maintained_through` watermark — a crash-replay
+   *      of a FOLDED micro-batch must write nothing, or its rows would
+   *      land twice (once in the fold, once re-delivered);
+   *   4. MOVE the staged files under `__cell=C/__batch=-1` (checked
+   *      renames; staged part names carry job UUIDs so they cannot
+   *      collide with live appends), then prune the snapshot files
+   *      (and emptied batch dirs), then drop journal + staging.
+   *
+   * Move-before-prune means a reader in the crash window sees folded
+   * rows TWICE (benign for top-k probes — a duplicate candidate ties
+   * at its own id — and repaired by the next maintenance call's
+   * recovery), never zero times. Appends landing at ANY point are not
+   * in the snapshot and survive; batch `-1` appends add files the
+   * prune does not touch. Single-maintainer like every other mutation
+   * (one compact/remove at a time; the streaming WRITER may keep
+   * running). Returns the highest folded streaming batch id, or -1 if
+   * nothing folded.
+   */
+  def compact(
+      spark: org.apache.spark.sql.SparkSession,
+      rootPath: String,
+      tablePath: String,
+      afterJournal: () => Unit = () => (),
+      keyName: String = "__cell"): Long = {
+    val root = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recover(spark, tablePath, keyName)
+    if (!fs.exists(root)) return -1L
+    val cellDirs = fs.listStatus(root).filter(st =>
+      st.isDirectory && st.getPath.getName.startsWith(keyName + "="))
+    if (cellDirs.isEmpty) return -1L // empty-table sentinel: nothing to fold
+    val batchDirs = cellDirs.flatMap(c => fs.listStatus(c.getPath))
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("__batch="))
+    val ids = batchDirs.map(_.getPath.getName.stripPrefix("__batch=").toLong)
+      .distinct.sorted
+    val streamIds = ids.filter(_ >= 0L)
+    // nothing beyond the mid-commit window → no-op (folding -1 into
+    // itself only rewrites files without reclaiming a batch dimension;
+    // do it anyway when a cell holds several -1 files)
+    val excluded = streamIds.lastOption
+    val foldIds = ids.filterNot(excluded.contains).toSet
+    val snapshot = batchDirs
+      .filter(d => foldIds.contains(
+        d.getPath.getName.stripPrefix("__batch=").toLong))
+      .flatMap(d => fs.listStatus(d.getPath))
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_"))
+      .map(_.getPath)
+    // fewer files than cells means folding cannot shrink anything
+    if (snapshot.length <= cellDirs.length &&
+        foldIds.forall(_ == -1L)) return -1L
+    if (snapshot.isEmpty) return -1L
+    val maxFolded = foldIds.filter(_ >= 0L).reduceOption(_ max _).getOrElse(-1L)
+    val staging = new org.apache.hadoop.fs.Path(root, StagingDir)
+    fs.delete(staging, true)
+    spark.read.option("basePath", tablePath)
+      .parquet(snapshot.map(_.toString).toIndexedSeq: _*)
+      .drop("__batch")
+      .withColumn("__batch", F.lit(-1L))
+      .repartition(F.col(keyName))
+      .write.partitionBy(keyName, "__batch").mode("overwrite")
+      .parquet(staging.toString)
+    // journal the EXACT files to prune, then suppress folded replays
+    writeJson(fs, new org.apache.hadoop.fs.Path(root, PendingFile),
+      snapshot.map(_.toString))
+    if (maxFolded >= 0L) {
+      val prior = readMaintainedThrough(spark, rootPath)
+      writeMaintainedThrough(spark, rootPath, math.max(prior, maxFolded))
+    }
+    afterJournal() // spec seam: crash AFTER the journal commits
+    finishCompact(fs, root, keyName)
+    maxFolded
+  }
+
+  /** Finish (or re-finish, after a crash) a journaled fold: move the
+    * staged files live, prune the journaled snapshot, drop journal +
+    * staging. Every step is idempotent; renames are CHECKED (a silent
+    * rename failure followed by the prune would lose rows). */
+  private def finishCompact(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path,
+      keyName: String): Unit = {
+    val staging = new org.apache.hadoop.fs.Path(root, StagingDir)
+    if (fs.exists(staging)) fs.listStatus(staging).foreach { cell =>
+      if (cell.isDirectory && cell.getPath.getName.startsWith(keyName + "=")) {
+        val dest = new org.apache.hadoop.fs.Path(
+          new org.apache.hadoop.fs.Path(root, cell.getPath.getName), "__batch=-1")
+        fs.mkdirs(dest)
+        fs.listStatus(cell.getPath).foreach { b =>
+          if (b.isDirectory) fs.listStatus(b.getPath).foreach { f =>
+            if (f.isFile && !f.getPath.getName.startsWith("_")) {
+              val to = new org.apache.hadoop.fs.Path(dest, f.getPath.getName)
+              if (fs.exists(to)) fs.delete(f.getPath, false) // already moved
+              else if (!fs.rename(f.getPath, to))
+                throw new java.io.IOException(
+                  s"compact: rename ${f.getPath} -> $to failed; journal kept")
+            }
+          }
+        }
+      }
+    }
+    val pending = new org.apache.hadoop.fs.Path(root, PendingFile)
+    readJson(fs, pending).foreach { file =>
+      fs.delete(new org.apache.hadoop.fs.Path(file), false)
+    }
+    // drop batch dirs the prune emptied (keep __batch=-1 homes)
+    fs.listStatus(root).foreach { cell =>
+      if (cell.isDirectory && cell.getPath.getName.startsWith(keyName + "=")) {
+        var live = false
+        fs.listStatus(cell.getPath).foreach { b =>
+          if (b.isDirectory) {
+            if (fs.listStatus(b.getPath).exists(_.isFile)) live = true
+            else if (b.getPath.getName != "__batch=-1") fs.delete(b.getPath, true)
+          }
+        }
+        if (!live && fs.listStatus(cell.getPath).isEmpty)
+          fs.delete(cell.getPath, true)
+      }
+    }
+    fs.delete(pending, false)
+    fs.delete(staging, true)
+  }
+
+  /** Idempotent crash recovery: a journal on disk means the fold was
+    * fully staged — re-finish it. No journal: drop any half-written
+    * staging (the next compact restages from intact originals). */
+  def recover(
+      spark: org.apache.spark.sql.SparkSession, tablePath: String,
+      keyName: String = "__cell"): Unit = {
+    val root = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(root, PendingFile)))
+      finishCompact(fs, root, keyName)
+    else fs.delete(new org.apache.hadoop.fs.Path(root, StagingDir), true)
+  }
+
+  private def writeJson(
+      fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path,
+      files: Seq[String]): Unit = {
+    val json = files
+      .map(f => "\"" + f.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+      .mkString("[", ",", "]")
+    val out = fs.create(p, true)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readJson(
+      fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Seq[String] = {
+    if (!fs.exists(p)) return Seq.empty
+    val in = fs.open(p)
+    val bytes = try {
+      val bos = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n > 0) { bos.write(buf, 0, n); n = in.read(buf) }
+      bos.toByteArray
+    } finally in.close()
+    val s = new String(bytes, "UTF-8").trim
+    if (s.length < 2) Seq.empty
+    else s.stripPrefix("[").stripSuffix("]").split(",")
+      .toIndexedSeq
+      .map(_.trim)
+      .filter(_.nonEmpty)
+      .map(_.stripPrefix("\"").stripSuffix("\"")
+        .replace("\\\"", "\"").replace("\\\\", "\\"))
   }
 }

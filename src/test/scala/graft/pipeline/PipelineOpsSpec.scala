@@ -245,6 +245,89 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(doomedIds.forall(id => pqOnce.getOrElse(id, 0) === 1))
   }
 
+  test("compactIvfIndex folds retired batches; newest stays; crash recovery exact") {
+    val emb = sf("sf0.001", "embeddings").filter(F.col("embedding").isNotNull)
+      .select(F.col("vec_id").cast("long").as("vec_id"), F.col("embedding"))
+    val base = emb.filter(F.col("vec_id") % 4 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_cp").toString
+    Similarity.buildIvfIndex(base, "vec_id", "embedding", nlist = 8).save(dir)
+    (1 to 3).foreach { m =>
+      Similarity.appendToIvfIndexTouched(spark, dir,
+        emb.filter(F.col("vec_id") % 4 === m), "vec_id", "embedding",
+        batchId = m.toLong - 1L)
+    }
+    def content() = Similarity.loadIvfIndex(spark, dir).assigned
+      .select(F.col("neighbor_id").cast("long"), F.col("__cell"))
+      .as[(Long, Int)].collect().sorted.toSeq
+    def batches() = spark.read.parquet(s"$dir/assigned")
+      .select(F.col("__batch").cast("long")).distinct().as[Long].collect().toSet
+    val before = content()
+    assert(batches() === Set(-1L, 0L, 1L, 2L))
+
+    val folded = Similarity.compactIvfIndex(spark, dir)
+    // newest streaming batch (2) stays merge-on-read; 0 and 1 folded
+    assert(batches() === Set(-1L, 2L))
+    assert(content() === before)
+    assert(folded.centroids.length === 8)
+    // one file per cell in the folded base layer
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val cellDirs = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/assigned"))
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("__cell="))
+    cellDirs.foreach { c =>
+      val baseDir = new org.apache.hadoop.fs.Path(c.getPath, "__batch=-1")
+      if (fs.exists(baseDir)) {
+        val n = fs.listStatus(baseDir).count(st =>
+          st.isFile && !st.getPath.getName.startsWith("_"))
+        assert(n <= 1, s"cell ${c.getPath.getName} has $n base files")
+      }
+    }
+    // a crash-replay of a FOLDED batch writes nothing (watermark)
+    Similarity.appendToIvfIndexTouched(spark, dir,
+      emb.filter(F.col("vec_id") % 4 === 1), "vec_id", "embedding", batchId = 0L)
+    assert(content() === before, "folded-batch replay resurrected rows")
+
+    // crash AFTER the journal commits: the next maintenance call
+    // finishes the fold idempotently and content is exact
+    Similarity.appendToIvfIndexTouched(spark, dir,
+      emb.filter(F.col("vec_id") % 4 === 1)
+        .select((F.col("vec_id") + 500000L).as("vec_id"), F.col("embedding")),
+      "vec_id", "embedding", batchId = 7L)
+    val before2 = content()
+    intercept[RuntimeException] {
+      CellTable.compact(spark, dir, s"$dir/assigned",
+        afterJournal = () => throw new RuntimeException("boom"))
+    }
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$dir/assigned/_compact_pending.json")))
+    val again = Similarity.compactIvfIndex(spark, dir) // recovers, reloads
+    assert(content() === before2)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$dir/assigned/_compact_pending.json")))
+    assert(again.assigned.count().toInt === before2.size)
+    // idempotent: a further compact with nothing to fold is a no-op
+    Similarity.compactIvfIndex(spark, dir)
+    assert(content() === before2)
+
+    // the code-table sibling folds and probes identically
+    val pqDir = java.nio.file.Files.createTempDirectory("graft_pq_cp").toString
+    ProductQuantization.buildIvfPq(base, "vec_id", "embedding",
+      nlist = 8, m = 16, ksub = 16, iterations = 2).save(pqDir)
+    (1 to 3).foreach { m =>
+      ProductQuantization.appendBatchToIvfPq(spark, pqDir,
+        emb.filter(F.col("vec_id") % 4 === m), "vec_id", "embedding",
+        batchId = m.toLong - 1L)
+    }
+    def pqContent() = ProductQuantization.loadIvfPq(spark, pqDir).encoded
+      .select(F.col("neighbor_id").cast("long")).as[Long].collect().sorted.toSeq
+    val pqBefore = pqContent()
+    ProductQuantization.compactIvfPq(spark, pqDir)
+    assert(pqContent() === pqBefore)
+    val pqBatches = spark.read.parquet(s"$pqDir/encoded")
+      .select(F.col("__batch").cast("long")).distinct().as[Long].collect().toSet
+    assert(pqBatches === Set(-1L, 2L))
+  }
+
   // --------------------------------------------- canonical selection
 
   test("keepCanonical keeps the best row per group with deterministic ties") {

@@ -211,6 +211,62 @@ class RetrievalSpec extends SparkTestBase {
       .postings.select("id").as[Long].collect().contains(97L))
   }
 
+  test("compactTextIndex folds retired batches; probe, stats, and replays exact") {
+    val session = spark
+    import session.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_tidx_cp").toString
+    val corpus = sf("sf0.001", "documents").select("doc_id", "text")
+    Retrieval.buildTextIndex(corpus.filter(F.col("doc_id") % 4 === 0),
+      "doc_id", "text").save(path)
+    (1 to 3).foreach { m =>
+      Retrieval.appendBatchToTextIndex(spark, path,
+        corpus.filter(F.col("doc_id") % 4 === m), "doc_id", "text",
+        batchId = m.toLong - 1L)
+    }
+    val before = Retrieval.loadTextIndex(spark, path)
+    def probe(ix: Retrieval.TextIndex) = Retrieval
+      .bm25TopKIndexed(ix, Seq("slow", "merge", "window"), 10)
+      .select("rank", "id").as[(Int, Long)].collect().toSeq
+    val beforeProbe = probe(before)
+    val beforeStats = (before.nDocs, before.dlSum)
+
+    val folded = Retrieval.compactTextIndex(spark, path)
+    // newest streaming batch (2) stays; 0 and 1 folded into -1
+    val batches = spark.read.parquet(s"$path/postings")
+      .select(F.col("__batch").cast("long")).distinct().as[Long].collect().toSet
+    assert(batches === Set(-1L, 2L))
+    assert(probe(folded) === beforeProbe)
+    assert((folded.nDocs, folded.dlSum) === beforeStats)
+    // stats: one base row + the excluded batch's own delta row
+    val statRows = spark.read.parquet(s"$path/stats")
+      .select(F.col("__batch").cast("long")).as[Long].collect().sorted.toSeq
+    assert(statRows === Seq(-1L, 2L))
+    // replay of a FOLDED batch: watermark no-op (postings AND stats)
+    val replayed = Retrieval.appendBatchToTextIndex(spark, path,
+      corpus.filter(F.col("doc_id") % 4 === 1), "doc_id", "text", batchId = 0L)
+    assert(probe(replayed) === beforeProbe)
+    assert((replayed.nDocs, replayed.dlSum) === beforeStats)
+    // replay of the EXCLUDED batch: dynamic overwrite of its own
+    // postings and stats partitions — still exact, nothing doubles
+    val replayed2 = Retrieval.appendBatchToTextIndex(spark, path,
+      corpus.filter(F.col("doc_id") % 4 === 3), "doc_id", "text", batchId = 2L)
+    assert(probe(replayed2) === beforeProbe)
+    assert((replayed2.nDocs, replayed2.dlSum) === beforeStats)
+    // one posting file per bucket in the folded base layer
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/postings"))
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("__bucket="))
+      .foreach { b =>
+        val baseDir = new org.apache.hadoop.fs.Path(b.getPath, "__batch=-1")
+        if (fs.exists(baseDir)) {
+          val n = fs.listStatus(baseDir).count(st =>
+            st.isFile && !st.getPath.getName.startsWith("_"))
+          assert(n <= 1, s"bucket ${b.getPath.getName} has $n base files")
+        }
+      }
+  }
+
   test("reconcileTextIndexStats repairs a lost removal delta exactly") {
     val session = spark
     import session.implicits._
