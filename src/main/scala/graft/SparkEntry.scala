@@ -3560,6 +3560,52 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
+    // dataset content manifest (versioning primitive): per-source row
+    // counts + order-independent 60-bit xor content hashes — every
+    // step (per-field md5 tuple encoding, 15-hex prefix to BIGINT,
+    // bit_xor) replays verbatim in DuckDB, so the HASHES themselves
+    // cross-engine match; tampering one document flags exactly its
+    // source through diffManifests
+    "q_manifest" -> ((s: SparkSession, dir: String) => {
+      val sn = graft.pipeline.Snapshot
+      val docs = t(s, dir, "documents")
+      val man = sn.manifest(docs, Seq("source"), Seq("doc_id", "text"))
+      val tampered = docs.withColumn("text",
+        F.when(F.col("doc_id") === 7L, F.concat(F.coalesce(F.col("text"),
+          F.lit("")), F.lit("!"))).otherwise(F.col("text")))
+      val d = sn.diffManifests(man,
+        sn.manifest(tampered, Seq("source"), Seq("doc_id", "text")),
+        Seq("source"))
+      man.join(d, Seq("source"))
+        .select(F.col("source"), F.col("n_rows"), F.col("content_hash"),
+          F.col("status"))
+        .orderBy("source")
+    }),
+
+    // CLIP-style image-text alignment curation: even ids pair with
+    // their own embedding (a dual encoder that agrees → cos 1), odd
+    // ids with their even neighbor's (mismatched caption → natural
+    // cosine, far below threshold in this corpus); the cosine replays
+    // in SQL from the embedding arrays, so scores themselves match at
+    // 4 dp and the aligned flag is exact
+    "q_multimodal_align" -> ((s: SparkSession, dir: String) => {
+      val emb = t(s, dir, "embeddings")
+        .filter(F.col("embedding").isNotNull)
+        .select(F.col("vec_id").cast("long").as("vec_id"), F.col("embedding"))
+      val img = emb.select(F.col("vec_id"), F.col("embedding").as("img"))
+      val txt = emb.select(F.col("vec_id").as("tid"), F.col("embedding").as("txt"))
+      val pairs = emb.select(F.col("vec_id"),
+          F.when(F.col("vec_id") % 2 === 0, F.col("vec_id"))
+            .otherwise(F.col("vec_id") - 1L).as("tid"))
+        .join(img, "vec_id")
+        .join(txt, "tid")
+      graft.pipeline.Multimodal.alignmentScores(pairs, "img", "txt")
+        .select(F.col("vec_id"),
+          (F.col("alignment") >= 0.999).as("aligned"),
+          F.round(F.col("alignment"), 4).as("score4"))
+        .orderBy("vec_id")
+    }),
+
     // per-source dataset card: every scalar column replays exactly in
     // DuckDB (strlen = bytes; dup = count - distinct texts; language
     // mode with the deterministic (count, tag) tie-break); the length
@@ -7909,6 +7955,35 @@ object SparkEntry {
         |FROM embeddings
         |WHERE vec_id % 4 = 1 AND vec_id < 10 AND embedding IS NOT NULL
         |ORDER BY query_id""".stripMargin,
+    "q_manifest" ->
+      """WITH tok AS (
+        |  SELECT source,
+        |         CAST(concat('0x', substr(md5(concat(
+        |           md5(CAST(doc_id AS VARCHAR)),
+        |           coalesce(md5(text), chr(1)))), 1, 15)) AS BIGINT) AS t
+        |  FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+        |       bit_xor(t) AS content_hash,
+        |       CASE WHEN source = (SELECT source FROM documents WHERE doc_id = 7)
+        |            THEN 'changed' ELSE 'unchanged' END AS status
+        |FROM tok GROUP BY source ORDER BY source""".stripMargin,
+    "q_multimodal_align" ->
+      """WITH flat AS (SELECT vec_id, r.i AS i, embedding[r.i] AS x
+        |              FROM embeddings, range(1, 65) r(i)
+        |              WHERE embedding IS NOT NULL),
+        |pairs AS (SELECT vec_id,
+        |            CASE WHEN vec_id % 2 = 0 THEN vec_id ELSE vec_id - 1 END AS tid
+        |          FROM embeddings WHERE embedding IS NOT NULL),
+        |dots AS (SELECT p.vec_id, sum(a.x * b.x) AS dot,
+        |                sqrt(sum(a.x * a.x)) AS na, sqrt(sum(b.x * b.x)) AS nb
+        |         FROM pairs p
+        |         JOIN flat a ON a.vec_id = p.vec_id
+        |         JOIN flat b ON b.vec_id = p.tid AND b.i = a.i
+        |         GROUP BY p.vec_id)
+        |SELECT CAST(vec_id AS BIGINT) AS vec_id,
+        |       (dot / (na * nb)) >= 0.999 AS aligned,
+        |       round(dot / (na * nb), 4) AS score4
+        |FROM dots ORDER BY vec_id""".stripMargin,
     "q_embed_topk" ->
       """WITH flat AS (SELECT vec_id, r.i AS i, embedding[r.i] AS x
         |              FROM embeddings, range(1, 65) r(i)),

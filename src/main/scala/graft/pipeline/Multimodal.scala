@@ -1436,4 +1436,34 @@ object Multimodal {
       F.col("source").as("meta_source"))
       .as[MediaRecord]
   }
+
+  /**
+   * CLIP-style image-text alignment score: the cosine between a
+   * sample's image embedding and its caption embedding — the
+   * LAION-family curation signal (keep pairs whose modalities agree;
+   * drop alt-text that does not describe its image). The embeddings
+   * come from the caller's dual encoder (decode/encode is the stubbed
+   * media boundary, like every model in this repo); the Spark side —
+   * pairing, scoring, thresholding — is real and map-only.
+   * NULL/ragged vectors score NULL (repo NULL discipline).
+   */
+  def alignmentScores(
+      pairs: DataFrame,
+      imgVecCol: String,
+      txtVecCol: String,
+      outCol: String = "alignment"): DataFrame =
+    pairs.withColumn(outCol,
+      Similarity.cosine(F.col(imgVecCol), F.col(txtVecCol)))
+
+  /** Keep pairs whose alignment clears `threshold` (NULL-scored rows —
+    * missing either embedding — drop, like every filter here). The
+    * score column rides along for auditability. */
+  def filterAligned(
+      pairs: DataFrame,
+      imgVecCol: String,
+      txtVecCol: String,
+      threshold: Double,
+      outCol: String = "alignment"): DataFrame =
+    alignmentScores(pairs, imgVecCol, txtVecCol, outCol)
+      .filter(F.col(outCol) >= threshold)
 }

@@ -501,6 +501,30 @@ object ProductQuantization {
     loadIvfPq(spark, path)
   }
 
+  /** [[streamToIvfPq]] through a saved OPQ rotation: each micro-batch
+    * rotates into index space first (rotation loaded ONCE at writer
+    * build — it is frozen with the rest of the geometry), then rides
+    * the same replay-idempotent `__batch` protocol. */
+  def streamToOpqIvfPq(
+      stream: DataFrame,
+      path: String,
+      idCol: String,
+      vecCol: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val rotation = spark.read.parquet(s"$path/rotation")
+      .orderBy("i").select("row").as[Array[Float]].collect()
+    stream.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        appendBatchToIvfPq(batch.sparkSession, path,
+          batch.withColumn(vecCol,
+            rotateCol(batch.sparkSession, rotation, F.col(vecCol))),
+          idCol, vecCol, batchId)
+        ()
+    }
+  }
+
   /** [[appendToIvfPq]] through a saved OPQ rotation: the fresh batch
     * rotates into index space first (the rotation is frozen with the
     * rest of the geometry). */

@@ -1148,7 +1148,7 @@ private[pipeline] object CellTable {
       .parquet(staging.toString)
     // journal the EXACT files to prune, then suppress folded replays
     writeJson(fs, new org.apache.hadoop.fs.Path(root, PendingFile),
-      snapshot.map(_.toString))
+      snapshot.map(_.toString).toIndexedSeq)
     if (maxFolded >= 0L) {
       val prior = readMaintainedThrough(spark, rootPath)
       writeMaintainedThrough(spark, rootPath, math.max(prior, maxFolded))

@@ -130,4 +130,70 @@ object Snapshot {
           .when(F.col("__oh") === F.col("__nh"), "unchanged")
           .otherwise("changed").as("status"))
   }
+
+  /** The per-row 60-bit manifest token over `cols`: each column md5'd
+    * independently (fixed-width hex tokens, non-hex NULL sentinel —
+    * the [[diffSnapshots]] tuple-encoding rule), the concatenation
+    * md5'd again, truncated to 15 hex chars and parsed as a positive
+    * BIGINT. Every step replays verbatim in ANSI SQL, so manifests are
+    * cross-engine checkable. */
+  def manifestToken(cols: Seq[Column]): Column =
+    // the NULL sentinel must be NON-EMPTY and non-hex: with an empty
+    // sentinel, (a, NULL) and (NULL, a) would both concatenate to
+    // md5(a) and alias
+    F.conv(F.substring(F.md5(F.concat(
+      cols.map(c => F.coalesce(F.md5(c.cast("string")), F.lit("\u0001"))): _*)),
+      1, 15), 16, 10).cast("long")
+
+  /**
+   * Corpus content manifest — the dataset-versioning primitive: one
+   * row per group (source, shard, split, ...) carrying the exact row
+   * count and an ORDER-INDEPENDENT content hash: bit_xor of the
+   * per-row [[manifestToken]]s. Two corpora with identical grouped
+   * content produce identical manifests regardless of partitioning,
+   * file layout, or row order; a single flipped byte flips the hash
+   * (short of an md5-prefix collision, ~n²/2^61 per group).
+   *
+   * Scale shape: ONE map-side-combined exchange whose keys are the
+   * groups — xor commutes and never overflows (the
+   * [[Dedup.duplicateClusters]] signature convention), so partial
+   * aggregation folds each task's rows locally and the manifest of an
+   * incremental batch xors into a stored manifest without rescanning
+   * history. Returns (groupCols..., n_rows, content_hash).
+   */
+  def manifest(
+      df: DataFrame,
+      groupCols: Seq[String],
+      hashCols: Seq[String]): DataFrame = {
+    require(hashCols.nonEmpty, "need at least one hash column")
+    val tok = manifestToken(hashCols.map(F.col))
+    df.groupBy(groupCols.map(F.col): _*)
+      .agg(F.count(F.lit(1)).as("n_rows"),
+        F.coalesce(F.bit_xor(tok), F.lit(0L)).as("content_hash"))
+  }
+
+  /**
+   * Compare two manifests group-by-group: `added` / `removed` /
+   * `changed` (count or hash differs) / `unchanged` — [[diffSnapshots]]
+   * lifted to whole dataset versions. Joins only the manifests (one
+   * row per group), never the corpora.
+   */
+  def diffManifests(
+      oldMan: DataFrame,
+      newMan: DataFrame,
+      groupCols: Seq[String]): DataFrame = {
+    val o = oldMan.select(
+      groupCols.map(F.col) ++
+        Seq(F.col("n_rows").as("__on"), F.col("content_hash").as("__oh")): _*)
+    val n = newMan.select(
+      groupCols.map(F.col) ++
+        Seq(F.col("n_rows").as("__nn"), F.col("content_hash").as("__nh")): _*)
+    o.join(n, groupCols, "full_outer")
+      .select(groupCols.map(F.col) :+
+        F.when(F.col("__on").isNull, "added")
+          .when(F.col("__nn").isNull, "removed")
+          .when(F.col("__on") === F.col("__nn") &&
+            F.col("__oh") === F.col("__nh"), "unchanged")
+          .otherwise("changed").as("status"): _*)
+  }
 }

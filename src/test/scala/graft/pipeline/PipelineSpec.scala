@@ -691,4 +691,31 @@ class MultimodalSpec extends SparkTestBase {
       .as[(Long, Long, Int)].collect().toSet
     assert(capped === expected)
   }
+
+  test("alignmentScores/filterAligned: cosine pairing, NULL discipline, map-only") {
+    val pairs = Seq(
+      (1L, Array(1f, 0f, 0f), Array(2f, 0f, 0f)),    // parallel → 1
+      (2L, Array(1f, 0f, 0f), Array(0f, 1f, 0f)),    // orthogonal → 0
+      (3L, Array(1f, 0f, 0f), Array(-1f, 0f, 0f)),   // opposite → -1
+      (4L, Array(1f, 0f, 0f), null.asInstanceOf[Array[Float]]),
+      (5L, null.asInstanceOf[Array[Float]], Array(1f, 0f, 0f)))
+      .toDF("id", "img", "txt")
+    val scored = Multimodal.alignmentScores(pairs, "img", "txt")
+      .select("id", "alignment")
+      .as[(Long, Option[Double])].collect().toMap
+    assert(math.abs(scored(1L).get - 1.0) < 1e-12)
+    assert(math.abs(scored(2L).get) < 1e-12)
+    assert(math.abs(scored(3L).get + 1.0) < 1e-12)
+    assert(scored(4L).isEmpty && scored(5L).isEmpty)
+    val kept = Multimodal.filterAligned(pairs, "img", "txt", 0.5)
+      .select("id").as[Long].collect().toSet
+    assert(kept === Set(1L))
+    // map-only: no exchange on a real corpus-sized pairing
+    val emb = sf("sf0.001", "embeddings").filter(F.col("embedding").isNotNull)
+      .select(F.col("vec_id"), F.col("embedding").as("img"),
+        F.col("embedding").as("txt"))
+    val plan = Multimodal.filterAligned(emb, "img", "txt", 0.9)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
 }

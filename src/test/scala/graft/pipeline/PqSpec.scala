@@ -324,6 +324,38 @@ class PqSpec extends SparkTestBase {
     }
   }
 
+  test("streamToOpqIvfPq: micro-batched stream equals the batch OPQ append") {
+    val rows = anisotropic(240, 16, seed = 17)
+    val df = rows.toDF("vec_id", "embedding")
+    val even = df.filter(F.col("vec_id") % 2 === 0)
+    val odd = df.filter(F.col("vec_id") % 2 =!= 0)
+      .select(F.col("vec_id").cast("long").as("vec_id"), F.col("embedding"))
+    val dirA = java.nio.file.Files.createTempDirectory("graft_opq_sa").toString
+    val dirB = java.nio.file.Files.createTempDirectory("graft_opq_sb").toString
+    val built = PQ.buildOpqIvfPq(even, "vec_id", "embedding",
+      nlist = 5, m = 8, ksub = 8, iterations = 2, opqIters = 2)
+    built.save(dirA); built.save(dirB)
+    PQ.appendToOpqIvfPq(spark, dirA, odd, "vec_id", "embedding")
+    val src = java.nio.file.Files.createTempDirectory("graft_opq_src").toString
+    odd.repartition(3).write.mode("overwrite").parquet(src)
+    val q = PQ.streamToOpqIvfPq(
+        spark.readStream.schema(odd.schema)
+          .option("maxFilesPerTrigger", 1).parquet(src),
+        dirB, "vec_id", "embedding")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_opq_ck").toString)
+      .start()
+    q.awaitTermination()
+    // identical code tables: same ids, same cells, same codes
+    def rowsOf(dir: String) = PQ.loadIvfPq(spark, dir).encoded
+      .select(F.col("neighbor_id").cast("long"), F.col("__cell"),
+        F.col("__code"), F.col("__norm"))
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        r.getAs[Array[Byte]](2).toSeq, r.getDouble(3))).sortBy(_._1).toSeq
+    assert(rowsOf(dirB) === rowsOf(dirA))
+  }
+
   test("removeFromIvfIndex/IvfPq: touched-cell rewrite, emptied cells deleted") {
     // two tight direction groups -> two stable cells; removing ALL of
     // one group must empty (and delete) its cell directory

@@ -120,4 +120,54 @@ class SnapshotSpec extends SparkTestBase {
       .as[(Long, String)].collect().toMap
     assert(out === Map(1L -> "changed", 2L -> "changed", 3L -> "unchanged"))
   }
+
+  test("manifest: order/partitioning-independent, tamper-sensitive, xor-incremental") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "s0", "alpha"), (2L, "s0", "beta"), (3L, "s1", "gamma"),
+      (4L, "s1", null.asInstanceOf[String]), (5L, "s2", "delta"))
+      .toDF("id", "src", "text")
+    def man(df: org.apache.spark.sql.DataFrame) =
+      Snapshot.manifest(df, Seq("src"), Seq("id", "text"))
+        .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    val base = man(docs)
+    assert(base.map(_._2) === Seq(2L, 2L, 1L))
+    // layout-independent: repartition/shuffle changes nothing
+    assert(man(docs.repartition(7).orderBy(F.rand(42))) === base)
+    // tamper: one flipped character flips exactly that group's hash
+    val tampered = docs.withColumn("text",
+      F.when(F.col("id") === 3L, "gamma!").otherwise(F.col("text")))
+    val tm = man(tampered)
+    assert(tm.filter(_._1 != "s1") === base.filter(_._1 != "s1"))
+    assert(tm.find(_._1 == "s1").get._3 !== base.find(_._1 == "s1").get._3)
+    // NULL vs the literal sentinel cannot alias
+    val lit = docs.withColumn("text",
+      F.when(F.col("id") === 4L, "").otherwise(F.col("text")))
+    assert(man(lit).find(_._1 == "s1").get._3 !==
+      base.find(_._1 == "s1").get._3)
+    // incremental: manifest(a ∪ b).hash == hash(a) xor hash(b) per group
+    val a = docs.filter(F.col("id") === 1L)
+    val b = docs.filter(F.col("id") === 2L)
+    val whole = man(docs.filter(F.col("src") === "s0")).head._3
+    val folded = man(a).find(_._1 == "s0").get._3 ^
+      man(b).find(_._1 == "s0").get._3
+    assert(folded === whole)
+
+    // diffManifests classifies group-level drift
+    val shrunk = tampered.filter(F.col("src") =!= "s2")
+      .unionByName(Seq((9L, "s3", "new")).toDF("id", "src", "text"))
+    val d = Snapshot.diffManifests(
+      Snapshot.manifest(docs, Seq("src"), Seq("id", "text")),
+      Snapshot.manifest(shrunk, Seq("src"), Seq("id", "text")),
+      Seq("src")).as[(String, String)].collect().toMap
+    assert(d === Map("s0" -> "unchanged", "s1" -> "changed",
+      "s2" -> "removed", "s3" -> "added"))
+
+    // scale shape: one exchange, partial aggregation before it
+    val real = sf("sf0.001", "documents")
+    val plan = Snapshot.manifest(real, Seq("source"), Seq("doc_id", "text"))
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length === 1, plan)
+    assert(plan.contains("partial"), plan)
+  }
 }
