@@ -199,6 +199,15 @@ object Bench {
       graft.pipeline.Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", 6)),
 
     // exact dedup by content hash
+    "b_dedup_cdc" -> ((s: SparkSession, dir: String) =>
+      graft.pipeline.Dedup.chunkOverlapPairs(
+        t(s, dir, "documents"), "doc_id", "text", minShared = 2,
+        minSize = 16, avgSize = 32, maxSize = 128)),
+
+    "b_manifest" -> ((s: SparkSession, dir: String) =>
+      graft.pipeline.Snapshot.manifest(
+        t(s, dir, "documents"), Seq("source"), Seq("doc_id", "text"))),
+
     "b_dedup_exact" -> ((s: SparkSession, dir: String) =>
       graft.pipeline.Dedup.dropExactDuplicates(
         t(s, dir, "documents"), "doc_id", "text")),

@@ -3560,6 +3560,46 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
+    // content-defined chunking dedup (FastCDC-style gear hash): plant
+    // partial-overlap twins (new intro + the body from char 60) — CDC
+    // boundaries re-align on content within ~one chunk of the edit, so
+    // nearly every planted pair shares >= 2 interior chunks while
+    // unrelated documents share almost none; chunk spans must cover
+    // every document exactly. Corpus-level booleans (boundaries are
+    // content-derived — per-pair rows would couple the oracle to the
+    // regenerated-testdata bytes)
+    "q_dedup_cdc" -> ((s: SparkSession, dir: String) => {
+      val dd = graft.pipeline.Dedup
+      val docs = t(s, dir, "documents")
+        .filter(F.col("text").isNotNull && F.col("n_chars") >= 400)
+        .select(F.col("doc_id"), F.col("text"))
+      val planted = docs.unionByName(docs.select(
+        (F.col("doc_id") + 1000000L).as("doc_id"),
+        F.concat(F.lit("a freshly rewritten introduction that shares nothing "),
+          F.expr("substring(text, 60)")).as("text")))
+      val chunks = dd.cdcChunks(planted, "doc_id", "text",
+        minSize = 16, avgSize = 32, maxSize = 128)
+      val coversBad = chunks.groupBy("id")
+        .agg(F.sum(F.col("len")).as("__sum"))
+        .join(planted.select(F.col("doc_id").as("id"),
+          F.length(F.col("text")).as("__n")), "id")
+        .filter(F.col("__sum") =!= F.col("__n")).count()
+      val pairs = dd.chunkOverlapPairs(planted, "doc_id", "text",
+        minShared = 2, minSize = 16, avgSize = 32, maxSize = 128)
+        .select(F.col("id_a"), F.col("id_b"))
+        .localCheckpoint(false)
+      val nBase = docs.count()
+      val nFound = pairs
+        .filter(F.col("id_b") === F.col("id_a") + 1000000L).count()
+      val nNatural = pairs
+        .filter(F.col("id_a") < 1000000L && F.col("id_b") < 1000000L).count()
+      s.range(1).select(
+        F.lit(nBase).as("n_base"),
+        F.lit(coversBad == 0L).as("covers_ok"),
+        F.lit(nFound >= (nBase * 9L + 9L) / 10L).as("found_ok"),
+        F.lit(nNatural <= nBase / 10L).as("no_hallucination"))
+    }),
+
     // dataset content manifest (versioning primitive): per-source row
     // counts + order-independent 60-bit xor content hashes — every
     // step (per-field md5 tuple encoding, 15-hex prefix to BIGINT,
@@ -7955,6 +7995,10 @@ object SparkEntry {
         |FROM embeddings
         |WHERE vec_id % 4 = 1 AND vec_id < 10 AND embedding IS NOT NULL
         |ORDER BY query_id""".stripMargin,
+    "q_dedup_cdc" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_base, true AS covers_ok,
+        |       true AS found_ok, true AS no_hallucination
+        |FROM documents WHERE text IS NOT NULL AND n_chars >= 400""".stripMargin,
     "q_manifest" ->
       """WITH tok AS (
         |  SELECT source,

@@ -2053,4 +2053,151 @@ object Dedup {
         F.greatest(F.col("id_new"), F.col("id_old")).as("id_b"))
       .distinct()
   }
+
+  // ------------------------------------------------------ CDC chunking
+
+  /** Deterministic gear table for content-defined chunking: 256
+    * mix64-derived longs, fixed seed — chunk boundaries are a pure
+    * function of content, never of position or session. */
+  private val cdcGear: Array[Long] =
+    Array.tabulate(256)(b => TextFunctions.mix64(0x9E3779B97F4A7C15L ^ b.toLong))
+
+  /** Content-defined chunk spans of one string (FastCDC-style gear
+    * rolling hash): a boundary closes the current chunk when the
+    * rolling hash's low `log2(avgSize)` bits are all zero AND the
+    * chunk has reached `minSize`; `maxSize` force-splits. Returns
+    * (start, endExclusive, chunkHash) triples covering the string
+    * exactly; the final chunk may be shorter than `minSize`.
+    *
+    * Why CDC and not fixed windows: boundaries depend only on the
+    * LOCAL bytes, so two documents sharing a long region re-align on
+    * the same chunk grid within ~one average chunk of the region's
+    * edge — an inserted prefix shifts nothing downstream. This is the
+    * storage-dedup / partial-overlap primitive the gram-based
+    * [[duplicateSpans]] family does not give (grams catch exact
+    * k-windows; CDC catches "these two documents share most of their
+    * bytes" at chunk granularity, robust to edits).
+    */
+  private[pipeline] def cdcSpans(
+      t: String, minSize: Int, avgSize: Int, maxSize: Int): Array[(Int, Int, Long)] = {
+    val mask = (avgSize - 1).toLong
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Long)]
+    val n = t.length
+    var start = 0
+    var h = 0L
+    var i = 0
+    while (i < n) {
+      h = (h << 1) + cdcGear(t.charAt(i) & 0xFF)
+      val size = i - start + 1
+      if ((size >= minSize && (h & mask) == 0L) || size >= maxSize || i == n - 1) {
+        out += ((start, i + 1, chunkHash(t, start, i + 1)))
+        start = i + 1
+        h = 0L
+      }
+      i += 1
+    }
+    out.toArray
+  }
+
+  /** 64-bit chunk content hash (first 8 bytes of the md5 of the
+    * chunk's UTF-8 bytes, big-endian) — cross-doc equality only needs
+    * a consistent JVM-side function; collisions are the usual
+    * ~n²/2^65. */
+  private def chunkHash(t: String, a: Int, b: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val d = md.digest(t.substring(a, b)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.ByteBuffer.wrap(d, 0, 8).getLong
+  }
+
+  /**
+   * Content-defined chunks of every document: (id, chunk_ix, start,
+   * len, chunk_hash). Map-only (one UDF pass + posexplode); chunk
+   * spans cover each document exactly in order. `avgSize` must be a
+   * power of two (it is the boundary mask).
+   */
+  def cdcChunks(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minSize: Int = 32,
+      avgSize: Int = 64,
+      maxSize: Int = 256): DataFrame = {
+    require(avgSize >= 2 && (avgSize & (avgSize - 1)) == 0,
+      s"avgSize must be a power of two, got $avgSize")
+    require(minSize >= 1 && minSize <= avgSize && avgSize <= maxSize,
+      s"need 1 <= minSize <= avgSize <= maxSize, got $minSize/$avgSize/$maxSize")
+    val u = F.udf((t: String) =>
+      if (t == null) null else cdcSpans(t, minSize, avgSize, maxSize))
+    docs
+      .select(F.col(idCol).as("id"), F.posexplode(u(F.col(textCol)))
+        .as(Seq("chunk_ix", "__c")))
+      .select(F.col("id"), F.col("chunk_ix"),
+        F.col("__c._1").as("start"),
+        (F.col("__c._2") - F.col("__c._1")).as("len"),
+        F.col("__c._3").as("chunk_hash"))
+  }
+
+  /**
+   * Chunks whose content appears in two or more DISTINCT documents:
+   * (chunk_hash, n_docs, len) — the storage-dedup signal. One
+   * map-side-combined exchange on the chunk hash; nothing is ever
+   * all-pairs.
+   */
+  def duplicateChunks(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minSize: Int = 32,
+      avgSize: Int = 64,
+      maxSize: Int = 256): DataFrame =
+    cdcChunks(docs, idCol, textCol, minSize, avgSize, maxSize)
+      .select(F.col("chunk_hash"), F.col("id"), F.col("len"))
+      .distinct()
+      .groupBy(F.col("chunk_hash"))
+      .agg(F.count(F.lit(1)).as("n_docs"), F.max(F.col("len")).as("len"))
+      .filter(F.col("n_docs") >= 2)
+
+  /**
+   * Document pairs sharing at least `minShared` distinct chunk
+   * contents — partial-overlap detection robust to edits (a copy with
+   * a rewritten intro still shares every interior chunk of the body).
+   * Bucketed by chunk hash with a `maxBucket` cap (accumulator-free
+   * analogue of [[hammingPairs]]'s dial: a chunk shared by THOUSANDS
+   * of documents is boilerplate, not provenance — cap it out rather
+   * than quadratically pairing); pairs normalized (id_a < id_b).
+   */
+  def chunkOverlapPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minShared: Int = 2,
+      minSize: Int = 32,
+      avgSize: Int = 64,
+      maxSize: Int = 256,
+      maxBucket: Int = 64): DataFrame = {
+    val chunks = cdcChunks(docs, idCol, textCol, minSize, avgSize, maxSize)
+      .select(F.col("chunk_hash"), F.col("id")).distinct()
+    val buckets = chunks.groupBy(F.col("chunk_hash"))
+      .agg(F.collect_list(F.col("id")).as("__ids"))
+      .filter(F.size(F.col("__ids")).between(2, maxBucket))
+    val pairU = F.udf((ids: Seq[Long]) => {
+      val s = ids.sorted
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      var i = 0
+      while (i < s.length) {
+        var j = i + 1
+        while (j < s.length) { out += ((s(i), s(j))); j += 1 }
+        j += 0
+        i += 1
+      }
+      out.toArray
+    })
+    buckets
+      .select(F.explode(pairU(F.col("__ids"))).as("__p"))
+      .select(F.col("__p._1").as("id_a"), F.col("__p._2").as("id_b"))
+      .groupBy(F.col("id_a"), F.col("id_b"))
+      .agg(F.count(F.lit(1)).as("shared_chunks"))
+      .filter(F.col("shared_chunks") >= minShared)
+  }
 }

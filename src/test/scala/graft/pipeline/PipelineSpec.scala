@@ -262,6 +262,68 @@ class DedupSpec extends SparkTestBase {
     val recall = jac.intersect(sim).size.toDouble / jac.size
     assert(recall >= 0.9, s"simhash recall=$recall over ${jac.size} pairs")
   }
+
+  test("cdcSpans: exact cover, size bounds, deterministic, shift-realigning") {
+    val rnd = new scala.util.Random(5)
+    val t = Seq.fill(120)("w" + rnd.nextInt(500)).mkString(" ")
+    val spans = Dedup.cdcSpans(t, 16, 32, 128)
+    // exact cover, in order
+    assert(spans.head._1 === 0 && spans.last._2 === t.length)
+    spans.sliding(2).foreach { case Array(a, b) => assert(a._2 === b._1); case _ => }
+    // bounds: every chunk <= max; every non-final chunk >= min
+    spans.foreach { case (a, b, _) => assert(b - a <= 128) }
+    spans.dropRight(1).foreach { case (a, b, _) => assert(b - a >= 16) }
+    assert(Dedup.cdcSpans(t, 16, 32, 128).toSeq === spans.toSeq)
+    // THE CDC property: an inserted prefix re-aligns within ~one chunk —
+    // most chunk contents survive the shift (a fixed grid would lose all)
+    val shifted = "THE INSERTED PREFIX CHANGES EVERYTHING UP FRONT " + t
+    val h1 = spans.map(_._3).toSet
+    val h2 = Dedup.cdcSpans(shifted, 16, 32, 128).map(_._3).toSet
+    val kept = h1.intersect(h2).size.toDouble / h1.size
+    assert(kept >= 0.7, s"only ${kept * 100}% of chunks survived the shift")
+    // degenerate inputs
+    assert(Dedup.cdcSpans("", 16, 32, 128).isEmpty)
+    assert(Dedup.cdcSpans("ab", 16, 32, 128).toSeq
+      === Seq((0, 2, Dedup.cdcSpans("ab", 16, 32, 128).head._3)))
+  }
+
+  test("cdcChunks/duplicateChunks/chunkOverlapPairs find planted partial overlaps") {
+    val docs = sf("sf0.001", "documents")
+      .filter(F.col("text").isNotNull && F.col("n_chars") >= 400)
+      .select(F.col("doc_id"), F.col("text"))
+    // plant: B = new intro + the body of A from char 60 on
+    val planted = docs.unionByName(docs.select(
+      (F.col("doc_id") + 1000000L).as("doc_id"),
+      F.concat(F.lit("a freshly rewritten introduction that shares nothing "),
+        F.expr("substring(text, 60)")).as("text")))
+    val chunks = Dedup.cdcChunks(planted, "doc_id", "text",
+      minSize = 16, avgSize = 32, maxSize = 128)
+    // chunks reconstruct every document exactly
+    val rebuilt = chunks
+      .groupBy("id")
+      .agg(F.sum(F.col("len")).as("__sum"), F.max(F.col("start") + F.col("len")).as("__end"))
+      .join(planted.select(F.col("doc_id").as("id"),
+        F.length(F.col("text")).as("__n")), "id")
+      .filter(F.col("__sum") =!= F.col("__n") || F.col("__end") =!= F.col("__n"))
+    assert(rebuilt.isEmpty, "chunk spans do not cover some document")
+    // every planted pair shares interior chunks of the common body
+    val pairs = Dedup.chunkOverlapPairs(planted, "doc_id", "text",
+      minShared = 2, minSize = 16, avgSize = 32, maxSize = 128)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val expectedPairs = docs.select("doc_id").as[Long].collect()
+      .map(id => (id, id + 1000000L)).toSet
+    val found = expectedPairs.count(pairs.contains).toDouble / expectedPairs.size
+    assert(found >= 0.95, s"only ${found * 100}% of planted pairs found")
+    // duplicateChunks sees the shared bodies
+    val dup = Dedup.duplicateChunks(planted, "doc_id", "text",
+      minSize = 16, avgSize = 32, maxSize = 128)
+    assert(dup.filter(F.col("n_docs") >= 2).count() > 0)
+    // and the UNPLANTED corpus pairs stay (near) empty — CDC does not
+    // hallucinate overlap between unrelated documents
+    val natural = pairs.filterNot(p => expectedPairs.contains(p))
+      .count { case (a, b) => a < 1000000L && b < 1000000L }
+    assert(natural <= expectedPairs.size / 10, s"$natural natural pairs")
+  }
 }
 
 class SimilaritySpec extends SparkTestBase {
