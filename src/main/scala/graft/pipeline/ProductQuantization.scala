@@ -324,7 +324,7 @@ object ProductQuantization {
     val centroids = spark.read.parquet(s"$path/centroids")
       .orderBy("cell").select("centroid").as[Array[Float]].collect()
     val cb = loadPqCodebooks(spark, s"$path/codebooks")
-    val encoded = spark.read.parquet(s"$path/encoded")
+    val encoded = CellTable.readVisible(spark, s"$path/encoded", "__cell")
       .withColumn("__cell", F.col("__cell").cast("int"))
       .select("neighbor_id", "__cell", "__code", "__norm")
     IvfPqIndex(centroids, cb, encoded)

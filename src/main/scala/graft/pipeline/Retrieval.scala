@@ -562,7 +562,7 @@ object Retrieval {
     val buckets = st.getInt(0)
     val nDocs = if (st.isNullAt(1)) 0L else st.getLong(1)
     val dlSum = if (st.isNullAt(2)) 0L else st.getLong(2)
-    val postings = spark.read.parquet(s"$path/postings")
+    val postings = CellTable.readVisible(spark, s"$path/postings", "__bucket")
       .withColumn("__bucket", F.col("__bucket").cast("long"))
       // partition-column inference types __batch as int; normalize
       // (an emptied-then-sentinel index carries it as a plain long col)

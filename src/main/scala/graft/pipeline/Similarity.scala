@@ -502,8 +502,9 @@ object Similarity {
     import spark.implicits._
     val centroids = spark.read.parquet(s"$path/centroids")
       .orderBy("cell").select("centroid").as[Array[Float]].collect()
-    // partition column comes back as its own column; restore the int type
-    val assigned = spark.read.parquet(s"$path/assigned")
+    // partition column comes back as its own column; restore the int
+    // type. Journal-aware: exact even mid-crashed-compact.
+    val assigned = CellTable.readVisible(spark, s"$path/assigned", "__cell")
       .withColumn("__cell", F.col("__cell").cast("int"))
       .select("neighbor_id", "__cv", "__cell")
     IvfIndex(centroids, assigned)
@@ -1028,14 +1029,66 @@ private[pipeline] object CellTable {
     * `__batch` long — partition inference types both as int; the
     * empty-table sentinel stores them as plain columns). */
   def readRaw(
-      spark: org.apache.spark.sql.SparkSession, tablePath: String): DataFrame = {
-    val df = spark.read.parquet(tablePath)
+      spark: org.apache.spark.sql.SparkSession, tablePath: String): DataFrame =
+    normalize(readVisible(spark, tablePath, "__cell"))
+
+  private def normalize(df: DataFrame): DataFrame = {
     val withBatch =
       if (df.columns.contains("__batch")) df
       else df.withColumn("__batch", F.lit(-1L)) // pre-protocol layout
     withBatch
       .withColumn("__cell", F.col("__cell").cast("int"))
       .withColumn("__batch", F.col("__batch").cast("long"))
+  }
+
+  /**
+   * Journal-aware read — EXACT in every crash state of [[compact]].
+   * Normal path (no pending journal): one plain directory read, zero
+   * extra IO. With a journal on disk the fold is fully staged, so the
+   * post-fold view is assembled as (live data files MINUS the
+   * journaled originals still present) UNION (whatever remains under
+   * the staging dir): before the move phase that is staged ∪ nothing
+   * pruned yet; mid-move each file is on exactly one side (rename is
+   * atomic); after the prune it degenerates to the plain read. Readers
+   * therefore never see folded rows twice OR zero times, even while a
+   * crashed compact awaits recovery.
+   */
+  def readVisible(
+      spark: org.apache.spark.sql.SparkSession,
+      tablePath: String,
+      keyName: String): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val pending = new org.apache.hadoop.fs.Path(root, PendingFile)
+    if (!fs.exists(pending)) return spark.read.parquet(tablePath)
+    val journaled = readJson(fs, pending).toSet
+    def dataFiles(base: org.apache.hadoop.fs.Path): Seq[String] = {
+      if (!fs.exists(base)) return Seq.empty
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      fs.listStatus(base).foreach { k =>
+        if (k.isDirectory && k.getPath.getName.startsWith(keyName + "="))
+          fs.listStatus(k.getPath).foreach { b =>
+            if (b.isDirectory) fs.listStatus(b.getPath).foreach { f =>
+              if (f.isFile && !f.getPath.getName.startsWith("_"))
+                out += f.getPath.toString
+            }
+          }
+      }
+      out.toSeq
+    }
+    val staging = new org.apache.hadoop.fs.Path(root, StagingDir)
+    val live = dataFiles(root).filterNot(journaled.contains)
+    val staged = dataFiles(staging)
+    val parts = Seq(
+      if (live.nonEmpty)
+        Some(spark.read.option("basePath", tablePath).parquet(live: _*))
+      else None,
+      if (staged.nonEmpty)
+        Some(spark.read.option("basePath", staging.toString)
+          .parquet(staged: _*))
+      else None).flatten
+    if (parts.isEmpty) spark.read.parquet(tablePath)
+    else parts.reduce(_ unionByName _)
   }
 
   /** Base (build-time) write: everything under `__batch=-1`, static

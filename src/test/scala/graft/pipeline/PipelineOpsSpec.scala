@@ -300,6 +300,27 @@ class PipelineOpsSpec extends SparkTestBase {
     }
     assert(fs.exists(new org.apache.hadoop.fs.Path(
       s"$dir/assigned/_compact_pending.json")))
+    // journal-aware reads are EXACT inside the crash window — before
+    // any move (staged ∪ live-minus-journaled) ...
+    assert(content() === before2, "pre-move crash window read is wrong")
+    // ... and mid-move (rename one staged file live by hand)
+    val stagedFile = {
+      def firstFile(p: org.apache.hadoop.fs.Path): Option[org.apache.hadoop.fs.Path] = {
+        val sts = fs.listStatus(p).sortBy(_.getPath.getName)
+        sts.collectFirst {
+          case st if st.isFile && !st.getPath.getName.startsWith("_") => st.getPath
+        }.orElse(sts.filter(_.isDirectory).iterator
+          .flatMap(d => firstFile(d.getPath)).nextOption())
+      }
+      firstFile(new org.apache.hadoop.fs.Path(s"$dir/assigned/_compact_fold")).get
+    }
+    // staged layout: _compact_fold/__cell=C/__batch=-1/<file>
+    val cellName = stagedFile.getParent.getParent.getName
+    val dest = new org.apache.hadoop.fs.Path(
+      s"$dir/assigned/$cellName/__batch=-1/${stagedFile.getName}")
+    fs.mkdirs(dest.getParent)
+    assert(fs.rename(stagedFile, dest))
+    assert(content() === before2, "mid-move crash window read is wrong")
     val again = Similarity.compactIvfIndex(spark, dir) // recovers, reloads
     assert(content() === before2)
     assert(!fs.exists(new org.apache.hadoop.fs.Path(
