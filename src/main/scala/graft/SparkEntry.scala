@@ -4586,6 +4586,43 @@ object SparkEntry {
             .as("unigram_tokens_identical"))
     }),
 
+    // SentencePiece .model interchange (the Llama on-disk artifact):
+    // a byte-fallback unigram model round-trips through the protobuf
+    // wire format. Scores are protobuf FLOATS, so the contract is
+    // equality with the float-cast model — pieces score-exact at
+    // float precision, tokenization identical, flag preserved, and
+    // byte-fallback decode still lossless on a planted non-ASCII word
+    "q_tokenizer_spm" -> ((s: SparkSession, dir: String) => {
+      val U = graft.pipeline.UnigramLm
+      val docs = t(s, dir, "documents")
+      val out = System.getProperty("java.io.tmpdir") + "/graft_q_spm"
+      val uni = U.withByteFallback(
+        U.learn(docs, "text", vocabSize = 256, iters = 2))
+      graft.pipeline.TokenizerIO.saveSentencePieceModel(
+        s, s"$out/spm.model", uni)
+      val (re, unk) = graft.pipeline.TokenizerIO.loadSentencePieceModel(
+        s, s"$out/spm.model")
+      val floatCast = U.withByteFallback(U.Model(
+        uni.pieces.map { case (p, v) => p -> v.toFloat.toDouble },
+        uni.maxPieceLen, uni.unkScore.toFloat.toDouble))
+      val modelOk = re.pieces == floatCast.pieces &&
+        re.unkScore == floatCast.unkScore && re.byteFallback && unk == "<unk>"
+      val w = "caf\u00e9\u20ac\uD83D\uDE00"
+      val losslessOk = U.decodePieces(U.viterbiSegment(re, w)) == w &&
+        U.viterbiSegment(re, w).exists(U.isBytePiece)
+      val a = U.tokenize(docs, "text", floatCast)
+        .select(F.col("doc_id"), F.col("tokens").as("__a"))
+      val b = U.tokenize(docs, "text", re)
+        .select(F.col("doc_id"), F.col("tokens").as("__b"))
+      a.join(b, "doc_id")
+        .agg(
+          F.count(F.lit(1)).as("docs"),
+          F.lit(modelOk).as("model_roundtrip"),
+          (F.sum(F.when(F.col("__a") <=> F.col("__b"), 0L).otherwise(1L)) === 0L)
+            .as("tokens_identical"),
+          F.lit(losslessOk).as("byte_fallback_lossless"))
+    }),
+
     // byte-level (GPT-2-style) BPE: pre-tokenize with the GPT-2 regex,
     // map to the 256-char byte alphabet, learn merges, tokenize. The
     // oracle has two exact cross-engine hooks: the token strings
@@ -8830,6 +8867,10 @@ object SparkEntry {
         """SELECT source, count(*) AS docs, true AS reconstructs,
           |       true AS no_unk, true AS used_fallback, true AS deterministic
           |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+      "q_tokenizer_spm" ->
+        """SELECT count(*) AS docs, true AS model_roundtrip,
+          |       true AS tokens_identical, true AS byte_fallback_lossless
+          |FROM documents""".stripMargin,
       "q_tokenize_bpe_dropout" ->
         """SELECT source, count(*) AS docs, true AS reconstructs,
           |       true AS deterministic, true AS p0_equals_plain,

@@ -647,4 +647,180 @@ object TokenizerIO {
     }
     BpeTokenizer(merges, vocab, added, byteLevel)
   }
+
+  // --------------------------------------------- SentencePiece .model
+
+  // The SentencePiece ModelProto wire format (public
+  // sentencepiece_model.proto): ModelProto.pieces = field 1 (repeated
+  // SentencePiece{piece=1 string, score=2 float, type=3 enum}),
+  // ModelProto.trainer_spec = field 2 (TrainerSpec{model_type=3 enum
+  // UNIGRAM=1, byte_fallback=35 bool}). Hand-rolled wire codec — tiny,
+  // and keeps the zero-dependency rule.
+
+  private def writeVarint(out: java.io.ByteArrayOutputStream, v0: Long): Unit = {
+    var v = v0
+    while ((v & ~0x7FL) != 0L) { out.write(((v & 0x7F) | 0x80).toInt); v >>>= 7 }
+    out.write(v.toInt)
+  }
+
+  private def writeLenDelim(
+      out: java.io.ByteArrayOutputStream, field: Int, bytes: Array[Byte]): Unit = {
+    writeVarint(out, (field << 3) | 2)
+    writeVarint(out, bytes.length.toLong)
+    out.write(bytes)
+  }
+
+  private def spmPieceBytes(piece: String, score: Float, tpe: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    writeLenDelim(out, 1, piece.getBytes(StandardCharsets.UTF_8))
+    writeVarint(out, (2 << 3) | 5)
+    val fb = java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putFloat(score).array()
+    out.write(fb)
+    if (tpe != 1) { writeVarint(out, (3 << 3) | 0); writeVarint(out, tpe.toLong) }
+    out.toByteArray
+  }
+
+  /**
+   * Write a [[UnigramLm.Model]] as a SentencePiece `.model` file (the
+   * Llama-family on-disk artifact): unk row first (type UNKNOWN), text
+   * pieces in sorted order, then — for a byte-fallback model — the 256
+   * `<0xNN>` rows as type BYTE; `trainer_spec` carries
+   * `model_type = UNIGRAM` and the `byte_fallback` flag. Scores are
+   * protobuf FLOATS (the format's own width): reloading yields each
+   * score's nearest float, so round-trip equality is at float
+   * precision — compare against `score.toFloat.toDouble`.
+   */
+  def saveSentencePieceModel(
+      spark: SparkSession,
+      path: String,
+      model: UnigramLm.Model,
+      unkPiece: String = "<unk>"): Unit = {
+    require(!model.pieces.contains(unkPiece),
+      s"unk piece '$unkPiece' must not also be a vocab piece")
+    val out = new java.io.ByteArrayOutputStream()
+    writeLenDelim(out, 1,
+      spmPieceBytes(unkPiece, model.unkScore.toFloat, 2))
+    model.pieces.toSeq.sortBy(_._1).foreach { case (pc, sc) =>
+      require(pc.nonEmpty, "SentencePiece pieces must be non-empty")
+      writeLenDelim(out, 1, spmPieceBytes(pc, sc.toFloat, 1))
+    }
+    if (model.byteFallback)
+      UnigramLm.bytePieces.foreach { b =>
+        writeLenDelim(out, 1, spmPieceBytes(b, model.unkScore.toFloat, 6))
+      }
+    val ts = new java.io.ByteArrayOutputStream()
+    writeVarint(ts, (3 << 3) | 0); writeVarint(ts, 1L) // model_type UNIGRAM
+    if (model.byteFallback) {
+      writeVarint(ts, (35 << 3) | 0); writeVarint(ts, 1L)
+    }
+    writeLenDelim(out, 2, ts.toByteArray)
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val o = fs.create(p, true)
+    try o.write(out.toByteArray) finally o.close()
+  }
+
+  private final class ProtoReader(b: Array[Byte], var at: Int, end: Int) {
+    def hasMore: Boolean = at < end
+    def varint(): Long = {
+      var shift = 0; var v = 0L
+      while (true) {
+        require(at < end, "SentencePiece model: truncated varint")
+        val x = b(at) & 0xFF; at += 1
+        v |= (x & 0x7FL) << shift
+        if ((x & 0x80) == 0) return v
+        shift += 7
+        require(shift < 64, "SentencePiece model: varint overflow")
+      }
+      v
+    }
+    def bytesOf(n: Int): (Int, Int) = {
+      require(at + n <= end, "SentencePiece model: truncated field")
+      val r = (at, at + n); at += n; r
+    }
+    /** (field, wiretype) of the next tag. */
+    def tag(): (Int, Int) = { val t = varint(); ((t >>> 3).toInt, (t & 7).toInt) }
+    def skip(wt: Int): Unit = wt match {
+      case 0 => varint()
+      case 1 => bytesOf(8)
+      case 2 => val n = varint(); bytesOf(n.toInt)
+      case 5 => bytesOf(4)
+      case other => throw new IllegalArgumentException(
+        s"SentencePiece model: unsupported wire type $other")
+    }
+  }
+
+  /** Read a `.model` written by [[saveSentencePieceModel]] (or any
+    * UNIGRAM SentencePiece model using the piece/score/type and
+    * byte_fallback fields). Returns (model, unkPiece). BYTE rows fold
+    * into the byteFallback flag; CONTROL/USER_DEFINED rows load as
+    * ordinary pieces; a non-UNIGRAM model_type is rejected. */
+  def loadSentencePieceModel(
+      spark: SparkSession, path: String): (UnigramLm.Model, String) = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val bytes = try in.readAllBytes() finally in.close()
+    val r = new ProtoReader(bytes, 0, bytes.length)
+    var pieces = Map.empty[String, Double]
+    var unkPiece = "<unk>"
+    var unkScore = -20.0
+    var sawBytes = 0
+    var byteFlag = false
+    while (r.hasMore) {
+      val (field, wt) = r.tag()
+      (field, wt) match {
+        case (1, 2) =>
+          val n = r.varint().toInt
+          val (a, e) = r.bytesOf(n)
+          val pr = new ProtoReader(bytes, a, e)
+          var piece: String = null
+          var score = 0.0f
+          var tpe = 1
+          while (pr.hasMore) {
+            val (f2, w2) = pr.tag()
+            (f2, w2) match {
+              case (1, 2) =>
+                val m = pr.varint().toInt
+                val (pa, pe) = pr.bytesOf(m)
+                piece = new String(bytes, pa, pe - pa, StandardCharsets.UTF_8)
+              case (2, 5) =>
+                val (fa, _) = pr.bytesOf(4)
+                score = java.nio.ByteBuffer.wrap(bytes, fa, 4)
+                  .order(java.nio.ByteOrder.LITTLE_ENDIAN).getFloat
+              case (3, 0) => tpe = pr.varint().toInt
+              case (_, w) => pr.skip(w)
+            }
+          }
+          require(piece != null, "SentencePiece model: piece row without text")
+          tpe match {
+            case 2 => unkPiece = piece; unkScore = score.toDouble
+            case 6 => sawBytes += 1
+            case 5 => () // UNUSED
+            case _ => pieces += piece -> score.toDouble
+          }
+        case (2, 2) =>
+          val n = r.varint().toInt
+          val (a, e) = r.bytesOf(n)
+          val tr = new ProtoReader(bytes, a, e)
+          while (tr.hasMore) {
+            val (f2, w2) = tr.tag()
+            (f2, w2) match {
+              case (3, 0) =>
+                val mt = tr.varint()
+                require(mt == 1L,
+                  s"SentencePiece model: model_type $mt is not UNIGRAM")
+              case (35, 0) => byteFlag = tr.varint() != 0L
+              case (_, w) => tr.skip(w)
+            }
+          }
+        case (_, w) => r.skip(w)
+      }
+    }
+    val maxLen = if (pieces.isEmpty) 1 else pieces.keysIterator.map(_.length).max
+    val bf = byteFlag || sawBytes == 256
+    val m0 = UnigramLm.Model(pieces, maxLen, unkScore, byteFallback = false)
+    ((if (bf) UnigramLm.withByteFallback(m0) else m0), unkPiece)
+  }
 }

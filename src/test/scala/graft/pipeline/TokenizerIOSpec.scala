@@ -192,6 +192,61 @@ class TokenizerIOSpec extends SparkTestBase {
     assert(re2.unkScore === planted.unkScore)
   }
 
+  test("SentencePiece .model round-trips at float precision; rejects non-unigram") {
+    val docs = sf("sf0.001", "documents").limit(100)
+    val model = UnigramLm.withByteFallback(
+      UnigramLm.learn(docs, "text", vocabSize = 96, iters = 2))
+    val path = tmp() + "/spm.model"
+    TokenizerIO.saveSentencePieceModel(spark, path, model)
+    val (re, unk) = TokenizerIO.loadSentencePieceModel(spark, path)
+    assert(unk === "<unk>")
+    assert(re.byteFallback)
+    // scores are protobuf floats: round-trip equality at float precision
+    val floatCast = UnigramLm.withByteFallback(UnigramLm.Model(
+      model.pieces.map { case (p, v) => p -> v.toFloat.toDouble },
+      model.maxPieceLen, model.unkScore.toFloat.toDouble))
+    assert(re.pieces === floatCast.pieces)
+    assert(re.unkScore === floatCast.unkScore)
+    // tokenization under the reloaded model equals the float-cast model
+    val a = UnigramLm.tokenize(docs, "text", floatCast).select("doc_id", "tokens")
+    val b = UnigramLm.tokenize(docs, "text", re).select("doc_id", "tokens")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    // byte fallback still lossless after the round trip
+    val w = "zebraé😀"
+    assert(UnigramLm.decodePieces(UnigramLm.viterbiSegment(re, w)) === w)
+
+    // plain (no byte fallback) model: flag stays off
+    val p2 = tmp() + "/plain.model"
+    TokenizerIO.saveSentencePieceModel(spark, p2,
+      UnigramLm.Model(Map("ab" -> -1.25, "a" -> -2.5, "b" -> -0.5), 2))
+    val (re2, _) = TokenizerIO.loadSentencePieceModel(spark, p2)
+    assert(!re2.byteFallback)
+    assert(re2.pieces === Map("ab" -> -1.25, "a" -> -2.5, "b" -> -0.5))
+
+    // unknown fields are skipped (forward compat): append a
+    // length-delimited field 15 ("AB") at top level
+    val raw = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p2))
+    val withExtra = raw ++
+      Array[Byte](((15 << 3) | 2).toByte, 0x02, 0x41, 0x42)
+    val p3 = tmp() + "/extra.model"
+    java.nio.file.Files.write(java.nio.file.Paths.get(p3), withExtra)
+    val (re3, _) = TokenizerIO.loadSentencePieceModel(spark, p3)
+    assert(re3.pieces === re2.pieces)
+
+    // a BPE-typed model is refused
+    val bad = {
+      val out = new java.io.ByteArrayOutputStream()
+      // trainer_spec { model_type: 2 }
+      out.write(Array[Byte](((2 << 3) | 2).toByte, 0x02, (3 << 3).toByte, 0x02))
+      out.toByteArray
+    }
+    val p4 = tmp() + "/bad.model"
+    java.nio.file.Files.write(java.nio.file.Paths.get(p4), bad)
+    intercept[IllegalArgumentException] {
+      TokenizerIO.loadSentencePieceModel(spark, p4)
+    }
+  }
+
   test("byte-fallback Unigram tokenizer.json round-trips flag, pieces, and fallback") {
     val docs = sf("sf0.001", "documents").limit(100)
     val model = UnigramLm.withByteFallback(
