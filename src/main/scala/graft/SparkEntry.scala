@@ -3622,6 +3622,33 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // CONTINUOUS manifest maintenance: the corpus replayed as
+    // one-file micro-batches through streamManifest (per-batch delta
+    // rows under their own __batch partition — a replayed batch
+    // replaces its own rows, which xor folding REQUIRES: an appended
+    // duplicate delta would cancel the hash out); the folded view
+    // must equal the one-shot manifest, hashes and all
+    "q_stream_manifest" -> ((s: SparkSession, dir: String) => {
+      val sn = graft.pipeline.Snapshot
+      val docs = t(s, dir, "documents").select("doc_id", "source", "text")
+      val base = System.getProperty("java.io.tmpdir") + "/graft_q_stream_man"
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val src = s"$base/src"
+      docs.repartition(3).write.mode("overwrite").parquet(src)
+      val q = sn.streamManifest(
+          s.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1).parquet(src),
+          s"$base/man", Seq("source"), Seq("doc_id", "text"))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", s"$base/ckpt")
+        .start()
+      q.awaitTermination()
+      sn.loadManifest(s, s"$base/man", Seq("source"))
+        .orderBy("source")
+    }),
+
     // CLIP-style image-text alignment curation: even ids pair with
     // their own embedding (a dual encoder that agrees → cos 1), odd
     // ids with their even neighbor's (mismatched caption → natural
@@ -8047,6 +8074,16 @@ object SparkEntry {
         |       bit_xor(t) AS content_hash,
         |       CASE WHEN source = (SELECT source FROM documents WHERE doc_id = 7)
         |            THEN 'changed' ELSE 'unchanged' END AS status
+        |FROM tok GROUP BY source ORDER BY source""".stripMargin,
+    "q_stream_manifest" ->
+      """WITH tok AS (
+        |  SELECT source,
+        |         CAST(concat('0x', substr(md5(concat(
+        |           md5(CAST(doc_id AS VARCHAR)),
+        |           coalesce(md5(text), chr(1)))), 1, 15)) AS BIGINT) AS t
+        |  FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+        |       bit_xor(t) AS content_hash
         |FROM tok GROUP BY source ORDER BY source""".stripMargin,
     "q_multimodal_align" ->
       """WITH flat AS (SELECT vec_id, r.i AS i, embedding[r.i] AS x

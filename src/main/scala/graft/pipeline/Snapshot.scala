@@ -196,4 +196,64 @@ object Snapshot {
             F.col("__oh") === F.col("__nh"), "unchanged")
           .otherwise("changed").as("status"): _*)
   }
+
+  /** Persist a manifest's base layer (`__batch=-1`, static overwrite). */
+  def saveManifest(man: DataFrame, path: String): Unit =
+    man.withColumn("__batch", F.lit(-1L))
+      .repartition(1)
+      .write.partitionBy("__batch").mode("overwrite")
+      .parquet(s"$path/rows")
+
+  /** One manifest delta: the batch's per-group (n_rows, content_hash)
+    * lands under its own `__batch` partition. A real micro-batch id
+    * writes with dynamic overwrite, so a replayed batch replaces its
+    * own rows — CRITICAL for xor folding: an appended duplicate delta
+    * would xor the batch's hash back OUT (x ^ x = 0) while
+    * double-counting its rows. Batch maintenance uses `-1` file-adds. */
+  def appendManifestBatch(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      batch: DataFrame,
+      groupCols: Seq[String],
+      hashCols: Seq[String],
+      batchId: Long): Unit = {
+    val man = manifest(batch, groupCols, hashCols)
+    if (man.isEmpty) return // an all-empty batch writes nothing
+    val w = man.withColumn("__batch", F.lit(batchId))
+      .repartition(1)
+      .write.partitionBy("__batch")
+    (if (batchId == -1L) w.mode("append")
+     else w.option("partitionOverwriteMode", "dynamic").mode("overwrite"))
+      .parquet(s"$path/rows")
+  }
+
+  /** Continuously maintained manifest: a foreachBatch sink folding each
+    * micro-batch's per-group delta under its own `__batch` partition —
+    * replay-idempotent (effectively-once), the index `__batch` protocol
+    * applied to dataset versioning. Returns the writer — set
+    * trigger/checkpoint and `.start()`. */
+  def streamManifest(
+      stream: DataFrame,
+      path: String,
+      groupCols: Seq[String],
+      hashCols: Seq[String])
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        appendManifestBatch(batch.sparkSession, path, batch,
+          groupCols, hashCols, batchId)
+        ()
+    }
+
+  /** Fold a persisted manifest's delta rows into the current per-group
+    * view: exact long sums for counts, xor for hashes — equals
+    * [[manifest]] over the union of every ingested batch. */
+  def loadManifest(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      groupCols: Seq[String]): DataFrame =
+    spark.read.parquet(s"$path/rows")
+      .groupBy(groupCols.map(F.col): _*)
+      .agg(F.sum(F.col("n_rows")).as("n_rows"),
+        F.coalesce(F.bit_xor(F.col("content_hash")), F.lit(0L)).as("content_hash"))
 }

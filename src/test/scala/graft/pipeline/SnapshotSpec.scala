@@ -170,4 +170,35 @@ class SnapshotSpec extends SparkTestBase {
     assert("Exchange hashpartitioning".r.findAllIn(plan).length === 1, plan)
     assert(plan.contains("partial"), plan)
   }
+
+  test("streamManifest: micro-batched deltas fold to the batch manifest; replay exact") {
+    import spark.implicits._
+    val docs = sf("sf0.001", "documents").select("doc_id", "source", "text")
+    val expect = Snapshot.manifest(docs, Seq("source"), Seq("doc_id", "text"))
+      .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    val path = java.nio.file.Files.createTempDirectory("graft_man_st").toString
+    val src = java.nio.file.Files.createTempDirectory("graft_man_src").toString
+    docs.repartition(3).write.mode("overwrite").parquet(src)
+    val q = Snapshot.streamManifest(
+        spark.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", 1).parquet(src),
+        path, Seq("source"), Seq("doc_id", "text"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_man_ck").toString)
+      .start()
+    q.awaitTermination()
+    def folded() = Snapshot.loadManifest(spark, path, Seq("source"))
+      .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(folded() === expect)
+    // a replayed micro-batch replaces its own delta: the xor does NOT
+    // cancel (an appended duplicate would zero the batch's hash out)
+    val extra = docs.limit(7)
+    Snapshot.appendManifestBatch(spark, path, extra,
+      Seq("source"), Seq("doc_id", "text"), batchId = 100L)
+    val once = folded()
+    Snapshot.appendManifestBatch(spark, path, extra,
+      Seq("source"), Seq("doc_id", "text"), batchId = 100L)
+    assert(folded() === once)
+  }
 }
