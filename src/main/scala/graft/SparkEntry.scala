@@ -3622,6 +3622,48 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // in-context-pretraining packing: semantic document ordering (IVF
+    // cell, then descending centroid similarity) feeds the exact
+    // token-stream packer, so related documents share context windows.
+    // Slot totals and sequence counts replay exactly in SQL; the
+    // adjacency gain (mean adjacent-pair cosine under the semantic
+    // order strictly beats the id order) pins as a boolean
+    "q_pack_semantic" -> ((s: SparkSession, dir: String) => {
+      val emb = t(s, dir, "embeddings")
+        .filter(F.col("embedding").isNotNull)
+        .select(F.col("vec_id").cast("long").as("vec_id"), F.col("embedding"))
+      val docs = t(s, dir, "documents")
+        .filter(F.col("text").isNotNull)
+        .select(F.col("doc_id"), F.col("text"))
+      val joined = docs.join(emb, docs("doc_id") === emb("vec_id"))
+        .select(F.col("doc_id"), F.col("text"), F.col("embedding"))
+      val idx = graft.pipeline.Similarity.buildIvfIndex(
+        joined.select(F.col("doc_id").as("vec_id"), F.col("embedding")),
+        "vec_id", "embedding", nlist = 16, iterations = 2)
+      val so = graft.pipeline.Packing.semanticOrder(
+          joined, "doc_id", "embedding", idx)
+        .withColumn("n_tokens", F.size(F.filter(
+          F.split(F.col("text"), "\\s+"),
+          (x: Column) => F.length(x) > 0)).cast("long"))
+        .localCheckpoint(false)
+      val layout = graft.pipeline.Packing.packTokenStream(
+        so, "ord", F.col("n_tokens"), 512L)
+      def meanAdj(order: Column): Double = {
+        val w = org.apache.spark.sql.expressions.Window.orderBy(order)
+        val r = so.withColumn("__prev", F.lag(F.col("embedding"), 1).over(w))
+          .filter(F.col("__prev").isNotNull)
+          .agg(F.avg(graft.pipeline.Similarity.cosine(
+            F.col("embedding"), F.col("__prev")))).head()
+        if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+      }
+      val gain = meanAdj(F.col("ord")) > meanAdj(F.col("doc_id"))
+      layout.agg(
+        F.count(F.lit(1)).as("n_docs"),
+        F.max(F.col("token_offset") + F.col("n_tokens") + 1L).as("total_slots"),
+        (F.max(F.col("last_seq")) + 1L).as("n_seqs"))
+        .withColumn("adjacency_gain", F.lit(gain))
+    }),
+
     // CONTINUOUS manifest maintenance: the corpus replayed as
     // one-file micro-batches through streamManifest (per-batch delta
     // rows under their own __batch partition — a replayed batch
@@ -8075,6 +8117,17 @@ object SparkEntry {
         |       CASE WHEN source = (SELECT source FROM documents WHERE doc_id = 7)
         |            THEN 'changed' ELSE 'unchanged' END AS status
         |FROM tok GROUP BY source ORDER BY source""".stripMargin,
+    "q_pack_semantic" ->
+      """WITH d AS (SELECT doc_id,
+        |    len(list_filter(string_split_regex(text, '\s+'),
+        |        x -> len(x) > 0)) AS nt
+        |  FROM documents JOIN embeddings ON doc_id = vec_id
+        |  WHERE text IS NOT NULL AND embedding IS NOT NULL)
+        |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(nt + 1) AS BIGINT) AS total_slots,
+        |       CAST((sum(nt + 1) - 1) // 512 + 1 AS BIGINT) AS n_seqs,
+        |       true AS adjacency_gain
+        |FROM d""".stripMargin,
     "q_stream_manifest" ->
       """WITH tok AS (
         |  SELECT source,

@@ -87,6 +87,56 @@ object Packing {
    * forms. Pure integer math: the layout is a function of
    * (id order, token counts) alone, reproducible across engines.
    */
+  /**
+   * In-context-pretraining ordering (semantic document adjacency —
+   * the "related documents in the same context window" curation step):
+   * assign every document to its frozen-centroid IVF cell, rank
+   * within the cell by DESCENDING similarity to the cell centroid
+   * (ties by id), and emit a single numeric `ord` key — cell in the
+   * high bits, within-cell rank in the low 40 — whose ascending order
+   * walks cell by cell through progressively less-central documents.
+   * Feed `ord` to [[packTokenStream]] and related documents become
+   * NEIGHBORS in the packed token stream instead of a random shuffle.
+   *
+   * Scale shape: assignment + csim are one broadcast-centroid map-only
+   * pass; the within-cell rank is a window PARTITIONED by cell (never
+   * a global sort); the key arithmetic is pure column math. Documents
+   * with NULL vectors are dropped (they have no semantic address —
+   * route them to a separate plain-packed stream).
+   */
+  def semanticOrder(
+      docs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      index: Similarity.IvfIndex): DataFrame = {
+    val spark = docs.sparkSession
+    val cB = spark.sparkContext.broadcast(index.centroids)
+    val assignU = F.udf((v: Array[Float]) => Similarity.nearestCentroid(cB.value, v))
+    val csimU = F.udf((cell: Int, v: Array[Float]) => {
+      val c = cB.value(cell)
+      var dot = 0.0; var nv = 0.0; var nc = 0.0
+      var i = 0
+      val n = math.min(c.length, v.length)
+      while (i < n) {
+        dot += v(i).toDouble * c(i).toDouble
+        nv += v(i).toDouble * v(i).toDouble
+        nc += c(i).toDouble * c(i).toDouble
+        i += 1
+      }
+      if (nv == 0.0 || nc == 0.0) 0.0 else dot / (math.sqrt(nv) * math.sqrt(nc))
+    })
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(F.col("__cell"))
+      .orderBy(F.col("__csim").desc, F.col(idCol))
+    docs
+      .filter(F.col(vecCol).isNotNull)
+      .withColumn("__cell", assignU(F.col(vecCol)))
+      .withColumn("__csim", csimU(F.col("__cell"), F.col(vecCol)))
+      .withColumn("ord",
+        F.col("__cell").cast("long") * (1L << 40) +
+          F.row_number().over(w).cast("long"))
+  }
+
   def packTokenStream(
       df: DataFrame,
       idCol: String,

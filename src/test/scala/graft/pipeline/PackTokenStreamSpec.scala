@@ -80,4 +80,57 @@ class PackTokenStreamSpec extends SparkTestBase {
       (2L, Seq(Seq(0, 3, 3))),                       // doc3 middle
       (3L, Seq(Seq(0, 0, 4), Seq(1, 3, 5)))))        // doc4 EOS, doc5
   }
+
+  test("semanticOrder: cells contiguous, csim monotone within cell, adjacency gain") {
+    import spark.implicits._
+    val emb = sf("sf0.001", "embeddings").filter(F.col("embedding").isNotNull)
+      .select(F.col("vec_id").cast("long").as("vec_id"), F.col("embedding"))
+    val idx = Similarity.buildIvfIndex(emb, "vec_id", "embedding", nlist = 8)
+    val so = Packing.semanticOrder(emb, "vec_id", "embedding", idx)
+      .select(F.col("vec_id"), F.col("__cell"), F.col("__csim"), F.col("ord"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getLong(3)))
+      .sortBy(_._4)
+    // ord unique; every doc present
+    assert(so.map(_._4).distinct.length === so.length)
+    assert(so.length === emb.count().toInt)
+    // ascending ord never returns to a previous cell; csim non-increasing in cell
+    so.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a._2 <= b._2)
+        if (a._2 == b._2) assert(a._3 >= b._3 || (a._3 == b._3 && a._1 < b._1))
+      case _ =>
+    }
+    // the point of the op: mean adjacent-pair cosine beats the id order
+    val vecs = emb.as[(Long, Array[Float])].collect().toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def meanAdj(order: Seq[Long]): Double =
+      order.sliding(2).collect { case Seq(x, y) => cos(vecs(x), vecs(y)) }
+        .toSeq.sum / (order.length - 1)
+    val semantic = meanAdj(so.map(_._1).toSeq)
+    val byId = meanAdj(vecs.keys.toSeq.sorted)
+    assert(semantic > byId + 0.05,
+      s"semantic adjacency $semantic vs id-order $byId")
+    // NULL vectors are dropped, not erred
+    val withNull = emb.unionByName(Seq((999999L,
+      null.asInstanceOf[Array[Float]])).toDF("vec_id", "embedding"))
+    assert(Packing.semanticOrder(withNull, "vec_id", "embedding", idx)
+      .filter(F.col("vec_id") === 999999L).count() === 0L)
+    // and the ord key feeds packTokenStream directly
+    val layout = Packing.packTokenStream(
+      Packing.semanticOrder(emb, "vec_id", "embedding", idx)
+        .withColumn("n_tokens", F.lit(7L)),
+      "ord", F.col("n_tokens"), 64L)
+    assert(layout.agg(F.max(F.col("token_offset") + F.col("n_tokens") + 1L))
+      .head().getLong(0) === emb.count() * 8L)
+  }
 }
