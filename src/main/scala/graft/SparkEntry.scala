@@ -3600,6 +3600,67 @@ object SparkEntry {
         F.lit(nNatural <= nBase / 10L).as("no_hallucination"))
     }),
 
+    // T5-style span corruption (denoising objective prep): sentinel
+    // spans replace deterministic integer-math-placed token runs. The
+    // per-doc corrupted/span counts are EXACT integer formulas —
+    // replayed verbatim in SQL — and the inverse splice reconstructing
+    // every document pins as a boolean
+    "q_span_corruption" -> ((s: SparkSession, dir: String) => {
+      val SC = graft.pipeline.SpanCorruption
+      val docs = t(s, dir, "documents").filter(F.col("text").isNotNull)
+        .select(F.col("doc_id"), F.col("text"))
+      val out = SC.corrupt(docs, "doc_id", "text", 15, 100, 3, seed = 11L)
+      val sep = java.util.regex.Pattern.compile("\\s+")
+      val recU = F.udf((in: Seq[String], tg: Seq[String], t: String) =>
+        in != null && tg != null &&
+          graft.pipeline.SpanCorruption.reconstruct(in, tg) ==
+            sep.split(t).filter(_.nonEmpty).toSeq)
+      val sentU = F.udf((in: Seq[String], tg: Seq[String], spans: Long) =>
+        in != null &&
+          in.count(x => x.startsWith("<extra_id_") && x.endsWith(">")) == spans &&
+          (spans == 0L || tg.lastOption.contains(
+            graft.pipeline.SpanCorruption.sentinel(spans.toInt))))
+      out.select(F.col("doc_id"), F.col("n_tokens"), F.col("n_corrupted"),
+          F.col("n_spans"),
+          recU(F.col("input_tokens"), F.col("target_tokens"), F.col("text"))
+            .as("reconstructs"),
+          sentU(F.col("input_tokens"), F.col("target_tokens"), F.col("n_spans"))
+            .as("sentinel_ok"))
+        .orderBy("doc_id")
+    }),
+
+    // incremental CDC overlap: the partial-overlap twins arrive as a
+    // nightly batch probing a persisted chunk index of the history —
+    // history never re-chunked; corpus-level booleans as in q_dedup_cdc
+    "q_dedup_cdc_incremental" -> ((s: SparkSession, dir: String) => {
+      val dd = graft.pipeline.Dedup
+      val docs = t(s, dir, "documents")
+        .filter(F.col("text").isNotNull && F.col("n_chars") >= 400)
+        .select(F.col("doc_id"), F.col("text"))
+      val path = System.getProperty("java.io.tmpdir") + "/graft_q_cdc_idx"
+      dd.saveSignatureIndex(dd.buildChunkIndex(docs, "doc_id", "text",
+        minSize = 16, avgSize = 32, maxSize = 128), path)
+      val batch = docs.select(
+        (F.col("doc_id") + 1000000L).as("doc_id"),
+        F.concat(F.lit("a freshly rewritten introduction that shares nothing "),
+          F.expr("substring(text, 60)")).as("text"))
+      val inc = dd.incrementalChunkOverlap(batch,
+          dd.loadSignatureIndex(s, path), "doc_id", "text",
+          minShared = 2, minSize = 16, avgSize = 32, maxSize = 128)
+        .localCheckpoint(false)
+      val nBase = docs.count()
+      val nFound = inc
+        .filter(F.col("id_old") === F.col("id_new") - 1000000L).count()
+      val nJunk = inc
+        .filter(F.col("id_old") =!= F.col("id_new") - 1000000L).count()
+      s.range(1).select(
+        F.lit(nBase).as("n_base"),
+        F.lit(nFound >= (nBase * 9L + 9L) / 10L).as("found_ok"),
+        // directed natural overlap: up to twice q_dedup_cdc's
+        // undirected natural count, plus slack
+        F.lit(nJunk <= nBase / 4L).as("no_junk"))
+    }),
+
     // dataset content manifest (versioning primitive): per-source row
     // counts + order-independent 60-bit xor content hashes — every
     // step (per-field md5 tuple encoding, 15-hex prefix to BIGINT,
@@ -8105,6 +8166,22 @@ object SparkEntry {
       """SELECT CAST(count(*) AS BIGINT) AS n_base, true AS covers_ok,
         |       true AS found_ok, true AS no_hallucination
         |FROM documents WHERE text IS NOT NULL AND n_chars >= 400""".stripMargin,
+    "q_dedup_cdc_incremental" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_base, true AS found_ok,
+        |       true AS no_junk
+        |FROM documents WHERE text IS NOT NULL AND n_chars >= 400""".stripMargin,
+    "q_span_corruption" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'),
+        |        x -> len(x) > 0)) AS BIGINT) AS nt
+        |  FROM documents WHERE text IS NOT NULL)
+        |SELECT doc_id, nt AS n_tokens,
+        |       CAST(nt * 15 // 100 AS BIGINT) AS n_corrupted,
+        |       CAST(CASE WHEN nt * 15 // 100 = 0 THEN 0
+        |            ELSE greatest(1, (nt * 15 // 100) // 3) END AS BIGINT)
+        |         AS n_spans,
+        |       true AS reconstructs, true AS sentinel_ok
+        |FROM d ORDER BY doc_id""".stripMargin,
     "q_manifest" ->
       """WITH tok AS (
         |  SELECT source,

@@ -2200,4 +2200,55 @@ object Dedup {
       .agg(F.count(F.lit(1)).as("shared_chunks"))
       .filter(F.col("shared_chunks") >= minShared)
   }
+
+  /**
+   * Persistable CDC chunk index: one row per distinct (chunk_hash, id)
+   * for chunks shared by at most `maxBucket` documents — a chunk in
+   * thousands of documents is boilerplate, not provenance, and capping
+   * it keeps probe fanout bounded (the [[chunkOverlapPairs]] dial).
+   * Flat parquet via [[saveSignatureIndex]] (id-bearing rows →
+   * [[removeFromSavedIndex]] takedowns work unchanged).
+   */
+  def buildChunkIndex(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minSize: Int = 32,
+      avgSize: Int = 64,
+      maxSize: Int = 256,
+      maxBucket: Int = 64): DataFrame = {
+    val ch = cdcChunks(docs, idCol, textCol, minSize, avgSize, maxSize)
+      .select(F.col("chunk_hash"), F.col("id")).distinct()
+    val ok = ch.groupBy(F.col("chunk_hash"))
+      .agg(F.count(F.lit(1)).as("__n"))
+      .filter(F.col("__n") <= maxBucket)
+      .select(F.col("chunk_hash"))
+    ch.join(ok, Seq("chunk_hash"))
+  }
+
+  /**
+   * Incremental partial-overlap detection — the nightly-batch shape
+   * for the CDC family: a FRESH batch's chunks probe a persisted
+   * [[buildChunkIndex]]; history text is never re-read or re-chunked.
+   * Returns (id_new, id_old, shared_chunks) pairs with
+   * `shared_chunks >= minShared`. One shuffle join on the chunk hash;
+   * the index side arrives pre-capped.
+   */
+  def incrementalChunkOverlap(
+      fresh: DataFrame,
+      index: DataFrame,
+      idCol: String,
+      textCol: String,
+      minShared: Int = 2,
+      minSize: Int = 32,
+      avgSize: Int = 64,
+      maxSize: Int = 256): DataFrame =
+    cdcChunks(fresh, idCol, textCol, minSize, avgSize, maxSize)
+      .select(F.col("chunk_hash"), F.col("id").as("id_new")).distinct()
+      .join(index.select(F.col("chunk_hash"), F.col("id").as("id_old")),
+        Seq("chunk_hash"))
+      .filter(F.col("id_new") =!= F.col("id_old"))
+      .groupBy(F.col("id_new"), F.col("id_old"))
+      .agg(F.count(F.lit(1)).as("shared_chunks"))
+      .filter(F.col("shared_chunks") >= minShared)
 }

@@ -323,6 +323,29 @@ class DedupSpec extends SparkTestBase {
     val natural = pairs.filterNot(p => expectedPairs.contains(p))
       .count { case (a, b) => a < 1000000L && b < 1000000L }
     assert(natural <= expectedPairs.size / 10, s"$natural natural pairs")
+
+    // incremental form: history indexed once, the twins arrive as a
+    // batch — pairs equal the self-join restricted to cross pairs
+    val idxPath = java.nio.file.Files.createTempDirectory("graft_cdc_idx").toString
+    Dedup.saveSignatureIndex(
+      Dedup.buildChunkIndex(docs, "doc_id", "text",
+        minSize = 16, avgSize = 32, maxSize = 128), idxPath)
+    val batch = planted.filter(F.col("doc_id") >= 1000000L)
+    val inc = Dedup.incrementalChunkOverlap(batch,
+        Dedup.loadSignatureIndex(spark, idxPath), "doc_id", "text",
+        minShared = 2, minSize = 16, avgSize = 32, maxSize = 128)
+      .select("id_new", "id_old").as[(Long, Long)].collect().toSet
+    // every planted twin probes its original out of the index
+    val plantedHit = expectedPairs.count { case (orig, twin) =>
+      inc.contains((twin, orig)) }
+    assert(plantedHit >= (expectedPairs.size * 95) / 100,
+      s"only $plantedHit/${expectedPairs.size} planted twins found")
+    // non-planted hits = DIRECTED natural overlap (each undirected
+    // natural pair from the self-join form can appear twice here:
+    // B_i -> A_j and B_j -> A_i), so the bound is twice the
+    // q_dedup_cdc natural bound plus slack
+    val junk = inc.count { case (nw, old) => old != nw - 1000000L }
+    assert(junk <= expectedPairs.size / 4, s"$junk junk pairs")
   }
 }
 
