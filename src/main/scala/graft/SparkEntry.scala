@@ -2219,6 +2219,43 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // duplicate DOWNWEIGHTING: soft dedup keeping each cluster member
+    // w.p. 1/|cluster| by the md5-threshold rule — unique docs always
+    // survive; the whole survivor set replays row-for-row in SQL
+    // (cluster sizes from the recursive-CTE clusters, the same
+    // %04x-rendered threshold as q_rebalance)
+    "q_dedup_downweight" -> ((s: SparkSession, dir: String) =>
+      graft.pipeline.Dedup.downweightDuplicates(
+          t(s, dir, "documents"), "doc_id", "text",
+          shingleSize = 5, threshold = 0.8, bands = 16, rowsPerBand = 8)
+        .select(F.col("doc_id"))
+        .orderBy("doc_id")),
+
+    // URL-level canonical dedup: deterministic variant URLs from id
+    // arithmetic (scheme-case + default port + tracking params +
+    // fragment + query order all differ) collapse to one canonical
+    // form; survivors AND their canonical strings replay in SQL — a
+    // canonicalizer regression fails the string hash, not just counts
+    "q_dedup_url" -> ((s: SparkSession, dir: String) => {
+      val docs = t(s, dir, "documents").select(F.col("doc_id"))
+      val id = F.col("doc_id")
+      // `/` on long columns is DOUBLE division (repo rule) — the two
+      // variants would render m.0 vs m.333 and never collapse
+      val grp = F.floor(id / 3L).cast("long").cast("string")
+      val url = F.when(id % 3 === 0,
+          F.concat(F.lit("HTTPS://Example.COM:443/p/"), grp,
+            F.lit("?utm_source=x&b=2&a=1#f")))
+        .when(id % 3 === 1,
+          F.concat(F.lit("https://example.com/p/"), grp,
+            F.lit("?b=2&a=1")))
+        .otherwise(F.concat(F.lit("http://other.org/q/"), id.cast("string")))
+      val withUrl = docs.withColumn("curl",
+        graft.pipeline.Urls.canonicalizeUrl(url))
+      graft.pipeline.Dedup.dropExactDuplicates(withUrl, "doc_id", "curl")
+        .select(F.col("doc_id"), F.col("curl"))
+        .orderBy("doc_id")
+    }),
+
     // end-to-end near-dup dedup: survivors after dropping docs with a
     // smaller-id near-dup (direct-pair rule, SQL-replicable)
     "q_dedup_drop" -> ((s: SparkSession, dir: String) => {
@@ -7068,6 +7105,44 @@ object SparkEntry {
         |)
         |SELECT dst AS doc_id, CAST(min(src) AS BIGINT) AS cluster
         |FROM reach GROUP BY dst ORDER BY doc_id""".stripMargin,
+    "q_dedup_downweight" ->
+      """WITH RECURSIVE
+        |sh AS (SELECT DISTINCT doc_id, substr(text, r.i, 5) AS g
+        |       FROM documents, range(1, 1000) r(i) WHERE r.i + 4 <= length(text)),
+        |szs AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |cand AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS inter
+        |         FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |p AS (SELECT ida, idb
+        |      FROM cand JOIN szs sa ON ida = sa.doc_id JOIN szs sb ON idb = sb.doc_id
+        |      WHERE inter >= (sa.sz + sb.sz - inter) * 0.8),
+        |e AS (SELECT ida AS a, idb AS b FROM p UNION SELECT idb, ida FROM p),
+        |n AS (SELECT DISTINCT a AS id FROM e),
+        |reach(src, dst) AS (
+        |  SELECT id, id FROM n
+        |  UNION
+        |  SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a
+        |),
+        |cl AS (SELECT dst AS doc_id, min(src) AS cluster FROM reach GROUP BY dst),
+        |cs AS (SELECT cluster, CAST(count(*) AS DOUBLE) AS csz FROM cl GROUP BY cluster),
+        |wd AS (SELECT d.doc_id, cs.csz
+        |       FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id
+        |                        LEFT JOIN cs ON cl.cluster = cs.cluster)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id FROM wd
+        |WHERE csz IS NULL
+        |   OR substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+        |        < printf('%04x', CAST(round(65536.0 / csz) AS INT))
+        |ORDER BY doc_id""".stripMargin,
+    "q_dedup_url" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |       CASE WHEN doc_id % 3 = 0 THEN
+        |              'https://example.com/p/' || CAST(doc_id // 3 AS VARCHAR)
+        |                || '?a=1&b=2'
+        |            WHEN doc_id % 3 = 2 THEN
+        |              'http://other.org/q/' || CAST(doc_id AS VARCHAR)
+        |       END AS curl
+        |FROM documents
+        |WHERE doc_id % 3 <> 1
+        |ORDER BY doc_id""".stripMargin,
     "q_dedup_ngram" ->
       """WITH sh AS (SELECT DISTINCT doc_id, substr(text, r.i, 5) AS g
         |            FROM documents, range(1, 1000) r(i) WHERE r.i + 4 <= length(text)),

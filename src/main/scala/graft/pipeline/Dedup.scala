@@ -2251,4 +2251,46 @@ object Dedup {
       .groupBy(F.col("id_new"), F.col("id_old"))
       .agg(F.count(F.lit(1)).as("shared_chunks"))
       .filter(F.col("shared_chunks") >= minShared)
+
+  /**
+   * Duplicate DOWNWEIGHTING — the soft alternative to
+   * [[dropNearDuplicates]]: every document outside a near-dup cluster
+   * is kept, and each member of a cluster survives with probability
+   * 1/|cluster| (expected ONE copy per cluster), so heavily duplicated
+   * boilerplate keeps proportional representation instead of a single
+   * arbitrary winner or total deletion — the duplicate-aware sampling
+   * used when hard dedup is measured to hurt (cf. the "deduplicating
+   * training data makes language models better" ablations).
+   *
+   * Fully deterministic and engine-replayable: the keep rule is
+   * [[Sampling.weightedSample]]'s md5-threshold with weight = 1/size
+   * (threshold = round(65536/size) rendered %04x), so any SQL engine
+   * reproduces the exact survivor set from the cluster sizes.
+   * Cluster discovery is the banded-LSH + propagation machinery —
+   * nothing here is all-pairs.
+   */
+  def downweightDuplicates(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 5,
+      threshold: Double = 0.8,
+      bands: Int = 16,
+      rowsPerBand: Int = 4): DataFrame = {
+    val pairs = nearDuplicatePairs(docs, idCol, textCol, shingleSize,
+      threshold, bands, rowsPerBand)
+    val clusters = duplicateClusters(pairs)
+    val sizes = clusters
+      .groupBy(F.col("cluster")).agg(F.count(F.lit(1)).as("__sz"))
+    val byDoc = clusters.join(sizes, "cluster")
+      .select(F.col("id").as("__did"), F.col("__sz"))
+    // NOT broadcast: on a real crawl the clustered slice can be a
+    // third of the corpus — a plain keyed join (AQE broadcasts it when
+    // it is actually small)
+    val joined = docs.join(byDoc,
+      docs(idCol) === F.col("__did"), "left")
+    Sampling.weightedSample(joined, docs(idCol),
+        F.lit(1.0) / F.coalesce(F.col("__sz"), F.lit(1L)).cast("double"))
+      .drop("__did", "__sz")
+  }
 }
