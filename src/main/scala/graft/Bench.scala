@@ -208,6 +208,23 @@ object Bench {
       graft.pipeline.Snapshot.manifest(
         t(s, dir, "documents"), Seq("source"), Seq("doc_id", "text"))),
 
+    "b_span_corruption" -> ((s: SparkSession, dir: String) =>
+      graft.pipeline.SpanCorruption.corrupt(
+          t(s, dir, "documents"), "doc_id", "text")
+        .select("doc_id", "input_tokens", "target_tokens", "n_spans")),
+
+    "b_pack_semantic" -> ((s: SparkSession, dir: String) => {
+      val emb = t(s, dir, "embeddings")
+        .filter(F.col("embedding").isNotNull)
+        .select(F.col("vec_id").cast("long").as("vec_id"), F.col("embedding"))
+      val idx = graft.pipeline.Similarity.buildIvfIndex(
+        emb, "vec_id", "embedding", nlist = 16, iterations = 2)
+      graft.pipeline.Packing.packTokenStream(
+        graft.pipeline.Packing.semanticOrder(emb, "vec_id", "embedding", idx)
+          .withColumn("n_tokens", F.lit(300L)),
+        "ord", F.col("n_tokens"), 2048L)
+    }),
+
     "b_dedup_exact" -> ((s: SparkSession, dir: String) =>
       graft.pipeline.Dedup.dropExactDuplicates(
         t(s, dir, "documents"), "doc_id", "text")),

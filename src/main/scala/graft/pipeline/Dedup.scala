@@ -2188,7 +2188,6 @@ object Dedup {
       while (i < s.length) {
         var j = i + 1
         while (j < s.length) { out += ((s(i), s(j))); j += 1 }
-        j += 0
         i += 1
       }
       out.toArray

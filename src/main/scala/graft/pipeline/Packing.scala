@@ -132,6 +132,8 @@ object Packing {
       .filter(F.col(vecCol).isNotNull)
       .withColumn("__cell", assignU(F.col(vecCol)))
       .withColumn("__csim", csimU(F.col("__cell"), F.col(vecCol)))
+      // 2^40 rows per cell and 2^23 cells before the key saturates —
+      // both orders of magnitude past any real nlist/cell occupancy
       .withColumn("ord",
         F.col("__cell").cast("long") * (1L << 40) +
           F.row_number().over(w).cast("long"))
