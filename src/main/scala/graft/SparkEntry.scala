@@ -2679,6 +2679,20 @@ object SparkEntry {
     // shares >= 1 distinct 8-gram with, and how many. Hash-join counts
     // equal text-join counts absent 64-bit collisions (~n²/2^64), so
     // the oracle replays the distinct-gram join on gram TEXT
+    // cross-split leakage matrix (eval hygiene): an md5-rule 80/20
+    // split over the corpus, then per-pair shared 8-gram contents and
+    // leaked-document counts on each side — the whole matrix replays
+    // exactly in SQL (gram TEXT join, the contamination precedent)
+    "q_split_leakage" -> ((s: SparkSession, dir: String) => {
+      val docs = t(s, dir, "documents").filter(F.col("text").isNotNull)
+        .withColumn("sp",
+          F.when(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+            < "cccd", "train").otherwise("val"))
+      graft.pipeline.Decontaminate.splitLeakageMatrix(
+          docs, "doc_id", "text", "sp", n = 8)
+        .orderBy("split_a", "split_b")
+    }),
+
     "q_decontaminate_sources" -> ((s: SparkSession, dir: String) => {
       val docs = t(s, dir, "documents")
         .filter(F.col("text").isNotNull).select("doc_id", "text")
@@ -7477,6 +7491,34 @@ object SparkEntry {
         |WHERE text IS NOT NULL
         |  AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '199a'
         |ORDER BY doc_id""".stripMargin,
+    "q_split_leakage" ->
+      """WITH d AS (SELECT doc_id,
+        |             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccd'
+        |                  THEN 'train' ELSE 'val' END AS sp,
+        |             list_filter(string_split_regex(lower(text), '\s+'),
+        |               s -> len(s) > 0) AS toks
+        |           FROM documents WHERE text IS NOT NULL),
+        |dg AS (SELECT DISTINCT sp, doc_id, array_to_string(toks[i:i+7], ' ') AS gram
+        |       FROM d, range(1, 4000) u(i) WHERE u.i <= len(toks) - 7),
+        |sg AS (SELECT DISTINCT sp, gram FROM dg),
+        |sh AS (SELECT a.sp AS split_a, b.sp AS split_b,
+        |              CAST(count(*) AS BIGINT) AS shared_grams
+        |       FROM sg a JOIN sg b ON a.gram = b.gram AND a.sp < b.sp
+        |       GROUP BY 1, 2),
+        |la AS (SELECT sp AS split_a, split_b,
+        |              CAST(count(*) AS BIGINT) AS leaked_docs_a FROM (
+        |         SELECT DISTINCT dg.sp, b.sp AS split_b, dg.doc_id
+        |         FROM dg JOIN sg b ON dg.gram = b.gram AND dg.sp < b.sp)
+        |       GROUP BY 1, 2),
+        |lb AS (SELECT split_a, sp AS split_b,
+        |              CAST(count(*) AS BIGINT) AS leaked_docs_b FROM (
+        |         SELECT DISTINCT a.sp AS split_a, dg.sp, dg.doc_id
+        |         FROM dg JOIN sg a ON dg.gram = a.gram AND a.sp < dg.sp)
+        |       GROUP BY 1, 2)
+        |SELECT split_a, split_b, shared_grams, leaked_docs_a, leaked_docs_b
+        |FROM sh JOIN la USING (split_a, split_b)
+        |        JOIN lb USING (split_a, split_b)
+        |ORDER BY split_a, split_b""".stripMargin,
     "q_decontaminate_sources" ->
       """WITH d AS (SELECT doc_id,
         |             list_filter(string_split_regex(lower(text), '\s+'),

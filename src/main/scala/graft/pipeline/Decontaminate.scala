@@ -335,4 +335,55 @@ object Decontaminate {
       .filter(F.col("contaminated")).select(idCol)
     docs.join(flagged, Seq(idCol), "left_anti")
   }
+
+  /**
+   * Train/test leakage MATRIX — the eval-hygiene audit over an already
+   * split corpus: for every ordered split pair (a < b), the number of
+   * distinct n-gram contents the two splits share and the number of
+   * documents on each side carrying at least one shared gram. A
+   * nonzero row is the "your test set leaks into training" report,
+   * per pair, before any model ever sees the data.
+   *
+   * Scale shape: one distinct (split, id, gram) projection; every
+   * join keys on the gram, and the split dimension is tiny, so
+   * per-gram fanout is bounded by |splits| — never all-pairs, the
+   * [[contaminationSources]] discipline applied between splits.
+   * Returns (split_a, split_b, shared_grams, leaked_docs_a,
+   * leaked_docs_b), pairs with zero shared grams omitted.
+   */
+  def splitLeakageMatrix(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      splitCol: String,
+      n: Int = 8): DataFrame = {
+    val dg = docs.select(F.col(splitCol).as("__sp"), F.col(idCol).as("__id"),
+        F.explode(wordNgrams(F.col(textCol), n)).as("gram"))
+      .distinct()
+      .localCheckpoint(eager = false)
+    val sg = dg.select(F.col("__sp"), F.col("gram")).distinct()
+      .localCheckpoint(eager = false)
+    val shared = sg.select(F.col("__sp").as("split_a"), F.col("gram"))
+      .join(sg.select(F.col("__sp").as("split_b"), F.col("gram")), Seq("gram"))
+      .filter(F.col("split_a") < F.col("split_b"))
+      .groupBy(F.col("split_a"), F.col("split_b"))
+      .agg(F.count(F.lit(1)).as("shared_grams"))
+    val leakedA = dg
+      .join(sg.select(F.col("__sp").as("split_b"), F.col("gram")), Seq("gram"))
+      .filter(F.col("__sp") < F.col("split_b"))
+      .select(F.col("__sp").as("split_a"), F.col("split_b"), F.col("__id"))
+      .distinct()
+      .groupBy(F.col("split_a"), F.col("split_b"))
+      .agg(F.count(F.lit(1)).as("leaked_docs_a"))
+    val leakedB = dg
+      .join(sg.select(F.col("__sp").as("split_a"), F.col("gram")), Seq("gram"))
+      .filter(F.col("split_a") < F.col("__sp"))
+      .select(F.col("split_a"), F.col("__sp").as("split_b"), F.col("__id"))
+      .distinct()
+      .groupBy(F.col("split_a"), F.col("split_b"))
+      .agg(F.count(F.lit(1)).as("leaked_docs_b"))
+    shared
+      .join(leakedA, Seq("split_a", "split_b"))
+      .join(leakedB, Seq("split_a", "split_b"))
+  }
 }

@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import graft.SparkTestBase
+// (splitLeakageMatrix spec lives at the end of this suite)
 import org.apache.spark.sql.{functions => F}
 
 class ContainmentSpec extends SparkTestBase {
@@ -105,5 +106,33 @@ class ContainmentSpec extends SparkTestBase {
     val out = Dedup.containmentPairs(probe, corpus, "id", "text",
       gramSize = 5, threshold = 0.9)
     assert(out.collect().isEmpty)
+  }
+
+  test("splitLeakageMatrix: planted cross-split leak counted exactly, clean splits empty") {
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"  // one 8-gram
+    val docs = Seq(
+      (1L, "train", s"$shared plus trailing words here"),
+      (2L, "train", "completely unrelated training text body one two three"),
+      (3L, "val", s"prefix words then $shared"),
+      (4L, "val", "another unrelated validation document body four five six"),
+      (5L, "test", "the third split shares nothing with anyone at all ever"))
+      .toDF("id", "sp", "text")
+    val m = Decontaminate.splitLeakageMatrix(docs, "id", "text", "sp", n = 8)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3), r.getLong(4)))
+    // exactly one leaking pair: train<->val over the planted 8-gram
+    assert(m.length === 1)
+    val (a, b, g, la, lb) = m.head
+    assert(a === "train" && b === "val")
+    assert(g === 1L && la === 1L && lb === 1L)
+    // widening the shared region raises the gram count, not the doc counts
+    val docs2 = docs.withColumn("text",
+      F.when(F.col("id") === 1L,
+        F.lit(s"$shared iota kappa plus trailing words here"))
+       .when(F.col("id") === 3L,
+        F.lit(s"prefix words then $shared iota kappa")).otherwise(F.col("text")))
+    val m2 = Decontaminate.splitLeakageMatrix(docs2, "id", "text", "sp", n = 8)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(m2.head._3 === 3L) // 8-grams of a 10-token shared run
   }
 }
