@@ -2292,4 +2292,40 @@ object Dedup {
         F.lit(1.0) / F.coalesce(F.col("__sz"), F.lit(1L)).cast("double"))
       .drop("__did", "__sz")
   }
+
+  /**
+   * Continuous partial-overlap detection: a foreachBatch sink running
+   * [[incrementalChunkOverlap]] per micro-batch against the persisted
+   * chunk index and landing each batch's pairs under its own
+   * `__batch` partition with dynamic overwrite — a replayed
+   * micro-batch replaces exactly its own results (effectively-once),
+   * the streaming twin of the CDC family. Read the results with a
+   * plain parquet scan (drop `__batch`). One streaming writer per
+   * `outPath`.
+   */
+  def streamChunkOverlap(
+      stream: DataFrame,
+      indexPath: String,
+      outPath: String,
+      idCol: String,
+      textCol: String,
+      minShared: Int = 2,
+      minSize: Int = 32,
+      avgSize: Int = 64,
+      maxSize: Int = 256)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val pairs = incrementalChunkOverlap(batch,
+          loadSignatureIndex(spark, indexPath), idCol, textCol,
+          minShared, minSize, avgSize, maxSize)
+        if (!pairs.isEmpty)
+          pairs.withColumn("__batch", F.lit(batchId))
+            .repartition(1)
+            .write.partitionBy("__batch")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite").parquet(outPath)
+        ()
+    }
 }
