@@ -208,6 +208,14 @@ object Bench {
       graft.pipeline.Snapshot.manifest(
         t(s, dir, "documents"), Seq("source"), Seq("doc_id", "text"))),
 
+    "b_split_leakage" -> ((s: SparkSession, dir: String) =>
+      graft.pipeline.Decontaminate.splitLeakageMatrix(
+        t(s, dir, "documents").filter(F.col("text").isNotNull)
+          .withColumn("sp",
+            F.when(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+              < "cccd", "train").otherwise("val")),
+        "doc_id", "text", "sp", n = 8)),
+
     "b_span_corruption" -> ((s: SparkSession, dir: String) =>
       graft.pipeline.SpanCorruption.corrupt(
           t(s, dir, "documents"), "doc_id", "text")

@@ -363,15 +363,20 @@ object Decontaminate {
       .localCheckpoint(eager = false)
     val sg = dg.select(F.col("__sp"), F.col("gram")).distinct()
       .localCheckpoint(eager = false)
-    val shared = sg.select(F.col("__sp").as("split_a"), F.col("gram"))
-      .join(sg.select(F.col("__sp").as("split_b"), F.col("gram")), Seq("gram"))
-      .filter(F.col("split_a") < F.col("split_b"))
-      .groupBy(F.col("split_a"), F.col("split_b"))
-      .agg(F.count(F.lit(1)).as("shared_grams"))
-    val leakedA = dg
+    // two gram joins total: the a-side doc join carries BOTH the
+    // shared-gram count (a shared gram necessarily appears in >= 1
+    // a-doc) and the a-side leaked docs; the mirror join gives b
+    val tA = dg
       .join(sg.select(F.col("__sp").as("split_b"), F.col("gram")), Seq("gram"))
       .filter(F.col("__sp") < F.col("split_b"))
-      .select(F.col("__sp").as("split_a"), F.col("split_b"), F.col("__id"))
+      .select(F.col("__sp").as("split_a"), F.col("split_b"),
+        F.col("__id"), F.col("gram"))
+      .localCheckpoint(eager = false)
+    val shared = tA.select(F.col("split_a"), F.col("split_b"), F.col("gram"))
+      .distinct()
+      .groupBy(F.col("split_a"), F.col("split_b"))
+      .agg(F.count(F.lit(1)).as("shared_grams"))
+    val leakedA = tA.select(F.col("split_a"), F.col("split_b"), F.col("__id"))
       .distinct()
       .groupBy(F.col("split_a"), F.col("split_b"))
       .agg(F.count(F.lit(1)).as("leaked_docs_a"))
