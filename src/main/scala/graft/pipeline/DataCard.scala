@@ -126,6 +126,7 @@ object DataCard {
       (batch: DataFrame, batchId: Long) =>
         cardViewOps(batch, sourceCol, langCol, textCol, tsCol, basePath, textsK)
           .foreach { case (df, value, path, keys, fam) =>
+            Maintenance.heartbeat(batch.sparkSession, path)
             SketchView.appendBatch(df, tsCol, keys, value, path, "day", fam,
               SketchView.DefaultPartSpanMs, batchId)
           }

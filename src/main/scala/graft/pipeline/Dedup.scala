@@ -442,7 +442,10 @@ object Dedup {
       ids: DataFrame,
       idCol: String,
       indexIdCol: String,
-      afterWrite: () => Unit): DataFrame = {
+      afterWrite: () => Unit): DataFrame =
+      // the lock lives BESIDE the index dir (the promote swap replaces
+      // the dir itself, which would destroy a lock held inside it)
+      Maintenance.withSiblingLock(spark, path) {
     val del = ids.select(F.col(idCol).as(indexIdCol)).distinct()
     val tmp = path.stripSuffix("/") + "__takedown"
     loadSignatureIndex(spark, path)
@@ -2178,9 +2181,12 @@ object Dedup {
       maxBucket: Int = 64): DataFrame = {
     val chunks = cdcChunks(docs, idCol, textCol, minSize, avgSize, maxSize)
       .select(F.col("chunk_hash"), F.col("id")).distinct()
-    val buckets = chunks.groupBy(F.col("chunk_hash"))
+    val grouped = chunks.groupBy(F.col("chunk_hash"))
       .agg(F.collect_list(F.col("id")).as("__ids"))
-      .filter(F.size(F.col("__ids")).between(2, maxBucket))
+      .filter(F.size(F.col("__ids")) > 1)
+    // the cap is accumulator-counted and logged (capBuckets — caps are
+    // never silent); the QUERYABLE drop report is [[chunkCapReport]]
+    val buckets = capBuckets(grouped, F.size(F.col("__ids")), maxBucket, "cdc")
     val pairU = F.udf((ids: Seq[Long]) => {
       val s = ids.sorted
       val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
@@ -2218,11 +2224,70 @@ object Dedup {
       maxBucket: Int = 64): DataFrame = {
     val ch = cdcChunks(docs, idCol, textCol, minSize, avgSize, maxSize)
       .select(F.col("chunk_hash"), F.col("id")).distinct()
-    val ok = ch.groupBy(F.col("chunk_hash"))
+    val sizes = ch.groupBy(F.col("chunk_hash"))
       .agg(F.count(F.lit(1)).as("__n"))
-      .filter(F.col("__n") <= maxBucket)
+    val ok = capBuckets(sizes, F.col("__n"), maxBucket, "chunkindex")
       .select(F.col("chunk_hash"))
     ch.join(ok, Seq("chunk_hash"))
+  }
+
+  /** One-row report over a (bucket, __n) size frame of what a
+    * `maxBucket` cap DROPS: (n_buckets_dropped, n_candidates_dropped,
+    * max_bucket_size) — `n_candidates_dropped` is the pair count the
+    * dropped buckets would have generated (n·(n−1)/2 each, long
+    * shift-math), i.e. the dedup-recall error bar the cap trades away.
+    * Empty when nothing exceeds the cap. */
+  private def capReport(sizes: DataFrame, maxBucket: Int): DataFrame = {
+    val over = sizes.filter(F.col("__n") > maxBucket)
+    over.agg(
+      F.count(F.lit(1)).as("n_buckets_dropped"),
+      F.coalesce(
+        F.sum(F.shiftright(F.col("__n") * (F.col("__n") - F.lit(1L)), 1)),
+        F.lit(0L)).as("n_candidates_dropped"),
+      F.coalesce(F.max(F.col("__n")), F.lit(0L)).as("max_bucket_size"))
+  }
+
+  /** The QUERYABLE drop report behind [[chunkOverlapPairs]] /
+    * [[buildChunkIndex]]'s `maxBucket` dial (the
+    * frequentSegmentSetCapped rule — no silent caps): how many chunk
+    * buckets the cap drops, how many candidate pairs that forgoes, and
+    * the largest flooded bucket. Run it alongside the pair query when
+    * the capped fraction matters (it IS the recall error bar at crawl
+    * scale; see SCALING.md). */
+  def chunkCapReport(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minSize: Int = 32,
+      avgSize: Int = 64,
+      maxSize: Int = 256,
+      maxBucket: Int = 64): DataFrame =
+    capReport(
+      cdcChunks(docs, idCol, textCol, minSize, avgSize, maxSize)
+        .select(F.col("chunk_hash"), F.col("id")).distinct()
+        .groupBy(F.col("chunk_hash"))
+        .agg(F.count(F.lit(1)).as("__n")),
+      maxBucket)
+
+  /** [[chunkCapReport]]'s sibling for [[hammingPairs]] /
+    * [[buildHashIndex]]: drop report over the (band, bits) buckets of
+    * a 64-bit signature column at the given geometry. A single flooded
+    * signature shows up once per band (`bands` buckets). */
+  def hammingCapReport(
+      df: DataFrame,
+      idCol: String,
+      hashCol: String,
+      bands: Int = 8,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    require(bands >= 2 && 64 % bands == 0,
+      s"bands must be >= 2 and divide 64, got $bands")
+    capReport(
+      df.filter(F.col(hashCol).isNotNull)
+        .select(F.col(idCol),
+          F.explode(chunkCols(F.col(hashCol).cast("long"), bands)).as("__c"))
+        .groupBy(F.col("__c._1"), F.col("__c._2"))
+        .agg(F.count(F.lit(1)).as("__n")),
+      maxBucket)
   }
 
   /**

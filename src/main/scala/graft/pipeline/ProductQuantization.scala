@@ -464,6 +464,15 @@ object ProductQuantization {
     loadIvfPq(spark, path)
   }
 
+  /** Auto-compaction policy hook: [[compactIvfPq]] iff the code table
+    * holds more than `maxFilesPerCell` files per cell (one cheap
+    * directory listing below the dial) — the
+    * [[Similarity.maybeCompactIvfIndex]] dial for the PQ layout.
+    * Returns true iff a compaction ran. */
+  def maybeCompactIvfPq(
+      spark: SparkSession, path: String, maxFilesPerCell: Int = 4): Boolean =
+    CellTable.maybeCompact(spark, path, s"$path/encoded", maxFilesPerCell)
+
   /**
    * Continuous IVF-PQ maintenance: a foreachBatch sink encoding each
    * micro-batch with the frozen geometry and landing it under its own
@@ -482,6 +491,7 @@ object ProductQuantization {
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream.foreachBatch {
       (batch: DataFrame, batchId: Long) =>
+        Maintenance.heartbeat(batch.sparkSession, path)
         appendBatchToIvfPq(batch.sparkSession, path, batch, idCol,
           vecCol, batchId)
         ()
@@ -517,6 +527,7 @@ object ProductQuantization {
       .orderBy("i").select("row").as[Array[Float]].collect()
     stream.writeStream.foreachBatch {
       (batch: DataFrame, batchId: Long) =>
+        Maintenance.heartbeat(batch.sparkSession, path)
         appendBatchToIvfPq(batch.sparkSession, path,
           batch.withColumn(vecCol,
             rotateCol(batch.sparkSession, rotation, F.col(vecCol))),

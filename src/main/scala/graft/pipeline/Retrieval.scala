@@ -302,14 +302,36 @@ object Retrieval {
    * row — their SUM is invariant under folding, so a crash between
    * the two folds leaves a correct, merely unfolded, stats table; a
    * crash inside the stats rewrite repairs with
-   * [[reconcileTextIndexStats]]. Contract: single-maintainer AND the
-   * streaming writer stopped (the stats fold statically rewrites the
-   * delta table — a concurrently appended delta row would be lost).
-   * Returns the reloaded index.
+   * [[reconcileTextIndexStats]]. Contract — ENFORCED, not
+   * conventional: single-maintainer (the [[Maintenance]] lock at
+   * `path`, held across BOTH folds) AND the streaming writer stopped
+   * (refused while a writer heartbeat is fresh — the stats fold
+   * statically rewrites the delta table, so a concurrently appended
+   * delta row would be lost). Returns the reloaded index.
    */
-  def compactTextIndex(spark: SparkSession, path: String): TextIndex = {
+  def compactTextIndex(spark: SparkSession, path: String): TextIndex =
+    Maintenance.withLock(spark, path) {
+      Maintenance.requireWriterStopped(spark, path)
+      compactTextIndexLocked(spark, path)
+    }
+
+  /** Auto-compaction policy hook for a LIVE index: fold the postings
+    * iff they hold more than `maxFilesPerBucket` files per bucket.
+    * Postings-only — the CellTable snapshot fold is safe under a
+    * running [[streamToTextIndex]] writer, and an unfolded stats table
+    * is merely unfolded, never wrong (the deltas SUM exactly); the
+    * stats fold stays inside the writer-stopped [[compactTextIndex]].
+    * Returns true iff a fold ran. */
+  def maybeCompactTextIndex(
+      spark: SparkSession, path: String,
+      maxFilesPerBucket: Int = 4): Boolean =
+    CellTable.maybeCompact(spark, path, s"$path/postings",
+      maxFilesPerBucket, keyName = "__bucket")
+
+  private def compactTextIndexLocked(
+      spark: SparkSession, path: String): TextIndex = {
     import spark.implicits._
-    val maxFolded = CellTable.compact(spark, path, s"$path/postings",
+    val maxFolded = CellTable.compactLocked(spark, path, s"$path/postings",
       keyName = "__bucket")
     // fold exactly the batches the postings fold retired (and the -1
     // layer) — the EXCLUDED newest batch keeps its own delta row, so
@@ -332,33 +354,23 @@ object Retrieval {
     loadTextIndex(spark, path)
   }
 
-  private val WatermarkFile = "_maintained_through.json"
-
-  private def readMaintainedThrough(spark: SparkSession, path: String): Long = {
-    val p = new org.apache.hadoop.fs.Path(path, WatermarkFile)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) -1L
-    else try {
-      val in = fs.open(p)
-      val b = new Array[Byte](64)
-      val n = try in.read(b) finally in.close()
-      new String(b, 0, math.max(n, 0), "UTF-8").trim.toLong
-    } catch { case _: Exception => -1L }
-  }
+  // watermark plumbing is shared with the cell-table family — ONE
+  // implementation of the crash-protocol file format (two copies is
+  // how they drift)
+  private def readMaintainedThrough(spark: SparkSession, path: String): Long =
+    CellTable.readMaintainedThrough(spark, path)
 
   private def writeMaintainedThrough(
-      spark: SparkSession, path: String, v: Long): Unit = {
-    val p = new org.apache.hadoop.fs.Path(path, WatermarkFile)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
-    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
-  }
+      spark: SparkSession, path: String, v: Long): Unit =
+    CellTable.writeMaintainedThrough(spark, path, v)
 
   /** Repair path for a crash between a removal's postings rewrite and
     * its stats delta: recount the postings EXACTLY and rewrite the
     * stats as one base row (advancing the maintenance watermark like a
     * removal — run it with the streaming writer stopped). */
-  def reconcileTextIndexStats(spark: SparkSession, path: String): TextIndex = {
+  def reconcileTextIndexStats(spark: SparkSession, path: String): TextIndex =
+      Maintenance.withLock(spark, path) {
+    Maintenance.requireWriterStopped(spark, path)
     val prior = loadTextIndex(spark, path)
     val (n, dl) = exactStats(prior.postings)
     val maxStream = maxStreamBatch(prior.postings)
@@ -393,6 +405,7 @@ object Retrieval {
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream.foreachBatch {
       (batch: DataFrame, batchId: Long) =>
+        Maintenance.heartbeat(batch.sparkSession, path)
         appendBatchToTextIndex(batch.sparkSession, path, batch, idCol,
           textCol, batchId)
         ()
@@ -411,7 +424,8 @@ object Retrieval {
    * sums, so even avgdl matches a rebuild bit-for-bit). Returns the
    * reloaded index.
    *
-   * Contract: single-maintainer AND the streaming writer stopped (the
+   * Contract — ENFORCED via the [[Maintenance]] lock and writer-lease
+   * guard: single-maintainer AND the streaming writer stopped (the
    * SketchView backfill/expire rule) — the removal first advances the
    * `_maintained_through` watermark so a crash-replay of an
    * already-mutated micro-batch writes nothing instead of
@@ -423,7 +437,12 @@ object Retrieval {
       spark: SparkSession,
       path: String,
       ids: DataFrame,
-      idCol: String): TextIndex = {
+      idCol: String): TextIndex = Maintenance.withLock(spark, path) {
+    Maintenance.requireWriterStopped(spark, path)
+    // finish any crashed postings compaction FIRST: a later recovery
+    // would otherwise move the staged PRE-removal fold into __batch=-1,
+    // resurrecting the removed documents and duplicating folded rows
+    CellTable.recover(spark, s"$path/postings", keyName = "__bucket")
     val prior = loadTextIndex(spark, path)
     val del = ids.select(F.col(idCol).as("id")).distinct()
       .localCheckpoint(eager = false)

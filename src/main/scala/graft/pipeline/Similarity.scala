@@ -590,6 +590,23 @@ object Similarity {
     loadIvfIndex(spark, path)
   }
 
+  /** [[compactIvfIndex]] with the crash-window hook (test/bench seam:
+    * throwing from `afterJournal` leaves the index in the
+    * journaled-but-unfinished state readVisible must stay exact in —
+    * and the state the journal-read-tax bench measures). */
+  private[graft] def compactIvfIndexImpl(
+      spark: SparkSession, path: String, afterJournal: () => Unit): Unit =
+    CellTable.compact(spark, path, s"$path/assigned", afterJournal)
+
+  /** Auto-compaction policy hook: [[compactIvfIndex]] iff the
+    * assignment table holds more than `maxFilesPerCell` files per cell
+    * (one cheap directory listing below the dial) — call it after
+    * every N micro-batches and a long-lived [[streamToIvfIndex]]
+    * writer self-maintains. Returns true iff a compaction ran. */
+  def maybeCompactIvfIndex(
+      spark: SparkSession, path: String, maxFilesPerCell: Int = 4): Boolean =
+    CellTable.maybeCompact(spark, path, s"$path/assigned", maxFilesPerCell)
+
   /**
    * Continuous IVF maintenance: a foreachBatch sink that assigns each
    * micro-batch against the saved index's frozen centroids and lands
@@ -611,6 +628,7 @@ object Similarity {
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream.foreachBatch {
       (batch: DataFrame, batchId: Long) =>
+        Maintenance.heartbeat(batch.sparkSession, path)
         appendToIvfIndexTouched(batch.sparkSession, path, batch, idCol,
           vecCol, batchId)
         ()
@@ -637,18 +655,23 @@ object Similarity {
 
   /** The shared touched-partition removal pass over a batch-stamped
     * cell table with a `neighbor_id` column ([[removeFromIvfIndex]]
-    * and [[ProductQuantization.removeFromIvfPq]]). Contract:
-    * single-maintainer AND the streaming writer stopped — the removal
-    * first advances `rootPath`'s `_maintained_through` watermark so a
-    * crash-replay of an already-mutated micro-batch writes nothing
-    * instead of resurrecting removed vectors (the
+    * and [[ProductQuantization.removeFromIvfPq]]). Contract —
+    * ENFORCED, not conventional: single-maintainer (the [[Maintenance]]
+    * lock at `rootPath`) AND the streaming writer stopped (refused
+    * while a writer heartbeat is fresh) — the removal first advances
+    * `rootPath`'s `_maintained_through` watermark so a crash-replay of
+    * an already-mutated micro-batch writes nothing instead of
+    * resurrecting removed vectors (the
     * [[graft.pipeline.Retrieval.removeFromTextIndex]] rule). */
   private[pipeline] def removeFromCellTable(
       spark: SparkSession,
       rootPath: String,
       tablePath: String,
       ids: DataFrame,
-      idCol: String): Unit = {
+      idCol: String): Unit = Maintenance.withLock(spark, rootPath) {
+    // enforce the writer-stopped contract: a live streaming writer's
+    // crash-replay would resurrect the removed vectors
+    Maintenance.requireWriterStopped(spark, rootPath)
     // finish any crashed compaction first — its window holds folded
     // rows twice, which would double the doom counts below
     CellTable.recover(spark, tablePath)
@@ -1137,10 +1160,14 @@ private[pipeline] object CellTable {
    *      merge-on-read until the next compact);
    *   2. stage the snapshot's fold under `_compact_fold` (underscore
    *      dir — invisible to readers), one file per cell;
-   *   3. journal `{files, maxFolded}` to `_compact_pending.json` and
-   *      advance the `_maintained_through` watermark — a crash-replay
+   *   3. advance the `_maintained_through` watermark, THEN journal the
+   *      snapshot file list to `_compact_pending.json` — a crash-replay
    *      of a FOLDED micro-batch must write nothing, or its rows would
-   *      land twice (once in the fold, once re-delivered);
+   *      land twice (once in the fold, once re-delivered); the ordering
+   *      matters: a crash between the two leaves the watermark advanced
+   *      with no journal (suppressed replays lose nothing while the
+   *      originals are still live), never a recoverable fold whose
+   *      replays aren't suppressed;
    *   4. MOVE the staged files under `__cell=C/__batch=-1` (checked
    *      renames; staged part names carry job UUIDs so they cannot
    *      collide with live appends), then prune the snapshot files
@@ -1151,12 +1178,25 @@ private[pipeline] object CellTable {
    * at its own id — and repaired by the next maintenance call's
    * recovery), never zero times. Appends landing at ANY point are not
    * in the snapshot and survive; batch `-1` appends add files the
-   * prune does not touch. Single-maintainer like every other mutation
-   * (one compact/remove at a time; the streaming WRITER may keep
+   * prune does not touch. Single-maintainer ENFORCED via the
+   * [[Maintenance]] lock at `rootPath` (the streaming WRITER may keep
    * running). Returns the highest folded streaming batch id, or -1 if
    * nothing folded.
    */
   def compact(
+      spark: org.apache.spark.sql.SparkSession,
+      rootPath: String,
+      tablePath: String,
+      afterJournal: () => Unit = () => (),
+      keyName: String = "__cell"): Long =
+    Maintenance.withLock(spark, rootPath) {
+      compactLocked(spark, rootPath, tablePath, afterJournal, keyName)
+    }
+
+  /** [[compact]]'s body WITHOUT the maintenance lock — for the one
+    * caller that already holds it across a larger span
+    * ([[graft.pipeline.Retrieval.compactTextIndex]]'s stats fold). */
+  private[pipeline] def compactLocked(
       spark: org.apache.spark.sql.SparkSession,
       rootPath: String,
       tablePath: String,
@@ -1199,16 +1239,68 @@ private[pipeline] object CellTable {
       .repartition(F.col(keyName))
       .write.partitionBy(keyName, "__batch").mode("overwrite")
       .parquet(staging.toString)
-    // journal the EXACT files to prune, then suppress folded replays
-    writeJson(fs, new org.apache.hadoop.fs.Path(root, PendingFile),
-      snapshot.map(_.toString).toIndexedSeq)
+    // suppress folded replays FIRST, then journal the exact files to
+    // prune — a crash between the two leaves the watermark advanced
+    // with no journal (benign: originals still live), never a
+    // recoverable fold whose folded batches could replay as duplicates
     if (maxFolded >= 0L) {
       val prior = readMaintainedThrough(spark, rootPath)
       writeMaintainedThrough(spark, rootPath, math.max(prior, maxFolded))
     }
+    writeJson(fs, new org.apache.hadoop.fs.Path(root, PendingFile),
+      snapshot.map(_.toString).toIndexedSeq)
     afterJournal() // spec seam: crash AFTER the journal commits
     finishCompact(fs, root, keyName)
     maxFolded
+  }
+
+  /**
+   * Auto-compaction policy hook: run [[compact]] iff the table's
+   * data-file count exceeds `maxFilesPerPart` × (number of key
+   * partitions) — so long-lived streaming writers self-maintain on a
+   * dial instead of accumulating one file per touched partition per
+   * micro-batch until someone remembers the nightly call. The check is
+   * ONE directory listing (driver-side, bounded by partitions ×
+   * retained batches — kept small by the compaction itself); below the
+   * dial it costs no job at all. Returns true iff a compaction ran.
+   */
+  def maybeCompact(
+      spark: org.apache.spark.sql.SparkSession,
+      rootPath: String,
+      tablePath: String,
+      maxFilesPerPart: Int = 4,
+      keyName: String = "__cell"): Boolean = {
+    require(maxFilesPerPart >= 1,
+      s"maxFilesPerPart must be >= 1, got $maxFilesPerPart")
+    val root = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return false
+    val keyDirs = fs.listStatus(root).filter(st =>
+      st.isDirectory && st.getPath.getName.startsWith(keyName + "="))
+    if (keyDirs.isEmpty) return false
+    // count per batch id so the NEWEST streaming batch — which compact
+    // never folds (mid-commit window) — doesn't keep re-triggering a
+    // fold that cannot reclaim it
+    val perBatch = scala.collection.mutable.Map.empty[Long, Long]
+    keyDirs.foreach { c =>
+      fs.listStatus(c.getPath).foreach { b =>
+        if (b.isDirectory && b.getPath.getName.startsWith("__batch=")) {
+          val id = scala.util.Try(
+            b.getPath.getName.stripPrefix("__batch=").toLong).getOrElse(-1L)
+          val n = fs.listStatus(b.getPath).count(f =>
+            f.isFile && !f.getPath.getName.startsWith("_"))
+          perBatch(id) = perBatch.getOrElse(id, 0L) + n
+        }
+      }
+    }
+    val newest = perBatch.keys.filter(_ >= 0L).reduceOption(_ max _)
+    val foldable = perBatch.filterNot(kv => newest.contains(kv._1))
+      .values.sum
+    if (foldable <= maxFilesPerPart.toLong * keyDirs.length) false
+    else {
+      compact(spark, rootPath, tablePath, keyName = keyName)
+      true
+    }
   }
 
   /** Finish (or re-finish, after a crash) a journaled fold: move the
@@ -1297,12 +1389,23 @@ private[pipeline] object CellTable {
       bos.toByteArray
     } finally in.close()
     val s = new String(bytes, "UTF-8").trim
-    if (s.length < 2) Seq.empty
-    else s.stripPrefix("[").stripSuffix("]").split(",")
-      .toIndexedSeq
-      .map(_.trim)
-      .filter(_.nonEmpty)
-      .map(_.stripPrefix("\"").stripSuffix("\"")
-        .replace("\\\"", "\"").replace("\\\\", "\\"))
+    // quote-aware parse, symmetric with writeJson's escaping — a data
+    // file path may legally contain ',' (or '"' via escaping), so a
+    // bare split-on-comma would corrupt recovery's prune list
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new java.lang.StringBuilder
+    var inString = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inString) {
+        if (c == '\\' && i + 1 < s.length) {
+          cur.append(s.charAt(i + 1)); i += 1
+        } else if (c == '"') { out += cur.toString; cur.setLength(0); inString = false }
+        else cur.append(c)
+      } else if (c == '"') inString = true
+      i += 1
+    }
+    out.toSeq
   }
 }

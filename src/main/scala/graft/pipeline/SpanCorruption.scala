@@ -25,8 +25,13 @@ import org.apache.spark.sql.{functions => F}
  * [k*n/spans, (k+1)*n/spans) at offset floor(u_k * (segLen - len_k + 1)),
  * where u_k is the replayable per-(doc, k) uniform draw
  * ([[UnigramLm.positionUniform]]'s rule). Segments keep spans disjoint
- * and ordered with NO clamping: len_k <= segLen_k always holds for
- * rateNum/rateDen < 1 (worst case spans = 1: corrupted <= n).
+ * and ordered with NO clamping: len_k <= segLen_k holds for every rate
+ * <= meanSpan/(meanSpan+1) — [[corrupt]] REQUIRES that bound. (Proof
+ * sketch: for spans s >= 2, s = floor(c/m) gives c >= m*s, and
+ * c <= n*m/(m+1) gives n >= c + c/m >= c + s, so floor(n/s) >=
+ * floor(c/s) + 1 >= len_k; for s = 1, c <= n-1 < n. Above the bound a
+ * remainder span can exceed its segment — e.g. n=11, rate 95/100,
+ * meanSpan 3 — and would collide with its neighbor.)
  * Re-running the pipeline reproduces the corpus bit-for-bit from the
  * seed alone; `corrupted`/`spans` replay verbatim in any SQL engine.
  *
@@ -79,9 +84,14 @@ object SpanCorruption {
       rateDen: Int = 100,
       meanSpan: Int = 3,
       seed: Long = 0L): DataFrame = {
-    require(rateNum > 0 && rateDen > rateNum,
-      s"corruption rate must be in (0, 1), got $rateNum/$rateDen")
     require(meanSpan >= 1, s"meanSpan must be >= 1, got $meanSpan")
+    // rate <= meanSpan/(meanSpan+1) is the exact bound under which
+    // every span provably fits its segment with no clamping (see the
+    // object docs) — reject rather than silently misplace spans
+    require(rateNum > 0 &&
+        rateNum.toLong * (meanSpan + 1) <= rateDen.toLong * meanSpan,
+      s"corruption rate must be in (0, meanSpan/(meanSpan+1)] = " +
+        s"(0, $meanSpan/${meanSpan + 1}], got $rateNum/$rateDen")
     val sep = java.util.regex.Pattern.compile("\\s+")
     val u = F.udf((id: java.lang.Long, t: String) =>
       if (t == null || id == null) null

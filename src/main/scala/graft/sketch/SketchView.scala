@@ -669,6 +669,38 @@ object SketchView {
     compactImpl(spark, path, keyCols, family, partSpanMs, bucket,
       () => (), () => ())
 
+  /** Auto-compaction policy hook: [[compact]] iff the view holds more
+    * than `maxFilesPerPart` data files per `__part` partition — one
+    * cheap directory listing below the dial, so a long-lived
+    * [[streamAppend]] writer can call it every N micro-batches and
+    * self-maintain. Returns true iff a compaction ran. */
+  def maybeCompact(
+      spark: SparkSession,
+      path: String,
+      keyCols: Seq[String],
+      maxFilesPerPart: Int = 4,
+      family: ViewFamily = ViewFamily.ddsketch(),
+      partSpanMs: Long = DefaultPartSpanMs,
+      bucket: Option[String] = None): Boolean = {
+    require(maxFilesPerPart >= 1,
+      s"maxFilesPerPart must be >= 1, got $maxFilesPerPart")
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return false
+    val files = listDataFiles(fs, root)
+    val parts = files.map(_.split('/')(0)).distinct.length
+    // the newest streaming batch is never folded (mid-commit window) —
+    // don't let it keep re-triggering a fold that cannot reclaim it
+    val newest = files.map(batchIdOf).filter(_ >= 0L)
+      .reduceOption(_ max _)
+    val foldable = files.count(f => !newest.contains(batchIdOf(f)))
+    if (parts == 0 || foldable <= maxFilesPerPart.toLong * parts) false
+    else {
+      compact(spark, path, keyCols, family, partSpanMs, bucket)
+      true
+    }
+  }
+
   /** [[compact]] with race/crash-window hooks (test seam): `afterSnapshot`
     * runs once the file snapshot is taken, `afterJournal` once the fold
     * is staged and journaled — the two windows a concurrent append (or
@@ -886,6 +918,7 @@ object SketchView {
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream.foreachBatch {
       (batch: DataFrame, batchId: Long) =>
+        graft.pipeline.Maintenance.heartbeat(batch.sparkSession, path)
         appendBatch(batch, tsCol, keyCols, valueCol, path, bucket, family,
           partSpanMs, batchId)
     }
@@ -977,6 +1010,10 @@ object SketchView {
         partFloor(untilMs, partSpanMs) == untilMs,
       s"backfill range must align to partSpanMs=$partSpanMs")
     val spark = events.sparkSession
+    // enforce the writer-stopped contract documented above: a live
+    // streaming writer's crash-replay could re-write pruned in-range
+    // files and double-count against the fresh rollup
+    graft.pipeline.Maintenance.requireWriterStopped(spark, path)
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val lock = acquireCompactLock(fs, root)

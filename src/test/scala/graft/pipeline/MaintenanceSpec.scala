@@ -1,0 +1,197 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{functions => F}
+import graft.SparkTestBase
+
+/**
+ * The maintenance mutex + writer-lease contracts for the persisted
+ * index family (the SketchView `_compact_lock` protocol ported to
+ * CellTable per the r11 verdict):
+ *   - a second maintenance call inside the first's window gets a
+ *     clean refusal (never interleaved journal/prune/rename);
+ *   - a stale lock (crashed maintainer) is broken and the op proceeds;
+ *   - writer-exclusive mutations refuse while a streaming-writer
+ *     heartbeat is fresh, and proceed after releaseWriterLease;
+ *   - maybeCompact triggers on the files-per-partition dial only;
+ *   - journal paths containing commas survive crash recovery (the
+ *     quote-aware readJson).
+ */
+class MaintenanceSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def emb = sf("sf0.001", "embeddings")
+    .filter(F.col("embedding").isNotNull)
+    .select(F.col("vec_id").cast("long").as("vec_id"), F.col("embedding"))
+
+  private def fs = org.apache.hadoop.fs.FileSystem.get(
+    spark.sparkContext.hadoopConfiguration)
+
+  private def writeFile(path: String, content: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val out = fs.create(p, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def buildIvf(dir: String, batches: Int = 3): Unit = {
+    val e = emb
+    Similarity.buildIvfIndex(e.filter(F.col("vec_id") % 4 === 0),
+      "vec_id", "embedding", nlist = 8, iterations = 2).save(dir)
+    (1 to batches).foreach { m =>
+      Similarity.appendToIvfIndexTouched(spark, dir,
+        e.filter(F.col("vec_id") % 4 === m % 4), "vec_id", "embedding",
+        batchId = m.toLong - 1L)
+    }
+  }
+
+  test("a second maintenance call inside a compact's window is refused cleanly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mx_lock").toString
+    buildIvf(dir)
+    var refused: Option[Throwable] = None
+    // the afterJournal seam runs INSIDE the first maintainer's lock
+    // window — exactly where a nightly compact could race a takedown
+    CellTable.compact(spark, dir, s"$dir/assigned", afterJournal = () => {
+      refused = Some(intercept[IllegalStateException] {
+        Similarity.removeFromIvfIndex(spark, dir,
+          emb.limit(3).select("vec_id"), "vec_id")
+      })
+    })
+    assert(refused.exists(_.getMessage.contains("single-maintainer")))
+    // the first maintainer finished normally and released the lock
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir, "_maintenance_lock")))
+    Similarity.removeFromIvfIndex(spark, dir,
+      emb.limit(3).select("vec_id"), "vec_id") // now fine
+  }
+
+  test("a fresh foreign lock refuses; a stale lock is broken and the op proceeds") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mx_stale").toString
+    buildIvf(dir)
+    val lock = s"$dir/_maintenance_lock"
+    // fresh foreign lock -> clean refusal
+    writeFile(lock, s"${System.currentTimeMillis()} 1")
+    intercept[IllegalStateException] {
+      Similarity.compactIvfIndex(spark, dir)
+    }
+    // stale lock (presumed-crashed maintainer) -> broken, op proceeds
+    writeFile(lock,
+      s"${System.currentTimeMillis() - Maintenance.LockStaleMs - 60000L} 1")
+    val before = Similarity.loadIvfIndex(spark, dir).assigned.count()
+    Similarity.compactIvfIndex(spark, dir)
+    assert(Similarity.loadIvfIndex(spark, dir).assigned.count() === before)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(lock)))
+  }
+
+  test("writer-exclusive mutations refuse while a writer heartbeat is fresh") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mx_lease").toString
+    buildIvf(dir)
+    Maintenance.heartbeat(spark, dir) // a live streaming writer
+    val ex = intercept[IllegalStateException] {
+      Similarity.removeFromIvfIndex(spark, dir,
+        emb.limit(3).select("vec_id"), "vec_id")
+    }
+    assert(ex.getMessage.contains("releaseWriterLease"))
+    // the documented stop-the-writer flow: release, then mutate
+    Maintenance.releaseWriterLease(spark, dir)
+    Similarity.removeFromIvfIndex(spark, dir,
+      emb.limit(3).select("vec_id"), "vec_id")
+    // a crashed writer's heartbeat ages out instead of wedging forever
+    writeFile(s"$dir/_writer_heartbeat",
+      (System.currentTimeMillis() - Maintenance.DefaultWriterLeaseMs - 1000L)
+        .toString)
+    Maintenance.requireWriterStopped(spark, dir)
+  }
+
+  test("text-index stats fold and backfill enforce the writer lease too") {
+    val docs = sf("sf0.001", "documents")
+      .filter(F.col("text").isNotNull).select("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("graft_mx_tidx").toString
+    Retrieval.buildTextIndex(docs, "doc_id", "text", buckets = 8).save(path)
+    Maintenance.heartbeat(spark, path)
+    intercept[IllegalStateException] {
+      Retrieval.compactTextIndex(spark, path)
+    }
+    intercept[IllegalStateException] {
+      Retrieval.removeFromTextIndex(spark, path,
+        docs.limit(2).select("doc_id"), "doc_id")
+    }
+    Maintenance.releaseWriterLease(spark, path)
+    Retrieval.compactTextIndex(spark, path) // proceeds after release
+
+    // SketchView.backfill refuses under a live view writer
+    val ev = sf("sf0.001", "events")
+      .select(F.col("ts"), F.col("event_type"), F.col("value"))
+    val vdir = java.nio.file.Files.createTempDirectory("graft_mx_view").toString
+    graft.sketch.SketchView.materialize(
+      ev, "ts", Seq("event_type"), "value", vdir)
+    val span = graft.sketch.SketchView.DefaultPartSpanMs
+    val lo = ev.agg(F.min(F.unix_millis(F.col("ts")))).head().getLong(0)
+    val from = lo - java.lang.Math.floorMod(lo, span)
+    Maintenance.heartbeat(spark, vdir)
+    intercept[IllegalStateException] {
+      graft.sketch.SketchView.backfill(ev, "ts", Seq("event_type"), "value",
+        vdir, from, from + span)
+    }
+    Maintenance.releaseWriterLease(spark, vdir)
+    graft.sketch.SketchView.backfill(ev, "ts", Seq("event_type"), "value",
+      vdir, from, from + span)
+  }
+
+  test("maybeCompact triggers on the files-per-partition dial only") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mx_auto").toString
+    buildIvf(dir, batches = 3)
+    def content() = Similarity.loadIvfIndex(spark, dir).assigned
+      .select(F.col("neighbor_id").cast("long"), F.col("__cell"))
+      .as[(Long, Int)].collect().sorted.toSeq
+    val before = content()
+    // 4 batches' files per touched cell: a generous dial stays quiet
+    assert(!Similarity.maybeCompactIvfIndex(spark, dir, maxFilesPerCell = 50))
+    assert(spark.read.parquet(s"$dir/assigned")
+      .select(F.col("__batch").cast("long")).distinct().count() === 4L)
+    // a tight dial triggers the fold; content is byte-identical
+    assert(Similarity.maybeCompactIvfIndex(spark, dir, maxFilesPerCell = 1))
+    assert(content() === before)
+    // immediately after folding, the same dial is quiet again
+    assert(!Similarity.maybeCompactIvfIndex(spark, dir, maxFilesPerCell = 1))
+
+    // the SketchView twin
+    val ev = sf("sf0.001", "events")
+      .select(F.col("ts"), F.col("event_type"), F.col("value"))
+    val vdir = java.nio.file.Files.createTempDirectory("graft_mx_autov").toString
+    val evenHour = F.pmod(
+      F.unix_millis(F.date_trunc("hour", F.col("ts"))) / 3600000L,
+      F.lit(2)) === 0
+    graft.sketch.SketchView.materialize(
+      ev.filter(evenHour), "ts", Seq("event_type"), "value", vdir)
+    graft.sketch.SketchView.append(
+      ev.filter(!evenHour), "ts", Seq("event_type"), "value", vdir)
+    assert(!graft.sketch.SketchView.maybeCompact(
+      spark, vdir, Seq("event_type"), maxFilesPerPart = 50))
+    assert(graft.sketch.SketchView.maybeCompact(
+      spark, vdir, Seq("event_type"), maxFilesPerPart = 1))
+    assert(!graft.sketch.SketchView.maybeCompact(
+      spark, vdir, Seq("event_type"), maxFilesPerPart = 1))
+  }
+
+  test("journal paths containing commas survive crash recovery exactly") {
+    // a data-file path may legally contain ',' — the journal parse must
+    // be quote-aware or recovery prunes/skips the wrong files
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_mx_a,b").toString
+    assert(dir.contains(","), "fixture needs a comma in the path")
+    buildIvf(dir)
+    def content() = Similarity.loadIvfIndex(spark, dir).assigned
+      .select(F.col("neighbor_id").cast("long"), F.col("__cell"))
+      .as[(Long, Int)].collect().sorted.toSeq
+    val before = content()
+    intercept[RuntimeException] {
+      CellTable.compact(spark, dir, s"$dir/assigned",
+        afterJournal = () => throw new RuntimeException("boom"))
+    }
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$dir/assigned/_compact_pending.json")))
+    assert(content() === before, "journal-aware read wrong with commas")
+    Similarity.compactIvfIndex(spark, dir) // recovers via the journal
+    assert(content() === before, "recovery corrupted by comma paths")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$dir/assigned/_compact_pending.json")))
+  }
+}

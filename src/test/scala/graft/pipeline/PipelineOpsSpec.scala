@@ -217,7 +217,10 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(content(dirB) === afterOnce)
 
     // a removal advances the watermark; a crash-replay of the mutated
-    // micro-batch must write nothing (removed ids stay gone)
+    // micro-batch must write nothing (removed ids stay gone). The
+    // writer is stopped — release its lease (removals REFUSE while a
+    // writer heartbeat is fresh; pinned in MaintenanceSpec)
+    Maintenance.releaseWriterLease(spark, dirB)
     val doomedIds = extra.select("vec_id").as[Long].collect().toSet
     Similarity.removeFromIvfIndex(spark, dirB,
       extra.select("vec_id"), "vec_id")

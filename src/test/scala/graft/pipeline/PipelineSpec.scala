@@ -287,6 +287,37 @@ class DedupSpec extends SparkTestBase {
       === Seq((0, 2, Dedup.cdcSpans("ab", 16, 32, 128).head._3)))
   }
 
+  test("bucket-cap drops are observable: chunk/hamming cap reports exact on a planted flood") {
+    // CDC: short texts are single chunks — 9 identical docs flood one
+    // bucket past cap 8; 2 docs share a second (under-cap) bucket
+    val flood = (1L to 9L).map(i => (i, "tiny shared boilerplate"))
+    val pairOk = Seq((21L, "another tiny body"), (22L, "another tiny body"))
+    val docs = (flood ++ pairOk).toDF("doc_id", "text")
+    val rep = Dedup.chunkCapReport(docs, "doc_id", "text", maxBucket = 8)
+      .as[(Long, Long, Long)].head()
+    assert(rep === ((1L, 36L, 9L))) // one bucket of 9 -> 9*8/2 pairs forgone
+    // the capped pair query still yields exactly the under-cap pair
+    val pairs = Dedup.chunkOverlapPairs(docs, "doc_id", "text",
+      minShared = 1, maxBucket = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((21L, 22L)))
+    // nothing over the cap -> empty-ish report (0 buckets, 0 pairs)
+    val clean = Dedup.chunkCapReport(docs, "doc_id", "text", maxBucket = 64)
+      .as[(Long, Long, Long)].head()
+    assert(clean === ((0L, 0L, 0L)))
+
+    // Hamming: 6 identical signatures collide in ALL 8 band buckets
+    val sigs = ((1L to 6L).map(i => (i, 42L)) ++ Seq((11L, -1L), (12L, -1L)))
+      .toDF("id", "sig")
+    val hrep = Dedup.hammingCapReport(sigs, "id", "sig",
+      bands = 8, maxBucket = 4).as[(Long, Long, Long)].head()
+    assert(hrep === ((8L, 8L * 15L, 6L))) // 8 buckets of 6, 15 pairs each
+    val hp = Dedup.hammingPairs(sigs, "id", "sig",
+      maxHamming = 6, bands = 8, maxBucket = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(hp === Set((11L, 12L)))
+  }
+
   test("cdcChunks/duplicateChunks/chunkOverlapPairs find planted partial overlaps") {
     val docs = sf("sf0.001", "documents")
       .filter(F.col("text").isNotNull && F.col("n_chars") >= 400)

@@ -26,6 +26,35 @@ class SpanCorruptionSpec extends SparkTestBase {
     assert(other.distinct.length > 1)
   }
 
+  test("rates above meanSpan/(meanSpan+1) are rejected; at the bound every span fits") {
+    // above the bound a remainder span can exceed its segment (the
+    // advisor's n=11, 95/100, meanSpan=3 counterexample: segLen 3,
+    // len 4, start -1) — corrupt() must refuse, never misplace
+    val d = Seq((1L, (1 to 11).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      SpanCorruption.corrupt(d, "doc_id", "text", 95, 100, 3, seed = 1L)
+    }
+    intercept[IllegalArgumentException] {
+      SpanCorruption.corrupt(d, "doc_id", "text", 4, 5, 3, seed = 1L) // 4/5 > 3/4
+    }
+    // AT the exact bound (3/4 for meanSpan 3): sweep sizes and ids —
+    // spans stay inside their segments, disjoint, ordered, no clamping
+    for (n <- 1 to 120; id <- 1L to 3L) {
+      val p = SpanCorruption.plan(n, 3, 4, 3, seed = 5L, id = id)
+      val spans = p.length
+      p.zipWithIndex.foreach { case ((s0, len), k) =>
+        val segStart = (k.toLong * n / spans).toInt
+        val segEnd = ((k + 1).toLong * n / spans).toInt
+        assert(s0 >= segStart && s0 + len <= segEnd,
+          s"n=$n id=$id span $k [$s0, ${s0 + len}) outside [$segStart, $segEnd)")
+      }
+      assert(p.map(_._2).sum === n * 3 / 4)
+    }
+    // meanSpan=1 → bound is 1/2
+    val q = SpanCorruption.plan(10, 1, 2, 1, seed = 5L, id = 1L)
+    assert(q.map(_._2).sum === 5)
+  }
+
   test("corrupt: reconstruct inverse, sentinel structure, passthrough, NULLs") {
     val d = Seq(
       (1L, (1 to 40).map(i => s"w$i").mkString(" ")),
