@@ -107,6 +107,61 @@ object Bench {
   private val textIndexCache = scala.collection.concurrent.TrieMap[String,
     graft.pipeline.Retrieval.TextIndex]()
 
+  // graph-ANN index, built + persisted once per dir (b_ann_hnsw_query
+  // times the probe, not the graph construction)
+  private val hnswIndexCache = scala.collection.concurrent.TrieMap[String,
+    graft.pipeline.Hnsw.HnswIndex]()
+
+  private def hnswIndexFor(s: SparkSession, dir: String, emb: DataFrame) =
+    hnswIndexCache.getOrElseUpdate(dir, {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_bench_hnsw").toString
+      // nav count = sqrt(n), the IVF nlist rule — the graph replaces
+      // the linear centroid scan, not the cell geometry
+      val maxNav = math.max(16, math.sqrt(emb.count().toDouble).toInt)
+      graft.pipeline.Hnsw.buildHnswIndex(
+        emb, "vec_id", "embedding", maxNav = maxNav).save(path)
+      graft.pipeline.Hnsw.loadHnswIndex(s, path)
+    })
+
+  // persisted per-split gram-hash index for the NIGHTLY leakage audit
+  // (b_split_leakage_incremental times the delta, not the backfill)
+  private val leakIndexCache =
+    scala.collection.concurrent.TrieMap[String, String]()
+
+  // two same-content IVF layouts, one clean and one with a crashed
+  // compact's journal on disk — the journal-read-tax A/B
+  private val journalDirCache =
+    scala.collection.concurrent.TrieMap[String, (String, String)]()
+
+  private def journalDirsFor(s: SparkSession, dir: String): (String, String) =
+    journalDirCache.getOrElseUpdate(dir, {
+      val sim = graft.pipeline.Similarity
+      val emb = t(s, dir, "embeddings")
+        .filter(F.col("embedding").isNotNull)
+        .select(F.col("vec_id").cast("long").as("vec_id"), F.col("embedding"))
+      def build(path: String): Unit = {
+        sim.buildIvfIndex(emb.filter(F.col("vec_id") % 4 === 0),
+          "vec_id", "embedding", nlist = 16, iterations = 2).save(path)
+        (1 to 3).foreach { m =>
+          sim.appendToIvfIndexTouched(s, path,
+            emb.filter(F.col("vec_id") % 4 === m), "vec_id", "embedding",
+            batchId = m.toLong - 1L)
+        }
+      }
+      val clean = java.nio.file.Files
+        .createTempDirectory("graft_bench_jrn_a").toString
+      val crashed = java.nio.file.Files
+        .createTempDirectory("graft_bench_jrn_b").toString
+      build(clean); build(crashed)
+      // crash the compact right after the journal commits: staged fold
+      // + journal + originals all on disk — the exact-read crash state
+      try sim.compactIvfIndexImpl(s, crashed,
+        () => throw new RuntimeException("bench crash seam"))
+      catch { case _: RuntimeException => () }
+      (clean, crashed)
+    })
+
   /** Headline queries: representative operator workloads. */
   def benchQueries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
 
@@ -215,6 +270,86 @@ object Bench {
             F.when(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
               < "cccd", "train").otherwise("val")),
         "doc_id", "text", "sp", n = 8)),
+
+    // the NIGHTLY leakage audit: the 10% delta is tokenized and probed
+    // against the persisted gram-hash index (history text never
+    // re-read; the matrix joins run over 8-byte hashes). Appends are
+    // result-idempotent across reps (the matrix distincts first).
+    "b_split_leakage_incremental" -> ((s: SparkSession, dir: String) => {
+      val docs = t(s, dir, "documents").filter(F.col("text").isNotNull)
+        .withColumn("sp",
+          F.when(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+            < "cccd", "train").otherwise("val"))
+      val path = leakIndexCache.getOrElseUpdate(dir, {
+        val p = java.nio.file.Files
+          .createTempDirectory("graft_bench_leak").toString + "/idx"
+        graft.pipeline.Dedup.saveSignatureIndex(
+          graft.pipeline.Decontaminate.buildLeakageIndex(
+            docs.filter(F.col("doc_id") % 10 =!= 0), "doc_id", "text", "sp"),
+          p)
+        p
+      })
+      graft.pipeline.Decontaminate.incrementalSplitLeakage(s, path,
+        docs.filter(F.col("doc_id") % 10 === 0), "doc_id", "text", "sp")
+    }),
+
+    // graph ANN: probe latency against the prebuilt navigation graph +
+    // cell table (the b_ann_ivf_query twin, with the O(nlist) centroid
+    // scan replaced by the O(ef·M) graph walk)
+    "b_ann_hnsw_query" -> ((s: SparkSession, dir: String) => {
+      val emb = t(s, dir, "embeddings")
+        .filter(F.col("embedding").isNotNull)
+        .select(F.col("vec_id").cast("long").as("vec_id"), F.col("embedding"))
+      val idx = hnswIndexFor(s, dir, emb)
+      graft.pipeline.Hnsw.hnswTopK(
+        idx, emb.filter(F.col("vec_id") < 20), "vec_id", "embedding", 10)
+    }),
+
+    // the composed curation chain (the q_pipeline_curation shape): CDC
+    // dedup -> downweight -> semantic order -> token packing. The
+    // leakage audit is benched separately (b_split_leakage*).
+    "b_pipeline_curation" -> ((s: SparkSession, dir: String) => {
+      val D = graft.pipeline.Dedup
+      val docs = t(s, dir, "documents").filter(F.col("text").isNotNull)
+        .select(F.col("doc_id"), F.col("text"))
+      val emb = t(s, dir, "embeddings").filter(F.col("embedding").isNotNull)
+        .select(F.col("vec_id").cast("long").as("vec_id"), F.col("embedding"))
+      val losers = D.duplicateClusters(
+          D.chunkOverlapPairs(docs, "doc_id", "text", minShared = 2,
+            minSize = 16, avgSize = 32, maxSize = 128))
+        .filter(F.col("id") =!= F.col("cluster"))
+        .select(F.col("id").as("doc_id"))
+      val weighted = D.downweightDuplicates(
+          docs.join(losers, Seq("doc_id"), "left_anti"), "doc_id", "text")
+        .select("doc_id", "text")
+      val joined = weighted.join(emb, weighted("doc_id") === emb("vec_id"))
+        .select(F.col("doc_id"), F.col("text"), F.col("embedding"))
+      val idx = graft.pipeline.Similarity.buildIvfIndex(
+        joined.select(F.col("doc_id").as("vec_id"), F.col("embedding")),
+        "vec_id", "embedding", nlist = 16, iterations = 2)
+      graft.pipeline.Packing.packTokenStream(
+        graft.pipeline.Packing.semanticOrder(joined, "doc_id", "embedding", idx)
+          .withColumn("n_tokens", F.size(F.filter(
+            F.split(F.col("text"), "\\s+"),
+            (x: org.apache.spark.sql.Column) => F.length(x) > 0)).cast("long")),
+        "ord", F.col("n_tokens"), 2048L)
+    }),
+
+    // journal-read-tax A/B: the same IVF content read through
+    // readVisible with no journal (plain directory read — the claimed
+    // zero-extra-IO happy path) vs mid-crashed-compact (journal +
+    // staged fold on disk, the assembled exact view)
+    "b_read_journal_absent" -> ((s: SparkSession, dir: String) => {
+      val (clean, _) = journalDirsFor(s, dir)
+      graft.pipeline.Similarity.loadIvfIndex(s, clean).assigned
+        .groupBy(F.col("__cell")).agg(F.count(F.lit(1)).as("n"))
+    }),
+
+    "b_read_journal_present" -> ((s: SparkSession, dir: String) => {
+      val (_, crashed) = journalDirsFor(s, dir)
+      graft.pipeline.Similarity.loadIvfIndex(s, crashed).assigned
+        .groupBy(F.col("__cell")).agg(F.count(F.lit(1)).as("n"))
+    }),
 
     "b_span_corruption" -> ((s: SparkSession, dir: String) =>
       graft.pipeline.SpanCorruption.corrupt(
@@ -1494,7 +1629,15 @@ object Bench {
           // the telemetry exercises the full production path
           "ivfpq" -> recallOf(pq.opqIvfPqTopK(ivfPqIndexFor(spark, sfDir, emb),
             emb, queries, "vec_id", "embedding", 10, nprobe = 4, poolSize = 4000,
-            probeMass = 0.6)))
+            probeMass = 0.6)),
+          // graph routing orders the cells; recall still tracks probed
+          // MASS (the measured IVF rule) — same 0.45 dial as ivf auto
+          "hnsw" -> recallOf(graft.pipeline.Hnsw.hnswTopK(
+            hnswIndexFor(spark, sfDir,
+              emb.filter(F.col("embedding").isNotNull)
+                .select(F.col("vec_id").cast("long").as("vec_id"),
+                  F.col("embedding"))),
+            queries, "vec_id", "embedding", 10)))
       } catch { case _: Throwable => Seq.empty }
     val rc = recall.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
 
@@ -1530,7 +1673,8 @@ object Bench {
     // (4000 candidates): the ADC pool was the binding constraint, not
     // the cell probing
     // ivfpq floor raised 0.7 -> 0.8 with the OPQ index + 0.6 probe mass
-    val floors = Map("lsh" -> 0.7, "ivf" -> 0.6, "pq" -> 0.7, "ivfpq" -> 0.8)
+    val floors = Map("lsh" -> 0.7, "ivf" -> 0.6, "pq" -> 0.7, "ivfpq" -> 0.8,
+      "hnsw" -> 0.6)
     val fl = floors.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val ok = recall.map { case (k, v) =>
       "\"" + k + "\":" + floors.get(k).forall(v >= _) }.mkString("{", ",", "}")

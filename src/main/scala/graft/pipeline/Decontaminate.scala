@@ -356,11 +356,69 @@ object Decontaminate {
       idCol: String,
       textCol: String,
       splitCol: String,
-      n: Int = 8): DataFrame = {
-    val dg = docs.select(F.col(splitCol).as("__sp"), F.col(idCol).as("__id"),
-        F.explode(wordNgrams(F.col(textCol), n)).as("gram"))
+      n: Int = 8): DataFrame =
+    leakageMatrixFrom(
+      docs.select(F.col(splitCol).as("__sp"), F.col(idCol).as("__id"),
+          F.explode(wordNgrams(F.col(textCol), n)).as("gram"))
+        .distinct())
+
+  /**
+   * Persistable per-split gram signature index for the NIGHTLY form of
+   * the leakage audit: one row per distinct (split, id, gram_h) with
+   * `gram_h = xxhash64(gram)` — 8 bytes per gram instead of the n-token
+   * string, the [[graft.pipeline.Dedup.buildChunkIndex]] discipline.
+   * Persist/append with [[graft.pipeline.Dedup.saveSignatureIndex]];
+   * takedowns work through `removeFromSavedIndex(indexIdCol = "id")`.
+   */
+  def buildLeakageIndex(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      splitCol: String,
+      n: Int = 8): DataFrame =
+    docs.select(F.col(splitCol).as("split"), F.col(idCol).as("id"),
+        F.explode(wordNgrams(F.col(textCol), n)).as("__g"))
+      .select(F.col("split"), F.col("id"), F.xxhash64(F.col("__g")).as("gram_h"))
       .distinct()
-      .localCheckpoint(eager = false)
+
+  /** The leakage matrix recomputed from a [[buildLeakageIndex]] frame —
+    * equal to [[splitLeakageMatrix]] over the same corpus absent 64-bit
+    * gram-hash collisions (~n²/2^65, the repo's xxhash64 argument). */
+  def leakageMatrixFromIndex(index: DataFrame): DataFrame =
+    leakageMatrixFrom(
+      index.select(F.col("split").as("__sp"), F.col("id").as("__id"),
+        F.col("gram_h").as("gram")).distinct())
+
+  /**
+   * Incremental (nightly-delta) leakage audit: tokenize ONLY the fresh
+   * batch, append its (split, id, gram_h) projection to the saved
+   * index, and recompute the matrix from the index — history text is
+   * never re-read, re-tokenized, or re-shuffled as strings (the
+   * [[graft.pipeline.Dedup.incrementalChunkOverlap]] discipline). The
+   * matrix joins run over 8-byte hashed rows, so even the recompute is
+   * far cheaper than the full-text form; equal to a full
+   * [[splitLeakageMatrix]] recompute on the grown corpus (the
+   * `q_split_leakage_incremental` gate pins it against the full-text
+   * oracle). Leakage is corpus-global — a new doc can leak against ALL
+   * history — so the matrix genuinely needs the whole index; the
+   * saving is tokenization + string shuffles, which dominate at crawl
+   * scale.
+   */
+  def incrementalSplitLeakage(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      fresh: DataFrame,
+      idCol: String,
+      textCol: String,
+      splitCol: String,
+      n: Int = 8): DataFrame = {
+    val delta = buildLeakageIndex(fresh, idCol, textCol, splitCol, n)
+    graft.pipeline.Dedup.saveSignatureIndex(delta, path, mode = "append")
+    leakageMatrixFromIndex(graft.pipeline.Dedup.loadSignatureIndex(spark, path))
+  }
+
+  private def leakageMatrixFrom(docGrams: DataFrame): DataFrame = {
+    val dg = docGrams.localCheckpoint(eager = false)
     val sg = dg.select(F.col("__sp"), F.col("gram")).distinct()
       .localCheckpoint(eager = false)
     // two gram joins total: the a-side doc join carries BOTH the

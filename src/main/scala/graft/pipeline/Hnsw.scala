@@ -1,0 +1,429 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{functions => F}
+
+/**
+ * Graph ANN (HNSW-class): a driver-built hierarchical small-world
+ * graph over a BOUNDED navigation sample, with the corpus assigned to
+ * navigation cells and probed distributively — the missing standard
+ * ANN family noted by the r11 review, shaped for Spark's partition
+ * model rather than single-node serving:
+ *
+ *   - The GRAPH lives on the driver and is broadcast (like IVF
+ *     centroids): `maxNav` nodes, levels drawn geometrically, M
+ *     neighbors per node — the classic Malkov-Yashunin construction
+ *     (greedy descent through upper layers, best-first beam at each
+ *     target layer), deterministic (seeded levels, no RNG state).
+ *   - The CORPUS never collects: every row walks the broadcast graph
+ *     once (map-only) to its nearest navigation node and lands in that
+ *     node's `__cell` partition via the shared [[CellTable]] layout —
+ *     so streaming append, takedown removal, and compaction all work
+ *     through the existing IVF machinery unchanged.
+ *   - A QUERY walks the graph (O(ef·M) dot products instead of the
+ *     IVF probe's O(nlist) centroid scan — the reason graph routing
+ *     matters at scale: nlist can grow to 10^5-10^6 fine cells at
+ *     100 TB without a per-query linear scan over them), takes
+ *     distance-ordered cells until `probeMass` of the corpus is
+ *     covered (recall tracks probed MASS — the repo's measured IVF
+ *     rule, unchanged by how the cells were ordered), and exact-cosine
+ *     reranks the probed rows.
+ *
+ * Exact-copy guarantee: assignment and probing walk the SAME graph
+ * with the SAME beam width (`efAssign`), so an identical query vector
+ * reproduces its copy's walk bit-for-bit and the copy's cell is always
+ * the FIRST probed cell — the q_decontaminate_semantic argument,
+ * graph-routed. The probe beam (`efSearch`) widens the candidate list
+ * beyond that guarantee; the assign-width walk rides along explicitly.
+ */
+object Hnsw {
+
+  /** The in-memory navigation graph. `vecs` are unit-normalized;
+    * `neighbors(i)(l)` is node i's adjacency at level l (l <=
+    * levels(i)). Distance = squared L2 on normalized vectors
+    * (monotone with cosine). */
+  final case class Graph(
+      vecs: Array[Array[Float]],
+      levels: Array[Int],
+      neighbors: Array[Array[Array[Int]]],
+      entry: Int,
+      m: Int,
+      efAssign: Int) extends Serializable
+
+  private def normalize(v: Array[Float]): Array[Float] = {
+    var s = 0.0
+    var i = 0
+    while (i < v.length) { s += v(i).toDouble * v(i); i += 1 }
+    val n = math.sqrt(s)
+    if (n == 0.0) v.clone()
+    else {
+      val out = new Array[Float](v.length)
+      i = 0
+      while (i < v.length) { out(i) = (v(i) / n).toFloat; i += 1 }
+      out
+    }
+  }
+
+  private def dist(a: Array[Float], b: Array[Float]): Double = {
+    var d = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { val t = a(i).toDouble - b(i); d += t * t; i += 1 }
+    d
+  }
+
+  /** Deterministic geometric level draw: floor(-ln(u) · mL) with u
+    * from the repo's replayable mix64 rule — no RNG state, the same
+    * graph from the same inputs every build. */
+  private def levelFor(seed: Long, i: Long, mL: Double): Int = {
+    val u = math.max(UnigramLm.positionUniform(seed, i, 0), 1e-12)
+    math.min((-math.log(u) * mL).toInt, 30)
+  }
+
+  /** Best-first beam search at one level: returns up to `ef` nodes as
+    * (node, dist), ASCENDING by distance. The standard searchLayer. */
+  private def searchLayer(
+      g: Graph, q: Array[Float], eps: Seq[Int], ef: Int, level: Int)
+      : Array[(Int, Double)] = {
+    val visited = new java.util.BitSet(g.vecs.length)
+    // candidates: nearest-first; results: farthest-first, capped at ef
+    val cand = new scala.collection.mutable.PriorityQueue[(Double, Int)]()(
+      Ordering.by[(Double, Int), Double](_._1).reverse)
+    val res = new scala.collection.mutable.PriorityQueue[(Double, Int)]()(
+      Ordering.by[(Double, Int), Double](_._1))
+    eps.foreach { e =>
+      if (!visited.get(e)) {
+        visited.set(e)
+        val d = dist(q, g.vecs(e))
+        cand.enqueue((d, e))
+        res.enqueue((d, e))
+        if (res.size > ef) res.dequeue()
+      }
+    }
+    while (cand.nonEmpty) {
+      val (dc, c) = cand.dequeue()
+      if (res.size >= ef && dc > res.head._1) {
+        cand.clear() // nearest candidate already worse than the beam edge
+      } else {
+        val nbrs = if (level < g.neighbors(c).length) g.neighbors(c)(level)
+                   else Array.empty[Int]
+        var i = 0
+        while (i < nbrs.length) {
+          val nb = nbrs(i)
+          if (!visited.get(nb)) {
+            visited.set(nb)
+            val d = dist(q, g.vecs(nb))
+            if (res.size < ef || d < res.head._1) {
+              cand.enqueue((d, nb))
+              res.enqueue((d, nb))
+              if (res.size > ef) res.dequeue()
+            }
+          }
+          i += 1
+        }
+      }
+    }
+    res.dequeueAll.toArray.reverse.map { case (d, n) => (n, d) }
+  }
+
+  /** Full multi-layer search: greedy ef=1 descent through the upper
+    * layers, then an `ef` beam at layer 0. Distance-ascending. */
+  def search(g: Graph, query: Array[Float], ef: Int): Array[(Int, Double)] = {
+    if (g.vecs.isEmpty) return Array.empty
+    val q = normalize(query)
+    var ep = g.entry
+    var l = g.levels(g.entry)
+    while (l > 0) {
+      ep = searchLayer(g, q, Seq(ep), 1, l).head._1
+      l -= 1
+    }
+    searchLayer(g, q, Seq(ep), math.max(ef, 1), 0)
+  }
+
+  /**
+   * Build the navigation graph over `points` (unit-normalized copies
+   * are stored; inputs are untouched). Deterministic: node i's level
+   * comes from the seeded mix64 draw; insertion order is the input
+   * order. Neighbor selection is M-nearest from the construction beam,
+   * with overfull adjacency shrunk back to the M nearest (2M at level
+   * 0) — the simple-select HNSW variant.
+   */
+  def build(
+      points: Array[Array[Float]],
+      m: Int = 16,
+      efConstruction: Int = 64,
+      efAssign: Int = 16,
+      seed: Long = 42L): Graph = {
+    require(m >= 2, s"m must be >= 2, got $m")
+    val n = points.length
+    val vecs = points.map(normalize)
+    val mL = 1.0 / math.log(m.toDouble)
+    val levels = Array.tabulate(n)(i => levelFor(seed, i.toLong, mL))
+    val neighbors = Array.tabulate(n)(i =>
+      Array.fill(levels(i) + 1)(Array.empty[Int]))
+    val g = Graph(vecs, levels, neighbors, entry = 0, m = m,
+      efAssign = efAssign)
+    if (n == 0) return g
+    var entry = 0
+    var maxLevel = levels(0)
+    val maxAt = (lc: Int) => if (lc == 0) 2 * m else m
+
+    var i = 1
+    while (i < n) {
+      val q = vecs(i)
+      val l = levels(i)
+      var ep = entry
+      var lc = maxLevel
+      while (lc > l) {
+        ep = searchLayer(g, q, Seq(ep), 1, lc).head._1
+        lc -= 1
+      }
+      var eps = Seq(ep)
+      lc = math.min(l, maxLevel)
+      while (lc >= 0) {
+        val found = searchLayer(g, q, eps, efConstruction, lc)
+        val selected = found.take(m).map(_._1)
+        neighbors(i)(lc) = selected
+        selected.foreach { nb =>
+          val cur = neighbors(nb)(lc)
+          val grown = cur :+ i
+          neighbors(nb)(lc) =
+            if (grown.length <= maxAt(lc)) grown
+            else grown.map(x => (x, dist(vecs(nb), vecs(x))))
+              .sortBy(_._2).take(maxAt(lc)).map(_._1)
+        }
+        eps = found.map(_._1).toSeq
+        lc -= 1
+      }
+      if (l > maxLevel) { maxLevel = l; entry = i }
+      i += 1
+    }
+    Graph(vecs, levels, neighbors, entry, m, efAssign)
+  }
+
+  /** The assignment walk: nearest navigation node at the index's
+    * frozen beam width. Identical vectors produce identical walks —
+    * the exact-copy contract. */
+  private[pipeline] def assignCell(g: Graph, v: Array[Float]): Int =
+    search(g, v, g.efAssign).head._1
+
+  // ------------------------------------------------------------------ //
+  // Spark integration                                                   //
+  // ------------------------------------------------------------------ //
+
+  /** A built HNSW index: the navigation graph, its nav-node source ids
+    * (reporting only), per-cell row counts (mass-adaptive probing) and
+    * the cell-assigned corpus (`neighbor_id`, `__cv`, `__cell` — the
+    * [[Similarity.IvfIndex]] layout, so maintenance machinery is
+    * shared). */
+  final case class HnswIndex(
+      graph: Graph,
+      navIds: Array[Long],
+      cellSizes: Array[Long],
+      assigned: DataFrame) {
+    def save(path: String): Unit = {
+      val spark = assigned.sparkSession
+      import spark.implicits._
+      CellTable.writeBase(assigned, s"$path/assigned")
+      graph.vecs.indices.map { i =>
+        (i, navIds(i), graph.levels(i), graph.vecs(i), graph.m,
+          graph.efAssign, graph.entry)
+      }.toDF("ix", "nav_id", "level", "vec", "m", "ef_assign", "entry")
+        .repartition(1)
+        .write.mode("overwrite").parquet(s"$path/nodes")
+      graph.neighbors.indices.flatMap { i =>
+        graph.neighbors(i).indices.flatMap { l =>
+          graph.neighbors(i)(l).map(nb => (i, l, nb))
+        }
+      }.toDF("ix", "level", "nbr")
+        .repartition(1)
+        .write.mode("overwrite").parquet(s"$path/edges")
+    }
+  }
+
+  /** Reload an index written by [[HnswIndex.save]]. Cell sizes are
+    * re-derived from the assignment (one bounded aggregate), so they
+    * stay correct through appends and removals. */
+  def loadHnswIndex(spark: SparkSession, path: String): HnswIndex = {
+    import spark.implicits._
+    val nodes = spark.read.parquet(s"$path/nodes")
+      .select("ix", "nav_id", "level", "vec", "m", "ef_assign", "entry")
+      .as[(Int, Long, Int, Array[Float], Int, Int, Int)]
+      .collect().sortBy(_._1)
+    val edges = spark.read.parquet(s"$path/edges")
+      .select("ix", "level", "nbr").as[(Int, Int, Int)].collect()
+      .groupBy(e => (e._1, e._2))
+    val n = nodes.length
+    val neighbors = Array.tabulate(n)(i =>
+      Array.tabulate(nodes(i)._3 + 1)(l =>
+        edges.getOrElse((i, l), Array.empty).map(_._3)))
+    val g = Graph(nodes.map(_._4), nodes.map(_._3), neighbors,
+      entry = if (n == 0) 0 else nodes.head._7,
+      m = if (n == 0) 16 else nodes.head._5,
+      efAssign = if (n == 0) 16 else nodes.head._6)
+    val assigned = CellTable.readVisible(spark, s"$path/assigned", "__cell")
+      .withColumn("__cell", F.col("__cell").cast("int"))
+      .select("neighbor_id", "__cv", "__cell")
+    HnswIndex(g, nodes.map(_._2), cellSizesOf(assigned, n), assigned)
+  }
+
+  private def cellSizesOf(assigned: DataFrame, n: Int): Array[Long] = {
+    val sizes = new Array[Long](n)
+    assigned.groupBy(F.col("__cell")).agg(F.count(F.lit(1)).as("__n"))
+      .collect().foreach { r =>
+        val c = r.getInt(0)
+        if (c >= 0 && c < n) sizes(c) = r.getLong(1)
+      }
+    sizes
+  }
+
+  /**
+   * One-off indexing pass: train `maxNav` k-means navigation points
+   * (the IVF cell geometry — balanced Voronoi cells, which raw sample
+   * points are not: a sample-point partition measured ~10 recall
+   * points below k-means at the same probed mass), build the graph
+   * over them driver-side, assign every corpus row by a broadcast
+   * graph walk (map-only; NULL vectors skipped). `maxNav` bounds
+   * driver memory — the corpus itself never collects. The graph's job
+   * is ROUTING: it replaces the O(nlist) linear centroid scan of the
+   * IVF probe with an O(ef·M) walk, which is what lets nlist grow to
+   * 10^5-10^6 fine cells at 100 TB.
+   */
+  def buildHnswIndex(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      maxNav: Int = 1024,
+      m: Int = 16,
+      efConstruction: Int = 64,
+      efAssign: Int = 16,
+      iterations: Int = 2,
+      seed: Long = 42L): HnswIndex = {
+    val spark = corpus.sparkSession
+    val nonNull = corpus.filter(F.col(vecCol).isNotNull)
+    // SPHERICAL k-means: the walk, the assignment, and the probe all
+    // compare normalized vectors (cosine geometry), so the navigation
+    // points must be trained in the same space — unnormalized means
+    // over a cosine partition cost ~2 recall points at equal mass
+    val normU = F.udf((v: Array[Float]) => normalize(v))
+    val navs = Similarity.trainCentroids(
+      nonNull.withColumn("__nv", normU(F.col(vecCol))),
+      idCol, "__nv", maxNav, iterations)
+    require(navs.nonEmpty, "buildHnswIndex: no non-null vectors")
+    val g = build(navs, m, efConstruction, efAssign, seed)
+    val gB = spark.sparkContext.broadcast(g)
+    val assignU = F.udf((v: Array[Float]) => assignCell(gB.value, v))
+    val assigned = nonNull
+      .select(F.col(idCol).as("neighbor_id"), F.col(vecCol).as("__cv"),
+        assignU(F.col(vecCol)).as("__cell"))
+    HnswIndex(g, navs.indices.map(_.toLong).toArray,
+      cellSizesOf(assigned, navs.length), assigned)
+  }
+
+  /** Distance-ordered probe cells for one query: the assign-width walk
+    * head FIRST (the exact-copy guarantee), then the `efSearch` beam's
+    * cells until `probeMass` of the corpus is covered (>= `minProbe`
+    * cells). */
+  private def probeCells(
+      g: Graph, sizes: Array[Long], total: Long, v: Array[Float],
+      efSearch: Int, minProbe: Int, probeMass: Double): Seq[Int] = {
+    val head = assignCell(g, v)
+    val beam = search(g, v, efSearch)
+    val want = math.ceil(probeMass * total).toLong
+    val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val seen = scala.collection.mutable.HashSet.empty[Int]
+    var acc = 0L
+    def add(c: Int): Unit = if (seen.add(c)) {
+      out += c
+      acc += (if (c < sizes.length) sizes(c) else 0L)
+    }
+    add(head)
+    var i = 0
+    while (i < beam.length && (out.length < minProbe || acc < want)) {
+      add(beam(i)._1)
+      i += 1
+    }
+    out.toSeq
+  }
+
+  /**
+   * Graph-routed approximate top-k with exact-cosine rerank over the
+   * probed cells — [[Similarity.ivfTopKIndexed]]'s shape with the
+   * probe list produced by the graph walk instead of a linear centroid
+   * scan. Probing stops at `probeMass` of the corpus (mass-adaptive:
+   * recall tracks probed mass as the corpus grows); `efSearch` bounds
+   * the walk's beam and therefore how many distinct cells the walk can
+   * surface.
+   */
+  def hnswTopK(
+      index: HnswIndex,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      efSearch: Int = 128,
+      minProbe: Int = 4,
+      probeMass: Double = 0.45): DataFrame = {
+    val spark = index.assigned.sparkSession
+    val gB = spark.sparkContext.broadcast(index.graph)
+    val sizes = index.cellSizes
+    val total = math.max(sizes.sum, 1L)
+    val probeU = F.udf((v: Array[Float]) =>
+      probeCells(gB.value, sizes, total, v, efSearch, minProbe, probeMass))
+    val q = queries.filter(F.col(vecCol).isNotNull)
+      .select(F.col(idCol).as("query_id"), F.col(vecCol).as("__qv"),
+        F.explode(probeU(F.col(vecCol))).as("__cell"))
+    val scored = index.assigned.join(F.broadcast(q), "__cell")
+      .filter(F.col("neighbor_id") =!= F.col("query_id"))
+      .withColumn("cos", Similarity.cosine(F.col("__qv"), F.col("__cv")))
+    val w = Window.partitionBy(F.col("query_id"))
+      .orderBy(F.col("cos").desc, F.col("neighbor_id").asc)
+    scored.withColumn("rank", F.row_number().over(w))
+      .filter(F.col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cos")
+  }
+
+  /** Nightly maintenance: assign a fresh batch with the FROZEN graph
+    * (map-only) and append under the touched cells — the
+    * [[Similarity.appendToIvfIndex]] contract on the shared layout.
+    * Returns the reloaded index. */
+  def appendToHnswIndex(
+      spark: SparkSession,
+      path: String,
+      fresh: DataFrame,
+      idCol: String,
+      vecCol: String): HnswIndex = {
+    val idx = loadHnswIndex(spark, path)
+    val gB = spark.sparkContext.broadcast(idx.graph)
+    val assignU = F.udf((v: Array[Float]) => assignCell(gB.value, v))
+    val rows = fresh.filter(F.col(vecCol).isNotNull)
+      .select(F.col(idCol).as("neighbor_id"), F.col(vecCol).as("__cv"),
+        assignU(F.col(vecCol)).as("__cell"))
+    if (!rows.isEmpty)
+      CellTable.appendBatch(spark, s"$path/assigned", rows, batchId = -1L)
+    loadHnswIndex(spark, path)
+  }
+
+  /** Takedown removal — the shared touched-cell pass over the
+    * [[CellTable]] layout ([[Similarity.removeFromIvfIndex]]'s
+    * contract: single-maintainer lock, writer lease enforced). The
+    * navigation graph is untouched (nav nodes are ROUTING points, not
+    * corpus rows — a removed document's vector may keep routing, like
+    * a frozen IVF centroid). Returns the reloaded index. */
+  def removeFromHnswIndex(
+      spark: SparkSession,
+      path: String,
+      ids: DataFrame,
+      idCol: String): HnswIndex = {
+    Similarity.removeFromCellTable(spark, path, s"$path/assigned", ids, idCol)
+    loadHnswIndex(spark, path)
+  }
+
+  /** Fold retired streaming batches — [[Similarity.compactIvfIndex]]
+    * on the shared layout. */
+  def compactHnswIndex(spark: SparkSession, path: String): HnswIndex = {
+    CellTable.compact(spark, path, s"$path/assigned")
+    loadHnswIndex(spark, path)
+  }
+}

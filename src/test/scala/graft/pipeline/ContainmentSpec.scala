@@ -135,4 +135,32 @@ class ContainmentSpec extends SparkTestBase {
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
     assert(m2.head._3 === 3L) // 8-grams of a 10-token shared run
   }
+
+  test("incrementalSplitLeakage equals the full recompute on the grown corpus") {
+    val docs = sf("sf0.001", "documents").filter(F.col("text").isNotNull)
+      .withColumn("sp",
+        F.when(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+          < "cccd", "train").otherwise("val"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("split_a", "split_b", "shared_grams",
+          "leaked_docs_a", "leaked_docs_b")
+        .collect().map(_.toSeq).toSet
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_leak_idx").toString + "/idx"
+    // night 0: index the even half; nights 1 and 2 deliver the rest in
+    // two deltas — only the delta is ever tokenized
+    Dedup.saveSignatureIndex(
+      Decontaminate.buildLeakageIndex(
+        docs.filter(F.col("doc_id") % 2 === 0), "doc_id", "text", "sp"),
+      path)
+    Decontaminate.incrementalSplitLeakage(spark, path,
+      docs.filter(F.col("doc_id") % 4 === 1), "doc_id", "text", "sp")
+    val inc = Decontaminate.incrementalSplitLeakage(spark, path,
+      docs.filter(F.col("doc_id") % 4 === 3), "doc_id", "text", "sp")
+    val full = Decontaminate.splitLeakageMatrix(docs, "doc_id", "text", "sp")
+    assert(rows(inc) === rows(full) && rows(inc).nonEmpty)
+    // the index form alone equals the text form too
+    assert(rows(Decontaminate.leakageMatrixFromIndex(
+      Dedup.loadSignatureIndex(spark, path))) === rows(full))
+  }
 }

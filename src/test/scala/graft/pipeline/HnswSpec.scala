@@ -1,0 +1,130 @@
+package graft.pipeline
+
+import graft.SparkTestBase
+import org.apache.spark.sql.{functions => F}
+
+/**
+ * Graph ANN (HNSW-class): driver-built navigation graph + distributed
+ * cell probe. Pins: deterministic builds, graph-search quality on the
+ * nav layer, planted-copy rank-1 through save/load, recall floor vs
+ * brute force, frozen-graph append ≡ rebuild-free growth, takedown via
+ * the shared cell-table pass.
+ */
+class HnswSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def emb = sf("sf0.001", "embeddings")
+    .filter(F.col("embedding").isNotNull)
+    .select(F.col("vec_id").cast("long").as("vec_id"), F.col("embedding"))
+
+  test("build is deterministic; graph search finds the true nearest nav node") {
+    val vecs = emb.limit(200).select("embedding")
+      .as[Array[Float]].collect()
+    val g1 = Hnsw.build(vecs, m = 8, efConstruction = 48)
+    val g2 = Hnsw.build(vecs, m = 8, efConstruction = 48)
+    assert(g1.levels.toSeq === g2.levels.toSeq)
+    assert(g1.neighbors.map(_.map(_.toSeq).toSeq).toSeq ===
+      g2.neighbors.map(_.map(_.toSeq).toSeq).toSeq)
+    assert(g1.entry === g2.entry)
+    // layer-0 beam at full width recovers the exact nearest for every
+    // node's own vector (distance 0 to itself)
+    vecs.indices.take(50).foreach { i =>
+      val hit = Hnsw.search(g1, vecs(i), ef = 16).head
+      assert(hit._2 <= 1e-9, s"node $i not its own nearest (d=${hit._2})")
+    }
+    // high-ef search ≈ exhaustive: top-1 matches brute force on navs
+    val norm = vecs.map { v =>
+      val s = math.sqrt(v.map(x => x.toDouble * x).sum)
+      if (s == 0) v else v.map(x => (x / s).toFloat)
+    }
+    def bruteNearest(qi: Int): Int = {
+      val q = norm(qi)
+      vecs.indices.filter(_ != qi).minBy { j =>
+        val c = norm(j)
+        c.zip(q).map { case (a, b) => (a.toDouble - b) * (a - b) }.sum
+      }
+    }
+    var agree = 0
+    val probeIdx = vecs.indices.take(40)
+    probeIdx.foreach { i =>
+      val top = Hnsw.search(g1, vecs(i), ef = 64)
+        .filter(_._1 != i).head._1
+      if (top == bruteNearest(i)) agree += 1
+    }
+    assert(agree >= (probeIdx.size * 9) / 10,
+      s"graph search agreed with brute force on only $agree/${probeIdx.size}")
+  }
+
+  test("planted copies probe rank-1 through save/load; recall floor vs brute force") {
+    val idx = Hnsw.buildHnswIndex(emb, "vec_id", "embedding",
+      maxNav = 32, m = 8, efConstruction = 48, efAssign = 16)
+    val path = java.nio.file.Files.createTempDirectory("graft_hnsw").toString
+    idx.save(path)
+    val loaded = Hnsw.loadHnswIndex(spark, path)
+    assert(loaded.graph.levels.toSeq === idx.graph.levels.toSeq)
+    assert(loaded.graph.m === idx.graph.m &&
+      loaded.graph.efAssign === idx.graph.efAssign &&
+      loaded.graph.entry === idx.graph.entry)
+    assert(loaded.cellSizes.sum === emb.count())
+
+    // exact copies: identical vector → identical assign walk → the
+    // copy's cell is the FIRST probed cell → rank 1 at cos ~ 1
+    val probes = emb.filter(F.col("vec_id") % 37 === 0)
+      .select((F.col("vec_id") + 100000L).as("vec_id"), F.col("embedding"))
+    val hits = Hnsw.hnswTopK(loaded, probes, "vec_id", "embedding", 1,
+        efSearch = 16, minProbe = 1, probeMass = 0.0)
+      .select("query_id", "neighbor_id", "cos").collect()
+    assert(hits.length === probes.count())
+    hits.foreach { r =>
+      assert(r.getLong(1) === r.getLong(0) - 100000L, s"copy missed: $r")
+      assert(r.getDouble(2) >= 0.999999)
+    }
+
+    // recall@10 vs brute force at the default mass dial
+    val queries = emb.filter(F.col("vec_id") % 13 === 0)
+    val approx = Hnsw.hnswTopK(loaded, queries, "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val brute = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = brute.count(approx.contains).toDouble / brute.size
+    // measured 0.795 at sf0.001 vs ivfTopKAuto's 0.767 on the same
+    // workload — recall tracks probed mass; the floor leaves margin
+    // for testdata regeneration (bench pins the sf0.1 floor)
+    assert(recall >= 0.7, s"hnsw recall@10 = $recall")
+  }
+
+  test("frozen-graph append grows the index; takedown removes through the shared pass") {
+    val even = emb.filter(F.col("vec_id") % 2 === 0)
+    val odd = emb.filter(F.col("vec_id") % 2 =!= 0)
+    val path = java.nio.file.Files.createTempDirectory("graft_hnsw_ap").toString
+    Hnsw.buildHnswIndex(even, "vec_id", "embedding",
+      maxNav = 32, m = 8, efConstruction = 48).save(path)
+    val grown = Hnsw.appendToHnswIndex(spark, path, odd, "vec_id", "embedding")
+    assert(grown.assigned.count() === emb.count())
+    // appended rows assign with the FROZEN graph — identical to what a
+    // fresh assignment of the same rows against the loaded graph gives
+    val g = grown.graph
+    val expect = odd.as[(Long, Array[Float])].collect()
+      .map { case (id, v) => (id, Hnsw.assignCell(g, v)) }.toMap
+    val got = grown.assigned
+      .join(odd.select(F.col("vec_id").as("neighbor_id")), "neighbor_id")
+      .select(F.col("neighbor_id").cast("long"), F.col("__cell"))
+      .as[(Long, Int)].collect().toMap
+    assert(got === expect)
+    // probe finds an appended exact copy at rank 1
+    val probe = odd.limit(3)
+      .select((F.col("vec_id") + 100000L).as("vec_id"), F.col("embedding"))
+    val hit = Hnsw.hnswTopK(grown, probe, "vec_id", "embedding", 1,
+        efSearch = 16, minProbe = 1, probeMass = 0.0)
+      .select("query_id", "neighbor_id", "cos").collect()
+    hit.foreach(r => assert(r.getLong(1) === r.getLong(0) - 100000L))
+
+    // takedown: the shared touched-cell removal pass
+    val doomed = odd.limit(3).select("vec_id")
+    val pruned = Hnsw.removeFromHnswIndex(spark, path, doomed, "vec_id")
+    val doomedIds = doomed.as[Long].collect().toSet
+    assert(pruned.assigned
+      .filter(F.col("neighbor_id").isin(doomedIds.toSeq: _*)).isEmpty)
+    assert(pruned.assigned.count() === emb.count() - 3)
+  }
+}
