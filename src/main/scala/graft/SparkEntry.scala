@@ -3317,6 +3317,12 @@ object SparkEntry {
     "q_text_remove" -> ((s: SparkSession, dir: String) => {
       val docs = t(s, dir, "documents")
       val path = System.getProperty("java.io.tmpdir") + "/graft_q_text_rm"
+      // a prior run KILLED mid-removal leaves a fresh-looking
+      // maintenance lock — start clean (locks release in finally, but
+      // a SIGKILL has no finally)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
       graft.pipeline.Retrieval.buildTextIndex(docs, "doc_id", "text")
         .save(path)
       val pruned = graft.pipeline.Retrieval.removeFromTextIndex(
@@ -3401,6 +3407,12 @@ object SparkEntry {
       val hist = graft.pipeline.Multimodal.plantedNearDupMedia(
         docs.filter(F.col("doc_id") % 3 =!= 2), "doc_id")
       val path = System.getProperty("java.io.tmpdir") + "/graft_q_dedup_rm_idx"
+      // the flat family's lock is a SIBLING file (the takedown swap
+      // replaces the dir) — clear BOTH leftovers from a killed run
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      fs.delete(new org.apache.hadoop.fs.Path(path + "__maintenance_lock"), false)
       graft.pipeline.Dedup.saveSignatureIndex(
         graft.pipeline.Multimodal.buildMediaHashIndex(hist), path)
       val pruned = graft.pipeline.Dedup.removeFromSavedIndex(
@@ -3430,6 +3442,10 @@ object SparkEntry {
         .select("doc_id", "text")
         .unionByName(phantoms)
       val path = System.getProperty("java.io.tmpdir") + "/graft_q_idx_sync"
+      // clear any crash-leftover maintenance lock from a killed run
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
       graft.pipeline.Retrieval.buildTextIndex(old, "doc_id", "text").save(path)
       val synced = graft.pipeline.Retrieval.syncTextIndex(
         s, path, old, docs.select("doc_id", "text"), "doc_id", "text")
@@ -3493,6 +3509,11 @@ object SparkEntry {
       val doomed = emb.filter(F.col("vec_id") % 37 === 0).select("vec_id")
       val ivfPath = System.getProperty("java.io.tmpdir") + "/graft_q_idxrm_ivf"
       val pqPath = System.getProperty("java.io.tmpdir") + "/graft_q_idxrm_pq"
+      // clear any crash-leftover maintenance lock from a killed run
+      val fs = new org.apache.hadoop.fs.Path(ivfPath)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(ivfPath), true)
+      fs.delete(new org.apache.hadoop.fs.Path(pqPath), true)
       sim.buildIvfIndex(emb, "vec_id", "embedding", nlist = 8).save(ivfPath)
       pq.buildIvfPq(emb, "vec_id", "embedding", nlist = 8, m = 16, ksub = 16)
         .save(pqPath)

@@ -394,6 +394,26 @@ object Hnsw {
       fresh: DataFrame,
       idCol: String,
       vecCol: String): HnswIndex = {
+    appendBatchToHnswIndex(spark, path, fresh, idCol, vecCol, batchId = -1L)
+    loadHnswIndex(spark, path)
+  }
+
+  /** One (batch or micro-batch) append: `-1` = batch maintenance
+    * (pure file-adds); a real micro-batch id honors the maintenance
+    * watermark and dynamic-overwrites exactly its own partitions —
+    * the [[Similarity.appendToIvfIndexTouched]] protocol. */
+  private[graft] def appendBatchToHnswIndex(
+      spark: SparkSession,
+      path: String,
+      fresh: DataFrame,
+      idCol: String,
+      vecCol: String,
+      batchId: Long): Unit = {
+    // a micro-batch at or below the maintenance watermark was already
+    // mutated by a removal after it committed: its replay must write
+    // nothing or taken-down vectors would resurrect
+    if (batchId >= 0L &&
+        batchId <= CellTable.readMaintainedThrough(spark, path)) return
     val idx = loadHnswIndex(spark, path)
     val gB = spark.sparkContext.broadcast(idx.graph)
     val assignU = F.udf((v: Array[Float]) => assignCell(gB.value, v))
@@ -401,9 +421,28 @@ object Hnsw {
       .select(F.col(idCol).as("neighbor_id"), F.col(vecCol).as("__cv"),
         assignU(F.col(vecCol)).as("__cell"))
     if (!rows.isEmpty)
-      CellTable.appendBatch(spark, s"$path/assigned", rows, batchId = -1L)
-    loadHnswIndex(spark, path)
+      CellTable.appendBatch(spark, s"$path/assigned", rows, batchId)
   }
+
+  /** Continuous maintenance: each micro-batch assigns against the
+    * frozen graph and lands under its own `__batch` partitions with
+    * dynamic overwrite (replay-idempotent) — the
+    * [[Similarity.streamToIvfIndex]] protocol on the shared layout.
+    * One streaming writer per path; the writer lease heartbeats so
+    * removals refuse until the stop-then-release handshake. */
+  def streamToHnswIndex(
+      stream: DataFrame,
+      path: String,
+      idCol: String,
+      vecCol: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        Maintenance.heartbeat(batch.sparkSession, path)
+        appendBatchToHnswIndex(batch.sparkSession, path, batch, idCol,
+          vecCol, batchId)
+        ()
+    }
 
   /** Takedown removal — the shared touched-cell pass over the
     * [[CellTable]] layout ([[Similarity.removeFromIvfIndex]]'s

@@ -127,4 +127,48 @@ class HnswSpec extends SparkTestBase {
       .filter(F.col("neighbor_id").isin(doomedIds.toSeq: _*)).isEmpty)
     assert(pruned.assigned.count() === emb.count() - 3)
   }
+
+  test("streamToHnswIndex equals the batch append; replays are idempotent") {
+    val even = emb.filter(F.col("vec_id") % 2 === 0)
+    val odd = emb.filter(F.col("vec_id") % 2 =!= 0)
+      .select(F.col("vec_id").cast("long").as("vec_id"), F.col("embedding"))
+    val dirA = java.nio.file.Files.createTempDirectory("graft_hnsw_ba").toString
+    val dirB = java.nio.file.Files.createTempDirectory("graft_hnsw_st").toString
+    val built = Hnsw.buildHnswIndex(even, "vec_id", "embedding",
+      maxNav = 16, m = 8, efConstruction = 48)
+    built.save(dirA); built.save(dirB)
+    Hnsw.appendToHnswIndex(spark, dirA, odd, "vec_id", "embedding")
+    val src = java.nio.file.Files.createTempDirectory("graft_hnsw_src").toString
+    odd.repartition(3).write.mode("overwrite").parquet(src)
+    val q = Hnsw.streamToHnswIndex(
+        spark.readStream.schema(odd.schema)
+          .option("maxFilesPerTrigger", 1).parquet(src),
+        dirB, "vec_id", "embedding")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_hnsw_ck").toString)
+      .start()
+    q.awaitTermination()
+    def content(dir: String) = Hnsw.loadHnswIndex(spark, dir).assigned
+      .select(F.col("neighbor_id").cast("long"), F.col("__cell"))
+      .as[(Long, Int)].collect().toSet
+    val batchSet = content(dirA)
+    assert(content(dirB) === batchSet && batchSet.nonEmpty)
+    // at-least-once redelivery replaces exactly its own partitions
+    val extra = odd.limit(4)
+    Hnsw.appendBatchToHnswIndex(spark, dirB, extra, "vec_id", "embedding",
+      batchId = 99L)
+    val once = content(dirB)
+    Hnsw.appendBatchToHnswIndex(spark, dirB, extra, "vec_id", "embedding",
+      batchId = 99L)
+    assert(content(dirB) === once)
+    // removal advances the watermark; a replay of the mutated batch
+    // writes nothing (writer stopped -> release the lease first)
+    Maintenance.releaseWriterLease(spark, dirB)
+    Hnsw.removeFromHnswIndex(spark, dirB, extra.select("vec_id"), "vec_id")
+    val afterRm = content(dirB)
+    Hnsw.appendBatchToHnswIndex(spark, dirB, extra, "vec_id", "embedding",
+      batchId = 99L)
+    assert(content(dirB) === afterRm, "replay resurrected removed vectors")
+  }
 }
