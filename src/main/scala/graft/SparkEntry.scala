@@ -2715,6 +2715,25 @@ object SparkEntry {
         .orderBy("split_a", "split_b")
     }),
 
+    // the STATEFUL (delta-bounded) leakage audit: init on the even
+    // half, one nightly delta with the odd half — maintained
+    // memberships + doc-leak state + per-batch shared deltas must fold
+    // to exactly the full-text matrix (q_split_leakage's oracle,
+    // verbatim). Nothing corpus-sized shuffles in the update.
+    "q_split_leakage_state" -> ((s: SparkSession, dir: String) => {
+      val docs = t(s, dir, "documents").filter(F.col("text").isNotNull)
+        .withColumn("sp",
+          F.when(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+            < "cccd", "train").otherwise("val"))
+      val path = System.getProperty("java.io.tmpdir") + "/graft_q_leak_state"
+      graft.pipeline.Decontaminate.initLeakageState(s, path,
+        docs.filter(F.col("doc_id") % 2 === 0), "doc_id", "text", "sp")
+      graft.pipeline.Decontaminate.updateLeakageState(s, path,
+          docs.filter(F.col("doc_id") % 2 =!= 0), "doc_id", "text", "sp",
+          batchId = 0L)
+        .orderBy("split_a", "split_b")
+    }),
+
     "q_decontaminate_sources" -> ((s: SparkSession, dir: String) => {
       val docs = t(s, dir, "documents")
         .filter(F.col("text").isNotNull).select("doc_id", "text")
@@ -3456,6 +3475,35 @@ object SparkEntry {
         .orderBy("rank")
     }),
 
+    // zero-downtime IVF re-train (the drift-says-retrain endpoint):
+    // fresh centroids trained over the index's own contents, staged
+    // beside the live index, journaled, swapped. The gate retrains a
+    // coarse nlist=4 index to nlist=8 and pins the exact surviving id
+    // set (content is invariant under re-train), the new cell count,
+    // and planted-copy rank-1 probes against the retrained geometry.
+    "q_ivf_retrain" -> ((s: SparkSession, dir: String) => {
+      val sim = graft.pipeline.Similarity
+      val emb = t(s, dir, "embeddings")
+        .filter(F.col("embedding").isNotNull)
+        .select(F.col("vec_id").cast("long").as("vec_id"), F.col("embedding"))
+      val path = System.getProperty("java.io.tmpdir") + "/graft_q_ivf_retrain"
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      sim.buildIvfIndex(emb, "vec_id", "embedding", nlist = 4, iterations = 1)
+        .save(path)
+      val re = sim.retrainIvfIndex(s, path, nlist = 8, iterations = 2)
+      val nOk = re.assigned.count() == emb.count()
+      val nlistOk = re.centroids.length == 8
+      val probes = emb.filter(F.col("vec_id") % 37 === 0)
+        .select((F.col("vec_id") + 100000L).as("vec_id"), F.col("embedding"))
+      sim.ivfTopKIndexed(re, probes, "vec_id", "embedding", 1, nprobe = 1)
+        .select(F.col("query_id"), F.col("neighbor_id").as("top1"),
+          (F.col("cos") >= 0.999999).as("found"),
+          F.lit(nOk).as("n_ok"), F.lit(nlistOk).as("nlist_ok"))
+        .orderBy("query_id")
+    }),
+
     // graph ANN (HNSW-class): driver-built navigation graph over a
     // bounded sample, corpus assigned by a broadcast graph walk into
     // the shared cell-table layout, probes partition-prune to the
@@ -3931,7 +3979,9 @@ object SparkEntry {
         .localCheckpoint(eager = false)
       val nDedup = deduped.count()
       // 2. soft dedup: each minhash cluster survives at 1/|cluster|
-      val weighted = D.downweightDuplicates(deduped, "doc_id", "text")
+      // (rowsPerBand 8 — the b_pipeline candidate-flood tuning)
+      val weighted = D.downweightDuplicates(deduped, "doc_id", "text",
+          shingleSize = 5, threshold = 0.8, bands = 16, rowsPerBand = 8)
         .select("doc_id", "text").localCheckpoint(eager = false)
       val nDown = weighted.count()
       // 3. eval-hygiene audit over the curated corpus (md5 split rule)
@@ -8450,6 +8500,13 @@ object SparkEntry {
         |  SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
         |         doc_id, tf_total, n_terms_hit FROM scored) t
         |WHERE rank <= 10 ORDER BY rank""".stripMargin,
+    "q_ivf_retrain" ->
+      """SELECT CAST(vec_id + 100000 AS BIGINT) AS query_id,
+        |       CAST(vec_id AS BIGINT) AS top1,
+        |       true AS found, true AS n_ok, true AS nlist_ok
+        |FROM embeddings
+        |WHERE embedding IS NOT NULL AND vec_id % 37 = 0
+        |ORDER BY query_id""".stripMargin,
     "q_ann_hnsw" ->
       """SELECT CAST(vec_id + 100000 AS BIGINT) AS query_id,
         |       CAST(vec_id AS BIGINT) AS top1,
@@ -9854,8 +9911,9 @@ object SparkEntry {
       ("q_lm_joined" -> m("q_lm_score")) +
       ("q_boilerplate_joined" -> m("q_boilerplate")) +
       ("q_stream_cdc_overlap" -> m("q_dedup_cdc_incremental")) +
-      // the nightly-delta audit equals the full recompute on the grown
+      // the nightly-delta audits equal the full recompute on the grown
       // corpus — q_split_leakage's oracle, shared verbatim
-      ("q_split_leakage_incremental" -> m("q_split_leakage"))
+      ("q_split_leakage_incremental" -> m("q_split_leakage")) +
+      ("q_split_leakage_state" -> m("q_split_leakage"))
   }
 }

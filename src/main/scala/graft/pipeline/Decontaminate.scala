@@ -417,6 +417,167 @@ object Decontaminate {
     leakageMatrixFromIndex(graft.pipeline.Dedup.loadSignatureIndex(spark, path))
   }
 
+  // ---------------------------------------------------------------- //
+  // Stateful (delta-bounded) leakage audit                            //
+  // ---------------------------------------------------------------- //
+
+  /**
+   * The TRULY incremental leakage audit: instead of recomputing the
+   * matrix over the whole gram index each night
+   * ([[incrementalSplitLeakage]] — whose matrix recompute still
+   * shuffles the full index and measures no faster than the full-text
+   * form at bench scale), maintain the audit's sufficient statistics
+   * and touch history only with DELTA-bounded broadcast probes:
+   *
+   *   - `grams`    (split, id, gram_h): the append-only probe table;
+   *   - `memb`     (split, gram_h): distinct gram-split memberships —
+   *     a gram's membership is set-once under append-only corpora, so
+   *     a pair (a, b) gains a shared gram exactly when the SECOND
+   *     membership appears;
+   *   - `docleaks` (id, own, other): documents known to share >= 1
+   *     gram with another split (bounded by docs × splits);
+   *   - `shared`   (split_a, split_b, shared_grams): per-batch count
+   *     DELTAS (the TextIndex stats-row discipline — sums are
+   *     invariant under folding and replays overwrite their own row).
+   *
+   * A nightly update tokenizes ONLY the delta, finds new memberships
+   * by one anti-join, lights up existing documents with ONE map-side
+   * scan of `grams` against the BROADCAST new memberships, new
+   * documents with one map-side scan of `memb` against the broadcast
+   * delta, and computes shared-gram increments over new-membership
+   * grams only. Nothing corpus-sized shuffles.
+   *
+   * Every table is `__batch`-stamped: an update with a real `batchId`
+   * computes against state EXCLUDING its own batch and
+   * dynamic-overwrites exactly its own partitions, so a crashed
+   * nightly is simply re-run with the same id (effectively-once).
+   * Single-maintainer (the [[Maintenance]] lock). Append-only corpora
+   * and stable split labels; takedowns = re-init.
+   */
+  def initLeakageState(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      splitCol: String,
+      n: Int = 8): DataFrame = Maintenance.withLock(spark, path) {
+    val dg = buildLeakageIndex(docs, idCol, textCol, splitCol, n)
+      .localCheckpoint(eager = false)
+    val memb = dg.select("split", "gram_h").distinct()
+      .localCheckpoint(eager = false)
+    val dl = dg
+      .join(memb.select(F.col("gram_h"), F.col("split").as("other")), "gram_h")
+      .filter(F.col("split") =!= F.col("other"))
+      .select(F.col("id"), F.col("split").as("own"), F.col("other"))
+      .distinct()
+    val shared = memb.select(F.col("gram_h"), F.col("split").as("split_a"))
+      .join(memb.select(F.col("gram_h"), F.col("split").as("split_b")), "gram_h")
+      .filter(F.col("split_a") < F.col("split_b"))
+      .groupBy("split_a", "split_b")
+      .agg(F.count(F.lit(1)).as("shared_grams"))
+    def w(df: DataFrame, name: String): Unit =
+      df.withColumn("__batch", F.lit(-1L))
+        .write.partitionBy("__batch").mode("overwrite")
+        .parquet(s"$path/$name")
+    w(dg, "grams"); w(memb, "memb"); w(dl, "docleaks"); w(shared, "shared")
+    leakageMatrixFromState(spark, path)
+  }
+
+  /** One nightly delta. `batchId` must be fresh and monotone (the
+    * scheduler's run number); re-running a failed night with the SAME
+    * id converges (own-batch rows are excluded from every read and
+    * overwritten by every write). Returns the updated matrix. */
+  def updateLeakageState(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      fresh: DataFrame,
+      idCol: String,
+      textCol: String,
+      splitCol: String,
+      batchId: Long,
+      n: Int = 8): DataFrame = Maintenance.withLock(spark, path) {
+    require(batchId >= 0L, s"batchId must be >= 0, got $batchId")
+    def tbl(name: String): DataFrame =
+      spark.read.parquet(s"$path/$name")
+        .withColumn("__batch", F.col("__batch").cast("long"))
+        .filter(F.col("__batch") =!= batchId)
+    val dgD = buildLeakageIndex(fresh, idCol, textCol, splitCol, n)
+      .localCheckpoint(eager = true)
+    if (dgD.isEmpty) leakageMatrixFromState(spark, path) else {
+    val membOld = tbl("memb").select("split", "gram_h")
+    val ng = dgD.select("split", "gram_h").distinct()
+      .join(membOld, Seq("split", "gram_h"), "left_anti")
+      .localCheckpoint(eager = true)
+    // existing (and delta) docs lit up by NEW memberships: one
+    // map-side scan of the probe table against the broadcast NG
+    val hitA = tbl("grams").select("split", "id", "gram_h").unionByName(dgD)
+      .join(F.broadcast(
+        ng.select(F.col("gram_h"), F.col("split").as("other"))), "gram_h")
+      .filter(F.col("split") =!= F.col("other"))
+      .select(F.col("id"), F.col("split").as("own"), F.col("other"))
+    // delta docs vs OLD memberships: one map-side scan of memb
+    val hitB = membOld
+      .select(F.col("gram_h"), F.col("split").as("other"))
+      .join(F.broadcast(dgD.select(F.col("gram_h"), F.col("id"),
+        F.col("split").as("own"))), "gram_h")
+      .filter(F.col("own") =!= F.col("other"))
+      .select("id", "own", "other")
+    val newLeaks = hitA.unionByName(hitB).distinct()
+      .join(tbl("docleaks").select("id", "own", "other"),
+        Seq("id", "own", "other"), "left_anti")
+      .localCheckpoint(eager = true)
+    // shared-gram increments: a pair gains gram g iff g's SECOND side
+    // appeared — i.e. at least one side of the pair is a new
+    // membership (both-new covers two memberships landing in one
+    // delta). NG-bounded self-join; per-gram rows <= |splits|.
+    val tagged = ng
+      .select(F.col("gram_h"), F.col("split"), F.lit(true).as("__new"))
+      .unionByName(membOld
+        .join(F.broadcast(ng.select("gram_h").distinct()), "gram_h")
+        .select(F.col("gram_h"), F.col("split"), F.lit(false).as("__new")))
+    val inc = tagged
+      .select(F.col("gram_h"), F.col("split").as("split_a"),
+        F.col("__new").as("__na"))
+      .join(tagged.select(F.col("gram_h"), F.col("split").as("split_b"),
+        F.col("__new").as("__nb")), "gram_h")
+      .filter(F.col("split_a") < F.col("split_b"))
+      .filter(F.col("__na") || F.col("__nb"))
+      .groupBy("split_a", "split_b")
+      .agg(F.count(F.lit(1)).as("shared_grams"))
+      .localCheckpoint(eager = true)
+    def w(df: DataFrame, name: String): Unit =
+      df.withColumn("__batch", F.lit(batchId))
+        .write.partitionBy("__batch")
+        .option("partitionOverwriteMode", "dynamic").mode("overwrite")
+        .parquet(s"$path/$name")
+    w(dgD, "grams"); w(ng, "memb"); w(newLeaks, "docleaks"); w(inc, "shared")
+    leakageMatrixFromState(spark, path)
+  } }
+
+  /** The matrix from the maintained statistics: shared counts are the
+    * fold of the per-batch deltas; leaked counts one aggregate over
+    * the (docs × splits)-bounded docleaks table. Output and pair
+    * omission rules identical to [[splitLeakageMatrix]]. */
+  def leakageMatrixFromState(
+      spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    val shared = spark.read.parquet(s"$path/shared")
+      .groupBy("split_a", "split_b")
+      .agg(F.sum("shared_grams").as("shared_grams"))
+      .filter(F.col("shared_grams") > 0)
+    val dl = spark.read.parquet(s"$path/docleaks")
+      .select("id", "own", "other").distinct()
+    val la = dl.filter(F.col("own") < F.col("other"))
+      .groupBy(F.col("own").as("split_a"), F.col("other").as("split_b"))
+      .agg(F.count(F.lit(1)).as("leaked_docs_a"))
+    val lb = dl.filter(F.col("own") > F.col("other"))
+      .groupBy(F.col("other").as("split_a"), F.col("own").as("split_b"))
+      .agg(F.count(F.lit(1)).as("leaked_docs_b"))
+    shared
+      .join(la, Seq("split_a", "split_b"))
+      .join(lb, Seq("split_a", "split_b"))
+  }
+
   private def leakageMatrixFrom(docGrams: DataFrame): DataFrame = {
     val dg = docGrams.localCheckpoint(eager = false)
     val sg = dg.select(F.col("__sp"), F.col("gram")).distinct()

@@ -465,4 +465,10 @@ object Hnsw {
     CellTable.compact(spark, path, s"$path/assigned")
     loadHnswIndex(spark, path)
   }
+
+  /** Auto-compaction dial — [[Similarity.maybeCompactIvfIndex]] on
+    * the shared layout. */
+  def maybeCompactHnswIndex(
+      spark: SparkSession, path: String, maxFilesPerCell: Int = 4): Boolean =
+    CellTable.maybeCompact(spark, path, s"$path/assigned", maxFilesPerCell)
 }

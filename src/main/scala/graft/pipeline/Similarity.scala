@@ -607,6 +607,119 @@ object Similarity {
       spark: SparkSession, path: String, maxFilesPerCell: Int = 4): Boolean =
     CellTable.maybeCompact(spark, path, s"$path/assigned", maxFilesPerCell)
 
+  private val RetrainStaging = "_retrain"
+  private val RetrainPending = "_retrain_pending"
+
+  /**
+   * Zero-downtime re-train — the endpoint of the "re-train when the
+   * drift telemetry says so" loop ([[graft.pipeline.Drift]]
+   * embeddingDrift): train fresh centroids over the index's CURRENT
+   * contents (the assignment rows carry the full vectors, so the
+   * corpus is never re-read), re-assign, STAGE the whole new index
+   * under `_retrain/` (invisible to readers), then journal and swap.
+   * A crash before the journal leaves the live index untouched (the
+   * orphaned staging is recovered away); a crash after it is finished
+   * idempotently by the next maintenance call or [[recoverRetrain]].
+   * The maintenance lock is held throughout and the streaming writer
+   * must be stopped (enforced): the re-assignment reads a snapshot, so
+   * the maintenance watermark advances past every on-disk stream batch
+   * — their rows are IN the rebuilt base layer, and an unsuppressed
+   * crash-replay would duplicate them. Readers racing the swap window
+   * itself see a missing-dir error, not wrong data — schedule retrains
+   * like compactions. Returns the reloaded index.
+   */
+  def retrainIvfIndex(
+      spark: SparkSession,
+      path: String,
+      nlist: Int,
+      iterations: Int = 5): IvfIndex =
+    retrainIvfIndexImpl(spark, path, nlist, iterations, () => (), () => ())
+
+  /** [[retrainIvfIndex]] with crash-window hooks (test seam):
+    * `afterStage` runs with the new index fully staged but not yet
+    * journaled (a crash here must leave the OLD index live);
+    * `afterJournal` after the pending marker commits (a crash here is
+    * finished by recovery). */
+  private[graft] def retrainIvfIndexImpl(
+      spark: SparkSession,
+      path: String,
+      nlist: Int,
+      iterations: Int,
+      afterStage: () => Unit,
+      afterJournal: () => Unit): IvfIndex = Maintenance.withLock(spark, path) {
+    Maintenance.requireWriterStopped(spark, path)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverRetrainLocked(spark, fs, root)       // crashed predecessor
+    CellTable.recover(spark, s"$path/assigned") // crashed compact first
+    val cur = loadIvfIndex(spark, path)
+    // every read of `rows` (training passes, the staged save) happens
+    // BEFORE the swap deletes the source dirs — a lazy checkpoint just
+    // pins one materialization across the k-means passes
+    val rows = cur.assigned.select(F.col("neighbor_id"), F.col("__cv"))
+      .localCheckpoint(eager = false)
+    // suppress crash-replays of every stream batch on disk: their rows
+    // are about to live in the rebuilt __batch=-1 base layer
+    val maxStream = {
+      val r = CellTable.readRaw(spark, s"$path/assigned")
+        .agg(F.max(F.when(F.col("__batch") >= 0L, F.col("__batch")))).head()
+      if (r.isNullAt(0)) -1L else r.getLong(0)
+    }
+    if (maxStream >= 0L) {
+      val prior = CellTable.readMaintainedThrough(spark, path)
+      CellTable.writeMaintainedThrough(spark, path, math.max(prior, maxStream))
+    }
+    buildIvfIndex(rows, "neighbor_id", "__cv", nlist, iterations)
+      .save(s"$path/$RetrainStaging")
+    afterStage()
+    val pending = new org.apache.hadoop.fs.Path(root, RetrainPending)
+    val out = fs.create(pending, true)
+    try out.write("{}".getBytes("UTF-8")) finally out.close()
+    afterJournal()
+    finishRetrain(fs, root)
+    loadIvfIndex(spark, path)
+  }
+
+  /** Finish (or re-finish) a journaled retrain swap: staged dirs are
+    * complete once the pending marker exists, so delete-then-rename is
+    * idempotent across crash-replays. */
+  private def finishRetrain(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Unit = {
+    val staging = new org.apache.hadoop.fs.Path(root, RetrainStaging)
+    Seq("assigned", "centroids").foreach { d =>
+      val staged = new org.apache.hadoop.fs.Path(staging, d)
+      val live = new org.apache.hadoop.fs.Path(root, d)
+      if (fs.exists(staged)) {
+        fs.delete(live, true)
+        if (!fs.rename(staged, live))
+          throw new java.io.IOException(
+            s"retrain: swap failed: $staged -> $live; pending marker kept")
+      }
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(root, RetrainPending), false)
+    fs.delete(staging, true)
+  }
+
+  /** Idempotent crash repair for [[retrainIvfIndex]]: a pending marker
+    * means the staged index is complete — finish the swap; no marker
+    * means the staging (if any) is a half-write — drop it. */
+  def recoverRetrain(spark: SparkSession, path: String): Unit =
+    Maintenance.withLock(spark, path) {
+      val root = new org.apache.hadoop.fs.Path(path)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      recoverRetrainLocked(spark, fs, root)
+    }
+
+  private def recoverRetrainLocked(
+      spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Unit = {
+    if (fs.exists(new org.apache.hadoop.fs.Path(root, RetrainPending)))
+      finishRetrain(fs, root)
+    else fs.delete(new org.apache.hadoop.fs.Path(root, RetrainStaging), true)
+  }
+
   /**
    * Continuous IVF maintenance: a foreachBatch sink that assigns each
    * micro-batch against the saved index's frozen centroids and lands

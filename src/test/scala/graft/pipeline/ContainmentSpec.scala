@@ -163,4 +163,49 @@ class ContainmentSpec extends SparkTestBase {
     assert(rows(Decontaminate.leakageMatrixFromIndex(
       Dedup.loadSignatureIndex(spark, path))) === rows(full))
   }
+
+  test("stateful leakage audit: delta-bounded updates equal the full recompute") {
+    val docs = sf("sf0.001", "documents").filter(F.col("text").isNotNull)
+      .withColumn("sp",
+        F.when(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+          < "cccd", "train").otherwise("val"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("split_a", "split_b", "shared_grams",
+          "leaked_docs_a", "leaked_docs_b")
+        .collect().map(_.toSeq).toSet
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_leak_state").toString + "/st"
+    Decontaminate.initLeakageState(spark, path,
+      docs.filter(F.col("doc_id") % 2 === 0), "doc_id", "text", "sp")
+    Decontaminate.updateLeakageState(spark, path,
+      docs.filter(F.col("doc_id") % 4 === 1), "doc_id", "text", "sp",
+      batchId = 0L)
+    val m = Decontaminate.updateLeakageState(spark, path,
+      docs.filter(F.col("doc_id") % 4 === 3), "doc_id", "text", "sp",
+      batchId = 1L)
+    val full = Decontaminate.splitLeakageMatrix(docs, "doc_id", "text", "sp")
+    assert(rows(m) === rows(full) && rows(m).nonEmpty)
+    // re-running a failed night with the SAME id converges (own-batch
+    // rows excluded from reads, overwritten by writes)
+    val replay = Decontaminate.updateLeakageState(spark, path,
+      docs.filter(F.col("doc_id") % 4 === 3), "doc_id", "text", "sp",
+      batchId = 1L)
+    assert(rows(replay) === rows(full))
+    // an empty delta is a no-op
+    val noop = Decontaminate.updateLeakageState(spark, path,
+      docs.filter(F.col("doc_id") < 0), "doc_id", "text", "sp", batchId = 2L)
+    assert(rows(noop) === rows(full))
+    // a brand-new split arriving purely as a delta
+    val third = docs.filter(F.col("doc_id") % 4 === 3)
+      .select((F.col("doc_id") + 1000000L).as("doc_id"), F.col("text"),
+        F.lit("test").as("sp"))
+    val m3 = Decontaminate.updateLeakageState(spark, path,
+      third, "doc_id", "text", "sp", batchId = 3L)
+    val full3 = Decontaminate.splitLeakageMatrix(
+      docs.select("doc_id", "text", "sp").unionByName(third),
+      "doc_id", "text", "sp")
+    assert(rows(m3) === rows(full3))
+    assert(rows(m3).exists(_.head == "test") ||
+      rows(m3).exists(r => r(1) == "test"))
+  }
 }

@@ -171,6 +171,63 @@ class MaintenanceSpec extends SparkTestBase {
       spark, vdir, Seq("event_type"), maxFilesPerPart = 1))
   }
 
+  test("retrainIvfIndex: staged swap, crash states consistent, replays suppressed") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mx_rt").toString
+    val e = emb
+    Similarity.buildIvfIndex(e.filter(F.col("vec_id") % 2 === 0),
+      "vec_id", "embedding", nlist = 4, iterations = 2).save(dir)
+    Similarity.appendToIvfIndexTouched(spark, dir,
+      e.filter(F.col("vec_id") % 2 =!= 0), "vec_id", "embedding", batchId = 0L)
+    def ids() = Similarity.loadIvfIndex(spark, dir).assigned
+      .select(F.col("neighbor_id").cast("long")).as[Long].collect().sorted.toSeq
+    val before = ids()
+
+    // a live writer refuses the retrain (writer-exclusive)
+    Maintenance.heartbeat(spark, dir)
+    intercept[IllegalStateException] {
+      Similarity.retrainIvfIndex(spark, dir, nlist = 8)
+    }
+    Maintenance.releaseWriterLease(spark, dir)
+
+    // crash BEFORE the journal: the old index stays live (4 centroids)
+    intercept[RuntimeException] {
+      Similarity.retrainIvfIndexImpl(spark, dir, 8, 2,
+        afterStage = () => throw new RuntimeException("boom"), () => ())
+    }
+    assert(Similarity.loadIvfIndex(spark, dir).centroids.length === 4)
+    assert(ids() === before)
+
+    // crash AFTER the journal: recovery finishes the swap idempotently
+    intercept[RuntimeException] {
+      Similarity.retrainIvfIndexImpl(spark, dir, 8, 2,
+        () => (), afterJournal = () => throw new RuntimeException("boom"))
+    }
+    Similarity.recoverRetrain(spark, dir)
+    val re = Similarity.loadIvfIndex(spark, dir)
+    assert(re.centroids.length === 8)
+    assert(ids() === before, "retrain changed the content set")
+    // assignment is SELF-consistent with the retrained centroids
+    val cB = spark.sparkContext.broadcast(re.centroids)
+    val mis = re.assigned.collect().count { r =>
+      Similarity.nearestCentroid(cB.value,
+        r.getAs[scala.collection.Seq[Float]]("__cv").toArray) != r.getInt(2)
+    }
+    assert(mis === 0, s"$mis rows assigned off their nearest centroid")
+    // the rebuilt base layer absorbed the stream batch: its replay
+    // must write nothing (watermark advanced by the retrain)
+    Similarity.appendToIvfIndexTouched(spark, dir,
+      e.filter(F.col("vec_id") % 2 =!= 0), "vec_id", "embedding", batchId = 0L)
+    assert(ids() === before, "folded stream batch replayed after retrain")
+    // planted exact copies probe rank-1 against the retrained index
+    val probes = e.filter(F.col("vec_id") % 37 === 0)
+      .select((F.col("vec_id") + 100000L).as("vec_id"), F.col("embedding"))
+    val hits = Similarity.ivfTopKIndexed(re, probes, "vec_id", "embedding", 1,
+        nprobe = 1)
+      .select("query_id", "neighbor_id", "cos").collect()
+    assert(hits.length === probes.count())
+    hits.foreach(r => assert(r.getLong(1) === r.getLong(0) - 100000L))
+  }
+
   test("journal paths containing commas survive crash recovery exactly") {
     // a data-file path may legally contain ',' — the journal parse must
     // be quote-aware or recovery prunes/skips the wrong files
