@@ -471,4 +471,40 @@ object Hnsw {
   def maybeCompactHnswIndex(
       spark: SparkSession, path: String, maxFilesPerCell: Int = 4): Boolean =
     CellTable.maybeCompact(spark, path, s"$path/assigned", maxFilesPerCell)
+
+  private val ManagedDirs = Seq("assigned", "nodes", "edges")
+
+  /** Zero-downtime re-train — [[Similarity.retrainIvfIndex]]'s
+    * protocol on the graph index: a fresh graph + navigation geometry
+    * trained over the index's own contents, staged whole, journaled,
+    * swapped. Lock held; writer lease enforced; stream-batch replays
+    * suppressed (their rows land in the rebuilt base layer). */
+  def retrainHnswIndex(
+      spark: SparkSession,
+      path: String,
+      maxNav: Int = 1024,
+      m: Int = 16,
+      efConstruction: Int = 64,
+      efAssign: Int = 16,
+      iterations: Int = 2,
+      seed: Long = 42L): HnswIndex = Maintenance.withLock(spark, path) {
+    Maintenance.requireWriterStopped(spark, path)
+    StagedSwap.recoverLocked(spark, path, ManagedDirs)
+    CellTable.recover(spark, s"$path/assigned")
+    val cur = loadHnswIndex(spark, path)
+    val rows = cur.assigned.select(F.col("neighbor_id"), F.col("__cv"))
+      .localCheckpoint(eager = false)
+    StagedSwap.suppressStreamReplays(spark, path, s"$path/assigned")
+    StagedSwap.run(spark, path, ManagedDirs, () => (), () => ()) { staging =>
+      buildHnswIndex(rows, "neighbor_id", "__cv", maxNav, m,
+        efConstruction, efAssign, iterations, seed).save(staging)
+    }
+    loadHnswIndex(spark, path)
+  }
+
+  /** Crash repair for [[retrainHnswIndex]]. */
+  def recoverRetrain(spark: SparkSession, path: String): Unit =
+    Maintenance.withLock(spark, path) {
+      StagedSwap.recoverLocked(spark, path, ManagedDirs)
+    }
 }

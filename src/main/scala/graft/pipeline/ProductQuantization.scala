@@ -900,6 +900,70 @@ object ProductQuantization {
     OpqIvfPqIndex(rotation, loadIvfPq(spark, path))
   }
 
+  private val ManagedDirs = Seq("encoded", "centroids", "codebooks", "rotation")
+
+  /**
+   * Zero-downtime re-train for the PQ family —
+   * [[Similarity.retrainIvfIndex]]'s staged-swap protocol, with one
+   * difference: PQ codes are LOSSY, so the retrain trains from the
+   * caller's `corpus` (the source vectors), not the index's own
+   * contents. Stage the whole new geometry, journal, swap; a stale
+   * `rotation` dir after an OPQ → plain retrain is DELETED (it would
+   * silently rotate queries against unrotated codes otherwise). Lock
+   * held; writer lease enforced; stream-batch replays suppressed.
+   */
+  def retrainIvfPq(
+      spark: SparkSession,
+      path: String,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nlist: Int = 16,
+      m: Int = 8,
+      ksub: Int = 16,
+      iterations: Int = 2): IvfPqIndex = Maintenance.withLock(spark, path) {
+    retrainPqLocked(spark, path) { staging =>
+      buildIvfPq(corpus, idCol, vecCol, nlist, m, ksub, iterations)
+        .save(staging)
+    }
+    loadIvfPq(spark, path)
+  }
+
+  /** [[retrainIvfPq]]'s OPQ form: trains a fresh rotation too (the
+    * staged swap replaces the rotation dir alongside the geometry). */
+  def retrainOpqIvfPq(
+      spark: SparkSession,
+      path: String,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nlist: Int = 16,
+      m: Int = 8,
+      ksub: Int = 16,
+      iterations: Int = 2,
+      opqIters: Int = 8): OpqIvfPqIndex = Maintenance.withLock(spark, path) {
+    retrainPqLocked(spark, path) { staging =>
+      buildOpqIvfPq(corpus, idCol, vecCol, nlist, m, ksub, iterations,
+        opqIters).save(staging)
+    }
+    loadOpqIvfPq(spark, path)
+  }
+
+  private def retrainPqLocked(
+      spark: SparkSession, path: String)(stage: String => Unit): Unit = {
+    Maintenance.requireWriterStopped(spark, path)
+    StagedSwap.recoverLocked(spark, path, ManagedDirs)
+    CellTable.recover(spark, s"$path/encoded")
+    StagedSwap.suppressStreamReplays(spark, path, s"$path/encoded")
+    StagedSwap.run(spark, path, ManagedDirs, () => (), () => ())(stage)
+  }
+
+  /** Crash repair for [[retrainIvfPq]]/[[retrainOpqIvfPq]]. */
+  def recoverRetrain(spark: SparkSession, path: String): Unit =
+    Maintenance.withLock(spark, path) {
+      StagedSwap.recoverLocked(spark, path, ManagedDirs)
+    }
+
   /** Train the rotation, rotate the corpus, build the IVF-PQ index in
     * rotated space. */
   def buildOpqIvfPq(

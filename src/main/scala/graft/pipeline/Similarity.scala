@@ -607,9 +607,6 @@ object Similarity {
       spark: SparkSession, path: String, maxFilesPerCell: Int = 4): Boolean =
     CellTable.maybeCompact(spark, path, s"$path/assigned", maxFilesPerCell)
 
-  private val RetrainStaging = "_retrain"
-  private val RetrainPending = "_retrain_pending"
-
   /**
    * Zero-downtime re-train — the endpoint of the "re-train when the
    * drift telemetry says so" loop ([[graft.pipeline.Drift]]
@@ -648,9 +645,7 @@ object Similarity {
       afterStage: () => Unit,
       afterJournal: () => Unit): IvfIndex = Maintenance.withLock(spark, path) {
     Maintenance.requireWriterStopped(spark, path)
-    val root = new org.apache.hadoop.fs.Path(path)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    recoverRetrainLocked(spark, fs, root)       // crashed predecessor
+    StagedSwap.recoverLocked(spark, path, Seq("assigned", "centroids"))
     CellTable.recover(spark, s"$path/assigned") // crashed compact first
     val cur = loadIvfIndex(spark, path)
     // every read of `rows` (training passes, the staged save) happens
@@ -658,47 +653,13 @@ object Similarity {
     // pins one materialization across the k-means passes
     val rows = cur.assigned.select(F.col("neighbor_id"), F.col("__cv"))
       .localCheckpoint(eager = false)
-    // suppress crash-replays of every stream batch on disk: their rows
-    // are about to live in the rebuilt __batch=-1 base layer
-    val maxStream = {
-      val r = CellTable.readRaw(spark, s"$path/assigned")
-        .agg(F.max(F.when(F.col("__batch") >= 0L, F.col("__batch")))).head()
-      if (r.isNullAt(0)) -1L else r.getLong(0)
+    StagedSwap.suppressStreamReplays(spark, path, s"$path/assigned")
+    StagedSwap.run(spark, path, Seq("assigned", "centroids"),
+      afterStage, afterJournal) { staging =>
+      buildIvfIndex(rows, "neighbor_id", "__cv", nlist, iterations)
+        .save(staging)
     }
-    if (maxStream >= 0L) {
-      val prior = CellTable.readMaintainedThrough(spark, path)
-      CellTable.writeMaintainedThrough(spark, path, math.max(prior, maxStream))
-    }
-    buildIvfIndex(rows, "neighbor_id", "__cv", nlist, iterations)
-      .save(s"$path/$RetrainStaging")
-    afterStage()
-    val pending = new org.apache.hadoop.fs.Path(root, RetrainPending)
-    val out = fs.create(pending, true)
-    try out.write("{}".getBytes("UTF-8")) finally out.close()
-    afterJournal()
-    finishRetrain(fs, root)
     loadIvfIndex(spark, path)
-  }
-
-  /** Finish (or re-finish) a journaled retrain swap: staged dirs are
-    * complete once the pending marker exists, so delete-then-rename is
-    * idempotent across crash-replays. */
-  private def finishRetrain(
-      fs: org.apache.hadoop.fs.FileSystem,
-      root: org.apache.hadoop.fs.Path): Unit = {
-    val staging = new org.apache.hadoop.fs.Path(root, RetrainStaging)
-    Seq("assigned", "centroids").foreach { d =>
-      val staged = new org.apache.hadoop.fs.Path(staging, d)
-      val live = new org.apache.hadoop.fs.Path(root, d)
-      if (fs.exists(staged)) {
-        fs.delete(live, true)
-        if (!fs.rename(staged, live))
-          throw new java.io.IOException(
-            s"retrain: swap failed: $staged -> $live; pending marker kept")
-      }
-    }
-    fs.delete(new org.apache.hadoop.fs.Path(root, RetrainPending), false)
-    fs.delete(staging, true)
   }
 
   /** Idempotent crash repair for [[retrainIvfIndex]]: a pending marker
@@ -706,19 +667,8 @@ object Similarity {
     * means the staging (if any) is a half-write — drop it. */
   def recoverRetrain(spark: SparkSession, path: String): Unit =
     Maintenance.withLock(spark, path) {
-      val root = new org.apache.hadoop.fs.Path(path)
-      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      recoverRetrainLocked(spark, fs, root)
+      StagedSwap.recoverLocked(spark, path, Seq("assigned", "centroids"))
     }
-
-  private def recoverRetrainLocked(
-      spark: SparkSession,
-      fs: org.apache.hadoop.fs.FileSystem,
-      root: org.apache.hadoop.fs.Path): Unit = {
-    if (fs.exists(new org.apache.hadoop.fs.Path(root, RetrainPending)))
-      finishRetrain(fs, root)
-    else fs.delete(new org.apache.hadoop.fs.Path(root, RetrainStaging), true)
-  }
 
   /**
    * Continuous IVF maintenance: a foreachBatch sink that assigns each
@@ -1117,6 +1067,110 @@ object Similarity {
     scored.withColumn("rank", F.row_number().over(w))
       .filter(F.col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "query_label", "neighbor_label", "cos")
+  }
+}
+
+/**
+ * Whole-index staged swap — the re-train promotion protocol shared by
+ * the retrain family ([[Similarity.retrainIvfIndex]],
+ * [[Hnsw.retrainHnswIndex]], [[ProductQuantization.retrainIvfPq]]):
+ * the caller stages a COMPLETE new index under `_retrain/`, the swap
+ * journals WHICH subdirectories were staged to `_retrain_pending`,
+ * then deletes-and-renames each into place; a managed dir the new
+ * geometry does not produce (e.g. a stale `rotation` after an OPQ →
+ * plain retrain) is deleted rather than left to poison later loads.
+ * A crash before the marker leaves the live index untouched; after
+ * it, recovery re-finishes idempotently (the marker's dir list
+ * distinguishes "never staged" from "already swapped", so a re-finish
+ * can never delete a freshly-swapped dir). Callers hold the
+ * [[Maintenance]] lock.
+ */
+private[pipeline] object StagedSwap {
+
+  private val Staging = "_retrain"
+  private val Pending = "_retrain_pending"
+
+  /** Advance the cell-table maintenance watermark past every on-disk
+    * stream batch BEFORE a rebuild absorbs them into the new base
+    * layer — an unsuppressed crash-replay would duplicate its rows. */
+  def suppressStreamReplays(
+      spark: org.apache.spark.sql.SparkSession,
+      rootPath: String,
+      tablePath: String): Unit = {
+    val r = CellTable.readRaw(spark, tablePath)
+      .agg(F.max(F.when(F.col("__batch") >= 0L, F.col("__batch")))).head()
+    val maxStream = if (r.isNullAt(0)) -1L else r.getLong(0)
+    if (maxStream >= 0L) {
+      val prior = CellTable.readMaintainedThrough(spark, rootPath)
+      CellTable.writeMaintainedThrough(spark, rootPath,
+        math.max(prior, maxStream))
+    }
+  }
+
+  /** Stage (via `stage(stagingPath)`), journal, swap. `managedDirs` =
+    * every subdirectory the index family may own. */
+  def run(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      managedDirs: Seq[String],
+      afterStage: () => Unit,
+      afterJournal: () => Unit)(stage: String => Unit): Unit = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root, Staging), true)
+    stage(s"$path/$Staging")
+    afterStage()
+    val staged = managedDirs.filter(d =>
+      fs.exists(new org.apache.hadoop.fs.Path(root, s"$Staging/$d")))
+    val out = fs.create(new org.apache.hadoop.fs.Path(root, Pending), true)
+    try out.write(staged.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    afterJournal()
+    finish(fs, root, managedDirs, staged)
+  }
+
+  private def finish(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path,
+      managedDirs: Seq[String],
+      staged: Seq[String]): Unit = {
+    managedDirs.foreach { d =>
+      val st = new org.apache.hadoop.fs.Path(root, s"$Staging/$d")
+      val live = new org.apache.hadoop.fs.Path(root, d)
+      if (staged.contains(d)) {
+        if (fs.exists(st)) { // else: already swapped by a prior finish
+          fs.delete(live, true)
+          if (!fs.rename(st, live))
+            throw new java.io.IOException(
+              s"retrain: swap failed: $st -> $live; pending marker kept")
+        }
+      } else fs.delete(live, true) // stale dir the new geometry lacks
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(root, Pending), false)
+    fs.delete(new org.apache.hadoop.fs.Path(root, Staging), true)
+  }
+
+  /** Idempotent crash repair: marker present → staged dirs were
+    * complete, re-finish; absent → drop any half-written staging. */
+  def recoverLocked(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      managedDirs: Seq[String]): Unit = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val pending = new org.apache.hadoop.fs.Path(root, Pending)
+    if (fs.exists(pending)) {
+      val in = fs.open(pending)
+      val b = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](4096)
+      try {
+        var n = in.read(buf)
+        while (n > 0) { b.write(buf, 0, n); n = in.read(buf) }
+      } finally in.close()
+      val staged = new String(b.toByteArray, "UTF-8").split("\n")
+        .map(_.trim).filter(_.nonEmpty).toSeq
+      finish(fs, root, managedDirs, staged)
+    } else fs.delete(new org.apache.hadoop.fs.Path(root, Staging), true)
   }
 }
 

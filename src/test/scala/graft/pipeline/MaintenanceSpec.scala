@@ -228,6 +228,53 @@ class MaintenanceSpec extends SparkTestBase {
     hits.foreach(r => assert(r.getLong(1) === r.getLong(0) - 100000L))
   }
 
+  test("retrain parity: HNSW and IVF-PQ staged swaps; stale rotation deleted") {
+    val e = emb
+    // HNSW: retrain regrows the navigation geometry; content invariant
+    val hDir = java.nio.file.Files.createTempDirectory("graft_mx_hrt").toString
+    Hnsw.buildHnswIndex(e.filter(F.col("vec_id") % 2 === 0),
+      "vec_id", "embedding", maxNav = 16, m = 8, efConstruction = 48)
+      .save(hDir)
+    Hnsw.appendToHnswIndex(spark, hDir,
+      e.filter(F.col("vec_id") % 2 =!= 0), "vec_id", "embedding")
+    def hIds() = Hnsw.loadHnswIndex(spark, hDir).assigned
+      .select(F.col("neighbor_id").cast("long")).as[Long].collect().sorted.toSeq
+    val hBefore = hIds()
+    val hre = Hnsw.retrainHnswIndex(spark, hDir, maxNav = 24, m = 8,
+      efConstruction = 48)
+    assert(hre.graph.vecs.length === 24)
+    assert(hIds() === hBefore)
+    val hProbe = e.limit(3)
+      .select((F.col("vec_id") + 100000L).as("vec_id"), F.col("embedding"))
+    Hnsw.hnswTopK(hre, hProbe, "vec_id", "embedding", 1,
+        efSearch = 16, minProbe = 1, probeMass = 0.0)
+      .select("query_id", "neighbor_id").collect()
+      .foreach(r => assert(r.getLong(1) === r.getLong(0) - 100000L))
+
+    // PQ: OPQ -> plain retrain must DELETE the stale rotation (it
+    // would silently rotate queries against unrotated codes)
+    val pDir = java.nio.file.Files.createTempDirectory("graft_mx_prt").toString
+    ProductQuantization.buildOpqIvfPq(e, "vec_id", "embedding",
+      nlist = 8, m = 16, ksub = 16, iterations = 2, opqIters = 2).save(pDir)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$pDir/rotation")))
+    val plain = ProductQuantization.retrainIvfPq(spark, pDir, e,
+      "vec_id", "embedding", nlist = 8, m = 16, ksub = 16, iterations = 2)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$pDir/rotation")),
+      "stale rotation survived the OPQ -> plain retrain")
+    assert(plain.encoded.count() === e.count())
+    // ... and plain -> OPQ brings it back, probing rank-1 on copies
+    val opq = ProductQuantization.retrainOpqIvfPq(spark, pDir, e,
+      "vec_id", "embedding", nlist = 8, m = 16, ksub = 16,
+      iterations = 2, opqIters = 2)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$pDir/rotation")))
+    val pProbe = e.limit(3)
+      .select((F.col("vec_id") + 100000L).as("vec_id"), F.col("embedding"))
+    ProductQuantization.opqIvfPqTopK(opq, e, pProbe, "vec_id", "embedding",
+        1, nprobe = 2, poolSize = 64)
+      .select("query_id", "neighbor_id").collect()
+      .foreach(r => assert(r.getLong(1) === r.getLong(0) - 100000L))
+  }
+
   test("journal paths containing commas survive crash recovery exactly") {
     // a data-file path may legally contain ',' — the journal parse must
     // be quote-aware or recovery prunes/skips the wrong files
