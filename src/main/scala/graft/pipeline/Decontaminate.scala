@@ -413,7 +413,12 @@ object Decontaminate {
       splitCol: String,
       n: Int = 8): DataFrame = {
     val delta = buildLeakageIndex(fresh, idCol, textCol, splitCol, n)
-    graft.pipeline.Dedup.saveSignatureIndex(delta, path, mode = "append")
+    // the flat-index sibling lock: a takedown promote racing this
+    // append would otherwise swap the directory out from under it and
+    // lose the delta
+    Maintenance.withSiblingLock(spark, path) {
+      graft.pipeline.Dedup.saveSignatureIndex(delta, path, mode = "append")
+    }
     leakageMatrixFromIndex(graft.pipeline.Dedup.loadSignatureIndex(spark, path))
   }
 
@@ -451,8 +456,12 @@ object Decontaminate {
    * computes against state EXCLUDING its own batch and
    * dynamic-overwrites exactly its own partitions, so a crashed
    * nightly is simply re-run with the same id (effectively-once).
-   * Single-maintainer (the [[Maintenance]] lock). Append-only corpora
-   * and stable split labels; takedowns = re-init.
+   * Matrix reads BETWEEN a failed night and its re-run may see a
+   * partially-written batch (e.g. shared deltas landed, doc-leaks not)
+   * — re-run the night before trusting the matrix; the re-run
+   * converges regardless. Single-maintainer (the [[Maintenance]]
+   * lock). Append-only corpora and stable split labels; takedowns =
+   * re-init.
    */
   def initLeakageState(
       spark: org.apache.spark.sql.SparkSession,

@@ -955,7 +955,16 @@ object ProductQuantization {
     StagedSwap.recoverLocked(spark, path, ManagedDirs)
     CellTable.recover(spark, s"$path/encoded")
     StagedSwap.suppressStreamReplays(spark, path, s"$path/encoded")
-    StagedSwap.run(spark, path, ManagedDirs, () => (), () => ())(stage)
+    StagedSwap.run(spark, path, ManagedDirs, () => (), () => ()) { staging =>
+      stage(staging)
+      // an empty corpus stages NO encoded dir (zero-row partitioned
+      // writes land nothing) and the swap would delete the live one —
+      // refuse before the marker commits (live index stays intact)
+      val fs = new org.apache.hadoop.fs.Path(staging)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      require(fs.exists(new org.apache.hadoop.fs.Path(s"$staging/encoded")),
+        s"retrain: nothing staged at $staging/encoded (empty corpus?)")
+    }
   }
 
   /** Crash repair for [[retrainIvfPq]]/[[retrainOpqIvfPq]]. */

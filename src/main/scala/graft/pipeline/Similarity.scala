@@ -653,6 +653,10 @@ object Similarity {
     // pins one materialization across the k-means passes
     val rows = cur.assigned.select(F.col("neighbor_id"), F.col("__cv"))
       .localCheckpoint(eager = false)
+    // an empty index would stage NO assigned dir (a zero-row
+    // partitioned write lands nothing) and the swap would then delete
+    // the live one as "stale" — refuse instead
+    require(!rows.isEmpty, s"retrainIvfIndex: index at $path is empty")
     StagedSwap.suppressStreamReplays(spark, path, s"$path/assigned")
     StagedSwap.run(spark, path, Seq("assigned", "centroids"),
       afterStage, afterJournal) { staging =>
