@@ -3475,6 +3475,50 @@ object SparkEntry {
         .orderBy("rank")
     }),
 
+    // the self-maintenance policy hooks under one gate: maybeCompact
+    // (files-per-partition dial — quiet below, folds above, quiet
+    // again after) and maybeRetrainIvfIndex (drift dial — quiet on an
+    // in-distribution batch, retrains when a shifted batch blows the
+    // occupancy PSI). Exact cardinality + the new cell count pin that
+    // the fired paths really ran.
+    "q_index_policy" -> ((s: SparkSession, dir: String) => {
+      val sim = graft.pipeline.Similarity
+      val emb = t(s, dir, "embeddings")
+        .filter(F.col("embedding").isNotNull)
+        .select(F.col("vec_id").cast("long").as("vec_id"), F.col("embedding"))
+      val path = System.getProperty("java.io.tmpdir") + "/graft_q_policy"
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      sim.buildIvfIndex(emb.filter(F.col("vec_id") % 4 === 0),
+        "vec_id", "embedding", nlist = 8, iterations = 2).save(path)
+      (1 to 3).foreach { m =>
+        sim.appendToIvfIndexTouched(s, path,
+          emb.filter(F.col("vec_id") % 4 === m), "vec_id", "embedding",
+          batchId = m.toLong - 1L)
+      }
+      val compactQuiet = !sim.maybeCompactIvfIndex(s, path, maxFilesPerCell = 50)
+      val compactFired = sim.maybeCompactIvfIndex(s, path, maxFilesPerCell = 1)
+      val compactQuietAfter =
+        !sim.maybeCompactIvfIndex(s, path, maxFilesPerCell = 1)
+      val (r1, _) = sim.maybeRetrainIvfIndex(s, path, emb.limit(200),
+        "embedding", psiThreshold = 0.2)
+      val shiftU = F.udf((v: Seq[Float]) => v.map(x => x + 25.0f).toArray)
+      val shifted = emb.limit(300)
+        .select(F.col("vec_id"), shiftU(F.col("embedding")).as("embedding"))
+      val (r2, _) = sim.maybeRetrainIvfIndex(s, path, shifted,
+        "embedding", psiThreshold = 0.2, nlist = 16)
+      val idx = sim.loadIvfIndex(s, path)
+      s.range(1).select(
+        F.lit(idx.assigned.count()).as("n_rows"),
+        F.lit(compactQuiet).as("compact_quiet"),
+        F.lit(compactFired).as("compact_fired"),
+        F.lit(compactQuietAfter).as("compact_quiet_after"),
+        F.lit(!r1).as("retrain_quiet"),
+        F.lit(r2).as("retrain_fired"),
+        F.lit(idx.centroids.length == 16).as("nlist_ok"))
+    }),
+
     // zero-downtime IVF re-train (the drift-says-retrain endpoint):
     // fresh centroids trained over the index's own contents, staged
     // beside the live index, journaled, swapped. The gate retrains a
@@ -8500,6 +8544,12 @@ object SparkEntry {
         |  SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
         |         doc_id, tf_total, n_terms_hit FROM scored) t
         |WHERE rank <= 10 ORDER BY rank""".stripMargin,
+    "q_index_policy" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |       true AS compact_quiet, true AS compact_fired,
+        |       true AS compact_quiet_after, true AS retrain_quiet,
+        |       true AS retrain_fired, true AS nlist_ok
+        |FROM embeddings WHERE embedding IS NOT NULL""".stripMargin,
     "q_ivf_retrain" ->
       """SELECT CAST(vec_id + 100000 AS BIGINT) AS query_id,
         |       CAST(vec_id AS BIGINT) AS top1,

@@ -675,6 +675,38 @@ object Similarity {
     }
 
   /**
+   * Drift-triggered retrain policy hook — the "re-train when the
+   * drift telemetry says so" loop made one call (the
+   * [[CellTable.maybeCompact]] discipline applied to geometry):
+   * measure the fresh batch's cell-occupancy PSI against the saved
+   * index's frozen centroids
+   * ([[graft.pipeline.Drift.embeddingDrift]]); at or above
+   * `psiThreshold`, [[retrainIvfIndex]] runs (current nlist kept
+   * unless overridden). Below the dial the only cost is the drift
+   * measurement (one assignment pass over the batch). Call it where
+   * the nightly append runs — append first, then maybeRetrain, so the
+   * rebuild absorbs the fresh rows. Returns (retrained, psi).
+   */
+  def maybeRetrainIvfIndex(
+      spark: SparkSession,
+      path: String,
+      fresh: DataFrame,
+      vecCol: String,
+      psiThreshold: Double = 0.2,
+      nlist: Int = -1,
+      iterations: Int = 5): (Boolean, Double) = {
+    val cur = loadIvfIndex(spark, path)
+    val psi = graft.pipeline.Drift.embeddingDrift(cur, fresh, vecCol)
+      .head().getDouble(2)
+    if (psi < psiThreshold) (false, psi)
+    else {
+      val n = if (nlist > 0) nlist else cur.centroids.length
+      retrainIvfIndex(spark, path, n, iterations)
+      (true, psi)
+    }
+  }
+
+  /**
    * Continuous IVF maintenance: a foreachBatch sink that assigns each
    * micro-batch against the saved index's frozen centroids and lands
    * it under its own `__batch` partitions with dynamic overwrite — a

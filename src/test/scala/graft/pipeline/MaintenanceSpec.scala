@@ -228,6 +228,27 @@ class MaintenanceSpec extends SparkTestBase {
     hits.foreach(r => assert(r.getLong(1) === r.getLong(0) - 100000L))
   }
 
+  test("maybeRetrainIvfIndex: quiet on in-distribution batches, retrains on drift") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mx_mrt").toString
+    val e = emb
+    Similarity.buildIvfIndex(e, "vec_id", "embedding",
+      nlist = 4, iterations = 2).save(dir)
+    // a batch drawn from the index's own distribution: PSI ~ 0, quiet
+    val (ran1, psi1) = Similarity.maybeRetrainIvfIndex(
+      spark, dir, e.limit(200), "embedding", psiThreshold = 0.2)
+    assert(!ran1 && psi1 < 0.05, s"psi=$psi1")
+    assert(Similarity.loadIvfIndex(spark, dir).centroids.length === 4)
+    // a shifted batch collapses into few cells: PSI blows the dial
+    val shiftU = F.udf((v: Seq[Float]) => v.map(x => x + 25.0f).toArray)
+    val shifted = e.limit(300)
+      .select(F.col("vec_id"), shiftU(F.col("embedding")).as("embedding"))
+    val (ran2, psi2) = Similarity.maybeRetrainIvfIndex(
+      spark, dir, shifted, "embedding", psiThreshold = 0.2, nlist = 8)
+    assert(ran2 && psi2 >= 0.2, s"psi=$psi2")
+    assert(Similarity.loadIvfIndex(spark, dir).centroids.length === 8)
+    assert(Similarity.loadIvfIndex(spark, dir).assigned.count() === e.count())
+  }
+
   test("retrain parity: HNSW and IVF-PQ staged swaps; stale rotation deleted") {
     val e = emb
     // HNSW: retrain regrows the navigation geometry; content invariant
