@@ -369,6 +369,17 @@ object Hnsw {
     val gB = spark.sparkContext.broadcast(index.graph)
     val sizes = index.cellSizes
     val total = math.max(sizes.sum, 1L)
+    // no silent caps: the beam can only surface efSearch distinct
+    // cells — if the mass target needs more (roughly uniform cells),
+    // probed mass silently falls short and recall decays as the nav
+    // count outgrows a fixed efSearch (the fixed-nprobe failure mode)
+    val cellsForMass = math.ceil(probeMass * index.graph.vecs.length).toInt
+    if (cellsForMass > efSearch)
+      org.slf4j.LoggerFactory.getLogger("graft.pipeline.Hnsw").warn(
+        s"hnswTopK: efSearch=$efSearch surfaces at most $efSearch cells " +
+          s"but probeMass=$probeMass needs ~$cellsForMass of " +
+          s"${index.graph.vecs.length} — recall may fall below the mass " +
+          "target; raise efSearch or lower probeMass")
     val probeU = F.udf((v: Array[Float]) =>
       probeCells(gB.value, sizes, total, v, efSearch, minProbe, probeMass))
     val q = queries.filter(F.col(vecCol).isNotNull)
