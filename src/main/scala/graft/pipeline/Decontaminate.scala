@@ -564,6 +564,42 @@ object Decontaminate {
     leakageMatrixFromState(spark, path)
   } }
 
+  /**
+   * Fold the leakage state's retired nightly partitions into the
+   * `__batch=-1` base layer — the small-file reclaim for long-lived
+   * audits (each night adds one partition per table). Every fold is
+   * semantics-invariant: grams/memb/docleaks are DISTINCT row sets and
+   * `shared` rows are summable deltas, so the folded state yields a
+   * bit-identical matrix. Static rewrite per table (tiny relative to
+   * the corpus — the tables hold hashes and ids, never text);
+   * single-maintainer via the [[Maintenance]] lock; run it between
+   * nightly updates, not concurrently with one. Batch ids retire at
+   * fold time, so re-running an ALREADY-FOLDED night with its old id
+   * would double rows — fold only nights whose success is confirmed,
+   * and keep batch ids monotone afterwards (the watermark is the max
+   * folded id, returned for the caller's scheduler).
+   */
+  def compactLeakageState(
+      spark: org.apache.spark.sql.SparkSession, path: String): Long =
+    Maintenance.withLock(spark, path) {
+      var maxFolded = -1L
+      Seq("grams", "memb", "docleaks", "shared").foreach { name =>
+        val cur = spark.read.parquet(s"$path/$name")
+          .withColumn("__batch", F.col("__batch").cast("long"))
+        val ids = cur.select("__batch").distinct()
+          .collect().map(_.getLong(0))
+        maxFolded = math.max(maxFolded, ids.foldLeft(-1L)(_ max _))
+        if (ids.length > 1) {
+          val folded = cur.drop("__batch")
+            .localCheckpoint(eager = true) // source dirs are rewritten
+          folded.withColumn("__batch", F.lit(-1L))
+            .write.partitionBy("__batch").mode("overwrite")
+            .parquet(s"$path/$name")
+        }
+      }
+      maxFolded
+    }
+
   /** The matrix from the maintained statistics: shared counts are the
     * fold of the per-batch deltas; leaked counts one aggregate over
     * the (docs × splits)-bounded docleaks table. Output and pair

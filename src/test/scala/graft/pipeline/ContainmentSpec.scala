@@ -207,5 +207,26 @@ class ContainmentSpec extends SparkTestBase {
     assert(rows(m3) === rows(full3))
     assert(rows(m3).exists(_.head == "test") ||
       rows(m3).exists(r => r(1) == "test"))
+
+    // folding retired nightly partitions is matrix-invariant, and a
+    // post-fold night (fresh id) still equals the full recompute
+    val maxFolded = Decontaminate.compactLeakageState(spark, path)
+    assert(maxFolded === 3L)
+    Seq("grams", "memb", "docleaks", "shared").foreach { t =>
+      val ids = spark.read.parquet(s"$path/$t")
+        .select(F.col("__batch").cast("long")).distinct()
+        .collect().map(_.getLong(0)).toSet
+      assert(ids === Set(-1L), s"$t not folded: $ids")
+    }
+    assert(rows(Decontaminate.leakageMatrixFromState(spark, path)) === rows(full3))
+    val fourth = docs.filter(F.col("doc_id") % 4 === 1)
+      .select((F.col("doc_id") + 2000000L).as("doc_id"), F.col("text"),
+        F.lit("test").as("sp"))
+    val m4 = Decontaminate.updateLeakageState(spark, path,
+      fourth, "doc_id", "text", "sp", batchId = maxFolded + 1L)
+    val full4 = Decontaminate.splitLeakageMatrix(
+      docs.select("doc_id", "text", "sp").unionByName(third)
+        .unionByName(fourth), "doc_id", "text", "sp")
+    assert(rows(m4) === rows(full4))
   }
 }
