@@ -2734,6 +2734,33 @@ object SparkEntry {
         .orderBy("split_a", "split_b")
     }),
 
+    // leakage-state small-file compaction: two nightly partitions fold
+    // into the base layer (matrix-invariant — distinct row sets +
+    // summable shared deltas), then a POST-fold night with a fresh id
+    // still lands exactly the full-text matrix (q_split_leakage's
+    // oracle, verbatim)
+    "q_leak_compact" -> ((s: SparkSession, dir: String) => {
+      val DC = graft.pipeline.Decontaminate
+      val docs = t(s, dir, "documents").filter(F.col("text").isNotNull)
+        .withColumn("sp",
+          F.when(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+            < "cccd", "train").otherwise("val"))
+      val path = System.getProperty("java.io.tmpdir") + "/graft_q_leak_cp"
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      DC.initLeakageState(s, path,
+        docs.filter(F.col("doc_id") % 2 === 0), "doc_id", "text", "sp")
+      DC.updateLeakageState(s, path,
+        docs.filter(F.col("doc_id") % 4 === 1), "doc_id", "text", "sp",
+        batchId = 0L)
+      val maxFolded = DC.compactLeakageState(s, path)
+      DC.updateLeakageState(s, path,
+          docs.filter(F.col("doc_id") % 4 === 3), "doc_id", "text", "sp",
+          batchId = maxFolded + 1L)
+        .orderBy("split_a", "split_b")
+    }),
+
     "q_decontaminate_sources" -> ((s: SparkSession, dir: String) => {
       val docs = t(s, dir, "documents")
         .filter(F.col("text").isNotNull).select("doc_id", "text")
@@ -9964,6 +9991,7 @@ object SparkEntry {
       // the nightly-delta audits equal the full recompute on the grown
       // corpus — q_split_leakage's oracle, shared verbatim
       ("q_split_leakage_incremental" -> m("q_split_leakage")) +
-      ("q_split_leakage_state" -> m("q_split_leakage"))
+      ("q_split_leakage_state" -> m("q_split_leakage")) +
+      ("q_leak_compact" -> m("q_split_leakage"))
   }
 }
