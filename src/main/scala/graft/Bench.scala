@@ -262,6 +262,13 @@ object Bench {
         t(s, dir, "documents"), "doc_id", "text", minShared = 2,
         minSize = 16, avgSize = 32, maxSize = 128)),
 
+    // winnowing (MOSS) fingerprint overlap — the position-robust
+    // provenance family; one map-only selection pass + capped buckets
+    "b_winnow" -> ((s: SparkSession, dir: String) =>
+      graft.pipeline.Dedup.winnowOverlapPairs(
+        t(s, dir, "documents"), "doc_id", "text", k = 5, w = 8,
+        minShared = 2)),
+
     "b_manifest" -> ((s: SparkSession, dir: String) =>
       graft.pipeline.Snapshot.manifest(
         t(s, dir, "documents"), Seq("source"), Seq("doc_id", "text"))),
@@ -496,6 +503,53 @@ object Bench {
       graft.pipeline.ProductQuantization.opqIvfPqTopK(
         idx, emb, emb.filter(F.col("vec_id") < 20),
         "vec_id", "embedding", 10, nprobe = 8, poolSize = 4000)
+    }),
+
+    // ANN: binary (sign-bit) quantization — packed-bits linear scan
+    // (native bit_count(xor) on one 64-bit word) + exact rerank of a
+    // 4000-candidate pool; the no-index, no-training family
+    "b_ann_binary" -> ((s: SparkSession, dir: String) => {
+      val emb = t(s, dir, "embeddings")
+      graft.pipeline.BinaryQuant.binaryTopK(
+        emb, emb.filter(F.col("vec_id") < 20), "vec_id", "embedding", 10,
+        poolSize = 4000)
+    }),
+
+    // ANN: metadata-filtered top-k (even-id filter, selectivity ~0.5)
+    // through the selectivity-adaptive dispatch over the prebuilt IVF
+    // index — the serving-side shape (filter + compensated probe mass)
+    "b_ann_filtered" -> ((s: SparkSession, dir: String) => {
+      val emb = t(s, dir, "embeddings")
+      val idx = ivfIndexCache.getOrElseUpdate(dir, {
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_bench_ivf").toString
+        graft.pipeline.Similarity
+          .buildIvfIndex(emb, "vec_id", "embedding", 16, 2).save(path)
+        graft.pipeline.Similarity.loadIvfIndex(s, path)
+      })
+      graft.pipeline.Similarity.ivfTopKFilteredAuto(
+        idx, emb.filter(F.col("vec_id") < 20), "vec_id", "embedding",
+        emb.filter(F.col("vec_id") % 2 === 0).select("vec_id"), 10,
+        baseMass = 0.45, bruteThreshold = 10000L)
+    }),
+
+    // kNN label propagation: classify 500 unlabeled rows against the
+    // labeled corpus via the prebuilt IVF index (the steady-state
+    // shape — the labeled index is built once, queries arrive in
+    // batches) + the broadcast vote
+    "b_knn_label" -> ((s: SparkSession, dir: String) => {
+      val emb = t(s, dir, "embeddings")
+      val idx = ivfIndexCache.getOrElseUpdate(dir, {
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_bench_ivf").toString
+        graft.pipeline.Similarity
+          .buildIvfIndex(emb, "vec_id", "embedding", 16, 2).save(path)
+        graft.pipeline.Similarity.loadIvfIndex(s, path)
+      })
+      graft.pipeline.Similarity.knnClassifyIndexed(
+        idx, emb, emb.filter(F.col("vec_id") < 500)
+          .select((F.col("vec_id") + 10000000L).as("vec_id"), F.col("embedding")),
+        "vec_id", "embedding", "label", k = 5, probeMass = 0.45)
     }),
 
     // k-means training at production embedding width (dim 512 = the
@@ -1668,7 +1722,11 @@ object Bench {
               emb.filter(F.col("embedding").isNotNull)
                 .select(F.col("vec_id").cast("long").as("vec_id"),
                   F.col("embedding"))),
-            queries, "vec_id", "embedding", 10)))
+            queries, "vec_id", "embedding", 10)),
+          // binary quantization: sign-bit linear scan + 4000-pool
+          // exact rerank — recall is the hamming pool's to lose
+          "binary" -> recallOf(graft.pipeline.BinaryQuant.binaryTopK(
+            emb, queries, "vec_id", "embedding", 10, poolSize = 4000)))
       } catch { case _: Throwable => Seq.empty }
     val rc = recall.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
 
@@ -1705,7 +1763,7 @@ object Bench {
     // the cell probing
     // ivfpq floor raised 0.7 -> 0.8 with the OPQ index + 0.6 probe mass
     val floors = Map("lsh" -> 0.7, "ivf" -> 0.6, "pq" -> 0.7, "ivfpq" -> 0.8,
-      "hnsw" -> 0.6)
+      "hnsw" -> 0.6, "binary" -> 0.8)
     val fl = floors.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val ok = recall.map { case (k, v) =>
       "\"" + k + "\":" + floors.get(k).forall(v >= _) }.mkString("{", ",", "}")

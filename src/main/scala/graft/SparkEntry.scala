@@ -3823,6 +3823,60 @@ object SparkEntry {
     // every document exactly. Corpus-level booleans (boundaries are
     // content-derived — per-pair rows would couple the oracle to the
     // regenerated-testdata bytes)
+    // winnowing fingerprints (MOSS): planted suffix-sharing rewrites
+    // must share fingerprints (the w+k-1 guarantee covers the shared
+    // tail), natural pairs stay rare, per-doc fingerprint counts obey
+    // the density bounds ceil(windows/w) <= fps <= windows, and the
+    // nightly index probe equals the full recompute on the planted
+    // split. Fingerprints are content-derived (like CDC boundaries)
+    // so the gate pins corpus-level booleans, never per-pair rows
+    "q_dedup_winnow" -> ((s: SparkSession, dir: String) => {
+      val dd = graft.pipeline.Dedup
+      val docs = t(s, dir, "documents")
+        .filter(F.col("text").isNotNull && F.col("n_chars") >= 400)
+        .select(F.col("doc_id"), F.col("text"))
+      val planted = docs.unionByName(docs.select(
+        (F.col("doc_id") + 1000000L).as("doc_id"),
+        F.concat(F.lit("a freshly rewritten introduction that shares nothing "),
+          F.expr("substring(text, 60)")).as("text")))
+      val pairs = dd.winnowOverlapPairs(planted, "doc_id", "text",
+        k = 5, w = 8, minShared = 2, maxBucket = 10000)
+        .select(F.col("id_a"), F.col("id_b"))
+        .localCheckpoint(false)
+      val nBase = docs.count()
+      val nFound = pairs
+        .filter(F.col("id_b") === F.col("id_a") + 1000000L).count()
+      val nNatural = pairs
+        .filter(F.col("id_a") < 1000000L && F.col("id_b") < 1000000L).count()
+      val densityBad = dd.winnowFingerprints(planted, "doc_id", "text", 5, 8)
+        .groupBy(F.col("id")).agg(F.count(F.lit(1)).as("__c"))
+        .join(planted.select(F.col("doc_id").as("id"),
+          F.size(graft.pipeline.TextFunctions
+            .allWordNgrams(F.col("text"), 5)).as("__n")), "id")
+        .filter(F.col("__n") >= 8)
+        .filter(F.col("__c") < F.ceil((F.col("__n") - 7).cast("double") / 8.0) ||
+          F.col("__c") > F.col("__n") - 7)
+        .count()
+      val old = planted.filter(F.col("doc_id") < 1000000L)
+      val fresh = planted.filter(F.col("doc_id") >= 1000000L)
+      val idx = dd.buildWinnowIndex(old, "doc_id", "text", 5, 8, maxBucket = 10000)
+      val inc = dd.incrementalWinnowOverlap(fresh, idx, "doc_id", "text", 5, 8,
+          minShared = 2)
+        .select(F.col("id_new"), F.col("id_old"), F.col("shared_fps"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val fullDir = dd.winnowOverlapPairs(planted, "doc_id", "text", 5, 8,
+          minShared = 2, maxBucket = 10000)
+        .filter(F.col("id_b") >= 1000000L && F.col("id_a") < 1000000L)
+        .select(F.col("id_b"), F.col("id_a"), F.col("shared_fps"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      s.range(1).select(
+        F.lit(nBase).as("n_base"),
+        F.lit(nFound >= (nBase * 9L + 9L) / 10L).as("found_ok"),
+        F.lit(nNatural <= nBase / 10L).as("no_hallucination"),
+        F.lit(densityBad == 0L).as("density_ok"),
+        F.lit(inc == fullDir).as("incremental_ok"))
+    }),
+
     "q_dedup_cdc" -> ((s: SparkSession, dir: String) => {
       val dd = graft.pipeline.Dedup
       val docs = t(s, dir, "documents")
@@ -4717,6 +4771,141 @@ object SparkEntry {
         F.lit(trueCnt).as("exact_pairs"),
         F.lit(hits >= (trueCnt * 0.6).ceil.toLong).as("recall_ok"),
         F.lit(maxDev < 1e-4).as("rotation_orthogonal"))
+    }),
+
+    // binary (sign-bit) quantization ANN: hamming coarse scan + exact
+    // cosine rerank. Planted exact copies share the signature
+    // (hamming 0) so they always pool and rerank to rank 1; with the
+    // pool covering the corpus the rerank is exhaustive and MUST
+    // equal bruteForceTopK row-for-row (same cosine expression, same
+    // tie-breaks) — the exactness contract, not a recall floor
+    "q_ann_binary" -> ((s: SparkSession, dir: String) => {
+      val bq = graft.pipeline.BinaryQuant
+      val emb = t(s, dir, "embeddings").filter(F.col("embedding").isNotNull)
+        .select(F.col("vec_id").cast("long").as("vec_id"), F.col("embedding"))
+      val copies = emb.filter(F.col("vec_id") < 5)
+        .select((F.col("vec_id") + 100000L).as("vec_id"), F.col("embedding"))
+      val corpus = emb.unionByName(copies)
+      val planted = bq.binaryTopK(corpus, copies, "vec_id", "embedding", 3,
+        poolSize = 50).collect()
+      val top1 = planted.filter(_.getAs[Int]("rank") == 1)
+      val copyOk = top1.length == 5 && top1.forall(r =>
+        r.getAs[Long]("neighbor_id") == r.getAs[Long]("query_id") - 100000L &&
+        math.abs(r.getAs[Double]("cos") - 1.0) < 1e-6)
+      val queries = emb.filter(F.col("vec_id") < 10)
+      def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Int, Long)] = df
+        .select("query_id", "rank", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      val exact = pairs(graft.pipeline.Similarity
+        .bruteForceTopK(emb, queries, "vec_id", "embedding", 5))
+      val exhaustive = pairs(bq.binaryTopK(emb, queries, "vec_id", "embedding", 5,
+        poolSize = 1 << 20))
+      s.range(1).select(
+        F.lit(planted.length.toLong).as("n_rows"),
+        F.lit(copyOk).as("copies_rank1"),
+        F.lit(exhaustive == exact).as("pool_exhaustive_exact"))
+    }),
+
+    // metadata-filtered ANN: top-k among rows passing a predicate
+    // (allowed-id semi-join, the PRE-filter strategy). At probeMass 1
+    // the probe covers every cell, so the filtered result must equal
+    // brute force over the filtered subset row-for-row; the auto
+    // dispatch's two branches (filtered brute force / compensated-
+    // mass probe) must both put a planted copy at rank 1 and never
+    // return a disallowed neighbor
+    "q_ann_filtered" -> ((s: SparkSession, dir: String) => {
+      val sim = graft.pipeline.Similarity
+      val emb = t(s, dir, "embeddings").filter(F.col("embedding").isNotNull)
+        .select(F.col("vec_id").cast("long").as("vec_id"), F.col("embedding"))
+      val copies = emb.filter(F.col("vec_id") < 10 && F.col("vec_id") % 2 === 0)
+        .select((F.col("vec_id") + 100000L).as("vec_id"), F.col("embedding"))
+      val corpus = emb.unionByName(copies)
+      val allowed = emb.filter(F.col("vec_id") % 2 === 0).select("vec_id")
+      val idx = sim.buildIvfIndex(corpus, "vec_id", "embedding", nlist = 16)
+      def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Int, Long)] = df
+        .select("query_id", "rank", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      val full = sim.ivfTopKFilteredIndexed(idx, copies, "vec_id", "embedding",
+        allowed, k = 3, probeMass = 1.0)
+      val fullRows = full.collect()
+      val exact = pairs(sim.bruteForceTopK(
+        emb.filter(F.col("vec_id") % 2 === 0), copies, "vec_id", "embedding", 3))
+      def top1CopyOk(rows: Array[org.apache.spark.sql.Row]): Boolean = {
+        val t1 = rows.filter(_.getAs[Int]("rank") == 1)
+        t1.length == 5 && t1.forall(r =>
+          r.getAs[Long]("neighbor_id") == r.getAs[Long]("query_id") - 100000L)
+      }
+      def allowedOnly(rows: Array[org.apache.spark.sql.Row]): Boolean =
+        rows.forall { r =>
+          val n = r.getAs[Long]("neighbor_id"); n % 2 == 0 && n < 100000L }
+      val autoBrute = sim.ivfTopKFilteredAuto(idx, copies, "vec_id", "embedding",
+        allowed, k = 3, bruteThreshold = Long.MaxValue).collect()
+      val autoProbe = sim.ivfTopKFilteredAuto(idx, copies, "vec_id", "embedding",
+        allowed, k = 3, baseMass = 0.45, bruteThreshold = 0L).collect()
+      s.range(1).select(
+        F.lit(fullRows.length.toLong).as("n_rows"),
+        F.lit(pairs(full) == exact).as("full_mass_exact"),
+        F.lit(top1CopyOk(fullRows)).as("full_top1_copies"),
+        F.lit(allowedOnly(fullRows)).as("full_allowed_only"),
+        F.lit(top1CopyOk(autoBrute) && allowedOnly(autoBrute)).as("brute_branch_ok"),
+        F.lit(top1CopyOk(autoProbe) && allowedOnly(autoProbe)).as("probe_branch_ok"))
+    }),
+
+    // kNN label propagation: exact copies of 20 labeled rows recover
+    // exactly their source's label at k=1 (identical vectors share
+    // the probe's first cell; cosine 1 outranks every natural
+    // neighbor — testdata has no natural pair at cos 0.999). Full-row
+    // oracle from id arithmetic
+    "q_knn_label" -> ((s: SparkSession, dir: String) => {
+      val emb = t(s, dir, "embeddings")
+        .filter(F.col("embedding").isNotNull && F.col("label").isNotNull)
+        .select(F.col("vec_id").cast("long").as("vec_id"), F.col("embedding"),
+          F.col("label"))
+      val copies = emb.filter(F.col("vec_id") < 20)
+        .select((F.col("vec_id") + 100000L).as("vec_id"), F.col("embedding"))
+      graft.pipeline.Similarity
+        .knnClassify(emb, copies, "vec_id", "embedding", "label",
+          k = 1, probeMass = 0.45)
+        .select(F.col("query_id"), F.col("label"),
+          (F.abs(F.col("weight") - 1.0) < 1e-9).as("w_ok"), F.col("votes"))
+        .orderBy("query_id")
+    }),
+
+    // MMR diversified rerank: planted 2-D angular clusters make the
+    // greedy selection exactly computable (pure per-row double math,
+    // no cross-partition sums) — lambda=1 must reproduce relevance
+    // order, lambda=0.2 must jump to the far cluster at rank 2; on
+    // real embeddings rank 1 always equals the relevance top-1
+    // (step 0 maximizes lambda*rel alone)
+    "q_mmr_rerank" -> ((s: SparkSession, dir: String) => {
+      val sim = graft.pipeline.Similarity
+      def v(theta: Double) = Array(math.cos(theta).toFloat, math.sin(theta).toFloat)
+      val corpus = s.createDataFrame(Seq(
+        (1L, v(0.05)), (2L, v(0.10)), (3L, v(0.50)), (4L, v(1.20))))
+        .toDF("vec_id", "embedding")
+      val q0 = s.createDataFrame(Seq((0L, v(0.0)))).toDF("vec_id", "embedding")
+      val rel = sim.mmrTopK(corpus, q0, "vec_id", "embedding", 3,
+        lambda = 1.0, poolSize = 4)
+        .orderBy("rank").select("neighbor_id")
+        .collect().map(_.getLong(0)).toSeq
+      val emb = t(s, dir, "embeddings").filter(F.col("embedding").isNotNull)
+        .select(F.col("vec_id").cast("long").as("vec_id"), F.col("embedding"))
+      val queries = emb.filter(F.col("vec_id") < 5)
+      val pool = sim.bruteForceTopK(emb, queries, "vec_id", "embedding", 20)
+      val top1 = pool.filter(F.col("rank") === 1)
+        .select("query_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val mmrTop1 = sim.mmrRerank(pool, emb, "vec_id", "embedding", 5, lambda = 0.6)
+        .filter(F.col("rank") === 1)
+        .select("query_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val realOk = top1.size == 5 && mmrTop1 == top1
+      sim.mmrTopK(corpus, q0, "vec_id", "embedding", 3,
+          lambda = 0.2, poolSize = 4)
+        .select(F.col("query_id"), F.col("rank"), F.col("neighbor_id"),
+          F.lit(rel == Seq(1L, 2L, 3L)).as("rel_order_ok"),
+          F.lit(realOk).as("real_top1_ok"))
+        .orderBy("rank")
     }),
 
     // text statistics per source: counts, tokens, chars, languages
@@ -8539,6 +8728,24 @@ object SparkEntry {
       """SELECT CAST((SELECT count(*) FROM embeddings WHERE vec_id < 5) * 5 AS BIGINT)
         |  AS exact_pairs, true AS recall_ok,
         |  true AS rotation_orthogonal""".stripMargin,
+    "q_ann_binary" ->
+      """SELECT CAST(15 AS BIGINT) AS n_rows, true AS copies_rank1,
+        |  true AS pool_exhaustive_exact""".stripMargin,
+    "q_ann_filtered" ->
+      """SELECT CAST(15 AS BIGINT) AS n_rows, true AS full_mass_exact,
+        |  true AS full_top1_copies, true AS full_allowed_only,
+        |  true AS brute_branch_ok, true AS probe_branch_ok""".stripMargin,
+    "q_knn_label" ->
+      """SELECT CAST(vec_id + 100000 AS BIGINT) AS query_id, label,
+        |  true AS w_ok, CAST(1 AS BIGINT) AS votes
+        |FROM embeddings
+        |WHERE embedding IS NOT NULL AND label IS NOT NULL AND vec_id < 20
+        |ORDER BY query_id""".stripMargin,
+    "q_mmr_rerank" ->
+      """SELECT CAST(0 AS BIGINT) AS query_id, CAST(r AS INTEGER) AS rank,
+        |  CAST(n AS BIGINT) AS neighbor_id,
+        |  true AS rel_order_ok, true AS real_top1_ok
+        |FROM (VALUES (1, 1), (2, 4), (3, 3)) AS t(r, n) ORDER BY r""".stripMargin,
     "q_embed_drift" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_index,
         |       CAST(count(*) AS BIGINT) AS n_batch,
@@ -8623,6 +8830,11 @@ object SparkEntry {
         |FROM embeddings
         |WHERE vec_id % 4 = 1 AND vec_id < 10 AND embedding IS NOT NULL
         |ORDER BY query_id""".stripMargin,
+    "q_dedup_winnow" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_base, true AS found_ok,
+        |       true AS no_hallucination, true AS density_ok,
+        |       true AS incremental_ok
+        |FROM documents WHERE text IS NOT NULL AND n_chars >= 400""".stripMargin,
     "q_dedup_cdc" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_base, true AS covers_ok,
         |       true AS found_ok, true AS no_hallucination

@@ -2317,6 +2317,153 @@ object Dedup {
       .filter(F.col("shared_chunks") >= minShared)
 
   /**
+   * Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003 — the
+   * MOSS scheme): hash every word `k`-gram, slide a `w`-window over
+   * the hash sequence, keep the RIGHTMOST minimal hash per window,
+   * and drop consecutive repeats. The selection guarantee: any run of
+   * `w + k - 1` shared tokens between two documents shares at least
+   * one fingerprint (selection depends only on window content, so the
+   * same content picks the same relative position), while expected
+   * density is ~2/(w+1) of the grams — the position-robust
+   * fingerprinting used for plagiarism/provenance detection, sitting
+   * between full-shingle indexes (dense) and MinHash (no positions).
+   *
+   * One map-only pass: grams and hashes are Column transforms, the
+   * per-document selection is an O(n) monotonic-deque kernel in one
+   * UDF (docs shorter than `w` grams winnow as a single window).
+   * Returns (id, pos, fp) — `pos` the 0-based gram position, `fp`
+   * xxhash64 of the gram. Fingerprint rows are what you index: ~2/w
+   * of the gram table, id-bearing (flat [[saveSignatureIndex]] family
+   * → takedowns work unchanged).
+   */
+  def winnowFingerprints(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 5,
+      w: Int = 8): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(w >= 1, s"w must be >= 1, got $w")
+    val selU = F.udf((hs: Seq[Long]) => {
+      val n = if (hs == null) 0 else hs.length
+      if (n == 0) Array.empty[(Int, Long)]
+      else {
+        val win = math.min(w, n)
+        val idx = new Array[Int](n)
+        var head = 0
+        var tail = 0
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+        var lastSel = -1
+        var i = 0
+        while (i < n) {
+          // pop >= (not >) so a later equal hash replaces an earlier
+          // one: the deque front is always the RIGHTMOST min
+          while (tail > head && hs(idx(tail - 1)) >= hs(i)) tail -= 1
+          idx(tail) = i
+          tail += 1
+          if (idx(head) <= i - win) head += 1
+          if (i >= win - 1) {
+            val s = idx(head)
+            if (s != lastSel) {
+              out += ((s, hs(s)))
+              lastSel = s
+            }
+          }
+          i += 1
+        }
+        out.toArray
+      }
+    })
+    val grams = TextFunctions.allWordNgrams(F.col(textCol), k)
+    docs
+      .filter(F.col(textCol).isNotNull)
+      .select(F.col(idCol).cast("long").as("id"),
+        F.explode(selU(F.transform(grams, g => F.xxhash64(g)))).as("__s"))
+      .select(F.col("id"), F.col("__s._1").as("pos"), F.col("__s._2").as("fp"))
+  }
+
+  /**
+   * Document-overlap pairs by shared winnowing fingerprints — the
+   * [[chunkOverlapPairs]] shape on the winnowed gram table: distinct
+   * (fp, id), capped fp buckets (a fingerprint in > `maxBucket` docs
+   * is boilerplate, and the drop is accumulator-counted, never
+   * silent), within-bucket pairs, `shared_fps >= minShared`. Detects
+   * any shared run of >= (minShared - 1) * w + w + k - 1 tokens by
+   * the winnowing guarantee.
+   */
+  def winnowOverlapPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 5,
+      w: Int = 8,
+      minShared: Int = 2,
+      maxBucket: Int = 64): DataFrame = {
+    val fps = winnowFingerprints(docs, idCol, textCol, k, w)
+      .select(F.col("fp"), F.col("id")).distinct()
+    val grouped = fps.groupBy(F.col("fp"))
+      .agg(F.collect_list(F.col("id")).as("__ids"))
+      .filter(F.size(F.col("__ids")) > 1)
+    val buckets = capBuckets(grouped, F.size(F.col("__ids")), maxBucket, "winnow")
+    val pairU = F.udf((ids: Seq[Long]) => {
+      val s = ids.sorted
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      var i = 0
+      while (i < s.length) {
+        var j = i + 1
+        while (j < s.length) { out += ((s(i), s(j))); j += 1 }
+        i += 1
+      }
+      out.toArray
+    })
+    buckets
+      .select(F.explode(pairU(F.col("__ids"))).as("__p"))
+      .select(F.col("__p._1").as("id_a"), F.col("__p._2").as("id_b"))
+      .groupBy(F.col("id_a"), F.col("id_b"))
+      .agg(F.count(F.lit(1)).as("shared_fps"))
+      .filter(F.col("shared_fps") >= minShared)
+  }
+
+  /** Persistable winnowing index: distinct (fp, id) rows for
+    * fingerprints shared by at most `maxBucket` documents — the
+    * [[buildChunkIndex]] twin; flat parquet via [[saveSignatureIndex]]
+    * so [[removeFromSavedIndex]] takedowns work unchanged. */
+  def buildWinnowIndex(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 5,
+      w: Int = 8,
+      maxBucket: Int = 64): DataFrame = {
+    val fps = winnowFingerprints(docs, idCol, textCol, k, w)
+      .select(F.col("fp"), F.col("id")).distinct()
+    val sizes = fps.groupBy(F.col("fp")).agg(F.count(F.lit(1)).as("__n"))
+    val ok = capBuckets(sizes, F.col("__n"), maxBucket, "winnowindex")
+      .select(F.col("fp"))
+    fps.join(ok, Seq("fp"))
+  }
+
+  /** Nightly-delta winnowing overlap: fresh documents' fingerprints
+    * probed against a persisted [[buildWinnowIndex]] — only the delta
+    * is tokenized and winnowed (the [[incrementalChunkOverlap]]
+    * discipline). */
+  def incrementalWinnowOverlap(
+      fresh: DataFrame,
+      index: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 5,
+      w: Int = 8,
+      minShared: Int = 2): DataFrame =
+    winnowFingerprints(fresh, idCol, textCol, k, w)
+      .select(F.col("fp"), F.col("id").as("id_new")).distinct()
+      .join(index.select(F.col("fp"), F.col("id").as("id_old")), Seq("fp"))
+      .filter(F.col("id_new") =!= F.col("id_old"))
+      .groupBy(F.col("id_new"), F.col("id_old"))
+      .agg(F.count(F.lit(1)).as("shared_fps"))
+      .filter(F.col("shared_fps") >= minShared)
+
+  /**
    * Duplicate DOWNWEIGHTING — the soft alternative to
    * [[dropNearDuplicates]]: every document outside a near-dup cluster
    * is kept, and each member of a cluster survives with probability

@@ -1019,6 +1019,302 @@ object Similarity {
       probeBits = 1)
 
   // ---------------------------------------------------------------- //
+  // Filtered (predicate-constrained) ANN                              //
+  // ---------------------------------------------------------------- //
+
+  /**
+   * Metadata-filtered top-k over a prebuilt IVF index: nearest
+   * neighbors among only the rows whose id appears in `allowed` — the
+   * PRE-FILTER strategy (restrict candidates, then rank), which is
+   * exact within the probed cells; a post-filter (rank, then drop)
+   * under-fills k whenever the filter is selective.
+   *
+   * `allowed` is a one-column DataFrame of ids — the caller expresses
+   * the predicate as an ordinary DataFrame filter over their metadata
+   * table and passes the surviving ids (Spark-first: the predicate
+   * stays declarative, pushdown and pruning apply to the metadata
+   * scan). The semi-join against the probed cells is left to
+   * Catalyst/AQE: a small allowed set broadcasts, a large one hash-
+   * joins on the id — either way nothing is collected.
+   *
+   * Recall under filtering is the probe dial: with selectivity s the
+   * probed cells hold ~s x probeMass x n candidates, so a fixed mass
+   * that is fine unfiltered starves a selective filter. Use
+   * [[ivfTopKFilteredAuto]] to compensate automatically.
+   */
+  def ivfTopKFilteredIndexed(
+      index: IvfIndex,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      allowed: DataFrame,
+      k: Int,
+      nprobe: Int = 4,
+      probeMass: Double = 0.0): DataFrame = {
+    val aCol = allowed.columns.head
+    val ok = allowed.select(F.col(aCol).as("neighbor_id")).distinct()
+    val probeU = probeCellsUdf(index, nprobe, probeMass)
+    val q = queries.select(F.col(idCol).as("query_id"), F.col(vecCol).as("__qv"),
+                           F.explode(probeU(F.col(vecCol))).as("__cell"))
+    val scored = index.assigned
+      .join(ok, Seq("neighbor_id"), "left_semi")
+      .join(F.broadcast(q), "__cell")
+      .filter(F.col("neighbor_id") =!= F.col("query_id"))
+      .withColumn("cos", cosine(F.col("__qv"), F.col("__cv")))
+    val w = Window.partitionBy(F.col("query_id"))
+      .orderBy(F.col("cos").desc, F.col("neighbor_id").asc)
+    scored.withColumn("rank", F.row_number().over(w))
+      .filter(F.col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cos")
+  }
+
+  /**
+   * Selectivity-adaptive filtered top-k — the dispatch every serving
+   * stack converges on. Measures the filter's selectivity s =
+   * |allowed ∩ corpus| / n (one semi-join count, the only extra job),
+   * then:
+   *
+   *   - s x n <= bruteThreshold, or the compensated probe mass
+   *     baseMass / s reaches 1: EXACT brute force over the filtered
+   *     subset (a selective filter shrinks the corpus until scanning
+   *     it outright is cheaper AND exact — probing would touch most
+   *     cells anyway);
+   *   - otherwise: IVF probe at mass min(1, baseMass / s), holding
+   *     the expected candidate count at the unfiltered baseMass
+   *     level, so recall does not decay with selectivity.
+   *
+   * The brute branch is exact and the probe branch keeps the
+   * unfiltered candidate budget — both sides of the boundary give
+   * planted exact copies rank-1 and return min(k, |allowed|-ish) rows,
+   * which is what gates pin (the branches legitimately differ on
+   * marginal natural neighbors).
+   */
+  def ivfTopKFilteredAuto(
+      index: IvfIndex,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      allowed: DataFrame,
+      k: Int,
+      baseMass: Double = 0.45,
+      bruteThreshold: Long = 100000L): DataFrame = {
+    val aCol = allowed.columns.head
+    val ok = allowed.select(F.col(aCol).as("neighbor_id")).distinct()
+    val filtered = index.assigned.join(ok, Seq("neighbor_id"), "left_semi")
+    val nAllowed = filtered.count()
+    val n = math.max(index.assigned.count(), 1L)
+    val s = math.max(nAllowed.toDouble / n, 1e-12)
+    val mass = baseMass / s
+    if (nAllowed <= bruteThreshold || mass >= 1.0)
+      bruteForceTopK(
+        filtered.select(F.col("neighbor_id").as(idCol), F.col("__cv").as(vecCol)),
+        queries, idCol, vecCol, k)
+    else
+      ivfTopKFilteredIndexed(index, queries, idCol, vecCol, allowed, k,
+        nprobe = 4, probeMass = math.min(mass, 1.0))
+  }
+
+  // ---------------------------------------------------------------- //
+  // MMR diversified rerank                                            //
+  // ---------------------------------------------------------------- //
+
+  /**
+   * Maximal-marginal-relevance rerank (Carbonell & Goldstein 1998) of
+   * an ANN candidate pool: greedily select `k` of each query's
+   * candidates maximizing
+   *
+   *   lambda * rel(c) - (1 - lambda) * max_{s in selected} sim(c, s)
+   *
+   * where rel is the candidate's incoming score (`cos` column — any
+   * ANN family's output plugs in) and sim is cosine between
+   * candidates. lambda = 1 degenerates to plain relevance order;
+   * smaller lambda trades relevance for diversity — the RAG-context
+   * and search-results dial that stops near-duplicate passages from
+   * monopolizing a context window.
+   *
+   * `candidates` is (query_id, neighbor_id, cos) — the top-k shape
+   * every ANN operator here returns; vectors are fetched from
+   * `corpus` with the candidate table BROADCAST onto the corpus scan
+   * (candidates are |queries| x pool, bounded). The greedy loop runs
+   * per query over its pooled candidates inside one UDF — O(pool * k)
+   * dot products over a bounded pool, map-side after the group. Ties
+   * break (score desc, neighbor_id asc): deterministic.
+   *
+   * Ids must be long-typed (cast upstream). Returns (query_id, rank,
+   * neighbor_id, score, cos) — `score` is the marginal-relevance
+   * value at selection time (rank 1's score = lambda * rel).
+   */
+  def mmrRerank(
+      candidates: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      lambda: Double = 0.7): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda must be in [0,1], got $lambda")
+    val cvec = corpus.select(F.col(idCol).cast("long").as("neighbor_id"),
+      F.col(vecCol).as("__cv"))
+    val joined = cvec.join(
+      F.broadcast(candidates.select(F.col("query_id").cast("long").as("query_id"),
+        F.col("neighbor_id").cast("long").as("neighbor_id"),
+        F.col("cos").cast("double").as("cos"))),
+      "neighbor_id")
+    val greedy = F.udf((cands: Seq[org.apache.spark.sql.Row]) => {
+      val n = cands.length
+      val ids = new Array[Long](n)
+      val rel = new Array[Double](n)
+      val vecs = new Array[Array[Double]](n)
+      var i = 0
+      while (i < n) {
+        val r = cands(i)
+        ids(i) = r.getLong(0)
+        rel(i) = r.getDouble(1)
+        val v = r.getSeq[Float](2)
+        val d = new Array[Double](v.length)
+        var nrm = 0.0
+        var j = 0
+        while (j < v.length) { d(j) = v(j).toDouble; nrm += d(j) * d(j); j += 1 }
+        nrm = math.sqrt(nrm)
+        if (nrm > 0) { j = 0; while (j < v.length) { d(j) /= nrm; j += 1 } }
+        vecs(i) = d
+        i += 1
+      }
+      def dot(a: Array[Double], b: Array[Double]): Double = {
+        var s = 0.0; var j = 0
+        val m = math.min(a.length, b.length)
+        while (j < m) { s += a(j) * b(j); j += 1 }
+        s
+      }
+      val maxSim = Array.fill(n)(0.0) // max sim to the selected set so far
+      val taken = new Array[Boolean](n)
+      val out = Seq.newBuilder[(Int, Long, Double, Double)]
+      var step = 0
+      var none = false
+      while (step < math.min(k, n) && !none) {
+        var best = -1
+        var bestScore = 0.0
+        var ii = 0
+        while (ii < n) {
+          if (!taken(ii)) {
+            val s = if (step == 0) lambda * rel(ii)
+                    else lambda * rel(ii) - (1.0 - lambda) * maxSim(ii)
+            if (best < 0 || s > bestScore ||
+                (s == bestScore && ids(ii) < ids(best))) {
+              best = ii; bestScore = s
+            }
+          }
+          ii += 1
+        }
+        if (best < 0) none = true
+        else {
+          taken(best) = true
+          out += ((step + 1, ids(best), bestScore, rel(best)))
+          ii = 0
+          while (ii < n) {
+            if (!taken(ii)) {
+              val s = dot(vecs(ii), vecs(best))
+              if (s > maxSim(ii)) maxSim(ii) = s
+            }
+            ii += 1
+          }
+          step += 1
+        }
+      }
+      out.result()
+    })
+    joined
+      .groupBy(F.col("query_id"))
+      .agg(F.collect_list(F.struct(F.col("neighbor_id"), F.col("cos"),
+        F.col("__cv"))).as("__cands"))
+      .select(F.col("query_id"), F.explode(greedy(F.col("__cands"))).as("__sel"))
+      .select(F.col("query_id"), F.col("__sel._1").as("rank"),
+        F.col("__sel._2").as("neighbor_id"), F.col("__sel._3").as("score"),
+        F.col("__sel._4").as("cos"))
+  }
+
+  /** Convenience: exact top-`poolSize` pool (bruteForceTopK) then MMR
+    * — at scale feed [[mmrRerank]] from an indexed ANN family
+    * instead. */
+  def mmrTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      lambda: Double = 0.7,
+      poolSize: Int = 100): DataFrame =
+    mmrRerank(
+      bruteForceTopK(corpus, queries, idCol, vecCol, poolSize),
+      corpus, idCol, vecCol, k, lambda)
+
+  // ---------------------------------------------------------------- //
+  // kNN label propagation                                             //
+  // ---------------------------------------------------------------- //
+
+  /**
+   * Nearest-neighbor classification against a labeled index — the
+   * semi-supervised labeling pass a curation pipeline runs to extend
+   * a small annotated seed set over a crawl (quality tiers, topics,
+   * licenses). Each query's `k` approximate nearest labeled rows vote
+   * with weight = cosine; the heaviest label wins (ties by label
+   * value, deterministic).
+   *
+   * Returns (query_id, label, weight, votes). Scale shape: one
+   * [[ivfTopKIndexed]] probe (query batch broadcast), then the
+   * |queries| x k neighbor table BROADCASTS onto the labels scan —
+   * the label table never shuffles — and the vote is a bounded
+   * groupBy + top-1 window over queries x distinct-labels rows.
+   *
+   * k = 1 is exact nearest-label assignment (an exact copy of a
+   * labeled row always recovers that row's label: identical vectors
+   * share the probe's first cell and cosine 1 outranks). Weighted
+   * votes at k > 1 sum <= k doubles per (query, label) — order-noise
+   * ~1e-15; don't pin near-tie outcomes in oracles.
+   */
+  def knnClassifyIndexed(
+      index: IvfIndex,
+      labels: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      k: Int,
+      nprobe: Int = 4,
+      probeMass: Double = 0.0): DataFrame = {
+    val nn = ivfTopKIndexed(index, queries, idCol, vecCol, k, nprobe, probeMass)
+    val lab = labels.select(F.col(idCol).as("neighbor_id"), F.col(labelCol).as("label"))
+      .filter(F.col("label").isNotNull)
+    val votes = lab.join(F.broadcast(nn), "neighbor_id")
+      .groupBy(F.col("query_id"), F.col("label"))
+      .agg(F.sum(F.col("cos")).as("weight"), F.count(F.lit(1)).as("votes"))
+    val w = Window.partitionBy(F.col("query_id"))
+      .orderBy(F.col("weight").desc, F.col("label").asc)
+    votes.withColumn("__r", F.row_number().over(w))
+      .filter(F.col("__r") === 1)
+      .select("query_id", "label", "weight", "votes")
+  }
+
+  /** Convenience form: build the IVF index over the labeled set
+    * (nlist = sqrt(n), the auto sizing) and classify in one call. At
+    * scale, [[buildIvfIndex]]/save once and [[knnClassifyIndexed]]
+    * per batch. */
+  def knnClassify(
+      labeled: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      k: Int,
+      probeMass: Double = 0.45,
+      iterations: Int = 2): DataFrame = {
+    val n = labeled.count()
+    val index = buildIvfIndex(labeled, idCol, vecCol, ivfNlistFor(n), iterations)
+    knnClassifyIndexed(index, labeled, queries, idCol, vecCol, labelCol, k,
+      nprobe = 4, probeMass = probeMass)
+  }
+
+  // ---------------------------------------------------------------- //
   // Contrastive-pair mining                                           //
   // ---------------------------------------------------------------- //
 

@@ -555,9 +555,20 @@ object Vocab {
       docs: DataFrame,
       textCol: String,
       merges: Seq[(String, String)],
+      outCol: String = "tokens"): DataFrame =
+    tokenizeBpeRanked(docs, textCol,
+      merges.zipWithIndex.map { case (m, i) => m -> i }.toMap, outCol)
+
+  /** [[tokenizeBpe]] from an explicit pair-rank map — the shape
+    * [[TokenizerIO.loadSentencePieceBpe]] reconstructs (SPM BPE stores
+    * pieces, not pairs; every valid split of a piece shares the
+    * piece's rank, which is exactly SentencePiece's piece-score greedy
+    * merging expressed as pair ranks). */
+  def tokenizeBpeRanked(
+      docs: DataFrame,
+      textCol: String,
+      ranks: Map[(String, String), Int],
       outCol: String = "tokens"): DataFrame = {
-    val ranks: Map[(String, String), Int] =
-      merges.zipWithIndex.map { case (m, i) => m -> i }.toMap
     val bc = docs.sparkSession.sparkContext.broadcast(ranks)
     val sep = java.util.regex.Pattern.compile("\\s+")
     val tokU = F.udf(new Function1[String, Array[String]] with Serializable {

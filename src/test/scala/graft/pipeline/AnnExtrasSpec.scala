@@ -1,0 +1,200 @@
+package graft.pipeline
+
+import graft.SparkTestBase
+import org.apache.spark.sql.{functions => F}
+
+/** Binary quantization, filtered ANN, kNN label propagation. */
+class AnnExtrasSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def emb = sf("sf0.001", "embeddings")
+
+  test("signBits: deterministic, one word for dim<=64, bit = sign") {
+    val rows = Seq(
+      (1L, Array(1.0f, -1.0f, 0.0f, 2.0f)),
+      (2L, Array(-1.0f, -1.0f, -1.0f, -1.0f))
+    ).toDF("id", "v")
+    val got = rows.select($"id", BinaryQuant.signBits($"v").as("sig"))
+      .as[(Long, Array[Long])].collect().toMap
+    // bits 0 and 3 set for row 1 (strictly positive only), none for row 2
+    assert(got(1L).toSeq == Seq(1L | (1L << 3)))
+    assert(got(2L).toSeq == Seq(0L))
+    assert(BinaryQuant.wordsFor(64) == 1 && BinaryQuant.wordsFor(65) == 2)
+  }
+
+  test("hammingCol: single-word native path equals multi-word path") {
+    val rows = Seq((Array(0xF0L), Array(0x0FL))).toDF("a", "b")
+    val one = rows.select(BinaryQuant.hammingCol($"a", $"b", 1)).as[Int].head()
+    val multi = rows.select(BinaryQuant.hammingCol($"a", $"b", 2)).as[Int].head()
+    assert(one == 8 && multi == 8)
+  }
+
+  test("binaryTopK: planted exact copies are rank-1 with cos ~ 1") {
+    val copies = emb.filter($"vec_id" < 5)
+      .select(($"vec_id" + 10000L).as("vec_id"), $"embedding", $"label")
+    val out = BinaryQuant.binaryTopK(emb.unionByName(copies), copies,
+        "vec_id", "embedding", k = 3, poolSize = 50)
+      .collect()
+    assert(out.count(_.getAs[Int]("rank") == 1) == 5)
+    out.filter(_.getAs[Int]("rank") == 1).foreach { r =>
+      assert(r.getAs[Long]("neighbor_id") == r.getAs[Long]("query_id") - 10000L)
+      assert(math.abs(r.getAs[Double]("cos") - 1.0) < 1e-6)
+    }
+  }
+
+  test("binaryTopK recall vs brute force at a generous pool") {
+    val queries = emb.filter($"vec_id" < 10)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = BinaryQuant.binaryTopK(emb, queries, "vec_id", "embedding", 5,
+        poolSize = 100)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall=$recall")
+    // pool = corpus makes the rerank exhaustive: must equal brute force
+    val full = BinaryQuant.binaryTopK(emb, queries, "vec_id", "embedding", 5,
+        poolSize = 1000)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(full == exact)
+  }
+
+  test("binaryTopK centered thresholds keep exact copies rank-1") {
+    val copies = emb.filter($"vec_id" < 3)
+      .select(($"vec_id" + 10000L).as("vec_id"), $"embedding", $"label")
+    val out = BinaryQuant.binaryTopK(emb.unionByName(copies), copies,
+        "vec_id", "embedding", k = 1, poolSize = 50, center = true)
+      .collect()
+    assert(out.length == 3)
+    out.foreach { r =>
+      assert(r.getAs[Long]("neighbor_id") == r.getAs[Long]("query_id") - 10000L)
+    }
+  }
+
+  test("ivfTopKFilteredIndexed: every neighbor satisfies the filter; pre-filter fills k") {
+    val allowed = emb.filter($"vec_id" % 2 === 0).select($"vec_id")
+    val queries = emb.filter($"vec_id" < 5)
+    val idx = Similarity.buildIvfIndex(emb, "vec_id", "embedding", nlist = 16)
+    val out = Similarity.ivfTopKFilteredIndexed(idx, queries, "vec_id", "embedding",
+        allowed, k = 5, probeMass = 1.0)
+      .collect()
+    assert(out.length == 25) // full probe mass -> exact over the filtered half
+    out.foreach(r => assert(r.getAs[Long]("neighbor_id") % 2 == 0))
+    // exact within full probe mass: equals brute force over the filtered subset
+    val exact = Similarity.bruteForceTopK(
+        emb.filter($"vec_id" % 2 === 0 || $"vec_id" < 5), queries,
+        "vec_id", "embedding", 5)
+      .filter($"neighbor_id" % 2 === 0)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val got = out.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    // brute force above ranks unfiltered then drops odd rows, so compare
+    // only set containment of the filtered exact top-5 computed directly
+    val trueExact = Similarity.bruteForceTopK(
+        emb.filter($"vec_id" % 2 === 0).unionByName(queries).dropDuplicates("vec_id"),
+        queries, "vec_id", "embedding", 5)
+      .filter($"neighbor_id" % 2 === 0)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(got.subsetOf(trueExact ++ exact) || got == trueExact)
+  }
+
+  test("ivfTopKFilteredAuto: brute branch below threshold, probe branch above; both find planted copies") {
+    val copies = emb.filter($"vec_id" < 4 && $"vec_id" % 2 === 0)
+      .select(($"vec_id" + 10000L).as("vec_id"), $"embedding", $"label")
+    val corpus = emb.unionByName(copies)
+    val allowed = corpus.filter($"vec_id" % 2 === 0 && $"vec_id" < 10000L).select($"vec_id")
+    val queries = copies
+    val idx = Similarity.buildIvfIndex(corpus, "vec_id", "embedding", nlist = 16)
+    for (thr <- Seq(100000L, 1L)) {
+      val out = Similarity.ivfTopKFilteredAuto(idx, queries, "vec_id", "embedding",
+          allowed, k = 3, baseMass = 0.45, bruteThreshold = thr)
+        .collect()
+      val top1 = out.filter(_.getAs[Int]("rank") == 1)
+      assert(top1.length == 2, s"thr=$thr")
+      top1.foreach { r =>
+        assert(r.getAs[Long]("neighbor_id") == r.getAs[Long]("query_id") - 10000L)
+        assert(r.getAs[Long]("neighbor_id") % 2 == 0)
+      }
+      out.foreach(r => assert(r.getAs[Long]("neighbor_id") % 2 == 0))
+    }
+  }
+
+  test("mmrRerank: lambda=1 is relevance order; low lambda diversifies (planted angular clusters)") {
+    def v(theta: Double) = Array(math.cos(theta).toFloat, math.sin(theta).toFloat)
+    val corpus = Seq(
+      (1L, v(0.05)), (2L, v(0.10)), (3L, v(0.50)), (4L, v(1.20))
+    ).toDF("vec_id", "embedding")
+    val q = Seq((0L, v(0.0))).toDF("vec_id", "embedding")
+    def picks(lambda: Double): Seq[Long] =
+      Similarity.mmrTopK(corpus, q, "vec_id", "embedding", k = 3,
+          lambda = lambda, poolSize = 4)
+        .orderBy("rank").select("neighbor_id").as[Long].collect().toSeq
+    assert(picks(1.0) == Seq(1L, 2L, 3L))   // pure relevance
+    assert(picks(0.2) == Seq(1L, 4L, 3L))   // diversity: far cluster second
+  }
+
+  test("mmrRerank matches a driver-side greedy reference on real embeddings") {
+    val queries = emb.filter($"vec_id" < 3)
+    val pool = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 20)
+    val got = Similarity.mmrRerank(pool, emb, "vec_id", "embedding", k = 5,
+        lambda = 0.6)
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Int, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+
+    val vecs = emb.select($"vec_id", $"embedding")
+      .as[(Long, Array[Float])].collect().toMap
+    def norm(x: Array[Float]): Array[Double] = {
+      val d = x.map(_.toDouble); val n = math.sqrt(d.map(v => v * v).sum)
+      if (n > 0) d.map(_ / n) else d
+    }
+    def cosd(a: Long, b: Long): Double =
+      norm(vecs(a)).zip(norm(vecs(b))).map { case (x, y) => x * y }.sum
+    val poolRows = pool.select("query_id", "neighbor_id", "cos")
+      .as[(Long, Long, Double)].collect().groupBy(_._1)
+    poolRows.foreach { case (qid, rows) =>
+      var cands = rows.map(r => (r._2, r._3)).sortBy(_._1).toBuffer
+      val sel = scala.collection.mutable.ArrayBuffer[Long]()
+      val maxSim = scala.collection.mutable.Map[Long, Double]().withDefaultValue(0.0)
+      while (sel.size < 5 && cands.nonEmpty) {
+        val scored = cands.map { case (id, rel) =>
+          val s = if (sel.isEmpty) 0.6 * rel else 0.6 * rel - 0.4 * maxSim(id)
+          (id, s)
+        }
+        val best = scored.minBy { case (id, s) => (-s, id) }._1
+        sel += best
+        cands = cands.filterNot(_._1 == best)
+        cands.foreach { case (id, _) =>
+          val s = cosd(id, best)
+          if (s > maxSim(id)) maxSim(id) = s
+        }
+      }
+      assert(got(qid) == sel.toSeq, s"query $qid")
+    }
+  }
+
+  test("knnClassify: k=1 recovers the label of an exact copy; k=3 votes deterministically on planted geometry") {
+    val copies = emb.filter($"vec_id" < 6)
+      .select(($"vec_id" + 10000L).as("vec_id"), $"embedding", $"label")
+    val got = Similarity.knnClassify(emb, copies, "vec_id", "embedding", "label",
+        k = 1, probeMass = 0.45)
+      .collect()
+    val labels = emb.filter($"vec_id" < 6)
+      .select($"vec_id", $"label").as[(Long, Int)].collect().toMap
+    assert(got.length == 6)
+    got.foreach { r =>
+      assert(r.getAs[Int]("label") == labels(r.getAs[Long]("query_id") - 10000L))
+      assert(r.getAs[Long]("votes") == 1L)
+    }
+    // k=3 on a planted 3-cluster fixture: all three neighbors share the label
+    val fix = Seq(
+      (1L, Array(1f, 0f, 0f, 0f), 7), (2L, Array(0.99f, 0.1f, 0f, 0f), 7),
+      (3L, Array(0.98f, 0.15f, 0f, 0f), 7),
+      (4L, Array(0f, 1f, 0f, 0f), 8), (5L, Array(0f, 0.99f, 0.1f, 0f), 8),
+      (6L, Array(0f, 0.98f, 0.15f, 0f), 8)
+    ).toDF("vec_id", "embedding", "label")
+    val q = Seq((100L, Array(1f, 0.05f, 0f, 0f))).toDF("vec_id", "embedding")
+    val pred = Similarity.knnClassify(fix, q, "vec_id", "embedding", "label",
+        k = 3, probeMass = 1.0)
+      .collect().head
+    assert(pred.getAs[Int]("label") == 7 && pred.getAs[Long]("votes") == 3L)
+  }
+}
