@@ -5317,6 +5317,34 @@ object SparkEntry {
           F.lit(losslessOk).as("byte_fallback_lossless"))
     }),
 
+    // SentencePiece BPE .model: the format stores scored PIECES, not
+    // merge pairs — the loader reconstructs pair ranks as every
+    // two-piece split at the concatenation's priority (SentencePiece's
+    // own inference rule); for a self-consistent learned model the
+    // extra splits are unreachable, so reloaded tokenization must
+    // equal the learned merges' tokenization exactly on the corpus
+    "q_tokenizer_spm_bpe" -> ((s: SparkSession, dir: String) => {
+      val docs = t(s, dir, "documents")
+      val merges = graft.pipeline.Vocab.learnBpeMerges(docs, "text", 8)
+        .map(m => (m._1, m._2))
+      val path = System.getProperty("java.io.tmpdir") + "/graft_q_spm_bpe.model"
+      graft.pipeline.TokenizerIO.saveSentencePieceBpe(s, path, merges)
+      val (ranks, vocab, unk) =
+        graft.pipeline.TokenizerIO.loadSentencePieceBpe(s, path)
+      val vocabOk = vocab == graft.pipeline.TokenizerIO.bpeVocabFromMerges(merges) &&
+        unk == "<unk>" && merges.forall(ranks.contains)
+      val a = graft.pipeline.Vocab.tokenizeBpe(docs, "text", merges, "ta")
+        .select(F.col("doc_id"), F.col("ta"))
+      val b = graft.pipeline.Vocab.tokenizeBpeRanked(docs, "text", ranks, "tb")
+        .select(F.col("doc_id"), F.col("tb"))
+      a.join(b, "doc_id")
+        .agg(
+          F.count(F.lit(1)).as("docs"),
+          F.lit(vocabOk).as("vocab_roundtrip"),
+          (F.sum(F.when(F.col("ta") <=> F.col("tb"), 0L).otherwise(1L)) === 0L)
+            .as("tokens_identical"))
+    }),
+
     // byte-level (GPT-2-style) BPE: pre-tokenize with the GPT-2 regex,
     // map to the 256-char byte alphabet, learn merges, tokenize. The
     // oracle has two exact cross-engine hooks: the token strings
@@ -9716,6 +9744,10 @@ object SparkEntry {
       "q_tokenizer_spm" ->
         """SELECT count(*) AS docs, true AS model_roundtrip,
           |       true AS tokens_identical, true AS byte_fallback_lossless
+          |FROM documents""".stripMargin,
+      "q_tokenizer_spm_bpe" ->
+        """SELECT count(*) AS docs, true AS vocab_roundtrip,
+          |       true AS tokens_identical
           |FROM documents""".stripMargin,
       "q_tokenize_bpe_dropout" ->
         """SELECT source, count(*) AS docs, true AS reconstructs,

@@ -823,4 +823,131 @@ object TokenizerIO {
     val m0 = UnigramLm.Model(pieces, maxLen, unkScore, byteFallback = false)
     ((if (bf) UnigramLm.withByteFallback(m0) else m0), unkPiece)
   }
+
+  /**
+   * Write learned BPE merges as a SentencePiece `.model` with
+   * `model_type = BPE`: pieces in [[bpeVocabFromMerges]] order
+   * (alphabet, then merges in learn order) scored `-index` — the
+   * SentencePiece convention where a BPE piece's score encodes its
+   * merge priority (no merge PAIRS are stored in this format; see
+   * [[loadSentencePieceBpe]] for why that is lossless anyway).
+   */
+  def saveSentencePieceBpe(
+      spark: SparkSession,
+      path: String,
+      merges: Seq[(String, String)],
+      alphabet: Seq[String] = Nil,
+      unkPiece: String = "<unk>"): Unit = {
+    val vocab = bpeVocabFromMerges(merges, alphabet)
+    require(!vocab.contains(unkPiece),
+      s"unk piece '$unkPiece' must not also be a vocab piece")
+    val out = new java.io.ByteArrayOutputStream()
+    writeLenDelim(out, 1, spmPieceBytes(unkPiece, 0.0f, 2))
+    vocab.zipWithIndex.foreach { case (pc, i) =>
+      require(pc.nonEmpty, "SentencePiece pieces must be non-empty")
+      writeLenDelim(out, 1, spmPieceBytes(pc, -i.toFloat, 1))
+    }
+    val ts = new java.io.ByteArrayOutputStream()
+    writeVarint(ts, (3 << 3) | 0); writeVarint(ts, 2L) // model_type BPE
+    writeLenDelim(out, 2, ts.toByteArray)
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val o = fs.create(p, true)
+    try o.write(out.toByteArray) finally o.close()
+  }
+
+  /**
+   * Read a BPE `.model` (ours or any SentencePiece BPE): pieces sort
+   * by score descending (= priority order), and the pair-rank map is
+   * reconstructed as EVERY two-piece split of every piece, ranked by
+   * the merged piece's order — which is exactly SentencePiece's
+   * inference rule (greedily merge the adjacent pair whose
+   * CONCATENATION is the best-scored piece). The format stores no
+   * merge pairs, but none are needed: for a self-consistent learned
+   * model the extra never-learned splits are unreachable at inference
+   * — a pair (l, r) with concat P can only meet if l and r are both
+   * formed before P's true parents, and lowest-rank-first order
+   * forbids that (the applyBpeRanked ≡ applyBpe argument, inverted).
+   * Feed the result to [[Vocab.tokenizeBpeRanked]].
+   *
+   * Returns (pairRanks, vocab pieces in priority order, unkPiece).
+   */
+  def loadSentencePieceBpe(
+      spark: SparkSession,
+      path: String): (Map[(String, String), Int], Seq[String], String) = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val bytes = try in.readAllBytes() finally in.close()
+    val r = new ProtoReader(bytes, 0, bytes.length)
+    var rows = Vector.empty[(String, Float)]
+    var unkPiece = "<unk>"
+    var sawType = false
+    while (r.hasMore) {
+      val (field, wt) = r.tag()
+      (field, wt) match {
+        case (1, 2) =>
+          val n = r.varint().toInt
+          val (a, e) = r.bytesOf(n)
+          val pr = new ProtoReader(bytes, a, e)
+          var piece: String = null
+          var score = 0.0f
+          var tpe = 1
+          while (pr.hasMore) {
+            val (f2, w2) = pr.tag()
+            (f2, w2) match {
+              case (1, 2) =>
+                val m = pr.varint().toInt
+                val (pa, pe) = pr.bytesOf(m)
+                piece = new String(bytes, pa, pe - pa, StandardCharsets.UTF_8)
+              case (2, 5) =>
+                val (fa, _) = pr.bytesOf(4)
+                score = java.nio.ByteBuffer.wrap(bytes, fa, 4)
+                  .order(java.nio.ByteOrder.LITTLE_ENDIAN).getFloat
+              case (3, 0) => tpe = pr.varint().toInt
+              case (_, w) => pr.skip(w)
+            }
+          }
+          require(piece != null, "SentencePiece model: piece row without text")
+          tpe match {
+            case 2 => unkPiece = piece
+            case 1 => rows :+= (piece, score)
+            case _ => () // control/byte/user-defined rows are not merge vocab
+          }
+        case (2, 2) =>
+          val n = r.varint().toInt
+          val (a, e) = r.bytesOf(n)
+          val tr = new ProtoReader(bytes, a, e)
+          while (tr.hasMore) {
+            val (f2, w2) = tr.tag()
+            (f2, w2) match {
+              case (3, 0) =>
+                val mt = tr.varint()
+                require(mt == 2L,
+                  s"SentencePiece model: model_type $mt is not BPE")
+                sawType = true
+              case (_, w) => tr.skip(w)
+            }
+          }
+        case (_, w) => r.skip(w)
+      }
+    }
+    require(sawType, "SentencePiece model: trainer_spec carries no BPE model_type")
+    // priority order: score descending, file order on ties
+    val ordered = rows.zipWithIndex
+      .sortBy { case ((_, sc), i) => (-sc.toDouble, i) }
+      .map(_._1._1)
+    val idOf = ordered.zipWithIndex.toMap
+    val ranks = scala.collection.mutable.Map.empty[(String, String), Int]
+    ordered.zipWithIndex.foreach { case (pc, i) =>
+      var j = 1
+      while (j < pc.length) {
+        val l = pc.substring(0, j)
+        val rp = pc.substring(j)
+        if (idOf.contains(l) && idOf.contains(rp)) ranks((l, rp)) = i
+        j += 1
+      }
+    }
+    (ranks.toMap, ordered, unkPiece)
+  }
 }

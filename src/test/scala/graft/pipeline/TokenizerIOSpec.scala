@@ -275,4 +275,55 @@ class TokenizerIOSpec extends SparkTestBase {
     val (re0, _) = TokenizerIO.loadUnigramTokenizerJson(spark, p0)
     assert(!re0.byteFallback)
   }
+
+  test("SentencePiece BPE .model: pair ranks reconstruct, tokenization identical") {
+    val docs = sf("sf0.001", "documents").limit(60)
+    val merges = Vocab.learnBpeMerges(docs, "text", 8).map(m => (m._1, m._2))
+    val path = tmp() + "/bpe.model"
+    TokenizerIO.saveSentencePieceBpe(spark, path, merges)
+    val (ranks, vocab, unk) = TokenizerIO.loadSentencePieceBpe(spark, path)
+    assert(unk == "<unk>")
+    assert(vocab == TokenizerIO.bpeVocabFromMerges(merges))
+    // every learned pair is present at its priority position's rank order
+    val trueRanks = merges.zipWithIndex.toMap
+    trueRanks.foreach { case (pair, r) =>
+      assert(ranks.contains(pair), s"missing learned pair $pair")
+    }
+    // rank ORDER of learned pairs is preserved (absolute values shift
+    // by the alphabet prefix)
+    val learnedOrdered = merges.map(ranks)
+    assert(learnedOrdered == learnedOrdered.sorted)
+    val a = Vocab.tokenizeBpe(docs, "text", merges, "ta")
+      .select($"doc_id", $"ta").as[(Long, Seq[String])].collect().toMap
+    val b = Vocab.tokenizeBpeRanked(docs, "text", ranks, "tb")
+      .select($"doc_id", $"tb").as[(Long, Seq[String])].collect().toMap
+    assert(a == b)
+    // loading a UNIGRAM model as BPE is rejected
+    val upath = tmp() + "/uni.model"
+    TokenizerIO.saveSentencePieceModel(spark, upath,
+      UnigramLm.Model(Map("a" -> -1.0), 1))
+    assertThrows[IllegalArgumentException] {
+      TokenizerIO.loadSentencePieceBpe(spark, upath)
+    }
+    // and vice versa
+    assertThrows[IllegalArgumentException] {
+      TokenizerIO.loadSentencePieceModel(spark, path)
+    }
+  }
+
+  test("SentencePiece BPE: never-learned splits are inference-unreachable (chain fixture)") {
+    val merges = Seq(("a", "b"), ("b", "c"), ("ab", "c"))
+    val path = tmp() + "/chain.model"
+    TokenizerIO.saveSentencePieceBpe(spark, path, merges)
+    val (ranks, _, _) = TokenizerIO.loadSentencePieceBpe(spark, path)
+    // the reconstructed map holds the extra split (a, bc) at abc's rank
+    assert(ranks.contains(("a", "bc")))
+    val docs = Seq((1L, "abc xbc abcbc b c"), (2L, "ab abc abcabc"))
+      .toDF("doc_id", "text")
+    val a = Vocab.tokenizeBpe(docs, "text", merges, "ta")
+      .select($"doc_id", $"ta").as[(Long, Seq[String])].collect().toMap
+    val b = Vocab.tokenizeBpeRanked(docs, "text", ranks, "tb")
+      .select($"doc_id", $"tb").as[(Long, Seq[String])].collect().toMap
+    assert(a == b)
+  }
 }
