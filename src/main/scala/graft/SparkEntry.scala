@@ -4014,6 +4014,49 @@ object SparkEntry {
         F.lit(nJunk <= nBase / 4L).as("no_junk"))
     }),
 
+    // streaming winnowing overlap: micro-batches probe the persisted
+    // fingerprint index (q_stream_cdc_overlap protocol — per-batch
+    // dynamic overwrite, replay-idempotent); shares the planted
+    // suffix-share expectations with q_dedup_winnow
+    "q_stream_winnow" -> ((s: SparkSession, dir: String) => {
+      val dd = graft.pipeline.Dedup
+      val docs = t(s, dir, "documents")
+        .filter(F.col("text").isNotNull && F.col("n_chars") >= 400)
+        .select(F.col("doc_id"), F.col("text"))
+      val base = System.getProperty("java.io.tmpdir") + "/graft_q_stream_winnow"
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      dd.saveSignatureIndex(dd.buildWinnowIndex(docs, "doc_id", "text",
+        k = 5, w = 8, maxBucket = 10000), s"$base/idx")
+      val batch = docs.select(
+        (F.col("doc_id") + 1000000L).as("doc_id"),
+        F.concat(F.lit("a freshly rewritten introduction that shares nothing "),
+          F.expr("substring(text, 60)")).as("text"))
+      val src = s"$base/src"
+      batch.repartition(3).write.mode("overwrite").parquet(src)
+      val q = dd.streamWinnowOverlap(
+          s.readStream.schema(batch.schema)
+            .option("maxFilesPerTrigger", 1).parquet(src),
+          s"$base/idx", s"$base/out", "doc_id", "text",
+          k = 5, w = 8, minShared = 2)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", s"$base/ckpt")
+        .start()
+      q.awaitTermination()
+      val inc = s.read.parquet(s"$base/out")
+        .select("id_new", "id_old").localCheckpoint(false)
+      val nBase = docs.count()
+      val nFound = inc
+        .filter(F.col("id_old") === F.col("id_new") - 1000000L).count()
+      val nJunk = inc
+        .filter(F.col("id_old") =!= F.col("id_new") - 1000000L).count()
+      s.range(1).select(
+        F.lit(nBase).as("n_base"),
+        F.lit(nFound >= (nBase * 9L + 9L) / 10L).as("found_ok"),
+        F.lit(nJunk <= nBase / 4L).as("no_junk"))
+    }),
+
     // dataset content manifest (versioning primitive): per-source row
     // counts + order-independent 60-bit xor content hashes — every
     // step (per-field md5 tuple encoding, 15-hex prefix to BIGINT,
@@ -10232,6 +10275,7 @@ object SparkEntry {
       ("q_lm_joined" -> m("q_lm_score")) +
       ("q_boilerplate_joined" -> m("q_boilerplate")) +
       ("q_stream_cdc_overlap" -> m("q_dedup_cdc_incremental")) +
+      ("q_stream_winnow" -> m("q_dedup_cdc_incremental")) +
       // the nightly-delta audits equal the full recompute on the grown
       // corpus — q_split_leakage's oracle, shared verbatim
       ("q_split_leakage_incremental" -> m("q_split_leakage")) +

@@ -2540,4 +2540,34 @@ object Dedup {
             .mode("overwrite").parquet(outPath)
         ()
     }
+
+  /** Streaming twin of [[incrementalWinnowOverlap]] (the
+    * [[streamChunkOverlap]] protocol): each micro-batch winnows only
+    * its own documents, probes the persisted [[buildWinnowIndex]], and
+    * dynamic-overwrites its own `__batch` partition of the pair
+    * results — a crash-replay rewrites exactly its own files, so the
+    * output is replay-idempotent. */
+  def streamWinnowOverlap(
+      stream: DataFrame,
+      indexPath: String,
+      outPath: String,
+      idCol: String,
+      textCol: String,
+      k: Int = 5,
+      w: Int = 8,
+      minShared: Int = 2)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val pairs = incrementalWinnowOverlap(batch,
+          loadSignatureIndex(spark, indexPath), idCol, textCol, k, w, minShared)
+        if (!pairs.isEmpty)
+          pairs.withColumn("__batch", F.lit(batchId))
+            .repartition(1)
+            .write.partitionBy("__batch")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite").parquet(outPath)
+        ()
+    }
 }

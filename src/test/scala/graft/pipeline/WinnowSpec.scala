@@ -84,6 +84,36 @@ class WinnowSpec extends SparkTestBase {
     }
   }
 
+  test("streamWinnowOverlap equals the incremental probe (AvailableNow replay)") {
+    val docs = sf("sf0.001", "documents")
+      .filter($"text".isNotNull && F.length($"text") >= 300)
+      .select($"doc_id", $"text").limit(30)
+    val fresh = docs.select(($"doc_id" + 1000000L).as("doc_id"),
+      F.concat(F.lit("new intro "), F.expr("substring(text, 50)")).as("text"))
+    val base = java.nio.file.Files.createTempDirectory("graft_winnow_stream").toString
+    Dedup.saveSignatureIndex(
+      Dedup.buildWinnowIndex(docs, "doc_id", "text", K, W, maxBucket = 10000),
+      s"$base/idx")
+    fresh.repartition(2).write.mode("overwrite").parquet(s"$base/src")
+    val q = Dedup.streamWinnowOverlap(
+        spark.readStream.schema(fresh.schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$base/src"),
+        s"$base/idx", s"$base/out", "doc_id", "text", K, W, minShared = 2)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", s"$base/ckpt")
+      .start()
+    q.awaitTermination()
+    val streamed = spark.read.parquet(s"$base/out")
+      .select("id_new", "id_old", "shared_fps")
+      .as[(Long, Long, Long)].collect().toSet
+    val inc = Dedup.incrementalWinnowOverlap(fresh,
+        Dedup.loadSignatureIndex(spark, s"$base/idx"), "doc_id", "text", K, W,
+        minShared = 2)
+      .select("id_new", "id_old", "shared_fps")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(streamed == inc)
+  }
+
   test("incremental index probe equals the full overlap restricted to (new, old)") {
     val docs = sf("sf0.001", "documents")
       .filter($"text".isNotNull && F.length($"text") >= 300)
