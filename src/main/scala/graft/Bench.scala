@@ -552,6 +552,14 @@ object Bench {
         "vec_id", "embedding", "label", k = 5, probeMass = 0.45)
     }),
 
+    // MMR diversified rerank over a 100-candidate exact pool
+    "b_mmr" -> ((s: SparkSession, dir: String) => {
+      val emb = t(s, dir, "embeddings")
+      graft.pipeline.Similarity.mmrTopK(
+        emb, emb.filter(F.col("vec_id") < 20), "vec_id", "embedding", 10,
+        lambda = 0.6, poolSize = 100)
+    }),
+
     // k-means training at production embedding width (dim 512 = the
     // sf embeddings tiled 8x): exercises the constant-plan-width
     // vec_sum aggregate — the per-dim sum(element_at) form this

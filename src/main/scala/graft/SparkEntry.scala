@@ -4843,10 +4843,18 @@ object SparkEntry {
         .bruteForceTopK(emb, queries, "vec_id", "embedding", 5))
       val exhaustive = pairs(bq.binaryTopK(emb, queries, "vec_id", "embedding", 5,
         poolSize = 1 << 20))
+      // persisted bit-table path: the coarse scan reads only the
+      // signature table; results must equal the one-shot form exactly
+      val pooled = pairs(bq.binaryTopK(emb, queries, "vec_id", "embedding", 5,
+        poolSize = 500))
+      val indexed = pairs(bq.binaryTopKIndexed(
+        bq.buildBinarySignatures(emb, "vec_id", "embedding"),
+        emb, queries, "vec_id", "embedding", 5, poolSize = 500))
       s.range(1).select(
         F.lit(planted.length.toLong).as("n_rows"),
         F.lit(copyOk).as("copies_rank1"),
-        F.lit(exhaustive == exact).as("pool_exhaustive_exact"))
+        F.lit(exhaustive == exact).as("pool_exhaustive_exact"),
+        F.lit(indexed == pooled).as("indexed_exact"))
     }),
 
     // metadata-filtered ANN: top-k among rows passing a predicate
@@ -4885,13 +4893,24 @@ object SparkEntry {
         allowed, k = 3, bruteThreshold = Long.MaxValue).collect()
       val autoProbe = sim.ivfTopKFilteredAuto(idx, copies, "vec_id", "embedding",
         allowed, k = 3, baseMass = 0.45, bruteThreshold = 0L).collect()
+      // graph-family twin: the same pre-filter inside HNSW-probed
+      // cells. Unlike IVF, mass 1.0 does NOT guarantee every cell (the
+      // beam can miss navs), so the pins are the guaranteed facts:
+      // planted copies rank-1 (assign-walk head first), filter honored,
+      // k filled
+      val hidx = graft.pipeline.Hnsw.buildHnswIndex(corpus, "vec_id",
+        "embedding", maxNav = 32, m = 8, efConstruction = 48, efAssign = 16)
+      val hRows = graft.pipeline.Hnsw.hnswTopKFiltered(hidx, copies, "vec_id",
+        "embedding", allowed, k = 3, probeMass = 1.0).collect()
       s.range(1).select(
         F.lit(fullRows.length.toLong).as("n_rows"),
         F.lit(pairs(full) == exact).as("full_mass_exact"),
         F.lit(top1CopyOk(fullRows)).as("full_top1_copies"),
         F.lit(allowedOnly(fullRows)).as("full_allowed_only"),
         F.lit(top1CopyOk(autoBrute) && allowedOnly(autoBrute)).as("brute_branch_ok"),
-        F.lit(top1CopyOk(autoProbe) && allowedOnly(autoProbe)).as("probe_branch_ok"))
+        F.lit(top1CopyOk(autoProbe) && allowedOnly(autoProbe)).as("probe_branch_ok"),
+        F.lit(hRows.length == 15 &&
+          top1CopyOk(hRows) && allowedOnly(hRows)).as("hnsw_ok"))
     }),
 
     // kNN label propagation: exact copies of 20 labeled rows recover
@@ -8801,11 +8820,12 @@ object SparkEntry {
         |  true AS rotation_orthogonal""".stripMargin,
     "q_ann_binary" ->
       """SELECT CAST(15 AS BIGINT) AS n_rows, true AS copies_rank1,
-        |  true AS pool_exhaustive_exact""".stripMargin,
+        |  true AS pool_exhaustive_exact, true AS indexed_exact""".stripMargin,
     "q_ann_filtered" ->
       """SELECT CAST(15 AS BIGINT) AS n_rows, true AS full_mass_exact,
         |  true AS full_top1_copies, true AS full_allowed_only,
-        |  true AS brute_branch_ok, true AS probe_branch_ok""".stripMargin,
+        |  true AS brute_branch_ok, true AS probe_branch_ok,
+        |  true AS hnsw_ok""".stripMargin,
     "q_knn_label" ->
       """SELECT CAST(vec_id + 100000 AS BIGINT) AS query_id, label,
         |  true AS w_ok, CAST(1 AS BIGINT) AS votes

@@ -80,6 +80,79 @@ object BinaryQuant {
    * dial: an exact copy has hamming 0 and is always pooled (ties
    * broken by neighbor_id, deterministic).
    */
+  /** Persistable signature table: (id, sig) — 1/32 the bytes of a
+    * float32 embedding column. Save flat ([[Dedup.saveSignatureIndex]]
+    * family: id-bearing rows, takedowns via removeFromSavedIndex work
+    * unchanged); [[binaryTopKIndexed]]'s coarse pass then scans ONLY
+    * this table — the actual 32x IO win at corpus scale — and touches
+    * the embeddings table for the bounded rerank pool alone.
+    * Signatures are the zero-threshold form (uncentered): centering
+    * thresholds are an ingest-time transform, and persisting them
+    * alongside would let index and query drift apart. */
+  def buildBinarySignatures(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String): DataFrame =
+    corpus.filter(F.col(vecCol).isNotNull)
+      .select(F.col(idCol).cast("long").as("id"),
+        signBits(F.col(vecCol)).as("sig"))
+
+  /**
+   * [[binaryTopK]] against a persisted [[buildBinarySignatures]]
+   * table: the hamming scan reads the bit table only; vectors rejoin
+   * from `corpus` for the `poolSize`-bounded exact rerank. Identical
+   * results to the one-shot form (same signatures, same tie-breaks).
+   */
+  def binaryTopKIndexed(
+      sigs: DataFrame,
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      poolSize: Int = 1000): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(poolSize >= k, s"poolSize ($poolSize) must be >= k ($k)")
+    val wordsRow = sigs.select(F.size(F.col("sig")).as("w")).limit(1).collect()
+    if (wordsRow.isEmpty)
+      return emptyResult(corpus)
+    val words = wordsRow.head.getInt(0)
+    val q = queries.filter(F.col(vecCol).isNotNull)
+      .select(F.col(idCol).cast("long").as("query_id"),
+        F.col(vecCol).as("__qv"), signBits(F.col(vecCol)).as("__qsig"))
+    val slim = sigs.select(F.col("id").as("neighbor_id"), F.col("sig").as("__csig"))
+      .crossJoin(F.broadcast(q.select(F.col("query_id"), F.col("__qsig"))))
+      .filter(F.col("neighbor_id") =!= F.col("query_id"))
+      .select(F.col("query_id"), F.col("neighbor_id"),
+        hammingCol(F.col("__csig"), F.col("__qsig"), words).as("hamming"))
+    val wPool = Window.partitionBy(F.col("query_id"))
+      .orderBy(F.col("hamming").asc, F.col("neighbor_id").asc)
+    val pool = slim.withColumn("__pr", F.row_number().over(wPool))
+      .filter(F.col("__pr") <= poolSize)
+      .select("query_id", "neighbor_id")
+    val c = corpus.filter(F.col(vecCol).isNotNull)
+      .select(F.col(idCol).cast("long").as("neighbor_id"), F.col(vecCol).as("__cv"))
+    rerank(c, q.select(F.col("query_id"), F.col("__qv")), pool, k)
+  }
+
+  private def emptyResult(df: DataFrame): DataFrame =
+    df.sparkSession.emptyDataFrame
+      .select(F.lit(0L).as("query_id"), F.lit(0).as("rank"),
+        F.lit(0L).as("neighbor_id"), F.lit(0.0).as("cos"))
+      .limit(0)
+
+  private def rerank(
+      c: DataFrame, q: DataFrame, pool: DataFrame, k: Int): DataFrame = {
+    val withVecs = c.join(F.broadcast(pool), "neighbor_id")
+      .join(F.broadcast(q), "query_id")
+      .withColumn("cos", Similarity.cosine(F.col("__qv"), F.col("__cv")))
+    val wK = Window.partitionBy(F.col("query_id"))
+      .orderBy(F.col("cos").desc, F.col("neighbor_id").asc)
+    withVecs.withColumn("rank", F.row_number().over(wK))
+      .filter(F.col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cos")
+  }
+
   def binaryTopK(
       corpus: DataFrame,
       queries: DataFrame,
@@ -93,13 +166,7 @@ object BinaryQuant {
     val dimRow = corpus.filter(F.col(vecCol).isNotNull)
       .select(F.size(F.col(vecCol)).as("d")).limit(1).collect()
     val dim = if (dimRow.isEmpty) 0 else dimRow.head.getInt(0)
-    if (dim == 0) {
-      // empty / all-null corpus: empty result with the contract schema
-      return corpus.sparkSession.emptyDataFrame
-        .select(F.lit(0L).as("query_id"), F.lit(0).as("rank"),
-          F.lit(0L).as("neighbor_id"), F.lit(0.0).as("cos"))
-        .limit(0)
-    }
+    if (dim == 0) return emptyResult(corpus)
     val thr: Array[Double] =
       if (!center) null
       else {
@@ -132,14 +199,7 @@ object BinaryQuant {
       .select("query_id", "neighbor_id")
     // rerank: pool is |queries| x poolSize — broadcast it onto the
     // corpus scan for the vector fetch, then one tiny window
-    val withVecs = c.select(F.col("neighbor_id"), F.col("__cv"))
-      .join(F.broadcast(pool), "neighbor_id")
-      .join(F.broadcast(q.select(F.col("query_id"), F.col("__qv"))), "query_id")
-      .withColumn("cos", Similarity.cosine(F.col("__qv"), F.col("__cv")))
-    val wK = Window.partitionBy(F.col("query_id"))
-      .orderBy(F.col("cos").desc, F.col("neighbor_id").asc)
-    withVecs.withColumn("rank", F.row_number().over(wK))
-      .filter(F.col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "cos")
+    rerank(c.select(F.col("neighbor_id"), F.col("__cv")),
+      q.select(F.col("query_id"), F.col("__qv")), pool, k)
   }
 }

@@ -2399,8 +2399,13 @@ object Dedup {
       w: Int = 8,
       minShared: Int = 2,
       maxBucket: Int = 64): DataFrame = {
+    // repartition(fp) up front: HashPartitioning(fp) satisfies both
+    // the (fp, id) distinct's clustering and the fp bucket groupBy's,
+    // so dedupe -> bucket rides ONE exchange
     val fps = winnowFingerprints(docs, idCol, textCol, k, w)
-      .select(F.col("fp"), F.col("id")).distinct()
+      .select(F.col("fp"), F.col("id"))
+      .repartition(F.col("fp"))
+      .distinct()
     val grouped = fps.groupBy(F.col("fp"))
       .agg(F.collect_list(F.col("id")).as("__ids"))
       .filter(F.size(F.col("__ids")) > 1)
@@ -2436,7 +2441,9 @@ object Dedup {
       w: Int = 8,
       maxBucket: Int = 64): DataFrame = {
     val fps = winnowFingerprints(docs, idCol, textCol, k, w)
-      .select(F.col("fp"), F.col("id")).distinct()
+      .select(F.col("fp"), F.col("id"))
+      .repartition(F.col("fp"))
+      .distinct()
     val sizes = fps.groupBy(F.col("fp")).agg(F.count(F.lit(1)).as("__n"))
     val ok = capBuckets(sizes, F.col("__n"), maxBucket, "winnowindex")
       .select(F.col("fp"))

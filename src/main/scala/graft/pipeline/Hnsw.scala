@@ -395,6 +395,46 @@ object Hnsw {
       .select("query_id", "rank", "neighbor_id", "cos")
   }
 
+  /** Metadata-filtered [[hnswTopK]]: candidates restricted to the ids
+    * in `allowed` (one-column DataFrame) with the semi-join INSIDE the
+    * probed cells — [[Similarity.ivfTopKFilteredIndexed]]'s pre-filter
+    * strategy on the graph family. Selectivity compensation is the
+    * caller's probeMass dial (mass/selectivity, the documented rule);
+    * very selective filters are cheaper AND exact as a brute-force
+    * scan of the filtered subset. */
+  def hnswTopKFiltered(
+      index: HnswIndex,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      allowed: DataFrame,
+      k: Int,
+      efSearch: Int = 128,
+      minProbe: Int = 4,
+      probeMass: Double = 0.45): DataFrame = {
+    val spark = index.assigned.sparkSession
+    val gB = spark.sparkContext.broadcast(index.graph)
+    val sizes = index.cellSizes
+    val total = math.max(sizes.sum, 1L)
+    val aCol = allowed.columns.head
+    val ok = allowed.select(F.col(aCol).as("neighbor_id")).distinct()
+    val probeU = F.udf((v: Array[Float]) =>
+      probeCells(gB.value, sizes, total, v, efSearch, minProbe, probeMass))
+    val q = queries.filter(F.col(vecCol).isNotNull)
+      .select(F.col(idCol).as("query_id"), F.col(vecCol).as("__qv"),
+        F.explode(probeU(F.col(vecCol))).as("__cell"))
+    val scored = index.assigned
+      .join(ok, Seq("neighbor_id"), "left_semi")
+      .join(F.broadcast(q), "__cell")
+      .filter(F.col("neighbor_id") =!= F.col("query_id"))
+      .withColumn("cos", Similarity.cosine(F.col("__qv"), F.col("__cv")))
+    val w = Window.partitionBy(F.col("query_id"))
+      .orderBy(F.col("cos").desc, F.col("neighbor_id").asc)
+    scored.withColumn("rank", F.row_number().over(w))
+      .filter(F.col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cos")
+  }
+
   /** Nightly maintenance: assign a fresh batch with the FROZEN graph
     * (map-only) and append under the touched cells — the
     * [[Similarity.appendToIvfIndex]] contract on the shared layout.

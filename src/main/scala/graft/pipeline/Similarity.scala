@@ -1285,7 +1285,12 @@ object Similarity {
     val nn = ivfTopKIndexed(index, queries, idCol, vecCol, k, nprobe, probeMass)
     val lab = labels.select(F.col(idCol).as("neighbor_id"), F.col(labelCol).as("label"))
       .filter(F.col("label").isNotNull)
+    // repartition(query_id) BEFORE the vote: HashPartitioning(query_id)
+    // satisfies BOTH the (query_id, label) aggregate's clustering and
+    // the top-1 window's, so vote -> argmax rides ONE exchange (the
+    // gapFill partitioning contract)
     val votes = lab.join(F.broadcast(nn), "neighbor_id")
+      .repartition(F.col("query_id"))
       .groupBy(F.col("query_id"), F.col("label"))
       .agg(F.sum(F.col("cos")).as("weight"), F.count(F.lit(1)).as("votes"))
     val w = Window.partitionBy(F.col("query_id"))

@@ -310,4 +310,39 @@ class PlanShapeSpec extends SparkTestBase {
     // and nothing else (payloads are projected away before the join)
     assert(exchanges(out) <= 2, plan)
   }
+
+  test("winnowOverlapPairs shuffles fp once then pairs once (repartition reuse)") {
+    val docs = sf("sf0.001", "documents").select($"doc_id", $"text")
+    val out = graft.pipeline.Dedup.winnowOverlapPairs(docs, "doc_id", "text")
+    // repartition(fp) feeds distinct AND the bucket groupBy; the pair
+    // groupBy is the only other hash exchange
+    assert(exchanges(out) === 2,
+      out.queryExecution.executedPlan.toString)
+  }
+
+  test("knnClassifyIndexed: vote aggregate and top-1 window share one exchange") {
+    val emb = sf("sf0.001", "embeddings")
+      .select($"vec_id".cast("long").as("vec_id"), $"embedding",
+        ($"vec_id" % 7).cast("int").as("label"))
+    val idx = graft.pipeline.Similarity.buildIvfIndex(
+      emb, "vec_id", "embedding", nlist = 8)
+    val out = graft.pipeline.Similarity.knnClassifyIndexed(
+      idx, emb, emb.filter($"vec_id" < 5), "vec_id", "embedding", "label", 3)
+    // probe window (1) + vote repartition serving groupBy AND window (1)
+    assert(exchanges(out) === 2,
+      out.queryExecution.executedPlan.toString)
+  }
+
+  test("binaryTopK: coarse window prunes partially before its shuffle; scans push filters") {
+    val emb = sf("sf0.001", "embeddings")
+      .select($"vec_id".cast("long").as("vec_id"), $"embedding")
+    val out = graft.pipeline.BinaryQuant.binaryTopK(
+      emb, emb.filter($"vec_id" < 5), "vec_id", "embedding", 5, poolSize = 50)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(exchanges(out) === 2, plan)
+    // Spark 4 WindowGroupLimit: the per-partition partial top-pool
+    // prunes BEFORE the coarse shuffle — the property that keeps the
+    // coarse pass from shipping corpus x queries rows
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
 }

@@ -58,6 +58,24 @@ class AnnExtrasSpec extends SparkTestBase {
     assert(full == exact)
   }
 
+  test("binaryTopKIndexed over a persisted signature table equals the one-shot form") {
+    val base = emb.select($"vec_id".cast("long").as("vec_id"), $"embedding")
+    val queries = base.filter($"vec_id" < 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft_bq_sig").toString
+    Dedup.saveSignatureIndex(
+      BinaryQuant.buildBinarySignatures(base, "vec_id", "embedding"), dir)
+    val sigs = Dedup.loadSignatureIndex(spark, dir)
+    val a = BinaryQuant.binaryTopKIndexed(sigs, base, queries,
+        "vec_id", "embedding", 5, poolSize = 100)
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Int, Long)].collect().toSet
+    val b = BinaryQuant.binaryTopK(base, queries, "vec_id", "embedding", 5,
+        poolSize = 100)
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(a == b && a.nonEmpty)
+  }
+
   test("binaryTopK centered thresholds keep exact copies rank-1") {
     val copies = emb.filter($"vec_id" < 3)
       .select(($"vec_id" + 10000L).as("vec_id"), $"embedding", $"label")
@@ -115,6 +133,28 @@ class AnnExtrasSpec extends SparkTestBase {
       }
       out.foreach(r => assert(r.getAs[Long]("neighbor_id") % 2 == 0))
     }
+  }
+
+  test("hnswTopKFiltered: planted copies rank-1, no disallowed neighbor") {
+    val base = emb.select($"vec_id".cast("long").as("vec_id"), $"embedding")
+    val copies = base.filter($"vec_id" < 10 && $"vec_id" % 2 === 0)
+      .select(($"vec_id" + 100000L).as("vec_id"), $"embedding")
+    val corpus = base.unionByName(copies)
+    val allowed = base.filter($"vec_id" % 2 === 0).select($"vec_id")
+    val idx = Hnsw.buildHnswIndex(corpus, "vec_id", "embedding",
+      maxNav = 32, m = 8, efConstruction = 48, efAssign = 16)
+    val out = Hnsw.hnswTopKFiltered(idx, copies, "vec_id", "embedding",
+        allowed, k = 3, probeMass = 1.0)
+      .collect()
+    assert(out.length == 15)
+    out.foreach { r =>
+      val n = r.getAs[Long]("neighbor_id")
+      assert(n % 2 == 0 && n < 100000L)
+    }
+    val top1 = out.filter(_.getAs[Int]("rank") == 1)
+    assert(top1.length == 5)
+    top1.foreach(r =>
+      assert(r.getAs[Long]("neighbor_id") == r.getAs[Long]("query_id") - 100000L))
   }
 
   test("mmrRerank: lambda=1 is relevance order; low lambda diversifies (planted angular clusters)") {
