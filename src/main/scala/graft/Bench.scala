@@ -560,6 +560,36 @@ object Bench {
         lambda = 0.6, poolSize = 100)
     }),
 
+    // composed serving pipeline: IVF + HNSW + binary-quantization
+    // top-10s fused per query by RRF, then MMR-diversified — the
+    // steady-state shape over prebuilt/cached indexes
+    "b_pipeline_serving" -> ((s: SparkSession, dir: String) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(F.col("vec_id") < 20)
+      val idx = ivfIndexCache.getOrElseUpdate(dir, {
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_bench_ivf").toString
+        graft.pipeline.Similarity
+          .buildIvfIndex(emb, "vec_id", "embedding", 16, 2).save(path)
+        graft.pipeline.Similarity.loadIvfIndex(s, path)
+      })
+      val hidx = hnswIndexFor(s, dir,
+        emb.filter(F.col("embedding").isNotNull)
+          .select(F.col("vec_id").cast("long").as("vec_id"), F.col("embedding")))
+      val ivf = graft.pipeline.Similarity.ivfTopKIndexed(
+        idx, queries, "vec_id", "embedding", 10, nprobe = 4, probeMass = 0.45)
+      val hnsw = graft.pipeline.Hnsw.hnswTopK(
+        hidx, queries, "vec_id", "embedding", 10)
+      val bin = graft.pipeline.BinaryQuant.binaryTopK(
+        emb, queries, "vec_id", "embedding", 10, poolSize = 2000)
+      val fused = graft.pipeline.Retrieval.rrfFusePerQuery(
+        Seq(ivf, hnsw, bin), k = 10)
+      graft.pipeline.Similarity.mmrRerank(
+        fused.select(F.col("query_id"), F.col("neighbor_id"),
+          F.col("rrf_score").as("cos")),
+        emb, "vec_id", "embedding", k = 5, lambda = 0.7)
+    }),
+
     // k-means training at production embedding width (dim 512 = the
     // sf embeddings tiled 8x): exercises the constant-plan-width
     // vec_sum aggregate — the per-dim sum(element_at) form this

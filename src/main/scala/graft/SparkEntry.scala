@@ -4913,6 +4913,54 @@ object SparkEntry {
           top1CopyOk(hRows) && allowedOnly(hRows)).as("hnsw_ok"))
     }),
 
+    // composed SERVING pipeline (the retrieval twin of
+    // q_pipeline_curation): three independent ANN families (IVF probe,
+    // HNSW graph probe, binary-quantization scan) fused by per-query
+    // reciprocal-rank fusion, then MMR-diversified. A planted exact
+    // copy is rank 1 in EVERY family (first-cell / assign-walk /
+    // hamming-0 arguments), so it must survive fusion at n_lists = 3
+    // and emerge as MMR's first pick; marginal orderings are never
+    // pinned (rrf sums carry union-order ulps)
+    "q_pipeline_serving" -> ((s: SparkSession, dir: String) => {
+      val sim = graft.pipeline.Similarity
+      val emb = t(s, dir, "embeddings").filter(F.col("embedding").isNotNull)
+        .select(F.col("vec_id").cast("long").as("vec_id"), F.col("embedding"))
+      val copies = emb.filter(F.col("vec_id") < 5)
+        .select((F.col("vec_id") + 100000L).as("vec_id"), F.col("embedding"))
+      val corpus = emb.unionByName(copies)
+      val ivf = sim.ivfTopKIndexed(
+        sim.buildIvfIndex(corpus, "vec_id", "embedding", nlist = 16),
+        copies, "vec_id", "embedding", 10, nprobe = 4, probeMass = 0.45)
+      val hnsw = graft.pipeline.Hnsw.hnswTopK(
+        graft.pipeline.Hnsw.buildHnswIndex(corpus, "vec_id", "embedding",
+          maxNav = 32, m = 8, efConstruction = 48, efAssign = 16),
+        copies, "vec_id", "embedding", 10)
+      val bin = graft.pipeline.BinaryQuant.binaryTopK(
+        corpus, copies, "vec_id", "embedding", 10, poolSize = 200)
+      val fused = graft.pipeline.Retrieval.rrfFusePerQuery(
+        Seq(ivf, hnsw, bin), k = 10).localCheckpoint(false)
+      val diversified = sim.mmrRerank(
+        fused.select(F.col("query_id"), F.col("neighbor_id"),
+          F.col("rrf_score").as("cos")),
+        corpus, "vec_id", "embedding", k = 5, lambda = 0.7)
+        .collect()
+      val fusedRows = fused.collect()
+      val fusedTop1 = fusedRows.filter(_.getAs[Int]("rank") == 1)
+      val copyFused = fusedTop1.length == 5 && fusedTop1.forall(r =>
+        r.getAs[Long]("neighbor_id") == r.getAs[Long]("query_id") - 100000L &&
+        r.getAs[Long]("n_lists") == 3L)
+      val mmrTop1 = diversified.filter(_.getAs[Int]("rank") == 1)
+      val copyMmr = mmrTop1.length == 5 && mmrTop1.forall(r =>
+        r.getAs[Long]("neighbor_id") == r.getAs[Long]("query_id") - 100000L)
+      val validIds = diversified.forall(r => r.getAs[Long]("neighbor_id") < 100500L)
+      s.range(1).select(
+        F.lit(fusedRows.length.toLong).as("n_fused"),
+        F.lit(diversified.length.toLong).as("n_final"),
+        F.lit(copyFused).as("fusion_copy_rank1"),
+        F.lit(copyMmr).as("mmr_copy_rank1"),
+        F.lit(validIds).as("ids_valid"))
+    }),
+
     // kNN label propagation: exact copies of 20 labeled rows recover
     // exactly their source's label at k=1 (identical vectors share
     // the probe's first cell; cosine 1 outranks every natural
@@ -8837,6 +8885,10 @@ object SparkEntry {
         |  CAST(n AS BIGINT) AS neighbor_id,
         |  true AS rel_order_ok, true AS real_top1_ok
         |FROM (VALUES (1, 1), (2, 4), (3, 3)) AS t(r, n) ORDER BY r""".stripMargin,
+    "q_pipeline_serving" ->
+      """SELECT CAST(50 AS BIGINT) AS n_fused, CAST(25 AS BIGINT) AS n_final,
+        |  true AS fusion_copy_rank1, true AS mmr_copy_rank1,
+        |  true AS ids_valid""".stripMargin,
     "q_embed_drift" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_index,
         |       CAST(count(*) AS BIGINT) AS n_batch,

@@ -688,4 +688,41 @@ object Retrieval {
       .select(F.col("rank"), F.col("id"),
         F.col("score").as("rrf_score"), F.col("n_lists"))
   }
+
+  /**
+   * Reciprocal-rank fusion over BATCHED rankings — the multi-query
+   * serving form of [[rrfFuse]]: each input is any ANN/retrieval
+   * family's (query_id, rank, neighbor_id) output; per (query,
+   * neighbor), score = sum over lists of 1/(kRrf + rank). Returns
+   * (query_id, rank, neighbor_id, rrf_score, n_lists) top-`k` per
+   * query, ties by neighbor_id.
+   *
+   * Number discipline: the per-pair score sums <= |rankings| doubles
+   * — profile-identical neighbors can land 1 ulp apart depending on
+   * union merge order, so pin MEMBERSHIP and the strictly-separated
+   * head (a neighbor ranked 1 in every list beats any other profile
+   * by construction), never marginal orderings.
+   *
+   * Scale shape: one union of top-k tables (each |queries| x k), one
+   * grouped sum, one per-query window — nothing corpus-sized.
+   */
+  def rrfFusePerQuery(
+      rankings: Seq[DataFrame],
+      k: Int,
+      kRrf: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "rrfFusePerQuery: no rankings")
+    val tagged = rankings.map(_.select(
+      F.col("query_id"), F.col("neighbor_id"),
+      (F.lit(1.0) / (F.lit(kRrf.toDouble) + F.col("rank"))).as("__c")))
+    val scored = tagged.reduce(_ unionByName _)
+      .repartition(F.col("query_id"))
+      .groupBy(F.col("query_id"), F.col("neighbor_id"))
+      .agg(F.sum(F.col("__c")).as("rrf_score"), F.count(F.lit(1)).as("n_lists"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(F.col("query_id"))
+      .orderBy(F.col("rrf_score").desc, F.col("neighbor_id").asc)
+    scored.withColumn("rank", F.row_number().over(w))
+      .filter(F.col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "rrf_score", "n_lists")
+  }
 }
