@@ -5018,6 +5018,42 @@ object SparkEntry {
         .orderBy("rank")
     }),
 
+    // streaming kNN labeling: micro-batches of unlabeled copies
+    // classified against the persisted labeled index — stateless,
+    // replay-idempotent per-batch dynamic overwrite; full rows equal
+    // the batch form's exactly (frozen index, k=1 copy argument), so
+    // q_knn_label's oracle is shared verbatim
+    "q_stream_knn_label" -> ((s: SparkSession, dir: String) => {
+      val sim = graft.pipeline.Similarity
+      val emb = t(s, dir, "embeddings")
+        .filter(F.col("embedding").isNotNull && F.col("label").isNotNull)
+        .select(F.col("vec_id").cast("long").as("vec_id"), F.col("embedding"),
+          F.col("label"))
+      val base = System.getProperty("java.io.tmpdir") + "/graft_q_stream_knn"
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val n = emb.count()
+      sim.buildIvfIndex(emb, "vec_id", "embedding", sim.ivfNlistFor(n))
+        .save(s"$base/idx")
+      val copies = emb.filter(F.col("vec_id") < 20)
+        .select((F.col("vec_id") + 100000L).as("vec_id"), F.col("embedding"))
+      copies.repartition(3).write.mode("overwrite").parquet(s"$base/src")
+      val q = sim.knnClassifyStream(
+          s.readStream.schema(copies.schema)
+            .option("maxFilesPerTrigger", 1).parquet(s"$base/src"),
+          s"$base/idx", emb, s"$base/out", "vec_id", "embedding", "label",
+          k = 1, probeMass = 0.45)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", s"$base/ckpt")
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$base/out")
+        .select(F.col("query_id"), F.col("label"),
+          (F.abs(F.col("weight") - 1.0) < 1e-9).as("w_ok"), F.col("votes"))
+        .orderBy("query_id")
+    }),
+
     // text statistics per source: counts, tokens, chars, languages
     "q_text_stats" -> ((s: SparkSession, dir: String) => {
       t(s, dir, "documents").groupBy(F.col("source"))
@@ -10348,6 +10384,9 @@ object SparkEntry {
       ("q_boilerplate_joined" -> m("q_boilerplate")) +
       ("q_stream_cdc_overlap" -> m("q_dedup_cdc_incremental")) +
       ("q_stream_winnow" -> m("q_dedup_cdc_incremental")) +
+      // streamed labeling equals the batch form row-for-row (frozen
+      // index) — q_knn_label's full-row oracle, shared verbatim
+      ("q_stream_knn_label" -> m("q_knn_label")) +
       // the nightly-delta audits equal the full recompute on the grown
       // corpus — q_split_leakage's oracle, shared verbatim
       ("q_split_leakage_incremental" -> m("q_split_leakage")) +

@@ -1319,6 +1319,39 @@ object Similarity {
       nprobe = 4, probeMass = probeMass)
   }
 
+  /** Streaming label propagation: classify each micro-batch of
+    * unlabeled vectors against a persisted labeled IVF index (loaded
+    * ONCE at writer build — the frozen-index contract every streaming
+    * probe here uses). Stateless per batch; each micro-batch
+    * dynamic-overwrites its own `__batch` partition of the prediction
+    * table, so crash-replays are idempotent. */
+  def knnClassifyStream(
+      stream: DataFrame,
+      indexPath: String,
+      labels: DataFrame,
+      outPath: String,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      k: Int,
+      nprobe: Int = 4,
+      probeMass: Double = 0.45)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val index = loadIvfIndex(stream.sparkSession, indexPath)
+    stream.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        val preds = knnClassifyIndexed(index, labels, batch, idCol, vecCol,
+          labelCol, k, nprobe, probeMass)
+        if (!preds.isEmpty)
+          preds.withColumn("__batch", F.lit(batchId))
+            .repartition(1)
+            .write.partitionBy("__batch")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite").parquet(outPath)
+        ()
+    }
+  }
+
   // ---------------------------------------------------------------- //
   // Contrastive-pair mining                                           //
   // ---------------------------------------------------------------- //

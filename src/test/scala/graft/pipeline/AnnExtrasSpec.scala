@@ -211,6 +211,34 @@ class AnnExtrasSpec extends SparkTestBase {
     }
   }
 
+  test("knnClassifyStream equals the batch form (frozen index, AvailableNow replay)") {
+    val base = emb.select($"vec_id".cast("long").as("vec_id"), $"embedding", $"label")
+    val dir = java.nio.file.Files.createTempDirectory("graft_knn_stream").toString
+    Similarity.buildIvfIndex(base, "vec_id", "embedding", nlist = 16)
+      .save(s"$dir/idx")
+    val queries = base.filter($"vec_id" < 10)
+      .select(($"vec_id" + 100000L).as("vec_id"), $"embedding")
+    queries.repartition(2).write.mode("overwrite").parquet(s"$dir/src")
+    val q = Similarity.knnClassifyStream(
+        spark.readStream.schema(queries.schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$dir/src"),
+        s"$dir/idx", base, s"$dir/out", "vec_id", "embedding", "label",
+        k = 1, probeMass = 0.45)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    q.awaitTermination()
+    val streamed = spark.read.parquet(s"$dir/out")
+      .select("query_id", "label", "votes")
+      .as[(Long, Int, Long)].collect().toSet
+    val batch = Similarity.knnClassifyIndexed(
+        Similarity.loadIvfIndex(spark, s"$dir/idx"), base, queries,
+        "vec_id", "embedding", "label", k = 1, probeMass = 0.45)
+      .select("query_id", "label", "votes")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(streamed == batch && streamed.size == 10)
+  }
+
   test("knnClassify: k=1 recovers the label of an exact copy; k=3 votes deterministically on planted geometry") {
     val copies = emb.filter($"vec_id" < 6)
       .select(($"vec_id" + 10000L).as("vec_id"), $"embedding", $"label")

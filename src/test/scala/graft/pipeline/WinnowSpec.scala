@@ -67,6 +67,20 @@ class WinnowSpec extends SparkTestBase {
     assert(fps.length == 1 && fps.head.getAs[Long]("id") == 1L)
   }
 
+  test("all-equal gram hashes: rightmost-min tie selects every window's newest gram") {
+    // one repeated token -> every k-gram hash identical -> each
+    // window's rightmost min is its LAST position, and that changes
+    // every window: the classic (Schleimer) rightmost rule degrades to
+    // density 1 on constant content — which is why overlap joins cap
+    // flooded fingerprint buckets
+    val n = 23 // tokens -> n-k+1 = 20 grams
+    val docs = Seq((1L, Seq.fill(n)("same").mkString(" "))).toDF("doc_id", "text")
+    val got = Dedup.winnowFingerprints(docs, "doc_id", "text", K, W)
+      .select("pos").as[Int].collect().sorted.toSeq
+    val grams = n - K + 1
+    assert(got == (W - 1 until grams).toSeq, s"got $got")
+  }
+
   test("density bounds: ceil((n-w+1)/w) <= fingerprints <= n-w+1") {
     val docs = sf("sf0.001", "documents")
       .filter($"text".isNotNull && F.length($"text") >= 200)
