@@ -3536,6 +3536,19 @@ object SparkEntry {
       val (r2, _) = sim.maybeRetrainIvfIndex(s, path, shifted,
         "embedding", psiThreshold = 0.2, nlist = 16)
       val idx = sim.loadIvfIndex(s, path)
+      // graph-family twin: the same quiet/fire drift boundary through
+      // hnswDrift's frozen-graph assignment
+      val hn = graft.pipeline.Hnsw
+      val hpath = System.getProperty("java.io.tmpdir") + "/graft_q_policy_hnsw"
+      fs.delete(new org.apache.hadoop.fs.Path(hpath), true)
+      hn.buildHnswIndex(emb, "vec_id", "embedding",
+        maxNav = 16, m = 8, efConstruction = 48, efAssign = 16).save(hpath)
+      val (h1, _) = hn.maybeRetrainHnswIndex(s, hpath, emb.limit(200),
+        "embedding", psiThreshold = 0.2)
+      val (h2, _) = hn.maybeRetrainHnswIndex(s, hpath, shifted,
+        "embedding", psiThreshold = 0.2, maxNav = 16, m = 8,
+        efConstruction = 48, efAssign = 16)
+      val hAfter = hn.loadHnswIndex(s, hpath)
       s.range(1).select(
         F.lit(idx.assigned.count()).as("n_rows"),
         F.lit(compactQuiet).as("compact_quiet"),
@@ -3543,7 +3556,10 @@ object SparkEntry {
         F.lit(compactQuietAfter).as("compact_quiet_after"),
         F.lit(!r1).as("retrain_quiet"),
         F.lit(r2).as("retrain_fired"),
-        F.lit(idx.centroids.length == 16).as("nlist_ok"))
+        F.lit(idx.centroids.length == 16).as("nlist_ok"),
+        F.lit(!h1).as("hnsw_retrain_quiet"),
+        F.lit(h2).as("hnsw_retrain_fired"),
+        F.lit(hAfter.assigned.count() == emb.count()).as("hnsw_rows_ok"))
     }),
 
     // zero-downtime IVF re-train (the drift-says-retrain endpoint):
@@ -4902,6 +4918,15 @@ object SparkEntry {
         "embedding", maxNav = 32, m = 8, efConstruction = 48, efAssign = 16)
       val hRows = graft.pipeline.Hnsw.hnswTopKFiltered(hidx, copies, "vec_id",
         "embedding", allowed, k = 3, probeMass = 1.0).collect()
+      // PQ-family twin: the allowed semi-join lands on the encoded
+      // table before the ADC scan; copies' codes equal their sources'
+      // so the exact rerank puts them at rank 1
+      val pqm = graft.pipeline.ProductQuantization
+      val pcb = pqm.trainPq(corpus, "vec_id", "embedding", m = 16, ksub = 16,
+        iterations = 2)
+      val pRows = pqm.pqTopKRerankedFiltered(pcb,
+        pqm.pqEncode(corpus, "vec_id", "embedding", pcb), corpus, copies,
+        "vec_id", "embedding", allowed, k = 3, poolSize = 100).collect()
       s.range(1).select(
         F.lit(fullRows.length.toLong).as("n_rows"),
         F.lit(pairs(full) == exact).as("full_mass_exact"),
@@ -4910,7 +4935,9 @@ object SparkEntry {
         F.lit(top1CopyOk(autoBrute) && allowedOnly(autoBrute)).as("brute_branch_ok"),
         F.lit(top1CopyOk(autoProbe) && allowedOnly(autoProbe)).as("probe_branch_ok"),
         F.lit(hRows.length == 15 &&
-          top1CopyOk(hRows) && allowedOnly(hRows)).as("hnsw_ok"))
+          top1CopyOk(hRows) && allowedOnly(hRows)).as("hnsw_ok"),
+        F.lit(pRows.length == 15 &&
+          top1CopyOk(pRows) && allowedOnly(pRows)).as("pq_ok"))
     }),
 
     // composed SERVING pipeline (the retrieval twin of
@@ -8909,7 +8936,7 @@ object SparkEntry {
       """SELECT CAST(15 AS BIGINT) AS n_rows, true AS full_mass_exact,
         |  true AS full_top1_copies, true AS full_allowed_only,
         |  true AS brute_branch_ok, true AS probe_branch_ok,
-        |  true AS hnsw_ok""".stripMargin,
+        |  true AS hnsw_ok, true AS pq_ok""".stripMargin,
     "q_knn_label" ->
       """SELECT CAST(vec_id + 100000 AS BIGINT) AS query_id, label,
         |  true AS w_ok, CAST(1 AS BIGINT) AS votes
@@ -8961,7 +8988,9 @@ object SparkEntry {
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,
         |       true AS compact_quiet, true AS compact_fired,
         |       true AS compact_quiet_after, true AS retrain_quiet,
-        |       true AS retrain_fired, true AS nlist_ok
+        |       true AS retrain_fired, true AS nlist_ok,
+        |       true AS hnsw_retrain_quiet, true AS hnsw_retrain_fired,
+        |       true AS hnsw_rows_ok
         |FROM embeddings WHERE embedding IS NOT NULL""".stripMargin,
     "q_ivf_retrain" ->
       """SELECT CAST(vec_id + 100000 AS BIGINT) AS query_id,

@@ -517,6 +517,78 @@ object Hnsw {
     loadHnswIndex(spark, path)
   }
 
+  /** Cell-occupancy drift of a fresh batch vs the saved graph:
+    * assign the batch with the FROZEN graph (map-only walk) and
+    * compare occupancy against the index's stored cell sizes with the
+    * same add-one-smoothed PSI as
+    * [[graft.pipeline.Drift.embeddingDrift]]. Returns
+    * (n_index, n_batch, psi). */
+  def hnswDrift(
+      index: HnswIndex,
+      batch: DataFrame,
+      vecCol: String,
+      roundTo: Int = 4): DataFrame = {
+    val spark = batch.sparkSession
+    val k = index.graph.vecs.length
+    val occIdx = index.cellSizes
+    val gB = spark.sparkContext.broadcast(index.graph)
+    val assignU = F.udf((v: Array[Float]) => assignCell(gB.value, v))
+    val occBatch = {
+      val occ = new Array[Long](k)
+      batch.filter(F.col(vecCol).isNotNull)
+        .select(assignU(F.col(vecCol)).as("__cell"))
+        .groupBy(F.col("__cell")).agg(F.count(F.lit(1)).as("__n"))
+        .collect().foreach { r =>
+          val c = r.getInt(0)
+          if (c >= 0 && c < k) occ(c) = r.getLong(1)
+        }
+      occ
+    }
+    val nIdx = occIdx.sum
+    val nBatch = occBatch.sum
+    var psi = 0.0
+    var c = 0
+    while (c < k) {
+      val pi = (occIdx(c) + 1).toDouble / (nIdx + k)
+      val pb = (occBatch(c) + 1).toDouble / (nBatch + k)
+      psi += (pb - pi) * math.log(pb / pi)
+      c += 1
+    }
+    val rounded = BigDecimal(psi)
+      .setScale(roundTo, BigDecimal.RoundingMode.HALF_UP).toDouble
+    spark.range(1).select(
+      F.lit(nIdx).as("n_index"),
+      F.lit(nBatch).as("n_batch"),
+      F.lit(rounded).as("psi"))
+  }
+
+  /** Drift-triggered retrain policy —
+    * [[Similarity.maybeRetrainIvfIndex]] on the graph family: at or
+    * above `psiThreshold` the staged-swap [[retrainHnswIndex]] runs
+    * (current nav count kept unless overridden); below it the only
+    * cost is one frozen-graph assignment pass. Append first, then
+    * maybeRetrain, so a rebuild absorbs the fresh rows. Returns
+    * (retrained, psi). */
+  def maybeRetrainHnswIndex(
+      spark: SparkSession,
+      path: String,
+      fresh: DataFrame,
+      vecCol: String,
+      psiThreshold: Double = 0.2,
+      maxNav: Int = -1,
+      m: Int = 16,
+      efConstruction: Int = 64,
+      efAssign: Int = 24): (Boolean, Double) = {
+    val cur = loadHnswIndex(spark, path)
+    val psi = hnswDrift(cur, fresh, vecCol).head().getDouble(2)
+    if (psi < psiThreshold) (false, psi)
+    else {
+      val nav = if (maxNav > 0) maxNav else cur.graph.vecs.length
+      retrainHnswIndex(spark, path, nav, m, efConstruction, efAssign)
+      (true, psi)
+    }
+  }
+
   /** Auto-compaction dial — [[Similarity.maybeCompactIvfIndex]] on
     * the shared layout. */
   def maybeCompactHnswIndex(

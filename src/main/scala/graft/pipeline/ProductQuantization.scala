@@ -1047,4 +1047,27 @@ object ProductQuantization {
       .filter(F.col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "cos")
   }
+
+  /** Metadata-filtered [[pqTopKReranked]]: the allowed-id semi-join
+    * lands on the ENCODED table before the ADC scan (pre-filter, the
+    * [[Similarity.ivfTopKFilteredIndexed]] strategy) — the scan then
+    * reads only allowed codes and the pool fills with allowed
+    * candidates, where post-filtering a top-k would under-fill k.
+    * Selectivity compensation is the `poolSize` dial here (the pool
+    * is already filtered, so recall tracks poolSize / |allowed|). */
+  def pqTopKRerankedFiltered(
+      cb: PqCodebooks,
+      encoded: DataFrame,
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      allowed: DataFrame,
+      k: Int,
+      poolSize: Int = 50): DataFrame = {
+    val aCol = allowed.columns.head
+    val ok = allowed.select(F.col(aCol).as("neighbor_id")).distinct()
+    pqTopKReranked(cb, encoded.join(ok, Seq("neighbor_id"), "left_semi"),
+      corpus, queries, idCol, vecCol, k, poolSize)
+  }
 }

@@ -135,6 +135,48 @@ class AnnExtrasSpec extends SparkTestBase {
     }
   }
 
+  test("pqTopKRerankedFiltered: planted copies rank-1, no disallowed neighbor") {
+    val base = emb.select($"vec_id".cast("long").as("vec_id"), $"embedding")
+    val copies = base.filter($"vec_id" < 10 && $"vec_id" % 2 === 0)
+      .select(($"vec_id" + 100000L).as("vec_id"), $"embedding")
+    val corpus = base.unionByName(copies)
+    val allowed = base.filter($"vec_id" % 2 === 0).select($"vec_id")
+    val pq = ProductQuantization
+    val cb = pq.trainPq(corpus, "vec_id", "embedding", m = 16, ksub = 16,
+      iterations = 2)
+    val enc = pq.pqEncode(corpus, "vec_id", "embedding", cb)
+    val out = pq.pqTopKRerankedFiltered(cb, enc, corpus, copies,
+        "vec_id", "embedding", allowed, k = 3, poolSize = 100)
+      .collect()
+    assert(out.length == 15)
+    out.foreach { r =>
+      val n = r.getAs[Long]("neighbor_id")
+      assert(n % 2 == 0 && n < 100000L)
+    }
+    val top1 = out.filter(_.getAs[Int]("rank") == 1)
+    assert(top1.length == 5)
+    top1.foreach(r =>
+      assert(r.getAs[Long]("neighbor_id") == r.getAs[Long]("query_id") - 100000L))
+  }
+
+  test("ivfTopKFilteredAuto: a very selective filter forces the exact brute branch (mass >= 1)") {
+    val base = emb.select($"vec_id".cast("long").as("vec_id"), $"embedding")
+    val allowed = base.filter($"vec_id" < 8).select($"vec_id") // s ~ 1.6%
+    val queries = base.filter($"vec_id" >= 8 && $"vec_id" < 11)
+    val idx = Similarity.buildIvfIndex(base, "vec_id", "embedding", nlist = 16)
+    // bruteThreshold = 0 would keep the probe branch, but mass
+    // baseMass/s >= 1 must force the exact brute path anyway
+    val out = Similarity.ivfTopKFilteredAuto(idx, queries, "vec_id", "embedding",
+        allowed, k = 5, baseMass = 0.45, bruteThreshold = 0L)
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Int, Long)].collect().toSet
+    val exact = Similarity.bruteForceTopK(base.filter($"vec_id" < 8),
+        queries, "vec_id", "embedding", 5)
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(out == exact && out.size == 15)
+  }
+
   test("hnswTopKFiltered: planted copies rank-1, no disallowed neighbor") {
     val base = emb.select($"vec_id".cast("long").as("vec_id"), $"embedding")
     val copies = base.filter($"vec_id" < 10 && $"vec_id" % 2 === 0)
