@@ -5045,6 +5045,24 @@ object SparkEntry {
         .orderBy("rank")
     }),
 
+    // redirect-chain resolution (pointer doubling, log rounds): edges
+    // derive from doc_id arithmetic (i -> i+1 within 5-blocks), so
+    // final target and hop count replay EXACTLY in SQL — full-row
+    // oracle; the chain tail clamps at the max id's terminal
+    "q_url_redirects" -> ((s: SparkSession, dir: String) => {
+      val docs = t(s, dir, "documents").select(F.col("doc_id"))
+      val mx = docs.agg(F.max(F.col("doc_id"))).head().getLong(0)
+      val edges = docs
+        .filter(F.col("doc_id") % 5 =!= 4 && F.col("doc_id") < mx)
+        .select(
+          F.concat(F.lit("https://ex.com/"), F.col("doc_id")).as("src"),
+          F.concat(F.lit("https://ex.com/"), F.col("doc_id") + 1L).as("dst"))
+      graft.pipeline.Urls.resolveRedirectChains(edges, "src", "dst",
+          maxHops = 16)
+        .select(F.col("src"), F.col("final_url"), F.col("hops"), F.col("cycled"))
+        .orderBy("src")
+    }),
+
     // streaming kNN labeling: micro-batches of unlabeled copies
     // classified against the persisted labeled index — stateless,
     // replay-idempotent per-batch dynamic overwrite; full rows equal
@@ -8952,6 +8970,16 @@ object SparkEntry {
       """SELECT CAST(50 AS BIGINT) AS n_fused, CAST(25 AS BIGINT) AS n_final,
         |  true AS fusion_copy_rank1, true AS mmr_copy_rank1,
         |  true AS ids_valid""".stripMargin,
+    "q_url_redirects" ->
+      """WITH m AS (SELECT max(doc_id) AS mx FROM documents)
+        |SELECT concat('https://ex.com/', CAST(doc_id AS VARCHAR)) AS src,
+        |  concat('https://ex.com/',
+        |    CAST(least(doc_id - doc_id % 5 + 4, mx) AS VARCHAR)) AS final_url,
+        |  CAST(least(doc_id - doc_id % 5 + 4, mx) - doc_id AS BIGINT) AS hops,
+        |  false AS cycled
+        |FROM documents, m
+        |WHERE doc_id % 5 <> 4 AND doc_id < mx
+        |ORDER BY src""".stripMargin,
     "q_embed_drift" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_index,
         |       CAST(count(*) AS BIGINT) AS n_batch,

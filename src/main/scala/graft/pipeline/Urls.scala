@@ -504,4 +504,49 @@ object Urls {
     * feed: fetch these, parse each with [[sitemapUrls]]). */
   def sitemapChildren(xml: Column): Column =
     F.udf((s: String) => parseSitemapIndexKernel(s)).apply(xml)
+
+  /**
+   * Resolve redirect CHAINS to their final destination by pointer
+   * doubling: each round joins the map with itself (cur -> cur's
+   * target), so a chain of length L resolves in ceil(log2 L) rounds —
+   * never one join per hop, which is the difference between 5 and 32
+   * shuffles on real crawl redirect data. Multiple outgoing edges per
+   * source dedupe deterministically to the lexicographic min target.
+   *
+   * Returns one row per distinct source: (src, final_url, hops,
+   * cycled). `cycled = true` means the walk exceeded `maxHops` —
+   * true for every actual cycle (its hop count doubles past any
+   * bound within the round budget) and for over-long chains, both of
+   * which a crawl quarantines (final_url = wherever the walk stood).
+   * Terminals are URLs with no outgoing edge. Each round
+   * localCheckpoints lazily (library rule) to keep the self-join
+   * lineage linear.
+   */
+  def resolveRedirectChains(
+      edges: org.apache.spark.sql.DataFrame,
+      srcCol: String,
+      dstCol: String,
+      maxHops: Int = 32): org.apache.spark.sql.DataFrame = {
+    require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
+    var f = edges
+      .filter(F.col(srcCol).isNotNull && F.col(dstCol).isNotNull)
+      .groupBy(F.col(srcCol).as("src"))
+      .agg(F.min(F.col(dstCol)).as("cur"))
+      .withColumn("hops", F.lit(1L))
+    val rounds = math.max(1,
+      math.ceil(math.log(maxHops.toDouble) / math.log(2.0)).toInt + 1)
+    var r = 0
+    while (r < rounds) {
+      val g = f.select(F.col("src").as("__s2"), F.col("cur").as("__c2"),
+        F.col("hops").as("__h2"))
+      f = f.join(g, f("cur") === g("__s2"), "left")
+        .select(F.col("src"),
+          F.coalesce(F.col("__c2"), F.col("cur")).as("cur"),
+          (F.col("hops") + F.coalesce(F.col("__h2"), F.lit(0L))).as("hops"))
+        .localCheckpoint(false)
+      r += 1
+    }
+    f.select(F.col("src"), F.col("cur").as("final_url"), F.col("hops"),
+      (F.col("hops") > maxHops).as("cycled"))
+  }
 }

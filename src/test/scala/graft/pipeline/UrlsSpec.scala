@@ -208,4 +208,32 @@ class UrlsSpec extends SparkTestBase {
       .as[(String, Option[Double])].collect()
     assert(urls.toSeq === Seq(("https://u/1", Some(0.5))))
   }
+
+  test("resolveRedirectChains: chains resolve in log rounds, cycles and over-long chains flag") {
+    import spark.implicits._
+    // chains of 5 (0->1->2->3->4 terminal), a 3-cycle, a 40-hop chain
+    val chain = (0 until 20).filter(_ % 5 != 4).map(i => (s"u$i", s"u${i + 1}"))
+    val cycle = Seq(("c0", "c1"), ("c1", "c2"), ("c2", "c0"))
+    val long = (0 until 40).map(i => (s"L$i", s"L${i + 1}"))
+    val edges = (chain ++ cycle ++ long).toDF("src", "dst")
+    val out = Urls.resolveRedirectChains(edges, "src", "dst", maxHops = 32)
+      .collect().map(r => r.getString(0) ->
+        ((r.getString(1), r.getLong(2), r.getBoolean(3)))).toMap
+    chain.foreach { case (s, _) =>
+      val i = s.drop(1).toInt
+      val fin = i - i % 5 + 4
+      val (f, h, c) = out(s)
+      assert(f == s"u$fin" && h == (fin - i).toLong && !c, s"src $s")
+    }
+    cycle.foreach { case (s, _) => assert(out(s)._3, s"cycle $s not flagged") }
+    // the 40-hop chain exceeds maxHops=32 -> quarantined even though acyclic
+    assert(out("L0")._3)
+    // a 20-hop suffix of it is within budget and resolves exactly
+    val (f20, h20, c20) = out("L20")
+    assert(f20 == "L40" && h20 == 20L && !c20)
+    // multi-edge source dedupes to the lexicographic min target
+    val multi = Seq(("m", "b"), ("m", "a")).toDF("src", "dst")
+    val m = Urls.resolveRedirectChains(multi, "src", "dst").collect().head
+    assert(m.getString(1) == "a" && m.getLong(2) == 1L)
+  }
 }
