@@ -5045,6 +5045,65 @@ object SparkEntry {
         .orderBy("rank")
     }),
 
+    // preference-pair (DPO) hygiene: triples derive from token slices
+    // of documents with deterministic per-id mutations (exact dup,
+    // case-only dup, whitespace-only, degenerate length); every
+    // validation boolean is exact string/integer math that the oracle
+    // RECOMPUTES from the same strings — a full replay, not pins
+    "q_pref_pairs" -> ((s: SparkSession, dir: String) => {
+      val toks = F.filter(F.split(F.col("text"), "\\s+"),
+        (t: org.apache.spark.sql.Column) => F.length(t) > 0)
+      val base = t(s, dir, "documents")
+        .filter(F.col("text").isNotNull)
+        .select(F.col("doc_id"), toks.as("__t"))
+        .filter(F.size(F.col("__t")) >= 23)
+        .select(F.col("doc_id"),
+          F.array_join(F.slice(F.col("__t"), 1, 3), " ").as("prompt"),
+          F.array_join(F.slice(F.col("__t"), 4, 10), " ").as("chosen"),
+          F.array_join(F.slice(F.col("__t"), 14, 10), " ").as("rejected0"))
+      val mutated = base.withColumn("rejected",
+        F.when(F.col("doc_id") % 7 === 0, F.col("chosen"))
+          .when(F.col("doc_id") % 7 === 1, F.upper(F.col("chosen")))
+          .when(F.col("doc_id") % 7 === 2, F.lit("   "))
+          .when(F.col("doc_id") % 7 === 3, F.substring(F.col("chosen"), 1, 2))
+          .otherwise(F.col("rejected0")))
+        .drop("rejected0")
+      graft.pipeline.Preferences
+        .validatePairs(mutated, "prompt", "chosen", "rejected")
+        .select("doc_id", "nonempty", "distinct_exact", "distinct_norm",
+          "length_ok", "valid")
+        .orderBy("doc_id")
+    }),
+
+    // contradictory-preference detection: reversed copies planted at
+    // id+1000000 (prompt whitespace-perturbed to exercise the
+    // normalized join) must pair with their sources — exactly and
+    // only those (natural 13-token collisions are ~vocab^-13)
+    "q_pref_conflicts" -> ((s: SparkSession, dir: String) => {
+      val toks = F.filter(F.split(F.col("text"), "\\s+"),
+        (t: org.apache.spark.sql.Column) => F.length(t) > 0)
+      val base = t(s, dir, "documents")
+        .filter(F.col("text").isNotNull)
+        .select(F.col("doc_id"), toks.as("__t"))
+        .filter(F.size(F.col("__t")) >= 23)
+        .select(F.col("doc_id"),
+          // doc_id prefixes the prompt: the testdata PLANTS duplicate
+          // documents, so unprefixed 23-token triples collide exactly
+          // and cross-document conflicts appear (found the hard way)
+          F.concat(F.col("doc_id"), F.lit(" "),
+            F.array_join(F.slice(F.col("__t"), 1, 3), " ")).as("prompt"),
+          F.array_join(F.slice(F.col("__t"), 4, 10), " ").as("chosen"),
+          F.array_join(F.slice(F.col("__t"), 14, 10), " ").as("rejected"))
+      val reversed = base.filter(F.col("doc_id") % 50 === 0)
+        .select((F.col("doc_id") + 1000000L).as("doc_id"),
+          F.concat(F.lit(" "), F.col("prompt"), F.lit("  ")).as("prompt"),
+          F.col("rejected").as("chosen"), F.col("chosen").as("rejected"))
+      graft.pipeline.Preferences
+        .conflictingPairs(base.unionByName(reversed), "doc_id",
+          "prompt", "chosen", "rejected")
+        .orderBy("id_a")
+    }),
+
     // redirect-chain resolution (pointer doubling, log rounds): edges
     // derive from doc_id arithmetic (i -> i+1 within 5-blocks), so
     // final target and hop count replay EXACTLY in SQL — full-row
@@ -8970,6 +9029,45 @@ object SparkEntry {
       """SELECT CAST(50 AS BIGINT) AS n_fused, CAST(25 AS BIGINT) AS n_final,
         |  true AS fusion_copy_rank1, true AS mmr_copy_rank1,
         |  true AS ids_valid""".stripMargin,
+    "q_pref_pairs" ->
+      """WITH d AS (SELECT doc_id,
+        |             list_filter(string_split_regex(text, '\s+'), s -> len(s) > 0) AS toks
+        |           FROM documents WHERE text IS NOT NULL),
+        |b AS (SELECT doc_id,
+        |        array_to_string(toks[1:3], ' ') AS prompt,
+        |        array_to_string(toks[4:13], ' ') AS chosen,
+        |        array_to_string(toks[14:23], ' ') AS rejected0
+        |      FROM d WHERE len(toks) >= 23),
+        |m AS (SELECT doc_id, prompt, chosen,
+        |        CASE WHEN doc_id % 7 = 0 THEN chosen
+        |             WHEN doc_id % 7 = 1 THEN upper(chosen)
+        |             WHEN doc_id % 7 = 2 THEN '   '
+        |             WHEN doc_id % 7 = 3 THEN substr(chosen, 1, 2)
+        |             ELSE rejected0 END AS rejected
+        |      FROM b),
+        |n AS (SELECT *,
+        |        trim(regexp_replace(lower(coalesce(chosen, '')), '\s+', ' ', 'g')) AS nc,
+        |        trim(regexp_replace(lower(coalesce(rejected, '')), '\s+', ' ', 'g')) AS nr,
+        |        (len(trim(prompt)) > 0 AND len(trim(chosen)) > 0
+        |         AND len(trim(rejected)) > 0) AS ne,
+        |        (chosen <> rejected) AS de,
+        |        (len(chosen) > 0 AND len(rejected) > 0
+        |         AND greatest(CAST(len(chosen) AS DOUBLE), CAST(len(rejected) AS DOUBLE))
+        |             <= least(CAST(len(chosen) AS DOUBLE), CAST(len(rejected) AS DOUBLE)) * 8.0)
+        |          AS lok
+        |      FROM m)
+        |SELECT doc_id, ne AS nonempty, de AS distinct_exact,
+        |       (nc <> nr) AS distinct_norm, lok AS length_ok,
+        |       (ne AND de AND nc <> nr AND lok) AS valid
+        |FROM n ORDER BY doc_id""".stripMargin,
+    "q_pref_conflicts" ->
+      """WITH d AS (SELECT doc_id,
+        |             list_filter(string_split_regex(text, '\s+'), s -> len(s) > 0) AS toks
+        |           FROM documents WHERE text IS NOT NULL)
+        |SELECT CAST(doc_id AS BIGINT) AS id_a,
+        |       CAST(doc_id + 1000000 AS BIGINT) AS id_b
+        |FROM d WHERE len(toks) >= 23 AND doc_id % 50 = 0
+        |ORDER BY id_a""".stripMargin,
     "q_url_redirects" ->
       """WITH m AS (SELECT max(doc_id) AS mx FROM documents)
         |SELECT concat('https://ex.com/', CAST(doc_id AS VARCHAR)) AS src,
