@@ -5045,6 +5045,34 @@ object SparkEntry {
         .orderBy("rank")
     }),
 
+    // length-bucketed batching: order by token length desc, chunk into
+    // 32-row batches; per-batch padding waste is exact integer math
+    // the oracle REPLAYS with the same window functions, and sorted
+    // batching can never waste more than arrival-order batching on the
+    // same rows (pinned as an integer comparison)
+    "q_pack_batches" -> ((s: SparkSession, dir: String) => {
+      val toks = F.filter(F.split(F.col("text"), "\\s+"),
+        (t: org.apache.spark.sql.Column) => F.length(t) > 0)
+      val docs = t(s, dir, "documents").filter(F.col("text").isNotNull)
+        .select(F.col("doc_id"), F.size(toks).as("len0"))
+      val pk = graft.pipeline.Packing
+      val rep = pk.paddingWasteReport(
+        pk.lengthBucketBatches(docs, "doc_id", F.col("len0"), 32))
+        .localCheckpoint(false)
+      val arrival = docs
+        .withColumn("__rn", F.row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(F.col("doc_id"))))
+        .select(F.col("len0").cast("long").as("len"),
+          F.expr("CAST((__rn - 1) div 32 AS BIGINT)").as("batch"))
+      val wasteSorted = rep.agg(F.sum(F.col("padding_waste"))).head().getLong(0)
+      val wasteArrival = pk.paddingWasteReport(arrival)
+        .agg(F.sum(F.col("padding_waste"))).head().getLong(0)
+      rep.select(F.col("batch"), F.col("n"), F.col("max_len"), F.col("sum_len"),
+          F.col("padding_waste"),
+          F.lit(wasteSorted <= wasteArrival).as("sorted_no_worse"))
+        .orderBy("batch")
+    }),
+
     // preference-pair (DPO) hygiene: triples derive from token slices
     // of documents with deterministic per-id mutations (exact dup,
     // case-only dup, whitespace-only, degenerate length); every
@@ -9029,6 +9057,27 @@ object SparkEntry {
       """SELECT CAST(50 AS BIGINT) AS n_fused, CAST(25 AS BIGINT) AS n_final,
         |  true AS fusion_copy_rank1, true AS mmr_copy_rank1,
         |  true AS ids_valid""".stripMargin,
+    "q_pack_batches" ->
+      """WITH d AS (SELECT doc_id,
+        |             len(list_filter(string_split_regex(text, '\s+'),
+        |                 s -> len(s) > 0)) AS len
+        |           FROM documents WHERE text IS NOT NULL),
+        |r AS (SELECT doc_id, len,
+        |        row_number() OVER (ORDER BY len DESC, doc_id) AS rn FROM d),
+        |g AS (SELECT CAST((rn - 1) // 32 AS BIGINT) AS batch,
+        |        CAST(count(*) AS BIGINT) AS n, CAST(max(len) AS BIGINT) AS max_len,
+        |        CAST(sum(len) AS BIGINT) AS sum_len
+        |      FROM r GROUP BY 1),
+        |a AS (SELECT CAST((row_number() OVER (ORDER BY doc_id) - 1) // 32 AS BIGINT)
+        |        AS batch, len FROM d),
+        |ga AS (SELECT batch, max(len) AS mx, count(*) AS n, sum(len) AS sl
+        |       FROM a GROUP BY batch),
+        |ws AS (SELECT sum(max_len * n - sum_len) AS w FROM g),
+        |wa AS (SELECT sum(mx * n - sl) AS w FROM ga)
+        |SELECT g.batch, g.n, g.max_len, g.sum_len,
+        |       CAST(g.max_len * g.n - g.sum_len AS BIGINT) AS padding_waste,
+        |       (SELECT ws.w <= wa.w FROM ws, wa) AS sorted_no_worse
+        |FROM g ORDER BY batch""".stripMargin,
     "q_pref_pairs" ->
       """WITH d AS (SELECT doc_id,
         |             list_filter(string_split_regex(text, '\s+'), s -> len(s) > 0) AS toks

@@ -133,4 +133,28 @@ class PackTokenStreamSpec extends SparkTestBase {
     assert(layout.agg(F.max(F.col("token_offset") + F.col("n_tokens") + 1L))
       .head().getLong(0) === emb.count() * 8L)
   }
+
+  test("lengthBucketBatches: deterministic batches, waste accounting exact, sorted <= arrival") {
+    import spark.implicits._
+    val rows = Seq((1L, 10L), (2L, 100L), (3L, 12L), (4L, 98L), (5L, 11L), (6L, 99L))
+      .toDF("id", "len0")
+    val b = Packing.lengthBucketBatches(rows, "id", F.col("len0"), 3)
+      .select("id", "batch", "batch_pos")
+      .as[(Long, Long, Int)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // length-desc order: 2(100), 6(99), 4(98) | 3(12), 5(11), 1(10)
+    assert(b(2L) == ((0L, 0)) && b(6L) == ((0L, 1)) && b(4L) == ((0L, 2)))
+    assert(b(3L) == ((1L, 0)) && b(5L) == ((1L, 1)) && b(1L) == ((1L, 2)))
+    val rep = Packing.paddingWasteReport(
+        Packing.lengthBucketBatches(rows, "id", F.col("len0"), 3))
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r._5).toMap
+    // batch 0: 100*3 - 297 = 3; batch 1: 12*3 - 33 = 3
+    assert(rep(0L) == 3L && rep(1L) == 3L)
+    // arrival order (1,2,3 | 4,5,6): 100*3-122=178, 99*3-208=89 -> worse
+    val arrival = Seq((10L, 0L), (100L, 0L), (12L, 0L), (98L, 1L), (11L, 1L), (99L, 1L))
+      .toDF("len", "batch")
+    val wa = Packing.paddingWasteReport(arrival)
+      .agg(F.sum($"padding_waste")).as[Long].head()
+    assert(wa == 178L + 89L && 6L <= wa)
+  }
 }
