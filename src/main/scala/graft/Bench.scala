@@ -552,6 +552,15 @@ object Bench {
         "vec_id", "embedding", "label", k = 5, probeMass = 0.45)
     }),
 
+    // novelty scoring of the corpus against itself shifted (every doc
+    // probes the full reference gram set — the hash-join shape)
+    "b_novelty" -> ((s: SparkSession, dir: String) => {
+      val docs = t(s, dir, "documents")
+      graft.pipeline.Decontaminate.noveltyScores(
+        docs.select((F.col("doc_id") + 1000000L).as("doc_id"), F.col("text")),
+        docs, "doc_id", "text", n = 8)
+    }),
+
     // MMR diversified rerank over a 100-candidate exact pool
     "b_mmr" -> ((s: SparkSession, dir: String) => {
       val emb = t(s, dir, "embeddings")

@@ -5045,6 +5045,27 @@ object SparkEntry {
         .orderBy("rank")
     }),
 
+    // corpus novelty vs a reference: exact copies score 0, token-
+    // transformed rewrites ('qz' prefix on every token — a bijection,
+    // so gram counts carry over and no transformed gram can collide
+    // with natural vocabulary) score exactly 1; totals replay in SQL
+    // from the original texts
+    "q_novelty" -> ((s: SparkSession, dir: String) => {
+      val toks = F.filter(F.split(F.lower(F.col("text")), "\\s+"),
+        (t: org.apache.spark.sql.Column) => F.length(t) > 0)
+      val docs = t(s, dir, "documents").filter(F.col("text").isNotNull)
+        .select(F.col("doc_id"), F.col("text"))
+      val copies = docs.select((F.col("doc_id") + 1000000L).as("doc_id"),
+        F.col("text"))
+      val fresh = docs.select((F.col("doc_id") + 2000000L).as("doc_id"),
+        F.array_join(F.transform(toks,
+          (w: org.apache.spark.sql.Column) => F.concat(F.lit("qz"), w)), " ")
+          .as("text"))
+      graft.pipeline.Decontaminate
+        .noveltyScores(copies.unionByName(fresh), docs, "doc_id", "text", n = 8)
+        .orderBy("id")
+    }),
+
     // length-bucketed batching: order by token length desc, chunk into
     // 32-row batches; per-batch padding waste is exact integer math
     // the oracle REPLAYS with the same window functions, and sorted
@@ -9057,6 +9078,26 @@ object SparkEntry {
       """SELECT CAST(50 AS BIGINT) AS n_fused, CAST(25 AS BIGINT) AS n_final,
         |  true AS fusion_copy_rank1, true AS mmr_copy_rank1,
         |  true AS ids_valid""".stripMargin,
+    "q_novelty" ->
+      """WITH d AS (SELECT doc_id,
+        |             list_filter(string_split_regex(lower(text), '\s+'),
+        |                 s -> len(s) > 0) AS toks
+        |           FROM documents WHERE text IS NOT NULL),
+        |g AS (SELECT doc_id,
+        |        count(DISTINCT array_to_string(toks[u.i:u.i+7], ' ')) AS total
+        |      FROM d, range(1, 2000) u(i)
+        |      WHERE u.i + 7 <= len(toks)
+        |      GROUP BY doc_id)
+        |SELECT id, total_grams, unseen_grams, novelty FROM (
+        |  SELECT CAST(doc_id + 1000000 AS BIGINT) AS id,
+        |         CAST(total AS BIGINT) AS total_grams,
+        |         CAST(0 AS BIGINT) AS unseen_grams, 0.0 AS novelty
+        |  FROM g
+        |  UNION ALL
+        |  SELECT CAST(doc_id + 2000000 AS BIGINT),
+        |         CAST(total AS BIGINT), CAST(total AS BIGINT), 1.0
+        |  FROM g)
+        |ORDER BY id""".stripMargin,
     "q_pack_batches" ->
       """WITH d AS (SELECT doc_id,
         |             len(list_filter(string_split_regex(text, '\s+'),

@@ -655,4 +655,52 @@ object Decontaminate {
       .join(leakedA, Seq("split_a", "split_b"))
       .join(leakedB, Seq("split_a", "split_b"))
   }
+
+  /**
+   * Corpus NOVELTY scoring vs a reference corpus — the dataset-
+   * analysis metric for "how much of this new crawl is genuinely new
+   * text": per document, the fraction of its distinct word `n`-grams
+   * absent from the reference's distinct-gram set. An exact copy of
+   * reference text scores 0; fully fresh text scores 1.
+   *
+   * Returns (id, total_grams, unseen_grams, novelty) for every
+   * document with at least one gram (shorter docs have no n-gram
+   * signal and drop). novelty is ONE division of exact longs —
+   * deterministic cross-engine.
+   *
+   * Scale shape: both sides explode to distinct 8-byte xxhash64 gram
+   * keys (strings never leave their rows — the contamination-join
+   * discipline); the membership probe is a hash join on those keys
+   * and the rollup groups by document. At 100 TB the reference gram
+   * set is the big side: it never broadcasts, and the join shuffles
+   * only (hash, id) pairs.
+   */
+  def noveltyScores(
+      docs: DataFrame,
+      reference: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8): DataFrame = {
+    val refGrams = reference
+      .filter(F.col(textCol).isNotNull)
+      .select(F.explode(wordNgrams(F.col(textCol), n)).as("__g"))
+      .select(F.xxhash64(F.col("__g")).as("__h"))
+      .distinct()
+      .withColumn("__seen", F.lit(1))
+    val docGrams = docs
+      .filter(F.col(textCol).isNotNull)
+      .select(F.col(idCol).as("id"),
+        F.explode(wordNgrams(F.col(textCol), n)).as("__g"))
+      .select(F.col("id"), F.xxhash64(F.col("__g")).as("__h"))
+      .distinct()
+    docGrams.join(refGrams, Seq("__h"), "left")
+      .groupBy(F.col("id"))
+      .agg(
+        F.count(F.lit(1)).as("total_grams"),
+        F.sum(F.when(F.col("__seen").isNull, 1L).otherwise(0L))
+          .as("unseen_grams"))
+      .withColumn("novelty",
+        F.col("unseen_grams").cast("double") /
+          F.col("total_grams").cast("double"))
+  }
 }

@@ -229,4 +229,25 @@ class ContainmentSpec extends SparkTestBase {
         .unionByName(fourth), "doc_id", "text", "sp")
     assert(rows(m4) === rows(full4))
   }
+
+  test("noveltyScores: exact fraction on a mixed doc; copies 0, rewrites 1") {
+    import spark.implicits._
+    val ref = Seq((1L, "a b c d e f g h i j")).toDF("id", "text")
+    val probes = Seq(
+      (10L, "a b c d e zz f g h"),   // 7 grams, 3 contain zz -> 3/7
+      (11L, "a b c d e f g h i j"),  // exact copy -> 0
+      (12L, "qq ww ee rr tt yy")     // fully novel -> 1
+    ).toDF("id", "text")
+    val got = Decontaminate.noveltyScores(probes, ref, "id", "text", n = 3)
+      .select("id", "total_grams", "unseen_grams", "novelty")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(10L) == ((7L, 3L, 3.0 / 7.0)))
+    assert(got(11L) == ((8L, 0L, 0.0)))
+    assert(got(12L) == ((4L, 4L, 1.0)))
+    // sub-n docs have no gram signal and drop
+    val tiny = Decontaminate.noveltyScores(
+      Seq((20L, "a b")).toDF("id", "text"), ref, "id", "text", n = 3)
+    assert(tiny.isEmpty)
+  }
 }
