@@ -552,6 +552,27 @@ object Bench {
         "vec_id", "embedding", "label", k = 5, probeMass = 0.45)
     }),
 
+    // preference-pair hygiene: validation booleans + the reversed-
+    // annotation digest self-join over doc-derived triples
+    "b_pref_hygiene" -> ((s: SparkSession, dir: String) => {
+      val toks = F.filter(F.split(F.col("text"), "\\s+"),
+        (t: org.apache.spark.sql.Column) => F.length(t) > 0)
+      val base = t(s, dir, "documents").filter(F.col("text").isNotNull)
+        .select(F.col("doc_id"), toks.as("__t"))
+        .filter(F.size(F.col("__t")) >= 23)
+        .select(F.col("doc_id"),
+          F.concat(F.col("doc_id"), F.lit(" "),
+            F.array_join(F.slice(F.col("__t"), 1, 3), " ")).as("prompt"),
+          F.array_join(F.slice(F.col("__t"), 4, 10), " ").as("chosen"),
+          F.array_join(F.slice(F.col("__t"), 14, 10), " ").as("rejected"))
+      val p = graft.pipeline.Preferences
+      val v = p.validatePairs(base, "prompt", "chosen", "rejected")
+        .agg(F.sum(F.when(F.col("valid"), 1L).otherwise(0L)).as("ok"))
+      val c = p.conflictingPairs(base, "doc_id", "prompt", "chosen", "rejected")
+        .agg(F.count(F.lit(1)).as("n"))
+      v.crossJoin(c)
+    }),
+
     // novelty scoring of the corpus against itself shifted (every doc
     // probes the full reference gram set — the hash-join shape)
     "b_novelty" -> ((s: SparkSession, dir: String) => {

@@ -4409,6 +4409,38 @@ object SparkEntry {
             .otherwise(0L)) === F.count(F.lit(1))).as("roundtrip_ok"))
     }),
 
+    // bf16 safetensors: the read must equal the driver-side
+    // round-to-nearest-even reference EXACTLY element-for-element (the
+    // codec is deterministic integer bit math), and ids round-trip
+    "q_safetensors_bf16" -> ((s: SparkSession, dir: String) => {
+      val emb = t(s, dir, "embeddings").filter(F.col("embedding").isNotNull)
+      val path = System.getProperty("java.io.tmpdir") + "/graft_q_st_bf16"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true) // stale shards
+      graft.sources.Safetensors.write(
+        emb.repartition(4), F.col("vec_id"), F.col("embedding"), path,
+        dtype = "BF16")
+      val refU = F.udf((v: Seq[Float]) =>
+        if (v == null) null
+        else v.map(f => graft.sources.Safetensors.bf16ToFloat(
+          graft.sources.Safetensors.bf16Bits(f))).toArray)
+      val dtypeOk = {
+        val shard = fs.globStatus(
+          new org.apache.hadoop.fs.Path(path, "*.safetensors"))
+          .head.getPath.toString
+        graft.sources.Safetensors.listTensors(s, shard)
+          .exists(ti => ti.name == "embeddings" && ti.dtype == "BF16")
+      }
+      graft.sources.Safetensors.read(s, path)
+        .join(emb.select(F.col("vec_id").as("id"),
+          refU(F.col("embedding")).as("ref")), "id")
+        .agg(F.count(F.lit(1)).as("n_vectors"),
+          (F.sum(F.when(F.col("embedding") === F.col("ref"), 1L)
+            .otherwise(0L)) === F.count(F.lit(1))).as("roundtrip_ok"),
+          F.lit(dtypeOk).as("dtype_ok"))
+    }),
+
     // crawl-frontier politeness schedule: per-host serialized fetch
     // slots (priority DESC, url ASC), hosts parallel — pure window
     // arithmetic over synthesized URLs, full-row replay in SQL
@@ -7344,6 +7376,10 @@ object SparkEntry {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_safetensors" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_vectors, true AS roundtrip_ok
+        |FROM embeddings WHERE embedding IS NOT NULL""".stripMargin,
+    "q_safetensors_bf16" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_vectors, true AS roundtrip_ok,
+        |  true AS dtype_ok
         |FROM embeddings WHERE embedding IS NOT NULL""".stripMargin,
     "q_crawl_schedule" ->
       """WITH u AS (

@@ -22,14 +22,36 @@ import org.apache.spark.sql.{functions => F}
  */
 object Safetensors {
 
+  /** bf16 round-to-nearest-even of a float32 bit pattern (the
+    * convention every ML stack uses): add half-ulp plus the tie bit,
+    * keep the top 16 bits. */
+  private[graft] def bf16Bits(f: Float): Int = {
+    val b = java.lang.Float.floatToIntBits(f)
+    ((b + 0x7fff + ((b >>> 16) & 1)) >>> 16) & 0xffff
+  }
+
+  /** The float32 a stored bf16 pattern decodes to (low 16 bits zero). */
+  private[graft] def bf16ToFloat(bits: Int): Float =
+    java.lang.Float.intBitsToFloat((bits & 0xffff) << 16)
+
   /** NULL rows and vectors not matching the first row's width are
     * skipped (a safetensors tensor is rectangular by definition).
-    * Returns the number of vectors written. */
+    * `dtype` is `"F32"` (default) or `"BF16"` (2 bytes/element,
+    * round-to-nearest-even — the checkpoint-interchange width most
+    * embedding dumps actually ship). Returns the number of vectors
+    * written. */
   def write(
       df: DataFrame,
       idCol: Column,
       vecCol: Column,
-      path: String): Long = {
+      path: String,
+      dtype: String = "F32"): Long = {
+    val esize = dtype match {
+      case "F32" => 4
+      case "BF16" => 2
+      case other =>
+        throw new IllegalArgumentException(s"unsupported dtype $other")
+    }
     val spark = df.sparkSession
     val hconf = spark.sparkContext.broadcast(
       new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
@@ -64,10 +86,16 @@ object Safetensors {
               if (v.length == d && d > 0) {
                 ids += row.getLong(0)
                 v.foreach { f =>
-                  val b = java.lang.Float.floatToIntBits(f)
-                  row4(0) = b.toByte; row4(1) = (b >>> 8).toByte
-                  row4(2) = (b >>> 16).toByte; row4(3) = (b >>> 24).toByte
-                  o1.write(row4, 0, 4)
+                  if (esize == 4) {
+                    val b = java.lang.Float.floatToIntBits(f)
+                    row4(0) = b.toByte; row4(1) = (b >>> 8).toByte
+                    row4(2) = (b >>> 16).toByte; row4(3) = (b >>> 24).toByte
+                    o1.write(row4, 0, 4)
+                  } else {
+                    val b = bf16Bits(f)
+                    row4(0) = b.toByte; row4(1) = (b >>> 8).toByte
+                    o1.write(row4, 0, 2)
+                  }
                 }
               }
             }
@@ -75,10 +103,10 @@ object Safetensors {
           val n = ids.length
           if (n == 0) { fs.delete(tmpP, false); Iterator.single(0L) }
           else {
-            val embBytes = n.toLong * d * 4L
+            val embBytes = n.toLong * d * esize
             val idBytes = n.toLong * 8L
             val json =
-              s"""{"embeddings":{"dtype":"F32","shape":[$n,$d],""" +
+              s"""{"embeddings":{"dtype":"$dtype","shape":[$n,$d],""" +
               s""""data_offsets":[0,$embBytes]},""" +
               s""""ids":{"dtype":"I64","shape":[$n],""" +
               s""""data_offsets":[$embBytes,${embBytes + idBytes}]}}"""
@@ -151,7 +179,7 @@ object Safetensors {
   }
 
   private final case class Header(
-      n: Int, d: Int, embOff: Long, idsOff: Long)
+      n: Int, d: Int, embOff: Long, idsOff: Long, esize: Int)
 
   /** Header parse for the two-tensor layout this sink writes, via a
     * real JSON parse (the header is tiny): an externally-produced
@@ -159,21 +187,23 @@ object Safetensors {
     * scanning would silently pick up the NEXT tensor's fields. */
   private def parseHeader(json: String): Header = {
     val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
-    def tensor(name: String, wantDtype: String): (Seq[Long], Long) = {
+    def tensor(name: String, wantDtypes: Set[String]): (Seq[Long], Long, String) = {
       val t = root.get(name)
       require(t != null, s"tensor '$name' missing in safetensors header")
-      require(t.get("dtype") != null && t.get("dtype").asText() == wantDtype,
-        s"tensor '$name' must be $wantDtype, got ${t.get("dtype")}")
+      val dt = if (t.get("dtype") == null) null else t.get("dtype").asText()
+      require(dt != null && wantDtypes.contains(dt),
+        s"tensor '$name' must be one of $wantDtypes, got $dt")
       val shape = (0 until t.get("shape").size())
         .map(i => t.get("shape").get(i).asLong())
-      (shape, t.get("data_offsets").get(0).asLong())
+      (shape, t.get("data_offsets").get(0).asLong(), dt)
     }
-    val (eShape, eOff) = tensor("embeddings", "F32")
-    val (iShape, iOff) = tensor("ids", "I64")
+    val (eShape, eOff, eDt) = tensor("embeddings", Set("F32", "BF16"))
+    val (iShape, iOff, _) = tensor("ids", Set("I64"))
     require(eShape.length == 2 && iShape.length == 1 &&
       eShape.head == iShape.head,
       s"expected embeddings [n,d] + ids [n], got $eShape / $iShape")
-    Header(eShape.head.toInt, eShape(1).toInt, eOff, iOff)
+    Header(eShape.head.toInt, eShape(1).toInt, eOff, iOff,
+      if (eDt == "F32") 4 else 2)
   }
 
   /** Read shards written by [[write]] back as (shard, id, embedding).
@@ -209,19 +239,22 @@ object Safetensors {
         in.readFully(dataStart + h.idsOff, idsBytes)
         new Iterator[(String, Long, Array[Float])] {
           private var i = 0
-          private val rowBuf = new Array[Byte](h.d * 4)
+          private val rowBuf = new Array[Byte](h.d * h.esize)
           def hasNext: Boolean = {
             val more = i < h.n
             if (!more && tc == null) in.close()
             more
           }
           def next(): (String, Long, Array[Float]) = {
-            in.readFully(dataStart + h.embOff + i.toLong * h.d * 4, rowBuf)
+            in.readFully(dataStart + h.embOff + i.toLong * h.d * h.esize, rowBuf)
             val vec = Array.tabulate(h.d) { j =>
-              val o = j * 4
-              java.lang.Float.intBitsToFloat(
-                (rowBuf(o) & 0xff) | ((rowBuf(o + 1) & 0xff) << 8) |
-                ((rowBuf(o + 2) & 0xff) << 16) | ((rowBuf(o + 3) & 0xff) << 24))
+              val o = j * h.esize
+              if (h.esize == 4)
+                java.lang.Float.intBitsToFloat(
+                  (rowBuf(o) & 0xff) | ((rowBuf(o + 1) & 0xff) << 8) |
+                  ((rowBuf(o + 2) & 0xff) << 16) | ((rowBuf(o + 3) & 0xff) << 24))
+              else
+                bf16ToFloat((rowBuf(o) & 0xff) | ((rowBuf(o + 1) & 0xff) << 8))
             }
             var id = 0L
             val io = i * 8

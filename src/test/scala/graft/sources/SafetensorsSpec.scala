@@ -101,4 +101,38 @@ class SafetensorsSpec extends SparkTestBase {
     assert(back.keySet === Set(1L, 4L))
     assert(back(4L).toSeq === Seq(3.0f, 4.0f))
   }
+
+  test("BF16: read equals round-to-nearest-even reference exactly; layout declares BF16") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, Array(1.0f, -2.5f, 3.1415927f, 1e-8f)),
+      (2L, Array(0.0f, -0.0f, 65504.0f, 0.100097656f)) // 0.100097656 = a bf16 tie case
+    ).toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft_st_bf16").toString
+    val n = Safetensors.write(rows, F.col("vec_id"), F.col("embedding"), dir,
+      dtype = "BF16")
+    assert(n == 2L)
+    val got = Safetensors.read(spark, dir)
+      .select("id", "embedding").as[(Long, Array[Float])].collect().toMap
+    val expect = rows.as[(Long, Array[Float])].collect().toMap
+      .map { case (k, v) =>
+        k -> v.map(f => Safetensors.bf16ToFloat(Safetensors.bf16Bits(f))) }
+    expect.foreach { case (k, v) =>
+      assert(got(k).toSeq == v.toSeq, s"id $k")
+      // every stored float has zero low mantissa bits
+      got(k).foreach(f =>
+        assert((java.lang.Float.floatToIntBits(f) & 0xffff) == 0))
+    }
+    val shard = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".safetensors")).head.toString
+    val ts = Safetensors.listTensors(spark, shard)
+    assert(ts.exists(t => t.name == "embeddings" && t.dtype == "BF16"))
+    // bf16 file is smaller than an f32 one of the same rows
+    val f32dir = java.nio.file.Files.createTempDirectory("graft_st_f32").toString
+    Safetensors.write(rows, F.col("vec_id"), F.col("embedding"), f32dir)
+    val bfBytes = new java.io.File(shard).length()
+    val f32Bytes = new java.io.File(f32dir).listFiles()
+      .filter(_.getName.endsWith(".safetensors")).map(_.length()).max
+    assert(bfBytes < f32Bytes)
+  }
 }
