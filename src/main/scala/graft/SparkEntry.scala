@@ -5098,6 +5098,41 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // streaming novelty: the same planted probes replayed as
+    // micro-batches against the PERSISTED reference gram index —
+    // stateless per batch, replay-idempotent; shares q_novelty's
+    // full-row oracle verbatim
+    "q_stream_novelty" -> ((s: SparkSession, dir: String) => {
+      val toks = F.filter(F.split(F.lower(F.col("text")), "\\s+"),
+        (t: org.apache.spark.sql.Column) => F.length(t) > 0)
+      val docs = t(s, dir, "documents").filter(F.col("text").isNotNull)
+        .select(F.col("doc_id"), F.col("text"))
+      val base = System.getProperty("java.io.tmpdir") + "/graft_q_stream_novelty"
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      graft.pipeline.Decontaminate.buildNoveltyIndex(docs, "text", 8)
+        .write.mode("overwrite").parquet(s"$base/idx")
+      val probes = docs.select((F.col("doc_id") + 1000000L).as("doc_id"),
+          F.col("text"))
+        .unionByName(docs.select((F.col("doc_id") + 2000000L).as("doc_id"),
+          F.array_join(F.transform(toks,
+            (w: org.apache.spark.sql.Column) => F.concat(F.lit("qz"), w)), " ")
+            .as("text")))
+      probes.repartition(3).write.mode("overwrite").parquet(s"$base/src")
+      val q = graft.pipeline.Decontaminate.noveltyStream(
+          s.readStream.schema(probes.schema)
+            .option("maxFilesPerTrigger", 1).parquet(s"$base/src"),
+          s"$base/idx", s"$base/out", "doc_id", "text", 8)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", s"$base/ckpt")
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$base/out")
+        .select("id", "total_grams", "unseen_grams", "novelty")
+        .orderBy("id")
+    }),
+
     // length-bucketed batching: order by token length desc, chunk into
     // 32-row batches; per-batch padding waste is exact integer math
     // the oracle REPLAYS with the same window functions, and sorted
@@ -10668,6 +10703,9 @@ object SparkEntry {
       // streamed labeling equals the batch form row-for-row (frozen
       // index) — q_knn_label's full-row oracle, shared verbatim
       ("q_stream_knn_label" -> m("q_knn_label")) +
+      // streamed novelty probes equal the batch scores (stateless,
+      // frozen reference index) — q_novelty's full-row oracle verbatim
+      ("q_stream_novelty" -> m("q_novelty")) +
       // the nightly-delta audits equal the full recompute on the grown
       // corpus — q_split_leakage's oracle, shared verbatim
       ("q_split_leakage_incremental" -> m("q_split_leakage")) +

@@ -680,11 +680,34 @@ object Decontaminate {
       reference: DataFrame,
       idCol: String,
       textCol: String,
-      n: Int = 8): DataFrame = {
-    val refGrams = reference
+      n: Int = 8): DataFrame =
+    noveltyScoresIndexed(docs, buildNoveltyIndex(reference, textCol, n),
+      idCol, textCol, n)
+
+  /** The reference side of [[noveltyScores]] as a PERSISTED table:
+    * one `gram_hash` column of distinct xxhash64 gram keys. Save as
+    * plain parquet; at 100 TB this is the big side of the novelty
+    * join and building it once per reference release is the point. */
+  def buildNoveltyIndex(
+      reference: DataFrame,
+      textCol: String,
+      n: Int = 8): DataFrame =
+    reference
       .filter(F.col(textCol).isNotNull)
       .select(F.explode(wordNgrams(F.col(textCol), n)).as("__g"))
-      .select(F.xxhash64(F.col("__g")).as("__h"))
+      .select(F.xxhash64(F.col("__g")).as("gram_hash"))
+      .distinct()
+
+  /** [[noveltyScores]] against a prebuilt [[buildNoveltyIndex]]
+    * table (loaded from parquet for nightly/streaming use). */
+  def noveltyScoresIndexed(
+      docs: DataFrame,
+      index: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8): DataFrame = {
+    val refGrams = index
+      .select(F.col("gram_hash").as("__h"))
       .distinct()
       .withColumn("__seen", F.lit(1))
     val docGrams = docs
@@ -703,4 +726,30 @@ object Decontaminate {
         F.col("unseen_grams").cast("double") /
           F.col("total_grams").cast("double"))
   }
+
+  /** Streaming novelty: each micro-batch scores against the persisted
+    * reference gram index and dynamic-overwrites its own `__batch`
+    * partition of the score table — stateless, replay-idempotent (the
+    * streamChunkOverlap protocol). */
+  def noveltyStream(
+      stream: DataFrame,
+      indexPath: String,
+      outPath: String,
+      idCol: String,
+      textCol: String,
+      n: Int = 8)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val scores = noveltyScoresIndexed(batch,
+          spark.read.parquet(indexPath), idCol, textCol, n)
+        if (!scores.isEmpty)
+          scores.withColumn("__batch", F.lit(batchId))
+            .repartition(1)
+            .write.partitionBy("__batch")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite").parquet(outPath)
+        ()
+    }
 }
