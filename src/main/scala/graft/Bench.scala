@@ -552,6 +552,21 @@ object Bench {
         "vec_id", "embedding", "label", k = 5, probeMass = 0.45)
     }),
 
+    // BM25F field-weighted retrieval (title/body synthesized from the
+    // token stream; two postings builds + cross-field saturation)
+    "b_bm25f" -> ((s: SparkSession, dir: String) => {
+      val toks = F.filter(F.split(F.lower(F.col("text")), "\\s+"),
+        (t: org.apache.spark.sql.Column) => F.length(t) > 0)
+      val docs = t(s, dir, "documents").filter(F.col("text").isNotNull)
+        .select(F.col("doc_id"), toks.as("__t"))
+        .select(F.col("doc_id"),
+          F.array_join(F.slice(F.col("__t"), 1, 5), " ").as("title"),
+          F.array_join(F.slice(F.col("__t"), 6, 2000000), " ").as("body"))
+      graft.pipeline.Retrieval.bm25fTopK(docs, "doc_id",
+        Seq(("title", 2.0, 0.5), ("body", 1.0, 0.75)),
+        Seq("slow", "merge", "window"), 10)
+    }),
+
     // preference-pair hygiene: validation booleans + the reversed-
     // annotation digest self-join over doc-derived triples
     "b_pref_hygiene" -> ((s: SparkSession, dir: String) => {

@@ -5098,6 +5098,28 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // BM25F field-weighted retrieval: title = first 5 tokens (w=2.0,
+    // b=0.5), body = rest (w=1.0, b=0.75); cross-field tf sums BEFORE
+    // saturation (the property separating BM25F from a weighted sum
+    // of per-field BM25s). Ranks pinned (q_bm25 rule): measured top-15
+    // adjacent gaps >= 2.2e-4 at both SFs; scores are ln-based and
+    // never emitted raw
+    "q_bm25f" -> ((s: SparkSession, dir: String) => {
+      val toks = F.filter(F.split(F.lower(F.col("text")), "\\s+"),
+        (t: org.apache.spark.sql.Column) => F.length(t) > 0)
+      val docs = t(s, dir, "documents").filter(F.col("text").isNotNull)
+        .select(F.col("doc_id"), toks.as("__t"))
+        .select(F.col("doc_id"),
+          F.array_join(F.slice(F.col("__t"), 1, 5), " ").as("title"),
+          F.array_join(F.slice(F.col("__t"), 6, 2000000), " ").as("body"))
+      graft.pipeline.Retrieval.bm25fTopK(docs, "doc_id",
+          Seq(("title", 2.0, 0.5), ("body", 1.0, 0.75)),
+          Seq("slow", "merge", "window"), 10)
+        .select(F.col("rank").cast("long").as("rank"),
+          F.col("id").as("doc_id"), F.col("n_terms_hit"))
+        .orderBy("rank")
+    }),
+
     // streaming novelty: the same planted probes replayed as
     // micro-batches against the PERSISTED reference gram index —
     // stateless per batch, replay-idempotent; shares q_novelty's
@@ -9149,6 +9171,42 @@ object SparkEntry {
       """SELECT CAST(50 AS BIGINT) AS n_fused, CAST(25 AS BIGINT) AS n_final,
         |  true AS fusion_copy_rank1, true AS mmr_copy_rank1,
         |  true AS ids_valid""".stripMargin,
+    "q_bm25f" ->
+      """WITH f AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+        |                    x -> len(x) > 0) AS w
+        |           FROM documents WHERE text IS NOT NULL),
+        |fl AS (SELECT doc_id, w[1:5] AS tw, w[6:len(w)] AS bw FROM f),
+        |tdl AS (SELECT doc_id, len(tw) AS dl FROM fl WHERE len(tw) > 0),
+        |bdl AS (SELECT doc_id, len(bw) AS dl FROM fl WHERE len(bw) > 0),
+        |tp AS (SELECT term, doc_id, count(*) AS tf
+        |       FROM (SELECT doc_id, unnest(tw) AS term FROM fl)
+        |       WHERE term IN ('slow', 'merge', 'window') GROUP BY 1, 2),
+        |bp AS (SELECT term, doc_id, count(*) AS tf
+        |       FROM (SELECT doc_id, unnest(bw) AS term FROM fl)
+        |       WHERE term IN ('slow', 'merge', 'window') GROUP BY 1, 2),
+        |ts AS (SELECT avg(dl) AS avgdl FROM tdl),
+        |bs AS (SELECT avg(dl) AS avgdl FROM bdl),
+        |tfn AS (
+        |  SELECT term, doc_id,
+        |         2.0 * tf / (0.5 + 0.5 * d.dl / s.avgdl) AS tfn
+        |  FROM tp JOIN tdl d USING (doc_id) CROSS JOIN ts s
+        |  UNION ALL
+        |  SELECT term, doc_id,
+        |         1.0 * tf / (0.25 + 0.75 * d.dl / s.avgdl) AS tfn
+        |  FROM bp JOIN bdl d USING (doc_id) CROSS JOIN bs s),
+        |tft AS (SELECT term, doc_id, sum(tfn) AS tft FROM tfn GROUP BY 1, 2),
+        |dfs AS (SELECT term, count(*) AS df FROM tft GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM f),
+        |scored AS (
+        |  SELECT doc_id,
+        |         sum(ln(1 + (n.n - dfs.df + 0.5) / (dfs.df + 0.5)) *
+        |             tft / (1.2 + tft)) AS score,
+        |         CAST(count(*) AS BIGINT) AS n_terms_hit
+        |  FROM tft JOIN dfs USING (term) CROSS JOIN n GROUP BY doc_id)
+        |SELECT rank, doc_id, n_terms_hit FROM (
+        |  SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+        |           AS rank, doc_id, n_terms_hit FROM scored) t
+        |WHERE rank <= 10 ORDER BY rank""".stripMargin,
     "q_novelty" ->
       """WITH d AS (SELECT doc_id,
         |             list_filter(string_split_regex(lower(text), '\s+'),

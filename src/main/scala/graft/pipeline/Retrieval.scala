@@ -127,6 +127,71 @@ object Retrieval {
         F.col("tf_total"), F.col("n_terms_hit"))
   }
 
+  /**
+   * BM25F top-k (the Robertson–Zaragoza field-weighted variant): each
+   * field f contributes a weighted, field-length-normalized term
+   * frequency
+   *
+   *   tfn_f(t, d) = w_f * tf_f / ((1 - b_f) + b_f * dl_f / avgdl_f)
+   *
+   * summed ACROSS fields BEFORE saturation — the property that makes
+   * BM25F ≠ a weighted sum of per-field BM25s (a term in both title
+   * and body saturates once, not twice):
+   *
+   *   score(d) = Σ_t idf(t) * tft(t, d) / (k1 + tft(t, d)),
+   *   idf(t)   = ln(1 + (N - df + 0.5) / (df + 0.5)),
+   *
+   * with df = documents containing t in ANY field. `fields` is
+   * (column, weight w_f, length-normalization b_f) — the classic
+   * setup boosts short title-like fields with higher w and lower b.
+   *
+   * Scale shape: one postings build per field (map-side term filter),
+   * per-field 1-row stats broadcast, the cross-field sum repartitioned
+   * on id so the tft aggregate and the final per-document sum share
+   * one exchange; dfs (<= |query| rows) broadcasts back. Returns
+   * (rank, id, score, n_terms_hit).
+   */
+  def bm25fTopK(
+      docs: DataFrame,
+      idCol: String,
+      fields: Seq[(String, Double, Double)],
+      queryTerms: Seq[String],
+      k: Int,
+      k1: Double = DefaultK1): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25fTopK: empty query")
+    require(fields.nonEmpty, "bm25fTopK: no fields")
+    val q = queryTerms.map(_.toLowerCase)
+    val nDocs = docs.count()
+    val perField = fields.map { case (c, w, bf) =>
+      require(bf >= 0.0 && bf <= 1.0, s"b for field $c must be in [0,1], got $bf")
+      val idx = buildIndex(docs, idCol, c)
+      val stats = corpusStats(idx).select(F.col("avgdl").as("__avgdl"))
+      idx.filter(F.col("term").isin(q: _*))
+        .crossJoin(F.broadcast(stats))
+        .select(F.col("term"), F.col("id"),
+          (F.lit(w) * F.col("tf") /
+            (F.lit(1.0 - bf) + F.lit(bf) * F.col("dl") / F.col("__avgdl")))
+            .as("__tfn"))
+    }
+    val tft = perField.reduce(_ unionByName _)
+      .repartition(F.col("id"))
+      .groupBy(F.col("term"), F.col("id"))
+      .agg(F.sum(F.col("__tfn")).as("__tft"))
+    val dfs = tft.groupBy(F.col("term")).agg(F.count(F.lit(1)).as("df"))
+    val scored = tft.join(F.broadcast(dfs), "term")
+      .withColumn("__idf", F.log(F.lit(1.0) +
+        (F.lit(nDocs.toDouble) - F.col("df") + F.lit(0.5)) /
+          (F.col("df") + F.lit(0.5))))
+      .withColumn("__w",
+        F.col("__idf") * F.col("__tft") / (F.lit(k1) + F.col("__tft")))
+      .groupBy(F.col("id"))
+      .agg(F.sum(F.col("__w")).as("score"),
+        F.count(F.lit(1)).as("n_terms_hit"))
+    rankTopK(scored, k)
+      .select(F.col("rank"), F.col("id"), F.col("score"),
+        F.col("n_terms_hit"))
+  }
+
   // ---------------------------------------------------------------- //
   // Persisted index                                                   //
   // ---------------------------------------------------------------- //

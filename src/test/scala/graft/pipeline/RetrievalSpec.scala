@@ -362,4 +362,57 @@ class RetrievalSpec extends SparkTestBase {
       assert(a - b > 1e-9, s"adjacent top-15 scores nearly tied: $a vs $b")
     }
   }
+
+  test("bm25fTopK: cross-field tf sums before saturation; driver reference exact") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "apple pie", "apple apple banana"),
+      (2L, "banana split", "cherry cherry cherry apple"),
+      (3L, "cherry tart", "banana banana apple pie crust")
+    ).toDF("id", "title", "body")
+    val fields = Seq(("title", 2.0, 0.5), ("body", 1.0, 0.75))
+    val got = Retrieval.bm25fTopK(docs, "id", fields, Seq("apple"), 3, k1 = 1.2)
+      .select("rank", "id", "score").as[(Int, Long, Double)].collect()
+      .sortBy(_._1)
+
+    // driver reference
+    val title = Map(1L -> Seq("apple", "pie"), 2L -> Seq("banana", "split"),
+      3L -> Seq("cherry", "tart"))
+    val body = Map(1L -> Seq("apple", "apple", "banana"),
+      2L -> Seq("cherry", "cherry", "cherry", "apple"),
+      3L -> Seq("banana", "banana", "apple", "pie", "crust"))
+    val tAvg = title.values.map(_.size).sum.toDouble / 3
+    val bAvg = body.values.map(_.size).sum.toDouble / 3
+    def tfn(toks: Map[Long, Seq[String]], avg: Double, w: Double, b: Double,
+        id: Long, term: String): Double = {
+      val tf = toks(id).count(_ == term)
+      if (tf == 0) 0.0 else w * tf / ((1 - b) + b * toks(id).size / avg)
+    }
+    val n = 3.0
+    val df = 3.0 // apple is in every doc (title or body)
+    val idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+    val expect = Seq(1L, 2L, 3L).map { id =>
+      val t = tfn(title, tAvg, 2.0, 0.5, id, "apple") +
+        tfn(body, bAvg, 1.0, 0.75, id, "apple")
+      id -> idf * t / (1.2 + t)
+    }.toMap
+    got.foreach { case (_, id, sc) =>
+      assert(math.abs(sc - expect(id)) < 1e-12, s"doc $id")
+    }
+    // rank order by the reference
+    val order = expect.toSeq.sortBy { case (id, sc) => (-sc, id) }.map(_._1)
+    assert(got.map(_._2).toSeq == order)
+    // saturation property: doc 1 (apple in BOTH fields) must score
+    // LESS than the sum of its two single-field BM25F scores (tft
+    // saturates once) — the defining BM25F inequality
+    val tOnly = {
+      val t = tfn(title, tAvg, 2.0, 0.5, 1L, "apple")
+      idf * t / (1.2 + t)
+    }
+    val bOnly = {
+      val t = tfn(body, bAvg, 1.0, 0.75, 1L, "apple")
+      idf * t / (1.2 + t)
+    }
+    assert(expect(1L) < tOnly + bOnly)
+  }
 }
