@@ -5213,6 +5213,37 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // incremental conflict detection: fresh reversed annotations
+    // probed against the PERSISTED history digest index — only the
+    // delta normalizes/hashes; expected pairs replay from id
+    // arithmetic exactly like the batch gate
+    "q_pref_conflicts_incremental" -> ((s: SparkSession, dir: String) => {
+      val toks = F.filter(F.split(F.col("text"), "\\s+"),
+        (t: org.apache.spark.sql.Column) => F.length(t) > 0)
+      val base = t(s, dir, "documents")
+        .filter(F.col("text").isNotNull)
+        .select(F.col("doc_id"), toks.as("__t"))
+        .filter(F.size(F.col("__t")) >= 23)
+        .select(F.col("doc_id"),
+          F.concat(F.col("doc_id"), F.lit(" "),
+            F.array_join(F.slice(F.col("__t"), 1, 3), " ")).as("prompt"),
+          F.array_join(F.slice(F.col("__t"), 4, 10), " ").as("chosen"),
+          F.array_join(F.slice(F.col("__t"), 14, 10), " ").as("rejected"))
+      val pr = graft.pipeline.Preferences
+      val path = System.getProperty("java.io.tmpdir") + "/graft_q_pref_idx"
+      graft.pipeline.Dedup.saveSignatureIndex(
+        pr.buildPreferenceIndex(base, "doc_id", "prompt", "chosen", "rejected"),
+        path)
+      val fresh = base.filter(F.col("doc_id") % 50 === 0)
+        .select((F.col("doc_id") + 1000000L).as("doc_id"),
+          F.concat(F.lit(" "), F.col("prompt"), F.lit("  ")).as("prompt"),
+          F.col("rejected").as("chosen"), F.col("chosen").as("rejected"))
+      pr.incrementalConflicts(fresh,
+          graft.pipeline.Dedup.loadSignatureIndex(s, path),
+          "doc_id", "prompt", "chosen", "rejected")
+        .orderBy("id_new")
+    }),
+
     // contradictory-preference detection: reversed copies planted at
     // id+1000000 (prompt whitespace-perturbed to exercise the
     // normalized join) must pair with their sources — exactly and
@@ -9287,6 +9318,14 @@ object SparkEntry {
         |       CAST(doc_id + 1000000 AS BIGINT) AS id_b
         |FROM d WHERE len(toks) >= 23 AND doc_id % 50 = 0
         |ORDER BY id_a""".stripMargin,
+    "q_pref_conflicts_incremental" ->
+      """WITH d AS (SELECT doc_id,
+        |             list_filter(string_split_regex(text, '\s+'), s -> len(s) > 0) AS toks
+        |           FROM documents WHERE text IS NOT NULL)
+        |SELECT CAST(doc_id + 1000000 AS BIGINT) AS id_new,
+        |       CAST(doc_id AS BIGINT) AS id_old
+        |FROM d WHERE len(toks) >= 23 AND doc_id % 50 = 0
+        |ORDER BY id_new""".stripMargin,
     "q_url_redirects" ->
       """WITH m AS (SELECT max(doc_id) AS mx FROM documents)
         |SELECT concat('https://ex.com/', CAST(doc_id AS VARCHAR)) AS src,

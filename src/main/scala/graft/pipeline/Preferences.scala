@@ -113,4 +113,42 @@ object Preferences {
     val keep = keyed.groupBy(F.col("__k")).agg(F.min(F.col(idCol)).as(idCol))
     keep.join(keyed, Seq("__k", idCol)).drop("__k")
   }
+
+  /** Persistable preference digest table: (id, p, c, r) sha2 digests
+    * of the normalized fields — the probe side for nightly
+    * [[incrementalConflicts]]; id-bearing flat parquet
+    * ([[Dedup.saveSignatureIndex]] family, takedowns unchanged). */
+  def buildPreferenceIndex(
+      df: DataFrame,
+      idCol: String,
+      promptCol: String,
+      chosenCol: String,
+      rejectedCol: String): DataFrame =
+    df.select(
+      F.col(idCol).cast("long").as("id"),
+      F.sha2(normalized(F.col(promptCol)), 256).as("p"),
+      F.sha2(normalized(F.col(chosenCol)), 256).as("c"),
+      F.sha2(normalized(F.col(rejectedCol)), 256).as("r"))
+
+  /** Nightly-delta conflict detection: fresh annotations probed
+    * against a persisted [[buildPreferenceIndex]] — only the delta is
+    * normalized and hashed (the incrementalChunkOverlap discipline).
+    * Returns (id_new, id_old) for every fresh row whose preference
+    * REVERSES a history row over the same normalized prompt. */
+  def incrementalConflicts(
+      fresh: DataFrame,
+      index: DataFrame,
+      idCol: String,
+      promptCol: String,
+      chosenCol: String,
+      rejectedCol: String): DataFrame = {
+    val f = buildPreferenceIndex(fresh, idCol, promptCol, chosenCol, rejectedCol)
+      .select(F.col("id").as("id_new"), F.col("p"),
+        F.col("c").as("__cn"), F.col("r").as("__rn"))
+    val h = index.select(F.col("id").as("id_old"), F.col("p"),
+      F.col("c").as("__co"), F.col("r").as("__ro"))
+    f.join(h, Seq("p"))
+      .filter(F.col("__cn") === F.col("__ro") && F.col("__rn") === F.col("__co"))
+      .select("id_new", "id_old")
+  }
 }

@@ -55,4 +55,25 @@ class PreferencesSpec extends SparkTestBase {
       .select("id").as[Long].collect().toSet
     assert(kept == Set(2L, 7L))
   }
+
+  test("incrementalConflicts: delta vs persisted digest index equals the batch self-join direction") {
+    val hist = Seq(
+      (1L, "p one", "answer a", "answer b"),
+      (4L, "p two", "answer b", "answer a")
+    ).toDF("id", "prompt", "chosen", "rejected")
+    val dir = java.nio.file.Files.createTempDirectory("graft_pref_idx").toString
+    Dedup.saveSignatureIndex(
+      Preferences.buildPreferenceIndex(hist, "id", "prompt", "chosen", "rejected"),
+      dir)
+    val fresh = Seq(
+      (10L, "P  ONE", "Answer B", "answer  A"), // reverses id 1
+      (11L, "p one", "answer a", "answer c"),   // same prompt, not reversed
+      (12L, "p three", "x", "y")                // unseen prompt
+    ).toDF("id", "prompt", "chosen", "rejected")
+    val got = Preferences.incrementalConflicts(fresh,
+        Dedup.loadSignatureIndex(spark, dir),
+        "id", "prompt", "chosen", "rejected")
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((10L, 1L)))
+  }
 }
