@@ -5098,6 +5098,20 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // exact-k weighted sampling without replacement (A-ES reservoir,
+    // deterministic md5-derived uniforms): the selection replays
+    // EXACTLY in SQL — u is exact rational math, ln's 1-ulp noise is
+    // dwarfed by random adjacent score gaps, ties break by id
+    "q_sample_weighted_k" -> ((s: SparkSession, dir: String) => {
+      val docs = t(s, dir, "documents")
+        .filter(F.col("n_chars").isNotNull && F.col("n_chars") > 0)
+        .select(F.col("source"), F.col("doc_id"), F.col("n_chars"))
+      graft.pipeline.Sampling.weightedFixedK(docs, F.col("source"),
+          F.col("doc_id"), F.col("n_chars"), 20)
+        .select(F.col("source"), F.col("doc_id"))
+        .orderBy("source", "doc_id")
+    }),
+
     // BM25F field-weighted retrieval: title = first 5 tokens (w=2.0,
     // b=0.5), body = rest (w=1.0, b=0.75); cross-field tf sums BEFORE
     // saturation (the property separating BM25F from a weighted sum
@@ -9202,6 +9216,18 @@ object SparkEntry {
       """SELECT CAST(50 AS BIGINT) AS n_fused, CAST(25 AS BIGINT) AS n_final,
         |  true AS fusion_copy_rank1, true AS mmr_copy_rank1,
         |  true AS ids_valid""".stripMargin,
+    "q_sample_weighted_k" ->
+      """WITH d AS (
+        |  SELECT source, doc_id, n_chars,
+        |    ln((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |         AS BIGINT) + 0.5) / 4294967296.0) / n_chars AS score
+        |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+        |r AS (SELECT source, doc_id,
+        |        row_number() OVER (PARTITION BY source
+        |                           ORDER BY score DESC, doc_id) AS rn
+        |      FROM d)
+        |SELECT source, doc_id FROM r WHERE rn <= 20
+        |ORDER BY source, doc_id""".stripMargin,
     "q_bm25f" ->
       """WITH f AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
         |                    x -> len(x) > 0) AS w

@@ -130,6 +130,41 @@ object Sampling {
   }
 
   /**
+   * Exact-k WEIGHTED sampling without replacement per stratum — the
+   * Efraimidis–Spirakis A-ES reservoir made deterministic: each row
+   * draws u from its key's md5 prefix (u = (hex32 + 0.5) / 2^32, a
+   * replayable uniform), scores ln(u) / weight, and the k largest
+   * scores per stratum win (higher weight → score nearer 0 →
+   * favored; inclusion probabilities match sequential weighted
+   * draws without replacement). Ties (md5-prefix collisions,
+   * ~pairs/2^32) break by key — fully deterministic and
+   * engine-replayable: u is exact rational math, ln is the only libm
+   * call and adjacent score gaps on random u dwarf its 1-ulp noise.
+   *
+   * Rows with NULL or non-positive weights drop. Same scale shape as
+   * [[stratifiedFixedK]]: one per-stratum window (Spark 4's partial
+   * WindowGroupLimit prunes to ~k rows per partition BEFORE the
+   * shuffle).
+   */
+  def weightedFixedK(
+      df: DataFrame,
+      stratum: Column,
+      key: Column,
+      weight: Column,
+      k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val u = (F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10)
+      .cast("double") + F.lit(0.5)) / F.lit(4294967296.0)
+    val score = F.log(u) / weight.cast("double")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratum).orderBy(score.desc, key)
+    df.filter(weight.isNotNull && weight > 0)
+      .withColumn("__rn", F.row_number().over(w))
+      .filter(F.col("__rn") <= k)
+      .drop("__rn")
+  }
+
+  /**
    * Rebalance to a target domain mixture: keep the LARGEST subset
    * whose per-domain row shares match `targetWeights` (weights need
    * not be normalized), without upsampling any domain. Domains absent

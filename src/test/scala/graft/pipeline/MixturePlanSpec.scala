@@ -78,4 +78,28 @@ class MixturePlanSpec extends SparkTestBase {
     // total within the global budget
     assert(kept.map(_._3).sum <= budget)
   }
+
+  test("weightedFixedK: exact k per stratum, deterministic, heavy rows dominate") {
+    import spark.implicits._
+    val rows = (0L until 200L).map(i => ("s", i, if (i < 5) 1000000L else 1L)) ++
+      (0L until 50L).map(i => ("t", i, 10L))
+    val df = rows.toDF("src", "id", "w")
+    val got = Sampling.weightedFixedK(df, $"src", $"id", $"w", 10)
+      .select("src", "id").as[(String, Long)].collect().toSet
+    assert(got.count(_._1 == "s") == 10 && got.count(_._1 == "t") == 10)
+    // million-weight rows score ln(u)/1e6 in (-2e-5, 0) — orders above
+    // any weight-1 row's ~ln(u): always selected
+    (0L until 5L).foreach(i => assert(got.contains(("s", i)), s"heavy $i"))
+    val again = Sampling.weightedFixedK(df, $"src", $"id", $"w", 10)
+      .select("src", "id").as[(String, Long)].collect().toSet
+    assert(again == got)
+    // k > stratum size keeps everything with positive weight
+    assert(Sampling.weightedFixedK(df.filter($"src" === "t"),
+      $"src", $"id", $"w", 100).count() == 50L)
+    // non-positive weights drop
+    val z = Sampling.weightedFixedK(
+      Seq(("s", 1L, 0L), ("s", 2L, -3L), ("s", 3L, 5L)).toDF("src", "id", "w"),
+      $"src", $"id", $"w", 10)
+    assert(z.select("id").as[Long].collect().toSeq == Seq(3L))
+  }
 }
