@@ -552,6 +552,17 @@ object Bench {
         "vec_id", "embedding", "label", k = 5, probeMass = 0.45)
     }),
 
+    // length-bucketed batching + padding accounting over the corpus
+    "b_pack_batches" -> ((s: SparkSession, dir: String) => {
+      val toks = F.filter(F.split(F.col("text"), "\\s+"),
+        (t: org.apache.spark.sql.Column) => F.length(t) > 0)
+      val docs = t(s, dir, "documents").filter(F.col("text").isNotNull)
+        .select(F.col("doc_id"), F.size(toks).as("len0"))
+      graft.pipeline.Packing.paddingWasteReport(
+        graft.pipeline.Packing.lengthBucketBatches(docs, "doc_id",
+          F.col("len0"), 32))
+    }),
+
     // BM25F field-weighted retrieval (title/body synthesized from the
     // token stream; two postings builds + cross-field saturation)
     "b_bm25f" -> ((s: SparkSession, dir: String) => {

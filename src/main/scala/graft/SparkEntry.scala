@@ -5258,6 +5258,48 @@ object SparkEntry {
         .orderBy("id_new")
     }),
 
+    // streaming conflict detection: the same reversed deltas replayed
+    // as micro-batches against the persisted digest index — shares the
+    // incremental gate's id-arithmetic oracle verbatim
+    "q_stream_pref_conflicts" -> ((s: SparkSession, dir: String) => {
+      val toks = F.filter(F.split(F.col("text"), "\\s+"),
+        (t: org.apache.spark.sql.Column) => F.length(t) > 0)
+      val base = t(s, dir, "documents")
+        .filter(F.col("text").isNotNull)
+        .select(F.col("doc_id"), toks.as("__t"))
+        .filter(F.size(F.col("__t")) >= 23)
+        .select(F.col("doc_id"),
+          F.concat(F.col("doc_id"), F.lit(" "),
+            F.array_join(F.slice(F.col("__t"), 1, 3), " ")).as("prompt"),
+          F.array_join(F.slice(F.col("__t"), 4, 10), " ").as("chosen"),
+          F.array_join(F.slice(F.col("__t"), 14, 10), " ").as("rejected"))
+      val pr = graft.pipeline.Preferences
+      val baseDir = System.getProperty("java.io.tmpdir") + "/graft_q_stream_pref"
+      val fs = new org.apache.hadoop.fs.Path(baseDir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(baseDir), true)
+      graft.pipeline.Dedup.saveSignatureIndex(
+        pr.buildPreferenceIndex(base, "doc_id", "prompt", "chosen", "rejected"),
+        s"$baseDir/idx")
+      val fresh = base.filter(F.col("doc_id") % 50 === 0)
+        .select((F.col("doc_id") + 1000000L).as("doc_id"),
+          F.concat(F.lit(" "), F.col("prompt"), F.lit("  ")).as("prompt"),
+          F.col("rejected").as("chosen"), F.col("chosen").as("rejected"))
+      fresh.repartition(2).write.mode("overwrite").parquet(s"$baseDir/src")
+      val q = pr.conflictStream(
+          s.readStream.schema(fresh.schema)
+            .option("maxFilesPerTrigger", 1).parquet(s"$baseDir/src"),
+          s"$baseDir/idx", s"$baseDir/out", "doc_id", "prompt", "chosen",
+          "rejected")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", s"$baseDir/ckpt")
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$baseDir/out")
+        .select("id_new", "id_old")
+        .orderBy("id_new")
+    }),
+
     // contradictory-preference detection: reversed copies planted at
     // id+1000000 (prompt whitespace-perturbed to exercise the
     // normalized join) must pair with their sources — exactly and
@@ -10829,6 +10871,9 @@ object SparkEntry {
       // streamed novelty probes equal the batch scores (stateless,
       // frozen reference index) — q_novelty's full-row oracle verbatim
       ("q_stream_novelty" -> m("q_novelty")) +
+      // streamed conflict probes equal the incremental form (stateless,
+      // frozen digest index) — its id-arithmetic oracle verbatim
+      ("q_stream_pref_conflicts" -> m("q_pref_conflicts_incremental")) +
       // the nightly-delta audits equal the full recompute on the grown
       // corpus — q_split_leakage's oracle, shared verbatim
       ("q_split_leakage_incremental" -> m("q_split_leakage")) +

@@ -151,4 +151,33 @@ object Preferences {
       .filter(F.col("__cn") === F.col("__ro") && F.col("__rn") === F.col("__co"))
       .select("id_new", "id_old")
   }
+
+  /** Streaming conflict detection: each micro-batch of fresh
+    * annotations probes the persisted [[buildPreferenceIndex]] and
+    * dynamic-overwrites its own `__batch` partition of the conflict
+    * table — stateless, replay-idempotent (the streamChunkOverlap
+    * protocol). */
+  def conflictStream(
+      stream: DataFrame,
+      indexPath: String,
+      outPath: String,
+      idCol: String,
+      promptCol: String,
+      chosenCol: String,
+      rejectedCol: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val pairs = incrementalConflicts(batch,
+          spark.read.parquet(indexPath), idCol, promptCol, chosenCol,
+          rejectedCol)
+        if (!pairs.isEmpty)
+          pairs.withColumn("__batch", F.lit(batchId))
+            .repartition(1)
+            .write.partitionBy("__batch")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite").parquet(outPath)
+        ()
+    }
 }
