@@ -3545,10 +3545,15 @@ object SparkEntry {
         maxNav = 16, m = 8, efConstruction = 48, efAssign = 16).save(hpath)
       val (h1, _) = hn.maybeRetrainHnswIndex(s, hpath, emb.limit(200),
         "embedding", psiThreshold = 0.2)
+      // no geometry args: the drift-triggered retrain must reproduce
+      // the SAVED build parameters (m=8, efConstruction=48, efAssign=16
+      // persisted in the nodes layout), not fall back to defaults
       val (h2, _) = hn.maybeRetrainHnswIndex(s, hpath, shifted,
-        "embedding", psiThreshold = 0.2, maxNav = 16, m = 8,
-        efConstruction = 48, efAssign = 16)
+        "embedding", psiThreshold = 0.2)
       val hAfter = hn.loadHnswIndex(s, hpath)
+      val hGeomKept = hAfter.graph.vecs.length == 16 &&
+        hAfter.graph.m == 8 && hAfter.graph.efConstruction == 48 &&
+        hAfter.graph.efAssign == 16
       s.range(1).select(
         F.lit(idx.assigned.count()).as("n_rows"),
         F.lit(compactQuiet).as("compact_quiet"),
@@ -3559,7 +3564,8 @@ object SparkEntry {
         F.lit(idx.centroids.length == 16).as("nlist_ok"),
         F.lit(!h1).as("hnsw_retrain_quiet"),
         F.lit(h2).as("hnsw_retrain_fired"),
-        F.lit(hAfter.assigned.count() == emb.count()).as("hnsw_rows_ok"))
+        F.lit(hAfter.assigned.count() == emb.count()).as("hnsw_rows_ok"),
+        F.lit(hGeomKept).as("hnsw_geom_kept"))
     }),
 
     // zero-downtime IVF re-train (the drift-says-retrain endpoint):
@@ -5171,9 +5177,12 @@ object SparkEntry {
 
     // length-bucketed batching: order by token length desc, chunk into
     // 32-row batches; per-batch padding waste is exact integer math
-    // the oracle REPLAYS with the same window functions, and sorted
-    // batching can never waste more than arrival-order batching on the
-    // same rows (pinned as an integer comparison)
+    // the oracle REPLAYS with the same window functions. sorted_no_worse
+    // is a REPLAYED comparison, not an asserted invariant — sorted
+    // batching TYPICALLY wastes less than arrival order but the
+    // remainder batch can flip it (lens {10,9,9} at size 2 arriving
+    // 9,9,10 waste 0 sorted-desc wastes 1), so both engines just
+    // recompute the same boolean
     "q_pack_batches" -> ((s: SparkSession, dir: String) => {
       val toks = F.filter(F.split(F.col("text"), "\\s+"),
         (t: org.apache.spark.sql.Column) => F.length(t) > 0)
@@ -9312,9 +9321,10 @@ object SparkEntry {
         |                 s -> len(s) > 0) AS toks
         |           FROM documents WHERE text IS NOT NULL),
         |g AS (SELECT doc_id,
-        |        count(DISTINCT array_to_string(toks[u.i:u.i+7], ' ')) AS total
-        |      FROM d, range(1, 2000) u(i)
-        |      WHERE u.i + 7 <= len(toks)
+        |        count(DISTINCT array_to_string(toks[i:i+7], ' ')) AS total
+        |      FROM (SELECT doc_id, toks,
+        |              unnest(generate_series(1, len(toks) - 7)) AS i
+        |            FROM d WHERE len(toks) >= 8) gg
         |      GROUP BY doc_id)
         |SELECT id, total_grams, unseen_grams, novelty FROM (
         |  SELECT CAST(doc_id + 1000000 AS BIGINT) AS id,
@@ -9442,7 +9452,7 @@ object SparkEntry {
         |       true AS compact_quiet_after, true AS retrain_quiet,
         |       true AS retrain_fired, true AS nlist_ok,
         |       true AS hnsw_retrain_quiet, true AS hnsw_retrain_fired,
-        |       true AS hnsw_rows_ok
+        |       true AS hnsw_rows_ok, true AS hnsw_geom_kept
         |FROM embeddings WHERE embedding IS NOT NULL""".stripMargin,
     "q_ivf_retrain" ->
       """SELECT CAST(vec_id + 100000 AS BIGINT) AS query_id,

@@ -49,7 +49,8 @@ object Hnsw {
       neighbors: Array[Array[Array[Int]]],
       entry: Int,
       m: Int,
-      efAssign: Int) extends Serializable
+      efAssign: Int,
+      efConstruction: Int = 64) extends Serializable
 
   private def normalize(v: Array[Float]): Array[Float] = {
     var s = 0.0
@@ -163,7 +164,7 @@ object Hnsw {
     val neighbors = Array.tabulate(n)(i =>
       Array.fill(levels(i) + 1)(Array.empty[Int]))
     val g = Graph(vecs, levels, neighbors, entry = 0, m = m,
-      efAssign = efAssign)
+      efAssign = efAssign, efConstruction = efConstruction)
     if (n == 0) return g
     var entry = 0
     var maxLevel = levels(0)
@@ -199,7 +200,7 @@ object Hnsw {
       if (l > maxLevel) { maxLevel = l; entry = i }
       i += 1
     }
-    Graph(vecs, levels, neighbors, entry, m, efAssign)
+    Graph(vecs, levels, neighbors, entry, m, efAssign, efConstruction)
   }
 
   /** The assignment walk: nearest navigation node at the index's
@@ -228,8 +229,9 @@ object Hnsw {
       CellTable.writeBase(assigned, s"$path/assigned")
       graph.vecs.indices.map { i =>
         (i, navIds(i), graph.levels(i), graph.vecs(i), graph.m,
-          graph.efAssign, graph.entry)
-      }.toDF("ix", "nav_id", "level", "vec", "m", "ef_assign", "entry")
+          graph.efAssign, graph.entry, graph.efConstruction)
+      }.toDF("ix", "nav_id", "level", "vec", "m", "ef_assign", "entry",
+        "ef_construction")
         .repartition(1)
         .write.mode("overwrite").parquet(s"$path/nodes")
       graph.neighbors.indices.flatMap { i =>
@@ -247,9 +249,16 @@ object Hnsw {
     * stay correct through appends and removals. */
   def loadHnswIndex(spark: SparkSession, path: String): HnswIndex = {
     import spark.implicits._
-    val nodes = spark.read.parquet(s"$path/nodes")
-      .select("ix", "nav_id", "level", "vec", "m", "ef_assign", "entry")
-      .as[(Int, Long, Int, Array[Float], Int, Int, Int)]
+    val raw = spark.read.parquet(s"$path/nodes")
+    // ef_construction joined the layout after the first release: an
+    // older index (column absent) reloads at the build default
+    val withEfc =
+      if (raw.columns.contains("ef_construction")) raw
+      else raw.withColumn("ef_construction", F.lit(64))
+    val nodes = withEfc
+      .select("ix", "nav_id", "level", "vec", "m", "ef_assign", "entry",
+        "ef_construction")
+      .as[(Int, Long, Int, Array[Float], Int, Int, Int, Int)]
       .collect().sortBy(_._1)
     val edges = spark.read.parquet(s"$path/edges")
       .select("ix", "level", "nbr").as[(Int, Int, Int)].collect()
@@ -261,7 +270,8 @@ object Hnsw {
     val g = Graph(nodes.map(_._4), nodes.map(_._3), neighbors,
       entry = if (n == 0) 0 else nodes.head._7,
       m = if (n == 0) 16 else nodes.head._5,
-      efAssign = if (n == 0) 16 else nodes.head._6)
+      efAssign = if (n == 0) 16 else nodes.head._6,
+      efConstruction = if (n == 0) 64 else nodes.head._8)
     val assigned = CellTable.readVisible(spark, s"$path/assigned", "__cell")
       .withColumn("__cell", F.col("__cell").cast("int"))
       .select("neighbor_id", "__cv", "__cell")
@@ -490,6 +500,7 @@ object Hnsw {
     stream.writeStream.foreachBatch {
       (batch: DataFrame, batchId: Long) =>
         Maintenance.heartbeat(batch.sparkSession, path)
+        Maintenance.requireNoExclusiveMaintenance(batch.sparkSession, path)
         appendBatchToHnswIndex(batch.sparkSession, path, batch, idCol,
           vecCol, batchId)
         ()
@@ -564,11 +575,14 @@ object Hnsw {
 
   /** Drift-triggered retrain policy —
     * [[Similarity.maybeRetrainIvfIndex]] on the graph family: at or
-    * above `psiThreshold` the staged-swap [[retrainHnswIndex]] runs
-    * (current nav count kept unless overridden); below it the only
-    * cost is one frozen-graph assignment pass. Append first, then
-    * maybeRetrain, so a rebuild absorbs the fresh rows. Returns
-    * (retrained, psi). */
+    * above `psiThreshold` the staged-swap [[retrainHnswIndex]] runs;
+    * below it the only cost is one frozen-graph assignment pass.
+    * Geometry defaults (`maxNav`, `m`, `efConstruction`, `efAssign`)
+    * come from the SAVED index — the nodes layout persists the build
+    * parameters, so a drift-triggered retrain reproduces the geometry
+    * the index was built with unless the caller explicitly overrides
+    * (a -1 means "as stored"). Append first, then maybeRetrain, so a
+    * rebuild absorbs the fresh rows. Returns (retrained, psi). */
   def maybeRetrainHnswIndex(
       spark: SparkSession,
       path: String,
@@ -576,15 +590,18 @@ object Hnsw {
       vecCol: String,
       psiThreshold: Double = 0.2,
       maxNav: Int = -1,
-      m: Int = 16,
-      efConstruction: Int = 64,
-      efAssign: Int = 24): (Boolean, Double) = {
+      m: Int = -1,
+      efConstruction: Int = -1,
+      efAssign: Int = -1): (Boolean, Double) = {
     val cur = loadHnswIndex(spark, path)
     val psi = hnswDrift(cur, fresh, vecCol).head().getDouble(2)
     if (psi < psiThreshold) (false, psi)
     else {
       val nav = if (maxNav > 0) maxNav else cur.graph.vecs.length
-      retrainHnswIndex(spark, path, nav, m, efConstruction, efAssign)
+      retrainHnswIndex(spark, path, nav,
+        if (m > 0) m else cur.graph.m,
+        if (efConstruction > 0) efConstruction else cur.graph.efConstruction,
+        if (efAssign > 0) efAssign else cur.graph.efAssign)
       (true, psi)
     }
   }
@@ -610,8 +627,8 @@ object Hnsw {
       efConstruction: Int = 64,
       efAssign: Int = 16,
       iterations: Int = 2,
-      seed: Long = 42L): HnswIndex = Maintenance.withLock(spark, path) {
-    Maintenance.requireWriterStopped(spark, path)
+      seed: Long = 42L): HnswIndex =
+      Maintenance.withExclusiveLock(spark, path) {
     StagedSwap.recoverLocked(spark, path, ManagedDirs)
     CellTable.recover(spark, s"$path/assigned")
     val cur = loadHnswIndex(spark, path)

@@ -13,7 +13,13 @@ import org.apache.spark.sql.SparkSession
  *     create + stale-break by atomic rename with token verification)
  *     ported verbatim, so two maintenance calls on the same index
  *     (a nightly compact racing an urgent takedown) cannot interleave
- *     journal/prune/rename;
+ *     journal/prune/rename. Long-running holders RENEW the lock
+ *     stamp on a daemon timer (period = staleness/4), so a legitimate
+ *     multi-hour compact/retrain is never stale-broken mid-run;
+ *     staleness is judged from the LAST RENEWAL, and release verifies
+ *     the holder's own token before deleting (a lock stolen and
+ *     re-created by a breaker is never clobbered by the old holder's
+ *     `finally`).
  *   - a streaming-writer LEASE — sinks heartbeat a `_writer_heartbeat`
  *     file each micro-batch; mutations whose contract REQUIRES the
  *     writer stopped (removals, backfill, the text-index stats fold)
@@ -21,6 +27,18 @@ import org.apache.spark.sql.SparkSession
  *     double-counting a replay. The documented stop-the-writer flow:
  *     stop the streaming query, then [[releaseWriterLease]], then
  *     mutate.
+ *   - the reverse handshake — writer-exclusive mutations run under
+ *     [[withExclusiveLock]], which drops a `_writer_exclusive` marker
+ *     for their duration; streaming sinks call
+ *     [[requireNoExclusiveMaintenance]] before each micro-batch
+ *     commit, so a batch arriving INSIDE a held removal/retrain
+ *     window fails fast (and replays after release) instead of
+ *     landing files the mutation never saw. This closes the
+ *     check-then-act window in [[requireWriterStopped]]: the sink
+ *     heartbeats FIRST, then checks the marker — so either the
+ *     mutation sees a fresh heartbeat and refuses, or the sink sees
+ *     the marker and refuses; there is no interleaving where both
+ *     proceed.
  *
  * Caveats are the SketchView ones: atomic-create/rename semantics hold
  * on HDFS/local; object stores are best-effort — keep the nightly
@@ -30,8 +48,11 @@ object Maintenance {
 
   private val LockFile = "_maintenance_lock"
   private val LeaseFile = "_writer_heartbeat"
+  private val ExclusiveFile = "_writer_exclusive"
 
-  /** Locks older than this are presumed crashed and broken. */
+  /** Locks whose LAST RENEWAL is older than this are presumed crashed
+    * and broken. Live holders renew on a staleness/4 timer, so only a
+    * holder that actually died goes stale. */
   val LockStaleMs: Long = 6L * 3600000L
 
   /** A writer heartbeat younger than this marks the stream LIVE; a
@@ -41,6 +62,38 @@ object Maintenance {
 
   private def fsOf(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def readTokenOnce(fs: FileSystem, path: Path): String =
+    try {
+      val in = fs.open(path)
+      val b = new Array[Byte](64)
+      val n = try in.read(b) finally in.close()
+      new String(b, 0, math.max(n, 0), "UTF-8").trim
+    } catch { case _: Exception => "" }
+
+  /** Read a token file, retrying transient empties: a renewal
+    * overwrite (`fs.create(overwrite = true)`) truncates before it
+    * writes, so a contender's read can land in the empty window and
+    * mistake a LIVE lock for an unreadable (= stale) one. An existing
+    * file that reads empty is re-read a few times before the empty is
+    * believed; a missing file returns "" immediately. */
+  private def readTokenOf(fs: FileSystem, path: Path): String = {
+    var attempt = 0
+    while (attempt < 6) {
+      val t = readTokenOnce(fs, path)
+      if (t.nonEmpty) return t
+      if (!(try fs.exists(path) catch { case _: Exception => false }))
+        return ""
+      attempt += 1
+      if (attempt < 6) Thread.sleep(50L)
+    }
+    ""
+  }
+
+  private def writeToken(fs: FileSystem, p: Path, token: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(token.getBytes("UTF-8")) finally out.close()
+  }
 
   /** Run `body` holding the single-maintainer lock at `rootPath`
     * (the lock file lives INSIDE the root — fine for cell-table roots,
@@ -55,31 +108,78 @@ object Maintenance {
     withLockAt(spark,
       new Path(path.stripSuffix("/") + "__maintenance_lock"))(body)
 
-  private def withLockAt[T](spark: SparkSession, lockPath: Path)(body: => T): T = {
+  /** `staleMs` is a test seam (specs shrink the horizon to exercise
+    * the live-holder-renewal and stale-break paths in seconds). */
+  private[pipeline] def withLockAt[T](
+      spark: SparkSession,
+      lockPath: Path,
+      staleMs: Long = LockStaleMs)(body: => T): T = {
     val fs = fsOf(spark, lockPath)
-    val lock = acquire(fs, lockPath)
-    try body finally fs.delete(lock, false)
+    val handle = acquire(fs, lockPath, staleMs)
+    // holder renewal: re-stamp the lock well inside the staleness
+    // horizon so a LIVE long-running holder is never stale-broken —
+    // staleness then only ever fires on a holder that actually died
+    val renewer = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
+      (r: Runnable) => {
+        val t = new Thread(r, s"graft-lock-renew-${lockPath.getName}")
+        t.setDaemon(true)
+        t
+      })
+    val period = math.max(staleMs / 4, 50L)
+    renewer.scheduleAtFixedRate(
+      new Runnable { def run(): Unit = renew(fs, handle) },
+      period, period, java.util.concurrent.TimeUnit.MILLISECONDS)
+    try body
+    finally {
+      renewer.shutdownNow()
+      release(fs, handle)
+    }
   }
+
+  private final class LockHandle(val path: Path, @volatile var token: String) {
+    @volatile var lost: Boolean = false
+  }
+
+  /** Re-stamp the lock with a fresh timestamp, verifying we still own
+    * it first. Best-effort: a failed tick retries at the next period
+    * (the horizon is 4 periods deep). A foreign token means a breaker
+    * stole a lock it judged stale — stop renewing (never overwrite a
+    * breaker's lock) and let release() refuse the delete. */
+  private def renew(fs: FileSystem, h: LockHandle): Unit =
+    try {
+      if (h.lost) return
+      if (readTokenOf(fs, h.path) != h.token) { h.lost = true; return }
+      val fresh = s"${System.currentTimeMillis()} ${System.nanoTime()}"
+      writeToken(fs, h.path, fresh)
+      h.token = fresh
+    } catch { case _: Exception => () }
+
+  /** Holder-token-verified release: delete only a lock still carrying
+    * our own last stamp — if a breaker (wrongly or rightly) stole and
+    * re-created it, the delete would clobber the CURRENT holder's
+    * mutex and let two maintainers interleave. */
+  private def release(fs: FileSystem, h: LockHandle): Unit =
+    try {
+      if (readTokenOf(fs, h.path) == h.token) fs.delete(h.path, false)
+      else
+        org.slf4j.LoggerFactory.getLogger("graft.pipeline.Maintenance").warn(
+          s"lock ${h.path} no longer carries this holder's token at " +
+            "release — it was stale-broken mid-run; leaving the " +
+            "current holder's lock in place")
+    } catch { case _: Exception => () }
 
   /** The SketchView stale-break protocol: an exclusive create of the
     * lock file carrying the acquire time. A second maintainer finding
-    * a FRESH lock fails fast; a lock older than [[LockStaleMs]] is
-    * presumed crashed and broken by ATOMIC RENAME to a per-breaker
-    * tombstone — of two concurrent breakers only one's rename
-    * succeeds, so a breaker can never blind-delete a lock another
-    * breaker just re-created. After the rename wins, the breaker
-    * verifies the tombstone still carries the stale token it based
-    * the break on; a mismatch means it stole a LIVE lock — it renames
-    * the lock back and aborts. */
-  private def acquire(fs: FileSystem, p: Path): Path = {
+    * a FRESH lock fails fast; a lock whose last renewal is older than
+    * `staleMs` is presumed crashed and broken by ATOMIC RENAME to a
+    * per-breaker tombstone — of two concurrent breakers only one's
+    * rename succeeds, so a breaker can never blind-delete a lock
+    * another breaker just re-created. After the rename wins, the
+    * breaker verifies the tombstone still carries the stale token it
+    * based the break on; a mismatch means it stole a LIVE lock — it
+    * renames the lock back and aborts. */
+  private def acquire(fs: FileSystem, p: Path, staleMs: Long): LockHandle = {
     val token = s"${System.currentTimeMillis()} ${System.nanoTime()}"
-    def readTokenOf(path: Path): String =
-      try {
-        val in = fs.open(path)
-        val b = new Array[Byte](64)
-        val n = try in.read(b) finally in.close()
-        new String(b, 0, math.max(n, 0), "UTF-8").trim
-      } catch { case _: Exception => "" }
     def tryCreate(): Boolean =
       try {
         val out = fs.create(p, false)
@@ -87,11 +187,11 @@ object Maintenance {
         true
       } catch { case _: java.io.IOException => false }
     if (!tryCreate()) {
-      val observed = readTokenOf(p)
+      val observed = readTokenOf(fs, p)
       val stale =
         try {
           val ts = observed.split(' ').head.toLong
-          System.currentTimeMillis() - ts > LockStaleMs
+          System.currentTimeMillis() - ts > staleMs
         } catch { case _: Exception => true } // unreadable = stale
       if (!stale)
         throw new IllegalStateException(
@@ -102,9 +202,10 @@ object Maintenance {
       if (!fs.rename(p, tomb))
         throw new IllegalStateException(
           s"lost the race breaking the stale lock $p (another breaker won)")
-      if (readTokenOf(tomb) != observed) {
+      if (readTokenOf(fs, tomb) != observed) {
         // we renamed a lock that CHANGED since the staleness read — a
-        // live holder re-acquired in between; put it back and abort
+        // live holder re-acquired (or renewed) in between; put it back
+        // and abort
         fs.rename(tomb, p)
         throw new IllegalStateException(
           s"aborted breaking $p: the lock was re-acquired mid-break")
@@ -116,10 +217,10 @@ object Maintenance {
     }
     // ownership check: if a concurrent stale-breaker clobbered our
     // lock between create and here, back off instead of double-running
-    if (readTokenOf(p) != token)
+    if (readTokenOf(fs, p) != token)
       throw new IllegalStateException(
         s"lost the race re-acquiring $p after breaking a stale lock")
-    p
+    new LockHandle(p, token)
   }
 
   // ---------------------------------------------------------------- //
@@ -130,10 +231,7 @@ object Maintenance {
     * streaming index sink once per micro-batch (one tiny FS write). */
   def heartbeat(spark: SparkSession, rootPath: String): Unit = {
     val p = new Path(new Path(rootPath), LeaseFile)
-    val fs = fsOf(spark, p)
-    val out = fs.create(p, true)
-    try out.write(System.currentTimeMillis().toString.getBytes("UTF-8"))
-    finally out.close()
+    writeToken(fsOf(spark, p), p, System.currentTimeMillis().toString)
   }
 
   /** Release the writer lease after STOPPING the streaming query —
@@ -157,12 +255,8 @@ object Maintenance {
     val fs = fsOf(spark, p)
     if (!fs.exists(p)) return
     val ts =
-      try {
-        val in = fs.open(p)
-        val b = new Array[Byte](64)
-        val n = try in.read(b) finally in.close()
-        new String(b, 0, math.max(n, 0), "UTF-8").trim.toLong
-      } catch { case _: Exception => return } // unreadable = no lease
+      try readTokenOf(fs, p).toLong
+      catch { case _: Exception => return } // unreadable = no lease
     val age = System.currentTimeMillis() - ts
     if (age < horizonMs)
       throw new IllegalStateException(
@@ -170,5 +264,54 @@ object Maintenance {
           s"(horizon ${horizonMs}ms) — this mutation requires the " +
           "writer STOPPED: stop the query, call " +
           "Maintenance.releaseWriterLease, then retry")
+  }
+
+  // ---------------------------------------------------------------- //
+  // Writer-exclusive window (the sink-side half of the handshake)     //
+  // ---------------------------------------------------------------- //
+
+  /** [[withLock]] + [[requireWriterStopped]] + a `_writer_exclusive`
+    * marker visible to streaming sinks for the body's duration —
+    * the form every writer-exclusive mutation (removal, retrain,
+    * stats fold) runs under. The marker's LIVENESS is the lock's: a
+    * sink refuses only while the marker exists AND the maintenance
+    * lock is fresh (renewed by the holder), so a crashed op's orphan
+    * marker ages out with its lock instead of wedging the stream. */
+  def withExclusiveLock[T](
+      spark: SparkSession,
+      rootPath: String,
+      horizonMs: Long = DefaultWriterLeaseMs)(body: => T): T =
+    withLock(spark, rootPath) {
+      requireWriterStopped(spark, rootPath, horizonMs)
+      val p = new Path(new Path(rootPath), ExclusiveFile)
+      val fs = fsOf(spark, p)
+      writeToken(fs, p, System.currentTimeMillis().toString)
+      try body finally fs.delete(p, false)
+    }
+
+  /** Sink-side gate, called by every streaming index sink AFTER its
+    * heartbeat and BEFORE writing the micro-batch: refuse while a
+    * writer-exclusive maintenance op is in flight. Heartbeat-first
+    * ordering closes the race both ways — a mutation that passed
+    * [[requireWriterStopped]] before this sink's heartbeat has its
+    * marker visible here; a sink that heartbeated before the
+    * mutation's lease check makes the mutation refuse. The failed
+    * micro-batch replays after release (every sink in this repo is
+    * replay-idempotent by the `__batch` dynamic-overwrite protocol). */
+  def requireNoExclusiveMaintenance(
+      spark: SparkSession, rootPath: String): Unit = {
+    val root = new Path(rootPath)
+    val marker = new Path(root, ExclusiveFile)
+    val fs = fsOf(spark, marker)
+    if (!fs.exists(marker)) return
+    // liveness rides the LOCK stamp (holder-renewed), not the marker's
+    val lockTs =
+      try readTokenOf(fs, new Path(root, LockFile)).split(' ').head.toLong
+      catch { case _: Exception => return } // no/unreadable lock = orphan marker
+    if (System.currentTimeMillis() - lockTs <= LockStaleMs)
+      throw new IllegalStateException(
+        s"a writer-exclusive maintenance op holds $rootPath — this " +
+          "micro-batch is refused and will replay after the op " +
+          "releases (replay-idempotent sink)")
   }
 }

@@ -492,6 +492,7 @@ object ProductQuantization {
     stream.writeStream.foreachBatch {
       (batch: DataFrame, batchId: Long) =>
         Maintenance.heartbeat(batch.sparkSession, path)
+        Maintenance.requireNoExclusiveMaintenance(batch.sparkSession, path)
         appendBatchToIvfPq(batch.sparkSession, path, batch, idCol,
           vecCol, batchId)
         ()
@@ -528,6 +529,7 @@ object ProductQuantization {
     stream.writeStream.foreachBatch {
       (batch: DataFrame, batchId: Long) =>
         Maintenance.heartbeat(batch.sparkSession, path)
+        Maintenance.requireNoExclusiveMaintenance(batch.sparkSession, path)
         appendBatchToIvfPq(batch.sparkSession, path,
           batch.withColumn(vecCol,
             rotateCol(batch.sparkSession, rotation, F.col(vecCol))),
@@ -921,7 +923,8 @@ object ProductQuantization {
       nlist: Int = 16,
       m: Int = 8,
       ksub: Int = 16,
-      iterations: Int = 2): IvfPqIndex = Maintenance.withLock(spark, path) {
+      iterations: Int = 2): IvfPqIndex =
+      Maintenance.withExclusiveLock(spark, path) {
     retrainPqLocked(spark, path) { staging =>
       buildIvfPq(corpus, idCol, vecCol, nlist, m, ksub, iterations)
         .save(staging)
@@ -941,7 +944,8 @@ object ProductQuantization {
       m: Int = 8,
       ksub: Int = 16,
       iterations: Int = 2,
-      opqIters: Int = 8): OpqIvfPqIndex = Maintenance.withLock(spark, path) {
+      opqIters: Int = 8): OpqIvfPqIndex =
+      Maintenance.withExclusiveLock(spark, path) {
     retrainPqLocked(spark, path) { staging =>
       buildOpqIvfPq(corpus, idCol, vecCol, nlist, m, ksub, iterations,
         opqIters).save(staging)
@@ -951,7 +955,8 @@ object ProductQuantization {
 
   private def retrainPqLocked(
       spark: SparkSession, path: String)(stage: String => Unit): Unit = {
-    Maintenance.requireWriterStopped(spark, path)
+    // writer-exclusivity (lease + marker) is the caller's
+    // withExclusiveLock
     StagedSwap.recoverLocked(spark, path, ManagedDirs)
     CellTable.recover(spark, s"$path/encoded")
     StagedSwap.suppressStreamReplays(spark, path, s"$path/encoded")

@@ -375,8 +375,7 @@ object Retrieval {
    * delta row would be lost). Returns the reloaded index.
    */
   def compactTextIndex(spark: SparkSession, path: String): TextIndex =
-    Maintenance.withLock(spark, path) {
-      Maintenance.requireWriterStopped(spark, path)
+    Maintenance.withExclusiveLock(spark, path) {
       compactTextIndexLocked(spark, path)
     }
 
@@ -434,8 +433,7 @@ object Retrieval {
     * stats as one base row (advancing the maintenance watermark like a
     * removal — run it with the streaming writer stopped). */
   def reconcileTextIndexStats(spark: SparkSession, path: String): TextIndex =
-      Maintenance.withLock(spark, path) {
-    Maintenance.requireWriterStopped(spark, path)
+      Maintenance.withExclusiveLock(spark, path) {
     val prior = loadTextIndex(spark, path)
     val (n, dl) = exactStats(prior.postings)
     val maxStream = maxStreamBatch(prior.postings)
@@ -471,6 +469,7 @@ object Retrieval {
     stream.writeStream.foreachBatch {
       (batch: DataFrame, batchId: Long) =>
         Maintenance.heartbeat(batch.sparkSession, path)
+        Maintenance.requireNoExclusiveMaintenance(batch.sparkSession, path)
         appendBatchToTextIndex(batch.sparkSession, path, batch, idCol,
           textCol, batchId)
         ()
@@ -502,8 +501,7 @@ object Retrieval {
       spark: SparkSession,
       path: String,
       ids: DataFrame,
-      idCol: String): TextIndex = Maintenance.withLock(spark, path) {
-    Maintenance.requireWriterStopped(spark, path)
+      idCol: String): TextIndex = Maintenance.withExclusiveLock(spark, path) {
     // finish any crashed postings compaction FIRST: a later recovery
     // would otherwise move the staged PRE-removal fold into __batch=-1,
     // resurrecting the removed documents and duplicating folded rows

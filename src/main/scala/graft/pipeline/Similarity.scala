@@ -643,8 +643,8 @@ object Similarity {
       nlist: Int,
       iterations: Int,
       afterStage: () => Unit,
-      afterJournal: () => Unit): IvfIndex = Maintenance.withLock(spark, path) {
-    Maintenance.requireWriterStopped(spark, path)
+      afterJournal: () => Unit): IvfIndex =
+      Maintenance.withExclusiveLock(spark, path) {
     StagedSwap.recoverLocked(spark, path, Seq("assigned", "centroids"))
     CellTable.recover(spark, s"$path/assigned") // crashed compact first
     val cur = loadIvfIndex(spark, path)
@@ -728,6 +728,7 @@ object Similarity {
     stream.writeStream.foreachBatch {
       (batch: DataFrame, batchId: Long) =>
         Maintenance.heartbeat(batch.sparkSession, path)
+        Maintenance.requireNoExclusiveMaintenance(batch.sparkSession, path)
         appendToIvfIndexTouched(batch.sparkSession, path, batch, idCol,
           vecCol, batchId)
         ()
@@ -767,10 +768,10 @@ object Similarity {
       rootPath: String,
       tablePath: String,
       ids: DataFrame,
-      idCol: String): Unit = Maintenance.withLock(spark, rootPath) {
-    // enforce the writer-stopped contract: a live streaming writer's
-    // crash-replay would resurrect the removed vectors
-    Maintenance.requireWriterStopped(spark, rootPath)
+      idCol: String): Unit =
+      // writer-exclusive: a live streaming writer's crash-replay would
+      // resurrect the removed vectors (lease checked, marker dropped)
+      Maintenance.withExclusiveLock(spark, rootPath) {
     // finish any crashed compaction first — its window holds folded
     // rows twice, which would double the doom counts below
     CellTable.recover(spark, tablePath)

@@ -24,10 +24,17 @@ object Safetensors {
 
   /** bf16 round-to-nearest-even of a float32 bit pattern (the
     * convention every ML stack uses): add half-ulp plus the tie bit,
-    * keep the top 16 bits. */
+    * keep the top 16 bits. NaN is special-cased BEFORE the rounding
+    * add — the add would carry a NaN mantissa into the exponent
+    * (0x7F800001 -> Inf) and patterns >= 0xFFFF8000 would wrap the
+    * 32-bit add to +0.0; instead a quiet NaN keeping the sign is
+    * emitted, matching the standard fp32->bf16 converters. */
   private[graft] def bf16Bits(f: Float): Int = {
-    val b = java.lang.Float.floatToIntBits(f)
-    ((b + 0x7fff + ((b >>> 16) & 1)) >>> 16) & 0xffff
+    // raw bits: floatToIntBits canonicalizes every NaN to 0x7FC00000,
+    // which would drop the sign the converters below preserve
+    val b = java.lang.Float.floatToRawIntBits(f)
+    if ((b & 0x7fffffff) > 0x7f800000) ((b >>> 16) | 0x40) & 0xffff
+    else ((b + 0x7fff + ((b >>> 16) & 1)) >>> 16) & 0xffff
   }
 
   /** The float32 a stored bf16 pattern decodes to (low 16 bits zero). */

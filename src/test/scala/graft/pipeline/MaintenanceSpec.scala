@@ -296,6 +296,137 @@ class MaintenanceSpec extends SparkTestBase {
       .foreach(r => assert(r.getLong(1) === r.getLong(0) - 100000L))
   }
 
+  test("lock renewal: a live holder past the staleness horizon survives a break attempt") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mx_renew").toString
+    val lockPath = new org.apache.hadoop.fs.Path(s"$dir/_maintenance_lock")
+    val staleMs = 1200L // renewal period = staleMs/4 = 300ms
+    val started = new java.util.concurrent.CountDownLatch(1)
+    val done = new java.util.concurrent.CountDownLatch(1)
+    @volatile var holderErr: Throwable = null
+    val holder = new Thread(() => {
+      try Maintenance.withLockAt(spark, lockPath, staleMs) {
+        started.countDown()
+        done.await(30, java.util.concurrent.TimeUnit.SECONDS)
+        ()
+      } catch { case e: Throwable => holderErr = e }
+    })
+    holder.start()
+    assert(started.await(10, java.util.concurrent.TimeUnit.SECONDS))
+    // well past the ACQUIRE-time horizon: without renewal this lock
+    // would be judged stale and broken; renewal keeps the stamp fresh
+    Thread.sleep(3 * staleMs)
+    val ex = intercept[IllegalStateException] {
+      Maintenance.withLockAt(spark, lockPath, staleMs) { () }
+    }
+    assert(ex.getMessage.contains("fresh lock"),
+      s"live holder was stale-broken: ${ex.getMessage}")
+    done.countDown()
+    holder.join(30000)
+    assert(holderErr == null, s"holder failed: $holderErr")
+    // released cleanly once the holder finished
+    assert(!fs.exists(lockPath))
+    // the crashed-holder path is UNCHANGED: a never-renewed stamp past
+    // the horizon still breaks
+    writeFile(lockPath.toString, s"${System.currentTimeMillis() - 10 * staleMs} 1")
+    Maintenance.withLockAt(spark, lockPath, staleMs) { () }
+    assert(!fs.exists(lockPath))
+  }
+
+  test("release verifies the holder token: a stolen lock is never clobbered") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mx_steal").toString
+    val lockPath = new org.apache.hadoop.fs.Path(s"$dir/_maintenance_lock")
+    // huge staleMs so the renewal timer never fires during the test
+    Maintenance.withLockAt(spark, lockPath, 3600000L) {
+      // simulate a (mis-dialed) breaker stealing and re-creating the
+      // lock mid-hold: the old holder's release must NOT delete it
+      writeFile(lockPath.toString, s"${System.currentTimeMillis()} 999999 FOREIGN")
+    }
+    assert(fs.exists(lockPath), "release clobbered a re-created lock")
+    val content = {
+      val in = fs.open(lockPath)
+      val b = new Array[Byte](64)
+      val n = try in.read(b) finally in.close()
+      new String(b, 0, n, "UTF-8")
+    }
+    assert(content.contains("FOREIGN"))
+  }
+
+  test("sink-side gate: refused inside a writer-exclusive window, open after; orphan markers ignored") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mx_excl").toString
+    buildIvf(dir)
+    var refused: Option[Throwable] = None
+    Maintenance.withExclusiveLock(spark, dir) {
+      refused = Some(intercept[IllegalStateException] {
+        Maintenance.requireNoExclusiveMaintenance(spark, dir)
+      })
+    }
+    assert(refused.exists(_.getMessage.contains("writer-exclusive")))
+    // marker dropped with the lock: sinks proceed
+    Maintenance.requireNoExclusiveMaintenance(spark, dir)
+    // an orphan marker (crashed op, lock gone) must not wedge the
+    // stream; with a STALE lock beside it, likewise
+    writeFile(s"$dir/_writer_exclusive", "1")
+    Maintenance.requireNoExclusiveMaintenance(spark, dir)
+    writeFile(s"$dir/_maintenance_lock",
+      s"${System.currentTimeMillis() - Maintenance.LockStaleMs - 60000L} 1")
+    Maintenance.requireNoExclusiveMaintenance(spark, dir)
+    // with a FRESH lock beside it: a live op — refuse
+    writeFile(s"$dir/_maintenance_lock", s"${System.currentTimeMillis()} 1")
+    intercept[IllegalStateException] {
+      Maintenance.requireNoExclusiveMaintenance(spark, dir)
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/_maintenance_lock"), false)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/_writer_exclusive"), false)
+  }
+
+  test("a micro-batch arriving inside a held removal window is refused, replays after release") {
+    import spark.implicits._
+    val emb = sf("sf0.001", "embeddings").filter(F.col("embedding").isNotNull)
+      .select(F.col("vec_id").cast("long").as("vec_id"), F.col("embedding"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_mx_sink").toString
+    Similarity.buildIvfIndex(emb.filter(F.col("vec_id") % 2 === 0),
+      "vec_id", "embedding", nlist = 8, iterations = 2).save(dir)
+    val odd = emb.filter(F.col("vec_id") % 2 =!= 0)
+    val src = java.nio.file.Files.createTempDirectory("graft_mx_sinksrc").toString
+    odd.repartition(2).write.mode("overwrite").parquet(src)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_mx_sinkck").toString
+    def runStream(): Unit = {
+      val q = Similarity.streamToIvfIndex(
+          spark.readStream.schema(odd.schema)
+            .option("maxFilesPerTrigger", 1).parquet(src),
+          dir, "vec_id", "embedding")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .start()
+      q.awaitTermination()
+    }
+    // simulate an in-flight writer-exclusive removal: fresh lock +
+    // marker (exactly what withExclusiveLock leaves while its body
+    // runs) — the arriving micro-batches must be REFUSED
+    writeFile(s"$dir/_maintenance_lock", s"${System.currentTimeMillis()} 1")
+    writeFile(s"$dir/_writer_exclusive", s"${System.currentTimeMillis()}")
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      runStream()
+    }
+    def mentions(t: Throwable): Boolean =
+      t != null && (String.valueOf(t.getMessage).contains("writer-exclusive") ||
+        mentions(t.getCause))
+    assert(mentions(ex), s"unexpected stream failure: $ex")
+    // nothing from the refused batches landed
+    assert(Similarity.loadIvfIndex(spark, dir).assigned
+      .filter(F.col("neighbor_id").cast("long") % 2 =!= 0).count() === 0L)
+    // release (the op finished) and restart from the same checkpoint:
+    // the refused batches replay and land exactly once
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/_maintenance_lock"), false)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/_writer_exclusive"), false)
+    runStream()
+    val got = Similarity.loadIvfIndex(spark, dir).assigned
+      .select(F.col("neighbor_id").cast("long")).as[Long].collect()
+    assert(got.length === got.distinct.length, "a batch landed twice")
+    assert(got.toSet === emb.select("vec_id").as[Long].collect().toSet)
+    Maintenance.releaseWriterLease(spark, dir)
+  }
+
   test("journal paths containing commas survive crash recovery exactly") {
     // a data-file path may legally contain ',' — the journal parse must
     // be quote-aware or recovery prunes/skips the wrong files

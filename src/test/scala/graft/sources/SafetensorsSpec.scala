@@ -135,4 +135,27 @@ class SafetensorsSpec extends SparkTestBase {
       .filter(_.getName.endsWith(".safetensors")).map(_.length()).max
     assert(bfBytes < f32Bytes)
   }
+
+  test("BF16: NaN stays NaN through rounding (no Inf carry, no wrap to zero)") {
+    // the rounding add alone would carry 0x7F800001 -> 0x7F80 (Inf)
+    // and wrap negative-NaN patterns >= 0xFFFF8000 past 2^32 to +0.0
+    val nanPatterns = Seq(
+      0x7F800001,          // signaling NaN, minimal mantissa (the Inf-carry case)
+      0x7FC00000,          // canonical quiet NaN
+      0xFFFF8000,          // negative NaN at the 32-bit wrap boundary
+      0xFFFFFFFF)          // all-ones negative NaN
+    nanPatterns.foreach { p =>
+      val bits = Safetensors.bf16Bits(java.lang.Float.intBitsToFloat(p))
+      val back = Safetensors.bf16ToFloat(bits)
+      // the ONLY contract is NaN -> NaN (sign/payload fidelity depends
+      // on the JVM preserving raw NaN bits through a float pass, which
+      // the JLS does not guarantee)
+      assert(back.isNaN, f"pattern 0x$p%08X became $back (bf16 0x$bits%04X)")
+    }
+    // Inf itself still passes through as Inf, not NaN
+    assert(Safetensors.bf16ToFloat(
+      Safetensors.bf16Bits(Float.PositiveInfinity)).isPosInfinity)
+    assert(Safetensors.bf16ToFloat(
+      Safetensors.bf16Bits(Float.NegativeInfinity)).isNegInfinity)
+  }
 }
