@@ -1077,6 +1077,24 @@ object Bench {
         idx, Seq("slow", "merge", "window"), 10)
     }),
 
+    // metadata-filtered BM25 probe of the same persisted index: the
+    // __bucket partition pruning survives the filter; the allowed-id
+    // semi-join applies inside the probed buckets only
+    "b_retrieval_filtered" -> ((s: SparkSession, dir: String) => {
+      val idx = textIndexCache.getOrElseUpdate(dir, {
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_bench_tidx").toString
+        graft.pipeline.Retrieval
+          .buildTextIndex(t(s, dir, "documents"), "doc_id", "text", buckets = 64)
+          .save(path)
+        graft.pipeline.Retrieval.loadTextIndex(s, path)
+      })
+      graft.pipeline.Retrieval.bm25TopKFilteredIndexed(
+        idx, Seq("slow", "merge", "window"), 10,
+        t(s, dir, "documents").filter(F.col("doc_id") % 3 === 0)
+          .select("doc_id"))
+    }),
+
     // exact phrase occurrences from the persisted positional index:
     // map-side postings filter + one (id, start) shuffle
     "b_phrase" -> ((s: SparkSession, dir: String) => {

@@ -5140,6 +5140,28 @@ object SparkEntry {
         .orderBy("rank")
     }),
 
+    // metadata-filtered BM25F: q_bm25f's fixture with candidates
+    // restricted to doc_id % 3 = 0; corpus-level any-field df and N
+    // (the q_retrieval_filtered contract on the field-weighted form).
+    // Ranks pinned: measured filtered top-15 adjacent gaps >= 9.3e-5
+    // at both SFs
+    "q_retrieval_filtered_f" -> ((s: SparkSession, dir: String) => {
+      val toks = F.filter(F.split(F.lower(F.col("text")), "\\s+"),
+        (t: org.apache.spark.sql.Column) => F.length(t) > 0)
+      val docs = t(s, dir, "documents").filter(F.col("text").isNotNull)
+        .select(F.col("doc_id"), toks.as("__t"))
+        .select(F.col("doc_id"),
+          F.array_join(F.slice(F.col("__t"), 1, 5), " ").as("title"),
+          F.array_join(F.slice(F.col("__t"), 6, 2000000), " ").as("body"))
+      val allowed = docs.filter(F.col("doc_id") % 3 === 0).select("doc_id")
+      graft.pipeline.Retrieval.bm25fTopKFiltered(docs, "doc_id",
+          Seq(("title", 2.0, 0.5), ("body", 1.0, 0.75)),
+          Seq("slow", "merge", "window"), 10, allowed)
+        .select(F.col("rank").cast("long").as("rank"),
+          F.col("id").as("doc_id"), F.col("n_terms_hit"))
+        .orderBy("rank")
+    }),
+
     // streaming novelty: the same planted probes replayed as
     // micro-batches against the PERSISTED reference gram index —
     // stateless per batch, replay-idempotent; shares q_novelty's
@@ -7112,6 +7134,41 @@ object SparkEntry {
           Seq("slow", "merge", "window"), 10)
         .select(F.col("rank").cast("long").as("rank"),
           F.col("id").as("doc_id"), F.col("tf_total"), F.col("n_terms_hit"))
+        .orderBy("rank")
+    }),
+
+    // metadata-filtered BM25 (the serving constraint: "search within
+    // this collection"): candidates restricted to doc_id % 3 = 0 with
+    // CORPUS-LEVEL df/N/avgdl — the exactness contract is filter-then-
+    // rank of full-corpus scoring, which the oracle replays by adding
+    // the predicate to the scored set only. Ranks pinned (q_bm25
+    // rule): measured filtered top-15 adjacent gaps >= 4.0e-5 at both
+    // SFs. indexed_same pins the partition-pruned saved-index probe
+    // equal to the one-shot row for row.
+    "q_retrieval_filtered" -> ((s: SparkSession, dir: String) => {
+      val d = t(s, dir, "documents")
+      val q = Seq("slow", "merge", "window")
+      val allowed = d.filter(F.col("doc_id") % 3 === 0).select("doc_id")
+      val oneShot = graft.pipeline.Retrieval.bm25TopKFiltered(
+        d, "doc_id", "text", q, 10, allowed)
+      val path = System.getProperty("java.io.tmpdir") + "/graft_q_retr_filt"
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      graft.pipeline.Retrieval.buildTextIndex(d, "doc_id", "text", 32)
+        .save(path)
+      val probed = graft.pipeline.Retrieval.bm25TopKFilteredIndexed(
+        graft.pipeline.Retrieval.loadTextIndex(s, path), q, 10, allowed)
+      def rows(df: org.apache.spark.sql.DataFrame) = df
+        .select(F.col("rank").cast("long"), F.col("id"),
+          F.col("tf_total"), F.col("n_terms_hit"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSeq.sortBy(_._1)
+      val same = rows(oneShot) == rows(probed)
+      oneShot
+        .select(F.col("rank").cast("long").as("rank"),
+          F.col("id").as("doc_id"), F.col("tf_total"),
+          F.col("n_terms_hit"), F.lit(same).as("indexed_same"))
         .orderBy("rank")
     }),
 
@@ -9315,6 +9372,43 @@ object SparkEntry {
         |  SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
         |           AS rank, doc_id, n_terms_hit FROM scored) t
         |WHERE rank <= 10 ORDER BY rank""".stripMargin,
+    "q_retrieval_filtered_f" ->
+      """WITH f AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+        |                    x -> len(x) > 0) AS w
+        |           FROM documents WHERE text IS NOT NULL),
+        |fl AS (SELECT doc_id, w[1:5] AS tw, w[6:len(w)] AS bw FROM f),
+        |tdl AS (SELECT doc_id, len(tw) AS dl FROM fl WHERE len(tw) > 0),
+        |bdl AS (SELECT doc_id, len(bw) AS dl FROM fl WHERE len(bw) > 0),
+        |tp AS (SELECT term, doc_id, count(*) AS tf
+        |       FROM (SELECT doc_id, unnest(tw) AS term FROM fl)
+        |       WHERE term IN ('slow', 'merge', 'window') GROUP BY 1, 2),
+        |bp AS (SELECT term, doc_id, count(*) AS tf
+        |       FROM (SELECT doc_id, unnest(bw) AS term FROM fl)
+        |       WHERE term IN ('slow', 'merge', 'window') GROUP BY 1, 2),
+        |ts AS (SELECT avg(dl) AS avgdl FROM tdl),
+        |bs AS (SELECT avg(dl) AS avgdl FROM bdl),
+        |tfn AS (
+        |  SELECT term, doc_id,
+        |         2.0 * tf / (0.5 + 0.5 * d.dl / s.avgdl) AS tfn
+        |  FROM tp JOIN tdl d USING (doc_id) CROSS JOIN ts s
+        |  UNION ALL
+        |  SELECT term, doc_id,
+        |         1.0 * tf / (0.25 + 0.75 * d.dl / s.avgdl) AS tfn
+        |  FROM bp JOIN bdl d USING (doc_id) CROSS JOIN bs s),
+        |tft AS (SELECT term, doc_id, sum(tfn) AS tft FROM tfn GROUP BY 1, 2),
+        |dfs AS (SELECT term, count(*) AS df FROM tft GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM f),
+        |scored AS (
+        |  SELECT doc_id,
+        |         sum(ln(1 + (n.n - dfs.df + 0.5) / (dfs.df + 0.5)) *
+        |             tft / (1.2 + tft)) AS score,
+        |         CAST(count(*) AS BIGINT) AS n_terms_hit
+        |  FROM tft JOIN dfs USING (term) CROSS JOIN n GROUP BY doc_id)
+        |SELECT rank, doc_id, n_terms_hit FROM (
+        |  SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+        |           AS rank, doc_id, n_terms_hit FROM scored
+        |  WHERE doc_id % 3 = 0) t
+        |WHERE rank <= 10 ORDER BY rank""".stripMargin,
     "q_novelty" ->
       """WITH d AS (SELECT doc_id,
         |             list_filter(string_split_regex(lower(text), '\s+'),
@@ -10531,6 +10625,28 @@ object SparkEntry {
           |SELECT rank, doc_id, tf_total, n_terms_hit FROM (
           |  SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
           |         doc_id, tf_total, n_terms_hit FROM scored) t
+          |WHERE rank <= 10 ORDER BY rank""".stripMargin,
+      "q_retrieval_filtered" ->
+        """WITH f AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+          |                    x -> len(x) > 0) AS w FROM documents),
+          |dl AS (SELECT doc_id, len(w) AS dl FROM f WHERE len(w) > 0),
+          |toks AS (SELECT doc_id, unnest(w) AS term FROM f),
+          |post AS (SELECT term, doc_id, count(*) AS tf FROM toks
+          |         WHERE term IN ('slow', 'merge', 'window') GROUP BY 1, 2),
+          |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+          |dfs AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+          |scored AS (
+          |  SELECT p.doc_id,
+          |         sum(ln(1 + (s.n - f2.df + 0.5) / (f2.df + 0.5)) * p.tf * 2.2 /
+          |             (p.tf + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl))) AS score,
+          |         CAST(sum(p.tf) AS BIGINT) AS tf_total,
+          |         CAST(count(*) AS BIGINT) AS n_terms_hit
+          |  FROM post p JOIN dfs f2 USING (term) JOIN dl d USING (doc_id)
+          |  CROSS JOIN stats s GROUP BY 1)
+          |SELECT rank, doc_id, tf_total, n_terms_hit, true AS indexed_same FROM (
+          |  SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+          |         doc_id, tf_total, n_terms_hit FROM scored
+          |  WHERE doc_id % 3 = 0) t
           |WHERE rank <= 10 ORDER BY rank""".stripMargin,
       "q_phrase" ->
         """WITH f AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),

@@ -127,6 +127,89 @@ object Retrieval {
         F.col("tf_total"), F.col("n_terms_hit"))
   }
 
+  // ---------------------------------------------------------------- //
+  // Metadata-filtered retrieval                                       //
+  // ---------------------------------------------------------------- //
+
+  /**
+   * [[bm25Scores]] restricted to the documents in `allowed` — the
+   * text side of the serving constraint the ANN family already has
+   * ([[Similarity.ivfTopKFilteredIndexed]]): "search within this
+   * collection / license / date range".
+   *
+   * == Statistics semantics — corpus-level, by design ==
+   *
+   * idf (df, N) and avgdl come from the FULL index, not the filtered
+   * subset. This is the defensible serving choice: term informativeness
+   * is a property of the collection, not of one query's filter (a term
+   * rare in the corpus stays informative inside a small filter, where
+   * subset-df would call it common); it keeps scores COMPARABLE across
+   * filters; and it keeps the probe cheap — subset stats would force a
+   * full-index scan per query to recount df/avgdl where corpus stats
+   * ride the same broadcast as the unfiltered probe. The resulting
+   * exactness contract (pinned in q_retrieval_filtered): filtered
+   * top-k over the full index ≡ score the FULL corpus, drop rows
+   * outside the filter, re-rank — row for row.
+   *
+   * The order of operations enforces that contract: dfs derive from
+   * the term-matched postings BEFORE the id semi-join (so the filter
+   * cannot perturb df), and the semi-join restricts candidates before
+   * any per-document work. `allowed` is a one-column id DataFrame —
+   * the caller's metadata predicate stays a declarative DataFrame
+   * filter (pushdown applies); the semi-join broadcasts when small.
+   */
+  def bm25ScoresFiltered(
+      index: DataFrame,
+      stats: DataFrame,
+      queryTerms: Seq[String],
+      allowed: DataFrame,
+      k1: Double = DefaultK1,
+      b: Double = DefaultB): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25ScoresFiltered: empty query")
+    val matched = index
+      .filter(F.col("term").isin(queryTerms.map(_.toLowerCase): _*))
+    // corpus-level df: counted BEFORE the filter restricts candidates
+    val dfs = matched.groupBy("term").agg(F.count(F.lit(1)).as("df"))
+    val aCol = allowed.columns.head
+    val ok = allowed.select(F.col(aCol).as("id")).distinct()
+    matched
+      .join(ok, Seq("id"), "left_semi")
+      .join(F.broadcast(dfs), "term")
+      .crossJoin(F.broadcast(stats))
+      .withColumn("__idf",
+        F.log(F.lit(1.0) +
+          (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))))
+      .withColumn("__w",
+        F.col("__idf") * F.col("tf") * F.lit(k1 + 1.0) /
+          (F.col("tf") + F.lit(k1) *
+            (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))))
+      .groupBy("id")
+      .agg(F.sum(F.col("__w")).as("score"),
+        F.sum(F.col("tf")).as("tf_total"),
+        F.count(F.lit(1)).as("n_terms_hit"))
+  }
+
+  /** One-shot metadata-filtered BM25 top-k ([[bm25TopK]]'s filtered
+    * sibling). Returns (rank, id, score, tf_total, n_terms_hit) over
+    * the allowed documents only, scored with corpus-level statistics
+    * (see [[bm25ScoresFiltered]]). */
+  def bm25TopKFiltered(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      queryTerms: Seq[String],
+      k: Int,
+      allowed: DataFrame,
+      k1: Double = DefaultK1,
+      b: Double = DefaultB): DataFrame = {
+    val index = buildIndex(docs, idCol, textCol)
+    val scored = bm25ScoresFiltered(index, corpusStats(index), queryTerms,
+      allowed, k1, b)
+    rankTopK(scored, k)
+      .select(F.col("rank"), F.col("id"), F.col("score"),
+        F.col("tf_total"), F.col("n_terms_hit"))
+  }
+
   /**
    * BM25F top-k (the Robertson–Zaragoza field-weighted variant): each
    * field f contributes a weighted, field-length-normalized term
@@ -157,7 +240,36 @@ object Retrieval {
       fields: Seq[(String, Double, Double)],
       queryTerms: Seq[String],
       k: Int,
+      k1: Double = DefaultK1): DataFrame =
+    bm25fTopKImpl(docs, idCol, fields, queryTerms, k, k1, restrict = None)
+
+  /** [[bm25fTopK]] restricted to the `allowed` ids — the same
+    * corpus-level-statistics contract as [[bm25ScoresFiltered]]: df
+    * (any-field document frequency) and N come from the full corpus,
+    * the semi-join restricts candidates AFTER dfs derive, so the
+    * filtered top-k equals filter-then-rank of full-corpus BM25F
+    * scoring. */
+  def bm25fTopKFiltered(
+      docs: DataFrame,
+      idCol: String,
+      fields: Seq[(String, Double, Double)],
+      queryTerms: Seq[String],
+      k: Int,
+      allowed: DataFrame,
       k1: Double = DefaultK1): DataFrame = {
+    val aCol = allowed.columns.head
+    val ok = allowed.select(F.col(aCol).as("id")).distinct()
+    bm25fTopKImpl(docs, idCol, fields, queryTerms, k, k1, restrict = Some(ok))
+  }
+
+  private def bm25fTopKImpl(
+      docs: DataFrame,
+      idCol: String,
+      fields: Seq[(String, Double, Double)],
+      queryTerms: Seq[String],
+      k: Int,
+      k1: Double,
+      restrict: Option[DataFrame]): DataFrame = {
     require(queryTerms.nonEmpty, "bm25fTopK: empty query")
     require(fields.nonEmpty, "bm25fTopK: no fields")
     val q = queryTerms.map(_.toLowerCase)
@@ -177,8 +289,13 @@ object Retrieval {
       .repartition(F.col("id"))
       .groupBy(F.col("term"), F.col("id"))
       .agg(F.sum(F.col("__tfn")).as("__tft"))
+    // corpus-level df: counted before any filter restricts candidates
     val dfs = tft.groupBy(F.col("term")).agg(F.count(F.lit(1)).as("df"))
-    val scored = tft.join(F.broadcast(dfs), "term")
+    val candidates = restrict match {
+      case Some(ok) => tft.join(ok, Seq("id"), "left_semi")
+      case None => tft
+    }
+    val scored = candidates.join(F.broadcast(dfs), "term")
       .withColumn("__idf", F.log(F.lit(1.0) +
         (F.lit(nDocs.toDouble) - F.col("df") + F.lit(0.5)) /
           (F.col("df") + F.lit(0.5))))
@@ -672,6 +789,37 @@ object Retrieval {
       .filter(F.col("__bucket").isin(qBuckets.distinct: _*))
     val stats = Seq((idx.nDocs, idx.avgdl)).toDF("n_docs", "avgdl")
     rankTopK(bm25Scores(pruned, stats, q, k1, b), k)
+      .select(F.col("rank"), F.col("id"), F.col("score"),
+        F.col("tf_total"), F.col("n_terms_hit"))
+  }
+
+  /**
+   * Metadata-filtered BM25 probe of a saved [[TextIndex]] — the
+   * partition-pruned form of [[bm25TopKFiltered]]: the `__bucket`
+   * partition filter still cuts the scan to |query terms| of `buckets`
+   * directories (the filter does not widen the probe), dfs derive from
+   * the matched postings BEFORE the id semi-join (corpus-level
+   * statistics, see [[bm25ScoresFiltered]]), and the semi-join
+   * restricts candidates inside the probed buckets — the
+   * [[Similarity.ivfTopKFilteredIndexed]] discipline on the text
+   * index. Equals [[bm25TopKFiltered]] over the indexed corpus row for
+   * row.
+   */
+  def bm25TopKFilteredIndexed(
+      idx: TextIndex,
+      queryTerms: Seq[String],
+      k: Int,
+      allowed: DataFrame,
+      k1: Double = DefaultK1,
+      b: Double = DefaultB): DataFrame = {
+    val spark = idx.postings.sparkSession
+    import spark.implicits._
+    val q = queryTerms.map(_.toLowerCase).distinct
+    val qBuckets = q.map(t => graft.pipeline.Retrieval.localTermBucket(t, idx.buckets))
+    val pruned = idx.postings
+      .filter(F.col("__bucket").isin(qBuckets.distinct: _*))
+    val stats = Seq((idx.nDocs, idx.avgdl)).toDF("n_docs", "avgdl")
+    rankTopK(bm25ScoresFiltered(pruned, stats, q, allowed, k1, b), k)
       .select(F.col("rank"), F.col("id"), F.col("score"),
         F.col("tf_total"), F.col("n_terms_hit"))
   }

@@ -415,4 +415,80 @@ class RetrievalSpec extends SparkTestBase {
     }
     assert(expect(1L) < tOnly + bOnly)
   }
+
+  test("filtered BM25: corpus-level stats; equals filter-then-rank of full scoring") {
+    val d = sf("sf0.001", "documents")
+    val q = Seq("slow", "merge", "window")
+    val allowed = d.filter(F.col("doc_id") % 3 === 0).select("doc_id")
+    // the contract: score the FULL corpus, drop rows outside the
+    // filter, re-rank — row for row (df/N/avgdl untouched by the filter)
+    val idx = Retrieval.buildIndex(d, "doc_id", "text")
+    val full = Retrieval.bm25Scores(idx, Retrieval.corpusStats(idx), q)
+    val wantScores = full.join(allowed.select(F.col("doc_id").as("id")), "id")
+      .select("id", "score", "tf_total", "n_terms_hit").collect()
+      .map(r => (r.getLong(0), (r.getDouble(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val wantOrder = wantScores.toSeq
+      .sortBy { case (id, (s, _, _)) => (-s, id) }.take(10).map(_._1)
+    val got = Retrieval.bm25TopKFiltered(d, "doc_id", "text", q, 10, allowed)
+      .orderBy("rank").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Double]("score"),
+        r.getAs[Long]("tf_total"), r.getAs[Long]("n_terms_hit")))
+    assert(got.map(_._1).toSeq == wantOrder)
+    got.foreach { case (id, s, tf, nh) =>
+      val (ws, wtf, wnh) = wantScores(id)
+      assert(math.abs(s - ws) < 1e-12 && tf == wtf && nh == wnh, s"doc $id")
+    }
+    // every returned doc satisfies the filter
+    assert(got.forall(_._1 % 3 == 0))
+  }
+
+  test("filtered BM25 probe of a saved index: equal to one-shot, still partition-pruned") {
+    val d = sf("sf0.001", "documents")
+    val q = Seq("slow", "merge", "window")
+    val allowed = d.filter(F.col("doc_id") % 3 === 0).select("doc_id")
+    val path = java.nio.file.Files.createTempDirectory("graft_tidx_filt").toString
+    Retrieval.buildTextIndex(d, "doc_id", "text", buckets = 32).save(path)
+    val loaded = Retrieval.loadTextIndex(spark, path)
+    val oneShot = Retrieval.bm25TopKFiltered(d, "doc_id", "text", q, 10, allowed)
+      .select("rank", "id", "tf_total", "n_terms_hit").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val probed = Retrieval.bm25TopKFilteredIndexed(loaded, q, 10, allowed)
+      .select("rank", "id", "tf_total", "n_terms_hit").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(probed == oneShot)
+    // the filter must not widen the probe: the scan keeps the
+    // __bucket partition filter of the unfiltered probe
+    val plan = Retrieval.bm25TopKFilteredIndexed(loaded, q, 10, allowed)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("__bucket"),
+      s"expected partition filter on __bucket in:\n$plan")
+    // degenerate filters: empty allowed set -> empty result, no error
+    assert(Retrieval.bm25TopKFilteredIndexed(loaded, q, 10,
+      allowed.limit(0)).count() == 0L)
+  }
+
+  test("filtered BM25F equals filter-then-rank of full BM25F scoring") {
+    val d = sf("sf0.001", "documents")
+    // synthesize a title field deterministically from the text (first
+    // 3 tokens) — same shape as the q_bm25f gate
+    val toks = F.filter(F.split(F.col("text"), "\\s+"),
+      (t: org.apache.spark.sql.Column) => F.length(t) > 0)
+    val two = d.filter(F.col("text").isNotNull)
+      .select(F.col("doc_id"),
+        F.array_join(F.slice(toks, 1, 3), " ").as("title"),
+        F.col("text").as("body"))
+    val fields = Seq(("title", 2.0, 0.5), ("body", 1.0, 0.75))
+    val q = Seq("slow", "merge", "window")
+    val allowed = two.filter(F.col("doc_id") % 3 === 0).select("doc_id")
+    val okIds = allowed.as[Long].collect().toSet
+    val full = Retrieval.bm25fTopK(two, "doc_id", fields, q,
+        k = two.count().toInt)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Double]("score")))
+    val wantOrder = full.filter(p => okIds.contains(p._1))
+      .sortBy { case (id, s) => (-s, id) }.take(10).map(_._1).toSeq
+    val got = Retrieval.bm25fTopKFiltered(two, "doc_id", fields, q, 10, allowed)
+      .orderBy("rank").collect().map(_.getAs[Long]("id")).toSeq
+    assert(got == wantOrder)
+  }
 }
