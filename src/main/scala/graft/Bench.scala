@@ -24,6 +24,12 @@ object Bench {
   // localCheckpoint cache here held SQL-metric accumulators from the
   // warmup execution that the ContextCleaner later dropped, producing
   // spurious "non-existent accumulator" DAGScheduler errors mid-bench.
+  // measured mass->recall curve for the cached IVF index (built by
+  // b_ann_calibrate; the recall telemetry's ivf_target row solves its
+  // mass from it)
+  private val ivfCalCache = scala.collection.concurrent.TrieMap[String,
+    graft.pipeline.Similarity.ProbeCalibration]()
+
   private val ivfIndexCache =
     scala.collection.concurrent.TrieMap[String, graft.pipeline.Similarity.IvfIndex]()
 
@@ -481,6 +487,25 @@ object Bench {
       })
       graft.pipeline.Similarity.ivfTopKIndexed(
         idx, emb.filter(F.col("vec_id") < 20), "vec_id", "embedding", 10, nprobe = 4)
+    }),
+
+    // recall-target calibration: one bounded brute-force pass (64
+    // sampled queries vs the corpus) + driver-side probe replay per
+    // grid mass — the build-time cost of turning the probeMass dial
+    // into a targetRecall knob
+    "b_ann_calibrate" -> ((s: SparkSession, dir: String) => {
+      val emb = t(s, dir, "embeddings")
+      val idx = ivfIndexCache.getOrElseUpdate(dir, {
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_bench_ivf").toString
+        graft.pipeline.Similarity
+          .buildIvfIndex(emb, "vec_id", "embedding", 16, 2).save(path)
+        graft.pipeline.Similarity.loadIvfIndex(s, path)
+      })
+      val cal = graft.pipeline.Similarity.calibrateIvfProbe(
+        idx, k = 10, nSample = 64)
+      ivfCalCache.put(dir, cal)
+      s.range(1).select(F.lit(cal.grid.length).as("n_grid"))
     }),
 
     // ANN: product quantization — ADC scan over a prebuilt code table
@@ -1838,7 +1863,23 @@ object Bench {
           // binary quantization: sign-bit linear scan + 4000-pool
           // exact rerank — recall is the hamming pool's to lose
           "binary" -> recallOf(graft.pipeline.BinaryQuant.binaryTopK(
-            emb, queries, "vec_id", "embedding", 10, poolSize = 4000)))
+            emb, queries, "vec_id", "embedding", 10, poolSize = 4000)),
+          // recall-target controller: solve the mass for 0.85 from the
+          // measured curve (built by b_ann_calibrate, or on demand) and
+          // report what the solved dial actually achieves on the
+          // independent 20-query workload
+          "ivf_target" -> recallOf {
+            val idx = ivfIndexCache.getOrElseUpdate(sfDir, {
+              val path = java.nio.file.Files
+                .createTempDirectory("graft_bench_ivf").toString
+              sim.buildIvfIndex(emb, "vec_id", "embedding", 16, 2).save(path)
+              sim.loadIvfIndex(spark, path)
+            })
+            val cal = ivfCalCache.getOrElseUpdate(sfDir,
+              sim.calibrateIvfProbe(idx, k = 10, nSample = 64))
+            sim.ivfTopKTarget(idx, queries, "vec_id", "embedding", 10,
+              targetRecall = 0.85, cal)
+          })
       } catch { case _: Throwable => Seq.empty }
     val rc = recall.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
 
@@ -1874,8 +1915,11 @@ object Bench {
     // (4000 candidates): the ADC pool was the binding constraint, not
     // the cell probing
     // ivfpq floor raised 0.7 -> 0.8 with the OPQ index + 0.6 probe mass
+    // ivf_target floor: the controller solves for 0.85 from a curve
+    // measured on 64 in-distribution sample queries; 0.75 leaves room
+    // for sample-vs-workload generalization noise at any SF
     val floors = Map("lsh" -> 0.7, "ivf" -> 0.6, "pq" -> 0.7, "ivfpq" -> 0.8,
-      "hnsw" -> 0.6, "binary" -> 0.8)
+      "hnsw" -> 0.6, "binary" -> 0.8, "ivf_target" -> 0.75)
     val fl = floors.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val ok = recall.map { case (k, v) =>
       "\"" + k + "\":" + floors.get(k).forall(v >= _) }.mkString("{", ",", "}")

@@ -3597,6 +3597,91 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
+    // recall-target probe controller: the mass->recall curve is
+    // MEASURED at build time (bounded sample vs exact brute force,
+    // replaying each family's probe rule exactly), persisted beside
+    // the geometry, and massFor(target) solves the dial. On the
+    // calibration sample the solved mass achieves >= target BY
+    // CONSTRUCTION (the curve was measured there with the identical
+    // probe replay — deterministic, regeneration-proof); the
+    // generalization leg demands 0.6 on independent queries while
+    // probing for 0.85 (fat margin). Curve monotonicity is structural
+    // (larger mass probes a superset prefix of the same ordering).
+    "q_ann_target" -> ((s: SparkSession, dir: String) => {
+      val sim = graft.pipeline.Similarity
+      val emb = t(s, dir, "embeddings")
+        .filter(F.col("embedding").isNotNull)
+        .select(F.col("vec_id").cast("long").as("vec_id"), F.col("embedding"))
+      val n = emb.count()
+      val idx = sim.buildIvfIndex(emb, "vec_id", "embedding",
+        sim.ivfNlistFor(n), iterations = 2)
+      val cal = sim.calibrateIvfProbe(idx, k = 10, nSample = 64)
+      val path = System.getProperty("java.io.tmpdir") + "/graft_q_ann_target"
+      sim.saveCalibration(s, path, cal)
+      val reloaded = sim.loadCalibration(s, path).get
+      val calRoundtrip = reloaded == cal
+      val monotoneCurve = cal.grid.sliding(2).forall {
+        case Vector((_, r1), (_, r2)) => r2 >= r1
+        case _ => true
+      }
+      val m60 = cal.massFor(0.6)
+      val m85 = cal.massFor(0.85)
+      // the calibration sample, re-derived (hash-ordered prefix of the
+      // corpus — deterministic)
+      val sample = idx.assigned
+        .orderBy(F.xxhash64(F.col("neighbor_id").cast("string")),
+          F.col("neighbor_id").cast("string"))
+        .limit(64)
+        .select(F.col("neighbor_id").as("vec_id"),
+          F.col("__cv").as("embedding"))
+        .localCheckpoint(false)
+      def pairs(df: org.apache.spark.sql.DataFrame) = df
+        .select(F.col("query_id").cast("long"), F.col("neighbor_id").cast("long"))
+        .collect().groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+      def recallOf(got: Map[Long, Set[Long]], gt: Map[Long, Set[Long]]) = {
+        val per = gt.map { case (q, tr) =>
+          got.getOrElse(q, Set.empty).intersect(tr).size.toDouble / tr.size }
+        if (per.isEmpty) 0.0 else per.sum / per.size
+      }
+      val gtSample = pairs(sim.bruteForceTopK(emb, sample, "vec_id", "embedding", 10))
+      val a60 = recallOf(pairs(sim.ivfTopKTarget(idx, sample,
+        "vec_id", "embedding", 10, 0.6, cal)), gtSample)
+      val a85 = recallOf(pairs(sim.ivfTopKTarget(idx, sample,
+        "vec_id", "embedding", 10, 0.85, cal)), gtSample)
+      // generalization: independent queries, solve for 0.85, demand 0.6
+      val indep = emb.filter(F.col("vec_id") % 13 === 0)
+      val gtIndep = pairs(sim.bruteForceTopK(emb, indep, "vec_id", "embedding", 10))
+      val aIndep = recallOf(pairs(sim.ivfTopKTarget(idx, indep,
+        "vec_id", "embedding", 10, 0.85, cal)), gtIndep)
+      // graph-family twin: calibrate at the efSearch the query uses
+      val hn = graft.pipeline.Hnsw
+      val hidx = hn.buildHnswIndex(emb, "vec_id", "embedding",
+        maxNav = 64, m = 8, efConstruction = 48, efAssign = 16)
+      val hcal = hn.calibrateProbe(hidx, k = 10, nSample = 64, efSearch = 64)
+      val h60 = recallOf(pairs(hn.hnswTopKTarget(hidx, sample,
+        "vec_id", "embedding", 10, 0.6, hcal, efSearch = 64)), gtSample)
+      // code-family twin: coarse-cell membership bounds recall; a
+      // generous rerank pool makes it exact within probed cells
+      val pq = graft.pipeline.ProductQuantization
+      val pidx = pq.buildIvfPq(emb, "vec_id", "embedding",
+        nlist = sim.ivfNlistFor(n), m = 16, ksub = 16, iterations = 2)
+      val pcal = pq.calibrateIvfPqProbe(pidx, emb, "vec_id", "embedding",
+        k = 10, nSample = 64)
+      val p60 = recallOf(pairs(pq.ivfPqTopKTarget(pidx, emb, sample,
+        "vec_id", "embedding", 10, 0.6, pcal, poolSize = 1024)), gtSample)
+      s.range(1).select(
+        F.lit(n).as("n"),
+        F.lit(calRoundtrip).as("cal_roundtrip"),
+        F.lit(monotoneCurve).as("curve_monotone"),
+        F.lit(m85 >= m60).as("mass_monotone"),
+        F.lit(a60 >= 0.6).as("ivf_t60_ok"),
+        F.lit(a85 >= 0.85).as("ivf_t85_ok"),
+        F.lit(aIndep >= 0.6).as("ivf_indep_ok"),
+        F.lit(h60 >= 0.6).as("hnsw_t60_ok"),
+        F.lit(p60 >= 0.6).as("pq_t60_ok"))
+    }),
+
     // graph ANN (HNSW-class): driver-built navigation graph over a
     // bounded sample, corpus assigned by a broadcast graph walk into
     // the shared cell-table layout, probes partition-prune to the
@@ -9562,6 +9647,13 @@ object SparkEntry {
         |FROM embeddings
         |WHERE embedding IS NOT NULL AND vec_id % 37 = 0
         |ORDER BY query_id""".stripMargin,
+    "q_ann_target" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n,
+        |       true AS cal_roundtrip, true AS curve_monotone,
+        |       true AS mass_monotone, true AS ivf_t60_ok,
+        |       true AS ivf_t85_ok, true AS ivf_indep_ok,
+        |       true AS hnsw_t60_ok, true AS pq_t60_ok
+        |FROM embeddings WHERE embedding IS NOT NULL""".stripMargin,
     "q_index_remove" ->
       """SELECT CAST(sum(CASE WHEN vec_id % 37 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
         |         AS n_after_ivf,

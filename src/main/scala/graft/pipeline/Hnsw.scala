@@ -335,7 +335,7 @@ object Hnsw {
     * head FIRST (the exact-copy guarantee), then the `efSearch` beam's
     * cells until `probeMass` of the corpus is covered (>= `minProbe`
     * cells). */
-  private def probeCells(
+  private[pipeline] def probeCells(
       g: Graph, sizes: Array[Long], total: Long, v: Array[Float],
       efSearch: Int, minProbe: Int, probeMass: Double): Seq[Int] = {
     val head = assignCell(g, v)
@@ -444,6 +444,44 @@ object Hnsw {
       .filter(F.col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "cos")
   }
+
+  /** Measure the graph probe's mass→recall curve
+    * ([[Similarity.calibrateIvfProbe]] on the graph family — replays
+    * [[hnswTopK]]'s walk-ordered probe exactly, including `efSearch`
+    * and `minProbe`). Calibrate at the efSearch you will query with:
+    * the beam bounds how many cells a walk can surface, so the curve
+    * is an (efSearch, mass) property, not a mass property alone. */
+  def calibrateProbe(
+      index: HnswIndex,
+      k: Int = 10,
+      nSample: Int = 64,
+      efSearch: Int = 128,
+      minProbe: Int = 4,
+      grid: Seq[Double] = Similarity.DefaultCalibrationGrid)
+      : Similarity.ProbeCalibration = {
+    val sizes = index.cellSizes
+    val total = math.max(sizes.sum, 1L)
+    Similarity.calibrateProbe(index.assigned, k, nSample, grid,
+      (v, m) => probeCells(index.graph, sizes, total, v, efSearch,
+        minProbe, m))
+  }
+
+  /** [[hnswTopK]] with the mass solved from a requested recall target
+    * via the index's measured curve ([[Similarity.ivfTopKTarget]]'s
+    * graph sibling). Pass the SAME efSearch the curve was measured
+    * at. */
+  def hnswTopKTarget(
+      index: HnswIndex,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      targetRecall: Double,
+      cal: Similarity.ProbeCalibration,
+      efSearch: Int = 128,
+      minProbe: Int = 4): DataFrame =
+    hnswTopK(index, queries, idCol, vecCol, k, efSearch, minProbe,
+      probeMass = cal.massFor(targetRecall))
 
   /** Nightly maintenance: assign a fresh batch with the FROZEN graph
     * (map-only) and append under the touched cells — the

@@ -330,6 +330,62 @@ object ProductQuantization {
     IvfPqIndex(centroids, cb, encoded)
   }
 
+  /** Measure the coarse probe's mass→recall curve
+    * ([[Similarity.calibrateIvfProbe]] on the code table): cells are
+    * probed by coarse-centroid distance with [[ivfPqTopK]]'s exact
+    * stopping rule, sizes from the ENCODED table (what a probe
+    * scans). Needs the raw corpus (the code table stores codes, not
+    * vectors) — build-time cost, like the codebook training itself.
+    * Cell membership bounds recall here too: the rerank pool only
+    * reorders WITHIN probed cells, so the curve is exact when
+    * `poolSize` covers the probed candidates and optimistic by the
+    * PQ-ordering loss below that (measured: pool 4000 → rerank
+    * recall 1.0 within probed cells at sf0.1). */
+  def calibrateIvfPqProbe(
+      index: IvfPqIndex,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int = 10,
+      nSample: Int = 64,
+      minProbe: Int = 4,
+      grid: Seq[Double] = Similarity.DefaultCalibrationGrid)
+      : Similarity.ProbeCalibration = {
+    val spark = corpus.sparkSession
+    val cB = spark.sparkContext.broadcast(index.centroids)
+    val assignU = F.udf((v: Array[Float]) =>
+      Similarity.nearestCentroid(cB.value, v))
+    val assigned = corpus.filter(F.col(vecCol).isNotNull)
+      .select(F.col(idCol).as("neighbor_id"), F.col(vecCol).as("__cv"),
+        assignU(F.col(vecCol)).as("__cell"))
+    val sizes = new Array[Long](index.centroids.length)
+    index.encoded.groupBy(F.col("__cell")).agg(F.count(F.lit(1)).as("__n"))
+      .collect().foreach { r =>
+        val c = r.getInt(0)
+        if (c >= 0 && c < sizes.length) sizes(c) = r.getLong(1)
+      }
+    val total = sizes.sum
+    Similarity.calibrateProbe(assigned, k, nSample, grid,
+      (v, m) => Similarity.nearestCentroidsByMass(index.centroids, sizes,
+        total, v, minProbe, m))
+  }
+
+  /** [[ivfPqTopK]] with the mass solved from a requested recall
+    * target via the measured curve. */
+  def ivfPqTopKTarget(
+      index: IvfPqIndex,
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      targetRecall: Double,
+      cal: Similarity.ProbeCalibration,
+      nprobe: Int = 4,
+      poolSize: Int = 50): DataFrame =
+    ivfPqTopK(index, corpus, queries, idCol, vecCol, k, nprobe, poolSize,
+      probeMass = cal.massFor(targetRecall))
+
   /** Build an IVF-PQ index: train the coarse cells, subtract each
     * vector's cell centroid, train PQ on the residuals, encode. */
   def buildIvfPq(

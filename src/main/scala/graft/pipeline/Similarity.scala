@@ -1020,6 +1020,162 @@ object Similarity {
       probeBits = 1)
 
   // ---------------------------------------------------------------- //
+  // Recall-target probe calibration                                   //
+  // ---------------------------------------------------------------- //
+
+  /**
+   * A measured probe-mass → recall curve for a cell-probed index —
+   * the controller that turns the manual `probeMass` dial into a
+   * requested `targetRecall`. Built at index (re)build time by
+   * [[calibrateIvfProbe]] / [[Hnsw.calibrateProbe]] /
+   * [[ProductQuantization.calibrateIvfPqProbe]] from a bounded sample
+   * of the corpus's own vectors scored against exact brute force, and
+   * persisted next to the geometry ([[saveCalibration]]).
+   *
+   * Validity tracks the GEOMETRY, not the corpus: appends under
+   * frozen centroids shift cell occupancy, and with it the curve —
+   * the drift-PSI dial ([[maybeRetrainIvfIndex]]) is the recalibrate
+   * trigger, and a retrain always invalidates the curve (fresh cells).
+   * Recalibrate wherever you retrain.
+   */
+  final case class ProbeCalibration(k: Int, grid: Vector[(Double, Double)]) {
+    require(grid.nonEmpty, "ProbeCalibration: empty grid")
+    /** Smallest measured mass whose recall reaches `targetRecall`;
+      * 1.0 when no measured point does (probe everything — exact for
+      * the IVF family; the graph family's beam may still bound it,
+      * see [[Hnsw.hnswTopK]]'s efSearch note). */
+    def massFor(targetRecall: Double): Double =
+      grid.sortBy(_._1).find(_._2 >= targetRecall).map(_._1).getOrElse(1.0)
+  }
+
+  /** Default measurement grid — dense at the cheap end where the
+    * curve is steep. */
+  val DefaultCalibrationGrid: Seq[Double] =
+    Seq(0.05, 0.1, 0.15, 0.2, 0.3, 0.45, 0.6, 0.8, 1.0)
+
+  /**
+   * Shared measurement core: sample `nSample` corpus vectors
+   * (hash-ordered — deterministic, distribution-blind), brute-force
+   * their exact top-`k` (ONE bounded corpus scan — the build-time
+   * cost), then replay the family's probe rule per grid mass DRIVER
+   * side and count which true neighbors' cells the probe covers.
+   * `probeFor(queryVec, mass)` must replay the family's EXACT probe
+   * rule (same ordering, same stopping rule, same minProbe), so the
+   * curve predicts the distributed probe bit-for-bit on the sample.
+   * Recall is cell membership — exact for every family here because
+   * probed cells rerank by exact cosine (the candidate survives iff
+   * its cell is probed).
+   */
+  private[pipeline] def calibrateProbe(
+      assigned: DataFrame,
+      k: Int,
+      nSample: Int,
+      grid: Seq[Double],
+      probeFor: (Array[Float], Double) => Seq[Int]): ProbeCalibration = {
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    val sample = assigned
+      .select(F.col("neighbor_id").cast("string").as("__id"), F.col("__cv"))
+      .orderBy(F.xxhash64(F.col("__id")), F.col("__id"))
+      .limit(nSample)
+      .collect()
+      .map(r => (r.getString(0),
+        r.getAs[scala.collection.Seq[Float]](1).toArray))
+    require(sample.nonEmpty, "calibrateProbe: empty index")
+    val qDf = sample.toSeq.toDF("id", "v")
+    val corpus = assigned.select(
+      F.col("neighbor_id").cast("string").as("id"), F.col("__cv").as("v"))
+    val truth = bruteForceTopK(corpus, qDf, "id", "v", k)
+      .select(F.col("query_id"), F.col("neighbor_id")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val needed = truth.map(_._2).distinct.toSeq
+    val cellOf = assigned
+      .select(F.col("neighbor_id").cast("string").as("id"), F.col("__cell"))
+      .join(F.broadcast(needed.toDF("id")), Seq("id"), "left_semi")
+      .collect().map(r => (r.getString(0), r.getInt(1))).toMap
+    val curve = grid.sorted.map { m =>
+      val probed = sample.map { case (id, v) =>
+        id -> probeFor(v, m).toSet }.toMap
+      val hits = truth.count { case (q, n) =>
+        cellOf.get(n).exists(probed(q).contains) }
+      m -> (if (truth.isEmpty) 1.0 else hits.toDouble / truth.length)
+    }
+    ProbeCalibration(k, curve.toVector)
+  }
+
+  /** Measure the mass→recall curve of an IVF index (replays
+    * [[ivfTopKIndexed]]'s mass probe exactly, including `minProbe`). */
+  def calibrateIvfProbe(
+      index: IvfIndex,
+      k: Int = 10,
+      nSample: Int = 64,
+      minProbe: Int = 4,
+      grid: Seq[Double] = DefaultCalibrationGrid): ProbeCalibration = {
+    val sizes = new Array[Long](index.centroids.length)
+    index.assigned.groupBy(F.col("__cell")).agg(F.count(F.lit(1)).as("__n"))
+      .collect().foreach { r =>
+        val c = r.getInt(0)
+        if (c >= 0 && c < sizes.length) sizes(c) = r.getLong(1)
+      }
+    val total = sizes.sum
+    calibrateProbe(index.assigned, k, nSample, grid,
+      (v, m) => nearestCentroidsByMass(index.centroids, sizes, total, v,
+        minProbe, m))
+  }
+
+  /** [[ivfTopKIndexed]] with the mass solved from a requested recall
+    * target via the index's measured curve — `probeMass` becomes
+    * "give me ~`targetRecall` recall@k and spend no more than that". */
+  def ivfTopKTarget(
+      index: IvfIndex,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      targetRecall: Double,
+      cal: ProbeCalibration,
+      minProbe: Int = 4): DataFrame =
+    ivfTopKIndexed(index, queries, idCol, vecCol, k, nprobe = minProbe,
+      probeMass = cal.massFor(targetRecall))
+
+  /** Persist a calibration next to the index geometry
+    * (`<path>/_calibration.json` — the underscore keeps it out of
+    * Spark's data-file listing, the manifest convention). */
+  def saveCalibration(
+      spark: SparkSession, path: String, cal: ProbeCalibration): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path, "_calibration.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val json = s"""{"k":${cal.k},"grid":[${cal.grid
+      .map { case (m, r) => s"[$m,$r]" }.mkString(",")}]}"""
+    val out = fs.create(p, true)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Reload a persisted calibration; None when the index was never
+    * calibrated (callers fall back to the manual mass dial). */
+  def loadCalibration(
+      spark: SparkSession, path: String): Option[ProbeCalibration] = {
+    val p = new org.apache.hadoop.fs.Path(path, "_calibration.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val raw =
+      try {
+        val bos = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](4096)
+        var n = in.read(buf)
+        while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+        new String(bos.toByteArray, "UTF-8")
+      } finally in.close()
+    val k = """"k"\s*:\s*(\d+)""".r.findFirstMatchIn(raw)
+      .map(_.group(1).toInt).getOrElse(return None)
+    val pair = """\[\s*([0-9.Ee+-]+)\s*,\s*([0-9.Ee+-]+)\s*\]""".r
+    val grid = pair.findAllMatchIn(raw)
+      .map(m => (m.group(1).toDouble, m.group(2).toDouble)).toVector
+    if (grid.isEmpty) None else Some(ProbeCalibration(k, grid))
+  }
+
+  // ---------------------------------------------------------------- //
   // Filtered (predicate-constrained) ANN                              //
   // ---------------------------------------------------------------- //
 
