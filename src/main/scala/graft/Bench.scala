@@ -868,6 +868,16 @@ object Bench {
       m.pieces.toSeq.toDF("piece", "logp")
     }),
 
+    // soft-EM unigram training (forward-backward posteriors): two
+    // word-table passes per round vs hard EM's one — the cost of the
+    // real SentencePiece E-step
+    "b_unigram_em" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val m = graft.pipeline.UnigramLm.learnSoft(
+        t(s, dir, "documents"), "text", vocabSize = 512, iters = 2)
+      m.pieces.toSeq.toDF("piece", "logp")
+    }),
+
     // unigram-LM corpus tokenization: map-only Viterbi with per-thread
     // memo over a cached trained model
     "b_tokenize_unigram" -> ((s: SparkSession, dir: String) => {

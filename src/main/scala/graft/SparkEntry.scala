@@ -5990,6 +5990,63 @@ object SparkEntry {
         .orderBy(F.col("source"))
     }),
 
+    // soft-EM unigram trainer: forward-backward expected counts (the
+    // real SentencePiece E-step; learn() stays the hard-EM fast path).
+    // Non-SQL-expressible — invariant booleans: corpus MARGINAL
+    // likelihood monotone over 3 fixed-vocab EM rounds (pure-ML M-step
+    // over exact posteriors = the EM theorem; no smoothing, no
+    // pruning inside the witness), the learned model reconstructs
+    // every document within budget, and the model round-trips through
+    // BOTH codecs (tokenizer.json is Double.toString-exact; .model
+    // compares at the protobuf-float contract)
+    "q_tokenize_unigram_em" -> ((s: SparkSession, dir: String) => {
+      val U = graft.pipeline.UnigramLm
+      val docs = t(s, dir, "documents")
+      val model = U.learnSoft(docs, "text", vocabSize = 512, iters = 2)
+      val m0 = U.learn(docs, "text", vocabSize = 256, iters = 1)
+      val (_, lls) = U.softEmLikelihoods(docs, "text", m0, rounds = 3)
+      val monotone = lls.sliding(2).forall {
+        case Seq(a, b) => b >= a - 1e-9
+        case _ => true
+      }
+      val out = System.getProperty("java.io.tmpdir") + "/graft_q_uni_em"
+      graft.pipeline.TokenizerIO.saveUnigramTokenizerJson(
+        s, s"$out/tokenizer.json", model)
+      val (reJson, _) = graft.pipeline.TokenizerIO.loadUnigramTokenizerJson(
+        s, s"$out/tokenizer.json")
+      val jsonOk = reJson.pieces == model.pieces &&
+        reJson.unkScore == model.unkScore
+      graft.pipeline.TokenizerIO.saveSentencePieceModel(
+        s, s"$out/spm.model", model)
+      val (reSpm, unk) = graft.pipeline.TokenizerIO.loadSentencePieceModel(
+        s, s"$out/spm.model")
+      val floatCast = U.Model(
+        model.pieces.map { case (p, v) => p -> v.toFloat.toDouble },
+        model.maxPieceLen, model.unkScore.toFloat.toDouble)
+      val spmOk = reSpm.pieces == floatCast.pieces &&
+        reSpm.unkScore == floatCast.unkScore && unk == "<unk>"
+      val words = F.filter(F.split(F.col("text"), "\\s+"),
+        (x: org.apache.spark.sql.Column) => F.length(x) > 0)
+      U.tokenize(docs, "text", model)
+        .select(F.col("source"), F.col("text"), F.col("tokens"),
+          F.size(words).as("__nw"))
+        .groupBy(F.col("source"))
+        .agg(
+          F.count(F.lit(1)).as("docs"),
+          (F.sum(F.when(F.col("text").isNull, 0L)
+            .when(F.concat_ws("", F.col("tokens")) <=>
+              F.regexp_replace(F.col("text"), "\\s+", ""), 0L).otherwise(1L)) === 0L)
+            .as("reconstructs"),
+          (F.sum(F.when(F.col("text").isNull, 0L)
+            .when(F.size(F.col("tokens")) >= F.col("__nw"), 0L).otherwise(1L)) === 0L)
+            .as("ge_one_piece_per_word"),
+          F.lit(model.pieces.size <= 512).as("vocab_in_budget"),
+          F.lit(monotone).as("marginal_ll_monotone"),
+          F.lit(jsonOk).as("json_roundtrip"),
+          F.lit(spmOk).as("spm_roundtrip"))
+        .orderBy(F.col("source"))
+    }),
+
     // subword-regularization sampling (Kudo 2018 n-best/alpha): each
     // word draws from its n-best segmentation list under the
     // alpha-scaled distribution, seeded per (doc, word position) like
@@ -10555,6 +10612,12 @@ object SparkEntry {
       "q_tokenize_unigram" ->
         """SELECT source, count(*) AS docs, true AS reconstructs,
           |       true AS ge_one_piece_per_word, true AS vocab_in_budget
+          |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+      "q_tokenize_unigram_em" ->
+        """SELECT source, count(*) AS docs, true AS reconstructs,
+          |       true AS ge_one_piece_per_word, true AS vocab_in_budget,
+          |       true AS marginal_ll_monotone, true AS json_roundtrip,
+          |       true AS spm_roundtrip
           |FROM documents GROUP BY source ORDER BY source""".stripMargin,
       "q_tokenize_wordpiece" ->
         """SELECT source, count(*) AS docs, true AS reconstructs,

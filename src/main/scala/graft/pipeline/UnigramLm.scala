@@ -249,6 +249,244 @@ object UnigramLm {
     model
   }
 
+  // ---------------------------------------------------------------- //
+  // Soft EM (forward-backward expected counts)                        //
+  // ---------------------------------------------------------------- //
+
+  private def logAdd(a: Double, b: Double): Double =
+    if (a == Double.NegativeInfinity) b
+    else if (b == Double.NegativeInfinity) a
+    else if (a >= b) a + math.log1p(math.exp(b - a))
+    else b + math.log1p(math.exp(a - b))
+
+  /** The edge score of piece word[i-l, i): vocab log-prob, `unkScore`
+    * for unknown single chars, NaN (no edge) otherwise — exactly the
+    * [[viterbiSegment]] lattice. */
+  private def edgeScore(model: Model, word: String, i: Int, l: Int): Double = {
+    val piece = word.substring(i - l, i)
+    model.pieces.get(piece) match {
+      case Some(lp) => lp
+      case None => if (l == 1) model.unkScore else Double.NaN
+    }
+  }
+
+  /**
+   * Forward-backward expected piece counts for one word — the soft-EM
+   * E-step (real SentencePiece semantics, vs [[learn]]'s one-best
+   * Viterbi counts): every lattice edge's posterior under the FULL
+   * segmentation distribution,
+   *
+   *   E[piece at (i-l, i)] = exp(α(i-l) + lp + β(i) − α(n)),
+   *
+   * summed per piece. Also returns the word's MARGINAL log-likelihood
+   * α(n) (the logsumexp over all segmentations — the quantity EM
+   * provably increases). Unknown single chars participate at
+   * `unkScore` like the Viterbi DP, so every word carries mass; their
+   * expected counts are returned too (the caller's M-step decides
+   * what survives, as in the hard path). O(len · maxPieceLen).
+   */
+  def expectedCounts(
+      model: Model, word: String): (Array[(String, Double)], Double) = {
+    val n = word.length
+    if (n == 0) return (Array.empty, 0.0)
+    val alpha = Array.fill(n + 1)(Double.NegativeInfinity)
+    val beta = Array.fill(n + 1)(Double.NegativeInfinity)
+    alpha(0) = 0.0
+    var i = 1
+    while (i <= n) {
+      var l = 1
+      val lMax = math.min(model.maxPieceLen, i)
+      while (l <= lMax) {
+        val p = edgeScore(model, word, i, l)
+        if (!p.isNaN && alpha(i - l) != Double.NegativeInfinity)
+          alpha(i) = logAdd(alpha(i), alpha(i - l) + p)
+        l += 1
+      }
+      i += 1
+    }
+    beta(n) = 0.0
+    var j = n - 1
+    while (j >= 0) {
+      var l = 1
+      val lMax = math.min(model.maxPieceLen, n - j)
+      while (l <= lMax) {
+        val p = edgeScore(model, word, j + l, l)
+        if (!p.isNaN && beta(j + l) != Double.NegativeInfinity)
+          beta(j) = logAdd(beta(j), p + beta(j + l))
+        l += 1
+      }
+      j -= 1
+    }
+    val total = alpha(n)
+    val acc = scala.collection.mutable.HashMap.empty[String, Double]
+    i = 1
+    while (i <= n) {
+      var l = 1
+      val lMax = math.min(model.maxPieceLen, i)
+      while (l <= lMax) {
+        val p = edgeScore(model, word, i, l)
+        if (!p.isNaN && alpha(i - l) != Double.NegativeInfinity &&
+            beta(i) != Double.NegativeInfinity) {
+          val post = math.exp(alpha(i - l) + p + beta(i) - total)
+          if (post > 0.0) {
+            val piece = word.substring(i - l, i)
+            acc.update(piece, acc.getOrElse(piece, 0.0) + post)
+          }
+        }
+        l += 1
+      }
+      i += 1
+    }
+    (acc.toArray, total)
+  }
+
+  /** Marginal log-likelihood of one word: logsumexp over ALL
+    * segmentations (α(n) — always >= [[viterbiScore]]). */
+  def marginalScore(model: Model, word: String): Double =
+    expectedCounts(model, word)._2
+
+  /** Corpus MARGINAL log-likelihood per word occurrence — the soft-EM
+    * progress metric ([[corpusLogLikelihood]]'s all-paths sibling). */
+  def corpusMarginalLogLikelihood(
+      docs: DataFrame, textCol: String, model: Model): Double =
+    marginalOf(wordTable(docs, textCol), model)
+
+  private def marginalOf(words: DataFrame, model: Model): Double = {
+    val bc = words.sparkSession.sparkContext.broadcast(model)
+    val llU = F.udf((w: String) => expectedCounts(bc.value, w)._2)
+    words.agg((F.sum(llU(F.col("w")) * F.col("c")) / F.sum(F.col("c"))).as("ll"))
+      .head().getDouble(0)
+  }
+
+  /** One distributed E-step: corpus expected piece counts (weighted by
+    * word frequency). One map over the word table with the model
+    * broadcast + one aggregate keyed by the (bounded) vocabulary —
+    * the [[learn]] round's shape with posteriors instead of Viterbi
+    * counts. */
+  private def softCounts(
+      words: DataFrame, model: Model): Map[String, Double] = {
+    val session = words.sparkSession
+    import session.implicits._
+    val bc = session.sparkContext.broadcast(model)
+    val ecU = F.udf((w: String, c: Long) =>
+      expectedCounts(bc.value, w)._1.map { case (p, e) => (p, e * c) })
+    words
+      .select(F.explode(ecU(F.col("w"), F.col("c"))).as("pc"))
+      .groupBy(F.col("pc._1").as("p")).agg(F.sum(F.col("pc._2")).as("n"))
+      .as[(String, Double)].collect().toMap
+  }
+
+  /** Pure-ML M-step over expected counts (no smoothing — smoothing
+    * would break the EM monotonicity theorem the gate pins). Zero
+    * counts floor at 1e-12 so a piece never reaches log(0). */
+  private def toModelSoft(cs: Map[String, Double], maxPieceLen: Int): Model = {
+    val floored = cs.map { case (p, c) => p -> math.max(c, 1e-12) }
+    val total = floored.values.sum
+    Model(floored.map { case (p, c) => p -> math.log(c / total) }, maxPieceLen)
+  }
+
+  /**
+   * `rounds` soft-EM rounds at a FIXED vocabulary — the monotonicity
+   * witness: returns the final model and the corpus marginal
+   * log-likelihood of model 0, 1, ..., rounds (rounds+1 values, the
+   * EM theorem guarantees non-decreasing because each round is a pure
+   * ML M-step over exact expected counts with no pruning and no
+   * smoothing). Two passes per round (counts, likelihood) + one final
+   * likelihood pass.
+   */
+  def softEmLikelihoods(
+      docs: DataFrame,
+      textCol: String,
+      model0: Model,
+      rounds: Int): (Model, Seq[Double]) = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val words = wordTable(docs, textCol)
+    var model = model0
+    val lls = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var r = 0
+    while (r < rounds) {
+      lls += marginalOf(words, model)
+      // FIXED vocabulary: drop unknown-char posteriors before the ML
+      // renormalization — they are not free parameters (unkScore is
+      // held fixed), and folding their mass into the vocab simplex
+      // would both grow the vocabulary and break the constrained-ML
+      // argument behind monotonicity
+      val raw = softCounts(words, model)
+      val ec = model0.pieces.keysIterator
+        .map(p => p -> raw.getOrElse(p, 0.0)).toMap
+      model = toModelSoft(ec, model.maxPieceLen)
+      r += 1
+    }
+    lls += marginalOf(words, model)
+    (model, lls.toSeq)
+  }
+
+  /**
+   * Soft-EM unigram training — [[learn]] with forward-backward
+   * expected counts in the E-step (the real SentencePiece trainer
+   * semantics; hard EM converges to different vocabularies on
+   * ambiguous corpora because one-best counting starves every
+   * runner-up split). Seeding and the prune-toward-budget loop are
+   * [[learn]]'s; each round re-estimates by pure ML over posteriors
+   * and prunes multi-char pieces outside the top `vocabSize` by
+   * EXPECTED count. Single chars survive (coverage). Keep [[learn]]
+   * as the fast path — hard EM is one aggregate per round where this
+   * is two, and its one-best counts are sparser to shuffle.
+   */
+  def learnSoft(
+      docs: DataFrame,
+      textCol: String,
+      vocabSize: Int,
+      iters: Int = 4,
+      maxPieceLen: Int = 8,
+      seedMultiplier: Int = 4): Model = {
+    require(vocabSize >= 1, s"vocabSize must be positive, got $vocabSize")
+    require(iters >= 1, s"iters must be positive, got $iters")
+    val session = docs.sparkSession
+    import session.implicits._
+    val words = wordTable(docs, textCol)
+    val subU = F.udf((w: String) => {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < w.length) {
+        var l = 1
+        while (l <= maxPieceLen && i + l <= w.length) {
+          out += w.substring(i, i + l); l += 1
+        }
+        i += 1
+      }
+      out.toArray
+    })
+    val subCounts = words
+      .select(F.explode(subU(F.col("w"))).as("p"), F.col("c"))
+      .groupBy(F.col("p")).agg(F.sum(F.col("c")).as("n"))
+      .localCheckpoint(eager = false)
+    val chars = subCounts.filter(F.length(F.col("p")) === 1)
+      .as[(String, Long)].collect()
+    val multi = subCounts.filter(F.length(F.col("p")) > 1)
+      .orderBy(F.col("n").desc, F.col("p"))
+      .limit(math.max(0, seedMultiplier.toLong * vocabSize - chars.length)
+        .min(Int.MaxValue).toInt)
+      .as[(String, Long)].collect()
+    val charSet = chars.map(_._1).toSet
+    var model = toModelSoft(
+      (chars ++ multi).map { case (p, n) => p -> n.toDouble }.toMap,
+      maxPieceLen)
+    var it = 0
+    while (it < iters) {
+      val ec = softCounts(words, model)
+      val keepMulti = ec.iterator
+        .filter { case (p, _) => p.length > 1 }
+        .toSeq.sortBy { case (p, n) => (-n, p) }
+        .take(math.max(0, vocabSize - charSet.size))
+      val counts = charSet.iterator
+        .map(c => c -> ec.getOrElse(c, 0.0)).toMap ++ keepMulti
+      model = toModelSoft(counts, maxPieceLen)
+      it += 1
+    }
+    model
+  }
+
   /**
    * Map-only corpus tokenization: `outCol` = the concatenation of each
    * whitespace word's Viterbi segmentation. Broadcast model,

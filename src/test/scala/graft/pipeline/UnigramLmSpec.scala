@@ -174,4 +174,67 @@ class UnigramLmSpec extends SparkTestBase {
     // equal viterbi output but different samples
     assert(a !== vit)
   }
+
+  test("expectedCounts: hand lattice posteriors exact; marginal >= Viterbi") {
+    val m = UnigramLm.Model(
+      Map("ab" -> math.log(0.5), "a" -> math.log(0.3), "b" -> math.log(0.2)),
+      maxPieceLen = 8)
+    // word "ab": paths [ab] (0.5) and [a,b] (0.06); Z = 0.56
+    val (ec, ll) = UnigramLm.expectedCounts(m, "ab")
+    val e = ec.toMap
+    assert(math.abs(ll - math.log(0.56)) < 1e-12)
+    assert(math.abs(e("ab") - 0.5 / 0.56) < 1e-12)
+    assert(math.abs(e("a") - 0.06 / 0.56) < 1e-12)
+    assert(math.abs(e("b") - 0.06 / 0.56) < 1e-12)
+    // expected counts at each boundary sum to the crossing posterior:
+    // total pieces = 1*P([ab]) + 2*P([a,b])
+    assert(math.abs(ec.map(_._2).sum - (0.5 + 2 * 0.06) / 0.56) < 1e-12)
+    // marginal dominates the one-best score, strictly when ambiguous
+    assert(ll > UnigramLm.viterbiScore(m, "ab"))
+    assert(UnigramLm.marginalScore(m, "ab") == ll)
+    // unknown chars participate at unkScore, like the Viterbi lattice
+    val (ecZ, llZ) = UnigramLm.expectedCounts(m, "Z")
+    assert(llZ == m.unkScore && ecZ.toMap.apply("Z") == 1.0)
+  }
+
+  test("soft EM: marginal likelihood monotone non-decreasing at fixed vocab") {
+    val rnd = new scala.util.Random(13)
+    val stems = Vector("play", "work", "jump", "walk")
+    val sufs = Vector("ing", "ed", "er", "s")
+    val docs = Seq.tabulate(150) { i =>
+      val ws = Seq.fill(6)(stems(rnd.nextInt(stems.size)) + sufs(rnd.nextInt(sufs.size)))
+      (i.toLong, ws.mkString(" "))
+    }.toDF("id", "text")
+    val m0 = UnigramLm.learn(docs, "text", vocabSize = 40, iters = 1)
+    val (m, lls) = UnigramLm.softEmLikelihoods(docs, "text", m0, rounds = 3)
+    assert(lls.length == 4)
+    lls.sliding(2).foreach { case Seq(a, b) =>
+      assert(b >= a - 1e-9, s"marginal LL degraded: $lls")
+    }
+    // the final model keeps exactly the fixed vocabulary
+    assert(m.pieces.keySet == m0.pieces.keySet)
+  }
+
+  test("learnSoft: reconstructs, budget, finds planted morphemes") {
+    val rnd = new scala.util.Random(17)
+    val stems = Vector("play", "work", "jump", "walk", "read", "sing")
+    val sufs = Vector("ing", "ed", "er", "est", "ly", "s")
+    val docs = Seq.tabulate(300) { i =>
+      val ws = Seq.fill(8)(stems(rnd.nextInt(stems.size)) + sufs(rnd.nextInt(sufs.size)))
+      (i.toLong, ws.mkString(" "))
+    }.toDF("id", "text")
+    val nChars = docs.as[(Long, String)].collect()
+      .flatMap(_._2.replace(" ", "")).distinct.length
+    val m = UnigramLm.learnSoft(docs, "text", vocabSize = nChars + 14, iters = 4)
+    assert(m.pieces.size <= nChars + 14)
+    // every word re-segments and reconstructs
+    val bad = docs.as[(Long, String)].collect().flatMap(_._2.split("\\s+"))
+      .distinct.filterNot { w =>
+        UnigramLm.viterbiSegment(m, w).mkString("") == w
+      }
+    assert(bad.isEmpty, s"words fail to reconstruct: ${bad.take(3).toSeq}")
+    // soft posteriors find the productive morphemes too
+    assert(stems.count(m.pieces.contains) >= 3, m.pieces.keys.toSeq.sorted.toString)
+    assert(sufs.filter(_.length > 1).count(m.pieces.contains) >= 2)
+  }
 }
