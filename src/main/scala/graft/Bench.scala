@@ -489,6 +489,39 @@ object Bench {
         idx, emb.filter(F.col("vec_id") < 20), "vec_id", "embedding", 10, nprobe = 4)
     }),
 
+    // the nightly-ops chain end to end (build -> append -> auto-compact
+    // -> lease handshake -> takedown -> drift-triggered retrain ->
+    // planted-copy probe) — the operational cost of q_pipeline_ops'
+    // batch form, fresh dirs every rep
+    "b_index_ops" -> ((s: SparkSession, dir: String) => {
+      val sim = graft.pipeline.Similarity
+      val emb = t(s, dir, "embeddings")
+        .filter(F.col("embedding").isNotNull)
+        .select(F.col("vec_id").cast("long").as("vec_id"), F.col("embedding"))
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_bench_ops").toString
+      sim.buildIvfIndex(emb.filter(F.col("vec_id") % 4 === 0),
+        "vec_id", "embedding", nlist = 16, iterations = 2).save(path)
+      (1 to 3).foreach { m =>
+        sim.appendToIvfIndexTouched(s, path,
+          emb.filter(F.col("vec_id") % 4 === m), "vec_id", "embedding",
+          batchId = m.toLong - 1L)
+      }
+      sim.maybeCompactIvfIndex(s, path, maxFilesPerCell = 1)
+      sim.removeFromIvfIndex(s, path,
+        emb.filter(F.col("vec_id") % 37 === 0).select("vec_id"), "vec_id")
+      val shiftU = F.udf((v: Seq[Float]) => v.map(x => x + 25.0f).toArray)
+      sim.maybeRetrainIvfIndex(s, path,
+        emb.limit(300).select(F.col("vec_id"),
+          shiftU(F.col("embedding")).as("embedding")),
+        "embedding", psiThreshold = 0.2)
+      val re = sim.loadIvfIndex(s, path)
+      val probes = emb.filter(F.col("vec_id") % 37 =!= 0 &&
+          F.col("vec_id") % 25 === 0)
+        .select((F.col("vec_id") + 100000L).as("vec_id"), F.col("embedding"))
+      sim.ivfTopKIndexed(re, probes, "vec_id", "embedding", 1, nprobe = 1)
+    }),
+
     // recall-target calibration: one bounded brute-force pass (64
     // sampled queries vs the corpus) + driver-side probe replay per
     // grid mass — the build-time cost of turning the probeMass dial

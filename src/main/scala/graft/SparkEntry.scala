@@ -3568,6 +3568,132 @@ object SparkEntry {
         F.lit(hGeomKept).as("hnsw_geom_kept"))
     }),
 
+    // nightly index operations, COMPOSED (the q_pipeline_curation
+    // precedent applied to operations): stream append -> auto-compact
+    // fires -> takedown removal (writer-lease handshake ENFORCED: the
+    // refusal is part of the gate) -> drift batch -> maybeRetrain
+    // quiet-then-fires -> planted-copy probes, across IVF and the text
+    // index in one run. The text leg's final probe hash-matches BM25
+    // over the post-takedown corpus replayed in SQL (doc_id % 37 <> 0;
+    // measured top-15 gaps >= 5.7e-5 at both SFs); the IVF leg pins
+    // exact cardinalities and copy/absence facts at every stage.
+    "q_pipeline_ops" -> ((s: SparkSession, dir: String) => {
+      val sim = graft.pipeline.Similarity
+      val mx = graft.pipeline.Maintenance
+      val emb = t(s, dir, "embeddings")
+        .filter(F.col("embedding").isNotNull)
+        .select(F.col("vec_id").cast("long").as("vec_id"), F.col("embedding"))
+      val base = System.getProperty("java.io.tmpdir") + "/graft_q_ops"
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+
+      // ---- IVF leg ----
+      val ivfDir = s"$base/ivf"
+      sim.buildIvfIndex(emb.filter(F.col("vec_id") % 4 === 0),
+        "vec_id", "embedding", nlist = 8, iterations = 2).save(ivfDir)
+      val rest = emb.filter(F.col("vec_id") % 4 =!= 0)
+      rest.repartition(3).write.mode("overwrite").parquet(s"$base/ivf_src")
+      val q1 = sim.streamToIvfIndex(
+          s.readStream.schema(rest.schema)
+            .option("maxFilesPerTrigger", 1).parquet(s"$base/ivf_src"),
+          ivfDir, "vec_id", "embedding")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", s"$base/ivf_ckpt")
+        .start()
+      q1.awaitTermination()
+      val nAll = emb.count()
+      val streamOk = sim.loadIvfIndex(s, ivfDir).assigned.count() == nAll
+      // auto-compact: a tight dial fires exactly once, then stays quiet
+      val compactFired = sim.maybeCompactIvfIndex(s, ivfDir, maxFilesPerCell = 1)
+      val compactQuietAfter = !sim.maybeCompactIvfIndex(s, ivfDir, maxFilesPerCell = 1)
+      val nAfterCompact = sim.loadIvfIndex(s, ivfDir).assigned.count() == nAll
+      // takedown: the writer lease (heartbeated by the stream's last
+      // micro-batch) must REFUSE the removal until released
+      val doomed = emb.filter(F.col("vec_id") % 37 === 0).select("vec_id")
+      val nDoomed = doomed.count()
+      val handshake =
+        try { sim.removeFromIvfIndex(s, ivfDir, doomed, "vec_id"); false }
+        catch { case e: IllegalStateException =>
+          e.getMessage.contains("releaseWriterLease") }
+      mx.releaseWriterLease(s, ivfDir)
+      val afterRemove = sim.removeFromIvfIndex(s, ivfDir, doomed, "vec_id")
+      val removeOk = afterRemove.assigned.count() == nAll - nDoomed
+      // drift: in-distribution batch quiet, shifted batch fires
+      val (r1, _) = sim.maybeRetrainIvfIndex(s, ivfDir, emb.limit(200),
+        "embedding", psiThreshold = 0.2)
+      val shiftU = F.udf((v: Seq[Float]) => v.map(x => x + 25.0f).toArray)
+      val (r2, _) = sim.maybeRetrainIvfIndex(s, ivfDir,
+        emb.limit(300).select(F.col("vec_id"),
+          shiftU(F.col("embedding")).as("embedding")),
+        "embedding", psiThreshold = 0.2, nlist = 16)
+      val re = sim.loadIvfIndex(s, ivfDir)
+      val retrainOk = !r1 && r2 && re.centroids.length == 16 &&
+        re.assigned.count() == nAll - nDoomed
+      // probes: planted copies of survivors rank-1; removed ids absent
+      // and never returned for their own vectors
+      val survivors = emb.filter(F.col("vec_id") % 37 =!= 0 &&
+        F.col("vec_id") % 5 === 0)
+      val probes = survivors.select((F.col("vec_id") + 100000L).as("vec_id"),
+        F.col("embedding"))
+      val hits = sim.ivfTopKIndexed(re, probes, "vec_id", "embedding", 1,
+          nprobe = 1).collect()
+      val copiesFound = hits.length == survivors.count() &&
+        hits.forall(r => r.getAs[Long]("neighbor_id") ==
+          r.getAs[Long]("query_id") - 100000L)
+      val doomedProbes = emb.filter(F.col("vec_id") % 37 === 0)
+        .select((F.col("vec_id") + 100000L).as("vec_id"), F.col("embedding"))
+      val removedAbsent = sim.ivfTopKIndexed(re, doomedProbes,
+          "vec_id", "embedding", 5, nprobe = 2)
+        .filter(F.col("neighbor_id") === F.col("query_id") - 100000L)
+        .count() == 0L
+
+      // ---- text leg (same schedule; final probe is cross-engine) ----
+      val docs = t(s, dir, "documents")
+      val tDir = s"$base/text"
+      graft.pipeline.Retrieval.buildTextIndex(
+        docs.filter(F.col("doc_id") % 2 === 0), "doc_id", "text", 32)
+        .save(tDir)
+      val oddDocs = docs.filter(F.col("doc_id") % 2 =!= 0)
+        .select(F.col("doc_id"), F.col("text"))
+      oddDocs.repartition(3).write.mode("overwrite").parquet(s"$base/t_src")
+      val q2 = graft.pipeline.Retrieval.streamToTextIndex(
+          s.readStream.schema(oddDocs.schema)
+            .option("maxFilesPerTrigger", 1).parquet(s"$base/t_src"),
+          tDir, "doc_id", "text")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", s"$base/t_ckpt")
+        .start()
+      q2.awaitTermination()
+      val textCompactFired =
+        graft.pipeline.Retrieval.maybeCompactTextIndex(s, tDir, 1)
+      val textHandshake =
+        try {
+          graft.pipeline.Retrieval.removeFromTextIndex(s, tDir,
+            docs.filter(F.col("doc_id") % 37 === 0).select("doc_id"), "doc_id")
+          false
+        } catch { case e: IllegalStateException =>
+          e.getMessage.contains("releaseWriterLease") }
+      mx.releaseWriterLease(s, tDir)
+      val pruned = graft.pipeline.Retrieval.removeFromTextIndex(s, tDir,
+        docs.filter(F.col("doc_id") % 37 === 0).select("doc_id"), "doc_id")
+      graft.pipeline.Retrieval.bm25TopKIndexed(
+          pruned, Seq("slow", "merge", "window"), 10)
+        .select(F.col("rank").cast("long").as("rank"),
+          F.col("id").as("doc_id"), F.col("tf_total"), F.col("n_terms_hit"),
+          F.lit(streamOk).as("ivf_stream_ok"),
+          F.lit(compactFired && compactQuietAfter && nAfterCompact)
+            .as("ivf_compact_ok"),
+          F.lit(handshake).as("ivf_handshake_enforced"),
+          F.lit(removeOk).as("ivf_remove_ok"),
+          F.lit(retrainOk).as("ivf_retrain_ok"),
+          F.lit(copiesFound).as("ivf_copies_found"),
+          F.lit(removedAbsent).as("ivf_removed_absent"),
+          F.lit(textCompactFired).as("text_compact_fired"),
+          F.lit(textHandshake).as("text_handshake_enforced"))
+        .orderBy("rank")
+    }),
+
     // zero-downtime IVF re-train (the drift-says-retrain endpoint):
     // fresh centroids trained over the index's own contents, staged
     // beside the live index, journaled, swapped. The gate retrains a
@@ -9704,6 +9830,34 @@ object SparkEntry {
         |FROM embeddings
         |WHERE embedding IS NOT NULL AND vec_id % 37 = 0
         |ORDER BY query_id""".stripMargin,
+    "q_pipeline_ops" ->
+      """WITH f AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+        |                    x -> len(x) > 0) AS w
+        |           FROM documents WHERE doc_id % 37 <> 0),
+        |dl AS (SELECT doc_id, len(w) AS dl FROM f WHERE len(w) > 0),
+        |toks AS (SELECT doc_id, unnest(w) AS term FROM f),
+        |post AS (SELECT term, doc_id, count(*) AS tf FROM toks
+        |         WHERE term IN ('slow', 'merge', 'window') GROUP BY 1, 2),
+        |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+        |dfs AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+        |scored AS (
+        |  SELECT p.doc_id,
+        |         sum(ln(1 + (s.n - f2.df + 0.5) / (f2.df + 0.5)) * p.tf * 2.2 /
+        |             (p.tf + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl))) AS score,
+        |         CAST(sum(p.tf) AS BIGINT) AS tf_total,
+        |         CAST(count(*) AS BIGINT) AS n_terms_hit
+        |  FROM post p JOIN dfs f2 USING (term) JOIN dl d USING (doc_id)
+        |  CROSS JOIN stats s GROUP BY 1)
+        |SELECT rank, doc_id, tf_total, n_terms_hit,
+        |       true AS ivf_stream_ok, true AS ivf_compact_ok,
+        |       true AS ivf_handshake_enforced, true AS ivf_remove_ok,
+        |       true AS ivf_retrain_ok, true AS ivf_copies_found,
+        |       true AS ivf_removed_absent, true AS text_compact_fired,
+        |       true AS text_handshake_enforced
+        |FROM (
+        |  SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+        |         doc_id, tf_total, n_terms_hit FROM scored) t
+        |WHERE rank <= 10 ORDER BY rank""".stripMargin,
     "q_ann_target" ->
       """SELECT CAST(count(*) AS BIGINT) AS n,
         |       true AS cal_roundtrip, true AS curve_monotone,
