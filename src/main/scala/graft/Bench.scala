@@ -118,6 +118,48 @@ object Bench {
   private val hnswIndexCache = scala.collection.concurrent.TrieMap[String,
     graft.pipeline.Hnsw.HnswIndex]()
 
+  // template HNSW dir (index + an appended drifted batch) for the
+  // nav-insert vs retrain A/B — built once per dir; each timed rep
+  // restores a fresh copy so both ops mutate identical state
+  private val hnswOpsTemplateCache =
+    scala.collection.concurrent.TrieMap[String, String]()
+
+  private def hnswDrifted(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+      .filter(F.col("embedding").isNotNull)
+      .select(F.col("vec_id").cast("long").as("vec_id"), F.col("embedding"))
+    val shiftU = F.udf((v: Seq[Float]) => v.map(x => x + 25.0f).toArray)
+    emb.filter(F.col("vec_id") % 10 === 0)
+      .select((F.col("vec_id") + 500000L).as("vec_id"),
+        shiftU(F.col("embedding")).as("embedding"))
+  }
+
+  private def hnswOpsTemplate(s: SparkSession, dir: String): String =
+    hnswOpsTemplateCache.getOrElseUpdate(dir, {
+      val emb = t(s, dir, "embeddings")
+        .filter(F.col("embedding").isNotNull)
+        .select(F.col("vec_id").cast("long").as("vec_id"), F.col("embedding"))
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_bench_hnsw_tpl").toString + "/idx"
+      val maxNav = math.max(16, math.sqrt(emb.count().toDouble).toInt)
+      graft.pipeline.Hnsw.buildHnswIndex(
+        emb, "vec_id", "embedding", maxNav = maxNav).save(path)
+      graft.pipeline.Hnsw.appendToHnswIndex(s, path,
+        hnswDrifted(s, dir), "vec_id", "embedding")
+      path
+    })
+
+  private def restoreHnswOps(s: SparkSession, dir: String): String = {
+    val tpl = hnswOpsTemplate(s, dir)
+    val dst = java.nio.file.Files
+      .createTempDirectory("graft_bench_hnsw_ops").toString + "/idx"
+    val conf = s.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(tpl).getFileSystem(conf)
+    org.apache.hadoop.fs.FileUtil.copy(fs, new org.apache.hadoop.fs.Path(tpl),
+      fs, new org.apache.hadoop.fs.Path(dst), false, conf)
+    dst
+  }
+
   private def hnswIndexFor(s: SparkSession, dir: String, emb: DataFrame) =
     hnswIndexCache.getOrElseUpdate(dir, {
       val path = java.nio.file.Files
@@ -487,6 +529,27 @@ object Bench {
       })
       graft.pipeline.Similarity.ivfTopKIndexed(
         idx, emb.filter(F.col("vec_id") < 20), "vec_id", "embedding", 10, nprobe = 4)
+    }),
+
+    // drift adaptation A/B, side 1: incremental nav growth — k-means
+    // over the drifted BATCH only + driver-side graph insert + one
+    // map-only corpus re-walk (template restored per rep; the copy
+    // cost is identical on both sides)
+    "b_hnsw_nav_insert" -> ((s: SparkSession, dir: String) => {
+      val dst = restoreHnswOps(s, dir)
+      val grown = graft.pipeline.Hnsw.addNavNodes(s, dst,
+        hnswDrifted(s, dir), "vec_id", "embedding", maxNewNav = 16)
+      s.range(1).select(F.lit(grown.graph.vecs.length).as("navs"))
+    }),
+
+    // drift adaptation A/B, side 2: full staged-swap retrain at the
+    // SAME final nav count — corpus-wide k-means + full graph rebuild
+    "b_hnsw_retrain" -> ((s: SparkSession, dir: String) => {
+      val dst = restoreHnswOps(s, dir)
+      val cur = graft.pipeline.Hnsw.loadHnswIndex(s, dst)
+      val re = graft.pipeline.Hnsw.retrainHnswIndex(s, dst,
+        maxNav = cur.graph.vecs.length + 16)
+      s.range(1).select(F.lit(re.graph.vecs.length).as("navs"))
     }),
 
     // the nightly-ops chain end to end (build -> append -> auto-compact

@@ -3808,6 +3808,58 @@ object SparkEntry {
         F.lit(p60 >= 0.6).as("pq_t60_ok"))
     }),
 
+    // incremental HNSW navigation growth: a drifted batch trains NEW
+    // nav cells (k-means over the batch only), insertNav continues the
+    // build loop on the existing graph, and one map-only re-walk puts
+    // every row at its new-graph assignment (the exact-copy guarantee
+    // survives). Staged like retrain. Pins: nav count, exact
+    // cardinality, per-row walk self-consistency, drifted rows owning
+    // new cells, and planted copies of drifted rows probing rank-1.
+    "q_hnsw_nav_insert" -> ((s: SparkSession, dir: String) => {
+      val hn = graft.pipeline.Hnsw
+      val emb = t(s, dir, "embeddings")
+        .filter(F.col("embedding").isNotNull)
+        .select(F.col("vec_id").cast("long").as("vec_id"), F.col("embedding"))
+      val path = System.getProperty("java.io.tmpdir") + "/graft_q_nav_insert"
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      hn.buildHnswIndex(emb, "vec_id", "embedding",
+        maxNav = 16, m = 8, efConstruction = 48, efAssign = 16).save(path)
+      val shiftU = F.udf((v: Seq[Float]) => v.map(x => x + 25.0f).toArray)
+      val drifted = emb.filter(F.col("vec_id") < 60)
+        .select((F.col("vec_id") + 500000L).as("vec_id"),
+          shiftU(F.col("embedding")).as("embedding"))
+        .localCheckpoint(false)
+      hn.appendToHnswIndex(s, path, drifted, "vec_id", "embedding")
+      val grown = hn.addNavNodes(s, path, drifted, "vec_id", "embedding",
+        maxNewNav = 8)
+      val navGrown = grown.graph.vecs.length == 24
+      val nOk = grown.assigned.count() == emb.count() + drifted.count()
+      val gB = s.sparkContext.broadcast(grown.graph)
+      // fully qualified inside the UDF: capturing the `hn` object val
+      // in the closure is the documented Task-not-serializable trap
+      val selfU = F.udf((v: Seq[Float], c: Int) =>
+        graft.pipeline.Hnsw.search(gB.value, v.toArray,
+          gB.value.efAssign).head._1 == c)
+      val selfConsistent = grown.assigned
+        .filter(!selfU(F.col("__cv"), F.col("__cell"))).count() == 0L
+      val driftedCells = grown.assigned
+        .filter(F.col("neighbor_id").cast("long") >= 500000L)
+        .select(F.col("__cell")).distinct().collect().map(_.getInt(0))
+      val cellsOwned = driftedCells.forall(_ >= 16) && driftedCells.length >= 4
+      val probes = drifted.filter(F.col("vec_id") < 500010L)
+        .select((F.col("vec_id") + 100000L).as("vec_id"), F.col("embedding"))
+      hn.hnswTopK(grown, probes, "vec_id", "embedding", 1,
+          efSearch = 24, minProbe = 1, probeMass = 0.0)
+        .select(F.col("query_id"), F.col("neighbor_id").as("top1"),
+          (F.col("cos") >= 0.999999).as("found"),
+          F.lit(navGrown).as("nav_grown"), F.lit(nOk).as("n_ok"),
+          F.lit(selfConsistent).as("self_consistent"),
+          F.lit(cellsOwned).as("cells_owned"))
+        .orderBy("query_id")
+    }),
+
     // graph ANN (HNSW-class): driver-built navigation graph over a
     // bounded sample, corpus assigned by a broadcast graph walk into
     // the shared cell-table layout, probes partition-prune to the
@@ -9858,6 +9910,14 @@ object SparkEntry {
         |  SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
         |         doc_id, tf_total, n_terms_hit FROM scored) t
         |WHERE rank <= 10 ORDER BY rank""".stripMargin,
+    "q_hnsw_nav_insert" ->
+      """SELECT CAST(vec_id + 600000 AS BIGINT) AS query_id,
+        |       CAST(vec_id + 500000 AS BIGINT) AS top1,
+        |       true AS found, true AS nav_grown, true AS n_ok,
+        |       true AS self_consistent, true AS cells_owned
+        |FROM embeddings
+        |WHERE embedding IS NOT NULL AND vec_id < 10
+        |ORDER BY query_id""".stripMargin,
     "q_ann_target" ->
       """SELECT CAST(count(*) AS BIGINT) AS n,
         |       true AS cal_roundtrip, true AS curve_monotone,

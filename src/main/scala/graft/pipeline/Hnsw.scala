@@ -209,6 +209,78 @@ object Hnsw {
   private[pipeline] def assignCell(g: Graph, v: Array[Float]): Int =
     search(g, v, g.efAssign).head._1
 
+  /**
+   * Insert `points` into an EXISTING graph — the [[build]] loop
+   * continued from node `n`: each new node draws its level from the
+   * same seeded rule at its global index (so growing a graph in two
+   * steps or one draws identical levels), descends from the current
+   * entry, beams at `g.efConstruction`, links M-nearest, and shrinks
+   * overfull neighbors — existing adjacency is REUSED, not rebuilt
+   * (the incremental win: O(new · ef · M) vs the full O(n · ef · M)
+   * reconstruction). Existing nodes keep their indices; new nodes
+   * take n, n+1, ... (cell ids extend, never reshuffle). Input order
+   * deterministic → the grown graph is deterministic.
+   */
+  def insertNav(
+      g: Graph,
+      points: Array[Array[Float]],
+      seed: Long = 42L): Graph = {
+    if (points.isEmpty) return g
+    val oldN = g.vecs.length
+    val n = oldN + points.length
+    val mL = 1.0 / math.log(g.m.toDouble)
+    val vecs = g.vecs ++ points.map(normalize)
+    val levels = new Array[Int](n)
+    System.arraycopy(g.levels, 0, levels, 0, oldN)
+    var i = oldN
+    while (i < n) { levels(i) = levelFor(seed, i.toLong, mL); i += 1 }
+    // adjacency is mutated during insertion (new links + shrink) —
+    // deep-copy the existing structure
+    val neighbors = new Array[Array[Array[Int]]](n)
+    i = 0
+    while (i < oldN) { neighbors(i) = g.neighbors(i).map(_.clone()); i += 1 }
+    while (i < n) { neighbors(i) = Array.fill(levels(i) + 1)(Array.empty[Int]); i += 1 }
+    var entry = g.entry
+    var maxLevel = if (oldN == 0) -1 else levels(entry)
+    val g2 = Graph(vecs, levels, neighbors, entry, g.m, g.efAssign,
+      g.efConstruction)
+    val maxAt = (lc: Int) => if (lc == 0) 2 * g.m else g.m
+    i = oldN
+    while (i < n) {
+      val q = vecs(i)
+      val l = levels(i)
+      if (maxLevel < 0) { entry = i; maxLevel = l }
+      else {
+        var ep = entry
+        var lc = maxLevel
+        while (lc > l) {
+          ep = searchLayer(g2, q, Seq(ep), 1, lc).head._1
+          lc -= 1
+        }
+        var eps = Seq(ep)
+        lc = math.min(l, maxLevel)
+        while (lc >= 0) {
+          val found = searchLayer(g2, q, eps, g.efConstruction, lc)
+          val selected = found.take(g.m).map(_._1)
+          neighbors(i)(lc) = selected
+          selected.foreach { nb =>
+            val cur = neighbors(nb)(lc)
+            val grown = cur :+ i
+            neighbors(nb)(lc) =
+              if (grown.length <= maxAt(lc)) grown
+              else grown.map(x => (x, dist(vecs(nb), vecs(x))))
+                .sortBy(_._2).take(maxAt(lc)).map(_._1)
+          }
+          eps = found.map(_._1).toSeq
+          lc -= 1
+        }
+        if (l > maxLevel) { maxLevel = l; entry = i }
+      }
+      i += 1
+    }
+    Graph(vecs, levels, neighbors, entry, g.m, g.efAssign, g.efConstruction)
+  }
+
   // ------------------------------------------------------------------ //
   // Spark integration                                                   //
   // ------------------------------------------------------------------ //
@@ -680,9 +752,105 @@ object Hnsw {
     loadHnswIndex(spark, path)
   }
 
-  /** Crash repair for [[retrainHnswIndex]]. */
+  /** Crash repair for [[retrainHnswIndex]] and [[addNavNodes]]. */
   def recoverRetrain(spark: SparkSession, path: String): Unit =
     Maintenance.withLock(spark, path) {
       StagedSwap.recoverLocked(spark, path, ManagedDirs)
     }
+
+  /**
+   * Incremental navigation growth — the adaptation path BETWEEN
+   * appends (which freeze the graph) and [[retrainHnswIndex]] (which
+   * rebuilds everything): train `maxNewNav` spherical k-means points
+   * over the FRESH batch only (the drifted region — one bounded pass
+   * over the batch, never the corpus), [[insertNav]] them into the
+   * existing graph (O(new · ef · M) driver work vs the full rebuild's
+   * O(nav · ef · M)), and re-walk the corpus once (map-only) so every
+   * row sits at its new-graph assignment — the exact-copy guarantee
+   * (assign walk ≡ probe walk on the SAME graph) survives the
+   * mutation, which a graph-swap without reassignment would break.
+   * Staged like retrain (whole-dir staging + journal + swap): the
+   * reassignment write is full-table, but the TRAINING cost is
+   * batch-bounded — that is the saving, measured in SCALING.md.
+   * Writer-exclusive; stream-batch replays suppressed (their rows
+   * land in the rebuilt base layer). Returns the reloaded index.
+   */
+  def addNavNodes(
+      spark: SparkSession,
+      path: String,
+      fresh: DataFrame,
+      idCol: String,
+      vecCol: String,
+      maxNewNav: Int,
+      iterations: Int = 2,
+      seed: Long = 42L): HnswIndex =
+    addNavNodesImpl(spark, path, fresh, idCol, vecCol, maxNewNav, iterations,
+      seed, () => (), () => ())
+
+  private[graft] def addNavNodesImpl(
+      spark: SparkSession,
+      path: String,
+      fresh: DataFrame,
+      idCol: String,
+      vecCol: String,
+      maxNewNav: Int,
+      iterations: Int,
+      seed: Long,
+      afterStage: () => Unit,
+      afterJournal: () => Unit): HnswIndex =
+      Maintenance.withExclusiveLock(spark, path) {
+    require(maxNewNav >= 1, s"maxNewNav must be >= 1, got $maxNewNav")
+    StagedSwap.recoverLocked(spark, path, ManagedDirs)
+    CellTable.recover(spark, s"$path/assigned")
+    val cur = loadHnswIndex(spark, path)
+    val normU = F.udf((v: Array[Float]) => normalize(v))
+    val navsNew = Similarity.trainCentroids(
+      fresh.filter(F.col(vecCol).isNotNull)
+        .withColumn("__nv", normU(F.col(vecCol))),
+      idCol, "__nv", maxNewNav, iterations)
+    require(navsNew.nonEmpty, "addNavNodes: no non-null vectors in the batch")
+    val g2 = insertNav(cur.graph, navsNew, seed)
+    val rows = cur.assigned.select(F.col("neighbor_id"), F.col("__cv"))
+      .localCheckpoint(eager = false)
+    require(!rows.isEmpty, s"addNavNodes: index at $path is empty")
+    StagedSwap.suppressStreamReplays(spark, path, s"$path/assigned")
+    val gB = spark.sparkContext.broadcast(g2)
+    val assignU = F.udf((v: Array[Float]) => assignCell(gB.value, v))
+    val navIds = cur.navIds ++
+      (cur.graph.vecs.length until g2.vecs.length).map(_.toLong)
+    StagedSwap.run(spark, path, ManagedDirs, afterStage, afterJournal) {
+      staging =>
+        val assigned = rows.select(F.col("neighbor_id"), F.col("__cv"),
+          assignU(F.col("__cv")).as("__cell"))
+        HnswIndex(g2, navIds, cellSizesOf(assigned, g2.vecs.length), assigned)
+          .save(staging)
+    }
+    loadHnswIndex(spark, path)
+  }
+
+  /** Drift-dialed navigation growth — [[maybeRetrainHnswIndex]]'s
+    * cheaper first line: at or above `psiThreshold` the drifted
+    * batch's region gets `maxNewNav` new navigation cells
+    * ([[addNavNodes]] — batch-bounded training, no corpus
+    * re-clustering); below it the only cost is the frozen-graph
+    * drift measurement. Escalation guidance: expand on moderate
+    * drift, [[retrainHnswIndex]] when repeated expansions stop
+    * lowering the PSI (geometry truly moved). Returns
+    * (expanded, psi). */
+  def maybeExpandHnswIndex(
+      spark: SparkSession,
+      path: String,
+      fresh: DataFrame,
+      idCol: String,
+      vecCol: String,
+      psiThreshold: Double = 0.2,
+      maxNewNav: Int = 16): (Boolean, Double) = {
+    val cur = loadHnswIndex(spark, path)
+    val psi = hnswDrift(cur, fresh, vecCol).head().getDouble(2)
+    if (psi < psiThreshold) (false, psi)
+    else {
+      addNavNodes(spark, path, fresh, idCol, vecCol, maxNewNav)
+      (true, psi)
+    }
+  }
 }

@@ -171,4 +171,118 @@ class HnswSpec extends SparkTestBase {
       batchId = 99L)
     assert(content(dirB) === afterRm, "replay resurrected removed vectors")
   }
+
+  test("insertNav continues the build loop: grown graph deterministic, searchable") {
+    val pts = Array.tabulate(24)(i =>
+      Array.tabulate(8)(d => math.sin(i * 8 + d).toFloat))
+    val extra = Array.tabulate(8)(i =>
+      Array.tabulate(8)(d => math.cos(i * 8 + d + 100).toFloat))
+    val g0 = Hnsw.build(pts, m = 4, efConstruction = 24, efAssign = 8)
+    val g2 = Hnsw.insertNav(g0, extra)
+    assert(g2.vecs.length == 32 && g2.m == g0.m &&
+      g2.efAssign == g0.efAssign && g2.efConstruction == g0.efConstruction)
+    // existing nodes keep their indices and vectors
+    (0 until 24).foreach(i => assert(g2.vecs(i).toSeq == g0.vecs(i).toSeq))
+    // deterministic: inserting twice gives the identical graph
+    val g2b = Hnsw.insertNav(g0, extra)
+    assert(g2.levels.toSeq == g2b.levels.toSeq && g2.entry == g2b.entry)
+    (0 until 32).foreach(i =>
+      assert(g2.neighbors(i).map(_.toSeq).toSeq ==
+        g2b.neighbors(i).map(_.toSeq).toSeq))
+    // a query identical to a NEW nav node walks to it (rank-1 exact)
+    extra.indices.foreach { i =>
+      assert(Hnsw.search(g2, extra(i), 16).head._1 == 24 + i,
+        s"new nav $i not found by its own vector")
+    }
+    // the original graph is untouched (deep-copied adjacency)
+    val g0again = Hnsw.build(pts, m = 4, efConstruction = 24, efAssign = 8)
+    (0 until 24).foreach(i =>
+      assert(g0.neighbors(i).map(_.toSeq).toSeq ==
+        g0again.neighbors(i).map(_.toSeq).toSeq,
+        s"insertNav mutated the source graph at node $i"))
+  }
+
+  test("addNavNodes: batch-trained cells inserted, corpus re-walked, staged crash-safe") {
+    val e = emb
+    val dir = java.nio.file.Files.createTempDirectory("graft_hnsw_nav").toString
+    Hnsw.buildHnswIndex(e, "vec_id", "embedding",
+      maxNav = 16, m = 8, efConstruction = 48, efAssign = 16).save(dir)
+    // a drifted batch: shifted copies of a slice, appended first (the
+    // documented order: absorb rows, then adapt the geometry)
+    val shiftU = F.udf((v: Seq[Float]) => v.map(x => x + 25.0f).toArray)
+    val drifted = e.filter(F.col("vec_id") < 60)
+      .select((F.col("vec_id") + 500000L).as("vec_id"),
+        shiftU(F.col("embedding")).as("embedding"))
+      .localCheckpoint(false)
+    Hnsw.appendToHnswIndex(spark, dir, drifted, "vec_id", "embedding")
+    val nAll = e.count() + drifted.count()
+
+    // crash BEFORE the journal: the old index stays live
+    intercept[RuntimeException] {
+      Hnsw.addNavNodesImpl(spark, dir, drifted, "vec_id", "embedding",
+        maxNewNav = 8, iterations = 2, seed = 42L,
+        afterStage = () => throw new RuntimeException("boom"), () => ())
+    }
+    assert(Hnsw.loadHnswIndex(spark, dir).graph.vecs.length == 16)
+
+    // crash AFTER the journal: recovery finishes idempotently
+    intercept[RuntimeException] {
+      Hnsw.addNavNodesImpl(spark, dir, drifted, "vec_id", "embedding",
+        maxNewNav = 8, iterations = 2, seed = 42L,
+        () => (), afterJournal = () => throw new RuntimeException("boom"))
+    }
+    Hnsw.recoverRetrain(spark, dir)
+    val grown = Hnsw.loadHnswIndex(spark, dir)
+    assert(grown.graph.vecs.length == 24, "nav nodes not inserted")
+    assert(grown.assigned.count() == nAll, "rows lost by the swap")
+    // every row sits at its NEW-graph walk assignment (the exact-copy
+    // guarantee survives the mutation) — the retrain self-consistency
+    // pin on the grown graph
+    val gB = spark.sparkContext.broadcast(grown.graph)
+    val mis = grown.assigned.collect().count { r =>
+      Hnsw.assignCell(gB.value,
+        r.getAs[scala.collection.Seq[Float]]("__cv").toArray) != r.getInt(2)
+    }
+    assert(mis == 0, s"$mis rows off their new-graph assignment")
+    // planted copies of the DRIFTED rows probe rank-1 (their region
+    // now has its own navigation cells)
+    val probes = drifted.limit(10)
+      .select((F.col("vec_id") + 100000L).as("vec_id"), F.col("embedding"))
+    Hnsw.hnswTopK(grown, probes, "vec_id", "embedding", 1,
+        efSearch = 24, minProbe = 1, probeMass = 0.0)
+      .select("query_id", "neighbor_id").collect()
+      .foreach(r => assert(r.getLong(1) === r.getLong(0) - 100000L))
+    // the drifted region owns NEW navigation cells now: its rows land
+    // in cells >= the old nav count, spread over several of them
+    // (before the expansion they crammed into whatever old cell was
+    // least far). PSI-vs-index stays high by construction — the batch
+    // is a minority of the blended index — so cell ownership, not
+    // occupancy similarity, is the post-expansion fact to pin.
+    val driftedCells = grown.assigned
+      .filter(F.col("neighbor_id").cast("long") >= 500000L)
+      .select(F.col("__cell")).distinct()
+      .collect().map(_.getInt(0))
+    assert(driftedCells.forall(_ >= 16),
+      s"drifted rows still in old cells: ${driftedCells.toSeq.sorted}")
+    assert(driftedCells.length >= 4,
+      s"drifted region not spread over its new cells: ${driftedCells.length}")
+  }
+
+  test("maybeExpandHnswIndex: quiet in-distribution, expands on drift") {
+    val e = emb
+    val dir = java.nio.file.Files.createTempDirectory("graft_hnsw_mx").toString
+    Hnsw.buildHnswIndex(e, "vec_id", "embedding",
+      maxNav = 16, m = 8, efConstruction = 48, efAssign = 16).save(dir)
+    val (x1, psi1) = Hnsw.maybeExpandHnswIndex(spark, dir, e.limit(200),
+      "vec_id", "embedding", psiThreshold = 0.2)
+    assert(!x1 && psi1 < 0.05, s"psi=$psi1")
+    assert(Hnsw.loadHnswIndex(spark, dir).graph.vecs.length == 16)
+    val shiftU = F.udf((v: Seq[Float]) => v.map(x => x + 25.0f).toArray)
+    val shifted = e.limit(300)
+      .select(F.col("vec_id"), shiftU(F.col("embedding")).as("embedding"))
+    val (x2, psi2) = Hnsw.maybeExpandHnswIndex(spark, dir, shifted,
+      "vec_id", "embedding", psiThreshold = 0.2, maxNewNav = 8)
+    assert(x2 && psi2 >= 0.2, s"psi=$psi2")
+    assert(Hnsw.loadHnswIndex(spark, dir).graph.vecs.length == 24)
+  }
 }
