@@ -1208,6 +1208,26 @@ object Bench {
         idx, Seq("slow", "merge", "window"), 10)
     }),
 
+    // batched multi-query BM25: 12 queries in ONE union-of-terms
+    // partition-pruned pass + a single query_id repartition — vs 12
+    // separate probes (b_bm25_query x 12)
+    "b_retrieval_batch" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val idx = textIndexCache.getOrElseUpdate(dir, {
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_bench_tidx").toString
+        graft.pipeline.Retrieval
+          .buildTextIndex(t(s, dir, "documents"), "doc_id", "text", buckets = 64)
+          .save(path)
+        graft.pipeline.Retrieval.loadTextIndex(s, path)
+      })
+      val words = Vector("slow", "merge", "window", "hash", "batch",
+        "filter", "scan", "index", "sort", "spill", "join", "cache")
+      val qs: Seq[(Long, Seq[String])] = (0 until 12).map(i =>
+        i.toLong -> Seq(words(i), words((i + 3) % 12), words((i + 7) % 12)))
+      graft.pipeline.Retrieval.bm25TopKBatch(idx, qs.toDF("query_id", "terms"), 10)
+    }),
+
     // metadata-filtered BM25 probe of the same persisted index: the
     // __bucket partition pruning survives the filter; the allowed-id
     // semi-join applies inside the probed buckets only

@@ -7492,6 +7492,41 @@ object SparkEntry {
         .orderBy("rank")
     }),
 
+    // batched multi-query BM25 (the serving form): three queries rank
+    // in ONE pass — union-of-terms postings scan, broadcast
+    // (term -> query) map, one query_id repartition for sum + window.
+    // Each query's semantics are exactly the single-query ones (the
+    // per_query_same boolean pins batch ≡ per-query probes row for
+    // row). Ranks pinned: measured per-query top-15 nonzero gaps >=
+    // 1.0e-4 at both SFs; the zero-gap pairs are identical-profile
+    // planted duplicates, whose doc_id tie-break is engine-independent
+    "q_retrieval_batch" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val d = t(s, dir, "documents")
+      val idx = graft.pipeline.Retrieval.buildTextIndex(d, "doc_id", "text", 32)
+      val qs: Seq[(Long, Seq[String])] = Seq(
+        0L -> Seq("slow", "merge", "window"),
+        1L -> Seq("hash", "batch"),
+        2L -> Seq("filter", "scan", "index"))
+      val got = graft.pipeline.Retrieval.bm25TopKBatch(
+        idx, qs.toDF("query_id", "terms"), 10)
+        .localCheckpoint(false)
+      def rows(df: org.apache.spark.sql.DataFrame) = df
+        .select(F.col("rank").cast("long"), F.col("id"),
+          F.col("tf_total"), F.col("n_terms_hit"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq.sortBy(_._1)
+      val same = qs.forall { case (qid, ts) =>
+        rows(got.filter(F.col("query_id") === qid)) ==
+          rows(graft.pipeline.Retrieval.bm25TopKIndexed(idx, ts, 10))
+      }
+      got.select(F.col("query_id"), F.col("rank").cast("long").as("rank"),
+          F.col("id").as("doc_id"), F.col("tf_total"), F.col("n_terms_hit"),
+          F.lit(same).as("per_query_same"))
+        .orderBy("query_id", "rank")
+    }),
+
     // exact phrase search from the positional index: overlap-counting
     // occurrence semantics; coalesced so a zero-hit SF still yields the
     // (0,0,0) row
@@ -11017,6 +11052,37 @@ object SparkEntry {
           |         doc_id, tf_total, n_terms_hit FROM scored
           |  WHERE doc_id % 3 = 0) t
           |WHERE rank <= 10 ORDER BY rank""".stripMargin,
+      "q_retrieval_batch" ->
+        """WITH f AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+          |                    x -> len(x) > 0) AS w FROM documents),
+          |dl AS (SELECT doc_id, len(w) AS dl FROM f WHERE len(w) > 0),
+          |toks AS (SELECT doc_id, unnest(w) AS term FROM f),
+          |qt AS (SELECT * FROM (VALUES
+          |         (0, 'slow'), (0, 'merge'), (0, 'window'),
+          |         (1, 'hash'), (1, 'batch'),
+          |         (2, 'filter'), (2, 'scan'), (2, 'index'))
+          |       v(query_id, term)),
+          |post AS (SELECT term, doc_id, count(*) AS tf FROM toks
+          |         WHERE term IN (SELECT term FROM qt) GROUP BY 1, 2),
+          |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+          |dfs AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+          |scored AS (
+          |  SELECT q.query_id, p.doc_id,
+          |         sum(ln(1 + (s.n - f2.df + 0.5) / (f2.df + 0.5)) * p.tf * 2.2 /
+          |             (p.tf + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl))) AS score,
+          |         CAST(sum(p.tf) AS BIGINT) AS tf_total,
+          |         CAST(count(*) AS BIGINT) AS n_terms_hit
+          |  FROM post p JOIN qt q USING (term) JOIN dfs f2 USING (term)
+          |       JOIN dl d USING (doc_id)
+          |  CROSS JOIN stats s GROUP BY 1, 2)
+          |SELECT CAST(query_id AS BIGINT) AS query_id, rank, doc_id,
+          |       tf_total, n_terms_hit, true AS per_query_same
+          |FROM (
+          |  SELECT query_id,
+          |         CAST(row_number() OVER (PARTITION BY query_id
+          |           ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+          |         doc_id, tf_total, n_terms_hit FROM scored) t
+          |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
       "q_phrase" ->
         """WITH f AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
           |                    x -> len(x) > 0) AS w FROM documents),

@@ -749,6 +749,8 @@ object Hnsw {
       buildHnswIndex(rows, "neighbor_id", "__cv", maxNav, m,
         efConstruction, efAssign, iterations, seed).save(staging)
     }
+    // fresh navigation geometry invalidates any measured curve
+    Similarity.dropCalibration(spark, path)
     loadHnswIndex(spark, path)
   }
 
@@ -825,6 +827,8 @@ object Hnsw {
         HnswIndex(g2, navIds, cellSizesOf(assigned, g2.vecs.length), assigned)
           .save(staging)
     }
+    // the grown graph re-routes walks — any measured curve is stale
+    Similarity.dropCalibration(spark, path)
     loadHnswIndex(spark, path)
   }
 

@@ -1026,6 +1026,8 @@ object ProductQuantization {
       require(fs.exists(new org.apache.hadoop.fs.Path(s"$staging/encoded")),
         s"retrain: nothing staged at $staging/encoded (empty corpus?)")
     }
+    // fresh coarse cells invalidate any measured mass->recall curve
+    Similarity.dropCalibration(spark, path)
   }
 
   /** Crash repair for [[retrainIvfPq]]/[[retrainOpqIvfPq]]. */

@@ -824,6 +824,70 @@ object Retrieval {
         F.col("tf_total"), F.col("n_terms_hit"))
   }
 
+  /**
+   * Batched multi-query BM25 over a saved [[TextIndex]] — the serving
+   * form: `queries` is (query_id, terms array<string>), each query
+   * ranked independently with exactly the single-query semantics
+   * (corpus-level stats; per-term dfs from the matched postings).
+   *
+   * Scale shape: the distinct term set collects driver-side (a
+   * serving batch is bounded — the [[Similarity.knnClassifyIndexed]]
+   * neighbor-table argument) so the postings scan partition-prunes to
+   * the UNION of all query-term buckets; the (term → query) map and
+   * dfs broadcast onto that scan; then ONE query_id repartition
+   * serves both the per-(query, doc) sum and the top-k window (the
+   * [[rrfFusePerQuery]] exchange discipline). Returns (query_id,
+   * rank, id, score, tf_total, n_terms_hit) — row-for-row equal to
+   * running [[bm25TopKIndexed]] per query.
+   */
+  def bm25TopKBatch(
+      idx: TextIndex,
+      queries: DataFrame,
+      k: Int,
+      k1: Double = DefaultK1,
+      b: Double = DefaultB): DataFrame = {
+    val spark = idx.postings.sparkSession
+    import spark.implicits._
+    val qCols = queries.columns
+    val q = queries
+      .select(F.col(qCols(0)).as("query_id"),
+        F.explode(F.col(qCols(1))).as("__qt"))
+      .select(F.col("query_id"), F.lower(F.col("__qt")).as("term"))
+      .distinct()
+      .localCheckpoint(eager = false)
+    val terms = q.select("term").distinct().as[String].collect().toSeq
+    require(terms.nonEmpty, "bm25TopKBatch: no query terms")
+    val qBuckets = terms.map(t => localTermBucket(t, idx.buckets)).distinct
+    val matched = idx.postings
+      .filter(F.col("__bucket").isin(qBuckets: _*))
+      .filter(F.col("term").isin(terms: _*))
+    // dfs per term over the matched postings — shared across queries
+    // (df is a term property, not a query property)
+    val dfs = matched.groupBy("term").agg(F.count(F.lit(1)).as("df"))
+    val stats = Seq((idx.nDocs, idx.avgdl)).toDF("n_docs", "avgdl")
+    val scored = matched
+      .join(F.broadcast(q), "term")
+      .join(F.broadcast(dfs), "term")
+      .crossJoin(F.broadcast(stats))
+      .withColumn("__idf",
+        F.log(F.lit(1.0) +
+          (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))))
+      .withColumn("__w",
+        F.col("__idf") * F.col("tf") * F.lit(k1 + 1.0) /
+          (F.col("tf") + F.lit(k1) *
+            (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))))
+      .repartition(F.col("query_id"))
+      .groupBy(F.col("query_id"), F.col("id"))
+      .agg(F.sum(F.col("__w")).as("score"),
+        F.sum(F.col("tf")).as("tf_total"),
+        F.count(F.lit(1)).as("n_terms_hit"))
+    val w = Window.partitionBy(F.col("query_id"))
+      .orderBy(F.col("score").desc, F.col("id").asc)
+    scored.withColumn("rank", F.row_number().over(w))
+      .filter(F.col("rank") <= k)
+      .select("query_id", "rank", "id", "score", "tf_total", "n_terms_hit")
+  }
+
   /** Driver-side twin of [[termBucket]] (Spark's xxhash64 with its
     * default seed 42 over the UTF-8 bytes). */
   private[pipeline] def localTermBucket(term: String, buckets: Int): Long = {

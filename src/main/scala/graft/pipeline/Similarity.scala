@@ -663,6 +663,11 @@ object Similarity {
       buildIvfIndex(rows, "neighbor_id", "__cv", nlist, iterations)
         .save(staging)
     }
+    // fresh cells invalidate any measured mass->recall curve — delete
+    // it (recalibrateIvfIndex rebuilds it on demand); a stale curve
+    // would silently solve masses against geometry that no longer
+    // exists (the r12 stale-rotation lesson applied to calibration)
+    dropCalibration(spark, path)
     loadIvfIndex(spark, path)
   }
 
@@ -1149,6 +1154,32 @@ object Similarity {
       .map { case (m, r) => s"[$m,$r]" }.mkString(",")}]}"""
     val out = fs.create(p, true)
     try out.write(json.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Measure-and-persist in one call — run it at build time and after
+    * every geometry change (the drift dial / retrain rule in
+    * SCALING.md). */
+  def recalibrateIvfIndex(
+      spark: SparkSession,
+      path: String,
+      k: Int = 10,
+      nSample: Int = 64,
+      minProbe: Int = 4): ProbeCalibration = {
+    val cal = calibrateIvfProbe(loadIvfIndex(spark, path), k, nSample,
+      minProbe)
+    saveCalibration(spark, path, cal)
+    cal
+  }
+
+  /** A retrain replaces the cell geometry, so any persisted curve is
+    * meaningless — every geometry-replacing op deletes it (the stale-
+    * rotation rule applied to calibration). */
+  private[pipeline] def dropCalibration(
+      spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path, "_calibration.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, false)
+    ()
   }
 
   /** Reload a persisted calibration; None when the index was never

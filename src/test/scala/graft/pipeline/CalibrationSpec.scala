@@ -90,6 +90,38 @@ class CalibrationSpec extends SparkTestBase {
     assert(Similarity.loadCalibration(spark, dir).contains(cal))
   }
 
+  test("geometry-replacing ops delete the stale curve; recalibrate rebuilds it") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cal_stale").toString
+    Similarity.buildIvfIndex(emb, "vec_id", "embedding",
+      nlist = 4, iterations = 1).save(dir)
+    Similarity.recalibrateIvfIndex(spark, dir, k = 5, nSample = 32)
+    assert(Similarity.loadCalibration(spark, dir).isDefined)
+    // an IVF retrain replaces the cells: the curve must NOT survive
+    // (a stale curve would solve masses against dead geometry — the
+    // stale-rotation rule applied to calibration)
+    Similarity.retrainIvfIndex(spark, dir, nlist = 8, iterations = 1)
+    assert(Similarity.loadCalibration(spark, dir).isEmpty,
+      "stale calibration survived the retrain")
+    val re = Similarity.recalibrateIvfIndex(spark, dir, k = 5, nSample = 32)
+    assert(Similarity.loadCalibration(spark, dir).contains(re))
+
+    // the HNSW twins: retrain AND incremental nav growth both re-route
+    val hDir = java.nio.file.Files.createTempDirectory("graft_cal_hstale").toString
+    Hnsw.buildHnswIndex(emb, "vec_id", "embedding",
+      maxNav = 16, m = 8, efConstruction = 48, efAssign = 16).save(hDir)
+    val hcal = Hnsw.calibrateProbe(Hnsw.loadHnswIndex(spark, hDir),
+      k = 5, nSample = 32, efSearch = 16)
+    Similarity.saveCalibration(spark, hDir, hcal)
+    Hnsw.retrainHnswIndex(spark, hDir, maxNav = 16, m = 8, efConstruction = 48)
+    assert(Similarity.loadCalibration(spark, hDir).isEmpty,
+      "stale calibration survived the HNSW retrain")
+    Similarity.saveCalibration(spark, hDir, hcal)
+    Hnsw.addNavNodes(spark, hDir, emb.limit(100), "vec_id", "embedding",
+      maxNewNav = 4)
+    assert(Similarity.loadCalibration(spark, hDir).isEmpty,
+      "stale calibration survived nav growth")
+  }
+
   test("HNSW: walk-ordered probe calibrates and hits the target on-sample") {
     val hidx = Hnsw.buildHnswIndex(emb, "vec_id", "embedding",
       maxNav = 32, m = 8, efConstruction = 48, efAssign = 16)

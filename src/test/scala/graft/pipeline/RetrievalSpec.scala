@@ -468,6 +468,42 @@ class RetrievalSpec extends SparkTestBase {
       allowed.limit(0)).count() == 0L)
   }
 
+  test("bm25TopKBatch equals per-query indexed probes row for row") {
+    import spark.implicits._
+    val d = sf("sf0.001", "documents")
+    val path = java.nio.file.Files.createTempDirectory("graft_tidx_batch").toString
+    Retrieval.buildTextIndex(d, "doc_id", "text", buckets = 32).save(path)
+    val idx = Retrieval.loadTextIndex(spark, path)
+    val qs: Seq[(Long, Seq[String])] = Seq(
+      0L -> Seq("slow", "merge", "window"),
+      1L -> Seq("hash", "batch"),
+      2L -> Seq("QUICK", "zzz_nohit"),     // case-folding + partial miss
+      3L -> Seq("zzz_nohit"))              // full miss: zero rows, no error
+    val got = Retrieval.bm25TopKBatch(idx, qs.toDF("query_id", "terms"), 10)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("id"), r.getAs[Double]("score"),
+        r.getAs[Long]("tf_total"), r.getAs[Long]("n_terms_hit")))
+      .groupBy(_._1)
+    qs.foreach { case (qid, ts) =>
+      val single = Retrieval.bm25TopKIndexed(idx, ts, 10).collect()
+        .map(r => (r.getAs[Int]("rank"), r.getAs[Long]("id"),
+          r.getAs[Double]("score"), r.getAs[Long]("tf_total"),
+          r.getAs[Long]("n_terms_hit"))).toSeq.sortBy(_._1)
+      val batch = got.getOrElse(qid, Array.empty)
+        .map(t => (t._2, t._3, t._4, t._5, t._6)).toSeq.sortBy(_._1)
+      assert(batch.map(x => (x._1, x._2, x._4, x._5)) ==
+        single.map(x => (x._1, x._2, x._4, x._5)), s"query $qid rows differ")
+      batch.zip(single).foreach { case (bRow, sRow) =>
+        assert(math.abs(bRow._3 - sRow._3) < 1e-12, s"query $qid score") }
+    }
+    assert(!got.contains(3L)) // no-hit query contributes nothing
+    // the union-of-terms probe still partition-prunes the saved scan
+    val plan = Retrieval.bm25TopKBatch(idx, qs.toDF("query_id", "terms"), 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("__bucket"))
+  }
+
   test("filtered BM25F equals filter-then-rank of full BM25F scoring") {
     val d = sf("sf0.001", "documents")
     // synthesize a title field deterministically from the text (first
