@@ -1208,6 +1208,13 @@ object Bench {
         idx, Seq("slow", "merge", "window"), 10)
     }),
 
+    // best-window snippet extraction: map-side postings filter + one
+    // per-doc group + a two-pointer kernel over sorted hit offsets
+    "b_retrieval_snippet" -> ((s: SparkSession, dir: String) =>
+      graft.pipeline.Retrieval.snippets(
+        t(s, dir, "documents"), "doc_id", "text",
+        Seq("slow", "merge", "window"), 12)),
+
     // batched multi-query BM25: 12 queries in ONE union-of-terms
     // partition-pruned pass + a single query_id repartition — vs 12
     // separate probes (b_bm25_query x 12)

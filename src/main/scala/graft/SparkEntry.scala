@@ -7527,6 +7527,25 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // best-window snippet extraction from the positional index: per
+    // matching doc, the width-12 token window covering the most
+    // DISTINCT query terms, leftmost on ties — a FULL REPLAY oracle
+    // (the window maximization re-runs in SQL over the same integer
+    // positions; the snippet string is the normalized token slice, so
+    // strings hash-match too)
+    "q_retrieval_snippet" -> ((s: SparkSession, dir: String) => {
+      graft.pipeline.Retrieval.snippets(
+          t(s, dir, "documents"), "doc_id", "text",
+          Seq("slow", "merge", "window"), 12)
+        .select(F.col("id").as("doc_id"),
+          F.col("start").cast("long").as("start"),
+          F.col("end").cast("long").as("end"),
+          F.col("n_terms").cast("long").as("n_terms"),
+          F.col("n_hits").cast("long").as("n_hits"),
+          F.col("snippet"))
+        .orderBy("doc_id")
+    }),
+
     // exact phrase search from the positional index: overlap-counting
     // occurrence semantics; coalesced so a zero-hit SF still yields the
     // (0,0,0) row
@@ -11083,6 +11102,33 @@ object SparkEntry {
           |           ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
           |         doc_id, tf_total, n_terms_hit FROM scored) t
           |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+      "q_retrieval_snippet" ->
+        """WITH f AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+          |                    x -> len(x) > 0) AS w
+          |           FROM documents WHERE text IS NOT NULL),
+          |pos AS (SELECT doc_id, w[i] AS term, i - 1 AS p
+          |        FROM (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i
+          |              FROM f)
+          |        WHERE w[i] IN ('slow', 'merge', 'window')),
+          |cand AS (
+          |  SELECT a.doc_id, a.p AS start,
+          |         count(DISTINCT b.term) AS n_terms, count(*) AS n_hits
+          |  FROM pos a JOIN pos b ON a.doc_id = b.doc_id
+          |    AND b.p >= a.p AND b.p < a.p + 12
+          |  GROUP BY 1, 2),
+          |best AS (
+          |  SELECT doc_id, start, n_terms, n_hits,
+          |         row_number() OVER (PARTITION BY doc_id
+          |           ORDER BY n_terms DESC, start ASC) AS rn
+          |  FROM cand)
+          |SELECT b.doc_id, CAST(b.start AS BIGINT) AS start,
+          |       CAST(least(b.start + 12, len(f.w)) AS BIGINT) AS "end",
+          |       CAST(b.n_terms AS BIGINT) AS n_terms,
+          |       CAST(b.n_hits AS BIGINT) AS n_hits,
+          |       array_to_string(f.w[b.start + 1 : least(b.start + 12, len(f.w))],
+          |                       ' ') AS snippet
+          |FROM best b JOIN f USING (doc_id)
+          |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
       "q_phrase" ->
         """WITH f AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
           |                    x -> len(x) > 0) AS w FROM documents),

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.{functions => F}
 
@@ -897,6 +897,107 @@ object Retrieval {
         bytes.length, 42L)
     val m = h % buckets
     if (m < 0) m + buckets else m
+  }
+
+  // ---------------------------------------------------------------- //
+  // Snippets (best-window extraction from the positional index)       //
+  // ---------------------------------------------------------------- //
+
+  /**
+   * Best-window snippet spans from the POSITIONAL index: for every
+   * document matching at least one query term, the token window of
+   * width `window` covering the most DISTINCT query terms — ties
+   * prefer the leftmost start (the deterministic serving rule, and
+   * the exact rule the q_retrieval_snippet oracle replays). Candidate
+   * starts are matched-term positions only: an optimal window can
+   * always shift right until it is anchored on a hit, so the search
+   * is exact. Returns (id, start, end, n_terms, n_hits) with `start`
+   * a 0-based token offset, `end` = min(start + window, dl) and
+   * `n_hits` the total hit positions inside the chosen window.
+   *
+   * Scale shape: the postings filter is map-side (partition-pruned on
+   * a saved index when the caller pre-filters `__bucket`); one
+   * shuffle groups each document's matched (term, positions) lists —
+   * bounded by |query| lists of at-most-dl offsets — and the window
+   * maximization is a per-document two-pointer kernel over the sorted
+   * hit offsets (O(hits), map-side after the group).
+   */
+  def snippetSpans(
+      index: DataFrame,
+      queryTerms: Seq[String],
+      window: Int): DataFrame = {
+    require(queryTerms.nonEmpty, "snippetSpans: empty query")
+    require(window >= 1, s"window must be >= 1, got $window")
+    val q = queryTerms.map(_.toLowerCase).distinct
+    val bestU = F.udf((dl: Int, lists: Seq[Row]) => {
+      // flatten to (pos, termIdx) sorted by pos
+      val termIdx = scala.collection.mutable.HashMap.empty[String, Int]
+      val hits = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      lists.foreach { r =>
+        val t = r.getString(0)
+        val ti = termIdx.getOrElseUpdate(t, termIdx.size)
+        r.getSeq[Int](1).foreach(p => hits += ((p, ti)))
+      }
+      val sorted = hits.sortBy(_._1).toArray
+      val counts = new Array[Int](termIdx.size)
+      var distinct = 0
+      var lo = 0
+      var hi = 0
+      var bestStart = 0
+      var bestTerms = -1
+      var bestHits = 0
+      while (lo < sorted.length) {
+        val start = sorted(lo)._1
+        // grow the window to cover [start, start + window)
+        while (hi < sorted.length && sorted(hi)._1 < start + window) {
+          val ti = sorted(hi)._2
+          if (counts(ti) == 0) distinct += 1
+          counts(ti) += 1
+          hi += 1
+        }
+        if (distinct > bestTerms) {
+          bestTerms = distinct
+          bestHits = hi - lo
+          bestStart = start
+        }
+        // drop the anchor hit before advancing
+        val ti = sorted(lo)._2
+        counts(ti) -= 1
+        if (counts(ti) == 0) distinct -= 1
+        lo += 1
+      }
+      (bestStart, math.min(bestStart + window, dl), bestTerms, bestHits)
+    })
+    index
+      .filter(F.col("term").isin(q: _*))
+      .groupBy(F.col("id"), F.col("dl"))
+      .agg(F.collect_list(F.struct(F.col("term"), F.col("positions")))
+        .as("__lists"))
+      .withColumn("__best", bestU(F.col("dl"), F.col("__lists")))
+      .select(F.col("id"),
+        F.col("__best._1").as("start"), F.col("__best._2").as("end"),
+        F.col("__best._3").as("n_terms"), F.col("__best._4").as("n_hits"))
+  }
+
+  /** [[snippetSpans]] joined back to the documents and rendered: the
+    * window's tokens re-joined with single spaces (the tokenization is
+    * whitespace-normalizing, so the snippet is the normalized text
+    * slice). Returns (id, start, end, n_terms, n_hits, snippet). */
+  def snippets(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      queryTerms: Seq[String],
+      window: Int): DataFrame = {
+    val index = buildIndex(docs, idCol, textCol)
+    val spans = snippetSpans(index, queryTerms, window)
+    val toks = docs.select(F.col(idCol).as("id"),
+      terms(F.col(textCol)).as("__t"))
+    spans.join(toks, "id")
+      .select(F.col("id"), F.col("start"), F.col("end"),
+        F.col("n_terms"), F.col("n_hits"),
+        F.array_join(F.slice(F.col("__t"), F.col("start") + 1,
+          F.col("end") - F.col("start")), " ").as("snippet"))
   }
 
   // ---------------------------------------------------------------- //

@@ -504,6 +504,56 @@ class RetrievalSpec extends SparkTestBase {
     assert(plan.contains("PartitionFilters") && plan.contains("__bucket"))
   }
 
+  test("snippetSpans: exact best window, leftmost ties, brute-force reference") {
+    import spark.implicits._
+    val fix = Seq(
+      // terms at 0(a), 5(b), 6(a), 20(c): width 4 -> [5,9) covers {b,a}
+      (1L, "a x x x x b a x x x x x x x x x x x x x c"),
+      // all three inside one window anchored at 2
+      (2L, "x x a b c x x x x x"),
+      // tie on distinct count: leftmost anchor wins
+      (3L, "a x x x x x x x x x a x x"),
+      (4L, "x x x x"), // no hits: absent from output
+      (5L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val idx = Retrieval.buildIndex(fix, "doc_id", "text")
+    val got = Retrieval.snippetSpans(idx, Seq("a", "b", "c"), 4)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Int]("start"), r.getAs[Int]("end"),
+          r.getAs[Int]("n_terms"), r.getAs[Int]("n_hits")))).toMap
+    assert(got(1L) == ((5, 9, 2, 2)))
+    assert(got(2L) == ((2, 6, 3, 3)))
+    assert(got(3L) == ((0, 4, 1, 1))) // leftmost of the two singleton hits
+    assert(!got.contains(4L) && !got.contains(5L))
+
+    // brute-force cross-check on real data: every emitted window is
+    // OPTIMAL (no start has more distinct terms; no earlier start ties)
+    val d = sf("sf0.001", "documents").limit(80)
+    val q = Seq("slow", "merge", "window")
+    val w = 12
+    val spans = Retrieval.snippets(d, "doc_id", "text", q, w).collect()
+    val toksOf = d.select(F.col("doc_id"),
+        Retrieval.terms(F.col("text")).as("t"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[String]]("t"))
+      .toMap
+    spans.foreach { r =>
+      val id = r.getAs[Long]("id")
+      val ts = toksOf(id)
+      val hitPos = ts.zipWithIndex.filter(p => q.contains(p._1)).map(_._2)
+      def distinctIn(s: Int) =
+        ts.slice(s, s + w).filter(q.contains).distinct.size
+      val bestBrute = hitPos.map(distinctIn).max
+      val start = r.getAs[Int]("start")
+      assert(distinctIn(start) == bestBrute, s"doc $id suboptimal window")
+      assert(!hitPos.exists(p => p < start && distinctIn(p) == bestBrute),
+        s"doc $id not leftmost")
+      // the rendered snippet is exactly the token slice
+      assert(r.getAs[String]("snippet") ==
+        ts.slice(start, r.getAs[Int]("end")).mkString(" "))
+    }
+  }
+
   test("filtered BM25F equals filter-then-rank of full BM25F scoring") {
     val d = sf("sf0.001", "documents")
     // synthesize a title field deterministically from the text (first
