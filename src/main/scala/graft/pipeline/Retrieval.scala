@@ -845,7 +845,33 @@ object Retrieval {
       queries: DataFrame,
       k: Int,
       k1: Double = DefaultK1,
+      b: Double = DefaultB): DataFrame =
+    bm25TopKBatchImpl(idx, queries, k, k1, b, restrict = None)
+
+  /** [[bm25TopKBatch]] restricted to `allowed` ids — the batch form of
+    * [[bm25TopKFilteredIndexed]]: one shared filter for the whole
+    * batch, corpus-level statistics, dfs derived before the semi-join
+    * (so each query equals its single-query filtered probe row for
+    * row). */
+  def bm25TopKBatchFiltered(
+      idx: TextIndex,
+      queries: DataFrame,
+      k: Int,
+      allowed: DataFrame,
+      k1: Double = DefaultK1,
       b: Double = DefaultB): DataFrame = {
+    val aCol = allowed.columns.head
+    bm25TopKBatchImpl(idx, queries, k, k1, b,
+      restrict = Some(allowed.select(F.col(aCol).as("id")).distinct()))
+  }
+
+  private def bm25TopKBatchImpl(
+      idx: TextIndex,
+      queries: DataFrame,
+      k: Int,
+      k1: Double,
+      b: Double,
+      restrict: Option[DataFrame]): DataFrame = {
     val spark = idx.postings.sparkSession
     import spark.implicits._
     val qCols = queries.columns
@@ -865,7 +891,13 @@ object Retrieval {
     // (df is a term property, not a query property)
     val dfs = matched.groupBy("term").agg(F.count(F.lit(1)).as("df"))
     val stats = Seq((idx.nDocs, idx.avgdl)).toDF("n_docs", "avgdl")
-    val scored = matched
+    // corpus-level dfs above; the filter restricts CANDIDATES only
+    // (the bm25ScoresFiltered contract, batch form)
+    val candidates = restrict match {
+      case Some(ok) => matched.join(ok, Seq("id"), "left_semi")
+      case None => matched
+    }
+    val scored = candidates
       .join(F.broadcast(q), "term")
       .join(F.broadcast(dfs), "term")
       .crossJoin(F.broadcast(stats))

@@ -502,6 +502,25 @@ class RetrievalSpec extends SparkTestBase {
     val plan = Retrieval.bm25TopKBatch(idx, qs.toDF("query_id", "terms"), 10)
       .queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") && plan.contains("__bucket"))
+    // filtered batch == per-query filtered probes
+    val allowed = d.filter(F.col("doc_id") % 3 === 0).select("doc_id")
+    val fGot = Retrieval.bm25TopKBatchFiltered(
+        idx, qs.take(2).toDF("query_id", "terms"), 10, allowed)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("id"), r.getAs[Long]("tf_total"),
+        r.getAs[Long]("n_terms_hit")))
+      .groupBy(_._1)
+    qs.take(2).foreach { case (qid, ts) =>
+      val single = Retrieval.bm25TopKFilteredIndexed(idx, ts, 10, allowed)
+        .collect().map(r => (r.getAs[Int]("rank"), r.getAs[Long]("id"),
+          r.getAs[Long]("tf_total"), r.getAs[Long]("n_terms_hit")))
+        .toSeq.sortBy(_._1)
+      assert(fGot.getOrElse(qid, Array.empty)
+        .map(t => (t._2, t._3, t._4, t._5)).toSeq.sortBy(_._1) == single,
+        s"filtered batch differs for query $qid")
+    }
+    fGot.values.flatten.foreach(t => assert(t._3 % 3 == 0))
   }
 
   test("snippetSpans: exact best window, leftmost ties, brute-force reference") {
