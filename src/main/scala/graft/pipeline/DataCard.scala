@@ -127,6 +127,7 @@ object DataCard {
         cardViewOps(batch, sourceCol, langCol, textCol, tsCol, basePath, textsK)
           .foreach { case (df, value, path, keys, fam) =>
             Maintenance.heartbeat(batch.sparkSession, path)
+            Maintenance.requireNoExclusiveMaintenance(batch.sparkSession, path)
             SketchView.appendBatch(df, tsCol, keys, value, path, "day", fam,
               SketchView.DefaultPartSpanMs, batchId)
           }

@@ -296,24 +296,31 @@ object Hnsw {
       cellSizes: Array[Long],
       assigned: DataFrame) {
     def save(path: String): Unit = {
-      val spark = assigned.sparkSession
-      import spark.implicits._
       CellTable.writeBase(assigned, s"$path/assigned")
-      graph.vecs.indices.map { i =>
-        (i, navIds(i), graph.levels(i), graph.vecs(i), graph.m,
-          graph.efAssign, graph.entry, graph.efConstruction)
-      }.toDF("ix", "nav_id", "level", "vec", "m", "ef_assign", "entry",
-        "ef_construction")
-        .repartition(1)
-        .write.mode("overwrite").parquet(s"$path/nodes")
-      graph.neighbors.indices.flatMap { i =>
-        graph.neighbors(i).indices.flatMap { l =>
-          graph.neighbors(i)(l).map(nb => (i, l, nb))
-        }
-      }.toDF("ix", "level", "nbr")
-        .repartition(1)
-        .write.mode("overwrite").parquet(s"$path/edges")
+      writeGraph(assigned.sparkSession, graph, navIds, path)
     }
+  }
+
+  /** Persist the navigation graph's nodes/edges side tables (bounded
+    * driver-side rows — maxNav nodes). */
+  private def writeGraph(
+      spark: SparkSession, graph: Graph, navIds: Array[Long],
+      path: String): Unit = {
+    import spark.implicits._
+    graph.vecs.indices.map { i =>
+      (i, navIds(i), graph.levels(i), graph.vecs(i), graph.m,
+        graph.efAssign, graph.entry, graph.efConstruction)
+    }.toDF("ix", "nav_id", "level", "vec", "m", "ef_assign", "entry",
+      "ef_construction")
+      .repartition(1)
+      .write.mode("overwrite").parquet(s"$path/nodes")
+    graph.neighbors.indices.flatMap { i =>
+      graph.neighbors(i).indices.flatMap { l =>
+        graph.neighbors(i)(l).map(nb => (i, l, nb))
+      }
+    }.toDF("ix", "level", "nbr")
+      .repartition(1)
+      .write.mode("overwrite").parquet(s"$path/edges")
   }
 
   /** Reload an index written by [[HnswIndex.save]]. Cell sizes are
@@ -822,10 +829,13 @@ object Hnsw {
       (cur.graph.vecs.length until g2.vecs.length).map(_.toLong)
     StagedSwap.run(spark, path, ManagedDirs, afterStage, afterJournal) {
       staging =>
+        // ONE corpus pass: the re-walk feeds the staged write directly.
+        // cellSizes are never persisted (loadHnswIndex re-derives them),
+        // so computing them here would be a second full walk for nothing
         val assigned = rows.select(F.col("neighbor_id"), F.col("__cv"),
           assignU(F.col("__cv")).as("__cell"))
-        HnswIndex(g2, navIds, cellSizesOf(assigned, g2.vecs.length), assigned)
-          .save(staging)
+        CellTable.writeBase(assigned, s"$staging/assigned")
+        writeGraph(spark, g2, navIds, staging)
     }
     // the grown graph re-routes walks — any measured curve is stale
     Similarity.dropCalibration(spark, path)

@@ -144,7 +144,18 @@ object Maintenance {
     * it first. Best-effort: a failed tick retries at the next period
     * (the horizon is 4 periods deep). A foreign token means a breaker
     * stole a lock it judged stale — stop renewing (never overwrite a
-    * breaker's lock) and let release() refuse the delete. */
+    * breaker's lock) and let release() refuse the delete.
+    *
+    * Residual TOCTOU, stated honestly: the read-verify → overwrite
+    * pair is not atomic, so a breaker that runs its ENTIRE break
+    * sequence inside that µs-scale gap gets its fresh lock clobbered.
+    * Reaching it at all requires a holder already pathological (the
+    * stamp only goes stale after 4+ consecutive failed renewals); a
+    * missing or mid-write lock short-circuits the verify (readTokenOf
+    * returns ""/foreign → lost, no write), and [[acquire]]'s
+    * post-break settle re-check catches the clobber from the breaker
+    * side before it does any work. Object stores stay best-effort by
+    * the module contract. */
   private def renew(fs: FileSystem, h: LockHandle): Unit =
     try {
       if (h.lost) return
@@ -214,9 +225,17 @@ object Maintenance {
       if (!tryCreate())
         throw new IllegalStateException(
           s"lost the race re-acquiring $p after breaking a stale lock")
+      // post-break settle: a pathological-but-live old holder may have
+      // a renewal overwrite IN FLIGHT (its read-verify passed just
+      // before our rename). Its write lands within its read→write gap
+      // (µs–ms); wait it out and re-verify before doing any work —
+      // aborting here keeps the single-holder invariant (the old
+      // holder keeps its now-renewed lock, we never start).
+      Thread.sleep(150L)
     }
-    // ownership check: if a concurrent stale-breaker clobbered our
-    // lock between create and here, back off instead of double-running
+    // ownership check: if a concurrent stale-breaker (or a paused
+    // holder's late renewal) clobbered our lock between create and
+    // here, back off instead of double-running
     if (readTokenOf(fs, p) != token)
       throw new IllegalStateException(
         s"lost the race re-acquiring $p after breaking a stale lock")
@@ -282,12 +301,32 @@ object Maintenance {
       rootPath: String,
       horizonMs: Long = DefaultWriterLeaseMs)(body: => T): T =
     withLock(spark, rootPath) {
-      requireWriterStopped(spark, rootPath, horizonMs)
-      val p = new Path(new Path(rootPath), ExclusiveFile)
-      val fs = fsOf(spark, p)
-      writeToken(fs, p, System.currentTimeMillis().toString)
-      try body finally fs.delete(p, false)
+      withExclusiveMarker(spark, rootPath, horizonMs)(body)
     }
+
+  /** The marker-only half, for families that hold their OWN
+    * single-maintainer lock (SketchView's `_compact_lock`): drop the
+    * `_writer_exclusive` marker, THEN enforce the lease, run the
+    * body, drop the marker. Dekker ordering — the marker is SET
+    * before the lease check (the sink sets its heartbeat before
+    * checking the marker), so either this side's lease check sees a
+    * sink's fresh heartbeat (refuse) or the sink's later marker check
+    * sees us (it refuses); checking the lease first would leave a
+    * window where both proceed. The caller MUST already hold a family
+    * lock at `rootPath` — marker liveness is judged from whichever
+    * lock file is fresh. */
+  def withExclusiveMarker[T](
+      spark: SparkSession,
+      rootPath: String,
+      horizonMs: Long = DefaultWriterLeaseMs)(body: => T): T = {
+    val p = new Path(new Path(rootPath), ExclusiveFile)
+    val fs = fsOf(spark, p)
+    writeToken(fs, p, System.currentTimeMillis().toString)
+    try {
+      requireWriterStopped(spark, rootPath, horizonMs)
+      body
+    } finally fs.delete(p, false)
+  }
 
   /** Sink-side gate, called by every streaming index sink AFTER its
     * heartbeat and BEFORE writing the micro-batch: refuse while a
@@ -304,11 +343,18 @@ object Maintenance {
     val marker = new Path(root, ExclusiveFile)
     val fs = fsOf(spark, marker)
     if (!fs.exists(marker)) return
-    // liveness rides the LOCK stamp (holder-renewed), not the marker's
-    val lockTs =
-      try readTokenOf(fs, new Path(root, LockFile)).split(' ').head.toLong
-      catch { case _: Exception => return } // no/unreadable lock = orphan marker
-    if (System.currentTimeMillis() - lockTs <= LockStaleMs)
+    // liveness rides a LOCK stamp (holder-renewed for the Maintenance
+    // lock; acquire-time for SketchView's `_compact_lock`, whose
+    // writer-exclusive ops are short), not the marker's own timestamp
+    // — a crashed op's orphan marker ages out with its lock instead of
+    // wedging the stream
+    val lockFresh = Seq(LockFile, "_compact_lock").exists { lf =>
+      try {
+        val ts = readTokenOf(fs, new Path(root, lf)).split(' ').head.toLong
+        System.currentTimeMillis() - ts <= LockStaleMs
+      } catch { case _: Exception => false }
+    }
+    if (lockFresh)
       throw new IllegalStateException(
         s"a writer-exclusive maintenance op holds $rootPath — this " +
           "micro-batch is refused and will replay after the op " +

@@ -76,21 +76,40 @@ object Retrieval {
       stats: DataFrame,
       queryTerms: Seq[String],
       k1: Double = DefaultK1,
-      b: Double = DefaultB): DataFrame = {
+      b: Double = DefaultB): DataFrame =
+    bm25ScoresImpl(index, stats, queryTerms, k1, b, restrict = None)
+
+  /** The ONE copy of the BM25 per-posting weight, over columns
+    * (tf, dl, df, n_docs, avgdl) — every scoring path (single,
+    * filtered, batched) composes it so the formula cannot diverge. */
+  private def bm25Weight(k1: Double, b: Double): Column = {
+    val idf = F.log(F.lit(1.0) +
+      (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5)))
+    idf * F.col("tf") * F.lit(k1 + 1.0) /
+      (F.col("tf") + F.lit(k1) *
+        (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl")))
+  }
+
+  private def bm25ScoresImpl(
+      index: DataFrame,
+      stats: DataFrame,
+      queryTerms: Seq[String],
+      k1: Double,
+      b: Double,
+      restrict: Option[DataFrame]): DataFrame = {
     require(queryTerms.nonEmpty, "bm25Scores: empty query")
     val matched = index
       .filter(F.col("term").isin(queryTerms.map(_.toLowerCase): _*))
+    // corpus-level df: counted BEFORE any filter restricts candidates
     val dfs = matched.groupBy("term").agg(F.count(F.lit(1)).as("df"))
-    matched
+    val candidates = restrict match {
+      case Some(ok) => matched.join(ok, Seq("id"), "left_semi")
+      case None => matched
+    }
+    candidates
       .join(F.broadcast(dfs), "term")
       .crossJoin(F.broadcast(stats))
-      .withColumn("__idf",
-        F.log(F.lit(1.0) +
-          (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))))
-      .withColumn("__w",
-        F.col("__idf") * F.col("tf") * F.lit(k1 + 1.0) /
-          (F.col("tf") + F.lit(k1) *
-            (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))))
+      .withColumn("__w", bm25Weight(k1, b))
       .groupBy("id")
       .agg(F.sum(F.col("__w")).as("score"),
         F.sum(F.col("tf")).as("tf_total"),
@@ -165,28 +184,9 @@ object Retrieval {
       allowed: DataFrame,
       k1: Double = DefaultK1,
       b: Double = DefaultB): DataFrame = {
-    require(queryTerms.nonEmpty, "bm25ScoresFiltered: empty query")
-    val matched = index
-      .filter(F.col("term").isin(queryTerms.map(_.toLowerCase): _*))
-    // corpus-level df: counted BEFORE the filter restricts candidates
-    val dfs = matched.groupBy("term").agg(F.count(F.lit(1)).as("df"))
     val aCol = allowed.columns.head
-    val ok = allowed.select(F.col(aCol).as("id")).distinct()
-    matched
-      .join(ok, Seq("id"), "left_semi")
-      .join(F.broadcast(dfs), "term")
-      .crossJoin(F.broadcast(stats))
-      .withColumn("__idf",
-        F.log(F.lit(1.0) +
-          (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))))
-      .withColumn("__w",
-        F.col("__idf") * F.col("tf") * F.lit(k1 + 1.0) /
-          (F.col("tf") + F.lit(k1) *
-            (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))))
-      .groupBy("id")
-      .agg(F.sum(F.col("__w")).as("score"),
-        F.sum(F.col("tf")).as("tf_total"),
-        F.count(F.lit(1)).as("n_terms_hit"))
+    bm25ScoresImpl(index, stats, queryTerms, k1, b,
+      restrict = Some(allowed.select(F.col(aCol).as("id")).distinct()))
   }
 
   /** One-shot metadata-filtered BM25 top-k ([[bm25TopK]]'s filtered
@@ -901,13 +901,7 @@ object Retrieval {
       .join(F.broadcast(q), "term")
       .join(F.broadcast(dfs), "term")
       .crossJoin(F.broadcast(stats))
-      .withColumn("__idf",
-        F.log(F.lit(1.0) +
-          (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))))
-      .withColumn("__w",
-        F.col("__idf") * F.col("tf") * F.lit(k1 + 1.0) /
-          (F.col("tf") + F.lit(k1) *
-            (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))))
+      .withColumn("__w", bm25Weight(k1, b))
       .repartition(F.col("query_id"))
       .groupBy(F.col("query_id"), F.col("id"))
       .agg(F.sum(F.col("__w")).as("score"),

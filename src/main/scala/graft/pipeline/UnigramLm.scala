@@ -378,11 +378,17 @@ object UnigramLm {
 
   /** Pure-ML M-step over expected counts (no smoothing — smoothing
     * would break the EM monotonicity theorem the gate pins). Zero
-    * counts floor at 1e-12 so a piece never reaches log(0). */
-  private def toModelSoft(cs: Map[String, Double], maxPieceLen: Int): Model = {
+    * counts floor at 1e-12 so a piece never reaches log(0). The
+    * FIXED parameters (`unkScore`, `byteFallback`, `maxPieceLen`)
+    * carry over from the prior model — resetting unkScore would
+    * re-score unknown-char lattice edges mid-EM and break the
+    * monotonicity bound; dropping byteFallback would break decode
+    * losslessness. */
+  private def toModelSoft(cs: Map[String, Double], template: Model): Model = {
     val floored = cs.map { case (p, c) => p -> math.max(c, 1e-12) }
     val total = floored.values.sum
-    Model(floored.map { case (p, c) => p -> math.log(c / total) }, maxPieceLen)
+    template.copy(
+      pieces = floored.map { case (p, c) => p -> math.log(c / total) })
   }
 
   /**
@@ -414,7 +420,7 @@ object UnigramLm {
       val raw = softCounts(words, model)
       val ec = model0.pieces.keysIterator
         .map(p => p -> raw.getOrElse(p, 0.0)).toMap
-      model = toModelSoft(ec, model.maxPieceLen)
+      model = toModelSoft(ec, model)
       r += 1
     }
     lls += marginalOf(words, model)
@@ -471,7 +477,7 @@ object UnigramLm {
     val charSet = chars.map(_._1).toSet
     var model = toModelSoft(
       (chars ++ multi).map { case (p, n) => p -> n.toDouble }.toMap,
-      maxPieceLen)
+      Model(Map.empty, maxPieceLen))
     var it = 0
     while (it < iters) {
       val ec = softCounts(words, model)
@@ -481,7 +487,7 @@ object UnigramLm {
         .take(math.max(0, vocabSize - charSet.size))
       val counts = charSet.iterator
         .map(c => c -> ec.getOrElse(c, 0.0)).toMap ++ keepMulti
-      model = toModelSoft(counts, maxPieceLen)
+      model = toModelSoft(counts, model)
       it += 1
     }
     model

@@ -919,6 +919,8 @@ object SketchView {
     stream.writeStream.foreachBatch {
       (batch: DataFrame, batchId: Long) =>
         graft.pipeline.Maintenance.heartbeat(batch.sparkSession, path)
+        graft.pipeline.Maintenance.requireNoExclusiveMaintenance(
+          batch.sparkSession, path)
         appendBatch(batch, tsCol, keyCols, valueCol, path, bucket, family,
           partSpanMs, batchId)
     }
@@ -1010,14 +1012,16 @@ object SketchView {
         partFloor(untilMs, partSpanMs) == untilMs,
       s"backfill range must align to partSpanMs=$partSpanMs")
     val spark = events.sparkSession
-    // enforce the writer-stopped contract documented above: a live
-    // streaming writer's crash-replay could re-write pruned in-range
-    // files and double-count against the fresh rollup
-    graft.pipeline.Maintenance.requireWriterStopped(spark, path)
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val lock = acquireCompactLock(fs, root)
-    try {
+    // writer-exclusive: a live streaming writer's crash-replay could
+    // re-write pruned in-range files and double-count against the
+    // fresh rollup. The marker wrapper enforces the lease AND makes
+    // the backfill visible to streamAppend's sink gate (Dekker
+    // ordering — marker before lease check; liveness rides the
+    // just-acquired _compact_lock)
+    try graft.pipeline.Maintenance.withExclusiveMarker(spark, path) {
       recoverPendingCompact(spark, path) // finish a crashed predecessor
       validateOrAdopt(spark, path, family, bucket, partSpanMs, keyCols)
       // snapshot: every data file currently in the replaced range
@@ -1037,6 +1041,7 @@ object SketchView {
       writePending(fs, root, snapshot, folded)
       afterJournal()
       finishCompact(spark, fs, root, snapshot, folded)
+      ()
     } finally fs.delete(lock, false)
   }
 

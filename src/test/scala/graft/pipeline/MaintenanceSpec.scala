@@ -427,6 +427,33 @@ class MaintenanceSpec extends SparkTestBase {
     Maintenance.releaseWriterLease(spark, dir)
   }
 
+  test("SketchView backfill drops the exclusive marker; view sinks refuse inside it") {
+    val ev = sf("sf0.001", "events")
+      .select(F.col("ts"), F.col("event_type"), F.col("value"))
+    val vdir = java.nio.file.Files.createTempDirectory("graft_mx_bf").toString
+    graft.sketch.SketchView.materialize(
+      ev, "ts", Seq("event_type"), "value", vdir)
+    val span = graft.sketch.SketchView.DefaultPartSpanMs
+    val lo = ev.agg(F.min(F.unix_millis(F.col("ts")))).head().getLong(0)
+    val from = lo - java.lang.Math.floorMod(lo, span)
+    // inside the backfill window (marker + fresh _compact_lock) a
+    // view sink's gate refuses; before and after it passes
+    Maintenance.requireNoExclusiveMaintenance(spark, vdir)
+    var refused: Option[Throwable] = None
+    graft.sketch.SketchView.backfillImpl(ev, "ts", Seq("event_type"), "value",
+      vdir, from, from + span, "hour",
+      graft.sketch.SketchView.ViewFamily.ddsketch(),
+      span,
+      afterSnapshot = () => {
+        refused = Some(intercept[IllegalStateException] {
+          Maintenance.requireNoExclusiveMaintenance(spark, vdir)
+        })
+      },
+      afterJournal = () => ())
+    assert(refused.exists(_.getMessage.contains("writer-exclusive")))
+    Maintenance.requireNoExclusiveMaintenance(spark, vdir) // released
+  }
+
   test("journal paths containing commas survive crash recovery exactly") {
     // a data-file path may legally contain ',' — the journal parse must
     // be quote-aware or recovery prunes/skips the wrong files
