@@ -30,6 +30,11 @@ object Bench {
   private val ivfCalCache = scala.collection.concurrent.TrieMap[String,
     graft.pipeline.Similarity.ProbeCalibration]()
 
+  // persisted fielded (title/body) text index — b_bm25f_query times
+  // the probe, not the two indexing passes
+  private val fieldedIndexCache = scala.collection.concurrent.TrieMap[String,
+    graft.pipeline.Retrieval.FieldedTextIndex]()
+
   private val ivfIndexCache =
     scala.collection.concurrent.TrieMap[String, graft.pipeline.Similarity.IvfIndex]()
 
@@ -1206,6 +1211,28 @@ object Bench {
       })
       graft.pipeline.Retrieval.bm25TopKIndexed(
         idx, Seq("slow", "merge", "window"), 10)
+    }),
+
+    // BM25F probe of a PERSISTED fielded index (vs b_bm25f, which
+    // re-tokenizes both fields of the corpus per query)
+    "b_bm25f_query" -> ((s: SparkSession, dir: String) => {
+      val idx = fieldedIndexCache.getOrElseUpdate(dir, {
+        val toks = F.filter(F.split(F.lower(F.col("text")), "\\s+"),
+          (t: org.apache.spark.sql.Column) => F.length(t) > 0)
+        val docs = t(s, dir, "documents").filter(F.col("text").isNotNull)
+          .select(F.col("doc_id"), toks.as("__t"))
+          .select(F.col("doc_id"),
+            F.array_join(F.slice(F.col("__t"), 1, 5), " ").as("title"),
+            F.array_join(F.slice(F.col("__t"), 6, 2000000), " ").as("body"))
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_bench_ftidx").toString
+        graft.pipeline.Retrieval.saveFieldedTextIndex(
+          docs, "doc_id", Seq("title", "body"), path, buckets = 64)
+        graft.pipeline.Retrieval.loadFieldedTextIndex(s, path)
+      })
+      graft.pipeline.Retrieval.bm25fTopKIndexed(idx,
+        Seq(("title", 2.0, 0.5), ("body", 1.0, 0.75)),
+        Seq("slow", "merge", "window"), 10)
     }),
 
     // best-window snippet extraction: map-side postings filter + one

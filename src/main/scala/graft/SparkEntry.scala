@@ -5403,6 +5403,34 @@ object SparkEntry {
         .orderBy("rank")
     }),
 
+    // BM25F probe of a PERSISTED fielded index (one TextIndex per
+    // field + an N manifest): partition-pruned per-field scans, saved
+    // exact avgdl, one id repartition — must rank exactly like the
+    // one-shot q_bm25f over the same fixture (its oracle, shared
+    // verbatim post-merge)
+    "q_bm25f_indexed" -> ((s: SparkSession, dir: String) => {
+      val toks = F.filter(F.split(F.lower(F.col("text")), "\\s+"),
+        (t: org.apache.spark.sql.Column) => F.length(t) > 0)
+      val docs = t(s, dir, "documents").filter(F.col("text").isNotNull)
+        .select(F.col("doc_id"), toks.as("__t"))
+        .select(F.col("doc_id"),
+          F.array_join(F.slice(F.col("__t"), 1, 5), " ").as("title"),
+          F.array_join(F.slice(F.col("__t"), 6, 2000000), " ").as("body"))
+      val path = System.getProperty("java.io.tmpdir") + "/graft_q_bm25f_idx"
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      graft.pipeline.Retrieval.saveFieldedTextIndex(
+        docs, "doc_id", Seq("title", "body"), path, buckets = 32)
+      graft.pipeline.Retrieval.bm25fTopKIndexed(
+          graft.pipeline.Retrieval.loadFieldedTextIndex(s, path),
+          Seq(("title", 2.0, 0.5), ("body", 1.0, 0.75)),
+          Seq("slow", "merge", "window"), 10)
+        .select(F.col("rank").cast("long").as("rank"),
+          F.col("id").as("doc_id"), F.col("n_terms_hit"))
+        .orderBy("rank")
+    }),
+
     // metadata-filtered BM25F: q_bm25f's fixture with candidates
     // restricted to doc_id % 3 = 0; corpus-level any-field df and N
     // (the q_retrieval_filtered contract on the field-weighted form).
@@ -11465,6 +11493,9 @@ object SparkEntry {
     m + ("q_index_sync" -> m("q_bm25")) +
       ("q_stream_text_index" -> m("q_bm25")) +
       ("q_index_compact" -> m("q_bm25")) +
+      // the persisted fielded probe ranks exactly like one-shot BM25F
+      // (saved exact avgdl, manifest N) — oracle shared verbatim
+      ("q_bm25f_indexed" -> m("q_bm25f")) +
       // the join-based scorer forms are row-equal to their broadcast
       // twins — oracles shared verbatim (post-merge, the alias rule)
       ("q_keywords_joined" -> m("q_keywords")) +

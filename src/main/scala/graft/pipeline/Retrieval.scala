@@ -310,6 +310,165 @@ object Retrieval {
   }
 
   // ---------------------------------------------------------------- //
+  // Persisted multi-field index (BM25F serving)                       //
+  // ---------------------------------------------------------------- //
+
+  /**
+   * A persisted multi-field index — the serving form of [[bm25fTopK]],
+   * which otherwise re-tokenizes every field of the whole corpus per
+   * query: one [[TextIndex]] per field under `<path>/field_<name>`
+   * plus a `_fields.json` manifest carrying the field names and the
+   * corpus row count N (BM25F's idf denominator counts DOCUMENTS, not
+   * per-field indexed docs — a doc with an empty title still counts).
+   * Each per-field index is a full [[TextIndex]]: appends, removals,
+   * compaction, and the streaming sink all work per field through the
+   * existing machinery ([[appendToFieldedTextIndex]] /
+   * [[removeFromFieldedTextIndex]] loop them).
+   */
+  final case class FieldedTextIndex(
+      fields: Seq[String],
+      nDocs: Long,
+      perField: Map[String, TextIndex])
+
+  /** Build and persist a fielded index (one indexing pass per field). */
+  def saveFieldedTextIndex(
+      docs: DataFrame,
+      idCol: String,
+      fieldCols: Seq[String],
+      path: String,
+      buckets: Int = 64): FieldedTextIndex = {
+    require(fieldCols.nonEmpty, "saveFieldedTextIndex: no fields")
+    val spark = docs.sparkSession
+    val n = docs.count()
+    fieldCols.foreach { f =>
+      buildTextIndex(docs, idCol, f, buckets).save(s"$path/field_$f")
+    }
+    val p = new org.apache.hadoop.fs.Path(path, "_fields.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val json = s"""{"n_docs":$n,"fields":[${fieldCols
+      .map(f => "\"" + f + "\"").mkString(",")}]}"""
+    val out = fs.create(p, true)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+    loadFieldedTextIndex(spark, path)
+  }
+
+  /** Reload a fielded index written by [[saveFieldedTextIndex]]. */
+  def loadFieldedTextIndex(
+      spark: SparkSession, path: String): FieldedTextIndex = {
+    val p = new org.apache.hadoop.fs.Path(path, "_fields.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val raw =
+      try {
+        val bos = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](4096)
+        var n = in.read(buf)
+        while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+        new String(bos.toByteArray, "UTF-8")
+      } finally in.close()
+    val nDocs = """"n_docs"\s*:\s*(\d+)""".r.findFirstMatchIn(raw)
+      .map(_.group(1).toLong)
+      .getOrElse(throw new IllegalArgumentException(
+        s"$path/_fields.json: missing n_docs"))
+    val fields = """"([^"]+)"""".r
+      .findAllMatchIn(raw.substring(raw.indexOf("[")))
+      .map(_.group(1)).toSeq
+    FieldedTextIndex(fields, nDocs,
+      fields.map(f => f -> loadTextIndex(spark, s"$path/field_$f")).toMap)
+  }
+
+  /** Incrementally index a new batch into every field of a saved
+    * fielded index (the [[appendToTextIndex]] contract per field; the
+    * manifest's N grows by the batch size). */
+  def appendToFieldedTextIndex(
+      spark: SparkSession,
+      path: String,
+      newDocs: DataFrame,
+      idCol: String): FieldedTextIndex = {
+    val cur = loadFieldedTextIndex(spark, path)
+    cur.fields.foreach(f =>
+      appendToTextIndex(spark, s"$path/field_$f", newDocs, idCol, f))
+    writeFieldsManifest(spark, path, cur.fields, cur.nDocs + newDocs.count())
+    loadFieldedTextIndex(spark, path)
+  }
+
+  /** Takedown from every field index ([[removeFromTextIndex]] per
+    * field); N shrinks by the removed id count. */
+  def removeFromFieldedTextIndex(
+      spark: SparkSession,
+      path: String,
+      ids: DataFrame,
+      idCol: String): FieldedTextIndex = {
+    val cur = loadFieldedTextIndex(spark, path)
+    val n = ids.select(F.col(idCol)).distinct().count()
+    cur.fields.foreach(f =>
+      removeFromTextIndex(spark, s"$path/field_$f", ids, idCol))
+    writeFieldsManifest(spark, path, cur.fields, math.max(0L, cur.nDocs - n))
+    loadFieldedTextIndex(spark, path)
+  }
+
+  private def writeFieldsManifest(
+      spark: SparkSession, path: String, fields: Seq[String],
+      nDocs: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path, "_fields.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val json = s"""{"n_docs":$nDocs,"fields":[${fields
+      .map(f => "\"" + f + "\"").mkString(",")}]}"""
+    val out = fs.create(p, true)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+  }
+
+  /**
+   * BM25F probe of a saved [[FieldedTextIndex]] — [[bm25fTopK]]'s
+   * semantics over persisted per-field postings: each field's scan
+   * partition-prunes to the query-term buckets, tfn uses the saved
+   * EXACT per-field avgdl, the cross-field sum rides one id
+   * repartition, dfs (any-field document frequency) broadcast back,
+   * and idf uses the manifest's N. `fieldParams` is (field, w_f, b_f);
+   * every named field must exist in the index.
+   */
+  def bm25fTopKIndexed(
+      idx: FieldedTextIndex,
+      fieldParams: Seq[(String, Double, Double)],
+      queryTerms: Seq[String],
+      k: Int,
+      k1: Double = DefaultK1): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25fTopKIndexed: empty query")
+    require(fieldParams.nonEmpty, "bm25fTopKIndexed: no fields")
+    val q = queryTerms.map(_.toLowerCase).distinct
+    val perField = fieldParams.map { case (f, w, bf) =>
+      require(bf >= 0.0 && bf <= 1.0, s"b for field $f must be in [0,1], got $bf")
+      val fi = idx.perField.getOrElse(f, throw new IllegalArgumentException(
+        s"field '$f' not in the index (has: ${idx.fields.mkString(", ")})"))
+      val qBuckets = q.map(t => localTermBucket(t, fi.buckets)).distinct
+      fi.postings
+        .filter(F.col("__bucket").isin(qBuckets: _*))
+        .filter(F.col("term").isin(q: _*))
+        .select(F.col("term"), F.col("id"),
+          (F.lit(w) * F.col("tf") /
+            (F.lit(1.0 - bf) + F.lit(bf) * F.col("dl") / F.lit(fi.avgdl)))
+            .as("__tfn"))
+    }
+    val tft = perField.reduce(_ unionByName _)
+      .repartition(F.col("id"))
+      .groupBy(F.col("term"), F.col("id"))
+      .agg(F.sum(F.col("__tfn")).as("__tft"))
+    val dfs = tft.groupBy(F.col("term")).agg(F.count(F.lit(1)).as("df"))
+    val scored = tft.join(F.broadcast(dfs), "term")
+      .withColumn("__idf", F.log(F.lit(1.0) +
+        (F.lit(idx.nDocs.toDouble) - F.col("df") + F.lit(0.5)) /
+          (F.col("df") + F.lit(0.5))))
+      .withColumn("__w",
+        F.col("__idf") * F.col("__tft") / (F.lit(k1) + F.col("__tft")))
+      .groupBy(F.col("id"))
+      .agg(F.sum(F.col("__w")).as("score"),
+        F.count(F.lit(1)).as("n_terms_hit"))
+    rankTopK(scored, k)
+      .select(F.col("rank"), F.col("id"), F.col("score"),
+        F.col("n_terms_hit"))
+  }
+
+  // ---------------------------------------------------------------- //
   // Persisted index                                                   //
   // ---------------------------------------------------------------- //
 

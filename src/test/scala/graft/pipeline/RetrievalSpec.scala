@@ -573,6 +573,65 @@ class RetrievalSpec extends SparkTestBase {
     }
   }
 
+  test("fielded index: bm25fTopKIndexed ranks exactly like one-shot bm25f") {
+    val d = sf("sf0.001", "documents")
+    val toks = F.filter(F.split(F.col("text"), "\\s+"),
+      (t: org.apache.spark.sql.Column) => F.length(t) > 0)
+    val two = d.filter(F.col("text").isNotNull)
+      .select(F.col("doc_id"),
+        F.array_join(F.slice(toks, 1, 3), " ").as("title"),
+        F.col("text").as("body"))
+    val fields = Seq(("title", 2.0, 0.5), ("body", 1.0, 0.75))
+    val q = Seq("slow", "merge", "window")
+    val path = java.nio.file.Files.createTempDirectory("graft_ftidx").toString
+    val idx = Retrieval.saveFieldedTextIndex(
+      two, "doc_id", Seq("title", "body"), path, buckets = 16)
+    assert(idx.fields == Seq("title", "body") && idx.nDocs == two.count())
+    // reload round-trips the manifest
+    val re = Retrieval.loadFieldedTextIndex(spark, path)
+    assert(re.fields == idx.fields && re.nDocs == idx.nDocs)
+    val oneShot = Retrieval.bm25fTopK(two, "doc_id", fields, q, 10)
+      .collect().map(r => (r.getAs[Int]("rank"), r.getAs[Long]("id"),
+        r.getAs[Double]("score"))).sortBy(_._1)
+    val probed = Retrieval.bm25fTopKIndexed(re, fields, q, 10)
+      .collect().map(r => (r.getAs[Int]("rank"), r.getAs[Long]("id"),
+        r.getAs[Double]("score"))).sortBy(_._1)
+    assert(probed.map(t => (t._1, t._2)).toSeq ==
+      oneShot.map(t => (t._1, t._2)).toSeq)
+    probed.zip(oneShot).foreach { case (p, o) =>
+      assert(math.abs(p._3 - o._3) < 1e-9, s"rank ${p._1} score") }
+    // append + takedown per field keep the probe equal to a rebuild
+    val firstHalf = two.filter(F.col("doc_id") % 2 === 0)
+    val secondHalf = two.filter(F.col("doc_id") % 2 =!= 0)
+    val path2 = java.nio.file.Files.createTempDirectory("graft_ftidx2").toString
+    Retrieval.saveFieldedTextIndex(firstHalf, "doc_id",
+      Seq("title", "body"), path2, buckets = 16)
+    val grown = Retrieval.appendToFieldedTextIndex(spark, path2,
+      secondHalf, "doc_id")
+    assert(grown.nDocs == two.count())
+    val grownRanks = Retrieval.bm25fTopKIndexed(grown, fields, q, 10)
+      .collect().map(r => (r.getAs[Int]("rank"), r.getAs[Long]("id"))).toSeq
+    assert(grownRanks == probed.map(t => (t._1, t._2)).toSeq)
+    val doomed = two.filter(F.col("doc_id") % 37 === 0).select("doc_id")
+    val pruned = Retrieval.removeFromFieldedTextIndex(
+      spark, path2, doomed, "doc_id")
+    assert(pruned.nDocs == two.count() - doomed.count())
+    val rebuilt = Retrieval.saveFieldedTextIndex(
+      two.filter(F.col("doc_id") % 37 =!= 0), "doc_id",
+      Seq("title", "body"),
+      java.nio.file.Files.createTempDirectory("graft_ftidx3").toString,
+      buckets = 16)
+    assert(
+      Retrieval.bm25fTopKIndexed(pruned, fields, q, 10)
+        .collect().map(r => (r.getAs[Int]("rank"), r.getAs[Long]("id"))).toSeq ==
+      Retrieval.bm25fTopKIndexed(rebuilt, fields, q, 10)
+        .collect().map(r => (r.getAs[Int]("rank"), r.getAs[Long]("id"))).toSeq)
+    // unknown field: loud error, not silent garbage
+    intercept[IllegalArgumentException] {
+      Retrieval.bm25fTopKIndexed(re, Seq(("nope", 1.0, 0.5)), q, 5)
+    }
+  }
+
   test("filtered BM25F equals filter-then-rank of full BM25F scoring") {
     val d = sf("sf0.001", "documents")
     // synthesize a title field deterministically from the text (first
