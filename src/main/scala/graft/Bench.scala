@@ -35,6 +35,19 @@ object Bench {
   private val fieldedIndexCache = scala.collection.concurrent.TrieMap[String,
     graft.pipeline.Retrieval.FieldedTextIndex]()
 
+  // int8 code table, trained + persisted once per dir
+  private val sq8IndexCache = scala.collection.concurrent.TrieMap[String,
+    (graft.pipeline.ScalarQuant.Sq8Model, DataFrame)]()
+
+  private def sq8IndexFor(s: SparkSession, dir: String, emb: DataFrame) =
+    sq8IndexCache.getOrElseUpdate(dir, {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_bench_sq8").toString
+      graft.pipeline.ScalarQuant.saveSq8Index(
+        emb, "vec_id", "embedding", path)
+      graft.pipeline.ScalarQuant.loadSq8Index(s, path)
+    })
+
   private val ivfIndexCache =
     scala.collection.concurrent.TrieMap[String, graft.pipeline.Similarity.IvfIndex]()
 
@@ -607,6 +620,17 @@ object Bench {
         idx, k = 10, nSample = 64)
       ivfCalCache.put(dir, cal)
       s.range(1).select(F.lit(cal.grid.length).as("n_grid"))
+    }),
+
+    // ANN: int8 scalar quantization — factor-table coarse scan over a
+    // prebuilt byte-code table (1/4 the embedding bytes) + exact
+    // rerank of the candidate pool
+    "b_ann_sq8_query" -> ((s: SparkSession, dir: String) => {
+      val emb = t(s, dir, "embeddings")
+      val (m, codes) = sq8IndexFor(s, dir, emb)
+      graft.pipeline.ScalarQuant.sq8TopKIndexed(m, codes, emb,
+        emb.filter(F.col("vec_id") < 20), "vec_id", "embedding", 10,
+        poolSize = 200)
     }),
 
     // ANN: product quantization — ADC scan over a prebuilt code table
@@ -2024,6 +2048,13 @@ object Bench {
           // exact rerank — recall is the hamming pool's to lose
           "binary" -> recallOf(graft.pipeline.BinaryQuant.binaryTopK(
             emb, queries, "vec_id", "embedding", 10, poolSize = 4000)),
+          // int8 scalar quantization: 4x-compressed coarse scan + a
+          // 200-pool exact rerank — direction error is one byte/dim
+          "sq8" -> recallOf {
+            val (m, codes) = sq8IndexFor(spark, sfDir, emb)
+            graft.pipeline.ScalarQuant.sq8TopKIndexed(m, codes, emb,
+              queries, "vec_id", "embedding", 10, poolSize = 200)
+          },
           // recall-target controller: solve the mass for 0.85 from the
           // measured curve (built by b_ann_calibrate, or on demand) and
           // report what the solved dial actually achieves on the
@@ -2079,7 +2110,7 @@ object Bench {
     // measured on 64 in-distribution sample queries; 0.75 leaves room
     // for sample-vs-workload generalization noise at any SF
     val floors = Map("lsh" -> 0.7, "ivf" -> 0.6, "pq" -> 0.7, "ivfpq" -> 0.8,
-      "hnsw" -> 0.6, "binary" -> 0.8, "ivf_target" -> 0.75)
+      "hnsw" -> 0.6, "binary" -> 0.8, "ivf_target" -> 0.75, "sq8" -> 0.9)
     val fl = floors.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val ok = recall.map { case (k, v) =>
       "\"" + k + "\":" + floors.get(k).forall(v >= _) }.mkString("{", ",", "}")

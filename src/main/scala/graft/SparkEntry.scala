@@ -5174,6 +5174,50 @@ object SparkEntry {
         F.lit(indexed == pooled).as("indexed_exact"))
     }),
 
+    // int8 scalar quantization (the 4x rung of the quantization
+    // ladder): per-dim mean±3σ affine bounds from ONE constant-width
+    // aggregate, asymmetric factor-table coarse scoring over byte
+    // codes, exact-cosine rerank. Contracts mirror q_ann_binary:
+    // planted copies rank-1, pool-exhaustive ≡ brute force row for
+    // row, persisted codes ≡ one-shot
+    "q_ann_sq8" -> ((s: SparkSession, dir: String) => {
+      val sq = graft.pipeline.ScalarQuant
+      val emb = t(s, dir, "embeddings").filter(F.col("embedding").isNotNull)
+        .select(F.col("vec_id").cast("long").as("vec_id"), F.col("embedding"))
+      val copies = emb.filter(F.col("vec_id") < 5)
+        .select((F.col("vec_id") + 100000L).as("vec_id"), F.col("embedding"))
+      val corpus = emb.unionByName(copies)
+      val planted = sq.sq8TopK(corpus, copies, "vec_id", "embedding", 3,
+        poolSize = 50).collect()
+      val top1 = planted.filter(_.getAs[Int]("rank") == 1)
+      val copyOk = top1.length == 5 && top1.forall(r =>
+        r.getAs[Long]("neighbor_id") == r.getAs[Long]("query_id") - 100000L &&
+        math.abs(r.getAs[Double]("cos") - 1.0) < 1e-6)
+      val queries = emb.filter(F.col("vec_id") < 10)
+      def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Int, Long)] = df
+        .select("query_id", "rank", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      val exact = pairs(graft.pipeline.Similarity
+        .bruteForceTopK(emb, queries, "vec_id", "embedding", 5))
+      val exhaustive = pairs(sq.sq8TopK(emb, queries, "vec_id", "embedding", 5,
+        poolSize = 1 << 20))
+      val pooled = pairs(sq.sq8TopK(emb, queries, "vec_id", "embedding", 5,
+        poolSize = 200))
+      val path = System.getProperty("java.io.tmpdir") + "/graft_q_sq8"
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      sq.saveSq8Index(emb, "vec_id", "embedding", path)
+      val (reModel, reCodes) = sq.loadSq8Index(s, path)
+      val indexed = pairs(sq.sq8TopKIndexed(reModel, reCodes,
+        emb, queries, "vec_id", "embedding", 5, poolSize = 200))
+      s.range(1).select(
+        F.lit(planted.length.toLong).as("n_rows"),
+        F.lit(copyOk).as("copies_rank1"),
+        F.lit(exhaustive == exact).as("pool_exhaustive_exact"),
+        F.lit(indexed == pooled).as("indexed_exact"))
+    }),
+
     // metadata-filtered ANN: top-k among rows passing a predicate
     // (allowed-id semi-join, the PRE-filter strategy). At probeMass 1
     // the probe covers every cell, so the filtered result must equal
@@ -9704,6 +9748,9 @@ object SparkEntry {
         |  AS exact_pairs, true AS recall_ok,
         |  true AS rotation_orthogonal""".stripMargin,
     "q_ann_binary" ->
+      """SELECT CAST(15 AS BIGINT) AS n_rows, true AS copies_rank1,
+        |  true AS pool_exhaustive_exact, true AS indexed_exact""".stripMargin,
+    "q_ann_sq8" ->
       """SELECT CAST(15 AS BIGINT) AS n_rows, true AS copies_rank1,
         |  true AS pool_exhaustive_exact, true AS indexed_exact""".stripMargin,
     "q_ann_filtered" ->

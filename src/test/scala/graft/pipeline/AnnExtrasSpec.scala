@@ -307,4 +307,69 @@ class AnnExtrasSpec extends SparkTestBase {
       .collect().head
     assert(pred.getAs[Int]("label") == 7 && pred.getAs[Long]("votes") == 3L)
   }
+
+  test("SQ8: codes reconstruct within step/2; clamping only past sigma bounds") {
+    val rows = Seq(
+      (1L, Array(0.0f, 10.0f, -5.0f, 100.0f)),
+      (2L, Array(1.0f, 20.0f, 5.0f, 100.0f)),
+      (3L, Array(2.0f, 30.0f, 15.0f, 100.0f))
+    ).toDF("id", "v")
+    val m = ScalarQuant.train(rows, "v", sigma = 3.0)
+    assert(m.dim == 4)
+    // constant dimension: degenerate span stays well-defined
+    assert(m.step(3) > 0)
+    val enc = ScalarQuant.encode(rows, "id", "v", m)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Array[Byte]]("code"), r.getDouble(2))).toMap
+    val vecs = Map(1L -> Array(0.0, 10.0, -5.0, 100.0),
+      2L -> Array(1.0, 20.0, 5.0, 100.0), 3L -> Array(2.0, 30.0, 15.0, 100.0))
+    vecs.foreach { case (id, v) =>
+      val (code, norm) = enc(id)
+      assert(math.abs(norm - math.sqrt(v.map(x => x * x).sum)) < 1e-9)
+      v.indices.foreach { d =>
+        // in-bounds values (all of these: 3 sigma covers a 3-point set)
+        // reconstruct within half a step
+        val recon = m.lo(d) + (code(d) & 0xFF) * m.step(d)
+        assert(math.abs(recon - v(d)) <= m.step(d) / 2 + 1e-9,
+          s"id $id dim $d: $recon vs ${v(d)}")
+      }
+    }
+    // NULL and ragged vectors drop out, never error
+    val bad = Seq((9L, null.asInstanceOf[Array[Float]]),
+      (10L, Array(1.0f, 2.0f))).toDF("id", "v")
+    assert(ScalarQuant.encode(bad, "id", "v", m).count() == 0L)
+  }
+
+  test("SQ8: pool-exhaustive equals brute force; copies rank-1; save/load exact") {
+    val e = emb.filter(F.col("embedding").isNotNull)
+      .select(F.col("vec_id").cast("long").as("vec_id"), F.col("embedding"))
+    val queries = e.filter(F.col("vec_id") < 12)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "rank", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(e, queries,
+      "vec_id", "embedding", 8))
+    val exhaustive = pairs(ScalarQuant.sq8TopK(e, queries,
+      "vec_id", "embedding", 8, poolSize = 1 << 20))
+    assert(exhaustive == exact, "pool >= corpus must be exactly brute force")
+    // a moderate pool keeps near-perfect order (int8 direction error)
+    val pooled = pairs(ScalarQuant.sq8TopK(e, queries,
+      "vec_id", "embedding", 8, poolSize = 64))
+    val per = exact.groupBy(_._1).map { case (q, ts) =>
+      val got = pooled.filter(_._1 == q).map(_._3)
+      ts.count(t => got.contains(t._3)).toDouble / ts.size }
+    assert(per.sum / per.size >= 0.9, s"sq8 recall@8 ${per.sum / per.size}")
+    // planted copies rank-1 through the persisted path
+    val copies = e.filter(F.col("vec_id") < 5)
+      .select((F.col("vec_id") + 100000L).as("vec_id"), F.col("embedding"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_sq8").toString
+    val m = ScalarQuant.saveSq8Index(e.unionByName(copies),
+      "vec_id", "embedding", dir)
+    val (reM, reCodes) = ScalarQuant.loadSq8Index(spark, dir)
+    assert(reM.lo.toSeq == m.lo.toSeq && reM.step.toSeq == m.step.toSeq)
+    ScalarQuant.sq8TopKIndexed(reM, reCodes, e.unionByName(copies), copies,
+        "vec_id", "embedding", 1, poolSize = 50)
+      .select("query_id", "neighbor_id").collect()
+      .foreach(r => assert(r.getLong(1) == r.getLong(0) - 100000L))
+  }
 }
