@@ -1266,6 +1266,18 @@ object Bench {
         t(s, dir, "documents"), "doc_id", "text",
         Seq("slow", "merge", "window"), 12)),
 
+    // the composed RAG tail: BM25 top-10 -> snippets over the hit docs
+    // only (semi-join before tokenization) -> budgeted prefix fill
+    "b_pipeline_rag" -> ((s: SparkSession, dir: String) => {
+      val d = t(s, dir, "documents")
+      val ranked = graft.pipeline.Retrieval.bm25TopK(
+          d, "doc_id", "text", Seq("slow", "merge", "window"), 10)
+        .select(F.col("rank"), F.col("id"))
+      graft.pipeline.Retrieval.assembleContext(
+        d, "doc_id", "text", ranked, Seq("slow", "merge", "window"),
+        window = 12, budgetTokens = 60)
+    }),
+
     // batched multi-query BM25: 12 queries in ONE union-of-terms
     // partition-pruned pass + a single query_id repartition — vs 12
     // separate probes (b_bm25_query x 12)

@@ -7618,6 +7618,30 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // the RAG serving tail, composed: BM25 top-10 -> best-window
+    // snippets -> greedy rank-order prefix fill under a 60-token
+    // budget (the fill STOPS at the first overflow — later smaller
+    // snippets never leapfrog rank order). Every number is exact
+    // integer math and the snippet strings are normalized token
+    // slices, so the WHOLE composition replays in SQL.
+    "q_pipeline_rag" -> ((s: SparkSession, dir: String) => {
+      val d = t(s, dir, "documents")
+      val ranked = graft.pipeline.Retrieval.bm25TopK(
+          d, "doc_id", "text", Seq("slow", "merge", "window"), 10)
+        .select(F.col("rank"), F.col("id"))
+      graft.pipeline.Retrieval.assembleContext(
+          d, "doc_id", "text", ranked, Seq("slow", "merge", "window"),
+          window = 12, budgetTokens = 60)
+        .select(F.col("rank").cast("long").as("rank"),
+          F.col("id").as("doc_id"),
+          F.col("start").cast("long").as("start"),
+          F.col("end").cast("long").as("end"),
+          F.col("n_tokens").cast("long").as("n_tokens"),
+          F.col("cum_tokens").cast("long").as("cum_tokens"),
+          F.col("snippet"))
+        .orderBy("rank")
+    }),
+
     // exact phrase search from the positional index: overlap-counting
     // occurrence semantics; coalesced so a zero-hit SF still yields the
     // (0,0,0) row
@@ -11177,6 +11201,60 @@ object SparkEntry {
           |           ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
           |         doc_id, tf_total, n_terms_hit FROM scored) t
           |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+      "q_pipeline_rag" ->
+        """WITH f AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+          |                    x -> len(x) > 0) AS w FROM documents),
+          |dl AS (SELECT doc_id, len(w) AS dl FROM f WHERE len(w) > 0),
+          |toks AS (SELECT doc_id, unnest(w) AS term FROM f),
+          |post AS (SELECT term, doc_id, count(*) AS tf FROM toks
+          |         WHERE term IN ('slow', 'merge', 'window') GROUP BY 1, 2),
+          |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+          |dfs AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+          |scored AS (
+          |  SELECT p.doc_id,
+          |         sum(ln(1 + (s.n - f2.df + 0.5) / (f2.df + 0.5)) * p.tf * 2.2 /
+          |             (p.tf + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl))) AS score
+          |  FROM post p JOIN dfs f2 USING (term) JOIN dl d USING (doc_id)
+          |  CROSS JOIN stats s GROUP BY 1),
+          |rk AS (SELECT doc_id, rank FROM (
+          |  SELECT doc_id,
+          |         CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+          |           AS rank FROM scored) t WHERE rank <= 10),
+          |fr AS (SELECT f.doc_id, f.w FROM f JOIN rk USING (doc_id)),
+          |pos AS (SELECT doc_id, w[i] AS term, i - 1 AS p
+          |        FROM (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i
+          |              FROM fr)
+          |        WHERE w[i] IN ('slow', 'merge', 'window')),
+          |cand AS (
+          |  SELECT a.doc_id, a.p AS start, count(DISTINCT b.term) AS n_terms
+          |  FROM pos a JOIN pos b ON a.doc_id = b.doc_id
+          |    AND b.p >= a.p AND b.p < a.p + 12
+          |  GROUP BY 1, 2),
+          |best AS (
+          |  SELECT doc_id, start,
+          |         row_number() OVER (PARTITION BY doc_id
+          |           ORDER BY n_terms DESC, start ASC) AS rn
+          |  FROM cand),
+          |sn AS (SELECT b.doc_id, b.start,
+          |              least(b.start + 12, len(f.w)) AS e,
+          |              array_to_string(
+          |                f.w[b.start + 1 : least(b.start + 12, len(f.w))],
+          |                ' ') AS snippet
+          |       FROM best b JOIN f USING (doc_id) WHERE rn = 1),
+          |j AS (SELECT rk.rank, rk.doc_id, sn.start, sn.e,
+          |             sn.e - sn.start AS n_tokens,
+          |             sum(sn.e - sn.start) OVER (ORDER BY rk.rank)
+          |               AS cum_tokens,
+          |             sn.snippet
+          |      FROM rk JOIN sn USING (doc_id)),
+          |ov AS (SELECT min(CASE WHEN cum_tokens > 60 THEN rank END) AS o
+          |       FROM j)
+          |SELECT rank, doc_id, CAST(start AS BIGINT) AS start,
+          |       CAST(e AS BIGINT) AS "end",
+          |       CAST(n_tokens AS BIGINT) AS n_tokens,
+          |       CAST(cum_tokens AS BIGINT) AS cum_tokens, snippet
+          |FROM j, ov WHERE ov.o IS NULL OR rank < ov.o
+          |ORDER BY rank""".stripMargin,
       "q_retrieval_snippet" ->
         """WITH f AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
           |                    x -> len(x) > 0) AS w

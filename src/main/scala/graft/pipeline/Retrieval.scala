@@ -1185,6 +1185,52 @@ object Retrieval {
           F.col("end") - F.col("start")), " ").as("snippet"))
   }
 
+  /**
+   * Budgeted context assembly — the RAG serving tail: take ranked
+   * hits in RANK order, attach each document's best-window snippet
+   * ([[snippets]]), and keep the longest rank-prefix whose cumulative
+   * snippet token count fits `budgetTokens` (greedy prefix fill —
+   * deterministic and exactly replayable, unlike knapsack-style
+   * packing; a hit whose snippet would overflow the budget stops the
+   * fill, preserving rank order in the assembled context). `ranked`
+   * is (rank, id) — any retrieval family's output plugs in. Returns
+   * (rank, id, start, end, n_tokens, cum_tokens, snippet) for the
+   * kept prefix, rank-ordered.
+   *
+   * Scale shape: `ranked` is a top-k (bounded); the snippet pass is
+   * the [[snippetSpans]] kernel restricted to the hit documents
+   * (semi-join before tokenization), and the prefix cumsum is a
+   * window over k rows.
+   */
+  def assembleContext(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      ranked: DataFrame,
+      queryTerms: Seq[String],
+      window: Int,
+      budgetTokens: Int): DataFrame = {
+    require(budgetTokens >= 1, s"budgetTokens must be >= 1, got $budgetTokens")
+    val hits = ranked.select(F.col("rank"), F.col("id"))
+    val hitDocs = docs.join(
+      F.broadcast(hits.select(F.col("id").as(idCol))), Seq(idCol), "left_semi")
+    val sn = snippets(hitDocs, idCol, textCol, queryTerms, window)
+    val w = Window.orderBy(F.col("rank"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hits.join(sn, "id")
+      .withColumn("n_tokens", F.col("end") - F.col("start"))
+      .withColumn("cum_tokens", F.sum(F.col("n_tokens")).over(w))
+      // prefix semantics: the fill STOPS at the first overflow (a
+      // later smaller snippet must not leapfrog rank order)
+      .withColumn("__over",
+        F.min(F.when(F.col("cum_tokens") > budgetTokens, F.col("rank")))
+          .over(Window.rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)))
+      .filter(F.col("__over").isNull || F.col("rank") < F.col("__over"))
+      .select(F.col("rank"), F.col("id"), F.col("start"), F.col("end"),
+        F.col("n_tokens"), F.col("cum_tokens"), F.col("snippet"))
+  }
+
   // ---------------------------------------------------------------- //
   // Phrase matching                                                   //
   // ---------------------------------------------------------------- //

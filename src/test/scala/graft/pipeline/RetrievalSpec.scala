@@ -632,6 +632,33 @@ class RetrievalSpec extends SparkTestBase {
     }
   }
 
+  test("assembleContext: greedy rank-prefix under budget, stops at first overflow") {
+    import spark.implicits._
+    val fix = Seq(
+      (1L, "a b c d e f g h i j"),          // hit; window 4 -> 4 tokens
+      (2L, "a x"),                          // hit; 2 tokens
+      (3L, "a b c x y z q r s t u v w"),    // hit; 4 tokens
+      (4L, "x y z")                         // no hit
+    ).toDF("doc_id", "text")
+    val ranked = Seq((1, 1L), (2, 2L), (3, 3L)).toDF("rank", "id")
+    def ctx(budget: Int) = Retrieval.assembleContext(
+        fix, "doc_id", "text", ranked, Seq("a", "b"), window = 4, budget)
+      .orderBy("rank").collect()
+      .map(r => (r.getAs[Int]("rank"), r.getAs[Long]("id"),
+        r.getAs[Long]("cum_tokens"), r.getAs[String]("snippet")))
+    // budget fits all three (4 + 2 + 4 = 10)
+    assert(ctx(10).map(_._2).toSeq == Seq(1L, 2L, 3L))
+    // budget 7: ranks 1-2 fit (6); rank 3 overflows and STOPS the fill
+    assert(ctx(7).map(_._2).toSeq == Seq(1L, 2L))
+    // budget 5: rank 1 fits (4); rank 2 would reach 6 > 5 -> stop; the
+    // smaller rank-3 snippet must NOT leapfrog
+    assert(ctx(5).map(_._2).toSeq == Seq(1L))
+    // budget below the first snippet: empty context, no error
+    assert(ctx(3).isEmpty)
+    // snippets are the best windows ("a b c d" for doc 1)
+    assert(ctx(10).head._4 == "a b c d")
+  }
+
   test("filtered BM25F equals filter-then-rank of full BM25F scoring") {
     val d = sf("sf0.001", "documents")
     // synthesize a title field deterministically from the text (first
