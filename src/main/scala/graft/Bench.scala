@@ -1250,9 +1250,9 @@ object Bench {
             F.array_join(F.slice(F.col("__t"), 6, 2000000), " ").as("body"))
         val path = java.nio.file.Files
           .createTempDirectory("graft_bench_ftidx").toString
+        // save returns the reloaded index — no second load needed
         graft.pipeline.Retrieval.saveFieldedTextIndex(
           docs, "doc_id", Seq("title", "body"), path, buckets = 64)
-        graft.pipeline.Retrieval.loadFieldedTextIndex(s, path)
       })
       graft.pipeline.Retrieval.bm25fTopKIndexed(idx,
         Seq(("title", 2.0, 0.5), ("body", 1.0, 0.75)),

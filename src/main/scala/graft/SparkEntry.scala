@@ -5181,14 +5181,13 @@ object SparkEntry {
     // planted copies rank-1, pool-exhaustive ≡ brute force row for
     // row, persisted codes ≡ one-shot
     "q_ann_sq8" -> ((s: SparkSession, dir: String) => {
-      val sq = graft.pipeline.ScalarQuant
       val emb = t(s, dir, "embeddings").filter(F.col("embedding").isNotNull)
         .select(F.col("vec_id").cast("long").as("vec_id"), F.col("embedding"))
       val copies = emb.filter(F.col("vec_id") < 5)
         .select((F.col("vec_id") + 100000L).as("vec_id"), F.col("embedding"))
       val corpus = emb.unionByName(copies)
-      val planted = sq.sq8TopK(corpus, copies, "vec_id", "embedding", 3,
-        poolSize = 50).collect()
+      val planted = graft.pipeline.ScalarQuant.sq8TopK(corpus, copies,
+        "vec_id", "embedding", 3, poolSize = 50).collect()
       val top1 = planted.filter(_.getAs[Int]("rank") == 1)
       val copyOk = top1.length == 5 && top1.forall(r =>
         r.getAs[Long]("neighbor_id") == r.getAs[Long]("query_id") - 100000L &&
@@ -5199,18 +5198,23 @@ object SparkEntry {
         .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
       val exact = pairs(graft.pipeline.Similarity
         .bruteForceTopK(emb, queries, "vec_id", "embedding", 5))
-      val exhaustive = pairs(sq.sq8TopK(emb, queries, "vec_id", "embedding", 5,
-        poolSize = 1 << 20))
-      val pooled = pairs(sq.sq8TopK(emb, queries, "vec_id", "embedding", 5,
-        poolSize = 200))
+      val exhaustive = pairs(graft.pipeline.ScalarQuant.sq8TopK(
+        emb, queries, "vec_id", "embedding", 5, poolSize = 1 << 20))
+      // persisted-vs-transient comparison uses ONE model (the saved
+      // one): training twice would compare two parallel-float-sum
+      // trainings, whose last-ulp bound differences can flip pool
+      // boundary ties — the documented score-ONCE rule
       val path = System.getProperty("java.io.tmpdir") + "/graft_q_sq8"
       val fs = new org.apache.hadoop.fs.Path(path)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(path), true)
-      sq.saveSq8Index(emb, "vec_id", "embedding", path)
-      val (reModel, reCodes) = sq.loadSq8Index(s, path)
-      val indexed = pairs(sq.sq8TopKIndexed(reModel, reCodes,
+      graft.pipeline.ScalarQuant.saveSq8Index(emb, "vec_id", "embedding", path)
+      val (reModel, reCodes) = graft.pipeline.ScalarQuant.loadSq8Index(s, path)
+      val pooled = pairs(graft.pipeline.ScalarQuant.sq8TopKIndexed(reModel,
+        graft.pipeline.ScalarQuant.encode(emb, "vec_id", "embedding", reModel),
         emb, queries, "vec_id", "embedding", 5, poolSize = 200))
+      val indexed = pairs(graft.pipeline.ScalarQuant.sq8TopKIndexed(reModel,
+        reCodes, emb, queries, "vec_id", "embedding", 5, poolSize = 200))
       s.range(1).select(
         F.lit(planted.length.toLong).as("n_rows"),
         F.lit(copyOk).as("copies_rank1"),
@@ -5464,10 +5468,12 @@ object SparkEntry {
       val fs = new org.apache.hadoop.fs.Path(path)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(path), true)
-      graft.pipeline.Retrieval.saveFieldedTextIndex(
+      // saveFieldedTextIndex already returns the RELOADED index (it
+      // ends with a load) — a second load would be a redundant
+      // manifest read plus per-field stats aggregates
+      val fidx = graft.pipeline.Retrieval.saveFieldedTextIndex(
         docs, "doc_id", Seq("title", "body"), path, buckets = 32)
-      graft.pipeline.Retrieval.bm25fTopKIndexed(
-          graft.pipeline.Retrieval.loadFieldedTextIndex(s, path),
+      graft.pipeline.Retrieval.bm25fTopKIndexed(fidx,
           Seq(("title", 2.0, 0.5), ("body", 1.0, 0.75)),
           Seq("slow", "merge", "window"), 10)
         .select(F.col("rank").cast("long").as("rank"),

@@ -50,6 +50,12 @@ object Maintenance {
   private val LeaseFile = "_writer_heartbeat"
   private val ExclusiveFile = "_writer_exclusive"
 
+  /** The SketchView family's single-maintainer lock file — shared here
+    * so the sink gate's liveness check and SketchView never drift on
+    * the name (a silently-renamed lock would make a live backfill's
+    * marker look orphaned and let a sink write mid-backfill). */
+  private[graft] val CompactLockFile = "_compact_lock"
+
   /** Locks whose LAST RENEWAL is older than this are presumed crashed
     * and broken. Live holders renew on a staleness/4 timer, so only a
     * holder that actually died goes stale. */
@@ -160,10 +166,19 @@ object Maintenance {
     try {
       if (h.lost) return
       if (readTokenOf(fs, h.path) != h.token) { h.lost = true; return }
-      val fresh = s"${System.currentTimeMillis()} ${System.nanoTime()}"
+      // the NONCE (second field) identifies the holder across renewals
+      // — exclusive markers bind to it, so a renewing holder keeps its
+      // marker live while a different holder's (or no holder's) lock
+      // never vouches for an orphan marker
+      val fresh = s"${System.currentTimeMillis()} ${nonceOf(h.token)}"
       writeToken(fs, h.path, fresh)
       h.token = fresh
     } catch { case _: Exception => () }
+
+  private def nonceOf(token: String): String = {
+    val parts = token.split(' ')
+    if (parts.length >= 2) parts(1) else token
+  }
 
   /** Holder-token-verified release: delete only a lock still carrying
     * our own last stamp — if a breaker (wrongly or rightly) stole and
@@ -319,9 +334,20 @@ object Maintenance {
       spark: SparkSession,
       rootPath: String,
       horizonMs: Long = DefaultWriterLeaseMs)(body: => T): T = {
-    val p = new Path(new Path(rootPath), ExclusiveFile)
+    val root = new Path(rootPath)
+    val p = new Path(root, ExclusiveFile)
     val fs = fsOf(spark, p)
-    writeToken(fs, p, System.currentTimeMillis().toString)
+    // the marker carries the holder LOCK's nonce: liveness is "a lock
+    // with THIS nonce is fresh", so (a) a crashed op's orphan marker
+    // goes inert the moment its lock is gone or replaced — a later
+    // ROUTINE compact's fresh lock (different nonce) never vouches
+    // for it and cannot wedge the stream — and (b) a renewing
+    // long-running holder (same nonce re-stamped) keeps it live
+    val nonce = Seq(LockFile, CompactLockFile)
+      .map(lf => readTokenOf(fs, new Path(root, lf)))
+      .find(_.nonEmpty).map(nonceOf)
+      .getOrElse("?") // no lock held (caller bug): marker is inert
+    writeToken(fs, p, nonce)
     try {
       requireWriterStopped(spark, rootPath, horizonMs)
       body
@@ -342,19 +368,28 @@ object Maintenance {
     val root = new Path(rootPath)
     val marker = new Path(root, ExclusiveFile)
     val fs = fsOf(spark, marker)
-    if (!fs.exists(marker)) return
-    // liveness rides a LOCK stamp (holder-renewed for the Maintenance
-    // lock; acquire-time for SketchView's `_compact_lock`, whose
-    // writer-exclusive ops are short), not the marker's own timestamp
-    // — a crashed op's orphan marker ages out with its lock instead of
-    // wedging the stream
-    val lockFresh = Seq(LockFile, "_compact_lock").exists { lf =>
-      try {
-        val ts = readTokenOf(fs, new Path(root, lf)).split(' ').head.toLong
-        System.currentTimeMillis() - ts <= LockStaleMs
-      } catch { case _: Exception => false }
+    def live(): Boolean = {
+      if (!fs.exists(marker)) return false
+      val nonce = readTokenOf(fs, marker)
+      if (nonce.isEmpty) return false
+      // liveness = a FRESH lock carrying the marker's nonce: the
+      // holder's renewals keep the nonce; a crashed op's marker goes
+      // inert once its lock is broken/replaced (different nonce), so
+      // routine maintenance can never wedge the stream on an orphan
+      Seq(LockFile, CompactLockFile).exists { lf =>
+        try {
+          val tok = readTokenOf(fs, new Path(root, lf))
+          nonceOf(tok) == nonce &&
+            System.currentTimeMillis() - tok.split(' ').head.toLong <= LockStaleMs
+        } catch { case _: Exception => false }
+      }
     }
-    if (lockFresh)
+    if (!live()) return
+    // one short settle: a mutation attempt that is itself REFUSED by
+    // the lease check holds its marker for only ms — don't fail the
+    // stream over that transient; a real mutation persists
+    Thread.sleep(2000L)
+    if (live())
       throw new IllegalStateException(
         s"a writer-exclusive maintenance op holds $rootPath — this " +
           "micro-batch is refused and will replay after the op " +

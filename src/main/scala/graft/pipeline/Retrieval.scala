@@ -379,7 +379,17 @@ object Retrieval {
 
   /** Incrementally index a new batch into every field of a saved
     * fielded index (the [[appendToTextIndex]] contract per field; the
-    * manifest's N grows by the batch size). */
+    * manifest's N grows by the batch size).
+    *
+    * Crash contract — the single-field rule, stated for the loop: a
+    * batch append (`__batch = -1` file-adds) is NOT replay-idempotent,
+    * so a crash mid-loop (some fields appended, some not, manifest
+    * stale) must not be blindly retried — re-ingesting an already-
+    * indexed id double-counts, exactly as in [[appendToTextIndex]]
+    * ("re-ingesting an id that is already indexed is the caller's
+    * responsibility"). Recover by rebuilding the affected fields (or
+    * [[syncTextIndex]] per field) and then [[setFieldedTextIndexN]]
+    * with the known corpus count. */
   def appendToFieldedTextIndex(
       spark: SparkSession,
       path: String,
@@ -393,17 +403,37 @@ object Retrieval {
   }
 
   /** Takedown from every field index ([[removeFromTextIndex]] per
-    * field); N shrinks by the removed id count. */
+    * field). N shrinks by the count of requested ids ACTUALLY PRESENT
+    * in the index (the union of per-field postings) — never by the
+    * request size, so a retried or over-broad takedown list cannot
+    * drift the idf denominator (a doc with no indexable tokens in any
+    * field is invisible to scores either way). */
   def removeFromFieldedTextIndex(
       spark: SparkSession,
       path: String,
       ids: DataFrame,
       idCol: String): FieldedTextIndex = {
     val cur = loadFieldedTextIndex(spark, path)
-    val n = ids.select(F.col(idCol)).distinct().count()
+    val del = ids.select(F.col(idCol).as("id")).distinct()
+      .localCheckpoint(eager = false)
+    val present = cur.fields.map(f =>
+        cur.perField(f).postings.select(F.col("id")))
+      .reduce(_ unionByName _)
+      .join(F.broadcast(del), Seq("id"), "left_semi")
+      .distinct().count()
     cur.fields.foreach(f =>
-      removeFromTextIndex(spark, s"$path/field_$f", ids, idCol))
-    writeFieldsManifest(spark, path, cur.fields, math.max(0L, cur.nDocs - n))
+      removeFromTextIndex(spark, s"$path/field_$f", del, "id"))
+    writeFieldsManifest(spark, path, cur.fields,
+      math.max(0L, cur.nDocs - present))
+    loadFieldedTextIndex(spark, path)
+  }
+
+  /** Reconcile the manifest's idf denominator to a known corpus count
+    * (the repair for a crashed [[appendToFieldedTextIndex]] loop). */
+  def setFieldedTextIndexN(
+      spark: SparkSession, path: String, nDocs: Long): FieldedTextIndex = {
+    val cur = loadFieldedTextIndex(spark, path)
+    writeFieldsManifest(spark, path, cur.fields, nDocs)
     loadFieldedTextIndex(spark, path)
   }
 
@@ -1193,9 +1223,13 @@ object Retrieval {
    * deterministic and exactly replayable, unlike knapsack-style
    * packing; a hit whose snippet would overflow the budget stops the
    * fill, preserving rank order in the assembled context). `ranked`
-   * is (rank, id) — any retrieval family's output plugs in. Returns
-   * (rank, id, start, end, n_tokens, cum_tokens, snippet) for the
-   * kept prefix, rank-ordered.
+   * is (rank, id) — any retrieval family's output plugs in: a ranked
+   * document containing NO query term (possible for ANN/RRF inputs,
+   * never for lexical ranks) stays in the prefix with an EMPTY
+   * snippet and zero tokens charged — dropping it would break the
+   * prefix contract and let later ranks leapfrog. Returns (rank, id,
+   * start, end, n_tokens, cum_tokens, snippet) for the kept prefix,
+   * rank-ordered.
    *
    * Scale shape: `ranked` is a top-k (bounded); the snippet pass is
    * the [[snippetSpans]] kernel restricted to the hit documents
@@ -1217,7 +1251,10 @@ object Retrieval {
     val sn = snippets(hitDocs, idCol, textCol, queryTerms, window)
     val w = Window.orderBy(F.col("rank"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    hits.join(sn, "id")
+    hits.join(sn, Seq("id"), "left")
+      .withColumn("start", F.coalesce(F.col("start"), F.lit(0)))
+      .withColumn("end", F.coalesce(F.col("end"), F.lit(0)))
+      .withColumn("snippet", F.coalesce(F.col("snippet"), F.lit("")))
       .withColumn("n_tokens", F.col("end") - F.col("start"))
       .withColumn("cum_tokens", F.sum(F.col("n_tokens")).over(w))
       // prefix semantics: the fill STOPS at the first overflow (a

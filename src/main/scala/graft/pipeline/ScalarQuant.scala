@@ -51,12 +51,16 @@ object ScalarQuant {
     val dimRow = nonNull.select(F.size(F.col(vecCol)).as("d")).limit(1).collect()
     require(dimRow.nonEmpty, "ScalarQuant.train: no non-null vectors")
     val dim = dimRow.head.getInt(0)
+    // pre-project the cast array ONCE: higher-order transforms run
+    // interpreted with no CSE, so referencing the expression from both
+    // vec_sums would compute it twice per row (the Let.bind rule)
     val fixed = nonNull.filter(F.size(F.col(vecCol)) === dim)
-    val asD = F.transform(F.col(vecCol), _.cast("double"))
+      .select(F.transform(F.col(vecCol), _.cast("double")).as("__d"))
     val row = fixed.agg(
       F.count(F.lit(1)).as("n"),
-      VectorAgg.vec_sum(asD).as("sx"),
-      VectorAgg.vec_sum(F.transform(asD, x => x * x)).as("sxx")).collect().head
+      VectorAgg.vec_sum(F.col("__d")).as("sx"),
+      VectorAgg.vec_sum(F.transform(F.col("__d"), x => x * x)).as("sxx"))
+      .collect().head
     val n = math.max(row.getLong(0), 1L).toDouble
     val sx = row.getSeq[Double](1).toArray
     val sxx = row.getSeq[Double](2).toArray

@@ -516,7 +516,7 @@ object SketchView {
 
   private val PendingFile = "_compact_pending.json"
   private val FoldStaging = "_compact_fold"
-  private val LockFile = "_compact_lock"
+  private val LockFile = graft.pipeline.Maintenance.CompactLockFile
 
   /** Locks older than this are presumed crashed and broken. */
   private[graft] val CompactLockStaleMs: Long = 6L * 3600000L

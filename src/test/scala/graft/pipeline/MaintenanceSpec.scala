@@ -401,10 +401,11 @@ class MaintenanceSpec extends SparkTestBase {
       q.awaitTermination()
     }
     // simulate an in-flight writer-exclusive removal: fresh lock +
-    // marker (exactly what withExclusiveLock leaves while its body
-    // runs) — the arriving micro-batches must be REFUSED
+    // marker carrying the lock's nonce (exactly what withExclusiveLock
+    // leaves while its body runs) — the arriving micro-batches must be
+    // REFUSED
     writeFile(s"$dir/_maintenance_lock", s"${System.currentTimeMillis()} 1")
-    writeFile(s"$dir/_writer_exclusive", s"${System.currentTimeMillis()}")
+    writeFile(s"$dir/_writer_exclusive", "1")
     val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
       runStream()
     }
