@@ -3519,6 +3519,10 @@ object SparkEntry {
       fs.delete(new org.apache.hadoop.fs.Path(path), true)
       sim.buildIvfIndex(emb.filter(F.col("vec_id") % 4 === 0),
         "vec_id", "embedding", nlist = 8, iterations = 2).save(path)
+      // calibrate at build time: the policy contract under test is
+      // that a FIRED retrain re-measures this curve on the new
+      // geometry instead of leaving a hole for a human to notice
+      sim.recalibrateIvfIndex(s, path, k = 10)
       (1 to 3).foreach { m =>
         sim.appendToIvfIndexTouched(s, path,
           emb.filter(F.col("vec_id") % 4 === m), "vec_id", "embedding",
@@ -3536,6 +3540,35 @@ object SparkEntry {
       val (r2, _) = sim.maybeRetrainIvfIndex(s, path, shifted,
         "embedding", psiThreshold = 0.2, nlist = 16)
       val idx = sim.loadIvfIndex(s, path)
+      // the fired retrain must leave a FRESH curve: auto-recalibrated
+      // on the rebuilt 16-cell geometry (stamp matches), and solving a
+      // 0.6 target on it achieves 0.6 on the calibration sample (the
+      // on-sample replay argument — deterministic by construction)
+      val calMeta = sim.loadCalibrationMeta(s, path)
+      val recalFresh = calMeta.exists(_._2 == 16)
+      val calSample = idx.assigned
+        .orderBy(F.xxhash64(F.col("neighbor_id").cast("string")),
+          F.col("neighbor_id").cast("string"))
+        .limit(64)
+        .select(F.col("neighbor_id").as("vec_id"), F.col("__cv").as("embedding"))
+        .localCheckpoint(false)
+      def rpairs(df: org.apache.spark.sql.DataFrame) = df
+        .select(F.col("query_id").cast("long"), F.col("neighbor_id").cast("long"))
+        .collect().groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+      val gtCal = rpairs(sim.bruteForceTopK(emb, calSample,
+        "vec_id", "embedding", 10))
+      val gotCal = rpairs(sim.ivfTopKTarget(idx, calSample,
+        "vec_id", "embedding", 10, 0.6, calMeta.get._1))
+      val perQ = gtCal.map { case (q, tr) =>
+        gotCal.getOrElse(q, Set.empty[Long]).intersect(tr).size.toDouble / tr.size }
+      val recalAchieves = perQ.nonEmpty && perQ.sum / perQ.size >= 0.6
+      // a STALE curve (stamped for geometry that no longer exists) is
+      // refused by the validating loader, never silently solved
+      sim.saveCalibration(s, path, calMeta.get._1, cells = 999)
+      val staleRefused = scala.util.Try(
+        sim.loadCalibrationValidated(s, path, idx.centroids.length)).isFailure
+      sim.saveCalibration(s, path, calMeta.get._1, cells = 16) // restore
       // graph-family twin: the same quiet/fire drift boundary through
       // hnswDrift's frozen-graph assignment
       val hn = graft.pipeline.Hnsw
@@ -3565,7 +3598,10 @@ object SparkEntry {
         F.lit(!h1).as("hnsw_retrain_quiet"),
         F.lit(h2).as("hnsw_retrain_fired"),
         F.lit(hAfter.assigned.count() == emb.count()).as("hnsw_rows_ok"),
-        F.lit(hGeomKept).as("hnsw_geom_kept"))
+        F.lit(hGeomKept).as("hnsw_geom_kept"),
+        F.lit(recalFresh).as("recal_fresh"),
+        F.lit(recalAchieves).as("recal_achieves"),
+        F.lit(staleRefused).as("stale_refused"))
     }),
 
     // nightly index operations, COMPOSED (the q_pipeline_curation
@@ -3796,6 +3832,32 @@ object SparkEntry {
         k = 10, nSample = 64)
       val p60 = recallOf(pairs(pq.ivfPqTopKTarget(pidx, emb, sample,
         "vec_id", "embedding", 10, 0.6, pcal, poolSize = 1024)), gtSample)
+      // pool-family legs: recall's dial is the rerank POOL, measured
+      // by the same machinery (coarse rank of each true neighbor) —
+      // on-sample achievement is deterministic by the replay argument
+      // (a pooled true top-k neighbor always survives the exact
+      // rerank). Solve 0.85, demand 0.85 on the calibration sample.
+      val bq = graft.pipeline.BinaryQuant
+      val bcal = bq.calibratePool(emb, "vec_id", "embedding", k = 10)
+      val b85 = recallOf(pairs(bq.binaryTopKTarget(emb, sample,
+        "vec_id", "embedding", 10, 0.85, bcal)), gtSample)
+      val bPoolMono = bcal.poolFor(0.95) >= bcal.poolFor(0.6)
+      val sq = graft.pipeline.ScalarQuant
+      val sqModel = sq.train(emb, "embedding")
+      val sqCodes = sq.encode(emb, "vec_id", "embedding", sqModel)
+        .localCheckpoint(false)
+      val scal = sq.calibratePool(sqModel, sqCodes, emb, "vec_id",
+        "embedding", k = 10)
+      val s85 = recallOf(pairs(sq.sq8TopKTarget(sqModel, sqCodes, emb,
+        sample, "vec_id", "embedding", 10, 0.85, scal)), gtSample)
+      val pcb = pq.trainPq(emb, "vec_id", "embedding", m = 16, ksub = 16,
+        iterations = 2)
+      val pEnc = pq.pqEncode(emb, "vec_id", "embedding", pcb)
+        .localCheckpoint(false)
+      val ppool = pq.calibratePqPool(pcb, pEnc, emb, "vec_id", "embedding",
+        k = 10)
+      val pp85 = recallOf(pairs(pq.pqTopKTarget(pcb, pEnc, emb, sample,
+        "vec_id", "embedding", 10, 0.85, ppool)), gtSample)
       s.range(1).select(
         F.lit(n).as("n"),
         F.lit(calRoundtrip).as("cal_roundtrip"),
@@ -3805,7 +3867,11 @@ object SparkEntry {
         F.lit(a85 >= 0.85).as("ivf_t85_ok"),
         F.lit(aIndep >= 0.6).as("ivf_indep_ok"),
         F.lit(h60 >= 0.6).as("hnsw_t60_ok"),
-        F.lit(p60 >= 0.6).as("pq_t60_ok"))
+        F.lit(p60 >= 0.6).as("pq_t60_ok"),
+        F.lit(b85 >= 0.85).as("binary_pool_ok"),
+        F.lit(bPoolMono).as("pool_monotone"),
+        F.lit(s85 >= 0.85).as("sq8_pool_ok"),
+        F.lit(pp85 >= 0.85).as("pq_pool_ok"))
     }),
 
     // incremental HNSW navigation growth: a drifted batch trains NEW
@@ -5215,11 +5281,56 @@ object SparkEntry {
         emb, queries, "vec_id", "embedding", 5, poolSize = 200))
       val indexed = pairs(graft.pipeline.ScalarQuant.sq8TopKIndexed(reModel,
         reCodes, emb, queries, "vec_id", "embedding", 5, poolSize = 200))
+      // ---- maintenance lifecycle legs (persisted ≡ one-shot across
+      // mutations; both sides always derive from the SAVED model — two
+      // independent trainings are never compared for exactness) ----
+      val sq = graft.pipeline.ScalarQuant
+      val path2 = System.getProperty("java.io.tmpdir") + "/graft_q_sq8_life"
+      fs.delete(new org.apache.hadoop.fs.Path(path2), true)
+      sq.saveSq8Index(emb.filter(F.col("vec_id") % 2 === 0),
+        "vec_id", "embedding", path2)
+      val (m2, codesGrown) = sq.appendToSq8Index(s, path2,
+        emb.filter(F.col("vec_id") % 2 =!= 0), "vec_id", "embedding")
+      val appendExact = pairs(sq.sq8TopKIndexed(m2, codesGrown, emb,
+        queries, "vec_id", "embedding", 5, poolSize = 200)) ==
+        pairs(sq.sq8TopKIndexed(m2,
+          sq.encode(emb, "vec_id", "embedding", m2), emb, queries,
+          "vec_id", "embedding", 5, poolSize = 200))
+      val doomed = emb.filter(F.col("vec_id") % 37 === 0).select("vec_id")
+      val (m3, codesPruned) = sq.removeFromSq8Index(s, path2, doomed, "vec_id")
+      val kept = emb.filter(F.col("vec_id") % 37 =!= 0)
+      val prunedRows = sq.sq8TopKIndexed(m3, codesPruned, kept, queries,
+        "vec_id", "embedding", 5, poolSize = 200)
+      val removeExact = pairs(prunedRows) == pairs(sq.sq8TopKIndexed(m3,
+        sq.encode(kept, "vec_id", "embedding", m3), kept, queries,
+        "vec_id", "embedding", 5, poolSize = 200))
+      val removedAbsent = prunedRows.select("neighbor_id").collect()
+        .forall(_.getLong(0) % 37 != 0)
+      // drift dial: in-distribution batch quiet; a +25 shift clips
+      // nearly every coordinate past mean+3σ and fires the rebuild
+      val (q1, _) = sq.maybeRetrainSq8Index(s, path2, emb.limit(200),
+        kept, "vec_id", "embedding")
+      val shiftU = F.udf((v: Seq[Float]) => v.map(x => x + 25.0f).toArray)
+      val (q2, _) = sq.maybeRetrainSq8Index(s, path2,
+        emb.limit(200).select(F.col("vec_id"),
+          shiftU(F.col("embedding")).as("embedding")),
+        kept, "vec_id", "embedding")
+      val (m4, codes4) = sq.loadSq8Index(s, path2)
+      val retrainExact = pairs(sq.sq8TopKIndexed(m4, codes4, kept, queries,
+        "vec_id", "embedding", 5, poolSize = 1 << 20)) ==
+        pairs(graft.pipeline.Similarity.bruteForceTopK(kept, queries,
+          "vec_id", "embedding", 5))
       s.range(1).select(
         F.lit(planted.length.toLong).as("n_rows"),
         F.lit(copyOk).as("copies_rank1"),
         F.lit(exhaustive == exact).as("pool_exhaustive_exact"),
-        F.lit(indexed == pooled).as("indexed_exact"))
+        F.lit(indexed == pooled).as("indexed_exact"),
+        F.lit(appendExact).as("append_exact"),
+        F.lit(removeExact).as("remove_exact"),
+        F.lit(removedAbsent).as("removed_absent"),
+        F.lit(!q1).as("clip_quiet"),
+        F.lit(q2).as("clip_fired"),
+        F.lit(retrainExact).as("retrain_exact"))
     }),
 
     // metadata-filtered ANN: top-k among rows passing a predicate
@@ -5473,6 +5584,62 @@ object SparkEntry {
       // manifest read plus per-field stats aggregates
       val fidx = graft.pipeline.Retrieval.saveFieldedTextIndex(
         docs, "doc_id", Seq("title", "body"), path, buckets = 32)
+      graft.pipeline.Retrieval.bm25fTopKIndexed(fidx,
+          Seq(("title", 2.0, 0.5), ("body", 1.0, 0.75)),
+          Seq("slow", "merge", "window"), 10)
+        .select(F.col("rank").cast("long").as("rank"),
+          F.col("id").as("doc_id"), F.col("n_terms_hit"))
+        .orderBy("rank")
+    }),
+
+    // continuous fielded indexing: half the corpus saved, the other
+    // half streamed through the per-field foreachBatch fan-out — WITH
+    // a real crash-replay (newest checkpoint commit marker deleted,
+    // stream restarted: the engine re-executes that batch against the
+    // identical file set; every field's postings and the N delta
+    // dynamic-overwrite their own partitions). The final probe must
+    // rank exactly like the one-shot q_bm25f over the full corpus —
+    // its oracle, shared verbatim (N double-counting would shift idf;
+    // exact-N and per-field cardinality pins live in
+    // FieldedStreamSpec)
+    "q_stream_bm25f" -> ((s: SparkSession, dir: String) => {
+      val toks = F.filter(F.split(F.lower(F.col("text")), "\\s+"),
+        (t: org.apache.spark.sql.Column) => F.length(t) > 0)
+      val docs = t(s, dir, "documents").filter(F.col("text").isNotNull)
+        .select(F.col("doc_id"), toks.as("__t"))
+        .select(F.col("doc_id"),
+          F.array_join(F.slice(F.col("__t"), 1, 5), " ").as("title"),
+          F.array_join(F.slice(F.col("__t"), 6, 2000000), " ").as("body"))
+      val base = System.getProperty("java.io.tmpdir") + "/graft_q_stream_bm25f"
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val path = s"$base/idx"
+      graft.pipeline.Retrieval.saveFieldedTextIndex(
+        docs.filter(F.col("doc_id") % 2 === 0), "doc_id",
+        Seq("title", "body"), path, buckets = 32)
+      val fresh = docs.filter(F.col("doc_id") % 2 =!= 0)
+      fresh.repartition(3).write.mode("overwrite").parquet(s"$base/src")
+      def runStream(): Unit = {
+        val q = graft.pipeline.Retrieval.streamToFieldedTextIndex(
+            s.readStream.schema(fresh.schema)
+              .option("maxFilesPerTrigger", 1).parquet(s"$base/src"),
+            path, "doc_id")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation", s"$base/ckpt")
+          .start()
+        q.awaitTermination()
+      }
+      runStream()
+      // crash-replay: drop the newest commit marker and restart — the
+      // engine re-executes that micro-batch with the identical files
+      val commits = new org.apache.hadoop.fs.Path(s"$base/ckpt/commits")
+      val newest = fs.listStatus(commits).map(_.getPath)
+        .filter(p => p.getName.forall(_.isDigit))
+        .maxBy(_.getName.toLong)
+      fs.delete(newest, false)
+      runStream()
+      val fidx = graft.pipeline.Retrieval.loadFieldedTextIndex(s, path)
       graft.pipeline.Retrieval.bm25fTopKIndexed(fidx,
           Seq(("title", 2.0, 0.5), ("body", 1.0, 0.75)),
           Seq("slow", "merge", "window"), 10)
@@ -9782,7 +9949,10 @@ object SparkEntry {
         |  true AS pool_exhaustive_exact, true AS indexed_exact""".stripMargin,
     "q_ann_sq8" ->
       """SELECT CAST(15 AS BIGINT) AS n_rows, true AS copies_rank1,
-        |  true AS pool_exhaustive_exact, true AS indexed_exact""".stripMargin,
+        |  true AS pool_exhaustive_exact, true AS indexed_exact,
+        |  true AS append_exact, true AS remove_exact,
+        |  true AS removed_absent, true AS clip_quiet, true AS clip_fired,
+        |  true AS retrain_exact""".stripMargin,
     "q_ann_filtered" ->
       """SELECT CAST(15 AS BIGINT) AS n_rows, true AS full_mass_exact,
         |  true AS full_top1_copies, true AS full_allowed_only,
@@ -10025,7 +10195,9 @@ object SparkEntry {
         |       true AS compact_quiet_after, true AS retrain_quiet,
         |       true AS retrain_fired, true AS nlist_ok,
         |       true AS hnsw_retrain_quiet, true AS hnsw_retrain_fired,
-        |       true AS hnsw_rows_ok, true AS hnsw_geom_kept
+        |       true AS hnsw_rows_ok, true AS hnsw_geom_kept,
+        |       true AS recal_fresh, true AS recal_achieves,
+        |       true AS stale_refused
         |FROM embeddings WHERE embedding IS NOT NULL""".stripMargin,
     "q_ivf_retrain" ->
       """SELECT CAST(vec_id + 100000 AS BIGINT) AS query_id,
@@ -10082,7 +10254,9 @@ object SparkEntry {
         |       true AS cal_roundtrip, true AS curve_monotone,
         |       true AS mass_monotone, true AS ivf_t60_ok,
         |       true AS ivf_t85_ok, true AS ivf_indep_ok,
-        |       true AS hnsw_t60_ok, true AS pq_t60_ok
+        |       true AS hnsw_t60_ok, true AS pq_t60_ok,
+        |       true AS binary_pool_ok, true AS pool_monotone,
+        |       true AS sq8_pool_ok, true AS pq_pool_ok
         |FROM embeddings WHERE embedding IS NOT NULL""".stripMargin,
     "q_index_remove" ->
       """SELECT CAST(sum(CASE WHEN vec_id % 37 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
@@ -11627,6 +11801,9 @@ object SparkEntry {
       // the persisted fielded probe ranks exactly like one-shot BM25F
       // (saved exact avgdl, manifest N) — oracle shared verbatim
       ("q_bm25f_indexed" -> m("q_bm25f")) +
+      // the streamed fielded index (crash-replay included) equals the
+      // one-shot BM25F over the full corpus — oracle shared verbatim
+      ("q_stream_bm25f" -> m("q_bm25f")) +
       // the join-based scorer forms are row-equal to their broadcast
       // twins — oracles shared verbatim (post-merge, the alias rule)
       ("q_keywords_joined" -> m("q_keywords")) +

@@ -120,20 +120,78 @@ object BinaryQuant {
     val q = queries.filter(F.col(vecCol).isNotNull)
       .select(F.col(idCol).cast("long").as("query_id"),
         F.col(vecCol).as("__qv"), signBits(F.col(vecCol)).as("__qsig"))
-    val slim = sigs.select(F.col("id").as("neighbor_id"), F.col("sig").as("__csig"))
-      .crossJoin(F.broadcast(q.select(F.col("query_id"), F.col("__qsig"))))
-      .filter(F.col("neighbor_id") =!= F.col("query_id"))
-      .select(F.col("query_id"), F.col("neighbor_id"),
-        hammingCol(F.col("__csig"), F.col("__qsig"), words).as("hamming"))
-    val wPool = Window.partitionBy(F.col("query_id"))
-      .orderBy(F.col("hamming").asc, F.col("neighbor_id").asc)
-    val pool = slim.withColumn("__pr", F.row_number().over(wPool))
+    val pool = coarseRanked(sigs,
+        q.select(F.col("query_id"), F.col("__qsig")), words)
       .filter(F.col("__pr") <= poolSize)
       .select("query_id", "neighbor_id")
     val c = corpus.filter(F.col(vecCol).isNotNull)
       .select(F.col(idCol).cast("long").as("neighbor_id"), F.col(vecCol).as("__cv"))
     rerank(c, q.select(F.col("query_id"), F.col("__qv")), pool, k)
   }
+
+  /** The ONE coarse-ranking builder (hamming asc, neighbor_id asc) —
+    * query probes and pool calibration must replay the identical rule
+    * (the bm25Weight one-builder lesson). Returns
+    * (query_id, neighbor_id, __pr). */
+  private def coarseRanked(
+      sigs: DataFrame, q: DataFrame, words: Int): DataFrame = {
+    val slim = sigs.select(F.col("id").as("neighbor_id"), F.col("sig").as("__csig"))
+      .crossJoin(F.broadcast(q))
+      .filter(F.col("neighbor_id") =!= F.col("query_id"))
+      .select(F.col("query_id"), F.col("neighbor_id"),
+        hammingCol(F.col("__csig"), F.col("__qsig"), words).as("hamming"))
+    val wPool = Window.partitionBy(F.col("query_id"))
+      .orderBy(F.col("hamming").asc, F.col("neighbor_id").asc)
+    slim.withColumn("__pr", F.row_number().over(wPool))
+      .select("query_id", "neighbor_id", "__pr")
+  }
+
+  /**
+   * Measure the pool → recall@k curve ([[Similarity.PoolCalibration]])
+   * of the zero-threshold signature family — the persisted
+   * ([[buildBinarySignatures]]) and default one-shot query path. A
+   * bounded hash-ordered sample brute-forces its exact top-k once,
+   * then ONE coarse ranking pass records each true neighbor's hamming
+   * rank; recall at pool P follows by counting. Deterministic replay:
+   * [[binaryTopKIndexed]] computes the identical coarse ranking.
+   */
+  def calibratePool(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int = 10,
+      nSample: Int = 64,
+      grid: Seq[Int] = Similarity.DefaultPoolGrid)
+      : Similarity.PoolCalibration = {
+    val sample = Similarity.poolCalibrationSample(corpus, idCol, vecCol, nSample)
+    val truth = Similarity.bruteForceTopK(corpus, sample, idCol, vecCol, k)
+      .select(F.col("query_id").cast("long").as("query_id"),
+        F.col("neighbor_id").cast("long").as("neighbor_id"))
+      .localCheckpoint(eager = false)
+    val sigs = buildBinarySignatures(corpus, idCol, vecCol)
+    val wordsRow = sigs.select(F.size(F.col("sig")).as("w")).limit(1).collect()
+    require(wordsRow.nonEmpty, "calibratePool: empty corpus")
+    val q = sample.select(F.col(idCol).cast("long").as("query_id"),
+      signBits(F.col(vecCol)).as("__qsig"))
+    val ranks = coarseRanked(sigs, q, wordsRow.head.getInt(0))
+      .join(truth, Seq("query_id", "neighbor_id"))
+      .select(F.col("__pr").cast("long")).collect().map(_.getLong(0)).toSeq
+    Similarity.poolCurveFromRanks(ranks, truth.count(), k, grid)
+  }
+
+  /** [[binaryTopK]] with the pool solved from a requested recall
+    * target via the measured curve — the pool-family analogue of
+    * [[Similarity.ivfTopKTarget]]. */
+  def binaryTopKTarget(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      targetRecall: Double,
+      cal: Similarity.PoolCalibration): DataFrame =
+    binaryTopK(corpus, queries, idCol, vecCol, k,
+      poolSize = math.max(cal.poolFor(targetRecall), k))
 
   private def emptyResult(df: DataFrame): DataFrame =
     df.sparkSession.emptyDataFrame

@@ -545,6 +545,24 @@ object Hnsw {
         minProbe, m))
   }
 
+  /** Measure-and-persist — [[Similarity.recalibrateIvfIndex]]'s graph
+    * sibling: the curve is stamped with the nav-cell count (geometry
+    * validation) and the efSearch it was measured at (the graph curve
+    * is an (efSearch, mass) property — query with the same beam). */
+  def recalibrateHnswIndex(
+      spark: SparkSession,
+      path: String,
+      k: Int = 10,
+      nSample: Int = 64,
+      efSearch: Int = 128,
+      minProbe: Int = 4): Similarity.ProbeCalibration = {
+    val idx = loadHnswIndex(spark, path)
+    val cal = calibrateProbe(idx, k, nSample, efSearch, minProbe)
+    Similarity.saveCalibration(spark, path, cal,
+      cells = idx.graph.vecs.length, ef = efSearch)
+    cal
+  }
+
   /** [[hnswTopK]] with the mass solved from a requested recall target
     * via the index's measured curve ([[Similarity.ivfTopKTarget]]'s
     * graph sibling). Pass the SAME efSearch the curve was measured
@@ -748,6 +766,7 @@ object Hnsw {
       Maintenance.withExclusiveLock(spark, path) {
     StagedSwap.recoverLocked(spark, path, ManagedDirs)
     CellTable.recover(spark, s"$path/assigned")
+    val priorCal = Similarity.loadCalibrationMeta(spark, path)
     val cur = loadHnswIndex(spark, path)
     val rows = cur.assigned.select(F.col("neighbor_id"), F.col("__cv"))
       .localCheckpoint(eager = false)
@@ -756,8 +775,13 @@ object Hnsw {
       buildHnswIndex(rows, "neighbor_id", "__cv", maxNav, m,
         efConstruction, efAssign, iterations, seed).save(staging)
     }
-    // fresh navigation geometry invalidates any measured curve
+    // fresh navigation geometry invalidates any measured curve; a
+    // calibrated index recalibrates in place at the SAME k and
+    // efSearch (recalibrate wherever you retrain)
     Similarity.dropCalibration(spark, path)
+    priorCal.foreach { case (c, _, ef) =>
+      recalibrateHnswIndex(spark, path, c.k,
+        efSearch = if (ef > 0) ef else 128) }
     loadHnswIndex(spark, path)
   }
 
@@ -811,6 +835,7 @@ object Hnsw {
     require(maxNewNav >= 1, s"maxNewNav must be >= 1, got $maxNewNav")
     StagedSwap.recoverLocked(spark, path, ManagedDirs)
     CellTable.recover(spark, s"$path/assigned")
+    val priorCal = Similarity.loadCalibrationMeta(spark, path)
     val cur = loadHnswIndex(spark, path)
     val normU = F.udf((v: Array[Float]) => normalize(v))
     val navsNew = Similarity.trainCentroids(
@@ -837,8 +862,12 @@ object Hnsw {
         CellTable.writeBase(assigned, s"$staging/assigned")
         writeGraph(spark, g2, navIds, staging)
     }
-    // the grown graph re-routes walks — any measured curve is stale
+    // the grown graph re-routes walks — any measured curve is stale;
+    // a calibrated index recalibrates in place (same k, same beam)
     Similarity.dropCalibration(spark, path)
+    priorCal.foreach { case (c, _, ef) =>
+      recalibrateHnswIndex(spark, path, c.k,
+        efSearch = if (ef > 0) ef else 128) }
     loadHnswIndex(spark, path)
   }
 

@@ -138,6 +138,20 @@ object Maintenance {
     try body
     finally {
       renewer.shutdownNow()
+      // the executor is single-threaded, so awaiting termination
+      // guarantees no renewal is in flight before the release — an
+      // in-flight renew that already passed its token verify would
+      // otherwise writeToken AFTER release deletes the lock
+      // (fs.create(overwrite = true) recreates a missing file),
+      // leaving an orphan fresh-stamped lock that blocks all
+      // maintenance on this root for staleMs
+      try renewer.awaitTermination(
+        10, java.util.concurrent.TimeUnit.SECONDS)
+      catch { case _: InterruptedException =>
+        Thread.currentThread().interrupt() }
+      // belt-and-braces for the timeout path: a straggler renew that
+      // has not yet passed its h.lost check returns without writing
+      handle.lost = true
       release(fs, handle)
     }
   }
@@ -316,7 +330,7 @@ object Maintenance {
       rootPath: String,
       horizonMs: Long = DefaultWriterLeaseMs)(body: => T): T =
     withLock(spark, rootPath) {
-      withExclusiveMarker(spark, rootPath, horizonMs)(body)
+      withExclusiveMarker(spark, rootPath, horizonMs, LockFile)(body)
     }
 
   /** The marker-only half, for families that hold their OWN
@@ -327,13 +341,19 @@ object Maintenance {
     * checking the marker), so either this side's lease check sees a
     * sink's fresh heartbeat (refuse) or the sink's later marker check
     * sees us (it refuses); checking the lease first would leave a
-    * window where both proceed. The caller MUST already hold a family
-    * lock at `rootPath` — marker liveness is judged from whichever
-    * lock file is fresh. */
+    * window where both proceed. The caller MUST already hold the lock
+    * named by `holderLockFile` at `rootPath` and passes it EXPLICITLY
+    * — guessing by filename order would let the marker bind to a
+    * crashed op's LEFTOVER lock sitting beside the caller's live one
+    * (stale leftover → marker judged inert → sinks write mid-op, the
+    * exact window the handshake closes; fresh leftover → the stream
+    * wedges until it ages out). A missing/unreadable holder lock is a
+    * caller bug and fails fast instead of writing an inert marker. */
   def withExclusiveMarker[T](
       spark: SparkSession,
       rootPath: String,
-      horizonMs: Long = DefaultWriterLeaseMs)(body: => T): T = {
+      horizonMs: Long,
+      holderLockFile: String)(body: => T): T = {
     val root = new Path(rootPath)
     val p = new Path(root, ExclusiveFile)
     val fs = fsOf(spark, p)
@@ -343,10 +363,13 @@ object Maintenance {
     // ROUTINE compact's fresh lock (different nonce) never vouches
     // for it and cannot wedge the stream — and (b) a renewing
     // long-running holder (same nonce re-stamped) keeps it live
-    val nonce = Seq(LockFile, CompactLockFile)
-      .map(lf => readTokenOf(fs, new Path(root, lf)))
-      .find(_.nonEmpty).map(nonceOf)
-      .getOrElse("?") // no lock held (caller bug): marker is inert
+    val holderTok = readTokenOf(fs, new Path(root, holderLockFile))
+    if (holderTok.isEmpty)
+      throw new IllegalStateException(
+        s"withExclusiveMarker: the caller claims to hold $holderLockFile " +
+          s"at $rootPath but it is missing/unreadable — writer-exclusive " +
+          "mutations must run under their family lock")
+    val nonce = nonceOf(holderTok)
     writeToken(fs, p, nonce)
     try {
       requireWriterStopped(spark, rootPath, horizonMs)

@@ -981,9 +981,18 @@ object ProductQuantization {
       ksub: Int = 16,
       iterations: Int = 2): IvfPqIndex =
       Maintenance.withExclusiveLock(spark, path) {
+    val priorCal = Similarity.loadCalibrationMeta(spark, path)
     retrainPqLocked(spark, path) { staging =>
       buildIvfPq(corpus, idCol, vecCol, nlist, m, ksub, iterations)
         .save(staging)
+    }
+    // a calibrated index recalibrates in place over the SAME corpus
+    // the rebuild used (recalibrate wherever you retrain)
+    priorCal.foreach { case (c, _, _) =>
+      val idx = loadIvfPq(spark, path)
+      val cal = calibrateIvfPqProbe(idx, corpus, idCol, vecCol, c.k)
+      Similarity.saveCalibration(spark, path, cal,
+        cells = idx.centroids.length)
     }
     loadIvfPq(spark, path)
   }
@@ -1002,9 +1011,20 @@ object ProductQuantization {
       iterations: Int = 2,
       opqIters: Int = 8): OpqIvfPqIndex =
       Maintenance.withExclusiveLock(spark, path) {
+    val priorCal = Similarity.loadCalibrationMeta(spark, path)
     retrainPqLocked(spark, path) { staging =>
       buildOpqIvfPq(corpus, idCol, vecCol, nlist, m, ksub, iterations,
         opqIters).save(staging)
+    }
+    // recalibrate in ROTATED space — the probe runs there (queries are
+    // rotated before cell selection), so the replayed rule must too
+    priorCal.foreach { case (c, _, _) =>
+      val idx = loadOpqIvfPq(spark, path)
+      val rotated = corpus.withColumn(vecCol,
+        rotateCol(spark, idx.rotation, F.col(vecCol)))
+      val cal = calibrateIvfPqProbe(idx.index, rotated, idCol, vecCol, c.k)
+      Similarity.saveCalibration(spark, path, cal,
+        cells = idx.index.centroids.length)
     }
     loadOpqIvfPq(spark, path)
   }
@@ -1110,6 +1130,49 @@ object ProductQuantization {
       .filter(F.col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "cos")
   }
+
+  /** Measure the pool → recall@k curve of a flat PQ code table
+    * ([[BinaryQuant.calibratePool]] on the ADC family): the coarse
+    * ranking IS [[pqTopKEncoded]] run to the grid's maximum pool —
+    * the identical rule the probe replays. */
+  def calibratePqPool(
+      cb: PqCodebooks,
+      encoded: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int = 10,
+      nSample: Int = 64,
+      grid: Seq[Int] = Similarity.DefaultPoolGrid)
+      : Similarity.PoolCalibration = {
+    val sample = Similarity.poolCalibrationSample(corpus, idCol, vecCol, nSample)
+    val truth = Similarity.bruteForceTopK(corpus, sample, idCol, vecCol, k)
+      .select(F.col("query_id").cast("long").as("query_id"),
+        F.col("neighbor_id").cast("long").as("neighbor_id"))
+      .localCheckpoint(eager = false)
+    val ranks = pqTopKEncoded(cb, encoded, sample, idCol, vecCol, grid.max)
+      .select(F.col("query_id").cast("long").as("query_id"),
+        F.col("neighbor_id").cast("long").as("neighbor_id"),
+        F.col("rank").cast("long").as("__pr"))
+      .join(truth, Seq("query_id", "neighbor_id"))
+      .select(F.col("__pr")).collect().map(_.getLong(0)).toSeq
+    Similarity.poolCurveFromRanks(ranks, truth.count(), k, grid)
+  }
+
+  /** [[pqTopKReranked]] with the pool solved from a requested recall
+    * target via the measured curve. */
+  def pqTopKTarget(
+      cb: PqCodebooks,
+      encoded: DataFrame,
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      targetRecall: Double,
+      cal: Similarity.PoolCalibration): DataFrame =
+    pqTopKReranked(cb, encoded, corpus, queries, idCol, vecCol, k,
+      poolSize = math.max(cal.poolFor(targetRecall), k))
 
   /** Metadata-filtered [[pqTopKReranked]]: the allowed-id semi-join
     * lands on the ENCODED table before the ADC scan (pre-filter, the

@@ -330,7 +330,14 @@ object Retrieval {
       nDocs: Long,
       perField: Map[String, TextIndex])
 
-  /** Build and persist a fielded index (one indexing pass per field). */
+  /** Build and persist a fielded index (one indexing pass per field).
+    * The idf denominator N rides a batch-stamped DELTA table
+    * (`<path>/n_deltas/__batch=*`, summed at load — the TextIndex
+    * stats protocol applied to the manifest), so appends/removals are
+    * delta rows and a streaming micro-batch dynamic-overwrites exactly
+    * its own N contribution on replay. The `_fields.json` manifest
+    * carries the field names (and a legacy n_docs read only when no
+    * delta table exists). */
   def saveFieldedTextIndex(
       docs: DataFrame,
       idCol: String,
@@ -343,13 +350,27 @@ object Retrieval {
     fieldCols.foreach { f =>
       buildTextIndex(docs, idCol, f, buckets).save(s"$path/field_$f")
     }
-    val p = new org.apache.hadoop.fs.Path(path, "_fields.json")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val json = s"""{"n_docs":$n,"fields":[${fieldCols
-      .map(f => "\"" + f + "\"").mkString(",")}]}"""
-    val out = fs.create(p, true)
-    try out.write(json.getBytes("UTF-8")) finally out.close()
+    writeFieldsManifest(spark, path, fieldCols, n)
+    writeNDelta(spark, path, n, batchId = -1L, base = true)
     loadFieldedTextIndex(spark, path)
+  }
+
+  /** One N-delta row. `base = true` statically overwrites the whole
+    * delta table with one `__batch=-1` row (save / reconcile); a real
+    * micro-batch id dynamic-overwrites exactly its own partition
+    * (replay-idempotent); `-1` without `base` is a pure file-add
+    * (batch append/removal deltas accumulate and SUM at load). */
+  private def writeNDelta(
+      spark: SparkSession, path: String, nDelta: Long, batchId: Long,
+      base: Boolean = false): Unit = {
+    import spark.implicits._
+    val w = Seq((nDelta, batchId)).toDF("n_delta", "__batch")
+      .repartition(1)
+      .write.partitionBy("__batch")
+    (if (base) w.mode("overwrite")
+     else if (batchId == -1L) w.mode("append")
+     else w.option("partitionOverwriteMode", "dynamic").mode("overwrite"))
+      .parquet(s"$path/n_deltas")
   }
 
   /** Reload a fielded index written by [[saveFieldedTextIndex]]. */
@@ -366,13 +387,23 @@ object Retrieval {
         while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
         new String(bos.toByteArray, "UTF-8")
       } finally in.close()
-    val nDocs = """"n_docs"\s*:\s*(\d+)""".r.findFirstMatchIn(raw)
+    val legacyN = """"n_docs"\s*:\s*(\d+)""".r.findFirstMatchIn(raw)
       .map(_.group(1).toLong)
       .getOrElse(throw new IllegalArgumentException(
         s"$path/_fields.json: missing n_docs"))
     val fields = """"([^"]+)"""".r
       .findAllMatchIn(raw.substring(raw.indexOf("[")))
       .map(_.group(1)).toSeq
+    // N = the exact sum of the batch-stamped deltas; the manifest's
+    // n_docs is the legacy fallback for indexes saved before the delta
+    // protocol
+    val dRoot = new org.apache.hadoop.fs.Path(path, "n_deltas")
+    val nDocs =
+      if (fs.exists(dRoot)) {
+        val r = spark.read.parquet(s"$path/n_deltas")
+          .agg(F.sum(F.col("n_delta"))).head()
+        if (r.isNullAt(0)) 0L else r.getLong(0)
+      } else legacyN
     FieldedTextIndex(fields, nDocs,
       fields.map(f => f -> loadTextIndex(spark, s"$path/field_$f")).toMap)
   }
@@ -382,25 +413,70 @@ object Retrieval {
     * manifest's N grows by the batch size).
     *
     * Crash contract — the single-field rule, stated for the loop: a
-    * batch append (`__batch = -1` file-adds) is NOT replay-idempotent,
-    * so a crash mid-loop (some fields appended, some not, manifest
-    * stale) must not be blindly retried — re-ingesting an already-
-    * indexed id double-counts, exactly as in [[appendToTextIndex]]
-    * ("re-ingesting an id that is already indexed is the caller's
-    * responsibility"). Recover by rebuilding the affected fields (or
-    * [[syncTextIndex]] per field) and then [[setFieldedTextIndexN]]
-    * with the known corpus count. */
+    * BATCH append (`__batch = -1` file-adds) is NOT replay-idempotent,
+    * so a crash mid-loop (some fields appended, some not) must not be
+    * blindly retried — re-ingesting an already-indexed id
+    * double-counts, exactly as in [[appendToTextIndex]]. Recover by
+    * rebuilding the affected fields (or [[syncTextIndex]] per field)
+    * and then [[setFieldedTextIndexN]] with the known corpus count.
+    * N itself is an appended DELTA row written LAST (never a
+    * read-modify-write of the manifest), so a crash can only leave it
+    * undercounted by exactly this batch — and the STREAMING form
+    * ([[streamToFieldedTextIndex]]) is fully replay-idempotent. */
   def appendToFieldedTextIndex(
       spark: SparkSession,
       path: String,
       newDocs: DataFrame,
-      idCol: String): FieldedTextIndex = {
+      idCol: String): FieldedTextIndex =
+    appendBatchToFieldedTextIndex(spark, path, newDocs, idCol,
+      batchId = -1L)
+
+  private[graft] def appendBatchToFieldedTextIndex(
+      spark: SparkSession,
+      path: String,
+      newDocs: DataFrame,
+      idCol: String,
+      batchId: Long): FieldedTextIndex = {
     val cur = loadFieldedTextIndex(spark, path)
+    val n = newDocs.count()
+    // an empty batch writes nothing anywhere — in particular it must
+    // not land a zero delta partition or clear any field's
+    // empty-index schema sentinel
+    if (n == 0L) return cur
+    val pinned = newDocs.localCheckpoint(eager = false)
     cur.fields.foreach(f =>
-      appendToTextIndex(spark, s"$path/field_$f", newDocs, idCol, f))
-    writeFieldsManifest(spark, path, cur.fields, cur.nDocs + newDocs.count())
+      appendBatchToTextIndex(spark, s"$path/field_$f", pinned, idCol, f,
+        batchId))
+    writeNDelta(spark, path, n, batchId)
     loadFieldedTextIndex(spark, path)
   }
+
+  /**
+   * Continuous fielded indexing — the [[streamToTextIndex]] protocol
+   * fanned out per field (the streamCardViews shape): each
+   * micro-batch heartbeats the writer lease, refuses inside a
+   * writer-exclusive maintenance window, lands every field's postings
+   * and stats delta under its own `__batch` partitions with dynamic
+   * overwrite, and dynamic-overwrites its own N delta — so a replayed
+   * micro-batch (crash between fields included) replaces exactly its
+   * own files in EVERY field and its own N contribution:
+   * effectively-once across the whole fan-out on at-least-once
+   * delivery. One streaming writer per path. Returns the writer — set
+   * trigger/checkpoint and `.start()`.
+   */
+  def streamToFieldedTextIndex(
+      stream: DataFrame,
+      path: String,
+      idCol: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        Maintenance.heartbeat(batch.sparkSession, path)
+        Maintenance.requireNoExclusiveMaintenance(batch.sparkSession, path)
+        appendBatchToFieldedTextIndex(batch.sparkSession, path, batch,
+          idCol, batchId)
+        ()
+    }
 
   /** Takedown from every field index ([[removeFromTextIndex]] per
     * field). N shrinks by the count of requested ids ACTUALLY PRESENT
@@ -423,17 +499,17 @@ object Retrieval {
       .distinct().count()
     cur.fields.foreach(f =>
       removeFromTextIndex(spark, s"$path/field_$f", del, "id"))
-    writeFieldsManifest(spark, path, cur.fields,
-      math.max(0L, cur.nDocs - present))
+    if (present > 0L)
+      writeNDelta(spark, path, -math.min(present, cur.nDocs), batchId = -1L)
     loadFieldedTextIndex(spark, path)
   }
 
-  /** Reconcile the manifest's idf denominator to a known corpus count
-    * (the repair for a crashed [[appendToFieldedTextIndex]] loop). */
+  /** Reconcile the idf denominator to a known corpus count — a static
+    * overwrite of the whole N-delta table with one base row (the
+    * repair for a crashed BATCH [[appendToFieldedTextIndex]] loop). */
   def setFieldedTextIndexN(
       spark: SparkSession, path: String, nDocs: Long): FieldedTextIndex = {
-    val cur = loadFieldedTextIndex(spark, path)
-    writeFieldsManifest(spark, path, cur.fields, nDocs)
+    writeNDelta(spark, path, nDocs, batchId = -1L, base = true)
     loadFieldedTextIndex(spark, path)
   }
 

@@ -125,9 +125,13 @@ object ScalarQuant {
       .filter(F.col("code").isNotNull)
   }
 
-  /** Persist (codes flat parquet + `_sq8.json` bounds). The codes
-    * table is flat id-bearing rows — the
-    * [[Dedup.removeFromSavedIndex]] takedown family applies. */
+  /** Persist (codes flat parquet with the `_sq8.json` bounds INSIDE
+    * the codes dir — underscore files are invisible to Spark's data
+    * listing, and co-locating model + codes makes the retrain swap one
+    * atomic directory promotion: a codes table can never outlive or
+    * predate the bounds it was encoded with). The codes table is flat
+    * id-bearing rows — the [[Dedup.removeFromSavedIndex]] takedown
+    * protocol applies ([[removeFromSq8Index]]). */
   def saveSq8Index(
       corpus: DataFrame,
       idCol: String,
@@ -138,20 +142,31 @@ object ScalarQuant {
     val model = train(corpus, vecCol, sigma)
     encode(corpus, idCol, vecCol, model)
       .write.mode("overwrite").parquet(s"$path/codes")
-    val p = new org.apache.hadoop.fs.Path(path, "_sq8.json")
+    writeModel(spark, s"$path/codes", model)
+    model
+  }
+
+  private def writeModel(
+      spark: SparkSession, codesDir: String, model: Sq8Model): Unit = {
+    val p = new org.apache.hadoop.fs.Path(codesDir, "_sq8.json")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val json = s"""{"lo":[${model.lo.map(_.toString).mkString(",")}],""" +
       s""""step":[${model.step.map(_.toString).mkString(",")}]}"""
     val out = fs.create(p, true)
     try out.write(json.getBytes("UTF-8")) finally out.close()
-    model
   }
 
-  /** Reload the bounds + codes written by [[saveSq8Index]]. */
+  /** Reload the bounds + codes written by [[saveSq8Index]]. Reads the
+    * bounds from `codes/_sq8.json`, falling back to the legacy
+    * root-level `_sq8.json` for indexes saved before the co-located
+    * layout. */
   def loadSq8Index(
       spark: SparkSession, path: String): (Sq8Model, DataFrame) = {
-    val p = new org.apache.hadoop.fs.Path(path, "_sq8.json")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val inCodes = new org.apache.hadoop.fs.Path(s"$path/codes", "_sq8.json")
+    val p = if (fs.exists(inCodes)) inCodes
+      else new org.apache.hadoop.fs.Path(path, "_sq8.json")
     val in = fs.open(p)
     val raw =
       try {
@@ -163,7 +178,7 @@ object ScalarQuant {
       } finally in.close()
     def arr(key: String): Array[Double] = {
       val i = raw.indexOf("\"" + key + "\"")
-      require(i >= 0, s"$path/_sq8.json: missing $key")
+      require(i >= 0, s"$p: missing $key")
       val a = raw.indexOf('[', i)
       val b = raw.indexOf(']', a)
       raw.substring(a + 1, b).split(',').map(_.trim.toDouble)
@@ -188,8 +203,58 @@ object ScalarQuant {
     require(poolSize >= k, s"poolSize ($poolSize) must be >= k ($k)")
     val spark = codes.sparkSession
     val mB = spark.sparkContext.broadcast(model)
-    // per-query precompute: C = Σ q_d·lo_d, f_d = q_d·step_d, |q|
-    val prepU = F.udf((qv: Seq[Float]) => {
+    val prepU = prepUdf(mB)
+    val q = queries.filter(F.col(vecCol).isNotNull)
+      .select(F.col(idCol).cast("long").as("query_id"),
+        F.col(vecCol).as("__qv"), prepU(F.col(vecCol)).as("__p"))
+      .filter(F.col("__p").isNotNull)
+    val pool = coarseRanked(codes, q.select(F.col("query_id"), F.col("__p")))
+      .filter(F.col("__pr") <= poolSize)
+      .select("query_id", "neighbor_id")
+    val c = corpus.filter(F.col(vecCol).isNotNull)
+      .select(F.col(idCol).cast("long").as("neighbor_id"),
+        F.col(vecCol).as("__cv"))
+    val withVecs = c.join(F.broadcast(pool), "neighbor_id")
+      .join(F.broadcast(q.select(F.col("query_id"), F.col("__qv"))), "query_id")
+      .withColumn("cos", Similarity.cosine(F.col("__qv"), F.col("__cv")))
+    val wK = Window.partitionBy(F.col("query_id"))
+      .orderBy(F.col("cos").desc, F.col("neighbor_id").asc)
+    withVecs.withColumn("rank", F.row_number().over(wK))
+      .filter(F.col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cos")
+  }
+
+  /** The ONE coarse-ranking builder (ADC approx desc, neighbor_id
+    * asc) — probes and pool calibration replay the identical rule.
+    * `q` is (query_id, __p) from the per-query prep; returns
+    * (query_id, neighbor_id, __pr). */
+  private def coarseRanked(codes: DataFrame, q: DataFrame): DataFrame = {
+    val approxU = F.udf((code: Array[Byte], c: Double, f: Seq[Double],
+        qn: Double, norm: Double) => {
+      var dot = c
+      var d = 0
+      while (d < code.length) { dot += f(d) * (code(d) & 0xFF); d += 1 }
+      val den = qn * norm
+      if (den == 0.0) 0.0 else dot / den
+    })
+    val slim = codes
+      .select(F.col("id").as("neighbor_id"), F.col("code"), F.col("norm"))
+      .crossJoin(F.broadcast(q))
+      .filter(F.col("neighbor_id") =!= F.col("query_id"))
+      .select(F.col("query_id"), F.col("neighbor_id"),
+        approxU(F.col("code"), F.col("__p._1"), F.col("__p._2"),
+          F.col("__p._3"), F.col("norm")).as("approx"))
+    val wPool = Window.partitionBy(F.col("query_id"))
+      .orderBy(F.col("approx").desc, F.col("neighbor_id").asc)
+    slim.withColumn("__pr", F.row_number().over(wPool))
+      .select("query_id", "neighbor_id", "__pr")
+  }
+
+  /** Per-query ADC prep (C = Σ q_d·lo_d, factor table, |q|) — shared
+    * by the probe and the calibration so their coarse scores are
+    * bit-identical. */
+  private def prepUdf(mB: org.apache.spark.broadcast.Broadcast[Sq8Model]) =
+    F.udf((qv: Seq[Float]) => {
       val m = mB.value
       if (qv == null || qv.length != m.dim) null
       else {
@@ -206,42 +271,50 @@ object ScalarQuant {
         (c, f, math.sqrt(qn))
       }
     })
-    val approxU = F.udf((code: Array[Byte], c: Double, f: Seq[Double],
-        qn: Double, norm: Double) => {
-      var dot = c
-      var d = 0
-      while (d < code.length) { dot += f(d) * (code(d) & 0xFF); d += 1 }
-      val den = qn * norm
-      if (den == 0.0) 0.0 else dot / den
-    })
-    val q = queries.filter(F.col(vecCol).isNotNull)
-      .select(F.col(idCol).cast("long").as("query_id"),
-        F.col(vecCol).as("__qv"), prepU(F.col(vecCol)).as("__p"))
+
+  /** Measure the pool → recall@k curve of an SQ8 code table
+    * ([[BinaryQuant.calibratePool]] on the ADC family): one bounded
+    * brute-force truth pass + one coarse ranking of the sample. */
+  def calibratePool(
+      model: Sq8Model,
+      codes: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int = 10,
+      nSample: Int = 64,
+      grid: Seq[Int] = Similarity.DefaultPoolGrid)
+      : Similarity.PoolCalibration = {
+    val spark = codes.sparkSession
+    val sample = Similarity.poolCalibrationSample(corpus, idCol, vecCol, nSample)
+    val truth = Similarity.bruteForceTopK(corpus, sample, idCol, vecCol, k)
+      .select(F.col("query_id").cast("long").as("query_id"),
+        F.col("neighbor_id").cast("long").as("neighbor_id"))
+      .localCheckpoint(eager = false)
+    val mB = spark.sparkContext.broadcast(model)
+    val q = sample.select(F.col(idCol).cast("long").as("query_id"),
+        prepUdf(mB)(F.col(vecCol)).as("__p"))
       .filter(F.col("__p").isNotNull)
-    val slim = codes
-      .select(F.col("id").as("neighbor_id"), F.col("code"), F.col("norm"))
-      .crossJoin(F.broadcast(q.select(F.col("query_id"), F.col("__p"))))
-      .filter(F.col("neighbor_id") =!= F.col("query_id"))
-      .select(F.col("query_id"), F.col("neighbor_id"),
-        approxU(F.col("code"), F.col("__p._1"), F.col("__p._2"),
-          F.col("__p._3"), F.col("norm")).as("approx"))
-    val wPool = Window.partitionBy(F.col("query_id"))
-      .orderBy(F.col("approx").desc, F.col("neighbor_id").asc)
-    val pool = slim.withColumn("__pr", F.row_number().over(wPool))
-      .filter(F.col("__pr") <= poolSize)
-      .select("query_id", "neighbor_id")
-    val c = corpus.filter(F.col(vecCol).isNotNull)
-      .select(F.col(idCol).cast("long").as("neighbor_id"),
-        F.col(vecCol).as("__cv"))
-    val withVecs = c.join(F.broadcast(pool), "neighbor_id")
-      .join(F.broadcast(q.select(F.col("query_id"), F.col("__qv"))), "query_id")
-      .withColumn("cos", Similarity.cosine(F.col("__qv"), F.col("__cv")))
-    val wK = Window.partitionBy(F.col("query_id"))
-      .orderBy(F.col("cos").desc, F.col("neighbor_id").asc)
-    withVecs.withColumn("rank", F.row_number().over(wK))
-      .filter(F.col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "cos")
+    val ranks = coarseRanked(codes, q)
+      .join(truth, Seq("query_id", "neighbor_id"))
+      .select(F.col("__pr").cast("long")).collect().map(_.getLong(0)).toSeq
+    Similarity.poolCurveFromRanks(ranks, truth.count(), k, grid)
   }
+
+  /** [[sq8TopKIndexed]] with the pool solved from a requested recall
+    * target via the measured curve. */
+  def sq8TopKTarget(
+      model: Sq8Model,
+      codes: DataFrame,
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      targetRecall: Double,
+      cal: Similarity.PoolCalibration): DataFrame =
+    sq8TopKIndexed(model, codes, corpus, queries, idCol, vecCol, k,
+      poolSize = math.max(cal.poolFor(targetRecall), k))
 
   /** One-shot convenience: train + encode + probe in one call. */
   def sq8TopK(
@@ -255,5 +328,156 @@ object ScalarQuant {
     val model = train(corpus, vecCol, sigma)
     sq8TopKIndexed(model, encode(corpus, idCol, vecCol, model),
       corpus, queries, idCol, vecCol, k, poolSize)
+  }
+
+  // ---------------------------------------------------------------- //
+  // Maintenance lifecycle (the flat-index protocols applied to SQ8)   //
+  // ---------------------------------------------------------------- //
+
+  /** Nightly append: encode a fresh batch with the SAVED bounds and
+    * file-add it to the codes table (one shuffle-free pass over the
+    * batch; the TB-scale history is never touched). The frozen bounds
+    * clamp drifted coordinates — watch [[clipFraction]] and let
+    * [[maybeRetrainSq8Index]] fire the staged rebuild when the
+    * distribution has genuinely moved. Re-ingesting an already-encoded
+    * id is the caller's responsibility (append-only index rule).
+    * Returns the reloaded (model, codes). */
+  def appendToSq8Index(
+      spark: SparkSession,
+      path: String,
+      fresh: DataFrame,
+      idCol: String,
+      vecCol: String): (Sq8Model, DataFrame) = {
+    val (model, _) = loadSq8Index(spark, path)
+    val batch = encode(fresh, idCol, vecCol, model)
+    if (!batch.isEmpty)
+      batch.write.mode("append").parquet(s"$path/codes")
+    loadSq8Index(spark, path)
+  }
+
+  /** Takedown removal — the [[Dedup.removeFromSavedIndex]] protocol:
+    * anti-join rewrite of the codes table into a staging dir (with the
+    * bounds manifest copied in — model and codes swap as ONE unit),
+    * then an atomic-ish directory promotion; a crash before the swap
+    * leaves the original intact. Single-maintainer via the
+    * [[Maintenance]] lock at the index root (the root persists — only
+    * the codes dir inside it is swapped). */
+  def removeFromSq8Index(
+      spark: SparkSession,
+      path: String,
+      ids: DataFrame,
+      idCol: String): (Sq8Model, DataFrame) =
+      Maintenance.withLock(spark, path) {
+    val (model, codes) = loadSq8Index(spark, path)
+    val del = ids.select(F.col(idCol).cast("long").as("id")).distinct()
+    val tmp = s"$path/codes__takedown"
+    codes.join(F.broadcast(del), Seq("id"), "left_anti")
+      .write.mode("overwrite").parquet(tmp)
+    writeModel(spark, tmp, model)
+    graft.sources.Compaction.promote(spark, tmp, s"$path/codes")
+    loadSq8Index(spark, path)
+  }
+
+  /** Small-file reclaim for a long-appended codes table: rewrite to
+    * `targetFiles` parquet files via the same staged promotion. */
+  def compactSq8Index(
+      spark: SparkSession,
+      path: String,
+      targetFiles: Int = 8): (Sq8Model, DataFrame) =
+      Maintenance.withLock(spark, path) {
+    val (model, codes) = loadSq8Index(spark, path)
+    val tmp = s"$path/codes__compact"
+    codes.repartition(targetFiles).write.mode("overwrite").parquet(tmp)
+    writeModel(spark, tmp, model)
+    graft.sources.Compaction.promote(spark, tmp, s"$path/codes")
+    loadSq8Index(spark, path)
+  }
+
+  /** Bounds-staleness telemetry: the fraction of a fresh batch's
+    * coordinates that CLAMP at the trained mean±sigma·std bounds.
+    * At train time this is < ~0.3% per dimension (sigma = 3, roughly
+    * normal coordinates); a drifted distribution pushes mass outside
+    * the frozen bounds and every clamped coordinate is quantization
+    * error the rerank pool has to absorb — the SQ8 analogue of the
+    * IVF cell-occupancy PSI dial. One bounded pass over the batch. */
+  def clipFraction(
+      model: Sq8Model,
+      batch: DataFrame,
+      vecCol: String): Double = {
+    val spark = batch.sparkSession
+    val mB = spark.sparkContext.broadcast(model)
+    val clipU = F.udf((v: Seq[Float]) => {
+      val m = mB.value
+      if (v == null || v.length != m.dim) null
+      else {
+        var clipped = 0
+        var d = 0
+        while (d < m.dim) {
+          val x = v(d).toDouble
+          if (x < m.lo(d) || x > m.lo(d) + 255.0 * m.step(d)) clipped += 1
+          d += 1
+        }
+        (clipped, m.dim)
+      }
+    })
+    val r = batch.filter(F.col(vecCol).isNotNull)
+      .select(clipU(F.col(vecCol)).as("__c"))
+      .filter(F.col("__c").isNotNull)
+      .agg(F.sum(F.col("__c._1")).cast("double"),
+        F.sum(F.col("__c._2")).cast("double")).head()
+    if (r.isNullAt(1) || r.getDouble(1) == 0.0) 0.0
+    else r.getDouble(0) / r.getDouble(1)
+  }
+
+  /** Staged-swap retrain: fresh bounds trained over `corpus` (the
+    * float vectors — codes are lossy, so the rebuild source is the
+    * caller's embedding table, the [[ProductQuantization.retrainIvfPq]]
+    * contract), encoded into a staging dir WITH the new bounds
+    * manifest, promoted atomically. A crash before the promotion
+    * leaves the old index fully live. */
+  def retrainSq8Index(
+      spark: SparkSession,
+      path: String,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      sigma: Double = 3.0): Sq8Model =
+      Maintenance.withLock(spark, path) {
+    val model = train(corpus, vecCol, sigma)
+    val tmp = s"$path/codes__retrain"
+    val staged = encode(corpus, idCol, vecCol, model)
+    staged.write.mode("overwrite").parquet(tmp)
+    writeModel(spark, tmp, model)
+    graft.sources.Compaction.promote(spark, tmp, s"$path/codes")
+    // drop a legacy root-level manifest so the stale bounds can never
+    // shadow the co-located ones on a mixed-layout index
+    val legacy = new org.apache.hadoop.fs.Path(path, "_sq8.json")
+    val fs = legacy.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(legacy, false)
+    model
+  }
+
+  /** Drift-dialed retrain — [[Similarity.maybeRetrainIvfIndex]] on the
+    * SQ8 family with [[clipFraction]] as the staleness measure: at or
+    * above `clipThreshold` the staged [[retrainSq8Index]] runs over
+    * `corpus`; below it the only cost is one bounded pass over the
+    * fresh batch. Append first, then maybeRetrain, so a fired rebuild
+    * absorbs the fresh rows. Returns (retrained, clip_fraction). */
+  def maybeRetrainSq8Index(
+      spark: SparkSession,
+      path: String,
+      fresh: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      clipThreshold: Double = 0.05,
+      sigma: Double = 3.0): (Boolean, Double) = {
+    val (model, _) = loadSq8Index(spark, path)
+    val f = clipFraction(model, fresh, vecCol)
+    if (f < clipThreshold) (false, f)
+    else {
+      retrainSq8Index(spark, path, corpus, idCol, vecCol, sigma)
+      (true, f)
+    }
   }
 }

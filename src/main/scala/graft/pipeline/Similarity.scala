@@ -647,6 +647,9 @@ object Similarity {
       Maintenance.withExclusiveLock(spark, path) {
     StagedSwap.recoverLocked(spark, path, Seq("assigned", "centroids"))
     CellTable.recover(spark, s"$path/assigned") // crashed compact first
+    // a calibrated index stays calibrated: remember the curve's k so
+    // the post-swap recalibration replays at the same contract
+    val priorCal = loadCalibrationMeta(spark, path)
     val cur = loadIvfIndex(spark, path)
     // every read of `rows` (training passes, the staged save) happens
     // BEFORE the swap deletes the source dirs — a lazy checkpoint just
@@ -664,10 +667,14 @@ object Similarity {
         .save(staging)
     }
     // fresh cells invalidate any measured mass->recall curve — delete
-    // it (recalibrateIvfIndex rebuilds it on demand); a stale curve
-    // would silently solve masses against geometry that no longer
-    // exists (the r12 stale-rotation lesson applied to calibration)
+    // it; a stale curve would silently solve masses against geometry
+    // that no longer exists (the r12 stale-rotation lesson applied to
+    // calibration). A previously CALIBRATED index then recalibrates
+    // in place (same k), so a drift-fired retrain never leaves a
+    // missing curve for a human to notice — the SCALING.md rule
+    // "recalibrate wherever you retrain" made code.
     dropCalibration(spark, path)
+    priorCal.foreach { case (c, _, _) => recalibrateIvfIndex(spark, path, c.k) }
     loadIvfIndex(spark, path)
   }
 
@@ -1059,6 +1066,56 @@ object Similarity {
     Seq(0.05, 0.1, 0.15, 0.2, 0.3, 0.45, 0.6, 0.8, 1.0)
 
   /**
+   * The rerank-pool analogue of [[ProbeCalibration]] for the families
+   * whose recall dial is POOL SIZE, not probed mass (binary
+   * quantization, SQ8, flat PQ): a measured pool → recall@k curve.
+   * Recall at pool P is exactly the fraction of true top-k neighbors
+   * whose COARSE rank is ≤ P — a pooled true neighbor always survives
+   * the exact-cosine rerank (anything outranking it in the pool has
+   * cosine ≥ its own and is therefore itself a true top-j neighbor;
+   * tie-breaks are neighbor_id asc on both sides), so the on-sample
+   * achievement at `poolFor(t)` reproduces the measured point
+   * deterministically.
+   */
+  final case class PoolCalibration(k: Int, grid: Vector[(Int, Double)]) {
+    require(grid.nonEmpty, "PoolCalibration: empty grid")
+    /** Smallest measured pool whose recall reaches `targetRecall`;
+      * Int.MaxValue when no measured point does (pool everything —
+      * exactly brute force for every pool family here). */
+    def poolFor(targetRecall: Double): Int =
+      grid.sortBy(_._1).find(_._2 >= targetRecall).map(_._1)
+        .getOrElse(Int.MaxValue)
+  }
+
+  /** Default pool grid — doubling steps over the serving-realistic
+    * range. */
+  val DefaultPoolGrid: Seq[Int] = Seq(50, 100, 200, 400, 800, 1600, 3200)
+
+  /** Shared pool-curve assembly from the coarse ranks of the true
+    * neighbors: recall(P) = |{true pairs with coarse rank ≤ P}| / n. */
+  private[pipeline] def poolCurveFromRanks(
+      truthRanks: Seq[Long], nTruth: Long, k: Int,
+      grid: Seq[Int]): PoolCalibration = {
+    val curve = grid.sorted.map { p =>
+      p -> (if (nTruth == 0) 1.0
+            else truthRanks.count(_ <= p).toDouble / nTruth)
+    }
+    PoolCalibration(k, curve.toVector)
+  }
+
+  /** Shared hash-ordered query sample for pool calibration (the
+    * [[calibrateProbe]] sampling rule on an (id, vec) corpus). */
+  private[pipeline] def poolCalibrationSample(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      nSample: Int): DataFrame =
+    corpus.filter(F.col(vecCol).isNotNull)
+      .orderBy(F.xxhash64(F.col(idCol).cast("string")),
+        F.col(idCol).cast("string"))
+      .limit(nSample)
+      .select(F.col(idCol), F.col(vecCol))
+      .localCheckpoint(eager = false)
+
+  /**
    * Shared measurement core: sample `nSample` corpus vectors
    * (hash-ordered — deterministic, distribution-blind), brute-force
    * their exact top-`k` (ONE bounded corpus scan — the build-time
@@ -1145,13 +1202,20 @@ object Similarity {
 
   /** Persist a calibration next to the index geometry
     * (`<path>/_calibration.json` — the underscore keeps it out of
-    * Spark's data-file listing, the manifest convention). */
+    * Spark's data-file listing, the manifest convention). `cells`
+    * stamps the GEOMETRY the curve was measured on (cell/nav count;
+    * -1 = unstamped legacy) so a validating load can refuse a curve
+    * that outlived a retrain; `ef` records the graph family's
+    * efSearch (the curve is an (efSearch, mass) property — a
+    * recalibration must replay the same beam). */
   def saveCalibration(
-      spark: SparkSession, path: String, cal: ProbeCalibration): Unit = {
+      spark: SparkSession, path: String, cal: ProbeCalibration,
+      cells: Int = -1, ef: Int = -1): Unit = {
     val p = new org.apache.hadoop.fs.Path(path, "_calibration.json")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val json = s"""{"k":${cal.k},"grid":[${cal.grid
-      .map { case (m, r) => s"[$m,$r]" }.mkString(",")}]}"""
+      .map { case (m, r) => s"[$m,$r]" }.mkString(",")}],""" +
+      s""""cells":$cells,"ef":$ef}"""
     val out = fs.create(p, true)
     try out.write(json.getBytes("UTF-8")) finally out.close()
   }
@@ -1165,9 +1229,9 @@ object Similarity {
       k: Int = 10,
       nSample: Int = 64,
       minProbe: Int = 4): ProbeCalibration = {
-    val cal = calibrateIvfProbe(loadIvfIndex(spark, path), k, nSample,
-      minProbe)
-    saveCalibration(spark, path, cal)
+    val idx = loadIvfIndex(spark, path)
+    val cal = calibrateIvfProbe(idx, k, nSample, minProbe)
+    saveCalibration(spark, path, cal, cells = idx.centroids.length)
     cal
   }
 
@@ -1185,7 +1249,14 @@ object Similarity {
   /** Reload a persisted calibration; None when the index was never
     * calibrated (callers fall back to the manual mass dial). */
   def loadCalibration(
-      spark: SparkSession, path: String): Option[ProbeCalibration] = {
+      spark: SparkSession, path: String): Option[ProbeCalibration] =
+    loadCalibrationMeta(spark, path).map(_._1)
+
+  /** [[loadCalibration]] plus the persisted stamps:
+    * (curve, cells, ef) — cells/ef are -1 on unstamped legacy files. */
+  def loadCalibrationMeta(
+      spark: SparkSession, path: String)
+      : Option[(ProbeCalibration, Int, Int)] = {
     val p = new org.apache.hadoop.fs.Path(path, "_calibration.json")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return None
@@ -1203,8 +1274,32 @@ object Similarity {
     val pair = """\[\s*([0-9.Ee+-]+)\s*,\s*([0-9.Ee+-]+)\s*\]""".r
     val grid = pair.findAllMatchIn(raw)
       .map(m => (m.group(1).toDouble, m.group(2).toDouble)).toVector
-    if (grid.isEmpty) None else Some(ProbeCalibration(k, grid))
+    if (grid.isEmpty) None
+    else {
+      def intField(key: String): Int =
+        ("\"" + key + """"\s*:\s*(-?\d+)""").r.findFirstMatchIn(raw)
+          .map(_.group(1).toInt).getOrElse(-1)
+      Some((ProbeCalibration(k, grid), intField("cells"), intField("ef")))
+    }
   }
+
+  /** [[loadCalibration]] that REFUSES a stale curve: a stamped cell
+    * count that no longer matches the live geometry means the curve
+    * was measured on cells that no longer exist — solving masses
+    * against it would be silent garbage. Unstamped (legacy) curves
+    * pass un-validated; a missing curve is None (fall back to the
+    * manual dial or recalibrate). */
+  def loadCalibrationValidated(
+      spark: SparkSession, path: String,
+      expectedCells: Int): Option[ProbeCalibration] =
+    loadCalibrationMeta(spark, path).map { case (cal, cells, _) =>
+      if (cells >= 0 && cells != expectedCells)
+        throw new IllegalStateException(
+          s"stale calibration at $path: measured on $cells cells but the " +
+            s"index has $expectedCells — a retrain/geometry change " +
+            "invalidates the curve; recalibrate before solving targets")
+      cal
+    }
 
   // ---------------------------------------------------------------- //
   // Filtered (predicate-constrained) ANN                              //

@@ -1021,7 +1021,9 @@ object SketchView {
     // the backfill visible to streamAppend's sink gate (Dekker
     // ordering — marker before lease check; liveness rides the
     // just-acquired _compact_lock)
-    try graft.pipeline.Maintenance.withExclusiveMarker(spark, path) {
+    try graft.pipeline.Maintenance.withExclusiveMarker(spark, path,
+      graft.pipeline.Maintenance.DefaultWriterLeaseMs,
+      graft.pipeline.Maintenance.CompactLockFile) {
       recoverPendingCompact(spark, path) // finish a crashed predecessor
       validateOrAdopt(spark, path, family, bucket, partSpanMs, keyCols)
       // snapshot: every data file currently in the replaced range
