@@ -7815,6 +7815,53 @@ object SparkEntry {
         .orderBy("rank")
     }),
 
+    // batched RAG assembly: three queries ride ONE bm25TopKBatch +
+    // ONE assembleContextBatch (one query_id repartition end-to-end);
+    // each query's snippets use its own terms and its prefix stops at
+    // its own first overflow. Full SQL replay per query; plus the
+    // batch ≡ single-query assembleContext pin (rank gaps measured —
+    // the q_bm25 rule — so cross-plan float sums cannot flip ranks)
+    "q_pipeline_rag_batch" -> ((s: SparkSession, dir: String) => {
+      val rt = graft.pipeline.Retrieval
+      val d = t(s, dir, "documents")
+      val idx = rt.buildTextIndex(d, "doc_id", "text", buckets = 32)
+      val qTerms = Seq(
+        0L -> Seq("slow", "merge", "window"),
+        1L -> Seq("hash", "batch", "scan"),
+        2L -> Seq("filter", "row", "group"))
+      val qdf = s.createDataFrame(qTerms).toDF("query_id", "terms")
+      val ranked = rt.bm25TopKBatch(idx, qdf, 10)
+        .select(F.col("query_id"), F.col("rank"), F.col("id"))
+        .localCheckpoint(false)
+      val ctx = rt.assembleContextBatch(d, "doc_id", "text", ranked, qdf,
+        window = 12, budgetTokens = 60).localCheckpoint(false)
+      def norm(rows: Array[org.apache.spark.sql.Row])
+          : Seq[(Int, Long, Long, Long, Long, Long, String)] = rows.map(r =>
+        (r.getAs[Int]("rank"), r.getAs[Long]("id"),
+          r.getAs[Number]("start").longValue(),
+          r.getAs[Number]("end").longValue(),
+          r.getAs[Number]("n_tokens").longValue(),
+          r.getAs[Number]("cum_tokens").longValue(),
+          r.getAs[String]("snippet"))).sortBy(_._1).toSeq
+      val perQuerySame = qTerms.forall { case (qid, terms) =>
+        val single = rt.assembleContext(d, "doc_id", "text",
+          rt.bm25TopKIndexed(idx, terms, 10)
+            .select(F.col("rank"), F.col("id")),
+          terms, window = 12, budgetTokens = 60).collect()
+        val batch = ctx.filter(F.col("query_id") === qid).collect()
+        norm(single) == norm(batch)
+      }
+      ctx.select(F.col("query_id"), F.col("rank").cast("long").as("rank"),
+          F.col("id").as("doc_id"),
+          F.col("start").cast("long").as("start"),
+          F.col("end").cast("long").as("end"),
+          F.col("n_tokens").cast("long").as("n_tokens"),
+          F.col("cum_tokens").cast("long").as("cum_tokens"),
+          F.col("snippet"),
+          F.lit(perQuerySame).as("per_query_same"))
+        .orderBy("query_id", "rank")
+    }),
+
     // exact phrase search from the positional index: overlap-counting
     // occurrence semantics; coalesced so a zero-hit SF still yields the
     // (0,0,0) row
@@ -11435,6 +11482,75 @@ object SparkEntry {
           |       CAST(cum_tokens AS BIGINT) AS cum_tokens, snippet
           |FROM j, ov WHERE ov.o IS NULL OR rank < ov.o
           |ORDER BY rank""".stripMargin,
+      "q_pipeline_rag_batch" ->
+        """WITH qs AS (SELECT * FROM (VALUES
+          |    (0, 'slow'), (0, 'merge'), (0, 'window'),
+          |    (1, 'hash'), (1, 'batch'), (1, 'scan'),
+          |    (2, 'filter'), (2, 'row'), (2, 'group')) v(query_id, term)),
+          |f AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+          |                    x -> len(x) > 0) AS w FROM documents),
+          |dl AS (SELECT doc_id, len(w) AS dl FROM f WHERE len(w) > 0),
+          |toks AS (SELECT doc_id, unnest(w) AS term FROM f),
+          |post AS (SELECT term, doc_id, count(*) AS tf FROM toks
+          |         WHERE term IN (SELECT DISTINCT term FROM qs) GROUP BY 1, 2),
+          |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+          |dfs AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+          |scored AS (
+          |  SELECT q.query_id, p.doc_id,
+          |         sum(ln(1 + (s.n - f2.df + 0.5) / (f2.df + 0.5)) * p.tf * 2.2 /
+          |             (p.tf + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl))) AS score
+          |  FROM qs q JOIN post p USING (term) JOIN dfs f2 USING (term)
+          |  JOIN dl d ON p.doc_id = d.doc_id
+          |  CROSS JOIN stats s GROUP BY 1, 2),
+          |rk AS (SELECT query_id, doc_id, rank FROM (
+          |  SELECT query_id, doc_id,
+          |         CAST(row_number() OVER (PARTITION BY query_id
+          |           ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+          |  FROM scored) t WHERE rank <= 10),
+          |fr AS (SELECT rk.query_id, f.doc_id, f.w FROM f JOIN rk USING (doc_id)),
+          |pos AS (SELECT query_id, doc_id, w[i] AS term, i - 1 AS p
+          |        FROM (SELECT query_id, doc_id, w,
+          |                     unnest(generate_series(1, len(w))) AS i
+          |              FROM fr)),
+          |posq AS (SELECT pos.query_id, pos.doc_id, pos.term, pos.p
+          |         FROM pos JOIN qs USING (query_id, term)),
+          |cand AS (
+          |  SELECT a.query_id, a.doc_id, a.p AS start,
+          |         count(DISTINCT b.term) AS n_terms
+          |  FROM posq a JOIN posq b ON a.query_id = b.query_id
+          |    AND a.doc_id = b.doc_id AND b.p >= a.p AND b.p < a.p + 12
+          |  GROUP BY 1, 2, 3),
+          |best AS (
+          |  SELECT query_id, doc_id, start,
+          |         row_number() OVER (PARTITION BY query_id, doc_id
+          |           ORDER BY n_terms DESC, start ASC) AS rn
+          |  FROM cand),
+          |sn AS (SELECT b.query_id, b.doc_id, b.start,
+          |              least(b.start + 12, len(f.w)) AS e,
+          |              array_to_string(
+          |                f.w[b.start + 1 : least(b.start + 12, len(f.w))],
+          |                ' ') AS snippet
+          |       FROM best b JOIN f USING (doc_id) WHERE rn = 1),
+          |j AS (SELECT rk.query_id, rk.rank, rk.doc_id,
+          |             coalesce(sn.start, 0) AS start,
+          |             coalesce(sn.e, 0) AS e,
+          |             coalesce(sn.e - sn.start, 0) AS n_tokens,
+          |             sum(coalesce(sn.e - sn.start, 0))
+          |               OVER (PARTITION BY rk.query_id ORDER BY rk.rank)
+          |               AS cum_tokens,
+          |             coalesce(sn.snippet, '') AS snippet
+          |      FROM rk LEFT JOIN sn ON rk.query_id = sn.query_id
+          |        AND rk.doc_id = sn.doc_id),
+          |ov AS (SELECT query_id, min(CASE WHEN cum_tokens > 60 THEN rank END)
+          |         AS o FROM j GROUP BY 1)
+          |SELECT CAST(j.query_id AS BIGINT) AS query_id, j.rank, j.doc_id,
+          |       CAST(start AS BIGINT) AS start, CAST(e AS BIGINT) AS "end",
+          |       CAST(n_tokens AS BIGINT) AS n_tokens,
+          |       CAST(cum_tokens AS BIGINT) AS cum_tokens, snippet,
+          |       true AS per_query_same
+          |FROM j JOIN ov USING (query_id)
+          |WHERE ov.o IS NULL OR j.rank < ov.o
+          |ORDER BY query_id, rank""".stripMargin,
       "q_retrieval_snippet" ->
         """WITH f AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
           |                    x -> len(x) > 0) AS w

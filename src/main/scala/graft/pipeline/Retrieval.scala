@@ -1220,7 +1220,23 @@ object Retrieval {
     require(queryTerms.nonEmpty, "snippetSpans: empty query")
     require(window >= 1, s"window must be >= 1, got $window")
     val q = queryTerms.map(_.toLowerCase).distinct
-    val bestU = F.udf((dl: Int, lists: Seq[Row]) => {
+    val bestU = bestWindowUdf(window)
+    index
+      .filter(F.col("term").isin(q: _*))
+      .groupBy(F.col("id"), F.col("dl"))
+      .agg(F.collect_list(F.struct(F.col("term"), F.col("positions")))
+        .as("__lists"))
+      .withColumn("__best", bestU(F.col("dl"), F.col("__lists")))
+      .select(F.col("id"),
+        F.col("__best._1").as("start"), F.col("__best._2").as("end"),
+        F.col("__best._3").as("n_terms"), F.col("__best._4").as("n_hits"))
+  }
+
+  /** The ONE best-window kernel (two-pointer over sorted hit offsets;
+    * ties prefer the leftmost start) — [[snippetSpans]] and the batch
+    * form replay the identical rule. */
+  private def bestWindowUdf(window: Int) =
+    F.udf((dl: Int, lists: Seq[Row]) => {
       // flatten to (pos, termIdx) sorted by pos
       val termIdx = scala.collection.mutable.HashMap.empty[String, Int]
       val hits = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
@@ -1259,16 +1275,6 @@ object Retrieval {
       }
       (bestStart, math.min(bestStart + window, dl), bestTerms, bestHits)
     })
-    index
-      .filter(F.col("term").isin(q: _*))
-      .groupBy(F.col("id"), F.col("dl"))
-      .agg(F.collect_list(F.struct(F.col("term"), F.col("positions")))
-        .as("__lists"))
-      .withColumn("__best", bestU(F.col("dl"), F.col("__lists")))
-      .select(F.col("id"),
-        F.col("__best._1").as("start"), F.col("__best._2").as("end"),
-        F.col("__best._3").as("n_terms"), F.col("__best._4").as("n_hits"))
-  }
 
   /** [[snippetSpans]] joined back to the documents and rendered: the
     * window's tokens re-joined with single spaces (the tokenization is
@@ -1342,6 +1348,99 @@ object Retrieval {
       .filter(F.col("__over").isNull || F.col("rank") < F.col("__over"))
       .select(F.col("rank"), F.col("id"), F.col("start"), F.col("end"),
         F.col("n_tokens"), F.col("cum_tokens"), F.col("snippet"))
+  }
+
+  /**
+   * Batched context assembly — [[assembleContext]] over a MULTI-QUERY
+   * serving batch (the [[bm25TopKBatch]] tail): `ranked` is
+   * (query_id, rank, id) from any batched retrieval family, `queries`
+   * is (query_id, terms array) — each query's snippets use its OWN
+   * terms, and each query's prefix fill stops independently at its
+   * first overflow. Returns (query_id, rank, id, start, end,
+   * n_tokens, cum_tokens, snippet), rank-ordered per query.
+   *
+   * `tokenCost` optionally re-prices snippets in MODEL tokens (every
+   * real RAG budget is a tokenizer budget): pass a Column function
+   * (e.g. a learned-BPE count over the snippet text — see
+   * [[graft.pipeline.Vocab.tokenizeBpe]]) and the prefix cumsum
+   * charges that instead of the window token count. An absent or
+   * empty snippet always charges 0 (the LEFT-join rule: a ranked doc
+   * with no query-term hit stays in the prefix).
+   *
+   * Scale shape: ONE query_id repartition serves both the per-(query,
+   * doc) snippet grouping and the prefix window (grouping keys ⊇
+   * window key — the gapFill contract); the union term list of a
+   * serving batch is bounded and collected once; only hit documents
+   * are tokenized (semi-join before buildIndex).
+   */
+  def assembleContextBatch(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      ranked: DataFrame,
+      queries: DataFrame,
+      window: Int,
+      budgetTokens: Int,
+      tokenCost: Option[Column => Column] = None): DataFrame = {
+    require(budgetTokens >= 1, s"budgetTokens must be >= 1, got $budgetTokens")
+    require(window >= 1, s"window must be >= 1, got $window")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val qCols = queries.columns
+    val q = queries
+      .select(F.col(qCols(0)).as("query_id"),
+        F.explode(F.col(qCols(1))).as("__qt"))
+      .select(F.col("query_id"), F.lower(F.col("__qt")).as("term"))
+      .distinct()
+      .localCheckpoint(eager = false)
+    // the union term list of a serving batch is bounded — one collect
+    val allTerms = q.select("term").distinct().as[String].collect().toSeq
+    require(allTerms.nonEmpty, "assembleContextBatch: no query terms")
+    val hits = ranked.select(F.col("query_id"), F.col("rank"), F.col("id"))
+      .localCheckpoint(eager = false)
+    val hitDocs = docs.join(
+      F.broadcast(hits.select(F.col("id").as(idCol)).distinct()),
+      Seq(idCol), "left_semi")
+      .localCheckpoint(eager = false)
+    val idx = buildIndex(hitDocs, idCol, textCol)
+      .filter(F.col("term").isin(allTerms: _*))
+    val bestU = bestWindowUdf(window)
+    val spans = idx.join(F.broadcast(q), "term")
+      .repartition(F.col("query_id"))
+      .groupBy(F.col("query_id"), F.col("id"), F.col("dl"))
+      .agg(F.collect_list(F.struct(F.col("term"), F.col("positions")))
+        .as("__lists"))
+      .withColumn("__best", bestU(F.col("dl"), F.col("__lists")))
+      .select(F.col("query_id"), F.col("id"),
+        F.col("__best._1").as("start"), F.col("__best._2").as("end"))
+    val toks = hitDocs.select(F.col(idCol).as("id"),
+      terms(F.col(textCol)).as("__t"))
+    val sn = spans.join(toks, "id")
+      .select(F.col("query_id"), F.col("id"), F.col("start"), F.col("end"),
+        F.array_join(F.slice(F.col("__t"), F.col("start") + 1,
+          F.col("end") - F.col("start")), " ").as("snippet"))
+    val w = Window.partitionBy(F.col("query_id")).orderBy(F.col("rank"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(F.col("query_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val joined = hits.join(sn, Seq("query_id", "id"), "left")
+      .withColumn("start", F.coalesce(F.col("start"), F.lit(0)))
+      .withColumn("end", F.coalesce(F.col("end"), F.lit(0)))
+      .withColumn("snippet", F.coalesce(F.col("snippet"), F.lit("")))
+    val cost = tokenCost
+      .map(f => F.when(F.col("snippet") === "", F.lit(0L))
+        .otherwise(f(F.col("snippet")).cast("long")))
+      .getOrElse((F.col("end") - F.col("start")).cast("long"))
+    joined
+      .withColumn("n_tokens", cost)
+      .withColumn("cum_tokens", F.sum(F.col("n_tokens")).over(w))
+      .withColumn("__over",
+        F.min(F.when(F.col("cum_tokens") > budgetTokens, F.col("rank")))
+          .over(wAll))
+      .filter(F.col("__over").isNull || F.col("rank") < F.col("__over"))
+      .select(F.col("query_id"), F.col("rank"), F.col("id"),
+        F.col("start"), F.col("end"), F.col("n_tokens"),
+        F.col("cum_tokens"), F.col("snippet"))
   }
 
   // ---------------------------------------------------------------- //

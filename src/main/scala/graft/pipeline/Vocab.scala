@@ -559,6 +559,21 @@ object Vocab {
     tokenizeBpeRanked(docs, textCol,
       merges.zipWithIndex.map { case (m, i) => m -> i }.toMap, outCol)
 
+  /** Column-level learned-BPE token count — the budget pricer for
+    * [[graft.pipeline.Retrieval.assembleContextBatch]]'s `tokenCost`
+    * (real RAG budgets are MODEL-token budgets, not whitespace-word
+    * budgets). One bounded UDF over the snippet strings; empty/NULL
+    * text prices 0. */
+  def bpeTokenCount(merges: Seq[(String, String)])
+      : org.apache.spark.sql.Column => org.apache.spark.sql.Column = {
+    val ranks = merges.zipWithIndex.map { case (m, i) => m -> i }.toMap
+    val u = F.udf((s: String) =>
+      if (s == null || s.isEmpty) 0
+      else s.split("\\s+").iterator.filter(_.nonEmpty)
+        .map(w => graft.pipeline.Vocab.applyBpeRanked(ranks, w).length).sum)
+    (c: org.apache.spark.sql.Column) => u(c)
+  }
+
   /** [[tokenizeBpe]] from an explicit pair-rank map — the shape
     * [[TokenizerIO.loadSentencePieceBpe]] reconstructs (SPM BPE stores
     * pieces, not pairs; every valid split of a piece shares the

@@ -682,4 +682,57 @@ class RetrievalSpec extends SparkTestBase {
       .orderBy("rank").collect().map(_.getAs[Long]("id")).toSeq
     assert(got == wantOrder)
   }
+
+  test("assembleContextBatch: learned-BPE token budget prices the prefix") {
+    val corpus = Seq(
+      (1L, "the dog barks at the dog door"),
+      (2L, "quick brown cat naps in the sun"),
+      (3L, "dog dog dog dog"),
+      (4L, "the the the the the the")
+    ).toDF("doc_id", "text")
+    // ranked by hand so a NO-HIT doc (2: no 'dog') sits mid-prefix
+    val ranked = Seq((0L, 1, 1L), (0L, 2, 2L), (0L, 3, 3L), (0L, 4, 4L))
+      .toDF("query_id", "rank", "id")
+    val queries = Seq((0L, Seq("dog"))).toDF("query_id", "terms")
+    val merges = Seq(("t", "h"), ("th", "e"), ("d", "o"), ("do", "g"))
+    val ranks = merges.zipWithIndex.map { case (m, i) => m -> i }.toMap
+    def bpeLen(s: String): Long =
+      if (s.isEmpty) 0L
+      else s.split("\\s+").filter(_.nonEmpty)
+        .map(w => Vocab.applyBpeRanked(ranks, w).length.toLong).sum
+    val cost = Vocab.bpeTokenCount(merges)
+    def run(budget: Int) = Retrieval.assembleContextBatch(
+        corpus, "doc_id", "text", ranked, queries,
+        window = 4, budgetTokens = budget, tokenCost = Some(cost))
+      .orderBy("rank").collect()
+      .map(r => (r.getAs[Int]("rank"), r.getAs[Long]("id"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("cum_tokens"),
+        r.getAs[String]("snippet")))
+    val all = run(1000)
+    // every row's charge is the snippet's BPE token count, replayed
+    assert(all.forall { case (_, _, n, _, sn) => n == bpeLen(sn) })
+    // the no-hit doc stays in the prefix at zero charge
+    val noHit = all.find(_._2 == 2L).get
+    assert(noHit._3 == 0L && noHit._5 == "")
+    // cum is the rank-ordered prefix sum
+    assert(all.map(_._3).scanLeft(0L)(_ + _).tail.toSeq ==
+      all.map(_._4).toSeq)
+    // the fill stops at the FIRST overflow, later cheaper rows do not
+    // leapfrog: budget = doc1's charge alone cuts everything after the
+    // first row whose cum exceeds it
+    val b1 = all.head._3.toInt
+    val cut = run(b1)
+    assert(cut.map(_._2).toSeq == all.takeWhile(_._4 <= b1).map(_._2).toSeq)
+    // window-token pricing differs from BPE pricing on this corpus
+    // (doc 4's window is 4 'the' tokens = 4 words but 4 BPE tokens of
+    // 1 symbol each — craft a case where they diverge: doc 2 no-hit is
+    // enough to show the option switches the charge column)
+    val win = Retrieval.assembleContextBatch(
+        corpus, "doc_id", "text", ranked, queries,
+        window = 4, budgetTokens = 1000)
+      .orderBy("rank").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Long]("n_tokens")))
+    assert(win.find(_._1 == 1L).get._2 == 4L) // window tokens
+    assert(all.find(_._2 == 1L).get._3 == bpeLen(all.head._5))
+  }
 }
