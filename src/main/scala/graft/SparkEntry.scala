@@ -7791,6 +7791,44 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // proximity-boosted BM25 (score = bm25 + 0.5 * Σ_pairs
+    // 1/(1+minDist) from the positional index): ranks pinned — the
+    // combined-score top-15 adjacent gaps measured >= 5.8e-4 at both
+    // SFs, 12 orders above cross-engine ulp noise. Planted leg: two
+    // equal-bm25 docs (same tf profile, same dl) where only term
+    // ADJACENCY differs — proximity must rank the adjacent one first
+    // even against the id tie-break, and lambda = 0 must reproduce
+    // plain bm25TopK's ranks exactly on the real corpus.
+    "q_retrieval_proximity" -> ((s: SparkSession, dir: String) => {
+      val rt = graft.pipeline.Retrieval
+      val d = t(s, dir, "documents")
+      val q = Seq("slow", "merge", "window")
+      // planted: B (id 1, scattered) wins the id tie-break at plain
+      // bm25; A (id 2, adjacent) must overtake it under proximity
+      val planted = s.createDataFrame(Seq(
+        (1L, "slow pad1 pad2 merge pad3 pad4 pad5 window"),
+        (2L, "slow merge window pad1 pad2 pad3 pad4 pad5")))
+        .toDF("doc_id", "text")
+      val proxTop = rt.bm25TopKProximity(planted, "doc_id", "text", q,
+        k = 2, lambdaProx = 0.5).orderBy("rank")
+        .collect().map(_.getAs[Long]("id")).toSeq
+      val plainTop = rt.bm25TopK(planted, "doc_id", "text", q, k = 2)
+        .orderBy("rank").collect().map(_.getAs[Long]("id")).toSeq
+      val plantedOk = proxTop == Seq(2L, 1L) && plainTop == Seq(1L, 2L)
+      // lambda = 0 degenerates to plain bm25 exactly (x + 0.0 * p = x)
+      val lam0 = rt.bm25TopKProximity(d, "doc_id", "text", q, 10,
+          lambdaProx = 0.0)
+        .orderBy("rank").collect().map(_.getAs[Long]("id")).toSeq
+      val plain = rt.bm25TopK(d, "doc_id", "text", q, 10)
+        .orderBy("rank").collect().map(_.getAs[Long]("id")).toSeq
+      rt.bm25TopKProximity(d, "doc_id", "text", q, 10, lambdaProx = 0.5)
+        .select(F.col("rank").cast("long").as("rank"),
+          F.col("id").as("doc_id"), F.col("n_terms_hit"),
+          F.lit(plantedOk).as("planted_ok"),
+          F.lit(lam0 == plain).as("lambda0_plain"))
+        .orderBy("rank")
+    }),
+
     // the RAG serving tail, composed: BM25 top-10 -> best-window
     // snippets -> greedy rank-order prefix fill under a 60-token
     // budget (the fill STOPS at the first overflow — later smaller
@@ -11482,6 +11520,45 @@ object SparkEntry {
           |       CAST(cum_tokens AS BIGINT) AS cum_tokens, snippet
           |FROM j, ov WHERE ov.o IS NULL OR rank < ov.o
           |ORDER BY rank""".stripMargin,
+      "q_retrieval_proximity" ->
+        """WITH f AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+          |                    x -> len(x) > 0) AS w FROM documents),
+          |dl AS (SELECT doc_id, len(w) AS dl FROM f WHERE len(w) > 0),
+          |toks AS (SELECT doc_id, unnest(w) AS term FROM f),
+          |post AS (SELECT term, doc_id, count(*) AS tf FROM toks
+          |         WHERE term IN ('slow', 'merge', 'window') GROUP BY 1, 2),
+          |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+          |dfs AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+          |scored AS (
+          |  SELECT p.doc_id,
+          |         sum(ln(1 + (s.n - f2.df + 0.5) / (f2.df + 0.5)) * p.tf * 2.2 /
+          |             (p.tf + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl))) AS score,
+          |         CAST(count(*) AS BIGINT) AS n_terms_hit
+          |  FROM post p JOIN dfs f2 USING (term) JOIN dl d USING (doc_id)
+          |  CROSS JOIN stats s GROUP BY 1),
+          |pos AS (SELECT doc_id, w[i] AS term, i - 1 AS p
+          |        FROM (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i
+          |              FROM f)
+          |        WHERE w[i] IN ('slow', 'merge', 'window')),
+          |pd AS (SELECT a.doc_id, a.term AS t1, b.term AS t2,
+          |              min(abs(a.p - b.p)) AS md
+          |       FROM pos a JOIN pos b ON a.doc_id = b.doc_id
+          |         AND a.term < b.term
+          |       GROUP BY 1, 2, 3),
+          |prox AS (SELECT doc_id,
+          |                sum(CAST(1 AS DOUBLE) / (1 + md)) AS prox
+          |         FROM pd GROUP BY 1),
+          |comb AS (SELECT s.doc_id, s.n_terms_hit,
+          |                s.score + 0.5 * coalesce(p.prox, 0) AS score
+          |         FROM scored s LEFT JOIN prox p USING (doc_id))
+          |SELECT rank, doc_id, n_terms_hit,
+          |       true AS planted_ok, true AS lambda0_plain
+          |FROM (
+          |  SELECT doc_id, n_terms_hit,
+          |         CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+          |           AS BIGINT) AS rank
+          |  FROM comb) t
+          |WHERE rank <= 10 ORDER BY rank""".stripMargin,
       "q_pipeline_rag_batch" ->
         """WITH qs AS (SELECT * FROM (VALUES
           |    (0, 'slow'), (0, 'merge'), (0, 'window'),
