@@ -5400,6 +5400,61 @@ object SparkEntry {
           top1CopyOk(pRows) && allowedOnly(pRows)).as("pq_ok"))
     }),
 
+    // unified serving dispatch (annTopKAuto): brute / probe /
+    // filtered-brute / compensated-filtered-probe branches, the mass
+    // solved from the measured calibration curve — dispatch cannot
+    // change the pinned results (planted exact copies rank 1 in EVERY
+    // branch, filter honored, k filled; the brute branches are exact
+    // row-for-row vs brute force)
+    "q_ann_auto" -> ((s: SparkSession, dir: String) => {
+      val sim = graft.pipeline.Similarity
+      val emb = t(s, dir, "embeddings").filter(F.col("embedding").isNotNull)
+        .select(F.col("vec_id").cast("long").as("vec_id"), F.col("embedding"))
+      val copies = emb.filter(F.col("vec_id") < 10 && F.col("vec_id") % 2 === 0)
+        .select((F.col("vec_id") + 100000L).as("vec_id"), F.col("embedding"))
+      val corpus = emb.unionByName(copies)
+      val allowed = emb.filter(F.col("vec_id") % 2 === 0).select("vec_id")
+      val idx = sim.buildIvfIndex(corpus, "vec_id", "embedding", nlist = 16)
+      val cal = Some(sim.calibrateIvfProbe(idx, k = 3, nSample = 32))
+      def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Int, Long)] = df
+        .select("query_id", "rank", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      def top1Src(rows: Array[org.apache.spark.sql.Row]): Boolean = {
+        val t1 = rows.filter(_.getAs[Int]("rank") == 1)
+        t1.length == 5 && t1.forall(r =>
+          r.getAs[Long]("neighbor_id") == r.getAs[Long]("query_id") - 100000L)
+      }
+      // brute branch (unfiltered): exact vs brute force row-for-row
+      val bruteEq = pairs(sim.annTopKAuto(idx, copies, "vec_id", "embedding",
+        3, cal, None, bruteThreshold = Long.MaxValue)) ==
+        pairs(sim.bruteForceTopK(corpus, copies, "vec_id", "embedding", 3))
+      // probe branch (unfiltered, curve-solved mass): copies rank 1
+      val probeRows = sim.annTopKAuto(idx, copies, "vec_id", "embedding",
+        3, cal, None, bruteThreshold = 0L).collect()
+      // filtered brute: exact vs filtered brute force
+      val fBruteEq = pairs(sim.annTopKAuto(idx, copies, "vec_id", "embedding",
+        3, cal, Some(allowed), bruteThreshold = Long.MaxValue)) ==
+        pairs(sim.bruteForceTopK(emb.filter(F.col("vec_id") % 2 === 0),
+          copies, "vec_id", "embedding", 3))
+      // filtered probe (selectivity-compensated mass): copies' sources
+      // rank 1, filter honored
+      val fProbeRows = sim.annTopKAuto(idx, copies, "vec_id", "embedding",
+        3, cal, Some(allowed), targetRecall = 0.6,
+        bruteThreshold = 0L).collect()
+      val fAllowedOnly = fProbeRows.forall { r =>
+        val nb = r.getAs[Long]("neighbor_id"); nb % 2 == 0 && nb < 100000L }
+      // uncalibrated fallback (baseMass): copies still rank 1
+      val fallbackRows = sim.annTopKAuto(idx, copies, "vec_id", "embedding",
+        3, None, None, bruteThreshold = 0L).collect()
+      s.range(1).select(
+        F.lit(probeRows.length.toLong).as("n_rows"),
+        F.lit(bruteEq).as("brute_exact"),
+        F.lit(top1Src(probeRows)).as("probe_copies_rank1"),
+        F.lit(fBruteEq).as("filtered_brute_exact"),
+        F.lit(top1Src(fProbeRows) && fAllowedOnly).as("filtered_probe_ok"),
+        F.lit(top1Src(fallbackRows)).as("fallback_copies_rank1"))
+    }),
+
     // composed SERVING pipeline (the retrieval twin of
     // q_pipeline_curation): three independent ANN families (IVF probe,
     // HNSW graph probe, binary-quantization scan) fused by per-query
@@ -10043,6 +10098,10 @@ object SparkEntry {
         |  true AS full_top1_copies, true AS full_allowed_only,
         |  true AS brute_branch_ok, true AS probe_branch_ok,
         |  true AS hnsw_ok, true AS pq_ok""".stripMargin,
+    "q_ann_auto" ->
+      """SELECT CAST(15 AS BIGINT) AS n_rows, true AS brute_exact,
+        |  true AS probe_copies_rank1, true AS filtered_brute_exact,
+        |  true AS filtered_probe_ok, true AS fallback_copies_rank1""".stripMargin,
     "q_knn_label" ->
       """SELECT CAST(vec_id + 100000 AS BIGINT) AS query_id, label,
         |  true AS w_ok, CAST(1 AS BIGINT) AS votes

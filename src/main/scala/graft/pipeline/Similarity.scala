@@ -1397,6 +1397,69 @@ object Similarity {
         nprobe = 4, probeMass = math.min(mass, 1.0))
   }
 
+  /**
+   * Unified serving dispatch — the one entry point a serving stack
+   * calls, generalizing [[ivfTopKFilteredAuto]] with the measured
+   * calibration curve and the unfiltered case:
+   *
+   *   - effective corpus (|allowed ∩ corpus|, or n unfiltered) at or
+   *     under `bruteThreshold`, OR the selectivity-compensated mass
+   *     reaching 1: EXACT brute force over the (filtered) corpus —
+   *     probing would touch most cells anyway and brute force is
+   *     exact;
+   *   - otherwise: the IVF probe at the curve-solved mass
+   *     (`cal.massFor(targetRecall)`, falling back to `baseMass` when
+   *     the index was never calibrated), divided by the filter's
+   *     selectivity so the candidate budget — and with it recall —
+   *     does not decay with the filter.
+   *
+   * Dispatch cannot change results in the pinned sense: every branch
+   * puts a planted exact copy at rank 1, honors the filter, and
+   * fills k (the branches legitimately differ on marginal natural
+   * neighbors — the brute side is exact, the probe side is the
+   * calibrated approximation). The family LADDER (when to reach for
+   * binary/SQ8/PQ/HNSW instead of IVF) is a build-time storage/recall
+   * decision, not a per-query one — the decision table lives in
+   * SCALING.md; this dispatch covers the per-query choices (brute vs
+   * probe, filter compensation, curve-solved mass).
+   */
+  def annTopKAuto(
+      index: IvfIndex,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      cal: Option[ProbeCalibration] = None,
+      allowed: Option[DataFrame] = None,
+      targetRecall: Double = 0.85,
+      baseMass: Double = 0.45,
+      bruteThreshold: Long = 100000L): DataFrame = {
+    val filtered = allowed match {
+      case Some(a) =>
+        val aCol = a.columns.head
+        val ok = a.select(F.col(aCol).as("neighbor_id")).distinct()
+        index.assigned.join(ok, Seq("neighbor_id"), "left_semi")
+      case None => index.assigned
+    }
+    val nEff = filtered.count()
+    val n = math.max(index.assigned.count(), 1L)
+    val s = math.max(nEff.toDouble / n, 1e-12)
+    val mass = cal.map(_.massFor(targetRecall)).getOrElse(baseMass)
+    val compMass = mass / s
+    if (nEff <= bruteThreshold || compMass >= 1.0)
+      bruteForceTopK(
+        filtered.select(F.col("neighbor_id").as(idCol), F.col("__cv").as(vecCol)),
+        queries, idCol, vecCol, k)
+    else allowed match {
+      case Some(a) =>
+        ivfTopKFilteredIndexed(index, queries, idCol, vecCol, a, k,
+          nprobe = 4, probeMass = math.min(compMass, 1.0))
+      case None =>
+        ivfTopKIndexed(index, queries, idCol, vecCol, k,
+          nprobe = 4, probeMass = mass)
+    }
+  }
+
   // ---------------------------------------------------------------- //
   // MMR diversified rerank                                            //
   // ---------------------------------------------------------------- //
