@@ -1298,6 +1298,45 @@ object Bench {
       graft.pipeline.Retrieval.bm25TopKBatch(idx, qs.toDF("query_id", "terms"), 10)
     }),
 
+    // batched RAG assembly: 12 queries through ONE bm25TopKBatch +
+    // ONE assembleContextBatch (one query_id repartition end-to-end)
+    "b_rag_batch" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val idx = textIndexCache.getOrElseUpdate(dir, {
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_bench_tidx").toString
+        graft.pipeline.Retrieval
+          .buildTextIndex(t(s, dir, "documents"), "doc_id", "text", buckets = 64)
+          .save(path)
+        graft.pipeline.Retrieval.loadTextIndex(s, path)
+      })
+      val words = Vector("slow", "merge", "window", "hash", "batch",
+        "filter", "scan", "index", "sort", "spill", "join", "cache")
+      val qs: Seq[(Long, Seq[String])] = (0 until 12).map(i =>
+        i.toLong -> Seq(words(i), words((i + 3) % 12), words((i + 7) % 12)))
+      val qdf = qs.toDF("query_id", "terms")
+      val ranked = graft.pipeline.Retrieval.bm25TopKBatch(idx, qdf, 10)
+        .select(F.col("query_id"), F.col("rank"), F.col("id"))
+      graft.pipeline.Retrieval.assembleContextBatch(
+        t(s, dir, "documents"), "doc_id", "text", ranked, qdf,
+        window = 12, budgetTokens = 60)
+    }),
+
+    // proximity-boosted BM25 probe of the persisted index: bm25 sum +
+    // pairwise min-distance group on ONE id exchange, bucket-pruned
+    "b_retrieval_proximity" -> ((s: SparkSession, dir: String) => {
+      val idx = textIndexCache.getOrElseUpdate(dir, {
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_bench_tidx").toString
+        graft.pipeline.Retrieval
+          .buildTextIndex(t(s, dir, "documents"), "doc_id", "text", buckets = 64)
+          .save(path)
+        graft.pipeline.Retrieval.loadTextIndex(s, path)
+      })
+      graft.pipeline.Retrieval.bm25TopKProximityIndexed(
+        idx, Seq("slow", "merge", "window"), 10)
+    }),
+
     // metadata-filtered BM25 probe of the same persisted index: the
     // __bucket partition pruning survives the filter; the allowed-id
     // semi-join applies inside the probed buckets only

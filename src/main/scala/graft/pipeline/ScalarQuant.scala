@@ -393,6 +393,24 @@ object ScalarQuant {
     loadSq8Index(spark, path)
   }
 
+  /** Auto-compaction dial — [[Similarity.maybeCompactIvfIndex]] on the
+    * flat codes table: rewrite when the nightly appends have left more
+    * than `maxFiles` parquet files. Returns true iff a fold ran. */
+  def maybeCompactSq8Index(
+      spark: SparkSession,
+      path: String,
+      maxFiles: Int = 16,
+      targetFiles: Int = 8): Boolean = {
+    val root = new org.apache.hadoop.fs.Path(s"$path/codes")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return false
+    val nFiles = fs.listStatus(root).count(st =>
+      st.isFile && !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith("."))
+    if (nFiles <= maxFiles) false
+    else { compactSq8Index(spark, path, targetFiles); true }
+  }
+
   /** Bounds-staleness telemetry: the fraction of a fresh batch's
     * coordinates that CLAMP at the trained mean±sigma·std bounds.
     * At train time this is < ~0.3% per dimension (sigma = 3, roughly

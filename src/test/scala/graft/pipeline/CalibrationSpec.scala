@@ -90,36 +90,39 @@ class CalibrationSpec extends SparkTestBase {
     assert(Similarity.loadCalibration(spark, dir).contains(cal))
   }
 
-  test("geometry-replacing ops delete the stale curve; recalibrate rebuilds it") {
+  test("geometry-replacing ops refresh a calibrated curve in place") {
     val dir = java.nio.file.Files.createTempDirectory("graft_cal_stale").toString
     Similarity.buildIvfIndex(emb, "vec_id", "embedding",
       nlist = 4, iterations = 1).save(dir)
     Similarity.recalibrateIvfIndex(spark, dir, k = 5, nSample = 32)
-    assert(Similarity.loadCalibration(spark, dir).isDefined)
-    // an IVF retrain replaces the cells: the curve must NOT survive
-    // (a stale curve would solve masses against dead geometry — the
-    // stale-rotation rule applied to calibration)
+    assert(Similarity.loadCalibrationMeta(spark, dir).exists(_._2 == 4))
+    // an IVF retrain replaces the cells: the STALE curve must not
+    // survive — since the index was calibrated, the retrain
+    // recalibrates in place (same k, fresh cells stamp), so the new
+    // geometry never sits behind an old curve OR a missing one
     Similarity.retrainIvfIndex(spark, dir, nlist = 8, iterations = 1)
-    assert(Similarity.loadCalibration(spark, dir).isEmpty,
-      "stale calibration survived the retrain")
-    val re = Similarity.recalibrateIvfIndex(spark, dir, k = 5, nSample = 32)
-    assert(Similarity.loadCalibration(spark, dir).contains(re))
+    val meta = Similarity.loadCalibrationMeta(spark, dir)
+    assert(meta.exists(m => m._2 == 8 && m._1.k == 5),
+      "retrain must leave a FRESH curve for the 8-cell geometry")
+    intercept[IllegalStateException] {
+      Similarity.loadCalibrationValidated(spark, dir, 4)
+    }
 
     // the HNSW twins: retrain AND incremental nav growth both re-route
+    // — a calibrated graph refreshes at the SAME efSearch stamp
     val hDir = java.nio.file.Files.createTempDirectory("graft_cal_hstale").toString
     Hnsw.buildHnswIndex(emb, "vec_id", "embedding",
       maxNav = 16, m = 8, efConstruction = 48, efAssign = 16).save(hDir)
-    val hcal = Hnsw.calibrateProbe(Hnsw.loadHnswIndex(spark, hDir),
-      k = 5, nSample = 32, efSearch = 16)
-    Similarity.saveCalibration(spark, hDir, hcal)
+    Hnsw.recalibrateHnswIndex(spark, hDir, k = 5, nSample = 32, efSearch = 16)
     Hnsw.retrainHnswIndex(spark, hDir, maxNav = 16, m = 8, efConstruction = 48)
-    assert(Similarity.loadCalibration(spark, hDir).isEmpty,
-      "stale calibration survived the HNSW retrain")
-    Similarity.saveCalibration(spark, hDir, hcal)
+    val hMeta = Similarity.loadCalibrationMeta(spark, hDir)
+    assert(hMeta.exists(m => m._3 == 16 && m._1.k == 5),
+      "HNSW retrain must refresh the curve at the stored efSearch")
     Hnsw.addNavNodes(spark, hDir, emb.limit(100), "vec_id", "embedding",
       maxNewNav = 4)
-    assert(Similarity.loadCalibration(spark, hDir).isEmpty,
-      "stale calibration survived nav growth")
+    val grownMeta = Similarity.loadCalibrationMeta(spark, hDir)
+    assert(grownMeta.exists(m => m._2 == 20 && m._3 == 16),
+      "nav growth must re-stamp the curve for the grown graph")
   }
 
   test("HNSW: walk-ordered probe calibrates and hits the target on-sample") {
@@ -156,5 +159,104 @@ class CalibrationSpec extends SparkTestBase {
     val got = pairs(ProductQuantization.ivfPqTopKTarget(pidx, emb, sample,
       "vec_id", "embedding", 10, 0.6, cal, poolSize = 1024))
     assert(recallOf(got, gt) >= 0.6)
+  }
+
+  test("PoolCalibration: poolFor picks the smallest reaching pool") {
+    val cal = Similarity.PoolCalibration(10,
+      Vector((50, 0.4), (100, 0.7), (200, 0.7), (400, 0.95)))
+    assert(cal.poolFor(0.3) == 50)
+    assert(cal.poolFor(0.7) == 100) // smallest, not any, reaching pool
+    assert(cal.poolFor(0.9) == 400)
+    assert(cal.poolFor(0.99) == Int.MaxValue) // nothing reaches: exact
+  }
+
+  test("pool calibration: binary/SQ8/PQ achieve the solved target on-sample") {
+    val sample = Similarity.poolCalibrationSample(emb, "vec_id", "embedding", 48)
+    val gt = pairs(Similarity.bruteForceTopK(emb, sample,
+      "vec_id", "embedding", 10))
+    val bcal = BinaryQuant.calibratePool(emb, "vec_id", "embedding",
+      k = 10, nSample = 48)
+    assert(bcal.grid.sliding(2).forall {
+      case Vector((_, r1), (_, r2)) => r2 >= r1
+      case _ => true
+    }, "pool curve is monotone (deeper pools never lose a true neighbor)")
+    val b = pairs(BinaryQuant.binaryTopKTarget(emb, sample,
+      "vec_id", "embedding", 10, 0.85, bcal))
+    assert(recallOf(b, gt) >= 0.85)
+    val m = ScalarQuant.train(emb, "embedding")
+    val codes = ScalarQuant.encode(emb, "vec_id", "embedding", m)
+      .localCheckpoint(false)
+    val scal = ScalarQuant.calibratePool(m, codes, emb, "vec_id",
+      "embedding", k = 10, nSample = 48)
+    val sq = pairs(ScalarQuant.sq8TopKTarget(m, codes, emb, sample,
+      "vec_id", "embedding", 10, 0.85, scal))
+    assert(recallOf(sq, gt) >= 0.85)
+    val cb = ProductQuantization.trainPq(emb, "vec_id", "embedding",
+      m = 16, ksub = 16, iterations = 2)
+    val enc = ProductQuantization.pqEncode(emb, "vec_id", "embedding", cb)
+      .localCheckpoint(false)
+    val pcal = ProductQuantization.calibratePqPool(cb, enc, emb,
+      "vec_id", "embedding", k = 10, nSample = 48)
+    val p = pairs(ProductQuantization.pqTopKTarget(cb, enc, emb, sample,
+      "vec_id", "embedding", 10, 0.85, pcal))
+    assert(recallOf(p, gt) >= 0.85)
+  }
+
+  test("retrain auto-recalibrates a calibrated index; stale curves refused") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_recal").toString + "/idx"
+    Similarity.buildIvfIndex(emb, "vec_id", "embedding",
+      nlist = 8, iterations = 2).save(path)
+    // uncalibrated index: retrain leaves NO curve (nothing to refresh)
+    Similarity.retrainIvfIndex(spark, path, nlist = 8, iterations = 2)
+    assert(Similarity.loadCalibration(spark, path).isEmpty)
+    // calibrated index: a retrain to new geometry refreshes the curve
+    // in place with the new cells stamp
+    Similarity.recalibrateIvfIndex(spark, path, k = 10, nSample = 32)
+    Similarity.retrainIvfIndex(spark, path, nlist = 16, iterations = 2)
+    val meta = Similarity.loadCalibrationMeta(spark, path)
+    assert(meta.nonEmpty && meta.get._2 == 16, "fresh curve, new stamp")
+    assert(Similarity.loadCalibrationValidated(spark, path, 16).nonEmpty)
+    // a stamp that mismatches the live geometry is refused loudly
+    intercept[IllegalStateException] {
+      Similarity.loadCalibrationValidated(spark, path, 8)
+    }
+  }
+
+  test("SQ8 lifecycle: clip dial quiet/fires; mutations keep model+codes paired") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_sq8life").toString
+    val path = s"$base/idx"
+    val m0 = ScalarQuant.saveSq8Index(emb.filter(F.col("vec_id") % 2 === 0),
+      "vec_id", "embedding", path)
+    // in-distribution fresh batch: well under the clip threshold
+    assert(ScalarQuant.clipFraction(m0, emb.limit(100), "embedding") < 0.05)
+    val (m1, grown) = ScalarQuant.appendToSq8Index(spark, path,
+      emb.filter(F.col("vec_id") % 2 =!= 0), "vec_id", "embedding")
+    assert(java.util.Arrays.equals(m1.lo, m0.lo), "append keeps the bounds")
+    assert(grown.count() == emb.count())
+    val (_, pruned) = ScalarQuant.removeFromSq8Index(spark, path,
+      emb.filter(F.col("vec_id") % 7 === 0).select("vec_id"), "vec_id")
+    val expect = emb.filter(F.col("vec_id") % 7 =!= 0).count()
+    assert(pruned.count() == expect)
+    val (m2, compacted) = ScalarQuant.compactSq8Index(spark, path, 2)
+    assert(java.util.Arrays.equals(m2.lo, m0.lo) && compacted.count() == expect)
+    // the policy dial: quiet at a loose file budget, fires at a tight
+    // one, quiet again after the fold
+    assert(!ScalarQuant.maybeCompactSq8Index(spark, path, maxFiles = 50))
+    assert(ScalarQuant.maybeCompactSq8Index(spark, path,
+      maxFiles = 1, targetFiles = 1))
+    assert(!ScalarQuant.maybeCompactSq8Index(spark, path, maxFiles = 1))
+    // a +25 shift clips nearly everything -> the dial fires and the
+    // rebuilt bounds absorb the corpus it was given
+    val shiftU = F.udf((v: Seq[Float]) => v.map(x => x + 25.0f).toArray)
+    val shifted = emb.limit(100).select(F.col("vec_id"),
+      shiftU(F.col("embedding")).as("embedding"))
+    val (fired, frac) = ScalarQuant.maybeRetrainSq8Index(spark, path,
+      shifted, emb, "vec_id", "embedding")
+    assert(fired && frac > 0.5)
+    val (m3, re) = ScalarQuant.loadSq8Index(spark, path)
+    assert(!java.util.Arrays.equals(m3.lo, m0.lo), "bounds retrained")
+    assert(re.count() == emb.count(), "rebuild absorbed the full corpus")
   }
 }
