@@ -5333,6 +5333,80 @@ object SparkEntry {
         F.lit(retrainExact).as("retrain_exact"))
     }),
 
+    // continuous SQ8 ingest: odd half streamed through the
+    // batch-stamped foreachBatch sink with TWO real crash-replays —
+    // one mid-ingest (the replayed leaf overwrites exactly its own
+    // files) and one AFTER a takedown removal (the maintenance
+    // watermark makes it a no-op instead of resurrecting removed
+    // rows). Exact cardinalities at every stage; the final probe is
+    // persisted ≡ recomputed from the SAME saved bounds.
+    "q_stream_sq8" -> ((s: SparkSession, dir: String) => {
+      val sq = graft.pipeline.ScalarQuant
+      val emb = t(s, dir, "embeddings").filter(F.col("embedding").isNotNull)
+        .select(F.col("vec_id").cast("long").as("vec_id"), F.col("embedding"))
+      val base = System.getProperty("java.io.tmpdir") + "/graft_q_stream_sq8"
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val path = s"$base/idx"
+      sq.saveSq8Index(emb.filter(F.col("vec_id") % 2 === 0),
+        "vec_id", "embedding", path)
+      val fresh = emb.filter(F.col("vec_id") % 2 =!= 0)
+      fresh.repartition(3).write.mode("overwrite").parquet(s"$base/src")
+      def runStream(): Unit = {
+        val q = sq.streamToSq8Index(
+            s.readStream.schema(fresh.schema)
+              .option("maxFilesPerTrigger", 1).parquet(s"$base/src"),
+            path, "vec_id", "embedding")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation", s"$base/ckpt")
+          .start()
+        q.awaitTermination()
+      }
+      def dropNewestCommit(): Unit = {
+        val commits = new org.apache.hadoop.fs.Path(s"$base/ckpt/commits")
+        val newest = fs.listStatus(commits).map(_.getPath)
+          .filter(p => p.getName.forall(_.isDigit))
+          .maxBy(_.getName.toLong)
+        fs.delete(newest, false)
+      }
+      runStream()
+      dropNewestCommit()
+      runStream() // mid-ingest crash-replay: own-leaf overwrite
+      val nAll = emb.count()
+      val (m1, c1) = sq.loadSq8Index(s, path)
+      val streamOk = c1.count() == nAll
+      val queries = emb.filter(F.col("vec_id") < 10)
+      def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Int, Long)] = df
+        .select("query_id", "rank", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      val probeExact = pairs(sq.sq8TopKIndexed(m1, c1, emb, queries,
+        "vec_id", "embedding", 5, poolSize = 200)) ==
+        pairs(sq.sq8TopKIndexed(m1,
+          sq.encode(emb, "vec_id", "embedding", m1), emb, queries,
+          "vec_id", "embedding", 5, poolSize = 200))
+      // takedown with the writer stopped (lease handshake), then a
+      // crash-replay that must NOT resurrect the removed rows
+      graft.pipeline.Maintenance.releaseWriterLease(s, path)
+      val doomed = emb.filter(F.col("vec_id") % 37 === 0).select("vec_id")
+      val nDoomed = doomed.count()
+      sq.removeFromSq8Index(s, path, doomed, "vec_id")
+      dropNewestCommit()
+      runStream() // suppressed by the maintenance watermark
+      graft.pipeline.Maintenance.releaseWriterLease(s, path)
+      val (_, c2) = sq.loadSq8Index(s, path)
+      val removeOk = c2.count() == nAll - nDoomed
+      val removedAbsent = c2.join(
+        F.broadcast(doomed.select(F.col("vec_id").as("id"))), Seq("id"),
+        "left_semi").count() == 0L
+      s.range(1).select(
+        F.lit(nAll).as("n_streamed"),
+        F.lit(streamOk).as("stream_ok"),
+        F.lit(probeExact).as("probe_exact"),
+        F.lit(removeOk).as("remove_ok"),
+        F.lit(removedAbsent).as("replay_no_resurrect"))
+    }),
+
     // metadata-filtered ANN: top-k among rows passing a predicate
     // (allowed-id semi-join, the PRE-filter strategy). At probeMass 1
     // the probe covers every cell, so the filtered result must equal
@@ -10102,6 +10176,11 @@ object SparkEntry {
       """SELECT CAST(15 AS BIGINT) AS n_rows, true AS brute_exact,
         |  true AS probe_copies_rank1, true AS filtered_brute_exact,
         |  true AS filtered_probe_ok, true AS fallback_copies_rank1""".stripMargin,
+    "q_stream_sq8" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_streamed, true AS stream_ok,
+        |  true AS probe_exact, true AS remove_ok,
+        |  true AS replay_no_resurrect
+        |FROM embeddings WHERE embedding IS NOT NULL""".stripMargin,
     "q_knn_label" ->
       """SELECT CAST(vec_id + 100000 AS BIGINT) AS query_id, label,
         |  true AS w_ok, CAST(1 AS BIGINT) AS votes

@@ -125,13 +125,16 @@ object ScalarQuant {
       .filter(F.col("code").isNotNull)
   }
 
-  /** Persist (codes flat parquet with the `_sq8.json` bounds INSIDE
-    * the codes dir — underscore files are invisible to Spark's data
-    * listing, and co-locating model + codes makes the retrain swap one
-    * atomic directory promotion: a codes table can never outlive or
-    * predate the bounds it was encoded with). The codes table is flat
-    * id-bearing rows — the [[Dedup.removeFromSavedIndex]] takedown
-    * protocol applies ([[removeFromSq8Index]]). */
+  /** Persist. Layout: BATCH-STAMPED code leaves
+    * (`codes/__batch=-1/part-*.parquet` for the base build and batch
+    * appends; a streaming micro-batch owns `codes/__batch=<id>` and
+    * overwrites exactly its own leaf on replay) with the `_sq8.json`
+    * bounds INSIDE the codes dir — underscore files are invisible to
+    * Spark's data listing, and co-locating model + codes makes every
+    * rewrite one atomic directory promotion: a codes table can never
+    * outlive or predate the bounds it was encoded with. Pre-stamp
+    * (flat) indexes still load; [[streamToSq8Index]] requires the
+    * stamped layout ([[migrateSq8Index]] converts in place). */
   def saveSq8Index(
       corpus: DataFrame,
       idCol: String,
@@ -140,8 +143,13 @@ object ScalarQuant {
       sigma: Double = 3.0): Sq8Model = {
     val spark = corpus.sparkSession
     val model = train(corpus, vecCol, sigma)
+    // clear a prior index whole (a leftover stream leaf under a fresh
+    // base would resurrect rows the new model never encoded)
+    val root = new org.apache.hadoop.fs.Path(s"$path/codes")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(root, true)
     encode(corpus, idCol, vecCol, model)
-      .write.mode("overwrite").parquet(s"$path/codes")
+      .write.mode("overwrite").parquet(s"$path/codes/__batch=-1")
     writeModel(spark, s"$path/codes", model)
     model
   }
@@ -183,7 +191,37 @@ object ScalarQuant {
       val b = raw.indexOf(']', a)
       raw.substring(a + 1, b).split(',').map(_.trim.toDouble)
     }
-    (Sq8Model(arr("lo"), arr("step")), spark.read.parquet(s"$path/codes"))
+    val codes = spark.read.parquet(s"$path/codes")
+    // the batch stamp is invisible to readers (probes scan all leaves)
+    val slim = if (codes.columns.contains("__batch")) codes.drop("__batch")
+      else codes
+    (Sq8Model(arr("lo"), arr("step")), slim)
+  }
+
+  /** True iff the codes dir uses the batch-stamped leaf layout. */
+  private def isStamped(
+      fs: org.apache.hadoop.fs.FileSystem,
+      codesDir: org.apache.hadoop.fs.Path): Boolean =
+    fs.exists(codesDir) && fs.listStatus(codesDir).exists(st =>
+      st.isDirectory && st.getPath.getName.startsWith("__batch="))
+
+  /** Convert a pre-stamp flat codes dir to the batch-stamped layout in
+    * place (each flat part file MOVES under `__batch=-1` — renames, no
+    * data pass). Run it once before attaching [[streamToSq8Index]] to
+    * an old index; a flat file landing beside stamped leaves would
+    * break partition discovery (mixed directory depth). */
+  def migrateSq8Index(spark: SparkSession, path: String): Unit =
+      Maintenance.withLock(spark, path) {
+    val codesDir = new org.apache.hadoop.fs.Path(s"$path/codes")
+    val fs = codesDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val base = new org.apache.hadoop.fs.Path(codesDir, "__batch=-1")
+    if (!fs.exists(base)) fs.mkdirs(base)
+    fs.listStatus(codesDir).foreach { st =>
+      if (st.isFile && !st.getPath.getName.startsWith("_") &&
+          !st.getPath.getName.startsWith("."))
+        fs.rename(st.getPath, new org.apache.hadoop.fs.Path(base,
+          st.getPath.getName))
+    }
   }
 
   /** Coarse + rerank against a code table ([[binaryTopKIndexed]]'s
@@ -350,51 +388,132 @@ object ScalarQuant {
       vecCol: String): (Sq8Model, DataFrame) = {
     val (model, _) = loadSq8Index(spark, path)
     val batch = encode(fresh, idCol, vecCol, model)
-    if (!batch.isEmpty)
-      batch.write.mode("append").parquet(s"$path/codes")
+    if (!batch.isEmpty) {
+      val codesDir = new org.apache.hadoop.fs.Path(s"$path/codes")
+      val fs = codesDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // stamped layout: file-adds land in the base leaf; a pre-stamp
+      // flat index keeps its flat layout until migrateSq8Index runs
+      // (a flat file BESIDE stamped leaves breaks discovery)
+      val dest = if (isStamped(fs, codesDir)) s"$path/codes/__batch=-1"
+        else s"$path/codes"
+      batch.write.mode("append").parquet(dest)
+    }
     loadSq8Index(spark, path)
+  }
+
+  /**
+   * Continuous SQ8 maintenance: a foreachBatch sink that encodes each
+   * micro-batch with the SAVED bounds and overwrites exactly its own
+   * `codes/__batch=<id>` leaf — a replayed micro-batch (at-least-once
+   * delivery) replaces its own files, so the index stays correct
+   * effectively-once; the [[Similarity.streamToIvfIndex]] protocol on
+   * the flat ADC family. The `_maintained_through` watermark makes a
+   * crash-replay of a removal/retrain-mutated micro-batch a no-op.
+   * One streaming writer per path; the sink heartbeats the writer
+   * lease and refuses inside a writer-exclusive maintenance window.
+   * Requires the batch-stamped layout ([[migrateSq8Index]] for
+   * pre-stamp indexes). Returns the writer — set trigger/checkpoint
+   * and `.start()`.
+   */
+  def streamToSq8Index(
+      stream: DataFrame,
+      path: String,
+      idCol: String,
+      vecCol: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        Maintenance.heartbeat(spark, path)
+        Maintenance.requireNoExclusiveMaintenance(spark, path)
+        // a micro-batch at or below the maintenance watermark was
+        // already MUTATED by a removal/retrain after it committed: its
+        // replay must write nothing or taken-down rows would resurrect
+        if (batchId >= 0L &&
+            batchId <= CellTable.readMaintainedThrough(spark, path)) ()
+        else {
+          val codesDir = new org.apache.hadoop.fs.Path(s"$path/codes")
+          val fs = codesDir.getFileSystem(
+            spark.sparkContext.hadoopConfiguration)
+          require(isStamped(fs, codesDir),
+            s"streamToSq8Index: $path/codes is a pre-stamp flat layout — " +
+              "run migrateSq8Index once before attaching the sink")
+          val (model, _) = loadSq8Index(spark, path)
+          val enc = encode(batch, idCol, vecCol, model)
+          if (!enc.isEmpty)
+            enc.write.mode("overwrite")
+              .parquet(s"$path/codes/__batch=$batchId")
+        }
+        ()
+    }
+
+  /** Advance the maintenance watermark past every on-disk stream leaf
+    * BEFORE a mutation rewrites them into the base layer — an
+    * unsuppressed crash-replay would resurrect removed rows (or
+    * duplicate retrained ones). */
+  private def suppressStreamReplays(
+      spark: SparkSession, path: String): Unit = {
+    val codesDir = new org.apache.hadoop.fs.Path(s"$path/codes")
+    val fs = codesDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!isStamped(fs, codesDir)) return
+    val ids = fs.listStatus(codesDir).toSeq.collect {
+      case st if st.isDirectory &&
+        st.getPath.getName.startsWith("__batch=") =>
+        st.getPath.getName.stripPrefix("__batch=").toLong
+    }.filter(_ >= 0L)
+    if (ids.nonEmpty) {
+      val prior = CellTable.readMaintainedThrough(spark, path)
+      CellTable.writeMaintainedThrough(spark, path,
+        math.max(prior, ids.max))
+    }
   }
 
   /** Takedown removal — the [[Dedup.removeFromSavedIndex]] protocol:
     * anti-join rewrite of the codes table into a staging dir (with the
     * bounds manifest copied in — model and codes swap as ONE unit),
     * then an atomic-ish directory promotion; a crash before the swap
-    * leaves the original intact. Single-maintainer via the
-    * [[Maintenance]] lock at the index root (the root persists — only
-    * the codes dir inside it is swapped). */
+    * leaves the original intact. Writer-exclusive (lock + lease +
+    * marker: the rewrite folds every stream leaf into the base layer,
+    * so crash-replays are suppressed via the watermark first and a
+    * live writer is refused). */
   def removeFromSq8Index(
       spark: SparkSession,
       path: String,
       ids: DataFrame,
       idCol: String): (Sq8Model, DataFrame) =
-      Maintenance.withLock(spark, path) {
+      Maintenance.withExclusiveLock(spark, path) {
+    suppressStreamReplays(spark, path)
     val (model, codes) = loadSq8Index(spark, path)
     val del = ids.select(F.col(idCol).cast("long").as("id")).distinct()
     val tmp = s"$path/codes__takedown"
     codes.join(F.broadcast(del), Seq("id"), "left_anti")
-      .write.mode("overwrite").parquet(tmp)
+      .write.mode("overwrite").parquet(s"$tmp/__batch=-1")
     writeModel(spark, tmp, model)
     graft.sources.Compaction.promote(spark, tmp, s"$path/codes")
     loadSq8Index(spark, path)
   }
 
-  /** Small-file reclaim for a long-appended codes table: rewrite to
-    * `targetFiles` parquet files via the same staged promotion. */
+  /** Small-file reclaim for a long-appended/streamed codes table:
+    * rewrite every leaf into `targetFiles` base files via the same
+    * writer-exclusive staged promotion (stream leaves fold into the
+    * base layer; their replays are watermark-suppressed). */
   def compactSq8Index(
       spark: SparkSession,
       path: String,
       targetFiles: Int = 8): (Sq8Model, DataFrame) =
-      Maintenance.withLock(spark, path) {
+      Maintenance.withExclusiveLock(spark, path) {
+    suppressStreamReplays(spark, path)
     val (model, codes) = loadSq8Index(spark, path)
     val tmp = s"$path/codes__compact"
-    codes.repartition(targetFiles).write.mode("overwrite").parquet(tmp)
+    codes.repartition(targetFiles).write.mode("overwrite")
+      .parquet(s"$tmp/__batch=-1")
     writeModel(spark, tmp, model)
     graft.sources.Compaction.promote(spark, tmp, s"$path/codes")
     loadSq8Index(spark, path)
   }
 
   /** Auto-compaction dial — [[Similarity.maybeCompactIvfIndex]] on the
-    * flat codes table: rewrite when the nightly appends have left more
+    * codes table: rewrite when appends/stream leaves have left more
     * than `maxFiles` parquet files. Returns true iff a fold ran. */
   def maybeCompactSq8Index(
       spark: SparkSession,
@@ -404,10 +523,14 @@ object ScalarQuant {
     val root = new org.apache.hadoop.fs.Path(s"$path/codes")
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return false
-    val nFiles = fs.listStatus(root).count(st =>
-      st.isFile && !st.getPath.getName.startsWith("_") &&
-        !st.getPath.getName.startsWith("."))
-    if (nFiles <= maxFiles) false
+    def dataFiles(p: org.apache.hadoop.fs.Path): Int =
+      fs.listStatus(p).map { st =>
+        if (st.isDirectory) dataFiles(st.getPath)
+        else if (!st.getPath.getName.startsWith("_") &&
+          !st.getPath.getName.startsWith(".")) 1
+        else 0
+      }.sum
+    if (dataFiles(root) <= maxFiles) false
     else { compactSq8Index(spark, path, targetFiles); true }
   }
 
@@ -460,11 +583,14 @@ object ScalarQuant {
       idCol: String,
       vecCol: String,
       sigma: Double = 3.0): Sq8Model =
-      Maintenance.withLock(spark, path) {
+      Maintenance.withExclusiveLock(spark, path) {
+    // the rebuilt base layer ABSORBS every stream leaf's rows — their
+    // crash-replays must write nothing afterwards
+    suppressStreamReplays(spark, path)
     val model = train(corpus, vecCol, sigma)
     val tmp = s"$path/codes__retrain"
     val staged = encode(corpus, idCol, vecCol, model)
-    staged.write.mode("overwrite").parquet(tmp)
+    staged.write.mode("overwrite").parquet(s"$tmp/__batch=-1")
     writeModel(spark, tmp, model)
     graft.sources.Compaction.promote(spark, tmp, s"$path/codes")
     // drop a legacy root-level manifest so the stale bounds can never
