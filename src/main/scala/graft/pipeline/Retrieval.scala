@@ -438,6 +438,13 @@ object Retrieval {
       idCol: String,
       batchId: Long): FieldedTextIndex = {
     val cur = loadFieldedTextIndex(spark, path)
+    // a micro-batch at or below the FIELDED-root maintenance watermark
+    // was folded/mutated after it committed: its replay must write
+    // nothing AT ALL — per-field suppression alone would still let the
+    // N-delta rewrite re-create a partition the compaction folded into
+    // the base row (a double count)
+    if (batchId >= 0L &&
+        batchId <= CellTable.readMaintainedThrough(spark, path)) return cur
     val n = newDocs.count()
     // an empty batch writes nothing anywhere — in particular it must
     // not land a zero delta partition or clear any field's
@@ -478,6 +485,49 @@ object Retrieval {
         ()
     }
 
+  /**
+   * Small-file reclaim for a long-streamed fielded index:
+   * [[compactTextIndex]] per field, then the N-delta table folds into
+   * one base row PLUS the newest streaming batch's row — kept
+   * unfolded for the same reason the per-field stats folds keep it
+   * (that batch may replay after a crash of a mid-commit writer and
+   * dynamic-overwrite its own partition; were its delta already in
+   * the base row, the replay would double-count it). Replays of the
+   * FOLDED batches are suppressed by the fielded-root maintenance
+   * watermark, advanced before the fold. Writer-exclusive (enforced
+   * per field by compactTextIndex's stats fold). A crash inside the
+   * N rewrite repairs with [[setFieldedTextIndexN]].
+   */
+  def compactFieldedTextIndex(
+      spark: SparkSession, path: String): FieldedTextIndex =
+      Maintenance.withExclusiveLock(spark, path) {
+    import spark.implicits._
+    val cur = loadFieldedTextIndex(spark, path)
+    cur.fields.foreach(f => compactTextIndex(spark, s"$path/field_$f"))
+    val rows = spark.read.parquet(s"$path/n_deltas")
+      .select(F.col("n_delta"),
+        F.col("__batch").cast("long").as("__batch"))
+      .as[(Long, Long)].collect()
+    val maxStream = rows.map(_._2).filter(_ >= 0L).sorted.lastOption
+      .getOrElse(-1L)
+    val (keep, fold) = rows.partition(r => maxStream >= 0L && r._2 == maxStream)
+    if (fold.length > 1 || fold.exists(_._2 != -1L)) {
+      val foldedMax = fold.map(_._2).filter(_ >= 0L).sorted.lastOption
+        .getOrElse(-1L)
+      // suppress folded-batch replays FIRST: a crash between the
+      // watermark and the rewrite leaves a correct, merely unfolded,
+      // delta table
+      if (foldedMax > CellTable.readMaintainedThrough(spark, path))
+        CellTable.writeMaintainedThrough(spark, path, foldedMax)
+      ((fold.map(_._1).sum, -1L) +: keep.toSeq)
+        .toDF("n_delta", "__batch")
+        .repartition(1)
+        .write.partitionBy("__batch").mode("overwrite")
+        .parquet(s"$path/n_deltas")
+    }
+    loadFieldedTextIndex(spark, path)
+  }
+
   /** Takedown from every field index ([[removeFromTextIndex]] per
     * field). N shrinks by the count of requested ids ACTUALLY PRESENT
     * in the index (the union of per-field postings) — never by the
@@ -488,7 +538,12 @@ object Retrieval {
       spark: SparkSession,
       path: String,
       ids: DataFrame,
-      idCol: String): FieldedTextIndex = {
+      idCol: String): FieldedTextIndex =
+      // the FIELDED-root lease + marker: the streaming sink heartbeats
+      // (and checks markers at) this root, not the per-field roots —
+      // without this wrapper a takedown could interleave a LIVE
+      // fielded stream whose per-field checks never see it
+      Maintenance.withExclusiveLock(spark, path) {
     val cur = loadFieldedTextIndex(spark, path)
     val del = ids.select(F.col(idCol).as("id")).distinct()
       .localCheckpoint(eager = false)

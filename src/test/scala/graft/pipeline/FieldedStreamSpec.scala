@@ -85,6 +85,51 @@ class FieldedStreamSpec extends SparkTestBase {
     assert(probed == oneShot, "streamed+replayed index ranks == one-shot")
   }
 
+  test("compactFieldedTextIndex: folds N deltas, replays stay suppressed") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_fielded_compact").toString
+    val path = s"$base/idx"
+    val docs = corpus.localCheckpoint(false)
+    Retrieval.saveFieldedTextIndex(docs.filter(F.col("doc_id") % 2 === 0),
+      "doc_id", Seq("title", "body"), path, buckets = 8)
+    val fresh = docs.filter(F.col("doc_id") % 2 =!= 0)
+    fresh.repartition(3).write.mode("overwrite").parquet(s"$base/src")
+    def runStream(): Unit = {
+      val qq = Retrieval.streamToFieldedTextIndex(
+          spark.readStream.schema(fresh.schema)
+            .option("maxFilesPerTrigger", 1).parquet(s"$base/src"),
+          path, "doc_id")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", s"$base/ckpt")
+        .start()
+      qq.awaitTermination()
+    }
+    runStream()
+    val before = Retrieval.loadFieldedTextIndex(spark, path)
+    val ranksBefore = ranks(Retrieval.bm25fTopKIndexed(before, fields, q, 10))
+    Maintenance.releaseWriterLease(spark, path)
+    val compacted = Retrieval.compactFieldedTextIndex(spark, path)
+    assert(compacted.nDocs == before.nDocs, "fold preserves N exactly")
+    // base row + the kept newest-stream row only
+    val nRows = spark.read.parquet(s"$path/n_deltas").count()
+    assert(nRows == 2L, s"expected base + newest rows, got $nRows")
+    assert(ranks(Retrieval.bm25fTopKIndexed(compacted, fields, q, 10)) ==
+      ranksBefore, "fold is invisible to ranks")
+    // crash-replay of a FOLDED batch (commit 1) and the kept newest
+    // (commit 2): the fielded watermark suppresses the folded one, the
+    // newest rewrites its own partition — N and ranks unchanged
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq(1L, 2L).foreach { c =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$base/ckpt/commits/$c"), false)
+    }
+    runStream()
+    val replayed = Retrieval.loadFieldedTextIndex(spark, path)
+    assert(replayed.nDocs == before.nDocs, "post-compact replay: N exact")
+    assert(ranks(Retrieval.bm25fTopKIndexed(replayed, fields, q, 10)) ==
+      ranksBefore, "post-compact replay: ranks exact")
+  }
+
   test("N-delta protocol: append/remove are deltas, reconcile rewrites") {
     val base = java.nio.file.Files
       .createTempDirectory("graft_fielded_ndelta").toString
