@@ -1422,9 +1422,12 @@ object Retrieval {
    * empty snippet always charges 0 (the LEFT-join rule: a ranked doc
    * with no query-term hit stays in the prefix).
    *
-   * Scale shape: ONE query_id repartition serves both the per-(query,
-   * doc) snippet grouping and the prefix window (grouping keys ⊇
-   * window key — the gapFill contract); the union term list of a
+   * Scale shape: the corpus-sized work is the hit-doc index build
+   * (one grouping over the semi-joined docs); past it everything is
+   * bounded serving data (≤ |queries|·k rows), riding exactly TWO
+   * query_id exchanges — the snippet grouping's repartition and the
+   * prefix window — with every bounded side broadcast (no join
+   * shuffles); pinned in PlanShapeSpec. The union term list of a
    * serving batch is bounded and collected once; only hit documents
    * are tokenized (semi-join before buildIndex).
    */
@@ -1470,7 +1473,10 @@ object Retrieval {
         F.col("__best._1").as("start"), F.col("__best._2").as("end"))
     val toks = hitDocs.select(F.col(idCol).as("id"),
       terms(F.col(textCol)).as("__t"))
-    val sn = spans.join(toks, "id")
+    // spans are bounded (≤ |queries|·k rows): broadcast them onto the
+    // hit-doc token scan, and broadcast the rendered snippets into the
+    // final join — shuffling either would re-exchange bounded data
+    val sn = F.broadcast(spans).join(toks, "id")
       .select(F.col("query_id"), F.col("id"), F.col("start"), F.col("end"),
         F.array_join(F.slice(F.col("__t"), F.col("start") + 1,
           F.col("end") - F.col("start")), " ").as("snippet"))
@@ -1478,7 +1484,7 @@ object Retrieval {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.partitionBy(F.col("query_id"))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val joined = hits.join(sn, Seq("query_id", "id"), "left")
+    val joined = hits.join(F.broadcast(sn), Seq("query_id", "id"), "left")
       .withColumn("start", F.coalesce(F.col("start"), F.lit(0)))
       .withColumn("end", F.coalesce(F.col("end"), F.lit(0)))
       .withColumn("snippet", F.coalesce(F.col("snippet"), F.lit("")))
@@ -1561,7 +1567,19 @@ object Retrieval {
   def proximityScores(index: DataFrame, queryTerms: Seq[String]): DataFrame = {
     require(queryTerms.nonEmpty, "proximityScores: empty query")
     val q = queryTerms.map(_.toLowerCase).distinct
-    val proxU = F.udf((lists: Seq[Row]) => {
+    index
+      .filter(F.col("term").isin(q: _*))
+      .groupBy(F.col("id"))
+      .agg(F.collect_list(F.struct(F.col("term"), F.col("positions")))
+        .as("__lists"))
+      .select(F.col("id"), proximityUdf(F.col("__lists")).as("prox"))
+  }
+
+  /** The ONE pairwise min-distance kernel (two-pointer merge over each
+    * pair of sorted position lists) — [[proximityScores]] and the
+    * fused [[bm25TopKProximity]] aggregate replay the identical rule. */
+  private def proximityUdf =
+    F.udf((lists: Seq[Row]) => {
       val arr = lists.map(r =>
         (r.getString(0), r.getSeq[Int](1).toArray)).sortBy(_._1).toArray
       var s = 0.0
@@ -1586,13 +1604,6 @@ object Retrieval {
       }
       s
     })
-    index
-      .filter(F.col("term").isin(q: _*))
-      .groupBy(F.col("id"))
-      .agg(F.collect_list(F.struct(F.col("term"), F.col("positions")))
-        .as("__lists"))
-      .select(F.col("id"), proxU(F.col("__lists")).as("prox"))
-  }
 
   /**
    * Proximity-boosted BM25 top-k: score = bm25 + lambdaProx · prox —
@@ -1649,16 +1660,26 @@ object Retrieval {
       b: Double): DataFrame = {
     require(lambdaProx >= 0.0, s"lambdaProx must be >= 0, got $lambdaProx")
     val q = queryTerms.map(_.toLowerCase).distinct
-    // ONE id exchange serves the bm25 sum, the proximity group, and
-    // their join
+    // ONE fused per-document aggregation carries the bm25 sum AND the
+    // (term, positions) lists the proximity kernel consumes — a
+    // separate proximityScores group would recompute the matched scan
+    // and pay a second id exchange (plus a join); pinned in
+    // PlanShapeSpec. Formula parity: the weight is the shared
+    // bm25Weight builder, the kernel the shared proximityUdf.
     val matched = index.filter(F.col("term").isin(q: _*))
-      .repartition(F.col("id"))
-      .localCheckpoint(eager = false)
-    val scored = bm25Scores(matched, stats, q, k1, b)
-    val prox = proximityScores(matched, q)
-    val combined = scored.join(prox, Seq("id"))
+    val dfs = matched.groupBy("term").agg(F.count(F.lit(1)).as("df"))
+    val combined = matched
+      .join(F.broadcast(dfs), "term")
+      .crossJoin(F.broadcast(stats))
+      .withColumn("__w", bm25Weight(k1, b))
+      .groupBy("id")
+      .agg(F.sum(F.col("__w")).as("__bm25"),
+        F.count(F.lit(1)).as("n_terms_hit"),
+        F.collect_list(F.struct(F.col("term"), F.col("positions")))
+          .as("__lists"))
+      .withColumn("prox", proximityUdf(F.col("__lists")))
       .withColumn("score",
-        F.col("score") + F.lit(lambdaProx) * F.col("prox"))
+        F.col("__bm25") + F.lit(lambdaProx) * F.col("prox"))
     rankTopK(combined, k)
       .select(F.col("rank"), F.col("id"), F.col("score"),
         F.col("prox"), F.col("n_terms_hit"))

@@ -345,4 +345,37 @@ class PlanShapeSpec extends SparkTestBase {
     // coarse pass from shipping corpus x queries rows
     assert(plan.contains("WindowGroupLimit"), plan)
   }
+
+  test("bm25TopKProximity: the bm25 sum, proximity group, and join ride ONE id exchange") {
+    val docs = sf("sf0.001", "documents").select($"doc_id", $"text")
+    val out = graft.pipeline.Retrieval.bm25TopKProximity(
+      docs, "doc_id", "text", Seq("slow", "merge", "window"), 10)
+    val plan = out.queryExecution.executedPlan.toString
+    // exactly one hash exchange keyed on the document id ALONE (the
+    // fused bm25+proximity aggregate); a second one means the fusion
+    // regressed to separate groupBys or a join. (corpusStats' distinct
+    // partitions on (id, dl) — excluded by the exact-arity pattern.)
+    val idExchanges =
+      "Exchange hashpartitioning\\(id#\\d+L?, \\d+\\)".r.findAllIn(plan).size
+    assert(idExchanges === 1, plan)
+  }
+
+  test("assembleContextBatch: snippet group and prefix window share ONE query_id exchange") {
+    val docs = sf("sf0.001", "documents").select($"doc_id", $"text")
+    val ranked = Seq((0L, 1, 1L), (0L, 2, 2L), (1L, 1, 3L))
+      .toDF("query_id", "rank", "id")
+    val queries = Seq((0L, Seq("slow", "merge")), (1L, Seq("window")))
+      .toDF("query_id", "terms")
+    val out = graft.pipeline.Retrieval.assembleContextBatch(
+      docs, "doc_id", "text", ranked, queries,
+      window = 12, budgetTokens = 60)
+    val plan = out.queryExecution.executedPlan.toString
+    // exactly TWO query_id exchanges: the snippet grouping's
+    // repartition and the final prefix window — every bounded side
+    // (spans, rendered snippets) broadcasts, so no join re-shuffles
+    // the serving data
+    val qidExchanges =
+      "Exchange hashpartitioning\\(query_id#".r.findAllIn(plan).size
+    assert(qidExchanges === 2, plan)
+  }
 }
