@@ -339,6 +339,29 @@ object ScalarQuant {
     Similarity.poolCurveFromRanks(ranks, truth.count(), k, grid)
   }
 
+  /** Measure-and-persist the pool curve of a SAVED SQ8 index —
+    * [[Similarity.recalibrateIvfIndex]]'s pool sibling (the curve
+    * lands at `<path>/_pool_calibration.json`; a retrain refreshes it
+    * in place when present). `corpus` supplies the float vectors for
+    * the brute-force truth pass (codes are lossy). */
+  def recalibrateSq8Pool(
+      spark: SparkSession,
+      path: String,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int = 10,
+      nSample: Int = 64,
+      grid: Seq[Int] = Similarity.DefaultPoolGrid)
+      : Similarity.PoolCalibration = {
+    val (model, codes) = loadSq8Index(spark, path)
+    val cal = calibratePool(model, codes, corpus, idCol, vecCol, k,
+      nSample, grid)
+    Similarity.savePoolCalibration(spark, path, cal,
+      n = codes.count())
+    cal
+  }
+
   /** [[sq8TopKIndexed]] with the pool solved from a requested recall
     * target via the measured curve. */
   def sq8TopKTarget(
@@ -587,12 +610,19 @@ object ScalarQuant {
     // the rebuilt base layer ABSORBS every stream leaf's rows — their
     // crash-replays must write nothing afterwards
     suppressStreamReplays(spark, path)
+    val priorPool = Similarity.loadPoolCalibration(spark, path)
     val model = train(corpus, vecCol, sigma)
     val tmp = s"$path/codes__retrain"
     val staged = encode(corpus, idCol, vecCol, model)
     staged.write.mode("overwrite").parquet(s"$tmp/__batch=-1")
     writeModel(spark, tmp, model)
     graft.sources.Compaction.promote(spark, tmp, s"$path/codes")
+    // fresh bounds reorder the coarse scan: a measured pool curve is
+    // stale — drop it, and recalibrate in place when one existed
+    // (recalibrate wherever you retrain, the pool form)
+    Similarity.dropPoolCalibration(spark, path)
+    priorPool.foreach(c =>
+      recalibrateSq8Pool(spark, path, corpus, idCol, vecCol, c.k))
     // drop a legacy root-level manifest so the stale bounds can never
     // shadow the co-located ones on a mixed-layout index
     val legacy = new org.apache.hadoop.fs.Path(path, "_sq8.json")

@@ -1103,6 +1103,54 @@ object Similarity {
     PoolCalibration(k, curve.toVector)
   }
 
+  /** Persist a pool curve beside an index
+    * (`<path>/_pool_calibration.json`): `n` stamps the corpus size at
+    * measurement (informational — pool coverage dilutes as the corpus
+    * grows; the family's drift dial is the recalibrate trigger), and
+    * a geometry-replacing retrain refreshes the curve in place like
+    * the mass curves. */
+  def savePoolCalibration(
+      spark: SparkSession, path: String, cal: PoolCalibration,
+      n: Long = -1L): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path, "_pool_calibration.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val json = s"""{"k":${cal.k},"pool_grid":[${cal.grid
+      .map { case (pl, r) => s"[$pl,$r]" }.mkString(",")}],"n":$n}"""
+    val out = fs.create(p, true)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Reload a persisted pool curve; None when never calibrated. */
+  def loadPoolCalibration(
+      spark: SparkSession, path: String): Option[PoolCalibration] = {
+    val p = new org.apache.hadoop.fs.Path(path, "_pool_calibration.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val raw =
+      try {
+        val bos = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](4096)
+        var n = in.read(buf)
+        while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+        new String(bos.toByteArray, "UTF-8")
+      } finally in.close()
+    val k = """"k"\s*:\s*(\d+)""".r.findFirstMatchIn(raw)
+      .map(_.group(1).toInt).getOrElse(return None)
+    val pair = """\[\s*(\d+)\s*,\s*([0-9.Ee+-]+)\s*\]""".r
+    val grid = pair.findAllMatchIn(raw)
+      .map(m => (m.group(1).toInt, m.group(2).toDouble)).toVector
+    if (grid.isEmpty) None else Some(PoolCalibration(k, grid))
+  }
+
+  private[pipeline] def dropPoolCalibration(
+      spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path, "_pool_calibration.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, false)
+    ()
+  }
+
   /** Shared hash-ordered query sample for pool calibration (the
     * [[calibrateProbe]] sampling rule on an (id, vec) corpus). */
   private[pipeline] def poolCalibrationSample(

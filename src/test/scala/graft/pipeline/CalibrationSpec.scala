@@ -223,6 +223,38 @@ class CalibrationSpec extends SparkTestBase {
     }
   }
 
+  test("SQ8 pool curve persists, round-trips, and refreshes on retrain") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_sq8pool").toString
+    val path = s"$base/idx"
+    ScalarQuant.saveSq8Index(emb, "vec_id", "embedding", path)
+    // uncalibrated index: a retrain leaves NO curve
+    ScalarQuant.retrainSq8Index(spark, path, emb, "vec_id", "embedding")
+    assert(Similarity.loadPoolCalibration(spark, path).isEmpty)
+    val cal = ScalarQuant.recalibrateSq8Pool(spark, path, emb,
+      "vec_id", "embedding", k = 10, nSample = 32)
+    assert(Similarity.loadPoolCalibration(spark, path).contains(cal))
+    // calibrated index: the retrain refreshes the curve in place at
+    // the same k (fresh bounds reorder the coarse scan)
+    ScalarQuant.retrainSq8Index(spark, path,
+      emb.filter(F.col("vec_id") % 2 === 0), "vec_id", "embedding")
+    val re = Similarity.loadPoolCalibration(spark, path)
+    assert(re.nonEmpty && re.get.k == 10, "retrain must refresh the curve")
+    // the solved pool achieves the target on the rebuilt index's own
+    // sample (the deterministic on-sample replay argument — the
+    // refresh measures at the DEFAULT 64-sample rule, so the check
+    // re-derives the same 64)
+    val half = emb.filter(F.col("vec_id") % 2 === 0)
+    val sample = Similarity.poolCalibrationSample(half, "vec_id",
+      "embedding", 64)
+    val gt = pairs(Similarity.bruteForceTopK(half, sample,
+      "vec_id", "embedding", 10))
+    val (m, codes) = ScalarQuant.loadSq8Index(spark, path)
+    val got = pairs(ScalarQuant.sq8TopKTarget(m, codes, half, sample,
+      "vec_id", "embedding", 10, 0.85, re.get))
+    assert(recallOf(got, gt) >= 0.85)
+  }
+
   test("SQ8 lifecycle: clip dial quiet/fires; mutations keep model+codes paired") {
     val base = java.nio.file.Files
       .createTempDirectory("graft_sq8life").toString
