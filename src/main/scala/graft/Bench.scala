@@ -1322,6 +1322,21 @@ object Bench {
         window = 12, budgetTokens = 60)
     }),
 
+    // two-pass PRF serving: feedback probe + candidate group + final
+    // expanded probe against the persisted index
+    "b_retrieval_prf" -> ((s: SparkSession, dir: String) => {
+      val idx = textIndexCache.getOrElseUpdate(dir, {
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_bench_tidx").toString
+        graft.pipeline.Retrieval
+          .buildTextIndex(t(s, dir, "documents"), "doc_id", "text", buckets = 64)
+          .save(path)
+        graft.pipeline.Retrieval.loadTextIndex(s, path)
+      })
+      graft.pipeline.Retrieval.bm25TopKPrfIndexed(
+        idx, Seq("slow", "merge", "window"), 10)
+    }),
+
     // proximity-boosted BM25 probe of the persisted index: bm25 sum +
     // pairwise min-distance group on ONE id exchange, bucket-pruned
     "b_retrieval_proximity" -> ((s: SparkSession, dir: String) => {

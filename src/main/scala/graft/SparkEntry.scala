@@ -7920,6 +7920,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // RM3-style pseudo-relevance feedback: feedback probe -> RM1-
+    // weighted expansion terms (Σ tf/dl over the top-10 docs, original
+    // terms excluded) -> final probe with the union query. The WHOLE
+    // two-pass composition replays in SQL; ranks AND the expansion
+    // list pinned (cutoff gaps measured >= 9.5e-3, within-selection
+    // ordering gaps >= 3.0e-5, final ranking gaps >= 1.1e-6 at both
+    // SFs — all orders above cross-engine ulp noise)
+    "q_retrieval_prf" -> ((s: SparkSession, dir: String) => {
+      graft.pipeline.Retrieval.bm25TopKPrf(
+          t(s, dir, "documents"), "doc_id", "text",
+          Seq("slow", "merge", "window"), 10)
+        .select(F.col("rank").cast("long").as("rank"),
+          F.col("id").as("doc_id"), F.col("n_terms_hit"),
+          F.array_join(F.col("expansion"), " ").as("expansion"))
+        .orderBy("rank")
+    }),
+
     // proximity-boosted BM25 (score = bm25 + 0.5 * Σ_pairs
     // 1/(1+minDist) from the positional index): ranks pinned — the
     // combined-score top-15 adjacent gaps measured >= 5.8e-4 at both
@@ -11658,6 +11675,53 @@ object SparkEntry {
           |       CAST(cum_tokens AS BIGINT) AS cum_tokens, snippet
           |FROM j, ov WHERE ov.o IS NULL OR rank < ov.o
           |ORDER BY rank""".stripMargin,
+      "q_retrieval_prf" ->
+        """WITH f AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+          |                    x -> len(x) > 0) AS w FROM documents),
+          |dl AS (SELECT doc_id, len(w) AS dl FROM f WHERE len(w) > 0),
+          |toks AS (SELECT doc_id, unnest(w) AS term FROM f),
+          |post0 AS (SELECT term, doc_id, count(*) AS tf FROM toks
+          |          WHERE term IN ('slow', 'merge', 'window') GROUP BY 1, 2),
+          |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+          |dfs0 AS (SELECT term, count(*) AS df FROM post0 GROUP BY 1),
+          |scored0 AS (
+          |  SELECT p.doc_id,
+          |         sum(ln(1 + (s.n - f2.df + 0.5) / (f2.df + 0.5)) * p.tf * 2.2 /
+          |             (p.tf + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl))) AS score
+          |  FROM post0 p JOIN dfs0 f2 USING (term) JOIN dl d USING (doc_id)
+          |  CROSS JOIN stats s GROUP BY 1),
+          |fb AS (SELECT doc_id FROM (
+          |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r
+          |  FROM scored0) t WHERE r <= 10),
+          |fbpost AS (SELECT t.term, t.doc_id, count(*) AS tf
+          |           FROM toks t JOIN fb USING (doc_id) GROUP BY 1, 2),
+          |cand AS (SELECT a.term, sum(CAST(a.tf AS DOUBLE) / d.dl) AS wt
+          |         FROM fbpost a JOIN dl d USING (doc_id)
+          |         WHERE a.term NOT IN ('slow', 'merge', 'window')
+          |         GROUP BY 1),
+          |exp AS (SELECT term, r FROM (
+          |  SELECT term, row_number() OVER (ORDER BY wt DESC, term) AS r
+          |  FROM cand) t WHERE r <= 5),
+          |eq AS (SELECT term FROM exp
+          |       UNION ALL SELECT unnest(['slow', 'merge', 'window'])),
+          |post AS (SELECT term, doc_id, count(*) AS tf FROM toks
+          |         WHERE term IN (SELECT term FROM eq) GROUP BY 1, 2),
+          |dfs AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+          |scored AS (
+          |  SELECT p.doc_id,
+          |         sum(ln(1 + (s.n - f2.df + 0.5) / (f2.df + 0.5)) * p.tf * 2.2 /
+          |             (p.tf + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl))) AS score,
+          |         CAST(count(*) AS BIGINT) AS n_terms_hit
+          |  FROM post p JOIN dfs f2 USING (term) JOIN dl d USING (doc_id)
+          |  CROSS JOIN stats s GROUP BY 1)
+          |SELECT rank, doc_id, n_terms_hit,
+          |       (SELECT string_agg(term, ' ' ORDER BY r) FROM exp) AS expansion
+          |FROM (
+          |  SELECT doc_id, n_terms_hit,
+          |         CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+          |           AS BIGINT) AS rank
+          |  FROM scored) t
+          |WHERE rank <= 10 ORDER BY rank""".stripMargin,
       "q_retrieval_proximity" ->
         """WITH f AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
           |                    x -> len(x) > 0) AS w FROM documents),

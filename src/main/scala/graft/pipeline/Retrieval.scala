@@ -1543,6 +1543,113 @@ object Retrieval {
   }
 
   // ---------------------------------------------------------------- //
+  // Pseudo-relevance feedback (query expansion)                       //
+  // ---------------------------------------------------------------- //
+
+  /**
+   * Pseudo-relevance-feedback expansion terms (the RM1 relevance-model
+   * weight without the query-likelihood factor — the deterministic
+   * PRF core): run BM25 with the original query, take the top
+   * `fbDocs` feedback documents, and weight every term they contain by
+   *
+   *   w(t) = Σ_{d ∈ feedback} tf(t, d) / dl(d),
+   *
+   * excluding the original query terms; the `fbTerms` heaviest terms
+   * (ties by term asc) come back as a driver-side list (bounded —
+   * this is per-query serving state, the bm25TopKBatch collect rule).
+   *
+   * Scale shape: the feedback probe is the ordinary BM25 probe; the
+   * candidate pass scans postings with a broadcast fb-id semi-join
+   * (map-side filter; the only shuffle is the |vocab-of-10-docs|-sized
+   * term group).
+   */
+  def prfExpansionTerms(
+      index: DataFrame,
+      stats: DataFrame,
+      queryTerms: Seq[String],
+      fbDocs: Int = 10,
+      fbTerms: Int = 5,
+      k1: Double = DefaultK1,
+      b: Double = DefaultB): Seq[String] = {
+    require(fbDocs >= 1, s"fbDocs must be >= 1, got $fbDocs")
+    require(fbTerms >= 1, s"fbTerms must be >= 1, got $fbTerms")
+    val spark = index.sparkSession
+    import spark.implicits._
+    val q = queryTerms.map(_.toLowerCase).distinct
+    val fb = rankTopK(bm25Scores(index, stats, q, k1, b), fbDocs)
+      .select(F.col("id"))
+    index.join(F.broadcast(fb), "id")
+      .filter(!F.col("term").isin(q: _*))
+      .groupBy(F.col("term"))
+      .agg(F.sum(F.col("tf").cast("double") / F.col("dl")).as("__w"))
+      .orderBy(F.col("__w").desc, F.col("term").asc)
+      .limit(fbTerms)
+      .select("term").as[String].collect().toSeq
+  }
+
+  /** BM25 with RM3-style pseudo-relevance feedback: the original
+    * query unioned with [[prfExpansionTerms]]'s expansion, re-ranked
+    * in one more probe (the standard two-pass PRF serving shape —
+    * feedback probe, expansion, final probe). Returns the final
+    * ranking plus the expansion terms as a constant array column
+    * (serving systems log them). */
+  def bm25TopKPrf(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      queryTerms: Seq[String],
+      k: Int,
+      fbDocs: Int = 10,
+      fbTerms: Int = 5,
+      k1: Double = DefaultK1,
+      b: Double = DefaultB): DataFrame = {
+    // three jobs touch the index (feedback probe, candidate group,
+    // final probe) — pin one materialization across them
+    val index = buildIndex(docs, idCol, textCol)
+      .localCheckpoint(eager = false)
+    bm25TopKPrfImpl(index, corpusStats(index), queryTerms, k, fbDocs,
+      fbTerms, k1, b)
+  }
+
+  /** [[bm25TopKPrf]] over a saved [[TextIndex]]: the feedback and
+    * final probes partition-prune to their term buckets; only the
+    * candidate pass (terms OF the feedback docs — unknowable in
+    * advance) scans all buckets, map-side filtered on the broadcast
+    * fb ids. */
+  def bm25TopKPrfIndexed(
+      idx: TextIndex,
+      queryTerms: Seq[String],
+      k: Int,
+      fbDocs: Int = 10,
+      fbTerms: Int = 5,
+      k1: Double = DefaultK1,
+      b: Double = DefaultB): DataFrame = {
+    import idx.postings.sparkSession.implicits._
+    val stats = Seq((idx.nDocs, idx.avgdl)).toDF("n_docs", "avgdl")
+    bm25TopKPrfImpl(idx.postings, stats, queryTerms, k, fbDocs, fbTerms,
+      k1, b)
+  }
+
+  private def bm25TopKPrfImpl(
+      index: DataFrame,
+      stats: DataFrame,
+      queryTerms: Seq[String],
+      k: Int,
+      fbDocs: Int,
+      fbTerms: Int,
+      k1: Double,
+      b: Double): DataFrame = {
+    val q = queryTerms.map(_.toLowerCase).distinct
+    val expansion = prfExpansionTerms(index, stats, q, fbDocs, fbTerms,
+      k1, b)
+    val expanded = q ++ expansion
+    rankTopK(bm25Scores(index, stats, expanded, k1, b), k)
+      .select(F.col("rank"), F.col("id"), F.col("score"),
+        F.col("tf_total"), F.col("n_terms_hit"),
+        F.typedLit(expansion).as("expansion"))
+  }
+
+  // ---------------------------------------------------------------- //
   // Proximity-aware ranking                                           //
   // ---------------------------------------------------------------- //
 

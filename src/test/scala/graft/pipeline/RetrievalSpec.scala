@@ -683,6 +683,28 @@ class RetrievalSpec extends SparkTestBase {
     assert(got == wantOrder)
   }
 
+  test("bm25TopKPrf: expansion excludes originals; indexed ≡ one-shot") {
+    val d = sf("sf0.001", "documents").select($"doc_id", $"text")
+    val q = Seq("slow", "merge", "window") // measured-gap query set
+    val one = Retrieval.bm25TopKPrf(d, "doc_id", "text", q, 10)
+      .orderBy("rank").collect()
+    val exp = one.head.getSeq[String](5).toSeq
+    assert(exp.size == 5, "fbTerms bound")
+    assert(exp.forall(t => !q.contains(t)), "originals excluded")
+    assert(one.forall(_.getSeq[String](5).toSeq == exp),
+      "one expansion list per query, constant across rows")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_prf_idx").toString
+    Retrieval.buildTextIndex(d, "doc_id", "text", buckets = 16).save(path)
+    val idx = Retrieval.loadTextIndex(spark, path)
+    val two = Retrieval.bm25TopKPrfIndexed(idx, q, 10)
+      .orderBy("rank").collect()
+    assert(one.map(r => (r.getInt(0), r.getLong(1))).toSeq ==
+      two.map(r => (r.getInt(0), r.getLong(1))).toSeq,
+      "indexed ranks equal the one-shot (measured-gap argument)")
+    assert(two.head.getSeq[String](5).toSeq == exp)
+  }
+
   test("assembleContextBatch: learned-BPE token budget prices the prefix") {
     val corpus = Seq(
       (1L, "the dog barks at the dog door"),
