@@ -5721,6 +5721,50 @@ object SparkEntry {
         .orderBy("rank")
     }),
 
+    // batched multi-query BM25F against the persisted fielded index:
+    // 3 queries ride ONE pruned scan per field, the query-independent
+    // cross-field tf sum and dfs computed once, one query_id
+    // repartition. Ranks pinned (per-query top-15 gaps measured
+    // >= 2.3e-5 at both SFs); per_query_same pins batch ≡ the
+    // single-query fielded probe
+    "q_bm25f_batch" -> ((s: SparkSession, dir: String) => {
+      val rt = graft.pipeline.Retrieval
+      val toks = F.filter(F.split(F.lower(F.col("text")), "\\s+"),
+        (t: org.apache.spark.sql.Column) => F.length(t) > 0)
+      val docs = t(s, dir, "documents").filter(F.col("text").isNotNull)
+        .select(F.col("doc_id"), toks.as("__t"))
+        .select(F.col("doc_id"),
+          F.array_join(F.slice(F.col("__t"), 1, 5), " ").as("title"),
+          F.array_join(F.slice(F.col("__t"), 6, 2000000), " ").as("body"))
+      val path = System.getProperty("java.io.tmpdir") + "/graft_q_bm25f_batch"
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      val fidx = rt.saveFieldedTextIndex(
+        docs, "doc_id", Seq("title", "body"), path, buckets = 32)
+      val params = Seq(("title", 2.0, 0.5), ("body", 1.0, 0.75))
+      val qTerms = Seq(
+        0L -> Seq("slow", "merge", "window"),
+        1L -> Seq("hash", "batch", "scan"),
+        2L -> Seq("filter", "row", "group"))
+      val qdf = s.createDataFrame(qTerms).toDF("query_id", "terms")
+      val out = rt.bm25fTopKBatch(fidx, params, qdf, 10).localCheckpoint(false)
+      val perQuerySame = qTerms.forall { case (qid, terms) =>
+        val single = rt.bm25fTopKIndexed(fidx, params, terms, 10)
+          .orderBy("rank").collect()
+          .map(r => (r.getAs[Int]("rank"), r.getAs[Long]("id"))).toSeq
+        val batch = out.filter(F.col("query_id") === qid)
+          .orderBy("rank").collect()
+          .map(r => (r.getAs[Int]("rank"), r.getAs[Long]("id"))).toSeq
+        single == batch
+      }
+      out.select(F.col("query_id"),
+          F.col("rank").cast("long").as("rank"),
+          F.col("id").as("doc_id"), F.col("n_terms_hit"),
+          F.lit(perQuerySame).as("per_query_same"))
+        .orderBy("query_id", "rank")
+    }),
+
     // continuous fielded indexing: half the corpus saved, the other
     // half streamed through the per-field foreachBatch fan-out — WITH
     // a real crash-replay (newest checkpoint commit marker deleted,
@@ -10225,6 +10269,51 @@ object SparkEntry {
         |      FROM d)
         |SELECT source, doc_id FROM r WHERE rn <= 20
         |ORDER BY source, doc_id""".stripMargin,
+    "q_bm25f_batch" ->
+      """WITH qs AS (SELECT * FROM (VALUES
+        |    (0, 'slow'), (0, 'merge'), (0, 'window'),
+        |    (1, 'hash'), (1, 'batch'), (1, 'scan'),
+        |    (2, 'filter'), (2, 'row'), (2, 'group')) v(query_id, term)),
+        |f AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+        |                    x -> len(x) > 0) AS w
+        |           FROM documents WHERE text IS NOT NULL),
+        |fl AS (SELECT doc_id, w[1:5] AS tw, w[6:len(w)] AS bw FROM f),
+        |tdl AS (SELECT doc_id, len(tw) AS dl FROM fl WHERE len(tw) > 0),
+        |bdl AS (SELECT doc_id, len(bw) AS dl FROM fl WHERE len(bw) > 0),
+        |tp AS (SELECT term, doc_id, count(*) AS tf
+        |       FROM (SELECT doc_id, unnest(tw) AS term FROM fl)
+        |       WHERE term IN (SELECT DISTINCT term FROM qs) GROUP BY 1, 2),
+        |bp AS (SELECT term, doc_id, count(*) AS tf
+        |       FROM (SELECT doc_id, unnest(bw) AS term FROM fl)
+        |       WHERE term IN (SELECT DISTINCT term FROM qs) GROUP BY 1, 2),
+        |ts AS (SELECT avg(dl) AS avgdl FROM tdl),
+        |bs AS (SELECT avg(dl) AS avgdl FROM bdl),
+        |tfn AS (
+        |  SELECT term, doc_id,
+        |         2.0 * tf / (0.5 + 0.5 * d.dl / s.avgdl) AS tfn
+        |  FROM tp JOIN tdl d USING (doc_id) CROSS JOIN ts s
+        |  UNION ALL
+        |  SELECT term, doc_id,
+        |         1.0 * tf / (0.25 + 0.75 * d.dl / s.avgdl) AS tfn
+        |  FROM bp JOIN bdl d USING (doc_id) CROSS JOIN bs s),
+        |tft AS (SELECT term, doc_id, sum(tfn) AS tft FROM tfn GROUP BY 1, 2),
+        |dfs AS (SELECT term, count(*) AS df FROM tft GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM f),
+        |scored AS (
+        |  SELECT q.query_id, t.doc_id,
+        |         sum(ln(1 + (n.n - dfs.df + 0.5) / (dfs.df + 0.5)) *
+        |             t.tft / (1.2 + t.tft)) AS score,
+        |         CAST(count(*) AS BIGINT) AS n_terms_hit
+        |  FROM qs q JOIN tft t USING (term) JOIN dfs USING (term)
+        |  CROSS JOIN n GROUP BY 1, 2)
+        |SELECT CAST(query_id AS BIGINT) AS query_id, rank, doc_id,
+        |       n_terms_hit, true AS per_query_same
+        |FROM (
+        |  SELECT query_id, doc_id, n_terms_hit,
+        |         CAST(row_number() OVER (PARTITION BY query_id
+        |           ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+        |  FROM scored) t
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     "q_bm25f" ->
       """WITH f AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
         |                    x -> len(x) > 0) AS w

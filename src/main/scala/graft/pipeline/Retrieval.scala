@@ -629,6 +629,71 @@ object Retrieval {
         F.col("n_terms_hit"))
   }
 
+  /**
+   * Batched multi-query BM25F over a saved [[FieldedTextIndex]] —
+   * [[bm25TopKBatch]]'s fielded sibling: ONE union-of-terms
+   * partition-pruned scan per field, the cross-field tf sum computed
+   * ONCE (it is query-independent, like the per-term dfs), then the
+   * (term → query) map broadcasts and one query_id repartition serves
+   * the per-query sum and window. `queries` is (query_id, terms).
+   */
+  def bm25fTopKBatch(
+      idx: FieldedTextIndex,
+      fieldParams: Seq[(String, Double, Double)],
+      queries: DataFrame,
+      k: Int,
+      k1: Double = DefaultK1): DataFrame = {
+    require(fieldParams.nonEmpty, "bm25fTopKBatch: no fields")
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val qCols = queries.columns
+    val q = queries
+      .select(F.col(qCols(0)).as("query_id"),
+        F.explode(F.col(qCols(1))).as("__qt"))
+      .select(F.col("query_id"), F.lower(F.col("__qt")).as("term"))
+      .distinct()
+      .localCheckpoint(eager = false)
+    val terms = q.select("term").distinct().as[String].collect().toSeq
+    require(terms.nonEmpty, "bm25fTopKBatch: no query terms")
+    val perField = fieldParams.map { case (f, w, bf) =>
+      require(bf >= 0.0 && bf <= 1.0, s"b for field $f must be in [0,1], got $bf")
+      val fi = idx.perField.getOrElse(f, throw new IllegalArgumentException(
+        s"field '$f' not in the index (has: ${idx.fields.mkString(", ")})"))
+      val qBuckets = terms.map(t => localTermBucket(t, fi.buckets)).distinct
+      fi.postings
+        .filter(F.col("__bucket").isin(qBuckets: _*))
+        .filter(F.col("term").isin(terms: _*))
+        .select(F.col("term"), F.col("id"),
+          (F.lit(w) * F.col("tf") /
+            (F.lit(1.0 - bf) + F.lit(bf) * F.col("dl") / F.lit(fi.avgdl)))
+            .as("__tfn"))
+    }
+    // the cross-field saturation input and the any-field dfs are
+    // query-INDEPENDENT — computed once for the whole batch
+    val tft = perField.reduce(_ unionByName _)
+      .repartition(F.col("id"))
+      .groupBy(F.col("term"), F.col("id"))
+      .agg(F.sum(F.col("__tfn")).as("__tft"))
+    val dfs = tft.groupBy(F.col("term")).agg(F.count(F.lit(1)).as("df"))
+    val scored = tft
+      .join(F.broadcast(q), "term")
+      .join(F.broadcast(dfs), "term")
+      .withColumn("__idf", F.log(F.lit(1.0) +
+        (F.lit(idx.nDocs.toDouble) - F.col("df") + F.lit(0.5)) /
+          (F.col("df") + F.lit(0.5))))
+      .withColumn("__w",
+        F.col("__idf") * F.col("__tft") / (F.lit(k1) + F.col("__tft")))
+      .repartition(F.col("query_id"))
+      .groupBy(F.col("query_id"), F.col("id"))
+      .agg(F.sum(F.col("__w")).as("score"),
+        F.count(F.lit(1)).as("n_terms_hit"))
+    val w = Window.partitionBy(F.col("query_id"))
+      .orderBy(F.col("score").desc, F.col("id").asc)
+    scored.withColumn("rank", F.row_number().over(w))
+      .filter(F.col("rank") <= k)
+      .select("query_id", "rank", "id", "score", "n_terms_hit")
+  }
+
   // ---------------------------------------------------------------- //
   // Persisted index                                                   //
   // ---------------------------------------------------------------- //
