@@ -8090,6 +8090,147 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // MaxScore-pruned BM25: a fixture with a guaranteed stopword-class
+    // tail term (fillertok on EVERY doc -> idf ~ 0.5/N) and a planted
+    // rare essential term (raretok17 on doc_id % 17) makes the theta >
+    // S_tail bound check pass STRUCTURALLY (theta >= the rare idf ~
+    // ln(18) x a bounded tf-part; S_tail <= 1.1/N) — pruned pins true
+    // regeneration-proof. Ranks replay the BM25 formula over the
+    // fixture (measured top-15 adjacent gaps at both SFs; the q_bm25
+    // rule); same_as_plain pins the exactness contract row for row
+    // INCLUDING scores to 1e-9.
+    "q_retrieval_maxscore" -> ((s: SparkSession, dir: String) => {
+      val rt = graft.pipeline.Retrieval
+      val d = t(s, dir, "documents").withColumn("text2",
+        F.concat(F.col("text"),
+          F.when(F.col("doc_id") % 17 === 0, F.lit(" raretok17"))
+            .otherwise(F.lit("")),
+          F.lit(" fillertok")))
+      val path = System.getProperty("java.io.tmpdir") + "/graft_q_maxscore"
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      rt.buildTextIndex(d, "doc_id", "text2", buckets = 32).save(path)
+      val q = Seq("raretok17", "merge", "fillertok")
+      val r = rt.bm25TopKMaxScore(s, path, q, 10, maxTailShare = 0.02)
+      val plain = rt.bm25TopKIndexed(rt.loadTextIndex(s, path), q, 10)
+      def rows(df: org.apache.spark.sql.DataFrame) = df
+        .select("rank", "id", "score", "tf_total", "n_terms_hit")
+        .collect().map(x => (x.getInt(0), x.getLong(1), x.getDouble(2),
+          x.getLong(3), x.getLong(4))).sortBy(_._1).toSeq
+      val (a, b) = (rows(r.rows), rows(plain))
+      val same = a.size == b.size && a.zip(b).forall { case (x, y) =>
+        x._1 == y._1 && x._2 == y._2 && math.abs(x._3 - y._3) < 1e-9 &&
+        x._4 == y._4 && x._5 == y._5
+      }
+      r.rows.select(F.col("rank").cast("long").as("rank"),
+          F.col("id").as("doc_id"), F.col("tf_total"),
+          F.col("n_terms_hit"))
+        .withColumn("pruned", F.lit(r.pruned))
+        .withColumn("tail_is_filler", F.lit(r.tail == Seq("fillertok")))
+        .withColumn("same_as_plain", F.lit(same))
+        .orderBy("rank")
+    }),
+
+    // Porter-stemmed retrieval: every doc carries ONE planted
+    // morphological variant (zzmerge/zzmerges/zzmerged/zzmerging by
+    // doc_id % 4 — the zz prefix is absent from the 31-token natural
+    // vocabulary, the q_keyword_scan planting rule), so the stemmed
+    // query "zzmerging" matches EVERY document iff the analyzer folds
+    // all four forms to one stem on both the index and query sides.
+    // With df = N and tf = 1 everywhere, each score is a SINGLE
+    // product monotone decreasing in dl -> rank replays in SQL as
+    // (dl ASC, doc_id ASC) with bit-exact tie semantics (no float
+    // sums at all).
+    "q_retrieval_stemmed" -> ((s: SparkSession, dir: String) => {
+      val d = t(s, dir, "documents").withColumn("text2",
+        F.concat(F.col("text"), F.element_at(
+          F.array(F.lit(" zzmerge"), F.lit(" zzmerges"),
+            F.lit(" zzmerged"), F.lit(" zzmerging")),
+          (F.col("doc_id") % 4 + 1).cast("int"))))
+      val all = graft.pipeline.Retrieval.bm25TopKStemmed(
+        d, "doc_id", "text2", Seq("zzmerging"), 2000000)
+      val nMatched = all.count()
+      graft.pipeline.Retrieval.bm25TopKStemmed(
+          d, "doc_id", "text2", Seq("zzmerging"), 15)
+        .select(F.col("rank").cast("long").as("rank"),
+          F.col("id").as("doc_id"), F.col("tf_total"),
+          F.col("n_terms_hit"))
+        .withColumn("n_matched", F.lit(nMatched))
+        .orderBy("rank")
+    }),
+
+    // streaming RAG serving: the 3-query fixture replayed one file per
+    // micro-batch (AvailableNow) against a SAVED index, answers landed
+    // under per-batch partitions with dynamic overwrite — then a
+    // crash-replay (newest commit marker dropped, restart) pins
+    // effectively-once. Batches are stateless and the index frozen, so
+    // the streamed union shares q_pipeline_rag_batch's oracle
+    // (stream_same additionally pins equality with the one-shot batch
+    // composition, computed in Spark).
+    "q_stream_rag" -> ((s: SparkSession, dir: String) => {
+      val rt = graft.pipeline.Retrieval
+      val d = t(s, dir, "documents")
+      val base = System.getProperty("java.io.tmpdir") + "/graft_q_stream_rag"
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      rt.buildTextIndex(d, "doc_id", "text", buckets = 32).save(s"$base/idx")
+      val qTerms = Seq(
+        0L -> Seq("slow", "merge", "window"),
+        1L -> Seq("hash", "batch", "scan"),
+        2L -> Seq("filter", "row", "group"))
+      qTerms.zipWithIndex.foreach { case (row, i) =>
+        s.createDataFrame(Seq(row)).toDF("query_id", "terms")
+          .repartition(1).write.mode("overwrite").parquet(s"$base/q/q$i")
+      }
+      def runStream(): Unit =
+        rt.ragStream(
+            s.readStream.schema("query_id LONG, terms ARRAY<STRING>")
+              .option("maxFilesPerTrigger", 1).parquet(s"$base/q/*"),
+            s"$base/idx", d, "doc_id", "text",
+            k = 10, window = 12, budgetTokens = 60, outPath = s"$base/out")
+          .option("checkpointLocation", s"$base/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start().awaitTermination()
+      runStream()
+      val commits = new org.apache.hadoop.fs.Path(s"$base/ckpt/commits")
+      val newest = fs.listStatus(commits).map(_.getPath)
+        .filter(p => p.getName.forall(_.isDigit))
+        .maxBy(_.getName.toLong)
+      fs.delete(newest, false)
+      runStream()
+      val streamed = s.read.parquet(s"$base/out")
+      val idx = rt.loadTextIndex(s, s"$base/idx")
+      val qdf = s.createDataFrame(qTerms).toDF("query_id", "terms")
+      val ranked = rt.bm25TopKBatch(idx, qdf, 10)
+        .select(F.col("query_id"), F.col("rank"), F.col("id"))
+        .localCheckpoint(false)
+      val batch = rt.assembleContextBatch(d, "doc_id", "text", ranked,
+        qdf, window = 12, budgetTokens = 60)
+      def norm(df: org.apache.spark.sql.DataFrame) = df
+        .select("query_id", "rank", "id", "start", "end", "n_tokens",
+          "cum_tokens", "snippet")
+        .collect().map(x => (x.getAs[Long]("query_id"),
+          x.getAs[Int]("rank"), x.getAs[Long]("id"),
+          x.getAs[Number]("start").longValue(),
+          x.getAs[Number]("end").longValue(),
+          x.getAs[Number]("n_tokens").longValue(),
+          x.getAs[Number]("cum_tokens").longValue(),
+          x.getAs[String]("snippet"))).sortBy(y => (y._1, y._2)).toSeq
+      val same = norm(streamed) == norm(batch)
+      streamed.select(F.col("query_id"),
+          F.col("rank").cast("long").as("rank"),
+          F.col("id").as("doc_id"),
+          F.col("start").cast("long").as("start"),
+          F.col("end").cast("long").as("end"),
+          F.col("n_tokens").cast("long").as("n_tokens"),
+          F.col("cum_tokens").cast("long").as("cum_tokens"),
+          F.col("snippet"))
+        .withColumn("stream_same", F.lit(same))
+        .orderBy("query_id", "rank")
+    }),
+
     // exact phrase search from the positional index: overlap-counting
     // occurrence semantics; coalesced so a zero-hit SF still yields the
     // (0,0,0) row
@@ -11946,6 +12087,43 @@ object SparkEntry {
           |                       ' ') AS snippet
           |FROM best b JOIN f USING (doc_id)
           |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+      "q_retrieval_maxscore" ->
+        """WITH f AS (SELECT doc_id, list_filter(string_split_regex(lower(
+          |         text || CASE WHEN doc_id % 17 = 0 THEN ' raretok17' ELSE '' END
+          |              || ' fillertok'), '\s+'),
+          |                    x -> len(x) > 0) AS w FROM documents),
+          |dl AS (SELECT doc_id, len(w) AS dl FROM f WHERE len(w) > 0),
+          |toks AS (SELECT doc_id, unnest(w) AS term FROM f),
+          |post AS (SELECT term, doc_id, count(*) AS tf FROM toks
+          |         WHERE term IN ('raretok17', 'merge', 'fillertok') GROUP BY 1, 2),
+          |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+          |dfs AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+          |scored AS (
+          |  SELECT p.doc_id,
+          |         sum(ln(1 + (s.n - f2.df + 0.5) / (f2.df + 0.5)) * p.tf * 2.2 /
+          |             (p.tf + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl))) AS score,
+          |         CAST(sum(p.tf) AS BIGINT) AS tf_total,
+          |         CAST(count(*) AS BIGINT) AS n_terms_hit
+          |  FROM post p JOIN dfs f2 USING (term) JOIN dl d USING (doc_id)
+          |  CROSS JOIN stats s GROUP BY 1)
+          |SELECT rank, doc_id, tf_total, n_terms_hit,
+          |       true AS pruned, true AS tail_is_filler, true AS same_as_plain
+          |FROM (
+          |  SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+          |         doc_id, tf_total, n_terms_hit FROM scored) t
+          |WHERE rank <= 10 ORDER BY rank""".stripMargin,
+      "q_retrieval_stemmed" ->
+        """WITH f AS (SELECT doc_id,
+          |  len(list_filter(string_split_regex(lower(text), '\s+'),
+          |      x -> len(x) > 0)) + 1 AS dl
+          |  FROM documents WHERE text IS NOT NULL),
+          |n AS (SELECT CAST(count(*) AS BIGINT) AS n_matched FROM f)
+          |SELECT rank, doc_id, CAST(1 AS BIGINT) AS tf_total,
+          |       CAST(1 AS BIGINT) AS n_terms_hit, n.n_matched
+          |FROM (
+          |  SELECT CAST(row_number() OVER (ORDER BY dl, doc_id) AS BIGINT) AS rank,
+          |         doc_id FROM f) t CROSS JOIN n
+          |WHERE rank <= 15 ORDER BY rank""".stripMargin,
       "q_phrase" ->
         """WITH f AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
           |                    x -> len(x) > 0) AS w FROM documents),
@@ -12285,6 +12463,12 @@ object SparkEntry {
       // the persisted fielded probe ranks exactly like one-shot BM25F
       // (saved exact avgdl, manifest N) — oracle shared verbatim
       ("q_bm25f_indexed" -> m("q_bm25f")) +
+      // streamed RAG answers over a frozen index equal the one-shot
+      // batch composition (stateless micro-batches; crash-replay
+      // included) — q_pipeline_rag_batch's full-replay oracle with the
+      // Spark-computed boolean renamed
+      ("q_stream_rag" ->
+        m("q_pipeline_rag_batch").replace("per_query_same", "stream_same")) +
       // the streamed fielded index (crash-replay included) equals the
       // one-shot BM25F over the full corpus — oracle shared verbatim
       ("q_stream_bm25f" -> m("q_bm25f")) +

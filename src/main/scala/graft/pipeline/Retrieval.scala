@@ -44,13 +44,50 @@ object Retrieval {
    * token array before the explode so it needs no extra join.
    */
   def buildIndex(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    buildIndexTokens(docs, idCol, terms(F.col(textCol)))
+
+  /** [[buildIndex]] with an injected ANALYZER: `tokens` is any Column
+    * producing the token array (e.g. [[Stemmer.stemmedTerms]]). The
+    * query side must run the SAME analyzer — see [[bm25TopKStemmed]]
+    * for the paired form. */
+  def buildIndexTokens(
+      docs: DataFrame, idCol: String, tokens: Column): DataFrame =
     docs
-      .select(F.col(idCol).as("id"), terms(F.col(textCol)).as("__t"))
+      .select(F.col(idCol).as("id"), tokens.as("__t"))
       .select(F.col("id"), F.size(F.col("__t")).as("dl"),
         F.posexplode(F.col("__t")).as(Seq("pos", "term")))
       .groupBy("term", "id", "dl")
       .agg(F.count(F.lit(1)).as("tf"),
         F.sort_array(F.collect_list(F.col("pos"))).as("positions"))
+
+  /** Porter-stemmed positional index: morphological variants fold to
+    * one term ("merging"/"merges"/"merged" → "merg"), so the postings
+    * dictionary SHRINKS and variants retrieve each other. Query with
+    * [[bm25TopKStemmed]] (same analyzer on both sides — an
+    * index/query analyzer mismatch is the classic search bug). */
+  def buildStemmedIndex(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    buildIndexTokens(docs, idCol, Stemmer.stemmedTerms(F.col(textCol)))
+
+  /** BM25 top-k through the Porter-stemmed analyzer, one-shot form:
+    * the index stems document tokens, the query stems its terms with
+    * the SAME kernel ([[Stemmer.stemQuery]]) — paired by construction.
+    * Returns (rank, id, score, tf_total, n_terms_hit). */
+  def bm25TopKStemmed(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      queryTerms: Seq[String],
+      k: Int,
+      k1: Double = DefaultK1,
+      b: Double = DefaultB): DataFrame = {
+    val index = buildStemmedIndex(docs, idCol, textCol)
+    val scored = bm25Scores(index, corpusStats(index),
+      Stemmer.stemQuery(queryTerms).distinct, k1, b)
+    rankTopK(scored, k)
+      .select(F.col("rank"), F.col("id"), F.col("score"),
+        F.col("tf_total"), F.col("n_terms_hit"))
+  }
 
   /** 1-row corpus statistics (n_docs, avgdl) derived from an index.
     * Computed once per index build; persisted alongside by
@@ -739,8 +776,57 @@ object Retrieval {
       writeStatsDelta(spark, path, buckets, nDocs,
         if (dlSum >= 0) dlSum else math.rint(avgdl * nDocs).toLong,
         batchId = -1L, overwrite = true)
+      writeTermMetaBatch(postings, path, batchId = -1L, overwrite = true)
     }
   }
+
+  // ---------------------------------------------------------------- //
+  // Per-term impact metadata (the MaxScore side table)                //
+  // ---------------------------------------------------------------- //
+
+  /**
+   * Per-term score-bound metadata of an index frame: one row per
+   * (__bucket, term) with (max_tf, min_dl). Together with the exact
+   * query-time df these bound any posting's BM25 weight from above —
+   * the weight is monotone INCREASING in tf and DECREASING in dl, so
+   *
+   *   w(tf, dl) <= idf(df) * (k1+1) * max_tf
+   *                / (max_tf + k1 * ((1-b) + b * min_dl / avgdl))
+   *
+   * for every posting of the term, for ANY (k1, b) — the bound is not
+   * baked to one parameterization.
+   */
+  private[pipeline] def termMetaOf(index: DataFrame): DataFrame =
+    index.groupBy(F.col("__bucket"), F.col("term"))
+      .agg(F.max(F.col("tf")).as("max_tf"), F.min(F.col("dl")).as("min_dl"))
+
+  /** One meta write, mirroring the postings writer modes: `-1` batch
+    * maintenance appends (or statically overwrites on a fresh save);
+    * a real micro-batch id dynamic-overwrites its own partitions so a
+    * replay converges. */
+  private def writeTermMetaBatch(index: DataFrame, path: String,
+      batchId: Long, overwrite: Boolean): Unit = {
+    val w = termMetaOf(index).withColumn("__batch", F.lit(batchId))
+      .repartition(F.col("__bucket"))
+      .write.partitionBy("__bucket", "__batch")
+    (if (overwrite && batchId == -1L) w.mode("overwrite")
+     else if (batchId == -1L) w.mode("append")
+     else w.option("partitionOverwriteMode", "dynamic").mode("overwrite"))
+      .parquet(s"$path/term_meta")
+  }
+
+  /**
+   * Backfill the term-meta side table onto a legacy saved index (one
+   * consolidated row per (bucket, term) from the live postings).
+   * Exclusive maintenance: a concurrent writer's meta rows would be
+   * lost by the static overwrite, leaving stale-LOW bounds — the one
+   * direction the soundness argument cannot absorb.
+   */
+  def buildTermMeta(spark: SparkSession, path: String): Unit =
+    Maintenance.withExclusiveLock(spark, path) {
+      writeTermMetaBatch(loadTextIndex(spark, path).postings, path,
+        batchId = -1L, overwrite = true)
+    }
 
   private def writeStatsDelta(
       spark: SparkSession, path: String, buckets: Int,
@@ -846,6 +932,17 @@ object Retrieval {
       if (st.isFile && !st.getPath.getName.startsWith("_"))
         fs.delete(st.getPath, false)
     }
+    // term-meta BEFORE postings: a crash between the two leaves meta
+    // rows describing postings that never landed — bounds stale-HIGH
+    // (sound, merely loose; a replayed micro-batch converges via its
+    // dynamic overwrite). The reverse order would leave stale-LOW
+    // bounds, which silently breaks MaxScore pruning. Maintained only
+    // on meta-bearing indexes (dir present, or a fresh/emptied index
+    // this append re-seeds); legacy indexes opt in via
+    // [[buildTermMeta]].
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/term_meta")) ||
+        prior.nDocs == 0L)
+      writeTermMetaBatch(batch, path, batchId, overwrite = false)
     val w = batch.withColumn("__batch", F.lit(batchId))
       .repartition(F.col("__bucket"))
       .write.partitionBy("__bucket", "__batch")
@@ -917,6 +1014,33 @@ object Retrieval {
         .write.partitionBy("__batch").mode("overwrite")
         .parquet(s"$path/stats")
     }
+    // fold the term-meta deltas over the SAME batch boundary: max/min
+    // are exact under any grouping, so the fold is pure consolidation.
+    // Static overwrite (lineage cut first) — the lock + writer-stopped
+    // contract already covers it, same as the stats fold above; a
+    // crash mid-overwrite leaves missing meta (probe treats missing
+    // terms as always-essential: sound), repaired by re-compacting or
+    // [[reconcileTextIndexStats]].
+    val metaRoot = new org.apache.hadoop.fs.Path(s"$path/term_meta")
+    val mfs = metaRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (mfs.exists(metaRoot)) {
+      val m = spark.read.parquet(s"$path/term_meta")
+        .withColumn("__bucket", F.col("__bucket").cast("long"))
+        .withColumn("__batch", F.col("__batch").cast("long"))
+      val foldable = m.filter(F.col("__batch") <= maxFolded)
+      val folded = foldable
+        .groupBy(F.col("__bucket"), F.col("term"))
+        .agg(F.max(F.col("max_tf")).as("max_tf"),
+          F.min(F.col("min_dl")).as("min_dl"))
+        .withColumn("__batch", F.lit(-1L))
+      val out = folded.unionByName(
+          m.filter(F.col("__batch") > maxFolded)
+            .select("__bucket", "term", "max_tf", "min_dl", "__batch"))
+        .localCheckpoint(eager = true)
+      out.repartition(F.col("__bucket"))
+        .write.partitionBy("__bucket", "__batch").mode("overwrite")
+        .parquet(s"$path/term_meta")
+    }
     loadTextIndex(spark, path)
   }
 
@@ -941,6 +1065,13 @@ object Retrieval {
     val maxStream = maxStreamBatch(prior.postings)
     writeStatsDelta(spark, path, prior.buckets, n, dl, batchId = -1L,
       overwrite = true) // static overwrite: ONE base row replaces all deltas
+    // exact meta rebuild rides the same repair (tightens any stale-
+    // HIGH bounds a crashed append/removal left behind)
+    val metaRoot = new org.apache.hadoop.fs.Path(s"$path/term_meta")
+    if (metaRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .exists(metaRoot) && n > 0)
+      writeTermMetaBatch(prior.postings, path, batchId = -1L,
+        overwrite = true)
     if (maxStream >= 0L) writeMaintainedThrough(spark, path, maxStream)
     loadTextIndex(spark, path)
   }
@@ -1097,6 +1228,30 @@ object Retrieval {
             fs.delete(st.getPath, false)
         }
     }
+    // term-meta AFTER the postings rewrite: recompute the touched
+    // buckets from the surviving postings (exact tightening). A crash
+    // before this point leaves the PRE-removal meta — removal only
+    // shrinks max_tf / grows min_dl, so stale meta is stale-HIGH:
+    // sound, merely loose. Delete-then-append per bucket: the crash
+    // window between them shows missing meta rows, which the probe
+    // treats as an unbounded (always-essential) term — also sound.
+    val metaRoot = new org.apache.hadoop.fs.Path(s"$path/term_meta")
+    if (fs.exists(metaRoot)) {
+      if (nDocs <= 0) fs.delete(metaRoot, true)
+      else {
+        val fresh = termMetaOf(loadTextIndex(spark, path).postings
+            .filter(F.col("__bucket").isInCollection(touchedBuckets)))
+          .withColumn("__batch", F.lit(-1L))
+          .localCheckpoint(eager = true)
+        touchedBuckets.foreach { bkt =>
+          fs.delete(new org.apache.hadoop.fs.Path(
+            s"$path/term_meta/__bucket=$bkt"), true)
+        }
+        fresh.repartition(F.col("__bucket"))
+          .write.partitionBy("__bucket", "__batch").mode("append")
+          .parquet(s"$path/term_meta")
+      }
+    }
     // negative exact delta; batch maintenance rides the -1 partition
     writeStatsDelta(spark, path, prior.buckets, -nRm, -dlRm,
       batchId = -1L, overwrite = false)
@@ -1207,6 +1362,166 @@ object Retrieval {
     rankTopK(bm25ScoresFiltered(pruned, stats, q, allowed, k1, b), k)
       .select(F.col("rank"), F.col("id"), F.col("score"),
         F.col("tf_total"), F.col("n_terms_hit"))
+  }
+
+  // ---------------------------------------------------------------- //
+  // MaxScore-pruned probe                                              //
+  // ---------------------------------------------------------------- //
+
+  /** [[bm25TopKMaxScore]]'s result: the top-k rows (same shape as
+    * [[bm25TopKIndexed]]) plus the pruning telemetry — whether the
+    * bound check passed, the tail score bound S_tail, the realized
+    * k-th score θ, and the essential/tail term split. */
+  final case class MaxScoreTopK(
+      rows: DataFrame, pruned: Boolean, tailBound: Double,
+      kthScore: Double, essential: Seq[String], tail: Seq[String])
+
+  /**
+   * MaxScore-pruned BM25 top-k against a SAVED index — the classic
+   * top-k early-termination family (Turtle & Flood's MaxScore),
+   * re-expressed for a partitioned batch engine.
+   *
+   * Query terms split into ESSENTIAL (high upper-bound impact — rare,
+   * informative) and TAIL (low bound — the stopword class) by the
+   * per-term bound from the `term_meta` side table:
+   *
+   *   ub(t) = idf(df_t) * (k1+1) * max_tf / (max_tf + k1*((1-b) + b*min_dl/avgdl))
+   *
+   * Only documents matching >= 1 essential term are CANDIDATES; they
+   * are scored over ALL their matched postings (the tail buckets are
+   * probed through an id semi-join, never fully scored). A document
+   * matching only tail terms scores at most S_tail = Σ_{t∈tail} ub(t);
+   * when the realized k-th candidate score θ satisfies θ > S_tail
+   * (strict — the (score DESC, id ASC) tie-break can never smuggle a
+   * tail-only doc past a strict bound), the pruned result is EXACTLY
+   * [[bm25TopKIndexed]]'s. When the check fails — or the index has no
+   * meta table — the probe falls back to the full scan, so the result
+   * is exact UNCONDITIONALLY; pruning only ever saves work.
+   *
+   * Exactness never leans on meta freshness: scores use dfs counted
+   * from the matched postings at query time (a map-side, one-column
+   * count over the partition-pruned buckets — the same dfs the plain
+   * probe derives), and every maintenance crash window leaves bounds
+   * stale-HIGH (loose, sound) or missing (treated as unbounded →
+   * always essential). See the meta write-ordering notes at
+   * [[appendBatchToTextIndex]] / [[removeFromTextIndex]].
+   *
+   * Scale shape: the win is the SHUFFLE and the per-posting scoring on
+   * the tail — at 100 TB a stopword-class term's postings dominate the
+   * probe, and here they are reduced map-side to the candidate rows by
+   * a broadcastable semi-join instead of all flowing into the per-doc
+   * sum. The tail buckets' `term` column is still scanned once for the
+   * df count (dictionary-encoded, no row materialization).
+   *
+   * `maxTailShare` picks the split: the smallest essential prefix (by
+   * ub DESC) whose tail bound is <= maxTailShare * Σ ub. Smaller =
+   * more terms essential = the θ-check passes more often but prunes
+   * less.
+   */
+  def bm25TopKMaxScore(
+      spark: SparkSession,
+      path: String,
+      queryTerms: Seq[String],
+      k: Int,
+      k1: Double = DefaultK1,
+      b: Double = DefaultB,
+      maxTailShare: Double = 0.25): MaxScoreTopK = {
+    import spark.implicits._
+    val idx = loadTextIndex(spark, path)
+    val q = queryTerms.map(_.toLowerCase).distinct
+    require(q.nonEmpty, "bm25TopKMaxScore: empty query")
+    def fallback(essential: Seq[String], tail: Seq[String],
+        sTail: Double, theta: Double) =
+      MaxScoreTopK(bm25TopKIndexed(idx, q, k, k1, b), pruned = false,
+        sTail, theta, essential, tail)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/term_meta")) ||
+        idx.nDocs <= 0L)
+      return fallback(q, Nil, Double.NaN, Double.NaN)
+    val qBuckets = q.map(t => localTermBucket(t, idx.buckets)).distinct
+    val matched = idx.postings
+      .filter(F.col("__bucket").isin(qBuckets: _*))
+      .filter(F.col("term").isin(q: _*))
+    // exact per-term dfs: a count-only pass (reads the term column of
+    // the pruned buckets, partial-aggregated map-side; <= |q| rows)
+    val dfRows = matched.groupBy("term")
+      .agg(F.count(F.lit(1)).as("df"))
+      .as[(String, Long)].collect()
+    if (dfRows.isEmpty) return fallback(q, Nil, Double.NaN, Double.NaN)
+    val metaRows = spark.read.parquet(s"$path/term_meta")
+      .withColumn("__bucket", F.col("__bucket").cast("long"))
+      .filter(F.col("__bucket").isin(qBuckets: _*))
+      .filter(F.col("term").isin(q: _*))
+      .groupBy("term")
+      .agg(F.max(F.col("max_tf")).as("max_tf"),
+        F.min(F.col("min_dl")).as("min_dl"))
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val n = idx.nDocs.toDouble
+    val ub: Seq[(String, Double)] = dfRows.toSeq.map { case (t, df) =>
+      val idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+      metaRows.get(t) match {
+        case Some((maxTf, minDl)) =>
+          t -> idf * (k1 + 1.0) * maxTf /
+            (maxTf + k1 * ((1.0 - b) + b * minDl / idx.avgdl))
+        // a term with live postings but no meta row (crash window /
+        // partial backfill): unbounded — force it essential
+        case None => t -> Double.PositiveInfinity
+      }
+    }.sortBy(-_._2)
+    val total = ub.map(_._2).sum
+    // smallest essential prefix with tail bound <= maxTailShare * total
+    var cut = 1
+    while (cut < ub.length &&
+           ub.drop(cut).map(_._2).sum > maxTailShare * total) cut += 1
+    val essential = ub.take(cut).map(_._1)
+    val tail = ub.drop(cut).map(_._1)
+    if (tail.isEmpty) return fallback(essential, tail, 0.0, Double.NaN)
+    val sTail = ub.drop(cut).map(_._2).sum
+    val essBuckets = essential.map(t => localTermBucket(t, idx.buckets)).distinct
+    val tailBuckets = tail.map(t => localTermBucket(t, idx.buckets)).distinct
+    val proj = Seq("term", "id", "tf", "dl").map(F.col)
+    val essP = idx.postings
+      .filter(F.col("__bucket").isin(essBuckets: _*))
+      .filter(F.col("term").isin(essential: _*))
+      .select(proj: _*)
+    val tailP = idx.postings
+      .filter(F.col("__bucket").isin(tailBuckets: _*))
+      .filter(F.col("term").isin(tail: _*))
+      .select(proj: _*)
+      .join(essP.select("id").distinct(), Seq("id"), "left_semi")
+    val dfs = dfRows.toSeq.toDF("term", "df")
+    val stats = Seq((idx.nDocs, idx.avgdl)).toDF("n_docs", "avgdl")
+    val scored = essP.unionByName(tailP)
+      .join(F.broadcast(dfs), "term")
+      .crossJoin(F.broadcast(stats))
+      .withColumn("__w", bm25Weight(k1, b))
+      .groupBy("id")
+      .agg(F.sum(F.col("__w")).as("score"),
+        F.sum(F.col("tf")).as("tf_total"),
+        F.count(F.lit(1)).as("n_terms_hit"))
+    // TakeOrdered (orderBy.limit) — collect is bounded by k
+    val top = scored.orderBy(F.col("score").desc, F.col("id").asc)
+      .limit(k).collect()
+    val scoreIdx = scored.schema.fieldIndex("score")
+    val theta =
+      if (top.length < k) Double.NegativeInfinity
+      else top.last.getDouble(scoreIdx)
+    if (theta > sTail) {
+      val schema = org.apache.spark.sql.types.StructType(
+        org.apache.spark.sql.types.StructField("rank",
+          org.apache.spark.sql.types.IntegerType, nullable = false) +:
+        scored.schema.fields.toSeq)
+      val rows: java.util.List[Row] = new java.util.ArrayList[Row]()
+      top.zipWithIndex.foreach { case (r, i) =>
+        rows.add(Row.fromSeq((i + 1) +: r.toSeq))
+      }
+      val out = spark.createDataFrame(rows, schema)
+        .select(F.col("rank"), F.col("id"), F.col("score"),
+          F.col("tf_total"), F.col("n_terms_hit"))
+      MaxScoreTopK(out, pruned = true, sTail, theta, essential, tail)
+    } else fallback(essential, tail, sTail, theta)
   }
 
   /**
@@ -1568,6 +1883,57 @@ object Retrieval {
         F.col("start"), F.col("end"), F.col("n_tokens"),
         F.col("cum_tokens"), F.col("snippet"))
   }
+
+  /**
+   * Streaming RAG serving: a query STREAM (query_id, terms array)
+   * answered per micro-batch against a frozen SAVED index — retrieval
+   * ([[bm25TopKBatch]]) → snippets → budgeted context assembly
+   * ([[assembleContextBatch]]), landed under the micro-batch's own
+   * `__batch` partition with dynamic overwrite, so an at-least-once
+   * replay rewrites exactly its own answers (effectively-once).
+   *
+   * Batches are STATELESS and queries independent, so the union of
+   * all micro-batch outputs equals the one-shot batch composition
+   * over the same queries — the streamed-twin contract
+   * (`q_stream_rag` shares `q_pipeline_rag_batch`'s oracle). The sink
+   * only READS the index (no heartbeat/lease: the maintenance
+   * handshake governs index WRITERS; journal-aware reads stay
+   * consistent under concurrent compaction).
+   *
+   * Index/corpus are resolved per micro-batch (a nightly
+   * [[syncTextIndex]] is picked up on the next trigger). Returns the
+   * writer — set trigger/checkpoint and `.start()`.
+   */
+  def ragStream(
+      queries: DataFrame,
+      indexPath: String,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      window: Int,
+      budgetTokens: Int,
+      outPath: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[Row] =
+    queries.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      if (!batch.isEmpty) {
+        val spark = batch.sparkSession
+        val qCols = batch.columns
+        val q = batch.select(F.col(qCols(0)).as("query_id"),
+          F.col(qCols(1)).as("terms")).localCheckpoint(eager = false)
+        val idx = loadTextIndex(spark, indexPath)
+        val ranked = bm25TopKBatch(idx, q, k)
+          .select(F.col("query_id"), F.col("rank"), F.col("id"))
+          .localCheckpoint(eager = false)
+        assembleContextBatch(docs, idCol, textCol, ranked, q,
+            window, budgetTokens)
+          .withColumn("__batch", F.lit(batchId))
+          .write.partitionBy("__batch")
+          .option("partitionOverwriteMode", "dynamic").mode("overwrite")
+          .parquet(outPath)
+      }
+      ()
+    }
 
   // ---------------------------------------------------------------- //
   // Phrase matching                                                   //
