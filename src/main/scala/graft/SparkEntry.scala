@@ -8151,12 +8151,91 @@ object SparkEntry {
       val all = graft.pipeline.Retrieval.bm25TopKStemmed(
         d, "doc_id", "text2", Seq("zzmerging"), 2000000)
       val nMatched = all.count()
-      graft.pipeline.Retrieval.bm25TopKStemmed(
-          d, "doc_id", "text2", Seq("zzmerging"), 15)
+      val oneShot = graft.pipeline.Retrieval.bm25TopKStemmed(
+        d, "doc_id", "text2", Seq("zzmerging"), 15)
+      // the paired saved-index form ranks identically (same analyzer
+      // on both sides by construction)
+      val probed = graft.pipeline.Retrieval.bm25TopKIndexedStemmed(
+        graft.pipeline.Retrieval.buildStemmedTextIndex(
+          d, "doc_id", "text2", 16),
+        Seq("zzmerging"), 15)
+      def rows(df: org.apache.spark.sql.DataFrame) = df
+        .select("rank", "id", "tf_total", "n_terms_hit")
+        .collect().map(x => (x.getInt(0), x.getLong(1), x.getLong(2),
+          x.getLong(3))).sortBy(_._1).toSeq
+      val indexedSame = rows(oneShot) == rows(probed)
+      oneShot
         .select(F.col("rank").cast("long").as("rank"),
           F.col("id").as("doc_id"), F.col("tf_total"),
           F.col("n_terms_hit"))
         .withColumn("n_matched", F.lit(nMatched))
+        .withColumn("indexed_same", F.lit(indexedSame))
+        .orderBy("rank")
+    }),
+
+    // score-normalized hybrid fusion (CombSUM over min-max-normalized
+    // lists, 0.6 lexical / 0.4 semantic): both input lists and the
+    // fused ranking replay in SQL. Measured adjacent gaps at both SFs:
+    // lexical top-21 >= 1.1e-5, cosine top-21 >= 7.7e-6, fused top-11
+    // >= 4.2e-4 — rank pins safe (the q_bm25 / q_rank_metrics rule);
+    // the fused sum has exactly 2 addends (commutative, order-proof).
+    "q_retrieval_hybrid" -> ((s: SparkSession, dir: String) => {
+      val d = t(s, dir, "documents")
+      val lex = graft.pipeline.Retrieval.bm25TopK(
+          d, "doc_id", "text", Seq("slow", "merge", "window"), 20)
+        .select(F.col("id"), F.col("score"))
+      val emb = t(s, dir, "embeddings")
+      val sem = graft.pipeline.Similarity.bruteForceTopK(
+          emb, emb.filter(F.col("vec_id") === 0), "vec_id", "embedding", 20)
+        .select(F.col("neighbor_id").as("id"), F.col("cos").as("score"))
+      graft.pipeline.Retrieval.fuseScoresMinMax(
+          Seq(lex -> 0.6, sem -> 0.4), 10)
+        .select(F.col("rank").cast("long").as("rank"),
+          F.col("id").as("doc_id"), F.col("n_lists"))
+        .orderBy("rank")
+    }),
+
+    // team-draft interleaving of two disjoint rankers (odd-id vs
+    // even-id BM25 for the same query): the md5 per-round coin and the
+    // alternating draft replay exactly in SQL (disjoint lists never
+    // trigger the stateful skip — that path is spec-pinned). Parity
+    // list gaps measured >= 5.0e-5 at both SFs through rank 11.
+    "q_eval_interleave" -> ((s: SparkSession, dir: String) => {
+      val d = t(s, dir, "documents")
+      val q = Seq("slow", "merge", "window")
+      def side(parity: Int) = graft.pipeline.Retrieval.bm25TopKFiltered(
+          d, "doc_id", "text", q, 10,
+          d.filter(F.col("doc_id") % 2 === parity).select("doc_id"))
+        .select(F.col("rank"), F.col("id"))
+      graft.pipeline.Eval.teamDraftInterleave(side(1), side(0), 20, "il7")
+        .select(F.col("pos").cast("long").as("pos"),
+          F.col("id").as("doc_id"), F.col("team"))
+        .orderBy("pos")
+    }),
+
+    // ColBERT-style MaxSim late-interaction rerank: documents are
+    // 4-vector groups (gid = vec_id / 4), the query IS group 0's
+    // vector set — every per-vector max is exactly 1.0 against group 0
+    // (planted-identity contract, score 4.0) and the oracle replays
+    // the full max/sum interaction in SQL. Measured top-11 adjacent
+    // gaps >= 1.1e-4 at both SFs.
+    "q_retrieval_maxsim" -> ((s: SparkSession, dir: String) => {
+      val emb = t(s, dir, "embeddings")
+      val dv = emb.select(
+        F.floor(F.col("vec_id") / 4).cast("long").as("doc_id"),
+        F.col("vec_id"), F.col("embedding"))
+      val qv = emb.filter(F.col("vec_id") < 4)
+        .select(F.lit(0L).as("query_id"), F.col("vec_id"),
+          F.col("embedding"))
+      val cand = dv.select("doc_id").distinct()
+        .select(F.lit(0L).as("query_id"), F.col("doc_id"))
+      val top = graft.pipeline.Similarity.maxSimRerank(cand, qv, dv, 10)
+      val selfExact = top.filter(F.col("rank") === 1)
+        .select(F.col("doc_id"),
+          (F.abs(F.col("score") - 4.0) < 1e-9).as("ok"))
+        .collect().headOption.exists(r => r.getLong(0) == 0L && r.getBoolean(1))
+      top.select(F.col("rank").cast("long").as("rank"), F.col("doc_id"))
+        .withColumn("self_exact", F.lit(selfExact))
         .orderBy("rank")
     }),
 
@@ -12119,11 +12198,103 @@ object SparkEntry {
           |  FROM documents WHERE text IS NOT NULL),
           |n AS (SELECT CAST(count(*) AS BIGINT) AS n_matched FROM f)
           |SELECT rank, doc_id, CAST(1 AS BIGINT) AS tf_total,
-          |       CAST(1 AS BIGINT) AS n_terms_hit, n.n_matched
+          |       CAST(1 AS BIGINT) AS n_terms_hit, n.n_matched,
+          |       true AS indexed_same
           |FROM (
           |  SELECT CAST(row_number() OVER (ORDER BY dl, doc_id) AS BIGINT) AS rank,
           |         doc_id FROM f) t CROSS JOIN n
           |WHERE rank <= 15 ORDER BY rank""".stripMargin,
+      "q_retrieval_hybrid" ->
+        """WITH f AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+          |                    x -> len(x) > 0) AS w FROM documents),
+          |dl AS (SELECT doc_id, len(w) AS dl FROM f WHERE len(w) > 0),
+          |toks AS (SELECT doc_id, unnest(w) AS term FROM f),
+          |post AS (SELECT term, doc_id, count(*) AS tf FROM toks
+          |         WHERE term IN ('slow', 'merge', 'window') GROUP BY 1, 2),
+          |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+          |dfs AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+          |lexs AS (
+          |  SELECT p.doc_id AS id,
+          |         sum(ln(1 + (s.n - f2.df + 0.5) / (f2.df + 0.5)) * p.tf * 2.2 /
+          |             (p.tf + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl))) AS score
+          |  FROM post p JOIN dfs f2 USING (term) JOIN dl d USING (doc_id)
+          |  CROSS JOIN stats s GROUP BY 1),
+          |lex AS (SELECT id, score, row_number() OVER (ORDER BY score DESC, id) rk FROM lexs),
+          |flat AS (SELECT vec_id, r.i AS i, embedding[r.i] AS x
+          |         FROM embeddings, range(1, 65) r(i)),
+          |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS n FROM flat GROUP BY 1),
+          |dots AS (SELECT c.vec_id AS id, sum(q.x * c.x) AS dot
+          |         FROM flat q JOIN flat c ON q.i = c.i
+          |         WHERE q.vec_id = 0 AND c.vec_id <> 0 GROUP BY 1),
+          |coss AS (SELECT id, dot / (nq.n * nc.n) AS score
+          |         FROM dots JOIN norms nq ON nq.vec_id = 0
+          |                   JOIN norms nc ON id = nc.vec_id),
+          |sem AS (SELECT id, score, row_number() OVER (ORDER BY score DESC, id) rk FROM coss),
+          |lex20 AS (SELECT id, score FROM lex WHERE rk <= 20),
+          |sem20 AS (SELECT id, score FROM sem WHERE rk <= 20),
+          |lmm AS (SELECT min(score) mn, max(score) mx FROM lex20),
+          |smm AS (SELECT min(score) mn, max(score) mx FROM sem20),
+          |parts AS (
+          |  SELECT id, 0.6 * CASE WHEN mx > mn THEN (score - mn) / (mx - mn)
+          |                        ELSE 1.0 END AS c FROM lex20, lmm
+          |  UNION ALL
+          |  SELECT id, 0.4 * CASE WHEN mx > mn THEN (score - mn) / (mx - mn)
+          |                        ELSE 1.0 END AS c FROM sem20, smm),
+          |fused AS (SELECT id, sum(c) AS score, CAST(count(*) AS BIGINT) AS n_lists
+          |          FROM parts GROUP BY 1)
+          |SELECT rank, doc_id, n_lists FROM (
+          |  SELECT CAST(row_number() OVER (ORDER BY score DESC, id) AS BIGINT) AS rank,
+          |         id AS doc_id, n_lists FROM fused) t
+          |WHERE rank <= 10 ORDER BY rank""".stripMargin,
+      "q_eval_interleave" ->
+        """WITH f AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+          |                    x -> len(x) > 0) AS w FROM documents),
+          |dl AS (SELECT doc_id, len(w) AS dl FROM f WHERE len(w) > 0),
+          |toks AS (SELECT doc_id, unnest(w) AS term FROM f),
+          |post AS (SELECT term, doc_id, count(*) AS tf FROM toks
+          |         WHERE term IN ('slow', 'merge', 'window') GROUP BY 1, 2),
+          |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+          |dfs AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+          |scored AS (
+          |  SELECT p.doc_id AS id,
+          |         sum(ln(1 + (s.n - f2.df + 0.5) / (f2.df + 0.5)) * p.tf * 2.2 /
+          |             (p.tf + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl))) AS score
+          |  FROM post p JOIN dfs f2 USING (term) JOIN dl d USING (doc_id)
+          |  CROSS JOIN stats s GROUP BY 1),
+          |a AS (SELECT id, row_number() OVER (ORDER BY score DESC, id) rk
+          |      FROM scored WHERE id % 2 = 1),
+          |b AS (SELECT id, row_number() OVER (ORDER BY score DESC, id) rk
+          |      FROM scored WHERE id % 2 = 0),
+          |coins AS (SELECT r, substr(md5('il7:' || CAST(r AS VARCHAR)), 1, 1)
+          |                   IN ('0', '2', '4', '6', '8', 'a', 'c', 'e') AS afirst
+          |          FROM range(1, 11) t(r)),
+          |picks AS (
+          |  SELECT 2 * c.r - 2 + CASE WHEN c.afirst THEN 1 ELSE 2 END AS pos,
+          |         a.id, 'a' AS team
+          |  FROM coins c JOIN a ON a.rk = c.r WHERE a.rk <= 10
+          |  UNION ALL
+          |  SELECT 2 * c.r - 2 + CASE WHEN c.afirst THEN 2 ELSE 1 END AS pos,
+          |         b.id, 'b' AS team
+          |  FROM coins c JOIN b ON b.rk = c.r WHERE b.rk <= 10)
+          |SELECT CAST(pos AS BIGINT) AS pos, id AS doc_id, team
+          |FROM picks ORDER BY pos""".stripMargin,
+      "q_retrieval_maxsim" ->
+        """WITH flat AS (SELECT vec_id, vec_id // 4 AS gid, r.i AS i, embedding[r.i] AS x
+          |              FROM embeddings, range(1, 65) r(i)),
+          |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS n FROM flat GROUP BY 1),
+          |dots AS (SELECT q.vec_id AS qv, c.vec_id AS dv, c.gid AS gid,
+          |                sum(q.x * c.x) AS dot
+          |         FROM flat q JOIN flat c ON q.i = c.i
+          |         WHERE q.gid = 0 GROUP BY 1, 2, 3),
+          |coss AS (SELECT qv, gid, dot / (nq.n * nc.n) AS c
+          |         FROM dots JOIN norms nq ON qv = nq.vec_id
+          |                   JOIN norms nc ON dv = nc.vec_id),
+          |mx AS (SELECT qv, gid, max(c) AS m FROM coss GROUP BY 1, 2),
+          |sc AS (SELECT gid, sum(m) AS score FROM mx GROUP BY 1)
+          |SELECT rank, doc_id, true AS self_exact FROM (
+          |  SELECT CAST(row_number() OVER (ORDER BY score DESC, gid) AS BIGINT) AS rank,
+          |         gid AS doc_id FROM sc) t
+          |WHERE rank <= 10 ORDER BY rank""".stripMargin,
       "q_phrase" ->
         """WITH f AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
           |                    x -> len(x) > 0) AS w FROM documents),

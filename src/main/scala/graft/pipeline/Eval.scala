@@ -409,4 +409,74 @@ object Eval {
       pearsonOf(F.col("__srx"), F.col("__sry"), F.col("__ssrx"), F.col("__ssry"),
         F.col("__srxy")).as("spearman")): _*)
   }
+
+  // ---------------------------------------------------------------- //
+  // Online ranker comparison: team-draft interleaving                 //
+  // ---------------------------------------------------------------- //
+
+  /** Deterministic per-round coin for [[teamDraftInterleave]]: the
+    * low bit of the first hex digit of md5("seed:round") — replayable
+    * in any engine with md5 (the sampling-threshold convention applied
+    * to coin flips). true → team A drafts first this round. */
+  private[pipeline] def draftCoin(seed: String, round: Int): Boolean = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$seed:$round".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val firstHexDigit = (md(0) >> 4) & 0xf
+    firstHexDigit % 2 == 0
+  }
+
+  /**
+   * Team-draft interleaving (Radlinski, Kurup & Joachims 2008) — the
+   * standard online A/B for two rankers: rankings A and B take turns
+   * drafting their highest-ranked not-yet-selected document into one
+   * interleaved list; a per-round deterministic coin ([[draftCoin]])
+   * decides who drafts first, and each selection is credited to the
+   * team that drafted it. Clicks on team-A documents then score ranker
+   * A (the attribution the caller joins on `team`).
+   *
+   * Inputs are (rank, id) serving lists (bounded top-k — collected
+   * driver-side, the [[Similarity.knnClassifyIndexed]] bounded-serving
+   * argument); returns (pos, id, team) with pos 1-based and team
+   * 'a' | 'b'. Deterministic given the seed — replayable in SQL when
+   * the lists are disjoint (each round drafts A's and B's next
+   * documents in coin order; with overlap the skip logic is stateful
+   * and pinned by ScalaTest instead).
+   */
+  def teamDraftInterleave(
+      a: DataFrame, b: DataFrame, k: Int, seed: String): DataFrame = {
+    val spark = a.sparkSession
+    import spark.implicits._
+    def collectRanked(df: DataFrame): Seq[Long] =
+      df.select(F.col("rank").cast("int"), F.col("id").cast("long"))
+        .collect().sortBy(_.getInt(0)).map(_.getLong(1)).toSeq
+    val la = collectRanked(a)
+    val lb = collectRanked(b)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, String)]
+    val seen = scala.collection.mutable.HashSet.empty[Long]
+    var ia = 0
+    var ib = 0
+    var round = 1
+    def next(list: Seq[Long], i0: Int): Int = {
+      var i = i0
+      while (i < list.length && seen.contains(list(i))) i += 1
+      i
+    }
+    def draft(team: Char): Unit = {
+      if (out.size >= k) return
+      if (team == 'a') {
+        ia = next(la, ia)
+        if (ia < la.length) { seen += la(ia); out += ((out.size + 1, la(ia), "a")) }
+      } else {
+        ib = next(lb, ib)
+        if (ib < lb.length) { seen += lb(ib); out += ((out.size + 1, lb(ib), "b")) }
+      }
+    }
+    while (out.size < k &&
+           (next(la, ia) < la.length || next(lb, ib) < lb.length)) {
+      if (draftCoin(seed, round)) { draft('a'); draft('b') }
+      else { draft('b'); draft('a') }
+      round += 1
+    }
+    out.toSeq.toDF("pos", "id", "team")
+  }
 }

@@ -867,6 +867,33 @@ object Retrieval {
       if (n == 0) 0.0 else dl.toDouble / n, dl)
   }
 
+  /** [[buildTextIndex]] through the Porter-stemmed analyzer — probe a
+    * SAVED stemmed index with [[bm25TopKIndexedStemmed]] (the query
+    * must stem with the same kernel; every TextIndex protocol —
+    * save/append/remove/compact/stream/MaxScore meta — applies
+    * unchanged, the analyzer only changes what a "term" is). */
+  def buildStemmedTextIndex(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      buckets: Int = 64): TextIndex = {
+    val index = buildStemmedIndex(docs, idCol, textCol)
+      .withColumn("__bucket", termBucket(F.col("term"), buckets))
+    val (n, dl) = exactStats(index)
+    TextIndex(index, buckets, n,
+      if (n == 0) 0.0 else dl.toDouble / n, dl)
+  }
+
+  /** [[bm25TopKIndexed]] with the query run through the SAME stemmer
+    * a [[buildStemmedTextIndex]] index was built with. */
+  def bm25TopKIndexedStemmed(
+      idx: TextIndex,
+      queryTerms: Seq[String],
+      k: Int,
+      k1: Double = DefaultK1,
+      b: Double = DefaultB): DataFrame =
+    bm25TopKIndexed(idx, Stemmer.stemQuery(queryTerms).distinct, k, k1, b)
+
   /**
    * Incrementally index a new document batch into a SAVED index:
    * the batch's postings (bucketed with the index's own bucket count)
@@ -2285,5 +2312,50 @@ object Retrieval {
     scored.withColumn("rank", F.row_number().over(w))
       .filter(F.col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "rrf_score", "n_lists")
+  }
+
+  /**
+   * Score-normalized hybrid fusion (CombSUM over min-max-normalized
+   * scores — Fox & Shaw's combination, Vogt & Cottrell's weighting):
+   * each input is a k-bounded ranked list (id, score) from any
+   * retrieval family (BM25, cosine, proximity, ...); its scores
+   * min-max normalize over ITS OWN list to [0, 1] (a degenerate
+   * all-equal list normalizes to 1.0), then
+   *
+   *   fused(d) = Σ_i w_i * norm_i(d),   missing-from-list → 0.
+   *
+   * Score fusion complements [[rrfFuse]] (rank fusion): RRF discards
+   * score magnitudes (robust, scale-free); CombSUM keeps them (a
+   * document barely inside one list but dominant in another wins).
+   * Returns (rank, id, fused_score, n_lists), ties by id.
+   *
+   * Number discipline: the per-document fused sum has <= |rankings|
+   * addends — with the common two-list (lexical + semantic) setup the
+   * sum is 2 doubles, exactly commutative, so union order cannot
+   * perturb it (the q_retrieval_rrf argument).
+   *
+   * Scale shape: inputs are top-k serving lists — 1-row min/max
+   * aggregates broadcast back, one union + one grouped sum; nothing
+   * corpus-sized.
+   */
+  def fuseScoresMinMax(
+      rankings: Seq[(DataFrame, Double)], k: Int): DataFrame = {
+    require(rankings.nonEmpty, "fuseScoresMinMax: no rankings")
+    val tagged = rankings.map { case (df, wgt) =>
+      val s = df.select(F.col("id"), F.col("score").cast("double").as("__s"))
+      val mm = s.agg(F.min(F.col("__s")).as("__mn"),
+        F.max(F.col("__s")).as("__mx"))
+      s.crossJoin(F.broadcast(mm))
+        .select(F.col("id"),
+          (F.lit(wgt) * F.when(F.col("__mx") > F.col("__mn"),
+            (F.col("__s") - F.col("__mn")) / (F.col("__mx") - F.col("__mn")))
+            .otherwise(F.lit(1.0))).as("__c"))
+    }
+    val scored = tagged.reduce(_ unionByName _)
+      .groupBy("id")
+      .agg(F.sum(F.col("__c")).as("score"), F.count(F.lit(1)).as("n_lists"))
+    rankTopK(scored, k)
+      .select(F.col("rank"), F.col("id"),
+        F.col("score").as("fused_score"), F.col("n_lists"))
   }
 }

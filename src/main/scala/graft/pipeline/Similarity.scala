@@ -49,6 +49,66 @@ object Similarity {
     dotUdf(a, b) / (normUdf(a) * normUdf(b))
 
   /**
+   * Late-interaction rerank (the ColBERT MaxSim scoring, Khattab &
+   * Zaharia 2020): queries and documents are MULTI-VECTOR (one
+   * embedding per token/segment) and
+   *
+   *   score(q, d) = Σ_{i ∈ q} max_{j ∈ d} cos(q_i, d_j)
+   *
+   * — each query vector matches its best document vector
+   * independently, so partial/compositional matches score where a
+   * single pooled vector washes them out. `candidates` (query_id,
+   * doc_id) bounds the interaction to a first-stage pool (ANN over
+   * pooled vectors, or BM25) — the standard two-stage serving shape;
+   * the full quadratic interaction never runs corpus-wide.
+   *
+   * Returns (query_id, rank, doc_id, score) top-k per query, ties by
+   * doc_id. An exact planted contract rides the testdata argument:
+   * when a query IS some document's vector set, every per-vector max
+   * is exactly 1.0 against that document and < 1 elsewhere, so it
+   * ranks first unconditionally.
+   *
+   * Scale shape: candidates and query vectors are serving-bounded —
+   * both broadcast onto the doc-vector scan (corpus touched once,
+   * map-side); one repartition on (query_id, doc_id) serves BOTH the
+   * per-query-vector max and the per-document sum (grouping keys ⊇
+   * partition keys, the gapFill contract); the final top-k window
+   * runs over pool-sized rows.
+   */
+  def maxSimRerank(
+      candidates: DataFrame,
+      queryVecs: DataFrame,
+      docVecs: DataFrame,
+      k: Int): DataFrame = {
+    val cand = candidates.select(F.col(candidates.columns(0)).as("query_id"),
+      F.col(candidates.columns(1)).as("doc_id"))
+    val qv = queryVecs.select(F.col(queryVecs.columns(0)).as("query_id"),
+      F.col(queryVecs.columns(1)).as("__qvid"),
+      F.col(queryVecs.columns(2)).as("__qv"))
+    // doc vec ids are irrelevant (max over j): accept (doc_id, vec)
+    // or the symmetric (doc_id, vec_id, vec)
+    val dvCol = if (docVecs.columns.length >= 3) docVecs.columns(2)
+                else docVecs.columns(1)
+    val dv = docVecs.select(F.col(docVecs.columns(0)).as("doc_id"),
+      F.col(dvCol).as("__dv"))
+    val interactions = dv
+      .join(F.broadcast(cand), "doc_id")
+      .join(F.broadcast(qv), "query_id")
+      .withColumn("__cos", cosine(F.col("__qv"), F.col("__dv")))
+      .repartition(F.col("query_id"), F.col("doc_id"))
+    val scored = interactions
+      .groupBy(F.col("query_id"), F.col("doc_id"), F.col("__qvid"))
+      .agg(F.max(F.col("__cos")).as("__m"))
+      .groupBy(F.col("query_id"), F.col("doc_id"))
+      .agg(F.sum(F.col("__m")).as("score"))
+    val w = Window.partitionBy(F.col("query_id"))
+      .orderBy(F.col("score").desc, F.col("doc_id").asc)
+    scored.withColumn("rank", F.row_number().over(w))
+      .filter(F.col("rank") <= k)
+      .select("query_id", "rank", "doc_id", "score")
+  }
+
+  /**
    * Exact top-k nearest neighbors by cosine for each query vector.
    * `queries` is expected to be small — it is broadcast, so the corpus
    * is scanned exactly once with no shuffle of the embeddings.

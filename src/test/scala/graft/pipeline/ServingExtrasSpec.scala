@@ -1,0 +1,124 @@
+package graft.pipeline
+
+import graft.SparkTestBase
+import org.apache.spark.sql.{functions => F}
+
+class HybridFusionSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("min-max normalization, weighting, and missing-list zeros") {
+    val lex = Seq((1L, 1, 10.0), (2L, 2, 6.0), (3L, 3, 2.0))
+      .toDF("id", "rank", "score")
+    val sem = Seq((2L, 1, 0.9), (4L, 2, 0.5), (3L, 3, 0.1))
+      .toDF("id", "rank", "score")
+    val fused = Retrieval.fuseScoresMinMax(Seq(lex -> 0.6, sem -> 0.4), 10)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Int]("rank"), r.getAs[Double]("fused_score"),
+          r.getAs[Long]("n_lists"))).toMap
+    // lex norms: 1.0, 0.5, 0.0; sem norms: 1.0, 0.5, 0.0
+    assert(math.abs(fused(1L)._2 - 0.6) < 1e-12)          // lex only
+    assert(math.abs(fused(2L)._2 - (0.3 + 0.4)) < 1e-12)  // both
+    assert(math.abs(fused(3L)._2 - 0.0) < 1e-12)
+    assert(math.abs(fused(4L)._2 - 0.2) < 1e-12)          // sem only
+    assert(fused(2L)._1 == 1 && fused(1L)._1 == 2 && fused(4L)._1 == 3)
+    assert(fused(2L)._3 == 2L && fused(1L)._3 == 1L)
+  }
+
+  test("degenerate all-equal list normalizes to 1.0") {
+    val a = Seq((1L, 1, 5.0), (2L, 2, 5.0)).toDF("id", "rank", "score")
+    val f = Retrieval.fuseScoresMinMax(Seq(a -> 1.0), 10)
+      .select("fused_score").as[Double].collect()
+    assert(f.forall(x => math.abs(x - 1.0) < 1e-12))
+  }
+}
+
+class InterleaveSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ranked(ids: Seq[Long]) =
+    ids.zipWithIndex.map { case (id, i) => (i + 1, id) }.toDF("rank", "id")
+
+  test("team-draft: disjoint lists draft alternately in coin order") {
+    val a = ranked(Seq(1L, 3L, 5L, 7L))
+    val b = ranked(Seq(2L, 4L, 6L, 8L))
+    val out = Eval.teamDraftInterleave(a, b, 8, "s1")
+      .collect().map(r => (r.getAs[Int]("pos"), r.getAs[Long]("id"),
+        r.getAs[String]("team"))).sortBy(_._1)
+    assert(out.length == 8)
+    // each round r drafts A[r] and B[r] in coin order
+    (1 to 4).foreach { r =>
+      val pair = out.slice(2 * r - 2, 2 * r)
+      val (aFirst) = Eval.draftCoin("s1", r)
+      val expect =
+        if (aFirst) Seq((2L * r - 1, "a"), (2L * r, "b"))
+        else Seq((2L * r, "b"), (2L * r - 1, "a"))
+      assert(pair.map(p => (p._2, p._3)).toSeq == expect, s"round $r")
+    }
+    // teams are balanced on disjoint lists
+    assert(out.count(_._3 == "a") == 4 && out.count(_._3 == "b") == 4)
+  }
+
+  test("overlap: an already-drafted doc is skipped, not re-credited") {
+    val a = ranked(Seq(1L, 2L, 3L))
+    val b = ranked(Seq(2L, 1L, 9L))
+    val out = Eval.teamDraftInterleave(a, b, 6, "s2")
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("team")))
+    assert(out.map(_._1).distinct.length == out.length) // no dup ids
+    assert(out.map(_._1).toSet == Set(1L, 2L, 3L, 9L))
+  }
+
+  test("exhaustion stops cleanly below k; determinism across calls") {
+    val a = ranked(Seq(1L))
+    val b = ranked(Seq(2L))
+    val out = Eval.teamDraftInterleave(a, b, 10, "s3").collect()
+    assert(out.length == 2)
+    val r1 = Eval.teamDraftInterleave(ranked(Seq(1L, 3L)), ranked(Seq(2L)),
+      3, "s4").collect().map(_.toSeq).toSeq
+    val r2 = Eval.teamDraftInterleave(ranked(Seq(1L, 3L)), ranked(Seq(2L)),
+      3, "s4").collect().map(_.toSeq).toSeq
+    assert(r1 == r2)
+  }
+}
+
+class MaxSimSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("MaxSim: per-query-vector best match, summed; planted identity wins") {
+    // 2-D unit vectors by angle; doc 10 = {0deg, 90deg}, doc 20 =
+    // {45deg, 180deg}, doc 30 = {10deg, 100deg}
+    def v(deg: Double) = {
+      val r = math.toRadians(deg)
+      Seq(math.cos(r).toFloat, math.sin(r).toFloat)
+    }
+    val docVecs = Seq(
+      (10L, 0L, v(0)), (10L, 1L, v(90)),
+      (20L, 0L, v(45)), (20L, 1L, v(180)),
+      (30L, 0L, v(10)), (30L, 1L, v(100))
+    ).toDF("doc_id", "vec_id", "embedding")
+    // the query IS doc 10's vector set
+    val qVecs = Seq((0L, 0L, v(0)), (0L, 1L, v(90)))
+      .toDF("query_id", "vec_id", "embedding")
+    val cand = Seq((0L, 10L), (0L, 20L), (0L, 30L))
+      .toDF("query_id", "doc_id")
+    val out = Similarity.maxSimRerank(cand, qVecs, docVecs, 3)
+      .collect().map(r => (r.getAs[Int]("rank"), r.getAs[Long]("doc_id"),
+        r.getAs[Double]("score"))).sortBy(_._1)
+    assert(out.map(_._2).toSeq == Seq(10L, 30L, 20L))
+    assert(math.abs(out(0)._3 - 2.0) < 1e-6)           // exact self-match
+    // doc 30: cos(10deg) + cos(10deg) (90 vs 100)
+    assert(math.abs(out(1)._3 - 2 * math.cos(math.toRadians(10))) < 1e-6)
+    // doc 20: cos(45) for q0 (45 beats 180) + cos(45) for q1 (90 vs 45
+    // = 45deg apart beats 90-vs-180)
+    assert(math.abs(out(2)._3 - 2 * math.cos(math.toRadians(45))) < 1e-6)
+  }
+
+  test("candidates bound the interaction: absent pairs never score") {
+    val docVecs = Seq((1L, 0L, Seq(1f, 0f)), (2L, 0L, Seq(1f, 0f)))
+      .toDF("doc_id", "vec_id", "embedding")
+    val qVecs = Seq((0L, 0L, Seq(1f, 0f))).toDF("query_id", "vec_id", "embedding")
+    val cand = Seq((0L, 1L)).toDF("query_id", "doc_id")
+    val ids = Similarity.maxSimRerank(cand, qVecs, docVecs, 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(1L))
+  }
+}
