@@ -8132,6 +8132,69 @@ object SparkEntry {
         .orderBy("rank")
     }),
 
+    // batched MaxScore: the q_retrieval_maxscore fixture with TWO
+    // planted rare tokens; three queries share one pruned pass and the
+    // theta-check runs per query. Per-query top-11 nonzero gaps
+    // measured >= 7.3e-4 at both SFs; zero-gap pairs are equal-dl docs
+    // matching the same (tf=1, tf=1) pair — 2-addend commutative sums,
+    // safe per the q_retrieval_batch rule. pruned_q0/q1 pin the
+    // structural engagement; batch_same pins row equality (scores to
+    // 1e-9) with the plain bm25TopKBatch; fallback_same pins the
+    // k-beyond-candidates leg.
+    "q_retrieval_batch_maxscore" -> ((s: SparkSession, dir: String) => {
+      val rt = graft.pipeline.Retrieval
+      val d = t(s, dir, "documents").withColumn("text2",
+        F.concat(F.col("text"),
+          F.when(F.col("doc_id") % 17 === 0, F.lit(" raretok17"))
+            .otherwise(F.lit("")),
+          F.when(F.col("doc_id") % 23 === 0, F.lit(" raretok23"))
+            .otherwise(F.lit("")),
+          F.lit(" fillertok")))
+      val path = System.getProperty("java.io.tmpdir") + "/graft_q_bmaxscore"
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      rt.buildTextIndex(d, "doc_id", "text2", buckets = 32).save(path)
+      val qTerms = Seq(
+        0L -> Seq("raretok17", "merge", "fillertok"),
+        1L -> Seq("raretok23", "window", "fillertok"),
+        2L -> Seq("raretok17", "fillertok"))
+      val qdf = s.createDataFrame(qTerms).toDF("query_id", "terms")
+      val r = rt.bm25TopKBatchMaxScore(s, path, qdf, 10,
+        maxTailShare = 0.02)
+      val plain = rt.bm25TopKBatch(rt.loadTextIndex(s, path), qdf, 10)
+      def rows(df: org.apache.spark.sql.DataFrame) = df
+        .select("query_id", "rank", "id", "score", "tf_total",
+          "n_terms_hit")
+        .collect().map(x => (x.getLong(0), x.getInt(1), x.getLong(2),
+          x.getDouble(3), x.getLong(4), x.getLong(5)))
+        .sortBy(t => (t._1, t._2)).toSeq
+      val (a, bq) = (rows(r.rows), rows(plain))
+      val batchSame = a.size == bq.size && a.zip(bq).forall { case (x, y) =>
+        x._1 == y._1 && x._2 == y._2 && x._3 == y._3 &&
+        math.abs(x._4 - y._4) < 1e-9 && x._5 == y._5 && x._6 == y._6
+      }
+      // k beyond the rare pool -> that query must take the exact
+      // fallback leg
+      val big = Seq(9L -> Seq("raretok17", "fillertok"))
+      val bigDf = s.createDataFrame(big).toDF("query_id", "terms")
+      val rBig = rt.bm25TopKBatchMaxScore(s, path, bigDf, 100000,
+        maxTailShare = 0.02)
+      val plainBig = rt.bm25TopKBatch(rt.loadTextIndex(s, path), bigDf,
+        100000)
+      val fallbackSame = rBig.fallbackQueries == Seq(9L) &&
+        rows(rBig.rows) == rows(plainBig)
+      r.rows.select(F.col("query_id"),
+          F.col("rank").cast("long").as("rank"),
+          F.col("id").as("doc_id"), F.col("tf_total"),
+          F.col("n_terms_hit"))
+        .withColumn("pruned_q0", F.lit(r.prunedQueries.contains(0L)))
+        .withColumn("pruned_q1", F.lit(r.prunedQueries.contains(1L)))
+        .withColumn("batch_same", F.lit(batchSame))
+        .withColumn("fallback_same", F.lit(fallbackSame))
+        .orderBy("query_id", "rank")
+    }),
+
     // Porter-stemmed retrieval: every doc carries ONE planted
     // morphological variant (zzmerge/zzmerges/zzmerged/zzmerging by
     // doc_id % 4 — the zz prefix is absent from the 31-token natural
@@ -12191,6 +12254,39 @@ object SparkEntry {
           |  SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
           |         doc_id, tf_total, n_terms_hit FROM scored) t
           |WHERE rank <= 10 ORDER BY rank""".stripMargin,
+      "q_retrieval_batch_maxscore" ->
+        """WITH f AS (SELECT doc_id, list_filter(string_split_regex(lower(
+          |     text || CASE WHEN doc_id % 17 = 0 THEN ' raretok17' ELSE '' END
+          |          || CASE WHEN doc_id % 23 = 0 THEN ' raretok23' ELSE '' END
+          |          || ' fillertok'), '\s+'), x -> len(x) > 0) AS w FROM documents),
+          |dl AS (SELECT doc_id, len(w) AS dl FROM f WHERE len(w) > 0),
+          |toks AS (SELECT doc_id, unnest(w) AS term FROM f),
+          |qt AS (SELECT * FROM (VALUES
+          |         (0, 'raretok17'), (0, 'merge'), (0, 'fillertok'),
+          |         (1, 'raretok23'), (1, 'window'), (1, 'fillertok'),
+          |         (2, 'raretok17'), (2, 'fillertok')) v(query_id, term)),
+          |post AS (SELECT term, doc_id, count(*) AS tf FROM toks
+          |         WHERE term IN (SELECT term FROM qt) GROUP BY 1, 2),
+          |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+          |dfs AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+          |scored AS (
+          |  SELECT q.query_id, p.doc_id,
+          |         sum(ln(1 + (s.n - f2.df + 0.5) / (f2.df + 0.5)) * p.tf * 2.2 /
+          |             (p.tf + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl))) AS score,
+          |         CAST(sum(p.tf) AS BIGINT) AS tf_total,
+          |         CAST(count(*) AS BIGINT) AS n_terms_hit
+          |  FROM post p JOIN qt q USING (term) JOIN dfs f2 USING (term)
+          |       JOIN dl d USING (doc_id)
+          |  CROSS JOIN stats s GROUP BY 1, 2)
+          |SELECT CAST(query_id AS BIGINT) AS query_id, rank, doc_id,
+          |       tf_total, n_terms_hit, true AS pruned_q0, true AS pruned_q1,
+          |       true AS batch_same, true AS fallback_same
+          |FROM (
+          |  SELECT query_id,
+          |         CAST(row_number() OVER (PARTITION BY query_id
+          |           ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+          |         doc_id, tf_total, n_terms_hit FROM scored) t
+          |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
       "q_retrieval_stemmed" ->
         """WITH f AS (SELECT doc_id,
           |  len(list_filter(string_split_regex(lower(text), '\s+'),

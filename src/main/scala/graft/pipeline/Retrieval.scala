@@ -1551,6 +1551,156 @@ object Retrieval {
     } else fallback(essential, tail, sTail, theta)
   }
 
+  /** [[bm25TopKBatchMaxScore]]'s result: the per-query top-k rows
+    * (the [[bm25TopKBatch]] shape) plus which queries were served
+    * pruned and which fell back to the full batch probe. */
+  final case class BatchMaxScoreTopK(
+      rows: DataFrame, prunedQueries: Seq[Long], fallbackQueries: Seq[Long])
+
+  /**
+   * MaxScore pruning for a SERVING BATCH — [[bm25TopKMaxScore]]'s
+   * multi-query form, riding ONE shared postings pass: every query's
+   * essential/tail split derives driver-side from the same per-term
+   * bounds; the essential scan carries a broadcast (query, term) map,
+   * candidates are per-(query, doc), and tail postings semi-join on
+   * (query_id, id). The θ > S_tail check runs PER QUERY over the
+   * collected top-k (bounded |queries|·k): passing queries keep their
+   * pruned rows — exactly [[bm25TopKBatch]]'s for them — and failing
+   * queries re-run through one plain batch probe, so every query's
+   * result is exact unconditionally. A query whose tail is empty
+   * (every term essential) needs no bound check: there are no
+   * tail-only documents to miss.
+   */
+  def bm25TopKBatchMaxScore(
+      spark: SparkSession,
+      path: String,
+      queries: DataFrame,
+      k: Int,
+      k1: Double = DefaultK1,
+      b: Double = DefaultB,
+      maxTailShare: Double = 0.25): BatchMaxScoreTopK = {
+    import spark.implicits._
+    val idx = loadTextIndex(spark, path)
+    val qCols = queries.columns
+    val qPairs = queries
+      .select(F.col(qCols(0)).cast("long").as("query_id"),
+        F.explode(F.col(qCols(1))).as("__qt"))
+      .select(F.col("query_id"), F.lower(F.col("__qt")).as("term"))
+      .distinct().as[(Long, String)].collect().toSeq
+    require(qPairs.nonEmpty, "bm25TopKBatchMaxScore: no query terms")
+    val queryIds = qPairs.map(_._1).distinct.sorted
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/term_meta")) ||
+        idx.nDocs <= 0L)
+      return BatchMaxScoreTopK(bm25TopKBatch(idx, queries, k, k1, b),
+        Nil, queryIds)
+    val terms = qPairs.map(_._2).distinct
+    val tBuckets = terms.map(t => localTermBucket(t, idx.buckets)).distinct
+    val matched = idx.postings
+      .filter(F.col("__bucket").isin(tBuckets: _*))
+      .filter(F.col("term").isin(terms: _*))
+    val dfMap = matched.groupBy("term").agg(F.count(F.lit(1)).as("df"))
+      .as[(String, Long)].collect().toMap
+    val metaMap = spark.read.parquet(s"$path/term_meta")
+      .withColumn("__bucket", F.col("__bucket").cast("long"))
+      .filter(F.col("__bucket").isin(tBuckets: _*))
+      .filter(F.col("term").isin(terms: _*))
+      .groupBy("term")
+      .agg(F.max(F.col("max_tf")).as("max_tf"),
+        F.min(F.col("min_dl")).as("min_dl"))
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val n = idx.nDocs.toDouble
+    def ubOf(t: String): Option[Double] = dfMap.get(t).map { df =>
+      val idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+      metaMap.get(t) match {
+        case Some((maxTf, minDl)) =>
+          idf * (k1 + 1.0) * maxTf /
+            (maxTf + k1 * ((1.0 - b) + b * minDl / idx.avgdl))
+        case None => Double.PositiveInfinity
+      }
+    }
+    final case class Split(qid: Long, ess: Seq[String], tail: Seq[String],
+        sTail: Double)
+    val splits = queryIds.map { qid =>
+      val ub = qPairs.filter(_._1 == qid).map(_._2)
+        .flatMap(t => ubOf(t).map(t -> _)).sortBy(-_._2)
+      if (ub.isEmpty) Split(qid, Nil, Nil, 0.0)
+      else {
+        val total = ub.map(_._2).sum
+        var cut = 1
+        while (cut < ub.length &&
+               ub.drop(cut).map(_._2).sum > maxTailShare * total) cut += 1
+        Split(qid, ub.take(cut).map(_._1), ub.drop(cut).map(_._1),
+          ub.drop(cut).map(_._2).sum)
+      }
+    }
+    val essPairs = splits.flatMap(s => s.ess.map(t => (s.qid, t)))
+      .toDF("query_id", "term")
+    val tailPairs = splits.flatMap(s => s.tail.map(t => (s.qid, t)))
+      .toDF("query_id", "term")
+    val essTerms = splits.flatMap(_.ess).distinct
+    val tailTerms = splits.flatMap(_.tail).distinct
+    val proj = Seq("term", "id", "tf", "dl").map(F.col)
+    val essP = idx.postings
+      .filter(F.col("__bucket").isin(
+        essTerms.map(t => localTermBucket(t, idx.buckets)).distinct: _*))
+      .filter(F.col("term").isin(essTerms: _*))
+      .select(proj: _*)
+      .join(F.broadcast(essPairs), "term")
+    val cand = essP.select("query_id", "id").distinct()
+    val tailP =
+      if (tailTerms.isEmpty) essP.limit(0)
+      else idx.postings
+        .filter(F.col("__bucket").isin(
+          tailTerms.map(t => localTermBucket(t, idx.buckets)).distinct: _*))
+        .filter(F.col("term").isin(tailTerms: _*))
+        .select(proj: _*)
+        .join(F.broadcast(tailPairs), "term")
+        .join(cand, Seq("query_id", "id"), "left_semi")
+    val dfs = dfMap.toSeq.toDF("term", "df")
+    val stats = Seq((idx.nDocs, idx.avgdl)).toDF("n_docs", "avgdl")
+    val scored = essP.unionByName(tailP)
+      .join(F.broadcast(dfs), "term")
+      .crossJoin(F.broadcast(stats))
+      .withColumn("__w", bm25Weight(k1, b))
+      .repartition(F.col("query_id"))
+      .groupBy(F.col("query_id"), F.col("id"))
+      .agg(F.sum(F.col("__w")).as("score"),
+        F.sum(F.col("tf")).as("tf_total"),
+        F.count(F.lit(1)).as("n_terms_hit"))
+    val w = Window.partitionBy(F.col("query_id"))
+      .orderBy(F.col("score").desc, F.col("id").asc)
+    val top = scored.withColumn("rank", F.row_number().over(w))
+      .filter(F.col("rank") <= k)
+      .select("query_id", "rank", "id", "score", "tf_total", "n_terms_hit")
+    val collected = top.collect()
+    val byQ = collected.groupBy(_.getAs[Long]("query_id"))
+    val fallbackQ = splits.filter { s =>
+      s.tail.nonEmpty && {
+        val rows = byQ.getOrElse(s.qid, Array.empty[Row])
+        rows.length < k ||
+          !(rows.map(_.getAs[Double]("score")).min > s.sTail)
+      }
+    }.map(_.qid)
+    val prunedQ = queryIds.filterNot(fallbackQ.contains)
+    val okRows: java.util.List[Row] = new java.util.ArrayList[Row]()
+    collected.foreach { r =>
+      if (!fallbackQ.contains(r.getAs[Long]("query_id"))) okRows.add(r)
+    }
+    val prunedDf = spark.createDataFrame(okRows, top.schema)
+    val out =
+      if (fallbackQ.isEmpty) prunedDf
+      else prunedDf.unionByName(
+        bm25TopKBatch(idx,
+          queries.filter(F.col(qCols(0)).cast("long").isin(fallbackQ: _*)),
+          k, k1, b)
+          .select("query_id", "rank", "id", "score", "tf_total",
+            "n_terms_hit"))
+    BatchMaxScoreTopK(out, prunedQ, fallbackQ)
+  }
+
   /**
    * Batched multi-query BM25 over a saved [[TextIndex]] — the serving
    * form: `queries` is (query_id, terms array<string>), each query

@@ -197,6 +197,37 @@ class MaxScoreSpec extends SparkTestBase {
     check("reconciled")
   }
 
+  test("batch MaxScore: per-query prune/fallback, all rows equal the plain batch") {
+    val path = tmp("maxscore_batch")
+    val docs = corpus(120).toDF("doc_id", "text")
+    Retrieval.buildTextIndex(docs, "doc_id", "text", 8).save(path)
+    val qs = Seq(
+      (0L, Seq("rarex", "midx", "filler")),   // prunes (tiny tail)
+      (1L, Seq("rarex", "filler")),           // prunes
+      (2L, Seq("tok1", "tok2")),              // whatever the split says
+      (3L, Seq("zznothing")))                 // matches nothing
+    val qdf = qs.toDF("query_id", "terms")
+    val r = Retrieval.bm25TopKBatchMaxScore(spark, path, qdf, 10,
+      maxTailShare = 0.05)
+    val plain = Retrieval.bm25TopKBatch(
+      Retrieval.loadTextIndex(spark, path), qdf, 10)
+    def norm(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "rank", "id", "tf_total", "n_terms_hit")
+      .collect().map(x => (x.getLong(0), x.getInt(1), x.getLong(2),
+        x.getLong(3), x.getLong(4))).sortBy(t => (t._1, t._2)).toSeq
+    assert(norm(r.rows) == norm(plain))
+    assert(r.prunedQueries.contains(0L) && r.prunedQueries.contains(1L))
+    // k beyond the candidate pool forces the per-query fallback leg
+    val rBig = Retrieval.bm25TopKBatchMaxScore(spark, path,
+      Seq((7L, Seq("rarex", "filler"))).toDF("query_id", "terms"), 119,
+      maxTailShare = 0.05)
+    val plainBig = Retrieval.bm25TopKBatch(
+      Retrieval.loadTextIndex(spark, path),
+      Seq((7L, Seq("rarex", "filler"))).toDF("query_id", "terms"), 119)
+    assert(rBig.fallbackQueries == Seq(7L))
+    assert(norm(rBig.rows) == norm(plainBig))
+  }
+
   test("ragStream: streamed answers equal the one-shot batch composition") {
     val path = tmp("ragstream_idx")
     val out = tmp("ragstream_out")
