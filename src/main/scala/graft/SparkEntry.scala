@@ -6595,6 +6595,49 @@ object SparkEntry {
     // every document within budget, and the model round-trips through
     // BOTH codecs (tokenizer.json is Double.toString-exact; .model
     // compares at the protobuf-float contract)
+    // likelihood-loss vocabulary pruning (the SentencePiece prune
+    // step): staged shrink from the EM-trained vocab to a hard target;
+    // invariant booleans (target reached, chars kept, surviving multi
+    // pieces are a subset, fixed params carried, pruned model still
+    // reconstructs with >= 1 piece per word) — the q_tokenize_unigram
+    // oracle convention
+    "q_tokenize_prune" -> ((s: SparkSession, dir: String) => {
+      val U = graft.pipeline.UnigramLm
+      val docs = t(s, dir, "documents")
+      val model = U.learnSoft(docs, "text", vocabSize = 384, iters = 2)
+      val chars = model.pieces.keys.filter(_.length == 1).toSet
+      val target = chars.size + 48
+      val pruned = U.pruneVocab(docs, "text", model, target,
+        shrinkFactor = 0.7)
+      val targetReached = pruned.pieces.size <= target &&
+        pruned.pieces.size < model.pieces.size
+      val charsKept = chars.forall(pruned.pieces.contains)
+      val subset = pruned.pieces.keys.forall(model.pieces.contains)
+      val paramsCarried = pruned.unkScore == model.unkScore &&
+        pruned.byteFallback == model.byteFallback &&
+        pruned.maxPieceLen == model.maxPieceLen
+      val words = F.filter(F.split(F.col("text"), "\\s+"),
+        (x: org.apache.spark.sql.Column) => F.length(x) > 0)
+      U.tokenize(docs, "text", pruned)
+        .select(F.col("source"), F.col("text"), F.col("tokens"),
+          F.size(words).as("__nw"))
+        .groupBy(F.col("source"))
+        .agg(
+          F.count(F.lit(1)).as("docs"),
+          (F.sum(F.when(F.col("text").isNull, 0L)
+            .when(F.concat_ws("", F.col("tokens")) <=>
+              F.regexp_replace(F.col("text"), "\\s+", ""), 0L).otherwise(1L)) === 0L)
+            .as("reconstructs"),
+          (F.sum(F.when(F.col("text").isNull, 0L)
+            .when(F.size(F.col("tokens")) >= F.col("__nw"), 0L).otherwise(1L)) === 0L)
+            .as("ge_one_piece_per_word"),
+          F.lit(targetReached).as("target_reached"),
+          F.lit(charsKept).as("chars_kept"),
+          F.lit(subset).as("pieces_subset"),
+          F.lit(paramsCarried).as("params_carried"))
+        .orderBy(F.col("source"))
+    }),
+
     "q_tokenize_unigram_em" -> ((s: SparkSession, dir: String) => {
       val U = graft.pipeline.UnigramLm
       val docs = t(s, dir, "documents")
@@ -11771,6 +11814,12 @@ object SparkEntry {
       "q_tokenize_unigram" ->
         """SELECT source, count(*) AS docs, true AS reconstructs,
           |       true AS ge_one_piece_per_word, true AS vocab_in_budget
+          |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+      "q_tokenize_prune" ->
+        """SELECT source, count(*) AS docs, true AS reconstructs,
+          |       true AS ge_one_piece_per_word, true AS target_reached,
+          |       true AS chars_kept, true AS pieces_subset,
+          |       true AS params_carried
           |FROM documents GROUP BY source ORDER BY source""".stripMargin,
       "q_tokenize_unigram_em" ->
         """SELECT source, count(*) AS docs, true AS reconstructs,

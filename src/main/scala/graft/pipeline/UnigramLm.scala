@@ -493,6 +493,114 @@ object UnigramLm {
     model
   }
 
+  /** Viterbi score of the STRING `p` with the edge for piece `p`
+    * itself disabled — the best way to spell p without p. Sub-edges
+    * (proper substrings) and unknown single chars participate as in
+    * the normal lattice, so an alternative always exists. */
+  private[pipeline] def altSegmentationScore(model: Model, p: String): Double = {
+    val n = p.length
+    val dp = Array.fill(n + 1)(Double.NegativeInfinity)
+    dp(0) = 0.0
+    var i = 1
+    while (i <= n) {
+      var l = 1
+      val lMax = math.min(model.maxPieceLen, i)
+      while (l <= lMax) {
+        if (!(l == n && i == n)) { // the self edge is the one we price
+          val s = edgeScore(model, p, i, l)
+          if (!s.isNaN && dp(i - l) != Double.NegativeInfinity)
+            dp(i) = math.max(dp(i), dp(i - l) + s)
+        }
+        l += 1
+      }
+      i += 1
+    }
+    dp(n)
+  }
+
+  /**
+   * Likelihood-loss vocabulary pruning — the real SentencePiece prune
+   * step ([[learnSoft]] prunes by expected COUNT, which keeps
+   * frequent-but-perfectly-decomposable pieces; the trainer's
+   * criterion is what the likelihood LOSES when a piece disappears):
+   *
+   *   loss(p) = E[count(p)] * (logP(p) − altScore(p)),
+   *
+   * where altScore is the best segmentation of p's own string WITHOUT
+   * the p edge ([[altSegmentationScore]] — the Viterbi approximation
+   * of the re-segmentation cost). A frequent piece whose parts are
+   * themselves probable has a SMALL loss (its occurrences re-spell
+   * cheaply) and prunes before a rarer piece whose only alternative
+   * runs through unknown-char edges.
+   *
+   * Each round drops the lowest-loss multi-char pieces down to
+   * max(target, floor(shrinkFactor * current)) — the staged shrink of
+   * the reference trainer, so the loss ranking is re-estimated as the
+   * vocabulary changes — then re-normalizes by ML over the survivors'
+   * expected counts and runs `emRoundsPerPrune` soft-EM refresh
+   * rounds. Single-character pieces always survive (coverage: every
+   * word stays spellable without unk edges). Fixed parameters
+   * (unkScore, byteFallback, maxPieceLen) carry through `copy`.
+   *
+   * Scale shape: the E-step is the distributed [[softCounts]] pass;
+   * the loss ranking is driver-side over the BOUNDED vocabulary
+   * (each alt-segmentation DP is O(len·maxPieceLen) on a short piece
+   * string — the same bounded-vocab argument as the M-step itself).
+   */
+  def pruneVocab(
+      docs: DataFrame,
+      textCol: String,
+      model0: Model,
+      targetVocab: Int,
+      shrinkFactor: Double = 0.75,
+      emRoundsPerPrune: Int = 1): Model = {
+    require(targetVocab >= 1, s"targetVocab must be >= 1, got $targetVocab")
+    require(shrinkFactor > 0.0 && shrinkFactor < 1.0,
+      s"shrinkFactor must be in (0,1), got $shrinkFactor")
+    val words = wordTable(docs, textCol)
+    var model = model0
+    var done = false
+    while (model.pieces.size > targetVocab && !done) {
+      val ec = softCounts(words, model)
+      val (chars, multi) = model.pieces.keysIterator.toSeq
+        .partition(_.length == 1)
+      if (multi.isEmpty) done = true // chars alone exceed the target:
+                                     // coverage wins, stop shrinking
+      else {
+        val targetMulti = math.max(0, targetVocab - chars.size)
+        // floor guarantees strict progress for any shrinkFactor < 1
+        val keepCount = math.max(targetMulti,
+          math.floor(shrinkFactor * multi.size).toInt)
+        val kept =
+          if (multi.size <= keepCount) multi
+          else multi
+            .map { p =>
+              val lp = model.pieces(p)
+              val loss = ec.getOrElse(p, 0.0) *
+                (lp - altSegmentationScore(model, p))
+              (p, loss)
+            }
+            // highest loss = most load-bearing; ties by piece for
+            // determinism
+            .sortBy { case (p, loss) => (-loss, p) }
+            .take(keepCount).map(_._1)
+        if (kept.size == multi.size) done = true // cannot shrink further
+        val counts = (chars ++ kept).iterator
+          .map(p => p -> ec.getOrElse(p, 0.0)).toMap
+        model = toModelSoft(counts, model)
+        var r = 0
+        while (r < emRoundsPerPrune) {
+          val refresh0 = softCounts(words, model)
+          val refresh = model.pieces.keysIterator
+            .map(p => p -> refresh0.getOrElse(p, 0.0)).toMap
+          model = toModelSoft(refresh, model)
+          r += 1
+        }
+      }
+    }
+    model
+  }
+
   /**
    * Map-only corpus tokenization: `outCol` = the concatenation of each
    * whitespace word's Viterbi segmentation. Broadcast model,

@@ -237,4 +237,61 @@ class UnigramLmSpec extends SparkTestBase {
     assert(stems.count(m.pieces.contains) >= 3, m.pieces.keys.toSeq.sorted.toString)
     assert(sufs.filter(_.length > 1).count(m.pieces.contains) >= 2)
   }
+
+  test("altSegmentationScore: best spelling of a piece WITHOUT its own edge") {
+    val m = UnigramLm.Model(Map(
+      "ab" -> math.log(0.3), "cd" -> math.log(0.3), "abcd" -> math.log(0.1),
+      "a" -> math.log(0.1), "b" -> math.log(0.1),
+      "c" -> math.log(0.05), "d" -> math.log(0.05)), maxPieceLen = 4)
+    val alt = UnigramLm.altSegmentationScore(m, "abcd")
+    // best non-self spelling is ab + cd
+    assert(math.abs(alt - (math.log(0.3) + math.log(0.3))) < 1e-12)
+    // a piece with no in-vocab parts re-spells through unk single chars
+    val m2 = UnigramLm.Model(Map("qz" -> math.log(0.5),
+      "x" -> math.log(0.5)), maxPieceLen = 4)
+    val alt2 = UnigramLm.altSegmentationScore(m2, "qz")
+    assert(math.abs(alt2 - 2 * m2.unkScore) < 1e-9)
+  }
+
+  test("pruneVocab: loss keeps the irreplaceable piece over the frequent one") {
+    import spark.implicits._
+    // "xy" is frequent but its chars are common elsewhere (cheap to
+    // re-spell); "qz" is rarer but q/z appear ONLY inside it, so its
+    // alternative runs through near-unk char probabilities
+    val docs = (Seq.fill(60)("xy") ++ Seq.fill(25)("qz") ++
+      Seq.fill(40)("x y x y")).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val m0 = UnigramLm.learnSoft(docs, "text", vocabSize = 8,
+      iters = 3, maxPieceLen = 2)
+    assert(m0.pieces.contains("xy") && m0.pieces.contains("qz"))
+    val chars = m0.pieces.keys.count(_.length == 1)
+    // force the multi-char budget down to ONE slot
+    val pruned = UnigramLm.pruneVocab(docs, "text", m0,
+      targetVocab = chars + 1, shrinkFactor = 0.5)
+    val multis = pruned.pieces.keys.filter(_.length > 1).toSeq
+    assert(multis == Seq("qz"), pruned.pieces.keys.toSeq.sorted.toString)
+    // single chars all survive (coverage)
+    assert(m0.pieces.keys.filter(_.length == 1).forall(pruned.pieces.contains))
+    // pruned model still reconstructs every word
+    val words = Seq("xy", "qz", "x", "y")
+    words.foreach { w =>
+      assert(UnigramLm.viterbiSegment(pruned, w).mkString == w)
+    }
+  }
+
+  test("pruneVocab: reaches the target and stops at chars-only") {
+    import spark.implicits._
+    val docs = Seq((1L, "ab ab cd cd abcd")).toDF("id", "text")
+    val m0 = UnigramLm.learnSoft(docs, "text", vocabSize = 10,
+      iters = 2, maxPieceLen = 4)
+    val nChars = m0.pieces.keys.count(_.length == 1)
+    val p = UnigramLm.pruneVocab(docs, "text", m0, targetVocab = nChars,
+      shrinkFactor = 0.6)
+    // multi-char pieces are gone; chars stay even if they alone
+    // exceed a smaller target
+    assert(p.pieces.keys.forall(_.length == 1))
+    val p2 = UnigramLm.pruneVocab(docs, "text", m0, targetVocab = 1,
+      shrinkFactor = 0.6)
+    assert(p2.pieces.keys.forall(_.length == 1) && p2.pieces.nonEmpty)
+  }
 }
