@@ -8238,6 +8238,32 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // spelling suggestions from the corpus term dictionary (SymSpell
+    // deletion-neighborhood candidates + exact DP verify): everything
+    // in the ranking is an INTEGER (distance, df), so the suggestion
+    // lists replay exactly via SQL levenshtein — no floats, no
+    // measured gaps needed
+    "q_retrieval_spell" -> ((s: SparkSession, dir: String) => {
+      // planted near-miss terms with distinct dfs exercise the
+      // (distance, df DESC, term) ranking: mergia (%5) and mergib
+      // (%7) are both distance 2 from "mergi"; merge is distance 1
+      val d = t(s, dir, "documents").withColumn("text2",
+        F.concat(F.col("text"),
+          F.when(F.col("doc_id") % 5 === 0, F.lit(" mergia"))
+            .otherwise(F.lit("")),
+          F.when(F.col("doc_id") % 7 === 0, F.lit(" mergib"))
+            .otherwise(F.lit(""))))
+      val idx = graft.pipeline.Retrieval.buildIndex(d, "doc_id", "text2")
+      val dict = graft.pipeline.Spelling.termDictionary(idx)
+      val sidx = graft.pipeline.Spelling.buildSpellIndex(dict, 2)
+      graft.pipeline.Spelling.suggestBatch(sidx,
+          Seq("mergi", "windoq", "zzzzzz"), 2, 5)
+        .select(F.col("query_term"),
+          F.col("rank").cast("long").as("rank"), F.col("term"),
+          F.col("distance").cast("long").as("distance"), F.col("df"))
+        .orderBy("query_term", "rank")
+    }),
+
     // Porter-stemmed retrieval: every doc carries ONE planted
     // morphological variant (zzmerge/zzmerges/zzmerged/zzmerging by
     // doc_id % 4 — the zz prefix is absent from the 31-token natural
@@ -12336,6 +12362,25 @@ object SparkEntry {
           |           ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
           |         doc_id, tf_total, n_terms_hit FROM scored) t
           |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+      "q_retrieval_spell" ->
+        """WITH f AS (SELECT doc_id, list_filter(string_split_regex(lower(
+          |     text || CASE WHEN doc_id % 5 = 0 THEN ' mergia' ELSE '' END
+          |          || CASE WHEN doc_id % 7 = 0 THEN ' mergib' ELSE '' END), '\s+'),
+          |                    x -> len(x) > 0) AS w FROM documents),
+          |toks AS (SELECT doc_id, unnest(w) AS term FROM f),
+          |dict AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+          |         FROM toks GROUP BY 1),
+          |qs AS (SELECT * FROM (VALUES ('mergi'), ('windoq'), ('zzzzzz')) v(query_term)),
+          |cand AS (SELECT q.query_term, d.term, d.df,
+          |                CAST(levenshtein(q.query_term, d.term) AS BIGINT) AS distance
+          |         FROM dict d CROSS JOIN qs q
+          |         WHERE levenshtein(q.query_term, d.term) <= 2)
+          |SELECT query_term, rank, term, distance, df FROM (
+          |  SELECT query_term,
+          |         CAST(row_number() OVER (PARTITION BY query_term
+          |           ORDER BY distance, df DESC, term) AS BIGINT) AS rank,
+          |         term, distance, df FROM cand) t
+          |WHERE rank <= 5 ORDER BY query_term, rank""".stripMargin,
       "q_retrieval_stemmed" ->
         """WITH f AS (SELECT doc_id,
           |  len(list_filter(string_split_regex(lower(text), '\s+'),

@@ -80,6 +80,55 @@ class InterleaveSpec extends SparkTestBase {
   }
 }
 
+class SpellingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("levenshteinAt: exact distances with the k cutoff") {
+    assert(Spelling.levenshteinAt("merge", "merge", 2) == 0)
+    assert(Spelling.levenshteinAt("mergi", "merge", 2) == 1)
+    assert(Spelling.levenshteinAt("mrge", "merge", 2) == 1)   // deletion
+    assert(Spelling.levenshteinAt("meerge", "merge", 2) == 1) // insertion
+    assert(Spelling.levenshteinAt("mirgi", "merge", 2) == 2)
+    assert(Spelling.levenshteinAt("window", "merge", 2) == -1)
+    assert(Spelling.levenshteinAt("ab", "ba", 2) == 2)        // no transposition
+  }
+
+  test("deletions: all <= k-deletion variants including the term itself") {
+    val d = Spelling.deletions("abc", 1)
+    assert(d == Set("abc", "bc", "ac", "ab"))
+    val d2 = Spelling.deletions("abc", 2)
+    assert(d2 == Set("abc", "bc", "ac", "ab", "a", "b", "c"))
+  }
+
+  test("suggestBatch: never misses a within-k term, exact integer ranking") {
+    val docs = Seq(
+      (1L, "merge merge merge window"),
+      (2L, "merge window batch"),
+      (3L, "marge window"),
+      (4L, "verge")
+    ).toDF("doc_id", "text")
+    val idx = Retrieval.buildIndex(docs, "doc_id", "text")
+    val dict = Spelling.termDictionary(idx)
+    val sidx = Spelling.buildSpellIndex(dict, 2)
+    val out = Spelling.suggestBatch(sidx, Seq("mergi"), 2, 10)
+      .collect().map(r => (r.getAs[Int]("rank"), r.getAs[String]("term"),
+        r.getAs[Int]("distance"), r.getAs[Long]("df"))).sortBy(_._1)
+    // within 2 of "mergi": merge(1), marge(2), verge(2)
+    assert(out.map(_._2).toSeq == Seq("merge", "marge", "verge"))
+    assert(out.map(_._3).toSeq == Seq(1, 2, 2))
+    // distance-0 self-match ranks first when the term exists
+    val self = Spelling.suggest(sidx, "window", 2, 3).collect()
+    assert(self.head.getAs[String]("term") == "window" &&
+      self.head.getAs[Int]("distance") == 0)
+    // brute-force cross-check: candidates == all dictionary terms
+    // within k (the SymSpell superset identity, verified)
+    val allTerms = dict.select("term").as[String].collect()
+    val brute = allTerms.filter(t =>
+      Spelling.levenshteinAt("mergi", t, 2) >= 0).toSet
+    assert(out.map(_._2).toSet == brute)
+  }
+}
+
 class MaxSimSpec extends SparkTestBase {
   import spark.implicits._
 
