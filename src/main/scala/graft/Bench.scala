@@ -131,6 +131,47 @@ object Bench {
   private val textIndexCache = scala.collection.concurrent.TrieMap[String,
     graft.pipeline.Retrieval.TextIndex]()
 
+  // MaxScore fixture index (filler term on every doc + planted rare
+  // terms), saved once per dir; the probe entries need its PATH (the
+  // meta side table lives on disk)
+  private val maxScoreIndexCache =
+    scala.collection.concurrent.TrieMap[String, String]()
+
+  private def maxScoreIndexPath(s: SparkSession, dir: String): String =
+    maxScoreIndexCache.getOrElseUpdate(dir, {
+      // SIX stopword-class tail terms on an 8x-replicated corpus:
+      // each tail term contributes ~N posting rows at near-zero idf
+      // (~2.4M tail rows at sf0.1), so the pruned probe skips their
+      // scoring shuffle while the plain probe pays it — the volume
+      // regime MaxScore exists for (at corpus sizes where a probe is
+      // job-latency-bound, pruning cannot win; SCALING.md quantifies
+      // the crossover)
+      val d = t(s, dir, "documents")
+        .crossJoin(F.broadcast(
+          t(s, dir, "documents").sparkSession.range(0, 8)
+            .select(F.col("id").as("__rep"))))
+        .select((F.col("doc_id") * 8 + F.col("__rep")).as("doc_id"),
+          F.col("text"))
+        .withColumn("text2",
+        F.concat(F.col("text"),
+          F.when(F.col("doc_id") % 17 === 0, F.lit(" raretok17"))
+            .otherwise(F.lit("")),
+          F.when(F.col("doc_id") % 23 === 0, F.lit(" raretok23"))
+            .otherwise(F.lit("")),
+          F.lit(" fillertok fillertok2 fillertok3 fillertok4" +
+            " fillertok5 fillertok6")))
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_bench_msidx").toString
+      graft.pipeline.Retrieval
+        .buildTextIndex(d, "doc_id", "text2", buckets = 64).save(path)
+      path
+    })
+
+  // spell index (deletion-neighborhood table over the term
+  // dictionary), built once per dir
+  private val spellIndexCache = scala.collection.concurrent.TrieMap[String,
+    org.apache.spark.sql.DataFrame]()
+
   // graph-ANN index, built + persisted once per dir (b_ann_hnsw_query
   // times the probe, not the graph construction)
   private val hnswIndexCache = scala.collection.concurrent.TrieMap[String,
@@ -1257,6 +1298,112 @@ object Bench {
       graft.pipeline.Retrieval.bm25fTopKIndexed(idx,
         Seq(("title", 2.0, 0.5), ("body", 1.0, 0.75)),
         Seq("slow", "merge", "window"), 10)
+    }),
+
+    // MaxScore-pruned probe vs the plain full-scoring probe on the
+    // SAME fixture index (filler term = the stopword-class tail):
+    // the pruned probe scores candidates only; the tail postings are
+    // reduced by a semi-join instead of flowing into the per-doc sum
+    // the favorable MaxScore shape: one rare essential + six heavy
+    // stopword-class tails (a common essential term widens the
+    // candidate set and erodes the win — MaxScore semantics, not a
+    // flaw; measured in SCALING.md)
+    "b_maxscore_query" -> ((s: SparkSession, dir: String) => {
+      val path = maxScoreIndexPath(s, dir)
+      graft.pipeline.Retrieval.bm25TopKMaxScore(s, path,
+        Seq("raretok17", "fillertok", "fillertok2",
+          "fillertok3", "fillertok4", "fillertok5", "fillertok6"), 10,
+        maxTailShare = 0.02).rows
+    }),
+    "b_maxscore_full" -> ((s: SparkSession, dir: String) => {
+      val path = maxScoreIndexPath(s, dir)
+      graft.pipeline.Retrieval.bm25TopKIndexed(
+        graft.pipeline.Retrieval.loadTextIndex(s, path),
+        Seq("raretok17", "fillertok", "fillertok2",
+          "fillertok3", "fillertok4", "fillertok5", "fillertok6"), 10)
+    }),
+
+    // batched MaxScore: 8 rare+stopword queries through one pruned
+    // pass with per-query theta checks
+    "b_maxscore_batch" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val path = maxScoreIndexPath(s, dir)
+      val qs: Seq[(Long, Seq[String])] = (0 until 8).map(i =>
+        i.toLong -> Seq(if (i % 2 == 0) "raretok17" else "raretok23",
+          "fillertok", "fillertok" + (2 + i % 5),
+          "fillertok" + (2 + (i + 1) % 5)))
+      graft.pipeline.Retrieval.bm25TopKBatchMaxScore(s, path,
+        qs.toDF("query_id", "terms"), 10, maxTailShare = 0.02).rows
+    }),
+
+    // score-normalized hybrid fusion: BM25 top-20 + cosine top-20 +
+    // CombSUM (the fuse itself is serving-bounded; the cost is the
+    // two first-stage retrievals)
+    "b_retrieval_hybrid" -> ((s: SparkSession, dir: String) => {
+      val d = t(s, dir, "documents")
+      val lex = graft.pipeline.Retrieval.bm25TopK(
+          d, "doc_id", "text", Seq("slow", "merge", "window"), 20)
+        .select(F.col("id"), F.col("score"))
+      val emb = t(s, dir, "embeddings")
+      val sem = graft.pipeline.Similarity.bruteForceTopK(
+          emb, emb.filter(F.col("vec_id") === 0), "vec_id", "embedding", 20)
+        .select(F.col("neighbor_id").as("id"), F.col("cos").as("score"))
+      graft.pipeline.Retrieval.fuseScoresMinMax(
+        Seq(lex -> 0.6, sem -> 0.4), 10)
+    }),
+
+    // MaxSim late-interaction rerank: 4-vector docs, one query set,
+    // full-corpus candidate pool (the worst case — serving pools are
+    // k-bounded)
+    "b_maxsim" -> ((s: SparkSession, dir: String) => {
+      val emb = t(s, dir, "embeddings")
+      val dv = emb.select(
+        F.floor(F.col("vec_id") / 4).cast("long").as("doc_id"),
+        F.col("vec_id"), F.col("embedding"))
+      val qv = emb.filter(F.col("vec_id") < 4)
+        .select(F.lit(0L).as("query_id"), F.col("vec_id"),
+          F.col("embedding"))
+      val cand = dv.select("doc_id").distinct()
+        .select(F.lit(0L).as("query_id"), F.col("doc_id"))
+      graft.pipeline.Similarity.maxSimRerank(cand, qv, dv, 10)
+    }),
+
+    // spelling suggestions: deletion-variant isin probe + exact DP
+    // verify over the hash-joined candidates (index cached per dir)
+    "b_spell" -> ((s: SparkSession, dir: String) => {
+      val sidx = spellIndexCache.getOrElseUpdate(dir, {
+        val idx = graft.pipeline.Retrieval.buildIndex(
+          t(s, dir, "documents"), "doc_id", "text")
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_bench_spell").toString
+        graft.pipeline.Spelling.buildSpellIndex(
+            graft.pipeline.Spelling.termDictionary(idx), 2)
+          .write.mode("overwrite").parquet(path)
+        s.read.parquet(path)
+      })
+      graft.pipeline.Spelling.suggestBatch(sidx,
+        Seq("mergi", "windoq", "batc", "skan"), 2, 5)
+    }),
+
+    // Porter-stemmed one-shot retrieval (the stemming UDF runs over
+    // the whole corpus inside the timing — the analyzer cost)
+    "b_retrieval_stemmed" -> ((s: SparkSession, dir: String) =>
+      graft.pipeline.Retrieval.bm25TopKStemmed(
+        t(s, dir, "documents"), "doc_id", "text",
+        Seq("merge", "window"), 10)),
+
+    // likelihood-loss vocabulary pruning: EM-trained 384-piece vocab
+    // staged-shrunk to chars+48 (the E-step passes dominate)
+    "b_tokenize_prune" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val U = graft.pipeline.UnigramLm
+      val docs = t(s, dir, "documents")
+      val m0 = unigramModelCache.getOrElseUpdate(dir + "#prune",
+        U.learnSoft(docs, "text", vocabSize = 384, iters = 2))
+      val chars = m0.pieces.keys.count(_.length == 1)
+      val p = U.pruneVocab(docs, "text", m0, chars + 48,
+        shrinkFactor = 0.7)
+      Seq((p.pieces.size, m0.pieces.size)).toDF("pruned", "full")
     }),
 
     // best-window snippet extraction: map-side postings filter + one
