@@ -769,6 +769,14 @@ object Retrieval {
       nDocs: Long, avgdl: Double, dlSum: Long = -1L) {
     def save(path: String): Unit = {
       val spark = postings.sparkSession
+      // a RE-save over an existing path must drop the old meta BEFORE
+      // overwriting the postings: a crash between the two would
+      // otherwise leave OLD meta describing NEW postings — the one
+      // stale-LOW direction the MaxScore soundness argument cannot
+      // absorb (missing meta merely falls back)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/term_meta"), true)
       postings.withColumn("__batch", F.lit(-1L))
         .repartition(F.col("__bucket"))
         .write.partitionBy("__bucket", "__batch").mode("overwrite")
@@ -1692,12 +1700,18 @@ object Retrieval {
     val prunedDf = spark.createDataFrame(okRows, top.schema)
     val out =
       if (fallbackQ.isEmpty) prunedDf
-      else prunedDf.unionByName(
-        bm25TopKBatch(idx,
-          queries.filter(F.col(qCols(0)).cast("long").isin(fallbackQ: _*)),
-          k, k1, b)
-          .select("query_id", "rank", "id", "score", "tf_total",
-            "n_terms_hit"))
+      else {
+        // normalize the caller's query_id to long so the union cannot
+        // type-mismatch the pruned side (which derives from the cast)
+        val fbQueries = queries.select(
+          F.col(qCols(0)).cast("long").as("query_id"),
+          F.col(qCols(1)).as("terms"))
+          .filter(F.col("query_id").isin(fallbackQ: _*))
+        prunedDf.unionByName(
+          bm25TopKBatch(idx, fbQueries, k, k1, b)
+            .select("query_id", "rank", "id", "score", "tf_total",
+              "n_terms_hit"))
+      }
     BatchMaxScoreTopK(out, prunedQ, fallbackQ)
   }
 

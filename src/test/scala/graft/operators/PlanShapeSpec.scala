@@ -378,4 +378,44 @@ class PlanShapeSpec extends SparkTestBase {
       "Exchange hashpartitioning\\(query_id#".r.findAllIn(plan).size
     assert(qidExchanges === 2, plan)
   }
+
+  test("maxSimRerank: max and sum aggregates share the (query, doc) exchange") {
+    // REAL query-id values (a literal query_id degenerates the
+    // repartition key to a constant and EnsureRequirements re-shuffles
+    // — degenerate input, not the serving shape)
+    val emb = sf("sf0.001", "embeddings")
+    val dv = emb.select(
+      org.apache.spark.sql.functions.floor($"vec_id" / 4).cast("long").as("doc_id"),
+      $"vec_id", $"embedding")
+    val qv = emb.filter($"vec_id" < 8)
+      .select(org.apache.spark.sql.functions.floor($"vec_id" / 4)
+        .cast("long").as("query_id"), $"vec_id", $"embedding")
+    val cand = qv.select("query_id").distinct()
+      .crossJoin(dv.select("doc_id").distinct())
+    val out = graft.pipeline.Similarity.maxSimRerank(cand, qv, dv, 10)
+    val plan = out.queryExecution.executedPlan.toString
+    // the (query_id, doc_id) repartition serves BOTH aggregates: no
+    // exchange anywhere keys on the per-query-vector column — a
+    // (q, d, qv) exchange means the sharing regressed
+    assert("Exchange hashpartitioning\\([^\\n]*__qvid".r
+      .findAllIn(plan).isEmpty, plan)
+    // 4 hash exchanges total: the two candidate-building distincts
+    // (broadcast side), the explicit (q, d) repartition, the final
+    // per-query window re-key over pool-sized rows
+    assert(exchanges(out) === 4, plan)
+    assert("BroadcastExchange".r.findAllIn(plan).size >= 2, plan)
+  }
+
+  test("fuseScoresMinMax: serving lists fuse with one grouped-sum exchange") {
+    val a = Seq((1L, 1, 3.0), (2L, 2, 2.0)).toDF("id", "rank", "score")
+    val b = Seq((2L, 1, 0.9), (3L, 2, 0.1)).toDF("id", "rank", "score")
+    val out = graft.pipeline.Retrieval.fuseScoresMinMax(
+      Seq(a -> 0.6, b -> 0.4), 10)
+    val plan = out.queryExecution.executedPlan.toString
+    // the two 1-row min/max aggregates broadcast back (SinglePartition
+    // globals, never hash shuffles of the lists); the union's per-id
+    // sum is the ONE hash exchange in the whole fuse
+    assert(exchanges(out) === 1, plan)
+    assert("BroadcastExchange".r.findAllIn(plan).size >= 2, plan)
+  }
 }

@@ -228,6 +228,40 @@ class MaxScoreSpec extends SparkTestBase {
     assert(norm(rBig.rows) == norm(plainBig))
   }
 
+  test("re-save over an existing path refreshes meta to the new corpus") {
+    val path = tmp("maxscore_resave")
+    Retrieval.buildTextIndex(
+      Seq((1L, "alpha beta")).toDF("doc_id", "text"),
+      "doc_id", "text", 4).save(path)
+    val m1 = spark.read.parquet(s"$path/term_meta")
+      .filter(F.col("term") === "alpha").agg(F.max("max_tf"))
+      .as[Long].head()
+    assert(m1 == 1L)
+    // new corpus with a higher tf over the SAME path — meta must
+    // describe the new postings, never the old
+    Retrieval.buildTextIndex(
+      Seq((1L, "alpha alpha alpha beta")).toDF("doc_id", "text"),
+      "doc_id", "text", 4).save(path)
+    val m2 = spark.read.parquet(s"$path/term_meta")
+      .filter(F.col("term") === "alpha").agg(F.max("max_tf"))
+      .as[Long].head()
+    assert(m2 == 3L)
+  }
+
+  test("batch MaxScore: integer query ids survive the fallback union") {
+    val path = tmp("maxscore_intq")
+    Retrieval.buildTextIndex(corpus(40).toDF("doc_id", "text"),
+      "doc_id", "text", 8).save(path)
+    val qdfInt = Seq((5, Seq("rarex", "filler")))
+      .toDF("query_id", "terms") // INT ids
+    val r = Retrieval.bm25TopKBatchMaxScore(spark, path, qdfInt, 39,
+      maxTailShare = 0.05)
+    assert(r.fallbackQueries == Seq(5L))
+    assert(r.rows.select("query_id").distinct()
+      .as[Long].collect().toSeq == Seq(5L))
+    assert(r.rows.count() > 0)
+  }
+
   test("ragStream: streamed answers equal the one-shot batch composition") {
     val path = tmp("ragstream_idx")
     val out = tmp("ragstream_out")
