@@ -8264,6 +8264,73 @@ object SparkEntry {
         .orderBy("query_term", "rank")
     }),
 
+    // query-likelihood ranking (Dirichlet mu=300): the LM-based
+    // alternative to BM25, rank-equivalent decomposition over matched
+    // postings with the exact corpus token total as the collection
+    // model. Ranks pinned (top-16 gaps measured >= 8.5e-4 at both SFs,
+    // no zero gaps); indexed_same pins the saved-index probe (exact
+    // dlSum) equal to the one-shot row for row.
+    "q_retrieval_ql" -> ((s: SparkSession, dir: String) => {
+      val rt = graft.pipeline.Retrieval
+      val d = t(s, dir, "documents")
+      val q = Seq("slow", "merge", "window")
+      val oneShot = rt.queryLikelihoodTopK(d, "doc_id", "text", q, 10)
+      val probed = rt.queryLikelihoodTopKIndexed(
+        rt.buildTextIndex(d, "doc_id", "text", 16), q, 10)
+      def rows(df: org.apache.spark.sql.DataFrame) = df
+        .select("rank", "id", "score", "tf_total", "n_terms_hit")
+        .collect().map(x => (x.getInt(0), x.getLong(1), x.getDouble(2),
+          x.getLong(3), x.getLong(4))).sortBy(_._1).toSeq
+      val (a, b) = (rows(oneShot), rows(probed))
+      val same = a.size == b.size && a.zip(b).forall { case (x, y) =>
+        x._1 == y._1 && x._2 == y._2 && math.abs(x._3 - y._3) < 1e-9 &&
+        x._4 == y._4 && x._5 == y._5
+      }
+      oneShot.select(F.col("rank").cast("long").as("rank"),
+          F.col("id").as("doc_id"), F.col("tf_total"),
+          F.col("n_terms_hit"))
+        .withColumn("indexed_same", F.lit(same))
+        .orderBy("rank")
+    }),
+
+    // search facet panel: per-facet-value counts over the MATCHED set
+    // (both source and lang panels in one output) — exact integers,
+    // full SQL replay
+    "q_retrieval_facets" -> ((s: SparkSession, dir: String) => {
+      val d = t(s, dir, "documents")
+      val idx = graft.pipeline.Retrieval.buildTextIndex(
+        d, "doc_id", "text", buckets = 32)
+      val q = Seq("slow", "merge", "window")
+      def panel(col: String) = graft.pipeline.Retrieval
+        .facetCounts(idx, q, d, "doc_id", col, 30)
+        .select(F.lit(col).as("facet"), F.col(col).as("value"),
+          F.col("n_docs"))
+      panel("source").unionByName(panel("lang"))
+        .orderBy("facet", "value")
+    }),
+
+    // did-you-mean composition: spell-correct two typo'd terms against
+    // the term dictionary (top suggestion each), then retrieve with
+    // the corrected query — BOTH stages replay in SQL (the correction
+    // is all-integer argmin; corrected-query top-11 gaps measured
+    // >= 1.0e-4 at both SFs, no zero gaps)
+    "q_retrieval_didyoumean" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val d = t(s, dir, "documents")
+      val idx = graft.pipeline.Retrieval.buildIndex(d, "doc_id", "text")
+      val sidx = graft.pipeline.Spelling.buildSpellIndex(
+        graft.pipeline.Spelling.termDictionary(idx), 2)
+      val corrected = graft.pipeline.Spelling.suggestBatch(sidx,
+          Seq("mergi", "windoq"), 2, 1)
+        .select("term").as[String].collect().toSeq.distinct.sorted
+      graft.pipeline.Retrieval.bm25TopK(d, "doc_id", "text", corrected, 10)
+        .select(F.col("rank").cast("long").as("rank"),
+          F.col("id").as("doc_id"), F.col("tf_total"),
+          F.col("n_terms_hit"))
+        .withColumn("corrected", F.lit(corrected.mkString(" ")))
+        .orderBy("rank")
+    }),
+
     // Porter-stemmed retrieval: every doc carries ONE planted
     // morphological variant (zzmerge/zzmerges/zzmerged/zzmerging by
     // doc_id % 4 — the zz prefix is absent from the 31-token natural
@@ -12362,6 +12429,72 @@ object SparkEntry {
           |           ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
           |         doc_id, tf_total, n_terms_hit FROM scored) t
           |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+      "q_retrieval_ql" ->
+        """WITH f AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+          |                    x -> len(x) > 0) AS w FROM documents),
+          |dl AS (SELECT doc_id, len(w) AS dl FROM f WHERE len(w) > 0),
+          |toks AS (SELECT doc_id, unnest(w) AS term FROM f),
+          |post AS (SELECT term, doc_id, count(*) AS tf FROM toks
+          |         WHERE term IN ('slow', 'merge', 'window') GROUP BY 1, 2),
+          |coll AS (SELECT CAST(sum(dl) AS DOUBLE) AS c FROM dl),
+          |cf AS (SELECT term, CAST(sum(tf) AS DOUBLE) AS cfv FROM post GROUP BY 1),
+          |scored AS (
+          |  SELECT p.doc_id,
+          |         sum(ln(1 + p.tf / (300.0 * cf.cfv / coll.c))) +
+          |           3 * ln(300.0 / (d.dl + 300.0)) AS score,
+          |         CAST(sum(p.tf) AS BIGINT) AS tf_total,
+          |         CAST(count(*) AS BIGINT) AS n_terms_hit
+          |  FROM post p JOIN cf USING (term) JOIN dl d USING (doc_id)
+          |  CROSS JOIN coll GROUP BY p.doc_id, d.dl)
+          |SELECT rank, doc_id, tf_total, n_terms_hit, true AS indexed_same
+          |FROM (
+          |  SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+          |         doc_id, tf_total, n_terms_hit FROM scored) t
+          |WHERE rank <= 10 ORDER BY rank""".stripMargin,
+      "q_retrieval_facets" ->
+        """WITH f AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+          |                    x -> len(x) > 0) AS w FROM documents),
+          |toks AS (SELECT doc_id, unnest(w) AS term FROM f),
+          |hit AS (SELECT DISTINCT doc_id FROM toks
+          |        WHERE term IN ('slow', 'merge', 'window')),
+          |m AS (SELECT d.source, d.lang FROM documents d JOIN hit USING (doc_id))
+          |SELECT facet, value, n_docs FROM (
+          |  SELECT 'source' AS facet, source AS value,
+          |         CAST(count(*) AS BIGINT) AS n_docs FROM m GROUP BY 2
+          |  UNION ALL
+          |  SELECT 'lang' AS facet, lang AS value,
+          |         CAST(count(*) AS BIGINT) AS n_docs FROM m GROUP BY 2) t
+          |ORDER BY facet, value""".stripMargin,
+      "q_retrieval_didyoumean" ->
+        """WITH f AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+          |                    x -> len(x) > 0) AS w FROM documents),
+          |dl AS (SELECT doc_id, len(w) AS dl FROM f WHERE len(w) > 0),
+          |toks AS (SELECT doc_id, unnest(w) AS term FROM f),
+          |dict AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+          |typos AS (SELECT * FROM (VALUES ('mergi'), ('windoq')) v(qt)),
+          |sugg AS (SELECT qt, term, row_number() OVER (PARTITION BY qt
+          |           ORDER BY levenshtein(qt, term), df DESC, term) AS rk
+          |         FROM dict CROSS JOIN typos
+          |         WHERE levenshtein(qt, term) <= 2),
+          |corrected AS (SELECT DISTINCT term FROM sugg WHERE rk = 1),
+          |cstr AS (SELECT string_agg(term, ' ' ORDER BY term) AS c FROM corrected),
+          |post AS (SELECT term, doc_id, count(*) AS tf FROM toks
+          |         WHERE term IN (SELECT term FROM corrected) GROUP BY 1, 2),
+          |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+          |dfs AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+          |scored AS (
+          |  SELECT p.doc_id,
+          |         sum(ln(1 + (s.n - f2.df + 0.5) / (f2.df + 0.5)) * p.tf * 2.2 /
+          |             (p.tf + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl))) AS score,
+          |         CAST(sum(p.tf) AS BIGINT) AS tf_total,
+          |         CAST(count(*) AS BIGINT) AS n_terms_hit
+          |  FROM post p JOIN dfs f2 USING (term) JOIN dl d USING (doc_id)
+          |  CROSS JOIN stats s GROUP BY 1)
+          |SELECT rank, doc_id, tf_total, n_terms_hit, cstr.c AS corrected
+          |FROM (
+          |  SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+          |         doc_id, tf_total, n_terms_hit FROM scored) t
+          |CROSS JOIN cstr WHERE rank <= 10 ORDER BY rank""".stripMargin,
       "q_retrieval_spell" ->
         """WITH f AS (SELECT doc_id, list_filter(string_split_regex(lower(
           |     text || CASE WHEN doc_id % 5 = 0 THEN ' mergia' ELSE '' END

@@ -2126,6 +2126,125 @@ object Retrieval {
       ()
     }
 
+  /**
+   * Query-likelihood ranking with Dirichlet smoothing (Ponte & Croft's
+   * language-model retrieval in the Zhai & Lafferty smoothed form) —
+   * the classic probabilistic alternative to BM25:
+   *
+   *   P(q|d) ∝ Σ_{t ∈ q∩d} ln(1 + tf / (μ · cf_t / |C|))
+   *            + |q| · ln(μ / (dl + μ))
+   *
+   * (the rank-equivalent decomposition: only MATCHED postings are
+   * scanned; the document-length prior rides the per-doc group; the
+   * rank-constant Σ ln P(t|C) is dropped). cf_t is the COLLECTION
+   * frequency (Σ tf over the corpus) and |C| the exact corpus token
+   * total — both derive the way BM25's dfs do: cf from the matched
+   * postings at query time, |C| from the index's exact `dlSum`
+   * (never a float mean). Documents matching no query term are
+   * excluded (their ranking would be a pure shortest-document prior).
+   *
+   * Scale shape identical to [[bm25Scores]]: map-side postings
+   * filter (partition-pruned on a saved index), broadcast cf/stats,
+   * one per-document sum, TakeOrdered top-k.
+   */
+  def queryLikelihoodTopK(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      queryTerms: Seq[String],
+      k: Int,
+      mu: Double = 300.0): DataFrame = {
+    val index = buildIndex(docs, idCol, textCol)
+    val stats = index.select(F.col("id"), F.col("dl")).distinct()
+      .agg(F.sum(F.col("dl")).cast("double").as("c_total"))
+    rankTopK(qlScores(index, stats, queryTerms, mu), k)
+      .select(F.col("rank"), F.col("id"), F.col("score"),
+        F.col("tf_total"), F.col("n_terms_hit"))
+  }
+
+  /** [[queryLikelihoodTopK]] against a saved [[TextIndex]] —
+    * bucket-pruned postings, exact `dlSum` as the collection total. */
+  def queryLikelihoodTopKIndexed(
+      idx: TextIndex,
+      queryTerms: Seq[String],
+      k: Int,
+      mu: Double = 300.0): DataFrame = {
+    require(idx.dlSum >= 0, "queryLikelihoodTopKIndexed: index lacks dlSum")
+    val spark = idx.postings.sparkSession
+    import spark.implicits._
+    val q = queryTerms.map(_.toLowerCase).distinct
+    val qBuckets = q.map(t => localTermBucket(t, idx.buckets)).distinct
+    val pruned = idx.postings
+      .filter(F.col("__bucket").isin(qBuckets: _*))
+    val stats = Seq(idx.dlSum.toDouble).toDF("c_total")
+    rankTopK(qlScores(pruned, stats, q, mu), k)
+      .select(F.col("rank"), F.col("id"), F.col("score"),
+        F.col("tf_total"), F.col("n_terms_hit"))
+  }
+
+  private def qlScores(
+      index: DataFrame,
+      stats: DataFrame,
+      queryTerms: Seq[String],
+      mu: Double): DataFrame = {
+    val q = queryTerms.map(_.toLowerCase).distinct
+    require(q.nonEmpty, "qlScores: empty query")
+    val matched = index.filter(F.col("term").isin(q: _*))
+    // collection frequencies from the matched postings (the df rule)
+    val cfs = matched.groupBy("term")
+      .agg(F.sum(F.col("tf")).cast("double").as("cf"))
+    matched
+      .join(F.broadcast(cfs), "term")
+      .crossJoin(F.broadcast(stats))
+      .withColumn("__w",
+        F.log(F.lit(1.0) +
+          F.col("tf") / (F.lit(mu) * F.col("cf") / F.col("c_total"))))
+      .groupBy(F.col("id"), F.col("dl"))
+      .agg(F.sum(F.col("__w")).as("__sum"),
+        F.sum(F.col("tf")).as("tf_total"),
+        F.count(F.lit(1)).as("n_terms_hit"))
+      .withColumn("score",
+        F.col("__sum") + F.lit(q.length.toDouble) *
+          F.log(F.lit(mu) / (F.col("dl") + F.lit(mu))))
+      .select("id", "score", "tf_total", "n_terms_hit")
+  }
+
+  /**
+   * Facet panel over the MATCHED set (not the top-k): for each value
+   * of `facetCol` among documents matching >= 1 query term, the
+   * matched-document count — what a search UI renders next to the
+   * results. Returns (facet value column, n_docs) for the `topN` most
+   * frequent values, ties by value.
+   *
+   * Scale shape: the postings probe partition-prunes to the query
+   * terms' buckets (a saved [[TextIndex]]); the matched-id set
+   * semi-joins the document table (broadcast when small, and the
+   * facet column alone is read thanks to column pruning); one grouped
+   * count. Counts are EXACT integers — the panel replays in SQL
+   * verbatim. For corpus-scale facet cardinalities compose the
+   * matched semi-join with the `topk_agg` sketch instead.
+   */
+  def facetCounts(
+      idx: TextIndex,
+      queryTerms: Seq[String],
+      docs: DataFrame,
+      idCol: String,
+      facetCol: String,
+      topN: Int): DataFrame = {
+    require(queryTerms.nonEmpty, "facetCounts: empty query")
+    val q = queryTerms.map(_.toLowerCase).distinct
+    val qBuckets = q.map(t => localTermBucket(t, idx.buckets)).distinct
+    val ids = idx.postings
+      .filter(F.col("__bucket").isin(qBuckets: _*))
+      .filter(F.col("term").isin(q: _*))
+      .select(F.col("id").as(idCol)).distinct()
+    docs.join(ids, Seq(idCol), "left_semi")
+      .groupBy(F.col(facetCol))
+      .agg(F.count(F.lit(1)).as("n_docs"))
+      .orderBy(F.col("n_docs").desc, F.col(facetCol).asc)
+      .limit(topN)
+  }
+
   // ---------------------------------------------------------------- //
   // Phrase matching                                                   //
   // ---------------------------------------------------------------- //

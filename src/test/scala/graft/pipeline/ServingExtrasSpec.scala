@@ -129,6 +129,65 @@ class SpellingSpec extends SparkTestBase {
   }
 }
 
+class QuerylikelihoodSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("QL Dirichlet matches a straight-scala reference; indexed == one-shot") {
+    val corpus = Seq(
+      1L -> "merge merge window fast",
+      2L -> "merge slow slow",
+      3L -> "window window window merge slow",
+      4L -> "other words entirely")
+    val docs = corpus.toDF("doc_id", "text")
+    val q = Seq("merge", "slow")
+    val mu = 300.0
+    // reference
+    val toks = corpus.map { case (id, t) => id -> t.split(" ").toSeq }.toMap
+    val cTotal = toks.values.map(_.size).sum.toDouble
+    val cf = q.map(t => t -> toks.values.map(_.count(_ == t)).sum.toDouble).toMap
+    val want = toks.flatMap { case (id, ts) =>
+      val matched = q.filter(t => ts.contains(t))
+      if (matched.isEmpty) None
+      else Some(id -> (matched.map { t =>
+        math.log(1 + ts.count(_ == t) / (mu * cf(t) / cTotal))
+      }.sum + q.length * math.log(mu / (ts.size + mu))))
+    }
+    val got = Retrieval.queryLikelihoodTopK(docs, "doc_id", "text", q, 10)
+      .select("id", "score").as[(Long, Double)].collect().toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (id, s) => assert(math.abs(got(id) - s) < 1e-12, s"id $id") }
+    val probed = Retrieval.queryLikelihoodTopKIndexed(
+      Retrieval.buildTextIndex(docs, "doc_id", "text", 4), q, 10)
+      .select("id", "score").as[(Long, Double)].collect().toMap
+    want.foreach { case (id, s) => assert(math.abs(probed(id) - s) < 1e-12) }
+    // longer doc with the same matched profile scores lower (dl prior)
+    assert(got(2L) > got(3L) || toks(2L).size >= toks(3L).size)
+  }
+}
+
+class FacetsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("facetCounts: exact matched-set counts, ordered, topN-capped") {
+    val docs = Seq(
+      (1L, "merge conflicts", "web", "en"),
+      (2L, "merge tools", "web", "de"),
+      (3L, "window functions", "wiki", "en"),
+      (4L, "nothing relevant", "wiki", "en"),
+      (5L, null.asInstanceOf[String], "web", "en")
+    ).toDF("doc_id", "text", "source", "lang")
+    val idx = Retrieval.buildTextIndex(docs, "doc_id", "text", 8)
+    val out = Retrieval.facetCounts(idx, Seq("merge", "window"), docs,
+      "doc_id", "source", 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    // matched: 1, 2 (web), 3 (wiki); doc 4 unmatched, doc 5 null text
+    assert(out == Seq("web" -> 2L, "wiki" -> 1L))
+    val top1 = Retrieval.facetCounts(idx, Seq("merge", "window"), docs,
+      "doc_id", "lang", 1).collect()
+    assert(top1.length == 1 && top1.head.getString(0) == "en")
+  }
+}
+
 class MaxSimSpec extends SparkTestBase {
   import spark.implicits._
 
