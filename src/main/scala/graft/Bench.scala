@@ -1406,6 +1406,55 @@ object Bench {
       Seq((p.pieces.size, m0.pieces.size)).toDF("pruned", "full")
     }),
 
+    // query-likelihood probe of the persisted index (the LM ranking
+    // alternative — same partition-pruned scan shape as b_bm25_query)
+    "b_retrieval_ql" -> ((s: SparkSession, dir: String) => {
+      val idx = textIndexCache.getOrElseUpdate(dir, {
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_bench_tidx").toString
+        graft.pipeline.Retrieval
+          .buildTextIndex(t(s, dir, "documents"), "doc_id", "text", buckets = 64)
+          .save(path)
+        graft.pipeline.Retrieval.loadTextIndex(s, path)
+      })
+      graft.pipeline.Retrieval.queryLikelihoodTopKIndexed(
+        idx, Seq("slow", "merge", "window"), 10)
+    }),
+
+    // facet panel over the matched set (probe + semi-join + grouped
+    // count on the cached persisted index)
+    "b_retrieval_facets" -> ((s: SparkSession, dir: String) => {
+      val idx = textIndexCache.getOrElseUpdate(dir, {
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_bench_tidx").toString
+        graft.pipeline.Retrieval
+          .buildTextIndex(t(s, dir, "documents"), "doc_id", "text", buckets = 64)
+          .save(path)
+        graft.pipeline.Retrieval.loadTextIndex(s, path)
+      })
+      graft.pipeline.Retrieval.facetCounts(idx,
+        Seq("slow", "merge", "window"), t(s, dir, "documents"),
+        "doc_id", "source", 30)
+    }),
+
+    // two-stage dense serving: lead-vector cosine first stage ->
+    // MaxSim rerank of the bounded pool
+    "b_pipeline_colbert" -> ((s: SparkSession, dir: String) => {
+      val emb = t(s, dir, "embeddings")
+      val dv = emb.select(
+        F.floor(F.col("vec_id") / 4).cast("long").as("doc_id"),
+        F.col("vec_id"), F.col("embedding"))
+      val cand = graft.pipeline.Similarity.bruteForceTopK(
+          emb, emb.filter(F.col("vec_id") === 0), "vec_id", "embedding", 30)
+        .select(F.floor(F.col("neighbor_id") / 4).cast("long").as("doc_id"))
+        .distinct()
+        .select(F.lit(0L).as("query_id"), F.col("doc_id"))
+      val qv = emb.filter(F.col("vec_id") < 4)
+        .select(F.lit(0L).as("query_id"), F.col("vec_id"),
+          F.col("embedding"))
+      graft.pipeline.Similarity.maxSimRerank(cand, qv, dv, 10)
+    }),
+
     // best-window snippet extraction: map-side postings filter + one
     // per-doc group + a two-pointer kernel over sorted hit offsets
     "b_retrieval_snippet" -> ((s: SparkSession, dir: String) =>

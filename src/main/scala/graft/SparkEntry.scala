@@ -8331,6 +8331,35 @@ object SparkEntry {
         .orderBy("rank")
     }),
 
+    // two-stage dense serving (the ColBERT pattern): a single-vector
+    // first stage (the query's lead vector, cosine top-30) bounds the
+    // candidate pool; MaxSim late interaction reranks the pool. Both
+    // stages replay in SQL over exact float32 inputs — first-stage
+    // boundary gap >= 2.8e-5, rerank gaps >= 7.3e-4 at both SFs;
+    // planted identity (the query IS group 0) pins rank 1.
+    "q_pipeline_colbert" -> ((s: SparkSession, dir: String) => {
+      val emb = t(s, dir, "embeddings")
+      val dv = emb.select(
+        F.floor(F.col("vec_id") / 4).cast("long").as("doc_id"),
+        F.col("vec_id"), F.col("embedding"))
+      val firstStage = graft.pipeline.Similarity.bruteForceTopK(
+          emb, emb.filter(F.col("vec_id") === 0), "vec_id", "embedding", 30)
+        .select(F.floor(F.col("neighbor_id") / 4).cast("long").as("doc_id"))
+        .distinct()
+      val cand = firstStage
+        .unionByName(s.range(0, 1).select(F.col("id").as("doc_id")))
+        .distinct()
+        .select(F.lit(0L).as("query_id"), F.col("doc_id"))
+      val nCand = cand.count()
+      val qv = emb.filter(F.col("vec_id") < 4)
+        .select(F.lit(0L).as("query_id"), F.col("vec_id"),
+          F.col("embedding"))
+      graft.pipeline.Similarity.maxSimRerank(cand, qv, dv, 10)
+        .select(F.col("rank").cast("long").as("rank"), F.col("doc_id"))
+        .withColumn("n_cand", F.lit(nCand))
+        .orderBy("rank")
+    }),
+
     // Porter-stemmed retrieval: every doc carries ONE planted
     // morphological variant (zzmerge/zzmerges/zzmerged/zzmerging by
     // doc_id % 4 — the zz prefix is absent from the 31-token natural
@@ -12429,6 +12458,34 @@ object SparkEntry {
           |           ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
           |         doc_id, tf_total, n_terms_hit FROM scored) t
           |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+      "q_pipeline_colbert" ->
+        """WITH flat AS (SELECT vec_id, vec_id // 4 AS gid, r.i AS i, embedding[r.i] AS x
+          |              FROM embeddings, range(1, 65) r(i)),
+          |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS n FROM flat GROUP BY 1),
+          |dots AS (SELECT c.vec_id AS nid, sum(q.x * c.x) AS dot
+          |         FROM flat q JOIN flat c ON q.i = c.i
+          |         WHERE q.vec_id = 0 AND c.vec_id <> 0 GROUP BY 1),
+          |cos0 AS (SELECT nid, dot / (nq.n * nc.n) AS c
+          |         FROM dots JOIN norms nq ON nq.vec_id = 0
+          |                   JOIN norms nc ON nid = nc.vec_id),
+          |fst AS (SELECT nid, row_number() OVER (ORDER BY c DESC, nid) rk FROM cos0),
+          |cand AS (SELECT DISTINCT nid // 4 AS gid FROM fst WHERE rk <= 30
+          |         UNION SELECT 0),
+          |nc2 AS (SELECT CAST(count(*) AS BIGINT) AS n_cand FROM cand),
+          |qdots AS (SELECT q.vec_id AS qv, c.vec_id AS dv, c.gid AS gid,
+          |                 sum(q.x * c.x) AS dot
+          |          FROM flat q JOIN flat c ON q.i = c.i
+          |          WHERE q.gid = 0 AND c.gid IN (SELECT gid FROM cand)
+          |          GROUP BY 1, 2, 3),
+          |qcos AS (SELECT qv, gid, dot / (nq.n * nc.n) AS c
+          |         FROM qdots JOIN norms nq ON qv = nq.vec_id
+          |                    JOIN norms nc ON dv = nc.vec_id),
+          |mx AS (SELECT qv, gid, max(c) AS m FROM qcos GROUP BY 1, 2),
+          |sc AS (SELECT gid, sum(m) AS score FROM mx GROUP BY 1)
+          |SELECT rank, doc_id, nc2.n_cand FROM (
+          |  SELECT CAST(row_number() OVER (ORDER BY score DESC, gid) AS BIGINT) AS rank,
+          |         gid AS doc_id FROM sc) t CROSS JOIN nc2
+          |WHERE rank <= 10 ORDER BY rank""".stripMargin,
       "q_retrieval_ql" ->
         """WITH f AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
           |                    x -> len(x) > 0) AS w FROM documents),
