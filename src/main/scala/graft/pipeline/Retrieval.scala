@@ -2193,18 +2193,26 @@ object Retrieval {
     // collection frequencies from the matched postings (the df rule)
     val cfs = matched.groupBy("term")
       .agg(F.sum(F.col("tf")).cast("double").as("cf"))
+    // the document-length prior multiplies the IN-CORPUS query term
+    // count (the standard OOV convention: a term with P(t|C) = 0 has
+    // no smoothed probability and drops from the query — counting it
+    // in the prior would re-weight documents by length for a term no
+    // document can match). Derived in-plan (one broadcast row), no
+    // extra action.
+    val nq = cfs.agg(F.count(F.lit(1)).cast("double").as("n_q"))
     matched
       .join(F.broadcast(cfs), "term")
       .crossJoin(F.broadcast(stats))
+      .crossJoin(F.broadcast(nq))
       .withColumn("__w",
         F.log(F.lit(1.0) +
           F.col("tf") / (F.lit(mu) * F.col("cf") / F.col("c_total"))))
-      .groupBy(F.col("id"), F.col("dl"))
+      .groupBy(F.col("id"), F.col("dl"), F.col("n_q"))
       .agg(F.sum(F.col("__w")).as("__sum"),
         F.sum(F.col("tf")).as("tf_total"),
         F.count(F.lit(1)).as("n_terms_hit"))
       .withColumn("score",
-        F.col("__sum") + F.lit(q.length.toDouble) *
+        F.col("__sum") + F.col("n_q") *
           F.log(F.lit(mu) / (F.col("dl") + F.lit(mu))))
       .select("id", "score", "tf_total", "n_terms_hit")
   }

@@ -163,6 +163,22 @@ class QuerylikelihoodSpec extends SparkTestBase {
     // longer doc with the same matched profile scores lower (dl prior)
     assert(got(2L) > got(3L) || toks(2L).size >= toks(3L).size)
   }
+
+  test("QL drops out-of-corpus query terms from the dl prior") {
+    val docs = Seq(1L -> "merge window", 2L -> "merge tools here today")
+      .toDF("doc_id", "text")
+    // "zzoov" matches nothing: scores must equal the 1-term query
+    val withOov = Retrieval.queryLikelihoodTopK(docs, "doc_id", "text",
+      Seq("merge", "zzoov"), 10)
+      .select("id", "score").as[(Long, Double)].collect().toMap
+    val without = Retrieval.queryLikelihoodTopK(docs, "doc_id", "text",
+      Seq("merge"), 10)
+      .select("id", "score").as[(Long, Double)].collect().toMap
+    assert(withOov.keySet == without.keySet)
+    withOov.foreach { case (id, s) =>
+      assert(math.abs(s - without(id)) < 1e-12, s"id $id")
+    }
+  }
 }
 
 class FacetsSpec extends SparkTestBase {
