@@ -8293,6 +8293,66 @@ object SparkEntry {
         .orderBy("rank")
     }),
 
+    // deep pagination (search_after): page 2 from page 1's cursor —
+    // page_rank replays as global ranks 11-20 (top-21 adjacent gaps
+    // measured >= 1.1e-5 at both SFs in the hybrid work, same query);
+    // pages_exact pins page1 ∪ page2 ≡ top-20 row for row
+    "q_retrieval_page" -> ((s: SparkSession, dir: String) => {
+      val rt = graft.pipeline.Retrieval
+      val idx = rt.buildTextIndex(t(s, dir, "documents"), "doc_id",
+        "text", 16)
+      val q = Seq("slow", "merge", "window")
+      val page1 = rt.bm25TopKIndexed(idx, q, 10)
+        .collect().sortBy(_.getInt(0))
+      val cur = page1.last
+      val page2 = rt.bm25TopKAfter(idx, q, 10,
+        cur.getDouble(2), cur.getLong(1))
+      val both = (page1.map(r => r.getLong(1)) ++
+        page2.collect().sortBy(_.getInt(0)).map(_.getLong(1))).toSeq
+      val top20 = rt.bm25TopKIndexed(idx, q, 20)
+        .collect().sortBy(_.getInt(0)).map(_.getLong(1)).toSeq
+      val pagesExact = both == top20
+      page2.select(F.col("rank").cast("long").as("page_rank"),
+          F.col("id").as("doc_id"), F.col("tf_total"),
+          F.col("n_terms_hit"))
+        .withColumn("pages_exact", F.lit(pagesExact))
+        .orderBy("page_rank")
+    }),
+
+    // boolean-structured retrieval (should/must/must_not): scored on
+    // should ∪ must, qualified by the must/mustNot clauses — full SQL
+    // replay; filtered top-11 gaps >= 3.5e-4 nonzero at both SFs, the
+    // one zero-gap pair is identical-profile (the q_retrieval_batch
+    // rule)
+    "q_retrieval_boolean" -> ((s: SparkSession, dir: String) => {
+      val rt = graft.pipeline.Retrieval
+      val idx = rt.buildTextIndex(t(s, dir, "documents"), "doc_id",
+        "text", 16)
+      rt.bm25TopKBoolean(idx, should = Seq("slow", "window"),
+          must = Seq("merge"), mustNot = Seq("hash"), 10)
+        .select(F.col("rank").cast("long").as("rank"),
+          F.col("id").as("doc_id"), F.col("tf_total"),
+          F.col("n_terms_hit"))
+        .orderBy("rank")
+    }),
+
+    // phrase-filtered ranking ("quoted phrase" semantics): BM25 over
+    // the query terms, candidates restricted to documents containing
+    // the exact adjacent phrase — both the filter and the ranking
+    // replay in SQL (gaps >= 1.0e-4 both SFs, no zeros; the phrase
+    // match set is data-derived on both sides, so regeneration-proof)
+    "q_retrieval_phrase_rank" -> ((s: SparkSession, dir: String) => {
+      val rt = graft.pipeline.Retrieval
+      val idx = rt.buildTextIndex(t(s, dir, "documents"), "doc_id",
+        "text", 16)
+      rt.bm25TopKPhraseFiltered(idx, Seq("slow", "merge", "window"),
+          phrase = Seq("slow", "merge"), 10)
+        .select(F.col("rank").cast("long").as("rank"),
+          F.col("id").as("doc_id"), F.col("tf_total"),
+          F.col("n_terms_hit"))
+        .orderBy("rank")
+    }),
+
     // search facet panel: per-facet-value counts over the MATCHED set
     // (both source and lang panels in one output) — exact integers,
     // full SQL replay
@@ -12507,6 +12567,80 @@ object SparkEntry {
           |FROM (
           |  SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
           |         doc_id, tf_total, n_terms_hit FROM scored) t
+          |WHERE rank <= 10 ORDER BY rank""".stripMargin,
+      "q_retrieval_page" ->
+        """WITH f AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+          |                    x -> len(x) > 0) AS w FROM documents),
+          |dl AS (SELECT doc_id, len(w) AS dl FROM f WHERE len(w) > 0),
+          |toks AS (SELECT doc_id, unnest(w) AS term FROM f),
+          |post AS (SELECT term, doc_id, count(*) AS tf FROM toks
+          |         WHERE term IN ('slow', 'merge', 'window') GROUP BY 1, 2),
+          |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+          |dfs AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+          |scored AS (
+          |  SELECT p.doc_id,
+          |         sum(ln(1 + (s.n - f2.df + 0.5) / (f2.df + 0.5)) * p.tf * 2.2 /
+          |             (p.tf + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl))) AS score,
+          |         CAST(sum(p.tf) AS BIGINT) AS tf_total,
+          |         CAST(count(*) AS BIGINT) AS n_terms_hit
+          |  FROM post p JOIN dfs f2 USING (term) JOIN dl d USING (doc_id)
+          |  CROSS JOIN stats s GROUP BY 1)
+          |SELECT CAST(rank - 10 AS BIGINT) AS page_rank, doc_id,
+          |       tf_total, n_terms_hit, true AS pages_exact
+          |FROM (
+          |  SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
+          |         doc_id, tf_total, n_terms_hit FROM scored) t
+          |WHERE rank BETWEEN 11 AND 20 ORDER BY page_rank""".stripMargin,
+      "q_retrieval_boolean" ->
+        """WITH f AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+          |                    x -> len(x) > 0) AS w FROM documents),
+          |dl AS (SELECT doc_id, len(w) AS dl FROM f WHERE len(w) > 0),
+          |toks AS (SELECT doc_id, unnest(w) AS term FROM f),
+          |post AS (SELECT term, doc_id, count(*) AS tf FROM toks
+          |         WHERE term IN ('slow', 'window', 'merge') GROUP BY 1, 2),
+          |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+          |dfs AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+          |scored AS (
+          |  SELECT p.doc_id,
+          |         sum(ln(1 + (s.n - f2.df + 0.5) / (f2.df + 0.5)) * p.tf * 2.2 /
+          |             (p.tf + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl))) AS score,
+          |         CAST(sum(p.tf) AS BIGINT) AS tf_total,
+          |         CAST(count(*) AS BIGINT) AS n_terms_hit
+          |  FROM post p JOIN dfs f2 USING (term) JOIN dl d USING (doc_id)
+          |  CROSS JOIN stats s GROUP BY 1),
+          |flt AS (SELECT s2.* FROM scored s2
+          |        WHERE s2.doc_id IN (SELECT doc_id FROM post WHERE term = 'merge')
+          |          AND s2.doc_id NOT IN (SELECT DISTINCT doc_id FROM toks
+          |                                WHERE term = 'hash'))
+          |SELECT rank, doc_id, tf_total, n_terms_hit FROM (
+          |  SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+          |         doc_id, tf_total, n_terms_hit FROM flt) t
+          |WHERE rank <= 10 ORDER BY rank""".stripMargin,
+      "q_retrieval_phrase_rank" ->
+        """WITH f AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+          |                    x -> len(x) > 0) AS w FROM documents),
+          |dl AS (SELECT doc_id, len(w) AS dl FROM f WHERE len(w) > 0),
+          |toks AS (SELECT doc_id, unnest(w) AS term FROM f),
+          |post AS (SELECT term, doc_id, count(*) AS tf FROM toks
+          |         WHERE term IN ('slow', 'merge', 'window') GROUP BY 1, 2),
+          |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+          |dfs AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+          |scored AS (
+          |  SELECT p.doc_id,
+          |         sum(ln(1 + (s.n - f2.df + 0.5) / (f2.df + 0.5)) * p.tf * 2.2 /
+          |             (p.tf + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl))) AS score,
+          |         CAST(sum(p.tf) AS BIGINT) AS tf_total,
+          |         CAST(count(*) AS BIGINT) AS n_terms_hit
+          |  FROM post p JOIN dfs f2 USING (term) JOIN dl d USING (doc_id)
+          |  CROSS JOIN stats s GROUP BY 1),
+          |ph AS (SELECT doc_id FROM (
+          |         SELECT doc_id, len(list_filter(range(1, len(w)),
+          |                  i -> w[i] = 'slow' AND w[i+1] = 'merge')) AS n
+          |         FROM f WHERE len(w) >= 2) q2 WHERE n > 0),
+          |flt AS (SELECT s2.* FROM scored s2 JOIN ph ON s2.doc_id = ph.doc_id)
+          |SELECT rank, doc_id, tf_total, n_terms_hit FROM (
+          |  SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+          |         doc_id, tf_total, n_terms_hit FROM flt) t
           |WHERE rank <= 10 ORDER BY rank""".stripMargin,
       "q_retrieval_facets" ->
         """WITH f AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),

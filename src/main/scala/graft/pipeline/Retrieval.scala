@@ -2127,6 +2127,120 @@ object Retrieval {
     }
 
   /**
+   * Deep pagination (the search_after cursor): the top-k documents
+   * strictly AFTER the cursor (score, id) in (score DESC, id ASC)
+   * order — page N+1 given page N's last row. Cursor pagination stays
+   * O(k) per page where offset pagination re-ranks the whole prefix;
+   * the returned `rank` is within-page (1-based).
+   *
+   * The cursor compare is exact: scores are deterministic per engine
+   * and plan, so the caller feeds back the double it was handed
+   * (never a re-computed or rounded one) and the page boundary cannot
+   * drop or duplicate a document — page1 ∪ page2 ≡ top-2k, the
+   * contract the gate pins.
+   */
+  def bm25TopKAfter(
+      idx: TextIndex,
+      queryTerms: Seq[String],
+      k: Int,
+      afterScore: Double,
+      afterId: Long,
+      k1: Double = DefaultK1,
+      b: Double = DefaultB): DataFrame = {
+    val spark = idx.postings.sparkSession
+    import spark.implicits._
+    val q = queryTerms.map(_.toLowerCase).distinct
+    val qBuckets = q.map(t => localTermBucket(t, idx.buckets)).distinct
+    val pruned = idx.postings
+      .filter(F.col("__bucket").isin(qBuckets.distinct: _*))
+    val stats = Seq((idx.nDocs, idx.avgdl)).toDF("n_docs", "avgdl")
+    val scored = bm25Scores(pruned, stats, q, k1, b)
+      .filter(F.col("score") < afterScore ||
+        (F.col("score") === afterScore && F.col("id") > afterId))
+    rankTopK(scored, k)
+      .select(F.col("rank"), F.col("id"), F.col("score"),
+        F.col("tf_total"), F.col("n_terms_hit"))
+  }
+
+  /**
+   * Boolean-structured BM25 (the Lucene should/must/must_not shape):
+   * `should` and `must` terms all SCORE; a document qualifies only if
+   * it contains EVERY `must` term and NO `mustNot` term. mustNot
+   * documents are excluded before ranking (an anti-join on the
+   * matched mustNot postings); the must constraint is a per-document
+   * distinct-matched-term count equal to |must|.
+   *
+   * Scale shape: one extra bucket-pruned postings pass per clause
+   * family (must count, mustNot ids), both joined back on id —
+   * nothing corpus-sized beyond the probe itself.
+   */
+  def bm25TopKBoolean(
+      idx: TextIndex,
+      should: Seq[String],
+      must: Seq[String],
+      mustNot: Seq[String],
+      k: Int,
+      k1: Double = DefaultK1,
+      b: Double = DefaultB): DataFrame = {
+    val spark = idx.postings.sparkSession
+    import spark.implicits._
+    val scoreTerms = (should ++ must).map(_.toLowerCase).distinct
+    require(scoreTerms.nonEmpty, "bm25TopKBoolean: no scoring terms")
+    val mustL = must.map(_.toLowerCase).distinct
+    val notL = mustNot.map(_.toLowerCase).distinct
+    def prunedFor(terms: Seq[String]) = idx.postings
+      .filter(F.col("__bucket").isin(
+        terms.map(t => localTermBucket(t, idx.buckets)).distinct: _*))
+      .filter(F.col("term").isin(terms: _*))
+    val stats = Seq((idx.nDocs, idx.avgdl)).toDF("n_docs", "avgdl")
+    var scored = bm25Scores(prunedFor(scoreTerms), stats, scoreTerms, k1, b)
+    if (mustL.nonEmpty) {
+      val ok = prunedFor(mustL)
+        .groupBy("id")
+        .agg(F.count_distinct(F.col("term")).as("__m"))
+        .filter(F.col("__m") === mustL.size)
+        .select("id")
+      scored = scored.join(ok, Seq("id"), "left_semi")
+    }
+    if (notL.nonEmpty)
+      scored = scored.join(prunedFor(notL).select("id").distinct(),
+        Seq("id"), "left_anti")
+    rankTopK(scored, k)
+      .select(F.col("rank"), F.col("id"), F.col("score"),
+        F.col("tf_total"), F.col("n_terms_hit"))
+  }
+
+  /**
+   * Phrase-filtered BM25: rank by the query terms, qualify only
+   * documents containing the EXACT phrase (>= 1 occurrence, via
+   * [[phraseCount]]'s positional slot-shift — overlap-counting,
+   * bucket-pruned to the phrase terms). The "must contain the quoted
+   * phrase" search idiom.
+   */
+  def bm25TopKPhraseFiltered(
+      idx: TextIndex,
+      queryTerms: Seq[String],
+      phrase: Seq[String],
+      k: Int,
+      k1: Double = DefaultK1,
+      b: Double = DefaultB): DataFrame = {
+    require(phrase.nonEmpty, "bm25TopKPhraseFiltered: empty phrase")
+    val spark = idx.postings.sparkSession
+    import spark.implicits._
+    val q = queryTerms.map(_.toLowerCase).distinct
+    val p = phrase.map(_.toLowerCase)
+    def prunedFor(terms: Seq[String]) = idx.postings
+      .filter(F.col("__bucket").isin(
+        terms.map(t => localTermBucket(t, idx.buckets)).distinct: _*))
+    val stats = Seq((idx.nDocs, idx.avgdl)).toDF("n_docs", "avgdl")
+    val scored = bm25Scores(prunedFor(q), stats, q, k1, b)
+    val hasPhrase = phraseCount(prunedFor(p.distinct), p).select("id")
+    rankTopK(scored.join(hasPhrase, Seq("id"), "left_semi"), k)
+      .select(F.col("rank"), F.col("id"), F.col("score"),
+        F.col("tf_total"), F.col("n_terms_hit"))
+  }
+
+  /**
    * Query-likelihood ranking with Dirichlet smoothing (Ponte & Croft's
    * language-model retrieval in the Zhai & Lafferty smoothed form) —
    * the classic probabilistic alternative to BM25:

@@ -181,6 +181,70 @@ class QuerylikelihoodSpec extends SparkTestBase {
   }
 }
 
+class StructuredQuerySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "slow merge window fast"),
+    (2L, "merge window hash"),
+    (3L, "slow window window"),
+    (4L, "merge slow things"),
+    (5L, "window alone here"),
+    (6L, "slow merge again slow merge")
+  ).toDF("doc_id", "text")
+
+  private def idx = Retrieval.buildTextIndex(docs, "doc_id", "text", 4)
+
+  test("search_after: pages partition the full ranking exactly") {
+    val q = Seq("slow", "merge", "window")
+    val all = Retrieval.bm25TopKIndexed(idx, q, 100)
+      .collect().sortBy(_.getInt(0))
+    val page1 = all.take(2)
+    val cur = page1.last
+    val page2 = Retrieval.bm25TopKAfter(idx, q, 2,
+      cur.getDouble(2), cur.getLong(1))
+      .collect().sortBy(_.getInt(0))
+    assert(page2.map(_.getLong(1)).toSeq == all.slice(2, 4).map(_.getLong(1)).toSeq)
+    // a cursor mid-tie must not drop or duplicate the tied sibling
+    val page3 = Retrieval.bm25TopKAfter(idx, q, 100,
+      page2.last.getDouble(2), page2.last.getLong(1))
+      .collect().sortBy(_.getInt(0))
+    assert((page1 ++ page2 ++ page3).map(_.getLong(1)).toSeq ==
+      all.map(_.getLong(1)).toSeq)
+  }
+
+  test("boolean: must requires ALL terms, mustNot excludes, should scores") {
+    val out = Retrieval.bm25TopKBoolean(idx,
+      should = Seq("window"), must = Seq("slow", "merge"),
+      mustNot = Seq("hash"), 10)
+      .select("id").as[Long].collect().toSet
+    // must slow AND merge: docs 1, 4, 6; mustNot hash removes none of
+    // those; doc 2 (merge, hash, no slow) excluded twice over
+    assert(out == Set(1L, 4L, 6L))
+    // mustNot alone
+    val out2 = Retrieval.bm25TopKBoolean(idx,
+      should = Seq("window"), must = Nil, mustNot = Seq("merge"), 10)
+      .select("id").as[Long].collect().toSet
+    assert(out2 == Set(3L, 5L))
+  }
+
+  test("phrase filter: adjacency required, ranking unchanged otherwise") {
+    val out = Retrieval.bm25TopKPhraseFiltered(idx,
+      Seq("slow", "merge", "window"), phrase = Seq("slow", "merge"), 10)
+      .select("id").as[Long].collect().toSet
+    // "slow merge" adjacent: docs 1 and 6 only (doc 4 has "merge slow")
+    assert(out == Set(1L, 6L))
+    // the kept docs rank exactly as in the unfiltered ranking order
+    val full = Retrieval.bm25TopKIndexed(idx,
+      Seq("slow", "merge", "window"), 10)
+      .collect().sortBy(_.getInt(0)).map(_.getLong(1)).filter(out)
+    val got = Retrieval.bm25TopKPhraseFiltered(idx,
+      Seq("slow", "merge", "window"), Seq("slow", "merge"), 10)
+      .collect().sortBy(_.getInt(0)).map(_.getLong(1))
+    assert(got.toSeq == full.toSeq)
+  }
+}
+
 class FacetsSpec extends SparkTestBase {
   import spark.implicits._
 
