@@ -8979,6 +8979,206 @@ object SparkEntry {
           t(s, dir, "documents"), "source", "n_chars", "doc_id")
         .select(F.col("doc_id"), F.col("source"), F.col("ord"))
         .orderBy("doc_id")
+    }),
+
+    // more-like-this: the source doc's 4 most distinctive terms by the
+    // ALL-INTEGER (df asc, tf desc, term asc) ranking become a BM25
+    // query excluding the source — term selection replays exactly in
+    // SQL; result ranks pinned by the q_bm25 rule (gaps measured at
+    // both SFs before trusting)
+    "q_retrieval_mlt" -> ((s: SparkSession, dir: String) => {
+      val d = t(s, dir, "documents")
+      val srcText = d.filter(F.col("doc_id") === 5L)
+        .select("text").head.getString(0)
+      val idx = graft.pipeline.Retrieval.buildTextIndex(
+        d, "doc_id", "text", buckets = 32)
+      graft.pipeline.Serving.moreLikeThisTopK(idx, 5L, srcText,
+          mTerms = 4, k = 10)
+        .select(F.col("rank").cast("long").as("rank"),
+          F.col("id").as("doc_id"), F.col("tf_total"),
+          F.col("n_terms_hit"), F.col("query"))
+        .orderBy("rank")
+    }),
+
+    // prefix completion: (df desc, term asc) top-k per prefix — all
+    // integer, full SQL replay; persisted probe == from-index pinned
+    // as a boolean
+    "q_retrieval_complete" -> ((s: SparkSession, dir: String) => {
+      val d = t(s, dir, "documents")
+      val idx = graft.pipeline.Retrieval.buildTextIndex(
+        d, "doc_id", "text", buckets = 32)
+      val tmp = System.getProperty("java.io.tmpdir") + "/graft_q_complete"
+      val fs = new org.apache.hadoop.fs.Path(tmp)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      idx.save(s"$tmp/idx")
+      graft.pipeline.Serving.saveCompletionIndex(s, s"$tmp/idx", s"$tmp/cmp")
+      def leg(p: String) = {
+        val persisted = graft.pipeline.Serving.completeTopK(s, s"$tmp/cmp", p, 8)
+        val adhoc = graft.pipeline.Serving.completionsFromIndex(idx, p, 8)
+        val same = persisted.collect().map(_.toSeq).toSeq ==
+          adhoc.collect().map(_.toSeq).toSeq
+        persisted.withColumn("prefix", F.lit(p))
+          .withColumn("persisted_same", F.lit(same))
+      }
+      leg("s").unionByName(leg("me"))
+        .select(F.col("prefix"), F.col("rank").cast("long").as("rank"),
+          F.col("term"), F.col("df"), F.col("persisted_same"))
+        .orderBy("prefix", "rank")
+    }),
+
+    // field collapsing: best-ranked doc per `source` group from a
+    // 40-deep BM25 pool, groups re-ranked by representative rank —
+    // the collapse is all-integer over the pinned pool ranking
+    // (documents.source is null-free at both SFs)
+    "q_retrieval_collapse" -> ((s: SparkSession, dir: String) => {
+      val d = t(s, dir, "documents")
+      val pool = graft.pipeline.Retrieval.bm25TopK(
+        d, "doc_id", "text", Seq("slow", "merge", "window"), 40)
+      graft.pipeline.Serving.collapseTopK(
+          pool, d.select(F.col("doc_id").as("id"), F.col("source")),
+          "id", "source", 8)
+        .select(F.col("collapsed_rank").cast("long").as("collapsed_rank"),
+          F.col("group").as("grp"), F.col("rank").cast("long").as("pool_rank"),
+          F.col("id").as("doc_id"))
+        .orderBy("collapsed_rank")
+    }),
+
+    // federated sharded search: 3 independent shard indexes merged
+    // with EXACT global statistics (summed long stats deltas, dfs
+    // from the union of per-shard matches) — equals the monolithic
+    // probe, so the oracle is q_bm25's verbatim
+    "q_retrieval_sharded" -> ((s: SparkSession, dir: String) => {
+      val d = t(s, dir, "documents")
+      val tmp = System.getProperty("java.io.tmpdir") + "/graft_q_sharded"
+      val fs = new org.apache.hadoop.fs.Path(tmp)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      graft.pipeline.Serving.saveShardedTextIndex(
+        d, "doc_id", "text", tmp, shards = 3, buckets = 32)
+      graft.pipeline.Serving.bm25TopKSharded(
+          s, tmp, Seq("slow", "merge", "window"), 10)
+        .select(F.col("rank").cast("long").as("rank"),
+          F.col("id").as("doc_id"), F.col("tf_total"), F.col("n_terms_hit"))
+        .orderBy("rank")
+    }),
+
+    // Matryoshka dim-prefix retrieval: coarse over the first d' dims,
+    // exact full-dim rerank — q_ann_binary's exactness contracts
+    // (pool-exhaustive == brute force row for row; persisted prefix
+    // table == one-shot; planted copies rank 1 — a prefix of a copy
+    // is a copy, so the coarse pass can never miss one)
+    "q_ann_matryoshka" -> ((s: SparkSession, dir: String) => {
+      val mk = graft.pipeline.Matryoshka
+      val emb = t(s, dir, "embeddings").filter(F.col("embedding").isNotNull)
+        .select(F.col("vec_id").cast("long").as("vec_id"), F.col("embedding"))
+      val copies = emb.filter(F.col("vec_id") < 5)
+        .select((F.col("vec_id") + 100000L).as("vec_id"), F.col("embedding"))
+      val corpus = emb.unionByName(copies)
+      val planted = mk.truncatedTopK(corpus, copies, "vec_id", "embedding",
+        dPrime = 4, k = 3, poolSize = 50).collect()
+      val top1 = planted.filter(_.getAs[Int]("rank") == 1)
+      val copyOk = top1.length == 5 && top1.forall(r =>
+        r.getAs[Long]("neighbor_id") == r.getAs[Long]("query_id") - 100000L &&
+        math.abs(r.getAs[Double]("cos") - 1.0) < 1e-6)
+      val queries = emb.filter(F.col("vec_id") < 10)
+      def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Int, Long)] = df
+        .select("query_id", "rank", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      val exact = pairs(graft.pipeline.Similarity
+        .bruteForceTopK(emb, queries, "vec_id", "embedding", 5))
+      val exhaustive = pairs(mk.truncatedTopK(emb, queries, "vec_id",
+        "embedding", 8, 5, poolSize = 1 << 20))
+      val pooled = pairs(mk.truncatedTopK(emb, queries, "vec_id", "embedding",
+        8, 5, poolSize = 500))
+      val indexed = pairs(mk.truncatedTopKIndexed(
+        mk.buildTruncatedTable(emb, "vec_id", "embedding", 8),
+        emb, queries, "vec_id", "embedding", 8, 5, poolSize = 500))
+      s.range(1).select(
+        F.lit(planted.length.toLong).as("n_rows"),
+        F.lit(copyOk).as("copies_rank1"),
+        F.lit(exhaustive == exact).as("pool_exhaustive_exact"),
+        F.lit(indexed == pooled).as("indexed_exact"))
+    }),
+
+    // manifest-keyed result cache: miss -> hit -> mutation
+    // invalidates (file-listing state token) -> refreshed result sees
+    // the appended doc -> hit again; rows identical across miss/hit
+    "q_serving_cache" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val d = t(s, dir, "documents")
+      val tmp = System.getProperty("java.io.tmpdir") + "/graft_q_cache"
+      val fs = new org.apache.hadoop.fs.Path(tmp)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      val ipath = s"$tmp/idx"; val cpath = s"$tmp/cache"
+      graft.pipeline.Retrieval.buildTextIndex(d, "doc_id", "text", 32)
+        .save(ipath)
+      val q = Seq("slow", "merge", "window")
+      val sv = graft.pipeline.Serving
+      val r1 = sv.cachedTopK(s, cpath, ipath, q, 10)
+      val r2 = sv.cachedTopK(s, cpath, ipath, q, 10)
+      val rowsSame = r1.rows.orderBy("rank").collect().map(_.toSeq).toSeq ==
+        r2.rows.orderBy("rank").collect().map(_.toSeq).toSeq
+      val otherMiss = !sv.cachedTopK(s, cpath, ipath, Seq("window"), 5).hit
+      graft.pipeline.Retrieval.appendToTextIndex(s, ipath,
+        Seq((10000000L, "slow slow slow merge merge window"))
+          .toDF("doc_id", "text"), "doc_id", "text")
+      val r3 = sv.cachedTopK(s, cpath, ipath, q, 10)
+      val newDocRanked = r3.rows.filter(F.col("id") === 10000000L).count() == 1
+      val r4 = sv.cachedTopK(s, cpath, ipath, q, 10)
+      s.range(1).select(
+        F.lit(!r1.hit).as("first_miss"),
+        F.lit(r2.hit && r2.token == r1.token).as("second_hit"),
+        F.lit(rowsSame).as("rows_same"),
+        F.lit(otherMiss).as("other_query_miss"),
+        F.lit(!r3.hit && r3.token != r1.token).as("mutation_invalidates"),
+        F.lit(newDocRanked).as("new_doc_ranked"),
+        F.lit(r4.hit).as("refreshed_hit"))
+    }),
+
+    // paired randomization significance test: per-query integer
+    // metrics (hit counts per doc_id%12 stratum), 200 deterministic
+    // md5 sign assignments — the whole test replays exactly in SQL
+    // (integer sums, one final division)
+    "q_eval_significance" -> ((s: SparkSession, dir: String) => {
+      val d = t(s, dir, "documents")
+      val toks = d.select(F.col("doc_id"),
+          F.explode(F.split(F.lower(F.col("text")), "\\s+")).as("term"))
+        .filter(F.length(F.col("term")) > 0)
+      def hits(term: String) = toks.filter(F.col("term") === term)
+        .select("doc_id").distinct()
+        .groupBy((F.col("doc_id") % 12).as("g"))
+        .agg(F.count(F.lit(1)).as("n"))
+      val grid = s.range(0, 12).select(F.col("id").as("g"))
+      val perQ = grid
+        .join(hits("slow").withColumnRenamed("n", "a"), Seq("g"), "left")
+        .join(hits("merge").withColumnRenamed("n", "b"), Seq("g"), "left")
+        .select(F.col("g"),
+          F.coalesce(F.col("a"), F.lit(0L)).cast("double").as("ma"),
+          F.coalesce(F.col("b"), F.lit(0L)).cast("double").as("mb"))
+      graft.pipeline.Eval.pairedRandomizationTest(
+          perQ, "g", "ma", "mb", reps = 200, seed = "sig14")
+        .select(F.col("n_queries"), F.col("obs_diff"), F.col("reps"),
+          F.col("n_ge"), F.col("p_value"))
+    }),
+
+    // static impact-ordered pruning: the kept postings are the
+    // (tf desc, id asc) per-term prefix — all-integer, exact SQL
+    // replay; corpus stats unchanged; the pruned probe still fills k
+    "q_index_prune" -> ((s: SparkSession, dir: String) => {
+      val d = t(s, dir, "documents")
+      val idx = graft.pipeline.Retrieval.buildTextIndex(
+        d, "doc_id", "text", buckets = 32)
+      val p = graft.pipeline.Retrieval.prunedTextIndex(idx, 20)
+      val statsKept = p.nDocs == idx.nDocs && p.dlSum == idx.dlSum
+      val probeFull = graft.pipeline.Retrieval.bm25TopKIndexed(
+        p, Seq("slow", "merge"), 10).count() == 10L
+      p.postings.filter(F.col("term").isin("slow", "merge"))
+        .select(F.col("term"), F.col("id").as("doc_id"), F.col("tf"))
+        .withColumn("stats_kept", F.lit(statsKept))
+        .withColumn("probe_full", F.lit(probeFull))
+        .orderBy("term", "doc_id")
     })
   )
 
@@ -13136,7 +13336,124 @@ object SparkEntry {
           |      FROM documents)
           |SELECT r.doc_id, r.source, CAST(r.r * idx.s + idx.si AS BIGINT) AS ord
           |FROM r JOIN idx ON r.source = idx.st
-          |ORDER BY r.doc_id""".stripMargin)
+          |ORDER BY r.doc_id""".stripMargin,
+      "q_retrieval_mlt" ->
+        """WITH f AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+          |                    x -> len(x) > 0) AS w FROM documents),
+          |dl AS (SELECT doc_id, len(w) AS dl FROM f WHERE len(w) > 0),
+          |toks AS (SELECT doc_id, unnest(w) AS term FROM f),
+          |src AS (SELECT term, count(*) AS tf FROM toks WHERE doc_id = 5 GROUP BY 1),
+          |dfs0 AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+          |sel AS (SELECT s.term, row_number() OVER (ORDER BY d.df, s.tf DESC, s.term) AS rk
+          |        FROM src s JOIN dfs0 d USING (term)),
+          |qstr AS (SELECT string_agg(term, ' ' ORDER BY rk) AS q FROM sel WHERE rk <= 4),
+          |post AS (SELECT term, doc_id, count(*) AS tf FROM toks
+          |         WHERE term IN (SELECT term FROM sel WHERE rk <= 4) GROUP BY 1, 2),
+          |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+          |dfs AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+          |scored AS (
+          |  SELECT p.doc_id,
+          |         sum(ln(1 + (s.n - f2.df + 0.5) / (f2.df + 0.5)) * p.tf * 2.2 /
+          |             (p.tf + 1.2 * (0.25 + 0.75 * d2.dl / s.avgdl))) AS score,
+          |         CAST(sum(p.tf) AS BIGINT) AS tf_total,
+          |         CAST(count(*) AS BIGINT) AS n_terms_hit
+          |  FROM post p JOIN dfs f2 USING (term) JOIN dl d2 USING (doc_id)
+          |  CROSS JOIN stats s WHERE p.doc_id <> 5 GROUP BY 1)
+          |SELECT rank, doc_id, tf_total, n_terms_hit, qstr.q AS query FROM (
+          |  SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+          |         doc_id, tf_total, n_terms_hit FROM scored) t
+          |CROSS JOIN qstr WHERE rank <= 10 ORDER BY rank""".stripMargin,
+      "q_retrieval_complete" ->
+        """WITH f AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+          |                    x -> len(x) > 0) AS w FROM documents),
+          |toks AS (SELECT doc_id, unnest(w) AS term FROM f),
+          |dict AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+          |         FROM toks GROUP BY 1),
+          |ps AS (SELECT * FROM (VALUES ('s'), ('me')) v(prefix)),
+          |ranked AS (SELECT p.prefix, d.term, d.df,
+          |             row_number() OVER (PARTITION BY p.prefix
+          |                                ORDER BY d.df DESC, d.term) AS rk
+          |           FROM dict d JOIN ps p ON d.term LIKE p.prefix || '%')
+          |SELECT prefix, CAST(rk AS BIGINT) AS rank, term, df,
+          |       true AS persisted_same
+          |FROM ranked WHERE rk <= 8 ORDER BY prefix, rank""".stripMargin,
+      "q_retrieval_collapse" ->
+        """WITH f AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+          |                    x -> len(x) > 0) AS w FROM documents),
+          |dl AS (SELECT doc_id, len(w) AS dl FROM f WHERE len(w) > 0),
+          |toks AS (SELECT doc_id, unnest(w) AS term FROM f),
+          |post AS (SELECT term, doc_id, count(*) AS tf FROM toks
+          |         WHERE term IN ('slow', 'merge', 'window') GROUP BY 1, 2),
+          |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+          |dfs AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+          |scored AS (
+          |  SELECT p.doc_id,
+          |         sum(ln(1 + (s.n - f2.df + 0.5) / (f2.df + 0.5)) * p.tf * 2.2 /
+          |             (p.tf + 1.2 * (0.25 + 0.75 * d2.dl / s.avgdl))) AS score
+          |  FROM post p JOIN dfs f2 USING (term) JOIN dl d2 USING (doc_id)
+          |  CROSS JOIN stats s GROUP BY 1),
+          |pool AS (SELECT rank, doc_id FROM (
+          |  SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+          |         doc_id FROM scored) t WHERE rank <= 40),
+          |withg AS (SELECT p.rank, p.doc_id, d.source AS grp
+          |          FROM pool p JOIN documents d USING (doc_id)),
+          |reps AS (SELECT grp, rank, doc_id,
+          |           row_number() OVER (PARTITION BY grp ORDER BY rank) AS wi
+          |         FROM withg)
+          |SELECT collapsed_rank, grp, pool_rank, doc_id FROM (
+          |  SELECT CAST(row_number() OVER (ORDER BY rank) AS BIGINT) AS collapsed_rank,
+          |         grp, rank AS pool_rank, doc_id
+          |  FROM reps WHERE wi = 1) t
+          |WHERE collapsed_rank <= 8 ORDER BY collapsed_rank""".stripMargin,
+      "q_ann_matryoshka" ->
+        """SELECT CAST(15 AS BIGINT) AS n_rows, true AS copies_rank1,
+          |  true AS pool_exhaustive_exact, true AS indexed_exact""".stripMargin,
+      "q_serving_cache" ->
+        """SELECT true AS first_miss, true AS second_hit, true AS rows_same,
+          |  true AS other_query_miss, true AS mutation_invalidates,
+          |  true AS new_doc_ranked, true AS refreshed_hit""".stripMargin,
+      "q_eval_significance" ->
+        """WITH f AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+          |                    x -> len(x) > 0) AS w FROM documents),
+          |toks AS (SELECT doc_id, unnest(w) AS term FROM f),
+          |dq AS (SELECT doc_id,
+          |         max(CASE WHEN term = 'slow' THEN 1 ELSE 0 END) AS hs,
+          |         max(CASE WHEN term = 'merge' THEN 1 ELSE 0 END) AS hm
+          |       FROM toks GROUP BY 1),
+          |gm AS (SELECT gg.g,
+          |         coalesce(sum(q.hs), 0) AS ma, coalesce(sum(q.hm), 0) AS mb
+          |       FROM generate_series(0, 11) gg(g)
+          |       LEFT JOIN (SELECT doc_id % 12 AS g2, hs, hm FROM dq) q
+          |         ON gg.g = q.g2
+          |       GROUP BY 1),
+          |obs AS (SELECT CAST(count(*) AS BIGINT) AS n_queries,
+          |               CAST(sum(ma - mb) AS DOUBLE) AS obs_diff FROM gm),
+          |sums AS (SELECT r.r,
+          |           sum(CASE WHEN substr(md5('sig14:' || CAST(r.r AS VARCHAR)
+          |                 || ':' || CAST(gm.g AS VARCHAR)), 1, 1)
+          |               IN ('0','2','4','6','8','a','c','e')
+          |               THEN gm.ma - gm.mb ELSE gm.mb - gm.ma END) AS s
+          |         FROM range(1, 201) r(r) CROSS JOIN gm GROUP BY 1),
+          |ge AS (SELECT CAST(count(*) AS BIGINT) AS reps,
+          |         CAST(sum(CASE WHEN abs(CAST(s AS DOUBLE)) >= abs(o.obs_diff)
+          |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_ge
+          |       FROM sums CROSS JOIN obs o)
+          |SELECT o.n_queries, o.obs_diff, g.reps, g.n_ge,
+          |       (CAST(g.n_ge AS DOUBLE) + CAST(1 AS DOUBLE)) /
+          |       (CAST(g.reps AS DOUBLE) + CAST(1 AS DOUBLE)) AS p_value
+          |FROM obs o CROSS JOIN ge g""".stripMargin,
+      "q_index_prune" ->
+        """WITH f AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+          |                    x -> len(x) > 0) AS w FROM documents),
+          |toks AS (SELECT doc_id, unnest(w) AS term FROM f),
+          |post AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf FROM toks
+          |         WHERE term IN ('slow', 'merge') GROUP BY 1, 2),
+          |keep AS (SELECT term, doc_id, tf,
+          |           row_number() OVER (PARTITION BY term
+          |                              ORDER BY tf DESC, doc_id) AS rk
+          |         FROM post)
+          |SELECT term, doc_id, tf, true AS stats_kept, true AS probe_full
+          |FROM keep WHERE rk <= 20 ORDER BY term, doc_id""".stripMargin)
     val m = base ++ extra
     // snapshot-diff sync lands the index a full rebuild would: the
     // probe ranks exactly like q_bm25 over today's corpus (its oracle,
@@ -13145,6 +13462,9 @@ object SparkEntry {
     m + ("q_index_sync" -> m("q_bm25")) +
       ("q_stream_text_index" -> m("q_bm25")) +
       ("q_index_compact" -> m("q_bm25")) +
+      // federated probe merges per-shard postings with exact global
+      // stats — equals the monolithic probe, oracle shared verbatim
+      ("q_retrieval_sharded" -> m("q_bm25")) +
       // the persisted fielded probe ranks exactly like one-shot BM25F
       // (saved exact avgdl, manifest N) — oracle shared verbatim
       ("q_bm25f_indexed" -> m("q_bm25f")) +

@@ -479,4 +479,71 @@ object Eval {
     }
     out.toSeq.toDF("pos", "id", "team")
   }
+
+  // ---------------------------------------------------------------- //
+  // Paired randomization test                                         //
+  // ---------------------------------------------------------------- //
+
+  /**
+   * Paired two-sided randomization (permutation) test for comparing
+   * two systems over a shared query set — the standard significance
+   * test of IR evaluation (Smucker, Allan & Carterette 2007): under
+   * the null the per-query sign of each difference is exchangeable,
+   * so the observed total difference is compared against `reps`
+   * random sign assignments:
+   *
+   *   p = (#{r : |s_r| >= |observed|} + 1) / (reps + 1)
+   *
+   * with s_r = Σ_q ±(a_q - b_q), the add-one form that can never
+   * report p = 0.
+   *
+   * Signs are DETERMINISTIC md5 coins — the low bit of the first hex
+   * digit of md5("seed:rep:query_id") (the [[draftCoin]] convention,
+   * replayable in any engine with md5). Exactness: when the per-query
+   * metrics are integer-valued (hit counts, relevant-found counts —
+   * the recommended form; divide by k only at reporting time), every
+   * signed sum is exact integer arithmetic in doubles and the whole
+   * test replays bit-for-bit cross-engine. Fractional metrics
+   * (nDCG, MRR) make the sums float-order-sensitive — round before
+   * comparing in any cross-engine check.
+   *
+   * Input: one row per query (`query_id`, `metricA`, `metricB`).
+   * Returns one row (n_queries, obs_diff, reps, n_ge, p_value).
+   *
+   * Scale shape: one Q x reps expansion grouped by rep — eval-bounded
+   * (queries in the thousands, reps ~1000); a single shuffle on rep,
+   * then a 1-row aggregate.
+   */
+  def pairedRandomizationTest(
+      perQuery: DataFrame,
+      queryIdCol: String,
+      metricACol: String,
+      metricBCol: String,
+      reps: Int,
+      seed: String): DataFrame = {
+    require(reps > 0, s"reps must be positive, got $reps")
+    val spark = perQuery.sparkSession
+    val base = perQuery.select(
+      F.col(queryIdCol).cast("string").as("__qid"),
+      (F.col(metricACol).cast("double") -
+        F.col(metricBCol).cast("double")).as("__d"))
+    val obsRow = base.agg(F.count(F.lit(1)).as("n_queries"),
+      F.sum(F.col("__d")).as("obs_diff"))
+    val repsDf = spark.range(1, reps + 1L).select(F.col("id").as("__rep"))
+    val coin = F.substring(
+      F.md5(F.concat_ws(":", F.lit(seed), F.col("__rep"), F.col("__qid"))),
+      1, 1).isin("0", "2", "4", "6", "8", "a", "c", "e")
+    val sums = base.crossJoin(repsDf)
+      .withColumn("__sd", F.when(coin, F.col("__d")).otherwise(-F.col("__d")))
+      .groupBy("__rep")
+      .agg(F.sum(F.col("__sd")).as("__s"))
+    sums.crossJoin(F.broadcast(obsRow))
+      .agg(F.first(F.col("n_queries")).as("n_queries"),
+        F.first(F.col("obs_diff")).as("obs_diff"),
+        F.count(F.lit(1)).cast("long").as("reps"),
+        F.sum(F.when(F.abs(F.col("__s")) >= F.abs(F.col("obs_diff")), 1L)
+          .otherwise(0L)).as("n_ge"))
+      .withColumn("p_value",
+        (F.col("n_ge") + F.lit(1.0)) / (F.col("reps") + F.lit(1.0)))
+  }
 }

@@ -1369,6 +1369,73 @@ object Retrieval {
   }
 
   /**
+   * [[bm25TopKIndexed]] with an excluded-id list (the more-like-this
+   * contract: the source document must not answer its own query).
+   * dfs still derive from ALL matched postings — corpus-level
+   * statistics, the [[bm25ScoresFiltered]] discipline — so exclusion
+   * never perturbs surviving documents' scores.
+   */
+  def bm25TopKIndexedExcluding(
+      idx: TextIndex,
+      queryTerms: Seq[String],
+      k: Int,
+      excluded: Seq[Long],
+      k1: Double = DefaultK1,
+      b: Double = DefaultB): DataFrame = {
+    val spark = idx.postings.sparkSession
+    import spark.implicits._
+    val q = queryTerms.map(_.toLowerCase).distinct
+    val qBuckets = q.map(t => localTermBucket(t, idx.buckets))
+    val pruned = idx.postings
+      .filter(F.col("__bucket").isin(qBuckets.distinct: _*))
+    val stats = Seq((idx.nDocs, idx.avgdl)).toDF("n_docs", "avgdl")
+    val scored = bm25Scores(pruned, stats, q, k1, b)
+      .filter(!F.col("id").isin(excluded: _*))
+    rankTopK(scored, k)
+      .select(F.col("rank"), F.col("id"), F.col("score"),
+        F.col("tf_total"), F.col("n_terms_hit"))
+  }
+
+  /** [[rankTopK]] for sibling serving modules ([[Serving]]). */
+  private[pipeline] def rankTopKPublic(scored: DataFrame, k: Int): DataFrame =
+    rankTopK(scored, k)
+
+  /**
+   * Static impact-ordered index pruning (Carmel et al. 2001): keep at
+   * most `keepPerTerm` postings per term — the highest-impact ones,
+   * by (tf DESC, id ASC) — and drop the rest. The pruned index
+   * answers the same probes at a fraction of the postings IO; quality
+   * degrades gracefully because the dropped postings are precisely
+   * the lowest-tf (lowest-weight) ones per term.
+   *
+   * The retained subset is ALL-INTEGER deterministic (tf and id tie
+   * break), so the pruned index is exactly reproducible — and
+   * SQL-replayable — from the full index. Corpus stats (N, avgdl)
+   * stay UNCHANGED (they describe the collection, not the surviving
+   * postings; the [[bm25ScoresFiltered]] corpus-level discipline);
+   * query-time dfs derive from the pruned matched postings, i.e.
+   * df' = min(df, keepPerTerm) — the pruned index is self-consistent,
+   * not a bit-identical scorer of the full one. Stopword-class terms
+   * shrink from millions of postings to `keepPerTerm`; rare terms are
+   * untouched, so top-k overlap vs the unpruned index stays high
+   * (bench telemetry).
+   *
+   * Scale shape: one window partitioned by (bucket, term) — a single
+   * shuffle of the postings at build time, paid once; `.save` the
+   * result for serving.
+   */
+  def prunedTextIndex(idx: TextIndex, keepPerTerm: Int): TextIndex = {
+    require(keepPerTerm > 0, s"keepPerTerm must be positive, got $keepPerTerm")
+    val w = Window.partitionBy(F.col("__bucket"), F.col("term"))
+      .orderBy(F.col("tf").desc, F.col("id").asc)
+    val pruned = idx.postings
+      .withColumn("__pp", F.row_number().over(w))
+      .filter(F.col("__pp") <= keepPerTerm)
+      .drop("__pp")
+    TextIndex(pruned, idx.buckets, idx.nDocs, idx.avgdl, idx.dlSum)
+  }
+
+  /**
    * Metadata-filtered BM25 probe of a saved [[TextIndex]] — the
    * partition-pruned form of [[bm25TopKFiltered]]: the `__bucket`
    * partition filter still cuts the scan to |query terms| of `buckets`

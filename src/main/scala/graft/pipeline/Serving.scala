@@ -1,0 +1,402 @@
+package graft.pipeline
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{DataFrame, SparkSession, functions => F}
+
+import graft.pipeline.Retrieval.TextIndex
+
+/**
+ * Serving-layer compositions over the persisted retrieval indexes:
+ * more-like-this, prefix completion, field collapsing, federated
+ * sharded search, and a manifest-keyed result cache. Everything here
+ * is a composition of the already-audited primitives — the point of
+ * the module is the SERVING CONTRACT each entry pins (exact global
+ * statistics for sharded merge, all-integer term selection for MLT,
+ * deterministic invalidation for the cache), not new kernels.
+ */
+object Serving {
+
+  // ---------------------------------------------------------------- //
+  // More-like-this                                                    //
+  // ---------------------------------------------------------------- //
+
+  /**
+   * The classic "more like this" query composition: pick the source
+   * document's `mTerms` most DISTINCTIVE terms and run a BM25 query
+   * with them, excluding the source document itself.
+   *
+   * Term selection is ALL-INTEGER — terms rank by
+   * (df ASC, tf DESC, term ASC): rare-in-corpus first (rarity is what
+   * makes a term distinctive), frequent-in-doc as the tie-break —
+   * so the selected query replays exactly cross-engine with no float
+   * comparisons (the tf*idf product form would rank by a libm double;
+   * the lexicographic integer form is deterministic by construction).
+   *
+   * Scale shape: the source document's text comes from the CALLER
+   * (one row — a forward lookup, never an id-scan of the inverted
+   * index, whose partitioning is by term bucket and cannot prune on
+   * id); dfs for exactly the doc's distinct terms come from a
+   * partition-pruned probe of those terms' buckets; the final query
+   * is a plain [[Retrieval.bm25TopKIndexed]] probe. Driver state is
+   * bounded by one document's distinct terms.
+   *
+   * Returns (rank, id, score, tf_total, n_terms_hit, query) with the
+   * selected terms joined by ' ' in `query` (ordered by selection
+   * rank) — the source doc never appears.
+   */
+  def moreLikeThisTopK(
+      idx: TextIndex,
+      docId: Long,
+      docText: String,
+      mTerms: Int,
+      k: Int,
+      k1: Double = Retrieval.DefaultK1,
+      b: Double = Retrieval.DefaultB): DataFrame = {
+    require(mTerms > 0, s"mTerms must be positive, got $mTerms")
+    val spark = idx.postings.sparkSession
+    import spark.implicits._
+    // the doc's (term, tf) profile — driver-side, one document
+    val toks = Option(docText).getOrElse("").toLowerCase
+      .split("\\s+").filter(_.nonEmpty)
+    val tfs: Map[String, Long] =
+      toks.groupBy(identity).map { case (t, a) => (t, a.length.toLong) }
+    if (tfs.isEmpty)
+      return spark.emptyDataFrame
+        .withColumn("rank", F.lit(0)).limit(0)
+    val terms = tfs.keys.toSeq
+    val qBuckets =
+      terms.map(t => Retrieval.localTermBucket(t, idx.buckets)).distinct
+    // dfs for exactly these terms: partition-pruned probe
+    val dfRows = idx.postings
+      .filter(F.col("__bucket").isin(qBuckets: _*))
+      .filter(F.col("term").isin(terms: _*))
+      .groupBy("term").agg(F.count(F.lit(1)).as("df"))
+      .collect()
+    val dfMap = dfRows.map(r => (r.getString(0), r.getLong(1))).toMap
+    val ranked = terms
+      .map(t => (t, dfMap.getOrElse(t, 0L), tfs(t)))
+      .sortBy { case (t, df, tf) => (df, -tf, t) }
+      .take(mTerms)
+      .map(_._1)
+    Retrieval.bm25TopKIndexedExcluding(idx, ranked, k, Seq(docId), k1, b)
+      .withColumn("query", F.lit(ranked.mkString(" ")))
+  }
+
+  // ---------------------------------------------------------------- //
+  // Prefix completion (autocomplete)                                  //
+  // ---------------------------------------------------------------- //
+
+  /**
+   * Term dictionary of an index frame as a completion table:
+   * (term, df) with df = the number of documents containing the term
+   * (postings are unique per (term, id), so a plain count is the df).
+   * This is the table [[saveCompletionIndex]] persists and
+   * [[completeTopK]] probes; [[completionsFromIndex]] derives it on
+   * the fly for ad-hoc use.
+   */
+  def completionTable(index: DataFrame): DataFrame =
+    index.groupBy("term").agg(F.count(F.lit(1)).as("df"))
+
+  /**
+   * Persist a completion index derived from a saved [[TextIndex]]:
+   * `path/terms/__p=<first char>/part-*.parquet` rows (term, df).
+   *
+   * The dictionary is REBUILT from the index postings — a term
+   * dictionary is orders of magnitude smaller than its corpus (type
+   * count, not token count), so the rebuild is the honest maintenance
+   * story: re-derive after index mutations rather than carrying a
+   * second delta protocol whose failure modes would need their own
+   * audit. The first-character partitioning makes every prefix probe
+   * a single-directory scan.
+   */
+  def saveCompletionIndex(
+      spark: SparkSession, indexPath: String, outPath: String): Unit = {
+    val idx = Retrieval.loadTextIndex(spark, indexPath)
+    completionTable(idx.postings)
+      .withColumn("__p", F.substring(F.col("term"), 1, 1))
+      .repartition(F.col("__p"))
+      .write.partitionBy("__p").mode("overwrite")
+      .parquet(s"$outPath/terms")
+  }
+
+  /**
+   * Top-k completions of `prefix` from a [[saveCompletionIndex]]
+   * table: terms starting with the prefix, ranked by
+   * (df DESC, term ASC) — all-integer, fully deterministic. Returns
+   * (rank, term, df). The `__p` filter is a partition filter: the
+   * scan touches one directory.
+   */
+  def completeTopK(
+      spark: SparkSession, path: String, prefix: String, k: Int): DataFrame = {
+    require(prefix.nonEmpty, "completeTopK: empty prefix")
+    require(k > 0, s"k must be positive, got $k")
+    val p = prefix.toLowerCase
+    val matched = spark.read.parquet(s"$path/terms")
+      .filter(F.col("__p") === p.substring(0, 1))
+      .filter(F.col("term").startsWith(p))
+    rankCompletions(matched, k)
+  }
+
+  /** Ad-hoc completions straight off a [[TextIndex]] (full dictionary
+    * derivation — one pass over the postings; use the persisted form
+    * for serving). Identical results to [[completeTopK]] over a
+    * completion index built from the same index state. */
+  def completionsFromIndex(idx: TextIndex, prefix: String, k: Int): DataFrame = {
+    require(prefix.nonEmpty, "completionsFromIndex: empty prefix")
+    val p = prefix.toLowerCase
+    rankCompletions(
+      completionTable(idx.postings).filter(F.col("term").startsWith(p)), k)
+  }
+
+  private def rankCompletions(matched: DataFrame, k: Int): DataFrame = {
+    val top = matched.orderBy(F.col("df").desc, F.col("term").asc).limit(k)
+    top.withColumn("rank",
+        F.row_number().over(Window.orderBy(F.col("df").desc, F.col("term").asc)))
+      .select("rank", "term", "df")
+  }
+
+  // ---------------------------------------------------------------- //
+  // Field collapsing                                                  //
+  // ---------------------------------------------------------------- //
+
+  /**
+   * Collapse a ranked result set by a group key (the search-engine
+   * "field collapsing" / dedup-by-site operator): keep the best-ranked
+   * row per group, then re-rank the group representatives and return
+   * the top `k` — one result per group, no near-duplicate pileup.
+   *
+   * `ranked` is any (rank, id, ...) result (rank ties impossible —
+   * row_number semantics); `groups` maps id -> group. Rows whose id
+   * has no group mapping collapse under their own id (coalesce —
+   * ungrouped results are their own representatives, never dropped).
+   * Returns the surviving rows with `group` and `collapsed_rank`
+   * (1-based over groups) plus the original columns.
+   *
+   * The collapse is ALL-INTEGER (min rank per group, re-rank by that
+   * rank) — deterministic given the input ranking; the caller should
+   * rank a candidate pool larger than `k` (pool >= k groups wanted).
+   *
+   * Scale shape: the input is a top-pool result (serving-bounded);
+   * one hash shuffle on group for the min, one bounded window over
+   * <= pool rows for the re-rank.
+   */
+  def collapseTopK(
+      ranked: DataFrame,
+      groups: DataFrame,
+      idCol: String,
+      groupCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val g = groups.select(F.col(idCol).as("id"),
+      F.col(groupCol).cast("string").as("__grp"))
+    val withG = ranked.join(g, Seq("id"), "left")
+      .withColumn("group",
+        F.coalesce(F.col("__grp"), F.col("id").cast("string")))
+      .drop("__grp")
+    val best = Window.partitionBy(F.col("group"))
+      .orderBy(F.col("rank").asc)
+    val reps = withG
+      .withColumn("__within", F.row_number().over(best))
+      .filter(F.col("__within") === 1)
+      .drop("__within")
+    val top = reps.orderBy(F.col("rank").asc).limit(k)
+    top.withColumn("collapsed_rank",
+      F.row_number().over(Window.orderBy(F.col("rank").asc)))
+  }
+
+  // ---------------------------------------------------------------- //
+  // Federated sharded search                                          //
+  // ---------------------------------------------------------------- //
+
+  /**
+   * Save a corpus as `shards` independent [[TextIndex]]es under
+   * `path/shard=<s>/` plus a `_shards.json` manifest — the federated
+   * layout for a corpus too large (or too operationally segmented)
+   * for one index: each shard is built, appended, compacted, and
+   * taken down with the UNCHANGED single-index maintenance machinery,
+   * and [[bm25TopKSharded]] merges probes with EXACT global
+   * statistics.
+   *
+   * Shard assignment is `pmod(xxhash64(id), shards)` — deterministic,
+   * so a document's shard is re-derivable for routing takedowns.
+   * Building loops shard jobs (each a one-pass index build over its
+   * slice); at cluster scale each iteration is an independent job
+   * over a corpus partition, which is exactly how a federated build
+   * is scheduled anyway.
+   */
+  def saveShardedTextIndex(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String,
+      shards: Int,
+      buckets: Int = 64): Unit = {
+    require(shards > 0, s"shards must be positive, got $shards")
+    val spark = docs.sparkSession
+    val tagged = docs.withColumn("__shard",
+      F.pmod(F.xxhash64(F.col(idCol).cast("long")), F.lit(shards.toLong)))
+    (0 until shards).foreach { s =>
+      Retrieval.buildTextIndex(
+          tagged.filter(F.col("__shard") === s.toLong).drop("__shard"),
+          idCol, textCol, buckets)
+        .save(s"$path/shard=$s")
+    }
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$path/_shards.json"), true)
+    out.write(s"""{"shards": $shards, "buckets": $buckets}"""
+      .getBytes("UTF-8"))
+    out.close()
+  }
+
+  /** Shard count of a sharded index root (from `_shards.json`). */
+  def shardCount(spark: SparkSession, path: String): Int = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(new org.apache.hadoop.fs.Path(s"$path/_shards.json"))
+    val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    val m = """"shards"\s*:\s*(\d+)""".r.findFirstMatchIn(body)
+    m.map(_.group(1).toInt).getOrElse(
+      throw new IllegalStateException(s"unreadable _shards.json at $path"))
+  }
+
+  /**
+   * Federated BM25 top-k over a [[saveShardedTextIndex]] root —
+   * EXACTLY equal to probing one monolithic index of the same corpus:
+   *
+   *  - global N and avgdl are the exact long sums of the per-shard
+   *    stats deltas (each shard's (n_delta, dl_delta) rows are exact;
+   *    the division happens once, globally);
+   *  - dfs derive from the UNION of per-shard matched postings —
+   *    and the union of per-shard matches IS the monolithic matched
+   *    set, so the per-term df equals the monolithic count.
+   *
+   * This is the federated-search correction naive score merging gets
+   * wrong (per-shard idfs differ shard to shard; merging per-shard
+   * top-k lists by local score mis-ranks) — shipping matched
+   * POSTINGS (bounded: query terms only, partition-pruned within
+   * every shard) instead of scored lists makes the merge exact.
+   */
+  def bm25TopKSharded(
+      spark: SparkSession,
+      path: String,
+      queryTerms: Seq[String],
+      k: Int,
+      k1: Double = Retrieval.DefaultK1,
+      b: Double = Retrieval.DefaultB): DataFrame = {
+    import spark.implicits._
+    val n = shardCount(spark, path)
+    val idxs = (0 until n).map(s =>
+      Retrieval.loadTextIndex(spark, s"$path/shard=$s"))
+    val q = queryTerms.map(_.toLowerCase).distinct
+    val pruned = idxs.map { idx =>
+      val qb = q.map(t => Retrieval.localTermBucket(t, idx.buckets)).distinct
+      idx.postings.filter(F.col("__bucket").isin(qb: _*))
+        .select("term", "id", "tf", "dl")
+    }.reduce(_ unionByName _)
+    val nDocs = idxs.map(_.nDocs).sum
+    val dlSum = idxs.map(i => math.max(i.dlSum, 0L)).sum
+    val avgdl = if (nDocs <= 0) 0.0 else dlSum.toDouble / nDocs
+    val stats = Seq((nDocs, avgdl)).toDF("n_docs", "avgdl")
+    Retrieval.rankTopKPublic(
+        Retrieval.bm25Scores(pruned, stats, q, k1, b), k)
+      .select(F.col("rank"), F.col("id"), F.col("score"),
+        F.col("tf_total"), F.col("n_terms_hit"))
+  }
+
+  // ---------------------------------------------------------------- //
+  // Manifest-keyed result cache                                       //
+  // ---------------------------------------------------------------- //
+
+  /**
+   * Deterministic state token of an index directory: an xor of
+   * per-file hashes over the recursive (relative path, length)
+   * listing — metadata only, no data scan, so the token costs a
+   * namenode listing at any corpus size. Any append / removal /
+   * compaction / retrain changes the file set (names carry job UUIDs
+   * and batch stamps) and therefore the token; two listings of an
+   * untouched directory always agree.
+   *
+   * This is an INVALIDATION key, not an integrity check: it detects
+   * that maintenance touched the index (so cached results may be
+   * stale), not silent in-place bit flips (which no mutation path
+   * here performs — every writer creates new files).
+   */
+  def indexStateToken(spark: SparkSession, path: String): Long = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return 0L
+    val rootUri = root.toUri.getPath
+    var tok = 0L
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val rel = st.getPath.toUri.getPath.stripPrefix(rootUri)
+      // locks and heartbeats churn without changing query results
+      if (!rel.contains("_maintenance_lock") &&
+          !rel.contains("_compact_lock") &&
+          !rel.contains("_writer_heartbeat")) {
+        val h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashUnsafeBytes2(
+          rel.getBytes("UTF-8"),
+          org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+          rel.getBytes("UTF-8").length, 42)
+        tok ^= (h.toLong << 32) ^ st.getLen
+      }
+    }
+    tok
+  }
+
+  /** [[cachedTopK]]'s result: the rows plus whether they came from
+    * the cache (`hit`) and the index-state token they are valid for. */
+  final case class CachedResult(rows: DataFrame, hit: Boolean, token: Long)
+
+  /**
+   * Result-cached BM25 serving: compute [[Retrieval.bm25TopKIndexed]]
+   * for `(queryTerms, k)` against the index at `indexPath`, caching
+   * the result rows under `cachePath` keyed by (normalized query, k,
+   * [[indexStateToken]]). A repeat call with an UNCHANGED index
+   * returns the cached parquet without touching the index; any
+   * maintenance on the index flips the token and forces a recompute —
+   * the cache can never serve a result the current index would not
+   * produce.
+   *
+   * The cache key file is written AFTER the rows — a crash between
+   * the two leaves a stale/absent key, which reads as a miss (safe:
+   * misses recompute). One writer per cache path (last-writer-wins on
+   * races; both writers hold results valid for their observed token).
+   */
+  def cachedTopK(
+      spark: SparkSession,
+      cachePath: String,
+      indexPath: String,
+      queryTerms: Seq[String],
+      k: Int,
+      k1: Double = Retrieval.DefaultK1,
+      b: Double = Retrieval.DefaultB): CachedResult = {
+    val q = queryTerms.map(_.toLowerCase).distinct.sorted
+    val token = indexStateToken(spark, indexPath)
+    val keyNow = s"""{"q": "${q.mkString(" ")}", "k": $k, "token": $token}"""
+    val fs = new org.apache.hadoop.fs.Path(cachePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val keyFile = new org.apache.hadoop.fs.Path(s"$cachePath/_key.json")
+    val stored =
+      if (!fs.exists(keyFile)) None
+      else {
+        val in = fs.open(keyFile)
+        try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+        finally in.close()
+      }
+    if (stored.contains(keyNow))
+      CachedResult(spark.read.parquet(s"$cachePath/rows"), hit = true, token)
+    else {
+      val idx = Retrieval.loadTextIndex(spark, indexPath)
+      Retrieval.bm25TopKIndexed(idx, queryTerms, k, k1, b)
+        .write.mode("overwrite").parquet(s"$cachePath/rows")
+      val out = fs.create(keyFile, true)
+      out.write(keyNow.getBytes("UTF-8"))
+      out.close()
+      CachedResult(spark.read.parquet(s"$cachePath/rows"), hit = false, token)
+    }
+  }
+}

@@ -1,0 +1,282 @@
+package graft.pipeline
+
+import graft.SparkTestBase
+import org.apache.spark.sql.{functions => F}
+
+/** Serving-layer compositions: more-like-this, completion, collapse,
+  * sharded federation, result cache. */
+class ServingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def tinyCorpus = Seq(
+    (1L, "apple banana banana rare"),
+    (2L, "apple cherry banana"),
+    (3L, "banana cherry date"),
+    (4L, "apple date rare cherry"),
+    (5L, "fig date apple")).toDF("id", "text")
+
+  test("moreLikeThis: all-integer term selection (df asc, tf desc, term asc) and source exclusion") {
+    val idx = Retrieval.buildTextIndex(tinyCorpus, "id", "text", buckets = 8)
+    // doc 1 terms: apple(tf1, df4), banana(tf2, df3), rare(tf1, df2)
+    // rank: rare(df2) < banana(df3) < apple(df4) -> top-2 = rare banana
+    val out = Serving.moreLikeThisTopK(idx, 1L, "apple banana banana rare",
+      mTerms = 2, k = 10).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getAs[String]("query") == "rare banana"))
+    assert(!out.exists(_.getAs[Long]("id") == 1L), "source doc excluded")
+    // doc 4 has rare; docs 2,3 have banana — all surface
+    val ids = out.map(_.getAs[Long]("id")).toSet
+    assert(ids == Set(2L, 3L, 4L))
+  }
+
+  test("moreLikeThis: tf breaks equal-df ties, then term text") {
+    val docs = Seq(
+      (1L, "zz aa zz"),      // zz tf2, aa tf1
+      (2L, "zz aa"), (3L, "zz aa")).toDF("id", "text")
+    val idx = Retrieval.buildTextIndex(docs, "id", "text", buckets = 4)
+    // both terms df=3; zz wins on tf 2>1
+    val out = Serving.moreLikeThisTopK(idx, 1L, "zz aa zz", 1, 5).collect()
+    assert(out.forall(_.getAs[String]("query") == "zz"))
+  }
+
+  test("completion: persisted probe == from-index, (df desc, term asc) order, prefix pruning") {
+    val d = sf("sf0.001", "documents")
+    val idx = Retrieval.buildTextIndex(d, "doc_id", "text", buckets = 16)
+    val tmp = java.nio.file.Files.createTempDirectory("cmpl").toString
+    val ipath = s"$tmp/idx"; val cpath = s"$tmp/complete"
+    idx.save(ipath)
+    Serving.saveCompletionIndex(spark, ipath, cpath)
+    val a = Serving.completeTopK(spark, cpath, "s", 8).collect()
+    val b = Serving.completionsFromIndex(
+      Retrieval.loadTextIndex(spark, ipath), "s", 8).collect()
+    assert(a.map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq ==
+      b.map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq)
+    assert(a.nonEmpty)
+    assert(a.forall(_.getString(1).startsWith("s")))
+    // ranking is df desc then term asc
+    val sorted = a.sortBy(r => (-r.getLong(2), r.getString(1)))
+    assert(a.map(_.getString(1)).toSeq == sorted.map(_.getString(1)).toSeq)
+    // partition pruning: probe plan touches only the __p=s directory
+    val plan = Serving.completeTopK(spark, cpath, "s", 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("__p"), "prefix partition filter present")
+  }
+
+  test("collapse: best rank per group survives, ungrouped self-collapse, k groups") {
+    val ranked = Seq(
+      (1, 10L, 9.0), (2, 11L, 8.0), (3, 12L, 7.0),
+      (4, 13L, 6.0), (5, 14L, 5.0), (6, 15L, 4.0))
+      .toDF("rank", "id", "score")
+    val groups = Seq((10L, "g1"), (11L, "g1"), (12L, "g2"), (14L, "g2"))
+      .toDF("id", "grp") // 13, 15 unmapped -> own groups
+    val out = Serving.collapseTopK(ranked, groups, "id", "grp", 3)
+      .orderBy("collapsed_rank").collect()
+    // reps: g1->10 (rank1), g2->12 (rank3), 13->13 (rank4), 15 (rank6)
+    assert(out.map(r => (r.getAs[Int]("collapsed_rank"), r.getAs[Long]("id")))
+      .toSeq == Seq((1, 10L), (2, 12L), (3, 13L)))
+  }
+
+  test("sharded probe == monolithic probe (exact global stats, union dfs)") {
+    val d = sf("sf0.001", "documents")
+    val tmp = java.nio.file.Files.createTempDirectory("shard").toString
+    Serving.saveShardedTextIndex(d, "doc_id", "text", tmp, shards = 3,
+      buckets = 16)
+    val single = Retrieval.buildTextIndex(d, "doc_id", "text", buckets = 16)
+    val q = Seq("slow", "merge", "window")
+    val a = Serving.bm25TopKSharded(spark, tmp, q, 15).collect()
+    val b = Retrieval.bm25TopKIndexed(single, q, 15).collect()
+    assert(a.length == b.length && a.nonEmpty)
+    a.zip(b).foreach { case (x, y) =>
+      assert(x.getAs[Int]("rank") == y.getAs[Int]("rank"))
+      assert(x.getAs[Long]("id") == y.getAs[Long]("id"))
+      assert(math.abs(x.getAs[Double]("score") - y.getAs[Double]("score")) < 1e-9)
+    }
+    // exact global stats: sum of shard stats == monolithic stats
+    val n = (0 until 3)
+      .map(s => Retrieval.loadTextIndex(spark, s"$tmp/shard=$s"))
+    assert(n.map(_.nDocs).sum == single.nDocs)
+    assert(n.map(_.dlSum).sum == single.dlSum)
+  }
+
+  test("cache: miss then hit, identical rows, mutation invalidates") {
+    val tmp = java.nio.file.Files.createTempDirectory("cache").toString
+    val ipath = s"$tmp/idx"; val cpath = s"$tmp/cache"
+    Retrieval.buildTextIndex(tinyCorpus, "id", "text", buckets = 4).save(ipath)
+    val q = Seq("apple", "banana")
+    val r1 = Serving.cachedTopK(spark, cpath, ipath, q, 5)
+    assert(!r1.hit)
+    val r2 = Serving.cachedTopK(spark, cpath, ipath, q, 5)
+    assert(r2.hit)
+    assert(r2.token == r1.token)
+    val rows1 = r1.rows.orderBy("rank").collect().map(_.toSeq).toSeq
+    val rows2 = r2.rows.orderBy("rank").collect().map(_.toSeq).toSeq
+    assert(rows1 == rows2)
+    // a different query (same index) is its own key -> miss
+    assert(!Serving.cachedTopK(spark, cpath, ipath, Seq("cherry"), 5).hit)
+    // index mutation flips the token -> forced recompute picks up doc 6
+    Retrieval.appendToTextIndex(spark, ipath,
+      Seq((6L, "apple apple apple banana")).toDF("id", "text"), "id", "text")
+    val r3 = Serving.cachedTopK(spark, cpath, ipath, q, 5)
+    assert(!r3.hit)
+    assert(r3.token != r1.token)
+    assert(r3.rows.filter(F.col("id") === 6L).count() == 1)
+    assert(Serving.cachedTopK(spark, cpath, ipath, q, 5).hit)
+  }
+
+  test("indexStateToken: stable on unchanged dir, ignores lock churn") {
+    val tmp = java.nio.file.Files.createTempDirectory("tok").toString
+    Retrieval.buildTextIndex(tinyCorpus, "id", "text", buckets = 4).save(tmp)
+    val t1 = Serving.indexStateToken(spark, tmp)
+    val t2 = Serving.indexStateToken(spark, tmp)
+    assert(t1 == t2)
+    // lock/heartbeat files do not perturb the token
+    val fs = new org.apache.hadoop.fs.Path(tmp)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hb = new org.apache.hadoop.fs.Path(s"$tmp/_writer_heartbeat")
+    val out = fs.create(hb, true); out.write("x".getBytes); out.close()
+    assert(Serving.indexStateToken(spark, tmp) == t1)
+  }
+}
+
+/** Matryoshka dim-prefix coarse + exact rerank. */
+class MatryoshkaSpec extends SparkTestBase {
+
+  test("pool >= corpus: truncated probe == bruteForceTopK row-for-row") {
+    val emb = sf("sf0.001", "embeddings")
+    val queries = emb.filter(F.col("vec_id") % 37 === 0).limit(4)
+    val n = emb.count().toInt
+    val a = Matryoshka.truncatedTopK(emb, queries, "vec_id", "embedding",
+      dPrime = 8, k = 10, poolSize = n + 1)
+      .orderBy("query_id", "rank").collect()
+    val b = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 10)
+      .orderBy("query_id", "rank").collect()
+    assert(a.length == b.length && a.nonEmpty)
+    a.zip(b).foreach { case (x, y) =>
+      assert(x.getAs[Long]("query_id") == y.getAs[Long]("query_id"))
+      assert(x.getAs[Int]("rank") == y.getAs[Int]("rank"))
+      assert(x.getAs[Long]("neighbor_id") == y.getAs[Long]("neighbor_id"))
+      assert(math.abs(x.getAs[Double]("cos") - y.getAs[Double]("cos")) < 1e-12)
+    }
+  }
+
+  test("bounded pool: planted exact copy is rank 1 (prefix of a copy is a copy)") {
+    import spark.implicits._
+    val emb = sf("sf0.001", "embeddings")
+      .select(F.col("vec_id").cast("long").as("vec_id"), F.col("embedding"))
+    val src = emb.filter(F.col("vec_id") === 3L)
+      .select(F.lit(100000L).as("vec_id"), F.col("embedding"))
+    val corpus = emb.unionByName(src)
+    val out = Matryoshka.truncatedTopKIndexed(
+      Matryoshka.buildTruncatedTable(corpus, "vec_id", "embedding", 4),
+      corpus, emb.filter(F.col("vec_id") === 3L), "vec_id", "embedding",
+      dPrime = 4, k = 5, poolSize = 50).collect()
+    val top = out.filter(_.getAs[Int]("rank") == 1).head
+    assert(top.getAs[Long]("neighbor_id") == 100000L)
+    assert(math.abs(top.getAs[Double]("cos") - 1.0) < 1e-6)
+  }
+
+  test("truncate slices the dim prefix") {
+    import spark.implicits._
+    val df = Seq((1L, Seq(1f, 2f, 3f, 4f))).toDF("id", "v")
+    val t = Matryoshka.buildTruncatedTable(df, "id", "v", 2)
+      .select("tvec").collect().head.getSeq[Float](0)
+    assert(t == Seq(1f, 2f))
+  }
+}
+
+/** Paired randomization significance test. */
+class SignificanceSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def coin(seed: String, rep: Long, qid: String): Boolean = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$seed:$rep:$qid".getBytes("UTF-8"))
+    (((md(0) >> 4) & 0xf) % 2) == 0
+  }
+
+  test("replays the exact integer form: p matches a driver-side replay") {
+    val perQ = Seq(("q1", 4.0, 2.0), ("q2", 3.0, 3.0), ("q3", 5.0, 1.0),
+      ("q4", 2.0, 4.0), ("q5", 4.0, 0.0)).toDF("qid", "a", "b")
+    val reps = 64
+    val out = Eval.pairedRandomizationTest(perQ, "qid", "a", "b", reps, "s7")
+      .collect().head
+    val diffs = Map("q1" -> 2.0, "q2" -> 0.0, "q3" -> 4.0,
+      "q4" -> -2.0, "q5" -> 4.0)
+    val obs = diffs.values.sum
+    val nGe = (1 to reps).count { r =>
+      val s = diffs.map { case (q, d) =>
+        if (coin("s7", r.toLong, q)) d else -d }.sum
+      math.abs(s) >= math.abs(obs)
+    }
+    assert(out.getAs[Long]("n_queries") == 5L)
+    assert(math.abs(out.getAs[Double]("obs_diff") - obs) < 1e-12)
+    assert(out.getAs[Long]("n_ge") == nGe.toLong)
+    assert(math.abs(out.getAs[Double]("p_value") -
+      (nGe + 1.0) / (reps + 1.0)) < 1e-12)
+  }
+
+  test("identical systems: obs 0, every signed sum qualifies, p = 1") {
+    val perQ = (1 to 10).map(i => (s"q$i", 3.0, 3.0)).toDF("qid", "a", "b")
+    val out = Eval.pairedRandomizationTest(perQ, "qid", "a", "b", 100, "s")
+      .collect().head
+    assert(out.getAs[Double]("obs_diff") == 0.0)
+    assert(out.getAs[Double]("p_value") == 1.0)
+  }
+
+  test("dominant one-sided difference: minimal p = 1/(reps+1) is rare") {
+    // every query favors A by the same amount: only the all-heads and
+    // all-tails assignments tie |obs| -> p is small but never 0
+    val perQ = (1 to 12).map(i => (s"q$i", 5.0, 1.0)).toDF("qid", "a", "b")
+    val out = Eval.pairedRandomizationTest(perQ, "qid", "a", "b", 500, "sig")
+      .collect().head
+    assert(out.getAs[Double]("p_value") < 0.05)
+    assert(out.getAs[Double]("p_value") >= 1.0 / 501.0)
+  }
+}
+
+/** Static impact-ordered index pruning. */
+class PrunedIndexSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("pruned postings are the (tf desc, id asc) per-term prefix; stats unchanged") {
+    val docs = Seq(
+      (1L, "w w w x"), (2L, "w w x"), (3L, "w x"), (4L, "w y"))
+      .toDF("id", "text")
+    val idx = Retrieval.buildTextIndex(docs, "id", "text", buckets = 4)
+    val p = Retrieval.prunedTextIndex(idx, 2)
+    val wPost = p.postings.filter(F.col("term") === "w")
+      .select("id", "tf").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // w: tf3@1, tf2@2, tf1@3, tf1@4 -> keep (1,3),(2,2)
+    assert(wPost == Set((1L, 3L), (2L, 2L)))
+    // rare term y untouched
+    assert(p.postings.filter(F.col("term") === "y").count() == 1)
+    assert(p.nDocs == idx.nDocs && p.dlSum == idx.dlSum)
+    // per-term cap holds globally
+    val over = p.postings.groupBy("term").count()
+      .filter(F.col("count") > 2).count()
+    assert(over == 0)
+  }
+
+  test("tf ties break by id asc") {
+    val docs = Seq((9L, "t z"), (5L, "t z"), (7L, "t z")).toDF("id", "text")
+    val idx = Retrieval.buildTextIndex(docs, "id", "text", buckets = 4)
+    val kept = Retrieval.prunedTextIndex(idx, 2).postings
+      .filter(F.col("term") === "t").select("id").collect()
+      .map(_.getLong(0)).toSet
+    assert(kept == Set(5L, 7L))
+  }
+
+  test("probing the pruned index still ranks (self-consistent dfs)") {
+    val d = sf("sf0.001", "documents")
+    val idx = Retrieval.buildTextIndex(d, "doc_id", "text", buckets = 16)
+    val full = Retrieval.bm25TopKIndexed(idx, Seq("slow", "merge"), 10)
+      .collect().map(_.getAs[Long]("id")).toSet
+    val pruned = Retrieval.bm25TopKIndexed(
+      Retrieval.prunedTextIndex(idx, 50), Seq("slow", "merge"), 10)
+      .collect().map(_.getAs[Long]("id")).toSet
+    assert(pruned.size == 10)
+    // impact pruning keeps the high-tf postings: healthy overlap
+    assert((full intersect pruned).size >= 5,
+      s"overlap ${(full intersect pruned).size}")
+  }
+}
