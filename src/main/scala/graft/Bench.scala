@@ -172,6 +172,26 @@ object Bench {
   private val spellIndexCache = scala.collection.concurrent.TrieMap[String,
     org.apache.spark.sql.DataFrame]()
 
+  // persisted completion index (first-char-partitioned term
+  // dictionary), built once per dir off the cached text index
+  private val completionIndexCache =
+    scala.collection.concurrent.TrieMap[String, String]()
+
+  // sharded federated text index root (3 shards), built once per dir
+  private val shardedIndexCache =
+    scala.collection.concurrent.TrieMap[String, String]()
+
+  // Matryoshka dim-prefix table persisted to parquet once per dir
+  // (temp-parquet, not localCheckpoint — bench caches must survive
+  // the checkpoint cleaner across reps)
+  private val matryoshkaTableCache =
+    scala.collection.concurrent.TrieMap[String, String]()
+
+  // warmed result-cache dir (b_serving_cache times the HIT path:
+  // state-token listing + cached-rows read, no index probe)
+  private val servingCacheCache =
+    scala.collection.concurrent.TrieMap[String, String]()
+
   // graph-ANN index, built + persisted once per dir (b_ann_hnsw_query
   // times the probe, not the graph construction)
   private val hnswIndexCache = scala.collection.concurrent.TrieMap[String,
@@ -1278,6 +1298,140 @@ object Bench {
         idx, Seq("slow", "merge", "window"), 10)
     }),
 
+    // more-like-this: all-integer term selection (one bounded df
+    // probe) + BM25 probe excluding the source doc
+    "b_mlt" -> ((s: SparkSession, dir: String) => {
+      val idx = textIndexCache.getOrElseUpdate(dir, {
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_bench_tidx").toString
+        graft.pipeline.Retrieval
+          .buildTextIndex(t(s, dir, "documents"), "doc_id", "text", buckets = 64)
+          .save(path)
+        graft.pipeline.Retrieval.loadTextIndex(s, path)
+      })
+      val srcText = t(s, dir, "documents").filter(F.col("doc_id") === 5L)
+        .select("text").head.getString(0)
+      graft.pipeline.Serving.moreLikeThisTopK(idx, 5L, srcText, 4, 10)
+    }),
+
+    // prefix completion probe of the persisted first-char-partitioned
+    // dictionary (single-directory scan)
+    "b_complete" -> ((s: SparkSession, dir: String) => {
+      val cpath = completionIndexCache.getOrElseUpdate(dir, {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_bench_cmpl").toString
+        graft.pipeline.Retrieval
+          .buildTextIndex(t(s, dir, "documents"), "doc_id", "text", buckets = 64)
+          .save(s"$tmp/idx")
+        graft.pipeline.Serving.saveCompletionIndex(s, s"$tmp/idx", s"$tmp/cmp")
+        s"$tmp/cmp"
+      })
+      graft.pipeline.Serving.completeTopK(s, cpath, "me", 10)
+    }),
+
+    // field collapsing over a 40-deep BM25 pool (probe + integer
+    // collapse; the collapse itself is serving-bounded)
+    "b_collapse" -> ((s: SparkSession, dir: String) => {
+      val idx = textIndexCache.getOrElseUpdate(dir, {
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_bench_tidx").toString
+        graft.pipeline.Retrieval
+          .buildTextIndex(t(s, dir, "documents"), "doc_id", "text", buckets = 64)
+          .save(path)
+        graft.pipeline.Retrieval.loadTextIndex(s, path)
+      })
+      val pool = graft.pipeline.Retrieval.bm25TopKIndexed(
+        idx, Seq("slow", "merge", "window"), 40)
+      graft.pipeline.Serving.collapseTopK(pool,
+        t(s, dir, "documents").select(F.col("doc_id").as("id"),
+          F.col("source")), "id", "source", 8)
+    }),
+
+    // federated probe over 3 shard indexes: per-shard partition-pruned
+    // scans, exact global-stats merge
+    "b_sharded_query" -> ((s: SparkSession, dir: String) => {
+      val root = shardedIndexCache.getOrElseUpdate(dir, {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_bench_shard").toString
+        graft.pipeline.Serving.saveShardedTextIndex(
+          t(s, dir, "documents"), "doc_id", "text", tmp, shards = 3,
+          buckets = 64)
+        tmp
+      })
+      graft.pipeline.Serving.bm25TopKSharded(
+        s, root, Seq("slow", "merge", "window"), 10)
+    }),
+
+    // Matryoshka dim-prefix coarse (8 of 64 dims = 8x lighter scan)
+    // + 500-pool exact rerank, 20 queries
+    "b_matryoshka" -> ((s: SparkSession, dir: String) => {
+      val tpath = matryoshkaTableCache.getOrElseUpdate(dir, {
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_bench_mkt").toString
+        graft.pipeline.Matryoshka.buildTruncatedTable(
+            t(s, dir, "embeddings"), "vec_id", "embedding", 8)
+          .write.mode("overwrite").parquet(path)
+        path
+      })
+      val emb = t(s, dir, "embeddings")
+      graft.pipeline.Matryoshka.truncatedTopKIndexed(
+        s.read.parquet(tpath), emb, emb.filter(F.col("vec_id") < 20),
+        "vec_id", "embedding", 8, 10, poolSize = 500)
+    }),
+
+    // result-cache HIT path: metadata state-token listing + cached
+    // parquet read — the latency a repeat query pays vs b_bm25_query
+    "b_serving_cache" -> ((s: SparkSession, dir: String) => {
+      val paths = servingCacheCache.getOrElseUpdate(dir, {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_bench_svc").toString
+        graft.pipeline.Retrieval
+          .buildTextIndex(t(s, dir, "documents"), "doc_id", "text", buckets = 64)
+          .save(s"$tmp/idx")
+        graft.pipeline.Serving.cachedTopK(s, s"$tmp/cache", s"$tmp/idx",
+          Seq("slow", "merge", "window"), 10)
+        tmp
+      })
+      val r = graft.pipeline.Serving.cachedTopK(s, s"$paths/cache",
+        s"$paths/idx", Seq("slow", "merge", "window"), 10)
+      require(r.hit, "warmed cache must hit")
+      r.rows
+    }),
+
+    // paired randomization test: 12 integer per-query metrics x 200
+    // deterministic md5 sign assignments
+    "b_eval_sig" -> ((s: SparkSession, dir: String) => {
+      val toks = t(s, dir, "documents").select(F.col("doc_id"),
+          F.explode(F.split(F.lower(F.col("text")), "\\s+")).as("term"))
+        .filter(F.length(F.col("term")) > 0)
+      def hits(term: String) = toks.filter(F.col("term") === term)
+        .select("doc_id").distinct()
+        .groupBy((F.col("doc_id") % 12).as("g"))
+        .agg(F.count(F.lit(1)).as("n"))
+      val perQ = s.range(0, 12).select(F.col("id").as("g"))
+        .join(hits("slow").withColumnRenamed("n", "a"), Seq("g"), "left")
+        .join(hits("merge").withColumnRenamed("n", "b"), Seq("g"), "left")
+        .select(F.col("g"),
+          F.coalesce(F.col("a"), F.lit(0L)).cast("double").as("ma"),
+          F.coalesce(F.col("b"), F.lit(0L)).cast("double").as("mb"))
+      graft.pipeline.Eval.pairedRandomizationTest(
+        perQ, "g", "ma", "mb", 200, "sig14")
+    }),
+
+    // static impact pruning build pass: one (bucket, term) window over
+    // the postings, keep the top-50 prefix per term
+    "b_index_prune" -> ((s: SparkSession, dir: String) => {
+      val idx = textIndexCache.getOrElseUpdate(dir, {
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_bench_tidx").toString
+        graft.pipeline.Retrieval
+          .buildTextIndex(t(s, dir, "documents"), "doc_id", "text", buckets = 64)
+          .save(path)
+        graft.pipeline.Retrieval.loadTextIndex(s, path)
+      })
+      graft.pipeline.Retrieval.prunedTextIndex(idx, 50).postings
+    }),
+
     // BM25F probe of a PERSISTED fielded index (vs b_bm25f, which
     // re-tokenizes both fields of the corpus per query)
     "b_bm25f_query" -> ((s: SparkSession, dir: String) => {
@@ -2328,6 +2482,10 @@ object Bench {
           // exact rerank — recall is the hamming pool's to lose
           "binary" -> recallOf(graft.pipeline.BinaryQuant.binaryTopK(
             emb, queries, "vec_id", "embedding", 10, poolSize = 4000)),
+          // Matryoshka 8-of-64 dim-prefix coarse + 4000-pool rerank —
+          // recall tracks how much angular order the prefix preserves
+          "matryoshka" -> recallOf(graft.pipeline.Matryoshka.truncatedTopK(
+            emb, queries, "vec_id", "embedding", 8, 10, poolSize = 4000)),
           // int8 scalar quantization: 4x-compressed coarse scan + a
           // 200-pool exact rerank — direction error is one byte/dim
           "sq8" -> recallOf {
@@ -2390,7 +2548,8 @@ object Bench {
     // measured on 64 in-distribution sample queries; 0.75 leaves room
     // for sample-vs-workload generalization noise at any SF
     val floors = Map("lsh" -> 0.7, "ivf" -> 0.6, "pq" -> 0.7, "ivfpq" -> 0.8,
-      "hnsw" -> 0.6, "binary" -> 0.8, "ivf_target" -> 0.75, "sq8" -> 0.9)
+      "hnsw" -> 0.6, "binary" -> 0.8, "ivf_target" -> 0.75, "sq8" -> 0.9,
+      "matryoshka" -> 0.8)
     val fl = floors.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val ok = recall.map { case (k, v) =>
       "\"" + k + "\":" + floors.get(k).forall(v >= _) }.mkString("{", ",", "}")

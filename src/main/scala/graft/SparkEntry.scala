@@ -9163,6 +9163,106 @@ object SparkEntry {
           F.col("n_ge"), F.col("p_value"))
     }),
 
+    // sharded-index maintenance: appends route to shards by the build
+    // hash and ride the unchanged single-index append — the probe
+    // then ranks exactly like the monolithic full-corpus index
+    // (q_bm25's oracle, shared verbatim)
+    "q_sharded_append" -> ((s: SparkSession, dir: String) => {
+      val d = t(s, dir, "documents")
+      val tmp = System.getProperty("java.io.tmpdir") + "/graft_q_shard_app"
+      val fs = new org.apache.hadoop.fs.Path(tmp)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      graft.pipeline.Serving.saveShardedTextIndex(
+        d.filter(F.col("doc_id") % 2 === 1), "doc_id", "text", tmp,
+        shards = 3, buckets = 32)
+      graft.pipeline.Serving.appendToShardedTextIndex(
+        s, tmp, d.filter(F.col("doc_id") % 2 === 0), "doc_id", "text")
+      graft.pipeline.Serving.bm25TopKSharded(
+          s, tmp, Seq("slow", "merge", "window"), 10)
+        .select(F.col("rank").cast("long").as("rank"),
+          F.col("id").as("doc_id"), F.col("tf_total"), F.col("n_terms_hit"))
+        .orderBy("rank")
+    }),
+
+    // point-in-time index read: batch-stamped layout makes as-of a
+    // partition filter — the probe at batch 0 ranks over exactly the
+    // base + batch-0 documents with THAT moment's exact stats (the
+    // oracle replays the same doc subset by its deterministic
+    // predicate)
+    "q_index_asof" -> ((s: SparkSession, dir: String) => {
+      val d = t(s, dir, "documents").select("doc_id", "text")
+      val tmp = System.getProperty("java.io.tmpdir") + "/graft_q_asof"
+      val fs = new org.apache.hadoop.fs.Path(tmp)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      graft.pipeline.Retrieval.buildTextIndex(
+        d.filter(F.col("doc_id") % 2 === 1), "doc_id", "text", 32).save(tmp)
+      graft.pipeline.Retrieval.appendBatchToTextIndex(s, tmp,
+        d.filter(F.col("doc_id") % 4 === 0), "doc_id", "text", 0L)
+      graft.pipeline.Retrieval.appendBatchToTextIndex(s, tmp,
+        d.filter(F.col("doc_id") % 4 === 2), "doc_id", "text", 1L)
+      val at0 = graft.pipeline.Retrieval.loadTextIndexAsOf(s, tmp, 0L)
+      graft.pipeline.Retrieval.bm25TopKIndexed(
+          at0, Seq("slow", "merge", "window"), 10)
+        .select(F.col("rank").cast("long").as("rank"),
+          F.col("id").as("doc_id"), F.col("tf_total"), F.col("n_terms_hit"))
+        .withColumn("n_docs_asof", F.lit(at0.nDocs))
+        .orderBy("rank")
+    }),
+
+    // BM25 hard-negative mining (the DPR/ANCE training-pair recipe):
+    // top-ranked non-positives per training query — the positive
+    // exclusion and neg re-rank are all-integer over the pinned batch
+    // ranking (q_retrieval_batch's measured-gap query set)
+    "q_retrieval_negatives" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val d = t(s, dir, "documents")
+      val idx = graft.pipeline.Retrieval.buildTextIndex(d, "doc_id", "text", 32)
+      val qs = Seq(
+        0L -> Seq("slow", "merge", "window"),
+        1L -> Seq("hash", "batch"),
+        2L -> Seq("filter", "scan", "index"))
+      val positives = d.filter(F.col("doc_id") % 10 === 3)
+        .select(F.lit(0L).as("query_id"), F.col("doc_id"))
+        .unionByName(d.filter(F.col("doc_id") % 10 === 4)
+          .select(F.lit(1L).as("query_id"), F.col("doc_id")))
+        .unionByName(d.filter(F.col("doc_id") % 10 === 5)
+          .select(F.lit(2L).as("query_id"), F.col("doc_id")))
+      graft.pipeline.Serving.mineHardNegatives(
+          idx, qs.toDF("query_id", "terms"), positives,
+          nNegatives = 5, pool = 20)
+        .select(F.col("query_id"), F.col("neg_rank").cast("long").as("neg_rank"),
+          F.col("negative_id"), F.col("pool_rank").cast("long").as("pool_rank"))
+        .orderBy("query_id", "neg_rank")
+    }),
+
+    // LTR feature export: per (query, candidate) BM25 + idf-sum +
+    // exact integer features off ONE matched-postings pass; float
+    // features at the 4dp cross-engine convention, label join with
+    // the implicit-negative default
+    "q_ltr_features" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val d = t(s, dir, "documents")
+      val idx = graft.pipeline.Retrieval.buildTextIndex(d, "doc_id", "text", 32)
+      val qs = Seq(0L -> Seq("slow", "merge"), 1L -> Seq("window", "group"))
+      val labels = d.filter(F.col("doc_id") % 7 === 1)
+        .select(F.lit(0L).as("query_id"), F.col("doc_id"), F.lit(1.0).as("label"))
+        .unionByName(d.filter(F.col("doc_id") % 7 === 2)
+          .select(F.lit(1L).as("query_id"), F.col("doc_id"),
+            F.lit(2.0).as("label")))
+      graft.pipeline.Retrieval.ltrFeatures(
+          idx, qs.toDF("query_id", "terms"), labels, pool = 1000000)
+        .select(F.col("query_id"), F.col("id").as("doc_id"), F.col("label"),
+          F.round(F.col("f_bm25") * 10000).cast("long").as("f_bm25_4dp"),
+          F.round(F.col("f_idf_sum") * 10000).cast("long").as("f_idf_4dp"),
+          F.col("f_tf_sum"), F.col("f_n_hit"), F.col("f_dl"),
+          F.col("f_n_qterms"),
+          F.round(F.col("f_matched_frac") * 10000).cast("long")
+            .as("f_frac_4dp"))
+        .orderBy("query_id", "doc_id")
+    }),
+
     // static impact-ordered pruning: the kept postings are the
     // (tf desc, id asc) per-term prefix — all-integer, exact SQL
     // replay; corpus stats unchanged; the pruned probe still fills k
@@ -13442,6 +13542,107 @@ object SparkEntry {
           |       (CAST(g.n_ge AS DOUBLE) + CAST(1 AS DOUBLE)) /
           |       (CAST(g.reps AS DOUBLE) + CAST(1 AS DOUBLE)) AS p_value
           |FROM obs o CROSS JOIN ge g""".stripMargin,
+      "q_index_asof" ->
+        """WITH sub AS (SELECT doc_id, text FROM documents
+          |             WHERE doc_id % 2 = 1 OR doc_id % 4 = 0),
+          |f AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+          |                    x -> len(x) > 0) AS w FROM sub),
+          |dl AS (SELECT doc_id, len(w) AS dl FROM f WHERE len(w) > 0),
+          |toks AS (SELECT doc_id, unnest(w) AS term FROM f),
+          |post AS (SELECT term, doc_id, count(*) AS tf FROM toks
+          |         WHERE term IN ('slow', 'merge', 'window') GROUP BY 1, 2),
+          |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+          |dfs AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+          |scored AS (
+          |  SELECT p.doc_id,
+          |         sum(ln(1 + (s.n - f2.df + 0.5) / (f2.df + 0.5)) * p.tf * 2.2 /
+          |             (p.tf + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl))) AS score,
+          |         CAST(sum(p.tf) AS BIGINT) AS tf_total,
+          |         CAST(count(*) AS BIGINT) AS n_terms_hit
+          |  FROM post p JOIN dfs f2 USING (term) JOIN dl d USING (doc_id)
+          |  CROSS JOIN stats s GROUP BY 1)
+          |SELECT rank, doc_id, tf_total, n_terms_hit,
+          |       (SELECT CAST(count(*) AS BIGINT) FROM dl) AS n_docs_asof
+          |FROM (
+          |  SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+          |         doc_id, tf_total, n_terms_hit FROM scored) t
+          |WHERE rank <= 10 ORDER BY rank""".stripMargin,
+      "q_retrieval_negatives" ->
+        """WITH f AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+          |                    x -> len(x) > 0) AS w FROM documents),
+          |dl AS (SELECT doc_id, len(w) AS dl FROM f WHERE len(w) > 0),
+          |toks AS (SELECT doc_id, unnest(w) AS term FROM f),
+          |qt AS (SELECT * FROM (VALUES
+          |         (0, 'slow'), (0, 'merge'), (0, 'window'),
+          |         (1, 'hash'), (1, 'batch'),
+          |         (2, 'filter'), (2, 'scan'), (2, 'index'))
+          |       v(query_id, term)),
+          |post AS (SELECT term, doc_id, count(*) AS tf FROM toks
+          |         WHERE term IN (SELECT term FROM qt) GROUP BY 1, 2),
+          |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+          |dfs AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+          |scored AS (
+          |  SELECT q.query_id, p.doc_id,
+          |         sum(ln(1 + (s.n - f2.df + 0.5) / (f2.df + 0.5)) * p.tf * 2.2 /
+          |             (p.tf + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl))) AS score
+          |  FROM post p JOIN qt q USING (term) JOIN dfs f2 USING (term)
+          |       JOIN dl d USING (doc_id)
+          |  CROSS JOIN stats s GROUP BY 1, 2),
+          |pool AS (SELECT query_id, rank, doc_id FROM (
+          |  SELECT query_id,
+          |         CAST(row_number() OVER (PARTITION BY query_id
+          |           ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+          |         doc_id FROM scored) t WHERE rank <= 20),
+          |negs AS (SELECT query_id, rank, doc_id FROM pool
+          |         WHERE NOT (query_id = 0 AND doc_id % 10 = 3)
+          |           AND NOT (query_id = 1 AND doc_id % 10 = 4)
+          |           AND NOT (query_id = 2 AND doc_id % 10 = 5))
+          |SELECT CAST(query_id AS BIGINT) AS query_id, neg_rank,
+          |       doc_id AS negative_id, rank AS pool_rank
+          |FROM (
+          |  SELECT query_id, rank, doc_id,
+          |         CAST(row_number() OVER (PARTITION BY query_id
+          |           ORDER BY rank) AS BIGINT) AS neg_rank
+          |  FROM negs) t
+          |WHERE neg_rank <= 5 ORDER BY query_id, neg_rank""".stripMargin,
+      "q_ltr_features" ->
+        """WITH f AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+          |                    x -> len(x) > 0) AS w FROM documents),
+          |dl AS (SELECT doc_id, len(w) AS dl FROM f WHERE len(w) > 0),
+          |toks AS (SELECT doc_id, unnest(w) AS term FROM f),
+          |qt AS (SELECT * FROM (VALUES
+          |         (0, 'slow'), (0, 'merge'), (1, 'window'), (1, 'group'))
+          |       v(query_id, term)),
+          |post AS (SELECT term, doc_id, count(*) AS tf FROM toks
+          |         WHERE term IN (SELECT term FROM qt) GROUP BY 1, 2),
+          |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+          |dfs AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+          |nq AS (SELECT query_id, CAST(count(*) AS BIGINT) AS f_n_qterms
+          |       FROM qt GROUP BY 1),
+          |agg AS (
+          |  SELECT q.query_id, p.doc_id,
+          |         sum(ln(1 + (s.n - f2.df + 0.5) / (f2.df + 0.5)) * p.tf * 2.2 /
+          |             (p.tf + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl))) AS f_bm25,
+          |         sum(ln(1 + (s.n - f2.df + 0.5) / (f2.df + 0.5))) AS f_idf,
+          |         CAST(sum(p.tf) AS BIGINT) AS f_tf_sum,
+          |         CAST(count(*) AS BIGINT) AS f_n_hit,
+          |         CAST(min(d.dl) AS BIGINT) AS f_dl
+          |  FROM post p JOIN qt q USING (term) JOIN dfs f2 USING (term)
+          |       JOIN dl d USING (doc_id)
+          |  CROSS JOIN stats s GROUP BY 1, 2)
+          |SELECT CAST(a.query_id AS BIGINT) AS query_id, a.doc_id,
+          |       CASE WHEN a.query_id = 0 AND a.doc_id % 7 = 1
+          |              THEN CAST(1 AS DOUBLE)
+          |            WHEN a.query_id = 1 AND a.doc_id % 7 = 2
+          |              THEN CAST(2 AS DOUBLE)
+          |            ELSE CAST(0 AS DOUBLE) END AS label,
+          |       CAST(round(a.f_bm25 * 10000) AS BIGINT) AS f_bm25_4dp,
+          |       CAST(round(a.f_idf * 10000) AS BIGINT) AS f_idf_4dp,
+          |       a.f_tf_sum, a.f_n_hit, a.f_dl, n.f_n_qterms,
+          |       CAST(round(CAST(a.f_n_hit AS DOUBLE) / n.f_n_qterms * 10000)
+          |            AS BIGINT) AS f_frac_4dp
+          |FROM agg a JOIN nq n USING (query_id)
+          |ORDER BY query_id, doc_id""".stripMargin,
       "q_index_prune" ->
         """WITH f AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
           |                    x -> len(x) > 0) AS w FROM documents),
@@ -13465,6 +13666,9 @@ object SparkEntry {
       // federated probe merges per-shard postings with exact global
       // stats — equals the monolithic probe, oracle shared verbatim
       ("q_retrieval_sharded" -> m("q_bm25")) +
+      // routed appends land each shard exactly what a full-corpus
+      // rebuild would — probe == monolithic, oracle shared verbatim
+      ("q_sharded_append" -> m("q_bm25")) +
       // the persisted fielded probe ranks exactly like one-shot BM25F
       // (saved exact avgdl, manifest N) — oracle shared verbatim
       ("q_bm25f_indexed" -> m("q_bm25f")) +

@@ -116,16 +116,19 @@ object Retrieval {
       b: Double = DefaultB): DataFrame =
     bm25ScoresImpl(index, stats, queryTerms, k1, b, restrict = None)
 
+  /** The ONE copy of the BM25 idf, over columns (df, n_docs) —
+    * composed by [[bm25Weight]] and the LTR feature exporter. */
+  private[pipeline] def idfCol: Column =
+    F.log(F.lit(1.0) +
+      (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5)))
+
   /** The ONE copy of the BM25 per-posting weight, over columns
     * (tf, dl, df, n_docs, avgdl) — every scoring path (single,
     * filtered, batched) composes it so the formula cannot diverge. */
-  private def bm25Weight(k1: Double, b: Double): Column = {
-    val idf = F.log(F.lit(1.0) +
-      (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5)))
-    idf * F.col("tf") * F.lit(k1 + 1.0) /
+  private def bm25Weight(k1: Double, b: Double): Column =
+    idfCol * F.col("tf") * F.lit(k1 + 1.0) /
       (F.col("tf") + F.lit(k1) *
         (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl")))
-  }
 
   private def bm25ScoresImpl(
       index: DataFrame,
@@ -1346,6 +1349,48 @@ object Retrieval {
   }
 
   /**
+   * Point-in-time (as-of) read of a saved [[TextIndex]]: the index
+   * state after streaming micro-batch `maxBatch` landed and before
+   * any later batch — postings AND exact stats deltas filtered to
+   * `__batch <= maxBatch` (the base `-1` layer always included), so
+   * time-travel probes rank with the statistics of that moment, not
+   * today's.
+   *
+   * Reconstructible only while the batches are still physically
+   * separate: compaction folds old batches into the base layer and
+   * removals mutate it, so the read REFUSES an as-of point before the
+   * `_maintained_through` watermark (fail fast beats silently serving
+   * a state that mixes eras). On an append-only stream the full
+   * history stays addressable; schedule compaction at the retention
+   * horizon you want for time travel. `maxBatch = -1` reads the base
+   * layer alone.
+   *
+   * Scale shape: `__batch` is a partition column — the as-of filter
+   * prunes directories, costing nothing over a current-state read.
+   */
+  def loadTextIndexAsOf(
+      spark: SparkSession, path: String, maxBatch: Long): TextIndex = {
+    val mt = readMaintainedThrough(spark, path)
+    require(maxBatch >= mt,
+      s"as-of batch $maxBatch precedes the maintenance watermark $mt " +
+        "(folded/suppressed batches cannot be reconstructed)")
+    val keep = (b: Column) => b === -1L || b <= maxBatch
+    val st = spark.read.parquet(s"$path/stats")
+      .filter(keep(F.col("__batch").cast("long")))
+      .agg(F.max(F.col("buckets")), F.sum(F.col("n_delta")),
+        F.sum(F.col("dl_delta"))).head()
+    val buckets = st.getInt(0)
+    val nDocs = if (st.isNullAt(1)) 0L else st.getLong(1)
+    val dlSum = if (st.isNullAt(2)) 0L else st.getLong(2)
+    val postings = CellTable.readVisible(spark, s"$path/postings", "__bucket")
+      .withColumn("__bucket", F.col("__bucket").cast("long"))
+      .withColumn("__batch", F.col("__batch").cast("long"))
+      .filter(keep(F.col("__batch")))
+    TextIndex(postings, buckets, nDocs,
+      if (nDocs <= 0) 0.0 else dlSum.toDouble / nDocs, dlSum)
+  }
+
+  /**
    * BM25 top-k against a (possibly reloaded) [[TextIndex]]. The
    * `__bucket` filter is a PARTITION filter on a saved index — the
    * scan touches at most |query terms| of `buckets` directories.
@@ -1821,6 +1866,85 @@ object Retrieval {
     val aCol = allowed.columns.head
     bm25TopKBatchImpl(idx, queries, k, k1, b,
       restrict = Some(allowed.select(F.col(aCol).as("id")).distinct()))
+  }
+
+  /**
+   * Learning-to-rank feature export: one row per (query, candidate)
+   * over the top-`pool` BM25 candidates of a query batch, carrying
+   * the per-pair features an LTR trainer consumes —
+   *
+   *   f_bm25      BM25 score (the [[bm25Weight]] builder, shared)
+   *   f_idf_sum   Σ idf over the pair's matched terms ([[idfCol]])
+   *   f_tf_sum    Σ tf over matched terms (exact long)
+   *   f_n_hit     matched-term count (exact long)
+   *   f_dl        document length in tokens (exact long)
+   *   f_n_qterms  the query's distinct-term count (exact long)
+   *   f_matched_frac  f_n_hit / f_n_qterms
+   *
+   * plus `pool_rank` (the BM25 rank that bounded the candidate set)
+   * and `label` from the judgments table (query_id, id, label),
+   * NULL→0.0 for unjudged pairs — the standard implicit-negative
+   * convention.
+   *
+   * One partition-pruned probe, one (query_id) repartition serving
+   * both the per-pair aggregate and the pool window — the
+   * [[bm25TopKBatch]] scale shape with a wider aggregate. Features
+   * derive from the SAME matched postings as the scores, so exporter
+   * and server can never disagree about what matched.
+   */
+  def ltrFeatures(
+      idx: TextIndex,
+      queries: DataFrame,
+      labels: DataFrame,
+      pool: Int,
+      k1: Double = DefaultK1,
+      b: Double = DefaultB): DataFrame = {
+    require(pool > 0, s"pool must be positive, got $pool")
+    val spark = idx.postings.sparkSession
+    import spark.implicits._
+    val qCols = queries.columns
+    val q = queries
+      .select(F.col(qCols(0)).as("query_id"),
+        F.explode(F.col(qCols(1))).as("__qt"))
+      .select(F.col("query_id"), F.lower(F.col("__qt")).as("term"))
+      .distinct()
+      .localCheckpoint(eager = false)
+    val terms = q.select("term").distinct().as[String].collect().toSeq
+    require(terms.nonEmpty, "ltrFeatures: no query terms")
+    val qBuckets = terms.map(t => localTermBucket(t, idx.buckets)).distinct
+    val matched = idx.postings
+      .filter(F.col("__bucket").isin(qBuckets: _*))
+      .filter(F.col("term").isin(terms: _*))
+    val dfs = matched.groupBy("term").agg(F.count(F.lit(1)).as("df"))
+    val stats = Seq((idx.nDocs, idx.avgdl)).toDF("n_docs", "avgdl")
+    val nq = q.groupBy("query_id").agg(F.count(F.lit(1)).as("f_n_qterms"))
+    val scored = matched
+      .join(F.broadcast(q), "term")
+      .join(F.broadcast(dfs), "term")
+      .crossJoin(F.broadcast(stats))
+      .withColumn("__w", bm25Weight(k1, b))
+      .withColumn("__idf", idfCol)
+      .repartition(F.col("query_id"))
+      .groupBy(F.col("query_id"), F.col("id"))
+      .agg(F.sum(F.col("__w")).as("f_bm25"),
+        F.sum(F.col("__idf")).as("f_idf_sum"),
+        F.sum(F.col("tf")).as("f_tf_sum"),
+        F.count(F.lit(1)).as("f_n_hit"),
+        F.first(F.col("dl")).cast("long").as("f_dl"))
+    val w = Window.partitionBy(F.col("query_id"))
+      .orderBy(F.col("f_bm25").desc, F.col("id").asc)
+    val lCols = labels.columns
+    val lab = labels.select(F.col(lCols(0)).as("query_id"),
+      F.col(lCols(1)).as("id"), F.col(lCols(2)).cast("double").as("label"))
+    scored.withColumn("pool_rank", F.row_number().over(w))
+      .filter(F.col("pool_rank") <= pool)
+      .join(F.broadcast(nq), "query_id")
+      .join(lab, Seq("query_id", "id"), "left")
+      .withColumn("label", F.coalesce(F.col("label"), F.lit(0.0)))
+      .withColumn("f_matched_frac",
+        F.col("f_n_hit").cast("double") / F.col("f_n_qterms"))
+      .select("query_id", "id", "pool_rank", "label", "f_bm25", "f_idf_sum",
+        "f_tf_sum", "f_n_hit", "f_dl", "f_n_qterms", "f_matched_frac")
   }
 
   private def bm25TopKBatchImpl(

@@ -249,6 +249,52 @@ object Serving {
     out.close()
   }
 
+  /**
+   * Route new documents into an existing sharded index: each shard's
+   * slice (the same `pmod(xxhash64(id), shards)` rule as the build)
+   * goes through the UNCHANGED single-index append — batch stamping,
+   * stats deltas, term-meta ordering and all. Only shards that
+   * actually received documents are touched (bounded driver list of
+   * shard ids).
+   */
+  def appendToShardedTextIndex(
+      spark: SparkSession,
+      path: String,
+      newDocs: DataFrame,
+      idCol: String,
+      textCol: String): Unit = {
+    val shards = shardCount(spark, path)
+    val tagged = newDocs.withColumn("__shard",
+      F.pmod(F.xxhash64(F.col(idCol).cast("long")), F.lit(shards.toLong)))
+    val touched = tagged.select("__shard").distinct()
+      .collect().map(_.getLong(0)).sorted
+    touched.foreach { sh =>
+      Retrieval.appendToTextIndex(spark, s"$path/shard=$sh",
+        tagged.filter(F.col("__shard") === sh).drop("__shard"),
+        idCol, textCol)
+    }
+  }
+
+  /** Takedowns against a sharded index: ids route to their shard by
+    * the hash rule; each touched shard runs the single-index removal
+    * (exclusive lock, touched-bucket rewrite) unchanged. */
+  def removeFromShardedTextIndex(
+      spark: SparkSession,
+      path: String,
+      ids: DataFrame,
+      idCol: String): Unit = {
+    val shards = shardCount(spark, path)
+    val tagged = ids.select(F.col(idCol).cast("long").as("id"))
+      .withColumn("__shard",
+        F.pmod(F.xxhash64(F.col("id")), F.lit(shards.toLong)))
+    val touched = tagged.select("__shard").distinct()
+      .collect().map(_.getLong(0)).sorted
+    touched.foreach { sh =>
+      Retrieval.removeFromTextIndex(spark, s"$path/shard=$sh",
+        tagged.filter(F.col("__shard") === sh).select("id"), "id")
+    }
+  }
+
   /** Shard count of a sharded index root (from `_shards.json`). */
   def shardCount(spark: SparkSession, path: String): Int = {
     val fs = new org.apache.hadoop.fs.Path(path)
@@ -303,6 +349,53 @@ object Serving {
         Retrieval.bm25Scores(pruned, stats, q, k1, b), k)
       .select(F.col("rank"), F.col("id"), F.col("score"),
         F.col("tf_total"), F.col("n_terms_hit"))
+  }
+
+  // ---------------------------------------------------------------- //
+  // Hard-negative mining                                              //
+  // ---------------------------------------------------------------- //
+
+  /**
+   * BM25 hard-negative mining for contrastive retrieval training
+   * (the DPR/ANCE recipe): for each training query, the top-ranked
+   * documents that are NOT its labeled positives — the negatives a
+   * lexical searcher confuses with the answer, which train far
+   * stronger embedders than random negatives.
+   *
+   * `queries` is (query_id, terms array); `positives` is
+   * (query_id, positive_id) — multi-positive queries are fine.
+   * Returns (query_id, neg_rank, negative_id, pool_rank, score):
+   * `pool_rank` is the BM25 rank inside the `pool`-deep candidate
+   * list, `neg_rank` the 1-based rank among surviving negatives
+   * (all-integer once the pool ranking is fixed). A positive deeper
+   * than `pool` is simply never seen — mine with a pool comfortably
+   * above `nNegatives` + max positives per query.
+   *
+   * Scale shape: [[Retrieval.bm25TopKBatch]] does the bounded probe
+   * (one query_id repartition); the positive exclusion is a bounded
+   * anti-join; the re-rank windows over <= pool rows per query.
+   */
+  def mineHardNegatives(
+      idx: TextIndex,
+      queries: DataFrame,
+      positives: DataFrame,
+      nNegatives: Int,
+      pool: Int): DataFrame = {
+    require(nNegatives > 0, s"nNegatives must be positive, got $nNegatives")
+    require(pool >= nNegatives,
+      s"pool ($pool) must be >= nNegatives ($nNegatives)")
+    val pCols = positives.columns
+    val pos = positives.select(F.col(pCols(0)).as("query_id"),
+      F.col(pCols(1)).as("id"))
+    val ranked = Retrieval.bm25TopKBatch(idx, queries, pool)
+    val negs = ranked.join(pos, Seq("query_id", "id"), "left_anti")
+    val w = Window.partitionBy(F.col("query_id"))
+      .orderBy(F.col("rank").asc)
+    negs.withColumn("neg_rank", F.row_number().over(w))
+      .filter(F.col("neg_rank") <= nNegatives)
+      .select(F.col("query_id"), F.col("neg_rank"),
+        F.col("id").as("negative_id"), F.col("rank").as("pool_rank"),
+        F.col("score"))
   }
 
   // ---------------------------------------------------------------- //

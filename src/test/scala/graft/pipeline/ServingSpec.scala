@@ -234,6 +234,164 @@ class SignificanceSpec extends SparkTestBase {
   }
 }
 
+/** Sharded index maintenance: routed appends/removals == rebuild. */
+class ShardedMaintenanceSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("append routes by the build hash; probe == monolithic full-corpus probe") {
+    val d = sf("sf0.001", "documents")
+    val tmp = java.nio.file.Files.createTempDirectory("shap").toString
+    Serving.saveShardedTextIndex(d.filter(F.col("doc_id") % 2 === 1),
+      "doc_id", "text", tmp, shards = 3, buckets = 16)
+    Serving.appendToShardedTextIndex(spark, tmp,
+      d.filter(F.col("doc_id") % 2 === 0), "doc_id", "text")
+    val q = Seq("slow", "merge", "window")
+    val a = Serving.bm25TopKSharded(spark, tmp, q, 12).collect()
+    val b = Retrieval.bm25TopKIndexed(
+      Retrieval.buildTextIndex(d, "doc_id", "text", 16), q, 12).collect()
+    assert(a.length == b.length && a.nonEmpty)
+    a.zip(b).foreach { case (x, y) =>
+      assert(x.getAs[Long]("id") == y.getAs[Long]("id"))
+      assert(math.abs(x.getAs[Double]("score") - y.getAs[Double]("score")) < 1e-9)
+    }
+  }
+
+  test("removal routes to the owning shard; removed ids vanish, stats shrink") {
+    val docs = Seq((1L, "kiwi melon"), (2L, "kiwi melon plum"),
+      (3L, "kiwi fig"), (4L, "melon fig"), (5L, "kiwi melon fig"))
+      .toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("shrm").toString
+    Serving.saveShardedTextIndex(docs, "doc_id", "text", tmp, 2, 8)
+    Serving.removeFromShardedTextIndex(spark, tmp,
+      Seq(2L, 5L).toDF("doc_id"), "doc_id")
+    val out = Serving.bm25TopKSharded(spark, tmp, Seq("kiwi", "melon"), 10)
+      .collect().map(_.getAs[Long]("id")).toSet
+    assert(out == Set(1L, 3L, 4L))
+    val n = (0 until 2)
+      .map(s => Retrieval.loadTextIndex(spark, s"$tmp/shard=$s"))
+      .map(_.nDocs).sum
+    assert(n == 3L)
+  }
+}
+
+/** Point-in-time (as-of) text index reads. */
+class AsOfIndexSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def saveBase(tmp: String) = {
+    val base = Seq((1L, "ant bee"), (2L, "ant cow bee")).toDF("id", "text")
+    Retrieval.buildTextIndex(base, "id", "text", 4).save(tmp)
+  }
+
+  test("asOf(batch) excludes later batches in postings AND stats") {
+    val tmp = java.nio.file.Files.createTempDirectory("asof").toString
+    saveBase(tmp)
+    Retrieval.appendBatchToTextIndex(spark, tmp,
+      Seq((3L, "ant bee cow dog")).toDF("id", "text"), "id", "text", 0L)
+    Retrieval.appendBatchToTextIndex(spark, tmp,
+      Seq((4L, "bee cow")).toDF("id", "text"), "id", "text", 1L)
+    val at0 = Retrieval.loadTextIndexAsOf(spark, tmp, 0L)
+    assert(at0.nDocs == 3L && at0.dlSum == (2 + 3 + 4))
+    val ids0 = at0.postings.select("id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(ids0 == Set(1L, 2L, 3L))
+    val atBase = Retrieval.loadTextIndexAsOf(spark, tmp, -1L)
+    assert(atBase.nDocs == 2L)
+    val full = Retrieval.loadTextIndexAsOf(spark, tmp, 1L)
+    assert(full.nDocs == 4L &&
+      full.nDocs == Retrieval.loadTextIndex(spark, tmp).nDocs)
+  }
+
+  test("as-of before the maintenance watermark is refused") {
+    val tmp = java.nio.file.Files.createTempDirectory("asofw").toString
+    saveBase(tmp)
+    Retrieval.appendBatchToTextIndex(spark, tmp,
+      Seq((3L, "ant")).toDF("id", "text"), "id", "text", 0L)
+    Retrieval.appendBatchToTextIndex(spark, tmp,
+      Seq((4L, "bee")).toDF("id", "text"), "id", "text", 1L)
+    Retrieval.appendBatchToTextIndex(spark, tmp,
+      Seq((5L, "cow")).toDF("id", "text"), "id", "text", 2L)
+    // compaction folds all but the newest batch -> watermark advances
+    Retrieval.compactTextIndex(spark, tmp)
+    intercept[IllegalArgumentException] {
+      Retrieval.loadTextIndexAsOf(spark, tmp, 0L)
+    }
+    // the newest (unfolded) batch stays addressable
+    val full = Retrieval.loadTextIndexAsOf(spark, tmp, 2L)
+    assert(full.nDocs == 5L)
+  }
+}
+
+/** BM25 hard-negative mining. */
+class HardNegativesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("positives excluded, neg_rank is the surviving pool order") {
+    val docs = Seq(
+      (1L, "apple apple apple"), (2L, "apple apple"), (3L, "apple x"),
+      (4L, "apple y"), (5L, "z")).toDF("id", "text")
+    val idx = Retrieval.buildTextIndex(docs, "id", "text", 4)
+    val queries = Seq((7L, Seq("apple"))).toDF("query_id", "terms")
+    val positives = Seq((7L, 1L)).toDF("query_id", "positive_id")
+    val out = Serving.mineHardNegatives(idx, queries, positives, 3, 10)
+      .orderBy("neg_rank").collect()
+    // bm25 order by tf: 1 (excluded), then 2, then 3/4 (tie by id)
+    assert(out.map(_.getAs[Long]("negative_id")).toSeq == Seq(2L, 3L, 4L))
+    assert(out.map(_.getAs[Int]("neg_rank")).toSeq == Seq(1, 2, 3))
+    assert(out.head.getAs[Int]("pool_rank") == 2)
+  }
+
+  test("multi-positive queries exclude all their positives") {
+    val docs = Seq((1L, "q q"), (2L, "q q q"), (3L, "q"), (4L, "q w"))
+      .toDF("id", "text")
+    val idx = Retrieval.buildTextIndex(docs, "id", "text", 4)
+    val out = Serving.mineHardNegatives(idx,
+      Seq((1L, Seq("q"))).toDF("query_id", "terms"),
+      Seq((1L, 2L), (1L, 1L)).toDF("query_id", "positive_id"), 5, 10)
+      .collect().map(_.getAs[Long]("negative_id")).toSet
+    assert(out == Set(3L, 4L))
+  }
+}
+
+/** LTR feature export. */
+class LtrFeaturesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("features derive from the same matched postings as the scores") {
+    val docs = Seq(
+      (1L, "red blue blue"), (2L, "red green"), (3L, "blue blue"))
+      .toDF("id", "text")
+    val idx = Retrieval.buildTextIndex(docs, "id", "text", 4)
+    val queries = Seq((0L, Seq("red", "blue"))).toDF("query_id", "terms")
+    val labels = Seq((0L, 1L, 2.0)).toDF("query_id", "id", "label")
+    val feats = Retrieval.ltrFeatures(idx, queries, labels, 10)
+      .collect().map(r => r.getAs[Long]("id") -> r).toMap
+    // doc 1: matches red(tf1, df2) + blue(tf2, df2); dl 3
+    val d1 = feats(1L)
+    assert(d1.getAs[Long]("f_n_hit") == 2L)
+    assert(d1.getAs[Long]("f_tf_sum") == 3L)
+    assert(d1.getAs[Long]("f_dl") == 3L)
+    assert(d1.getAs[Long]("f_n_qterms") == 2L)
+    assert(d1.getAs[Double]("label") == 2.0)
+    assert(math.abs(d1.getAs[Double]("f_matched_frac") - 1.0) < 1e-12)
+    // doc 3: blue only
+    val d3 = feats(3L)
+    assert(d3.getAs[Long]("f_n_hit") == 1L)
+    assert(d3.getAs[Double]("label") == 0.0)
+    assert(math.abs(d3.getAs[Double]("f_matched_frac") - 0.5) < 1e-12)
+    // idf consistency: doc 2 and doc 1 share the 'red' idf; a doc
+    // matching both terms carries the sum
+    val idfRed = math.log(1.0 + (3 - 2 + 0.5) / (2 + 0.5))
+    val idfBlue = math.log(1.0 + (3 - 2 + 0.5) / (2 + 0.5))
+    assert(math.abs(d1.getAs[Double]("f_idf_sum") - (idfRed + idfBlue)) < 1e-12)
+    // f_bm25 equals the served score for the same query
+    val served = Retrieval.bm25TopKIndexed(idx, Seq("red", "blue"), 10)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("score")).toMap
+    feats.foreach { case (id, r) =>
+      assert(math.abs(r.getAs[Double]("f_bm25") - served(id)) < 1e-12) }
+  }
+}
+
 /** Static impact-ordered index pruning. */
 class PrunedIndexSpec extends SparkTestBase {
   import spark.implicits._
