@@ -1398,6 +1398,34 @@ object Bench {
       r.rows
     }),
 
+    // batched more-like-this: 3 sources, in-plan selection + batch
+    // probe (the related-items pipeline shape)
+    "b_mlt_batch" -> ((s: SparkSession, dir: String) => {
+      val idx = textIndexCache.getOrElseUpdate(dir, {
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_bench_tidx").toString
+        graft.pipeline.Retrieval
+          .buildTextIndex(t(s, dir, "documents"), "doc_id", "text", buckets = 64)
+          .save(path)
+        graft.pipeline.Retrieval.loadTextIndex(s, path)
+      })
+      graft.pipeline.Serving.moreLikeThisBatch(idx,
+        t(s, dir, "documents").filter(F.col("doc_id").isin(3L, 5L, 9L)),
+        "doc_id", "text", 4, 10)
+    }),
+
+    // percolation: 3 stored conjunctive queries against the whole
+    // corpus (broadcast query table, one (doc, query) shuffle)
+    "b_percolate" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val stored = Seq(
+        (1L, Seq("slow", "merge")),
+        (2L, Seq("window")),
+        (3L, Seq("slow", "window", "group"))).toDF("query_id", "terms")
+      graft.pipeline.Serving.percolate(
+        stored, t(s, dir, "documents"), "doc_id", "text")
+    }),
+
     // paired randomization test: 12 integer per-query metrics x 200
     // deterministic md5 sign assignments
     "b_eval_sig" -> ((s: SparkSession, dir: String) => {

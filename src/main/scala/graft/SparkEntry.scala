@@ -9263,6 +9263,127 @@ object SparkEntry {
         .orderBy("query_id", "doc_id")
     }),
 
+    // batched more-like-this: term selection, dfs, and scoring all
+    // in-plan for 3 source docs at once; selection is all-integer per
+    // source, the related re-rank all-integer over the pinned pool
+    // (gaps measured per source before trusting)
+    "q_retrieval_mlt_batch" -> ((s: SparkSession, dir: String) => {
+      val d = t(s, dir, "documents")
+      val idx = graft.pipeline.Retrieval.buildTextIndex(d, "doc_id", "text", 32)
+      graft.pipeline.Serving.moreLikeThisBatch(
+          idx, d.filter(F.col("doc_id").isin(3L, 5L, 9L)),
+          "doc_id", "text", mTerms = 4, k = 8)
+        .select(F.col("query_id"),
+          F.col("rel_rank").cast("long").as("rel_rank"),
+          F.col("id").as("doc_id"), F.col("tf_total"),
+          F.col("n_terms_hit"), F.col("query"))
+        .orderBy("query_id", "rel_rank")
+    }),
+
+    // percolation (reverse search / alerting): stored conjunctive
+    // queries match incoming docs — all-integer distinct-term counts,
+    // exact SQL replay
+    "q_percolate" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val stored = Seq(
+        (1L, Seq("slow", "merge")),
+        (2L, Seq("window")),
+        (3L, Seq("slow", "window", "group"))).toDF("query_id", "terms")
+      graft.pipeline.Serving.percolate(
+          stored, t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id", "query_id")
+    }),
+
+    // streaming percolation: micro-batches land batch-stamped matches
+    // with dynamic overwrite (replay-idempotent); the union over
+    // batches equals the batch percolation — oracle shared verbatim
+    "q_stream_percolate" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val stored = Seq(
+        (1L, Seq("slow", "merge")),
+        (2L, Seq("window")),
+        (3L, Seq("slow", "window", "group"))).toDF("query_id", "terms")
+      val d = t(s, dir, "documents").select("doc_id", "text")
+      val tmp = System.getProperty("java.io.tmpdir") + "/graft_q_percolate"
+      val fs = new org.apache.hadoop.fs.Path(tmp)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      d.repartition(2).write.parquet(s"$tmp/src")
+      val stream = s.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$tmp/src")
+      val q = graft.pipeline.Serving.percolateStream(
+          stored, stream, s"$tmp/out", "doc_id", "text")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$tmp/out")
+        .select("doc_id", "query_id", "n_terms")
+        .orderBy("doc_id", "query_id")
+    }),
+
+    // token-gated completion refresh: rebuild iff the source index
+    // changed (indexStateToken invalidation applied to a derived
+    // index); the refreshed dictionary serves the planted new term
+    "q_complete_sync" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val d = t(s, dir, "documents")
+      val tmp = System.getProperty("java.io.tmpdir") + "/graft_q_csync"
+      val fs = new org.apache.hadoop.fs.Path(tmp)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      val ipath = s"$tmp/idx"; val cpath = s"$tmp/cmp"
+      graft.pipeline.Retrieval.buildTextIndex(d, "doc_id", "text", 32)
+        .save(ipath)
+      val sv = graft.pipeline.Serving
+      val first = sv.syncCompletionIndex(s, ipath, cpath)
+      val noop = !sv.syncCompletionIndex(s, ipath, cpath)
+      graft.pipeline.Retrieval.appendToTextIndex(s, ipath,
+        Seq((10000001L, "ssyncterm ssyncterm other"))
+          .toDF("doc_id", "text"), "doc_id", "text")
+      val rebuilt = sv.syncCompletionIndex(s, ipath, cpath)
+      val probe = sv.completeTopK(s, cpath, "ssy", 5).collect()
+      val planted = probe.length == 1 &&
+        probe.head.getString(1) == "ssyncterm" && probe.head.getLong(2) == 1L
+      s.range(1).select(
+        F.lit(first).as("initial_build"),
+        F.lit(noop).as("unchanged_noop"),
+        F.lit(rebuilt).as("rebuilt_after_append"),
+        F.lit(planted).as("planted_term_served"))
+    }),
+
+    // sharded streaming ingest: micro-batches fan out to shard
+    // indexes (per-shard batch stamping, replay-idempotent); the
+    // federated probe then ranks exactly like the monolithic index —
+    // q_bm25's oracle, shared verbatim
+    "q_stream_sharded" -> ((s: SparkSession, dir: String) => {
+      val d = t(s, dir, "documents").select("doc_id", "text")
+      val tmp = System.getProperty("java.io.tmpdir") + "/graft_q_stream_shard"
+      val fs = new org.apache.hadoop.fs.Path(tmp)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      graft.pipeline.Serving.saveShardedTextIndex(
+        d.filter(F.col("doc_id") % 2 === 1), "doc_id", "text",
+        s"$tmp/idx", shards = 3, buckets = 32)
+      val fresh = d.filter(F.col("doc_id") % 2 === 0)
+      fresh.repartition(2).write.parquet(s"$tmp/src")
+      val stream = s.readStream.schema(fresh.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$tmp/src")
+      val q = graft.pipeline.Serving.streamToShardedTextIndex(
+          stream, s"$tmp/idx", "doc_id", "text")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      (0 until 3).foreach(sh => graft.pipeline.Maintenance
+        .releaseWriterLease(s, s"$tmp/idx/shard=$sh"))
+      graft.pipeline.Serving.bm25TopKSharded(
+          s, s"$tmp/idx", Seq("slow", "merge", "window"), 10)
+        .select(F.col("rank").cast("long").as("rank"),
+          F.col("id").as("doc_id"), F.col("tf_total"), F.col("n_terms_hit"))
+        .orderBy("rank")
+    }),
+
     // static impact-ordered pruning: the kept postings are the
     // (tf desc, id asc) per-term prefix — all-integer, exact SQL
     // replay; corpus stats unchanged; the pruned probe still fills k
@@ -13643,6 +13764,71 @@ object SparkEntry {
           |            AS BIGINT) AS f_frac_4dp
           |FROM agg a JOIN nq n USING (query_id)
           |ORDER BY query_id, doc_id""".stripMargin,
+      "q_retrieval_mlt_batch" ->
+        """WITH f AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+          |                    x -> len(x) > 0) AS w FROM documents),
+          |dl AS (SELECT doc_id, len(w) AS dl FROM f WHERE len(w) > 0),
+          |toks AS (SELECT doc_id, unnest(w) AS term FROM f),
+          |src AS (SELECT doc_id AS query_id, term, count(*) AS tf FROM toks
+          |        WHERE doc_id IN (3, 5, 9) GROUP BY 1, 2),
+          |dfs0 AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+          |         WHERE term IN (SELECT term FROM src) GROUP BY 1),
+          |sel AS (SELECT s.query_id, s.term,
+          |          row_number() OVER (PARTITION BY s.query_id
+          |            ORDER BY coalesce(d.df, 0), s.tf DESC, s.term) AS rk
+          |        FROM src s LEFT JOIN dfs0 d USING (term)),
+          |qt AS (SELECT query_id, term FROM sel WHERE rk <= 4),
+          |qstr AS (SELECT query_id, string_agg(term, ' ' ORDER BY rk) AS q
+          |         FROM sel WHERE rk <= 4 GROUP BY 1),
+          |post AS (SELECT term, doc_id, count(*) AS tf FROM toks
+          |         WHERE term IN (SELECT term FROM qt) GROUP BY 1, 2),
+          |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+          |dfs AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+          |scored AS (
+          |  SELECT q.query_id, p.doc_id,
+          |         sum(ln(1 + (s.n - f2.df + 0.5) / (f2.df + 0.5)) * p.tf * 2.2 /
+          |             (p.tf + 1.2 * (0.25 + 0.75 * d2.dl / s.avgdl))) AS score,
+          |         CAST(sum(p.tf) AS BIGINT) AS tf_total,
+          |         CAST(count(*) AS BIGINT) AS n_terms_hit
+          |  FROM post p JOIN qt q USING (term) JOIN dfs f2 USING (term)
+          |       JOIN dl d2 USING (doc_id)
+          |  CROSS JOIN stats s GROUP BY 1, 2),
+          |pool AS (SELECT query_id, rank, doc_id, tf_total, n_terms_hit FROM (
+          |  SELECT query_id,
+          |         CAST(row_number() OVER (PARTITION BY query_id
+          |           ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+          |         doc_id, tf_total, n_terms_hit FROM scored) t
+          |  WHERE rank <= 9)
+          |SELECT p.query_id, p.rel_rank, p.doc_id, p.tf_total,
+          |       p.n_terms_hit, qs.q AS query
+          |FROM (
+          |  SELECT query_id, doc_id, tf_total, n_terms_hit,
+          |         CAST(row_number() OVER (PARTITION BY query_id
+          |           ORDER BY rank) AS BIGINT) AS rel_rank
+          |  FROM pool WHERE doc_id <> query_id) p
+          |JOIN qstr qs USING (query_id)
+          |WHERE p.rel_rank <= 8
+          |ORDER BY query_id, rel_rank""".stripMargin,
+      "q_percolate" ->
+        """WITH f AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+          |                    x -> len(x) > 0) AS w FROM documents),
+          |dtoks AS (SELECT DISTINCT doc_id, unnest(w) AS term FROM f),
+          |q AS (SELECT * FROM (VALUES
+          |        (1, 'slow'), (1, 'merge'),
+          |        (2, 'window'),
+          |        (3, 'slow'), (3, 'window'), (3, 'group'))
+          |      v(query_id, term)),
+          |qs AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_terms
+          |       FROM q GROUP BY 1),
+          |m AS (SELECT d.doc_id, q.query_id, count(*) AS matched
+          |      FROM dtoks d JOIN q ON d.term = q.term GROUP BY 1, 2)
+          |SELECT m.doc_id, CAST(m.query_id AS BIGINT) AS query_id, s.n_terms
+          |FROM m JOIN qs s USING (query_id)
+          |WHERE m.matched = s.n_terms
+          |ORDER BY doc_id, query_id""".stripMargin,
+      "q_complete_sync" ->
+        """SELECT true AS initial_build, true AS unchanged_noop,
+          |  true AS rebuilt_after_append, true AS planted_term_served""".stripMargin,
       "q_index_prune" ->
         """WITH f AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
           |                    x -> len(x) > 0) AS w FROM documents),
@@ -13669,6 +13855,12 @@ object SparkEntry {
       // routed appends land each shard exactly what a full-corpus
       // rebuild would — probe == monolithic, oracle shared verbatim
       ("q_sharded_append" -> m("q_bm25")) +
+      // streamed fan-out lands the same postings/stats as routed batch
+      // appends — probe == monolithic, oracle shared verbatim
+      ("q_stream_sharded" -> m("q_bm25")) +
+      // the streamed per-batch match union equals batch percolation
+      // (stateless conjunctive matches) — oracle shared verbatim
+      ("q_stream_percolate" -> m("q_percolate")) +
       // the persisted fielded probe ranks exactly like one-shot BM25F
       // (saved exact avgdl, manifest N) — oracle shared verbatim
       ("q_bm25f_indexed" -> m("q_bm25f")) +

@@ -82,6 +82,149 @@ object Serving {
       .withColumn("query", F.lit(ranked.mkString(" ")))
   }
 
+  /**
+   * Batched more-like-this: the distributed form of
+   * [[moreLikeThisTopK]] for a SET of source documents at once (the
+   * "related items for these docs" pipeline shape) — term profiles,
+   * dfs, the (df ASC, tf DESC, term ASC) selection, and the final
+   * scoring all run in-plan; the only driver state is the distinct
+   * source-term list (the [[Retrieval.bm25TopKBatch]] serving-batch
+   * collect rule — sources are a bounded batch, not the corpus).
+   *
+   * Returns (query_id, rel_rank, id, score, tf_total, n_terms_hit,
+   * query) per source: `query_id` is the source doc id, `rel_rank`
+   * the 1-based related-document rank AFTER self-exclusion (the
+   * all-integer re-rank over the pinned pool ranking), `query` the
+   * selected terms in selection order.
+   */
+  def moreLikeThisBatch(
+      idx: TextIndex,
+      sources: DataFrame,
+      idCol: String,
+      textCol: String,
+      mTerms: Int,
+      k: Int,
+      k1: Double = Retrieval.DefaultK1,
+      b: Double = Retrieval.DefaultB): DataFrame = {
+    require(mTerms > 0, s"mTerms must be positive, got $mTerms")
+    require(k > 0, s"k must be positive, got $k")
+    val spark = idx.postings.sparkSession
+    import spark.implicits._
+    val srcToks = sources
+      .select(F.col(idCol).cast("long").as("query_id"),
+        F.explode(F.split(F.lower(F.col(textCol)), "\\s+")).as("term"))
+      .filter(F.length(F.col("term")) > 0)
+      .groupBy("query_id", "term")
+      .agg(F.count(F.lit(1)).as("__tf"))
+      .localCheckpoint(eager = false)
+    val terms = srcToks.select("term").distinct().as[String].collect().toSeq
+    require(terms.nonEmpty, "moreLikeThisBatch: no source terms")
+    val qBuckets =
+      terms.map(t => Retrieval.localTermBucket(t, idx.buckets)).distinct
+    val dfs = idx.postings
+      .filter(F.col("__bucket").isin(qBuckets: _*))
+      .filter(F.col("term").isin(terms: _*))
+      .groupBy("term").agg(F.count(F.lit(1)).as("__df"))
+    val selW = Window.partitionBy(F.col("query_id"))
+      .orderBy(F.col("__df").asc, F.col("__tf").desc, F.col("term").asc)
+    val selected = srcToks
+      .join(F.broadcast(dfs), Seq("term"), "left")
+      .withColumn("__df", F.coalesce(F.col("__df"), F.lit(0L)))
+      .withColumn("__rk", F.row_number().over(selW))
+      .filter(F.col("__rk") <= mTerms)
+      .localCheckpoint(eager = false)
+    val queries = selected.groupBy("query_id")
+      .agg(F.collect_list(F.col("term")).as("terms"),
+        F.concat_ws(" ",
+          F.array_sort(F.collect_list(F.struct(F.col("__rk"), F.col("term"))))
+            .getField("term")).as("query"))
+    val pool = Retrieval.bm25TopKBatch(
+      idx, queries.select("query_id", "terms"), k + 1, k1, b)
+    val relW = Window.partitionBy(F.col("query_id"))
+      .orderBy(F.col("rank").asc)
+    pool.filter(F.col("id") =!= F.col("query_id"))
+      .withColumn("rel_rank", F.row_number().over(relW))
+      .filter(F.col("rel_rank") <= k)
+      .join(F.broadcast(queries.select("query_id", "query")), "query_id")
+      .select("query_id", "rel_rank", "id", "score", "tf_total",
+        "n_terms_hit", "query")
+  }
+
+  // ---------------------------------------------------------------- //
+  // Percolation (reverse search)                                      //
+  // ---------------------------------------------------------------- //
+
+  /**
+   * Percolation — reverse search (the Elasticsearch percolator /
+   * alerting shape): STORED queries match against incoming documents
+   * instead of documents against an incoming query. A stored query
+   * (query_id, terms) matches a document iff the document contains
+   * EVERY term (the conjunctive contract, [[Retrieval.bm25TopKBoolean]]
+   * `must` semantics).
+   *
+   * All-integer: per (doc, query) the distinct-matched count equals
+   * the query's term count — no scores, exact replay anywhere.
+   * Returns (doc_id, query_id, n_terms) for each match.
+   *
+   * Scale shape: the stored-query term table broadcasts onto the
+   * document token scan (alert sets are serving-bounded; documents
+   * are the big side and stream through map-side); one
+   * (doc_id, query_id) shuffle for the conjunction count. Duplicate
+   * terms in a stored query collapse (distinct) so the count
+   * comparison is sound.
+   */
+  def percolate(
+      storedQueries: DataFrame,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val qCols = storedQueries.columns
+    val q = storedQueries
+      .select(F.col(qCols(0)).cast("long").as("query_id"),
+        F.explode(F.col(qCols(1))).as("__qt"))
+      .select(F.col("query_id"), F.lower(F.col("__qt")).as("term"))
+      .distinct()
+    val qSize = q.groupBy("query_id").agg(F.count(F.lit(1)).as("n_terms"))
+    val dtoks = docs
+      .select(F.col(idCol).cast("long").as("doc_id"),
+        F.explode(F.split(F.lower(F.col(textCol)), "\\s+")).as("term"))
+      .filter(F.length(F.col("term")) > 0)
+      .distinct()
+    dtoks.join(F.broadcast(q), "term")
+      .groupBy("doc_id", "query_id")
+      .agg(F.count(F.lit(1)).as("__matched"))
+      .join(F.broadcast(qSize), "query_id")
+      .filter(F.col("__matched") === F.col("n_terms"))
+      .select("doc_id", "query_id", "n_terms")
+  }
+
+  /**
+   * Streaming percolation: each micro-batch of documents
+   * batch-percolates against the (frozen) stored queries and lands
+   * its matches under `outPath/__batch=<id>` with dynamic overwrite —
+   * a replayed micro-batch replaces exactly its own matches
+   * (effectively-once, the [[SketchView]] protocol). Stateless across
+   * batches: a document matches on its own content alone.
+   */
+  def percolateStream(
+      storedQueries: DataFrame,
+      docStream: DataFrame,
+      outPath: String,
+      idCol: String,
+      textCol: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docStream.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        percolate(storedQueries, batch, idCol, textCol)
+          .withColumn("__batch", F.lit(batchId))
+          .repartition(1)
+          .write.partitionBy("__batch")
+          .option("partitionOverwriteMode", "dynamic")
+          .mode("overwrite")
+          .parquet(outPath)
+        ()
+    }
+
   // ---------------------------------------------------------------- //
   // Prefix completion (autocomplete)                                  //
   // ---------------------------------------------------------------- //
@@ -146,6 +289,40 @@ object Serving {
     val p = prefix.toLowerCase
     rankCompletions(
       completionTable(idx.postings).filter(F.col("term").startsWith(p)), k)
+  }
+
+  /**
+   * Token-gated completion-index refresh: rebuild the completion
+   * dictionary IFF the source index changed since the last build —
+   * the [[indexStateToken]] of the source index is stored beside the
+   * terms at build time and compared on every sync (the
+   * cache-invalidation key applied to derived-index maintenance).
+   * Returns true when a rebuild ran. The token writes AFTER the
+   * terms, so a crash mid-rebuild leaves a stale/absent token and the
+   * next sync rebuilds again (safe).
+   */
+  def syncCompletionIndex(
+      spark: SparkSession, indexPath: String, outPath: String): Boolean = {
+    val token = indexStateToken(spark, indexPath)
+    val fs = new org.apache.hadoop.fs.Path(outPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tokFile = new org.apache.hadoop.fs.Path(s"$outPath/_source_token.json")
+    val stored =
+      if (!fs.exists(tokFile)) None
+      else {
+        val in = fs.open(tokFile)
+        try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+        finally in.close()
+      }
+    val now = s"""{"token": $token}"""
+    if (stored.contains(now)) false
+    else {
+      saveCompletionIndex(spark, indexPath, outPath)
+      val out = fs.create(tokFile, true)
+      out.write(now.getBytes("UTF-8"))
+      out.close()
+      true
+    }
   }
 
   private def rankCompletions(matched: DataFrame, k: Int): DataFrame = {
@@ -274,6 +451,42 @@ object Serving {
         idCol, textCol)
     }
   }
+
+  /**
+   * Streaming ingest into a sharded index: each micro-batch routes by
+   * the build hash and lands per-shard through the single-index
+   * micro-batch append (batch-stamped, dynamic overwrite) — a
+   * replayed micro-batch rewrites exactly its own postings and stats
+   * rows in EVERY shard it touched, so the fan-out is
+   * effectively-once as a whole. Heartbeats and the
+   * exclusive-maintenance gate run per touched shard root (locks are
+   * per-shard, matching the routed batch maintenance).
+   */
+  def streamToShardedTextIndex(
+      stream: DataFrame,
+      path: String,
+      idCol: String,
+      textCol: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val shards = shardCount(spark, path)
+        val tagged = batch.withColumn("__shard",
+          F.pmod(F.xxhash64(F.col(idCol).cast("long")), F.lit(shards.toLong)))
+          .localCheckpoint(eager = false)
+        val touched = tagged.select("__shard").distinct()
+          .collect().map(_.getLong(0)).sorted
+        touched.foreach { sh =>
+          val shardPath = s"$path/shard=$sh"
+          Maintenance.heartbeat(spark, shardPath)
+          Maintenance.requireNoExclusiveMaintenance(spark, shardPath)
+          Retrieval.appendBatchToTextIndex(spark, shardPath,
+            tagged.filter(F.col("__shard") === sh).drop("__shard"),
+            idCol, textCol, batchId)
+        }
+        ()
+    }
 
   /** Takedowns against a sharded index: ids route to their shard by
     * the hash rule; each touched shard runs the single-index removal

@@ -392,6 +392,140 @@ class LtrFeaturesSpec extends SparkTestBase {
   }
 }
 
+/** Batched more-like-this. */
+class MoreLikeThisBatchSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("batch == per-doc single MLT (terms, order, exclusion)") {
+    val d = sf("sf0.001", "documents")
+    val idx = Retrieval.buildTextIndex(d, "doc_id", "text", 16)
+    val srcIds = Seq(3L, 5L, 9L)
+    val sources = d.filter(F.col("doc_id").isin(srcIds: _*))
+    val batch = Serving.moreLikeThisBatch(idx, sources, "doc_id", "text", 4, 8)
+      .collect().groupBy(_.getAs[Long]("query_id"))
+    srcIds.foreach { id =>
+      val txt = d.filter(F.col("doc_id") === id).select("text")
+        .head.getString(0)
+      val single = Serving.moreLikeThisTopK(idx, id, txt, 4, 8).collect()
+      val b = batch(id).sortBy(_.getAs[Int]("rel_rank"))
+      assert(b.length == single.length, s"src $id row count")
+      assert(b.head.getAs[String]("query") ==
+        single.head.getAs[String]("query"), s"src $id query")
+      b.zip(single).foreach { case (x, y) =>
+        assert(x.getAs[Long]("id") == y.getAs[Long]("id"), s"src $id ids")
+        assert(math.abs(x.getAs[Double]("score") -
+          y.getAs[Double]("score")) < 1e-9)
+      }
+      assert(!b.exists(_.getAs[Long]("id") == id), s"src $id self-excluded")
+    }
+  }
+}
+
+/** Percolation (reverse search). */
+class PercolateSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("conjunctive match: every term required, duplicates collapse") {
+    val stored = Seq(
+      (1L, Seq("alpha", "beta")),
+      (2L, Seq("alpha")),
+      (3L, Seq("beta", "gamma", "beta"))).toDF("query_id", "terms")
+    val docs = Seq(
+      (10L, "alpha beta other"),   // matches 1, 2
+      (11L, "alpha alpha"),        // matches 2
+      (12L, "beta gamma"),         // matches 3
+      (13L, "gamma")).toDF("id", "text") // matches none
+    val out = Serving.percolate(stored, docs, "id", "text")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("query_id")))
+      .toSet
+    assert(out == Set((10L, 1L), (10L, 2L), (11L, 2L), (12L, 3L)))
+  }
+
+  test("case folding matches the query side") {
+    val stored = Seq((1L, Seq("Alpha"))).toDF("query_id", "terms")
+    val docs = Seq((1L, "ALPHA rest")).toDF("id", "text")
+    assert(Serving.percolate(stored, docs, "id", "text").count() == 1)
+  }
+
+  test("stream: per-batch matches land batch-stamped; replay overwrites its own") {
+    val stored = Seq((1L, Seq("alpha"))).toDF("query_id", "terms")
+    val tmp = java.nio.file.Files.createTempDirectory("perc").toString
+    val src = s"$tmp/src"; val out = s"$tmp/out"
+    Seq((1L, "alpha x"), (2L, "beta")).toDF("id", "text")
+      .write.parquet(src)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src).schema).parquet(src)
+    val q = Serving.percolateStream(stored, stream, out, "id", "text")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val rows = spark.read.parquet(out)
+      .select("doc_id", "query_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows == Set((1L, 1L)))
+  }
+}
+
+/** Completion-index sync policy. */
+class CompletionSyncSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("rebuild iff the source index token changed") {
+    val tmp = java.nio.file.Files.createTempDirectory("csync").toString
+    val ipath = s"$tmp/idx"; val cpath = s"$tmp/cmp"
+    Retrieval.buildTextIndex(
+      Seq((1L, "melon fig"), (2L, "melon kiwi")).toDF("id", "text"),
+      "id", "text", 4).save(ipath)
+    assert(Serving.syncCompletionIndex(spark, ipath, cpath), "initial build")
+    assert(!Serving.syncCompletionIndex(spark, ipath, cpath), "unchanged no-op")
+    Retrieval.appendToTextIndex(spark, ipath,
+      Seq((3L, "mango melon")).toDF("id", "text"), "id", "text")
+    assert(Serving.syncCompletionIndex(spark, ipath, cpath),
+      "rebuild after append")
+    val terms = Serving.completeTopK(spark, cpath, "m", 10)
+      .collect().map(_.getString(1)).toSet
+    assert(terms == Set("melon", "mango"))
+    val dfMelon = Serving.completeTopK(spark, cpath, "melon", 1)
+      .collect().head.getLong(2)
+    assert(dfMelon == 3L)
+  }
+}
+
+/** Sharded streaming ingest. */
+class ShardedStreamSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("streamed docs route to shards; probe == monolithic; stats exact") {
+    val d = sf("sf0.001", "documents").select("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("shstr").toString
+    Serving.saveShardedTextIndex(d.filter(F.col("doc_id") % 2 === 1),
+      "doc_id", "text", s"$tmp/idx", shards = 2, buckets = 8)
+    val fresh = d.filter(F.col("doc_id") % 2 === 0)
+    fresh.write.parquet(s"$tmp/src")
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$tmp/src").schema).parquet(s"$tmp/src")
+    val q = Serving.streamToShardedTextIndex(stream, s"$tmp/idx",
+        "doc_id", "text")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    (0 until 2).foreach(sh =>
+      Maintenance.releaseWriterLease(spark, s"$tmp/idx/shard=$sh"))
+    val a = Serving.bm25TopKSharded(spark, s"$tmp/idx",
+      Seq("slow", "merge", "window"), 10).collect()
+    val b = Retrieval.bm25TopKIndexed(
+      Retrieval.buildTextIndex(d, "doc_id", "text", 8),
+      Seq("slow", "merge", "window"), 10).collect()
+    a.zip(b).foreach { case (x, y) =>
+      assert(x.getAs[Long]("id") == y.getAs[Long]("id"))
+      assert(math.abs(x.getAs[Double]("score") - y.getAs[Double]("score")) < 1e-9)
+    }
+    assert(a.length == b.length && a.nonEmpty)
+  }
+}
+
 /** Static impact-ordered index pruning. */
 class PrunedIndexSpec extends SparkTestBase {
   import spark.implicits._
