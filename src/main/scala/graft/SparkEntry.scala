@@ -9384,6 +9384,93 @@ object SparkEntry {
         .orderBy("rank")
     }),
 
+    // upsert: remove-then-append replacement of changed documents —
+    // probe over the upserted index ranks exactly like a rebuild of
+    // the modified corpus (the oracle replays the modification as a
+    // CASE append); planted term in the query exercises the new text
+    "q_index_upsert" -> ((s: SparkSession, dir: String) => {
+      val d = t(s, dir, "documents")
+      val tmp = System.getProperty("java.io.tmpdir") + "/graft_q_upsert"
+      val fs = new org.apache.hadoop.fs.Path(tmp)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      graft.pipeline.Retrieval.buildTextIndex(d, "doc_id", "text", 32)
+        .save(tmp)
+      val changed = d.filter(F.col("doc_id") % 5 === 0)
+        .select(F.col("doc_id"),
+          F.concat(F.col("text"), F.lit(" zzupserted")).as("text"))
+      graft.pipeline.Retrieval.upsertIntoTextIndex(
+        s, tmp, changed, "doc_id", "text")
+      graft.pipeline.Retrieval.bm25TopKIndexed(
+          graft.pipeline.Retrieval.loadTextIndex(s, tmp),
+          Seq("slow", "merge", "zzupserted"), 10)
+        .select(F.col("rank").cast("long").as("rank"),
+          F.col("id").as("doc_id"), F.col("tf_total"), F.col("n_terms_hit"))
+        .orderBy("rank")
+    }),
+
+    // term-level statistics: df / exact collection frequency / idf at
+    // current N, partition-pruned to the queried terms — full replay
+    "q_term_stats" -> ((s: SparkSession, dir: String) => {
+      val idx = graft.pipeline.Retrieval.buildTextIndex(
+        t(s, dir, "documents"), "doc_id", "text", 32)
+      graft.pipeline.Retrieval.termStats(
+          idx, Seq("slow", "merge", "window", "zzabsent"))
+        .select(F.col("term"), F.col("df"), F.col("cf"),
+          F.round(F.col("idf") * 10000).cast("long").as("idf_4dp"))
+        .orderBy("term")
+    }),
+
+    // numeric facet panel over the matched set: exact counts + exact
+    // n_chars sums per source; stat_avg is one division over exact
+    // longs (deterministic raw doubles cross-engine)
+    "q_retrieval_facet_stats" -> ((s: SparkSession, dir: String) => {
+      val d = t(s, dir, "documents")
+      val idx = graft.pipeline.Retrieval.buildTextIndex(d, "doc_id", "text", 32)
+      graft.pipeline.Retrieval.facetStats(
+          idx, Seq("slow", "merge", "window"), d, "doc_id", "source",
+          "n_chars", 10)
+        .select(F.col("source"), F.col("n_docs"), F.col("stat_sum"),
+          F.col("stat_avg"))
+    }),
+
+    // paired bootstrap CI: deterministic hex-draw resamples of the
+    // 12-group integer metrics, order-statistic percentile interval —
+    // exact integer sums, full SQL replay
+    "q_eval_bootstrap" -> ((s: SparkSession, dir: String) => {
+      val d = t(s, dir, "documents")
+      val toks = d.select(F.col("doc_id"),
+          F.explode(F.split(F.lower(F.col("text")), "\\s+")).as("term"))
+        .filter(F.length(F.col("term")) > 0)
+      def hits(term: String) = toks.filter(F.col("term") === term)
+        .select("doc_id").distinct()
+        .groupBy((F.col("doc_id") % 12).as("g"))
+        .agg(F.count(F.lit(1)).as("n"))
+      val perQ = s.range(0, 12).select(F.col("id").as("g"))
+        .join(hits("slow").withColumnRenamed("n", "a"), Seq("g"), "left")
+        .join(hits("merge").withColumnRenamed("n", "b"), Seq("g"), "left")
+        .select(F.col("g"),
+          F.coalesce(F.col("a"), F.lit(0L)).cast("double").as("ma"),
+          F.coalesce(F.col("b"), F.lit(0L)).cast("double").as("mb"))
+      graft.pipeline.Eval.pairedBootstrapCI(
+          perQ, "g", "ma", "mb", reps = 200, seed = "bs14")
+        .select(F.col("n_queries"), F.col("obs_mean"), F.col("reps"),
+          F.col("ci_lo"), F.col("ci_hi"))
+    }),
+
+    // BM25+ (delta * idf floor per matched term): the long-document
+    // fix — same idf/weight builders as BM25, replayed term-shape-
+    // exact in SQL; ranks pinned by the q_bm25 rule (gaps measured)
+    "q_retrieval_bm25plus" -> ((s: SparkSession, dir: String) => {
+      val idx = graft.pipeline.Retrieval.buildTextIndex(
+        t(s, dir, "documents"), "doc_id", "text", 32)
+      graft.pipeline.Retrieval.bm25PlusTopKIndexed(
+          idx, Seq("slow", "merge", "window"), 10, delta = 1.0)
+        .select(F.col("rank").cast("long").as("rank"),
+          F.col("id").as("doc_id"), F.col("tf_total"), F.col("n_terms_hit"))
+        .orderBy("rank")
+    }),
+
     // static impact-ordered pruning: the kept postings are the
     // (tf desc, id asc) per-term prefix — all-integer, exact SQL
     // replay; corpus stats unchanged; the pruned probe still fills k
@@ -13829,6 +13916,118 @@ object SparkEntry {
       "q_complete_sync" ->
         """SELECT true AS initial_build, true AS unchanged_noop,
           |  true AS rebuilt_after_append, true AS planted_term_served""".stripMargin,
+      "q_index_upsert" ->
+        """WITH up AS (SELECT doc_id,
+          |              text || CASE WHEN doc_id % 5 = 0 THEN ' zzupserted'
+          |                           ELSE '' END AS text
+          |            FROM documents),
+          |f AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+          |                    x -> len(x) > 0) AS w FROM up),
+          |dl AS (SELECT doc_id, len(w) AS dl FROM f WHERE len(w) > 0),
+          |toks AS (SELECT doc_id, unnest(w) AS term FROM f),
+          |post AS (SELECT term, doc_id, count(*) AS tf FROM toks
+          |         WHERE term IN ('slow', 'merge', 'zzupserted') GROUP BY 1, 2),
+          |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+          |dfs AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+          |scored AS (
+          |  SELECT p.doc_id,
+          |         sum(ln(1 + (s.n - f2.df + 0.5) / (f2.df + 0.5)) * p.tf * 2.2 /
+          |             (p.tf + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl))) AS score,
+          |         CAST(sum(p.tf) AS BIGINT) AS tf_total,
+          |         CAST(count(*) AS BIGINT) AS n_terms_hit
+          |  FROM post p JOIN dfs f2 USING (term) JOIN dl d USING (doc_id)
+          |  CROSS JOIN stats s GROUP BY 1)
+          |SELECT rank, doc_id, tf_total, n_terms_hit FROM (
+          |  SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+          |         doc_id, tf_total, n_terms_hit FROM scored) t
+          |WHERE rank <= 10 ORDER BY rank""".stripMargin,
+      "q_term_stats" ->
+        """WITH f AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+          |                    x -> len(x) > 0) AS w FROM documents),
+          |dl AS (SELECT doc_id, len(w) AS dl FROM f WHERE len(w) > 0),
+          |toks AS (SELECT doc_id, unnest(w) AS term FROM f),
+          |post AS (SELECT term, doc_id, count(*) AS tf FROM toks
+          |         WHERE term IN ('slow', 'merge', 'window', 'zzabsent')
+          |         GROUP BY 1, 2),
+          |n AS (SELECT count(*) AS n_docs FROM dl)
+          |SELECT term, CAST(count(*) AS BIGINT) AS df,
+          |       CAST(sum(tf) AS BIGINT) AS cf,
+          |       CAST(round(ln(1 + (n.n_docs - count(*) + 0.5) /
+          |                         (count(*) + 0.5)) * 10000) AS BIGINT)
+          |         AS idf_4dp
+          |FROM post CROSS JOIN n GROUP BY term, n.n_docs
+          |ORDER BY term""".stripMargin,
+      "q_retrieval_facet_stats" ->
+        """WITH f AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+          |                    x -> len(x) > 0) AS w FROM documents),
+          |toks AS (SELECT doc_id, unnest(w) AS term FROM f),
+          |hit AS (SELECT DISTINCT doc_id FROM toks
+          |        WHERE term IN ('slow', 'merge', 'window')),
+          |m AS (SELECT d.source, d.n_chars FROM documents d
+          |      JOIN hit USING (doc_id))
+          |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+          |       CAST(sum(n_chars) AS BIGINT) AS stat_sum,
+          |       CAST(sum(n_chars) AS DOUBLE) / count(*) AS stat_avg
+          |FROM m GROUP BY source
+          |ORDER BY n_docs DESC, source LIMIT 10""".stripMargin,
+      "q_eval_bootstrap" ->
+        """WITH f AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+          |                    x -> len(x) > 0) AS w FROM documents),
+          |toks AS (SELECT doc_id, unnest(w) AS term FROM f),
+          |dq AS (SELECT doc_id,
+          |         max(CASE WHEN term = 'slow' THEN 1 ELSE 0 END) AS hs,
+          |         max(CASE WHEN term = 'merge' THEN 1 ELSE 0 END) AS hm
+          |       FROM toks GROUP BY 1),
+          |gm AS (SELECT gg.g,
+          |         coalesce(sum(q.hs), 0) AS ma, coalesce(sum(q.hm), 0) AS mb
+          |       FROM generate_series(0, 11) gg(g)
+          |       LEFT JOIN (SELECT doc_id % 12 AS g2, hs, hm FROM dq) q
+          |         ON gg.g = q.g2
+          |       GROUP BY 1),
+          |base AS (SELECT g, ma - mb AS d,
+          |           row_number() OVER (ORDER BY CAST(g AS VARCHAR)) - 1 AS i
+          |         FROM gm),
+          |obs AS (SELECT CAST(count(*) AS BIGINT) AS n_queries,
+          |               sum(d) AS obs_sum FROM base),
+          |draws AS (SELECT r.r,
+          |            CAST(concat('0x', substr(md5('bs14:'
+          |              || CAST(r.r AS VARCHAR) || ':'
+          |              || CAST(sl.s AS VARCHAR)), 1, 8)) AS BIGINT) % 12 AS i
+          |          FROM range(1, 201) r(r) CROSS JOIN range(0, 12) sl(s)),
+          |sums AS (SELECT d2.r, sum(b.d) AS s
+          |         FROM draws d2 JOIN base b USING (i) GROUP BY 1),
+          |ranked AS (SELECT s, row_number() OVER (ORDER BY s) AS rn FROM sums),
+          |lo AS (SELECT s AS lo_s FROM ranked WHERE rn = 5),
+          |hi AS (SELECT s AS hi_s FROM ranked WHERE rn = 195)
+          |SELECT o.n_queries,
+          |       CAST(o.obs_sum AS DOUBLE) / o.n_queries AS obs_mean,
+          |       CAST(200 AS BIGINT) AS reps,
+          |       CAST(l.lo_s AS DOUBLE) / o.n_queries AS ci_lo,
+          |       CAST(h.hi_s AS DOUBLE) / o.n_queries AS ci_hi
+          |FROM obs o CROSS JOIN lo l CROSS JOIN hi h""".stripMargin,
+      "q_retrieval_bm25plus" ->
+        """WITH f AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+          |                    x -> len(x) > 0) AS w FROM documents),
+          |dl AS (SELECT doc_id, len(w) AS dl FROM f WHERE len(w) > 0),
+          |toks AS (SELECT doc_id, unnest(w) AS term FROM f),
+          |post AS (SELECT term, doc_id, count(*) AS tf FROM toks
+          |         WHERE term IN ('slow', 'merge', 'window') GROUP BY 1, 2),
+          |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+          |dfs AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+          |scored AS (
+          |  SELECT p.doc_id,
+          |         sum(ln(1 + (s.n - f2.df + 0.5) / (f2.df + 0.5)) * p.tf * 2.2 /
+          |             (p.tf + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl))
+          |             + CAST(1 AS DOUBLE) *
+          |               ln(1 + (s.n - f2.df + 0.5) / (f2.df + 0.5))) AS score,
+          |         CAST(sum(p.tf) AS BIGINT) AS tf_total,
+          |         CAST(count(*) AS BIGINT) AS n_terms_hit
+          |  FROM post p JOIN dfs f2 USING (term) JOIN dl d USING (doc_id)
+          |  CROSS JOIN stats s GROUP BY 1)
+          |SELECT rank, doc_id, tf_total, n_terms_hit FROM (
+          |  SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+          |         doc_id, tf_total, n_terms_hit FROM scored) t
+          |WHERE rank <= 10 ORDER BY rank""".stripMargin,
       "q_index_prune" ->
         """WITH f AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
           |                    x -> len(x) > 0) AS w FROM documents),

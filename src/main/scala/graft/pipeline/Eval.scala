@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.{functions => F}
 
 /**
@@ -545,5 +546,68 @@ object Eval {
           .otherwise(0L)).as("n_ge"))
       .withColumn("p_value",
         (F.col("n_ge") + F.lit(1.0)) / (F.col("reps") + F.lit(1.0)))
+  }
+
+  /**
+   * Paired bootstrap confidence interval for the mean per-query
+   * difference of two systems: `reps` resamples of the query set WITH
+   * replacement, each drawing `n` queries by a deterministic md5 draw
+   * (slot r:i -> query index `hex32(md5) mod n` — the manifest-token
+   * hex convention, replayable in any engine with md5), and the
+   * percentile interval at `alpha` picked as ORDER STATISTICS of the
+   * resampled sums (values, not indexes — duplicate sums cannot
+   * diverge across engines).
+   *
+   * With integer-valued metrics every resampled sum is exact and
+   * `obs_mean`/`ci_lo`/`ci_hi` are single exact-over-exact divisions —
+   * the whole interval replays bit-for-bit cross-engine (the
+   * [[pairedRandomizationTest]] exactness rule).
+   *
+   * Returns one row (n_queries, obs_mean, reps, ci_lo, ci_hi).
+   */
+  def pairedBootstrapCI(
+      perQuery: DataFrame,
+      queryIdCol: String,
+      metricACol: String,
+      metricBCol: String,
+      reps: Int,
+      seed: String,
+      alpha: Double = 0.05): DataFrame = {
+    require(reps > 0, s"reps must be positive, got $reps")
+    require(alpha > 0 && alpha < 1, s"alpha in (0,1), got $alpha")
+    val spark = perQuery.sparkSession
+    val base = perQuery.select(
+        F.col(queryIdCol).cast("string").as("__qid"),
+        (F.col(metricACol).cast("double") -
+          F.col(metricBCol).cast("double")).as("__d"))
+      .withColumn("__i",
+        F.row_number().over(Window.orderBy(F.col("__qid"))) - 1)
+      .localCheckpoint(eager = false)
+    val n = base.count()
+    require(n > 0, "pairedBootstrapCI: empty query set")
+    val obsRow = base.agg(F.count(F.lit(1)).as("n_queries"),
+      F.sum(F.col("__d")).as("__obs"))
+    val grid = spark.range(1, reps + 1L).select(F.col("id").as("__rep"))
+      .crossJoin(spark.range(0, n).select(F.col("id").as("__slot")))
+    val draw = F.conv(F.substring(
+        F.md5(F.concat_ws(":", F.lit(seed), F.col("__rep"), F.col("__slot"))),
+        1, 8), 16, 10).cast("long") % n
+    val sums = grid.withColumn("__i", draw)
+      .join(F.broadcast(base.select("__i", "__d")), "__i")
+      .groupBy("__rep").agg(F.sum(F.col("__d")).as("__s"))
+    val rn = F.row_number().over(Window.orderBy(F.col("__s").asc))
+    val ranked = sums.withColumn("__rn", rn)
+    val loPos = math.max(1L, math.ceil(alpha / 2 * reps).toLong)
+    val hiPos = math.min(reps.toLong, math.ceil((1 - alpha / 2) * reps).toLong)
+    val lo = ranked.filter(F.col("__rn") === loPos)
+      .select(F.col("__s").as("__lo"))
+    val hi = ranked.filter(F.col("__rn") === hiPos)
+      .select(F.col("__s").as("__hi"))
+    obsRow.crossJoin(F.broadcast(lo)).crossJoin(F.broadcast(hi))
+      .select(F.col("n_queries"),
+        (F.col("__obs") / F.col("n_queries")).as("obs_mean"),
+        F.lit(reps.toLong).as("reps"),
+        (F.col("__lo") / F.col("n_queries")).as("ci_lo"),
+        (F.col("__hi") / F.col("n_queries")).as("ci_hi"))
   }
 }

@@ -136,7 +136,8 @@ object Retrieval {
       queryTerms: Seq[String],
       k1: Double,
       b: Double,
-      restrict: Option[DataFrame]): DataFrame = {
+      restrict: Option[DataFrame],
+      delta: Double = 0.0): DataFrame = {
     require(queryTerms.nonEmpty, "bm25Scores: empty query")
     val matched = index
       .filter(F.col("term").isin(queryTerms.map(_.toLowerCase): _*))
@@ -146,14 +147,120 @@ object Retrieval {
       case Some(ok) => matched.join(ok, Seq("id"), "left_semi")
       case None => matched
     }
+    // delta != 0 is BM25+ (Lv & Zhai 2011): a per-matched-term floor
+    // delta * idf that long documents cannot normalize away — composed
+    // from the same idfCol/bm25Weight builders, never a second formula
+    val weight =
+      if (delta == 0.0) bm25Weight(k1, b)
+      else bm25Weight(k1, b) + F.lit(delta) * idfCol
     candidates
       .join(F.broadcast(dfs), "term")
       .crossJoin(F.broadcast(stats))
-      .withColumn("__w", bm25Weight(k1, b))
+      .withColumn("__w", weight)
       .groupBy("id")
       .agg(F.sum(F.col("__w")).as("score"),
         F.sum(F.col("tf")).as("tf_total"),
         F.count(F.lit(1)).as("n_terms_hit"))
+  }
+
+  /**
+   * BM25+ top-k against a saved index (Lv & Zhai 2011): BM25 with a
+   * `delta * idf` floor per matched term, fixing BM25's over-penalty
+   * of very long documents (a long doc matching a term always beats a
+   * doc not matching it, which plain BM25 does not guarantee).
+   * `delta = 1.0` is the paper's default.
+   */
+  def bm25PlusTopKIndexed(
+      idx: TextIndex,
+      queryTerms: Seq[String],
+      k: Int,
+      delta: Double = 1.0,
+      k1: Double = DefaultK1,
+      b: Double = DefaultB): DataFrame = {
+    val spark = idx.postings.sparkSession
+    import spark.implicits._
+    val q = queryTerms.map(_.toLowerCase).distinct
+    val qBuckets = q.map(t => localTermBucket(t, idx.buckets))
+    val pruned = idx.postings
+      .filter(F.col("__bucket").isin(qBuckets.distinct: _*))
+    val stats = Seq((idx.nDocs, idx.avgdl)).toDF("n_docs", "avgdl")
+    rankTopK(
+        bm25ScoresImpl(pruned, stats, q, k1, b, restrict = None, delta), k)
+      .select(F.col("rank"), F.col("id"), F.col("score"),
+        F.col("tf_total"), F.col("n_terms_hit"))
+  }
+
+  /**
+   * Upsert: replace (or insert) documents in a saved index — the
+   * takedown removal of the incoming ids followed by the batch
+   * append, under one exclusive-maintenance window per step. Absent
+   * ids remove nothing (plain inserts); present ids are fully
+   * replaced (postings AND their exact stats contribution). RETRY-
+   * CONVERGENT: re-running an upsert removes the half-landed prior
+   * attempt before appending again, so a crash between the two steps
+   * (documents transiently absent) is repaired by the retry.
+   */
+  def upsertIntoTextIndex(
+      spark: SparkSession,
+      path: String,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String): TextIndex = {
+    removeFromTextIndex(spark, path, docs.select(F.col(idCol)), idCol)
+    appendToTextIndex(spark, path, docs, idCol, textCol)
+  }
+
+  /**
+   * Term-level statistics from a saved index, partition-pruned to the
+   * queried terms: (term, df, cf, idf) — document frequency, collection
+   * frequency (Σ tf, exact long), and the BM25 idf at the index's
+   * current N. Terms absent from the corpus are absent from the
+   * result (df 0 has no posting to derive from).
+   */
+  def termStats(idx: TextIndex, terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "termStats: no terms")
+    val q = terms.map(_.toLowerCase).distinct
+    val qBuckets = q.map(t => localTermBucket(t, idx.buckets)).distinct
+    idx.postings
+      .filter(F.col("__bucket").isin(qBuckets: _*))
+      .filter(F.col("term").isin(q: _*))
+      .groupBy("term")
+      .agg(F.count(F.lit(1)).as("df"), F.sum(F.col("tf")).as("cf"))
+      .withColumn("n_docs", F.lit(idx.nDocs))
+      .withColumn("idf", idfCol)
+      .drop("n_docs")
+  }
+
+  /**
+   * Numeric facet panel over the matched set: per facet value, the
+   * matched-document count and the EXACT sum of a numeric column
+   * (token budgeting / corpus-slice sizing over search results).
+   * `stat_avg` is the one division over exact longs. Top-N facet
+   * values by (n_docs DESC, facet ASC) — all-integer ordering.
+   */
+  def facetStats(
+      idx: TextIndex,
+      queryTerms: Seq[String],
+      docs: DataFrame,
+      idCol: String,
+      facetCol: String,
+      statCol: String,
+      topN: Int): DataFrame = {
+    require(queryTerms.nonEmpty, "facetStats: empty query")
+    val q = queryTerms.map(_.toLowerCase).distinct
+    val qBuckets = q.map(t => localTermBucket(t, idx.buckets)).distinct
+    val ids = idx.postings
+      .filter(F.col("__bucket").isin(qBuckets: _*))
+      .filter(F.col("term").isin(q: _*))
+      .select(F.col("id").as(idCol)).distinct()
+    docs.join(ids, Seq(idCol), "left_semi")
+      .groupBy(F.col(facetCol))
+      .agg(F.count(F.lit(1)).as("n_docs"),
+        F.sum(F.col(statCol).cast("long")).as("stat_sum"))
+      .withColumn("stat_avg",
+        F.col("stat_sum").cast("double") / F.col("n_docs"))
+      .orderBy(F.col("n_docs").desc, F.col(facetCol).asc)
+      .limit(topN)
   }
 
   /** Attach 1-based `rank` to the k best rows of `scored` by

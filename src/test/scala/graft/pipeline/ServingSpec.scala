@@ -526,6 +526,127 @@ class ShardedStreamSpec extends SparkTestBase {
   }
 }
 
+/** Upsert, term stats, facet stats, BM25+. */
+class IndexOpsExtrasSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("upsert replaces present ids, inserts absent ones; probe == rebuild") {
+    val tmp = java.nio.file.Files.createTempDirectory("ups").toString
+    val v1 = Seq((1L, "apple banana"), (2L, "cherry date"), (3L, "apple fig"))
+      .toDF("id", "text")
+    Retrieval.buildTextIndex(v1, "id", "text", 4).save(tmp)
+    val changes = Seq((2L, "apple apple apple"), (4L, "apple kiwi"))
+      .toDF("id", "text")
+    Retrieval.upsertIntoTextIndex(spark, tmp, changes, "id", "text")
+    val v2 = Seq((1L, "apple banana"), (2L, "apple apple apple"),
+      (3L, "apple fig"), (4L, "apple kiwi")).toDF("id", "text")
+    val got = Retrieval.bm25TopKIndexed(
+      Retrieval.loadTextIndex(spark, tmp), Seq("apple"), 10).collect()
+    val want = Retrieval.bm25TopKIndexed(
+      Retrieval.buildTextIndex(v2, "id", "text", 4), Seq("apple"), 10)
+      .collect()
+    assert(got.length == want.length)
+    got.zip(want).foreach { case (x, y) =>
+      assert(x.getAs[Long]("id") == y.getAs[Long]("id"))
+      assert(math.abs(x.getAs[Double]("score") - y.getAs[Double]("score")) < 1e-9)
+    }
+    // exact stats match the rebuild (delta arithmetic)
+    val a = Retrieval.loadTextIndex(spark, tmp)
+    assert(a.nDocs == 4L && a.dlSum == (2 + 3 + 2 + 2))
+    // retry-convergence: re-running the same upsert changes nothing
+    Retrieval.upsertIntoTextIndex(spark, tmp, changes, "id", "text")
+    val b = Retrieval.loadTextIndex(spark, tmp)
+    assert(b.nDocs == 4L && b.dlSum == a.dlSum)
+  }
+
+  test("termStats: df, exact cf, idf at current N; absent terms omitted") {
+    val docs = Seq((1L, "x x y"), (2L, "x z"), (3L, "y")).toDF("id", "text")
+    val idx = Retrieval.buildTextIndex(docs, "id", "text", 4)
+    val st = Retrieval.termStats(idx, Seq("x", "y", "absent"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(st.keySet == Set("x", "y"))
+    assert(st("x")._1 == 2L && st("x")._2 == 3L)
+    assert(st("y")._1 == 2L && st("y")._2 == 2L)
+    val idfX = math.log(1.0 + (3 - 2 + 0.5) / (2 + 0.5))
+    assert(math.abs(st("x")._3 - idfX) < 1e-12)
+  }
+
+  test("facetStats: exact counts and sums per facet over the matched set") {
+    val docs = Seq(
+      (1L, "hit a", "s1", 10L), (2L, "hit b", "s1", 20L),
+      (3L, "hit c", "s2", 5L), (4L, "miss", "s2", 100L))
+      .toDF("id", "text", "src", "nch")
+    val idx = Retrieval.buildTextIndex(docs, "id", "text", 4)
+    val out = Retrieval.facetStats(idx, Seq("hit"), docs, "id", "src",
+      "nch", 10).collect()
+    val m = out.map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(m("s1") == ((2L, 30L, 15.0)))
+    assert(m("s2") == ((1L, 5L, 5.0)))
+  }
+
+  test("BM25+: a long doc matching a term outranks a non-matching doc") {
+    // plain BM25 can rank a long matching doc below short non-matchers
+    // only among MATCHED docs; the delta floor guarantees every match
+    // scores >= delta * idf
+    val docs = Seq(
+      (1L, ("pad " * 200) + "needle"),
+      (2L, "needle hay")).toDF("id", "text")
+    val idx = Retrieval.buildTextIndex(docs, "id", "text", 4)
+    val out = Retrieval.bm25PlusTopKIndexed(idx, Seq("needle"), 10, 1.0)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("score")).toMap
+    val idf = math.log(1.0 + (2 - 2 + 0.5) / (2 + 0.5))
+    assert(out(1L) >= 1.0 * idf - 1e-12, "delta floor holds for the long doc")
+    // delta = 0 degenerates to plain BM25
+    val plain = Retrieval.bm25PlusTopKIndexed(idx, Seq("needle"), 10, 0.0)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("score")).toMap
+    val ref = Retrieval.bm25TopKIndexed(idx, Seq("needle"), 10)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("score")).toMap
+    plain.foreach { case (id, s) => assert(math.abs(s - ref(id)) < 1e-12) }
+  }
+}
+
+/** Paired bootstrap confidence interval. */
+class BootstrapCISpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def hexDraw(seed: String, rep: Long, slot: Long, n: Long): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$seed:$rep:$slot".getBytes("UTF-8"))
+    val hex = md.take(4).map(b => f"${b & 0xff}%02x").mkString
+    java.lang.Long.parseLong(hex, 16) % n
+  }
+
+  test("driver-side replay of the full interval") {
+    val perQ = Seq(("a", 4.0, 1.0), ("b", 2.0, 2.0), ("c", 5.0, 3.0),
+      ("d", 1.0, 2.0)).toDF("qid", "ma", "mb")
+    val reps = 40
+    val out = Eval.pairedBootstrapCI(perQ, "qid", "ma", "mb", reps, "bs1")
+      .collect().head
+    // replay: index by qid order
+    val d = Seq("a" -> 3.0, "b" -> 0.0, "c" -> 2.0, "d" -> -1.0)
+    val sums = (1 to reps).map { r =>
+      (0 until 4).map(i => d(hexDraw("bs1", r.toLong, i.toLong, 4).toInt)._2).sum
+    }.sorted
+    val lo = sums(math.max(1, math.ceil(0.025 * reps).toInt) - 1)
+    val hi = sums(math.min(reps, math.ceil(0.975 * reps).toInt) - 1)
+    assert(out.getAs[Long]("n_queries") == 4L)
+    assert(math.abs(out.getAs[Double]("obs_mean") - 1.0) < 1e-12)
+    assert(math.abs(out.getAs[Double]("ci_lo") - lo / 4.0) < 1e-12)
+    assert(math.abs(out.getAs[Double]("ci_hi") - hi / 4.0) < 1e-12)
+  }
+
+  test("identical systems: degenerate zero-width interval at 0") {
+    val perQ = (1 to 6).map(i => (s"q$i", 2.0, 2.0)).toDF("qid", "a", "b")
+    val out = Eval.pairedBootstrapCI(perQ, "qid", "a", "b", 50, "s")
+      .collect().head
+    assert(out.getAs[Double]("obs_mean") == 0.0)
+    assert(out.getAs[Double]("ci_lo") == 0.0 &&
+      out.getAs[Double]("ci_hi") == 0.0)
+  }
+}
+
 /** Static impact-ordered index pruning. */
 class PrunedIndexSpec extends SparkTestBase {
   import spark.implicits._
