@@ -9471,6 +9471,63 @@ object SparkEntry {
         .orderBy("rank")
     }),
 
+    // pinned (editorial) results: given ids take ranks 1..p in order,
+    // matched or not; organic fills excluding them — all-integer over
+    // the pinned organic ranking (scores dropped from the gate:
+    // `matched` carries the fact without a nullable float column)
+    "q_retrieval_pinned" -> ((s: SparkSession, dir: String) => {
+      val idx = graft.pipeline.Retrieval.buildTextIndex(
+        t(s, dir, "documents"), "doc_id", "text", 32)
+      graft.pipeline.Serving.pinnedTopK(
+          idx, Seq("slow", "merge", "window"), Seq(2L, 7L), 10)
+        .select(F.col("rank").cast("long").as("rank"),
+          F.col("id").as("doc_id"), F.col("pinned"),
+          F.col("score").isNotNull.as("matched"))
+        .orderBy("rank")
+    }),
+
+    // synonym-group retrieval: variants share tf/df statistics (the
+    // analyzer-level synonym contract) — the oracle replays the group
+    // aggregation; ranks pinned by the q_bm25 rule (gaps measured)
+    "q_retrieval_synonyms" -> ((s: SparkSession, dir: String) => {
+      val idx = graft.pipeline.Retrieval.buildTextIndex(
+        t(s, dir, "documents"), "doc_id", "text", 32)
+      graft.pipeline.Serving.synonymTopK(
+          idx, Seq(Seq("slow", "fast"), Seq("merge"), Seq("window")), 10)
+        .select(F.col("rank").cast("long").as("rank"),
+          F.col("id").as("doc_id"), F.col("tf_total"), F.col("n_terms_hit"))
+        .orderBy("rank")
+    }),
+
+    // score explanation: the per-(doc, term) breakdown behind served
+    // scores — corpus-level dfs under the doc restriction, weights
+    // from the ONE shared builder; full replay at 4dp
+    "q_retrieval_explain" -> ((s: SparkSession, dir: String) => {
+      val idx = graft.pipeline.Retrieval.buildTextIndex(
+        t(s, dir, "documents"), "doc_id", "text", 32)
+      graft.pipeline.Retrieval.explainScores(
+          idx, Seq("slow", "merge", "window"), Seq(3L, 6L, 9L))
+        .select(F.col("id").as("doc_id"), F.col("term"), F.col("tf"),
+          F.col("df"), F.col("dl"),
+          F.round(F.col("idf") * 10000).cast("long").as("idf_4dp"),
+          F.round(F.col("weight") * 10000).cast("long").as("weight_4dp"))
+        .orderBy("doc_id", "term")
+    }),
+
+    // rank-list diff between two serving configs (BM25 vs BM25+):
+    // all-integer over two pinned rankings, coalesced absences
+    "q_eval_rankdiff" -> ((s: SparkSession, dir: String) => {
+      val idx = graft.pipeline.Retrieval.buildTextIndex(
+        t(s, dir, "documents"), "doc_id", "text", 32)
+      val q = Seq("slow", "merge", "window")
+      graft.pipeline.Eval.rankListDiff(
+          graft.pipeline.Retrieval.bm25TopKIndexed(idx, q, 10),
+          graft.pipeline.Retrieval.bm25PlusTopKIndexed(idx, q, 10, 1.0))
+        .select(F.col("id").as("doc_id"), F.col("rank_a"),
+          F.col("rank_b"), F.col("delta"))
+        .orderBy("doc_id")
+    }),
+
     // static impact-ordered pruning: the kept postings are the
     // (tf desc, id asc) per-term prefix — all-integer, exact SQL
     // replay; corpus stats unchanged; the pruned probe still fills k
@@ -14028,6 +14085,113 @@ object SparkEntry {
           |  SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
           |         doc_id, tf_total, n_terms_hit FROM scored) t
           |WHERE rank <= 10 ORDER BY rank""".stripMargin,
+      "q_retrieval_pinned" ->
+        """WITH f AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+          |                    x -> len(x) > 0) AS w FROM documents),
+          |dl AS (SELECT doc_id, len(w) AS dl FROM f WHERE len(w) > 0),
+          |toks AS (SELECT doc_id, unnest(w) AS term FROM f),
+          |post AS (SELECT term, doc_id, count(*) AS tf FROM toks
+          |         WHERE term IN ('slow', 'merge', 'window') GROUP BY 1, 2),
+          |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+          |dfs AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+          |scored AS (
+          |  SELECT p.doc_id,
+          |         sum(ln(1 + (s.n - f2.df + 0.5) / (f2.df + 0.5)) * p.tf * 2.2 /
+          |             (p.tf + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl))) AS score
+          |  FROM post p JOIN dfs f2 USING (term) JOIN dl d USING (doc_id)
+          |  CROSS JOIN stats s GROUP BY 1)
+          |SELECT rank, doc_id, pinned, matched FROM (
+          |  SELECT CAST(p.rnk AS BIGINT) AS rank,
+          |         CAST(p.did AS BIGINT) AS doc_id, true AS pinned,
+          |         p.did IN (SELECT doc_id FROM scored) AS matched
+          |  FROM (VALUES (1, 2), (2, 7)) p(rnk, did)
+          |  UNION ALL
+          |  SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) + 2
+          |              AS BIGINT) AS rank,
+          |         doc_id, false AS pinned, true AS matched
+          |  FROM scored WHERE doc_id NOT IN (2, 7)) t
+          |WHERE rank <= 10 ORDER BY rank""".stripMargin,
+      "q_retrieval_synonyms" ->
+        """WITH f AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+          |                    x -> len(x) > 0) AS w FROM documents),
+          |dl AS (SELECT doc_id, len(w) AS dl FROM f WHERE len(w) > 0),
+          |toks AS (SELECT doc_id, unnest(w) AS term FROM f),
+          |map AS (SELECT * FROM (VALUES
+          |          ('slow', 0), ('fast', 0), ('merge', 1), ('window', 2))
+          |        v(term, gid)),
+          |post AS (SELECT term, doc_id, count(*) AS tf FROM toks
+          |         WHERE term IN (SELECT term FROM map) GROUP BY 1, 2),
+          |bygroup AS (SELECT m.gid, p.doc_id, sum(p.tf) AS tf
+          |            FROM post p JOIN map m USING (term) GROUP BY 1, 2),
+          |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+          |dfs AS (SELECT gid, count(*) AS df FROM bygroup GROUP BY 1),
+          |scored AS (
+          |  SELECT b.doc_id,
+          |         sum(ln(1 + (s.n - f2.df + 0.5) / (f2.df + 0.5)) * b.tf * 2.2 /
+          |             (b.tf + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl))) AS score,
+          |         CAST(sum(b.tf) AS BIGINT) AS tf_total,
+          |         CAST(count(*) AS BIGINT) AS n_terms_hit
+          |  FROM bygroup b JOIN dfs f2 USING (gid) JOIN dl d USING (doc_id)
+          |  CROSS JOIN stats s GROUP BY 1)
+          |SELECT rank, doc_id, tf_total, n_terms_hit FROM (
+          |  SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+          |         doc_id, tf_total, n_terms_hit FROM scored) t
+          |WHERE rank <= 10 ORDER BY rank""".stripMargin,
+      "q_retrieval_explain" ->
+        """WITH f AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+          |                    x -> len(x) > 0) AS w FROM documents),
+          |dl AS (SELECT doc_id, len(w) AS dl FROM f WHERE len(w) > 0),
+          |toks AS (SELECT doc_id, unnest(w) AS term FROM f),
+          |post AS (SELECT term, doc_id, count(*) AS tf FROM toks
+          |         WHERE term IN ('slow', 'merge', 'window') GROUP BY 1, 2),
+          |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+          |dfs AS (SELECT term, count(*) AS df FROM post GROUP BY 1)
+          |SELECT p.doc_id, p.term, CAST(p.tf AS BIGINT) AS tf,
+          |       CAST(f2.df AS BIGINT) AS df, CAST(d.dl AS BIGINT) AS dl,
+          |       CAST(round(ln(1 + (s.n - f2.df + 0.5) / (f2.df + 0.5))
+          |            * 10000) AS BIGINT) AS idf_4dp,
+          |       CAST(round(ln(1 + (s.n - f2.df + 0.5) / (f2.df + 0.5))
+          |            * p.tf * 2.2 /
+          |            (p.tf + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl))
+          |            * 10000) AS BIGINT) AS weight_4dp
+          |FROM post p JOIN dfs f2 USING (term) JOIN dl d USING (doc_id)
+          |CROSS JOIN stats s
+          |WHERE p.doc_id IN (3, 6, 9)
+          |ORDER BY doc_id, term""".stripMargin,
+      "q_eval_rankdiff" ->
+        """WITH f AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+          |                    x -> len(x) > 0) AS w FROM documents),
+          |dl AS (SELECT doc_id, len(w) AS dl FROM f WHERE len(w) > 0),
+          |toks AS (SELECT doc_id, unnest(w) AS term FROM f),
+          |post AS (SELECT term, doc_id, count(*) AS tf FROM toks
+          |         WHERE term IN ('slow', 'merge', 'window') GROUP BY 1, 2),
+          |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+          |dfs AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+          |sa AS (SELECT doc_id,
+          |         sum(ln(1 + (s.n - f2.df + 0.5) / (f2.df + 0.5)) * p.tf * 2.2 /
+          |             (p.tf + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl))) AS score
+          |       FROM post p JOIN dfs f2 USING (term) JOIN dl d USING (doc_id)
+          |       CROSS JOIN stats s GROUP BY 1),
+          |sb AS (SELECT doc_id,
+          |         sum(ln(1 + (s.n - f2.df + 0.5) / (f2.df + 0.5)) * p.tf * 2.2 /
+          |             (p.tf + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl))
+          |             + CAST(1 AS DOUBLE) *
+          |               ln(1 + (s.n - f2.df + 0.5) / (f2.df + 0.5))) AS score
+          |       FROM post p JOIN dfs f2 USING (term) JOIN dl d USING (doc_id)
+          |       CROSS JOIN stats s GROUP BY 1),
+          |ra AS (SELECT doc_id, rank FROM (
+          |  SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+          |                      AS BIGINT) AS rank FROM sa) t WHERE rank <= 10),
+          |rb AS (SELECT doc_id, rank FROM (
+          |  SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+          |                      AS BIGINT) AS rank FROM sb) t WHERE rank <= 10)
+          |SELECT coalesce(ra.doc_id, rb.doc_id) AS doc_id,
+          |       coalesce(ra.rank, 0) AS rank_a,
+          |       coalesce(rb.rank, 0) AS rank_b,
+          |       CASE WHEN ra.rank IS NOT NULL AND rb.rank IS NOT NULL
+          |            THEN ra.rank - rb.rank ELSE 0 END AS delta
+          |FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id
+          |ORDER BY doc_id""".stripMargin,
       "q_index_prune" ->
         """WITH f AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
           |                    x -> len(x) > 0) AS w FROM documents),

@@ -610,4 +610,27 @@ object Eval {
         (F.col("__lo") / F.col("n_queries")).as("ci_lo"),
         (F.col("__hi") / F.col("n_queries")).as("ci_hi"))
   }
+
+  /**
+   * Rank-list diff — the regression report for a serving change (new
+   * analyzer, pruned index, formula variant): full-outer join of two
+   * (rank, id) lists, per-id (rank_a, rank_b, delta) with 0 standing
+   * for "absent from this list" (coalesced — NULL semantics diverge
+   * across engines and an absent rank is not a rank). All-integer
+   * given the two pinned rankings.
+   *
+   * `delta = rank_a - rank_b` when present in both, else 0 (a
+   * movement is only defined for docs both lists ranked).
+   */
+  def rankListDiff(a: DataFrame, b: DataFrame): DataFrame = {
+    val ra = a.select(F.col("id"), F.col("rank").cast("long").as("rank_a"))
+    val rb = b.select(F.col("id"), F.col("rank").cast("long").as("rank_b"))
+    ra.join(rb, Seq("id"), "full_outer")
+      .select(F.col("id"),
+        F.coalesce(F.col("rank_a"), F.lit(0L)).as("rank_a"),
+        F.coalesce(F.col("rank_b"), F.lit(0L)).as("rank_b"))
+      .withColumn("delta",
+        F.when(F.col("rank_a") > 0 && F.col("rank_b") > 0,
+          F.col("rank_a") - F.col("rank_b")).otherwise(F.lit(0L)))
+  }
 }

@@ -1552,6 +1552,49 @@ object Retrieval {
   private[pipeline] def rankTopKPublic(scored: DataFrame, k: Int): DataFrame =
     rankTopK(scored, k)
 
+  /** [[bm25Weight]] for sibling serving modules ([[Serving]] synonym
+    * scoring — one formula, every caller). */
+  private[pipeline] def bm25WeightPublic(k1: Double, b: Double): Column =
+    bm25Weight(k1, b)
+
+  /**
+   * Score explanation (the Lucene `explain` API shape): the per-term
+   * breakdown behind a document's BM25 score — (id, term, tf, df, dl,
+   * idf, weight) for each matched (doc, term) pair, restricted to the
+   * docs under inspection. `sum(weight)` over a doc's rows IS its
+   * served score ([[bm25Weight]], the shared builder). Serving-
+   * bounded: explanations are for a handful of docs a human is
+   * looking at.
+   */
+  def explainScores(
+      idx: TextIndex,
+      queryTerms: Seq[String],
+      docIds: Seq[Long],
+      k1: Double = DefaultK1,
+      b: Double = DefaultB): DataFrame = {
+    require(docIds.nonEmpty, "explainScores: no docs")
+    val spark = idx.postings.sparkSession
+    import spark.implicits._
+    val q = queryTerms.map(_.toLowerCase).distinct
+    val qBuckets = q.map(t => localTermBucket(t, idx.buckets)).distinct
+    val matched = idx.postings
+      .filter(F.col("__bucket").isin(qBuckets: _*))
+      .filter(F.col("term").isin(q: _*))
+    // corpus-level dfs from ALL matched postings, THEN the doc filter
+    // (the bm25ScoresFiltered discipline — explanation must show the
+    // same numbers serving used)
+    val dfs = matched.groupBy("term").agg(F.count(F.lit(1)).as("df"))
+    val stats = Seq((idx.nDocs, idx.avgdl)).toDF("n_docs", "avgdl")
+    matched.filter(F.col("id").isin(docIds: _*))
+      .join(F.broadcast(dfs), "term")
+      .crossJoin(F.broadcast(stats))
+      .withColumn("idf", idfCol)
+      .withColumn("weight", bm25Weight(k1, b))
+      .select(F.col("id"), F.col("term"), F.col("tf"),
+        F.col("df"), F.col("dl").cast("long").as("dl"),
+        F.col("idf"), F.col("weight"))
+  }
+
   /**
    * Static impact-ordered index pruning (Carmel et al. 2001): keep at
    * most `keepPerTerm` postings per term — the highest-impact ones,

@@ -151,6 +151,117 @@ object Serving {
   }
 
   // ---------------------------------------------------------------- //
+  // Pinned (editorial) results                                        //
+  // ---------------------------------------------------------------- //
+
+  /**
+   * Pinned-results serving (the Elasticsearch "pinned query" /
+   * editorial-curation shape): the given ids occupy ranks
+   * 1..|pinned| IN THE GIVEN ORDER — matched or not (editorial
+   * placement is unconditional) — and organic BM25 results fill the
+   * remaining slots, excluding the pinned ids. All-integer
+   * composition over the pinned organic ranking.
+   *
+   * Returns (rank, id, score, pinned): `score` is the organic BM25
+   * score when the pinned doc matches the query, NULL otherwise
+   * (nothing to score); organic rows always carry their score.
+   */
+  def pinnedTopK(
+      idx: TextIndex,
+      queryTerms: Seq[String],
+      pinned: Seq[Long],
+      k: Int,
+      k1: Double = Retrieval.DefaultK1,
+      b: Double = Retrieval.DefaultB): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(pinned.size <= k, s"more pinned ids (${pinned.size}) than k ($k)")
+    require(pinned.distinct.size == pinned.size, "duplicate pinned ids")
+    val spark = idx.postings.sparkSession
+    import spark.implicits._
+    val q = queryTerms.map(_.toLowerCase).distinct
+    val qBuckets =
+      q.map(t => Retrieval.localTermBucket(t, idx.buckets)).distinct
+    val pruned = idx.postings.filter(F.col("__bucket").isin(qBuckets: _*))
+    val stats = Seq((idx.nDocs, idx.avgdl)).toDF("n_docs", "avgdl")
+    // the FULL scored set: a pinned doc's score must not depend on
+    // whether it would have made the organic top-k
+    val scored = Retrieval.bm25Scores(pruned, stats, q, k1, b)
+      .localCheckpoint(eager = false)
+    val pinDf = pinned.zipWithIndex
+      .map { case (id, i) => (id, i + 1) }.toDF("id", "rank")
+    val pinnedRows = pinDf
+      .join(scored.select(F.col("id"), F.col("score")), Seq("id"), "left")
+      .select(F.col("rank"), F.col("id"), F.col("score"),
+        F.lit(true).as("pinned"))
+    val organicRows = Retrieval.rankTopKPublic(
+        scored.filter(!F.col("id").isin(pinned: _*)), k - pinned.size)
+      .select((F.col("rank") + F.lit(pinned.size)).as("rank"),
+        F.col("id"), F.col("score"), F.lit(false).as("pinned"))
+    pinnedRows.unionByName(organicRows)
+  }
+
+  // ---------------------------------------------------------------- //
+  // Synonym-expanded retrieval                                        //
+  // ---------------------------------------------------------------- //
+
+  /**
+   * Synonym-expanded BM25: each query position is a GROUP of
+   * interchangeable terms; a document matches the group through any
+   * variant, with tf summed over the variants and df counted as the
+   * number of documents matching ANY variant — the term-group
+   * statistics of an analyzer-level synonym filter (scoring the group
+   * as one token), not a bag of independent OR-terms (which would
+   * double-count near-duplicate variants and skew idf per variant).
+   *
+   * Returns the [[Retrieval.bm25TopKIndexed]] shape
+   * (rank, id, score, tf_total, n_terms_hit) with `n_terms_hit` the
+   * number of GROUPS matched.
+   *
+   * Scale shape: the variant->group mapping broadcasts onto the
+   * partition-pruned postings scan (all variants' buckets probed);
+   * one (group, id) pre-aggregate then the per-doc sum — the
+   * bm25Scores shuffle shape with one extra map-side-combined
+   * aggregate.
+   */
+  def synonymTopK(
+      idx: TextIndex,
+      synGroups: Seq[Seq[String]],
+      k: Int,
+      k1: Double = Retrieval.DefaultK1,
+      b: Double = Retrieval.DefaultB): DataFrame = {
+    require(synGroups.nonEmpty && synGroups.forall(_.nonEmpty),
+      "synonymTopK: empty group")
+    val spark = idx.postings.sparkSession
+    import spark.implicits._
+    val mapping = synGroups.zipWithIndex
+      .flatMap { case (g, gi) => g.map(t => (t.toLowerCase, gi.toLong)) }
+      .distinct.toDF("term", "__gid")
+    val terms = synGroups.flatten.map(_.toLowerCase).distinct
+    val qBuckets =
+      terms.map(t => Retrieval.localTermBucket(t, idx.buckets)).distinct
+    val matched = idx.postings
+      .filter(F.col("__bucket").isin(qBuckets: _*))
+      .filter(F.col("term").isin(terms: _*))
+      .join(F.broadcast(mapping), "term")
+    val byGroup = matched
+      .groupBy(F.col("__gid"), F.col("id"))
+      .agg(F.sum(F.col("tf")).as("tf"), F.first(F.col("dl")).as("dl"))
+    val dfs = byGroup.groupBy("__gid").agg(F.count(F.lit(1)).as("df"))
+    val stats = Seq((idx.nDocs, idx.avgdl)).toDF("n_docs", "avgdl")
+    val scored = byGroup
+      .join(F.broadcast(dfs), "__gid")
+      .crossJoin(F.broadcast(stats))
+      .withColumn("__w", Retrieval.bm25WeightPublic(k1, b))
+      .groupBy("id")
+      .agg(F.sum(F.col("__w")).as("score"),
+        F.sum(F.col("tf")).as("tf_total"),
+        F.count(F.lit(1)).as("n_terms_hit"))
+    Retrieval.rankTopKPublic(scored, k)
+      .select(F.col("rank"), F.col("id"), F.col("score"),
+        F.col("tf_total"), F.col("n_terms_hit"))
+  }
+
+  // ---------------------------------------------------------------- //
   // Percolation (reverse search)                                      //
   // ---------------------------------------------------------------- //
 

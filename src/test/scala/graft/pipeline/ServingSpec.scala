@@ -647,6 +647,86 @@ class BootstrapCISpec extends SparkTestBase {
   }
 }
 
+/** Pinned results, synonym expansion, explain, rank diff. */
+class ServingRankingExtrasSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (1L, "apple apple banana"), (2L, "apple cherry"),
+    (3L, "banana cherry"), (4L, "date fig")).toDF("id", "text")
+
+  test("pinned: given order first (matched or not), organic fills excluding pinned") {
+    val idx = Retrieval.buildTextIndex(corpus, "id", "text", 4)
+    val out = Serving.pinnedTopK(idx, Seq("apple"), Seq(4L, 2L), 4)
+      .orderBy("rank").collect()
+    // rank1 = 4 (no match -> null score), rank2 = 2 (matched, scored),
+    // organic: 1 at rank3 (2 excluded)
+    assert(out.map(r => (r.getAs[Int]("rank"), r.getAs[Long]("id"),
+      r.getAs[Boolean]("pinned"))).toSeq ==
+      Seq((1, 4L, true), (2, 2L, true), (3, 1L, false)))
+    assert(out(0).isNullAt(out(0).fieldIndex("score")))
+    assert(!out(1).isNullAt(out(1).fieldIndex("score")))
+    // the pinned matched score equals the organic score for that doc
+    val organic = Retrieval.bm25TopKIndexed(idx, Seq("apple"), 10)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("score")).toMap
+    assert(math.abs(out(1).getAs[Double]("score") - organic(2L)) < 1e-12)
+  }
+
+  test("synonyms: tf sums over variants, df counts any-variant docs") {
+    val docs = Seq(
+      (1L, "car car"), (2L, "auto"), (3L, "car auto"), (4L, "bus"))
+      .toDF("id", "text")
+    val idx = Retrieval.buildTextIndex(docs, "id", "text", 4)
+    val out = Serving.synonymTopK(idx, Seq(Seq("car", "auto")), 10)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("tf_total"), r.getAs[Double]("score"))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L))
+    assert(out(3L)._1 == 2L, "tf summed over variants")
+    // group df = 3 (docs 1,2,3): equal-tf equal-dl docs score equally
+    assert(math.abs(out(1L)._2 - out(3L)._2) < 1e-12,
+      "tf=2 dl=2 docs score the same under group stats")
+  }
+
+  test("degenerate single-term groups == plain bm25") {
+    val idx = Retrieval.buildTextIndex(corpus, "id", "text", 4)
+    val syn = Serving.synonymTopK(idx, Seq(Seq("apple"), Seq("banana")), 10)
+      .collect().map(r => (r.getAs[Int]("rank"), r.getAs[Long]("id"),
+        r.getAs[Double]("score")))
+    val plain = Retrieval.bm25TopKIndexed(idx, Seq("apple", "banana"), 10)
+      .collect().map(r => (r.getAs[Int]("rank"), r.getAs[Long]("id"),
+        r.getAs[Double]("score")))
+    syn.zip(plain).foreach { case (x, y) =>
+      assert(x._1 == y._1 && x._2 == y._2 && math.abs(x._3 - y._3) < 1e-12)
+    }
+  }
+
+  test("explain: per-term weights sum to the served score; dfs corpus-level") {
+    val idx = Retrieval.buildTextIndex(corpus, "id", "text", 4)
+    val ex = Retrieval.explainScores(idx, Seq("apple", "banana"), Seq(1L))
+      .collect()
+    assert(ex.map(_.getAs[String]("term")).toSet == Set("apple", "banana"))
+    // df is corpus-level even though only doc 1 is explained
+    assert(ex.find(_.getAs[String]("term") == "apple").get
+      .getAs[Long]("df") == 2L)
+    val served = Retrieval.bm25TopKIndexed(idx, Seq("apple", "banana"), 10)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("score")).toMap
+    assert(math.abs(ex.map(_.getAs[Double]("weight")).sum - served(1L)) < 1e-12)
+  }
+
+  test("rankListDiff: coalesced absences, delta only when in both") {
+    val a = Seq((1, 10L), (2, 11L), (3, 12L)).toDF("rank", "id")
+    val b = Seq((1, 11L), (2, 10L), (3, 13L)).toDF("rank", "id")
+    val d = Eval.rankListDiff(a, b).collect()
+      .map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("rank_a"), r.getAs[Long]("rank_b"),
+          r.getAs[Long]("delta"))).toMap
+    assert(d(10L) == ((1L, 2L, -1L)))
+    assert(d(11L) == ((2L, 1L, 1L)))
+    assert(d(12L) == ((3L, 0L, 0L)))
+    assert(d(13L) == ((0L, 3L, 0L)))
+  }
+}
+
 /** Static impact-ordered index pruning. */
 class PrunedIndexSpec extends SparkTestBase {
   import spark.implicits._
