@@ -9528,6 +9528,57 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // deterministic random walks (the DeepWalk corpus generator):
+    // md5-draw steps over a doc-id-derived graph — every hop replays
+    // in SQL (3 chained joins), all-integer
+    "q_graph_walks" -> ((s: SparkSession, dir: String) => {
+      val d = t(s, dir, "documents").select("doc_id")
+      val n = d.count()
+      val edges = d.select(F.col("doc_id").as("src"),
+          ((F.col("doc_id") * 7 + 3) % n).as("dst"))
+        .unionByName(d.select(F.col("doc_id").as("src"),
+          ((F.col("doc_id") * 13 + 5) % n).as("dst")))
+      graft.pipeline.LinkGraph.randomWalks(
+          edges, walkLen = 4, walksPerNode = 2, seed = "walk14")
+        .select(F.col("start"), F.col("walk"), F.col("step"), F.col("node"))
+        .orderBy("start", "walk", "step")
+    }),
+
+    // tokenizer-coverage report: OOV mass per source vs the top-300
+    // (df desc, term) dictionary — exact occurrence counts, one
+    // division; full replay
+    "q_vocab_coverage" -> ((s: SparkSession, dir: String) => {
+      val d = t(s, dir, "documents")
+      val toks = d.select(F.col("doc_id"),
+          F.explode(F.split(F.lower(F.col("text")), "\\s+")).as("term"))
+        .filter(F.length(F.col("term")) > 0)
+      val vocab = toks.select("doc_id", "term").distinct()
+        .groupBy("term").agg(F.count(F.lit(1)).as("df"))
+        .orderBy(F.col("df").desc, F.col("term").asc)
+        .limit(300).select("term")
+      graft.pipeline.TextFunctions.tokenCoverage(d, "text", vocab, "source")
+        .orderBy("group")
+    }),
+
+    // LSH banding auto-tune: the s-curve threshold grid over the
+    // divisor pairs of 128 and the closest pair per target — pow is
+    // the only libm call and the measured margins dwarf its ulp
+    "q_dedup_autotune" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val pairs = (1 to 128).filter(128 % _ == 0).map(b => (b, 128 / b))
+      val rows = for {
+        pct <- Seq(50, 70, 90)
+        (b, r) <- pairs
+      } yield {
+        val chosen = graft.pipeline.Dedup.chooseBandsRows(128, pct / 100.0)
+        (pct.toLong, b.toLong, r.toLong,
+          math.round(graft.pipeline.Dedup.sCurveThreshold(b, r) * 10000),
+          (b, r) == chosen)
+      }
+      rows.toDF("target_pct", "bands", "rows_per_band", "threshold_4dp", "chosen")
+        .orderBy("target_pct", "bands")
+    }),
+
     // static impact-ordered pruning: the kept postings are the
     // (tf desc, id asc) per-term prefix — all-integer, exact SQL
     // replay; corpus stats unchanged; the pruned probe still fills k
@@ -14192,6 +14243,83 @@ object SparkEntry {
           |            THEN ra.rank - rb.rank ELSE 0 END AS delta
           |FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id
           |ORDER BY doc_id""".stripMargin,
+      "q_graph_walks" ->
+        """WITH n AS (SELECT count(*) AS n FROM documents),
+          |e0 AS (SELECT doc_id AS src, (doc_id * 7 + 3) % n.n AS dst
+          |       FROM documents CROSS JOIN n
+          |       UNION
+          |       SELECT doc_id, (doc_id * 13 + 5) % n.n
+          |       FROM documents CROSS JOIN n),
+          |nbr AS (SELECT src, dst,
+          |          row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx,
+          |          count(*) OVER (PARTITION BY src) AS deg
+          |        FROM e0),
+          |w AS (SELECT * FROM (VALUES (0), (1)) v(walk)),
+          |s0 AS (SELECT src AS start, CAST(walk AS BIGINT) AS walk,
+          |              CAST(0 AS BIGINT) AS step, src AS node
+          |       FROM (SELECT src FROM e0 UNION SELECT dst FROM e0)
+          |       CROSS JOIN w),
+          |s1 AS (SELECT s.start, s.walk, CAST(1 AS BIGINT) AS step,
+          |              nb.dst AS node
+          |       FROM s0 s JOIN nbr nb ON nb.src = s.node AND nb.idx =
+          |         CAST(concat('0x', substr(md5('walk14:'
+          |           || CAST(s.start AS VARCHAR) || ':'
+          |           || CAST(s.walk AS VARCHAR) || ':1'), 1, 8)) AS BIGINT)
+          |         % nb.deg),
+          |s2 AS (SELECT s.start, s.walk, CAST(2 AS BIGINT) AS step,
+          |              nb.dst AS node
+          |       FROM s1 s JOIN nbr nb ON nb.src = s.node AND nb.idx =
+          |         CAST(concat('0x', substr(md5('walk14:'
+          |           || CAST(s.start AS VARCHAR) || ':'
+          |           || CAST(s.walk AS VARCHAR) || ':2'), 1, 8)) AS BIGINT)
+          |         % nb.deg),
+          |s3 AS (SELECT s.start, s.walk, CAST(3 AS BIGINT) AS step,
+          |              nb.dst AS node
+          |       FROM s2 s JOIN nbr nb ON nb.src = s.node AND nb.idx =
+          |         CAST(concat('0x', substr(md5('walk14:'
+          |           || CAST(s.start AS VARCHAR) || ':'
+          |           || CAST(s.walk AS VARCHAR) || ':3'), 1, 8)) AS BIGINT)
+          |         % nb.deg)
+          |SELECT start, walk, step, node FROM (
+          |  SELECT * FROM s0 UNION ALL SELECT * FROM s1
+          |  UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3) t
+          |ORDER BY start, walk, step""".stripMargin,
+      "q_vocab_coverage" ->
+        """WITH f AS (SELECT doc_id, source,
+          |             list_filter(string_split_regex(lower(text), '\s+'),
+          |                    x -> len(x) > 0) AS w FROM documents),
+          |toks AS (SELECT doc_id, source, unnest(w) AS term FROM f),
+          |dict AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+          |         GROUP BY 1),
+          |vocab AS (SELECT term FROM (
+          |  SELECT term, row_number() OVER (ORDER BY df DESC, term) AS rk
+          |  FROM dict) t WHERE rk <= 300)
+          |SELECT source AS "group", CAST(count(*) AS BIGINT) AS n_tokens,
+          |       CAST(sum(CASE WHEN term IN (SELECT term FROM vocab)
+          |                     THEN 0 ELSE 1 END) AS BIGINT) AS n_oov,
+          |       CAST(sum(CASE WHEN term IN (SELECT term FROM vocab)
+          |                     THEN 0 ELSE 1 END) AS DOUBLE) / count(*)
+          |         AS oov_rate
+          |FROM toks GROUP BY source ORDER BY source""".stripMargin,
+      "q_dedup_autotune" ->
+        """WITH pairs AS (SELECT * FROM (VALUES
+          |    (1, 128), (2, 64), (4, 32), (8, 16),
+          |    (16, 8), (32, 4), (64, 2), (128, 1)) v(b, r)),
+          |targets AS (SELECT * FROM (VALUES (50), (70), (90)) v(pct)),
+          |grid AS (SELECT t.pct, p.b, p.r,
+          |           pow(CAST(1 AS DOUBLE) / p.b, CAST(1 AS DOUBLE) / p.r)
+          |             AS th
+          |         FROM pairs p CROSS JOIN targets t),
+          |ranked AS (SELECT pct, b, r, th,
+          |             row_number() OVER (PARTITION BY pct
+          |               ORDER BY abs(th - pct / CAST(100 AS DOUBLE)), b)
+          |               AS rk
+          |           FROM grid)
+          |SELECT CAST(pct AS BIGINT) AS target_pct, CAST(b AS BIGINT) AS bands,
+          |       CAST(r AS BIGINT) AS rows_per_band,
+          |       CAST(round(th * 10000) AS BIGINT) AS threshold_4dp,
+          |       rk = 1 AS chosen
+          |FROM ranked ORDER BY target_pct, bands""".stripMargin,
       "q_index_prune" ->
         """WITH f AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
           |                    x -> len(x) > 0) AS w FROM documents),

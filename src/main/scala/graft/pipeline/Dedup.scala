@@ -2577,4 +2577,37 @@ object Dedup {
             .mode("overwrite").parquet(outPath)
         ()
     }
+
+  /**
+   * The banding s-curve's 50%-detection threshold for a
+   * (bands, rowsPerBand) split: t with 1 - (1 - t^r)^b = 1/2 is
+   * approximately (1/b)^(1/r) — the standard LSH tuning identity
+   * (Leskovec/Rajaraman/Ullman, Mining of Massive Datasets ch. 3).
+   */
+  def sCurveThreshold(bands: Int, rowsPerBand: Int): Double =
+    math.pow(1.0 / bands, 1.0 / rowsPerBand)
+
+  /**
+   * Auto-tune the minhash banding split: among all (bands, rows)
+   * factorizations of `numHashes`, the pair whose s-curve threshold
+   * sits closest to `targetJaccard` (ties -> fewer bands, i.e. the
+   * cheaper candidate volume). Driver-side integer enumeration over
+   * the divisors of numHashes — deterministic, no search.
+   *
+   * This replaces hand-picked (32, 4)-style dials with the question a
+   * user can actually answer ("which Jaccard counts as a duplicate?"):
+   * pass the returned pair to [[minhashCandidates]] /
+   * [[dropNearDuplicates]] and near-duplicate detection centers on
+   * the stated similarity.
+   */
+  def chooseBandsRows(numHashes: Int, targetJaccard: Double): (Int, Int) = {
+    require(numHashes > 0, s"numHashes must be positive, got $numHashes")
+    require(targetJaccard > 0 && targetJaccard < 1,
+      s"targetJaccard in (0,1), got $targetJaccard")
+    val pairs = (1 to numHashes)
+      .filter(numHashes % _ == 0)
+      .map(b => (b, numHashes / b))
+    pairs.minBy { case (b, r) =>
+      (math.abs(sCurveThreshold(b, r) - targetJaccard), b) }
+  }
 }

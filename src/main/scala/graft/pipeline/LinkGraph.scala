@@ -21,6 +21,75 @@ import org.apache.spark.sql.{functions => F}
 object LinkGraph {
 
   /**
+   * Deterministic uniform random walks over the edge list — the
+   * DeepWalk/node2vec (p = q = 1) corpus generator: `walksPerNode`
+   * walks of up to `walkLen` nodes from every distinct source, each
+   * step choosing uniformly among the current node's out-neighbors.
+   * The walk "randomness" is the repo's md5 convention — step t of
+   * walk (start, w) draws neighbor index
+   * `hex32(md5(seed:start:w:t)) mod outdeg(cur)` — so the whole walk
+   * corpus is REPLAYABLE (in SQL, across runs, across engines): walk
+   * generation for embedding training must be reproducible or the
+   * training set silently drifts between pipeline runs.
+   *
+   * Returns long-format rows (start, walk, step, node), step 0 being
+   * the start node. A walk reaching a dangling node (no out-edges)
+   * simply ends there — shorter walks are emitted, never padded.
+   *
+   * Scale shape: the neighbor table (src, dst, idx, deg) builds with
+   * ONE window over the deduped edges and is reused by every step;
+   * each of the walkLen-1 steps is one equi-join of the frontier
+   * (|nodes| * walksPerNode rows) against it — no driver state, no
+   * per-walk loops.
+   */
+  def randomWalks(
+      edges: DataFrame,
+      walkLen: Int,
+      walksPerNode: Int,
+      seed: String,
+      srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    require(walkLen > 0, s"walkLen must be positive, got $walkLen")
+    require(walksPerNode > 0,
+      s"walksPerNode must be positive, got $walksPerNode")
+    val spark = edges.sparkSession
+    val e = edges.select(F.col(srcCol).cast("long").as("src"),
+        F.col(dstCol).cast("long").as("dst"))
+      .filter(F.col("src").isNotNull && F.col("dst").isNotNull)
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(F.col("src")).orderBy(F.col("dst").asc)
+    val nbr = e
+      .withColumn("idx", F.row_number().over(w) - 1)
+      .withColumn("deg", F.count(F.lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(F.col("src"))))
+      .localCheckpoint(eager = false)
+    val walks = spark.range(0, walksPerNode)
+      .select(F.col("id").cast("long").as("walk"))
+    var frontier = e.select(F.col("src").as("start"))
+      .unionByName(e.select(F.col("dst").as("start")))
+      .distinct()
+      .crossJoin(walks)
+      .select(F.col("start"), F.col("walk"), F.lit(0L).as("step"),
+        F.col("start").as("node"))
+    var out = frontier
+    (1 until walkLen).foreach { t =>
+      val pick = F.conv(F.substring(
+          F.md5(F.concat_ws(":", F.lit(seed), F.col("start"), F.col("walk"),
+            F.lit(t.toLong))), 1, 8), 16, 10).cast("long") % F.col("deg")
+      val next = frontier
+        .join(nbr, frontier("node") === nbr("src"))
+        .filter(nbr("idx") === pick)
+        .select(F.col("start"), F.col("walk"), F.lit(t.toLong).as("step"),
+          F.col("dst").as("node"))
+        .localCheckpoint(eager = false)
+      out = out.unionByName(next)
+      frontier = next
+    }
+    out
+  }
+
+  /**
    * PageRank with uniform teleport and dangling-mass redistribution:
    *
    *   r'(v) = (1-d)/N + d * ( Σ_{u→v} r(u)/outdeg(u) + D/N )

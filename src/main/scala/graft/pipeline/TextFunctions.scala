@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.UserDefinedFunction
 import org.apache.spark.sql.{functions => F}
 
@@ -611,5 +611,35 @@ object TextFunctions {
     F.struct(
       counts.map { case (name, c) => c.cast("long").as(name) } ++
         Seq(dominant.as("dominant"), (present > 1).as("mixed")): _*)
+  }
+
+  /**
+   * Tokenizer-coverage report: per group, the exact token count, the
+   * count of tokens OUTSIDE `vocab`, and the OOV rate (one division
+   * over exact longs) — the fit-QA a tokenizer/vocabulary needs
+   * before training commits to it. Token occurrences count (not
+   * types): OOV rate is a corpus-mass statistic.
+   *
+   * Scale shape: the vocabulary broadcasts onto the token explode
+   * (vocabularies are bounded); one shuffle on the group key.
+   */
+  def tokenCoverage(
+      docs: DataFrame,
+      textCol: String,
+      vocab: DataFrame,
+      groupCol: String): DataFrame = {
+    val vCol = vocab.columns.head
+    val v = vocab.select(F.lower(F.col(vCol)).as("term")).distinct()
+      .withColumn("__in", F.lit(1))
+    docs
+      .select(F.col(groupCol).as("group"),
+        F.explode(F.split(F.lower(F.col(textCol)), "\\s+")).as("term"))
+      .filter(F.length(F.col("term")) > 0)
+      .join(F.broadcast(v), Seq("term"), "left")
+      .groupBy("group")
+      .agg(F.count(F.lit(1)).as("n_tokens"),
+        F.sum(F.when(F.col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        F.col("n_oov").cast("double") / F.col("n_tokens"))
   }
 }

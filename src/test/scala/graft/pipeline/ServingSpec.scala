@@ -727,6 +727,90 @@ class ServingRankingExtrasSpec extends SparkTestBase {
   }
 }
 
+/** Deterministic random walks. */
+class RandomWalksSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def hexDraw(seed: String, start: Long, w: Long, t: Long): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$seed:$start:$w:$t".getBytes("UTF-8"))
+    val hex = md.take(4).map(b => f"${b & 0xff}%02x").mkString
+    java.lang.Long.parseLong(hex, 16)
+  }
+
+  test("walks follow the md5 draw over sorted neighbors; dangling ends early") {
+    // 1 -> {2, 3}, 2 -> {3}, 3 -> {} (dangling)
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst")
+    val out = LinkGraph.randomWalks(edges, walkLen = 4, walksPerNode = 2,
+        seed = "s").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byWalk = out.groupBy(t => (t._1, t._2))
+      .map { case (k, rows) => k -> rows.sortBy(_._3).map(_._4).toSeq }
+    // driver replay for walk (1, w): step1 picks among sorted [2, 3]
+    Seq(0L, 1L).foreach { w =>
+      val p1 = if (hexDraw("s", 1L, w, 1L) % 2 == 0) 2L else 3L
+      val expected =
+        if (p1 == 3L) Seq(1L, 3L) // 3 dangling -> walk ends
+        else Seq(1L, 2L, 3L)      // 2 -> 3 forced, then dangling
+      assert(byWalk((1L, w)) == expected, s"walk (1,$w)")
+    }
+    // from 2: forced to 3 then ends; from 3: stays at the start row
+    assert(byWalk((2L, 0L)) == Seq(2L, 3L))
+    assert(byWalk((3L, 0L)) == Seq(3L))
+    // determinism: a second run is identical
+    val again = LinkGraph.randomWalks(edges, 4, 2, "s").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSet == again.toSet)
+  }
+
+  test("every step lands on an out-neighbor of the previous node") {
+    val d = sf("sf0.001", "documents").select("doc_id").limit(50)
+    val edges = d.select(F.col("doc_id").as("src"),
+        ((F.col("doc_id") * 7 + 3) % 50).as("dst"))
+      .unionByName(d.select(F.col("doc_id").as("src"),
+        ((F.col("doc_id") * 13 + 5) % 50).as("dst")))
+    val eset = edges.distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val out = LinkGraph.randomWalks(edges, 3, 1, "x").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    out.groupBy(t => (t._1, t._2)).foreach { case (_, rows) =>
+      val path = rows.sortBy(_._3).map(_._4)
+      path.sliding(2).foreach { p =>
+        if (p.length == 2) assert(eset.contains((p(0), p(1))),
+          s"edge ${p(0)}->${p(1)} must exist") }
+    }
+  }
+}
+
+/** LSH banding auto-tune + vocabulary coverage. */
+class TuningSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("chooseBandsRows picks the s-curve-closest divisor pair") {
+    // thresholds for 128: (16,8)->0.7071, (32,4)->0.4204, (8,16)->0.8781
+    assert(Dedup.chooseBandsRows(128, 0.7) == ((16, 8)))
+    assert(Dedup.chooseBandsRows(128, 0.5) == ((32, 4)))
+    assert(Dedup.chooseBandsRows(128, 0.9) == ((8, 16)))
+    assert(math.abs(Dedup.sCurveThreshold(16, 8) -
+      math.pow(1.0 / 16, 1.0 / 8)) < 1e-15)
+    // coarser target -> fewer rows per band (cheaper bands dominate)
+    val (_, r1) = Dedup.chooseBandsRows(128, 0.3)
+    val (_, r2) = Dedup.chooseBandsRows(128, 0.95)
+    assert(r1 < r2)
+  }
+
+  test("tokenCoverage: exact occurrence counts, OOV complement") {
+    val docs = Seq(
+      ("a", "x x y z"), ("a", "x q"), ("b", "q q")).toDF("g", "text")
+    val vocab = Seq("x", "y").toDF("term")
+    val out = TextFunctions.tokenCoverage(docs, "text", vocab, "g")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out("a") == ((6L, 2L, 2.0 / 6)))  // z, q OOV
+    assert(out("b") == ((2L, 2L, 1.0)))
+  }
+}
+
 /** Static impact-ordered index pruning. */
 class PrunedIndexSpec extends SparkTestBase {
   import spark.implicits._
