@@ -9579,6 +9579,56 @@ object SparkEntry {
         .orderBy("target_pct", "bands")
     }),
 
+    // shard consolidation: two half-corpus indexes merged into one —
+    // postings union + exact stats addition; the merged probe ranks
+    // exactly like a full rebuild (q_bm25's oracle, shared verbatim)
+    "q_index_merge" -> ((s: SparkSession, dir: String) => {
+      val d = t(s, dir, "documents")
+      val tmp = System.getProperty("java.io.tmpdir") + "/graft_q_merge"
+      val fs = new org.apache.hadoop.fs.Path(tmp)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      graft.pipeline.Retrieval.buildTextIndex(
+        d.filter(F.col("doc_id") % 2 === 1), "doc_id", "text", 32)
+        .save(s"$tmp/a")
+      graft.pipeline.Retrieval.buildTextIndex(
+        d.filter(F.col("doc_id") % 2 === 0), "doc_id", "text", 32)
+        .save(s"$tmp/b")
+      graft.pipeline.Retrieval.mergeTextIndexes(
+        s, Seq(s"$tmp/a", s"$tmp/b"), s"$tmp/m")
+      graft.pipeline.Retrieval.bm25TopKIndexed(
+          graft.pipeline.Retrieval.loadTextIndex(s, s"$tmp/m"),
+          Seq("slow", "merge", "window"), 10)
+        .select(F.col("rank").cast("long").as("rank"),
+          F.col("id").as("doc_id"), F.col("tf_total"), F.col("n_terms_hit"))
+        .orderBy("rank")
+    }),
+
+    // per-node triangle counts over a ring + parity-gated chords
+    // (every consecutive triple with an even anchor closes) —
+    // all-integer wedge-closing joins, exact SQL replay
+    "q_graph_triangles" -> ((s: SparkSession, dir: String) => {
+      val d = t(s, dir, "documents").select("doc_id")
+      val n = d.count()
+      val edges = d.select(F.col("doc_id").as("src"),
+          ((F.col("doc_id") + 1) % n).as("dst"))
+        .unionByName(d.filter(F.col("doc_id") % 2 === 0)
+          .select(F.col("doc_id").as("src"),
+            ((F.col("doc_id") + 2) % n).as("dst")))
+      graft.pipeline.LinkGraph.triangleCounts(edges)
+        .orderBy("node")
+    }),
+
+    // bigram collocations by PMI: exact counts, the single libm log
+    // at 4dp — corpus phrase mining for query segmentation
+    "q_text_collocations" -> ((s: SparkSession, dir: String) => {
+      graft.pipeline.TextFunctions.collocations(
+          t(s, dir, "documents"), "text", minCount = 5)
+        .select(F.col("bigram"), F.col("n"),
+          F.round(F.col("pmi") * 10000).cast("long").as("pmi_4dp"))
+        .orderBy("bigram")
+    }),
+
     // static impact-ordered pruning: the kept postings are the
     // (tf desc, id asc) per-term prefix — all-integer, exact SQL
     // replay; corpus stats unchanged; the pruned probe still fills k
@@ -14243,6 +14293,46 @@ object SparkEntry {
           |            THEN ra.rank - rb.rank ELSE 0 END AS delta
           |FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id
           |ORDER BY doc_id""".stripMargin,
+      "q_graph_triangles" ->
+        """WITH n AS (SELECT count(*) AS n FROM documents),
+          |e0 AS (SELECT doc_id AS src, (doc_id + 1) % n.n AS dst
+          |       FROM documents CROSS JOIN n
+          |       UNION
+          |       SELECT doc_id, (doc_id + 2) % n.n
+          |       FROM documents CROSS JOIN n WHERE doc_id % 2 = 0),
+          |und AS (SELECT DISTINCT least(src, dst) AS a,
+          |                        greatest(src, dst) AS b
+          |        FROM e0 WHERE src <> dst),
+          |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+          |        FROM und e1
+          |        JOIN und e2 ON e1.b = e2.a
+          |        JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+          |mem AS (SELECT x AS node FROM tri
+          |        UNION ALL SELECT y FROM tri
+          |        UNION ALL SELECT z FROM tri)
+          |SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+          |FROM mem GROUP BY node ORDER BY node""".stripMargin,
+      "q_text_collocations" ->
+        """WITH f AS (SELECT list_filter(string_split_regex(lower(text), '\s+'),
+          |                    x -> len(x) > 0) AS w FROM documents),
+          |fa AS (SELECT w FROM f WHERE len(w) > 0),
+          |uni AS (SELECT unnest(w) AS term FROM fa),
+          |uc AS (SELECT term, count(*) AS c FROM uni GROUP BY 1),
+          |tt AS (SELECT sum(c) AS t FROM uc),
+          |grid AS (SELECT w, unnest(generate_series(1, len(w) - 1)) AS i
+          |         FROM fa),
+          |bi AS (SELECT w[i] AS x, w[i + 1] AS y FROM grid),
+          |bc AS (SELECT x, y, count(*) AS n FROM bi GROUP BY 1, 2),
+          |bt AS (SELECT sum(n) AS b FROM bc)
+          |SELECT concat(x, ' ', y) AS bigram, CAST(n AS BIGINT) AS n,
+          |       CAST(round(ln((CAST(n AS DOUBLE) / bt.b) /
+          |            ((CAST(cx.c AS DOUBLE) / tt.t) *
+          |             (CAST(cy.c AS DOUBLE) / tt.t))) * 10000) AS BIGINT)
+          |         AS pmi_4dp
+          |FROM bc JOIN uc cx ON bc.x = cx.term
+          |        JOIN uc cy ON bc.y = cy.term
+          |CROSS JOIN bt CROSS JOIN tt
+          |WHERE n >= 5 ORDER BY bigram""".stripMargin,
       "q_graph_walks" ->
         """WITH n AS (SELECT count(*) AS n FROM documents),
           |e0 AS (SELECT doc_id AS src, (doc_id * 7 + 3) % n.n AS dst
@@ -14349,6 +14439,9 @@ object SparkEntry {
       // streamed fan-out lands the same postings/stats as routed batch
       // appends — probe == monolithic, oracle shared verbatim
       ("q_stream_sharded" -> m("q_bm25")) +
+      // merged shard indexes carry the union postings + exact summed
+      // stats — probe == full rebuild, oracle shared verbatim
+      ("q_index_merge" -> m("q_bm25")) +
       // the streamed per-batch match union equals batch percolation
       // (stateless conjunctive matches) — oracle shared verbatim
       ("q_stream_percolate" -> m("q_percolate")) +

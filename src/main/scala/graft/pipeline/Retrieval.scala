@@ -1498,6 +1498,30 @@ object Retrieval {
   }
 
   /**
+   * Merge saved text indexes into one (shard consolidation — the
+   * inverse of [[Serving.saveShardedTextIndex]]): postings union
+   * under the shared bucket geometry, stats by exact long addition,
+   * written as a fresh base layer at `outPath`. Source doc-id sets
+   * must be disjoint (the sharded-build contract); bucket counts must
+   * match (terms hash to the same bucket in every source, so the
+   * union IS a valid single index — no re-bucketing shuffle beyond
+   * the save's repartition).
+   */
+  def mergeTextIndexes(
+      spark: SparkSession, sources: Seq[String], outPath: String): Unit = {
+    require(sources.nonEmpty, "mergeTextIndexes: no sources")
+    val idxs = sources.map(p => loadTextIndex(spark, p))
+    val buckets = idxs.head.buckets
+    require(idxs.forall(_.buckets == buckets),
+      s"bucket counts differ: ${idxs.map(_.buckets).mkString(",")}")
+    val postings = idxs.map(_.postings.drop("__batch")).reduce(_ unionByName _)
+    val nDocs = idxs.map(_.nDocs).sum
+    val dlSum = idxs.map(i => math.max(i.dlSum, 0L)).sum
+    TextIndex(postings, buckets, nDocs,
+      if (nDocs <= 0) 0.0 else dlSum.toDouble / nDocs, dlSum).save(outPath)
+  }
+
+  /**
    * BM25 top-k against a (possibly reloaded) [[TextIndex]]. The
    * `__bucket` filter is a PARTITION filter on a saved index — the
    * scan touches at most |query terms| of `buckets` directories.

@@ -642,4 +642,56 @@ object TextFunctions {
       .withColumn("oov_rate",
         F.col("n_oov").cast("double") / F.col("n_tokens"))
   }
+
+  /**
+   * Bigram collocation mining by pointwise mutual information:
+   *
+   *   pmi(x, y) = ln( (c_xy / B) / ((c_x / T) * (c_y / T)) )
+   *
+   * over adjacent-token bigrams (B = total bigram occurrences,
+   * T = total token occurrences). Bigrams below `minCount` drop —
+   * PMI over-rewards rare pairs, the standard floor. Returns
+   * (bigram, n, pmi); every count is exact, pmi is the single libm
+   * expression (compare at 4dp cross-engine).
+   *
+   * Scale shape: one explode over the token arrays (bigrams via the
+   * shifted-slice zip — no self-join), two grouped counts, unigram
+   * counts broadcast back onto the surviving bigrams.
+   */
+  def collocations(
+      docs: DataFrame,
+      textCol: String,
+      minCount: Long): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    val toks = F.filter(F.split(F.lower(F.col(textCol)), "\\s+"),
+      (t: Column) => F.length(t) > 0)
+    val witharr = docs.select(toks.as("__t"))
+      .filter(F.size(F.col("__t")) > 0)
+      .localCheckpoint(eager = false)
+    val uni = witharr.select(F.explode(F.col("__t")).as("term"))
+      .groupBy("term").agg(F.count(F.lit(1)).as("c"))
+      .localCheckpoint(eager = false)
+    val totals = uni.agg(F.sum(F.col("c")).as("t_tokens")).head()
+    val tTokens = totals.getLong(0)
+    val bi = witharr
+      .select(F.explode(F.zip_with(
+        F.slice(F.col("__t"), F.lit(1), F.size(F.col("__t")) - 1),
+        F.slice(F.col("__t"), F.lit(2), F.size(F.col("__t")) - 1),
+        (x, y) => F.struct(x.as("x"), y.as("y")))).as("p"))
+      .select(F.col("p.x").as("x"), F.col("p.y").as("y"))
+      .groupBy("x", "y").agg(F.count(F.lit(1)).as("n"))
+    val bTotalDf = bi.agg(F.sum(F.col("n")).as("b_total"))
+    bi.filter(F.col("n") >= minCount)
+      .join(F.broadcast(uni.select(F.col("term").as("x"),
+        F.col("c").as("cx"))), "x")
+      .join(F.broadcast(uni.select(F.col("term").as("y"),
+        F.col("c").as("cy"))), "y")
+      .crossJoin(F.broadcast(bTotalDf))
+      .select(F.concat_ws(" ", F.col("x"), F.col("y")).as("bigram"),
+        F.col("n"),
+        F.log((F.col("n").cast("double") / F.col("b_total")) /
+          ((F.col("cx").cast("double") / F.lit(tTokens.toDouble)) *
+           (F.col("cy").cast("double") / F.lit(tTokens.toDouble))))
+          .as("pmi"))
+  }
 }

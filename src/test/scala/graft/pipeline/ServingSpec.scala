@@ -811,6 +811,72 @@ class TuningSpec extends SparkTestBase {
   }
 }
 
+/** Index merge, triangles, collocations. */
+class GraphTextExtrasSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("mergeTextIndexes: merged halves probe == full rebuild (exact stats)") {
+    val d = sf("sf0.001", "documents")
+    val tmp = java.nio.file.Files.createTempDirectory("merge").toString
+    Retrieval.buildTextIndex(d.filter(F.col("doc_id") % 2 === 1),
+      "doc_id", "text", 16).save(s"$tmp/a")
+    Retrieval.buildTextIndex(d.filter(F.col("doc_id") % 2 === 0),
+      "doc_id", "text", 16).save(s"$tmp/b")
+    Retrieval.mergeTextIndexes(spark, Seq(s"$tmp/a", s"$tmp/b"), s"$tmp/m")
+    val merged = Retrieval.loadTextIndex(spark, s"$tmp/m")
+    val full = Retrieval.buildTextIndex(d, "doc_id", "text", 16)
+    assert(merged.nDocs == full.nDocs && merged.dlSum == full.dlSum)
+    val a = Retrieval.bm25TopKIndexed(merged, Seq("slow", "merge"), 10)
+      .collect()
+    val b = Retrieval.bm25TopKIndexed(full, Seq("slow", "merge"), 10)
+      .collect()
+    a.zip(b).foreach { case (x, y) =>
+      assert(x.getAs[Long]("id") == y.getAs[Long]("id"))
+      assert(math.abs(x.getAs[Double]("score") - y.getAs[Double]("score")) < 1e-9)
+    }
+    assert(a.length == b.length && a.nonEmpty)
+  }
+
+  test("mergeTextIndexes refuses mismatched bucket geometry") {
+    val tmp = java.nio.file.Files.createTempDirectory("mergeb").toString
+    val docs = Seq((1L, "x")).toDF("id", "text")
+    Retrieval.buildTextIndex(docs, "id", "text", 8).save(s"$tmp/a")
+    Retrieval.buildTextIndex(docs, "id", "text", 16).save(s"$tmp/b")
+    intercept[IllegalArgumentException] {
+      Retrieval.mergeTextIndexes(spark, Seq(s"$tmp/a", s"$tmp/b"), s"$tmp/m")
+    }
+  }
+
+  test("triangleCounts: direction/parallel edges collapse, each member counts") {
+    // triangle {1,2,3} + pendant 4; duplicate and reversed edges
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (1L, 3L), (3L, 1L),
+      (3L, 4L), (4L, 4L)).toDF("src", "dst")
+    val out = LinkGraph.triangleCounts(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("triangleCounts: two triangles sharing an edge") {
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("src", "dst")
+    val out = LinkGraph.triangleCounts(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // {1,2,3} and {2,3,4}
+    assert(out == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L))
+  }
+
+  test("collocations: exact counts, hand-checked PMI, minCount floor") {
+    val docs = Seq("a b a b c", "a b d", "e f").toDF("text")
+    val out = TextFunctions.collocations(docs, "text", 2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toList
+    // bigrams: (a b)x3, (b a)x1, (b c)x1, (b d)x1, (e f)x1; B = 7
+    assert(out.map(t => (t._1, t._2)).toSet == Set(("a b", 3L)))
+    // T = 10 tokens; c_a = 3, c_b = 3
+    val pmi = math.log((3.0 / 7) / ((3.0 / 10) * (3.0 / 10)))
+    assert(math.abs(out.head._3 - pmi) < 1e-12)
+  }
+}
+
 /** Static impact-ordered index pruning. */
 class PrunedIndexSpec extends SparkTestBase {
   import spark.implicits._
