@@ -9629,6 +9629,78 @@ object SparkEntry {
         .orderBy("bigram")
     }),
 
+    // near-real-time serving: saved index + fresh unindexed tail
+    // merged with exact global stats (the federation math applied to
+    // recency) — equals the full-corpus probe, q_bm25 oracle verbatim
+    "q_retrieval_nrt" -> ((s: SparkSession, dir: String) => {
+      val d = t(s, dir, "documents")
+      val idx = graft.pipeline.Retrieval.buildTextIndex(
+        d.filter(F.col("doc_id") % 3 =!= 0), "doc_id", "text", 32)
+      graft.pipeline.Serving.bm25TopKWithTail(
+          idx, d.filter(F.col("doc_id") % 3 === 0), "doc_id", "text",
+          Seq("slow", "merge", "window"), 10)
+        .select(F.col("rank").cast("long").as("rank"),
+          F.col("id").as("doc_id"), F.col("tf_total"), F.col("n_terms_hit"))
+        .orderBy("rank")
+    }),
+
+    // static-prior boosted ranking: score + lambda * tier with
+    // integer doc tiers — the prior expression replays exactly;
+    // combined-score gaps measured before pinning
+    "q_retrieval_boosted" -> ((s: SparkSession, dir: String) => {
+      val d = t(s, dir, "documents")
+      val idx = graft.pipeline.Retrieval.buildTextIndex(d, "doc_id", "text", 32)
+      val boosts = d.select(F.col("doc_id").as("id"),
+        (F.col("doc_id") % 4).cast("double").as("boost"))
+      graft.pipeline.Serving.bm25TopKBoosted(
+          idx, Seq("slow", "merge", "window"), boosts, 10, lambda = 0.05)
+        .select(F.col("rank").cast("long").as("rank"),
+          F.col("id").as("doc_id"), F.col("tf_total"), F.col("n_terms_hit"))
+        .orderBy("rank")
+    }),
+
+    // label propagation over the ring graph: 3 iterations from sparse
+    // seeds — all-integer votes with the min-label tie-break, full
+    // SQL replay (3 nested vote CTEs)
+    "q_graph_labelprop" -> ((s: SparkSession, dir: String) => {
+      val d = t(s, dir, "documents").select("doc_id")
+      val n = d.count()
+      val edges = d.select(F.col("doc_id").as("src"),
+        ((F.col("doc_id") + 1) % n).as("dst"))
+      val seeds = d.filter(F.col("doc_id") % 25 === 0)
+        .select(F.col("doc_id").as("node"),
+          (F.col("doc_id") % 3).as("label"))
+      graft.pipeline.LinkGraph.labelPropagation(edges, seeds, 3)
+        .filter(F.col("label").isNotNull)
+        .orderBy("node")
+    }),
+
+    // federated ops composition: sharded save -> routed append ->
+    // routed takedown -> merge to one index -> probe == a rebuild of
+    // the surviving corpus (deterministic predicate replay)
+    "q_pipeline_federated" -> ((s: SparkSession, dir: String) => {
+      val d = t(s, dir, "documents")
+      val tmp = System.getProperty("java.io.tmpdir") + "/graft_q_fed"
+      val fs = new org.apache.hadoop.fs.Path(tmp)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      val sv = graft.pipeline.Serving
+      sv.saveShardedTextIndex(d.filter(F.col("doc_id") % 2 === 1),
+        "doc_id", "text", s"$tmp/idx", shards = 3, buckets = 32)
+      sv.appendToShardedTextIndex(s, s"$tmp/idx",
+        d.filter(F.col("doc_id") % 2 === 0), "doc_id", "text")
+      sv.removeFromShardedTextIndex(s, s"$tmp/idx",
+        d.filter(F.col("doc_id") % 10 === 7).select("doc_id"), "doc_id")
+      graft.pipeline.Retrieval.mergeTextIndexes(s,
+        (0 until 3).map(i => s"$tmp/idx/shard=$i"), s"$tmp/merged")
+      graft.pipeline.Retrieval.bm25TopKIndexed(
+          graft.pipeline.Retrieval.loadTextIndex(s, s"$tmp/merged"),
+          Seq("slow", "merge", "window"), 10)
+        .select(F.col("rank").cast("long").as("rank"),
+          F.col("id").as("doc_id"), F.col("tf_total"), F.col("n_terms_hit"))
+        .orderBy("rank")
+    }),
+
     // static impact-ordered pruning: the kept postings are the
     // (tf desc, id asc) per-term prefix — all-integer, exact SQL
     // replay; corpus stats unchanged; the pruned probe still fills k
@@ -14293,6 +14365,100 @@ object SparkEntry {
           |            THEN ra.rank - rb.rank ELSE 0 END AS delta
           |FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id
           |ORDER BY doc_id""".stripMargin,
+      "q_retrieval_boosted" ->
+        """WITH f AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+          |                    x -> len(x) > 0) AS w FROM documents),
+          |dl AS (SELECT doc_id, len(w) AS dl FROM f WHERE len(w) > 0),
+          |toks AS (SELECT doc_id, unnest(w) AS term FROM f),
+          |post AS (SELECT term, doc_id, count(*) AS tf FROM toks
+          |         WHERE term IN ('slow', 'merge', 'window') GROUP BY 1, 2),
+          |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+          |dfs AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+          |scored AS (
+          |  SELECT p.doc_id,
+          |         sum(ln(1 + (s.n - f2.df + 0.5) / (f2.df + 0.5)) * p.tf * 2.2 /
+          |             (p.tf + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl)))
+          |         + (CAST(5 AS DOUBLE) / 100) *
+          |           CAST(min(p.doc_id) % 4 AS DOUBLE) AS score,
+          |         CAST(sum(p.tf) AS BIGINT) AS tf_total,
+          |         CAST(count(*) AS BIGINT) AS n_terms_hit
+          |  FROM post p JOIN dfs f2 USING (term) JOIN dl d USING (doc_id)
+          |  CROSS JOIN stats s GROUP BY 1)
+          |SELECT rank, doc_id, tf_total, n_terms_hit FROM (
+          |  SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+          |         doc_id, tf_total, n_terms_hit FROM scored) t
+          |WHERE rank <= 10 ORDER BY rank""".stripMargin,
+      "q_graph_labelprop" ->
+        """WITH nn AS (SELECT count(*) AS n FROM documents),
+          |e0 AS (SELECT doc_id AS src, (doc_id + 1) % nn.n AS dst
+          |       FROM documents CROSS JOIN nn),
+          |und AS (SELECT DISTINCT a, b FROM (
+          |          SELECT src AS a, dst AS b FROM e0
+          |          UNION ALL SELECT dst, src FROM e0) t WHERE a <> b),
+          |seeds AS (SELECT doc_id AS node, doc_id % 3 AS label
+          |          FROM documents WHERE doc_id % 25 = 0),
+          |nodes AS (SELECT DISTINCT a AS node FROM und
+          |          UNION SELECT node FROM seeds),
+          |s0 AS (SELECT n.node, s.label FROM nodes n
+          |       LEFT JOIN seeds s USING (node)),
+          |v1 AS (SELECT u.a AS node, st.label AS cand, count(*) AS votes
+          |       FROM und u JOIN s0 st ON st.node = u.b
+          |       WHERE st.label IS NOT NULL GROUP BY 1, 2),
+          |p1 AS (SELECT node, cand FROM (
+          |         SELECT node, cand, row_number() OVER (PARTITION BY node
+          |           ORDER BY votes DESC, cand) AS rn FROM v1) t WHERE rn = 1),
+          |s1 AS (SELECT s.node,
+          |         CASE WHEN sd.node IS NOT NULL THEN s.label
+          |              ELSE coalesce(p.cand, s.label) END AS label
+          |       FROM s0 s LEFT JOIN p1 p USING (node)
+          |       LEFT JOIN seeds sd ON sd.node = s.node),
+          |v2 AS (SELECT u.a AS node, st.label AS cand, count(*) AS votes
+          |       FROM und u JOIN s1 st ON st.node = u.b
+          |       WHERE st.label IS NOT NULL GROUP BY 1, 2),
+          |p2 AS (SELECT node, cand FROM (
+          |         SELECT node, cand, row_number() OVER (PARTITION BY node
+          |           ORDER BY votes DESC, cand) AS rn FROM v2) t WHERE rn = 1),
+          |s2 AS (SELECT s.node,
+          |         CASE WHEN sd.node IS NOT NULL THEN s.label
+          |              ELSE coalesce(p.cand, s.label) END AS label
+          |       FROM s1 s LEFT JOIN p2 p USING (node)
+          |       LEFT JOIN seeds sd ON sd.node = s.node),
+          |v3 AS (SELECT u.a AS node, st.label AS cand, count(*) AS votes
+          |       FROM und u JOIN s2 st ON st.node = u.b
+          |       WHERE st.label IS NOT NULL GROUP BY 1, 2),
+          |p3 AS (SELECT node, cand FROM (
+          |         SELECT node, cand, row_number() OVER (PARTITION BY node
+          |           ORDER BY votes DESC, cand) AS rn FROM v3) t WHERE rn = 1),
+          |s3 AS (SELECT s.node,
+          |         CASE WHEN sd.node IS NOT NULL THEN s.label
+          |              ELSE coalesce(p.cand, s.label) END AS label
+          |       FROM s2 s LEFT JOIN p3 p USING (node)
+          |       LEFT JOIN seeds sd ON sd.node = s.node)
+          |SELECT node, label FROM s3 WHERE label IS NOT NULL
+          |ORDER BY node""".stripMargin,
+      "q_pipeline_federated" ->
+        """WITH sub AS (SELECT doc_id, text FROM documents
+          |             WHERE doc_id % 10 <> 7),
+          |f AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+          |                    x -> len(x) > 0) AS w FROM sub),
+          |dl AS (SELECT doc_id, len(w) AS dl FROM f WHERE len(w) > 0),
+          |toks AS (SELECT doc_id, unnest(w) AS term FROM f),
+          |post AS (SELECT term, doc_id, count(*) AS tf FROM toks
+          |         WHERE term IN ('slow', 'merge', 'window') GROUP BY 1, 2),
+          |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+          |dfs AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+          |scored AS (
+          |  SELECT p.doc_id,
+          |         sum(ln(1 + (s.n - f2.df + 0.5) / (f2.df + 0.5)) * p.tf * 2.2 /
+          |             (p.tf + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl))) AS score,
+          |         CAST(sum(p.tf) AS BIGINT) AS tf_total,
+          |         CAST(count(*) AS BIGINT) AS n_terms_hit
+          |  FROM post p JOIN dfs f2 USING (term) JOIN dl d USING (doc_id)
+          |  CROSS JOIN stats s GROUP BY 1)
+          |SELECT rank, doc_id, tf_total, n_terms_hit FROM (
+          |  SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+          |         doc_id, tf_total, n_terms_hit FROM scored) t
+          |WHERE rank <= 10 ORDER BY rank""".stripMargin,
       "q_graph_triangles" ->
         """WITH n AS (SELECT count(*) AS n FROM documents),
           |e0 AS (SELECT doc_id AS src, (doc_id + 1) % n.n AS dst
@@ -14442,6 +14608,9 @@ object SparkEntry {
       // merged shard indexes carry the union postings + exact summed
       // stats — probe == full rebuild, oracle shared verbatim
       ("q_index_merge" -> m("q_bm25")) +
+      // saved index + fresh tail merge with exact stats (federation
+      // math on recency) — equals the full-corpus probe
+      ("q_retrieval_nrt" -> m("q_bm25")) +
       // the streamed per-batch match union equals batch percolation
       // (stateless conjunctive matches) — oracle shared verbatim
       ("q_stream_percolate" -> m("q_percolate")) +

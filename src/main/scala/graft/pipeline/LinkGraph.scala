@@ -128,6 +128,71 @@ object LinkGraph {
   }
 
   /**
+   * Deterministic label propagation for semi-supervised labeling
+   * (weak supervision over a similarity/link graph): seed nodes carry
+   * frozen labels; each iteration every unseeded node takes the MOST
+   * FREQUENT label among its (undirected) neighbors' current labels —
+   * ties broken by the smaller label, unlabeled neighbors ignored, a
+   * node with no labeled neighbor stays unlabeled. Fixed iteration
+   * count, min-tie-break: fully deterministic, replayable in SQL.
+   *
+   * Returns (node, label) with label NULL-free only for reached
+   * nodes (unreached nodes carry NULL — filter as needed).
+   *
+   * Scale shape: one bidirectional edge table built once; each
+   * iteration is an edge-sized join against the (node, label) state
+   * plus a grouped count — the PageRank shuffle shape with labels in
+   * place of rank mass.
+   */
+  def labelPropagation(
+      edges: DataFrame,
+      seeds: DataFrame,
+      iterations: Int,
+      srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val e = edges.select(F.col(srcCol).cast("long").as("a"),
+        F.col(dstCol).cast("long").as("b"))
+      .filter(F.col("a").isNotNull && F.col("b").isNotNull &&
+        F.col("a") =!= F.col("b"))
+    val und = e.unionByName(e.select(F.col("b").as("a"), F.col("a").as("b")))
+      .distinct()
+      .localCheckpoint(eager = false)
+    val sCols = seeds.columns
+    val seed = seeds.select(F.col(sCols(0)).cast("long").as("node"),
+      F.col(sCols(1)).cast("long").as("label"))
+    val nodes = und.select(F.col("a").as("node")).distinct()
+      .unionByName(seed.select("node")).distinct()
+    var state = nodes.join(seed, Seq("node"), "left")
+      .localCheckpoint(eager = false)
+    (1 to iterations).foreach { _ =>
+      val votes = und
+        .join(state.select(F.col("node").as("b"),
+          F.col("label").as("__nl")), Seq("b"))
+        .filter(F.col("__nl").isNotNull)
+        .groupBy(F.col("a").as("node"), F.col("__nl").as("__cand"))
+        .agg(F.count(F.lit(1)).as("__votes"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(F.col("node"))
+        .orderBy(F.col("__votes").desc, F.col("__cand").asc)
+      val picked = votes
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") === 1)
+        .select(F.col("node"), F.col("__cand"))
+      state = state
+        .join(picked, Seq("node"), "left")
+        .join(seed.select(F.col("node"), F.lit(1).as("__seed")),
+          Seq("node"), "left")
+        .withColumn("label",
+          F.when(F.col("__seed").isNotNull, F.col("label"))
+            .otherwise(F.coalesce(F.col("__cand"), F.col("label"))))
+        .select("node", "label")
+        .localCheckpoint(eager = false)
+    }
+    state
+  }
+
+  /**
    * PageRank with uniform teleport and dangling-mass redistribution:
    *
    *   r'(v) = (1-d)/N + d * ( Σ_{u→v} r(u)/outdeg(u) + D/N )

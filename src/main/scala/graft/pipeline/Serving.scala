@@ -723,6 +723,103 @@ object Serving {
   }
 
   // ---------------------------------------------------------------- //
+  // Near-real-time serving (index + unindexed tail)                   //
+  // ---------------------------------------------------------------- //
+
+  /**
+   * Near-real-time search: serve over a SAVED index plus a fresh,
+   * not-yet-indexed document tail — the federation math applied to
+   * recency (the Lucene NRT / Elasticsearch refresh-gap pattern). A
+   * transient index over the tail merges with the saved one exactly
+   * like shards merge: matched postings union, dfs recomputed over
+   * the union, global stats by exact long addition — so the result
+   * EQUALS an index over corpus ∪ tail, and freshly ingested
+   * documents rank correctly the moment they exist, before any index
+   * maintenance runs.
+   *
+   * Tail doc ids must be disjoint from the indexed corpus (they are
+   * the not-yet-appended documents by definition). Returns the
+   * [[Retrieval.bm25TopKIndexed]] shape.
+   */
+  def bm25TopKWithTail(
+      idx: TextIndex,
+      tailDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      queryTerms: Seq[String],
+      k: Int,
+      k1: Double = Retrieval.DefaultK1,
+      b: Double = Retrieval.DefaultB): DataFrame = {
+    val spark = idx.postings.sparkSession
+    import spark.implicits._
+    val q = queryTerms.map(_.toLowerCase).distinct
+    val qBuckets =
+      q.map(t => Retrieval.localTermBucket(t, idx.buckets)).distinct
+    val indexed = idx.postings
+      .filter(F.col("__bucket").isin(qBuckets: _*))
+      .select("term", "id", "tf", "dl")
+    val tail = Retrieval.buildTextIndex(tailDocs, idCol, textCol, idx.buckets)
+    val tailPruned = tail.postings
+      .filter(F.col("__bucket").isin(qBuckets: _*))
+      .select("term", "id", "tf", "dl")
+    val nDocs = idx.nDocs + tail.nDocs
+    val dlSum = math.max(idx.dlSum, 0L) + math.max(tail.dlSum, 0L)
+    val avgdl = if (nDocs <= 0) 0.0 else dlSum.toDouble / nDocs
+    val stats = Seq((nDocs, avgdl)).toDF("n_docs", "avgdl")
+    Retrieval.rankTopKPublic(
+        Retrieval.bm25Scores(indexed.unionByName(tailPruned), stats, q, k1, b),
+        k)
+      .select(F.col("rank"), F.col("id"), F.col("score"),
+        F.col("tf_total"), F.col("n_terms_hit"))
+  }
+
+  // ---------------------------------------------------------------- //
+  // Static-prior boosted ranking                                      //
+  // ---------------------------------------------------------------- //
+
+  /**
+   * BM25 with a static per-document prior (authority, freshness,
+   * editorial quality): score' = bm25 + lambda * boost, with `boosts`
+   * a (id, boost) table — absent ids boost 0. The additive form keeps
+   * non-matching documents out (a prior alone never retrieves) and
+   * replays exactly when the boost column is itself replayable
+   * (in-degree, integer quality tiers, ln(1 + indeg)-style
+   * expressions).
+   *
+   * Scale shape: the probe is the plain partition-pruned scan; boosts
+   * join the SCORED candidates (bounded by matched docs), broadcast
+   * when the boost table is small, shuffle-joined otherwise.
+   */
+  def bm25TopKBoosted(
+      idx: TextIndex,
+      queryTerms: Seq[String],
+      boosts: DataFrame,
+      k: Int,
+      lambda: Double = 1.0,
+      k1: Double = Retrieval.DefaultK1,
+      b: Double = Retrieval.DefaultB): DataFrame = {
+    val spark = idx.postings.sparkSession
+    import spark.implicits._
+    val q = queryTerms.map(_.toLowerCase).distinct
+    val qBuckets =
+      q.map(t => Retrieval.localTermBucket(t, idx.buckets)).distinct
+    val pruned = idx.postings.filter(F.col("__bucket").isin(qBuckets: _*))
+    val stats = Seq((idx.nDocs, idx.avgdl)).toDF("n_docs", "avgdl")
+    val bCols = boosts.columns
+    val bst = boosts.select(F.col(bCols(0)).cast("long").as("id"),
+      F.col(bCols(1)).cast("double").as("__boost"))
+    val scored = Retrieval.bm25Scores(pruned, stats, q, k1, b)
+      .join(bst, Seq("id"), "left")
+      .withColumn("score",
+        F.col("score") +
+          F.lit(lambda) * F.coalesce(F.col("__boost"), F.lit(0.0)))
+      .drop("__boost")
+    Retrieval.rankTopKPublic(scored, k)
+      .select(F.col("rank"), F.col("id"), F.col("score"),
+        F.col("tf_total"), F.col("n_terms_hit"))
+  }
+
+  // ---------------------------------------------------------------- //
   // Manifest-keyed result cache                                       //
   // ---------------------------------------------------------------- //
 

@@ -877,6 +877,68 @@ class GraphTextExtrasSpec extends SparkTestBase {
   }
 }
 
+/** NRT tail serving, boosted ranking, label propagation. */
+class NrtBoostLabelSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("NRT: saved index + fresh tail == full rebuild probe") {
+    val d = sf("sf0.001", "documents")
+    val idx = Retrieval.buildTextIndex(
+      d.filter(F.col("doc_id") % 3 =!= 0), "doc_id", "text", 16)
+    val got = Serving.bm25TopKWithTail(idx,
+      d.filter(F.col("doc_id") % 3 === 0), "doc_id", "text",
+      Seq("slow", "merge", "window"), 12).collect()
+    val want = Retrieval.bm25TopKIndexed(
+      Retrieval.buildTextIndex(d, "doc_id", "text", 16),
+      Seq("slow", "merge", "window"), 12).collect()
+    assert(got.length == want.length && got.nonEmpty)
+    got.zip(want).foreach { case (x, y) =>
+      assert(x.getAs[Long]("id") == y.getAs[Long]("id"))
+      assert(math.abs(x.getAs[Double]("score") - y.getAs[Double]("score")) < 1e-9)
+    }
+  }
+
+  test("boosted: prior flips near-ties, absent ids boost 0, lambda 0 == plain") {
+    val docs = Seq((1L, "hit pad"), (2L, "hit pad"), (3L, "other"))
+      .toDF("id", "text")
+    val idx = Retrieval.buildTextIndex(docs, "id", "text", 4)
+    val boosts = Seq((2L, 1.0)).toDF("id", "boost")
+    // docs 1 and 2 tie on bm25; the boost promotes 2 above 1
+    val out = Serving.bm25TopKBoosted(idx, Seq("hit"), boosts, 10, 0.5)
+      .collect().map(r => (r.getAs[Int]("rank"), r.getAs[Long]("id")))
+    assert(out.toSeq == Seq((1, 2L), (2, 1L)))
+    val plain = Serving.bm25TopKBoosted(idx, Seq("hit"), boosts, 10, 0.0)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("score")).toMap
+    val ref = Retrieval.bm25TopKIndexed(idx, Seq("hit"), 10)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("score")).toMap
+    plain.foreach { case (id, s) => assert(math.abs(s - ref(id)) < 1e-12) }
+  }
+
+  test("label propagation: frontier advances one hop per iteration, min tie-break") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val seeds = Seq((1L, 10L), (5L, 20L)).toDF("node", "label")
+    def labels(iters: Int) = LinkGraph
+      .labelPropagation(edges, seeds, iters).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    val l1 = labels(1)
+    assert(l1(2L) == 10L && l1(4L) == 20L && l1(3L) == -1L)
+    val l2 = labels(2)
+    // node 3 sees 10 and 20 (one vote each) -> min label wins
+    assert(l2(3L) == 10L)
+    // seeds never change
+    assert(l2(1L) == 10L && l2(5L) == 20L)
+  }
+
+  test("label propagation: seeds frozen against neighbor majority") {
+    val edges = Seq((1L, 2L), (1L, 3L)).toDF("src", "dst")
+    val seeds = Seq((1L, 5L), (2L, 9L), (3L, 9L)).toDF("node", "label")
+    val out = LinkGraph.labelPropagation(edges, seeds, 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 5L, 2L -> 9L, 3L -> 9L))
+  }
+}
+
 /** Static impact-ordered index pruning. */
 class PrunedIndexSpec extends SparkTestBase {
   import spark.implicits._
