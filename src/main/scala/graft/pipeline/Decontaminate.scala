@@ -357,9 +357,18 @@ object Decontaminate {
       textCol: String,
       splitCol: String,
       n: Int = 8): DataFrame =
+    // grams hash to xxhash64 BEFORE the distinct (the
+    // [[buildLeakageIndex]] shape): the corpus-scale distinct and both
+    // matrix joins then move 8-byte keys instead of n-token strings.
+    // Distinct-hash counts equal distinct-gram counts absent 64-bit
+    // collisions (~n²/2^65) — the same argument the
+    // `q_split_leakage_incremental` gate already pins for the index
+    // form against this operator's full-text oracle.
     leakageMatrixFrom(
       docs.select(F.col(splitCol).as("__sp"), F.col(idCol).as("__id"),
-          F.explode(wordNgrams(F.col(textCol), n)).as("gram"))
+          F.explode(wordNgrams(F.col(textCol), n)).as("__g"))
+        .select(F.col("__sp"), F.col("__id"),
+          F.xxhash64(F.col("__g")).as("gram"))
         .distinct())
 
   /**

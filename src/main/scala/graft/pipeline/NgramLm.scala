@@ -193,8 +193,16 @@ object NgramLm {
   }
 
   /** Fit the trigram KN tables: one trigram count (the corpus-scale
-    * shuffle), one bigram-type pass for the unigram continuation
-    * level, and type-level rollups. */
+    * shuffle) and type-level rollups. The unigram continuation level
+    * needs the corpus's distinct BIGRAM set — derived from the trigram
+    * TYPE table instead of a second corpus tokenize: per document with
+    * >= 3 tokens, every adjacent bigram is the (u,v) of some trigram
+    * or the (v,w) of the last one, so the corpus bigram set is
+    * proj_uv(tri) ∪ proj_vw(tri) ∪ {the single bigram of each
+    * exactly-2-token doc}. The projections run over the (far smaller)
+    * type table; the 2-token residue is a map-only scan that emits
+    * almost nothing — the old form exploded and distinct-shuffled
+    * every bigram OCCURRENCE in the corpus. */
   def learnKneserNey3(train: DataFrame, textCol: String): Kn3Model = {
     val tri = trigramRows(train.withColumn("__kn_id", F.lit(0L)), "__kn_id", textCol)
       .groupBy(F.col("u"), F.col("v"), F.col("w"))
@@ -209,9 +217,18 @@ object NgramLm {
     val mid = contBi.groupBy(F.col("v"))
       .agg(F.sum(F.col("nvw")).as("nv"), F.count(F.lit(1)).as("nvr"))
       .localCheckpoint(eager = false)
-    // unigram continuation from BIGRAM types of the same corpus
-    val biTypes = bigramRows(train.withColumn("__kn_id", F.lit(0L)), "__kn_id", textCol)
-      .select(F.col("l"), F.col("r")).distinct()
+    // unigram continuation from BIGRAM types of the same corpus:
+    // trigram-type projections plus the 2-token-doc residue
+    val toks2 = F.filter(F.split(F.col(textCol), "\\s+"), t => F.length(t) > 0)
+    val shortBi = train
+      .select(toks2.as("__w"))
+      .filter(F.size(F.col("__w")) === 2)
+      .select(F.element_at(F.col("__w"), 1).as("l"),
+        F.element_at(F.col("__w"), 2).as("r"))
+    val biTypes = tri.select(F.col("u").as("l"), F.col("v").as("r"))
+      .unionByName(tri.select(F.col("v").as("l"), F.col("w").as("r")))
+      .unionByName(shortBi)
+      .distinct()
       .localCheckpoint(eager = false)
     val uni = biTypes.groupBy(F.col("r").as("w"))
       .agg(F.count(F.lit(1)).as("nw"))
