@@ -625,9 +625,13 @@ object Bench {
     // SAME final nav count — corpus-wide k-means + full graph rebuild
     "b_hnsw_retrain" -> ((s: SparkSession, dir: String) => {
       val dst = restoreHnswOps(s, dir)
-      val cur = graft.pipeline.Hnsw.loadHnswIndex(s, dst)
+      // target nav count from the nodes table's row count (one tiny
+      // job) — the old full loadHnswIndex here paid two graph collects
+      // plus a corpus cell-size aggregate that the nav-insert SIDE of
+      // the A/B never pays, skewing the comparison by fixture overhead
+      val navCount = s.read.parquet(dst + "/nodes").count().toInt
       val re = graft.pipeline.Hnsw.retrainHnswIndex(s, dst,
-        maxNav = cur.graph.vecs.length + 16)
+        maxNav = navCount + 16)
       s.range(1).select(F.lit(re.graph.vecs.length).as("navs"))
     }),
 

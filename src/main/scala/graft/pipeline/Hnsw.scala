@@ -327,6 +327,17 @@ object Hnsw {
     * re-derived from the assignment (one bounded aggregate), so they
     * stay correct through appends and removals. */
   def loadHnswIndex(spark: SparkSession, path: String): HnswIndex = {
+    val (g, navIds) = loadGraphOnly(spark, path)
+    val assigned = loadAssignedOnly(spark, path)
+    HnswIndex(g, navIds, cellSizesOf(assigned, g.vecs.length), assigned)
+  }
+
+  /** The navigation graph + nav ids of a saved index — the two
+    * bounded-side collects, WITHOUT the assignment's cell-size
+    * aggregate (a full corpus-scale job the graph-mutation paths
+    * never need: they re-derive sizes after the swap anyway). */
+  private def loadGraphOnly(
+      spark: SparkSession, path: String): (Graph, Array[Long]) = {
     import spark.implicits._
     val raw = spark.read.parquet(s"$path/nodes")
     // ef_construction joined the layout after the first release: an
@@ -351,11 +362,14 @@ object Hnsw {
       m = if (n == 0) 16 else nodes.head._5,
       efAssign = if (n == 0) 16 else nodes.head._6,
       efConstruction = if (n == 0) 64 else nodes.head._8)
-    val assigned = CellTable.readVisible(spark, s"$path/assigned", "__cell")
+    (g, nodes.map(_._2))
+  }
+
+  /** Just the assignment frame — lazy, no driver job. */
+  private def loadAssignedOnly(spark: SparkSession, path: String): DataFrame =
+    CellTable.readVisible(spark, s"$path/assigned", "__cell")
       .withColumn("__cell", F.col("__cell").cast("int"))
       .select("neighbor_id", "__cv", "__cell")
-    HnswIndex(g, nodes.map(_._2), cellSizesOf(assigned, n), assigned)
-  }
 
   private def cellSizesOf(assigned: DataFrame, n: Int): Array[Long] = {
     val sizes = new Array[Long](n)
@@ -767,8 +781,11 @@ object Hnsw {
     StagedSwap.recoverLocked(spark, path, ManagedDirs)
     CellTable.recover(spark, s"$path/assigned")
     val priorCal = Similarity.loadCalibrationMeta(spark, path)
-    val cur = loadHnswIndex(spark, path)
-    val rows = cur.assigned.select(F.col("neighbor_id"), F.col("__cv"))
+    // the retrain rebuilds graph and assignment from the rows alone —
+    // loading the full index here paid two graph collects plus a
+    // corpus-scale cell-size aggregate it immediately threw away
+    val rows = loadAssignedOnly(spark, path)
+      .select(F.col("neighbor_id"), F.col("__cv"))
       .localCheckpoint(eager = false)
     StagedSwap.suppressStreamReplays(spark, path, s"$path/assigned")
     StagedSwap.run(spark, path, ManagedDirs, () => (), () => ()) { staging =>
@@ -836,22 +853,26 @@ object Hnsw {
     StagedSwap.recoverLocked(spark, path, ManagedDirs)
     CellTable.recover(spark, s"$path/assigned")
     val priorCal = Similarity.loadCalibrationMeta(spark, path)
-    val cur = loadHnswIndex(spark, path)
+    // graph + nav ids only: the growth path never reads cell sizes
+    // (the full load's corpus-scale aggregate), and the assignment is
+    // re-walked below anyway
+    val (curGraph, curNavIds) = loadGraphOnly(spark, path)
     val normU = F.udf((v: Array[Float]) => normalize(v))
     val navsNew = Similarity.trainCentroids(
       fresh.filter(F.col(vecCol).isNotNull)
         .withColumn("__nv", normU(F.col(vecCol))),
       idCol, "__nv", maxNewNav, iterations)
     require(navsNew.nonEmpty, "addNavNodes: no non-null vectors in the batch")
-    val g2 = insertNav(cur.graph, navsNew, seed)
-    val rows = cur.assigned.select(F.col("neighbor_id"), F.col("__cv"))
+    val g2 = insertNav(curGraph, navsNew, seed)
+    val rows = loadAssignedOnly(spark, path)
+      .select(F.col("neighbor_id"), F.col("__cv"))
       .localCheckpoint(eager = false)
     require(!rows.isEmpty, s"addNavNodes: index at $path is empty")
     StagedSwap.suppressStreamReplays(spark, path, s"$path/assigned")
     val gB = spark.sparkContext.broadcast(g2)
     val assignU = F.udf((v: Array[Float]) => assignCell(gB.value, v))
-    val navIds = cur.navIds ++
-      (cur.graph.vecs.length until g2.vecs.length).map(_.toLong)
+    val navIds = curNavIds ++
+      (curGraph.vecs.length until g2.vecs.length).map(_.toLong)
     StagedSwap.run(spark, path, ManagedDirs, afterStage, afterJournal) {
       staging =>
         // ONE corpus pass: the re-walk feeds the staged write directly.

@@ -558,17 +558,25 @@ object Similarity {
   }
 
   /** Reload an index written by [[IvfIndex.save]]. */
-  def loadIvfIndex(spark: SparkSession, path: String): IvfIndex = {
-    import spark.implicits._
-    val centroids = spark.read.parquet(s"$path/centroids")
-      .orderBy("cell").select("centroid").as[Array[Float]].collect()
-    // partition column comes back as its own column; restore the int
-    // type. Journal-aware: exact even mid-crashed-compact.
-    val assigned = CellTable.readVisible(spark, s"$path/assigned", "__cell")
+  def loadIvfIndex(spark: SparkSession, path: String): IvfIndex =
+    IvfIndex(
+      {
+        import spark.implicits._
+        spark.read.parquet(s"$path/centroids")
+          .orderBy("cell").select("centroid").as[Array[Float]].collect()
+      },
+      loadIvfAssigned(spark, path))
+
+  /** Just the assignment frame of a saved index — lazy (no driver
+    * job), shared by [[loadIvfIndex]] and the maintenance paths that
+    * never touch the centroids (a full load pays a centroid-collect
+    * job they would throw away). Partition column comes back as its
+    * own column; restore the int type. Journal-aware: exact even
+    * mid-crashed-compact. */
+  private def loadIvfAssigned(spark: SparkSession, path: String): DataFrame =
+    CellTable.readVisible(spark, s"$path/assigned", "__cell")
       .withColumn("__cell", F.col("__cell").cast("int"))
       .select("neighbor_id", "__cv", "__cell")
-    IvfIndex(centroids, assigned)
-  }
 
   /**
    * Nightly IVF maintenance: assign a fresh vector batch against the
@@ -630,7 +638,9 @@ object Similarity {
     // writes land no files; the dir would become uninferrable)
     if (touched.nonEmpty)
       CellTable.appendBatch(spark, s"$path/assigned", assigned, batchId)
-    (loadIvfIndex(spark, path), touched)
+    // centroids are FROZEN across appends: reuse the ones already
+    // collected instead of paying a second centroid-collect job
+    (IvfIndex(idx.centroids, loadIvfAssigned(spark, path)), touched)
   }
 
   /**
@@ -710,11 +720,13 @@ object Similarity {
     // a calibrated index stays calibrated: remember the curve's k so
     // the post-swap recalibration replays at the same contract
     val priorCal = loadCalibrationMeta(spark, path)
-    val cur = loadIvfIndex(spark, path)
+    // the retrain only reads the assignment (fresh centroids come from
+    // the k-means below) — skip the full load's centroid-collect job
     // every read of `rows` (training passes, the staged save) happens
     // BEFORE the swap deletes the source dirs — a lazy checkpoint just
     // pins one materialization across the k-means passes
-    val rows = cur.assigned.select(F.col("neighbor_id"), F.col("__cv"))
+    val rows = loadIvfAssigned(spark, path)
+      .select(F.col("neighbor_id"), F.col("__cv"))
       .localCheckpoint(eager = false)
     // an empty index would stage NO assigned dir (a zero-row
     // partitioned write lands nothing) and the swap would then delete
@@ -850,13 +862,6 @@ object Similarity {
     // the RAW table, batch column included — survivors rewrite into
     // exactly their own (__cell, __batch) partitions
     val rows = CellTable.readRaw(spark, tablePath)
-    val maxStream = {
-      val r = rows.agg(F.max(F.when(F.col("__batch") >= 0L,
-        F.col("__batch")))).head()
-      if (r.isNullAt(0)) -1L else r.getLong(0)
-    }
-    if (maxStream >= 0L)
-      CellTable.writeMaintainedThrough(spark, rootPath, maxStream)
     val del = ids.select(F.col(idCol).as("neighbor_id")).distinct()
       .localCheckpoint(eager = false)
     // one index scan: which (cell, batch) partitions hold any doomed
@@ -864,6 +869,9 @@ object Similarity {
     // nothing for them — their dirs need an explicit delete), and
     // whether the WHOLE table empties out. Bounded: one row per live
     // (cell, batch) pair — nlist x retained batches, driver-fine.
+    // The max live stream batch (the watermark value) reads off the
+    // same per-partition rows — the old separate max() pass over the
+    // full table was a second scan for one number.
     val perPart = rows
       .join(F.broadcast(del.withColumn("__del", F.lit(1))),
         Seq("neighbor_id"), "left")
@@ -873,6 +881,14 @@ object Similarity {
       .select(F.col("__cell"), F.col("__batch"), F.col("__doomed"),
         (F.col("__n") === F.col("__doomed")).as("__empties"))
       .collect()
+    // watermark BEFORE any mutation (the crash-replay rule); computing
+    // perPart first is read-only and changes nothing about the window
+    val maxStream = {
+      val bs = perPart.map(_.getLong(1)).filter(_ >= 0L)
+      if (bs.isEmpty) -1L else bs.max
+    }
+    if (maxStream >= 0L)
+      CellTable.writeMaintainedThrough(spark, rootPath, maxStream)
     val touchedCells = perPart.filter(_.getLong(2) > 0L)
       .map(_.getInt(0)).distinct.toSeq
     val emptiedPairs = perPart
