@@ -636,27 +636,32 @@ object Decontaminate {
     val dg = docGrams.localCheckpoint(eager = false)
     val sg = dg.select(F.col("__sp"), F.col("gram")).distinct()
       .localCheckpoint(eager = false)
-    // two gram joins total: the a-side doc join carries BOTH the
-    // shared-gram count (a shared gram necessarily appears in >= 1
-    // a-doc) and the a-side leaked docs; the mirror join gives b
-    val tA = dg
-      .join(sg.select(F.col("__sp").as("split_b"), F.col("gram")), Seq("gram"))
-      .filter(F.col("__sp") < F.col("split_b"))
-      .select(F.col("__sp").as("split_a"), F.col("split_b"),
+    // ONE gram join carries both directions (the old form ran the
+    // corpus-side join twice, once per side): a row "doc of __sp whose
+    // gram also lives in __o" belongs to the ordered pair
+    // (least, greatest) — as the a-side when __sp < __o, the b-side
+    // otherwise. Shared grams count off the a-side rows (a shared gram
+    // necessarily appears in >= 1 a-doc).
+    val t = dg
+      .join(sg.select(F.col("__sp").as("__o"), F.col("gram")), Seq("gram"))
+      .filter(F.col("__sp") =!= F.col("__o"))
+      .select(F.least(F.col("__sp"), F.col("__o")).as("split_a"),
+        F.greatest(F.col("__sp"), F.col("__o")).as("split_b"),
+        (F.col("__sp") < F.col("__o")).as("__isA"),
         F.col("__id"), F.col("gram"))
       .localCheckpoint(eager = false)
-    val shared = tA.select(F.col("split_a"), F.col("split_b"), F.col("gram"))
+    val shared = t.filter(F.col("__isA"))
+      .select(F.col("split_a"), F.col("split_b"), F.col("gram"))
       .distinct()
       .groupBy(F.col("split_a"), F.col("split_b"))
       .agg(F.count(F.lit(1)).as("shared_grams"))
-    val leakedA = tA.select(F.col("split_a"), F.col("split_b"), F.col("__id"))
+    val leakedA = t.filter(F.col("__isA"))
+      .select(F.col("split_a"), F.col("split_b"), F.col("__id"))
       .distinct()
       .groupBy(F.col("split_a"), F.col("split_b"))
       .agg(F.count(F.lit(1)).as("leaked_docs_a"))
-    val leakedB = dg
-      .join(sg.select(F.col("__sp").as("split_a"), F.col("gram")), Seq("gram"))
-      .filter(F.col("split_a") < F.col("__sp"))
-      .select(F.col("split_a"), F.col("__sp").as("split_b"), F.col("__id"))
+    val leakedB = t.filter(!F.col("__isA"))
+      .select(F.col("split_a"), F.col("split_b"), F.col("__id"))
       .distinct()
       .groupBy(F.col("split_a"), F.col("split_b"))
       .agg(F.count(F.lit(1)).as("leaked_docs_b"))
