@@ -1086,7 +1086,11 @@ object Dedup {
       keepFirst: Boolean = false): DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k")
     require(minCount >= 2, s"minCount must be >= 2, got $minCount")
+    // occ feeds BOTH the duplicated-gram aggregate and the mark join —
+    // without the pin each side re-runs the full tokenize + gram
+    // explode over the corpus (measured ~40% of the pass)
     val occ = gramOccurrences(df, idCol, textCol, k)
+      .localCheckpoint(eager = false)
     val dup = occ.groupBy(F.col("__gh"))
       .agg(F.count(F.lit(1)).as("__c"),
            F.min(F.struct(F.col(idCol), F.col("__s"))).as("__first"))
@@ -1585,6 +1589,9 @@ object Dedup {
     require(minCount >= 2, s"minCount must be >= 2, got $minCount")
     val reserved = Set("__p", "__pi", "__ph", "__text", "__total", "__kept")
     require(!df.columns.exists(reserved), s"column names $reserved are reserved")
+    // paras feeds BOTH the dup aggregate and the mark join — pin one
+    // materialization (the duplicateSpans occ rule) so the corpus is
+    // split + exploded once, not once per side
     val paras = df
       .select(F.col(idCol), F.posexplode(
         F.filter(F.split(F.col(textCol), sep), p => F.length(p) > 0)))
@@ -1592,6 +1599,7 @@ object Dedup {
         (F.col("pos") + 1).cast("long").as("__pi"),
         F.col("col").as("__p"))
       .withColumn("__ph", F.xxhash64(F.col("__p")))
+      .localCheckpoint(eager = false)
     val dup = paras.groupBy(F.col("__ph"))
       .agg(F.count(F.lit(1)).as("__c"),
            F.min(F.struct(F.col(idCol), F.col("__pi"))).as("__first"))
