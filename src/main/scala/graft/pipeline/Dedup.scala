@@ -2230,8 +2230,11 @@ object Dedup {
       avgSize: Int = 64,
       maxSize: Int = 256,
       maxBucket: Int = 64): DataFrame = {
+    // ch feeds both the size aggregate and the cap join — pin one
+    // materialization or the gear-hash chunking pass runs twice
     val ch = cdcChunks(docs, idCol, textCol, minSize, avgSize, maxSize)
       .select(F.col("chunk_hash"), F.col("id")).distinct()
+      .localCheckpoint(eager = false)
     val sizes = ch.groupBy(F.col("chunk_hash"))
       .agg(F.count(F.lit(1)).as("__n"))
     val ok = capBuckets(sizes, F.col("__n"), maxBucket, "chunkindex")
@@ -2448,10 +2451,13 @@ object Dedup {
       k: Int = 5,
       w: Int = 8,
       maxBucket: Int = 64): DataFrame = {
+    // fps feeds both the size aggregate and the cap join — pin one
+    // materialization or the winnowing selection pass runs twice
     val fps = winnowFingerprints(docs, idCol, textCol, k, w)
       .select(F.col("fp"), F.col("id"))
       .repartition(F.col("fp"))
       .distinct()
+      .localCheckpoint(eager = false)
     val sizes = fps.groupBy(F.col("fp")).agg(F.count(F.lit(1)).as("__n"))
     val ok = capBuckets(sizes, F.col("__n"), maxBucket, "winnowindex")
       .select(F.col("fp"))
