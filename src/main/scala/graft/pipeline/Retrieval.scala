@@ -978,8 +978,12 @@ object Retrieval {
       idCol: String,
       textCol: String,
       buckets: Int = 64): TextIndex = {
+    // pin the postings: the eager stats aggregate below is always
+    // followed by at least one more read (save or probe), and without
+    // the pin each one re-runs the full tokenize + postings shuffle
     val index = buildIndex(docs, idCol, textCol)
       .withColumn("__bucket", termBucket(F.col("term"), buckets))
+      .localCheckpoint(eager = false)
     val (n, dl) = exactStats(index)
     TextIndex(index, buckets, n,
       if (n == 0) 0.0 else dl.toDouble / n, dl)
@@ -995,8 +999,10 @@ object Retrieval {
       idCol: String,
       textCol: String,
       buckets: Int = 64): TextIndex = {
+    // pinned for the same reason as [[buildTextIndex]]
     val index = buildStemmedIndex(docs, idCol, textCol)
       .withColumn("__bucket", termBucket(F.col("term"), buckets))
+      .localCheckpoint(eager = false)
     val (n, dl) = exactStats(index)
     TextIndex(index, buckets, n,
       if (n == 0) 0.0 else dl.toDouble / n, dl)
