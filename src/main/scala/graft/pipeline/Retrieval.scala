@@ -423,6 +423,11 @@ object Retrieval {
     val nDocs = docs.count()
     val perField = fields.map { case (c, w, bf) =>
       require(bf >= 0.0 && bf <= 1.0, s"b for field $c must be in [0,1], got $bf")
+      // NOT pinned (measured): the matched-term filter pushes below
+      // the postings aggregation, so the probe subtree is far cheaper
+      // than materializing full per-field postings would be; only the
+      // avgdl subtree pays a full pass, and a checkpoint here read
+      // 1.13 -> 1.52 s on b_bm25f
       val idx = buildIndex(docs, idCol, c)
       val stats = corpusStats(idx).select(F.col("avgdl").as("__avgdl"))
       idx.filter(F.col("term").isin(q: _*))
