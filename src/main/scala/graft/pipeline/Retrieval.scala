@@ -1776,20 +1776,33 @@ object Retrieval {
       .filter(F.col("__bucket").isin(qBuckets: _*))
       .filter(F.col("term").isin(q: _*))
     // exact per-term dfs: a count-only pass (reads the term column of
-    // the pruned buckets, partial-aggregated map-side; <= |q| rows)
-    val dfRows = matched.groupBy("term")
-      .agg(F.count(F.lit(1)).as("df"))
-      .as[(String, Long)].collect()
+    // the pruned buckets, partial-aggregated map-side; <= |q| rows).
+    // The dfs scan and the term_meta scan are independent bounded
+    // collects — run them as concurrent jobs (guide §2.6: actions are
+    // only sequential because the driver calls them sequentially), so
+    // the pruned probe pays one job latency here, not two.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val dfF = Future {
+      matched.groupBy("term")
+        .agg(F.count(F.lit(1)).as("df"))
+        .as[(String, Long)].collect()
+    }
+    val metaF = Future {
+      spark.read.parquet(s"$path/term_meta")
+        .withColumn("__bucket", F.col("__bucket").cast("long"))
+        .filter(F.col("__bucket").isin(qBuckets: _*))
+        .filter(F.col("term").isin(q: _*))
+        .groupBy("term")
+        .agg(F.max(F.col("max_tf")).as("max_tf"),
+          F.min(F.col("min_dl")).as("min_dl"))
+        .as[(String, Long, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+    }
+    val dfRows = Await.result(dfF, Duration.Inf)
+    val metaRows = Await.result(metaF, Duration.Inf)
     if (dfRows.isEmpty) return fallback(q, Nil, Double.NaN, Double.NaN)
-    val metaRows = spark.read.parquet(s"$path/term_meta")
-      .withColumn("__bucket", F.col("__bucket").cast("long"))
-      .filter(F.col("__bucket").isin(qBuckets: _*))
-      .filter(F.col("term").isin(q: _*))
-      .groupBy("term")
-      .agg(F.max(F.col("max_tf")).as("max_tf"),
-        F.min(F.col("min_dl")).as("min_dl"))
-      .as[(String, Long, Long)].collect()
-      .map(r => r._1 -> (r._2, r._3)).toMap
     val n = idx.nDocs.toDouble
     val ub: Seq[(String, Double)] = dfRows.toSeq.map { case (t, df) =>
       val idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
@@ -1905,17 +1918,28 @@ object Retrieval {
     val matched = idx.postings
       .filter(F.col("__bucket").isin(tBuckets: _*))
       .filter(F.col("term").isin(terms: _*))
-    val dfMap = matched.groupBy("term").agg(F.count(F.lit(1)).as("df"))
-      .as[(String, Long)].collect().toMap
-    val metaMap = spark.read.parquet(s"$path/term_meta")
-      .withColumn("__bucket", F.col("__bucket").cast("long"))
-      .filter(F.col("__bucket").isin(tBuckets: _*))
-      .filter(F.col("term").isin(terms: _*))
-      .groupBy("term")
-      .agg(F.max(F.col("max_tf")).as("max_tf"),
-        F.min(F.col("min_dl")).as("min_dl"))
-      .as[(String, Long, Long)].collect()
-      .map(r => r._1 -> (r._2, r._3)).toMap
+    // independent bounded collects run as concurrent jobs (the
+    // bm25TopKMaxScore rule): one job latency, not two
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val dfMapF = Future {
+      matched.groupBy("term").agg(F.count(F.lit(1)).as("df"))
+        .as[(String, Long)].collect().toMap
+    }
+    val metaMapF = Future {
+      spark.read.parquet(s"$path/term_meta")
+        .withColumn("__bucket", F.col("__bucket").cast("long"))
+        .filter(F.col("__bucket").isin(tBuckets: _*))
+        .filter(F.col("term").isin(terms: _*))
+        .groupBy("term")
+        .agg(F.max(F.col("max_tf")).as("max_tf"),
+          F.min(F.col("min_dl")).as("min_dl"))
+        .as[(String, Long, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+    }
+    val dfMap = Await.result(dfMapF, Duration.Inf)
+    val metaMap = Await.result(metaMapF, Duration.Inf)
     val n = idx.nDocs.toDouble
     def ubOf(t: String): Option[Double] = dfMap.get(t).map { df =>
       val idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
